@@ -1,0 +1,320 @@
+package graft.api
+
+import java.util.UUID
+
+import scala.util.{Failure, Success, Try}
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.core._
+
+/** A per-file read failure captured in lazy-errors mode.
+  * Ref semantics: /root/reference/src/fsql/deser.py:101-117. */
+final case class ReadFailure(partition: Partition, reason: String)
+
+/** Partial result + the per-file failures that were tolerated. */
+final case class RichResult(data: DataFrame, failures: Seq[ReadFailure])
+
+/** No leaf files matched the query — mirrors the reference's behavior where
+  * an empty concat raises (tests/test_lex_range_query.py:113-114). */
+final class GraftEmptyResultException(msg: String) extends RuntimeException(msg)
+
+/** Public facade: metastore-less partitioned-table reading on Spark.
+  *
+  * The whole reference surface (/root/reference/src/fsql/api.py) re-expressed
+  * Spark-first: discovery + pruning happen driver-side (cheap, metadata-only),
+  * then ONE declarative `spark.read.load(files*)` hands the surviving files to
+  * Catalyst/Tungsten — predicate pushdown, column pruning, vectorized parquet
+  * and whole-stage codegen all apply downstream of this seam.
+  *
+  * Partition-column attach strategies (scale-critical):
+  *  - few distinct partitions: per-partition load + literal columns + unionByName
+  *    (plan stays small, literals fold into codegen);
+  *  - many partitions (the 100 TB shape: thousands of dirs, millions of files):
+  *    a single multi-path load joined to a broadcast file→values map on
+  *    `input_file_name()` — constant plan size, no per-partition plan nodes.
+  * Partition columns are always StringType (reference contract, SURVEY §1.2).
+  */
+object Graft {
+
+  /** Above this many distinct partitions, switch from per-partition unions to
+    * the broadcast path-map attach. */
+  var unionAttachThreshold: Int = 64
+
+  // ---------------------------------------------------------------- discovery
+
+  /** Driver-side discovery only: which leaf files + partition values match. */
+  def discover(
+      spark: SparkSession,
+      url: String,
+      query: PartitionQuery = Q.True,
+      parser: ColumnParser = AutoParser.auto): Seq[Partition] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = Discovery.fileSystemFor(url, conf)
+    val qualified = fs.makeQualified(new Path(url)).toString
+    Discovery.discoverPartitions(query, parser, Partition.root(qualified), fs)
+  }
+
+  /** "Fancy ls" (reference IdentityReader, deser.py:273-303): the matched
+    * files + partition values as a small driver-built DataFrame. */
+  def listPartitionedTable(
+      spark: SparkSession,
+      url: String,
+      query: PartitionQuery = Q.True,
+      parser: ColumnParser = AutoParser.auto): DataFrame = {
+    val parts = discover(spark, url, query, parser)
+    val colNames = parts.flatMap(_.columns.keys).distinct
+    val schema = StructType(
+      StructField("path", StringType, nullable = false) +:
+        colNames.map(StructField(_, StringType, nullable = true)))
+    val rows = parts.map { p =>
+      org.apache.spark.sql.Row.fromSeq(p.url +: colNames.map(c => p.columns.getOrElse(c, null)))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  // ------------------------------------------------------------------- read
+
+  /** Read a partitioned table into a DataFrame (eager error semantics:
+    * unreadable file => the job fails, like the reference's default). */
+  def readPartitionedTable(
+      spark: SparkSession,
+      url: String,
+      query: PartitionQuery = Q.True,
+      parser: ColumnParser = AutoParser.auto,
+      format: String = "auto",
+      options: Map[String, String] = Map.empty,
+      schema: Option[StructType] = None,
+      columns: Seq[String] = Nil): DataFrame =
+    readInternal(spark, url, query, parser, format, options, schema, columns,
+      lazyErrors = false).data
+
+  /** Lazy-errors variant: per-file failures are collected, the readable
+    * files still produce a (partial) DataFrame. Ref: deser.py:101-117. */
+  def readPartitionedTableRich(
+      spark: SparkSession,
+      url: String,
+      query: PartitionQuery = Q.True,
+      parser: ColumnParser = AutoParser.auto,
+      format: String = "auto",
+      options: Map[String, String] = Map.empty,
+      schema: Option[StructType] = None,
+      columns: Seq[String] = Nil): RichResult =
+    readInternal(spark, url, query, parser, format, options, schema, columns,
+      lazyErrors = true)
+
+  private final case class FileEntry(path: String, format: String, columns: Map[String, String])
+
+  private def readInternal(
+      spark: SparkSession,
+      url: String,
+      query: PartitionQuery,
+      parser: ColumnParser,
+      format: String,
+      options: Map[String, String],
+      schema: Option[StructType],
+      columns: Seq[String],
+      lazyErrors: Boolean): RichResult = {
+
+    val parts = discover(spark, url, query, parser)
+    if (parts.isEmpty)
+      throw new GraftEmptyResultException(s"no files matched under $url for $query")
+
+    val entries = parts.map(p => FileEntry(p.url, detectFormat(p.url, format), p.columns))
+
+    val (good, failures) =
+      if (!lazyErrors) (entries, Seq.empty[ReadFailure])
+      else probeAll(spark, entries, options, schema, columns)
+
+    if (good.isEmpty) return RichResult(spark.emptyDataFrame, failures)
+
+    // Group by (format, partition-values): one logical scan per group.
+    val groups = good.groupBy(e => (e.format, e.columns)).toSeq
+      .sortBy(_._2.head.path) // deterministic group order
+    val df =
+      if (groups.size <= unionAttachThreshold) unionAttach(spark, groups, options, schema)
+      else broadcastAttach(spark, good, options, schema)
+
+    val projected =
+      if (columns.isEmpty) df
+      else {
+        val partCols = good.flatMap(_.columns.keys).distinct.filterNot(columns.contains)
+        df.select((columns ++ partCols).map(col): _*)
+      }
+    RichResult(projected, failures)
+  }
+
+  /** Few-partitions path: per-group load with literal partition columns. */
+  private def unionAttach(
+      spark: SparkSession,
+      groups: Seq[((String, Map[String, String]), Seq[FileEntry])],
+      options: Map[String, String],
+      schema: Option[StructType]): DataFrame = {
+    val frames = groups.map { case ((fmt, partValues), files) =>
+      val base = load(spark, fmt, files.map(_.path), options, schema)
+      partValues.toSeq.sortBy(_._1).foldLeft(base) { case (d, (k, v)) =>
+        d.withColumn(k, lit(v))
+      }
+    }
+    frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Many-partitions path: single scan + broadcast file→values map joined on
+    * input_file_name(). Constant-size plan regardless of partition count. */
+  private def broadcastAttach(
+      spark: SparkSession,
+      files: Seq[FileEntry],
+      options: Map[String, String],
+      schema: Option[StructType]): DataFrame = {
+    val formats = files.map(_.format).distinct
+    require(formats.size == 1,
+      s"broadcast attach requires a single format, got $formats")
+    val colNames = files.flatMap(_.columns.keys).distinct
+
+    val mapSchema = StructType(
+      StructField("__graft_file", StringType, nullable = false) +:
+        colNames.map(StructField(_, StringType, nullable = true)))
+    val rows = files.map { e =>
+      org.apache.spark.sql.Row.fromSeq(
+        normalizePath(e.path) +: colNames.map(c => e.columns.getOrElse(c, null)))
+    }
+    val mapDf = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), mapSchema)
+
+    val data = load(spark, formats.head, files.map(_.path), options, schema)
+      // input_file_name yields a URI ("file:///..."); reduce both sides to
+      // /authority/path form so the equi-join keys agree across schemes.
+      .withColumn("__graft_file",
+        regexp_replace(input_file_name(), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"))
+    data.join(broadcast(mapDf), Seq("__graft_file"), "inner").drop("__graft_file")
+  }
+
+  /** Driver-side normalization matching the runtime regexp in broadcastAttach. */
+  private def normalizePath(url: String): String = {
+    val uri = new Path(url).toUri
+    val auth = Option(uri.getAuthority).filter(_.nonEmpty).map("/" + _).getOrElse("")
+    auth + uri.getRawPath
+  }
+
+  private def load(
+      spark: SparkSession,
+      fmt: String,
+      paths: Seq[String],
+      options: Map[String, String],
+      schema: Option[StructType]): DataFrame = {
+    // String partition values stay strings (reference contract).
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    val defaults = fmt match {
+      case "csv" => Map("header" -> "true", "inferSchema" -> "true")
+      case _ => Map.empty[String, String]
+    }
+    var reader = spark.read.format(fmt).options(defaults ++ options)
+    schema.foreach(s => reader = reader.schema(s))
+    reader.load(paths: _*)
+  }
+
+  /** Suffix-based format detection (reference InputFormat.from_url,
+    * deser.py:78-95); xlsx is rejected with a clear message (no built-in
+    * Spark source; offline env forbids spark-excel). */
+  private[api] def detectFormat(url: String, forced: String): String =
+    if (forced != "auto") forced
+    else url.split("\\.").last.toLowerCase match {
+      case "parquet" | "pq" => "parquet"
+      case "csv" => "csv"
+      case "json" | "jsonl" => "json"
+      case "xlsx" =>
+        throw new UnsupportedOperationException(
+          "xlsx is not supported by the Spark engine (no built-in source; " +
+            "reference support via openpyxl has no offline Spark equivalent)")
+      case other =>
+        throw new IllegalArgumentException(s"cannot infer format from suffix '$other' ($url)")
+    }
+
+  /** Lazy-errors probe: can each file plausibly be read with the requested
+    * format/columns? Parquet: footer read. JSON: schema inference must yield
+    * at least one non-corrupt field. CSV: header/inference must not throw.
+    * Runs driver-side in parallel; cost is one metadata read per file. */
+  private def probeAll(
+      spark: SparkSession,
+      entries: Seq[FileEntry],
+      options: Map[String, String],
+      schema: Option[StructType],
+      columns: Seq[String]): (Seq[FileEntry], Seq[ReadFailure]) = {
+    val results = entries.par2.map { e =>
+      val outcome = Try {
+        val fileSchema = schema.getOrElse {
+          val inferred = load(spark, e.format, Seq(e.path), options, None).schema
+          if (e.format == "json" &&
+              inferred.fieldNames.forall(_ == "_corrupt_record"))
+            throw new RuntimeException("unparseable json")
+          inferred
+        }
+        val missing = columns.filterNot(fileSchema.fieldNames.contains)
+        if (missing.nonEmpty)
+          throw new RuntimeException(s"missing requested columns: ${missing.mkString(",")}")
+      }
+      outcome match {
+        case Success(_) => Right(e)
+        case Failure(ex) =>
+          Left(ReadFailure(Partition(e.path, e.columns), Option(ex.getMessage).getOrElse(ex.toString)))
+      }
+    }
+    (results.collect { case Right(e) => e }, results.collect { case Left(f) => f })
+  }
+
+  /** Tiny helper: parallel map over a small driver-side collection. */
+  private implicit class ParOps[A](private val xs: Seq[A]) {
+    def par2: ParMapped[A] = new ParMapped(xs)
+  }
+  private final class ParMapped[A](xs: Seq[A]) {
+    def map[B](f: A => B): Seq[B] = {
+      import java.util.concurrent.Executors
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = Executors.newFixedThreadPool(math.min(32, math.max(1, xs.size)))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try Await.result(Future.sequence(xs.map(x => Future(f(x)))), Duration.Inf)
+      finally pool.shutdown()
+    }
+  }
+
+  // ------------------------------------------------------------------ write
+
+  /** Write a DataFrame as a SINGLE object at `url` (reference write_object,
+    * api.py:110-163): no multi-file dirs, no appends. Implemented as a
+    * coalesce(1) write to a temp dir + rename of the lone part file. */
+  def writeObject(
+      df: DataFrame,
+      url: String,
+      format: String = "auto",
+      options: Map[String, String] = Map.empty): Unit = {
+    val fmt = detectFormat(url, format)
+    val spark = df.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = Discovery.fileSystemFor(url, conf)
+    val target = fs.makeQualified(new Path(url))
+    val tmp = new Path(target.getParent, s".graft_tmp_${UUID.randomUUID().toString.take(8)}")
+    val defaults = fmt match {
+      case "csv" => Map("header" -> "true")
+      case _ => Map.empty[String, String]
+    }
+    df.coalesce(1).write.mode("overwrite").options(defaults ++ options).format(fmt)
+      .save(tmp.toString)
+    val part = fs.listStatus(tmp).map(_.getPath)
+      .find(p => p.getName.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException(s"no part file produced in $tmp"))
+    if (fs.exists(target)) fs.delete(target, false)
+    fs.rename(part, target)
+    fs.delete(tmp, true)
+  }
+
+  /** Raw byte-stream write (reference's StringIO/BytesIO branch). */
+  def writeRaw(spark: SparkSession, url: String, bytes: Array[Byte]): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = Discovery.fileSystemFor(url, conf)
+    val out = fs.create(new Path(url), true)
+    try out.write(bytes) finally out.close()
+  }
+}

@@ -1,0 +1,110 @@
+package graft.core
+
+import java.util.concurrent.ForkJoinPool
+import java.util.concurrent.RecursiveTask
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Driver-side recursive partition discovery: per level, either *generate*
+  * the expected dir names from the parser's grammar (skipping the filesystem
+  * listing entirely — the key S3 LIST-cost optimization) or list the
+  * directory; parse dir names into partition columns; prune whole subtrees
+  * with `query.evalAvailable` (partial evaluation) BEFORE descending; at
+  * terminal levels, gate files with `query.evalAll` (per-file when the parser
+  * parses filenames, else per-partition).
+  *
+  * Logic mirrors /root/reference/src/fsql/partition_discovery.py:48-90, with
+  * two deliberate upgrades for scale:
+  *  - subtree exploration is parallelized on a ForkJoin pool (the reference
+  *    has a "parallelisation opportunity" NOTE at partition_discovery.py:71 —
+  *    sequential crawls dominate wall-clock on high-latency object stores);
+  *  - listing a non-existent generated directory yields an empty listing
+  *    rather than an error (generation can overshoot, e.g. day=31 in a
+  *    30-day month's tree).
+  *
+  * Listings are sorted (files and dirs independently) for deterministic
+  * output order, matching the reference's contract
+  * (partition_discovery.py:36-45, tests/test_listing_sorted.py).
+  */
+object Discovery {
+
+  /** Filesystem `ls` calls performed — the reference-implied efficiency
+    * metric (BASELINE.md "listing efficiency"). */
+  val listingCalls = new AtomicLong(0)
+  def resetListingCounter(): Unit = listingCalls.set(0)
+
+  final case class DirectoryListing(files: Seq[String], directories: Seq[String])
+
+  def listDirectory(url: String, fs: FileSystem): DirectoryListing = {
+    listingCalls.incrementAndGet()
+    val path = new Path(url)
+    if (!fs.exists(path)) return DirectoryListing(Nil, Nil)
+    val statuses = fs.listStatus(path)
+    val (dirs, files) = statuses.partition(_.isDirectory)
+    DirectoryListing(
+      files.map(_.getPath.getName).sorted.toSeq,
+      directories = dirs.map(_.getPath.getName).sorted.toSeq)
+  }
+
+  /** Discover all leaf-file partitions under `partition.url` that satisfy
+    * `query`, using `parser` to interpret path levels. Every returned
+    * Partition's url points at a single data FILE (never a directory). */
+  def discoverPartitions(
+      query: PartitionQuery,
+      parser: ColumnParser,
+      partition: Partition,
+      fs: FileSystem): Seq[Partition] = {
+    val task = new DiscoverTask(query, parser, partition, fs)
+    // invoke() on a free-standing task uses the common pool's work-stealing,
+    // so nested join() calls do not deadlock.
+    ForkJoinPool.commonPool().invoke(task)
+  }
+
+  private final class DiscoverTask(
+      query: PartitionQuery,
+      parser: ColumnParser,
+      partition0: Partition,
+      fs: FileSystem) extends RecursiveTask[Seq[Partition]] {
+
+    override def compute(): Seq[Partition] = {
+      val partition =
+        if (partition0.url.endsWith("/")) partition0
+        else partition0.copy(url = partition0.url + "/")
+
+      val listing = parser.generate match {
+        case Some(generated) if parser.isTerminalLevel =>
+          DirectoryListing(files = generated, directories = Nil)
+        case Some(generated) =>
+          DirectoryListing(files = Nil, directories = generated)
+        case None => listDirectory(partition.url, fs)
+      }
+
+      val subTasks = listing.directories.iterator
+        .map(d => partition.expandBy(d + "/", Some(parser.parse(d))))
+        .filter(p => query.evalAvailable(p.columns))
+        .map { p =>
+          val t = new DiscoverTask(query, parser.tail(p), p, fs)
+          t.fork()
+          t
+        }
+        .toVector
+
+      val filePartitions: Seq[Partition] =
+        if (!parser.isTerminalLevel) Nil
+        else if (parser.parsesFilenames) {
+          listing.files
+            .map(f => partition.expandBy(f, Some(parser.parse(f))))
+            .filter(p => query.evalAll(p.columns))
+        } else if (!query.evalAll(partition.columns)) Nil
+        else listing.files.map(f => partition.expandBy(f, None))
+
+      subTasks.flatMap(_.join()) ++ filePartitions
+    }
+  }
+
+  /** Resolve a url to its Hadoop FileSystem. */
+  def fileSystemFor(url: String, conf: Configuration): FileSystem =
+    new Path(url).getFileSystem(conf)
+}

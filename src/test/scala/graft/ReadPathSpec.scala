@@ -1,0 +1,216 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.api.{Graft, GraftEmptyResultException}
+import graft.core._
+
+/** End-to-end scan-path tests reproducing the reference's golden layouts
+  * (FIXTURES.md §A; behavioral source: /root/reference/tests/). */
+class ReadPathSpec extends SparkSpec {
+
+  private def writeFile(path: String, content: String): Unit = {
+    val p = Paths.get(path)
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, content)
+  }
+
+  private val csv = "c1,c2\n0,hello\n1,world\n"
+
+  test("A1: flat single file, no partitions") {
+    val dir = tmpDir("a1")
+    writeFile(s"$dir/f1.csv", csv)
+    val df = Graft.readPartitionedTable(spark, dir)
+    assert(df.columns.toSet == Set("c1", "c2"))
+    assert(df.count() == 2)
+  }
+
+  test("A2: hive-style partitions auto-parsed as strings") {
+    val dir = tmpDir("a2")
+    writeFile(s"$dir/c3=42/c4=test/f1.csv", csv)
+    val df = Graft.readPartitionedTable(spark, dir)
+    assert(df.columns.toSet == Set("c1", "c2", "c3", "c4"))
+    val r = df.select("c3", "c4").distinct().collect()
+    assert(r.length == 1 && r(0).getString(0) == "42" && r(0).getString(1) == "test")
+    assert(df.schema("c3").dataType.typeName == "string") // never inferred to int
+  }
+
+  test("A3: value-only partitions + filename column via FixedColumnsParser") {
+    val dir = tmpDir("a3")
+    writeFile(s"$dir/42/test/f1.csv", csv)
+    val df = Graft.readPartitionedTable(spark, dir,
+      parser = FixedColumnsParser.fromStr("a1/a2/fname"))
+    assert(df.columns.toSet == Set("c1", "c2", "a1", "a2", "fname"))
+    val r = df.select("a1", "a2", "fname").distinct().collect()
+    assert(r.length == 1 && r(0).getString(0) == "42" && r(0).getString(1) == "test"
+      && r(0).getString(2) == "f1.csv")
+  }
+
+  test("A4: grammar pruning + generation skips listing of pinned levels") {
+    val dir = tmpDir("a4")
+    writeFile(s"$dir/col1=4/col2=5/colX=a/f1.json", """{"c1":0,"c2":"hello"}""" + "\n")
+    writeFile(s"$dir/col1=4/col2=6/colX=b/f2.json", """{"c1":1,"c2":"world"}""" + "\n")
+    writeFile(s"$dir/col1=9/col2=6/colX=b/f3.json", """{"c1":2,"c2":"!"}""" + "\n")
+
+    Discovery.resetListingCounter()
+    val df = Graft.readPartitionedTable(spark, dir,
+      parser = AutoParser.fromStr("col1=4/col2=[5,6]/colX"))
+    assert(df.count() == 2)
+    assert(df.select("col1").distinct().collect().map(_.getString(0)).toSet == Set("4"))
+    // col1 and col2 levels are generated (no ls); we list only the 2 colX
+    // level dirs + 2 terminal file dirs
+    assert(Discovery.listingCalls.get() == 4)
+
+    // wildcard level + pinned later level
+    val df2 = Graft.readPartitionedTable(spark, dir,
+      parser = AutoParser.fromStr("col1/col2=[6]/colX"))
+    assert(df2.count() == 2)
+    assert(df2.select("col2").distinct().collect().map(_.getString(0)).toSet == Set("6"))
+  }
+
+  test("A4b: atomic query over parsed columns") {
+    val dir = tmpDir("a4b")
+    writeFile(s"$dir/col1=4/col2=5/f1.json", """{"c1":0}""" + "\n")
+    writeFile(s"$dir/col1=9/col2=6/f2.json", """{"c1":1}""" + "\n")
+    val q = Q.and(Q.eq("col1", "9"), Q.atomic(Set("col2"))(m => m("col2").toInt % 2 == 0))
+    val df = Graft.readPartitionedTable(spark, dir,
+      query = q, parser = AutoParser.fromStr("col1/col2"))
+    assert(df.select("col1").distinct().collect().map(_.getString(0)).toSeq == Seq("9"))
+  }
+
+  test("A5: numeric atomic + OR combination (reference core matrix)") {
+    val dir = tmpDir("a5")
+    for (k1 <- 1 to 3; k2 <- 1 to 4)
+      writeFile(s"$dir/partK1=$k1/partK2=$k2/d.json", s"""{"val":${k1 * 10 + k2}}""" + "\n")
+    val q = Q.or(
+      Q.and(Q.eq("partK1", "1"), Q.atomic(Set("partK2"))(m => m("partK2").toInt <= 2)),
+      Q.eq("partK1", "3"))
+    val df = Graft.readPartitionedTable(spark, dir, query = q)
+    val got = df.select("val").collect().map(_.getLong(0)).toSet
+    assert(got == Set(11, 12, 31, 32, 33, 34))
+  }
+
+  test("A6: lex range over partition tree") {
+    val dir = tmpDir("a6")
+    var k = 0
+    for (c1 <- Seq("a", "b", "c", "d", "e"); c3 <- Seq("a", "b", "c", "d")) {
+      writeFile(s"$dir/c1=$c1/c2=z/c3=$c3/f.csv", s"k\n$k\n")
+      k += 1
+    }
+    val q = QLexRange(Seq(
+      ColumnRange("c1", "b", "d"), ColumnRange.wild("c2"), ColumnRange("c3", "c", "d")))
+    val df = Graft.readPartitionedTable(spark, dir, query = q)
+    // accepted: all (c1,c3) with (c1,c3) >= (b,c) and < (d,d), c2 wildcard
+    val got = df.select("c1", "c3").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val expected = (for {
+      c1 <- Seq("a", "b", "c", "d", "e"); c3 <- Seq("a", "b", "c", "d")
+      if Ordering[(String, String)].gteq((c1, c3), ("b", "c"))
+      if Ordering[(String, String)].lt((c1, c3), ("d", "d"))
+    } yield (c1, c3)).toSet
+    assert(got == expected)
+  }
+
+  test("A7: date range query == date range generator results") {
+    val dir = tmpDir("a7")
+    val days = Seq(("2022", "4", "30"), ("2022", "5", "1"), ("2022", "5", "2"))
+    for (((y, m, d), i) <- days.zipWithIndex)
+      writeFile(s"$dir/year=$y/month=$m/day=$d/f.csv", s"v\n$i\n")
+
+    val viaQuery = Graft.readPartitionedTable(spark, dir,
+      query = QDateRange("2022/4/30", "2022/5/2"))
+    val viaGen = Graft.readPartitionedTable(spark, dir,
+      parser = DateRangeGenerator.build("2022/4/30", "2022/5/2"))
+    assert(canon(viaQuery) == canon(viaGen))
+    assert(viaQuery.select("v").collect().map(_.getInt(0)).toSet == Set(0, 1))
+
+    // value-only ymd form
+    val dir2 = tmpDir("a7b")
+    for (((y, m, d), i) <- days.zipWithIndex)
+      writeFile(s"$dir2/$y/$m/$d/f.csv", s"v\n$i\n")
+    val viaGen2 = Graft.readPartitionedTable(spark, dir2,
+      parser = DateRangeGenerator.build("2022/4/30", "2022/5/2",
+        includeColumnInPath = false))
+    assert(viaGen2.select("v").collect().map(_.getInt(0)).toSet == Set(0, 1))
+  }
+
+  test("A8: grammar shorter than tree raises 'no partitions remaining'") {
+    val dir = tmpDir("a8")
+    writeFile(s"$dir/v1/v2/f1.csv", csv)
+    val ex = intercept[Exception] {
+      Graft.readPartitionedTable(spark, dir, parser = FixedColumnsParser.fromStr("c1/fname"))
+    }
+    assert(ex.getMessage.contains("no partitions remaining"))
+  }
+
+  test("A8b: empty result raises (reference contract)") {
+    val dir = tmpDir("a8b")
+    writeFile(s"$dir/c1=a/f1.csv", csv)
+    intercept[GraftEmptyResultException] {
+      Graft.readPartitionedTable(spark, dir, query = Q.eq("c1", "nope"))
+    }
+  }
+
+  test("A8c: lazy errors collect per-file failures, good files still load") {
+    val dir = tmpDir("a8c")
+    writeFile(s"$dir/p=1/good.json", """{"c1":0,"c2":"hello"}""" + "\n")
+    writeFile(s"$dir/p=2/bad.json", "whopsie dupsie parsing oopsie\n")
+    val rich = Graft.readPartitionedTableRich(spark, dir)
+    assert(rich.failures.length == 1)
+    assert(rich.failures.head.partition.url.endsWith("bad.json"))
+    assert(rich.data.count() == 1)
+    // eager mode raises instead
+    intercept[Exception] {
+      Graft.readPartitionedTable(spark, dir).collect()
+    }
+  }
+
+  test("projection pushdown: columns option prunes data columns, keeps partitions") {
+    val dir = tmpDir("proj")
+    writeFile(s"$dir/p=1/f.csv", csv)
+    val df = Graft.readPartitionedTable(spark, dir, columns = Seq("c2"))
+    assert(df.columns.toSet == Set("c2", "p"))
+  }
+
+  test("broadcast attach path (many partitions) equals union attach path") {
+    val dir = tmpDir("bcast")
+    for (i <- 0 until 9)
+      writeFile(s"$dir/p=$i/f.csv", s"c1\n$i\n")
+    val old = Graft.unionAttachThreshold
+    try {
+      val viaUnion = Graft.readPartitionedTable(spark, dir)
+      Graft.unionAttachThreshold = 2
+      val viaBroadcast = Graft.readPartitionedTable(spark, dir)
+      assert(canon(viaUnion) == canon(viaBroadcast))
+      assert(viaBroadcast.count() == 9)
+    } finally Graft.unionAttachThreshold = old
+  }
+
+  test("identity listing returns files + partition values without reading") {
+    val dir = tmpDir("ident")
+    writeFile(s"$dir/k=1/f1.csv", csv)
+    writeFile(s"$dir/k=2/f2.csv", csv)
+    val df = Graft.listPartitionedTable(spark, dir)
+    val rows = df.collect()
+    assert(rows.length == 2)
+    assert(df.columns.toSet == Set("path", "k"))
+  }
+
+  test("writeObject single-file round trips parquet/csv/json + raw bytes") {
+    val dir = tmpDir("wo")
+    import spark.implicits._
+    val df = Seq((1, "a"), (2, "b")).toDF("k", "s")
+    for (fmt <- Seq("parquet", "csv", "json")) {
+      val target = s"$dir/out.$fmt"
+      Graft.writeObject(df, target)
+      assert(Files.isRegularFile(Paths.get(target)), s"$fmt single object")
+      val back = Graft.readPartitionedTable(spark, dir,
+        query = Q.True, parser = AutoParser.auto, format = fmt,
+        options = Map.empty, schema = Some(df.schema))
+      assert(back.count() >= 2)
+      Files.delete(Paths.get(target))
+    }
+    Graft.writeRaw(spark, s"$dir/raw.bin", "ahoj".getBytes)
+    assert(Files.readString(Paths.get(s"$dir/raw.bin")) == "ahoj")
+  }
+}
