@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Materializes partitioned layouts from the flat driver testdata so the
+  * fsql scan path (discovery, grammar generation, range pruning) runs over
+  * realistic trees while the DuckDB oracle checks values (FIXTURES.md §B).
+  *
+  * Layouts are cached per (name, sfDir) under /tmp and reused across queries
+  * in one JVM (and across runs — guarded by a _GRAFT_DONE marker).
+  */
+object Fixtures {
+
+  private val base = "/tmp/graft_fixtures"
+
+  private def cached(name: String, sfDir: String)(build: String => Unit): String = synchronized {
+    val dir = s"$base/${name}_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val marker = Paths.get(dir, "_GRAFT_DONE")
+    if (!Files.exists(marker)) {
+      build(dir)
+      Files.createDirectories(Paths.get(dir))
+      Files.writeString(marker, "ok")
+    }
+    dir
+  }
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
+    * rejects by default. Read nanos as long and rebuild a (microsecond)
+    * timestamp — DuckDB's CAST(ts_ns AS TIMESTAMP) truncates identically. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(CAST(ts / 1000 AS LONG))"))
+  }
+
+  /** lineitem partitioned hive-style by l_returnflag / l_linestatus. */
+  def hiveLineitem(spark: SparkSession, sfDir: String): String =
+    cached("hive_lineitem", sfDir) { dir =>
+      table(spark, sfDir, "lineitem")
+        .write.mode("overwrite")
+        .partitionBy("l_returnflag", "l_linestatus").parquet(dir)
+    }
+
+  /** orders partitioned hive-style by year=/month=/day= of o_orderdate
+    * (month/day unpadded, matching the reference's date-range trees). */
+  def ymdOrders(spark: SparkSession, sfDir: String): String =
+    cached("ymd_orders", sfDir) { dir =>
+      table(spark, sfDir, "orders")
+        .withColumn("year", year(col("o_orderdate")))
+        .withColumn("month", month(col("o_orderdate")))
+        .withColumn("day", dayofmonth(col("o_orderdate")))
+        .write.mode("overwrite")
+        .partitionBy("year", "month", "day").parquet(dir)
+    }
+
+  /** orders in a VALUE-ONLY layout `<year>/data.parquet` (no k= prefix, one
+    * deterministically-named file per dir) for the FixedColumnsParser path. */
+  def valueOnlyOrders(spark: SparkSession, sfDir: String): String =
+    cached("valueonly_orders", sfDir) { dir =>
+      val orders = table(spark, sfDir, "orders").withColumn("yr", year(col("o_orderdate")))
+      val years = orders.select("yr").distinct().collect().map(_.getInt(0)).sorted
+      for (y <- years) {
+        val sub = orders.filter(col("yr") === y).drop("yr")
+        graft.api.Graft.writeObject(sub.coalesce(1), s"$dir/$y/data.parquet")
+      }
+    }
+
+  /** part re-materialized as csv under a single partition dir. */
+  def csvPart(spark: SparkSession, sfDir: String): String =
+    cached("csv_part", sfDir) { dir =>
+      graft.api.Graft.writeObject(
+        table(spark, sfDir, "part").coalesce(1), s"$dir/src=csv/part.csv")
+    }
+
+  /** customer re-materialized as json-lines under a single partition dir. */
+  def jsonCustomer(spark: SparkSession, sfDir: String): String =
+    cached("json_customer", sfDir) { dir =>
+      graft.api.Graft.writeObject(
+        table(spark, sfDir, "customer").coalesce(1), s"$dir/src=json/customer.json")
+    }
+
+  /** A layout with one deliberately corrupt member for lazy-error semantics:
+    * nation as json-lines plus one unparseable file. */
+  def lazyNation(spark: SparkSession, sfDir: String): String =
+    cached("lazy_nation", sfDir) { dir =>
+      graft.api.Graft.writeObject(
+        table(spark, sfDir, "nation").coalesce(1), s"$dir/src=good/nation.json")
+      Files.createDirectories(Paths.get(s"$dir/src=bad"))
+      Files.writeString(Paths.get(s"$dir/src=bad/broken.json"),
+        "whopsie dupsie parsing oopsie\n")
+    }
+}

@@ -1,13 +1,519 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.api.Graft
+import graft.core._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Naming convention: `sNN_*` = fsql scan-path operators (SURVEY §2.1 rows),
+  * `qNN_*` = relational surface (SURVEY §2.2 categories), `dN_*` = dedup,
+  * `aN_*` = similarity search, `tN_*` = text analysis, `mN_*` = multimodal,
+  * `stN_*` = streaming, extension operators.
+  *
+  * Determinism rules shared with the DuckDB oracles: double aggregates are
+  * computed in DECIMAL(10,2) then cast to double (exact, order-insensitive);
+  * every query ends in an ORDER BY on a unique key; no raw timestamp columns
+  * are returned (cast to DATE or formatted — parquet TIMESTAMP(UTC) vs
+  * DuckDB naive TIMESTAMP would hash differently).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact decimal image of a 2-decimal-place double measure. */
+  private def dec(c: Column): Column = c.cast("decimal(10,2)")
+  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * full fsql scan path (hive layout, partition pruning) + aggregation. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = Fixtures.hiveLineitem(spark, "/root/testdata/sf0.001")
+    Graft.readPartitionedTable(spark, dir, query = Q.eq("l_returnflag", "R"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  // =================================================================== scan
+
+  private val lineitemNoDateCols = Seq(
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus")
+
+  private def s1_scan_hive(s: SparkSession, dir: String): DataFrame =
+    Graft.readPartitionedTable(s, Fixtures.hiveLineitem(s, dir),
+        query = Q.eq("l_returnflag", "R"))
+      .select(lineitemNoDateCols.map(col): _*)
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private def s5_scan_grammar(s: SparkSession, dir: String): DataFrame =
+    Graft.readPartitionedTable(s, Fixtures.hiveLineitem(s, dir),
+        parser = AutoParser.fromStr("l_returnflag=[A,N]/l_linestatus=[F]"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private def s6_scan_fixed(s: SparkSession, dir: String): DataFrame =
+    Graft.readPartitionedTable(s, Fixtures.valueOnlyOrders(s, dir),
+        parser = FixedColumnsParser.fromStr("yr/fname"),
+        query = QLexRange(Seq(ColumnRange("yr", "1996", "1998", ColumnComparator.Num))))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderpriority"), col("yr"), col("fname"))
+      .orderBy("o_orderkey")
+
+  private def s7_scan_daterange(s: SparkSession, dir: String): DataFrame =
+    Graft.readPartitionedTable(s, Fixtures.ymdOrders(s, dir),
+        query = QDateRange("1996/2/1", "1996/4/15"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("year"), col("month"), col("day"))
+      .orderBy("o_orderkey")
+
+  private def s7b_scan_dategen(s: SparkSession, dir: String): DataFrame =
+    Graft.readPartitionedTable(s, Fixtures.ymdOrders(s, dir),
+        parser = DateRangeGenerator.build("1996/2/1", "1996/4/15"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("year"), col("month"), col("day"))
+      .orderBy("o_orderkey")
+
+  private def s11_scan_atomic(s: SparkSession, dir: String): DataFrame =
+    Graft.readPartitionedTable(s, Fixtures.ymdOrders(s, dir),
+        query = Q.and(Q.eq("year", "1996"),
+          Q.atomic(Set("month"))(m => m("month").toInt % 2 == 0)))
+      .groupBy("year", "month")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("month")
+
+  private def s15_scan_lex(s: SparkSession, dir: String): DataFrame =
+    Graft.readPartitionedTable(s, Fixtures.hiveLineitem(s, dir),
+        query = QLexRange(Seq(
+          ColumnRange("l_returnflag", "A", "R"), ColumnRange.wild("l_linestatus"))))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private def s17_write_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = s"/tmp/graft_fixtures/write_rt_${dir.replaceAll("[^A-Za-z0-9.]", "_")}.parquet"
+    val sub = t(s, dir, "nation").filter(col("n_regionkey") === 2)
+    Graft.writeObject(sub, out)
+    s.read.parquet(out).orderBy("n_nationkey")
+  }
+
+  private def s18_scan_lazy(s: SparkSession, dir: String): DataFrame = {
+    val nationSchema = t(s, dir, "nation").schema
+    Graft.readPartitionedTableRich(s, Fixtures.lazyNation(s, dir),
+        schema = Some(nationSchema))
+      .data.orderBy("n_nationkey")
+  }
+
+  private def s21_scan_identity(s: SparkSession, dir: String): DataFrame =
+    Graft.listPartitionedTable(s, Fixtures.hiveLineitem(s, dir))
+      .select("l_returnflag", "l_linestatus").distinct()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private def s9_scan_csv(s: SparkSession, dir: String): DataFrame =
+    Graft.readPartitionedTable(s, Fixtures.csvPart(s, dir),
+        schema = Some(t(s, dir, "part").schema))
+      .orderBy("p_partkey")
+
+  private def s9_scan_json(s: SparkSession, dir: String): DataFrame =
+    Graft.readPartitionedTable(s, Fixtures.jsonCustomer(s, dir),
+        schema = Some(t(s, dir, "customer").schema))
+      .orderBy("c_custkey")
+
+  // ============================================================= relational
+
+  private def q1_agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").groupBy("l_returnflag", "l_linestatus").agg(
+      dsum(col("l_quantity")).as("sum_qty"),
+      dsum(col("l_extendedprice")).as("sum_base_price"),
+      sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast("double").as("sum_disc_price"),
+      sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+        * (lit(1) + dec(col("l_tax")))).cast("double").as("sum_charge"),
+      (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+      count(lit(1)).as("count_order"))
+    .orderBy("l_returnflag", "l_linestatus")
+
+  private def q2_filter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+        && col("l_discount") >= 0.05 && col("l_quantity") < 30)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private def q3_join_agg(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer"); val o = t(s, dir, "orders"); val l = t(s, dir, "lineitem")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+        countDistinct("o_orderkey").as("n_orders"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("c_mktsegment")
+  }
+
+  private def q4_semijoin(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val l = t(s, dir, "lineitem").filter(col("l_quantity") > 45)
+    o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+      .select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
+  }
+
+  private def q5_antijoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").filter(col("o_totalprice") > 450000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name").orderBy("c_custkey")
+  }
+
+  private def q6_window(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    t(s, dir, "lineitem")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("prev_qty", lag("l_quantity", 1).over(w))
+      .withColumn("run_qty", sum(dec(col("l_quantity")))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("double"))
+      .filter(col("rn") <= 3)
+      .select("l_suppkey", "rn", "l_orderkey", "l_linenumber", "l_quantity",
+        "prev_qty", "run_qty")
+      .orderBy("l_suppkey", "rn")
+  }
+
+  private def q7_topk(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey")).limit(20)
+
+  private def q8_setops(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val a = o.filter(col("o_orderstatus") === "O").select("o_custkey")
+    val b = o.filter(col("o_orderstatus") === "F").select("o_custkey")
+    val c = o.filter(col("o_totalprice") > 400000).select("o_custkey")
+    a.intersect(b).except(c).orderBy("o_custkey")
+  }
+
+  private def q9_distinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+      countDistinct("l_partkey").as("n_parts"),
+      countDistinct("l_suppkey").as("n_supps"),
+      count(lit(1)).as("n"))
+    .orderBy("l_returnflag")
+
+  private def q10_rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("sum_qty"))
+      .orderBy("rf", "ls")
+
+  private def q18_cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("pr"),
+        col("n"), col("sum_price"))
+      .orderBy("st", "pr")
+
+  private def q11_string(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
+      col("p_partkey"),
+      upper(col("p_brand")).as("brand_u"),
+      substring(col("p_name"), 1, 8).as("name8"),
+      length(col("p_name")).cast("long").as("name_len"),
+      concat(col("p_brand"), lit("#"), col("p_type")).as("bt"),
+      expr("replace(p_type, ' ', '_')").as("type_u"),
+      lpad(col("p_size").cast("string"), 4, "0").as("size4"))
+    .orderBy("p_partkey")
+
+  private def q12_date(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).cast("long").as("y"),
+      month(col("o_orderdate")).cast("long").as("m"),
+      dayofmonth(col("o_orderdate")).cast("long").as("d"),
+      date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+      last_day(col("o_orderdate")).as("month_end"))
+    .orderBy("o_orderkey")
+
+  private def q13_case(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+      when(col("o_totalprice") < 50000, "low")
+        .when(col("o_totalprice") < 150000, "mid")
+        .otherwise("high").as("band"))
+      .groupBy("band").agg(count(lit(1)).as("n"))
+      .orderBy("band")
+
+  private def q14_having(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").groupBy("l_partkey")
+      .agg(dsum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 100)
+      .orderBy("l_partkey")
+
+  private def q15_math(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      floor(col("l_discount") * 100).as("fl"),
+      ceil(col("l_tax") * 100).as("ce"),
+      abs(col("l_quantity") - 25).as("ab"),
+      (col("l_partkey") % 7).as("m7"))
+    .orderBy("l_orderkey", "l_linenumber")
+
+  private def q16_array(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").select(
+      col("vec_id"),
+      size(col("embedding")).cast("long").as("dim"),
+      element_at(col("embedding"), 1).cast("double").as("e1"),
+      col("label"))
+    .orderBy("vec_id")
+
+  private def q17_json(s: SparkSession, dir: String): DataFrame =
+    Fixtures.events(s, dir).select(
+      col("event_id"),
+      col("event_type"),
+      get_json_object(col("props"), "$.k").cast("long").as("k"))
+    .orderBy("event_id")
+
+  private def q20_multijoin(s: SparkSession, dir: String): DataFrame = {
+    val r = t(s, dir, "region"); val n = t(s, dir, "nation")
+    val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+    val l = t(s, dir, "lineitem")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name")
+      .agg(
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy("r_name")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_scan_hive" -> (s1_scan_hive _),
+    "s5_scan_grammar" -> (s5_scan_grammar _),
+    "s6_scan_fixed" -> (s6_scan_fixed _),
+    "s7_scan_daterange" -> (s7_scan_daterange _),
+    "s7b_scan_dategen" -> (s7b_scan_dategen _),
+    "s11_scan_atomic" -> (s11_scan_atomic _),
+    "s15_scan_lex" -> (s15_scan_lex _),
+    "s17_write_roundtrip" -> (s17_write_roundtrip _),
+    "s18_scan_lazy" -> (s18_scan_lazy _),
+    "s21_scan_identity" -> (s21_scan_identity _),
+    "s9_scan_csv" -> (s9_scan_csv _),
+    "s9_scan_json" -> (s9_scan_json _),
+    "q1_agg" -> (q1_agg _),
+    "q2_filter" -> (q2_filter _),
+    "q3_join_agg" -> (q3_join_agg _),
+    "q4_semijoin" -> (q4_semijoin _),
+    "q5_antijoin" -> (q5_antijoin _),
+    "q6_window" -> (q6_window _),
+    "q7_topk" -> (q7_topk _),
+    "q8_setops" -> (q8_setops _),
+    "q9_distinct" -> (q9_distinct _),
+    "q10_rollup" -> (q10_rollup _),
+    "q11_string" -> (q11_string _),
+    "q12_date" -> (q12_date _),
+    "q13_case" -> (q13_case _),
+    "q14_having" -> (q14_having _),
+    "q15_math" -> (q15_math _),
+    "q16_array" -> (q16_array _),
+    "q17_json" -> (q17_json _),
+    "q18_cube" -> (q18_cube _),
+    "q20_multijoin" -> (q20_multijoin _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "s1_scan_hive" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+         l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus
+         FROM lineitem WHERE l_returnflag = 'R'
+         ORDER BY l_orderkey, l_linenumber""",
+    "s5_scan_grammar" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem WHERE l_returnflag IN ('A','N') AND l_linestatus = 'F'
+         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "s6_scan_fixed" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority,
+         CAST(year(o_orderdate) AS VARCHAR) AS yr, 'data.parquet' AS fname
+         FROM orders WHERE year(o_orderdate) >= 1996 AND year(o_orderdate) < 1998
+         ORDER BY o_orderkey""",
+    "s7_scan_daterange" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         CAST(year(o_orderdate) AS VARCHAR) AS year,
+         CAST(month(o_orderdate) AS VARCHAR) AS month,
+         CAST(day(o_orderdate) AS VARCHAR) AS day
+         FROM orders
+         WHERE CAST(o_orderdate AS DATE) >= DATE '1996-02-01'
+           AND CAST(o_orderdate AS DATE) < DATE '1996-04-15'
+         ORDER BY o_orderkey""",
+    "s7b_scan_dategen" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         CAST(year(o_orderdate) AS VARCHAR) AS year,
+         CAST(month(o_orderdate) AS VARCHAR) AS month,
+         CAST(day(o_orderdate) AS VARCHAR) AS day
+         FROM orders
+         WHERE CAST(o_orderdate AS DATE) >= DATE '1996-02-01'
+           AND CAST(o_orderdate AS DATE) < DATE '1996-04-15'
+         ORDER BY o_orderkey""",
+    "s11_scan_atomic" ->
+      """SELECT CAST(year(o_orderdate) AS VARCHAR) AS year,
+         CAST(month(o_orderdate) AS VARCHAR) AS month, COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(10,2))) AS DOUBLE) AS sum_price
+         FROM orders WHERE year(o_orderdate) = 1996 AND month(o_orderdate) % 2 = 0
+         GROUP BY 1, 2 ORDER BY month""",
+    "s15_scan_lex" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM lineitem
+         WHERE l_returnflag >= 'A' AND l_returnflag < 'R'
+         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "s17_write_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+         WHERE n_regionkey = 2 ORDER BY n_nationkey""",
+    "s18_scan_lazy" ->
+      """SELECT n_nationkey, n_name, n_regionkey,
+         'good' AS src FROM nation ORDER BY n_nationkey""",
+    "s21_scan_identity" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+         ORDER BY l_returnflag, l_linestatus""",
+    "s9_scan_csv" ->
+      """SELECT *, 'csv' AS src FROM part ORDER BY p_partkey""",
+    "s9_scan_json" ->
+      """SELECT *, 'json' AS src FROM customer ORDER BY c_custkey""",
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))) AS DOUBLE) AS sum_base_price,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (1 - CAST(l_discount AS DECIMAL(10,2)))) AS DOUBLE) AS sum_disc_price,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (1 - CAST(l_discount AS DECIMAL(10,2))) * (1 + CAST(l_tax AS DECIMAL(10,2)))) AS DOUBLE) AS sum_charge,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+         COUNT(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q2_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount >= 0.05 AND l_quantity < 30
+         ORDER BY l_orderkey, l_linenumber""",
+    "q3_join_agg" ->
+      """SELECT c_mktsegment,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (1 - CAST(l_discount AS DECIMAL(10,2)))) AS DOUBLE) AS revenue,
+         COUNT(DISTINCT o_orderkey) AS n_orders, COUNT(*) AS n_lines
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q4_semijoin" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+         ORDER BY o_orderkey""",
+    "q5_antijoin" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+         ORDER BY c_custkey""",
+    "q6_window" ->
+      """SELECT l_suppkey, rn, l_orderkey, l_linenumber, l_quantity, prev_qty, run_qty
+         FROM (
+           SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+             row_number() OVER w AS rn,
+             lag(l_quantity, 1) OVER w AS prev_qty,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(10,2)))
+                  OVER (PARTITION BY l_suppkey
+                        ORDER BY l_shipdate, l_orderkey, l_linenumber
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_qty
+           FROM lineitem
+           WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+         ) sub WHERE rn <= 3 ORDER BY l_suppkey, rn""",
+    "q7_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
+    "q8_setops" ->
+      """SELECT o_custkey FROM (
+           (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+           EXCEPT
+           SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+         ) sub ORDER BY o_custkey""",
+    "q9_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+         COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q10_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+         COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY rf, ls""",
+    "q11_string" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_u, substr(p_name, 1, 8) AS name8,
+         CAST(length(p_name) AS BIGINT) AS name_len,
+         concat(p_brand, '#', p_type) AS bt,
+         replace(p_type, ' ', '_') AS type_u,
+         lpad(CAST(p_size AS VARCHAR), 4, '0') AS size4
+         FROM part ORDER BY p_partkey""",
+    "q12_date" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS y,
+         CAST(month(o_orderdate) AS BIGINT) AS m,
+         CAST(day(o_orderdate) AS BIGINT) AS d,
+         CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+         last_day(CAST(o_orderdate AS DATE)) AS month_end
+         FROM orders ORDER BY o_orderkey""",
+    "q13_case" ->
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+                     WHEN o_totalprice < 150000 THEN 'mid'
+                     ELSE 'high' END AS band, COUNT(*) AS n
+         FROM orders GROUP BY 1 ORDER BY band""",
+    "q14_having" ->
+      """SELECT l_partkey, CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY l_partkey
+         HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) > 100
+         ORDER BY l_partkey""",
+    "q15_math" ->
+      """SELECT l_orderkey, l_linenumber,
+         CAST(floor(l_discount * 100) AS BIGINT) AS fl,
+         CAST(ceil(l_tax * 100) AS BIGINT) AS ce,
+         abs(l_quantity - 25) AS ab,
+         l_partkey % 7 AS m7
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q16_array" ->
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+         CAST(embedding[1] AS DOUBLE) AS e1, label
+         FROM embeddings ORDER BY vec_id""",
+    "q17_json" ->
+      """SELECT event_id, event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         FROM events ORDER BY event_id""",
+    "q18_cube" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS st, COALESCE(o_orderpriority, 'ALL') AS pr,
+         COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(10,2))) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         ORDER BY st, pr""",
+    "q20_multijoin" ->
+      """SELECT r_name,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (1 - CAST(l_discount AS DECIMAL(10,2)))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
+  )
 }

@@ -244,13 +244,18 @@ object Graft {
       columns: Seq[String]): (Seq[FileEntry], Seq[ReadFailure]) = {
     val results = entries.par2.map { e =>
       val outcome = Try {
-        val fileSchema = schema.getOrElse {
-          val inferred = load(spark, e.format, Seq(e.path), options, None).schema
-          if (e.format == "json" &&
-              inferred.fieldNames.forall(_ == "_corrupt_record"))
-            throw new RuntimeException("unparseable json")
-          inferred
-        }
+        // JSON always probes by inference: with a user schema Spark's
+        // PERMISSIVE mode would silently null out a corrupt file instead of
+        // failing, hiding it from the failure list.
+        val fileSchema =
+          if (e.format == "json") {
+            val inferred = load(spark, e.format, Seq(e.path), options, None).schema
+            if (inferred.fieldNames.forall(_ == "_corrupt_record"))
+              throw new RuntimeException("unparseable json")
+            schema.getOrElse(inferred)
+          } else schema.getOrElse {
+            load(spark, e.format, Seq(e.path), options, None).schema
+          }
         val missing = columns.filterNot(fileSchema.fieldNames.contains)
         if (missing.nonEmpty)
           throw new RuntimeException(s"missing requested columns: ${missing.mkString(",")}")

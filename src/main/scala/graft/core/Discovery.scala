@@ -41,7 +41,10 @@ object Discovery {
     listingCalls.incrementAndGet()
     val path = new Path(url)
     if (!fs.exists(path)) return DirectoryListing(Nil, Nil)
+    // Names starting with "_" or "." are metadata (_SUCCESS, .crc, ...) and
+    // never data — same convention Spark's own FileIndex applies.
     val statuses = fs.listStatus(path)
+      .filterNot(st => { val n = st.getPath.getName; n.startsWith("_") || n.startsWith(".") })
     val (dirs, files) = statuses.partition(_.isDirectory)
     DirectoryListing(
       files.map(_.getPath.getName).sorted.toSeq,

@@ -60,10 +60,8 @@ def main(sf_dir, out_dir):
         try:
             got = pq.read_table(str(qdir))
             got_names = got.column_names
-            got_rows = [tuple(col[i] for col in got.to_pydict().values())
-                        for i in range(got.num_rows)]
-            # normalize dict ordering: to_pydict preserves column order
-            got_rows = [tuple(r) for r in zip(*[got.to_pydict()[c] for c in got_names])] \
+            cols = got.to_pydict()
+            got_rows = [tuple(r) for r in zip(*[cols[c] for c in got_names])] \
                 if got.num_rows else []
             exp = con.execute(oracle[name]).fetchall()
             exp_names = [d[0] for d in con.description]
