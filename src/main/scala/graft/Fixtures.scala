@@ -36,7 +36,7 @@ object Fixtures {
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(CAST(ts / 1000 AS LONG))"))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
   /** lineitem partitioned hive-style by l_returnflag / l_linestatus. */

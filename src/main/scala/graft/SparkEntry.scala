@@ -300,6 +300,140 @@ object SparkEntry {
       .orderBy("r_name")
   }
 
+  // ====================================================== LLM-pipeline ops
+
+  import graft.functions.TextFunctions
+  import graft.operators.{Ann, AsofJoin, Dedup, Multimodal}
+
+  /** documents ∪ a shifted copy of itself — guaranteed duplicates with a
+    * known id mapping, so dedup results are oracle-expressible. */
+  private def docsWithCopies(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.unionByName(d.withColumn("doc_id", col("doc_id") + 1000000))
+  }
+
+  private def d1_dedup_exact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docsWithCopies(s, dir), "doc_id", "text")
+      .select("doc_id", "n_copies").orderBy("doc_id")
+
+  // d2/d3 restrict to the planted copy pairs (id_b == id_a + 1e6): the LSH
+  // also (correctly) surfaces organic near-dups in the synthetic corpus,
+  // which a SQL oracle cannot enumerate; the planted pairs give an exact
+  // recall check — all 500 must be found.
+  private def d2_dedup_minhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(docsWithCopies(s, dir), "doc_id", "text",
+        shingleSize = 3, numHashes = 64, rowsPerBand = 4, threshold = 0.9)
+      .filter(col("id_b") === col("id_a") + 1000000)
+      .select("id_a", "id_b", "jaccard").orderBy("id_a", "id_b")
+
+  private def d3_dedup_simhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(docsWithCopies(s, dir), "doc_id", "text", maxHamming = 3)
+      .filter(col("id_b") === col("id_a") + 1000000)
+      .select("id_a", "id_b", "hamming").orderBy("id_a", "id_b")
+
+  private def d4_ngram_jaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = t(s, dir, "documents").select(col("doc_id"),
+      array_distinct(TextFunctions.shingles(TextFunctions.words(col("text")), 2)).as("s"))
+    val a = sh.select(col("doc_id").as("id_a"), col("s").as("sa"))
+    val b = sh.select((col("doc_id") - 1).as("id_a"), col("s").as("sb"))
+    a.join(b, Seq("id_a"))
+      .select(col("id_a").as("doc_id"),
+        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_distinct(concat(col("sa"), col("sb"))))).as("j"))
+      .orderBy("doc_id")
+  }
+
+  private def d5_embed_neardup(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val both = e.unionByName(e.withColumn("vec_id", col("vec_id") + 1000000))
+    Dedup.embeddingPairs(both, "vec_id", "embedding", dim = 64,
+        numPlanes = 16, threshold = 0.999)
+      .select("id_a", "id_b").orderBy("id_a", "id_b")
+  }
+
+  private def queryVec(s: SparkSession, dir: String): Array[Float] =
+    t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+
+  private def a1_ann_brute(s: SparkSession, dir: String): DataFrame =
+    Ann.bruteForceTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        queryVec(s, dir), k = 10, excludeIds = Seq(0L))
+      .select("vec_id", "rank").orderBy("rank")
+
+  private def a2_ann_lsh(s: SparkSession, dir: String): DataFrame =
+    Ann.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding", dim = 64,
+        queryVec(s, dir), k = 10, numPlanes = 12, maxHammingProbe = 3,
+        excludeIds = Seq(0L))
+      .select("vec_id", "rank").orderBy("rank")
+
+  private def t1_langid(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"),
+        col("lang"))
+      .orderBy("doc_id")
+
+  private def t2_quality(s: SparkSession, dir: String): DataFrame = {
+    val metrics = TextFunctions.qualityMetrics(col("text"), TextFunctions.englishStopwords)
+    t(s, dir, "documents")
+      .select(col("doc_id") +: metrics.map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id")
+  }
+
+  private def t3_tokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextFunctions.tokenCountWhitespace(col("text")).as("n_ws"),
+      TextFunctions.tokenCountBpe(col("text")).as("n_bpe"))
+    .orderBy("doc_id")
+
+  private def t4_fingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+    .orderBy("doc_id")
+
+  private def m1_multimodal(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeImageMeta(
+        Multimodal.withPayload(t(s, dir, "documents"), "text"))
+      .select(col("doc_id"), length(col("payload")).cast("long").as("byte_len"),
+        col("media_meta.width"), col("media_meta.height"),
+        col("media_meta.channels"), col("media_meta.format"))
+      .orderBy("doc_id")
+
+  private def st1_stream_window(s: SparkSession, dir: String): DataFrame = {
+    val agg = graft.streaming.Streams.windowedAgg(
+      graft.streaming.Streams.eventsStream(s, dir))
+    graft.streaming.Streams.runToMemory(agg, s"st1_${math.abs(dir.hashCode)}")
+      .select(col("window.start").cast("timestamp_ntz").as("w_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("w_start", "event_type")
+  }
+
+  private def st2_session(s: SparkSession, dir: String): DataFrame =
+    Fixtures.events(s, dir)
+      .groupBy(session_window(col("ts"), "10 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n"), min(col("ts")).cast("timestamp_ntz").as("session_start"))
+      .select("user_id", "session_start", "n")
+      .orderBy("user_id", "session_start")
+
+  private def as1_asof(s: SparkSession, dir: String): DataFrame = {
+    val e = Fixtures.events(s, dir).select("event_id", "user_id", "ts")
+    // deterministic right side: one order per (custkey, date) — largest key
+    val w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(desc("o_orderkey"))
+    val o = t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+    AsofJoin.asofJoin(e, o, "ts", "o_orderdate", "user_id", "o_custkey",
+        Seq("o_orderkey", "o_totalprice"))
+      .select("event_id", "user_id", "o_orderkey", "o_totalprice")
+      .orderBy("event_id")
+  }
+
+  private def q19_approx_hll(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").groupBy("l_returnflag")
+      .agg(approx_count_distinct("l_partkey").as("approx_parts"),
+        approx_count_distinct("l_orderkey").as("approx_orders"))
+      .orderBy("l_returnflag")
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_scan_hive" -> (s1_scan_hive _),
@@ -332,7 +466,23 @@ object SparkEntry {
     "q16_array" -> (q16_array _),
     "q17_json" -> (q17_json _),
     "q18_cube" -> (q18_cube _),
+    "q19_approx_hll" -> (q19_approx_hll _),
     "q20_multijoin" -> (q20_multijoin _),
+    "d1_dedup_exact" -> (d1_dedup_exact _),
+    "d2_dedup_minhash" -> (d2_dedup_minhash _),
+    "d3_dedup_simhash" -> (d3_dedup_simhash _),
+    "d4_ngram_jaccard" -> (d4_ngram_jaccard _),
+    "d5_embed_neardup" -> (d5_embed_neardup _),
+    "a1_ann_brute" -> (a1_ann_brute _),
+    "a2_ann_lsh" -> (a2_ann_lsh _),
+    "t1_langid" -> (t1_langid _),
+    "t2_quality" -> (t2_quality _),
+    "t3_tokens" -> (t3_tokens _),
+    "t4_fingerprint" -> (t4_fingerprint _),
+    "m1_multimodal" -> (m1_multimodal _),
+    "st1_stream_window" -> (st1_stream_window _),
+    "st2_session" -> (st2_session _),
+    "as1_asof" -> (as1_asof _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -505,6 +655,95 @@ object SparkEntry {
          COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(10,2))) AS DOUBLE) AS sum_price
          FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
          ORDER BY st, pr""",
+    "d1_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, COUNT(*) AS n_copies
+         FROM (SELECT doc_id, text FROM documents
+               UNION ALL SELECT doc_id + 1000000, text FROM documents) u
+         GROUP BY md5(text) ORDER BY doc_id""",
+    "d2_dedup_minhash" ->
+      """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, CAST(1.0 AS DOUBLE) AS jaccard
+         FROM documents ORDER BY id_a, id_b""",
+    "d3_dedup_simhash" ->
+      """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, CAST(0 AS INT) AS hamming
+         FROM documents ORDER BY id_a, id_b""",
+    "d4_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                    FROM documents),
+         sh AS (SELECT doc_id,
+                  list_distinct(CASE WHEN len(ws) < 2 THEN [array_to_string(ws, ' ')]
+                    ELSE list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) END) AS s
+                FROM w)
+         SELECT a.doc_id,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) AS j
+         FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1 ORDER BY a.doc_id""",
+    "d5_embed_neardup" ->
+      """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b
+         FROM embeddings ORDER BY id_a, id_b""",
+    "a1_ann_brute" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+         SELECT vec_id, CAST(row_number() OVER
+           (ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qe FROM q)) DESC, vec_id)
+           AS INT) AS rank
+         FROM embeddings WHERE vec_id <> 0
+         ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qe FROM q)) DESC, vec_id
+         LIMIT 10""",
+    "t2_quality" ->
+      """WITH w AS (SELECT doc_id, length(text) AS n_chars,
+           regexp_split_to_array(trim(text), '\s+') AS ws,
+           length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct
+           FROM documents)
+         SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, CAST(len(ws) AS BIGINT) AS n_words,
+           CASE WHEN len(ws) = 0 THEN 0.0
+                ELSE CAST(n_chars - (len(ws) - 1) AS DOUBLE) / len(ws) END AS avg_word_len,
+           CASE WHEN n_chars = 0 THEN 0.0
+                ELSE CAST(n_punct AS DOUBLE) / n_chars END AS punct_ratio,
+           CASE WHEN len(ws) = 0 THEN 0.0
+                ELSE CAST(len(list_filter(ws, x -> list_contains(
+                  ['the','a','an','and','or','of','to','in','is','it','that',
+                   'for','on','with','as','at','by','be','this','are','was'], x))) AS DOUBLE)
+                  / len(ws) END AS stopword_ratio
+         FROM w ORDER BY doc_id""",
+    "t3_tokens" ->
+      """SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws,
+         CAST(len(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'), x -> x != ''))
+           AS BIGINT) AS n_bpe
+         FROM documents ORDER BY doc_id""",
+    "t4_fingerprint" ->
+      """SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(
+           regexp_split_to_array(trim(text), '\s+'))), ' ')) AS fp
+         FROM documents ORDER BY doc_id""",
+    "m1_multimodal" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+         CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+         CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INT) AS height,
+         CAST(3 AS INT) AS channels, 'fake' AS format
+         FROM documents ORDER BY doc_id""",
+    "st1_stream_window" ->
+      """SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS w_start,
+         event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""",
+    "st2_session" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+         x AS (SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL '10 minutes'
+             THEN 1 ELSE 0 END AS ns FROM e),
+         y AS (SELECT user_id, ts,
+           SUM(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+           FROM x)
+         SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n
+         FROM y GROUP BY user_id, sid ORDER BY user_id, session_start""",
+    "as1_asof" ->
+      """WITH r AS (SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
+           FROM orders QUALIFY rn = 1)
+         SELECT e.event_id, e.user_id, r.o_orderkey, r.o_totalprice
+         FROM events e ASOF LEFT JOIN r
+           ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+         ORDER BY e.event_id""",
     "q20_multijoin" ->
       """SELECT r_name,
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (1 - CAST(l_discount AS DECIMAL(10,2)))) AS DOUBLE) AS revenue,

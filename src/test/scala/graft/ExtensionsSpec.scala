@@ -1,0 +1,191 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+    (2L, "a completely different document about spark query engines and shuffles"),
+    (3L, "the quick brown fox jumps over the lazy dog and runs far away house"), // near-dup of 1
+    (4L, "entirely unrelated text mentioning minhash lsh banding techniques"),
+    (5L, "a completely different document about spark query engines and shuffles")) // exact dup of 2
+
+  test("exact dedup keeps min id per content") {
+    val df = base.toDF("id", "text")
+    val out = Dedup.exact(df, "id", "text").orderBy("id")
+    assert(out.count() == 4) // 2 and 5 collapse
+    assert(out.filter(col("n_copies") === 2).select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("minhash LSH finds planted near-dup and exact-dup pairs") {
+    val df = base.toDF("id", "text")
+    val pairs = Dedup.minhashPairs(df, "id", "text",
+      shingleSize = 3, numHashes = 64, rowsPerBand = 4, threshold = 0.5)
+    val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 3L)), s"expected near-dup (1,3) in $got")
+    assert(got.contains((2L, 5L)), s"expected exact-dup (2,5) in $got")
+    assert(!got.exists(p => p == (1L, 2L) || p == (1L, 4L) || p == (2L, 4L)),
+      s"unrelated docs must not pair: $got")
+    // jaccard of the exact pair is 1.0
+    val j = pairs.filter(col("id_a") === 2 && col("id_b") === 5)
+      .select("jaccard").as[Double].head()
+    assert(j == 1.0)
+  }
+
+  test("dropNearDuplicates removes the larger id of each pair") {
+    val df = base.toDF("id", "text")
+    val pairs = Dedup.minhashPairs(df, "id", "text", threshold = 0.5)
+    val kept = Dedup.dropNearDuplicates(df, "id", pairs)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 4L))
+  }
+
+  test("simhash: identical texts get identical hash; near-dups low hamming") {
+    val df = base.toDF("id", "text")
+    val sims = df.select(col("id"), Dedup.simhash64(col("text")).as("sim"))
+      .as[(Long, Long)].collect().toMap
+    assert(sims(2L) == sims(5L))
+    val ham13 = java.lang.Long.bitCount(sims(1L) ^ sims(3L))
+    val ham14 = java.lang.Long.bitCount(sims(1L) ^ sims(4L))
+    assert(ham13 < ham14, s"near-dup hamming $ham13 should be < unrelated $ham14")
+    val pairs = Dedup.simhashPairs(df, "id", "text", maxHamming = 12)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((2L, 5L)))
+  }
+
+  test("embedding near-dup pairs via hyperplane LSH") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.1f)),
+      (2L, Array(0.99f, 0.01f, 0.0f, 0.1f)), // near-dup of 1
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f, 0.0f)))
+    val df = vecs.toDF("id", "vec")
+    val pairs = Dedup.embeddingPairs(df, "id", "vec", dim = 4,
+      numPlanes = 8, threshold = 0.99)
+    val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)), s"got $got")
+  }
+}
+
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randVec(seed: Int, dim: Int): Array[Float] = {
+    val r = new scala.util.Random(seed)
+    Array.fill(dim)(r.nextGaussian().toFloat)
+  }
+
+  test("brute-force top-k: self is rank 1 with cosine 1") {
+    val dim = 16
+    val rows = (0 until 50).map(i => (i.toLong, randVec(i, dim)))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Ann.bruteForceTopK(df, "vec_id", "embedding", rows(7)._2, k = 5)
+      .collect()
+    assert(out.head.getLong(0) == 7L)
+    assert(math.abs(out.head.getDouble(1) - 1.0) < 1e-9)
+    assert(out.map(_.getInt(2)).toSeq == Seq(1, 2, 3, 4, 5))
+  }
+
+  test("LSH top-k recalls the exact nearest neighbor (self)") {
+    val dim = 16
+    val rows = (0 until 200).map(i => (i.toLong, randVec(i, dim)))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Ann.lshTopK(df, "vec_id", "embedding", dim, rows(42)._2,
+      k = 3, numPlanes = 10, maxHammingProbe = 2)
+    assert(out.collect().head.getLong(0) == 42L)
+  }
+}
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langid identifies crafted multilingual sentences") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and it was happy with the sun", "en"),
+      (2L, "le chat est dans la maison et il aime le soleil de la ville", "fr"),
+      (3L, "der hund ist nicht in der stadt und das wetter ist gut", "de"),
+      (4L, "el perro es grande y la casa es bonita en la ciudad", "es"),
+      (5L, "我 是 一个 学生 的 朋友 和 人 在 这 里", "zh"))
+    val out = docs.toDF("id", "text", "expected")
+      .withColumn("pred", TextFunctions.langId(col("text")))
+    assert(out.filter(col("pred") === col("expected")).count() == 5)
+  }
+
+  test("token counts and quality metrics") {
+    val df = Seq((1L, "Hello, world! This is a test.")).toDF("id", "text")
+    val r = df.select(
+      TextFunctions.tokenCountWhitespace(col("text")).as("ws"),
+      TextFunctions.tokenCountBpe(col("text")).as("bpe")).head()
+    assert(r.getLong(0) == 6)
+    assert(r.getLong(1) == 6) // hello world this is a test
+    val metrics = TextFunctions.qualityMetrics(col("text"), TextFunctions.englishStopwords)
+    val m = df.select(metrics.map { case (n, c) => c.as(n) }: _*).head()
+    assert(m.getAs[Long]("n_words") == 6)
+    assert(m.getAs[Double]("stopword_ratio") > 0) // "is", "a"
+  }
+
+  test("fingerprint is order- and duplication-insensitive") {
+    val df = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "gamma alpha beta alpha"),
+      (3L, "alpha beta delta")).toDF("id", "text")
+    val fps = df.select(col("id"), TextFunctions.fingerprint(col("text")).as("fp"))
+      .as[(Long, String)].collect().toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+}
+
+class AsofSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asof join picks latest right row at or before left time") {
+    val left = Seq((1L, 10L, "e1"), (1L, 25L, "e2"), (2L, 5L, "e3"))
+      .toDF("key", "ts", "event")
+    val right = Seq((1L, 10L, "o1"), (1L, 20L, "o2"), (2L, 7L, "o3"))
+      .toDF("rkey", "rts", "order_tag")
+    val out = AsofJoin.asofJoin(left, right, "ts", "rts", "key", "rkey", Seq("order_tag"))
+      .orderBy("key", "ts")
+      .select("key", "ts", "event", "order_tag")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 10L, "e1", "o1"), // inclusive: right at same ts visible
+      (1L, 25L, "e2", "o2"),
+      (2L, 5L, "e3", null))) // no right row yet
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+
+  test("payload + batched decode produces metadata struct per row") {
+    import spark.implicits._
+    val df = Seq((1L, "hello"), (2L, "a longer document text")).toDF("id", "text")
+    val out = Multimodal.decodeImageMeta(Multimodal.withPayload(df, "text"))
+    assert(out.schema("media_meta").dataType == Multimodal.mediaMetaType)
+    val r = out.filter(col("id") === 1).select("media_meta.*").head()
+    assert(r.getInt(0) == 5 % 640 + 1 && r.getInt(1) == (5 * 7) % 480 + 1)
+    // frame sampling explodes deterministically
+    val frames = Multimodal.sampleFrames(
+      Multimodal.withPayload(df, "text"), stride = 10)
+    assert(frames.filter(col("id") === 2).count() == 3) // 22 bytes -> offsets 0,10,20
+  }
+}
+
+class StreamsSpec extends SparkSpec {
+
+  test("streaming windowed agg over finite events source completes and aggregates") {
+    val agg = graft.streaming.Streams.windowedAgg(
+      graft.streaming.Streams.eventsStream(spark, "/root/testdata/sf0.001"))
+    val out = graft.streaming.Streams.runToMemory(agg, "st_test")
+    assert(out.count() > 0)
+    // total event count preserved
+    val total = out.agg(sum("n")).head().getLong(0)
+    val batch = Fixtures.events(spark, "/root/testdata/sf0.001").count()
+    assert(total == batch)
+  }
+}
