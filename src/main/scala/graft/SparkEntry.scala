@@ -322,7 +322,7 @@ object SparkEntry {
   // recall check — all 500 must be found.
   private def d2_dedup_minhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashPairs(docsWithCopies(s, dir), "doc_id", "text",
-        shingleSize = 3, numHashes = 64, rowsPerBand = 4, threshold = 0.9)
+        shingleSize = 3, numHashes = 64, rowsPerBand = 8, threshold = 0.9)
       .filter(col("id_b") === col("id_a") + 1000000)
       .select("id_a", "id_b", "jaccard").orderBy("id_a", "id_b")
 
@@ -332,8 +332,9 @@ object SparkEntry {
       .select("id_a", "id_b", "hamming").orderBy("id_a", "id_b")
 
   private def d4_ngram_jaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = t(s, dir, "documents").select(col("doc_id"),
-      array_distinct(TextFunctions.shingles(TextFunctions.words(col("text")), 2)).as("s"))
+    val sh = t(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.words(col("text")).as("w"))
+      .select(col("doc_id"), array_distinct(TextFunctions.shingles(col("w"), 2)).as("s"))
     val a = sh.select(col("doc_id").as("id_a"), col("s").as("sa"))
     val b = sh.select((col("doc_id") - 1).as("id_a"), col("s").as("sb"))
     a.join(b, Seq("id_a"))

@@ -17,16 +17,28 @@ object TextFunctions {
   }
 
   /** Word-level n-gram shingles; documents shorter than n collapse to a
-    * single whole-document shingle. */
+    * single whole-document shingle.
+    *
+    * PERFORMANCE: `wordsCol` is captured inside a lambda, and Catalyst
+    * re-evaluates a captured non-attribute expression per array element —
+    * pass a MATERIALIZED column (a prior projection's attribute), never
+    * `split(...)` inline, or the tokenizer runs once per shingle. Operators
+    * in graft.operators stage their projections accordingly. */
   def shingles(wordsCol: Column, n: Int): Column =
     when(size(wordsCol) < n, array(concat_ws(" ", wordsCol)))
       .otherwise(transform(
         sequence(lit(0), size(wordsCol) - n),
         i => concat_ws(" ", slice(wordsCol, i + 1, lit(n)))))
 
-  /** 64-bit hashes of each shingle (xxhash64 — stable across runs). */
+  /** 64-bit hashes of each shingle (xxhash64 — stable across runs).
+    * See the lambda-capture note on [[shingles]]: prefer staging `words`
+    * into a column first (shingleHashesFromWords) on hot paths. */
   def shingleHashes(text: Column, n: Int): Column =
     transform(shingles(words(text), n), s => xxhash64(s))
+
+  /** Same, from a materialized words column (attribute-cheap in lambdas). */
+  def shingleHashesFromWords(wordsCol: Column, n: Int): Column =
+    transform(shingles(wordsCol, n), s => xxhash64(s))
 
   /** Whitespace token count. */
   def tokenCountWhitespace(text: Column): Column = size(words(text)).cast("long")

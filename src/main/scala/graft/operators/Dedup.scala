@@ -43,16 +43,41 @@ object Dedup {
       math.abs(rnd.nextLong()) % HashDomain))
   }
 
-  /** Column: array<long> minhash signature of a text column. */
-  def minhashSignature(text: Column, shingleSize: Int = 3, numHashes: Int = 64,
+  /** array<long> minhash signature from an ALREADY-MATERIALIZED column of
+    * shingle hashes (reduced to the 31-bit domain). Taking the hash column
+    * rather than raw text matters: the signature references its input 64
+    * times, and Catalyst will not collapse a multi-referenced non-cheap
+    * projection — so the text→shingle→hash pipeline runs once per row, not
+    * once per hash function. */
+  def minhashSignatureFromHashes(hashes: Column, numHashes: Int = 64,
       seed: Long = 42L): Column = {
-    val hashes = transform(
-      TextFunctions.shingleHashes(text, shingleSize), x => pmod(x, lit(HashDomain)))
     val sig = hashFamily(numHashes, seed).map { case (a, b) =>
       array_min(transform(hashes, x => pmod(x * a + b, lit(HashDomain))))
     }
     array(sig: _*)
   }
+
+  /** Column: shingle hashes of a text column in the 31-bit domain.
+    * (Lambda-capture caveat applies — hot paths should use shingleSets.) */
+  def shingleHashes31(text: Column, shingleSize: Int): Column =
+    transform(TextFunctions.shingleHashes(text, shingleSize),
+      x => pmod(x, lit(HashDomain)))
+
+  /** (id, shingle_set) with projections staged so each lambda only captures
+    * attributes: text → words → shingle hashes → distinct set. One tokenizer
+    * pass per row instead of one per shingle. */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int): DataFrame =
+    df.select(col(idCol).as("id"), TextFunctions.words(col(textCol)).as("__words"))
+      .select(col("id"), array_distinct(
+        transform(TextFunctions.shingleHashesFromWords(col("__words"), shingleSize),
+          x => pmod(x, lit(HashDomain)))).as("shingle_set"))
+
+  /** Column: array<long> minhash signature of a text column (convenience;
+    * for hot paths prefer materializing shingleHashes31 first). */
+  def minhashSignature(text: Column, shingleSize: Int = 3, numHashes: Int = 64,
+      seed: Long = 42L): Column =
+    minhashSignatureFromHashes(shingleHashes31(text, shingleSize), numHashes, seed)
 
   /** LSH banding: numHashes/rowsPerBand band keys per row. Band key is a
     * string "bandIndex:joined-slice" so different bands never collide. */
@@ -76,23 +101,27 @@ object Dedup {
       rowsPerBand: Int = 4,
       threshold: Double = 0.7,
       seed: Long = 42L): DataFrame = {
-    val withSig = df.select(
-      col(idCol).as("id"),
-      array_distinct(TextFunctions.shingleHashes(col(textCol), shingleSize)).as("shingle_set"),
-      minhashSignature(col(textCol), shingleSize, numHashes, seed).as("sig"))
+    // hashes materialized once; signature derives from the hash column
+    val withHashes = shingleSets(df, idCol, textCol, shingleSize)
+    val withSig = withHashes.select(col("id"), col("shingle_set"),
+      minhashSignatureFromHashes(col("shingle_set"), numHashes, seed).as("sig"))
 
+    // candidate generation carries IDs ONLY (16 bytes/pair through the
+    // bucket self-join); shingle sets attach after pair-dedup, bounding
+    // shuffle volume by distinct candidates, not bucket-collision count
     val buckets = withSig
-      .select(col("id"), col("shingle_set"),
-        explode(bandKeys(col("sig"), numHashes, rowsPerBand)).as("bucket"))
-
-    val l = buckets.select(col("bucket"), col("id").as("id_a"), col("shingle_set").as("set_a"))
-    val r = buckets.select(col("bucket"), col("id").as("id_b"), col("shingle_set").as("set_b"))
+      .select(col("id"), explode(bandKeys(col("sig"), numHashes, rowsPerBand)).as("bucket"))
+    val l = buckets.select(col("bucket"), col("id").as("id_a"))
+    val r = buckets.select(col("bucket"), col("id").as("id_b"))
     val candidates = l.join(r, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "set_a", "set_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
 
+    val sets = withHashes
     candidates
+      .join(sets.select(col("id").as("id_a"), col("shingle_set").as("set_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("shingle_set").as("set_b")), Seq("id_b"))
       .withColumn("jaccard",
         size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
           size(array_union(col("set_a"), col("set_b"))))
@@ -113,20 +142,29 @@ object Dedup {
   /** 64-bit SimHash over word-level shingle hashes: bit i of the result is
     * the sign of sum over tokens of (bit i set ? +1 : -1). Pure higher-order
     * expressions (zip_with/aggregate) — codegen-friendly, no UDF. */
-  def simhash64(text: Column, shingleSize: Int = 2): Column = {
-    val hashes = TextFunctions.shingleHashes(text, shingleSize)
+  /** Per-bit vote counts over the token hashes (array<int> of length 64). */
+  def simhashCounts(hashes: Column): Column = {
     // bit positions are static Scala ints so shifts stay compile-time
     val perHashBits = transform(hashes, h =>
       array((0 until 64).map(i =>
         when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1)): _*))
-    val counts = aggregate(
+    aggregate(
       perHashBits,
       array_repeat(lit(0), 64),
       (acc, bits) => zip_with(acc, bits, (a, b) => a + b))
+  }
+
+  /** Fold the vote counts into the 64-bit hash. `counts` should be a
+    * materialized column — it is referenced 64 times. */
+  def simhashFromCounts(counts: Column): Column =
     (0 until 64).map { i =>
       when(element_at(counts, i + 1) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
-  }
+
+  /** Convenience single-Column form (tests / small inputs; hot paths stage
+    * words → hashes → counts → hash as simhashPairs does). */
+  def simhash64(text: Column, shingleSize: Int = 2): Column =
+    simhashFromCounts(simhashCounts(TextFunctions.shingleHashes(text, shingleSize)))
 
   /** Near-dup pairs by SimHash: LSH on the 4 16-bit chunks (a pair within
     * Hamming distance <= 3 of a 64-bit hash must agree on at least one of 4
@@ -137,8 +175,12 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3,
       shingleSize: Int = 2): DataFrame = {
-    val withSig = df.select(col(idCol).as("id"),
-      simhash64(col(textCol), shingleSize).as("sim"))
+    val withSig = df
+      .select(col(idCol).as("id"), TextFunctions.words(col(textCol)).as("__words"))
+      .select(col("id"),
+        TextFunctions.shingleHashesFromWords(col("__words"), shingleSize).as("__hashes"))
+      .select(col("id"), simhashCounts(col("__hashes")).as("__counts"))
+      .select(col("id"), simhashFromCounts(col("__counts")).as("sim"))
     val chunked = withSig.select(col("id"), col("sim"),
       explode(array((0 until 4).map { c =>
         concat_ws(":", lit(c.toString),
