@@ -131,12 +131,21 @@ object Graft {
 
     if (good.isEmpty) return RichResult(spark.emptyDataFrame, failures)
 
-    // Group by (format, partition-values): one logical scan per group.
-    val groups = good.groupBy(e => (e.format, e.columns)).toSeq
-      .sortBy(_._2.head.path) // deterministic group order
+    // Attach strategy, in preference order:
+    //  1. hive-style layout (every partition value appears as a k=v path
+    //     segment): ONE native scan with basePath — Spark derives the
+    //     partition columns itself; no unions, no join, fully vectorized;
+    //  2. few distinct partitions: per-partition load + literal columns;
+    //  3. many partitions: broadcast path-map join on input_file_name().
+    val root = fileSystemQualifiedRoot(spark, url)
     val df =
-      if (groups.size <= unionAttachThreshold) unionAttach(spark, groups, options, schema)
-      else broadcastAttach(spark, good, options, schema)
+      if (isHiveLayout(root, good)) hiveAttach(spark, root, good, options, schema)
+      else {
+        val groups = good.groupBy(e => (e.format, e.columns)).toSeq
+          .sortBy(_._2.head.path) // deterministic group order
+        if (groups.size <= unionAttachThreshold) unionAttach(spark, groups, options, schema)
+        else broadcastAttach(spark, good, options, schema)
+      }
 
     val projected =
       if (columns.isEmpty) df
@@ -146,6 +155,40 @@ object Graft {
       }
     RichResult(projected, failures)
   }
+
+  private def fileSystemQualifiedRoot(spark: SparkSession, url: String): String = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = Discovery.fileSystemFor(url, conf)
+    val q = fs.makeQualified(new Path(url)).toString
+    if (q.endsWith("/")) q else q + "/"
+  }
+
+  /** True when every partition's (col,value) pairs appear verbatim as k=v
+    * path segments under the root, all partitions agree on the column set,
+    * and a single format is in play — the layout Spark's own partition
+    * discovery understands natively. */
+  private def isHiveLayout(root: String, files: Seq[FileEntry]): Boolean = {
+    files.map(_.format).distinct.size == 1 &&
+    files.map(_.columns.keySet).distinct.size == 1 &&
+    files.head.columns.nonEmpty &&
+    files.forall { e =>
+      val rel = e.path.stripPrefix(root)
+      val segs = rel.split("/").dropRight(1).toSet
+      e.columns.map { case (k, v) => s"$k=$v" }.toSet == segs
+    }
+  }
+
+  /** Hive fast path: single multi-path scan with basePath — partition
+    * columns come from Spark's native path parsing (as strings; type
+    * inference is disabled to match the reference contract). */
+  private def hiveAttach(
+      spark: SparkSession,
+      root: String,
+      files: Seq[FileEntry],
+      options: Map[String, String],
+      schema: Option[StructType]): DataFrame =
+    load(spark, files.head.format, files.map(_.path),
+      options + ("basePath" -> root), schema)
 
   /** Few-partitions path: per-group load with literal partition columns. */
   private def unionAttach(
@@ -206,8 +249,12 @@ object Graft {
       schema: Option[StructType]): DataFrame = {
     // String partition values stay strings (reference contract).
     spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    // FAILFAST preserves the reference's eager error contract (a malformed
+    // record raises rather than silently nulling); lazy-errors mode probes
+    // and excludes bad files before this load, so it is unaffected.
     val defaults = fmt match {
-      case "csv" => Map("header" -> "true", "inferSchema" -> "true")
+      case "csv" => Map("header" -> "true", "inferSchema" -> "true", "mode" -> "FAILFAST")
+      case "json" => Map("mode" -> "FAILFAST")
       case _ => Map.empty[String, String]
     }
     var reader = spark.read.format(fmt).options(defaults ++ options)
