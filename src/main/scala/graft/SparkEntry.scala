@@ -300,6 +300,40 @@ object SparkEntry {
       .orderBy("r_name")
   }
 
+  /** The engine's SQL-text entry point: the same relational surface through
+    * spark.sql over temp views (grouping sets, correlated and scalar
+    * subqueries — shapes not expressible through the fluent API alone). */
+  private def sqlOn(s: SparkSession, dir: String, tables: Seq[String], sql: String): DataFrame = {
+    tables.foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(sql)
+  }
+
+  private def q21_grouping_sets(s: SparkSession, dir: String): DataFrame =
+    sqlOn(s, dir, Seq("lineitem"),
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+         ORDER BY rf, ls""")
+
+  private def q22_corr_subquery(s: SparkSession, dir: String): DataFrame =
+    sqlOn(s, dir, Seq("orders"),
+      """SELECT o_custkey, COUNT(*) AS n_big
+         FROM orders o
+         WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(10,2))) AS DOUBLE)
+                                 / COUNT(*) * 1.5 FROM orders
+                               WHERE o_custkey = o.o_custkey)
+         GROUP BY o_custkey ORDER BY o_custkey""")
+
+  private def q23_scalar_subquery(s: SparkSession, dir: String): DataFrame =
+    sqlOn(s, dir, Seq("lineitem"),
+      """SELECT l_returnflag, COUNT(*) AS n
+         FROM lineitem
+         WHERE l_quantity > (SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE)
+                               / COUNT(*) FROM lineitem)
+         GROUP BY l_returnflag ORDER BY l_returnflag""")
+
   // ====================================================== LLM-pipeline ops
 
   import graft.functions.TextFunctions
@@ -469,6 +503,9 @@ object SparkEntry {
     "q18_cube" -> (q18_cube _),
     "q19_approx_hll" -> (q19_approx_hll _),
     "q20_multijoin" -> (q20_multijoin _),
+    "q21_grouping_sets" -> (q21_grouping_sets _),
+    "q22_corr_subquery" -> (q22_corr_subquery _),
+    "q23_scalar_subquery" -> (q23_scalar_subquery _),
     "d1_dedup_exact" -> (d1_dedup_exact _),
     "d2_dedup_minhash" -> (d2_dedup_minhash _),
     "d3_dedup_simhash" -> (d3_dedup_simhash _),
@@ -656,6 +693,26 @@ object SparkEntry {
          COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(10,2))) AS DOUBLE) AS sum_price
          FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
          ORDER BY st, pr""",
+    "q21_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+         ORDER BY rf, ls""",
+    "q22_corr_subquery" ->
+      """SELECT o_custkey, COUNT(*) AS n_big
+         FROM orders o
+         WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(10,2))) AS DOUBLE)
+                                 / COUNT(*) * 1.5 FROM orders
+                               WHERE o_custkey = o.o_custkey)
+         GROUP BY o_custkey ORDER BY o_custkey""",
+    "q23_scalar_subquery" ->
+      """SELECT l_returnflag, COUNT(*) AS n
+         FROM lineitem
+         WHERE l_quantity > (SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE)
+                               / COUNT(*) FROM lineitem)
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
     "d1_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, COUNT(*) AS n_copies
          FROM (SELECT doc_id, text FROM documents

@@ -132,14 +132,17 @@ object Graft {
     if (good.isEmpty) return RichResult(spark.emptyDataFrame, failures)
 
     // Attach strategy, in preference order:
-    //  1. hive-style layout (every partition value appears as a k=v path
-    //     segment): ONE native scan with basePath — Spark derives the
-    //     partition columns itself; no unions, no join, fully vectorized;
-    //  2. few distinct partitions: per-partition load + literal columns;
-    //  3. many partitions: broadcast path-map join on input_file_name().
+    //  1. single format (the normal case): our GraftFileIndex behind a
+    //     HadoopFsRelation — ONE vectorized scan for ANY layout (hive,
+    //     value-only, filename columns), partition columns are first-class
+    //     Catalyst partition values (post-hoc filters prune files), plan
+    //     size is constant regardless of partition count;
+    //  2. mixed formats, few partitions: per-partition load + literals;
+    //  3. mixed formats, many partitions: broadcast path-map join.
     val root = fileSystemQualifiedRoot(spark, url)
     val df =
-      if (isHiveLayout(root, good)) hiveAttach(spark, root, good, options, schema)
+      if (good.map(_.format).distinct.size == 1)
+        fileIndexAttach(spark, root, good, options, schema)
       else {
         val groups = good.groupBy(e => (e.format, e.columns)).toSeq
           .sortBy(_._2.head.path) // deterministic group order
@@ -163,32 +166,39 @@ object Graft {
     if (q.endsWith("/")) q else q + "/"
   }
 
-  /** True when every partition's (col,value) pairs appear verbatim as k=v
-    * path segments under the root, all partitions agree on the column set,
-    * and a single format is in play — the layout Spark's own partition
-    * discovery understands natively. */
-  private def isHiveLayout(root: String, files: Seq[FileEntry]): Boolean = {
-    files.map(_.format).distinct.size == 1 &&
-    files.map(_.columns.keySet).distinct.size == 1 &&
-    files.head.columns.nonEmpty &&
-    files.forall { e =>
-      val rel = e.path.stripPrefix(root)
-      val segs = rel.split("/").dropRight(1).toSet
-      e.columns.map { case (k, v) => s"$k=$v" }.toSet == segs
-    }
-  }
-
-  /** Hive fast path: single multi-path scan with basePath — partition
-    * columns come from Spark's native path parsing (as strings; type
-    * inference is disabled to match the reference contract). */
-  private def hiveAttach(
+  /** Primary path: build a [[graft.index.GraftFileIndex]] over the
+    * discovered files and hand it to Catalyst as a HadoopFsRelation — one
+    * scan, native partition pruning on our string partition columns, any
+    * layout. Data schema comes from the user or from the first file. */
+  private def fileIndexAttach(
       spark: SparkSession,
       root: String,
       files: Seq[FileEntry],
       options: Map[String, String],
-      schema: Option[StructType]): DataFrame =
-    load(spark, files.head.format, files.map(_.path),
-      options + ("basePath" -> root), schema)
+      schema: Option[StructType]): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+    val fmt = files.head.format
+    val partitionCols = files.flatMap(_.columns.keys).distinct
+    val opts = readDefaults(fmt) ++ options
+    val dataSchema0 = schema.getOrElse(
+      loadWith(spark, fmt, Seq(files.head.path), opts, None).schema)
+    // a data column shadowed by a partition column would be ambiguous —
+    // partition value wins (reference semantics: path value is appended)
+    val dataSchema = StructType(dataSchema0.filterNot(f => partitionCols.contains(f.name)))
+    val fileFormat = fmt match {
+      case "parquet" =>
+        new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
+      case "csv" => new org.apache.spark.sql.execution.datasources.csv.CSVFileFormat()
+      case "json" => new org.apache.spark.sql.execution.datasources.json.JsonFileFormat()
+      case other => throw new IllegalArgumentException(s"unsupported format $other")
+    }
+    val index = new graft.index.GraftFileIndex(
+      spark, new Path(root),
+      files.map(e => Partition(e.path, e.columns)), partitionCols)
+    val relation = HadoopFsRelation(
+      index, index.partitionSchema, dataSchema, None, fileFormat, opts)(spark)
+    spark.baseRelationToDataFrame(relation)
+  }
 
   /** Few-partitions path: per-group load with literal partition columns. */
   private def unionAttach(
@@ -241,26 +251,35 @@ object Graft {
     auth + uri.getRawPath
   }
 
+  /** FAILFAST preserves the reference's eager error contract (a malformed
+    * record raises rather than silently nulling); lazy-errors mode probes
+    * and excludes bad files before any load, so it is unaffected. */
+  private def readDefaults(fmt: String): Map[String, String] = fmt match {
+    case "csv" => Map("header" -> "true", "inferSchema" -> "true", "mode" -> "FAILFAST")
+    case "json" => Map("mode" -> "FAILFAST")
+    case _ => Map.empty[String, String]
+  }
+
+  private def loadWith(
+      spark: SparkSession,
+      fmt: String,
+      paths: Seq[String],
+      mergedOptions: Map[String, String],
+      schema: Option[StructType]): DataFrame = {
+    // String partition values stay strings (reference contract).
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    var reader = spark.read.format(fmt).options(mergedOptions)
+    schema.foreach(s => reader = reader.schema(s))
+    reader.load(paths: _*)
+  }
+
   private def load(
       spark: SparkSession,
       fmt: String,
       paths: Seq[String],
       options: Map[String, String],
-      schema: Option[StructType]): DataFrame = {
-    // String partition values stay strings (reference contract).
-    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-    // FAILFAST preserves the reference's eager error contract (a malformed
-    // record raises rather than silently nulling); lazy-errors mode probes
-    // and excludes bad files before this load, so it is unaffected.
-    val defaults = fmt match {
-      case "csv" => Map("header" -> "true", "inferSchema" -> "true", "mode" -> "FAILFAST")
-      case "json" => Map("mode" -> "FAILFAST")
-      case _ => Map.empty[String, String]
-    }
-    var reader = spark.read.format(fmt).options(defaults ++ options)
-    schema.foreach(s => reader = reader.schema(s))
-    reader.load(paths: _*)
-  }
+      schema: Option[StructType]): DataFrame =
+    loadWith(spark, fmt, paths, readDefaults(fmt) ++ options, schema)
 
   /** Suffix-based format detection (reference InputFormat.from_url,
     * deser.py:78-95); xlsx is rejected with a clear message (no built-in
@@ -330,6 +349,52 @@ object Graft {
       try Await.result(Future.sequence(xs.map(x => Future(f(x)))), Duration.Inf)
       finally pool.shutdown()
     }
+  }
+
+  /** Deprecated alias for readPartitionedTable (reference: read_s3_table,
+    * api.py:59-67). */
+  @deprecated("use readPartitionedTable", "0.1.0")
+  def readS3Table(
+      spark: SparkSession,
+      url: String,
+      query: PartitionQuery = Q.True,
+      parser: ColumnParser = AutoParser.auto): DataFrame =
+    readPartitionedTable(spark, url, query, parser)
+
+  /** EnumeratedDictReader analog (reference deser.py:240-270): JSON files →
+    * enumerated driver-side maps, in sorted file order with partition
+    * columns merged in. JSON-only; small-result sugar, not a scan path. */
+  def readJsonAsDicts(
+      spark: SparkSession,
+      url: String,
+      query: PartitionQuery = Q.True,
+      parser: ColumnParser = AutoParser.auto): Seq[(Int, Map[String, Any])] = {
+    val parts = discover(spark, url, query, parser).sortBy(_.url)
+    if (parts.isEmpty)
+      throw new GraftEmptyResultException(s"no files matched under $url for $query")
+    parts.foreach { p =>
+      val fmt = detectFormat(p.url, "auto")
+      require(fmt == "json", s"EnumeratedDictReader supports only json, got $fmt (${p.url})")
+    }
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val rows = parts.flatMap { p =>
+      val df = load(spark, "json", Seq(p.url), Map.empty, None)
+      df.toJSON.collect().toSeq.map { line =>
+        JsonMethods.parse(line).values.asInstanceOf[Map[String, Any]] ++ p.columns
+      }
+    }
+    rows.zipWithIndex.map { case (m, i) => (i, m) }
+  }
+
+  /** Per-protocol filesystem configuration (reference __init__.py:22-73):
+    * programmatic defaults merged into the session's Hadoop conf, e.g.
+    * setDefaultConfig(spark, "s3a", Map("access.key" -> ..., "endpoint" ->
+    * ...)) → spark.hadoop.fs.s3a.* . */
+  def setDefaultConfig(spark: SparkSession, protocol: String,
+      config: Map[String, String]): Unit = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    config.foreach { case (k, v) => hc.set(s"fs.$protocol.$k", v) }
   }
 
   // ------------------------------------------------------------------ write

@@ -1,0 +1,20 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+object ExplainCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.01"
+    for (q <- Seq("q3_join_agg", "q20_multijoin", "q2_filter", "as1_asof")) {
+      val plan = graft.SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+      val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+      val smj = "SortMergeJoin".r.findAllIn(plan).length
+      val pushed = plan.split("\n").filter(_.contains("PushedFilters")).take(2).mkString(" | ")
+      println(s"[$q] broadcast=$broadcasts sortmerge=$smj")
+      if (pushed.nonEmpty) println(s"   $pushed".take(300))
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.api.Graft
+import graft.core._
+
+class ApiSurfaceSpec extends SparkSpec {
+
+  private def writeFile(path: String, content: String): Unit = {
+    val p = Paths.get(path)
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, content)
+  }
+
+  test("S2: deprecated readS3Table alias forwards") {
+    val dir = tmpDir("s2")
+    writeFile(s"$dir/k=1/f.csv", "c1\n5\n")
+    val df = Graft.readS3Table(spark, dir): @annotation.nowarn("cat=deprecation")
+    assert(df.count() == 1)
+  }
+
+  test("S22: enumerated dict reader returns sorted-order maps with partition cols") {
+    val dir = tmpDir("s22")
+    writeFile(s"$dir/p=1/b.json", """{"v": 2}""" + "\n")
+    writeFile(s"$dir/p=1/a.json", """{"v": 1}""" + "\n")
+    writeFile(s"$dir/p=2/c.json", """{"v": 3}""" + "\n")
+    val dicts = Graft.readJsonAsDicts(spark, dir)
+    assert(dicts.map(_._1) == Seq(0, 1, 2))
+    // sorted file order within sorted partition order: a.json before b.json
+    assert(dicts(0)._2("v") == 1 && dicts(0)._2("p") == "1")
+    assert(dicts(1)._2("v") == 2)
+    assert(dicts(2)._2("v") == 3 && dicts(2)._2("p") == "2")
+    // non-json rejected
+    writeFile(s"$dir/p=3/d.csv", "x\n1\n")
+    intercept[IllegalArgumentException](Graft.readJsonAsDicts(spark, dir))
+  }
+
+  test("S20: per-protocol config lands in hadoop conf") {
+    Graft.setDefaultConfig(spark, "s3a", Map("endpoint" -> "http://localhost:9000"))
+    assert(spark.sparkContext.hadoopConfiguration.get("fs.s3a.endpoint")
+      == "http://localhost:9000")
+  }
+
+  test("stateful streaming: flatMapGroupsWithState counts per key across batches") {
+    import spark.implicits._
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Int)](
+      spark)
+    input.addData(("a", 1), ("a", 2), ("b", 5))
+
+    val counted = input.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(String, Int), (String, Int)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Int)], state: GroupState[(String, Int)]) =>
+          val prev = state.getOption.map(_._2).getOrElse(0)
+          val add = rows.map(_._2).sum
+          val next = (key, prev + add)
+          state.update(next)
+          Iterator(next)
+      }
+
+    val q = counted.writeStream.outputMode("update")
+      .format("memory").queryName("state_test").start()
+    try {
+      q.processAllAvailable()
+      input.addData(("a", 10))
+      q.processAllAvailable()
+    } finally q.stop()
+    val res = spark.table("state_test")
+      .groupBy("_1").agg(max("_2").as("total"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(res == Map("a" -> 13, "b" -> 5))
+  }
+}

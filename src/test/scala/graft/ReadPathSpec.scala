@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
+import org.apache.spark.sql.functions.col
+
 import graft.api.{Graft, GraftEmptyResultException}
 import graft.core._
 
@@ -184,6 +186,33 @@ class ReadPathSpec extends SparkSpec {
       assert(canon(viaUnion) == canon(viaBroadcast))
       assert(viaBroadcast.count() == 9)
     } finally Graft.unionAttachThreshold = old
+  }
+
+  test("post-hoc partition filters prune files through GraftFileIndex") {
+    val dir = tmpDir("prune")
+    for (y <- 2020 to 2023; f <- Seq("a", "b"))
+      writeFile(s"$dir/y=$y/$f.csv", s"v\n${y - 2020}\n")
+    // read EVERYTHING (Q.True), filter afterwards on the partition column —
+    // pruning must happen at the FileIndex, not per-row
+    val df = Graft.readPartitionedTable(spark, dir).filter(col("y") === "2022")
+    assert(df.select("v").collect().map(_.getInt(0)).toSeq == Seq(2, 2))
+    val scan = df.queryExecution.executedPlan.toString
+    val loc = scan.split("\n").find(_.contains("PartitionFilters")).getOrElse("")
+    assert(loc.contains("y"), s"expected partition filter in plan: $loc")
+    // the scan must read only the 2 matching files
+    val scanned = df.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+          .map(_.files.size).sum }.sum
+    assert(scanned == 2, s"expected 2 files after pruning, got $scanned")
+    // value-only layout prunes the same way (Spark itself cannot parse this)
+    val dir2 = tmpDir("prune2")
+    for (y <- 2020 to 2023)
+      writeFile(s"$dir2/$y/data.csv", s"v\n${y - 2020}\n")
+    val df2 = Graft.readPartitionedTable(spark, dir2,
+        parser = FixedColumnsParser.fromStr("yr/fname"))
+      .filter(col("yr") === "2021")
+    assert(df2.select("v").collect().map(_.getInt(0)).toSeq == Seq(1))
   }
 
   test("identity listing returns files + partition values without reading") {
