@@ -463,6 +463,18 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  private def rj1_range_join(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RangeJoin
+    val points = Fixtures.events(s, dir)
+      .select(col("event_id"), (col("value") * 1000).as("p"))
+    val ranges = t(s, dir, "part")
+      .select(col("p_partkey"),
+        (col("p_retailprice") - 100).as("lo"), (col("p_retailprice") + 100).as("hi"))
+    RangeJoin.pointInInterval(points, ranges, "p", "lo", "hi", bucketWidth = 200.0)
+      .groupBy("event_id").agg(count(lit(1)).as("n_parts"))
+      .orderBy("event_id")
+  }
+
   private def q19_approx_hll(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem").groupBy("l_returnflag")
       .agg(approx_count_distinct("l_partkey").as("approx_parts"),
@@ -521,6 +533,7 @@ object SparkEntry {
     "st1_stream_window" -> (st1_stream_window _),
     "st2_session" -> (st2_session _),
     "as1_asof" -> (as1_asof _),
+    "rj1_range_join" -> (rj1_range_join _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -794,6 +807,13 @@ object SparkEntry {
            FROM x)
          SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n
          FROM y GROUP BY user_id, sid ORDER BY user_id, session_start""",
+    "rj1_range_join" ->
+      """SELECT e.event_id, COUNT(*) AS n_parts
+         FROM (SELECT event_id, value * 1000 AS p FROM events) e
+         JOIN (SELECT p_partkey, p_retailprice - 100 AS lo, p_retailprice + 100 AS hi
+               FROM part) r
+           ON e.p >= r.lo AND e.p <= r.hi
+         GROUP BY e.event_id ORDER BY e.event_id""",
     "as1_asof" ->
       """WITH r AS (SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
            row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn

@@ -160,6 +160,26 @@ class AsofSpec extends SparkSpec {
   }
 }
 
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed range join equals naive cross-join filter, any bucket width") {
+    val points = (0 until 200).map(i => (i.toLong, i * 3.7)).toDF("pid", "p")
+    val ranges = (0 until 50).map(i => (i.toLong, i * 13.0, i * 13.0 + 25.5))
+      .toDF("rid", "lo", "hi")
+    val naive = points.crossJoin(ranges)
+      .filter(col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("pid", "rid")
+    for (w <- Seq(1.0, 10.0, 100.0)) {
+      val bucketed = operators.RangeJoin
+        .pointInInterval(points, ranges, "p", "lo", "hi", w)
+        .select("pid", "rid")
+      assert(canon(bucketed) == canon(naive), s"bucketWidth=$w")
+    }
+    assert(naive.count() > 0)
+  }
+}
+
 class MultimodalSpec extends SparkSpec {
 
   test("payload + batched decode produces metadata struct per row") {
