@@ -101,8 +101,13 @@ object Dedup {
       rowsPerBand: Int = 4,
       threshold: Double = 0.7,
       seed: Long = 42L): DataFrame = {
-    // hashes materialized once; signature derives from the hash column
+    // hashes materialized once; signature derives from the hash column.
+    // persist: this frame is consumed three times (signature/bucket branch +
+    // both sides of the verification attach) — without it the full
+    // text→shingle→hash pipeline re-runs per consumer. MEMORY_AND_DISK so a
+    // 100 TB corpus spills instead of recomputing or OOMing.
     val withHashes = shingleSets(df, idCol, textCol, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withSig = withHashes.select(col("id"), col("shingle_set"),
       minhashSignatureFromHashes(col("shingle_set"), numHashes, seed).as("sig"))
 

@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-import graft.api.Graft
+import graft.api.{Bucketing, Graft}
 import graft.core._
 
 class ApiSurfaceSpec extends SparkSpec {
@@ -43,6 +43,23 @@ class ApiSurfaceSpec extends SparkSpec {
     Graft.setDefaultConfig(spark, "s3a", Map("endpoint" -> "http://localhost:9000"))
     assert(spark.sparkContext.hadoopConfiguration.get("fs.s3a.endpoint")
       == "http://localhost:9000")
+  }
+
+  test("bucketed tables join without a shuffle on the bucket key") {
+    import spark.implicits._
+    val facts = (0 until 1000).map(i => (i.toLong % 50, s"f$i")).toDF("k", "payload")
+    val dims = (0L until 50L).map(i => (i, s"d$i")).toDF("k", "name")
+    Bucketing.writeBucketed(facts, "graft_facts_b", "k", 8)
+    Bucketing.writeBucketed(dims, "graft_dims_b", "k", 8)
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = Bucketing.readBucketed(spark, "graft_facts_b")
+        .join(Bucketing.readBucketed(spark, "graft_dims_b"), "k")
+      assert(joined.count() == 1000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 
   test("stateful streaming: flatMapGroupsWithState counts per key across batches") {
