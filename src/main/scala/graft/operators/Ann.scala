@@ -21,9 +21,15 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Cosine similarity of two array<float>/<double> columns (computed in
-    * double; sequential left-fold — deterministic everywhere). */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity of two array<float>/<double> columns: fused
+    * single-loop codegen'd Expression (graft.functions.CosineSimilarity).
+    * Bit-identical to [[cosineHof]] — both are sequential double folds. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity(a, b)
+
+  /** Composable higher-order-function formulation (reference semantics for
+    * the property test; 3 array traversals + intermediates). */
+  def cosineHof(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
         lit(0.0), (acc, v) => acc + v)

@@ -7,14 +7,21 @@ object ExplainCheck {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    for (q <- Seq("q3_join_agg", "q20_multijoin", "q2_filter", "as1_asof")) {
+    for (q <- Seq("q3_join_agg", "q20_multijoin", "q2_filter", "as1_asof", "a1_ann_brute")) {
       val plan = graft.SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
       val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
       val smj = "SortMergeJoin".r.findAllIn(plan).length
       val pushed = plan.split("\n").filter(_.contains("PushedFilters")).take(2).mkString(" | ")
-      println(s"[$q] broadcast=$broadcasts sortmerge=$smj")
+      println(s"[$q] broadcast=$broadcasts sortmerge=$smj wholestage=" + "WholeStageCodegen".r.findAllIn(plan).length + " cosine_in_codegen=" + plan.contains("CosineSimilarity"))
       if (pushed.nonEmpty) println(s"   $pushed".take(300))
     }
+    // codegen probe: finalize AQE then inspect the executed plan
+    val a1 = graft.SparkEntry.queries("a1_ann_brute")(spark, dir)
+    a1.collect()
+    val fp = a1.queryExecution.executedPlan.toString
+    println(s"[a1-final] codegen_stages=" + "\\*\\(\\d+\\)".r.findAllIn(fp).toSet.size +
+      " cosine_expr=" + fp.toLowerCase.contains("cosinesimilarity"))
+    fp.split("\n").foreach(l => println("[a1-plan] " + l.take(120)))
     spark.stop()
   }
 }

@@ -91,6 +91,24 @@ class AnnSpec extends SparkSpec {
     assert(out.map(_.getInt(2)).toSeq == Seq(1, 2, 3, 4, 5))
   }
 
+  test("codegen cosine expression is bit-identical to the HOF formulation") {
+    val dim = 32
+    val rows = (0 until 300).map(i => (i.toLong, randVec(i, dim)))
+    val df = rows.toDF("id", "vec")
+    val q = org.apache.spark.sql.functions.lit(randVec(999, dim).map(_.toDouble))
+    val both = df.select(
+      Ann.cosine(col("vec"), q).as("fast"),
+      Ann.cosineHof(col("vec"), q).as("hof"))
+    val mismatches = both.filter(col("fast") =!= col("hof")).count()
+    assert(mismatches == 0, "codegen and HOF cosine must agree exactly")
+    // SQL registration path
+    graft.functions.CosineSimilarity.register(spark)
+    df.createOrReplaceTempView("cos_t")
+    val viaSql = spark.sql("SELECT cosine_sim(vec, vec) AS c FROM cos_t LIMIT 5")
+      .collect().map(_.getDouble(0))
+    assert(viaSql.forall(c => math.abs(c - 1.0) < 1e-9))
+  }
+
   test("LSH top-k recalls the exact nearest neighbor (self)") {
     val dim = 16
     val rows = (0 until 200).map(i => (i.toLong, randVec(i, dim)))
