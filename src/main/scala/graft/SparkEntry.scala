@@ -334,6 +334,14 @@ object SparkEntry {
                                / COUNT(*) FROM lineitem)
          GROUP BY l_returnflag ORDER BY l_returnflag""")
 
+  private def q24_percentile(s: SparkSession, dir: String): DataFrame =
+    sqlOn(s, dir, Seq("lineitem"),
+      """SELECT l_returnflag,
+         percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity) AS p25,
+         percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_quantity) AS p50,
+         percentile_cont(0.9)  WITHIN GROUP (ORDER BY l_extendedprice) AS p90_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+
   // ====================================================== LLM-pipeline ops
 
   import graft.functions.TextFunctions
@@ -518,6 +526,7 @@ object SparkEntry {
     "q21_grouping_sets" -> (q21_grouping_sets _),
     "q22_corr_subquery" -> (q22_corr_subquery _),
     "q23_scalar_subquery" -> (q23_scalar_subquery _),
+    "q24_percentile" -> (q24_percentile _),
     "d1_dedup_exact" -> (d1_dedup_exact _),
     "d2_dedup_minhash" -> (d2_dedup_minhash _),
     "d3_dedup_simhash" -> (d3_dedup_simhash _),
@@ -713,6 +722,12 @@ object SparkEntry {
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
          ORDER BY rf, ls""",
+    "q24_percentile" ->
+      """SELECT l_returnflag,
+         quantile_cont(l_quantity, 0.25) AS p25,
+         quantile_cont(l_quantity, 0.5) AS p50,
+         quantile_cont(l_extendedprice, 0.9) AS p90_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q22_corr_subquery" ->
       """SELECT o_custkey, COUNT(*) AS n_big
          FROM orders o

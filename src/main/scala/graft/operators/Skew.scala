@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Manual skew mitigation for joins whose hot keys overwhelm single tasks
+  * (the pre-AQE technique; still needed when AQE's skew-join can't kick in,
+  * e.g. broadcast-ineligible aggregations after the join, or when one key is
+  * so hot it exceeds a single task even after AQE splitting).
+  *
+  * The skewed (large) side gets a deterministic salt in [0, factor); the
+  * replicated (smaller) side is exploded once per salt value. The join key
+  * becomes (key, salt) — hot keys fan out over `factor` tasks. Row-level
+  * results are identical to the unsalted join for any salt assignment.
+  */
+object Skew {
+
+  def saltedJoin(
+      skewed: DataFrame,
+      replicated: DataFrame,
+      keys: Seq[String],
+      factor: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(factor > 0)
+    // salt from the row's own key hash + a per-row component so one hot key
+    // still spreads; xxhash64 over all key cols is deterministic
+    val salt = pmod(
+      xxhash64(keys.map(col) :+ monotonically_increasing_id(): _*), lit(factor))
+    val l = skewed.withColumn("__salt", salt)
+    val r = replicated.withColumn("__salt",
+      explode(sequence(lit(0), lit(factor - 1)).cast("array<long>")))
+    l.join(r, keys :+ "__salt", joinType).drop("__salt")
+  }
+}

@@ -16,6 +16,10 @@ class ApiSurfaceSpec extends SparkSpec {
     Files.writeString(p, content)
   }
 
+  test("driver contract: entry() returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("S2: deprecated readS3Table alias forwards") {
     val dir = tmpDir("s2")
     writeFile(s"$dir/k=1/f.csv", "c1\n5\n")

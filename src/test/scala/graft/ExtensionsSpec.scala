@@ -178,6 +178,22 @@ class AsofSpec extends SparkSpec {
   }
 }
 
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join equals plain join on skewed data") {
+    // one hot key (90% of rows) + long tail
+    val skewed = ((0 until 900).map(_ => (1L, "hot")) ++
+      (0 until 100).map(i => (i.toLong + 2, s"cold$i"))).toDF("k", "v")
+    val dims = (0L until 110L).map(i => (i, s"d$i")).toDF("k", "name")
+    val plain = skewed.join(dims, Seq("k")).select("k", "v", "name")
+    val salted = operators.Skew.saltedJoin(skewed, dims, Seq("k"), factor = 8)
+      .select("k", "v", "name")
+    assert(canon(salted) == canon(plain))
+    assert(plain.count() == 1000)
+  }
+}
+
 class RangeJoinSpec extends SparkSpec {
   import spark.implicits._
 
