@@ -334,6 +334,15 @@ object SparkEntry {
                                / COUNT(*) FROM lineitem)
          GROUP BY l_returnflag ORDER BY l_returnflag""")
 
+  private def q25_semi_anti_combo(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val big = t(s, dir, "lineitem").filter(col("l_quantity") > 48)
+    val small = t(s, dir, "lineitem").filter(col("l_quantity") < 2)
+    o.join(big, o("o_orderkey") === big("l_orderkey"), "left_semi")
+      .join(small, o("o_orderkey") === small("l_orderkey"), "left_anti")
+      .select("o_orderkey", "o_orderstatus").orderBy("o_orderkey")
+  }
+
   private def q24_percentile(s: SparkSession, dir: String): DataFrame =
     sqlOn(s, dir, Seq("lineitem"),
       """SELECT l_returnflag,
@@ -527,6 +536,7 @@ object SparkEntry {
     "q22_corr_subquery" -> (q22_corr_subquery _),
     "q23_scalar_subquery" -> (q23_scalar_subquery _),
     "q24_percentile" -> (q24_percentile _),
+    "q25_semi_anti_combo" -> (q25_semi_anti_combo _),
     "d1_dedup_exact" -> (d1_dedup_exact _),
     "d2_dedup_minhash" -> (d2_dedup_minhash _),
     "d3_dedup_simhash" -> (d3_dedup_simhash _),
@@ -722,6 +732,13 @@ object SparkEntry {
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
          ORDER BY rf, ls""",
+    "q25_semi_anti_combo" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_quantity > 48)
+           AND NOT EXISTS (SELECT 1 FROM lineitem
+                           WHERE l_orderkey = o_orderkey AND l_quantity < 2)
+         ORDER BY o_orderkey""",
     "q24_percentile" ->
       """SELECT l_returnflag,
          quantile_cont(l_quantity, 0.25) AS p25,

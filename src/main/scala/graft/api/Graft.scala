@@ -144,10 +144,14 @@ object Graft {
       if (good.map(_.format).distinct.size == 1)
         fileIndexAttach(spark, root, good, options, schema)
       else {
-        val groups = good.groupBy(e => (e.format, e.columns)).toSeq
-          .sortBy(_._2.head.path) // deterministic group order
-        if (groups.size <= unionAttachThreshold) unionAttach(spark, groups, options, schema)
-        else broadcastAttach(spark, good, options, schema)
+        // mixed formats: one attach per format (each single-format), unioned
+        val frames = good.groupBy(_.format).toSeq.sortBy(_._1).map { case (_, fs) =>
+          val groups = fs.groupBy(e => (e.format, e.columns)).toSeq
+            .sortBy(_._2.head.path) // deterministic group order
+          if (groups.size <= unionAttachThreshold) unionAttach(spark, groups, options, schema)
+          else broadcastAttach(spark, fs, options, schema)
+        }
+        frames.reduce(_.unionByName(_, allowMissingColumns = true))
       }
 
     val projected =

@@ -174,17 +174,23 @@ class ReadPathSpec extends SparkSpec {
     assert(df.columns.toSet == Set("c2", "p"))
   }
 
-  test("broadcast attach path (many partitions) equals union attach path") {
-    val dir = tmpDir("bcast")
-    for (i <- 0 until 9)
-      writeFile(s"$dir/p=$i/f.csv", s"c1\n$i\n")
+  test("mixed-format tree: union attach and broadcast attach agree") {
+    // single-format trees ride GraftFileIndex; a mixed csv+json tree takes
+    // the union path (or broadcast path over the threshold) — both must
+    // produce identical frames
+    val dir = tmpDir("mixed")
+    for (i <- 0 until 4) writeFile(s"$dir/p=c$i/f.csv", s"c1\n$i\n")
+    for (i <- 0 until 4) writeFile(s"$dir/p=j$i/f.json", s"""{"c1":${i + 10}}""" + "\n")
     val old = Graft.unionAttachThreshold
     try {
       val viaUnion = Graft.readPartitionedTable(spark, dir)
+      assert(viaUnion.count() == 8)
+      assert(viaUnion.select("p").distinct().count() == 8)
       Graft.unionAttachThreshold = 2
+      // 4 partition groups per format > threshold 2 => broadcast attach,
+      // applied per format then unioned — must equal the union-attach result
       val viaBroadcast = Graft.readPartitionedTable(spark, dir)
-      assert(canon(viaUnion) == canon(viaBroadcast))
-      assert(viaBroadcast.count() == 9)
+      assert(canon(viaBroadcast) == canon(viaUnion))
     } finally Graft.unionAttachThreshold = old
   }
 
@@ -223,6 +229,57 @@ class ReadPathSpec extends SparkSpec {
     val rows = df.collect()
     assert(rows.length == 2)
     assert(df.columns.toSet == Set("path", "k"))
+  }
+
+  test("grammar-less AutoParser reads files at every depth (reference quirk)") {
+    val dir = tmpDir("quirk")
+    writeFile(s"$dir/root.csv", "c1,c2\n9,rootlevel\n")
+    writeFile(s"$dir/k=1/deep.csv", csv)
+    val df = Graft.readPartitionedTable(spark, dir)
+    // both depths load; the shallow file has a null partition value
+    assert(df.count() == 3)
+    assert(df.filter(col("k").isNull).count() == 1)
+    assert(df.filter(col("k") === "1").count() == 2)
+  }
+
+  test("AUTO format detection fails on unknown suffix; forced format reads") {
+    val dir = tmpDir("forced")
+    // csv content in a .json file: auto json read fails fast on eager path
+    writeFile(s"$dir/f1.json", csv)
+    intercept[Exception] {
+      Graft.readPartitionedTable(spark, dir).collect()
+    }
+    val forced = Graft.readPartitionedTable(spark, dir, format = "csv")
+    assert(forced.count() == 2 && forced.columns.toSet == Set("c1", "c2"))
+    // unknown suffix
+    writeFile(s"$dir/f2.unknownext", "x")
+    intercept[IllegalArgumentException] {
+      Graft.readPartitionedTable(spark, dir)
+    }
+  }
+
+  test("xlsx is rejected with a clear unsupported error") {
+    val dir = tmpDir("xlsx")
+    writeFile(s"$dir/wb.xlsx", "not really xlsx")
+    val ex = intercept[UnsupportedOperationException] {
+      Graft.readPartitionedTable(spark, dir)
+    }
+    assert(ex.getMessage.contains("xlsx"))
+  }
+
+  test("winnowing fingerprint is stable under small mid-document edits") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val base = ("x" * 40) + "abcdefghijklmnopqrstuvwxyz0123456789" + ("y" * 40)
+    val edited = base.replace("mnop", "mnXp") // one local edit
+    val df = Seq((1L, base), (2L, edited), (3L, "completely different content here"))
+      .toDF("id", "text")
+      .select(col("id"), TextFunctions.winnowFingerprint(col("text"), k = 8).as("fp"))
+    val fps = df.as[(Long, Long)].collect().toMap
+    // min-hash-of-kgrams usually survives a single local edit (the minimum
+    // k-gram is unlikely to straddle it); unrelated text differs
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
   }
 
   test("writeObject single-file round trips parquet/csv/json + raw bytes") {
