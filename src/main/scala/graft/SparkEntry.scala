@@ -403,6 +403,17 @@ object SparkEntry {
       .select("id_a", "id_b").orderBy("id_a", "id_b")
   }
 
+  /** End-to-end dedup pipeline: candidate pairs → greedy drop. Restricted to
+    * the planted pairs so survivors are exactly the original corpus. */
+  private def d6_dedup_pipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsWithCopies(s, dir)
+    val plantedPairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        shingleSize = 3, numHashes = 64, rowsPerBand = 8, threshold = 0.9)
+      .filter(col("id_b") === col("id_a") + 1000000)
+    Dedup.dropNearDuplicates(docs, "doc_id", plantedPairs)
+      .select("doc_id").orderBy("doc_id")
+  }
+
   private def queryVec(s: SparkSession, dir: String): Array[Float] =
     t(s, dir, "embeddings").filter(col("vec_id") === 0)
       .select("embedding").head().getSeq[Float](0).toArray
@@ -542,6 +553,7 @@ object SparkEntry {
     "d3_dedup_simhash" -> (d3_dedup_simhash _),
     "d4_ngram_jaccard" -> (d4_ngram_jaccard _),
     "d5_embed_neardup" -> (d5_embed_neardup _),
+    "d6_dedup_pipeline" -> (d6_dedup_pipeline _),
     "a1_ann_brute" -> (a1_ann_brute _),
     "a2_ann_lsh" -> (a2_ann_lsh _),
     "t1_langid" -> (t1_langid _),
@@ -782,6 +794,8 @@ object SparkEntry {
     "d5_embed_neardup" ->
       """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b
          FROM embeddings ORDER BY id_a, id_b""",
+    "d6_dedup_pipeline" ->
+      """SELECT doc_id FROM documents ORDER BY doc_id""",
     "a1_ann_brute" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
          SELECT vec_id, CAST(row_number() OVER

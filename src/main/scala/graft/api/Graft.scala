@@ -184,8 +184,13 @@ object Graft {
     val fmt = files.head.format
     val partitionCols = files.flatMap(_.columns.keys).distinct
     val opts = readDefaults(fmt) ++ options
+    // first-file schema by default (cheap — one footer); all-file inference
+    // when the user opts into schema merging
+    val schemaPaths =
+      if (opts.get("mergeSchema").contains("true")) files.map(_.path)
+      else Seq(files.head.path)
     val dataSchema0 = schema.getOrElse(
-      loadWith(spark, fmt, Seq(files.head.path), opts, None).schema)
+      loadWith(spark, fmt, schemaPaths, opts, None).schema)
     // a data column shadowed by a partition column would be ambiguous —
     // partition value wins (reference semantics: path value is appended)
     val dataSchema = StructType(dataSchema0.filterNot(f => partitionCols.contains(f.name)))

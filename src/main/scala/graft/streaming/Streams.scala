@@ -1,8 +1,12 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+import graft.core._
 
 /** Structured Streaming surface over the events table: file-source stream →
   * watermarked windowed aggregation → sink. For tests/verification the
@@ -23,6 +27,75 @@ object Streams {
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Streaming read over a partitioned tree (the fsql data model, as a
+    * stream): discovery prunes the tree with the partition query ONCE at
+    * stream start — only matching directories are watched, so the file
+    * stream source never lists pruned subtrees — and partition columns are
+    * attached from the file path with codegen'd string expressions
+    * (streaming-safe: no joins, no state).
+    *
+    * New files appearing in the watched directories flow through normally;
+    * new PARTITIONS appearing after start are not picked up (discovery runs
+    * once) — the standard trade-off for pruned streaming sources.
+    *
+    * Layout support: hive `k=v` levels extract by column name; value-only
+    * layouts need the [[FixedColumnsParser]] whose grammar names segments
+    * positionally (its filename column is also attached).
+    */
+  def readPartitionedStream(
+      spark: SparkSession,
+      url: String,
+      query: PartitionQuery = Q.True,
+      parser: ColumnParser = AutoParser.auto,
+      format: String = "parquet",
+      options: Map[String, String] = Map.empty,
+      schema: Option[StructType] = None): DataFrame = {
+    val parts = graft.api.Graft.discover(spark, url, query, parser)
+    if (parts.isEmpty)
+      throw new graft.api.GraftEmptyResultException(s"no files matched under $url for $query")
+
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = Discovery.fileSystemFor(url, conf)
+    val root = fs.makeQualified(new Path(url)).toString.stripSuffix("/") + "/"
+    val dirs = parts.map(p => new Path(p.url).getParent.toString).distinct.sorted
+    val partitionCols = parts.flatMap(_.columns.keys).distinct
+
+    val dataSchema = schema.getOrElse(
+      spark.read.format(format).options(options).load(parts.head.url).schema)
+    val glob =
+      if (dirs == Seq(root.stripSuffix("/"))) root + "*"
+      else root + "{" + dirs.map(_.stripPrefix(root)).mkString(",") + "}/*"
+
+    val raw = spark.readStream.format(format).schema(
+        StructType(dataSchema.filterNot(f => partitionCols.contains(f.name))))
+      .options(options).load(glob)
+
+    // normalized path: scheme stripped, as in the batch broadcast attach
+    val file = regexp_replace(input_file_name(), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+    val rootNorm = {
+      val uri = new Path(root).toUri
+      val auth = Option(uri.getAuthority).filter(_.nonEmpty).map("/" + _).getOrElse("")
+      (auth + uri.getRawPath).stripSuffix("/") + "/"
+    }
+
+    val withCols: DataFrame = parser match {
+      case f: FixedColumnsParser =>
+        // positional: grammar names the segments under root; last = filename
+        val rel = substr(file, lit(rootNorm.length + 1), length(file))
+        val segs = split(rel, "/")
+        f.grammars.zipWithIndex.foldLeft(raw) { case (d, (g, i)) =>
+          d.withColumn(g.name, element_at(segs, i + 1))
+        }
+      case _ =>
+        // hive form: extract k=v by name anywhere on the path
+        partitionCols.foldLeft(raw) { (d, c) =>
+          d.withColumn(c,
+            nullif(regexp_extract(file, "/" + java.util.regex.Pattern.quote(c) + "=([^/]+)/", 1), lit("")))
+        }
+    }
+    withCols
   }
 
   /** Tumbling-window counts/sums per event type, with a watermark (late data

@@ -37,6 +37,21 @@ object Demo {
     val n = df.count()
     println(s"[demo] matched rows: $n")
     require(n > 0, "expected rows for l_returnflag=R/l_linestatus=F")
+
+    // the same partitioned tree as a STREAM: pruned at start, partition
+    // columns from the path, windowless append to a memory sink
+    val sdf = graft.streaming.Streams.readPartitionedStream(
+      spark, layout,
+      query = Q.and(Q.eq("l_returnflag", "R"), Q.in("l_linestatus", Seq("F"))))
+    val sq = sdf.writeStream.outputMode("append")
+      .format("memory").queryName("demo_stream").start()
+    try sq.processAllAvailable() finally sq.stop()
+    val streamed = spark.table("demo_stream")
+    val ns = streamed.count()
+    val flags = streamed.select("l_returnflag").distinct()
+      .collect().map(_.getString(0)).toSeq
+    println(s"[demo] streamed rows: $ns (flags=$flags)")
+    require(ns == n, s"stream must see the same pruned rows: $ns != $n")
     spark.stop()
   }
 }

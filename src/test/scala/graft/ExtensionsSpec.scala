@@ -232,6 +232,34 @@ class MultimodalSpec extends SparkSpec {
 
 class StreamsSpec extends SparkSpec {
 
+  test("streaming read over pruned partitioned tree attaches partition columns") {
+    import spark.implicits._
+    val dir = tmpDir("stream_scan")
+    Seq((1, "a"), (2, "b")).toDF("v", "s").write.parquet(s"$dir/p=keep")
+    Seq((9, "z")).toDF("v", "s").write.parquet(s"$dir/p=drop")
+
+    val sdf = graft.streaming.Streams.readPartitionedStream(
+      spark, dir, query = graft.core.Q.eq("p", "keep"))
+    val q = sdf.writeStream.outputMode("append")
+      .format("memory").queryName("stream_scan_t").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("stream_scan_t")
+    assert(got.count() == 2) // pruned partition never read
+    assert(got.select("p").distinct().collect().map(_.getString(0)).toSeq == Seq("keep"))
+
+    // value-only layout via FixedColumnsParser
+    val dir2 = tmpDir("stream_scan2")
+    Seq((5, "q")).toDF("v", "s").write.parquet(s"$dir2/2024")
+    val sdf2 = graft.streaming.Streams.readPartitionedStream(
+      spark, dir2, parser = graft.core.FixedColumnsParser.fromStr("yr/fname"))
+    val q2 = sdf2.writeStream.outputMode("append")
+      .format("memory").queryName("stream_scan_t2").start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got2 = spark.table("stream_scan_t2")
+    assert(got2.select("yr").head().getString(0) == "2024")
+    assert(got2.select("fname").head().getString(0).endsWith(".parquet"))
+  }
+
   test("streaming windowed agg over finite events source completes and aggregates") {
     val agg = graft.streaming.Streams.windowedAgg(
       graft.streaming.Streams.eventsStream(spark, "/root/testdata/sf0.001"))

@@ -282,6 +282,20 @@ class ReadPathSpec extends SparkSpec {
     assert(fps(1L) != fps(3L))
   }
 
+  test("mergeSchema widens divergent parquet schemas across partitions") {
+    import spark.implicits._
+    val dir = tmpDir("merge")
+    Seq((1, "a")).toDF("c1", "c2").write.parquet(s"$dir/p=1")
+    Seq((2, "b", 9.5)).toDF("c1", "c2", "c3").write.parquet(s"$dir/p=2")
+    // default: first-file schema wins (c3 dropped or present depending on
+    // listing order — assert only non-merge succeeds)
+    assert(Graft.readPartitionedTable(spark, dir).count() == 2)
+    val merged = Graft.readPartitionedTable(spark, dir,
+      options = Map("mergeSchema" -> "true"))
+    assert(merged.columns.toSet == Set("c1", "c2", "c3", "p"))
+    assert(merged.filter(col("p") === "1").select("c3").head().isNullAt(0))
+  }
+
   test("writeObject single-file round trips parquet/csv/json + raw bytes") {
     val dir = tmpDir("wo")
     import spark.implicits._
