@@ -334,6 +334,25 @@ object SparkEntry {
                                / COUNT(*) FROM lineitem)
          GROUP BY l_returnflag ORDER BY l_returnflag""")
 
+  private def q26_cte(s: SparkSession, dir: String): DataFrame =
+    sqlOn(s, dir, Seq("orders", "customer"),
+      """WITH big AS (SELECT o_custkey, COUNT(*) AS n
+                      FROM orders WHERE o_totalprice > 300000 GROUP BY o_custkey),
+         seg AS (SELECT c_custkey, c_mktsegment FROM customer)
+         SELECT s.c_mktsegment, COUNT(*) AS n_customers,
+                CAST(SUM(b.n) AS BIGINT) AS n_big_orders
+         FROM big b JOIN seg s ON b.o_custkey = s.c_custkey
+         GROUP BY s.c_mktsegment ORDER BY s.c_mktsegment""")
+
+  private def q27_union_all(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val hi = o.filter(col("o_totalprice") > 400000)
+      .select(col("o_orderkey"), lit("hi").as("bucket"))
+    val lo = o.filter(col("o_totalprice") < 10000)
+      .select(col("o_orderkey"), lit("lo").as("bucket"))
+    hi.unionAll(lo).orderBy("o_orderkey", "bucket")
+  }
+
   private def q25_semi_anti_combo(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
     val big = t(s, dir, "lineitem").filter(col("l_quantity") > 48)
@@ -548,6 +567,8 @@ object SparkEntry {
     "q23_scalar_subquery" -> (q23_scalar_subquery _),
     "q24_percentile" -> (q24_percentile _),
     "q25_semi_anti_combo" -> (q25_semi_anti_combo _),
+    "q26_cte" -> (q26_cte _),
+    "q27_union_all" -> (q27_union_all _),
     "d1_dedup_exact" -> (d1_dedup_exact _),
     "d2_dedup_minhash" -> (d2_dedup_minhash _),
     "d3_dedup_simhash" -> (d3_dedup_simhash _),
@@ -744,6 +765,20 @@ object SparkEntry {
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
          ORDER BY rf, ls""",
+    "q26_cte" ->
+      """WITH big AS (SELECT o_custkey, COUNT(*) AS n
+                      FROM orders WHERE o_totalprice > 300000 GROUP BY o_custkey),
+         seg AS (SELECT c_custkey, c_mktsegment FROM customer)
+         SELECT s.c_mktsegment, COUNT(*) AS n_customers,
+                CAST(SUM(b.n) AS BIGINT) AS n_big_orders
+         FROM big b JOIN seg s ON b.o_custkey = s.c_custkey
+         GROUP BY s.c_mktsegment ORDER BY s.c_mktsegment""",
+    "q27_union_all" ->
+      """SELECT o_orderkey, bucket FROM (
+           SELECT o_orderkey, 'hi' AS bucket FROM orders WHERE o_totalprice > 400000
+           UNION ALL
+           SELECT o_orderkey, 'lo' AS bucket FROM orders WHERE o_totalprice < 10000
+         ) u ORDER BY o_orderkey, bucket""",
     "q25_semi_anti_combo" ->
       """SELECT o_orderkey, o_orderstatus FROM orders
          WHERE EXISTS (SELECT 1 FROM lineitem
