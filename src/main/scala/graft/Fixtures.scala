@@ -16,8 +16,12 @@ object Fixtures {
 
   private val base = "/tmp/graft_fixtures"
 
+  /** Bump when any layout's shape changes — keys the cache so a new build
+    * never reuses a stale tree written by older fixture code. */
+  private val fixtureVersion = "v2"
+
   private def cached(name: String, sfDir: String)(build: String => Unit): String = synchronized {
-    val dir = s"$base/${name}_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val dir = s"$base/${name}_${fixtureVersion}_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
     val marker = Paths.get(dir, "_GRAFT_DONE")
     if (!Files.exists(marker)) {
       build(dir)

@@ -282,6 +282,23 @@ class ReadPathSpec extends SparkSpec {
     assert(fps(1L) != fps(3L))
   }
 
+  test("wide-tree discovery: pruning and generation bound the listing cost") {
+    val dir = tmpDir("wide")
+    for (i <- 0 until 300) writeFile(s"$dir/k=$i/f.csv", s"c1\n$i\n")
+    Discovery.resetListingCounter()
+    val all = Graft.discover(spark, dir)
+    assert(all.size == 300)
+    assert(Discovery.listingCalls.get() == 301) // root + each dir, in parallel
+    // equality pruning: only the matching subtree is listed after the root
+    Discovery.resetListingCounter()
+    val pruned = Graft.discover(spark, dir, Q.eq("k", "42"))
+    assert(pruned.size == 1 && Discovery.listingCalls.get() == 2)
+    // grammar generation: the root is never listed at all
+    Discovery.resetListingCounter()
+    val gen = Graft.discover(spark, dir, parser = AutoParser.fromStr("k=[42,43]"))
+    assert(gen.size == 2 && Discovery.listingCalls.get() == 2)
+  }
+
   test("mergeSchema widens divergent parquet schemas across partitions") {
     import spark.implicits._
     val dir = tmpDir("merge")
