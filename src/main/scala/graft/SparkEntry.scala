@@ -448,6 +448,14 @@ object SparkEntry {
         excludeIds = Seq(0L))
       .select("vec_id", "rank").orderBy("rank")
 
+  private def a3_ann_ivf(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val index = Ann.ivfBuild(e, "vec_id", "embedding", nlist = 16)
+    Ann.ivfTopK(index, "vec_id", "embedding", queryVec(s, dir),
+        k = 10, nprobe = 4, excludeIds = Seq(0L))
+      .select("vec_id", "rank").orderBy("rank")
+  }
+
   private def t1_langid(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"),
@@ -577,6 +585,7 @@ object SparkEntry {
     "d6_dedup_pipeline" -> (d6_dedup_pipeline _),
     "a1_ann_brute" -> (a1_ann_brute _),
     "a2_ann_lsh" -> (a2_ann_lsh _),
+    "a3_ann_ivf" -> (a3_ann_ivf _),
     "t1_langid" -> (t1_langid _),
     "t2_quality" -> (t2_quality _),
     "t3_tokens" -> (t3_tokens _),

@@ -56,6 +56,75 @@ object Ann {
         .orderBy(desc("cosine"), col(idCol))))
   }
 
+  /** IVF (inverted-file) index state: centroid vectors + the input tagged
+    * with its nearest-centroid cluster id. At 100 TB the clustered frame is
+    * what you write out partitioned by `__cluster`, turning every probe into
+    * a partition-pruned scan of nprobe/nlist of the data. */
+  final case class IvfIndex(centroids: Seq[(Int, Array[Double])], clustered: DataFrame)
+
+  /** Build an IVF index with deterministically-seeded centroids (a sample of
+    * the data itself — k-means-lite: one assignment pass, no iteration; good
+    * recall for ANN bucketing without a full clustering job). */
+  def ivfBuild(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int = 16,
+      seed: Long = 42L): IvfIndex = {
+    val n = df.count()
+    val fraction = math.min(1.0, (nlist * 20.0) / math.max(1L, n))
+    val sample = df.select(col(vecCol)).sample(withReplacement = false, fraction, seed)
+      .limit(nlist).collect()
+      .map(_.getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }.toArray)
+    require(sample.nonEmpty, "empty input")
+    val centroids = sample.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+
+    // nearest centroid per row: argmax over a static list of literal
+    // centroid vectors — codegen'd cosine per centroid, no shuffle
+    val scored = centroids.map { case (cid, c) =>
+      struct(cosine(col(vecCol), lit(c)).as("s"), lit(cid).as("cid"))
+    }
+    val best = greatest(scored: _*)
+    IvfIndex(centroids, df.withColumn("__cluster", best.getField("cid")))
+  }
+
+  /** ANN search against an IVF index: rank centroids driver-side, scan only
+    * the `nprobe` nearest clusters, exact cosine top-k on those. */
+  def ivfTopK(
+      index: IvfIndex,
+      idCol: String,
+      vecCol: String,
+      query: Array[Float],
+      k: Int,
+      nprobe: Int = 4,
+      excludeIds: Seq[Long] = Nil): DataFrame = {
+    val qd = query.map(_.toDouble)
+    def cos(c: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < math.min(c.length, qd.length)) {
+        dot += c(i) * qd(i); na += c(i) * c(i); nb += qd(i) * qd(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probed = index.centroids.sortBy { case (_, c) => -cos(c) }
+      .take(nprobe).map(_._1)
+    val candidates = index.clustered
+      .filter(col("__cluster").isin(probed: _*))
+      .filter(if (excludeIds.isEmpty) lit(true) else !col(idCol).isin(excludeIds: _*))
+    val q = lit(qd)
+    val scoredRows = candidates
+      .select(col(idCol), cosine(col(vecCol), q).as("cosine"))
+      .orderBy(desc("cosine"), col(idCol))
+      .limit(k)
+    scoredRows.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(desc("cosine"), col(idCol))))
+  }
+
   /** Seeded random hyperplanes (Gaussian); returns the sign-bit sketch of a
     * vector as a long (numPlanes <= 63). */
   def hyperplaneSketch(vec: Column, dim: Int, numPlanes: Int, seed: Long): Column = {

@@ -109,6 +109,19 @@ class AnnSpec extends SparkSpec {
     assert(viaSql.forall(c => math.abs(c - 1.0) < 1e-9))
   }
 
+  test("IVF top-k recalls the exact nearest neighbor and scans few clusters") {
+    val dim = 16
+    val rows = (0 until 400).map(i => (i.toLong, randVec(i, dim)))
+    val df = rows.toDF("vec_id", "embedding")
+    val index = Ann.ivfBuild(df, "vec_id", "embedding", nlist = 8)
+    // self-query: the query's own cluster is always probed first
+    val out = Ann.ivfTopK(index, "vec_id", "embedding", rows(123)._2, k = 3, nprobe = 2)
+    assert(out.collect().head.getLong(0) == 123L)
+    // probing fewer clusters scans a strict subset of the data
+    val probedRows = index.clustered.filter(col("__cluster").isin(0, 1)).count()
+    assert(probedRows < 400)
+  }
+
   test("LSH top-k recalls the exact nearest neighbor (self)") {
     val dim = 16
     val rows = (0 until 200).map(i => (i.toLong, randVec(i, dim)))
