@@ -322,15 +322,14 @@ object Graft {
         // JSON always probes by inference: with a user schema Spark's
         // PERMISSIVE mode would silently null out a corrupt file instead of
         // failing, hiding it from the failure list.
-        val fileSchema =
-          if (e.format == "json") {
-            val inferred = load(spark, e.format, Seq(e.path), options, None).schema
-            if (inferred.fieldNames.forall(_ == "_corrupt_record"))
-              throw new RuntimeException("unparseable json")
-            schema.getOrElse(inferred)
-          } else schema.getOrElse {
-            load(spark, e.format, Seq(e.path), options, None).schema
-          }
+        // ALWAYS read the file's own footer/header — a user-supplied schema
+        // must not skip the open, or a corrupt/truncated file would pass the
+        // probe and then fail the whole FAILFAST scan. The user schema only
+        // substitutes for the missing-columns check below.
+        val inferred = load(spark, e.format, Seq(e.path), options, None).schema
+        if (e.format == "json" && inferred.fieldNames.forall(_ == "_corrupt_record"))
+          throw new RuntimeException("unparseable json")
+        val fileSchema = schema.getOrElse(inferred)
         val missing = columns.filterNot(fileSchema.fieldNames.contains)
         if (missing.nonEmpty)
           throw new RuntimeException(s"missing requested columns: ${missing.mkString(",")}")

@@ -36,24 +36,23 @@ object AsofJoin {
       payloadCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
 
-    val taggedLeft = payloadCols
-      .foldLeft(left.withColumn("__is_right", lit(0)))(
-        (d, c) => d.withColumn(s"__p_$c", lit(null)))
+    val taggedLeft = left
       .withColumn("__key", col(leftKey))
       .withColumn("__time", col(leftTime))
+      .withColumn("__is_right", lit(0))
 
-    val taggedRight0 = right.select(
-      (Seq(col(rightKey).as("__key"), col(rightTime).as("__time"),
-        lit(1).as("__is_right")) ++ payloadCols.map(c => col(c).as(s"__p_$c"))): _*)
-    // align schemas: left data columns are null on right rows
-    val taggedRight = leftCols.foldLeft(taggedRight0)((d, c) => d.withColumn(c, lit(null)))
+    // the whole right payload travels as ONE struct: a single
+    // last(ignoreNulls) then carries all payload columns from the SAME
+    // matched right row, so a legitimately-NULL payload field survives
+    // instead of being back-filled from an older row (no row tearing)
+    val taggedRight = right.select(
+      col(rightKey).as("__key"), col(rightTime).as("__time"),
+      lit(1).as("__is_right"),
+      struct(payloadCols.map(col): _*).as("__payload"))
 
-    val unioned = taggedLeft.select(
-      (leftCols.map(col) ++ Seq(col("__key"), col("__time"), col("__is_right"))
-        ++ payloadCols.map(c => col(s"__p_$c"))): _*)
-      .unionByName(taggedRight.select(
-        (leftCols.map(col) ++ Seq(col("__key"), col("__time"), col("__is_right"))
-          ++ payloadCols.map(c => col(s"__p_$c"))): _*))
+    // unionByName fills the columns each side lacks (left data columns on
+    // right rows; the payload struct on left rows) with typed nulls
+    val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
 
     // right rows (tag 1) sort before left rows (tag 0) at equal time =>
     // a right row at exactly leftTime is visible (inclusive <=)
@@ -61,11 +60,12 @@ object AsofJoin {
       .orderBy(col("__time").asc, col("__is_right").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = payloadCols.foldLeft(unioned) { (d, c) =>
-      d.withColumn(c, last(col(s"__p_$c"), ignoreNulls = true).over(w))
-    }
-
-    carried.filter(col("__is_right") === 0)
-      .select((leftCols ++ payloadCols).map(col): _*)
+    // the struct is non-null on every right row (even when its fields are
+    // null), so this picks the latest right row as a unit
+    unioned
+      .withColumn("__carried", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__is_right") === 0)
+      .select((leftCols.map(col) ++
+        payloadCols.map(c => col(s"__carried.$c").as(c))): _*)
   }
 }

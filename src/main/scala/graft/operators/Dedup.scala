@@ -39,8 +39,10 @@ object Dedup {
     * so signatures are reproducible anywhere. */
   private def hashFamily(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
     val rnd = new Random(seed)
-    Seq.fill(numHashes)((math.abs(rnd.nextLong()) % (HashDomain - 1) + 1,
-      math.abs(rnd.nextLong()) % HashDomain))
+    // mask, not math.abs: abs(Long.MinValue) is negative, which would break
+    // the <2^62 no-overflow bound that keeps ANSI mode from throwing
+    Seq.fill(numHashes)(((rnd.nextLong() & Long.MaxValue) % (HashDomain - 1) + 1,
+      (rnd.nextLong() & Long.MaxValue) % HashDomain))
   }
 
   /** array<long> minhash signature from an ALREADY-MATERIALIZED column of
@@ -124,7 +126,7 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
 
     val sets = withHashes
-    candidates
+    val verified = candidates
       .join(sets.select(col("id").as("id_a"), col("shingle_set").as("set_a")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("shingle_set").as("set_b")), Seq("id_b"))
       .withColumn("jaccard",
@@ -132,6 +134,14 @@ object Dedup {
           size(array_union(col("set_a"), col("set_b"))))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+
+    // materialize the (small) verified-pair list so the shingle cache can be
+    // released before returning — a long-lived session calling minhashPairs
+    // repeatedly must not accumulate cached shingle frames. The checkpoint
+    // blocks are bounded by the pair-list size, not the corpus.
+    val result = verified.localCheckpoint(true)
+    withHashes.unpersist(false)
+    result
   }
 
   /** Greedy dedup from a pair list: drop every id that pairs with a smaller

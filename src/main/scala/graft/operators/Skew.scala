@@ -22,6 +22,14 @@ object Skew {
       factor: Int,
       joinType: String = "inner"): DataFrame = {
     require(factor > 0)
+    // right/full outer would emit each unmatched replicated row `factor`
+    // times (once per salt); only skewed-side-preserving types are identical
+    // to the unsalted join
+    val allowed = Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "left_anti", "leftanti")
+    require(allowed.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin supports inner/left join types only (got '$joinType'): " +
+        "outer-preserving the replicated side would duplicate its unmatched rows")
     // salt from the row's own key hash + a per-row component so one hot key
     // still spreads; xxhash64 over all key cols is deterministic
     val salt = pmod(

@@ -189,6 +189,21 @@ class AsofSpec extends SparkSpec {
       (1L, 25L, "e2", "o2"),
       (2L, 5L, "e3", null))) // no right row yet
   }
+
+  test("asof join carries all payload columns from the SAME matched right row") {
+    val left = Seq((1L, 25L, "e")).toDF("key", "ts", "event")
+    val right = Seq(
+      (1L, 10L, Option("o1"), Option(100L)),
+      (1L, 20L, Option.empty[String], Option(200L))) // tag legitimately NULL
+      .toDF("rkey", "rts", "tag", "amount")
+    val out = AsofJoin.asofJoin(left, right, "ts", "rts", "key", "rkey",
+        Seq("tag", "amount"))
+      .select("tag", "amount").head()
+    // the match is the rts=20 row: its NULL tag must survive, not be
+    // back-filled from the older rts=10 row (row tearing)
+    assert(out.isNullAt(0))
+    assert(out.getLong(1) == 200L)
+  }
 }
 
 class SkewSpec extends SparkSpec {
@@ -204,6 +219,21 @@ class SkewSpec extends SparkSpec {
       .select("k", "v", "name")
     assert(canon(salted) == canon(plain))
     assert(plain.count() == 1000)
+  }
+
+  test("salted join rejects replicated-side-preserving join types") {
+    val a = Seq((1L, "x"), (5L, "z")).toDF("k", "v")
+    val b = Seq((1L, "y"), (9L, "w")).toDF("k", "name")
+    // unmatched replicated rows would appear `factor` times
+    intercept[IllegalArgumentException] {
+      operators.Skew.saltedJoin(a, b, Seq("k"), 4, "right_outer")
+    }
+    intercept[IllegalArgumentException] {
+      operators.Skew.saltedJoin(a, b, Seq("k"), 4, "full")
+    }
+    // left outer stays allowed: unmatched skewed rows survive exactly once
+    val lo = operators.Skew.saltedJoin(a, b, Seq("k"), 4, "left")
+    assert(lo.count() == 2)
   }
 }
 

@@ -167,6 +167,27 @@ class ReadPathSpec extends SparkSpec {
     }
   }
 
+  test("A8d: lazy errors probe the file itself even with a user schema") {
+    val dir = tmpDir("a8d")
+    // good parquet staged by Spark, then placed into the tree
+    val stage = tmpDir("a8d-stage")
+    spark.range(3).selectExpr("id AS c1").coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = Files.list(Paths.get(stage)).iterator()
+    var src: java.nio.file.Path = null
+    while (part.hasNext) { val p = part.next(); if (p.toString.endsWith(".parquet")) src = p }
+    Files.createDirectories(Paths.get(s"$dir/p=1"))
+    Files.copy(src, Paths.get(s"$dir/p=1/good.parquet"))
+    writeFile(s"$dir/p=2/bad.parquet", "definitely not a parquet footer")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("c1", org.apache.spark.sql.types.LongType)))
+    // with a user schema the probe must still open the footer — the corrupt
+    // file lands in failures instead of blowing up the whole FAILFAST scan
+    val rich = Graft.readPartitionedTableRich(spark, dir, schema = Some(schema))
+    assert(rich.failures.length == 1)
+    assert(rich.failures.head.partition.url.endsWith("bad.parquet"))
+    assert(rich.data.filter(col("p") === "1").count() == 3)
+  }
+
   test("projection pushdown: columns option prunes data columns, keeps partitions") {
     val dir = tmpDir("proj")
     writeFile(s"$dir/p=1/f.csv", csv)
