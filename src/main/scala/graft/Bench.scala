@@ -37,8 +37,11 @@ object Bench {
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
       // run 1 warms JIT/codegen for this query's generated classes; run 2 is
-      // the steady-state measurement (what a long-lived cluster job sees)
+      // the steady-state measurement (what a long-lived cluster job sees).
+      // Cache is cleared between runs so the measurement is always a full
+      // fresh computation (operator-internal persists must not carry over).
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
       val secs = (System.nanoTime() - t0) / 1e9

@@ -1,9 +1,15 @@
 package graft.operators
 
+import java.util.concurrent.atomic.AtomicBoolean
+
 import scala.util.Random
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
+import org.slf4j.LoggerFactory
 
 import graft.functions.TextFunctions
 
@@ -18,10 +24,30 @@ import graft.functions.TextFunctions
   *    only. Candidate verification carries fixed-width hash signatures, not
   *    raw text, so shuffle volume is bounded by O(rows × signature), never
   *    O(rows × document).
+  *  - Hot buckets are CAPPED: any real crawl has pathological near-identical
+  *    content (empty docs, boilerplate headers, zero vectors) whose bucket
+  *    would otherwise produce O(b²) candidate pairs inside one shuffle
+  *    partition — the classic LSH skew death. Buckets above `maxBucketSize`
+  *    are dropped before the self-join, and the drop is OBSERVED (Spark
+  *    `observe` metrics, logged after the first action) — never silent.
+  *  - All operators return LAZY DataFrames. The minhash intermediate cache
+  *    is released by a one-shot QueryExecutionListener after the first
+  *    completed action on the result, so long-lived sessions never
+  *    accumulate cached frames (and no non-fault-tolerant checkpoint blocks
+  *    are involved — a lost executor just recomputes lineage).
   *  - All hash families are deterministically seeded — results are stable
   *    across runs and cluster sizes.
   */
 object Dedup {
+
+  private val log = LoggerFactory.getLogger(getClass)
+
+  /** Default hot-bucket cap. A bucket of b members yields b(b-1)/2 candidate
+    * pairs in one task; 4096 bounds that at ~8.4M pairs (~130 MB of id
+    * pairs) — large but safe. Corpora with bigger legitimate near-dup
+    * clusters should raise it (or pre-dedup exactly first: exact dedup
+    * collapses identical docs, the usual cause of mega-buckets). */
+  val DefaultMaxBucketSize: Int = 4096
 
   /** Exact dedup: keep the smallest id per identical content. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -36,11 +62,15 @@ object Dedup {
     * xxhash64 reduced to a 31-bit domain: with a,b,x < 2^31 the product
     * stays under 2^62, so the arithmetic never overflows a long (Spark 4
     * runs ANSI mode by default — silent wraparound would throw). Seeded,
-    * so signatures are reproducible anywhere. */
+    * so signatures are reproducible anywhere.
+    *
+    * FORMAT NOTE: switching math.abs to `& Long.MaxValue` (the abs fix —
+    * abs(Long.MinValue) is negative and violated the <2^62 bound) changed
+    * the generated (a,b) pairs for roughly half the draws, so signatures and
+    * band keys differ from pre-fix releases. Persisted signatures/pair lists
+    * from those releases are not comparable and must be regenerated. */
   private def hashFamily(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
     val rnd = new Random(seed)
-    // mask, not math.abs: abs(Long.MinValue) is negative, which would break
-    // the <2^62 no-overflow bound that keeps ANSI mode from throwing
     Seq.fill(numHashes)(((rnd.nextLong() & Long.MaxValue) % (HashDomain - 1) + 1,
       (rnd.nextLong() & Long.MaxValue) % HashDomain))
   }
@@ -81,19 +111,86 @@ object Dedup {
       seed: Long = 42L): Column =
     minhashSignatureFromHashes(shingleHashes31(text, shingleSize), numHashes, seed)
 
-  /** LSH banding: numHashes/rowsPerBand band keys per row. Band key is a
-    * string "bandIndex:joined-slice" so different bands never collide. */
+  /** LSH banding: numHashes/rowsPerBand band keys per row, as LONGS —
+    * xxhash64 over (band index, signature slice). Long keys shuffle and
+    * join cheaper than the previous "b:v1,v2,…" strings; different bands
+    * cannot collide because the band index is part of the hash input. */
   private def bandKeys(sig: Column, numHashes: Int, rowsPerBand: Int): Column = {
     val numBands = numHashes / rowsPerBand
     array((0 until numBands).map { b =>
-      concat_ws(":", lit(b.toString),
-        concat_ws(",", slice(sig, b * rowsPerBand + 1, rowsPerBand)))
+      xxhash64(lit(b), slice(sig, b * rowsPerBand + 1, rowsPerBand))
     }: _*)
+  }
+
+  /** Drop rows belonging to buckets with more than `cap` members, counting
+    * per bucket with a window over the bucket key — ONE shuffle on the same
+    * key the candidate self-join uses, and no per-bucket memory blowup (a
+    * groupBy+collect of a mega-bucket would materialize it in one task).
+    *
+    * Returns (observedSide, plainSide): identical capped frames, but only
+    * the first carries the `observe` metric node so a self-join of the two
+    * sides defines the metric once per query. Metrics (rows that were in
+    * over-cap buckets + max bucket size) are logged by [[armLshListener]]
+    * after the first action — caps are never silent. */
+  private def capBuckets(buckets: DataFrame, cap: Int,
+      metricName: String): (DataFrame, DataFrame) = {
+    val counted = buckets.withColumn("__bucket_n",
+      count(lit(1)).over(Window.partitionBy("bucket")))
+    val observed = counted.observe(metricName,
+      sum(when(col("__bucket_n") > cap, lit(1L)).otherwise(lit(0L)))
+        .as("rows_in_dropped_buckets"),
+      max(col("__bucket_n")).as("max_bucket_size"))
+    (observed.filter(col("__bucket_n") <= cap).drop("__bucket_n"),
+      counted.filter(col("__bucket_n") <= cap).drop("__bucket_n"))
+  }
+
+  /** One-shot QueryExecutionListener armed on `result`'s session: after the
+    * first completed action whose plan contains `result`, log the LSH-cap
+    * metric if any bucket was dropped, unpersist `release`, and unregister.
+    * Keeps operators fully lazy while guaranteeing a long-lived session
+    * calling them repeatedly accumulates no cached frames. If a second
+    * action races the release it may recompute (or briefly reuse) the
+    * cache — both are correct; only the first action is guaranteed the
+    * cached plan. */
+  private def armLshListener(result: DataFrame, metricName: String, cap: Int,
+      release: Seq[DataFrame]): DataFrame = {
+    val spark = result.sparkSession
+    val key = result.queryExecution.analyzed.canonicalized
+    val listener = new QueryExecutionListener {
+      private val done = new AtomicBoolean(false)
+      private def maybeRelease(qe: QueryExecution): Unit = {
+        val uses = try qe.analyzed.exists(_.canonicalized == key)
+          catch { case _: Throwable => false }
+        if (uses && done.compareAndSet(false, true)) {
+          qe.observedMetrics.get(metricName).foreach { m =>
+            val dropped = Option(m.get(0)).fold(0L)(_.toString.toLong)
+            val maxB = Option(m.get(1)).fold(0L)(_.toString.toLong)
+            if (dropped > 0)
+              log.warn(s"[graft] $metricName: dropped $dropped bucket-rows in " +
+                s"buckets over cap=$cap (max bucket size seen: $maxB); " +
+                "near-duplicates confined to dropped buckets are not candidates")
+          }
+          release.foreach(_.unpersist(false))
+          spark.listenerManager.unregister(this)
+        }
+      }
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit = maybeRelease(qe)
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = maybeRelease(qe)
+    }
+    spark.listenerManager.register(listener)
+    result
   }
 
   /** Candidate near-duplicate pairs via MinHash + LSH, verified with exact
     * Jaccard over shingle-hash sets. Returns (idA, idB, jaccard), idA < idB.
-    */
+    *
+    * LAZY: nothing executes until the caller acts on the result. The shingle
+    * intermediate (consumed by the signature branch and both sides of the
+    * verification attach) is persisted MEMORY_AND_DISK and released after
+    * the first completed action (see [[armLshListener]]). Buckets above
+    * `maxBucketSize` are dropped-and-logged (see [[capBuckets]]). */
   def minhashPairs(
       df: DataFrame,
       idCol: String,
@@ -102,7 +199,8 @@ object Dedup {
       numHashes: Int = 64,
       rowsPerBand: Int = 4,
       threshold: Double = 0.7,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     // hashes materialized once; signature derives from the hash column.
     // persist: this frame is consumed three times (signature/bucket branch +
     // both sides of the verification attach) — without it the full
@@ -110,7 +208,7 @@ object Dedup {
     // 100 TB corpus spills instead of recomputing or OOMing.
     val withHashes = shingleSets(df, idCol, textCol, shingleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val withSig = withHashes.select(col("id"), col("shingle_set"),
+    val withSig = withHashes.select(col("id"),
       minhashSignatureFromHashes(col("shingle_set"), numHashes, seed).as("sig"))
 
     // candidate generation carries IDs ONLY (16 bytes/pair through the
@@ -118,9 +216,9 @@ object Dedup {
     // shuffle volume by distinct candidates, not bucket-collision count
     val buckets = withSig
       .select(col("id"), explode(bandKeys(col("sig"), numHashes, rowsPerBand)).as("bucket"))
-    val l = buckets.select(col("bucket"), col("id").as("id_a"))
-    val r = buckets.select(col("bucket"), col("id").as("id_b"))
-    val candidates = l.join(r, Seq("bucket"))
+    val (bl, br) = capBuckets(buckets, maxBucketSize, "graft_lsh_minhash")
+    val candidates = bl.select(col("bucket"), col("id").as("id_a"))
+      .join(br.select(col("bucket"), col("id").as("id_b")), Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
@@ -135,13 +233,7 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
 
-    // materialize the (small) verified-pair list so the shingle cache can be
-    // released before returning — a long-lived session calling minhashPairs
-    // repeatedly must not accumulate cached shingle frames. The checkpoint
-    // blocks are bounded by the pair-list size, not the corpus.
-    val result = verified.localCheckpoint(true)
-    withHashes.unpersist(false)
-    result
+    armLshListener(verified, "graft_lsh_minhash", maxBucketSize, Seq(withHashes))
   }
 
   /** Greedy dedup from a pair list: drop every id that pairs with a smaller
@@ -183,38 +275,45 @@ object Dedup {
 
   /** Near-dup pairs by SimHash: LSH on the 4 16-bit chunks (a pair within
     * Hamming distance <= 3 of a 64-bit hash must agree on at least one of 4
-    * chunks — pigeonhole), verified with exact bit_count(xor). */
+    * chunks — pigeonhole), verified with exact bit_count(xor). Buckets over
+    * `maxBucketSize` are dropped-and-logged (see [[capBuckets]]); lazy. */
   def simhashPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
-      shingleSize: Int = 2): DataFrame = {
+      shingleSize: Int = 2,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val withSig = df
       .select(col(idCol).as("id"), TextFunctions.words(col(textCol)).as("__words"))
       .select(col("id"),
         TextFunctions.shingleHashesFromWords(col("__words"), shingleSize).as("__hashes"))
       .select(col("id"), simhashCounts(col("__hashes")).as("__counts"))
       .select(col("id"), simhashFromCounts(col("__counts")).as("sim"))
+    // long bucket key: (chunk index << 16) | chunk value — the mask keeps
+    // the arithmetic-shift sign extension out of the high chunk
     val chunked = withSig.select(col("id"), col("sim"),
       explode(array((0 until 4).map { c =>
-        concat_ws(":", lit(c.toString),
-          shiftright(col("sim"), c * 16).bitwiseAND(0xFFFFL).cast("string"))
+        lit(c.toLong << 16) + shiftright(col("sim"), c * 16).bitwiseAND(0xFFFFL)
       }: _*)).as("bucket"))
-    val l = chunked.select(col("bucket"), col("id").as("id_a"), col("sim").as("sim_a"))
-    val r = chunked.select(col("bucket"), col("id").as("id_b"), col("sim").as("sim_b"))
-    l.join(r, Seq("bucket"))
+    val (bl, br) = capBuckets(chunked, maxBucketSize, "graft_lsh_simhash")
+    val pairs = bl.select(col("bucket"), col("id").as("id_a"), col("sim").as("sim_a"))
+      .join(br.select(col("bucket"), col("id").as("id_b"), col("sim").as("sim_b")),
+        Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+    armLshListener(pairs, "graft_lsh_simhash", maxBucketSize, Nil)
   }
 
   // --------------------------------------------------- embedding near-dup
 
   /** Near-duplicate pairs over an embedding column via random-hyperplane
-    * LSH (seeded) + exact cosine verification. `vecCol` is array<float>. */
+    * LSH (seeded) + exact cosine verification. `vecCol` is array<float>.
+    * Buckets over `maxBucketSize` (e.g. the all-zeros bucket a real corpus
+    * always has) are dropped-and-logged; lazy. */
   def embeddingPairs(
       df: DataFrame,
       idCol: String,
@@ -222,15 +321,18 @@ object Dedup {
       dim: Int,
       numPlanes: Int = 16,
       threshold: Double = 0.95,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val sketch = Ann.hyperplaneSketch(col(vecCol), dim, numPlanes, seed)
     val withB = df.select(col(idCol).as("id"), col(vecCol).as("vec"), sketch.as("bucket"))
-    val l = withB.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val r = withB.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
-    l.join(r, Seq("bucket"))
+    val (bl, br) = capBuckets(withB, maxBucketSize, "graft_lsh_embedding")
+    val pairs = bl.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
+      .join(br.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b")),
+        Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine", Ann.cosine(col("vec_a"), col("vec_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+    armLshListener(pairs, "graft_lsh_embedding", maxBucketSize, Nil)
   }
 }

@@ -45,6 +45,49 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 2L, 4L))
   }
 
+  test("hot-bucket cap bounds the candidate join and is not silent") {
+    // 100 identical boilerplate docs (the classic mega-bucket: every band
+    // key collides) + one distinct near-dup pair. With a cap below 100 the
+    // boilerplate bucket is dropped — zero pairs among its members — while
+    // the well-behaved pair is still found.
+    val boiler = (100L until 200L).map(i =>
+      (i, "standard legal boilerplate footer text repeated across every page of the crawl"))
+    val df = (base ++ boiler).toDF("id", "text")
+    val capped = Dedup.minhashPairs(df, "id", "text", threshold = 0.5,
+      maxBucketSize = 16)
+    val got = capped.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 3L)) && got.contains((2L, 5L)), s"normal pairs survive: $got")
+    assert(!got.exists(p => p._1 >= 100L || p._2 >= 100L),
+      s"boilerplate bucket must be dropped entirely, got $got")
+    // without the cap the same corpus yields all 100*99/2 boilerplate pairs
+    val uncapped = Dedup.minhashPairs(df, "id", "text", threshold = 0.5)
+      .filter(col("id_a") >= 100L).count()
+    assert(uncapped == 100L * 99 / 2)
+    // cap applies to the simhash and embedding paths too
+    val sim = Dedup.simhashPairs(df, "id", "text", maxHamming = 12, maxBucketSize = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(sim.contains((2L, 5L)) && !sim.exists(_._1 >= 100L), s"simhash capped: $sim")
+  }
+
+  test("minhash result is lazy and releases its cache after the first action") {
+    def awaitNoCache(msg: String): Unit = {
+      val deadline = System.currentTimeMillis() + 10000
+      while (spark.sparkContext.getPersistentRDDs.nonEmpty
+          && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(spark.sparkContext.getPersistentRDDs.isEmpty, msg)
+    }
+    awaitNoCache("prior tests' caches must have drained") // async releases
+    val df = base.toDF("id", "text")
+    val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val pairs = Dedup.minhashPairs(df, "id", "text", threshold = 0.5)
+    // construction runs no job (the round-2 localCheckpoint made it eager)
+    assert(spark.sparkContext.statusTracker.getJobIdsForGroup(null).length == jobsBefore,
+      "minhashPairs must not execute eagerly")
+    assert(pairs.count() >= 2)
+    // the one-shot listener fires asynchronously after the action completes
+    awaitNoCache("shingle cache must be released after the first action")
+  }
+
   test("simhash: identical texts get identical hash; near-dups low hamming") {
     val df = base.toDF("id", "text")
     val sims = df.select(col("id"), Dedup.simhash64(col("text")).as("sim"))
