@@ -106,7 +106,8 @@ object Graft {
     readInternal(spark, url, query, parser, format, options, schema, columns,
       lazyErrors = true)
 
-  private final case class FileEntry(path: String, format: String, columns: Map[String, String])
+  private final case class FileEntry(path: String, format: String,
+      columns: Map[String, String], meta: Option[FileMeta])
 
   private def readInternal(
       spark: SparkSession,
@@ -123,7 +124,7 @@ object Graft {
     if (parts.isEmpty)
       throw new GraftEmptyResultException(s"no files matched under $url for $query")
 
-    val entries = parts.map(p => FileEntry(p.url, detectFormat(p.url, format), p.columns))
+    val entries = parts.map(p => FileEntry(p.url, detectFormat(p.url, format), p.columns, p.meta))
 
     val (good, failures) =
       if (!lazyErrors) (entries, Seq.empty[ReadFailure])
@@ -203,7 +204,7 @@ object Graft {
     }
     val index = new graft.index.GraftFileIndex(
       spark, new Path(root),
-      files.map(e => Partition(e.path, e.columns)), partitionCols)
+      files.map(e => Partition(e.path, e.columns, e.meta)), partitionCols)
     val relation = HadoopFsRelation(
       index, index.partitionSchema, dataSchema, None, fileFormat, opts)(spark)
     spark.baseRelationToDataFrame(relation)

@@ -35,7 +35,16 @@ object Discovery {
   val listingCalls = new AtomicLong(0)
   def resetListingCounter(): Unit = listingCalls.set(0)
 
-  final case class DirectoryListing(files: Seq[String], directories: Seq[String])
+  /** A file name plus the metadata the listing already paid for; meta is
+    * None only for generated (never-listed) names. */
+  final case class ListedFile(name: String, meta: Option[FileMeta])
+
+  final case class DirectoryListing(files: Seq[ListedFile], directories: Seq[String])
+
+  object DirectoryListing {
+    def generated(fileNames: Seq[String], dirNames: Seq[String]): DirectoryListing =
+      DirectoryListing(fileNames.map(ListedFile(_, None)), dirNames)
+  }
 
   def listDirectory(url: String, fs: FileSystem): DirectoryListing = {
     listingCalls.incrementAndGet()
@@ -47,7 +56,8 @@ object Discovery {
       .filterNot(st => { val n = st.getPath.getName; n.startsWith("_") || n.startsWith(".") })
     val (dirs, files) = statuses.partition(_.isDirectory)
     DirectoryListing(
-      files.map(_.getPath.getName).sorted.toSeq,
+      files.sortBy(_.getPath.getName).map(st => ListedFile(st.getPath.getName,
+        Some(FileMeta(st.getLen, st.getModificationTime)))).toSeq,
       directories = dirs.map(_.getPath.getName).sorted.toSeq)
   }
 
@@ -78,9 +88,9 @@ object Discovery {
 
       val listing = parser.generate match {
         case Some(generated) if parser.isTerminalLevel =>
-          DirectoryListing(files = generated, directories = Nil)
+          DirectoryListing.generated(fileNames = generated, dirNames = Nil)
         case Some(generated) =>
-          DirectoryListing(files = Nil, directories = generated)
+          DirectoryListing.generated(fileNames = Nil, dirNames = generated)
         case None => listDirectory(partition.url, fs)
       }
 
@@ -98,10 +108,10 @@ object Discovery {
         if (!parser.isTerminalLevel) Nil
         else if (parser.parsesFilenames) {
           listing.files
-            .map(f => partition.expandBy(f, Some(parser.parse(f))))
+            .map(f => partition.expandBy(f.name, Some(parser.parse(f.name))).withMeta(f.meta))
             .filter(p => query.evalAll(p.columns))
         } else if (!query.evalAll(partition.columns)) Nil
-        else listing.files.map(f => partition.expandBy(f, None))
+        else listing.files.map(f => partition.expandBy(f.name, None).withMeta(f.meta))
 
       subTasks.flatMap(_.join()) ++ filePartitions
     }

@@ -23,8 +23,13 @@ import graft.core.Partition
   * shows the pruned file count — on layouts Spark itself cannot parse
   * (value-only dirs, filename columns, date-range grammars).
   *
-  * File statuses are fetched once at construction (driver-side, parallel at
-  * the FS layer) and reused across query planning.
+  * File statuses come from the discovery listing itself ([[graft.core.FileMeta]]
+  * threaded through [[Partition]]) — the index performs NO per-file stat
+  * RPCs. Only files whose names were *generated* (grammar pinned the
+  * terminal level, so no listing ever ran) fall back to one `listStatus`
+  * per distinct parent directory — batched, never one RPC per file; at
+  * millions of files a serial per-file stat loop would be the driver-side
+  * scan bottleneck.
   */
 final class GraftFileIndex(
     spark: SparkSession,
@@ -34,13 +39,33 @@ final class GraftFileIndex(
 
   private val hadoopConf = spark.sessionState.newHadoopConf()
 
-  /** Files grouped by their partition-value assignment, statted once. */
+  /** Files grouped by their partition-value assignment. */
   private lazy val groups: Seq[(Map[String, String], Array[FileStatus])] = {
-    val fs = rootPath.getFileSystem(hadoopConf)
+    // batched fallback for generated (never-listed) file names only
+    val missingParents = partitions.filter(_.meta.isEmpty)
+      .map(p => new Path(p.url).getParent).distinct
+    val listed: Map[String, FileStatus] =
+      if (missingParents.isEmpty) Map.empty
+      else {
+        val fs = rootPath.getFileSystem(hadoopConf)
+        missingParents.flatMap { dir =>
+          GraftFileIndex.fallbackListCalls.incrementAndGet()
+          try fs.listStatus(dir).toSeq.map(st => st.getPath.toString -> st)
+          catch { case _: java.io.FileNotFoundException => Nil }
+        }.toMap
+      }
+    def statusFor(p: Partition): FileStatus = p.meta match {
+      case Some(m) =>
+        new FileStatus(m.size, false, 1, 0, m.modificationTime, new Path(p.url))
+      case None =>
+        listed.getOrElse(new Path(p.url).toString,
+          throw new java.io.FileNotFoundException(
+            s"generated path does not exist: ${p.url}"))
+    }
     partitions.groupBy(_.columns).toSeq
       .sortBy(_._2.head.url)
       .map { case (cols, ps) =>
-        (cols, ps.sortBy(_.url).map(p => fs.getFileStatus(new Path(p.url))).toArray)
+        (cols, ps.sortBy(_.url).map(statusFor).toArray)
       }
   }
 
@@ -74,4 +99,10 @@ final class GraftFileIndex(
   override def refresh(): Unit = ()
 
   override def sizeInBytes: Long = groups.map(_._2.map(_.getLen).sum).sum
+}
+
+object GraftFileIndex {
+  /** Count of fallback listStatus calls (generated-name paths only) — the
+    * listing-efficiency tests pin this at zero for listed trees. */
+  val fallbackListCalls = new java.util.concurrent.atomic.AtomicLong(0)
 }

@@ -318,6 +318,17 @@ class ReadPathSpec extends SparkSpec {
     Discovery.resetListingCounter()
     val gen = Graft.discover(spark, dir, parser = AutoParser.fromStr("k=[42,43]"))
     assert(gen.size == 2 && Discovery.listingCalls.get() == 2)
+    // discovery's listing already captured every file's size/mtime — a full
+    // read must add ZERO per-file stat calls (at millions of files a serial
+    // driver stat loop would dominate the scan path)
+    assert(all.forall(_.meta.exists(_.size > 0)), "listing must capture file meta")
+    graft.index.GraftFileIndex.fallbackListCalls.set(0)
+    Discovery.resetListingCounter()
+    val df = Graft.readPartitionedTable(spark, dir, Q.eq("k", "7"))
+    assert(df.count() == 1)
+    assert(Discovery.listingCalls.get() == 2) // root + the one matching dir
+    assert(graft.index.GraftFileIndex.fallbackListCalls.get() == 0,
+      "index must reuse discovery-time file statuses, not re-stat")
   }
 
   test("mergeSchema widens divergent parquet schemas across partitions") {
