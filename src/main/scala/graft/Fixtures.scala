@@ -89,6 +89,24 @@ object Fixtures {
         table(spark, sfDir, "customer").coalesce(1), s"$dir/src=json/customer.json")
     }
 
+  /** documents' doc_ids paired with REAL synthetic image headers (valid
+    * PNG/GIF/BMP/JPEG bytes; format rotates by doc_id % 4, dimensions derive
+    * from doc_id) so the multimodal decode parses real bytes and the oracle
+    * verifies the parse inverts the construction arithmetic. */
+  def mediaDocs(spark: SparkSession, sfDir: String): String =
+    cached("media_docs", sfDir) { dir =>
+      import spark.implicits._
+      val ids = table(spark, sfDir, "documents").select("doc_id")
+        .as[Long].collect().sorted
+      val formats = Array("png", "gif", "bmp", "jpeg")
+      val rows = ids.toSeq.map { id =>
+        val fmt = formats((id % 4).toInt)
+        (id, graft.operators.Multimodal.syntheticImageBytes(
+          fmt, (id % 640).toInt + 1, ((id * 7) % 480).toInt + 1))
+      }
+      rows.toDF("doc_id", "payload").coalesce(1).write.mode("overwrite").parquet(dir)
+    }
+
   /** A layout with one deliberately corrupt member for lazy-error semantics:
     * nation as json-lines plus one unparseable file. */
   def lazyNation(spark: SparkSession, sfDir: String): String =

@@ -481,9 +481,11 @@ object SparkEntry {
       col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
     .orderBy("doc_id")
 
+  /** Real header decode over synthetic-but-valid PNG/GIF/BMP/JPEG payloads:
+    * the oracle reproduces the fixture's construction arithmetic, so the
+    * hash match proves the byte-level parse inverts the construction. */
   private def m1_multimodal(s: SparkSession, dir: String): DataFrame =
-    Multimodal.decodeImageMeta(
-        Multimodal.withPayload(t(s, dir, "documents"), "text"))
+    Multimodal.decodeImageMeta(s.read.parquet(Fixtures.mediaDocs(s, dir)))
       .select(col("doc_id"), length(col("payload")).cast("long").as("byte_len"),
         col("media_meta.width"), col("media_meta.height"),
         col("media_meta.channels"), col("media_meta.format"))
@@ -876,10 +878,14 @@ object SparkEntry {
            regexp_split_to_array(trim(text), '\s+'))), ' ')) AS fp
          FROM documents ORDER BY doc_id""",
     "m1_multimodal" ->
-      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-         CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
-         CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INT) AS height,
-         CAST(3 AS INT) AS channels, 'fake' AS format
+      """SELECT doc_id,
+         CAST(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 33 WHEN 1 THEN 13
+              WHEN 2 THEN 54 ELSE 21 END AS BIGINT) AS byte_len,
+         CAST(doc_id % 640 + 1 AS INT) AS width,
+         CAST((doc_id * 7) % 480 + 1 AS INT) AS height,
+         CAST(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 4 ELSE 3 END AS INT) AS channels,
+         CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+              WHEN 2 THEN 'bmp' ELSE 'jpeg' END AS format
          FROM documents ORDER BY doc_id""",
     "st1_stream_window" ->
       """SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS w_start,

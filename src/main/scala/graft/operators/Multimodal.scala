@@ -10,12 +10,13 @@ import org.apache.spark.sql.types._
   * pandas-batched UDFs: one iterator pass per partition, no per-row JVM
   * boundary crossing).
   *
-  * The image/audio DECODE STEP IS A STUB — this container has no codec
-  * libraries, so `decodeImageMeta` derives a deterministic fake
-  * (width/height/channels) from the payload bytes. The Spark-side contract —
-  * binary column schema, metadata struct shape, partition-iterator batch
-  * processing, column pruning around the blob — is real and tested; swap
-  * `fakeDecode` for a javacv/ImageIO call to productionize.
+  * Image metadata decode is REAL and codec-free: PNG / GIF / BMP / JPEG
+  * store their dimensions in plain header bytes, so `decodeImageMeta`
+  * parses width/height/channels directly from the payload — no imaging
+  * library involved. Payloads in none of those formats fall back to a
+  * deterministic pseudo-decode tagged `format = "fake"` (kept so text-bytes
+  * stand-ins still flow through the pipeline shape); full pixel decode /
+  * resample would slot into the same mapPartitions seam with a codec lib.
   */
 object Multimodal {
 
@@ -30,16 +31,82 @@ object Multimodal {
   def withPayload(df: DataFrame, sourceCol: String, payloadCol: String = "payload"): DataFrame =
     df.withColumn(payloadCol, col(sourceCol).cast("binary"))
 
-  /** STUB decode: deterministic pseudo-metadata from the payload length.
-    * Mirrored exactly by the SQL oracle (octet_length arithmetic). */
+  // ------------------------------------------------------------ header parse
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
+  private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def be32(b: Array[Byte], i: Int): Int =
+    (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+  private def le32(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+
+  private def startsWith(b: Array[Byte], magic: Int*): Boolean =
+    b.length >= magic.length && magic.indices.forall(i => u8(b, i) == magic(i))
+
+  /** Parse (width, height, channels, format) from real image header bytes.
+    * Supports PNG (IHDR), GIF (logical screen descriptor), BMP (BITMAPINFO),
+    * JPEG (SOF marker scan). None when the payload is not a recognized
+    * image. Pure function over the leading bytes — safe to call per row. */
+  def imageHeader(b: Array[Byte]): Option[(Int, Int, Int, String)] = {
+    if (b == null) None
+    // PNG: 8-byte signature, then IHDR chunk: len(4) "IHDR" W(4 BE) H(4 BE)
+    // bitdepth(1) colortype(1); channels from the color type
+    else if (startsWith(b, 0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+        && b.length >= 26 && new String(b, 12, 4, "US-ASCII") == "IHDR") {
+      val channels = u8(b, 25) match {
+        case 0 => 1 // grayscale
+        case 2 => 3 // truecolor
+        case 3 => 1 // palette
+        case 4 => 2 // gray + alpha
+        case 6 => 4 // truecolor + alpha
+        case _ => 0
+      }
+      Some((be32(b, 16), be32(b, 20), channels, "png"))
+    }
+    // GIF87a/GIF89a: screen width/height LE16 at offsets 6/8; palette RGB
+    else if (b.length >= 10 && (startsWith(b, 'G', 'I', 'F', '8', '7', 'a')
+        || startsWith(b, 'G', 'I', 'F', '8', '9', 'a')))
+      Some((le16(b, 6), le16(b, 8), 3, "gif"))
+    // BMP: "BM", BITMAPINFOHEADER width LE32@18, height LE32@22 (signed —
+    // negative means top-down), bits-per-pixel LE16@28
+    else if (b.length >= 30 && startsWith(b, 'B', 'M'))
+      Some((le32(b, 18), math.abs(le32(b, 22)), math.max(1, le16(b, 28) / 8), "bmp"))
+    // JPEG: FFD8, then scan segment markers for a start-of-frame (C0–CF
+    // minus DHT C4 / JPG C8 / DAC CC): height BE16@+5, width BE16@+7,
+    // component count @+9
+    else if (b.length >= 4 && startsWith(b, 0xFF, 0xD8)) {
+      var i = 2
+      while (i + 3 < b.length && u8(b, i) == 0xFF) {
+        val marker = u8(b, i + 1)
+        val isSof = marker >= 0xC0 && marker <= 0xCF &&
+          marker != 0xC4 && marker != 0xC8 && marker != 0xCC
+        if (isSof) {
+          if (i + 9 < b.length)
+            return Some((be16(b, i + 7), be16(b, i + 5), u8(b, i + 9), "jpeg"))
+          return None
+        }
+        // standalone markers (RSTn, TEM) carry no length field
+        if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD9)) i += 2
+        else i += 2 + be16(b, i + 2)
+      }
+      None
+    } else None
+  }
+
+  /** Fallback pseudo-decode for payloads that are not recognized images
+    * (e.g. text bytes standing in for media): deterministic arithmetic on
+    * the payload length, tagged `"fake"` so downstream filters can tell. */
   private def fakeDecode(bytes: Array[Byte]): (Int, Int, Int, String) = {
     val n = bytes.length
     (n % 640 + 1, (n * 7) % 480 + 1, 3, "fake")
   }
 
-  /** Per-partition batched "decode": binary payload -> metadata struct.
-    * Uses mapPartitions so a real decoder would amortize codec init once per
-    * partition (the mapInPandas-shaped contract). */
+  /** Per-partition batched decode: binary payload -> metadata struct parsed
+    * from real image headers (PNG/GIF/BMP/JPEG), `"fake"` fallback for
+    * unrecognized payloads. Uses mapPartitions so a full pixel decoder
+    * would amortize codec init once per partition (the mapInPandas-shaped
+    * contract). */
   def decodeImageMeta(df: DataFrame, payloadCol: String = "payload",
       metaCol: String = "media_meta"): DataFrame = {
     val inSchema = df.schema
@@ -51,7 +118,7 @@ object Multimodal {
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](payloadIdx)
         val meta = if (bytes == null) null else {
-          val (w, h, c, f) = fakeDecode(bytes)
+          val (w, h, c, f) = imageHeader(bytes).getOrElse(fakeDecode(bytes))
           Row(w, h, c, f)
         }
         Row.fromSeq(r.toSeq :+ meta)
@@ -68,4 +135,36 @@ object Multimodal {
         explode(sequence(lit(0),
           floor((length(col(payloadCol)) - 1) / lit(stride)).cast("int"))))
       .withColumn("frame_offset", col("frame_no") * stride)
+
+  // --------------------------------------------------- synthetic fixtures
+
+  /** Deterministic synthetic image HEADERS (valid PNG / GIF / BMP / JPEG
+    * header bytes with the given dimensions, no pixel data) for fixtures
+    * and tests. Fixed sizes: png=33, gif=13, bmp=54, jpeg=21 bytes. */
+  def syntheticImageBytes(format: String, w: Int, h: Int): Array[Byte] = {
+    def be32b(v: Int) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    def le32b(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte,
+      (v >>> 16).toByte, (v >>> 24).toByte)
+    def be16b(v: Int) = Array[Byte]((v >>> 8).toByte, v.toByte)
+    def le16b(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
+    format match {
+      case "png" => // signature + IHDR (color type 6 = RGBA), dummy CRC
+        Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A) ++
+          be32b(13) ++ "IHDR".getBytes("US-ASCII") ++ be32b(w) ++ be32b(h) ++
+          Array[Byte](8, 6, 0, 0, 0) ++ be32b(0)
+      case "gif" => // GIF89a + logical screen descriptor
+        "GIF89a".getBytes("US-ASCII") ++ le16b(w) ++ le16b(h) ++
+          Array[Byte](0, 0, 0)
+      case "bmp" => // BITMAPFILEHEADER(14) + BITMAPINFOHEADER(40), 24bpp
+        "BM".getBytes("US-ASCII") ++ le32b(54) ++ le32b(0) ++ le32b(54) ++
+          le32b(40) ++ le32b(w) ++ le32b(h) ++ le16b(1) ++ le16b(24) ++
+          Array.fill[Byte](24)(0)
+      case "jpeg" => // SOI + SOF0 with 3 components
+        Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xC0.toByte) ++
+          be16b(17) ++ Array[Byte](8) ++ be16b(h) ++ be16b(w) ++ Array[Byte](3) ++
+          Array[Byte](1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1)
+      case other => throw new IllegalArgumentException(s"unknown format $other")
+    }
+  }
 }

@@ -307,12 +307,45 @@ class MultimodalSpec extends SparkSpec {
     val df = Seq((1L, "hello"), (2L, "a longer document text")).toDF("id", "text")
     val out = Multimodal.decodeImageMeta(Multimodal.withPayload(df, "text"))
     assert(out.schema("media_meta").dataType == Multimodal.mediaMetaType)
+    // non-image bytes fall back to the deterministic pseudo-decode
     val r = out.filter(col("id") === 1).select("media_meta.*").head()
     assert(r.getInt(0) == 5 % 640 + 1 && r.getInt(1) == (5 * 7) % 480 + 1)
+    assert(r.getString(3) == "fake")
     // frame sampling explodes deterministically
     val frames = Multimodal.sampleFrames(
       Multimodal.withPayload(df, "text"), stride = 10)
     assert(frames.filter(col("id") === 2).count() == 3) // 22 bytes -> offsets 0,10,20
+  }
+
+  test("imageHeader parses real encoder output (JDK ImageIO, all 4 formats)") {
+    // files produced by the JDK's own encoders — real codecs, no stub bytes
+    for ((fmt, w, h, ch) <- Seq(("png", 31, 17, 4), ("gif", 200, 99, 3),
+        ("bmp", 64, 48, 3), ("jpg", 320, 240, 3))) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        if (fmt == "png") java.awt.image.BufferedImage.TYPE_INT_ARGB
+        else java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"ImageIO lacks $fmt")
+      val parsed = Multimodal.imageHeader(bos.toByteArray)
+      val expFmt = if (fmt == "jpg") "jpeg" else fmt
+      assert(parsed.exists { case (pw, ph, pc, pf) =>
+        pw == w && ph == h && pc == ch && pf == expFmt }, s"$fmt: got $parsed")
+    }
+  }
+
+  test("imageHeader parses the synthetic fixture bytes and rejects non-images") {
+    for (fmt <- Seq("png", "gif", "bmp", "jpeg")) {
+      val b = Multimodal.syntheticImageBytes(fmt, 123, 45)
+      val parsed = Multimodal.imageHeader(b)
+      assert(parsed.exists { case (w, h, _, f) => w == 123 && h == 45 && f == fmt },
+        s"$fmt: got $parsed")
+    }
+    assert(Multimodal.imageHeader("plain text".getBytes).isEmpty)
+    assert(Multimodal.imageHeader(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.imageHeader(null).isEmpty)
+    // truncated headers must not throw
+    val png = Multimodal.syntheticImageBytes("png", 9, 9)
+    assert(Multimodal.imageHeader(png.take(12)).isEmpty)
   }
 }
 
