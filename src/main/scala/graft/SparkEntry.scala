@@ -442,15 +442,33 @@ object SparkEntry {
         queryVec(s, dir), k = 10, excludeIds = Seq(0L))
       .select("vec_id", "rank").orderBy("rank")
 
+  /** embeddings ∪ ten planted copies of the query vector scaled by exact
+    * powers of two (2^-5 … 2^4): direction is preserved BIT-EXACTLY (power-
+    * of-two scaling is an exponent shift), so each planted row's cosine with
+    * the query is exactly 1.0 and the true top-10 is the planted id range in
+    * id order. Approximate search over this corpus is therefore fully
+    * oracle-expressible, and the hash match IS the recall gate: any
+    * sketch/routing inconsistency (e.g. driver-side vs executor-side sketch
+    * drift, mis-probed cluster) loses a planted row and goes red. */
+  private def annCorpus(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val planted = e.filter(col("vec_id") === 0)
+      .select(explode(sequence(lit(0L), lit(9L))).as("i"), col("embedding"))
+      .select((col("i") + 9000000L).as("vec_id"),
+        transform(col("embedding"),
+          x => (x * pow(lit(2.0), col("i") - 5)).cast("float")).as("embedding"),
+        lit("planted").as("label"))
+    e.unionByName(planted)
+  }
+
   private def a2_ann_lsh(s: SparkSession, dir: String): DataFrame =
-    Ann.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding", dim = 64,
+    Ann.lshTopK(annCorpus(s, dir), "vec_id", "embedding", dim = 64,
         queryVec(s, dir), k = 10, numPlanes = 12, maxHammingProbe = 3,
         excludeIds = Seq(0L))
       .select("vec_id", "rank").orderBy("rank")
 
   private def a3_ann_ivf(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings")
-    val index = Ann.ivfBuild(e, "vec_id", "embedding", nlist = 16)
+    val index = Ann.ivfBuild(annCorpus(s, dir), "vec_id", "embedding", nlist = 16)
     Ann.ivfTopK(index, "vec_id", "embedding", queryVec(s, dir),
         k = 10, nprobe = 4, excludeIds = Seq(0L))
       .select("vec_id", "rank").orderBy("rank")
@@ -850,6 +868,39 @@ object SparkEntry {
          FROM embeddings WHERE vec_id <> 0
          ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qe FROM q)) DESC, vec_id
          LIMIT 10""",
+    // the true top-10 over annCorpus is the planted power-of-two-scaled
+    // copies of the query (cosine exactly 1.0, id-order tiebreak) — the hash
+    // match gates that the approximate index recalls all of them
+    "a2_ann_lsh" ->
+      """SELECT CAST(9000000 + i AS BIGINT) AS vec_id, CAST(i + 1 AS INT) AS rank
+         FROM range(10) t(i) ORDER BY rank""",
+    "a3_ann_ivf" ->
+      """SELECT CAST(9000000 + i AS BIGINT) AS vec_id, CAST(i + 1 AS INT) AS rank
+         FROM range(10) t(i) ORDER BY rank""",
+    "t1_langid" ->
+      """WITH w AS (SELECT doc_id, lang,
+           regexp_split_to_array(trim(lower(text)), '\s+') AS ws FROM documents),
+         s AS (SELECT doc_id, lang,
+           len(list_filter(ws, x -> list_contains(
+             ['der','die','das','und','ist','nicht','ein','eine','mit','von'], x))) AS de,
+           len(list_filter(ws, x -> list_contains(
+             ['the','and','of','to','in','is','that','it','for','with'], x))) AS en,
+           len(list_filter(ws, x -> list_contains(
+             ['el','la','los','las','de','y','es','que','un','una','en'], x))) AS es,
+           len(list_filter(ws, x -> list_contains(
+             ['le','la','les','de','des','et','un','une','est','que','dans'], x))) AS fr,
+           len(list_filter(ws, x -> list_contains(
+             ['的','是','了','在','我','有','和','人','这','不'], x))) AS zh
+           FROM w)
+         SELECT doc_id,
+           CASE WHEN greatest(de, en, es, fr, zh) = 0 THEN 'und'
+                WHEN de = greatest(de, en, es, fr, zh) THEN 'de'
+                WHEN en = greatest(de, en, es, fr, zh) THEN 'en'
+                WHEN es = greatest(de, en, es, fr, zh) THEN 'es'
+                WHEN fr = greatest(de, en, es, fr, zh) THEN 'fr'
+                ELSE 'zh' END AS lang_pred,
+           lang
+         FROM s ORDER BY doc_id""",
     "t2_quality" ->
       """WITH w AS (SELECT doc_id, length(text) AS n_chars,
            regexp_split_to_array(trim(text), '\s+') AS ws,
