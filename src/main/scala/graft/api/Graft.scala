@@ -52,6 +52,7 @@ object Graft {
       url: String,
       query: PartitionQuery = Q.True,
       parser: ColumnParser = AutoParser.auto): Seq[Partition] = {
+    maybeApplyEnvConfig(spark, url)
     val conf = spark.sessionState.newHadoopConf()
     val fs = Discovery.fileSystemFor(url, conf)
     val qualified = fs.makeQualified(new Path(url)).toString
@@ -441,6 +442,35 @@ object Graft {
     config.foreach { case (k, v) => hc.set(s"fs.$protocol.$k", v) }
   }
 
+  /** AWS env var → fs.s3a.* Hadoop key (reference __init__.py:28-66, which
+    * maps the same variables to s3fs kwargs — minio-in-place-of-s3 via
+    * AWS_ENDPOINT_URL included). */
+  private val s3aEnvMapping = Seq(
+    "AWS_ACCESS_KEY_ID" -> "access.key",
+    "AWS_SECRET_ACCESS_KEY" -> "secret.key",
+    "AWS_SESSION_TOKEN" -> "session.token",
+    "AWS_ENDPOINT_URL" -> "endpoint",
+    "AWS_REGION_NAME" -> "endpoint.region")
+
+  /** Merge environment-driven filesystem defaults into the session's Hadoop
+    * conf. Precedence matches the reference (env < setDefaultConfig <
+    * per-call config): env values never overwrite keys that are already
+    * set, and per-read `options` always win because Spark builds each
+    * relation's Hadoop conf with `newHadoopConfWithOptions(options)`.
+    * Invoked automatically when an s3 URL reaches the read/write path;
+    * `env` is injectable for tests. */
+  def applyEnvFsConfig(spark: SparkSession, protocol: String = "s3a",
+      env: Map[String, String] = sys.env): Unit = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    s3aEnvMapping.foreach { case (envKey, confSuffix) =>
+      val key = s"fs.$protocol.$confSuffix"
+      env.get(envKey).foreach(v => if (hc.get(key) == null) hc.set(key, v))
+    }
+  }
+
+  private def maybeApplyEnvConfig(spark: SparkSession, url: String): Unit =
+    if (url.startsWith("s3")) applyEnvFsConfig(spark)
+
   // ------------------------------------------------------------------ write
 
   /** Write a DataFrame as a SINGLE object at `url` (reference write_object,
@@ -453,6 +483,7 @@ object Graft {
       options: Map[String, String] = Map.empty): Unit = {
     val fmt = detectFormat(url, format)
     val spark = df.sparkSession
+    maybeApplyEnvConfig(spark, url)
     val conf = spark.sessionState.newHadoopConf()
     val fs = Discovery.fileSystemFor(url, conf)
     val target = fs.makeQualified(new Path(url))
@@ -473,6 +504,7 @@ object Graft {
 
   /** Raw byte-stream write (reference's StringIO/BytesIO branch). */
   def writeRaw(spark: SparkSession, url: String, bytes: Array[Byte]): Unit = {
+    maybeApplyEnvConfig(spark, url)
     val conf = spark.sessionState.newHadoopConf()
     val fs = Discovery.fileSystemFor(url, conf)
     val out = fs.create(new Path(url), true)

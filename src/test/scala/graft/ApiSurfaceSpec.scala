@@ -49,6 +49,30 @@ class ApiSurfaceSpec extends SparkSpec {
       == "http://localhost:9000")
   }
 
+  test("S20b: env-var fs config merges with env < setDefaultConfig precedence") {
+    val hc = spark.sparkContext.hadoopConfiguration
+    val env = Map(
+      "AWS_ACCESS_KEY_ID" -> "env-key",
+      "AWS_SECRET_ACCESS_KEY" -> "env-secret",
+      "AWS_ENDPOINT_URL" -> "http://minio:9000",
+      "AWS_REGION_NAME" -> "us-moon-1")
+    // use a scratch protocol so this test cannot collide with S20's keys
+    Seq("access.key", "secret.key", "session.token", "endpoint", "endpoint.region")
+      .foreach(k => hc.unset(s"fs.s3x.$k"))
+    // env populates unset keys
+    Graft.applyEnvFsConfig(spark, "s3x", env)
+    assert(hc.get("fs.s3x.access.key") == "env-key")
+    assert(hc.get("fs.s3x.endpoint") == "http://minio:9000")
+    assert(hc.get("fs.s3x.endpoint.region") == "us-moon-1")
+    assert(hc.get("fs.s3x.session.token") == null) // absent from env -> untouched
+    // programmatic defaults win over env regardless of call order
+    Graft.setDefaultConfig(spark, "s3x", Map("access.key" -> "prog-key"))
+    Graft.applyEnvFsConfig(spark, "s3x", env)
+    assert(hc.get("fs.s3x.access.key") == "prog-key")
+    // (per-read options win over both: Spark builds each relation's Hadoop
+    // conf via newHadoopConfWithOptions(relation options))
+  }
+
   test("bucketed tables join without a shuffle on the bucket key") {
     import spark.implicits._
     val facts = (0 until 1000).map(i => (i.toLong % 50, s"f$i")).toDF("k", "payload")
