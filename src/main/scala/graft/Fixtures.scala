@@ -34,13 +34,12 @@ object Fixtures {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects by default. Read nanos as long and rebuild a (microsecond)
-    * timestamp — DuckDB's CAST(ts_ns AS TIMESTAMP) truncates identically. */
+  /** events.parquet carries TIMESTAMP(NANOS); see
+    * [[graft.functions.NanosTimestamp]] for why the rebuild is centralized. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.functions.NanosTimestamp.enable(spark)
+    graft.functions.NanosTimestamp.rebuild(
+      spark.read.parquet(s"$sfDir/events.parquet"))
   }
 
   /** lineitem partitioned hive-style by l_returnflag / l_linestatus. */

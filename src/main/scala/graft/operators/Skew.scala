@@ -26,7 +26,7 @@ object Skew {
     // times (once per salt); only skewed-side-preserving types are identical
     // to the unsalted join
     val allowed = Set("inner", "left", "left_outer", "leftouter",
-      "left_semi", "leftsemi", "left_anti", "leftanti")
+      "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti")
     require(allowed.contains(joinType.toLowerCase.replace(" ", "")),
       s"saltedJoin supports inner/left join types only (got '$joinType'): " +
         "outer-preserving the replicated side would duplicate its unmatched rows")

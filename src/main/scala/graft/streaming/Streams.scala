@@ -17,16 +17,17 @@ import graft.core._
 object Streams {
 
   /** Streaming read of events.parquet (nanos timestamps read as long and
-    * rebuilt as microsecond timestamps, same as the batch reader). */
+    * rebuilt as microsecond timestamps, same shim as the batch reader:
+    * [[graft.functions.NanosTimestamp]]). */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.functions.NanosTimestamp.enable(spark)
     val schema = spark.read.option("pathGlobFilter", "events.parquet")
       .parquet(sfDir).schema
-    spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.functions.NanosTimestamp.rebuild(
+      spark.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir))
   }
 
   /** Streaming read over a partitioned tree (the fsql data model, as a
