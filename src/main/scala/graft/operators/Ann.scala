@@ -62,23 +62,32 @@ object Ann {
     * a partition-pruned scan of nprobe/nlist of the data. */
   final case class IvfIndex(centroids: Seq[(Int, Array[Double])], clustered: DataFrame)
 
-  /** Build an IVF index with deterministically-seeded centroids (a sample of
-    * the data itself — k-means-lite: one assignment pass, no iteration; good
-    * recall for ANN bucketing without a full clustering job). */
+  /** Build an IVF index with deterministic centroids (a sample of the data
+    * itself — k-means-lite: one assignment pass, no iteration; good recall
+    * for ANN bucketing without a full clustering job).
+    *
+    * Centroid selection is a seeded HASH-sample with a limit: no `count()`
+    * pre-scan (the previous fraction computation paid a full pass over the
+    * data) and no RNG — `xxhash64(id, seed) % 16 == 0` picks ~1/16 of rows
+    * and the limit stops the scan as soon as `nlist` are found. Tiny inputs
+    * top up from a plain limit. */
   def ivfBuild(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       nlist: Int = 16,
       seed: Long = 42L): IvfIndex = {
-    val n = df.count()
-    val fraction = math.min(1.0, (nlist * 20.0) / math.max(1L, n))
-    val sample = df.select(col(vecCol)).sample(withReplacement = false, fraction, seed)
-      .limit(nlist).collect()
-      .map(_.getSeq[Any](0).map {
+    def vecs(d: DataFrame): Array[Array[Double]] =
+      d.collect().map(_.getSeq[Any](0).map {
         case f: Float => f.toDouble
         case d: Double => d
       }.toArray)
+    val sampled = vecs(df
+      .filter(pmod(xxhash64(col(idCol), lit(seed)), lit(16)) === 0)
+      .select(col(vecCol)).limit(nlist))
+    val sample =
+      if (sampled.length >= nlist) sampled
+      else vecs(df.select(col(vecCol)).limit(nlist))
     require(sample.nonEmpty, "empty input")
     val centroids = sample.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
 
@@ -123,6 +132,31 @@ object Ann {
     scoredRows.withColumn("rank",
       row_number().over(org.apache.spark.sql.expressions.Window
         .orderBy(desc("cosine"), col(idCol))))
+  }
+
+  /** Persist an IVF index: the clustered frame written PARTITIONED BY
+    * `__cluster` (so every probe is a partition-pruned scan of nprobe/nlist
+    * of the data — the 100 TB serving shape) plus the centroid table
+    * alongside. */
+  def ivfWrite(index: IvfIndex, path: String): Unit = {
+    val spark = index.clustered.sparkSession
+    import spark.implicits._
+    index.clustered.write.mode("overwrite")
+      .partitionBy("__cluster").parquet(s"$path/data")
+    index.centroids.toDF("cid", "centroid")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Load a persisted IVF index. `__cluster` comes back as a partition
+    * column, so `ivfTopK`'s cluster filter prunes at the file-listing level
+    * — EXPLAIN shows only the probed directories are read. */
+  def ivfRead(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val centroids = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+    val clustered = spark.read.parquet(s"$path/data")
+      .withColumn("__cluster", col("__cluster").cast("int"))
+    IvfIndex(centroids, clustered)
   }
 
   /** Seeded random hyperplanes (Gaussian); returns the sign-bit sketch of a

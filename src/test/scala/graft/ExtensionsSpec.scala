@@ -165,6 +165,39 @@ class AnnSpec extends SparkSpec {
     assert(probedRows < 400)
   }
 
+  test("persisted IVF index serves probes as partition-pruned scans") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dim = 16
+    val rows = (0 until 400).map(i => (i.toLong, randVec(i, dim)))
+    val df = rows.toDF("vec_id", "embedding")
+    val built = Ann.ivfBuild(df, "vec_id", "embedding", nlist = 8)
+    val path = tmpDir("ivf_idx")
+    Ann.ivfWrite(built, path)
+    val index = Ann.ivfRead(spark, path)
+    assert(index.centroids.map(_._1) == built.centroids.map(_._1) &&
+      index.centroids.zip(built.centroids).forall {
+        case ((_, a), (_, b)) => a.sameElements(b) })
+    // round-trip preserves the clustering and the search result; AQE is
+    // disabled for the probe so the scan node is directly inspectable
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val q = rows(123)._2
+      val out = Ann.ivfTopK(index, "vec_id", "embedding", q, k = 3, nprobe = 2)
+      val got = out.collect()
+      assert(got.head.getLong(0) == 123L)
+      // the probe's scan must read ONLY the probed cluster directories
+      val scans = out.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty, "expected a parquet scan in the probe plan")
+      val partsRead = scans.map(_.metrics("numPartitions").value).sum
+      val nClusters = index.clustered.select("__cluster").distinct().count()
+      assert(partsRead <= 2,
+        s"probe must scan <= nprobe partitions, read $partsRead of $nClusters")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("LSH top-k recalls the exact nearest neighbor (self)") {
     val dim = 16
     val rows = (0 until 200).map(i => (i.toLong, randVec(i, dim)))
