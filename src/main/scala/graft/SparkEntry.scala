@@ -494,6 +494,18 @@ object SparkEntry {
       TextFunctions.tokenCountBpe(col("text")).as("n_bpe"))
     .orderBy("doc_id")
 
+  /** Real BPE token counts: merges trained offline-style from a bounded,
+    * deterministically-ordered sample of the corpus itself; counting runs
+    * distributed (mapPartitions batch). BPE is not SQL-expressible → rows-
+    * only gate; the algorithm is unit-tested against hand-computed merges. */
+  private def t3b_tokens_bpe(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val model = graft.functions.Bpe.trainFromCorpus(
+      docs.orderBy("doc_id"), "text", numMerges = 200, sampleDocs = 256)
+    graft.functions.Bpe.tokenCount(docs, "text", model, "n_bpe_real")
+      .select("doc_id", "n_bpe_real").orderBy("doc_id")
+  }
+
   private def t4_fingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(
       col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
@@ -609,6 +621,7 @@ object SparkEntry {
     "t1_langid" -> (t1_langid _),
     "t2_quality" -> (t2_quality _),
     "t3_tokens" -> (t3_tokens _),
+    "t3b_tokens_bpe" -> (t3b_tokens_bpe _),
     "t4_fingerprint" -> (t4_fingerprint _),
     "m1_multimodal" -> (m1_multimodal _),
     "st1_stream_window" -> (st1_stream_window _),

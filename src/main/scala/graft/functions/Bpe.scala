@@ -1,0 +1,133 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.types.{LongType, StructField}
+
+/** Byte-pair-encoding tokenization: a tiny trainable merges table plus a
+  * merge-loop token counter, for real (not regex-approximated) token budget
+  * accounting in training-data pipelines.
+  *
+  * Training is driver-side over a BOUNDED corpus sample (tokenizer training
+  * is always a sampled offline step — never a distributed pass over 100 TB);
+  * counting is distributed via a mapPartitions batch with the small model
+  * shipped in the task closure, so the hot path stays one iterator pass per
+  * partition. The whitespace counter (`TextFunctions.tokenCountWhitespace`)
+  * remains the oracle-checked entry; BPE counts are not SQL-expressible.
+  */
+object Bpe {
+
+  /** An ordered merges table (rank = position). Deterministic encode: the
+    * lowest-rank adjacent pair is merged (all occurrences, left to right)
+    * until no learned pair remains. */
+  final case class BpeModel(merges: Seq[(String, String)]) extends Serializable {
+    @transient private lazy val ranks: Map[(String, String), Int] =
+      merges.zipWithIndex.toMap
+
+    /** Encode one word into BPE symbols. */
+    def encodeWord(word: String): Vector[String] = {
+      var symbols = word.map(_.toString).toVector
+      var done = symbols.length < 2
+      while (!done) {
+        var bestIdx = -1
+        var bestRank = Int.MaxValue
+        var i = 0
+        while (i < symbols.length - 1) {
+          val r = ranks.getOrElse((symbols(i), symbols(i + 1)), Int.MaxValue)
+          if (r < bestRank) { bestRank = r; bestIdx = i }
+          i += 1
+        }
+        if (bestIdx < 0) done = true
+        else {
+          val pair = (symbols(bestIdx), symbols(bestIdx + 1))
+          symbols = mergeAll(symbols, pair)
+          if (symbols.length < 2) done = true
+        }
+      }
+      symbols
+    }
+
+    /** Token count of a whitespace-pre-tokenized text. */
+    def countTokens(text: String): Long = {
+      val t = text.trim
+      if (t.isEmpty) 0L
+      else t.split("\\s+").foldLeft(0L)((acc, w) => acc + encodeWord(w).length)
+    }
+  }
+
+  /** Merge every left-to-right occurrence of `pair` in one pass. */
+  private def mergeAll(symbols: Vector[String], pair: (String, String)): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < symbols.length) {
+      if (i < symbols.length - 1 && symbols(i) == pair._1 && symbols(i + 1) == pair._2) {
+        out += (pair._1 + pair._2); i += 2
+      } else { out += symbols(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Train a merges table from word frequencies: repeatedly merge the most
+    * frequent adjacent symbol pair, ties broken lexicographically so the
+    * model is reproducible anywhere. */
+  def train(wordFreq: Map[String, Long], numMerges: Int): BpeModel = {
+    var vocab: Seq[(Vector[String], Long)] =
+      wordFreq.toSeq.map { case (w, f) => (w.map(_.toString).toVector, f) }
+    val merges = Vector.newBuilder[(String, String)]
+    var n = 0
+    var exhausted = false
+    while (n < numMerges && !exhausted) {
+      val pairCounts = mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          pairCounts(p) = pairCounts.getOrElse(p, 0L) + f
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) exhausted = true
+      else {
+        val best = pairCounts.toSeq.minBy { case (p, c) => (-c, p._1, p._2) }._1
+        merges += best
+        vocab = vocab.map { case (syms, f) => (mergeAll(syms, best), f) }
+        n += 1
+      }
+    }
+    BpeModel(merges.result())
+  }
+
+  /** Train from a corpus DataFrame: collects a bounded sample of documents
+    * (`sampleDocs`) to the driver and learns `numMerges` merges from their
+    * whitespace-word frequencies. */
+  def trainFromCorpus(df: DataFrame, textCol: String, numMerges: Int = 200,
+      sampleDocs: Int = 256): BpeModel = {
+    val texts = df.select(textCol).limit(sampleDocs).collect()
+      .map(r => Option(r.getString(0)).getOrElse(""))
+    val freq = mutable.Map.empty[String, Long]
+    texts.foreach { t =>
+      val tr = t.trim
+      if (tr.nonEmpty) tr.split("\\s+").foreach(w => freq(w) = freq.getOrElse(w, 0L) + 1L)
+    }
+    train(freq.toMap, numMerges)
+  }
+
+  /** Distributed BPE token counting: one iterator pass per partition, the
+    * model shipped once per task (mapPartitions batch shape — counting is
+    * imperative per-word work no Catalyst expression covers). */
+  def tokenCount(df: DataFrame, textCol: String, model: BpeModel,
+      outCol: String = "n_bpe"): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = inSchema.add(StructField(outCol, LongType, nullable = false))
+    val idx = inSchema.fieldIndex(textCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val t = r.getString(idx)
+        Row.fromSeq(r.toSeq :+ (if (t == null) 0L else model.countTokens(t)))
+      }
+    }
+  }
+}

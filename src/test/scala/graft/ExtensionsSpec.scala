@@ -223,6 +223,27 @@ class TextSpec extends SparkSpec {
     assert(out.filter(col("pred") === col("expected")).count() == 5)
   }
 
+  test("BPE training learns hand-computed merges and counting applies them") {
+    import graft.functions.Bpe
+    // corpus {aaab x3, ab x1}: pair counts round 1 are (a,a)=6 > (a,b)=4,
+    // round 2 (a,b)=4 > (aa,a)=3, round 3 (aa,ab)=3 — computed by hand
+    val model = Bpe.train(Map("aaab" -> 3L, "ab" -> 1L), 3)
+    assert(model.merges == Seq(("a", "a"), ("a", "b"), ("aa", "ab")))
+    assert(model.encodeWord("aaab") == Vector("aaab"))
+    assert(model.encodeWord("aab") == Vector("aa", "b"))
+    assert(model.encodeWord("ab") == Vector("ab"))
+    assert(model.encodeWord("zq") == Vector("z", "q")) // no learned pairs
+    assert(model.countTokens("aaab ab zq") == 4)
+    assert(model.countTokens("   ") == 0)
+    // distributed counting matches the driver-side model exactly
+    val df = Seq((1L, "aaab ab"), (2L, "aab zq")).toDF("id", "text")
+    val out = Bpe.tokenCount(df, "text", model).orderBy("id")
+      .select("n_bpe").as[Long].collect().toSeq
+    assert(out == Seq(2L, 4L))
+    // training is deterministic (lexicographic tie-break)
+    assert(Bpe.train(Map("xy" -> 1L, "ab" -> 1L), 1).merges == Seq(("a", "b")))
+  }
+
   test("token counts and quality metrics") {
     val df = Seq((1L, "Hello, world! This is a test.")).toDF("id", "text")
     val r = df.select(
