@@ -88,6 +88,18 @@ object Fixtures {
         table(spark, sfDir, "customer").coalesce(1), s"$dir/src=json/customer.json")
     }
 
+  /** nation re-materialized as a real xlsx workbook (via the dependency-free
+    * writer) under a single partition dir, for the xlsx scan path. */
+  def xlsxNation(spark: SparkSession, sfDir: String): String =
+    cached("xlsx_nation", sfDir) { dir =>
+      val df = table(spark, sfDir, "nation").orderBy("n_nationkey")
+      val header = df.schema.fieldNames.toSeq
+      val rows = df.collect().map(_.toSeq).toSeq
+      Files.createDirectories(Paths.get(s"$dir/src=xlsx"))
+      val out = new java.io.FileOutputStream(s"$dir/src=xlsx/nation.xlsx")
+      try graft.sources.Xlsx.write(out, header, rows) finally out.close()
+    }
+
   /** documents' doc_ids paired with REAL synthetic image headers (valid
     * PNG/GIF/BMP/JPEG bytes; format rotates by doc_id % 4, dimensions derive
     * from doc_id) so the multimodal decode parses real bytes and the oracle

@@ -125,6 +125,11 @@ object SparkEntry {
         schema = Some(t(s, dir, "customer").schema))
       .orderBy("c_custkey")
 
+  private def s9_scan_xlsx(s: SparkSession, dir: String): DataFrame =
+    Graft.readPartitionedTable(s, Fixtures.xlsxNation(s, dir),
+        schema = Some(t(s, dir, "nation").schema))
+      .orderBy("n_nationkey")
+
   // ============================================================= relational
 
   private def q1_agg(s: SparkSession, dir: String): DataFrame =
@@ -582,6 +587,7 @@ object SparkEntry {
     "s21_scan_identity" -> (s21_scan_identity _),
     "s9_scan_csv" -> (s9_scan_csv _),
     "s9_scan_json" -> (s9_scan_json _),
+    "s9_scan_xlsx" -> (s9_scan_xlsx _),
     "q1_agg" -> (q1_agg _),
     "q2_filter" -> (q2_filter _),
     "q3_join_agg" -> (q3_join_agg _),
@@ -689,6 +695,8 @@ object SparkEntry {
       """SELECT *, 'csv' AS src FROM part ORDER BY p_partkey""",
     "s9_scan_json" ->
       """SELECT *, 'json' AS src FROM customer ORDER BY c_custkey""",
+    "s9_scan_xlsx" ->
+      """SELECT *, 'xlsx' AS src FROM nation ORDER BY n_nationkey""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sum_qty,

@@ -142,18 +142,23 @@ object Graft {
     //  2. mixed formats, few partitions: per-partition load + literals;
     //  3. mixed formats, many partitions: broadcast path-map join.
     val root = fileSystemQualifiedRoot(spark, url)
-    val df =
-      if (good.map(_.format).distinct.size == 1)
-        fileIndexAttach(spark, root, good, options, schema)
+    def attachOne(fmt: String, fs: Seq[FileEntry]): DataFrame =
+      if (fmt == "xlsx") xlsxAttach(spark, fs, schema)
       else {
-        // mixed formats: one attach per format (each single-format), unioned
-        val frames = good.groupBy(_.format).toSeq.sortBy(_._1).map { case (_, fs) =>
-          val groups = fs.groupBy(e => (e.format, e.columns)).toSeq
-            .sortBy(_._2.head.path) // deterministic group order
-          if (groups.size <= unionAttachThreshold) unionAttach(spark, groups, options, schema)
-          else broadcastAttach(spark, fs, options, schema)
-        }
-        frames.reduce(_.unionByName(_, allowMissingColumns = true))
+        val groups = fs.groupBy(e => (e.format, e.columns)).toSeq
+          .sortBy(_._2.head.path) // deterministic group order
+        if (groups.size <= unionAttachThreshold) unionAttach(spark, groups, options, schema)
+        else broadcastAttach(spark, fs, options, schema)
+      }
+    val df =
+      good.map(_.format).distinct match {
+        case Seq("xlsx") => xlsxAttach(spark, good, schema)
+        case Seq(_) => fileIndexAttach(spark, root, good, options, schema)
+        case _ =>
+          // mixed formats: one attach per format (each single-format), unioned
+          val frames = good.groupBy(_.format).toSeq.sortBy(_._1)
+            .map { case (fmt, fs) => attachOne(fmt, fs) }
+          frames.reduce(_.unionByName(_, allowMissingColumns = true))
       }
 
     val projected =
@@ -209,6 +214,44 @@ object Graft {
     val relation = HadoopFsRelation(
       index, index.partitionSchema, dataSchema, None, fileFormat, opts)(spark)
     spark.baseRelationToDataFrame(relation)
+  }
+
+  /** xlsx path: files parsed driver-side in parallel (xlsx is a small-file
+    * interchange format — the format itself caps at ~1M rows — so there is
+    * nothing to distribute within one file; the scan parallelizes across
+    * files), values surfaced as strings with the first row as column names
+    * (reference pd.read_excel semantics, deser.py:79-95), partition columns
+    * appended, and the optional user schema applied as casts. */
+  private def xlsxAttach(
+      spark: SparkSession,
+      files: Seq[FileEntry],
+      schema: Option[StructType]): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val parsed = files.sortBy(_.path).par2.map { e =>
+      val fs = Discovery.fileSystemFor(e.path, conf)
+      val in = fs.open(new Path(e.path))
+      val (hdr, rows) = try graft.sources.Xlsx.read(in) finally in.close()
+      (e, hdr, rows)
+    }
+    val header = parsed.head._2
+    val partCols = files.flatMap(_.columns.keys).distinct.filterNot(header.contains)
+    val allRows = parsed.flatMap { case (e, hdr, rows) =>
+      require(hdr == header,
+        s"xlsx header mismatch in ${e.path}: $hdr vs $header (use lazyErrors to tolerate)")
+      rows.map(r => org.apache.spark.sql.Row.fromSeq(
+        r ++ partCols.map(c => e.columns.getOrElse(c, null))))
+    }
+    val strSchema = StructType(
+      (header ++ partCols).map(StructField(_, StringType, nullable = true)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(allRows, math.max(1, allRows.size / 10000)), strSchema)
+    schema match {
+      case None => df
+      case Some(s) =>
+        val typed = header.map(n => s.find(_.name == n)
+          .map(f => col(n).cast(f.dataType).as(n)).getOrElse(col(n)))
+        df.select(typed ++ partCols.map(col): _*)
+    }
   }
 
   /** Few-partitions path: per-group load with literal partition columns. */
@@ -301,10 +344,7 @@ object Graft {
       case "parquet" | "pq" => "parquet"
       case "csv" => "csv"
       case "json" | "jsonl" => "json"
-      case "xlsx" =>
-        throw new UnsupportedOperationException(
-          "xlsx is not supported by the Spark engine (no built-in source; " +
-            "reference support via openpyxl has no offline Spark equivalent)")
+      case "xlsx" => "xlsx"
       case other =>
         throw new IllegalArgumentException(s"cannot infer format from suffix '$other' ($url)")
     }
@@ -342,6 +382,11 @@ object Graft {
               reader.getFooter.getFileMetaData.getSchema.getFields.asScala
                 .map(_.getName).toSeq
             } finally reader.close()
+          case "xlsx" =>
+            val fs = Discovery.fileSystemFor(e.path, hadoopConf)
+            val in = fs.open(new Path(e.path))
+            val (hdr, _) = try graft.sources.Xlsx.read(in) finally in.close()
+            hdr
           case "csv" if schema.isDefined =>
             val sep = options.getOrElse("sep", options.getOrElse("delimiter", ","))
             val fs = Discovery.fileSystemFor(e.path, hadoopConf)

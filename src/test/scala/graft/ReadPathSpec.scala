@@ -378,6 +378,46 @@ class ReadPathSpec extends SparkSpec {
       "index must reuse discovery-time file statuses, not re-stat")
   }
 
+  test("S9x: xlsx writer/reader round-trip, sparse cells, escaping, col letters") {
+    import graft.sources.Xlsx
+    val bos = new java.io.ByteArrayOutputStream()
+    Xlsx.write(bos, Seq("id", "name", "score"),
+      Seq(Seq(1L, "alice & <bob>", 9.5), Seq(2L, null, 7), Seq(3L, "carol", null)))
+    val (hdr, rows) = Xlsx.read(new java.io.ByteArrayInputStream(bos.toByteArray))
+    assert(hdr == Seq("id", "name", "score"))
+    assert(rows == Seq(
+      Seq("1", "alice & <bob>", "9.5"),
+      Seq("2", null, "7"),
+      Seq("3", "carol", null)))
+    assert(Xlsx.colIndex("A1") == 0 && Xlsx.colIndex("Z9") == 25
+      && Xlsx.colIndex("AA3") == 26 && Xlsx.colIndex("BC12") == 54)
+  }
+
+  test("S9x: xlsx scan attaches partition columns and applies the user schema") {
+    import graft.sources.Xlsx
+    val dir = tmpDir("xlsx_scan")
+    for (p <- Seq("a", "b")) {
+      Files.createDirectories(Paths.get(s"$dir/p=$p"))
+      val out = new java.io.FileOutputStream(s"$dir/p=$p/data.xlsx")
+      try Xlsx.write(out, Seq("k", "v"), Seq(Seq(1, s"$p-one"), Seq(2, s"$p-two")))
+      finally out.close()
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+    val df = Graft.readPartitionedTable(spark, dir, schema = Some(schema))
+    assert(df.schema("k").dataType == org.apache.spark.sql.types.LongType)
+    assert(df.count() == 4)
+    assert(df.filter(col("p") === "b" && col("k") === 2).select("v")
+      .head().getString(0) == "b-two")
+    // lazy errors: a corrupt xlsx lands in failures, good files load
+    writeFile(s"$dir/p=c/broken.xlsx", "this is not a zip file")
+    val rich = Graft.readPartitionedTableRich(spark, dir, schema = Some(schema))
+    assert(rich.failures.length == 1
+      && rich.failures.head.partition.url.endsWith("broken.xlsx"))
+    assert(rich.data.count() == 4)
+  }
+
   test("mergeSchema widens divergent parquet schemas across partitions") {
     import spark.implicits._
     val dir = tmpDir("merge")
