@@ -216,35 +216,44 @@ object Graft {
     spark.baseRelationToDataFrame(relation)
   }
 
-  /** xlsx path: files parsed driver-side in parallel (xlsx is a small-file
-    * interchange format — the format itself caps at ~1M rows — so there is
-    * nothing to distribute within one file; the scan parallelizes across
-    * files), values surfaced as strings with the first row as column names
-    * (reference pd.read_excel semantics, deser.py:79-95), partition columns
-    * appended, and the optional user schema applied as casts. */
+  /** xlsx path: one file is parsed per task ON THE EXECUTORS (driver memory
+    * stays O(1 file) no matter how many workbooks the tree holds); only the
+    * FIRST file is read driver-side, to learn the header that defines the
+    * schema. Within a file there is nothing to distribute (the format caps
+    * at ~1M rows), so the scan parallelizes across files. Values surface as
+    * strings with the first row as column names (reference pd.read_excel
+    * semantics, deser.py:79-95), partition columns appended, and the
+    * optional user schema applied as casts. A header mismatch in a non-first
+    * file fails the reading task (message preserved in the SparkException
+    * cause; use lazyErrors to tolerate). */
   private def xlsxAttach(
       spark: SparkSession,
       files: Seq[FileEntry],
       schema: Option[StructType]): DataFrame = {
     val conf = spark.sessionState.newHadoopConf()
-    val parsed = files.sortBy(_.path).par2.map { e =>
-      val fs = Discovery.fileSystemFor(e.path, conf)
-      val in = fs.open(new Path(e.path))
-      val (hdr, rows) = try graft.sources.Xlsx.read(in) finally in.close()
-      (e, hdr, rows)
+    val sorted = files.sortBy(_.path)
+    val header = {
+      val fs = Discovery.fileSystemFor(sorted.head.path, conf)
+      val in = fs.open(new Path(sorted.head.path))
+      try graft.sources.Xlsx.read(in)._1 finally in.close()
     }
-    val header = parsed.head._2
     val partCols = files.flatMap(_.columns.keys).distinct.filterNot(header.contains)
-    val allRows = parsed.flatMap { case (e, hdr, rows) =>
-      require(hdr == header,
-        s"xlsx header mismatch in ${e.path}: $hdr vs $header (use lazyErrors to tolerate)")
-      rows.map(r => org.apache.spark.sql.Row.fromSeq(
-        r ++ partCols.map(c => e.columns.getOrElse(c, null))))
-    }
     val strSchema = StructType(
       (header ++ partCols).map(StructField(_, StringType, nullable = true)))
-    val df = spark.createDataFrame(
-      spark.sparkContext.parallelize(allRows, math.max(1, allRows.size / 10000)), strSchema)
+    val serConf = new graft.core.SerializableHadoopConf(conf)
+    // ship only (path, partition values) — one task per file
+    val entries = sorted.map(e => (e.path, partCols.map(c => e.columns.getOrElse(c, null))))
+    val rdd = spark.sparkContext
+      .parallelize(entries, entries.size)
+      .flatMap { case (path, pvals) =>
+        val p = new Path(path)
+        val in = p.getFileSystem(serConf.value).open(p)
+        val (hdr, rows) = try graft.sources.Xlsx.read(in) finally in.close()
+        require(hdr == header,
+          s"xlsx header mismatch in $path: $hdr vs $header (use lazyErrors to tolerate)")
+        rows.iterator.map(r => org.apache.spark.sql.Row.fromSeq(r ++ pvals))
+      }
+    val df = spark.createDataFrame(rdd, strSchema)
     schema match {
       case None => df
       case Some(s) =>

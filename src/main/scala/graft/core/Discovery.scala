@@ -49,12 +49,18 @@ object Discovery {
   def listDirectory(url: String, fs: FileSystem): DirectoryListing = {
     listingCalls.incrementAndGet()
     val path = new Path(url)
-    if (!fs.exists(path)) return DirectoryListing(Nil, Nil)
+    // ONE RPC per directory: no pre-flight `exists` (which would double the
+    // per-directory cost on object stores) — a missing dir, e.g. a
+    // generated-grammar overshoot like day=31 in a 30-day month, is the
+    // FileNotFoundException path of the single listStatus call.
     // Names starting with "_" or "." are metadata (_SUCCESS, .crc, ...) and
     // never data — same convention Spark's own FileIndex applies.
-    val statuses = fs.listStatus(path)
+    val statuses =
+      try fs.listStatus(path)
+      catch { case _: java.io.FileNotFoundException => return DirectoryListing(Nil, Nil) }
+    val filtered = statuses
       .filterNot(st => { val n = st.getPath.getName; n.startsWith("_") || n.startsWith(".") })
-    val (dirs, files) = statuses.partition(_.isDirectory)
+    val (dirs, files) = filtered.partition(_.isDirectory)
     DirectoryListing(
       files.sortBy(_.getPath.getName).map(st => ListedFile(st.getPath.getName,
         Some(FileMeta(st.getLen, st.getModificationTime)))).toSeq,

@@ -326,13 +326,17 @@ class ReadPathSpec extends SparkSpec {
     }
   }
 
-  test("xlsx is rejected with a clear unsupported error") {
+  test("corrupt xlsx fails eagerly with a clear parse error") {
+    // (round-1 contract was "xlsx unsupported"; the reader is now real, so
+    // garbage bytes must fail the zip/worksheet parse with a useful message —
+    // the lazyErrors leg of this behavior is pinned in the S9x scan test)
     val dir = tmpDir("xlsx")
     writeFile(s"$dir/wb.xlsx", "not really xlsx")
-    val ex = intercept[UnsupportedOperationException] {
-      Graft.readPartitionedTable(spark, dir)
+    val ex = intercept[IllegalArgumentException] {
+      Graft.readPartitionedTable(spark, dir).collect()
     }
-    assert(ex.getMessage.contains("xlsx"))
+    assert(ex.getMessage.toLowerCase.contains("xlsx") ||
+      ex.getMessage.toLowerCase.contains("zip"))
   }
 
   test("winnowing fingerprint is stable under small mid-document edits") {
@@ -378,6 +382,31 @@ class ReadPathSpec extends SparkSpec {
       "index must reuse discovery-time file statuses, not re-stat")
   }
 
+  test("discovery pays ONE rpc per directory: no exists/stat probes, overshoot tolerated") {
+    val dir = tmpDir("noexists")
+    for (i <- Seq(42, 43)) writeFile(s"$dir/k=$i/f.csv", s"c1\n$i\n")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val probes = new java.util.concurrent.atomic.AtomicLong()
+    val counting = new org.apache.hadoop.fs.FilterFileSystem(
+      org.apache.hadoop.fs.FileSystem.getLocal(conf)) {
+      override def exists(p: org.apache.hadoop.fs.Path): Boolean = {
+        probes.incrementAndGet(); super.exists(p)
+      }
+      override def getFileStatus(p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileStatus = {
+        probes.incrementAndGet(); super.getFileStatus(p)
+      }
+    }
+    Discovery.resetListingCounter()
+    // generated grammar that OVERSHOOTS: k=999 has no directory on disk — the
+    // miss must be absorbed by the single listStatus call, not a pre-probe
+    val parts = Discovery.discoverPartitions(
+      Q.True, AutoParser.fromStr("k=[42,43,999]"),
+      graft.core.Partition.root(dir + "/"), counting)
+    assert(parts.size == 2)
+    assert(Discovery.listingCalls.get() == 3) // the 3 generated dirs; root never listed
+    assert(probes.get() == 0, "discovery must not exists/stat-probe directories")
+  }
+
   test("S9x: xlsx writer/reader round-trip, sparse cells, escaping, col letters") {
     import graft.sources.Xlsx
     val bos = new java.io.ByteArrayOutputStream()
@@ -416,6 +445,28 @@ class ReadPathSpec extends SparkSpec {
     assert(rich.failures.length == 1
       && rich.failures.head.partition.url.endsWith("broken.xlsx"))
     assert(rich.data.count() == 4)
+  }
+
+  test("S9x: xlsx parse is executor-side — only the first file touches the driver") {
+    import graft.sources.Xlsx
+    val dir = tmpDir("xlsx_lazy")
+    Files.createDirectories(Paths.get(s"$dir/p=a"))
+    val out = new java.io.FileOutputStream(s"$dir/p=a/good.xlsx")
+    try Xlsx.write(out, Seq("k", "v"), Seq(Seq(1, "one")))
+    finally out.close()
+    // a corrupt NON-first file: building the frame must succeed (the driver
+    // parses only the first file, for the header — rows stay on executors),
+    // and the parse error surfaces lazily at action time on the task
+    writeFile(s"$dir/p=z/bad.xlsx", "garbage, not a zip")
+    val df = Graft.readPartitionedTable(spark, dir)
+    val ex = intercept[Exception] { df.collect() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.toLowerCase.contains("xlsx")))
+    // good files alone: full distributed read works and stays correct
+    val ok = Graft.readPartitionedTable(spark, s"$dir/p=a")
+    assert(ok.select("k", "v").collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      == Seq(("1", "one")))
   }
 
   test("mergeSchema widens divergent parquet schemas across partitions") {
