@@ -363,9 +363,9 @@ object Graft {
     * ONE metadata read, never a Spark job:
     *  - parquet: direct Hadoop ParquetFileReader footer read (~100× cheaper
     *    than a per-file DataFrameReader resolution) → real file schema;
-    *  - csv: with a user schema, open the file and parse the header line
-    *    (full-file inference would be a full data read); without one, a
-    *    DataFrameReader inference (needed to produce the schema anyway);
+    *  - csv: open the file and parse the HEADER LINE only (full-file
+    *    inference would be a full data read per probed file — the scan's
+    *    schema needs inference on the FIRST file only, done at attach time);
     *  - json: schema inference must yield a non-corrupt field — with a user
     *    schema Spark's PERMISSIVE mode would silently null out a corrupt
     *    file instead of failing, hiding it from the failure list.
@@ -396,7 +396,7 @@ object Graft {
             val in = fs.open(new Path(e.path))
             val (hdr, _) = try graft.sources.Xlsx.read(in) finally in.close()
             hdr
-          case "csv" if schema.isDefined =>
+          case "csv" =>
             val sep = options.getOrElse("sep", options.getOrElse("delimiter", ","))
             val fs = Discovery.fileSystemFor(e.path, hadoopConf)
             val in = fs.open(new Path(e.path))
@@ -405,10 +405,11 @@ object Graft {
                 new java.io.InputStreamReader(in, "UTF-8")).readLine()
               finally in.close()
             if (header == null) throw new RuntimeException("empty csv file")
+            val cells = header.split(java.util.regex.Pattern.quote(sep), -1).toSeq
             if ((readDefaults("csv") ++ options).getOrElse("header", "true") == "true")
-              header.split(java.util.regex.Pattern.quote(sep), -1).toSeq
-                .map(_.trim.stripPrefix("\"").stripSuffix("\""))
-            else schema.get.fieldNames.toSeq
+              cells.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+            else schema.map(_.fieldNames.toSeq)
+              .getOrElse(cells.indices.map(i => s"_c$i"))
           case _ =>
             val inferred = load(spark, e.format, Seq(e.path), options, None).schema
             if (e.format == "json" && inferred.fieldNames.forall(_ == "_corrupt_record"))

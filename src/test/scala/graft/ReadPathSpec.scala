@@ -235,6 +235,21 @@ class ReadPathSpec extends SparkSpec {
     assert(rich2.failures.length == 2)
   }
 
+  test("A8g: csv probe WITHOUT a user schema is header-line only (O(1) jobs, not O(files))") {
+    val dir = tmpDir("a8g")
+    for (i <- 0 until 50) writeFile(s"$dir/p=$i/f.csv", s"c1,c2\n$i,hello\n")
+    writeFile(s"$dir/p=x/empty.csv", "")
+    val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val rich = Graft.readPartitionedTableRich(spark, dir)
+    val jobsRun = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length - jobsBefore
+    // the probe itself is pure header reads; only the ATTACH may run first-file
+    // schema inference (a constant couple of jobs, regardless of file count —
+    // per-file inference would be 50+)
+    assert(jobsRun <= 3, s"schema-less csv probe ran $jobsRun jobs for 51 files")
+    assert(rich.failures.length == 1 && rich.failures.head.partition.url.endsWith("empty.csv"))
+    assert(rich.data.count() == 50)
+  }
+
   test("projection pushdown: columns option prunes data columns, keeps partitions") {
     val dir = tmpDir("proj")
     writeFile(s"$dir/p=1/f.csv", csv)
