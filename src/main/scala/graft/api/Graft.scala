@@ -77,6 +77,32 @@ object Graft {
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
+  /** Reference `FileInPartition.consume` (deser.py:279-289): open one
+    * matched file and hand the stream to `callback`, closing it afterwards.
+    * Pairs with [[discover]] / [[listPartitionedTable]], whose rows carry the
+    * file urls. The reference's FileNotFoundError retry leg invalidates the
+    * fsspec client-side listing cache and re-opens; Hadoop FileSystems keep
+    * no such listing cache, so there is nothing to invalidate and a missing
+    * file is simply an error (same reasoning as S19, SURVEY §8.1). */
+  def openPartitionedFile[T](spark: SparkSession, path: String)(
+      callback: java.io.InputStream => T): T = {
+    val conf = spark.sessionState.newHadoopConf()
+    val in = Discovery.fileSystemFor(path, conf).open(new Path(path))
+    try callback(in) finally in.close()
+  }
+
+  /** Iterator variant: open every file matched by (query, parser) in
+    * deterministic discovery order, yielding (partition, callbackResult). */
+  def consumePartitionedTable[T](
+      spark: SparkSession,
+      url: String,
+      query: PartitionQuery = Q.True,
+      parser: ColumnParser = AutoParser.auto)(
+      callback: java.io.InputStream => T): Seq[(Partition, T)] =
+    discover(spark, url, query, parser).map { p =>
+      p -> openPartitionedFile(spark, p.url)(callback)
+    }
+
   // ------------------------------------------------------------------- read
 
   /** Read a partitioned table into a DataFrame (eager error semantics:
@@ -538,6 +564,34 @@ object Graft {
       options: Map[String, String] = Map.empty): Unit = {
     val fmt = detectFormat(url, format)
     val spark = df.sparkSession
+    // json orient=records/columns: the reference's write_object json branch is
+    // pandas to_json (api.py:150-152), whose shapes are a records ARRAY or a
+    // column->index->value OBJECT — not json-lines. Like the reference, this
+    // is the small-single-object writer, so the frame is collected and
+    // serialized driver-side (the default json path below stays json-lines,
+    // Spark's native encoding; SURVEY §8.4).
+    if (fmt == "json" && options.contains("orient")) {
+      val names = df.schema.fieldNames
+      val rows = df.collect()
+      val text = options("orient") match {
+        case "records" =>
+          rows.map(r => names.indices.map(i =>
+            s""""${names(i)}":${jsonValue(r.get(i))}""").mkString("{", ",", "}"))
+            .mkString("[", ",", "]")
+        case "columns" =>
+          names.indices.map { i =>
+            val col = rows.zipWithIndex.map { case (r, idx) =>
+              s""""$idx":${jsonValue(r.get(i))}"""
+            }.mkString("{", ",", "}")
+            s""""${names(i)}":$col"""
+          }.mkString("{", ",", "}")
+        case other =>
+          throw new IllegalArgumentException(
+            s"unsupported json orient '$other' (records|columns)")
+      }
+      writeRaw(spark, url, text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      return
+    }
     maybeApplyEnvConfig(spark, url)
     val conf = spark.sessionState.newHadoopConf()
     val fs = Discovery.fileSystemFor(url, conf)
@@ -555,6 +609,35 @@ object Graft {
     if (fs.exists(target)) fs.delete(target, false)
     fs.rename(part, target)
     fs.delete(tmp, true)
+  }
+
+  /** Minimal JSON scalar/array/struct encoder for the orient write path
+    * (flat reference schemas; dates/timestamps surface as strings, matching
+    * pandas' default string encoding closely enough for round-trips). */
+  private def jsonValue(v: Any): String = v match {
+    case null => "null"
+    case s: String => jsonString(s)
+    case b: java.lang.Boolean => b.toString
+    case n: java.lang.Number => n.toString
+    case seq: scala.collection.Seq[_] => seq.map(jsonValue).mkString("[", ",", "]")
+    case r: org.apache.spark.sql.Row =>
+      r.schema.fieldNames.indices.map(i =>
+        s"${jsonString(r.schema.fieldNames(i))}:${jsonValue(r.get(i))}")
+        .mkString("{", ",", "}")
+    case other => jsonString(other.toString)
+  }
+  private def jsonString(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"').toString
   }
 
   /** Raw byte-stream write (reference's StringIO/BytesIO branch). */

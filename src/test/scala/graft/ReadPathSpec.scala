@@ -515,4 +515,40 @@ class ReadPathSpec extends SparkSpec {
     Graft.writeRaw(spark, s"$dir/raw.bin", "ahoj".getBytes)
     assert(Files.readString(Paths.get(s"$dir/raw.bin")) == "ahoj")
   }
+
+  test("writeObject json orient=records/columns (reference pandas to_json shapes)") {
+    val dir = tmpDir("orient")
+    import spark.implicits._
+    val df = Seq((1, "a\"quote"), (2, null: String)).toDF("k", "s")
+    Graft.writeObject(df, s"$dir/rec.json", options = Map("orient" -> "records"))
+    assert(Files.readString(Paths.get(s"$dir/rec.json"))
+      == """[{"k":1,"s":"a\"quote"},{"k":2,"s":null}]""")
+    // records arrays round-trip through Spark's multiLine json reader
+    val back = spark.read.option("multiLine", "true").json(s"$dir/rec.json")
+    assert(back.count() == 2 && back.columns.toSet == Set("k", "s"))
+    Graft.writeObject(df, s"$dir/col.json", options = Map("orient" -> "columns"))
+    assert(Files.readString(Paths.get(s"$dir/col.json"))
+      == """{"k":{"0":1,"1":2},"s":{"0":"a\"quote","1":null}}""")
+    intercept[IllegalArgumentException] {
+      Graft.writeObject(df, s"$dir/x.json", options = Map("orient" -> "split"))
+    }
+  }
+
+  test("openPartitionedFile / consumePartitionedTable (reference consume affordance)") {
+    val dir = tmpDir("consume")
+    writeFile(s"$dir/k=1/f.csv", "c1\nalpha\n")
+    writeFile(s"$dir/k=2/f.csv", "c1\nbeta\n")
+    val firstLine: java.io.InputStream => String = in =>
+      new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8")).readLine()
+    // single-file open on a discovered url
+    val one = Graft.discover(spark, dir, Q.eq("k", "2")).head
+    assert(Graft.openPartitionedFile(spark, one.url)(firstLine) == "c1")
+    // iterator variant: deterministic order, partition values attached
+    val all = Graft.consumePartitionedTable(spark, dir)(in => {
+      val r = new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
+      r.readLine(); r.readLine()
+    })
+    assert(all.map { case (p, line) => (p.columns("k"), line) }
+      == Seq(("1", "alpha"), ("2", "beta")))
+  }
 }
