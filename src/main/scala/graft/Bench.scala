@@ -34,24 +34,38 @@ object Bench {
     Fixtures.ymdOrders(spark, sfDir)
     Fixtures.valueOnlyOrders(spark, sfDir)
 
-    val results = headline.map { name =>
-      val fn = SparkEntry.queries(name)
-      // run 1 warms JIT/codegen for this query's generated classes; run 2 is
-      // the steady-state measurement (what a long-lived cluster job sees).
-      // Cache is cleared between runs so the measurement is always a full
-      // fresh computation (operator-internal persists must not carry over).
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    // pass 0 warms JIT/codegen for every query's generated classes; then
+    // THREE full interleaved passes (steady state, and a machine-load blip
+    // hits one pass of every query rather than every run of one query).
+    // Cache is cleared between runs so each measurement is a full fresh
+    // computation (operator-internal persists must not carry over).
+    for (name <- headline) {
+      try SparkEntry.queries(name)(spark, sfDir).count()
+      catch { case _: Throwable => System.err.println(s"[bench] $name warmup FAILED") }
       spark.catalog.clearCache()
+    }
+    val passes = 3
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    for (_ <- 1 to passes; name <- headline) {
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
       val secs = (System.nanoTime() - t0) / 1e9
       if (n < 0) System.err.println(s"[bench] $name FAILED")
-      name -> secs
+      samples(name) = samples(name) :+ secs
+      spark.catalog.clearCache()
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val results = headline.map { name =>
+      val ts = samples(name).sorted
+      (name, ts(ts.size / 2), ts.last - ts.head) // (median, spread)
+    }
+    val qs = results.map { case (k, med, _) => "\"" + k + "\":" + f"$med%.3f" }
+      .mkString("{", ",", "}")
+    val spread = results.map { case (k, _, sp) => "\"" + k + "\":" + f"$sp%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"passes":$passes,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
