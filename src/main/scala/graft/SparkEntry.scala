@@ -485,6 +485,38 @@ object SparkEntry {
         col("lang"))
       .orderBy("doc_id")
 
+  private def t1b_langid_ngram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.langIdNgram(col("text")).as("lang_pred"),
+        col("lang"))
+      .orderBy("doc_id")
+
+  /** DuckDB oracle for t1b, generated from the SAME trained profiles the
+    * Spark expression uses (list-comprehension 1..3-grams + list_intersect
+    * scoring + the identical lexicographic-tie/und CASE). */
+  private def t1bOracleSql: String = {
+    val profiles = TextFunctions.defaultNgramProfiles
+    val langs = profiles.keys.toSeq.sorted
+    def listLit(gs: Seq[String]): String =
+      gs.map(g => "'" + g.replace("'", "''") + "'").mkString("[", ", ", "]")
+    val grams = (1 to 3).map(n =>
+      s"[substr(pd, i, $n) for i in range(1, greatest(length(pd)-${n - 1}, 1)+1)]")
+      .mkString(" || ")
+    val scoreCols = langs.map(l =>
+      s"len(list_intersect(gs, ${listLit(profiles(l))})) AS s_$l").mkString(",\n           ")
+    val g = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val cases = langs.map(l => s"WHEN s_$l = $g THEN '$l'").mkString(" ")
+    s"""WITH p AS (SELECT doc_id, lang,
+           ' ' || regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') || ' ' AS pd
+           FROM documents),
+         gr AS (SELECT doc_id, lang, list_distinct($grams) AS gs FROM p),
+         s AS (SELECT doc_id, lang, $scoreCols FROM gr)
+         SELECT doc_id,
+           CASE WHEN $g = 0 THEN 'und' $cases END AS lang_pred, lang
+         FROM s ORDER BY doc_id"""
+  }
+
   private def t2_quality(s: SparkSession, dir: String): DataFrame = {
     val metrics = TextFunctions.qualityMetrics(col("text"), TextFunctions.englishStopwords)
     t(s, dir, "documents")
@@ -625,6 +657,7 @@ object SparkEntry {
     "a2_ann_lsh" -> (a2_ann_lsh _),
     "a3_ann_ivf" -> (a3_ann_ivf _),
     "t1_langid" -> (t1_langid _),
+    "t1b_langid_ngram" -> (t1b_langid_ngram _),
     "t2_quality" -> (t2_quality _),
     "t3_tokens" -> (t3_tokens _),
     "t3b_tokens_bpe" -> (t3b_tokens_bpe _),
@@ -922,6 +955,7 @@ object SparkEntry {
                 ELSE 'zh' END AS lang_pred,
            lang
          FROM s ORDER BY doc_id""",
+    "t1b_langid_ngram" -> t1bOracleSql,
     "t2_quality" ->
       """WITH w AS (SELECT doc_id, length(text) AS n_chars,
            regexp_split_to_array(trim(text), '\s+') AS ws,

@@ -103,6 +103,111 @@ object TextFunctions {
     }
   }
 
+  /** Distinct character 1..maxN-grams of whitespace-normalized, lowercased,
+    * space-padded text — the classic mixed-n-gram language-profile unit
+    * (Cavnar & Trenkle 1994). Mixed sizes matter: trigrams capture latin
+    * morphology ("ier", "ung", "cio") while unigrams/bigrams carry scripts
+    * without word spacing (hanzi). The normalized string is staged through a
+    * one-element array lambda binding so it evaluates ONCE, not once per
+    * n-gram (see the lambda-capture note on [[shingles]]). */
+  def charNgrams(text: Column, maxN: Int = 3): Column = {
+    val padded = concat(lit(" "), regexp_replace(lower(trim(text)), "\\s+", " "), lit(" "))
+    element_at(transform(array(padded), p => {
+      val perSize = (1 to maxN).map(n =>
+        transform(sequence(lit(0), greatest(length(p) - n, lit(0))),
+          i => substr(p, i + 1, lit(n))))
+      array_distinct(concat(perSize: _*))
+    }), 1)
+  }
+
+  /** Train per-language char-n-gram profiles from (lang, sampleText) pairs:
+    * top-`k` 1..maxN-grams by frequency (ties broken lexicographically, so a
+    * given corpus yields the same profile anywhere). Same offline shape as
+    * [[Bpe.trainFromCorpus]]: training is a bounded driver-side pass over a
+    * sample corpus; the resulting profiles are plain data, shippable to any
+    * cluster. */
+  def trainNgramProfiles(corpus: Seq[(String, String)], k: Int = 150,
+      maxN: Int = 3): Map[String, Seq[String]] =
+    corpus.groupBy(_._1).map { case (lang, texts) =>
+      val counts = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      for ((_, t) <- texts) {
+        val padded = " " + t.trim.toLowerCase.replaceAll("\\s+", " ") + " "
+        for (n <- 1 to maxN; i <- 0 to math.max(padded.length - n, 0))
+          counts(padded.substring(i, math.min(i + n, padded.length))) += 1
+      }
+      lang -> counts.toSeq.sortBy { case (g, c) => (-c, g) }.take(k).map(_._1)
+    }
+
+  /** Small built-in multilingual seed corpus (original sample sentences) the
+    * default trigram profiles are trained from; swap in a real corpus via
+    * [[trainTrigramProfiles]] for production use. */
+  val ngramSeedCorpus: Seq[(String, String)] = Seq(
+    "en" -> "the quick brown fox jumps over the lazy dog in the garden",
+    "en" -> "there is nothing better than a warm summer evening with friends and family",
+    "en" -> "we should always try to learn something new every single day",
+    "en" -> "this kind of thinking will lead to better results for everyone involved",
+    "en" -> "a long walk along the river is a good way to clear your head",
+    "en" -> "she was reading an interesting story about a journey around the world",
+    "en" -> "they found a small house near the old bridge and stayed for a week",
+    "en" -> "good food and good company make any evening feel special",
+    "fr" -> "le petit garcon mange une pomme rouge dans le jardin",
+    "fr" -> "nous devons toujours essayer de apprendre quelque chose de nouveau chaque jour",
+    "fr" -> "il y a beaucoup de choses que nous pouvons faire ensemble ce soir",
+    "fr" -> "cette maniere de penser donnera de meilleurs resultats pour tout le monde",
+    "fr" -> "une longue promenade au bord de la riviere aide a se vider la tete",
+    "fr" -> "elle lisait une histoire interessante sur un voyage autour du monde",
+    "fr" -> "ils ont trouve une petite maison pres du vieux pont et sont restes une semaine",
+    "fr" -> "un bon repas et une bonne compagnie rendent chaque soiree speciale",
+    "de" -> "der kleine junge isst einen roten apfel im garten",
+    "de" -> "wir sollten immer versuchen jeden tag etwas neues zu lernen",
+    "de" -> "es gibt viele dinge die wir heute abend zusammen machen koennen",
+    "de" -> "diese denkweise wird zu besseren ergebnissen fuer alle beteiligten fuehren",
+    "de" -> "ein langer spaziergang am fluss ist eine gute art den kopf frei zu bekommen",
+    "de" -> "sie las eine interessante geschichte ueber eine reise um die welt",
+    "de" -> "sie fanden ein kleines haus bei der alten bruecke und blieben eine woche",
+    "de" -> "gutes essen und gute gesellschaft machen jeden abend besonders",
+    "es" -> "el nino pequeno come una manzana roja en el jardin",
+    "es" -> "siempre debemos intentar aprender algo nuevo cada dia",
+    "es" -> "hay muchas cosas que podemos hacer juntos esta noche",
+    "es" -> "esta manera de pensar dara mejores resultados para todos los involucrados",
+    "es" -> "un largo paseo junto al rio es una buena forma de despejar la cabeza",
+    "es" -> "ella leia una historia interesante sobre un viaje alrededor del mundo",
+    "es" -> "encontraron una casa pequena cerca del puente viejo y se quedaron una semana",
+    "es" -> "buena comida y buena compania hacen especial cualquier noche",
+    "zh" -> "小男孩在花园里吃一个红苹果",
+    "zh" -> "我们应该每天都努力学习新的东西",
+    "zh" -> "今晚我们可以一起做很多事情",
+    "zh" -> "这种思维方式会为所有人带来更好的结果",
+    "zh" -> "沿着河边散步是放松心情的好方法",
+    "zh" -> "她在读一个关于环游世界的有趣故事",
+    "zh" -> "他们在老桥附近找到了一座小房子住了一个星期",
+    "zh" -> "好的食物和好的朋友让每个晚上都很特别")
+
+  /** Default profiles: top-150 mixed 1..3-grams per language from the seed. */
+  lazy val defaultNgramProfiles: Map[String, Seq[String]] =
+    trainNgramProfiles(ngramSeedCorpus)
+
+  /** Language ID via char-n-gram profile overlap: score(lang) = |distinct
+    * document 1..3-grams ∩ profile n-grams|, argmax with the same
+    * deterministic contract as [[langId]] (lexicographically-first language
+    * on ties; "und" when nothing overlaps). Still a pure Column expression —
+    * no shuffle, no UDF — but robust on short / shared-vocabulary sentences
+    * where whole-word markers miss (trigrams see morphology: "ier ", "ung ",
+    * "cio"; unigrams carry unspaced scripts). The document n-gram set is
+    * bound once via a lambda variable, so the text pipeline runs once per
+    * row, not once per language. */
+  def langIdNgram(text: Column,
+      profiles: Map[String, Seq[String]] = defaultNgramProfiles): Column =
+    element_at(transform(array(charNgrams(text)), d => {
+      val scores: Seq[(String, Column)] = profiles.toSeq.sortBy(_._1).map {
+        case (lang, tris) => lang -> size(array_intersect(d, lit(tris.toArray)))
+      }
+      val best = scores.map(_._2).reduceLeft((a, b) => greatest(a, b))
+      scores.foldLeft(lit("und")) { case (acc, (l, s)) =>
+        when(acc === "und" && s > 0 && s === best, lit(l)).otherwise(acc)
+      }
+    }), 1)
+
   /** Content fingerprint: md5 over the sorted distinct token set — stable
     * under word reordering and duplication (bag-of-words identity). */
   def fingerprint(text: Column): Column =

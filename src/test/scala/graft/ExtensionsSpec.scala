@@ -223,6 +223,53 @@ class TextSpec extends SparkSpec {
     assert(out.filter(col("pred") === col("expected")).count() == 5)
   }
 
+  test("trigram langid beats the marker heuristic on short shared-vocab sentences") {
+    // none of these sentences appear in the seed corpus; several have ZERO
+    // marker-word hits (no 'the'/'der'/'el'...) or tie across languages on
+    // shared function words (la/de), which defeats whole-word markers
+    val hard = Seq(
+      (1L, "a good book makes a long journey shorter", "en"),
+      (2L, "my sister works near a small station", "en"),
+      (3L, "what should we cook tonight", "en"),
+      (4L, "la grande maison de papier", "fr"),
+      (5L, "je voudrais un verre de vin blanc", "fr"),
+      (6L, "les enfants jouent toute la journee", "fr"),
+      (7L, "das wetter ist heute wirklich schoen", "de"),
+      (8L, "ich moechte ein glas wasser bitte", "de"),
+      (9L, "die kinder spielen den ganzen tag", "de"),
+      (10L, "el tiempo esta muy bueno hoy", "es"),
+      (11L, "quisiera un vaso de vino blanco", "es"),
+      (12L, "los ninos juegan en la calle", "es"),
+      (13L, "今天天气真的很好", "zh"),
+      (14L, "我想要一杯白葡萄酒", "zh"),
+      (15L, "孩子们整天在街上玩", "zh"))
+    val df = hard.toDF("id", "text", "expected")
+      .withColumn("marker", TextFunctions.langId(col("text")))
+      .withColumn("ngram", TextFunctions.langIdNgram(col("text")))
+    val markerAcc = df.filter(col("marker") === col("expected")).count()
+    val ngramAcc = df.filter(col("ngram") === col("expected")).count()
+    assert(ngramAcc > markerAcc,
+      s"ngram ($ngramAcc/15) must beat markers ($markerAcc/15)")
+    assert(ngramAcc >= 14, s"ngram accuracy too low: $ngramAcc/15")
+  }
+
+  test("ngram profile training is deterministic and charNgrams matches driver logic") {
+    val p1 = TextFunctions.trainNgramProfiles(TextFunctions.ngramSeedCorpus)
+    val p2 = TextFunctions.trainNgramProfiles(TextFunctions.ngramSeedCorpus)
+    assert(p1 == p2 && p1.keySet == Set("en", "fr", "de", "es", "zh"))
+    // Column-side n-gram extraction agrees with the driver-side trainer's
+    // (both must see identical n-grams or profiles would never match docs)
+    val text = "  Hello   wide World "
+    val sparkGrams = Seq(text).toDF("t")
+      .select(TextFunctions.charNgrams(col("t"))).head.getSeq[String](0).toSet
+    val padded = " " + text.trim.toLowerCase.replaceAll("\\s+", " ") + " "
+    val driverGrams = (for {
+      n <- 1 to 3
+      i <- 0 to math.max(padded.length - n, 0)
+    } yield padded.substring(i, math.min(i + n, padded.length))).toSet
+    assert(sparkGrams == driverGrams)
+  }
+
   test("BPE training learns hand-computed merges and counting applies them") {
     import graft.functions.Bpe
     // corpus {aaab x3, ab x1}: pair counts round 1 are (a,a)=6 > (a,b)=4,
