@@ -37,9 +37,18 @@ object Streams {
     * attached from the file path with codegen'd string expressions
     * (streaming-safe: no joins, no state).
     *
-    * New files appearing in the watched directories flow through normally;
-    * new PARTITIONS appearing after start are not picked up (discovery runs
-    * once) — the standard trade-off for pruned streaming sources.
+    * New files appearing in the watched directories flow through normally.
+    * New PARTITIONS appearing after start: with the default
+    * `refreshPartitions=false`, discovery runs once and they are invisible
+    * (minimum listing cost — only matching dirs are ever listed); with
+    * `refreshPartitions=true` the source instead watches the WHOLE tree
+    * recursively and partition pruning becomes a row-level Catalyst filter
+    * on the path-extracted partition columns, so a partition directory
+    * created mid-stream is picked up on the next micro-batch. The trade-off
+    * is honest: refresh pays full-tree listing per batch (the file source
+    * must see new dirs to notice them), and requires a Catalyst-expressible
+    * query (`PartitionQuery.toColumn`); opaque predicates can only prune at
+    * stream start.
     *
     * Layout support: hive `k=v` levels extract by column name; value-only
     * layouts need the [[FixedColumnsParser]] whose grammar names segments
@@ -52,10 +61,17 @@ object Streams {
       parser: ColumnParser = AutoParser.auto,
       format: String = "parquet",
       options: Map[String, String] = Map.empty,
-      schema: Option[StructType] = None): DataFrame = {
+      schema: Option[StructType] = None,
+      refreshPartitions: Boolean = false): DataFrame = {
     val parts = graft.api.Graft.discover(spark, url, query, parser)
     if (parts.isEmpty)
       throw new graft.api.GraftEmptyResultException(s"no files matched under $url for $query")
+
+    val rowFilter: Option[Column] =
+      if (!refreshPartitions) None
+      else Some(query.toColumn.getOrElse(throw new IllegalArgumentException(
+        "refreshPartitions=true requires a Catalyst-expressible partition query " +
+          "(Q.eq/Q.in/and/or/const); opaque predicates can only prune at stream start")))
 
     val conf = spark.sessionState.newHadoopConf()
     val fs = Discovery.fileSystemFor(url, conf)
@@ -69,9 +85,15 @@ object Streams {
       if (dirs == Seq(root.stripSuffix("/"))) root + "*"
       else root + "{" + dirs.map(_.stripPrefix(root)).mkString(",") + "}/*"
 
-    val raw = spark.readStream.format(format).schema(
-        StructType(dataSchema.filterNot(f => partitionCols.contains(f.name))))
-      .options(options).load(glob)
+    val streamSchema =
+      StructType(dataSchema.filterNot(f => partitionCols.contains(f.name)))
+    val raw =
+      if (refreshPartitions)
+        spark.readStream.format(format).schema(streamSchema)
+          .option("recursiveFileLookup", "true").options(options).load(root)
+      else
+        spark.readStream.format(format).schema(streamSchema)
+          .options(options).load(glob)
 
     // normalized path: scheme stripped, as in the batch broadcast attach
     val file = regexp_replace(input_file_name(), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
@@ -96,7 +118,7 @@ object Streams {
             nullif(regexp_extract(file, "/" + java.util.regex.Pattern.quote(c) + "=([^/]+)/", 1), lit("")))
         }
     }
-    withCols
+    rowFilter.fold(withCols)(withCols.filter)
   }
 
   /** Tumbling-window counts/sums per event type, with a watermark (late data

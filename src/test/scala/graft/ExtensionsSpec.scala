@@ -480,6 +480,35 @@ class StreamsSpec extends SparkSpec {
     assert(got2.select("fname").head().getString(0).endsWith(".parquet"))
   }
 
+  test("refreshPartitions picks up partition dirs created after stream start") {
+    import spark.implicits._
+    val dir = tmpDir("stream_refresh")
+    Seq((1, "a")).toDF("v", "s").write.parquet(s"$dir/p=keep1")
+    val sdf = graft.streaming.Streams.readPartitionedStream(
+      spark, dir, query = graft.core.Q.in("p", Seq("keep1", "keep2")),
+      refreshPartitions = true)
+    val q = sdf.writeStream.outputMode("append")
+      .format("memory").queryName("stream_refresh_t").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("stream_refresh_t").count() == 1)
+      // NEW partitions appear mid-stream: a matching one and a pruned one
+      Seq((2, "b"), (3, "c")).toDF("v", "s").write.parquet(s"$dir/p=keep2")
+      Seq((9, "z")).toDF("v", "s").write.parquet(s"$dir/p=drop")
+      q.processAllAvailable()
+      val got = spark.table("stream_refresh_t")
+      assert(got.count() == 3, "mid-stream partition must flow through")
+      assert(got.select("p").distinct().collect().map(_.getString(0)).sorted.toSeq
+        == Seq("keep1", "keep2"), "row-level partition filter must still prune")
+    } finally q.stop()
+    // opaque predicates cannot be refreshed — clear error, not silent wrong results
+    intercept[IllegalArgumentException] {
+      graft.streaming.Streams.readPartitionedStream(
+        spark, dir, query = graft.core.Q.atomic(Set("p"))(m => m("p") != "drop"),
+        refreshPartitions = true)
+    }
+  }
+
   test("streaming windowed agg over finite events source completes and aggregates") {
     val agg = graft.streaming.Streams.windowedAgg(
       graft.streaming.Streams.eventsStream(spark, "/root/testdata/sf0.001"))
