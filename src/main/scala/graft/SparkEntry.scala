@@ -466,6 +466,17 @@ object SparkEntry {
     e.unionByName(planted)
   }
 
+  private def a4_ann_batch(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val qs = e.filter(col("vec_id").isin(0L, 1L, 2L))
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1).toSeq
+    Ann.batchBruteTopK(e, "vec_id", "embedding", qs, k = 5,
+        excludeIds = Seq(0L, 1L, 2L))
+      .select(col("query_id"), col("vec_id"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   private def a2_ann_lsh(s: SparkSession, dir: String): DataFrame =
     Ann.lshTopK(annCorpus(s, dir), "vec_id", "embedding", dim = 64,
         queryVec(s, dir), k = 10, numPlanes = 12, maxHammingProbe = 3,
@@ -548,6 +559,34 @@ object SparkEntry {
       col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
     .orderBy("doc_id")
 
+  private def t5_quality_filter(s: SparkSession, dir: String): DataFrame = {
+    val staged = t(s, dir, "documents").select(col("doc_id"), col("text"),
+      TextFunctions.words(col("text")).as("__w"))
+    val rules = TextFunctions.gopherRules(col("text"), col("__w"))
+    staged.select(col("doc_id") +: rules.map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id")
+  }
+
+  private def t6_redact_pii(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id") +:
+        (TextFunctions.piiCounts(col("text")).map { case (n, c) =>
+          c.cast("long").as(n)
+        } :+ TextFunctions.redactPii(col("text")).as("redacted")): _*)
+      .orderBy("doc_id")
+
+  private def t7_repetition(s: SparkSession, dir: String): DataFrame = {
+    val staged = t(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.words(col("text")).as("__w"))
+    val metrics = TextFunctions.repetitionMetrics(col("__w"))
+    staged.select(col("doc_id") +: metrics.map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id")
+  }
+
+  private def e1_quantize(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Embeddings.quantize(t(s, dir, "embeddings"), "vec_id", "embedding")
+      .orderBy("vec_id")
+
   /** Real header decode over synthetic-but-valid PNG/GIF/BMP/JPEG payloads:
     * the oracle reproduces the fixture's construction arithmetic, so the
     * hash match proves the byte-level parse inverts the construction. */
@@ -573,6 +612,15 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), min(col("ts")).cast("timestamp_ntz").as("session_start"))
       .select("user_id", "session_start", "n")
       .orderBy("user_id", "session_start")
+
+  private def st3_stream_dedup(s: SparkSession, dir: String): DataFrame = {
+    val deduped = graft.streaming.Streams.streamDedup(
+      graft.streaming.Streams.eventsStream(s, dir), Seq("user_id", "event_type"))
+      .select("user_id", "event_type")
+    graft.streaming.Streams.runToMemory(
+        deduped, s"st3_${math.abs(dir.hashCode)}", outputMode = "append")
+      .orderBy("user_id", "event_type")
+  }
 
   private def as1_asof(s: SparkSession, dir: String): DataFrame = {
     val e = Fixtures.events(s, dir).select("event_id", "user_id", "ts")
@@ -655,6 +703,7 @@ object SparkEntry {
     "d6_dedup_pipeline" -> (d6_dedup_pipeline _),
     "a1_ann_brute" -> (a1_ann_brute _),
     "a2_ann_lsh" -> (a2_ann_lsh _),
+    "a4_ann_batch" -> (a4_ann_batch _),
     "a3_ann_ivf" -> (a3_ann_ivf _),
     "t1_langid" -> (t1_langid _),
     "t1b_langid_ngram" -> (t1b_langid_ngram _),
@@ -662,9 +711,14 @@ object SparkEntry {
     "t3_tokens" -> (t3_tokens _),
     "t3b_tokens_bpe" -> (t3b_tokens_bpe _),
     "t4_fingerprint" -> (t4_fingerprint _),
+    "t5_quality_filter" -> (t5_quality_filter _),
+    "t6_redact_pii" -> (t6_redact_pii _),
+    "t7_repetition" -> (t7_repetition _),
+    "e1_quantize" -> (e1_quantize _),
     "m1_multimodal" -> (m1_multimodal _),
     "st1_stream_window" -> (st1_stream_window _),
     "st2_session" -> (st2_session _),
+    "st3_stream_dedup" -> (st3_stream_dedup _),
     "as1_asof" -> (as1_asof _),
     "rj1_range_join" -> (rj1_range_join _),
   )
@@ -922,6 +976,16 @@ object SparkEntry {
          FROM embeddings WHERE vec_id <> 0
          ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qe FROM q)) DESC, vec_id
          LIMIT 10""",
+    "a4_ann_batch" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+         s AS (SELECT q.query_id, e.vec_id,
+           list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS c
+           FROM embeddings e CROSS JOIN q WHERE e.vec_id NOT IN (0, 1, 2)),
+         r AS (SELECT query_id, vec_id, CAST(row_number() OVER
+           (PARTITION BY query_id ORDER BY c DESC, vec_id) AS INT) AS rank FROM s)
+         SELECT query_id, vec_id, rank FROM r WHERE rank <= 5
+         ORDER BY query_id, rank""",
     // the true top-10 over annCorpus is the planted power-of-two-scaled
     // copies of the query (cosine exactly 1.0, id-order tiebreak) — the hash
     // match gates that the approximate index recalls all of them
@@ -983,6 +1047,74 @@ object SparkEntry {
          md5(array_to_string(list_sort(list_distinct(
            regexp_split_to_array(trim(text), '\s+'))), ' ')) AS fp
          FROM documents ORDER BY doc_id""",
+    "t5_quality_filter" ->
+      """WITH w AS (SELECT doc_id, text,
+           regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+         m AS (SELECT doc_id, len(ws) AS n,
+           CASE WHEN len(ws) = 0 THEN 0.0
+                ELSE CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
+                  / len(ws) END AS meanlen,
+           CASE WHEN len(ws) = 0 THEN 0.0
+                ELSE CAST(length(text) - length(regexp_replace(text, '[#…]', '', 'g'))
+                  AS DOUBLE) / len(ws) END AS symratio,
+           CASE WHEN len(ws) = 0 THEN 0.0
+                ELSE CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]')))
+                  AS DOUBLE) / len(ws) END AS alphafrac,
+           len(list_filter(ws, x -> list_contains(
+             ['the','a','an','and','or','of','to','in','is','it','that',
+              'for','on','with','as','at','by','be','this','are','was'], x))) AS nstop
+           FROM w),
+         r AS (SELECT doc_id,
+           n >= 20 AND n <= 200 AS word_count_ok,
+           meanlen >= 3.0 AND meanlen <= 10.0 AS mean_word_len_ok,
+           symratio <= 0.1 AS symbol_ratio_ok,
+           alphafrac >= 0.8 AS alpha_frac_ok,
+           nstop >= 2 AS stopword_ok
+           FROM m)
+         SELECT doc_id, word_count_ok, mean_word_len_ok, symbol_ratio_ok,
+           alpha_frac_ok, stopword_ok,
+           word_count_ok AND mean_word_len_ok AND symbol_ratio_ok
+             AND alpha_frac_ok AND stopword_ok AS keep
+         FROM r ORDER BY doc_id""",
+    "t6_redact_pii" ->
+      """WITH s1 AS (SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+           FROM documents),
+         s2 AS (SELECT doc_id, n_email,
+           CAST(len(regexp_extract_all(t1,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+           regexp_replace(t1,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
+           FROM s1),
+         s3 AS (SELECT doc_id, n_email, n_ip,
+           CAST(len(regexp_extract_all(t2, '\+?\d[\d() -]{6,}\d')) AS BIGINT) AS n_phone,
+           regexp_replace(t2, '\+?\d[\d() -]{6,}\d', '<PHONE>', 'g') AS redacted
+           FROM s2)
+         SELECT doc_id, n_email, n_ip, n_phone, redacted FROM s3 ORDER BY doc_id""",
+    "t7_repetition" ->
+      """WITH w AS (SELECT doc_id,
+           regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+         m AS (SELECT doc_id, len(ws) AS n, len(list_distinct(ws)) AS nd,
+           list_max([len(list_filter(ws, x -> x = d)) for d in list_distinct(ws)]) AS topn
+           FROM w)
+         SELECT doc_id,
+           CASE WHEN n = 0 THEN 0.0 ELSE 1.0 - CAST(nd AS DOUBLE)/n END AS dup_word_ratio,
+           CASE WHEN n = 0 THEN 0.0 ELSE CAST(topn AS DOUBLE)/n END AS top_word_frac
+         FROM m ORDER BY doc_id""",
+    "e1_quantize" ->
+      """WITH m AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         mx AS (SELECT vec_id, v,
+           list_max(list_transform(v, x -> abs(x))) AS mxv FROM m)
+         SELECT vec_id, mxv/127.0 AS scale,
+           [CASE WHEN mxv = 0 THEN 0
+                 ELSE CAST(floor(x*127.0/mxv + 0.5) AS INT) END for x in v] AS qvec
+         FROM mx ORDER BY vec_id""",
+    "st3_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+         ORDER BY user_id, event_type""",
     "m1_multimodal" ->
       """SELECT doc_id,
          CAST(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 33 WHEN 1 THEN 13

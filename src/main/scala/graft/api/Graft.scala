@@ -46,17 +46,29 @@ object Graft {
 
   // ---------------------------------------------------------------- discovery
 
-  /** Driver-side discovery only: which leaf files + partition values match. */
+  /** Driver-side discovery only: which leaf files + partition values match.
+    *
+    * `fsConf` is a PER-CALL filesystem configuration (the reference's
+    * `fs=...` injection, api.py:70-76): merged over the session Hadoop conf
+    * for this discovery only — the session conf is never mutated — and,
+    * because Hadoop's FileSystem cache ignores conf differences, a non-empty
+    * `fsConf` resolves an uncached instance (closed before returning). */
   def discover(
       spark: SparkSession,
       url: String,
       query: PartitionQuery = Q.True,
-      parser: ColumnParser = AutoParser.auto): Seq[Partition] = {
+      parser: ColumnParser = AutoParser.auto,
+      fsConf: Map[String, String] = Map.empty): Seq[Partition] = {
     maybeApplyEnvConfig(spark, url)
     val conf = spark.sessionState.newHadoopConf()
-    val fs = Discovery.fileSystemFor(url, conf)
-    val qualified = fs.makeQualified(new Path(url)).toString
-    Discovery.discoverPartitions(query, parser, Partition.root(qualified), fs)
+    fsConf.foreach { case (k, v) => conf.set(k, v) }
+    val fs =
+      if (fsConf.isEmpty) Discovery.fileSystemFor(url, conf)
+      else Discovery.newFileSystemFor(url, conf)
+    try {
+      val qualified = fs.makeQualified(new Path(url)).toString
+      Discovery.discoverPartitions(query, parser, Partition.root(qualified), fs)
+    } finally if (fsConf.nonEmpty) fs.close()
   }
 
   /** "Fancy ls" (reference IdentityReader, deser.py:273-303): the matched

@@ -126,4 +126,14 @@ object Discovery {
   /** Resolve a url to its Hadoop FileSystem. */
   def fileSystemFor(url: String, conf: Configuration): FileSystem =
     new Path(url).getFileSystem(conf)
+
+  /** Uncached resolve: `FileSystem.get` caches instances per (scheme,
+    * authority) and IGNORES conf differences, so a per-call configuration
+    * (reference `fs=...` argument, api.py:70-76) must bypass the cache.
+    * Caller owns the instance and should close() it after use. */
+  def newFileSystemFor(url: String, conf: Configuration): FileSystem = {
+    val uri = new Path(url).toUri
+    FileSystem.newInstance(
+      if (uri.getScheme == null) FileSystem.getDefaultUri(conf) else uri, conf)
+  }
 }

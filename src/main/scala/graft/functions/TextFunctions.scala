@@ -208,6 +208,85 @@ object TextFunctions {
       }
     }), 1)
 
+  /** Gopher-style rule-based quality filter (Rae et al. 2021, §A1.1 —
+    * public heuristics): per-rule booleans plus the conjunction `keep`.
+    * Bounds are parameters because the right values are corpus-dependent.
+    * All exact arithmetic (long counts, one double division per rule) so a
+    * SQL oracle reproduces the booleans bit-for-bit. `wordsCol` must be a
+    * STAGED projection attribute (lambda-capture rule, see [[shingles]]). */
+  def gopherRules(
+      text: Column,
+      wordsCol: Column,
+      stopwords: Seq[String] = englishStopwords,
+      minWords: Long = 20,
+      maxWords: Long = 200,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      minAlphaFrac: Double = 0.8,
+      minStopwords: Long = 2): Seq[(String, Column)] = {
+    val nWords = size(wordsCol).cast("long")
+    val sumLen = aggregate(wordsCol, lit(0L), (acc, x) => acc + length(x))
+    val meanLen = when(nWords === 0, lit(0.0))
+      .otherwise(sumLen.cast("double") / nWords)
+    val nSymbol = (length(text) - length(regexp_replace(text, "[#…]", ""))).cast("long")
+    val nAlpha = size(filter(wordsCol, x => x.rlike("[a-zA-Z]"))).cast("long")
+    val nStop = size(filter(wordsCol,
+      x => array_contains(lit(stopwords.toArray), x))).cast("long")
+    val rules = Seq(
+      "word_count_ok" -> (nWords >= minWords && nWords <= maxWords),
+      "mean_word_len_ok" -> (meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen),
+      "symbol_ratio_ok" ->
+        (when(nWords === 0, lit(0.0)).otherwise(nSymbol.cast("double") / nWords)
+          <= maxSymbolRatio),
+      "alpha_frac_ok" ->
+        (when(nWords === 0, lit(0.0)).otherwise(nAlpha.cast("double") / nWords)
+          >= minAlphaFrac),
+      "stopword_ok" -> (nStop >= minStopwords))
+    rules :+ ("keep" -> rules.map(_._2).reduce(_ && _))
+  }
+
+  /** Intra-document repetition metrics over a STAGED words column:
+    *  - dup_word_ratio: 1 - |distinct words| / |words|
+    *  - top_word_frac: occurrences of the most frequent word / |words|
+    * High values flag boilerplate/keyword-stuffed documents (the C4/Gopher
+    * repetition family). O(distinct × words) per row — fine at document
+    * scale, embarrassingly parallel, no shuffle. */
+  def repetitionMetrics(wordsCol: Column): Seq[(String, Column)] = {
+    val nWords = size(wordsCol).cast("long")
+    val counts = transform(array_distinct(wordsCol),
+      d => size(filter(wordsCol, x => x === d)))
+    Seq(
+      "dup_word_ratio" -> when(nWords === 0, lit(0.0))
+        .otherwise(lit(1.0) - size(array_distinct(wordsCol)).cast("double") / nWords),
+      "top_word_frac" -> when(nWords === 0, lit(0.0))
+        .otherwise(array_max(counts).cast("double") / nWords))
+  }
+
+  /** PII patterns (name, regex, replacement) — kept to RE2-compatible
+    * syntax (no lookarounds) so DuckDB/Java regex engines agree. Applied in
+    * order: email first, then IPv4, then phone (phone digits never overlap
+    * the earlier placeholders). */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\+?\\d[\\d() -]{6,}\\d", "<PHONE>"))
+
+  /** Text with all [[piiPatterns]] replaced by their placeholders. */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (t, (_, p, r)) => regexp_replace(t, p, r) }
+
+  /** Per-pattern match counts, each counted on the text AFTER the previous
+    * patterns were redacted (mirrors the replacement pass exactly — an email
+    * is never double-counted as a phone). */
+  def piiCounts(text: Column): Seq[(String, Column)] = {
+    val (cols, _) = piiPatterns.foldLeft((Seq.empty[(String, Column)], text)) {
+      case ((acc, t), (name, p, r)) =>
+        (acc :+ (s"n_$name" -> regexp_count(t, lit(p))), regexp_replace(t, p, r))
+    }
+    cols
+  }
+
   /** Content fingerprint: md5 over the sorted distinct token set — stable
     * under word reordering and duplication (bag-of-words identity). */
   def fingerprint(text: Column): Column =

@@ -130,12 +130,28 @@ object Streams {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(10,2)")).cast("double").as("sum_value"))
 
-  /** Run a (finite-source) streaming aggregation to completion into an
-    * in-memory table and return its final result. */
-  def runToMemory(agg: DataFrame, name: String): DataFrame = {
+  /** Streaming exact deduplication on `keys`: state-backed dropDuplicates
+    * with a watermark bounding the key state (a key older than `delay` is
+    * evicted; a duplicate arriving later than the watermark would re-emit —
+    * the standard bounded-state trade-off, same contract as Spark's
+    * dropDuplicates guide). The 100 TB shape: state is O(distinct keys in
+    * the watermark horizon), not O(stream), and the operator shuffles once
+    * on the key columns. */
+  def streamDedup(
+      events: DataFrame,
+      keys: Seq[String],
+      watermarkCol: String = "ts",
+      delay: String = "1 hour"): DataFrame =
+    events.withWatermark(watermarkCol, delay).dropDuplicates(keys)
+
+  /** Run a (finite-source) streaming query to completion into an in-memory
+    * table and return its final result. `outputMode` is "complete" for
+    * aggregations, "append" for row-wise operators (dedup, filters). */
+  def runToMemory(agg: DataFrame, name: String,
+      outputMode: String = "complete"): DataFrame = {
     val spark = agg.sparkSession
     val q = agg.writeStream
-      .outputMode("complete")
+      .outputMode(outputMode)
       .format("memory")
       .queryName(name)
       .trigger(Trigger.AvailableNow())

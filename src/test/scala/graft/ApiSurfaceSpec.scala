@@ -43,6 +43,17 @@ class ApiSurfaceSpec extends SparkSpec {
     intercept[IllegalArgumentException](Graft.readJsonAsDicts(spark, dir))
   }
 
+  test("S20c: per-call fsConf applies to one discovery and never leaks to the session") {
+    val dir = tmpDir("s20c")
+    writeFile(s"$dir/k=1/f.csv", "c1\n5\n")
+    val parts = Graft.discover(spark, dir,
+      fsConf = Map("graft.test.percall" -> "yes", "io.file.buffer.size" -> "8192"))
+    assert(parts.size == 1 && parts.head.columns("k") == "1")
+    // session Hadoop conf untouched — the per-call map was confined to the call
+    assert(spark.sessionState.newHadoopConf().get("graft.test.percall") == null)
+    assert(spark.sparkContext.hadoopConfiguration.get("graft.test.percall") == null)
+  }
+
   test("S20: per-protocol config lands in hadoop conf") {
     Graft.setDefaultConfig(spark, "s3a", Map("endpoint" -> "http://localhost:9000"))
     assert(spark.sparkContext.hadoopConfiguration.get("fs.s3a.endpoint")

@@ -198,6 +198,23 @@ class AnnSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("batched top-k agrees with per-query brute force") {
+    val dim = 16
+    val rows = (0 until 150).map(i => (i.toLong, randVec(i, dim)))
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = Seq(3L, 77L).map(q => q -> rows(q.toInt)._2)
+    val batch = Ann.batchBruteTopK(df, "vec_id", "embedding", queries, k = 4,
+        excludeIds = queries.map(_._1), salt = 8)
+      .select("query_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val loop = queries.flatMap { case (qid, v) =>
+      Ann.bruteForceTopK(df, "vec_id", "embedding", v, k = 4,
+          excludeIds = queries.map(_._1)).collect()
+        .map(r => (qid, r.getLong(0), r.getInt(2)))
+    }.sorted
+    assert(batch == loop)
+  }
+
   test("LSH top-k recalls the exact nearest neighbor (self)") {
     val dim = 16
     val rows = (0 until 200).map(i => (i.toLong, randVec(i, dim)))
@@ -268,6 +285,87 @@ class TextSpec extends SparkSpec {
       i <- 0 to math.max(padded.length - n, 0)
     } yield padded.substring(i, math.min(i + n, padded.length))).toSet
     assert(sparkGrams == driverGrams)
+  }
+
+  test("PII redaction replaces emails, IPs and phones with placeholders") {
+    val docs = Seq(
+      (1L, "contact alice.smith+x@example.co.uk or call +1 (555) 123-4567 now"),
+      (2L, "server at 192.168.0.1 responded; backup 10.0.0.254 did not"),
+      (3L, "no pii here at all"))
+    val out = docs.toDF("id", "text")
+      .select(col("id") +:
+        (TextFunctions.piiCounts(col("text")).map { case (n, c) => c.as(n) } :+
+          TextFunctions.redactPii(col("text")).as("red")): _*)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toMap
+    assert(out(1L) == ((1, 0, 1, "contact <EMAIL> or call <PHONE> now")))
+    assert(out(2L)._2 == 2 && out(2L)._4.contains("<IP> responded; backup <IP>"))
+    assert(out(3L) == ((0, 0, 0, "no pii here at all")))
+  }
+
+  test("gopher rules: each rule trips on a crafted violation, clean doc keeps") {
+    val good = (1 to 30).map(i => s"word$i").mkString("the quick it is that ", " ", "")
+    val docs = Seq(
+      (1L, good), // passes everything
+      (2L, "too few words here"), // word_count
+      (3L, Seq.fill(25)("a").mkString(" ") + " the it"), // mean word len < 3
+      (4L, (1 to 25).map(_ => "####琴").mkString("the it is ", " ", ""))) // alpha frac
+    val staged = docs.toDF("id", "text")
+      .select(col("id"), col("text"), TextFunctions.words(col("text")).as("__w"))
+    val rules = TextFunctions.gopherRules(col("text"), col("__w"))
+    val out = staged.select(col("id") +: rules.map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(6), "clean doc must keep")
+    assert(!out(2L).getBoolean(1) && !out(2L).getBoolean(6))
+    assert(!out(3L).getBoolean(2) && !out(3L).getBoolean(6))
+    assert(!out(4L).getBoolean(4) && !out(4L).getBoolean(6))
+  }
+
+  test("repetition metrics flag keyword stuffing") {
+    val docs = Seq(
+      (1L, "spam spam spam spam ham"),
+      (2L, "all words here are fully distinct"))
+    val staged = docs.toDF("id", "text")
+      .select(col("id"), TextFunctions.words(col("text")).as("__w"))
+    val ms = TextFunctions.repetitionMetrics(col("__w"))
+    val out = staged.select(col("id") +: ms.map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out(1L) == ((1.0 - 2.0 / 5.0, 4.0 / 5.0)))
+    assert(out(2L) == ((0.0, 1.0 / 6.0)))
+  }
+
+  test("int8 quantization round-trips within one quantization step") {
+    import graft.operators.Embeddings
+    def randVec(seed: Int, dim: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(dim)((r.nextDouble() * 2 - 1).toFloat)
+    }
+    val vecs = (0 until 50).map(i => (i.toLong, randVec(i, 16)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = Embeddings.quantize(df, "vec_id", "embedding")
+    // dequantized values within scale/2 + float eps of the original
+    val joined = df.join(q, "vec_id")
+      .select(col("vec_id"),
+        aggregate(zip_with(col("embedding"),
+            Embeddings.dequantize(col("qvec"), col("scale")),
+            (a, b) => abs(a.cast("double") - b)),
+          lit(0.0), (acc, x) => greatest(acc, x)).as("max_err"),
+        col("scale"))
+      .collect()
+    joined.foreach { r =>
+      assert(r.getDouble(1) <= r.getDouble(2) / 2 + 1e-9,
+        s"vec ${r.getLong(0)}: err ${r.getDouble(1)} > half-step ${r.getDouble(2) / 2}")
+    }
+    // quantized cosine approximates true cosine
+    val c = df.filter(col("vec_id") === 0).select(col("embedding")).head.getSeq[Float](0)
+    val qc = q.filter(col("vec_id") === 0).select("qvec").head.getSeq[Int](0)
+    val cosTrue = { val b = vecs(1)._2
+      val dot = c.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(c.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum)) }
+    val qb = q.filter(col("vec_id") === 1).select("qvec").head.getSeq[Int](0)
+    val cosQ = { val dot = qc.zip(qb).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(qc.map(x => x.toDouble * x).sum) * math.sqrt(qb.map(x => x.toDouble * x).sum)) }
+    assert(math.abs(cosTrue - cosQ) < 0.02, s"$cosTrue vs $cosQ")
   }
 
   test("BPE training learns hand-computed merges and counting applies them") {
@@ -518,5 +616,17 @@ class StreamsSpec extends SparkSpec {
     val total = out.agg(sum("n")).head().getLong(0)
     val batch = Fixtures.events(spark, "/root/testdata/sf0.001").count()
     assert(total == batch)
+  }
+
+  test("streaming exact dedup emits one row per key (matches batch distinct)") {
+    val ev = graft.streaming.Streams.eventsStream(spark, "/root/testdata/sf0.001")
+    val out = graft.streaming.Streams.runToMemory(
+      graft.streaming.Streams.streamDedup(ev, Seq("user_id", "event_type"))
+        .select("user_id", "event_type"),
+      "st_dedup_test", outputMode = "append")
+    val batch = Fixtures.events(spark, "/root/testdata/sf0.001")
+      .select("user_id", "event_type").distinct()
+    assert(out.count() == batch.count())
+    assert(out.exceptAll(batch).count() == 0)
   }
 }
