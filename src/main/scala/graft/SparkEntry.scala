@@ -358,6 +358,42 @@ object SparkEntry {
     hi.unionAll(lo).orderBy("o_orderkey", "bucket")
   }
 
+  private def q28_pivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(dsum(col("l_quantity")))
+      .orderBy("l_linestatus")
+
+  /** Rolling 30-day sum per customer — RANGE frame over days-since-epoch
+    * (integer range frames agree across engines; interval frames differ in
+    * syntax). */
+  private def q29_range_window(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(datediff(col("o_orderdate"), lit("1970-01-01")))
+      .rangeBetween(-30, Window.currentRow)
+    t(s, dir, "orders")
+      .withColumn("rolling_30d", sum(dec(col("o_totalprice"))).over(w).cast("double"))
+      .select("o_orderkey", "o_custkey", "rolling_30d")
+      .orderBy("o_orderkey")
+  }
+
+  private def q30_posexplode(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").filter(col("doc_id") < 20)
+      .select(col("doc_id"), posexplode(graft.functions.TextFunctions.words(col("text"))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("word"))
+      .orderBy("doc_id", "pos")
+
+  private def q31_array_quantifiers(s: SparkSession, dir: String): DataFrame = {
+    val staged = t(s, dir, "documents")
+      .select(col("doc_id"), graft.functions.TextFunctions.words(col("text")).as("__w"))
+    staged.select(col("doc_id"),
+        exists(col("__w"), w => w === "the").as("has_the"),
+        forall(col("__w"), w => length(w) > 1).as("all_longer_1"),
+        size(col("__w")).cast("long").as("n"))
+      .orderBy("doc_id")
+  }
+
   private def q25_semi_anti_combo(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
     val big = t(s, dir, "lineitem").filter(col("l_quantity") > 48)
@@ -695,6 +731,10 @@ object SparkEntry {
     "q25_semi_anti_combo" -> (q25_semi_anti_combo _),
     "q26_cte" -> (q26_cte _),
     "q27_union_all" -> (q27_union_all _),
+    "q28_pivot" -> (q28_pivot _),
+    "q29_range_window" -> (q29_range_window _),
+    "q30_posexplode" -> (q30_posexplode _),
+    "q31_array_quantifiers" -> (q31_array_quantifiers _),
     "d1_dedup_exact" -> (d1_dedup_exact _),
     "d2_dedup_minhash" -> (d2_dedup_minhash _),
     "d3_dedup_simhash" -> (d3_dedup_simhash _),
@@ -916,6 +956,35 @@ object SparkEntry {
            UNION ALL
            SELECT o_orderkey, 'lo' AS bucket FROM orders WHERE o_totalprice < 10000
          ) u ORDER BY o_orderkey, bucket""",
+    "q28_pivot" ->
+      """SELECT l_linestatus,
+           CAST(sum(CASE WHEN l_returnflag = 'A'
+             THEN CAST(l_quantity AS DECIMAL(10,2)) END) AS DOUBLE) AS "A",
+           CAST(sum(CASE WHEN l_returnflag = 'N'
+             THEN CAST(l_quantity AS DECIMAL(10,2)) END) AS DOUBLE) AS "N",
+           CAST(sum(CASE WHEN l_returnflag = 'R'
+             THEN CAST(l_quantity AS DECIMAL(10,2)) END) AS DOUBLE) AS "R"
+         FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+    "q29_range_window" ->
+      """SELECT o_orderkey, o_custkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(10,2))) OVER (
+             PARTITION BY o_custkey
+             ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_30d
+         FROM orders ORDER BY o_orderkey""",
+    "q30_posexplode" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+           FROM documents WHERE doc_id < 20)
+         SELECT doc_id, CAST(generate_subscripts(ws, 1) - 1 AS BIGINT) AS pos,
+           unnest(ws) AS word
+         FROM w ORDER BY doc_id, pos""",
+    "q31_array_quantifiers" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+           FROM documents)
+         SELECT doc_id, list_contains(ws, 'the') AS has_the,
+           len(list_filter(ws, x -> length(x) > 1)) = len(ws) AS all_longer_1,
+           CAST(len(ws) AS BIGINT) AS n
+         FROM w ORDER BY doc_id""",
     "q25_semi_anti_combo" ->
       """SELECT o_orderkey, o_orderstatus FROM orders
          WHERE EXISTS (SELECT 1 FROM lineitem

@@ -43,6 +43,25 @@ class ApiSurfaceSpec extends SparkSpec {
     intercept[IllegalArgumentException](Graft.readJsonAsDicts(spark, dir))
   }
 
+  test("cosine_sim is SQL-callable via GraftExtensions (build-time and live register)") {
+    import org.apache.spark.sql.SparkSession
+    graft.GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c").head.getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12)
+    // a session BUILT with the extensions class has the function with no
+    // manual registration (same SparkContext, fresh session state)
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder().master("local[2]")
+      .withExtensions(new graft.GraftExtensions).getOrCreate()
+    try
+      assert(s2.sql("SELECT cosine_sim(array(0.0D, 2.0D), array(0.0D, 1.0D)) AS c")
+        .head.getDouble(0) > 0.999)
+    finally {
+      SparkSession.setActiveSession(spark); SparkSession.setDefaultSession(spark)
+    }
+  }
+
   test("S20c: per-call fsConf applies to one discovery and never leaks to the session") {
     val dir = tmpDir("s20c")
     writeFile(s"$dir/k=1/f.csv", "c1\n5\n")
