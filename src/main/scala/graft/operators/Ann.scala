@@ -58,41 +58,32 @@ object Ann {
 
   /** Batched exact top-k: every query vector scored against the corpus in
     * ONE scan (queries ship as a literal array, exploded map-side — no
-    * join, no second scan). Per-query top-k runs in two phases so the final
-    * window is never a Q-partition bottleneck:
-    *   1. rank within (query, salt-of-id) groups — Q×`salt` well-spread
-    *      shuffle groups — keep k per group;
-    *   2. final rank over the surviving Q×salt×k rows (tiny).
-    * Shuffle volume is bounded by phase 1's |corpus|×Q narrow rows (~24 B
-    * each: qid, id, cosine). That single-scan shape is the 100 TB default
-    * for a moderate query batch; for huge batches route through a sketch or
-    * IVF first, for one query use [[bruteForceTopK]] (TakeOrdered, no
-    * window shuffle at all). Returns (query_id, idCol, cosine, rank). */
+    * join, no second scan), then a per-query rank window with `rank <= k`.
+    * Catalyst's InferWindowGroupLimit rewrites that pattern into a
+    * map-side partial top-k (`WindowGroupLimit ... Partial` BEFORE the
+    * exchange), so the shuffle carries at most k rows per query per input
+    * partition — never |corpus|×Q — and the final per-query rank touches
+    * only those survivors. (A hand-rolled salted two-phase rank would
+    * duplicate exactly this and add a shuffle; the plan is asserted in
+    * PlanSpec.) For huge query batches route through a sketch or IVF
+    * first; for one query [[bruteForceTopK]] (TakeOrdered) avoids the
+    * window entirely. Returns (query_id, idCol, cosine, rank). */
   def batchBruteTopK(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       queries: Seq[(Long, Array[Float])],
       k: Int,
-      excludeIds: Seq[Long] = Nil,
-      salt: Int = 32): DataFrame = {
+      excludeIds: Seq[Long] = Nil): DataFrame = {
     require(queries.nonEmpty, "empty query batch")
     import org.apache.spark.sql.expressions.Window
     val qarr = array(queries.map { case (qid, v) =>
       struct(lit(qid).as("query_id"), lit(v.map(_.toDouble)).as("qvec"))
     }: _*)
-    val scored = df
-      .filter(if (excludeIds.isEmpty) lit(true) else !col(idCol).isin(excludeIds: _*))
+    df.filter(if (excludeIds.isEmpty) lit(true) else !col(idCol).isin(excludeIds: _*))
       .select(col(idCol), explode(qarr).as("__q"), col(vecCol))
       .select(col("__q.query_id").as("query_id"), col(idCol),
         cosine(col(vecCol), col("__q.qvec")).as("cosine"))
-    val local = scored
-      .withColumn("__salt", pmod(xxhash64(col(idCol)), lit(salt)))
-      .withColumn("__r", row_number().over(
-        Window.partitionBy(col("query_id"), col("__salt"))
-          .orderBy(desc("cosine"), col(idCol))))
-      .filter(col("__r") <= k).drop("__salt", "__r")
-    local
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(desc("cosine"), col(idCol))))
       .filter(col("rank") <= k)

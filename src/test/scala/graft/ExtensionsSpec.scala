@@ -204,7 +204,7 @@ class AnnSpec extends SparkSpec {
     val df = rows.toDF("vec_id", "embedding")
     val queries = Seq(3L, 77L).map(q => q -> rows(q.toInt)._2)
     val batch = Ann.batchBruteTopK(df, "vec_id", "embedding", queries, k = 4,
-        excludeIds = queries.map(_._1), salt = 8)
+        excludeIds = queries.map(_._1))
       .select("query_id", "vec_id", "rank").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
     val loop = queries.flatMap { case (qid, v) =>

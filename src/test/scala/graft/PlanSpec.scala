@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan assertions: these tests pin the 100 TB-relevant properties
+  * of the operators — what shuffles, what gets pruned map-side, what stays
+  * inside whole-stage codegen — so a regression in plan shape fails CI even
+  * while results stay correct. AQE gotcha: the frame is collect()ed first so
+  * `executedPlan` is the FINAL adaptive plan; only the final-plan section is
+  * inspected (the printed string also embeds the initial plan).
+  */
+class PlanSpec extends SparkSpec {
+
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+  private def count(plan: String, token: String): Int =
+    token.r.findAllIn(plan).length
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("a4 batched ANN: map-side WindowGroupLimit prunes before the only hash shuffle") {
+    val plan = finalPlan(SparkEntry.queries("a4_ann_batch")(spark, dir))
+    // rank<=k rewritten into partial (map-side) + final group limits
+    assert(count(plan, "WindowGroupLimit") >= 2, plan.take(2000))
+    assert(plan.contains("Partial"), "map-side partial top-k must exist")
+    // exactly ONE hash shuffle (the per-query window); orderBy adds a range
+    assert(count(plan, "Exchange hashpartitioning") == 1, plan.take(2000))
+    assert(count(plan, "CartesianProduct") == 0 && count(plan, "BroadcastNestedLoop") == 0)
+  }
+
+  test("e1 quantization: no hash shuffle at all — scan, two projections, sort") {
+    val plan = finalPlan(SparkEntry.queries("e1_quantize")(spark, dir))
+    assert(count(plan, "Exchange hashpartitioning") == 0, plan.take(2000))
+    assert(count(plan, "Exchange rangepartitioning") == 1) // the orderBy only
+  }
+
+  test("t5/t7 text metrics: embarrassingly parallel (no hash shuffle)") {
+    for (q <- Seq("t5_quality_filter", "t7_repetition", "t1b_langid_ngram")) {
+      val plan = finalPlan(SparkEntry.queries(q)(spark, dir))
+      assert(count(plan, "Exchange hashpartitioning") == 0, s"$q: ${plan.take(1500)}")
+    }
+  }
+
+  test("q29 range window: one hash shuffle on the partition key") {
+    val plan = finalPlan(SparkEntry.queries("q29_range_window")(spark, dir))
+    assert(count(plan, "Exchange hashpartitioning") == 1, plan.take(2000))
+    assert(plan.contains("RANGE BETWEEN") || plan.contains("specifiedwindowframe"))
+  }
+
+  test("q28 pivot: two partial-aggregated passes (pre-agg on both keys, then pivot)") {
+    val plan = finalPlan(SparkEntry.queries("q28_pivot")(spark, dir))
+    // Spark's pivot plan: partial+final sum on (status, flag), then
+    // partial+final pivotfirst on (status) — both shuffles carry only
+    // aggregated keys, never raw lineitem rows
+    assert(count(plan, "Exchange hashpartitioning") == 2, plan.take(2000))
+    assert(count(plan, "partial_sum") >= 1 && count(plan, "partial_pivotfirst") >= 1,
+      "both aggregation passes must have map-side partials")
+  }
+
+  test("q7 top-k plans TakeOrderedAndProject (no global sort of the table)") {
+    val plan = finalPlan(SparkEntry.queries("q7_topk")(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+}
