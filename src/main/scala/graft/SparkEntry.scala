@@ -455,6 +455,25 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Transitive near-dup clusters over a deterministic chain-edge graph:
+    * doc↔doc+1 and doc↔doc+2 edges where bigram-shingle jaccard ≥ 0.05.
+    * The +2 edges make transitivity real (a–b–c chains where a,c are
+    * not themselves an edge), so the hash gate exercises the closure. */
+  private def d7_connected_components(s: SparkSession, dir: String): DataFrame = {
+    val sh = t(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.words(col("text")).as("w"))
+      .select(col("doc_id"), array_distinct(TextFunctions.shingles(col("w"), 2)).as("s"))
+    val a = sh.select(col("doc_id").as("id_a"), col("s").as("sa"))
+    val b = (1 to 2).map(off =>
+      sh.select((col("doc_id") - off).as("id_a"), col("doc_id").as("id_b"), col("s").as("sb")))
+      .reduce(_ unionByName _)
+    val pairs = a.join(b, Seq("id_a"))
+      .filter(size(array_intersect(col("sa"), col("sb"))).cast("double") /
+        size(array_distinct(concat(col("sa"), col("sb")))) >= 0.05)
+      .select("id_a", "id_b")
+    Dedup.connectedComponents(pairs).orderBy("id")
+  }
+
   private def d5_embed_neardup(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val both = e.unionByName(e.withColumn("vec_id", col("vec_id") + 1000000))
@@ -649,6 +668,20 @@ object SparkEntry {
       .select("user_id", "session_start", "n")
       .orderBy("user_id", "session_start")
 
+  /** Stream-static join: the event stream joined to the (broadcast)
+    * customer dimension, then a streaming aggregation — the standard
+    * enrich-then-aggregate shape; the static side never recomputes per
+    * micro-batch state. */
+  private def st4_stream_static_join(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.streaming.Streams.eventsStream(s, dir)
+    val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+    val agg = ev.join(broadcast(cust), ev("user_id") === cust("c_custkey"))
+      .groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+    graft.streaming.Streams.runToMemory(agg, s"st4_${math.abs(dir.hashCode)}")
+      .orderBy("c_mktsegment", "event_type")
+  }
+
   private def st3_stream_dedup(s: SparkSession, dir: String): DataFrame = {
     val deduped = graft.streaming.Streams.streamDedup(
       graft.streaming.Streams.eventsStream(s, dir), Seq("user_id", "event_type"))
@@ -741,6 +774,7 @@ object SparkEntry {
     "d4_ngram_jaccard" -> (d4_ngram_jaccard _),
     "d5_embed_neardup" -> (d5_embed_neardup _),
     "d6_dedup_pipeline" -> (d6_dedup_pipeline _),
+    "d7_connected_components" -> (d7_connected_components _),
     "a1_ann_brute" -> (a1_ann_brute _),
     "a2_ann_lsh" -> (a2_ann_lsh _),
     "a4_ann_batch" -> (a4_ann_batch _),
@@ -759,6 +793,7 @@ object SparkEntry {
     "st1_stream_window" -> (st1_stream_window _),
     "st2_session" -> (st2_session _),
     "st3_stream_dedup" -> (st3_stream_dedup _),
+    "st4_stream_static_join" -> (st4_stream_static_join _),
     "as1_asof" -> (as1_asof _),
     "rj1_range_join" -> (rj1_range_join _),
   )
@@ -1037,6 +1072,31 @@ object SparkEntry {
          FROM embeddings ORDER BY id_a, id_b""",
     "d6_dedup_pipeline" ->
       """SELECT doc_id FROM documents ORDER BY doc_id""",
+    "d7_connected_components" ->
+      """WITH RECURSIVE
+         w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+               FROM documents),
+         sh AS (SELECT doc_id,
+                  list_distinct(CASE WHEN len(ws) < 2 THEN [array_to_string(ws, ' ')]
+                    ELSE list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) END) AS s
+                FROM w),
+         e0 AS (
+           SELECT a.doc_id AS ia, b.doc_id AS ib FROM sh a JOIN sh b
+             ON b.doc_id = a.doc_id + 1
+           WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(a.s || b.s)) >= 0.05
+           UNION ALL
+           SELECT a.doc_id, b.doc_id FROM sh a JOIN sh b
+             ON b.doc_id = a.doc_id + 2
+           WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(a.s || b.s)) >= 0.05),
+         edges AS (SELECT ia AS src, ib AS dst FROM e0
+                   UNION SELECT ib, ia FROM e0),
+         reach AS (
+           SELECT DISTINCT src AS id, src AS comp FROM edges
+           UNION
+           SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id)
+         SELECT id, min(comp) AS comp FROM reach GROUP BY id ORDER BY id""",
     "a1_ann_brute" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
          SELECT vec_id, CAST(row_number() OVER
@@ -1184,6 +1244,12 @@ object SparkEntry {
     "st3_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
          ORDER BY user_id, event_type""",
+    "st4_stream_static_join" ->
+      """SELECT c_mktsegment, event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY c_mktsegment, event_type
+         ORDER BY c_mktsegment, event_type""",
     "m1_multimodal" ->
       """SELECT doc_id,
          CAST(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 33 WHEN 1 THEN 13

@@ -237,11 +237,73 @@ object Dedup {
   }
 
   /** Greedy dedup from a pair list: drop every id that pairs with a smaller
-    * surviving id (single pass; standard LSH-dedup policy — not full
-    * connected components, which would need an iterative join). */
+    * surviving id (single pass; standard LSH-dedup policy — see
+    * [[connectedComponents]] for the transitive-closure-correct variant). */
   def dropNearDuplicates(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     val toDrop = pairs.select(col("id_b").as(idCol)).distinct()
     df.join(toDrop, Seq(idCol), "left_anti")
+  }
+
+  /** Connected components over an undirected pair list — the
+    * transitive-closure-correct grouping for near-duplicate clusters (a~b
+    * and b~c put a,c in one cluster even when a,c themselves don't pair).
+    * Returns (id, comp) where comp = the minimum node id in the component,
+    * for every node that appears in at least one pair.
+    *
+    * Algorithm: min-label propagation with per-round path compression
+    * (comp := comp(comp)) — the pointer-jumping step makes convergence
+    * O(log diameter) rounds rather than O(diameter), the property that
+    * matters when a 100 TB corpus chains long near-dup runs. Each round
+    * materializes its label table and re-enters the plan through a
+    * LogicalRDD barrier: the round's self-join references its input twice,
+    * so WITHOUT the barrier the logical plan doubles every round
+    * (exponential analysis/codegen cost); with it each round's plan is
+    * O(1) and the persisted RDD bounds recompute. The previous round's
+    * cache is released only after the next one is materialized. */
+  def connectedComponents(
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = pairs.sparkSession
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+    var retained: Option[DataFrame] = None // persisted frame backing `labels`
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // each node takes the min label among itself and its neighbors
+      val prop = edges.join(labels.select(col("id").as("src"), col("comp")), "src")
+        .groupBy(col("dst").as("id")).agg(min("comp").as("nbr"))
+      val stepped = labels.join(prop, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
+      // path compression: follow the label one hop (labels are node ids, so
+      // the inner self-join is total)
+      val persisted = stepped
+        .join(stepped.select(col("id").as("comp"), col("comp").as("comp2")), Seq("comp"))
+        .select(col("id"), col("comp2").as("comp"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      persisted.count() // materialize while the previous round's cache lives
+      val next = spark.createDataFrame(persisted.rdd, persisted.schema) // barrier
+      val changed = next
+        .join(labels.withColumnRenamed("comp", "old"), "id")
+        .filter(col("comp") =!= col("old")).limit(1).count() > 0
+      retained.foreach(_.unpersist(false))
+      retained = Some(persisted)
+      labels = next
+      converged = !changed
+      iter += 1
+    }
+    edges.unpersist(false)
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    // the final round's cache backs the returned frame; release it after the
+    // caller's first action (same one-shot listener contract as minhashPairs)
+    retained.fold(labels)(p => armLshListener(labels, "graft_cc", 0, Seq(p)))
   }
 
   // ------------------------------------------------------------- simhash

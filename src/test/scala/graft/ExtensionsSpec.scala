@@ -22,6 +22,18 @@ class DedupSpec extends SparkSpec {
     assert(out.filter(col("n_copies") === 2).select("id").as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("connected components: transitive chains collapse, pointer jumping converges") {
+    // a diameter-40 chain: naive min-propagation needs 40 rounds, over the
+    // 25-round cap — convergence here proves the path-compression step works
+    val pairs = ((0L until 40L).map(i => (i, i + 1)) :+ (100L, 101L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 40L).forall(cc(_) == 0L), "chain must collapse to min id 0")
+    assert(cc(100L) == 100L && cc(101L) == 100L)
+    assert(cc.size == 43) // only nodes that appear in a pair
+  }
+
   test("minhash LSH finds planted near-dup and exact-dup pairs") {
     val df = base.toDF("id", "text")
     val pairs = Dedup.minhashPairs(df, "id", "text",
