@@ -638,6 +638,23 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  private val t8Weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  private def t8_split(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.deterministicSplit(col("doc_id"), t8Weights, salt = "graft")
+          .as("split"))
+      .orderBy("doc_id")
+
+  private def t8OracleSql: String = {
+    val bounds = TextFunctions.splitBounds(t8Weights)
+    val cases = bounds.init.map { case (l, b) =>
+      s"WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 4) < '$b' THEN '$l'"
+    }.mkString(" ")
+    s"""SELECT doc_id, CASE $cases ELSE '${bounds.last._1}' END AS split
+       FROM documents ORDER BY doc_id"""
+  }
+
   private def e1_quantize(s: SparkSession, dir: String): DataFrame =
     graft.operators.Embeddings.quantize(t(s, dir, "embeddings"), "vec_id", "embedding")
       .orderBy("vec_id")
@@ -788,6 +805,7 @@ object SparkEntry {
     "t5_quality_filter" -> (t5_quality_filter _),
     "t6_redact_pii" -> (t6_redact_pii _),
     "t7_repetition" -> (t7_repetition _),
+    "t8_split" -> (t8_split _),
     "e1_quantize" -> (e1_quantize _),
     "m1_multimodal" -> (m1_multimodal _),
     "st1_stream_window" -> (st1_stream_window _),
@@ -1233,6 +1251,7 @@ object SparkEntry {
            CASE WHEN n = 0 THEN 0.0 ELSE 1.0 - CAST(nd AS DOUBLE)/n END AS dup_word_ratio,
            CASE WHEN n = 0 THEN 0.0 ELSE CAST(topn AS DOUBLE)/n END AS top_word_frac
          FROM m ORDER BY doc_id""",
+    "t8_split" -> t8OracleSql,
     "e1_quantize" ->
       """WITH m AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          mx AS (SELECT vec_id, v,

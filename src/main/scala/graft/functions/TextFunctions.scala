@@ -287,6 +287,36 @@ object TextFunctions {
     cols
   }
 
+  /** Deterministic dataset split (train/val/test and friends): the first 4
+    * hex chars of md5(key||salt) are uniform over 65536 buckets, and a
+    * lexicographic threshold chain assigns labels — the same row lands in
+    * the same split on any engine, any cluster size, any run (the
+    * reproducibility property a training pipeline needs; change `salt` to
+    * re-deal). Weights are realized as floor(cumWeight·65536) bucket
+    * boundaries, so proportions are exact to 1/65536. Pure Column
+    * expression; portable to SQL oracles because md5 hex and string
+    * comparison agree across engines. */
+  def deterministicSplit(key: Column, weights: Seq[(String, Double)],
+      salt: String = ""): Column = {
+    require(weights.nonEmpty && math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      "split weights must sum to 1")
+    val bucket = substring(md5(concat(key.cast("string"), lit(salt)).cast("binary")), 1, 4)
+    val bounds = splitBounds(weights)
+    bounds.init.foldRight(lit(bounds.last._1): Column) {
+      case ((label, bound), elseCol) => when(bucket < lit(bound), label).otherwise(elseCol)
+    }
+  }
+
+  /** (label, upperHexBound) pairs for [[deterministicSplit]] — the last
+    * label's bound is itself (catch-all). Exposed so SQL oracles can be
+    * generated from the same arithmetic. */
+  def splitBounds(weights: Seq[(String, Double)]): Seq[(String, String)] = {
+    val cum = weights.scanLeft(0.0)(_ + _._2).tail
+    weights.zip(cum).map { case ((label, _), c) =>
+      label -> f"${math.min(65535, math.floor(c * 65536).toLong)}%04x"
+    }
+  }
+
   /** Content fingerprint: md5 over the sorted distinct token set — stable
     * under word reordering and duplication (bag-of-words identity). */
   def fingerprint(text: Column): Column =

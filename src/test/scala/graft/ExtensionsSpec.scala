@@ -346,6 +346,26 @@ class TextSpec extends SparkSpec {
     assert(out(2L) == ((0.0, 1.0 / 6.0)))
   }
 
+  test("deterministic split: stable, exact-threshold proportions, salt re-deals") {
+    val keys = (0L until 10000L).toDF("k")
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    def dist(salt: String): Map[String, Long] =
+      keys.select(TextFunctions.deterministicSplit(col("k"), w, salt).as("s"))
+        .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val d1 = dist("")
+    assert(d1 == dist(""), "same salt must be identical")
+    assert(math.abs(d1("train") - 8000L) < 200 && math.abs(d1("val") - 1000L) < 150,
+      s"proportions off: $d1")
+    // a different salt re-deals: assignments must differ for many keys
+    val both = keys.select(col("k"),
+      TextFunctions.deterministicSplit(col("k"), w, "a").as("s1"),
+      TextFunctions.deterministicSplit(col("k"), w, "b").as("s2"))
+    assert(both.filter(col("s1") =!= col("s2")).count() > 1000)
+    intercept[IllegalArgumentException] {
+      TextFunctions.deterministicSplit(col("k"), Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
   test("int8 quantization round-trips within one quantization step") {
     import graft.operators.Embeddings
     def randVec(seed: Int, dim: Int): Array[Float] = {
