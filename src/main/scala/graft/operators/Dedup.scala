@@ -187,10 +187,20 @@ object Dedup {
     * Jaccard over shingle-hash sets. Returns (idA, idB, jaccard), idA < idB.
     *
     * LAZY: nothing executes until the caller acts on the result. The shingle
-    * intermediate (consumed by the signature branch and both sides of the
-    * verification attach) is persisted MEMORY_AND_DISK and released after
-    * the first completed action (see [[armLshListener]]). Buckets above
-    * `maxBucketSize` are dropped-and-logged (see [[capBuckets]]). */
+    * intermediate is consumed three times (signature/bucket branch + both
+    * sides of the verification attach); `persistShingles` picks the reuse
+    * strategy:
+    *  - false (default): each consumer recomputes text→shingle→hash from
+    *    the source scan. Three scans sound wasteful, but the scan is a
+    *    pruned columnar read and the shingle pipeline is cheap codegen,
+    *    while caching a corpus-sized array column pays a columnar
+    *    cache encode + storage-memory pressure + eviction churn at scale —
+    *    measured 1.3s encode vs 3×0.2s recompute at sf0.1, and at 100 TB
+    *    the cache write/read IO matches the re-scan IO it saves;
+    *  - true: persist MEMORY_AND_DISK, released after the first completed
+    *    action (see [[armLshListener]]) — prefer when the source scan is
+    *    the expensive part (slow object store, heavy upstream transforms).
+    * Buckets above `maxBucketSize` are dropped-and-logged ([[capBuckets]]). */
   def minhashPairs(
       df: DataFrame,
       idCol: String,
@@ -200,14 +210,15 @@ object Dedup {
       rowsPerBand: Int = 4,
       threshold: Double = 0.7,
       seed: Long = 42L,
-      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
-    // hashes materialized once; signature derives from the hash column.
-    // persist: this frame is consumed three times (signature/bucket branch +
-    // both sides of the verification attach) — without it the full
-    // text→shingle→hash pipeline re-runs per consumer. MEMORY_AND_DISK so a
-    // 100 TB corpus spills instead of recomputing or OOMing.
-    val withHashes = shingleSets(df, idCol, textCol, shingleSize)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      maxBucketSize: Int = DefaultMaxBucketSize,
+      persistShingles: Boolean = false): DataFrame = {
+    // hashes materialized once per consumer; signature derives from the
+    // hash column
+    val withHashes0 = shingleSets(df, idCol, textCol, shingleSize)
+    val withHashes =
+      if (persistShingles)
+        withHashes0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else withHashes0
     val withSig = withHashes.select(col("id"),
       minhashSignatureFromHashes(col("shingle_set"), numHashes, seed).as("sig"))
 
@@ -233,7 +244,8 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
 
-    armLshListener(verified, "graft_lsh_minhash", maxBucketSize, Seq(withHashes))
+    armLshListener(verified, "graft_lsh_minhash", maxBucketSize,
+      if (persistShingles) Seq(withHashes) else Nil)
   }
 
   /** Greedy dedup from a pair list: drop every id that pairs with a smaller

@@ -26,13 +26,15 @@ object DedupProfile {
     val sig = setsP.select(col("id"),
       Dedup.minhashSignatureFromHashes(col("shingle_set"), 64, 42L).as("sig"))
     time("signatures")(sig.count())
-    time("full-pairs-cold") {
-      spark.catalog.clearCache()
-      Dedup.minhashPairs(docs, "doc_id", "text").count()
-    }
-    time("full-pairs-cold-2") {
-      spark.catalog.clearCache()
-      Dedup.minhashPairs(docs, "doc_id", "text").count()
+    for (i <- 1 to 3) {
+      time(s"pairs-persist-$i") {
+        spark.catalog.clearCache()
+        Dedup.minhashPairs(docs, "doc_id", "text", persistShingles = true).count()
+      }
+      time(s"pairs-recompute-$i") {
+        spark.catalog.clearCache()
+        Dedup.minhashPairs(docs, "doc_id", "text", persistShingles = false).count()
+      }
     }
     spark.stop()
   }
