@@ -95,21 +95,26 @@ object Ann {
     * a partition-pruned scan of nprobe/nlist of the data. */
   final case class IvfIndex(centroids: Seq[(Int, Array[Double])], clustered: DataFrame)
 
-  /** Build an IVF index with deterministic centroids (a sample of the data
-    * itself — k-means-lite: one assignment pass, no iteration; good recall
-    * for ANN bucketing without a full clustering job).
+  /** Build an IVF index with deterministic centroids: a seeded hash-sample
+    * of the data seeds them, then `iterations` rounds of Lloyd refinement
+    * (assign by cosine → per-cluster elementwise mean) tighten the
+    * partitioning of the space. Each round is ONE distributed aggregation
+    * whose result (nlist × dim doubles) collects to the driver — the
+    * standard k-means shape on Spark; empty clusters keep their previous
+    * centroid so ids stay stable.
     *
-    * Centroid selection is a seeded HASH-sample with a limit: no `count()`
-    * pre-scan (the previous fraction computation paid a full pass over the
-    * data) and no RNG — `xxhash64(id, seed) % 16 == 0` picks ~1/16 of rows
-    * and the limit stops the scan as soon as `nlist` are found. Tiny inputs
+    * Centroid seeding is a seeded HASH-sample with a limit: no `count()`
+    * pre-scan (a fraction computation would pay a full pass over the data)
+    * and no RNG — `xxhash64(id, seed) % 16 == 0` picks ~1/16 of rows and
+    * the limit stops the scan as soon as `nlist` are found. Tiny inputs
     * top up from a plain limit. */
   def ivfBuild(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       nlist: Int = 16,
-      seed: Long = 42L): IvfIndex = {
+      seed: Long = 42L,
+      iterations: Int = 2): IvfIndex = {
     def vecs(d: DataFrame): Array[Array[Double]] =
       d.collect().map(_.getSeq[Any](0).map {
         case f: Float => f.toDouble
@@ -122,15 +127,29 @@ object Ann {
       if (sampled.length >= nlist) sampled
       else vecs(df.select(col(vecCol)).limit(nlist))
     require(sample.nonEmpty, "empty input")
-    val centroids = sample.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+    var centroids = sample.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
 
     // nearest centroid per row: argmax over a static list of literal
     // centroid vectors — codegen'd cosine per centroid, no shuffle
-    val scored = centroids.map { case (cid, c) =>
-      struct(cosine(col(vecCol), lit(c)).as("s"), lit(cid).as("cid"))
+    def assign(cs: Seq[(Int, Array[Double])]): DataFrame = {
+      val scored = cs.map { case (cid, c) =>
+        struct(cosine(col(vecCol), lit(c)).as("s"), lit(cid).as("cid"))
+      }
+      df.withColumn("__cluster", greatest(scored: _*).getField("cid"))
     }
-    val best = greatest(scored: _*)
-    IvfIndex(centroids, df.withColumn("__cluster", best.getField("cid")))
+
+    for (_ <- 1 to iterations) {
+      val means = assign(centroids)
+        .select(col("__cluster"), posexplode(col(vecCol)))
+        .groupBy("__cluster", "pos").agg(avg(col("col").cast("double")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+        }
+      centroids = centroids.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+    }
+    IvfIndex(centroids, assign(centroids))
   }
 
   /** ANN search against an IVF index: rank centroids driver-side, scan only

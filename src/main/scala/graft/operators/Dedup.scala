@@ -183,6 +183,21 @@ object Dedup {
     result
   }
 
+  /** Pick rowsPerBand for a target jaccard threshold: the LSH S-curve's
+    * steepest point sits near (1/b)^(1/r) with b = numHashes/r bands, so we
+    * choose the divisor r of numHashes whose midpoint is closest to the
+    * threshold. Lower thresholds → fewer rows per band (more, shorter
+    * bands → more candidate generosity); higher thresholds → longer bands.
+    * Driver-side arithmetic only. */
+  def tuneRowsPerBand(numHashes: Int, threshold: Double): Int = {
+    require(numHashes > 0 && threshold > 0 && threshold < 1, "0 < threshold < 1")
+    val divisors = (1 to numHashes).filter(numHashes % _ == 0)
+    divisors.minBy { r =>
+      val b = numHashes.toDouble / r
+      math.abs(math.pow(1.0 / b, 1.0 / r) - threshold)
+    }
+  }
+
   /** Candidate near-duplicate pairs via MinHash + LSH, verified with exact
     * Jaccard over shingle-hash sets. Returns (idA, idB, jaccard), idA < idB.
     *

@@ -227,6 +227,39 @@ class AnnSpec extends SparkSpec {
     assert(batch == loop)
   }
 
+  test("band tuner: S-curve midpoint tracks the threshold, monotone") {
+    import graft.operators.Dedup
+    assert(Dedup.tuneRowsPerBand(64, 0.5) == 4)  // (1/16)^(1/4) = 0.5 exactly
+    val rs = Seq(0.1, 0.3, 0.5, 0.7, 0.9).map(Dedup.tuneRowsPerBand(64, _))
+    assert(rs == rs.sorted, s"rowsPerBand must not decrease with threshold: $rs")
+    assert(rs.head < rs.last)
+    // midpoint of the chosen config is within 0.15 of the ask
+    for (t <- Seq(0.3, 0.5, 0.7, 0.9)) {
+      val r = Dedup.tuneRowsPerBand(64, t)
+      val mid = math.pow(r.toDouble / 64, 1.0 / r)
+      assert(math.abs(mid - t) < 0.15, s"t=$t r=$r mid=$mid")
+    }
+  }
+
+  test("IVF k-means iterations do not reduce within-cluster cohesion") {
+    val dim = 16
+    val rows = (0 until 300).map(i => (i.toLong, randVec(i, dim)))
+    val df = rows.toDF("vec_id", "embedding")
+    def cohesion(iters: Int): Double = {
+      val idx = Ann.ivfBuild(df, "vec_id", "embedding", nlist = 8, iterations = iters)
+      val byCid = idx.centroids.toMap
+      idx.clustered.select(col("embedding"), col("__cluster")).collect().map { r =>
+        val v = r.getSeq[Float](0).map(_.toDouble).toArray
+        val c = byCid(r.getInt(1))
+        val dot = v.zip(c).map { case (a, b) => a * b }.sum
+        dot / (math.sqrt(v.map(x => x * x).sum) * math.sqrt(c.map(x => x * x).sum))
+      }.sum / 300
+    }
+    val c0 = cohesion(0)
+    val c2 = cohesion(2)
+    assert(c2 >= c0 - 1e-9, s"cohesion degraded: iter0=$c0 iter2=$c2")
+  }
+
   test("LSH top-k recalls the exact nearest neighbor (self)") {
     val dim = 16
     val rows = (0 until 200).map(i => (i.toLong, randVec(i, dim)))
