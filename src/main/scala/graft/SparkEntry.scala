@@ -708,6 +708,23 @@ object SparkEntry {
       .orderBy("user_id", "event_type")
   }
 
+  /** Stream-stream join: each click matched to the same user's views in the
+    * preceding 10 minutes, both sides watermarked (bounded state). Output is
+    * id pairs only (determinism rule: no raw timestamps in results). */
+  private def st5_stream_stream_join(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.streaming.Streams.eventsStream(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts"))
+    val joined = graft.streaming.Streams.streamTimeJoin(
+        clicks, views, "user_id", lookback = "10 minutes")
+      .select(col("click_id"), col("view_id"))
+    graft.streaming.Streams.runToMemory(
+        joined, s"st5_${math.abs(dir.hashCode)}", outputMode = "append")
+      .orderBy("click_id", "view_id")
+  }
+
   private def as1_asof(s: SparkSession, dir: String): DataFrame = {
     val e = Fixtures.events(s, dir).select("event_id", "user_id", "ts")
     // deterministic right side: one order per (custkey, date) — largest key
@@ -812,6 +829,7 @@ object SparkEntry {
     "st2_session" -> (st2_session _),
     "st3_stream_dedup" -> (st3_stream_dedup _),
     "st4_stream_static_join" -> (st4_stream_static_join _),
+    "st5_stream_stream_join" -> (st5_stream_stream_join _),
     "as1_asof" -> (as1_asof _),
     "rj1_range_join" -> (rj1_range_join _),
   )
@@ -1263,6 +1281,17 @@ object SparkEntry {
     "st3_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
          ORDER BY user_id, event_type""",
+    // CAST(ts AS TIMESTAMP) truncates DuckDB's TIMESTAMP_NS to microseconds,
+    // matching the engine's nanos->micros shim, so boundary rows agree
+    "st5_stream_stream_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+           CAST(ts AS TIMESTAMP) AS ts FROM events)
+         SELECT c.event_id AS click_id, v.event_id AS view_id
+         FROM e c JOIN e v
+           ON v.user_id = c.user_id
+          AND c.event_type = 'click' AND v.event_type = 'view'
+          AND v.ts >= c.ts - INTERVAL 10 MINUTE AND v.ts <= c.ts
+         ORDER BY click_id, view_id""",
     "st4_stream_static_join" ->
       """SELECT c_mktsegment, event_type, count(*) AS n,
            CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value

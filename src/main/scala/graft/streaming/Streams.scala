@@ -144,6 +144,28 @@ object Streams {
       delay: String = "1 hour"): DataFrame =
     events.withWatermark(watermarkCol, delay).dropDuplicates(keys)
 
+  /** Watermarked stream-stream inner join: `right` rows within
+    * [left.ts - lookback, left.ts]. Both sides carry watermarks so the join
+    * state is bounded — left rows are dropped `delay` past the watermark,
+    * right rows once no future left row can reach back to them (watermark +
+    * lookback). The 100 TB shape: state is O(rows in the lookback horizon),
+    * keyed and co-partitioned on the join key, one shuffle per side. */
+  def streamTimeJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String = "ts",
+      rightTs: String = "ts",
+      lookback: String = "10 minutes",
+      delay: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(leftTs, delay).alias("l")
+    val r = right.withWatermark(rightTs, delay).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $lookback") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs"))
+  }
+
   /** Run a (finite-source) streaming query to completion into an in-memory
     * table and return its final result. `outputMode` is "complete" for
     * aggregations, "append" for row-wise operators (dedup, filters). */

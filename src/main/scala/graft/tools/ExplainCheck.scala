@@ -7,7 +7,7 @@ object ExplainCheck {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    for (q <- Seq("q3_join_agg", "q20_multijoin", "q2_filter", "as1_asof", "a1_ann_brute", "s6_scan_fixed", "s7_scan_daterange", "rj1_range_join")) {
+    for (q <- Seq("q3_join_agg", "q20_multijoin", "q2_filter", "as1_asof", "a1_ann_brute", "a4_ann_batch", "s6_scan_fixed", "s7_scan_daterange", "rj1_range_join", "q28_pivot", "q29_range_window", "e1_quantize", "d7_connected_components", "st4_stream_static_join")) {
       val plan = graft.SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
       val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
       val smj = "SortMergeJoin".r.findAllIn(plan).length
