@@ -52,13 +52,16 @@ object Bench {
       val t0 = System.nanoTime()
       val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
       val secs = (System.nanoTime() - t0) / 1e9
+      // a failed run must NOT contribute a (fast) time-to-exception sample —
+      // that would make a broken query read as a speedup
       if (n < 0) System.err.println(s"[bench] $name FAILED")
-      samples(name) = samples(name) :+ secs
+      else samples(name) = samples(name) :+ secs
       spark.catalog.clearCache()
     }
     val results = headline.map { name =>
       val ts = samples(name).sorted
-      (name, ts(ts.size / 2), ts.last - ts.head) // (median, spread)
+      if (ts.isEmpty) (name, -1.0, 0.0) // all passes failed: visible marker
+      else (name, ts(ts.size / 2), ts.last - ts.head) // (median, spread)
     }
     val qs = results.map { case (k, med, _) => "\"" + k + "\":" + f"$med%.3f" }
       .mkString("{", ",", "}")

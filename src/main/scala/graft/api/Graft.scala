@@ -443,9 +443,9 @@ object Graft {
                 new java.io.InputStreamReader(in, "UTF-8")).readLine()
               finally in.close()
             if (header == null) throw new RuntimeException("empty csv file")
-            val cells = header.split(java.util.regex.Pattern.quote(sep), -1).toSeq
+            val cells = splitCsvHeader(header, sep)
             if ((readDefaults("csv") ++ options).getOrElse("header", "true") == "true")
-              cells.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+              cells
             else schema.map(_.fieldNames.toSeq)
               .getOrElse(cells.indices.map(i => s"_c$i"))
           case _ =>
@@ -471,6 +471,38 @@ object Graft {
       }
     }
     (results.collect { case Right(e) => e }, results.collect { case Left(f) => f })
+  }
+
+  /** Minimal RFC-4180 header-line split for the probe: honors quoted cells
+    * (separator inside quotes, doubled-quote escape) so a header like
+    * `"last,first",age` parses as two columns — a naive split-on-separator
+    * would mis-report the requested-column check. Unquoted cells are
+    * trimmed (matching the previous probe behavior). */
+  private[graft] def splitCsvHeader(line: String, sep: String): Seq[String] = {
+    val sepChar = if (sep.nonEmpty) sep.charAt(0) else ','
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var quoted = false
+    var wasQuoted = false
+    def flush(): Unit = {
+      out += (if (wasQuoted) cur.result() else cur.result().trim)
+      cur.clear(); wasQuoted = false
+    }
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (quoted) {
+        if (c == '"') {
+          if (i + 1 < line.length && line.charAt(i + 1) == '"') { cur.append('"'); i += 1 }
+          else quoted = false
+        } else cur.append(c)
+      } else if (c == '"' && cur.isEmpty) { quoted = true; wasQuoted = true }
+      else if (c == sepChar) flush()
+      else cur.append(c)
+      i += 1
+    }
+    flush()
+    out.result()
   }
 
   /** Tiny helper: parallel map over a small driver-side collection. */
@@ -630,7 +662,13 @@ object Graft {
     case null => "null"
     case s: String => jsonString(s)
     case b: java.lang.Boolean => b.toString
+    // NaN/Infinity are not valid JSON tokens — pandas to_json writes null
+    case d: java.lang.Double if d.isNaN || d.isInfinite => "null"
+    case f: java.lang.Float if f.isNaN || f.isInfinite => "null"
     case n: java.lang.Number => n.toString
+    case m: scala.collection.Map[_, _] =>
+      m.map { case (k, x) => s"${jsonString(String.valueOf(k))}:${jsonValue(x)}" }
+        .mkString("{", ",", "}")
     case seq: scala.collection.Seq[_] => seq.map(jsonValue).mkString("[", ",", "]")
     case r: org.apache.spark.sql.Row =>
       r.schema.fieldNames.indices.map(i =>

@@ -214,7 +214,12 @@ object Dedup {
     *    the cache write/read IO matches the re-scan IO it saves;
     *  - true: persist MEMORY_AND_DISK, released after the first completed
     *    action (see [[armLshListener]]) — prefer when the source scan is
-    *    the expensive part (slow object store, heavy upstream transforms).
+    *    the expensive part (slow object store, heavy upstream transforms),
+    *    and REQUIRED when `df`'s lineage is nondeterministic (unseeded
+    *    sample(), changing source, …): with recompute, the three consumers
+    *    re-execute the input independently and an unstable input would
+    *    bucket signatures against one snapshot but verify shingles against
+    *    another — persist pins a single snapshot for all three.
     * Buckets above `maxBucketSize` are dropped-and-logged ([[capBuckets]]). */
   def minhashPairs(
       df: DataFrame,

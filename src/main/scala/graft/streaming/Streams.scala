@@ -40,15 +40,21 @@ object Streams {
     * New files appearing in the watched directories flow through normally.
     * New PARTITIONS appearing after start: with the default
     * `refreshPartitions=false`, discovery runs once and they are invisible
-    * (minimum listing cost — only matching dirs are ever listed); with
+    * (minimum cost — only matching dirs are ever listed or read); with
     * `refreshPartitions=true` the source instead watches the WHOLE tree
     * recursively and partition pruning becomes a row-level Catalyst filter
     * on the path-extracted partition columns, so a partition directory
     * created mid-stream is picked up on the next micro-batch. The trade-off
-    * is honest: refresh pays full-tree listing per batch (the file source
-    * must see new dirs to notice them), and requires a Catalyst-expressible
-    * query (`PartitionQuery.toColumn`); opaque predicates can only prune at
-    * stream start.
+    * is real and bigger than listing: every file of every NON-matching
+    * partition is also read and decoded once (the filter runs after the
+    * scan — input_file_name pruning cannot skip files), so refresh costs
+    * one full pass over pruned data, not just extra LIST RPCs. It also
+    * requires a Catalyst-expressible query (`PartitionQuery.toColumn`);
+    * opaque predicates can only prune at stream start. Files that sit
+    * OUTSIDE the partition layout (stray root-level files, wrong-depth
+    * nests) are dropped by a layout guard: hive mode requires every
+    * partition column to extract non-null, fixed mode requires the exact
+    * grammar depth — refresh therefore assumes a uniform layout.
     *
     * Layout support: hive `k=v` levels extract by column name; value-only
     * layouts need the [[FixedColumnsParser]] whose grammar names segments
@@ -118,7 +124,20 @@ object Streams {
             nullif(regexp_extract(file, "/" + java.util.regex.Pattern.quote(c) + "=([^/]+)/", 1), lit("")))
         }
     }
-    rowFilter.fold(withCols)(withCols.filter)
+    // layout guard (refresh mode only): recursiveFileLookup can surface
+    // files the glob mode never matched — wrong depth or outside the
+    // partition scheme — whose extracted columns would be null/garbage
+    val guarded =
+      if (!refreshPartitions) withCols
+      else parser match {
+        case f: FixedColumnsParser =>
+          val rel = substr(file, lit(rootNorm.length + 1), length(file))
+          withCols.filter(size(split(rel, "/")) === f.grammars.length)
+        case _ if partitionCols.nonEmpty =>
+          withCols.filter(partitionCols.map(c => col(c).isNotNull).reduce(_ && _))
+        case _ => withCols
+      }
+    rowFilter.fold(guarded)(guarded.filter)
   }
 
   /** Tumbling-window counts/sums per event type, with a watermark (late data
@@ -130,19 +149,22 @@ object Streams {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(10,2)")).cast("double").as("sum_value"))
 
-  /** Streaming exact deduplication on `keys`: state-backed dropDuplicates
-    * with a watermark bounding the key state (a key older than `delay` is
-    * evicted; a duplicate arriving later than the watermark would re-emit —
-    * the standard bounded-state trade-off, same contract as Spark's
-    * dropDuplicates guide). The 100 TB shape: state is O(distinct keys in
-    * the watermark horizon), not O(stream), and the operator shuffles once
-    * on the key columns. */
+  /** Streaming exact deduplication on `keys`: dropDuplicatesWithinWatermark
+    * so a key's state is EVICTED once the watermark passes it (a duplicate
+    * arriving later than `delay` re-emits — the standard bounded-state
+    * trade-off). Plain `dropDuplicates(keys)` would NOT evict here: Spark
+    * only cleans dedup state when the event-time column is itself part of
+    * the key subset, so with business keys alone the state grows without
+    * bound — the within-watermark variant is the one that delivers the
+    * bounded contract. State is O(distinct keys in the watermark horizon),
+    * one shuffle on the key columns. */
   def streamDedup(
       events: DataFrame,
       keys: Seq[String],
       watermarkCol: String = "ts",
       delay: String = "1 hour"): DataFrame =
-    events.withWatermark(watermarkCol, delay).dropDuplicates(keys)
+    events.withWatermark(watermarkCol, delay)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
   /** Watermarked stream-stream inner join: `right` rows within
     * [left.ts - lookback, left.ts]. Both sides carry watermarks so the join

@@ -672,6 +672,26 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("refreshPartitions drops stray files outside the partition layout") {
+    import spark.implicits._
+    val dir = tmpDir("stream_stray")
+    Seq((1, "a")).toDF("v", "s").write.parquet(s"$dir/p=keep")
+    val sdf = graft.streaming.Streams.readPartitionedStream(
+      spark, dir, refreshPartitions = true)
+    val q = sdf.writeStream.outputMode("append")
+      .format("memory").queryName("stream_stray_t").start()
+    try {
+      q.processAllAvailable()
+      // a stray root-level file and a wrong-depth nest appear mid-stream:
+      // their rows must NOT surface with null/garbage partition columns
+      Seq((9, "z")).toDF("v", "s").write.parquet(s"$dir/stray_rootdir")
+      q.processAllAvailable()
+      val got = spark.table("stream_stray_t")
+      assert(got.count() == 1, "stray files must be dropped by the layout guard")
+      assert(got.select("p").head.getString(0) == "keep")
+    } finally q.stop()
+  }
+
   test("streaming windowed agg over finite events source completes and aggregates") {
     val agg = graft.streaming.Streams.windowedAgg(
       graft.streaming.Streams.eventsStream(spark, "/root/testdata/sf0.001"))

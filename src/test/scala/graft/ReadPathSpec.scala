@@ -250,6 +250,20 @@ class ReadPathSpec extends SparkSpec {
     assert(rich.data.count() == 50)
   }
 
+  test("A8h: csv header probe honors quoted cells containing the separator") {
+    import graft.api.Graft
+    assert(Graft.splitCsvHeader("\"last,first\",age", ",") == Seq("last,first", "age"))
+    assert(Graft.splitCsvHeader("a,\"b\"\"c\",d", ",") == Seq("a", "b\"c", "d"))
+    assert(Graft.splitCsvHeader("x;y;z", ";") == Seq("x", "y", "z"))
+    assert(Graft.splitCsvHeader(" a , b ", ",") == Seq("a", "b"))
+    val dir = tmpDir("a8h")
+    writeFile(s"$dir/p=1/f.csv", "\"last,first\",age\n\"doe,jane\",40\n")
+    // a requested quoted column must be SEEN by the probe, not mis-split
+    val rich = Graft.readPartitionedTableRich(spark, dir,
+      options = Map("header" -> "true"), columns = Seq("last,first"))
+    assert(rich.failures.isEmpty, rich.failures.mkString(";"))
+  }
+
   test("projection pushdown: columns option prunes data columns, keeps partitions") {
     val dir = tmpDir("proj")
     writeFile(s"$dir/p=1/f.csv", csv)
@@ -532,6 +546,11 @@ class ReadPathSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Graft.writeObject(df, s"$dir/x.json", options = Map("orient" -> "split"))
     }
+    // NaN is not a JSON token — encode as null (pandas to_json behavior)
+    val nan = Seq((1, Double.NaN), (2, 1.5)).toDF("k", "x")
+    Graft.writeObject(nan, s"$dir/nan.json", options = Map("orient" -> "records"))
+    assert(Files.readString(Paths.get(s"$dir/nan.json"))
+      == """[{"k":1,"x":null},{"k":2,"x":1.5}]""")
   }
 
   test("openPartitionedFile / consumePartitionedTable (reference consume affordance)") {
