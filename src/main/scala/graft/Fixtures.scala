@@ -118,6 +118,23 @@ object Fixtures {
       rows.toDF("doc_id", "payload").coalesce(1).write.mode("overwrite").parquet(dir)
     }
 
+  /** Audio analog of [[mediaDocs]]: one valid WAV header per doc, with
+    * rate/channels/bits/sample-count derived from doc_id so the oracle can
+    * verify the byte-level parse inverts the construction arithmetic. */
+  def audioDocs(spark: SparkSession, sfDir: String): String =
+    cached("audio_docs", sfDir) { dir =>
+      import spark.implicits._
+      val ids = table(spark, sfDir, "documents").select("doc_id")
+        .as[Long].collect().sorted
+      val rows = ids.toSeq.map { id =>
+        val channels = (id % 2).toInt + 1
+        val bits = if (id % 2 == 0) 16 else 24
+        (id, graft.operators.Multimodal.syntheticWavBytes(
+          8000 * ((id % 3).toInt + 1), channels, bits, id % 1000 + 1))
+      }
+      rows.toDF("doc_id", "payload").coalesce(1).write.mode("overwrite").parquet(dir)
+    }
+
   /** A layout with one deliberately corrupt member for lazy-error semantics:
     * nation as json-lines plus one unparseable file. */
   def lazyNation(spark: SparkSession, sfDir: String): String =

@@ -669,6 +669,15 @@ object SparkEntry {
         col("media_meta.channels"), col("media_meta.format"))
       .orderBy("doc_id")
 
+  /** Real RIFF/WAVE chunk-walk decode; oracle verifies the parse inverts
+    * the fixture's construction arithmetic (same pattern as m1). */
+  private def m2_audio(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeAudioMeta(s.read.parquet(Fixtures.audioDocs(s, dir)))
+      .select(col("doc_id"), col("audio_meta.sample_rate"),
+        col("audio_meta.channels"), col("audio_meta.bits"),
+        col("audio_meta.n_samples"), col("audio_meta.format"))
+      .orderBy("doc_id")
+
   private def st1_stream_window(s: SparkSession, dir: String): DataFrame = {
     val agg = graft.streaming.Streams.windowedAgg(
       graft.streaming.Streams.eventsStream(s, dir))
@@ -825,6 +834,7 @@ object SparkEntry {
     "t8_split" -> (t8_split _),
     "e1_quantize" -> (e1_quantize _),
     "m1_multimodal" -> (m1_multimodal _),
+    "m2_audio" -> (m2_audio _),
     "st1_stream_window" -> (st1_stream_window _),
     "st2_session" -> (st2_session _),
     "st3_stream_dedup" -> (st3_stream_dedup _),
@@ -1298,6 +1308,14 @@ object SparkEntry {
          FROM events JOIN customer ON user_id = c_custkey
          GROUP BY c_mktsegment, event_type
          ORDER BY c_mktsegment, event_type""",
+    "m2_audio" ->
+      """SELECT doc_id,
+         CAST(8000 * (doc_id % 3 + 1) AS INT) AS sample_rate,
+         CAST(doc_id % 2 + 1 AS INT) AS channels,
+         CAST(CASE doc_id % 2 WHEN 0 THEN 16 ELSE 24 END AS INT) AS bits,
+         CAST(doc_id % 1000 + 1 AS BIGINT) AS n_samples,
+         'wav' AS format
+         FROM documents ORDER BY doc_id""",
     "m1_multimodal" ->
       """SELECT doc_id,
          CAST(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 33 WHEN 1 THEN 13

@@ -94,6 +94,60 @@ object Multimodal {
     } else None
   }
 
+  val audioMetaType: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("bits", IntegerType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("format", StringType, nullable = false)))
+
+  /** Parse (sampleRate, channels, bitsPerSample, nSamples, format) from a
+    * real RIFF/WAVE header by walking its chunks (fmt + data; unknown
+    * chunks skipped, word-aligned). None when the payload is not a WAV.
+    * Codec-free like [[imageHeader]]: everything needed lives in plain
+    * header bytes. */
+  def audioHeader(b: Array[Byte]): Option[(Int, Int, Int, Long, String)] = {
+    if (b == null || b.length < 20) None
+    else if (!(startsWith(b, 'R', 'I', 'F', 'F') && b.length >= 12 &&
+        new String(b, 8, 4, "US-ASCII") == "WAVE")) None
+    else {
+      var i = 12
+      var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
+      var dataSize = -1L
+      while (i + 8 <= b.length && (fmt.isEmpty || dataSize < 0)) {
+        val id = new String(b, i, 4, "US-ASCII")
+        val sz = le32(b, i + 4).toLong & 0xFFFFFFFFL
+        if (id == "fmt " && i + 24 <= b.length)
+          fmt = Some((le16(b, i + 10), le32(b, i + 12), le16(b, i + 22)))
+        else if (id == "data") dataSize = sz
+        i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+      }
+      fmt.flatMap { case (ch, rate, bits) =>
+        val blockAlign = ch.toLong * bits / 8
+        if (dataSize < 0 || ch <= 0 || bits <= 0 || blockAlign == 0) None
+        else Some((rate, ch, bits, dataSize / blockAlign, "wav"))
+      }
+    }
+  }
+
+  /** Per-partition batched audio-metadata decode (same mapPartitions shape
+    * as [[decodeImageMeta]]); null meta for non-WAV payloads. */
+  def decodeAudioMeta(df: DataFrame, payloadCol: String = "payload",
+      metaCol: String = "audio_meta"): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = inSchema.add(StructField(metaCol, audioMetaType, nullable = true))
+    val payloadIdx = inSchema.fieldIndex(payloadCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        val meta = audioHeader(bytes)
+          .map { case (sr, ch, bits, n, f) => Row(sr, ch, bits, n, f) }.orNull
+        Row.fromSeq(r.toSeq :+ meta)
+      }
+    }
+  }
+
   /** Fallback pseudo-decode for payloads that are not recognized images
     * (e.g. text bytes standing in for media): deterministic arithmetic on
     * the payload length, tagged `"fake"` so downstream filters can tell. */
@@ -166,5 +220,21 @@ object Multimodal {
           Array[Byte](1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1)
       case other => throw new IllegalArgumentException(s"unknown format $other")
     }
+  }
+
+  /** Deterministic synthetic WAV header (RIFF + fmt + data chunk headers
+    * with the declared sizes, no sample payload — 44 bytes) for fixtures
+    * and tests. */
+  def syntheticWavBytes(rate: Int, channels: Int, bits: Int, nSamples: Long): Array[Byte] = {
+    def le32b(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte,
+      (v >>> 16).toByte, (v >>> 24).toByte)
+    def le16b(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
+    val blockAlign = channels * bits / 8
+    val dataSize = (nSamples * blockAlign).toInt
+    "RIFF".getBytes("US-ASCII") ++ le32b(36 + dataSize) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32b(16) ++ le16b(1) ++ le16b(channels) ++
+      le32b(rate) ++ le32b(rate * blockAlign) ++ le16b(blockAlign) ++ le16b(bits) ++
+      "data".getBytes("US-ASCII") ++ le32b(dataSize)
   }
 }

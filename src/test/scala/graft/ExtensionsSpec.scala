@@ -597,6 +597,29 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audioHeader parses synthetic WAVs, JDK-encoded WAVs, and rejects garbage") {
+    // synthetic round-trip
+    val b = Multimodal.syntheticWavBytes(16000, 2, 24, 1234L)
+    assert(Multimodal.audioHeader(b).contains((16000, 2, 24, 1234L, "wav")))
+    // cross-validate against a REAL encoder: javax.sound writes the RIFF
+    // container, our parser must invert it
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+    val fmt = new AudioFormat(22050f, 16, 1, true, false)
+    val frames = 777L
+    val data = new java.io.ByteArrayInputStream(new Array[Byte]((frames * 2).toInt))
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(data, fmt, frames),
+      AudioFileFormat.Type.WAVE, bos)
+    assert(Multimodal.audioHeader(bos.toByteArray)
+      .contains((22050, 1, 16, 777L, "wav")))
+    // rejects: garbage, truncation, images
+    assert(Multimodal.audioHeader("not audio at all".getBytes).isEmpty)
+    assert(Multimodal.audioHeader(b.take(10)).isEmpty)
+    assert(Multimodal.audioHeader(
+      Multimodal.syntheticImageBytes("png", 4, 4)).isEmpty)
+    assert(Multimodal.audioHeader(null).isEmpty)
+  }
+
   test("imageHeader parses the synthetic fixture bytes and rejects non-images") {
     for (fmt <- Seq("png", "gif", "bmp", "jpeg")) {
       val b = Multimodal.syntheticImageBytes(fmt, 123, 45)
