@@ -135,6 +135,22 @@ object Fixtures {
       rows.toDF("doc_id", "payload").coalesce(1).write.mode("overwrite").parquet(dir)
     }
 
+  /** Video analog of [[mediaDocs]]: one minimal valid MP4 per doc, with
+    * dimensions/duration derived from doc_id (timescale 1000 so duration_ms
+    * equals the stored duration exactly). */
+  def videoDocs(spark: SparkSession, sfDir: String): String =
+    cached("video_docs", sfDir) { dir =>
+      import spark.implicits._
+      val ids = table(spark, sfDir, "documents").select("doc_id")
+        .as[Long].collect().sorted
+      val rows = ids.toSeq.map { id =>
+        (id, graft.operators.Multimodal.syntheticMp4Bytes(
+          (id % 1920).toInt + 16, ((id * 3) % 1080).toInt + 16,
+          1000, id % 100000 + 1000))
+      }
+      rows.toDF("doc_id", "payload").coalesce(1).write.mode("overwrite").parquet(dir)
+    }
+
   /** A layout with one deliberately corrupt member for lazy-error semantics:
     * nation as json-lines plus one unparseable file. */
   def lazyNation(spark: SparkSession, sfDir: String): String =

@@ -378,6 +378,20 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
+  /** Sliding ROWS frame: mean of the last 3 orders per customer, ordered by
+    * (date, key) — the unique key tiebreak makes the frame deterministic. */
+  private def q32_rows_window(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-2, Window.currentRow)
+    t(s, dir, "orders")
+      .withColumn("avg_last3",
+        (sum(dec(col("o_totalprice"))).over(w) /
+          count(lit(1)).over(w)).cast("double"))
+      .select("o_orderkey", "o_custkey", "avg_last3")
+      .orderBy("o_orderkey")
+  }
+
   private def q30_posexplode(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").filter(col("doc_id") < 20)
       .select(col("doc_id"), posexplode(graft.functions.TextFunctions.words(col("text"))))
@@ -678,6 +692,14 @@ object SparkEntry {
         col("audio_meta.n_samples"), col("audio_meta.format"))
       .orderBy("doc_id")
 
+  /** Real ISO-BMFF box-walk decode (mvhd + tkhd); oracle inverts the
+    * fixture construction arithmetic like m1/m2. */
+  private def m3_video(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeVideoMeta(s.read.parquet(Fixtures.videoDocs(s, dir)))
+      .select(col("doc_id"), col("video_meta.width"), col("video_meta.height"),
+        col("video_meta.duration_ms"), col("video_meta.format"))
+      .orderBy("doc_id")
+
   private def st1_stream_window(s: SparkSession, dir: String): DataFrame = {
     val agg = graft.streaming.Streams.windowedAgg(
       graft.streaming.Streams.eventsStream(s, dir))
@@ -811,6 +833,7 @@ object SparkEntry {
     "q29_range_window" -> (q29_range_window _),
     "q30_posexplode" -> (q30_posexplode _),
     "q31_array_quantifiers" -> (q31_array_quantifiers _),
+    "q32_rows_window" -> (q32_rows_window _),
     "d1_dedup_exact" -> (d1_dedup_exact _),
     "d2_dedup_minhash" -> (d2_dedup_minhash _),
     "d3_dedup_simhash" -> (d3_dedup_simhash _),
@@ -835,6 +858,7 @@ object SparkEntry {
     "e1_quantize" -> (e1_quantize _),
     "m1_multimodal" -> (m1_multimodal _),
     "m2_audio" -> (m2_audio _),
+    "m3_video" -> (m3_video _),
     "st1_stream_window" -> (st1_stream_window _),
     "st2_session" -> (st2_session _),
     "st3_stream_dedup" -> (st3_stream_dedup _),
@@ -1066,6 +1090,14 @@ object SparkEntry {
            len(list_filter(ws, x -> length(x) > 1)) = len(ws) AS all_longer_1,
            CAST(len(ws) AS BIGINT) AS n
          FROM w ORDER BY doc_id""",
+    "q32_rows_window" ->
+      """SELECT o_orderkey, o_custkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(10,2))) OVER w
+             / count(*) OVER w AS DOUBLE) AS avg_last3
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+         ORDER BY o_orderkey""",
     "q25_semi_anti_combo" ->
       """SELECT o_orderkey, o_orderstatus FROM orders
          WHERE EXISTS (SELECT 1 FROM lineitem
@@ -1308,6 +1340,13 @@ object SparkEntry {
          FROM events JOIN customer ON user_id = c_custkey
          GROUP BY c_mktsegment, event_type
          ORDER BY c_mktsegment, event_type""",
+    "m3_video" ->
+      """SELECT doc_id,
+         CAST(doc_id % 1920 + 16 AS INT) AS width,
+         CAST((doc_id * 3) % 1080 + 16 AS INT) AS height,
+         CAST(doc_id % 100000 + 1000 AS BIGINT) AS duration_ms,
+         'mp4' AS format
+         FROM documents ORDER BY doc_id""",
     "m2_audio" ->
       """SELECT doc_id,
          CAST(8000 * (doc_id % 3 + 1) AS INT) AS sample_rate,

@@ -148,6 +148,70 @@ object Multimodal {
     }
   }
 
+  val videoMetaType: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("format", StringType, nullable = false)))
+
+  /** Parse (width, height, durationMs, format) from a real MP4 (ISO-BMFF)
+    * header by walking boxes: `moov/mvhd` carries timescale+duration,
+    * `moov/trak/tkhd` carries track dimensions as 16.16 fixed-point (the
+    * video track is the one with non-zero width). Codec-free — container
+    * metadata only, version-0 boxes (the common case). None when the
+    * payload is not MP4. */
+  def videoHeader(b: Array[Byte]): Option[(Int, Int, Long, String)] = {
+    if (b == null || b.length < 12 ||
+        new String(b, 4, 4, "US-ASCII") != "ftyp") return None
+    var timescale = 0L
+    var duration = -1L
+    var w = 0
+    var h = 0
+    def walk(start: Int, end: Int): Unit = {
+      var i = start
+      while (i + 8 <= end) {
+        val sz = be32(b, i).toLong & 0xFFFFFFFFL
+        if (sz < 8) return
+        val boxEnd = math.min(end.toLong, i + sz).toInt
+        new String(b, i + 4, 4, "US-ASCII") match {
+          case "moov" | "trak" => walk(i + 8, boxEnd)
+          case "mvhd" if boxEnd >= i + 32 && u8(b, i + 8) == 0 =>
+            // v0: ver/flags(4) ctime(4) mtime(4) timescale(4) duration(4)
+            timescale = be32(b, i + 20).toLong & 0xFFFFFFFFL
+            duration = be32(b, i + 24).toLong & 0xFFFFFFFFL
+          case "tkhd" if boxEnd >= i + 92 && u8(b, i + 8) == 0 =>
+            // v0: ...layer/volume/matrix... width 16.16 @+76, height @+80
+            val tw = be32(b, i + 84) >>> 16
+            val th = be32(b, i + 88) >>> 16
+            if (tw > 0 && th > 0) { w = tw; h = th } // video track wins
+          case _ => ()
+        }
+        i = boxEnd
+      }
+    }
+    walk(0, b.length)
+    if (timescale <= 0 || duration < 0 || w <= 0) None
+    else Some((w, h, duration * 1000L / timescale, "mp4"))
+  }
+
+  /** Per-partition batched video-metadata decode (same shape as
+    * [[decodeImageMeta]]); null meta for non-MP4 payloads. */
+  def decodeVideoMeta(df: DataFrame, payloadCol: String = "payload",
+      metaCol: String = "video_meta"): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = inSchema.add(StructField(metaCol, videoMetaType, nullable = true))
+    val payloadIdx = inSchema.fieldIndex(payloadCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        val meta = videoHeader(bytes)
+          .map { case (w, h, d, f) => Row(w, h, d, f) }.orNull
+        Row.fromSeq(r.toSeq :+ meta)
+      }
+    }
+  }
+
   /** Fallback pseudo-decode for payloads that are not recognized images
     * (e.g. text bytes standing in for media): deterministic arithmetic on
     * the payload length, tagged `"fake"` so downstream filters can tell. */
@@ -220,6 +284,22 @@ object Multimodal {
           Array[Byte](1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1)
       case other => throw new IllegalArgumentException(s"unknown format $other")
     }
+  }
+
+  /** Deterministic minimal MP4: ftyp + moov(mvhd v0 + trak(tkhd v0)) —
+    * valid box structure, no media data. Width/height stored 16.16. */
+  def syntheticMp4Bytes(w: Int, h: Int, timescale: Int, duration: Long): Array[Byte] = {
+    def be32b(v: Int) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] =
+      be32b(8 + payload.length) ++ tpe.getBytes("US-ASCII") ++ payload
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32b(0))
+    val mvhd = box("mvhd", be32b(0) /* v0+flags */ ++ be32b(0) ++ be32b(0) ++
+      be32b(timescale) ++ be32b(duration.toInt) ++ Array.fill[Byte](80)(0))
+    val tkhd = box("tkhd", be32b(0) ++ be32b(0) ++ be32b(0) ++ be32b(1) ++
+      be32b(0) ++ be32b(duration.toInt) ++ Array.fill[Byte](52)(0) ++
+      be32b(w << 16) ++ be32b(h << 16))
+    ftyp ++ box("moov", mvhd ++ box("trak", tkhd))
   }
 
   /** Deterministic synthetic WAV header (RIFF + fmt + data chunk headers

@@ -620,6 +620,19 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.audioHeader(null).isEmpty)
   }
 
+  test("videoHeader walks MP4 boxes and rejects non-video payloads") {
+    val b = Multimodal.syntheticMp4Bytes(640, 360, 1000, 12345L)
+    assert(Multimodal.videoHeader(b).contains((640, 360, 12345L, "mp4")))
+    // non-1000 timescale: duration converts to ms with integer arithmetic
+    val b2 = Multimodal.syntheticMp4Bytes(1920, 1080, 600, 1234L)
+    assert(Multimodal.videoHeader(b2).contains((1920, 1080, 1234L * 1000 / 600, "mp4")))
+    assert(Multimodal.videoHeader("definitely not an mp4 file".getBytes).isEmpty)
+    assert(Multimodal.videoHeader(b.take(20)).isEmpty) // ftyp only: no moov
+    assert(Multimodal.videoHeader(
+      Multimodal.syntheticWavBytes(8000, 1, 16, 10)).isEmpty)
+    assert(Multimodal.videoHeader(null).isEmpty)
+  }
+
   test("imageHeader parses the synthetic fixture bytes and rejects non-images") {
     for (fmt <- Seq("png", "gif", "bmp", "jpeg")) {
       val b = Multimodal.syntheticImageBytes(fmt, 123, 45)
