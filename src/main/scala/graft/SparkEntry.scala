@@ -384,10 +384,13 @@ object SparkEntry {
     val w = Window.partitionBy("o_custkey")
       .orderBy(col("o_orderdate"), col("o_orderkey"))
       .rowsBetween(-2, Window.currentRow)
+    // determinism rule: cast the exact decimal sum to DOUBLE BEFORE dividing
+    // (Spark's decimal/decimal division rounds at a different scale than
+    // DuckDB's decimal/int→double promotion — last-ulp hash mismatches)
     t(s, dir, "orders")
       .withColumn("avg_last3",
-        (sum(dec(col("o_totalprice"))).over(w) /
-          count(lit(1)).over(w)).cast("double"))
+        sum(dec(col("o_totalprice"))).over(w).cast("double") /
+          count(lit(1)).over(w))
       .select("o_orderkey", "o_custkey", "avg_last3")
       .orderBy("o_orderkey")
   }
@@ -1092,8 +1095,8 @@ object SparkEntry {
          FROM w ORDER BY doc_id""",
     "q32_rows_window" ->
       """SELECT o_orderkey, o_custkey,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(10,2))) OVER w
-             / count(*) OVER w AS DOUBLE) AS avg_last3
+           CAST(sum(CAST(o_totalprice AS DECIMAL(10,2))) OVER w AS DOUBLE)
+             / count(*) OVER w AS avg_last3
          FROM orders
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)

@@ -44,6 +44,14 @@ object Multimodal {
   private def startsWith(b: Array[Byte], magic: Int*): Boolean =
     b.length >= magic.length && magic.indices.forall(i => u8(b, i) == magic(i))
 
+  // byte WRITERS for the synthetic fixture builders
+  private def be32b(v: Int) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte,
+    (v >>> 8).toByte, v.toByte)
+  private def le32b(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte,
+    (v >>> 16).toByte, (v >>> 24).toByte)
+  private def be16b(v: Int) = Array[Byte]((v >>> 8).toByte, v.toByte)
+  private def le16b(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
+
   /** Parse (width, height, channels, format) from real image header bytes.
     * Supports PNG (IHDR), GIF (logical screen descriptor), BMP (BITMAPINFO),
     * JPEG (SOF marker scan). None when the payload is not a recognized
@@ -111,16 +119,22 @@ object Multimodal {
     else if (!(startsWith(b, 'R', 'I', 'F', 'F') && b.length >= 12 &&
         new String(b, 8, 4, "US-ASCII") == "WAVE")) None
     else {
-      var i = 12
+      // Long cursor: a hostile chunk size must neither overflow Int (index
+      // exception) nor stall the walk — corrupt payloads yield None, never
+      // a hung or failed task
+      var i = 12L
       var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
       var dataSize = -1L
       while (i + 8 <= b.length && (fmt.isEmpty || dataSize < 0)) {
-        val id = new String(b, i, 4, "US-ASCII")
-        val sz = le32(b, i + 4).toLong & 0xFFFFFFFFL
-        if (id == "fmt " && i + 24 <= b.length)
-          fmt = Some((le16(b, i + 10), le32(b, i + 12), le16(b, i + 22)))
+        val p = i.toInt
+        val id = new String(b, p, 4, "US-ASCII")
+        val sz = le32(b, p + 4).toLong & 0xFFFFFFFFL
+        // fmt must DECLARE the 16 PCM bytes we read — buffer bounds alone
+        // would let a truncated fmt chunk read the next chunk's header
+        if (id == "fmt " && sz >= 16 && p + 24 <= b.length)
+          fmt = Some((le16(b, p + 10), le32(b, p + 12), le16(b, p + 22)))
         else if (id == "data") dataSize = sz
-        i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+        i += 8L + sz + (sz & 1L) // chunks are word-aligned; always advances
       }
       fmt.flatMap { case (ch, rate, bits) =>
         val blockAlign = ch.toLong * bits / 8
@@ -130,23 +144,31 @@ object Multimodal {
     }
   }
 
-  /** Per-partition batched audio-metadata decode (same mapPartitions shape
-    * as [[decodeImageMeta]]); null meta for non-WAV payloads. */
-  def decodeAudioMeta(df: DataFrame, payloadCol: String = "payload",
-      metaCol: String = "audio_meta"): DataFrame = {
+  /** Shared per-partition batched decode plumbing: payload binary ->
+    * nullable metadata struct via `parse`. mapPartitions so a full codec
+    * would amortize its init once per partition (the mapInPandas-shaped
+    * contract); null payloads yield null meta. */
+  private def decodeMeta(df: DataFrame, payloadCol: String, metaCol: String,
+      metaType: StructType)(parse: Array[Byte] => Row): DataFrame = {
     val inSchema = df.schema
-    val outSchema = inSchema.add(StructField(metaCol, audioMetaType, nullable = true))
+    val outSchema = inSchema.add(StructField(metaCol, metaType, nullable = true))
     val payloadIdx = inSchema.fieldIndex(payloadCol)
     implicit val enc = RowEncoder.encoderFor(outSchema)
     df.mapPartitions { rows =>
+      // per-partition init would go here (codec contexts, model handles, ...)
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](payloadIdx)
-        val meta = audioHeader(bytes)
-          .map { case (sr, ch, bits, n, f) => Row(sr, ch, bits, n, f) }.orNull
-        Row.fromSeq(r.toSeq :+ meta)
+        Row.fromSeq(r.toSeq :+ (if (bytes == null) null else parse(bytes)))
       }
     }
   }
+
+  /** Batched audio-metadata decode; null meta for non-WAV payloads. */
+  def decodeAudioMeta(df: DataFrame, payloadCol: String = "payload",
+      metaCol: String = "audio_meta"): DataFrame =
+    decodeMeta(df, payloadCol, metaCol, audioMetaType)(bytes =>
+      audioHeader(bytes)
+        .map { case (sr, ch, bits, n, f) => Row(sr, ch, bits, n, f) }.orNull)
 
   val videoMetaType: StructType = StructType(Seq(
     StructField("width", IntegerType, nullable = false),
@@ -159,7 +181,10 @@ object Multimodal {
     * `moov/trak/tkhd` carries track dimensions as 16.16 fixed-point (the
     * video track is the one with non-zero width). Codec-free — container
     * metadata only, version-0 boxes (the common case). None when the
-    * payload is not MP4. */
+    * payload is not MP4. ISO-BMFF size specials are honored so a
+    * non-faststart file (huge mdat before moov) still parses: size==1
+    * means a 64-bit largesize follows; size==0 means the box extends to
+    * the end of the enclosing scope. */
   def videoHeader(b: Array[Byte]): Option[(Int, Int, Long, String)] = {
     if (b == null || b.length < 12 ||
         new String(b, 4, 4, "US-ASCII") != "ftyp") return None
@@ -170,9 +195,16 @@ object Multimodal {
     def walk(start: Int, end: Int): Unit = {
       var i = start
       while (i + 8 <= end) {
-        val sz = be32(b, i).toLong & 0xFFFFFFFFL
+        val sz0 = be32(b, i).toLong & 0xFFFFFFFFL
+        val sz: Long =
+          if (sz0 == 1L && i + 16 <= end) // largesize: 64-bit follows type
+            ((be32(b, i + 8).toLong & 0xFFFFFFFFL) << 32) |
+              (be32(b, i + 12).toLong & 0xFFFFFFFFL)
+          else if (sz0 == 0L) (end - i).toLong // box runs to end of scope
+          else sz0
         if (sz < 8) return
-        val boxEnd = math.min(end.toLong, i + sz).toInt
+        val boxEnd = math.min(end.toLong, math.min(i.toLong + sz, Int.MaxValue.toLong)).toInt
+        if (boxEnd <= i) return // corrupt size: refuse to stall or rewind
         new String(b, i + 4, 4, "US-ASCII") match {
           case "moov" | "trak" => walk(i + 8, boxEnd)
           case "mvhd" if boxEnd >= i + 32 && u8(b, i + 8) == 0 =>
@@ -194,23 +226,11 @@ object Multimodal {
     else Some((w, h, duration * 1000L / timescale, "mp4"))
   }
 
-  /** Per-partition batched video-metadata decode (same shape as
-    * [[decodeImageMeta]]); null meta for non-MP4 payloads. */
+  /** Batched video-metadata decode; null meta for non-MP4 payloads. */
   def decodeVideoMeta(df: DataFrame, payloadCol: String = "payload",
-      metaCol: String = "video_meta"): DataFrame = {
-    val inSchema = df.schema
-    val outSchema = inSchema.add(StructField(metaCol, videoMetaType, nullable = true))
-    val payloadIdx = inSchema.fieldIndex(payloadCol)
-    implicit val enc = RowEncoder.encoderFor(outSchema)
-    df.mapPartitions { rows =>
-      rows.map { r =>
-        val bytes = r.getAs[Array[Byte]](payloadIdx)
-        val meta = videoHeader(bytes)
-          .map { case (w, h, d, f) => Row(w, h, d, f) }.orNull
-        Row.fromSeq(r.toSeq :+ meta)
-      }
-    }
-  }
+      metaCol: String = "video_meta"): DataFrame =
+    decodeMeta(df, payloadCol, metaCol, videoMetaType)(bytes =>
+      videoHeader(bytes).map { case (w, h, d, f) => Row(w, h, d, f) }.orNull)
 
   /** Fallback pseudo-decode for payloads that are not recognized images
     * (e.g. text bytes standing in for media): deterministic arithmetic on
@@ -220,29 +240,14 @@ object Multimodal {
     (n % 640 + 1, (n * 7) % 480 + 1, 3, "fake")
   }
 
-  /** Per-partition batched decode: binary payload -> metadata struct parsed
-    * from real image headers (PNG/GIF/BMP/JPEG), `"fake"` fallback for
-    * unrecognized payloads. Uses mapPartitions so a full pixel decoder
-    * would amortize codec init once per partition (the mapInPandas-shaped
-    * contract). */
+  /** Batched image-metadata decode: real header parse (PNG/GIF/BMP/JPEG),
+    * `"fake"` fallback for unrecognized payloads. */
   def decodeImageMeta(df: DataFrame, payloadCol: String = "payload",
-      metaCol: String = "media_meta"): DataFrame = {
-    val inSchema = df.schema
-    val outSchema = inSchema.add(StructField(metaCol, mediaMetaType, nullable = true))
-    val payloadIdx = inSchema.fieldIndex(payloadCol)
-    implicit val enc = RowEncoder.encoderFor(outSchema)
-    df.mapPartitions { rows =>
-      // per-partition init would go here (codec contexts, model handles, ...)
-      rows.map { r =>
-        val bytes = r.getAs[Array[Byte]](payloadIdx)
-        val meta = if (bytes == null) null else {
-          val (w, h, c, f) = imageHeader(bytes).getOrElse(fakeDecode(bytes))
-          Row(w, h, c, f)
-        }
-        Row.fromSeq(r.toSeq :+ meta)
-      }
+      metaCol: String = "media_meta"): DataFrame =
+    decodeMeta(df, payloadCol, metaCol, mediaMetaType) { bytes =>
+      val (w, h, c, f) = imageHeader(bytes).getOrElse(fakeDecode(bytes))
+      Row(w, h, c, f)
     }
-  }
 
   /** STUB frame sampling: one row per sampled "frame" index (every
     * `stride`-th byte position stands in for a decoded video frame).
@@ -260,12 +265,6 @@ object Multimodal {
     * header bytes with the given dimensions, no pixel data) for fixtures
     * and tests. Fixed sizes: png=33, gif=13, bmp=54, jpeg=21 bytes. */
   def syntheticImageBytes(format: String, w: Int, h: Int): Array[Byte] = {
-    def be32b(v: Int) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte,
-      (v >>> 8).toByte, v.toByte)
-    def le32b(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte,
-      (v >>> 16).toByte, (v >>> 24).toByte)
-    def be16b(v: Int) = Array[Byte]((v >>> 8).toByte, v.toByte)
-    def le16b(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
     format match {
       case "png" => // signature + IHDR (color type 6 = RGBA), dummy CRC
         Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A) ++
@@ -289,8 +288,6 @@ object Multimodal {
   /** Deterministic minimal MP4: ftyp + moov(mvhd v0 + trak(tkhd v0)) —
     * valid box structure, no media data. Width/height stored 16.16. */
   def syntheticMp4Bytes(w: Int, h: Int, timescale: Int, duration: Long): Array[Byte] = {
-    def be32b(v: Int) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte,
-      (v >>> 8).toByte, v.toByte)
     def box(tpe: String, payload: Array[Byte]): Array[Byte] =
       be32b(8 + payload.length) ++ tpe.getBytes("US-ASCII") ++ payload
     val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32b(0))
@@ -306,10 +303,9 @@ object Multimodal {
     * with the declared sizes, no sample payload — 44 bytes) for fixtures
     * and tests. */
   def syntheticWavBytes(rate: Int, channels: Int, bits: Int, nSamples: Long): Array[Byte] = {
-    def le32b(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte,
-      (v >>> 16).toByte, (v >>> 24).toByte)
-    def le16b(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
     val blockAlign = channels * bits / 8
+    require(nSamples * blockAlign <= Int.MaxValue - 36L,
+      s"data size ${nSamples * blockAlign} overflows the 32-bit RIFF size field")
     val dataSize = (nSamples * blockAlign).toInt
     "RIFF".getBytes("US-ASCII") ++ le32b(36 + dataSize) ++
       "WAVE".getBytes("US-ASCII") ++

@@ -618,6 +618,16 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.audioHeader(
       Multimodal.syntheticImageBytes("png", 4, 4)).isEmpty)
     assert(Multimodal.audioHeader(null).isEmpty)
+    // hostile chunk sizes must terminate (no spin, no index exception):
+    // a junk chunk declaring size 0xFFFFFFF8 would advance by 0 with Int math
+    val hostile = "RIFF".getBytes ++ Array[Byte](0, 0, 0, 0) ++ "WAVE".getBytes ++
+      "junk".getBytes ++ Array[Byte](0xF8.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte)
+    assert(Multimodal.audioHeader(hostile).isEmpty)
+    // a truncated fmt chunk (declared size 4) must NOT yield garbage metadata
+    val shortFmt = "RIFF".getBytes ++ Array[Byte](0, 0, 0, 0) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ Array[Byte](4, 0, 0, 0) ++ Array[Byte](1, 0, 2, 0) ++
+      "data".getBytes ++ Array[Byte](8, 0, 0, 0)
+    assert(Multimodal.audioHeader(shortFmt).isEmpty)
   }
 
   test("videoHeader walks MP4 boxes and rejects non-video payloads") {
