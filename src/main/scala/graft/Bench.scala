@@ -67,8 +67,11 @@ object Bench {
       .mkString("{", ",", "}")
     val spread = results.map { case (k, _, sp) => "\"" + k + "\":" + f"$sp%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"passes":$passes,"sf":"$sfDir"}""")
+    // -1.0 markers are failed queries, not timings: excluding them keeps the
+    // headline total from reading 1s *faster* per broken query
+    val failed = results.count(_._2 < 0)
+    val total = results.collect { case (_, m, _) if m >= 0 => m }.sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"passes":$passes,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -672,8 +672,15 @@ object SparkEntry {
        FROM documents ORDER BY doc_id"""
   }
 
+  /** qvec is serialized to a comma-joined string for the gate: the driver's
+    * comparison harness sorts every output column and raw array cells are
+    * unsortable there, so both sides emit the same canonical string form.
+    * The engine-facing operator ([[graft.operators.Embeddings.quantize]])
+    * still returns the real array<int> column. */
   private def e1_quantize(s: SparkSession, dir: String): DataFrame =
     graft.operators.Embeddings.quantize(t(s, dir, "embeddings"), "vec_id", "embedding")
+      .select(col("vec_id"), col("scale"),
+        array_join(transform(col("qvec"), _.cast("string")), ",").as("qvec_str"))
       .orderBy("vec_id")
 
   /** Real header decode over synthetic-but-valid PNG/GIF/BMP/JPEG payloads:
@@ -1320,8 +1327,9 @@ object SparkEntry {
          mx AS (SELECT vec_id, v,
            list_max(list_transform(v, x -> abs(x))) AS mxv FROM m)
          SELECT vec_id, mxv/127.0 AS scale,
-           [CASE WHEN mxv = 0 THEN 0
-                 ELSE CAST(floor(x*127.0/mxv + 0.5) AS INT) END for x in v] AS qvec
+           array_to_string([CASE WHEN mxv = 0 THEN 0
+                 ELSE CAST(floor(x*127.0/mxv + 0.5) AS INT) END for x in v], ',')
+             AS qvec_str
          FROM mx ORDER BY vec_id""",
     "st3_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events

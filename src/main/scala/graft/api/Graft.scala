@@ -479,7 +479,7 @@ object Graft {
     * would mis-report the requested-column check. Unquoted cells are
     * trimmed (matching the previous probe behavior). */
   private[graft] def splitCsvHeader(line: String, sep: String): Seq[String] = {
-    val sepChar = if (sep.nonEmpty) sep.charAt(0) else ','
+    val sepStr = if (sep.nonEmpty) sep else ","
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var quoted = false
@@ -496,10 +496,12 @@ object Graft {
           if (i + 1 < line.length && line.charAt(i + 1) == '"') { cur.append('"'); i += 1 }
           else quoted = false
         } else cur.append(c)
-      } else if (c == '"' && cur.isEmpty) { quoted = true; wasQuoted = true }
-      else if (c == sepChar) flush()
-      else cur.append(c)
-      i += 1
+        i += 1
+      } else if (c == '"' && cur.isEmpty) { quoted = true; wasQuoted = true; i += 1 }
+      // full-string separator match, so a multi-char sep like "||" splits
+      // once per occurrence instead of on every constituent character
+      else if (line.startsWith(sepStr, i)) { flush(); i += sepStr.length }
+      else { cur.append(c); i += 1 }
     }
     flush()
     out.result()

@@ -198,6 +198,15 @@ object Dedup {
     }
   }
 
+  /** True iff no operator in `df`'s analyzed plan carries a nondeterministic
+    * expression (rand(), monotonically_increasing_id, nondeterministic UDF).
+    * A mutating external source is invisible here — this guards only against
+    * nondeterminism expressed in the plan itself. */
+  private[graft] def planIsDeterministic(df: DataFrame): Boolean =
+    df.queryExecution.analyzed.collectFirst {
+      case p if p.expressions.exists(e => e.exists(!_.deterministic)) => p
+    }.isEmpty
+
   /** Candidate near-duplicate pairs via MinHash + LSH, verified with exact
     * Jaccard over shingle-hash sets. Returns (idA, idB, jaccard), idA < idB.
     *
@@ -215,11 +224,15 @@ object Dedup {
     *  - true: persist MEMORY_AND_DISK, released after the first completed
     *    action (see [[armLshListener]]) — prefer when the source scan is
     *    the expensive part (slow object store, heavy upstream transforms),
-    *    and REQUIRED when `df`'s lineage is nondeterministic (unseeded
-    *    sample(), changing source, …): with recompute, the three consumers
-    *    re-execute the input independently and an unstable input would
-    *    bucket signatures against one snapshot but verify shingles against
-    *    another — persist pins a single snapshot for all three.
+    *    and REQUIRED when `df`'s lineage is nondeterministic (rand()-derived
+    *    columns, nondeterministic UDFs, changing source, …): with recompute,
+    *    the three consumers re-execute the input independently and an
+    *    unstable input would bucket signatures against one snapshot but
+    *    verify shingles against another — persist pins a single snapshot for
+    *    all three. Plans carrying a nondeterministic EXPRESSION are detected
+    *    and auto-persisted (with a log line) even when
+    *    `persistShingles=false`; a mutating external source can't be seen
+    *    from the plan and remains the caller's responsibility.
     * Buckets above `maxBucketSize` are dropped-and-logged ([[capBuckets]]). */
   def minhashPairs(
       df: DataFrame,
@@ -235,8 +248,17 @@ object Dedup {
     // hashes materialized once per consumer; signature derives from the
     // hash column
     val withHashes0 = shingleSets(df, idCol, textCol, shingleSize)
+    // recompute is only sound when re-executing the lineage yields the same
+    // rows; a plan with a nondeterministic expression (rand(), monotonically
+    // _increasing_id, nondeterministic UDF) would hand each of the three
+    // consumers a different snapshot, so force the persist path for those
+    val inputDeterministic = planIsDeterministic(df)
+    if (!persistShingles && !inputDeterministic)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        "graft_lsh_minhash: input plan has nondeterministic expressions; " +
+          "persisting shingles to pin one snapshot across consumers")
     val withHashes =
-      if (persistShingles)
+      if (persistShingles || !inputDeterministic)
         withHashes0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else withHashes0
     val withSig = withHashes.select(col("id"),
@@ -265,7 +287,7 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
 
     armLshListener(verified, "graft_lsh_minhash", maxBucketSize,
-      if (persistShingles) Seq(withHashes) else Nil)
+      if (persistShingles || !inputDeterministic) Seq(withHashes) else Nil)
   }
 
   /** Greedy dedup from a pair list: drop every id that pairs with a smaller

@@ -100,6 +100,25 @@ class DedupSpec extends SparkSpec {
     awaitNoCache("shingle cache must be released after the first action")
   }
 
+  test("nondeterministic input plan auto-persists shingles (and still releases)") {
+    // decision logic: a rand()-derived column marks the plan nondeterministic
+    assert(Dedup.planIsDeterministic(base.toDF("id", "text")))
+    assert(!Dedup.planIsDeterministic(
+      base.toDF("id", "text").withColumn("noise", rand())))
+    // end-to-end on a nondeterministic plan: correct pairs out, cache drains
+    // after the first action (the auto-persist takes the same one-shot
+    // release path as persistShingles=true)
+    val noisy = base.toDF("id", "text").withColumn("noise", rand())
+    val pairs = Dedup.minhashPairs(noisy, "id", "text", threshold = 0.5)
+    val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 3L)) && got.contains((2L, 5L)), s"pairs: $got")
+    val deadline = System.currentTimeMillis() + 10000
+    while (spark.sparkContext.getPersistentRDDs.nonEmpty
+        && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "auto-persisted shingle cache must be released after the first action")
+  }
+
   test("simhash: identical texts get identical hash; near-dups low hamming") {
     val df = base.toDF("id", "text")
     val sims = df.select(col("id"), Dedup.simhash64(col("text")).as("sim"))

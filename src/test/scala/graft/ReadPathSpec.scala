@@ -256,6 +256,10 @@ class ReadPathSpec extends SparkSpec {
     assert(Graft.splitCsvHeader("a,\"b\"\"c\",d", ",") == Seq("a", "b\"c", "d"))
     assert(Graft.splitCsvHeader("x;y;z", ";") == Seq("x", "y", "z"))
     assert(Graft.splitCsvHeader(" a , b ", ",") == Seq("a", "b"))
+    // multi-char separators split on the full string, not its first char
+    assert(Graft.splitCsvHeader("a||b||c", "||") == Seq("a", "b", "c"))
+    assert(Graft.splitCsvHeader("a|b||c", "||") == Seq("a|b", "c"))
+    assert(Graft.splitCsvHeader("\"a||b\"||c", "||") == Seq("a||b", "c"))
     val dir = tmpDir("a8h")
     writeFile(s"$dir/p=1/f.csv", "\"last,first\",age\n\"doe,jane\",40\n")
     // a requested quoted column must be SEEN by the probe, not mis-split
