@@ -63,12 +63,14 @@ object Bench {
       if (ts.isEmpty) (name, -1.0, 0.0) // all passes failed: visible marker
       else (name, ts(ts.size / 2), ts.last - ts.head) // (median, spread)
     }
-    val qs = results.map { case (k, med, _) => "\"" + k + "\":" + f"$med%.3f" }
-      .mkString("{", ",", "}")
-    val spread = results.map { case (k, _, sp) => "\"" + k + "\":" + f"$sp%.3f" }
-      .mkString("{", ",", "}")
-    // -1.0 markers are failed queries, not timings: excluding them keeps the
-    // headline total from reading 1s *faster* per broken query
+    // failed queries emit null (not a -1.0 sentinel) so summing the map
+    // always reproduces the headline total; failures stay visible in "failed"
+    val qs = results.map { case (k, med, _) =>
+      "\"" + k + "\":" + (if (med < 0) "null" else f"$med%.3f")
+    }.mkString("{", ",", "}")
+    val spread = results.map { case (k, med, sp) =>
+      "\"" + k + "\":" + (if (med < 0) "null" else f"$sp%.3f")
+    }.mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
     val total = results.collect { case (_, m, _) if m >= 0 => m }.sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"passes":$passes,"failed":$failed,"sf":"$sfDir"}""")

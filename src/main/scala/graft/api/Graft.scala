@@ -497,10 +497,12 @@ object Graft {
           else quoted = false
         } else cur.append(c)
         i += 1
-      } else if (c == '"' && cur.isEmpty) { quoted = true; wasQuoted = true; i += 1 }
-      // full-string separator match, so a multi-char sep like "||" splits
+      }
+      // separator wins over quote-open so a separator beginning with '"'
+      // still splits; full-string match so a multi-char sep like "||" splits
       // once per occurrence instead of on every constituent character
       else if (line.startsWith(sepStr, i)) { flush(); i += sepStr.length }
+      else if (c == '"' && cur.isEmpty) { quoted = true; wasQuoted = true; i += 1 }
       else { cur.append(c); i += 1 }
     }
     flush()

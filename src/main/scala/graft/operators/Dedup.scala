@@ -233,6 +233,11 @@ object Dedup {
     *    and auto-persisted (with a log line) even when
     *    `persistShingles=false`; a mutating external source can't be seen
     *    from the plan and remains the caller's responsibility.
+    *    NOTE: the persist is released after the FIRST completed action on
+    *    the result, so the pinned-snapshot guarantee covers only that first
+    *    action — a second action recomputes the nondeterministic lineage
+    *    unpinned. Callers needing multiple actions over a nondeterministic
+    *    input should persist/collect the result once themselves.
     * Buckets above `maxBucketSize` are dropped-and-logged ([[capBuckets]]). */
   def minhashPairs(
       df: DataFrame,

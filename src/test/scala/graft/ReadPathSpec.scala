@@ -260,6 +260,9 @@ class ReadPathSpec extends SparkSpec {
     assert(Graft.splitCsvHeader("a||b||c", "||") == Seq("a", "b", "c"))
     assert(Graft.splitCsvHeader("a|b||c", "||") == Seq("a|b", "c"))
     assert(Graft.splitCsvHeader("\"a||b\"||c", "||") == Seq("a||b", "c"))
+    // a separator that BEGINS with a double quote splits rather than
+    // opening a quoted cell (separator match precedes quote-open)
+    assert(Graft.splitCsvHeader("a\"|b\"|c", "\"|") == Seq("a", "b", "c"))
     val dir = tmpDir("a8h")
     writeFile(s"$dir/p=1/f.csv", "\"last,first\",age\n\"doe,jane\",40\n")
     // a requested quoted column must be SEEN by the probe, not mis-split
