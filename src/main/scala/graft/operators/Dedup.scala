@@ -127,22 +127,25 @@ object Dedup {
     * key the candidate self-join uses, and no per-bucket memory blowup (a
     * groupBy+collect of a mega-bucket would materialize it in one task).
     *
-    * Returns (observedSide, plainSide): identical capped frames, but only
-    * the first carries the `observe` metric node so a self-join of the two
-    * sides defines the metric once per query. Metrics (rows that were in
-    * over-cap buckets + max bucket size) are logged by [[armLshListener]]
-    * after the first action — caps are never silent. */
+    * Returns ONE observed capped frame, meant to be self-joined by the
+    * caller. Self-joining the SAME frame matters for performance: both join
+    * sides share one canonical plan, so the bucket-key shuffle under the
+    * window is computed once and the second side is a ReusedExchange — the
+    * whole upstream pipeline (scan → signature → explode) runs once, not
+    * twice. The analyzer allows the duplicated observe node because both
+    * occurrences carry the same name over the same canonicalized subtree.
+    * Metrics (rows that were in over-cap buckets + max bucket size) are
+    * logged by [[armLshListener]] after the first action — caps are never
+    * silent. */
   private def capBuckets(buckets: DataFrame, cap: Int,
-      metricName: String): (DataFrame, DataFrame) = {
-    val counted = buckets.withColumn("__bucket_n",
-      count(lit(1)).over(Window.partitionBy("bucket")))
-    val observed = counted.observe(metricName,
-      sum(when(col("__bucket_n") > cap, lit(1L)).otherwise(lit(0L)))
-        .as("rows_in_dropped_buckets"),
-      max(col("__bucket_n")).as("max_bucket_size"))
-    (observed.filter(col("__bucket_n") <= cap).drop("__bucket_n"),
-      counted.filter(col("__bucket_n") <= cap).drop("__bucket_n"))
-  }
+      metricName: String): DataFrame =
+    buckets.withColumn("__bucket_n",
+        count(lit(1)).over(Window.partitionBy("bucket")))
+      .observe(metricName,
+        sum(when(col("__bucket_n") > cap, lit(1L)).otherwise(lit(0L)))
+          .as("rows_in_dropped_buckets"),
+        max(col("__bucket_n")).as("max_bucket_size"))
+      .filter(col("__bucket_n") <= cap).drop("__bucket_n")
 
   /** One-shot QueryExecutionListener armed on `result`'s session: after the
     * first completed action whose plan contains `result`, log the LSH-cap
@@ -274,9 +277,9 @@ object Dedup {
     // shuffle volume by distinct candidates, not bucket-collision count
     val buckets = withSig
       .select(col("id"), explode(bandKeys(col("sig"), numHashes, rowsPerBand)).as("bucket"))
-    val (bl, br) = capBuckets(buckets, maxBucketSize, "graft_lsh_minhash")
-    val candidates = bl.select(col("bucket"), col("id").as("id_a"))
-      .join(br.select(col("bucket"), col("id").as("id_b")), Seq("bucket"))
+    val capped = capBuckets(buckets, maxBucketSize, "graft_lsh_minhash")
+    val candidates = capped.select(col("bucket"), col("id").as("id_a"))
+      .join(capped.select(col("bucket"), col("id").as("id_b")), Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
@@ -417,9 +420,9 @@ object Dedup {
       explode(array((0 until 4).map { c =>
         lit(c.toLong << 16) + shiftright(col("sim"), c * 16).bitwiseAND(0xFFFFL)
       }: _*)).as("bucket"))
-    val (bl, br) = capBuckets(chunked, maxBucketSize, "graft_lsh_simhash")
-    val pairs = bl.select(col("bucket"), col("id").as("id_a"), col("sim").as("sim_a"))
-      .join(br.select(col("bucket"), col("id").as("id_b"), col("sim").as("sim_b")),
+    val capped = capBuckets(chunked, maxBucketSize, "graft_lsh_simhash")
+    val pairs = capped.select(col("bucket"), col("id").as("id_a"), col("sim").as("sim_a"))
+      .join(capped.select(col("bucket"), col("id").as("id_b"), col("sim").as("sim_b")),
         Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
@@ -446,9 +449,9 @@ object Dedup {
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val sketch = Ann.hyperplaneSketch(col(vecCol), dim, numPlanes, seed)
     val withB = df.select(col(idCol).as("id"), col(vecCol).as("vec"), sketch.as("bucket"))
-    val (bl, br) = capBuckets(withB, maxBucketSize, "graft_lsh_embedding")
-    val pairs = bl.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
-      .join(br.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b")),
+    val capped = capBuckets(withB, maxBucketSize, "graft_lsh_embedding")
+    val pairs = capped.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
+      .join(capped.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b")),
         Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine", Ann.cosine(col("vec_a"), col("vec_b")))
