@@ -431,7 +431,7 @@ object SparkEntry {
   // ====================================================== LLM-pipeline ops
 
   import graft.functions.TextFunctions
-  import graft.operators.{Ann, AsofJoin, Dedup, Multimodal}
+  import graft.operators.{Ann, AsofJoin, Decontaminate, Dedup, Multimodal}
 
   /** documents ∪ a shifted copy of itself — guaranteed duplicates with a
     * known id mapping, so dedup results are oracle-expressible. */
@@ -507,6 +507,28 @@ object SparkEntry {
         shingleSize = 3, numHashes = 64, rowsPerBand = 8, threshold = 0.9)
       .filter(col("id_b") === col("id_a") + 1000000)
     Dedup.dropNearDuplicates(docs, "doc_id", plantedPairs)
+      .select("doc_id").orderBy("doc_id")
+  }
+
+  /** Benchmark decontamination: every 100th doc doubles as the "eval set";
+    * per-doc trigram overlap against its broadcast n-gram universe. The
+    * eval docs themselves come back contamination = 1.0, so the hash gate
+    * pins both the exact-overlap arithmetic and the flag threshold. */
+  private def d8_decontam(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val bench = docs.filter(col("doc_id") % 100 === 0).select("text")
+    Decontaminate.ngramOverlap(docs, "doc_id", "text", bench, "text",
+        n = 3, threshold = 0.5)
+      .withColumn("contaminated", col("contaminated").cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** The drop side of decontamination: corpus minus flagged docs. */
+  private def d8b_decontam_drop(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val bench = docs.filter(col("doc_id") % 100 === 0).select("text")
+    Decontaminate.decontaminate(docs, "doc_id", "text", bench, "text",
+        n = 3, threshold = 0.5)
       .select("doc_id").orderBy("doc_id")
   }
 
@@ -851,6 +873,8 @@ object SparkEntry {
     "d5_embed_neardup" -> (d5_embed_neardup _),
     "d6_dedup_pipeline" -> (d6_dedup_pipeline _),
     "d7_connected_components" -> (d7_connected_components _),
+    "d8_decontam" -> (d8_decontam _),
+    "d8b_decontam_drop" -> (d8b_decontam_drop _),
     "a1_ann_brute" -> (a1_ann_brute _),
     "a2_ann_lsh" -> (a2_ann_lsh _),
     "a4_ann_batch" -> (a4_ann_batch _),
@@ -1185,6 +1209,43 @@ object SparkEntry {
            UNION
            SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id)
          SELECT id, min(comp) AS comp FROM reach GROUP BY id ORDER BY id""",
+    "d8_decontam" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                    FROM documents),
+         sh AS (SELECT doc_id,
+                  list_distinct(CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                    ELSE list_transform(range(1, len(ws) - 1),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END) AS g
+                FROM w),
+         bg AS (SELECT DISTINCT unnest(g) AS gram FROM sh WHERE doc_id % 100 = 0),
+         ex AS (SELECT doc_id, CAST(len(g) AS BIGINT) AS total, unnest(g) AS gram
+                FROM sh)
+         SELECT ex.doc_id,
+           CAST(sum(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS matched_ngrams,
+           max(ex.total) AS total_ngrams,
+           CAST(sum(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / max(ex.total) AS contamination,
+           CAST(CAST(sum(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / max(ex.total) >= 0.5 AS INT) AS contaminated
+         FROM ex LEFT JOIN bg ON bg.gram = ex.gram
+         GROUP BY ex.doc_id ORDER BY ex.doc_id""",
+    "d8b_decontam_drop" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                    FROM documents),
+         sh AS (SELECT doc_id,
+                  list_distinct(CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                    ELSE list_transform(range(1, len(ws) - 1),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END) AS g
+                FROM w),
+         bg AS (SELECT DISTINCT unnest(g) AS gram FROM sh WHERE doc_id % 100 = 0),
+         ex AS (SELECT doc_id, CAST(len(g) AS BIGINT) AS total, unnest(g) AS gram
+                FROM sh),
+         c AS (SELECT ex.doc_id,
+                 CAST(sum(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                   / max(ex.total) AS contamination
+               FROM ex LEFT JOIN bg ON bg.gram = ex.gram GROUP BY ex.doc_id)
+         SELECT doc_id FROM c WHERE contamination < 0.5 ORDER BY doc_id""",
     "a1_ann_brute" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
          SELECT vec_id, CAST(row_number() OVER

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Benchmark decontamination for training corpora: flag (or drop) training
+  * documents whose word n-grams overlap an evaluation/benchmark set —
+  * the standard guard against eval-set leakage into training data.
+  *
+  * 100 TB design: the benchmark side is an eval set (thousands of docs,
+  * not billions), so its distinct n-gram universe is BROADCAST — matching
+  * the corpus is then a map-side join with no shuffle of the training
+  * data. The only shuffle is the per-doc match-count aggregation, which
+  * partial-aggregates map-side to one narrow row (id, total, matched) per
+  * doc per partition. The corpus is never self-joined and never carries
+  * its text through a shuffle.
+  */
+object Decontaminate {
+
+  /** Per-training-doc n-gram overlap against the benchmark n-gram universe.
+    *
+    * Returns one row per training doc:
+    * (idCol, matched_ngrams, total_ngrams, contamination, contaminated)
+    * where contamination = matched/total over the doc's DISTINCT n-grams
+    * and contaminated = contamination >= threshold.
+    *
+    * Uses word `n`-grams (documents shorter than n collapse to one
+    * whole-document shingle — [[TextFunctions.shingles]] semantics).
+    * Real pipelines use n in the 8–13 range so only verbatim spans match.
+    */
+  def ngramOverlap(
+      train: DataFrame,
+      idCol: String,
+      textCol: String,
+      bench: DataFrame,
+      benchTextCol: String,
+      n: Int = 8,
+      threshold: Double = 0.2): DataFrame = {
+    // staged projections: one tokenizer pass per row (lambda-capture rule)
+    val trainSh = train
+      .select(col(idCol), TextFunctions.words(col(textCol)).as("__words"))
+      .select(col(idCol),
+        array_distinct(TextFunctions.shingles(col("__words"), n)).as("__grams"))
+    val benchGrams = bench
+      .select(TextFunctions.words(col(benchTextCol)).as("__words"))
+      .select(explode(array_distinct(TextFunctions.shingles(col("__words"), n)))
+        .as("__gram"))
+      .distinct()
+      .withColumn("__hit", lit(1L))
+    // keep the doc's total through the explode so ONE aggregation yields
+    // both counts — no corpus-sized totals-vs-matches rejoin afterwards
+    trainSh
+      .select(col(idCol), size(col("__grams")).cast("long").as("__total"),
+        explode(col("__grams")).as("__gram"))
+      .join(broadcast(benchGrams), Seq("__gram"), "left")
+      .groupBy(col(idCol))
+      .agg(max(col("__total")).as("total_ngrams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("matched_ngrams"))
+      .select(col(idCol), col("matched_ngrams"), col("total_ngrams"),
+        (col("matched_ngrams").cast("double") / col("total_ngrams"))
+          .as("contamination"))
+      .withColumn("contaminated", col("contamination") >= threshold)
+  }
+
+  /** Drop contaminated docs: `train` minus docs flagged by [[ngramOverlap]]
+    * (left-anti on the flagged id set — the corpus streams through one
+    * anti-join, no wide row is built). */
+  def decontaminate(
+      train: DataFrame,
+      idCol: String,
+      textCol: String,
+      bench: DataFrame,
+      benchTextCol: String,
+      n: Int = 8,
+      threshold: Double = 0.2): DataFrame = {
+    val flagged = ngramOverlap(train, idCol, textCol, bench, benchTextCol, n, threshold)
+      .filter(col("contaminated"))
+      .select(col(idCol))
+    train.join(flagged, Seq(idCol), "left_anti")
+  }
+}
