@@ -694,6 +694,26 @@ object SparkEntry {
        FROM documents ORDER BY doc_id"""
   }
 
+  /** Sharded greedy sequence packing into 128-token bins (8 shards so the
+    * sf0.01 recursion-free oracle stays tractable; production default 256). */
+  private def t9_pack(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(TextFunctions.words(col("text"))).cast("long").as("tokens"))
+    graft.operators.Pack.packGreedy(docs, "doc_id", "tokens",
+        budget = 128, numShards = 8)
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic source mixing: src0 ×2.5, src1 ×0.5, src2 dropped,
+    * seventeen other sources pass through. */
+  private def t10_mix(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Mixing.resample(
+        t(s, dir, "documents").select("doc_id", "source"),
+        "doc_id", "source",
+        Map("src0" -> 2.5, "src1" -> 0.5, "src2" -> 0.0), granularity = 1000)
+      .orderBy("doc_id", "copy")
+
   /** qvec is serialized to a comma-joined string for the gate: the driver's
     * comparison harness sorts every output column and raw array cells are
     * unsortable there, so both sides emit the same canonical string form.
@@ -889,6 +909,8 @@ object SparkEntry {
     "t6_redact_pii" -> (t6_redact_pii _),
     "t7_repetition" -> (t7_repetition _),
     "t8_split" -> (t8_split _),
+    "t9_pack" -> (t9_pack _),
+    "t10_mix" -> (t10_mix _),
     "e1_quantize" -> (e1_quantize _),
     "m1_multimodal" -> (m1_multimodal _),
     "m2_audio" -> (m2_audio _),
@@ -1383,6 +1405,35 @@ object SparkEntry {
            CASE WHEN n = 0 THEN 0.0 ELSE CAST(topn AS DOUBLE)/n END AS top_word_frac
          FROM m ORDER BY doc_id""",
     "t8_split" -> t8OracleSql,
+    "t9_pack" ->
+      """WITH RECURSIVE t AS (
+           SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tokens,
+             CAST(row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id)
+               AS BIGINT) AS rn
+           FROM documents),
+         pack AS (
+           SELECT shard, rn, doc_id, tokens, CAST(0 AS BIGINT) AS bin,
+             tokens AS fill
+           FROM t WHERE rn = 1
+           UNION ALL
+           SELECT t.shard, t.rn, t.doc_id, t.tokens,
+             CASE WHEN p.fill > 0 AND p.fill + t.tokens > 128
+                  THEN p.bin + 1 ELSE p.bin END,
+             CASE WHEN p.fill > 0 AND p.fill + t.tokens > 128
+                  THEN t.tokens ELSE p.fill + t.tokens END
+           FROM pack p JOIN t ON t.shard = p.shard AND t.rn = p.rn + 1)
+         SELECT doc_id, shard, bin, tokens FROM pack ORDER BY doc_id""",
+    "t10_mix" ->
+      """WITH c AS (SELECT doc_id, source,
+           CASE source
+             WHEN 'src0' THEN 2 + CASE WHEN doc_id % 1000 < 500 THEN 1 ELSE 0 END
+             WHEN 'src1' THEN CASE WHEN doc_id % 1000 < 500 THEN 1 ELSE 0 END
+             WHEN 'src2' THEN 0
+             ELSE 1 END AS copies
+           FROM documents)
+         SELECT doc_id, source, unnest(range(0, copies)) AS copy
+         FROM c ORDER BY doc_id, copy""",
     "e1_quantize" ->
       """WITH m AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          mx AS (SELECT vec_id, v,

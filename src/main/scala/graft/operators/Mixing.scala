@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Source/domain mixture control for training corpora: up- or down-sample
+  * each source to hit a target mixture (the "data mixing" step — e.g. 2×
+  * epochs of a high-quality source, 0.3 of a crawl dump).
+  *
+  * Sampling is DETERMINISTIC and seed-free: a weight w yields floor(w) full
+  * copies of every row plus one extra copy for the fixed id-slice
+  * `id mod granularity < round(frac(w)·granularity)`. That makes runs
+  * reproducible byte-for-byte, keeps the operator pure relational algebra
+  * (a literal-map lookup + explode — fully codegen'd, no RNG state, no UDF),
+  * and at 100 TB it is embarrassingly parallel: no shuffle at all — each
+  * input row maps to 0..n output rows in place, and downstream shuffles see
+  * the already-mixed stream. Fractional thresholds are resolved to integers
+  * on the driver so there is no floating-point rounding in the row path.
+  */
+object Mixing {
+
+  /** Resample `df` so each source appears with multiplicity ≈ its weight.
+    * Sources absent from `weights` default to 1.0 (pass-through). Weight 0
+    * drops the source. Output = input columns + `copy` (0-based copy index,
+    * so downstream ids can be disambiguated as (id, copy)). */
+  def resample(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      weights: Map[String, Double],
+      granularity: Int = 1000): DataFrame = {
+    require(granularity > 0, "granularity must be positive")
+    require(weights.values.forall(w => w >= 0 && w.isFinite),
+      "weights must be finite and non-negative")
+    // resolve each weight to (fullCopies, extraSlice) on the driver: a row
+    // gets fullCopies + (1 if id mod granularity < extraSlice) copies
+    val resolved = weights.map { case (src, w) =>
+      val full = math.floor(w).toLong
+      val extra = math.round((w - math.floor(w)) * granularity)
+      src -> (full, extra)
+    }
+    val copies = resolved.foldLeft(
+        when(lit(false), lit(0L))) { case (acc, (src, (full, extra))) =>
+      acc.when(col(sourceCol) === src,
+        lit(full) + when(pmod(col(idCol).cast("long"), lit(granularity.toLong)) < extra, 1L)
+          .otherwise(0L))
+    }.otherwise(lit(1L))
+    df.withColumn("__copies", copies)
+      .filter(col("__copies") >= 1L)
+      .withColumn("copy", explode(sequence(lit(0L), col("__copies") - 1L)))
+      .drop("__copies")
+  }
+
+  /** The realized mixture: rows per source after resampling — the number a
+    * mixing job reports against its target weights. */
+  def mixtureReport(resampled: DataFrame, sourceCol: String): DataFrame =
+    resampled.groupBy(sourceCol).agg(count(lit(1)).as("n_rows"))
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for training pipelines: assign each document to a
+  * fixed-token-budget bin (a "context window") so downstream training reads
+  * densely packed sequences instead of one padded row per document.
+  *
+  * A global greedy pack is inherently sequential, so the 100 TB shape is
+  * SHARDED greedy: documents are split into `numShards` independent packing
+  * streams by a deterministic function of the id, each stream is packed in
+  * id order with a single O(1)-state pass. Spark-wise that is ONE hash
+  * shuffle on the shard key (`repartition`), a partition-local sort
+  * (`sortWithinPartitions` — no global sort, no range exchange), and one
+  * streaming `mapPartitions` pass. Nothing is collected; shard count scales
+  * with the cluster, and bin quality is unaffected because bins never cross
+  * shards in real packers either (they're written out per task).
+  */
+object Pack {
+
+  /** Greedy sequential packing: within each shard (`id % numShards`), docs
+    * are taken in ascending id order; a doc opens a new bin when it would
+    * overflow `budget` and the current bin is non-empty. A doc larger than
+    * the whole budget therefore gets a bin of its own (real packers truncate
+    * or split it downstream — assignment semantics are the same).
+    *
+    * Returns (idCol, shard, bin, tokens): bin ids are per-shard, 0-based.
+    */
+  def packGreedy(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      budget: Long,
+      numShards: Int = 256): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(numShards > 0, "numShards must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val staged = df
+      .select(col(idCol).cast("long").as("__id"),
+        col(tokensCol).cast("long").as("__tokens"),
+        pmod(col(idCol).cast("long"), lit(numShards.toLong)).as("__shard"))
+      .repartition(numShards.min(4096), col("__shard"))
+      .sortWithinPartitions("__shard", "__id")
+      .as[(Long, Long, Long)]
+    staged.mapPartitions { rows =>
+      var shard = -1L
+      var bin = 0L
+      var fill = 0L
+      rows.map { case (id, tokens, sh) =>
+        if (sh != shard) { shard = sh; bin = 0L; fill = 0L }
+        if (fill > 0 && fill + tokens > budget) { bin += 1L; fill = tokens }
+        else fill += tokens
+        (id, sh, bin, tokens)
+      }
+    }.toDF(idCol, "shard", "bin", "tokens")
+  }
+
+  /** Per-bin packing summary: docs per bin, filled tokens, utilization of
+    * the budget. The natural output of a packing job's bookkeeping. */
+  def binStats(packed: DataFrame, budget: Long): DataFrame =
+    packed.groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("tokens").as("fill"))
+      .withColumn("utilization", col("fill").cast("double") / lit(budget.toDouble))
+}

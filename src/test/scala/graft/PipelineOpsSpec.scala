@@ -47,3 +47,81 @@ class DecontaminateSpec extends SparkSpec {
       s"corpus must not shuffle for the gram match:\n$plan")
   }
 }
+
+class PackSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("greedy packing matches the hand-computed bin sequence") {
+    val docs = Seq((0L, 4L), (1L, 5L), (2L, 3L), (3L, 10L), (4L, 2L),
+      (5L, 12L), (6L, 1L)).toDF("doc_id", "tokens")
+    val out = Pack.packGreedy(docs, "doc_id", "tokens", budget = 10, numShards = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // 4+5 fill bin0; 3 overflows -> bin1; 10 -> bin2; 2 -> bin3;
+    // oversized 12 -> bin4 alone; 1 -> bin5
+    assert(out == Map(0L -> 0L, 1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L,
+      5L -> 4L, 6L -> 5L))
+  }
+
+  test("shards pack independently, bins restart per shard") {
+    val docs = (0L to 5L).map(i => (i, 6L)).toDF("doc_id", "tokens")
+    val out = Pack.packGreedy(docs, "doc_id", "tokens", budget = 10, numShards = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out.foreach { case (id, shard, _) => assert(shard == id % 2) }
+    // per shard: three 6-token docs into 10-token bins -> bins 0,1,2
+    for (sh <- 0 to 1) {
+      val bins = out.filter(_._2 == sh).sortBy(_._1).map(_._3).toSeq
+      assert(bins == Seq(0L, 1L, 2L), s"shard $sh got $bins")
+    }
+  }
+
+  test("oversized first doc takes bin 0 alone") {
+    val docs = Seq((0L, 99L), (1L, 3L)).toDF("doc_id", "tokens")
+    val out = Pack.packGreedy(docs, "doc_id", "tokens", budget = 10, numShards = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == Map(0L -> 0L, 1L -> 1L))
+  }
+
+  test("binStats reports fill and utilization; packing is one exchange") {
+    val docs = Seq((0L, 4L), (1L, 5L), (2L, 3L)).toDF("doc_id", "tokens")
+    val packed = Pack.packGreedy(docs, "doc_id", "tokens", budget = 10, numShards = 1)
+    val stats = Pack.binStats(packed, budget = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(stats.toSet == Set((0L, 2L, 9L, 0.9), (1L, 1L, 3L, 0.3)))
+    val plan = packed.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).length == 1,
+      s"packing must shuffle exactly once:\n$plan")
+  }
+}
+
+class MixingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rows = (0L to 9L).map(i => (i, if (i < 8) "a" else "b"))
+    .toDF("id", "source")
+
+  test("fractional weight resolves to the fixed id slice") {
+    // w=1.5, granularity 10: ids with id%10 < 5 get 2 copies, rest 1
+    val out = Mixing.resample(rows.filter(col("source") === "a"),
+        "id", "source", Map("a" -> 1.5), granularity = 10)
+      .groupBy("id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 4L).forall(out(_) == 2L) && (5L to 7L).forall(out(_) == 1L))
+  }
+
+  test("zero weight drops, missing source passes through, copy is 0-based") {
+    val out = Mixing.resample(rows, "id", "source", Map("a" -> 0.0))
+    // only source b (absent from weights -> weight 1.0) survives
+    val got = out.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSet == Set((8L, "b", 0L), (9L, "b", 0L)))
+  }
+
+  test("integer upsampling emits exact copy indices and no shuffle") {
+    val df = Mixing.resample(rows.filter(col("id") === 0), "id", "source",
+      Map("a" -> 3.0))
+    val copies = df.select("copy").as[Long].collect().sorted.toSeq
+    assert(copies == Seq(0L, 1L, 2L))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"mixing must be shuffle-free:\n$plan")
+    val report = Mixing.mixtureReport(df, "source").collect()
+    assert(report.map(r => (r.getString(0), r.getLong(1))).toSet == Set(("a", 3L)))
+  }
+}
