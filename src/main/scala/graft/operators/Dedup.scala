@@ -82,6 +82,15 @@ object Dedup {
     * projection — so the text→shingle→hash pipeline runs once per row, not
     * once per hash function. */
   def minhashSignatureFromHashes(hashes: Column, numHashes: Int = 64,
+      seed: Long = 42L): Column =
+    graft.functions.MinhashSignatureExpr(hashes, numHashes, seed)
+
+  /** The composable higher-order-function formulation of the signature —
+    * kept as the independent reference implementation the codegen'd
+    * expression is property-tested against (bit-equal by construction:
+    * same seeded family, same (a·x+b) mod p arithmetic). ~64× more array
+    * traversals than the fused expression; don't use on hot paths. */
+  private[graft] def minhashSignatureHof(hashes: Column, numHashes: Int = 64,
       seed: Long = 42L): Column = {
     val sig = hashFamily(numHashes, seed).map { case (a, b) =>
       array_min(transform(hashes, x => pmod(x * a + b, lit(HashDomain))))

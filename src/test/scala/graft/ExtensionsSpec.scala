@@ -165,6 +165,33 @@ class AnnSpec extends SparkSpec {
     assert(out.map(_.getInt(2)).toSeq == Seq(1, 2, 3, 4, 5))
   }
 
+  test("codegen minhash signature is bit-identical to the HOF formulation") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 300).map { i =>
+      val n = if (i == 0) 0 else rnd.nextInt(200) + 1
+      (i.toLong, Seq.fill(n)(rnd.nextLong() & ((1L << 31) - 1)))
+    }
+    val df = rows.toDF("id", "hashes")
+    val both = df.select(
+      Dedup.minhashSignatureFromHashes(col("hashes"), 64).as("fast"),
+      Dedup.minhashSignatureHof(col("hashes"), 64).as("hof"))
+    // array<long> equality is element-wise; the empty-array row yields
+    // all-null signatures on both sides, which <=> treats as equal
+    val mismatches = both.filter(not(col("fast") <=> col("hof"))).count()
+    assert(mismatches == 0, "codegen and HOF minhash must agree exactly")
+    // interpreted eval path (no codegen)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val lit5 = Literal.create(Seq(5L, 123456789L), ArrayType(LongType))
+    val viaEval = graft.functions.MinhashSignatureExpr(lit5, 16, 42L)
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray().toSeq
+    val viaDf = Seq(Tuple1(Seq(5L, 123456789L))).toDF("h")
+      .select(Dedup.minhashSignatureHof(col("h"), 16).as("s"))
+      .head().getSeq[Long](0)
+    assert(viaEval == viaDf, "interpreted eval must match HOF")
+  }
+
   test("codegen cosine expression is bit-identical to the HOF formulation") {
     val dim = 32
     val rows = (0 until 300).map(i => (i.toLong, randVec(i, dim)))
