@@ -15,7 +15,7 @@ object Bench {
   val headline: Seq[String] = Seq(
     "s1_scan_hive", "q1_agg", "q2_filter", "q3_join_agg", "q6_window",
     "q7_topk", "q20_multijoin", "d2_dedup_minhash", "a1_ann_brute",
-    "t3_tokens", "as1_asof")
+    "t3_tokens", "as1_asof", "as2_asof_native")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -821,6 +821,28 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Same query as as1 through the native plan node (AsofJoinExec) —
+    * o_orderdate is cast to timestamp because the native merge requires
+    * identical time types (the union composition coerced implicitly).
+    * The orders side is repartitioned by custkey FIRST: HashPartitioning
+    * (custkey) satisfies both the dedup window's (custkey, orderdate)
+    * clustering and the join's ClusteredDistribution(custkey), so the
+    * whole right side rides ONE exchange end-to-end. */
+  private def as2_asof_native(s: SparkSession, dir: String): DataFrame = {
+    val e = Fixtures.events(s, dir).select("event_id", "user_id", "ts")
+    val w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(desc("o_orderkey"))
+    val o = t(s, dir, "orders")
+      .repartition(col("o_custkey"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("o_custkey"),
+        col("o_orderdate").cast("timestamp").as("o_date_ts"),
+        col("o_orderkey"), col("o_totalprice"))
+    AsofJoin.asofJoinNative(e, o, "ts", "o_date_ts", "user_id", "o_custkey",
+        Seq("o_orderkey", "o_totalprice"))
+      .select("event_id", "user_id", "o_orderkey", "o_totalprice")
+      .orderBy("event_id")
+  }
+
   private def rj1_range_join(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.RangeJoin
     val points = Fixtures.events(s, dir)
@@ -921,6 +943,7 @@ object SparkEntry {
     "st4_stream_static_join" -> (st4_stream_static_join _),
     "st5_stream_stream_join" -> (st5_stream_stream_join _),
     "as1_asof" -> (as1_asof _),
+    "as2_asof_native" -> (as2_asof_native _),
     "rj1_range_join" -> (rj1_range_join _),
   )
 
@@ -1512,6 +1535,16 @@ object SparkEntry {
            ON e.p >= r.lo AND e.p <= r.hi
          GROUP BY e.event_id ORDER BY e.event_id""",
     "as1_asof" ->
+      """WITH r AS (SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
+           FROM orders QUALIFY rn = 1)
+         SELECT e.event_id, e.user_id, r.o_orderkey, r.o_totalprice
+         FROM events e ASOF LEFT JOIN r
+           ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+         ORDER BY e.event_id""",
+    // identical semantics to as1 — the native plan node must reproduce the
+    // composition's results exactly
+    "as2_asof_native" ->
       """WITH r AS (SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
            row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
            FROM orders QUALIFY rn = 1)

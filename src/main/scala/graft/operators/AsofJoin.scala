@@ -68,4 +68,50 @@ object AsofJoin {
       .select((leftCols.map(col) ++
         payloadCols.map(c => col(s"__carried.$c").as(c))): _*)
   }
+
+  /** Same semantics as [[asofJoin]] (backward inclusive, left-outer), as the
+    * native whole-operator plan node ([[graft.plans.AsofJoinExec]]): one
+    * hash exchange per side, partition-local sorts, and a streaming merge
+    * with O(1) state — no union materialization, no window carry-forward,
+    * and the left (key, time) ordering is preserved for downstream
+    * operators. Key and time columns must have identical types on both
+    * sides (cast before calling). The planner strategy is registered on
+    * `left`'s session on first use (idempotent); sessions built with
+    * `spark.sql.extensions=graft.GraftExtensions` already have it. */
+  def asofJoinNative(
+      left: DataFrame,
+      right: DataFrame,
+      leftTime: String,
+      rightTime: String,
+      leftKey: String,
+      rightKey: String,
+      payloadCols: Seq[String]): DataFrame = {
+    import graft.plans.{AsofJoinNode, AsofJoinStrategy}
+    import org.apache.spark.sql.GraftInternals
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsofJoinStrategy
+    // fresh exprIds via aliases (self-join safe) + early manual pruning:
+    // no column-pruning rule descends into the custom node, so the right
+    // side enters it already narrowed to key/time/payload
+    val rightSel = right.select(
+      col(rightKey).as("__r_key") +: col(rightTime).as("__r_time") +:
+        payloadCols.map(c => col(c).as("__r_" + c)): _*)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = rightSel.queryExecution.analyzed
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found"))
+    val (lk, lt) = (attr(lPlan, leftKey), attr(lPlan, leftTime))
+    val (rk, rt) = (attr(rPlan, "__r_key"), attr(rPlan, "__r_time"))
+    require(lk.dataType == rk.dataType,
+      s"key types must match: ${lk.dataType} vs ${rk.dataType}")
+    require(lt.dataType == rt.dataType,
+      s"time types must match: ${lt.dataType} vs ${rt.dataType} (cast first)")
+    GraftInternals.ofRows(spark, AsofJoinNode(lPlan, rPlan, lk, rk, lt, rt))
+      .select(left.columns.toSeq.map(col) ++
+        payloadCols.map(c => col("__r_" + c).as(c)): _*)
+  }
 }

@@ -1,10 +1,17 @@
 package org.apache.spark.sql
 
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
-/** Minimal bridge to package-private Column <-> Expression conversion (the
-  * standard seam for libraries shipping custom Catalyst expressions). */
+/** Minimal bridge to package-private Column <-> Expression conversion and
+  * LogicalPlan -> DataFrame construction (the standard seams for libraries
+  * shipping custom Catalyst expressions and plan nodes). */
 object GraftInternals {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Wrap an already-resolved logical plan (e.g. a custom node built from
+    * analyzed children) as a DataFrame on `spark`. */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

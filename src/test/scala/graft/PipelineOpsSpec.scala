@@ -93,6 +93,60 @@ class PackSpec extends SparkSpec {
   }
 }
 
+class AsofNativeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randSide(seed: Int, n: Int, keys: Int): Seq[(Long, Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n)((rnd.nextInt(keys).toLong, rnd.nextInt(100).toLong, rnd.nextLong()))
+  }
+
+  test("native as-of join agrees with the union+window composition") {
+    val left = randSide(1, 400, 7).toDF("k", "t", "lv")
+    val right = randSide(2, 300, 7).toDF("k", "t", "rv")
+      .dropDuplicates("k", "t") // contract: unique right (key, time)
+    val viaWindow = AsofJoin.asofJoin(left, right, "t", "t", "k", "k", Seq("rv"))
+    val viaNative = AsofJoin.asofJoinNative(left, right, "t", "t", "k", "k", Seq("rv"))
+    assert(canon(viaNative) == canon(viaWindow))
+  }
+
+  test("unmatched, inclusive-equal, and null-key/time semantics") {
+    val left = Seq(
+      (1L, 10L, "a"),     // exact-time match -> inclusive
+      (1L, 5L, "b"),      // before any right row -> null
+      (2L, 50L, "c"),     // key with no right rows -> null
+      (1L, 99L, "d"))     // latest wins
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, 100L), (1L, 20L, 200L)).toDF("k", "t", "pay")
+    val out = AsofJoin.asofJoinNative(left, right, "t", "t", "k", "k", Seq("pay"))
+      .collect().map(r => r.getString(2) -> (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(out == Map("a" -> 100L, "b" -> -1L, "c" -> -1L, "d" -> 200L))
+  }
+
+  test("native as-of plans as AsofJoinExec with one exchange per side") {
+    val left = randSide(3, 100, 5).toDF("k", "t", "lv")
+    val right = randSide(4, 80, 5).toDF("k", "t", "rv").dropDuplicates("k", "t")
+    val df = AsofJoin.asofJoinNative(left, right, "t", "t", "k", "k", Seq("rv"))
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString
+    // AQE prints final + initial plans; count only the final one
+    val plan = full.split("== Initial Plan ==").head
+    assert(plan.contains("AsofJoin"), s"expected AsofJoinExec in:\n$plan")
+    // dropDuplicates adds its own aggregate exchange; the join itself must
+    // add exactly two hash exchanges (one per side), nothing else
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 3, s"expected 3 hash exchanges (2 join + 1 dedup):\n$plan")
+  }
+
+  test("empty right side leaves every left row unmatched") {
+    val left = Seq((1L, 1L)).toDF("k", "t")
+    val right = Seq.empty[(Long, Long, Long)].toDF("k", "t", "rv")
+    val out = AsofJoin.asofJoinNative(left, right, "t", "t", "k", "k", Seq("rv"))
+      .collect()
+    assert(out.length == 1 && out.head.isNullAt(2))
+  }
+}
+
 class MixingSpec extends SparkSpec {
   import spark.implicits._
 
