@@ -104,15 +104,16 @@ object Dedup {
     transform(TextFunctions.shingleHashes(text, shingleSize),
       x => pmod(x, lit(HashDomain)))
 
-  /** (id, shingle_set) with projections staged so each lambda only captures
-    * attributes: text → words → shingle hashes → distinct set. One tokenizer
-    * pass per row instead of one per shingle. */
+  /** (id, shingle_set) — words staged as a materialized column (one
+    * tokenizer pass per row), then ONE fused kernel call builds the
+    * distinct shingle-hash set ([[graft.functions.ShingleHashSetExpr]]:
+    * no per-shingle string building, no intermediate arrays). */
   def shingleSets(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int): DataFrame =
     df.select(col(idCol).as("id"), TextFunctions.words(col(textCol)).as("__words"))
-      .select(col("id"), array_distinct(
-        transform(TextFunctions.shingleHashesFromWords(col("__words"), shingleSize),
-          x => pmod(x, lit(HashDomain)))).as("shingle_set"))
+      .select(col("id"),
+        graft.functions.ShingleHashSetExpr(col("__words"), shingleSize)
+          .as("shingle_set"))
 
   /** Column: array<long> minhash signature of a text column (convenience;
     * for hot paths prefer materializing shingleHashes31 first). */

@@ -34,6 +34,37 @@ class DedupSpec extends SparkSpec {
     assert(cc.size == 43) // only nodes that appear in a pair
   }
 
+  test("fused shingle-hash set: window semantics, distinctness, both eval paths") {
+    val rows = Seq(
+      (1L, "a b c d e"),          // 3 trigram windows
+      (2L, "a b c d e"),          // identical -> identical set
+      (3L, "a b"),                // shorter than n -> one whole-doc hash
+      (4L, ""),                   // empty -> one hash (of the empty window)
+      (5L, "x x x x x x"))        // repeated windows -> ONE distinct hash
+      .toDF("id", "text")
+    val out = Dedup.shingleSets(rows.toDF("id", "text"), "id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(out(1L).length == 3 && out(1L) == out(2L))
+    assert(out(3L).length == 1 && out(4L).length == 1 && out(3L) != out(4L))
+    assert(out(5L).length == 1)
+    assert(out.values.forall(_.forall(h => h >= 0 && h < (1L << 31) - 1)))
+    assert(out.values.forall(s => s == s.sorted && s.distinct == s))
+    // interpreted eval agrees with codegen
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val words = new GenericArrayData(
+      Array[Any](UTF8String.fromString("a"), UTF8String.fromString("b"),
+        UTF8String.fromString("c"), UTF8String.fromString("d"),
+        UTF8String.fromString("e")))
+    val viaEval = graft.functions.ShingleHashSetExpr(
+        Literal.create(words, ArrayType(StringType)), 3)
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray().toSeq
+    assert(viaEval == out(1L))
+  }
+
   test("minhash LSH finds planted near-dup and exact-dup pairs") {
     val df = base.toDF("id", "text")
     val pairs = Dedup.minhashPairs(df, "id", "text",
