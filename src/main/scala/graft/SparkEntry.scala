@@ -152,16 +152,27 @@ object SparkEntry {
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** Two-phase distinct: a countDistinct alongside other aggregates plans
+    * an Expand that doubles every joined row through the shuffle; instead,
+    * pre-aggregate per (segment, orderkey) — that clustering is SATISFIED
+    * by the join's existing l_orderkey hash partitioning (subset rule), so
+    * the first aggregate is exchange-free — then roll up the per-order
+    * rows. Same bytes shuffled once, no row doubling; the decimal sum
+    * stays order-insensitive so results are bit-identical. */
   private def q3_join_agg(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer"); val o = t(s, dir, "orders"); val l = t(s, dir, "lineitem")
     l.join(o, l("l_orderkey") === o("o_orderkey"))
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-      .groupBy("c_mktsegment")
+      .groupBy(col("c_mktsegment"), col("o_orderkey"))
       .agg(
         sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-          .cast("double").as("revenue"),
-        countDistinct("o_orderkey").as("n_orders"),
-        count(lit(1)).as("n_lines"))
+          .as("rev"),
+        count(lit(1)).as("nl"))
+      .groupBy("c_mktsegment")
+      .agg(
+        sum(col("rev")).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"),
+        sum(col("nl")).as("n_lines"))
       .orderBy("c_mktsegment")
   }
 
@@ -179,15 +190,23 @@ object SparkEntry {
       .select("c_custkey", "c_name").orderBy("c_custkey")
   }
 
+  /** Rank-prune FIRST, then compute the frame functions: lag(1) and the
+    * running sum at rn <= 3 only ever reference rows rn-1 and 1..rn, all
+    * inside the kept prefix, so filtering before the lag/sum window is
+    * semantically identical — and the standalone row_number + filter plans
+    * a map-side WindowGroupLimit that cuts the shuffle from every lineitem
+    * row to ~3 rows per supplier per mapper. The second window reuses the
+    * same (l_suppkey) exchange: one shuffle total, frame functions run
+    * over 3 rows/key instead of the whole table. */
   private def q6_window(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("l_suppkey")
       .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
     t(s, dir, "lineitem")
       .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
       .withColumn("prev_qty", lag("l_quantity", 1).over(w))
       .withColumn("run_qty", sum(dec(col("l_quantity")))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("double"))
-      .filter(col("rn") <= 3)
       .select("l_suppkey", "rn", "l_orderkey", "l_linenumber", "l_quantity",
         "prev_qty", "run_qty")
       .orderBy("l_suppkey", "rn")
