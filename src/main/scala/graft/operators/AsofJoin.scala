@@ -86,12 +86,15 @@ object AsofJoin {
       leftKey: String,
       rightKey: String,
       payloadCols: Seq[String]): DataFrame = {
-    import graft.plans.{AsofJoinNode, AsofJoinStrategy}
+    import graft.plans.{AsofJoinNode, AsofJoinPushdown, AsofJoinStrategy}
     import org.apache.spark.sql.GraftInternals
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsofJoinStrategy
+    if (!spark.experimental.extraOptimizations.contains(AsofJoinPushdown))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AsofJoinPushdown
     // fresh exprIds via aliases (self-join safe) + early manual pruning:
     // no column-pruning rule descends into the custom node, so the right
     // side enters it already narrowed to key/time/payload

@@ -138,6 +138,31 @@ class AsofNativeSpec extends SparkSpec {
     assert(exchanges == 3, s"expected 3 hash exchanges (2 join + 1 dedup):\n$plan")
   }
 
+  test("filters push through the native as-of node; key predicates prune both sides") {
+    val left = randSide(5, 200, 9).toDF("k", "t", "lv")
+    val right = randSide(6, 150, 9).toDF("k", "t", "rv").dropDuplicates("k", "t")
+    val joined = AsofJoin.asofJoinNative(left, right, "t", "t", "k", "k", Seq("rv"))
+    val filtered = joined.filter(col("k") === 3 && col("lv") > 0)
+    // correctness: pushdown must not change results
+    assert(canon(filtered) ==
+      canon(AsofJoin.asofJoinNative(left.filter(col("k") === 3 && col("lv") > 0),
+        right, "t", "t", "k", "k", Seq("rv"))))
+    // plan shape: no Filter above the node; left child filtered on k AND lv,
+    // right child filtered on the transposed key predicate
+    import graft.plans.AsofJoinNode
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    val opt = filtered.queryExecution.optimizedPlan
+    val nodes = opt.collect { case n: AsofJoinNode => n }
+    assert(nodes.length == 1, s"expected one AsofJoinNode in:\n$opt")
+    val j = nodes.head
+    assert(opt.collectFirst { case f @ LFilter(_, _: AsofJoinNode) => f }.isEmpty,
+      s"filter must not remain above the node:\n$opt")
+    assert(j.left.collectFirst { case f: LFilter => f }.nonEmpty,
+      s"left side must carry the pushed filter:\n$opt")
+    assert(j.right.collectFirst { case f: LFilter => f }.nonEmpty,
+      s"right side must carry the transposed key filter:\n$opt")
+  }
+
   test("empty right side leaves every left row unmatched") {
     val left = Seq((1L, 1L)).toDF("k", "t")
     val right = Seq.empty[(Long, Long, Long)].toDF("k", "t", "rv")
