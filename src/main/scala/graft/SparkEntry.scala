@@ -667,6 +667,17 @@ object SparkEntry {
       .select("doc_id", "n_bpe_real").orderBy("doc_id")
   }
 
+  /** Bigram-LM perplexity over the corpus (trained on itself here; a real
+    * pipeline trains on a held-out quality sample). Not SQL-expressible
+    * (bounded trained model) — rows-only gate; arithmetic is unit-tested
+    * against hand-computed smoothing values. */
+  private def t11_perplexity(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val lm = graft.functions.LanguageModel.train(docs, "text")
+    graft.functions.LanguageModel.perplexity(docs, "doc_id", "text", lm)
+      .orderBy("doc_id")
+  }
+
   private def t4_fingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(
       col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
@@ -952,6 +963,7 @@ object SparkEntry {
     "t8_split" -> (t8_split _),
     "t9_pack" -> (t9_pack _),
     "t10_mix" -> (t10_mix _),
+    "t11_perplexity" -> (t11_perplexity _),
     "e1_quantize" -> (e1_quantize _),
     "m1_multimodal" -> (m1_multimodal _),
     "m2_audio" -> (m2_audio _),

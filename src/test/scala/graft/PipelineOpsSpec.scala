@@ -172,6 +172,54 @@ class AsofNativeSpec extends SparkSpec {
   }
 }
 
+class LanguageModelSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.LanguageModel
+
+  private val corpus = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "the cat sat on the rug"),
+    (3L, "the dog sat on the mat"),
+    (4L, "a dog ran to the park")).toDF("id", "text")
+
+  test("add-k smoothing matches hand-computed probabilities") {
+    val lm = LanguageModel.train(corpus, "text", k = 0.5)
+    // "the" appears 7x; "the cat" 2x; V = 11 distinct tokens + 1 OOV = 12
+    assert(lm.vocab == 12)
+    assert(lm.unigrams("the") == 7L && lm.bigrams("the cat") == 2L)
+    val expected = math.log((2 + 0.5) / (7 + 0.5 * 12))
+    assert(math.abs(lm.logProb("the", "cat") - expected) < 1e-12)
+    // unseen bigram with seen prefix; fully OOV prefix
+    assert(math.abs(lm.logProb("the", "zebra") -
+      math.log(0.5 / (7 + 0.5 * 12))) < 1e-12)
+    assert(math.abs(lm.logProb("zebra", "qux") -
+      math.log(0.5 / (0.5 * 12))) < 1e-12)
+  }
+
+  test("fluent text scores lower perplexity than scrambled; short docs null") {
+    val lm = LanguageModel.train(corpus, "text", k = 0.1)
+    val probe = Seq(
+      (10L, "the cat sat on the mat"),   // in-distribution
+      (11L, "mat the on sat cat the"),   // same tokens, scrambled
+      (12L, "one"), (13L, "")).toDF("id", "text")
+    val out = LanguageModel.perplexity(probe, "id", "text", lm)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out(10L).get < out(11L).get,
+      s"fluent ${out(10L)} must beat scrambled ${out(11L)}")
+    assert(out(12L).isEmpty && out(13L).isEmpty)
+  }
+
+  test("training is deterministic and scoring is shuffle-free") {
+    val lm1 = LanguageModel.train(corpus, "text")
+    val lm2 = LanguageModel.train(corpus, "text")
+    assert(lm1 == lm2)
+    val plan = LanguageModel.perplexity(corpus, "id", "text", lm1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"scoring must not shuffle:\n$plan")
+  }
+}
+
 class MixingSpec extends SparkSpec {
   import spark.implicits._
 
