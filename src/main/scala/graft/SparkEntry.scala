@@ -678,6 +678,19 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Posting-list stats for a fixed query-term set — exact integer oracle. */
+  private def t12_termstats(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Retrieval.termStats(t(s, dir, "documents"),
+        "doc_id", "text", Seq("agg", "scan", "window"))
+      .orderBy("doc_id", "term")
+
+  /** BM25 over the same terms — ln() makes cross-engine hashing unreliable,
+    * so rows-only; the scoring arithmetic is unit-tested by hand. */
+  private def t12b_bm25(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Retrieval.bm25(t(s, dir, "documents"),
+        "doc_id", "text", Seq("agg", "scan", "window"))
+      .orderBy("doc_id")
+
   private def t4_fingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(
       col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
@@ -964,6 +977,8 @@ object SparkEntry {
     "t9_pack" -> (t9_pack _),
     "t10_mix" -> (t10_mix _),
     "t11_perplexity" -> (t11_perplexity _),
+    "t12_termstats" -> (t12_termstats _),
+    "t12b_bm25" -> (t12b_bm25 _),
     "e1_quantize" -> (e1_quantize _),
     "m1_multimodal" -> (m1_multimodal _),
     "m2_audio" -> (m2_audio _),
@@ -1459,6 +1474,18 @@ object SparkEntry {
            CASE WHEN n = 0 THEN 0.0 ELSE CAST(topn AS DOUBLE)/n END AS top_word_frac
          FROM m ORDER BY doc_id""",
     "t8_split" -> t8OracleSql,
+    "t12_termstats" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                    FROM documents),
+         tf AS (SELECT doc_id, t.term,
+                  CAST(len(list_filter(ws, x -> x = t.term)) AS BIGINT) AS tf,
+                  CAST(len(ws) AS BIGINT) AS dl
+                FROM w CROSS JOIN
+                  (SELECT unnest(['agg', 'scan', 'window']) AS term) t),
+         p AS (SELECT * FROM tf WHERE tf > 0),
+         d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY term)
+         SELECT doc_id, term, tf, dl, df FROM p JOIN d USING (term)
+         ORDER BY doc_id, term""",
     "t9_pack" ->
       """WITH RECURSIVE t AS (
            SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard,

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Keyword retrieval over a document corpus: posting-list term statistics
+  * and BM25 ranking for a bounded query-term set — the classic lexical
+  * counterpart to the ANN operators (hybrid search pipelines run both).
+  *
+  * 100 TB shape: the query's terms are a SMALL literal set, so per-doc term
+  * frequencies are pure codegen'd Column arithmetic over the token array —
+  * no explode-join against an inverted index, no shuffle of the corpus.
+  * The only aggregations are the tiny per-term document frequencies and the
+  * one-row corpus stats (N, avgdl), both re-joined by broadcast; the corpus
+  * itself streams through map-side work only.
+  */
+object Retrieval {
+
+  /** Posting-list stats for `terms`: one row per (doc, term) with tf > 0 —
+    * (idCol, term, tf, dl, df) where dl = doc token length and df = number
+    * of docs containing the term. Exact integer arithmetic end-to-end. */
+  def termStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(terms.distinct == terms, "terms must be distinct")
+    val w = df.select(col(idCol), TextFunctions.words(col(textCol)).as("__w"))
+      .select(col(idCol), col("__w"), size(col("__w")).cast("long").as("dl"))
+    val perTerm = explode(array(terms.map(t =>
+      struct(lit(t).as("term"),
+        size(filter(col("__w"), x => x === lit(t))).cast("long").as("tf"))): _*))
+    val tfRows = w.select(col(idCol), col("dl"), perTerm.as("__s"))
+      .select(col(idCol), col("__s.term").as("term"), col("__s.tf").as("tf"),
+        col("dl"))
+      .filter(col("tf") > 0)
+    val dfTab = tfRows.groupBy("term").agg(count(lit(1)).as("df"))
+    tfRows.join(broadcast(dfTab), Seq("term"))
+      .select(col(idCol), col("term"), col("tf"), col("dl"), col("df"))
+  }
+
+  /** BM25 scores for `terms` over the corpus: (idCol, score), docs matching
+    * at least one term. Standard Robertson idf = ln((N - df + .5)/(df + .5)
+    * + 1); corpus stats (N, avgdl) ride a broadcast one-row cross join, so
+    * scoring adds no corpus shuffle beyond the per-doc aggregation. */
+  def bm25(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val w = df.select(col(idCol), TextFunctions.words(col(textCol)).as("__w"))
+      .select(col(idCol), size(col("__w")).cast("long").as("dl"))
+    val corpus = w.agg(count(lit(1)).as("N"),
+      avg(col("dl")).as("avgdl"))
+    termStats(df, idCol, textCol, terms)
+      .crossJoin(broadcast(corpus))
+      .withColumn("__idf",
+        log((col("N") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("__contrib",
+        col("__idf") * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col(idCol))
+      .agg(sum(col("__contrib")).as("score"))
+  }
+}

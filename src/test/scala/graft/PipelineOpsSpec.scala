@@ -220,6 +220,47 @@ class LanguageModelSpec extends SparkSpec {
   }
 }
 
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Retrieval
+
+  private val docs = Seq(
+    (1L, "spark query engine"),          // dl 3
+    (2L, "query query plan"),            // dl 3, tf(query)=2
+    (3L, "storage layer details")).toDF("id", "text") // no match
+
+  test("termStats emits exact posting rows") {
+    val out = Retrieval.termStats(docs, "id", "text", Seq("query", "spark"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out == Map(
+      (1L, "query") -> ((1L, 3L, 2L)),
+      (2L, "query") -> ((2L, 3L, 2L)),
+      (1L, "spark") -> ((1L, 3L, 1L))))
+  }
+
+  test("bm25 matches the hand-computed score and ranks tf sensibly") {
+    val k1 = 1.2; val b = 0.75
+    val out = Retrieval.bm25(docs, "id", "text", Seq("query"), k1, b)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // N=3, df=2, avgdl=3, dl=3 -> length norm = 1
+    val idf = math.log((3 - 2 + 0.5) / (2 + 0.5) + 1)
+    def s(tf: Double) = idf * tf * (k1 + 1) / (tf + k1)
+    assert(math.abs(out(1L) - s(1)) < 1e-12)
+    assert(math.abs(out(2L) - s(2)) < 1e-12)
+    assert(!out.contains(3L))
+    assert(out(2L) > out(1L), "higher tf must outrank")
+  }
+
+  test("corpus is never shuffled for scoring: only the tiny aggregations exchange") {
+    val df = Retrieval.termStats(docs, "id", "text", Seq("query"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"), s"df join must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus must not shuffle to join:\n$plan")
+  }
+}
+
 class MixingSpec extends SparkSpec {
   import spark.implicits._
 
