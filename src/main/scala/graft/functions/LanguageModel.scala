@@ -60,13 +60,22 @@ object LanguageModel {
       .groupBy("t").agg(count(lit(1)).as("c"))
       .orderBy(desc("c"), asc("t")).limit(maxVocab).collect()
     val unigrams = uniRows.map(r => r.getString(0) -> r.getLong(1)).toMap
-    val biRows = base
+    // sub-2-token docs have no bigrams — and must be filtered BEFORE the
+    // window transform: sequence(0, size-2) on size 0/1 is a DESCENDING
+    // sequence whose element_at(0 / out-of-range) throws under ANSI
+    val biRows = base.filter(size(col("w")) >= 2)
       .select(explode(transform(sequence(lit(0), size(col("w")) - 2),
         i => concat_ws(" ", element_at(col("w"), i + 1),
           element_at(col("w"), i + 2)))).as("b"))
       .groupBy("b").agg(count(lit(1)).as("c"))
       .orderBy(desc("c"), asc("b")).limit(maxBigrams).collect()
-    val bigrams = biRows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    // drop bigrams whose prefix unigram fell out of the retained vocab:
+    // with count(prefix) truncated to 0 the smoothed P(b|a) is unnormalized
+    // (can exceed 1 once cBi > k*V), inflating fluency for exactly the
+    // rare-prefix docs a perplexity filter is meant to catch
+    val bigrams = biRows.map(r => r.getString(0) -> r.getLong(1))
+      .filter { case (key, _) => unigrams.contains(key.split(" ", 2).head) }
+      .toMap
     BigramLm(k, unigrams.size + 1, unigrams, bigrams)
   }
 
@@ -86,12 +95,14 @@ object LanguageModel {
       StructField("avg_logprob", DoubleType, nullable = true),
       StructField("perplexity", DoubleType, nullable = true)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    df.select(col(idCol).cast("long"), TextFunctions.words(col(textCol)))
+    df.filter(col(idCol).isNotNull) // a null id cannot key a score row
+      .select(col(idCol).cast("long"), TextFunctions.words(col(textCol)))
       .mapPartitions { rows =>
         val m = bc.value
         rows.map { r =>
           val id = r.getLong(0)
-          val words = r.getSeq[String](1)
+          // null text propagates a null words array through the tokenizer
+          val words = if (r.isNullAt(1)) Seq.empty[String] else r.getSeq[String](1)
           val n = words.length.toLong
           if (n < 2) Row(id, n, null, null)
           else {

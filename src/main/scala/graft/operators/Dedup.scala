@@ -98,8 +98,13 @@ object Dedup {
     array(sig: _*)
   }
 
-  /** Column: shingle hashes of a text column in the 31-bit domain.
-    * (Lambda-capture caveat applies — hot paths should use shingleSets.) */
+  /** Column: shingle hashes of a text column in the 31-bit domain via the
+    * LEGACY string formulation (xxhash64 of space-joined shingles).
+    * NOT comparable with [[shingleSets]]/[[minhashSignature]] output since
+    * those moved to the fused word-hash kernel
+    * ([[graft.functions.ShingleHashSetExpr]]) — kept only for callers that
+    * need hashes of the exact string shingles (e.g. to join against
+    * [[graft.functions.TextFunctions.shingles]] text output). */
   def shingleHashes31(text: Column, shingleSize: Int): Column =
     transform(TextFunctions.shingleHashes(text, shingleSize),
       x => pmod(x, lit(HashDomain)))
@@ -116,10 +121,16 @@ object Dedup {
           .as("shingle_set"))
 
   /** Column: array<long> minhash signature of a text column (convenience;
-    * for hot paths prefer materializing shingleHashes31 first). */
+    * hot paths should stage words via [[shingleSets]] first). Built on the
+    * SAME fused shingle kernel as [[shingleSets]]/[[minhashPairs]], so
+    * signatures from this form and the pipeline are comparable — duplicate
+    * shingles cannot affect a minimum, so the kernel's built-in distinct
+    * leaves signatures unchanged. */
   def minhashSignature(text: Column, shingleSize: Int = 3, numHashes: Int = 64,
       seed: Long = 42L): Column =
-    minhashSignatureFromHashes(shingleHashes31(text, shingleSize), numHashes, seed)
+    minhashSignatureFromHashes(
+      graft.functions.ShingleHashSetExpr(TextFunctions.words(text), shingleSize),
+      numHashes, seed)
 
   /** LSH banding: numHashes/rowsPerBand band keys per row, as LONGS —
     * xxhash64 over (band index, signature slice). Long keys shuffle and

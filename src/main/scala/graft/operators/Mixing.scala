@@ -32,6 +32,13 @@ object Mixing {
     require(granularity > 0, "granularity must be positive")
     require(weights.values.forall(w => w >= 0 && w.isFinite),
       "weights must be finite and non-negative")
+    // withColumn REPLACES an existing column of the same name, which would
+    // silently corrupt a chained resample's copy index (or any input that
+    // already carries these names) — refuse instead
+    require(!df.columns.contains("copy") && !df.columns.contains("__copies"),
+      "input already has a 'copy'/'__copies' column — rename it first " +
+        "(chained resamples must disambiguate copies themselves, e.g. fold " +
+        "the previous copy index into the id)")
     // resolve each weight to (fullCopies, extraSlice) on the driver: a row
     // gets fullCopies + (1 if id mod granularity < extraSlice) copies
     val resolved = weights.map { case (src, w) =>

@@ -25,11 +25,21 @@ object Retrieval {
       df: DataFrame,
       idCol: String,
       textCol: String,
+      terms: Seq[String]): DataFrame =
+    termStatsOver(tokenized(df, idCol, textCol), idCol, terms)
+
+  /** (id, __w, dl) staged once — both termStats and bm25's corpus stats
+    * aggregate over this single tokenizer pass. */
+  private def tokenized(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), TextFunctions.words(col(textCol)).as("__w"))
+      .select(col(idCol), col("__w"), size(col("__w")).cast("long").as("dl"))
+
+  private def termStatsOver(
+      w: DataFrame,
+      idCol: String,
       terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "terms must be non-empty")
     require(terms.distinct == terms, "terms must be distinct")
-    val w = df.select(col(idCol), TextFunctions.words(col(textCol)).as("__w"))
-      .select(col(idCol), col("__w"), size(col("__w")).cast("long").as("dl"))
     val perTerm = explode(array(terms.map(t =>
       struct(lit(t).as("term"),
         size(filter(col("__w"), x => x === lit(t))).cast("long").as("tf"))): _*))
@@ -45,7 +55,11 @@ object Retrieval {
   /** BM25 scores for `terms` over the corpus: (idCol, score), docs matching
     * at least one term. Standard Robertson idf = ln((N - df + .5)/(df + .5)
     * + 1); corpus stats (N, avgdl) ride a broadcast one-row cross join, so
-    * scoring adds no corpus shuffle beyond the per-doc aggregation. */
+    * scoring adds no corpus shuffle beyond the per-doc aggregation.
+    * Lazy-execution note: the stats branch and the posting branch share one
+    * staged tokenizer DEFINITION but still execute it twice (no hidden
+    * persist) — callers scoring a hot corpus repeatedly should persist the
+    * input once themselves. */
   def bm25(
       df: DataFrame,
       idCol: String,
@@ -53,11 +67,10 @@ object Retrieval {
       terms: Seq[String],
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
-    val w = df.select(col(idCol), TextFunctions.words(col(textCol)).as("__w"))
-      .select(col(idCol), size(col("__w")).cast("long").as("dl"))
+    val w = tokenized(df, idCol, textCol)
     val corpus = w.agg(count(lit(1)).as("N"),
       avg(col("dl")).as("avgdl"))
-    termStats(df, idCol, textCol, terms)
+    termStatsOver(w, idCol, terms)
       .crossJoin(broadcast(corpus))
       .withColumn("__idf",
         log((col("N") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))

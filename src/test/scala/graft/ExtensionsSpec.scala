@@ -65,6 +65,17 @@ class DedupSpec extends SparkSpec {
     assert(viaEval == out(1L))
   }
 
+  test("minhashSignature column form is comparable with the pipeline's signatures") {
+    val df = base.toDF("id", "text")
+    val viaPipeline = Dedup.shingleSets(df, "id", "text", 3)
+      .select(col("id"),
+        Dedup.minhashSignatureFromHashes(col("shingle_set"), 16).as("sig"))
+    val viaColumn = df.select(col("id"),
+      Dedup.minhashSignature(col("text"), 3, 16).as("sig"))
+    assert(canon(viaColumn) == canon(viaPipeline),
+      "both public signature forms must produce identical signatures")
+  }
+
   test("minhash LSH finds planted near-dup and exact-dup pairs") {
     val df = base.toDF("id", "text")
     val pairs = Dedup.minhashPairs(df, "id", "text",

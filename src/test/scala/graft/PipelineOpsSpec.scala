@@ -210,6 +210,26 @@ class LanguageModelSpec extends SparkSpec {
     assert(out(12L).isEmpty && out(13L).isEmpty)
   }
 
+  test("short, empty, and null docs neither crash training nor scoring") {
+    val messy = (corpus.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ++
+      Seq((90L, "only"), (91L, ""), (92L, null.asInstanceOf[String])))
+      .toDF("id", "text")
+    val lm = LanguageModel.train(messy, "text") // must not throw (ANSI sequence/element_at)
+    assert(lm.unigrams.contains("only"))
+    val out = LanguageModel.perplexity(messy, "id", "text", lm)
+      .collect().map(r => r.getLong(0) -> r.isNullAt(3)).toMap
+    assert(out(90L) && out(91L) && out(92L), "degenerate docs score null")
+    assert(!out(1L), "normal docs still score")
+  }
+
+  test("bigrams with truncated-away prefixes are dropped (probabilities stay normalized)") {
+    // maxVocab=2 keeps only the two most frequent tokens; any bigram whose
+    // prefix is outside that vocab must not survive with a zeroed denominator
+    val lm = LanguageModel.train(corpus, "text", k = 0.5, maxVocab = 2)
+    assert(lm.bigrams.keys.forall(k => lm.unigrams.contains(k.split(" ", 2).head)),
+      s"orphan-prefix bigrams must be dropped: ${lm.bigrams.keys}")
+  }
+
   test("training is deterministic and scoring is shuffle-free") {
     val lm1 = LanguageModel.train(corpus, "text")
     val lm2 = LanguageModel.train(corpus, "text")
@@ -280,6 +300,14 @@ class MixingSpec extends SparkSpec {
     // only source b (absent from weights -> weight 1.0) survives
     val got = out.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     assert(got.toSet == Set((8L, "b", 0L), (9L, "b", 0L)))
+  }
+
+  test("resample refuses inputs that already carry a copy column") {
+    val once = Mixing.resample(rows, "id", "source", Map("a" -> 2.0))
+    val e = intercept[IllegalArgumentException] {
+      Mixing.resample(once, "id", "source", Map("a" -> 1.0))
+    }
+    assert(e.getMessage.contains("copy"))
   }
 
   test("integer upsampling emits exact copy indices and no shuffle") {
