@@ -691,6 +691,20 @@ object SparkEntry {
         "doc_id", "text", Seq("agg", "scan", "window"))
       .orderBy("doc_id")
 
+  /** Reciprocal-rank fusion of two exact-integer rankings (term frequency
+    * and doc length over the 'agg' posting list) — integer ranks and at
+    * most two IEEE additions per doc keep the fused double hash-stable
+    * cross-engine. */
+  private def t13_rrf(s: SparkSession, dir: String): DataFrame = {
+    val st = graft.operators.Retrieval.termStats(
+      t(s, dir, "documents"), "doc_id", "text", Seq("agg"))
+    val byTf = st.select(col("doc_id"), col("tf").cast("double").as("s"))
+    val byDl = st.select(col("doc_id"), col("dl").cast("double").as("s"))
+    graft.operators.Retrieval.rrfFuse(Seq(byTf, byDl), "doc_id", "s",
+        k = 60, topN = 20)
+      .orderBy("doc_id")
+  }
+
   private def t4_fingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(
       col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
@@ -979,6 +993,7 @@ object SparkEntry {
     "t11_perplexity" -> (t11_perplexity _),
     "t12_termstats" -> (t12_termstats _),
     "t12b_bm25" -> (t12b_bm25 _),
+    "t13_rrf" -> (t13_rrf _),
     "e1_quantize" -> (e1_quantize _),
     "m1_multimodal" -> (m1_multimodal _),
     "m2_audio" -> (m2_audio _),
@@ -1486,6 +1501,29 @@ object SparkEntry {
          d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY term)
          SELECT doc_id, term, tf, dl, df FROM p JOIN d USING (term)
          ORDER BY doc_id, term""",
+    "t13_rrf" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                    FROM documents),
+         p AS (SELECT doc_id,
+                 CAST(len(list_filter(ws, x -> x = 'agg')) AS BIGINT) AS tf,
+                 CAST(len(ws) AS BIGINT) AS dl
+               FROM w WHERE len(list_filter(ws, x -> x = 'agg')) > 0),
+         a AS (SELECT doc_id, row_number() OVER (ORDER BY tf DESC, doc_id) AS r
+               FROM p),
+         b AS (SELECT doc_id, row_number() OVER (ORDER BY dl DESC, doc_id) AS r
+               FROM p),
+         af AS (SELECT doc_id, CAST(1.0 AS DOUBLE) / (60 + r) AS rr
+                FROM a WHERE r <= 20),
+         bf AS (SELECT doc_id, CAST(1.0 AS DOUBLE) / (60 + r) AS rr
+                FROM b WHERE r <= 20)
+         SELECT doc_id,
+           CASE WHEN af.rr IS NULL THEN bf.rr
+                WHEN bf.rr IS NULL THEN af.rr
+                ELSE af.rr + bf.rr END AS rrf_score,
+           CAST((CASE WHEN af.rr IS NULL THEN 0 ELSE 1 END)
+              + (CASE WHEN bf.rr IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_lists
+         FROM af FULL OUTER JOIN bf USING (doc_id)
+         ORDER BY doc_id""",
     "t9_pack" ->
       """WITH RECURSIVE t AS (
            SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard,

@@ -80,4 +80,36 @@ object Retrieval {
       .groupBy(col(idCol))
       .agg(sum(col("__contrib")).as("score"))
   }
+
+  /** Reciprocal-rank fusion of several RESULT LISTS (hybrid search's
+    * standard combiner): score(d) = Σ over lists of 1 / (k + rank_d), rank
+    * 1-based by (scoreCol desc, id asc). Returns (idCol, rrf_score,
+    * n_lists) for every doc present in at least one list.
+    *
+    * Inputs are ranked result lists (top-N from BM25 / ANN / …), NOT
+    * corpora — each is ranked with a single-partition window, which is the
+    * right tool at result-list size; the fusion itself is one small
+    * union + aggregation. IEEE addition is commutative, so with the
+    * typical 2-3 lists the fused double is deterministic regardless of
+    * aggregation order. */
+  def rrfFuse(
+      rankings: Seq[DataFrame],
+      idCol: String,
+      scoreCol: String,
+      k: Int = 60,
+      topN: Int = Int.MaxValue): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(k >= 1, "rrf k must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(desc(scoreCol), asc(idCol))
+    rankings.map { r =>
+      r.select(col(idCol), col(scoreCol))
+        .withColumn("__rank", row_number().over(w))
+        .filter(col("__rank") <= topN)
+        .select(col(idCol),
+          (lit(1.0) / (col("__rank") + lit(k))).as("__rr"))
+    }.reduce(_ unionByName _)
+      .groupBy(col(idCol))
+      .agg(sum(col("__rr")).as("rrf_score"), count(lit(1)).as("n_lists"))
+  }
 }

@@ -272,6 +272,19 @@ class RetrievalSpec extends SparkSpec {
     assert(out(2L) > out(1L), "higher tf must outrank")
   }
 
+  test("rrf fusion sums reciprocal ranks across lists, hand-computed") {
+    val listA = Seq((1L, 9.0), (2L, 5.0), (3L, 1.0)).toDF("id", "s") // ranks 1,2,3
+    val listB = Seq((2L, 8.0), (4L, 2.0)).toDF("id", "s")            // ranks 1,2
+    val out = Retrieval.rrfFuse(Seq(listA, listB), "id", "s", k = 60)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(out(1L) == ((1.0 / 61, 1L)))
+    assert(out(2L) == ((1.0 / 62 + 1.0 / 61, 2L)))
+    assert(out(3L) == ((1.0 / 63, 1L)))
+    assert(out(4L) == ((1.0 / 62, 1L)))
+    // doc in both lists outranks a singly-listed doc with a better rank
+    assert(out(2L)._1 > out(1L)._1)
+  }
+
   test("corpus is never shuffled for scoring: only the tiny aggregations exchange") {
     val df = Retrieval.termStats(docs, "id", "text", Seq("query"))
     df.collect()
