@@ -705,6 +705,13 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Pre-dedup text normalization (lowercase, control/punct strip, space
+    * collapse) — dialect-safe regex classes make it exactly oracle-able. */
+  private def t14_normalize(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.normalize(col("text"), dropPunct = true).as("norm"))
+      .orderBy("doc_id")
+
   private def t4_fingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(
       col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
@@ -994,6 +1001,7 @@ object SparkEntry {
     "t12_termstats" -> (t12_termstats _),
     "t12b_bm25" -> (t12b_bm25 _),
     "t13_rrf" -> (t13_rrf _),
+    "t14_normalize" -> (t14_normalize _),
     "e1_quantize" -> (e1_quantize _),
     "m1_multimodal" -> (m1_multimodal _),
     "m2_audio" -> (m2_audio _),
@@ -1501,6 +1509,13 @@ object SparkEntry {
          d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY term)
          SELECT doc_id, term, tf, dl, df FROM p JOIN d USING (term)
          ORDER BY doc_id, term""",
+    "t14_normalize" ->
+      """SELECT doc_id,
+         trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+           '[\x00-\x1f\x7f]', ' ', 'g'),
+           '[!-/:-@\[-`{-~]', ' ', 'g'),
+           ' +', ' ', 'g')) AS norm
+         FROM documents ORDER BY doc_id""",
     "t13_rrf" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
                     FROM documents),

@@ -240,6 +240,29 @@ class LanguageModelSpec extends SparkSpec {
   }
 }
 
+class NormalizeSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.TextFunctions
+
+  test("normalize lowercases, strips controls/punct, collapses spaces") {
+    val rows = Seq(
+      "  Hello,   WORLD!  ",
+      "tab\there\u0000and\u001fctl",
+      "keep unicode: café naïve",
+      "a-b_c.d").toDF("text")
+    val out = rows.select(
+      TextFunctions.normalize(col("text")).as("keep"),
+      TextFunctions.normalize(col("text"), dropPunct = true).as("drop"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out(0) == (("hello, world!", "hello world")))
+    assert(out(1) == (("tab here and ctl", "tab here and ctl")))
+    // non-ASCII letters survive (ASCII-only classes)
+    assert(out(2) == (("keep unicode: café naïve",
+      "keep unicode café naïve")))
+    assert(out(3) == (("a-b_c.d", "a b c d")))
+  }
+}
+
 class RetrievalSpec extends SparkSpec {
   import spark.implicits._
   import graft.operators.Retrieval
