@@ -61,13 +61,49 @@ object ShingleHashSetExpr {
       GraftInternals.expression(words), n))
 }
 
+/** Fused 64-bit SimHash of a words array (same window-hash kernel as
+  * [[ShingleHashSetExpr]], every occurrence voting): replaces a four-pass
+  * HOF pipeline (per-shingle 64-int bit arrays + zip_with aggregate) with
+  * one loop and a single 64-int accumulator. */
+case class SimHash64Expr(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n > 0, "shingle size must be positive")
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 expects array<string>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashSetImpl.simhash(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShingleHashSetImpl.simhash($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash64Expr {
+  def apply(words: Column, n: Int): Column =
+    GraftInternals.column(SimHash64Expr(GraftInternals.expression(words), n))
+}
+
 /** Static kernel — called from both the interpreted eval and the generated
   * code (a single static call keeps the loop in one JIT-compiled method). */
 object ShingleHashSetImpl {
   private val P = (1L << 31) - 1
   private val Seed = 42L
 
-  def compute(words: ArrayData, n: Int): ArrayData = {
+  /** Raw 64-bit window hashes, one per shingle position, NOT deduplicated —
+    * shared by the distinct-set path (which reduces to the 31-bit domain
+    * and dedups) and the SimHash path (which needs every occurrence's full
+    * 64 bits for the bit votes). */
+  private[functions] def windowHashes(words: ArrayData, n: Int): Array[Long] = {
     val len = words.numElements()
     // per-word hash of the UTF8 bytes, computed once
     val wh = new Array[Long](len)
@@ -88,7 +124,19 @@ object ShingleHashSetImpl {
       var h = Seed
       var j = 0
       while (j < win) { h = XXH64.hashLong(wh(p + j), h); j += 1 }
-      val v = h % P
+      out(p) = h
+      p += 1
+    }
+    out
+  }
+
+  def compute(words: ArrayData, n: Int): ArrayData = {
+    val raw = windowHashes(words, n)
+    val count = raw.length
+    val out = new Array[Long](count)
+    var p = 0
+    while (p < count) {
+      val v = raw(p) % P
       out(p) = if (v < 0) v + P else v
       p += 1
     }
@@ -102,5 +150,29 @@ object ShingleHashSetImpl {
       q += 1
     }
     new GenericArrayData(java.util.Arrays.copyOf(out, u))
+  }
+
+  /** 64-bit SimHash over the (non-distinct) window hashes: per-bit ±1
+    * votes, sign fold. One pass, one 64-int local accumulator. */
+  def simhash(words: ArrayData, n: Int): Long = {
+    val raw = windowHashes(words, n)
+    val votes = new Array[Int](64)
+    var p = 0
+    while (p < raw.length) {
+      val h = raw(p)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        i += 1
+      }
+      p += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) {
+      if (votes(i) > 0) out |= (1L << i)
+      i += 1
+    }
+    out
   }
 }

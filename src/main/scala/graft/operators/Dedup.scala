@@ -413,10 +413,16 @@ object Dedup {
       when(element_at(counts, i + 1) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
-  /** Convenience single-Column form (tests / small inputs; hot paths stage
-    * words → hashes → counts → hash as simhashPairs does). */
+  /** Column: 64-bit SimHash of a text column, via the fused kernel
+    * ([[graft.functions.SimHash64Expr]] — one pass over the window hashes,
+    * no per-shingle bit-array allocation). Comparable with [[simhashPairs]]
+    * output. The HOF formulation above ([[simhashCounts]] +
+    * [[simhashFromCounts]]) remains as the composable reference for callers
+    * bringing their own hash column; its string-shingle hashes differ from
+    * the kernel's word-hash chain, so the two forms' BITS are not
+    * comparable across formulations. */
   def simhash64(text: Column, shingleSize: Int = 2): Column =
-    simhashFromCounts(simhashCounts(TextFunctions.shingleHashes(text, shingleSize)))
+    graft.functions.SimHash64Expr(TextFunctions.words(text), shingleSize)
 
   /** Near-dup pairs by SimHash: LSH on the 4 16-bit chunks (a pair within
     * Hamming distance <= 3 of a 64-bit hash must agree on at least one of 4
@@ -432,9 +438,7 @@ object Dedup {
     val withSig = df
       .select(col(idCol).as("id"), TextFunctions.words(col(textCol)).as("__words"))
       .select(col("id"),
-        TextFunctions.shingleHashesFromWords(col("__words"), shingleSize).as("__hashes"))
-      .select(col("id"), simhashCounts(col("__hashes")).as("__counts"))
-      .select(col("id"), simhashFromCounts(col("__counts")).as("sim"))
+        graft.functions.SimHash64Expr(col("__words"), shingleSize).as("sim"))
     // long bucket key: (chunk index << 16) | chunk value — the mask keeps
     // the arithmetic-shift sign extension out of the high chunk
     val chunked = withSig.select(col("id"), col("sim"),

@@ -65,6 +65,20 @@ class DedupSpec extends SparkSpec {
     assert(viaEval == out(1L))
   }
 
+  test("fused simhash: interpreted eval agrees with codegen; empty doc defined") {
+    val df = Seq((1L, "a b c d"), (2L, "")).toDF("id", "text")
+    val viaDf = df.select(col("id"), Dedup.simhash64(col("text"), 2).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val words = new GenericArrayData(
+      Array[Any]("a", "b", "c", "d").map(s => UTF8String.fromString(s.toString)))
+    assert(graft.functions.ShingleHashSetImpl.simhash(words, 2) == viaDf(1L))
+    // empty doc: one whole-doc window hash -> its own bits, deterministic
+    assert(viaDf(2L) == graft.functions.ShingleHashSetImpl.simhash(
+      new GenericArrayData(Array.empty[Any]), 2))
+  }
+
   test("minhashSignature column form is comparable with the pipeline's signatures") {
     val df = base.toDF("id", "text")
     val viaPipeline = Dedup.shingleSets(df, "id", "text", 3)
