@@ -103,6 +103,23 @@ object SparkEntry {
     s.read.parquet(out).orderBy("n_nationkey")
   }
 
+  /** Partitioned WRITE in the reference's value-only layout, read back via
+    * FixedColumnsParser — the hash gate compares the full write→rename→
+    * discover→read loop against the original table. */
+  private def s24_write_partitioned(s: SparkSession, dir: String): DataFrame = {
+    val out = s"/tmp/graft_fixtures/write_part_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val sub = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_linenumber", "l_quantity",
+        "l_returnflag", "l_linestatus")
+    Graft.writePartitionedTable(sub, out,
+      Seq("l_returnflag", "l_linestatus"), layout = "values")
+    Graft.readPartitionedTable(s, out,
+        parser = FixedColumnsParser.fromStr("l_returnflag/l_linestatus/fname"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_returnflag"), col("l_linestatus"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   private def s18_scan_lazy(s: SparkSession, dir: String): DataFrame = {
     val nationSchema = t(s, dir, "nation").schema
     Graft.readPartitionedTableRich(s, Fixtures.lazyNation(s, dir),
@@ -935,6 +952,7 @@ object SparkEntry {
     "s11_scan_atomic" -> (s11_scan_atomic _),
     "s15_scan_lex" -> (s15_scan_lex _),
     "s17_write_roundtrip" -> (s17_write_roundtrip _),
+    "s24_write_partitioned" -> (s24_write_partitioned _),
     "s18_scan_lazy" -> (s18_scan_lazy _),
     "s21_scan_identity" -> (s21_scan_identity _),
     "s9_scan_csv" -> (s9_scan_csv _),
@@ -1065,6 +1083,10 @@ object SparkEntry {
     "s17_write_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
          WHERE n_regionkey = 2 ORDER BY n_nationkey""",
+    "s24_write_partitioned" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_linestatus
+         FROM lineitem WHERE l_returnflag = 'R'
+         ORDER BY l_orderkey, l_linenumber""",
     "s18_scan_lazy" ->
       """SELECT n_nationkey, n_name, n_regionkey,
          'good' AS src FROM nation ORDER BY n_nationkey""",

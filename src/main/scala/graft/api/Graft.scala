@@ -702,4 +702,68 @@ object Graft {
     val out = fs.create(new Path(url), true)
     try out.write(bytes) finally out.close()
   }
+
+  /** Write a partitioned tree the graft/fsql readers understand.
+    *
+    *  - `layout = "hive"`: Spark's native `partitionBy` (`col=value` dirs).
+    *  - `layout = "values"`: the reference's VALUE-ONLY layout (`value`
+    *    dirs, read back with `FixedColumnsParser`) — produced by a native
+    *    hive write followed by one driver-side rename pass that strips the
+    *    `col=` prefixes, one rename per partition DIRECTORY (O(#partitions)
+    *    metadata ops; executors never re-shuffle or rewrite data). On
+    *    rename-less object stores (raw S3) a directory rename copies the
+    *    objects underneath — prefer hive layout there, or write to a
+    *    rename-capable FS and lift. Null/empty partition values are
+    *    rejected (a value-only dir cannot represent them losslessly;
+    *    hive's __HIVE_DEFAULT_PARTITION__ escape has no value-layout
+    *    equivalent).
+    *
+    * Partition values round-trip through hive's percent-escaping
+    * (URL-decode on rename), and come back as StringType on read — the
+    * reference's no-dtype-guessing contract. */
+  def writePartitionedTable(
+      df: DataFrame,
+      url: String,
+      partitionCols: Seq[String],
+      format: String = "parquet",
+      layout: String = "hive",
+      mode: String = "overwrite"): Unit = {
+    require(partitionCols.nonEmpty, "partitionCols must be non-empty")
+    require(layout == "hive" || layout == "values",
+      s"layout must be 'hive' or 'values', got $layout")
+    val spark = df.sparkSession
+    maybeApplyEnvConfig(spark, url)
+    if (layout == "values") {
+      val bad = partitionCols
+        .map(c => c -> df.filter(col(c).isNull || col(c) === "").limit(1).count())
+        .filter(_._2 > 0)
+      require(bad.isEmpty,
+        s"value-only layout cannot represent null/empty partition values " +
+          s"(columns: ${bad.map(_._1).mkString(", ")})")
+    }
+    df.write.format(format).mode(mode).partitionBy(partitionCols: _*).save(url)
+    if (layout == "values") {
+      val conf = spark.sessionState.newHadoopConf()
+      val fs = Discovery.fileSystemFor(url, conf)
+      def strip(dir: Path, level: Int): Unit = {
+        if (level < partitionCols.length) {
+          val prefix = partitionCols(level) + "="
+          fs.listStatus(dir).filter(_.isDirectory).foreach { st =>
+            val name = st.getPath.getName
+            val target =
+              if (name.startsWith(prefix)) {
+                val value = java.net.URLDecoder.decode(
+                  name.substring(prefix.length), "UTF-8")
+                val t = new Path(dir, value)
+                require(fs.rename(st.getPath, t),
+                  s"rename failed: ${st.getPath} -> $t")
+                t
+              } else st.getPath // already stripped (idempotent re-run)
+            strip(target, level + 1)
+          }
+        }
+      }
+      strip(new Path(url), 0)
+    }
+  }
 }

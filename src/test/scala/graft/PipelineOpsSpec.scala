@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.operators._
@@ -237,6 +239,58 @@ class LanguageModelSpec extends SparkSpec {
     val plan = LanguageModel.perplexity(corpus, "id", "text", lm1)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"scoring must not shuffle:\n$plan")
+  }
+}
+
+class WritePartitionedSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.api.Graft
+  import graft.core.FixedColumnsParser
+
+  private def tree(root: String): Seq[String] = {
+    val base = java.nio.file.Paths.get(root)
+    val walk = java.nio.file.Files.walk(base)
+    try walk.iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+      .asScala.map(p => base.relativize(p).toString).filter(_.nonEmpty).toVector
+    finally walk.close()
+  }
+
+  test("values layout strips col= prefixes; hive layout keeps them; data round-trips") {
+    val df = Seq((1L, "a", "x"), (2L, "b", "x"), (3L, "a", "y"))
+      .toDF("id", "p", "q")
+    val hiveOut = tmpDir("wp_hive")
+    Graft.writePartitionedTable(df, hiveOut, Seq("p", "q"), layout = "hive")
+    assert(tree(hiveOut).exists(_.startsWith("p=a/q=x")), tree(hiveOut).toString)
+    val valOut = tmpDir("wp_vals")
+    Graft.writePartitionedTable(df, valOut, Seq("p", "q"), layout = "values")
+    val t = tree(valOut)
+    assert(t.exists(_.startsWith("a/x")) && !t.exists(_.contains("p=")), t.toString)
+    val back = Graft.readPartitionedTable(spark, valOut,
+        parser = FixedColumnsParser.fromStr("p/q/fname"))
+      .select("id", "p", "q")
+    assert(canon(back) == canon(df))
+  }
+
+  test("hive percent-escaped partition values decode on rename") {
+    val df = Seq((1L, "a b/c")).toDF("id", "p") // space + slash both escape
+    val out = tmpDir("wp_esc")
+    Graft.writePartitionedTable(df, out, Seq("p"), layout = "values")
+    // '/' decodes into a nested dir ("a b" / "c"); the value is structurally
+    // ambiguous on read — the WRITE must still place the file at the
+    // decoded path rather than leaking %2F literals
+    val t = tree(out)
+    assert(t.exists(p => p.startsWith("a b/c") || p.startsWith("a b")), t.toString)
+    assert(!t.exists(_.contains("%2F")), t.toString)
+  }
+
+  test("values layout rejects null and empty partition values") {
+    val withNull = Seq((1L, Option.empty[String]), (2L, Some("ok")))
+      .toDF("id", "p")
+    val e = intercept[IllegalArgumentException] {
+      Graft.writePartitionedTable(withNull, tmpDir("wp_null"), Seq("p"),
+        layout = "values")
+    }
+    assert(e.getMessage.contains("null/empty"))
   }
 }
 
