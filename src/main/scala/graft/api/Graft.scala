@@ -713,14 +713,19 @@ object Graft {
     *    metadata ops; executors never re-shuffle or rewrite data). On
     *    rename-less object stores (raw S3) a directory rename copies the
     *    objects underneath — prefer hive layout there, or write to a
-    *    rename-capable FS and lift. Null/empty partition values are
-    *    rejected (a value-only dir cannot represent them losslessly;
-    *    hive's __HIVE_DEFAULT_PARTITION__ escape has no value-layout
-    *    equivalent).
+    *    rename-capable FS and lift. Null, empty, and '/'-containing
+    *    partition values are rejected (a value-only dir cannot represent
+    *    them losslessly: hive's __HIVE_DEFAULT_PARTITION__ escape has no
+    *    value-layout equivalent, and a decoded '/' would nest into — or
+    *    collide with — a sibling partition's directory), as is
+    *    mode="append" (a second write's hive dirs would rename INTO the
+    *    previous write's already-stripped value dirs).
     *
-    * Partition values round-trip through hive's percent-escaping
-    * (URL-decode on rename), and come back as StringType on read — the
-    * reference's no-dtype-guessing contract. */
+    * Partition values round-trip through hive's OWN path escaping
+    * (ExternalCatalogUtils.unescapePathName on rename — NOT URL
+    * form-decoding, whose '+' → space rule corrupts literal plus signs),
+    * and come back as StringType on read — the reference's
+    * no-dtype-guessing contract. */
   def writePartitionedTable(
       df: DataFrame,
       url: String,
@@ -734,12 +739,22 @@ object Graft {
     val spark = df.sparkSession
     maybeApplyEnvConfig(spark, url)
     if (layout == "values") {
-      val bad = partitionCols
-        .map(c => c -> df.filter(col(c).isNull || col(c) === "").limit(1).count())
-        .filter(_._2 > 0)
+      require(mode != "append",
+        "mode=append is not supported with layout=values (the new hive " +
+          "dirs' rename targets already exist as stripped value dirs)")
+      // ONE validation job: a single aggregate row with one bad-count per
+      // partition column (per-column filter jobs would recompute the full
+      // lineage once per column)
+      val flags = partitionCols.map(c =>
+        sum(when(col(c).isNull || col(c) === "" || col(c).contains("/"),
+          lit(1L)).otherwise(lit(0L))).as(c))
+      val row = df.select(flags: _*).head()
+      val bad = partitionCols.zipWithIndex
+        .filter { case (_, i) => !row.isNullAt(i) && row.getLong(i) > 0 }
+        .map(_._1)
       require(bad.isEmpty,
-        s"value-only layout cannot represent null/empty partition values " +
-          s"(columns: ${bad.map(_._1).mkString(", ")})")
+        s"value-only layout cannot represent null/empty or '/'-containing " +
+          s"partition values (columns: ${bad.mkString(", ")})")
     }
     df.write.format(format).mode(mode).partitionBy(partitionCols: _*).save(url)
     if (layout == "values") {
@@ -752,9 +767,12 @@ object Graft {
             val name = st.getPath.getName
             val target =
               if (name.startsWith(prefix)) {
-                val value = java.net.URLDecoder.decode(
-                  name.substring(prefix.length), "UTF-8")
-                val t = new Path(dir, value)
+                val value = org.apache.spark.sql.catalyst.catalog
+                  .ExternalCatalogUtils.unescapePathName(name.substring(prefix.length))
+                // Path(parent, child) URI-parses the child — a ':' in the
+                // value reads as a scheme ("Relative path in absolute
+                // URI"); the single-string form quotes it instead
+                val t = new Path(dir.toString + Path.SEPARATOR + value)
                 require(fs.rename(st.getPath, t),
                   s"rename failed: ${st.getPath} -> $t")
                 t

@@ -89,9 +89,13 @@ object Retrieval {
     * Inputs are ranked result lists (top-N from BM25 / ANN / …), NOT
     * corpora — each is ranked with a single-partition window, which is the
     * right tool at result-list size; the fusion itself is one small
-    * union + aggregation. IEEE addition is commutative, so with the
-    * typical 2-3 lists the fused double is deterministic regardless of
-    * aggregation order. */
+    * union + aggregation. PRECONDITION: each list contains an id at most
+    * once (a duplicated id would contribute twice and inflate n_lists —
+    * same caller contract as the as-of join's unique right side).
+    * Determinism note: with ≤2 lists a doc sums at most two doubles and
+    * IEEE addition is commutative, so the score is bit-stable; with 3+
+    * lists the sum's grouping order can shift the last ulp — fine for
+    * ranking, not for byte-exact gating. */
   def rrfFuse(
       rankings: Seq[DataFrame],
       idCol: String,

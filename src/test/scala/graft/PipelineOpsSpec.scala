@@ -271,16 +271,34 @@ class WritePartitionedSpec extends SparkSpec {
     assert(canon(back) == canon(df))
   }
 
-  test("hive percent-escaped partition values decode on rename") {
-    val df = Seq((1L, "a b/c")).toDF("id", "p") // space + slash both escape
+  test("hive-escaped partition values decode exactly: plus and percent survive") {
+    // '+' is NOT hive-escaped (URL form-decoding would corrupt it to a
+    // space); '%' and ':' ARE hive-escaped and must decode back
+    val df = Seq((1L, "c++"), (2L, "a%b:c")).toDF("id", "p")
     val out = tmpDir("wp_esc")
     Graft.writePartitionedTable(df, out, Seq("p"), layout = "values")
-    // '/' decodes into a nested dir ("a b" / "c"); the value is structurally
-    // ambiguous on read — the WRITE must still place the file at the
-    // decoded path rather than leaking %2F literals
     val t = tree(out)
-    assert(t.exists(p => p.startsWith("a b/c") || p.startsWith("a b")), t.toString)
-    assert(!t.exists(_.contains("%2F")), t.toString)
+    assert(t.exists(_.startsWith("c++")), t.toString)
+    assert(t.exists(_.startsWith("a%b:c")), t.toString)
+    val back = Graft.readPartitionedTable(spark, out,
+        parser = FixedColumnsParser.fromStr("p/fname"))
+      .select("id", "p")
+    assert(canon(back) == canon(df))
+  }
+
+  test("values layout rejects slash values and append mode") {
+    val slashed = Seq((1L, "a/c")).toDF("id", "p")
+    val e = intercept[IllegalArgumentException] {
+      Graft.writePartitionedTable(slashed, tmpDir("wp_slash"), Seq("p"),
+        layout = "values")
+    }
+    assert(e.getMessage.contains("'/'"))
+    val ok = Seq((1L, "a")).toDF("id", "p")
+    val e2 = intercept[IllegalArgumentException] {
+      Graft.writePartitionedTable(ok, tmpDir("wp_app"), Seq("p"),
+        layout = "values", mode = "append")
+    }
+    assert(e2.getMessage.contains("append"))
   }
 
   test("values layout rejects null and empty partition values") {
