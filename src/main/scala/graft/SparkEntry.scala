@@ -806,6 +806,15 @@ object SparkEntry {
         array_join(transform(col("qvec"), _.cast("string")), ",").as("qvec_str"))
       .orderBy("vec_id")
 
+  /** L2 normalization — posexploded so the gate hashes raw doubles (the
+    * comparator cannot sort array cells; see e1's string workaround). The
+    * sequential square fold matches DuckDB's list_reduce order, so norm,
+    * sqrt, and divisions are bit-identical. */
+  private def e2_l2norm(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Embeddings.l2normalize(t(s, dir, "embeddings"), "vec_id", "embedding")
+      .select(col("vec_id"), col("norm"), posexplode(col("nvec")).as(Seq("pos", "val")))
+      .orderBy("vec_id", "pos")
+
   /** Real header decode over synthetic-but-valid PNG/GIF/BMP/JPEG payloads:
     * the oracle reproduces the fixture's construction arithmetic, so the
     * hash match proves the byte-level parse inverts the construction. */
@@ -1021,6 +1030,7 @@ object SparkEntry {
     "t13_rrf" -> (t13_rrf _),
     "t14_normalize" -> (t14_normalize _),
     "e1_quantize" -> (e1_quantize _),
+    "e2_l2norm" -> (e2_l2norm _),
     "m1_multimodal" -> (m1_multimodal _),
     "m2_audio" -> (m2_audio _),
     "m3_video" -> (m3_video _),
@@ -1599,6 +1609,14 @@ object SparkEntry {
                  ELSE CAST(floor(x*127.0/mxv + 0.5) AS INT) END for x in v], ',')
              AS qvec_str
          FROM mx ORDER BY vec_id""",
+    "e2_l2norm" ->
+      """WITH m AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         n AS (SELECT vec_id, v,
+           sqrt(list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b)) AS nrm
+           FROM m)
+         SELECT vec_id, nrm AS norm, CAST(i - 1 AS INT) AS pos, v[i]/nrm AS val
+         FROM n, UNNEST(range(1, len(v)+1)) AS t(i)
+         ORDER BY vec_id, pos""",
     "st3_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
          ORDER BY user_id, event_type""",

@@ -48,4 +48,23 @@ object Embeddings {
   def quantizedCosine(qa: Column, qb: Column): Column =
     graft.functions.CosineSimilarity(
       transform(qa, x => x.cast("double")), transform(qb, x => x.cast("double")))
+
+  /** L2 norm of a vector column, as a SEQUENTIAL left fold of squares —
+    * the same evaluation order as DuckDB's list_reduce, so sqrt and the
+    * per-element divisions below are bit-comparable cross-engine. */
+  def l2norm(vec: Column): Column =
+    sqrt(aggregate(vec, lit(0.0),
+      (a, x) => a + x.cast("double") * x.cast("double")))
+
+  /** L2-normalize a vector frame: (idCol, norm, nvec) with the norm staged
+    * through a projection (lambda-capture rule: the transform below must
+    * reference an ATTRIBUTE, or the fold re-runs per element). Zero
+    * vectors normalize to zero vectors, norm 0. */
+  def l2normalize(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), col(vecCol), l2norm(col(vecCol)).as("__n"))
+      .select(col(idCol), col("__n").as("norm"),
+        when(col("__n") === 0.0,
+          transform(col(vecCol), _ => lit(0.0)))
+          .otherwise(transform(col(vecCol), x => x.cast("double") / col("__n")))
+          .as("nvec"))
 }

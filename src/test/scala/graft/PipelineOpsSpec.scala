@@ -312,6 +312,23 @@ class WritePartitionedSpec extends SparkSpec {
   }
 }
 
+class L2NormalizeSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Embeddings
+
+  test("l2normalize yields unit vectors; zero vectors stay zero") {
+    val df = Seq(
+      (1L, Seq(3.0f, 4.0f)),
+      (2L, Seq(0.0f, 0.0f)),
+      (3L, Seq(-1.0f, 0.0f))).toDF("id", "v")
+    val out = Embeddings.l2normalize(df, "id", "v")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getSeq[Double](2))).toMap
+    assert(out(1L) == ((5.0, Seq(0.6, 0.8))))
+    assert(out(2L) == ((0.0, Seq(0.0, 0.0))))
+    assert(out(3L) == ((1.0, Seq(-1.0, 0.0))))
+  }
+}
+
 class NormalizeSpec extends SparkSpec {
   import spark.implicits._
   import graft.functions.TextFunctions
