@@ -63,4 +63,19 @@ class PlanSpec extends SparkSpec {
     val plan = finalPlan(SparkEntry.queries("q7_topk")(spark, dir))
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
+
+  test("q6 rank-prune: map-side WindowGroupLimit; frame windows reuse ONE exchange") {
+    val plan = finalPlan(SparkEntry.queries("q6_window")(spark, dir))
+    // partial (pre-shuffle) + final group limits around a single hash shuffle
+    assert(count(plan, "WindowGroupLimit") >= 2, plan.take(2000))
+    assert(count(plan, "Exchange hashpartitioning") == 1, plan.take(2000))
+  }
+
+  test("q3 two-phase distinct: no Expand, per-order partial rides the join exchange") {
+    val plan = finalPlan(SparkEntry.queries("q3_join_agg")(spark, dir))
+    assert(count(plan, "Expand") == 0, "countDistinct Expand must not reappear")
+    // join shuffles (lineitem + orders) + the final segment rollup only;
+    // the (segment, orderkey) partial adds NO exchange of its own
+    assert(count(plan, "Exchange hashpartitioning") <= 3, plan.take(2000))
+  }
 }
