@@ -34,12 +34,38 @@ object GraftExtensions {
         make(children(0), children(1))
       })
 
+  /** Builder for kernels parameterized by literal ints after the column:
+    * `name(col, n)` / `name(col, n, seed)`. */
+  private def colIntArgs(name: String, className: String,
+      make: (Expression, Seq[Int]) => Expression,
+      minInts: Int, maxInts: Int) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(className, name),
+      (children: Seq[Expression]) => {
+        val ints = children.drop(1).map {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+          case other => throw new IllegalArgumentException(
+            s"$name expects literal integer parameters, got $other")
+        }
+        require(ints.length >= minInts && ints.length <= maxInts,
+          s"$name expects a column plus $minInts-$maxInts literal ints")
+        make(children.head, ints)
+      })
+
   /** (identifier, info, builder) triples — the shape both
     * `SparkSessionExtensions.injectFunction` and `FunctionRegistry
-    * .registerFunction` consume. */
+    * .registerFunction` consume. All four stay fully codegen'd. */
   val functions = Seq(
     twoArg("cosine_sim", "graft.functions.CosineSimilarity",
-      graft.functions.CosineSimilarity(_, _)))
+      graft.functions.CosineSimilarity(_, _)),
+    colIntArgs("shingle_hash_set", "graft.functions.ShingleHashSetExpr",
+      (c, is) => graft.functions.ShingleHashSetExpr(c, is.head), 1, 1),
+    colIntArgs("simhash64", "graft.functions.SimHash64Expr",
+      (c, is) => graft.functions.SimHash64Expr(c, is.head), 1, 1),
+    colIntArgs("minhash_sig", "graft.functions.MinhashSignatureExpr",
+      (c, is) => graft.functions.MinhashSignatureExpr(c, is.head,
+        if (is.length > 1) is(1).toLong else 42L), 1, 2))
 
   /** Register on a live session (equivalent to having built it with the
     * extensions class). */

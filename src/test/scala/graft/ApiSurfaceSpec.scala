@@ -43,6 +43,28 @@ class ApiSurfaceSpec extends SparkSpec {
     intercept[IllegalArgumentException](Graft.readJsonAsDicts(spark, dir))
   }
 
+  test("kernel expressions are SQL-callable: shingle_hash_set, simhash64, minhash_sig") {
+    graft.GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT size(shingle_hash_set(split('a b c d', ' '), 2)) AS nsh,
+                simhash64(split('a b c d', ' '), 2) AS sh,
+                size(minhash_sig(shingle_hash_set(split('a b c d', ' '), 2), 16)) AS nsig
+      """).head
+    assert(row.getInt(0) == 3) // three bigram windows
+    assert(row.getInt(2) == 16)
+    // SQL form agrees with the Column API
+    import spark.implicits._
+    val viaCol = Seq("a b c d").toDF("t")
+      .select(graft.operators.Dedup.simhash64(org.apache.spark.sql.functions.col("t"), 2))
+      .head.getLong(0)
+    assert(row.getLong(1) == viaCol)
+    // non-literal int parameter is rejected with a clear error
+    val e = intercept[Exception] {
+      spark.sql("SELECT simhash64(split('a', ' '), 1 + 1)").collect()
+    }
+    assert(e.getMessage.contains("literal integer"))
+  }
+
   test("cosine_sim is SQL-callable via GraftExtensions (build-time and live register)") {
     import org.apache.spark.sql.SparkSession
     graft.GraftExtensions.register(spark)
