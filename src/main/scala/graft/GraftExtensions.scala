@@ -37,14 +37,16 @@ object GraftExtensions {
   /** Builder for kernels parameterized by literal ints after the column:
     * `name(col, n)` / `name(col, n, seed)`. */
   private def colIntArgs(name: String, className: String,
-      make: (Expression, Seq[Int]) => Expression,
+      make: (Expression, Seq[Long]) => Expression,
       minInts: Int, maxInts: Int) =
     (FunctionIdentifier(name),
       new ExpressionInfo(className, name),
       (children: Seq[Expression]) => {
+        // kept as Long: a BIGINT literal (e.g. a 64-bit seed) must not be
+        // silently truncated; int-valued positions range-check at use
         val ints = children.drop(1).map {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
           case other => throw new IllegalArgumentException(
             s"$name expects literal integer parameters, got $other")
         }
@@ -53,6 +55,12 @@ object GraftExtensions {
         make(children.head, ints)
       })
 
+  private def intExact(name: String, param: String)(v: Long): Int = {
+    require(v >= Int.MinValue && v <= Int.MaxValue,
+      s"$name: $param must fit in a 32-bit int, got $v")
+    v.toInt
+  }
+
   /** (identifier, info, builder) triples — the shape both
     * `SparkSessionExtensions.injectFunction` and `FunctionRegistry
     * .registerFunction` consume. All four stay fully codegen'd. */
@@ -60,12 +68,15 @@ object GraftExtensions {
     twoArg("cosine_sim", "graft.functions.CosineSimilarity",
       graft.functions.CosineSimilarity(_, _)),
     colIntArgs("shingle_hash_set", "graft.functions.ShingleHashSetExpr",
-      (c, is) => graft.functions.ShingleHashSetExpr(c, is.head), 1, 1),
+      (c, is) => graft.functions.ShingleHashSetExpr(c,
+        intExact("shingle_hash_set", "n")(is.head)), 1, 1),
     colIntArgs("simhash64", "graft.functions.SimHash64Expr",
-      (c, is) => graft.functions.SimHash64Expr(c, is.head), 1, 1),
+      (c, is) => graft.functions.SimHash64Expr(c,
+        intExact("simhash64", "n")(is.head)), 1, 1),
     colIntArgs("minhash_sig", "graft.functions.MinhashSignatureExpr",
-      (c, is) => graft.functions.MinhashSignatureExpr(c, is.head,
-        if (is.length > 1) is(1).toLong else 42L), 1, 2))
+      (c, is) => graft.functions.MinhashSignatureExpr(c,
+        intExact("minhash_sig", "numHashes")(is.head),
+        if (is.length > 1) is(1) else 42L), 1, 2))
 
   /** Register on a live session (equivalent to having built it with the
     * extensions class). */

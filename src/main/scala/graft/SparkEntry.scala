@@ -1614,7 +1614,8 @@ object SparkEntry {
          n AS (SELECT vec_id, v,
            sqrt(list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b)) AS nrm
            FROM m)
-         SELECT vec_id, nrm AS norm, CAST(i - 1 AS INT) AS pos, v[i]/nrm AS val
+         SELECT vec_id, nrm AS norm, CAST(i - 1 AS INT) AS pos,
+           CASE WHEN nrm = 0 THEN 0.0 ELSE v[i]/nrm END AS val
          FROM n, UNNEST(range(1, len(v)+1)) AS t(i)
          ORDER BY vec_id, pos""",
     "st3_stream_dedup" ->

@@ -63,6 +63,22 @@ class ApiSurfaceSpec extends SparkSpec {
       spark.sql("SELECT simhash64(split('a', ' '), 1 + 1)").collect()
     }
     assert(e.getMessage.contains("literal integer"))
+    // a 64-bit seed literal must reach the expression untruncated
+    val viaSql = spark.sql(
+      """SELECT minhash_sig(shingle_hash_set(split('a b c d', ' '), 2),
+                            8, 5000000000) AS s""").head.getSeq[Long](0)
+    val viaColSeed = Seq("a b c d").toDF("t")
+      .select(graft.operators.Dedup.minhashSignatureFromHashes(
+        graft.functions.ShingleHashSetExpr(
+          graft.functions.TextFunctions.words(org.apache.spark.sql.functions.col("t")), 2),
+        8, 5000000000L))
+      .head.getSeq[Long](0)
+    assert(viaSql == viaColSeed, "BIGINT seed literal must not truncate")
+    // an int-valued position overflowing 32 bits is rejected, not truncated
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT shingle_hash_set(split('a', ' '), 5000000000)").collect()
+    }
+    assert(e2.getMessage.contains("32-bit"))
   }
 
   test("cosine_sim is SQL-callable via GraftExtensions (build-time and live register)") {
