@@ -105,6 +105,18 @@ class DedupSpec extends SparkSpec {
     assert(j == 1.0)
   }
 
+  test("minhash pairs are invariant to input partitioning") {
+    // seeded hash families + deterministic plans: the SAME pairs must come
+    // out regardless of how the input happens to be partitioned — the
+    // property that makes results reproducible across cluster sizes
+    val df = base.toDF("id", "text")
+    val p1 = Dedup.minhashPairs(df, "id", "text",
+      shingleSize = 3, numHashes = 64, rowsPerBand = 4, threshold = 0.5)
+    val p2 = Dedup.minhashPairs(df.repartition(5), "id", "text",
+      shingleSize = 3, numHashes = 64, rowsPerBand = 4, threshold = 0.5)
+    assert(canon(p1) == canon(p2))
+  }
+
   test("dropNearDuplicates removes the larger id of each pair") {
     val df = base.toDF("id", "text")
     val pairs = Dedup.minhashPairs(df, "id", "text", threshold = 0.5)

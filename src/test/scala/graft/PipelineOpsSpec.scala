@@ -83,6 +83,22 @@ class PackSpec extends SparkSpec {
     assert(out == Map(0L -> 0L, 1L -> 1L))
   }
 
+  test("packing is invariant to input partitioning (the cluster-size property)") {
+    // what actually changes between local[32] and 1000 executors is the
+    // INPUT partitioning — bin assignment must not
+    val rnd = new scala.util.Random(11)
+    val docs = (0L until 500L).map(i => (i, (rnd.nextInt(40) + 1).toLong))
+    val a = Pack.packGreedy(docs.toDF("doc_id", "tokens"),
+      "doc_id", "tokens", budget = 100, numShards = 8)
+    val b = Pack.packGreedy(docs.toDF("doc_id", "tokens").repartition(7),
+      "doc_id", "tokens", budget = 100, numShards = 8)
+    assert(canon(a) == canon(b))
+    // no bin exceeds the budget unless it holds a single oversized doc
+    val over = Pack.binStats(a, budget = 100)
+      .filter(col("fill") > 100 && col("n_docs") > 1).count()
+    assert(over == 0, "multi-doc bins must respect the budget")
+  }
+
   test("binStats reports fill and utilization; packing is one exchange") {
     val docs = Seq((0L, 4L), (1L, 5L), (2L, 3L)).toDF("doc_id", "tokens")
     val packed = Pack.packGreedy(docs, "doc_id", "tokens", budget = 10, numShards = 1)
