@@ -37,24 +37,30 @@ object Decontaminate {
       bench: DataFrame,
       benchTextCol: String,
       n: Int = 8,
-      threshold: Double = 0.2): DataFrame = {
+      threshold: Double = 0.2,
+      broadcastBench: Boolean = true): DataFrame = {
     // staged projections: one tokenizer pass per row (lambda-capture rule)
     val trainSh = train
       .select(col(idCol), TextFunctions.words(col(textCol)).as("__words"))
       .select(col(idCol),
         array_distinct(TextFunctions.shingles(col("__words"), n)).as("__grams"))
-    val benchGrams = bench
+    val benchGrams0 = bench
       .select(TextFunctions.words(col(benchTextCol)).as("__words"))
       .select(explode(array_distinct(TextFunctions.shingles(col("__words"), n)))
         .as("__gram"))
       .distinct()
       .withColumn("__hit", lit(1L))
+    // normal eval sets broadcast (tens of MB of distinct n-grams); a
+    // pathological multi-GB benchmark side can fall back to a shuffle
+    // join on __gram with the same semantics
+    val benchGrams =
+      if (broadcastBench) broadcast(benchGrams0) else benchGrams0
     // keep the doc's total through the explode so ONE aggregation yields
     // both counts — no corpus-sized totals-vs-matches rejoin afterwards
     trainSh
       .select(col(idCol), size(col("__grams")).cast("long").as("__total"),
         explode(col("__grams")).as("__gram"))
-      .join(broadcast(benchGrams), Seq("__gram"), "left")
+      .join(benchGrams, Seq("__gram"), "left")
       .groupBy(col(idCol))
       .agg(max(col("__total")).as("total_ngrams"),
         sum(coalesce(col("__hit"), lit(0L))).as("matched_ngrams"))

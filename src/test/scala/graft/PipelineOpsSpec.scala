@@ -48,6 +48,14 @@ class DecontaminateSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"corpus must not shuffle for the gram match:\n$plan")
   }
+
+  test("broadcastBench=false falls back to a shuffle join with identical results") {
+    val bc = Decontaminate.ngramOverlap(train, "id", "text", bench, "text",
+      n = 3, threshold = 0.5)
+    val sh = Decontaminate.ngramOverlap(train, "id", "text", bench, "text",
+      n = 3, threshold = 0.5, broadcastBench = false)
+    assert(canon(sh) == canon(bc))
+  }
 }
 
 class PackSpec extends SparkSpec {
