@@ -933,6 +933,29 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Payload-consuming aggregate over the NATIVE as-of join. Exists so the
+    * bench has an as-of entry whose `count()` cannot be optimized into
+    * join elimination (as1/as2's bare counts elide the join entirely, on
+    * both the composition and — via AsofJoinPushdown's left-preserving
+    * rule — the native node): the per-user sum references the right
+    * payload, so this measures the actual co-partitioned merge. Decimal
+    * cast before the sum keeps the oracle comparison order-independent. */
+  private def as3_asof_sum(s: SparkSession, dir: String): DataFrame = {
+    val e = Fixtures.events(s, dir).select("event_id", "user_id", "ts")
+    val w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(desc("o_orderkey"))
+    val o = t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("o_custkey"),
+        col("o_orderdate").cast("timestamp").as("o_date_ts"),
+        col("o_orderkey"), col("o_totalprice"))
+    AsofJoin.asofJoinNative(e, o, "ts", "o_date_ts", "user_id", "o_custkey",
+        Seq("o_orderkey", "o_totalprice"))
+      .groupBy("user_id")
+      .agg(count(col("o_orderkey")).as("n_matched"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("matched_total"))
+      .orderBy("user_id")
+  }
+
   private def rj1_range_join(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.RangeJoin
     val points = Fixtures.events(s, dir)
@@ -1041,6 +1064,7 @@ object SparkEntry {
     "st5_stream_stream_join" -> (st5_stream_stream_join _),
     "as1_asof" -> (as1_asof _),
     "as2_asof_native" -> (as2_asof_native _),
+    "as3_asof_sum" -> (as3_asof_sum _),
     "rj1_range_join" -> (rj1_range_join _),
   )
 
@@ -1704,6 +1728,16 @@ object SparkEntry {
          FROM events e ASOF LEFT JOIN r
            ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
          ORDER BY e.event_id""",
+    "as3_asof_sum" ->
+      """WITH r AS (SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
+           FROM orders QUALIFY rn = 1),
+         j AS (SELECT e.user_id, r.o_orderkey, r.o_totalprice
+           FROM events e ASOF LEFT JOIN r
+             ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate)
+         SELECT user_id, COUNT(o_orderkey) AS n_matched,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS matched_total
+         FROM j GROUP BY user_id ORDER BY user_id""",
     "q20_multijoin" ->
       """SELECT r_name,
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (1 - CAST(l_discount AS DECIMAL(10,2)))) AS DOUBLE) AS revenue,

@@ -5,8 +5,10 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+import org.apache.spark.sql.types.{ByteType, DataType, DateType, DoubleType, FloatType, IntegerType, LongType, ShortType, TimestampNTZType, TimestampType}
 
 /** Whole-operator as-of join as a first-class plan node — the (c)-tier
   * extension path: logical node → planner strategy → physical operator,
@@ -31,15 +33,17 @@ import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
   * (`outputOrdering` is declared, so a following key-window or merge skips
   * its sort).
   *
-  * Honest trade-off (measured at sf0.1, 100k×150k): the merge runs on the
-  * interpreted row path (~1 µs/row — reused candidate buffers, two
-  * projections per row), so WARM wall-time is ~0.6 s vs ~0.35 s for the
-  * codegen-adjacent window composition; cold (first-run) time and memory
-  * favor the native node (no union, no window frame buffer), and when a
-  * side arrives already partitioned by the key its exchange is elided
-  * entirely — the composition's union can never reuse a single-side
-  * partitioning. Pick per workload; both are exposed on
-  * [[graft.operators.AsofJoin]].
+  * Row-path cost: when keys and times are direct attributes (the common
+  * case — and what the public API produces), the merge reads BOUND ORDINALS
+  * off the incoming UnsafeRows with primitive comparators (no per-row
+  * `UnsafeProjection`, no boxing for int/long/timestamp/date keys and
+  * times); the only per-row projection left is the codegen'd result
+  * projection every join operator pays. Non-attribute key/time expressions
+  * fall back to a per-side interpreted projection path with identical
+  * semantics. Memory and cold-start favor the native node (no union, no
+  * window frame buffer), and when a side arrives already partitioned by the
+  * key its exchange is elided entirely — the composition's union can never
+  * reuse a single-side partitioning.
   */
 case class AsofJoinNode(
     left: LogicalPlan,
@@ -101,13 +105,20 @@ case class AsofJoinExec(
     val lKey = leftKey; val rKey = rightKey
     val lTime = leftTime; val rTime = rightTime
     val outAttrs = output
+    val lkIdx = AsofJoinExec.ordinalOf(lKey, leftOut)
+    val rkIdx = AsofJoinExec.ordinalOf(rKey, rightOut)
+    val ltIdx = AsofJoinExec.ordinalOf(lTime, leftOut)
+    val rtIdx = AsofJoinExec.ordinalOf(rTime, rightOut)
+    val allBound = lkIdx >= 0 && rkIdx >= 0 && ltIdx >= 0 && rtIdx >= 0
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val lKeyProj = UnsafeProjection.create(Seq(lKey), leftOut)
-      val rKeyProj = UnsafeProjection.create(Seq(rKey), rightOut)
-      val lTimeProj = UnsafeProjection.create(Seq(lTime), leftOut)
-      val rTimeProj = UnsafeProjection.create(Seq(rTime), rightOut)
-      val keyOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lKey.dataType))
-      val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lTime.dataType))
+      // per-partition accessor: bound-ordinal primitive reads when the four
+      // key/time expressions are direct attributes, projection fallback else
+      val access =
+        if (allBound)
+          AsofJoinExec.boundAccess(lkIdx, rkIdx, ltIdx, rtIdx,
+            lKey.dataType, lTime.dataType)
+        else
+          AsofJoinExec.projectedAccess(lKey, rKey, lTime, rTime, leftOut, rightOut)
       val nullRight = new GenericInternalRow(rightOut.length)
       val joined = new JoinedRow
       // bind against NULLABLE right attributes: unmatched left rows carry a
@@ -118,65 +129,53 @@ case class AsofJoinExec(
         leftOut ++ rightOut.map(_.withNullability(true)))
 
       new Iterator[InternalRow] {
-        // right-cursor state: key/time projected ONCE per right row read
-        // (the projections' output buffers stay valid until their next
-        // call, which only happens on the next advance)
         private var curRight: InternalRow = null
-        private var curRk: InternalRow = null
-        private var curRkNull = true
-        private var curRt: InternalRow = null
-        private var curRtNull = true
-        // latest-match right row + its key, held in REUSED buffers: the
-        // first acceptance allocates via copy() (copyFrom requires a
-        // byte[]-backed target), every later one recycles the backing
-        // array via UnsafeRow.copyFrom — a fresh copy() per accepted row
-        // would allocate a byte[] for most of the right side
+        // latest-match right row, held in a REUSED buffer: the first
+        // acceptance allocates via copy() (copyFrom requires a byte[]-backed
+        // target), every later one recycles the backing array via
+        // UnsafeRow.copyFrom — a fresh copy() per accepted row would
+        // allocate a byte[] for most of the right side. The candidate's key
+        // is read back out of this buffer, so no separate key copy exists.
         private var candBuf: UnsafeRow = null
-        private var candKeyBuf: UnsafeRow = null
         private var candidate: InternalRow = null // candBuf once set
-        private var candidateKey: InternalRow = null // candKeyBuf once set
 
         advanceRight()
 
         private def advanceRight(): Unit =
-          if (rIter.hasNext) {
-            curRight = rIter.next()
-            curRk = rKeyProj(curRight); curRkNull = curRk.isNullAt(0)
-            curRt = rTimeProj(curRight); curRtNull = curRt.isNullAt(0)
-          } else curRight = null
+          curRight = if (rIter.hasNext) rIter.next() else null
 
         override def hasNext: Boolean = lIter.hasNext
 
         override def next(): InternalRow = {
           val lrow = lIter.next()
-          val lkRow = lKeyProj(lrow) // valid until the next left row
-          val lkNull = lkRow.isNullAt(0)
+          val lkNull = access.lKeyNull(lrow)
           var ltNull = true
           if (!lkNull) {
-            val ltRow = lTimeProj(lrow)
-            ltNull = ltRow.isNullAt(0)
+            ltNull = access.lTimeNull(lrow)
             // advance the right cursor to the last key-equal row with
             // time <= left time; O(|right partition|) total across all
             // left rows — the cursor never rewinds
             var continue = curRight != null && !ltNull
             while (continue) {
-              val cmp = if (curRkNull) -1 else keyOrd.compare(curRk, lkRow)
+              // null right keys sort first ascending: treat as cmp < 0
+              val cmp =
+                if (access.rKeyNull(curRight)) -1
+                else access.cmpKey(curRight, lrow)
               if (cmp < 0) {
                 advanceRight()
                 continue = curRight != null
               } else if (cmp == 0) {
-                if (curRtNull) {
+                if (access.rTimeNull(curRight)) {
                   advanceRight() // null-time right rows never match
                   continue = curRight != null
-                } else if (timeOrd.compare(curRt, ltRow) <= 0) {
-                  (curRight, curRk) match {
-                    case (r: UnsafeRow, k: UnsafeRow) =>
-                      if (candBuf == null) { candBuf = r.copy(); candKeyBuf = k.copy() }
-                      else { candBuf.copyFrom(r); candKeyBuf.copyFrom(k) }
-                      candidate = candBuf; candidateKey = candKeyBuf
-                    case _ => // non-unsafe child rows: fall back to copies
+                } else if (access.cmpTime(curRight, lrow) <= 0) {
+                  curRight match {
+                    case r: UnsafeRow =>
+                      if (candBuf == null) candBuf = r.copy()
+                      else candBuf.copyFrom(r)
+                      candidate = candBuf
+                    case _ => // non-unsafe child rows: fall back to a copy
                       candidate = curRight.copy()
-                      candidateKey = curRk.copy()
                   }
                   advanceRight()
                   continue = curRight != null
@@ -184,8 +183,10 @@ case class AsofJoinExec(
               } else continue = false
             }
           }
+          // the candidate's key is never null (accepted only on cmp == 0
+          // against a non-null left key), so cmpKey is safe here
           val matched = !lkNull && !ltNull && candidate != null &&
-            keyOrd.compare(candidateKey, lkRow) == 0
+            access.cmpKey(candidate, lrow) == 0
           if (matched) numMatched += 1
           numOutputRows += 1
           resultProj(joined(lrow, if (matched) candidate else nullRight))
@@ -197,4 +198,92 @@ case class AsofJoinExec(
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
     copy(left = newLeft, right = newRight)
+}
+
+object AsofJoinExec {
+
+  /** Row access for the merge loop: null probes on each side plus
+    * right-vs-left comparators for key and time. Instances are built
+    * per-partition (projections are not shareable across threads). */
+  private[plans] abstract class MergeAccess {
+    def lKeyNull(l: InternalRow): Boolean
+    def lTimeNull(l: InternalRow): Boolean
+    def rKeyNull(r: InternalRow): Boolean
+    def rTimeNull(r: InternalRow): Boolean
+    /** right row's key vs left row's key, ascending-order sign */
+    def cmpKey(r: InternalRow, l: InternalRow): Int
+    /** right row's time vs left row's time, ascending-order sign */
+    def cmpTime(r: InternalRow, l: InternalRow): Int
+  }
+
+  /** Ordinal of `e` in `out` when it is a direct attribute, -1 otherwise. */
+  private[plans] def ordinalOf(e: Expression, out: Seq[Attribute]): Int = e match {
+    case a: Attribute => out.indexWhere(_.exprId == a.exprId)
+    case _ => -1
+  }
+
+  /** Primitive comparator on bound ordinals when the type allows an unboxed
+    * read (the int/long/timestamp/date family plus float/double), else an
+    * interpreted ordering over direct `get` reads — both skip the per-row
+    * UnsafeProjection entirely. Callers null-check before comparing. */
+  private def cmpFn(dt: DataType, ri: Int, li: Int): (InternalRow, InternalRow) => Int =
+    dt match {
+      case LongType | TimestampType | TimestampNTZType =>
+        (r, l) => java.lang.Long.compare(r.getLong(ri), l.getLong(li))
+      case IntegerType | DateType =>
+        (r, l) => java.lang.Integer.compare(r.getInt(ri), l.getInt(li))
+      case ShortType =>
+        (r, l) => java.lang.Short.compare(r.getShort(ri), l.getShort(li))
+      case ByteType =>
+        (r, l) => java.lang.Byte.compare(r.getByte(ri), l.getByte(li))
+      case DoubleType =>
+        (r, l) => java.lang.Double.compare(r.getDouble(ri), l.getDouble(li))
+      case FloatType =>
+        (r, l) => java.lang.Float.compare(r.getFloat(ri), l.getFloat(li))
+      case other => // strings (collation-aware), decimals, …
+        val ord = TypeUtils.getInterpretedOrdering(other)
+        (r, l) => ord.compare(r.get(ri, other), l.get(li, other))
+    }
+
+  private[plans] def boundAccess(
+      lkIdx: Int, rkIdx: Int, ltIdx: Int, rtIdx: Int,
+      keyDt: DataType, timeDt: DataType): MergeAccess = {
+    val keyCmp = cmpFn(keyDt, rkIdx, lkIdx)
+    val timeCmp = cmpFn(timeDt, rtIdx, ltIdx)
+    new MergeAccess {
+      override def lKeyNull(l: InternalRow): Boolean = l.isNullAt(lkIdx)
+      override def lTimeNull(l: InternalRow): Boolean = l.isNullAt(ltIdx)
+      override def rKeyNull(r: InternalRow): Boolean = r.isNullAt(rkIdx)
+      override def rTimeNull(r: InternalRow): Boolean = r.isNullAt(rtIdx)
+      override def cmpKey(r: InternalRow, l: InternalRow): Int = keyCmp(r, l)
+      override def cmpTime(r: InternalRow, l: InternalRow): Int = timeCmp(r, l)
+    }
+  }
+
+  /** Fallback for computed key/time expressions: per-side single-field
+    * projections (codegen'd by `UnsafeProjection.create`) + a natural row
+    * ordering — semantically identical to the bound path, paid only when
+    * the caller joins on a non-attribute expression. */
+  private[plans] def projectedAccess(
+      lKey: Expression, rKey: Expression, lTime: Expression, rTime: Expression,
+      leftOut: Seq[Attribute], rightOut: Seq[Attribute]): MergeAccess = {
+    val lKeyProj = UnsafeProjection.create(Seq(lKey), leftOut)
+    val rKeyProj = UnsafeProjection.create(Seq(rKey), rightOut)
+    val lTimeProj = UnsafeProjection.create(Seq(lTime), leftOut)
+    val rTimeProj = UnsafeProjection.create(Seq(rTime), rightOut)
+    val keyOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lKey.dataType))
+    val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lTime.dataType))
+    // each projection reuses its own output buffer; compares read the two
+    // buffers immediately, before either projection runs again
+    new MergeAccess {
+      override def lKeyNull(l: InternalRow): Boolean = lKeyProj(l).isNullAt(0)
+      override def lTimeNull(l: InternalRow): Boolean = lTimeProj(l).isNullAt(0)
+      override def rKeyNull(r: InternalRow): Boolean = rKeyProj(r).isNullAt(0)
+      override def rTimeNull(r: InternalRow): Boolean = rTimeProj(r).isNullAt(0)
+      override def cmpKey(r: InternalRow, l: InternalRow): Int =
+        keyOrd.compare(rKeyProj(r), lKeyProj(l))
+      override def cmpTime(r: InternalRow, l: InternalRow): Int =
+        timeOrd.compare(rTimeProj(r), lTimeProj(l))
+    }
+  }
 }

@@ -189,6 +189,57 @@ class AsofNativeSpec extends SparkSpec {
       s"right side must carry the transposed key filter:\n$opt")
   }
 
+  test("projecting only left columns eliminates the node (left-row-preserving)") {
+    val left = randSide(7, 200, 9).toDF("k", "t", "lv")
+    val right = randSide(8, 150, 9).toDF("k", "t", "rv").dropDuplicates("k", "t")
+    val joined = AsofJoin.asofJoinNative(left, right, "t", "t", "k", "k", Seq("rv"))
+    // a bare count references no right column: the as-of emits exactly one
+    // row per left row, so the whole right side (scan + sort + merge) must
+    // vanish from the plan — parity with what Catalyst's union pushdown
+    // gives the window composition for free
+    import graft.plans.AsofJoinNode
+    val leftOnlyProj = joined.select(col("k"), col("lv"))
+    assert(leftOnlyProj.queryExecution.optimizedPlan
+        .collectFirst { case n: AsofJoinNode => n }.isEmpty,
+      s"node must be eliminated:\n${leftOnlyProj.queryExecution.optimizedPlan}")
+    val counted = joined.groupBy().count()
+    assert(counted.queryExecution.optimizedPlan
+        .collectFirst { case n: AsofJoinNode => n }.isEmpty,
+      s"count must eliminate the node:\n${counted.queryExecution.optimizedPlan}")
+    assert(joined.count() == left.count())
+    // a projection that touches the payload must KEEP the node
+    val withPayload = joined.select(col("k"), col("rv"))
+    assert(withPayload.queryExecution.optimizedPlan
+      .collectFirst { case n: AsofJoinNode => n }.nonEmpty)
+  }
+
+  test("left-time upper bounds mirror onto the right side") {
+    val left = randSide(9, 300, 8).toDF("k", "t", "lv")
+    val right = randSide(10, 250, 8).toDF("k", "t", "rv").dropDuplicates("k", "t")
+    val joined = AsofJoin.asofJoinNative(left, right, "t", "t", "k", "k", Seq("rv"))
+    val filtered = joined.filter(col("t") <= 40)
+    // correctness first: the mirrored bound must not change results
+    val viaWindow = AsofJoin.asofJoin(left, right, "t", "t", "k", "k", Seq("rv"))
+    assert(canon(filtered) == canon(viaWindow.filter(col("t") <= 40)))
+    // plan shape: the right child carries a `rt <= 40` filter (backward
+    // as-of never needs right rows from after the left bound)
+    import graft.plans.AsofJoinNode
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    val opt = filtered.queryExecution.optimizedPlan
+    val j = opt.collectFirst { case n: AsofJoinNode => n }.getOrElse(
+      fail(s"expected AsofJoinNode in:\n$opt"))
+    val rFilter = j.right.collectFirst { case f: LFilter => f }
+    assert(rFilter.nonEmpty, s"right side must carry the mirrored bound:\n$opt")
+    assert(rFilter.get.condition.toString.contains("<= 40"),
+      s"expected a <= 40 bound on the right, got: ${rFilter.get.condition}")
+    // a LOWER bound must NOT mirror (backward as-of reaches into the past)
+    val lower = joined.filter(col("t") >= 40)
+    val jl = lower.queryExecution.optimizedPlan
+      .collectFirst { case n: AsofJoinNode => n }.get
+    assert(jl.right.collectFirst { case f: LFilter => f }.isEmpty,
+      "lower bounds must not reach the right side")
+  }
+
   test("empty right side leaves every left row unmatched") {
     val left = Seq((1L, 1L)).toDF("k", "t")
     val right = Seq.empty[(Long, Long, Long)].toDF("k", "t", "rv")
