@@ -773,6 +773,14 @@ object Graft {
                 // value reads as a scheme ("Relative path in absolute
                 // URI"); the single-string form quotes it instead
                 val t = new Path(dir.toString + Path.SEPARATOR + value)
+                // HDFS/local-FS rename onto an EXISTING directory moves the
+                // source INSIDE it, silently nesting data one level deep —
+                // possible when dynamic partitionOverwriteMode leaves prior
+                // stripped value dirs in place. Fail loudly instead.
+                require(!fs.exists(t),
+                  s"target $t already exists (stale value dir from a prior " +
+                    "write? value-only layout requires a clean target tree " +
+                    "per overwritten partition)")
                 require(fs.rename(st.getPath, t),
                   s"rename failed: ${st.getPath} -> $t")
                 t

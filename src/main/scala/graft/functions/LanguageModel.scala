@@ -95,8 +95,10 @@ object LanguageModel {
       StructField("avg_logprob", DoubleType, nullable = true),
       StructField("perplexity", DoubleType, nullable = true)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    df.filter(col(idCol).isNotNull) // a null id cannot key a score row
-      .select(col(idCol).cast("long"), TextFunctions.words(col(textCol)))
+    // filter on the CASTED id: a non-null but non-numeric id casts to null,
+    // which a pre-cast isNotNull filter would let through to NPE at getLong
+    df.select(col(idCol).cast("long").as(idCol), TextFunctions.words(col(textCol)))
+      .filter(col(idCol).isNotNull) // a null (or uncastable) id cannot key a score row
       .mapPartitions { rows =>
         val m = bc.value
         rows.map { r =>

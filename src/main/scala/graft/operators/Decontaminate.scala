@@ -39,9 +39,13 @@ object Decontaminate {
       n: Int = 8,
       threshold: Double = 0.2,
       broadcastBench: Boolean = true): DataFrame = {
-    // staged projections: one tokenizer pass per row (lambda-capture rule)
+    // staged projections: one tokenizer pass per row (lambda-capture rule).
+    // Null text coalesces to an empty gram set so the doc still gets its
+    // contractual output row (explode_outer below) instead of vanishing.
     val trainSh = train
-      .select(col(idCol), TextFunctions.words(col(textCol)).as("__words"))
+      .select(col(idCol),
+        coalesce(TextFunctions.words(col(textCol)),
+          array().cast("array<string>")).as("__words"))
       .select(col(idCol),
         array_distinct(TextFunctions.shingles(col("__words"), n)).as("__grams"))
     val benchGrams0 = bench
@@ -58,15 +62,19 @@ object Decontaminate {
     // keep the doc's total through the explode so ONE aggregation yields
     // both counts — no corpus-sized totals-vs-matches rejoin afterwards
     trainSh
+      // explode_outer: a doc too short for ANY n-gram (or with null text)
+      // keeps one null-gram row, which matches nothing and scores clean —
+      // plain explode would drop it from the output entirely
       .select(col(idCol), size(col("__grams")).cast("long").as("__total"),
-        explode(col("__grams")).as("__gram"))
+        explode_outer(col("__grams")).as("__gram"))
       .join(benchGrams, Seq("__gram"), "left")
       .groupBy(col(idCol))
       .agg(max(col("__total")).as("total_ngrams"),
         sum(coalesce(col("__hit"), lit(0L))).as("matched_ngrams"))
       .select(col(idCol), col("matched_ngrams"), col("total_ngrams"),
-        (col("matched_ngrams").cast("double") / col("total_ngrams"))
-          .as("contamination"))
+        when(col("total_ngrams") > 0L,
+          col("matched_ngrams").cast("double") / col("total_ngrams"))
+          .otherwise(lit(0.0)).as("contamination"))
       .withColumn("contaminated", col("contamination") >= threshold)
   }
 

@@ -16,6 +16,14 @@ import org.apache.spark.sql.functions._
   * input row maps to 0..n output rows in place, and downstream shuffles see
   * the already-mixed stream. Fractional thresholds are resolved to integers
   * on the driver so there is no floating-point rounding in the row path.
+  *
+  * ASSUMPTION: ids are ~uniform modulo `granularity` (true for dense
+  * surrogate ids; NOT for e.g. all-even ids with granularity 1000, which
+  * would double a 0.5 slice's realized rate). Callers with structured ids
+  * should pre-hash (`xxhash64(id)` as the id column) — the slice criterion
+  * stays `id mod granularity` here because it must be reproducible in
+  * plain SQL by external auditors. Non-numeric ids fail loudly rather than
+  * silently taking floor(w) copies; null ids always take floor(w) copies.
   */
 object Mixing {
 
@@ -46,10 +54,17 @@ object Mixing {
       val extra = math.round((w - math.floor(w)) * granularity)
       src -> (full, extra)
     }
+    // a non-null id that casts to null is a caller bug (string ids etc.) —
+    // raise rather than silently handing the row floor(w) copies; the
+    // assert_true column is null on success, so adding it is a no-op
+    val idLong = col(idCol).cast("long") +
+      coalesce(assert_true(col(idCol).isNull || col(idCol).cast("long").isNotNull,
+        concat(lit(s"mix: $idCol is not castable to long: "),
+          col(idCol).cast("string"))).cast("long"), lit(0L))
     val copies = resolved.foldLeft(
         when(lit(false), lit(0L))) { case (acc, (src, (full, extra))) =>
       acc.when(col(sourceCol) === src,
-        lit(full) + when(pmod(col(idCol).cast("long"), lit(granularity.toLong)) < extra, 1L)
+        lit(full) + when(pmod(idLong, lit(granularity.toLong)) < extra, 1L)
           .otherwise(0L))
     }.otherwise(lit(1L))
     df.withColumn("__copies", copies)

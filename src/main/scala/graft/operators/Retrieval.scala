@@ -91,7 +91,10 @@ object Retrieval {
     * right tool at result-list size; the fusion itself is one small
     * union + aggregation. PRECONDITION: each list contains an id at most
     * once (a duplicated id would contribute twice and inflate n_lists —
-    * same caller contract as the as-of join's unique right side).
+    * same caller contract as the as-of join's unique right side). The
+    * result-list contract is ENFORCED: any input list larger than
+    * `maxListSize` (default 1M) fails the job with a clear message
+    * instead of silently sorting a corpus on one task.
     * Determinism note: with ≤2 lists a doc sums at most two doubles and
     * IEEE addition is commutative, so the score is bit-stable; with 3+
     * lists the sum's grouping order can shift the last ulp — fine for
@@ -101,14 +104,30 @@ object Retrieval {
       idCol: String,
       scoreCol: String,
       k: Int = 60,
-      topN: Int = Int.MaxValue): DataFrame = {
+      topN: Int = Int.MaxValue,
+      maxListSize: Int = 1000000): DataFrame = {
     require(rankings.nonEmpty, "need at least one ranking")
     require(k >= 1, "rrf k must be >= 1")
+    require(maxListSize >= 1, "maxListSize must be >= 1")
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(desc(scoreCol), asc(idCol))
     rankings.map { r =>
+      // guardrail on the result-list contract: the single-partition window
+      // is the right tool at result-list size and a SILENT one-task sort if
+      // misapplied to a corpus — fail fast the first time a rank exceeds
+      // the cap. assert_true is folded into the score (null on success, so
+      // `+ 0.0`) because a dropped guard column would be pruned unevaluated;
+      // raise maxListSize to opt in to genuinely larger lists.
+      val rank = row_number().over(w)
+      val guarded = rank + coalesce(
+        assert_true(rank <= maxListSize,
+          lit(s"rrfFuse: ranking list exceeds maxListSize=$maxListSize rows " +
+            "— rrfFuse is for per-query RESULT LISTS, not corpora; raise " +
+            "maxListSize explicitly if the list really is this large"))
+          .cast("int"),
+        lit(0))
       r.select(col(idCol), col(scoreCol))
-        .withColumn("__rank", row_number().over(w))
+        .withColumn("__rank", guarded)
         .filter(col("__rank") <= topN)
         .select(col(idCol),
           (lit(1.0) / (col("__rank") + lit(k))).as("__rr"))

@@ -56,6 +56,23 @@ class DecontaminateSpec extends SparkSpec {
       n = 3, threshold = 0.5, broadcastBench = false)
     assert(canon(sh) == canon(bc))
   }
+
+  test("null-text docs keep their contractual row and score clean") {
+    val t = Seq((1L, Option("alpha beta gamma delta epsilon")),
+      (2L, Option.empty[String])).toDF("id", "text")
+    val out = Decontaminate.ngramOverlap(t, "id", "text", bench, "text",
+        n = 3, threshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(out.keySet == Set(1L, 2L), "one output row per training doc")
+    // null text coalesces to the empty doc, whose single whole-doc shingle
+    // ("") matches no bench trigram: present, clean, never dropped
+    assert(out(2L) == ((0L, 1L, 0.0, false)))
+    // decontaminate keeps the null-text doc (it cannot be contaminated)
+    val kept = Decontaminate.decontaminate(t, "id", "text", bench, "text",
+      n = 3, threshold = 0.5)
+    assert(kept.select("id").as[Long].collect().toSeq == Seq(2L))
+  }
 }
 
 class PackSpec extends SparkSpec {
@@ -376,6 +393,24 @@ class WritePartitionedSpec extends SparkSpec {
     assert(e2.getMessage.contains("append"))
   }
 
+  test("values overwrite onto stale value dirs fails instead of nesting") {
+    import spark.implicits._
+    val df = Seq((1L, "x"), (2L, "y")).toDF("id", "p")
+    val dir = tmpDir("wp_stale")
+    Graft.writePartitionedTable(df, dir, Seq("p"), layout = "values")
+    // dynamic partitionOverwriteMode leaves the prior stripped value dirs in
+    // place; the post-write rename onto an existing dir would nest the new
+    // data one level deep on HDFS/local-FS semantics — must refuse
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Graft.writePartitionedTable(df, dir, Seq("p"), layout = "values",
+          mode = "overwrite")
+      }
+      assert(e.getMessage.contains("already exists"), e.getMessage)
+    } finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+  }
+
   test("values layout rejects null and empty partition values") {
     val withNull = Seq((1L, Option.empty[String]), (2L, Some("ok")))
       .toDF("id", "p")
@@ -472,6 +507,23 @@ class RetrievalSpec extends SparkSpec {
     assert(out(2L)._1 > out(1L)._1)
   }
 
+  test("rrfFuse fails fast when a list exceeds maxListSize") {
+    val big = (1L to 10L).map(i => (i, i.toDouble)).toDF("id", "s")
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " " + msgs(t.getCause)
+    val e = intercept[Throwable] {
+      Retrieval.rrfFuse(Seq(big), "id", "s", maxListSize = 5).collect()
+    }
+    assert(msgs(e).contains("maxListSize"), s"got: ${msgs(e)}")
+    // the guard must see the full list even when topN truncates it
+    val e2 = intercept[Throwable] {
+      Retrieval.rrfFuse(Seq(big), "id", "s", topN = 3, maxListSize = 5).collect()
+    }
+    assert(msgs(e2).contains("maxListSize"), s"got: ${msgs(e2)}")
+    // within the cap: unchanged
+    assert(Retrieval.rrfFuse(Seq(big), "id", "s", maxListSize = 10).count() == 10)
+  }
+
   test("corpus is never shuffled for scoring: only the tiny aggregations exchange") {
     val df = Retrieval.termStats(docs, "id", "text", Seq("query"))
     df.collect()
@@ -508,6 +560,21 @@ class MixingSpec extends SparkSpec {
       Mixing.resample(once, "id", "source", Map("a" -> 1.0))
     }
     assert(e.getMessage.contains("copy"))
+  }
+
+  test("non-numeric ids fail loudly instead of silently taking floor(w) copies") {
+    val bad = Seq(("doc-x", "a"), ("doc-y", "a")).toDF("id", "source")
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " " + msgs(t.getCause)
+    val e = intercept[Throwable] {
+      Mixing.resample(bad, "id", "source", Map("a" -> 1.5), granularity = 10)
+        .collect()
+    }
+    // ANSI sessions throw at the cast itself, non-ANSI hit the guard —
+    // either way the job fails with a cast diagnostic, never silence
+    val m = msgs(e)
+    assert(m.contains("not castable") || m.toUpperCase.contains("CAST"),
+      s"got: $m")
   }
 
   test("integer upsampling emits exact copy indices and no shuffle") {
