@@ -64,7 +64,18 @@ object GraftExtensions {
   /** (identifier, info, builder) triples — the shape both
     * `SparkSessionExtensions.injectFunction` and `FunctionRegistry
     * .registerFunction` consume. All four stay fully codegen'd. */
+  private def oneArg(name: String, className: String,
+      make: Expression => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(className, name),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, s"$name expects exactly one argument")
+        make(children.head)
+      })
+
   val functions = Seq(
+    oneArg("unicode_fold", "graft.functions.UnicodeFoldExpr",
+      graft.functions.UnicodeFoldExpr(_)),
     twoArg("cosine_sim", "graft.functions.CosineSimilarity",
       graft.functions.CosineSimilarity(_, _)),
     colIntArgs("shingle_hash_set", "graft.functions.ShingleHashSetExpr",

@@ -729,6 +729,18 @@ object SparkEntry {
         TextFunctions.normalize(col("text"), dropPunct = true).as("norm"))
       .orderBy("doc_id")
 
+  /** Unicode folding variant. The synthetic documents are pure ASCII, so a
+    * fixed accented/full-width suffix is concatenated on BOTH engines to
+    * exercise the fold; the literal sticks to plain accent/width variants
+    * (no ligatures) because DuckDB's strip_accents — the oracle's analog —
+    * does not do NFKD compatibility expansion. */
+  private def t14b_normalize_fold(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.normalize(
+          concat(col("text"), lit(" Café NAÏVE àéîõü")),
+          dropPunct = true, foldUnicode = true).as("norm"))
+      .orderBy("doc_id")
+
   private def t4_fingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(
       col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
@@ -1052,6 +1064,7 @@ object SparkEntry {
     "t12b_bm25" -> (t12b_bm25 _),
     "t13_rrf" -> (t13_rrf _),
     "t14_normalize" -> (t14_normalize _),
+    "t14b_normalize_fold" -> (t14b_normalize_fold _),
     "e1_quantize" -> (e1_quantize _),
     "e2_l2norm" -> (e2_l2norm _),
     "m1_multimodal" -> (m1_multimodal _),
@@ -1568,6 +1581,14 @@ object SparkEntry {
     "t14_normalize" ->
       """SELECT doc_id,
          trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+           '[\x00-\x1f\x7f]', ' ', 'g'),
+           '[!-/:-@\[-`{-~]', ' ', 'g'),
+           ' +', ' ', 'g')) AS norm
+         FROM documents ORDER BY doc_id""",
+    "t14b_normalize_fold" ->
+      """SELECT doc_id,
+         trim(regexp_replace(regexp_replace(regexp_replace(
+           lower(strip_accents(text || ' Café NAÏVE àéîõü')),
            '[\x00-\x1f\x7f]', ' ', 'g'),
            '[!-/:-@\[-`{-~]', ' ', 'g'),
            ' +', ' ', 'g')) AS norm

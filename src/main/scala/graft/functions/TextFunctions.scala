@@ -10,16 +10,21 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Standard pre-dedup normalization: lowercase, strip ASCII control
-    * characters (to spaces), optionally strip ASCII punctuation, collapse
-    * space runs, trim. Regex classes are written to mean the same thing in
-    * Java regex AND RE2 ([[:punct:]]-equivalent explicit class; whitespace
-    * collapse uses a literal space because controls are already spaces —
-    * Java's \\s and RE2's \\s disagree on \\x0B, so neither is used).
-    * Unicode-fold/NFC is out of scope (no codegen-native support; a real
-    * deployment slots an ICU mapPartitions stage here). */
-  def normalize(text: Column, dropPunct: Boolean = false): Column = {
-    val lowered = lower(text)
+  /** Standard pre-dedup normalization: optional unicode compatibility +
+    * accent folding ([[UnicodeFoldExpr]]: NFKD, strip combining marks, NFC
+    * — so 'Café', 'Café' and full-width variants shingle
+    * identically), lowercase, strip ASCII control characters (to spaces),
+    * optionally strip ASCII punctuation, collapse space runs, trim. Regex
+    * classes are written to mean the same thing in Java regex AND RE2
+    * ([[:punct:]]-equivalent explicit class; whitespace collapse uses a
+    * literal space because controls are already spaces — Java's \\s and
+    * RE2's \\s disagree on \\x0B, so neither is used). The fold runs FIRST
+    * so compatibility expansions (ligatures → ASCII letters) reach the
+    * later stages. */
+  def normalize(text: Column, dropPunct: Boolean = false,
+      foldUnicode: Boolean = false): Column = {
+    val folded = if (foldUnicode) UnicodeFoldExpr(text) else text
+    val lowered = lower(folded)
     val noCtl = regexp_replace(lowered, "[\\x00-\\x1f\\x7f]", " ")
     val noPunct =
       if (dropPunct) regexp_replace(noCtl, "[!-/:-@\\[-`{-~]", " ") else noCtl

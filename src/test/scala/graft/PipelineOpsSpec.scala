@@ -460,6 +460,44 @@ class NormalizeSpec extends SparkSpec {
       "keep unicode café naïve")))
     assert(out(3) == (("a-b_c.d", "a b c d")))
   }
+
+  test("unicode fold: accents, width, ligatures collapse; ASCII passes through") {
+    val rows = Seq(
+      "Café",                 // precomposed é
+      "Café",                // decomposed e + combining acute
+      "Ｃａｆｅ",  // full-width ＣａｆｅC
+      "naïve ﬁne",       // ï and the ﬁ ligature
+      "plain ascii stays").toDF("text")
+    val out = rows.select(
+      TextFunctions.normalize(col("text"), foldUnicode = true).as("n"))
+      .collect().map(_.getString(0))
+    assert(out(0) == "cafe" && out(1) == "cafe" && out(2) == "cafe")
+    assert(out(3) == "naive fine")
+    assert(out(4) == "plain ascii stays")
+  }
+
+  test("folded variants of the same text produce identical shingle sets") {
+    val variants = Seq(
+      (1L, "the café résumé of a naïve fox"),
+      (2L, "the café résumé of a naïve fox"),
+      (3L, "the cafe resume of a naive fox")).toDF("id", "text")
+    val sets = variants
+      .select(col("id"),
+        TextFunctions.words(
+          TextFunctions.normalize(col("text"), foldUnicode = true)).as("__w"))
+      .select(col("id"),
+        graft.functions.ShingleHashSetExpr(col("__w"), 3).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sets(1L) == sets(3L) && sets(2L) == sets(3L),
+      "accent/representation variants must shingle identically after folding")
+  }
+
+  test("unicode_fold is callable from SQL text") {
+    GraftExtensions.register(spark)
+    val got = spark.sql("SELECT unicode_fold('Café Ａ') AS f")
+      .collect().head.getString(0)
+    assert(got == "Cafe A", s"got: $got")
+  }
 }
 
 class RetrievalSpec extends SparkSpec {
