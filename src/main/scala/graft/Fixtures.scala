@@ -118,6 +118,24 @@ object Fixtures {
       rows.toDF("doc_id", "payload").coalesce(1).write.mode("overwrite").parquet(dir)
     }
 
+  /** Full-PNG analog of [[mediaDocs]]: one COMPLETE deterministic PNG per
+    * doc (real deflated pixel data, every scanline filter type), dims and
+    * color type derived from doc_id so the oracle reproduces the decoded
+    * per-channel stats from the closed-form pixel arithmetic. */
+  def pngPixelDocs(spark: SparkSession, sfDir: String): String =
+    cached("png_pixel_docs", sfDir) { dir =>
+      import spark.implicits._
+      val ids = table(spark, sfDir, "documents").select("doc_id")
+        .as[Long].collect().sorted
+      val rows = ids.toSeq.map { id =>
+        val w = (id % 13).toInt + 4
+        val h = (id % 11).toInt + 4
+        val colorType = if (id % 2 == 0) 2 else 6
+        (id, graft.operators.Multimodal.syntheticPngPixelBytes(id, w, h, colorType))
+      }
+      rows.toDF("doc_id", "payload").coalesce(1).write.mode("overwrite").parquet(dir)
+    }
+
   /** Audio analog of [[mediaDocs]]: one valid WAV header per doc, with
     * rate/channels/bits/sample-count derived from doc_id so the oracle can
     * verify the byte-level parse inverts the construction arithmetic. */

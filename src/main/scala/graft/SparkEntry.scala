@@ -837,6 +837,19 @@ object SparkEntry {
         col("media_meta.channels"), col("media_meta.format"))
       .orderBy("doc_id")
 
+  /** FULL PNG pixel decode (inflate + all-filter unfilter + per-channel
+    * stats); the oracle recomputes mean/std from the fixture's closed-form
+    * pixel arithmetic over a generated (x, y, channel) grid — the decode
+    * must invert deflate AND all five scanline filters exactly to match. */
+  private def m4_pixels(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodePngPixels(s.read.parquet(Fixtures.pngPixelDocs(s, dir)))
+      .select(col("doc_id"), col("pixel_stats.width"), col("pixel_stats.height"),
+        posexplode(arrays_zip(col("pixel_stats.mean"), col("pixel_stats.std"))))
+      .select(col("doc_id"), col("width"), col("height"),
+        col("pos").as("channel"), col("col.mean").as("mean"),
+        col("col.std").as("std"))
+      .orderBy("doc_id", "channel")
+
   /** Real RIFF/WAVE chunk-walk decode; oracle verifies the parse inverts
     * the fixture's construction arithmetic (same pattern as m1). */
   private def m2_audio(s: SparkSession, dir: String): DataFrame =
@@ -1068,6 +1081,7 @@ object SparkEntry {
     "e1_quantize" -> (e1_quantize _),
     "e2_l2norm" -> (e2_l2norm _),
     "m1_multimodal" -> (m1_multimodal _),
+    "m4_pixels" -> (m4_pixels _),
     "m2_audio" -> (m2_audio _),
     "m3_video" -> (m3_video _),
     "st1_stream_window" -> (st1_stream_window _),
@@ -1708,6 +1722,29 @@ object SparkEntry {
          CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
               WHEN 2 THEN 'bmp' ELSE 'jpeg' END AS format
          FROM documents ORDER BY doc_id""",
+    // recompute the decoded stats from the fixture's closed-form pixel
+    // value (seed + x*3 + y*5 + c*11) mod 256 over a generated grid
+    "m4_pixels" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(doc_id % 13 + 4 AS INT) AS width,
+             CAST(doc_id % 11 + 4 AS INT) AS height,
+             CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS INT) AS nc
+           FROM documents),
+         px AS (SELECT d.doc_id, d.width, d.height, c.c AS channel,
+               CAST((d.doc_id + x.x*3 + y.y*5 + c.c*11) % 256 AS BIGINT) AS v
+             FROM d,
+               generate_series(0, 15) AS x(x),
+               generate_series(0, 13) AS y(y),
+               generate_series(0, 3) AS c(c)
+             WHERE x.x < d.width AND y.y < d.height AND c.c < d.nc)
+         SELECT doc_id, width, height, CAST(channel AS INT) AS channel,
+           CAST(SUM(v) AS DOUBLE) / (width * height) AS mean,
+           sqrt(GREATEST(
+             CAST(SUM(v*v) AS DOUBLE) / (width * height) -
+             (CAST(SUM(v) AS DOUBLE) / (width * height)) *
+             (CAST(SUM(v) AS DOUBLE) / (width * height)), 0)) AS std
+         FROM px GROUP BY doc_id, width, height, channel
+         ORDER BY doc_id, channel""",
     "st1_stream_window" ->
       """SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS w_start,
          event_type, COUNT(*) AS n,

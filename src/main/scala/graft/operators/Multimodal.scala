@@ -259,6 +259,132 @@ object Multimodal {
           floor((length(col(payloadCol)) - 1) / lit(stride)).cast("int"))))
       .withColumn("frame_offset", col("frame_no") * stride)
 
+  // ------------------------------------------------------ PNG pixel decode
+
+  val pixelStatsType: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("mean", ArrayType(DoubleType, containsNull = false), nullable = true),
+    StructField("std", ArrayType(DoubleType, containsNull = false), nullable = true)))
+
+  /** Full PNG pixel decode — completes the multimodal story past header
+    * metadata using ONLY the JDK: chunk walk → concatenated IDAT →
+    * `java.util.zip.Inflater` → per-scanline unfilter (all five PNG filter
+    * types: None/Sub/Up/Average/Paeth) → per-channel mean and population
+    * stddev. Supports the bulk-corpus case: 8-bit truecolor (RGB) and
+    * truecolor+alpha (RGBA), non-interlaced. Returns None for anything
+    * else (palette, 16-bit, interlaced, non-PNG) — callers tag and fall
+    * back rather than guessing.
+    *
+    * std uses max(E[v²]−mean², 0) under the sqrt so floating-point rounding
+    * can never produce NaN; sums are exact 64-bit integers, so the stats
+    * are deterministic and reproducible in plain SQL by an auditor. */
+  def pngPixelStats(b: Array[Byte]): Option[(Int, Int, Int, Array[Double], Array[Double])] = {
+    if (b == null || b.length < 45 ||
+        !startsWith(b, 0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)) return None
+    var w = 0; var h = 0; var channels = 0
+    var ok = false
+    val idat = new java.io.ByteArrayOutputStream()
+    var i = 8
+    var stop = false
+    while (!stop && i + 8 <= b.length) {
+      val len = be32(b, i)
+      if (len < 0 || i + 12 + len > b.length) return None // corrupt length
+      val tpe = new String(b, i + 4, 4, "US-ASCII")
+      tpe match {
+        case "IHDR" =>
+          if (len < 13) return None
+          w = be32(b, i + 8); h = be32(b, i + 12)
+          val bitDepth = u8(b, i + 16); val colorType = u8(b, i + 17)
+          val interlace = u8(b, i + 20)
+          channels = colorType match { case 2 => 3; case 6 => 4; case _ => 0 }
+          ok = bitDepth == 8 && channels > 0 && interlace == 0 && w > 0 && h > 0 &&
+            w.toLong * h * channels < (1L << 28) // bound memory per row
+        case "IDAT" => idat.write(b, i + 8, len)
+        case "IEND" => stop = true
+        case _ => // ancillary chunk: skip
+      }
+      i += 12 + len
+    }
+    if (!ok || idat.size() == 0) return None
+    val stride = w * channels
+    val raw = new Array[Byte]((stride + 1) * h)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var off = 0
+      while (off < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        off += n
+      }
+      if (off < raw.length) return None
+    } catch { case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+    // unfilter in place into `pixels`; PNG filters operate on bytes, with
+    // `left` meaning the byte one PIXEL (bpp bytes) to the left
+    val pixels = new Array[Byte](stride * h)
+    val bpp = channels
+    val sum = new Array[Long](channels)
+    val sumSq = new Array[Long](channels)
+    var y = 0
+    while (y < h) {
+      val filter = u8(raw, y * (stride + 1))
+      if (filter > 4) return None
+      val rowIn = y * (stride + 1) + 1
+      val rowOut = y * stride
+      var x = 0
+      while (x < stride) {
+        val cur = u8(raw, rowIn + x)
+        val left = if (x >= bpp) u8(pixels, rowOut + x - bpp) else 0
+        val above = if (y > 0) u8(pixels, rowOut - stride + x) else 0
+        val upLeft = if (y > 0 && x >= bpp) u8(pixels, rowOut - stride + x - bpp) else 0
+        val v = filter match {
+          case 0 => cur
+          case 1 => cur + left
+          case 2 => cur + above
+          case 3 => cur + ((left + above) >> 1)
+          case 4 => // Paeth predictor
+            val p = left + above - upLeft
+            val pa = math.abs(p - left); val pb = math.abs(p - above)
+            val pc = math.abs(p - upLeft)
+            val pred = if (pa <= pb && pa <= pc) left else if (pb <= pc) above else upLeft
+            cur + pred
+        }
+        val b8 = v & 0xFF
+        pixels(rowOut + x) = b8.toByte
+        val c = x % channels
+        sum(c) += b8
+        sumSq(c) += b8.toLong * b8
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    val mean = new Array[Double](channels)
+    val std = new Array[Double](channels)
+    var c = 0
+    while (c < channels) {
+      mean(c) = sum(c).toDouble / n
+      std(c) = math.sqrt(math.max(sumSq(c).toDouble / n - mean(c) * mean(c), 0.0))
+      c += 1
+    }
+    Some((w, h, channels, mean, std))
+  }
+
+  /** Batched PNG pixel decode: real inflate+unfilter stats for 8-bit
+    * RGB/RGBA PNGs, `format = "undecodable"` (null stats) otherwise. */
+  def decodePngPixels(df: DataFrame, payloadCol: String = "payload",
+      statsCol: String = "pixel_stats"): DataFrame =
+    decodeMeta(df, payloadCol, statsCol, pixelStatsType) { bytes =>
+      pngPixelStats(bytes) match {
+        case Some((w, h, c, mean, std)) => Row(w, h, c, "png", mean.toSeq, std.toSeq)
+        case None => Row(0, 0, 0, "undecodable", null, null)
+      }
+    }
+
   // --------------------------------------------------- synthetic fixtures
 
   /** Deterministic synthetic image HEADERS (valid PNG / GIF / BMP / JPEG
@@ -283,6 +409,70 @@ object Multimodal {
           Array[Byte](1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1)
       case other => throw new IllegalArgumentException(s"unknown format $other")
     }
+  }
+
+  /** Deterministic COMPLETE PNG (signature, IHDR, one zlib-deflated IDAT,
+    * IEND, real CRCs) with pixel value `(seed + x*3 + y*5 + c*11) mod 256`
+    * — closed-form arithmetic an oracle can reproduce in SQL. Each scanline
+    * cycles through filter type `y mod 5`, so decoding exercises every PNG
+    * filter (None/Sub/Up/Average/Paeth), while the decoded pixels stay
+    * filter-independent. colorType 2 (RGB) or 6 (RGBA), 8-bit. */
+  def syntheticPngPixelBytes(seed: Long, w: Int, h: Int, colorType: Int): Array[Byte] = {
+    require(colorType == 2 || colorType == 6, "colorType must be 2 (RGB) or 6 (RGBA)")
+    val channels = if (colorType == 2) 3 else 4
+    val stride = w * channels
+    def v(x: Int, y: Int, c: Int): Int =
+      (((seed + x * 3 + y * 5 + c * 11) % 256 + 256) % 256).toInt
+    val raw = new Array[Byte]((stride + 1) * h)
+    val prev = new Array[Int](stride) // unfiltered previous row
+    val curRow = new Array[Int](stride)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < stride) { curRow(x) = v(x / channels, y, x % channels); x += 1 }
+      val filter = y % 5
+      raw(y * (stride + 1)) = filter.toByte
+      x = 0
+      while (x < stride) {
+        val left = if (x >= channels) curRow(x - channels) else 0
+        val above = if (y > 0) prev(x) else 0
+        val upLeft = if (y > 0 && x >= channels) prev(x - channels) else 0
+        val enc = filter match {
+          case 0 => curRow(x)
+          case 1 => curRow(x) - left
+          case 2 => curRow(x) - above
+          case 3 => curRow(x) - ((left + above) >> 1)
+          case 4 =>
+            val p = left + above - upLeft
+            val pa = math.abs(p - left); val pb = math.abs(p - above)
+            val pc = math.abs(p - upLeft)
+            val pred = if (pa <= pb && pa <= pc) left else if (pb <= pc) above else upLeft
+            curRow(x) - pred
+        }
+        raw(y * (stride + 1) + 1 + x) = (enc & 0xFF).toByte
+        x += 1
+      }
+      System.arraycopy(curRow, 0, prev, 0, stride)
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val idatData = out.toByteArray
+    def chunk(tpe: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      val typeBytes = tpe.getBytes("US-ASCII")
+      crc.update(typeBytes); crc.update(data)
+      be32b(data.length) ++ typeBytes ++ data ++ be32b(crc.getValue.toInt)
+    }
+    Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A) ++
+      chunk("IHDR", be32b(w) ++ be32b(h) ++
+        Array[Byte](8, colorType.toByte, 0, 0, 0)) ++
+      chunk("IDAT", idatData) ++
+      chunk("IEND", Array.emptyByteArray)
   }
 
   /** Deterministic minimal MP4: ftyp + moov(mvhd v0 + trak(tkhd v0)) —

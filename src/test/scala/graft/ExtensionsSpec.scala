@@ -757,6 +757,65 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.videoHeader(null).isEmpty)
   }
 
+  test("pngPixelStats inverts the synthetic writer across all five filters") {
+    for ((colorType, nc) <- Seq((2, 3), (6, 4)); seed <- Seq(0L, 7L, 123L)) {
+      val (w, h) = (9, 11) // h > 5 so every filter type 0..4 is exercised
+      val b = Multimodal.syntheticPngPixelBytes(seed, w, h, colorType)
+      val Some((pw, ph, pc, mean, std)) = Multimodal.pngPixelStats(b)
+      assert((pw, ph, pc) == ((w, h, nc)))
+      // recompute from the closed-form pixel value
+      for (c <- 0 until nc) {
+        var sum = 0L; var sumSq = 0L
+        for (y <- 0 until h; x <- 0 until w) {
+          val v = ((seed + x * 3 + y * 5 + c * 11) % 256).toInt
+          sum += v; sumSq += v.toLong * v
+        }
+        val n = w.toLong * h
+        val em = sum.toDouble / n
+        val es = math.sqrt(math.max(sumSq.toDouble / n - em * em, 0.0))
+        assert(mean(c) == em && std(c) == es, s"ct=$colorType seed=$seed c=$c")
+      }
+    }
+  }
+
+  test("pngPixelStats agrees with the JDK's own PNG encoder (ImageIO)") {
+    val (w, h) = (23, 14)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 13 + y) % 256 << 24) | ((x + y * 17) % 256 << 16) |
+        ((x * 7) % 256 << 8) | ((y * 29 + x * 3) % 256))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val Some((pw, ph, pc, mean, _)) = Multimodal.pngPixelStats(bos.toByteArray)
+    assert((pw, ph, pc) == ((w, h, 4)))
+    // PNG channel order R,G,B,A; recompute channel means from the image
+    val sums = new Array[Long](4)
+    for (y <- 0 until h; x <- 0 until w) {
+      val argb = img.getRGB(x, y)
+      sums(0) += (argb >> 16) & 0xFF; sums(1) += (argb >> 8) & 0xFF
+      sums(2) += argb & 0xFF; sums(3) += (argb >>> 24) & 0xFF
+    }
+    for (c <- 0 until 4)
+      assert(mean(c) == sums(c).toDouble / (w * h), s"channel $c")
+  }
+
+  test("decodePngPixels tags undecodable payloads instead of guessing") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Multimodal.syntheticPngPixelBytes(1L, 5, 5, 2)),
+      (2L, Multimodal.syntheticImageBytes("png", 8, 8)), // header-only, no IDAT
+      (3L, Multimodal.syntheticImageBytes("gif", 8, 8)),
+      (4L, "not an image".getBytes)).toDF("id", "payload")
+    val out = Multimodal.decodePngPixels(rows)
+      .select(col("id"), col("pixel_stats.format"), col("pixel_stats.mean"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.isNullAt(2))).toMap
+    assert(out(1L) == (("png", false)))
+    assert(out(2L) == (("undecodable", true)))
+    assert(out(3L) == (("undecodable", true)))
+    assert(out(4L) == (("undecodable", true)))
+  }
+
   test("imageHeader parses the synthetic fixture bytes and rejects non-images") {
     for (fmt <- Seq("png", "gif", "bmp", "jpeg")) {
       val b = Multimodal.syntheticImageBytes(fmt, 123, 45)
