@@ -546,6 +546,36 @@ object SparkEntry {
       .select("doc_id").orderBy("doc_id")
   }
 
+  /** The REAL pipeline shape, end-to-end in one lineage: normalize → exact
+    * dedup → minhash near-dup pairs → connected components → drop — proving
+    * the operators compose without re-staging. Planted structure keeps it
+    * oracle-expressible: +1M ids are exact copies (die at the exact stage),
+    * +2M ids carry one appended junk token (min planted trigram jaccard is
+    * 8/9 ≈ 0.889 on this corpus — comfortably above the 0.8 verify
+    * threshold, and with 32 bands of 2 rows the planted candidates are
+    * found with probability 1 − (1 − j²)^32 ≈ 1 − 1e-21, deterministic
+    * under the fixed seed). Pairs restrict to the planted id mapping
+    * because organic near-dups are not SQL-enumerable (same as d2). */
+  private def d9_pipeline_full(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val corpus = d
+      .unionByName(d.withColumn("doc_id", col("doc_id") + 1000000))
+      .unionByName(d.withColumn("doc_id", col("doc_id") + 2000000)
+        .withColumn("text", concat(col("text"), lit(" zzz"))))
+    val norm = corpus.select(col("doc_id"),
+      TextFunctions.normalize(col("text")).as("text"))
+    val survivors = norm.join(
+      Dedup.exact(norm, "doc_id", "text").select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val pairs = Dedup.minhashPairs(survivors, "doc_id", "text",
+        shingleSize = 3, numHashes = 64, rowsPerBand = 2, threshold = 0.8)
+      .filter(col("id_b") === col("id_a") + 2000000)
+    val comps = Dedup.connectedComponents(pairs)
+    val drop = comps.filter(col("id") =!= col("comp")).select(col("id").as("doc_id"))
+    survivors.join(drop, Seq("doc_id"), "left_anti")
+      .select("doc_id").orderBy("doc_id")
+  }
+
   /** Benchmark decontamination: every 100th doc doubles as the "eval set";
     * per-doc trigram overlap against its broadcast n-gram universe. The
     * eval docs themselves come back contamination = 1.0, so the hash gate
@@ -1056,6 +1086,7 @@ object SparkEntry {
     "d7_connected_components" -> (d7_connected_components _),
     "d8_decontam" -> (d8_decontam _),
     "d8b_decontam_drop" -> (d8b_decontam_drop _),
+    "d9_pipeline_full" -> (d9_pipeline_full _),
     "a1_ann_brute" -> (a1_ann_brute _),
     "a2_ann_lsh" -> (a2_ann_lsh _),
     "a4_ann_batch" -> (a4_ann_batch _),
@@ -1443,6 +1474,28 @@ object SparkEntry {
                    / max(ex.total) AS contamination
                FROM ex LEFT JOIN bg ON bg.gram = ex.gram GROUP BY ex.doc_id)
          SELECT doc_id FROM c WHERE contamination < 0.5 ORDER BY doc_id""",
+    // normalize -> exact (min id per normalized text) -> planted near-pair
+    // jaccard >= 0.8 -> drop the non-representative side of each component
+    "d9_pipeline_full" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 1000000, text FROM documents
+           UNION ALL SELECT doc_id + 2000000, text || ' zzz' FROM documents),
+         norm AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+             '[\x00-\x1f\x7f]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM corpus),
+         ex AS (SELECT min(doc_id) AS doc_id, t FROM norm GROUP BY t),
+         w AS (SELECT doc_id, regexp_split_to_array(t, '\s+') AS ws FROM ex),
+         sh AS (SELECT doc_id,
+             list_distinct(CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+               ELSE list_transform(range(1, len(ws) - 1),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END) AS s
+           FROM w),
+         pairs AS (SELECT b.doc_id AS ib
+           FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 2000000
+           WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(a.s || b.s)) >= 0.8)
+         SELECT doc_id FROM ex WHERE doc_id NOT IN (SELECT ib FROM pairs)
+         ORDER BY doc_id""",
     "a1_ann_brute" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
          SELECT vec_id, CAST(row_number() OVER
