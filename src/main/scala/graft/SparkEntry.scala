@@ -169,27 +169,26 @@ object SparkEntry {
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
       .orderBy("l_orderkey", "l_linenumber")
 
-  /** Two-phase distinct: a countDistinct alongside other aggregates plans
-    * an Expand that doubles every joined row through the shuffle; instead,
-    * pre-aggregate per (segment, orderkey) — that clustering is SATISFIED
-    * by the join's existing l_orderkey hash partitioning (subset rule), so
-    * the first aggregate is exchange-free — then roll up the per-order
-    * rows. Same bytes shuffled once, no row doubling; the decimal sum
-    * stays order-insensitive so results are bit-identical. */
+  /** Adjudicated (r7, ProfileQ3 at sf0.1): Spark 4.1 plans a SINGLE
+    * distinct aggregate via planAggregateWithOneDistinct — a partial
+    * aggregate keyed (group, distinct) BEFORE the shuffle, NO Expand (the
+    * row-doubling Expand only appears with multiple distinct groups). The
+    * r6 hand-written two-phase rollup compiled to the byte-identical
+    * physical plan (same 3 exchanges, same 147k partial rows shuffled,
+    * warm medians 0.61 s vs 0.60 s — noise), so the readable countDistinct
+    * form is kept and the r5→r6 "regression" was measurement noise.
+    * PlanSpec pins the properties that matter at 100×: no Expand, one data
+    * shuffle of per-order partials. */
   private def q3_join_agg(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer"); val o = t(s, dir, "orders"); val l = t(s, dir, "lineitem")
     l.join(o, l("l_orderkey") === o("o_orderkey"))
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-      .groupBy(col("c_mktsegment"), col("o_orderkey"))
-      .agg(
-        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-          .as("rev"),
-        count(lit(1)).as("nl"))
       .groupBy("c_mktsegment")
       .agg(
-        sum(col("rev")).cast("double").as("revenue"),
-        count(lit(1)).as("n_orders"),
-        sum(col("nl")).as("n_lines"))
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_lines"))
       .orderBy("c_mktsegment")
   }
 

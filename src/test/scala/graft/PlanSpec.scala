@@ -71,11 +71,13 @@ class PlanSpec extends SparkSpec {
     assert(count(plan, "Exchange hashpartitioning") == 1, plan.take(2000))
   }
 
-  test("q3 two-phase distinct: no Expand, per-order partial rides the join exchange") {
+  test("q3 single-distinct: no Expand, bounded exchanges (planner two-phases it)") {
+    // Spark 4.1's planAggregateWithOneDistinct partial-aggregates by
+    // (segment, orderkey) before the shuffle — the same plan the r6
+    // hand-written rollup produced (ProfileQ3 evidence); what must never
+    // reappear is a row-doubling Expand or an extra data exchange
     val plan = finalPlan(SparkEntry.queries("q3_join_agg")(spark, dir))
-    assert(count(plan, "Expand") == 0, "countDistinct Expand must not reappear")
-    // join shuffles (lineitem + orders) + the final segment rollup only;
-    // the (segment, orderkey) partial adds NO exchange of its own
+    assert(count(plan, "Expand") == 0, "single-distinct must not plan an Expand")
     assert(count(plan, "Exchange hashpartitioning") <= 3, plan.take(2000))
   }
 }
