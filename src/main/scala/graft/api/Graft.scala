@@ -96,11 +96,18 @@ object Graft {
     * fsspec client-side listing cache and re-opens; Hadoop FileSystems keep
     * no such listing cache, so there is nothing to invalidate and a missing
     * file is simply an error (same reasoning as S19, SURVEY §8.1). */
-  def openPartitionedFile[T](spark: SparkSession, path: String)(
+  def openPartitionedFile[T](spark: SparkSession, path: String,
+      fsConf: Map[String, String] = Map.empty)(
       callback: java.io.InputStream => T): T = {
     val conf = spark.sessionState.newHadoopConf()
-    val in = Discovery.fileSystemFor(path, conf).open(new Path(path))
-    try callback(in) finally in.close()
+    fsConf.foreach { case (k, v) => conf.set(k, v) }
+    val fs =
+      if (fsConf.isEmpty) Discovery.fileSystemFor(path, conf)
+      else Discovery.newFileSystemFor(path, conf)
+    try {
+      val in = fs.open(new Path(path))
+      try callback(in) finally in.close()
+    } finally if (fsConf.nonEmpty) fs.close()
   }
 
   /** Iterator variant: open every file matched by (query, parser) in
@@ -109,16 +116,24 @@ object Graft {
       spark: SparkSession,
       url: String,
       query: PartitionQuery = Q.True,
-      parser: ColumnParser = AutoParser.auto)(
+      parser: ColumnParser = AutoParser.auto,
+      fsConf: Map[String, String] = Map.empty)(
       callback: java.io.InputStream => T): Seq[(Partition, T)] =
-    discover(spark, url, query, parser).map { p =>
-      p -> openPartitionedFile(spark, p.url)(callback)
+    discover(spark, url, query, parser, fsConf).map { p =>
+      p -> openPartitionedFile(spark, p.url, fsConf)(callback)
     }
 
   // ------------------------------------------------------------------- read
 
   /** Read a partitioned table into a DataFrame (eager error semantics:
-    * unreadable file => the job fails, like the reference's default). */
+    * unreadable file => the job fails, like the reference's default).
+    *
+    * `fsConf` is the per-call filesystem override (the reference's `fs=`
+    * argument, api.py:70-76): Hadoop conf entries applied to THIS call's
+    * discovery and scans only — e.g. alternate credentials or endpoint for
+    * one read, without touching the session. Merged into the relation's
+    * read options, which Spark folds into each scan's per-relation Hadoop
+    * conf (`newHadoopConfWithOptions`), so executors see it too. */
   def readPartitionedTable(
       spark: SparkSession,
       url: String,
@@ -127,9 +142,10 @@ object Graft {
       format: String = "auto",
       options: Map[String, String] = Map.empty,
       schema: Option[StructType] = None,
-      columns: Seq[String] = Nil): DataFrame =
-    readInternal(spark, url, query, parser, format, options, schema, columns,
-      lazyErrors = false).data
+      columns: Seq[String] = Nil,
+      fsConf: Map[String, String] = Map.empty): DataFrame =
+    readInternal(spark, url, query, parser, format, options ++ fsConf, schema,
+      columns, lazyErrors = false, fsConf = fsConf).data
 
   /** Lazy-errors variant: per-file failures are collected, the readable
     * files still produce a (partial) DataFrame. Ref: deser.py:101-117. */
@@ -141,9 +157,10 @@ object Graft {
       format: String = "auto",
       options: Map[String, String] = Map.empty,
       schema: Option[StructType] = None,
-      columns: Seq[String] = Nil): RichResult =
-    readInternal(spark, url, query, parser, format, options, schema, columns,
-      lazyErrors = true)
+      columns: Seq[String] = Nil,
+      fsConf: Map[String, String] = Map.empty): RichResult =
+    readInternal(spark, url, query, parser, format, options ++ fsConf, schema,
+      columns, lazyErrors = true, fsConf = fsConf)
 
   private final case class FileEntry(path: String, format: String,
       columns: Map[String, String], meta: Option[FileMeta])
@@ -157,9 +174,10 @@ object Graft {
       options: Map[String, String],
       schema: Option[StructType],
       columns: Seq[String],
-      lazyErrors: Boolean): RichResult = {
+      lazyErrors: Boolean,
+      fsConf: Map[String, String] = Map.empty): RichResult = {
 
-    val parts = discover(spark, url, query, parser)
+    val parts = discover(spark, url, query, parser, fsConf)
     if (parts.isEmpty)
       throw new GraftEmptyResultException(s"no files matched under $url for $query")
 
@@ -179,7 +197,7 @@ object Graft {
     //     size is constant regardless of partition count;
     //  2. mixed formats, few partitions: per-partition load + literals;
     //  3. mixed formats, many partitions: broadcast path-map join.
-    val root = fileSystemQualifiedRoot(spark, url)
+    val root = fileSystemQualifiedRoot(spark, url, fsConf)
     def attachOne(fmt: String, fs: Seq[FileEntry]): DataFrame =
       if (fmt == "xlsx") xlsxAttach(spark, fs, schema)
       else {
@@ -208,11 +226,17 @@ object Graft {
     RichResult(projected, failures)
   }
 
-  private def fileSystemQualifiedRoot(spark: SparkSession, url: String): String = {
+  private def fileSystemQualifiedRoot(spark: SparkSession, url: String,
+      fsConf: Map[String, String] = Map.empty): String = {
     val conf = spark.sessionState.newHadoopConf()
-    val fs = Discovery.fileSystemFor(url, conf)
-    val q = fs.makeQualified(new Path(url)).toString
-    if (q.endsWith("/")) q else q + "/"
+    fsConf.foreach { case (k, v) => conf.set(k, v) }
+    val fs =
+      if (fsConf.isEmpty) Discovery.fileSystemFor(url, conf)
+      else Discovery.newFileSystemFor(url, conf)
+    try {
+      val q = fs.makeQualified(new Path(url)).toString
+      if (q.endsWith("/")) q else q + "/"
+    } finally if (fsConf.nonEmpty) fs.close()
   }
 
   /** Primary path: build a [[graft.index.GraftFileIndex]] over the
@@ -609,7 +633,8 @@ object Graft {
       df: DataFrame,
       url: String,
       format: String = "auto",
-      options: Map[String, String] = Map.empty): Unit = {
+      options: Map[String, String] = Map.empty,
+      fsConf: Map[String, String] = Map.empty): Unit = {
     val fmt = detectFormat(url, format)
     val spark = df.sparkSession
     // json orient=records/columns: the reference's write_object json branch is
@@ -637,26 +662,29 @@ object Graft {
           throw new IllegalArgumentException(
             s"unsupported json orient '$other' (records|columns)")
       }
-      writeRaw(spark, url, text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      writeRaw(spark, url, text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        fsConf)
       return
     }
-    maybeApplyEnvConfig(spark, url)
-    val conf = spark.sessionState.newHadoopConf()
-    val fs = Discovery.fileSystemFor(url, conf)
-    val target = fs.makeQualified(new Path(url))
-    val tmp = new Path(target.getParent, s".graft_tmp_${UUID.randomUUID().toString.take(8)}")
-    val defaults = fmt match {
-      case "csv" => Map("header" -> "true")
-      case _ => Map.empty[String, String]
+    withFs(spark, url, fsConf) { fs =>
+      val target = fs.makeQualified(new Path(url))
+      val tmp = new Path(target.getParent, s".graft_tmp_${UUID.randomUUID().toString.take(8)}")
+      val defaults = fmt match {
+        case "csv" => Map("header" -> "true")
+        case _ => Map.empty[String, String]
+      }
+      // fsConf rides the write options too: the executor-side committer
+      // folds them into its per-relation Hadoop conf
+      df.coalesce(1).write.mode("overwrite")
+        .options(defaults ++ options ++ fsConf).format(fmt)
+        .save(tmp.toString)
+      val part = fs.listStatus(tmp).map(_.getPath)
+        .find(p => p.getName.startsWith("part-"))
+        .getOrElse(throw new IllegalStateException(s"no part file produced in $tmp"))
+      if (fs.exists(target)) fs.delete(target, false)
+      fs.rename(part, target)
+      fs.delete(tmp, true)
     }
-    df.coalesce(1).write.mode("overwrite").options(defaults ++ options).format(fmt)
-      .save(tmp.toString)
-    val part = fs.listStatus(tmp).map(_.getPath)
-      .find(p => p.getName.startsWith("part-"))
-      .getOrElse(throw new IllegalStateException(s"no part file produced in $tmp"))
-    if (fs.exists(target)) fs.delete(target, false)
-    fs.rename(part, target)
-    fs.delete(tmp, true)
   }
 
   /** Minimal JSON scalar/array/struct encoder for the orient write path
@@ -694,14 +722,29 @@ object Graft {
     sb.append('"').toString
   }
 
-  /** Raw byte-stream write (reference's StringIO/BytesIO branch). */
-  def writeRaw(spark: SparkSession, url: String, bytes: Array[Byte]): Unit = {
+  /** Run `f` against the filesystem for `url`: the cached session instance
+    * normally, an uncached per-call instance (closed afterwards) when a
+    * non-empty `fsConf` overrides the Hadoop conf — Hadoop's FileSystem
+    * cache keys ignore conf differences, so a cached instance would leak
+    * one call's credentials into the next. */
+  private def withFs[T](spark: SparkSession, url: String,
+      fsConf: Map[String, String])(f: org.apache.hadoop.fs.FileSystem => T): T = {
     maybeApplyEnvConfig(spark, url)
     val conf = spark.sessionState.newHadoopConf()
-    val fs = Discovery.fileSystemFor(url, conf)
-    val out = fs.create(new Path(url), true)
-    try out.write(bytes) finally out.close()
+    fsConf.foreach { case (k, v) => conf.set(k, v) }
+    val fs =
+      if (fsConf.isEmpty) Discovery.fileSystemFor(url, conf)
+      else Discovery.newFileSystemFor(url, conf)
+    try f(fs) finally if (fsConf.nonEmpty) fs.close()
   }
+
+  /** Raw byte-stream write (reference's StringIO/BytesIO branch). */
+  def writeRaw(spark: SparkSession, url: String, bytes: Array[Byte],
+      fsConf: Map[String, String] = Map.empty): Unit =
+    withFs(spark, url, fsConf) { fs =>
+      val out = fs.create(new Path(url), true)
+      try out.write(bytes) finally out.close()
+    }
 
   /** Write a partitioned tree the graft/fsql readers understand.
     *
@@ -732,7 +775,8 @@ object Graft {
       partitionCols: Seq[String],
       format: String = "parquet",
       layout: String = "hive",
-      mode: String = "overwrite"): Unit = {
+      mode: String = "overwrite",
+      fsConf: Map[String, String] = Map.empty): Unit = {
     require(partitionCols.nonEmpty, "partitionCols must be non-empty")
     require(layout == "hive" || layout == "values",
       s"layout must be 'hive' or 'values', got $layout")
@@ -756,10 +800,9 @@ object Graft {
         s"value-only layout cannot represent null/empty or '/'-containing " +
           s"partition values (columns: ${bad.mkString(", ")})")
     }
-    df.write.format(format).mode(mode).partitionBy(partitionCols: _*).save(url)
-    if (layout == "values") {
-      val conf = spark.sessionState.newHadoopConf()
-      val fs = Discovery.fileSystemFor(url, conf)
+    df.write.format(format).mode(mode).options(fsConf)
+      .partitionBy(partitionCols: _*).save(url)
+    if (layout == "values") withFs(spark, url, fsConf) { fs =>
       def strip(dir: Path, level: Int): Unit = {
         if (level < partitionCols.length) {
           val prefix = partitionCols(level) + "="

@@ -111,6 +111,31 @@ class ApiSurfaceSpec extends SparkSpec {
     assert(spark.sparkContext.hadoopConfiguration.get("graft.test.percall") == null)
   }
 
+  test("S20d: fsConf reaches the full read/write path and is really applied") {
+    val dir = tmpDir("s20d")
+    writeFile(s"$dir/k=1/f.csv", "c1\n5\n")
+    // the happy path: read with a per-call conf, no session leak
+    val df = Graft.readPartitionedTable(spark, dir,
+      fsConf = Map("graft.test.readcall" -> "yes"))
+    assert(df.count() == 1)
+    assert(spark.sparkContext.hadoopConfiguration.get("graft.test.readcall") == null)
+    // the conf is APPLIED, not ignored: a broken file: impl must fail the call
+    val e = intercept[Exception] {
+      Graft.discover(spark, dir,
+        fsConf = Map("fs.file.impl" -> "graft.DoesNotExist"))
+    }
+    assert(e.getMessage.contains("graft.DoesNotExist") ||
+      e.getCause != null, e.getMessage)
+    // and the session still works after the broken per-call conf
+    assert(Graft.readPartitionedTable(spark, dir).count() == 1)
+    // write side: fsConf-parameterized single-object write round-trips
+    val out = tmpDir("s20d_out") + "/one.csv"
+    Graft.writeObject(df.select("c1"), out,
+      fsConf = Map("graft.test.writecall" -> "yes"))
+    assert(spark.sparkContext.hadoopConfiguration.get("graft.test.writecall") == null)
+    assert(spark.read.option("header", "true").csv(out).count() == 1)
+  }
+
   test("S20: per-protocol config lands in hadoop conf") {
     Graft.setDefaultConfig(spark, "s3a", Map("endpoint" -> "http://localhost:9000"))
     assert(spark.sparkContext.hadoopConfiguration.get("fs.s3a.endpoint")
