@@ -120,6 +120,23 @@ object SparkEntry {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Small-file compaction: a deliberately fragmented hive write (6 shuffle
+    * tasks spraying every partition dir) is compacted back to one file per
+    * partition, then read through the normal scan path — the hash gate
+    * proves the rewrite is row-exact. */
+  private def s25_compact(s: SparkSession, dir: String): DataFrame = {
+    val out = s"/tmp/graft_fixtures/compact_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val sub = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_linestatus")
+      .repartition(6)
+    Graft.writePartitionedTable(sub, out, Seq("l_returnflag", "l_linestatus"))
+    Graft.compactPartitionedTable(s, out, targetFileBytes = 1L << 30)
+    Graft.readPartitionedTable(s, out)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_returnflag"), col("l_linestatus"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   private def s18_scan_lazy(s: SparkSession, dir: String): DataFrame = {
     val nationSchema = t(s, dir, "nation").schema
     Graft.readPartitionedTableRich(s, Fixtures.lazyNation(s, dir),
@@ -952,6 +969,28 @@ object SparkEntry {
       .orderBy("click_id", "view_id")
   }
 
+  /** Streaming partitioned SINK: the events stream lands as a hive
+    * partitioned table (one `event_type=...` dir per type), then the BATCH
+    * scan path reads it back — closing the data-model loop
+    * (stream in → partitioned tree → batch/stream out). */
+  private def st6_stream_partitioned_sink(s: SparkSession, dir: String): DataFrame = {
+    val base = s"/tmp/graft_fixtures/stream_sink_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val conf = s.sessionState.newHadoopConf()
+    // the sink appends; a re-run must start from clean output + checkpoint
+    Seq(base, base + "_cp").foreach { p =>
+      val pp = new org.apache.hadoop.fs.Path(p)
+      pp.getFileSystem(conf).delete(pp, true)
+    }
+    val ev = graft.streaming.Streams.eventsStream(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+    val q = graft.streaming.Streams.writePartitionedStream(
+      ev, base, Seq("event_type"), base + "_cp")
+    try q.processAllAvailable() finally q.stop()
+    Graft.readPartitionedTable(s, base)
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .orderBy("event_id")
+  }
+
   private def as1_asof(s: SparkSession, dir: String): DataFrame = {
     val e = Fixtures.events(s, dir).select("event_id", "user_id", "ts")
     // deterministic right side: one order per (custkey, date) — largest key
@@ -1039,6 +1078,7 @@ object SparkEntry {
     "s15_scan_lex" -> (s15_scan_lex _),
     "s17_write_roundtrip" -> (s17_write_roundtrip _),
     "s24_write_partitioned" -> (s24_write_partitioned _),
+    "s25_compact" -> (s25_compact _),
     "s18_scan_lazy" -> (s18_scan_lazy _),
     "s21_scan_identity" -> (s21_scan_identity _),
     "s9_scan_csv" -> (s9_scan_csv _),
@@ -1119,6 +1159,7 @@ object SparkEntry {
     "st3_stream_dedup" -> (st3_stream_dedup _),
     "st4_stream_static_join" -> (st4_stream_static_join _),
     "st5_stream_stream_join" -> (st5_stream_stream_join _),
+    "st6_stream_partitioned_sink" -> (st6_stream_partitioned_sink _),
     "as1_asof" -> (as1_asof _),
     "as2_asof_native" -> (as2_asof_native _),
     "as3_asof_sum" -> (as3_asof_sum _),
@@ -1178,6 +1219,9 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_linestatus
          FROM lineitem WHERE l_returnflag = 'R'
          ORDER BY l_orderkey, l_linenumber""",
+    "s25_compact" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_linestatus
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
     "s18_scan_lazy" ->
       """SELECT n_nationkey, n_name, n_regionkey,
          'good' AS src FROM nation ORDER BY n_nationkey""",
@@ -1743,6 +1787,9 @@ object SparkEntry {
           AND c.event_type = 'click' AND v.event_type = 'view'
           AND v.ts >= c.ts - INTERVAL 10 MINUTE AND v.ts <= c.ts
          ORDER BY click_id, view_id""",
+    "st6_stream_partitioned_sink" ->
+      """SELECT event_id, user_id, value, event_type FROM events
+         ORDER BY event_id""",
     "st4_stream_static_join" ->
       """SELECT c_mktsegment, event_type, count(*) AS n,
            CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value

@@ -18,6 +18,14 @@ final case class ReadFailure(partition: Partition, reason: String)
 /** Partial result + the per-file failures that were tolerated. */
 final case class RichResult(data: DataFrame, failures: Seq[ReadFailure])
 
+/** One compaction pass's outcome (see [[Graft.compactPartitionedTable]]). */
+final case class CompactionStats(
+    partitionsExamined: Int,
+    partitionsCompacted: Int,
+    filesBefore: Long,
+    filesAfter: Long,
+    bytesCompacted: Long)
+
 /** No leaf files matched the query — mirrors the reference's behavior where
   * an empty concat raises (tests/test_lex_range_query.py:113-114). */
 final class GraftEmptyResultException(msg: String) extends RuntimeException(msg)
@@ -833,6 +841,127 @@ object Graft {
         }
       }
       strip(new Path(url), 0)
+    }
+  }
+
+  // -------------------------------------------------------------- compaction
+
+  /** Small-file compaction over a partitioned table — the table-maintenance
+    * operator every streaming-ingested (or micro-batch-appended) tree needs:
+    * each partition directory whose data files are smaller than one
+    * `targetFileBytes`-sized file apiece is rewritten into
+    * `ceil(bytes / targetFileBytes)` files.
+    *
+    * Scale shape (the Delta-OPTIMIZE pattern, sized for thousands of
+    * partition dirs over 100 TB):
+    *  - candidate selection is metadata-only: discovery already carries each
+    *    listed file's size ([[graft.core.FileMeta]]), so no per-file stat
+    *    RPCs and no data read happen before the rewrite set is known;
+    *  - each candidate dir is rewritten by its own narrow Spark job —
+    *    `read(files).coalesce(n).write` (coalesce, not repartition: no
+    *    shuffle, data is decoded and re-encoded exactly once) — and up to
+    *    `maxConcurrentRewrites` such jobs run at once on the scheduler, so
+    *    many small partitions keep the cluster full without one giant
+    *    stage's skew coupling them;
+    *  - only matching partitions are touched: `query` scopes the pass
+    *    (e.g. yesterday's dirs) exactly like a scoped read.
+    *
+    * Commit protocol, per directory: new files are staged in a hidden
+    * `.graft_compact_<id>` child (dot-names are invisible to both graft
+    * discovery and Spark's own file index, so a partial stage never
+    * surfaces), then moved into the partition dir — part-file names embed a
+    * job UUID, so they cannot collide with the old files — and only then
+    * are the old files deleted. Readers listing DURING a commit may see a
+    * row twice (move-in happens before delete-old); a crash mid-commit
+    * leaves at worst that duplicate window plus a hidden staging dir, never
+    * missing rows. This is the documented trade of a metastore-less layout:
+    * with no manifest to swap atomically, duplicates-then-cleanup beats
+    * transient data loss.
+    *
+    * `options` apply to both the read and the write of the rewritten files
+    * (e.g. csv `header`). Returns per-pass [[CompactionStats]]; a second
+    * pass over an already-compact table is a metadata-only no-op. */
+  def compactPartitionedTable(
+      spark: SparkSession,
+      url: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      query: PartitionQuery = Q.True,
+      parser: ColumnParser = AutoParser.auto,
+      format: String = "parquet",
+      options: Map[String, String] = Map.empty,
+      maxConcurrentRewrites: Int = 8,
+      fsConf: Map[String, String] = Map.empty): CompactionStats = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    require(maxConcurrentRewrites > 0, "maxConcurrentRewrites must be positive")
+    val parts = discover(spark, url, query, parser, fsConf)
+    val byDir = parts.groupBy(p => new Path(p.url).getParent.toString)
+    withFs(spark, url, fsConf) { fs =>
+      // sizes come from discovery's own listing; generated (never-listed)
+      // file names fall back to ONE listStatus for their directory — still
+      // O(#dirs) metadata ops, never per-file stats
+      val dirStats: Map[String, (Long, Int)] = byDir.map { case (dir, files) =>
+        val listed =
+          if (files.forall(_.meta.isDefined)) files.flatMap(_.meta.map(_.size))
+          else {
+            val names = files.map(p => new Path(p.url).getName).toSet
+            fs.listStatus(new Path(dir))
+              .filter(st => names.contains(st.getPath.getName)).map(_.getLen).toSeq
+          }
+        dir -> (listed.sum, files.size)
+      }
+      val candidates = dirStats.toSeq.collect {
+        case (dir, (bytes, nFiles))
+            if nFiles > 1 && {
+              val desired = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+              desired < nFiles
+            } =>
+          val desired = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+          (dir, bytes, nFiles, desired.toInt)
+      }.sortBy(_._1)
+      val filesBefore = dirStats.values.map(_._2.toLong).sum
+
+      def rewrite(dir: String, desired: Int): Int = {
+        val oldFiles = byDir(dir).map(_.url)
+        val staging = new Path(dir, s".graft_compact_${UUID.randomUUID().toString.take(8)}")
+        spark.read.format(format).options(options ++ fsConf).load(oldFiles: _*)
+          .coalesce(desired)
+          .write.format(format).options(options ++ fsConf)
+          .mode("overwrite").save(staging.toString)
+        val staged = fs.listStatus(staging).filterNot { st =>
+          val n = st.getPath.getName; n.startsWith("_") || n.startsWith(".")
+        }
+        // move-in before delete-old: unique part names cannot collide, and a
+        // crash here leaves duplicates (cleanable), never missing rows
+        staged.foreach { st =>
+          val t = new Path(dir, st.getPath.getName)
+          require(fs.rename(st.getPath, t), s"rename failed: ${st.getPath} -> $t")
+        }
+        oldFiles.foreach(f => fs.delete(new Path(f), false))
+        fs.delete(staging, true)
+        staged.length
+      }
+
+      if (candidates.isEmpty)
+        CompactionStats(dirStats.size, 0, filesBefore, filesBefore, 0L)
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(maxConcurrentRewrites, candidates.size))
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        val newCounts =
+          try scala.concurrent.Await.result(
+            scala.concurrent.Future.traverse(candidates) { case (dir, _, _, desired) =>
+              scala.concurrent.Future(rewrite(dir, desired))
+            }, scala.concurrent.duration.Duration.Inf)
+          finally pool.shutdown()
+
+        CompactionStats(
+          partitionsExamined = dirStats.size,
+          partitionsCompacted = candidates.size,
+          filesBefore = filesBefore,
+          filesAfter = filesBefore - candidates.map(_._3.toLong).sum + newCounts.map(_.toLong).sum,
+          bytesCompacted = candidates.map(_._2).sum)
+      }
     }
   }
 }

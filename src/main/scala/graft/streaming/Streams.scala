@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
 import graft.core._
@@ -186,6 +186,59 @@ object Streams {
       col(s"l.$key") === col(s"r.$key") &&
         col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $lookback") &&
         col(s"r.$rightTs") <= col(s"l.$leftTs"))
+  }
+
+  /** Streaming WRITE into the partitioned-table layout — the data model's
+    * sink half: micro-batches land as hive `k=v` directories under `url`,
+    * so the result IS a partitioned table, readable in batch by
+    * [[graft.api.Graft.readPartitionedTable]] and incrementally by
+    * [[readPartitionedStream]].
+    *
+    * Exactly-once: the file sink records each batch's committed files in
+    * the `_spark_metadata` manifest, so a manifest-aware reader
+    * (`spark.read.format(fmt).load(url)`) sees exactly the committed set
+    * even across batch retries. Graft's discovery reader instead lists the
+    * directory directly (metadata names starting with `_`/`.` are skipped,
+    * so the manifest dir itself never surfaces as data); under
+    * failure+retry a listing can transiently include a failed attempt's
+    * orphan files — at-least-once for listing-based readers. Reconcile
+    * against the manifest before handing a prefix to non-Spark readers if
+    * that distinction matters.
+    *
+    * Layout: hive only. The value-only layout's write contract is a
+    * post-write rename of each `k=v` dir onto its stripped value name,
+    * which needs a clean target per partition — fundamentally incompatible
+    * with a sink that APPENDS files into existing partitions every
+    * micro-batch (the batch writer rejects mode=append for the same
+    * reason).
+    *
+    * 100 TB shape: `partitionBy` routes rows task-locally — the sink adds
+    * no shuffle. When many tasks × many live partition values would spray
+    * small files, pre-partition the batch (`repartition(cols)`) upstream,
+    * and compact cold partitions offline with
+    * [[graft.api.Graft.compactPartitionedTable]]. */
+  def writePartitionedStream(
+      df: DataFrame,
+      url: String,
+      partitionCols: Seq[String],
+      checkpoint: String,
+      format: String = "parquet",
+      trigger: Trigger = Trigger.AvailableNow(),
+      options: Map[String, String] = Map.empty): StreamingQuery = {
+    require(df.isStreaming, "writePartitionedStream needs a streaming DataFrame")
+    require(partitionCols.nonEmpty, "partitionCols must be non-empty")
+    val missing = partitionCols.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"partition columns not in stream schema: ${missing.mkString(", ")}")
+    df.writeStream
+      .format(format)
+      .outputMode("append") // the file sink's only mode
+      .partitionBy(partitionCols: _*)
+      .options(options)
+      .option("path", url)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
   }
 
   /** Run a (finite-source) streaming query to completion into an in-memory

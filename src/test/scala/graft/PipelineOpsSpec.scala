@@ -626,3 +626,93 @@ class MixingSpec extends SparkSpec {
     assert(report.map(r => (r.getString(0), r.getLong(1))).toSet == Set(("a", 3L)))
   }
 }
+
+class CompactionSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.api.Graft
+  import graft.core.{FixedColumnsParser, Q}
+
+  private def dataFiles(root: String): Seq[String] = {
+    val base = java.nio.file.Paths.get(root)
+    val walk = java.nio.file.Files.walk(base)
+    try walk.iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+      .asScala.map(p => base.relativize(p).toString)
+      .filter(p => p.contains("part-") && !p.contains("crc") &&
+        !p.split("/").exists(seg => seg.startsWith("_") || seg.startsWith(".")))
+      .toVector
+    finally walk.close()
+  }
+
+  private def fragmented(prefix: String, nFrag: Int): (String, org.apache.spark.sql.DataFrame) = {
+    val df = (0 until 120).map(i => (i.toLong, s"v$i", if (i % 3 == 0) "a" else "b"))
+      .toDF("id", "v", "p")
+    val out = tmpDir(prefix)
+    Graft.writePartitionedTable(df.repartition(nFrag), out, Seq("p"))
+    (out, df)
+  }
+
+  test("compaction merges small files per partition and preserves rows exactly") {
+    val (out, df) = fragmented("compact_basic", 5)
+    val before = dataFiles(out)
+    assert(before.size > 2, s"fixture must be fragmented: $before")
+    val stats = Graft.compactPartitionedTable(spark, out, targetFileBytes = 1L << 30)
+    val after = dataFiles(out)
+    assert(after.size == 2, s"one file per partition dir expected: $after")
+    assert(stats.partitionsExamined == 2 && stats.partitionsCompacted == 2)
+    assert(stats.filesBefore == before.size && stats.filesAfter == 2)
+    assert(stats.bytesCompacted > 0)
+    // no hidden staging residue
+    assert(!tree(out).exists(_.contains(".graft_compact")), tree(out).toString)
+    val back = Graft.readPartitionedTable(spark, out).select("id", "v", "p")
+    assert(canon(back) == canon(df))
+  }
+
+  private def tree(root: String): Seq[String] = {
+    val base = java.nio.file.Paths.get(root)
+    val walk = java.nio.file.Files.walk(base)
+    try walk.iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+      .asScala.map(p => base.relativize(p).toString).filter(_.nonEmpty).toVector
+    finally walk.close()
+  }
+
+  test("compaction is size-aware: already-right-sized files are left alone") {
+    val (out, _) = fragmented("compact_sized", 4)
+    val before = dataFiles(out).toSet
+    // 1-byte target: every partition already needs >= its current file count
+    val stats = Graft.compactPartitionedTable(spark, out, targetFileBytes = 1L)
+    assert(stats.partitionsCompacted == 0)
+    assert(stats.filesBefore == stats.filesAfter)
+    assert(dataFiles(out).toSet == before, "files must be untouched")
+  }
+
+  test("query scopes the pass: only matching partitions are rewritten") {
+    val (out, df) = fragmented("compact_scoped", 5)
+    val beforeB = dataFiles(out).filter(_.startsWith("p=b")).toSet
+    val stats = Graft.compactPartitionedTable(spark, out,
+      targetFileBytes = 1L << 30, query = Q.eq("p", "a"))
+    assert(stats.partitionsExamined == 1 && stats.partitionsCompacted == 1)
+    assert(dataFiles(out).count(_.startsWith("p=a")) == 1)
+    assert(dataFiles(out).filter(_.startsWith("p=b")).toSet == beforeB,
+      "out-of-scope partition must be untouched")
+    val back = Graft.readPartitionedTable(spark, out).select("id", "v", "p")
+    assert(canon(back) == canon(df))
+  }
+
+  test("value-only layouts compact through their parser; second pass is a no-op") {
+    val df = (0 until 60).map(i => (i.toLong, if (i % 2 == 0) "x" else "y"))
+      .toDF("id", "p")
+    val out = tmpDir("compact_vals")
+    Graft.writePartitionedTable(df.repartition(4), out, Seq("p"), layout = "values")
+    val parser = FixedColumnsParser.fromStr("p/fname")
+    val stats = Graft.compactPartitionedTable(spark, out,
+      targetFileBytes = 1L << 30, parser = parser)
+    assert(stats.partitionsCompacted == 2)
+    assert(dataFiles(out).size == 2)
+    val again = Graft.compactPartitionedTable(spark, out,
+      targetFileBytes = 1L << 30, parser = parser)
+    assert(again.partitionsCompacted == 0 && again.filesAfter == 2)
+    val back = Graft.readPartitionedTable(spark, out, parser = parser)
+      .select("id", "p")
+    assert(canon(back) == canon(df))
+  }
+}
