@@ -87,7 +87,13 @@ object GraftExtensions {
     colIntArgs("minhash_sig", "graft.functions.MinhashSignatureExpr",
       (c, is) => graft.functions.MinhashSignatureExpr(c,
         intExact("minhash_sig", "numHashes")(is.head),
-        if (is.length > 1) is(1) else 42L), 1, 2))
+        if (is.length > 1) is(1) else 42L), 1, 2),
+    // aggregate: the analyzer wraps a bare AggregateFunction in its
+    // AggregateExpression, so the builder returns the function itself
+    colIntArgs("heavy_hitters", "graft.functions.MisraGriesAgg",
+      (c, is) => graft.functions.MisraGriesAgg(c,
+        intExact("heavy_hitters", "topK")(is.head),
+        if (is.length > 1) intExact("heavy_hitters", "capacity")(is(1)) else 4096), 1, 2))
 
   /** Register on a live session (equivalent to having built it with the
     * extensions class). */

@@ -770,6 +770,20 @@ object SparkEntry {
 
   /** Pre-dedup text normalization (lowercase, control/punct strip, space
     * collapse) — dialect-safe regex classes make it exactly oracle-able. */
+  /** Frequent tokens via the Misra–Gries TypedImperativeAggregate, fed the
+    * token ARRAY directly (no explode — each map task folds its rows into
+    * one bounded sketch and only sketches cross the shuffle). capacity=64
+    * exceeds the corpus's distinct-token count, so the sketch is exact and
+    * the SQL top-k oracle pins both the counting and the merge path. */
+  private def t15_heavyhitters(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .agg(graft.functions.HeavyHitters.heavyHitters(
+        TextFunctions.words(col("text")), topK = 10, capacity = 64).as("hh"))
+      .select(posexplode(col("hh")).as(Seq("rk", "h")))
+      .select(col("rk").cast("long").as("rk"),
+        col("h.item").as("item"), col("h.count").as("n"))
+      .orderBy("rk")
+
   private def t14_normalize(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"),
         TextFunctions.normalize(col("text"), dropPunct = true).as("norm"))
@@ -1147,6 +1161,7 @@ object SparkEntry {
     "t12b_bm25" -> (t12b_bm25 _),
     "t13_rrf" -> (t13_rrf _),
     "t14_normalize" -> (t14_normalize _),
+    "t15_heavyhitters" -> (t15_heavyhitters _),
     "t14b_normalize_fold" -> (t14b_normalize_fold _),
     "e1_quantize" -> (e1_quantize _),
     "e2_l2norm" -> (e2_l2norm _),
@@ -1688,6 +1703,14 @@ object SparkEntry {
          d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY term)
          SELECT doc_id, term, tf, dl, df FROM p JOIN d USING (term)
          ORDER BY doc_id, term""",
+    "t15_heavyhitters" ->
+      """WITH w AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS item
+                    FROM documents),
+         c AS (SELECT item, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY item),
+         r AS (SELECT item, n, ROW_NUMBER() OVER (ORDER BY n DESC, item) AS rk
+               FROM c)
+         SELECT CAST(rk - 1 AS BIGINT) AS rk, item, n FROM r WHERE rk <= 10
+         ORDER BY rk""",
     "t14_normalize" ->
       """SELECT doc_id,
          trim(regexp_replace(regexp_replace(regexp_replace(lower(text),

@@ -716,3 +716,87 @@ class CompactionSpec extends SparkSpec {
     assert(canon(back) == canon(df))
   }
 }
+
+class HeavyHittersSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.HeavyHitters.heavyHitters
+
+  private def asPairs(df: org.apache.spark.sql.DataFrame): Seq[(String, Long)] =
+    df.select(explode(col("hh")).as("h"))
+      .select(col("h.item"), col("h.count"))
+      .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+
+  test("capacity >= distinct items makes the sketch exact (grouped, merge over shuffle)") {
+    val rows = (0 until 3000).map { i =>
+      (s"g${i % 3}", s"item${i % (7 + i % 3)}") // per-group skewed vocab
+    }.toDF("g", "item").repartition(13) // partial buffers MUST merge
+    val got = rows.groupBy("g").agg(heavyHitters(col("item"), 5, 64).as("hh"))
+      .select(col("g"), explode(col("hh")).as("h"))
+      .select(col("g"), col("h.item").as("item"), col("h.count").as("n"))
+    val exact = rows.groupBy("g", "item").agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g")
+          .orderBy(desc("n"), asc("item"))))
+      .filter(col("rk") <= 5).select("g", "item", "n")
+    assert(canon(got) == canon(exact))
+  }
+
+  test("undercount never exceeds N/(capacity+1); true heavy hitters are retained") {
+    // 1 dominant item + a long tail, small capacity forces decrements
+    val n = 5000
+    val data = ((0 until 1500).map(_ => "hot") ++
+      (0 until n - 1500).map(i => s"tail${i % 200}")).toDF("item")
+      .repartition(7)
+    val cap = 49
+    val got = data.agg(heavyHitters(col("item"), cap, cap).as("hh"))
+    val pairs = asPairs(got).toMap
+    val bound = n.toLong / (cap + 1) + 1 // merges stack two MG stages' bounds
+    // estimates never overcount, and undercount respects the bound
+    assert(pairs("hot") <= 1500L && pairs("hot") >= 1500L - 2 * bound,
+      s"hot=${pairs("hot")} bound=$bound")
+    assert(pairs.values.forall(_ > 0))
+    // an item with true count > 2N/(cap+1) cannot be evicted
+    assert(pairs.contains("hot"))
+  }
+
+  test("array input counts elements without an explode; nulls skipped") {
+    val df = Seq(
+      (1L, Seq("a", "b", "a")),
+      (2L, Seq("a", null, "c")),
+      (3L, null)).toDF("id", "toks")
+    val pairs = asPairs(df.agg(heavyHitters(col("toks"), 3, 16).as("hh")))
+    assert(pairs == Seq(("a", 3L), ("b", 1L), ("c", 1L)))
+    val plan = df.agg(heavyHitters(col("toks"), 3, 16).as("hh"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), s"no explode expected:\n$plan")
+  }
+
+  test("deterministic ordering under ties: count desc then item asc") {
+    val pairs = asPairs(
+      Seq("b", "a", "c", "a", "c", "b").toDF("item")
+        .agg(heavyHitters(col("item"), 3, 8).as("hh")))
+    assert(pairs == Seq(("a", 2L), ("b", 2L), ("c", 2L)))
+  }
+
+  test("heavy_hitters is SQL-callable and rejects bad arguments") {
+    graft.GraftExtensions.register(spark)
+    Seq("x y x", "x z").toDF("t").createOrReplaceTempView("hh_docs")
+    val rows = spark.sql(
+      """SELECT h.item, h.count FROM (
+           SELECT explode(heavy_hitters(split(t, ' '), 2, 100)) AS h
+           FROM hh_docs)""").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == Seq(("x", 3L), ("y", 1L)))
+    intercept[Exception] {
+      spark.sql("SELECT heavy_hitters(split('a', ' '), 0, 10)").collect()
+    }
+    intercept[Exception] { // capacity < topK
+      Seq("a").toDF("t").agg(heavyHitters(col("t"), 10, 5)).collect()
+    }
+    // non-string input rejected by type check
+    val e = intercept[Exception] {
+      Seq(1, 2).toDF("n").agg(heavyHitters(col("n"), 2, 8)).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("string"))
+  }
+}
