@@ -12,12 +12,13 @@ object Bench {
   /** Headline set: one representative per cost class — scan path, wide agg,
     * filter, shuffle join chain, window, top-k, minhash dedup, ANN,
     * tokenization, as-of join (count-elided pair + payload-consuming sum),
-    * decontamination, sequence packing, BM25 scoring. */
+    * decontamination, sequence packing, BM25 scoring, heavy-hitters sketch
+    * aggregation. */
   val headline: Seq[String] = Seq(
     "s1_scan_hive", "q1_agg", "q2_filter", "q3_join_agg", "q6_window",
     "q7_topk", "q20_multijoin", "d2_dedup_minhash", "a1_ann_brute",
     "t3_tokens", "as1_asof", "as2_asof_native", "as3_asof_sum",
-    "d8_decontam", "t9_pack", "t12b_bm25")
+    "d8_decontam", "t9_pack", "t12b_bm25", "t15_heavyhitters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
