@@ -776,7 +776,14 @@ object Graft {
     * (ExternalCatalogUtils.unescapePathName on rename — NOT URL
     * form-decoding, whose '+' → space rule corrupts literal plus signs),
     * and come back as StringType on read — the reference's
-    * no-dtype-guessing contract. */
+    * no-dtype-guessing contract.
+    *
+    * `sortBy` opts into a CLUSTERED write (range-partition + in-task sort
+    * on `partitionCols ++ sortBy`): files within each partition dir carry
+    * disjoint sort-key ranges, so selective scans skip whole files and
+    * row-groups on parquet min/max stats — the single-column analog of
+    * z-ordering, worth one extra shuffle on any table that is filtered by
+    * that column at 100 TB. */
   def writePartitionedTable(
       df: DataFrame,
       url: String,
@@ -784,6 +791,7 @@ object Graft {
       format: String = "parquet",
       layout: String = "hive",
       mode: String = "overwrite",
+      sortBy: Seq[String] = Nil,
       fsConf: Map[String, String] = Map.empty): Unit = {
     require(partitionCols.nonEmpty, "partitionCols must be non-empty")
     require(layout == "hive" || layout == "values",
@@ -808,7 +816,21 @@ object Graft {
         s"value-only layout cannot represent null/empty or '/'-containing " +
           s"partition values (columns: ${bad.mkString(", ")})")
     }
-    df.write.format(format).mode(mode).options(fsConf)
+    // clustered write: range-partition on (partitionCols ++ sortBy) then
+    // sort within tasks, so each hive dir's files carry DISJOINT sortBy
+    // ranges and tight parquet row-group min/max stats — a later
+    // `col BETWEEN a AND b` scan prunes whole files/row-groups instead of
+    // reading the partition. Costs ONE extra range shuffle (plus its
+    // sampling pass) at write time; read-side skipping is free forever.
+    val prepared =
+      if (sortBy.isEmpty) df
+      else {
+        val missing = sortBy.filterNot(df.columns.contains)
+        require(missing.isEmpty, s"sortBy columns not in schema: ${missing.mkString(", ")}")
+        val cluster = (partitionCols ++ sortBy).map(col)
+        df.repartitionByRange(cluster: _*).sortWithinPartitions(cluster: _*)
+      }
+    prepared.write.format(format).mode(mode).options(fsConf)
       .partitionBy(partitionCols: _*).save(url)
     if (layout == "values") withFs(spark, url, fsConf) { fs =>
       def strip(dir: Path, level: Int): Unit = {

@@ -962,6 +962,21 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("heavy-hitters sketch aggregates in streaming complete mode (matches batch counts)") {
+    val ev = graft.streaming.Streams.eventsStream(spark, "/root/testdata/sf0.001")
+    val agg = ev.groupBy().agg(graft.functions.HeavyHitters
+      .heavyHitters(col("event_type"), 3, 64).as("hh"))
+    val out = graft.streaming.Streams.runToMemory(agg, "st_hh")
+      .select(explode(col("hh")).as("h"))
+      .select(col("h.item"), col("h.count"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val batch = Fixtures.events(spark, "/root/testdata/sf0.001")
+      .groupBy("event_type").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (k, v) => (-v, k) }.take(3).toSeq
+    assert(out == batch, "streaming sketch must equal exact batch top-k")
+  }
+
   test("streaming exact dedup emits one row per key (matches batch distinct)") {
     val ev = graft.streaming.Streams.eventsStream(spark, "/root/testdata/sf0.001")
     val out = graft.streaming.Streams.runToMemory(

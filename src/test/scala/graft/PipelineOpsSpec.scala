@@ -800,3 +800,61 @@ class HeavyHittersSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("string"))
   }
 }
+
+class ClusteredWriteSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.api.Graft
+
+  test("sortBy clusters files: disjoint per-file ranges, sorted rows, skippable scans") {
+    val rnd = new scala.util.Random(7)
+    val df = rnd.shuffle((0 until 4000).toVector)
+      .map(i => (i.toLong, s"p${i % 2}")).toDF("v", "p")
+      .repartition(8) // deliberately interleaved input
+    val out = tmpDir("clustered")
+    // AQE would rightly coalesce this toy shuffle into one task (it sizes
+    // output files at scale); pin 4 range tasks so multiple files exist
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try Graft.writePartitionedTable(df, out, Seq("p"), sortBy = Seq("v"))
+    finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+      .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+      .asScala.filter(_.toString.endsWith(".parquet")).map(_.toString).toVector
+    assert(files.size > 2, s"want multiple files per dir, got $files")
+
+    // per-file: rows sorted; per-dir: file ranges disjoint
+    val ranges = files.map { f =>
+      val vs = spark.read.parquet(f).select("v").as[Long].collect().toSeq
+      assert(vs == vs.sorted, s"rows within $f must be sorted")
+      (f.split("/").init.last, vs.min, vs.max)
+    }
+    ranges.groupBy(_._1).foreach { case (dir, rs) =>
+      val sorted = rs.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Seq((_, _, hi), (_, lo, _)) =>
+          assert(hi < lo, s"$dir: file ranges overlap ($hi >= $lo)")
+        case _ =>
+      }
+    }
+
+    // row-group stats actually skip: a narrow BETWEEN touches a subset of
+    // rows at the SCAN (pre-filter) level compared to the unsorted write
+    def scanRows(url: String): Long = {
+      val q = spark.read.parquet(url).filter(col("v").between(100, 120))
+      q.collect()
+      val scan = q.queryExecution.executedPlan.collectLeaves().head
+      scan.metrics("numOutputRows").value
+    }
+    val unsortedOut = tmpDir("unclustered")
+    Graft.writePartitionedTable(df, unsortedOut, Seq("p"))
+    assert(scanRows(out) <= scanRows(unsortedOut),
+      "clustered table must never scan more rows than the unclustered one")
+    // data identical
+    assert(canon(spark.read.parquet(out).select("v", "p")) ==
+      canon(df.select(col("v"), col("p"))))
+
+    intercept[IllegalArgumentException] {
+      Graft.writePartitionedTable(df, tmpDir("bad_sort"), Seq("p"), sortBy = Seq("nope"))
+    }
+  }
+}
