@@ -26,6 +26,10 @@ final case class CompactionStats(
     filesAfter: Long,
     bytesCompacted: Long)
 
+/** One manifest-reconcile pass's outcome (see
+  * [[Graft.reconcilePartitionedSink]]). */
+final case class ReconcileStats(committedFiles: Long, orphansDeleted: Long)
+
 /** No leaf files matched the query — mirrors the reference's behavior where
   * an empty concat raises (tests/test_lex_range_query.py:113-114). */
 final class GraftEmptyResultException(msg: String) extends RuntimeException(msg)
@@ -866,6 +870,53 @@ object Graft {
     }
   }
 
+  /** Reconcile a streaming-sink table with its `_spark_metadata` manifest:
+    * delete (or, with `dryRun=true`, just count) data files present on the
+    * filesystem but never committed by
+    * [[graft.streaming.Streams.writePartitionedStream]] — the orphans a
+    * failed micro-batch attempt leaves behind. After a reconcile,
+    * LISTING-based readers (graft discovery, non-Spark engines) see exactly
+    * the manifest's exactly-once file set.
+    *
+    * Safe by construction: the manifest is the sink's own commit log (read
+    * through Spark's log reader, compactions included), the scan is ONE
+    * recursive listing, and only un-committed data files are touched —
+    * metadata names (`_`/`.`) are never candidates. Run it after a crashed
+    * sink restart, or periodically before handing the table to an external
+    * reader. */
+  def reconcilePartitionedSink(
+      spark: SparkSession,
+      url: String,
+      dryRun: Boolean = false,
+      fsConf: Map[String, String] = Map.empty): ReconcileStats =
+    withFs(spark, url, fsConf) { fs =>
+      val root = fs.makeQualified(new Path(url))
+      require(fs.exists(new Path(root, "_spark_metadata")),
+        s"no _spark_metadata manifest under $url — not a streaming-sink table")
+      val committed = org.apache.spark.sql.GraftInternals
+        .sinkManifestFiles(spark, root.toString)
+        .map(p => fs.makeQualified(p).toString).toSet
+      val rootPrefix = root.toString.stripSuffix("/") + "/"
+      val it = fs.listFiles(root, true)
+      var kept = 0L
+      var orphans = 0L
+      while (it.hasNext) {
+        val st = it.next()
+        val qualified = fs.makeQualified(st.getPath).toString
+        val rel = qualified.stripPrefix(rootPrefix)
+        val hidden = rel.split("/")
+          .exists(seg => seg.startsWith("_") || seg.startsWith("."))
+        if (!hidden) {
+          if (committed.contains(qualified)) kept += 1
+          else {
+            orphans += 1
+            if (!dryRun) fs.delete(st.getPath, false)
+          }
+        }
+      }
+      ReconcileStats(kept, orphans)
+    }
+
   // -------------------------------------------------------------- compaction
 
   /** Small-file compaction over a partitioned table — the table-maintenance
@@ -918,6 +969,17 @@ object Graft {
     val parts = discover(spark, url, query, parser, fsConf)
     val byDir = parts.groupBy(p => new Path(p.url).getParent.toString)
     withFs(spark, url, fsConf) { fs =>
+      // a streaming-sink table's _spark_metadata manifest records the
+      // ORIGINAL files; compaction would orphan the rewrites from the
+      // manifest's point of view (and a later reconcile would delete
+      // them). The caller must retire the manifest first — an explicit,
+      // destructive-intent step — accepting listing-based reads from then
+      // on.
+      require(!fs.exists(new Path(fs.makeQualified(new Path(url)), "_spark_metadata")),
+        s"$url carries a streaming-sink _spark_metadata manifest; compaction " +
+          "would invalidate it (a later reconcilePartitionedSink would delete " +
+          "the compacted files). Delete the manifest dir first to opt into " +
+          "listing-based reads, then compact.")
       // sizes come from discovery's own listing; generated (never-listed)
       // file names fall back to ONE listStatus for their directory — still
       // O(#dirs) metadata ops, never per-file stats

@@ -14,4 +14,14 @@ object GraftInternals {
     * analyzed children) as a DataFrame on `spark`. */
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Committed data files of a streaming file sink, read from its
+    * `_spark_metadata` manifest via Spark's own log reader (compaction
+    * batches and deltas handled exactly as the sink wrote them). */
+  def sinkManifestFiles(spark: SparkSession, tableUrl: String): Seq[org.apache.hadoop.fs.Path] = {
+    import org.apache.spark.sql.execution.streaming.sinks.FileStreamSinkLog
+    val logDir = new org.apache.hadoop.fs.Path(tableUrl, "_spark_metadata").toString
+    val log = new FileStreamSinkLog(FileStreamSinkLog.VERSION, spark, logDir, None)
+    log.allFiles().map(_.sparkPath.toPath).toSeq
+  }
 }

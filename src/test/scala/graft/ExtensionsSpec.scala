@@ -962,6 +962,53 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("manifest reconcile deletes orphans, keeps committed files; compaction guarded") {
+    import spark.implicits._
+    val src = tmpDir("rec_src")
+    val out = tmpDir("rec_out") + "/table"
+    val cp = tmpDir("rec_cp")
+    Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0)).toDF("id", "p", "v")
+      .coalesce(1) // one source file -> one sink task -> one file per p dir
+      .write.mode("overwrite").parquet(src)
+    val q = graft.streaming.Streams.writePartitionedStream(
+      spark.readStream.schema(spark.read.parquet(src).schema).parquet(src),
+      out, Seq("p"), cp)
+    try q.processAllAvailable() finally q.stop()
+
+    // plant an orphan: a data-shaped file the manifest never committed
+    // (what a failed batch attempt leaves behind)
+    val dirA = new java.io.File(out, "p=a")
+    val committedFile = dirA.listFiles().filter(_.getName.startsWith("part-")).head
+    val orphan = new java.io.File(dirA, "part-orphan-deadbeef.snappy.parquet")
+    java.nio.file.Files.copy(committedFile.toPath, orphan.toPath)
+
+    // listing-based read sees the duplicates (the orphan carries both p=a
+    // rows); dryRun counts but keeps it
+    assert(graft.api.Graft.readPartitionedTable(spark, out).count() == 5)
+    val dry = graft.api.Graft.reconcilePartitionedSink(spark, out, dryRun = true)
+    assert(dry.orphansDeleted == 1 && orphan.exists())
+    assert(dry.committedFiles == 2) // one file per partition dir
+
+    val real = graft.api.Graft.reconcilePartitionedSink(spark, out)
+    assert(real.orphansDeleted == 1 && !orphan.exists())
+    assert(committedFile.exists(), "committed files must survive")
+    assert(graft.api.Graft.readPartitionedTable(spark, out)
+      .select("id", "p").count() == 3, "back to the exactly-once file set")
+
+    // compacting a manifest-bearing table must refuse (reconcile would
+    // otherwise delete the rewrites)
+    val e = intercept[IllegalArgumentException] {
+      graft.api.Graft.compactPartitionedTable(spark, out)
+    }
+    assert(e.getMessage.contains("_spark_metadata"))
+    // non-sink table refuses reconcile
+    val plain = tmpDir("rec_plain")
+    Seq((1L, "a")).toDF("id", "p").write.mode("overwrite").partitionBy("p").parquet(plain)
+    intercept[IllegalArgumentException] {
+      graft.api.Graft.reconcilePartitionedSink(spark, plain)
+    }
+  }
+
   test("heavy-hitters sketch aggregates in streaming complete mode (matches batch counts)") {
     val ev = graft.streaming.Streams.eventsStream(spark, "/root/testdata/sf0.001")
     val agg = ev.groupBy().agg(graft.functions.HeavyHitters
