@@ -34,32 +34,61 @@ object Retrieval {
     df.select(col(idCol), TextFunctions.words(col(textCol)).as("__w"))
       .select(col(idCol), col("__w"), size(col("__w")).cast("long").as("dl"))
 
+  /** Per-term tf as ONE codegen'd array expression (shared by the stats
+    * aggregation and the posting projection). */
+  private def tfArray(terms: Seq[String]) =
+    array(terms.map(t =>
+      size(filter(col("__w"), x => x === lit(t))).cast("long")): _*)
+
+  /** ONE aggregation pass producing every small statistic at once: per-term
+    * document frequencies as `__df0..__dfN` plus (optionally) corpus N and
+    * avgdl. One row; callers broadcast it. Folding df into the same pass
+    * matters: a separate `tfRows.groupBy(term)` aggregation would make
+    * Spark recompute the tokenizer for the join's probe side — a whole
+    * extra corpus scan at 100 TB. */
+  private def statsRow(
+      w: DataFrame,
+      terms: Seq[String],
+      withCorpus: Boolean): DataFrame = {
+    val base = w.select(col("dl"), tfArray(terms).as("__tfs"))
+    val dfAggs = terms.indices.map(i =>
+      sum(when(element_at(col("__tfs"), i + 1) > 0, 1L).otherwise(0L))
+        .as(s"__df$i"))
+    val aggs =
+      if (withCorpus)
+        Seq(count(lit(1)).as("N"), avg(col("dl")).as("avgdl")) ++ dfAggs
+      else dfAggs
+    base.agg(aggs.head, aggs.tail: _*)
+  }
+
   private def termStatsOver(
       w: DataFrame,
       idCol: String,
       terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "terms must be non-empty")
     require(terms.distinct == terms, "terms must be distinct")
-    val perTerm = explode(array(terms.map(t =>
+    val perTerm = explode(array(terms.zipWithIndex.map { case (t, i) =>
       struct(lit(t).as("term"),
-        size(filter(col("__w"), x => x === lit(t))).cast("long").as("tf"))): _*))
-    val tfRows = w.select(col(idCol), col("dl"), perTerm.as("__s"))
+        element_at(col("__tfs"), i + 1).as("tf"),
+        col(s"__df$i").as("df"))
+    }: _*))
+    w.select(col(idCol), col("dl"), tfArray(terms).as("__tfs"))
+      .crossJoin(broadcast(statsRow(w, terms, withCorpus = false)))
+      .select(col(idCol), col("dl"), perTerm.as("__s"))
       .select(col(idCol), col("__s.term").as("term"), col("__s.tf").as("tf"),
-        col("dl"))
+        col("dl"), col("__s.df").as("df"))
       .filter(col("tf") > 0)
-    val dfTab = tfRows.groupBy("term").agg(count(lit(1)).as("df"))
-    tfRows.join(broadcast(dfTab), Seq("term"))
-      .select(col(idCol), col("term"), col("tf"), col("dl"), col("df"))
   }
 
   /** BM25 scores for `terms` over the corpus: (idCol, score), docs matching
     * at least one term. Standard Robertson idf = ln((N - df + .5)/(df + .5)
-    * + 1); corpus stats (N, avgdl) ride a broadcast one-row cross join, so
-    * scoring adds no corpus shuffle beyond the per-doc aggregation.
-    * Lazy-execution note: the stats branch and the posting branch share one
-    * staged tokenizer DEFINITION but still execute it twice (no hidden
-    * persist) — callers scoring a hot corpus repeatedly should persist the
-    * input once themselves. */
+    * + 1). ALL small statistics — per-term df, corpus N and avgdl — come
+    * from ONE aggregation pass and ride a single broadcast one-row cross
+    * join into the posting projection, so the whole query is exactly TWO
+    * corpus scans (stats + scoring) with no corpus shuffle beyond the
+    * per-doc sum. Lazy-execution note: those two scans re-tokenize (no
+    * hidden persist) — callers scoring a hot corpus repeatedly should
+    * persist the input once themselves. */
   def bm25(
       df: DataFrame,
       idCol: String,
@@ -67,11 +96,20 @@ object Retrieval {
       terms: Seq[String],
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(terms.distinct == terms, "terms must be distinct")
     val w = tokenized(df, idCol, textCol)
-    val corpus = w.agg(count(lit(1)).as("N"),
-      avg(col("dl")).as("avgdl"))
-    termStatsOver(w, idCol, terms)
-      .crossJoin(broadcast(corpus))
+    val perTerm = explode(array(terms.zipWithIndex.map { case (t, i) =>
+      struct(lit(t).as("term"),
+        element_at(col("__tfs"), i + 1).as("tf"),
+        col(s"__df$i").as("df"))
+    }: _*))
+    w.select(col(idCol), col("dl"), tfArray(terms).as("__tfs"))
+      .crossJoin(broadcast(statsRow(w, terms, withCorpus = true)))
+      .select(col(idCol), col("dl"), col("N"), col("avgdl"), perTerm.as("__s"))
+      .select(col(idCol), col("dl"), col("N"), col("avgdl"),
+        col("__s.tf").as("tf"), col("__s.df").as("df"))
+      .filter(col("tf") > 0)
       .withColumn("__idf",
         log((col("N") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
       .withColumn("__contrib",

@@ -562,12 +562,25 @@ class RetrievalSpec extends SparkSpec {
     assert(Retrieval.rrfFuse(Seq(big), "id", "s", maxListSize = 10).count() == 10)
   }
 
-  test("corpus is never shuffled for scoring: only the tiny aggregations exchange") {
+  test("corpus is never shuffled for scoring: stats attach via one broadcast row") {
     val df = Retrieval.termStats(docs, "id", "text", Seq("query"))
     df.collect()
     val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
-    assert(plan.contains("BroadcastHashJoin"), s"df join must broadcast:\n$plan")
-    assert(!plan.contains("SortMergeJoin"), s"corpus must not shuffle to join:\n$plan")
+    // every statistic (df per term; N/avgdl for bm25) comes from ONE
+    // aggregation pass broadcast as a single row — the posting side joins
+    // it keylessly, so no corpus-side exchange of any kind exists
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"stats must attach by broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"corpus must not shuffle to join:\n$plan")
+    // bm25 is exactly TWO corpus scans: one stats aggregation (df + N +
+    // avgdl in a single pass) and one posting/scoring pass — a separate
+    // per-term df aggregation would surface as a third scan here
+    val b = Retrieval.bm25(docs, "id", "text", Seq("query"))
+    b.collect()
+    val bPlan = b.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val scans = "LocalTableScan".r.findAllIn(bPlan).size
+    assert(scans == 2, s"bm25 must scan the corpus exactly twice, got $scans:\n$bPlan")
   }
 }
 
