@@ -784,6 +784,15 @@ object SparkEntry {
         col("h.item").as("item"), col("h.count").as("n"))
       .orderBy("rk")
 
+  /** Deterministic stratified sample: 5 docs per source, selected by salted
+    * md5 order — both engines agree on the hash, so the exact same rows
+    * come out of DuckDB (and would out of any md5-capable engine). */
+  private def t16_sample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.sampleByGroup(
+        t(s, dir, "documents").select("doc_id", "lang", "source"),
+        "source", "doc_id", n = 5, salt = "s1")
+      .orderBy("source", "doc_id")
+
   private def t14_normalize(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"),
         TextFunctions.normalize(col("text"), dropPunct = true).as("norm"))
@@ -1162,6 +1171,7 @@ object SparkEntry {
     "t13_rrf" -> (t13_rrf _),
     "t14_normalize" -> (t14_normalize _),
     "t15_heavyhitters" -> (t15_heavyhitters _),
+    "t16_sample" -> (t16_sample _),
     "t14b_normalize_fold" -> (t14b_normalize_fold _),
     "e1_quantize" -> (e1_quantize _),
     "e2_l2norm" -> (e2_l2norm _),
@@ -1703,6 +1713,13 @@ object SparkEntry {
          d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY term)
          SELECT doc_id, term, tf, dl, df FROM p JOIN d USING (term)
          ORDER BY doc_id, term""",
+    "t16_sample" ->
+      """SELECT doc_id, lang, source FROM (
+           SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5('s1' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+           FROM documents) t
+         WHERE rk <= 5 ORDER BY source, doc_id""",
     "t15_heavyhitters" ->
       """WITH w AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS item
                     FROM documents),

@@ -871,3 +871,39 @@ class ClusteredWriteSpec extends SparkSpec {
     }
   }
 }
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Sampling
+
+  private val rows = (0 until 300).map(i =>
+    (i.toLong, s"g${i % 3}")).toDF("id", "g")
+
+  test("exact n per group, deterministic across partitionings and reruns") {
+    val a = Sampling.sampleByGroup(rows, "g", "id", 7, "salt")
+    val b = Sampling.sampleByGroup(rows.repartition(11), "g", "id", 7, "salt")
+    assert(a.groupBy("g").count().collect().forall(_.getLong(1) == 7))
+    assert(canon(a) == canon(b), "sample must not depend on partitioning")
+    // a group smaller than n returns the whole group
+    val small = Sampling.sampleByGroup(rows.filter(col("id") < 4), "g", "id", 7)
+    assert(small.count() == 4)
+  }
+
+  test("salt re-deals the sample; null ids are excluded") {
+    val s1 = Sampling.sampleByGroup(rows, "g", "id", 10, "a")
+    val s2 = Sampling.sampleByGroup(rows, "g", "id", 10, "b")
+    assert(canon(s1) != canon(s2), "different salts must select different rows")
+    val withNull = rows.union(Seq((null.asInstanceOf[java.lang.Long], "g0"))
+      .map(t => (Option(t._1).map(Long2long).getOrElse(0L), t._2))
+      .toDF("id", "g").withColumn("id", lit(null).cast("long")))
+    assert(Sampling.sampleByGroup(withNull, "g", "id", 1000).count() == 300)
+  }
+
+  test("rank-limit pushes map-side: WindowGroupLimit bounds the shuffle input") {
+    val q = Sampling.sampleByGroup(rows, "g", "id", 3)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter must prune before the exchange:\n$plan")
+  }
+}
