@@ -572,6 +572,14 @@ object SparkEntry {
     * found with probability 1 − (1 − j²)^32 ≈ 1 − 1e-21, deterministic
     * under the fixed seed). Pairs restrict to the planted id mapping
     * because organic near-dups are not SQL-enumerable (same as d2). */
+  /** Substring-level duplication: per-doc count of distinct 5-token spans
+    * shared with other docs — the boilerplate signal document-granularity
+    * MinHash cannot see. Exact span strings so the DuckDB oracle
+    * reproduces the inverted span index verbatim. */
+  private def d10_span_stats(s: SparkSession, dir: String): DataFrame =
+    Dedup.spanStats(t(s, dir, "documents"), "doc_id", "text", n = 5, minDocs = 2)
+      .orderBy("doc_id")
+
   private def d9_pipeline_full(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     val corpus = d
@@ -1149,6 +1157,7 @@ object SparkEntry {
     "d8_decontam" -> (d8_decontam _),
     "d8b_decontam_drop" -> (d8b_decontam_drop _),
     "d9_pipeline_full" -> (d9_pipeline_full _),
+    "d10_span_stats" -> (d10_span_stats _),
     "a1_ann_brute" -> (a1_ann_brute _),
     "a2_ann_lsh" -> (a2_ann_lsh _),
     "a4_ann_batch" -> (a4_ann_batch _),
@@ -1544,6 +1553,21 @@ object SparkEntry {
          SELECT doc_id FROM c WHERE contamination < 0.5 ORDER BY doc_id""",
     // normalize -> exact (min id per normalized text) -> planted near-pair
     // jaccard >= 0.8 -> drop the non-representative side of each component
+    "d10_span_stats" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                    FROM documents),
+         sp AS (SELECT doc_id,
+                  array_to_string(ws[CAST(i AS BIGINT):CAST(i+4 AS BIGINT)], ' ') AS span
+                FROM w, UNNEST(range(1, len(ws) - 5 + 2)) AS t(i)
+                WHERE len(ws) >= 5),
+         d AS (SELECT DISTINCT doc_id, span FROM sp),
+         c AS (SELECT span, CAST(count(*) AS BIGINT) AS nd FROM d GROUP BY span)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+             AS share_ratio
+         FROM d JOIN c USING (span)
+         GROUP BY doc_id ORDER BY doc_id""",
     "d9_pipeline_full" ->
       """WITH corpus AS (
            SELECT doc_id, text FROM documents

@@ -484,4 +484,52 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
     armLshListener(pairs, "graft_lsh_embedding", maxBucketSize, Nil)
   }
+
+  /** Substring-level duplication signal (the span-dedup modality of Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better",
+    * ACL'22): for each doc, how many of its distinct n-token spans also
+    * appear in at least `minDocs - 1` OTHER docs. Docs with a high
+    * `share_ratio` are boilerplate-heavy (licenses, navigation chrome,
+    * templated text) even when no whole-document near-dup exists —
+    * exactly what MinHash at document granularity cannot see.
+    *
+    * Returns (idCol, n_spans, n_shared, share_ratio); docs shorter than
+    * `n` tokens carry no span and are absent (same contract as the
+    * oracle's). A span repeated WITHIN one doc counts once
+    * (`array_distinct` before the explode).
+    *
+    * Plan: ONE corpus pass builds the exploded span index (O(total
+    * tokens) rows — the unavoidable cost of an exact inverted span
+    * index), one exchange on the span key feeds a whole-partition window
+    * count (no self-join, no second tokenizer pass), then one exchange
+    * back to the doc key for the per-doc rollup. With `hashSpans=true`
+    * the shuffle key is `xxhash64(span)` instead of the span STRING —
+    * at 100 TB that cuts the exchange payload several-fold; the 64-bit
+    * collision rate is negligible for counting, but the gate keeps exact
+    * strings so the oracle stays bit-true. */
+  def spanStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      minDocs: Int = 2,
+      hashSpans: Boolean = false): DataFrame = {
+    require(n >= 1, "span length n must be >= 1")
+    require(minDocs >= 2, "minDocs must be >= 2 (a span always appears in its own doc)")
+    val spans = df
+      .select(col(idCol), TextFunctions.words(col(textCol)).as("__w"))
+      .select(col(idCol), explode(when(size(col("__w")) >= n,
+          array_distinct(transform(sequence(lit(1), size(col("__w")) - n + 1),
+            i => array_join(slice(col("__w"), i, lit(n)), " "))))
+        .otherwise(array().cast("array<string>"))).as("span"))
+    val key = if (hashSpans) xxhash64(col("span")) else col("span")
+    val w = Window.partitionBy(key)
+    spans
+      .withColumn("__nd", count(lit(1)).over(w)) // rows per span == distinct docs
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("__nd") >= minDocs, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("share_ratio",
+        col("n_shared").cast("double") / col("n_spans"))
+  }
 }

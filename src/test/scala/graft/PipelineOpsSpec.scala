@@ -907,3 +907,41 @@ class SamplingSpec extends SparkSpec {
       s"rank filter must prune before the exchange:\n$plan")
   }
 }
+
+class SpanStatsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Dedup
+
+  private val docs = Seq(
+    (1L, "a b c d e f"),        // spans: "a b c", "b c d", "c d e", "d e f"
+    (2L, "x y a b c d z"),      // shares "a b c" and "b c d" with doc 1
+    (3L, "p q r"),              // one span, unshared
+    (4L, "s t"),                // shorter than n -> absent from output
+    (5L, "m m m m")).toDF("id", "text") // within-doc repeat counts once
+
+  test("per-doc shared-span counts match hand computation") {
+    val out = Dedup.spanStats(docs, "id", "text", n = 3, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == ((4L, 2L))) // "a b c","b c d" shared with doc 2
+    assert(out(2L) == ((5L, 2L)))
+    assert(out(3L) == ((1L, 0L)))
+    assert(!out.contains(4L), "docs shorter than n carry no span")
+    assert(out(5L) == ((1L, 0L))) // "m m m" twice in doc -> ONE distinct span
+  }
+
+  test("hashSpans=true produces identical counts with a narrow shuffle key") {
+    val exact = Dedup.spanStats(docs, "id", "text", n = 3)
+    val hashed = Dedup.spanStats(docs, "id", "text", n = 3, hashSpans = true)
+    assert(canon(exact) == canon(hashed))
+  }
+
+  test("one corpus scan: window count, no self-join re-tokenization") {
+    val q = Dedup.spanStats(docs, "id", "text", n = 3)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val scans = "LocalTableScan".r.findAllIn(plan).size
+    assert(scans == 1, s"span index must be built in ONE pass, got $scans:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"no self-join expected:\n$plan")
+  }
+}
