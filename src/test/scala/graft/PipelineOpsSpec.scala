@@ -935,6 +935,15 @@ class SpanStatsSpec extends SparkSpec {
     assert(canon(exact) == canon(hashed))
   }
 
+  test("span stats are invariant to input partitioning") {
+    val wide = (0L until 200L).map(i =>
+      (i, s"tok${i % 11} tok${(i + 1) % 11} tok${(i + 2) % 11} shared one two three"))
+      .toDF("id", "text")
+    val a = Dedup.spanStats(wide, "id", "text", n = 4)
+    val b = Dedup.spanStats(wide.repartition(13), "id", "text", n = 4)
+    assert(canon(a) == canon(b))
+  }
+
   test("one corpus scan: window count, no self-join re-tokenization") {
     val q = Dedup.spanStats(docs, "id", "text", n = 3)
     q.collect()
