@@ -280,6 +280,7 @@ object Graft {
         new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
       case "csv" => new org.apache.spark.sql.execution.datasources.csv.CSVFileFormat()
       case "json" => new org.apache.spark.sql.execution.datasources.json.JsonFileFormat()
+      case "orc" => new org.apache.spark.sql.execution.datasources.orc.OrcFileFormat()
       case other => throw new IllegalArgumentException(s"unsupported format $other")
     }
     val index = new graft.index.GraftFileIndex(
@@ -427,6 +428,7 @@ object Graft {
       case "parquet" | "pq" => "parquet"
       case "csv" => "csv"
       case "json" | "jsonl" => "json"
+      case "orc" => "orc" // built-in columnar source, common in Spark estates
       case "xlsx" => "xlsx"
       case other =>
         throw new IllegalArgumentException(s"cannot infer format from suffix '$other' ($url)")

@@ -954,3 +954,27 @@ class SpanStatsSpec extends SparkSpec {
       s"no self-join expected:\n$plan")
   }
 }
+
+class OrcFormatSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.api.Graft
+
+  test("orc round-trips through the partitioned model: write, auto-detect, prune, compact") {
+    val df = Seq((1L, "x", "a"), (2L, "y", "b"), (3L, "z", "a")).toDF("id", "v", "p")
+    val out = tmpDir("orc_rt")
+    Graft.writePartitionedTable(df.repartition(3), out, Seq("p"), format = "orc")
+    // suffix auto-detection picks orc; partition pruning applies as usual
+    val back = Graft.readPartitionedTable(spark, out)
+    assert(canon(back.select("id", "v", "p")) == canon(df))
+    val pruned = Graft.readPartitionedTable(spark, out, query = graft.core.Q.eq("p", "a"))
+    assert(pruned.count() == 2)
+    // maintenance ops speak orc too
+    val stats = Graft.compactPartitionedTable(spark, out,
+      targetFileBytes = 1L << 30, format = "orc")
+    assert(stats.partitionsCompacted >= 1)
+    assert(canon(Graft.readPartitionedTable(spark, out).select("id", "v", "p")) == canon(df))
+    // lazy-errors probe handles orc files (generic schema branch)
+    val rich = Graft.readPartitionedTableRich(spark, out, columns = Seq("id", "nope"))
+    assert(rich.failures.nonEmpty && rich.failures.head.reason.contains("nope"))
+  }
+}
