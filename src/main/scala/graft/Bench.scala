@@ -18,7 +18,8 @@ object Bench {
     "s1_scan_hive", "q1_agg", "q2_filter", "q3_join_agg", "q6_window",
     "q7_topk", "q20_multijoin", "d2_dedup_minhash", "a1_ann_brute",
     "t3_tokens", "as1_asof", "as2_asof_native", "as3_asof_sum",
-    "d8_decontam", "t9_pack", "t12b_bm25", "t15_heavyhitters")
+    "d8_decontam", "t9_pack", "t12b_bm25", "t15_heavyhitters",
+    "d10_span_stats")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
