@@ -572,14 +572,6 @@ object SparkEntry {
     * found with probability 1 − (1 − j²)^32 ≈ 1 − 1e-21, deterministic
     * under the fixed seed). Pairs restrict to the planted id mapping
     * because organic near-dups are not SQL-enumerable (same as d2). */
-  /** Substring-level duplication: per-doc count of distinct 5-token spans
-    * shared with other docs — the boilerplate signal document-granularity
-    * MinHash cannot see. Exact span strings so the DuckDB oracle
-    * reproduces the inverted span index verbatim. */
-  private def d10_span_stats(s: SparkSession, dir: String): DataFrame =
-    Dedup.spanStats(t(s, dir, "documents"), "doc_id", "text", n = 5, minDocs = 2)
-      .orderBy("doc_id")
-
   private def d9_pipeline_full(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     val corpus = d
@@ -599,6 +591,14 @@ object SparkEntry {
     survivors.join(drop, Seq("doc_id"), "left_anti")
       .select("doc_id").orderBy("doc_id")
   }
+
+  /** Substring-level duplication: per-doc count of distinct 5-token spans
+    * shared with other docs — the boilerplate signal document-granularity
+    * MinHash cannot see. Exact span strings so the DuckDB oracle
+    * reproduces the inverted span index verbatim. */
+  private def d10_span_stats(s: SparkSession, dir: String): DataFrame =
+    Dedup.spanStats(t(s, dir, "documents"), "doc_id", "text", n = 5, minDocs = 2)
+      .orderBy("doc_id")
 
   /** Benchmark decontamination: every 100th doc doubles as the "eval set";
     * per-doc trigram overlap against its broadcast n-gram universe. The
@@ -1746,7 +1746,8 @@ object SparkEntry {
          WHERE rk <= 5 ORDER BY source, doc_id""",
     "t15_heavyhitters" ->
       """WITH w AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS item
-                    FROM documents),
+                    FROM documents
+                    WHERE len(trim(text)) > 0),
          c AS (SELECT item, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY item),
          r AS (SELECT item, n, ROW_NUMBER() OVER (ORDER BY n DESC, item) AS rk
                FROM c)

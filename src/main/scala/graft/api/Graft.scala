@@ -831,7 +831,10 @@ object Graft {
     val prepared =
       if (sortBy.isEmpty) df
       else {
-        val missing = sortBy.filterNot(df.columns.contains)
+        // resolve like the analyzer would (case-insensitive by default) —
+        // a bare .contains would reject names Spark itself accepts
+        val resolver = spark.sessionState.analyzer.resolver
+        val missing = sortBy.filterNot(c => df.columns.exists(resolver(_, c)))
         require(missing.isEmpty, s"sortBy columns not in schema: ${missing.mkString(", ")}")
         val cluster = (partitionCols ++ sortBy).map(col)
         df.repartitionByRange(cluster: _*).sortWithinPartitions(cluster: _*)
@@ -889,15 +892,27 @@ object Graft {
   def reconcilePartitionedSink(
       spark: SparkSession,
       url: String,
-      dryRun: Boolean = false,
-      fsConf: Map[String, String] = Map.empty): ReconcileStats =
-    withFs(spark, url, fsConf) { fs =>
+      dryRun: Boolean = false): ReconcileStats =
+    withFs(spark, url, Map.empty) { fs =>
+      // no per-call fsConf here ON PURPOSE: the manifest is read through
+      // Spark's own FileStreamSinkLog, which resolves the log dir with the
+      // SESSION Hadoop conf — a per-call override would apply to the
+      // listing/deletes but NOT the manifest read, and a session-invisible
+      // log dir would read as empty and condemn every committed file.
+      // Deletions must never ride a half-applied configuration.
       val root = fs.makeQualified(new Path(url))
       require(fs.exists(new Path(root, "_spark_metadata")),
         s"no _spark_metadata manifest under $url — not a streaming-sink table")
       val committed = org.apache.spark.sql.GraftInternals
         .sinkManifestFiles(spark, root.toString)
         .map(p => fs.makeQualified(p).toString).toSet
+      // an existing manifest with ZERO committed files means the log could
+      // not be read as written (version/path mismatch) far more plausibly
+      // than a sink that committed nothing — deleting every data file on
+      // that evidence is exactly the catastrophe this op must not cause
+      require(committed.nonEmpty,
+        s"manifest under $url lists no committed files; refusing to treat " +
+          "the whole table as orphans — inspect _spark_metadata manually")
       val rootPrefix = root.toString.stripSuffix("/") + "/"
       val it = fs.listFiles(root, true)
       var kept = 0L
@@ -1009,7 +1024,14 @@ object Graft {
       def rewrite(dir: String, desired: Int): Int = {
         val oldFiles = byDir(dir).map(_.url)
         val staging = new Path(dir, s".graft_compact_${UUID.randomUUID().toString.take(8)}")
-        spark.read.format(format).options(options ++ fsConf).load(oldFiles: _*)
+        // mergeSchema by default for the columnar formats: a dir whose files
+        // straddle a column addition (an evolving sink) must rewrite under
+        // the UNION schema — first-file inference would silently and
+        // permanently drop the newer column from the compacted dir
+        val safety =
+          if (format == "parquet" || format == "orc") Map("mergeSchema" -> "true")
+          else Map.empty[String, String]
+        spark.read.format(format).options(safety ++ options ++ fsConf).load(oldFiles: _*)
           .coalesce(desired)
           .write.format(format).options(options ++ fsConf)
           .mode("overwrite").save(staging.toString)
@@ -1034,12 +1056,27 @@ object Graft {
           math.min(maxConcurrentRewrites, candidates.size))
         implicit val ec: scala.concurrent.ExecutionContext =
           scala.concurrent.ExecutionContext.fromExecutorService(pool)
-        val newCounts =
+        // await EVERY rewrite (as Try) before surfacing any failure: a
+        // fail-fast rethrow would return control while detached threads
+        // keep renaming/deleting under the caller's feet, and would swallow
+        // every failure but the first
+        val outcomes =
           try scala.concurrent.Await.result(
             scala.concurrent.Future.traverse(candidates) { case (dir, _, _, desired) =>
-              scala.concurrent.Future(rewrite(dir, desired))
+              scala.concurrent.Future(Try(rewrite(dir, desired))
+                .fold(e => Left(dir -> e), Right(_)))
             }, scala.concurrent.duration.Duration.Inf)
           finally pool.shutdown()
+        val failures = outcomes.collect { case Left(f) => f }
+        if (failures.nonEmpty) {
+          val (dir, first) = failures.head
+          throw new RuntimeException(
+            s"compaction failed for ${failures.size}/${candidates.size} " +
+              s"partition dirs (first: $dir); completed dirs are committed, " +
+              "failed dirs keep their original files (stage residue is " +
+              "hidden) — rerun after fixing the cause", first)
+        }
+        val newCounts = outcomes.collect { case Right(n) => n }
 
         CompactionStats(
           partitionsExamined = dirStats.size,

@@ -61,10 +61,14 @@ object Retrieval {
     base.agg(aggs.head, aggs.tail: _*)
   }
 
-  private def termStatsOver(
+  /** The shared posting pass: per-doc tf array + the broadcast stats row,
+    * exploded to one (doc, term) row with tf > 0. Both public entry points
+    * are thin selections over this — a tf/df wiring fix lands once. */
+  private def postingRows(
       w: DataFrame,
       idCol: String,
-      terms: Seq[String]): DataFrame = {
+      terms: Seq[String],
+      withCorpus: Boolean): DataFrame = {
     require(terms.nonEmpty, "terms must be non-empty")
     require(terms.distinct == terms, "terms must be distinct")
     val perTerm = explode(array(terms.zipWithIndex.map { case (t, i) =>
@@ -72,13 +76,21 @@ object Retrieval {
         element_at(col("__tfs"), i + 1).as("tf"),
         col(s"__df$i").as("df"))
     }: _*))
+    val corpusCols = if (withCorpus) Seq(col("N"), col("avgdl")) else Nil
     w.select(col(idCol), col("dl"), tfArray(terms).as("__tfs"))
-      .crossJoin(broadcast(statsRow(w, terms, withCorpus = false)))
-      .select(col(idCol), col("dl"), perTerm.as("__s"))
-      .select(col(idCol), col("__s.term").as("term"), col("__s.tf").as("tf"),
-        col("dl"), col("__s.df").as("df"))
+      .crossJoin(broadcast(statsRow(w, terms, withCorpus)))
+      .select(Seq(col(idCol), col("dl")) ++ corpusCols :+ perTerm.as("__s"): _*)
+      .select(Seq(col(idCol), col("dl"), col("__s.term").as("term"),
+        col("__s.tf").as("tf"), col("__s.df").as("df")) ++ corpusCols: _*)
       .filter(col("tf") > 0)
   }
+
+  private def termStatsOver(
+      w: DataFrame,
+      idCol: String,
+      terms: Seq[String]): DataFrame =
+    postingRows(w, idCol, terms, withCorpus = false)
+      .select(col(idCol), col("term"), col("tf"), col("dl"), col("df"))
 
   /** BM25 scores for `terms` over the corpus: (idCol, score), docs matching
     * at least one term. Standard Robertson idf = ln((N - df + .5)/(df + .5)
@@ -96,20 +108,7 @@ object Retrieval {
       terms: Seq[String],
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
-    require(terms.nonEmpty, "terms must be non-empty")
-    require(terms.distinct == terms, "terms must be distinct")
-    val w = tokenized(df, idCol, textCol)
-    val perTerm = explode(array(terms.zipWithIndex.map { case (t, i) =>
-      struct(lit(t).as("term"),
-        element_at(col("__tfs"), i + 1).as("tf"),
-        col(s"__df$i").as("df"))
-    }: _*))
-    w.select(col(idCol), col("dl"), tfArray(terms).as("__tfs"))
-      .crossJoin(broadcast(statsRow(w, terms, withCorpus = true)))
-      .select(col(idCol), col("dl"), col("N"), col("avgdl"), perTerm.as("__s"))
-      .select(col(idCol), col("dl"), col("N"), col("avgdl"),
-        col("__s.tf").as("tf"), col("__s.df").as("df"))
-      .filter(col("tf") > 0)
+    postingRows(tokenized(df, idCol, textCol), idCol, terms, withCorpus = true)
       .withColumn("__idf",
         log((col("N") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
       .withColumn("__contrib",

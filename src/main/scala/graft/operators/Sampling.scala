@@ -18,6 +18,13 @@ object Sampling {
     * id are excluded (a null hashes to null and would sort
     * non-deterministically against real keys).
     *
+    * CONTRACT: `idCol` must be unique within each group. Duplicate ids tie
+    * on BOTH sort keys, so which of the tied rows is emitted is
+    * partitioning-dependent — the determinism guarantee covers the sampled
+    * id set either way, but the carried payload columns only under
+    * uniqueness (the same caller contract as the as-of join's unique right
+    * side).
+    *
     * 100 TB shape: ONE hash shuffle on `groupCol`, and the rank filter is
     * recognized by Spark's rank-limit pushdown (`WindowGroupLimit`), so
     * each map task forwards at most `n` rows per group INTO the exchange —

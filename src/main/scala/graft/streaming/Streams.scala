@@ -227,7 +227,10 @@ object Streams {
       options: Map[String, String] = Map.empty): StreamingQuery = {
     require(df.isStreaming, "writePartitionedStream needs a streaming DataFrame")
     require(partitionCols.nonEmpty, "partitionCols must be non-empty")
-    val missing = partitionCols.filterNot(df.columns.contains)
+    // analyzer-style resolution (case-insensitive by default): reject only
+    // what Spark itself could not resolve
+    val resolver = df.sparkSession.sessionState.analyzer.resolver
+    val missing = partitionCols.filterNot(c => df.columns.exists(resolver(_, c)))
     require(missing.isEmpty,
       s"partition columns not in stream schema: ${missing.mkString(", ")}")
     df.writeStream

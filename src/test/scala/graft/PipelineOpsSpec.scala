@@ -978,3 +978,45 @@ class OrcFormatSpec extends SparkSpec {
     assert(rich.failures.nonEmpty && rich.failures.head.reason.contains("nope"))
   }
 }
+
+class CompactionHardeningSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.api.Graft
+
+  test("mixed-schema dirs rewrite under the UNION schema, never dropping columns") {
+    val out = tmpDir("compact_evolve")
+    // an evolving sink: the second write adds column c
+    Seq((1L, "a")).toDF("id", "p").write.mode("overwrite").partitionBy("p").parquet(out)
+    Seq((2L, "a", "new")).toDF("id", "p", "c")
+      .write.mode("append").partitionBy("p").parquet(out)
+    val stats = Graft.compactPartitionedTable(spark, out, targetFileBytes = 1L << 30)
+    assert(stats.partitionsCompacted == 1)
+    val back = spark.read.parquet(out)
+    assert(back.columns.contains("c"), "evolved column must survive compaction")
+    val rows = back.select("id", "c").collect().map(r =>
+      r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(rows == Map(1L -> null, 2L -> "new"))
+  }
+
+  test("a failing rewrite fails loudly after all dirs settle; its originals survive") {
+    val df = (0 until 40).map(i => (i.toLong, if (i % 2 == 0) "ok" else "bad"))
+      .toDF("id", "p")
+    val out = tmpDir("compact_fail")
+    Graft.writePartitionedTable(df.repartition(3), out, Seq("p"))
+    // corrupt ONE data file of p=bad so its rewrite read fails
+    val badDir = new java.io.File(out, "p=bad")
+    val victim = badDir.listFiles().filter(_.getName.startsWith("part-")).head
+    java.nio.file.Files.write(victim.toPath, "not parquet".getBytes)
+    val before = badDir.listFiles().map(_.getName).filterNot(_.endsWith(".crc")).toSet
+    val e = intercept[RuntimeException] {
+      Graft.compactPartitionedTable(spark, out, targetFileBytes = 1L << 30)
+    }
+    assert(e.getMessage.contains("compaction failed"), e.getMessage)
+    val after = badDir.listFiles().map(_.getName)
+      .filterNot(n => n.endsWith(".crc") || n.startsWith(".")).toSet
+    assert(after == before, "failed dir must keep its original files")
+    // the healthy partition was still compacted (documented partial commit)
+    assert(new java.io.File(out, "p=ok").listFiles()
+      .count(_.getName.startsWith("part-")) == 1)
+  }
+}
