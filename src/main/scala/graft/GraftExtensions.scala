@@ -63,7 +63,9 @@ object GraftExtensions {
 
   /** (identifier, info, builder) triples — the shape both
     * `SparkSessionExtensions.injectFunction` and `FunctionRegistry
-    * .registerFunction` consume. All four stay fully codegen'd. */
+    * .registerFunction` consume. The scalar kernels stay fully codegen'd;
+    * `heavy_hitters` is a TypedImperativeAggregate (object-hash aggregation
+    * with partial merge — the right execution mode for sketch state). */
   private def oneArg(name: String, className: String,
       make: Expression => Expression) =
     (FunctionIdentifier(name),

@@ -101,6 +101,42 @@ object Graft {
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
+  /** Metadata-only table summary: one row per partition DIRECTORY with its
+    * partition values, file count, and total bytes — discovery's own
+    * listing already carries every number, so a 100 TB table answers "how
+    * big, how fragmented, where" without reading a single data byte. The
+    * natural input to a compaction plan (`n_files` high + `bytes` low ⇒
+    * candidate) and to partition-balance checks before a big join; `query`
+    * scopes it like any read. Sizes are null-free for listed trees;
+    * generated (never-listed) file names contribute zero bytes and are
+    * flagged by `sized_files < n_files`. */
+  def tableStats(
+      spark: SparkSession,
+      url: String,
+      query: PartitionQuery = Q.True,
+      parser: ColumnParser = AutoParser.auto,
+      fsConf: Map[String, String] = Map.empty): DataFrame = {
+    val parts = discover(spark, url, query, parser, fsConf)
+    val colNames = parts.flatMap(_.columns.keys).distinct
+    val schema = StructType(
+      StructField("dir", StringType, nullable = false) +:
+        colNames.map(StructField(_, StringType, nullable = true)) :+
+        StructField("n_files", org.apache.spark.sql.types.LongType, nullable = false) :+
+        StructField("sized_files", org.apache.spark.sql.types.LongType, nullable = false) :+
+        StructField("bytes", org.apache.spark.sql.types.LongType, nullable = false))
+    val rows = parts.groupBy(p => new Path(p.url).getParent.toString)
+      .toSeq.sortBy(_._1)
+      .map { case (dir, files) =>
+        val cols = files.head.columns
+        org.apache.spark.sql.Row.fromSeq(
+          dir +: colNames.map(c => cols.getOrElse(c, null)) :+
+            files.size.toLong :+
+            files.count(_.meta.isDefined).toLong :+
+            files.flatMap(_.meta.map(_.size)).sum)
+      }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
   /** Reference `FileInPartition.consume` (deser.py:279-289): open one
     * matched file and hand the stream to `callback`, closing it afterwards.
     * Pairs with [[discover]] / [[listPartitionedTable]], whose rows carry the

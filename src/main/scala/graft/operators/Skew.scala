@@ -15,6 +15,24 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Measure BEFORE salting: the estimated top-k hottest join keys and
+    * their counts, via the mergeable Misra–Gries sketch — one narrow
+    * aggregation (no exact groupBy shuffle of the key column), so probing
+    * a 100 TB fact table for skew costs a single map-side pass plus a
+    * few-KB merge. Any key above rows/(capacity+1) is guaranteed
+    * surfaced; feed the result's counts into `factor` (≈ hottest-key
+    * share × target tasks). */
+  def topKeys(
+      df: DataFrame,
+      keyCol: String,
+      k: Int = 20,
+      capacity: Int = 4096): DataFrame =
+    df.agg(graft.functions.HeavyHitters
+        .heavyHitters(col(keyCol).cast("string"), k, capacity).as("__hh"))
+      .select(posexplode(col("__hh")).as(Seq("rank", "h")))
+      .select(col("h.item").as("key"), col("h.count").as("est_count"),
+        (col("rank") + 1).as("rank"))
+
   def saltedJoin(
       skewed: DataFrame,
       replicated: DataFrame,

@@ -1020,3 +1020,44 @@ class CompactionHardeningSpec extends SparkSpec {
       .count(_.getName.startsWith("part-")) == 1)
   }
 }
+
+class DiagnosticsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.api.Graft
+
+  test("tableStats: per-dir file counts and bytes without reading data") {
+    val df = (0 until 60).map(i => (i.toLong, if (i % 3 == 0) "a" else "b"))
+      .toDF("id", "p")
+    val out = tmpDir("tstats")
+    Graft.writePartitionedTable(df.repartition(4), out, Seq("p"))
+    val stats = Graft.tableStats(spark, out).collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(stats.keySet == Set("a", "b"))
+    stats.values.foreach { case (n, sized, bytes) =>
+      assert(n == 4 && sized == 4 && bytes > 0)
+    }
+    // scoped like any read
+    val scoped = Graft.tableStats(spark, out, query = graft.core.Q.eq("p", "a"))
+    assert(scoped.count() == 1)
+    // numbers agree with what compaction then does
+    val cs = Graft.compactPartitionedTable(spark, out, targetFileBytes = 1L << 30)
+    assert(cs.filesBefore == stats.values.map(_._1).sum)
+    assert(Graft.tableStats(spark, out).collect().map(_.getLong(2)).sum == 2)
+  }
+
+  test("Skew.topKeys surfaces hot keys with one narrow aggregation") {
+    val df = ((0 until 900).map(_ => 7L) ++ (0 until 300).map(i => i.toLong))
+      .toDF("k")
+    val top = graft.operators.Skew.topKeys(df, "k", k = 1, capacity = 512)
+      .collect().head
+    assert(top.getString(0) == "7" && top.getLong(1) == 901L) // 900 + k=7 once
+    val q = graft.operators.Skew.topKeys(df, "k", 1, 512)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // one sketch aggregation; the Generate explodes the single result row,
+    // never corpus data — no join, no exact groupBy of the key column
+    assert(plan.contains("ObjectHashAggregate"), s"sketch agg expected:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("HashAggregate(keys=[k"),
+      s"topKeys must not exact-group the key column:\n$plan")
+  }
+}
