@@ -600,6 +600,31 @@ object SparkEntry {
     Dedup.spanStats(t(s, dir, "documents"), "doc_id", "text", n = 5, minDocs = 2)
       .orderBy("doc_id")
 
+  /** Incremental dedup: a new batch (10 verbatim copies + 10 junk docs)
+    * matched against the corpus's persisted minhash index — the corpus is
+    * never re-shingled. Output restricts to the planted id mapping
+    * (organic near-matches are not SQL-enumerable, same policy as d9);
+    * verbatim copies match at jaccard exactly 1.0, junk docs match
+    * nothing. */
+  private def d11_dedup_incremental(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val index = Dedup.minhashIndex(d, "doc_id", "text")
+    val seedDocs = d.filter(col("doc_id") < 10)
+    val batch = seedDocs
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+      .unionByName(seedDocs.select((col("doc_id") + 6000000L).as("doc_id"),
+        concat(lit("junka junkb junkc "), col("doc_id").cast("string")).as("text")))
+    val pairs = Dedup.minhashPairsAgainst(batch, "doc_id", "text", index,
+      threshold = 0.8)
+    val planted = pairs.filter(col("id_b") === col("id_a") - 5000000L)
+    batch.select(col("doc_id").as("new_id"))
+      .join(planted.select(col("id_a").as("new_id"), col("jaccard")),
+        Seq("new_id"), "left")
+      .select(col("new_id"), col("jaccard").isNotNull.as("matched"),
+        col("jaccard").as("jac"))
+      .orderBy("new_id")
+  }
+
   /** Benchmark decontamination: every 100th doc doubles as the "eval set";
     * per-doc trigram overlap against its broadcast n-gram universe. The
     * eval docs themselves come back contamination = 1.0, so the hash gate
@@ -1158,6 +1183,7 @@ object SparkEntry {
     "d8b_decontam_drop" -> (d8b_decontam_drop _),
     "d9_pipeline_full" -> (d9_pipeline_full _),
     "d10_span_stats" -> (d10_span_stats _),
+    "d11_dedup_incremental" -> (d11_dedup_incremental _),
     "a1_ann_brute" -> (a1_ann_brute _),
     "a2_ann_lsh" -> (a2_ann_lsh _),
     "a4_ann_batch" -> (a4_ann_batch _),
@@ -1553,6 +1579,34 @@ object SparkEntry {
          SELECT doc_id FROM c WHERE contamination < 0.5 ORDER BY doc_id""",
     // normalize -> exact (min id per normalized text) -> planted near-pair
     // jaccard >= 0.8 -> drop the non-representative side of each component
+    "d11_dedup_incremental" ->
+      """WITH seed AS (SELECT doc_id, text FROM documents WHERE doc_id < 10),
+         batch AS (
+           SELECT doc_id + 5000000 AS new_id, text FROM seed
+           UNION ALL
+           SELECT doc_id + 6000000 AS new_id,
+                  'junka junkb junkc ' || CAST(doc_id AS VARCHAR) AS text FROM seed),
+         bw AS (SELECT new_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM batch),
+         bsh AS (SELECT new_id,
+                   list_distinct(CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                     ELSE list_transform(range(1, len(ws) - 1),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END) AS s
+                 FROM bw),
+         ow AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                FROM documents),
+         osh AS (SELECT doc_id,
+                   list_distinct(CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                     ELSE list_transform(range(1, len(ws) - 1),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END) AS s
+                 FROM ow),
+         j AS (SELECT b.new_id,
+                 CAST(len(list_intersect(b.s, o.s)) AS DOUBLE) /
+                   len(list_distinct(b.s || o.s)) AS jac0
+               FROM bsh b JOIN osh o ON o.doc_id = b.new_id - 5000000)
+         SELECT new_id, COALESCE(jac0 >= 0.8, FALSE) AS matched,
+                CASE WHEN jac0 >= 0.8 THEN jac0 END AS jac
+         FROM batch LEFT JOIN j USING (new_id)
+         ORDER BY new_id""",
     "d10_span_stats" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
                     FROM documents),

@@ -485,6 +485,80 @@ object Dedup {
     armLshListener(pairs, "graft_lsh_embedding", maxBucketSize, Nil)
   }
 
+  /** Persist-ready minhash index of a corpus: (id, shingle_set, sig).
+    * Write it once (e.g. `Graft.writeObject` / parquet) and every later
+    * ingest matches against it with [[minhashPairsAgainst]] — the corpus
+    * text is never re-read or re-shingled. Rebuild only when the hash
+    * parameters change; append new batches' index rows after ingest to
+    * keep it current. */
+  def minhashIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      seed: Long = 42L): DataFrame =
+    shingleSets(df, idCol, textCol, shingleSize)
+      .select(col("id"), col("shingle_set"),
+        minhashSignatureFromHashes(col("shingle_set"), numHashes, seed).as("sig"))
+
+  /** Incremental near-duplicate detection: a NEW batch against an EXISTING
+    * corpus index (the ingest shape — daily batches must not re-process
+    * the 100 TB corpus). Returns (id_a, id_b, jaccard): id_a from the new
+    * batch, id_b from the index, exact-jaccard-verified at `threshold`.
+    *
+    * The index side only pays its band-key explosion and the bucket join;
+    * its text was shingled once, at index-build time. A small new batch
+    * broadcasts into the bucket join under AQE sizing, making the whole
+    * match map-side over the index scan. Bucket capping applies to the
+    * index side (where the mega-buckets live), same policy and observed
+    * metric as [[minhashPairs]].
+    *
+    * The index MUST have been built with the same shingleSize/numHashes/
+    * seed — numHashes is verified against the stored signature length
+    * (one index row is read); shingleSize and seed cannot be recovered
+    * from the data, so mismatches there surface as silently low recall:
+    * store the parameters next to the index. */
+  def minhashPairsAgainst(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: DataFrame,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.7,
+      seed: Long = 42L,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val required = Seq("id", "shingle_set", "sig")
+    require(required.forall(index.columns.contains),
+      s"index must carry ${required.mkString(", ")} (from minhashIndex); " +
+        s"got ${index.columns.mkString(", ")}")
+    val sigLen = index.select(size(col("sig"))).head.getInt(0)
+    require(sigLen == numHashes,
+      s"index signatures carry $sigLen hashes but numHashes=$numHashes — " +
+        "rebuild the index or pass the parameters it was built with")
+    val newIdx = minhashIndex(newDocs, idCol, textCol, shingleSize, numHashes, seed)
+    val newBuckets = newIdx
+      .select(col("id"), explode(bandKeys(col("sig"), numHashes, rowsPerBand)).as("bucket"))
+    val idxBuckets = index
+      .select(col("id"), explode(bandKeys(col("sig"), numHashes, rowsPerBand)).as("bucket"))
+    val cappedIdx = capBuckets(idxBuckets, maxBucketSize, "graft_lsh_incremental")
+    val candidates = newBuckets.select(col("bucket"), col("id").as("id_a"))
+      .join(cappedIdx.select(col("bucket"), col("id").as("id_b")), Seq("bucket"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    val verified = candidates
+      .join(newIdx.select(col("id").as("id_a"), col("shingle_set").as("set_a")), Seq("id_a"))
+      .join(index.select(col("id").as("id_b"), col("shingle_set").as("set_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+          size(array_union(col("set_a"), col("set_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+    armLshListener(verified, "graft_lsh_incremental", maxBucketSize, Nil)
+  }
+
   /** Substring-level duplication signal (the span-dedup modality of Lee et
     * al., "Deduplicating Training Data Makes Language Models Better",
     * ACL'22): for each doc, how many of its distinct n-token spans also

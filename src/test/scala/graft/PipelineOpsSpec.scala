@@ -1061,3 +1061,59 @@ class DiagnosticsSpec extends SparkSpec {
       s"topKeys must not exact-group the key column:\n$plan")
   }
 }
+
+class IncrementalDedupSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Dedup
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog tonight"),
+    (2L, "spark shuffles partition data across the cluster network"),
+    (3L, "completely different content about astronomy and telescopes"))
+    .toDF("id", "text")
+
+  test("new batch matches the persisted index; corpus text never re-read") {
+    val dir = tmpDir("mh_index")
+    Dedup.minhashIndex(corpus, "id", "text").write.mode("overwrite").parquet(dir)
+    val index = spark.read.parquet(dir)
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight"), // copy of 1
+      (101L, "the quick brown fox jumps over the lazy cat tonight"), // near 1
+      (102L, "nothing in common with anything whatsoever here now")) // fresh
+      .toDF("id", "text")
+    val pairs = Dedup.minhashPairsAgainst(batch, "id", "text", index,
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists { case (a, b, j) => a == 100L && b == 1L && j == 1.0 })
+    assert(pairs.exists { case (a, b, j) => a == 101L && b == 1L && j > 0.5 && j < 1.0 })
+    assert(!pairs.exists(_._1 == 102L), s"fresh doc must not match: ${pairs.toSeq}")
+    assert(!pairs.exists(p => p._2 == 2L || p._2 == 3L), s"unrelated corpus docs: ${pairs.toSeq}")
+  }
+
+  test("parameter mismatches fail loudly, not with silent low recall") {
+    val index = Dedup.minhashIndex(corpus, "id", "text", numHashes = 32)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minhashPairsAgainst(corpus, "id", "text", index, numHashes = 64)
+    }
+    assert(e.getMessage.contains("32"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.minhashPairsAgainst(corpus, "id", "text", corpus /* not an index */)
+    }
+    assert(e2.getMessage.contains("minhashIndex"), e2.getMessage)
+  }
+
+  test("incremental agrees with the self-join on the same corpus") {
+    // matching the corpus against its own index must find exactly the
+    // self-join's pairs (plus the trivial identity matches)
+    val index = Dedup.minhashIndex(corpus, "id", "text")
+    val incr = Dedup.minhashPairsAgainst(corpus, "id", "text", index, threshold = 0.5)
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(col("id_a") < col("id_b")).select("id_a", "id_b", "jaccard")
+    val self = Dedup.minhashPairs(corpus, "id", "text", threshold = 0.5)
+    assert(canon(incr) == canon(self))
+    // identity matches come back at jaccard 1.0 (re-ingest detection)
+    val ids = Dedup.minhashPairsAgainst(corpus, "id", "text", index, threshold = 0.5)
+      .filter(col("id_a") === col("id_b"))
+    assert(ids.count() == 3 && ids.select("jaccard").collect().forall(_.getDouble(0) == 1.0))
+  }
+}
