@@ -559,6 +559,28 @@ object Dedup {
     armLshListener(verified, "graft_lsh_incremental", maxBucketSize, Nil)
   }
 
+  /** The ingest gate built on [[minhashPairsAgainst]]: keep only new-batch
+    * docs that near-match NOTHING in the corpus index. One anti-join over
+    * the verified pairs; the typical daily-ingest call is
+    * `dropNearDuplicatesAgainst(batch, ...)` then append the survivors'
+    * [[minhashIndex]] rows to the index. */
+  def dropNearDuplicatesAgainst(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: DataFrame,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.7,
+      seed: Long = 42L,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val dupIds = minhashPairsAgainst(newDocs, idCol, textCol, index,
+        shingleSize, numHashes, rowsPerBand, threshold, seed, maxBucketSize)
+      .select(col("id_a").as(idCol)).distinct()
+    newDocs.join(dupIds, Seq(idCol), "left_anti")
+  }
+
   /** Substring-level duplication signal (the span-dedup modality of Lee et
     * al., "Deduplicating Training Data Makes Language Models Better",
     * ACL'22): for each doc, how many of its distinct n-token spans also

@@ -1117,3 +1117,24 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(ids.count() == 3 && ids.select("jaccard").collect().forall(_.getDouble(0) == 1.0))
   }
 }
+
+class IncrementalDropSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Dedup
+
+  test("dropNearDuplicatesAgainst keeps only genuinely new docs") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "spark shuffles partition data across the cluster network"))
+      .toDF("id", "text")
+    val index = Dedup.minhashIndex(corpus, "id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"), // dup of 1
+      (11L, "fresh content about gardens and architecture today now"))
+      .toDF("id", "text")
+    val kept = Dedup.dropNearDuplicatesAgainst(batch, "id", "text", index,
+      threshold = 0.5)
+    assert(kept.select("id").as[Long].collect().toSeq == Seq(11L))
+    assert(kept.columns.toSeq == Seq("id", "text"), "full rows survive")
+  }
+}
