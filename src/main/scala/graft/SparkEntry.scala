@@ -1047,6 +1047,26 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** STREAMING as-of enrichment: the events stream gains each user's
+    * latest order ≤ ts via the broadcast sorted-lookup (no state, no
+    * shuffle) — semantics identical to as1, so the same DuckDB batch ASOF
+    * oracle gates the streaming execution. */
+  private def st7_stream_asof(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(desc("o_orderkey"))
+    val dim = t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderdate").cast("timestamp").as("o_date_ts"),
+        col("o_orderkey"), col("o_totalprice"))
+    val ev = graft.streaming.Streams.eventsStream(s, dir)
+      .select("event_id", "user_id", "ts")
+    val enriched = AsofJoin.asofEnrichBroadcast(ev, dim, "ts", "o_date_ts",
+      "user_id", "o_custkey", Seq("o_orderkey", "o_totalprice"))
+    graft.streaming.Streams.runToMemory(
+        enriched.select("event_id", "user_id", "o_orderkey", "o_totalprice"),
+        s"st7_${math.abs(dir.hashCode)}", outputMode = "append")
+      .orderBy("event_id")
+  }
+
   private def as1_asof(s: SparkSession, dir: String): DataFrame = {
     val e = Fixtures.events(s, dir).select("event_id", "user_id", "ts")
     // deterministic right side: one order per (custkey, date) — largest key
@@ -1220,6 +1240,7 @@ object SparkEntry {
     "st4_stream_static_join" -> (st4_stream_static_join _),
     "st5_stream_stream_join" -> (st5_stream_stream_join _),
     "st6_stream_partitioned_sink" -> (st6_stream_partitioned_sink _),
+    "st7_stream_asof" -> (st7_stream_asof _),
     "as1_asof" -> (as1_asof _),
     "as2_asof_native" -> (as2_asof_native _),
     "as3_asof_sum" -> (as3_asof_sum _),
@@ -1909,6 +1930,15 @@ object SparkEntry {
     "st6_stream_partitioned_sink" ->
       """SELECT event_id, user_id, value, event_type FROM events
          ORDER BY event_id""",
+    // identical semantics to as1, executed over the STREAM
+    "st7_stream_asof" ->
+      """WITH r AS (SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
+           FROM orders QUALIFY rn = 1)
+         SELECT e.event_id, e.user_id, r.o_orderkey, r.o_totalprice
+         FROM events e ASOF LEFT JOIN r
+           ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+         ORDER BY e.event_id""",
     "st4_stream_static_join" ->
       """SELECT c_mktsegment, event_type, count(*) AS n,
            CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value

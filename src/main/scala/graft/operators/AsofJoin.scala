@@ -117,4 +117,94 @@ object AsofJoin {
       .select(left.columns.toSeq.map(col) ++
         payloadCols.map(c => col("__r_" + c).as(c)): _*)
   }
+
+  /** Stream-capable as-of ENRICHMENT against a bounded dimension: each left
+    * row gains the payload of the LATEST dim row with dimTime <= leftTime
+    * for its key (backward inclusive, left outer — asofJoin semantics) via
+    * a broadcast sorted lookup + per-row binary search. ZERO shuffles,
+    * ZERO streaming state: the dim collects once at plan time (the same
+    * bounded-side contract as any broadcast join) into per-key sorted
+    * arrays, and every row probes in O(log |key's dim rows|) map-side.
+    *
+    * This is the missing streaming shape: Structured Streaming's
+    * stream-static joins cannot express "latest ≤ ts" (no window over the
+    * stream mid-query, and a plain join would fan out per dim row), but a
+    * row-wise mapPartitions is streaming-safe in append mode — the gate
+    * runs THIS over the events stream and compares against DuckDB's batch
+    * ASOF JOIN. Works identically on batch frames.
+    *
+    * Times compare in microseconds (timestamps), days→micros (dates), or
+    * as-is (integrals); key/time types may differ between sides as long as
+    * both normalize (e.g. timestamp left vs date dim). Dim rows sharing
+    * (key, time) must be pre-deduplicated (same contract as asofJoin /
+    * DuckDB ASOF). The dim snapshot is taken ONCE per (re)start of the
+    * query — restart the stream to refresh it. */
+  def asofEnrichBroadcast(
+      left: DataFrame,
+      dim: DataFrame,
+      leftTime: String,
+      dimTime: String,
+      leftKey: String,
+      dimKey: String,
+      payloadCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types._
+    require(payloadCols.nonEmpty, "payloadCols must be non-empty")
+
+    def micros(df: DataFrame, c: String): org.apache.spark.sql.Column =
+      df.schema(c).dataType match {
+        case TimestampType => unix_micros(col(c))
+        case TimestampNTZType => unix_micros(col(c).cast("timestamp"))
+        case DateType => unix_date(col(c)).cast("long") * 86400000000L
+        case ByteType | ShortType | IntegerType | LongType => col(c).cast("long")
+        case other => throw new IllegalArgumentException(
+          s"unsupported as-of time type for $c: $other")
+      }
+
+    // dim → driver: per-key time-sorted arrays (the broadcast-dim contract)
+    val dimRows = dim
+      .select(col(dimKey).cast("string").as("__k") +: micros(dim, dimTime).as("__t") +:
+        payloadCols.map(col): _*)
+      .filter(col("__k").isNotNull && col("__t").isNotNull)
+      .collect()
+    val lookup: Map[String, (Array[Long], Array[Array[Any]])] =
+      dimRows.groupBy(_.getString(0)).map { case (k, rows) =>
+        val sorted = rows.sortBy(_.getLong(1))
+        k -> (sorted.map(_.getLong(1)),
+          sorted.map(r => Array.tabulate[Any](payloadCols.length)(i => r.get(i + 2))))
+      }
+    val bc = left.sparkSession.sparkContext.broadcast(lookup)
+
+    val payloadFields = payloadCols.map(c =>
+      dim.schema(c).copy(nullable = true))
+    val outSchema = StructType(left.schema.fields ++ payloadFields)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val nLeft = left.schema.length
+    val nPay = payloadCols.length
+
+    left
+      .withColumn("__k", col(leftKey).cast("string"))
+      .withColumn("__t", micros(left, leftTime))
+      .mapPartitions { rows =>
+        val m = bc.value
+        rows.map { r =>
+          val out = new Array[Any](nLeft + nPay)
+          var i = 0
+          while (i < nLeft) { out(i) = r.get(i); i += 1 }
+          val k = r.getString(nLeft) // __k
+          if (!r.isNullAt(nLeft) && !r.isNullAt(nLeft + 1)) {
+            val t = r.getLong(nLeft + 1) // __t
+            m.get(k).foreach { case (times, pays) =>
+              val pos = java.util.Arrays.binarySearch(times, t)
+              val idx = if (pos >= 0) pos else -pos - 2 // last time <= t
+              if (idx >= 0) {
+                val p = pays(idx)
+                var j = 0
+                while (j < nPay) { out(nLeft + j) = p(j); j += 1 }
+              }
+            }
+          }
+          org.apache.spark.sql.Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
+        }
+      }(enc)
+  }
 }

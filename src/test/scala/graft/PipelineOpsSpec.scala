@@ -1138,3 +1138,52 @@ class IncrementalDropSpec extends SparkSpec {
     assert(kept.columns.toSeq == Seq("id", "text"), "full rows survive")
   }
 }
+
+class AsofEnrichSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.AsofJoin
+
+  private val left = Seq(
+    (1L, 10L, 100L), (2L, 10L, 5L), (3L, 20L, 50L), (4L, 99L, 10L))
+    .toDF("eid", "k", "t")
+  private val dim = Seq(
+    (10L, 3L, "a"), (10L, 100L, "b"), (20L, 50L, "c"))
+    .toDF("k", "t", "pay")
+
+  test("broadcast enrichment agrees with the shuffle as-of join") {
+    val viaJoin = AsofJoin.asofJoin(left, dim, "t", "t", "k", "k", Seq("pay"))
+    val viaBc = AsofJoin.asofEnrichBroadcast(left, dim, "t", "t", "k", "k", Seq("pay"))
+    assert(canon(viaBc) == canon(viaJoin))
+    // semantics spot-check: inclusive equal, before-first -> null, no key -> null
+    val m = viaBc.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(3)) null else r.getString(3))).toMap
+    assert(m == Map(1L -> "b", 2L -> "a", 3L -> "c", 4L -> null))
+    // zero shuffles: the plan has no Exchange at all
+    val plan = viaBc.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"enrichment must be shuffle-free:\n$plan")
+  }
+
+  test("mixed time types normalize: timestamp events vs date dim") {
+    val ev = Seq((1L, java.sql.Timestamp.valueOf("2024-03-15 12:00:00"), 7L))
+      .toDF("eid", "ts", "k")
+    val d = Seq(
+      (7L, java.sql.Date.valueOf("2024-03-15"), "same-day"),
+      (7L, java.sql.Date.valueOf("2024-03-16"), "future"))
+      .toDF("k", "d", "pay")
+    val out = AsofJoin.asofEnrichBroadcast(ev, d, "ts", "d", "k", "k", Seq("pay"))
+    assert(out.select("pay").head.getString(0) == "same-day")
+  }
+
+  test("works over a stream (append mode, no state)") {
+    val src = tmpDir("enrich_src")
+    Seq((1L, 10L, 100L), (2L, 10L, 5L)).toDF("eid", "k", "t")
+      .write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema).parquet(src)
+    val out = graft.streaming.Streams.runToMemory(
+      AsofJoin.asofEnrichBroadcast(stream, dim, "t", "t", "k", "k", Seq("pay")),
+      "enrich_stream_t", outputMode = "append")
+    val m = out.collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(m == Map(1L -> "b", 2L -> "a"))
+  }
+}
