@@ -153,6 +153,21 @@ object Fixtures {
       rows.toDF("doc_id", "payload").coalesce(1).write.mode("overwrite").parquet(dir)
     }
 
+  /** Sample-bearing WAVs (the header-only [[audioDocs]] plus real PCM16
+    * data): sample(i) = ((id·131 + i·31) mod 65536) − 32768, n = id%200+50
+    * — closed-form for the oracle. */
+  def audioPcmDocs(spark: SparkSession, sfDir: String): String =
+    cached("audio_pcm_docs", sfDir) { dir =>
+      import spark.implicits._
+      val ids = table(spark, sfDir, "documents").select("doc_id")
+        .as[Long].collect().sorted
+      val rows = ids.toSeq.map { id =>
+        (id, graft.operators.Multimodal.syntheticWavPcm16(
+          8000, id, (id % 200 + 50).toInt))
+      }
+      rows.toDF("doc_id", "payload").coalesce(1).write.mode("overwrite").parquet(dir)
+    }
+
   /** Video analog of [[mediaDocs]]: one minimal valid MP4 per doc, with
     * dimensions/duration derived from doc_id (timescale 1000 so duration_ms
     * equals the stored duration exactly). */

@@ -954,6 +954,15 @@ object SparkEntry {
 
   /** Real RIFF/WAVE chunk-walk decode; oracle verifies the parse inverts
     * the fixture's construction arithmetic (same pattern as m1). */
+  /** FULL audio payload decode: every PCM16 sample folded into exact
+    * integer sums; the oracle reproduces mean/RMS from the fixture's
+    * closed-form sample arithmetic (same pattern as m4's pixel stats). */
+  private def m5_audio_pcm(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeWavPcmStats(s.read.parquet(Fixtures.audioPcmDocs(s, dir)))
+      .select(col("doc_id"), col("pcm_stats.n_samples"),
+        col("pcm_stats.mean_amp"), col("pcm_stats.rms"))
+      .orderBy("doc_id")
+
   private def m2_audio(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeAudioMeta(s.read.parquet(Fixtures.audioDocs(s, dir)))
       .select(col("doc_id"), col("audio_meta.sample_rate"),
@@ -1233,6 +1242,7 @@ object SparkEntry {
     "m1_multimodal" -> (m1_multimodal _),
     "m4_pixels" -> (m4_pixels _),
     "m2_audio" -> (m2_audio _),
+    "m5_audio_pcm" -> (m5_audio_pcm _),
     "m3_video" -> (m3_video _),
     "st1_stream_window" -> (st1_stream_window _),
     "st2_session" -> (st2_session _),
@@ -1952,6 +1962,14 @@ object SparkEntry {
          CAST(doc_id % 100000 + 1000 AS BIGINT) AS duration_ms,
          'mp4' AS format
          FROM documents ORDER BY doc_id""",
+    "m5_audio_pcm" ->
+      """WITH d AS (SELECT doc_id, doc_id % 200 + 50 AS n FROM documents),
+         s AS (SELECT doc_id, ((doc_id * 131 + i * 31) % 65536) - 32768 AS v
+               FROM d, UNNEST(range(0, n)) AS t(i))
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_amp,
+           SQRT(CAST(SUM(v * v) AS DOUBLE) / COUNT(*)) AS rms
+         FROM s GROUP BY doc_id ORDER BY doc_id""",
     "m2_audio" ->
       """SELECT doc_id,
          CAST(8000 * (doc_id % 3 + 1) AS INT) AS sample_rate,

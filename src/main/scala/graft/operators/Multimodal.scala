@@ -170,6 +170,77 @@ object Multimodal {
       audioHeader(bytes)
         .map { case (sr, ch, bits, n, f) => Row(sr, ch, bits, n, f) }.orNull)
 
+  val pcmStatsType: StructType = StructType(Seq(
+    StructField("n_samples", LongType, nullable = false),
+    StructField("mean_amp", DoubleType, nullable = false),
+    StructField("rms", DoubleType, nullable = false)))
+
+  /** FULL sample decode for 16-bit PCM mono WAV (the audio analog of
+    * [[pngPixelStats]]): walk to the data chunk and fold every sample into
+    * exact integer sums; mean and RMS come from ONE double division (plus
+    * one sqrt) at the end, so the stats hash identically on any engine
+    * that sums the same integers. Strictness over guessing: non-PCM,
+    * multi-channel, non-16-bit, truncated-data, or empty payloads yield
+    * None — tagged undecodable, same policy as every decode here. */
+  def wavPcm16Stats(b: Array[Byte]): Option[(Long, Double, Double)] = {
+    if (b == null || b.length < 20) None
+    else if (!(startsWith(b, 'R', 'I', 'F', 'F') && b.length >= 12 &&
+        new String(b, 8, 4, "US-ASCII") == "WAVE")) None
+    else {
+      var i = 12L
+      var fmtOk = false
+      var dataOff = -1L
+      var dataSize = -1L
+      while (i + 8 <= b.length && (!fmtOk || dataOff < 0)) {
+        val p = i.toInt
+        val id = new String(b, p, 4, "US-ASCII")
+        val sz = le32(b, p + 4).toLong & 0xFFFFFFFFL
+        if (id == "fmt " && sz >= 16 && p + 24 <= b.length)
+          // PCM (audioFormat 1), mono, 16-bit — everything else is None
+          fmtOk = le16(b, p + 8) == 1 && le16(b, p + 10) == 1 && le16(b, p + 22) == 16
+        else if (id == "data") { dataOff = i + 8; dataSize = sz }
+        i += 8L + sz + (sz & 1L)
+      }
+      if (!fmtOk || dataOff < 0 || dataSize < 2 ||
+          dataOff + dataSize > b.length) None // truncated data: undecodable
+      else {
+        val n = dataSize / 2
+        var sum = 0L
+        var sumSq = 0L
+        var j = 0L
+        while (j < n) {
+          val p = (dataOff + 2 * j).toInt
+          val v = (((b(p + 1) & 0xFF) << 8) | (b(p) & 0xFF)).toShort.toLong
+          sum += v; sumSq += v * v
+          j += 1
+        }
+        Some((n, sum.toDouble / n, math.sqrt(sumSq.toDouble / n)))
+      }
+    }
+  }
+
+  /** Batched full-PCM decode; null stats for undecodable payloads. */
+  def decodeWavPcmStats(df: DataFrame, payloadCol: String = "payload",
+      statsCol: String = "pcm_stats"): DataFrame =
+    decodeMeta(df, payloadCol, statsCol, pcmStatsType)(bytes =>
+      wavPcm16Stats(bytes).map { case (n, mean, rms) => Row(n, mean, rms) }.orNull)
+
+  /** A playable mono 16-bit PCM WAV whose samples follow a deterministic
+    * closed form — sample(i) = ((id·131 + i·31) mod 65536) − 32768 — so an
+    * oracle reproduces the decoded statistics with integer arithmetic. */
+  def syntheticWavPcm16(rate: Int, id: Long, n: Int): Array[Byte] = {
+    val header = syntheticWavBytes(rate, 1, 16, n)
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = (((id * 131 + i.toLong * 31) % 65536) - 32768).toShort
+      data(2 * i) = (v & 0xFF).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      i += 1
+    }
+    header ++ data
+  }
+
   val videoMetaType: StructType = StructType(Seq(
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),

@@ -1187,3 +1187,37 @@ class AsofEnrichSpec extends SparkSpec {
     assert(m == Map(1L -> "b", 2L -> "a"))
   }
 }
+
+class WavPcmSpec extends SparkSpec {
+  import graft.operators.Multimodal
+
+  test("PCM16 stats match hand computation and javax.sound's decode") {
+    // two samples: +100, -200 -> mean -50, rms sqrt((10000+40000)/2)
+    val b = Multimodal.syntheticWavBytes(8000, 1, 16, 2) ++
+      Array[Byte](100, 0, (-200 & 0xFF).toByte, ((-200 >> 8) & 0xFF).toByte)
+    val Some((n, mean, rms)) = Multimodal.wavPcm16Stats(b)
+    assert(n == 2 && mean == -50.0 && rms == math.sqrt(25000.0))
+    // cross-validate the synthetic generator against the JDK's own decoder
+    val wav = Multimodal.syntheticWavPcm16(8000, 7L, 57)
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val raw = in.readAllBytes()
+    assert(in.getFormat.getChannels == 1 && in.getFormat.getSampleSizeInBits == 16)
+    assert(raw.length == 57 * 2)
+    val expect0 = (((7L * 131) % 65536) - 32768).toShort
+    val got0 = ((((raw(1) & 0xFF) << 8) | (raw(0) & 0xFF)).toShort)
+    assert(got0 == expect0, s"JDK-decoded first sample $got0 != $expect0")
+  }
+
+  test("undecodable payloads are None: stereo, 24-bit, truncated, header-only") {
+    assert(Multimodal.wavPcm16Stats(
+      Multimodal.syntheticWavBytes(8000, 2, 16, 4)).isEmpty) // stereo
+    assert(Multimodal.wavPcm16Stats(
+      Multimodal.syntheticWavBytes(8000, 1, 24, 4)).isEmpty) // 24-bit
+    // header declares data it does not carry (the m2 fixture's shape)
+    assert(Multimodal.wavPcm16Stats(
+      Multimodal.syntheticWavBytes(8000, 1, 16, 4)).isEmpty)
+    assert(Multimodal.wavPcm16Stats("not audio".getBytes).isEmpty)
+    assert(Multimodal.wavPcm16Stats(null).isEmpty)
+  }
+}
