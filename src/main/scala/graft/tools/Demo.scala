@@ -52,6 +52,27 @@ object Demo {
       .collect().map(_.getString(0)).toSeq
     println(s"[demo] streamed rows: $ns (flags=$flags)")
     require(ns == n, s"stream must see the same pruned rows: $ns != $n")
+
+    // training-data pipeline over the documents table: normalize → dedup
+    // gate → quality heuristics → frequent tokens → balanced sample
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // ingest shape: even ids are the standing corpus (indexed once), odd
+    // ids arrive as a new batch and pass the near-dup gate against it
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 =!= 0)
+    val index = graft.operators.Dedup.minhashIndex(corpus, "doc_id", "text")
+    val kept = graft.operators.Dedup.dropNearDuplicatesAgainst(
+      batch, "doc_id", "text", index, threshold = 0.8)
+    println(s"[demo] ingest gate: ${batch.count()} new docs -> " +
+      s"${kept.count()} kept against a ${corpus.count()}-doc index")
+    val hot = docs.agg(graft.functions.HeavyHitters.heavyHitters(
+        graft.functions.TextFunctions.words(col("text")), 5, 1024).as("hh"))
+      .select(explode(col("hh")).as("h"))
+      .select(col("h.item"), col("h.count")).collect()
+      .map(r => s"${r.getString(0)}:${r.getLong(1)}").mkString(", ")
+    println(s"[demo] top tokens: $hot")
+    val sample = graft.operators.Sampling.sampleByGroup(docs, "lang", "doc_id", 2)
+    println(s"[demo] stratified sample rows: ${sample.count()}")
     spark.stop()
   }
 }
