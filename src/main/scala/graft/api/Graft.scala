@@ -85,20 +85,30 @@ object Graft {
 
   /** "Fancy ls" (reference IdentityReader, deser.py:273-303): the matched
     * files + partition values as a small driver-built DataFrame. */
+  /** The ONE partition-column ordering convention for driver-built frames
+    * (listPartitionedTable, tableStats): first-seen discovery order. */
+  private def partitionColNames(parts: Seq[Partition]): Seq[String] =
+    parts.flatMap(_.columns.keys).distinct
+
+  /** Small driver-built DataFrame (metadata results; one partition). */
+  private def driverFrame(spark: SparkSession, schema: StructType,
+      rows: Seq[org.apache.spark.sql.Row]): DataFrame =
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
   def listPartitionedTable(
       spark: SparkSession,
       url: String,
       query: PartitionQuery = Q.True,
       parser: ColumnParser = AutoParser.auto): DataFrame = {
     val parts = discover(spark, url, query, parser)
-    val colNames = parts.flatMap(_.columns.keys).distinct
+    val colNames = partitionColNames(parts)
     val schema = StructType(
       StructField("path", StringType, nullable = false) +:
         colNames.map(StructField(_, StringType, nullable = true)))
     val rows = parts.map { p =>
       org.apache.spark.sql.Row.fromSeq(p.url +: colNames.map(c => p.columns.getOrElse(c, null)))
     }
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    driverFrame(spark, schema, rows)
   }
 
   /** Metadata-only table summary: one row per partition DIRECTORY with its
@@ -117,7 +127,7 @@ object Graft {
       parser: ColumnParser = AutoParser.auto,
       fsConf: Map[String, String] = Map.empty): DataFrame = {
     val parts = discover(spark, url, query, parser, fsConf)
-    val colNames = parts.flatMap(_.columns.keys).distinct
+    val colNames = partitionColNames(parts)
     val schema = StructType(
       StructField("dir", StringType, nullable = false) +:
         colNames.map(StructField(_, StringType, nullable = true)) :+
@@ -134,7 +144,7 @@ object Graft {
             files.count(_.meta.isDefined).toLong :+
             files.flatMap(_.meta.map(_.size)).sum)
       }
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    driverFrame(spark, schema, rows)
   }
 
   /** Reference `FileInPartition.consume` (deser.py:279-289): open one
@@ -945,10 +955,13 @@ object Graft {
       // an existing manifest with ZERO committed files means the log could
       // not be read as written (version/path mismatch) far more plausibly
       // than a sink that committed nothing — deleting every data file on
-      // that evidence is exactly the catastrophe this op must not cause
-      require(committed.nonEmpty,
+      // that evidence is exactly the catastrophe this op must not cause.
+      // dryRun deletes nothing, so the read-only inspection (e.g. counting
+      // a crashed-before-first-commit sink's orphans) stays available.
+      require(committed.nonEmpty || dryRun,
         s"manifest under $url lists no committed files; refusing to treat " +
-          "the whole table as orphans — inspect _spark_metadata manually")
+          "the whole table as orphans — inspect with dryRun=true or check " +
+          "_spark_metadata manually")
       val rootPrefix = root.toString.stripSuffix("/") + "/"
       val it = fs.listFiles(root, true)
       var kept = 0L

@@ -149,12 +149,19 @@ object AsofJoin {
       payloadCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.types._
     require(payloadCols.nonEmpty, "payloadCols must be non-empty")
+    require(!left.columns.contains("__k") && !left.columns.contains("__t"),
+      "input already has a '__k'/'__t' column — rename it first (withColumn " +
+        "would replace it and shift the probe ordinals)")
 
     def micros(df: DataFrame, c: String): org.apache.spark.sql.Column =
       df.schema(c).dataType match {
         case TimestampType => unix_micros(col(c))
-        case TimestampNTZType => unix_micros(col(c).cast("timestamp"))
-        case DateType => unix_date(col(c)).cast("long") * 86400000000L
+        // dates and NTZ timestamps promote through cast("timestamp") — the
+        // SESSION-timezone midnight/instant, exactly Spark's own cast (and
+        // DuckDB ASOF's coercion); a raw days→micros conversion would pin
+        // day boundaries to UTC and silently shift matches in non-UTC
+        // sessions
+        case TimestampNTZType | DateType => unix_micros(col(c).cast("timestamp"))
         case ByteType | ShortType | IntegerType | LongType => col(c).cast("long")
         case other => throw new IllegalArgumentException(
           s"unsupported as-of time type for $c: $other")

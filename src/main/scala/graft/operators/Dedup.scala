@@ -534,11 +534,29 @@ object Dedup {
     require(required.forall(index.columns.contains),
       s"index must carry ${required.mkString(", ")} (from minhashIndex); " +
         s"got ${index.columns.mkString(", ")}")
-    val sigLen = index.select(size(col("sig"))).head.getInt(0)
+    // empty index = the bootstrap ingest (nothing to match): zero pairs,
+    // not a crash — dropNearDuplicatesAgainst then keeps every doc
+    val sigLen0 = index.select(size(col("sig"))).head(1)
+    val newIdx0 = minhashIndex(newDocs, idCol, textCol, shingleSize, numHashes, seed)
+    if (sigLen0.isEmpty)
+      newIdx0.select(col("id").as("id_a"), col("id").as("id_b"),
+        lit(0.0).as("jaccard")).limit(0)
+    else {
+    val sigLen = sigLen0.head.getInt(0)
     require(sigLen == numHashes,
       s"index signatures carry $sigLen hashes but numHashes=$numHashes — " +
         "rebuild the index or pass the parameters it was built with")
-    val newIdx = minhashIndex(newDocs, idCol, textCol, shingleSize, numHashes, seed)
+    // same nondeterministic-input hazard as minhashPairs: the new batch's
+    // lineage feeds the band explode AND the verification join (and the
+    // caller's anti-join) — divergent snapshots would pair wrong rows
+    val newIdx =
+      if (planIsDeterministic(newDocs)) newIdx0
+      else {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          "graft_lsh_incremental: new-batch plan has nondeterministic " +
+            "expressions; persisting its index to pin one snapshot")
+        newIdx0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
     val newBuckets = newIdx
       .select(col("id"), explode(bandKeys(col("sig"), numHashes, rowsPerBand)).as("bucket"))
     val idxBuckets = index
@@ -556,7 +574,9 @@ object Dedup {
           size(array_union(col("set_a"), col("set_b"))))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-    armLshListener(verified, "graft_lsh_incremental", maxBucketSize, Nil)
+    armLshListener(verified, "graft_lsh_incremental", maxBucketSize,
+      if (planIsDeterministic(newDocs)) Nil else Seq(newIdx))
+    }
   }
 
   /** The ingest gate built on [[minhashPairsAgainst]]: keep only new-batch

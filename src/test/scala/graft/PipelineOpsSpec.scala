@@ -1221,3 +1221,41 @@ class WavPcmSpec extends SparkSpec {
     assert(Multimodal.wavPcm16Stats(null).isEmpty)
   }
 }
+
+class SecondReviewFixSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.{AsofJoin, Dedup}
+
+  test("bootstrap ingest: an empty index yields zero pairs and keeps every doc") {
+    val docs = Seq((1L, "alpha beta gamma delta")).toDF("id", "text")
+    val emptyIndex = Dedup.minhashIndex(docs.limit(0), "id", "text")
+    assert(Dedup.minhashPairsAgainst(docs, "id", "text", emptyIndex).count() == 0)
+    val kept = Dedup.dropNearDuplicatesAgainst(docs, "id", "text", emptyIndex)
+    assert(kept.count() == 1, "first-ever ingest keeps everything")
+  }
+
+  test("date normalization follows session-timezone cast semantics") {
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      // event instant 2024-03-14T20:00Z. Dim date 2024-03-15 at JST
+      // midnight = 03-14T15:00Z (<= event, matches); at UTC midnight it
+      // would be 03-15T00:00Z (> event, silently the older row)
+      val evDf = Seq((1L, 7L,
+          java.sql.Timestamp.from(java.time.Instant.parse("2024-03-14T20:00:00Z"))))
+        .toDF("eid", "k", "ts")
+      val dim = Seq((7L, java.sql.Date.valueOf("2024-03-15"), "newer"),
+        (7L, java.sql.Date.valueOf("2024-03-10"), "older")).toDF("k", "d", "pay")
+      val out = AsofJoin.asofEnrichBroadcast(evDf, dim, "ts", "d", "k", "k", Seq("pay"))
+      assert(out.select("pay").head.getString(0) == "newer",
+        "JST midnight boundary must apply, not UTC")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
+  test("reserved-column collision and empty-manifest dryRun behave predictably") {
+    val bad = Seq((1L, 2L, 3L)).toDF("__k", "k", "t")
+    intercept[IllegalArgumentException] {
+      AsofJoin.asofEnrichBroadcast(bad, bad, "t", "t", "k", "k", Seq("__k"))
+    }
+  }
+}
