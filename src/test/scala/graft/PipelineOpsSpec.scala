@@ -1259,3 +1259,54 @@ class SecondReviewFixSpec extends SparkSpec {
     }
   }
 }
+
+class RandomizedRobustnessSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.api.Graft
+
+  test("compaction preserves rows exactly over randomized two-level trees") {
+    val rnd = new scala.util.Random(2024)
+    for (trial <- 0 until 3) {
+      val nRows = 200 + rnd.nextInt(300)
+      val df = (0 until nRows).map { i =>
+        (i.toLong, s"v${rnd.nextInt(1000)}",
+          s"a${rnd.nextInt(3)}", s"b${rnd.nextInt(2)}")
+      }.toDF("id", "v", "p", "q")
+      val out = tmpDir(s"rand_compact_$trial")
+      Graft.writePartitionedTable(df.repartition(1 + rnd.nextInt(7)), out, Seq("p", "q"))
+      val before = Graft.tableStats(spark, out).collect()
+        .map(r => (r.getLong(r.length - 3), r.getLong(r.length - 1))) // (n_files, bytes)
+      val stats = Graft.compactPartitionedTable(spark, out, targetFileBytes = 1L << 30)
+      // accounting invariants hold regardless of shape
+      assert(stats.filesBefore == before.map(_._1).sum, s"trial $trial")
+      assert(stats.filesAfter <= stats.filesBefore)
+      assert(stats.partitionsCompacted <= stats.partitionsExamined)
+      val back = Graft.readPartitionedTable(spark, out).select("id", "v", "p", "q")
+      assert(canon(back) == canon(df), s"trial $trial rows must survive")
+      // a second pass is always a no-op
+      assert(Graft.compactPartitionedTable(spark, out,
+        targetFileBytes = 1L << 30).partitionsCompacted == 0)
+    }
+  }
+
+  test("Misra-Gries retention guarantee holds on randomized skewed streams") {
+    val rnd = new scala.util.Random(77)
+    for (trial <- 0 until 3) {
+      val n = 3000 + rnd.nextInt(2000)
+      val cap = 20 + rnd.nextInt(30)
+      val hotShare = 3 * n / (cap + 1) // comfortably above the N/(cap+1) bound
+      val data = ((0 until hotShare).map(_ => "HOT") ++
+        (0 until n - hotShare).map(_ => s"t${rnd.nextInt(5000)}"))
+      val df = rnd.shuffle(data).toDF("item").repartition(1 + rnd.nextInt(9))
+      val pairs = df.agg(graft.functions.HeavyHitters
+          .heavyHitters(col("item"), cap, cap).as("hh"))
+        .select(explode(col("hh")).as("h"))
+        .select(col("h.item"), col("h.count"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(pairs.contains("HOT"),
+        s"trial $trial: item with freq 3N/(cap+1) must be retained (cap=$cap n=$n)")
+      // estimates never exceed true counts
+      assert(pairs("HOT") <= hotShare)
+    }
+  }
+}
