@@ -614,11 +614,21 @@ object Dedup {
     * oracle's). A span repeated WITHIN one doc counts once
     * (`array_distinct` before the explode).
     *
-    * Plan: ONE corpus pass builds the exploded span index (O(total
-    * tokens) rows — the unavoidable cost of an exact inverted span
-    * index), one exchange on the span key feeds a whole-partition window
-    * count (no self-join, no second tokenizer pass), then one exchange
-    * back to the doc key for the per-doc rollup. With `hashSpans=true`
+    * Plan: the exploded span index (O(total tokens) rows — the
+    * unavoidable cost of an exact inverted span index) feeds a
+    * partial-aggregated `groupBy(spanKey).count()` whose result is
+    * joined back onto the span rows, then one exchange back to the doc
+    * key for the per-doc rollup. The frequent spans are PRECISELY the
+    * target of the analysis (boilerplate, licenses), so hot keys are
+    * guaranteed — and a count-over-window on the span key would funnel
+    * every occurrence of a hot span into ONE WindowExec partition that
+    * AQE cannot split. Hash aggregation has no such failure mode:
+    * map-side combine emits one partial row per (task, hot key), so the
+    * final aggregate sees O(tasks) rows per span no matter how many
+    * documents share it, and AQE's skew-join handles the hot key on the
+    * join back. The trade is a second tokenizer pass on the count
+    * branch (map-side CPU only, no extra shuffle); callers for whom the
+    * scan dominates can `persist()` the input. With `hashSpans=true`
     * the shuffle key is `xxhash64(span)` instead of the span STRING —
     * at 100 TB that cuts the exchange payload several-fold; the 64-bit
     * collision rate is negligible for counting, but the gate keeps exact
@@ -638,10 +648,12 @@ object Dedup {
           array_distinct(transform(sequence(lit(1), size(col("__w")) - n + 1),
             i => array_join(slice(col("__w"), i, lit(n)), " "))))
         .otherwise(array().cast("array<string>"))).as("span"))
-    val key = if (hashSpans) xxhash64(col("span")) else col("span")
-    val w = Window.partitionBy(key)
-    spans
-      .withColumn("__nd", count(lit(1)).over(w)) // rows per span == distinct docs
+    val keyed = spans.withColumn("__k",
+      if (hashSpans) xxhash64(col("span")) else col("span"))
+    // rows per span == distinct docs (spans are array_distinct'd per doc)
+    val counts = keyed.groupBy(col("__k")).agg(count(lit(1)).as("__nd"))
+    keyed
+      .join(counts, Seq("__k"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("__nd") >= minDocs, 1L).otherwise(0L)).as("n_shared"))

@@ -944,14 +944,19 @@ class SpanStatsSpec extends SparkSpec {
     assert(canon(a) == canon(b))
   }
 
-  test("one corpus scan: window count, no self-join re-tokenization") {
+  test("skew-safe plan: partial-aggregated count joined back, NO window on the span key") {
     val q = Dedup.spanStats(docs, "id", "text", n = 3)
     q.collect()
     val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
-    val scans = "LocalTableScan".r.findAllIn(plan).size
-    assert(scans == 1, s"span index must be built in ONE pass, got $scans:\n$plan")
-    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
-      s"no self-join expected:\n$plan")
+    // A count-over-window on the span key funnels every occurrence of a hot
+    // boilerplate span into ONE WindowExec partition that AQE cannot split;
+    // the skew-safe shape is groupBy(span).count() (map-side combine) joined
+    // back onto the span rows (AQE skew-join splits the hot key).
+    assert(!plan.contains("WindowExec") && !"\\bWindow\\b".r.findFirstIn(plan).isDefined,
+      s"span counting must not use a window:\n$plan")
+    assert(plan.contains("HashAggregate"),
+      s"expected partial-aggregated span count:\n$plan")
+    assert(plan.contains("Join"), s"expected count joined back onto span rows:\n$plan")
   }
 }
 
