@@ -608,14 +608,17 @@ object SparkEntry {
     * nothing. */
   private def d11_dedup_incremental(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
-    val index = Dedup.minhashIndex(d, "doc_id", "text")
+    // round-trip through the persisted index + parameter sidecar — the
+    // production ingest shape (build once, match every later batch)
+    val idxPath = s"/tmp/graft_fixtures/minhash_idx_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    Dedup.minhashIndexWrite(Dedup.minhashIndex(d, "doc_id", "text"), idxPath)
+    val index = Dedup.minhashIndexRead(s, idxPath)
     val seedDocs = d.filter(col("doc_id") < 10)
     val batch = seedDocs
       .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
       .unionByName(seedDocs.select((col("doc_id") + 6000000L).as("doc_id"),
         concat(lit("junka junkb junkc "), col("doc_id").cast("string")).as("text")))
-    val pairs = Dedup.minhashPairsAgainst(batch, "doc_id", "text", index,
-      threshold = 0.8)
+    val pairs = index.pairsAgainst(batch, "doc_id", "text", threshold = 0.8)
     val planted = pairs.filter(col("id_b") === col("id_a") - 5000000L)
     batch.select(col("doc_id").as("new_id"))
       .join(planted.select(col("id_a").as("new_id"), col("jaccard")),

@@ -486,11 +486,11 @@ object Dedup {
   }
 
   /** Persist-ready minhash index of a corpus: (id, shingle_set, sig).
-    * Write it once (e.g. `Graft.writeObject` / parquet) and every later
-    * ingest matches against it with [[minhashPairsAgainst]] — the corpus
-    * text is never re-read or re-shingled. Rebuild only when the hash
-    * parameters change; append new batches' index rows after ingest to
-    * keep it current. */
+    * Write it once with [[minhashIndexWrite]] and every later ingest
+    * matches against it with [[minhashPairsAgainst]] — the corpus text is
+    * never re-read or re-shingled. Rebuild only when the hash parameters
+    * change; append new batches' index rows after ingest to keep it
+    * current. */
   def minhashIndex(
       df: DataFrame,
       idCol: String,
@@ -501,6 +501,135 @@ object Dedup {
     shingleSets(df, idCol, textCol, shingleSize)
       .select(col("id"), col("shingle_set"),
         minhashSignatureFromHashes(col("shingle_set"), numHashes, seed).as("sig"))
+
+  // ---------------------------------------------- persisted minhash index
+
+  /** The hash parameters a minhash index was built with. `numHashes` is
+    * recoverable from a stored signature's length, but `shingleSize` and
+    * `seed` are NOT recoverable from the data — matching with mismatched
+    * values surfaces only as silently low recall, the worst failure mode
+    * there is. [[minhashIndexWrite]] persists all three in a
+    * `_graft_minhash_params.json` sidecar inside the index directory
+    * (underscore prefix: parquet scans ignore it) and
+    * [[minhashIndexRead]] restores them, so matching through the
+    * [[MinhashIndex]] handle cannot mismatch. */
+  final case class MinhashParams(shingleSize: Int, numHashes: Int, seed: Long) {
+    /** Loud per-parameter check against caller-requested values. */
+    def requireMatches(shingleSize: Int, numHashes: Int, seed: Long): Unit = {
+      def die(name: String, stored: Any, requested: Any) = require(false,
+        s"minhash index was built with $name=$stored but the call requests " +
+          s"$name=$requested — a mismatch surfaces as silently low recall; " +
+          "rebuild the index or use the stored parameters")
+      if (this.shingleSize != shingleSize) die("shingleSize", this.shingleSize, shingleSize)
+      if (this.numHashes != numHashes) die("numHashes", this.numHashes, numHashes)
+      if (this.seed != seed) die("seed", this.seed, seed)
+    }
+  }
+
+  /** A persisted minhash index restored by [[minhashIndexRead]]: the index
+    * rows plus the sidecar parameters. Matching through this handle reuses
+    * the stored parameters, so no mismatch is possible and no validation
+    * probe job runs. */
+  final case class MinhashIndex(data: DataFrame, params: MinhashParams) {
+    /** [[Dedup.minhashPairsAgainst]] with the index's own parameters. */
+    def pairsAgainst(
+        newDocs: DataFrame,
+        idCol: String,
+        textCol: String,
+        rowsPerBand: Int = 4,
+        threshold: Double = 0.7,
+        maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+      minhashPairsAgainstImpl(newDocs, idCol, textCol, data,
+        params.shingleSize, params.numHashes, rowsPerBand, threshold,
+        params.seed, maxBucketSize, validateSigLen = false)
+
+    /** [[Dedup.dropNearDuplicatesAgainst]] with the index's own parameters. */
+    def dropNearDuplicates(
+        newDocs: DataFrame,
+        idCol: String,
+        textCol: String,
+        rowsPerBand: Int = 4,
+        threshold: Double = 0.7,
+        maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+      val dupIds = pairsAgainst(newDocs, idCol, textCol, rowsPerBand, threshold, maxBucketSize)
+        .select(col("id_a").as(idCol)).distinct()
+      newDocs.join(dupIds, Seq(idCol), "left_anti")
+    }
+
+    /** Index rows for a batch of new docs, built with the stored
+      * parameters — the rows to append after an ingest admits them. */
+    def rowsFor(newDocs: DataFrame, idCol: String, textCol: String): DataFrame =
+      minhashIndex(newDocs, idCol, textCol,
+        params.shingleSize, params.numHashes, params.seed)
+  }
+
+  /** Sidecar file carrying [[MinhashParams]] inside an index directory. */
+  val MinhashParamsSidecar = "_graft_minhash_params.json"
+
+  /** Persist a [[minhashIndex]] DataFrame as parquet plus the parameter
+    * sidecar. The sidecar is what makes later matching safe: without it,
+    * a caller re-supplying shingleSize/seed from memory can silently
+    * lose recall. `numHashes` is cross-checked against an actual stored
+    * signature (one-row probe; null-sig rows from null-text docs are
+    * skipped) so the sidecar can never disagree with the data. */
+  def minhashIndexWrite(
+      index: DataFrame,
+      path: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      seed: Long = 42L,
+      mode: String = "overwrite"): Unit = {
+    val required = Seq("id", "shingle_set", "sig")
+    require(required.forall(index.columns.contains),
+      s"index must carry ${required.mkString(", ")} (from minhashIndex); " +
+        s"got ${index.columns.mkString(", ")}")
+    index.write.mode(mode).parquet(path)
+    val spark = index.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    val written = spark.read.parquet(path)
+      .filter(col("sig").isNotNull).select(size(col("sig"))).head(1)
+    written.headOption.foreach { r =>
+      require(r.getInt(0) == numHashes,
+        s"index signatures carry ${r.getInt(0)} hashes but the sidecar would " +
+          s"claim numHashes=$numHashes — pass the parameters the index was built with")
+    }
+    val fs = graft.core.Discovery.fileSystemFor(path, conf)
+    val out = fs.create(new org.apache.hadoop.fs.Path(path, MinhashParamsSidecar), true)
+    try out.write(
+      s"""{"shingleSize":$shingleSize,"numHashes":$numHashes,"seed":$seed}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Restore a persisted minhash index and its parameters. Fails loudly
+    * when the sidecar is missing (an index persisted some other way has
+    * unrecoverable shingleSize/seed — rewrite it with
+    * [[minhashIndexWrite]]). `expect` cross-checks caller-remembered
+    * parameters against the stored ones, failing per-parameter. */
+  def minhashIndexRead(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      expect: Option[MinhashParams] = None): MinhashIndex = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = graft.core.Discovery.fileSystemFor(path, conf)
+    val sidecar = new org.apache.hadoop.fs.Path(path, MinhashParamsSidecar)
+    require(fs.exists(sidecar),
+      s"no $MinhashParamsSidecar sidecar at $path — not a graft minhash index " +
+        "(persist with minhashIndexWrite so shingleSize/seed survive)")
+    val in = fs.open(sidecar)
+    val bytes = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+      buf.toByteArray
+    } finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+    Seq("shingleSize", "numHashes", "seed").foreach(f =>
+      require(node.hasNonNull(f), s"$MinhashParamsSidecar at $path lacks field '$f'"))
+    val params = MinhashParams(
+      node.get("shingleSize").asInt, node.get("numHashes").asInt, node.get("seed").asLong)
+    expect.foreach(e => params.requireMatches(e.shingleSize, e.numHashes, e.seed))
+    MinhashIndex(spark.read.parquet(path), params)
+  }
 
   /** Incremental near-duplicate detection: a NEW batch against an EXISTING
     * corpus index (the ingest shape — daily batches must not re-process
@@ -515,10 +644,14 @@ object Dedup {
     * metric as [[minhashPairs]].
     *
     * The index MUST have been built with the same shingleSize/numHashes/
-    * seed — numHashes is verified against the stored signature length
-    * (one index row is read); shingleSize and seed cannot be recovered
-    * from the data, so mismatches there surface as silently low recall:
-    * store the parameters next to the index. */
+    * seed — this raw-DataFrame variant verifies numHashes against the
+    * stored signature length (an EAGER one-row probe job at call time;
+    * null-sig rows from null-text docs are skipped), but shingleSize and
+    * seed cannot be recovered from the data, so mismatches there surface
+    * as silently low recall. Prefer the persisted-index path —
+    * [[minhashIndexWrite]] / [[minhashIndexRead]] then
+    * [[MinhashIndex.pairsAgainst]] — which carries all three parameters
+    * in a sidecar and needs no probe. */
   def minhashPairsAgainst(
       newDocs: DataFrame,
       idCol: String,
@@ -529,23 +662,38 @@ object Dedup {
       rowsPerBand: Int = 4,
       threshold: Double = 0.7,
       seed: Long = 42L,
-      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    minhashPairsAgainstImpl(newDocs, idCol, textCol, index, shingleSize,
+      numHashes, rowsPerBand, threshold, seed, maxBucketSize, validateSigLen = true)
+
+  private def minhashPairsAgainstImpl(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: DataFrame,
+      shingleSize: Int,
+      numHashes: Int,
+      rowsPerBand: Int,
+      threshold: Double,
+      seed: Long,
+      maxBucketSize: Int,
+      validateSigLen: Boolean): DataFrame = {
     val required = Seq("id", "shingle_set", "sig")
     require(required.forall(index.columns.contains),
       s"index must carry ${required.mkString(", ")} (from minhashIndex); " +
         s"got ${index.columns.mkString(", ")}")
-    // empty index = the bootstrap ingest (nothing to match): zero pairs,
-    // not a crash — dropNearDuplicatesAgainst then keeps every doc
-    val sigLen0 = index.select(size(col("sig"))).head(1)
+    if (validateSigLen) {
+      // An empty probe = empty index = the bootstrap ingest (nothing to
+      // match): the main path then yields zero pairs naturally, and
+      // dropNearDuplicatesAgainst keeps every doc.
+      val sigLen0 = index.filter(col("sig").isNotNull).select(size(col("sig"))).head(1)
+      sigLen0.headOption.foreach { r =>
+        require(r.getInt(0) == numHashes,
+          s"index signatures carry ${r.getInt(0)} hashes but numHashes=$numHashes — " +
+            "rebuild the index or pass the parameters it was built with")
+      }
+    }
     val newIdx0 = minhashIndex(newDocs, idCol, textCol, shingleSize, numHashes, seed)
-    if (sigLen0.isEmpty)
-      newIdx0.select(col("id").as("id_a"), col("id").as("id_b"),
-        lit(0.0).as("jaccard")).limit(0)
-    else {
-    val sigLen = sigLen0.head.getInt(0)
-    require(sigLen == numHashes,
-      s"index signatures carry $sigLen hashes but numHashes=$numHashes — " +
-        "rebuild the index or pass the parameters it was built with")
     // same nondeterministic-input hazard as minhashPairs: the new batch's
     // lineage feeds the band explode AND the verification join (and the
     // caller's anti-join) — divergent snapshots would pair wrong rows
@@ -576,7 +724,6 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
     armLshListener(verified, "graft_lsh_incremental", maxBucketSize,
       if (planIsDeterministic(newDocs)) Nil else Seq(newIdx))
-    }
   }
 
   /** The ingest gate built on [[minhashPairsAgainst]]: keep only new-batch
