@@ -609,9 +609,12 @@ object SparkEntry {
   private def d11_dedup_incremental(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     // round-trip through the persisted index + parameter sidecar — the
-    // production ingest shape (build once, match every later batch)
-    val idxPath = s"/tmp/graft_fixtures/minhash_idx_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
-    Dedup.minhashIndexWrite(Dedup.minhashIndex(d, "doc_id", "text"), idxPath)
+    // production ingest shape (build once, match every later batch).
+    // URL-encoding is injective, so distinct fixture dirs can never
+    // collide on the same index path.
+    val idxPath = "/tmp/graft_fixtures/minhash_idx_" +
+      java.net.URLEncoder.encode(dir, "UTF-8")
+    Dedup.minhashIndexBuildAndWrite(d, "doc_id", "text", idxPath)
     val index = Dedup.minhashIndexRead(s, idxPath)
     val seedDocs = d.filter(col("doc_id") < 10)
     val batch = seedDocs

@@ -566,67 +566,118 @@ object Dedup {
   /** Sidecar file carrying [[MinhashParams]] inside an index directory. */
   val MinhashParamsSidecar = "_graft_minhash_params.json"
 
-  /** Persist a [[minhashIndex]] DataFrame as parquet plus the parameter
-    * sidecar. The sidecar is what makes later matching safe: without it,
-    * a caller re-supplying shingleSize/seed from memory can silently
-    * lose recall. `numHashes` is cross-checked against an actual stored
-    * signature (one-row probe; null-sig rows from null-text docs are
-    * skipped) so the sidecar can never disagree with the data. */
+  /** Read the parameter sidecar of an index directory, None when absent. */
+  private def readSidecar(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Option[MinhashParams] = {
+    val sidecar = new org.apache.hadoop.fs.Path(path, MinhashParamsSidecar)
+    if (!fs.exists(sidecar)) None
+    else {
+      val in = fs.open(sidecar)
+      val bytes = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        buf.toByteArray
+      } finally in.close()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+      Seq("shingleSize", "numHashes", "seed").foreach(f =>
+        require(node.hasNonNull(f), s"$MinhashParamsSidecar at $path lacks field '$f'"))
+      Some(MinhashParams(
+        node.get("shingleSize").asInt, node.get("numHashes").asInt,
+        node.get("seed").asLong))
+    }
+  }
+
+  private def writeIndexWithSidecar(index: DataFrame, path: String,
+      params: MinhashParams, mode: String, probeNumHashes: Boolean): Unit = {
+    val required = Seq("id", "shingle_set", "sig")
+    require(required.forall(index.columns.contains),
+      s"index must carry ${required.mkString(", ")} (from minhashIndex); " +
+        s"got ${index.columns.mkString(", ")}")
+    val spark = index.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = graft.core.Discovery.fileSystemFor(path, conf)
+    // Appending onto an existing sidecar-carrying index: the new rows'
+    // parameters must equal the stored ones, or the directory becomes a
+    // mixed-parameter index that the (rewritten) sidecar misdescribes.
+    if (mode == "append")
+      readSidecar(fs, path).foreach(
+        _.requireMatches(params.shingleSize, params.numHashes, params.seed))
+    index.write.mode(mode).parquet(path)
+    if (probeNumHashes) {
+      val written = spark.read.parquet(path)
+        .filter(col("sig").isNotNull).select(size(col("sig"))).head(1)
+      written.headOption.foreach { r =>
+        require(r.getInt(0) == params.numHashes,
+          s"index signatures carry ${r.getInt(0)} hashes but the sidecar would " +
+            s"claim numHashes=${params.numHashes} — pass the parameters the " +
+            "index was built with")
+      }
+    }
+    val out = fs.create(new org.apache.hadoop.fs.Path(path, MinhashParamsSidecar), true)
+    try out.write(
+      s"""{"shingleSize":${params.shingleSize},"numHashes":${params.numHashes},"seed":${params.seed}}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Build a corpus's minhash index AND persist it (parquet + parameter
+    * sidecar) in one call. The sidecar values are by construction the
+    * values the index rows were hashed with — there is no way to write a
+    * wrong sidecar through this API, which is why it is THE recommended
+    * persistence path. Returns the [[MinhashIndex]] handle over the
+    * just-written files (matching reads the persisted parquet, not the
+    * build lineage, so the corpus text is read exactly once — here).
+    * `mode="append"` requires the stored sidecar's parameters to match. */
+  def minhashIndexBuildAndWrite(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      seed: Long = 42L,
+      mode: String = "overwrite"): MinhashIndex = {
+    val params = MinhashParams(shingleSize, numHashes, seed)
+    writeIndexWithSidecar(
+      minhashIndex(df, idCol, textCol, shingleSize, numHashes, seed),
+      path, params, mode, probeNumHashes = false)
+    MinhashIndex(df.sparkSession.read.parquet(path), params)
+  }
+
+  /** Persist a pre-built [[minhashIndex]] DataFrame as parquet plus the
+    * parameter sidecar. DEPRECATED because shingleSize/seed here are
+    * caller-asserted: only `numHashes` can be cross-checked against the
+    * data (one-row probe; null-sig rows from null-text docs are skipped),
+    * so a caller mis-remembering the build's shingleSize or seed writes a
+    * sidecar that blesses silently-low-recall matching — exactly the mode
+    * the sidecar exists to kill. [[minhashIndexBuildAndWrite]] threads the
+    * parameters from the build and cannot mismatch. */
+  @deprecated("use minhashIndexBuildAndWrite, which threads shingleSize/" +
+    "numHashes/seed from the build instead of trusting the caller", "0.9")
   def minhashIndexWrite(
       index: DataFrame,
       path: String,
       shingleSize: Int = 3,
       numHashes: Int = 64,
       seed: Long = 42L,
-      mode: String = "overwrite"): Unit = {
-    val required = Seq("id", "shingle_set", "sig")
-    require(required.forall(index.columns.contains),
-      s"index must carry ${required.mkString(", ")} (from minhashIndex); " +
-        s"got ${index.columns.mkString(", ")}")
-    index.write.mode(mode).parquet(path)
-    val spark = index.sparkSession
-    val conf = spark.sessionState.newHadoopConf()
-    val written = spark.read.parquet(path)
-      .filter(col("sig").isNotNull).select(size(col("sig"))).head(1)
-    written.headOption.foreach { r =>
-      require(r.getInt(0) == numHashes,
-        s"index signatures carry ${r.getInt(0)} hashes but the sidecar would " +
-          s"claim numHashes=$numHashes — pass the parameters the index was built with")
-    }
-    val fs = graft.core.Discovery.fileSystemFor(path, conf)
-    val out = fs.create(new org.apache.hadoop.fs.Path(path, MinhashParamsSidecar), true)
-    try out.write(
-      s"""{"shingleSize":$shingleSize,"numHashes":$numHashes,"seed":$seed}"""
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
+      mode: String = "overwrite"): Unit =
+    writeIndexWithSidecar(index, path,
+      MinhashParams(shingleSize, numHashes, seed), mode, probeNumHashes = true)
 
   /** Restore a persisted minhash index and its parameters. Fails loudly
     * when the sidecar is missing (an index persisted some other way has
     * unrecoverable shingleSize/seed — rewrite it with
-    * [[minhashIndexWrite]]). `expect` cross-checks caller-remembered
-    * parameters against the stored ones, failing per-parameter. */
+    * [[minhashIndexBuildAndWrite]]). `expect` cross-checks caller-
+    * remembered parameters against the stored ones, failing per-parameter. */
   def minhashIndexRead(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       expect: Option[MinhashParams] = None): MinhashIndex = {
     val conf = spark.sessionState.newHadoopConf()
     val fs = graft.core.Discovery.fileSystemFor(path, conf)
-    val sidecar = new org.apache.hadoop.fs.Path(path, MinhashParamsSidecar)
-    require(fs.exists(sidecar),
+    val params = readSidecar(fs, path).getOrElse(throw new IllegalArgumentException(
       s"no $MinhashParamsSidecar sidecar at $path — not a graft minhash index " +
-        "(persist with minhashIndexWrite so shingleSize/seed survive)")
-    val in = fs.open(sidecar)
-    val bytes = try {
-      val buf = new java.io.ByteArrayOutputStream()
-      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
-      buf.toByteArray
-    } finally in.close()
-    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
-    Seq("shingleSize", "numHashes", "seed").foreach(f =>
-      require(node.hasNonNull(f), s"$MinhashParamsSidecar at $path lacks field '$f'"))
-    val params = MinhashParams(
-      node.get("shingleSize").asInt, node.get("numHashes").asInt, node.get("seed").asLong)
+        "(persist with minhashIndexBuildAndWrite so shingleSize/seed survive)"))
     expect.foreach(e => params.requireMatches(e.shingleSize, e.numHashes, e.seed))
     MinhashIndex(spark.read.parquet(path), params)
   }
@@ -773,20 +824,31 @@ object Dedup {
     * map-side combine emits one partial row per (task, hot key), so the
     * final aggregate sees O(tasks) rows per span no matter how many
     * documents share it, and AQE's skew-join handles the hot key on the
-    * join back. The trade is a second tokenizer pass on the count
-    * branch (map-side CPU only, no extra shuffle); callers for whom the
-    * scan dominates can `persist()` the input. With `hashSpans=true`
-    * the shuffle key is `xxhash64(span)` instead of the span STRING —
-    * at 100 TB that cuts the exchange payload several-fold; the 64-bit
-    * collision rate is negligible for counting, but the gate keeps exact
-    * strings so the oracle stays bit-true. */
+    * join back.
+    *
+    * The span frame feeds BOTH branches of that self-join, so with
+    * `persistSpans=true` (default) it is persisted MEMORY_AND_DISK
+    * inside the operator and released after the first completed action
+    * ([[armLshListener]]): the corpus is scanned and tokenized exactly
+    * once, and both branches see one pinned snapshot (a nondeterministic
+    * input lineage cannot diverge between them). `persistSpans=false`
+    * trades storage-memory pressure for a second scan+tokenize pass —
+    * only sensible when executor storage is the scarcer resource — and
+    * is overridden (with a log line) when the input plan carries a
+    * nondeterministic expression, because divergent snapshots would make
+    * the inner join silently drop or miscount rows. With
+    * `hashSpans=true` the shuffle key is `xxhash64(span)` instead of the
+    * span STRING — at 100 TB that cuts the exchange payload several-fold;
+    * the 64-bit collision rate is negligible for counting, but the gate
+    * keeps exact strings so the oracle stays bit-true. */
   def spanStats(
       df: DataFrame,
       idCol: String,
       textCol: String,
       n: Int = 5,
       minDocs: Int = 2,
-      hashSpans: Boolean = false): DataFrame = {
+      hashSpans: Boolean = false,
+      persistSpans: Boolean = true): DataFrame = {
     require(n >= 1, "span length n must be >= 1")
     require(minDocs >= 2, "minDocs must be >= 2 (a span always appears in its own doc)")
     val spans = df
@@ -797,14 +859,25 @@ object Dedup {
         .otherwise(array().cast("array<string>"))).as("span"))
     val keyed = spans.withColumn("__k",
       if (hashSpans) xxhash64(col("span")) else col("span"))
+    val doPersist = persistSpans || {
+      val deterministic = planIsDeterministic(df)
+      if (!deterministic)
+        log.warn("graft_span_stats: input plan has nondeterministic " +
+          "expressions; persisting the span frame to pin one snapshot " +
+          "despite persistSpans=false")
+      !deterministic
+    }
+    if (doPersist) keyed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // rows per span == distinct docs (spans are array_distinct'd per doc)
     val counts = keyed.groupBy(col("__k")).agg(count(lit(1)).as("__nd"))
-    keyed
+    val result = keyed
       .join(counts, Seq("__k"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("__nd") >= minDocs, 1L).otherwise(0L)).as("n_shared"))
       .withColumn("share_ratio",
         col("n_shared").cast("double") / col("n_spans"))
+    if (doPersist) armLshListener(result, "graft_span_stats", 0, Seq(keyed))
+    else result
   }
 }

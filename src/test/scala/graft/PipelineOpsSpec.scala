@@ -1144,6 +1144,92 @@ class IncrementalDropSpec extends SparkSpec {
   }
 }
 
+class MinhashIndexSidecarSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Dedup
+  import graft.operators.Dedup.MinhashParams
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog tonight"),
+    (2L, "spark shuffles partition data across the cluster network"))
+    .toDF("id", "text")
+
+  test("buildAndWrite threads the build's parameters — a wrong sidecar is impossible") {
+    val dir = tmpDir("mh_sidecar_build")
+    // non-default everything: the sidecar must carry THESE, not defaults
+    val written = Dedup.minhashIndexBuildAndWrite(corpus, "id", "text", dir,
+      shingleSize = 5, numHashes = 32, seed = 7L)
+    assert(written.params == MinhashParams(5, 32, 7L))
+    val restored = Dedup.minhashIndexRead(spark, dir)
+    assert(restored.params == MinhashParams(5, 32, 7L))
+    // matching through the handle uses the stored parameters: a verbatim
+    // copy comes back at jaccard exactly 1.0 (wrong shingleSize/seed on
+    // either side would hash different shingle universes and miss it)
+    val batch = Seq((100L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("id", "text")
+    val pairs = restored.pairsAgainst(batch, "id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((100L, 1L, 1.0)), pairs.toSeq.toString)
+  }
+
+  test("expect= mismatch fails loudly, per parameter") {
+    val dir = tmpDir("mh_sidecar_expect")
+    Dedup.minhashIndexBuildAndWrite(corpus, "id", "text", dir,
+      shingleSize = 5, numHashes = 32, seed = 7L)
+    def err(p: MinhashParams): String = intercept[IllegalArgumentException] {
+      Dedup.minhashIndexRead(spark, dir, expect = Some(p))
+    }.getMessage
+    val e1 = err(MinhashParams(3, 32, 7L))
+    assert(e1.contains("shingleSize") && e1.contains("5") && e1.contains("3"), e1)
+    val e2 = err(MinhashParams(5, 64, 7L))
+    assert(e2.contains("numHashes") && e2.contains("32") && e2.contains("64"), e2)
+    val e3 = err(MinhashParams(5, 32, 42L))
+    assert(e3.contains("seed") && e3.contains("7") && e3.contains("42"), e3)
+    // matching expectation passes
+    assert(Dedup.minhashIndexRead(spark, dir,
+      expect = Some(MinhashParams(5, 32, 7L))).params == MinhashParams(5, 32, 7L))
+  }
+
+  test("missing sidecar fails loudly — a bare parquet dir is not an index") {
+    val dir = tmpDir("mh_sidecar_missing")
+    Dedup.minhashIndex(corpus, "id", "text").write.mode("overwrite").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minhashIndexRead(spark, dir)
+    }
+    assert(e.getMessage.contains("_graft_minhash_params.json") &&
+      e.getMessage.contains("minhashIndexBuildAndWrite"), e.getMessage)
+  }
+
+  test("raw write path cross-checks numHashes against a stored signature") {
+    val dir = tmpDir("mh_sidecar_probe")
+    val idx = Dedup.minhashIndex(corpus, "id", "text", numHashes = 32)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minhashIndexWrite(idx, dir, numHashes = 64): @annotation.nowarn
+    }
+    assert(e.getMessage.contains("32") && e.getMessage.contains("64"), e.getMessage)
+  }
+
+  test("append with different parameters is refused before any write") {
+    val dir = tmpDir("mh_sidecar_append")
+    Dedup.minhashIndexBuildAndWrite(corpus, "id", "text", dir,
+      shingleSize = 5, numHashes = 32, seed = 7L)
+    val more = Seq((3L, "completely different content about astronomy and telescopes"))
+      .toDF("id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minhashIndexBuildAndWrite(more, "id", "text", dir,
+        shingleSize = 3, numHashes = 32, seed = 7L, mode = "append")
+    }
+    assert(e.getMessage.contains("shingleSize"), e.getMessage)
+    // the refused append left the index untouched (2 rows) and readable
+    assert(Dedup.minhashIndexRead(spark, dir).data.count() == 2)
+    // a matching append goes through and grows the index
+    Dedup.minhashIndexBuildAndWrite(more, "id", "text", dir,
+      shingleSize = 5, numHashes = 32, seed = 7L, mode = "append")
+    val grown = Dedup.minhashIndexRead(spark, dir)
+    assert(grown.data.count() == 3 && grown.params == MinhashParams(5, 32, 7L))
+  }
+}
+
 class AsofEnrichSpec extends SparkSpec {
   import spark.implicits._
   import graft.operators.AsofJoin
