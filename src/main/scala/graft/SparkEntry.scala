@@ -1082,6 +1082,54 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** STREAMING minhash ingest gate: two micro-batches of new docs flow
+    * through [[graft.streaming.Streams.minhashIngestGate]] against the
+    * corpus's persisted index. Batch 1: verbatim copies of docs 0–9
+    * (dropped) + junk docs (kept, appended to the index). Batch 2: copies
+    * of batch 1's junk — dropped ONLY because batch 1's survivors were
+    * appended, the index-growth leg — + novel docs (kept). File mtimes
+    * pin the micro-batch order (`maxFilesPerTrigger=1`, oldest first);
+    * the oracle replays the same batch-by-batch composition in SQL. */
+  private def st8_stream_ingest_gate(s: SparkSession, dir: String): DataFrame = {
+    val base = "/tmp/graft_fixtures/ingest_gate_" +
+      java.net.URLEncoder.encode(dir, "UTF-8")
+    val conf = s.sessionState.newHadoopConf()
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(conf)
+    fs.delete(basePath, true)
+    val (incoming, idx, surv, cp) =
+      (s"$base/incoming", s"$base/index", s"$base/survivors", s"$base/cp")
+    val seed = t(s, dir, "documents").filter(col("doc_id") < 10)
+      .select(col("doc_id"), col("text"))
+    val b1 = seed.select((col("doc_id") + 5000000L).as("new_id"), col("text"))
+      .unionByName(seed.select((col("doc_id") + 6000000L).as("new_id"),
+        concat(lit("junka junkb junkc "), col("doc_id").cast("string")).as("text")))
+    val b2 = seed.select((col("doc_id") + 7000000L).as("new_id"),
+        concat(lit("junka junkb junkc "), col("doc_id").cast("string")).as("text"))
+      .unionByName(seed.select((col("doc_id") + 8000000L).as("new_id"),
+        concat(lit("novelq novelr novels "), col("doc_id").cast("string")).as("text")))
+    def dataFiles = fs.listStatus(new org.apache.hadoop.fs.Path(incoming))
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+      .map(_.getPath).toSet
+    b1.coalesce(1).write.mode("append").parquet(incoming)
+    val firstFiles = dataFiles
+    b2.coalesce(1).write.mode("append").parquet(incoming)
+    val secondFiles = dataFiles -- firstFiles
+    firstFiles.foreach(p => fs.setTimes(p, 1000000000000L, -1))
+    secondFiles.foreach(p => fs.setTimes(p, 1000000600000L, -1))
+    Dedup.minhashIndexBuildAndWrite(t(s, dir, "documents"), "doc_id", "text", idx)
+    val stream = s.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(incoming)
+    val q = graft.streaming.Streams.minhashIngestGate(stream, "new_id", "text",
+      idx, surv, cp, threshold = 0.8)
+    try q.processAllAvailable() finally q.stop()
+    val kept = s.read.parquet(surv).select(col("new_id"), lit(true).as("kept"))
+    b1.unionByName(b2).select("new_id")
+      .join(kept, Seq("new_id"), "left")
+      .select(col("new_id"), coalesce(col("kept"), lit(false)).as("kept"))
+      .orderBy("new_id")
+  }
+
   private def as1_asof(s: SparkSession, dir: String): DataFrame = {
     val e = Fixtures.events(s, dir).select("event_id", "user_id", "ts")
     // deterministic right side: one order per (custkey, date) — largest key
@@ -1257,6 +1305,7 @@ object SparkEntry {
     "st5_stream_stream_join" -> (st5_stream_stream_join _),
     "st6_stream_partitioned_sink" -> (st6_stream_partitioned_sink _),
     "st7_stream_asof" -> (st7_stream_asof _),
+    "st8_stream_ingest_gate" -> (st8_stream_ingest_gate _),
     "as1_asof" -> (as1_asof _),
     "as2_asof_native" -> (as2_asof_native _),
     "as3_asof_sum" -> (as3_asof_sum _),
@@ -1955,6 +2004,52 @@ object SparkEntry {
          FROM events e ASOF LEFT JOIN r
            ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
          ORDER BY e.event_id""",
+    // replay the gate batch-by-batch: batch 1 gated against the corpus
+    // index, its survivors appended, batch 2 gated against the grown index
+    "st8_stream_ingest_gate" ->
+      """WITH seed AS (SELECT doc_id, text FROM documents WHERE doc_id < 10),
+         b1 AS (
+           SELECT doc_id + 5000000 AS new_id, text FROM seed
+           UNION ALL
+           SELECT doc_id + 6000000,
+                  'junka junkb junkc ' || CAST(doc_id AS VARCHAR) FROM seed),
+         b2 AS (
+           SELECT doc_id + 7000000 AS new_id,
+                  'junka junkb junkc ' || CAST(doc_id AS VARCHAR) AS text FROM seed
+           UNION ALL
+           SELECT doc_id + 8000000,
+                  'novelq novelr novels ' || CAST(doc_id AS VARCHAR) FROM seed),
+         sh1 AS (SELECT new_id,
+                   list_distinct(CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                     ELSE list_transform(range(1, len(ws) - 1),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END) AS s
+                 FROM (SELECT new_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                       FROM b1)),
+         sh2 AS (SELECT new_id,
+                   list_distinct(CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                     ELSE list_transform(range(1, len(ws) - 1),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END) AS s
+                 FROM (SELECT new_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                       FROM b2)),
+         shc AS (SELECT list_distinct(CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                     ELSE list_transform(range(1, len(ws) - 1),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END) AS s
+                 FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS ws
+                       FROM documents)),
+         m1 AS (SELECT DISTINCT a.new_id FROM sh1 a, shc c
+                WHERE CAST(len(list_intersect(a.s, c.s)) AS DOUBLE)
+                  / len(list_distinct(a.s || c.s)) >= 0.8),
+         k1 AS (SELECT new_id, s FROM sh1
+                WHERE new_id NOT IN (SELECT new_id FROM m1)),
+         idx1 AS (SELECT s FROM shc UNION ALL SELECT s FROM k1),
+         m2 AS (SELECT DISTINCT a.new_id FROM sh2 a, idx1 i
+                WHERE CAST(len(list_intersect(a.s, i.s)) AS DOUBLE)
+                  / len(list_distinct(a.s || i.s)) >= 0.8)
+         SELECT new_id,
+           (new_id NOT IN (SELECT new_id FROM m1)
+            AND new_id NOT IN (SELECT new_id FROM m2)) AS kept
+         FROM (SELECT new_id FROM b1 UNION ALL SELECT new_id FROM b2)
+         ORDER BY new_id""",
     "st4_stream_static_join" ->
       """SELECT c_mktsegment, event_type, count(*) AS n,
            CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value

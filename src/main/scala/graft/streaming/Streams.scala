@@ -244,6 +244,91 @@ object Streams {
       .start()
   }
 
+  /** Continuous near-duplicate INGEST GATE: each micro-batch of new
+    * documents is matched against the persisted minhash index at
+    * `indexPath` ([[graft.operators.Dedup.minhashIndexRead]]), batch docs
+    * near-matching the index (exact-jaccard ≥ `threshold` over LSH
+    * candidates) are dropped, the survivors land under
+    * `survivorsPath/batch=<id>/`, and the survivors' index rows are
+    * appended to the index — so a duplicate arriving in a LATER batch is
+    * caught by the earlier batch's admission. The gate is index-only:
+    * near-dups WITHIN one micro-batch both pass (neither was in the index
+    * when the batch was gated) — run a batch [[graft.operators.Dedup
+    * .dropNearDuplicates]] downstream when intra-batch exactness matters.
+    *
+    * Semantics equal the batch composition: folding batches in arrival
+    * order with `dropNearDuplicatesAgainst` + append yields the same
+    * kept/dropped set, which is what the st8 oracle replays in SQL.
+    *
+    * Delivery: the survivors sink is idempotent (per-batch directory,
+    * overwritten on replay), so it is exactly-once under retries. The
+    * index append is at-least-once — a crash between the append and the
+    * batch's commit marker replays the batch and appends the same rows
+    * again — but duplicate index rows are BENIGN for gating: they can
+    * only re-produce the same candidate pairs, never change a decision;
+    * they cost index storage until the next rebuild. Single writer per
+    * index assumed (concurrent gates over one index would race the
+    * append/marker pair).
+    *
+    * 100 TB shape: the corpus text is never re-read — only its index
+    * (ids + shingle sets + signatures) is scanned per batch, and only the
+    * band-key + bucket-join legs of that scan survive pruning; the small
+    * batch side broadcasts under AQE. Per-batch cost is O(index scan), so
+    * size the trigger interval so batches are worth that scan; the
+    * per-batch `minhashIndexRead` also re-reads the (one-file) sidecar.
+    * Parameters live in the index sidecar — the gate cannot mismatch
+    * shingleSize/numHashes/seed by construction. */
+  def minhashIngestGate(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexPath: String,
+      survivorsPath: String,
+      checkpoint: String,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.7,
+      maxBucketSize: Int = graft.operators.Dedup.DefaultMaxBucketSize,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(newDocs.isStreaming, "minhashIngestGate needs a streaming DataFrame")
+    newDocs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val conf = spark.sessionState.newHadoopConf()
+        val fs = Discovery.fileSystemFor(indexPath, conf)
+        // marker carries the checkpoint identity: a REPLAY of this stream
+        // (same checkpoint) is skipped, while a different gate stream
+        // over the same index never collides on batch ids
+        val cpTag = java.lang.Integer.toHexString(checkpoint.hashCode)
+        val marker = new Path(indexPath,
+          f"_graft_ingest_commit_${cpTag}_$batchId%020d")
+        if (fs.exists(marker)) {
+          log.info(s"graft_ingest_gate: batch $batchId already committed; " +
+            "skipping replay")
+        } else {
+          val index = graft.operators.Dedup.minhashIndexRead(spark, indexPath)
+          // three consumers (sink write, index-row build, and the gate's
+          // own anti-join) — persist pins one snapshot and one gate pass
+          val survivors = index.dropNearDuplicates(batch, idCol, textCol,
+              rowsPerBand, threshold, maxBucketSize)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            survivors.write.mode("overwrite")
+              .parquet(survivorsPath.stripSuffix("/") + s"/batch=$batchId")
+            graft.operators.Dedup.minhashIndexBuildAndWrite(
+              survivors, idCol, textCol, indexPath,
+              index.params.shingleSize, index.params.numHashes,
+              index.params.seed, mode = "append")
+            fs.create(marker, true).close()
+          } finally survivors.unpersist(false)
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Run a (finite-source) streaming query to completion into an in-memory
     * table and return its final result. `outputMode` is "complete" for
     * aggregations, "append" for row-wise operators (dedup, filters). */

@@ -1230,6 +1230,94 @@ class MinhashIndexSidecarSpec extends SparkSpec {
   }
 }
 
+class IngestGateSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Dedup
+  import graft.streaming.Streams
+
+  private def writeBatches(incoming: String,
+      batches: Seq[org.apache.spark.sql.DataFrame]): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(incoming).getFileSystem(conf)
+    def dataFiles = fs.listStatus(new org.apache.hadoop.fs.Path(incoming))
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+      .map(_.getPath).toSet
+    batches.zipWithIndex.foldLeft(Set.empty[org.apache.hadoop.fs.Path]) {
+      case (seen, (b, i)) =>
+        b.coalesce(1).write.mode("append").parquet(incoming)
+        val mine = dataFiles -- seen
+        mine.foreach(p => fs.setTimes(p, 1000000000000L + i * 600000L, -1))
+        seen ++ mine
+    }
+    ()
+  }
+
+  private def runGate(incoming: String, idx: String, surv: String,
+      cp: String): Unit = {
+    val schema = spark.read.parquet(incoming).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(incoming)
+    val q = Streams.minhashIngestGate(stream, "id", "text", idx, surv, cp,
+      threshold = 0.5)
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  test("gate drops index dups, keeps novel docs, and grows the index across batches") {
+    val base = tmpDir("ingest_gate")
+    val (incoming, idx, surv, cp) =
+      (s"$base/in", s"$base/idx", s"$base/surv", s"$base/cp")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "spark shuffles partition data across the cluster network"))
+      .toDF("id", "text")
+    Dedup.minhashIndexBuildAndWrite(corpus, "id", "text", idx)
+    val b1 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"), // dup of 1
+      (11L, "completely fresh junk about gardens and architecture today"))
+      .toDF("id", "text")
+    val b2 = Seq(
+      // dup of 11 — caught ONLY because batch 1's survivor was appended
+      (20L, "completely fresh junk about gardens and architecture today"),
+      (21L, "yet another novel doc on astronomy telescopes and stars"))
+      .toDF("id", "text")
+    writeBatches(incoming, Seq(b1, b2))
+    runGate(incoming, idx, surv, cp)
+    val kept = spark.read.parquet(surv).select("id").as[Long].collect().toSet
+    assert(kept == Set(11L, 21L), s"survivors: $kept")
+    // survivors land per-batch: 11 in batch 0's dir, 21 in batch 1's
+    val byBatch = spark.read.parquet(surv).select("batch", "id")
+      .collect().map(r => r.get(0).toString.toInt -> r.getLong(1)).toMap
+    assert(byBatch == Map(0 -> 11L, 1 -> 21L), byBatch.toString)
+    // the index grew by exactly the survivors, same parameters
+    val grown = Dedup.minhashIndexRead(spark, idx)
+    assert(grown.data.select("id").as[Long].collect().toSet == Set(1L, 2L, 11L, 21L))
+    assert(grown.params == Dedup.MinhashParams(3, 64, 42L))
+  }
+
+  test("a replayed batch (markers present, checkpoint lost) is not re-appended") {
+    val base = tmpDir("ingest_gate_replay")
+    val (incoming, idx, surv, cp) =
+      (s"$base/in", s"$base/idx", s"$base/surv", s"$base/cp")
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("id", "text")
+    Dedup.minhashIndexBuildAndWrite(corpus, "id", "text", idx)
+    val b1 = Seq((10L, "totally new content about rivers and mountains here"))
+      .toDF("id", "text")
+    writeBatches(incoming, Seq(b1))
+    runGate(incoming, idx, surv, cp)
+    val after1 = Dedup.minhashIndexRead(spark, idx).data.count()
+    assert(after1 == 2)
+    // lose the checkpoint: the source replays batch 0 from scratch; the
+    // commit marker (keyed by the same checkpoint path) must skip it
+    val conf = spark.sessionState.newHadoopConf()
+    val cpP = new org.apache.hadoop.fs.Path(cp)
+    cpP.getFileSystem(conf).delete(cpP, true)
+    runGate(incoming, idx, surv, cp)
+    assert(Dedup.minhashIndexRead(spark, idx).data.count() == after1,
+      "replayed batch must not re-append index rows")
+    assert(spark.read.parquet(surv).count() == 1)
+  }
+}
+
 class AsofEnrichSpec extends SparkSpec {
   import spark.implicits._
   import graft.operators.AsofJoin
