@@ -27,8 +27,13 @@ final case class CompactionStats(
     bytesCompacted: Long)
 
 /** One manifest-reconcile pass's outcome (see
-  * [[Graft.reconcilePartitionedSink]]). */
-final case class ReconcileStats(committedFiles: Long, orphansDeleted: Long)
+  * [[Graft.reconcilePartitionedSink]]). `inFlightSpared` counts
+  * un-committed files younger than the grace window — possibly a live
+  * writer's in-flight batch — that were left for a later pass. */
+final case class ReconcileStats(
+    committedFiles: Long,
+    orphansDeleted: Long,
+    inFlightSpared: Long = 0L)
 
 /** No leaf files matched the query — mirrors the reference's behavior where
   * an empty concat raises (tests/test_lex_range_query.py:113-114). */
@@ -934,11 +939,26 @@ object Graft {
     * recursive listing, and only un-committed data files are touched —
     * metadata names (`_`/`.`) are never candidates. Run it after a crashed
     * sink restart, or periodically before handing the table to an external
-    * reader. */
+    * reader.
+    *
+    * Active-writer safety: a RUNNING query writes micro-batch files
+    * BEFORE committing them to the manifest, so a concurrent reconcile
+    * would delete in-flight files the imminent commit then points at —
+    * silent data loss. Two guards close that window: deleting reconciles
+    * REFUSE while this session has an active file-sink query on the path
+    * (`dryRun` stays available — it deletes nothing), and files modified
+    * within the last `graceMs` (default 5 min) are never orphan
+    * candidates, which also covers writers in OTHER sessions that the
+    * active-query check cannot see; they are reported as
+    * [[ReconcileStats.inFlightSpared]] and picked up by a later pass once
+    * either committed or aged past the grace window. `graceMs = 0`
+    * restores the unguarded behavior for tables known to have no live
+    * writer anywhere. */
   def reconcilePartitionedSink(
       spark: SparkSession,
       url: String,
-      dryRun: Boolean = false): ReconcileStats =
+      dryRun: Boolean = false,
+      graceMs: Long = 5L * 60 * 1000): ReconcileStats =
     withFs(spark, url, Map.empty) { fs =>
       // no per-call fsConf here ON PURPOSE: the manifest is read through
       // Spark's own FileStreamSinkLog, which resolves the log dir with the
@@ -949,6 +969,23 @@ object Graft {
       val root = fs.makeQualified(new Path(url))
       require(fs.exists(new Path(root, "_spark_metadata")),
         s"no _spark_metadata manifest under $url — not a streaming-sink table")
+      if (!dryRun) {
+        val rootStr = root.toString.stripSuffix("/")
+        def overlaps(p: String): Boolean = {
+          val q = fs.makeQualified(new Path(p)).toString.stripSuffix("/")
+          q == rootStr || q.startsWith(rootStr + "/") || rootStr.startsWith(q + "/")
+        }
+        val conflicting = org.apache.spark.sql.GraftInternals
+          .activeFileSinks(spark)
+          .filter { case (sinkPath, cpRoot) => overlaps(sinkPath) || overlaps(cpRoot) }
+        require(conflicting.isEmpty,
+          s"refusing to reconcile $url: active streaming quer" +
+            s"${if (conflicting.sizeIs > 1) "ies" else "y"} in this session " +
+            s"write${if (conflicting.sizeIs > 1) "" else "s"} to it " +
+            s"(${conflicting.map(_._1).mkString(", ")}) — a running sink's " +
+            "in-flight files look like orphans until its next manifest " +
+            "commit; stop the query or inspect with dryRun=true")
+      }
       val committed = org.apache.spark.sql.GraftInternals
         .sinkManifestFiles(spark, root.toString)
         .map(p => fs.makeQualified(p).toString).toSet
@@ -963,9 +1000,11 @@ object Graft {
           "the whole table as orphans — inspect with dryRun=true or check " +
           "_spark_metadata manually")
       val rootPrefix = root.toString.stripSuffix("/") + "/"
+      val cutoff = System.currentTimeMillis() - math.max(graceMs, 0L)
       val it = fs.listFiles(root, true)
       var kept = 0L
       var orphans = 0L
+      var spared = 0L
       while (it.hasNext) {
         val st = it.next()
         val qualified = fs.makeQualified(st.getPath).toString
@@ -974,13 +1013,14 @@ object Graft {
           .exists(seg => seg.startsWith("_") || seg.startsWith("."))
         if (!hidden) {
           if (committed.contains(qualified)) kept += 1
+          else if (st.getModificationTime > cutoff) spared += 1
           else {
             orphans += 1
             if (!dryRun) fs.delete(st.getPath, false)
           }
         }
       }
-      ReconcileStats(kept, orphans)
+      ReconcileStats(kept, orphans, spared)
     }
 
   // -------------------------------------------------------------- compaction

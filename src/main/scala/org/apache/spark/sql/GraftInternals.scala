@@ -15,6 +15,35 @@ object GraftInternals {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** (sink path, resolved checkpoint root) of every ACTIVE streaming query
+    * in the session that writes through a file sink. The path is recovered
+    * from FileStreamSink's stable `FileSink[<path>]` rendering (the field
+    * itself is private); a sink that ever changes that rendering yields no
+    * entry rather than a wrong one. Only THIS session's queries are
+    * visible — writers in other JVMs must be guarded by other means
+    * (e.g. modification-time grace windows). */
+  def activeFileSinks(spark: SparkSession): Seq[(String, String)] = {
+    import org.apache.spark.sql.execution.streaming.runtime.{StreamExecution, StreamingQueryWrapper}
+    import org.apache.spark.sql.execution.streaming.sinks.FileStreamSink
+    spark.streams.active.toSeq
+      .flatMap {
+        case w: StreamingQueryWrapper => Some(w.streamingQuery)
+        case s: StreamExecution => Some(s)
+        case _ => None
+      }
+      .flatMap { se =>
+        se.sink match {
+          case f: FileStreamSink =>
+            val s = f.toString
+            if (s.startsWith("FileSink[") && s.endsWith("]"))
+              Some((s.stripPrefix("FileSink[").stripSuffix("]"),
+                se.resolvedCheckpointRoot))
+            else None
+          case _ => None
+        }
+      }
+  }
+
   /** Committed data files of a streaming file sink, read from its
     * `_spark_metadata` manifest via Spark's own log reader (compaction
     * batches and deltas handled exactly as the sink wrote them). */

@@ -983,10 +983,16 @@ class StreamsSpec extends SparkSpec {
     java.nio.file.Files.copy(committedFile.toPath, orphan.toPath)
 
     // listing-based read sees the duplicates (the orphan carries both p=a
-    // rows); dryRun counts but keeps it
+    // rows)
     assert(graft.api.Graft.readPartitionedTable(spark, out).count() == 5)
+    // the orphan was JUST written — within the grace window it could be
+    // another writer's in-flight batch, so it is spared and reported
+    val fresh = graft.api.Graft.reconcilePartitionedSink(spark, out)
+    assert(fresh.orphansDeleted == 0 && fresh.inFlightSpared == 1 && orphan.exists())
+    // age it past the grace window: now a true orphan; dryRun counts but keeps
+    assert(orphan.setLastModified(System.currentTimeMillis() - 3600L * 1000))
     val dry = graft.api.Graft.reconcilePartitionedSink(spark, out, dryRun = true)
-    assert(dry.orphansDeleted == 1 && orphan.exists())
+    assert(dry.orphansDeleted == 1 && dry.inFlightSpared == 0 && orphan.exists())
     assert(dry.committedFiles == 2) // one file per partition dir
 
     val real = graft.api.Graft.reconcilePartitionedSink(spark, out)
@@ -1007,6 +1013,31 @@ class StreamsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       graft.api.Graft.reconcilePartitionedSink(spark, plain)
     }
+  }
+
+  test("reconcile refuses while an active query writes to the table; dryRun stays available") {
+    import spark.implicits._
+    val src = tmpDir("recact_src")
+    val out = tmpDir("recact_out") + "/table"
+    val cp = tmpDir("recact_cp")
+    Seq((1L, "a", 1.0)).toDF("id", "p", "v").write.mode("overwrite").parquet(src)
+    val q = graft.streaming.Streams.writePartitionedStream(
+      spark.readStream.schema(spark.read.parquet(src).schema).parquet(src),
+      out, Seq("p"), cp,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(60000))
+    try {
+      q.processAllAvailable() // first batch committed; query stays ACTIVE
+      val e = intercept[IllegalArgumentException] {
+        graft.api.Graft.reconcilePartitionedSink(spark, out)
+      }
+      assert(e.getMessage.contains("active streaming"), e.getMessage)
+      // read-only inspection is allowed mid-stream
+      val dry = graft.api.Graft.reconcilePartitionedSink(spark, out, dryRun = true)
+      assert(dry.orphansDeleted == 0 && dry.committedFiles == 1)
+    } finally q.stop()
+    // stopped writer: the deleting pass goes through (and finds no orphans)
+    val after = graft.api.Graft.reconcilePartitionedSink(spark, out)
+    assert(after.orphansDeleted == 0 && after.committedFiles == 1)
   }
 
   test("heavy-hitters sketch aggregates in streaming complete mode (matches batch counts)") {
