@@ -770,13 +770,21 @@ object SparkEntry {
   }
 
   /** Bigram-LM perplexity over the corpus (trained on itself here; a real
-    * pipeline trains on a held-out quality sample). Not SQL-expressible
-    * (bounded trained model) — rows-only gate; arithmetic is unit-tested
-    * against hand-computed smoothing values. */
+    * pipeline trains on a held-out quality sample). At gate scale the
+    * corpus vocabulary sits far under the model caps, so training is
+    * untruncated and the whole formula IS SQL-expressible: the oracle
+    * re-derives the counts and the add-k smoothing. Scores are quantized
+    * at 1e-6 for cross-engine hashing (ln/exp differ in the last ulp
+    * between engines; the FP spread is ~1e-13, so a 1e-6 quantum is 7
+    * orders of margin) and perplexity is recomputed from the ROUNDED
+    * avg_logprob so the exp amplification cannot straddle a boundary. */
   private def t11_perplexity(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val lm = graft.functions.LanguageModel.train(docs, "text")
     graft.functions.LanguageModel.perplexity(docs, "doc_id", "text", lm)
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("avg_logprob"), 6).as("avg_lp"),
+        round(exp(-round(col("avg_logprob"), 6)), 6).as("ppl"))
       .orderBy("doc_id")
   }
 
@@ -786,11 +794,15 @@ object SparkEntry {
         "doc_id", "text", Seq("agg", "scan", "window"))
       .orderBy("doc_id", "term")
 
-  /** BM25 over the same terms — ln() makes cross-engine hashing unreliable,
-    * so rows-only; the scoring arithmetic is unit-tested by hand. */
+  /** BM25 over the same terms, quantized at 1e-6 for cross-engine hashing:
+    * the oracle mirrors the exact IEEE operation order (literal-by-literal,
+    * so `1.2 + 1` stays a runtime double add in both engines) and the only
+    * cross-engine spread is ln()'s last ulp — ~1e-15 on a ≤3-term sum,
+    * nine orders under the quantum. */
   private def t12b_bm25(s: SparkSession, dir: String): DataFrame =
     graft.operators.Retrieval.bm25(t(s, dir, "documents"),
         "doc_id", "text", Seq("agg", "scan", "window"))
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
       .orderBy("doc_id")
 
   /** Reciprocal-rank fusion of two exact-integer rankings (term frequency
@@ -1877,6 +1889,56 @@ object SparkEntry {
          d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY term)
          SELECT doc_id, term, tf, dl, df FROM p JOIN d USING (term)
          ORDER BY doc_id, term""",
+    // full LM re-derivation: at gate scale no cap truncates, so the
+    // add-k-smoothed bigram model is exactly the corpus counts; scores
+    // quantized at 1e-6, perplexity recomputed from the ROUNDED avg so
+    // exp() cannot amplify the engines' last-ulp ln() spread across a
+    // rounding boundary
+    "t11_perplexity" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                    FROM documents),
+         uni AS (SELECT t, CAST(count(*) AS BIGINT) AS c
+                 FROM (SELECT unnest(ws) AS t FROM w) GROUP BY t),
+         v AS (SELECT count(*) + 1 AS vv FROM uni),
+         docbi AS (SELECT doc_id, ws[i] AS a, ws[i] || ' ' || ws[i+1] AS b
+                   FROM w, UNNEST(range(1, len(ws))) AS t(i)
+                   WHERE len(ws) >= 2),
+         bi AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM docbi GROUP BY b),
+         lp AS (SELECT d.doc_id,
+                  ln((bi.c + 0.1) / (uni.c + 0.1 * v.vv)) AS l
+                FROM docbi d
+                JOIN bi ON bi.b = d.b
+                JOIN uni ON uni.t = d.a
+                CROSS JOIN v),
+         agg AS (SELECT doc_id, sum(l) / count(*) AS avg0 FROM lp GROUP BY doc_id)
+         SELECT w.doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+           round(avg0, 6) AS avg_lp,
+           round(exp(-round(avg0, 6)), 6) AS ppl
+         FROM w LEFT JOIN agg USING (doc_id)
+         ORDER BY w.doc_id""",
+    // mirrors Retrieval.bm25's IEEE operation order literal-by-literal:
+    // (1.2 + 1) and (1 - 0.75) stay runtime double ops so both engines
+    // produce bit-identical constants; only ln() differs (last ulp)
+    "t12b_bm25" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                    FROM documents),
+         d AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM w),
+         tf AS (SELECT doc_id, dl, t.term,
+                  CAST(len(list_filter(ws, x -> x = t.term)) AS BIGINT) AS tf
+                FROM d CROSS JOIN
+                  (SELECT unnest(['agg', 'scan', 'window']) AS term) t),
+         stats AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(dl) AS avgdl FROM d),
+         dfs AS (SELECT term,
+                   CAST(sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df
+                 FROM tf GROUP BY term),
+         contrib AS (SELECT tf.doc_id,
+             ln((stats.n - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0) *
+               (tf.tf * (1.2 + 1)) /
+               (tf.tf + 1.2 * ((1 - 0.75) + 0.75 * tf.dl / stats.avgdl)) AS c
+           FROM tf JOIN dfs USING (term) CROSS JOIN stats
+           WHERE tf.tf > 0)
+         SELECT doc_id, round(sum(c), 6) AS score
+         FROM contrib GROUP BY doc_id ORDER BY doc_id""",
     "t16_sample" ->
       """SELECT doc_id, lang, source FROM (
            SELECT doc_id, lang, source,
