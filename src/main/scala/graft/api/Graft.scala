@@ -1110,6 +1110,30 @@ object Graft {
       }.sortBy(_._1)
       val filesBefore = dirStats.values.map(_._2.toLong).sum
 
+      // csv carries no per-file schema: Spark sizes every row by the FIRST
+      // file it infers from, so a dir straddling a column addition would
+      // silently and PERMANENTLY drop the newer columns from the compacted
+      // files. Guard: the quote-aware field count of each file's first
+      // line must agree, else the dir is refused (rewrite it manually with
+      // an explicit schema). Skipped under multiLine=true, where a first
+      // physical line is not a record. json needs no guard: its inference
+      // scans the data and unions keys, so a straddling dir rewrites under
+      // the union schema (spec-pinned).
+      def csvFirstLineFields(file: String): Int = {
+        val sep = options.getOrElse("sep", options.getOrElse("delimiter", ",")).head
+        val quote = options.getOrElse("quote", "\"").headOption.getOrElse('"')
+        val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+          fs.open(new Path(file)), java.nio.charset.StandardCharsets.UTF_8))
+        val line = try Option(in.readLine()).getOrElse("") finally in.close()
+        var fields = 1
+        var inQuotes = false
+        line.foreach { ch =>
+          if (ch == quote) inQuotes = !inQuotes
+          else if (ch == sep && !inQuotes) fields += 1
+        }
+        fields
+      }
+
       def rewrite(dir: String, desired: Int): Int = {
         val oldFiles = byDir(dir).map(_.url)
         val staging = new Path(dir, s".graft_compact_${UUID.randomUUID().toString.take(8)}")
@@ -1138,6 +1162,20 @@ object Graft {
         staged.length
       }
 
+      // refuse csv schema drift BEFORE any dir rewrites (not mid-pass,
+      // where earlier dirs would already be committed)
+      if (format == "csv" &&
+          !options.get("multiLine").exists(_.equalsIgnoreCase("true"))) {
+        candidates.foreach { case (dir, _, _, _) =>
+          val counts = byDir(dir).map(p => p.url -> csvFirstLineFields(p.url))
+          require(counts.map(_._2).distinct.size <= 1,
+            s"csv files in $dir disagree on field count " +
+              s"(${counts.map { case (f, n) => s"${new Path(f).getName}=$n" }
+                .mkString(", ")}) — compacting would size every row by one " +
+              "file's schema and silently drop the extra columns; rewrite " +
+              "this dir manually with an explicit schema")
+        }
+      }
       if (candidates.isEmpty)
         CompactionStats(dirStats.size, 0, filesBefore, filesBefore, 0L)
       else {

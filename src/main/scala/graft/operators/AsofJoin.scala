@@ -138,7 +138,14 @@ object AsofJoin {
     * both normalize (e.g. timestamp left vs date dim). Dim rows sharing
     * (key, time) must be pre-deduplicated (same contract as asofJoin /
     * DuckDB ASOF). The dim snapshot is taken ONCE per (re)start of the
-    * query — restart the stream to refresh it. */
+    * query — restart the stream to refresh it.
+    *
+    * The dim collects to the DRIVER (that is what makes the operator
+    * stateless and shuffle-free), so it is capped at `maxDimRows`
+    * (default 1M) — exceeding it fails with a clear message instead of
+    * an opaque driver OOM mid-collect; raise it only alongside driver
+    * memory, or use [[asofJoin]]/[[asofJoinNative]], which shuffle and
+    * scale with the cluster instead of the driver. */
   def asofEnrichBroadcast(
       left: DataFrame,
       dim: DataFrame,
@@ -146,12 +153,23 @@ object AsofJoin {
       dimTime: String,
       leftKey: String,
       dimKey: String,
-      payloadCols: Seq[String]): DataFrame = {
+      payloadCols: Seq[String],
+      maxDimRows: Int = 1000000): DataFrame = {
     import org.apache.spark.sql.types._
     require(payloadCols.nonEmpty, "payloadCols must be non-empty")
+    require(maxDimRows >= 1 && maxDimRows < Int.MaxValue,
+      "maxDimRows must be in [1, Int.MaxValue)")
     require(!left.columns.contains("__k") && !left.columns.contains("__t"),
       "input already has a '__k'/'__t' column — rename it first (withColumn " +
         "would replace it and shift the probe ordinals)")
+    // the payload is APPENDED to the left schema: a name collision would
+    // produce a frame with duplicate columns that fails only downstream
+    val resolver = left.sparkSession.sessionState.analyzer.resolver
+    val colliding = payloadCols.filter(p => left.columns.exists(resolver(_, p)))
+    require(colliding.isEmpty,
+      s"payload column(s) ${colliding.mkString(", ")} already exist on the " +
+        "left side — alias them on the dim or drop/rename them on the left " +
+        "so the enriched schema carries each name once")
 
     def micros(df: DataFrame, c: String): org.apache.spark.sql.Column =
       df.schema(c).dataType match {
@@ -167,12 +185,21 @@ object AsofJoin {
           s"unsupported as-of time type for $c: $other")
       }
 
-    // dim → driver: per-key time-sorted arrays (the broadcast-dim contract)
+    // dim → driver: per-key time-sorted arrays (the broadcast-dim contract).
+    // limit(cap + 1) bounds the collect ITSELF — a count-first probe would
+    // cost an extra job and an unguarded collect is exactly the OOM the
+    // cap exists to prevent
     val dimRows = dim
       .select(col(dimKey).cast("string").as("__k") +: micros(dim, dimTime).as("__t") +:
         payloadCols.map(col): _*)
       .filter(col("__k").isNotNull && col("__t").isNotNull)
+      .limit(maxDimRows + 1)
       .collect()
+    require(dimRows.length <= maxDimRows,
+      s"asofEnrichBroadcast dim has more than maxDimRows=$maxDimRows rows — " +
+        "the dim collects to the driver; raise maxDimRows alongside driver " +
+        "memory, shrink the dim (project/filter first), or use asofJoin/" +
+        "asofJoinNative which scale with the cluster")
     val lookup: Map[String, (Array[Long], Array[Array[Any]])] =
       dimRows.groupBy(_.getString(0)).map { case (k, rows) =>
         val sorted = rows.sortBy(_.getLong(1))

@@ -1003,6 +1003,51 @@ class CompactionHardeningSpec extends SparkSpec {
     assert(rows == Map(1L -> null, 2L -> "new"))
   }
 
+  test("csv dirs straddling a column addition are refused, not silently truncated") {
+    val out = tmpDir("compact_csv_evolve")
+    Seq((1L, "a")).toDF("id", "p")
+      .write.mode("overwrite").partitionBy("p").option("header", "true").csv(out)
+    Seq((2L, "a", "new")).toDF("id", "p", "c")
+      .write.mode("append").partitionBy("p").option("header", "true").csv(out)
+    val e = intercept[Exception] {
+      Graft.compactPartitionedTable(spark, out, targetFileBytes = 1L << 30,
+        format = "csv", options = Map("header" -> "true"))
+    }
+    assert(e.getMessage.contains("field count"), e.getMessage)
+    // originals untouched: both files still there
+    assert(new java.io.File(out, "p=a").listFiles()
+      .count(_.getName.endsWith(".csv")) == 2)
+    // uniform csv dirs still compact fine (quote-aware count: embedded
+    // separators inside quotes must not trip the guard)
+    val ok = tmpDir("compact_csv_ok")
+    Seq((1L, "x,y", "a")).toDF("id", "v", "p")
+      .write.mode("overwrite").partitionBy("p").option("header", "true").csv(ok)
+    Seq((2L, "z", "a")).toDF("id", "v", "p")
+      .write.mode("append").partitionBy("p").option("header", "true").csv(ok)
+    val stats = Graft.compactPartitionedTable(spark, ok, targetFileBytes = 1L << 30,
+      format = "csv", options = Map("header" -> "true"))
+    assert(stats.partitionsCompacted == 1)
+    val rows = spark.read.option("header", "true").csv(ok + "/p=a/*.csv")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows == Map("1" -> "x,y", "2" -> "z"))
+  }
+
+  test("json dirs straddling a column addition rewrite under the union schema") {
+    val out = tmpDir("compact_json_evolve")
+    Seq((1L, "a")).toDF("id", "p")
+      .write.mode("overwrite").partitionBy("p").json(out)
+    Seq((2L, "a", "new")).toDF("id", "p", "c")
+      .write.mode("append").partitionBy("p").json(out)
+    val stats = Graft.compactPartitionedTable(spark, out,
+      targetFileBytes = 1L << 30, format = "json")
+    assert(stats.partitionsCompacted == 1)
+    val back = spark.read.json(out + "/p=a/*.json")
+    assert(back.columns.contains("c"), "evolved column must survive json compaction")
+    val rows = back.select("id", "c").collect().map(r =>
+      r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(rows == Map(1L -> null, 2L -> "new"))
+  }
+
   test("a failing rewrite fails loudly after all dirs settle; its originals survive") {
     val df = (0 until 40).map(i => (i.toLong, if (i % 2 == 0) "ok" else "bad"))
       .toDF("id", "p")
@@ -1340,6 +1385,23 @@ class AsofEnrichSpec extends SparkSpec {
     // zero shuffles: the plan has no Exchange at all
     val plan = viaBc.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"enrichment must be shuffle-free:\n$plan")
+  }
+
+  test("oversized dims and payload collisions fail loudly before any work") {
+    // dim over the cap: clear error, not a driver OOM mid-collect
+    val bigDim = spark.range(10).select(col("id").as("k"), col("id").as("t"),
+      lit("x").as("pay"))
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.asofEnrichBroadcast(left, bigDim, "t", "t", "k", "k",
+        Seq("pay"), maxDimRows = 5)
+    }
+    assert(e.getMessage.contains("maxDimRows=5"), e.getMessage)
+    // a payload column name already on the left side cannot ride along
+    val e2 = intercept[IllegalArgumentException] {
+      AsofJoin.asofEnrichBroadcast(left, dim.withColumnRenamed("pay", "eid"),
+        "t", "t", "k", "k", Seq("eid"))
+    }
+    assert(e2.getMessage.contains("eid"), e2.getMessage)
   }
 
   test("mixed time types normalize: timestamp events vs date dim") {
