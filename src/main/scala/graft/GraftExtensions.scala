@@ -86,6 +86,9 @@ object GraftExtensions {
     colIntArgs("simhash64", "graft.functions.SimHash64Expr",
       (c, is) => graft.functions.SimHash64Expr(c,
         intExact("simhash64", "n")(is.head)), 1, 1),
+    colIntArgs("word_spans", "graft.functions.WordSpansExpr",
+      (c, is) => graft.functions.WordSpansExpr(c,
+        intExact("word_spans", "n")(is.head)), 1, 1),
     colIntArgs("minhash_sig", "graft.functions.MinhashSignatureExpr",
       (c, is) => graft.functions.MinhashSignatureExpr(c,
         intExact("minhash_sig", "numHashes")(is.head),

@@ -812,35 +812,52 @@ object Dedup {
     * oracle's). A span repeated WITHIN one doc counts once
     * (`array_distinct` before the explode).
     *
-    * Plan: the exploded span index (O(total tokens) rows — the
-    * unavoidable cost of an exact inverted span index) feeds a
-    * partial-aggregated `groupBy(spanKey).count()` whose result is
-    * joined back onto the span rows, then one exchange back to the doc
-    * key for the per-doc rollup. The frequent spans are PRECISELY the
-    * target of the analysis (boilerplate, licenses), so hot keys are
-    * guaranteed — and a count-over-window on the span key would funnel
-    * every occurrence of a hot span into ONE WindowExec partition that
-    * AQE cannot split. Hash aggregation has no such failure mode:
-    * map-side combine emits one partial row per (task, hot key), so the
-    * final aggregate sees O(tasks) rows per span no matter how many
-    * documents share it, and AQE's skew-join handles the hot key on the
-    * join back.
+    * Plan — one pass over the span index, NO full-frame join, bounded
+    * state on every key. The frequent spans are PRECISELY the target of
+    * the analysis (boilerplate, licenses), so hot keys are guaranteed;
+    * a count-over-window on the span key would funnel every occurrence
+    * of a hot span into ONE WindowExec partition that AQE cannot split,
+    * and the obvious fix (count per span, join back onto the span rows)
+    * re-shuffles the ENTIRE exploded frame a second time and — worse —
+    * invites AQE to broadcast the O(distinct spans) count side, which is
+    * a driver OOM at scale (observed at a 10× replication of sf0.1).
+    * Instead the attribution is inverted:
     *
-    * The span frame feeds BOTH branches of that self-join, so with
-    * `persistSpans=true` (default) it is persisted MEMORY_AND_DISK
-    * inside the operator and released after the first completed action
-    * ([[armLshListener]]): the corpus is scanned and tokenized exactly
-    * once, and both branches see one pinned snapshot (a nondeterministic
-    * input lineage cannot diverge between them). `persistSpans=false`
-    * trades storage-memory pressure for a second scan+tokenize pass —
-    * only sensible when executor storage is the scarcer resource — and
-    * is overridden (with a log line) when the input plan carries a
-    * nondeterministic expression, because divergent snapshots would make
-    * the inner join silently drop or miscount rows. With
-    * `hashSpans=true` the shuffle key is `xxhash64(span)` instead of the
-    * span STRING — at 100 TB that cuts the exchange payload several-fold;
-    * the 64-bit collision rate is negligible for counting, but the gate
-    * keeps exact strings so the oracle stays bit-true. */
+    *  1. `n_spans` per doc is just `size(spans)` — computed BEFORE the
+    *     explode, no aggregation at all.
+    *  2. One `groupBy(spanKey)` computes the exact doc-count per span
+    *     AND enough doc ids to reconstruct every NON-shared span's
+    *     complete doc set: `min`/`max` for `minDocs <= 3` (pure codegen'd
+    *     HashAggregate), a [[graft.functions.CappedCollect]] of at most
+    *     `minDocs` ids otherwise — either way bounded aggregation state
+    *     per key (a span shared by 10M docs still ships O(1) values),
+    *     map-side combined.
+    *  3. Spans with `count < minDocs` (NOT shared) have, by that very
+    *     count, a COMPLETE capped list; exploding those lists and
+    *     re-counting by doc id yields each doc's non-shared span count,
+    *     and `n_shared = n_spans - n_nonshared`. Shared (hot) spans
+    *     never attribute back at all — the skew evaporates instead of
+    *     being handled.
+    *
+    * Every shuffle is a partial-aggregated id-only stream (no span
+    * strings cross an exchange except the one groupBy on the span key);
+    * the final join is doc-level × doc-level. With `hashSpans=true` the
+    * span key itself is `xxhash64(span)` instead of the string — at
+    * 100 TB that cuts the one remaining wide exchange several-fold; the
+    * 64-bit collision rate is negligible for counting, but the gate
+    * keeps exact strings so the oracle stays bit-true.
+    *
+    * The per-doc span frame feeds BOTH the `n_spans` projection and the
+    * span-key aggregate, so with `persistSpans=true` (default) it is
+    * persisted MEMORY_AND_DISK inside the operator and released after
+    * the first completed action ([[armLshListener]]): the corpus is
+    * scanned and tokenized exactly once, and both branches see one
+    * pinned snapshot (a nondeterministic input lineage cannot diverge
+    * between them). `persistSpans=false` trades storage-memory pressure
+    * for a second scan+tokenize pass — only sensible when executor
+    * storage is the scarcer resource — and is overridden (with a log
+    * line) when the input plan carries a nondeterministic expression,
+    * because divergent snapshots would silently miscount. */
   def spanStats(
       df: DataFrame,
       idCol: String,
@@ -851,14 +868,14 @@ object Dedup {
       persistSpans: Boolean = true): DataFrame = {
     require(n >= 1, "span length n must be >= 1")
     require(minDocs >= 2, "minDocs must be >= 2 (a span always appears in its own doc)")
-    val spans = df
-      .select(col(idCol), TextFunctions.words(col(textCol)).as("__w"))
-      .select(col(idCol), explode(when(size(col("__w")) >= n,
-          array_distinct(transform(sequence(lit(1), size(col("__w")) - n + 1),
-            i => array_join(slice(col("__w"), i, lit(n)), " "))))
-        .otherwise(array().cast("array<string>"))).as("span"))
-    val keyed = spans.withColumn("__k",
-      if (hashSpans) xxhash64(col("span")) else col("span"))
+    // fused codegen'd kernel, NOT the composable words+transform+array_join
+    // form: Catalyst HOFs are interpreted (no codegen) and
+    // InferFiltersFromGenerate clones them into a pushed-down interpreted
+    // Filter — measured ~25× slower than the kernel on this exact path
+    val perDoc = df
+      .select(col(idCol),
+        graft.functions.WordSpansExpr(col(textCol), n).as("__spans"))
+      .withColumn("n_spans", size(col("__spans")).cast("long"))
     val doPersist = persistSpans || {
       val deterministic = planIsDeterministic(df)
       if (!deterministic)
@@ -867,17 +884,46 @@ object Dedup {
           "despite persistSpans=false")
       !deterministic
     }
-    if (doPersist) keyed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // rows per span == distinct docs (spans are array_distinct'd per doc)
-    val counts = keyed.groupBy(col("__k")).agg(count(lit(1)).as("__nd"))
-    val result = keyed
-      .join(counts, Seq("__k"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_spans"),
-        sum(when(col("__nd") >= minDocs, 1L).otherwise(0L)).as("n_shared"))
+    if (doPersist) perDoc.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keyed = perDoc
+      .select(col(idCol), explode(col("__spans")).as("span"))
+      .withColumn("__k", if (hashSpans) xxhash64(col("span")) else col("span"))
+    // Rows per (span, doc) are distinct (array_distinct'd per doc), so the
+    // count per key is the exact doc frequency. Non-shared spans have
+    // count < minDocs, so recovering ALL their doc ids needs at most
+    // minDocs-1 values per key. For minDocs <= 3 the min/max order
+    // statistics ARE that complete set (nd==1 -> min==max, nd==2 -> both),
+    // and min/max/count stay inside whole-stage-codegen'd HashAggregate;
+    // larger minDocs falls back to the bounded (but interpreted)
+    // capped_collect buffer. Both shapes carry O(1) state per key.
+    val nonShared = (if (minDocs <= 3) {
+        keyed.groupBy(col("__k")).agg(
+            count(lit(1)).as("__nd"),
+            min(col(idCol)).as("__d1"), max(col(idCol)).as("__d2"))
+          .filter(col("__nd") < minDocs)
+          .select(explode(array_distinct(array(col("__d1"), col("__d2"))))
+            .as(idCol))
+      } else {
+        keyed.groupBy(col("__k")).agg(
+            count(lit(1)).as("__nd"),
+            graft.functions.CappedCollect.cappedCollect(col(idCol), minDocs)
+              .as("__docs"))
+          .filter(col("__nd") < minDocs)
+          .select(explode(col("__docs")).as(idCol))
+      })
+      .groupBy(col(idCol)).agg(count(lit(1)).as("__n_uniq"))
+    // the doc-length exclusion (docs shorter than n carry no span) applies
+    // on the doc-level branch only — explode drops empty arrays for free,
+    // and filtering perDoc itself would make Catalyst clone the span kernel
+    // into a pushed-down predicate, re-evaluating it per row
+    val result = perDoc.select(col(idCol), col("n_spans"))
+      .filter(col("n_spans") >= 1L)
+      .join(nonShared, Seq(idCol), "left")
+      .select(col(idCol), col("n_spans"),
+        (col("n_spans") - coalesce(col("__n_uniq"), lit(0L))).as("n_shared"))
       .withColumn("share_ratio",
         col("n_shared").cast("double") / col("n_spans"))
-    if (doPersist) armLshListener(result, "graft_span_stats", 0, Seq(keyed))
+    if (doPersist) armLshListener(result, "graft_span_stats", 0, Seq(perDoc))
     else result
   }
 }

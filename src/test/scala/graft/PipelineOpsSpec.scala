@@ -944,19 +944,145 @@ class SpanStatsSpec extends SparkSpec {
     assert(canon(a) == canon(b))
   }
 
-  test("skew-safe plan: partial-aggregated count joined back, NO window on the span key") {
+  test("skew-safe plan: ONE bounded span aggregate, NO window, NO full-frame join-back") {
     val q = Dedup.spanStats(docs, "id", "text", n = 3)
     q.collect()
     val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
     // A count-over-window on the span key funnels every occurrence of a hot
     // boilerplate span into ONE WindowExec partition that AQE cannot split;
-    // the skew-safe shape is groupBy(span).count() (map-side combine) joined
-    // back onto the span rows (AQE skew-join splits the hot key).
+    // the skew-safe shape is ONE groupBy(span) with O(1) per-key state
+    // (count + min/max for minDocs<=3, map-side combined, codegen'd),
+    // non-shared spans exploded back to doc ids, and a doc-level join.
     assert(!plan.contains("WindowExec") && !"\\bWindow\\b".r.findFirstIn(plan).isDefined,
       s"span counting must not use a window:\n$plan")
     assert(plan.contains("HashAggregate"),
-      s"expected partial-aggregated span count:\n$plan")
-    assert(plan.contains("Join"), s"expected count joined back onto span rows:\n$plan")
+      s"expected codegen'd hash aggregate on the span key:\n$plan")
+    assert(!plan.contains("ObjectHashAggregate"),
+      s"minDocs<=3 must stay on the codegen'd min/max path:\n$plan")
+    assert(plan.contains("Join"), s"expected doc-level rollup join:\n$plan")
+  }
+
+  test("minDocs > 3 dispatches to the bounded capped-collect aggregate, same answers") {
+    val many = Seq(
+      (1L, "s s s t1 one"), (2L, "s s s t2 two"), (3L, "s s s t3 three"),
+      (4L, "s s s t4 four"), (5L, "s s s t5 five"),
+      (6L, "u v w x y")).toDF("id", "text")
+    val q = Dedup.spanStats(many, "id", "text", n = 3, minDocs = 4)
+    val rows = q.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // "s s s" appears in docs 1-5 (>=4) -> shared; every other span is rarer
+    assert((1L to 5L).forall(d => rows(d)._2 == 1L),
+      s"each of docs 1-5 shares exactly the 's s s' span: $rows")
+    assert(rows(6L)._2 == 0L)
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("ObjectHashAggregate") && plan.contains("capped_collect"),
+      s"minDocs>3 must use the capped-collect path:\n$plan")
+    assert(!plan.contains("WindowExec"), s"no window on the span key:\n$plan")
+  }
+}
+
+class WordSpansSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.{TextFunctions, WordSpansExpr}
+
+  // the composable reference formulation the kernel must match bit-exactly
+  private def composed(text: org.apache.spark.sql.Column, n: Int) = {
+    val w = TextFunctions.words(text)
+    when(size(w) >= n,
+        array_distinct(transform(sequence(lit(1), size(w) - n + 1),
+          i => array_join(slice(w, i, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  test("fused kernel matches the composed HOF formulation on hostile whitespace") {
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a a a a a a",                       // within-doc repeats dedup
+      "  leading and trailing spaces  ",
+      "\ttab\tstart and end\t",            // spark trim strips SPACES only
+      "multi   spacevt\ffeed mixed\r\nnewline tokens here",
+      "", "   ", "\t", "short doc",        // empty / space-only / sub-n
+      "exactly three tokens",
+      "x   nbsp is not regex whitespace y z w v") // \s misses U+00A0
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val fused = docs.select(col("id"), WordSpansExpr(col("text"), n).as("s"))
+      val ref = docs.select(col("id"), composed(col("text"), n).as("s"))
+      assert(canon(fused) == canon(ref), s"kernel diverges from HOF form at n=$n")
+    }
+  }
+
+  test("randomized parity sweep") {
+    val rng = new scala.util.Random(7)
+    val alphabet = Seq("a", "bb", "ccc", " ", "\t", "  ", "\n")
+    val docs = (0L until 300L).map { i =>
+      (i, (0 until rng.nextInt(30)).map(_ => alphabet(rng.nextInt(alphabet.size))).mkString)
+    }.toDF("id", "text")
+    val fused = docs.select(col("id"), WordSpansExpr(col("text"), 3).as("s"))
+    val ref = docs.select(col("id"), composed(col("text"), 3).as("s"))
+    assert(canon(fused) == canon(ref))
+  }
+
+  test("word_spans is SQL-registered") {
+    graft.GraftExtensions.register(spark)
+    Seq((1L, "a b c d")).toDF("id", "text").createOrReplaceTempView("ws_t")
+    val out = spark.sql("SELECT word_spans(text, 2) AS s FROM ws_t")
+      .collect().head.getSeq[String](0)
+    assert(out == Seq("a b", "b c", "c d"))
+  }
+}
+
+class CappedCollectSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.CappedCollect.cappedCollect
+
+  private val pairs = Seq(
+    ("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L), ("a", 5L),
+    ("b", 10L), ("b", 11L),
+    ("c", 7L)).toDF("g", "id")
+
+  test("groups at or under the cap collect their COMPLETE value set") {
+    val out = pairs.groupBy("g")
+      .agg(cappedCollect(col("id"), 3).as("ids"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) ->
+        (r.getSeq[Long](1).toSet, r.getLong(2))).toMap
+    assert(out("b") == ((Set(10L, 11L), 2L)))
+    assert(out("c") == ((Set(7L), 1L)))
+  }
+
+  test("groups over the cap retain exactly cap elements, all genuine members") {
+    val out = pairs.groupBy("g")
+      .agg(cappedCollect(col("id"), 3).as("ids"))
+      .filter(col("g") === "a")
+      .collect().head.getSeq[Long](1)
+    assert(out.size == 3, s"cap must bound the buffer, got $out")
+    assert(out.toSet.subsetOf(Set(1L, 2L, 3L, 4L, 5L)))
+  }
+
+  test("cap bounds state under any partitioning (merge path) and skips nulls") {
+    val wide = spark.range(10000)
+      .select((col("id") % 7).cast("string").as("g"),
+        when(col("id") % 13 === 0, lit(null)).otherwise(col("id")).as("id"))
+      .repartition(17)
+    val out = wide.groupBy("g").agg(cappedCollect(col("id"), 5).as("ids"))
+      .collect()
+    assert(out.forall(_.getSeq[Long](1).size == 5))
+    assert(out.forall(_.getSeq[Long](1).forall(_ % 13 != 0)), "nulls must be skipped")
+  }
+
+  test("string ids round-trip through serialize/merge") {
+    val df = spark.range(500)
+      .select(lit("g").as("g"), concat(lit("doc_"), col("id")).as("id"))
+      .repartition(11)
+    val out = df.groupBy("g").agg(cappedCollect(col("id"), 4).as("ids"))
+      .collect().head.getSeq[String](1)
+    assert(out.size == 4 && out.forall(_.startsWith("doc_")))
+  }
+
+  test("unsupported element types are rejected at analysis") {
+    val err = intercept[Exception] {
+      pairs.groupBy("g").agg(cappedCollect(col("id").cast("double"), 3)).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("capped_collect"))
   }
 }
 
