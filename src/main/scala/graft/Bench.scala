@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Per-round benchmark: headline queries on SPARK_GRAFT_SF_DIR (default
   * sf0.1), one JSON line on stdout. Fixture materialization (partitioned
@@ -20,6 +21,44 @@ object Bench {
     "t3_tokens", "as1_asof", "as2_asof_native", "as3_asof_sum",
     "d8_decontam", "t9_pack", "t12b_bm25", "t15_heavyhitters",
     "d10_span_stats")
+
+  /** Queries measured on the replicated corpus for the scaling slope —
+    * the shuffle-heavy pipeline shapes whose 100 TB behavior a plan read
+    * alone cannot quantify. All five are also in [[headline]], so their
+    * 1× time is the main set's median (no extra 1× passes). */
+  val scaleSet: Seq[String] = Seq(
+    "d2_dedup_minhash", "d10_span_stats", "t9_pack", "d8_decontam",
+    "q6_window")
+
+  /** Materialize a `factor`×-replicated copy of the tables the scale set
+    * reads (documents, lineitem). Replicas get disjoint ids AND
+    * per-replica token suffixes: a verbatim replica corpus would make
+    * every doc a cross-replica near-duplicate, turning LSH buckets
+    * quadratic BY CONSTRUCTION and measuring an artifact instead of
+    * scale-out. With disjoint replicas each one carries the original
+    * corpus's internal dup structure and the work should scale ~linearly.
+    * Untimed fixture scaffolding (same policy as the layout fixtures). */
+  def buildScaledDir(spark: SparkSession, sfDir: String, factor: Int): String = {
+    val out = s"/tmp/graft_bench_scale_${factor}x_" +
+      java.net.URLEncoder.encode(sfDir, "UTF-8")
+    val reps = spark.range(factor).select(col("id").as("__r"))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.crossJoin(reps)
+      .select(
+        (col("doc_id") + col("__r") * 100000000L).as("doc_id"),
+        when(col("__r") === 0, col("text"))
+          .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("$1_r"), col("__r")))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    li.crossJoin(reps)
+      .withColumn("l_suppkey", col("l_suppkey") + col("__r") * 10000000L)
+      .withColumn("l_orderkey", col("l_orderkey") + col("__r") * 10000000L)
+      .drop("__r")
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    out
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -77,7 +116,37 @@ object Bench {
     }.mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
     val total = results.collect { case (_, m, _) if m >= 0 => m }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"passes":$passes,"failed":$failed,"sf":"$sfDir"}""")
+
+    // scaling-slope leg: the same query fns on a factor×-replicated dir,
+    // one timed run each (code paths are JIT-warm from the main passes).
+    // slope = tN / (t1 · factor): ~1 linear, <1 fixed costs amortizing,
+    // >1 super-linear — a red flag worth a plan read.
+    val scaleFactor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val scaleJson =
+      if (scaleFactor <= 1) "null"
+      else {
+        val scaledDir = buildScaledDir(spark, sfDir, scaleFactor)
+        spark.catalog.clearCache()
+        val entries = scaleSet.map { name =>
+          val t1 = results.collectFirst { case (`name`, m, _) => m }.getOrElse(-1.0)
+          // best of 2: a single pass at N× conflates JIT/page-cache warmup
+          // with the scaling signal (observed: q6 single-pass slope 1.39 vs
+          // warm 1.08 on the same data)
+          val times = (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            val n = try SparkEntry.queries(name)(spark, scaledDir).count()
+              catch { case _: Throwable => -1L }
+            spark.catalog.clearCache()
+            if (n < 0) -1.0 else (System.nanoTime() - t0) / 1e9
+          }
+          val tN = if (times.contains(-1.0)) -1.0 else times.min
+          if (tN < 0) { System.err.println(s"[bench] scale $name FAILED"); "\"" + name + "\":null" }
+          else if (t1 <= 0) "\"" + name + "\":null"
+          else f""""$name":{"t1":$t1%.3f,"tN":$tN%.3f,"slope":${tN / (t1 * scaleFactor)}%.2f}"""
+        }
+        s"""{"factor":$scaleFactor,"queries":${entries.mkString("{", ",", "}")}}"""
+      }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"passes":$passes,"failed":$failed,"scale":$scaleJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
