@@ -98,7 +98,31 @@ object GraftExtensions {
     colIntArgs("heavy_hitters", "graft.functions.MisraGriesAgg",
       (c, is) => graft.functions.MisraGriesAgg(c,
         intExact("heavy_hitters", "topK")(is.head),
-        if (is.length > 1) intExact("heavy_hitters", "capacity")(is(1)) else 4096), 1, 2))
+        if (is.length > 1) intExact("heavy_hitters", "capacity")(is(1)) else 4096), 1, 2),
+    // aggregate with a fractional parameter: kll_quantile(col, k, q)
+    (FunctionIdentifier("kll_quantile"),
+      new ExpressionInfo("graft.functions.KllQuantilesAgg", "kll_quantile"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "kll_quantile expects (column, k literal int, q literal double)")
+        import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+        val k = children(1) match {
+          case Literal(v: Int, _) => v
+          case Literal(v: Long, _) => intExact("kll_quantile", "k")(v)
+          case other => throw new IllegalArgumentException(
+            s"kll_quantile expects a literal integer k, got $other")
+        }
+        val q = children(2) match {
+          case Literal(v: java.math.BigDecimal, _) => v.doubleValue()
+          case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+          case Literal(v: Double, _) => v
+          case Literal(v: Int, _) => v.toDouble
+          case other => throw new IllegalArgumentException(
+            s"kll_quantile expects a literal numeric q, got $other")
+        }
+        graft.functions.KllQuantilesAgg(
+          Cast(children.head, org.apache.spark.sql.types.DoubleType), k, Seq(q))
+      }))
 
   /** Register on a live session (equivalent to having built it with the
     * extensions class). */

@@ -835,6 +835,22 @@ object SparkEntry {
         col("h.item").as("item"), col("h.count").as("n"))
       .orderBy("rk")
 
+  /** Quantiles of document length via the KLL mergeable sketch
+    * ([[graft.functions.KllQuantilesAgg]]). k=8192 exceeds the doc count at
+    * gate scale, so no compactor ever fires, the sketch holds every value,
+    * and the interpolated result EXACTLY equals quantile_cont — pinning the
+    * update, serialize, merge and rank-inversion paths against the oracle
+    * (the same exact-regime trick as t15's Misra-Gries gate). */
+  private def t17_quantile_sketch(s: SparkSession, dir: String): DataFrame = {
+    val qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    t(s, dir, "documents")
+      .agg(graft.functions.KllSketch.kllQuantiles(col("n_chars"), 8192, qs).as("qv"))
+      .select(posexplode(col("qv")).as(Seq("i", "v")))
+      .select(element_at(typedlit(qs), col("i").cast("int") + 1).as("q"),
+        round(col("v"), 6).as("v"))
+      .orderBy("q")
+  }
+
   /** Deterministic stratified sample: 5 docs per source, selected by salted
     * md5 order — both engines agree on the hash, so the exact same rows
     * come out of DuckDB (and would out of any md5-capable engine). */
@@ -1302,6 +1318,7 @@ object SparkEntry {
     "t14_normalize" -> (t14_normalize _),
     "t15_heavyhitters" -> (t15_heavyhitters _),
     "t16_sample" -> (t16_sample _),
+    "t17_quantile_sketch" -> (t17_quantile_sketch _),
     "t14b_normalize_fold" -> (t14b_normalize_fold _),
     "e1_quantize" -> (e1_quantize _),
     "e2_l2norm" -> (e2_l2norm _),
@@ -1946,6 +1963,14 @@ object SparkEntry {
                ORDER BY md5('s1' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
            FROM documents) t
          WHERE rk <= 5 ORDER BY source, doc_id""",
+    "t17_quantile_sketch" ->
+      """SELECT CAST(0.1 AS DOUBLE) AS q, round(quantile_cont(n_chars, 0.1), 6) AS v FROM documents
+         UNION ALL SELECT CAST(0.25 AS DOUBLE), round(quantile_cont(n_chars, 0.25), 6) FROM documents
+         UNION ALL SELECT CAST(0.5 AS DOUBLE), round(quantile_cont(n_chars, 0.5), 6) FROM documents
+         UNION ALL SELECT CAST(0.75 AS DOUBLE), round(quantile_cont(n_chars, 0.75), 6) FROM documents
+         UNION ALL SELECT CAST(0.9 AS DOUBLE), round(quantile_cont(n_chars, 0.9), 6) FROM documents
+         UNION ALL SELECT CAST(0.99 AS DOUBLE), round(quantile_cont(n_chars, 0.99), 6) FROM documents
+         ORDER BY q""",
     "t15_heavyhitters" ->
       """WITH w AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS item
                     FROM documents

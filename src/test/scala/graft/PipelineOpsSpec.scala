@@ -980,6 +980,81 @@ class SpanStatsSpec extends SparkSpec {
   }
 }
 
+class KllSketchSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.KllSketch.{kllQuantile, kllQuantiles}
+
+  private val qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+
+  /** Reference continuous quantile (quantile_cont / numpy linear). */
+  private def contQuantile(sorted: Array[Double], q: Double): Double = {
+    val t = q * (sorted.length - 1)
+    val lo = sorted(math.floor(t).toInt)
+    val hi = sorted(math.ceil(t).toInt)
+    lo + (t - math.floor(t)) * (hi - lo)
+  }
+
+  test("exact regime (k >= n): matches quantile_cont bit-exactly, any partitioning") {
+    val rng = new scala.util.Random(11)
+    val data = Array.fill(500)(rng.nextDouble() * 1000 - 500)
+    val expected = { val s = data.sorted; qs.map(contQuantile(s, _)) }
+    for (parts <- Seq(1, 7)) {
+      val got = data.toSeq.toDF("v").repartition(parts)
+        .agg(kllQuantiles(col("v"), 1024, qs).as("qv"))
+        .collect().head.getSeq[Double](0)
+      assert(got == expected, s"exact regime must be bit-exact at parts=$parts")
+    }
+  }
+
+  test("compacting regime: rank error within the sketch bound") {
+    val n = 100000
+    val rng = new scala.util.Random(23)
+    val data = Array.fill(n)(rng.nextGaussian())
+    val sorted = data.sorted
+    val got = data.toSeq.toDF("v").repartition(16)
+      .agg(kllQuantiles(col("v"), 256, qs).as("qv"))
+      .collect().head.getSeq[Double](0)
+    qs.zip(got).foreach { case (q, v) =>
+      // observed rank of the returned value vs target rank, as a fraction
+      val rank = sorted.count(_ <= v).toDouble / n
+      assert(math.abs(rank - q) < 0.02,
+        f"q=$q: returned value has rank $rank%.4f (err ${math.abs(rank - q)}%.4f)")
+    }
+  }
+
+  test("merge tree invariance stays inside the bound (not bit-identical)") {
+    val n = 50000
+    val data = (0 until n).map(_.toDouble)
+    val a = data.toDF("v").repartition(1)
+      .agg(kllQuantile(col("v"), 128, 0.5)).collect().head.getDouble(0)
+    val b = data.toDF("v").repartition(31)
+      .agg(kllQuantile(col("v"), 128, 0.5)).collect().head.getDouble(0)
+    assert(math.abs(a - n / 2.0) / n < 0.03 && math.abs(b - n / 2.0) / n < 0.03,
+      s"both merge trees must land near the true median: $a, $b")
+  }
+
+  test("grouped aggregation, nulls and NaNs skipped, empty group null") {
+    val df = Seq(
+      ("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)), ("a", None),
+      ("b", Some(Double.NaN)), ("b", Some(10.0))).toDF("g", "v")
+    val out = df.groupBy("g").agg(kllQuantile(col("v"), 64, 0.5).as("med"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("a") == 2.0)
+    assert(out("b") == 10.0)
+    val empty = df.filter(col("g") === "zzz")
+      .agg(kllQuantile(col("v"), 64, 0.5)).collect().head
+    assert(empty.isNullAt(0))
+  }
+
+  test("kll_quantile is SQL-registered; integer columns cast") {
+    graft.GraftExtensions.register(spark)
+    spark.range(101).createOrReplaceTempView("kll_t")
+    val out = spark.sql("SELECT kll_quantile(id, 256, 0.5) AS med FROM kll_t")
+      .collect().head.getDouble(0)
+    assert(out == 50.0)
+  }
+}
+
 class WordSpansSpec extends SparkSpec {
   import spark.implicits._
   import graft.functions.{TextFunctions, WordSpansExpr}
