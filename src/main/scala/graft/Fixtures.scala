@@ -136,6 +136,25 @@ object Fixtures {
       rows.toDF("doc_id", "payload").coalesce(1).write.mode("overwrite").parquet(dir)
     }
 
+  /** Full-JPEG analog of [[pngPixelDocs]]: one COMPLETE deterministic
+    * baseline JPEG per doc (real Annex-K Huffman entropy data, byte
+    * stuffing, DC-only frequency-domain construction so decode is exact),
+    * dims and grayscale/4:4:4-color rotation derived from doc_id so the
+    * oracle reproduces the decoded per-channel stats in closed form. */
+  def jpegPixelDocs(spark: SparkSession, sfDir: String): String =
+    cached("jpeg_pixel_docs", sfDir) { dir =>
+      import spark.implicits._
+      val ids = table(spark, sfDir, "documents").select("doc_id")
+        .as[Long].collect().sorted
+      val rows = ids.toSeq.map { id =>
+        val w = (id % 13).toInt + 4
+        val h = (id % 11).toInt + 4
+        (id, graft.operators.Multimodal.syntheticJpegDcBytes(id, w, h,
+          color = id % 2 == 1))
+      }
+      rows.toDF("doc_id", "payload").coalesce(1).write.mode("overwrite").parquet(dir)
+    }
+
   /** Audio analog of [[mediaDocs]]: one valid WAV header per doc, with
     * rate/channels/bits/sample-count derived from doc_id so the oracle can
     * verify the byte-level parse inverts the construction arithmetic. */

@@ -986,6 +986,20 @@ object SparkEntry {
         col("col.std").as("std"))
       .orderBy("doc_id", "channel")
 
+  /** FULL baseline-JPEG decode (real Huffman entropy decode + IDCT, JDK
+    * only): the fixture encodes flat DC-only blocks with an all-8s quant
+    * table, so the lossy pipeline is exact by construction and the oracle
+    * rebuilds the decoded per-channel stats from the closed-form block
+    * values (odd docs are 4:4:4 color with flat chroma → R=G=B=Y). */
+  private def m6_jpeg_pixels(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeJpegPixels(s.read.parquet(Fixtures.jpegPixelDocs(s, dir)))
+      .select(col("doc_id"), col("pixel_stats.width"), col("pixel_stats.height"),
+        posexplode(arrays_zip(col("pixel_stats.mean"), col("pixel_stats.std"))))
+      .select(col("doc_id"), col("width"), col("height"),
+        col("pos").as("channel"), round(col("col.mean"), 6).as("mean"),
+        round(col("col.std"), 6).as("std"))
+      .orderBy("doc_id", "channel")
+
   /** Real RIFF/WAVE chunk-walk decode; oracle verifies the parse inverts
     * the fixture's construction arithmetic (same pattern as m1). */
   /** FULL audio payload decode: every PCM16 sample folded into exact
@@ -1324,6 +1338,7 @@ object SparkEntry {
     "e2_l2norm" -> (e2_l2norm _),
     "m1_multimodal" -> (m1_multimodal _),
     "m4_pixels" -> (m4_pixels _),
+    "m6_jpeg_pixels" -> (m6_jpeg_pixels _),
     "m2_audio" -> (m2_audio _),
     "m5_audio_pcm" -> (m5_audio_pcm _),
     "m3_video" -> (m3_video _),
@@ -2197,6 +2212,27 @@ object SparkEntry {
              CAST(SUM(v*v) AS DOUBLE) / (width * height) -
              (CAST(SUM(v) AS DOUBLE) / (width * height)) *
              (CAST(SUM(v) AS DOUBLE) / (width * height)), 0)) AS std
+         FROM px GROUP BY doc_id, width, height, channel
+         ORDER BY doc_id, channel""",
+    "m6_jpeg_pixels" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(doc_id % 13 + 4 AS INT) AS width,
+             CAST(doc_id % 11 + 4 AS INT) AS height,
+             CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS INT) AS nc
+           FROM documents),
+         px AS (SELECT d.doc_id, d.width, d.height, c.c AS channel,
+               CAST(16 + (d.doc_id + (x.x // 8) * 3 + (y.y // 8) * 5) % 224 AS BIGINT) AS v
+             FROM d,
+               generate_series(0, 15) AS x(x),
+               generate_series(0, 13) AS y(y),
+               generate_series(0, 2) AS c(c)
+             WHERE x.x < d.width AND y.y < d.height AND c.c < d.nc)
+         SELECT doc_id, width, height, CAST(channel AS INT) AS channel,
+           round(CAST(SUM(v) AS DOUBLE) / (width * height), 6) AS mean,
+           round(sqrt(GREATEST(
+             CAST(SUM(v*v) AS DOUBLE) / (width * height) -
+             (CAST(SUM(v) AS DOUBLE) / (width * height)) *
+             (CAST(SUM(v) AS DOUBLE) / (width * height)), 0)), 6) AS std
          FROM px GROUP BY doc_id, width, height, channel
          ORDER BY doc_id, channel""",
     "st1_stream_window" ->

@@ -456,6 +456,344 @@ object Multimodal {
       }
     }
 
+  // ----------------------------------------------------- JPEG pixel decode
+
+  /** Zigzag position → natural (row-major) coefficient index. */
+  private val ZigZag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Stack-trace-free control-flow throwable: malformed/unsupported entropy
+    * data unwinds to the `None` fallback without the fill-in cost. */
+  private object JpegFormat extends RuntimeException("malformed jpeg") {
+    override def fillInStackTrace(): Throwable = this
+  }
+
+  /** JPEG entropy bit reader with 0xFF00 unstuffing; any bare marker inside
+    * entropy data throws (restart markers are consumed byte-aligned by the
+    * MCU loop, never through here). */
+  private final class JpegBits(b: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var n = 0
+    def bit(): Int = {
+      if (n == 0) {
+        if (pos >= b.length) throw JpegFormat
+        val v = b(pos) & 0xFF; pos += 1
+        if (v == 0xFF) {
+          if (pos >= b.length) throw JpegFormat
+          if ((b(pos) & 0xFF) == 0x00) pos += 1 // stuffed data byte
+          else throw JpegFormat
+        }
+        acc = v; n = 8
+      }
+      n -= 1
+      (acc >> n) & 1
+    }
+    def receive(t: Int): Int = {
+      var v = 0; var i = 0
+      while (i < t) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    def byteAlign(): Unit = n = 0
+  }
+
+  /** Canonical Huffman table (ITU T.81 F.2.2.3 sequential decode). */
+  private final class JpegHuff(counts: Array[Int], vals: Array[Int]) {
+    private val mincode = new Array[Int](17)
+    private val maxcode = new Array[Int](17)
+    private val valptr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0; var l = 1
+      while (l <= 16) {
+        valptr(l) = k; mincode(l) = code
+        code += counts(l - 1); k += counts(l - 1)
+        maxcode(l) = code - 1
+        code <<= 1
+        l += 1
+      }
+    }
+    def decode(br: JpegBits): Int = {
+      var code = 0; var l = 1
+      while (l <= 16) {
+        code = (code << 1) | br.bit()
+        if (counts(l - 1) > 0 && code <= maxcode(l))
+          return vals(valptr(l) + code - mincode(l))
+        l += 1
+      }
+      throw JpegFormat
+    }
+  }
+
+  /** ITU T.81 F.2.2.1 EXTEND: map a t-bit magnitude to its signed value. */
+  private def jpegExtend(v: Int, t: Int): Int =
+    if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+  /** Separable 2-D IDCT basis: IdctCos(x)(u) = C(u)/2 · cos((2x+1)uπ/16). */
+  private val IdctCos: Array[Array[Double]] = Array.tabulate(8, 8) { (x, u) =>
+    val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+    0.5 * cu * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+  }
+
+  /** Dequantized natural-order coefficients → level-shifted clamped samples. */
+  private def idct8x8(coef: Array[Int], out: Array[Int]): Unit = {
+    val tmp = new Array[Double](64)
+    var v = 0
+    while (v < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0; var u = 0
+        while (u < 8) { s += IdctCos(x)(u) * coef(v * 8 + u); u += 1 }
+        tmp(v * 8 + x) = s
+        x += 1
+      }
+      v += 1
+    }
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0; var vv = 0
+        while (vv < 8) { s += IdctCos(y)(vv) * tmp(vv * 8 + x); vv += 1 }
+        val p = math.round(s).toInt + 128
+        out(y * 8 + x) = if (p < 0) 0 else if (p > 255) 255 else p
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Full baseline JPEG pixel decode — ONLY the JDK, no codec library:
+    * marker walk (DQT/DHT/SOF0/SOS/DRI, APPn/COM skipped) → canonical
+    * Huffman entropy decode with 0xFF00 unstuffing and byte-aligned restart
+    * markers → dequantize in zigzag order → separable double-precision IDCT
+    * with round + level shift + clamp → per-channel mean and population
+    * stddev over the w×h crop (MCU padding excluded). 3-component scans
+    * convert YCbCr→RGB (ITU round-half-up on the standard coefficients).
+    *
+    * Supported: sequential baseline (SOF0), 8-bit, 1 or 3 components, NO
+    * chroma subsampling (all sampling factors 1×1 — the 4:4:4 and grayscale
+    * bulk cases). Progressive (SOF2), arithmetic coding, 12-bit, and
+    * subsampled scans return None — callers tag `undecodable` and fall
+    * back rather than guessing, same contract as [[pngPixelStats]]. Sums
+    * are exact 64-bit integers, so the stats are deterministic and
+    * SQL-reproducible. */
+  def jpegPixelStats(b: Array[Byte]): Option[(Int, Int, Int, Array[Double], Array[Double])] = {
+    if (b == null || b.length < 4 ||
+        (b(0) & 0xFF) != 0xFF || (b(1) & 0xFF) != 0xD8) return None
+    try {
+      val quantZig = new Array[Array[Int]](4) // zigzag order, as stored
+      val dcTabs = new Array[JpegHuff](4)
+      val acTabs = new Array[JpegHuff](4)
+      var w = 0; var h = 0; var nComp = 0
+      var compQ: Array[Int] = null
+      var compIds: Array[Int] = null
+      var restartInterval = 0
+      var scanDc: Array[Int] = null
+      var scanAc: Array[Int] = null
+      var pos = 2
+      var sosAt = -1
+      while (sosAt < 0) {
+        // skip fill bytes, expect a marker
+        while (pos < b.length && (b(pos) & 0xFF) != 0xFF) return None
+        while (pos < b.length && (b(pos) & 0xFF) == 0xFF) pos += 1
+        if (pos >= b.length) return None
+        val marker = b(pos) & 0xFF; pos += 1
+        marker match {
+          case 0xD9 => return None // EOI before any scan
+          case m if m >= 0xD0 && m <= 0xD7 => // RST outside a scan: ignore
+          case 0xC0 => // baseline SOF
+            val len = be16(b, pos)
+            if (u8(b, pos + 2) != 8) return None // 12-bit precision
+            h = be16(b, pos + 3); w = be16(b, pos + 5)
+            nComp = u8(b, pos + 7)
+            if ((nComp != 1 && nComp != 3) || w <= 0 || h <= 0 ||
+                w.toLong * h * nComp >= (1L << 28)) return None
+            compIds = new Array[Int](nComp)
+            compQ = new Array[Int](nComp)
+            var c = 0
+            while (c < nComp) {
+              compIds(c) = u8(b, pos + 8 + c * 3)
+              if (u8(b, pos + 9 + c * 3) != 0x11) return None // subsampled
+              compQ(c) = u8(b, pos + 10 + c * 3)
+              c += 1
+            }
+            pos += len
+          case m if (m >= 0xC1 && m <= 0xCF) && m != 0xC4 && m != 0xC8 && m != 0xCC =>
+            return None // progressive / arithmetic / hierarchical SOF
+          case 0xC4 => // DHT: one or more tables
+            val len = be16(b, pos)
+            var p = pos + 2
+            while (p < pos + len) {
+              val tc = u8(b, p) >> 4; val th = u8(b, p) & 0x0F
+              if (tc > 1 || th > 3) return None
+              val counts = Array.tabulate(16)(i => u8(b, p + 1 + i))
+              val total = counts.sum
+              val vals = Array.tabulate(total)(i => u8(b, p + 17 + i))
+              val tab = new JpegHuff(counts, vals)
+              if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
+              p += 17 + total
+            }
+            pos += len
+          case 0xDB => // DQT: one or more tables (8-bit only)
+            val len = be16(b, pos)
+            var p = pos + 2
+            while (p < pos + len) {
+              val pq = u8(b, p) >> 4; val tq = u8(b, p) & 0x0F
+              if (pq != 0 || tq > 3) return None
+              quantZig(tq) = Array.tabulate(64)(i => u8(b, p + 1 + i))
+              p += 65
+            }
+            pos += len
+          case 0xDD => // DRI
+            restartInterval = be16(b, pos + 2)
+            pos += be16(b, pos)
+          case 0xDA => // SOS
+            val len = be16(b, pos)
+            val ns = u8(b, pos + 2)
+            if (ns != nComp) return None
+            scanDc = new Array[Int](nComp)
+            scanAc = new Array[Int](nComp)
+            var c = 0
+            while (c < ns) {
+              val cid = u8(b, pos + 3 + c * 2)
+              val idx = compIds.indexOf(cid)
+              if (idx < 0) return None
+              scanDc(idx) = u8(b, pos + 4 + c * 2) >> 4
+              scanAc(idx) = u8(b, pos + 4 + c * 2) & 0x0F
+              c += 1
+            }
+            sosAt = pos + len
+          case _ => // APPn / COM / others: length-skip
+            pos += be16(b, pos)
+        }
+      }
+      if (w == 0) return None
+      var c = 0
+      while (c < nComp) {
+        if (quantZig(compQ(c)) == null || dcTabs(scanDc(c)) == null ||
+            acTabs(scanAc(c)) == null) return None
+        c += 1
+      }
+      val bw = (w + 7) / 8; val bh = (h + 7) / 8
+      val planeW = bw * 8
+      val planes = Array.fill(nComp)(new Array[Int](planeW * bh * 8))
+      val br = new JpegBits(b, sosAt)
+      val dcPred = new Array[Int](nComp)
+      val coef = new Array[Int](64)
+      val block = new Array[Int](64)
+      var mcu = 0
+      val nMcus = bw * bh
+      while (mcu < nMcus) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          br.byteAlign()
+          if (br.pos + 1 >= b.length || (b(br.pos) & 0xFF) != 0xFF ||
+              ((b(br.pos + 1) & 0xFF) < 0xD0 || (b(br.pos + 1) & 0xFF) > 0xD7))
+            throw JpegFormat
+          br.pos += 2
+          java.util.Arrays.fill(dcPred, 0)
+        }
+        val bx = mcu % bw; val by = mcu / bw
+        c = 0
+        while (c < nComp) {
+          java.util.Arrays.fill(coef, 0)
+          val q = quantZig(compQ(c))
+          val t = dcTabs(scanDc(c)).decode(br)
+          if (t > 15) throw JpegFormat
+          dcPred(c) += jpegExtend(br.receive(t), t)
+          coef(0) = dcPred(c) * q(0)
+          var k = 1
+          var eob = false
+          while (k < 64 && !eob) {
+            val rs = acTabs(scanAc(c)).decode(br)
+            val r = rs >> 4; val s = rs & 0x0F
+            if (s == 0) {
+              if (r == 15) k += 16 else eob = true // ZRL vs EOB
+            } else {
+              k += r
+              if (k > 63) throw JpegFormat
+              coef(ZigZag(k)) = jpegExtend(br.receive(s), s) * q(k)
+              k += 1
+            }
+          }
+          idct8x8(coef, block)
+          val plane = planes(c)
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            while (xx < 8) {
+              plane((by * 8 + yy) * planeW + bx * 8 + xx) = block(yy * 8 + xx)
+              xx += 1
+            }
+            yy += 1
+          }
+          c += 1
+        }
+        mcu += 1
+      }
+      // stats over the w×h crop; 3-component scans convert YCbCr→RGB
+      val channels = nComp
+      val sum = new Array[Long](channels)
+      val sumSq = new Array[Long](channels)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = y * planeW + x
+          if (nComp == 1) {
+            val v = planes(0)(p)
+            sum(0) += v; sumSq(0) += v.toLong * v
+          } else {
+            val yv = planes(0)(p); val cb = planes(1)(p) - 128; val cr = planes(2)(p) - 128
+            def clamp(d: Double): Int = {
+              val r = math.round(d).toInt
+              if (r < 0) 0 else if (r > 255) 255 else r
+            }
+            val rv = clamp(yv + 1.402 * cr)
+            val gv = clamp(yv - 0.344136 * cb - 0.714136 * cr)
+            val bv = clamp(yv + 1.772 * cb)
+            sum(0) += rv; sumSq(0) += rv.toLong * rv
+            sum(1) += gv; sumSq(1) += gv.toLong * gv
+            sum(2) += bv; sumSq(2) += bv.toLong * bv
+          }
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      val mean = new Array[Double](channels)
+      val std = new Array[Double](channels)
+      c = 0
+      while (c < channels) {
+        mean(c) = sum(c).toDouble / n
+        std(c) = math.sqrt(math.max(sumSq(c).toDouble / n - mean(c) * mean(c), 0.0))
+        c += 1
+      }
+      Some((w, h, channels, mean, std))
+    } catch {
+      case JpegFormat => None
+      case _: ArrayIndexOutOfBoundsException => None
+    }
+  }
+
+  /** Batched baseline-JPEG pixel decode: real Huffman+IDCT stats for
+    * sequential 8-bit 1/3-component 4:4:4 JPEGs, `format = "undecodable"`
+    * (null stats) otherwise — the same executor-side mapPartitions shape
+    * as [[decodePngPixels]]. */
+  def decodeJpegPixels(df: DataFrame, payloadCol: String = "payload",
+      statsCol: String = "pixel_stats"): DataFrame =
+    decodeMeta(df, payloadCol, statsCol, pixelStatsType) { bytes =>
+      jpegPixelStats(bytes) match {
+        case Some((w, h, c, mean, std)) => Row(w, h, c, "jpeg", mean.toSeq, std.toSeq)
+        case None => Row(0, 0, 0, "undecodable", null, null)
+      }
+    }
+
   // --------------------------------------------------- synthetic fixtures
 
   /** Deterministic synthetic image HEADERS (valid PNG / GIF / BMP / JPEG
@@ -544,6 +882,117 @@ object Multimodal {
         Array[Byte](8, colorType.toByte, 0, 0, 0)) ++
       chunk("IDAT", idatData) ++
       chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** ITU T.81 Annex K typical Huffman tables (luminance): the public
+    * baseline tables every encoder ships. (counts per code length 1..16,
+    * then the symbol list). */
+  private val StdDcCounts = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val StdDcVals = Array.range(0, 12)
+  private val StdAcCounts = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val StdAcVals = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+    0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4,
+    0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+
+  /** symbol → (code, length), canonical assignment (same order the decoder
+    * reconstructs from the DHT segment). */
+  private def canonicalCodes(counts: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+    val m = Map.newBuilder[Int, (Int, Int)]
+    var code = 0; var k = 0; var l = 1
+    while (l <= 16) {
+      var i = 0
+      while (i < counts(l - 1)) { m += vals(k) -> ((code, l)); code += 1; k += 1; i += 1 }
+      code <<= 1
+      l += 1
+    }
+    m.result()
+  }
+
+  /** One COMPLETE deterministic baseline JPEG per doc for fixtures: every
+    * 8×8 block is FLAT at value `16 + ((seed + bx·3 + by·5) mod 224)` —
+    * encoded in the frequency domain as a DC-only quantized coefficient
+    * with an all-8s quant table, so `dequant/8` is integral and the decoded
+    * pixels equal the closed form EXACTLY (lossless by construction despite
+    * a real lossy pipeline: real Annex-K Huffman codes, real byte stuffing,
+    * real IDCT on the decode side). `color=true` emits a 3-component 4:4:4
+    * scan with flat chroma (Cb=Cr=128 → R=G=B=Y under any correct YCbCr
+    * rounding), so the oracle's closed form covers color too. */
+  def syntheticJpegDcBytes(seed: Long, w: Int, h: Int, color: Boolean): Array[Byte] = {
+    require(w > 0 && h > 0, "dims must be positive")
+    val out = new java.io.ByteArrayOutputStream()
+    def wr(bs: Int*): Unit = bs.foreach(v => out.write(v & 0xFF))
+    def seg(marker: Int, payload: Array[Int]): Unit = {
+      wr(0xFF, marker); wr((payload.length + 2) >> 8, payload.length + 2)
+      payload.foreach(v => out.write(v & 0xFF))
+    }
+    wr(0xFF, 0xD8) // SOI
+    seg(0xE0, Array(0x4A, 0x46, 0x49, 0x46, 0x00, 1, 1, 0, 0, 1, 0, 1, 0, 0)) // JFIF
+    seg(0xDB, 0 +: Array.fill(64)(8)) // DQT table 0, all 8s
+    val nComp = if (color) 3 else 1
+    seg(0xC0, Array(8, h >> 8, h, w >> 8, w, nComp) ++
+      (1 to nComp).flatMap(c => Seq(c, 0x11, 0))) // SOF0, all 1x1, qtable 0
+    seg(0xC4, 0x00 +: (StdDcCounts ++ StdDcVals)) // DHT DC 0
+    seg(0xC4, 0x10 +: (StdAcCounts ++ StdAcVals)) // DHT AC 0
+    seg(0xDA, Array(nComp) ++ (1 to nComp).flatMap(c => Seq(c, 0x00)) ++
+      Array(0, 63, 0)) // SOS
+    val dcCodes = canonicalCodes(StdDcCounts, StdDcVals)
+    val acCodes = canonicalCodes(StdAcCounts, StdAcVals)
+    var acc = 0; var nbits = 0
+    def emit(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >> i) & 1); nbits += 1
+        if (nbits == 8) {
+          out.write(acc)
+          if (acc == 0xFF) out.write(0x00) // byte stuffing
+          acc = 0; nbits = 0
+        }
+        i -= 1
+      }
+    }
+    val bw = (w + 7) / 8; val bh = (h + 7) / 8
+    val dcPred = new Array[Int](nComp)
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        var c = 0
+        while (c < nComp) {
+          val v = if (c == 0) 16 + (((seed + bx * 3 + by * 5) % 224 + 224) % 224).toInt
+            else 128
+          val s = v - 128 // quantized DC: dequant s·8, IDCT flat s, +128 = v
+          val diff = s - dcPred(c); dcPred(c) = s
+          val t = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+          val (dcCode, dcLen) = dcCodes(t)
+          emit(dcCode, dcLen)
+          if (t > 0) emit(if (diff >= 0) diff else diff - 1 + (1 << t), t)
+          val (eobCode, eobLen) = acCodes(0x00)
+          emit(eobCode, eobLen) // all ACs zero
+          c += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    if (nbits > 0) { // pad with 1s
+      acc = (acc << (8 - nbits)) | ((1 << (8 - nbits)) - 1)
+      out.write(acc)
+      if (acc == 0xFF) out.write(0x00)
+    }
+    wr(0xFF, 0xD9) // EOI
+    out.toByteArray
   }
 
   /** Deterministic minimal MP4: ftyp + moov(mvhd v0 + trak(tkhd v0)) —

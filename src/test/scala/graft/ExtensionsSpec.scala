@@ -816,6 +816,73 @@ class MultimodalSpec extends SparkSpec {
     assert(out(4L) == (("undecodable", true)))
   }
 
+  test("jpegPixelStats inverts the DC-only synthetic encoder exactly (gray + color)") {
+    for (color <- Seq(false, true); seed <- Seq(0L, 7L, 123L)) {
+      val (w, h) = (13, 10) // 2x2 block grid with edge-cropped blocks
+      val b = Multimodal.syntheticJpegDcBytes(seed, w, h, color)
+      val Some((pw, ph, pc, mean, std)) = Multimodal.jpegPixelStats(b)
+      assert((pw, ph, pc) == ((w, h, if (color) 3 else 1)))
+      var sum = 0L; var sumSq = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = 16 + ((seed + (x / 8) * 3 + (y / 8) * 5) % 224).toInt
+        sum += v; sumSq += v.toLong * v
+      }
+      val n = w.toLong * h
+      val em = sum.toDouble / n
+      val es = math.sqrt(math.max(sumSq.toDouble / n - em * em, 0.0))
+      for (c <- 0 until pc) // flat chroma -> R=G=B=Y exactly
+        assert(mean(c) == em && std(c) == es, s"color=$color seed=$seed c=$c")
+    }
+  }
+
+  test("jpegPixelStats decodes the JDK's own JPEG encoder output (real Huffman+IDCT)") {
+    // TYPE_BYTE_GRAY -> the JDK writer emits a single-component baseline
+    // scan (no chroma subsampling), i.e. real entropy data with real quant
+    // tables and nonzero AC coefficients — full-pipeline cross-validation
+    val (w, h) = (40, 25)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = ((x * 11 + y * 23) % 200) + 20
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val bytes = bos.toByteArray
+    val Some((pw, ph, pc, mean, std)) = Multimodal.jpegPixelStats(bytes)
+    assert((pw, ph, pc) == ((w, h, 1)))
+    // reference decode via the JDK reader on the same bytes; lossy codec,
+    // but the two IDCT implementations may differ only by rounding -> the
+    // channel mean must agree to well under one gray level
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var sum = 0L
+    val raster = ref.getRaster
+    for (y <- 0 until h; x <- 0 until w) sum += raster.getSample(x, y, 0)
+    val refMean = sum.toDouble / (w * h)
+    assert(math.abs(mean(0) - refMean) < 0.5,
+      s"fused decoder mean ${mean(0)} vs ImageIO $refMean")
+    assert(std(0) > 0)
+  }
+
+  test("decodeJpegPixels tags unsupported/undecodable payloads instead of guessing") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Multimodal.syntheticJpegDcBytes(1L, 9, 9, color = false)),
+      (2L, Multimodal.syntheticImageBytes("jpeg", 8, 8)), // header-only SOF, no scan
+      (3L, Multimodal.syntheticImageBytes("png", 8, 8)),
+      (4L, "not an image".getBytes),
+      (5L, Multimodal.syntheticJpegDcBytes(2L, 9, 9, color = true).dropRight(10))) // truncated
+      .toDF("id", "payload")
+    val out = Multimodal.decodeJpegPixels(rows)
+      .select(col("id"), col("pixel_stats.format"), col("pixel_stats.mean"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.isNullAt(2))).toMap
+    assert(out(1L) == (("jpeg", false)))
+    assert(out(2L) == (("undecodable", true)))
+    assert(out(3L) == (("undecodable", true)))
+    assert(out(4L) == (("undecodable", true)))
+    assert(out(5L) == (("undecodable", true)))
+  }
+
   test("imageHeader parses the synthetic fixture bytes and rejects non-images") {
     for (fmt <- Seq("png", "gif", "bmp", "jpeg")) {
       val b = Multimodal.syntheticImageBytes(fmt, 123, 45)
