@@ -89,6 +89,9 @@ object GraftExtensions {
     colIntArgs("word_spans", "graft.functions.WordSpansExpr",
       (c, is) => graft.functions.WordSpansExpr(c,
         intExact("word_spans", "n")(is.head)), 1, 1),
+    colIntArgs("word_shingles", "graft.functions.WordShinglesExpr",
+      (c, is) => graft.functions.WordShinglesExpr(c,
+        intExact("word_shingles", "n")(is.head)), 1, 1),
     colIntArgs("minhash_sig", "graft.functions.MinhashSignatureExpr",
       (c, is) => graft.functions.MinhashSignatureExpr(c,
         intExact("minhash_sig", "numHashes")(is.head),

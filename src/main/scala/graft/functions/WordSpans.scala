@@ -62,12 +62,50 @@ object WordSpansExpr {
     GraftInternals.column(WordSpansExpr(GraftInternals.expression(text), n))
 }
 
+/** [[WordSpansExpr]] with [[TextFunctions.shingles]] collapse semantics
+  * instead of spanStats exclusion semantics: a document shorter than `n`
+  * tokens yields ONE whole-document shingle (the empty string for an empty
+  * document — `concat_ws` over zero words), bit-exactly matching
+  * `array_distinct(shingles(words(text), n))`. The decontamination path's
+  * generation kernel. */
+case class WordShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, "shingle size n must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_shingles expects STRING input, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WordSpansImpl.computeCollapse(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WordSpansImpl.computeCollapse($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "word_shingles"
+}
+
+object WordShinglesExpr {
+  def apply(text: Column, n: Int): Column =
+    GraftInternals.column(WordShinglesExpr(GraftInternals.expression(text), n))
+}
+
 /** Static kernel — called from both the interpreted eval and the generated
   * code (a single static call keeps the loop in one JIT-compiled method). */
 object WordSpansImpl {
   private val Whitespace = Pattern.compile("\\s+")
 
-  def compute(text: UTF8String, n: Int): GenericArrayData = {
+  /** Tokenize with bit-exact [[TextFunctions.words]] parity: trim ASCII
+    * space 0x20 only, regex split on `\s+` with limit -1, empty trimmed
+    * text → zero tokens. */
+  private def tokenize(text: UTF8String): Array[String] = {
     val raw = text.toString
     // Spark's trim(): ASCII space 0x20 only (NOT Java String.trim, which
     // also strips control chars — tokenizer parity requires the narrow one)
@@ -75,11 +113,31 @@ object WordSpansImpl {
     var e = raw.length
     while (b < e && raw.charAt(b) == ' ') b += 1
     while (e > b && raw.charAt(e - 1) == ' ') e -= 1
-    if (b == e) return new GenericArrayData(Array.empty[Any])
+    if (b == e) return Array.empty[String]
     val s = if (b == 0 && e == raw.length) raw else raw.substring(b, e)
-    val words = Whitespace.split(s, -1)
+    Whitespace.split(s, -1)
+  }
+
+  /** Collapse variant ([[TextFunctions.shingles]] semantics): under n
+    * tokens → ONE whole-document shingle (space-joined; "" when empty). */
+  def computeCollapse(text: UTF8String, n: Int): GenericArrayData = {
+    val words = tokenize(text)
+    if (words.length < n)
+      return new GenericArrayData(
+        Array[Any](UTF8String.fromString(words.mkString(" "))))
+    distinctWindows(words, n)
+  }
+
+  def compute(text: UTF8String, n: Int): GenericArrayData = {
+    val words = tokenize(text)
     val count = words.length - n + 1
-    if (count <= 0) return new GenericArrayData(Array.empty[Any])
+    if (words.length == 0 || count <= 0)
+      return new GenericArrayData(Array.empty[Any])
+    distinctWindows(words, n)
+  }
+
+  private def distinctWindows(words: Array[String], n: Int): GenericArrayData = {
+    val count = words.length - n + 1
     val seen = new java.util.LinkedHashSet[String](Math.min(count, 1 << 10))
     val sb = new java.lang.StringBuilder
     var i = 0

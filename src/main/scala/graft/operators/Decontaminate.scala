@@ -39,18 +39,21 @@ object Decontaminate {
       n: Int = 8,
       threshold: Double = 0.2,
       broadcastBench: Boolean = true): DataFrame = {
-    // staged projections: one tokenizer pass per row (lambda-capture rule).
-    // Null text coalesces to an empty gram set so the doc still gets its
+    // gram generation is the fused word_shingles kernel, not the composable
+    // words+transform+concat_ws form: Catalyst HOFs are interpreted (no
+    // codegen) and dominate the corpus-side cost (same finding as
+    // spanStats' word_spans kernel, parity property-tested). Null text
+    // coalesces to "" — one empty-string whole-doc shingle, the same gram
+    // set the composed form produced — so the doc still gets its
     // contractual output row (explode_outer below) instead of vanishing.
     val trainSh = train
       .select(col(idCol),
-        coalesce(TextFunctions.words(col(textCol)),
-          array().cast("array<string>")).as("__words"))
-      .select(col(idCol),
-        array_distinct(TextFunctions.shingles(col("__words"), n)).as("__grams"))
+        graft.functions.WordShinglesExpr(
+          coalesce(col(textCol), lit("")), n).as("__grams"))
     val benchGrams0 = bench
-      .select(TextFunctions.words(col(benchTextCol)).as("__words"))
-      .select(explode(array_distinct(TextFunctions.shingles(col("__words"), n)))
+      // no coalesce here: a null-text bench row contributes NO grams (the
+      // composed form's null-propagation), not an empty-string gram
+      .select(explode(graft.functions.WordShinglesExpr(col(benchTextCol), n))
         .as("__gram"))
       .distinct()
       .withColumn("__hit", lit(1L))

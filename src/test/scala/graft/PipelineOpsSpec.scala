@@ -1097,6 +1097,28 @@ class WordSpansSpec extends SparkSpec {
     assert(canon(fused) == canon(ref))
   }
 
+  test("collapse variant matches array_distinct(shingles(words)) incl. whole-doc collapse") {
+    import graft.functions.WordShinglesExpr
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a a a a a a", "short", "two words", "",
+      "   ", "\ttab\tonly\t", "x y z w v u t s").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    for (n <- Seq(1, 3, 8)) {
+      val fused = docs.select(col("id"), WordShinglesExpr(col("text"), n).as("s"))
+      val ref = docs.select(col("id"), TextFunctions.words(col("text")).as("__w"))
+        .select(col("id"),
+          array_distinct(TextFunctions.shingles(col("__w"), n)).as("s"))
+      assert(canon(fused) == canon(ref), s"collapse kernel diverges at n=$n")
+    }
+    // null text: kernel nulls out, composed form nulls out — same
+    val withNull = Seq((1L, Option("a b c")), (2L, Option.empty[String])).toDF("id", "text")
+    val f = withNull.select(col("id"), WordShinglesExpr(col("text"), 2).as("s"))
+    val r = withNull.select(col("id"), TextFunctions.words(col("text")).as("__w"))
+      .select(col("id"), array_distinct(TextFunctions.shingles(col("__w"), 2)).as("s"))
+    assert(canon(f) == canon(r))
+  }
+
   test("word_spans is SQL-registered") {
     graft.GraftExtensions.register(spark)
     Seq((1L, "a b c d")).toDF("id", "text").createOrReplaceTempView("ws_t")
