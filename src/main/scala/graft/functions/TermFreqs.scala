@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftInternals
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused per-term term-frequency counts over a words array in ONE pass.
+  *
+  * The composable formulation — `array(terms.map(t => size(filter(words,
+  * _ === t))))` — walks the words array once PER TERM, and Catalyst's
+  * `filter` higher-order function is interpreted (no codegen), so a
+  * T-term query pays T interpreted array passes per row per scan. This
+  * expression walks the array once, looking each word up in a shared
+  * UTF8String→index hash map (a codegen reference object — no per-row
+  * allocation, no string copies), emitting the `array<long>` of counts in
+  * term order. Semantics parity: null words are skipped (`===` propagates
+  * null, which `filter` drops), every occurrence counts.
+  */
+case class TermFreqsExpr(child: Expression, terms: Seq[String])
+    extends UnaryExpression {
+
+  require(terms.nonEmpty, "term_freqs: terms must be non-empty")
+  require(terms.distinct == terms, "term_freqs: terms must be distinct")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"term_freqs expects array<string>, got ${other.sql}")
+  }
+
+  @transient private lazy val termIndex: java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer](terms.size * 2)
+    terms.zipWithIndex.foreach { case (t, i) =>
+      m.put(UTF8String.fromString(t), Integer.valueOf(i))
+    }
+    m
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TermFreqsImpl.compute(input.asInstanceOf[ArrayData], termIndex, terms.size)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idxRef = ctx.addReferenceObj("termIdx", termIndex,
+      classOf[java.util.HashMap[UTF8String, Integer]].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TermFreqsImpl.compute($c, $idxRef, ${terms.size})")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "term_freqs"
+}
+
+object TermFreqsExpr {
+  def apply(words: Column, terms: Seq[String]): Column =
+    GraftInternals.column(TermFreqsExpr(GraftInternals.expression(words), terms))
+}
+
+/** Static kernel — called from both the interpreted eval and generated
+  * code. */
+object TermFreqsImpl {
+  def compute(words: ArrayData,
+      idx: java.util.HashMap[UTF8String, Integer], n: Int): GenericArrayData = {
+    val counts = new Array[Long](n)
+    val len = words.numElements()
+    var i = 0
+    while (i < len) {
+      if (!words.isNullAt(i)) {
+        val p = idx.get(words.getUTF8String(i))
+        if (p != null) counts(p.intValue()) += 1L
+      }
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+}

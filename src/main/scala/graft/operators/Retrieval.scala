@@ -34,11 +34,13 @@ object Retrieval {
     df.select(col(idCol), TextFunctions.words(col(textCol)).as("__w"))
       .select(col(idCol), col("__w"), size(col("__w")).cast("long").as("dl"))
 
-  /** Per-term tf as ONE codegen'd array expression (shared by the stats
-    * aggregation and the posting projection). */
+  /** Per-term tf as ONE fused kernel pass (shared by the stats aggregation
+    * and the posting projection): the composable per-term
+    * `size(filter(words, _ === t))` walks the array once per term through
+    * an INTERPRETED higher-order function — [[graft.functions.TermFreqsExpr]]
+    * walks it once total, codegen'd. */
   private def tfArray(terms: Seq[String]) =
-    array(terms.map(t =>
-      size(filter(col("__w"), x => x === lit(t))).cast("long")): _*)
+    graft.functions.TermFreqsExpr(col("__w"), terms)
 
   /** ONE aggregation pass producing every small statistic at once: per-term
     * document frequencies as `__df0..__dfN` plus (optionally) corpus N and

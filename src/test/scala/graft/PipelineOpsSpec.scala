@@ -509,6 +509,21 @@ class RetrievalSpec extends SparkSpec {
     (2L, "query query plan"),            // dl 3, tf(query)=2
     (3L, "storage layer details")).toDF("id", "text") // no match
 
+  test("term_freqs kernel matches the composed per-term filter formulation") {
+    import spark.implicits._
+    val docs2 = Seq(
+      (1L, "a b a c a b"), (2L, ""), (3L, "c c c"), (4L, "x y z"),
+      (5L, "a  b\ta")).toDF("id", "text")
+    val terms = Seq("a", "b", "c")
+    val w = docs2.select(col("id"),
+      graft.functions.TextFunctions.words(col("text")).as("__w"))
+    val fused = w.select(col("id"),
+      graft.functions.TermFreqsExpr(col("__w"), terms).as("tfs"))
+    val ref = w.select(col("id"),
+      array(terms.map(t => size(filter(col("__w"), x => x === lit(t))).cast("long")): _*).as("tfs"))
+    assert(canon(fused) == canon(ref))
+  }
+
   test("termStats emits exact posting rows") {
     val out = Retrieval.termStats(docs, "id", "text", Seq("query", "spark"))
       .collect().map(r => (r.getLong(0), r.getString(1)) ->
