@@ -598,9 +598,16 @@ object Multimodal {
       var scanAc: Array[Int] = null
       var pos = 2
       var sosAt = -1
+      // a corrupt segment length (< 2) would stall `pos` — every
+      // length-consuming branch goes through this guard
+      def segLen(at: Int): Int = {
+        val len = be16(b, at)
+        if (len < 2) throw JpegFormat
+        len
+      }
       while (sosAt < 0) {
-        // skip fill bytes, expect a marker
-        while (pos < b.length && (b(pos) & 0xFF) != 0xFF) return None
+        // expect a marker (fill 0xFF bytes allowed before it)
+        if (pos >= b.length || (b(pos) & 0xFF) != 0xFF) return None
         while (pos < b.length && (b(pos) & 0xFF) == 0xFF) pos += 1
         if (pos >= b.length) return None
         val marker = b(pos) & 0xFF; pos += 1
@@ -608,7 +615,7 @@ object Multimodal {
           case 0xD9 => return None // EOI before any scan
           case m if m >= 0xD0 && m <= 0xD7 => // RST outside a scan: ignore
           case 0xC0 => // baseline SOF
-            val len = be16(b, pos)
+            val len = segLen(pos)
             if (u8(b, pos + 2) != 8) return None // 12-bit precision
             h = be16(b, pos + 3); w = be16(b, pos + 5)
             nComp = u8(b, pos + 7)
@@ -627,7 +634,7 @@ object Multimodal {
           case m if (m >= 0xC1 && m <= 0xCF) && m != 0xC4 && m != 0xC8 && m != 0xCC =>
             return None // progressive / arithmetic / hierarchical SOF
           case 0xC4 => // DHT: one or more tables
-            val len = be16(b, pos)
+            val len = segLen(pos)
             var p = pos + 2
             while (p < pos + len) {
               val tc = u8(b, p) >> 4; val th = u8(b, p) & 0x0F
@@ -641,7 +648,7 @@ object Multimodal {
             }
             pos += len
           case 0xDB => // DQT: one or more tables (8-bit only)
-            val len = be16(b, pos)
+            val len = segLen(pos)
             var p = pos + 2
             while (p < pos + len) {
               val pq = u8(b, p) >> 4; val tq = u8(b, p) & 0x0F
@@ -652,9 +659,9 @@ object Multimodal {
             pos += len
           case 0xDD => // DRI
             restartInterval = be16(b, pos + 2)
-            pos += be16(b, pos)
+            pos += segLen(pos)
           case 0xDA => // SOS
-            val len = be16(b, pos)
+            val len = segLen(pos)
             val ns = u8(b, pos + 2)
             if (ns != nComp) return None
             scanDc = new Array[Int](nComp)
@@ -670,7 +677,7 @@ object Multimodal {
             }
             sosAt = pos + len
           case _ => // APPn / COM / others: length-skip
-            pos += be16(b, pos)
+            pos += segLen(pos)
         }
       }
       if (w == 0) return None

@@ -864,6 +864,18 @@ class MultimodalSpec extends SparkSpec {
     assert(std(0) > 0)
   }
 
+  test("corrupt zero segment length returns None instead of stalling the task") {
+    val b = Multimodal.syntheticJpegDcBytes(3L, 9, 9, color = false)
+    // zero out the APP0 length bytes (offset 4-5 after SOI + FFE0 marker):
+    // pos += len would never advance — the guard must bail out
+    val corrupt = b.clone()
+    corrupt(4) = 0; corrupt(5) = 0
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val t = new Thread(() => { assert(Multimodal.jpegPixelStats(corrupt).isEmpty); done.set(true) })
+    t.setDaemon(true); t.start(); t.join(5000)
+    assert(done.get(), "corrupt-length decode must terminate promptly")
+  }
+
   test("decodeJpegPixels tags unsupported/undecodable payloads instead of guessing") {
     import spark.implicits._
     val rows = Seq(
