@@ -31,8 +31,15 @@ object TextFunctions {
     trim(regexp_replace(noPunct, " +", " "))
   }
 
-  /** Whitespace tokenization; empty string => empty array. */
-  def words(text: Column): Column = {
+  /** Whitespace tokenization; empty string => empty array. Backed by the
+    * fused [[WordsExpr]] kernel (one charwise pass, no per-row regex);
+    * bit-exact with [[wordsComposable]], property-pinned. */
+  def words(text: Column): Column = WordsExpr(text)
+
+  /** The composable regex formulation `words` replaced — kept as the
+    * parity REFERENCE the kernel is property-tested against (and as
+    * executable documentation of the tokenizer contract). */
+  private[graft] def wordsComposable(text: Column): Column = {
     val w = split(trim(text), "\\s+")
     when(trim(text) === "", array().cast("array<string>")).otherwise(w)
   }

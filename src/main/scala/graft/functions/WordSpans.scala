@@ -1,7 +1,5 @@
 package graft.functions
 
-import java.util.regex.Pattern
-
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftInternals
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
@@ -27,9 +25,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * static call, the same pattern as [[ShingleHashSetImpl]].
   *
   * Tokenizer parity with [[TextFunctions.words]] is bit-exact by
-  * construction: trim ASCII space 0x20 only (Spark's `trim`), then
-  * `Pattern("\\s+").split(s, -1)` (Spark's `split(str, "\\s+", -1)` on the
-  * JVM regex engine), empty trimmed text → zero tokens. Documents shorter
+  * construction: trim ASCII space 0x20 only (Spark's `trim`), then split
+  * on `\s+` runs with `split(str, "\\s+", -1)` semantics (charwise over
+  * Java regex's exact default `\s` class — see [[WordSpansImpl.tokenize]]),
+  * empty trimmed text → zero tokens. Documents shorter
   * than `n` tokens yield an EMPTY array (spanStats semantics — NOT the
   * whole-document collapse of [[TextFunctions.shingles]]); distinct spans
   * keep first-occurrence order (`array_distinct` semantics). */
@@ -97,15 +96,54 @@ object WordShinglesExpr {
     GraftInternals.column(WordShinglesExpr(GraftInternals.expression(text), n))
 }
 
+/** Fused whitespace tokenizer — the expression behind
+  * [[TextFunctions.words]]. The composable `split(trim(text), "\\s+")`
+  * form routes through the JVM regex engine per row; this is the same
+  * charwise scan the span/shingle kernels use (bit-exact `\s+`/limit -1
+  * semantics, empty trimmed text → empty array), exposed as its own
+  * codegen'd expression so EVERY tokenizing operator — token counts, term
+  * stats, heavy hitters, quality scores — shares one fast path. */
+case class WordsExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"words expects STRING input, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WordSpansImpl.words(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordSpansImpl.words($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "words"
+}
+
+object WordsExpr {
+  def apply(text: Column): Column =
+    GraftInternals.column(WordsExpr(GraftInternals.expression(text)))
+}
+
 /** Static kernel — called from both the interpreted eval and the generated
   * code (a single static call keeps the loop in one JIT-compiled method). */
 object WordSpansImpl {
-  private val Whitespace = Pattern.compile("\\s+")
+
+  /** Java regex `\s` (default mode, no UNICODE_CHARACTER_CLASS): exactly
+    * the six ASCII whitespace chars. A charwise scan over this class IS
+    * `Pattern("\\s+").split(s, -1)` — and several times faster. */
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
   /** Tokenize with bit-exact [[TextFunctions.words]] parity: trim ASCII
-    * space 0x20 only, regex split on `\s+` with limit -1, empty trimmed
-    * text → zero tokens. */
-  private def tokenize(text: UTF8String): Array[String] = {
+    * space 0x20 only, split on `\s+` runs with limit -1 semantics (a
+    * leading/trailing separator run yields a leading/trailing "" token),
+    * empty trimmed text → zero tokens. */
+  private[functions] def tokenize(text: UTF8String): Array[String] = {
     val raw = text.toString
     // Spark's trim(): ASCII space 0x20 only (NOT Java String.trim, which
     // also strips control chars — tokenizer parity requires the narrow one)
@@ -114,8 +152,27 @@ object WordSpansImpl {
     while (b < e && raw.charAt(b) == ' ') b += 1
     while (e > b && raw.charAt(e - 1) == ' ') e -= 1
     if (b == e) return Array.empty[String]
-    val s = if (b == 0 && e == raw.length) raw else raw.substring(b, e)
-    Whitespace.split(s, -1)
+    val out = new java.util.ArrayList[String](16)
+    var i = b
+    var tokenStart = b
+    while (i < e) {
+      if (isWs(raw.charAt(i))) {
+        out.add(raw.substring(tokenStart, i)) // "" for a leading separator
+        while (i < e && isWs(raw.charAt(i))) i += 1
+        tokenStart = i
+      } else i += 1
+    }
+    out.add(raw.substring(tokenStart, e)) // "" for a trailing separator run
+    out.toArray(new Array[String](out.size))
+  }
+
+  /** Tokens as a catalyst array — [[WordsExpr]]'s kernel. */
+  def words(text: UTF8String): GenericArrayData = {
+    val ws = tokenize(text)
+    val out = new Array[Any](ws.length)
+    var i = 0
+    while (i < ws.length) { out(i) = UTF8String.fromString(ws(i)); i += 1 }
+    new GenericArrayData(out)
   }
 
   /** Collapse variant ([[TextFunctions.shingles]] semantics): under n

@@ -1134,6 +1134,23 @@ class WordSpansSpec extends SparkSpec {
     assert(canon(f) == canon(r))
   }
 
+  test("words kernel matches the composable regex formulation") {
+    val rng = new scala.util.Random(13)
+    val alphabet = Seq("tok", "x", " ", "\t", "\n", "\u000B", "\f", "\r", "  ")
+    val hostile = Seq("", " ", "  ", "\t", "\ta b\t", " a  b ", "ab",
+      "one", "a\r\nb c") ++
+      (0 until 200).map(_ =>
+        (0 until rng.nextInt(20)).map(_ => alphabet(rng.nextInt(alphabet.size))).mkString)
+    val docs = hostile.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val fused = docs.select(col("id"), TextFunctions.words(col("text")).as("w"))
+    val ref = docs.select(col("id"), TextFunctions.wordsComposable(col("text")).as("w"))
+    assert(canon(fused) == canon(ref))
+    // null propagation parity
+    val withNull = Seq((1L, Option.empty[String])).toDF("id", "text")
+    assert(canon(withNull.select(TextFunctions.words(col("text")).as("w")))
+      == canon(withNull.select(TextFunctions.wordsComposable(col("text")).as("w"))))
+  }
+
   test("word_spans is SQL-registered") {
     graft.GraftExtensions.register(spark)
     Seq((1L, "a b c d")).toDF("id", "text").createOrReplaceTempView("ws_t")
