@@ -49,7 +49,11 @@ object Bench {
         when(col("__r") === 0, col("text"))
           .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
             concat(lit("$1_r"), col("__r")))).as("text"),
-        col("lang"), col("source"), col("n_chars"))
+        col("lang"), col("source"))
+      // n_chars must describe the SUFFIXED text: carrying the original
+      // value would ship a documents.parquet whose stats columns lie about
+      // their own rows the moment an n_chars-reading query joins scaleSet
+      .withColumn("n_chars", length(col("text")).cast("long"))
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     li.crossJoin(reps)
@@ -136,8 +140,12 @@ object Bench {
             val t0 = System.nanoTime()
             val n = try SparkEntry.queries(name)(spark, scaledDir).count()
               catch { case _: Throwable => -1L }
+            // stop the clock BEFORE releasing caches: the 1x baseline
+            // excludes clearCache time, so tN must too or every slope
+            // carries the cache-release bias
+            val secs = (System.nanoTime() - t0) / 1e9
             spark.catalog.clearCache()
-            if (n < 0) -1.0 else (System.nanoTime() - t0) / 1e9
+            if (n < 0) -1.0 else secs
           }
           val tN = if (times.contains(-1.0)) -1.0 else times.min
           if (tN < 0) { System.err.println(s"[bench] scale $name FAILED"); "\"" + name + "\":null" }

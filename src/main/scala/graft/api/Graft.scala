@@ -1122,8 +1122,17 @@ object Graft {
       def csvFirstLineFields(file: String): Int = {
         val sep = options.getOrElse("sep", options.getOrElse("delimiter", ",")).head
         val quote = options.getOrElse("quote", "\"").headOption.getOrElse('"')
+        // route through the Hadoop codec factory: compressed parts
+        // (.csv.gz, .csv.bz2, …) must be decompressed before line-reading,
+        // or the "first line" is compression-container bytes and the guard
+        // passes/refuses on garbage
+        val path = new Path(file)
+        val codec = new org.apache.hadoop.io.compress.CompressionCodecFactory(
+          fs.getConf).getCodec(path)
+        val raw: java.io.InputStream = fs.open(path)
+        val stream = if (codec == null) raw else codec.createInputStream(raw)
         val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-          fs.open(new Path(file)), java.nio.charset.StandardCharsets.UTF_8))
+          stream, java.nio.charset.StandardCharsets.UTF_8))
         val line = try Option(in.readLine()).getOrElse("") finally in.close()
         var fields = 1
         var inQuotes = false
@@ -1164,8 +1173,12 @@ object Graft {
 
       // refuse csv schema drift BEFORE any dir rewrites (not mid-pass,
       // where earlier dirs would already be committed)
+      // Spark reader options are case-INsensitive — match them, or
+      // Map("multiline" -> "true") would still trip the first-line guard
+      // on records spanning physical lines
       if (format == "csv" &&
-          !options.get("multiLine").exists(_.equalsIgnoreCase("true"))) {
+          !options.exists { case (k, v) =>
+            k.equalsIgnoreCase("multiLine") && v.equalsIgnoreCase("true") }) {
         candidates.foreach { case (dir, _, _, _) =>
           val counts = byDir(dir).map(p => p.url -> csvFirstLineFields(p.url))
           require(counts.map(_._2).distinct.size <= 1,

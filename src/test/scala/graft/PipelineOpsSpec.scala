@@ -1287,6 +1287,41 @@ class CompactionHardeningSpec extends SparkSpec {
     assert(rows == Map("1" -> "x,y", "2" -> "z"))
   }
 
+  test("csv drift guard decompresses gzip parts and matches multiline case-insensitively") {
+    // drifted GZIP csv dir: the guard must read decompressed first lines,
+    // not gzip container bytes, and still refuse
+    val gz = tmpDir("compact_csv_gz_evolve")
+    Seq((1L, "a")).toDF("id", "p").write.mode("overwrite").partitionBy("p")
+      .option("header", "true").option("compression", "gzip").csv(gz)
+    Seq((2L, "a", "new")).toDF("id", "p", "c").write.mode("append").partitionBy("p")
+      .option("header", "true").option("compression", "gzip").csv(gz)
+    val e = intercept[Exception] {
+      Graft.compactPartitionedTable(spark, gz, targetFileBytes = 1L << 30,
+        format = "csv", options = Map("header" -> "true"))
+    }
+    assert(e.getMessage.contains("field count"), e.getMessage)
+    // uniform GZIP dir compacts (no spurious refusal on binary prefixes)
+    val ok = tmpDir("compact_csv_gz_ok")
+    Seq((1L, "x", "a")).toDF("id", "v", "p").write.mode("overwrite").partitionBy("p")
+      .option("header", "true").option("compression", "gzip").csv(ok)
+    Seq((2L, "y", "a")).toDF("id", "v", "p").write.mode("append").partitionBy("p")
+      .option("header", "true").option("compression", "gzip").csv(ok)
+    val stats = Graft.compactPartitionedTable(spark, ok, targetFileBytes = 1L << 30,
+      format = "csv", options = Map("header" -> "true", "compression" -> "gzip"))
+    assert(stats.partitionsCompacted == 1)
+    // lowercase "multiline" key must skip the first-physical-line guard
+    // exactly as Spark's case-insensitive reader options do
+    val ml = tmpDir("compact_csv_multiline")
+    Seq((1L, "line1\nline2", "a"), (2L, "z", "a")).toDF("id", "v", "p")
+      .write.mode("overwrite").partitionBy("p").option("header", "true")
+      .option("multiLine", "true").csv(ml)
+    Seq((3L, "w", "a")).toDF("id", "v", "p")
+      .write.mode("append").partitionBy("p").option("header", "true").csv(ml)
+    val s2 = Graft.compactPartitionedTable(spark, ml, targetFileBytes = 1L << 30,
+      format = "csv", options = Map("header" -> "true", "multiline" -> "true"))
+    assert(s2.partitionsCompacted == 1)
+  }
+
   test("json dirs straddling a column addition rewrite under the union schema") {
     val out = tmpDir("compact_json_evolve")
     Seq((1L, "a")).toDF("id", "p")
