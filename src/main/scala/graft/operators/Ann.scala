@@ -17,7 +17,10 @@ import org.apache.spark.sql.functions._
   *    100 TB the bucket column is what you'd partition/bucket the table by,
   *    turning ANN into a partition-pruned scan.
   *
-  * All dot products use zip_with + aggregate (codegen'd); no UDFs.
+  * All dot products run through fused codegen'd kernel expressions
+  * (CosineSimilarity, HyperplaneSketchExpr); the composable zip_with +
+  * aggregate forms are kept only as property-test references (Catalyst
+  * HOFs are interpreted). No UDFs.
   */
 object Ann {
 
@@ -211,14 +214,31 @@ object Ann {
     IvfIndex(centroids, clustered)
   }
 
+  /** Deterministic seeded plane matrix shared by the fused kernel and the
+    * HOF reference — bucket assignments depend on these exact doubles, so
+    * both formulations must draw them identically. */
+  private[graft] def hyperplanes(dim: Int, numPlanes: Int, seed: Long): Seq[Array[Double]] = {
+    val rnd = new Random(seed)
+    Seq.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
   /** Seeded random hyperplanes (Gaussian); returns the sign-bit sketch of a
-    * vector as a long (numPlanes <= 63). */
+    * vector as a long (numPlanes <= 63). Fused kernel
+    * ([[graft.functions.HyperplaneSketchExpr]]): ONE pass over the vector
+    * computes every plane's dot — the HOF formulation below is numPlanes
+    * interpreted traversals per row. */
   def hyperplaneSketch(vec: Column, dim: Int, numPlanes: Int, seed: Long): Column = {
     require(numPlanes <= 63, "sketch packs into one long")
-    val rnd = new Random(seed)
-    val planes: Seq[Array[Double]] =
-      Seq.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
-    val bits = planes.zipWithIndex.map { case (p, i) =>
+    graft.functions.HyperplaneSketchExpr(vec, hyperplanes(dim, numPlanes, seed))
+  }
+
+  /** Composable higher-order-function formulation — the parity REFERENCE
+    * for the property test (Catalyst HOFs are interpreted; not the hot
+    * path). */
+  private[graft] def hyperplaneSketchHof(
+      vec: Column, dim: Int, numPlanes: Int, seed: Long): Column = {
+    require(numPlanes <= 63, "sketch packs into one long")
+    val bits = hyperplanes(dim, numPlanes, seed).zipWithIndex.map { case (p, i) =>
       val d = aggregate(
         zip_with(vec, lit(p), (x, w) => x.cast("double") * w),
         lit(0.0), (acc, v) => acc + v)

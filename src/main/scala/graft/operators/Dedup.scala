@@ -392,8 +392,12 @@ object Dedup {
   // ------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over word-level shingle hashes: bit i of the result is
-    * the sign of sum over tokens of (bit i set ? +1 : -1). Pure higher-order
-    * expressions (zip_with/aggregate) — codegen-friendly, no UDF. */
+    * the sign of sum over tokens of (bit i set ? +1 : -1). Composable
+    * higher-order expressions (zip_with/aggregate) — no UDF, but NOTE:
+    * Catalyst HOFs are interpreted (no whole-stage codegen), so this
+    * formulation is the parity REFERENCE, not the hot path — production
+    * callers get the fused [[graft.functions.SimHash64Expr]] kernel via
+    * [[simhash64]]. */
   /** Per-bit vote counts over the token hashes (array<int> of length 64). */
   def simhashCounts(hashes: Column): Column = {
     // bit positions are static Scala ints so shifts stay compile-time

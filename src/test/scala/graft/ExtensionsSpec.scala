@@ -233,6 +233,22 @@ class AnnSpec extends SparkSpec {
     assert(out.map(_.getInt(2)).toSeq == Seq(1, 2, 3, 4, 5))
   }
 
+  test("fused hyperplane sketch is bit-identical to the HOF formulation") {
+    val dim = 24
+    val rows = (0 until 200).map(i => (i.toLong, randVec(i, dim))) ++ Seq(
+      (1000L, Array.empty[Float]),          // length mismatch -> all bits 0
+      (1001L, randVec(7, dim - 3)),         // short vector -> all bits 0
+      (1002L, Array.fill(dim)(0.0f)))       // zero vector: every dot 0 -> all signs +
+    val df = rows.toDF("vec_id", "embedding")
+    for (seed <- Seq(42L, 7L); numPlanes <- Seq(12, 31)) {
+      val fused = df.select(col("vec_id"),
+        Ann.hyperplaneSketch(col("embedding"), dim, numPlanes, seed).as("s"))
+      val ref = df.select(col("vec_id"),
+        Ann.hyperplaneSketchHof(col("embedding"), dim, numPlanes, seed).as("s"))
+      assert(canon(fused) == canon(ref), s"seed=$seed planes=$numPlanes")
+    }
+  }
+
   test("codegen minhash signature is bit-identical to the HOF formulation") {
     val rnd = new scala.util.Random(7)
     val rows = (0 until 300).map { i =>
