@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftInternals
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 /** Codegen'd cosine similarity over two numeric arrays (float or double
   * elements) — the hot kernel of ANN search and embedding dedup.
@@ -25,11 +25,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(lt, _), ArrayType(rt, _))
-        if Seq(lt, rt).forall(t => t == FloatType || t == DoubleType) =>
+        if Seq(lt, rt).forall(t =>
+          t == FloatType || t == DoubleType || t == IntegerType) =>
       TypeCheckResult.TypeCheckSuccess
     case other =>
       TypeCheckResult.TypeCheckFailure(
-        s"cosine_sim expects array<float>/array<double> inputs, got $other")
+        s"cosine_sim expects array<float|double|int> inputs, got $other")
   }
 
   private def elemType(e: Expression): DataType =
@@ -39,13 +40,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
-    val lf = elemType(left) == FloatType
-    val rf = elemType(right) == FloatType
+    def get(arr: ArrayData, t: DataType, i: Int): Double = t match {
+      case FloatType => arr.getFloat(i).toDouble
+      case IntegerType => arr.getInt(i).toDouble
+      case _ => arr.getDouble(i)
+    }
+    val lt = elemType(left)
+    val rt = elemType(right)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
-      val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      val xi = get(x, lt, i)
+      val yi = get(y, rt, i)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
@@ -53,8 +59,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val lGet = if (elemType(left) == FloatType) "getFloat" else "getDouble"
-    val rGet = if (elemType(right) == FloatType) "getFloat" else "getDouble"
+    def getter(t: DataType): String = t match {
+      case FloatType => "getFloat"
+      case IntegerType => "getInt"
+      case _ => "getDouble"
+    }
+    val lGet = getter(elemType(left))
+    val rGet = getter(elemType(right))
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")

@@ -13,8 +13,14 @@ import org.apache.spark.sql.functions._
   * reproduce it bit-for-bit), and no clipping is needed: |127·x/max|x|| ≤
   * 127 by construction.
   *
-  * Everything is codegen'd Column expressions over array<float> — no UDFs,
-  * no shuffle; quantization parallelizes with the scan.
+  * Everything is pure Column expressions over array<float> — no UDFs, no
+  * shuffle; quantization parallelizes with the scan. NOTE on evaluation
+  * mode: the per-element transforms/folds here are Catalyst higher-order
+  * functions, which are INTERPRETED (no whole-stage codegen) — acceptable
+  * for these single-pass shapes, but the repeated-traversal hot paths
+  * (cosine, hyperplane sketch) use fused codegen'd kernels instead
+  * ([[graft.functions.CosineSimilarity]],
+  * [[graft.functions.HyperplaneSketchExpr]]).
   */
 object Embeddings {
 
@@ -43,11 +49,11 @@ object Embeddings {
     transform(qvecCol, q => q.cast("double") * scaleCol)
 
   /** Cosine between two quantized vectors — scales cancel in cosine, so
-    * this is cosine over the integer codes directly (no dequantization
-    * materialized; codes cast to double for the fused cosine kernel). */
+    * this is cosine over the integer codes directly: the fused kernel
+    * accepts int arrays natively (no interpreted cast-transform, no
+    * dequantization materialized). */
   def quantizedCosine(qa: Column, qb: Column): Column =
-    graft.functions.CosineSimilarity(
-      transform(qa, x => x.cast("double")), transform(qb, x => x.cast("double")))
+    graft.functions.CosineSimilarity(qa, qb)
 
   /** L2 norm of a vector column, as a SEQUENTIAL left fold of squares —
     * the same evaluation order as DuckDB's list_reduce, so sqrt and the

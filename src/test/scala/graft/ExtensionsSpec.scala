@@ -561,6 +561,14 @@ class TextSpec extends SparkSpec {
     val cosQ = { val dot = qc.zip(qb).map { case (x, y) => x.toDouble * y }.sum
       dot / (math.sqrt(qc.map(x => x.toDouble * x).sum) * math.sqrt(qb.map(x => x.toDouble * x).sum)) }
     assert(math.abs(cosTrue - cosQ) < 0.02, s"$cosTrue vs $cosQ")
+    // quantizedCosine feeds int codes to the kernel directly — must equal
+    // the hand fold bit-for-bit (same sequential accumulation order)
+    val a0 = q.filter(col("vec_id") === 0).select(col("qvec").as("qa"))
+    val b1 = q.filter(col("vec_id") === 1).select(col("qvec").as("qb"))
+    val viaKernel = a0.crossJoin(b1)
+      .select(Embeddings.quantizedCosine(col("qa"), col("qb")))
+      .head.getDouble(0)
+    assert(viaKernel == cosQ, s"int-native kernel $viaKernel vs hand $cosQ")
   }
 
   test("BPE training learns hand-computed merges and counting applies them") {
