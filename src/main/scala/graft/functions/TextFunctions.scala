@@ -126,8 +126,12 @@ object TextFunctions {
       // strictly-greater keeps the lexicographically-first language on ties
       (bl, when(s > bs, s).otherwise(bs))
     }
-    scores.foldLeft(lit("und")) { case (acc, (l, s)) =>
-      when(s === best._2 && s > 0 && acc === "und", lit(l)).otherwise(acc)
+    // right fold: the OUTERMOST when is the lexicographically-first
+    // language, so the first best-scorer wins — same contract as the
+    // acc==="und" guard, without a literal-vs-literal predicate for
+    // Catalyst to warn about on every analysis
+    scores.reverse.foldLeft(lit("und")) { case (acc, (l, s)) =>
+      when(s === best._2 && s > 0, lit(l)).otherwise(acc)
     }
   }
 
@@ -231,8 +235,9 @@ object TextFunctions {
         case (lang, tris) => lang -> size(array_intersect(d, lit(tris.toArray)))
       }
       val best = scores.map(_._2).reduceLeft((a, b) => greatest(a, b))
-      scores.foldLeft(lit("und")) { case (acc, (l, s)) =>
-        when(acc === "und" && s > 0 && s === best, lit(l)).otherwise(acc)
+      // reversed when-chain: first language wins ties (see langId)
+      scores.reverse.foldLeft(lit("und")) { case (acc, (l, s)) =>
+        when(s > 0 && s === best, lit(l)).otherwise(acc)
       }
     }), 1)
 
