@@ -283,17 +283,19 @@ object TextFunctions {
     *  - dup_word_ratio: 1 - |distinct words| / |words|
     *  - top_word_frac: occurrences of the most frequent word / |words|
     * High values flag boilerplate/keyword-stuffed documents (the C4/Gopher
-    * repetition family). O(distinct × words) per row — fine at document
-    * scale, embarrassingly parallel, no shuffle. */
+    * repetition family). The top-word count is the fused
+    * [[MaxTokenFreqExpr]] hash pass — the composable
+    * transform(distinct)+filter-per-distinct form is O(distinct × words)
+    * INTERPRETED work per row, quadratic on exactly the long repetitive
+    * documents this metric exists to flag. Embarrassingly parallel, no
+    * shuffle. */
   def repetitionMetrics(wordsCol: Column): Seq[(String, Column)] = {
     val nWords = size(wordsCol).cast("long")
-    val counts = transform(array_distinct(wordsCol),
-      d => size(filter(wordsCol, x => x === d)))
     Seq(
       "dup_word_ratio" -> when(nWords === 0, lit(0.0))
         .otherwise(lit(1.0) - size(array_distinct(wordsCol)).cast("double") / nWords),
       "top_word_frac" -> when(nWords === 0, lit(0.0))
-        .otherwise(array_max(counts).cast("double") / nWords))
+        .otherwise(MaxTokenFreqExpr(wordsCol).cast("double") / nWords))
   }
 
   /** PII patterns (name, regex, replacement) — kept to RE2-compatible

@@ -524,6 +524,21 @@ class RetrievalSpec extends SparkSpec {
     assert(canon(fused) == canon(ref))
   }
 
+  test("max_token_freq kernel matches the quadratic HOF formulation") {
+    import spark.implicits._
+    val docs2 = Seq(
+      (1L, "a b a c a b"), (2L, ""), (3L, "c c c c"), (4L, "x y z"),
+      (5L, "t t  t\tt u u")).toDF("id", "text")
+    val w = docs2.select(col("id"),
+      graft.functions.TextFunctions.words(col("text")).as("__w"))
+    val fused = w.select(col("id"),
+      graft.functions.MaxTokenFreqExpr(col("__w")).as("m"))
+    val ref = w.select(col("id"),
+      coalesce(array_max(transform(array_distinct(col("__w")),
+        d => size(filter(col("__w"), x => x === d)))), lit(0)).cast("long").as("m"))
+    assert(canon(fused) == canon(ref))
+  }
+
   test("termStats emits exact posting rows") {
     val out = Retrieval.termStats(docs, "id", "text", Seq("query", "spark"))
       .collect().map(r => (r.getLong(0), r.getString(1)) ->
