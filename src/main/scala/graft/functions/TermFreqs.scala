@@ -63,6 +63,62 @@ object TermFreqsExpr {
     GraftInternals.column(TermFreqsExpr(GraftInternals.expression(words), terms))
 }
 
+/** Per-SET membership counts over a words array in ONE pass: result(i) =
+  * number of tokens contained in `sets(i)`. The composable per-set
+  * `size(filter(words, array_contains(lit(set), _)))` is one interpreted
+  * traversal (with a linear array_contains probe) per set per row — the
+  * language-ID heuristic paid five of them. Here every token is looked up
+  * once in a token→set-indices map held as a codegen reference object; a
+  * token may belong to several sets (shared vocabulary like "de"/"la"
+  * across Romance marker lists) and increments each. Null tokens are
+  * skipped (`array_contains` null-propagates into a filter drop). */
+case class TermSetCountsExpr(child: Expression, sets: Seq[Seq[String]])
+    extends UnaryExpression {
+
+  require(sets.nonEmpty, "term_set_counts: at least one set required")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"term_set_counts expects array<string>, got ${other.sql}")
+  }
+
+  @transient private lazy val memberIndex: java.util.HashMap[UTF8String, Array[Int]] = {
+    val m = new java.util.HashMap[UTF8String, Array[Int]]()
+    sets.zipWithIndex.foreach { case (set, i) =>
+      set.distinct.foreach { t =>
+        val k = UTF8String.fromString(t)
+        val prev = m.get(k)
+        m.put(k, if (prev == null) Array(i) else prev :+ i)
+      }
+    }
+    m
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TermFreqsImpl.setCounts(
+      input.asInstanceOf[ArrayData], memberIndex, sets.size)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idxRef = ctx.addReferenceObj("memberIdx", memberIndex,
+      classOf[java.util.HashMap[UTF8String, Array[Int]]].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TermFreqsImpl.setCounts($c, $idxRef, ${sets.size})")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "term_set_counts"
+}
+
+object TermSetCountsExpr {
+  def apply(words: Column, sets: Seq[Seq[String]]): Column =
+    GraftInternals.column(
+      TermSetCountsExpr(GraftInternals.expression(words), sets))
+}
+
 /** Occurrence count of the MOST frequent token in a words array, in one
   * hash pass.
   *
@@ -101,6 +157,24 @@ object MaxTokenFreqExpr {
 /** Static kernel — called from both the interpreted eval and generated
   * code. */
 object TermFreqsImpl {
+
+  def setCounts(words: ArrayData,
+      idx: java.util.HashMap[UTF8String, Array[Int]], nSets: Int): GenericArrayData = {
+    val counts = new Array[Long](nSets)
+    val len = words.numElements()
+    var i = 0
+    while (i < len) {
+      if (!words.isNullAt(i)) {
+        val member = idx.get(words.getUTF8String(i))
+        if (member != null) {
+          var j = 0
+          while (j < member.length) { counts(member(j)) += 1L; j += 1 }
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
 
   def maxFreq(words: ArrayData): Long = {
     val len = words.numElements()

@@ -85,8 +85,7 @@ object TextFunctions {
     val nChars = length(text).cast("long")
     val nWords = size(w).cast("long")
     val nPunct = length(regexp_replace(text, punctClass, "")).cast("long")
-    val sw = lit(stopwords.toArray)
-    val nStop = size(filter(w, x => array_contains(sw, x))).cast("long")
+    val nStop = element_at(TermSetCountsExpr(w, Seq(stopwords)), 1)
     Seq(
       "n_chars" -> nChars,
       "n_words" -> nWords,
@@ -119,8 +118,13 @@ object TextFunctions {
     */
   def langId(text: Column, markers: Map[String, Seq[String]] = langMarkers): Column = {
     val w = words(lower(text))
-    val scores: Seq[(String, Column)] = markers.toSeq.sortBy(_._1).map { case (lang, ms) =>
-      lang -> size(filter(w, x => array_contains(lit(ms.toArray), x)))
+    // ONE fused pass counts every language's markers (shared-vocabulary
+    // tokens increment several); the per-language filter+array_contains
+    // form was five interpreted traversals per row
+    val ordered = markers.toSeq.sortBy(_._1)
+    val countsArr = TermSetCountsExpr(w, ordered.map(_._2))
+    val scores: Seq[(String, Column)] = ordered.zipWithIndex.map {
+      case ((lang, _), i) => lang -> element_at(countsArr, i + 1)
     }
     val best = scores.reduceLeft[(String, Column)] { case ((bl, bs), (l, s)) =>
       // strictly-greater keeps the lexicographically-first language on ties
@@ -264,8 +268,7 @@ object TextFunctions {
       .otherwise(sumLen.cast("double") / nWords)
     val nSymbol = (length(text) - length(regexp_replace(text, "[#…]", ""))).cast("long")
     val nAlpha = size(filter(wordsCol, x => x.rlike("[a-zA-Z]"))).cast("long")
-    val nStop = size(filter(wordsCol,
-      x => array_contains(lit(stopwords.toArray), x))).cast("long")
+    val nStop = element_at(TermSetCountsExpr(wordsCol, Seq(stopwords)), 1)
     val rules = Seq(
       "word_count_ok" -> (nWords >= minWords && nWords <= maxWords),
       "mean_word_len_ok" -> (meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen),

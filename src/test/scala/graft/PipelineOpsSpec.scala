@@ -539,6 +539,21 @@ class RetrievalSpec extends SparkSpec {
     assert(canon(fused) == canon(ref))
   }
 
+  test("term_set_counts kernel matches per-set filter+array_contains, overlapping sets") {
+    import spark.implicits._
+    val docs2 = Seq(
+      (1L, "de la the und la"), (2L, ""), (3L, "nothing matches here at all"),
+      (4L, "the the the de")).toDF("id", "text")
+    val sets = Seq(Seq("the", "and"), Seq("de", "la"), Seq("la", "und", "the"))
+    val w = docs2.select(col("id"),
+      graft.functions.TextFunctions.words(col("text")).as("__w"))
+    val fused = w.select(col("id"),
+      graft.functions.TermSetCountsExpr(col("__w"), sets).as("c"))
+    val ref = w.select(col("id"), array(sets.map(set =>
+      size(filter(col("__w"), x => array_contains(lit(set.toArray), x))).cast("long")): _*).as("c"))
+    assert(canon(fused) == canon(ref))
+  }
+
   test("termStats emits exact posting rows") {
     val out = Retrieval.termStats(docs, "id", "text", Seq("query", "spark"))
       .collect().map(r => (r.getLong(0), r.getString(1)) ->
