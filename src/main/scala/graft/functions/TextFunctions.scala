@@ -146,7 +146,12 @@ object TextFunctions {
     * without word spacing (hanzi). The normalized string is staged through a
     * one-element array lambda binding so it evaluates ONCE, not once per
     * n-gram (see the lambda-capture note on [[shingles]]). */
-  def charNgrams(text: Column, maxN: Int = 3): Column = {
+  def charNgrams(text: Column, maxN: Int = 3): Column =
+    CharNgramsExpr(text, maxN)
+
+  /** The composable HOF formulation [[charNgrams]] replaced — kept as the
+    * parity REFERENCE the kernel is property-tested against. */
+  private[graft] def charNgramsComposable(text: Column, maxN: Int = 3): Column = {
     val padded = concat(lit(" "), regexp_replace(lower(trim(text)), "\\s+", " "), lit(" "))
     element_at(transform(array(padded), p => {
       val perSize = (1 to maxN).map(n =>

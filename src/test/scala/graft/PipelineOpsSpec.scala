@@ -539,6 +539,22 @@ class RetrievalSpec extends SparkSpec {
     assert(canon(fused) == canon(ref))
   }
 
+  test("char_ngrams kernel matches the composable HOF chain, unicode included") {
+    import spark.implicits._
+    val docs2 = Seq(
+      "The quick  Brown\tfox", "", "   ", "ab", "a",
+      "汉字语言识别测试", "mixed 汉字 and Latin", "Café NAÏVE",
+      "emoji 😀 astral", "\ttabs\tonly\t").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    for (maxN <- Seq(1, 3)) {
+      val fused = docs2.select(col("id"),
+        graft.functions.TextFunctions.charNgrams(col("text"), maxN).as("g"))
+      val ref = docs2.select(col("id"),
+        graft.functions.TextFunctions.charNgramsComposable(col("text"), maxN).as("g"))
+      assert(canon(fused) == canon(ref), s"char_ngrams diverges at maxN=$maxN")
+    }
+  }
+
   test("term_set_counts kernel matches per-set filter+array_contains, overlapping sets") {
     import spark.implicits._
     val docs2 = Seq(
