@@ -92,6 +92,13 @@ object GraftExtensions {
     colIntArgs("word_shingles", "graft.functions.WordShinglesExpr",
       (c, is) => graft.functions.WordShinglesExpr(c,
         intExact("word_shingles", "n")(is.head)), 1, 1),
+    oneArg("words", "graft.functions.WordsExpr",
+      graft.functions.WordsExpr(_)),
+    oneArg("max_token_freq", "graft.functions.MaxTokenFreqExpr",
+      graft.functions.MaxTokenFreqExpr(_)),
+    colIntArgs("char_ngrams", "graft.functions.CharNgramsExpr",
+      (c, is) => graft.functions.CharNgramsExpr(c,
+        intExact("char_ngrams", "maxN")(is.head)), 1, 1),
     colIntArgs("minhash_sig", "graft.functions.MinhashSignatureExpr",
       (c, is) => graft.functions.MinhashSignatureExpr(c,
         intExact("minhash_sig", "numHashes")(is.head),

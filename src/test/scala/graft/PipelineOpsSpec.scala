@@ -1204,6 +1204,17 @@ class WordSpansSpec extends SparkSpec {
       .collect().head.getSeq[String](0)
     assert(out == Seq("a b", "b c", "c d"))
   }
+
+  test("words, max_token_freq and char_ngrams are SQL-registered") {
+    graft.GraftExtensions.register(spark)
+    Seq((1L, "a b  a\tc a")).toDF("id", "text").createOrReplaceTempView("wsql_t")
+    val row = spark.sql(
+      """SELECT words(text) AS w, max_token_freq(words(text)) AS m,
+         char_ngrams('ab', 2) AS g FROM wsql_t""").collect().head
+    assert(row.getSeq[String](0) == Seq("a", "b", "a", "c", "a"))
+    assert(row.getLong(1) == 3L)
+    assert(row.getSeq[String](2) == Seq(" ", "a", "b", " a", "ab", "b "))
+  }
 }
 
 class CappedCollectSpec extends SparkSpec {
