@@ -63,25 +63,19 @@ object CharNgramsExpr {
   * code. */
 object CharNgramsImpl {
 
-  private def isWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
-
   def compute(text: UTF8String, maxN: Int): GenericArrayData = {
-    // trim (ASCII space only) on the raw string, then Spark's own lowercase
-    val raw = text.toString
-    var b = 0
-    var e = raw.length
-    while (b < e && raw.charAt(b) == ' ') b += 1
-    while (e > b && raw.charAt(e - 1) == ' ') e -= 1
-    val lowered = UTF8String.fromString(raw.substring(b, e)).toLowerCase.toString
+    // trim (ASCII space only, shared with the tokenizer kernels), then
+    // Spark's own lowercase
+    val lowered = UTF8String.fromString(
+      WordSpansImpl.trimSpaces(text.toString)).toLowerCase.toString
     // collapse \s+ runs to one space, with the leading/trailing pad
     val sb = new java.lang.StringBuilder(lowered.length + 2)
     sb.append(' ')
     var i = 0
     while (i < lowered.length) {
-      if (isWs(lowered.charAt(i))) {
+      if (WordSpansImpl.isWs(lowered.charAt(i))) {
         sb.append(' ')
-        while (i < lowered.length && isWs(lowered.charAt(i))) i += 1
+        while (i < lowered.length && WordSpansImpl.isWs(lowered.charAt(i))) i += 1
       } else {
         sb.append(lowered.charAt(i))
         i += 1
@@ -91,7 +85,9 @@ object CharNgramsImpl {
     // window over CODE POINTS (substr/length semantics on UTF8String)
     val cps = sb.toString.codePoints().toArray
     val len = cps.length
-    val seen = new java.util.LinkedHashSet[String](Math.min(len * maxN, 1 << 12))
+    // long arithmetic: len * maxN overflows Int on pathological documents
+    val seen = new java.util.LinkedHashSet[String](
+      Math.min(len.toLong * maxN, 1L << 12).toInt)
     var n = 1
     while (n <= maxN) {
       val last = Math.max(len - n, 0)

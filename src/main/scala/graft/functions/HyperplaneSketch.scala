@@ -106,8 +106,12 @@ object HyperplaneSketchImpl {
     var p = 0
     while (p < nPlanes) {
       // zip_with pads length mismatches with nulls -> that plane's fold is
-      // null -> bit 0 in the HOF form; mirror it
-      if (!anyNull && planes(p).length == len && acc(p) >= 0) bits |= 1L << p
+      // null -> bit 0 in the HOF form; mirror it. Sign test is !(d < 0),
+      // NOT d >= 0: Spark compiles `d >= 0` through nanSafeCompareDoubles
+      // where NaN is larger than everything, so a NaN dot (Inf
+      // cancellation, corrupt embedding) SETS the bit — Java's `>= 0` is
+      // false for NaN and would silently re-bucket such rows
+      if (!anyNull && planes(p).length == len && !(acc(p) < 0)) bits |= 1L << p
       p += 1
     }
     bits

@@ -179,7 +179,9 @@ object TermFreqsImpl {
   def maxFreq(words: ArrayData): Long = {
     val len = words.numElements()
     if (len == 0) return 0L
-    val m = new java.util.HashMap[UTF8String, Long](Math.min(len * 2, 1 << 16))
+    // long arithmetic: len * 2 overflows Int on pathological arrays
+    val m = new java.util.HashMap[UTF8String, Long](
+      Math.min(len.toLong * 2, 1L << 16).toInt)
     var best = 0L
     var i = 0
     while (i < len) {

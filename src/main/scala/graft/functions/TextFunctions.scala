@@ -143,14 +143,17 @@ object TextFunctions {
     * space-padded text — the classic mixed-n-gram language-profile unit
     * (Cavnar & Trenkle 1994). Mixed sizes matter: trigrams capture latin
     * morphology ("ier", "ung", "cio") while unigrams/bigrams carry scripts
-    * without word spacing (hanzi). The normalized string is staged through a
-    * one-element array lambda binding so it evaluates ONCE, not once per
-    * n-gram (see the lambda-capture note on [[shingles]]). */
+    * without word spacing (hanzi). Backed by the fused
+    * [[CharNgramsExpr]] kernel (one normalization + one code-point window
+    * pass); bit-exact with [[charNgramsComposable]], property-pinned. */
   def charNgrams(text: Column, maxN: Int = 3): Column =
     CharNgramsExpr(text, maxN)
 
   /** The composable HOF formulation [[charNgrams]] replaced — kept as the
-    * parity REFERENCE the kernel is property-tested against. */
+    * parity REFERENCE the kernel is property-tested against. The
+    * normalized string is staged through a one-element array lambda
+    * binding so it evaluates ONCE, not once per n-gram (the lambda-capture
+    * note on [[shingles]]). */
   private[graft] def charNgramsComposable(text: Column, maxN: Int = 3): Column = {
     val padded = concat(lit(" "), regexp_replace(lower(trim(text)), "\\s+", " "), lit(" "))
     element_at(transform(array(padded), p => {

@@ -135,23 +135,32 @@ object WordSpansImpl {
 
   /** Java regex `\s` (default mode, no UNICODE_CHARACTER_CLASS): exactly
     * the six ASCII whitespace chars. A charwise scan over this class IS
-    * `Pattern("\\s+").split(s, -1)` — and several times faster. */
-  private def isWs(c: Char): Boolean =
+    * `Pattern("\\s+").split(s, -1)` — and several times faster. Shared
+    * with [[CharNgramsImpl]] so the whitespace contract lives in ONE
+    * place. */
+  private[functions] def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Spark's `trim()`: strips ASCII space 0x20 only (NOT Java String.trim,
+    * which also strips control chars — parity requires the narrow one).
+    * Shared with [[CharNgramsImpl]]. */
+  private[functions] def trimSpaces(raw: String): String = {
+    var b = 0
+    var e = raw.length
+    while (b < e && raw.charAt(b) == ' ') b += 1
+    while (e > b && raw.charAt(e - 1) == ' ') e -= 1
+    if (b == 0 && e == raw.length) raw else raw.substring(b, e)
+  }
 
   /** Tokenize with bit-exact [[TextFunctions.words]] parity: trim ASCII
     * space 0x20 only, split on `\s+` runs with limit -1 semantics (a
     * leading/trailing separator run yields a leading/trailing "" token),
     * empty trimmed text → zero tokens. */
   private[functions] def tokenize(text: UTF8String): Array[String] = {
-    val raw = text.toString
-    // Spark's trim(): ASCII space 0x20 only (NOT Java String.trim, which
-    // also strips control chars — tokenizer parity requires the narrow one)
-    var b = 0
-    var e = raw.length
-    while (b < e && raw.charAt(b) == ' ') b += 1
-    while (e > b && raw.charAt(e - 1) == ' ') e -= 1
-    if (b == e) return Array.empty[String]
+    val raw = trimSpaces(text.toString)
+    if (raw.isEmpty) return Array.empty[String]
+    val b = 0
+    val e = raw.length
     val out = new java.util.ArrayList[String](16)
     var i = b
     var tokenStart = b

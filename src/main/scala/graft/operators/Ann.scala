@@ -261,10 +261,11 @@ object Ann {
       maxHammingProbe: Int = 2,
       seed: Long = 42L,
       excludeIds: Seq[Long] = Nil): DataFrame = {
-    // query sketch computed driver-side with the same seeded planes
-    val rnd = new Random(seed)
-    val planes: Seq[Array[Double]] =
-      Seq.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+    // query sketch computed driver-side with the same seeded planes — drawn
+    // through the SAME helper as the row sketches (bucket assignment
+    // depends on these exact doubles; a second draw-site is a silent
+    // desynchronization waiting to happen)
+    val planes = hyperplanes(dim, numPlanes, seed)
     val qSketch = planes.zipWithIndex.map { case (p, i) =>
       val d = p.zip(query).map { case (w, x) => w * x.toDouble }.sum
       if (d >= 0) 1L << i else 0L

@@ -238,7 +238,11 @@ class AnnSpec extends SparkSpec {
     val rows = (0 until 200).map(i => (i.toLong, randVec(i, dim))) ++ Seq(
       (1000L, Array.empty[Float]),          // length mismatch -> all bits 0
       (1001L, randVec(7, dim - 3)),         // short vector -> all bits 0
-      (1002L, Array.fill(dim)(0.0f)))       // zero vector: every dot 0 -> all signs +
+      (1002L, Array.fill(dim)(0.0f)),       // zero vector: every dot 0 -> all signs +
+      // NaN dot: Spark's `>= 0` is nan-safe (NaN largest -> bit SET) — the
+      // kernel must not use Java's `>= 0`, which is false for NaN
+      (1003L, randVec(9, dim).updated(3, Float.NaN)),
+      (1004L, Array.fill(dim)(Float.PositiveInfinity).updated(0, Float.NegativeInfinity)))
     val df = rows.toDF("vec_id", "embedding")
     for (seed <- Seq(42L, 7L); numPlanes <- Seq(12, 31)) {
       val fused = df.select(col("vec_id"),
