@@ -1135,7 +1135,7 @@ class WordSpansSpec extends SparkSpec {
       "a a a a a a",                       // within-doc repeats dedup
       "  leading and trailing spaces  ",
       "\ttab\tstart and end\t",            // spark trim strips SPACES only
-      "multi   spacevt\ffeed mixed\r\nnewline tokens here",
+      "multi   space\u000Bvt\ffeed mixed\r\nnewline tokens here",
       "", "   ", "\t", "short doc",        // empty / space-only / sub-n
       "exactly three tokens",
       "x   nbsp is not regex whitespace y z w v") // \s misses U+00A0
@@ -1183,7 +1183,7 @@ class WordSpansSpec extends SparkSpec {
   test("words kernel matches the composable regex formulation") {
     val rng = new scala.util.Random(13)
     val alphabet = Seq("tok", "x", " ", "\t", "\n", "\u000B", "\f", "\r", "  ")
-    val hostile = Seq("", " ", "  ", "\t", "\ta b\t", " a  b ", "ab",
+    val hostile = Seq("", " ", "  ", "\t", "\ta b\t", " a  b ", "a\u000Bb",
       "one", "a\r\nb c") ++
       (0 until 200).map(_ =>
         (0 until rng.nextInt(20)).map(_ => alphabet(rng.nextInt(alphabet.size))).mkString)
