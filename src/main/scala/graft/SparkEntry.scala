@@ -851,6 +851,17 @@ object SparkEntry {
       .orderBy("q")
   }
 
+  /** Grouped companion to t17: one KLL sketch per language (the
+    * multi-group ObjectHashAggregate path — per-group buffers created,
+    * serialized and merged independently across partials), still in the
+    * exact regime since every group is far under k. */
+  private def t17b_quantile_by_group(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(graft.functions.KllSketch.kllQuantile(col("n_chars"), 8192, 0.5).as("med"))
+      .select(col("lang"), round(col("med"), 6).as("med"))
+      .orderBy("lang")
+
   /** Deterministic stratified sample: 5 docs per source, selected by salted
     * md5 order — both engines agree on the hash, so the exact same rows
     * come out of DuckDB (and would out of any md5-capable engine). */
@@ -1333,6 +1344,7 @@ object SparkEntry {
     "t15_heavyhitters" -> (t15_heavyhitters _),
     "t16_sample" -> (t16_sample _),
     "t17_quantile_sketch" -> (t17_quantile_sketch _),
+    "t17b_quantile_by_group" -> (t17b_quantile_by_group _),
     "t14b_normalize_fold" -> (t14b_normalize_fold _),
     "e1_quantize" -> (e1_quantize _),
     "e2_l2norm" -> (e2_l2norm _),
@@ -1986,6 +1998,9 @@ object SparkEntry {
          UNION ALL SELECT CAST(0.9 AS DOUBLE), round(quantile_cont(n_chars, 0.9), 6) FROM documents
          UNION ALL SELECT CAST(0.99 AS DOUBLE), round(quantile_cont(n_chars, 0.99), 6) FROM documents
          ORDER BY q""",
+    "t17b_quantile_by_group" ->
+      """SELECT lang, round(quantile_cont(n_chars, 0.5), 6) AS med
+         FROM documents GROUP BY lang ORDER BY lang""",
     "t15_heavyhitters" ->
       """WITH w AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS item
                     FROM documents
