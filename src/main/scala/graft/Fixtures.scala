@@ -155,6 +155,24 @@ object Fixtures {
       rows.toDF("doc_id", "payload").coalesce(1).write.mode("overwrite").parquet(dir)
     }
 
+  /** 4:2:0 companion to [[jpegPixelDocs]]: every doc a chroma-subsampled
+    * color JPEG (the web/camera-dominant layout) with the same closed-form
+    * flat luma blocks — exact under any correct upsampling because the
+    * chroma planes are flat 128. */
+  def jpeg420PixelDocs(spark: SparkSession, sfDir: String): String =
+    cached("jpeg420_pixel_docs", sfDir) { dir =>
+      import spark.implicits._
+      val ids = table(spark, sfDir, "documents").select("doc_id")
+        .as[Long].collect().sorted
+      val rows = ids.toSeq.map { id =>
+        val w = (id % 23).toInt + 4
+        val h = (id % 19).toInt + 4
+        (id, graft.operators.Multimodal.syntheticJpegDcBytes(id, w, h,
+          color = true, subsample420 = true))
+      }
+      rows.toDF("doc_id", "payload").coalesce(1).write.mode("overwrite").parquet(dir)
+    }
+
   /** Audio analog of [[mediaDocs]]: one valid WAV header per doc, with
     * rate/channels/bits/sample-count derived from doc_id so the oracle can
     * verify the byte-level parse inverts the construction arithmetic. */

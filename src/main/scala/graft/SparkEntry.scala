@@ -1011,6 +1011,21 @@ object SparkEntry {
         round(col("col.std"), 6).as("std"))
       .orderBy("doc_id", "channel")
 
+  /** 4:2:0 chroma-subsampled decode — the layout nearly every real-world
+    * JPEG uses (T.81 A.2.3 MCU interleave, per-component subsampled
+    * planes, nearest-neighbor upsampling). The fixture's flat-chroma
+    * construction keeps the decode exact, so the oracle is the same
+    * closed form as m6 with three channels and larger block-spanning
+    * dims (up to 26×22 — multi-MCU images with cropped edge MCUs). */
+  private def m7_jpeg_420(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeJpegPixels(s.read.parquet(Fixtures.jpeg420PixelDocs(s, dir)))
+      .select(col("doc_id"), col("pixel_stats.width"), col("pixel_stats.height"),
+        posexplode(arrays_zip(col("pixel_stats.mean"), col("pixel_stats.std"))))
+      .select(col("doc_id"), col("width"), col("height"),
+        col("pos").as("channel"), round(col("col.mean"), 6).as("mean"),
+        round(col("col.std"), 6).as("std"))
+      .orderBy("doc_id", "channel")
+
   /** Real RIFF/WAVE chunk-walk decode; oracle verifies the parse inverts
     * the fixture's construction arithmetic (same pattern as m1). */
   /** FULL audio payload decode: every PCM16 sample folded into exact
@@ -1351,6 +1366,7 @@ object SparkEntry {
     "m1_multimodal" -> (m1_multimodal _),
     "m4_pixels" -> (m4_pixels _),
     "m6_jpeg_pixels" -> (m6_jpeg_pixels _),
+    "m7_jpeg_420" -> (m7_jpeg_420 _),
     "m2_audio" -> (m2_audio _),
     "m5_audio_pcm" -> (m5_audio_pcm _),
     "m3_video" -> (m3_video _),
@@ -2242,6 +2258,26 @@ object SparkEntry {
                generate_series(0, 13) AS y(y),
                generate_series(0, 2) AS c(c)
              WHERE x.x < d.width AND y.y < d.height AND c.c < d.nc)
+         SELECT doc_id, width, height, CAST(channel AS INT) AS channel,
+           round(CAST(SUM(v) AS DOUBLE) / (width * height), 6) AS mean,
+           round(sqrt(GREATEST(
+             CAST(SUM(v*v) AS DOUBLE) / (width * height) -
+             (CAST(SUM(v) AS DOUBLE) / (width * height)) *
+             (CAST(SUM(v) AS DOUBLE) / (width * height)), 0)), 6) AS std
+         FROM px GROUP BY doc_id, width, height, channel
+         ORDER BY doc_id, channel""",
+    "m7_jpeg_420" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(doc_id % 23 + 4 AS INT) AS width,
+             CAST(doc_id % 19 + 4 AS INT) AS height
+           FROM documents),
+         px AS (SELECT d.doc_id, d.width, d.height, c.c AS channel,
+               CAST(16 + (d.doc_id + (x.x // 8) * 3 + (y.y // 8) * 5) % 224 AS BIGINT) AS v
+             FROM d,
+               generate_series(0, 25) AS x(x),
+               generate_series(0, 21) AS y(y),
+               generate_series(0, 2) AS c(c)
+             WHERE x.x < d.width AND y.y < d.height)
          SELECT doc_id, width, height, CAST(channel AS INT) AS channel,
            round(CAST(SUM(v) AS DOUBLE) / (width * height), 6) AS mean,
            round(sqrt(GREATEST(

@@ -576,13 +576,14 @@ object Multimodal {
     * stddev over the w×h crop (MCU padding excluded). 3-component scans
     * convert YCbCr→RGB (ITU round-half-up on the standard coefficients).
     *
-    * Supported: sequential baseline (SOF0), 8-bit, 1 or 3 components, NO
-    * chroma subsampling (all sampling factors 1×1 — the 4:4:4 and grayscale
-    * bulk cases). Progressive (SOF2), arithmetic coding, 12-bit, and
-    * subsampled scans return None — callers tag `undecodable` and fall
-    * back rather than guessing, same contract as [[pngPixelStats]]. Sums
-    * are exact 64-bit integers, so the stats are deterministic and
-    * SQL-reproducible. */
+    * Supported: sequential baseline (SOF0), 8-bit, 1 or 3 components,
+    * sampling factors 1..2 per component — grayscale, 4:4:4, 4:2:2, 4:4:0
+    * and the web/camera-dominant 4:2:0, with nearest-neighbor chroma
+    * upsampling (T.81 A.2.3 MCU interleave, per-component subsampled
+    * planes). Progressive (SOF2), arithmetic coding, 12-bit, and factors
+    * above 2 return None — callers tag `undecodable` and fall back rather
+    * than guessing, same contract as [[pngPixelStats]]. Sums are exact
+    * 64-bit integers, so the stats are deterministic and SQL-reproducible. */
   def jpegPixelStats(b: Array[Byte]): Option[(Int, Int, Int, Array[Double], Array[Double])] = {
     if (b == null || b.length < 4 ||
         (b(0) & 0xFF) != 0xFF || (b(1) & 0xFF) != 0xD8) return None
@@ -593,6 +594,8 @@ object Multimodal {
       var w = 0; var h = 0; var nComp = 0
       var compQ: Array[Int] = null
       var compIds: Array[Int] = null
+      var compH: Array[Int] = null
+      var compV: Array[Int] = null
       var restartInterval = 0
       var scanDc: Array[Int] = null
       var scanAc: Array[Int] = null
@@ -623,13 +626,23 @@ object Multimodal {
                 w.toLong * h * nComp >= (1L << 28)) return None
             compIds = new Array[Int](nComp)
             compQ = new Array[Int](nComp)
+            compH = new Array[Int](nComp)
+            compV = new Array[Int](nComp)
             var c = 0
             while (c < nComp) {
               compIds(c) = u8(b, pos + 8 + c * 3)
-              if (u8(b, pos + 9 + c * 3) != 0x11) return None // subsampled
+              compH(c) = u8(b, pos + 9 + c * 3) >> 4
+              compV(c) = u8(b, pos + 9 + c * 3) & 0x0F
+              // factors 1..2 cover 4:4:4 / 4:2:2 / 4:4:0 / 4:2:0 — the
+              // real-world baseline space; anything else is undecodable
+              if (compH(c) < 1 || compH(c) > 2 || compV(c) < 1 || compV(c) > 2)
+                return None
               compQ(c) = u8(b, pos + 10 + c * 3)
               c += 1
             }
+            // grayscale scans must be 1x1; chroma may not outsample luma
+            if (nComp == 1 && (compH(0) != 1 || compV(0) != 1))
+              return None
             pos += len
           case m if (m >= 0xC1 && m <= 0xCF) && m != 0xC4 && m != 0xC8 && m != 0xCC =>
             return None // progressive / arithmetic / hierarchical SOF
@@ -687,15 +700,26 @@ object Multimodal {
             acTabs(scanAc(c)) == null) return None
         c += 1
       }
-      val bw = (w + 7) / 8; val bh = (h + 7) / 8
-      val planeW = bw * 8
-      val planes = Array.fill(nComp)(new Array[Int](planeW * bh * 8))
+      var hMax = 1; var vMax = 1
+      c = 0
+      while (c < nComp) {
+        if (compH(c) > hMax) hMax = compH(c)
+        if (compV(c) > vMax) vMax = compV(c)
+        c += 1
+      }
+      // MCU grid over the full image; each component's plane is its own
+      // (possibly subsampled) resolution, padded to whole MCUs
+      val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+      val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+      val planeWs = Array.tabulate(nComp)(c => mcusX * 8 * compH(c))
+      val planes = Array.tabulate(nComp)(c =>
+        new Array[Int](planeWs(c) * mcusY * 8 * compV(c)))
       val br = new JpegBits(b, sosAt)
       val dcPred = new Array[Int](nComp)
       val coef = new Array[Int](64)
       val block = new Array[Int](64)
       var mcu = 0
-      val nMcus = bw * bh
+      val nMcus = mcusX * mcusY
       while (mcu < nMcus) {
         if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
           br.byteAlign()
@@ -705,39 +729,52 @@ object Multimodal {
           br.pos += 2
           java.util.Arrays.fill(dcPred, 0)
         }
-        val bx = mcu % bw; val by = mcu / bw
+        val mx = mcu % mcusX; val my = mcu / mcusX
         c = 0
         while (c < nComp) {
-          java.util.Arrays.fill(coef, 0)
-          val q = quantZig(compQ(c))
-          val t = dcTabs(scanDc(c)).decode(br)
-          if (t > 15) throw JpegFormat
-          dcPred(c) += jpegExtend(br.receive(t), t)
-          coef(0) = dcPred(c) * q(0)
-          var k = 1
-          var eob = false
-          while (k < 64 && !eob) {
-            val rs = acTabs(scanAc(c)).decode(br)
-            val r = rs >> 4; val s = rs & 0x0F
-            if (s == 0) {
-              if (r == 15) k += 16 else eob = true // ZRL vs EOB
-            } else {
-              k += r
-              if (k > 63) throw JpegFormat
-              coef(ZigZag(k)) = jpegExtend(br.receive(s), s) * q(k)
-              k += 1
+          // T.81 A.2.3 interleave: compH(c) x compV(c) blocks per MCU,
+          // row-major within the MCU
+          var bv = 0
+          while (bv < compV(c)) {
+            var bu = 0
+            while (bu < compH(c)) {
+              java.util.Arrays.fill(coef, 0)
+              val q = quantZig(compQ(c))
+              val t = dcTabs(scanDc(c)).decode(br)
+              if (t > 15) throw JpegFormat
+              dcPred(c) += jpegExtend(br.receive(t), t)
+              coef(0) = dcPred(c) * q(0)
+              var k = 1
+              var eob = false
+              while (k < 64 && !eob) {
+                val rs = acTabs(scanAc(c)).decode(br)
+                val r = rs >> 4; val s = rs & 0x0F
+                if (s == 0) {
+                  if (r == 15) k += 16 else eob = true // ZRL vs EOB
+                } else {
+                  k += r
+                  if (k > 63) throw JpegFormat
+                  coef(ZigZag(k)) = jpegExtend(br.receive(s), s) * q(k)
+                  k += 1
+                }
+              }
+              idct8x8(coef, block)
+              val plane = planes(c)
+              val pw = planeWs(c)
+              val ox = (mx * compH(c) + bu) * 8
+              val oy = (my * compV(c) + bv) * 8
+              var yy = 0
+              while (yy < 8) {
+                var xx = 0
+                while (xx < 8) {
+                  plane((oy + yy) * pw + ox + xx) = block(yy * 8 + xx)
+                  xx += 1
+                }
+                yy += 1
+              }
+              bu += 1
             }
-          }
-          idct8x8(coef, block)
-          val plane = planes(c)
-          var yy = 0
-          while (yy < 8) {
-            var xx = 0
-            while (xx < 8) {
-              plane((by * 8 + yy) * planeW + bx * 8 + xx) = block(yy * 8 + xx)
-              xx += 1
-            }
-            yy += 1
+            bv += 1
           }
           c += 1
         }
@@ -747,16 +784,21 @@ object Multimodal {
       val channels = nComp
       val sum = new Array[Long](channels)
       val sumSq = new Array[Long](channels)
+      // nearest-neighbor chroma upsampling: component c's sample for image
+      // pixel (x, y) lives at (x*compH(c)/hMax, y*compV(c)/vMax)
+      def sample(c: Int, x: Int, y: Int): Int =
+        planes(c)((y * compV(c) / vMax) * planeWs(c) + (x * compH(c) / hMax))
       var y = 0
       while (y < h) {
         var x = 0
         while (x < w) {
-          val p = y * planeW + x
           if (nComp == 1) {
-            val v = planes(0)(p)
+            val v = planes(0)(y * planeWs(0) + x)
             sum(0) += v; sumSq(0) += v.toLong * v
           } else {
-            val yv = planes(0)(p); val cb = planes(1)(p) - 128; val cr = planes(2)(p) - 128
+            val yv = sample(0, x, y)
+            val cb = sample(1, x, y) - 128
+            val cr = sample(2, x, y) - 128
             def clamp(d: Double): Int = {
               val r = math.round(d).toInt
               if (r < 0) 0 else if (r > 255) 255 else r
@@ -936,8 +978,18 @@ object Multimodal {
     * real IDCT on the decode side). `color=true` emits a 3-component 4:4:4
     * scan with flat chroma (Cb=Cr=128 → R=G=B=Y under any correct YCbCr
     * rounding), so the oracle's closed form covers color too. */
-  def syntheticJpegDcBytes(seed: Long, w: Int, h: Int, color: Boolean): Array[Byte] = {
+  def syntheticJpegDcBytes(seed: Long, w: Int, h: Int, color: Boolean): Array[Byte] =
+    syntheticJpegDcBytes(seed, w, h, color, subsample420 = false)
+
+  /** `subsample420=true` (implies color) emits a 4:2:0 scan — luma 2×2,
+    * chroma 1×1, the web/camera-dominant layout — with the SAME closed-form
+    * flat luma blocks on the 8-pixel grid and flat chroma, so the decoded
+    * pixels stay exact under ANY correct upsampling (flat 128 chroma
+    * upsamples to 128 everywhere). */
+  def syntheticJpegDcBytes(seed: Long, w: Int, h: Int, color: Boolean,
+      subsample420: Boolean): Array[Byte] = {
     require(w > 0 && h > 0, "dims must be positive")
+    require(!subsample420 || color, "4:2:0 requires a color scan")
     val out = new java.io.ByteArrayOutputStream()
     def wr(bs: Int*): Unit = bs.foreach(v => out.write(v & 0xFF))
     def seg(marker: Int, payload: Array[Int]): Unit = {
@@ -948,8 +1000,10 @@ object Multimodal {
     seg(0xE0, Array(0x4A, 0x46, 0x49, 0x46, 0x00, 1, 1, 0, 0, 1, 0, 1, 0, 0)) // JFIF
     seg(0xDB, 0 +: Array.fill(64)(8)) // DQT table 0, all 8s
     val nComp = if (color) 3 else 1
+    val lumaSampling = if (subsample420) 0x22 else 0x11
     seg(0xC0, Array(8, h >> 8, h, w >> 8, w, nComp) ++
-      (1 to nComp).flatMap(c => Seq(c, 0x11, 0))) // SOF0, all 1x1, qtable 0
+      (1 to nComp).flatMap(c =>
+        Seq(c, if (c == 1) lumaSampling else 0x11, 0))) // SOF0, qtable 0
     seg(0xC4, 0x00 +: (StdDcCounts ++ StdDcVals)) // DHT DC 0
     seg(0xC4, 0x10 +: (StdAcCounts ++ StdAcVals)) // DHT AC 0
     seg(0xDA, Array(nComp) ++ (1 to nComp).flatMap(c => Seq(c, 0x00)) ++
@@ -969,29 +1023,57 @@ object Multimodal {
         i -= 1
       }
     }
-    val bw = (w + 7) / 8; val bh = (h + 7) / 8
+    def blockVal(bx: Int, by: Int): Int =
+      16 + (((seed + bx * 3 + by * 5) % 224 + 224) % 224).toInt
     val dcPred = new Array[Int](nComp)
-    var by = 0
-    while (by < bh) {
-      var bx = 0
-      while (bx < bw) {
-        var c = 0
-        while (c < nComp) {
-          val v = if (c == 0) 16 + (((seed + bx * 3 + by * 5) % 224 + 224) % 224).toInt
-            else 128
-          val s = v - 128 // quantized DC: dequant s·8, IDCT flat s, +128 = v
-          val diff = s - dcPred(c); dcPred(c) = s
-          val t = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
-          val (dcCode, dcLen) = dcCodes(t)
-          emit(dcCode, dcLen)
-          if (t > 0) emit(if (diff >= 0) diff else diff - 1 + (1 << t), t)
-          val (eobCode, eobLen) = acCodes(0x00)
-          emit(eobCode, eobLen) // all ACs zero
-          c += 1
+    def emitBlock(c: Int, s: Int): Unit = {
+      val diff = s - dcPred(c); dcPred(c) = s
+      val t = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      val (dcCode, dcLen) = dcCodes(t)
+      emit(dcCode, dcLen)
+      if (t > 0) emit(if (diff >= 0) diff else diff - 1 + (1 << t), t)
+      val (eobCode, eobLen) = acCodes(0x00)
+      emit(eobCode, eobLen) // all ACs zero
+    }
+    if (!subsample420) {
+      val bw = (w + 7) / 8; val bh = (h + 7) / 8
+      var by = 0
+      while (by < bh) {
+        var bx = 0
+        while (bx < bw) {
+          var c = 0
+          while (c < nComp) {
+            // quantized DC: dequant s*8, IDCT flat s, +128 = target value
+            emitBlock(c, if (c == 0) blockVal(bx, by) - 128 else 0)
+            c += 1
+          }
+          bx += 1
         }
-        bx += 1
+        by += 1
       }
-      by += 1
+    } else {
+      // T.81 A.2.3 interleave: per MCU, 2x2 luma blocks (row-major on the
+      // 8-pixel luma grid) then one Cb and one Cr block
+      val mcusX = (w + 15) / 16; val mcusY = (h + 15) / 16
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          var bv = 0
+          while (bv < 2) {
+            var bu = 0
+            while (bu < 2) {
+              emitBlock(0, blockVal(mx * 2 + bu, my * 2 + bv) - 128)
+              bu += 1
+            }
+            bv += 1
+          }
+          emitBlock(1, 0)
+          emitBlock(2, 0)
+          mx += 1
+        }
+        my += 1
+      }
     }
     if (nbits > 0) { // pad with 1s
       acc = (acc << (8 - nbits)) | ((1 << (8 - nbits)) - 1)

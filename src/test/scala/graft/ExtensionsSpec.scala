@@ -892,6 +892,59 @@ class MultimodalSpec extends SparkSpec {
     assert(std(0) > 0)
   }
 
+  test("4:2:0 subsampled decode inverts the DC-only encoder exactly") {
+    for (seed <- Seq(0L, 7L, 123L); (w, h) <- Seq((13, 10), (16, 16), (33, 18))) {
+      val b = Multimodal.syntheticJpegDcBytes(seed, w, h, color = true,
+        subsample420 = true)
+      val Some((pw, ph, pc, mean, std)) = Multimodal.jpegPixelStats(b)
+      assert((pw, ph, pc) == ((w, h, 3)))
+      var sum = 0L; var sumSq = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = 16 + ((seed + (x / 8) * 3 + (y / 8) * 5) % 224).toInt
+        sum += v; sumSq += v.toLong * v
+      }
+      val n = w.toLong * h
+      val em = sum.toDouble / n
+      val es = math.sqrt(math.max(sumSq.toDouble / n - em * em, 0.0))
+      for (c <- 0 until 3) // flat 128 chroma upsamples to 128 -> R=G=B=Y
+        assert(mean(c) == em && std(c) == es, s"seed=$seed ${w}x$h c=$c")
+    }
+  }
+
+  test("4:2:0 decode handles the JDK encoder's real color output") {
+    // the JDK writer emits 4:2:0 for RGB BufferedImages — real subsampled
+    // chroma, real quant tables, nonzero ACs
+    val (w, h) = (48, 33)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (x * 5 + y * 2) % 200 + 20
+      val g = (x * 3 + y * 7) % 200 + 20
+      val bl = (x * 2 + y * 11) % 200 + 20
+      img.setRGB(x, y, (r << 16) | (g << 8) | bl)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val bytes = bos.toByteArray
+    val Some((pw, ph, pc, mean, _)) = Multimodal.jpegPixelStats(bytes)
+    assert((pw, ph, pc) == ((w, h, 3)))
+    // reference decode via the JDK reader; our nearest-neighbor chroma
+    // upsampling differs from ImageIO's interpolating one near chroma
+    // edges, so compare channel MEANS with a small tolerance
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val sums = new Array[Long](3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val argb = ref.getRGB(x, y)
+      sums(0) += (argb >> 16) & 0xFF; sums(1) += (argb >> 8) & 0xFF
+      sums(2) += argb & 0xFF
+    }
+    for (c <- 0 until 3) {
+      val refMean = sums(c).toDouble / (w * h)
+      assert(math.abs(mean(c) - refMean) < 2.0,
+        s"channel $c: fused ${mean(c)} vs ImageIO $refMean")
+    }
+  }
+
   test("corrupt zero segment length returns None instead of stalling the task") {
     val b = Multimodal.syntheticJpegDcBytes(3L, 9, 9, color = false)
     // zero out the APP0 length bytes (offset 4-5 after SOI + FFE0 marker):
