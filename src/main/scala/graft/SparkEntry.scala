@@ -988,6 +988,19 @@ object SparkEntry {
     * stats); the oracle recomputes mean/std from the fixture's closed-form
     * pixel arithmetic over a generated (x, y, channel) grid — the decode
     * must invert deflate AND all five scanline filters exactly to match. */
+  /** Shared gate shape for the pixel decoders (m4/m6/m7): per-channel
+    * stats posexploded to (doc_id, width, height, channel, mean, std),
+    * rounded and ordered — ONE definition so the three gates cannot
+    * silently diverge. */
+  private def pixelStatsGate(decoded: DataFrame): DataFrame =
+    decoded
+      .select(col("doc_id"), col("pixel_stats.width"), col("pixel_stats.height"),
+        posexplode(arrays_zip(col("pixel_stats.mean"), col("pixel_stats.std"))))
+      .select(col("doc_id"), col("width"), col("height"),
+        col("pos").as("channel"), round(col("col.mean"), 6).as("mean"),
+        round(col("col.std"), 6).as("std"))
+      .orderBy("doc_id", "channel")
+
   private def m4_pixels(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodePngPixels(s.read.parquet(Fixtures.pngPixelDocs(s, dir)))
       .select(col("doc_id"), col("pixel_stats.width"), col("pixel_stats.height"),
@@ -1003,13 +1016,8 @@ object SparkEntry {
     * rebuilds the decoded per-channel stats from the closed-form block
     * values (odd docs are 4:4:4 color with flat chroma → R=G=B=Y). */
   private def m6_jpeg_pixels(s: SparkSession, dir: String): DataFrame =
-    Multimodal.decodeJpegPixels(s.read.parquet(Fixtures.jpegPixelDocs(s, dir)))
-      .select(col("doc_id"), col("pixel_stats.width"), col("pixel_stats.height"),
-        posexplode(arrays_zip(col("pixel_stats.mean"), col("pixel_stats.std"))))
-      .select(col("doc_id"), col("width"), col("height"),
-        col("pos").as("channel"), round(col("col.mean"), 6).as("mean"),
-        round(col("col.std"), 6).as("std"))
-      .orderBy("doc_id", "channel")
+    pixelStatsGate(
+      Multimodal.decodeJpegPixels(s.read.parquet(Fixtures.jpegPixelDocs(s, dir))))
 
   /** 4:2:0 chroma-subsampled decode — the layout nearly every real-world
     * JPEG uses (T.81 A.2.3 MCU interleave, per-component subsampled
@@ -1018,13 +1026,8 @@ object SparkEntry {
     * closed form as m6 with three channels and larger block-spanning
     * dims (up to 26×22 — multi-MCU images with cropped edge MCUs). */
   private def m7_jpeg_420(s: SparkSession, dir: String): DataFrame =
-    Multimodal.decodeJpegPixels(s.read.parquet(Fixtures.jpeg420PixelDocs(s, dir)))
-      .select(col("doc_id"), col("pixel_stats.width"), col("pixel_stats.height"),
-        posexplode(arrays_zip(col("pixel_stats.mean"), col("pixel_stats.std"))))
-      .select(col("doc_id"), col("width"), col("height"),
-        col("pos").as("channel"), round(col("col.mean"), 6).as("mean"),
-        round(col("col.std"), 6).as("std"))
-      .orderBy("doc_id", "channel")
+    pixelStatsGate(
+      Multimodal.decodeJpegPixels(s.read.parquet(Fixtures.jpeg420PixelDocs(s, dir))))
 
   /** Real RIFF/WAVE chunk-walk decode; oracle verifies the parse inverts
     * the fixture's construction arithmetic (same pattern as m1). */

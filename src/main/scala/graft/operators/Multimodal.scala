@@ -641,7 +641,12 @@ object Multimodal {
               c += 1
             }
             // grayscale scans must be 1x1; chroma may not outsample luma
+            // (a Y=1x1 / C=2x2 layout is legal T.81 but outside the
+            // supported set — it must tag undecodable, not half-res luma)
             if (nComp == 1 && (compH(0) != 1 || compV(0) != 1))
+              return None
+            if (nComp == 3 && (1 until 3).exists(c =>
+                compH(0) < compH(c) || compV(0) < compV(c)))
               return None
             pos += len
           case m if (m >= 0xC1 && m <= 0xCF) && m != 0xC4 && m != 0xC8 && m != 0xCC =>
@@ -831,9 +836,10 @@ object Multimodal {
   }
 
   /** Batched baseline-JPEG pixel decode: real Huffman+IDCT stats for
-    * sequential 8-bit 1/3-component 4:4:4 JPEGs, `format = "undecodable"`
-    * (null stats) otherwise — the same executor-side mapPartitions shape
-    * as [[decodePngPixels]]. */
+    * sequential 8-bit 1/3-component JPEGs with sampling factors 1..2
+    * (grayscale, 4:4:4, 4:2:2, 4:4:0 and the web/camera-dominant 4:2:0),
+    * `format = "undecodable"` (null stats) otherwise — the same
+    * executor-side mapPartitions shape as [[decodePngPixels]]. */
   def decodeJpegPixels(df: DataFrame, payloadCol: String = "payload",
       statsCol: String = "pixel_stats"): DataFrame =
     decodeMeta(df, payloadCol, statsCol, pixelStatsType) { bytes =>

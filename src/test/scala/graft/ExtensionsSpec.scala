@@ -945,6 +945,22 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("chroma outsampling luma is rejected, not decoded at half-res luma") {
+    // legal T.81 but outside the supported set: Y=1x1, Cb=Cr=2x2. Patch the
+    // SOF sampling bytes of a valid 4:2:0 fixture (comp1 at SOF+11, then
+    // every 3 bytes) and expect undecodable.
+    val b = Multimodal.syntheticJpegDcBytes(5L, 16, 16, color = true,
+      subsample420 = true)
+    val sof = (0 until b.length - 1).find(i =>
+      (b(i) & 0xFF) == 0xFF && (b(i + 1) & 0xFF) == 0xC0).get
+    val patched = b.clone()
+    patched(sof + 11) = 0x11.toByte // Y 1x1
+    patched(sof + 14) = 0x22.toByte // Cb 2x2
+    patched(sof + 17) = 0x22.toByte // Cr 2x2
+    assert(Multimodal.jpegPixelStats(patched).isEmpty,
+      "chroma-outsamples-luma layouts must tag undecodable")
+  }
+
   test("corrupt zero segment length returns None instead of stalling the task") {
     val b = Multimodal.syntheticJpegDcBytes(3L, 9, 9, color = false)
     // zero out the APP0 length bytes (offset 4-5 after SOI + FFE0 marker):
