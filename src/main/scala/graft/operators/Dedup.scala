@@ -310,8 +310,10 @@ object Dedup {
       .join(sets.select(col("id").as("id_a"), col("shingle_set").as("set_a")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("shingle_set").as("set_b")), Seq("id_b"))
       .withColumn("jaccard",
-        size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
-          size(array_union(col("set_a"), col("set_b"))))
+        // one merge pass over the sorted shingle sets — the composable
+        // array_intersect/array_union form builds two hash structures per
+        // candidate pair (unsorted input auto-falls back, stays exact)
+        graft.functions.SortedJaccardExpr(col("set_a"), col("set_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
 
@@ -773,8 +775,10 @@ object Dedup {
       .join(newIdx.select(col("id").as("id_a"), col("shingle_set").as("set_a")), Seq("id_a"))
       .join(index.select(col("id").as("id_b"), col("shingle_set").as("set_b")), Seq("id_b"))
       .withColumn("jaccard",
-        size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
-          size(array_union(col("set_a"), col("set_b"))))
+        // one merge pass over the sorted shingle sets — the composable
+        // array_intersect/array_union form builds two hash structures per
+        // candidate pair (unsorted input auto-falls back, stays exact)
+        graft.functions.SortedJaccardExpr(col("set_a"), col("set_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
     armLshListener(verified, "graft_lsh_incremental", maxBucketSize,

@@ -539,6 +539,37 @@ class RetrievalSpec extends SparkSpec {
     assert(canon(fused) == canon(ref))
   }
 
+  test("sorted_jaccard matches array_intersect/union on sorted, unsorted and edge inputs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(31)
+    val rows: Seq[(Long, Seq[Long], Seq[Long])] =
+      (0L until 300L).map { i =>
+        val base = Seq.fill(rng.nextInt(20))(rng.nextLong() % 100)
+        val other = Seq.fill(rng.nextInt(20))(rng.nextLong() % 100)
+        // mix: sorted-distinct (the kernel contract), raw unsorted with
+        // duplicates (fallback path), and shared elements
+        val a = if (i % 3 == 0) base.distinct.sorted else base
+        // always non-empty: empty-vs-empty is the one input the composable
+        // form cannot evaluate under ANSI (see note below)
+        val b0 = other ++ base.take(5) :+ (i * 31)
+        val b = if (i % 3 == 0) b0.distinct.sorted else b0
+        (i, a, b)
+      } ++ Seq(
+        (1000L, Seq(Long.MinValue, 0L, 5L), Seq(Long.MinValue, 5L)),
+        // NOTE: empty-vs-empty is deliberately absent — the composable form
+        // throws DIVIDE_BY_ZERO under ANSI while the kernel yields NaN, and
+        // the pipeline's shingle sets are never empty (whole-doc collapse)
+        (1002L, Seq.empty[Long], Seq(1L, 2L)),
+        (1003L, Seq(7L), Seq(7L)))
+    val df = rows.toDF("id", "a", "b")
+    val fused = df.select(col("id"),
+      graft.functions.SortedJaccardExpr(col("a"), col("b")).as("j"))
+    val ref = df.select(col("id"),
+      (size(array_intersect(col("a"), col("b"))).cast("double") /
+        size(array_union(col("a"), col("b")))).as("j"))
+    assert(canon(fused) == canon(ref))
+  }
+
   test("char_ngrams kernel matches the composable HOF chain, unicode included") {
     import spark.implicits._
     val docs2 = Seq(
