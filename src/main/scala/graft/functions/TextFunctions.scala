@@ -71,9 +71,12 @@ object TextFunctions {
   /** Whitespace token count. */
   def tokenCountWhitespace(text: Column): Column = size(words(text)).cast("long")
 
-  /** BPE-ish token count: alphanumeric runs, everything else a separator. */
+  /** BPE-ish token count: alphanumeric runs, everything else a separator.
+    * `array_remove` drops the empty boundary tokens without a lambda —
+    * `filter(_ =!= "")` would pay interpreted HOF dispatch per element
+    * (split never emits nulls, so the two are equivalent here). */
   def tokenCountBpe(text: Column): Column =
-    size(filter(split(text, "[^a-zA-Z0-9]+"), w => w =!= "")).cast("long")
+    size(array_remove(split(text, "[^a-zA-Z0-9]+"), "")).cast("long")
 
   private val punctClass = "[^.!?,;:]"
 
