@@ -977,7 +977,13 @@ object Graft {
         }
         val conflicting = org.apache.spark.sql.GraftInternals
           .activeFileSinks(spark)
-          .filter { case (sinkPath, cpRoot) => overlaps(sinkPath) || overlaps(cpRoot) }
+          .filter { case (sinkPath, cpRoot) =>
+            // an unresolvable sink path conflicts with EVERYTHING: the
+            // guard fails closed rather than letting a Spark-internal
+            // rendering change silently disarm the refusal
+            sinkPath == org.apache.spark.sql.GraftInternals.UnresolvedSinkPath ||
+              overlaps(sinkPath) || overlaps(cpRoot)
+          }
         require(conflicting.isEmpty,
           s"refusing to reconcile $url: active streaming quer" +
             s"${if (conflicting.sizeIs > 1) "ies" else "y"} in this session " +

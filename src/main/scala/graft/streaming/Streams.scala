@@ -260,15 +260,22 @@ object Streams {
     * order with `dropNearDuplicatesAgainst` + append yields the same
     * kept/dropped set, which is what the st8 oracle replays in SQL.
     *
-    * Delivery: the survivors sink is idempotent (per-batch directory,
-    * overwritten on replay), so it is exactly-once under retries. The
-    * index append is at-least-once — a crash between the append and the
-    * batch's commit marker replays the batch and appends the same rows
-    * again — but duplicate index rows are BENIGN for gating: they can
-    * only re-produce the same candidate pairs, never change a decision;
-    * they cost index storage until the next rebuild. Single writer per
-    * index assumed (concurrent gates over one index would race the
-    * append/marker pair).
+    * Delivery: exactly-once for BOTH sinks under crash-replay. The
+    * survivors sink is a per-batch directory overwritten on replay; the
+    * index append goes through [[graft.operators.Dedup
+    * .minhashIndexTaggedAppend]] (deterministic per-batch file names), and
+    * a replayed batch first deletes whatever its failed attempt appended
+    * — BEFORE re-reading the index — so the replayed gate decides against
+    * exactly the index the first attempt saw. Without that ordering, a
+    * crash between append and marker would re-gate the batch against an
+    * index containing its own survivors: every survivor self-matches at
+    * jaccard 1.0 and the replay overwrites the survivors directory with an
+    * empty set — silent data loss, not a benign duplicate. The commit
+    * marker is keyed by a SHA-256 prefix of the checkpoint path (injective
+    * in practice, unlike a 32-bit hashCode, where one collision between
+    * two gates sharing an index would silently skip a batch). Single
+    * writer per index assumed (concurrent gates over one index would race
+    * the append/marker pair).
     *
     * 100 TB shape: the corpus text is never re-read — only its index
     * (ids + shingle sets + signatures) is scanned per batch, and only the
@@ -292,39 +299,73 @@ object Streams {
     require(newDocs.isStreaming, "minhashIngestGate needs a streaming DataFrame")
     newDocs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val conf = spark.sessionState.newHadoopConf()
-        val fs = Discovery.fileSystemFor(indexPath, conf)
-        // marker carries the checkpoint identity: a REPLAY of this stream
-        // (same checkpoint) is skipped, while a different gate stream
-        // over the same index never collides on batch ids
-        val cpTag = java.lang.Integer.toHexString(checkpoint.hashCode)
-        val marker = new Path(indexPath,
-          f"_graft_ingest_commit_${cpTag}_$batchId%020d")
-        if (fs.exists(marker)) {
-          log.info(s"graft_ingest_gate: batch $batchId already committed; " +
-            "skipping replay")
-        } else {
-          val index = graft.operators.Dedup.minhashIndexRead(spark, indexPath)
-          // three consumers (sink write, index-row build, and the gate's
-          // own anti-join) — persist pins one snapshot and one gate pass
-          val survivors = index.dropNearDuplicates(batch, idCol, textCol,
-              rowsPerBand, threshold, maxBucketSize)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          try {
-            survivors.write.mode("overwrite")
-              .parquet(survivorsPath.stripSuffix("/") + s"/batch=$batchId")
-            graft.operators.Dedup.minhashIndexBuildAndWrite(
-              survivors, idCol, textCol, indexPath,
-              index.params.shingleSize, index.params.numHashes,
-              index.params.seed, mode = "append")
-            fs.create(marker, true).close()
-          } finally survivors.unpersist(false)
-        }
+        ingestGateBatch(batch, batchId, idCol, textCol, indexPath,
+          survivorsPath, checkpoint, rowsPerBand, threshold, maxBucketSize)
+        ()
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .start()
+  }
+
+  /** Injective-in-practice tag for a gate's commit markers and appends:
+    * SHA-256 prefix of the checkpoint path (64 bits; a 32-bit
+    * `String.hashCode` collision between two gates sharing one index
+    * would silently skip a batch as already-committed). */
+  private[graft] def checkpointTag(checkpoint: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(checkpoint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(b => f"$b%02x").mkString
+
+  /** One micro-batch of [[minhashIngestGate]], exposed for direct testing
+    * of the crash-replay contract (a spec can run it, delete the marker to
+    * simulate a crash after any subset of the writes, and run it again).
+    * Returns false when the batch was already committed (replay skipped). */
+  private[graft] def ingestGateBatch(
+      batch: DataFrame,
+      batchId: Long,
+      idCol: String,
+      textCol: String,
+      indexPath: String,
+      survivorsPath: String,
+      checkpoint: String,
+      rowsPerBand: Int,
+      threshold: Double,
+      maxBucketSize: Int): Boolean = {
+    val spark = batch.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = Discovery.fileSystemFor(indexPath, conf)
+    // marker carries the checkpoint identity: a REPLAY of this stream
+    // (same checkpoint) is skipped, while a different gate stream
+    // over the same index never collides on batch ids
+    val cpTag = checkpointTag(checkpoint)
+    val batchTag = f"${cpTag}_$batchId%020d"
+    val marker = new Path(indexPath, s"_graft_ingest_commit_$batchTag")
+    if (fs.exists(marker)) {
+      log.info(s"graft_ingest_gate: batch $batchId already committed; " +
+        "skipping replay")
+      false
+    } else {
+      // FIRST undo anything a crashed attempt of THIS batch appended, so
+      // the gate below decides against the same index the first attempt
+      // saw (its own survivors in the index would self-match and vanish)
+      graft.operators.Dedup.minhashIndexAbortTaggedAppend(
+        spark, indexPath, batchTag)
+      val index = graft.operators.Dedup.minhashIndexRead(spark, indexPath)
+      // three consumers (sink write, index-row build, and the gate's
+      // own anti-join) — persist pins one snapshot and one gate pass
+      val survivors = index.dropNearDuplicates(batch, idCol, textCol,
+          rowsPerBand, threshold, maxBucketSize)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        survivors.write.mode("overwrite")
+          .parquet(survivorsPath.stripSuffix("/") + s"/batch=$batchId")
+        graft.operators.Dedup.minhashIndexTaggedAppend(
+          index, survivors, idCol, textCol, indexPath, batchTag)
+        fs.create(marker, true).close()
+      } finally survivors.unpersist(false)
+      true
+    }
   }
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)

@@ -1216,6 +1216,28 @@ class StreamsSpec extends SparkSpec {
     assert(after.orphansDeleted == 0 && after.committedFiles == 1)
   }
 
+  test("activeFileSinks resolves the sink path reflectively (never the fail-closed sentinel) for a live query") {
+    import spark.implicits._
+    val src = tmpDir("afs_src")
+    val out = tmpDir("afs_out") + "/table"
+    val cp = tmpDir("afs_cp")
+    Seq((1L, "a")).toDF("id", "p").write.mode("overwrite").parquet(src)
+    val q = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(60000))
+      .start()
+    try {
+      q.processAllAvailable()
+      val sinks = org.apache.spark.sql.GraftInternals.activeFileSinks(spark)
+      val mine = sinks.filter(_._2.contains(new java.io.File(cp).getName))
+      assert(mine.nonEmpty, s"live file sink must be listed; got $sinks")
+      assert(mine.forall(_._1.endsWith("/table")),
+        s"reflection must recover the real path, got ${mine.map(_._1)}")
+      assert(mine.forall(_._1 != org.apache.spark.sql.GraftInternals.UnresolvedSinkPath))
+    } finally q.stop()
+  }
+
   test("heavy-hitters sketch aggregates in streaming complete mode (matches batch counts)") {
     val ev = graft.streaming.Streams.eventsStream(spark, "/root/testdata/sf0.001")
     val agg = ev.groupBy().agg(graft.functions.HeavyHitters

@@ -1739,6 +1739,108 @@ class IngestGateSpec extends SparkSpec {
       "replayed batch must not re-append index rows")
     assert(spark.read.parquet(surv).count() == 1)
   }
+
+  private def fsFor(path: String) = {
+    val conf = spark.sessionState.newHadoopConf()
+    new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+  }
+
+  private def runBatch(batch: org.apache.spark.sql.DataFrame, idx: String,
+      surv: String, cp: String, batchId: Long = 0L): Boolean =
+    Streams.ingestGateBatch(batch, batchId, "id", "text", idx, surv, cp,
+      rowsPerBand = 4, threshold = 0.5,
+      maxBucketSize = Dedup.DefaultMaxBucketSize)
+
+  test("crash between index append and commit marker: replay loses no survivors and duplicates no index rows") {
+    val base = tmpDir("ingest_gate_crash")
+    val (idx, surv, cp) = (s"$base/idx", s"$base/surv", s"$base/cp")
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("id", "text")
+    Dedup.minhashIndexBuildAndWrite(corpus, "id", "text", idx)
+    val b0 = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"), // dup of 1
+      (11L, "novel content about rivers mountains and weather patterns"))
+      .toDF("id", "text")
+    assert(runBatch(b0, idx, surv, cp))
+    val keptFirst = spark.read.parquet(s"$surv/batch=0").select("id")
+      .as[Long].collect().toSet
+    assert(keptFirst == Set(11L), s"first attempt survivors: $keptFirst")
+    val idxFirst = Dedup.minhashIndexRead(spark, idx).data
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(idxFirst == Seq(1L, 11L))
+    // crash AFTER the index append but BEFORE the marker: delete the marker
+    val tag = Streams.checkpointTag(cp) + "_" + "%020d".format(0L)
+    val marker = new org.apache.hadoop.fs.Path(idx, s"_graft_ingest_commit_$tag")
+    assert(fsFor(idx).delete(marker, false), "marker must exist to delete")
+    // replay: without the abort-before-read ordering, survivor 11 would
+    // self-match its own appended index row at jaccard 1.0 and the
+    // survivors dir would be overwritten EMPTY — silent data loss
+    assert(runBatch(b0, idx, surv, cp))
+    val keptReplay = spark.read.parquet(s"$surv/batch=0").select("id")
+      .as[Long].collect().toSet
+    assert(keptReplay == Set(11L), s"replay survivors: $keptReplay")
+    val after = Dedup.minhashIndexRead(spark, idx).data
+    assert(after.select("id").as[Long].collect().toSeq.sorted == Seq(1L, 11L),
+      "replay must not duplicate index rows")
+    // and a further replay with the marker intact is skipped outright
+    assert(!runBatch(b0, idx, surv, cp))
+  }
+
+  test("crash mid-append (partial tagged files) replays to the complete state") {
+    val base = tmpDir("ingest_gate_partial")
+    val (idx, surv, cp) = (s"$base/idx", s"$base/surv", s"$base/cp")
+    val corpus = Seq((1L, "one two three four five six seven eight nine"))
+      .toDF("id", "text")
+    Dedup.minhashIndexBuildAndWrite(corpus, "id", "text", idx)
+    // two novel docs, written as >=2 partitions so the append commits
+    // more than one tagged part file
+    val b0 = Seq(
+      (20L, "novel astronomy telescopes stars galaxies and nebulae catalog"),
+      (21L, "gardening soil compost seedlings irrigation and harvest notes"))
+      .toDF("id", "text").repartition(2)
+    assert(runBatch(b0, idx, surv, cp))
+    val fs = fsFor(idx)
+    val tag = Streams.checkpointTag(cp) + "_" + "%020d".format(0L)
+    val tagged = fs.listStatus(new org.apache.hadoop.fs.Path(idx))
+      .filter(st => st.isFile && st.getPath.getName.startsWith(s"ingest-$tag-"))
+      .map(_.getPath)
+    assert(tagged.length >= 2, s"want >=2 tagged part files, got ${tagged.length}")
+    // crash mid-append: one tagged file committed, marker never written
+    fs.delete(new org.apache.hadoop.fs.Path(idx, s"_graft_ingest_commit_$tag"), false)
+    tagged.tail.foreach(p => fs.delete(p, false))
+    assert(runBatch(b0, idx, surv, cp))
+    val after = Dedup.minhashIndexRead(spark, idx).data
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(after == Seq(1L, 20L, 21L),
+      s"replay must restore the full append exactly once, got $after")
+    assert(spark.read.parquet(s"$surv/batch=0").select("id").as[Long]
+      .collect().toSet == Set(20L, 21L))
+  }
+
+  test("tagged append primitive: retry converges, abort removes, tags are injective-keyed") {
+    val base = tmpDir("tagged_append")
+    val idx = s"$base/idx"
+    val corpus = Seq((1L, "base document alpha beta gamma")).toDF("id", "text")
+    val handle = Dedup.minhashIndexBuildAndWrite(corpus, "id", "text", idx)
+    val more = Seq((2L, "second document delta epsilon zeta")).toDF("id", "text")
+    Dedup.minhashIndexTaggedAppend(handle, more, "id", "text", idx, "t1")
+    Dedup.minhashIndexTaggedAppend(handle, more, "id", "text", idx, "t1") // retry
+    assert(Dedup.minhashIndexRead(spark, idx).data.count() == 2,
+      "same-tag retry must not duplicate rows")
+    Dedup.minhashIndexTaggedAppend(handle, more, "id", "text", idx, "t2")
+    assert(Dedup.minhashIndexRead(spark, idx).data.count() == 3,
+      "a different tag is a different logical append")
+    assert(Dedup.minhashIndexAbortTaggedAppend(spark, idx, "t2") == 1)
+    assert(Dedup.minhashIndexRead(spark, idx).data.count() == 2)
+    // unsafe tags are rejected before touching the filesystem
+    intercept[IllegalArgumentException] {
+      Dedup.minhashIndexTaggedAppend(handle, more, "id", "text", idx, "a/b")
+    }
+    // checkpoint tags: deterministic, 16 hex chars, distinct inputs differ
+    val (ta, tb) = (Streams.checkpointTag("/cp/a"), Streams.checkpointTag("/cp/b"))
+    assert(ta == Streams.checkpointTag("/cp/a") && ta.length == 16 &&
+      ta.forall(c => "0123456789abcdef".contains(c)) && ta != tb)
+  }
 }
 
 class AsofEnrichSpec extends SparkSpec {
