@@ -759,15 +759,39 @@ object SparkEntry {
 
   /** Real BPE token counts: merges trained offline-style from a bounded,
     * deterministically-ordered sample of the corpus itself; counting runs
-    * distributed (mapPartitions batch). BPE is not SQL-expressible → rows-
-    * only gate; the algorithm is unit-tested against hand-computed merges. */
+    * distributed (mapPartitions batch). The trained merge table is
+    * persisted as a fixture and the DuckDB oracle REPLAYS merge
+    * application independently (sequential by rank, each merge iterated
+    * to fixpoint over a space-separated symbol string), then recounts —
+    * so the distributed count is hash-gated, not just unit-tested.
+    * Sequential replay equals the priority encode exactly when no merge's
+    * output string is a component of an earlier pair
+    * ([[graft.functions.Bpe.sequentialReplaySafe]]) — required here, so a
+    * retrained model that ever violated it would fail loudly rather than
+    * hash-mismatch. Training itself stays Spark-side (pinned by BpeSpec's
+    * hand-computed merges); the oracle verifies application + counting. */
   private def t3b_tokens_bpe(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val model = graft.functions.Bpe.trainFromCorpus(
       docs.orderBy("doc_id"), "text", numMerges = 200, sampleDocs = 256)
+    require(graft.functions.Bpe.sequentialReplaySafe(model.merges),
+      "trained BPE merges are not sequentially replayable — the DuckDB " +
+        "oracle's rank-order replay would diverge from the priority encode")
+    // fixed path (last writer wins): the oracle SQL is a static string, so
+    // it reads the fixture of the Verify run it is compared against —
+    // always the most recent, single-writer like the rest of
+    // /tmp/graft_fixtures
+    import s.implicits._
+    model.merges.zipWithIndex
+      .map { case ((l, r), i) => (i, l, r) }
+      .toDF("merge_rank", "lhs", "rhs")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(BpeMergesFixture)
     graft.functions.Bpe.tokenCount(docs, "text", model, "n_bpe_real")
       .select("doc_id", "n_bpe_real").orderBy("doc_id")
   }
+
+  private val BpeMergesFixture = "/tmp/graft_fixtures/bpe_merges.parquet"
 
   /** Bigram-LM perplexity over the corpus (trained on itself here; a real
     * pipeline trains on a held-out quality sample). At gate scale the
@@ -1271,10 +1295,15 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** HLL++ distinct counts. rsd = 0.02 (4096 registers — still O(1) per
+    * group at any corpus size) so the ApproxSpec error-band contract of
+    * |approx − exact|/exact ≤ 5% per group sits at 2.5σ; the default
+    * rsd = 0.05 measurably exceeds 5% on this data (8.6% on one group —
+    * one standard deviation is not a bound). */
   private def q19_approx_hll(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem").groupBy("l_returnflag")
-      .agg(approx_count_distinct("l_partkey").as("approx_parts"),
-        approx_count_distinct("l_orderkey").as("approx_orders"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
       .orderBy("l_returnflag")
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1877,6 +1906,38 @@ object SparkEntry {
          CAST(len(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'), x -> x != ''))
            AS BIGINT) AS n_bpe
          FROM documents ORDER BY doc_id""",
+    // Independent BPE replay: the Spark side persists its trained merges
+    // (rank, lhs, rhs) as a fixture; this SQL re-applies them from scratch
+    // — sequential by rank, each merge iterated to fixpoint over a
+    // space-separated symbol string (words never contain whitespace, so
+    // ' a b c ' is unambiguous) — and recounts tokens per document.
+    // Sequential replay == priority encode is asserted Spark-side
+    // (Bpe.sequentialReplaySafe) before the fixture is written.
+    "t3b_tokens_bpe" ->
+      """WITH RECURSIVE
+         merges AS (SELECT CAST(merge_rank AS INT) AS r, lhs, rhs
+                    FROM read_parquet('/tmp/graft_fixtures/bpe_merges.parquet/*.parquet')),
+         nm AS (SELECT COALESCE(max(r) + 1, 0) AS n FROM merges),
+         wd AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+                FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+         vocab AS (SELECT DISTINCT w FROM wd),
+         steps AS (
+           SELECT w, regexp_replace(w, '(.)', ' \1', 'g') || ' ' AS s, 0 AS i
+           FROM vocab
+           UNION ALL
+           SELECT w, s2 AS s, CASE WHEN s2 = s THEN i + 1 ELSE i END AS i
+           FROM (SELECT st.w, st.s, st.i,
+                   replace(st.s, ' ' || m.lhs || ' ' || m.rhs || ' ',
+                                 ' ' || m.lhs || m.rhs || ' ') AS s2
+                 FROM steps st JOIN merges m ON m.r = st.i) x),
+         fin AS (SELECT w,
+                   CAST(length(s) - length(replace(s, ' ', '')) - 1 AS BIGINT) AS ntok
+                 FROM steps, nm WHERE i = nm.n),
+         percount AS (SELECT wd.doc_id, sum(fin.ntok) AS c
+                      FROM wd JOIN fin USING (w) GROUP BY wd.doc_id)
+         SELECT d.doc_id, CAST(COALESCE(p.c, 0) AS BIGINT) AS n_bpe_real
+         FROM documents d LEFT JOIN percount p USING (doc_id)
+         ORDER BY doc_id""",
     "t4_fingerprint" ->
       """SELECT doc_id,
          md5(array_to_string(list_sort(list_distinct(

@@ -99,6 +99,42 @@ object Bpe {
     BpeModel(merges.result())
   }
 
+  /** True iff sequential replay — applying the merges in rank order, each
+    * merged to fixpoint — provably equals [[BpeModel.encodeWord]]'s
+    * lowest-rank-first loop for EVERY input. Applying merge r (output
+    * string z = l+r) only creates new adjacencies involving z, so it can
+    * re-enable an earlier-ranked pair q<r only when z IS a component of
+    * that pair — which requires training to have produced the same string
+    * via two different merge paths. Absent that collision, the lowest
+    * applicable rank is non-decreasing over the encode, and the two
+    * strategies take identical steps. The DuckDB oracle for
+    * `t3b_tokens_bpe` replays merges sequentially, so the gate asserts
+    * this before persisting a model as its fixture. */
+  def sequentialReplaySafe(merges: Seq[(String, String)]): Boolean = {
+    val earlier = mutable.Set.empty[String]
+    merges.forall { case (l, r) =>
+      val ok = !earlier.contains(l + r)
+      earlier += l
+      earlier += r
+      ok
+    }
+  }
+
+  /** Reference sequential encode — the oracle's algorithm (rank order,
+    * each merge applied to fixpoint). Exposed so specs can pin its
+    * equivalence with [[BpeModel.encodeWord]] on real vocabularies. */
+  def encodeSequential(model: BpeModel, word: String): Vector[String] = {
+    var symbols = word.map(_.toString).toVector
+    model.merges.foreach { pair =>
+      var prev = Vector.empty[String]
+      while (prev != symbols) {
+        prev = symbols
+        symbols = mergeAll(symbols, pair)
+      }
+    }
+    symbols
+  }
+
   /** Train from a corpus DataFrame: collects a bounded sample of documents
     * (`sampleDocs`) to the driver and learns `numMerges` merges from their
     * whitespace-word frequencies. */

@@ -596,6 +596,32 @@ class TextSpec extends SparkSpec {
     assert(Bpe.train(Map("xy" -> 1L, "ab" -> 1L), 1).merges == Seq(("a", "b")))
   }
 
+  test("sequential merge replay (the t3b oracle algorithm) equals the priority encode") {
+    import graft.functions.Bpe
+    // the gate-scale model: trained exactly as t3b trains it
+    val docs = spark.read.option("pathGlobFilter", "documents.parquet")
+      .parquet("/root/testdata/sf0.01")
+    val model = Bpe.trainFromCorpus(docs.orderBy("doc_id"), "text",
+      numMerges = 200, sampleDocs = 256)
+    assert(Bpe.sequentialReplaySafe(model.merges),
+      "trained merges must be sequentially replayable for the DuckDB oracle")
+    // empirical equivalence over the full corpus vocabulary
+    val vocab = docs.select("text").as[String].collect()
+      .flatMap(t => Option(t).map(_.trim).filter(_.nonEmpty)
+        .toSeq.flatMap(_.split("\\s+")))
+      .distinct
+    assert(vocab.nonEmpty)
+    vocab.foreach { w =>
+      assert(Bpe.encodeSequential(model, w) == model.encodeWord(w),
+        s"sequential vs priority encode diverge on '$w'")
+    }
+    // the safety predicate itself: a later merge re-creating an earlier
+    // pair's component string IS flagged (here rank 2 builds "ab", a
+    // component of rank 0) while an ordinary chain is not
+    assert(!Bpe.sequentialReplaySafe(Seq(("ab", "c"), ("x", "y"), ("a", "b"))))
+    assert(Bpe.sequentialReplaySafe(Seq(("a", "b"), ("ab", "c"), ("abc", "d"))))
+  }
+
   test("token counts and quality metrics") {
     val df = Seq((1L, "Hello, world! This is a test.")).toDF("id", "text")
     val r = df.select(
@@ -1263,5 +1289,39 @@ class StreamsSpec extends SparkSpec {
       .select("user_id", "event_type").distinct()
     assert(out.count() == batch.count())
     assert(out.exceptAll(batch).count() == 0)
+  }
+}
+
+/** Numeric bounds for the approximate operators that cannot hash-match a
+  * DuckDB oracle by nature. `q19_approx_hll` is the one remaining
+  * no_oracle gate entry — this suite gives it an explicit error-band
+  * contract instead of "runs without crashing". */
+class ApproxSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q19 HLL++ counts stay within 5% of exact per group at sf0.01") {
+    val dir = "/root/testdata/sf0.01"
+    val approx = SparkEntry.queries("q19_approx_hll")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val li = spark.read.option("pathGlobFilter", "lineitem.parquet").parquet(dir)
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct("l_partkey").as("p"), countDistinct("l_orderkey").as("o"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(approx.keySet == exact.keySet, s"groups: ${approx.keySet} vs ${exact.keySet}")
+    // default rsd = 0.05: assert |approx-exact|/exact <= 0.05 per group and
+    // column — a regression in seed/rsd handling lands far outside this
+    exact.foreach { case (flag, (ep, eo)) =>
+      val (ap, ao) = approx(flag)
+      assert(math.abs(ap - ep).toDouble / ep <= 0.05,
+        s"l_partkey group $flag: approx $ap vs exact $ep")
+      assert(math.abs(ao - eo).toDouble / eo <= 0.05,
+        s"l_orderkey group $flag: approx $ao vs exact $eo")
+    }
+    // determinism: the gate result must be stable run-to-run (same sketch
+    // parameters, same data -> same estimate), or the driver's rows-only
+    // check itself would flap
+    val again = SparkEntry.queries("q19_approx_hll")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(again == approx, "approx_count_distinct must be deterministic")
   }
 }
