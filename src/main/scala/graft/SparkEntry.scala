@@ -705,6 +705,38 @@ object SparkEntry {
       .select("vec_id", "rank").orderBy("rank")
   }
 
+  /** Incremental ANN — the d11 analog for IVF: the index is built from the
+    * ORGANIC corpus only and persisted (partitioned by cluster), then a
+    * batch carrying 10 planted copies of the query vector (ids 9500000+i,
+    * scaled by powers of two so cosine stays bit-exactly tied) plus 10
+    * junk vectors (negated → cosine −1) is APPENDED through
+    * [[graft.operators.Ann.ivfAppend]] — assignment against the stored
+    * centroids, no rebuild. The probe over the re-read index must surface
+    * exactly the appended planted ids at ranks 1..10: power-of-two
+    * scaling commutes with double rounding, so every planted copy lands
+    * in the query direction's argmax cluster (which nprobe ≥ 1 always
+    * probes) and ties break by vec_id. */
+  private def a3b_ann_ivf_append(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_fixtures/ivf_idx_" +
+      java.net.URLEncoder.encode(dir, "UTF-8")
+    val base = t(s, dir, "embeddings")
+    Ann.ivfWrite(Ann.ivfBuild(base, "vec_id", "embedding", nlist = 16), path)
+    val q0 = base.filter(col("vec_id") === 0)
+      .select(explode(sequence(lit(0L), lit(9L))).as("i"),
+        col("embedding"), col("label"))
+    val planted = q0.select((col("i") + 9500000L).as("vec_id"),
+      transform(col("embedding"),
+        x => (x * pow(lit(2.0), col("i") - 5)).cast("float")).as("embedding"),
+      col("label"))
+    val junk = q0.select((col("i") + 9600000L).as("vec_id"),
+      transform(col("embedding"), x => (-x).cast("float")).as("embedding"),
+      col("label"))
+    Ann.ivfAppend(s, path, planted.unionByName(junk), "vec_id", "embedding")
+    Ann.ivfTopK(Ann.ivfRead(s, path), "vec_id", "embedding", queryVec(s, dir),
+        k = 10, nprobe = 4, excludeIds = Seq(0L))
+      .select("vec_id", "rank").orderBy("rank")
+  }
+
   private def t1_langid(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"),
@@ -1371,6 +1403,7 @@ object SparkEntry {
     "a2_ann_lsh" -> (a2_ann_lsh _),
     "a4_ann_batch" -> (a4_ann_batch _),
     "a3_ann_ivf" -> (a3_ann_ivf _),
+    "a3b_ann_ivf_append" -> (a3b_ann_ivf_append _),
     "t1_langid" -> (t1_langid _),
     "t1b_langid_ngram" -> (t1b_langid_ngram _),
     "t2_quality" -> (t2_quality _),
@@ -1858,6 +1891,9 @@ object SparkEntry {
          FROM range(10) t(i) ORDER BY rank""",
     "a3_ann_ivf" ->
       """SELECT CAST(9000000 + i AS BIGINT) AS vec_id, CAST(i + 1 AS INT) AS rank
+         FROM range(10) t(i) ORDER BY rank""",
+    "a3b_ann_ivf_append" ->
+      """SELECT CAST(9500000 + i AS BIGINT) AS vec_id, CAST(i + 1 AS INT) AS rank
          FROM range(10) t(i) ORDER BY rank""",
     "t1_langid" ->
       """WITH w AS (SELECT doc_id, lang,

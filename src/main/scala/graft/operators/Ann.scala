@@ -134,12 +134,8 @@ object Ann {
 
     // nearest centroid per row: argmax over a static list of literal
     // centroid vectors — codegen'd cosine per centroid, no shuffle
-    def assign(cs: Seq[(Int, Array[Double])]): DataFrame = {
-      val scored = cs.map { case (cid, c) =>
-        struct(cosine(col(vecCol), lit(c)).as("s"), lit(cid).as("cid"))
-      }
-      df.withColumn("__cluster", greatest(scored: _*).getField("cid"))
-    }
+    def assign(cs: Seq[(Int, Array[Double])]): DataFrame =
+      assignClusters(df, cs, vecCol)
 
     for (_ <- 1 to iterations) {
       val means = assign(centroids)
@@ -189,10 +185,53 @@ object Ann {
         .orderBy(desc("cosine"), col(idCol))))
   }
 
+  /** Nearest-centroid assignment: argmax over a static list of literal
+    * centroid vectors — codegen'd cosine per centroid, zero shuffle. The
+    * struct-comparison tie-break (equal score → larger cid) is shared by
+    * build and append, so identical vectors always land in the same
+    * cluster regardless of which path assigned them. */
+  private def assignClusters(df: DataFrame,
+      cs: Seq[(Int, Array[Double])], vecCol: String): DataFrame = {
+    val scored = cs.map { case (cid, c) =>
+      struct(cosine(col(vecCol), lit(c)).as("s"), lit(cid).as("cid"))
+    }
+    df.withColumn("__cluster", greatest(scored: _*).getField("cid"))
+  }
+
+  /** Sidecar carrying the structural parameters of a persisted IVF index
+    * (`dim`, `nlist`) — the values an append MUST match: appending
+    * vectors of another dimensionality silently corrupts every cosine
+    * (the kernel folds over min(length)), the exact silent-low-recall
+    * failure mode the minhash sidecar kills for LSH. Underscore prefix:
+    * parquet scans ignore it. */
+  val IvfParamsSidecar = "_graft_ivf_params.json"
+
+  private def ivfFs(spark: org.apache.spark.sql.SparkSession, path: String) =
+    graft.core.Discovery.fileSystemFor(path, spark.sessionState.newHadoopConf())
+
+  private def readIvfSidecar(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Int, Int) = {
+    val fs = ivfFs(spark, path)
+    val sidecar = new org.apache.hadoop.fs.Path(path, IvfParamsSidecar)
+    require(fs.exists(sidecar),
+      s"no $IvfParamsSidecar at $path — not a graft IVF index " +
+        "(persist with ivfWrite so dim/nlist survive)")
+    val in = fs.open(sidecar)
+    val bytes = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+      buf.toByteArray
+    } finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+    Seq("dim", "nlist").foreach(f => require(node.hasNonNull(f),
+      s"$IvfParamsSidecar at $path lacks field '$f'"))
+    (node.get("dim").asInt, node.get("nlist").asInt)
+  }
+
   /** Persist an IVF index: the clustered frame written PARTITIONED BY
     * `__cluster` (so every probe is a partition-pruned scan of nprobe/nlist
-    * of the data — the 100 TB serving shape) plus the centroid table
-    * alongside. */
+    * of the data — the 100 TB serving shape) plus the centroid table and
+    * the [[IvfParamsSidecar]] alongside. */
   def ivfWrite(index: IvfIndex, path: String): Unit = {
     val spark = index.clustered.sparkSession
     import spark.implicits._
@@ -200,18 +239,69 @@ object Ann {
       .partitionBy("__cluster").parquet(s"$path/data")
     index.centroids.toDF("cid", "centroid")
       .write.mode("overwrite").parquet(s"$path/centroids")
+    val dim = index.centroids.headOption.map(_._2.length).getOrElse(0)
+    val fs = ivfFs(spark, path)
+    val out = fs.create(new org.apache.hadoop.fs.Path(path, IvfParamsSidecar), true)
+    try out.write(s"""{"dim":$dim,"nlist":${index.centroids.size}}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Load a persisted IVF index. `__cluster` comes back as a partition
     * column, so `ivfTopK`'s cluster filter prunes at the file-listing level
-    * — EXPLAIN shows only the probed directories are read. */
+    * — EXPLAIN shows only the probed directories are read. The sidecar is
+    * required and cross-checked against the centroid table. */
   def ivfRead(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val (dim, nlist) = readIvfSidecar(spark, path)
     val centroids = spark.read.parquet(s"$path/centroids").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1).toSeq
+    require(centroids.size == nlist && centroids.forall(_._2.length == dim),
+      s"IVF index at $path is inconsistent with its sidecar " +
+        s"(dim=$dim nlist=$nlist vs ${centroids.size} centroids)")
     val clustered = spark.read.parquet(s"$path/data")
       .withColumn("__cluster", col("__cluster").cast("int"))
     IvfIndex(centroids, clustered)
+  }
+
+  /** Incrementally add a batch of vectors to a PERSISTED IVF index — the
+    * d11/minhash analog for ANN: a growing embedding corpus must not
+    * full-rebuild the index per batch. New vectors are assigned to the
+    * EXISTING centroids (same kernel, same tie-break as the build) and
+    * appended into the `partitionBy(__cluster)` layout, so subsequent
+    * probes prune to the same nprobe/nlist fraction including the new
+    * rows. Rejects loudly on structural mismatch via the sidecar: every
+    * batch vector must have the index's dimensionality (checked with one
+    * aggregate over the batch — a wrong-dim vector would otherwise score
+    * with a truncated cosine forever), and the batch schema must equal
+    * the stored schema. Centroids are NOT refined here (standard IVF
+    * practice: assignment-only append, periodic rebuild if drift
+    * matters); appended rows shift no existing cluster ids. Returns the
+    * number of rows appended. */
+  def ivfAppend(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      newVecs: DataFrame,
+      idCol: String,
+      vecCol: String): Long = {
+    val (dim, nlist) = readIvfSidecar(spark, path)
+    val centroids = ivfRead(spark, path).centroids
+    require(centroids.size == nlist, s"centroid table at $path has " +
+      s"${centroids.size} rows but the sidecar claims nlist=$nlist")
+    val stored = spark.read.parquet(s"$path/data")
+    val expectedCols = stored.columns.toSet - "__cluster"
+    require(newVecs.columns.toSet == expectedCols,
+      s"append schema ${newVecs.columns.sorted.mkString(",")} must equal " +
+        s"the stored schema ${expectedCols.toSeq.sorted.mkString(",")}")
+    val bad = newVecs.filter(size(col(vecCol)) =!= dim || col(vecCol).isNull)
+      .limit(1).count()
+    require(bad == 0,
+      s"batch contains vectors whose dimensionality differs from the " +
+        s"index's dim=$dim — appending them would silently truncate every " +
+        "cosine; fix the batch or rebuild the index")
+    val assigned = assignClusters(newVecs, centroids, vecCol)
+    assigned.write.mode("append").partitionBy("__cluster").parquet(s"$path/data")
+    newVecs.count()
   }
 
   /** Deterministic seeded plane matrix shared by the fused kernel and the

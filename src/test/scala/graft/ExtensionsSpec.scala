@@ -402,6 +402,49 @@ class AnnSpec extends SparkSpec {
       k = 3, numPlanes = 10, maxHammingProbe = 2)
     assert(out.collect().head.getLong(0) == 42L)
   }
+
+  test("ivfAppend: appended near-neighbor is found; structural mismatches reject") {
+    val dim = 16
+    val rows = (0 until 300).map(i => (i.toLong, randVec(i, dim)))
+    val df = rows.toDF("vec_id", "embedding")
+    val path = tmpDir("ivf_append")
+    Ann.ivfWrite(Ann.ivfBuild(df, "vec_id", "embedding", nlist = 8), path)
+    val before = Ann.ivfRead(spark, path)
+    // append a planted copy of vector 77 (new id) + an unrelated new vector
+    val planted = Seq((9001L, rows(77)._2), (9002L, randVec(8888, dim)))
+      .toDF("vec_id", "embedding")
+    assert(Ann.ivfAppend(spark, path, planted, "vec_id", "embedding") == 2L)
+    val after = Ann.ivfRead(spark, path)
+    // centroids untouched, data grown by exactly the batch
+    assert(after.centroids.zip(before.centroids).forall {
+      case ((i1, a), (i2, b)) => i1 == i2 && a.sameElements(b) })
+    assert(after.clustered.count() == before.clustered.count() + 2)
+    // the probe finds the appended copy right behind (or tied with) the
+    // original: identical vectors share a cluster by the shared tie-break
+    val got = Ann.ivfTopK(after, "vec_id", "embedding", rows(77)._2,
+      k = 2, nprobe = 2).select("vec_id").as[Long].collect().toSet
+    assert(got == Set(77L, 9001L), s"expected original+appended copy, got $got")
+    // dim mismatch rejects loudly before any write
+    val wrongDim = Seq((9100L, randVec(1, dim + 4))).toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      Ann.ivfAppend(spark, path, wrongDim, "vec_id", "embedding")
+    }
+    assert(e1.getMessage.contains("dim=" + dim), e1.getMessage)
+    assert(Ann.ivfRead(spark, path).clustered.count() == before.clustered.count() + 2,
+      "refused append must leave the index untouched")
+    // schema mismatch rejects
+    val extraCol = Seq((9200L, randVec(2, dim), "x"))
+      .toDF("vec_id", "embedding", "extra")
+    val e2 = intercept[IllegalArgumentException] {
+      Ann.ivfAppend(spark, path, extraCol, "vec_id", "embedding")
+    }
+    assert(e2.getMessage.contains("schema"), e2.getMessage)
+    // a directory without the sidecar is not an appendable index
+    val e3 = intercept[IllegalArgumentException] {
+      Ann.ivfAppend(spark, tmpDir("not_an_index"), planted, "vec_id", "embedding")
+    }
+    assert(e3.getMessage.contains(Ann.IvfParamsSidecar), e3.getMessage)
+  }
 }
 
 class TextSpec extends SparkSpec {
