@@ -24,14 +24,23 @@ object Bench {
 
   /** Queries measured on the replicated corpus for the scaling slope —
     * the shuffle-heavy pipeline shapes whose 100 TB behavior a plan read
-    * alone cannot quantify. All five are also in [[headline]], so their
-    * 1× time is the main set's median (no extra 1× passes). */
+    * alone cannot quantify, now including the shuffle-join chains
+    * (q3/q20), the native as-of merge (as2), the BM25 scorer (t12b) and
+    * the heavy-hitters sketch (t15) — the shapes where a skew or
+    * broadcast-threshold artifact would first appear at 100×. All are
+    * also in [[headline]], so their 1× time is the main set's median (no
+    * extra 1× passes). */
   val scaleSet: Seq[String] = Seq(
     "d2_dedup_minhash", "d10_span_stats", "t9_pack", "d8_decontam",
-    "q6_window")
+    "q6_window", "q3_join_agg", "q20_multijoin", "t12b_bm25",
+    "as2_asof_native", "t15_heavyhitters")
 
-  /** Materialize a `factor`×-replicated copy of the tables the scale set
-    * reads (documents, lineitem). Replicas get disjoint ids AND
+  /** Materialize a `factor`×-replicated copy of the FACT tables the scale
+    * set reads (documents, lineitem, orders, events) plus 1× copies of
+    * the dimensions the join chains consume (customer, nation, region) —
+    * facts grow, dims don't, the realistic 100 TB shape. Replica rows get
+    * disjoint ids, consistently shifted across orders/lineitem so the
+    * orderkey join keeps its per-replica structure; documents get
     * per-replica token suffixes: a verbatim replica corpus would make
     * every doc a cross-replica near-duplicate, turning LSH buckets
     * quadratic BY CONSTRUCTION and measuring an artifact instead of
@@ -61,6 +70,25 @@ object Bench {
       .withColumn("l_orderkey", col("l_orderkey") + col("__r") * 10000000L)
       .drop("__r")
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    // orders: o_orderkey shifted IDENTICALLY to lineitem so the fact-fact
+    // join matches within each replica; o_custkey kept, so per-customer
+    // order counts grow ×factor against the 1× customer dim (keyed growth,
+    // like q6's windows — the shape that exposes shuffle/agg skew)
+    spark.read.parquet(s"$sfDir/orders.parquet").crossJoin(reps)
+      .withColumn("o_orderkey", col("o_orderkey") + col("__r") * 10000000L)
+      .drop("__r")
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    // events: the shim reads ts as a raw nanos long (no rebuild here), so
+    // the replica lands as int64 and Fixtures.events' div-1000 rebuild
+    // works on the scaled dir exactly as on the original
+    graft.functions.NanosTimestamp.enable(spark)
+    spark.read.parquet(s"$sfDir/events.parquet").crossJoin(reps)
+      .withColumn("event_id", col("event_id") + col("__r") * 100000000L)
+      .drop("__r")
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    for (dim <- Seq("customer", "nation", "region"))
+      spark.read.parquet(s"$sfDir/$dim.parquet")
+        .write.mode("overwrite").parquet(s"$out/$dim.parquet")
     out
   }
 
