@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Ann
+
+/** Recall-regression gates for the approximate ANN paths. The planted
+  * oracle gates (a2/a3) prove the happy path exactly, but a parameter or
+  * kernel regression that degrades ORGANIC candidate quality can keep
+  * planted copies (cosine 1.0 — every bucket and probe agrees on them)
+  * while recall on real neighbors quietly collapses. This suite measures
+  * recall@10 against brute-force ground truth over organic queries at
+  * sf0.01.
+  *
+  * Absolute levels here reflect the DATA, not a defect: the synthetic
+  * embeddings are near-orthogonal random vectors — the known worst case
+  * for ANN, where neighbor gaps are tiny and high recall requires
+  * scanning a large corpus fraction (measured sweep: LSH planes=12/
+  * probe=3 → 0.21, planes=8/probe=4 → 0.83; IVF 16/4 → 0.55, 16/10 →
+  * 0.90). Real embedding corpora cluster, and these parameters behave
+  * far better there. So the gate pins TWO things: (1) the gate-default
+  * parameters at measured-minus-margin floors — a kernel/seeding
+  * regression shows up as a drop below them; (2) a tuned configuration
+  * at a high floor — the probe-budget knobs must actually buy recall.
+  * Everything here is deterministic (seeded hyperplanes, seeded k-means,
+  * fixed data), so the floors cannot flap. */
+class RecallSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+  private val k = 10
+
+  private def topIds(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("vec_id").collect().map(_.getLong(0)).toSet
+
+  private lazy val emb =
+    spark.read.option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+
+  private lazy val queries = emb.filter(col("vec_id") < 20)
+    .select("vec_id", "embedding").collect()
+    .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
+  private lazy val truth: Map[Long, Set[Long]] = queries.map { case (qid, qv) =>
+    qid -> topIds(Ann.bruteForceTopK(emb, "vec_id", "embedding", qv,
+      k = k, excludeIds = Seq(qid)))
+  }.toMap
+
+  private def avgRecall(top: (Long, Array[Float]) => Set[Long]): Double = {
+    val rs = queries.map { case (qid, qv) =>
+      (top(qid, qv) & truth(qid)).size.toDouble / k
+    }
+    rs.sum / rs.size
+  }
+
+  test("gate-default parameters hold their measured recall floors") {
+    assert(queries.length == 20)
+    // a2's parameters (numPlanes=12, maxHammingProbe=3): measured 0.21
+    val lsh = avgRecall((qid, qv) => topIds(Ann.lshTopK(emb, "vec_id",
+      "embedding", dim = 64, qv, k = k, numPlanes = 12, maxHammingProbe = 3,
+      excludeIds = Seq(qid))))
+    // a3's parameters (nlist=16, nprobe=4): measured 0.545
+    val ivf16 = Ann.ivfBuild(emb, "vec_id", "embedding", nlist = 16)
+    val ivf = avgRecall((qid, qv) => topIds(Ann.ivfTopK(ivf16, "vec_id",
+      "embedding", qv, k = k, nprobe = 4, excludeIds = Seq(qid))))
+    info(f"gate-default recall@10: lsh=$lsh%.3f ivf=$ivf%.3f")
+    assert(lsh >= 0.15, f"LSH recall@10 regressed: $lsh%.3f < 0.15")
+    assert(ivf >= 0.45, f"IVF recall@10 regressed: $ivf%.3f < 0.45")
+  }
+
+  test("probe budget buys recall: tuned configurations clear a high floor") {
+    // LSH with wider buckets + probe (8 planes, Hamming<=4): measured 0.83
+    val lsh = avgRecall((qid, qv) => topIds(Ann.lshTopK(emb, "vec_id",
+      "embedding", dim = 64, qv, k = k, numPlanes = 8, maxHammingProbe = 4,
+      excludeIds = Seq(qid))))
+    // IVF probing 10/16 clusters: measured 0.90
+    val ivf16 = Ann.ivfBuild(emb, "vec_id", "embedding", nlist = 16)
+    val ivf = avgRecall((qid, qv) => topIds(Ann.ivfTopK(ivf16, "vec_id",
+      "embedding", qv, k = k, nprobe = 10, excludeIds = Seq(qid))))
+    info(f"tuned recall@10: lsh=$lsh%.3f ivf=$ivf%.3f")
+    assert(lsh >= 0.75, f"tuned LSH recall@10 regressed: $lsh%.3f < 0.75")
+    assert(ivf >= 0.80, f"tuned IVF recall@10 regressed: $ivf%.3f < 0.80")
+  }
+}
