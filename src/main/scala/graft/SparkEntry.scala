@@ -600,6 +600,17 @@ object SparkEntry {
     Dedup.spanStats(t(s, dir, "documents"), "doc_id", "text", n = 5, minDocs = 2)
       .orderBy("doc_id")
 
+  /** The `hashSpans=true` configuration — the one SCALING.md recommends at
+    * 100 TB (fixed-width 8-byte keys through the shuffle instead of raw
+    * span strings). The final doc-level stats are key-representation-
+    * independent (xxhash64 collisions aside — none on this corpus), so
+    * the oracle is d10's verbatim: the gate proves the hashed path
+    * CHANGES NOTHING downstream, which is the whole point of offering it. */
+  private def d10b_span_stats_hashed(s: SparkSession, dir: String): DataFrame =
+    Dedup.spanStats(t(s, dir, "documents"), "doc_id", "text", n = 5,
+        minDocs = 2, hashSpans = true)
+      .orderBy("doc_id")
+
   /** Incremental dedup: a new batch (10 verbatim copies + 10 junk docs)
     * matched against the corpus's persisted minhash index — the corpus is
     * never re-shingled. Output restricts to the planted id mapping
@@ -1398,6 +1409,7 @@ object SparkEntry {
     "d8b_decontam_drop" -> (d8b_decontam_drop _),
     "d9_pipeline_full" -> (d9_pipeline_full _),
     "d10_span_stats" -> (d10_span_stats _),
+    "d10b_span_stats_hashed" -> (d10b_span_stats_hashed _),
     "d11_dedup_incremental" -> (d11_dedup_incremental _),
     "a1_ann_brute" -> (a1_ann_brute _),
     "a2_ann_lsh" -> (a2_ann_lsh _),
@@ -1451,6 +1463,25 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** Shared by d10 and d10b: the doc-level span stats do not depend on the
+    * span key representation (string vs xxhash64), so both configurations
+    * replay against the same SQL. */
+  private val SpanStatsOracleSql =
+    """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                  FROM documents),
+       sp AS (SELECT doc_id,
+                array_to_string(ws[CAST(i AS BIGINT):CAST(i+4 AS BIGINT)], ' ') AS span
+              FROM w, UNNEST(range(1, len(ws) - 5 + 2)) AS t(i)
+              WHERE len(ws) >= 5),
+       d AS (SELECT DISTINCT doc_id, span FROM sp),
+       c AS (SELECT span, CAST(count(*) AS BIGINT) AS nd FROM d GROUP BY span)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+         CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+           AS share_ratio
+       FROM d JOIN c USING (span)
+       GROUP BY doc_id ORDER BY doc_id"""
+
   def oracleSql: Map[String, String] = Map(
     "s1_scan_hive" ->
       """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
@@ -1830,21 +1861,10 @@ object SparkEntry {
                 CASE WHEN jac0 >= 0.8 THEN jac0 END AS jac
          FROM batch LEFT JOIN j USING (new_id)
          ORDER BY new_id""",
-    "d10_span_stats" ->
-      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
-                    FROM documents),
-         sp AS (SELECT doc_id,
-                  array_to_string(ws[CAST(i AS BIGINT):CAST(i+4 AS BIGINT)], ' ') AS span
-                FROM w, UNNEST(range(1, len(ws) - 5 + 2)) AS t(i)
-                WHERE len(ws) >= 5),
-         d AS (SELECT DISTINCT doc_id, span FROM sp),
-         c AS (SELECT span, CAST(count(*) AS BIGINT) AS nd FROM d GROUP BY span)
-         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
-           CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
-           CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
-             AS share_ratio
-         FROM d JOIN c USING (span)
-         GROUP BY doc_id ORDER BY doc_id""",
+    "d10_span_stats" -> SpanStatsOracleSql,
+    // hashed-key configuration: stats are key-representation-independent,
+    // so the oracle is IDENTICAL — that invariance is what the gate pins
+    "d10b_span_stats_hashed" -> SpanStatsOracleSql,
     "d9_pipeline_full" ->
       """WITH corpus AS (
            SELECT doc_id, text FROM documents
