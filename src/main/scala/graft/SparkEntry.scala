@@ -742,8 +742,54 @@ object SparkEntry {
     val junk = q0.select((col("i") + 9600000L).as("vec_id"),
       transform(col("embedding"), x => (-x).cast("float")).as("embedding"),
       col("label"))
-    Ann.ivfAppend(s, path, planted.unionByName(junk), "vec_id", "embedding")
+    Ann.ivfAppend(s, path, planted.unionByName(junk), "vec_id", "embedding",
+      tag = "a3b-batch0")
     Ann.ivfTopK(Ann.ivfRead(s, path), "vec_id", "embedding", queryVec(s, dir),
+        k = 10, nprobe = 4, excludeIds = Seq(0L))
+      .select("vec_id", "rank").orderBy("rank")
+  }
+
+  /** Streaming ANN index growth — st8's analog for IVF: the index is
+    * built from the organic corpus, then TWO ordered micro-batches
+    * (junk first, then planted near-copies of the query) flow through
+    * [[graft.streaming.Streams.ivfIngest]] — per-batch assignment to the
+    * stored centroids + replay-idempotent tagged append, no rebuild. The
+    * post-stream probe must surface exactly the streamed-in planted ids
+    * at ranks 1..10, proving the index grew correctly across batches. */
+  private def st9_stream_ivf_ingest(s: SparkSession, dir: String): DataFrame = {
+    val base = "/tmp/graft_fixtures/ivf_ingest_" +
+      java.net.URLEncoder.encode(dir, "UTF-8")
+    val conf = s.sessionState.newHadoopConf()
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(conf)
+    fs.delete(basePath, true)
+    val (incoming, idx, cp) = (s"$base/incoming", s"$base/index", s"$base/cp")
+    val baseCorpus = t(s, dir, "embeddings")
+    Ann.ivfWrite(Ann.ivfBuild(baseCorpus, "vec_id", "embedding", nlist = 16), idx)
+    val q0 = baseCorpus.filter(col("vec_id") === 0)
+      .select(explode(sequence(lit(0L), lit(9L))).as("i"),
+        col("embedding"), col("label"))
+    val b1 = q0.select((col("i") + 9600000L).as("vec_id"),
+      transform(col("embedding"), x => (-x).cast("float")).as("embedding"),
+      col("label"))
+    val b2 = q0.select((col("i") + 9500000L).as("vec_id"),
+      transform(col("embedding"),
+        x => (x * pow(lit(2.0), col("i") - 5)).cast("float")).as("embedding"),
+      col("label"))
+    def dataFiles = fs.listStatus(new org.apache.hadoop.fs.Path(incoming))
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+      .map(_.getPath).toSet
+    b1.coalesce(1).write.mode("append").parquet(incoming)
+    val firstFiles = dataFiles
+    b2.coalesce(1).write.mode("append").parquet(incoming)
+    (dataFiles -- firstFiles).foreach(p => fs.setTimes(p, 1000000600000L, -1))
+    firstFiles.foreach(p => fs.setTimes(p, 1000000000000L, -1))
+    val stream = s.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(incoming)
+    val q = graft.streaming.Streams.ivfIngest(stream, "vec_id", "embedding",
+      idx, cp)
+    try q.processAllAvailable() finally q.stop()
+    Ann.ivfTopK(Ann.ivfRead(s, idx), "vec_id", "embedding", queryVec(s, dir),
         k = 10, nprobe = 4, excludeIds = Seq(0L))
       .select("vec_id", "rank").orderBy("rank")
   }
@@ -1416,6 +1462,7 @@ object SparkEntry {
     "a4_ann_batch" -> (a4_ann_batch _),
     "a3_ann_ivf" -> (a3_ann_ivf _),
     "a3b_ann_ivf_append" -> (a3b_ann_ivf_append _),
+    "st9_stream_ivf_ingest" -> (st9_stream_ivf_ingest _),
     "t1_langid" -> (t1_langid _),
     "t1b_langid_ngram" -> (t1b_langid_ngram _),
     "t2_quality" -> (t2_quality _),
@@ -1913,6 +1960,11 @@ object SparkEntry {
       """SELECT CAST(9000000 + i AS BIGINT) AS vec_id, CAST(i + 1 AS INT) AS rank
          FROM range(10) t(i) ORDER BY rank""",
     "a3b_ann_ivf_append" ->
+      """SELECT CAST(9500000 + i AS BIGINT) AS vec_id, CAST(i + 1 AS INT) AS rank
+         FROM range(10) t(i) ORDER BY rank""",
+    // same enumerable contract: the streamed-in planted copies (and ONLY
+    // they) dominate the probe at cosine 1.0, tie-broken by vec_id
+    "st9_stream_ivf_ingest" ->
       """SELECT CAST(9500000 + i AS BIGINT) AS vec_id, CAST(i + 1 AS INT) AS rank
          FROM range(10) t(i) ORDER BY rank""",
     "t1_langid" ->

@@ -94,7 +94,7 @@ object Ann {
 
   /** IVF (inverted-file) index state: centroid vectors + the input tagged
     * with its nearest-centroid cluster id. At 100 TB the clustered frame is
-    * what you write out partitioned by `__cluster`, turning every probe into
+    * what you write out partitioned by `gr_cluster`, turning every probe into
     * a partition-pruned scan of nprobe/nlist of the data. */
   final case class IvfIndex(centroids: Seq[(Int, Array[Double])], clustered: DataFrame)
 
@@ -139,8 +139,8 @@ object Ann {
 
     for (_ <- 1 to iterations) {
       val means = assign(centroids)
-        .select(col("__cluster"), posexplode(col(vecCol)))
-        .groupBy("__cluster", "pos").agg(avg(col("col").cast("double")).as("m"))
+        .select(col("gr_cluster"), posexplode(col(vecCol)))
+        .groupBy("gr_cluster", "pos").agg(avg(col("col").cast("double")).as("m"))
         .collect()
         .groupBy(_.getInt(0))
         .map { case (cid, rows) =>
@@ -173,7 +173,7 @@ object Ann {
     val probed = index.centroids.sortBy { case (_, c) => -cos(c) }
       .take(nprobe).map(_._1)
     val candidates = index.clustered
-      .filter(col("__cluster").isin(probed: _*))
+      .filter(col("gr_cluster").isin(probed: _*))
       .filter(if (excludeIds.isEmpty) lit(true) else !col(idCol).isin(excludeIds: _*))
     val q = lit(qd)
     val scoredRows = candidates
@@ -192,10 +192,15 @@ object Ann {
     * cluster regardless of which path assigned them. */
   private def assignClusters(df: DataFrame,
       cs: Seq[(Int, Array[Double])], vecCol: String): DataFrame = {
+    // no leading underscore in the column/dir name ON PURPOSE: `_`-prefixed
+    // paths read as metadata to graft discovery (and hive), which would
+    // hide the cluster dirs from compaction and any graft-side scan
+    require(!df.columns.contains("gr_cluster"),
+      "input already carries a 'gr_cluster' column — rename it before indexing")
     val scored = cs.map { case (cid, c) =>
       struct(cosine(col(vecCol), lit(c)).as("s"), lit(cid).as("cid"))
     }
-    df.withColumn("__cluster", greatest(scored: _*).getField("cid"))
+    df.withColumn("gr_cluster", greatest(scored: _*).getField("cid"))
   }
 
   /** Sidecar carrying the structural parameters of a persisted IVF index
@@ -229,14 +234,14 @@ object Ann {
   }
 
   /** Persist an IVF index: the clustered frame written PARTITIONED BY
-    * `__cluster` (so every probe is a partition-pruned scan of nprobe/nlist
+    * `gr_cluster` (so every probe is a partition-pruned scan of nprobe/nlist
     * of the data — the 100 TB serving shape) plus the centroid table and
     * the [[IvfParamsSidecar]] alongside. */
   def ivfWrite(index: IvfIndex, path: String): Unit = {
     val spark = index.clustered.sparkSession
     import spark.implicits._
     index.clustered.write.mode("overwrite")
-      .partitionBy("__cluster").parquet(s"$path/data")
+      .partitionBy("gr_cluster").parquet(s"$path/data")
     index.centroids.toDF("cid", "centroid")
       .write.mode("overwrite").parquet(s"$path/centroids")
     val dim = index.centroids.headOption.map(_._2.length).getOrElse(0)
@@ -247,7 +252,7 @@ object Ann {
     finally out.close()
   }
 
-  /** Load a persisted IVF index. `__cluster` comes back as a partition
+  /** Load a persisted IVF index. `gr_cluster` comes back as a partition
     * column, so `ivfTopK`'s cluster filter prunes at the file-listing level
     * — EXPLAIN shows only the probed directories are read. The sidecar is
     * required and cross-checked against the centroid table. */
@@ -260,7 +265,7 @@ object Ann {
       s"IVF index at $path is inconsistent with its sidecar " +
         s"(dim=$dim nlist=$nlist vs ${centroids.size} centroids)")
     val clustered = spark.read.parquet(s"$path/data")
-      .withColumn("__cluster", col("__cluster").cast("int"))
+      .withColumn("gr_cluster", col("gr_cluster").cast("int"))
     IvfIndex(centroids, clustered)
   }
 
@@ -268,28 +273,36 @@ object Ann {
     * d11/minhash analog for ANN: a growing embedding corpus must not
     * full-rebuild the index per batch. New vectors are assigned to the
     * EXISTING centroids (same kernel, same tie-break as the build) and
-    * appended into the `partitionBy(__cluster)` layout, so subsequent
+    * appended into the `partitionBy(gr_cluster)` layout, so subsequent
     * probes prune to the same nprobe/nlist fraction including the new
-    * rows. Rejects loudly on structural mismatch via the sidecar: every
-    * batch vector must have the index's dimensionality (checked with one
-    * aggregate over the batch — a wrong-dim vector would otherwise score
-    * with a truncated cosine forever), and the batch schema must equal
-    * the stored schema. Centroids are NOT refined here (standard IVF
-    * practice: assignment-only append, periodic rebuild if drift
-    * matters); appended rows shift no existing cluster ids. Returns the
-    * number of rows appended. */
+    * rows. The append is REPLAY-IDEMPOTENT per `tag`
+    * ([[graft.core.TaggedAppend]]: staged write, deterministic per-tag
+    * file names inside each cluster directory, prior attempt swept
+    * first), so retrying a failed `ivfAppend("daily-2026-08-13")`
+    * converges instead of doubling the batch — duplicated index rows
+    * would surface as duplicate ids in every later top-k. Rejects loudly
+    * on structural mismatch via the sidecar: every batch vector must have
+    * the index's dimensionality (checked with one aggregate over the
+    * batch — a wrong-dim vector would otherwise score with a truncated
+    * cosine forever), and the batch schema must equal the stored schema.
+    * Centroids are NOT refined here (standard IVF practice:
+    * assignment-only append, periodic rebuild if drift matters); appended
+    * rows shift no existing cluster ids. Returns the number of rows
+    * appended. */
   def ivfAppend(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       newVecs: DataFrame,
       idCol: String,
-      vecCol: String): Long = {
+      vecCol: String,
+      tag: String): Long = {
+    graft.core.TaggedAppend.requireSafeTag(tag)
     val (dim, nlist) = readIvfSidecar(spark, path)
     val centroids = ivfRead(spark, path).centroids
     require(centroids.size == nlist, s"centroid table at $path has " +
       s"${centroids.size} rows but the sidecar claims nlist=$nlist")
     val stored = spark.read.parquet(s"$path/data")
-    val expectedCols = stored.columns.toSet - "__cluster"
+    val expectedCols = stored.columns.toSet - "gr_cluster"
     require(newVecs.columns.toSet == expectedCols,
       s"append schema ${newVecs.columns.sorted.mkString(",")} must equal " +
         s"the stored schema ${expectedCols.toSeq.sorted.mkString(",")}")
@@ -300,9 +313,33 @@ object Ann {
         s"index's dim=$dim — appending them would silently truncate every " +
         "cosine; fix the batch or rebuild the index")
     val assigned = assignClusters(newVecs, centroids, vecCol)
-    assigned.write.mode("append").partitionBy("__cluster").parquet(s"$path/data")
+    graft.core.TaggedAppend.append(assigned, s"$path/data", tag,
+      Seq("gr_cluster"))
     newVecs.count()
   }
+
+  /** Sweep a failed [[ivfAppend]] attempt's files (see
+    * [[graft.core.TaggedAppend.abort]]). The streaming ingest calls this
+    * implicitly via the append; exposed for manual cleanup. */
+  def ivfAbortAppend(spark: org.apache.spark.sql.SparkSession,
+      path: String, tag: String): Int =
+    graft.core.TaggedAppend.abort(ivfFs(spark, s"$path/data"),
+      s"$path/data", tag)
+
+  /** Compact an appended-to IVF index's small files: per-batch tagged
+    * appends leave one-or-few small files per (batch, cluster), and a
+    * long-running ingest accumulates them — listing and scan overhead at
+    * probe time. Delegates to [[graft.api.Graft.compactPartitionedTable]]
+    * on the `gr_cluster=` layout (metadata-only candidate selection,
+    * per-cluster narrow coalesce rewrites, move-in-before-delete commit);
+    * centroids and sidecar are untouched. Run it on a QUIESCED index only
+    * — compaction renames data files, so a concurrent tagged append's
+    * crash-replay bookkeeping (which sweeps by file name) no longer sees
+    * its own files. Returns the compaction stats. */
+  def ivfCompact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): graft.api.CompactionStats =
+    graft.api.Graft.compactPartitionedTable(spark, s"$path/data",
+      targetFileBytes)
 
   /** Deterministic seeded plane matrix shared by the fused kernel and the
     * HOF reference — bucket assignments depend on these exact doubles, so

@@ -690,17 +690,6 @@ object Dedup {
 
   // --------------------------------------- replay-idempotent tagged append
 
-  /** File-name prefix of the index part files a tagged append commits. */
-  private def taggedFilePrefix(tag: String) = s"ingest-$tag-"
-
-  private def taggedStagingDir(root: org.apache.hadoop.fs.Path, tag: String) =
-    new org.apache.hadoop.fs.Path(root, s".graft_ingest_staging_$tag")
-
-  private def requireSafeTag(tag: String): Unit =
-    require(tag.nonEmpty &&
-      tag.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
-      s"append tag must match [A-Za-z0-9_-]+; got '$tag'")
-
   /** Delete whatever a previous [[minhashIndexTaggedAppend]] attempt under
     * `tag` left in the index — all of its part files, some of them (a crash
     * can stop mid-rename), or just the staging directory. Call this BEFORE
@@ -713,37 +702,22 @@ object Dedup {
   def minhashIndexAbortTaggedAppend(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
-      tag: String): Int = {
-    requireSafeTag(tag)
-    val fs = graft.core.Discovery.fileSystemFor(path, spark.sessionState.newHadoopConf())
-    val root = new org.apache.hadoop.fs.Path(path)
-    if (!fs.exists(root)) 0
-    else {
-      val prefix = taggedFilePrefix(tag)
-      val stale = fs.listStatus(root)
-        .filter(st => st.isFile && st.getPath.getName.startsWith(prefix))
-      stale.foreach(st => fs.delete(st.getPath, false))
-      val staging = taggedStagingDir(root, tag)
-      if (fs.exists(staging)) fs.delete(staging, true)
-      stale.length
-    }
-  }
+      tag: String): Int =
+    graft.core.TaggedAppend.abort(
+      graft.core.Discovery.fileSystemFor(path, spark.sessionState.newHadoopConf()),
+      path, tag)
 
   /** Append `newDocs`' index rows to a persisted index such that a REPLAY
-    * of the same logical append (same `tag`) cannot duplicate rows: the
-    * rows are built with the index's sidecar parameters, staged into a
-    * hidden subdirectory (invisible to scans), then renamed into the index
-    * root under deterministic `ingest-<tag>-NNNNN.parquet` names — and any
-    * files a previous attempt under the same tag committed are deleted
-    * first. A crash at ANY point followed by [[minhashIndexAbortTaggedAppend]]
-    * + retry (or just a retry, which aborts internally) converges to
-    * exactly one copy of the batch's rows. Plain `mode("append")` cannot
-    * offer this: its part files get fresh random names per attempt, so a
-    * replay doubles the rows ([[graft.streaming.Streams.minhashIngestGate]]
-    * is the consumer this exists for). Parameters come from the open
-    * [[MinhashIndex]] handle (sidecar-backed), so no mismatch is possible
-    * and the sidecar is not rewritten. Single writer per (index, tag)
-    * assumed. Returns the number of part files committed. */
+    * of the same logical append (same `tag`) cannot duplicate rows — the
+    * staged-rename protocol of [[graft.core.TaggedAppend]]. A crash at ANY
+    * point followed by [[minhashIndexAbortTaggedAppend]] + retry (or just
+    * a retry, which aborts internally) converges to exactly one copy of
+    * the batch's rows; plain `mode("append")` cannot offer this
+    * ([[graft.streaming.Streams.minhashIngestGate]] is the consumer this
+    * exists for). Parameters come from the open [[MinhashIndex]] handle
+    * (sidecar-backed), so no mismatch is possible and the sidecar is not
+    * rewritten. Single writer per (index, tag) assumed. Returns the number
+    * of part files committed. */
   def minhashIndexTaggedAppend(
       index: MinhashIndex,
       newDocs: DataFrame,
@@ -751,26 +725,13 @@ object Dedup {
       textCol: String,
       path: String,
       tag: String): Int = {
-    requireSafeTag(tag)
     val spark = newDocs.sparkSession
     val fs = graft.core.Discovery.fileSystemFor(path, spark.sessionState.newHadoopConf())
-    val root = new org.apache.hadoop.fs.Path(path)
-    require(fs.exists(new org.apache.hadoop.fs.Path(root, MinhashParamsSidecar)),
+    require(fs.exists(new org.apache.hadoop.fs.Path(path, MinhashParamsSidecar)),
       s"no $MinhashParamsSidecar at $path — tagged append targets an index " +
         "persisted with minhashIndexBuildAndWrite")
-    minhashIndexAbortTaggedAppend(spark, path, tag)
-    val staging = taggedStagingDir(root, tag)
-    index.rowsFor(newDocs, idCol, textCol)
-      .write.mode("overwrite").parquet(staging.toString)
-    val parts = fs.listStatus(staging)
-      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-      .map(_.getPath).sortBy(_.getName)
-    parts.zipWithIndex.foreach { case (p, i) =>
-      val dest = new org.apache.hadoop.fs.Path(root, f"${taggedFilePrefix(tag)}$i%05d.parquet")
-      require(fs.rename(p, dest), s"tagged append: rename $p -> $dest failed")
-    }
-    fs.delete(staging, true)
-    parts.length
+    graft.core.TaggedAppend.append(
+      index.rowsFor(newDocs, idCol, textCol), path, tag)
   }
 
   /** Incremental near-duplicate detection: a NEW batch against an EXISTING

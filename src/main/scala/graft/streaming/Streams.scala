@@ -368,6 +368,64 @@ object Streams {
     }
   }
 
+  /** Continuous ANN index growth — the [[minhashIngestGate]] analog for
+    * IVF: each micro-batch of embedding rows is assigned to the persisted
+    * index's EXISTING centroids and appended into its partitioned layout
+    * ([[graft.operators.Ann.ivfAppend]]), so the index serves probes over
+    * everything ingested so far without ever re-clustering or re-reading
+    * old vectors. Unlike the dedup gate there is no drop decision — every
+    * row is appended — so exactly-once reduces to append idempotency:
+    * `ivfAppend` is replay-idempotent per batch tag (staged rename,
+    * deterministic file names), and a checkpoint-keyed commit marker skips
+    * fully-committed batches on replay. A crash at any point, then
+    * replay, converges to exactly one copy of each batch (duplicated
+    * index rows would otherwise surface as duplicate ids in every later
+    * top-k). Structural mismatches (dim/schema) fail the batch loudly via
+    * the index sidecar. Single writer per index assumed. */
+  def ivfIngest(
+      newVecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      indexPath: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(newVecs.isStreaming, "ivfIngest needs a streaming DataFrame")
+    newVecs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ivfIngestBatch(batch, batchId, idCol, vecCol, indexPath, checkpoint)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
+
+  /** One micro-batch of [[ivfIngest]], exposed for direct crash-replay
+    * testing. Returns false when the batch was already committed. */
+  private[graft] def ivfIngestBatch(
+      batch: DataFrame,
+      batchId: Long,
+      idCol: String,
+      vecCol: String,
+      indexPath: String,
+      checkpoint: String): Boolean = {
+    val spark = batch.sparkSession
+    val fs = Discovery.fileSystemFor(indexPath,
+      spark.sessionState.newHadoopConf())
+    val batchTag = f"${checkpointTag(checkpoint)}_$batchId%020d"
+    val marker = new Path(indexPath, s"_graft_ivf_ingest_commit_$batchTag")
+    if (fs.exists(marker)) {
+      log.info(s"graft_ivf_ingest: batch $batchId already committed; " +
+        "skipping replay")
+      false
+    } else {
+      graft.operators.Ann.ivfAppend(spark, indexPath, batch, idCol, vecCol,
+        batchTag)
+      fs.create(marker, true).close()
+      true
+    }
+  }
+
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Run a (finite-source) streaming query to completion into an in-memory

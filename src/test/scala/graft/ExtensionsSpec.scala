@@ -307,7 +307,7 @@ class AnnSpec extends SparkSpec {
     val out = Ann.ivfTopK(index, "vec_id", "embedding", rows(123)._2, k = 3, nprobe = 2)
     assert(out.collect().head.getLong(0) == 123L)
     // probing fewer clusters scans a strict subset of the data
-    val probedRows = index.clustered.filter(col("__cluster").isin(0, 1)).count()
+    val probedRows = index.clustered.filter(col("gr_cluster").isin(0, 1)).count()
     assert(probedRows < 400)
   }
 
@@ -338,7 +338,7 @@ class AnnSpec extends SparkSpec {
       }
       assert(scans.nonEmpty, "expected a parquet scan in the probe plan")
       val partsRead = scans.map(_.metrics("numPartitions").value).sum
-      val nClusters = index.clustered.select("__cluster").distinct().count()
+      val nClusters = index.clustered.select("gr_cluster").distinct().count()
       assert(partsRead <= 2,
         s"probe must scan <= nprobe partitions, read $partsRead of $nClusters")
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
@@ -382,7 +382,7 @@ class AnnSpec extends SparkSpec {
     def cohesion(iters: Int): Double = {
       val idx = Ann.ivfBuild(df, "vec_id", "embedding", nlist = 8, iterations = iters)
       val byCid = idx.centroids.toMap
-      idx.clustered.select(col("embedding"), col("__cluster")).collect().map { r =>
+      idx.clustered.select(col("embedding"), col("gr_cluster")).collect().map { r =>
         val v = r.getSeq[Float](0).map(_.toDouble).toArray
         val c = byCid(r.getInt(1))
         val dot = v.zip(c).map { case (a, b) => a * b }.sum
@@ -413,7 +413,7 @@ class AnnSpec extends SparkSpec {
     // append a planted copy of vector 77 (new id) + an unrelated new vector
     val planted = Seq((9001L, rows(77)._2), (9002L, randVec(8888, dim)))
       .toDF("vec_id", "embedding")
-    assert(Ann.ivfAppend(spark, path, planted, "vec_id", "embedding") == 2L)
+    assert(Ann.ivfAppend(spark, path, planted, "vec_id", "embedding", "b0") == 2L)
     val after = Ann.ivfRead(spark, path)
     // centroids untouched, data grown by exactly the batch
     assert(after.centroids.zip(before.centroids).forall {
@@ -427,7 +427,7 @@ class AnnSpec extends SparkSpec {
     // dim mismatch rejects loudly before any write
     val wrongDim = Seq((9100L, randVec(1, dim + 4))).toDF("vec_id", "embedding")
     val e1 = intercept[IllegalArgumentException] {
-      Ann.ivfAppend(spark, path, wrongDim, "vec_id", "embedding")
+      Ann.ivfAppend(spark, path, wrongDim, "vec_id", "embedding", "b1")
     }
     assert(e1.getMessage.contains("dim=" + dim), e1.getMessage)
     assert(Ann.ivfRead(spark, path).clustered.count() == before.clustered.count() + 2,
@@ -436,14 +436,65 @@ class AnnSpec extends SparkSpec {
     val extraCol = Seq((9200L, randVec(2, dim), "x"))
       .toDF("vec_id", "embedding", "extra")
     val e2 = intercept[IllegalArgumentException] {
-      Ann.ivfAppend(spark, path, extraCol, "vec_id", "embedding")
+      Ann.ivfAppend(spark, path, extraCol, "vec_id", "embedding", "b2")
     }
     assert(e2.getMessage.contains("schema"), e2.getMessage)
     // a directory without the sidecar is not an appendable index
     val e3 = intercept[IllegalArgumentException] {
-      Ann.ivfAppend(spark, tmpDir("not_an_index"), planted, "vec_id", "embedding")
+      Ann.ivfAppend(spark, tmpDir("not_an_index"), planted, "vec_id",
+        "embedding", "b3")
     }
     assert(e3.getMessage.contains(Ann.IvfParamsSidecar), e3.getMessage)
+  }
+
+  test("ivfAppend replay-idempotency, streaming ingest crash-replay, and compaction") {
+    val dim = 16
+    val rows = (0 until 300).map(i => (i.toLong, randVec(i, dim)))
+    val df = rows.toDF("vec_id", "embedding")
+    val path = tmpDir("ivf_replay")
+    Ann.ivfWrite(Ann.ivfBuild(df, "vec_id", "embedding", nlist = 8), path)
+    val batch = Seq((9001L, rows(5)._2), (9002L, randVec(4242, dim)))
+      .toDF("vec_id", "embedding")
+    // same-tag retry converges; a new tag is a new logical append
+    Ann.ivfAppend(spark, path, batch, "vec_id", "embedding", "t1")
+    Ann.ivfAppend(spark, path, batch, "vec_id", "embedding", "t1")
+    assert(Ann.ivfRead(spark, path).clustered.count() == 302,
+      "same-tag retry must not duplicate rows")
+    assert(Ann.ivfAbortAppend(spark, path, "t1") >= 1)
+    assert(Ann.ivfRead(spark, path).clustered.count() == 300)
+
+    // streaming ingest batch: crash between append and marker, then replay
+    val cp = tmpDir("ivf_replay_cp")
+    import graft.streaming.Streams
+    assert(Streams.ivfIngestBatch(batch, 0L, "vec_id", "embedding", path, cp))
+    assert(Ann.ivfRead(spark, path).clustered.count() == 302)
+    val tag = Streams.checkpointTag(cp) + "_" + "%020d".format(0L)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(path, s"_graft_ivf_ingest_commit_$tag"), false)
+    assert(Streams.ivfIngestBatch(batch, 0L, "vec_id", "embedding", path, cp))
+    assert(Ann.ivfRead(spark, path).clustered.count() == 302,
+      "crash-replay must not duplicate appended vectors")
+    // marker intact: replay skipped
+    assert(!Streams.ivfIngestBatch(batch, 0L, "vec_id", "embedding", path, cp))
+
+    // compaction: many appended small files collapse, content unchanged
+    for (i <- 2 to 5)
+      Ann.ivfAppend(spark, path,
+        Seq((9000L + i * 10, randVec(1000 + i, dim))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", s"t$i")
+    val preIds = Ann.ivfRead(spark, path).clustered
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    val stats = Ann.ivfCompact(spark, path)
+    assert(stats.partitionsCompacted >= 1, stats.toString)
+    assert(stats.filesAfter < stats.filesBefore, stats.toString)
+    val postIds = Ann.ivfRead(spark, path).clustered
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(postIds == preIds, "compaction must preserve every row")
+    // probes still partition-pruned and correct after compaction
+    val got = Ann.ivfTopK(Ann.ivfRead(spark, path), "vec_id", "embedding",
+      rows(5)._2, k = 2, nprobe = 2).select("vec_id").as[Long].collect().toSet
+    assert(got == Set(5L, 9001L), s"got $got")
   }
 }
 
