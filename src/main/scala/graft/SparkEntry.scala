@@ -703,6 +703,34 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Batched IVF probe over a corpus with 5 planted power-of-two-scaled
+    * copies PER QUERY (queries 0,1,2 → ids 9700000 + q·100 + i): each
+    * query's copies sit at cosine exactly 1.0 for it (scaling by 2^k
+    * commutes with double rounding) and in its argmax cluster, which
+    * nprobe ≥ 1 always probes — so the enumerable truth is each query's
+    * own planted ids at ranks 1..5, tie-broken by vec_id. One scan serves
+    * all three queries. */
+  private def a5_ann_ivf_batch(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val qids = Seq(0L, 1L, 2L)
+    val planted = e.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("q"), explode(sequence(lit(0L), lit(4L))).as("i"),
+        col("embedding"), col("label"))
+      .select((lit(9700000L) + col("q") * 100L + col("i")).as("vec_id"),
+        transform(col("embedding"),
+          x => (x * pow(lit(2.0), col("i") - 2)).cast("float")).as("embedding"),
+        col("label"))
+    val corpus = e.unionByName(planted)
+    val index = Ann.ivfBuild(corpus, "vec_id", "embedding", nlist = 16)
+    val qs = e.filter(col("vec_id").isin(qids: _*))
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1).toSeq
+    Ann.ivfBatchTopK(index, "vec_id", "embedding", qs, k = 5, nprobe = 4,
+        excludeIds = qids)
+      .select(col("query_id"), col("vec_id"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   private def a2_ann_lsh(s: SparkSession, dir: String): DataFrame =
     Ann.lshTopK(annCorpus(s, dir), "vec_id", "embedding", dim = 64,
         queryVec(s, dir), k = 10, numPlanes = 12, maxHammingProbe = 3,
@@ -1460,6 +1488,7 @@ object SparkEntry {
     "a1_ann_brute" -> (a1_ann_brute _),
     "a2_ann_lsh" -> (a2_ann_lsh _),
     "a4_ann_batch" -> (a4_ann_batch _),
+    "a5_ann_ivf_batch" -> (a5_ann_ivf_batch _),
     "a3_ann_ivf" -> (a3_ann_ivf _),
     "a3b_ann_ivf_append" -> (a3b_ann_ivf_append _),
     "st9_stream_ivf_ingest" -> (st9_stream_ivf_ingest _),
@@ -1949,6 +1978,13 @@ object SparkEntry {
          r AS (SELECT query_id, vec_id, CAST(row_number() OVER
            (PARTITION BY query_id ORDER BY c DESC, vec_id) AS INT) AS rank FROM s)
          SELECT query_id, vec_id, rank FROM r WHERE rank <= 5
+         ORDER BY query_id, rank""",
+    // per-query planted copies dominate each query's top-5 at cosine 1.0
+    "a5_ann_ivf_batch" ->
+      """SELECT CAST(q AS BIGINT) AS query_id,
+           CAST(9700000 + q * 100 + i AS BIGINT) AS vec_id,
+           CAST(i + 1 AS INT) AS rank
+         FROM range(3) tq(q) CROSS JOIN range(5) ti(i)
          ORDER BY query_id, rank""",
     // the true top-10 over annCorpus is the planted power-of-two-scaled
     // copies of the query (cosine exactly 1.0, id-order tiebreak) — the hash

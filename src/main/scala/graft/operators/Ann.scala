@@ -151,6 +151,22 @@ object Ann {
     IvfIndex(centroids, assign(centroids))
   }
 
+  /** Driver-side cosine between a centroid and a query (tiny: nlist×dim). */
+  private def centroidCos(c: Array[Double], qd: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < math.min(c.length, qd.length)) {
+      dot += c(i) * qd(i); na += c(i) * c(i); nb += qd(i) * qd(i); i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** The `nprobe` cluster ids nearest a query, ranked driver-side. */
+  private def probedClusters(index: IvfIndex, qd: Array[Double],
+      nprobe: Int): Seq[Int] =
+    index.centroids.sortBy { case (_, c) => -centroidCos(c, qd) }
+      .take(nprobe).map(_._1)
+
   /** ANN search against an IVF index: rank centroids driver-side, scan only
     * the `nprobe` nearest clusters, exact cosine top-k on those. */
   def ivfTopK(
@@ -162,16 +178,7 @@ object Ann {
       nprobe: Int = 4,
       excludeIds: Seq[Long] = Nil): DataFrame = {
     val qd = query.map(_.toDouble)
-    def cos(c: Array[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      var i = 0
-      while (i < math.min(c.length, qd.length)) {
-        dot += c(i) * qd(i); na += c(i) * c(i); nb += qd(i) * qd(i); i += 1
-      }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
-    val probed = index.centroids.sortBy { case (_, c) => -cos(c) }
-      .take(nprobe).map(_._1)
+    val probed = probedClusters(index, qd, nprobe)
     val candidates = index.clustered
       .filter(col("gr_cluster").isin(probed: _*))
       .filter(if (excludeIds.isEmpty) lit(true) else !col(idCol).isin(excludeIds: _*))
@@ -183,6 +190,49 @@ object Ann {
     scoredRows.withColumn("rank",
       row_number().over(org.apache.spark.sql.expressions.Window
         .orderBy(desc("cosine"), col(idCol))))
+  }
+
+  /** Batched IVF probe: EVERY query served by ONE scan of the UNION of
+    * their probed clusters — the serving shape for query batches at scale
+    * (Q separate [[ivfTopK]] calls pay Q pruned scans; this pays one, and
+    * on a persisted index the scan is still partition-pruned to the union
+    * so an unprobed cluster is never read). Queries ship as a literal
+    * array exploded map-side (same pattern as [[batchBruteTopK]]); each
+    * (row, query) pair survives only when the row's cluster is in THAT
+    * query's probe set, so per-query semantics are identical to
+    * [[ivfTopK]] — agreement is spec-pinned. The per-query rank window is
+    * rewritten by Catalyst into a map-side partial top-k
+    * (WindowGroupLimit), so the shuffle carries at most k rows per query
+    * per input partition. Returns (query_id, idCol, cosine, rank). */
+  def ivfBatchTopK(
+      index: IvfIndex,
+      idCol: String,
+      vecCol: String,
+      queries: Seq[(Long, Array[Float])],
+      k: Int,
+      nprobe: Int = 4,
+      excludeIds: Seq[Long] = Nil): DataFrame = {
+    require(queries.nonEmpty, "empty query batch")
+    import org.apache.spark.sql.expressions.Window
+    val probes = queries.map { case (qid, qv) =>
+      val qd = qv.map(_.toDouble)
+      (qid, qd, probedClusters(index, qd, nprobe))
+    }
+    val allClusters = probes.flatMap(_._3).distinct
+    val qarr = array(probes.map { case (qid, qd, cids) =>
+      struct(lit(qid).as("query_id"), lit(qd).as("qvec"),
+        lit(cids.toArray).as("cids"))
+    }: _*)
+    index.clustered
+      .filter(col("gr_cluster").isin(allClusters: _*))
+      .filter(if (excludeIds.isEmpty) lit(true) else !col(idCol).isin(excludeIds: _*))
+      .select(col(idCol), col("gr_cluster"), explode(qarr).as("__q"), col(vecCol))
+      .filter(array_contains(col("__q.cids"), col("gr_cluster")))
+      .select(col("__q.query_id").as("query_id"), col(idCol),
+        cosine(col(vecCol), col("__q.qvec")).as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(desc("cosine"), col(idCol))))
+      .filter(col("rank") <= k)
   }
 
   /** Nearest-centroid assignment: argmax over a static list of literal

@@ -447,6 +447,29 @@ class AnnSpec extends SparkSpec {
     assert(e3.getMessage.contains(Ann.IvfParamsSidecar), e3.getMessage)
   }
 
+  test("batched IVF probe agrees with per-query ivfTopK and prunes map-side") {
+    val dim = 16
+    val rows = (0 until 300).map(i => (i.toLong, randVec(i, dim)))
+    val df = rows.toDF("vec_id", "embedding")
+    val index = Ann.ivfBuild(df, "vec_id", "embedding", nlist = 8)
+    val queries = Seq(7L, 123L, 250L).map(q => q -> rows(q.toInt)._2)
+    val batch = Ann.ivfBatchTopK(index, "vec_id", "embedding", queries,
+        k = 4, nprobe = 2, excludeIds = queries.map(_._1))
+    val got = batch.select("query_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val loop = queries.flatMap { case (qid, v) =>
+      Ann.ivfTopK(index, "vec_id", "embedding", v, k = 4, nprobe = 2,
+          excludeIds = queries.map(_._1)).collect()
+        .map(r => (qid, r.getLong(0), r.getInt(2)))
+    }.sorted
+    assert(got == loop, s"batched IVF must equal per-query probes\n$got\n$loop")
+    // the per-query rank is rewritten into a map-side partial top-k
+    batch.collect()
+    val plan = batch.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("WindowGroupLimit".r.findAllIn(plan).length >= 2, plan.take(1500))
+  }
+
   test("ivfAppend replay-idempotency, streaming ingest crash-replay, and compaction") {
     val dim = 16
     val rows = (0 until 300).map(i => (i.toLong, randVec(i, dim)))
