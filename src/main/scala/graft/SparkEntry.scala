@@ -611,6 +611,24 @@ object SparkEntry {
         minDocs = 2, hashSpans = true)
       .orderBy("doc_id")
 
+  /** Boilerplate-chunk removal REWRITE: documents partitioned into
+    * disjoint 4-word chunks; every chunk occurring in >= 2 distinct docs
+    * is stripped from ALL of them and the survivors reassemble in order.
+    * n=4 on this corpus strips at least one chunk from ~200 of 500 docs —
+    * a non-degenerate rewrite the oracle replays chunk-by-chunk. */
+  private def d12_chunk_dedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.stripSharedChunks(t(s, dir, "documents"), "doc_id", "text",
+        n = 4, minDocs = 2)
+      .orderBy("doc_id")
+
+  /** The `hashKeys=true` configuration (8-byte keys through the count
+    * shuffle and anti-join — the 100 TB path). Output is key-
+    * representation-independent, so the oracle is d12's verbatim. */
+  private def d12b_chunk_dedup_hashed(s: SparkSession, dir: String): DataFrame =
+    Dedup.stripSharedChunks(t(s, dir, "documents"), "doc_id", "text",
+        n = 4, minDocs = 2, hashKeys = true)
+      .orderBy("doc_id")
+
   /** Incremental dedup: a new batch (10 verbatim copies + 10 junk docs)
     * matched against the corpus's persisted minhash index — the corpus is
     * never re-shingled. Output restricts to the planted id mapping
@@ -1484,6 +1502,8 @@ object SparkEntry {
     "d9_pipeline_full" -> (d9_pipeline_full _),
     "d10_span_stats" -> (d10_span_stats _),
     "d10b_span_stats_hashed" -> (d10b_span_stats_hashed _),
+    "d12_chunk_dedup" -> (d12_chunk_dedup _),
+    "d12b_chunk_dedup_hashed" -> (d12b_chunk_dedup_hashed _),
     "d11_dedup_incremental" -> (d11_dedup_incremental _),
     "a1_ann_brute" -> (a1_ann_brute _),
     "a2_ann_lsh" -> (a2_ann_lsh _),
@@ -1557,6 +1577,29 @@ object SparkEntry {
            AS share_ratio
        FROM d JOIN c USING (span)
        GROUP BY doc_id ORDER BY doc_id"""
+
+  /** d12 / d12b share one SQL: the cleaned text is independent of the
+    * chunk-key representation (string vs xxhash64), so both
+    * configurations replay against the same chunk-by-chunk rebuild. */
+  private val ChunkDedupOracleSql =
+    """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                  FROM documents),
+       ch AS (SELECT doc_id, CAST(i AS INT) AS ci,
+                array_to_string(ws[CAST(i*4+1 AS BIGINT):CAST(i*4+4 AS BIGINT)],
+                  ' ') AS chunk
+              FROM w, UNNEST(range(0, (len(ws) + 3) // 4)) AS t(i)),
+       sh AS (SELECT chunk FROM (SELECT DISTINCT doc_id, chunk FROM ch)
+              GROUP BY chunk HAVING count(*) >= 2),
+       k AS (SELECT ch.doc_id, ch.ci, ch.chunk FROM ch
+             LEFT JOIN sh USING (chunk) WHERE sh.chunk IS NULL),
+       tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+               FROM ch GROUP BY doc_id)
+       SELECT tot.doc_id,
+         coalesce(string_agg(k.chunk, ' ' ORDER BY k.ci), '') AS text_clean,
+         tot.n_chunks,
+         tot.n_chunks - CAST(count(k.chunk) AS BIGINT) AS n_removed
+       FROM tot LEFT JOIN k USING (doc_id)
+       GROUP BY tot.doc_id, tot.n_chunks ORDER BY doc_id"""
 
   def oracleSql: Map[String, String] = Map(
     "s1_scan_hive" ->
@@ -1941,6 +1984,8 @@ object SparkEntry {
     // hashed-key configuration: stats are key-representation-independent,
     // so the oracle is IDENTICAL — that invariance is what the gate pins
     "d10b_span_stats_hashed" -> SpanStatsOracleSql,
+    "d12_chunk_dedup" -> ChunkDedupOracleSql,
+    "d12b_chunk_dedup_hashed" -> ChunkDedupOracleSql,
     "d9_pipeline_full" ->
       """WITH corpus AS (
            SELECT doc_id, text FROM documents

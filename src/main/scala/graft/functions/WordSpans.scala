@@ -96,6 +96,45 @@ object WordShinglesExpr {
     GraftInternals.column(WordShinglesExpr(GraftInternals.expression(text), n))
 }
 
+/** Fused tokenize → DISJOINT n-token chunks in document order (the
+  * partition of the token stream into consecutive n-word windows, last
+  * chunk possibly shorter), NOT distinct — positions are recoverable as
+  * the array index, which is what lets
+  * [[graft.operators.Dedup.stripSharedChunks]] reassemble cleaned text.
+  * Same tokenizer contract as [[WordSpansExpr]] (trim ASCII space, split
+  * `\s+`, empty trimmed text → zero tokens → zero chunks); same codegen
+  * rationale — the composable `transform(sequence(...), i ->
+  * array_join(slice(words, i*n+1, n), ' '))` form is interpreted per
+  * element. */
+case class WordChunksExpr(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, "chunk length n must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_chunks expects STRING input, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WordSpansImpl.computeChunks(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WordSpansImpl.computeChunks($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "word_chunks"
+}
+
+object WordChunksExpr {
+  def apply(text: Column, n: Int): Column =
+    GraftInternals.column(WordChunksExpr(GraftInternals.expression(text), n))
+}
+
 /** Fused whitespace tokenizer — the expression behind
   * [[TextFunctions.words]]. The composable `split(trim(text), "\\s+")`
   * form routes through the JVM regex engine per row; this is the same
@@ -200,6 +239,31 @@ object WordSpansImpl {
     if (words.length == 0 || count <= 0)
       return new GenericArrayData(Array.empty[Any])
     distinctWindows(words, n)
+  }
+
+  /** Disjoint n-token chunks in document order, NOT distinct, the last
+    * (possibly partial) chunk kept — [[WordChunksExpr]]'s kernel. Empty
+    * trimmed text → empty array (zero tokens → zero chunks). */
+  def computeChunks(text: UTF8String, n: Int): GenericArrayData = {
+    val words = tokenize(text)
+    if (words.length == 0) return new GenericArrayData(Array.empty[Any])
+    val m = (words.length + n - 1) / n
+    val out = new Array[Any](m)
+    val sb = new java.lang.StringBuilder
+    var c = 0
+    while (c < m) {
+      sb.setLength(0)
+      var i = c * n
+      val e = Math.min(i + n, words.length)
+      while (i < e) {
+        if (i > c * n) sb.append(' ')
+        sb.append(words(i))
+        i += 1
+      }
+      out(c) = UTF8String.fromString(sb.toString)
+      c += 1
+    }
+    new GenericArrayData(out)
   }
 
   private def distinctWindows(words: Array[String], n: Int): GenericArrayData = {

@@ -980,4 +980,87 @@ object Dedup {
     if (doPersist) armLshListener(result, "graft_span_stats", 0, Seq(perDoc))
     else result
   }
+
+  /** Corpus-level boilerplate removal — the REWRITE counterpart of
+    * [[spanStats]] (which only measures): partition each document into
+    * disjoint `n`-word chunks, drop every chunk whose exact text occurs in
+    * at least `minDocs` distinct documents (licenses, navigation chrome,
+    * repeated headers — the cross-document duplicated substrings that
+    * exact-substring dedup [Lee et al. 2021, "Deduplicating Training Data
+    * Makes Language Models Better"] targets, at chunk rather than suffix
+    * granularity so it stays one aggregation instead of a suffix array),
+    * and reassemble the surviving chunks in document order. Removal hits
+    * EVERY occurrence in every document (no keep-one winner — boilerplate
+    * is noise, not content), so there is no per-key winner selection and
+    * therefore no window over a hot key anywhere in the plan.
+    *
+    * Returns `(idCol, text_clean, n_chunks, n_removed)` — one row per
+    * input document (a document whose every chunk is shared comes back
+    * with `text_clean = ""`).
+    *
+    * Plan, sized for a 100 TB corpus:
+    *  1. ONE tokenize pass: the fused [[graft.functions.WordChunksExpr]]
+    *     kernel builds the chunk array per row map-side (codegen'd; the
+    *     HOF formulation is interpreted — see the kernel's scaladoc).
+    *     The per-doc frame feeds both branches below, so it is persisted
+    *     MEMORY_AND_DISK inside the operator and released after the first
+    *     completed action (same one-snapshot rationale as [[spanStats]]).
+    *  2. Shared-chunk discovery: `array_distinct` per doc (map-side, no
+    *     shuffle), explode, ONE `groupBy(key).count()` — partial-aggregated,
+    *     bounded state per key — then `count >= minDocs`. The surviving
+    *     set is small by nature (it IS the boilerplate).
+    *  3. A left-anti join of the exploded (id, pos, chunk) stream against
+    *     that set. AQE broadcasts the shared side when it fits (the common
+    *     case); when it doesn't, both sides hash-partition on the key and
+    *     a hot boilerplate chunk is still skew-benign — the build side
+    *     holds ONE row per key.
+    *  4. Doc-level reassembly: `collect_list(struct(pos, chunk))` bounded
+    *     by document size, sorted per group, joined back onto the per-doc
+    *     chunk counts (doc-level × doc-level).
+    *
+    * `hashKeys=true` runs steps 2-3 on `xxhash64(chunk)` instead of the
+    * chunk string — at 100 TB that shrinks the count shuffle and the
+    * anti-join build side several-fold; a 64-bit collision falsely
+    * removing a chunk is negligible (and the gate keeps exact strings so
+    * the oracle stays bit-true — `d12b` pins that both configurations
+    * produce identical output). */
+  def stripSharedChunks(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 50,
+      minDocs: Int = 2,
+      hashKeys: Boolean = false): DataFrame = {
+    require(n >= 1, "chunk length n must be >= 1")
+    require(minDocs >= 2, "minDocs must be >= 2 (a chunk always occurs in its own doc)")
+    val perDoc = df
+      .select(col(idCol),
+        graft.functions.WordChunksExpr(col(textCol), n).as("__chunks"))
+      .withColumn("n_chunks", size(col("__chunks")).cast("long"))
+    perDoc.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def key(c: Column): Column = if (hashKeys) xxhash64(c) else c
+    val shared = perDoc
+      .select(explode(array_distinct(col("__chunks"))).as("__c"))
+      .groupBy(key(col("__c")).as("__k"))
+      .agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__k"))
+    val kept = perDoc
+      .select(col(idCol), posexplode(col("__chunks")).as(Seq("__pos", "__c")))
+      .join(shared, key(col("__c")) === shared("__k"), "left_anti")
+    val reassembled = kept
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("__pos"), col("__c")))),
+            x => x.getField("__c")),
+          " ").as("text_clean"))
+    val result = perDoc.select(col(idCol), col("n_chunks"))
+      .join(reassembled, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        col("n_chunks"),
+        (col("n_chunks") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"))
+    armLshListener(result, "graft_strip_chunks", 0, Seq(perDoc))
+  }
 }

@@ -1072,6 +1072,59 @@ class SpanStatsSpec extends SparkSpec {
   }
 }
 
+class StripSharedChunksSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Dedup
+
+  private val docs = Seq(
+    (1L, "a b c d"),     // chunks "a b","c d" — both shared below
+    (2L, "a b x y"),     // "a b" shared with doc 1, "x y" kept
+    (3L, "z z"),         // unshared
+    (4L, "q"),           // partial chunk, kept
+    (5L, ""),            // zero tokens -> zero chunks
+    (6L, "c d c d")).toDF("id", "text") // "c d" shared with doc 1, BOTH occurrences go
+
+  private def collected(hashKeys: Boolean) =
+    Dedup.stripSharedChunks(docs, "id", "text", n = 2, minDocs = 2,
+        hashKeys = hashKeys)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+
+  test("shared chunks removed from EVERY doc, survivors reassemble in order") {
+    val out = collected(hashKeys = false)
+    assert(out(1L) == (("", 2L, 2L)), out(1L).toString)
+    assert(out(2L) == (("x y", 2L, 1L)), out(2L).toString)
+    assert(out(3L) == (("z z", 1L, 0L)))
+    assert(out(4L) == (("q", 1L, 0L)), "sub-n partial chunk must survive")
+    assert(out(5L) == (("", 0L, 0L)), "empty doc keeps its row with zero chunks")
+    assert(out(6L) == (("", 2L, 2L)), "within-doc repeats of a shared chunk all go")
+  }
+
+  test("hashKeys=true produces identical output with 8-byte join keys") {
+    assert(collected(hashKeys = true) == collected(hashKeys = false))
+  }
+
+  test("output is invariant to input partitioning") {
+    val wide = (0L until 120L).map(i =>
+      (i, s"shared pair tok${i % 7} tok${(i + 3) % 7} tail$i end")).toDF("id", "text")
+    val a = Dedup.stripSharedChunks(wide, "id", "text", n = 2)
+    val b = Dedup.stripSharedChunks(wide.repartition(13), "id", "text", n = 2)
+    assert(canon(a) == canon(b))
+  }
+
+  test("skew-safe plan: no window on the chunk key, anti-join against the shared set") {
+    val q = Dedup.stripSharedChunks(docs, "id", "text", n = 2)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // removal hits every occurrence — there is no per-key winner to elect,
+    // so nothing may funnel a hot boilerplate chunk into one WindowExec
+    assert(!plan.contains("WindowExec"), s"no window on the chunk key:\n$plan")
+    assert(plan.contains("LeftAnti"), s"expected anti-join against the shared set:\n$plan")
+    assert(plan.contains("HashAggregate"), s"expected map-side combined count:\n$plan")
+  }
+}
+
 class KllSketchSpec extends SparkSpec {
   import spark.implicits._
   import graft.functions.KllSketch.{kllQuantile, kllQuantiles}
@@ -1226,6 +1279,33 @@ class WordSpansSpec extends SparkSpec {
     val withNull = Seq((1L, Option.empty[String])).toDF("id", "text")
     assert(canon(withNull.select(TextFunctions.words(col("text")).as("w")))
       == canon(withNull.select(TextFunctions.wordsComposable(col("text")).as("w"))))
+  }
+
+  test("chunk kernel matches the composed HOF formulation incl. partial tails") {
+    import graft.functions.WordChunksExpr
+    def composedChunks(text: org.apache.spark.sql.Column, n: Int) = {
+      val w = TextFunctions.words(text)
+      when(size(w) === 0, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(0), floor((size(w) + n - 1) / lit(n)).cast("int") - 1),
+          i => array_join(slice(w, i * n + 1, lit(n)), " ")))
+    }
+    val rng = new scala.util.Random(29)
+    val alphabet = Seq("a", "bb", "ccc", " ", "\t", "  ", "\n")
+    val docs = (Seq("", " ", "one", "a b c d e", "a a a a", "\tx y\t") ++
+      (0 until 200).map(_ =>
+        (0 until rng.nextInt(25)).map(_ => alphabet(rng.nextInt(alphabet.size))).mkString))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    for (n <- Seq(1, 2, 4, 7)) {
+      val fused = docs.select(col("id"), WordChunksExpr(col("text"), n).as("c"))
+      val ref = docs.select(col("id"), composedChunks(col("text"), n).as("c"))
+      assert(canon(fused) == canon(ref), s"chunk kernel diverges at n=$n")
+    }
+    // chunks partition the token stream: concat of chunks == concat of words
+    val joined = docs.select(
+      array_join(WordChunksExpr(col("text"), 3), " ").as("a"),
+      array_join(TextFunctions.words(col("text")), " ").as("b"))
+    assert(joined.filter(col("a") =!= col("b")).count() == 0)
   }
 
   test("word_spans is SQL-registered") {
