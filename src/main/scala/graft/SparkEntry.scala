@@ -483,7 +483,7 @@ object SparkEntry {
   // ====================================================== LLM-pipeline ops
 
   import graft.functions.TextFunctions
-  import graft.operators.{Ann, AsofJoin, Decontaminate, Dedup, Multimodal}
+  import graft.operators.{Ann, AsofJoin, Decontaminate, Dedup, Multimodal, Pq}
 
   /** documents ∪ a shifted copy of itself — guaranteed duplicates with a
     * known id mapping, so dedup results are oracle-expressible. */
@@ -754,6 +754,32 @@ object SparkEntry {
         queryVec(s, dir), k = 10, numPlanes = 12, maxHammingProbe = 3,
         excludeIds = Seq(0L))
       .select("vec_id", "rank").orderBy("rank")
+
+  /** Product-quantization ADC top-10: codebooks train driver-side on a
+    * seeded hash-sample (bounded model, BPE policy), persist as a fixture,
+    * and the DuckDB oracle REPLAYS encode + asymmetric-distance scoring
+    * from that fixture bit-exactly (every arithmetic path shares one fold
+    * order — ascending elements/cells/subspaces), then re-ranks. So the
+    * gate pins the whole quantized pipeline — subspace split, nearest-cell
+    * assignment incl. ties-to-lower, LUT build, ADC sum, rank — not just
+    * "runs". Quantized top-k is NOT the exact top-k (that's a1; recall
+    * floors live in RecallSpec) — the oracle ranks by the SAME quantized
+    * distance, which is the correct contract for a lossy index. */
+  private def p1_ann_pq(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val model = Pq.pqTrain(e, "vec_id", "embedding", m = 8, k = 16)
+    import s.implicits._
+    model.cells.zipWithIndex.flatMap { case (cb, sub) =>
+      cb.zipWithIndex.map { case (v, c) => (sub, c, v.toSeq) }
+    }.toSeq.toDF("sub", "cell", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(PqCodebooksFixture)
+    val encoded = Pq.pqEncode(e, "vec_id", "embedding", model)
+    Pq.pqTopK(encoded, "vec_id", queryVec(s, dir), model, k = 10,
+        excludeIds = Seq(0L))
+      .select("vec_id", "rank").orderBy("rank")
+  }
+
+  private val PqCodebooksFixture = "/tmp/graft_fixtures/pq_codebooks.parquet"
 
   private def a3_ann_ivf(s: SparkSession, dir: String): DataFrame = {
     val index = Ann.ivfBuild(annCorpus(s, dir), "vec_id", "embedding", nlist = 16)
@@ -1510,6 +1536,7 @@ object SparkEntry {
     "a4_ann_batch" -> (a4_ann_batch _),
     "a5_ann_ivf_batch" -> (a5_ann_ivf_batch _),
     "a3_ann_ivf" -> (a3_ann_ivf _),
+    "p1_ann_pq" -> (p1_ann_pq _),
     "a3b_ann_ivf_append" -> (a3b_ann_ivf_append _),
     "st9_stream_ivf_ingest" -> (st9_stream_ivf_ingest _),
     "t1_langid" -> (t1_langid _),
@@ -2014,6 +2041,40 @@ object SparkEntry {
          FROM embeddings WHERE vec_id <> 0
          ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qe FROM q)) DESC, vec_id
          LIMIT 10""",
+    // replays PQ encode + ADC from the persisted codebook fixture:
+    // per-subspace squared-L2 via an ordered positional fold (list_sum
+    // over a diff list — the same ascending-element order as the Spark
+    // kernel), nearest cell by (distance, cell) so exact ties keep the
+    // lower id, per-candidate ADC as an ordered list_sum over subspaces,
+    // rank by (quantized distance, vec_id)
+    "p1_ann_pq" ->
+      """WITH cb AS (SELECT sub, cell, vec FROM
+           read_parquet('/tmp/graft_fixtures/pq_codebooks.parquet/*.parquet')),
+         q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+               WHERE vec_id = 0),
+         dists AS (SELECT e.vec_id, cb.sub, cb.cell,
+             list_sum(list_transform(
+               list_transform(range(1, len(cb.vec) + 1),
+                 j -> CAST(e.embedding[cb.sub * len(cb.vec) + j] AS DOUBLE)
+                        - cb.vec[j]),
+               x -> x * x)) AS d
+           FROM embeddings e CROSS JOIN cb),
+         enc AS (SELECT vec_id, sub, cell FROM (
+             SELECT vec_id, sub, cell,
+               row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cell) AS rn
+             FROM dists) WHERE rn = 1),
+         lut AS (SELECT cb.sub, cb.cell,
+             list_sum(list_transform(
+               list_transform(range(1, len(cb.vec) + 1),
+                 j -> q.qe[cb.sub * len(cb.vec) + j] - cb.vec[j]),
+               x -> x * x)) AS d
+           FROM cb CROSS JOIN q),
+         adc AS (SELECT enc.vec_id, list_sum(list(lut.d ORDER BY enc.sub)) AS dist
+                 FROM enc JOIN lut USING (sub, cell) GROUP BY enc.vec_id)
+         SELECT vec_id, CAST(row_number() OVER (ORDER BY dist, vec_id) AS INT)
+           AS rank
+         FROM adc WHERE vec_id <> 0
+         ORDER BY dist, vec_id LIMIT 10""",
     "a4_ann_batch" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
            FROM embeddings WHERE vec_id IN (0, 1, 2)),

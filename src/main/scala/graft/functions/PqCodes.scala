@@ -1,0 +1,193 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftInternals
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Product-quantization encode: split a dim-vector into `m` contiguous
+  * subvectors of `dim/m` and replace each with the id of its nearest
+  * codebook cell (squared L2, ties to the LOWER cell id) — `m` small ints
+  * instead of `dim` floats, the memory/shuffle representation ANN serving
+  * uses at 100 TB (a 64-float embedding becomes 8 codes: 32× narrower
+  * through every exchange and cache tier).
+  *
+  * The codebook rides along as a codegen reference object (same pattern
+  * as [[HyperplaneSketchExpr]]); the kernel is one fused pass — for each
+  * subspace, k squared-L2 folds in ascending cell order, each fold
+  * left-to-right over the sub-dimensions, so the arithmetic is
+  * reproducible verbatim by an engine that replays the persisted codebook
+  * (the d12/t3b fixture-oracle pattern). A vector whose length differs
+  * from `m × dsub`, or containing a null element, yields null (encode is
+  * undefined for it — callers filter or fail upstream). */
+case class PqEncodeExpr(child: Expression, cells: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+
+  require(cells.nonEmpty && cells.forall(_.nonEmpty), "empty codebook")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode expects array<float|double>, got ${other.sql}")
+  }
+
+  @transient private lazy val elementIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    PqImpl.encode(input.asInstanceOf[ArrayData], cells, elementIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCells", cells, "double[][][]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.PqImpl.encode($c, $cbRef, $elementIsFloat);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "pq_encode"
+}
+
+object PqEncodeExpr {
+  def apply(vec: Column, cells: Array[Array[Array[Double]]]): Column =
+    GraftInternals.column(PqEncodeExpr(GraftInternals.expression(vec), cells))
+}
+
+/** Asymmetric-distance computation over PQ codes: the query is pre-folded
+  * driver-side into a lookup table `lut[sub][cell]` of squared L2 between
+  * the query's subvector and each codeword, so scoring a candidate is `m`
+  * array reads and adds (ascending subspace order — deterministic) with
+  * ZERO per-candidate vector arithmetic. Codes outside the LUT range or a
+  * null/mis-sized code array yield null. */
+case class PqAdcExpr(child: Expression, lut: Array[Array[Double]])
+    extends UnaryExpression {
+
+  require(lut.nonEmpty && lut.forall(_.nonEmpty), "empty ADC lookup table")
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_adc expects array<int> codes, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    PqImpl.adc(input.asInstanceOf[ArrayData], lut)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lutRef = ctx.addReferenceObj("pqLut", lut, "double[][]")
+    val boxed = ctx.freshName("pqDist")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Double $boxed = graft.functions.PqImpl.adc($c, $lutRef);
+      if ($boxed == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $boxed.doubleValue(); }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "pq_adc"
+}
+
+object PqAdcExpr {
+  def apply(codes: Column, lut: Array[Array[Double]]): Column =
+    GraftInternals.column(PqAdcExpr(GraftInternals.expression(codes), lut))
+}
+
+object PqImpl {
+
+  /** Squared L2 between `v[off .. off+dsub)` and `cell`, left-to-right —
+    * the ONE arithmetic order every consumer (train, encode, oracle
+    * replay) must share for bit-stable cell assignment. */
+  private def subDistFrom(v: Array[Double], off: Int, cell: Array[Double]): Double = {
+    var d = 0.0
+    var j = 0
+    while (j < cell.length) {
+      val diff = v(off + j) - cell(j)
+      d += diff * diff
+      j += 1
+    }
+    d
+  }
+
+  /** Driver/test-side encode of one plain vector (shared by training). */
+  def encodeVector(v: Array[Double], cells: Array[Array[Array[Double]]]): Array[Int] = {
+    val m = cells.length
+    val dsub = cells(0)(0).length
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val sub = cells(s)
+      var best = 0
+      var bestD = subDistFrom(v, s * dsub, sub(0))
+      var c = 1
+      while (c < sub.length) {
+        val d = subDistFrom(v, s * dsub, sub(c))
+        if (d < bestD) { bestD = d; best = c } // strict: ties keep LOWER id
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    out
+  }
+
+  def encode(vec: ArrayData, cells: Array[Array[Array[Double]]],
+      elementIsFloat: Boolean): GenericArrayData = {
+    val m = cells.length
+    val dsub = cells(0)(0).length
+    val n = vec.numElements()
+    if (n != m * dsub) return null
+    val v = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (vec.isNullAt(i)) return null
+      v(i) = if (elementIsFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+      i += 1
+    }
+    val codes = encodeVector(v, cells)
+    val out = new Array[Any](m)
+    var s = 0
+    while (s < m) { out(s) = codes(s); s += 1 }
+    new GenericArrayData(out)
+  }
+
+  def adc(codes: ArrayData, lut: Array[Array[Double]]): java.lang.Double = {
+    val m = lut.length
+    if (codes.numElements() != m) return null
+    var d = 0.0
+    var s = 0
+    while (s < m) {
+      if (codes.isNullAt(s)) return null
+      val c = codes.getInt(s)
+      if (c < 0 || c >= lut(s).length) return null
+      d += lut(s)(c)
+      s += 1
+    }
+    java.lang.Double.valueOf(d)
+  }
+
+  /** The query-side LUT: `lut[sub][cell]` = squared L2 between the query's
+    * sub-th subvector and that codeword — same fold as [[encodeVector]]. */
+  def buildLut(q: Array[Double], cells: Array[Array[Array[Double]]]): Array[Array[Double]] = {
+    val m = cells.length
+    val dsub = cells(0)(0).length
+    require(q.length == m * dsub,
+      s"query dim ${q.length} != codebook dim ${m * dsub}")
+    Array.tabulate(m) { s =>
+      Array.tabulate(cells(s).length)(c => subDistFrom(q, s * dsub, cells(s)(c)))
+    }
+  }
+}

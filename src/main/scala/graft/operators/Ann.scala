@@ -123,12 +123,15 @@ object Ann {
         case f: Float => f.toDouble
         case d: Double => d
       }.toArray)
+    // id-ordered takes: a bare limit() is partition-order-dependent, which
+    // would make the seeded centroids depend on input layout — orderBy +
+    // limit plans as TakeOrdered (per-partition heaps, no full sort)
     val sampled = vecs(df
       .filter(pmod(xxhash64(col(idCol), lit(seed)), lit(16)) === 0)
-      .select(col(vecCol)).limit(nlist))
+      .orderBy(col(idCol)).select(col(vecCol)).limit(nlist))
     val sample =
       if (sampled.length >= nlist) sampled
-      else vecs(df.select(col(vecCol)).limit(nlist))
+      else vecs(df.orderBy(col(idCol)).select(col(vecCol)).limit(nlist))
     require(sample.nonEmpty, "empty input")
     var centroids = sample.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
 

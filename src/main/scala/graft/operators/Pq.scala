@@ -1,0 +1,244 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{PqAdcExpr, PqEncodeExpr, PqImpl}
+
+/** Product quantization for embedding-scale ANN — the memory/shuffle
+  * representation layer under [[Ann]]'s routing layers.
+  *
+  * A 100 TB embedding corpus does not fit its float vectors through
+  * shuffles or caches: PQ splits each dim-vector into `m` contiguous
+  * subvectors and stores only the id of the nearest codeword per subspace
+  * (`m` ints vs `dim` floats — 32× narrower for 64-dim float32 at m=8).
+  * Queries score candidates with an asymmetric-distance lookup table
+  * (LUT): `m` array reads + adds per candidate, zero vector arithmetic —
+  * see Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+  * Search" (TPAMI 2011).
+  *
+  * Training is a bounded DRIVER model (same policy as BPE / the bigram
+  * LM: tokenizer-style offline estimation from a seeded hash-sample —
+  * `sampleN × dim` doubles, never the corpus), per-subspace Lloyd k-means
+  * with deterministic seeding and tie-breaks, so retraining on the same
+  * data yields bit-identical codebooks on any cluster size. Encoding and
+  * scoring are codegen'd expressions over the distributed corpus; nothing
+  * about the corpus is ever collected.
+  *
+  * Every arithmetic path (train assign, encode, LUT build) shares ONE
+  * fold order — ascending elements, ascending cells, ascending subspaces
+  * — which is what lets the d12/t3b-style fixture oracle replay encode +
+  * ADC bit-exactly from the persisted codebook. */
+object Pq {
+
+  /** `cells(sub)(cell)` = codeword vector (length dim/m). */
+  final case class PqModel(cells: Array[Array[Array[Double]]]) {
+    def m: Int = cells.length
+    def k: Int = cells(0).length
+    def dsub: Int = cells(0)(0).length
+    def dim: Int = m * dsub
+  }
+
+  /** Train per-subspace codebooks on a seeded hash-sample. Deterministic
+    * end to end: sampling is `xxhash64(id, seed) % 16 == 0` with a limit
+    * and a plain-limit top-up (no RNG, no count pre-scan — the ivfBuild
+    * pattern), seeds are the first `k` DISTINCT subvectors in sample
+    * order (padded by repetition when the sample has fewer — duplicate
+    * cells are unreachable under the ties-to-lower-id assignment, so
+    * padding is harmless), Lloyd assignment ties go to the lower cell id,
+    * and an emptied cell keeps its previous codeword. */
+  def pqTrain(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int = 8,
+      k: Int = 16,
+      seed: Long = 42L,
+      sampleN: Int = 512,
+      iterations: Int = 8): PqModel = {
+    require(m >= 1 && k >= 1 && sampleN >= k, "need m>=1, k>=1, sampleN>=k")
+    def vecs(d: DataFrame): Array[Array[Double]] =
+      d.collect().map(_.getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case dd: Double => dd
+      }.toArray)
+    // id-ordered takes: a bare limit() is partition-order-dependent, which
+    // would make the trained codebook depend on input layout — orderBy +
+    // limit plans as TakeOrdered (per-partition heaps, no full sort)
+    val sampled = vecs(df
+      .filter(pmod(xxhash64(col(idCol), lit(seed)), lit(16)) === 0)
+      .orderBy(col(idCol)).select(col(vecCol)).limit(sampleN))
+    val sample =
+      if (sampled.length >= math.min(sampleN, k)) sampled
+      else vecs(df.orderBy(col(idCol)).select(col(vecCol)).limit(sampleN))
+    require(sample.nonEmpty, "empty input")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible into m=$m subspaces")
+    require(sample.forall(_.length == dim), "ragged vector lengths in sample")
+    val dsub = dim / m
+
+    val cells = Array.tabulate(m) { s =>
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      // first k distinct subvectors in sample order; pad by repetition
+      val distinct = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+      val seen = scala.collection.mutable.HashSet.empty[Seq[Double]]
+      var i = 0
+      while (i < pts.length && distinct.size < k) {
+        if (seen.add(pts(i).toSeq)) distinct += pts(i)
+        i += 1
+      }
+      while (distinct.size < k) distinct += distinct.last
+      var cb = distinct.toArray
+      for (_ <- 1 to iterations) {
+        val sums = Array.fill(k, dsub)(0.0)
+        val counts = new Array[Long](k)
+        pts.foreach { p =>
+          val c = nearestCell(p, cb)
+          counts(c) += 1
+          var j = 0
+          while (j < dsub) { sums(c)(j) += p(j); j += 1 }
+        }
+        cb = Array.tabulate(k) { c =>
+          if (counts(c) == 0) cb(c)
+          else {
+            val mean = new Array[Double](dsub)
+            var j = 0
+            while (j < dsub) { mean(j) = sums(c)(j) / counts(c); j += 1 }
+            mean
+          }
+        }
+      }
+      cb.map(_.clone())
+    }
+    PqModel(cells)
+  }
+
+  private def nearestCell(p: Array[Double], cb: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = l2sq(p, cb(0))
+    var c = 1
+    while (c < cb.length) {
+      val d = l2sq(p, cb(c))
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private def l2sq(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0
+    var j = 0
+    while (j < a.length) { val x = a(j) - b(j); d += x * x; j += 1 }
+    d
+  }
+
+  /** Encode the corpus: `(idCol, pq_code array<int>)` — the narrow frame
+    * downstream serving shuffles and persists instead of raw vectors.
+    * Map-side only (codegen'd kernel, codebook as a reference object). */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      model: PqModel): DataFrame =
+    df.select(col(idCol), PqEncodeExpr(col(vecCol), model.cells).as("pq_code"))
+
+  /** ADC top-k over an encoded corpus: rank by quantized squared-L2
+    * ascending, ties by id. The per-candidate cost is `m` LUT reads — the
+    * scan stays in whole-stage codegen and the global top-k is Spark's
+    * distributed TakeOrdered (per-partition heaps, no full sort). */
+  def pqTopK(
+      encoded: DataFrame,
+      idCol: String,
+      query: Array[Float],
+      model: PqModel,
+      k: Int,
+      excludeIds: Seq[Long] = Nil): DataFrame = {
+    val lut = PqImpl.buildLut(query.map(_.toDouble), model.cells)
+    val scored = encoded
+      .filter(if (excludeIds.isEmpty) lit(true) else !col(idCol).isin(excludeIds: _*))
+      .select(col(idCol), PqAdcExpr(col("pq_code"), lut).as("pq_dist"))
+      .filter(col("pq_dist").isNotNull)
+      .orderBy(col("pq_dist"), col(idCol))
+      .limit(k)
+    scored.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("pq_dist"), col(idCol))))
+  }
+
+  val PqParamsSidecar = "_graft_pq_params.json"
+
+  /** Persist codes + codebooks + params sidecar. Layout mirrors the IVF
+    * index: `data/` (codes), `codebooks/` (one row per (sub, cell)), and
+    * a sidecar that [[pqRead]] and [[pqAppend]] cross-check so an index
+    * can never be served or grown with mismatched parameters. */
+  def pqWrite(encoded: DataFrame, model: PqModel, path: String): Unit = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    encoded.write.mode("overwrite").parquet(s"$path/data")
+    model.cells.zipWithIndex.flatMap { case (cb, s) =>
+      cb.zipWithIndex.map { case (v, c) => (s, c, v.toSeq) }
+    }.toSeq.toDF("sub", "cell", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(path, PqParamsSidecar), true)
+    try out.write(
+      s"""{"m":${model.m},"k":${model.k},"dsub":${model.dsub}}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readSidecar(spark: SparkSession, path: String): (Int, Int, Int) = {
+    val p = new org.apache.hadoop.fs.Path(path, PqParamsSidecar)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"no $PqParamsSidecar at $path — not a graft PQ index")
+    val in = fs.open(p)
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    def field(f: String): Int =
+      s""""$f"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(json)
+        .map(_.group(1).toInt)
+        .getOrElse(throw new IllegalArgumentException(
+          s"$PqParamsSidecar at $path lacks field '$f'"))
+    (field("m"), field("k"), field("dsub"))
+  }
+
+  /** Load a persisted PQ index: `(model, codes)`. The codebook table is
+    * tiny (m × k rows) and cross-checked against the sidecar. */
+  def pqRead(spark: SparkSession, path: String): (PqModel, DataFrame) = {
+    val (m, k, dsub) = readSidecar(spark, path)
+    val rows = spark.read.parquet(s"$path/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    require(rows.length == m * k,
+      s"PQ index at $path is inconsistent with its sidecar " +
+        s"(m=$m k=$k vs ${rows.length} codebook rows)")
+    require(rows.forall(_._3.length == dsub),
+      s"PQ codebook at $path has cells of the wrong width (expect dsub=$dsub)")
+    val cells = Array.tabulate(m) { s =>
+      rows.filter(_._1 == s).sortBy(_._2).map(_._3)
+    }
+    (PqModel(cells), spark.read.parquet(s"$path/data"))
+  }
+
+  /** Grow a persisted PQ index: encode `newVecs` against the STORED
+    * codebooks (parameters cross-checked via the sidecar — a dim/m/k
+    * mismatch refuses loudly) and append replay-idempotently under `tag`
+    * ([[graft.core.TaggedAppend]] — a retried failed append converges
+    * instead of duplicating codes). The codebook is frozen: appending
+    * never retrains, so existing codes stay valid — the standard PQ
+    * maintenance contract (retrain + full re-encode is a separate,
+    * deliberate rebuild). */
+  def pqAppend(
+      spark: SparkSession,
+      path: String,
+      newVecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tag: String): Unit = {
+    val (model, _) = pqRead(spark, path)
+    val vecDim = newVecs.select(size(col(vecCol))).head().getInt(0)
+    require(vecDim == model.dim,
+      s"appended vectors have dim $vecDim but the index at $path " +
+        s"was built for dim ${model.dim}")
+    graft.core.TaggedAppend.append(
+      pqEncode(newVecs, idCol, vecCol, model), s"$path/data", tag)
+  }
+}

@@ -521,6 +521,103 @@ class AnnSpec extends SparkSpec {
   }
 }
 
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Pq
+  import graft.functions.{PqAdcExpr, PqEncodeExpr, PqImpl}
+
+  private def randVec(seed: Int, dim: Int): Array[Float] = {
+    val r = new scala.util.Random(seed)
+    Array.fill(dim)(r.nextGaussian().toFloat)
+  }
+
+  private val dim = 32
+  private lazy val rows = (0 until 400).map(i => (i.toLong, randVec(i, dim)))
+  private lazy val df = rows.toDF("vec_id", "embedding")
+
+  test("training is deterministic and encode kernel matches the driver fold") {
+    val m1 = Pq.pqTrain(df, "vec_id", "embedding", m = 4, k = 8)
+    val m2 = Pq.pqTrain(df.repartition(7), "vec_id", "embedding", m = 4, k = 8)
+    assert(m1.cells.flatten.flatten.toSeq == m2.cells.flatten.flatten.toSeq,
+      "retraining on the same data must be bit-identical, any partitioning")
+    val enc = Pq.pqEncode(df, "vec_id", "embedding", m1).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+    rows.foreach { case (id, v) =>
+      val expect = PqImpl.encodeVector(v.map(_.toDouble), m1.cells)
+      assert(enc(id).toSeq == expect.toSeq, s"kernel/driver encode diverge at $id")
+    }
+  }
+
+  test("ADC expression equals the driver LUT sum; degenerate inputs null out") {
+    val model = Pq.pqTrain(df, "vec_id", "embedding", m = 4, k = 8)
+    val q = randVec(999, dim)
+    val lut = PqImpl.buildLut(q.map(_.toDouble), model.cells)
+    val got = Pq.pqEncode(df, "vec_id", "embedding", model)
+      .select(col("vec_id"), PqAdcExpr(col("pq_code"), lut).as("d")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (id, v) =>
+      val codes = PqImpl.encodeVector(v.map(_.toDouble), model.cells)
+      val expect = codes.zipWithIndex.foldLeft(0.0) { case (a, (c, s)) => a + lut(s)(c) }
+      assert(got(id) == expect, s"ADC diverges at $id")
+    }
+    // wrong-width vector -> null code; wrong-width codes -> null distance
+    val bad = Seq((1L, Array.fill(dim + 1)(0.1f))).toDF("vec_id", "embedding")
+    assert(PqEncodeExpr(bad("embedding"), model.cells) != null)
+    assert(bad.select(PqEncodeExpr(col("embedding"), model.cells)).head().isNullAt(0))
+    val shortCodes = Seq(Tuple1(Array(1, 2))).toDF("pq_code")
+    assert(shortCodes.select(PqAdcExpr(col("pq_code"), lut)).head().isNullAt(0))
+  }
+
+  test("quantized top-k recalls exact neighbors above the measured floor") {
+    val model = Pq.pqTrain(df, "vec_id", "embedding", m = 8, k = 16)
+    val encoded = Pq.pqEncode(df, "vec_id", "embedding", model)
+    val recalls = (0 until 10).map { qi =>
+      val q = rows(qi)._2
+      val approx = Pq.pqTopK(encoded, "vec_id", q, model, k = 10,
+          excludeIds = Seq(rows(qi)._1))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val exact = graft.operators.Ann.bruteForceTopK(df, "vec_id", "embedding",
+          q, k = 10, excludeIds = Seq(rows(qi)._1))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      approx.intersect(exact).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    // random gaussian data is PQ's worst case; measured mean recall@10 over
+    // these seeds is well above this floor — regression-gate, not a target
+    assert(mean >= 0.25, s"mean PQ recall@10 $mean under floor (per-query: $recalls)")
+  }
+
+  test("write/read roundtrip, sidecar rejection, and replay-idempotent append") {
+    val model = Pq.pqTrain(df, "vec_id", "embedding", m = 4, k = 8)
+    val encoded = Pq.pqEncode(df, "vec_id", "embedding", model)
+    val path = java.nio.file.Files.createTempDirectory("pq_idx").toString
+    Pq.pqWrite(encoded, model, path)
+    val (loaded, codes) = Pq.pqRead(spark, path)
+    assert(loaded.cells.flatten.flatten.toSeq == model.cells.flatten.flatten.toSeq)
+    assert(codes.count() == 400)
+    // served results from the loaded index match the in-memory ones
+    val q = randVec(777, dim)
+    assert(canon(Pq.pqTopK(codes, "vec_id", q, loaded, k = 5))
+      == canon(Pq.pqTopK(encoded, "vec_id", q, model, k = 5)))
+    // append: new ids land once even when the same tag retries
+    val extra = (1000 until 1020).map(i => (i.toLong, randVec(i, dim)))
+      .toDF("vec_id", "embedding")
+    Pq.pqAppend(spark, path, extra, "vec_id", "embedding", tag = "b1")
+    Pq.pqAppend(spark, path, extra, "vec_id", "embedding", tag = "b1")
+    val (_, grown) = Pq.pqRead(spark, path)
+    assert(grown.count() == 420, "same-tag retry must converge, not duplicate")
+    // dim mismatch refuses
+    val wrong = Seq((5000L, Array.fill(dim * 2)(0.1f))).toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException](
+      Pq.pqAppend(spark, path, wrong, "vec_id", "embedding", tag = "b2"))
+    assert(e1.getMessage.contains("dim"), e1.getMessage)
+    // missing sidecar refuses
+    val bare = java.nio.file.Files.createTempDirectory("pq_bare").toString
+    val e2 = intercept[IllegalArgumentException](Pq.pqRead(spark, bare))
+    assert(e2.getMessage.contains(Pq.PqParamsSidecar), e2.getMessage)
+  }
+}
+
 class TextSpec extends SparkSpec {
   import spark.implicits._
 
