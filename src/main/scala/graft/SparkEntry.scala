@@ -781,6 +781,34 @@ object SparkEntry {
 
   private val PqCodebooksFixture = "/tmp/graft_fixtures/pq_codebooks.parquet"
 
+  /** IVF-PQ: cluster routing (nprobe of nlist, the a3 shape) composed with
+    * quantized ADC scoring (the p1 shape) — the canonical billion-scale
+    * serving layout. BOTH trained artifacts persist as fixtures and the
+    * oracle replays the whole serving path: per-row nearest-centroid
+    * assignment (cosine argmax, ties to the LARGER cid — the build/append
+    * contract), the query's probe set (ties to the SMALLER cid — stable
+    * sort), encode, ADC, rank. */
+  private def p2_ann_ivfpq(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val index = Ann.ivfBuild(e, "vec_id", "embedding", nlist = 16)
+    val model = Pq.pqTrain(e, "vec_id", "embedding", m = 8, k = 16)
+    import s.implicits._
+    index.centroids.map { case (cid, v) => (cid, v.toSeq) }
+      .toDF("cid", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(IvfPqCentroidsFixture)
+    model.cells.zipWithIndex.flatMap { case (cb, sub) =>
+      cb.zipWithIndex.map { case (v, c) => (sub, c, v.toSeq) }
+    }.toSeq.toDF("sub", "cell", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(IvfPqCodebooksFixture)
+    val serving = Pq.ivfPqEncode(index, "vec_id", "embedding", model)
+    Pq.ivfPqTopK(serving, index.centroids, model, "vec_id", queryVec(s, dir),
+        k = 10, nprobe = 4, excludeIds = Seq(0L))
+      .select("vec_id", "rank").orderBy("rank")
+  }
+
+  private val IvfPqCentroidsFixture = "/tmp/graft_fixtures/ivfpq_centroids.parquet"
+  private val IvfPqCodebooksFixture = "/tmp/graft_fixtures/ivfpq_codebooks.parquet"
+
   private def a3_ann_ivf(s: SparkSession, dir: String): DataFrame = {
     val index = Ann.ivfBuild(annCorpus(s, dir), "vec_id", "embedding", nlist = 16)
     Ann.ivfTopK(index, "vec_id", "embedding", queryVec(s, dir),
@@ -1537,6 +1565,7 @@ object SparkEntry {
     "a5_ann_ivf_batch" -> (a5_ann_ivf_batch _),
     "a3_ann_ivf" -> (a3_ann_ivf _),
     "p1_ann_pq" -> (p1_ann_pq _),
+    "p2_ann_ivfpq" -> (p2_ann_ivfpq _),
     "a3b_ann_ivf_append" -> (a3b_ann_ivf_append _),
     "st9_stream_ivf_ingest" -> (st9_stream_ivf_ingest _),
     "t1_langid" -> (t1_langid _),
@@ -2075,6 +2104,49 @@ object SparkEntry {
            AS rank
          FROM adc WHERE vec_id <> 0
          ORDER BY dist, vec_id LIMIT 10""",
+    // the p1 replay composed with routing replay: per-row cluster
+    // assignment (cosine argmax, ties to the LARGER cid), the query's
+    // probe set (ties to the SMALLER cid), then encode+ADC over the
+    // probed candidates only
+    "p2_ann_ivfpq" ->
+      """WITH cb AS (SELECT sub, cell, vec FROM
+           read_parquet('/tmp/graft_fixtures/ivfpq_codebooks.parquet/*.parquet')),
+         cent AS (SELECT cid, vec FROM
+           read_parquet('/tmp/graft_fixtures/ivfpq_centroids.parquet/*.parquet')),
+         q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+               WHERE vec_id = 0),
+         asg AS (SELECT vec_id FROM (
+             SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                 c.vec) DESC, c.cid DESC) AS rn
+             FROM embeddings e CROSS JOIN cent c) x
+           WHERE rn = 1 AND cid IN (
+             SELECT cid FROM cent CROSS JOIN q
+             ORDER BY list_cosine_similarity(q.qe, vec) DESC, cid ASC LIMIT 4)),
+         cand AS (SELECT e.vec_id, e.embedding FROM embeddings e
+                  JOIN asg USING (vec_id) WHERE e.vec_id <> 0),
+         dists AS (SELECT e.vec_id, cb.sub, cb.cell,
+             list_sum(list_transform(
+               list_transform(range(1, len(cb.vec) + 1),
+                 j -> CAST(e.embedding[cb.sub * len(cb.vec) + j] AS DOUBLE)
+                        - cb.vec[j]),
+               x -> x * x)) AS d
+           FROM cand e CROSS JOIN cb),
+         enc AS (SELECT vec_id, sub, cell FROM (
+             SELECT vec_id, sub, cell,
+               row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cell) AS rn
+             FROM dists) WHERE rn = 1),
+         lut AS (SELECT cb.sub, cb.cell,
+             list_sum(list_transform(
+               list_transform(range(1, len(cb.vec) + 1),
+                 j -> q.qe[cb.sub * len(cb.vec) + j] - cb.vec[j]),
+               x -> x * x)) AS d
+           FROM cb CROSS JOIN q),
+         adc AS (SELECT enc.vec_id, list_sum(list(lut.d ORDER BY enc.sub)) AS dist
+                 FROM enc JOIN lut USING (sub, cell) GROUP BY enc.vec_id)
+         SELECT vec_id, CAST(row_number() OVER (ORDER BY dist, vec_id) AS INT)
+           AS rank
+         FROM adc ORDER BY dist, vec_id LIMIT 10""",
     "a4_ann_batch" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
            FROM embeddings WHERE vec_id IN (0, 1, 2)),

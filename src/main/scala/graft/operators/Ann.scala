@@ -155,7 +155,7 @@ object Ann {
   }
 
   /** Driver-side cosine between a centroid and a query (tiny: nlist×dim). */
-  private def centroidCos(c: Array[Double], qd: Array[Double]): Double = {
+  private[operators] def centroidCos(c: Array[Double], qd: Array[Double]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < math.min(c.length, qd.length)) {

@@ -162,6 +162,40 @@ object Pq {
         .orderBy(col("pq_dist"), col(idCol))))
   }
 
+  /** IVF-PQ serving table: each row carries its route (`gr_cluster`, from
+    * the IVF index's nearest-centroid assignment) AND its quantized
+    * representation (`pq_code`) — the canonical billion-scale ANN layout
+    * (FAISS `IVFPQ`): routing prunes the scan to `nprobe/nlist` of the
+    * corpus, PQ shrinks what the pruned scan reads and scores to `m` ints
+    * per row. Persist with `partitionBy("gr_cluster")` and probes prune at
+    * the file-listing level while reading NO float vectors at all. */
+  def ivfPqEncode(index: Ann.IvfIndex, idCol: String, vecCol: String,
+      model: PqModel): DataFrame =
+    index.clustered.select(col(idCol), col("gr_cluster"),
+      PqEncodeExpr(col(vecCol), model.cells).as("pq_code"))
+
+  /** ADC top-k over the probed clusters of an IVF-PQ serving table:
+    * centroid ranking driver-side (ties keep the LOWER cid — stable sort
+    * over the ascending-cid centroid list), cluster filter (partition
+    * pruning on a persisted table), then [[pqTopK]]'s quantized scoring.
+    * Exactly [[Ann.ivfTopK]]'s probe shape with the exact re-scoring
+    * swapped for LUT reads. */
+  def ivfPqTopK(
+      serving: DataFrame,
+      centroids: Seq[(Int, Array[Double])],
+      model: PqModel,
+      idCol: String,
+      query: Array[Float],
+      k: Int,
+      nprobe: Int = 4,
+      excludeIds: Seq[Long] = Nil): DataFrame = {
+    val qd = query.map(_.toDouble)
+    val probed = centroids.sortBy { case (_, c) => -Ann.centroidCos(c, qd) }
+      .take(nprobe).map(_._1)
+    pqTopK(serving.filter(col("gr_cluster").isin(probed: _*)),
+      idCol, query, model, k, excludeIds)
+  }
+
   val PqParamsSidecar = "_graft_pq_params.json"
 
   /** Persist codes + codebooks + params sidecar. Layout mirrors the IVF

@@ -587,6 +587,41 @@ class PqSpec extends SparkSpec {
     assert(mean >= 0.25, s"mean PQ recall@10 $mean under floor (per-query: $recalls)")
   }
 
+  test("IVF-PQ: probed-cluster ADC equals the composition, persisted probes prune") {
+    import graft.operators.Ann
+    val index = Ann.ivfBuild(df, "vec_id", "embedding", nlist = 8)
+    val model = Pq.pqTrain(df, "vec_id", "embedding", m = 4, k = 8)
+    val serving = Pq.ivfPqEncode(index, "vec_id", "embedding", model)
+    val q = randVec(555, dim)
+    val got = Pq.ivfPqTopK(serving, index.centroids, model, "vec_id", q,
+      k = 5, nprobe = 3)
+    // composition semantics: identical to hand-filtering the probed
+    // clusters then running flat PQ top-k
+    val qd = q.map(_.toDouble)
+    def cos(a: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i => dot += a(i) * qd(i); na += a(i) * a(i); nb += qd(i) * qd(i) }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probed = index.centroids.sortBy { case (_, c) => -cos(c) }.take(3).map(_._1)
+    val manual = Pq.pqTopK(
+      serving.filter(col("gr_cluster").isin(probed: _*)), "vec_id", q, model, k = 5)
+    assert(canon(got) == canon(manual))
+    // persisted partitionBy(gr_cluster) serving table: probes prune at the
+    // file-listing level AND read no float vectors
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
+    serving.write.mode("overwrite").partitionBy("gr_cluster").parquet(path)
+    val onDisk = spark.read.parquet(path)
+      .withColumn("gr_cluster", col("gr_cluster").cast("int"))
+    val pq = Pq.ivfPqTopK(onDisk, index.centroids, model, "vec_id", q,
+      k = 5, nprobe = 3)
+    pq.collect()
+    val scan = pq.queryExecution.executedPlan.collectLeaves().map(_.toString)
+      .find(_.contains("FileScan")).getOrElse("")
+    assert(scan.contains("gr_cluster"), s"expected partition filters:\n$scan")
+    assert(!scan.contains("embedding"), s"serving scan must not read vectors:\n$scan")
+  }
+
   test("write/read roundtrip, sidecar rejection, and replay-idempotent append") {
     val model = Pq.pqTrain(df, "vec_id", "embedding", m = 4, k = 8)
     val encoded = Pq.pqEncode(df, "vec_id", "embedding", model)
