@@ -894,6 +894,55 @@ object SparkEntry {
       .select("vec_id", "rank").orderBy("rank")
   }
 
+  /** Streaming PQ index growth — st9's analog for the quantized serving
+    * table: codes are persisted from the organic corpus, then junk and
+    * planted batches stream through [[graft.streaming.Streams.pqIngest]]
+    * (encode against the STORED codebooks + replay-idempotent tagged
+    * append). The planted batch carries VERBATIM copies of the query at
+    * NEGATIVE ids: a verbatim copy's code is per-subspace the argmin cell
+    * for the query, so its ADC distance is the global minimum over all
+    * possible codes, and negative ids win every tie-break against the
+    * organic corpus (ids ≥ 0) — the streamed ids at ranks 1..10 are
+    * enumerable truth regardless of how the lossy quantizer treats the
+    * organic rows. */
+  private def st10_stream_pq_ingest(s: SparkSession, dir: String): DataFrame = {
+    val base = "/tmp/graft_fixtures/pq_ingest_" +
+      java.net.URLEncoder.encode(dir, "UTF-8")
+    val conf = s.sessionState.newHadoopConf()
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(conf)
+    fs.delete(basePath, true)
+    val (incoming, idx, cp) = (s"$base/incoming", s"$base/index", s"$base/cp")
+    val corpus = t(s, dir, "embeddings")
+    val model = Pq.pqTrain(corpus, "vec_id", "embedding", m = 8, k = 16)
+    Pq.pqWrite(Pq.pqEncode(corpus, "vec_id", "embedding", model), model, idx)
+    val q0 = corpus.filter(col("vec_id") === 0)
+      .select(explode(sequence(lit(0L), lit(9L))).as("i"),
+        col("embedding"), col("label"))
+    val b1 = q0.select((col("i") + 9600000L).as("vec_id"),
+      transform(col("embedding"), x => (-x).cast("float")).as("embedding"),
+      col("label"))
+    val b2 = q0.select((col("i") - 10L).as("vec_id"),
+      col("embedding"), col("label"))
+    def dataFiles = fs.listStatus(new org.apache.hadoop.fs.Path(incoming))
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+      .map(_.getPath).toSet
+    b1.coalesce(1).write.mode("append").parquet(incoming)
+    val firstFiles = dataFiles
+    b2.coalesce(1).write.mode("append").parquet(incoming)
+    (dataFiles -- firstFiles).foreach(p => fs.setTimes(p, 1000000600000L, -1))
+    firstFiles.foreach(p => fs.setTimes(p, 1000000000000L, -1))
+    val stream = s.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(incoming)
+    val q = graft.streaming.Streams.pqIngest(stream, "vec_id", "embedding",
+      idx, cp)
+    try q.processAllAvailable() finally q.stop()
+    val (stored, codes) = Pq.pqRead(s, idx)
+    Pq.pqTopK(codes, "vec_id", queryVec(s, dir), stored, k = 10,
+        excludeIds = Seq(0L))
+      .select("vec_id", "rank").orderBy("rank")
+  }
+
   private def t1_langid(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"),
@@ -1568,6 +1617,7 @@ object SparkEntry {
     "p2_ann_ivfpq" -> (p2_ann_ivfpq _),
     "a3b_ann_ivf_append" -> (a3b_ann_ivf_append _),
     "st9_stream_ivf_ingest" -> (st9_stream_ivf_ingest _),
+    "st10_stream_pq_ingest" -> (st10_stream_pq_ingest _),
     "t1_langid" -> (t1_langid _),
     "t1b_langid_ngram" -> (t1b_langid_ngram _),
     "t2_quality" -> (t2_quality _),
@@ -2180,6 +2230,11 @@ object SparkEntry {
     // they) dominate the probe at cosine 1.0, tie-broken by vec_id
     "st9_stream_ivf_ingest" ->
       """SELECT CAST(9500000 + i AS BIGINT) AS vec_id, CAST(i + 1 AS INT) AS rank
+         FROM range(10) t(i) ORDER BY rank""",
+    // streamed verbatim copies of the query at negative ids: global-minimum
+    // ADC by construction, ties lost by every organic id >= 0
+    "st10_stream_pq_ingest" ->
+      """SELECT CAST(i - 10 AS BIGINT) AS vec_id, CAST(i + 1 AS INT) AS rank
          FROM range(10) t(i) ORDER BY rank""",
     "t1_langid" ->
       """WITH w AS (SELECT doc_id, lang,

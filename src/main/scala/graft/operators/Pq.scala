@@ -268,10 +268,13 @@ object Pq {
       vecCol: String,
       tag: String): Unit = {
     val (model, _) = pqRead(spark, path)
-    val vecDim = newVecs.select(size(col(vecCol))).head().getInt(0)
-    require(vecDim == model.dim,
-      s"appended vectors have dim $vecDim but the index at $path " +
-        s"was built for dim ${model.dim}")
+    // empty batches (possible under streaming replay) skip the probe — an
+    // empty append is a no-op either way
+    newVecs.select(size(col(vecCol))).limit(1).collect().headOption.foreach { r =>
+      require(r.getInt(0) == model.dim,
+        s"appended vectors have dim ${r.getInt(0)} but the index at $path " +
+          s"was built for dim ${model.dim}")
+    }
     graft.core.TaggedAppend.append(
       pqEncode(newVecs, idCol, vecCol, model), s"$path/data", tag)
   }

@@ -388,17 +388,11 @@ object Streams {
       vecCol: String,
       indexPath: String,
       checkpoint: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    require(newVecs.isStreaming, "ivfIngest needs a streaming DataFrame")
-    newVecs.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    appendIngest(newVecs, checkpoint, trigger, "ivfIngest") {
+      (batch, batchId) =>
         ivfIngestBatch(batch, batchId, idCol, vecCol, indexPath, checkpoint)
-        ()
-      }
-      .option("checkpointLocation", checkpoint)
-      .trigger(trigger)
-      .start()
-  }
+    }
 
   /** One micro-batch of [[ivfIngest]], exposed for direct crash-replay
     * testing. Returns false when the batch was already committed. */
@@ -408,19 +402,78 @@ object Streams {
       idCol: String,
       vecCol: String,
       indexPath: String,
-      checkpoint: String): Boolean = {
+      checkpoint: String): Boolean =
+    appendIngestBatch(batch, batchId, indexPath, checkpoint, "ivf") {
+      (spark, tag) =>
+        graft.operators.Ann.ivfAppend(spark, indexPath, batch, idCol, vecCol, tag)
+    }
+
+  /** [[ivfIngest]]'s analog for a persisted PQ index
+    * ([[graft.operators.Pq]]): each micro-batch encodes against the
+    * STORED codebooks (frozen on append — the PQ maintenance contract)
+    * and lands via the same replay-idempotent tagged append + commit
+    * marker, so the quantized serving table grows exactly-once across
+    * crashes without re-reading or re-encoding old rows. */
+  def pqIngest(
+      newVecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      indexPath: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    appendIngest(newVecs, checkpoint, trigger, "pqIngest") {
+      (batch, batchId) =>
+        pqIngestBatch(batch, batchId, idCol, vecCol, indexPath, checkpoint)
+    }
+
+  /** One micro-batch of [[pqIngest]], exposed for direct crash-replay
+    * testing. Returns false when the batch was already committed. */
+  private[graft] def pqIngestBatch(
+      batch: DataFrame,
+      batchId: Long,
+      idCol: String,
+      vecCol: String,
+      indexPath: String,
+      checkpoint: String): Boolean =
+    appendIngestBatch(batch, batchId, indexPath, checkpoint, "pq") {
+      (spark, tag) =>
+        graft.operators.Pq.pqAppend(spark, indexPath, batch, idCol, vecCol, tag)
+    }
+
+  /** Shared foreachBatch shell of the append-only index ingests. */
+  private def appendIngest(newVecs: DataFrame, checkpoint: String,
+      trigger: Trigger, name: String)(
+      runBatch: (DataFrame, Long) => Boolean): StreamingQuery = {
+    require(newVecs.isStreaming, s"$name needs a streaming DataFrame")
+    newVecs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        runBatch(batch, batchId)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
+
+  /** Shared exactly-once batch protocol: the append is replay-idempotent
+    * per batch tag ([[graft.core.TaggedAppend]] underneath), and a
+    * checkpoint-keyed commit marker skips fully-committed batches on
+    * replay — a crash at ANY point, then replay, converges to exactly one
+    * copy of the batch. Single writer per index assumed. */
+  private def appendIngestBatch(batch: DataFrame, batchId: Long,
+      indexPath: String, checkpoint: String, family: String)(
+      append: (org.apache.spark.sql.SparkSession, String) => Unit): Boolean = {
     val spark = batch.sparkSession
     val fs = Discovery.fileSystemFor(indexPath,
       spark.sessionState.newHadoopConf())
     val batchTag = f"${checkpointTag(checkpoint)}_$batchId%020d"
-    val marker = new Path(indexPath, s"_graft_ivf_ingest_commit_$batchTag")
+    val marker = new Path(indexPath, s"_graft_${family}_ingest_commit_$batchTag")
     if (fs.exists(marker)) {
-      log.info(s"graft_ivf_ingest: batch $batchId already committed; " +
+      log.info(s"graft_${family}_ingest: batch $batchId already committed; " +
         "skipping replay")
       false
     } else {
-      graft.operators.Ann.ivfAppend(spark, indexPath, batch, idCol, vecCol,
-        batchTag)
+      append(spark, batchTag)
       fs.create(marker, true).close()
       true
     }

@@ -622,6 +622,33 @@ class PqSpec extends SparkSpec {
     assert(!scan.contains("embedding"), s"serving scan must not read vectors:\n$scan")
   }
 
+  test("pqIngest crash-replay: append-then-crash replays to exactly one copy") {
+    import graft.streaming.Streams
+    val model = Pq.pqTrain(df, "vec_id", "embedding", m = 4, k = 8)
+    val path = java.nio.file.Files.createTempDirectory("pq_ingest").toString
+    Pq.pqWrite(Pq.pqEncode(df, "vec_id", "embedding", model), model, path)
+    val cp = java.nio.file.Files.createTempDirectory("pq_cp").toString
+    val batch = (2000 until 2015).map(i => (i.toLong, randVec(i, dim)))
+      .toDF("vec_id", "embedding")
+    // crash window: the append landed but the commit marker did not —
+    // replaying the SAME batch id must converge, not duplicate
+    assert(Streams.pqIngestBatch(batch, 0L, "vec_id", "embedding", path, cp))
+    val committed = spark.read.parquet(s"$path/data").count()
+    assert(committed == 415)
+    // simulate the replay AFTER a crash-before-marker: delete the marker
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
+      .filter(_.getPath.getName.startsWith("_graft_pq_ingest_commit_"))
+      .foreach(st => fs.delete(st.getPath, false))
+    assert(Streams.pqIngestBatch(batch, 0L, "vec_id", "embedding", path, cp))
+    assert(spark.read.parquet(s"$path/data").count() == 415,
+      "replayed append must sweep the prior attempt, not duplicate")
+    // fully-committed batch skips on replay
+    assert(!Streams.pqIngestBatch(batch, 0L, "vec_id", "embedding", path, cp))
+    assert(spark.read.parquet(s"$path/data").count() == 415)
+  }
+
   test("write/read roundtrip, sidecar rejection, and replay-idempotent append") {
     val model = Pq.pqTrain(df, "vec_id", "embedding", m = 4, k = 8)
     val encoded = Pq.pqEncode(df, "vec_id", "embedding", model)
