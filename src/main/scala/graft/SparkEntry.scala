@@ -781,6 +781,29 @@ object SparkEntry {
 
   private val PqCodebooksFixture = "/tmp/graft_fixtures/pq_codebooks.parquet"
 
+  /** Batched PQ ADC: three queries, ONE scan of the code table — the
+    * multi-LUT kernel scores each row against every query in one code
+    * walk. Same trained model and fixture as p1 (the builder re-trains
+    * identically — training is deterministic), so the oracle is p1's
+    * replay generalized per query. */
+  private def p3_ann_pq_batch(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val model = Pq.pqTrain(e, "vec_id", "embedding", m = 8, k = 16)
+    import s.implicits._
+    model.cells.zipWithIndex.flatMap { case (cb, sub) =>
+      cb.zipWithIndex.map { case (v, c) => (sub, c, v.toSeq) }
+    }.toSeq.toDF("sub", "cell", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(PqCodebooksFixture)
+    val qids = Seq(0L, 1L, 2L)
+    val qs = e.filter(col("vec_id").isin(qids: _*))
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1).toSeq
+    Pq.pqBatchTopK(Pq.pqEncode(e, "vec_id", "embedding", model), "vec_id",
+        qs, model, k = 5, excludeIds = qids)
+      .select(col("query_id"), col("vec_id"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** IVF-PQ: cluster routing (nprobe of nlist, the a3 shape) composed with
     * quantized ADC scoring (the p1 shape) — the canonical billion-scale
     * serving layout. BOTH trained artifacts persist as fixtures and the
@@ -1615,6 +1638,7 @@ object SparkEntry {
     "a3_ann_ivf" -> (a3_ann_ivf _),
     "p1_ann_pq" -> (p1_ann_pq _),
     "p2_ann_ivfpq" -> (p2_ann_ivfpq _),
+    "p3_ann_pq_batch" -> (p3_ann_pq_batch _),
     "a3b_ann_ivf_append" -> (a3b_ann_ivf_append _),
     "st9_stream_ivf_ingest" -> (st9_stream_ivf_ingest _),
     "st10_stream_pq_ingest" -> (st10_stream_pq_ingest _),
@@ -2154,6 +2178,39 @@ object SparkEntry {
            AS rank
          FROM adc WHERE vec_id <> 0
          ORDER BY dist, vec_id LIMIT 10""",
+    // p1's replay generalized per query: one encode pass, per-query LUTs,
+    // per-query rank
+    "p3_ann_pq_batch" ->
+      """WITH cb AS (SELECT sub, cell, vec FROM
+           read_parquet('/tmp/graft_fixtures/pq_codebooks.parquet/*.parquet')),
+         q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id IN (0, 1, 2)),
+         dists AS (SELECT e.vec_id, cb.sub, cb.cell,
+             list_sum(list_transform(
+               list_transform(range(1, len(cb.vec) + 1),
+                 j -> CAST(e.embedding[cb.sub * len(cb.vec) + j] AS DOUBLE)
+                        - cb.vec[j]),
+               x -> x * x)) AS d
+           FROM embeddings e CROSS JOIN cb WHERE e.vec_id NOT IN (0, 1, 2)),
+         enc AS (SELECT vec_id, sub, cell FROM (
+             SELECT vec_id, sub, cell,
+               row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cell) AS rn
+             FROM dists) WHERE rn = 1),
+         lut AS (SELECT q.query_id, cb.sub, cb.cell,
+             list_sum(list_transform(
+               list_transform(range(1, len(cb.vec) + 1),
+                 j -> q.qe[cb.sub * len(cb.vec) + j] - cb.vec[j]),
+               x -> x * x)) AS d
+           FROM cb CROSS JOIN q),
+         adc AS (SELECT lut.query_id, enc.vec_id,
+                   list_sum(list(lut.d ORDER BY enc.sub)) AS dist
+                 FROM enc JOIN lut USING (sub, cell)
+                 GROUP BY lut.query_id, enc.vec_id),
+         r AS (SELECT query_id, vec_id, CAST(row_number() OVER
+                 (PARTITION BY query_id ORDER BY dist, vec_id) AS INT) AS rank
+               FROM adc)
+         SELECT query_id, vec_id, rank FROM r WHERE rank <= 5
+         ORDER BY query_id, rank""",
     // the p1 replay composed with routing replay: per-row cluster
     // assignment (cosine argmax, ties to the LARGER cid), the query's
     // probe set (ties to the SMALLER cid), then encode+ADC over the

@@ -106,6 +106,47 @@ object PqAdcExpr {
     GraftInternals.column(PqAdcExpr(GraftInternals.expression(codes), lut))
 }
 
+/** Batched [[PqAdcExpr]]: ONE pass over a row's codes scores it against
+  * EVERY query's LUT — `luts(q)(sub)(cell)` — returning one distance per
+  * query (array<double>, query order fixed by the caller). The serving
+  * shape for query batches: Q queries cost one scan of the code table,
+  * not Q, and the per-row work is still Q×m array reads in codegen. */
+case class PqAdcBatchExpr(child: Expression, luts: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+
+  require(luts.nonEmpty && luts.forall(l => l.nonEmpty && l.forall(_.nonEmpty)),
+    "empty batched ADC lookup table")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_adc_batch expects array<int> codes, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    PqImpl.adcBatch(input.asInstanceOf[ArrayData], luts)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lutsRef = ctx.addReferenceObj("pqLuts", luts, "double[][][]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.PqImpl.adcBatch($c, $lutsRef);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "pq_adc_batch"
+}
+
+object PqAdcBatchExpr {
+  def apply(codes: Column, luts: Array[Array[Array[Double]]]): Column =
+    GraftInternals.column(PqAdcBatchExpr(GraftInternals.expression(codes), luts))
+}
+
 object PqImpl {
 
   /** Squared L2 between `v[off .. off+dsub)` and `cell`, left-to-right —
@@ -177,6 +218,34 @@ object PqImpl {
       s += 1
     }
     java.lang.Double.valueOf(d)
+  }
+
+  /** Batched [[adc]]: one code walk, every query's LUT — distances in the
+    * callers' query order, summed per query in the same ascending-subspace
+    * fold as the single-query path. */
+  def adcBatch(codes: ArrayData,
+      luts: Array[Array[Array[Double]]]): GenericArrayData = {
+    val m = luts(0).length
+    if (codes.numElements() != m) return null
+    val c = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      if (codes.isNullAt(s)) return null
+      val v = codes.getInt(s)
+      if (v < 0 || v >= luts(0)(s).length) return null
+      c(s) = v
+      s += 1
+    }
+    val out = new Array[Any](luts.length)
+    var q = 0
+    while (q < luts.length) {
+      var d = 0.0
+      var i = 0
+      while (i < m) { d += luts(q)(i)(c(i)); i += 1 }
+      out(q) = d
+      q += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** The query-side LUT: `lut[sub][cell]` = squared L2 between the query's

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{PqAdcExpr, PqEncodeExpr, PqImpl}
+import graft.functions.{PqAdcBatchExpr, PqAdcExpr, PqEncodeExpr, PqImpl}
 
 /** Product quantization for embedding-scale ANN — the memory/shuffle
   * representation layer under [[Ann]]'s routing layers.
@@ -160,6 +160,35 @@ object Pq {
     scored.withColumn("rank",
       row_number().over(org.apache.spark.sql.expressions.Window
         .orderBy(col("pq_dist"), col(idCol))))
+  }
+
+  /** Batched ADC top-k: Q queries served by ONE scan of the code table —
+    * the [[graft.functions.PqAdcBatchExpr]] kernel scores each row
+    * against every query's LUT in one code walk, and the per-query rank
+    * window rewrites into a map-side partial top-k (WindowGroupLimit), so
+    * the shuffle carries at most k rows per query per input partition.
+    * Per-query semantics identical to [[pqTopK]] (spec-pinned). Returns
+    * (query_id, idCol, pq_dist, rank). */
+  def pqBatchTopK(
+      encoded: DataFrame,
+      idCol: String,
+      queries: Seq[(Long, Array[Float])],
+      model: PqModel,
+      k: Int,
+      excludeIds: Seq[Long] = Nil): DataFrame = {
+    require(queries.nonEmpty, "empty query batch")
+    val luts = queries.map(q => PqImpl.buildLut(q._2.map(_.toDouble), model.cells)).toArray
+    val qids = queries.map(_._1).toArray
+    encoded
+      .filter(if (excludeIds.isEmpty) lit(true) else !col(idCol).isin(excludeIds: _*))
+      .select(col(idCol),
+        posexplode(PqAdcBatchExpr(col("pq_code"), luts)).as(Seq("__qi", "pq_dist")))
+      .select(element_at(lit(qids), col("__qi") + 1).as("query_id"),
+        col(idCol), col("pq_dist"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id")).orderBy(col("pq_dist"), col(idCol))))
+      .filter(col("rank") <= k)
   }
 
   /** IVF-PQ serving table: each row carries its route (`gr_cluster`, from

@@ -622,6 +622,26 @@ class PqSpec extends SparkSpec {
     assert(!scan.contains("embedding"), s"serving scan must not read vectors:\n$scan")
   }
 
+  test("batched PQ ADC agrees with per-query pqTopK and prunes map-side") {
+    val model = Pq.pqTrain(df, "vec_id", "embedding", m = 4, k = 8)
+    val encoded = Pq.pqEncode(df, "vec_id", "embedding", model)
+    val queries = Seq(3L, 57L, 311L).map(q => q -> rows(q.toInt)._2)
+    val batch = Pq.pqBatchTopK(encoded, "vec_id", queries, model, k = 4,
+        excludeIds = queries.map(_._1))
+    val got = batch.select("query_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val loop = queries.flatMap { case (qid, v) =>
+      Pq.pqTopK(encoded, "vec_id", v, model, k = 4,
+          excludeIds = queries.map(_._1)).collect()
+        .map(r => (qid, r.getLong(0), r.getInt(2)))
+    }.sorted
+    assert(got == loop, s"batched ADC must equal per-query scoring\n$got\n$loop")
+    batch.collect()
+    val plan = batch.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("WindowGroupLimit"), plan.take(1500))
+  }
+
   test("pqIngest crash-replay: append-then-crash replays to exactly one copy") {
     import graft.streaming.Streams
     val model = Pq.pqTrain(df, "vec_id", "embedding", m = 4, k = 8)
