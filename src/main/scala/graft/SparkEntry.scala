@@ -804,6 +804,25 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** ADC candidates + exact re-rank — the standard quantized serving
+    * pattern: top-50 by quantized distance from the code table, then
+    * exact cosine over ONLY those 50 (broadcast id join back to the raw
+    * vectors). Same model/fixture as p1; the oracle replays the ADC
+    * short-list cut (ties by id) and re-ranks it with exact cosine. */
+  private def p4_ann_pq_rerank(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val model = Pq.pqTrain(e, "vec_id", "embedding", m = 8, k = 16)
+    import s.implicits._
+    model.cells.zipWithIndex.flatMap { case (cb, sub) =>
+      cb.zipWithIndex.map { case (v, c) => (sub, c, v.toSeq) }
+    }.toSeq.toDF("sub", "cell", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(PqCodebooksFixture)
+    Pq.pqTopKRerank(Pq.pqEncode(e, "vec_id", "embedding", model), e,
+        "vec_id", "embedding", queryVec(s, dir), model, k = 10,
+        candidates = 50, excludeIds = Seq(0L))
+      .select("vec_id", "rank").orderBy("rank")
+  }
+
   /** IVF-PQ: cluster routing (nprobe of nlist, the a3 shape) composed with
     * quantized ADC scoring (the p1 shape) — the canonical billion-scale
     * serving layout. BOTH trained artifacts persist as fixtures and the
@@ -1639,6 +1658,7 @@ object SparkEntry {
     "p1_ann_pq" -> (p1_ann_pq _),
     "p2_ann_ivfpq" -> (p2_ann_ivfpq _),
     "p3_ann_pq_batch" -> (p3_ann_pq_batch _),
+    "p4_ann_pq_rerank" -> (p4_ann_pq_rerank _),
     "a3b_ann_ivf_append" -> (a3b_ann_ivf_append _),
     "st9_stream_ivf_ingest" -> (st9_stream_ivf_ingest _),
     "st10_stream_pq_ingest" -> (st10_stream_pq_ingest _),
@@ -2178,6 +2198,41 @@ object SparkEntry {
            AS rank
          FROM adc WHERE vec_id <> 0
          ORDER BY dist, vec_id LIMIT 10""",
+    // p1's ADC replay cut at 50 candidates (ties by id), then exact cosine
+    // re-rank over only those ids — the quantized-candidates/exact-rerank
+    // serving contract
+    "p4_ann_pq_rerank" ->
+      """WITH cb AS (SELECT sub, cell, vec FROM
+           read_parquet('/tmp/graft_fixtures/pq_codebooks.parquet/*.parquet')),
+         q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+               WHERE vec_id = 0),
+         dists AS (SELECT e.vec_id, cb.sub, cb.cell,
+             list_sum(list_transform(
+               list_transform(range(1, len(cb.vec) + 1),
+                 j -> CAST(e.embedding[cb.sub * len(cb.vec) + j] AS DOUBLE)
+                        - cb.vec[j]),
+               x -> x * x)) AS d
+           FROM embeddings e CROSS JOIN cb WHERE e.vec_id <> 0),
+         enc AS (SELECT vec_id, sub, cell FROM (
+             SELECT vec_id, sub, cell,
+               row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cell) AS rn
+             FROM dists) WHERE rn = 1),
+         lut AS (SELECT cb.sub, cb.cell,
+             list_sum(list_transform(
+               list_transform(range(1, len(cb.vec) + 1),
+                 j -> q.qe[cb.sub * len(cb.vec) + j] - cb.vec[j]),
+               x -> x * x)) AS d
+           FROM cb CROSS JOIN q),
+         adc AS (SELECT enc.vec_id, list_sum(list(lut.d ORDER BY enc.sub)) AS dist
+                 FROM enc JOIN lut USING (sub, cell) GROUP BY enc.vec_id),
+         short AS (SELECT vec_id FROM adc ORDER BY dist, vec_id LIMIT 50),
+         exact AS (SELECT s.vec_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+               (SELECT qe FROM q)) AS c
+           FROM short s JOIN embeddings e USING (vec_id))
+         SELECT vec_id, CAST(row_number() OVER (ORDER BY c DESC, vec_id) AS INT)
+           AS rank
+         FROM exact ORDER BY c DESC, vec_id LIMIT 10""",
     // p1's replay generalized per query: one encode pass, per-query LUTs,
     // per-query rank
     "p3_ann_pq_batch" ->

@@ -191,6 +191,37 @@ object Pq {
       .filter(col("rank") <= k)
   }
 
+  /** Quantized-candidates + exact re-rank — the standard PQ serving
+    * pattern: ADC selects `candidates` ids from the code table (the cheap,
+    * 32×-narrower scan), then ONLY those ids join back to the raw vectors
+    * for an exact-cosine top-k. The join's build side is k..candidates
+    * rows — broadcast-able at any corpus size — so the expensive exact
+    * arithmetic touches `candidates` vectors, never the corpus. Ranking
+    * quality approaches exact search as `candidates/k` grows while the
+    * scan cost stays quantized. Returns (idCol, cosine, rank). */
+  def pqTopKRerank(
+      encoded: DataFrame,
+      raw: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Array[Float],
+      model: PqModel,
+      k: Int,
+      candidates: Int,
+      excludeIds: Seq[Long] = Nil): DataFrame = {
+    require(candidates >= k, "candidate pool must be at least k")
+    val shortList = pqTopK(encoded, idCol, query, model, candidates, excludeIds)
+      .select(col(idCol))
+    val qd = query.map(_.toDouble)
+    raw.join(broadcast(shortList), Seq(idCol))
+      .select(col(idCol), Ann.cosine(col(vecCol), lit(qd)).as("cosine"))
+      .orderBy(desc("cosine"), col(idCol))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("cosine"), col(idCol))))
+  }
+
   /** IVF-PQ serving table: each row carries its route (`gr_cluster`, from
     * the IVF index's nearest-centroid assignment) AND its quantized
     * representation (`pq_code`) — the canonical billion-scale ANN layout

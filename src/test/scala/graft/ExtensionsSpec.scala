@@ -642,6 +642,30 @@ class PqSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(1500))
   }
 
+  test("ADC + exact re-rank converges to brute force as the candidate pool grows") {
+    import graft.operators.Ann
+    val model = Pq.pqTrain(df, "vec_id", "embedding", m = 8, k = 16)
+    val encoded = Pq.pqEncode(df, "vec_id", "embedding", model)
+    val q = rows(42)._2
+    // candidate pool == corpus: the rerank IS brute force, bit for bit
+    val full = Pq.pqTopKRerank(encoded, df, "vec_id", "embedding", q, model,
+      k = 10, candidates = 400, excludeIds = Seq(42L))
+    val brute = Ann.bruteForceTopK(df, "vec_id", "embedding", q, k = 10,
+      excludeIds = Seq(42L))
+    assert(canon(full.select("vec_id", "rank")) == canon(brute.select("vec_id", "rank")))
+    // moderate pool: recall@10 at least matches pure ADC's (re-ranking a
+    // superset can only fix ordering, never lose a true neighbor it holds)
+    val exact = brute.select("vec_id").collect().map(_.getLong(0)).toSet
+    def recall(ids: Set[Long]) = ids.intersect(exact).size / 10.0
+    val adcOnly = Pq.pqTopK(encoded, "vec_id", q, model, k = 10,
+      excludeIds = Seq(42L)).select("vec_id").collect().map(_.getLong(0)).toSet
+    val reranked = Pq.pqTopKRerank(encoded, df, "vec_id", "embedding", q, model,
+      k = 10, candidates = 80, excludeIds = Seq(42L))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(recall(reranked) >= recall(adcOnly),
+      s"rerank recall ${recall(reranked)} < ADC recall ${recall(adcOnly)}")
+  }
+
   test("pqIngest crash-replay: append-then-crash replays to exactly one copy") {
     import graft.streaming.Streams
     val model = Pq.pqTrain(df, "vec_id", "embedding", m = 4, k = 8)
