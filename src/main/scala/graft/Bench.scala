@@ -159,23 +159,30 @@ object Bench {
       else {
         val scaledDir = buildScaledDir(spark, sfDir, scaleFactor)
         spark.catalog.clearCache()
+        // best of 2: a single pass at N× conflates JIT/page-cache warmup
+        // with the scaling signal (observed: q6 single-pass slope 1.39 vs
+        // warm 1.08 on the same data). Passes are INTERLEAVED across
+        // queries, same policy as the main set: back-to-back runs of one
+        // query let a transient machine-load blip poison BOTH its samples —
+        // observed r10: a concurrent test-suite JVM inflated t15's
+        // consecutive pair 14× (slope 3.62 vs 0.31 on an idle box).
+        val scaleSamples = scala.collection.mutable.Map
+          .empty[String, Vector[Double]].withDefaultValue(Vector.empty)
+        for (_ <- 1 to 2; name <- scaleSet) {
+          val t0 = System.nanoTime()
+          val n = try SparkEntry.queries(name)(spark, scaledDir).count()
+            catch { case _: Throwable => -1L }
+          // stop the clock BEFORE releasing caches: the 1x baseline
+          // excludes clearCache time, so tN must too or every slope
+          // carries the cache-release bias
+          val secs = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          scaleSamples(name) = scaleSamples(name) :+ (if (n < 0) -1.0 else secs)
+        }
         val entries = scaleSet.map { name =>
           val t1 = results.collectFirst { case (`name`, m, _) => m }.getOrElse(-1.0)
-          // best of 2: a single pass at N× conflates JIT/page-cache warmup
-          // with the scaling signal (observed: q6 single-pass slope 1.39 vs
-          // warm 1.08 on the same data)
-          val times = (1 to 2).map { _ =>
-            val t0 = System.nanoTime()
-            val n = try SparkEntry.queries(name)(spark, scaledDir).count()
-              catch { case _: Throwable => -1L }
-            // stop the clock BEFORE releasing caches: the 1x baseline
-            // excludes clearCache time, so tN must too or every slope
-            // carries the cache-release bias
-            val secs = (System.nanoTime() - t0) / 1e9
-            spark.catalog.clearCache()
-            if (n < 0) -1.0 else secs
-          }
-          val tN = if (times.contains(-1.0)) -1.0 else times.min
+          val times = scaleSamples(name)
+          val tN = if (times.isEmpty || times.contains(-1.0)) -1.0 else times.min
           if (tN < 0) { System.err.println(s"[bench] scale $name FAILED"); "\"" + name + "\":null" }
           else if (t1 <= 0) "\"" + name + "\":null"
           else f""""$name":{"t1":$t1%.3f,"tN":$tN%.3f,"slope":${tN / (t1 * scaleFactor)}%.2f}"""
