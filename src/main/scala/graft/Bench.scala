@@ -78,14 +78,21 @@ object Bench {
       .withColumn("o_orderkey", col("o_orderkey") + col("__r") * 10000000L)
       .drop("__r")
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
-    // events: the shim reads ts as a raw nanos long (no rebuild here), so
-    // the replica lands as int64 and Fixtures.events' div-1000 rebuild
-    // works on the scaled dir exactly as on the original
+    // events: replicated with whatever Spark type the read surfaces (raw
+    // nanos long under the shim for a NANOS fixture, TIMESTAMP_NTZ for the
+    // current MICROS one — NanosTimestamp.rebuild branches on either), and
+    // the replica's resolved type must equal the source's or the 1× and N×
+    // legs run different rebuild plans and the slope compares apples to
+    // oranges
     graft.functions.NanosTimestamp.enable(spark)
-    spark.read.parquet(s"$sfDir/events.parquet").crossJoin(reps)
+    val srcEvents = spark.read.parquet(s"$sfDir/events.parquet")
+    srcEvents.crossJoin(reps)
       .withColumn("event_id", col("event_id") + col("__r") * 100000000L)
       .drop("__r")
       .write.mode("overwrite").parquet(s"$out/events.parquet")
+    val replicaTs = spark.read.parquet(s"$out/events.parquet").schema("ts").dataType
+    require(replicaTs == srcEvents.schema("ts").dataType,
+      s"scaled events ts type $replicaTs != source ${srcEvents.schema("ts").dataType}")
     for (dim <- Seq("customer", "nation", "region"))
       spark.read.parquet(s"$sfDir/$dim.parquet")
         .write.mode("overwrite").parquet(s"$out/$dim.parquet")

@@ -34,8 +34,9 @@ object Fixtures {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS); see
-    * [[graft.functions.NanosTimestamp]] for why the rebuild is centralized. */
+  /** events.parquet's `ts` has shipped as TIMESTAMP(NANOS) and as
+    * TIMESTAMP(MICROS, NTZ) across driver testdata generations; see
+    * [[graft.functions.NanosTimestamp]] for the type-adaptive rebuild. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.NanosTimestamp.enable(spark)
     graft.functions.NanosTimestamp.rebuild(

@@ -16,8 +16,9 @@ import graft.core._
   */
 object Streams {
 
-  /** Streaming read of events.parquet (nanos timestamps read as long and
-    * rebuilt as microsecond timestamps, same shim as the batch reader:
+  /** Streaming read of events.parquet (`ts` normalized to TimestampType —
+    * nanos-long or TIMESTAMP_NTZ, whichever the fixture carries — by the
+    * same type-adaptive shim as the batch reader:
     * [[graft.functions.NanosTimestamp]]). */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.NanosTimestamp.enable(spark)
