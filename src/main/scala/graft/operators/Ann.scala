@@ -95,8 +95,11 @@ object Ann {
   /** IVF (inverted-file) index state: centroid vectors + the input tagged
     * with its nearest-centroid cluster id. At 100 TB the clustered frame is
     * what you write out partitioned by `gr_cluster`, turning every probe into
-    * a partition-pruned scan of nprobe/nlist of the data. */
-  final case class IvfIndex(centroids: Seq[(Int, Array[Double])], clustered: DataFrame)
+    * a partition-pruned scan of nprobe/nlist of the data. `vecCol` names the
+    * embedding column (recorded in the sidecar on write) so maintenance
+    * paths — drift telemetry — can score without the caller re-stating it. */
+  final case class IvfIndex(centroids: Seq[(Int, Array[Double])],
+      clustered: DataFrame, vecCol: String = "embedding")
 
   /** Build an IVF index with deterministic centroids: a seeded hash-sample
     * of the data seeds them, then `iterations` rounds of Lloyd refinement
@@ -151,7 +154,7 @@ object Ann {
         }
       centroids = centroids.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
     }
-    IvfIndex(centroids, assign(centroids))
+    IvfIndex(centroids, assign(centroids), vecCol)
   }
 
   /** Driver-side cosine between a centroid and a query (tiny: nlist×dim). */
@@ -238,6 +241,21 @@ object Ann {
       .filter(col("rank") <= k)
   }
 
+  /** The per-centroid scored structs backing assignment AND the drift
+    * telemetry: one literal centroid list, codegen'd cosine per centroid.
+    * Shared so the assigned cluster and its score can never disagree. */
+  private def scoredStructs(cs: Seq[(Int, Array[Double])],
+      vecCol: String): Seq[Column] =
+    cs.map { case (cid, c) =>
+      struct(cosine(col(vecCol), lit(c)).as("s"), lit(cid).as("cid"))
+    }
+
+  /** Cosine of each row to its NEAREST centroid — the assignment-quality
+    * signal the drift telemetry aggregates (zero shuffle, same kernel as
+    * assignment). */
+  private def assignedCos(cs: Seq[(Int, Array[Double])], vecCol: String): Column =
+    greatest(scoredStructs(cs, vecCol): _*).getField("s")
+
   /** Nearest-centroid assignment: argmax over a static list of literal
     * centroid vectors — codegen'd cosine per centroid, zero shuffle. The
     * struct-comparison tie-break (equal score → larger cid) is shared by
@@ -250,10 +268,8 @@ object Ann {
     // hide the cluster dirs from compaction and any graft-side scan
     require(!df.columns.contains("gr_cluster"),
       "input already carries a 'gr_cluster' column — rename it before indexing")
-    val scored = cs.map { case (cid, c) =>
-      struct(cosine(col(vecCol), lit(c)).as("s"), lit(cid).as("cid"))
-    }
-    df.withColumn("gr_cluster", greatest(scored: _*).getField("cid"))
+    df.withColumn("gr_cluster",
+      greatest(scoredStructs(cs, vecCol): _*).getField("cid"))
   }
 
   /** Sidecar carrying the structural parameters of a persisted IVF index
@@ -267,29 +283,43 @@ object Ann {
   private def ivfFs(spark: org.apache.spark.sql.SparkSession, path: String) =
     graft.core.Discovery.fileSystemFor(path, spark.sessionState.newHadoopConf())
 
-  private def readIvfSidecar(spark: org.apache.spark.sql.SparkSession,
-      path: String): (Int, Int) = {
-    val fs = ivfFs(spark, path)
-    val sidecar = new org.apache.hadoop.fs.Path(path, IvfParamsSidecar)
-    require(fs.exists(sidecar),
-      s"no $IvfParamsSidecar at $path — not a graft IVF index " +
-        "(persist with ivfWrite so dim/nlist survive)")
-    val in = fs.open(sidecar)
+  private def readJsonFile(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): com.fasterxml.jackson.databind.JsonNode = {
+    val in = fs.open(p)
     val bytes = try {
       val buf = new java.io.ByteArrayOutputStream()
       org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
       buf.toByteArray
     } finally in.close()
-    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+    new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+  }
+
+  private def readIvfSidecarNode(spark: org.apache.spark.sql.SparkSession,
+      path: String): com.fasterxml.jackson.databind.JsonNode = {
+    val fs = ivfFs(spark, path)
+    val sidecar = new org.apache.hadoop.fs.Path(path, IvfParamsSidecar)
+    require(fs.exists(sidecar),
+      s"no $IvfParamsSidecar at $path — not a graft IVF index " +
+        "(persist with ivfWrite so dim/nlist survive)")
+    val node = readJsonFile(fs, sidecar)
     Seq("dim", "nlist").foreach(f => require(node.hasNonNull(f),
       s"$IvfParamsSidecar at $path lacks field '$f'"))
+    node
+  }
+
+  private def readIvfSidecar(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Int, Int) = {
+    val node = readIvfSidecarNode(spark, path)
     (node.get("dim").asInt, node.get("nlist").asInt)
   }
 
   /** Persist an IVF index: the clustered frame written PARTITIONED BY
     * `gr_cluster` (so every probe is a partition-pruned scan of nprobe/nlist
     * of the data — the 100 TB serving shape) plus the centroid table and
-    * the [[IvfParamsSidecar]] alongside. */
+    * the [[IvfParamsSidecar]] alongside. The sidecar also records the
+    * build-time mean assigned cosine (one extra aggregation over the
+    * corpus, same codegen'd kernel as assignment) — the baseline
+    * [[ivfDriftReport]] compares every appended batch against. */
   def ivfWrite(index: IvfIndex, path: String): Unit = {
     val spark = index.clustered.sparkSession
     import spark.implicits._
@@ -298,10 +328,14 @@ object Ann {
     index.centroids.toDF("cid", "centroid")
       .write.mode("overwrite").parquet(s"$path/centroids")
     val dim = index.centroids.headOption.map(_._2.length).getOrElse(0)
+    val buildMeanCos = index.clustered
+      .agg(avg(assignedCos(index.centroids, index.vecCol))).head().getDouble(0)
     val fs = ivfFs(spark, path)
     val out = fs.create(new org.apache.hadoop.fs.Path(path, IvfParamsSidecar), true)
-    try out.write(s"""{"dim":$dim,"nlist":${index.centroids.size}}"""
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(
+      (s"""{"dim":$dim,"nlist":${index.centroids.size},""" +
+        s""""vec_col":"${index.vecCol}","build_mean_cos":$buildMeanCos}""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
 
@@ -310,7 +344,10 @@ object Ann {
     * — EXPLAIN shows only the probed directories are read. The sidecar is
     * required and cross-checked against the centroid table. */
   def ivfRead(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
-    val (dim, nlist) = readIvfSidecar(spark, path)
+    val node = readIvfSidecarNode(spark, path)
+    val (dim, nlist) = (node.get("dim").asInt, node.get("nlist").asInt)
+    val vecCol =
+      if (node.hasNonNull("vec_col")) node.get("vec_col").asText else "embedding"
     val centroids = spark.read.parquet(s"$path/centroids").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1).toSeq
@@ -319,7 +356,7 @@ object Ann {
         s"(dim=$dim nlist=$nlist vs ${centroids.size} centroids)")
     val clustered = spark.read.parquet(s"$path/data")
       .withColumn("gr_cluster", col("gr_cluster").cast("int"))
-    IvfIndex(centroids, clustered)
+    IvfIndex(centroids, clustered, vecCol)
   }
 
   /** Incrementally add a batch of vectors to a PERSISTED IVF index — the
@@ -368,7 +405,68 @@ object Ann {
     val assigned = assignClusters(newVecs, centroids, vecCol)
     graft.core.TaggedAppend.append(assigned, s"$path/data", tag,
       Seq("gr_cluster"))
-    newVecs.count()
+    // drift telemetry: the batch's mean cosine to its assigned centroids
+    // (one aggregation over the BATCH, same kernel as assignment), recorded
+    // per tag so replay overwrites rather than duplicates. The frozen
+    // centroids never see post-build distribution shift otherwise — recall
+    // floors only measure the build corpus.
+    val stats = newVecs.agg(
+      avg(assignedCos(centroids, vecCol)).as("mean_cos"),
+      count(lit(1)).as("rows")).head()
+    val rows = stats.getLong(1)
+    val meanCos = if (stats.isNullAt(0)) "null" else stats.getDouble(0).toString
+    val fs = ivfFs(spark, path)
+    val rec = fs.create(new org.apache.hadoop.fs.Path(
+      s"$path/$IvfDriftDir", s"$tag.json"), true)
+    try rec.write(s"""{"tag":"$tag","rows":$rows,"mean_cos":$meanCos}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally rec.close()
+    rows
+  }
+
+  /** Per-append drift records live here (one tiny json per tag; underscore
+    * prefix keeps parquet scans and graft discovery away). */
+  val IvfDriftDir = "_graft_ivf_drift"
+
+  /** Drift report for a persisted, appended-to IVF index: one row per
+    * append tag with the batch's mean assigned cosine against the
+    * build-time baseline from the sidecar. `drifted` flags batches whose
+    * mean cosine fell more than `maxDrop` below the build mean — appends
+    * drawn from a shifted distribution land far from every frozen
+    * centroid, which is exactly the silent-recall-degradation signal the
+    * frozen-centroid contract can't otherwise see. A flagged report is
+    * the re-cluster trigger (rebuild with [[ivfBuild]] + [[ivfWrite]]).
+    * Driver-side work is bounded: one tiny json per append tag.
+    *
+    * The baseline is IN-SAMPLE (Lloyd refined on exactly those rows), so
+    * fresh same-distribution data sits a generalization gap below it: on
+    * corpora with real cluster structure the gap is small and the default
+    * `maxDrop` is fine (DriftSpec pins this), but on near-orthogonal
+    * random vectors — ANN's worst case — the in-sample bias alone is
+    * ~0.1 (RecallSpec measures it); calibrate `maxDrop` to a known-clean
+    * append before alerting on such corpora. */
+  def ivfDriftReport(spark: org.apache.spark.sql.SparkSession, path: String,
+      maxDrop: Double = 0.05): DataFrame = {
+    import spark.implicits._
+    val node = readIvfSidecarNode(spark, path)
+    require(node.hasNonNull("build_mean_cos"),
+      s"$IvfParamsSidecar at $path predates drift telemetry — re-persist " +
+        "with ivfWrite to record the build-time baseline")
+    val base = node.get("build_mean_cos").asDouble
+    val fs = ivfFs(spark, path)
+    val dir = new org.apache.hadoop.fs.Path(path, IvfDriftDir)
+    val recs =
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).toSeq.filter(_.getPath.getName.endsWith(".json"))
+        .map { st =>
+          val n = readJsonFile(fs, st.getPath)
+          (n.get("tag").asText, n.get("rows").asLong,
+            if (n.hasNonNull("mean_cos")) Some(n.get("mean_cos").asDouble) else None)
+        }.sortBy(_._1)
+    recs.toDF("tag", "rows", "mean_cos")
+      .withColumn("build_mean_cos", lit(base))
+      .withColumn("cos_drop", lit(base) - col("mean_cos"))
+      .withColumn("drifted", col("cos_drop") > maxDrop)
   }
 
   /** Sweep a failed [[ivfAppend]] attempt's files (see

@@ -31,12 +31,32 @@ import graft.functions.{PqAdcBatchExpr, PqAdcExpr, PqEncodeExpr, PqImpl}
   * ADC bit-exactly from the persisted codebook. */
 object Pq {
 
-  /** `cells(sub)(cell)` = codeword vector (length dim/m). */
-  final case class PqModel(cells: Array[Array[Array[Double]]]) {
+  /** `cells(sub)(cell)` = codeword vector (length dim/m). `trainMse` is
+    * the mean squared reconstruction error over the training sample — the
+    * drift baseline [[pqDriftReport]] compares appended batches against
+    * (NaN for hand-built models; drift telemetry then refuses loudly). */
+  final case class PqModel(cells: Array[Array[Array[Double]]],
+      trainMse: Double = Double.NaN) {
     def m: Int = cells.length
     def k: Int = cells(0).length
     def dsub: Int = cells(0)(0).length
     def dim: Int = m * dsub
+  }
+
+  /** Squared reconstruction error of one vector under the codebooks: the
+    * per-subspace nearest-codeword distances summed — the quantization
+    * loss every ADC distance inherits. */
+  private[operators] def reconSqErr(v: Array[Double], cells: Array[Array[Array[Double]]]): Double = {
+    val m = cells.length
+    val dsub = cells(0)(0).length
+    var s = 0
+    var err = 0.0
+    while (s < m) {
+      val sub = java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub)
+      err += l2sq(sub, cells(s)(nearestCell(sub, cells(s))))
+      s += 1
+    }
+    err
   }
 
   /** Train per-subspace codebooks on a seeded hash-sample. Deterministic
@@ -110,7 +130,8 @@ object Pq {
       }
       cb.map(_.clone())
     }
-    PqModel(cells)
+    val trainMse = sample.map(reconSqErr(_, cells)).sum / sample.length
+    PqModel(cells, trainMse)
   }
 
   private def nearestCell(p: Array[Double], cb: Array[Array[Double]]): Int = {
@@ -273,13 +294,17 @@ object Pq {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(new org.apache.hadoop.fs.Path(path, PqParamsSidecar), true)
+    // train_mse only when the model carries one (hand-built models don't);
+    // NaN is not valid JSON and drift reporting refuses without a baseline
+    val mse = if (java.lang.Double.isFinite(model.trainMse))
+      s""","train_mse":${model.trainMse}""" else ""
     try out.write(
-      s"""{"m":${model.m},"k":${model.k},"dsub":${model.dsub}}"""
+      s"""{"m":${model.m},"k":${model.k},"dsub":${model.dsub}$mse}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
 
-  private def readSidecar(spark: SparkSession, path: String): (Int, Int, Int) = {
+  private def readSidecar(spark: SparkSession, path: String): (Int, Int, Int, Double) = {
     val p = new org.apache.hadoop.fs.Path(path, PqParamsSidecar)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p),
@@ -292,13 +317,15 @@ object Pq {
         .map(_.group(1).toInt)
         .getOrElse(throw new IllegalArgumentException(
           s"$PqParamsSidecar at $path lacks field '$f'"))
-    (field("m"), field("k"), field("dsub"))
+    val mse = """"train_mse"\s*:\s*([-0-9.eE+]+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toDouble).getOrElse(Double.NaN)
+    (field("m"), field("k"), field("dsub"), mse)
   }
 
   /** Load a persisted PQ index: `(model, codes)`. The codebook table is
     * tiny (m × k rows) and cross-checked against the sidecar. */
   def pqRead(spark: SparkSession, path: String): (PqModel, DataFrame) = {
-    val (m, k, dsub) = readSidecar(spark, path)
+    val (m, k, dsub, trainMse) = readSidecar(spark, path)
     val rows = spark.read.parquet(s"$path/codebooks").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
     require(rows.length == m * k,
@@ -309,7 +336,7 @@ object Pq {
     val cells = Array.tabulate(m) { s =>
       rows.filter(_._1 == s).sortBy(_._2).map(_._3)
     }
-    (PqModel(cells), spark.read.parquet(s"$path/data"))
+    (PqModel(cells, trainMse), spark.read.parquet(s"$path/data"))
   }
 
   /** Grow a persisted PQ index: encode `newVecs` against the STORED
@@ -327,6 +354,7 @@ object Pq {
       idCol: String,
       vecCol: String,
       tag: String): Unit = {
+    graft.core.TaggedAppend.requireSafeTag(tag)
     val (model, _) = pqRead(spark, path)
     // empty batches (possible under streaming replay) skip the probe — an
     // empty append is a no-op either way
@@ -337,5 +365,86 @@ object Pq {
     }
     graft.core.TaggedAppend.append(
       pqEncode(newVecs, idCol, vecCol, model), s"$path/data", tag)
+    // drift telemetry: reconstruction MSE of a bounded seeded sample of the
+    // batch under the FROZEN codebooks, recorded per tag (replay
+    // overwrites). Sample-estimated for the same reason training is — the
+    // signal needs ~hundreds of vectors, not a batch-sized pass; the
+    // sampling is the pqTrain pattern (hash-filter + id-ordered limit,
+    // plain-limit top-up) so it is deterministic on any cluster size.
+    val sampleN = 512
+    def vecsOf(d: DataFrame): Array[Array[Double]] =
+      d.collect().map(_.getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case dd: Double => dd
+      }.toArray)
+    // small batches defeat the 1/16 hash-sample (a 60-row batch yields a
+    // handful of vectors — an estimate noisy enough to flap the ratio
+    // gate), so below a floor the whole id-ordered prefix serves instead
+    val sampled = vecsOf(newVecs
+      .filter(pmod(xxhash64(col(idCol), lit(42L)), lit(16)) === 0)
+      .orderBy(col(idCol)).select(col(vecCol)).limit(sampleN))
+    val sample =
+      if (sampled.length >= 64) sampled
+      else vecsOf(newVecs.orderBy(col(idCol)).select(col(vecCol)).limit(sampleN))
+    val mse =
+      if (sample.isEmpty) "null"
+      else (sample.map(reconSqErr(_, model.cells)).sum / sample.length).toString
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rec = fs.create(new org.apache.hadoop.fs.Path(
+      s"$path/$PqDriftDir", s"$tag.json"), true)
+    try rec.write(
+      s"""{"tag":"$tag","sample_n":${sample.length},"mse":$mse}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally rec.close()
+  }
+
+  /** Per-append drift records (one tiny json per tag; underscore prefix
+    * keeps parquet scans and graft discovery away). */
+  val PqDriftDir = "_graft_pq_drift"
+
+  /** Drift report for a persisted, appended-to PQ index: one row per
+    * append tag with the batch's sampled reconstruction MSE against the
+    * training-sample baseline from the sidecar. `drifted` flags batches
+    * whose MSE exceeds `mseRatioLimit × train_mse` — vectors from a
+    * shifted distribution quantize badly under the frozen codebooks,
+    * which silently degrades every ADC distance involving them; a flagged
+    * report is the retrain-and-re-encode trigger. Bounded driver work:
+    * one tiny json per append tag. */
+  def pqDriftReport(spark: SparkSession, path: String,
+      mseRatioLimit: Double = 2.0): DataFrame = {
+    import spark.implicits._
+    val (_, _, _, trainMse) = readSidecar(spark, path)
+    require(java.lang.Double.isFinite(trainMse),
+      s"$PqParamsSidecar at $path records no train_mse (hand-built model " +
+        "or pre-telemetry index) — re-persist a pqTrain'd model to " +
+        "baseline drift")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(path, PqDriftDir)
+    val recs =
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).toSeq.filter(_.getPath.getName.endsWith(".json"))
+        .map { st =>
+          val in = fs.open(st.getPath)
+          val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          def num(f: String): Option[Double] =
+            (s""""$f"\\s*:\\s*([-0-9.eE+]+)""").r.findFirstMatchIn(json)
+              .map(_.group(1).toDouble)
+          val tag = """"tag"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(json)
+            .map(_.group(1)).getOrElse(st.getPath.getName.stripSuffix(".json"))
+          (tag, num("sample_n").map(_.toLong).getOrElse(0L), num("mse"))
+        }.sortBy(_._1)
+    // a zero train_mse (codebooks that perfectly cover a degenerate
+    // training sample) would divide-by-zero under ANSI: any nonzero batch
+    // error is then infinite drift, a zero one is parity
+    recs.toDF("tag", "sample_n", "mse")
+      .withColumn("train_mse", lit(trainMse))
+      .withColumn("mse_ratio",
+        when(lit(trainMse) > 0, col("mse") / lit(trainMse))
+          .otherwise(when(col("mse") > 0, lit(Double.PositiveInfinity))
+            .otherwise(lit(1.0))))
+      .withColumn("drifted", col("mse_ratio") > mseRatioLimit)
   }
 }

@@ -66,6 +66,32 @@ class RecallSpec extends SparkSpec {
     assert(ivf >= 0.45, f"IVF recall@10 regressed: $ivf%.3f < 0.45")
   }
 
+  test("recall holds over an APPENDED corpus, not just the build corpus") {
+    // the planted a3b gate proves exact-copy retrieval through the append
+    // path; this floor proves ORGANIC neighbor quality survives it — an
+    // append-path kernel or assignment regression (wrong tie-break, stale
+    // centroids, dropped rows) shows up here as a recall drop vs the
+    // brute-force truth computed over the FULL corpus including appends
+    val path = tmpDir("ivf_appended_recall")
+    val build = emb.filter(col("vec_id") % 5 =!= 4)
+    val growth = emb.filter(col("vec_id") % 5 === 4)
+    Ann.ivfWrite(Ann.ivfBuild(build, "vec_id", "embedding", nlist = 16), path)
+    Ann.ivfAppend(spark, path, growth, "vec_id", "embedding", "growth")
+    val idx = Ann.ivfRead(spark, path)
+    val r = avgRecall((qid, qv) => topIds(Ann.ivfTopK(idx, "vec_id",
+      "embedding", qv, k = k, nprobe = 10, excludeIds = Seq(qid))))
+    info(f"appended-corpus IVF recall@10 (nprobe=10): $r%.3f")
+    assert(r >= 0.80, f"appended-corpus recall@10 regressed: $r%.3f < 0.80")
+    // and the same-distribution growth batch must not read as drift. The
+    // threshold is calibrated for THIS data: the sidecar baseline is
+    // in-sample, and on near-orthogonal random vectors the k-means
+    // generalization gap alone measures ~0.106 — a default-threshold
+    // false-positive documented in ivfDriftReport's scaladoc, not drift
+    val drift = Ann.ivfDriftReport(spark, path, maxDrop = 0.2).collect()
+    assert(drift.length == 1 && !drift.head.getBoolean(5),
+      s"same-distribution append flagged as drift: ${drift.mkString}")
+  }
+
   test("probe budget buys recall: tuned configurations clear a high floor") {
     // LSH with wider buckets + probe (8 planes, Hamming<=4): measured 0.83
     val lsh = avgRecall((qid, qv) => topIds(Ann.lshTopK(emb, "vec_id",
