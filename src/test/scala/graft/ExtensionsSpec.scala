@@ -1610,6 +1610,69 @@ class StreamsSpec extends SparkSpec {
     assert(out.count() == batch.count())
     assert(out.exceptAll(batch).count() == 0)
   }
+
+  // ---- fixture-independent operator pins. st2/st5 ride Fixtures.events,
+  // whose driver-owned schema has shifted under the repo before (r10:
+  // NANOS→MICROS); these synthetic-frame specs keep the OPERATORS' gap/
+  // boundary semantics covered even when a fixture shifts.
+
+  test("session_window boundaries on a synthetic frame: exactly-gap merges, one micro past splits") {
+    import spark.implicits._
+    val minUs = 60L * 1000000L // a minute of epoch-micros
+    // user 1: events at 0, 9m59.999999s (< gap, extends), then 25m (new
+    // session). user 2: a second event at EXACTLY the 10m gap — touching
+    // windows MERGE (Spark's boundary semantics: [0,10m) and [10m,20m)
+    // join), so it must CONTINUE the session. user 3: one micro PAST the
+    // gap — the first instant that starts a new session. These boundary
+    // cases are what a fixture change would otherwise leave unpinned.
+    val rows = Seq(
+      (1L, 0L), (1L, 10L * minUs - 1L), (1L, 25L * minUs),
+      (2L, 0L), (2L, 10L * minUs),
+      (3L, 0L), (3L, 10L * minUs + 1L))
+    val df = rows.toDF("user_id", "us")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"))
+    val sessions = df
+      .groupBy(session_window(col("ts"), "10 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n"), min(col("ts")).as("session_start"))
+      .select(col("user_id"), unix_micros(col("session_start")).as("start_us"),
+        col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sessions == Set(
+      (1L, 0L, 2L), (1L, 25L * minUs, 1L),
+      (2L, 0L, 2L),
+      (3L, 0L, 1L), (3L, 10L * minUs + 1L, 1L)), s"got $sessions")
+  }
+
+  test("streamTimeJoin lookback boundaries on synthetic streams (micros precision)") {
+    import spark.implicits._
+    val minUs = 60L * 1000000L
+    val leftDir = tmpDir("stj_left")
+    val rightDir = tmpDir("stj_right")
+    // one click at t=20m; views at exactly t-10m (included: >= boundary),
+    // one micro later (included), at t exactly (included: <= boundary),
+    // one micro after t (excluded), and one micro before t-10m (excluded)
+    Seq((100L, 7L, 20L * minUs)).toDF("click_id", "user_id", "us")
+      .select(col("click_id"), col("user_id"), timestamp_micros(col("us")).as("ts"))
+      .write.mode("overwrite").parquet(leftDir)
+    Seq(
+      (1L, 7L, 10L * minUs), (2L, 7L, 10L * minUs + 1L), (3L, 7L, 20L * minUs),
+      (4L, 7L, 20L * minUs + 1L), (5L, 7L, 10L * minUs - 1L),
+      (6L, 8L, 15L * minUs)) // right user, in range — key must still match
+      .toDF("view_id", "user_id", "us")
+      .select(col("view_id"), col("user_id"), timestamp_micros(col("us")).as("ts"))
+      .write.mode("overwrite").parquet(rightDir)
+    def stream(dir: String) = {
+      val schema = spark.read.parquet(dir).schema
+      spark.readStream.schema(schema).parquet(dir)
+    }
+    val joined = graft.streaming.Streams.streamTimeJoin(
+        stream(leftDir), stream(rightDir), "user_id", lookback = "10 minutes")
+      .select(col("click_id"), col("view_id"))
+    val got = graft.streaming.Streams.runToMemory(
+        joined, "stj_boundary_test", outputMode = "append")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((100L, 1L), (100L, 2L), (100L, 3L)), s"got $got")
+  }
 }
 
 /** Numeric bounds for the approximate operators that cannot hash-match a
@@ -1643,5 +1706,20 @@ class ApproxSpec extends SparkSpec {
     val again = SparkEntry.queries("q19_approx_hll")(spark, dir)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(again == approx, "approx_count_distinct must be deterministic")
+    // partition-invariance: HLL registers merge commutatively, so the SAME
+    // rows through ANY partitioning must produce the IDENTICAL estimate —
+    // this is what makes the estimate stable across cluster sizes and AQE
+    // re-plans at 100 TB, not just across reruns on one layout
+    def hllByPartitioning(repartitioned: org.apache.spark.sql.DataFrame) =
+      repartitioned.groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("p"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("o"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val one = hllByPartitioning(li.repartition(1))
+    val byKey = hllByPartitioning(li.repartition(13, col("l_orderkey")))
+    val scattered = hllByPartitioning(li.repartition(29, col("l_partkey")))
+    assert(one == byKey && one == scattered,
+      s"HLL estimate must be partition-invariant: 1-part $one vs " +
+        s"13-by-orderkey $byKey vs 29-by-partkey $scattered")
   }
 }
