@@ -21,6 +21,15 @@ import org.apache.spark.sql.DataFrame
   * target's first level plus, for partitioned layouts, one listing per
   * partition directory — never a data read. Single writer per
   * (target, tag) assumed; concurrent writers need distinct tags.
+  *
+  * A tag's idempotency window ends at the next compaction: the rewrite
+  * strips tag prefixes, so a compacted batch can no longer be swept —
+  * re-appending (or aborting) a tag committed before a compaction
+  * double-commits (or no-ops) silently. Use a fresh tag per logical batch
+  * (a unique batch id); the streaming ingest layer additionally guards
+  * replay-across-compaction with commit markers
+  * (graft.streaming.Streams.appendIngestBatch). IngestProtocolSpec pins
+  * the composed behavior under randomized interleavings.
   */
 object TaggedAppend {
 

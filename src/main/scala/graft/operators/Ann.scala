@@ -486,7 +486,10 @@ object Ann {
     * centroids and sidecar are untouched. Run it on a QUIESCED index only
     * — compaction renames data files, so a concurrent tagged append's
     * crash-replay bookkeeping (which sweeps by file name) no longer sees
-    * its own files. Returns the compaction stats. */
+    * its own files — and note it SEALS every previously-appended tag (the
+    * rewrite strips tag prefixes): never reuse a pre-compaction tag after
+    * it, use fresh batch ids ([[graft.core.TaggedAppend]]'s contract).
+    * Returns the compaction stats. */
   def ivfCompact(spark: org.apache.spark.sql.SparkSession, path: String,
       targetFileBytes: Long = 128L * 1024 * 1024): graft.api.CompactionStats =
     graft.api.Graft.compactPartitionedTable(spark, s"$path/data",
