@@ -1166,6 +1166,21 @@ object SparkEntry {
       .select(col("lang"), round(col("med"), 6).as("med"))
       .orderBy("lang")
 
+  /** RAG/context-prep chunking: fixed 200-char windows, 40 shared chars.
+    * Map-side generator only — the closed-form boundary arithmetic is the
+    * whole contract, and the oracle reproduces it from the parameters. */
+  private def t18_chunk_chars(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Chunk.chunkChars(
+        t(s, dir, "documents"), "doc_id", "text", chunkSize = 200, overlap = 40)
+      .orderBy("doc_id", "chunk_ix")
+
+  /** Word-window variant (40 words, 8 shared — the approximate-token
+    * windowing); words per the t3 whitespace contract. */
+  private def t18b_chunk_words(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Chunk.chunkWords(
+        t(s, dir, "documents"), "doc_id", "text", chunkSize = 40, overlap = 8)
+      .orderBy("doc_id", "chunk_ix")
+
   /** Deterministic stratified sample: 5 docs per source, selected by salted
     * md5 order — both engines agree on the hash, so the exact same rows
     * come out of DuckDB (and would out of any md5-capable engine). */
@@ -1683,6 +1698,8 @@ object SparkEntry {
     "t16_sample" -> (t16_sample _),
     "t17_quantile_sketch" -> (t17_quantile_sketch _),
     "t17b_quantile_by_group" -> (t17b_quantile_by_group _),
+    "t18_chunk_chars" -> (t18_chunk_chars _),
+    "t18b_chunk_words" -> (t18b_chunk_words _),
     "t14b_normalize_fold" -> (t14b_normalize_fold _),
     "e1_quantize" -> (e1_quantize _),
     "e2_l2norm" -> (e2_l2norm _),
@@ -2570,6 +2587,32 @@ object SparkEntry {
     "t17b_quantile_by_group" ->
       """SELECT lang, round(quantile_cont(n_chars, 0.5), 6) AS med
          FROM documents GROUP BY lang ORDER BY lang""",
+    // chunk boundaries replayed from the closed-form window arithmetic:
+    // chunk i covers chars [i*160, i*160+200), n = max(1, ceil((len-40)/160))
+    "t18_chunk_chars" ->
+      """WITH d AS (SELECT doc_id, text,
+             greatest(1, CAST(ceil((length(text) - 40.0) / 160) AS BIGINT)) AS n_chunks
+           FROM documents),
+         e AS (SELECT doc_id, text, n_chunks,
+             unnest(range(0, n_chunks)) AS i FROM d)
+         SELECT doc_id, i AS chunk_ix,
+           substr(text, CAST(i * 160 + 1 AS INT), 200) AS chunk, n_chunks
+         FROM e ORDER BY doc_id, chunk_ix""",
+    // word windows under the t3 whitespace contract: 40 words, step 32,
+    // chunks re-joined with single spaces
+    "t18b_chunk_words" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                    FROM documents),
+         d AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n_words,
+             greatest(1, CAST(ceil((len(ws) - 8.0) / 32) AS BIGINT)) AS n_chunks
+           FROM w),
+         e AS (SELECT doc_id, ws, n_words, n_chunks,
+             unnest(range(0, n_chunks)) AS i FROM d)
+         SELECT doc_id, i AS chunk_ix,
+           array_to_string(list_slice(ws, CAST(i * 32 + 1 AS INT),
+             CAST(i * 32 + 40 AS INT)), ' ') AS chunk,
+           n_words, n_chunks
+         FROM e ORDER BY doc_id, chunk_ix""",
     "t15_heavyhitters" ->
       """WITH w AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS item
                     FROM documents
