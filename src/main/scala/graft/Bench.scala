@@ -20,7 +20,7 @@ object Bench {
     "q7_topk", "q20_multijoin", "d2_dedup_minhash", "a1_ann_brute",
     "t3_tokens", "as1_asof", "as2_asof_native", "as3_asof_sum",
     "d8_decontam", "t9_pack", "t12b_bm25", "t15_heavyhitters",
-    "d10_span_stats", "d12_chunk_dedup")
+    "d10_span_stats", "d12_chunk_dedup", "t18_chunk_chars")
 
   /** Queries measured on the replicated corpus for the scaling slope —
     * the shuffle-heavy pipeline shapes whose 100 TB behavior a plan read
@@ -33,7 +33,8 @@ object Bench {
   val scaleSet: Seq[String] = Seq(
     "d2_dedup_minhash", "d10_span_stats", "t9_pack", "d8_decontam",
     "q6_window", "q3_join_agg", "q20_multijoin", "t12b_bm25",
-    "as2_asof_native", "t15_heavyhitters", "d12_chunk_dedup")
+    "as2_asof_native", "t15_heavyhitters", "d12_chunk_dedup",
+    "t18_chunk_chars")
 
   /** Materialize a `factor`×-replicated copy of the FACT tables the scale
     * set reads (documents, lineitem, orders, events) plus 1× copies of

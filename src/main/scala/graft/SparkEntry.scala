@@ -1273,6 +1273,16 @@ object SparkEntry {
         Map("src0" -> 2.5, "src1" -> 0.5, "src2" -> 0.0), granularity = 1000)
       .orderBy("doc_id", "copy")
 
+  /** Temperature mixing at alpha = 0.5: weights derive from the source
+    * counts (w = N·n^(α−1)/Σn^α, rounded to 6 decimals — both engines
+    * recompute them from the data in IEEE doubles), then the same
+    * deterministic id-slice replication as t10. */
+  private def t10b_mix_temperature(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Mixing.mixByTemperature(
+        t(s, dir, "documents").select("doc_id", "source"),
+        "doc_id", "source", alpha = 0.5, granularity = 1000)
+      .orderBy("doc_id", "copy")
+
   /** qvec is serialized to a comma-joined string for the gate: the driver's
     * comparison harness sorts every output column and raw array cells are
     * unsortable there, so both sides emit the same canonical string form.
@@ -1689,6 +1699,7 @@ object SparkEntry {
     "t8_split" -> (t8_split _),
     "t9_pack" -> (t9_pack _),
     "t10_mix" -> (t10_mix _),
+    "t10b_mix_temperature" -> (t10b_mix_temperature _),
     "t11_perplexity" -> (t11_perplexity _),
     "t12_termstats" -> (t12_termstats _),
     "t12b_bm25" -> (t12b_bm25 _),
@@ -2689,6 +2700,24 @@ object SparkEntry {
            FROM documents)
          SELECT doc_id, source, unnest(range(0, copies)) AS copy
          FROM c ORDER BY doc_id, copy""",
+    // temperature weights recomputed from the data in SQL: same doubles,
+    // same 6-decimal rounding, same floor/round slice resolution as the
+    // Spark driver — then t10's replication machinery
+    "t10b_mix_temperature" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS DOUBLE) AS n
+                    FROM documents GROUP BY source),
+         zt AS (SELECT sum(pow(n, 0.5)) AS z, sum(n) AS total FROM c),
+         w AS (SELECT source, round(total * pow(n, 0.5) / (z * n), 6) AS w
+               FROM c, zt),
+         r AS (SELECT source, CAST(floor(w) AS BIGINT) AS fullc,
+                 CAST(round((w - floor(w)) * 1000, 0) AS BIGINT) AS extra
+               FROM w),
+         cp AS (SELECT d.doc_id, d.source,
+                 fullc + (CASE WHEN d.doc_id % 1000 < extra THEN 1 ELSE 0 END)
+                   AS copies
+                FROM documents d JOIN r USING (source))
+         SELECT doc_id, source, unnest(range(0, copies)) AS copy
+         FROM cp ORDER BY doc_id, copy""",
     "e1_quantize" ->
       """WITH m AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          mx AS (SELECT vec_id, v,

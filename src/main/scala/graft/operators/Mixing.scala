@@ -77,4 +77,41 @@ object Mixing {
     * mixing job reports against its target weights. */
   def mixtureReport(resampled: DataFrame, sourceCol: String): DataFrame =
     resampled.groupBy(sourceCol).agg(count(lit(1)).as("n_rows"))
+
+  /** Temperature-based mixture weights: each source sampled with
+    * probability ∝ count^alpha (the standard LLM-corpus reweighting —
+    * alpha = 1 keeps the natural mixture, alpha < 1 flattens it toward
+    * uniform, upsampling rare sources; alpha = 0 is fully uniform). The
+    * per-source [[resample]] weight that realizes those probabilities at
+    * unchanged total row count is  w_i = N · n_i^(alpha−1) / Σ n_j^alpha.
+    *
+    * Driver work is one distributed count aggregation collecting
+    * #sources rows — bounded by the source vocabulary, never the corpus.
+    * Weights round to 6 decimals so the arithmetic replays identically
+    * in any IEEE-double engine (the oracle recomputes them in SQL). */
+  def temperatureWeights(df: DataFrame, sourceCol: String,
+      alpha: Double): Map[String, Double] = {
+    require(alpha >= 0 && alpha <= 1 && !alpha.isNaN,
+      s"alpha in [0, 1] (1 = natural mixture, 0 = uniform); got $alpha")
+    val counts = df.groupBy(col(sourceCol).cast("string").as("src"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "empty input")
+    val total = counts.values.sum.toDouble
+    val z = counts.values.map(n => math.pow(n.toDouble, alpha)).sum
+    counts.map { case (s, n) =>
+      val w = total * math.pow(n.toDouble, alpha) / (z * n)
+      s -> java.math.BigDecimal.valueOf(w)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+  }
+
+  /** [[resample]] under [[temperatureWeights]]: one counting pass plans
+    * the weights, then the zero-shuffle deterministic resample applies
+    * them. Expected output size ≈ input size at any alpha (the weights
+    * are normalized to preserve N). */
+  def mixByTemperature(df: DataFrame, idCol: String, sourceCol: String,
+      alpha: Double, granularity: Int = 1000): DataFrame =
+    resample(df, idCol, sourceCol, temperatureWeights(df, sourceCol, alpha),
+      granularity)
 }

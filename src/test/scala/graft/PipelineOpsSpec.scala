@@ -730,6 +730,35 @@ class MixingSpec extends SparkSpec {
     val report = Mixing.mixtureReport(df, "source").collect()
     assert(report.map(r => (r.getString(0), r.getLong(1))).toSet == Set(("a", 3L)))
   }
+
+  test("temperature weights: alpha=1 is identity, alpha=0 equalizes, N preserved") {
+    // 80/20 mixture over dense ids
+    val w1 = Mixing.temperatureWeights(rows, "source", alpha = 1.0)
+    assert(w1 == Map("a" -> 1.0, "b" -> 1.0))
+    // alpha=0: p_i = 1/k, so each source's expected rows = N/k = 5:
+    // w_a = 5/8 = 0.625, w_b = 5/2 = 2.5
+    val w0 = Mixing.temperatureWeights(rows, "source", alpha = 0.0)
+    assert(w0 == Map("a" -> 0.625, "b" -> 2.5))
+    // expected total rows preserved at any alpha: sum(w_i * n_i) == N
+    val w5 = Mixing.temperatureWeights(rows, "source", alpha = 0.5)
+    val n = Map("a" -> 8L, "b" -> 2L)
+    val total = w5.map { case (s, w) => w * n(s) }.sum
+    assert(math.abs(total - 10.0) < 1e-4, s"weights $w5 drift N: $total")
+    // rare source upsampled, common source downsampled, monotone in alpha
+    assert(w5("b") > 1.0 && w5("b") < w0("b") && w5("a") < 1.0 && w5("a") > w0("a"))
+    // realized mixture through the resample (granularity 10): w_a=.833333
+    // -> extra slice 8 covers ids 0..7 (one copy each, 8 rows); w_b =
+    // 1.666667 -> 1 full copy + extra slice 7, but b's ids 8,9 sit outside
+    // id%10 < 7, so 2 rows — the documented uniform-ids assumption showing
+    // up at toy scale
+    val mixed = Mixing.mixByTemperature(rows, "id", "source",
+      alpha = 0.5, granularity = 10)
+    val report = Mixing.mixtureReport(mixed, "source").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(report == Map("a" -> 8L, "b" -> 2L), s"got $report")
+    intercept[IllegalArgumentException](
+      Mixing.temperatureWeights(rows, "source", alpha = 1.5))
+  }
 }
 
 class CompactionSpec extends SparkSpec {
