@@ -710,6 +710,32 @@ object SparkEntry {
     e.unionByName(planted)
   }
 
+  private val AnnPlanesFixture = "/tmp/graft_fixtures/ann_planes.parquet"
+
+  /** Distributed ANN JOIN gate: queries are a TABLE (vec_id < 15), corpus
+    * the rest — no driver literals anywhere. The seeded hyperplanes
+    * persist as a fixture (the BPE pattern) so DuckDB recomputes BOTH
+    * sides' sketches from raw dot products against the same planes, then
+    * replays the Hamming-≤1 bucket match and the per-query cosine rank.
+    * The hash gate therefore covers the sketch kernel, the multi-probe
+    * mask fan-out, the bucket equi-join, and the rank — any drift between
+    * driver masks and executor sketches goes red. */
+  private def a6_ann_join(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Ann.hyperplanes(64, 8, 42L).zipWithIndex
+      .map { case (w, i) => (i, w.toSeq) }
+      .toDF("plane_ix", "w")
+      .coalesce(1).write.mode("overwrite").parquet(AnnPlanesFixture)
+    val e = t(s, dir, "embeddings")
+    Ann.annJoin(
+        e.filter(col("vec_id") < 15).withColumnRenamed("vec_id", "query_id"),
+        e.filter(col("vec_id") >= 15),
+        "query_id", "vec_id", "embedding",
+        dim = 64, k = 5, numPlanes = 8, maxHamming = 1)
+      .select("query_id", "vec_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+
   private def a4_ann_batch(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val qs = e.filter(col("vec_id").isin(0L, 1L, 2L))
@@ -1678,6 +1704,7 @@ object SparkEntry {
     "a1_ann_brute" -> (a1_ann_brute _),
     "a2_ann_lsh" -> (a2_ann_lsh _),
     "a4_ann_batch" -> (a4_ann_batch _),
+    "a6_ann_join" -> (a6_ann_join _),
     "a5_ann_ivf_batch" -> (a5_ann_ivf_batch _),
     "a3_ann_ivf" -> (a3_ann_ivf _),
     "p1_ann_pq" -> (p1_ann_pq _),
@@ -2192,6 +2219,28 @@ object SparkEntry {
          FROM embeddings WHERE vec_id <> 0
          ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qe FROM q)) DESC, vec_id
          LIMIT 10""",
+    // replays the ANN join from the persisted plane fixture: sketches from
+    // raw dot products (bit i set iff v·w_i >= 0), candidates from the
+    // Hamming<=1 sketch match, rank by exact cosine with id tiebreak
+    "a6_ann_join" ->
+      """WITH p AS (SELECT plane_ix, w
+                    FROM read_parquet('/tmp/graft_fixtures/ann_planes.parquet/*.parquet')),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         sk AS (SELECT e.vec_id,
+             CAST(sum(CASE WHEN list_dot_product(e.v, p.w) >= 0
+                 THEN CAST(1 AS BIGINT) << p.plane_ix ELSE 0 END) AS BIGINT) AS s
+           FROM e, p GROUP BY e.vec_id),
+         m AS (SELECT q.vec_id AS query_id, c.vec_id,
+             list_cosine_similarity(qe.v, ce.v) AS cos
+           FROM sk q JOIN sk c ON bit_count(xor(q.s, c.s)) <= 1
+             JOIN e qe ON qe.vec_id = q.vec_id
+             JOIN e ce ON ce.vec_id = c.vec_id
+           WHERE q.vec_id < 15 AND c.vec_id >= 15),
+         r AS (SELECT query_id, vec_id, CAST(ROW_NUMBER() OVER
+               (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+           FROM m)
+         SELECT query_id, vec_id, rank FROM r WHERE rank <= 5
+         ORDER BY query_id, rank""",
     // replays PQ encode + ADC from the persisted codebook fixture:
     // per-subspace squared-L2 via an ordered positional fold (list_sum
     // over a diff list — the same ascending-element order as the Spark

@@ -528,6 +528,68 @@ object Ann {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** Distributed ANN JOIN: top-k nearest corpus rows for EVERY row of a
+    * query TABLE — no driver-side query literals, so the query side can be
+    * any size (the batch paths [[batchBruteTopK]]/[[ivfBatchTopK]] ship
+    * queries as driver literals and cap out at hundreds).
+    *
+    * Scale shape: both sides are sketched map-side (codegen'd hyperplane
+    * kernel, shared seed), the QUERY side fans out to its multi-probe
+    * buckets (sketch ⊕ each Hamming-≤`maxHamming` mask — a driver-side
+    * mask list, `Σ C(numPlanes, i)` probes per query), and candidates
+    * come from ONE shuffle equi-join on the bucket value — never a
+    * cross join, never a broadcast of either side. Each (query,
+    * candidate) pair matches through exactly one mask (the mask IS
+    * qsketch⊕csketch), so no dedup pass is needed. Exact cosine then
+    * ranks per query with the WindowGroupLimit rewrite (≤ k rows per
+    * query per partition through the final shuffle).
+    *
+    * Trade-offs at 100 TB: bucket skew is the risk to watch (a hot
+    * bucket concentrates both sides on one task — raise `numPlanes` to
+    * split buckets, or pre-salt the corpus side); recall follows the
+    * lshTopK parameter trade-offs (RecallSpec measures them). Returns
+    * (queryIdCol, corpusIdCol, cosine, rank). */
+  def annJoin(
+      queries: DataFrame,
+      corpus: DataFrame,
+      queryIdCol: String,
+      corpusIdCol: String,
+      vecCol: String,
+      dim: Int,
+      k: Int,
+      numPlanes: Int = 8,
+      maxHamming: Int = 1,
+      seed: Long = 42L): DataFrame = {
+    require(numPlanes <= 63, "sketch packs into one long")
+    require(maxHamming >= 0 && maxHamming <= 2,
+      "maxHamming in {0,1,2} — larger probe sets square the fan-out; " +
+        "re-bucket with fewer planes instead")
+    import org.apache.spark.sql.expressions.Window
+    val masks: Seq[Long] = {
+      val singles = (0 until numPlanes).map(i => 1L << i)
+      val pairs = for {
+        i <- 0 until numPlanes; j <- i + 1 until numPlanes
+      } yield (1L << i) | (1L << j)
+      Seq(0L) ++ (if (maxHamming >= 1) singles else Nil) ++
+        (if (maxHamming >= 2) pairs else Nil)
+    }
+    val sketch = hyperplaneSketch(col(vecCol), dim, numPlanes, seed)
+    val qs = queries.select(col(queryIdCol), col(vecCol).as("__qvec"),
+        sketch.as("__qsk"))
+      .select(col(queryIdCol), col("__qvec"),
+        explode(array(masks.map(m => col("__qsk").bitwiseXOR(lit(m))): _*))
+          .as("__bucket"))
+    val cs = corpus.select(col(corpusIdCol), col(vecCol).as("__cvec"),
+      sketch.as("__bucket"))
+    qs.join(cs, "__bucket")
+      .select(col(queryIdCol), col(corpusIdCol),
+        cosine(col("__qvec"), col("__cvec")).as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(queryIdCol))
+          .orderBy(desc("cosine"), col(corpusIdCol))))
+      .filter(col("rank") <= k)
+  }
+
   /** ANN via hyperplane LSH: scan only rows whose sketch is within
     * `maxHammingProbe` bits of the query's sketch, then exact cosine top-k
     * on that candidate set. probe=0 scans a single bucket. */

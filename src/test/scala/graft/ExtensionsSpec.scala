@@ -222,6 +222,38 @@ class AnnSpec extends SparkSpec {
     Array.fill(dim)(r.nextGaussian().toFloat)
   }
 
+  test("annJoin agrees with per-query lshTopK and finds planted copies") {
+    val dim = 16
+    val corpus = (100 until 400).map(i => (i.toLong, randVec(i, dim))) ++
+      // planted exact copies of query vectors 0 and 3 — identical sketch,
+      // cosine exactly 1.0, must surface at rank 1
+      Seq((9000L, randVec(0, dim)), (9003L, randVec(3, dim)))
+    val cdf = corpus.toDF("vec_id", "embedding")
+    val queries = (0 until 5).map(i => (i.toLong, randVec(i, dim)))
+    val qdf = queries.toDF("query_id", "embedding")
+    val joined = Ann.annJoin(qdf, cdf, "query_id", "vec_id", "embedding",
+        dim = dim, k = 7, numPlanes = 8, maxHamming = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+      .groupBy(_._1)
+    // per-query agreement with the single-query LSH path (same planes,
+    // same probe budget, same kernel and tiebreak)
+    queries.foreach { case (qid, qv) =>
+      val single = Ann.lshTopK(cdf, "vec_id", "embedding", dim, qv, k = 7,
+          numPlanes = 8, maxHammingProbe = 1)
+        .collect().map(r => (r.getLong(0), r.getInt(2))).toSeq
+      val fromJoin = joined.getOrElse(qid, Array.empty)
+        .sortBy(_._3).map(t => (t._2, t._3)).toSeq
+      assert(fromJoin == single, s"query $qid: join $fromJoin vs lsh $single")
+    }
+    assert(joined(0L).minBy(_._3)._2 == 9000L)
+    assert(joined(3L).minBy(_._3)._2 == 9003L)
+    // probe-mask domain guard
+    intercept[IllegalArgumentException](
+      Ann.annJoin(qdf, cdf, "query_id", "vec_id", "embedding", dim, 5,
+        maxHamming = 3))
+  }
+
   test("brute-force top-k: self is rank 1 with cosine 1") {
     val dim = 16
     val rows = (0 until 50).map(i => (i.toLong, randVec(i, dim)))
