@@ -736,6 +736,31 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  private val IvfJoinCentroidsFixture = "/tmp/graft_fixtures/ivf_join_centroids.parquet"
+  private val IvfJoinAssignFixture = "/tmp/graft_fixtures/ivf_join_assign.parquet"
+
+  /** Routed ANN-join gate: the trained centroids AND the corpus's cluster
+    * assignments persist as fixtures (assignment correctness is gated by
+    * a3/a3b; here they are INPUT), so DuckDB replays exactly the join's
+    * own work — per-query centroid ranking with the lower-cid tie
+    * contract, the probe fan-out, the cluster equi-join, and the cosine
+    * rank. */
+  private def a7_ann_ivf_join(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+    val idx = Ann.ivfBuild(e.filter(col("vec_id") >= 15), "vec_id",
+      "embedding", nlist = 16)
+    idx.centroids.toDF("cid", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(IvfJoinCentroidsFixture)
+    idx.clustered.select("vec_id", "gr_cluster").coalesce(1)
+      .write.mode("overwrite").parquet(IvfJoinAssignFixture)
+    Ann.ivfJoin(
+        e.filter(col("vec_id") < 15).withColumnRenamed("vec_id", "query_id"),
+        idx, "query_id", "vec_id", "embedding", k = 5, nprobe = 4)
+      .select("query_id", "vec_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+
   private def a4_ann_batch(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val qs = e.filter(col("vec_id").isin(0L, 1L, 2L))
@@ -1705,6 +1730,7 @@ object SparkEntry {
     "a2_ann_lsh" -> (a2_ann_lsh _),
     "a4_ann_batch" -> (a4_ann_batch _),
     "a6_ann_join" -> (a6_ann_join _),
+    "a7_ann_ivf_join" -> (a7_ann_ivf_join _),
     "a5_ann_ivf_batch" -> (a5_ann_ivf_batch _),
     "a3_ann_ivf" -> (a3_ann_ivf _),
     "p1_ann_pq" -> (p1_ann_pq _),
@@ -2236,6 +2262,32 @@ object SparkEntry {
              JOIN e qe ON qe.vec_id = q.vec_id
              JOIN e ce ON ce.vec_id = c.vec_id
            WHERE q.vec_id < 15 AND c.vec_id >= 15),
+         r AS (SELECT query_id, vec_id, CAST(ROW_NUMBER() OVER
+               (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+           FROM m)
+         SELECT query_id, vec_id, rank FROM r WHERE rank <= 5
+         ORDER BY query_id, rank""",
+    // replays the routed join from the centroid + assignment fixtures:
+    // per-query centroid rank (cos DESC, cid — the lower-cid tie
+    // contract), nprobe fan-out, cluster equi-join, cosine rank
+    "a7_ann_ivf_join" ->
+      """WITH cen AS (SELECT cid, centroid
+                      FROM read_parquet('/tmp/graft_fixtures/ivf_join_centroids.parquet/*.parquet')),
+         a AS (SELECT vec_id, gr_cluster
+               FROM read_parquet('/tmp/graft_fixtures/ivf_join_assign.parquet/*.parquet')),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 15),
+         pr AS (SELECT q.query_id, cen.cid, ROW_NUMBER() OVER
+               (PARTITION BY q.query_id
+                ORDER BY list_cosine_similarity(q.v, cen.centroid) DESC, cen.cid)
+               AS rk
+           FROM q, cen),
+         cand AS (SELECT p.query_id, a.vec_id
+           FROM pr p JOIN a ON a.gr_cluster = p.cid WHERE p.rk <= 4),
+         m AS (SELECT c.query_id, c.vec_id,
+             list_cosine_similarity(qe.v, ce.v) AS cos
+           FROM cand c JOIN e qe ON qe.vec_id = c.query_id
+             JOIN e ce ON ce.vec_id = c.vec_id),
          r AS (SELECT query_id, vec_id, CAST(ROW_NUMBER() OVER
                (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
            FROM m)

@@ -590,6 +590,46 @@ object Ann {
       .filter(col("rank") <= k)
   }
 
+  /** [[annJoin]]'s routed counterpart: top-k nearest corpus rows for every
+    * row of a query TABLE against an IVF index. Probe routing happens
+    * EXECUTOR-side — each query row ranks the literal centroid list with
+    * the codegen'd cosine kernel (an array of (−score, cid) structs,
+    * sorted ascending = score descending with the build's lower-cid tie
+    * contract) and explodes to its `nprobe` cluster ids; candidates come
+    * from one shuffle equi-join on `gr_cluster`. No driver collect of
+    * queries, no cross join. Per-query semantics equal [[ivfTopK]]
+    * (spec-pinned). With table-scale query sides every cluster is
+    * somebody's probe, so the corpus legitimately shuffles once — the
+    * index's value here is CANDIDATE REDUCTION (each query scores
+    * nprobe/nlist of the corpus), not partition pruning. Returns
+    * (queryIdCol, corpusIdCol, cosine, rank). */
+  def ivfJoin(
+      queries: DataFrame,
+      index: IvfIndex,
+      queryIdCol: String,
+      corpusIdCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int = 4): DataFrame = {
+    require(nprobe >= 1 && nprobe <= index.centroids.size,
+      s"nprobe must be in [1, nlist=${index.centroids.size}]")
+    import org.apache.spark.sql.expressions.Window
+    val scored = array(index.centroids.map { case (cid, c) =>
+      struct((-cosine(col(vecCol), lit(c))).as("ns"), lit(cid).as("cid"))
+    }: _*)
+    val probes = slice(sort_array(scored), 1, nprobe)
+    val qs = queries.select(col(queryIdCol), col(vecCol).as("__qvec"),
+      explode(probes.getField("cid")).as("gr_cluster"))
+    qs.join(index.clustered.select(col(corpusIdCol), col(vecCol).as("__cvec"),
+        col("gr_cluster")), "gr_cluster")
+      .select(col(queryIdCol), col(corpusIdCol),
+        cosine(col("__qvec"), col("__cvec")).as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(queryIdCol))
+          .orderBy(desc("cosine"), col(corpusIdCol))))
+      .filter(col("rank") <= k)
+  }
+
   /** ANN via hyperplane LSH: scan only rows whose sketch is within
     * `maxHammingProbe` bits of the query's sketch, then exact cosine top-k
     * on that candidate set. probe=0 scans a single bucket. */

@@ -254,6 +254,29 @@ class AnnSpec extends SparkSpec {
         maxHamming = 3))
   }
 
+  test("ivfJoin agrees with per-query ivfTopK (probe sets, scores, ranks)") {
+    val dim = 16
+    val corpus = (100 until 400).map(i => (i.toLong, randVec(i, dim)))
+      .toDF("vec_id", "embedding")
+    val idx = Ann.ivfBuild(corpus, "vec_id", "embedding", nlist = 8)
+    val queries = (0 until 6).map(i => (i.toLong, randVec(1000 + i, dim)))
+    val joined = Ann.ivfJoin(queries.toDF("query_id", "embedding"), idx,
+        "query_id", "vec_id", "embedding", k = 7, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+      .groupBy(_._1)
+    queries.foreach { case (qid, qv) =>
+      val single = Ann.ivfTopK(idx, "vec_id", "embedding", qv, k = 7,
+          nprobe = 3)
+        .collect().map(r => (r.getLong(0), r.getInt(2))).toSeq
+      val fromJoin = joined.getOrElse(qid, Array.empty)
+        .sortBy(_._3).map(t => (t._2, t._3)).toSeq
+      assert(fromJoin == single, s"query $qid: join $fromJoin vs ivf $single")
+    }
+    intercept[IllegalArgumentException](
+      Ann.ivfJoin(queries.toDF("query_id", "embedding"), idx,
+        "query_id", "vec_id", "embedding", k = 7, nprobe = 99))
+  }
+
   test("brute-force top-k: self is rank 1 with cosine 1") {
     val dim = 16
     val rows = (0 until 50).map(i => (i.toLong, randVec(i, dim)))
