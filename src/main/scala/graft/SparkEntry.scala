@@ -902,6 +902,40 @@ object SparkEntry {
   private val IvfPqCentroidsFixture = "/tmp/graft_fixtures/ivfpq_centroids.parquet"
   private val IvfPqCodebooksFixture = "/tmp/graft_fixtures/ivfpq_codebooks.parquet"
 
+  private val IvfPqJoinCentroidsFixture = "/tmp/graft_fixtures/ivfpq_join_centroids.parquet"
+  private val IvfPqJoinCodebooksFixture = "/tmp/graft_fixtures/ivfpq_join_codebooks.parquet"
+  private val IvfPqJoinServingFixture = "/tmp/graft_fixtures/ivfpq_join_serving.parquet"
+
+  /** Quantized query-TABLE join gate: centroids, codebooks AND the encoded
+    * serving table persist as fixtures (encode correctness is p1/p2's
+    * gate — here the codes are INPUT), so DuckDB replays exactly the
+    * join's own work: per-query centroid ranking (lower-cid ties), probe
+    * fan-out, cluster equi-join, per-(query, candidate) ADC from the
+    * codebook (ordered positional fold, p1's arithmetic), and the
+    * distance rank. */
+  private def a8_ann_ivfpq_join(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+    val corpus = e.filter(col("vec_id") >= 15)
+    val index = Ann.ivfBuild(corpus, "vec_id", "embedding", nlist = 16)
+    val model = Pq.pqTrain(corpus, "vec_id", "embedding", m = 8, k = 16)
+    index.centroids.map { case (cid, v) => (cid, v.toSeq) }
+      .toDF("cid", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(IvfPqJoinCentroidsFixture)
+    model.cells.zipWithIndex.flatMap { case (cb, sub) =>
+      cb.zipWithIndex.map { case (v, c) => (sub, c, v.toSeq) }
+    }.toSeq.toDF("sub", "cell", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(IvfPqJoinCodebooksFixture)
+    val serving = Pq.ivfPqEncode(index, "vec_id", "embedding", model)
+    serving.coalesce(1).write.mode("overwrite").parquet(IvfPqJoinServingFixture)
+    Pq.ivfPqJoin(
+        e.filter(col("vec_id") < 15).withColumnRenamed("vec_id", "query_id"),
+        serving, index.centroids, model,
+        "query_id", "vec_id", "embedding", k = 5, nprobe = 4)
+      .select("query_id", "vec_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+
   private def a3_ann_ivf(s: SparkSession, dir: String): DataFrame = {
     val index = Ann.ivfBuild(annCorpus(s, dir), "vec_id", "embedding", nlist = 16)
     Ann.ivfTopK(index, "vec_id", "embedding", queryVec(s, dir),
@@ -1731,6 +1765,7 @@ object SparkEntry {
     "a4_ann_batch" -> (a4_ann_batch _),
     "a6_ann_join" -> (a6_ann_join _),
     "a7_ann_ivf_join" -> (a7_ann_ivf_join _),
+    "a8_ann_ivfpq_join" -> (a8_ann_ivfpq_join _),
     "a5_ann_ivf_batch" -> (a5_ann_ivf_batch _),
     "a3_ann_ivf" -> (a3_ann_ivf _),
     "p1_ann_pq" -> (p1_ann_pq _),
@@ -2265,6 +2300,42 @@ object SparkEntry {
          r AS (SELECT query_id, vec_id, CAST(ROW_NUMBER() OVER
                (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
            FROM m)
+         SELECT query_id, vec_id, rank FROM r WHERE rank <= 5
+         ORDER BY query_id, rank""",
+    // replays the quantized join from the centroid/codebook/serving
+    // fixtures: probe rank (cos DESC, cid), cluster join, per-pair ADC as
+    // an ordered positional fold over the codebook (p1's arithmetic)
+    "a8_ann_ivfpq_join" ->
+      """WITH cb AS (SELECT sub, cell, vec FROM
+           read_parquet('/tmp/graft_fixtures/ivfpq_join_codebooks.parquet/*.parquet')),
+         cent AS (SELECT cid, vec FROM
+           read_parquet('/tmp/graft_fixtures/ivfpq_join_centroids.parquet/*.parquet')),
+         srv AS (SELECT vec_id, gr_cluster, pq_code FROM
+           read_parquet('/tmp/graft_fixtures/ivfpq_join_serving.parquet/*.parquet')),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 15),
+         pr AS (SELECT query_id, cid FROM (
+             SELECT q.query_id, cent.cid, ROW_NUMBER() OVER
+               (PARTITION BY q.query_id
+                ORDER BY list_cosine_similarity(q.v, cent.vec) DESC, cent.cid)
+               AS rk
+             FROM q CROSS JOIN cent) x WHERE rk <= 4),
+         lut AS (SELECT q.query_id, cb.sub, cb.cell,
+             list_sum(list_transform(
+               list_transform(range(1, len(cb.vec) + 1),
+                 j -> q.v[cb.sub * len(cb.vec) + j] - cb.vec[j]),
+               x -> x * x)) AS d
+           FROM q CROSS JOIN cb),
+         cand AS (SELECT p.query_id, s.vec_id, s.pq_code
+           FROM pr p JOIN srv s ON s.gr_cluster = p.cid),
+         adc AS (SELECT c.query_id, c.vec_id,
+             list_sum(list(l.d ORDER BY l.sub)) AS dist
+           FROM cand c JOIN lut l ON l.query_id = c.query_id
+             AND l.cell = c.pq_code[l.sub + 1]
+           GROUP BY c.query_id, c.vec_id),
+         r AS (SELECT query_id, vec_id, CAST(ROW_NUMBER() OVER
+               (PARTITION BY query_id ORDER BY dist, vec_id) AS INT) AS rank
+           FROM adc)
          SELECT query_id, vec_id, rank FROM r WHERE rank <= 5
          ORDER BY query_id, rank""",
     // replays the routed join from the centroid + assignment fixtures:

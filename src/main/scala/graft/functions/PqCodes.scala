@@ -147,6 +147,66 @@ object PqAdcBatchExpr {
     GraftInternals.column(PqAdcBatchExpr(GraftInternals.expression(codes), luts))
 }
 
+/** Table-side asymmetric distance: the query VECTOR is a column (not a
+  * driver-folded LUT), so ADC works inside a join where every row carries
+  * its own query — the serving shape for query TABLES ([[graft.operators.Pq.ivfPqJoin]]).
+  * Arithmetic is bit-identical to the LUT path: per subspace the same
+  * left-to-right squared-L2 fold ([[PqImpl.subDistFrom]] — exactly the
+  * value buildLut would have precomputed), summed in ascending subspace
+  * order. Cost per pair is O(dim) instead of the LUT's O(m) — the LUT
+  * amortization needs a per-query driver fold, which is precisely what a
+  * table-side query cannot have; the I/O story (codes, not vectors,
+  * through scan/shuffle) is unchanged, which is what matters at corpus
+  * scale. Null/mis-sized inputs or out-of-range codes yield null. */
+case class PqAdcVecExpr(left: Expression, right: Expression,
+    cells: Array[Array[Array[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  require(cells.nonEmpty && cells.forall(_.nonEmpty), "empty codebook")
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"pq_adc_vec expects (array<float|double> query, array<int> codes), got $other")
+    }
+
+  @transient private lazy val queryIsFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(q: Any, c: Any): Any =
+    PqImpl.adcVec(q.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData],
+      cells, queryIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCells", cells, "double[][][]")
+    val boxed = ctx.freshName("pqDist")
+    nullSafeCodeGen(ctx, ev, (q, c) => s"""
+      java.lang.Double $boxed =
+        graft.functions.PqImpl.adcVec($q, $c, $cbRef, $queryIsFloat);
+      if ($boxed == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $boxed.doubleValue(); }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+  override def prettyName: String = "pq_adc_vec"
+}
+
+object PqAdcVecExpr {
+  def apply(qvec: Column, codes: Column,
+      cells: Array[Array[Array[Double]]]): Column =
+    GraftInternals.column(PqAdcVecExpr(GraftInternals.expression(qvec),
+      GraftInternals.expression(codes), cells))
+}
+
 object PqImpl {
 
   /** Squared L2 between `v[off .. off+dsub)` and `cell`, left-to-right —
@@ -246,6 +306,34 @@ object PqImpl {
       q += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** Table-side ADC: squared L2 between a query vector column value and a
+    * candidate's codes under `cells` — per subspace the SAME fold as
+    * [[buildLut]]'s entries, summed ascending, so the result is
+    * bit-identical to `adc(codes, buildLut(q, cells))`. */
+  def adcVec(qvec: ArrayData, codes: ArrayData,
+      cells: Array[Array[Array[Double]]], queryIsFloat: Boolean): java.lang.Double = {
+    val m = cells.length
+    val dsub = cells(0)(0).length
+    if (qvec.numElements() != m * dsub || codes.numElements() != m) return null
+    val q = new Array[Double](m * dsub)
+    var i = 0
+    while (i < q.length) {
+      if (qvec.isNullAt(i)) return null
+      q(i) = if (queryIsFloat) qvec.getFloat(i).toDouble else qvec.getDouble(i)
+      i += 1
+    }
+    var d = 0.0
+    var s = 0
+    while (s < m) {
+      if (codes.isNullAt(s)) return null
+      val c = codes.getInt(s)
+      if (c < 0 || c >= cells(s).length) return null
+      d += subDistFrom(q, s * dsub, cells(s)(c))
+      s += 1
+    }
+    java.lang.Double.valueOf(d)
   }
 
   /** The query-side LUT: `lut[sub][cell]` = squared L2 between the query's

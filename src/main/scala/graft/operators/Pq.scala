@@ -277,6 +277,50 @@ object Pq {
       idCol, query, model, k, excludeIds)
   }
 
+  /** Query-TABLE serving against an IVF-PQ table — [[graft.operators.Ann.ivfJoin]]'s
+    * quantized counterpart and the no-driver-literals completion of the
+    * PQ family: each query row ranks the literal centroids executor-side
+    * (same (−score, cid) struct sort, same lower-cid ties as the single-
+    * query path), explodes to its `nprobe` clusters, equi-joins the
+    * serving table on `gr_cluster`, and scores candidates with the
+    * table-side ADC kernel ([[graft.functions.PqAdcVecExpr]] — bit-
+    * identical arithmetic to the LUT path, per-pair O(dim) instead of
+    * O(m) because a table-side query has no driver LUT to amortize; the
+    * scan/shuffle still carries m ints per candidate, never a float
+    * vector, which is the bound that matters at corpus scale). Per-query
+    * semantics equal [[ivfPqTopK]] (spec-pinned). Returns
+    * (queryIdCol, corpusIdCol, pq_dist, rank). */
+  def ivfPqJoin(
+      queries: DataFrame,
+      serving: DataFrame,
+      centroids: Seq[(Int, Array[Double])],
+      model: PqModel,
+      queryIdCol: String,
+      corpusIdCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int = 4): DataFrame = {
+    require(nprobe >= 1 && nprobe <= centroids.size,
+      s"nprobe must be in [1, nlist=${centroids.size}]")
+    import org.apache.spark.sql.expressions.Window
+    val scored = array(centroids.map { case (cid, c) =>
+      struct((-Ann.cosine(col(vecCol), lit(c))).as("ns"), lit(cid).as("cid"))
+    }: _*)
+    val probes = slice(sort_array(scored), 1, nprobe)
+    val qs = queries.select(col(queryIdCol), col(vecCol).as("__qvec"),
+      explode(probes.getField("cid")).as("gr_cluster"))
+    qs.join(serving.select(col(corpusIdCol), col("gr_cluster"), col("pq_code")),
+        "gr_cluster")
+      .select(col(queryIdCol), col(corpusIdCol),
+        graft.functions.PqAdcVecExpr(col("__qvec"), col("pq_code"), model.cells)
+          .as("pq_dist"))
+      .filter(col("pq_dist").isNotNull)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(queryIdCol))
+          .orderBy(col("pq_dist"), col(corpusIdCol))))
+      .filter(col("rank") <= k)
+  }
+
   val PqParamsSidecar = "_graft_pq_params.json"
 
   /** Persist codes + codebooks + params sidecar. Layout mirrors the IVF

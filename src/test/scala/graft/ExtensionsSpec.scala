@@ -590,6 +590,41 @@ class PqSpec extends SparkSpec {
   private lazy val rows = (0 until 400).map(i => (i.toLong, randVec(i, dim)))
   private lazy val df = rows.toDF("vec_id", "embedding")
 
+  test("table-side ADC kernel is bit-identical to the LUT path; ivfPqJoin agrees with ivfPqTopK") {
+    val model = Pq.pqTrain(df, "vec_id", "embedding", m = 4, k = 8)
+    val encoded = Pq.pqEncode(df, "vec_id", "embedding", model)
+    val q = randVec(2024, dim)
+    // kernel parity: PqAdcVecExpr(q, code) == PqAdcExpr(code, buildLut(q))
+    val lut = graft.functions.PqImpl.buildLut(q.map(_.toDouble), model.cells)
+    val both = encoded
+      .select(col("vec_id"),
+        graft.functions.PqAdcVecExpr(lit(q.map(_.toDouble)), col("pq_code"),
+          model.cells).as("vecside"),
+        graft.functions.PqAdcExpr(col("pq_code"), lut).as("lutside"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getDouble(1) == r.getDouble(2),
+        s"ADC paths diverge at ${r.getLong(0)}: ${r.getDouble(1)} vs ${r.getDouble(2)}")
+    }
+    // per-query agreement of the join with the single-query quantized path
+    val index = graft.operators.Ann.ivfBuild(df, "vec_id", "embedding", nlist = 8)
+    val serving = Pq.ivfPqEncode(index, "vec_id", "embedding", model)
+    val queries = (0 until 5).map(i => (i.toLong, randVec(3000 + i, dim)))
+    val joined = Pq.ivfPqJoin(queries.toDF("query_id", "embedding"), serving,
+        index.centroids, model, "query_id", "vec_id", "embedding",
+        k = 7, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+      .groupBy(_._1)
+    queries.foreach { case (qid, qv) =>
+      val single = Pq.ivfPqTopK(serving, index.centroids, model, "vec_id",
+          qv, k = 7, nprobe = 3)
+        .collect().map(r => (r.getLong(0), r.getInt(2))).toSeq
+      val fromJoin = joined.getOrElse(qid, Array.empty)
+        .sortBy(_._3).map(t => (t._2, t._3)).toSeq
+      assert(fromJoin == single, s"query $qid: join $fromJoin vs single $single")
+    }
+  }
+
   test("training is deterministic and encode kernel matches the driver fold") {
     val m1 = Pq.pqTrain(df, "vec_id", "embedding", m = 4, k = 8)
     val m2 = Pq.pqTrain(df.repartition(7), "vec_id", "embedding", m = 4, k = 8)
