@@ -1266,6 +1266,14 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", chunkSize = 40, overlap = 8)
       .orderBy("doc_id", "chunk_ix")
 
+  /** Content-defined chunking (window 16, divisor 64 → ~64-char chunks):
+    * the polynomial rolling hash is explicit arithmetic, so DuckDB
+    * recomputes every window's fold and replays the exact boundaries. */
+  private def t18c_chunk_cdc(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Chunk.chunkContentDefined(
+        t(s, dir, "documents"), "doc_id", "text", window = 16, divisor = 64)
+      .orderBy("doc_id", "chunk_ix")
+
   /** Deterministic stratified sample: 5 docs per source, selected by salted
     * md5 order — both engines agree on the hash, so the exact same rows
     * come out of DuckDB (and would out of any md5-capable engine). */
@@ -1799,6 +1807,7 @@ object SparkEntry {
     "t17b_quantile_by_group" -> (t17b_quantile_by_group _),
     "t18_chunk_chars" -> (t18_chunk_chars _),
     "t18b_chunk_words" -> (t18b_chunk_words _),
+    "t18c_chunk_cdc" -> (t18c_chunk_cdc _),
     "t14b_normalize_fold" -> (t14b_normalize_fold _),
     "e1_quantize" -> (e1_quantize _),
     "e2_l2norm" -> (e2_l2norm _),
@@ -2770,6 +2779,35 @@ object SparkEntry {
     "t17b_quantile_by_group" ->
       """SELECT lang, round(quantile_cont(n_chars, 0.5), 6) AS med
          FROM documents GROUP BY lang ORDER BY lang""",
+    // CDC boundaries replayed from scratch: per candidate end-position i
+    // (1-based, window..n-1 — never the last char) the window's
+    // polynomial fold h = (h*257 + codepoint) % 1e9+7 over positions
+    // [i-15, i]; boundary where h % 64 = 0; chunks between boundaries
+    "t18c_chunk_cdc" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+         pos AS (SELECT doc_id, text, n, unnest(range(16, n)) AS i FROM d),
+         h AS (SELECT doc_id, i,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(i - 15, i + 1),
+                 j -> CAST(unicode(substr(text, CAST(j AS INT), 1)) AS BIGINT))),
+               (a, b) -> (a * 257 + b) % 1000000007) AS hv
+           FROM pos),
+         bl AS (SELECT doc_id, list(i ORDER BY i) AS bs
+                FROM h WHERE hv % 64 = 0 GROUP BY doc_id),
+         wb AS (SELECT d.doc_id, d.text, d.n,
+                  COALESCE(bl.bs, CAST([] AS BIGINT[])) AS bs
+                FROM d LEFT JOIN bl USING (doc_id)),
+         ix AS (SELECT doc_id, text, n, bs, len(bs) + 1 AS n_chunks,
+                  unnest(range(0, len(bs) + 1)) AS k FROM wb),
+         ch AS (SELECT doc_id, k AS chunk_ix, n_chunks, text,
+                  CASE WHEN k = 0 THEN 1 ELSE bs[CAST(k AS INT)] + 1 END AS st,
+                  CASE WHEN k = len(bs) THEN n
+                       ELSE bs[CAST(k + 1 AS INT)] END AS en
+                FROM ix)
+         SELECT doc_id, chunk_ix,
+           substr(text, CAST(st AS INT), CAST(en - st + 1 AS INT)) AS chunk,
+           CAST(n_chunks AS BIGINT) AS n_chunks
+         FROM ch ORDER BY doc_id, chunk_ix""",
     // chunk boundaries replayed from the closed-form window arithmetic:
     // chunk i covers chars [i*160, i*160+200), n = max(1, ceil((len-40)/160))
     "t18_chunk_chars" ->

@@ -45,6 +45,24 @@ object Chunk {
         col("chunk"), col("n_chunks"))
   }
 
+  /** Content-defined chunking ([[graft.functions.CdcChunksExpr]]): split
+    * where a rolling hash of the trailing `window` codepoints hits
+    * `hash % divisor == 0`. Boundaries depend only on local content, so
+    * an edit re-aligns within ~window chars instead of shifting every
+    * later boundary — the dedup-stable chunking (pair with exact or
+    * minhash chunk dedup to catch shifted duplicates fixed windows
+    * miss). Expected chunk length ≈ `divisor` chars. Same map-side-only
+    * cost model as the fixed variants. Returns (idCol, chunk_ix, chunk,
+    * n_chunks). */
+  def chunkContentDefined(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 16, divisor: Int = 64): DataFrame =
+    df.select(col(idCol),
+        graft.functions.CdcChunksExpr(col(textCol), window, divisor).as("__ch"))
+      .select(col(idCol), size(col("__ch")).cast("long").as("n_chunks"),
+        posexplode(col("__ch")).as(Seq("chunk_ix", "chunk")))
+      .select(col(idCol), col("chunk_ix").cast("long").as("chunk_ix"),
+        col("chunk"), col("n_chunks"))
+
   /** Fixed WORD windows (whitespace tokens, the
     * [[graft.functions.TextFunctions.words]] contract) of `chunkSize`
     * words with `overlap` words shared; chunks re-join with single spaces

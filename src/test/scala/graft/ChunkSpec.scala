@@ -68,6 +68,35 @@ class ChunkSpec extends SparkSpec {
     assert(empty.toSeq == Seq(("", 0L, 1L)))
   }
 
+  test("content-defined chunking: reconstruction, shift-resistance, short-text identity") {
+    // pseudo-random ASCII, deterministic; divisor 16 -> dense boundaries
+    def blob(seed: Int, n: Int): String = {
+      val r = new scala.util.Random(seed)
+      (1 to n).map(_ => (33 + r.nextInt(94)).toChar).mkString
+    }
+    val shared = blob(7, 400)
+    val t1 = blob(11, 60) + shared
+    val t2 = blob(13, 37) + shared // different-length prefix: fixed windows
+                                   // would shift EVERY later boundary
+    def chunksOf(text: String): Seq[String] =
+      graft.operators.Chunk.chunkContentDefined(
+          docs((1L, text)), "doc_id", "text", window = 16, divisor = 16)
+        .orderBy("chunk_ix").collect().map(_.getString(2)).toSeq
+    val c1 = chunksOf(t1)
+    val c2 = chunksOf(t2)
+    // chunks reconstruct exactly
+    assert(c1.mkString == t1 && c2.mkString == t2)
+    // shift-resistance: boundaries are content-local, so once both texts
+    // are inside the shared suffix the splits coincide — the tails match
+    val common = c1.reverse.zip(c2.reverse).takeWhile { case (a, b) => a == b }
+    assert(common.size >= 3,
+      s"CDC must re-align after an edit; common tail ${common.size} of " +
+        s"${c1.size}/${c2.size} chunks")
+    // short/empty text is one chunk, identity preserved
+    assert(chunksOf("") == Seq(""))
+    assert(chunksOf("tiny") == Seq("tiny"))
+  }
+
   test("chunking is map-side only: no exchange in the plan") {
     val df = Chunk.chunkChars(docs((1L, "abc")), "doc_id", "text", 2, 1)
     df.collect()
