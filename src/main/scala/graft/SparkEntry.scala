@@ -1194,6 +1194,55 @@ object SparkEntry {
       .select(col("doc_id"), round(col("score"), 6).as("score"))
       .orderBy("doc_id")
 
+  /** The query TABLE for the lexical join gates: constructed as a
+    * DataFrame (the operator's contract — no driver literals inside the
+    * operator), replayed verbatim as a VALUES list in the oracle. */
+  private def bm25JoinQueries(s: SparkSession) = {
+    import s.implicits._
+    Seq(
+      (0L, Seq("agg", "scan", "window")),
+      (1L, Seq("join", "key")),
+      (2L, Seq("vector", "batch", "stream")),
+      (3L, Seq("the", "a")),
+      (4L, Seq("merge", "sort", "filter"))
+    ).toDF("query_id", "terms")
+  }
+
+  /** BM25 over a query TABLE (inverted-index join). Scores rounded to 6
+    * decimals for the hash gate (t12b's determinism strategy — a per-doc
+    * sum's grouping order can move the last ulp). */
+  private def t12c_bm25_join(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Retrieval.bm25Join(bm25JoinQueries(s),
+        t(s, dir, "documents"), "query_id", "terms", "doc_id", "text",
+        k = Int.MaxValue)
+      .select(col("query_id"), col("doc_id"), round(col("score"), 6).as("score"))
+      .orderBy("query_id", "doc_id")
+
+  /** End-to-end hybrid serving with query TABLES only: the LSH ANN join
+    * (cosine list) fused with the BM25 join (rounded-score list) by
+    * grouped reciprocal-rank fusion at topN=20 per list. The id spaces
+    * coincide by construction (vec_id ≡ doc id for fusion purposes).
+    * rrf_score sums at most two 1/(rank+60) doubles — commutative, so
+    * hash-stable (t13's argument). Oracle replays BOTH lists (planes
+    * fixture + BM25 arithmetic) and the fusion. */
+  private def h1_hybrid_join(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val ann = Ann.annJoin(
+        e.filter(col("vec_id") < 5).withColumnRenamed("vec_id", "query_id"),
+        e.filter(col("vec_id") >= 15),
+        "query_id", "vec_id", "embedding",
+        dim = 64, k = 20, numPlanes = 8, maxHamming = 1)
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        col("cosine").as("score"))
+    val lex = graft.operators.Retrieval.bm25Join(bm25JoinQueries(s),
+        t(s, dir, "documents"), "query_id", "terms", "doc_id", "text",
+        k = Int.MaxValue)
+      .select(col("query_id"), col("doc_id"), round(col("score"), 6).as("score"))
+    graft.operators.Retrieval.rrfFuseGrouped(Seq(ann, lex),
+        "query_id", "doc_id", "score", topN = 20)
+      .orderBy("query_id", "doc_id")
+  }
+
   /** Reciprocal-rank fusion of two exact-integer rankings (term frequency
     * and doc length over the 'agg' posting list) — integer ranks and at
     * most two IEEE additions per doc keep the fused double hash-stable
@@ -1799,6 +1848,8 @@ object SparkEntry {
     "t11_perplexity" -> (t11_perplexity _),
     "t12_termstats" -> (t12_termstats _),
     "t12b_bm25" -> (t12b_bm25 _),
+    "t12c_bm25_join" -> (t12c_bm25_join _),
+    "h1_hybrid_join" -> (h1_hybrid_join _),
     "t13_rrf" -> (t13_rrf _),
     "t14_normalize" -> (t14_normalize _),
     "t15_heavyhitters" -> (t15_heavyhitters _),
@@ -2779,6 +2830,87 @@ object SparkEntry {
     "t17b_quantile_by_group" ->
       """SELECT lang, round(quantile_cont(n_chars, 0.5), 6) AS med
          FROM documents GROUP BY lang ORDER BY lang""",
+    // BM25 join replayed in full: query VALUES, vocabulary-restricted
+    // postings, per-term dfs, corpus stats, the t12b scoring arithmetic
+    "t12c_bm25_join" ->
+      """WITH q(query_id, terms) AS (VALUES
+           (0, ['agg', 'scan', 'window']), (1, ['join', 'key']),
+           (2, ['vector', 'batch', 'stream']), (3, ['the', 'a']),
+           (4, ['merge', 'sort', 'filter'])),
+         w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+               FROM documents),
+         toks AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+                    unnest(ws) AS term FROM w),
+         vocab AS (SELECT DISTINCT unnest(terms) AS term FROM q),
+         post AS (SELECT term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
+                  FROM toks JOIN vocab USING (term) GROUP BY term, doc_id, dl),
+         dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                 FROM post GROUP BY term),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS N, avg(len(ws)) AS avgdl
+                FROM w),
+         qt AS (SELECT DISTINCT query_id, unnest(terms) AS term FROM q),
+         sc AS (SELECT qt.query_id, post.doc_id,
+             sum(ln((st.N - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+               * (post.tf * 2.2)
+               / (post.tf + 1.2 * (0.25 + 0.75 * post.dl / st.avgdl))) AS score
+           FROM qt JOIN post USING (term) JOIN dfs USING (term) CROSS JOIN st
+           GROUP BY qt.query_id, post.doc_id)
+         SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+           round(score, 6) AS score
+         FROM sc ORDER BY query_id, doc_id""",
+    // both join lists replayed (plane-fixture ANN + BM25 arithmetic),
+    // then RRF: 1/(rank+60), at most two additions per (query, doc)
+    "h1_hybrid_join" ->
+      """WITH q(query_id, terms) AS (VALUES
+           (0, ['agg', 'scan', 'window']), (1, ['join', 'key']),
+           (2, ['vector', 'batch', 'stream']), (3, ['the', 'a']),
+           (4, ['merge', 'sort', 'filter'])),
+         w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+               FROM documents),
+         toks AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+                    unnest(ws) AS term FROM w),
+         vocab AS (SELECT DISTINCT unnest(terms) AS term FROM q),
+         post AS (SELECT term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
+                  FROM toks JOIN vocab USING (term) GROUP BY term, doc_id, dl),
+         dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                 FROM post GROUP BY term),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS N, avg(len(ws)) AS avgdl
+                FROM w),
+         qt AS (SELECT DISTINCT query_id, unnest(terms) AS term FROM q),
+         sc AS (SELECT qt.query_id, post.doc_id,
+             sum(ln((st.N - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+               * (post.tf * 2.2)
+               / (post.tf + 1.2 * (0.25 + 0.75 * post.dl / st.avgdl))) AS score
+           FROM qt JOIN post USING (term) JOIN dfs USING (term) CROSS JOIN st
+           GROUP BY qt.query_id, post.doc_id),
+         lexr AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY round(score, 6) DESC, doc_id) AS r
+           FROM sc),
+         p AS (SELECT plane_ix, w AS pw FROM
+           read_parquet('/tmp/graft_fixtures/ann_planes.parquet/*.parquet')),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         sk AS (SELECT e.vec_id,
+             CAST(sum(CASE WHEN list_dot_product(e.v, p.pw) >= 0
+                 THEN CAST(1 AS BIGINT) << p.plane_ix ELSE 0 END) AS BIGINT) AS s
+           FROM e, p GROUP BY e.vec_id),
+         m AS (SELECT qs.vec_id AS query_id, c.vec_id AS doc_id,
+             list_cosine_similarity(qe.v, ce.v) AS cos
+           FROM sk qs JOIN sk c ON bit_count(xor(qs.s, c.s)) <= 1
+             JOIN e qe ON qe.vec_id = qs.vec_id
+             JOIN e ce ON ce.vec_id = c.vec_id
+           WHERE qs.vec_id < 5 AND c.vec_id >= 15),
+         annr AS (SELECT query_id, doc_id, ROW_NUMBER() OVER
+               (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS r
+           FROM m),
+         un AS (SELECT query_id, doc_id, 1.0 / (r + 60) AS rr
+                FROM annr WHERE r <= 20
+                UNION ALL
+                SELECT query_id, doc_id, 1.0 / (r + 60) AS rr
+                FROM lexr WHERE r <= 20)
+         SELECT query_id, doc_id, sum(rr) AS rrf_score,
+           CAST(count(*) AS BIGINT) AS n_lists
+         FROM un GROUP BY query_id, doc_id ORDER BY query_id, doc_id""",
     // CDC boundaries replayed from scratch: per candidate end-position i
     // (1-based, window..n-1 — never the last char) the window's
     // polynomial fold h = (h*257 + codepoint) % 1e9+7 over positions

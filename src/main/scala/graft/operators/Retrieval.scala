@@ -120,6 +120,99 @@ object Retrieval {
       .agg(sum(col("__contrib")).as("score"))
   }
 
+  /** BM25 for a query TABLE — the lexical counterpart of
+    * [[graft.operators.Ann.annJoin]]: each query row carries its own term
+    * list, so there are no driver literals and the query side can be any
+    * size. This necessarily changes shape versus [[bm25]]: with terms
+    * unknown at plan time the corpus explodes to tokens once and joins —
+    * the classic distributed inverted index, restricted to the union
+    * query vocabulary BEFORE the heavy (term, doc) aggregation so
+    * out-of-vocabulary tokens never shuffle. Scoring arithmetic is
+    * identical to [[bm25]]. Repeated terms within one query count once
+    * (the query side is term-deduplicated — the standard bag-of-words
+    * query contract here is a SET; weight repeats upstream if needed).
+    * Returns (queryIdCol, idCol, score, rank), rank per query by
+    * (score desc, id), capped at `k`.
+    *
+    * 100 TB shape: one token-explode shuffle builds the vocabulary-
+    * restricted postings; query terms shuffle by term to meet them (hot
+    * terms skew — stopword-heavy query sets should filter or salt);
+    * corpus stats ride one broadcast row. For a SMALL fixed term set
+    * prefer [[bm25]], which never explodes the corpus at all. */
+  def bm25Join(
+      queries: DataFrame,
+      corpus: DataFrame,
+      queryIdCol: String,
+      termsCol: String,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokenized(corpus, idCol, textCol)
+    val stats = toks.agg(count(lit(1)).as("N"), avg(col("dl")).as("avgdl"))
+    val vocab = queries.select(explode(col(termsCol)).as("term")).distinct()
+    val postings = toks
+      .select(col(idCol), col("dl"), explode(col("__w")).as("term"))
+      .join(vocab, "term")
+      .groupBy(col("term"), col(idCol), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    val dfs = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    val qt = queries
+      .select(col(queryIdCol), explode(col(termsCol)).as("term")).distinct()
+    qt.join(postings, "term").join(dfs, "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log((col("N") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("__contrib",
+        col("__idf") * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(sum(col("__contrib")).as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(queryIdCol)).orderBy(desc("score"), col(idCol))))
+      .filter(col("rank") <= k)
+  }
+
+  /** [[rrfFuse]] for GROUPED result lists — the hybrid-search combiner
+    * when each list carries results for MANY queries (the join-operator
+    * outputs: [[bm25Join]], `Ann.annJoin`/`ivfJoin`): ranks are computed
+    * per (list, group), fusion aggregates per (group, id). Same
+    * result-list contract and cap as [[rrfFuse]], enforced per group. */
+  def rrfFuseGrouped(
+      rankings: Seq[DataFrame],
+      groupCol: String,
+      idCol: String,
+      scoreCol: String,
+      k: Int = 60,
+      topN: Int = Int.MaxValue,
+      maxListSize: Int = 1000000): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(k >= 1, "rrf k must be >= 1")
+    require(maxListSize >= 1, "maxListSize must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(desc(scoreCol), asc(idCol))
+    rankings.map { r =>
+      val rank = row_number().over(w)
+      val guarded = rank + coalesce(
+        assert_true(rank <= maxListSize,
+          lit(s"rrfFuseGrouped: a group's ranking list exceeds " +
+            s"maxListSize=$maxListSize rows — fuse per-query RESULT LISTS, " +
+            "not corpora; raise maxListSize explicitly if intended"))
+          .cast("int"),
+        lit(0))
+      r.select(col(groupCol), col(idCol), col(scoreCol))
+        .withColumn("__rank", guarded)
+        .filter(col("__rank") <= topN)
+        .select(col(groupCol), col(idCol),
+          (lit(1.0) / (col("__rank") + lit(k))).as("__rr"))
+    }.reduce(_ unionByName _)
+      .groupBy(col(groupCol), col(idCol))
+      .agg(sum(col("__rr")).as("rrf_score"), count(lit(1)).as("n_lists"))
+  }
+
   /** Reciprocal-rank fusion of several RESULT LISTS (hybrid search's
     * standard combiner): score(d) = Σ over lists of 1 / (k + rank_d), rank
     * 1-based by (scoreCol desc, id asc). Returns (idCol, rrf_score,

@@ -509,6 +509,49 @@ class RetrievalSpec extends SparkSpec {
     (2L, "query query plan"),            // dl 3, tf(query)=2
     (3L, "storage layer details")).toDF("id", "text") // no match
 
+  test("bm25Join matches per-query bm25 scores; rrfFuseGrouped matches per-group rrfFuse") {
+    val corpus = Seq(
+      (1L, "spark query engine fast"), (2L, "query query plan"),
+      (3L, "storage layer details"), (4L, "fast scan fast engine"),
+      (5L, "plan query scan")).toDF("id", "text")
+    val queries = Seq(
+      (10L, Seq("query", "engine")),
+      (11L, Seq("fast", "scan", "scan"))). // repeated term counts once
+      toDF("query_id", "terms")
+    val joined = Retrieval.bm25Join(queries, corpus, "query_id", "terms",
+        "id", "text", k = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    for ((qid, terms) <- Seq(10L -> Seq("query", "engine"), 11L -> Seq("fast", "scan"))) {
+      val single = Retrieval.bm25(corpus, "id", "text", terms)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(joined.keys.count(_._1 == qid) == single.size,
+        s"query $qid match sets differ")
+      single.foreach { case (id, score) =>
+        assert(math.abs(joined((qid, id)) - score) < 1e-9,
+          s"query $qid doc $id: join ${joined((qid, id))} vs single $score")
+      }
+    }
+    // grouped RRF == per-group rrfFuse, group by group
+    val listA = Seq((10L, 1L, 5.0), (10L, 2L, 4.0), (11L, 1L, 9.0))
+      .toDF("query_id", "id", "score")
+    val listB = Seq((10L, 2L, 7.0), (10L, 3L, 6.0), (11L, 4L, 1.0))
+      .toDF("query_id", "id", "score")
+    val grouped = Retrieval.rrfFuseGrouped(Seq(listA, listB),
+        "query_id", "id", "score")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getLong(3))))
+      .toMap
+    for (qid <- Seq(10L, 11L)) {
+      val perGroup = Retrieval.rrfFuse(
+          Seq(listA, listB).map(_.filter(col("query_id") === qid).drop("query_id")),
+          "id", "score")
+        .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+      perGroup.foreach { case (id, v) =>
+        assert(grouped((qid, id)) == v, s"group $qid id $id: ${grouped((qid, id))} vs $v")
+      }
+      assert(grouped.keys.count(_._1 == qid) == perGroup.size)
+    }
+  }
+
   test("term_freqs kernel matches the composed per-term filter formulation") {
     import spark.implicits._
     val docs2 = Seq(
