@@ -277,6 +277,34 @@ class AnnSpec extends SparkSpec {
         "query_id", "vec_id", "embedding", k = 7, nprobe = 99))
   }
 
+  test("query-table joins plan as equi-joins: no cartesian/nested-loop fallback") {
+    val dim = 16
+    val corpus = (100 until 250).map(i => (i.toLong, randVec(i, dim)))
+      .toDF("vec_id", "embedding")
+    val queries = (0 until 4).map(i => (i.toLong, randVec(900 + i, dim)))
+      .toDF("query_id", "embedding")
+    val idx = Ann.ivfBuild(corpus, "vec_id", "embedding", nlist = 4)
+    val model = graft.operators.Pq.pqTrain(corpus, "vec_id", "embedding",
+      m = 4, k = 8)
+    val serving = graft.operators.Pq.ivfPqEncode(idx, "vec_id", "embedding", model)
+    val plans = Seq(
+      "annJoin" -> Ann.annJoin(queries, corpus, "query_id", "vec_id",
+        "embedding", dim, k = 5),
+      "ivfJoin" -> Ann.ivfJoin(queries, idx, "query_id", "vec_id",
+        "embedding", k = 5, nprobe = 2),
+      "ivfPqJoin" -> graft.operators.Pq.ivfPqJoin(queries, serving,
+        idx.centroids, model, "query_id", "vec_id", "embedding",
+        k = 5, nprobe = 2))
+    plans.foreach { case (name, df) =>
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      // a key-type mismatch would silently fall back to a nested-loop
+      // or cartesian join — correct results, catastrophic at corpus scale
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"$name degraded to a non-equi join:\n$p")
+    }
+  }
+
   test("brute-force top-k: self is rank 1 with cosine 1") {
     val dim = 16
     val rows = (0 until 50).map(i => (i.toLong, randVec(i, dim)))

@@ -552,6 +552,18 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("bm25Join plans as an equi-join on term — no cartesian fallback") {
+    val corpus = Seq((1L, "spark query engine"), (2L, "query plan"))
+      .toDF("id", "text")
+    val queries = Seq((10L, Seq("query"))).toDF("query_id", "terms")
+    val df = Retrieval.bm25Join(queries, corpus, "query_id", "terms",
+      "id", "text", k = 5)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"bm25Join degraded to a cartesian join:\n$p")
+  }
+
   test("term_freqs kernel matches the composed per-term filter formulation") {
     import spark.implicits._
     val docs2 = Seq(
