@@ -20,7 +20,7 @@ object Bench {
     "q7_topk", "q20_multijoin", "d2_dedup_minhash", "a1_ann_brute",
     "t3_tokens", "as1_asof", "as2_asof_native", "as3_asof_sum",
     "d8_decontam", "t9_pack", "t12b_bm25", "t15_heavyhitters",
-    "d10_span_stats", "d12_chunk_dedup", "t18_chunk_chars")
+    "d10_span_stats", "d12_chunk_dedup", "t18_chunk_chars", "a6_ann_join")
 
   /** Queries measured on the replicated corpus for the scaling slope —
     * the shuffle-heavy pipeline shapes whose 100 TB behavior a plan read
@@ -34,7 +34,7 @@ object Bench {
     "d2_dedup_minhash", "d10_span_stats", "t9_pack", "d8_decontam",
     "q6_window", "q3_join_agg", "q20_multijoin", "t12b_bm25",
     "as2_asof_native", "t15_heavyhitters", "d12_chunk_dedup",
-    "t18_chunk_chars")
+    "t18_chunk_chars", "a6_ann_join")
 
   /** Materialize a `factor`×-replicated copy of the FACT tables the scale
     * set reads (documents, lineitem, orders, events) plus 1× copies of
@@ -94,6 +94,15 @@ object Bench {
     val replicaTs = spark.read.parquet(s"$out/events.parquet").schema("ts").dataType
     require(replicaTs == srcEvents.schema("ts").dataType,
       s"scaled events ts type $replicaTs != source ${srcEvents.schema("ts").dataType}")
+    // embeddings: replica rows keep the ORIGINAL vectors under shifted ids
+    // — identical vectors land in identical LSH buckets, so the ANN join's
+    // candidate count grows exactly ×factor per query (linear by
+    // construction, the scaling question the slope answers); queries stay
+    // the fixed replica-0 id range
+    spark.read.parquet(s"$sfDir/embeddings.parquet").crossJoin(reps)
+      .withColumn("vec_id", col("vec_id") + col("__r") * 100000000L)
+      .drop("__r")
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     for (dim <- Seq("customer", "nation", "region"))
       spark.read.parquet(s"$sfDir/$dim.parquet")
         .write.mode("overwrite").parquet(s"$out/$dim.parquet")
