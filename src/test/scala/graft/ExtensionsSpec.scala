@@ -583,6 +583,11 @@ class AnnSpec extends SparkSpec {
       "crash-replay must not duplicate appended vectors")
     // marker intact: replay skipped
     assert(!Streams.ivfIngestBatch(batch, 0L, "vec_id", "embedding", path, cp))
+    // drift telemetry flows through the STREAMING path too: the ingest's
+    // tagged append leaves a per-batch record and the report reads it
+    val drift = Ann.ivfDriftReport(spark, path)
+    assert(drift.filter(col("tag").contains("%020d".format(0L))).count() == 1,
+      "streaming ingest batch must leave exactly one drift record")
 
     // compaction: many appended small files collapse, content unchanged
     for (i <- 2 to 5)
