@@ -712,6 +712,18 @@ object SparkEntry {
 
   private val AnnPlanesFixture = "/tmp/graft_fixtures/ann_planes.parquet"
 
+  /** The seeded hyperplanes persisted for DuckDB's sketch replay. Written
+    * by EVERY gate whose oracle reads it (a6 AND h1) — an oracle fixture
+    * owned by a different gate's runner desyncs the moment that gate's
+    * parameters change, and breaks filtered verify runs on a clean host. */
+  private def writeAnnPlanesFixture(s: SparkSession): Unit = {
+    import s.implicits._
+    Ann.hyperplanes(64, 8, 42L).zipWithIndex
+      .map { case (w, i) => (i, w.toSeq) }
+      .toDF("plane_ix", "w")
+      .coalesce(1).write.mode("overwrite").parquet(AnnPlanesFixture)
+  }
+
   /** Distributed ANN JOIN gate: queries are a TABLE (vec_id < 15), corpus
     * the rest — no driver literals anywhere. The seeded hyperplanes
     * persist as a fixture (the BPE pattern) so DuckDB recomputes BOTH
@@ -721,11 +733,7 @@ object SparkEntry {
     * mask fan-out, the bucket equi-join, and the rank — any drift between
     * driver masks and executor sketches goes red. */
   private def a6_ann_join(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Ann.hyperplanes(64, 8, 42L).zipWithIndex
-      .map { case (w, i) => (i, w.toSeq) }
-      .toDF("plane_ix", "w")
-      .coalesce(1).write.mode("overwrite").parquet(AnnPlanesFixture)
+    writeAnnPlanesFixture(s)
     val e = t(s, dir, "embeddings")
     Ann.annJoin(
         e.filter(col("vec_id") < 15).withColumnRenamed("vec_id", "query_id"),
@@ -1226,6 +1234,7 @@ object SparkEntry {
     * hash-stable (t13's argument). Oracle replays BOTH lists (planes
     * fixture + BM25 arithmetic) and the fusion. */
   private def h1_hybrid_join(s: SparkSession, dir: String): DataFrame = {
+    writeAnnPlanesFixture(s)
     val e = t(s, dir, "embeddings")
     val ann = Ann.annJoin(
         e.filter(col("vec_id") < 5).withColumnRenamed("vec_id", "query_id"),
@@ -1742,15 +1751,32 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
-  /** HLL++ distinct counts. rsd = 0.02 (4096 registers — still O(1) per
-    * group at any corpus size) so the ApproxSpec error-band contract of
-    * |approx − exact|/exact ≤ 5% per group sits at 2.5σ; the default
-    * rsd = 0.05 measurably exceeds 5% on this data (8.6% on one group —
-    * one standard deviation is not a bound). */
+  /** HLL++ distinct counts, emitted ORACLE-COMPARABLY: per group the EXACT
+    * distinct counts (recomputable in any engine) plus `within_band`
+    * booleans asserting |approx − exact|/exact ≤ 5% computed IN-QUERY from
+    * the HLL++ estimate. The estimates themselves are engine-specific
+    * register states that can never hash-match another engine — the band
+    * booleans CAN, so the gate is machine-checkable end-to-end: an HLL
+    * seed/rsd/merge regression beyond the band flips a boolean and the
+    * hash goes red (the raw-estimate properties — determinism,
+    * partition-invariance, the band itself — stay pinned in ApproxSpec).
+    * rsd = 0.02 (4096 registers — still O(1) per group at any corpus
+    * size) puts the 5% band at 2.5σ; the default rsd = 0.05 measurably
+    * exceeds it on this data (8.6% on one group). The exact countDistinct
+    * columns are GATE scaffolding — a 100 TB job runs the approx alone
+    * (that being the point of HLL); the gate pays them to make the band
+    * hash-checkable. */
   private def q19_approx_hll(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem").groupBy("l_returnflag")
-      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("__ap"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("__ao"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+      .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
+        (abs(col("__ap") - col("exact_parts")).cast("double") /
+          col("exact_parts") <= 0.05).as("parts_in_band"),
+        (abs(col("__ao") - col("exact_orders")).cast("double") /
+          col("exact_orders") <= 0.05).as("orders_in_band"))
       .orderBy("l_returnflag")
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -2104,6 +2130,16 @@ object SparkEntry {
          COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(10,2))) AS DOUBLE) AS sum_price
          FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
          ORDER BY st, pr""",
+    // the HLL gate's band booleans: the oracle recomputes the EXACT counts
+    // and expects every within-band flag true — Spark's in-query band
+    // check makes the approximate operator hash-comparable (the estimates
+    // themselves are engine-specific and never would be)
+    "q19_approx_hll" ->
+      """SELECT l_returnflag,
+         count(DISTINCT l_partkey) AS exact_parts,
+         count(DISTINCT l_orderkey) AS exact_orders,
+         true AS parts_in_band, true AS orders_in_band
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q21_grouping_sets" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
          COUNT(*) AS n,

@@ -402,26 +402,32 @@ object Ann {
       s"batch contains vectors whose dimensionality differs from the " +
         s"index's dim=$dim — appending them would silently truncate every " +
         "cosine; fix the batch or rebuild the index")
-    val assigned = assignClusters(newVecs, centroids, vecCol)
-    graft.core.TaggedAppend.append(assigned, s"$path/data", tag,
-      Seq("gr_cluster"))
-    // drift telemetry: the batch's mean cosine to its assigned centroids
-    // (one aggregation over the BATCH, same kernel as assignment), recorded
-    // per tag so replay overwrites rather than duplicates. The frozen
-    // centroids never see post-build distribution shift otherwise — recall
-    // floors only measure the build corpus.
-    val stats = newVecs.agg(
-      avg(assignedCos(centroids, vecCol)).as("mean_cos"),
-      count(lit(1)).as("rows")).head()
-    val rows = stats.getLong(1)
-    val meanCos = if (stats.isNullAt(0)) "null" else stats.getDouble(0).toString
-    val fs = ivfFs(spark, path)
-    val rec = fs.create(new org.apache.hadoop.fs.Path(
-      s"$path/$IvfDriftDir", s"$tag.json"), true)
-    try rec.write(s"""{"tag":"$tag","rows":$rows,"mean_cos":$meanCos}"""
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally rec.close()
-    rows
+    // persist for the duration of the call: the append and the drift
+    // telemetry are two actions over this frame, and a non-deterministic
+    // batch (changing source, sample) re-evaluated per action could record
+    // telemetry disagreeing with what was actually appended
+    val assigned = assignClusters(newVecs, centroids, vecCol).persist()
+    try {
+      graft.core.TaggedAppend.append(assigned, s"$path/data", tag,
+        Seq("gr_cluster"))
+      // drift telemetry: the batch's mean cosine to its assigned centroids
+      // (one aggregation over the BATCH, same kernel as assignment), recorded
+      // per tag so replay overwrites rather than duplicates. The frozen
+      // centroids never see post-build distribution shift otherwise — recall
+      // floors only measure the build corpus.
+      val stats = assigned.agg(
+        avg(assignedCos(centroids, vecCol)).as("mean_cos"),
+        count(lit(1)).as("rows")).head()
+      val rows = stats.getLong(1)
+      val meanCos = if (stats.isNullAt(0)) "null" else stats.getDouble(0).toString
+      val fs = ivfFs(spark, path)
+      val rec = fs.create(new org.apache.hadoop.fs.Path(
+        s"$path/$IvfDriftDir", s"$tag.json"), true)
+      try rec.write(s"""{"tag":"$tag","rows":$rows,"mean_cos":$meanCos}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally rec.close()
+      rows
+    } finally assigned.unpersist(blocking = false)
   }
 
   /** Per-append drift records live here (one tiny json per tag; underscore

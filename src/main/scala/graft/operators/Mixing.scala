@@ -101,8 +101,10 @@ object Mixing {
     val z = counts.values.map(n => math.pow(n.toDouble, alpha)).sum
     counts.map { case (s, n) =>
       val w = total * math.pow(n.toDouble, alpha) / (z * n)
-      s -> java.math.BigDecimal.valueOf(w)
-        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      // round the BINARY double exactly as SQL round(w, 6) does (half away
+      // from zero on w·1e6) — a shortest-decimal-string detour (BigDecimal
+      // .valueOf) can flip values tying at the 7th decimal the other way
+      s -> math.round(w * 1e6).toDouble / 1e6
     }
   }
 

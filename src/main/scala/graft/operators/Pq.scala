@@ -309,12 +309,22 @@ object Pq {
     val probes = slice(sort_array(scored), 1, nprobe)
     val qs = queries.select(col(queryIdCol), col(vecCol).as("__qvec"),
       explode(probes.getField("cid")).as("gr_cluster"))
+    // the ADC kernel yields null on a wrong-dim query vector or a
+    // corrupt/mis-sized/out-of-range code — silently dropping such pairs
+    // would return EMPTY results for a wrong-dim query table (the exact
+    // silent failure the sidecar dim guards exist to kill). Raise instead:
+    // assert_true is null on success, so adding it is a no-op.
+    val adc = graft.functions.PqAdcVecExpr(col("__qvec"), col("pq_code"),
+      model.cells)
     qs.join(serving.select(col(corpusIdCol), col("gr_cluster"), col("pq_code")),
         "gr_cluster")
       .select(col(queryIdCol), col(corpusIdCol),
-        graft.functions.PqAdcVecExpr(col("__qvec"), col("pq_code"), model.cells)
+        (adc + coalesce(assert_true(adc.isNotNull,
+          concat(lit("ivfPqJoin: ADC distance is null — query vector not of " +
+            s"dim ${model.dim} or corrupt pq_code (expect ${model.m} codes " +
+            s"in [0, ${model.k})); offending query id: "),
+            col(queryIdCol).cast("string"))).cast("double"), lit(0.0)))
           .as("pq_dist"))
-      .filter(col("pq_dist").isNotNull)
       .withColumn("rank", row_number().over(
         Window.partitionBy(col(queryIdCol))
           .orderBy(col("pq_dist"), col(corpusIdCol))))

@@ -138,7 +138,13 @@ object Retrieval {
     * restricted postings; query terms shuffle by term to meet them (hot
     * terms skew — stopword-heavy query sets should filter or salt);
     * corpus stats ride one broadcast row. For a SMALL fixed term set
-    * prefer [[bm25]], which never explodes the corpus at all. */
+    * prefer [[bm25]], which never explodes the corpus at all.
+    *
+    * Like [[bm25]], the corpus TOKENIZES TWICE (the stats row and the
+    * postings both derive from the tokenized frame, lazily re-evaluated
+    * per scan — no hidden persist): callers running over a hot 100 TB
+    * corpus should persist the input once themselves, same caller
+    * contract as [[bm25]]'s two scans. */
   def bm25Join(
       queries: DataFrame,
       corpus: DataFrame,

@@ -1798,24 +1798,29 @@ class StreamsSpec extends SparkSpec {
   }
 }
 
-/** Numeric bounds for the approximate operators that cannot hash-match a
-  * DuckDB oracle by nature. `q19_approx_hll` is the one remaining
-  * no_oracle gate entry — this suite gives it an explicit error-band
-  * contract instead of "runs without crashing". */
+/** Numeric properties of the approximate operators that the hash gates
+  * cannot see directly. q19's gate emits exact counts + within-band
+  * booleans (oracle-comparable since r12); this suite keeps the RAW
+  * estimates pinned — the error band itself, run-to-run determinism, and
+  * partition-invariance of the register merge. */
 class ApproxSpec extends SparkSpec {
   import spark.implicits._
 
   test("q19 HLL++ counts stay within 5% of exact per group at sf0.01") {
     val dir = "/root/testdata/sf0.01"
-    val approx = SparkEntry.queries("q19_approx_hll")(spark, dir)
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     val li = spark.read.option("pathGlobFilter", "lineitem.parquet").parquet(dir)
+    def approxOf(d: org.apache.spark.sql.DataFrame) =
+      d.groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("p"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("o"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val approx = approxOf(li)
     val exact = li.groupBy("l_returnflag")
       .agg(countDistinct("l_partkey").as("p"), countDistinct("l_orderkey").as("o"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(approx.keySet == exact.keySet, s"groups: ${approx.keySet} vs ${exact.keySet}")
-    // default rsd = 0.05: assert |approx-exact|/exact <= 0.05 per group and
-    // column — a regression in seed/rsd handling lands far outside this
+    // the gate's band parameters: |approx-exact|/exact <= 0.05 per group
+    // and column — a regression in seed/rsd handling lands far outside this
     exact.foreach { case (flag, (ep, eo)) =>
       val (ap, ao) = approx(flag)
       assert(math.abs(ap - ep).toDouble / ep <= 0.05,
@@ -1823,12 +1828,16 @@ class ApproxSpec extends SparkSpec {
       assert(math.abs(ao - eo).toDouble / eo <= 0.05,
         s"l_orderkey group $flag: approx $ao vs exact $eo")
     }
-    // determinism: the gate result must be stable run-to-run (same sketch
-    // parameters, same data -> same estimate), or the driver's rows-only
-    // check itself would flap
-    val again = SparkEntry.queries("q19_approx_hll")(spark, dir)
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    assert(again == approx, "approx_count_distinct must be deterministic")
+    // determinism: same sketch parameters, same data -> same estimate, or
+    // the gate's band booleans (and any driver re-run) would flap
+    assert(approxOf(li) == approx, "approx_count_distinct must be deterministic")
+    // and the GATE itself must agree: every band boolean true, exact
+    // columns equal to the engine's own countDistinct
+    val gate = SparkEntry.queries("q19_approx_hll")(spark, dir).collect()
+    assert(gate.forall(r => r.getBoolean(3) && r.getBoolean(4)),
+      s"gate band booleans not all true: ${gate.mkString(" | ")}")
+    assert(gate.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      == exact, "gate exact columns disagree with countDistinct")
     // partition-invariance: HLL registers merge commutatively, so the SAME
     // rows through ANY partitioning must produce the IDENTICAL estimate —
     // this is what makes the estimate stable across cluster sizes and AQE
