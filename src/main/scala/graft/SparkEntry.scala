@@ -744,6 +744,35 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Salted ANN-join gate under PLANTED bucket skew: 200 positive
+    * power-of-two-scaled copies of one corpus vector (sign(2^k·v·w) =
+    * sign(v·w), so every copy lands in the SAME sketch bucket — a hot
+    * bucket by construction, the near-duplicate-cluster shape that
+    * concentrates a production corpus). saltFactor = 4 spreads them; the
+    * oracle replays the UNSALTED semantics (the salt's whole contract is
+    * result-identity — the per-pair cosine set and the (cosine desc, id)
+    * rank are unchanged), so the hash gate proves the salted path returns
+    * exactly the unsalted answer on skewed data. The per-task bound
+    * itself is specced (SkewJoinSpec). */
+  private def a6b_ann_join_salted(s: SparkSession, dir: String): DataFrame = {
+    writeAnnPlanesFixture(s)
+    val e = t(s, dir, "embeddings")
+    val hot = e.filter(col("vec_id") === 20)
+      .select(explode(sequence(lit(0L), lit(199L))).as("i"), col("embedding"))
+      .select((col("i") + 9500000L).as("vec_id"),
+        transform(col("embedding"),
+          x => (x * pow(lit(2.0), pmod(col("i"), lit(5L)) - 2)).cast("float"))
+          .as("embedding"),
+        lit("hot").as("label"))
+    Ann.annJoin(
+        e.filter(col("vec_id") < 15).withColumnRenamed("vec_id", "query_id"),
+        e.filter(col("vec_id") >= 15).unionByName(hot),
+        "query_id", "vec_id", "embedding",
+        dim = 64, k = 5, numPlanes = 8, maxHamming = 1, saltFactor = 4)
+      .select("query_id", "vec_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+
   private val IvfJoinCentroidsFixture = "/tmp/graft_fixtures/ivf_join_centroids.parquet"
   private val IvfJoinAssignFixture = "/tmp/graft_fixtures/ivf_join_assign.parquet"
 
@@ -1223,6 +1252,39 @@ object SparkEntry {
     graft.operators.Retrieval.bm25Join(bm25JoinQueries(s),
         t(s, dir, "documents"), "query_id", "terms", "doc_id", "text",
         k = Int.MaxValue)
+      .select(col("query_id"), col("doc_id"), round(col("score"), 6).as("score"))
+      .orderBy("query_id", "doc_id")
+
+  /** WEIGHTED BM25 join: terms ship as (term, weight) structs and each
+    * contribution scales by its weight (Robertson query-tf). Weights are
+    * binary-exact literals (.25/.5/1.5/2/3) so DuckDB replays the
+    * arithmetic bit-identically before the shared 6-decimal rounding. */
+  private def t12d_bm25_weighted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q = Seq(
+      (0L, Seq(("agg", 2.0), ("scan", 1.0), ("window", 0.25))),
+      (1L, Seq(("join", 1.5), ("key", 0.5))),
+      (2L, Seq(("the", 0.25), ("vector", 3.0), ("stream", 1.0)))
+    ).toDF("query_id", "terms_raw")
+      .select(col("query_id"),
+        transform(col("terms_raw"), t => struct(
+          t.getField("_1").as("term"),
+          t.getField("_2").as("weight"))).as("terms"))
+    graft.operators.Retrieval.bm25Join(q, t(s, dir, "documents"),
+        "query_id", "terms", "doc_id", "text", k = Int.MaxValue)
+      .select(col("query_id"), col("doc_id"), round(col("score"), 6).as("score"))
+      .orderBy("query_id", "doc_id")
+  }
+
+  /** Salted BM25 join on the stopword-heavy query set (query 3 carries
+    * 'the'/'a' — the hot-term shape): saltFactor = 4 spreads each term's
+    * postings over 4 tasks; the oracle is t12c's UNSALTED replay — salt
+    * result-identity up to summation order, absorbed by the shared
+    * 6-decimal rounding. */
+  private def t12e_bm25_join_salted(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Retrieval.bm25Join(bm25JoinQueries(s),
+        t(s, dir, "documents"), "query_id", "terms", "doc_id", "text",
+        k = Int.MaxValue, saltFactor = 4)
       .select(col("query_id"), col("doc_id"), round(col("score"), 6).as("score"))
       .orderBy("query_id", "doc_id")
 
@@ -1847,6 +1909,7 @@ object SparkEntry {
     "a2_ann_lsh" -> (a2_ann_lsh _),
     "a4_ann_batch" -> (a4_ann_batch _),
     "a6_ann_join" -> (a6_ann_join _),
+    "a6b_ann_join_salted" -> (a6b_ann_join_salted _),
     "a7_ann_ivf_join" -> (a7_ann_ivf_join _),
     "a8_ann_ivfpq_join" -> (a8_ann_ivfpq_join _),
     "a5_ann_ivf_batch" -> (a5_ann_ivf_batch _),
@@ -1875,6 +1938,8 @@ object SparkEntry {
     "t12_termstats" -> (t12_termstats _),
     "t12b_bm25" -> (t12b_bm25 _),
     "t12c_bm25_join" -> (t12c_bm25_join _),
+    "t12d_bm25_weighted" -> (t12d_bm25_weighted _),
+    "t12e_bm25_join_salted" -> (t12e_bm25_join_salted _),
     "h1_hybrid_join" -> (h1_hybrid_join _),
     "t13_rrf" -> (t13_rrf _),
     "t14_normalize" -> (t14_normalize _),
@@ -2398,6 +2463,36 @@ object SparkEntry {
            FROM m)
          SELECT query_id, vec_id, rank FROM r WHERE rank <= 5
          ORDER BY query_id, rank""",
+    // a6's replay over the hot-augmented corpus (200 power-of-two-scaled
+    // copies of vec 20 — one hot bucket by construction): the SALTED
+    // join's oracle is the UNSALTED semantics, because salt's contract is
+    // result-identity; scaling by 2^k is exact in float and sign-exact in
+    // the sketch, so the replay is bit-faithful
+    "a6b_ann_join_salted" ->
+      """WITH p AS (SELECT plane_ix, w
+                    FROM read_parquet('/tmp/graft_fixtures/ann_planes.parquet/*.parquet')),
+         base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         hot AS (SELECT 9500000 + t.i AS vec_id,
+             CAST([CAST(CAST(x AS DOUBLE) * pow(2.0, (t.i % 5) - 2) AS FLOAT)
+                   for x in e0.embedding] AS DOUBLE[]) AS v
+           FROM embeddings e0, UNNEST(range(0, 200)) AS t(i)
+           WHERE e0.vec_id = 20),
+         e AS (SELECT vec_id, v FROM base UNION ALL SELECT vec_id, v FROM hot),
+         sk AS (SELECT e.vec_id,
+             CAST(sum(CASE WHEN list_dot_product(e.v, p.w) >= 0
+                 THEN CAST(1 AS BIGINT) << p.plane_ix ELSE 0 END) AS BIGINT) AS s
+           FROM e, p GROUP BY e.vec_id),
+         m AS (SELECT q.vec_id AS query_id, c.vec_id,
+             list_cosine_similarity(qe.v, ce.v) AS cos
+           FROM sk q JOIN sk c ON bit_count(xor(q.s, c.s)) <= 1
+             JOIN e qe ON qe.vec_id = q.vec_id
+             JOIN e ce ON ce.vec_id = c.vec_id
+           WHERE q.vec_id < 15 AND c.vec_id >= 15),
+         r AS (SELECT query_id, vec_id, CAST(ROW_NUMBER() OVER
+               (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+           FROM m)
+         SELECT query_id, vec_id, rank FROM r WHERE rank <= 5
+         ORDER BY query_id, rank""",
     // replays the quantized join from the centroid/codebook/serving
     // fixtures: probe rank (cos DESC, cid), cluster join, per-pair ADC as
     // an ordered positional fold over the codebook (p1's arithmetic)
@@ -2869,6 +2964,63 @@ object SparkEntry {
     // BM25 join replayed in full: query VALUES, vocabulary-restricted
     // postings, per-term dfs, corpus stats, the t12b scoring arithmetic
     "t12c_bm25_join" ->
+      """WITH q(query_id, terms) AS (VALUES
+           (0, ['agg', 'scan', 'window']), (1, ['join', 'key']),
+           (2, ['vector', 'batch', 'stream']), (3, ['the', 'a']),
+           (4, ['merge', 'sort', 'filter'])),
+         w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+               FROM documents),
+         toks AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+                    unnest(ws) AS term FROM w),
+         vocab AS (SELECT DISTINCT unnest(terms) AS term FROM q),
+         post AS (SELECT term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
+                  FROM toks JOIN vocab USING (term) GROUP BY term, doc_id, dl),
+         dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                 FROM post GROUP BY term),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS N, avg(len(ws)) AS avgdl
+                FROM w),
+         qt AS (SELECT DISTINCT query_id, unnest(terms) AS term FROM q),
+         sc AS (SELECT qt.query_id, post.doc_id,
+             sum(ln((st.N - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+               * (post.tf * 2.2)
+               / (post.tf + 1.2 * (0.25 + 0.75 * post.dl / st.avgdl))) AS score
+           FROM qt JOIN post USING (term) JOIN dfs USING (term) CROSS JOIN st
+           GROUP BY qt.query_id, post.doc_id)
+         SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+           round(score, 6) AS score
+         FROM sc ORDER BY query_id, doc_id""",
+    // t12c's replay with per-term query weights multiplied into each
+    // contribution (Robertson query-tf): weights are binary-exact
+    // literals, so the arithmetic matches bit-for-bit pre-rounding
+    "t12d_bm25_weighted" ->
+      """WITH qt(query_id, term, qw) AS (VALUES
+           (0, 'agg', 2.0), (0, 'scan', 1.0), (0, 'window', 0.25),
+           (1, 'join', 1.5), (1, 'key', 0.5),
+           (2, 'the', 0.25), (2, 'vector', 3.0), (2, 'stream', 1.0)),
+         w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+               FROM documents),
+         toks AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+                    unnest(ws) AS term FROM w),
+         vocab AS (SELECT DISTINCT term FROM qt),
+         post AS (SELECT term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
+                  FROM toks JOIN vocab USING (term) GROUP BY term, doc_id, dl),
+         dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                 FROM post GROUP BY term),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS N, avg(len(ws)) AS avgdl
+                FROM w),
+         sc AS (SELECT qt.query_id, post.doc_id,
+             sum(qt.qw * ln((st.N - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+               * (post.tf * 2.2)
+               / (post.tf + 1.2 * (0.25 + 0.75 * post.dl / st.avgdl))) AS score
+           FROM qt JOIN post USING (term) JOIN dfs USING (term) CROSS JOIN st
+           GROUP BY qt.query_id, post.doc_id)
+         SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+           round(score, 6) AS score
+         FROM sc ORDER BY query_id, doc_id""",
+    // the salted join's oracle IS t12c's unsalted replay: the salt's
+    // contract is result-identity (same posting matches, same scores up
+    // to summation order — absorbed by the 6-decimal rounding)
+    "t12e_bm25_join_salted" ->
       """WITH q(query_id, terms) AS (VALUES
            (0, ['agg', 'scan', 'window']), (1, ['join', 'key']),
            (2, ['vector', 'batch', 'stream']), (3, ['the', 'a']),

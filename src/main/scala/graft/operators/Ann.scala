@@ -550,11 +550,22 @@ object Ann {
     * ranks per query with the WindowGroupLimit rewrite (≤ k rows per
     * query per partition through the final shuffle).
     *
-    * Trade-offs at 100 TB: bucket skew is the risk to watch (a hot
-    * bucket concentrates both sides on one task — raise `numPlanes` to
-    * split buckets, or pre-salt the corpus side); recall follows the
-    * lshTopK parameter trade-offs (RecallSpec measures them). Returns
-    * (queryIdCol, corpusIdCol, cosine, rank). */
+    * Trade-offs at 100 TB: bucket skew is the risk to watch — a hot
+    * bucket (near-duplicate cluster, degenerate region of the embedding
+    * space) concentrates both sides on one shuffle task. Mitigations, in
+    * order: raise `numPlanes` to split buckets structurally, or set
+    * `saltFactor > 1` to pre-salt the CORPUS side — each corpus row gets
+    * one deterministic salt (`xxhash64(id) mod saltFactor`), each query
+    * probe fans out to ALL `saltFactor` salts, and the join key becomes
+    * (bucket, salt), spreading a hot bucket's corpus rows over
+    * `saltFactor` tasks. Results are IDENTICAL to the unsalted join —
+    * every (probe, corpus row) pair still meets exactly once — at the
+    * cost of query-side fan-out ×saltFactor (the probe side is the
+    * narrow one: id + vector + mask list). Measure first:
+    * [[graft.operators.Skew.topKeys]] over the corpus sketch column
+    * costs one map-side sketch pass and tells you the hot-bucket share.
+    * Recall follows the lshTopK parameter trade-offs (RecallSpec
+    * measures them). Returns (queryIdCol, corpusIdCol, cosine, rank). */
   def annJoin(
       queries: DataFrame,
       corpus: DataFrame,
@@ -565,11 +576,13 @@ object Ann {
       k: Int,
       numPlanes: Int = 8,
       maxHamming: Int = 1,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      saltFactor: Int = 1): DataFrame = {
     require(numPlanes <= 63, "sketch packs into one long")
     require(maxHamming >= 0 && maxHamming <= 2,
       "maxHamming in {0,1,2} — larger probe sets square the fan-out; " +
         "re-bucket with fewer planes instead")
+    require(saltFactor >= 1, "saltFactor must be >= 1")
     import org.apache.spark.sql.expressions.Window
     val masks: Seq[Long] = {
       val singles = (0 until numPlanes).map(i => 1L << i)
@@ -580,14 +593,25 @@ object Ann {
         (if (maxHamming >= 2) pairs else Nil)
     }
     val sketch = hyperplaneSketch(col(vecCol), dim, numPlanes, seed)
-    val qs = queries.select(col(queryIdCol), col(vecCol).as("__qvec"),
+    val qsBase = queries.select(col(queryIdCol), col(vecCol).as("__qvec"),
         sketch.as("__qsk"))
       .select(col(queryIdCol), col("__qvec"),
         explode(array(masks.map(m => col("__qsk").bitwiseXOR(lit(m))): _*))
           .as("__bucket"))
-    val cs = corpus.select(col(corpusIdCol), col(vecCol).as("__cvec"),
-      sketch.as("__bucket"))
-    qs.join(cs, "__bucket")
+    val (qs, cs, joinKeys) =
+      if (saltFactor == 1)
+        (qsBase,
+          corpus.select(col(corpusIdCol), col(vecCol).as("__cvec"),
+            sketch.as("__bucket")),
+          Seq("__bucket"))
+      else
+        (qsBase.withColumn("__salt",
+            explode(sequence(lit(0L), lit(saltFactor - 1L)))),
+          corpus.select(col(corpusIdCol), col(vecCol).as("__cvec"),
+            sketch.as("__bucket"),
+            Skew.saltOf(col(corpusIdCol), saltFactor).as("__salt")),
+          Seq("__bucket", "__salt"))
+    qs.join(cs, joinKeys)
       .select(col(queryIdCol), col(corpusIdCol),
         cosine(col("__qvec"), col("__cvec")).as("cosine"))
       .withColumn("rank", row_number().over(
@@ -607,7 +631,13 @@ object Ann {
     * (spec-pinned). With table-scale query sides every cluster is
     * somebody's probe, so the corpus legitimately shuffles once — the
     * index's value here is CANDIDATE REDUCTION (each query scores
-    * nprobe/nlist of the corpus), not partition pruning. Returns
+    * nprobe/nlist of the corpus), not partition pruning. k-means clusters
+    * are naturally UNBALANCED, so a dominant cluster concentrates its
+    * candidates on one shuffle task: `saltFactor > 1` spreads each
+    * cluster's corpus rows over that many tasks (deterministic
+    * `xxhash64(id) mod saltFactor` salt on the corpus side, probe
+    * fan-out ×saltFactor on the query side — [[annJoin]]'s exact
+    * contract, results identical to unsalted). Returns
     * (queryIdCol, corpusIdCol, cosine, rank). */
   def ivfJoin(
       queries: DataFrame,
@@ -616,18 +646,29 @@ object Ann {
       corpusIdCol: String,
       vecCol: String,
       k: Int,
-      nprobe: Int = 4): DataFrame = {
+      nprobe: Int = 4,
+      saltFactor: Int = 1): DataFrame = {
     require(nprobe >= 1 && nprobe <= index.centroids.size,
       s"nprobe must be in [1, nlist=${index.centroids.size}]")
+    require(saltFactor >= 1, "saltFactor must be >= 1")
     import org.apache.spark.sql.expressions.Window
     val scored = array(index.centroids.map { case (cid, c) =>
       struct((-cosine(col(vecCol), lit(c))).as("ns"), lit(cid).as("cid"))
     }: _*)
     val probes = slice(sort_array(scored), 1, nprobe)
-    val qs = queries.select(col(queryIdCol), col(vecCol).as("__qvec"),
+    val qsBase = queries.select(col(queryIdCol), col(vecCol).as("__qvec"),
       explode(probes.getField("cid")).as("gr_cluster"))
-    qs.join(index.clustered.select(col(corpusIdCol), col(vecCol).as("__cvec"),
-        col("gr_cluster")), "gr_cluster")
+    val csBase = index.clustered.select(col(corpusIdCol),
+      col(vecCol).as("__cvec"), col("gr_cluster"))
+    val (qs, cs, joinKeys) =
+      if (saltFactor == 1) (qsBase, csBase, Seq("gr_cluster"))
+      else
+        (qsBase.withColumn("__salt",
+            explode(sequence(lit(0L), lit(saltFactor - 1L)))),
+          csBase.withColumn("__salt",
+            Skew.saltOf(col(corpusIdCol), saltFactor)),
+          Seq("gr_cluster", "__salt"))
+    qs.join(cs, joinKeys)
       .select(col(queryIdCol), col(corpusIdCol),
         cosine(col("__qvec"), col("__cvec")).as("cosine"))
       .withColumn("rank", row_number().over(

@@ -128,17 +128,38 @@ object Retrieval {
     * the classic distributed inverted index, restricted to the union
     * query vocabulary BEFORE the heavy (term, doc) aggregation so
     * out-of-vocabulary tokens never shuffle. Scoring arithmetic is
-    * identical to [[bm25]]. Repeated terms within one query count once
-    * (the query side is term-deduplicated — the standard bag-of-words
-    * query contract here is a SET; weight repeats upstream if needed).
-    * Returns (queryIdCol, idCol, score, rank), rank per query by
-    * (score desc, id), capped at `k`.
+    * identical to [[bm25]]. Returns (queryIdCol, idCol, score, rank),
+    * rank per query by (score desc, id), capped at `k`.
+    *
+    * Query-term semantics follow `termsCol`'s type:
+    *  - `array<string>`: repeated terms within one query count once (the
+    *    standard bag-of-words SET contract).
+    *  - `array<struct<term: string, weight: numeric>>`: each term's
+    *    contribution scales by its weight — the Robertson query-tf form
+    *    (weight = query term frequency, or any caller-chosen emphasis).
+    *    Repeated terms within one query have their weights summed;
+    *    weight 0 contributes nothing but still costs a posting lookup —
+    *    filter zeros upstream.
     *
     * 100 TB shape: one token-explode shuffle builds the vocabulary-
-    * restricted postings; query terms shuffle by term to meet them (hot
-    * terms skew — stopword-heavy query sets should filter or salt);
-    * corpus stats ride one broadcast row. For a SMALL fixed term set
-    * prefer [[bm25]], which never explodes the corpus at all.
+    * restricted postings; query terms shuffle by term to meet them;
+    * corpus stats ride one broadcast row. HOT TERMS SKEW — a stopword
+    * in many queries concentrates its whole posting list × its query
+    * fan-in on one shuffle task. Filter stopwords upstream when recall
+    * allows; otherwise set `saltFactor > 1`: each posting row gets one
+    * deterministic salt (`xxhash64(docId) mod saltFactor`), each query
+    * term fans out to ALL salts, the term join keys on (term, salt) —
+    * spreading every term's postings over `saltFactor` tasks — and the
+    * per-term df table rides a BROADCAST (it must: re-shuffling by bare
+    * term to attach df would re-concentrate the hot key the salt just
+    * spread; it is one row per query-vocabulary term, so broadcasting
+    * assumes the UNION query vocabulary is broadcast-small — true for
+    * natural-language query sets). Results equal the unsalted join up
+    * to per-(query, doc) summation order (last-ulp; round for byte
+    * gates). Measure first: [[graft.operators.Skew.topKeys]] over the
+    * exploded query terms costs one sketch pass and names the hot
+    * terms. For a SMALL fixed term set prefer [[bm25]], which never
+    * explodes the corpus at all.
     *
     * Like [[bm25]], the corpus TOKENIZES TWICE (the stats row and the
     * postings both derive from the tokenized frame, lazily re-evaluated
@@ -154,26 +175,58 @@ object Retrieval {
       textCol: String,
       k: Int,
       k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
+      b: Double = 0.75,
+      saltFactor: Int = 1): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    require(saltFactor >= 1, "saltFactor must be >= 1")
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{ArrayType, StructType}
+    val weighted = queries.schema(termsCol).dataType match {
+      case ArrayType(st: StructType, _) =>
+        require(st.fieldNames.contains("term") && st.fieldNames.contains("weight"),
+          s"weighted $termsCol must be array<struct<term, weight>>; got " +
+            st.fieldNames.mkString("struct<", ",", ">"))
+        true
+      case _ => false
+    }
+    // (query_id, term, __qw): weight 1.0 for the set contract (×1.0 is
+    // exact in IEEE doubles, so the unweighted arithmetic is unchanged)
+    val qt =
+      if (weighted)
+        queries.select(col(queryIdCol),
+            explode(col(termsCol)).as("__t"))
+          .select(col(queryIdCol), col("__t.term").as("term"),
+            col("__t.weight").cast("double").as("__qw"))
+          .groupBy(col(queryIdCol), col("term"))
+          .agg(sum(col("__qw")).as("__qw"))
+      else
+        queries.select(col(queryIdCol), explode(col(termsCol)).as("term"))
+          .distinct().withColumn("__qw", lit(1.0))
     val toks = tokenized(corpus, idCol, textCol)
     val stats = toks.agg(count(lit(1)).as("N"), avg(col("dl")).as("avgdl"))
-    val vocab = queries.select(explode(col(termsCol)).as("term")).distinct()
+    val vocab = qt.select("term").distinct()
     val postings = toks
       .select(col(idCol), col("dl"), explode(col("__w")).as("term"))
       .join(vocab, "term")
       .groupBy(col("term"), col(idCol), col("dl"))
       .agg(count(lit(1)).as("tf"))
     val dfs = postings.groupBy("term").agg(count(lit(1)).as("df"))
-    val qt = queries
-      .select(col(queryIdCol), explode(col(termsCol)).as("term")).distinct()
-    qt.join(postings, "term").join(dfs, "term")
+    val matched =
+      if (saltFactor == 1) qt.join(postings, "term").join(dfs, "term")
+      else
+        qt.withColumn("__salt",
+            explode(sequence(lit(0L), lit(saltFactor - 1L))))
+          .join(postings.withColumn("__salt",
+            Skew.saltOf(col(idCol), saltFactor)),
+            Seq("term", "__salt"))
+          .drop("__salt")
+          .join(broadcast(dfs), "term")
+    matched
       .crossJoin(broadcast(stats))
       .withColumn("__idf",
         log((col("N") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
       .withColumn("__contrib",
-        col("__idf") * (col("tf") * (k1 + 1)) /
+        col("__qw") * col("__idf") * (col("tf") * (k1 + 1)) /
           (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
       .groupBy(col(queryIdCol), col(idCol))
       .agg(sum(col("__contrib")).as("score"))

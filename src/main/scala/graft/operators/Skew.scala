@@ -33,6 +33,15 @@ object Skew {
       .select(col("h.item").as("key"), col("h.count").as("est_count"),
         (col("rank") + 1).as("rank"))
 
+  /** The deterministic per-row salt the pre-salted query-table joins key
+    * on (annJoin/ivfJoin's corpus side, bm25Join's postings side): a pure
+    * function of the row's id, so replays and retries salt identically
+    * and the result provably equals the unsalted join. Shared with the
+    * specs that pin the per-(key, salt) bound. */
+  def saltOf(id: org.apache.spark.sql.Column, saltFactor: Int)
+      : org.apache.spark.sql.Column =
+    pmod(xxhash64(id), lit(saltFactor.toLong))
+
   def saltedJoin(
       skewed: DataFrame,
       replicated: DataFrame,

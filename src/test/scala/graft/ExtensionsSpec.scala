@@ -1155,6 +1155,142 @@ class SkewSpec extends SparkSpec {
   }
 }
 
+/** Skew hardening for the query-table join family: the pre-salt options
+  * must (1) return EXACTLY the unsalted result — salting is a physical
+  * re-distribution, never a semantic change — and (2) actually split a
+  * planted hot key's corpus rows over the salt range, bounding what any
+  * one shuffle task can receive. The salt is [[graft.operators.Skew.saltOf]],
+  * shared between the operators and these bounds so the spec pins the
+  * exact expression the joins key on. */
+class SkewJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randVec(seed: Int, dim: Int): Array[Float] = {
+    val r = new scala.util.Random(seed)
+    Array.fill(dim)(r.nextGaussian().toFloat)
+  }
+
+  private val dim = 16
+
+  /** 400 positive multiples of one vector (same hyperplane sketch — one
+    * hot bucket by construction) + organic tail. */
+  private def hotCorpus = {
+    val hotBase = randVec(77, dim)
+    val hot = (0 until 400).map { i =>
+      (5000L + i, hotBase.map(x => x * (1 << (i % 3)).toFloat))
+    }
+    val tail = (100 until 300).map(i => (i.toLong, randVec(i, dim)))
+    (hot ++ tail).toDF("vec_id", "embedding")
+  }
+
+  test("annJoin saltFactor: identical results under a planted hot bucket") {
+    val queries = (0 until 5).map(i => (i.toLong, randVec(900 + i, dim)))
+      .toDF("query_id", "embedding")
+    def run(salt: Int) = operators.Ann.annJoin(queries, hotCorpus,
+        "query_id", "vec_id", "embedding", dim, k = 7,
+        numPlanes = 6, maxHamming = 1, saltFactor = salt)
+      .select("query_id", "vec_id", "rank")
+    // cosine per pair is computed identically and the rank window orders
+    // by (cosine desc, id) — so salted output is BIT-identical, not
+    // merely equivalent
+    assert(canon(run(4)) == canon(run(1)))
+    intercept[IllegalArgumentException](run(0))
+  }
+
+  test("ivfJoin saltFactor: identical results under unbalanced clusters") {
+    val idx = operators.Ann.ivfBuild(hotCorpus, "vec_id", "embedding",
+      nlist = 4)
+    val queries = (0 until 5).map(i => (i.toLong, randVec(800 + i, dim)))
+      .toDF("query_id", "embedding")
+    def run(salt: Int) = operators.Ann.ivfJoin(queries, idx,
+        "query_id", "vec_id", "embedding", k = 7, nprobe = 2,
+        saltFactor = salt)
+      .select("query_id", "vec_id", "rank")
+    assert(canon(run(4)) == canon(run(1)))
+  }
+
+  test("the salt bounds a hot key's per-task share") {
+    // the operator's own salt expression over the planted hot ids: 400
+    // rows share one bucket; over 4 salts no slice may keep more than
+    // 45% (binomial mean 100, this sits >9 sigma out — deterministic
+    // data, so the assert cannot flap)
+    val ids = (0 until 400).map(i => 5000L + i).toDF("vec_id")
+    val counts = ids
+      .groupBy(operators.Skew.saltOf(col("vec_id"), 4).as("salt"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set(0L, 1L, 2L, 3L), s"salts: $counts")
+    assert(counts.values.max <= 180, s"hot-key salt split too uneven: $counts")
+  }
+
+  test("bm25Join saltFactor: same scores under a stopword-heavy query table") {
+    val docs = (0 until 120).map { i =>
+      (i.toLong, s"the quick doc $i " + ("the " * (i % 7)) + s"word${i % 11}")
+    }.toDF("doc_id", "text")
+    // every query carries the stopword — the hot-term shape
+    val queries = Seq(
+      (0L, Seq("the", "word3")), (1L, Seq("the", "quick")),
+      (2L, Seq("the", "word7")), (3L, Seq("the", "doc"))
+    ).toDF("query_id", "terms")
+    def run(salt: Int) = operators.Retrieval.bm25Join(queries, docs,
+        "query_id", "terms", "doc_id", "text", k = Int.MaxValue,
+        saltFactor = salt)
+      .select(col("query_id"), col("doc_id"), round(col("score"), 9).as("s"))
+    // equality up to per-(query, doc) summation order — absorbed at 9
+    // decimals (scores are O(1) magnitudes)
+    assert(canon(run(4)) == canon(run(1)))
+    // and the salted plan must not re-concentrate the hot term: no
+    // cartesian fallback (the one-row stats cross join is a broadcast
+    // nested loop BY DESIGN — t12c's contract), and the df attach rides
+    // a BroadcastHashJoin, never a by-term shuffle after the salt
+    val salted = run(4)
+    salted.collect()
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("bm25Join weighted terms: Robertson query-tf scaling") {
+    val docs = (0 until 60).map { i =>
+      (i.toLong, s"alpha beta doc $i " + ("alpha " * (i % 5)))
+    }.toDF("doc_id", "text")
+    def weightedQ(w: Double) = Seq((0L, Seq(("alpha", w))))
+      .toDF("query_id", "terms_raw")
+      .select(col("query_id"), transform(col("terms_raw"),
+        t => struct(t.getField("_1").as("term"),
+          t.getField("_2").as("weight"))).as("terms"))
+    val plainQ = Seq((0L, Seq("alpha"))).toDF("query_id", "terms")
+    def score(df: org.apache.spark.sql.DataFrame) =
+      operators.Retrieval.bm25Join(df, docs, "query_id", "terms",
+          "doc_id", "text", k = Int.MaxValue)
+        .select("doc_id", "score")
+    // weight 1.0 IS the unweighted arithmetic (×1.0 exact in IEEE)
+    assert(canon(score(weightedQ(1.0))) == canon(score(plainQ)))
+    // weight 2.0 exactly doubles a single-term query's scores (×2 exact)
+    val doubled = score(weightedQ(2.0)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val base = score(plainQ).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(doubled.keySet == base.keySet)
+    base.foreach { case (id, s) =>
+      assert(doubled(id) == s * 2.0, s"doc $id: ${doubled(id)} vs ${s * 2.0}")
+    }
+    // repeated terms: weights sum before scoring (2×0.75 + 0.5 = 2.0)
+    val repeated = Seq((0L, Seq(("alpha", 0.75), ("alpha", 0.75), ("alpha", 0.5))))
+      .toDF("query_id", "terms_raw")
+      .select(col("query_id"), transform(col("terms_raw"),
+        t => struct(t.getField("_1").as("term"),
+          t.getField("_2").as("weight"))).as("terms"))
+    assert(canon(score(repeated)) == canon(score(weightedQ(2.0))))
+    // malformed struct fields refuse loudly
+    val bad = Seq((0L, Seq(("alpha", 1.0)))).toDF("query_id", "terms_raw")
+      .select(col("query_id"), transform(col("terms_raw"),
+        t => struct(t.getField("_1").as("word"),
+          t.getField("_2").as("weight"))).as("terms"))
+    intercept[IllegalArgumentException](score(bad))
+  }
+}
+
 class RangeJoinSpec extends SparkSpec {
   import spark.implicits._
 
