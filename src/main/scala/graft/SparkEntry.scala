@@ -1288,9 +1288,11 @@ object SparkEntry {
       .select(col("query_id"), col("doc_id"), round(col("score"), 6).as("score"))
       .orderBy("query_id", "doc_id")
 
-  /** End-to-end hybrid serving with query TABLES only: the LSH ANN join
-    * (cosine list) fused with the BM25 join (rounded-score list) by
-    * grouped reciprocal-rank fusion at topN=20 per list. The id spaces
+  /** End-to-end hybrid serving with query TABLES only, through the ONE
+    * public call a user makes ([[graft.operators.Retrieval.hybridJoin]]):
+    * LSH ANN join (cosine list) ⊕ BM25 join (rounded-score list) ⊕
+    * grouped reciprocal-rank fusion at topN=20 per list. The query table
+    * carries BOTH modalities per row (embedding + terms); the id spaces
     * coincide by construction (vec_id ≡ doc id for fusion purposes).
     * rrf_score sums at most two 1/(rank+60) doubles — commutative, so
     * hash-stable (t13's argument). Oracle replays BOTH lists (planes
@@ -1298,19 +1300,14 @@ object SparkEntry {
   private def h1_hybrid_join(s: SparkSession, dir: String): DataFrame = {
     writeAnnPlanesFixture(s)
     val e = t(s, dir, "embeddings")
-    val ann = Ann.annJoin(
-        e.filter(col("vec_id") < 5).withColumnRenamed("vec_id", "query_id"),
-        e.filter(col("vec_id") >= 15),
-        "query_id", "vec_id", "embedding",
-        dim = 64, k = 20, numPlanes = 8, maxHamming = 1)
-      .select(col("query_id"), col("vec_id").as("doc_id"),
-        col("cosine").as("score"))
-    val lex = graft.operators.Retrieval.bm25Join(bm25JoinQueries(s),
-        t(s, dir, "documents"), "query_id", "terms", "doc_id", "text",
-        k = Int.MaxValue)
-      .select(col("query_id"), col("doc_id"), round(col("score"), 6).as("score"))
-    graft.operators.Retrieval.rrfFuseGrouped(Seq(ann, lex),
-        "query_id", "doc_id", "score", topN = 20)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+      .join(bm25JoinQueries(s), "query_id")
+    graft.operators.Retrieval.hybridJoin(
+        q, e.filter(col("vec_id") >= 15), "vec_id",
+        t(s, dir, "documents"), "doc_id",
+        "query_id", "embedding", "terms", "text",
+        dim = 64, topN = 20)
       .orderBy("query_id", "doc_id")
   }
 

@@ -235,6 +235,72 @@ object Retrieval {
       .filter(col("rank") <= k)
   }
 
+  /** END-TO-END hybrid serving in one call: the semantic ANN join
+    * ([[graft.operators.Ann.annJoin]] over `vecCorpus`) and the lexical
+    * BM25 join ([[bm25Join]] over `textCorpus`) fused per query by
+    * grouped reciprocal-rank fusion — the full
+    * retrieve-both-ways-then-fuse shape a hybrid search system serves,
+    * with query TABLES only (no driver literals anywhere; gate h1 runs
+    * exactly this composition against a DuckDB replay of all three
+    * stages).
+    *
+    * `queries` carries one row per query: `queryIdCol`, its embedding in
+    * `vecCol`, and its term list in `termsCol` (array<string> for set
+    * semantics or array<struct<term, weight>> for Robertson query-tf —
+    * [[bm25Join]]'s contract). `vecIdCol` and `textIdCol` name the two
+    * corpora's id columns and MUST address the same id space (the fusion
+    * aggregates per (query, id)); the output uses `textIdCol`.
+    *
+    * Scale shape is exactly the two joins' documented shapes — bucket
+    * equi-join + term equi-join, never a cross product — plus a fusion
+    * whose inputs are already ≤ topN rows per query per list;
+    * `saltFactor` forwards to BOTH joins (hot sketch buckets and hot
+    * terms are the same risk). `lexK` caps the lexical list inside the
+    * join (rank by UNROUNDED score): the default keeps every matching
+    * doc so fusion ranks on post-rounding order — byte-stable
+    * cross-engine, h1's contract; at corpus scale pass `lexK = topN` so
+    * the rank window prunes map-side instead of ranking every match.
+    * Returns (queryIdCol, textIdCol, rrf_score, n_lists). */
+  def hybridJoin(
+      queries: DataFrame,
+      vecCorpus: DataFrame,
+      vecIdCol: String,
+      textCorpus: DataFrame,
+      textIdCol: String,
+      queryIdCol: String,
+      vecCol: String,
+      termsCol: String,
+      textCol: String,
+      dim: Int,
+      topN: Int = 20,
+      rrfK: Int = 60,
+      numPlanes: Int = 8,
+      maxHamming: Int = 1,
+      seed: Long = 42L,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      saltFactor: Int = 1,
+      lexK: Int = Int.MaxValue,
+      lexScoreRound: Int = 6,
+      maxListSize: Int = 1000000): DataFrame = {
+    require(topN >= 1, "topN must be >= 1")
+    val ann = Ann.annJoin(
+        queries.select(col(queryIdCol), col(vecCol)), vecCorpus,
+        queryIdCol, vecIdCol, vecCol, dim, k = topN,
+        numPlanes = numPlanes, maxHamming = maxHamming, seed = seed,
+        saltFactor = saltFactor)
+      .select(col(queryIdCol), col(vecIdCol).as(textIdCol),
+        col("cosine").as("score"))
+    val lex = bm25Join(
+        queries.select(col(queryIdCol), col(termsCol)), textCorpus,
+        queryIdCol, termsCol, textIdCol, textCol, k = lexK,
+        k1 = k1, b = b, saltFactor = saltFactor)
+      .select(col(queryIdCol), col(textIdCol),
+        round(col("score"), lexScoreRound).as("score"))
+    rrfFuseGrouped(Seq(ann, lex), queryIdCol, textIdCol, "score",
+      k = rrfK, topN = topN, maxListSize = maxListSize)
+  }
+
   /** [[rrfFuse]] for GROUPED result lists — the hybrid-search combiner
     * when each list carries results for MANY queries (the join-operator
     * outputs: [[bm25Join]], `Ann.annJoin`/`ivfJoin`): ranks are computed

@@ -1250,6 +1250,36 @@ class SkewJoinSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("hybridJoin equals the manual annJoin + bm25Join + rrfFuseGrouped composition") {
+    val docs = (100 until 160).map { i =>
+      (i.toLong, s"alpha doc $i " + ("beta " * (i % 4)) + s"word${i % 9}")
+    }.toDF("doc_id", "text")
+    val vecs = (100 until 160).map(i => (i.toLong, randVec(i, dim)))
+      .toDF("vec_id", "embedding")
+    val queries = (0 until 4).map(i =>
+        (i.toLong, randVec(700 + i, dim), Seq("alpha", s"word${i * 2}")))
+      .toDF("query_id", "embedding", "terms")
+    val viaApi = operators.Retrieval.hybridJoin(queries, vecs, "vec_id",
+      docs, "doc_id", "query_id", "embedding", "terms", "text",
+      dim, topN = 5, numPlanes = 6)
+    val ann = operators.Ann.annJoin(queries, vecs, "query_id", "vec_id",
+        "embedding", dim, k = 5, numPlanes = 6)
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        col("cosine").as("score"))
+    val lex = operators.Retrieval.bm25Join(queries, docs, "query_id",
+        "terms", "doc_id", "text", k = Int.MaxValue)
+      .select(col("query_id"), col("doc_id"), round(col("score"), 6).as("score"))
+    val manual = operators.Retrieval.rrfFuseGrouped(Seq(ann, lex),
+      "query_id", "doc_id", "score", topN = 5)
+    assert(canon(viaApi) == canon(manual))
+    assert(viaApi.count() > 0)
+    // the wrapper inherits the joins' equi-join guarantee: no cartesian
+    // fallback anywhere (the one-row stats broadcast is BNLJ by design)
+    viaApi.collect()
+    val plan = viaApi.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("bm25Join weighted terms: Robertson query-tf scaling") {
     val docs = (0 until 60).map { i =>
       (i.toLong, s"alpha beta doc $i " + ("alpha " * (i % 5)))
