@@ -798,6 +798,42 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  private val IvfRebuildCentroidsFixture =
+    "/tmp/graft_fixtures/ivf_rebuild_centroids.parquet"
+  private val IvfRebuildAssignFixture =
+    "/tmp/graft_fixtures/ivf_rebuild_assign.parquet"
+
+  /** Full index-maintenance lifecycle as ONE gate: build → append →
+    * staged REBUILD (verify + move-in-before-delete swap + baseline
+    * reset) → serve. The rebuilt centroids and assignments persist as
+    * fixtures (rebuild correctness of assignment is what the lifecycle
+    * produced; here it is INPUT, a7's pattern), so DuckDB replays the
+    * post-swap serving exactly — if the swap lost rows, left stale
+    * centroids, or broke the layout, the replayed probe disagrees. */
+  private def a9_ivf_rebuild(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+    val path = "/tmp/graft_fixtures/ivf_rebuild_index"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    Ann.ivfWrite(Ann.ivfBuild(e.filter(col("vec_id") >= 15), "vec_id",
+      "embedding", nlist = 16), path)
+    Ann.ivfAppend(s, path,
+      e.filter(col("vec_id") >= 5 && col("vec_id") < 15),
+      "vec_id", "embedding", "growth")
+    val idx = Ann.ivfRebuild(s, path, "vec_id")
+    idx.centroids.toDF("cid", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(IvfRebuildCentroidsFixture)
+    idx.clustered.select("vec_id", "gr_cluster").coalesce(1)
+      .write.mode("overwrite").parquet(IvfRebuildAssignFixture)
+    Ann.ivfJoin(
+        e.filter(col("vec_id") < 5).withColumnRenamed("vec_id", "query_id"),
+        idx, "query_id", "vec_id", "embedding", k = 5, nprobe = 4)
+      .select("query_id", "vec_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+
   private def a4_ann_batch(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val qs = e.filter(col("vec_id").isin(0L, 1L, 2L))
@@ -1907,6 +1943,7 @@ object SparkEntry {
     "a4_ann_batch" -> (a4_ann_batch _),
     "a6_ann_join" -> (a6_ann_join _),
     "a6b_ann_join_salted" -> (a6b_ann_join_salted _),
+    "a9_ivf_rebuild" -> (a9_ivf_rebuild _),
     "a7_ann_ivf_join" -> (a7_ann_ivf_join _),
     "a8_ann_ivfpq_join" -> (a8_ann_ivfpq_join _),
     "a5_ann_ivf_batch" -> (a5_ann_ivf_batch _),
@@ -2536,6 +2573,32 @@ object SparkEntry {
                FROM read_parquet('/tmp/graft_fixtures/ivf_join_assign.parquet/*.parquet')),
          e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 15),
+         pr AS (SELECT q.query_id, cen.cid, ROW_NUMBER() OVER
+               (PARTITION BY q.query_id
+                ORDER BY list_cosine_similarity(q.v, cen.centroid) DESC, cen.cid)
+               AS rk
+           FROM q, cen),
+         cand AS (SELECT p.query_id, a.vec_id
+           FROM pr p JOIN a ON a.gr_cluster = p.cid WHERE p.rk <= 4),
+         m AS (SELECT c.query_id, c.vec_id,
+             list_cosine_similarity(qe.v, ce.v) AS cos
+           FROM cand c JOIN e qe ON qe.vec_id = c.query_id
+             JOIN e ce ON ce.vec_id = c.vec_id),
+         r AS (SELECT query_id, vec_id, CAST(ROW_NUMBER() OVER
+               (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+           FROM m)
+         SELECT query_id, vec_id, rank FROM r WHERE rank <= 5
+         ORDER BY query_id, rank""",
+    // a7's replay against the POST-REBUILD fixtures: if the staged swap
+    // lost rows, kept stale centroids, or broke the partitioned layout,
+    // the replayed probe disagrees
+    "a9_ivf_rebuild" ->
+      """WITH cen AS (SELECT cid, centroid
+                      FROM read_parquet('/tmp/graft_fixtures/ivf_rebuild_centroids.parquet/*.parquet')),
+         a AS (SELECT vec_id, gr_cluster
+               FROM read_parquet('/tmp/graft_fixtures/ivf_rebuild_assign.parquet/*.parquet')),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 5),
          pr AS (SELECT q.query_id, cen.cid, ROW_NUMBER() OVER
                (PARTITION BY q.query_id
                 ORDER BY list_cosine_similarity(q.v, cen.centroid) DESC, cen.cid)

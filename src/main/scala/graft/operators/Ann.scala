@@ -501,6 +501,98 @@ object Ann {
     graft.api.Graft.compactPartitionedTable(spark, s"$path/data",
       targetFileBytes)
 
+  /** Rebuild a persisted IVF index IN PLACE — the operator a flagged
+    * [[ivfDriftReport]] calls for: re-cluster the full current corpus
+    * (build rows + every append) with fresh Lloyd refinement, so frozen
+    * centroids catch up with a shifted distribution. The serving path is
+    * never overwritten blind:
+    *
+    *  1. STAGE — the re-clustered layout (data/centroids/sidecar) writes
+    *     to a hidden staging dir under the index root;
+    *  2. VERIFY — staged row count must equal the live count, and a
+    *     probe against the staged index must return; a verification
+    *     failure leaves the live index untouched;
+    *  3. SWAP — live dirs move aside, staged dirs move in, THEN the
+    *     retired copy is deleted (the compaction commit pattern:
+    *     new-in-before-old-gone, so a crash leaves a recoverable extra
+    *     copy, never a missing index);
+    *  4. RESET — append drift records are cleared (they measured the OLD
+    *     centroids) and the sidecar records `generation` + the NEW
+    *     build-time mean cosine, so the next [[ivfDriftReport]] compares
+    *     fresh appends against the rebuilt baseline.
+    *
+    * Same quiesce contract as [[ivfCompact]]: single writer, no
+    * concurrent appends/probes during the swap window. `nlist = 0` keeps
+    * the stored cluster count. Returns the reloaded post-swap index. */
+  def ivfRebuild(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      idCol: String,
+      nlist: Int = 0,
+      seed: Long = 42L,
+      iterations: Int = 2): IvfIndex = {
+    val node = readIvfSidecarNode(spark, path)
+    val vecCol =
+      if (node.hasNonNull("vec_col")) node.get("vec_col").asText else "embedding"
+    val gen =
+      if (node.hasNonNull("generation")) node.get("generation").asInt else 1
+    val useNlist = if (nlist > 0) nlist else node.get("nlist").asInt
+    val fs = ivfFs(spark, path)
+    def p(child: String) = new org.apache.hadoop.fs.Path(path, child)
+    val staging = p(".graft_rebuild_staging")
+    val retired = p(".graft_rebuild_retired")
+    require(!fs.exists(retired),
+      s"$retired exists — a previous rebuild crashed mid-swap; recover " +
+        "manually (inspect which copy is complete) before rebuilding again")
+    fs.delete(staging, true) // sweep a previous attempt that died pre-swap
+    val corpus = spark.read.parquet(s"$path/data").drop("gr_cluster")
+    require(corpus.columns.contains(idCol) && corpus.columns.contains(vecCol),
+      s"stored schema ${corpus.columns.mkString(",")} lacks $idCol/$vecCol")
+    val liveCount = corpus.count()
+    ivfWrite(ivfBuild(corpus, idCol, vecCol, useNlist, seed, iterations),
+      staging.toString)
+    // verify the staged copy before touching the live one
+    val stagedCount = spark.read.parquet(s"$staging/data").count()
+    require(stagedCount == liveCount,
+      s"staged rebuild has $stagedCount rows vs live $liveCount — refusing " +
+        "to swap (staging dir left for inspection)")
+    val probeVec = spark.read.parquet(s"$staging/data")
+      .select(col(vecCol)).head().getSeq[Any](0).map {
+        case f: Float => f
+        case d: Double => d.toFloat
+      }.toArray
+    require(ivfTopK(ivfRead(spark, staging.toString), idCol, vecCol,
+        probeVec, k = 1).count() == 1,
+      "staged rebuild failed its probe — refusing to swap")
+    // swap: move live aside, move staged in, only then delete the retired
+    // copy (a crash mid-swap leaves an extra copy, never a missing index)
+    fs.mkdirs(retired)
+    def move(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path) =
+      require(fs.rename(src, dst), s"rebuild swap: rename $src -> $dst failed")
+    move(p("data"), new org.apache.hadoop.fs.Path(retired, "data"))
+    move(p("centroids"), new org.apache.hadoop.fs.Path(retired, "centroids"))
+    move(new org.apache.hadoop.fs.Path(staging, "data"), p("data"))
+    move(new org.apache.hadoop.fs.Path(staging, "centroids"), p("centroids"))
+    // drift records measured the RETIRED centroids — clear before the new
+    // baseline lands so a crash window can only under-report, never
+    // compare stale records against the new baseline
+    fs.delete(p(IvfDriftDir), true)
+    val staged = readJsonFile(fs, new org.apache.hadoop.fs.Path(staging,
+      IvfParamsSidecar))
+    val out = fs.create(p(IvfParamsSidecar), true)
+    try out.write(
+      (s"""{"dim":${staged.get("dim").asInt},""" +
+        s""""nlist":${staged.get("nlist").asInt},""" +
+        s""""vec_col":"${staged.get("vec_col").asText}",""" +
+        s""""build_mean_cos":${staged.get("build_mean_cos").asDouble},""" +
+        s""""generation":${gen + 1}}""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(staging, true)
+    fs.delete(retired, true)
+    ivfRead(spark, path)
+  }
+
   /** Deterministic seeded plane matrix shared by the fused kernel and the
     * HOF reference — bucket assignments depend on these exact doubles, so
     * both formulations must draw them identically. */

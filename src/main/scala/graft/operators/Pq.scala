@@ -501,4 +501,74 @@ object Pq {
             .otherwise(lit(1.0))))
       .withColumn("drifted", col("mse_ratio") > mseRatioLimit)
   }
+
+  /** Retrain-and-re-encode a persisted PQ index IN PLACE — the operator a
+    * flagged [[pqDriftReport]] calls for. A PQ index stores CODES, not
+    * vectors, so the caller must supply the current full corpus (build
+    * rows + every appended batch — supplying less silently drops rows
+    * from the index; the row-count verification only checks against
+    * `corpus` itself). Codebooks retrain with the stored (m, k) on the
+    * supplied corpus, every row re-encodes, and the swap follows
+    * [[graft.operators.Ann.ivfRebuild]]'s staged commit: stage → verify
+    * (row count + codebook/sidecar consistency via pqRead) → move live
+    * aside → move staged in → delete retired. Drift records are cleared
+    * (they measured the OLD codebooks) and the sidecar records
+    * `generation` + the new train_mse baseline. Same quiesce contract as
+    * compaction: single writer, no concurrent appends/probes during the
+    * swap window. Returns the reloaded (model, codes). */
+  def pqRetrain(
+      spark: SparkSession,
+      path: String,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      seed: Long = 42L,
+      sampleN: Int = 512,
+      iterations: Int = 8): (PqModel, DataFrame) = {
+    val (m, k, _, _) = readSidecar(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gen = {
+      val p = new org.apache.hadoop.fs.Path(path, PqParamsSidecar)
+      val in = fs.open(p)
+      val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      """"generation"\s*:\s*(\d+)""".r.findFirstMatchIn(json)
+        .map(_.group(1).toInt).getOrElse(1)
+    }
+    def child(base: String, c: String) = new org.apache.hadoop.fs.Path(base, c)
+    val staging = child(path, ".graft_retrain_staging")
+    val retired = child(path, ".graft_retrain_retired")
+    require(!fs.exists(retired),
+      s"$retired exists — a previous retrain crashed mid-swap; recover " +
+        "manually before retraining again")
+    fs.delete(staging, true)
+    val model = pqTrain(corpus, idCol, vecCol, m, k, seed, sampleN, iterations)
+    pqWrite(pqEncode(corpus, idCol, vecCol, model), model, staging.toString)
+    val corpusCount = corpus.count()
+    val stagedCount = spark.read.parquet(s"$staging/data").count()
+    require(stagedCount == corpusCount,
+      s"staged retrain has $stagedCount rows vs corpus $corpusCount — " +
+        "refusing to swap (staging dir left for inspection)")
+    pqRead(spark, staging.toString) // sidecar/codebook consistency probe
+    def move(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path) =
+      require(fs.rename(src, dst), s"retrain swap: rename $src -> $dst failed")
+    fs.mkdirs(retired)
+    move(child(path, "data"), child(retired.toString, "data"))
+    move(child(path, "codebooks"), child(retired.toString, "codebooks"))
+    move(child(staging.toString, "data"), child(path, "data"))
+    move(child(staging.toString, "codebooks"), child(path, "codebooks"))
+    fs.delete(child(path, PqDriftDir), true)
+    val out = fs.create(child(path, PqParamsSidecar), true)
+    val mse = if (java.lang.Double.isFinite(model.trainMse))
+      s""","train_mse":${model.trainMse}""" else ""
+    try out.write(
+      (s"""{"m":${model.m},"k":${model.k},"dsub":${model.dsub}$mse""" +
+        s""","generation":${gen + 1}}""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(staging, true)
+    fs.delete(retired, true)
+    pqRead(spark, path)
+  }
 }

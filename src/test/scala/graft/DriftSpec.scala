@@ -100,6 +100,86 @@ class DriftSpec extends SparkSpec {
     assert(report == Map("same-dist" -> false, "shifted" -> true), s"got $report")
   }
 
+  private def sidecarJson(path: String, name: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path, name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  private def exists(path: String, child: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path, child)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  test("flagged IVF drift -> ivfRebuild -> clean report, correct probes, bumped generation") {
+    val path = tmpDir("ivf_rebuild")
+    Ann.ivfWrite(Ann.ivfBuild(frame(0 until 200, nearVec),
+      "vec_id", "embedding", nlist = 4), path)
+    Ann.ivfAppend(spark, path, frame(2000 until 2100, shiftedVec),
+      "vec_id", "embedding", "shift-1")
+    // the drift signal fires: this is the state the rebuild exists for
+    assert(Ann.ivfDriftReport(spark, path).collect().exists(_.getBoolean(5)))
+
+    val idx = Ann.ivfRebuild(spark, path, "vec_id")
+    // every row (build + append) survives the swap
+    assert(idx.clustered.count() == 300)
+    // drift records measured the retired centroids — cleared
+    assert(Ann.ivfDriftReport(spark, path).count() == 0)
+    // probes still correct post-swap: original and appended vectors each
+    // find themselves (assignment and probe share centroid ranking, so
+    // this holds independent of cluster quality)
+    val top = Ann.ivfTopK(idx, "vec_id", "embedding", nearVec(7), k = 1,
+      nprobe = 1).collect()
+    assert(top.head.getLong(0) == 7L && math.abs(top.head.getDouble(1) - 1.0) < 1e-9)
+    val tops = Ann.ivfTopK(idx, "vec_id", "embedding", shiftedVec(2007), k = 1,
+      nprobe = 1).collect()
+    assert(tops.head.getLong(0) == 2007L)
+    // the rebuilt baseline covers the shifted region: a FURTHER shifted
+    // append is now clean (0.2 absorbs the in-sample generalization gap —
+    // ivfDriftReport's documented calibration)
+    Ann.ivfAppend(spark, path, frame(3000 until 3060, shiftedVec),
+      "vec_id", "embedding", "shift-2")
+    val rep = Ann.ivfDriftReport(spark, path, maxDrop = 0.2).collect()
+    assert(rep.length == 1 && !rep.head.getBoolean(5),
+      s"post-rebuild same-mix append flagged: ${rep.mkString(" | ")}")
+    // generation recorded; no staging/retired leftovers
+    assert(sidecarJson(path, Ann.IvfParamsSidecar).contains("\"generation\":2"))
+    assert(!exists(path, ".graft_rebuild_staging") &&
+      !exists(path, ".graft_rebuild_retired"))
+  }
+
+  test("flagged PQ drift -> pqRetrain -> clean report, new appends clean, bumped generation") {
+    val path = tmpDir("pq_retrain")
+    val corpus = frame(0 until 2000, nearVec)
+    val model = Pq.pqTrain(corpus, "vec_id", "embedding", m = 4, k = 8)
+    Pq.pqWrite(Pq.pqEncode(corpus, "vec_id", "embedding", model), model, path)
+    Pq.pqAppend(spark, path, frame(5000 until 6000, shiftedVec),
+      "vec_id", "embedding", "shift-1")
+    assert(Pq.pqDriftReport(spark, path).collect().exists(_.getBoolean(5)))
+
+    // a PQ index stores codes, not vectors: retrain takes the full corpus
+    val full = corpus.unionByName(frame(5000 until 6000, shiftedVec))
+    val (m2, codes) = Pq.pqRetrain(spark, path, full, "vec_id", "embedding")
+    assert(codes.count() == 3000)
+    assert(m2.m == 4 && m2.k == 8, "stored (m, k) must be preserved")
+    assert(Pq.pqDriftReport(spark, path).count() == 0)
+    // the retrained baseline describes the corpus MIX (2:1 near:shifted):
+    // an append drawn from that same mix is clean against the NEW
+    // train_mse (a shifted-only slice still reads high — correctly, since
+    // it IS a distribution shift relative to the training mixture)
+    Pq.pqAppend(spark, path,
+      frame(7000 until 7040, nearVec).unionByName(frame(7040 until 7060, shiftedVec)),
+      "vec_id", "embedding", "shift-2")
+    val rep = Pq.pqDriftReport(spark, path).collect()
+    info(rep.mkString(" | "))
+    assert(rep.length == 1 && !rep.head.getBoolean(5),
+      s"post-retrain same-mix append flagged: ${rep.mkString(" | ")}")
+    assert(sidecarJson(path, Pq.PqParamsSidecar).contains("\"generation\":2"))
+    assert(!exists(path, ".graft_retrain_staging") &&
+      !exists(path, ".graft_retrain_retired"))
+  }
+
   test("PQ drift report refuses an index whose model has no train_mse") {
     val path = tmpDir("pq_drift_legacy")
     val corpus = frame(0 until 100, nearVec)
