@@ -92,6 +92,50 @@ class RecallSpec extends SparkSpec {
       s"same-distribution append flagged as drift: ${drift.mkString}")
   }
 
+  test("JOIN-path recall floors: annJoin / ivfJoin / ivfPqJoin over organic queries") {
+    // the per-query agreement specs pin each join to its single-query
+    // counterpart, but would only miss a regression if BOTH paths broke
+    // identically; this floor runs the JOIN paths themselves against
+    // brute-force truth, so a mask-list, probe-explode, or ADC regression
+    // that degrades organic neighbor quality shows up directly
+    import graft.operators.Pq
+    val corpus = emb.filter(col("vec_id") >= 20)
+    val qdf = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val joinTruth: Map[Long, Set[Long]] = queries.map { case (qid, qv) =>
+      qid -> topIds(Ann.bruteForceTopK(corpus, "vec_id", "embedding", qv, k = k))
+    }.toMap
+    def recallOf(res: org.apache.spark.sql.DataFrame): Double = {
+      val by = res.select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      queries.map { case (qid, _) =>
+        (by.getOrElse(qid, Array.empty).map(_._2).toSet & joinTruth(qid)).size
+          .toDouble / k
+      }.sum / queries.length
+    }
+    // a6's family at the tuned-LSH budget (planes=8, Hamming<=2)
+    val annR = recallOf(Ann.annJoin(qdf, corpus, "query_id", "vec_id",
+      "embedding", dim = 64, k = k, numPlanes = 8, maxHamming = 2))
+    // a7 at ivfTopK's tuned budget (nprobe=10/16 — single-query floor 0.80)
+    val idx = Ann.ivfBuild(corpus, "vec_id", "embedding", nlist = 16)
+    val ivfR = recallOf(Ann.ivfJoin(qdf, idx, "query_id", "vec_id",
+      "embedding", k = k, nprobe = 10))
+    // a8: same routing, quantized scoring — recall is bounded by PQ loss
+    // on near-orthogonal random vectors (the documented worst case), so
+    // its floor pins regressions, not absolute quality
+    val model = Pq.pqTrain(corpus, "vec_id", "embedding", m = 8, k = 16)
+    val serving = Pq.ivfPqEncode(idx, "vec_id", "embedding", model)
+    val pqR = recallOf(Pq.ivfPqJoin(qdf, serving, idx.centroids, model,
+      "query_id", "vec_id", "embedding", k = k, nprobe = 10))
+    // measured on this (deterministic) data: ann 0.295 (Hamming<=2 caps
+    // the probe budget below lshTopK's probe=4 regime), ivf 0.880,
+    // ivfpq 0.235; floors sit measured-minus-margin, the suite's policy
+    info(f"join recall@10: ann=$annR%.3f ivf=$ivfR%.3f ivfpq=$pqR%.3f")
+    assert(annR >= 0.22, f"annJoin recall@10 regressed: $annR%.3f")
+    assert(ivfR >= 0.80, f"ivfJoin recall@10 regressed: $ivfR%.3f")
+    assert(pqR >= 0.15, f"ivfPqJoin recall@10 regressed: $pqR%.3f")
+  }
+
   test("probe budget buys recall: tuned configurations clear a high floor") {
     // LSH with wider buckets + probe (8 planes, Hamming<=4): measured 0.83
     val lsh = avgRecall((qid, qv) => topIds(Ann.lshTopK(emb, "vec_id",
