@@ -483,7 +483,7 @@ object SparkEntry {
   // ====================================================== LLM-pipeline ops
 
   import graft.functions.TextFunctions
-  import graft.operators.{Ann, AsofJoin, Decontaminate, Dedup, Multimodal, Pq}
+  import graft.operators.{Ann, AsofJoin, Decontaminate, Dedup, Graph, Multimodal, Pq}
 
   /** documents ∪ a shifted copy of itself — guaranteed duplicates with a
     * known id mapping, so dedup results are oracle-expressible. */
@@ -1009,6 +1009,43 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** PageRank gate: a deterministic 200-node link graph derived from the
+    * events table (src = event_id mod 200, dst = event_id·48271 mod 200 — a
+    * Lehmer-style mixing constant so the graph is irregular), 5 exact
+    * fixed-point iterations. The oracle replays the derivation AND every
+    * iteration with the same integer arithmetic — bit-exact, no float
+    * tolerance anywhere. */
+  private def g1_pagerank(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "events")
+      .select((col("event_id") % 200).as("src"),
+        ((col("event_id") * 48271L) % 200).as("dst"))
+    Graph.pageRank(edges, "src", "dst", iterations = 5)
+      .orderBy("node")
+  }
+
+  private val SemDedupCentroidsFixture =
+    "/tmp/graft_fixtures/semdedup_centroids.parquet"
+
+  /** Semantic dedup gate (SemDeDup): the planted corpus (10 bit-exact
+    * direction copies of vector 0 at ids 9000000+i) is k-means-clustered,
+    * the centroids persist as a fixture, and DuckDB replays EVERYTHING
+    * downstream of the clustering with the kernel's own arithmetic
+    * (dot/(√na·√nb), larger-cid argmax tie-break): assignment, the
+    * within-cluster pair scan at eps=0.95, the min-id representative rule.
+    * Expected shape: every planted id drops with rep_id=0 (cosine exactly
+    * 1.0 to vector 0, which shares their argmax cluster); the organic
+    * near-orthogonal rows survive. */
+  private def d13_semdedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val index = Ann.ivfBuild(annCorpus(s, dir), "vec_id", "embedding", nlist = 8)
+    index.centroids.map { case (cid, v) => (cid, v.toSeq) }
+      .toDF("cid", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(SemDedupCentroidsFixture)
+    Dedup.semDedup(index, "vec_id", eps = 0.95, maxClusterSize = 1 << 20)
+      .select("id", "gr_cluster", "kept", "rep_id")
+      .orderBy("id")
+  }
+
   private def a3_ann_ivf(s: SparkSession, dir: String): DataFrame = {
     val index = Ann.ivfBuild(annCorpus(s, dir), "vec_id", "embedding", nlist = 16)
     Ann.ivfTopK(index, "vec_id", "embedding", queryVec(s, dir),
@@ -1105,6 +1142,24 @@ object SparkEntry {
     * organic corpus (ids ≥ 0) — the streamed ids at ranks 1..10 are
     * enumerable truth regardless of how the lossy quantizer treats the
     * organic rows. */
+  /** Arbitrary stateful streaming (flatMapGroupsWithState): per-user running
+    * (count, exact decimal-cents sum, click count) in custom state; Update
+    * mode emits the running totals each micro-batch, and the gate keeps each
+    * user's FINAL state (largest n — counters are monotone). The oracle is
+    * the plain batch aggregate: a correct replay-to-exhaustion of the custom
+    * state machine must land on exactly the batch answer. */
+  private def st11_stream_stateful(s: SparkSession, dir: String): DataFrame = {
+    val running = graft.streaming.Streams.userRunningStats(
+      graft.streaming.Streams.eventsStream(s, dir))
+    val sunk = graft.streaming.Streams.runToMemory(
+      running, s"st11_${math.abs(dir.hashCode)}", outputMode = "update")
+    val w = Window.partitionBy("user_id").orderBy(col("n").desc)
+    sunk.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "n", "sum_value", "n_click")
+      .orderBy("user_id")
+  }
+
   private def st10_stream_pq_ingest(s: SparkSession, dir: String): DataFrame = {
     val base = "/tmp/graft_fixtures/pq_ingest_" +
       java.net.URLEncoder.encode(dir, "UTF-8")
@@ -1928,6 +1983,8 @@ object SparkEntry {
     "d3_dedup_simhash" -> (d3_dedup_simhash _),
     "d4_ngram_jaccard" -> (d4_ngram_jaccard _),
     "d5_embed_neardup" -> (d5_embed_neardup _),
+    "d13_semdedup" -> (d13_semdedup _),
+    "g1_pagerank" -> (g1_pagerank _),
     "d6_dedup_pipeline" -> (d6_dedup_pipeline _),
     "d7_connected_components" -> (d7_connected_components _),
     "d8_decontam" -> (d8_decontam _),
@@ -1955,6 +2012,7 @@ object SparkEntry {
     "a3b_ann_ivf_append" -> (a3b_ann_ivf_append _),
     "st9_stream_ivf_ingest" -> (st9_stream_ivf_ingest _),
     "st10_stream_pq_ingest" -> (st10_stream_pq_ingest _),
+    "st11_stream_stateful" -> (st11_stream_stateful _),
     "t1_langid" -> (t1_langid _),
     "t1b_langid_ngram" -> (t1b_langid_ngram _),
     "t2_quality" -> (t2_quality _),
@@ -2347,6 +2405,72 @@ object SparkEntry {
     "d5_embed_neardup" ->
       """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b
          FROM embeddings ORDER BY id_a, id_b""",
+    "g1_pagerank" ->
+      """WITH e AS (SELECT DISTINCT event_id % 200 AS src,
+             (event_id * 48271) % 200 AS dst FROM events),
+         o AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         p AS (SELECT COUNT(*) AS n FROM nodes),
+         r0 AS (SELECT node, 1000000000 // n AS r FROM nodes, p),
+         c1 AS (SELECT e.dst AS node, SUM(pr.r // o.outdeg) AS c
+           FROM e JOIN o ON e.src = o.src JOIN r0 pr ON pr.node = e.src
+           GROUP BY e.dst),
+         r1 AS (SELECT nd.node,
+             (150000000 // n) + (COALESCE(c.c, 0) * 85) // 100 AS r
+           FROM nodes nd LEFT JOIN c1 c ON c.node = nd.node, p),
+         c2 AS (SELECT e.dst AS node, SUM(pr.r // o.outdeg) AS c
+           FROM e JOIN o ON e.src = o.src JOIN r1 pr ON pr.node = e.src
+           GROUP BY e.dst),
+         r2 AS (SELECT nd.node,
+             (150000000 // n) + (COALESCE(c.c, 0) * 85) // 100 AS r
+           FROM nodes nd LEFT JOIN c2 c ON c.node = nd.node, p),
+         c3 AS (SELECT e.dst AS node, SUM(pr.r // o.outdeg) AS c
+           FROM e JOIN o ON e.src = o.src JOIN r2 pr ON pr.node = e.src
+           GROUP BY e.dst),
+         r3 AS (SELECT nd.node,
+             (150000000 // n) + (COALESCE(c.c, 0) * 85) // 100 AS r
+           FROM nodes nd LEFT JOIN c3 c ON c.node = nd.node, p),
+         c4 AS (SELECT e.dst AS node, SUM(pr.r // o.outdeg) AS c
+           FROM e JOIN o ON e.src = o.src JOIN r3 pr ON pr.node = e.src
+           GROUP BY e.dst),
+         r4 AS (SELECT nd.node,
+             (150000000 // n) + (COALESCE(c.c, 0) * 85) // 100 AS r
+           FROM nodes nd LEFT JOIN c4 c ON c.node = nd.node, p),
+         c5 AS (SELECT e.dst AS node, SUM(pr.r // o.outdeg) AS c
+           FROM e JOIN o ON e.src = o.src JOIN r4 pr ON pr.node = e.src
+           GROUP BY e.dst),
+         r5 AS (SELECT nd.node,
+             (150000000 // n) + (COALESCE(c.c, 0) * 85) // 100 AS r
+           FROM nodes nd LEFT JOIN c5 c ON c.node = nd.node, p)
+         SELECT node, CAST(r AS BIGINT) AS rank_ppb FROM r5 ORDER BY node""",
+    "d13_semdedup" ->
+      """WITH cent AS (SELECT cid, vec FROM
+           read_parquet('/tmp/graft_fixtures/semdedup_centroids.parquet/*.parquet')),
+         base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         pl AS (SELECT 9000000 + i AS vec_id,
+             CAST(list_transform(e.embedding,
+               x -> CAST(x * POW(2.0, i - 5) AS FLOAT)) AS DOUBLE[]) AS v
+           FROM range(10) t(i), embeddings e WHERE e.vec_id = 0),
+         corp AS (SELECT * FROM base UNION ALL SELECT * FROM pl),
+         asg AS (SELECT vec_id, v, cid AS gr_cluster FROM (
+             SELECT c.vec_id, c.v, cent.cid, ROW_NUMBER() OVER
+               (PARTITION BY c.vec_id ORDER BY
+                 list_dot_product(c.v, cent.vec) /
+                   (sqrt(list_dot_product(c.v, c.v)) *
+                    sqrt(list_dot_product(cent.vec, cent.vec))) DESC,
+                 cent.cid DESC) AS rk
+             FROM corp c CROSS JOIN cent) x WHERE rk = 1),
+         reps AS (SELECT b.vec_id AS id, MIN(a.vec_id) AS rep_id
+           FROM asg a JOIN asg b
+             ON a.gr_cluster = b.gr_cluster AND a.vec_id < b.vec_id
+           WHERE list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) *
+              sqrt(list_dot_product(b.v, b.v))) >= 0.95
+           GROUP BY b.vec_id)
+         SELECT g.vec_id AS id, CAST(g.gr_cluster AS INT) AS gr_cluster,
+           r.rep_id IS NULL AS kept, r.rep_id
+         FROM asg g LEFT JOIN reps r ON r.id = g.vec_id
+         ORDER BY id""",
     "d6_dedup_pipeline" ->
       """SELECT doc_id FROM documents ORDER BY doc_id""",
     "d7_connected_components" ->
@@ -3501,6 +3625,11 @@ object SparkEntry {
              (CAST(SUM(v) AS DOUBLE) / (width * height)), 0)), 6) AS std
          FROM px GROUP BY doc_id, width, height, channel
          ORDER BY doc_id, channel""",
+    "st11_stream_stateful" ->
+      """SELECT user_id, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS n_click
+         FROM events GROUP BY user_id ORDER BY user_id""",
     "st1_stream_window" ->
       """SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS w_start,
          event_type, COUNT(*) AS n,

@@ -491,6 +491,54 @@ object Dedup {
     armLshListener(pairs, "graft_lsh_embedding", maxBucketSize, Nil)
   }
 
+  // ------------------------------------------------------- semantic dedup
+
+  /** SemDeDup (Abbas et al., arXiv:2303.09540): k-means-cluster the
+    * embedding space, then prune semantic near-duplicates WITHIN each
+    * cluster only — the cluster partitioning is what makes semantic dedup
+    * tractable at corpus scale (pair cost is Σ|cluster|² instead of n²,
+    * and clusters are the natural unit of distribution: one shuffle by
+    * `gr_cluster` co-locates every candidate pair).
+    *
+    * Takes a built [[Ann.IvfIndex]] (its k-means assignment IS the
+    * clustering — one machinery for serving and curation). Drop rule,
+    * chosen for determinism and replayability: row `x` is dropped iff some
+    * row `y` in the same cluster has `y.id < x.id` and
+    * `cosine(x, y) ≥ eps`; the smallest such `y` is recorded as the
+    * representative. The rule is non-recursive (a dropped `y` still
+    * disqualifies `x`), so the result is a pure function of the pair set —
+    * no union-find iteration — at the cost of occasionally dropping a row
+    * whose only near-neighbors were themselves dropped (the conservative
+    * direction for training-data curation: semantically redundant text).
+    *
+    * Returns (id, gr_cluster, kept, rep_id) for every input row. Clusters
+    * over `maxClusterSize` are dropped-and-logged like every LSH family
+    * cap ([[capBuckets]]); at 100 TB, cap pressure means nlist is too
+    * small for the corpus — rebuild with more clusters rather than raising
+    * the cap (SemDeDup's own recipe scales nlist with corpus size). */
+  def semDedup(
+      index: graft.operators.Ann.IvfIndex,
+      idCol: String,
+      eps: Double = 0.95,
+      maxClusterSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val rows = index.clustered.select(col(idCol).as("id"),
+      col(index.vecCol).as("vec"), col("gr_cluster").as("bucket"))
+    val capped = capBuckets(rows, maxClusterSize, "graft_semdedup")
+    val reps = capped
+      .select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+      .join(capped.select(col("bucket"), col("id").as("id_a"),
+        col("vec").as("vec_a")), Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", Ann.cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= eps)
+      .groupBy(col("id_b").as("id")).agg(min(col("id_a")).as("rep_id"))
+    val out = rows.select(col("id"), col("bucket").as("gr_cluster"))
+      .join(reps, Seq("id"), "left")
+      .select(col("id"), col("gr_cluster"),
+        col("rep_id").isNull.as("kept"), col("rep_id"))
+    armLshListener(out, "graft_semdedup", maxClusterSize, Nil)
+  }
+
   /** Persist-ready minhash index of a corpus: (id, shingle_set, sig).
     * Write it once with [[minhashIndexWrite]] and every later ingest
     * matches against it with [[minhashPairsAgainst]] — the corpus text is

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
 import graft.core._
@@ -485,6 +485,52 @@ object Streams {
   /** Run a (finite-source) streaming query to completion into an in-memory
     * table and return its final result. `outputMode` is "complete" for
     * aggregations, "append" for row-wise operators (dedup, filters). */
+  /** Arbitrary-stateful streaming aggregation via `flatMapGroupsWithState`:
+    * per-user running (event count, exact sum, click count) maintained in a
+    * user-defined state object — the escape hatch for aggregation logic the
+    * built-in streaming aggs can't express (multi-field conditional state,
+    * custom emission policy). Each micro-batch emits the group's UPDATED
+    * running totals (Update output mode), so the memory sink accumulates one
+    * row per (user, batch-that-touched-it); the final state per user is the
+    * row with the largest `n` (counters are monotone).
+    *
+    * Determinism: `value` is pre-quantized to DECIMAL(10,2) cents (a Long)
+    * BEFORE entering the state function, so the in-state sum is exact
+    * integer arithmetic — order-independent across micro-batch and group
+    * iterator orderings, and bit-identical to the oracle's
+    * `SUM(CAST(value AS DECIMAL(10,2)))`.
+    *
+    * 100 TB: state is O(distinct users) × 3 longs, partitioned by group key
+    * across executors and checkpointed incrementally (RocksDB/HDFS state
+    * store on a real cluster); each micro-batch shuffles only its own rows.
+    * No timeout is set here (finite replay); a production session-style use
+    * would set `GroupStateTimeout.EventTimeTimeout` to bound state for
+    * users that go quiet. */
+  def userRunningStats(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.select(
+        col("user_id").cast("long").as("user_id"),
+        col("event_type"),
+        (col("value").cast("decimal(10,2)") * 100).cast("long").as("cents"))
+      .as[(Long, String, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Long)](
+          OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, String, Long)],
+         state: GroupState[(Long, Long, Long)]) =>
+          var (n, cents, clicks) = state.getOption.getOrElse((0L, 0L, 0L))
+          rows.foreach { case (_, et, c) =>
+            n += 1; cents += c; if (et == "click") clicks += 1
+          }
+          state.update((n, cents, clicks))
+          Iterator((uid, n, cents, clicks))
+      }
+      .toDF("user_id", "n", "cents", "n_click")
+      .withColumn("sum_value", (col("cents") / 100.0).cast("double"))
+      .drop("cents")
+  }
+
   def runToMemory(agg: DataFrame, name: String,
       outputMode: String = "complete"): DataFrame = {
     val spark = agg.sparkSession

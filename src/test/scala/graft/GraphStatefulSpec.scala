@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Ann, Dedup, Graph}
+
+/** PageRank: exact fixed-point arithmetic makes expected values computable
+  * by hand — these tests pin the arithmetic contract the g1 oracle replays. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("3-cycle is a fixed point: uniform ranks survive every iteration") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    // r0 = 1e9 div 3 = 333333333; contribution = r (outdeg 1);
+    // r' = 150000000 div 3 + (333333333 * 85) div 100 = 50000000 + 283333333 = r0
+    val r = Graph.pageRank(edges, "src", "dst", iterations = 7).collect()
+    assert(r.length == 3)
+    assert(r.forall(_.getLong(1) == 333333333L))
+  }
+
+  test("star graph: hand-computed first two iterations, dangling sink") {
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L)).toDF("src", "dst")
+    // n=4, r0=250000000, teleport=37500000; node 0 is dangling (its mass
+    // decays — the documented no-redistribution contract)
+    val r1 = Graph.pageRank(edges, "src", "dst", iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1(0L) == 37500000L + (3L * 250000000L * 85L) / 100L)
+    assert(r1(1L) == 37500000L && r1(2L) == 37500000L && r1(3L) == 37500000L)
+    val r2 = Graph.pageRank(edges, "src", "dst", iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2(0L) == 37500000L + (3L * 37500000L * 85L) / 100L)
+    assert(r2(1L) == 37500000L)
+  }
+
+  test("total mass never exceeds the scale and hubs outrank leaves") {
+    val edges = (0L until 400L).map(i => (i % 37, (i * 48271L) % 37))
+      .toDF("src", "dst")
+    val r = Graph.pageRank(edges, "src", "dst", iterations = 5).collect()
+    assert(r.map(_.getLong(1)).sum <= Graph.RankScale)
+    assert(r.forall(_.getLong(1) >= 0L))
+  }
+
+  test("partition invariance and duplicate-edge collapse") {
+    val base = (0L until 300L).map(i => (i % 23, (i * 7919L) % 23))
+    val a = Graph.pageRank(base.toDF("src", "dst").repartition(7),
+      "src", "dst", iterations = 3)
+    val b = Graph.pageRank((base ++ base ++ base).toDF("src", "dst")
+      .repartition(2), "src", "dst", iterations = 3)
+    assert(canon(a) == canon(b))
+  }
+}
+
+/** SemDeDup: within-cluster min-id prune over a k-means clustering. */
+class SemDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two tight direction groups (ids 0-2 along +x, ids 10-11 along +y) plus
+  // two isolated directions; identical vectors MUST co-cluster (shared
+  // argmax) so the planted expectations are partition-independent
+  private def corpus = Seq(
+    (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(2f, 0f, 0f, 0f)),
+    (2L, Array(0.5f, 0f, 0f, 0f)),
+    (10L, Array(0f, 1f, 0f, 0f)), (11L, Array(0f, 4f, 0f, 0f)),
+    (20L, Array(0f, 0f, 1f, 0f)), (21L, Array(0f, 0f, 0f, 1f))
+  ).toDF("id", "vec")
+
+  test("identical-direction groups collapse to their min id") {
+    val idx = Ann.ivfBuild(corpus, "id", "vec", nlist = 4)
+    val r = Dedup.semDedup(idx, "id", eps = 0.95)
+      .collect().map(x => x.getLong(0) ->
+        (x.getBoolean(2), if (x.isNullAt(3)) -1L else x.getLong(3))).toMap
+    assert(r(0L) == ((true, -1L)))
+    assert(r(1L) == ((false, 0L)) && r(2L) == ((false, 0L)))
+    assert(r(10L) == ((true, -1L)) && r(11L) == ((false, 10L)))
+    assert(r(20L) == ((true, -1L)) && r(21L) == ((true, -1L)))
+  }
+
+  test("eps above 1 keeps everything; cap=1 disables candidacy loudly-logged") {
+    val idx = Ann.ivfBuild(corpus, "id", "vec", nlist = 4)
+    assert(Dedup.semDedup(idx, "id", eps = 1.01)
+      .filter(!col("kept")).count() == 0)
+    assert(Dedup.semDedup(idx, "id", eps = 0.95, maxClusterSize = 1)
+      .filter(!col("kept")).count() == 0)
+  }
+}
+
+/** flatMapGroupsWithState: cross-micro-batch state carry-over — the part a
+  * single-file replay (one batch) cannot exercise. */
+class StatefulStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("running per-user stats carry state across micro-batches") {
+    val dir = tmpDir("stateful_stream")
+    val b1 = Seq((1L, "click", 1.25), (1L, "view", 2.00), (2L, "view", 3.10))
+      .toDF("user_id", "event_type", "value")
+    val b2 = Seq((1L, "click", 0.75), (2L, "click", 1.90), (3L, "view", 5.00))
+      .toDF("user_id", "event_type", "value")
+    b1.coalesce(1).write.mode("append").parquet(dir)
+    b2.coalesce(1).write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val sunk = graft.streaming.Streams.runToMemory(
+      graft.streaming.Streams.userRunningStats(stream),
+      "stateful_spec_sink", outputMode = "update")
+    // final state per user (largest n) must equal the batch aggregate
+    val fin = sunk.orderBy(col("n").desc).collect()
+      .groupBy(_.getLong(0)).map { case (u, rs) => u -> rs.head }
+    assert(fin(1L).getLong(1) == 3 && fin(1L).getLong(2) == 2)
+    assert(math.abs(fin(1L).getDouble(3) - 4.00) < 1e-9)
+    assert(fin(2L).getLong(1) == 2 && fin(2L).getLong(2) == 1)
+    assert(fin(3L).getLong(1) == 1 && fin(3L).getLong(2) == 0)
+    // a user present in both files produced MORE THAN ONE update row —
+    // proof the state machine ran across at least two micro-batches
+    assert(sunk.filter(col("user_id") === 1L).count() >= 2)
+  }
+}
