@@ -1009,6 +1009,42 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Linear quality probe, fit and applied in one gate: exact normal
+    * equations over INTEGER features (char count, whitespace token count;
+    * label = is-English), so every sufficient statistic is an exact decimal
+    * sum and the Cramer solve + scoring are fixed IEEE expression
+    * sequences — the oracle replays training AND scoring bit-for-bit, no
+    * rounding tolerance anywhere. */
+  private def ml1_linprobe(s: SparkSession, dir: String): DataFrame = {
+    val f = t(s, dir, "documents").select(col("doc_id"),
+      col("n_chars").cast("long").as("x1"),
+      TextFunctions.tokenCountWhitespace(col("text")).cast("long").as("x2"),
+      when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+    val model = graft.operators.Regression.fitLinearExact(f, Seq("x1", "x2"), "y")
+    f.select(col("doc_id"),
+        graft.operators.Regression.linearScore(model,
+          Seq(col("x1"), col("x2"))).as("score"))
+      .orderBy("doc_id")
+  }
+
+  /** Logistic quality classifier: 3 full-batch GD iterations, each ONE
+    * distributed gradient aggregation; weights round to 6 decimals per
+    * iteration (the cross-engine resync — float sums and exp differ in the
+    * last ulp), scores round the same way. The oracle replays all three
+    * iterations and the sigmoid scoring. */
+  private def ml2_logreg(s: SparkSession, dir: String): DataFrame = {
+    val f = t(s, dir, "documents").select(col("doc_id"),
+      (col("n_chars") / 100.0).as("x1"),
+      (TextFunctions.tokenCountWhitespace(col("text")) / 20.0).as("x2"),
+      when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+    val model = graft.operators.Regression.fitLogisticGD(f,
+      Seq(col("x1"), col("x2")), col("y"), iterations = 3, lr = 0.5)
+    f.select(col("doc_id"),
+        graft.operators.Regression.logisticScore(model,
+          Seq(col("x1"), col("x2"))).as("score"))
+      .orderBy("doc_id")
+  }
+
   /** PageRank gate: a deterministic 200-node link graph derived from the
     * events table (src = event_id mod 200, dst = event_id·48271 mod 200 — a
     * Lehmer-style mixing constant so the graph is irregular), 5 exact
@@ -1985,6 +2021,8 @@ object SparkEntry {
     "d5_embed_neardup" -> (d5_embed_neardup _),
     "d13_semdedup" -> (d13_semdedup _),
     "g1_pagerank" -> (g1_pagerank _),
+    "ml1_linprobe" -> (ml1_linprobe _),
+    "ml2_logreg" -> (ml2_logreg _),
     "d6_dedup_pipeline" -> (d6_dedup_pipeline _),
     "d7_connected_components" -> (d7_connected_components _),
     "d8_decontam" -> (d8_decontam _),
@@ -2405,6 +2443,56 @@ object SparkEntry {
     "d5_embed_neardup" ->
       """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b
          FROM embeddings ORDER BY id_a, id_b""",
+    "ml1_linprobe" ->
+      """WITH f AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS x1,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS x2,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           FROM documents),
+         g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS s00,
+             CAST(SUM(x1) AS DOUBLE) AS s01, CAST(SUM(x2) AS DOUBLE) AS s02,
+             CAST(SUM(x1*x1) AS DOUBLE) AS s11,
+             CAST(SUM(x1*x2) AS DOUBLE) AS s12,
+             CAST(SUM(x2*x2) AS DOUBLE) AS s22,
+             CAST(SUM(y) AS DOUBLE) AS b0, CAST(SUM(x1*y) AS DOUBLE) AS b1,
+             CAST(SUM(x2*y) AS DOUBLE) AS b2
+           FROM f),
+         w AS (SELECT
+             (s00 * (s11 * s22 - s12 * s12) - s01 * (s01 * s22 - s12 * s02)
+               + s02 * (s01 * s12 - s11 * s02)) AS det,
+             (b0 * (s11 * s22 - s12 * s12) - s01 * (b1 * s22 - s12 * b2)
+               + s02 * (b1 * s12 - s11 * b2)) AS n0,
+             (s00 * (b1 * s22 - s12 * b2) - b0 * (s01 * s22 - s12 * s02)
+               + s02 * (s01 * b2 - b1 * s02)) AS n1,
+             (s00 * (s11 * b2 - b1 * s12) - s01 * (s01 * b2 - b1 * s02)
+               + b0 * (s01 * s12 - s11 * s02)) AS n2
+           FROM g),
+         ww AS (SELECT n0 / det AS w0, n1 / det AS w1, n2 / det AS w2 FROM w)
+         SELECT f.doc_id, ww.w0 + ww.w1 * f.x1 + ww.w2 * f.x2 AS score
+         FROM f, ww ORDER BY doc_id""",
+    "ml2_logreg" ->
+      """WITH f AS (SELECT doc_id, n_chars / 100.0 AS x1,
+             len(regexp_split_to_array(trim(text), '\s+')) / 20.0 AS x2,
+             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+           FROM documents),
+         p AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM f),
+         i1 AS (SELECT
+             ROUND(0.0 - 0.5 * SUM((1.0 / (1.0 + EXP(-(0.0 + 0.0 * x1 + 0.0 * x2))) - y) * 1.0) / MAX(p.n), 6) AS w0,
+             ROUND(0.0 - 0.5 * SUM((1.0 / (1.0 + EXP(-(0.0 + 0.0 * x1 + 0.0 * x2))) - y) * x1) / MAX(p.n), 6) AS w1,
+             ROUND(0.0 - 0.5 * SUM((1.0 / (1.0 + EXP(-(0.0 + 0.0 * x1 + 0.0 * x2))) - y) * x2) / MAX(p.n), 6) AS w2
+           FROM f, p),
+         i2 AS (SELECT
+             ROUND(w.w0 - 0.5 * SUM((1.0 / (1.0 + EXP(-(w.w0 + w.w1 * x1 + w.w2 * x2))) - y) * 1.0) / MAX(p.n), 6) AS w0,
+             ROUND(w.w1 - 0.5 * SUM((1.0 / (1.0 + EXP(-(w.w0 + w.w1 * x1 + w.w2 * x2))) - y) * x1) / MAX(p.n), 6) AS w1,
+             ROUND(w.w2 - 0.5 * SUM((1.0 / (1.0 + EXP(-(w.w0 + w.w1 * x1 + w.w2 * x2))) - y) * x2) / MAX(p.n), 6) AS w2
+           FROM f, p, i1 w GROUP BY w.w0, w.w1, w.w2),
+         i3 AS (SELECT
+             ROUND(w.w0 - 0.5 * SUM((1.0 / (1.0 + EXP(-(w.w0 + w.w1 * x1 + w.w2 * x2))) - y) * 1.0) / MAX(p.n), 6) AS w0,
+             ROUND(w.w1 - 0.5 * SUM((1.0 / (1.0 + EXP(-(w.w0 + w.w1 * x1 + w.w2 * x2))) - y) * x1) / MAX(p.n), 6) AS w1,
+             ROUND(w.w2 - 0.5 * SUM((1.0 / (1.0 + EXP(-(w.w0 + w.w1 * x1 + w.w2 * x2))) - y) * x2) / MAX(p.n), 6) AS w2
+           FROM f, p, i2 w GROUP BY w.w0, w.w1, w.w2)
+         SELECT f.doc_id,
+           ROUND(1.0 / (1.0 + EXP(-(w.w0 + w.w1 * f.x1 + w.w2 * f.x2))), 6) AS score
+         FROM f, i3 w ORDER BY doc_id""",
     "g1_pagerank" ->
       """WITH e AS (SELECT DISTINCT event_id % 200 AS src,
              (event_id * 48271) % 200 AS dst FROM events),

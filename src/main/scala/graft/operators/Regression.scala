@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Distributed supervised training for data curation: quality probes fit at
+  * corpus scale with ONE pass (exact linear) or a few passes (logistic GD),
+  * then applied as a broadcast scoring expression. The expensive part — the
+  * sufficient-statistics aggregation — is a map-side partially-aggregated
+  * reduce of O(k²) numbers; the driver only solves a k×k system. This is the
+  * canonical Spark training shape (same as MLlib's normal-equation solver),
+  * re-expressed with exact arithmetic so results are partition-order
+  * independent and replayable.
+  */
+object Regression {
+
+  /** A fitted linear model: `weights(0)` is the intercept, `weights(i)` the
+    * coefficient of the i-th feature column. */
+  final case class LinearModel(weights: Array[Double])
+
+  /** Least-squares linear probe fit by EXACT normal equations over integer
+    * features: every Gram-matrix and moment entry is a sum of per-row Long
+    * products accumulated as DECIMAL(38,0) — exact for any row count and
+    * partitioning (no float-summation order anywhere) — and the driver
+    * solves the (k+1)×(k+1) system from those exact sums. With ≤ 2 features
+    * the solve is the fixed Cramer cofactor expansion (bit-reproducible and
+    * SQL-replayable: the ml1 oracle runs the same formula); larger k falls
+    * back to Gaussian elimination with partial pivoting (deterministic, but
+    * not contractually bit-replayable — use the GD path if you need more
+    * features in a gated pipeline).
+    *
+    * Feature columns must be integral (int/long) — pre-bucket continuous
+    * features (`floor(x * scale)`), which is what a curation probe wants
+    * anyway. Per-row products must fit a Long: |feature| < ~3e9. Labels may
+    * be any numeric (0/1 for a class probe, a quality score for a rating
+    * probe); they are summed exactly as decimals too only when integral —
+    * fractional labels go through DECIMAL(38,6) quantization (documented
+    * 1e-6 resolution).
+    *
+    * 100 TB: one scan, one partial-agg reduce of (k+1)(k+2)/2 + (k+1)
+    * decimals; no shuffle of data rows at all. */
+  def fitLinearExact(
+      df: DataFrame,
+      featureCols: Seq[String],
+      labelCol: String): LinearModel = {
+    require(featureCols.nonEmpty, "need at least one feature column")
+    val k = featureCols.length + 1
+    val xs: Seq[Column] =
+      lit(1L) +: featureCols.map(c => col(c).cast("long"))
+    val y = col(labelCol).cast(DecimalType(38, 6))
+    def exact(c: Column): Column = sum(c.cast(DecimalType(38, 0)))
+    val gramCols = for { j <- 0 until k; l <- j until k }
+      yield exact(xs(j) * xs(l)).as(s"s_${j}_$l")
+    val momentCols = (0 until k).map(j =>
+      sum((xs(j).cast(DecimalType(38, 6)) * y).cast(DecimalType(38, 6)))
+        .as(s"b_$j"))
+    val row = df.agg((gramCols ++ momentCols).head,
+      (gramCols ++ momentCols).tail: _*).head()
+    def d(i: Int): Double = row.getDecimal(i).doubleValue()
+    val a = Array.ofDim[Double](k, k)
+    var ix = 0
+    for (j <- 0 until k; l <- j until k) {
+      a(j)(l) = d(ix); a(l)(j) = d(ix); ix += 1
+    }
+    val b = (0 until k).map(j => d(ix + j)).toArray
+    LinearModel(solve(a, b))
+  }
+
+  /** Solve A w = b. k ≤ 3: fixed Cramer cofactor expansion (the exact
+    * expression sequence the ml1 oracle replays — do not reorder). */
+  private[operators] def solve(a: Array[Array[Double]], b: Array[Double]): Array[Double] = {
+    a.length match {
+      case 1 => Array(b(0) / a(0)(0))
+      case 2 =>
+        val det = a(0)(0) * a(1)(1) - a(0)(1) * a(1)(0)
+        Array((b(0) * a(1)(1) - a(0)(1) * b(1)) / det,
+          (a(0)(0) * b(1) - b(0) * a(1)(0)) / det)
+      case 3 =>
+        val (s00, s01, s02) = (a(0)(0), a(0)(1), a(0)(2))
+        val (s11, s12, s22) = (a(1)(1), a(1)(2), a(2)(2))
+        val (b0, b1, b2) = (b(0), b(1), b(2))
+        val det = s00 * (s11 * s22 - s12 * s12) -
+          s01 * (s01 * s22 - s12 * s02) +
+          s02 * (s01 * s12 - s11 * s02)
+        val n0 = b0 * (s11 * s22 - s12 * s12) -
+          s01 * (b1 * s22 - s12 * b2) +
+          s02 * (b1 * s12 - s11 * b2)
+        val n1 = s00 * (b1 * s22 - s12 * b2) -
+          b0 * (s01 * s22 - s12 * s02) +
+          s02 * (s01 * b2 - b1 * s02)
+        val n2 = s00 * (s11 * b2 - b1 * s12) -
+          s01 * (s01 * b2 - b1 * s02) +
+          b0 * (s01 * s12 - s11 * s02)
+        Array(n0 / det, n1 / det, n2 / det)
+      case _ => gaussSolve(a.map(_.clone()), b.clone())
+    }
+  }
+
+  private def gaussSolve(a: Array[Array[Double]], b: Array[Double]): Array[Double] = {
+    val n = a.length
+    for (piv <- 0 until n) {
+      var p = piv
+      for (r <- piv + 1 until n) if (math.abs(a(r)(piv)) > math.abs(a(p)(piv))) p = r
+      val (ta, tb) = (a(p), b(p)); a(p) = a(piv); a(piv) = ta; b(p) = b(piv); b(piv) = tb
+      require(a(piv)(piv) != 0.0, "singular normal equations — drop a collinear feature")
+      for (r <- piv + 1 until n) {
+        val f = a(r)(piv) / a(piv)(piv)
+        for (c <- piv until n) a(r)(c) -= f * a(piv)(c)
+        b(r) -= f * b(piv)
+      }
+    }
+    val w = new Array[Double](n)
+    for (r <- n - 1 to 0 by -1) {
+      var s = b(r)
+      for (c <- r + 1 until n) s -= a(r)(c) * w(c)
+      w(r) = s / a(r)(r)
+    }
+    w
+  }
+
+  /** The broadcast scoring expression for a fitted linear model:
+    * `w0 + w1·x1 + … + wk·xk`, accumulated left-to-right (the fixed order
+    * the oracle replays). Pure codegen arithmetic over in-row columns —
+    * zero shuffle, scores 100 TB at scan speed. */
+  def linearScore(model: LinearModel, features: Seq[Column]): Column = {
+    require(features.length + 1 == model.weights.length,
+      s"model has ${model.weights.length - 1} features, got ${features.length}")
+    features.zipWithIndex.foldLeft(lit(model.weights(0)): Column) {
+      case (acc, (f, i)) => acc + lit(model.weights(i + 1)) * f.cast("double")
+    }
+  }
+
+  /** A fitted logistic model (weights(0) = intercept), weights rounded to
+    * `roundTo` decimals — part of the contract, not cosmetics (see
+    * [[fitLogisticGD]]). */
+  final case class LogisticModel(weights: Array[Double], roundTo: Int)
+
+  /** Logistic-regression quality classifier fit by `iterations` rounds of
+    * full-batch gradient descent: per iteration ONE distributed aggregation
+    * computes the gradient `g_j = Σ (σ(w·x_i) − y_i)·x_ij` (map-side
+    * partial agg, k+1 doubles over the wire), then the driver applies
+    * `w ← round(w − lr·g/n, roundTo)`.
+    *
+    * The per-iteration ROUNDING is the determinism contract: float gradient
+    * sums depend on partition order and `exp` differs across engines in the
+    * last ulp, so raw weights drift by ~1e-13 between runs/engines — far
+    * below `roundTo = 6`, so rounding RESYNCS the weights to identical
+    * values everywhere after every iteration and errors never compound.
+    * Feature expressions should be normalized to O(1) magnitude (e.g.
+    * `n_chars / 100.0`) or the sigmoid saturates.
+    *
+    * 100 TB: `iterations` scans, each reducing to k+1 numbers; nothing else
+    * moves. Cache the projected feature frame before calling if the source
+    * scan is expensive. */
+  def fitLogisticGD(
+      df: DataFrame,
+      featureCols: Seq[Column],
+      labelCol: Column,
+      iterations: Int = 3,
+      lr: Double = 0.5,
+      roundTo: Int = 6): LogisticModel = {
+    val k = featureCols.length + 1
+    val xs: Seq[Column] = lit(1.0) +: featureCols.map(_.cast("double"))
+    val y = labelCol.cast("double")
+    val n = df.count().toDouble
+    var w = Array.fill(k)(0.0)
+    for (_ <- 1 to iterations) {
+      val margin = xs.zipWithIndex.foldLeft(lit(0.0): Column) {
+        case (acc, (x, i)) => acc + lit(w(i)) * x
+      }
+      val resid = lit(1.0) / (lit(1.0) + exp(-margin)) - y
+      val grads = df.agg(sum(resid * xs.head).as("g0"),
+        xs.tail.zipWithIndex.map { case (x, i) =>
+          sum(resid * x).as(s"g${i + 1}") }: _*).head()
+      val scale = math.pow(10, roundTo)
+      w = w.indices.map { j =>
+        val v = w(j) - lr * grads.getDouble(j) / n
+        // round the BINARY double exactly as SQL round(x, 6) does — half
+        // away from zero on v·1e6 (the Mixing idiom; a BigDecimal detour
+        // would round the shortest decimal string instead)
+        (if (v < 0) -math.round(-v * scale) else math.round(v * scale))
+          .toDouble / scale
+      }.toArray
+    }
+    LogisticModel(w, roundTo)
+  }
+
+  /** Broadcast sigmoid scorer: `round(σ(w·x), roundTo)` — rounded because
+    * `exp` is the one non-portable op in the pipeline (last-ulp differences
+    * across libm implementations). */
+  def logisticScore(model: LogisticModel, features: Seq[Column]): Column = {
+    require(features.length + 1 == model.weights.length,
+      s"model has ${model.weights.length - 1} features, got ${features.length}")
+    val margin = features.zipWithIndex.foldLeft(lit(model.weights(0)): Column) {
+      case (acc, (f, i)) => acc + lit(model.weights(i + 1)) * f.cast("double")
+    }
+    round(lit(1.0) / (lit(1.0) + exp(-margin)), model.roundTo)
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Regression
+
+class RegressionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def planted = (0L until 200L).map { i =>
+    val x1 = (i * 17) % 31; val x2 = (i * 29) % 23
+    (i, x1, x2, 3 + 2 * x1 - x2) // exactly linear
+  }.toDF("id", "x1", "x2", "y")
+
+  test("exact normal equations recover a planted linear relation") {
+    val m = Regression.fitLinearExact(planted, Seq("x1", "x2"), "y")
+    assert(math.abs(m.weights(0) - 3.0) < 1e-9)
+    assert(math.abs(m.weights(1) - 2.0) < 1e-9)
+    assert(math.abs(m.weights(2) + 1.0) < 1e-9)
+  }
+
+  test("linear fit is bit-identical across partitionings (exact sums)") {
+    val a = Regression.fitLinearExact(planted.repartition(13), Seq("x1", "x2"), "y")
+    val b = Regression.fitLinearExact(planted.repartition(2), Seq("x1", "x2"), "y")
+    assert(a.weights.toSeq == b.weights.toSeq)
+  }
+
+  test("gaussian-elimination path (4 features) recovers planted weights") {
+    val df = (0L until 300L).map { i =>
+      val x = Array((i * 7) % 13, (i * 11) % 17, (i * 13) % 19, (i * 3) % 7)
+      (i, x(0), x(1), x(2), x(3), 1 + x(0) - 2 * x(1) + 3 * x(2) - x(3))
+    }.toDF("id", "x1", "x2", "x3", "x4", "y")
+    val m = Regression.fitLinearExact(df, Seq("x1", "x2", "x3", "x4"), "y")
+    val exp = Seq(1.0, 1.0, -2.0, 3.0, -1.0)
+    m.weights.toSeq.zip(exp).foreach { case (w, e) =>
+      assert(math.abs(w - e) < 1e-7, s"$w vs $e") }
+  }
+
+  test("logistic GD separates a separable set and is rounding-deterministic") {
+    val df = (0L until 200L).map { i =>
+      val pos = i % 2 == 0
+      (i, if (pos) 2.0 + (i % 5) * 0.1 else -2.0 - (i % 5) * 0.1,
+        if (pos) 1.0 else 0.0)
+    }.toDF("id", "x", "y")
+    val m1 = Regression.fitLogisticGD(df.repartition(7), Seq(col("x")),
+      col("y"), iterations = 5, lr = 1.0)
+    val m2 = Regression.fitLogisticGD(df.repartition(3), Seq(col("x")),
+      col("y"), iterations = 5, lr = 1.0)
+    assert(m1.weights.toSeq == m2.weights.toSeq) // per-iteration round resync
+    assert(m1.weights(1) > 0.1) // positive slope separates the classes
+    val scored = df.select(col("y"),
+      Regression.logisticScore(m1, Seq(col("x"))).as("s"))
+      .groupBy("y").agg(avg("s").as("m")).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(scored(1.0) > 0.7 && scored(0.0) < 0.3)
+  }
+}
