@@ -137,6 +137,37 @@ object SparkEntry {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** MERGE INTO gate: orders lands as a priority-partitioned table, then one
+    * merge applies updates (key%7: price doubled), tombstone deletes
+    * (key%13, not %7) and inserts (key%11 under shifted keys) in a single
+    * call that rewrites only touched partitions. The oracle replays the
+    * merge relationally over the raw table. Exact arithmetic throughout
+    * (×2 on doubles is an exponent shift). */
+  private def s26_merge(s: SparkSession, dir: String): DataFrame = {
+    val out = s"/tmp/graft_fixtures/merge_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val conf = s.sessionState.newHadoopConf()
+    val bp = new org.apache.hadoop.fs.Path(out)
+    bp.getFileSystem(conf).delete(bp, true)
+    val orders = t(s, dir, "orders")
+    Graft.writePartitionedTable(orders, out, Seq("o_orderpriority"))
+    val delta = orders.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("__del", lit(false))
+      .unionByName(orders
+        .filter(col("o_orderkey") % 13 === 0 && col("o_orderkey") % 7 =!= 0)
+        .withColumn("__del", lit(true)))
+      .unionByName(orders.filter(col("o_orderkey") % 11 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        .withColumn("__del", lit(false)))
+    Graft.mergePartitionedTable(s, out, delta,
+      keyCols = Seq("o_orderpriority", "o_orderkey"),
+      partitionCols = Seq("o_orderpriority"), deleteCol = Some("__del"))
+    Graft.readPartitionedTable(s, out)
+      .select(col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_orderpriority"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
   private def s18_scan_lazy(s: SparkSession, dir: String): DataFrame = {
     val nationSchema = t(s, dir, "nation").schema
     Graft.readPartitionedTableRich(s, Fixtures.lazyNation(s, dir),
@@ -1977,6 +2008,7 @@ object SparkEntry {
     "s17_write_roundtrip" -> (s17_write_roundtrip _),
     "s24_write_partitioned" -> (s24_write_partitioned _),
     "s25_compact" -> (s25_compact _),
+    "s26_merge" -> (s26_merge _),
     "s18_scan_lazy" -> (s18_scan_lazy _),
     "s21_scan_identity" -> (s21_scan_identity _),
     "s9_scan_csv" -> (s9_scan_csv _),
@@ -2214,6 +2246,19 @@ object SparkEntry {
       """SELECT *, 'json' AS src FROM customer ORDER BY c_custkey""",
     "s9_scan_xlsx" ->
       """SELECT *, 'xlsx' AS src FROM nation ORDER BY n_nationkey""",
+    "s26_merge" ->
+      """WITH upd AS (SELECT o_orderkey, o_orderpriority,
+             o_totalprice * 2 AS o_totalprice
+           FROM orders WHERE o_orderkey % 7 = 0),
+         ins AS (SELECT o_orderkey + 10000000 AS o_orderkey, o_orderpriority,
+             o_totalprice
+           FROM orders WHERE o_orderkey % 11 = 0),
+         survivors AS (SELECT o_orderkey, o_orderpriority, o_totalprice
+           FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 13 <> 0)
+         SELECT o_orderkey, o_orderpriority, o_totalprice FROM
+           (SELECT * FROM survivors UNION ALL SELECT * FROM upd
+            UNION ALL SELECT * FROM ins)
+         ORDER BY o_orderkey""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sum_qty,

@@ -26,6 +26,12 @@ final case class CompactionStats(
     filesAfter: Long,
     bytesCompacted: Long)
 
+/** One merge pass's outcome (see [[Graft.mergePartitionedTable]]). */
+final case class MergeStats(
+    partitionsAffected: Int,
+    partitionsDeleted: Int,
+    filesMoved: Int)
+
 /** One manifest-reconcile pass's outcome (see
   * [[Graft.reconcilePartitionedSink]]). `inFlightSpared` counts
   * un-committed files younger than the grace window — possibly a live
@@ -1231,6 +1237,136 @@ object Graft {
           filesAfter = filesBefore - candidates.map(_._3.toLong).sum + newCounts.map(_.toLong).sum,
           bytesCompacted = candidates.map(_._2).sum)
       }
+    }
+  }
+
+  /** MERGE INTO (upsert + delete) against a hive-partitioned table,
+    * rewriting ONLY the partitions the delta touches.
+    *
+    * Semantics (per key, where the key MUST contain every partition
+    * column — enforced, because a key that can move between partitions
+    * would require a full-table scan or a key index to find its old home):
+    *  - a target row whose key matches a delta row is REPLACED by it;
+    *  - a delta row with no matching target key is INSERTED;
+    *  - if `deleteCol` is set, delta rows with that boolean true are
+    *    tombstones: matching target keys are deleted, nothing inserted.
+    * The merge is idempotent: re-running with the same delta (e.g. after a
+    * mid-swap crash) converges to the same table.
+    *
+    * Shape, built for 100 TB tables with small-fraction deltas: the
+    * touched-partition list (one `distinct` over the delta's partition
+    * columns — driver-bounded by the number of touched DIRS, the same
+    * cardinality the swap loop walks) prunes discovery, so the target scan
+    * reads only affected partitions; survivors are ONE left-anti join on
+    * the key; the union with the delta's inserts writes to a hidden
+    * staging tree; per-partition commit is move-in-before-delete file
+    * renames (compaction's crash contract: duplicates cleanable, rows
+    * never lost). Untouched partitions are never read, listed, or
+    * rewritten. Partitions whose every row is deleted are removed.
+    *
+    * Partition values are matched in their hive string form: the delta's
+    * partition columns are cast to string with Spark's own cast (the same
+    * rendering `partitionBy` uses for string/numeric columns — the
+    * supported types here; null partition values are refused loudly).
+    * The delta's data schema must match the table's. */
+  def mergePartitionedTable(
+      spark: SparkSession,
+      url: String,
+      delta: DataFrame,
+      keyCols: Seq[String],
+      partitionCols: Seq[String],
+      deleteCol: Option[String] = None,
+      format: String = "parquet",
+      options: Map[String, String] = Map.empty,
+      fsConf: Map[String, String] = Map.empty): MergeStats = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(partitionCols.nonEmpty, "partitionCols must be non-empty")
+    require(partitionCols.forall(keyCols.contains),
+      s"the merge key must contain every partition column (key=$keyCols, " +
+        s"partitions=$partitionCols): a key that can change partitions " +
+        "cannot be located without scanning the whole table")
+    deleteCol.foreach(dc => require(!keyCols.contains(dc),
+      s"deleteCol '$dc' cannot be part of the key"))
+
+    // delta with partition columns normalized to their hive string form
+    val d0 = partitionCols.foldLeft(delta)((df, c) =>
+      df.withColumn(c, col(c).cast("string")))
+    val tuples: Seq[Seq[String]] = d0
+      .select(partitionCols.map(col): _*).distinct()
+      .collect().toSeq.map { r =>
+        partitionCols.indices.map { i =>
+          require(!r.isNullAt(i) && r.getString(i).nonEmpty,
+            s"null/empty value for partition column " +
+              s"'${partitionCols(i)}' in the delta — unmappable to a hive dir")
+          r.getString(i)
+        }
+      }
+    require(tuples.nonEmpty, "empty delta")
+
+    // exact touched-partition query: OR of per-tuple ANDs — discovery's
+    // partial evaluation prunes untouched subtrees level by level
+    val q = tuples.map { t =>
+      partitionCols.zip(t).map { case (c, v) => Q.eq(c, v) }
+        .reduce[PartitionQuery](Q.and)
+    }.reduce[PartitionQuery](Q.or)
+    val existing: Option[DataFrame] =
+      try Some(readPartitionedTable(spark, url, q, format = format,
+        options = options, fsConf = fsConf))
+      catch { case _: GraftEmptyResultException => None } // all-new partitions
+
+    val inserts = deleteCol.fold(d0)(dc =>
+      d0.filter(!coalesce(col(dc).cast("boolean"), lit(false))).drop(dc))
+    val deltaKeys = deleteCol.fold(d0)(d0.drop(_)).select(keyCols.map(col): _*)
+    val newData = existing match {
+      case None => inserts
+      case Some(t) =>
+        val survivors = t.join(deltaKeys, keyCols, "left_anti")
+        survivors.unionByName(inserts.select(survivors.columns.map(col): _*))
+    }
+
+    val staging = s"$url/.graft_merge_${UUID.randomUUID().toString.take(8)}"
+    writePartitionedTable(newData, staging, partitionCols, format = format,
+      mode = "overwrite", fsConf = fsConf)
+
+    withFs(spark, url, fsConf) { fs =>
+      var moved = 0
+      var deleted = 0
+      val rootQ = fs.makeQualified(new Path(url))
+      try {
+        tuples.foreach { t =>
+          val rel = partitionCols.zip(t).map { case (c, v) =>
+            c + "=" + org.apache.spark.sql.catalyst.catalog
+              .ExternalCatalogUtils.escapePathName(v)
+          }.mkString(Path.SEPARATOR)
+          val src = new Path(staging + Path.SEPARATOR + rel)
+          val dst = new Path(rootQ + Path.SEPARATOR + rel)
+          val oldFiles =
+            if (fs.exists(dst))
+              fs.listStatus(dst).filter { st =>
+                val n = st.getPath.getName
+                st.isFile && !n.startsWith("_") && !n.startsWith(".")
+              }.map(_.getPath).toSeq
+            else Seq.empty
+          if (fs.exists(src)) {
+            if (!fs.exists(dst)) fs.mkdirs(dst)
+            fs.listStatus(src).filter { st =>
+              val n = st.getPath.getName
+              st.isFile && !n.startsWith("_") && !n.startsWith(".")
+            }.foreach { st =>
+              val tgt = new Path(dst, st.getPath.getName)
+              require(fs.rename(st.getPath, tgt),
+                s"rename failed: ${st.getPath} -> $tgt")
+              moved += 1
+            }
+            oldFiles.foreach(f => fs.delete(f, false))
+          } else if (oldFiles.nonEmpty) {
+            // every row of this partition was deleted by the delta
+            fs.delete(dst, true)
+            deleted += 1
+          }
+        }
+      } finally fs.delete(new Path(staging), true)
+      MergeStats(tuples.size, deleted, moved)
     }
   }
 }
