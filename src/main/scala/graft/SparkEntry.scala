@@ -1362,6 +1362,20 @@ object SparkEntry {
     * between engines; the FP spread is ~1e-13, so a 1e-6 quantum is 7
     * orders of margin) and perplexity is recomputed from the ROUNDED
     * avg_logprob so the exp amplification cannot straddle a boundary. */
+  /** Trigram stupid-backoff LM gate: trained on the corpus itself, scored
+    * distributed; the oracle retrains from scratch in SQL and replays the
+    * full backoff chain (α=0.5 keeps every constant exact — see
+    * [[graft.functions.LanguageModel.TrigramLm]]). */
+  private def t20_backoff_lm(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val lm = graft.functions.LanguageModel.trainTrigram(docs, "text")
+    graft.functions.LanguageModel.backoffScore(docs, "doc_id", "text", lm)
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("avg_logscore"), 6).as("avg_ls"),
+        round(exp(-round(col("avg_logscore"), 6)), 6).as("bppl"))
+      .orderBy("doc_id")
+  }
+
   private def t11_perplexity(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val lm = graft.functions.LanguageModel.train(docs, "text")
@@ -2097,6 +2111,7 @@ object SparkEntry {
     "t10_mix" -> (t10_mix _),
     "t10b_mix_temperature" -> (t10b_mix_temperature _),
     "t11_perplexity" -> (t11_perplexity _),
+    "t20_backoff_lm" -> (t20_backoff_lm _),
     "t12_termstats" -> (t12_termstats _),
     "t12b_bm25" -> (t12b_bm25 _),
     "t12c_bm25_join" -> (t12c_bm25_join _),
@@ -3215,6 +3230,41 @@ object SparkEntry {
     // quantized at 1e-6, perplexity recomputed from the ROUNDED avg so
     // exp() cannot amplify the engines' last-ulp ln() spread across a
     // rounding boundary
+    "t20_backoff_lm" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                    FROM documents),
+         uni AS (SELECT t, CAST(count(*) AS BIGINT) AS c
+                 FROM (SELECT unnest(ws) AS t FROM w) GROUP BY t),
+         nn AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM uni),
+         bi AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM
+             (SELECT ws[i] || ' ' || ws[i+1] AS b
+              FROM w, UNNEST(range(1, len(ws))) AS t(i) WHERE len(ws) >= 2)
+           GROUP BY b),
+         tri AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM
+             (SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+              FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 3)
+           GROUP BY g),
+         pos AS (SELECT doc_id, ws[i+1] AS w2, ws[i+2] AS w3,
+             ws[i] || ' ' || ws[i+1] AS k12, ws[i+1] || ' ' || ws[i+2] AS k23,
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS k123
+           FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 3),
+         lp AS (SELECT p.doc_id,
+             CASE WHEN tri.c IS NOT NULL AND b12.c IS NOT NULL
+                    THEN ln(tri.c / b12.c)
+                  WHEN b23.c IS NOT NULL AND u2.c IS NOT NULL
+                    THEN ln(0.5 * (b23.c / u2.c))
+                  WHEN u3.c IS NOT NULL THEN ln(0.5 * 0.5 * (u3.c / nn.n))
+                  ELSE ln(0.5 * 0.5 * (0.5 / nn.n)) END AS l
+           FROM pos p LEFT JOIN tri ON tri.g = p.k123
+             LEFT JOIN bi b12 ON b12.b = p.k12
+             LEFT JOIN bi b23 ON b23.b = p.k23
+             LEFT JOIN uni u2 ON u2.t = p.w2
+             LEFT JOIN uni u3 ON u3.t = p.w3
+             CROSS JOIN nn),
+         agg AS (SELECT doc_id, sum(l) / count(*) AS avg0 FROM lp GROUP BY doc_id)
+         SELECT w.doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+           round(avg0, 6) AS avg_ls, round(exp(-round(avg0, 6)), 6) AS bppl
+         FROM w LEFT JOIN agg USING (doc_id) ORDER BY w.doc_id""",
     "t11_perplexity" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
                     FROM documents),

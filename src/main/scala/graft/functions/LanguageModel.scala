@@ -82,6 +82,117 @@ object LanguageModel {
   /** Per-document perplexity under `lm`: (idCol, n_tokens, avg_logprob,
     * perplexity). Documents with fewer than 2 tokens have no bigrams —
     * null scores. Model broadcast once; scoring is shuffle-free. */
+  /** Stupid-backoff trigram LM (Brants et al., EMNLP 2007: "Large Language
+    * Models in Machine Translation"): an unnormalized SCORE, not a smoothed
+    * probability — the huge-corpus trade the paper showed is as good as
+    * Kneser-Ney for ranking/filtering at a fraction of the cost, which is
+    * exactly a quality-filter's use case. `alpha` defaults to 0.5 rather
+    * than the paper's 0.4: a power of two, so `alpha` and `alpha²` are
+    * exact doubles and the scoring arithmetic replays bit-identically
+    * across engines (0.4 parses as decimal elsewhere and `0.4·0.4` differs
+    * from the double product in the last ulp).
+    *
+    * Backoff chain for S(c | a b), each branch requiring its denominator
+    * count to be present (truncated models back off rather than divide by
+    * a missing prefix): trigram MLE → α·bigram MLE → α²·unigram MLE →
+    * α²·(0.5/total) floor for OOV. */
+  case class TrigramLm(
+      alpha: Double,
+      total: Long,
+      unigrams: Map[String, Long],
+      bigrams: Map[String, Long],
+      trigrams: Map[String, Long]) {
+    def logScore(a: String, b: String, c: String): Double = {
+      val cTri = trigrams.get(a + " " + b + " " + c)
+      val cBi12 = bigrams.get(a + " " + b)
+      if (cTri.isDefined && cBi12.isDefined)
+        math.log(cTri.get.toDouble / cBi12.get)
+      else {
+        val cBi23 = bigrams.get(b + " " + c)
+        val cUni2 = unigrams.get(b)
+        if (cBi23.isDefined && cUni2.isDefined)
+          math.log(alpha * (cBi23.get.toDouble / cUni2.get))
+        else unigrams.get(c) match {
+          case Some(cu) => math.log(alpha * alpha * (cu.toDouble / total))
+          case None => math.log(alpha * alpha * (0.5 / total))
+        }
+      }
+    }
+  }
+
+  /** Train a bounded trigram model: three distributed count aggregations
+    * (unigram/bigram/trigram), each truncated deterministically
+    * (count desc, key asc); `total` is the FULL token count (one extra
+    * cheap count job), so the unigram-MLE floor stays consistent under
+    * truncation. Same sampling/bounding contract as [[train]]. */
+  def trainTrigram(
+      df: DataFrame,
+      textCol: String,
+      alpha: Double = 0.5,
+      maxVocab: Int = 65536,
+      maxBigrams: Int = 262144,
+      maxTrigrams: Int = 1 << 20,
+      sampleDocs: Int = 0): TrigramLm = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    val base0 = df.select(TextFunctions.words(col(textCol)).as("w"))
+    val base = if (sampleDocs > 0)
+      base0.orderBy(xxhash64(col("w")), col("w")).limit(sampleDocs) else base0
+    def ngramCounts(n: Int, cap: Int) = {
+      val grams =
+        if (n == 1) base.select(explode(col("w")).as("g"))
+        else base.filter(size(col("w")) >= n)
+          .select(explode(transform(sequence(lit(0), size(col("w")) - n),
+            i => concat_ws(" ", (0 until n).map(j =>
+              element_at(col("w"), i + j + 1)): _*))).as("g"))
+      grams.groupBy("g").agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), asc("g")).limit(cap).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val total = base.select(sum(size(col("w"))).cast("long")).head().getLong(0)
+    TrigramLm(alpha, total, ngramCounts(1, maxVocab),
+      ngramCounts(2, maxBigrams), ngramCounts(3, maxTrigrams))
+  }
+
+  /** Per-document mean log-score under a broadcast [[TrigramLm]] — the
+    * scoring twin of [[perplexity]] (no shuffle, model ships once, docs
+    * under 3 tokens score null). Returns
+    * (idCol, n_tokens, avg_logscore, backoff_ppl = exp(−avg)). */
+  def backoffScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      lm: TrigramLm): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(lm)
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("avg_logscore", DoubleType, nullable = true),
+      StructField("backoff_ppl", DoubleType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.select(col(idCol).cast("long").as(idCol), TextFunctions.words(col(textCol)))
+      .filter(col(idCol).isNotNull)
+      .mapPartitions { rows =>
+        val m = bc.value
+        rows.map { r =>
+          val id = r.getLong(0)
+          val words = if (r.isNullAt(1)) Seq.empty[String] else r.getSeq[String](1)
+          val n = words.length.toLong
+          if (n < 3) Row(id, n, null, null)
+          else {
+            var sum = 0.0
+            var i = 2
+            while (i < words.length) {
+              sum += m.logScore(words(i - 2), words(i - 1), words(i))
+              i += 1
+            }
+            val avg = sum / (n - 2)
+            Row(id, n, avg, math.exp(-avg))
+          }
+        }
+      }(enc)
+  }
+
   def perplexity(
       df: DataFrame,
       idCol: String,

@@ -334,6 +334,56 @@ class LanguageModelSpec extends SparkSpec {
   }
 }
 
+class BackoffLmSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.LanguageModel
+
+  private val corpus = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "the cat sat on the rug"),
+    (3L, "the dog sat on the mat"),
+    (4L, "a dog ran to the park")).toDF("id", "text")
+
+  test("every backoff branch matches hand-computed scores") {
+    val lm = LanguageModel.trainTrigram(corpus, "text")
+    assert(lm.total == 24L) // 4 docs x 6 tokens
+    // trigram branch: "the cat sat" 2x / "the cat" 2x -> log 1
+    assert(math.abs(lm.logScore("the", "cat", "sat") - math.log(2.0 / 2)) < 1e-12)
+    // bigram backoff: trigram "a cat sat" unseen, bigram "cat sat" 2x / "cat" 2x
+    assert(math.abs(lm.logScore("a", "cat", "sat") -
+      math.log(0.5 * (2.0 / 2))) < 1e-12)
+    // unigram backoff: bigram "cat mat" unseen, unigram "mat" 2x / 24
+    assert(math.abs(lm.logScore("x", "cat", "mat") -
+      math.log(0.5 * 0.5 * (2.0 / 24))) < 1e-12)
+    // OOV floor
+    assert(math.abs(lm.logScore("x", "y", "zebra") -
+      math.log(0.5 * 0.5 * (0.5 / 24))) < 1e-12)
+  }
+
+  test("fluent text outscores scrambled; sub-3-token docs null; no shuffle") {
+    val lm = LanguageModel.trainTrigram(corpus, "text")
+    val probe = Seq(
+      (10L, "the cat sat on the mat"),
+      (11L, "mat the on sat cat the"),
+      (12L, "two words"), (13L, "")).toDF("id", "text")
+    val scored = LanguageModel.backoffScore(probe, "id", "text", lm)
+    val out = scored.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out(10L).get < out(11L).get)
+    assert(out(12L).isEmpty && out(13L).isEmpty)
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"scoring must not shuffle:\n$plan")
+  }
+
+  test("truncated trigram model backs off instead of dividing by a missing prefix") {
+    val lm = LanguageModel.trainTrigram(corpus, "text", maxBigrams = 1)
+    // only the most frequent bigram survives; any trigram whose w1w2 prefix
+    // was truncated must take the backoff chain, never a missing denominator
+    val s = lm.logScore("the", "cat", "sat")
+    assert(!s.isNaN && !s.isInfinite)
+  }
+}
+
 class WritePartitionedSpec extends SparkSpec {
   import spark.implicits._
   import graft.api.Graft
