@@ -69,7 +69,7 @@ object Graph {
     val teleport = (RankScale * (100 - dampingPct) / 100) / n
 
     var ranks = nodes.select(col("node"), lit(RankScale / n).as("rank_ppb"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    var retained: Option[DataFrame] = None // persisted frame backing `ranks`
     for (_ <- 1 to iterations) {
       val contrib = eo
         .join(ranks, eo("src") === ranks("node"))
@@ -82,15 +82,22 @@ object Graph {
             expr(s"(COALESCE(in_ppb, 0L) * $dampingPct) DIV 100"))
             .as("rank_ppb"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count() // materialize before releasing the previous generation
-      ranks.unpersist(false)
-      ranks = next
+      next.count() // materialize while the previous generation's cache lives
+      // LogicalRDD barrier (connectedComponents' pattern): each iteration's
+      // plan references nodes, eo AND the previous ranks — without the
+      // barrier the logical plan compounds every round and analysis/codegen
+      // time, not the data, dominates; with it each round's plan is O(1)
+      val barrier = spark.createDataFrame(next.rdd, next.schema)
+      retained.foreach(_.unpersist(false))
+      retained = Some(next)
+      ranks = barrier
     }
+    // the returned frame is a pure LogicalRDD over the last generation's
+    // cache: nothing references eo/nodes anymore
     eo.unpersist(false)
-    // nodes stays referenced by the returned plan's final join; release it
-    // once the caller's first action completes would need a listener — the
-    // frame is |V| rows of one long, the cheapest cache in the pipeline, so
-    // it is left to session cache eviction by design.
+    nodes.unpersist(false)
+    // the final generation's cache backs the returned frame (|V| rows of two
+    // longs — the cheapest cache in the pipeline); left to session eviction
     ranks
   }
 }
