@@ -109,6 +109,8 @@ object GraftExtensions {
       (c, is) => graft.functions.MisraGriesAgg(c,
         intExact("heavy_hitters", "topK")(is.head),
         if (is.length > 1) intExact("heavy_hitters", "capacity")(is(1)) else 4096), 1, 2),
+    oneArg("vector_avg", "graft.functions.VectorAvgAgg",
+      graft.functions.VectorAvgAgg(_)),
     // aggregate with a fractional parameter: kll_quantile(col, k, q)
     (FunctionIdentifier("kll_quantile"),
       new ExpressionInfo("graft.functions.KllQuantilesAgg", "kll_quantile"),

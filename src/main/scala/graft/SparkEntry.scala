@@ -1685,6 +1685,16 @@ object SparkEntry {
       .select(col("vec_id"), col("norm"), posexplode(col("nvec")).as(Seq("pos", "val")))
       .orderBy("vec_id", "pos")
 
+  /** Mean-pooling gate: per-label pooled embedding via the vector_avg
+    * TypedImperativeAggregate (bounded buffers through the shuffle, no
+    * posexplode in the aggregation); output posexploded + rounded (float
+    * sums are summation-order sensitive — e2's determinism contract). */
+  private def e3_meanpool(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Embeddings.meanPool(t(s, dir, "embeddings"), "label", "embedding")
+      .select(col("label"), posexplode(col("mean_vec")).as(Seq("pos", "v")))
+      .select(col("label"), col("pos"), round(col("v"), 6).as("v"))
+      .orderBy("label", "pos")
+
   /** Real header decode over synthetic-but-valid PNG/GIF/BMP/JPEG payloads:
     * the oracle reproduces the fixture's construction arithmetic, so the
     * hash match proves the byte-level parse inverts the construction. */
@@ -2130,6 +2140,7 @@ object SparkEntry {
     "t14b_normalize_fold" -> (t14b_normalize_fold _),
     "e1_quantize" -> (e1_quantize _),
     "e2_l2norm" -> (e2_l2norm _),
+    "e3_meanpool" -> (e3_meanpool _),
     "m1_multimodal" -> (m1_multimodal _),
     "m4_pixels" -> (m4_pixels _),
     "m6_jpeg_pixels" -> (m6_jpeg_pixels _),
@@ -3633,6 +3644,13 @@ object SparkEntry {
            CASE WHEN nrm = 0 THEN 0.0 ELSE v[i]/nrm END AS val
          FROM n, UNNEST(range(1, len(v)+1)) AS t(i)
          ORDER BY vec_id, pos""",
+    "e3_meanpool" ->
+      """WITH x AS (SELECT label,
+             CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+           FROM embeddings)
+         SELECT label, pos, round(avg(val), 6) AS v
+         FROM x GROUP BY label, pos ORDER BY label, pos""",
     "st3_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
          ORDER BY user_id, event_type""",

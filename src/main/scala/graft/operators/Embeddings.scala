@@ -62,6 +62,17 @@ object Embeddings {
     sqrt(aggregate(vec, lit(0.0),
       (a, x) => a + x.cast("double") * x.cast("double")))
 
+  /** Elementwise mean-pooling per group (chunk embeddings → document
+    * embedding): one hash shuffle of BOUNDED buffers — the
+    * [[graft.functions.VectorAvgAgg]] TypedImperativeAggregate rides
+    * partial aggregation, so each map task contributes (dim doubles +
+    * count) per group, never the exploded O(rows × dim) a
+    * posexplode→groupBy(pos) plan would shuffle. Returns
+    * (groupCol, mean_vec array<double>); dimension mismatches raise. */
+  def meanPool(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.groupBy(groupCol)
+      .agg(graft.functions.VectorAvgAgg.vectorAvg(col(vecCol)).as("mean_vec"))
+
   /** L2-normalize a vector frame: (idCol, norm, nvec) with the norm staged
     * through a projection (lambda-capture rule: the transform below must
     * reference an ATTRIBUTE, or the fold re-runs per element). Zero

@@ -956,6 +956,49 @@ class CompactionSpec extends SparkSpec {
   }
 }
 
+class VectorAvgSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.VectorAvgAgg.vectorAvg
+
+  test("hand-computed pooled means; merge across partitions") {
+    val df = Seq(
+      ("a", Array(1.0f, 2.0f)), ("a", Array(3.0f, 6.0f)),
+      ("b", Array(10.0f, 0.0f))
+    ).toDF("g", "v").repartition(5) // partial buffers MUST merge
+    val out = df.groupBy("g").agg(vectorAvg(col("v")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(out("a") == Seq(2.0, 4.0))
+    assert(out("b") == Seq(10.0, 0.0))
+  }
+
+  test("null vectors are skipped; all-null group is null; dim mismatch raises") {
+    val df = Seq(("a", Array(2.0, 4.0)), ("a", null.asInstanceOf[Array[Double]]),
+      ("b", null.asInstanceOf[Array[Double]]))
+      .toDF("g", "v")
+    val out = df.groupBy("g").agg(vectorAvg(col("v")).as("m"))
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("a").isDefined && out("b").isEmpty)
+    val bad = Seq(("a", Array(1.0)), ("a", Array(1.0, 2.0))).toDF("g", "v")
+    val e = intercept[Exception] {
+      bad.groupBy("g").agg(vectorAvg(col("v")).as("m")).collect()
+    }
+    assert(e.getMessage.contains("dimension mismatch") ||
+      Option(e.getCause).exists(_.getMessage.contains("dimension mismatch")))
+  }
+
+  test("SQL vector_avg works and the plan rides partial object aggregation") {
+    GraftExtensions.register(spark)
+    Seq((1, Array(1.0, 3.0)), (1, Array(3.0, 5.0))).toDF("g", "v")
+      .createOrReplaceTempView("vecs_va")
+    val df = spark.sql("SELECT g, vector_avg(v) AS m FROM vecs_va GROUP BY g")
+    assert(df.collect().head.getSeq[Double](1) == Seq(2.0, 4.0))
+    val plan = df.queryExecution.executedPlan.toString
+    // partial + final object-hash aggregation: bounded buffers cross the
+    // shuffle, never exploded elements
+    assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2, plan)
+  }
+}
+
 class HeavyHittersSpec extends SparkSpec {
   import spark.implicits._
   import graft.functions.HeavyHitters.heavyHitters
