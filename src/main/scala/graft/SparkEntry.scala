@@ -1572,6 +1572,20 @@ object SparkEntry {
         "source", "doc_id", n = 5, salt = "s1")
       .orderBy("source", "doc_id")
 
+  /** Negative-sampling gate: 4 deterministic negatives per query (first 20
+    * docs) from the whole corpus, self-pairs excluded; the oracle replays
+    * bucket assignment, draw targeting, the positive anti-join and the
+    * rank-1 pick through the identical md5 arithmetic. */
+  private def t21_negatives(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val queries = docs.filter(col("doc_id") < 20)
+    // positives: the query itself (qId and cId read the same column)
+    graft.operators.Sampling.negativeSample(
+        queries, docs, "doc_id", "doc_id", k = 4,
+        positives = Some(queries.select(col("doc_id"))))
+      .orderBy("doc_id", "draw")
+  }
+
   private def t14_normalize(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"),
         TextFunctions.normalize(col("text"), dropPunct = true).as("norm"))
@@ -2132,6 +2146,7 @@ object SparkEntry {
     "t14_normalize" -> (t14_normalize _),
     "t15_heavyhitters" -> (t15_heavyhitters _),
     "t16_sample" -> (t16_sample _),
+    "t21_negatives" -> (t21_negatives _),
     "t17_quantile_sketch" -> (t17_quantile_sketch _),
     "t17b_quantile_by_group" -> (t17b_quantile_by_group _),
     "t18_chunk_chars" -> (t18_chunk_chars _),
@@ -3328,6 +3343,25 @@ object SparkEntry {
                ORDER BY md5('s1' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
            FROM documents) t
          WHERE rk <= 5 ORDER BY source, doc_id""",
+    "t21_negatives" ->
+      """WITH c AS (SELECT doc_id AS cid,
+             substring(md5('b' || CAST(doc_id AS VARCHAR)), 1, 2) AS b
+           FROM documents),
+         d AS (SELECT q.doc_id AS qid, t.j,
+             substring(md5('q' || CAST(q.doc_id AS VARCHAR) || '_' ||
+               CAST(t.j AS VARCHAR)), 1, 2) AS b
+           FROM (SELECT doc_id FROM documents WHERE doc_id < 20) q,
+             range(4) t(j)),
+         cand AS (SELECT d.qid, d.j, c.cid,
+             md5(CAST(d.qid AS VARCHAR) || '_' || CAST(d.j AS VARCHAR) ||
+               '_' || CAST(c.cid AS VARCHAR)) AS o
+           FROM d JOIN c ON c.b = d.b
+           WHERE c.cid <> d.qid),
+         r AS (SELECT qid, j, cid, ROW_NUMBER() OVER
+             (PARTITION BY qid, j ORDER BY o, cid) AS rk
+           FROM cand)
+         SELECT qid AS doc_id, CAST(j AS BIGINT) AS draw, cid AS neg_id
+         FROM r WHERE rk = 1 ORDER BY doc_id, draw""",
     "t17_quantile_sketch" ->
       """SELECT CAST(0.1 AS DOUBLE) AS q, round(quantile_cont(n_chars, 0.1), 6) AS v FROM documents
          UNION ALL SELECT CAST(0.25 AS DOUBLE), round(quantile_cont(n_chars, 0.25), 6) FROM documents

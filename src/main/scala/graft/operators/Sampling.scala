@@ -50,4 +50,61 @@ object Sampling {
       .filter(col("__rk") <= n)
       .drop("__rk")
   }
+
+  /** Deterministic negative sampling for contrastive-pair mining: up to `k`
+    * pseudo-random corpus rows per query, positives excluded, reproducible
+    * on any engine that agrees on md5 (same trick as [[sampleByGroup]] /
+    * `deterministicSplit`) — no RNG, no global ordering, no cartesian.
+    *
+    * Shape: corpus ids land in `16^bucketChars` md5 buckets ONCE; each
+    * (query, draw j) targets the bucket `md5("q" + qid + "_" + j)` prefixes
+    * and takes the member minimizing `md5(qid + "_" + j + "_" + cid)` —
+    * ONE equi-join on the bucket string, candidates `|Q|·k·|C|/16^bucketChars`
+    * rows, and the per-(query, draw) rank-1 filter rewrites to a map-side
+    * `WindowGroupLimit` so the final shuffle carries ≤ 1 row per (query,
+    * draw) per task. Pick `bucketChars` so a bucket (|C|/16^bucketChars
+    * rows) is a comfortable per-draw candidate list — 2 (256 buckets) for
+    * small corpora up to 8 (4·10⁹) at web scale.
+    *
+    * A draw whose bucket is empty (tiny corpora) or fully positive yields
+    * no row — deterministic under-delivery, never a substituted duplicate.
+    * Returns (qIdCol, draw, neg_id). */
+  def negativeSample(
+      queries: DataFrame,
+      corpus: DataFrame,
+      qIdCol: String,
+      cIdCol: String,
+      k: Int,
+      positives: Option[DataFrame] = None,
+      bucketChars: Int = 2): DataFrame = {
+    require(k > 0, "negativeSample: k must be positive")
+    require(bucketChars >= 1 && bucketChars <= 8,
+      s"negativeSample: bucketChars must be in [1, 8], got $bucketChars")
+    val c = corpus.select(col(cIdCol).cast("long").as("__cid")).distinct()
+      .filter(col("__cid").isNotNull)
+      .withColumn("__b",
+        substring(md5(concat(lit("b"), col("__cid").cast("string"))), 1, bucketChars))
+    val draws = queries.select(col(qIdCol).cast("long").as("__qid")).distinct()
+      .filter(col("__qid").isNotNull)
+      .select(col("__qid"), explode(sequence(lit(0L), lit(k - 1L))).as("draw"))
+      .withColumn("__b",
+        substring(md5(concat(lit("q"), col("__qid").cast("string"),
+          lit("_"), col("draw").cast("string"))), 1, bucketChars))
+    val cand0 = draws.join(c, Seq("__b"))
+    val cand = positives match {
+      case None => cand0
+      case Some(p) =>
+        cand0.join(
+          p.select(col(qIdCol).cast("long").as("__qid"),
+            col(cIdCol).cast("long").as("__cid")),
+          Seq("__qid", "__cid"), "left_anti")
+    }
+    val order = md5(concat(col("__qid").cast("string"), lit("_"),
+      col("draw").cast("string"), lit("_"), col("__cid").cast("string")))
+    cand
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("__qid", "draw").orderBy(order.asc, col("__cid").asc)))
+      .filter(col("__rk") === 1)
+      .select(col("__qid").as(qIdCol), col("draw"), col("__cid").as("neg_id"))
+  }
 }

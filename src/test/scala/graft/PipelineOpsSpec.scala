@@ -1175,6 +1175,28 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"),
       s"rank filter must prune before the exchange:\n$plan")
   }
+
+  test("negativeSample: positives excluded, <=1 per draw, partition-invariant") {
+    val corpus = (0L until 400L).map(i => (i, s"d$i")).toDF("cid", "payload")
+    val queries = (0L until 30L).map(i => (i, "q")).toDF("qid", "tag")
+    val pos = (0L until 30L).map(i => (i, i)).toDF("qid", "cid") // self + none else
+    val a = Sampling.negativeSample(queries, corpus, "qid", "cid", k = 5,
+      positives = Some(pos))
+    val b = Sampling.negativeSample(queries.repartition(7),
+      corpus.repartition(3), "qid", "cid", k = 5, positives = Some(pos))
+    assert(canon(a) == canon(b)) // md5 determinism, not partitioning
+    val got = a.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.forall { case (q, _, n) => q != n }) // positives never sampled
+    assert(got.groupBy(x => (x._1, x._2)).forall(_._2.length == 1)) // 1/draw
+    assert(got.groupBy(_._1).forall(_._2.length <= 5))
+    // no-positives call and empty-bucket under-delivery stay deterministic
+    val c = Sampling.negativeSample(queries, corpus.limit(3), "qid", "cid", k = 4)
+    assert(c.count() <= 30 * 4)
+    // the per-(query, draw) rank-1 prunes map-side
+    a.collect()
+    val plan = a.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
 }
 
 class SpanStatsSpec extends SparkSpec {
