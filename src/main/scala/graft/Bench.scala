@@ -14,18 +14,21 @@ object Bench {
     * filter, shuffle join chain, window, top-k, minhash dedup, ANN,
     * tokenization, as-of join (count-elided pair + payload-consuming sum),
     * decontamination, sequence packing, BM25 scoring, heavy-hitters sketch
-    * aggregation, iterative graph rank (PageRank), iterative GD training,
-    * and n-gram LM training+scoring. d13_semdedup stays out on the a8
-    * policy: its oracle reads a corpus-derived fixture that must keep the
-    * sf0.01 verify run's content — a bench run at another SF would
-    * overwrite it. */
+    * aggregation, iterative graph rank (PageRank), triangle counting
+    * (wedge self-join), iterative GD training, n-gram LM
+    * training+scoring, gap sessionization (shared-sort window+rollup),
+    * and keep-first chunk dedup (ownership join-back). d13_semdedup
+    * stays out on the a8 policy: its oracle reads a corpus-derived
+    * fixture that must keep the sf0.01 verify run's content — a bench
+    * run at another SF would overwrite it. */
   val headline: Seq[String] = Seq(
     "s1_scan_hive", "q1_agg", "q2_filter", "q3_join_agg", "q6_window",
     "q7_topk", "q20_multijoin", "d2_dedup_minhash", "a1_ann_brute",
     "t3_tokens", "as1_asof", "as2_asof_native", "as3_asof_sum",
     "d8_decontam", "t9_pack", "t12b_bm25", "t15_heavyhitters",
     "d10_span_stats", "d12_chunk_dedup", "t18_chunk_chars", "a6_ann_join",
-    "g1_pagerank", "ml2_logreg", "t20_backoff_lm")
+    "g1_pagerank", "ml2_logreg", "t20_backoff_lm", "q33_sessionize",
+    "d14_keepfirst_chunks", "g2_triangles")
 
   /** Queries measured on the replicated corpus for the scaling slope —
     * the shuffle-heavy pipeline shapes whose 100 TB behavior a plan read
@@ -40,7 +43,8 @@ object Bench {
     "q6_window", "q3_join_agg", "q20_multijoin", "t12b_bm25",
     "as2_asof_native", "t15_heavyhitters", "d12_chunk_dedup",
     "t18_chunk_chars", "a6_ann_join", "g1_pagerank", "ml2_logreg",
-    "t20_backoff_lm")
+    "t20_backoff_lm", "q33_sessionize", "d14_keepfirst_chunks",
+    "g2_triangles")
 
   /** Materialize a `factor`×-replicated copy of the FACT tables the scale
     * set reads (documents, lineitem, orders, events) plus 1× copies of

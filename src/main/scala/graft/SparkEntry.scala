@@ -168,6 +168,21 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
+  /** Data-quality expectation audit: six named contracts over lineitem
+    * checked in ONE aggregation pass (map-side partial counters, a
+    * 7-long final row, per-check explode) — see
+    * [[graft.operators.Expect]]. The price bound is deliberately tight
+    * enough to fail, so the gate pins real violation counting, not just
+    * all-green booleans. */
+  private def s28_expect(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Expect.audit(t(s, dir, "lineitem"), Seq(
+      "quantity_positive" -> (col("l_quantity") > 0),
+      "discount_range" -> (col("l_discount") >= 0 && col("l_discount") <= 1),
+      "tax_nonneg" -> (col("l_tax") >= 0),
+      "returnflag_domain" -> col("l_returnflag").isin("A", "N", "R"),
+      "linestatus_domain" -> col("l_linestatus").isin("O", "F"),
+      "price_under_20k" -> (col("l_extendedprice") < 20000)))
+
   private def s18_scan_lazy(s: SparkSession, dir: String): DataFrame = {
     val nationSchema = t(s, dir, "nation").schema
     Graft.readPartitionedTableRich(s, Fixtures.lazyNation(s, dir),
@@ -478,6 +493,22 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
+  /** Batch sessionization: 6-hour-gap sessions per user over the event
+    * log (median per-user inter-event gap at this SF is ~7.3 h, so the
+    * threshold splits streams non-degenerately), with per-session event
+    * counts and exact-decimal value totals. One shuffle on `user_id`
+    * serves the lag window, the running session counter, and the rollup
+    * — see [[graft.operators.Sessionize]]. */
+  private def q33_sessionize(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sessionize.sessionize(
+        Fixtures.events(s, dir), "user_id", "ts", gapSeconds = 21600,
+        measures = Seq("value" -> "value"))
+      .select(col("user_id"), col("session_seq"),
+        col("session_start").cast("timestamp_ntz").as("session_start"),
+        col("session_end").cast("timestamp_ntz").as("session_end"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_seq")
+
   private def q30_posexplode(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").filter(col("doc_id") < 20)
       .select(col("doc_id"), posexplode(graft.functions.TextFunctions.words(col("text"))))
@@ -658,6 +689,23 @@ object SparkEntry {
   private def d12b_chunk_dedup_hashed(s: SparkSession, dir: String): DataFrame =
     Dedup.stripSharedChunks(t(s, dir, "documents"), "doc_id", "text",
         n = 4, minDocs = 2, hashKeys = true)
+      .orderBy("doc_id")
+
+  /** Keep-FIRST chunk dedup (the C4 semantic): duplicated 4-word chunks
+    * survive only in their minimum-doc_id owner and are stripped from
+    * every later document — exactly one copy of each duplicated passage
+    * remains corpus-wide. The oracle replays ownership and the rebuild
+    * chunk-by-chunk. */
+  private def d14_keepfirst_chunks(s: SparkSession, dir: String): DataFrame =
+    Dedup.keepFirstChunks(t(s, dir, "documents"), "doc_id", "text", n = 4)
+      .orderBy("doc_id")
+
+  /** The `hashKeys=true` configuration (8-byte keys through the
+    * ownership shuffle and decision join — the 100 TB path). Output is
+    * key-representation-independent, so the oracle is d14's verbatim. */
+  private def d14b_keepfirst_hashed(s: SparkSession, dir: String): DataFrame =
+    Dedup.keepFirstChunks(t(s, dir, "documents"), "doc_id", "text", n = 4,
+        hashKeys = true)
       .orderBy("doc_id")
 
   /** Incremental dedup: a new batch (10 verbatim copies + 10 junk docs)
@@ -1088,6 +1136,23 @@ object SparkEntry {
         ((col("event_id") * 48271L) % 200).as("dst"))
     Graph.pageRank(edges, "src", "dst", iterations = 5)
       .orderBy("node")
+  }
+
+  /** Triangle counting: degree-oriented wedge join
+    * ([[graft.operators.Graph.triangleCounts]] — Σ outdeg² bounded by
+    * O(m^1.5) under ANY skew). The edges decompose event_id as a base-60
+    * digit pair, thinned by a pair-deterministic keep rule — g1's
+    * multiplicative derivation is a PERMUTATION of the node set (cycles
+    * only, zero triangles), which would make this gate vacuous; the digit
+    * graph is triangle-rich with irregular per-node counts. Counts are
+    * orientation-independent, so the oracle enumerates canonical u<y<z
+    * triples directly. */
+  private def g2_triangles(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "events")
+      .select((col("event_id") % 60).as("src"),
+        (expr("event_id DIV 60") % 60).as("dst"))
+      .filter((col("src") * 31 + col("dst") * 17) % 5 =!= 0)
+    Graph.triangleCounts(edges, "src", "dst").orderBy("node")
   }
 
   private val SemDedupCentroidsFixture =
@@ -1586,6 +1651,16 @@ object SparkEntry {
       .orderBy("doc_id", "draw")
   }
 
+  /** Deterministic epoch shuffle: the corpus dealt into 8 shards with an
+    * in-shard training order, every assignment a pure function of
+    * (salt, doc_id) — the oracle re-deals the identical permutation from
+    * md5. See [[graft.operators.Sampling.deterministicShuffle]]. */
+  private def t22_shuffle(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.deterministicShuffle(
+        t(s, dir, "documents"), "doc_id", numShards = 8, salt = "epoch1")
+      .select("doc_id", "shard", "pos")
+      .orderBy("shard", "pos")
+
   private def t14_normalize(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"),
         TextFunctions.normalize(col("text"), dropPunct = true).as("norm"))
@@ -2047,6 +2122,7 @@ object SparkEntry {
     "s24_write_partitioned" -> (s24_write_partitioned _),
     "s25_compact" -> (s25_compact _),
     "s26_merge" -> (s26_merge _),
+    "s28_expect" -> (s28_expect _),
     "s18_scan_lazy" -> (s18_scan_lazy _),
     "s21_scan_identity" -> (s21_scan_identity _),
     "s9_scan_csv" -> (s9_scan_csv _),
@@ -2084,6 +2160,7 @@ object SparkEntry {
     "q30_posexplode" -> (q30_posexplode _),
     "q31_array_quantifiers" -> (q31_array_quantifiers _),
     "q32_rows_window" -> (q32_rows_window _),
+    "q33_sessionize" -> (q33_sessionize _),
     "d1_dedup_exact" -> (d1_dedup_exact _),
     "d2_dedup_minhash" -> (d2_dedup_minhash _),
     "d3_dedup_simhash" -> (d3_dedup_simhash _),
@@ -2091,6 +2168,7 @@ object SparkEntry {
     "d5_embed_neardup" -> (d5_embed_neardup _),
     "d13_semdedup" -> (d13_semdedup _),
     "g1_pagerank" -> (g1_pagerank _),
+    "g2_triangles" -> (g2_triangles _),
     "ml1_linprobe" -> (ml1_linprobe _),
     "ml2_logreg" -> (ml2_logreg _),
     "d6_dedup_pipeline" -> (d6_dedup_pipeline _),
@@ -2102,6 +2180,8 @@ object SparkEntry {
     "d10b_span_stats_hashed" -> (d10b_span_stats_hashed _),
     "d12_chunk_dedup" -> (d12_chunk_dedup _),
     "d12b_chunk_dedup_hashed" -> (d12b_chunk_dedup_hashed _),
+    "d14_keepfirst_chunks" -> (d14_keepfirst_chunks _),
+    "d14b_keepfirst_hashed" -> (d14b_keepfirst_hashed _),
     "d11_dedup_incremental" -> (d11_dedup_incremental _),
     "a1_ann_brute" -> (a1_ann_brute _),
     "a2_ann_lsh" -> (a2_ann_lsh _),
@@ -2147,6 +2227,7 @@ object SparkEntry {
     "t15_heavyhitters" -> (t15_heavyhitters _),
     "t16_sample" -> (t16_sample _),
     "t21_negatives" -> (t21_negatives _),
+    "t22_shuffle" -> (t22_shuffle _),
     "t17_quantile_sketch" -> (t17_quantile_sketch _),
     "t17b_quantile_by_group" -> (t17b_quantile_by_group _),
     "t18_chunk_chars" -> (t18_chunk_chars _),
@@ -2212,6 +2293,31 @@ object SparkEntry {
               GROUP BY chunk HAVING count(*) >= 2),
        k AS (SELECT ch.doc_id, ch.ci, ch.chunk FROM ch
              LEFT JOIN sh USING (chunk) WHERE sh.chunk IS NULL),
+       tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+               FROM ch GROUP BY doc_id)
+       SELECT tot.doc_id,
+         coalesce(string_agg(k.chunk, ' ' ORDER BY k.ci), '') AS text_clean,
+         tot.n_chunks,
+         tot.n_chunks - CAST(count(k.chunk) AS BIGINT) AS n_removed
+       FROM tot LEFT JOIN k USING (doc_id)
+       GROUP BY tot.doc_id, tot.n_chunks ORDER BY doc_id"""
+
+  /** d14 / d14b share one SQL (key-representation-independent, like
+    * d12): same chunk decomposition, but survival is ownership — a
+    * duplicated chunk keeps only its min-doc_id copy. */
+  private val KeepFirstOracleSql =
+    """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                  FROM documents),
+       ch AS (SELECT doc_id, CAST(i AS INT) AS ci,
+                array_to_string(ws[CAST(i*4+1 AS BIGINT):CAST(i*4+4 AS BIGINT)],
+                  ' ') AS chunk
+              FROM w, UNNEST(range(0, (len(ws) + 3) // 4)) AS t(i)),
+       own AS (SELECT chunk, MIN(doc_id) AS owner
+               FROM (SELECT DISTINCT doc_id, chunk FROM ch)
+               GROUP BY chunk HAVING count(*) >= 2),
+       k AS (SELECT ch.doc_id, ch.ci, ch.chunk FROM ch
+             LEFT JOIN own USING (chunk)
+             WHERE own.owner IS NULL OR own.owner = ch.doc_id),
        tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
                FROM ch GROUP BY doc_id)
        SELECT tot.doc_id,
@@ -2300,6 +2406,30 @@ object SparkEntry {
            (SELECT * FROM survivors UNION ALL SELECT * FROM upd
             UNION ALL SELECT * FROM ins)
          ORDER BY o_orderkey""",
+    // one aggregate row replayed per check; NOT coalesce(pred, FALSE)
+    // mirrors the operator's null-counts-as-violation contract
+    "s28_expect" ->
+      """WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN NOT coalesce(l_quantity > 0, FALSE)
+             THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+           CAST(SUM(CASE WHEN NOT coalesce(l_discount >= 0 AND l_discount <= 1,
+             FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+           CAST(SUM(CASE WHEN NOT coalesce(l_tax >= 0, FALSE)
+             THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+           CAST(SUM(CASE WHEN NOT coalesce(l_returnflag IN ('A','N','R'),
+             FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+           CAST(SUM(CASE WHEN NOT coalesce(l_linestatus IN ('O','F'),
+             FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+           CAST(SUM(CASE WHEN NOT coalesce(l_extendedprice < 20000,
+             FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v5
+           FROM lineitem)
+         SELECT 'quantity_positive' AS "check", n AS n_rows,
+             v0 AS n_violations, v0 = 0 AS pass FROM a
+         UNION ALL SELECT 'discount_range', n, v1, v1 = 0 FROM a
+         UNION ALL SELECT 'tax_nonneg', n, v2, v2 = 0 FROM a
+         UNION ALL SELECT 'returnflag_domain', n, v3, v3 = 0 FROM a
+         UNION ALL SELECT 'linestatus_domain', n, v4, v4 = 0 FROM a
+         UNION ALL SELECT 'price_under_20k', n, v5, v5 = 0 FROM a""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sum_qty,
@@ -2579,6 +2709,26 @@ object SparkEntry {
          SELECT f.doc_id,
            ROUND(1.0 / (1.0 + EXP(-(w.w0 + w.w1 * f.x1 + w.w2 * f.x2))), 6) AS score
          FROM f, i3 w ORDER BY doc_id""",
+    // canonical u<y<z triple enumeration — orientation-independent truth
+    // for the engine's degree-oriented wedge join
+    "g2_triangles" ->
+      """WITH raw AS (SELECT s, d FROM
+             (SELECT event_id % 60 AS s, (event_id // 60) % 60 AS d
+              FROM events)
+           WHERE (s * 31 + d * 17) % 5 <> 0),
+         e AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
+               FROM raw WHERE s <> d),
+         n AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+         tri AS (SELECT a.u AS x, a.v AS y, b.v AS z
+                 FROM e a JOIN e b ON b.u = a.u AND b.v > a.v
+                 JOIN e c ON c.u = a.v AND c.v = b.v),
+         corners AS (SELECT x AS node FROM tri
+                     UNION ALL SELECT y FROM tri
+                     UNION ALL SELECT z FROM tri),
+         cnt AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+                 FROM corners GROUP BY node)
+         SELECT n.node, coalesce(cnt.n_triangles, 0) AS n_triangles
+         FROM n LEFT JOIN cnt USING (node) ORDER BY node""",
     "g1_pagerank" ->
       """WITH e AS (SELECT DISTINCT event_id % 200 AS src,
              (event_id * 48271) % 200 AS dst FROM events),
@@ -2745,6 +2895,8 @@ object SparkEntry {
     "d10b_span_stats_hashed" -> SpanStatsOracleSql,
     "d12_chunk_dedup" -> ChunkDedupOracleSql,
     "d12b_chunk_dedup_hashed" -> ChunkDedupOracleSql,
+    "d14_keepfirst_chunks" -> KeepFirstOracleSql,
+    "d14b_keepfirst_hashed" -> KeepFirstOracleSql,
     "d9_pipeline_full" ->
       """WITH corpus AS (
            SELECT doc_id, text FROM documents
@@ -3362,6 +3514,18 @@ object SparkEntry {
            FROM cand)
          SELECT qid AS doc_id, CAST(j AS BIGINT) AS draw, cid AS neg_id
          FROM r WHERE rk = 1 ORDER BY doc_id, draw""",
+    // identical md5 deal: 24 leading hash bits pick the shard, full-hash
+    // order ranks within it
+    "t22_shuffle" ->
+      """WITH h AS (SELECT doc_id,
+             md5('epoch1' || CAST(doc_id AS VARCHAR)) AS hh FROM documents),
+         s AS (SELECT doc_id, hh,
+             CAST(CAST('0x' || substr(hh, 1, 6) AS BIGINT) % 8 AS INT) AS shard
+           FROM h)
+         SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hh, doc_id)
+             AS BIGINT) AS pos
+         FROM s ORDER BY shard, pos""",
     "t17_quantile_sketch" ->
       """SELECT CAST(0.1 AS DOUBLE) AS q, round(quantile_cont(n_chars, 0.1), 6) AS v FROM documents
          UNION ALL SELECT CAST(0.25 AS DOUBLE), round(quantile_cont(n_chars, 0.25), 6) FROM documents
@@ -3881,6 +4045,24 @@ object SparkEntry {
            FROM x)
          SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n
          FROM y GROUP BY user_id, sid ORDER BY user_id, session_start""",
+    // same lag+running-sum replay as st2, plus the session ordinal, end
+    // bound and exact-decimal value total; integer-microsecond gap
+    // arithmetic mirrors the operator bit-for-bit
+    "q33_sessionize" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             epoch_us(ts) AS us, value FROM events),
+         x AS (SELECT user_id, ts, us, value,
+           CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                  <= 21600000000 THEN 0 ELSE 1 END AS ns FROM e),
+         y AS (SELECT user_id, ts, value,
+           SUM(ns) OVER (PARTITION BY user_id ORDER BY us
+             ROWS UNBOUNDED PRECEDING) AS session_seq FROM x)
+         SELECT user_id, session_seq,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS sum_value
+         FROM y GROUP BY user_id, session_seq
+         ORDER BY user_id, session_seq""",
     "rj1_range_join" ->
       """SELECT e.event_id, COUNT(*) AS n_parts
          FROM (SELECT event_id, value * 1000 AS p FROM events) e

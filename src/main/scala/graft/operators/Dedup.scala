@@ -1111,4 +1111,73 @@ object Dedup {
         (col("n_chunks") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"))
     armLshListener(result, "graft_strip_chunks", 0, Seq(perDoc))
   }
+
+  /** Keep-FIRST exact chunk dedup — the C4/line-dedup semantic
+    * ([Raffel et al. 2020, "Exploring the Limits of Transfer Learning"]
+    * §2.2 deduplicates three-sentence spans this way): a chunk occurring
+    * in several documents survives only in its canonical owner (the
+    * minimum id) and is stripped from every later document, so exactly
+    * one copy of each duplicated passage remains in the corpus. The
+    * REMOVAL counterpart of [[stripSharedChunks]], which treats shared
+    * chunks as boilerplate and deletes all copies; here shared chunks are
+    * CONTENT and one copy must survive.
+    *
+    * Returns `(idCol, text_clean, n_chunks, n_removed)` — one row per
+    * input document; the owner keeps its chunks (`n_removed` counts only
+    * losses to an earlier document).
+    *
+    * Plan, sized for a 100 TB corpus (steps 1, 2 and 4 are
+    * [[stripSharedChunks]]'s, documented there):
+    *  3'. Ownership discovery needs `min(id)` per duplicated chunk — one
+    *      `groupBy(key).agg(count, min)` over per-doc-distinct chunks,
+    *      same bounded-state shuffle as the boilerplate count. The
+    *      surviving `(key, owner)` set holds only chunks that ARE
+    *      duplicated (nd >= 2) — at trillion-chunk scale the build side
+    *      is the duplicate vocabulary, not the corpus. The decision join
+    *      is a LEFT join (not anti): a matched row still survives when
+    *      `id == owner`, so the filter is `owner IS NULL OR owner = id`.
+    *      AQE broadcasts the owner side when it fits; a hot chunk is
+    *      skew-benign — ONE build row per key.
+    *
+    * `hashKeys=true` (the 100 TB path) runs discovery + join on
+    * `xxhash64(chunk)` — identical result modulo 64-bit collisions,
+    * which at worst strip a chunk from a non-owner (never corrupt text). */
+  def keepFirstChunks(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 50,
+      hashKeys: Boolean = false): DataFrame = {
+    require(n >= 1, "chunk length n must be >= 1")
+    val perDoc = df
+      .select(col(idCol),
+        graft.functions.WordChunksExpr(col(textCol), n).as("__chunks"))
+      .withColumn("n_chunks", size(col("__chunks")).cast("long"))
+    perDoc.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def key(c: Column): Column = if (hashKeys) xxhash64(c) else c
+    val owners = perDoc
+      .select(col(idCol).as("__id"), explode(array_distinct(col("__chunks"))).as("__c"))
+      .groupBy(key(col("__c")).as("__k"))
+      .agg(count(lit(1)).as("__nd"), min(col("__id")).as("__owner"))
+      .filter(col("__nd") >= 2)
+      .select(col("__k"), col("__owner"))
+    val kept = perDoc
+      .select(col(idCol), posexplode(col("__chunks")).as(Seq("__pos", "__c")))
+      .join(owners, key(col("__c")) === owners("__k"), "left")
+      .filter(col("__owner").isNull || col("__owner") === col(idCol))
+    val reassembled = kept
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("__pos"), col("__c")))),
+            x => x.getField("__c")),
+          " ").as("text_clean"))
+    val result = perDoc.select(col(idCol), col("n_chunks"))
+      .join(reassembled, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        col("n_chunks"),
+        (col("n_chunks") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"))
+    armLshListener(result, "graft_keepfirst_chunks", 0, Seq(perDoc))
+  }
 }

@@ -100,4 +100,71 @@ object Graph {
     // longs — the cheapest cache in the pipeline); left to session eviction
     ranks
   }
+
+  /** Per-node triangle counts over an undirected simple graph (edge list
+    * with direction, duplicates and self-loops tolerated — they collapse
+    * during canonicalization). Triangles are the workhorse of clustering
+    * coefficients, community strength and spam/bot structure detection.
+    *
+    * Returns `(node, n_triangles)` for every node of the graph (zero for
+    * triangle-free nodes); each triangle {a,b,c} counts once for each of
+    * its three corners.
+    *
+    * Algorithm: degree orientation (the standard MapReduce formulation —
+    * Suri & Vassilvitskii, WWW'11 "Counting Triangles and the Curse of
+    * the Last Reducer"). Every undirected edge is oriented from its
+    * lower to its higher endpoint in the total order (degree, id); wedges
+    * are built only from each node's OUT-edges and closed against the
+    * oriented edge set. Orientation bounds every out-degree by O(√m)
+    * regardless of skew — a celebrity node of degree 10^7 contributes
+    * wedges only through its (few) higher-degree neighbors, not deg²
+    * pairs — so the wedge stage is Σ outdeg² ≤ O(m^1.5) total and the
+    * "last reducer" hot key of the naive formulation disappears. That
+    * bound is the entire reason this is an operator and not a three-way
+    * self-join left to the optimizer.
+    *
+    * Spark shape: canonicalize + distinct (one shuffle on the edge pair),
+    * ONE aggregation for degrees, a broadcast-or-shuffle join to attach
+    * orientation keys, a self-join on the wedge apex (hash-partitioned by
+    * src — bounded per-key fan-out by the √m argument), and a semi-style
+    * closing join against the oriented edges on (b, c). Counts per corner
+    * are three cheap aggregations over the triangle set, unioned then
+    * re-aggregated (the triangle set is far smaller than the wedge set). */
+  def triangleCounts(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+    val deg = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // total order (deg, id) as a comparable struct key per endpoint
+    val du = deg.select(col("node").as("u"),
+      struct(col("deg").as("d"), col("node").as("n")).as("ku"))
+    val dv = deg.select(col("node").as("v"),
+      struct(col("deg").as("d"), col("node").as("n")).as("kv"))
+    val oriented = e.join(du, "u").join(dv, "v")
+      .select(
+        when(col("ku") < col("kv"), col("u")).otherwise(col("v")).as("src"),
+        when(col("ku") < col("kv"), col("v")).otherwise(col("u")).as("dst"),
+        when(col("ku") < col("kv"), col("kv")).otherwise(col("ku")).as("kdst"))
+    val e1 = oriented.select(col("src"), col("dst").as("b"), col("kdst").as("kb"))
+    val e2 = oriented.select(col("src"), col("dst").as("c"), col("kdst").as("kc"))
+    val wedges = e1.join(e2, "src").filter(col("kb") < col("kc"))
+    val closing = oriented.select(col("src").as("b"), col("dst").as("c"))
+    val triangles = wedges.join(closing, Seq("b", "c"))
+      .select(col("src").as("a"), col("b"), col("c"))
+    val corners = triangles.select(col("a").as("node"))
+      .union(triangles.select(col("b").as("node")))
+      .union(triangles.select(col("c").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    deg.select(col("node"))
+      .join(corners, Seq("node"), "left")
+      .select(col("node"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
 }

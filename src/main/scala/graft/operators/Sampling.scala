@@ -107,4 +107,44 @@ object Sampling {
       .filter(col("__rk") === 1)
       .select(col("__qid").as(qIdCol), col("draw"), col("__cid").as("neg_id"))
   }
+
+  /** Deterministic global shuffle for training order: assign every row a
+    * shard and a position within its shard, both pure functions of
+    * `(salt, id)` — the corpus comes out in a reproducible pseudo-random
+    * permutation (the "shuffle the corpus before training" step every
+    * epoch pipeline needs) with no RNG, no partitioning dependence, and
+    * no driver-side state; changing `salt` re-deals the epoch.
+    *
+    * `shard` is the leading 24 md5 bits of the salted id mod `numShards`;
+    * `pos` ranks the full md5 within the shard (id tie-break, same
+    * rationale as [[sampleByGroup]]). Reading shards in order
+    * `(shard, pos)` replays one global permutation; any engine that
+    * agrees on md5 (the oracle does) deals the identical order.
+    *
+    * 100 TB shape: ONE hash shuffle on `shard`; each shard sorts
+    * independently in its own task — there is no global sort and no
+    * single-partition rank anywhere. The per-shard rank serializes one
+    * shard per task, so `numShards` is the parallelism AND the shard
+    * file size knob: pick corpus_size / ~200 MB (5×10^5 shards at
+    * 100 TB — far beyond any hot-key concern since md5 spreads ids
+    * uniformly, ±O(√(n/shards)) rows per shard). Rows with a null id
+    * are excluded, as in [[sampleByGroup]]. */
+  def deterministicShuffle(
+      df: DataFrame,
+      idCol: String,
+      numShards: Int,
+      salt: String = ""): DataFrame = {
+    require(numShards > 0, "deterministicShuffle: numShards must be positive")
+    require(!df.columns.contains("__h"),
+      "input already has a '__h' column — rename it first")
+    df.filter(col(idCol).isNotNull)
+      .withColumn("__h", md5(concat(lit(salt), col(idCol).cast("string"))))
+      .withColumn("shard",
+        (conv(substring(col("__h"), 1, 6), 16, 10).cast("long")
+          % numShards).cast("int"))
+      .withColumn("pos", row_number().over(
+          Window.partitionBy("shard").orderBy(col("__h").asc, col(idCol).asc))
+        .cast("long"))
+      .drop("__h")
+  }
 }

@@ -1,0 +1,226 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Expect, Graph, Sampling, Sessionize}
+
+/** Gap-based batch sessionization: boundary contract, exact measure sums,
+  * and the one-shuffle plan shape the scaladoc promises. */
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("gap of exactly the threshold stays in the session; one more second breaks") {
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1.0),
+      (1L, ts("2024-01-01 01:00:00"), 2.0),   // gap = 3600 s = threshold → stays
+      (1L, ts("2024-01-01 02:00:01"), 3.0),   // gap = 3601 s → new session
+      (2L, ts("2024-01-01 00:00:00"), 4.0)
+    ).toDF("user_id", "ts", "value")
+    val out = Sessionize.sessionize(events, "user_id", "ts", gapSeconds = 3600,
+        measures = Seq("value" -> "value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    assert(out.size == 3)
+    val s1 = out((1L, 1L))
+    assert(s1.getAs[Long]("n_events") == 2L)
+    assert(s1.getAs[Double]("sum_value") == 3.0)
+    assert(s1.getAs[Timestamp]("session_start") == ts("2024-01-01 00:00:00"))
+    assert(s1.getAs[Timestamp]("session_end") == ts("2024-01-01 01:00:00"))
+    val s2 = out((1L, 2L))
+    assert(s2.getAs[Long]("n_events") == 1L)
+    assert(s2.getAs[Double]("sum_value") == 3.0)
+    assert(out((2L, 1L)).getAs[Long]("n_events") == 1L)
+  }
+
+  test("equal timestamps share a session regardless of input order") {
+    val base = Seq(
+      (7L, ts("2024-01-01 00:00:00"), 1.0),
+      (7L, ts("2024-01-01 00:00:00"), 2.0),
+      (7L, ts("2024-01-01 09:00:00"), 3.0))
+    val a = Sessionize.sessionize(base.toDF("user_id", "ts", "value"),
+      "user_id", "ts", 3600, Seq("value" -> "value"))
+    val b = Sessionize.sessionize(base.reverse.toDF("user_id", "ts", "value")
+        .repartition(3),
+      "user_id", "ts", 3600, Seq("value" -> "value"))
+    assert(canon(a) == canon(b))
+    assert(a.count() == 2)
+  }
+
+  test("one shuffle serves windows and rollup: a single Exchange in the plan") {
+    val events = (0 until 200)
+      .map(i => (i.toLong % 5, ts(f"2024-01-01 ${i % 24}%02d:00:00"), 1.0))
+      .toDF("user_id", "ts", "value").repartition(4)
+    val out = Sessionize.sessionize(events, "user_id", "ts", 1800,
+      Seq("value" -> "value"))
+    out.collect()
+    // final-plan section only (AQE echoes the initial plan below it); the
+    // test's own round-robin repartition is not a hash exchange
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+  }
+}
+
+/** One-pass expectation audit: violation semantics and ordering. */
+class ExpectSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("null predicate counts as violation; caller order preserved") {
+    val df = Seq[(java.lang.Long, String)](
+      (1L, "a"), (2L, null), (null, "b"), (-5L, "a")
+    ).toDF("n", "s")
+    val out = Expect.audit(df, Seq(
+      "n_positive" -> (col("n") > 0),
+      "s_domain" -> col("s").isin("a", "b"),
+      "always" -> lit(true))).collect()
+    assert(out.map(_.getString(0)).toSeq ==
+      Seq("n_positive", "s_domain", "always"))
+    val byName = out.map(r => r.getString(0) -> r).toMap
+    // n > 0: violated by -5 and by null n → 2
+    assert(byName("n_positive").getAs[Long]("n_violations") == 2L)
+    assert(!byName("n_positive").getAs[Boolean]("pass"))
+    // s in (a,b): violated by null s → 1
+    assert(byName("s_domain").getAs[Long]("n_violations") == 1L)
+    assert(byName("always").getAs[Long]("n_violations") == 0L)
+    assert(byName("always").getAs[Boolean]("pass"))
+    assert(out.forall(_.getAs[Long]("n_rows") == 4L))
+  }
+
+  test("contract errors: empty and duplicate check names") {
+    val df = Seq(1).toDF("x")
+    intercept[IllegalArgumentException](Expect.audit(df, Nil))
+    intercept[IllegalArgumentException](
+      Expect.audit(df, Seq("a" -> lit(true), "a" -> lit(false))))
+  }
+
+  test("one scan: adding checks adds no exchange beyond the single final agg") {
+    val df = (0 until 1000).map(i => (i, i % 7)).toDF("a", "b").repartition(4)
+    val out = Expect.audit(df, (0 until 12).map(i => s"c$i" -> (col("a") >= i)))
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty, plan)
+    assert("Exchange SinglePartition".r.findAllIn(plan).length == 1, plan)
+    assert(out.count() == 12)
+  }
+}
+
+/** Keep-first chunk dedup: ownership semantics vs d12's strip-all. */
+class KeepFirstChunksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("duplicated chunk survives only in its min-id owner") {
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a b c d x y z w"),
+      (3L, "x y z w a b c d")
+    ).toDF("doc_id", "text")
+    // n=4 chunks: doc1 = [abcd]; doc2 = [abcd, xyzw]; doc3 = [xyzw, abcd]
+    // owners: "a b c d" → 1, "x y z w" → 2
+    val out = Dedup.keepFirstChunks(docs, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("text_clean") == "a b c d")
+    assert(out(1L).getAs[Long]("n_removed") == 0L)
+    assert(out(2L).getAs[String]("text_clean") == "x y z w")
+    assert(out(2L).getAs[Long]("n_removed") == 1L)
+    assert(out(3L).getAs[String]("text_clean") == "")
+    assert(out(3L).getAs[Long]("n_removed") == 2L)
+  }
+
+  test("exactly one copy of every duplicated chunk survives corpus-wide") {
+    // every doc = [unique chunk][shared chunk]; "shared shared" owned by doc 0
+    val docs = (0 until 40)
+      .map(i => (i.toLong, s"a$i b$i shared shared"))
+      .toDF("doc_id", "text")
+    val out = Dedup.keepFirstChunks(docs, "doc_id", "text", n = 2)
+    val survivors = out
+      .filter(col("text_clean").contains("shared shared"))
+    assert(survivors.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(0L))
+    assert(out.count() == 40)
+    assert(out.filter(col("doc_id") > 0 && col("n_removed") === 1L).count() == 39)
+  }
+
+  test("hashKeys parity: 64-bit keyed run equals exact-string run") {
+    val docs = (0 until 60)
+      .map(i => (i.toLong, (0 until 12).map(j => s"w${(i + j) % 9}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val a = Dedup.keepFirstChunks(docs, "doc_id", "text", n = 3)
+    val b = Dedup.keepFirstChunks(docs.repartition(5), "doc_id", "text", n = 3,
+      hashKeys = true)
+    assert(canon(a) == canon(b))
+  }
+}
+
+/** Deterministic epoch shuffle: permutation + reproducibility. */
+class DeterministicShuffleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("a permutation: every id once, per-shard positions contiguous from 1") {
+    val df = (0 until 500).map(i => (i.toLong, s"p$i")).toDF("id", "payload")
+    val out = Sampling.deterministicShuffle(df, "id", numShards = 8, salt = "e1")
+    assert(out.select("id").distinct().count() == 500)
+    assert(out.count() == 500)
+    val perShard = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("lo"), max("pos").as("hi"))
+      .collect()
+    assert(perShard.forall(r => r.getAs[Long]("lo") == 1L &&
+      r.getAs[Long]("hi") == r.getAs[Long]("n")))
+    assert(perShard.map(_.getAs[Int]("shard")).forall(s => s >= 0 && s < 8))
+  }
+
+  test("partitioning-independent; salt re-deals; null ids excluded") {
+    val df = (0 until 300).map(i => (i.toLong, i)).toDF("id", "v")
+    val a = Sampling.deterministicShuffle(df, "id", 4, "e1")
+    val b = Sampling.deterministicShuffle(df.repartition(7), "id", 4, "e1")
+    assert(canon(a) == canon(b))
+    val c = Sampling.deterministicShuffle(df, "id", 4, "e2")
+    assert(canon(a) != canon(c))
+    val withNull = df.unionByName(
+      Seq((null.asInstanceOf[java.lang.Long], 999)).toDF("id", "v")
+        .select(col("id").cast("long"), col("v")))
+    assert(Sampling.deterministicShuffle(withNull, "id", 4, "e1").count() == 300)
+  }
+}
+
+/** Degree-oriented triangle counting. */
+class TriangleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("K4: every node sits in 3 of the 4 triangles") {
+    val edges = (for { i <- 0 to 3; j <- 0 to 3 if i < j } yield (i.toLong, j.toLong))
+      .toDF("src", "dst")
+    val out = Graph.triangleCounts(edges, "src", "dst").collect()
+    assert(out.length == 4)
+    assert(out.forall(_.getAs[Long]("n_triangles") == 3L))
+  }
+
+  test("path graph has zero triangles but reports every node") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val out = Graph.triangleCounts(edges, "src", "dst").collect()
+    assert(out.length == 4)
+    assert(out.forall(_.getAs[Long]("n_triangles") == 0L))
+  }
+
+  test("direction, duplicates and self-loops collapse before counting") {
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 1L), (2L, 3L))
+      .toDF("src", "dst")
+    val out = Graph.triangleCounts(edges, "src", "dst").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("K17 from digit pairs: every node in C(16,2)=120 triangles; partition-invariant") {
+    // (i mod 17, i div 17 mod 17) over 0..288 covers every ordered pair →
+    // complete graph on 17 nodes after canonicalization
+    val base = (0L until 289L).map(i => (i % 17, (i / 17) % 17))
+    val a = Graph.triangleCounts(base.toDF("src", "dst"), "src", "dst")
+    val b = Graph.triangleCounts(base.toDF("src", "dst").repartition(7),
+      "src", "dst")
+    assert(canon(a) == canon(b))
+    val rows = a.collect()
+    assert(rows.length == 17)
+    assert(rows.forall(_.getAs[Long]("n_triangles") == 120L))
+  }
+}
