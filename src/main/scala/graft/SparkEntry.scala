@@ -509,6 +509,21 @@ object SparkEntry {
         col("n_events"), col("sum_value"))
       .orderBy("user_id", "session_seq")
 
+  /** Bloom semi-join reduction: lineitem (probe) pre-filtered by a Bloom
+    * filter of a selective orders key set BEFORE the join shuffle —
+    * results are EXACT (false positives drop in the real join), so the
+    * oracle is the plain join. See [[graft.operators.Skew.bloomJoin]]. */
+  private def q34_bloom_join(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val ords = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_totalprice") > 150000)
+      .select("o_orderkey", "o_totalprice")
+    graft.operators.Skew.bloomJoin(li, ords, "l_orderkey", "o_orderkey")
+      .select(col("l_orderkey"), col("l_linenumber"), col("o_totalprice"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   private def q30_posexplode(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").filter(col("doc_id") < 20)
       .select(col("doc_id"), posexplode(graft.functions.TextFunctions.words(col("text"))))
@@ -1661,6 +1676,16 @@ object SparkEntry {
       .select("doc_id", "shard", "pos")
       .orderBy("shard", "pos")
 
+  /** PMI collocation mining over adjacent word pairs, minCount=20: exact
+    * integer counts, one rounded ln (the t20 transcendental convention).
+    * The oracle re-derives unigram/pair counts, the totals, and the PMI
+    * arithmetic in the identical operation order. See
+    * [[graft.operators.Collocations.pmiBigrams]]. */
+  private def t24_pmi(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Collocations.pmiBigrams(t(s, dir, "documents"), "text",
+        minCount = 20)
+      .orderBy("w1", "w2")
+
   private def t14_normalize(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"),
         TextFunctions.normalize(col("text"), dropPunct = true).as("norm"))
@@ -2161,6 +2186,7 @@ object SparkEntry {
     "q31_array_quantifiers" -> (q31_array_quantifiers _),
     "q32_rows_window" -> (q32_rows_window _),
     "q33_sessionize" -> (q33_sessionize _),
+    "q34_bloom_join" -> (q34_bloom_join _),
     "d1_dedup_exact" -> (d1_dedup_exact _),
     "d2_dedup_minhash" -> (d2_dedup_minhash _),
     "d3_dedup_simhash" -> (d3_dedup_simhash _),
@@ -2228,6 +2254,7 @@ object SparkEntry {
     "t16_sample" -> (t16_sample _),
     "t21_negatives" -> (t21_negatives _),
     "t22_shuffle" -> (t22_shuffle _),
+    "t24_pmi" -> (t24_pmi _),
     "t17_quantile_sketch" -> (t17_quantile_sketch _),
     "t17b_quantile_by_group" -> (t17b_quantile_by_group _),
     "t18_chunk_chars" -> (t18_chunk_chars _),
@@ -3514,6 +3541,28 @@ object SparkEntry {
            FROM cand)
          SELECT qid AS doc_id, CAST(j AS BIGINT) AS draw, cid AS neg_id
          FROM r WHERE rk = 1 ORDER BY doc_id, draw""",
+    // counts re-derived from scratch; the PMI expression mirrors the
+    // operator's division order exactly so only ln's last ulp differs,
+    // absorbed by the shared 6-decimal rounding
+    "t24_pmi" ->
+      """WITH w AS (SELECT regexp_split_to_array(trim(text), '\s+') AS ws
+                    FROM documents),
+         uni AS (SELECT u.w, CAST(count(*) AS BIGINT) AS c_w
+                 FROM w, UNNEST(ws) AS u(w) GROUP BY u.w),
+         pr AS (SELECT ws[i] AS w1, ws[i+1] AS w2
+                FROM w, UNNEST(range(1, len(ws))) t(i) WHERE len(ws) >= 2),
+         pc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_pair
+                FROM pr GROUP BY w1, w2),
+         tot AS (SELECT (SELECT SUM(c_w) FROM uni) AS n_words,
+                        (SELECT SUM(c_pair) FROM pc) AS n_pairs)
+         SELECT p.w1, p.w2, p.c_pair,
+           round(ln((p.c_pair / CAST(t.n_pairs AS DOUBLE)) /
+             ((u1.c_w / CAST(t.n_words AS DOUBLE)) *
+              (u2.c_w / CAST(t.n_words AS DOUBLE)))), 6) AS pmi
+         FROM pc p JOIN uni u1 ON u1.w = p.w1
+           JOIN uni u2 ON u2.w = p.w2, tot t
+         WHERE p.c_pair >= 20
+         ORDER BY w1, w2""",
     // identical md5 deal: 24 leading hash bits pick the shard, full-hash
     // order ranks within it
     "t22_shuffle" ->
@@ -4045,6 +4094,15 @@ object SparkEntry {
            FROM x)
          SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n
          FROM y GROUP BY user_id, sid ORDER BY user_id, session_start""",
+    // the bloom pre-filter never changes join RESULTS (only shuffle
+    // volume), so the truth is the plain join
+    "q34_bloom_join" ->
+      """SELECT l.l_orderkey, l.l_linenumber, o.o_totalprice
+         FROM lineitem l JOIN
+           (SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000) o
+           ON l.l_orderkey = o.o_orderkey
+         ORDER BY l.l_orderkey, l.l_linenumber""",
     // same lag+running-sum replay as st2, plus the session ordinal, end
     // bound and exact-decimal value total; integer-microsecond gap
     // arithmetic mirrors the operator bit-for-bit

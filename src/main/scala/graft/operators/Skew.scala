@@ -1,7 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, GraftInternals}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BinaryType
 
 /** Manual skew mitigation for joins whose hot keys overwhelm single tasks
   * (the pre-AQE technique; still needed when AQE's skew-join can't kick in,
@@ -65,5 +68,75 @@ object Skew {
     val r = replicated.withColumn("__salt",
       explode(sequence(lit(0), lit(factor - 1)).cast("array<long>")))
     l.join(r, keys :+ "__salt", joinType).drop("__salt")
+  }
+
+  /** Semi-join reduction: shrink the PROBE side of a join with a Bloom
+    * filter of the build side's key set BEFORE the shuffle — the classic
+    * distributed-join optimization for the "build side misses the
+    * broadcast threshold but its KEY SET still fits a filter" regime.
+    * Spark's own runtime filtering (`InjectRuntimeFilter`) applies the
+    * same idea opportunistically; this operator makes it explicit and
+    * composable, reusing Spark's codegen'd bloom expressions so the probe
+    * filter runs inside whole-stage codegen.
+    *
+    * Returns the probe rows that MIGHT join (no false negatives — every
+    * matching row survives; false positives at ~`fpp` do a little extra
+    * shuffling and are then dropped by the real join, so any subsequent
+    * join is EXACT). At 100 TB the win is shuffle bytes: a 1%-selective
+    * build side cuts the probe exchange ~100×, for one extra map-side
+    * pass and a driver round-trip of the filter bytes
+    * (`optimalNumOfBits(n, fpp)/8` ≈ 1.2 MB per 10⁶ keys at 1%).
+    *
+    * `expectedItems <= 0` counts the build side's distinct keys first
+    * (one narrow aggregation) — pass the estimate when you have one to
+    * stay single-pass. The build aggregation is a bitwise-OR merge:
+    * deterministic under any partitioning. Probe rows with a NULL key
+    * hash to null and are dropped — correct for the inner/semi joins this
+    * pre-filter is for (a left join must keep unmatched probe rows, so
+    * filtering the probe side would be WRONG; compose left joins without
+    * this). */
+  def bloomPreFilter(
+      probe: DataFrame,
+      build: DataFrame,
+      probeKey: String,
+      buildKey: String,
+      expectedItems: Long = 0L,
+      fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
+    val n =
+      if (expectedItems > 0) expectedItems
+      else build.select(countDistinct(col(buildKey))).head().getLong(0) max 1L
+    val numBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(n, fpp)
+    val bloomAgg = new BloomFilterAggregate(
+      new XxHash64(Seq(GraftInternals.expression(col(buildKey)))),
+      Literal(n), Literal(numBits)).toAggregateExpression()
+    val bloom = build
+      .select(GraftInternals.column(bloomAgg).as("__bloom"))
+      .head().getAs[Array[Byte]](0)
+    if (bloom == null) probe.filter(lit(false)) // empty build side: nothing joins
+    else probe.filter(GraftInternals.column(new BloomFilterMightContain(
+      Literal(bloom, BinaryType),
+      new XxHash64(Seq(GraftInternals.expression(col(probeKey)))))))
+  }
+
+  /** [[bloomPreFilter]] composed with the real join: exact results
+    * (false positives drop in the join), probe shuffle reduced first.
+    * Inner and left-semi only — the probe-preserving types a semi-join
+    * reduction cannot serve are rejected loudly. */
+  def bloomJoin(
+      probe: DataFrame,
+      build: DataFrame,
+      probeKey: String,
+      buildKey: String,
+      joinType: String = "inner",
+      expectedItems: Long = 0L,
+      fpp: Double = 0.01): DataFrame = {
+    val allowed = Set("inner", "left_semi", "leftsemi", "semi")
+    require(allowed.contains(joinType.toLowerCase.replace(" ", "")),
+      s"bloomJoin supports inner/left_semi only (got '$joinType'): a " +
+        "probe-preserving join must keep rows the pre-filter would drop")
+    val filtered = bloomPreFilter(probe, build, probeKey, buildKey,
+      expectedItems, fpp)
+    filtered.join(build, filtered(probeKey) === build(buildKey), joinType)
   }
 }

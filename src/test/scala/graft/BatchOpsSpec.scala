@@ -170,6 +170,16 @@ class DeterministicShuffleSpec extends SparkSpec {
     assert(perShard.map(_.getAs[Int]("shard")).forall(s => s >= 0 && s < 8))
   }
 
+  test("plan: one hash shuffle, no global sort or single-partition rank") {
+    val df = (0 until 400).map(i => (i.toLong, i)).toDF("id", "v").repartition(5)
+    val out = Sampling.deterministicShuffle(df, "id", 16, "e1")
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("Exchange rangepartitioning") &&
+      !p.contains("Exchange SinglePartition"), p)
+  }
+
   test("partitioning-independent; salt re-deals; null ids excluded") {
     val df = (0 until 300).map(i => (i.toLong, i)).toDF("id", "v")
     val a = Sampling.deterministicShuffle(df, "id", 4, "e1")
@@ -181,6 +191,90 @@ class DeterministicShuffleSpec extends SparkSpec {
       Seq((null.asInstanceOf[java.lang.Long], 999)).toDF("id", "v")
         .select(col("id").cast("long"), col("v")))
     assert(Sampling.deterministicShuffle(withNull, "id", 4, "e1").count() == 300)
+  }
+}
+
+/** PMI bigram collocations: hand-computed values, shared aggregations. */
+class CollocationsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Collocations
+
+  test("hand-computed PMI on a 2-doc corpus; minCount filters") {
+    val docs = Seq("a b a b", "a b c").toDF("text")
+    val out = Collocations.pmiBigrams(docs, "text", minCount = 2).collect()
+    // pairs: (a,b)×3, (b,a)×1, (b,c)×1 → only (a,b) survives minCount=2
+    // unigrams a:3 b:3 c:1, n_words=7, n_pairs=5
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getString(0) == "a" && r.getString(1) == "b")
+    assert(r.getAs[Long]("c_pair") == 3L)
+    val expected = BigDecimal(math.log((3.0 / 5) / ((3.0 / 7) * (3.0 / 7))))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("pmi") == expected)
+  }
+
+  test("single-word and empty docs contribute unigrams but no pairs") {
+    val docs = Seq("x", "", "x y", "x y").toDF("text")
+    val out = Collocations.pmiBigrams(docs, "text", minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("c_pair"))
+      .toMap
+    assert(out == Map(("x", "y") -> 2L))
+  }
+
+  test("plan: the unigram aggregation is computed once and reused") {
+    val docs = (0 until 100)
+      .map(i => s"w${i % 7} w${(i + 1) % 7} w${(i + 2) % 7}").toDF("text")
+    val out = Collocations.pmiBigrams(docs, "text", minCount = 1)
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage") ||
+      p.contains("TableCacheQueryStage"), p)
+  }
+}
+
+/** Bloom semi-join reduction: exact results, reduced probe. */
+class BloomJoinSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Skew
+
+  test("bloomJoin equals the plain join, with probe keys absent from build") {
+    val probe = (0 until 2000).map(i => (i.toLong % 500, i)).toDF("k", "v")
+    val build = (0 until 50).map(i => (i.toLong * 7, s"b$i")).toDF("bk", "p")
+    val a = Skew.bloomJoin(probe, build, "k", "bk")
+    val b = probe.join(build, probe("k") === build("bk"))
+    assert(canon(a) == canon(b))
+    assert(a.count() > 0)
+  }
+
+  test("pre-filter never drops a matching row and reduces a selective probe") {
+    val probe = (0 until 5000).map(i => (i.toLong, i)).toDF("k", "v")
+    val build = (0 until 5000 by 100).map(i => Tuple1(i.toLong)).toDF("bk")
+    val kept = Skew.bloomPreFilter(probe, build, "k", "bk")
+    val keptKeys = kept.select("k").collect().map(_.getLong(0)).toSet
+    val buildKeys = build.collect().map(_.getLong(0)).toSet
+    assert(buildKeys.subsetOf(keptKeys), "bloom false negative")
+    // 1%-selective build at fpp=0.01: the filter must do its job
+    assert(kept.count() < 1000, s"no reduction: ${kept.count()} of 5000 kept")
+  }
+
+  test("empty build side yields empty result; left join rejected") {
+    val probe = Seq((1L, "a")).toDF("k", "v")
+    val build = Seq((1L, "x")).toDF("bk", "p").filter(col("bk") < 0)
+    assert(Skew.bloomJoin(probe, build, "k", "bk").count() == 0)
+    intercept[IllegalArgumentException](
+      Skew.bloomJoin(probe, build, "k", "bk", joinType = "left"))
+  }
+
+  test("plan: might_contain filters the probe before an equi-join") {
+    // a file-backed probe: on a LocalRelation the optimizer folds the
+    // bloom filter at plan time and no Filter node remains to assert on
+    val probe = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val build = (0 until 30).map(i => Tuple1(i.toLong * 11)).toDF("bk")
+    val out = Skew.bloomJoin(probe, build, "l_orderkey", "bk")
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("might_contain"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
 }
 
@@ -209,6 +303,14 @@ class TriangleSpec extends SparkSpec {
     val out = Graph.triangleCounts(edges, "src", "dst").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("plan: equi-joins only — no cartesian/nested-loop in wedge or closing join") {
+    val base = (0L until 289L).map(i => (i % 17, (i / 17) % 17))
+    val df = Graph.triangleCounts(base.toDF("src", "dst"), "src", "dst")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
 
   test("K17 from digit pairs: every node in C(16,2)=120 triangles; partition-invariant") {
