@@ -183,6 +183,28 @@ object SparkEntry {
       "linestatus_domain" -> col("l_linestatus").isin("O", "F"),
       "price_under_20k" -> (col("l_extendedprice") < 20000)))
 
+  /** Tag-scoped incremental read: a partitioned table built from a base
+    * write plus two tagged appends; `readTaggedBatch` must return
+    * EXACTLY the b1 batch's rows (orderkey % 3 == 1), never the base or
+    * b2 — the "process only what arrived" consumer primitive. */
+  private def s27_read_tagged(s: SparkSession, dir: String): DataFrame = {
+    val out = s"/tmp/graft_fixtures/tagged_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val conf = s.sessionState.newHadoopConf()
+    val bp = new org.apache.hadoop.fs.Path(out)
+    bp.getFileSystem(conf).delete(bp, true)
+    val orders = t(s, dir, "orders")
+    Graft.writePartitionedTable(orders.filter(col("o_orderkey") % 3 === 0),
+      out, Seq("o_orderpriority"))
+    graft.core.TaggedAppend.append(orders.filter(col("o_orderkey") % 3 === 1),
+      out, "b1", Seq("o_orderpriority"))
+    graft.core.TaggedAppend.append(orders.filter(col("o_orderkey") % 3 === 2),
+      out, "b2", Seq("o_orderpriority"))
+    Graft.readTaggedBatch(s, out, "b1")
+      .select(col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_orderpriority"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
   private def s18_scan_lazy(s: SparkSession, dir: String): DataFrame = {
     val nationSchema = t(s, dir, "nation").schema
     Graft.readPartitionedTableRich(s, Fixtures.lazyNation(s, dir),
@@ -522,6 +544,20 @@ object SparkEntry {
     graft.operators.Skew.bloomJoin(li, ords, "l_orderkey", "o_orderkey")
       .select(col("l_orderkey"), col("l_linenumber"), col("o_totalprice"))
       .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Sweep-line concurrency: events become [ts, ts + floor(value·10) s]
+    * intervals; the profile counts active intervals at every boundary
+    * instant via the distributed prefix-sum (per-day windows + tiny
+    * day-offset carry — no global event sort). floor() on both sides:
+    * Spark's double→long cast truncates where DuckDB's rounds. */
+  private def q35_concurrency(s: SparkSession, dir: String): DataFrame = {
+    val e = Fixtures.events(s, dir).select(col("ts").as("start_ts"),
+      timestamp_micros(unix_micros(col("ts")) +
+        floor(col("value") * 10).cast("long") * 1000000L).as("end_ts"))
+    graft.operators.Sweep.concurrency(e, "start_ts", "end_ts")
+      .select(col("ts").cast("timestamp_ntz").as("ts"), col("active"))
+      .orderBy("ts")
   }
 
   private def q30_posexplode(s: SparkSession, dir: String): DataFrame =
@@ -2147,6 +2183,7 @@ object SparkEntry {
     "s24_write_partitioned" -> (s24_write_partitioned _),
     "s25_compact" -> (s25_compact _),
     "s26_merge" -> (s26_merge _),
+    "s27_read_tagged" -> (s27_read_tagged _),
     "s28_expect" -> (s28_expect _),
     "s18_scan_lazy" -> (s18_scan_lazy _),
     "s21_scan_identity" -> (s21_scan_identity _),
@@ -2187,6 +2224,7 @@ object SparkEntry {
     "q32_rows_window" -> (q32_rows_window _),
     "q33_sessionize" -> (q33_sessionize _),
     "q34_bloom_join" -> (q34_bloom_join _),
+    "q35_concurrency" -> (q35_concurrency _),
     "d1_dedup_exact" -> (d1_dedup_exact _),
     "d2_dedup_minhash" -> (d2_dedup_minhash _),
     "d3_dedup_simhash" -> (d3_dedup_simhash _),
@@ -2433,6 +2471,11 @@ object SparkEntry {
            (SELECT * FROM survivors UNION ALL SELECT * FROM upd
             UNION ALL SELECT * FROM ins)
          ORDER BY o_orderkey""",
+    // the tag scope must be invisible in values: batch b1 IS the
+    // orderkey % 3 == 1 slice
+    "s27_read_tagged" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice
+         FROM orders WHERE o_orderkey % 3 = 1 ORDER BY o_orderkey""",
     // one aggregate row replayed per check; NOT coalesce(pred, FALSE)
     // mirrors the operator's null-counts-as-violation contract
     "s28_expect" ->
@@ -4103,6 +4146,19 @@ object SparkEntry {
             WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000) o
            ON l.l_orderkey = o.o_orderkey
          ORDER BY l.l_orderkey, l.l_linenumber""",
+    // the oracle's one global window over unique instants IS the spec;
+    // the engine reaches the same sums through per-day windows + carry
+    "q35_concurrency" ->
+      """WITH iv AS (SELECT epoch_us(ts) AS s,
+             epoch_us(ts) + CAST(floor(value*10) AS BIGINT)*1000000 AS e
+           FROM events),
+         d AS (SELECT s AS us, 1 AS dd FROM iv
+               UNION ALL SELECT e + 1, -1 FROM iv),
+         g AS (SELECT us, CAST(SUM(dd) AS BIGINT) AS dd FROM d GROUP BY us)
+         SELECT make_timestamp(us) AS ts,
+           CAST(SUM(dd) OVER (ORDER BY us ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS active
+         FROM g ORDER BY ts""",
     // same lag+running-sum replay as st2, plus the session ordinal, end
     // bound and exact-decimal value total; integer-microsecond gap
     // arithmetic mirrors the operator bit-for-bit

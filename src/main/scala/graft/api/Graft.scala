@@ -231,6 +231,57 @@ object Graft {
     readInternal(spark, url, query, parser, format, options ++ fsConf, schema,
       columns, lazyErrors = true, fsConf = fsConf)
 
+  /** Read EXACTLY the files one tagged append committed (`ingest-<tag>-`
+    * part names, [[graft.core.TaggedAppend]]) — the incremental-consumer
+    * primitive: a downstream job processes only the batch that arrived,
+    * never re-reading the table. Partition pruning (`query`) composes
+    * with the tag scope; columns/schema/options behave as in
+    * [[readPartitionedTable]].
+    *
+    * Valid only BEFORE a compaction rewrites the tag's files into
+    * untagged ones (the same idempotency window as re-append/abort —
+    * see TaggedAppend's scaladoc); a compacted-away tag reads as "no
+    * files matched". At 100 TB this is a metadata-only scope: discovery
+    * lists the same directories and the filter drops non-batch files by
+    * NAME, before any scan. */
+  def readTaggedBatch(
+      spark: SparkSession,
+      url: String,
+      tag: String,
+      query: PartitionQuery = Q.True,
+      parser: ColumnParser = AutoParser.auto,
+      format: String = "auto",
+      options: Map[String, String] = Map.empty,
+      schema: Option[StructType] = None,
+      columns: Seq[String] = Nil,
+      fsConf: Map[String, String] = Map.empty): DataFrame = {
+    TaggedAppend.requireSafeTag(tag)
+    val prefix = TaggedAppend.filePrefix(tag)
+    readInternal(spark, url, query, parser, format, options ++ fsConf, schema,
+      columns, lazyErrors = false, fsConf = fsConf,
+      fileFilter = name => name.startsWith(prefix)).data
+  }
+
+  /** The ingest batches present under `url`: one row per tag with its
+    * committed file count — what an incremental consumer polls to find
+    * work. Driver-side metadata only (a listing pass, no scans); tags
+    * already compacted away no longer appear, by design. */
+  def listIngestTags(
+      spark: SparkSession,
+      url: String,
+      query: PartitionQuery = Q.True,
+      parser: ColumnParser = AutoParser.auto): DataFrame = {
+    import spark.implicits._
+    val TagName = """ingest-([A-Za-z0-9_-]+)-\d{5}\.parquet""".r
+    discover(spark, url, query, parser)
+      .map(p => p.url.substring(p.url.lastIndexOf('/') + 1))
+      .collect { case TagName(tag) => tag }
+      .groupBy(identity).toSeq
+      .map { case (tag, fs) => (tag, fs.size.toLong) }
+      .sortBy(_._1)
+      .toDF("tag", "n_files")
+  }
+
   private final case class FileEntry(path: String, format: String,
       columns: Map[String, String], meta: Option[FileMeta])
 
@@ -244,9 +295,11 @@ object Graft {
       schema: Option[StructType],
       columns: Seq[String],
       lazyErrors: Boolean,
-      fsConf: Map[String, String] = Map.empty): RichResult = {
+      fsConf: Map[String, String] = Map.empty,
+      fileFilter: String => Boolean = _ => true): RichResult = {
 
     val parts = discover(spark, url, query, parser, fsConf)
+      .filter(p => fileFilter(p.url.substring(p.url.lastIndexOf('/') + 1)))
     if (parts.isEmpty)
       throw new GraftEmptyResultException(s"no files matched under $url for $query")
 
@@ -1201,9 +1254,28 @@ object Graft {
               "this dir manually with an explicit schema")
         }
       }
-      if (candidates.isEmpty)
+      // Close EVERY tag's idempotency window at compaction, not only the
+      // rewritten dirs': a partition skipped by the size heuristic keeps
+      // its files, and if their names stayed `ingest-<tag>-…` the tag
+      // would remain PARTIALLY addressable — readTaggedBatch would
+      // silently return the un-rewritten subset of a batch, and a
+      // re-append's sweep would delete only that subset. Renaming to
+      // `retired-…` makes "compaction ends all tag windows" an atomic-ish
+      // per-file invariant (rename-only, same cost class as the rewrite
+      // commit). Runs AFTER rewrites so it never races their
+      // delete-by-original-name step.
+      def retireTags(): Unit = parts.foreach { p =>
+        val f = new Path(p.url)
+        if (f.getName.startsWith("ingest-") && fs.exists(f)) {
+          val dest = new Path(f.getParent, "retired-" + f.getName.stripPrefix("ingest-"))
+          require(fs.rename(f, dest), s"tag retirement rename failed: $f -> $dest")
+        }
+      }
+
+      if (candidates.isEmpty) {
+        retireTags()
         CompactionStats(dirStats.size, 0, filesBefore, filesBefore, 0L)
-      else {
+      } else {
         val pool = java.util.concurrent.Executors.newFixedThreadPool(
           math.min(maxConcurrentRewrites, candidates.size))
         implicit val ec: scala.concurrent.ExecutionContext =
@@ -1229,6 +1301,7 @@ object Graft {
               "hidden) — rerun after fixing the cause", first)
         }
         val newCounts = outcomes.collect { case Right(n) => n }
+        retireTags()
 
         CompactionStats(
           partitionsExamined = dirStats.size,

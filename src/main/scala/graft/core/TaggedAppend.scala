@@ -22,10 +22,14 @@ import org.apache.spark.sql.DataFrame
   * partition directory — never a data read. Single writer per
   * (target, tag) assumed; concurrent writers need distinct tags.
   *
-  * A tag's idempotency window ends at the next compaction: the rewrite
-  * strips tag prefixes, so a compacted batch can no longer be swept —
-  * re-appending (or aborting) a tag committed before a compaction
-  * double-commits (or no-ops) silently. Use a fresh tag per logical batch
+  * A tag's idempotency window ends at the next compaction, ATOMICALLY
+  * for the whole table: rewrites strip tag prefixes, and compaction
+  * renames any tagged file the size heuristic skipped to `retired-…` —
+  * so a tag is never PARTIALLY addressable (a subset-read or
+  * subset-sweep would be silently wrong for incremental consumers,
+  * Graft.readTaggedBatch). After compaction, re-appending (or aborting)
+  * a pre-compaction tag double-commits (or no-ops) silently — the
+  * window is closed, not transferable. Use a fresh tag per logical batch
   * (a unique batch id); the streaming ingest layer additionally guards
   * replay-across-compaction with commit markers
   * (graft.streaming.Streams.appendIngestBatch). IngestProtocolSpec pins

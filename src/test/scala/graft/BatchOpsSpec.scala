@@ -194,6 +194,129 @@ class DeterministicShuffleSpec extends SparkSpec {
   }
 }
 
+/** Sweep-line concurrency: boundary semantics + distributed prefix sum. */
+class SweepSpec extends SparkSpec {
+  import java.sql.Timestamp
+  import spark.implicits._
+  import graft.operators.Sweep
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("hand-computed profile with overlap and inclusive boundaries") {
+    val iv = Seq(
+      (ts("2024-01-01 00:00:00"), ts("2024-01-01 00:00:10")),
+      (ts("2024-01-01 00:00:05"), ts("2024-01-01 00:00:20")),
+      // starts exactly when the first ends: inclusive ends → 3 active at :10
+      (ts("2024-01-01 00:00:10"), ts("2024-01-01 00:00:30"))
+    ).toDF("s", "e")
+    val out = Sweep.concurrency(iv, "s", "e")
+      .collect().map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+    assert(out("2024-01-01 00:00:00.0") == 1L)
+    assert(out("2024-01-01 00:00:05.0") == 2L)
+    assert(out("2024-01-01 00:00:10.0") == 3L)
+    assert(out("2024-01-01 00:00:10.000001") == 2L) // first interval released
+    assert(out("2024-01-01 00:00:20.000001") == 1L)
+    assert(out("2024-01-01 00:00:30.000001") == 0L)
+  }
+
+  test("cross-midnight intervals carry occupancy into the next day") {
+    val iv = Seq(
+      (ts("2024-01-01 23:00:00"), ts("2024-01-02 01:00:00")),
+      (ts("2024-01-02 00:30:00"), ts("2024-01-02 02:00:00"))
+    ).toDF("s", "e")
+    val out = Sweep.concurrency(iv, "s", "e")
+      .collect().map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+    assert(out("2024-01-02 00:30:00.0") == 2L) // day-2 window alone says 1
+    val zeros = out.values.count(_ == 0L)
+    assert(zeros == 1) // only after the last end
+  }
+
+  test("end before start fails loudly; partition invariance") {
+    val bad = Seq((ts("2024-01-01 01:00:00"), ts("2024-01-01 00:00:00"))).toDF("s", "e")
+    intercept[Exception](Sweep.concurrency(bad, "s", "e").collect())
+    val iv = (0 until 500).map { i =>
+      (new Timestamp(1704067200000L + i * 7919L % 86400000L),
+        new Timestamp(1704067200000L + i * 7919L % 86400000L + i * 131L % 3600000L))
+    }
+    val a = Sweep.concurrency(iv.toDF("s", "e"), "s", "e")
+    val b = Sweep.concurrency(iv.toDF("s", "e").repartition(7), "s", "e")
+    assert(canon(a) == canon(b))
+    // occupancy is never negative and ends at zero
+    assert(a.filter(col("active") < 0).count() == 0)
+    assert(a.orderBy(desc("ts")).limit(1).collect()(0).getLong(1) == 0L)
+  }
+
+  test("plan: instants shuffle by hash; only the day-offset window is single-partition") {
+    val iv = (0 until 2000).map { i =>
+      (new Timestamp(1704067200000L + (i * 97L) % (5 * 86400000L)),
+        new Timestamp(1704067200000L + (i * 97L) % (5 * 86400000L) + 60000L))
+    }.toDF("s", "e").repartition(6)
+    val out = Sweep.concurrency(iv, "s", "e")
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("Exchange SinglePartition".r.findAllIn(p).length <= 1, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).nonEmpty, p)
+  }
+}
+
+/** Tag-scoped incremental reads over tagged appends. */
+class TaggedReadSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.api.{Graft, GraftEmptyResultException}
+  import graft.core.{Q, TaggedAppend}
+
+  private def freshTable(): String = {
+    val dir = tmpDir("graft_tagged")
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "k", "v")
+    Graft.writePartitionedTable(base, dir, Seq("k"))
+    TaggedAppend.append(Seq((3L, "a", 30.0), (4L, "c", 40.0)).toDF("id", "k", "v"),
+      dir, "b1", Seq("k"))
+    TaggedAppend.append(Seq((5L, "b", 50.0)).toDF("id", "k", "v"),
+      dir, "b2", Seq("k"))
+    dir
+  }
+
+  test("readTaggedBatch returns exactly one batch; full read sees everything") {
+    val dir = freshTable()
+    val b1 = Graft.readTaggedBatch(spark, dir, "b1")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(b1 == Set(3L, 4L))
+    val all = Graft.readPartitionedTable(spark, dir)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(all == Set(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("tag scope composes with partition pruning") {
+    val dir = freshTable()
+    val b1a = Graft.readTaggedBatch(spark, dir, "b1", query = Q.eq("k", "a"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(b1a == Set(3L))
+  }
+
+  test("listIngestTags reports batches and forgets them after compaction") {
+    val dir = freshTable()
+    val tags = Graft.listIngestTags(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tags.keySet == Set("b1", "b2"))
+    assert(tags("b1") >= 2L) // two partitions touched → at least two files
+    Graft.compactPartitionedTable(spark, dir)
+    assert(Graft.listIngestTags(spark, dir).count() == 0)
+    // post-compaction the tag window is closed: the batch is unaddressable
+    intercept[GraftEmptyResultException](
+      Graft.readTaggedBatch(spark, dir, "b1").collect())
+    // but no data was lost
+    assert(Graft.readPartitionedTable(spark, dir).count() == 5)
+  }
+
+  test("unknown tag fails loudly; unsafe tag rejected") {
+    val dir = freshTable()
+    intercept[GraftEmptyResultException](
+      Graft.readTaggedBatch(spark, dir, "nope").collect())
+    intercept[IllegalArgumentException](
+      Graft.readTaggedBatch(spark, dir, "../evil"))
+  }
+}
+
 /** PMI bigram collocations: hand-computed values, shared aggregations. */
 class CollocationsSpec extends SparkSpec {
   import spark.implicits._
