@@ -205,6 +205,20 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
+  /** One-pass column profiling of lineitem's numeric measures — the
+    * Expect-shaped counter pass, emitting summaries instead of
+    * violations. See [[graft.operators.Profile.summary]]. */
+  private def s29_profile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.summary(t(s, dir, "lineitem"),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+
+  /** Equi-width histogram of order totals with loud under/overflow
+    * sentinel buckets. See [[graft.operators.Profile.histogram]]. */
+  private def q36_histogram(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.histogram(t(s, dir, "orders"),
+        "o_totalprice", lo = 0.0, hi = 500000.0, buckets = 20)
+      .orderBy("bucket")
+
   private def s18_scan_lazy(s: SparkSession, dir: String): DataFrame = {
     val nationSchema = t(s, dir, "nation").schema
     Graft.readPartitionedTableRich(s, Fixtures.lazyNation(s, dir),
@@ -2185,6 +2199,8 @@ object SparkEntry {
     "s26_merge" -> (s26_merge _),
     "s27_read_tagged" -> (s27_read_tagged _),
     "s28_expect" -> (s28_expect _),
+    "s29_profile" -> (s29_profile _),
+    "q36_histogram" -> (q36_histogram _),
     "s18_scan_lazy" -> (s18_scan_lazy _),
     "s21_scan_identity" -> (s21_scan_identity _),
     "s9_scan_csv" -> (s9_scan_csv _),
@@ -2476,6 +2492,40 @@ object SparkEntry {
     "s27_read_tagged" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice
          FROM orders WHERE o_orderkey % 3 = 1 ORDER BY o_orderkey""",
+    // exact-decimal sums divided after the double cast (the q1 dsum
+    // convention), one UNION ALL row per profiled column
+    "s29_profile" ->
+      """WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn0,
+           MIN(CAST(l_quantity AS DOUBLE)) AS mn0, MAX(CAST(l_quantity AS DOUBLE)) AS mx0,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sm0,
+           CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn1,
+           MIN(CAST(l_extendedprice AS DOUBLE)) AS mn1, MAX(CAST(l_extendedprice AS DOUBLE)) AS mx1,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sm1,
+           CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn2,
+           MIN(CAST(l_discount AS DOUBLE)) AS mn2, MAX(CAST(l_discount AS DOUBLE)) AS mx2,
+           CAST(SUM(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) AS sm2,
+           CAST(SUM(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn3,
+           MIN(CAST(l_tax AS DOUBLE)) AS mn3, MAX(CAST(l_tax AS DOUBLE)) AS mx3,
+           CAST(SUM(CAST(l_tax AS DECIMAL(30,6))) AS DOUBLE) AS sm3
+           FROM lineitem)
+         SELECT 'l_quantity' AS "column", n AS n_rows, nn0 AS n_nulls,
+             mn0 AS min, mx0 AS max, sm0 / (n - nn0) AS mean FROM a
+         UNION ALL SELECT 'l_extendedprice', n, nn1, mn1, mx1, sm1 / (n - nn1) FROM a
+         UNION ALL SELECT 'l_discount', n, nn2, mn2, mx2, sm2 / (n - nn2) FROM a
+         UNION ALL SELECT 'l_tax', n, nn3, mn3, mx3, sm3 / (n - nn3) FROM a""",
+    // identical IEEE subtract/divide/floor bucket arithmetic
+    "q36_histogram" ->
+      """WITH b AS (SELECT CASE
+             WHEN CAST(o_totalprice AS DOUBLE) < 0.0 THEN -1
+             WHEN CAST(o_totalprice AS DOUBLE) >= 500000.0 THEN 20
+             ELSE CAST(floor((CAST(o_totalprice AS DOUBLE) - 0.0) / 25000.0)
+               AS BIGINT) END AS bucket
+           FROM orders WHERE o_totalprice IS NOT NULL)
+         SELECT bucket, 0.0 + bucket * 25000.0 AS bucket_lo,
+           0.0 + (bucket + 1) * 25000.0 AS bucket_hi,
+           CAST(COUNT(*) AS BIGINT) AS n
+         FROM b GROUP BY bucket ORDER BY bucket""",
     // one aggregate row replayed per check; NOT coalesce(pred, FALSE)
     // mirrors the operator's null-counts-as-violation contract
     "s28_expect" ->

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Column-level data profiling — the "what does this table look like"
+  * companion to [[graft.api.Graft.tableStats]] (file-level) and
+  * [[Expect]] (pass/fail contracts): per-column summaries and value
+  * histograms, each in ONE pass, for ingestion review, drift monitoring
+  * and join-planning sanity checks.
+  */
+object Profile {
+
+  /** One-pass numeric summary: per column `(column, n_rows, n_nulls,
+    * min, max, mean)`, rows in the caller's column order. Means are
+    * exact-decimal sums divided AFTER the double cast (deterministic
+    * under any aggregation order — the q1/dsum convention; 2-decimal
+    * measures stay exact, higher-precision inputs round at the cast like
+    * every decimal gate). All requested columns must be numeric —
+    * profiling a string column as numeric is a caller bug surfaced at
+    * analysis, not a NaN row.
+    *
+    * Spark shape: identical to [[Expect.audit]] — every column
+    * contributes a handful of codegen'd counters to ONE partial-
+    * aggregated scan; the exchange moves 5×columns values per task and
+    * the per-column explode happens on the single final row. */
+  def summary(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "summary needs at least one column")
+    require(cols.distinct.size == cols.size, "columns must be unique")
+    val counters =
+      count(lit(1)).as("__n") +:
+      cols.zipWithIndex.flatMap { case (c, i) =>
+        Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn$i"),
+          min(col(c).cast("double")).as(s"__mn$i"),
+          max(col(c).cast("double")).as(s"__mx$i"),
+          sum(col(c).cast("decimal(30,6)")).as(s"__sm$i"))
+      }
+    val one = df.agg(counters.head, counters.tail: _*)
+    val rows = array(cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("__ord"), lit(c).as("column"),
+        col(s"__nn$i").as("n_nulls"), col(s"__mn$i").as("min"),
+        col(s"__mx$i").as("max"),
+        (col(s"__sm$i").cast("double") /
+          (col("__n") - col(s"__nn$i"))).as("mean"))
+    }: _*)
+    one.select(col("__n"), explode(rows).as("__c"))
+      .select(col("__c.column").as("column"), col("__n").as("n_rows"),
+        coalesce(col("__c.n_nulls"), lit(0L)).as("n_nulls"),
+        col("__c.min").as("min"), col("__c.max").as("max"),
+        col("__c.mean").as("mean"), col("__c.__ord").as("__ord"))
+      .orderBy("__ord")
+      .drop("__ord")
+  }
+
+  /** Equi-width histogram of a numeric column over `[lo, hi)`: one row
+    * per NON-EMPTY bucket, `(bucket, bucket_lo, bucket_hi, n)`, bucket
+    * index `floor((x − lo)/width)`. Values outside `[lo, hi)` land in
+    * the sentinel buckets −1 (below) and `buckets` (above) rather than
+    * silently vanishing — an audit that drops out-of-range rows hides
+    * exactly what it should surface. Bucket arithmetic is plain IEEE
+    * double subtract/divide/floor, bit-identical across engines.
+    *
+    * ONE aggregation: map-side partial counts per bucket, `buckets+2`
+    * possible groups — the shuffle is the bucket table, not the data. */
+  def histogram(
+      df: DataFrame,
+      c: String,
+      lo: Double,
+      hi: Double,
+      buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    val width = (hi - lo) / buckets
+    val b = when(col(c).cast("double") < lo, lit(-1L))
+      .when(col(c).cast("double") >= hi, lit(buckets.toLong))
+      .otherwise(floor((col(c).cast("double") - lo) / width).cast("long"))
+    df.filter(col(c).isNotNull)
+      .groupBy(b.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bucket"),
+        (lit(lo) + col("bucket") * width).as("bucket_lo"),
+        (lit(lo) + (col("bucket") + 1) * width).as("bucket_hi"),
+        col("n"))
+  }
+}

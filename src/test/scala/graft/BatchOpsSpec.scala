@@ -194,6 +194,48 @@ class DeterministicShuffleSpec extends SparkSpec {
   }
 }
 
+/** Column profiling: one-pass summaries and equi-width histograms. */
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Profile
+
+  test("summary: nulls excluded from mean, caller order, one scan") {
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, 10.0), (2.0, null), (3.0, 30.0)
+    ).toDF("a", "b").repartition(3)
+    val out = Profile.summary(df, Seq("b", "a"))
+    val rows = out.collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("b", "a"))
+    val byCol = rows.map(r => r.getString(0) -> r).toMap
+    assert(byCol("a").getAs[Long]("n_nulls") == 0L)
+    assert(byCol("a").getAs[Double]("mean") == 2.0)
+    assert(byCol("b").getAs[Long]("n_nulls") == 1L)
+    assert(byCol("b").getAs[Double]("mean") == 20.0)
+    assert(byCol("b").getAs[Double]("min") == 10.0 &&
+      byCol("b").getAs[Double]("max") == 30.0)
+    val p = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty, p)
+  }
+
+  test("histogram: sentinel buckets catch out-of-range, counts are exact") {
+    val df = Seq(-5.0, 0.0, 1.0, 9.9, 10.0, 15.0, 25.0).toDF("x")
+    val out = Profile.histogram(df, "x", lo = 0.0, hi = 20.0, buckets = 2)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n")).toMap
+    // [-inf,0): -5 | [0,10): 0,1,9.9 | [10,20): 10,15 | [20,inf): 25
+    assert(out == Map(-1L -> 1L, 0L -> 3L, 1L -> 2L, 2L -> 1L))
+  }
+
+  test("histogram bucket bounds are reconstructible from the index") {
+    val df = (0 until 100).map(_.toDouble).toDF("x")
+    val rows = Profile.histogram(df, "x", 0.0, 100.0, 4).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Double]("bucket_lo") == r.getLong(0) * 25.0)
+      assert(r.getAs[Double]("bucket_hi") == (r.getLong(0) + 1) * 25.0)
+      assert(r.getAs[Long]("n") == 25L)
+    }
+  }
+}
+
 /** Sweep-line concurrency: boundary semantics + distributed prefix sum. */
 class SweepSpec extends SparkSpec {
   import java.sql.Timestamp
