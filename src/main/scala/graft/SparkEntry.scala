@@ -1886,6 +1886,23 @@ object SparkEntry {
         round(col("col.std"), 6).as("std"))
       .orderBy("doc_id", "channel")
 
+  /** Decode→resize: 4×4 nearest-neighbor thumbnails of the synthetic
+    * PNGs (docs < 20), one row per output pixel. Pure-integer source
+    * indexing means the oracle reproduces EVERY pixel value from the
+    * closed-form pattern and the dimension derivation alone. */
+  private def m8_resize(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodePngResize(
+        s.read.parquet(Fixtures.pngPixelDocs(s, dir)).filter(col("doc_id") < 20),
+        outW = 4, outH = 4)
+      .filter(col("resized.format") === "png")
+      .select(col("doc_id"), col("resized.width").as("width"),
+        col("resized.height").as("height"),
+        col("resized.channels").as("channels"),
+        posexplode(col("resized.pixels")).as(Seq("pos", "v")))
+      .select(col("doc_id"), col("width"), col("height"), col("channels"),
+        col("pos").cast("long").as("pos"), col("v").cast("long").as("v"))
+      .orderBy("doc_id", "pos")
+
   private def m4_pixels(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodePngPixels(s.read.parquet(Fixtures.pngPixelDocs(s, dir)))
       .select(col("doc_id"), col("pixel_stats.width"), col("pixel_stats.height"),
@@ -2320,6 +2337,7 @@ object SparkEntry {
     "e3_meanpool" -> (e3_meanpool _),
     "m1_multimodal" -> (m1_multimodal _),
     "m4_pixels" -> (m4_pixels _),
+    "m8_resize" -> (m8_resize _),
     "m6_jpeg_pixels" -> (m6_jpeg_pixels _),
     "m7_jpeg_420" -> (m7_jpeg_420 _),
     "m2_audio" -> (m2_audio _),
@@ -4104,6 +4122,22 @@ object SparkEntry {
          FROM documents ORDER BY doc_id""",
     // recompute the decoded stats from the fixture's closed-form pixel
     // value (seed + x*3 + y*5 + c*11) mod 256 over a generated grid
+    // every thumbnail pixel replayed: position → (xo, yo, c) → integer
+    // NN source index → closed-form pattern value
+    "m8_resize" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(doc_id % 13 + 4 AS INT) AS width,
+             CAST(doc_id % 11 + 4 AS INT) AS height,
+             CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS INT) AS nc
+           FROM documents WHERE doc_id < 20),
+         px AS (SELECT d.doc_id, d.width, d.height, d.nc,
+               CAST(p.p AS BIGINT) AS pos,
+               (p.p // d.nc) % 4 AS xo, p.p // (4 * d.nc) AS yo, p.p % d.nc AS c
+             FROM d, UNNEST(range(0, 16 * d.nc)) AS p(p))
+         SELECT doc_id, width, height, nc AS channels, pos,
+           CAST((doc_id + ((xo * width) // 4) * 3 + ((yo * height) // 4) * 5
+             + c * 11) % 256 AS BIGINT) AS v
+         FROM px ORDER BY doc_id, pos""",
     "m4_pixels" ->
       """WITH d AS (SELECT doc_id,
              CAST(doc_id % 13 + 4 AS INT) AS width,

@@ -352,7 +352,37 @@ object Multimodal {
     * std uses max(E[v²]−mean², 0) under the sqrt so floating-point rounding
     * can never produce NaN; sums are exact 64-bit integers, so the stats
     * are deterministic and reproducible in plain SQL by an auditor. */
-  def pngPixelStats(b: Array[Byte]): Option[(Int, Int, Int, Array[Double], Array[Double])] = {
+  def pngPixelStats(b: Array[Byte]): Option[(Int, Int, Int, Array[Double], Array[Double])] =
+    pngDecode(b).map { case (w, h, channels, pixels) =>
+      val sum = new Array[Long](channels)
+      val sumSq = new Array[Long](channels)
+      var i = 0
+      while (i < pixels.length) {
+        val v = pixels(i) & 0xFF
+        val c = i % channels
+        sum(c) += v
+        sumSq(c) += v.toLong * v
+        i += 1
+      }
+      val n = w.toLong * h
+      val mean = new Array[Double](channels)
+      val std = new Array[Double](channels)
+      var c = 0
+      while (c < channels) {
+        mean(c) = sum(c).toDouble / n
+        std(c) = math.sqrt(math.max(sumSq(c).toDouble / n - mean(c) * mean(c), 0.0))
+        c += 1
+      }
+      (w, h, channels, mean, std)
+    }
+
+  /** The shared PNG decoder behind [[pngPixelStats]] and
+    * [[pngResizeNearest]]: chunk walk → inflate → unfilter, returning
+    * the raw channel-interleaved pixel bytes. Same support envelope
+    * (8-bit RGB/RGBA, non-interlaced, bounded size) and None-on-anything-
+    * else contract. */
+  private[operators] def pngDecode(b: Array[Byte])
+      : Option[(Int, Int, Int, Array[Byte])] = {
     if (b == null || b.length < 45 ||
         !startsWith(b, 0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)) return None
     var w = 0; var h = 0; var channels = 0
@@ -398,8 +428,6 @@ object Multimodal {
     // `left` meaning the byte one PIXEL (bpp bytes) to the left
     val pixels = new Array[Byte](stride * h)
     val bpp = channels
-    val sum = new Array[Long](channels)
-    val sumSq = new Array[Long](channels)
     var y = 0
     while (y < h) {
       val filter = u8(raw, y * (stride + 1))
@@ -424,26 +452,70 @@ object Multimodal {
             val pred = if (pa <= pb && pa <= pc) left else if (pb <= pc) above else upLeft
             cur + pred
         }
-        val b8 = v & 0xFF
-        pixels(rowOut + x) = b8.toByte
-        val c = x % channels
-        sum(c) += b8
-        sumSq(c) += b8.toLong * b8
+        pixels(rowOut + x) = (v & 0xFF).toByte
         x += 1
       }
       y += 1
     }
-    val n = w.toLong * h
-    val mean = new Array[Double](channels)
-    val std = new Array[Double](channels)
-    var c = 0
-    while (c < channels) {
-      mean(c) = sum(c).toDouble / n
-      std(c) = math.sqrt(math.max(sumSq(c).toDouble / n - mean(c) * mean(c), 0.0))
-      c += 1
-    }
-    Some((w, h, channels, mean, std))
+    Some((w, h, channels, pixels))
   }
+
+  /** Nearest-neighbor resize to `(outW, outH)` on the decoded pixels:
+    * source index `(x·w) div outW` / `(y·h) div outH` — pure integer
+    * arithmetic, so every output pixel is exactly replayable by an
+    * auditor (and by the m8 oracle) from the source dimensions alone.
+    * NN is the resize used for thumbnail dedup and patch sampling where
+    * value EXACTNESS matters more than smoothness; an interpolating
+    * kernel would slot into the same decoded-pixels seam. Returns
+    * channel-interleaved ints in [0, 255]. */
+  def pngResizeNearest(b: Array[Byte], outW: Int, outH: Int)
+      : Option[(Int, Int, Int, Array[Int])] = {
+    require(outW > 0 && outH > 0, s"resize target must be positive, got ${outW}x$outH")
+    pngDecode(b).map { case (w, h, channels, pixels) =>
+      val out = new Array[Int](outW * outH * channels)
+      var yo = 0
+      while (yo < outH) {
+        val ys = (yo.toLong * h / outH).toInt
+        var xo = 0
+        while (xo < outW) {
+          val xs = (xo.toLong * w / outW).toInt
+          var c = 0
+          while (c < channels) {
+            out((yo * outW + xo) * channels + c) =
+              pixels((ys * w + xs) * channels + c) & 0xFF
+            c += 1
+          }
+          xo += 1
+        }
+        yo += 1
+      }
+      (w, h, channels, out)
+    }
+  }
+
+  private val resizeType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("pixels", ArrayType(IntegerType, containsNull = false),
+      nullable = true)))
+
+  /** Batched decode→resize: each PNG payload becomes `(width, height,
+    * channels, format, pixels)` with `pixels` the `outW×outH` nearest-
+    * neighbor thumbnail (channel-interleaved, row-major). Executor-side
+    * mapPartitions like every decode here — bounded memory per row, no
+    * driver involvement; `format = "undecodable"` (null pixels) for
+    * unsupported payloads. */
+  def decodePngResize(df: DataFrame, outW: Int, outH: Int,
+      payloadCol: String = "payload",
+      resizedCol: String = "resized"): DataFrame =
+    decodeMeta(df, payloadCol, resizedCol, resizeType) { bytes =>
+      pngResizeNearest(bytes, outW, outH) match {
+        case Some((w, h, c, px)) => Row(w, h, c, "png", px.toSeq)
+        case None => Row(0, 0, 0, "undecodable", null)
+      }
+    }
 
   /** Batched PNG pixel decode: real inflate+unfilter stats for 8-bit
     * RGB/RGBA PNGs, `format = "undecodable"` (null stats) otherwise. */

@@ -194,6 +194,31 @@ class DeterministicShuffleSpec extends SparkSpec {
   }
 }
 
+/** Nearest-neighbor PNG resize on the shared decoder. */
+class ResizeSpec extends SparkSpec {
+  import graft.operators.Multimodal
+
+  test("NN thumbnail replays the closed-form pattern; identity resize = decode") {
+    val b = Multimodal.syntheticPngPixelBytes(7L, 8, 6, 2) // RGB 8×6, seed 7
+    val Some((w, h, c, px)) = Multimodal.pngResizeNearest(b, 4, 3)
+    assert((w, h, c) == (8, 6, 3))
+    for (yo <- 0 until 3; xo <- 0 until 4; ch <- 0 until 3) {
+      val xs = xo * 8 / 4; val ys = yo * 6 / 3
+      assert(px((yo * 4 + xo) * 3 + ch) == (7 + xs * 3 + ys * 5 + ch * 11) % 256)
+    }
+    val Some((_, _, _, full)) = Multimodal.pngResizeNearest(b, 8, 6)
+    for (y <- 0 until 6; x <- 0 until 8; ch <- 0 until 3)
+      assert(full((y * 8 + x) * 3 + ch) == (7 + x * 3 + y * 5 + ch * 11) % 256)
+  }
+
+  test("undecodable payloads and bad targets fail the right way") {
+    assert(Multimodal.pngResizeNearest("junk".getBytes, 2, 2).isEmpty)
+    intercept[IllegalArgumentException](
+      Multimodal.pngResizeNearest(
+        Multimodal.syntheticPngPixelBytes(1L, 4, 4, 2), 0, 2))
+  }
+}
+
 /** Column profiling: one-pass summaries and equi-width histograms. */
 class ProfileSpec extends SparkSpec {
   import spark.implicits._
