@@ -1736,6 +1736,26 @@ object SparkEntry {
         minCount = 20)
       .orderBy("w1", "w2")
 
+  /** Leakage-aware split: the split key is the GROUP (source), not the
+    * row — all documents of one source land in one split, the grouping
+    * an eval/train separation needs when near-duplicates cluster within
+    * sources (splitting by row would leak). Same md5 bound arithmetic
+    * as t8, keyed on the group. */
+  private def t26_group_split(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        TextFunctions.deterministicSplit(col("source"), t8Weights, salt = "grp")
+          .as("split"))
+      .orderBy("doc_id")
+
+  /** Exact-N deterministic global sample (TakeOrdered, no corpus
+    * shuffle): the 100 smallest salted md5s. */
+  private def t27_sample_exact(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.sampleExact(t(s, dir, "documents"), "doc_id",
+        n = 100, salt = "x1")
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+
   private def t14_normalize(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"),
         TextFunctions.normalize(col("text"), dropPunct = true).as("norm"))
@@ -1796,6 +1816,16 @@ object SparkEntry {
       s"WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 4) < '$b' THEN '$l'"
     }.mkString(" ")
     s"""SELECT doc_id, CASE $cases ELSE '${bounds.last._1}' END AS split
+       FROM documents ORDER BY doc_id"""
+  }
+
+  /** t26: identical bound chain keyed on the GROUP column. */
+  private def t26OracleSql: String = {
+    val bounds = TextFunctions.splitBounds(t8Weights)
+    val cases = bounds.init.map { case (l, b) =>
+      s"WHEN substr(md5(source || 'grp'), 1, 4) < '$b' THEN '$l'"
+    }.mkString(" ")
+    s"""SELECT doc_id, source, CASE $cases ELSE '${bounds.last._1}' END AS split
        FROM documents ORDER BY doc_id"""
   }
 
@@ -1941,6 +1971,20 @@ object SparkEntry {
       .select(col("doc_id"), col("pcm_stats.n_samples"),
         col("pcm_stats.mean_amp"), col("pcm_stats.rms"))
       .orderBy("doc_id")
+
+  /** Sample-decimation (every 7th PCM sample) on the audio fixture:
+    * output j is input j·7 by contract, so the oracle replays every
+    * decimated value from the closed-form sample arithmetic. */
+  private def m9_audio_decimate(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeWavDecimate(
+        s.read.parquet(Fixtures.audioPcmDocs(s, dir)).filter(col("doc_id") < 20),
+        k = 7)
+      .filter(col("decimated.format") === "wav")
+      .select(col("doc_id"), col("decimated.n_in").as("n_in"),
+        posexplode(col("decimated.samples")).as(Seq("j", "v")))
+      .select(col("doc_id"), col("n_in"), col("j").cast("long").as("j"),
+        col("v").cast("long").as("v"))
+      .orderBy("doc_id", "j")
 
   private def m2_audio(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeAudioMeta(s.read.parquet(Fixtures.audioDocs(s, dir)))
@@ -2326,6 +2370,8 @@ object SparkEntry {
     "t21_negatives" -> (t21_negatives _),
     "t22_shuffle" -> (t22_shuffle _),
     "t24_pmi" -> (t24_pmi _),
+    "t26_group_split" -> (t26_group_split _),
+    "t27_sample_exact" -> (t27_sample_exact _),
     "t17_quantile_sketch" -> (t17_quantile_sketch _),
     "t17b_quantile_by_group" -> (t17b_quantile_by_group _),
     "t18_chunk_chars" -> (t18_chunk_chars _),
@@ -2341,6 +2387,7 @@ object SparkEntry {
     "m6_jpeg_pixels" -> (m6_jpeg_pixels _),
     "m7_jpeg_420" -> (m7_jpeg_420 _),
     "m2_audio" -> (m2_audio _),
+    "m9_audio_decimate" -> (m9_audio_decimate _),
     "m5_audio_pcm" -> (m5_audio_pcm _),
     "m3_video" -> (m3_video _),
     "st1_stream_window" -> (st1_stream_window _),
@@ -3529,6 +3576,12 @@ object SparkEntry {
            CASE WHEN n = 0 THEN 0.0 ELSE CAST(topn AS DOUBLE)/n END AS top_word_frac
          FROM m ORDER BY doc_id""",
     "t8_split" -> t8OracleSql,
+    "t26_group_split" -> t26OracleSql,
+    // the salt is PREPENDED by sampleExact (the deterministicShuffle
+    // convention), unlike deterministicSplit's appended salt
+    "t27_sample_exact" ->
+      """SELECT doc_id, source FROM documents
+         ORDER BY md5('x1' || CAST(doc_id AS VARCHAR)), doc_id LIMIT 100""",
     "t12_termstats" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
                     FROM documents),
@@ -4094,6 +4147,14 @@ object SparkEntry {
          CAST(doc_id % 100000 + 1000 AS BIGINT) AS duration_ms,
          'mp4' AS format
          FROM documents ORDER BY doc_id""",
+    // decimated index j maps to source sample j*7 of the closed form
+    "m9_audio_decimate" ->
+      """WITH d AS (SELECT doc_id, doc_id % 200 + 50 AS n FROM documents
+                    WHERE doc_id < 20),
+         s AS (SELECT doc_id, CAST(n AS BIGINT) AS n_in, CAST(j AS BIGINT) AS j,
+               CAST(((doc_id * 131 + (j * 7) * 31) % 65536) - 32768 AS BIGINT) AS v
+               FROM d, UNNEST(range(0, (n + 6) // 7)) AS t(j))
+         SELECT doc_id, n_in, j, v FROM s ORDER BY doc_id, j""",
     "m5_audio_pcm" ->
       """WITH d AS (SELECT doc_id, doc_id % 200 + 50 AS n FROM documents),
          s AS (SELECT doc_id, ((doc_id * 131 + i * 31) % 65536) - 32768 AS v

@@ -182,7 +182,24 @@ object Multimodal {
     * that sums the same integers. Strictness over guessing: non-PCM,
     * multi-channel, non-16-bit, truncated-data, or empty payloads yield
     * None — tagged undecodable, same policy as every decode here. */
-  def wavPcm16Stats(b: Array[Byte]): Option[(Long, Double, Double)] = {
+  def wavPcm16Stats(b: Array[Byte]): Option[(Long, Double, Double)] =
+    wavPcm16Data(b).map { case (dataOff, n) =>
+      var sum = 0L
+      var sumSq = 0L
+      var j = 0L
+      while (j < n) {
+        val p = (dataOff + 2 * j).toInt
+        val v = (((b(p + 1) & 0xFF) << 8) | (b(p) & 0xFF)).toShort.toLong
+        sum += v; sumSq += v * v
+        j += 1
+      }
+      (n, sum.toDouble / n, math.sqrt(sumSq.toDouble / n))
+    }
+
+  /** The shared PCM16 chunk-walk behind [[wavPcm16Stats]] and
+    * [[wavPcm16Decimate]]: `(dataOffset, nSamples)` for mono 16-bit PCM
+    * WAVs, None otherwise (same support envelope as before). */
+  private def wavPcm16Data(b: Array[Byte]): Option[(Long, Long)] = {
     if (b == null || b.length < 20) None
     else if (!(startsWith(b, 'R', 'I', 'F', 'F') && b.length >= 12 &&
         new String(b, 8, 4, "US-ASCII") == "WAVE")) None
@@ -203,21 +220,47 @@ object Multimodal {
       }
       if (!fmtOk || dataOff < 0 || dataSize < 2 ||
           dataOff + dataSize > b.length) None // truncated data: undecodable
-      else {
-        val n = dataSize / 2
-        var sum = 0L
-        var sumSq = 0L
-        var j = 0L
-        while (j < n) {
-          val p = (dataOff + 2 * j).toInt
-          val v = (((b(p + 1) & 0xFF) << 8) | (b(p) & 0xFF)).toShort.toLong
-          sum += v; sumSq += v * v
-          j += 1
-        }
-        Some((n, sum.toDouble / n, math.sqrt(sumSq.toDouble / n)))
-      }
+      else Some((dataOff, dataSize / 2))
     }
   }
+
+  /** Decimate a mono PCM16 stream: every `k`-th sample starting at 0 —
+    * the frame/sample-sampling primitive of audio featurization (naive
+    * decimation, no anti-alias filter; a windowed resampler would slot
+    * into the same decoded-samples seam). Exactly auditable: output j is
+    * input `j·k`. */
+  def wavPcm16Decimate(b: Array[Byte], k: Int): Option[Array[Int]] = {
+    require(k >= 1, s"decimation factor must be >= 1, got $k")
+    wavPcm16Data(b).map { case (dataOff, n) =>
+      val m = ((n + k - 1) / k).toInt
+      val out = new Array[Int](m)
+      var j = 0
+      while (j < m) {
+        val p = (dataOff + 2L * j * k).toInt
+        out(j) = (((b(p + 1) & 0xFF) << 8) | (b(p) & 0xFF)).toShort.toInt
+        j += 1
+      }
+      out
+    }
+  }
+
+  private val decimateType = StructType(Seq(
+    StructField("n_in", LongType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("samples", ArrayType(IntegerType, containsNull = false),
+      nullable = true)))
+
+  /** Batched decimation; `undecodable` (null samples) for non-PCM16. */
+  def decodeWavDecimate(df: DataFrame, k: Int,
+      payloadCol: String = "payload",
+      outCol: String = "decimated"): DataFrame =
+    decodeMeta(df, payloadCol, outCol, decimateType) { bytes =>
+      wavPcm16Decimate(bytes, k) match {
+        case Some(samples) =>
+          Row(wavPcm16Data(bytes).map(_._2).getOrElse(0L), "wav", samples.toSeq)
+        case None => Row(0L, "undecodable", null)
+      }
+    }
 
   /** Batched full-PCM decode; null stats for undecodable payloads. */
   def decodeWavPcmStats(df: DataFrame, payloadCol: String = "payload",

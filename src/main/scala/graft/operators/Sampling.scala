@@ -108,6 +108,26 @@ object Sampling {
       .select(col("__qid").as(qIdCol), col("draw"), col("__cid").as("neg_id"))
   }
 
+  /** Exactly `n` rows sampled uniformly (in the md5-order sense) from the
+    * whole table, deterministically: the `n` smallest salted hashes win.
+    * Plans as `TakeOrderedAndProject` — per-partition top-n heaps feed a
+    * driver merge of `tasks × n` rows; the corpus is never globally
+    * sorted or shuffled. The fixed-size honest alternative to
+    * `df.sample(fraction)`, whose output size varies run to run and
+    * whose seed does not survive an engine change. Same contracts as
+    * [[sampleByGroup]]: unique non-null ids, `salt` re-deals. */
+  def sampleExact(
+      df: DataFrame,
+      idCol: String,
+      n: Int,
+      salt: String = ""): DataFrame = {
+    require(n > 0, "sampleExact: n must be positive")
+    df.filter(col(idCol).isNotNull)
+      .orderBy(md5(concat(lit(salt), col(idCol).cast("string"))).asc,
+        col(idCol).asc)
+      .limit(n)
+  }
+
   /** Deterministic global shuffle for training order: assign every row a
     * shard and a position within its shard, both pure functions of
     * `(salt, id)` — the corpus comes out in a reproducible pseudo-random

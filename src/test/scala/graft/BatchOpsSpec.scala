@@ -180,6 +180,28 @@ class DeterministicShuffleSpec extends SparkSpec {
       !p.contains("Exchange SinglePartition"), p)
   }
 
+  test("sampleExact: exactly n, deterministic, planned as TakeOrdered") {
+    val df = (0 until 1000).map(i => (i.toLong, i % 7)).toDF("id", "v").repartition(5)
+    val a = Sampling.sampleExact(df, "id", 50, "s1")
+    assert(a.count() == 50)
+    val b = Sampling.sampleExact(df.repartition(11), "id", 50, "s1")
+    assert(canon(a) == canon(b))
+    assert(canon(a) != canon(Sampling.sampleExact(df, "id", 50, "s2")))
+    a.collect()
+    val p = a.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("group-keyed split never separates a group (leakage guard)") {
+    import graft.functions.TextFunctions
+    val df = (0 until 300).map(i => (i.toLong, s"src${i % 9}")).toDF("id", "g")
+    val out = df.select(col("g"),
+      TextFunctions.deterministicSplit(col("g"),
+        Seq("train" -> 0.8, "val" -> 0.2), "s").as("split"))
+    val perGroup = out.groupBy("g").agg(countDistinct("split").as("k")).collect()
+    assert(perGroup.forall(_.getAs[Long]("k") == 1L))
+  }
+
   test("partitioning-independent; salt re-deals; null ids excluded") {
     val df = (0 until 300).map(i => (i.toLong, i)).toDF("id", "v")
     val a = Sampling.deterministicShuffle(df, "id", 4, "e1")
