@@ -219,6 +219,24 @@ object SparkEntry {
         "o_totalprice", lo = 0.0, hi = 500000.0, buckets = 20)
       .orderBy("bucket")
 
+  private val ZorderFixture = "/tmp/graft_fixtures/zorder_orders.parquet"
+
+  /** Z-ordered write + zone-map audit in one gate: orders clustered on
+    * the Morton curve of (o_custkey, o_orderkey), then OUR footer reader
+    * must agree row-group-by-row-group with DuckDB's independent
+    * `parquet_metadata` on the same files — min/max/null-count parity
+    * proves both the layout machinery and the stats reader. */
+  private def s30_zonemap(s: SparkSession, dir: String): DataFrame = {
+    val conf = s.sessionState.newHadoopConf()
+    val bp = new org.apache.hadoop.fs.Path(ZorderFixture)
+    bp.getFileSystem(conf).delete(bp, true)
+    Graft.writeZOrdered(
+      t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+      ZorderFixture, Seq("o_custkey", "o_orderkey"), numFiles = 8)
+    Graft.zoneMap(s, ZorderFixture, cols = Seq("o_orderkey", "o_custkey"))
+      .orderBy("file", "row_group", "column")
+  }
+
   private def s18_scan_lazy(s: SparkSession, dir: String): DataFrame = {
     val nationSchema = t(s, dir, "nation").schema
     Graft.readPartitionedTableRich(s, Fixtures.lazyNation(s, dir),
@@ -2261,6 +2279,7 @@ object SparkEntry {
     "s27_read_tagged" -> (s27_read_tagged _),
     "s28_expect" -> (s28_expect _),
     "s29_profile" -> (s29_profile _),
+    "s30_zonemap" -> (s30_zonemap _),
     "q36_histogram" -> (q36_histogram _),
     "s18_scan_lazy" -> (s18_scan_lazy _),
     "s21_scan_identity" -> (s21_scan_identity _),
@@ -2557,6 +2576,18 @@ object SparkEntry {
     "s27_read_tagged" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice
          FROM orders WHERE o_orderkey % 3 = 1 ORDER BY o_orderkey""",
+    // an INDEPENDENT footer reader (DuckDB's) must agree with ours on
+    // every row group's min/max/null-count over the z-ordered files
+    "s30_zonemap" ->
+      """SELECT regexp_extract(file_name, '[^/]+$') AS "file",
+           CAST(row_group_id AS BIGINT) AS row_group,
+           path_in_schema AS "column",
+           stats_min_value AS min_value, stats_max_value AS max_value,
+           CAST(stats_null_count AS BIGINT) AS n_nulls,
+           CAST(row_group_num_rows AS BIGINT) AS n_rows
+         FROM parquet_metadata('/tmp/graft_fixtures/zorder_orders.parquet/*.parquet')
+         WHERE path_in_schema IN ('o_orderkey', 'o_custkey')
+         ORDER BY 1, 2, 3""",
     // exact-decimal sums divided after the double cast (the q1 dsum
     // convention), one UNION ALL row per profiled column
     "s29_profile" ->

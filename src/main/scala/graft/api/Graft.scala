@@ -5,7 +5,7 @@ import java.util.UUID
 import scala.util.{Failure, Success, Try}
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
@@ -860,6 +860,131 @@ object Graft {
       if (fsConf.isEmpty) Discovery.fileSystemFor(url, conf)
       else Discovery.newFileSystemFor(url, conf)
     try f(fs) finally if (fsConf.nonEmpty) fs.close()
+  }
+
+  /** Z-ORDERED (Morton-curve) clustered write: the multi-dimensional
+    * generalization of [[writePartitionedTable]]'s `sortBy` clustering.
+    * Each of the two `zCols` is scaled to 16 bits over its observed
+    * [min, max] (one aggregation), the bits interleave into a 32-bit
+    * Morton key — pure codegen'd Column arithmetic — and the frame
+    * range-partitions + sorts on that key, so every output file covers a
+    * small SQUARE of the 2-D key space instead of a thin full-width
+    * stripe. A predicate selective on EITHER column (or both) then skips
+    * most files/row-groups on parquet min/max stats, where a linear sort
+    * serves only its leading column — the Delta/Iceberg `OPTIMIZE
+    * ZORDER BY` layout primitive on the plain-parquet data model.
+    * Verify the layout with [[zoneMap]]; ZOrderSpec pins the bounded-
+    * per-file-extent property for both dimensions.
+    *
+    * Cost at 100 TB: one extra range shuffle on the write path (the same
+    * price as `sortBy`); `numFiles` sizes output files (≈ table/200 MB).
+    * Ties and skew behave like any range partition (AQE balances). Null
+    * z-column values sort first (scaled key 0) — they cluster together
+    * rather than spraying. */
+  def writeZOrdered(
+      df: DataFrame,
+      url: String,
+      zCols: Seq[String],
+      numFiles: Int,
+      format: String = "parquet",
+      mode: String = "overwrite",
+      fsConf: Map[String, String] = Map.empty): Unit = {
+    require(zCols.size == 2,
+      s"writeZOrdered interleaves exactly 2 columns, got ${zCols.size} " +
+        "(for 1 use writePartitionedTable(sortBy); >2 dims dilute each " +
+        "dimension's bits — project to the 2 most-filtered columns)")
+    require(numFiles > 0, "numFiles must be positive")
+    val spark = df.sparkSession
+    maybeApplyEnvConfig(spark, url)
+    val bounds = df.agg(
+      min(col(zCols(0)).cast("double")), max(col(zCols(0)).cast("double")),
+      min(col(zCols(1)).cast("double")), max(col(zCols(1)).cast("double"))).head()
+    def scaled(c: String, lo: Double, hi: Double): Column =
+      if (lo >= hi || bounds.anyNull) lit(0L)
+      else least(lit(65535L), greatest(lit(0L),
+        floor((col(c).cast("double") - lit(lo)) / lit(hi - lo) * 65535.0)
+          .cast("long")))
+    // spread 16 bits over 32 even positions (standard Morton dilation)
+    def spread(in: Column): Column = {
+      var x = in
+      x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FFL))
+      x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      x = x.bitwiseOR(shiftleft(x, 2)).bitwiseAND(lit(0x33333333L))
+      x = x.bitwiseOR(shiftleft(x, 1)).bitwiseAND(lit(0x55555555L))
+      x
+    }
+    val morton = spread(scaled(zCols(0), bounds.getDouble(0), bounds.getDouble(1)))
+      .bitwiseOR(shiftleft(
+        spread(scaled(zCols(1), bounds.getDouble(2), bounds.getDouble(3))), 1))
+    require(!df.columns.contains("__z"),
+      "input already has a '__z' column — rename it first")
+    df.withColumn("__z", coalesce(morton, lit(0L)))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.format(format).options(fsConf).mode(mode).save(url)
+  }
+
+  /** The zone map of a parquet table: per (file, row group, column) the
+    * footer's min/max/null-count statistics — "what would a stats-pruned
+    * scan skip" made inspectable, and the verification surface for
+    * [[writeZOrdered]] / `sortBy` layouts. Driver-side metadata reads
+    * only (one footer per file, parallel); `cols` restricts output.
+    * Values render as strings: integral and string columns round-trip
+    * exactly (the s30 gate pins parity with an independent footer
+    * reader); float rendering is engine-specific, so filter to the
+    * columns you audit. */
+  def zoneMap(
+      spark: SparkSession,
+      url: String,
+      cols: Seq[String] = Nil,
+      query: PartitionQuery = Q.True,
+      parser: ColumnParser = AutoParser.auto,
+      fsConf: Map[String, String] = Map.empty): DataFrame = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    fsConf.foreach { case (k, v) => hadoopConf.set(k, v) }
+    val files = discover(spark, url, query, parser, fsConf)
+      .map(_.url).filter(_.endsWith(".parquet")).sorted
+    val rows = files.flatMap { f =>
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(f), hadoopConf))
+      try {
+        val base = f.substring(f.lastIndexOf('/') + 1)
+        reader.getFooter.getBlocks.asScala.zipWithIndex.flatMap {
+          case (block, rg) =>
+            block.getColumns.asScala.flatMap { cc =>
+              val name = cc.getPath.toDotString
+              if (cols.nonEmpty && !cols.contains(name)) None
+              else {
+                val st = cc.getStatistics
+                def render(v: Any): String = v match {
+                  case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
+                  case other => String.valueOf(other)
+                }
+                val (mn, mx) =
+                  if (st == null || !st.hasNonNullValue) (null, null)
+                  else (render(st.genericGetMin), render(st.genericGetMax))
+                Some(org.apache.spark.sql.Row(base, rg.toLong, name, mn, mx,
+                  if (st == null) null else Long.box(st.getNumNulls),
+                  block.getRowCount))
+              }
+            }
+        }.toSeq
+      } finally reader.close()
+    }
+    val schema = StructType(Seq(
+      StructField("file", StringType, nullable = false),
+      StructField("row_group", org.apache.spark.sql.types.LongType, nullable = false),
+      StructField("column", StringType, nullable = false),
+      StructField("min_value", StringType, nullable = true),
+      StructField("max_value", StringType, nullable = true),
+      StructField("n_nulls", org.apache.spark.sql.types.LongType, nullable = true),
+      StructField("n_rows", org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
   }
 
   /** Raw byte-stream write (reference's StringIO/BytesIO branch). */

@@ -216,6 +216,65 @@ class DeterministicShuffleSpec extends SparkSpec {
   }
 }
 
+/** Z-order clustered writes: both dimensions stay narrow per file. */
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.api.Graft
+
+  // per-file extent of a column, normalized by its global range
+  private def avgExtent(dir: String, c: String): Double = {
+    val zm = Graft.zoneMap(spark, dir, cols = Seq(c))
+      .select(col("min_value").cast("double"), col("max_value").cast("double"))
+      .collect()
+    val lo = zm.map(_.getDouble(0)).min
+    val hi = zm.map(_.getDouble(1)).max
+    zm.map(r => (r.getDouble(1) - r.getDouble(0)) / (hi - lo)).sum / zm.length
+  }
+
+  test("z-order bounds BOTH dimensions; linear sort serves only its leading column") {
+    // a 64x64 grid: every (x, y) pair — the layout question in its purest form
+    val grid = (for { x <- 0 until 64; y <- 0 until 64 }
+      yield (x.toLong, y.toLong, s"p$x-$y")).toDF("x", "y", "payload")
+    val zDir = tmpDir("zorder_grid")
+    Graft.writeZOrdered(grid, zDir, Seq("x", "y"), numFiles = 16)
+    val linDir = tmpDir("linear_grid")
+    grid.repartitionByRange(16, col("x"), col("y"))
+      .sortWithinPartitions("x", "y")
+      .write.mode("overwrite").parquet(linDir)
+    // z-order: each file ≈ a square patch → extent ~1/4 of the range per dim
+    assert(avgExtent(zDir, "x") < 0.5, s"x extent ${avgExtent(zDir, "x")}")
+    assert(avgExtent(zDir, "y") < 0.5, s"y extent ${avgExtent(zDir, "y")}")
+    // linear: x is sliced thin, but every file spans (almost) ALL of y
+    assert(avgExtent(linDir, "x") < 0.5)
+    assert(avgExtent(linDir, "y") > 0.9,
+      s"linear layout unexpectedly bounded y: ${avgExtent(linDir, "y")}")
+  }
+
+  test("content round-trips; contract guards") {
+    val df = (0 until 500).map(i => (i.toLong, (i * 37 % 100).toLong)).toDF("a", "b")
+    val dir = tmpDir("zorder_rt")
+    Graft.writeZOrdered(df, dir, Seq("a", "b"), numFiles = 4)
+    assert(canon(spark.read.parquet(dir)) == canon(df))
+    intercept[IllegalArgumentException](
+      Graft.writeZOrdered(df, dir, Seq("a"), numFiles = 4))
+    intercept[IllegalArgumentException](
+      Graft.writeZOrdered(df, dir, Seq("a", "b"), numFiles = 0))
+  }
+
+  test("zone map agrees with the data it describes") {
+    val df = (0 until 300).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+    val dir = tmpDir("zonemap_chk")
+    df.repartitionByRange(3, col("k")).sortWithinPartitions("k")
+      .write.mode("overwrite").parquet(dir)
+    val zm = Graft.zoneMap(spark, dir, cols = Seq("k")).collect()
+    assert(zm.map(_.getAs[Long]("n_rows")).sum == 300L)
+    zm.foreach { r =>
+      assert(r.getAs[String]("min_value").toLong <= r.getAs[String]("max_value").toLong)
+      assert(r.getAs[Long]("n_nulls") == 0L)
+    }
+  }
+}
+
 /** Nearest-neighbor PNG resize on the shared decoder. */
 class ResizeSpec extends SparkSpec {
   import graft.operators.Multimodal
