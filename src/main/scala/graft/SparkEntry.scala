@@ -1238,6 +1238,29 @@ object SparkEntry {
     Graph.triangleCounts(edges, "src", "dst").orderBy("node")
   }
 
+  /** k-core over an irregular-degree digit graph ((s·d) mod 7 thinning:
+    * degrees 24–59): k=25 peels to a 35-node core in 4 cascade rounds —
+    * a proper nonempty subset, so the gate pins real peeling, not a
+    * no-op or a collapse. Oracle replays 6 peel rounds (fixpoint + 2). */
+  private def g3_kcore(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "events")
+      .select((col("event_id") % 60).as("src"),
+        (expr("event_id DIV 60") % 60).as("dst"))
+      .filter((col("src") * col("dst")) % 7 < 3)
+    Graph.kCore(edges, "src", "dst", k = 25).orderBy("node")
+  }
+
+  /** Bounded BFS on g1's permutation graph (disjoint cycles, so hops
+    * genuinely layer instead of saturating): everything within 6 hops of
+    * node 1, with minimal hop counts. */
+  private def g4_bfs(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "events")
+      .select((col("event_id") % 200).as("src"),
+        ((col("event_id") * 48271L) % 200).as("dst"))
+    Graph.reachableFrom(edges, "src", "dst", Seq(1L), maxHops = 6)
+      .orderBy("node")
+  }
+
   private val SemDedupCentroidsFixture =
     "/tmp/graft_fixtures/semdedup_centroids.parquet"
 
@@ -2329,6 +2352,8 @@ object SparkEntry {
     "d13_semdedup" -> (d13_semdedup _),
     "g1_pagerank" -> (g1_pagerank _),
     "g2_triangles" -> (g2_triangles _),
+    "g3_kcore" -> (g3_kcore _),
+    "g4_bfs" -> (g4_bfs _),
     "ml1_linprobe" -> (ml1_linprobe _),
     "ml2_logreg" -> (ml2_logreg _),
     "d6_dedup_pipeline" -> (d6_dedup_pipeline _),
@@ -2925,6 +2950,61 @@ object SparkEntry {
          SELECT f.doc_id,
            ROUND(1.0 / (1.0 + EXP(-(w.w0 + w.w1 * f.x1 + w.w2 * f.x2))), 6) AS score
          FROM f, i3 w ORDER BY doc_id""",
+    // six chained peel rounds (fixpoint at 4, +2 idempotent) — each round
+    // recomputes degrees over the induced subgraph exactly as the engine
+    "g3_kcore" ->
+      """WITH e0 AS MATERIALIZED (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
+           FROM (SELECT event_id % 60 AS s, (event_id // 60) % 60 AS d
+                 FROM events)
+           WHERE s <> d AND (s * d) % 7 < 3),
+         k1 AS MATERIALIZED (SELECT node FROM (SELECT u AS node FROM e0 UNION ALL
+                 SELECT v FROM e0) GROUP BY node HAVING count(*) >= 25),
+         e1 AS MATERIALIZED (SELECT e0.u, e0.v FROM e0
+                JOIN k1 a ON a.node = e0.u JOIN k1 b ON b.node = e0.v),
+         k2 AS MATERIALIZED (SELECT node FROM (SELECT u AS node FROM e1 UNION ALL
+                 SELECT v FROM e1) GROUP BY node HAVING count(*) >= 25),
+         e2 AS MATERIALIZED (SELECT e1.u, e1.v FROM e1
+                JOIN k2 a ON a.node = e1.u JOIN k2 b ON b.node = e1.v),
+         k3 AS MATERIALIZED (SELECT node FROM (SELECT u AS node FROM e2 UNION ALL
+                 SELECT v FROM e2) GROUP BY node HAVING count(*) >= 25),
+         e3 AS MATERIALIZED (SELECT e2.u, e2.v FROM e2
+                JOIN k3 a ON a.node = e2.u JOIN k3 b ON b.node = e2.v),
+         k4 AS MATERIALIZED (SELECT node FROM (SELECT u AS node FROM e3 UNION ALL
+                 SELECT v FROM e3) GROUP BY node HAVING count(*) >= 25),
+         e4 AS MATERIALIZED (SELECT e3.u, e3.v FROM e3
+                JOIN k4 a ON a.node = e3.u JOIN k4 b ON b.node = e3.v),
+         k5 AS MATERIALIZED (SELECT node FROM (SELECT u AS node FROM e4 UNION ALL
+                 SELECT v FROM e4) GROUP BY node HAVING count(*) >= 25),
+         e5 AS MATERIALIZED (SELECT e4.u, e4.v FROM e4
+                JOIN k5 a ON a.node = e4.u JOIN k5 b ON b.node = e4.v),
+         k6 AS MATERIALIZED (SELECT node FROM (SELECT u AS node FROM e5 UNION ALL
+                 SELECT v FROM e5) GROUP BY node HAVING count(*) >= 25),
+         e6 AS MATERIALIZED (SELECT e5.u, e5.v FROM e5
+                JOIN k6 a ON a.node = e5.u JOIN k6 b ON b.node = e5.v)
+         SELECT node FROM (SELECT u AS node FROM e6 UNION SELECT v FROM e6)
+         ORDER BY node""",
+    // layered expansion, MIN over hop labels = BFS distance (≤ 6)
+    "g4_bfs" ->
+      """WITH raw AS (SELECT event_id % 200 AS s,
+             (event_id * 48271) % 200 AS d FROM events),
+         adj AS (SELECT DISTINCT s AS a, d AS b FROM raw WHERE s <> d
+                 UNION SELECT DISTINCT d, s FROM raw WHERE s <> d),
+         h0 AS (SELECT CAST(1 AS BIGINT) AS node),
+         h1 AS (SELECT DISTINCT adj.b AS node FROM adj JOIN h0 ON adj.a = h0.node),
+         h2 AS (SELECT DISTINCT adj.b AS node FROM adj JOIN h1 ON adj.a = h1.node),
+         h3 AS (SELECT DISTINCT adj.b AS node FROM adj JOIN h2 ON adj.a = h2.node),
+         h4 AS (SELECT DISTINCT adj.b AS node FROM adj JOIN h3 ON adj.a = h3.node),
+         h5 AS (SELECT DISTINCT adj.b AS node FROM adj JOIN h4 ON adj.a = h4.node),
+         h6 AS (SELECT DISTINCT adj.b AS node FROM adj JOIN h5 ON adj.a = h5.node),
+         r AS (SELECT node, 0 AS hops FROM h0
+               UNION ALL SELECT node, 1 FROM h1
+               UNION ALL SELECT node, 2 FROM h2
+               UNION ALL SELECT node, 3 FROM h3
+               UNION ALL SELECT node, 4 FROM h4
+               UNION ALL SELECT node, 5 FROM h5
+               UNION ALL SELECT node, 6 FROM h6)
+         SELECT node, CAST(MIN(hops) AS BIGINT) AS hops
+         FROM r GROUP BY node ORDER BY node""",
     // canonical u<y<z triple enumeration — orientation-independent truth
     // for the engine's degree-oriented wedge join
     "g2_triangles" ->

@@ -101,6 +101,127 @@ object Graph {
     ranks
   }
 
+  /** The k-core of an undirected simple graph: the maximal subgraph in
+    * which every node keeps degree ≥ k — computed by the classic peel
+    * (drop all nodes below k, recompute degrees over the induced
+    * subgraph, repeat to fixpoint). Cores rank structural robustness
+    * where raw degree misleads: a node wired to k leaves dies in round
+    * two, a node inside a dense community survives — the
+    * spam-farm-vs-community discriminator of link-graph curation, and
+    * the degeneracy-ordering building block.
+    *
+    * Returns the surviving `(node)` set (possibly empty — a k above the
+    * graph's degeneracy peels everything, which is an answer, not an
+    * error).
+    *
+    * Spark shape: each round is ONE degree aggregation over the current
+    * edge set + two semi-joins back (u-side, v-side); the edge frame is
+    * persisted per generation with a LogicalRDD barrier (pageRank's
+    * pattern) so plans stay O(1) deep. Rounds are bounded by the peel
+    * depth — O(√m) worst case but single digits on real graphs — and
+    * the edge set only SHRINKS, so later rounds cost less. Convergence
+    * is detected by edge count (an action per round, like any
+    * iterate-to-fixpoint). */
+  def kCore(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      maxIterations: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxIterations >= 1, "maxIterations must be >= 1")
+    val spark = edges.sparkSession
+    var e = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var nEdges = e.count()
+    var retained: Option[DataFrame] = Some(e)
+    var rounds = 0
+    var converged = nEdges == 0
+    while (!converged && rounds < maxIterations) {
+      val keep = e.select(col("u").as("node"))
+        .union(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select("node")
+      val next = e
+        .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+        .select("u", "v")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val n2 = next.count()
+      val barrier = spark.createDataFrame(next.rdd, next.schema)
+      retained.foreach(_.unpersist(false))
+      retained = Some(next)
+      converged = n2 == nEdges
+      nEdges = n2
+      e = barrier
+      rounds += 1
+    }
+    val core = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node")))
+      .distinct()
+    core
+  }
+
+  /** Bounded-hop BFS over an undirected edge list: every node reachable
+    * from `sources` within `maxHops`, with its minimal hop count — the
+    * impact/lineage expansion query ("everything within 3 links of the
+    * flagged set"). Frontier expansion: each hop joins the CURRENT
+    * frontier (not the visited set) to the adjacency list, anti-joins
+    * what is already visited, and stops early when a frontier empties —
+    * per-hop cost is proportional to the frontier's edge neighborhood,
+    * never the graph. Same per-generation persist + LogicalRDD barrier
+    * discipline as [[pageRank]]/[[kCore]]. */
+  def reachableFrom(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      sources: Seq[Long],
+      maxHops: Int): DataFrame = {
+    require(sources.nonEmpty, "sources must be non-empty")
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val adj = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var visited = sources.distinct.toDF("node")
+      .withColumn("hops", lit(0L))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = visited
+    var hop = 0L
+    var done = false
+    while (!done && hop < maxHops) {
+      hop += 1
+      val next = frontier.join(adj, frontier("node") === adj("a"))
+        .select(col("b").as("node"))
+        .distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("hops", lit(hop))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val n = next.count()
+      if (n == 0) done = true
+      else {
+        val merged = visited.unionByName(next)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        merged.count()
+        val barrier = spark.createDataFrame(merged.rdd, merged.schema)
+        visited.unpersist(false)
+        visited = merged
+        frontier = spark.createDataFrame(next.rdd, next.schema)
+      }
+    }
+    adj.unpersist(false)
+    spark.createDataFrame(visited.rdd, visited.schema)
+  }
+
   /** Per-node triangle counts over an undirected simple graph (edge list
     * with direction, duplicates and self-loops tolerated — they collapse
     * during canonicalization). Triangles are the workhorse of clustering
