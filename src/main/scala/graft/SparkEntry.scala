@@ -2188,6 +2188,39 @@ object SparkEntry {
       .orderBy("new_id")
   }
 
+  /** NEAREST as-of: same deterministic right side as as1, but each event
+    * takes the CLOSEST order in time (backward wins distance ties) —
+    * two as-of merges + an id-keyed recombination. The oracle picks the
+    * same row with a lateral min-|Δt| (backward-preferring) query. */
+  private def as4_asof_nearest(s: SparkSession, dir: String): DataFrame = {
+    val e = Fixtures.events(s, dir).select("event_id", "user_id", "ts")
+    val w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(desc("o_orderkey"))
+    val o = t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("o_custkey"),
+        col("o_orderdate").cast(e.schema("ts").dataType).as("o_ts"),
+        col("o_orderkey"), col("o_totalprice"))
+    AsofJoin.asofNearest(e, o, "event_id", "ts", "o_ts", "user_id",
+        "o_custkey", Seq("o_orderkey", "o_totalprice"))
+      .select("event_id", "user_id", "o_orderkey", "o_totalprice")
+      .orderBy("event_id")
+  }
+
+  /** Leading-edge debounce at the q33 gap: exactly the session-opening
+    * events; event_id pins equal-timestamp ties. */
+  private def q37_debounce(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sessionize.debounce(
+        Fixtures.events(s, dir).select("event_id", "user_id", "ts"),
+        "user_id", "ts", gapSeconds = 21600, tieCols = Seq("event_id"))
+      .select(col("event_id"), col("user_id"))
+      .orderBy("event_id")
+
+  /** Top-3 TF-IDF terms per document over the whole vocabulary. */
+  private def t28_tfidf_topk(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Retrieval.tfidfTopK(t(s, dir, "documents"), "doc_id",
+        "text", k = 3)
+      .orderBy("doc_id", "rank")
+
   private def as1_asof(s: SparkSession, dir: String): DataFrame = {
     val e = Fixtures.events(s, dir).select("event_id", "user_id", "ts")
     // deterministic right side: one order per (custkey, date) — largest key
@@ -2445,6 +2478,9 @@ object SparkEntry {
     "as1_asof" -> (as1_asof _),
     "as2_asof_native" -> (as2_asof_native _),
     "as3_asof_sum" -> (as3_asof_sum _),
+    "as4_asof_nearest" -> (as4_asof_nearest _),
+    "q37_debounce" -> (q37_debounce _),
+    "t28_tfidf_topk" -> (t28_tfidf_topk _),
     "rj1_range_join" -> (rj1_range_join _),
   )
 
@@ -4440,6 +4476,45 @@ object SparkEntry {
                FROM part) r
            ON e.p >= r.lo AND e.p <= r.hi
          GROUP BY e.event_id ORDER BY e.event_id""",
+    // lateral min-|Δt| with the backward-preferring tie rule the
+    // operator's recombination applies
+    "as4_asof_nearest" ->
+      """WITH r AS (SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey, o_orderdate
+             ORDER BY o_orderkey DESC) AS rn
+           FROM orders QUALIFY rn = 1)
+         SELECT e.event_id, e.user_id, n.o_orderkey, n.o_totalprice
+         FROM events e LEFT JOIN LATERAL (
+           SELECT o_orderkey, o_totalprice FROM r
+           WHERE r.o_custkey = e.user_id
+           ORDER BY abs(epoch_us(CAST(r.o_orderdate AS TIMESTAMP))
+               - epoch_us(CAST(e.ts AS TIMESTAMP))),
+             CASE WHEN CAST(r.o_orderdate AS TIMESTAMP) <= CAST(e.ts AS TIMESTAMP)
+               THEN 0 ELSE 1 END
+           LIMIT 1) n ON TRUE
+         ORDER BY e.event_id""",
+    "q37_debounce" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+         x AS (SELECT event_id, user_id,
+           CASE WHEN us - lag(us) OVER (PARTITION BY user_id
+               ORDER BY us, event_id) <= 21600000000
+             THEN 0 ELSE 1 END AS k FROM e)
+         SELECT event_id, user_id FROM x WHERE k = 1 ORDER BY event_id""",
+    // whole-vocabulary tf-idf re-derived; identical multiply-then-round
+    "t28_tfidf_topk" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                    FROM documents),
+         tf AS (SELECT doc_id, u.term, CAST(count(*) AS BIGINT) AS tf
+                FROM w, UNNEST(ws) AS u(term) GROUP BY doc_id, u.term),
+         d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS N FROM w),
+         s AS (SELECT tf.doc_id, tf.term, tf.tf, d.df,
+             round(tf.tf * ln(CAST(n.N AS DOUBLE) / d.df), 6) AS score
+           FROM tf JOIN d USING (term), n),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+             ORDER BY score DESC, term) AS INT) AS rank FROM s)
+         SELECT doc_id, term, tf, df, score, rank FROM r
+         WHERE rank <= 3 ORDER BY doc_id, rank""",
     "as1_asof" ->
       """WITH r AS (SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
            row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn

@@ -69,6 +69,51 @@ object AsofJoin {
         payloadCols.map(c => col(s"__carried.$c").as(c))): _*)
   }
 
+  /** NEAREST-match as-of: each left row takes the right row minimizing
+    * the absolute time distance (backward wins exact-distance ties) —
+    * the sensor-alignment variant where "the closest reading" beats "the
+    * last reading" ([[asofJoin]]'s backward contract). Composition: one
+    * backward pass and one forward pass (the same merge on NEGATED
+    * microsecond timestamps), joined back on `leftId` (a unique left row
+    * key, the caller contract that makes the recombination well-defined)
+    * picking the closer match per row. Costs exactly two as-of merges —
+    * each the one-shuffle shape documented on [[asofJoin]] — plus two
+    * id-keyed joins of payload-width frames.
+    *
+    * The right side must be unique per (key, time) like every as-of here;
+    * both time columns must be timestamp-typed (micros arithmetic decides
+    * distance). */
+  def asofNearest(
+      left: DataFrame,
+      right: DataFrame,
+      leftId: String,
+      leftTime: String,
+      rightTime: String,
+      leftKey: String,
+      rightKey: String,
+      payloadCols: Seq[String]): DataFrame = {
+    require(!payloadCols.contains("__rus"), "payload name __rus is reserved")
+    val lu = left.withColumn("__lus", unix_micros(col(leftTime)))
+    val ru = right.withColumn("__rus", unix_micros(col(rightTime)))
+    val pay = payloadCols :+ "__rus"
+    val back = asofJoin(lu, ru, leftTime, rightTime, leftKey, rightKey, pay)
+      .select(col(leftId).as("__id"), struct(pay.map(col): _*).as("__pb"))
+    val luN = lu.withColumn("__nlus", -col("__lus"))
+    val ruN = ru.withColumn("__nrus", -col("__rus"))
+    val fwd = asofJoin(luN, ruN, "__nlus", "__nrus", leftKey, rightKey, pay)
+      .select(col(leftId).as("__id"), struct(pay.map(col): _*).as("__pf"))
+    val chosen = when(col("__pb.__rus").isNull, col("__pf"))
+      .when(col("__pf.__rus").isNull, col("__pb"))
+      .when(col("__lus") - col("__pb.__rus") <= col("__pf.__rus") - col("__lus"),
+        col("__pb"))
+      .otherwise(col("__pf"))
+    lu.join(back, lu(leftId) === back("__id"), "left").drop("__id")
+      .join(fwd, lu(leftId) === fwd("__id"), "left").drop("__id")
+      .withColumn("__pick", chosen)
+      .select(left.columns.map(col) ++
+        payloadCols.map(c => col(s"__pick.$c").as(c)): _*)
+  }
+
   /** Same semantics as [[asofJoin]] (backward inclusive, left-outer), as the
     * native whole-operator plan node ([[graft.plans.AsofJoinExec]]): one
     * hash exchange per side, partition-local sorts, and a streaming merge

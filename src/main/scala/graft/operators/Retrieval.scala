@@ -28,6 +28,46 @@ object Retrieval {
       terms: Seq[String]): DataFrame =
     termStatsOver(tokenized(df, idCol, textCol), idCol, terms)
 
+  /** The top-`k` TF-IDF terms of every document over the WHOLE corpus
+    * vocabulary (no fixed term list — the keyword-extraction /
+    * doc-summarization complement of [[termStats]]):
+    * `score = tf · ln(N/df)`, rounded at 6 decimals (the cross-engine
+    * transcendental convention), ranked per doc by (score desc, term).
+    * `minDf` drops hapax noise before the joins. Returns
+    * `(idCol, term, tf, df, score, rank)`.
+    *
+    * 100 TB shape: one token-explode shuffle builds the (doc, term, tf)
+    * table; df is ONE bounded-state aggregation over it (vocabulary-
+    * sized output, exchange-reused); N rides a broadcast one-row frame;
+    * the per-doc rank rewrites to map-side `WindowGroupLimit`, so the
+    * final shuffle carries at most k rows per doc per task. Hot terms
+    * ("the") are skew-benign in the df join — one build row per term. */
+  def tfidfTopK(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      minDf: Long = 1L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = tokenized(df, idCol, textCol)
+    val tf = toks
+      .select(col(idCol), explode(col("__w")).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    val n = toks.agg(count(lit(1)).as("N"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(desc("score"), col("term"))
+    tf.join(dft, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log(col("N").cast("double") / col("df")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        col("score"), col("rank"))
+  }
+
   /** (id, __w, dl) staged once — both termStats and bm25's corpus stats
     * aggregate over this single tokenizer pass. */
   private def tokenized(df: DataFrame, idCol: String, textCol: String): DataFrame =

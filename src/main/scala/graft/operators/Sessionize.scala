@@ -74,4 +74,37 @@ object Sessionize {
       .groupBy(col(keyCol), col("session_seq"))
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Leading-edge debounce: keep only the events that OPEN a session
+    * under [[sessionize]]'s gap rule (the key's first event, and any
+    * event more than `gapSeconds` after its predecessor) — the standard
+    * burst-collapse for alert streams and retry storms, where one event
+    * per burst is signal and the rest are echo. Same one-shuffle lag
+    * window, same integer-microsecond boundary arithmetic; all input
+    * columns pass through. (This is the stateless leading-edge form: a
+    * trailing-edge debounce needs the burst's LAST event, i.e. a full
+    * sessionize + max.)
+    *
+    * Unlike [[sessionize]] — whose per-session AGGREGATES are tie-proof —
+    * debounce emits a specific ROW per burst, so equal-timestamp events
+    * need `tieCols` (a unique id) to pin WHICH row opens the burst;
+    * without it, ties make the keep choice partitioning-dependent. */
+  def debounce(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      gapSeconds: Long,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    require(gapSeconds >= 0, s"gapSeconds must be >= 0, got $gapSeconds")
+    val w = Window.partitionBy(keyCol)
+      .orderBy(unix_micros(col(tsCol)) +: tieCols.map(col): _*)
+    val gapUs = gapSeconds * 1000000L
+    events
+      .withColumn("__keep",
+        when(unix_micros(col(tsCol)) -
+          lag(unix_micros(col(tsCol)), 1).over(w) <= gapUs, false)
+          .otherwise(true))
+      .filter(col("__keep"))
+      .drop("__keep")
+  }
 }

@@ -63,6 +63,71 @@ class SessionizeSpec extends SparkSpec {
   }
 }
 
+/** Nearest as-of, debounce, and tf-idf keyword extraction. */
+class NearestDebounceTfidfSpec extends SparkSpec {
+  import java.sql.Timestamp
+  import spark.implicits._
+  import graft.operators.{AsofJoin, Retrieval, Sessionize}
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asofNearest: forward beats backward when closer; backward wins ties") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // back at 09:00, fwd at 10:30 → fwd
+      (2L, 10L, ts("2024-01-01 09:10:00")), // back at 09:00, fwd at 10:30 → back
+      (3L, 10L, ts("2024-01-01 09:45:00")), // 45 min either way → back (tie)
+      (4L, 99L, ts("2024-01-01 00:00:00"))  // no right rows → nulls
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (10L, ts("2024-01-01 09:00:00"), "A"),
+      (10L, ts("2024-01-01 10:30:00"), "B")
+    ).toDF("rk", "rt", "p")
+    val out = AsofJoin.asofNearest(left, right, "id", "t", "rt", "k", "rk", Seq("p"))
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("p")).toMap
+    assert(out == Map(1L -> "B", 2L -> "A", 3L -> "A", 4L -> null))
+  }
+
+  test("debounce keeps exactly the session openers; ties pinned by id") {
+    val ev = Seq(
+      (1L, 7L, ts("2024-01-01 00:00:00")),
+      (2L, 7L, ts("2024-01-01 00:00:00")), // tied: only the lower id opens
+      (3L, 7L, ts("2024-01-01 00:30:00")), // within gap → dropped
+      (4L, 7L, ts("2024-01-01 05:00:00"))  // new burst
+    ).toDF("event_id", "user_id", "t")
+    val kept = Sessionize.debounce(ev, "user_id", "t", gapSeconds = 3600,
+        tieCols = Seq("event_id"))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L))
+  }
+
+  test("tfidfTopK: corpus-wide terms rank by tf·ln(N/df), term tie-break") {
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry cherry apple")
+    ).toDF("doc_id", "text")
+    val out = Retrieval.tfidfTopK(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getAs[Int]("rank")) -> r.getAs[String]("term"))
+      .toMap
+    // doc 1: apple tf2·ln(3/2) ≈ 0.81 > banana tf1·ln(3/2)
+    assert(out((1L, 1)) == "apple" && out((1L, 2)) == "banana")
+    // doc 3: cherry tf3·ln(3/2) ≈ 1.216 > apple 0.405
+    assert(out((3L, 1)) == "cherry" && out((3L, 2)) == "apple")
+    // doc 2: equal scores (tf1, df2 both) → term order
+    assert(out((2L, 1)) == "banana" && out((2L, 2)) == "cherry")
+  }
+
+  test("tfidfTopK plan: map-side WindowGroupLimit prunes before the rank shuffle") {
+    val docs = (0 until 300)
+      .map(i => (i.toLong, (0 until 20).map(j => s"w${(i * 7 + j) % 40}").mkString(" ")))
+      .toDF("doc_id", "text").repartition(4)
+    val out = Retrieval.tfidfTopK(docs, "doc_id", "text", k = 2)
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 2, p)
+  }
+}
+
 /** One-pass expectation audit: violation semantics and ordering. */
 class ExpectSpec extends SparkSpec {
   import spark.implicits._
