@@ -17,7 +17,11 @@ object Bench {
     * aggregation, iterative graph rank (PageRank), triangle counting
     * (wedge self-join), iterative GD training, n-gram LM
     * training+scoring, gap sessionization (shared-sort window+rollup),
-    * and keep-first chunk dedup (ownership join-back). d13_semdedup
+    * keep-first chunk dedup (ownership join-back), whole-vocabulary
+    * TF-IDF (full token-explode + rank prune), funnel (stacked
+    * same-partition windows), sweep-line concurrency (distributed prefix
+    * sum), nearest as-of (two merges + recombination), and the bloom
+    * semi-join reduction. d13_semdedup
     * stays out on the a8 policy: its oracle reads a corpus-derived
     * fixture that must keep the sf0.01 verify run's content — a bench
     * run at another SF would overwrite it. */
@@ -28,7 +32,8 @@ object Bench {
     "d8_decontam", "t9_pack", "t12b_bm25", "t15_heavyhitters",
     "d10_span_stats", "d12_chunk_dedup", "t18_chunk_chars", "a6_ann_join",
     "g1_pagerank", "ml2_logreg", "t20_backoff_lm", "q33_sessionize",
-    "d14_keepfirst_chunks", "g2_triangles")
+    "d14_keepfirst_chunks", "g2_triangles", "t28_tfidf_topk", "q38_funnel",
+    "q35_concurrency", "as4_asof_nearest", "q34_bloom_join")
 
   /** Queries measured on the replicated corpus for the scaling slope —
     * the shuffle-heavy pipeline shapes whose 100 TB behavior a plan read
@@ -44,7 +49,8 @@ object Bench {
     "as2_asof_native", "t15_heavyhitters", "d12_chunk_dedup",
     "t18_chunk_chars", "a6_ann_join", "g1_pagerank", "ml2_logreg",
     "t20_backoff_lm", "q33_sessionize", "d14_keepfirst_chunks",
-    "g2_triangles")
+    "g2_triangles", "t28_tfidf_topk", "q38_funnel", "q35_concurrency",
+    "as4_asof_nearest", "q34_bloom_join")
 
   /** Materialize a `factor`×-replicated copy of the FACT tables the scale
     * set reads (documents, lineitem, orders, events) plus 1× copies of

@@ -2221,6 +2221,34 @@ object SparkEntry {
         "text", k = 3)
       .orderBy("doc_id", "rank")
 
+  /** Ordered-step funnel view→click→purchase per user: each step's first
+    * strictly-later completion, one shuffle, stacked same-partition
+    * windows. See [[graft.operators.Funnel]]. */
+  private def q38_funnel(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.funnel(Fixtures.events(s, dir), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"))
+      .select(col("user_id"), col("steps_completed"),
+        col("step_1_ts").cast("timestamp_ntz").as("step_1_ts"),
+        col("step_2_ts").cast("timestamp_ntz").as("step_2_ts"),
+        col("step_3_ts").cast("timestamp_ntz").as("step_3_ts"))
+      .orderBy("user_id")
+
+  /** Corpus diff: B = documents with ids %17==0 removed, %13==0 texts
+    * suffixed (changed), and 10 fresh ids added — the oracle replays
+    * the same derivation with direct text equality. */
+  private def d15_corpus_diff(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "documents").select("doc_id", "text")
+    val b = a.filter(col("doc_id") % 17 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+      .unionByName(a.limit(0)
+        .unionByName(s.range(10).select(
+          (col("id") + 8000000L).as("doc_id"), lit("fresh doc").as("text"))))
+    graft.operators.Dedup.corpusDiff(a, b, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   private def as1_asof(s: SparkSession, dir: String): DataFrame = {
     val e = Fixtures.events(s, dir).select("event_id", "user_id", "ts")
     // deterministic right side: one order per (custkey, date) — largest key
@@ -2480,6 +2508,8 @@ object SparkEntry {
     "as3_asof_sum" -> (as3_asof_sum _),
     "as4_asof_nearest" -> (as4_asof_nearest _),
     "q37_debounce" -> (q37_debounce _),
+    "q38_funnel" -> (q38_funnel _),
+    "d15_corpus_diff" -> (d15_corpus_diff _),
     "t28_tfidf_topk" -> (t28_tfidf_topk _),
     "rj1_range_join" -> (rj1_range_join _),
   )
@@ -4493,6 +4523,40 @@ object SparkEntry {
                THEN 0 ELSE 1 END
            LIMIT 1) n ON TRUE
          ORDER BY e.event_id""",
+    // chained window CTEs: each step's conditional MIN references the
+    // previous step's (partition-constant) completion time
+    "q38_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type AS t
+                    FROM events),
+         s1 AS (SELECT *, MIN(CASE WHEN t = 'view' THEN us END)
+                  OVER (PARTITION BY user_id) AS v FROM e),
+         s2 AS (SELECT *, MIN(CASE WHEN t = 'click' AND us > v THEN us END)
+                  OVER (PARTITION BY user_id) AS c FROM s1),
+         s3 AS (SELECT *, MIN(CASE WHEN t = 'purchase' AND us > c THEN us END)
+                  OVER (PARTITION BY user_id) AS p FROM s2)
+         SELECT DISTINCT user_id,
+           CAST((CASE WHEN v IS NULL THEN 0 ELSE 1 END) +
+                (CASE WHEN c IS NULL THEN 0 ELSE 1 END) +
+                (CASE WHEN p IS NULL THEN 0 ELSE 1 END) AS INT)
+             AS steps_completed,
+           make_timestamp(v) AS step_1_ts, make_timestamp(c) AS step_2_ts,
+           make_timestamp(p) AS step_3_ts
+         FROM s3 ORDER BY user_id""",
+    // direct text equality replays the hash-equality status
+    "d15_corpus_diff" ->
+      """WITH a AS (SELECT doc_id, text FROM documents),
+         b AS (SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+           FROM documents WHERE doc_id % 17 <> 0
+           UNION ALL
+           SELECT 8000000 + i AS doc_id, 'fresh doc' FROM range(10) t(i))
+         SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+           CASE WHEN a.doc_id IS NULL THEN 'added'
+                WHEN b.doc_id IS NULL THEN 'removed'
+                WHEN a.text = b.text THEN 'unchanged'
+                ELSE 'changed' END AS status
+         FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+         ORDER BY doc_id""",
     "q37_debounce" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
          x AS (SELECT event_id, user_id,

@@ -1180,4 +1180,31 @@ object Dedup {
         (col("n_chunks") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"))
     armLshListener(result, "graft_keepfirst_chunks", 0, Seq(perDoc))
   }
+
+  /** Corpus version diff: `(id, status)` for every id in either corpus —
+    * `added` (only in `b`), `removed` (only in `a`), `changed` (both,
+    * text differs), `unchanged`. The dataset-versioning primitive: what
+    * moved between crawl N and crawl N+1, what a re-processing step
+    * actually touched, what an incremental pipeline must re-embed.
+    *
+    * Spark shape, sized for two 100 TB corpora: each side projects to
+    * `(id, xxhash64(text))` map-side, so the ONE full-outer join carries
+    * 16 bytes per row, never documents. Status is hash-equality — a
+    * 64-bit collision can misreport `changed` as `unchanged` at ~2⁻⁶⁴
+    * per pair (the standard content-hash contract; pipe `changed` ids
+    * into an exact recheck when that matters). */
+  def corpusDiff(
+      a: DataFrame,
+      b: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val ha = a.select(col(idCol).as("__id"), xxhash64(col(textCol)).as("__ha"))
+    val hb = b.select(col(idCol).as("__id"), xxhash64(col(textCol)).as("__hb"))
+    ha.join(hb, Seq("__id"), "full_outer")
+      .select(col("__id").as(idCol),
+        when(col("__ha").isNull, "added")
+          .when(col("__hb").isNull, "removed")
+          .when(col("__ha") === col("__hb"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
 }

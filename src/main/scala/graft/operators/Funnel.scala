@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ordered-step funnel analysis: how far does each key progress through
+  * a required event sequence (view → click → purchase, signup → activate
+  * → retain, …) — the product-analytics conversion primitive.
+  */
+object Funnel {
+
+  /** For every key, the first time each step of `steps` completes IN
+    * ORDER: step i counts only at a strictly later timestamp than step
+    * i−1's completion (the same event can never satisfy two steps, and
+    * out-of-order occurrences don't count). Returns one row per key:
+    * `(key, steps_completed, step_1_ts … step_n_ts)` with null
+    * timestamps beyond the last completed step.
+    *
+    * Deterministic by construction: each completion is a MIN over
+    * microsecond timestamps — no row selection, so equal-timestamp
+    * duplicates of the same step collapse into the same minimum.
+    *
+    * Spark shape: ONE hash shuffle on the key; the step chain compiles
+    * to stacked Window operators over the SAME partitioning (step i's
+    * conditional min references step i−1's column), so Catalyst plans
+    * one exchange and n windowed passes over each partition — no joins,
+    * no per-step scans of the event log. The final per-key collapse is
+    * a groupBy on the already-partitioned key. */
+  def funnel(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      typeCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, "steps must be distinct")
+    val w = Window.partitionBy(keyCol)
+    val withUs = events.select(col(keyCol), col(tsCol),
+      unix_micros(col(tsCol)).as("__us"), col(typeCol).as("__t"))
+    val staged = steps.zipWithIndex.foldLeft(withUs) {
+      case (df, (step, i)) =>
+        val prev: Column = if (i == 0) lit(Long.MinValue) else col(s"__s${i - 1}")
+        df.withColumn(s"__s$i",
+          min(when(col("__t") === step && col("__us") > prev, col("__us")))
+            .over(w))
+    }
+    val stepCols = steps.indices.map(i => col(s"__s$i"))
+    val completed = stepCols.map(c => when(c.isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    staged
+      .groupBy(col(keyCol))
+      .agg(first(completed).as("steps_completed"),
+        steps.indices.map(i =>
+          first(timestamp_micros(col(s"__s$i"))).as(s"step_${i + 1}_ts")): _*)
+  }
+}

@@ -128,6 +128,63 @@ class NearestDebounceTfidfSpec extends SparkSpec {
   }
 }
 
+/** Funnel progression and corpus diff. */
+class FunnelDiffSpec extends SparkSpec {
+  import java.sql.Timestamp
+  import spark.implicits._
+  import graft.operators.{Dedup, Funnel}
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("funnel: strict order — out-of-order and simultaneous steps don't count") {
+    val ev = Seq(
+      // user 1: full conversion
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:05:00"), "click"),
+      (1L, ts("2024-01-01 10:10:00"), "purchase"),
+      // user 2: click BEFORE the first view → stuck at step 1
+      (2L, ts("2024-01-01 09:00:00"), "click"),
+      (2L, ts("2024-01-01 10:00:00"), "view"),
+      // user 3: click at the SAME instant as view → strictly-after fails
+      (3L, ts("2024-01-01 10:00:00"), "view"),
+      (3L, ts("2024-01-01 10:00:00"), "click"),
+      // user 4: no qualifying events at all
+      (4L, ts("2024-01-01 10:00:00"), "error")
+    ).toDF("user_id", "t", "et")
+    val out = Funnel.funnel(ev, "user_id", "t", "et", Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("steps_completed")).toMap
+    assert(out == Map(1L -> 3, 2L -> 1, 3L -> 1, 4L -> 0))
+  }
+
+  test("funnel: later view can still unlock a later click; partition invariance") {
+    val ev = Seq(
+      (7L, ts("2024-01-01 09:00:00"), "click"),   // too early
+      (7L, ts("2024-01-01 10:00:00"), "view"),
+      (7L, ts("2024-01-01 11:00:00"), "click")     // counts (after the view)
+    ).toDF("user_id", "t", "et")
+    val out = Funnel.funnel(ev, "user_id", "t", "et", Seq("view", "click"))
+      .collect()(0)
+    assert(out.getAs[Int]("steps_completed") == 2)
+    assert(out.getAs[Timestamp]("step_2_ts") == ts("2024-01-01 11:00:00"))
+    val big = (0 until 600).map(i =>
+      (i.toLong % 20, ts(f"2024-01-01 ${i % 24}%02d:${i % 60}%02d:00"),
+        Seq("view", "click", "purchase")(i % 3))).toDF("user_id", "t", "et")
+    val a = Funnel.funnel(big, "user_id", "t", "et", Seq("view", "click", "purchase"))
+    val b = Funnel.funnel(big.repartition(7), "user_id", "t", "et",
+      Seq("view", "click", "purchase"))
+    assert(canon(a) == canon(b))
+  }
+
+  test("corpusDiff: all four statuses; join carries hashes not text") {
+    val a = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "text")
+    val b = Seq((2L, "y"), (3L, "z2"), (4L, "new")).toDF("id", "text")
+    val out = Dedup.corpusDiff(a, b, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed",
+      4L -> "added"))
+  }
+}
+
 /** One-pass expectation audit: violation semantics and ordering. */
 class ExpectSpec extends SparkSpec {
   import spark.implicits._
