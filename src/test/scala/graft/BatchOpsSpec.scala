@@ -675,6 +675,13 @@ class BloomJoinSpec extends SparkSpec {
 class TriangleSpec extends SparkSpec {
   import spark.implicits._
 
+  // kCore/reachableFrom keep their final small frame cached (pageRank's
+  // documented session-eviction convention); this suite runs before the
+  // cache-draining assertions in ExtensionsSpec, so drain explicitly.
+  private def drainCaches[T](body: => T): T =
+    try body
+    finally spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+
   test("K4: every node sits in 3 of the 4 triangles") {
     val edges = (for { i <- 0 to 3; j <- 0 to 3 if i < j } yield (i.toLong, j.toLong))
       .toDF("src", "dst")
@@ -706,7 +713,7 @@ class TriangleSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
 
-  test("kCore: cascade peel — a tail triggers chain removal; K4 core survives") {
+  test("kCore: cascade peel — a tail triggers chain removal; K4 core survives") { drainCaches {
     // K4 on {0,1,2,3} plus a path 3-4-5: k=2 peels 5, then 4; K4 remains
     val edges = (Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L),
       (3L, 4L), (4L, 5L))).toDF("src", "dst")
@@ -715,17 +722,17 @@ class TriangleSpec extends SparkSpec {
     assert(core == Set(0L, 1L, 2L, 3L))
     // above the degeneracy: everything peels, empty is the answer
     assert(Graph.kCore(edges, "src", "dst", k = 4).count() == 0)
-  }
+  } }
 
-  test("kCore: partition invariance and duplicate/direction collapse") {
+  test("kCore: partition invariance and duplicate/direction collapse") { drainCaches {
     val base = (0L until 500L).map(i => (i % 31, (i * 7919L) % 31))
     val a = Graph.kCore(base.toDF("src", "dst"), "src", "dst", k = 10)
     val b = Graph.kCore((base ++ base.map(_.swap)).toDF("src", "dst")
       .repartition(7), "src", "dst", k = 10)
     assert(canon(a) == canon(b))
-  }
+  } }
 
-  test("reachableFrom: minimal hops on a path, early stop, undirected") {
+  test("reachableFrom: minimal hops on a path, early stop, undirected") { drainCaches {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 8L)).toDF("src", "dst")
     val out = Graph.reachableFrom(edges, "src", "dst", Seq(1L), maxHops = 10)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -734,7 +741,7 @@ class TriangleSpec extends SparkSpec {
     val two = Graph.reachableFrom(edges, "src", "dst", Seq(4L), maxHops = 2)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(two == Map(4L -> 0L, 3L -> 1L, 2L -> 2L))
-  }
+  } }
 
   test("K17 from digit pairs: every node in C(16,2)=120 triangles; partition-invariant") {
     // (i mod 17, i div 17 mod 17) over 0..288 covers every ordered pair →
