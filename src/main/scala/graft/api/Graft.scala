@@ -880,7 +880,10 @@ object Graft {
     * price as `sortBy`); `numFiles` sizes output files (≈ table/200 MB).
     * Ties and skew behave like any range partition (AQE balances). Null
     * z-column values sort first (scaled key 0) — they cluster together
-    * rather than spraying. */
+    * rather than spraying. The bounds aggregation and the write SCAN THE
+    * INPUT TWICE — persist `df` first when its lineage is expensive or
+    * nondeterministic (a changing source would give the write different
+    * bounds than the aggregation measured). */
   def writeZOrdered(
       df: DataFrame,
       url: String,

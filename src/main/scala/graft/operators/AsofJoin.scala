@@ -93,6 +93,8 @@ object AsofJoin {
       rightKey: String,
       payloadCols: Seq[String]): DataFrame = {
     require(!payloadCols.contains("__rus"), "payload name __rus is reserved")
+    Seq("__id", "__pb", "__pf", "__pick", "__lus").foreach(r =>
+      require(!left.columns.contains(r), s"left column name $r is reserved"))
     val lu = left.withColumn("__lus", unix_micros(col(leftTime)))
     val ru = right.withColumn("__rus", unix_micros(col(rightTime)))
     val pay = payloadCols :+ "__rus"

@@ -1192,7 +1192,9 @@ object Dedup {
     * 16 bytes per row, never documents. Status is hash-equality — a
     * 64-bit collision can misreport `changed` as `unchanged` at ~2⁻⁶⁴
     * per pair (the standard content-hash contract; pipe `changed` ids
-    * into an exact recheck when that matters). */
+    * into an exact recheck when that matters). CONTRACT: `idCol` is
+    * unique within each corpus — a duplicated id multiplies through the
+    * full-outer join and reports one row per pairing. */
   def corpusDiff(
       a: DataFrame,
       b: DataFrame,

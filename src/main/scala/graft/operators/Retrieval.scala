@@ -41,7 +41,10 @@ object Retrieval {
     * sized output, exchange-reused); N rides a broadcast one-row frame;
     * the per-doc rank rewrites to map-side `WindowGroupLimit`, so the
     * final shuffle carries at most k rows per doc per task. Hot terms
-    * ("the") are skew-benign in the df join — one build row per term. */
+    * ("the") are skew-benign in the df join — one build row per term.
+    * The tf table and the corpus total both derive from the tokenize
+    * pass, which re-runs per branch (no hidden persist — `bm25`'s
+    * caller-persist contract applies to hot corpora here too). */
   def tfidfTopK(
       df: DataFrame,
       idCol: String,

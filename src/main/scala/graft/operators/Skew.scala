@@ -89,7 +89,11 @@ object Skew {
     *
     * `expectedItems <= 0` counts the build side's distinct keys first
     * (one narrow aggregation) — pass the estimate when you have one to
-    * stay single-pass. The build aggregation is a bitwise-OR merge:
+    * stay single-pass. Spark's bloom aggregate enforces
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` (default
+    * 4×10⁶) and `.maxNumBits` (default 8 MB) — raise both to filter on
+    * larger key sets (memory-rich drivers take 10⁸ keys at ~120 MB).
+    * The build aggregation is a bitwise-OR merge:
     * deterministic under any partitioning. Probe rows with a NULL key
     * hash to null and are dropped — correct for the inner/semi joins this
     * pre-filter is for (a left join must keep unmatched probe rows, so
