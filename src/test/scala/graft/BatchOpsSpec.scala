@@ -175,6 +175,32 @@ class FunnelDiffSpec extends SparkSpec {
     assert(canon(a) == canon(b))
   }
 
+  test("funnel matches a brute-force sequential reference on random event logs") {
+    val rnd = new scala.util.Random(42)
+    val types = Seq("view", "click", "purchase", "error")
+    val evs = (0 until 800).map { i =>
+      (rnd.nextInt(25).toLong, 1704067200000L + rnd.nextInt(1000000) * 1000L,
+        types(rnd.nextInt(4)))
+    }
+    val steps = Seq("view", "click", "purchase")
+    // reference: per key, scan time-sorted events advancing a cursor
+    val expected = evs.groupBy(_._1).map { case (k, rows) =>
+      var completed = 0
+      var lastUs = Long.MinValue
+      rows.sortBy(_._2).foreach { case (_, ms, t) =>
+        if (completed < steps.size && t == steps(completed) && ms > lastUs) {
+          lastUs = ms; completed += 1
+        }
+      }
+      k -> completed
+    }
+    val df = evs.map { case (k, ms, t) => (k, new Timestamp(ms), t) }
+      .toDF("k", "t", "et")
+    val got = Funnel.funnel(df, "k", "t", "et", steps)
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("steps_completed")).toMap
+    assert(got == expected)
+  }
+
   test("corpusDiff: all four statuses; join carries hashes not text") {
     val a = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "text")
     val b = Seq((2L, "y"), (3L, "z2"), (4L, "new")).toDF("id", "text")
@@ -741,6 +767,33 @@ class TriangleSpec extends SparkSpec {
     val two = Graph.reachableFrom(edges, "src", "dst", Seq(4L), maxHops = 2)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(two == Map(4L -> 0L, 3L -> 1L, 2L -> 2L))
+  } }
+
+  test("kCore invariant: every survivor has degree >= k INSIDE the core; maximality") { drainCaches {
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 900).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val k = 8
+    val core = Graph.kCore(base.toDF("src", "dst"), "src", "dst", k)
+      .collect().map(_.getLong(0)).toSet
+    // reference peel on canonical undirected edges
+    var es = base.collect { case (a, b) if a != b =>
+      (math.min(a, b), math.max(a, b)) }.toSet
+    var changed = true
+    while (changed) {
+      val deg = es.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (n, xs) => n -> xs.size }
+      val keep = deg.filter(_._2 >= k).keySet
+      val next = es.filter(e => keep(e._1) && keep(e._2))
+      changed = next != es
+      es = next
+    }
+    val expected = es.flatMap(e => Seq(e._1, e._2))
+    assert(core == expected)
+    // the defining invariant, checked directly on the output
+    val inCore = es
+    val degIn = inCore.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (n, xs) => n -> xs.size }
+    assert(core.forall(n => degIn.getOrElse(n, 0) >= k))
   } }
 
   test("K17 from digit pairs: every node in C(16,2)=120 triangles; partition-invariant") {
