@@ -2051,6 +2051,20 @@ object SparkEntry {
       .orderBy("w_start", "event_type")
   }
 
+  /** Streaming expectation audit: Expect's counters accumulated ACROSS
+    * micro-batches in the state store; the final rows must equal the
+    * batch audit over everything delivered (the oracle recomputes). */
+  private def st12_stream_audit(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.streamingAudit(
+      graft.streaming.Streams.eventsStream(s, dir),
+      Seq(
+        "value_positive" -> (col("value") > 0),
+        "type_domain" -> col("event_type")
+          .isin("view", "click", "purchase", "signup", "error"),
+        "user_in_dim" -> (col("user_id") < 150),
+        "value_under_400" -> (col("value") < 400)),
+      s"st12_${math.abs(dir.hashCode)}")
+
   private def st2_session(s: SparkSession, dir: String): DataFrame =
     Fixtures.events(s, dir)
       .groupBy(session_window(col("ts"), "10 minutes").as("sw"), col("user_id"))
@@ -2447,6 +2461,7 @@ object SparkEntry {
     "st9_stream_ivf_ingest" -> (st9_stream_ivf_ingest _),
     "st10_stream_pq_ingest" -> (st10_stream_pq_ingest _),
     "st11_stream_stateful" -> (st11_stream_stateful _),
+    "st12_stream_audit" -> (st12_stream_audit _),
     "t1_langid" -> (t1_langid _),
     "t1b_langid_ngram" -> (t1b_langid_ngram _),
     "t2_quality" -> (t2_quality _),
@@ -2713,6 +2728,25 @@ object SparkEntry {
            0.0 + (bucket + 1) * 25000.0 AS bucket_hi,
            CAST(COUNT(*) AS BIGINT) AS n
          FROM b GROUP BY bucket ORDER BY bucket""",
+    // the stream must land on the batch truth: same counters over the
+    // whole events table
+    "st12_stream_audit" ->
+      """WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN NOT coalesce(value > 0, FALSE)
+             THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+           CAST(SUM(CASE WHEN NOT coalesce(event_type IN
+             ('view','click','purchase','signup','error'), FALSE)
+             THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+           CAST(SUM(CASE WHEN NOT coalesce(user_id < 150, FALSE)
+             THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+           CAST(SUM(CASE WHEN NOT coalesce(value < 400, FALSE)
+             THEN 1 ELSE 0 END) AS BIGINT) AS v3
+           FROM events)
+         SELECT 'value_positive' AS "check", n AS n_rows,
+             v0 AS n_violations, v0 = 0 AS pass FROM a
+         UNION ALL SELECT 'type_domain', n, v1, v1 = 0 FROM a
+         UNION ALL SELECT 'user_in_dim', n, v2, v2 = 0 FROM a
+         UNION ALL SELECT 'value_under_400', n, v3, v3 = 0 FROM a""",
     // one aggregate row replayed per check; NOT coalesce(pred, FALSE)
     // mirrors the operator's null-counts-as-violation contract
     "s28_expect" ->

@@ -28,15 +28,28 @@ object Expect {
     * that one final row. Adding a constraint adds a codegen'd counter,
     * not a pass over the data. */
   def audit(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    validate(checks)
+    shapeRows(df.agg(counters(checks).head, counters(checks).tail: _*), checks)
+  }
+
+  private[graft] def validate(checks: Seq[(String, Column)]): Unit = {
     require(checks.nonEmpty, "audit needs at least one check")
     require(checks.map(_._1).distinct.size == checks.size,
       "check names must be unique")
-    val counters =
-      count(lit(1)).as("__n") +:
-      checks.zipWithIndex.map { case ((_, pred), i) =>
-        sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"__v$i")
-      }
-    val one = df.agg(counters.head, counters.tail: _*)
+  }
+
+  /** The counter columns one audit pass aggregates — shared with the
+    * STREAMING audit ([[graft.streaming.Streams.streamingAudit]]), whose
+    * incremental aggregation sums the same counters across micro-batches. */
+  private[graft] def counters(checks: Seq[(String, Column)]): Seq[Column] =
+    count(lit(1)).as("__n") +:
+    checks.zipWithIndex.map { case ((_, pred), i) =>
+      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"__v$i")
+    }
+
+  /** Explode the single counter row into per-check result rows. */
+  private[graft] def shapeRows(one: DataFrame,
+      checks: Seq[(String, Column)]): DataFrame = {
     val rows = array(checks.zipWithIndex.map { case ((name, _), i) =>
       struct(lit(i).as("__ord"), lit(name).as("check"),
         col(s"__v$i").as("n_violations"))

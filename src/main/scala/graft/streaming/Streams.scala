@@ -531,6 +531,23 @@ object Streams {
       .drop("cents")
   }
 
+  /** Streaming expectation audit: [[graft.operators.Expect]]'s counters
+    * as a STREAMING aggregation — violations accumulate incrementally
+    * across micro-batches in the state store (complete-mode counters:
+    * O(numChecks) longs of state total), and the final per-check rows
+    * equal the batch audit over everything the stream delivered. The
+    * ingest-quality monitor shape: on a live pipeline the memory sink
+    * becomes any sink and each progress update carries the running
+    * counts; here the AvailableNow run pins stream/batch agreement. */
+  def streamingAudit(stream: DataFrame,
+      checks: Seq[(String, org.apache.spark.sql.Column)],
+      name: String): DataFrame = {
+    graft.operators.Expect.validate(checks)
+    val cs = graft.operators.Expect.counters(checks)
+    val one = runToMemory(stream.agg(cs.head, cs.tail: _*), name)
+    graft.operators.Expect.shapeRows(one, checks)
+  }
+
   def runToMemory(agg: DataFrame, name: String,
       outputMode: String = "complete"): DataFrame = {
     val spark = agg.sparkSession

@@ -112,4 +112,25 @@ class StatefulStreamSpec extends SparkSpec {
     // proof the state machine ran across at least two micro-batches
     assert(sunk.filter(col("user_id") === 1L).count() >= 2)
   }
+
+  test("streaming audit accumulates violation counters across micro-batches") {
+    val dir = tmpDir("stream_audit")
+    val b1 = Seq((1L, 5.0), (2L, -1.0)).toDF("id", "v")
+    val b2 = Seq((3L, -2.0), (4L, 7.0), (5L, -3.0)).toDF("id", "v")
+    b1.coalesce(1).write.mode("append").parquet(dir)
+    b2.coalesce(1).write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val out = graft.streaming.Streams.streamingAudit(stream,
+        Seq("v_positive" -> (col("v") > 0), "id_nonnull" -> col("id").isNotNull),
+        "stream_audit_spec")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // totals span BOTH files (5 rows, 3 violations) — a single-batch run
+    // of either file alone could not produce these counts
+    assert(out("v_positive").getAs[Long]("n_rows") == 5L)
+    assert(out("v_positive").getAs[Long]("n_violations") == 3L)
+    assert(!out("v_positive").getAs[Boolean]("pass"))
+    assert(out("id_nonnull").getAs[Long]("n_violations") == 0L)
+    assert(out("id_nonnull").getAs[Boolean]("pass"))
+  }
 }
