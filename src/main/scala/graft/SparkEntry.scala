@@ -2263,6 +2263,12 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Cohort retention over events: users cohorted by first-seen UTC day,
+    * distinct-active counts per (cohort, day offset). */
+  private def q39_retention(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.retention(Fixtures.events(s, dir), "user_id", "ts")
+      .orderBy("cohort_date", "day_offset")
+
   private def as1_asof(s: SparkSession, dir: String): DataFrame = {
     val e = Fixtures.events(s, dir).select("event_id", "user_id", "ts")
     // deterministic right side: one order per (custkey, date) — largest key
@@ -2524,6 +2530,7 @@ object SparkEntry {
     "as4_asof_nearest" -> (as4_asof_nearest _),
     "q37_debounce" -> (q37_debounce _),
     "q38_funnel" -> (q38_funnel _),
+    "q39_retention" -> (q39_retention _),
     "d15_corpus_diff" -> (d15_corpus_diff _),
     "t28_tfidf_topk" -> (t28_tfidf_topk _),
     "rj1_range_join" -> (rj1_range_join _),
@@ -4576,6 +4583,17 @@ object SparkEntry {
            make_timestamp(v) AS step_1_ts, make_timestamp(c) AS step_2_ts,
            make_timestamp(p) AS step_3_ts
          FROM s3 ORDER BY user_id""",
+    // epoch-day integer arithmetic on both sides; offset 0 = cohort size
+    "q39_retention" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+             epoch_us(ts) // 86400000000 AS day FROM events),
+         c AS (SELECT user_id, MIN(day) AS cohort FROM d GROUP BY user_id)
+         SELECT CAST(make_timestamp(c.cohort * 86400000000) AS DATE)
+             AS cohort_date,
+           d.day - c.cohort AS day_offset,
+           CAST(count(*) AS BIGINT) AS n_active
+         FROM d JOIN c USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     // direct text equality replays the hash-equality status
     "d15_corpus_diff" ->
       """WITH a AS (SELECT doc_id, text FROM documents),

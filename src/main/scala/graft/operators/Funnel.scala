@@ -54,4 +54,35 @@ object Funnel {
         steps.indices.map(i =>
           first(timestamp_micros(col(s"__s$i"))).as(s"step_${i + 1}_ts")): _*)
   }
+
+  /** Cohort retention matrix: keys grouped by their FIRST-seen day (the
+    * cohort), counted per (cohort, days-since-cohort) active day — the
+    * "day-N retention" table behind every growth dashboard, and the
+    * aggregate companion to [[funnel]]'s per-key progression.
+    *
+    * Returns `(cohort_date, day_offset, n_active)`: distinct keys of
+    * cohort `cohort_date` active exactly `day_offset` days later
+    * (offset 0 row = cohort size). Day boundaries are UTC epoch-day
+    * integer arithmetic — exact, timezone-pin-free.
+    *
+    * Spark shape: first-seen is ONE aggregation by key; the activity
+    * set dedupes (key, day) once; cohort attach is a key-equi-join of
+    * two key-keyed aggregates (co-partitioned after the first shuffle);
+    * the matrix aggregation groups on (cohort, offset) — cardinality
+    * days², trivially small at any corpus size. No windows, no state. */
+  def retention(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String): DataFrame = {
+    val days = events.select(col(keyCol).as("__k"),
+        floor(unix_micros(col(tsCol)) / lit(86400000000L)).as("__day"))
+      .distinct()
+    val cohorts = days.groupBy("__k").agg(min(col("__day")).as("__cohort"))
+    days.join(cohorts, Seq("__k"))
+      .groupBy(col("__cohort"), (col("__day") - col("__cohort")).as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .select(to_date(timestamp_micros(col("__cohort") * 86400000000L))
+          .as("cohort_date"),
+        col("day_offset"), col("n_active"))
+  }
 }

@@ -201,6 +201,27 @@ class FunnelDiffSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("retention: hand-built cohorts, offset-0 rows equal cohort sizes") {
+    val ev = Seq(
+      // cohort day 0: users 1, 2
+      (1L, ts("2024-01-01 08:00:00")), (2L, ts("2024-01-01 23:59:59")),
+      (1L, ts("2024-01-02 01:00:00")),   // u1 back on day 1
+      (2L, ts("2024-01-03 12:00:00")),   // u2 back on day 2
+      (1L, ts("2024-01-01 17:00:00")),   // same-day repeat: dedupes
+      // cohort day 1: user 3, never returns
+      (3L, ts("2024-01-02 10:00:00"))
+    ).toDF("user_id", "t")
+    val out = Funnel.retention(ev, "user_id", "t")
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("2024-01-01", 0L) -> 2L, ("2024-01-01", 1L) -> 1L,
+      ("2024-01-01", 2L) -> 1L, ("2024-01-02", 0L) -> 1L))
+    // offset-0 invariant: every cohort's size equals its day-0 actives
+    val zeros = out.collect { case ((c, 0L), n) => c -> n }
+    assert(zeros.size == 2)
+  }
+
   test("corpusDiff: all four statuses; join carries hashes not text") {
     val a = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "text")
     val b = Seq((2L, "y"), (3L, "z2"), (4L, "new")).toDF("id", "text")
