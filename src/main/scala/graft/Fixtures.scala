@@ -222,6 +222,27 @@ object Fixtures {
       rows.toDF("doc_id", "payload").coalesce(1).write.mode("overwrite").parquet(dir)
     }
 
+  /** MP4s WITH sample tables and closed-form frame payloads (frame f,
+    * byte j = (doc_id + f·31 + j·7) mod 256) — frame count, frame size,
+    * timescale and per-frame delta all derived from doc_id so the m10
+    * oracle reproduces every sampled frame's timing and checksum. */
+  def videoSampleDocs(spark: SparkSession, sfDir: String): String =
+    cached("video_sample_docs", sfDir) { dir =>
+      import spark.implicits._
+      val ids = table(spark, sfDir, "documents").select("doc_id")
+        .as[Long].collect().sorted
+      val rows = ids.toSeq.map { id =>
+        (id, graft.operators.Multimodal.syntheticMp4WithSamples(
+          w = (id % 64).toInt + 16, h = (id % 48).toInt + 16,
+          timescale = 1000 * ((id % 3).toInt + 1),
+          delta = 40 * ((id % 2).toInt + 1),
+          nFrames = (id % 30).toInt + 5,
+          frameSize = (id % 50).toInt + 20,
+          seed = id))
+      }
+      rows.toDF("doc_id", "payload").coalesce(1).write.mode("overwrite").parquet(dir)
+    }
+
   /** A layout with one deliberately corrupt member for lazy-error semantics:
     * nation as json-lines plus one unparseable file. */
   def lazyNation(spark: SparkSession, sfDir: String): String =

@@ -2027,6 +2027,21 @@ object SparkEntry {
         col("v").cast("long").as("v"))
       .orderBy("doc_id", "j")
 
+  /** Video frame sampling from the container's own sample table: every
+    * 3rd frame's index, timing and content checksum, sliced out of mdat
+    * via stts/stsz/stco — the oracle reproduces all of it from the
+    * fixture's closed-form derivation. */
+  private def m10_frame_sample(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeMp4FrameSample(
+        s.read.parquet(Fixtures.videoSampleDocs(s, dir)).filter(col("doc_id") < 20),
+        k = 3)
+      .filter(col("frame_sample.format") === "mp4")
+      .select(col("doc_id"), explode(col("frame_sample.frames")).as("__f"))
+      .select(col("doc_id"), col("__f.frame_idx").as("frame_idx"),
+        col("__f.ts_ms").as("ts_ms"), col("__f.size").as("size"),
+        col("__f.byte_sum").as("byte_sum"))
+      .orderBy("doc_id", "frame_idx")
+
   private def m2_audio(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeAudioMeta(s.read.parquet(Fixtures.audioDocs(s, dir)))
       .select(col("doc_id"), col("audio_meta.sample_rate"),
@@ -2514,6 +2529,7 @@ object SparkEntry {
     "m7_jpeg_420" -> (m7_jpeg_420 _),
     "m2_audio" -> (m2_audio _),
     "m9_audio_decimate" -> (m9_audio_decimate _),
+    "m10_frame_sample" -> (m10_frame_sample _),
     "m5_audio_pcm" -> (m5_audio_pcm _),
     "m3_video" -> (m3_video _),
     "st1_stream_window" -> (st1_stream_window _),
@@ -4365,6 +4381,23 @@ object SparkEntry {
          CAST(doc_id % 100000 + 1000 AS BIGINT) AS duration_ms,
          'mp4' AS format
          FROM documents ORDER BY doc_id""",
+    // frame timing = ticks·1000 div movie timescale; checksum = the
+    // closed-form byte sum — both pure functions of doc_id
+    "m10_frame_sample" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(doc_id % 30 + 5 AS INT) AS nf,
+             CAST(doc_id % 50 + 20 AS INT) AS fs,
+             1000 * (doc_id % 3 + 1) AS tsc, 40 * (doc_id % 2 + 1) AS delta
+           FROM documents WHERE doc_id < 20),
+         fr AS (SELECT d.doc_id, d.fs, d.tsc, d.delta,
+               CAST(f.f AS INT) AS frame_idx
+             FROM d, UNNEST(range(0, d.nf)) f(f) WHERE f.f % 3 = 0)
+         SELECT doc_id, frame_idx,
+           CAST((frame_idx * delta * 1000) // tsc AS BIGINT) AS ts_ms,
+           fs AS size,
+           CAST((SELECT SUM((fr.doc_id + fr.frame_idx * 31 + j.j * 7) % 256)
+             FROM UNNEST(range(0, fr.fs)) j(j)) AS BIGINT) AS byte_sum
+         FROM fr ORDER BY doc_id, frame_idx""",
     // decimated index j maps to source sample j*7 of the closed form
     "m9_audio_decimate" ->
       """WITH d AS (SELECT doc_id, doc_id % 200 + 50 AS n FROM documents

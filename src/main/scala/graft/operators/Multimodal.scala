@@ -1219,6 +1219,134 @@ object Multimodal {
     ftyp ++ box("moov", mvhd ++ box("trak", tkhd))
   }
 
+  /** A playable-shape MP4 WITH a sample table and real frame payloads:
+    * `ftyp ++ mdat ++ moov(mvhd, trak(tkhd, mdia(minf(stbl(stts, stsz,
+    * stsc, stco)))))`. Frames are uniform `frameSize` bytes at a constant
+    * `delta`-tick duration; frame `f`'s byte `j` is
+    * `(seed + f·31 + j·7) mod 256` — a closed form an oracle replays.
+    * mdat precedes moov so the single stco chunk offset is known without
+    * a fix-up pass. */
+  def syntheticMp4WithSamples(w: Int, h: Int, timescale: Int, delta: Int,
+      nFrames: Int, frameSize: Int, seed: Long): Array[Byte] = {
+    require(nFrames > 0 && frameSize > 0)
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] =
+      be32b(8 + payload.length) ++ tpe.getBytes("US-ASCII") ++ payload
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32b(0))
+    val frames = Array.tabulate(nFrames * frameSize) { i =>
+      val f = i / frameSize; val j = i % frameSize
+      ((seed + f * 31L + j * 7L) % 256L).toByte
+    }
+    val mdat = box("mdat", frames)
+    val mdatPayloadOffset = ftyp.length + 8
+    val duration = nFrames.toLong * delta
+    val mvhd = box("mvhd", be32b(0) ++ be32b(0) ++ be32b(0) ++
+      be32b(timescale) ++ be32b(duration.toInt) ++ Array.fill[Byte](80)(0))
+    val tkhd = box("tkhd", be32b(0) ++ be32b(0) ++ be32b(0) ++ be32b(1) ++
+      be32b(0) ++ be32b(duration.toInt) ++ Array.fill[Byte](52)(0) ++
+      be32b(w << 16) ++ be32b(h << 16))
+    val stts = box("stts", be32b(0) ++ be32b(1) ++ be32b(nFrames) ++ be32b(delta))
+    val stsz = box("stsz", be32b(0) ++ be32b(frameSize) ++ be32b(nFrames))
+    val stsc = box("stsc", be32b(0) ++ be32b(1) ++ be32b(1) ++
+      be32b(nFrames) ++ be32b(1))
+    val stco = box("stco", be32b(0) ++ be32b(1) ++ be32b(mdatPayloadOffset))
+    val stbl = box("stbl", stts ++ stsz ++ stsc ++ stco)
+    val minf = box("minf", stbl)
+    val mdia = box("mdia", minf)
+    ftyp ++ mdat ++ box("moov", mvhd ++ box("trak", tkhd ++ mdia))
+  }
+
+  /** Every `k`-th video frame's metadata + content checksum, from the
+    * container's own sample table: walk to `stbl`, read stts (timing),
+    * stsz (sizes), stco (data location), and slice the k-th samples out
+    * of mdat — the frame-sampling primitive of video featurization,
+    * minus only the codec (a decoder slots in where the checksum is
+    * computed; this container walk IS the distributed-plumbing part).
+    *
+    * Support envelope (None otherwise, callers tag and fall back):
+    * version-0 boxes, one sample-table track, single-chunk stco, uniform
+    * or per-sample stsz, any number of stts runs. Timestamps are
+    * integer `ticks·1000/timescale` milliseconds against the MOVIE
+    * timescale (mvhd — the fixture convention). Returns
+    * `(frameIdx, tsMs, size, byteSum)` per sampled frame. */
+  def mp4FrameSample(b: Array[Byte], k: Int): Option[Seq[(Int, Long, Int, Long)]] = {
+    require(k >= 1, s"sampling step must be >= 1, got $k")
+    if (b == null || b.length < 12 ||
+        new String(b, 4, 4, "US-ASCII") != "ftyp") return None
+    var timescale = 0L
+    var sttsRuns = Seq.empty[(Int, Int)]  // (count, delta)
+    var uniformSize = 0
+    var sizes = Seq.empty[Int]
+    var nSamples = 0
+    var chunkOffset = -1L
+    def walk(start: Int, end: Int): Unit = {
+      var i = start
+      while (i + 8 <= end) {
+        val sz0 = be32(b, i).toLong & 0xFFFFFFFFL
+        val sz = if (sz0 == 0L) (end - i).toLong else sz0
+        if (sz < 8) return
+        val boxEnd = math.min(end.toLong, i + sz).toInt
+        if (boxEnd <= i) return
+        new String(b, i + 4, 4, "US-ASCII") match {
+          case "moov" | "trak" | "mdia" | "minf" | "stbl" => walk(i + 8, boxEnd)
+          case "mvhd" if boxEnd >= i + 32 && u8(b, i + 8) == 0 =>
+            timescale = be32(b, i + 20).toLong & 0xFFFFFFFFL
+          case "stts" if u8(b, i + 8) == 0 =>
+            val n = be32(b, i + 12)
+            sttsRuns = (0 until n).map(e =>
+              (be32(b, i + 16 + e * 8), be32(b, i + 20 + e * 8)))
+          case "stsz" if u8(b, i + 8) == 0 =>
+            uniformSize = be32(b, i + 12)
+            nSamples = be32(b, i + 16)
+            if (uniformSize == 0)
+              sizes = (0 until nSamples).map(e => be32(b, i + 20 + e * 4))
+          case "stco" if u8(b, i + 8) == 0 && be32(b, i + 12) == 1 =>
+            chunkOffset = be32(b, i + 16).toLong & 0xFFFFFFFFL
+          case _ => ()
+        }
+        i = boxEnd
+      }
+    }
+    walk(0, b.length)
+    if (timescale <= 0 || nSamples <= 0 || chunkOffset < 0 ||
+        sttsRuns.isEmpty) return None
+    val szs = if (uniformSize > 0) Seq.fill(nSamples)(uniformSize) else sizes
+    if (szs.size != nSamples) return None
+    val offsets = szs.scanLeft(chunkOffset)(_ + _)
+    if (offsets.last > b.length) return None // truncated mdat
+    val ticks = sttsRuns.flatMap { case (n, d) => Seq.fill(n)(d.toLong) }
+      .scanLeft(0L)(_ + _)
+    if (ticks.size < nSamples) return None
+    Some((0 until nSamples by k).map { f =>
+      val off = offsets(f).toInt
+      var sum = 0L
+      var j = 0
+      while (j < szs(f)) { sum += u8(b, off + j); j += 1 }
+      (f, ticks(f) * 1000L / timescale, szs(f), sum)
+    })
+  }
+
+  private val frameSampleType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("frames", ArrayType(StructType(Seq(
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("ts_ms", LongType, nullable = false),
+      StructField("size", IntegerType, nullable = false),
+      StructField("byte_sum", LongType, nullable = false))), containsNull = false),
+      nullable = true)))
+
+  /** Batched frame sampling; `undecodable` (null frames) outside the
+    * support envelope. */
+  def decodeMp4FrameSample(df: DataFrame, k: Int,
+      payloadCol: String = "payload",
+      outCol: String = "frame_sample"): DataFrame =
+    decodeMeta(df, payloadCol, outCol, frameSampleType) { bytes =>
+      mp4FrameSample(bytes, k) match {
+        case Some(frames) =>
+          Row("mp4", frames.map { case (f, ts, sz, sum) => Row(f, ts, sz, sum) })
+        case None => Row("undecodable", null)
+      }
+    }
+
   /** Deterministic synthetic WAV header (RIFF + fmt + data chunk headers
     * with the declared sizes, no sample payload — 44 bytes) for fixtures
     * and tests. */

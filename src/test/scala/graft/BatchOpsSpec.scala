@@ -467,6 +467,26 @@ class ResizeSpec extends SparkSpec {
       Multimodal.pngResizeNearest(
         Multimodal.syntheticPngPixelBytes(1L, 4, 4, 2), 0, 2))
   }
+
+  test("mp4 frame sampling: sample-table walk replays the closed form") {
+    val b = Multimodal.syntheticMp4WithSamples(w = 32, h = 24,
+      timescale = 3000, delta = 120, nFrames = 7, frameSize = 10, seed = 5L)
+    val Some(all) = Multimodal.mp4FrameSample(b, 1)
+    assert(all.size == 7)
+    all.foreach { case (f, tsMs, size, sum) =>
+      assert(size == 10)
+      assert(tsMs == f.toLong * 120 * 1000 / 3000)
+      assert(sum == (0 until 10).map(j => (5L + f * 31 + j * 7) % 256).sum)
+    }
+    val Some(every3) = Multimodal.mp4FrameSample(b, 3)
+    assert(every3.map(_._1) == Seq(0, 3, 6))
+    // the richer builder stays header-compatible with the m3 decoder
+    assert(Multimodal.videoHeader(b).exists { case (w, h, durMs, f) =>
+      w == 32 && h == 24 && durMs == 7L * 120 * 1000 / 3000 && f == "mp4" })
+    // truncated mdat and junk refuse rather than mis-slice
+    assert(Multimodal.mp4FrameSample(b.take(b.length - 200), 1).isEmpty)
+    assert(Multimodal.mp4FrameSample("junk".getBytes, 1).isEmpty)
+  }
 }
 
 /** Column profiling: one-pass summaries and equi-width histograms. */
