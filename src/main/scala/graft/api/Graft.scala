@@ -949,8 +949,11 @@ object Graft {
     import scala.jdk.CollectionConverters._
     val hadoopConf = spark.sessionState.newHadoopConf()
     fsConf.foreach { case (k, v) => hadoopConf.set(k, v) }
-    val files = discover(spark, url, query, parser, fsConf)
-      .map(_.url).filter(_.endsWith(".parquet")).sorted
+    val discovered = discover(spark, url, query, parser, fsConf)
+    val files = discovered.map(_.url).filter(_.endsWith(".parquet")).sorted
+    require(files.nonEmpty,
+      s"zoneMap: no .parquet files under $url (matched ${discovered.size} " +
+        "files total) — footer statistics exist only for parquet")
     val rows = files.flatMap { f =>
       val reader = ParquetFileReader.open(
         HadoopInputFile.fromPath(new Path(f), hadoopConf))

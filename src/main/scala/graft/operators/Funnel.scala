@@ -81,8 +81,11 @@ object Funnel {
     days.join(cohorts, Seq("__k"))
       .groupBy(col("__cohort"), (col("__day") - col("__cohort")).as("day_offset"))
       .agg(count(lit(1)).as("n_active"))
-      .select(to_date(timestamp_micros(col("__cohort") * 86400000000L))
-          .as("cohort_date"),
+      // date from pure day arithmetic (epoch + N days): rendering the
+      // cohort instant as a date would shift labels under a non-UTC
+      // session timezone
+      .select(date_add(lit("1970-01-01").cast("date"),
+          col("__cohort").cast("int")).as("cohort_date"),
         col("day_offset"), col("n_active"))
   }
 }
