@@ -902,11 +902,19 @@ object Graft {
     val bounds = df.agg(
       min(col(zCols(0)).cast("double")), max(col(zCols(0)).cast("double")),
       min(col(zCols(1)).cast("double")), max(col(zCols(1)).cast("double"))).head()
-    def scaled(c: String, lo: Double, hi: Double): Column =
-      if (lo >= hi || bounds.anyNull) lit(0L)
-      else least(lit(65535L), greatest(lit(0L),
-        floor((col(c).cast("double") - lit(lo)) / lit(hi - lo) * 65535.0)
-          .cast("long")))
+    // boxed reads: an empty input (or all-null z-column) yields null
+    // min/max, which must degrade to a constant key — getDouble would NPE
+    // before any guard could fire
+    def bound(i: Int): Option[Double] =
+      if (bounds.isNullAt(i)) None else Some(bounds.getDouble(i))
+    def scaled(c: String, loOpt: Option[Double], hiOpt: Option[Double]): Column =
+      (loOpt, hiOpt) match {
+        case (Some(lo), Some(hi)) if lo < hi =>
+          least(lit(65535L), greatest(lit(0L),
+            floor((col(c).cast("double") - lit(lo)) / lit(hi - lo) * 65535.0)
+              .cast("long")))
+        case _ => lit(0L) // degenerate range: every row to one key
+      }
     // spread 16 bits over 32 even positions (standard Morton dilation)
     def spread(in: Column): Column = {
       var x = in
@@ -916,9 +924,8 @@ object Graft {
       x = x.bitwiseOR(shiftleft(x, 1)).bitwiseAND(lit(0x55555555L))
       x
     }
-    val morton = spread(scaled(zCols(0), bounds.getDouble(0), bounds.getDouble(1)))
-      .bitwiseOR(shiftleft(
-        spread(scaled(zCols(1), bounds.getDouble(2), bounds.getDouble(3))), 1))
+    val morton = spread(scaled(zCols(0), bound(0), bound(1)))
+      .bitwiseOR(shiftleft(spread(scaled(zCols(1), bound(2), bound(3))), 1))
     require(!df.columns.contains("__z"),
       "input already has a '__z' column — rename it first")
     df.withColumn("__z", coalesce(morton, lit(0L)))
@@ -1393,15 +1400,20 @@ object Graft {
       // re-append's sweep would delete only that subset. Renaming to
       // `retired-…` makes "compaction ends all tag windows" an atomic-ish
       // per-file invariant (rename-only, same cost class as the rewrite
-      // commit). Runs AFTER rewrites so it never races their
+      // commit). The sweep deliberately lists the WHOLE table (Q.True),
+      // not the compaction's `query` scope: a partition-restricted
+      // maintenance pass retiring only its own slice of a tag would
+      // recreate exactly the partial-addressability hazard this exists
+      // to close. Runs AFTER rewrites so it never races their
       // delete-by-original-name step.
-      def retireTags(): Unit = parts.foreach { p =>
-        val f = new Path(p.url)
-        if (f.getName.startsWith("ingest-") && fs.exists(f)) {
-          val dest = new Path(f.getParent, "retired-" + f.getName.stripPrefix("ingest-"))
-          require(fs.rename(f, dest), s"tag retirement rename failed: $f -> $dest")
+      def retireTags(): Unit =
+        discover(spark, url, Q.True, parser, fsConf).foreach { p =>
+          val f = new Path(p.url)
+          if (f.getName.startsWith("ingest-") && fs.exists(f)) {
+            val dest = new Path(f.getParent, "retired-" + f.getName.stripPrefix("ingest-"))
+            require(fs.rename(f, dest), s"tag retirement rename failed: $f -> $dest")
+          }
         }
-      }
 
       if (candidates.isEmpty) {
         retireTags()

@@ -44,8 +44,13 @@ object TaggedAppend {
     new Path(root, s".graft_ingest_staging_$tag")
 
   def requireSafeTag(tag: String): Unit =
-    require(tag.nonEmpty &&
-      tag.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
+    // ASCII-only, matching listIngestTags' filename pattern exactly: a
+    // tag accepted here but invisible to the consumer poll (e.g. a
+    // Unicode letter, which Char.isLetterOrDigit would admit) would
+    // commit batches nobody ever processes
+    require(tag.nonEmpty && tag.forall(c =>
+        (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+        (c >= '0' && c <= '9') || c == '-' || c == '_'),
       s"append tag must match [A-Za-z0-9_-]+; got '$tag'")
 
   /** Delete whatever a previous [[append]] attempt under `tag` left in

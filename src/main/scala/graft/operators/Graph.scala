@@ -161,6 +161,13 @@ object Graph {
       e = barrier
       rounds += 1
     }
+    // a silent non-core would be WRONG, not approximate: interior nodes
+    // of a long path survive a truncated peel even though the true core
+    // is empty — refuse rather than mislead
+    require(converged || nEdges == 0,
+      s"kCore did not reach its fixpoint in $maxIterations rounds " +
+        s"($nEdges edges still peeling) — raise maxIterations; a long-chain " +
+        "graph peels O(diameter) rounds")
     val core = e.select(col("u").as("node"))
       .union(e.select(col("v").as("node")))
       .distinct()
@@ -196,6 +203,10 @@ object Graph {
       .withColumn("hops", lit(0L))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var frontier = visited
+    // cached frames superseded each hop (previous visited generation and
+    // previous frontier) — released as soon as the next generation is
+    // materialized, so the call retains O(1) cached frames, not O(hops)
+    var prevFrontier: Option[DataFrame] = None
     var hop = 0L
     var done = false
     while (!done && hop < maxHops) {
@@ -207,17 +218,20 @@ object Graph {
         .withColumn("hops", lit(hop))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val n = next.count()
-      if (n == 0) done = true
+      if (n == 0) { next.unpersist(false); done = true }
       else {
         val merged = visited.unionByName(next)
           .persist(StorageLevel.MEMORY_AND_DISK)
         merged.count()
         val barrier = spark.createDataFrame(merged.rdd, merged.schema)
         visited.unpersist(false)
+        prevFrontier.foreach(_.unpersist(false))
+        prevFrontier = Some(next)
         visited = merged
         frontier = spark.createDataFrame(next.rdd, next.schema)
       }
     }
+    prevFrontier.foreach(_.unpersist(false))
     adj.unpersist(false)
     spark.createDataFrame(visited.rdd, visited.schema)
   }

@@ -228,8 +228,9 @@ object Multimodal {
     * the frame/sample-sampling primitive of audio featurization (naive
     * decimation, no anti-alias filter; a windowed resampler would slot
     * into the same decoded-samples seam). Exactly auditable: output j is
-    * input `j·k`. */
-  def wavPcm16Decimate(b: Array[Byte], k: Int): Option[Array[Int]] = {
+    * input `j·k`. Returns `(nInputSamples, decimated)` from ONE chunk
+    * walk. */
+  def wavPcm16Decimate(b: Array[Byte], k: Int): Option[(Long, Array[Int])] = {
     require(k >= 1, s"decimation factor must be >= 1, got $k")
     wavPcm16Data(b).map { case (dataOff, n) =>
       val m = ((n + k - 1) / k).toInt
@@ -240,7 +241,7 @@ object Multimodal {
         out(j) = (((b(p + 1) & 0xFF) << 8) | (b(p) & 0xFF)).toShort.toInt
         j += 1
       }
-      out
+      (n, out)
     }
   }
 
@@ -256,8 +257,7 @@ object Multimodal {
       outCol: String = "decimated"): DataFrame =
     decodeMeta(df, payloadCol, outCol, decimateType) { bytes =>
       wavPcm16Decimate(bytes, k) match {
-        case Some(samples) =>
-          Row(wavPcm16Data(bytes).map(_._2).getOrElse(0L), "wav", samples.toSeq)
+        case Some((nIn, samples)) => Row(nIn, "wav", samples.toSeq)
         case None => Row(0L, "undecodable", null)
       }
     }
@@ -1286,31 +1286,42 @@ object Multimodal {
         if (sz < 8) return
         val boxEnd = math.min(end.toLong, i + sz).toInt
         if (boxEnd <= i) return
+        // every declared count is validated against ITS OWN box extent
+        // before any entry read: a malformed payload must produce None
+        // (the WAV/PNG walkers' contract), never an out-of-bounds read
+        // on a declared-but-absent table
+        var corrupt = false
         new String(b, i + 4, 4, "US-ASCII") match {
           case "moov" | "trak" | "mdia" | "minf" | "stbl" => walk(i + 8, boxEnd)
           case "mvhd" if boxEnd >= i + 32 && u8(b, i + 8) == 0 =>
             timescale = be32(b, i + 20).toLong & 0xFFFFFFFFL
-          case "stts" if u8(b, i + 8) == 0 =>
+          case "stts" if boxEnd >= i + 16 && u8(b, i + 8) == 0 =>
             val n = be32(b, i + 12)
-            sttsRuns = (0 until n).map(e =>
+            if (n < 0 || i + 16L + n * 8L > boxEnd) corrupt = true
+            else sttsRuns = (0 until n).map(e =>
               (be32(b, i + 16 + e * 8), be32(b, i + 20 + e * 8)))
-          case "stsz" if u8(b, i + 8) == 0 =>
+          case "stsz" if boxEnd >= i + 20 && u8(b, i + 8) == 0 =>
             uniformSize = be32(b, i + 12)
             nSamples = be32(b, i + 16)
-            if (uniformSize == 0)
-              sizes = (0 until nSamples).map(e => be32(b, i + 20 + e * 4))
-          case "stco" if u8(b, i + 8) == 0 && be32(b, i + 12) == 1 =>
+            if (uniformSize == 0) {
+              if (nSamples < 0 || i + 20L + nSamples * 4L > boxEnd) corrupt = true
+              else sizes = (0 until nSamples).map(e => be32(b, i + 20 + e * 4))
+            }
+          case "stco" if boxEnd >= i + 20 && u8(b, i + 8) == 0 &&
+              be32(b, i + 12) == 1 =>
             chunkOffset = be32(b, i + 16).toLong & 0xFFFFFFFFL
           case _ => ()
         }
+        if (corrupt) { nSamples = -1; return }
         i = boxEnd
       }
     }
     walk(0, b.length)
     if (timescale <= 0 || nSamples <= 0 || chunkOffset < 0 ||
-        sttsRuns.isEmpty) return None
+        sttsRuns.isEmpty || sttsRuns.exists { case (n, d) => n < 0 || d < 0 })
+      return None
     val szs = if (uniformSize > 0) Seq.fill(nSamples)(uniformSize) else sizes
-    if (szs.size != nSamples) return None
+    if (szs.size != nSamples || szs.exists(_ < 0)) return None
     val offsets = szs.scanLeft(chunkOffset)(_ + _)
     if (offsets.last > b.length) return None // truncated mdat
     val ticks = sttsRuns.flatMap { case (n, d) => Seq.fill(n)(d.toLong) }

@@ -27,6 +27,15 @@ object Profile {
   def summary(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "summary needs at least one column")
     require(cols.distinct.size == cols.size, "columns must be unique")
+    // cast("double") on a string column passes analysis and silently
+    // yields null stats under non-ANSI mode — check the actual types
+    cols.foreach { c =>
+      val dt = df.schema.find(_.name == c)
+        .getOrElse(throw new IllegalArgumentException(s"column $c not found"))
+        .dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"summary profiles numeric columns only; $c is $dt")
+    }
     val counters =
       count(lit(1)).as("__n") +:
       cols.zipWithIndex.flatMap { case (c, i) =>

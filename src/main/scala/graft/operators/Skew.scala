@@ -95,10 +95,11 @@ object Skew {
     * larger key sets (memory-rich drivers take 10⁸ keys at ~120 MB).
     * The build aggregation is a bitwise-OR merge:
     * deterministic under any partitioning. Probe rows with a NULL key
-    * hash to null and are dropped — correct for the inner/semi joins this
-    * pre-filter is for (a left join must keep unmatched probe rows, so
-    * filtering the probe side would be WRONG; compose left joins without
-    * this). */
+    * are dropped EXPLICITLY (xxhash64 hashes null to its seed, not to
+    * null, so the filter alone would pass them at ~fpp rate) — correct
+    * for the inner/semi joins this pre-filter is for (a left join must
+    * keep unmatched probe rows, so filtering the probe side would be
+    * WRONG; compose left joins without this). */
   def bloomPreFilter(
       probe: DataFrame,
       build: DataFrame,
@@ -118,9 +119,11 @@ object Skew {
       .select(GraftInternals.column(bloomAgg).as("__bloom"))
       .head().getAs[Array[Byte]](0)
     if (bloom == null) probe.filter(lit(false)) // empty build side: nothing joins
-    else probe.filter(GraftInternals.column(new BloomFilterMightContain(
-      Literal(bloom, BinaryType),
-      new XxHash64(Seq(GraftInternals.expression(col(probeKey)))))))
+    else probe
+      .filter(col(probeKey).isNotNull)
+      .filter(GraftInternals.column(new BloomFilterMightContain(
+        Literal(bloom, BinaryType),
+        new XxHash64(Seq(GraftInternals.expression(col(probeKey)))))))
   }
 
   /** [[bloomPreFilter]] composed with the real join: exact results

@@ -430,6 +430,14 @@ class ZOrderSpec extends SparkSpec {
       Graft.writeZOrdered(df, dir, Seq("a", "b"), numFiles = 0))
   }
 
+  test("degenerate inputs: all-null z-column degrades to one key, no crash") {
+    val df = Seq((1L, null.asInstanceOf[java.lang.Long]), (2L, null.asInstanceOf[java.lang.Long]))
+      .toDF("a", "b").select(col("a"), col("b").cast("long"))
+    val dir = tmpDir("zorder_nulls")
+    Graft.writeZOrdered(df, dir, Seq("a", "b"), numFiles = 2)
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
   test("zone map agrees with the data it describes") {
     val df = (0 until 300).map(i => (i.toLong, s"v$i")).toDF("k", "s")
     val dir = tmpDir("zonemap_chk")
@@ -486,6 +494,18 @@ class ResizeSpec extends SparkSpec {
     // truncated mdat and junk refuse rather than mis-slice
     assert(Multimodal.mp4FrameSample(b.take(b.length - 200), 1).isEmpty)
     assert(Multimodal.mp4FrameSample("junk".getBytes, 1).isEmpty)
+    // a declared-but-absent sample table must yield None, never an
+    // out-of-bounds read: corrupt stts entry count in place
+    val idx = {
+      def find(pat: String): Int = {
+        val p = pat.getBytes("US-ASCII")
+        (0 until b.length - 4).find(i => p.indices.forall(j => b(i + j) == p(j))).get
+      }
+      find("stts")
+    }
+    val evil = b.clone()
+    evil(idx + 8) = 0x7F.toByte // entry_count high byte → ~2 billion entries
+    assert(Multimodal.mp4FrameSample(evil, 1).isEmpty)
   }
 }
 
@@ -510,6 +530,12 @@ class ProfileSpec extends SparkSpec {
       byCol("b").getAs[Double]("max") == 30.0)
     val p = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty, p)
+  }
+
+  test("summary rejects non-numeric and missing columns loudly") {
+    val df = Seq((1.0, "x")).toDF("n", "s")
+    intercept[IllegalArgumentException](Profile.summary(df, Seq("s")))
+    intercept[IllegalArgumentException](Profile.summary(df, Seq("nope")))
   }
 
   test("histogram: sentinel buckets catch out-of-range, counts are exact") {
@@ -645,6 +671,18 @@ class TaggedReadSpec extends SparkSpec {
     assert(Graft.readPartitionedTable(spark, dir).count() == 5)
   }
 
+  test("a partition-scoped compaction still retires tags table-wide") {
+    val dir = freshTable()
+    // compact ONLY partition k=a; the b1 batch also lives in k=c
+    Graft.compactPartitionedTable(spark, dir, query = Q.eq("k", "a"))
+    // the tag window must be closed EVERYWHERE — a partial read would be
+    // silently wrong for an incremental consumer
+    intercept[GraftEmptyResultException](
+      Graft.readTaggedBatch(spark, dir, "b1").collect())
+    assert(Graft.listIngestTags(spark, dir).count() == 0)
+    assert(Graft.readPartitionedTable(spark, dir).count() == 5) // no data lost
+  }
+
   test("unknown tag fails loudly; unsafe tag rejected") {
     val dir = freshTable()
     intercept[GraftEmptyResultException](
@@ -715,6 +753,17 @@ class BloomJoinSpec extends SparkSpec {
     assert(buildKeys.subsetOf(keptKeys), "bloom false negative")
     // 1%-selective build at fpp=0.01: the filter must do its job
     assert(kept.count() < 1000, s"no reduction: ${kept.count()} of 5000 kept")
+  }
+
+  test("null probe keys are dropped explicitly (xxhash64 hashes null to its seed)") {
+    val probe = Seq[(java.lang.Long, String)]((1L, "a"), (null, "b"), (2L, "c"))
+      .toDF("k", "v").select(col("k").cast("long"), col("v"))
+    val build = Seq[(java.lang.Long, String)]((1L, "x"), (null, "y"))
+      .toDF("bk", "p").select(col("bk").cast("long"), col("p"))
+    val kept = Skew.bloomPreFilter(probe, build, "k", "bk")
+      .select("v").collect().map(_.getString(0)).toSet
+    assert(!kept.contains("b"), "null probe key must not survive the pre-filter")
+    assert(kept.contains("a"))
   }
 
   test("empty build side yields empty result; left join rejected") {
@@ -789,6 +838,16 @@ class TriangleSpec extends SparkSpec {
     assert(core == Set(0L, 1L, 2L, 3L))
     // above the degeneracy: everything peels, empty is the answer
     assert(Graph.kCore(edges, "src", "dst", k = 4).count() == 0)
+  } }
+
+  test("kCore refuses a truncated peel instead of returning a non-core") { drainCaches {
+    // a 20-node path peels one endpoint pair per round: ~10 rounds needed
+    val path = (0L until 19L).map(i => (i, i + 1))
+    intercept[IllegalArgumentException](
+      Graph.kCore(path.toDF("src", "dst"), "src", "dst", k = 2,
+        maxIterations = 3))
+    // with room to converge, the true 2-core of a path is empty
+    assert(Graph.kCore(path.toDF("src", "dst"), "src", "dst", k = 2).count() == 0)
   } }
 
   test("kCore: partition invariance and duplicate/direction collapse") { drainCaches {
