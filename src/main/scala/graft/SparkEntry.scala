@@ -1797,6 +1797,15 @@ object SparkEntry {
       .select("doc_id", "source")
       .orderBy("doc_id")
 
+  /** Token-distribution drift src0 vs src1: per-term smoothed
+    * probabilities and pointwise KL contributions, the WHICH-tokens-moved
+    * table. Oracle re-derives counts, joint vocab, and the identical
+    * probability/ln arithmetic. */
+  private def t29_kl_drift(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Collocations.tokenKlDrift(t(s, dir, "documents"),
+        "text", "source", "src0", "src1")
+      .orderBy("term")
+
   private def t14_normalize(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"),
         TextFunctions.normalize(col("text"), dropPunct = true).as("norm"))
@@ -2511,6 +2520,7 @@ object SparkEntry {
     "t21_negatives" -> (t21_negatives _),
     "t22_shuffle" -> (t22_shuffle _),
     "t24_pmi" -> (t24_pmi _),
+    "t29_kl_drift" -> (t29_kl_drift _),
     "t26_group_split" -> (t26_group_split _),
     "t27_sample_exact" -> (t27_sample_exact _),
     "t17_quantile_sketch" -> (t17_quantile_sketch _),
@@ -3939,6 +3949,27 @@ object SparkEntry {
            FROM cand)
          SELECT qid AS doc_id, CAST(j AS BIGINT) AS draw, cid AS neg_id
          FROM r WHERE rk = 1 ORDER BY doc_id, draw""",
+    // identical add-1 smoothing over the joint vocabulary; one rounded ln
+    "t29_kl_drift" ->
+      """WITH toks AS (SELECT source AS s, u.term
+           FROM (SELECT source, regexp_split_to_array(trim(text), '\s+') AS ws
+                 FROM documents WHERE source IN ('src0', 'src1')) w,
+             UNNEST(ws) AS u(term)),
+         c AS (SELECT s, term, CAST(count(*) AS BIGINT) AS c
+               FROM toks GROUP BY s, term),
+         m AS (SELECT COALESCE(a.term, b.term) AS term,
+             COALESCE(a.c, 0) AS c_a, COALESCE(b.c, 0) AS c_b
+           FROM (SELECT term, c FROM c WHERE s = 'src0') a
+           FULL OUTER JOIN (SELECT term, c FROM c WHERE s = 'src1') b
+             ON a.term = b.term),
+         t AS (SELECT SUM(c_a) AS n_a, SUM(c_b) AS n_b,
+             CAST(count(*) AS BIGINT) AS vocab FROM m)
+         SELECT m.term, m.c_a, m.c_b,
+           round(((m.c_a + 1) / CAST(t.n_a + t.vocab AS DOUBLE)) *
+             ln(((m.c_a + 1) / CAST(t.n_a + t.vocab AS DOUBLE)) /
+               ((m.c_b + 1) / CAST(t.n_b + t.vocab AS DOUBLE))), 6)
+             AS kl_contrib
+         FROM m, t ORDER BY m.term""",
     // counts re-derived from scratch; the PMI expression mirrors the
     // operator's division order exactly so only ln's last ulp differs,
     // absorbed by the shared 6-decimal rounding

@@ -32,6 +32,53 @@ object Collocations {
     * joins, so the join inputs are the collocation vocabulary, not the
     * raw pair stream; hot words ("the") are skew-benign on the unigram
     * side — one build row per word. */
+  /** Token-distribution drift between two corpus slices: for every term
+    * of the JOINT vocabulary, the slices' add-1-smoothed probabilities
+    * and the term's pointwise KL contribution
+    * `round(pA·ln(pA/pB), 6)` — the per-term decomposition of
+    * KL(A‖B), which is what a drift investigation actually reads (WHICH
+    * tokens moved), with the scalar KL one exact-decimal sum away
+    * (contributions are pre-rounded, so summing them as DECIMAL is
+    * aggregation-order-proof). The distribution-level companion to
+    * [[Dedup.corpusDiff]]'s row-level diff: crawl N vs crawl N+1, or
+    * source A vs source B under one mixing policy.
+    *
+    * Add-1 smoothing over the joint vocabulary keeps every ratio finite
+    * (a term absent from B contributes a large positive drift instead of
+    * ∞). Counts are exact integers; ln is the single rounded step (the
+    * t20 transcendental convention).
+    *
+    * 100 TB shape: ONE token-explode count aggregation keyed by
+    * (slice, term), a vocabulary-sized full-outer self-merge, broadcast
+    * one-row totals — the same cost class as any n-gram count. */
+  def tokenKlDrift(
+      df: DataFrame,
+      textCol: String,
+      sliceCol: String,
+      a: String,
+      b: String): DataFrame = {
+    require(a != b, "comparing a slice to itself is always zero drift")
+    val toks = df.filter(col(sliceCol).isin(a, b))
+      .select(col(sliceCol).as("__s"),
+        explode(graft.functions.TextFunctions.words(col(textCol))).as("term"))
+    val counts = toks.groupBy("__s", "term").agg(count(lit(1)).as("c"))
+    val ca = counts.filter(col("__s") === a).select(col("term"), col("c").as("c_a"))
+    val cb = counts.filter(col("__s") === b).select(col("term"), col("c").as("c_b"))
+    val merged = ca.join(cb, Seq("term"), "full_outer")
+      .select(col("term"),
+        coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+    val totals = merged.agg(
+      sum(col("c_a")).as("n_a"), sum(col("c_b")).as("n_b"),
+      count(lit(1)).as("vocab"))
+    merged.crossJoin(broadcast(totals))
+      .select(col("term"), col("c_a"), col("c_b"),
+        round(((col("c_a") + 1).cast("double") / (col("n_a") + col("vocab"))) *
+          log(((col("c_a") + 1).cast("double") / (col("n_a") + col("vocab"))) /
+            ((col("c_b") + 1).cast("double") / (col("n_b") + col("vocab")))), 6)
+          .as("kl_contrib"))
+  }
+
   def pmiBigrams(
       df: DataFrame,
       textCol: String,

@@ -719,6 +719,30 @@ class CollocationsSpec extends SparkSpec {
     assert(out == Map(("x", "y") -> 2L))
   }
 
+  test("tokenKlDrift: hand-computed contributions; absent terms drift positive") {
+    val docs = Seq(
+      ("A", "x x y"), ("A", "x"),
+      ("B", "x y y"), ("B", "z")
+    ).toDF("src", "text")
+    val out = Collocations.tokenKlDrift(docs, "text", "src", "A", "B")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // counts: A: x=3, y=1 (nA=4); B: x=1, y=2, z=1 (nB=4); vocab=3
+    assert(out.keySet == Set("x", "y", "z"))
+    def contrib(ca: Long, cb: Long): Double = {
+      val pA = (ca + 1).toDouble / 7; val pB = (cb + 1).toDouble / 7
+      BigDecimal(pA * math.log(pA / pB))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out("x") == (3L, 1L, contrib(3, 1)))
+    assert(out("y") == (1L, 2L, contrib(1, 2)))
+    // z absent from A: its smoothed pA < pB → negative contribution;
+    // a term absent from B (none here) would drift positive
+    assert(out("z")._3 < 0)
+    intercept[IllegalArgumentException](
+      Collocations.tokenKlDrift(docs, "text", "src", "A", "A"))
+  }
+
   test("plan: the unigram aggregation is computed once and reused") {
     val docs = (0 until 100)
       .map(i => s"w${i % 7} w${(i + 1) % 7} w${(i + 2) % 7}").toDF("text")
