@@ -547,6 +547,92 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
+  /** Ranking/navigation window suite — the window functions no other gate
+    * exercises: `ntile`, `percent_rank`, `cume_dist`, `lag`, `lead` over one
+    * per-customer ordered window. The (date, key) tiebreak makes every peer
+    * group a singleton, so rank arithmetic is deterministic; percent_rank /
+    * cume_dist are small-integer IEEE divisions, bit-identical across
+    * engines; lag/lead pass raw parquet doubles through untouched.
+    * ONE shuffle on `o_custkey` serves all five functions. */
+  private def q40_window_suite(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        ntile(4).over(w).as("tile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"))
+      .orderBy("o_orderkey")
+  }
+
+  /** UNPIVOT / melt: wide per-flag measure columns back to long
+    * (measure, value) rows via `stack` — the inverse of q28's pivot.
+    * The melt is a zero-shuffle generator over the tiny aggregated frame;
+    * at 100 TB the same shape melts a wide metrics table map-side. */
+  private def q41_unpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        dsum(col("l_discount")).as("sum_disc"))
+      .select(col("l_returnflag"),
+        expr("stack(3, 'sum_qty', sum_qty, 'sum_price', sum_price," +
+          " 'sum_disc', sum_disc) AS (measure, value)"))
+      .orderBy("l_returnflag", "measure")
+
+  /** Robust outlier detection per group: median + MAD (both exact
+    * interpolated percentiles) of customer balances per market segment,
+    * outlier = |x − median| > 3 × 1.4826 × MAD (the normal-consistent
+    * MAD scale). Two grouped percentile aggregations over the SAME
+    * `c_mktsegment` shuffle (the deviation pass reuses the first's
+    * partitioning via a broadcast stats join), never a per-row sort.
+    * The comparison replays with identical operand order in the oracle,
+    * so the IEEE arithmetic is bit-equal. */
+  private def q42_outliers(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val med = c.groupBy("c_mktsegment")
+      .agg(expr("percentile(c_acctbal, 0.5)").as("med"))
+    val dev = c.join(broadcast(med), "c_mktsegment")
+      .withColumn("adev", abs(col("c_acctbal") - col("med")))
+    val mad = dev.groupBy("c_mktsegment")
+      .agg(first(col("med")).as("med"),
+        expr("percentile(adev, 0.5)").as("mad"),
+        count(lit(1)).as("n"))
+    dev.join(broadcast(mad.select("c_mktsegment", "mad")), "c_mktsegment")
+      .groupBy("c_mktsegment")
+      .agg(sum(when(col("adev") > lit(3.0) * lit(1.4826) * col("mad"), 1L)
+        .otherwise(0L)).as("n_outliers"))
+      .join(mad, "c_mktsegment")
+      .select("c_mktsegment", "n", "med", "mad", "n_outliers")
+      .orderBy("c_mktsegment")
+  }
+
+  /** Equi-depth (quantile) binning — the complement of q36's equi-width
+    * histogram: exact p25/p50/p75 boundaries over order totals, then one
+    * counting pass with the three boundaries broadcast as a one-row stats
+    * frame (the documented crossJoin-on-stats shape). Bins are half-open
+    * on the boundary value: bin k holds (q_{k-1}, q_k]. */
+  private def q43_equidepth(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val qs = o.agg(
+      expr("percentile(o_totalprice, 0.25)").as("q1"),
+      expr("percentile(o_totalprice, 0.5)").as("q2"),
+      expr("percentile(o_totalprice, 0.75)").as("q3"))
+    o.crossJoin(broadcast(qs))
+      .select(
+        when(col("o_totalprice") <= col("q1"), 0)
+          .when(col("o_totalprice") <= col("q2"), 1)
+          .when(col("o_totalprice") <= col("q3"), 2)
+          .otherwise(3).as("bin"),
+        col("q1"), col("q2"), col("q3"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), first(col("q1")).as("q1"),
+        first(col("q2")).as("q2"), first(col("q3")).as("q3"))
+      .orderBy("bin")
+  }
+
   /** Batch sessionization: 6-hour-gap sessions per user over the event
     * log (median per-user inter-event gap at this SF is ~7.3 h, so the
     * threshold splits streams non-degenerately), with per-session event
@@ -2259,6 +2345,16 @@ object SparkEntry {
         "text", k = 3)
       .orderBy("doc_id", "rank")
 
+  /** Conversation assembly over the event log: per-user ordered
+    * transcript of "event_type: props" lines, capped at 50 turns (some
+    * users exceed it at this SF, so the WindowGroupLimit cap binds and
+    * the oracle replays it). See [[graft.operators.Conversations]]. */
+  private def t30_conversations(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Conversations.assemble(
+        Fixtures.events(s, dir), "user_id", "ts", "event_id",
+        roleCol = col("event_type"), textCol = col("props"), maxTurns = 50)
+      .orderBy("user_id")
+
   /** Ordered-step funnel view→click→purchase per user: each step's first
     * strictly-later completion, one shuffle, stacked same-partition
     * windows. See [[graft.operators.Funnel]]. */
@@ -2409,6 +2505,11 @@ object SparkEntry {
     "s29_profile" -> (s29_profile _),
     "s30_zonemap" -> (s30_zonemap _),
     "q36_histogram" -> (q36_histogram _),
+    "q40_window_suite" -> (q40_window_suite _),
+    "q41_unpivot" -> (q41_unpivot _),
+    "q42_outliers" -> (q42_outliers _),
+    "q43_equidepth" -> (q43_equidepth _),
+    "t30_conversations" -> (t30_conversations _),
     "s18_scan_lazy" -> (s18_scan_lazy _),
     "s21_scan_identity" -> (s21_scan_identity _),
     "s9_scan_csv" -> (s9_scan_csv _),
@@ -2761,6 +2862,71 @@ object SparkEntry {
            0.0 + (bucket + 1) * 25000.0 AS bucket_hi,
            CAST(COUNT(*) AS BIGINT) AS n
          FROM b GROUP BY bucket ORDER BY bucket""",
+    "q40_window_suite" ->
+      """SELECT o_orderkey, o_custkey,
+           CAST(ntile(4) OVER w AS INT) AS tile,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd,
+           lag(o_totalprice) OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_orderkey""",
+    "q41_unpivot" ->
+      """WITH a AS (SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))) AS DOUBLE) AS sum_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(10,2))) AS DOUBLE) AS sum_disc
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM a
+         UNION ALL
+         SELECT l_returnflag, 'sum_price', sum_price FROM a
+         UNION ALL
+         SELECT l_returnflag, 'sum_disc', sum_disc FROM a
+         ORDER BY l_returnflag, measure""",
+    "q42_outliers" ->
+      """WITH med AS (SELECT c_mktsegment,
+             quantile_cont(c_acctbal, 0.5) AS med
+           FROM customer GROUP BY c_mktsegment),
+         dev AS (SELECT c.c_mktsegment, m.med,
+             abs(c.c_acctbal - m.med) AS adev
+           FROM customer c JOIN med m USING (c_mktsegment)),
+         mad AS (SELECT c_mktsegment, min(med) AS med,
+             quantile_cont(adev, 0.5) AS mad,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM dev GROUP BY c_mktsegment),
+         o AS (SELECT d.c_mktsegment,
+             CAST(SUM(CASE WHEN d.adev > 3.0 * 1.4826 * m.mad
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+           FROM dev d JOIN mad m USING (c_mktsegment)
+           GROUP BY d.c_mktsegment)
+         SELECT m.c_mktsegment, m.n, m.med, m.mad, o.n_outliers
+         FROM mad m JOIN o USING (c_mktsegment)
+         ORDER BY m.c_mktsegment""",
+    "q43_equidepth" ->
+      """WITH q AS (SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+             quantile_cont(o_totalprice, 0.5) AS q2,
+             quantile_cont(o_totalprice, 0.75) AS q3
+           FROM orders),
+         b AS (SELECT CASE WHEN o_totalprice <= q.q1 THEN 0
+             WHEN o_totalprice <= q.q2 THEN 1
+             WHEN o_totalprice <= q.q3 THEN 2
+             ELSE 3 END AS bin, q.q1, q.q2, q.q3
+           FROM orders, q)
+         SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+           min(q1) AS q1, min(q2) AS q2, min(q3) AS q3
+         FROM b GROUP BY bin ORDER BY bin""",
+    "t30_conversations" ->
+      """WITH r AS (SELECT user_id, event_type || ': ' || props AS line,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS seq
+           FROM events),
+         k AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+             string_agg(line, chr(10) ORDER BY seq) AS transcript
+           FROM r WHERE seq <= 50 GROUP BY user_id)
+         SELECT user_id, n_turns, transcript,
+           CAST(length(transcript) AS BIGINT) AS n_chars
+         FROM k ORDER BY user_id""",
     // the stream must land on the batch truth: same counters over the
     // whole events table
     "st12_stream_audit" ->
