@@ -2025,6 +2025,21 @@ object SparkEntry {
       .select(col("label"), col("pos"), round(col("v"), 6).as("v"))
       .orderBy("label", "pos")
 
+  private val PcaFixture = "/tmp/graft_fixtures/pca_model.parquet"
+
+  /** Distributed PCA: one-pass covariance fit (native partial aggregate)
+    * + driver Jacobi on the 64×64 covariance + shuffle-free projection.
+    * The fitted components persist as a fixture and DuckDB replays every
+    * projection as `list_dot_product(x, comp) − mean_dot` — the same
+    * sequential double arithmetic, so the hash pins bit parity. */
+  private def e4_pca(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val model = graft.operators.Pca.fit(emb, "embedding", k = 4)
+    graft.operators.Pca.writeModel(s, model, PcaFixture)
+    graft.operators.Pca.projectLong(emb, "vec_id", "embedding", model)
+      .orderBy("vec_id", "pc")
+  }
+
   /** Real header decode over synthetic-but-valid PNG/GIF/BMP/JPEG payloads:
     * the oracle reproduces the fixture's construction arithmetic, so the
     * hash match proves the byte-level parse inverts the construction. */
@@ -2633,6 +2648,7 @@ object SparkEntry {
     "e1_quantize" -> (e1_quantize _),
     "e2_l2norm" -> (e2_l2norm _),
     "e3_meanpool" -> (e3_meanpool _),
+    "e4_pca" -> (e4_pca _),
     "m1_multimodal" -> (m1_multimodal _),
     "m4_pixels" -> (m4_pixels _),
     "m8_resize" -> (m8_resize _),
@@ -4493,6 +4509,14 @@ object SparkEntry {
            FROM embeddings)
          SELECT label, pos, round(avg(val), 6) AS v
          FROM x GROUP BY label, pos ORDER BY label, pos""",
+    // replay the projection from the persisted components: the dot product
+    // is the same sequential double sum in both engines, so no rounding
+    "e4_pca" ->
+      """SELECT e.vec_id, f.pc,
+           list_dot_product(e.embedding, f.comp) - f.mean_dot AS coord
+         FROM embeddings e,
+           read_parquet('/tmp/graft_fixtures/pca_model.parquet/*.parquet') f
+         ORDER BY e.vec_id, f.pc""",
     "st3_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
          ORDER BY user_id, event_type""",
