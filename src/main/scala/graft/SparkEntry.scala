@@ -137,6 +137,43 @@ object SparkEntry {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Retention vacuum: crash residue from all three write protocols is
+    * planted in a partitioned table (dead tagged-append staging, dead
+    * compaction staging, dead Spark `_temporary`), with a live commit
+    * marker alongside. [[graft.api.Graft.vacuum]] must remove exactly the
+    * residue (counts and marker survival `require`d in-gate — loud) and
+    * the hash gate proves the data files are untouched. */
+  private def s31_vacuum(s: SparkSession, dir: String): DataFrame = {
+    val out = s"/tmp/graft_fixtures/vacuum_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val conf = s.sessionState.newHadoopConf()
+    val bp = new org.apache.hadoop.fs.Path(out)
+    val fs = bp.getFileSystem(conf)
+    fs.delete(bp, true)
+    val sub = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity",
+        "l_returnflag", "l_linestatus")
+    Graft.writePartitionedTable(sub, out, Seq("l_returnflag", "l_linestatus"))
+    def touch(rel: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(out, rel)
+      fs.mkdirs(p.getParent)
+      val o = fs.create(p, true); o.write(120); o.close()
+    }
+    touch(".graft_ingest_staging_dead/part-00000.parquet")
+    touch("l_returnflag=R/l_linestatus=F/.graft_compact_dead/part-00000.parquet")
+    touch("_temporary/0/_temporary/attempt_x/part-00000.parquet")
+    touch("_graft_ingest_commit_keep")
+    val stats = Graft.vacuum(s, out, olderThanMs = 0)
+    require(stats.stagingDirs == 1 && stats.compactDirs == 1 &&
+        stats.tempDirs == 1 && stats.filesRemoved == 3,
+      s"vacuum removed the wrong residue set: $stats")
+    require(fs.exists(new org.apache.hadoop.fs.Path(out, "_graft_ingest_commit_keep")),
+      "vacuum must not touch commit markers")
+    Graft.readPartitionedTable(s, out)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_returnflag"), col("l_linestatus"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** MERGE INTO gate: orders lands as a priority-partitioned table, then one
     * merge applies updates (key%7: price doubled), tombstone deletes
     * (key%13, not %7) and inserts (key%11 under shifted keys) in a single
@@ -2360,6 +2397,13 @@ object SparkEntry {
         "text", k = 3)
       .orderBy("doc_id", "rank")
 
+  /** Hashing-trick TF vectors at 64 buckets — vocabulary-free featurization;
+    * the md5 bucketing replays byte-for-byte in the oracle. */
+  private def t31_feature_hash(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Retrieval.hashingTf(t(s, dir, "documents"),
+        "doc_id", "text", numBuckets = 64)
+      .orderBy("doc_id", "bucket")
+
   /** Conversation assembly over the event log: per-user ordered
     * transcript of "event_type: props" lines, capped at 50 turns (some
     * users exceed it at this SF, so the WindowGroupLimit cap binds and
@@ -2513,6 +2557,7 @@ object SparkEntry {
     "s15_scan_lex" -> (s15_scan_lex _),
     "s17_write_roundtrip" -> (s17_write_roundtrip _),
     "s24_write_partitioned" -> (s24_write_partitioned _),
+    "s31_vacuum" -> (s31_vacuum _),
     "s25_compact" -> (s25_compact _),
     "s26_merge" -> (s26_merge _),
     "s27_read_tagged" -> (s27_read_tagged _),
@@ -2525,6 +2570,7 @@ object SparkEntry {
     "q42_outliers" -> (q42_outliers _),
     "q43_equidepth" -> (q43_equidepth _),
     "t30_conversations" -> (t30_conversations _),
+    "t31_feature_hash" -> (t31_feature_hash _),
     "s18_scan_lazy" -> (s18_scan_lazy _),
     "s21_scan_identity" -> (s21_scan_identity _),
     "s9_scan_csv" -> (s9_scan_csv _),
@@ -2802,6 +2848,9 @@ object SparkEntry {
     "s25_compact" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_linestatus
          FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "s31_vacuum" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_linestatus
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
     "s18_scan_lazy" ->
       """SELECT n_nationkey, n_name, n_regionkey,
          'good' AS src FROM nation ORDER BY n_nationkey""",
@@ -2943,6 +2992,15 @@ object SparkEntry {
          SELECT user_id, n_turns, transcript,
            CAST(length(transcript) AS BIGINT) AS n_chars
          FROM k ORDER BY user_id""",
+    "t31_feature_hash" ->
+      """WITH w AS (SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+           FROM documents WHERE trim(text) <> ''),
+         b AS (SELECT doc_id,
+             CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) % 64 AS bucket
+           FROM w)
+         SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS tf
+         FROM b GROUP BY doc_id, bucket ORDER BY doc_id, bucket""",
     // the stream must land on the batch truth: same counters over the
     // whole events table
     "st12_stream_audit" ->

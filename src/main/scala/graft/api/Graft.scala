@@ -26,6 +26,15 @@ final case class CompactionStats(
     filesAfter: Long,
     bytesCompacted: Long)
 
+/** One retention-vacuum pass's outcome (see [[Graft.vacuum]]). */
+final case class VacuumStats(
+    stagingDirs: Int,
+    compactDirs: Int,
+    tempDirs: Int,
+    filesRemoved: Long,
+    bytesRemoved: Long,
+    skippedRecent: Int)
+
 /** One merge pass's outcome (see [[Graft.mergePartitionedTable]]). */
 final case class MergeStats(
     partitionsAffected: Int,
@@ -1453,6 +1462,79 @@ object Graft {
           filesAfter = filesBefore - candidates.map(_._3.toLong).sum + newCounts.map(_.toLong).sum,
           bytesCompacted = candidates.map(_._2).sum)
       }
+    }
+  }
+
+  /** Retention vacuum: delete CRASH RESIDUE left by the write protocols —
+    * hidden `.graft_ingest_staging_<tag>` trees (a tagged append that died
+    * before its rename commit), hidden `.graft_compact_<id>` trees (a
+    * compaction rewrite that died before its swap), and Spark `_temporary`
+    * trees (a plain write that died before its job commit) — when their
+    * directory is older than `olderThanMs`. Metadata-only: one recursive
+    * listing, deletes by directory rename/unlink, never a data read.
+    *
+    * What it deliberately does NOT touch:
+    *  - `retired-*.parquet` files: those are LIVE DATA — compaction renames
+    *    skipped tagged files to end the tag's addressability, it does not
+    *    mark them garbage;
+    *  - `_graft_ingest_commit_*` markers: live replay-protection state —
+    *    deleting one re-opens exactly-once ingest to a double-commit on a
+    *    late replay. They are O(batches) empty files; compact the index to
+    *    reclaim them is the wrong trade, so they stay;
+    *  - `_spark_metadata`: a streaming sink's manifest (its own contract).
+    *
+    * The retention contract mirrors every table-maintenance VACUUM: the
+    * caller asserts no writer that started before `now − olderThanMs` is
+    * still alive (a live staged write younger than that is protected by
+    * the age check; one OLDER than the retention is indistinguishable from
+    * a crash — that is what the retention window means). Safe default: an
+    * hour dwarfs any real append/compaction; `0` is for tests. */
+  def vacuum(
+      spark: SparkSession,
+      url: String,
+      olderThanMs: Long = 3600L * 1000,
+      fsConf: Map[String, String] = Map.empty): VacuumStats = {
+    require(olderThanMs >= 0, "olderThanMs must be >= 0")
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    withFs(spark, url, fsConf) { fs =>
+      val root = fs.makeQualified(new Path(url))
+      var staging = 0; var compact = 0; var temp = 0
+      var files = 0L; var bytes = 0L; var recent = 0
+      def residueKind(name: String): Option[Int] =
+        if (name.startsWith(".graft_ingest_staging_")) Some(0)
+        else if (name.startsWith(".graft_compact_")) Some(1)
+        else if (name == "_temporary") Some(2)
+        else None
+      def measure(p: Path): Unit =
+        fs.listStatus(p).foreach { st =>
+          if (st.isDirectory) measure(st.getPath)
+          else { files += 1; bytes += st.getLen }
+        }
+      def walk(dir: Path): Unit =
+        fs.listStatus(dir).foreach { st =>
+          if (st.isDirectory) {
+            val name = st.getPath.getName
+            residueKind(name) match {
+              case Some(kind) =>
+                if (st.getModificationTime < cutoff) {
+                  measure(st.getPath)
+                  require(fs.delete(st.getPath, true),
+                    s"vacuum: failed to delete ${st.getPath}")
+                  kind match {
+                    case 0 => staging += 1
+                    case 1 => compact += 1
+                    case _ => temp += 1
+                  }
+                } else recent += 1
+              case None =>
+                // descend through data dirs (incl. key=value partitions);
+                // other hidden/system trees are left alone, unvisited
+                if (!name.startsWith(".") && !name.startsWith("_")) walk(st.getPath)
+            }
+          }
+        }
+      if (fs.exists(root)) walk(root)
+      VacuumStats(staging, compact, temp, files, bytes, recent)
     }
   }
 

@@ -435,4 +435,31 @@ object Retrieval {
       .groupBy(col(idCol))
       .agg(sum(col("__rr")).as("rrf_score"), count(lit(1)).as("n_lists"))
   }
+
+  /** Hashing-trick term-frequency vectors (sparse long format): one row
+    * per (doc, bucket) with `tf` = number of tokens hashing there.
+    * `bucket = first-32-bits-of-md5(token) mod numBuckets` — md5 so ANY
+    * engine replays the bucketing byte-for-byte (the repo's cross-engine
+    * hash convention; Spark's murmur `hash()` has no DuckDB twin).
+    *
+    * The hashing trick needs no vocabulary pass — unlike TF-IDF there is
+    * no global dictionary to build or broadcast, which is the point at
+    * 100 TB: ONE explode + ONE partially-aggregated shuffle keyed on
+    * (doc, bucket), output bounded by docs × numBuckets however large the
+    * vocabulary grows. Empty documents disappear (sparse semantics —
+    * every absent (doc, bucket) is an implicit zero). */
+  def hashingTf(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numBuckets: Int): DataFrame = {
+    require(numBuckets >= 2, s"numBuckets must be >= 2, got $numBuckets")
+    df.select(col(idCol),
+        explode(TextFunctions.words(col(textCol))).as("__w"))
+      .select(col(idCol),
+        pmod(conv(substring(md5(col("__w")), 1, 8), 16, 10).cast("long"),
+          lit(numBuckets.toLong)).as("bucket"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("tf"))
+  }
 }

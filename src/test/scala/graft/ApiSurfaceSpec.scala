@@ -213,4 +213,34 @@ class ApiSurfaceSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
     assert(res == Map("a" -> 13, "b" -> 5))
   }
+
+  test("vacuum: retention window protects young residue; zero-retention sweeps it") {
+    import spark.implicits._
+    val out = tmpDir("vacuum_api")
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    Graft.writePartitionedTable(
+      Seq((1, "a"), (2, "b")).toDF("k", "p"), out, Seq("p"))
+    def touch(rel: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(out, rel)
+      fs.mkdirs(p.getParent)
+      val o = fs.create(p, true); o.write(1); o.close()
+    }
+    touch(".graft_ingest_staging_x/part-0.parquet")
+    touch("p=a/.graft_compact_y/part-0.parquet")
+    // a generous retention treats the fresh residue as a possibly-live writer
+    val kept = Graft.vacuum(spark, out, olderThanMs = 3600L * 1000)
+    assert(kept.stagingDirs == 0 && kept.compactDirs == 0 &&
+      kept.filesRemoved == 0 && kept.skippedRecent == 2, kept.toString)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(out, ".graft_ingest_staging_x")))
+    // zero retention sweeps both; a second pass is an idempotent no-op
+    val swept = Graft.vacuum(spark, out, olderThanMs = 0)
+    assert(swept.stagingDirs == 1 && swept.compactDirs == 1 &&
+      swept.filesRemoved == 2 && swept.skippedRecent == 0, swept.toString)
+    val again = Graft.vacuum(spark, out, olderThanMs = 0)
+    assert(again.filesRemoved == 0 &&
+      again.stagingDirs + again.compactDirs + again.tempDirs == 0)
+    // data unaffected
+    assert(Graft.readPartitionedTable(spark, out).count() == 2)
+  }
 }
