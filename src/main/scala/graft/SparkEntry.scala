@@ -174,6 +174,33 @@ object SparkEntry {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Enforced (quarantine-routed) write: every lineitem row lands either
+    * in the clean table or in quarantine with the comma-joined names of
+    * the checks it failed — one scan, one partitionBy-routed write, the
+    * TaggedAppend idempotency protocol in both destinations. The gate
+    * reads BOTH tables back; the oracle recomputes every verdict and
+    * reason string, so a row lost, duplicated, or mis-routed anywhere in
+    * the stage-and-rename pipeline breaks the hash. */
+  private def s32_quarantine(s: SparkSession, dir: String): DataFrame = {
+    val base = s"/tmp/graft_fixtures/enforce_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val conf = s.sessionState.newHadoopConf()
+    val bp = new org.apache.hadoop.fs.Path(base)
+    bp.getFileSystem(conf).delete(bp, true)
+    val li = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+    val checks = Seq(
+      "qty_le_30" -> (col("l_quantity") <= 30),
+      "disc_le_08" -> (col("l_discount") <= 0.08))
+    val (nOk, nBad) = graft.operators.Enforce.writeRouted(
+      li, checks, s"$base/clean", s"$base/quarantine", tag = "b1")
+    require(nOk > 0 && nBad > 0, s"expected both routes non-empty: $nOk/$nBad")
+    s.read.parquet(s"$base/clean").withColumn("status", lit("ok"))
+      .unionByName(s.read.parquet(s"$base/quarantine")
+        .withColumn("status", lit("quarantined")))
+      .select("l_orderkey", "l_linenumber", "status", "gr_reasons")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** MERGE INTO gate: orders lands as a priority-partitioned table, then one
     * merge applies updates (key%7: price doubled), tombstone deletes
     * (key%13, not %7) and inserts (key%11 under shifted keys) in a single
@@ -2558,6 +2585,7 @@ object SparkEntry {
     "s17_write_roundtrip" -> (s17_write_roundtrip _),
     "s24_write_partitioned" -> (s24_write_partitioned _),
     "s31_vacuum" -> (s31_vacuum _),
+    "s32_quarantine" -> (s32_quarantine _),
     "s25_compact" -> (s25_compact _),
     "s26_merge" -> (s26_merge _),
     "s27_read_tagged" -> (s27_read_tagged _),
@@ -2851,6 +2879,17 @@ object SparkEntry {
     "s31_vacuum" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_linestatus
          FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "s32_quarantine" ->
+      """SELECT l_orderkey, l_linenumber,
+           CASE WHEN r = '' THEN 'ok' ELSE 'quarantined' END AS status,
+           r AS gr_reasons
+         FROM (SELECT l_orderkey, l_linenumber, concat_ws(',',
+             CASE WHEN NOT coalesce(l_quantity <= 30, FALSE)
+               THEN 'qty_le_30' END,
+             CASE WHEN NOT coalesce(l_discount <= 0.08, FALSE)
+               THEN 'disc_le_08' END) AS r
+           FROM lineitem)
+         ORDER BY l_orderkey, l_linenumber""",
     "s18_scan_lazy" ->
       """SELECT n_nationkey, n_name, n_regionkey,
          'good' AS src FROM nation ORDER BY n_nationkey""",

@@ -155,4 +155,39 @@ class IngestProtocolSpec extends SparkSpec {
       assert(readRows(path) == model, s"end of run $run: $ops")
     }
   }
+
+  test("routed enforcement: exhaustive split, replay-idempotent, verdict collision refused") {
+    import spark.implicits._
+    val base = tmpDir("enforce_route")
+    val clean = s"$base/clean"; val quar = s"$base/quar"
+    val df = Seq((1, Some(5.0)), (2, Some(-1.0)), (3, Some(10.0)),
+        (4, Option.empty[Double]))
+      .toDF("k", "v")
+      // null v: the predicate evaluates null → violation (audit convention)
+    val checks = Seq("v_pos" -> (col("v") > 0), "k_lt_4" -> (col("k") < 4))
+    val (nOk, nBad) = graft.operators.Enforce.writeRouted(
+      df, checks, clean, quar, tag = "t1")
+    assert(nOk >= 1 && nBad >= 1)
+    val cleanRows = spark.read.parquet(clean).select("k").as[Int].collect().sorted
+    val quarRows = spark.read.parquet(quar)
+      .select("k", "gr_reasons").as[(Int, String)].collect().sortBy(_._1)
+    assert(cleanRows.toSeq == Seq(1, 3))
+    assert(quarRows.toSeq == Seq((2, "v_pos"), (4, "v_pos,k_lt_4")))
+    // nothing dropped, nothing doubled
+    assert(cleanRows.length + quarRows.length == 4)
+    // replaying the SAME tag converges (no duplication in either table)
+    graft.operators.Enforce.writeRouted(df, checks, clean, quar, tag = "t1")
+    assert(spark.read.parquet(clean).count() == 2)
+    assert(spark.read.parquet(quar).count() == 2)
+    // a DIFFERENT tag appends alongside (batch semantics)
+    graft.operators.Enforce.writeRouted(
+      df.filter(col("k") === 1), checks, clean, quar, tag = "t2")
+    assert(spark.read.parquet(clean).count() == 3)
+    // verdict-column collision is refused loudly
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Enforce.tag(
+        df.withColumn("gr_ok", lit("x")), checks)
+    }
+    assert(e.getMessage.contains("gr_ok"))
+  }
 }
