@@ -174,6 +174,31 @@ object SparkEntry {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Bloom-sidecar file skipping: orders range-clustered on the key into 8
+    * files, per-file blooms built in one grouped aggregation, then a
+    * 3-key point lookup that must (a) prune files (`require`d in-gate)
+    * and (b) return EXACTLY the full-scan answer — the oracle is the
+    * plain IN query, so a bloom that skips a live file breaks the hash. */
+  private def s33_bloom_skip(s: SparkSession, dir: String): DataFrame = {
+    val out = s"/tmp/graft_fixtures/bloom_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val conf = s.sessionState.newHadoopConf()
+    val bp = new org.apache.hadoop.fs.Path(out)
+    bp.getFileSystem(conf).delete(bp, true)
+    t(s, dir, "orders").repartitionByRange(8, col("o_orderkey"))
+      .write.parquet(out)
+    val covered = graft.index.BloomSidecar.write(s, out, "o_orderkey",
+      fpp = 0.01, expectedPerFile = 100000L)
+    val keys: Seq[Any] = Seq(1L, 4242L, 9999L)
+    val cand = graft.index.BloomSidecar.candidateFiles(s, out, "o_orderkey", keys)
+    require(cand.nonEmpty && cand.size < covered,
+      s"bloom lookup must prune files: ${cand.size} of $covered")
+    graft.index.BloomSidecar.readWithSkip(s, out, "o_orderkey", keys)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate").cast("date").as("o_date"),
+        col("o_orderpriority"))
+      .orderBy("o_orderkey")
+  }
+
   /** Enforced (quarantine-routed) write: every lineitem row lands either
     * in the clean table or in quarantine with the comma-joined names of
     * the checks it failed — one scan, one partitionBy-routed write, the
@@ -2586,6 +2611,7 @@ object SparkEntry {
     "s24_write_partitioned" -> (s24_write_partitioned _),
     "s31_vacuum" -> (s31_vacuum _),
     "s32_quarantine" -> (s32_quarantine _),
+    "s33_bloom_skip" -> (s33_bloom_skip _),
     "s25_compact" -> (s25_compact _),
     "s26_merge" -> (s26_merge _),
     "s27_read_tagged" -> (s27_read_tagged _),
@@ -2890,6 +2916,11 @@ object SparkEntry {
                THEN 'disc_le_08' END) AS r
            FROM lineitem)
          ORDER BY l_orderkey, l_linenumber""",
+    "s33_bloom_skip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           CAST(o_orderdate AS DATE) AS o_date, o_orderpriority
+         FROM orders WHERE o_orderkey IN (1, 4242, 9999)
+         ORDER BY o_orderkey""",
     "s18_scan_lazy" ->
       """SELECT n_nationkey, n_name, n_regionkey,
          'good' AS src FROM nation ORDER BY n_nationkey""",

@@ -577,4 +577,41 @@ class ReadPathSpec extends SparkSpec {
     assert(all.map { case (p, line) => (p.columns("k"), line) }
       == Seq(("1", "alpha"), ("2", "beta")))
   }
+
+  test("bloom sidecar: prunes files, exact answers, stale-fails-closed, string keys") {
+    import spark.implicits._
+    import graft.index.BloomSidecar
+    val out = tmpDir("bloom_tbl")
+    // 4 range-clustered files over disjoint key ranges
+    (0 until 400).map(i => (i.toLong, s"name_$i")).toDF("id", "name")
+      .repartitionByRange(4, col("id")).write.mode("overwrite").parquet(out)
+    assert(BloomSidecar.write(spark, out, "id", fpp = 0.01,
+      expectedPerFile = 1000) == 4)
+    // a single-range key set must hit a strict file subset
+    val cand = BloomSidecar.candidateFiles(spark, out, "id", Seq(7L, 9L))
+    assert(cand.nonEmpty && cand.size < 4, cand.toString)
+    // pruned read == full-scan filter, including a key that doesn't exist
+    val keys: Seq[Any] = Seq(7L, 9L, 399L, 12345L)
+    val pruned = BloomSidecar.readWithSkip(spark, out, "id", keys)
+      .select("id").as[Long].collect().sorted
+    assert(pruned.toSeq == Seq(7L, 9L, 399L))
+    // string-key sidecar round-trips through UTF-8 bytes
+    assert(BloomSidecar.write(spark, out, "name", fpp = 0.01,
+      expectedPerFile = 1000) == 4)
+    val byName = BloomSidecar.readWithSkip(spark, out, "name",
+        Seq("name_42", "nope"))
+      .select("id").as[Long].collect()
+    assert(byName.toSeq == Seq(42L))
+    // appending a file AFTER the build must fail the lookup closed
+    Seq((9999L, "late")).toDF("id", "name")
+      .write.mode("append").parquet(out)
+    val e = intercept[IllegalArgumentException] {
+      BloomSidecar.candidateFiles(spark, out, "id", Seq(9999L))
+    }
+    assert(e.getMessage.contains("STALE"))
+    // rebuild heals it
+    BloomSidecar.write(spark, out, "id", fpp = 0.01, expectedPerFile = 1000)
+    assert(BloomSidecar.readWithSkip(spark, out, "id", Seq(9999L))
+      .count() == 1)
+  }
 }
