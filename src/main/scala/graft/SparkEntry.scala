@@ -2348,6 +2348,38 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Incremental batch (Trigger.AvailableNow + checkpoint resume): the
+    * first pass drains the initial half of events through a filter into a
+    * file sink and terminates; the second pass, after the other half
+    * arrives, must read ONLY the delta (`require`d on the source's input
+    * row count — the incrementality witness) and land it exactly-once.
+    * The sink's final aggregate equals the batch truth over everything. */
+  private def st13_incremental(s: SparkSession, dir: String): DataFrame = {
+    val base = s"/tmp/graft_fixtures/incr_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val bp = new org.apache.hadoop.fs.Path(base)
+    bp.getFileSystem(s.sessionState.newHadoopConf()).delete(bp, true)
+    val ev = Fixtures.events(s, dir)
+      .select("event_id", "user_id", "event_type", "value")
+    val first = ev.filter(col("event_id") % 2 === 0)
+    val delta = ev.filter(col("event_id") % 2 =!= 0)
+    val src = s"$base/src"
+    first.write.parquet(src)
+    val schema = s.read.parquet(src).schema
+    def xform(d: DataFrame): DataFrame = d.filter(col("value") > 5.0)
+    val n1 = graft.streaming.Streams.incrementalRun(
+      s, src, schema, s"$base/ck", s"$base/sink")(xform)
+    require(n1 == first.count(), s"first pass read $n1 rows")
+    delta.write.mode("append").parquet(src)
+    val n2 = graft.streaming.Streams.incrementalRun(
+      s, src, schema, s"$base/ck", s"$base/sink")(xform)
+    require(n2 == delta.count(),
+      s"second pass must read ONLY the delta: read $n2 of ${delta.count()}")
+    s.read.parquet(s"$base/sink")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   /** STREAMING as-of enrichment: the events stream gains each user's
     * latest order ≤ ts via the broadcast sorted-lookup (no state, no
     * shuffle) — semantics identical to as1, so the same DuckDB batch ASOF
@@ -2708,6 +2740,7 @@ object SparkEntry {
     "st10_stream_pq_ingest" -> (st10_stream_pq_ingest _),
     "st11_stream_stateful" -> (st11_stream_stateful _),
     "st12_stream_audit" -> (st12_stream_audit _),
+    "st13_incremental" -> (st13_incremental _),
     "t1_langid" -> (t1_langid _),
     "t1b_langid_ngram" -> (t1b_langid_ngram _),
     "t2_quality" -> (t2_quality _),
@@ -3073,6 +3106,11 @@ object SparkEntry {
          FROM b GROUP BY doc_id, bucket ORDER BY doc_id, bucket""",
     // the stream must land on the batch truth: same counters over the
     // whole events table
+    "st13_incremental" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
+         FROM events WHERE value > 5.0
+         GROUP BY event_type ORDER BY event_type""",
     "st12_stream_audit" ->
       """WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(CASE WHEN NOT coalesce(value > 0, FALSE)

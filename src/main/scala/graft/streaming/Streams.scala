@@ -245,6 +245,33 @@ object Streams {
       .start()
   }
 
+  /** One INCREMENTAL-BATCH pass — the "daily job over a growing table"
+    * shape at 100 TB: an `AvailableNow` run drains whatever the file
+    * source hasn't seen yet (per the checkpoint), lands the transform's
+    * output exactly-once in the file sink, and terminates. Re-invoking
+    * after new files arrive processes ONLY the delta: the checkpoint's
+    * source log carries the already-seen file list, so a petabyte of
+    * history costs a listing diff, not a re-read — and a crashed run
+    * resumes from the same checkpoint without double-writing (file-sink
+    * manifest commit). Returns the number of input rows this pass read
+    * (the incrementality witness the st13 gate asserts on). */
+  def incrementalRun(
+      spark: SparkSession,
+      srcDir: String,
+      schema: StructType,
+      checkpoint: String,
+      sinkPath: String)(transform: DataFrame => DataFrame): Long = {
+    val src = spark.readStream.schema(schema).parquet(srcDir)
+    val q = transform(src).writeStream.format("parquet")
+      .outputMode("append")
+      .option("path", sinkPath)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.recentProgress.map(_.numInputRows).sum
+  }
+
   /** Continuous near-duplicate INGEST GATE: each micro-batch of new
     * documents is matched against the persisted minhash index at
     * `indexPath` ([[graft.operators.Dedup.minhashIndexRead]]), batch docs
