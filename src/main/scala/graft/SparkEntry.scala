@@ -174,6 +174,49 @@ object SparkEntry {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Hourly resample + forward fill of each user's event values over
+    * their own span — the gap-filling grid the oracle replays bucket by
+    * bucket with generate_series. See [[graft.operators.Timeseries]]. */
+  private def q44_resample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Timeseries.resampleFfill(
+        Fixtures.events(s, dir), "user_id", "ts", "event_id", "value")
+      .select(col("user_id"),
+        date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("value"), col("had_event"))
+      .orderBy("user_id", "hour")
+
+  /** Exact join-cardinality pre-flight (no join executed): a self-join
+    * estimate on l_partkey (the pair-dedup price) and a PK-FK estimate
+    * against orders — totals, matched keys and the heaviest key, from
+    * count tables only. See [[graft.operators.Skew.joinCardinality]]. */
+  private def q45_join_card(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    graft.operators.Skew.joinCardinality(li, "l_partkey", li, "l_partkey")
+      .withColumn("relation", lit("li_self_partkey"))
+      .unionByName(graft.operators.Skew
+        .joinCardinality(li, "l_orderkey", t(s, dir, "orders"), "o_orderkey")
+        .withColumn("relation", lit("li_orders")))
+      .select("relation", "total_pairs", "matched_keys",
+        "max_key_pairs", "top_key")
+      .orderBy("relation")
+  }
+
+  /** Referential-integrity audit over two FK relations: a truncated
+    * orders dim plants real orphans (every l_orderkey ending in 3), the
+    * supplier relation is intact — counts must land exactly. */
+  private def s34_fk_audit(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val ordersTrunc = t(s, dir, "orders").filter(col("o_orderkey") % 10 =!= 3)
+    graft.operators.Expect.orphans(li, "l_orderkey", ordersTrunc, "o_orderkey")
+      .withColumn("relation", lit("li_orders_trunc"))
+      .unionByName(graft.operators.Expect
+        .orphans(li, "l_suppkey", t(s, dir, "supplier"), "s_suppkey")
+        .withColumn("relation", lit("li_supplier")))
+      .select("relation", "n_rows", "n_null_keys",
+        "n_orphan_rows", "n_orphan_keys")
+      .orderBy("relation")
+  }
+
   /** Bloom-sidecar file skipping: orders range-clustered on the key into 8
     * files, per-file blooms built in one grouped aggregation, then a
     * 3-key point lookup that must (a) prune files (`require`d in-gate)
@@ -2644,6 +2687,9 @@ object SparkEntry {
     "s31_vacuum" -> (s31_vacuum _),
     "s32_quarantine" -> (s32_quarantine _),
     "s33_bloom_skip" -> (s33_bloom_skip _),
+    "s34_fk_audit" -> (s34_fk_audit _),
+    "q45_join_card" -> (q45_join_card _),
+    "q44_resample" -> (q44_resample _),
     "s25_compact" -> (s25_compact _),
     "s26_merge" -> (s26_merge _),
     "s27_read_tagged" -> (s27_read_tagged _),
@@ -2954,6 +3000,78 @@ object SparkEntry {
            CAST(o_orderdate AS DATE) AS o_date, o_orderpriority
          FROM orders WHERE o_orderkey IN (1, 4242, 9999)
          ORDER BY o_orderkey""",
+    "s34_fk_audit" ->
+      """WITH ot AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 10 <> 3),
+         r1 AS (SELECT 'li_orders_trunc' AS relation,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_null_keys,
+             CAST(SUM(CASE WHEN l_orderkey IS NOT NULL AND l_orderkey NOT IN
+               (SELECT o_orderkey FROM ot) THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_orphan_rows,
+             CAST(COUNT(DISTINCT CASE WHEN l_orderkey NOT IN
+               (SELECT o_orderkey FROM ot) THEN l_orderkey END)
+               AS BIGINT) AS n_orphan_keys
+           FROM lineitem),
+         r2 AS (SELECT 'li_supplier' AS relation,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_null_keys,
+             CAST(SUM(CASE WHEN l_suppkey IS NOT NULL AND l_suppkey NOT IN
+               (SELECT s_suppkey FROM supplier) THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_orphan_rows,
+             CAST(COUNT(DISTINCT CASE WHEN l_suppkey NOT IN
+               (SELECT s_suppkey FROM supplier) THEN l_suppkey END)
+               AS BIGINT) AS n_orphan_keys
+           FROM lineitem)
+         SELECT * FROM r1 UNION ALL SELECT * FROM r2 ORDER BY relation""",
+    "q45_join_card" ->
+      """WITH ca AS (SELECT CAST(l_partkey AS VARCHAR) AS k, COUNT(*) AS c
+             FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+         p1 AS (SELECT k, c * c AS pairs FROM ca),
+         s1 AS (SELECT CAST(SUM(pairs) AS BIGINT) AS total_pairs,
+             CAST(COUNT(*) AS BIGINT) AS matched_keys,
+             CAST(MAX(pairs) AS BIGINT) AS max_key_pairs FROM p1),
+         t1 AS (SELECT min(k) AS top_key FROM p1
+           WHERE pairs = (SELECT max(pairs) FROM p1)),
+         cl AS (SELECT CAST(l_orderkey AS VARCHAR) AS k, COUNT(*) AS c
+             FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
+         co AS (SELECT CAST(o_orderkey AS VARCHAR) AS k, COUNT(*) AS c
+             FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1),
+         p2 AS (SELECT cl.k, cl.c * co.c AS pairs
+           FROM cl JOIN co USING (k)),
+         s2 AS (SELECT CAST(SUM(pairs) AS BIGINT) AS total_pairs,
+             CAST(COUNT(*) AS BIGINT) AS matched_keys,
+             CAST(MAX(pairs) AS BIGINT) AS max_key_pairs FROM p2),
+         t2 AS (SELECT min(k) AS top_key FROM p2
+           WHERE pairs = (SELECT max(pairs) FROM p2))
+         SELECT 'li_self_partkey' AS relation, s1.*, t1.* FROM s1, t1
+         UNION ALL
+         SELECT 'li_orders', s2.*, t2.* FROM s2, t2
+         ORDER BY relation""",
+    "q44_resample" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             value, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h
+           FROM events),
+         lastv AS (SELECT user_id, h, value FROM
+           (SELECT *, row_number() OVER (PARTITION BY user_id, h
+              ORDER BY ts DESC, event_id DESC) AS rn FROM e)
+           WHERE rn = 1),
+         bounds AS (SELECT user_id, min(h) AS h0, max(h) AS h1
+           FROM e GROUP BY user_id),
+         grid AS (SELECT user_id,
+             unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+           FROM bounds),
+         j AS (SELECT g.user_id, g.h, l.value,
+             l.value IS NOT NULL AS had_event
+           FROM grid g LEFT JOIN lastv l
+             ON g.user_id = l.user_id AND g.h = l.h)
+         SELECT user_id, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+           last_value(value IGNORE NULLS) OVER (PARTITION BY user_id
+             ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS value,
+           had_event
+         FROM j ORDER BY user_id, hour""",
     "s18_scan_lazy" ->
       """SELECT n_nationkey, n_name, n_regionkey,
          'good' AS src FROM nation ORDER BY n_nationkey""",

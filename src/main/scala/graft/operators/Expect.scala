@@ -47,6 +47,34 @@ object Expect {
       sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"__v$i")
     }
 
+  /** Referential-integrity audit: one summary row
+    * `(n_rows, n_null_keys, n_orphan_rows, n_orphan_keys)` for the
+    * relation `fact.factKey → dim.dimKey`. Null fact keys are counted
+    * separately, not as orphans (SQL FK semantics: a null reference is
+    * absent, not dangling).
+    *
+    * Spark shape: the orphan side is ONE left-anti join against the
+    * dim's DISTINCT keys (the anti build side is keys-only, so a wide
+    * 100 TB dim contributes just its key column through the shuffle);
+    * totals are a separate counter pass; both one-row frames meet in a
+    * broadcast cross join. Compose per-relation calls with `unionByName`
+    * for a whole-schema audit. */
+  def orphans(
+      fact: DataFrame,
+      factKey: String,
+      dim: DataFrame,
+      dimKey: String): DataFrame = {
+    val totals = fact.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col(factKey).isNull, 1L).otherwise(0L)).as("n_null_keys"))
+    val orphan = fact.filter(col(factKey).isNotNull)
+      .join(dim.select(col(dimKey)).distinct(),
+        col(factKey) === col(dimKey), "left_anti")
+      .agg(count(lit(1)).as("n_orphan_rows"),
+        countDistinct(col(factKey)).as("n_orphan_keys"))
+    totals.crossJoin(broadcast(orphan))
+  }
+
   /** Explode the single counter row into per-check result rows. */
   private[graft] def shapeRows(one: DataFrame,
       checks: Seq[(String, Column)]): DataFrame = {

@@ -146,4 +146,41 @@ object Skew {
       expectedItems, fpp)
     filtered.join(build, filtered(probeKey) === build(buildKey), joinType)
   }
+
+  /** EXACT equi-join output cardinality, computed WITHOUT running the
+    * join: `|A ⋈ B| = Σ_k cntA(k)·cntB(k)`. The pre-flight a 100 TB join
+    * deserves — two partially-aggregated key counts (the shuffle moves one
+    * long per distinct key per task, never a data row) and one join of the
+    * COUNT tables, versus materializing a possibly-quadratic result to
+    * discover it was quadratic. Returns one summary row
+    * `(total_pairs, matched_keys, max_key_pairs, top_key)` where `top_key`
+    * is the string form of the heaviest key (ties: smallest key string —
+    * deterministic); feed it to [[saltedJoin]]'s `saltFactor` decision or
+    * to a refusal guard before the real join. Self-cardinality
+    * (`joinCardinality(df, k, df, k)`) prices a self-join / pair-dedup. */
+  def joinCardinality(
+      a: DataFrame,
+      aKey: String,
+      b: DataFrame,
+      bKey: String): DataFrame = {
+    val ca = a.filter(col(aKey).isNotNull)
+      .groupBy(col(aKey).cast("string").as("__k"))
+      .agg(count(lit(1)).as("__ca"))
+    val cb = b.filter(col(bKey).isNotNull)
+      .groupBy(col(bKey).cast("string").as("__k"))
+      .agg(count(lit(1)).as("__cb"))
+    val pairs = ca.join(cb, "__k")
+      .select(col("__k"), (col("__ca") * col("__cb")).as("__pairs"))
+    val stats = pairs.agg(
+      sum(col("__pairs")).as("total_pairs"),
+      count(lit(1)).as("matched_keys"),
+      max(col("__pairs")).as("max_key_pairs"))
+    // the heaviest key, resolved against the broadcast one-row stats (the
+    // count-tables lineage re-executes — count aggregations, not data)
+    val top = pairs
+      .join(broadcast(stats.select(col("max_key_pairs").as("__m"))))
+      .filter(col("__pairs") === col("__m"))
+      .agg(min(col("__k")).as("top_key"))
+    stats.crossJoin(broadcast(top))
+  }
 }

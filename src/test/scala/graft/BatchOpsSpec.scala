@@ -933,3 +933,57 @@ class TriangleSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("n_triangles") == 120L))
   }
 }
+
+class PreflightAuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("joinCardinality prices the join exactly, including self-joins and skew") {
+    // key 1: 3×2 rows, key 2: 1×4, key 3: only left → unmatched
+    val a = Seq(1, 1, 1, 2, 3).toDF("k")
+    val b = Seq(1, 1, 2, 2, 2, 2).toDF("j")
+    val r = graft.operators.Skew.joinCardinality(a, "k", b, "j").collect()(0)
+    assert(r.getAs[Long]("total_pairs") == 3 * 2 + 1 * 4)
+    assert(r.getAs[Long]("matched_keys") == 2)
+    assert(r.getAs[Long]("max_key_pairs") == 6)
+    assert(r.getAs[String]("top_key") == "1")
+    // the prediction equals the actual join size
+    assert(a.join(b, a("k") === b("j")).count() ==
+      r.getAs[Long]("total_pairs"))
+    // self-join: sum of squared counts
+    val self = graft.operators.Skew.joinCardinality(a, "k", a, "k").collect()(0)
+    assert(self.getAs[Long]("total_pairs") == 9 + 1 + 1)
+    // nulls never match
+    val withNull = Seq(Some(1), None).toDF("k")
+    val rn = graft.operators.Skew
+      .joinCardinality(withNull, "k", withNull, "k").collect()(0)
+    assert(rn.getAs[Long]("total_pairs") == 1)
+  }
+
+  test("orphans: null FKs counted apart, orphan rows and keys exact") {
+    val fact = Seq(Some(1), Some(1), Some(2), Some(9), Some(9), None)
+      .toDF("fk")
+    val dim = Seq(1, 2, 3).toDF("pk")
+    val r = Expect.orphans(fact, "fk", dim, "pk").collect()(0)
+    assert(r.getAs[Long]("n_rows") == 6)
+    assert(r.getAs[Long]("n_null_keys") == 1)
+    assert(r.getAs[Long]("n_orphan_rows") == 2) // the two 9s
+    assert(r.getAs[Long]("n_orphan_keys") == 1)
+  }
+
+  test("resampleFfill: dense grid, forward fill, in-bucket last-event-wins") {
+    val ts = (m: Int) => Timestamp.valueOf(f"2024-01-01 0${m / 60}%d:${m % 60}%02d:00")
+    val df = Seq(
+      (1L, ts(5), 10L, 1.0),   // 00:05
+      (1L, ts(20), 11L, 2.0),  // 00:20 → hour 00 keeps 2.0 (later ts)
+      (1L, ts(150), 12L, 7.0), // 02:30 → hour 01 is a gap (ffill 2.0)
+      (2L, ts(65), 13L, 5.0))  // user 2: single event
+      .toDF("u", "ts", "eid", "v")
+    val r = graft.operators.Timeseries
+      .resampleFfill(df, "u", "ts", "eid", "v", "hour")
+      .orderBy("u", "bucket").collect()
+      .map(x => (x.getLong(0), x.getDouble(2), x.getBoolean(3)))
+    assert(r.toSeq == Seq(
+      (1L, 2.0, true), (1L, 2.0, false), (1L, 7.0, true),
+      (2L, 5.0, true)))
+  }
+}
