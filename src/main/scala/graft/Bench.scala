@@ -20,11 +20,14 @@ object Bench {
     * keep-first chunk dedup (ownership join-back), whole-vocabulary
     * TF-IDF (full token-explode + rank prune), funnel (stacked
     * same-partition windows), sweep-line concurrency (distributed prefix
-    * sum), nearest as-of (two merges + recombination), and the bloom
-    * semi-join reduction. d13_semdedup
-    * stays out on the a8 policy: its oracle reads a corpus-derived
-    * fixture that must keep the sf0.01 verify run's content — a bench
-    * run at another SF would overwrite it. */
+    * sum), nearest as-of (two merges + recombination), the bloom
+    * semi-join reduction, hourly resample+ffill (per-key grid generator
+    * + running fill window), conversation assembly (WindowGroupLimit cap
+    * + ordered collect) and hashing-trick TF (token explode + partial
+    * agg). d13_semdedup and e4_pca
+    * stay out on the a8 policy: their oracles read corpus-DERIVED
+    * fixtures that must keep the sf0.01 verify run's content — a bench
+    * run at another SF would overwrite them. */
   val headline: Seq[String] = Seq(
     "s1_scan_hive", "q1_agg", "q2_filter", "q3_join_agg", "q6_window",
     "q7_topk", "q20_multijoin", "d2_dedup_minhash", "a1_ann_brute",
@@ -33,7 +36,8 @@ object Bench {
     "d10_span_stats", "d12_chunk_dedup", "t18_chunk_chars", "a6_ann_join",
     "g1_pagerank", "ml2_logreg", "t20_backoff_lm", "q33_sessionize",
     "d14_keepfirst_chunks", "g2_triangles", "t28_tfidf_topk", "q38_funnel",
-    "q35_concurrency", "as4_asof_nearest", "q34_bloom_join")
+    "q35_concurrency", "as4_asof_nearest", "q34_bloom_join",
+    "q44_resample", "t30_conversations", "t31_feature_hash")
 
   /** Queries measured on the replicated corpus for the scaling slope —
     * the shuffle-heavy pipeline shapes whose 100 TB behavior a plan read
@@ -50,7 +54,8 @@ object Bench {
     "t18_chunk_chars", "a6_ann_join", "g1_pagerank", "ml2_logreg",
     "t20_backoff_lm", "q33_sessionize", "d14_keepfirst_chunks",
     "g2_triangles", "t28_tfidf_topk", "q38_funnel", "q35_concurrency",
-    "as4_asof_nearest", "q34_bloom_join")
+    "as4_asof_nearest", "q34_bloom_join",
+    "q44_resample", "t30_conversations", "t31_feature_hash")
 
   /** Materialize a `factor`×-replicated copy of the FACT tables the scale
     * set reads (documents, lineitem, orders, events) plus 1× copies of

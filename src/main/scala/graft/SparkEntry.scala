@@ -201,6 +201,32 @@ object SparkEntry {
       .orderBy("relation")
   }
 
+  /** Snapshot-pinned read: the manifest is taken over the R-flag rows,
+    * then a tagged batch of A-flag rows lands in the same table; the
+    * current read must see both (`require`d) while the snapshot read
+    * returns EXACTLY the pre-append table — the oracle recomputes it from
+    * source, so a manifest leak in either direction breaks the hash. */
+  private def s35_snapshot(s: SparkSession, dir: String): DataFrame = {
+    val out = s"/tmp/graft_fixtures/snap_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val conf = s.sessionState.newHadoopConf()
+    val bp = new org.apache.hadoop.fs.Path(out)
+    bp.getFileSystem(conf).delete(bp, true)
+    val li = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    Graft.writePartitionedTable(li.filter(col("l_returnflag") === "R"),
+      out, Seq("l_returnflag"))
+    val snap = Graft.snapshot(s, out)
+    TaggedAppend.append(li.filter(col("l_returnflag") === "A"),
+      out, tag = "late", partitionCols = Seq("l_returnflag"))
+    val nowRows = Graft.readPartitionedTable(s, out).count()
+    val snapDf = Graft.readSnapshot(s, out, snap)
+    require(nowRows > snapDf.count(),
+      "current read must see the post-snapshot append")
+    snapDf.select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_returnflag"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** Referential-integrity audit over two FK relations: a truncated
     * orders dim plants real orphans (every l_orderkey ending in 3), the
     * supplier relation is intact — counts must land exactly. */
@@ -2690,6 +2716,7 @@ object SparkEntry {
     "s34_fk_audit" -> (s34_fk_audit _),
     "q45_join_card" -> (q45_join_card _),
     "q44_resample" -> (q44_resample _),
+    "s35_snapshot" -> (s35_snapshot _),
     "s25_compact" -> (s25_compact _),
     "s26_merge" -> (s26_merge _),
     "s27_read_tagged" -> (s27_read_tagged _),
@@ -3025,6 +3052,10 @@ object SparkEntry {
                AS BIGINT) AS n_orphan_keys
            FROM lineitem)
          SELECT * FROM r1 UNION ALL SELECT * FROM r2 ORDER BY relation""",
+    "s35_snapshot" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+         FROM lineitem WHERE l_returnflag = 'R'
+         ORDER BY l_orderkey, l_linenumber""",
     "q45_join_card" ->
       """WITH ca AS (SELECT CAST(l_partkey AS VARCHAR) AS k, COUNT(*) AS c
              FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),

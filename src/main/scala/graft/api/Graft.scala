@@ -271,6 +271,128 @@ object Graft {
       fileFilter = name => name.startsWith(prefix)).data
   }
 
+  // -------------------------------------------------------------- snapshots
+
+  private def snapshotDir(root: Path) = new Path(root, "_graft_snapshots")
+
+  /** Record a SNAPSHOT of the table's current data-file set: one listing
+    * pass (discovery — metadata only), one small manifest file under
+    * `<url>/_graft_snapshots/NNNNNN.manifest` holding the sorted relative
+    * paths. Returns the snapshot id. Poor-man's time travel for the
+    * append-mostly layouts graft writes: later appends (tagged, streamed,
+    * routed) don't disturb old manifests, so a pinned reader sees a
+    * STABLE table while ingest continues — the reproducibility primitive
+    * a training run needs ("data as of the run's start"), without a
+    * transaction log.
+    *
+    * Validity contract: a snapshot lives until a REWRITE invalidates its
+    * files — compaction, merge, or vacuum of files it references.
+    * [[readSnapshot]] checks and refuses loudly (fail closed, a silent
+    * partial read would be a wrong answer). Snapshot ids are a
+    * monotonically increasing counter, not wall-clock, so replays and
+    * tests are deterministic. */
+  def snapshot(
+      spark: SparkSession,
+      url: String,
+      query: PartitionQuery = Q.True,
+      parser: ColumnParser = AutoParser.auto,
+      fsConf: Map[String, String] = Map.empty): Int = {
+    val parts = discover(spark, url, query, parser, fsConf)
+    require(parts.nonEmpty, s"refusing to snapshot an empty table at $url")
+    withFs(spark, url, fsConf) { fs =>
+      val root = fs.makeQualified(new Path(url))
+      val rootPrefix = root.toString + "/"
+      val rels = parts.map { p =>
+        val q = fs.makeQualified(new Path(p.url)).toString
+        require(q.startsWith(rootPrefix), s"file $q outside table root $root")
+        q.substring(rootPrefix.length)
+      }.sorted
+      val dir = snapshotDir(root)
+      if (!fs.exists(dir)) fs.mkdirs(dir)
+      val Manifest = """(\d{6})\.manifest""".r
+      val next = fs.listStatus(dir).map(_.getPath.getName)
+        .collect { case Manifest(n) => n.toInt }
+        .foldLeft(0)(math.max) + 1
+      val out = fs.create(new Path(dir, f"$next%06d.manifest"), false)
+      try out.write(rels.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      next
+    }
+  }
+
+  /** The snapshots recorded under `url`: one row per id with its file
+    * count. Driver-side metadata only. */
+  def listSnapshots(
+      spark: SparkSession,
+      url: String,
+      fsConf: Map[String, String] = Map.empty): DataFrame = {
+    import spark.implicits._
+    withFs(spark, url, fsConf) { fs =>
+      val dir = snapshotDir(fs.makeQualified(new Path(url)))
+      val Manifest = """(\d{6})\.manifest""".r
+      val rows =
+        if (!fs.exists(dir)) Seq.empty
+        else fs.listStatus(dir).toSeq.map(_.getPath)
+          .collect { case p if Manifest.findFirstIn(p.getName).isDefined =>
+            val id = p.getName.stripSuffix(".manifest").toInt
+            val n = readManifest(fs, p).size.toLong
+            (id, n)
+          }.sortBy(_._1)
+      rows.toDF("snapshot_id", "n_files")
+    }
+  }
+
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem, p: Path): Seq[String] = {
+    val in = fs.open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      new String(bytes.toByteArray, "UTF-8").split("\n").toSeq.filter(_.nonEmpty)
+    } finally in.close()
+  }
+
+  /** Read the table EXACTLY as of `snapshotId`: only the manifest's files,
+    * with partition columns attached as usual. Files appended after the
+    * snapshot are invisible; a manifest file that no longer exists (a
+    * rewrite happened) fails loudly — see [[snapshot]]'s validity
+    * contract. */
+  def readSnapshot(
+      spark: SparkSession,
+      url: String,
+      snapshotId: Int,
+      query: PartitionQuery = Q.True,
+      parser: ColumnParser = AutoParser.auto,
+      format: String = "auto",
+      options: Map[String, String] = Map.empty,
+      schema: Option[StructType] = None,
+      columns: Seq[String] = Nil,
+      fsConf: Map[String, String] = Map.empty): DataFrame = {
+    val wanted: Set[String] = withFs(spark, url, fsConf) { fs =>
+      val root = fs.makeQualified(new Path(url))
+      val mf = new Path(snapshotDir(root), f"$snapshotId%06d.manifest")
+      require(fs.exists(mf), s"no snapshot $snapshotId at $url")
+      val rels = readManifest(fs, mf)
+      val abs = rels.map(r => new Path(root, r).toString).toSet
+      val present = discover(spark, url, Q.True, parser, fsConf)
+        .map(p => fs.makeQualified(new Path(p.url)).toString).toSet
+      val gone = abs -- present
+      require(gone.isEmpty,
+        s"snapshot $snapshotId is INVALID: ${gone.size} of its files were " +
+          s"rewritten or removed (first: ${gone.headOption.getOrElse("")}) " +
+          "— compaction/merge/vacuum invalidate older snapshots; a partial " +
+          "read would silently drop rows, refusing")
+      abs
+    }
+    withFs(spark, url, fsConf) { fs =>
+      readInternal(spark, url, query, parser, format, options ++ fsConf,
+        schema, columns, lazyErrors = false, fsConf = fsConf,
+        pathFilter = p => wanted.contains(
+          fs.makeQualified(new Path(p)).toString)).data
+    }
+  }
+
   /** The ingest batches present under `url`: one row per tag with its
     * committed file count — what an incremental consumer polls to find
     * work. Driver-side metadata only (a listing pass, no scans); tags
@@ -305,10 +427,12 @@ object Graft {
       columns: Seq[String],
       lazyErrors: Boolean,
       fsConf: Map[String, String] = Map.empty,
-      fileFilter: String => Boolean = _ => true): RichResult = {
+      fileFilter: String => Boolean = _ => true,
+      pathFilter: String => Boolean = _ => true): RichResult = {
 
     val parts = discover(spark, url, query, parser, fsConf)
       .filter(p => fileFilter(p.url.substring(p.url.lastIndexOf('/') + 1)))
+      .filter(p => pathFilter(p.url))
     if (parts.isEmpty)
       throw new GraftEmptyResultException(s"no files matched under $url for $query")
 

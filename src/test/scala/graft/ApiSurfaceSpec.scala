@@ -214,6 +214,36 @@ class ApiSurfaceSpec extends SparkSpec {
     assert(res == Map("a" -> 13, "b" -> 5))
   }
 
+  test("snapshots: pinned reads survive appends, fail closed after compaction") {
+    import spark.implicits._
+    val out = tmpDir("snap_api")
+    Graft.writePartitionedTable(
+      Seq((1, "a"), (2, "a"), (3, "b")).toDF("k", "p"), out, Seq("p"))
+    val s1 = Graft.snapshot(spark, out)
+    assert(s1 == 1)
+    TaggedAppend.append(Seq((4, "a")).toDF("k", "p"), out, "late", Seq("p"))
+    val s2 = Graft.snapshot(spark, out)
+    assert(s2 == 2)
+    // each snapshot sees exactly its own file set
+    assert(Graft.readSnapshot(spark, out, s1).select("k")
+      .as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+    assert(Graft.readSnapshot(spark, out, s2).select("k")
+      .as[Int].collect().sorted.toSeq == Seq(1, 2, 3, 4))
+    assert(Graft.readPartitionedTable(spark, out).count() == 4)
+    val listed = Graft.listSnapshots(spark, out)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(listed.keySet == Set(1, 2))
+    // compaction rewrites files → older manifests must refuse, not drop rows
+    Graft.compactPartitionedTable(spark, out, targetFileBytes = 1L << 30)
+    val e = intercept[IllegalArgumentException] {
+      Graft.readSnapshot(spark, out, s1).count()
+    }
+    assert(e.getMessage.contains("INVALID"))
+    // a fresh snapshot over the compacted table works again
+    val s3 = Graft.snapshot(spark, out)
+    assert(Graft.readSnapshot(spark, out, s3).count() == 4)
+  }
+
   test("vacuum: retention window protects young residue; zero-retention sweeps it") {
     import spark.implicits._
     val out = tmpDir("vacuum_api")
