@@ -2242,6 +2242,26 @@ object SparkEntry {
         col("pos").cast("long").as("pos"), col("v").cast("long").as("v"))
       .orderBy("doc_id", "pos")
 
+  /** Perceptual image dedup key: dHash over every synthetic PNG (real
+    * decode → 9×8 thumbnail → gradient bits) plus the duplicate-group
+    * size per hash. The oracle replays the ENTIRE pipeline in closed
+    * form — resize index arithmetic, ITU-601 grayscale, bit packing —
+    * so a one-bit drift anywhere in decode/resize/hash goes red.
+    * Same-dimension images collapse into groups by construction (the
+    * gradient field is brightness-invariant), giving real dup clusters. */
+  private def m11_image_dhash(s: SparkSession, dir: String): DataFrame = {
+    val h = Multimodal.decodePngDHash(
+        s.read.parquet(Fixtures.pngPixelDocs(s, dir)))
+      .filter(col("dhash.format") === "png")
+      .select(col("doc_id"), col("dhash.hash_hi").as("hash_hi"),
+        col("dhash.hash_lo").as("hash_lo"))
+    val groups = h.groupBy("hash_hi", "hash_lo")
+      .agg(count(lit(1)).as("group_size"))
+    h.join(groups, Seq("hash_hi", "hash_lo"))
+      .select("doc_id", "hash_hi", "hash_lo", "group_size")
+      .orderBy("doc_id")
+  }
+
   private def m4_pixels(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodePngPixels(s.read.parquet(Fixtures.pngPixelDocs(s, dir)))
       .select(col("doc_id"), col("pixel_stats.width"), col("pixel_stats.height"),
@@ -2858,6 +2878,7 @@ object SparkEntry {
     "m1_multimodal" -> (m1_multimodal _),
     "m4_pixels" -> (m4_pixels _),
     "m8_resize" -> (m8_resize _),
+    "m11_image_dhash" -> (m11_image_dhash _),
     "m6_jpeg_pixels" -> (m6_jpeg_pixels _),
     "m7_jpeg_420" -> (m7_jpeg_420 _),
     "m2_audio" -> (m2_audio _),
@@ -4986,6 +5007,41 @@ object SparkEntry {
            CAST((doc_id + ((xo * width) // 4) * 3 + ((yo * height) // 4) * 5
              + c * 11) % 256 AS BIGINT) AS v
          FROM px ORDER BY doc_id, pos""",
+    // closed-form replay of decode → 9×8 NN thumbnail → ITU-601 gray →
+    // gradient bits; same construction arithmetic as m8's oracle
+    "m11_image_dhash" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(doc_id % 13 + 4 AS INT) AS w,
+             CAST(doc_id % 11 + 4 AS INT) AS h
+           FROM documents),
+         g AS (SELECT d.doc_id, p.p % 9 AS x, p.p // 9 AS y,
+             (299 * ((d.doc_id + ((p.p % 9) * d.w // 9) * 3
+                      + ((p.p // 9) * d.h // 8) * 5) % 256)
+            + 587 * ((d.doc_id + ((p.p % 9) * d.w // 9) * 3
+                      + ((p.p // 9) * d.h // 8) * 5 + 11) % 256)
+            + 114 * ((d.doc_id + ((p.p % 9) * d.w // 9) * 3
+                      + ((p.p // 9) * d.h // 8) * 5 + 22) % 256)) // 1000
+             AS gray
+           FROM d, UNNEST(range(0, 72)) AS p(p)),
+         b AS (SELECT a.doc_id, a.x, a.y,
+             CASE WHEN a.gray < c.gray THEN 1 ELSE 0 END AS bit
+           FROM g a JOIN g c
+             ON a.doc_id = c.doc_id AND a.y = c.y AND c.x = a.x + 1
+           WHERE a.x < 8),
+         hsh AS (SELECT doc_id,
+             CAST(SUM(CASE WHEN y * 8 + x >= 32
+               THEN CAST(bit AS BIGINT) << (y * 8 + x - 32)
+               ELSE 0 END) AS BIGINT) AS hash_hi,
+             CAST(SUM(CASE WHEN y * 8 + x < 32
+               THEN CAST(bit AS BIGINT) << (y * 8 + x)
+               ELSE 0 END) AS BIGINT) AS hash_lo
+           FROM b GROUP BY doc_id),
+         grp AS (SELECT hash_hi, hash_lo,
+             CAST(COUNT(*) AS BIGINT) AS group_size
+           FROM hsh GROUP BY hash_hi, hash_lo)
+         SELECT hsh.doc_id, hsh.hash_hi, hsh.hash_lo, grp.group_size
+         FROM hsh JOIN grp USING (hash_hi, hash_lo)
+         ORDER BY hsh.doc_id""",
     "m4_pixels" ->
       """WITH d AS (SELECT doc_id,
              CAST(doc_id % 13 + 4 AS INT) AS width,

@@ -536,6 +536,57 @@ object Multimodal {
     }
   }
 
+  /** Perceptual difference hash (dHash) of a PNG payload: decode →
+    * 9×8 nearest-neighbor grayscale thumbnail → one bit per horizontal
+    * gradient (`gray(x,y) < gray(x+1,y)`). Returned as two unsigned
+    * 32-bit halves `(hi, lo)` so any engine reproduces them with plain
+    * shifts — no signed-64 overflow edge. Integer arithmetic end-to-end
+    * (the grayscale is the ITU-R 601 299/587/114 integer combination),
+    * so the hash replays in closed form from the thumbnail pixels.
+    *
+    * dHash is gradient-based: adding a constant brightness to every
+    * pixel leaves the hash unchanged — the invariance that makes it the
+    * standard cheap near-dup key for image corpora (group by hash, or
+    * band the 64 bits like simhash for Hamming-distance candidates). */
+  def pngDHash(b: Array[Byte]): Option[(Long, Long)] =
+    pngResizeNearest(b, 9, 8).map { case (_, _, channels, px) =>
+      def gray(x: Int, y: Int): Int = {
+        val i = (y * 9 + x) * channels
+        (299 * px(i) + 587 * px(i + 1) + 114 * px(i + 2)) / 1000
+      }
+      var hi = 0L; var lo = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if (gray(x, y) < gray(x + 1, y)) {
+            val bit = y * 8 + x
+            if (bit < 32) lo |= 1L << bit else hi |= 1L << (bit - 32)
+          }
+          x += 1
+        }
+        y += 1
+      }
+      (hi, lo)
+    }
+
+  private val dhashType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("hash_hi", LongType, nullable = true),
+    StructField("hash_lo", LongType, nullable = true)))
+
+  /** Batched dHash over PNG payloads; null halves (format
+    * `"undecodable"`) for unsupported bytes. Executor-side mapPartitions
+    * like every decode here. */
+  def decodePngDHash(df: DataFrame, payloadCol: String = "payload",
+      hashCol: String = "dhash"): DataFrame =
+    decodeMeta(df, payloadCol, hashCol, dhashType) { bytes =>
+      pngDHash(bytes) match {
+        case Some((hi, lo)) => Row("png", hi, lo)
+        case None => Row("undecodable", null, null)
+      }
+    }
+
   private val resizeType = StructType(Seq(
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),

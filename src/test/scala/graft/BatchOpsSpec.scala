@@ -934,6 +934,29 @@ class TriangleSpec extends SparkSpec {
   }
 }
 
+class DHashSpec extends SparkSpec {
+  import graft.operators.Multimodal
+
+  test("dHash ignores the alpha channel: RGB and RGBA of the same image agree") {
+    for (id <- Seq(3L, 40L, 117L); w <- Seq(5, 12); h <- Seq(4, 9)) {
+      val rgb = Multimodal.pngDHash(Multimodal.syntheticPngPixelBytes(id, w, h, 2))
+      val rgba = Multimodal.pngDHash(Multimodal.syntheticPngPixelBytes(id, w, h, 6))
+      assert(rgb.isDefined && rgb == rgba, s"id=$id ${w}x$h")
+    }
+  }
+
+  test("dHash is a 64-bit value in unsigned halves; junk bytes decode to None") {
+    val Some((hi, lo)) =
+      Multimodal.pngDHash(Multimodal.syntheticPngPixelBytes(7L, 8, 8, 2))
+    assert(hi >= 0 && hi < (1L << 32) && lo >= 0 && lo < (1L << 32))
+    assert(Multimodal.pngDHash("not a png".getBytes).isEmpty)
+    // identical images hash identically through the full decode path
+    val again =
+      Multimodal.pngDHash(Multimodal.syntheticPngPixelBytes(7L, 8, 8, 2))
+    assert(again.contains((hi, lo)))
+  }
+}
+
 class PreflightAuditSpec extends SparkSpec {
   import spark.implicits._
 
