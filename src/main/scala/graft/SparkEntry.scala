@@ -1451,6 +1451,17 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Multinomial naive Bayes classifying each document's `source` from
+    * its tokens: fully distributed train + score, per-(doc, class)
+    * rounded log-scores and the rounded-argmax prediction. The oracle
+    * retrains from scratch relationally — counts, add-1 likelihoods,
+    * priors, the rounded decision — so the whole estimator is replayed,
+    * not just the scores. See [[graft.operators.NaiveBayes]]. */
+  private def ml3_naive_bayes(s: SparkSession, dir: String): DataFrame =
+    graft.operators.NaiveBayes.trainScore(t(s, dir, "documents"),
+        "doc_id", "text", "source")
+      .orderBy("doc_id", "label")
+
   /** PageRank gate: a deterministic 200-node link graph derived from the
     * events table (src = event_id mod 200, dst = event_id·48271 mod 200 — a
     * Lehmer-style mixing constant so the graph is irregular), 5 exact
@@ -2802,6 +2813,7 @@ object SparkEntry {
     "g4_bfs" -> (g4_bfs _),
     "ml1_linprobe" -> (ml1_linprobe _),
     "ml2_logreg" -> (ml2_logreg _),
+    "ml3_naive_bayes" -> (ml3_naive_bayes _),
     "d6_dedup_pipeline" -> (d6_dedup_pipeline _),
     "d7_connected_components" -> (d7_connected_components _),
     "d8_decontam" -> (d8_decontam _),
@@ -3601,6 +3613,41 @@ object SparkEntry {
          SELECT f.doc_id,
            ROUND(1.0 / (1.0 + EXP(-(w.w0 + w.w1 * f.x1 + w.w2 * f.x2))), 6) AS score
          FROM f, i3 w ORDER BY doc_id""",
+    "ml3_naive_bayes" ->
+      """WITH w AS (SELECT doc_id, source,
+             regexp_split_to_array(trim(text), '\s+') AS ws
+           FROM documents WHERE trim(text) <> ''),
+         tok AS (SELECT doc_id, source, unnest(ws) AS t FROM w),
+         labels AS (SELECT DISTINCT source AS label FROM documents),
+         v AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS vv FROM tok),
+         ct AS (SELECT source AS label, CAST(count(*) AS BIGINT) AS tot
+           FROM tok GROUP BY source),
+         wc AS (SELECT t, source AS label, CAST(count(*) AS BIGINT) AS c
+           FROM tok GROUP BY t, source),
+         dtf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+           FROM tok GROUP BY doc_id, t),
+         pri AS (SELECT source AS label,
+             ln(CAST(count(*) AS DOUBLE) /
+               (SELECT count(*) FROM documents)) AS lp
+           FROM documents GROUP BY source),
+         contrib AS (SELECT d.doc_id, l.label,
+             d.tf * ln((COALESCE(wc.c, 0) + 1.0) /
+               (ct.tot + 1.0 * CAST(v.vv AS DOUBLE))) AS x
+           FROM dtf d CROSS JOIN labels l
+           LEFT JOIN wc ON wc.t = d.t AND wc.label = l.label
+           JOIN ct ON ct.label = l.label
+           CROSS JOIN v),
+         sc AS (SELECT c.doc_id, c.label,
+             round(p.lp + sum(c.x), 6) AS score
+           FROM contrib c JOIN pri p ON p.label = c.label
+           GROUP BY c.doc_id, c.label, p.lp),
+         pred AS (SELECT doc_id, label AS predicted FROM
+           (SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, label) AS rn FROM sc)
+           WHERE rn = 1)
+         SELECT s.doc_id, s.label, s.score, p.predicted
+         FROM sc s JOIN pred p USING (doc_id)
+         ORDER BY s.doc_id, s.label""",
     // six chained peel rounds (fixpoint at 4, +2 idempotent) — each round
     // recomputes degrees over the induced subgraph exactly as the engine
     "g3_kcore" ->

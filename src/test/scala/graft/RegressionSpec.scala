@@ -54,3 +54,42 @@ class RegressionSpec extends SparkSpec {
     assert(scored(1.0) > 0.7 && scored(0.0) < 0.3)
   }
 }
+
+class NaiveBayesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("separable corpus classifies perfectly; unseen words only smooth") {
+    val docs = Seq(
+      (1L, "apple apple pie", "fruit"), (2L, "apple juice", "fruit"),
+      (3L, "apple apple apple", "fruit"),
+      (4L, "steel beam girder", "metal"), (5L, "steel steel rivet", "metal"),
+      (6L, "girder beam beam", "metal"),
+      // held-in test rows whose vocabulary leans one way + one stray word
+      (7L, "apple pie zzz", "fruit"), (8L, "steel girder zzz", "metal"))
+      .toDF("doc_id", "text", "label")
+    val r = graft.operators.NaiveBayes
+      .trainScore(docs, "doc_id", "text", "label")
+    val pred = r.select("doc_id", "predicted").distinct()
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    val truth = docs.collect().map(x => x.getLong(0) -> x.getString(2)).toMap
+    assert(pred == truth, pred.toString)
+    // exactly one predicted class per doc, repeated on each class row
+    assert(r.groupBy("doc_id").agg(countDistinct("predicted").as("k"))
+      .filter(col("k") =!= 1).count() == 0)
+    // every doc scored against every class
+    assert(r.count() == 8 * 2)
+  }
+
+  test("empty documents produce no rows; rounded-argmax ties break by name") {
+    val docs = Seq((1L, "x", "a"), (2L, "x", "b"),
+        (3L, "   ", "a"), (4L, "", "b"))
+      .toDF("doc_id", "text", "label")
+    val r = graft.operators.NaiveBayes
+      .trainScore(docs, "doc_id", "text", "label").collect()
+    assert(!r.exists(x => x.getLong(0) == 3L || x.getLong(0) == 4L))
+    // docs 1 and 2 have identical evidence AND symmetric priors → tied
+    // rounded scores → both predict class "a" (name ascending)
+    assert(r.filter(_.getLong(0) == 1L).forall(_.getString(3) == "a"))
+    assert(r.filter(_.getLong(0) == 2L).forall(_.getString(3) == "a"))
+  }
+}
