@@ -137,6 +137,26 @@ object SparkEntry {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Schema-evolution read: two partitions written with DIFFERENT column
+    * sets (an old batch without the later column, a new batch without the
+    * legacy one) union under `mergeSchema` into one frame with nulls
+    * where a partition lacks the column — the reference's
+    * mismatched-partition-schema quirk (§1.2), resolved explicitly. */
+  private def s36_merge_schema(s: SparkSession, dir: String): DataFrame = {
+    val out = s"/tmp/graft_fixtures/mschema_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val conf = s.sessionState.newHadoopConf()
+    val bp = new org.apache.hadoop.fs.Path(out)
+    bp.getFileSystem(conf).delete(bp, true)
+    val n = t(s, dir, "nation")
+    n.select("n_nationkey", "n_name").write.parquet(s"$out/batch=a")
+    n.select("n_nationkey", "n_regionkey").write.parquet(s"$out/batch=b")
+    Graft.readPartitionedTable(s, out,
+        options = Map("mergeSchema" -> "true"))
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+        col("batch"))
+      .orderBy("n_nationkey", "batch")
+  }
+
   /** Retention vacuum: crash residue from all three write protocols is
     * planted in a partitioned table (dead tagged-append staging, dead
     * compaction staging, dead Spark `_temporary`), with a live commit
@@ -910,6 +930,22 @@ object SparkEntry {
       .select(col("id_a").as("doc_id"),
         (size(array_intersect(col("sa"), col("sb"))).cast("double") /
           size(array_distinct(concat(col("sa"), col("sb"))))).as("j"))
+      .orderBy("doc_id")
+  }
+
+  /** Containment (quote-in-document) similarity: each doc's first 8
+    * words, as a derived quote, scored against the NEXT doc — the
+    * asymmetric subset measure Jaccard can't express. See
+    * [[graft.operators.Dedup.shingleContainment]]. */
+  private def d16_containment(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val quotes = docs
+      .select(col("doc_id").as("q_id"), (col("doc_id") + 1).as("ref_id"),
+        array_join(slice(TextFunctions.words(col("text")), 1, 8), " ")
+          .as("q_text"))
+    graft.operators.Dedup.shingleContainment(
+        docs, "doc_id", "text", quotes, "q_id", "ref_id", "q_text")
+      .select(col("q_id").as("doc_id"), col("containment"))
       .orderBy("doc_id")
   }
 
@@ -2194,6 +2230,28 @@ object SparkEntry {
       .select(col("label"), col("pos"), round(col("v"), 6).as("v"))
       .orderBy("label", "pos")
 
+  /** Per-label centroid similarity matrix: mean-pool per label (the e3
+    * native partial aggregate), round coordinates at 6 decimals so both
+    * engines cosine over IDENTICAL inputs, then the upper-triangle cosine
+    * grid. The pairwise join is over the LABEL frame (bounded by class
+    * count — a stats frame, not a corpus), so the nested-loop there is
+    * by design. */
+  private def e5_centroid_sim(s: SparkSession, dir: String): DataFrame = {
+    val cents = t(s, dir, "embeddings").groupBy("label")
+      .agg(graft.functions.VectorAvgAgg.vectorAvg(col("embedding")).as("c0"))
+      .select(col("label"), transform(col("c0"), v => round(v, 6)).as("c"))
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    val a = cents.select(col("label").as("label_a"), col("c").as("ca"))
+    val b = cents.select(col("label").as("label_b"), col("c").as("cb"))
+    a.join(b, col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"),
+        round(dot(col("ca"), col("cb")) /
+          (sqrt(dot(col("ca"), col("ca"))) * sqrt(dot(col("cb"), col("cb")))),
+          6).as("cos"))
+      .orderBy("label_a", "label_b")
+  }
+
   private val PcaFixture = "/tmp/graft_fixtures/pca_model.parquet"
 
   /** Distributed PCA: one-pass covariance fit (native partial aggregate)
@@ -2887,6 +2945,9 @@ object SparkEntry {
     "e2_l2norm" -> (e2_l2norm _),
     "e3_meanpool" -> (e3_meanpool _),
     "e4_pca" -> (e4_pca _),
+    "e5_centroid_sim" -> (e5_centroid_sim _),
+    "d16_containment" -> (d16_containment _),
+    "s36_merge_schema" -> (s36_merge_schema _),
     "m1_multimodal" -> (m1_multimodal _),
     "m4_pixels" -> (m4_pixels _),
     "m8_resize" -> (m8_resize _),
@@ -3560,6 +3621,47 @@ object SparkEntry {
          SELECT a.doc_id,
            CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) AS j
          FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1 ORDER BY a.doc_id""",
+    "d16_containment" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                    FROM documents),
+         shc AS (SELECT doc_id,
+             list_distinct(CASE WHEN len(ws) < 2 THEN [array_to_string(ws, ' ')]
+               ELSE list_transform(range(1, len(ws)),
+                 i -> ws[i] || ' ' || ws[i+1]) END) AS s
+           FROM w),
+         q AS (SELECT doc_id AS q_id, doc_id + 1 AS ref_id,
+             ws[1:8] AS qw FROM w),
+         shq AS (SELECT q_id, ref_id,
+             list_distinct(CASE WHEN len(qw) < 2 THEN [array_to_string(qw, ' ')]
+               ELSE list_transform(range(1, len(qw)),
+                 i -> qw[i] || ' ' || qw[i+1]) END) AS s
+           FROM q)
+         SELECT shq.q_id AS doc_id,
+           CAST(len(list_intersect(shq.s, shc.s)) AS DOUBLE) / len(shq.s)
+             AS containment
+         FROM shq JOIN shc ON shc.doc_id = shq.ref_id
+         ORDER BY doc_id""",
+    "e5_centroid_sim" ->
+      """WITH x AS (SELECT label,
+             CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+           FROM embeddings),
+         m AS (SELECT label, pos, round(avg(val), 6) AS v
+           FROM x GROUP BY label, pos),
+         c AS (SELECT label, list(v ORDER BY pos) AS vec
+           FROM m GROUP BY label)
+         SELECT a.label AS label_a, b.label AS label_b,
+           round(list_dot_product(a.vec, b.vec) /
+             (sqrt(list_dot_product(a.vec, a.vec)) *
+              sqrt(list_dot_product(b.vec, b.vec))), 6) AS cos
+         FROM c a JOIN c b ON a.label < b.label
+         ORDER BY label_a, label_b""",
+    "s36_merge_schema" ->
+      """SELECT n_nationkey, n_name, CAST(NULL AS INT) AS n_regionkey,
+           'a' AS batch FROM nation
+         UNION ALL
+         SELECT n_nationkey, NULL, n_regionkey, 'b' FROM nation
+         ORDER BY n_nationkey, batch""",
     "d5_embed_neardup" ->
       """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b
          FROM embeddings ORDER BY id_a, id_b""",

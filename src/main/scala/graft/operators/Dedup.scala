@@ -1209,4 +1209,36 @@ object Dedup {
           .when(col("__ha") === col("__hb"), "unchanged")
           .otherwise("changed").as("status"))
   }
+
+  /** ASYMMETRIC containment `|S(quote) ∩ S(ref)| / |S(quote)|` over
+    * word n-gram shingles — the subset/quotation measure Jaccard can't
+    * express: a short passage fully inside a long document scores 1.0
+    * here but near 0 on Jaccard (the union is dominated by the long
+    * side). The quote/ref pairing comes from the CALLER (`refIdCol`
+    * names the corpus doc each quote row compares against) — at 100 TB
+    * candidates come from LSH/banding, never all pairs, so this scores
+    * ONE equi-join of the pair lists with per-doc-bounded shingle sets.
+    * Shingle construction follows the d4 contract (documents shorter
+    * than n collapse to one whole-text shingle). */
+  def shingleContainment(
+      corpus: DataFrame,
+      corpusIdCol: String,
+      corpusTextCol: String,
+      quotes: DataFrame,
+      quoteIdCol: String,
+      refIdCol: String,
+      quoteTextCol: String,
+      n: Int = 2): DataFrame = {
+    require(n >= 1, s"shingle size must be >= 1, got $n")
+    val cs = corpus.select(col(corpusIdCol).as("__rid"),
+      array_distinct(TextFunctions.shingles(
+        TextFunctions.words(col(corpusTextCol)), n)).as("__cs"))
+    val qs = quotes.select(col(quoteIdCol), col(refIdCol).as("__rid"),
+      array_distinct(TextFunctions.shingles(
+        TextFunctions.words(col(quoteTextCol)), n)).as("__qs"))
+    qs.join(cs, "__rid")
+      .select(col(quoteIdCol), col("__rid").as(refIdCol),
+        (size(array_intersect(col("__qs"), col("__cs"))).cast("double") /
+          size(col("__qs"))).as("containment"))
+  }
 }
