@@ -1814,6 +1814,34 @@ object SparkEntry {
   }
 
   private val BpeMergesFixture = "/tmp/graft_fixtures/bpe_merges.parquet"
+  private val TokenizePackFixture = "/tmp/graft_fixtures/t34_bpe_merges.parquet"
+
+  /** END-TO-END pretraining data path as ONE gate: train BPE on the
+    * corpus → count real BPE tokens per document → greedy-pack documents
+    * into 256-token training bins. The oracle replays BOTH stages —
+    * merge application from this gate's own fixture (the h1 lesson:
+    * every gate whose oracle reads a fixture writes it itself), then the
+    * packing recursion over the replayed counts — so a drift anywhere in
+    * tokenizer OR packer breaks the hash. Distributed shape is the two
+    * components' own: bounded driver merge table, codegen'd counting,
+    * sharded O(1)-state packing. */
+  private def t34_tokenize_pack(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val model = graft.functions.Bpe.trainFromCorpus(
+      docs.orderBy("doc_id"), "text", numMerges = 200, sampleDocs = 256)
+    require(graft.functions.Bpe.sequentialReplaySafe(model.merges),
+      "trained BPE merges are not sequentially replayable")
+    import s.implicits._
+    model.merges.zipWithIndex
+      .map { case ((l, r), i) => (i, l, r) }
+      .toDF("merge_rank", "lhs", "rhs")
+      .coalesce(1).write.mode("overwrite").parquet(TokenizePackFixture)
+    val counts = graft.functions.Bpe.tokenCount(docs, "text", model, "tokens")
+      .select(col("doc_id"), col("tokens"))
+    graft.operators.Pack.packGreedy(counts, "doc_id", "tokens",
+        budget = 256, numShards = 8)
+      .orderBy("doc_id")
+  }
 
   /** Bigram-LM perplexity over the corpus (trained on itself here; a real
     * pipeline trains on a held-out quality sample). At gate scale the
@@ -2948,6 +2976,7 @@ object SparkEntry {
     "e5_centroid_sim" -> (e5_centroid_sim _),
     "d16_containment" -> (d16_containment _),
     "s36_merge_schema" -> (s36_merge_schema _),
+    "t34_tokenize_pack" -> (t34_tokenize_pack _),
     "m1_multimodal" -> (m1_multimodal _),
     "m4_pixels" -> (m4_pixels _),
     "m8_resize" -> (m8_resize _),
@@ -4424,6 +4453,47 @@ object SparkEntry {
          SELECT d.doc_id, CAST(COALESCE(p.c, 0) AS BIGINT) AS n_bpe_real
          FROM documents d LEFT JOIN percount p USING (doc_id)
          ORDER BY doc_id""",
+    // both stages replayed: BPE merge application (this gate's own
+    // fixture) feeding the greedy packing recursion
+    "t34_tokenize_pack" ->
+      """WITH RECURSIVE
+         merges AS (SELECT CAST(merge_rank AS INT) AS r, lhs, rhs
+                    FROM read_parquet('/tmp/graft_fixtures/t34_bpe_merges.parquet/*.parquet')),
+         nm AS (SELECT COALESCE(max(r) + 1, 0) AS n FROM merges),
+         wd AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+                FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+         vocab AS (SELECT DISTINCT w FROM wd),
+         steps AS (
+           SELECT w, regexp_replace(w, '(.)', ' \1', 'g') || ' ' AS s, 0 AS i
+           FROM vocab
+           UNION ALL
+           SELECT w, s2 AS s, CASE WHEN s2 = s THEN i + 1 ELSE i END AS i
+           FROM (SELECT st.w, st.s, st.i,
+                   replace(st.s, ' ' || m.lhs || ' ' || m.rhs || ' ',
+                                 ' ' || m.lhs || m.rhs || ' ') AS s2
+                 FROM steps st JOIN merges m ON m.r = st.i) x),
+         fin AS (SELECT w,
+                   CAST(length(s) - length(replace(s, ' ', '')) - 1 AS BIGINT) AS ntok
+                 FROM steps, nm WHERE i = nm.n),
+         percount AS (SELECT wd.doc_id, sum(fin.ntok) AS c
+                      FROM wd JOIN fin USING (w) GROUP BY wd.doc_id),
+         t AS (SELECT d.doc_id, CAST(d.doc_id % 8 AS BIGINT) AS shard,
+             CAST(COALESCE(p.c, 0) AS BIGINT) AS tokens,
+             CAST(row_number() OVER (PARTITION BY d.doc_id % 8
+               ORDER BY d.doc_id) AS BIGINT) AS rn
+           FROM documents d LEFT JOIN percount p USING (doc_id)),
+         pack AS (
+           SELECT shard, rn, doc_id, tokens, CAST(0 AS BIGINT) AS bin,
+             tokens AS fill
+           FROM t WHERE rn = 1
+           UNION ALL
+           SELECT t.shard, t.rn, t.doc_id, t.tokens,
+             CASE WHEN p.fill > 0 AND p.fill + t.tokens > 256
+                  THEN p.bin + 1 ELSE p.bin END,
+             CASE WHEN p.fill > 0 AND p.fill + t.tokens > 256
+                  THEN t.tokens ELSE p.fill + t.tokens END
+           FROM pack p JOIN t ON t.shard = p.shard AND t.rn = p.rn + 1)
+         SELECT doc_id, shard, bin, tokens FROM pack ORDER BY doc_id""",
     "t4_fingerprint" ->
       """SELECT doc_id,
          md5(array_to_string(list_sort(list_distinct(
