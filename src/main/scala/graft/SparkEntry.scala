@@ -2674,6 +2674,30 @@ object SparkEntry {
         "doc_id", "text", numBuckets = 64)
       .orderBy("doc_id", "bucket")
 
+  /** Sentence segmentation stats: terminator-run spans, first sentence,
+    * exact mean length — the same pattern byte-for-byte in both regex
+    * engines. See [[graft.functions.TextFunctions.sentences]]. */
+  private def t35_sentences(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.sentences(col("text")).as("sn"))
+      .select(col("doc_id"),
+        size(col("sn")).cast("long").as("n_sentences"),
+        coalesce(element_at(col("sn"), 1), lit("")).as("first_sentence"),
+        when(size(col("sn")) > 0,
+          aggregate(col("sn"), lit(0L), (a, x) => a + length(x))
+            .cast("double") / size(col("sn"))).as("mean_len"))
+      .orderBy("doc_id")
+
+  /** Deterministic weighted Bernoulli sample: inclusion probability =
+    * clamped length-based weight, decided by a salted md5 uniform both
+    * engines compute identically. See
+    * [[graft.operators.Sampling.weightedSample]]. */
+  private def t36_weighted_sample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.weightedSample(t(s, dir, "documents"),
+        "doc_id", weight = col("n_chars") / 800.0)
+      .select("doc_id", "source", "n_chars")
+      .orderBy("doc_id")
+
   /** Conversation assembly over the event log: per-user ordered
     * transcript of "event_type: props" lines, capped at 50 turns (some
     * users exceed it at this SF, so the WindowGroupLimit cap binds and
@@ -2977,6 +3001,8 @@ object SparkEntry {
     "d16_containment" -> (d16_containment _),
     "s36_merge_schema" -> (s36_merge_schema _),
     "t34_tokenize_pack" -> (t34_tokenize_pack _),
+    "t35_sentences" -> (t35_sentences _),
+    "t36_weighted_sample" -> (t36_weighted_sample _),
     "m1_multimodal" -> (m1_multimodal _),
     "m4_pixels" -> (m4_pixels _),
     "m8_resize" -> (m8_resize _),
@@ -3376,6 +3402,24 @@ object SparkEntry {
            FROM w)
          SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS tf
          FROM b GROUP BY doc_id, bucket ORDER BY doc_id, bucket""",
+    "t35_sentences" ->
+      """WITH sx AS (SELECT doc_id,
+             list_filter(list_transform(
+               regexp_extract_all(text, '[^.!?]+[.!?]*'), s -> trim(s)),
+               s -> s <> '') AS sn
+           FROM documents)
+         SELECT doc_id, CAST(len(sn) AS BIGINT) AS n_sentences,
+           COALESCE(sn[1], '') AS first_sentence,
+           CASE WHEN len(sn) > 0 THEN
+             CAST(list_sum(list_transform(sn, s -> length(s))) AS DOUBLE)
+               / len(sn) END AS mean_len
+         FROM sx ORDER BY doc_id""",
+    "t36_weighted_sample" ->
+      """SELECT doc_id, source, n_chars FROM documents
+         WHERE CAST(concat('0x', substr(md5(concat('gw',
+             CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0
+           < least(1.0, greatest(0.0, n_chars / 800.0))
+         ORDER BY doc_id""",
     // the stream must land on the batch truth: same counters over the
     // whole events table
     "st13_incremental" ->

@@ -377,4 +377,17 @@ object TextFunctions {
     array_min(transform(
       sequence(lit(0), greatest(length(text) - k, lit(0))),
       i => xxhash64(substr(text, i + 1, lit(k)))))
+
+  /** Sentence segmentation by terminator runs: maximal `[^.!?]+[.!?]*`
+    * spans, trimmed, empties dropped. Deliberately regex-simple (no
+    * abbreviation model — "Dr. Smith" splits) so the SAME pattern runs
+    * in Java regex and RE2-family engines with identical boundaries —
+    * the cross-engine-replayable tokenizer contract, one level up from
+    * [[words]]. Sentence counts/lengths feed quality heuristics
+    * (mean sentence length is a classic boilerplate discriminator). */
+  def sentences(text: Column): Column =
+    filter(
+      transform(regexp_extract_all(text, lit("[^.!?]+[.!?]*"), lit(0)),
+        s => trim(s)),
+      s => s =!= "")
 }

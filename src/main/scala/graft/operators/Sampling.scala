@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -166,5 +166,27 @@ object Sampling {
           Window.partitionBy("shard").orderBy(col("__h").asc, col(idCol).asc))
         .cast("long"))
       .drop("__h")
+  }
+
+  /** DETERMINISTIC weighted (Bernoulli) sampling: row kept iff its salted
+    * md5 uniform `u(id) = int(md5[0:8]) / 2³²` falls under `weightCol`
+    * (clamped to [0, 1]) — each row's inclusion probability IS its
+    * weight, independently, reproducibly, with zero RNG state. The
+    * quality-weighted corpus downsample ("keep high-quality docs with
+    * probability ∝ score") as a pure codegen filter: no shuffle, no
+    * state, replayable by any md5-capable engine — the same trick as
+    * [[sampleByGroup]], applied per-row instead of per-rank. Expected
+    * (not exact) output size Σw; use [[sampleExact]] when exactness
+    * beats independence. */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      weight: Column,
+      salt: String = "gw"): DataFrame = {
+    val u = conv(substring(
+        md5(concat(lit(salt), col(idCol).cast("string"))), 1, 8),
+      16, 10).cast("double") / lit(4294967296.0)
+    df.filter(col(idCol).isNotNull)
+      .filter(u < least(lit(1.0), greatest(lit(0.0), weight)))
   }
 }
