@@ -397,6 +397,23 @@ object SparkEntry {
         "o_totalprice", lo = 0.0, hi = 500000.0, buckets = 20)
       .orderBy("bucket")
 
+  /** 2-D equi-width histogram (quantity × price heatmap) — one cell-table
+    * aggregation, out-of-range sentinels per axis. */
+  private def q46_histogram2d(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.histogram2d(t(s, dir, "lineitem"),
+        "l_quantity", 0.0, 50.0, 10, "l_extendedprice", 0.0, 100000.0, 10)
+      .orderBy("bx", "by")
+
+  /** Per-column drift summary between the full lineitem and a planted
+    * low-quantity slice — two single-pass audits joined per column. */
+  private def s37_profile_diff(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    graft.operators.Profile.compare(li,
+        li.filter(col("l_quantity") <= 30),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+      .orderBy("column")
+  }
+
   private val ZorderFixture = "/tmp/graft_fixtures/zorder_orders.parquet"
 
   /** Z-ordered write + zone-map audit in one gate: orders clustered on
@@ -2412,6 +2429,22 @@ object SparkEntry {
         col("v").cast("long").as("v"))
       .orderBy("doc_id", "j")
 
+  /** Audio near-dup key: gradient fingerprint over k=3-decimated PCM,
+    * with duplicate-group sizes — the m11 dHash's audio sibling, oracle
+    * replayed in closed form from the synthetic sample formula. */
+  private def m12_audio_fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val h = Multimodal.decodeWavFingerprint(
+        s.read.parquet(Fixtures.audioPcmDocs(s, dir)), k = 3)
+      .filter(col("afp.format") === "wav")
+      .select(col("doc_id"), col("afp.n_in").as("n_in"),
+        col("afp.hash_hi").as("hash_hi"), col("afp.hash_lo").as("hash_lo"))
+    val groups = h.groupBy("hash_hi", "hash_lo")
+      .agg(count(lit(1)).as("group_size"))
+    h.join(groups, Seq("hash_hi", "hash_lo"))
+      .select("doc_id", "n_in", "hash_hi", "hash_lo", "group_size")
+      .orderBy("doc_id")
+  }
+
   /** Video frame sampling from the container's own sample table: every
     * 3rd frame's index, timing and content checksum, sliced out of mdat
     * via stts/stsz/stco — the oracle reproduces all of it from the
@@ -2865,6 +2898,8 @@ object SparkEntry {
     "s29_profile" -> (s29_profile _),
     "s30_zonemap" -> (s30_zonemap _),
     "q36_histogram" -> (q36_histogram _),
+    "q46_histogram2d" -> (q46_histogram2d _),
+    "s37_profile_diff" -> (s37_profile_diff _),
     "q40_window_suite" -> (q40_window_suite _),
     "q41_unpivot" -> (q41_unpivot _),
     "q42_outliers" -> (q42_outliers _),
@@ -3007,6 +3042,7 @@ object SparkEntry {
     "m4_pixels" -> (m4_pixels _),
     "m8_resize" -> (m8_resize _),
     "m11_image_dhash" -> (m11_image_dhash _),
+    "m12_audio_fingerprint" -> (m12_audio_fingerprint _),
     "m6_jpeg_pixels" -> (m6_jpeg_pixels _),
     "m7_jpeg_420" -> (m7_jpeg_420 _),
     "m2_audio" -> (m2_audio _),
@@ -3328,6 +3364,63 @@ object SparkEntry {
            0.0 + (bucket + 1) * 25000.0 AS bucket_hi,
            CAST(COUNT(*) AS BIGINT) AS n
          FROM b GROUP BY bucket ORDER BY bucket""",
+    "q46_histogram2d" ->
+      """WITH b AS (SELECT
+             CASE WHEN CAST(l_quantity AS DOUBLE) < 0.0 THEN -1
+                  WHEN CAST(l_quantity AS DOUBLE) >= 50.0 THEN 10
+                  ELSE CAST(floor((CAST(l_quantity AS DOUBLE) - 0.0) / 5.0)
+                    AS BIGINT) END AS bx,
+             CASE WHEN CAST(l_extendedprice AS DOUBLE) < 0.0 THEN -1
+                  WHEN CAST(l_extendedprice AS DOUBLE) >= 100000.0 THEN 10
+                  ELSE CAST(floor((CAST(l_extendedprice AS DOUBLE) - 0.0)
+                    / 10000.0) AS BIGINT) END AS by
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL)
+         SELECT bx, by,
+           0.0 + bx * 5.0 AS x_lo, 0.0 + (bx + 1) * 5.0 AS x_hi,
+           0.0 + by * 10000.0 AS y_lo, 0.0 + (by + 1) * 10000.0 AS y_hi,
+           CAST(COUNT(*) AS BIGINT) AS n
+         FROM b GROUP BY bx, by ORDER BY bx, by""",
+    "s37_profile_diff" ->
+      """WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn0,
+           MIN(CAST(l_quantity AS DOUBLE)) AS mn0, MAX(CAST(l_quantity AS DOUBLE)) AS mx0,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sm0,
+           CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn1,
+           MIN(CAST(l_extendedprice AS DOUBLE)) AS mn1, MAX(CAST(l_extendedprice AS DOUBLE)) AS mx1,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sm1,
+           CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn2,
+           MIN(CAST(l_discount AS DOUBLE)) AS mn2, MAX(CAST(l_discount AS DOUBLE)) AS mx2,
+           CAST(SUM(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) AS sm2
+           FROM lineitem),
+         b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn0,
+           MIN(CAST(l_quantity AS DOUBLE)) AS mn0, MAX(CAST(l_quantity AS DOUBLE)) AS mx0,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sm0,
+           CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn1,
+           MIN(CAST(l_extendedprice AS DOUBLE)) AS mn1, MAX(CAST(l_extendedprice AS DOUBLE)) AS mx1,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sm1,
+           CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn2,
+           MIN(CAST(l_discount AS DOUBLE)) AS mn2, MAX(CAST(l_discount AS DOUBLE)) AS mx2,
+           CAST(SUM(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) AS sm2
+           FROM lineitem WHERE l_quantity <= 30)
+         SELECT 'l_quantity' AS "column",
+           a.n AS n_rows_a, a.nn0 AS n_nulls_a, a.mn0 AS min_a,
+           a.mx0 AS max_a, a.sm0 / (a.n - a.nn0) AS mean_a,
+           b.n AS n_rows_b, b.nn0 AS n_nulls_b, b.mn0 AS min_b,
+           b.mx0 AS max_b, b.sm0 / (b.n - b.nn0) AS mean_b
+         FROM a, b
+         UNION ALL
+         SELECT 'l_extendedprice', a.n, a.nn1, a.mn1, a.mx1,
+           a.sm1 / (a.n - a.nn1), b.n, b.nn1, b.mn1, b.mx1,
+           b.sm1 / (b.n - b.nn1)
+         FROM a, b
+         UNION ALL
+         SELECT 'l_discount', a.n, a.nn2, a.mn2, a.mx2,
+           a.sm2 / (a.n - a.nn2), b.n, b.nn2, b.mn2, b.mx2,
+           b.sm2 / (b.n - b.nn2)
+         FROM a, b
+         ORDER BY "column"""",
     "q40_window_suite" ->
       """SELECT o_orderkey, o_custkey,
            CAST(ntile(4) OVER w AS INT) AS tile,
@@ -5226,6 +5319,29 @@ object SparkEntry {
                CAST(((doc_id * 131 + (j * 7) * 31) % 65536) - 32768 AS BIGINT) AS v
                FROM d, UNNEST(range(0, (n + 6) // 7)) AS t(j))
          SELECT doc_id, n_in, j, v FROM s ORDER BY doc_id, j""",
+    "m12_audio_fingerprint" ->
+      """WITH d AS (SELECT doc_id, doc_id % 200 + 50 AS n FROM documents),
+         s AS (SELECT doc_id, CAST(n AS BIGINT) AS n_in, j,
+             CAST(((doc_id * 131 + (j * 3) * 31) % 65536) - 32768 AS BIGINT) AS v
+           FROM d, UNNEST(range(0, (n + 2) // 3)) AS t(j)),
+         b AS (SELECT a.doc_id, a.n_in, a.j,
+             CASE WHEN a.v < c.v THEN 1 ELSE 0 END AS bit
+           FROM s a JOIN s c ON a.doc_id = c.doc_id AND c.j = a.j + 1
+           WHERE a.j < 64),
+         hsh AS (SELECT doc_id, CAST(max(n_in) AS BIGINT) AS n_in,
+             CAST(SUM(CASE WHEN j >= 32
+               THEN CAST(bit AS BIGINT) << (j - 32) ELSE 0 END)
+               AS BIGINT) AS hash_hi,
+             CAST(SUM(CASE WHEN j < 32
+               THEN CAST(bit AS BIGINT) << j ELSE 0 END)
+               AS BIGINT) AS hash_lo
+           FROM b GROUP BY doc_id),
+         grp AS (SELECT hash_hi, hash_lo,
+             CAST(COUNT(*) AS BIGINT) AS group_size
+           FROM hsh GROUP BY hash_hi, hash_lo)
+         SELECT h.doc_id, h.n_in, h.hash_hi, h.hash_lo, g.group_size
+         FROM hsh h JOIN grp g USING (hash_hi, hash_lo)
+         ORDER BY h.doc_id""",
     "m5_audio_pcm" ->
       """WITH d AS (SELECT doc_id, doc_id % 200 + 50 AS n FROM documents),
          s AS (SELECT doc_id, ((doc_id * 131 + i * 31) % 65536) - 32768 AS v

@@ -536,6 +536,47 @@ object Multimodal {
     }
   }
 
+  /** Audio gradient fingerprint — dHash's PCM sibling: decimate the WAV's
+    * 16-bit samples by `k` (the m9 kernel), then one bit per consecutive
+    * decimated-sample gradient over the first ≤65 values, packed as
+    * unsigned 32-bit halves. Amplitude-shift invariant for the same
+    * reason dHash is brightness-invariant (a constant offset cancels in
+    * every comparison); short clips simply contribute fewer bits (the
+    * rest stay 0). Integer end-to-end — replayable in closed form from
+    * the decimated samples. */
+  def wavPcm16Fingerprint(b: Array[Byte], k: Int): Option[(Long, Long, Long)] =
+    wavPcm16Decimate(b, k).map { case (nIn, samples) =>
+      var hi = 0L; var lo = 0L
+      val m = math.min(64, samples.length - 1)
+      var j = 0
+      while (j < m) {
+        if (samples(j) < samples(j + 1)) {
+          if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
+        }
+        j += 1
+      }
+      (nIn, hi, lo)
+    }
+
+  private val audioFpType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("n_in", LongType, nullable = true),
+    StructField("hash_hi", LongType, nullable = true),
+    StructField("hash_lo", LongType, nullable = true)))
+
+  /** Batched audio fingerprint; null fields (format `"undecodable"`) for
+    * non-WAV payloads. */
+  def decodeWavFingerprint(df: DataFrame, k: Int,
+      payloadCol: String = "payload", fpCol: String = "afp"): DataFrame = {
+    require(k >= 1, s"decimation factor must be >= 1, got $k")
+    decodeMeta(df, payloadCol, fpCol, audioFpType) { bytes =>
+      wavPcm16Fingerprint(bytes, k) match {
+        case Some((n, hi, lo)) => Row("wav", n, hi, lo)
+        case None => Row("undecodable", null, null, null)
+      }
+    }
+  }
+
   /** Perceptual difference hash (dHash) of a PNG payload: decode →
     * 9×8 nearest-neighbor grayscale thumbnail → one bit per horizontal
     * gradient (`gray(x,y) < gray(x+1,y)`). Returned as two unsigned

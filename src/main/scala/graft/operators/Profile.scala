@@ -62,6 +62,54 @@ object Profile {
       .drop("__ord")
   }
 
+  /** Two-table drift comparison: [[summary]] of `a` and `b` joined per
+    * column — `(column, n_rows_a/b, n_nulls_a/b, min_a/b, max_a/b,
+    * mean_a/b)` — the "what changed between yesterday's table and
+    * today's" review in TWO single-pass scans (one per table; each is the
+    * audit-counter shape, so the exchange moves a handful of longs per
+    * task regardless of table size). Columns must exist in both frames;
+    * pair with [[graft.operators.Collocations]]' KL drift for
+    * distribution-level movement and `Dedup.corpusDiff` for row-level. */
+  def compare(a: DataFrame, b: DataFrame, cols: Seq[String]): DataFrame = {
+    val sa = summary(a, cols)
+    val sb = summary(b, cols)
+    sa.select(col("column"), col("n_rows").as("n_rows_a"),
+        col("n_nulls").as("n_nulls_a"), col("min").as("min_a"),
+        col("max").as("max_a"), col("mean").as("mean_a"))
+      .join(sb.select(col("column"), col("n_rows").as("n_rows_b"),
+        col("n_nulls").as("n_nulls_b"), col("min").as("min_b"),
+        col("max").as("max_b"), col("mean").as("mean_b")), "column")
+  }
+
+  /** 2-D equi-width histogram over `[loX, hiX) × [loY, hiY)` — the
+    * heatmap / correlation-structure companion to [[histogram]]: one row
+    * per non-empty cell `(bx, by, x_lo, x_hi, y_lo, y_hi, n)`, the same
+    * −1/`buckets` out-of-range sentinels per axis. Still ONE aggregation;
+    * the shuffle is the (bucketsX+2)·(bucketsY+2) cell table. */
+  def histogram2d(
+      df: DataFrame,
+      cx: String, loX: Double, hiX: Double, bucketsX: Int,
+      cy: String, loY: Double, hiY: Double, bucketsY: Int): DataFrame = {
+    require(bucketsX >= 1 && bucketsY >= 1, "buckets must be >= 1")
+    require(loX < hiX && loY < hiY, "need lo < hi on both axes")
+    val wx = (hiX - loX) / bucketsX
+    val wy = (hiY - loY) / bucketsY
+    def bucket(c: String, lo: Double, hi: Double, w: Double, n: Int) =
+      when(col(c).cast("double") < lo, lit(-1L))
+        .when(col(c).cast("double") >= hi, lit(n.toLong))
+        .otherwise(floor((col(c).cast("double") - lo) / w).cast("long"))
+    df.filter(col(cx).isNotNull && col(cy).isNotNull)
+      .groupBy(bucket(cx, loX, hiX, wx, bucketsX).as("bx"),
+        bucket(cy, loY, hiY, wy, bucketsY).as("by"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bx"), col("by"),
+        (lit(loX) + col("bx") * wx).as("x_lo"),
+        (lit(loX) + (col("bx") + 1) * wx).as("x_hi"),
+        (lit(loY) + col("by") * wy).as("y_lo"),
+        (lit(loY) + (col("by") + 1) * wy).as("y_hi"),
+        col("n"))
+  }
+
   /** Equi-width histogram of a numeric column over `[lo, hi)`: one row
     * per NON-EMPTY bucket, `(bucket, bucket_lo, bucket_hi, n)`, bucket
     * index `floor((x − lo)/width)`. Values outside `[lo, hi)` land in
