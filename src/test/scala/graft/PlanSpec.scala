@@ -80,4 +80,35 @@ class PlanSpec extends SparkSpec {
     assert(count(plan, "Expand") == 0, "single-distinct must not plan an Expand")
     assert(count(plan, "Exchange hashpartitioning") <= 3, plan.take(2000))
   }
+
+  test("t30 conversations: maxTurns cap is a map-side WindowGroupLimit, one key shuffle") {
+    val plan = finalPlan(SparkEntry.queries("t30_conversations")(spark, dir))
+    // partial + final group limit: a mapper forwards <=50 rows per user
+    assert(count(plan, "WindowGroupLimit") >= 2, plan.take(2000))
+    assert(plan.contains("Partial"), "map-side partial cap must exist")
+    // window + collect aggregation reuse ONE user_id exchange
+    assert(count(plan, "Exchange hashpartitioning") == 1, plan.take(2000))
+  }
+
+  test("q44 resample: in-bucket rank prunes map-side; no cartesian anywhere") {
+    val plan = finalPlan(SparkEntry.queries("q44_resample")(spark, dir))
+    assert(count(plan, "WindowGroupLimit") >= 2, plan.take(2000))
+    assert(count(plan, "CartesianProduct") == 0 &&
+      count(plan, "BroadcastNestedLoop") == 0, plan.take(2000))
+    // grid generation is a generator, not a join against a calendar table
+    assert(plan.contains("Generate"), "sequence+explode grid must be a Generate")
+  }
+
+  test("q41 unpivot: the melt is a zero-shuffle generator over the aggregate") {
+    val plan = finalPlan(SparkEntry.queries("q41_unpivot")(spark, dir))
+    // one exchange for the groupBy; the stack() adds none
+    assert(count(plan, "Exchange hashpartitioning") == 1, plan.take(2000))
+  }
+
+  test("t31 hashing TF: one partially-aggregated shuffle, codegen end-to-end") {
+    val plan = finalPlan(SparkEntry.queries("t31_feature_hash")(spark, dir))
+    assert(count(plan, "Exchange hashpartitioning") == 1, plan.take(2000))
+    assert(plan.contains("partial_count") || plan.contains("Partial"),
+      "map-side combine must exist")
+  }
 }
