@@ -2055,6 +2055,24 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", chunkSize = 200, overlap = 40)
       .orderBy("doc_id", "chunk_ix")
 
+  /** Chunk → embed → pool, end to end: t18's char chunks through the
+    * deterministic stand-in embedder ([[graft.operators.Embeddings
+    * .hashEmbed]] — the model seam, stubbed honestly) into the e3
+    * mean-pooling aggregate. The oracle replays chunk boundaries, every
+    * md5 component, and the pooled means — the full document-embedding
+    * data path hash-checked with zero model dependence. */
+  private def t38_embed_pipeline(s: SparkSession, dir: String): DataFrame = {
+    val chunks = graft.operators.Chunk.chunkChars(
+      t(s, dir, "documents"), "doc_id", "text", chunkSize = 200, overlap = 40)
+    chunks
+      .withColumn("vec", graft.operators.Embeddings.hashEmbed(col("chunk"), 8))
+      .groupBy("doc_id")
+      .agg(graft.functions.VectorAvgAgg.vectorAvg(col("vec")).as("mv"))
+      .select(col("doc_id"), posexplode(col("mv")).as(Seq("pos", "v")))
+      .select(col("doc_id"), col("pos"), round(col("v"), 6).as("v"))
+      .orderBy("doc_id", "pos")
+  }
+
   /** Word-window variant (40 words, 8 shared — the approximate-token
     * windowing); words per the t3 whitespace contract. */
   private def t18b_chunk_words(s: SparkSession, dir: String): DataFrame =
@@ -3038,6 +3056,7 @@ object SparkEntry {
     "t34_tokenize_pack" -> (t34_tokenize_pack _),
     "t35_sentences" -> (t35_sentences _),
     "t36_weighted_sample" -> (t36_weighted_sample _),
+    "t38_embed_pipeline" -> (t38_embed_pipeline _),
     "m1_multimodal" -> (m1_multimodal _),
     "m4_pixels" -> (m4_pixels _),
     "m8_resize" -> (m8_resize _),
@@ -5067,6 +5086,21 @@ object SparkEntry {
          SELECT doc_id, i AS chunk_ix,
            substr(text, CAST(i * 160 + 1 AS INT), 200) AS chunk, n_chunks
          FROM e ORDER BY doc_id, chunk_ix""",
+    "t38_embed_pipeline" ->
+      """WITH d AS (SELECT doc_id, text,
+             greatest(1, CAST(ceil((length(text) - 40.0) / 160) AS BIGINT)) AS n_chunks
+           FROM documents),
+         e AS (SELECT doc_id, text, n_chunks,
+             unnest(range(0, n_chunks)) AS i FROM d),
+         c AS (SELECT doc_id,
+             substr(text, CAST(i * 160 + 1 AS INT), 200) AS chunk FROM e),
+         comp AS (SELECT doc_id, j,
+             CAST(concat('0x', substr(md5(concat(chunk, '_emb_',
+               CAST(j AS VARCHAR))), 1, 8)) AS BIGINT)
+               / 4294967296.0 * 2.0 - 1.0 AS x
+           FROM c, UNNEST(range(0, 8)) AS t(j))
+         SELECT doc_id, CAST(j AS INT) AS pos, round(avg(x), 6) AS v
+         FROM comp GROUP BY doc_id, j ORDER BY doc_id, pos""",
     // word windows under the t3 whitespace contract: 40 words, step 32,
     // chunks re-joined with single spaces
     "t18b_chunk_words" ->

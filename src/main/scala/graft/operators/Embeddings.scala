@@ -84,4 +84,24 @@ object Embeddings {
           transform(col(vecCol), _ => lit(0.0)))
           .otherwise(transform(col(vecCol), x => x.cast("double") / col("__n")))
           .as("nvec"))
+
+  /** Deterministic STAND-IN text embedder — the multimodal stub policy
+    * applied to text encoding: component `j = u_j·2 − 1` with `u_j` the
+    * md5 uniform of `(text, salt, j)` — pure codegen, replayable by any
+    * md5-capable engine, so the PLUMBING around an embedding model
+    * (chunking, pooling, indexing, serving joins) is testable end-to-end
+    * with hash gates. A real encoder swaps in at exactly this seam (a
+    * mapInPandas/ONNX batch call producing the same `array<double>`
+    * column); everything downstream is untouched. NOT a semantic
+    * embedding — similarity over these vectors is meaningless by design
+    * (distinct texts are ~orthogonal), which is precisely what makes the
+    * pipeline tests honest: nothing can accidentally rely on model
+    * behavior. */
+  def hashEmbed(text: Column, dim: Int, salt: String = "emb"): Column = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    array((0 until dim).map { j =>
+      conv(substring(md5(concat(text, lit(s"_${salt}_$j"))), 1, 8), 16, 10)
+        .cast("double") / lit(4294967296.0) * 2.0 - 1.0
+    }: _*)
+  }
 }
