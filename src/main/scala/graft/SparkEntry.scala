@@ -1504,6 +1504,26 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Clamped-seed label propagation: six seed communities spread over the
+    * g3 event graph for three synchronous rounds; the oracle replays
+    * every round's neighbor-vote argmax (count desc, label asc). */
+  private def g5_label_prop(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "events")
+      .select((col("event_id") % 60).as("src"),
+        (expr("event_id DIV 60") % 60).as("dst"))
+    val seeds = s.range(6).select(col("id").as("node"), col("id").as("label"))
+    Graph.labelPropagation(edges, "src", "dst", seeds, "node", "label",
+        iterations = 3)
+      .orderBy("node")
+  }
+
+  /** Daily new + cumulative distinct users over the event log — the
+    * growth curve companion to q39's retention matrix. */
+  private def q47_cumulative_distinct(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.newAndCumulative(
+        Fixtures.events(s, dir), "user_id", "ts")
+      .orderBy("day")
+
   /** Multinomial naive Bayes classifying each document's `source` from
     * its tokens: fully distributed train + score, per-(doc, class)
     * rounded log-scores and the rounded-argmax prediction. The oracle
@@ -2977,6 +2997,8 @@ object SparkEntry {
     "ml1_linprobe" -> (ml1_linprobe _),
     "ml2_logreg" -> (ml2_logreg _),
     "ml3_naive_bayes" -> (ml3_naive_bayes _),
+    "g5_label_prop" -> (g5_label_prop _),
+    "q47_cumulative_distinct" -> (q47_cumulative_distinct _),
     "d6_dedup_pipeline" -> (d6_dedup_pipeline _),
     "d7_connected_components" -> (d7_connected_components _),
     "d8_decontam" -> (d8_decontam _),
@@ -3900,6 +3922,59 @@ object SparkEntry {
          SELECT f.doc_id,
            ROUND(1.0 / (1.0 + EXP(-(w.w0 + w.w1 * f.x1 + w.w2 * f.x2))), 6) AS score
          FROM f, i3 w ORDER BY doc_id""",
+    // three synchronous clamped-seed rounds, each replayed: labeled-
+    // neighbor votes, count-desc/label-asc argmax, seeds immutable
+    "g5_label_prop" ->
+      """WITH e0 AS MATERIALIZED (SELECT DISTINCT event_id % 60 AS s,
+             (event_id // 60) % 60 AS d
+           FROM events WHERE (event_id % 60) <> ((event_id // 60) % 60)),
+         und AS MATERIALIZED (SELECT DISTINCT s, d FROM
+           (SELECT s, d FROM e0 UNION SELECT d AS s, s AS d FROM e0)),
+         nodes AS (SELECT DISTINCT s AS node FROM und),
+         l0 AS (SELECT node,
+             CASE WHEN node < 6 THEN node END AS label FROM nodes),
+         m1 AS (SELECT u.s AS node, l.label AS nl FROM und u
+           JOIN l0 l ON l.node = u.d WHERE l.label IS NOT NULL),
+         c1 AS (SELECT node, nl, COUNT(*) AS c FROM m1 GROUP BY node, nl),
+         p1 AS (SELECT node, nl FROM (SELECT *, row_number() OVER
+             (PARTITION BY node ORDER BY c DESC, nl) AS rn FROM c1)
+           WHERE rn = 1),
+         l1 AS (SELECT l.node, CASE WHEN l.node < 6 THEN l.node
+             ELSE COALESCE(p.nl, l.label) END AS label
+           FROM l0 l LEFT JOIN p1 p ON p.node = l.node),
+         m2 AS (SELECT u.s AS node, l.label AS nl FROM und u
+           JOIN l1 l ON l.node = u.d WHERE l.label IS NOT NULL),
+         c2 AS (SELECT node, nl, COUNT(*) AS c FROM m2 GROUP BY node, nl),
+         p2 AS (SELECT node, nl FROM (SELECT *, row_number() OVER
+             (PARTITION BY node ORDER BY c DESC, nl) AS rn FROM c2)
+           WHERE rn = 1),
+         l2 AS (SELECT l.node, CASE WHEN l.node < 6 THEN l.node
+             ELSE COALESCE(p.nl, l.label) END AS label
+           FROM l1 l LEFT JOIN p2 p ON p.node = l.node),
+         m3 AS (SELECT u.s AS node, l.label AS nl FROM und u
+           JOIN l2 l ON l.node = u.d WHERE l.label IS NOT NULL),
+         c3 AS (SELECT node, nl, COUNT(*) AS c FROM m3 GROUP BY node, nl),
+         p3 AS (SELECT node, nl FROM (SELECT *, row_number() OVER
+             (PARTITION BY node ORDER BY c DESC, nl) AS rn FROM c3)
+           WHERE rn = 1),
+         l3 AS (SELECT l.node, CASE WHEN l.node < 6 THEN l.node
+             ELSE COALESCE(p.nl, l.label) END AS label
+           FROM l2 l LEFT JOIN p3 p ON p.node = l.node)
+         SELECT node, label FROM l3 ORDER BY node""",
+    "q47_cumulative_distinct" ->
+      """WITH fd AS (SELECT user_id,
+             min(CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT))
+               AS fday
+           FROM events GROUP BY user_id),
+         d AS (SELECT fday, CAST(COUNT(*) AS BIGINT) AS new_keys
+           FROM fd GROUP BY fday)
+         SELECT CAST(DATE '1970-01-01' + to_days(CAST(fday AS INT)) AS DATE)
+             AS day,
+           new_keys,
+           CAST(SUM(new_keys) OVER (ORDER BY fday
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_keys
+         FROM d ORDER BY day""",
     "ml3_naive_bayes" ->
       """WITH w AS (SELECT doc_id, source,
              regexp_split_to_array(trim(text), '\s+') AS ws

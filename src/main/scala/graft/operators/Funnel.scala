@@ -88,4 +88,28 @@ object Funnel {
           col("__cohort").cast("int")).as("cohort_date"),
         col("day_offset"), col("n_active"))
   }
+
+  /** Daily NEW and CUMULATIVE distinct keys — the growth curve behind the
+    * retention matrix: `(day, new_keys, cum_keys)` with each key counted
+    * on its first-seen UTC day only (the epoch-day arithmetic of
+    * [[retention]], timezone-proof by construction). Two partial-agg
+    * shuffles (per-key min-day, per-day count); the running sum windows
+    * over the DAY table — rows bounded by the time span, never the
+    * corpus, which is what makes the single-partition window fine. */
+  def newAndCumulative(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String): DataFrame = {
+    val firstDay = events
+      .select(col(keyCol).as("__k"),
+        floor(unix_micros(col(tsCol)) / lit(86400000000L)).as("__day"))
+      .groupBy("__k").agg(min(col("__day")).as("__first"))
+    firstDay.groupBy("__first").agg(count(lit(1)).as("new_keys"))
+      .withColumn("cum_keys",
+        sum(col("new_keys")).over(Window.orderBy("__first")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(date_add(lit("1970-01-01").cast("date"),
+          col("__first").cast("int")).as("day"),
+        col("new_keys"), col("cum_keys"))
+  }
 }

@@ -302,4 +302,76 @@ object Graph {
       .join(corners, Seq("node"), "left")
       .select(col("node"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
+
+  /** SEMI-SUPERVISED label propagation (Zhu & Ghahramani 2002-style
+    * clamped seeds, synchronous rounds): seed nodes keep their label
+    * forever; every other node adopts, each round, the most frequent
+    * label among its LABELED neighbors as of the previous round (ties:
+    * smallest label; no labeled neighbor yet: unchanged, possibly still
+    * null). Fixed `iterations` — fully deterministic, a pure function of
+    * (graph, seeds), so a hash gate can replay every round.
+    *
+    * The "spread the curated labels" primitive for corpus curation:
+    * hand-label a few thousand domains/docs, propagate over the link or
+    * near-dup graph ([[Dedup.connectedComponents]]' edges work directly).
+    *
+    * Spark shape: undirected edge frame built once, hash-partitioned,
+    * persisted; each round shuffles only (node, label) messages and one
+    * (node, label) count aggregation with map-side combine, then the
+    * rank-1 argmax (a WindowGroupLimit-prunable rank filter). Per-round
+    * persist + LogicalRDD barrier (pageRank's pattern) keeps plans O(1)
+    * deep. */
+  def labelPropagation(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedNodeCol: String,
+      seedLabelCol: String,
+      iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val spark = edges.sparkSession
+    val e0 = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = und.select(col("src").as("node")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sd = seeds.select(col(seedNodeCol).cast("long").as("node"),
+      col(seedLabelCol).cast("long").as("seed_label"))
+    var labels = nodes.join(sd, Seq("node"), "left")
+      .select(col("node"), col("seed_label"),
+        col("seed_label").as("label"))
+    var retained: Option[DataFrame] = None
+    for (_ <- 1 to iterations) {
+      val msgs = und
+        .join(labels.filter(col("label").isNotNull)
+          .select(col("node").as("__nbr"), col("label").as("nl")),
+          und("dst") === col("__nbr"))
+        .select(col("src").as("node"), col("nl"))
+      val counts = msgs.groupBy("node", "nl").agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("node").orderBy(col("c").desc, col("nl").asc)
+      val pick = counts
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("node"), col("nl"))
+      val next = labels.join(pick, Seq("node"), "left")
+        .select(col("node"), col("seed_label"),
+          coalesce(col("seed_label"), col("nl"), col("label")).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      val barrier = spark.createDataFrame(next.rdd, next.schema)
+      retained.foreach(_.unpersist(false))
+      retained = Some(next)
+      labels = barrier
+    }
+    und.unpersist(false)
+    nodes.unpersist(false)
+    labels.select(col("node"), col("label"))
+  }
 }

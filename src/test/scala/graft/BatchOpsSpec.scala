@@ -934,6 +934,48 @@ class TriangleSpec extends SparkSpec {
   }
 }
 
+class LabelPropSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("labels spread from clamped seeds; ties break to the smaller label") {
+    // barbell: 0-1-2 triangle and 5-6-7 triangle joined by 2-3-4-5 path;
+    // seeds: 0 -> label 0, 7 -> label 7
+    val edges = Seq((0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5),
+      (5, 6), (6, 7), (5, 7)).toDF("src", "dst")
+    val seeds = Seq((0L, 0L), (7L, 7L)).toDF("node", "label")
+    val r = graft.operators.Graph
+      .labelPropagation(edges, "src", "dst", seeds, "node", "label", 3)
+      .collect().map(x => x.getLong(0) ->
+        (if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
+    // seeds clamped
+    assert(r(0L) == 0L && r(7L) == 7L)
+    // each triangle adopts its seed's label
+    assert(r(1L) == 0L && r(2L) == 0L)
+    assert(r(6L) == 7L && r(5L) == 7L)
+    // node 3 hears 2(label 0 from round 1) and 4: by round 3 label 0 side
+    assert(r(3L) == 0L)
+    // node 4 hears both sides equally by round 3 → tie → smaller label
+    assert(r(4L) == 0L)
+  }
+
+  test("unreached nodes stay null; iteration count bounds the frontier") {
+    val edges = Seq((0, 1), (1, 2), (2, 3), (3, 4), (10, 11)).toDF("a", "b")
+    val seeds = Seq((0L, 42L)).toDF("n", "l")
+    val r1 = graft.operators.Graph
+      .labelPropagation(edges, "a", "b", seeds, "n", "l", 1)
+      .collect().map(x => x.getLong(0) ->
+        (if (x.isNullAt(1)) null else x.getLong(1))).toMap
+    assert(r1(1L) == 42L && r1(2L) == null, r1.toString)
+    // disconnected component never labeled
+    assert(r1(10L) == null && r1(11L) == null)
+    val r3 = graft.operators.Graph
+      .labelPropagation(edges, "a", "b", seeds, "n", "l", 3)
+      .collect().map(x => x.getLong(0) ->
+        (if (x.isNullAt(1)) null else x.getLong(1))).toMap
+    assert(r3(3L) == 42L && r3(4L) == null)
+  }
+}
+
 class DHashSpec extends SparkSpec {
   import graft.operators.Multimodal
 
