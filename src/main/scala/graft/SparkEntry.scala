@@ -3285,21 +3285,21 @@ object SparkEntry {
     "q45_join_card" ->
       """WITH ca AS (SELECT CAST(l_partkey AS VARCHAR) AS k, COUNT(*) AS c
              FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
-         p1 AS (SELECT k, c * c AS pairs FROM ca),
-         s1 AS (SELECT CAST(SUM(pairs) AS BIGINT) AS total_pairs,
+         p1 AS (SELECT k, CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)) AS pairs FROM ca),
+         s1 AS (SELECT CAST(SUM(pairs) AS DECIMAL(38,0)) AS total_pairs,
              CAST(COUNT(*) AS BIGINT) AS matched_keys,
-             CAST(MAX(pairs) AS BIGINT) AS max_key_pairs FROM p1),
+             CAST(MAX(pairs) AS DECIMAL(38,0)) AS max_key_pairs FROM p1),
          t1 AS (SELECT min(k) AS top_key FROM p1
            WHERE pairs = (SELECT max(pairs) FROM p1)),
          cl AS (SELECT CAST(l_orderkey AS VARCHAR) AS k, COUNT(*) AS c
              FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
          co AS (SELECT CAST(o_orderkey AS VARCHAR) AS k, COUNT(*) AS c
              FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1),
-         p2 AS (SELECT cl.k, cl.c * co.c AS pairs
+         p2 AS (SELECT cl.k, CAST(cl.c AS DECIMAL(19,0)) * CAST(co.c AS DECIMAL(19,0)) AS pairs
            FROM cl JOIN co USING (k)),
-         s2 AS (SELECT CAST(SUM(pairs) AS BIGINT) AS total_pairs,
+         s2 AS (SELECT CAST(SUM(pairs) AS DECIMAL(38,0)) AS total_pairs,
              CAST(COUNT(*) AS BIGINT) AS matched_keys,
-             CAST(MAX(pairs) AS BIGINT) AS max_key_pairs FROM p2),
+             CAST(MAX(pairs) AS DECIMAL(38,0)) AS max_key_pairs FROM p2),
          t2 AS (SELECT min(k) AS top_key FROM p2
            WHERE pairs = (SELECT max(pairs) FROM p2))
          SELECT 'li_self_partkey' AS relation, s1.*, t1.* FROM s1, t1
@@ -3982,8 +3982,10 @@ object SparkEntry {
          tok AS (SELECT doc_id, source, unnest(ws) AS t FROM w),
          labels AS (SELECT DISTINCT source AS label FROM documents),
          v AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS vv FROM tok),
-         ct AS (SELECT source AS label, CAST(count(*) AS BIGINT) AS tot
-           FROM tok GROUP BY source),
+         ct AS (SELECT l.label, COALESCE(t0.tot0, 0) AS tot
+           FROM labels l LEFT JOIN (SELECT source AS label,
+             CAST(count(*) AS BIGINT) AS tot0 FROM tok GROUP BY source) t0
+           USING (label)),
          wc AS (SELECT t, source AS label, CAST(count(*) AS BIGINT) AS c
            FROM tok GROUP BY t, source),
          dtf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf

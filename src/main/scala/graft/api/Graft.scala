@@ -333,10 +333,14 @@ object Graft {
       val rows =
         if (!fs.exists(dir)) Seq.empty
         else fs.listStatus(dir).toSeq.map(_.getPath)
-          .collect { case p if Manifest.findFirstIn(p.getName).isDefined =>
-            val id = p.getName.stripSuffix(".manifest").toInt
-            val n = readManifest(fs, p).size.toLong
-            (id, n)
+          // anchored match, same as snapshot()'s next-id scan: stray files
+          // ("000001.manifest.tmp" debris) are skipped, not crashed on
+          .flatMap { p =>
+            p.getName match {
+              case Manifest(n) =>
+                Some((n.toInt, readManifest(fs, p).size.toLong))
+              case _ => None
+            }
           }.sortBy(_._1)
       rows.toDF("snapshot_id", "n_files")
     }
@@ -1590,11 +1594,12 @@ object Graft {
   }
 
   /** Retention vacuum: delete CRASH RESIDUE left by the write protocols —
-    * hidden `.graft_ingest_staging_<tag>` trees (a tagged append that died
-    * before its rename commit), hidden `.graft_compact_<id>` trees (a
-    * compaction rewrite that died before its swap), and Spark `_temporary`
-    * trees (a plain write that died before its job commit) — when their
-    * directory is older than `olderThanMs`. Metadata-only: one recursive
+    * hidden `.graft_ingest_staging_<tag>` / `.graft_route_staging_<tag>`
+    * trees (a tagged or quarantine-routed append that died before its
+    * rename commit), hidden `.graft_compact_<id>` trees (a compaction
+    * rewrite that died before its swap), and Spark `_temporary` trees (a
+    * plain write that died before its job commit) — when their directory
+    * is older than `olderThanMs`. Metadata-only: one recursive
     * listing, deletes by directory rename/unlink, never a data read.
     *
     * What it deliberately does NOT touch:
@@ -1625,7 +1630,8 @@ object Graft {
       var staging = 0; var compact = 0; var temp = 0
       var files = 0L; var bytes = 0L; var recent = 0
       def residueKind(name: String): Option[Int] =
-        if (name.startsWith(".graft_ingest_staging_")) Some(0)
+        if (name.startsWith(".graft_ingest_staging_") ||
+            name.startsWith(".graft_route_staging_")) Some(0)
         else if (name.startsWith(".graft_compact_")) Some(1)
         else if (name == "_temporary") Some(2)
         else None
@@ -1640,7 +1646,9 @@ object Graft {
             val name = st.getPath.getName
             residueKind(name) match {
               case Some(kind) =>
-                if (st.getModificationTime < cutoff) {
+                // inclusive: olderThanMs=0 means "any age" — a dir touched
+                // in the same millisecond as the call must still sweep
+                if (st.getModificationTime <= cutoff) {
                   measure(st.getPath)
                   require(fs.delete(st.getPath, true),
                     s"vacuum: failed to delete ${st.getPath}")

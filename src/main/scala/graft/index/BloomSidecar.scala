@@ -89,10 +89,15 @@ object BloomSidecar {
       values: Seq[Any]): Seq[String] = {
     require(values.nonEmpty, "need at least one lookup value")
     val side = spark.read.parquet(sidecarPath(url, column))
-    // staleness check: every CURRENT data file must be covered
-    val covered = side.select("file").collect().map(_.getString(0)).toSet
-    val current = spark.read.parquet(url).select(col("_metadata.file_path"))
-      .distinct().collect().map(_.getString(0))
+    // staleness check: every CURRENT data file must be covered. The
+    // current list comes from the driver-side file index (inputFiles —
+    // a listing, NO scan job); paths are normalized through hadoop Path
+    // on both sides because the file index and _metadata.file_path can
+    // render the same URI differently (file:/ vs file:///)
+    def norm(p: String): String = new Path(p).toString
+    val covered = side.select("file").collect()
+      .map(r => norm(r.getString(0))).toSet
+    val current = spark.read.parquet(url).inputFiles.map(norm)
     val missing = current.filterNot(covered)
     require(missing.isEmpty,
       s"bloom sidecar for $column is STALE: ${missing.length} data files " +

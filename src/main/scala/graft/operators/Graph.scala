@@ -339,10 +339,14 @@ object Graph {
       .distinct()
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = und.select(col("src").as("node")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val sd = seeds.select(col(seedNodeCol).cast("long").as("node"),
       col(seedLabelCol).cast("long").as("seed_label"))
+    // node universe = graph nodes ∪ seed nodes: a curated label on a
+    // not-yet-linked node must survive (clamped), not silently vanish
+    val nodes = und.select(col("src").as("node"))
+      .union(sd.select(col("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = nodes.join(sd, Seq("node"), "left")
       .select(col("node"), col("seed_label"),
         col("seed_label").as("label"))

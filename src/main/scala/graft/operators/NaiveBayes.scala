@@ -46,8 +46,13 @@ object NaiveBayes {
       explode(TextFunctions.words(col(textCol))).as("t"))
     val labels = df.select(col(labelCol).as("label")).distinct()
     val v = tok.agg(countDistinct(col("t")).as("vv"))
-    val ct = tok.groupBy(col("__lab").as("label"))
-      .agg(count(lit(1)).as("tot"))
+    // per-class token totals over the LABEL universe: a class whose
+    // training docs are all empty still exists — its likelihoods are pure
+    // smoothing (α/(0+αV)), not a silently dropped class
+    val ct = labels.join(
+        tok.groupBy(col("__lab").as("label")).agg(count(lit(1)).as("tot0")),
+        Seq("label"), "left")
+      .select(col("label"), coalesce(col("tot0"), lit(0L)).as("tot"))
     val wc = tok.groupBy(col("t"), col("__lab").as("label"))
       .agg(count(lit(1)).as("c"))
     val dtf = tok.groupBy(col(idCol), col("t"))

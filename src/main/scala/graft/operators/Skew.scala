@@ -169,10 +169,16 @@ object Skew {
     val cb = b.filter(col(bKey).isNotNull)
       .groupBy(col(bKey).cast("string").as("__k"))
       .agg(count(lit(1)).as("__cb"))
+    // decimal(38,0) arithmetic: the pathological join this pre-flight
+    // exists to catch (4e9 × 4e9 rows on one key ≈ 1.6e19 pairs) overflows
+    // Long exactly when the answer matters — ANSI mode would throw, legacy
+    // mode would wrap negative and wave the quadratic join through
     val pairs = ca.join(cb, "__k")
-      .select(col("__k"), (col("__ca") * col("__cb")).as("__pairs"))
+      .select(col("__k"),
+        (col("__ca").cast("decimal(19,0)") * col("__cb").cast("decimal(19,0)"))
+          .cast("decimal(38,0)").as("__pairs"))
     val stats = pairs.agg(
-      sum(col("__pairs")).as("total_pairs"),
+      sum(col("__pairs")).cast("decimal(38,0)").as("total_pairs"),
       count(lit(1)).as("matched_keys"),
       max(col("__pairs")).as("max_key_pairs"))
     // the heaviest key, resolved against the broadcast one-row stats (the

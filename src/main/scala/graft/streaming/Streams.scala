@@ -261,15 +261,47 @@ object Streams {
       schema: StructType,
       checkpoint: String,
       sinkPath: String)(transform: DataFrame => DataFrame): Long = {
-    val src = spark.readStream.schema(schema).parquet(srcDir)
-    val q = transform(src).writeStream.format("parquet")
-      .outputMode("append")
-      .option("path", sinkPath)
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    q.recentProgress.map(_.numInputRows).sum
+    // the witness accumulates through a listener, NOT q.recentProgress:
+    // recentProgress is a ring buffer (default 100 entries), so a large
+    // backlog draining in >100 micro-batches would silently undercount.
+    // Counts key on query id (known only after start), so the listener
+    // records EVERY query's progress and we read ours at the end; the
+    // terminated event is posted after the final progress event, so
+    // waiting for it makes the count complete despite the async bus.
+    val counts = new java.util.concurrent.ConcurrentHashMap[
+      java.util.UUID, java.util.concurrent.atomic.AtomicLong]()
+    val terminated = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[java.util.UUID]()
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+        counts.computeIfAbsent(e.progress.id,
+          _ => new java.util.concurrent.atomic.AtomicLong())
+          .addAndGet(e.progress.numInputRows)
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = {
+        terminated.add(e.id); ()
+      }
+    }
+    spark.streams.addListener(listener)
+    try {
+      val src = spark.readStream.schema(schema).parquet(srcDir)
+      val q = transform(src).writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", sinkPath)
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val deadline = System.currentTimeMillis() + 60000
+      while (!terminated.contains(q.id) &&
+          System.currentTimeMillis() < deadline) Thread.sleep(10)
+      require(terminated.contains(q.id),
+        "incrementalRun: listener bus did not drain within 60s")
+      Option(counts.get(q.id)).map(_.get()).getOrElse(0L)
+    } finally spark.streams.removeListener(listener)
   }
 
   /** Continuous near-duplicate INGEST GATE: each micro-batch of new

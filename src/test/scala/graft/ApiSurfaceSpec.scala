@@ -257,16 +257,18 @@ class ApiSurfaceSpec extends SparkSpec {
       val o = fs.create(p, true); o.write(1); o.close()
     }
     touch(".graft_ingest_staging_x/part-0.parquet")
+    touch(".graft_route_staging_z/gr_ok=bad/part-0.parquet")
     touch("p=a/.graft_compact_y/part-0.parquet")
     // a generous retention treats the fresh residue as a possibly-live writer
     val kept = Graft.vacuum(spark, out, olderThanMs = 3600L * 1000)
     assert(kept.stagingDirs == 0 && kept.compactDirs == 0 &&
-      kept.filesRemoved == 0 && kept.skippedRecent == 2, kept.toString)
+      kept.filesRemoved == 0 && kept.skippedRecent == 3, kept.toString)
     assert(fs.exists(new org.apache.hadoop.fs.Path(out, ".graft_ingest_staging_x")))
-    // zero retention sweeps both; a second pass is an idempotent no-op
+    // zero retention sweeps all three (route staging counts as staging);
+    // a second pass is an idempotent no-op
     val swept = Graft.vacuum(spark, out, olderThanMs = 0)
-    assert(swept.stagingDirs == 1 && swept.compactDirs == 1 &&
-      swept.filesRemoved == 2 && swept.skippedRecent == 0, swept.toString)
+    assert(swept.stagingDirs == 2 && swept.compactDirs == 1 &&
+      swept.filesRemoved == 3 && swept.skippedRecent == 0, swept.toString)
     val again = Graft.vacuum(spark, out, olderThanMs = 0)
     assert(again.filesRemoved == 0 &&
       again.stagingDirs + again.compactDirs + again.tempDirs == 0)

@@ -974,6 +974,17 @@ class LabelPropSpec extends SparkSpec {
         (if (x.isNullAt(1)) null else x.getLong(1))).toMap
     assert(r3(3L) == 42L && r3(4L) == null)
   }
+
+  test("a seed on an isolated node survives, clamped") {
+    import spark.implicits._
+    val edges = Seq((0, 1)).toDF("a", "b")
+    val seeds = Seq((0L, 9L), (99L, 5L)).toDF("n", "l")
+    val r = graft.operators.Graph
+      .labelPropagation(edges, "a", "b", seeds, "n", "l", 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(99L) == 5L, "isolated seed must not vanish")
+    assert(r(0L) == 9L && r(1L) == 9L)
+  }
 }
 
 class DHashSpec extends SparkSpec {
@@ -1006,22 +1017,31 @@ class PreflightAuditSpec extends SparkSpec {
     // key 1: 3×2 rows, key 2: 1×4, key 3: only left → unmatched
     val a = Seq(1, 1, 1, 2, 3).toDF("k")
     val b = Seq(1, 1, 2, 2, 2, 2).toDF("j")
+    // pair counts are DECIMAL(38,0) — the overflow-proof width
+    def dec(r: org.apache.spark.sql.Row, c: String): Long =
+      r.getAs[java.math.BigDecimal](c).longValueExact()
     val r = graft.operators.Skew.joinCardinality(a, "k", b, "j").collect()(0)
-    assert(r.getAs[Long]("total_pairs") == 3 * 2 + 1 * 4)
+    assert(dec(r, "total_pairs") == 3 * 2 + 1 * 4)
     assert(r.getAs[Long]("matched_keys") == 2)
-    assert(r.getAs[Long]("max_key_pairs") == 6)
+    assert(dec(r, "max_key_pairs") == 6)
     assert(r.getAs[String]("top_key") == "1")
     // the prediction equals the actual join size
-    assert(a.join(b, a("k") === b("j")).count() ==
-      r.getAs[Long]("total_pairs"))
+    assert(a.join(b, a("k") === b("j")).count() == dec(r, "total_pairs"))
     // self-join: sum of squared counts
     val self = graft.operators.Skew.joinCardinality(a, "k", a, "k").collect()(0)
-    assert(self.getAs[Long]("total_pairs") == 9 + 1 + 1)
+    assert(dec(self, "total_pairs") == 9 + 1 + 1)
     // nulls never match
     val withNull = Seq(Some(1), None).toDF("k")
     val rn = graft.operators.Skew
       .joinCardinality(withNull, "k", withNull, "k").collect()(0)
-    assert(rn.getAs[Long]("total_pairs") == 1)
+    assert(dec(rn, "total_pairs") == 1)
+    // the overflow case itself: 4e9 × 4e9 pairs (1.6e19) exceeds
+    // Long.MaxValue — the decimal arithmetic the operator uses must
+    // carry it exactly rather than wrap or throw
+    val prod = spark.sql(
+      "SELECT CAST(4000000000 AS DECIMAL(19,0)) * CAST(4000000000 AS DECIMAL(19,0)) AS p")
+      .collect()(0).getAs[java.math.BigDecimal]("p")
+    assert(prod.toBigInteger.toString == "16000000000000000000")
   }
 
   test("orphans: null FKs counted apart, orphan rows and keys exact") {

@@ -92,4 +92,15 @@ class NaiveBayesSpec extends SparkSpec {
     assert(r.filter(_.getLong(0) == 1L).forall(_.getString(3) == "a"))
     assert(r.filter(_.getLong(0) == 2L).forall(_.getString(3) == "a"))
   }
+
+  test("a class whose training docs are all empty still scores (pure smoothing)") {
+    val docs = Seq((1L, "x x y", "a"), (2L, "", "b"))
+      .toDF("doc_id", "text", "label")
+    val r = graft.operators.NaiveBayes
+      .trainScore(docs, "doc_id", "text", "label").collect()
+    // doc 1 scored against BOTH classes — b's likelihoods are α/(0+αV)
+    assert(r.count(_.getLong(0) == 1L) == 2, r.mkString(";"))
+    // evidence favors the class that actually contains the tokens
+    assert(r.filter(_.getLong(0) == 1L).forall(_.getString(3) == "a"))
+  }
 }
