@@ -2637,6 +2637,30 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** STREAMING enforcement: the events stream routes through the s32
+    * quarantine protocol micro-batch by micro-batch (checkpoint-keyed
+    * tags → replay-idempotent in both destinations); the union of the
+    * two landed tables must reproduce every verdict the batch oracle
+    * computes. */
+  private def st14_stream_enforce(s: SparkSession, dir: String): DataFrame = {
+    val base = s"/tmp/graft_fixtures/stenf_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val bp = new org.apache.hadoop.fs.Path(base)
+    bp.getFileSystem(s.sessionState.newHadoopConf()).delete(bp, true)
+    val ev = graft.streaming.Streams.eventsStream(s, dir)
+      .select("event_id", "user_id", "event_type", "value")
+    val checks = Seq(
+      "value_le_15" -> (col("value") <= 15.0),
+      "not_error" -> (col("event_type") =!= "error"))
+    val q = graft.streaming.Streams.streamEnforce(
+      ev, checks, s"$base/clean", s"$base/quar", s"$base/cp")
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(s"$base/clean").withColumn("status", lit("ok"))
+      .unionByName(s.read.parquet(s"$base/quar")
+        .withColumn("status", lit("quarantined")))
+      .select("event_id", "status", "gr_reasons")
+      .orderBy("event_id")
+  }
+
   /** STREAMING as-of enrichment: the events stream gains each user's
     * latest order ≤ ts via the broadcast sorted-lookup (no state, no
     * shuffle) — semantics identical to as1, so the same DuckDB batch ASOF
@@ -3031,6 +3055,7 @@ object SparkEntry {
     "st11_stream_stateful" -> (st11_stream_stateful _),
     "st12_stream_audit" -> (st12_stream_audit _),
     "st13_incremental" -> (st13_incremental _),
+    "st14_stream_enforce" -> (st14_stream_enforce _),
     "t1_langid" -> (t1_langid _),
     "t1b_langid_ngram" -> (t1b_langid_ngram _),
     "t2_quality" -> (t2_quality _),
@@ -3556,6 +3581,17 @@ object SparkEntry {
          ORDER BY doc_id""",
     // the stream must land on the batch truth: same counters over the
     // whole events table
+    "st14_stream_enforce" ->
+      """SELECT event_id,
+           CASE WHEN r = '' THEN 'ok' ELSE 'quarantined' END AS status,
+           r AS gr_reasons
+         FROM (SELECT event_id, concat_ws(',',
+             CASE WHEN NOT coalesce(value <= 15.0, FALSE)
+               THEN 'value_le_15' END,
+             CASE WHEN NOT coalesce(event_type <> 'error', FALSE)
+               THEN 'not_error' END) AS r
+           FROM events)
+         ORDER BY event_id""",
     "st13_incremental" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value

@@ -372,6 +372,36 @@ object Streams {
     * SHA-256 prefix of the checkpoint path (64 bits; a 32-bit
     * `String.hashCode` collision between two gates sharing one index
     * would silently skip a batch as already-committed). */
+  /** STREAMING write-time enforcement: every micro-batch routes through
+    * [[graft.operators.Enforce.writeRouted]] under a checkpoint-keyed
+    * per-batch tag, composing the two protocols end-to-end — one scan per
+    * batch, exhaustive clean/quarantine split with per-row reasons, and
+    * exactly-once across micro-batch REPLAYS without commit markers: a
+    * replayed batch re-routes under the SAME tag, and writeRouted's
+    * abort-stage-rename cycle converges both destinations to one copy
+    * (the s32 idempotency contract, inherited rather than re-proven).
+    * The quarantine stream is a TABLE, so downstream triage is ordinary
+    * batch SQL over `gr_reasons`. */
+  def streamEnforce(
+      rows: DataFrame,
+      checks: Seq[(String, Column)],
+      cleanPath: String,
+      quarantinePath: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(rows.isStreaming, "streamEnforce needs a streaming DataFrame")
+    val ctag = checkpointTag(checkpoint)
+    rows.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Enforce.writeRouted(batch, checks,
+          cleanPath, quarantinePath, s"enf_${ctag}_b$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
+
   private[graft] def checkpointTag(checkpoint: String): String =
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(checkpoint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
