@@ -55,8 +55,21 @@ object BloomSidecar {
     require(dt == LongType || dt == IntegerType || dt == StringType,
       s"$what: bloom sidecars support BIGINT/INT/STRING keys, got $dt")
 
+  /** One rendering for a file URI whichever surface produced it:
+    * `_metadata.file_path` URL-encodes special characters while
+    * `inputFiles`/Path.toString may not, and file:/ vs file:/// varies —
+    * decode through URI when the string parses as one, then normalize
+    * through hadoop Path. */
+  private[index] def normPath(s: String): String =
+    try new Path(new java.net.URI(s)).toString
+    catch { case _: Exception => new Path(s).toString }
+
   /** Build (or rebuild) the sidecar for `column` over every data file of
-    * the parquet table at `url`. Returns the number of files covered. */
+    * the parquet table at `url` — INCLUDING zero-row files (an empty
+    * write partition or an empty streaming micro-batch leaves
+    * schema-only part files; they carry an empty bloom so the staleness
+    * check stays consistent and lookups skip them naturally). Returns
+    * the number of files covered. */
   def write(
       spark: SparkSession,
       url: String,
@@ -67,13 +80,30 @@ object BloomSidecar {
     val df = spark.read.parquet(url)
     val dt = df.schema(column).dataType
     requireSupported(dt, "bloom write")
-    val side = df
+    val grouped = df
       .select(col("_metadata.file_path").as("file"), col(column).as("__k"))
       .groupBy("file")
       .agg(count(lit(1)).as("n_rows"),
         GraftInternals.column(BloomAgg(
           GraftInternals.expression(col("__k")),
           expectedPerFile, fpp).toAggregateExpression()).as("bloom"))
+    // zero-row files never produce a grouped row — append them with an
+    // empty bloom (deterministic: nothing was ever put; lookups skip them
+    // naturally). Detected by comparing NORMALIZED renderings (the file
+    // index and _metadata can render the same URI differently); only the
+    // file-name strings are collected, never blooms.
+    val rowFiles = grouped.select("file").collect()
+      .map(r => normPath(r.getString(0))).toSet
+    val zeroRow = df.inputFiles.filterNot(f => rowFiles.contains(normPath(f)))
+    val emptyBloom = {
+      val bos = new java.io.ByteArrayOutputStream()
+      BloomFilter.create(expectedPerFile, fpp).writeTo(bos)
+      bos.toByteArray
+    }
+    import spark.implicits._
+    val side = grouped.unionByName(
+      zeroRow.toSeq.map(f => (f, 0L, emptyBloom))
+        .toDF("file", "n_rows", "bloom"))
     side.coalesce(1).write.mode("overwrite")
       .parquet(sidecarPath(url, column))
     spark.read.parquet(sidecarPath(url, column)).count().toInt
@@ -91,13 +121,12 @@ object BloomSidecar {
     val side = spark.read.parquet(sidecarPath(url, column))
     // staleness check: every CURRENT data file must be covered. The
     // current list comes from the driver-side file index (inputFiles —
-    // a listing, NO scan job); paths are normalized through hadoop Path
-    // on both sides because the file index and _metadata.file_path can
-    // render the same URI differently (file:/ vs file:///)
-    def norm(p: String): String = new Path(p).toString
+    // a listing, NO scan job); both sides normalize through normPath
+    // because the file index and _metadata.file_path can render the same
+    // URI differently (file:/ vs file:///, percent-encoding)
     val covered = side.select("file").collect()
-      .map(r => norm(r.getString(0))).toSet
-    val current = spark.read.parquet(url).inputFiles.map(norm)
+      .map(r => normPath(r.getString(0))).toSet
+    val current = spark.read.parquet(url).inputFiles.map(normPath)
     val missing = current.filterNot(covered)
     require(missing.isEmpty,
       s"bloom sidecar for $column is STALE: ${missing.length} data files " +

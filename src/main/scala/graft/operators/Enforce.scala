@@ -90,6 +90,19 @@ object Enforce {
     val nClean = commit("ok", cleanPath)
     val nBad = commit("bad", quarantinePath)
     fs.delete(stage, true)
+    // an all-clean (or all-bad) batch must still leave BOTH destinations
+    // readable tables: land a schema-only parquet file in the empty side
+    // so spark.read doesn't refuse with "unable to infer schema"
+    def ensureReadable(destPath: String, n: Int): Unit = if (n == 0) {
+      val dest = fs.makeQualified(new Path(destPath))
+      if (!fs.exists(dest) || fs.listStatus(dest)
+          .forall(st => !st.isFile || !st.getPath.getName.endsWith(".parquet"))) {
+        Enforce.tag(df.limit(0), checks).drop("gr_ok")
+          .coalesce(1).write.mode("append").parquet(dest.toString)
+      }
+    }
+    ensureReadable(cleanPath, nClean)
+    ensureReadable(quarantinePath, nBad)
     (nClean, nBad)
   }
 }

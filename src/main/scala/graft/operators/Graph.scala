@@ -339,8 +339,11 @@ object Graph {
       .distinct()
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // null (or null-casting) seed nodes are not addressable — drop them
+    // rather than inject a spurious null node into the universe
     val sd = seeds.select(col(seedNodeCol).cast("long").as("node"),
       col(seedLabelCol).cast("long").as("seed_label"))
+      .filter(col("node").isNotNull)
     // node universe = graph nodes ∪ seed nodes: a curated label on a
     // not-yet-linked node must survive (clamped), not silently vanish
     val nodes = und.select(col("src").as("node"))

@@ -368,10 +368,6 @@ object Streams {
       .start()
   }
 
-  /** Injective-in-practice tag for a gate's commit markers and appends:
-    * SHA-256 prefix of the checkpoint path (64 bits; a 32-bit
-    * `String.hashCode` collision between two gates sharing one index
-    * would silently skip a batch as already-committed). */
   /** STREAMING write-time enforcement: every micro-batch routes through
     * [[graft.operators.Enforce.writeRouted]] under a checkpoint-keyed
     * per-batch tag, composing the two protocols end-to-end — one scan per
@@ -402,6 +398,10 @@ object Streams {
       .start()
   }
 
+  /** Injective-in-practice tag for a gate's commit markers and appends:
+    * SHA-256 prefix of the checkpoint path (64 bits; a 32-bit
+    * `String.hashCode` collision between two gates sharing one index
+    * would silently skip a batch as already-committed). */
   private[graft] def checkpointTag(checkpoint: String): String =
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(checkpoint.getBytes(java.nio.charset.StandardCharsets.UTF_8))

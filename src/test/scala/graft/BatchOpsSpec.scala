@@ -984,6 +984,13 @@ class LabelPropSpec extends SparkSpec {
       .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
     assert(r(99L) == 5L, "isolated seed must not vanish")
     assert(r(0L) == 9L && r(1L) == 9L)
+    // a null seed node is dropped, not injected as a spurious null row
+    val withNull = Seq((Some(0L), 9L), (Option.empty[Long], 5L))
+      .toDF("n", "l")
+    val rn = graft.operators.Graph
+      .labelPropagation(edges, "a", "b", withNull, "n", "l", 1)
+      .collect()
+    assert(rn.forall(!_.isNullAt(0)), rn.mkString(";"))
   }
 }
 

@@ -189,5 +189,13 @@ class IngestProtocolSpec extends SparkSpec {
         df.withColumn("gr_ok", lit("x")), checks)
     }
     assert(e.getMessage.contains("gr_ok"))
+    // an all-clean batch still leaves a READABLE (schema-only) quarantine
+    val base2 = tmpDir("enforce_allclean")
+    val (o2, b2) = graft.operators.Enforce.writeRouted(
+      df.filter(col("k") === 1), Seq("always" -> lit(true)),
+      s"$base2/clean", s"$base2/quar", tag = "t9")
+    assert(o2 == 1 && b2 == 0)
+    assert(spark.read.parquet(s"$base2/quar").count() == 0)
+    assert(spark.read.parquet(s"$base2/quar").columns.contains("gr_reasons"))
   }
 }

@@ -613,5 +613,15 @@ class ReadPathSpec extends SparkSpec {
     BloomSidecar.write(spark, out, "id", fpp = 0.01, expectedPerFile = 1000)
     assert(BloomSidecar.readWithSkip(spark, out, "id", Seq(9999L))
       .count() == 1)
+    // a ZERO-ROW part file (schema-only append) is covered with an empty
+    // bloom: no false STALE, and lookups skip it naturally
+    spark.range(0).selectExpr("id", "concat('n', id) AS name")
+      .coalesce(1).write.mode("append").parquet(out)
+    val n = BloomSidecar.write(spark, out, "id",
+      fpp = 0.01, expectedPerFile = 1000)
+    assert(n == spark.read.parquet(out).inputFiles.length,
+      "sidecar must cover every file incl. empty ones")
+    assert(BloomSidecar.readWithSkip(spark, out, "id", Seq(7L))
+      .count() == 1)
   }
 }
