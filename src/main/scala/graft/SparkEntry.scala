@@ -742,6 +742,19 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
+  /** Time-hierarchy ROLLUP over the event log: (year, month, day) with
+    * subtotal rows at every level — the OLAP drill-down companion to
+    * q14's dimension rollup, on UTC calendar parts both engines extract
+    * identically. */
+  private def q48_time_rollup(s: SparkSession, dir: String): DataFrame =
+    Fixtures.events(s, dir)
+      .select(year(col("ts")).as("y"), month(col("ts")).as("m"),
+        dayofmonth(col("ts")).as("d"), col("value"))
+      .rollup("y", "m", "d")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("y").asc_nulls_first, col("m").asc_nulls_first,
+        col("d").asc_nulls_first)
+
   /** Ranking/navigation window suite — the window functions no other gate
     * exercises: `ntile`, `percent_rank`, `cume_dist`, `lag`, `lead` over one
     * per-customer ordered window. The (date, key) tiebreak makes every peer
@@ -2498,6 +2511,26 @@ object SparkEntry {
         col("__f.byte_sum").as("byte_sum"))
       .orderBy("doc_id", "frame_idx")
 
+  /** Video near-dup key from container STRUCTURE: md5 over the full
+    * (frame_idx, ts_ms, size) sequence — identical timing+size layouts
+    * collapse into genuine duplicate groups (content checksums then
+    * confirm; the structural key is the cheap first pass). Every frame
+    * (k=1), decoded from the real sample table; oracle replays the
+    * sequence and the hash in closed form. */
+  private def m13_video_fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val h = Multimodal.decodeMp4FrameSample(
+        s.read.parquet(Fixtures.videoSampleDocs(s, dir)), k = 1)
+      .filter(col("frame_sample.format") === "mp4")
+      .select(col("doc_id"),
+        md5(concat_ws(",", transform(col("frame_sample.frames"),
+          f => concat_ws(":", f.getField("frame_idx"), f.getField("ts_ms"),
+            f.getField("size"))))).as("vfp"))
+    val groups = h.groupBy("vfp").agg(count(lit(1)).as("group_size"))
+    h.join(groups, Seq("vfp"))
+      .select("doc_id", "vfp", "group_size")
+      .orderBy("doc_id")
+  }
+
   private def m2_audio(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeAudioMeta(s.read.parquet(Fixtures.audioDocs(s, dir)))
       .select(col("doc_id"), col("audio_meta.sample_rate"),
@@ -3109,6 +3142,8 @@ object SparkEntry {
     "m8_resize" -> (m8_resize _),
     "m11_image_dhash" -> (m11_image_dhash _),
     "m12_audio_fingerprint" -> (m12_audio_fingerprint _),
+    "m13_video_fingerprint" -> (m13_video_fingerprint _),
+    "q48_time_rollup" -> (q48_time_rollup _),
     "m6_jpeg_pixels" -> (m6_jpeg_pixels _),
     "m7_jpeg_420" -> (m7_jpeg_420 _),
     "m2_audio" -> (m2_audio _),
@@ -5458,6 +5493,35 @@ object SparkEntry {
            CAST((SELECT SUM((fr.doc_id + fr.frame_idx * 31 + j.j * 7) % 256)
              FROM UNNEST(range(0, fr.fs)) j(j)) AS BIGINT) AS byte_sum
          FROM fr ORDER BY doc_id, frame_idx""",
+    "m13_video_fingerprint" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 30 + 5 AS INT) AS nf,
+             CAST(doc_id % 50 + 20 AS INT) AS fs,
+             1000 * (doc_id % 3 + 1) AS tsc, 40 * (doc_id % 2 + 1) AS delta
+           FROM documents),
+         fr AS (SELECT doc_id, CAST(f.f AS BIGINT) AS fi,
+             (f.f * delta * 1000) // tsc AS ts_ms, fs
+           FROM d, UNNEST(range(0, nf)) f(f)),
+         seqs AS (SELECT doc_id,
+             string_agg(CAST(fi AS VARCHAR) || ':' ||
+               CAST(ts_ms AS VARCHAR) || ':' || CAST(fs AS VARCHAR),
+               ',' ORDER BY fi) AS sig
+           FROM fr GROUP BY doc_id),
+         h AS (SELECT doc_id, md5(sig) AS vfp FROM seqs),
+         g AS (SELECT vfp, CAST(COUNT(*) AS BIGINT) AS group_size
+           FROM h GROUP BY vfp)
+         SELECT h.doc_id, h.vfp, g.group_size FROM h JOIN g USING (vfp)
+         ORDER BY h.doc_id""",
+    "q48_time_rollup" ->
+      """SELECT EXTRACT(YEAR FROM CAST(ts AS TIMESTAMP)) AS y,
+           EXTRACT(MONTH FROM CAST(ts AS TIMESTAMP)) AS m,
+           EXTRACT(DAY FROM CAST(ts AS TIMESTAMP)) AS d,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY ROLLUP (
+           EXTRACT(YEAR FROM CAST(ts AS TIMESTAMP)),
+           EXTRACT(MONTH FROM CAST(ts AS TIMESTAMP)),
+           EXTRACT(DAY FROM CAST(ts AS TIMESTAMP)))
+         ORDER BY y NULLS FIRST, m NULLS FIRST, d NULLS FIRST""",
     // decimated index j maps to source sample j*7 of the closed form
     "m9_audio_decimate" ->
       """WITH d AS (SELECT doc_id, doc_id % 200 + 50 AS n FROM documents
