@@ -979,6 +979,50 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** CROSS-MODAL dedup report — the whole-asset view a multimodal corpus
+    * pipeline actually runs: per document, the duplicate-group size under
+    * each modality's key (exact text hash, image dHash, audio gradient
+    * fingerprint, video structural fingerprint) side by side. Every key
+    * is closed-form replayable, so the oracle reproduces all four
+    * clusterings and the join; any modality key drifting breaks the
+    * hash. Four map-side key computations + four (key)-grouped counts +
+    * doc_id joins — no modality ever shuffles its payload. */
+  private def d17_multimodal_dedup(s: SparkSession, dir: String): DataFrame = {
+    def groupSizes(df: DataFrame, keyCols: Seq[String], out: String): DataFrame = {
+      val g = df.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as(out))
+      df.join(g, keyCols).select(col("doc_id"), col(out))
+    }
+    val text = groupSizes(
+      t(s, dir, "documents").select(col("doc_id"), md5(col("text")).as("k")),
+      Seq("k"), "text_dups")
+    val img = groupSizes(
+      Multimodal.decodePngDHash(s.read.parquet(Fixtures.pngPixelDocs(s, dir)))
+        .filter(col("dhash.format") === "png")
+        .select(col("doc_id"), col("dhash.hash_hi").as("hi"),
+          col("dhash.hash_lo").as("lo")),
+      Seq("hi", "lo"), "image_dups")
+    val aud = groupSizes(
+      Multimodal.decodeWavFingerprint(
+          s.read.parquet(Fixtures.audioPcmDocs(s, dir)), k = 3)
+        .filter(col("afp.format") === "wav")
+        .select(col("doc_id"), col("afp.hash_hi").as("hi"),
+          col("afp.hash_lo").as("lo")),
+      Seq("hi", "lo"), "audio_dups")
+    val vid = groupSizes(
+      Multimodal.decodeMp4FrameSample(
+          s.read.parquet(Fixtures.videoSampleDocs(s, dir)), k = 1)
+        .filter(col("frame_sample.format") === "mp4")
+        .select(col("doc_id"),
+          md5(concat_ws(",", transform(col("frame_sample.frames"),
+            f => concat_ws(":", f.getField("frame_idx"),
+              f.getField("ts_ms"), f.getField("size"))))).as("k")),
+      Seq("k"), "video_dups")
+    text.join(img, "doc_id").join(aud, "doc_id").join(vid, "doc_id")
+      .select("doc_id", "text_dups", "image_dups", "audio_dups", "video_dups")
+      .orderBy("doc_id")
+  }
+
   /** Transitive near-dup clusters over a deterministic chain-edge graph:
     * doc↔doc+1 and doc↔doc+2 edges where bigram-shingle jaccard ≥ 0.05.
     * The +2 edges make transitivity real (a–b–c chains where a,c are
@@ -3143,6 +3187,7 @@ object SparkEntry {
     "m11_image_dhash" -> (m11_image_dhash _),
     "m12_audio_fingerprint" -> (m12_audio_fingerprint _),
     "m13_video_fingerprint" -> (m13_video_fingerprint _),
+    "d17_multimodal_dedup" -> (d17_multimodal_dedup _),
     "q48_time_rollup" -> (q48_time_rollup _),
     "m6_jpeg_pixels" -> (m6_jpeg_pixels _),
     "m7_jpeg_420" -> (m7_jpeg_420 _),
@@ -5493,6 +5538,81 @@ object SparkEntry {
            CAST((SELECT SUM((fr.doc_id + fr.frame_idx * 31 + j.j * 7) % 256)
              FROM UNNEST(range(0, fr.fs)) j(j)) AS BIGINT) AS byte_sum
          FROM fr ORDER BY doc_id, frame_idx""",
+    // all four modality clusterings replayed in closed form, then joined
+    "d17_multimodal_dedup" ->
+      """WITH txt AS (SELECT doc_id, md5(text) AS k FROM documents),
+         tg AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS text_dups
+           FROM txt GROUP BY k),
+         t2 AS (SELECT doc_id, text_dups FROM txt JOIN tg USING (k)),
+         idm AS (SELECT doc_id,
+             CAST(doc_id % 13 + 4 AS INT) AS w,
+             CAST(doc_id % 11 + 4 AS INT) AS h
+           FROM documents),
+         ig AS (SELECT d.doc_id, p.p % 9 AS x, p.p // 9 AS y,
+             (299 * ((d.doc_id + ((p.p % 9) * d.w // 9) * 3
+                      + ((p.p // 9) * d.h // 8) * 5) % 256)
+            + 587 * ((d.doc_id + ((p.p % 9) * d.w // 9) * 3
+                      + ((p.p // 9) * d.h // 8) * 5 + 11) % 256)
+            + 114 * ((d.doc_id + ((p.p % 9) * d.w // 9) * 3
+                      + ((p.p // 9) * d.h // 8) * 5 + 22) % 256)) // 1000
+             AS gray
+           FROM idm d, UNNEST(range(0, 72)) AS p(p)),
+         ib AS (SELECT a.doc_id, a.x, a.y,
+             CASE WHEN a.gray < c.gray THEN 1 ELSE 0 END AS bit
+           FROM ig a JOIN ig c
+             ON a.doc_id = c.doc_id AND a.y = c.y AND c.x = a.x + 1
+           WHERE a.x < 8),
+         ih AS (SELECT doc_id,
+             CAST(SUM(CASE WHEN y * 8 + x >= 32
+               THEN CAST(bit AS BIGINT) << (y * 8 + x - 32) ELSE 0 END)
+               AS BIGINT) AS hi,
+             CAST(SUM(CASE WHEN y * 8 + x < 32
+               THEN CAST(bit AS BIGINT) << (y * 8 + x) ELSE 0 END)
+               AS BIGINT) AS lo
+           FROM ib GROUP BY doc_id),
+         igr AS (SELECT hi, lo, CAST(COUNT(*) AS BIGINT) AS image_dups
+           FROM ih GROUP BY hi, lo),
+         i2 AS (SELECT doc_id, image_dups FROM ih JOIN igr USING (hi, lo)),
+         adm AS (SELECT doc_id, doc_id % 200 + 50 AS n FROM documents),
+         asm AS (SELECT doc_id, j,
+             CAST(((doc_id * 131 + (j * 3) * 31) % 65536) - 32768 AS BIGINT) AS v
+           FROM adm, UNNEST(range(0, (n + 2) // 3)) AS t(j)),
+         ab AS (SELECT a.doc_id, a.j,
+             CASE WHEN a.v < c.v THEN 1 ELSE 0 END AS bit
+           FROM asm a JOIN asm c ON a.doc_id = c.doc_id AND c.j = a.j + 1
+           WHERE a.j < 64),
+         ah AS (SELECT doc_id,
+             CAST(SUM(CASE WHEN j >= 32
+               THEN CAST(bit AS BIGINT) << (j - 32) ELSE 0 END)
+               AS BIGINT) AS hi,
+             CAST(SUM(CASE WHEN j < 32
+               THEN CAST(bit AS BIGINT) << j ELSE 0 END)
+               AS BIGINT) AS lo
+           FROM ab GROUP BY doc_id),
+         agr AS (SELECT hi, lo, CAST(COUNT(*) AS BIGINT) AS audio_dups
+           FROM ah GROUP BY hi, lo),
+         a2 AS (SELECT doc_id, audio_dups FROM ah JOIN agr USING (hi, lo)),
+         vdm AS (SELECT doc_id, CAST(doc_id % 30 + 5 AS INT) AS nf,
+             CAST(doc_id % 50 + 20 AS INT) AS fs,
+             1000 * (doc_id % 3 + 1) AS tsc, 40 * (doc_id % 2 + 1) AS delta
+           FROM documents),
+         vfr AS (SELECT doc_id, CAST(f.f AS BIGINT) AS fi,
+             (f.f * delta * 1000) // tsc AS ts_ms, fs
+           FROM vdm, UNNEST(range(0, nf)) f(f)),
+         vsq AS (SELECT doc_id,
+             string_agg(CAST(fi AS VARCHAR) || ':' ||
+               CAST(ts_ms AS VARCHAR) || ':' || CAST(fs AS VARCHAR),
+               ',' ORDER BY fi) AS sig
+           FROM vfr GROUP BY doc_id),
+         vh AS (SELECT doc_id, md5(sig) AS k FROM vsq),
+         vgr AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS video_dups
+           FROM vh GROUP BY k),
+         v2 AS (SELECT doc_id, video_dups FROM vh JOIN vgr USING (k))
+         SELECT t2.doc_id, t2.text_dups, i2.image_dups, a2.audio_dups,
+           v2.video_dups
+         FROM t2 JOIN i2 USING (doc_id) JOIN a2 USING (doc_id)
+           JOIN v2 USING (doc_id)
+         ORDER BY t2.doc_id""",
     "m13_video_fingerprint" ->
       """WITH d AS (SELECT doc_id, CAST(doc_id % 30 + 5 AS INT) AS nf,
              CAST(doc_id % 50 + 20 AS INT) AS fs,
