@@ -1062,6 +1062,22 @@ class PreflightAuditSpec extends SparkSpec {
     assert(r.getAs[Long]("n_orphan_keys") == 1)
   }
 
+  test("resampleFfill: day step spans multi-day gaps; unsupported units refused") {
+    val df = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, 1.0),
+      (1L, Timestamp.valueOf("2024-01-04 09:00:00"), 2L, 4.0))
+      .toDF("u", "ts", "eid", "v")
+    val r = graft.operators.Timeseries
+      .resampleFfill(df, "u", "ts", "eid", "v", "day")
+      .orderBy("bucket").collect()
+      .map(x => (x.getDouble(2), x.getBoolean(3)))
+    assert(r.toSeq == Seq((1.0, true), (1.0, false), (1.0, false), (4.0, true)))
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Timeseries.resampleFfill(df, "u", "ts", "eid", "v", "second")
+    }
+    assert(e.getMessage.contains("unsupported"))
+  }
+
   test("resampleFfill: dense grid, forward fill, in-bucket last-event-wins") {
     val ts = (m: Int) => Timestamp.valueOf(f"2024-01-01 0${m / 60}%d:${m % 60}%02d:00")
     val df = Seq(
