@@ -1937,6 +1937,40 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  private val BpeEncodeFixture = "/tmp/graft_fixtures/t40_bpe_merges.parquet"
+
+  /** Full BPE ENCODE to id sequences — the trainer-facing tokenizer
+    * output (t3b gates the counts, this gates every position): train,
+    * encode each document to its ordered token sequence, assign ids by
+    * sorted-vocabulary rank (binary string order — identical in both
+    * engines), emit (doc_id, pos, token_id). The oracle replays merge
+    * application from this gate's own fixture to the same segmentation
+    * (sequentialReplaySafe required), then the flatten, the positions
+    * and the vocabulary ranking. The vocab id window is a
+    * vocabulary-sized single-partition sort — bounded by distinct
+    * tokens, never the corpus. */
+  private def t40_bpe_encode(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val model = graft.functions.Bpe.trainFromCorpus(
+      docs.orderBy("doc_id"), "text", numMerges = 200, sampleDocs = 256)
+    require(graft.functions.Bpe.sequentialReplaySafe(model.merges),
+      "trained BPE merges are not sequentially replayable")
+    import s.implicits._
+    model.merges.zipWithIndex
+      .map { case ((l, r), i) => (i, l, r) }
+      .toDF("merge_rank", "lhs", "rhs")
+      .coalesce(1).write.mode("overwrite").parquet(BpeEncodeFixture)
+    val toks = graft.functions.Bpe.encodeTokens(docs, "text", model)
+      .select(col("doc_id"), posexplode(col("bpe_tokens")).as(Seq("pos", "tok")))
+    val vocab = toks.select("tok").distinct()
+      .withColumn("token_id",
+        (row_number().over(Window.orderBy("tok")) - 1).cast("long"))
+    toks.join(vocab, "tok")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("token_id"))
+      .orderBy("doc_id", "pos")
+  }
+
   /** Bigram-LM perplexity over the corpus (trained on itself here; a real
     * pipeline trains on a held-out quality sample). At gate scale the
     * corpus vocabulary sits far under the model caps, so training is
@@ -3181,6 +3215,7 @@ object SparkEntry {
     "t35_sentences" -> (t35_sentences _),
     "t36_weighted_sample" -> (t36_weighted_sample _),
     "t38_embed_pipeline" -> (t38_embed_pipeline _),
+    "t40_bpe_encode" -> (t40_bpe_encode _),
     "m1_multimodal" -> (m1_multimodal _),
     "m4_pixels" -> (m4_pixels _),
     "m8_resize" -> (m8_resize _),
@@ -4843,6 +4878,44 @@ object SparkEntry {
                   THEN t.tokens ELSE p.fill + t.tokens END
            FROM pack p JOIN t ON t.shard = p.shard AND t.rn = p.rn + 1)
          SELECT doc_id, shard, bin, tokens FROM pack ORDER BY doc_id""",
+    // segmentation replay (t34's steps machinery) extended to POSITIONS:
+    // per-word token lists flattened in word order, ids by sorted vocab
+    "t40_bpe_encode" ->
+      """WITH RECURSIVE
+         merges AS (SELECT CAST(merge_rank AS INT) AS r, lhs, rhs
+                    FROM read_parquet('/tmp/graft_fixtures/t40_bpe_merges.parquet/*.parquet')),
+         nm AS (SELECT COALESCE(max(r) + 1, 0) AS n FROM merges),
+         wsplit AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+         wd AS (SELECT doc_id, unnest(ws) AS w,
+             generate_subscripts(ws, 1) AS widx FROM wsplit),
+         vocabw AS (SELECT DISTINCT w FROM wd),
+         steps AS (
+           SELECT w, regexp_replace(w, '(.)', ' \1', 'g') || ' ' AS s, 0 AS i
+           FROM vocabw
+           UNION ALL
+           SELECT w, s2 AS s, CASE WHEN s2 = s THEN i + 1 ELSE i END AS i
+           FROM (SELECT st.w, st.s, st.i,
+                   replace(st.s, ' ' || m.lhs || ' ' || m.rhs || ' ',
+                                 ' ' || m.lhs || m.rhs || ' ') AS s2
+                 FROM steps st JOIN merges m ON m.r = st.i) x),
+         wtoks AS (SELECT w,
+             list_filter(string_split(s, ' '), x -> x <> '') AS toks
+           FROM steps, nm WHERE i = nm.n),
+         flat AS (SELECT wd.doc_id, wd.widx,
+             generate_subscripts(wt.toks, 1) AS tp, unnest(wt.toks) AS tok
+           FROM wd JOIN wtoks wt USING (w)),
+         posd AS (SELECT doc_id,
+             row_number() OVER (PARTITION BY doc_id ORDER BY widx, tp) - 1
+               AS pos, tok
+           FROM flat),
+         vocab AS (SELECT tok,
+             row_number() OVER (ORDER BY tok) - 1 AS token_id
+           FROM (SELECT DISTINCT tok FROM posd))
+         SELECT p.doc_id, CAST(p.pos AS BIGINT) AS pos,
+           CAST(v.token_id AS BIGINT) AS token_id
+         FROM posd p JOIN vocab v USING (tok)
+         ORDER BY p.doc_id, p.pos""",
     "t4_fingerprint" ->
       """SELECT doc_id,
          md5(array_to_string(list_sort(list_distinct(

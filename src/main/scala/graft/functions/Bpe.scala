@@ -4,7 +4,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
-import org.apache.spark.sql.types.{LongType, StructField}
+import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructField}
 
 /** Byte-pair-encoding tokenization: a tiny trainable merges table plus a
   * merge-loop token counter, for real (not regex-approximated) token budget
@@ -153,6 +153,33 @@ object Bpe {
   /** Distributed BPE token counting: one iterator pass per partition, the
     * model shipped once per task (mapPartitions batch shape — counting is
     * imperative per-word work no Catalyst expression covers). */
+  /** Per-document BPE token SEQUENCES (the trainer-facing output
+    * [[tokenCount]] only summarizes): each whitespace word encoded
+    * independently (the pre-tokenization contract), word token runs
+    * concatenated in document order. Same priority-merge segmentation as
+    * `countTokens` — and therefore, for `sequentialReplaySafe` models,
+    * the same segmentation an external rank-order replay produces, which
+    * is what makes the id sequences oracle-checkable. Null/empty texts
+    * yield empty sequences. */
+  def encodeTokens(df: DataFrame, textCol: String, model: BpeModel,
+      outCol: String = "bpe_tokens"): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = inSchema.add(
+      StructField(outCol, ArrayType(StringType, containsNull = false),
+        nullable = false))
+    val idx = inSchema.fieldIndex(textCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val t = r.getString(idx)
+        val toks: Seq[String] =
+          if (t == null || t.trim.isEmpty) Seq.empty
+          else t.trim.split("\\s+").toSeq.flatMap(w => model.encodeWord(w))
+        Row.fromSeq(r.toSeq :+ toks)
+      }
+    }
+  }
+
   def tokenCount(df: DataFrame, textCol: String, model: BpeModel,
       outCol: String = "n_bpe"): DataFrame = {
     val inSchema = df.schema
