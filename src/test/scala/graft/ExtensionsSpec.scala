@@ -1037,6 +1037,15 @@ class TextSpec extends SparkSpec {
     assert(out == Seq(2L, 4L))
     // training is deterministic (lexicographic tie-break)
     assert(Bpe.train(Map("xy" -> 1L, "ab" -> 1L), 1).merges == Seq(("a", "b")))
+    // encodeTokens = per-word encodeWord runs concatenated in order;
+    // null/blank texts yield empty sequences
+    val seqDf = Seq((1L, "aaab ab"), (2L, "aab zq"), (3L, "   "),
+        (4L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val seqs = Bpe.encodeTokens(seqDf, "text", model).orderBy("id")
+      .select("bpe_tokens").as[Seq[String]].collect().toSeq
+    assert(seqs == Seq(Seq("aaab", "ab"), Seq("aa", "b", "z", "q"),
+      Seq.empty, Seq.empty))
   }
 
   test("sequential merge replay (the t3b oracle algorithm) equals the priority encode") {
