@@ -2858,6 +2858,24 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Tolerance-bounded as-of (the pandas `merge_asof(tolerance=…)`
+    * contract): as1's enrichment, but matches staler than ~25.4 years
+    * are nulled — a bound that genuinely splits this fixture (orders
+    * span the 1990s, events sit in 2024). One merge + a codegen mask. */
+  private def as5_asof_tolerance(s: SparkSession, dir: String): DataFrame = {
+    val e = Fixtures.events(s, dir).select("event_id", "user_id", "ts")
+    val w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(desc("o_orderkey"))
+    val o = t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("o_custkey"),
+        col("o_orderdate").cast(e.schema("ts").dataType).as("o_ts"),
+        col("o_orderkey"), col("o_totalprice"))
+    AsofJoin.asofJoinTolerance(e, o, "ts", "o_ts", "user_id", "o_custkey",
+        Seq("o_orderkey", "o_totalprice"), toleranceSeconds = 800000000L)
+      .select("event_id", "user_id", "o_orderkey", "o_totalprice")
+      .orderBy("event_id")
+  }
+
   /** Leading-edge debounce at the q33 gap: exactly the session-opening
     * events; event_id pins equal-timestamp ties. */
   private def q37_debounce(s: SparkSession, dir: String): DataFrame =
@@ -3243,6 +3261,7 @@ object SparkEntry {
     "as2_asof_native" -> (as2_asof_native _),
     "as3_asof_sum" -> (as3_asof_sum _),
     "as4_asof_nearest" -> (as4_asof_nearest _),
+    "as5_asof_tolerance" -> (as5_asof_tolerance _),
     "q37_debounce" -> (q37_debounce _),
     "q38_funnel" -> (q38_funnel _),
     "q39_retention" -> (q39_retention _),
@@ -6039,6 +6058,26 @@ object SparkEntry {
              ORDER BY score DESC, term) AS INT) AS rank FROM s)
          SELECT doc_id, term, tf, df, score, rank FROM r
          WHERE rank <= 3 ORDER BY doc_id, rank""",
+    // the as1 ASOF replay with the staleness mask applied to BOTH payload
+    // columns from the matched row's own time (micros, inclusive bound)
+    "as5_asof_tolerance" ->
+      """WITH r AS (SELECT o_custkey,
+           CAST(o_orderdate AS TIMESTAMP) AS o_ts, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey, o_orderdate
+             ORDER BY o_orderkey DESC) AS rn
+           FROM orders QUALIFY rn = 1)
+         SELECT e.event_id, e.user_id,
+           CASE WHEN r.o_ts IS NOT NULL AND
+               epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(r.o_ts)
+                 <= 800000000000000
+             THEN r.o_orderkey END AS o_orderkey,
+           CASE WHEN r.o_ts IS NOT NULL AND
+               epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(r.o_ts)
+                 <= 800000000000000
+             THEN r.o_totalprice END AS o_totalprice
+         FROM events e ASOF LEFT JOIN r
+           ON e.user_id = r.o_custkey AND CAST(e.ts AS TIMESTAMP) >= r.o_ts
+         ORDER BY e.event_id""",
     "as1_asof" ->
       """WITH r AS (SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
            row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn

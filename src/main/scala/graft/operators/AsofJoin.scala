@@ -69,6 +69,39 @@ object AsofJoin {
         payloadCols.map(c => col(s"__carried.$c").as(c))): _*)
   }
 
+  /** TOLERANCE-bounded backward as-of (pandas `merge_asof(tolerance=…)`
+    * parity): the usual latest-right-row-at-or-before match, but a match
+    * STALER than `toleranceSeconds` is nulled — "the last sensor reading,
+    * unless it's too old to trust". Composition: ONE [[asofJoin]] pass
+    * carrying the matched right row's own time alongside the payload,
+    * then a codegen'd staleness mask — no extra shuffle, the same
+    * one-merge cost as the unbounded join. `rightTime` must not collide
+    * with a left column (it rides through the payload struct); both time
+    * columns must be timestamp-typed (micros arithmetic decides
+    * staleness, inclusive at exactly the tolerance). */
+  def asofJoinTolerance(
+      left: DataFrame,
+      right: DataFrame,
+      leftTime: String,
+      rightTime: String,
+      leftKey: String,
+      rightKey: String,
+      payloadCols: Seq[String],
+      toleranceSeconds: Long): DataFrame = {
+    require(toleranceSeconds > 0,
+      s"toleranceSeconds must be positive, got $toleranceSeconds")
+    require(!left.columns.contains(rightTime),
+      s"right time column '$rightTime' collides with a left column — " +
+        "alias one side first")
+    val withRt = asofJoin(left, right, leftTime, rightTime, leftKey,
+      rightKey, payloadCols :+ rightTime)
+    val fresh = col(rightTime).isNotNull &&
+      (unix_micros(col(rightTime)) >=
+        unix_micros(col(leftTime)) - lit(toleranceSeconds * 1000000L))
+    withRt.select((left.columns.toSeq.map(col) ++
+      payloadCols.map(c => when(fresh, col(c)).as(c))): _*)
+  }
+
   /** NEAREST-match as-of: each left row takes the right row minimizing
     * the absolute time distance (backward wins exact-distance ties) —
     * the sensor-alignment variant where "the closest reading" beats "the
