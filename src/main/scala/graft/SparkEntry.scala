@@ -221,6 +221,46 @@ object SparkEntry {
       .orderBy("relation")
   }
 
+  /** Blocked fuzzy entity-resolution join: part names corrupted by one
+    * deterministic character deletion are re-linked to their source rows
+    * through multi-pass blocking (first token ∪ last token ∪ 3-char
+    * prefix) + exact Levenshtein ≤ 1 + best-match. The oracle is the
+    * BRUTE-FORCE all-pairs join, so the gate proves the blocking loses no
+    * true pair. See [[graft.operators.Linkage]]. */
+  private def q49_fuzzy_link(s: SparkSession, dir: String): DataFrame = {
+    val clean = t(s, dir, "part").select(col("p_partkey"), col("p_name"))
+    val dirty = clean.filter(col("p_partkey") % 3 === 0)
+      .withColumn("__pos",
+        expr("cast(2 + p_partkey % (length(p_name) - 2) as int)"))
+      .select((col("p_partkey") + 9000000L).as("dirty_id"),
+        concat(expr("substring(p_name, 1, __pos - 1)"),
+          expr("substring(p_name, __pos + 1)")).as("dirty_name"))
+    val pairs = graft.operators.Linkage.fuzzyJoin(
+      dirty, "dirty_id", "dirty_name", clean, "p_partkey", "p_name",
+      maxDistance = 1)
+    graft.operators.Linkage.bestMatch(pairs, "dirty_id", "p_partkey")
+      .select(col("dirty_id"), col("p_partkey").as("match_key"),
+        col("distance"))
+      .orderBy("dirty_id")
+  }
+
+  /** First-order event-type Markov transition matrix with EXACT
+    * parts-per-million probabilities (pure integer arithmetic — see
+    * [[graft.operators.Funnel.transitions]]). */
+  private def q50_transitions(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.transitions(
+        Fixtures.events(s, dir), "user_id", "ts", "event_id", "event_type")
+      .orderBy("from_event", "to_event")
+
+  /** Rolling z-score anomaly flags over each user's event values — the
+    * |z| > 3 decision evaluated entirely in BIGINT arithmetic, so the
+    * oracle replays it bit-for-bit (no float boundary can flip a flag).
+    * See [[graft.operators.Timeseries.anomalies]]. */
+  private def q51_anomaly(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Timeseries.anomalies(
+        Fixtures.events(s, dir), "user_id", "ts", "event_id", "value")
+      .orderBy("user_id", "event_id")
+
   /** Snapshot-pinned read: the manifest is taken over the R-flag rows,
     * then a tagged batch of A-flag rows lands in the same table; the
     * current read must see both (`require`d) while the snapshot read
@@ -979,6 +1019,24 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** EXACT set-similarity join via prefix filtering: every document pair
+    * with 3-word-shingle Jaccard ≥ 3/5, computed through the prefix-token
+    * equi-join — and the oracle computes BRUTE-FORCE all-pairs Jaccard, so
+    * the hash proves the candidate pruning is lossless. Integer rational
+    * threshold (`inter·5 ≥ uni·3`): no float boundary.
+    * See [[graft.operators.Dedup.jaccardJoin]]. */
+  private def d18_jaccard_join(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val queries = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("q_id"), col("text").as("q_text"))
+    graft.operators.Dedup.jaccardJoin(
+        queries, "q_id", "q_text", docs, "doc_id", "text",
+        thresholdNum = 3, thresholdDen = 5)
+      .filter(col("q_id") =!= col("doc_id"))
+      .select(col("q_id"), col("doc_id"), col("inter"), col("uni"))
+      .orderBy("q_id", "doc_id")
+  }
+
   /** CROSS-MODAL dedup report — the whole-asset view a multimodal corpus
     * pipeline actually runs: per document, the duplicate-group size under
     * each modality's key (exact text hash, image dHash, audio gradient
@@ -1358,6 +1416,27 @@ object SparkEntry {
     Ann.batchBruteTopK(e, "vec_id", "embedding", qs, k = 5,
         excludeIds = Seq(0L, 1L, 2L))
       .select(col("query_id"), col("vec_id"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Binary-quantized ANN: sign-bit codes ([[graft.operators.Embeddings
+    * .binarize]], 32× narrower than float32) scanned with per-word
+    * `bit_count(xor)` Hamming distance, per-query top-3. The oracle
+    * recomputes every pair's Hamming distance FROM THE RAW FLOATS
+    * (count of sign disagreements), so the gate pins the whole packed
+    * path — packing, xor kernel, rank — against first principles.
+    * Query batch: the 10 `vec_id % 50 = 0` vectors (bounded driver
+    * collect, the documented query-literal contract shared with a4). */
+  private def a10_binary_hamming(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val qs = e.filter(col("vec_id") % 50 === 0)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        graft.operators.Embeddings.signWordsLocal(r.getSeq[Float](1).toArray)))
+      .sortBy(_._1).toSeq
+    val bits = graft.operators.Embeddings.binarize(e, "vec_id", "embedding")
+    Ann.binaryTopK(bits, "vec_id", "bits", qs, k = 3)
+      .select(col("query_id"), col("vec_id"), col("hamming"), col("rank"))
       .orderBy("query_id", "rank")
   }
 
@@ -3081,6 +3160,11 @@ object SparkEntry {
     "s34_fk_audit" -> (s34_fk_audit _),
     "q45_join_card" -> (q45_join_card _),
     "q44_resample" -> (q44_resample _),
+    "q49_fuzzy_link" -> (q49_fuzzy_link _),
+    "q50_transitions" -> (q50_transitions _),
+    "q51_anomaly" -> (q51_anomaly _),
+    "d18_jaccard_join" -> (d18_jaccard_join _),
+    "a10_binary_hamming" -> (a10_binary_hamming _),
     "s35_snapshot" -> (s35_snapshot _),
     "s25_compact" -> (s25_compact _),
     "s26_merge" -> (s26_merge _),
@@ -3488,6 +3572,78 @@ object SparkEntry {
              AS value,
            had_event
          FROM j ORDER BY user_id, hour""",
+    // brute-force all-pairs linkage: the blocked join must equal it exactly
+    "q49_fuzzy_link" ->
+      """WITH d AS (SELECT p_partkey + 9000000 AS dirty_id,
+             concat(substr(p_name, 1, pos - 1), substr(p_name, pos + 1))
+               AS dirty_name
+           FROM (SELECT p_partkey, p_name,
+                   CAST(2 + p_partkey % (length(p_name) - 2) AS INT) AS pos
+                 FROM part WHERE p_partkey % 3 = 0)),
+         pairs AS (SELECT dirty_id, p_partkey,
+             levenshtein(dirty_name, p_name) AS distance
+           FROM d CROSS JOIN part
+           WHERE levenshtein(dirty_name, p_name) <= 1),
+         best AS (SELECT *, row_number() OVER (PARTITION BY dirty_id
+             ORDER BY distance, p_partkey) AS rn FROM pairs)
+         SELECT dirty_id, p_partkey AS match_key, distance
+         FROM best WHERE rn = 1 ORDER BY dirty_id""",
+    "q50_transitions" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             event_type FROM events),
+         p AS (SELECT event_type AS from_event,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS to_event
+           FROM e),
+         m AS (SELECT from_event, to_event, count(*) AS n FROM p
+           WHERE to_event IS NOT NULL GROUP BY 1, 2)
+         SELECT from_event, to_event, n,
+           (n * 1000000) // sum(n) OVER (PARTITION BY from_event)
+             AS per_million
+         FROM m ORDER BY from_event, to_event""",
+    "q51_anomaly" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS v FROM events),
+         w AS (SELECT user_id, event_id, v,
+             count(*) OVER win AS w_n,
+             sum(v) OVER win AS w_sum,
+             sum(v * v) OVER win AS w_sumsq
+           FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+         SELECT user_id, event_id, v AS v_scaled, w_n, w_sum,
+           (w_n >= 8 AND (w_n*v - w_sum)*(w_n*v - w_sum)*(w_n - 1)
+              > 9*w_n*(w_n*w_sumsq - w_sum*w_sum)) AS is_anomaly
+         FROM w ORDER BY user_id, event_id""",
+    // brute-force all-pairs Jaccard: prefix filtering must lose nothing
+    "d18_jaccard_join" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+')
+             AS ws FROM documents WHERE trim(text) <> ''),
+         toks AS (SELECT doc_id, list_distinct(
+             CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+               ELSE list_transform(range(1, len(ws) - 1),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END) AS ts
+           FROM w),
+         q AS (SELECT doc_id AS q_id, ts AS qs FROM toks
+           WHERE doc_id % 10 = 0),
+         pairs AS (SELECT q_id, doc_id,
+             len(list_intersect(qs, ts)) AS inter,
+             len(qs) + len(ts) - len(list_intersect(qs, ts)) AS uni
+           FROM q CROSS JOIN toks WHERE doc_id <> q_id)
+         SELECT q_id, doc_id, inter, uni FROM pairs
+         WHERE inter * 5 >= uni * 3 ORDER BY q_id, doc_id""",
+    // Hamming recomputed from the raw floats (sign disagreements)
+    "a10_binary_hamming" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id % 50 = 0),
+         h AS (SELECT q.query_id, e.vec_id,
+             (SELECT count(*) FROM
+                (SELECT unnest(q.qv) AS a, unnest(e.embedding) AS b) z
+              WHERE (z.a > 0) <> (z.b > 0)) AS hamming
+           FROM q CROSS JOIN embeddings e),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY hamming, vec_id) AS rank FROM h)
+         SELECT query_id, vec_id, hamming, rank FROM r
+         WHERE rank <= 3 ORDER BY query_id, rank""",
     "s18_scan_lazy" ->
       """SELECT n_nationkey, n_name, n_regionkey,
          'good' AS src FROM nation ORDER BY n_nationkey""",

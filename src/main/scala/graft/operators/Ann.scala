@@ -92,6 +92,72 @@ object Ann {
       .filter(col("rank") <= k)
   }
 
+  /** Batched top-k by HAMMING distance over sign-bit codes
+    * ([[graft.operators.Embeddings.binarize]]): the cheap-scan serving path
+    * for binary-quantized corpora — the scan touches 1/32 of the float
+    * bytes, the distance is `Σ bit_count(xor)` per word (2 ALU ops per 64
+    * dims), and the per-query rank window is map-side-pruned by
+    * InferWindowGroupLimit exactly like [[batchBruteTopK]]. Ties break to
+    * the smaller id, so results are deterministic even on the plateaus a
+    * 64-bit code inevitably has. Returns (query_id, idCol, hamming, rank).
+    *
+    * For serving, follow with [[binaryRerankTopK]]: Hamming shortlist →
+    * exact cosine on the short list only (the standard two-phase
+    * quantized-search shape, same as the PQ re-rank path). */
+  def binaryTopK(
+      bits: DataFrame,
+      idCol: String,
+      bitsCol: String,
+      queries: Seq[(Long, Array[Long])],
+      k: Int): DataFrame = {
+    require(queries.nonEmpty, "empty query batch")
+    import org.apache.spark.sql.expressions.Window
+    val qarr = array(queries.map { case (qid, wsArr) =>
+      struct(lit(qid).as("query_id"), lit(wsArr).as("qbits"))
+    }: _*)
+    bits
+      .select(col(idCol), explode(qarr).as("__q"), col(bitsCol).as("__bits"))
+      .select(col("__q.query_id").as("query_id"), col(idCol),
+        expr("aggregate(zip_with(__bits, __q.qbits, (a, b) -> bit_count(a ^ b)), " +
+          "0, (acc, x) -> acc + x)").as("hamming"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("hamming"), col(idCol))))
+      .filter(col("rank") <= k)
+  }
+
+  /** Two-phase binary serving: Hamming shortlist of `shortlist` candidates
+    * per query over the codes, then EXACT cosine re-rank of only those
+    * candidates against the float vectors (an id equi-join back into the
+    * corpus — at 100 TB the join probes |queries|·shortlist rows, never the
+    * table). Returns (query_id, idCol, cosine, rank ≤ k). */
+  def binaryRerankTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: Seq[(Long, Array[Float])],
+      k: Int,
+      shortlist: Int = 64): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k=$k")
+    import org.apache.spark.sql.expressions.Window
+    val bits = Embeddings.binarize(df, idCol, vecCol)
+    val short = binaryTopK(bits, idCol, "bits",
+      queries.map { case (qid, v) => (qid, Embeddings.signWordsLocal(v)) },
+      shortlist).select(col("query_id"), col(idCol))
+    val qarr = array(queries.map { case (qid, v) =>
+      struct(lit(qid).as("query_id"), lit(v.map(_.toDouble)).as("qvec"))
+    }: _*)
+    val qvecs = broadcast(
+      df.sparkSession.range(1).select(explode(qarr).as("__q"))
+        .select(col("__q.query_id").as("query_id"), col("__q.qvec").as("__qvec")))
+    short.join(df.select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(qvecs, "query_id")
+      .select(col("query_id"), col(idCol),
+        cosine(col(vecCol), col("__qvec")).as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(desc("cosine"), col(idCol))))
+      .filter(col("rank") <= k)
+  }
+
   /** IVF (inverted-file) index state: centroid vectors + the input tagged
     * with its nearest-centroid cluster id. At 100 TB the clustered frame is
     * what you write out partitioned by `gr_cluster`, turning every probe into

@@ -104,4 +104,40 @@ object Embeddings {
         .cast("double") / lit(4294967296.0) * 2.0 - 1.0
     }: _*)
   }
+
+  /** Binary (sign-bit) quantization: bit `i` of word `⌊i/64⌋` is 1 iff
+    * `vec[i] > 0` — 32× narrower than float32 (a 64-dim embedding becomes
+    * ONE long), and the Hamming distance between two codes is a monotone
+    * proxy for angular distance (Charikar's SimHash bound applied to the
+    * identity hyperplanes). The serving pattern is scan-on-codes →
+    * exact re-rank of a short list ([[graft.operators.Ann.binaryTopK]]).
+    *
+    * The packing is a pure per-row expression (no shuffle): word `w` folds
+    * positions `w·64 … w·64+63` with `try_element_at` so the last partial
+    * word of a non-multiple-of-64 dim pads with zeros — replayable in
+    * ANSI SQL, which is how the e6 gate's oracle checks it from the raw
+    * floats. Sign convention: strictly positive → 1 (zeros and NaNs → 0;
+    * NaN > 0 is false in both engines). */
+  def signWords(vecCol: String): Column =
+    expr(s"""transform(
+      sequence(0, cast((size($vecCol) - 1) div 64 as int)),
+      w -> aggregate(sequence(0, 63), 0L, (acc, i) ->
+        acc + IF(try_element_at($vecCol, w*64 + i + 1) > CAST(0.0 AS FLOAT),
+                 shiftleft(1L, i), 0L)))""")
+
+  /** Table form of [[signWords]]: `(id, bits)` with `bits: array<long>`. */
+  def binarize(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), signWords(vecCol).as("bits"))
+
+  /** Driver-side packing of one query vector under the IDENTICAL sign
+    * convention (for building query literals against a binarized table). */
+  def signWordsLocal(vec: Array[Float]): Array[Long] = {
+    val words = new Array[Long]((vec.length + 63) / 64)
+    var i = 0
+    while (i < vec.length) {
+      if (vec(i) > 0f) words(i / 64) |= (1L << (i % 64))
+      i += 1
+    }
+    words
+  }
 }

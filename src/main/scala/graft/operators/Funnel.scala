@@ -112,4 +112,41 @@ object Funnel {
           col("__first").cast("int")).as("day"),
         col("new_keys"), col("cum_keys"))
   }
+
+  /** First-order Markov transition matrix over each key's event sequence:
+    * for every ordered pair of consecutive events (by `tsCol`, ties broken
+    * by the unique `tieCol`) count the `(from_event, to_event)` transition
+    * and express its row-normalized probability in EXACT integer
+    * parts-per-million (`n · 1e6 div row_total` — no floating point, so
+    * the matrix is bit-identical across engines and partitionings; the
+    * true probability is `per_million / 1e6` to 6 places, truncated).
+    *
+    * The transition matrix is the sequence-mining workhorse behind next-
+    * event prediction, anomalous-session scoring and funnel discovery —
+    * and the `events × events` shape people naively build with a self-join
+    * collapses here to ONE keyed window (`lead`) plus one matrix-sized
+    * aggregation: at 100 TB the shuffle carries event pairs only as
+    * grouped counts (≤ |event vocabulary|², not |events|), and the
+    * normalizing row totals come from a second tiny window over the
+    * matrix itself, never from re-scanning the log. */
+  def transitions(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      eventCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    val rowTotal = Window.partitionBy("from_event")
+    events
+      .select(col(keyCol), col(tsCol), col(tieCol),
+        col(eventCol).as("from_event"))
+      .withColumn("to_event", lead(col("from_event"), 1).over(w))
+      .filter(col("to_event").isNotNull)
+      .groupBy("from_event", "to_event")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__total", sum(col("n")).over(rowTotal))
+      .withColumn("per_million", expr("n * 1000000L div __total"))
+      .select(col("from_event"), col("to_event"), col("n"),
+        col("per_million"))
+  }
 }

@@ -59,4 +59,57 @@ object Timeseries {
         last(col("__v"), ignoreNulls = true).over(fill).as("value"),
         col("__v").isNotNull.as("had_event"))
   }
+
+  /** Rolling z-score anomaly flags with BIT-EXACT decisions.
+    *
+    * The usual rolling `(x − mean) / stddev > z` is built on floating-point
+    * window aggregates whose last-ulp noise differs across engines and
+    * even across partitionings — a boundary value can flip the flag. This
+    * operator makes the decision in pure integer arithmetic instead: the
+    * measure is scaled to an integer (`round(value · 10^scale)`), the
+    * trailing window keeps exact integer `n`, `Σv`, `Σv²`, and the test
+    *
+    *   |z| > t   ⟺   (n·x − S)² · (n−1)  >  t² · n · (n·Q − S²)
+    *
+    * (sample variance, current row included) is evaluated on BIGINTs — the
+    * same trick the sessionizer uses for its microsecond gap rule. With
+    * 2-decimal measures ≤ ~10⁵ and windows ≤ a few hundred rows every
+    * intermediate fits a long with headroom.
+    *
+    * Spark shape: ONE hash shuffle on the key, a single trailing ROWS
+    * window computing all three sums in one pass, O(1) state per row.
+    * Rows earlier than `minPoints` in their window report `is_anomaly =
+    * false` (not enough evidence — the cold-start convention).
+    * Returns `(key, tie, v_scaled, w_n, w_sum, is_anomaly)`. */
+  def anomalies(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      valCol: String,
+      windowRows: Int = 24,
+      zThreshold: Int = 3,
+      minPoints: Int = 8,
+      scale: Int = 2): DataFrame = {
+    require(windowRows >= 2 && minPoints >= 2 && zThreshold >= 1 && scale >= 0,
+      s"bad anomaly params: window=$windowRows min=$minPoints z=$zThreshold scale=$scale")
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(-(windowRows - 1), Window.currentRow)
+    val x = round(col(valCol) * math.pow(10, scale)).cast("long")
+    df.select(col(keyCol), col(tsCol), col(tieCol), x.as("v_scaled"))
+      .withColumn("w_n", count(lit(1)).over(w))
+      .withColumn("w_sum", sum(col("v_scaled")).over(w))
+      .withColumn("w_sumsq",
+        sum(col("v_scaled") * col("v_scaled")).over(w))
+      .withColumn("is_anomaly",
+        col("w_n") >= minPoints && {
+          val lhs = (col("w_n") * col("v_scaled") - col("w_sum")) *
+            (col("w_n") * col("v_scaled") - col("w_sum")) * (col("w_n") - 1)
+          val rhs = lit(zThreshold.toLong * zThreshold) * col("w_n") *
+            (col("w_n") * col("w_sumsq") - col("w_sum") * col("w_sum"))
+          lhs > rhs
+        })
+      .select(col(keyCol), col(tieCol), col("v_scaled"), col("w_n"),
+        col("w_sum"), col("is_anomaly"))
+  }
 }
