@@ -1440,6 +1440,29 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** MMR diversity re-rank: per-query top-12 cosine candidates (the a4
+    * batched-brute shape), greedily re-ranked to 4 results by
+    * `0.5·rel − 0.5·max-sim-to-picked` ([[graft.operators.Ann.mmrRerank]]).
+    * Every quantity the greedy loop compares — relevance cosines AND the
+    * candidate-to-picked cosines — is the kernel double that DuckDB's
+    * `list_cosine_similarity` reproduces bit-for-bit (the a6/e4 parity
+    * contract), so the oracle replays all four greedy rounds UNROLLED and
+    * the hash gate pins the whole selection: candidate cut, seed pick,
+    * anti-join, max-sim aggregation, λ-arithmetic and id tiebreaks. */
+  private def a11_mmr(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val qids = Seq(0L, 1L, 2L)
+    val qs = e.filter(col("vec_id").isin(qids: _*))
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1).toSeq
+    val cand = Ann.batchBruteTopK(e, "vec_id", "embedding", qs, k = 12,
+        excludeIds = qids)
+      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("query_id"), col("vec_id"), col("embedding"), col("cosine"))
+    Ann.mmrRerank(cand, "query_id", "vec_id", "embedding", "cosine", k = 4)
+      .orderBy("query_id", "step")
+  }
+
   /** Batched IVF probe over a corpus with 5 planted power-of-two-scaled
     * copies PER QUERY (queries 0,1,2 → ids 9700000 + q·100 + i): each
     * query's copies sit at cosine exactly 1.0 for it (scaling by 2^k
@@ -2773,6 +2796,47 @@ object SparkEntry {
       .orderBy("click_id", "view_id")
   }
 
+  /** Stream-stream LEFT OUTER join: every click, matched to same-user views
+    * in the preceding 10 minutes OR null-extended once the watermark proves
+    * no view can still arrive. Outer emission is watermark-gated, so the
+    * replay stages the source as ordered files (`maxFilesPerTrigger = 1`)
+    * and appends TWO far-future sentinel commits: the first advances the
+    * watermark past all real data, the second gives the join a later batch
+    * in which to emit the now-provably-unmatched rows — no reliance on
+    * no-data micro-batches, no timestamp cutoffs in the result. The oracle
+    * is the plain batch LEFT JOIN. */
+  private def st15_stream_outer_join(s: SparkSession, dir: String): DataFrame = {
+    val base = s"/tmp/graft_fixtures/outer_src_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val bp = new org.apache.hadoop.fs.Path(base)
+    bp.getFileSystem(s.sessionState.newHadoopConf()).delete(bp, true)
+    val ev = Fixtures.events(s, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .select("event_id", "user_id", "ts", "event_type")
+    ev.coalesce(1).write.parquet(base)
+    def sentinel(days: Int): DataFrame = ev.orderBy(desc("ts")).limit(1)
+      .select(explode(array(lit("click"), lit("view"))).as("event_type"),
+        (col("ts") + expr(s"INTERVAL $days DAYS")).as("ts"))
+      .select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+        col("ts"), col("event_type"))
+    sentinel(30).coalesce(1).write.mode("append").parquet(base)
+    sentinel(60).coalesce(1).write.mode("append").parquet(base)
+    val schema = s.read.parquet(base).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(base)
+    val clicks = stream.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    val views = stream.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts"))
+    val joined = graft.streaming.Streams.streamTimeJoin(
+        clicks, views, "user_id", lookback = "10 minutes",
+        delay = "1 minute", joinType = "left_outer")
+      .select(col("click_id"), col("view_id"))
+    graft.streaming.Streams.runToMemory(
+        joined, s"st15_${math.abs(dir.hashCode)}", outputMode = "append")
+      .filter(col("click_id") >= 0)
+      .orderBy("click_id", "view_id")
+  }
+
   /** Streaming partitioned SINK: the events stream lands as a hive
     * partitioned table (one `event_type=...` dir per type), then the BATCH
     * scan path reads it back — closing the data-model loop
@@ -3001,6 +3065,20 @@ object SparkEntry {
       .select("doc_id", "source", "n_chars")
       .orderBy("doc_id")
 
+  /** Distribution-matching downsample: flatten the documents length
+    * histogram (400-char bins, uniform target) via
+    * [[graft.operators.Sampling.matchDistribution]] — per-bin keep
+    * fractions planned by one bounded counting pass, decided per-row by
+    * an exact BIGINT cross-multiplied inequality over a salted md5 slice,
+    * so the oracle replays every acceptance decision bit-for-bit. */
+  private def t41_dist_match(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .withColumn("bin", expr("CAST(length(text) AS BIGINT) DIV 400"))
+    graft.operators.Sampling.matchDistribution(d, "bin", "doc_id", salt = "dm1")
+      .select(col("doc_id"), col("bin"))
+      .orderBy("doc_id")
+  }
+
   /** Conversation assembly over the event log: per-user ordered
     * transcript of "event_type: props" lines, capped at 50 turns (some
     * users exceed it at this SF, so the WindowGroupLimit cap binds and
@@ -3165,6 +3243,7 @@ object SparkEntry {
     "q51_anomaly" -> (q51_anomaly _),
     "d18_jaccard_join" -> (d18_jaccard_join _),
     "a10_binary_hamming" -> (a10_binary_hamming _),
+    "a11_mmr" -> (a11_mmr _),
     "s35_snapshot" -> (s35_snapshot _),
     "s25_compact" -> (s25_compact _),
     "s26_merge" -> (s26_merge _),
@@ -3181,6 +3260,7 @@ object SparkEntry {
     "q43_equidepth" -> (q43_equidepth _),
     "t30_conversations" -> (t30_conversations _),
     "t31_feature_hash" -> (t31_feature_hash _),
+    "t41_dist_match" -> (t41_dist_match _),
     "s18_scan_lazy" -> (s18_scan_lazy _),
     "s21_scan_identity" -> (s21_scan_identity _),
     "s9_scan_csv" -> (s9_scan_csv _),
@@ -3338,6 +3418,7 @@ object SparkEntry {
     "st3_stream_dedup" -> (st3_stream_dedup _),
     "st4_stream_static_join" -> (st4_stream_static_join _),
     "st5_stream_stream_join" -> (st5_stream_stream_join _),
+    "st15_stream_outer_join" -> (st15_stream_outer_join _),
     "st6_stream_partitioned_sink" -> (st6_stream_partitioned_sink _),
     "st7_stream_asof" -> (st7_stream_asof _),
     "st8_stream_ingest_gate" -> (st8_stream_ingest_gate _),
@@ -3644,6 +3725,55 @@ object SparkEntry {
              ORDER BY hamming, vec_id) AS rank FROM h)
          SELECT query_id, vec_id, hamming, rank FROM r
          WHERE rank <= 3 ORDER BY query_id, rank""",
+    // all four greedy MMR rounds unrolled: seed = argmax rel, each later
+    // round = argmax 0.5*rel - 0.5*max-cos-to-picked over the unpicked
+    "a11_mmr" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+         c0 AS (SELECT q.qid, e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS rel
+           FROM embeddings e, q WHERE e.vec_id NOT IN (0, 1, 2)),
+         cand AS (SELECT qid, vec_id, v, rel FROM
+           (SELECT c0.*, row_number() OVER (PARTITION BY qid
+              ORDER BY rel DESC, vec_id) AS rn FROM c0) WHERE rn <= 12),
+         s1 AS (SELECT qid, vec_id, v, 1 AS step FROM
+           (SELECT cand.*, row_number() OVER (PARTITION BY qid
+              ORDER BY rel DESC, vec_id) AS rn FROM cand) WHERE rn = 1),
+         p2 AS (SELECT qid, vec_id, v, 2 AS step FROM
+           (SELECT t.*, row_number() OVER (PARTITION BY qid
+              ORDER BY score DESC, vec_id) AS rn FROM
+             (SELECT c.qid, c.vec_id, c.v,
+                 CAST(0.5 AS DOUBLE) * max(c.rel)
+                   - CAST(0.5 AS DOUBLE) * max(list_cosine_similarity(c.v, s.v)) AS score
+              FROM cand c JOIN s1 s ON s.qid = c.qid
+              WHERE NOT EXISTS (SELECT 1 FROM s1 x
+                WHERE x.qid = c.qid AND x.vec_id = c.vec_id)
+              GROUP BY c.qid, c.vec_id, c.v) t) WHERE rn = 1),
+         sel2 AS (SELECT * FROM s1 UNION ALL SELECT * FROM p2),
+         p3 AS (SELECT qid, vec_id, v, 3 AS step FROM
+           (SELECT t.*, row_number() OVER (PARTITION BY qid
+              ORDER BY score DESC, vec_id) AS rn FROM
+             (SELECT c.qid, c.vec_id, c.v,
+                 CAST(0.5 AS DOUBLE) * max(c.rel)
+                   - CAST(0.5 AS DOUBLE) * max(list_cosine_similarity(c.v, s.v)) AS score
+              FROM cand c JOIN sel2 s ON s.qid = c.qid
+              WHERE NOT EXISTS (SELECT 1 FROM sel2 x
+                WHERE x.qid = c.qid AND x.vec_id = c.vec_id)
+              GROUP BY c.qid, c.vec_id, c.v) t) WHERE rn = 1),
+         sel3 AS (SELECT * FROM sel2 UNION ALL SELECT * FROM p3),
+         p4 AS (SELECT qid, vec_id, v, 4 AS step FROM
+           (SELECT t.*, row_number() OVER (PARTITION BY qid
+              ORDER BY score DESC, vec_id) AS rn FROM
+             (SELECT c.qid, c.vec_id, c.v,
+                 CAST(0.5 AS DOUBLE) * max(c.rel)
+                   - CAST(0.5 AS DOUBLE) * max(list_cosine_similarity(c.v, s.v)) AS score
+              FROM cand c JOIN sel3 s ON s.qid = c.qid
+              WHERE NOT EXISTS (SELECT 1 FROM sel3 x
+                WHERE x.qid = c.qid AND x.vec_id = c.vec_id)
+              GROUP BY c.qid, c.vec_id, c.v) t) WHERE rn = 1),
+         sel4 AS (SELECT * FROM sel3 UNION ALL SELECT * FROM p4)
+         SELECT qid AS query_id, vec_id, step FROM sel4
+         ORDER BY query_id, step""",
     "s18_scan_lazy" ->
       """SELECT n_nationkey, n_name, n_regionkey,
          'good' AS src FROM nation ORDER BY n_nationkey""",
@@ -3851,6 +3981,23 @@ object SparkEntry {
            FROM w)
          SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS tf
          FROM b GROUP BY doc_id, bucket ORDER BY doc_id, bucket""",
+    // replays matchDistribution: counts -> cross-multiplied argmax bin ->
+    // exact BIGINT acceptance inequality over the salted md5 slice
+    "t41_dist_match" ->
+      """WITH d AS (SELECT doc_id, length(text) // 400 AS bin
+           FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+         stats AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(1 AS BIGINT) AS w FROM d GROUP BY bin),
+         ref AS (SELECT n AS rn, w AS rw FROM stats s
+           WHERE NOT EXISTS (SELECT 1 FROM stats o
+             WHERE o.w * s.n > s.w * o.n
+                OR (o.w * s.n = s.w * o.n AND o.bin < s.bin)))
+         SELECT d.doc_id, d.bin
+         FROM d JOIN stats ON d.bin = stats.bin CROSS JOIN ref
+         WHERE CAST(concat('0x',
+             substr(md5('dm1' || CAST(doc_id AS VARCHAR)), 1, 5)) AS BIGINT)
+           * stats.n * ref.rw < 1048576 * stats.w * ref.rn
+         ORDER BY doc_id""",
     "t35_sentences" ->
       """WITH sx AS (SELECT doc_id,
              list_filter(list_transform(
@@ -5696,6 +5843,16 @@ object SparkEntry {
          FROM e c JOIN e v
            ON v.user_id = c.user_id
           AND c.event_type = 'click' AND v.event_type = 'view'
+          AND v.ts >= c.ts - INTERVAL 10 MINUTE AND v.ts <= c.ts
+         ORDER BY click_id, view_id""",
+    // the left-outer st5: watermark-proven unmatched clicks null-extend
+    "st15_stream_outer_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+           CAST(ts AS TIMESTAMP) AS ts FROM events)
+         SELECT c.event_id AS click_id, v.event_id AS view_id
+         FROM (SELECT * FROM e WHERE event_type = 'click') c
+         LEFT JOIN (SELECT * FROM e WHERE event_type = 'view') v
+           ON v.user_id = c.user_id
           AND v.ts >= c.ts - INTERVAL 10 MINUTE AND v.ts <= c.ts
          ORDER BY click_id, view_id""",
     "st6_stream_partitioned_sink" ->

@@ -874,4 +874,67 @@ object Ann {
       row_number().over(org.apache.spark.sql.expressions.Window
         .orderBy(desc("cosine"), col(idCol))))
   }
+
+  /** Maximal-Marginal-Relevance diversity re-rank (Carbonell & Goldstein,
+    * SIGIR'98) over per-query candidate lists: greedily pick `k` results,
+    * each step maximizing `λ·relevance − (1−λ)·max cosine to the already-
+    * picked set` — the standard de-redundancy pass between ANN retrieval
+    * and serving/RAG context assembly.
+    *
+    * Greedy selection is inherently sequential in k but NOT in queries or
+    * candidates: each of the k rounds is one anti-join (drop picked), one
+    * query-keyed equi-join against the picked set (≤ |cand|·k pairs per
+    * query — never a cross product; the kernel cosine runs inside codegen),
+    * one bounded max-aggregation and one per-query rank-1 window. Shuffle
+    * bytes per round are O(|queries|·|candidates|) — at 100 TB the
+    * candidate lists are the OUTPUT of ANN serving (topN per query), so
+    * every frame here is query-batch-sized, not corpus-sized. `candidates`
+    * is re-read ~3× per round as the loop composes one lineage; callers
+    * re-ranking over an expensive candidate subplan should persist it
+    * first (the documented caller-persist contract, as
+    * [[graft.operators.Retrieval.bm25]]).
+    *
+    * Ties break to the smaller id at every step, and λ defaults to 0.5
+    * (exact in IEEE), so selection is deterministic and replayable by any
+    * engine with the same double cosine — the a11 gate's DuckDB oracle
+    * replays all k rounds unrolled. Returns (queryCol, idCol, step 1..k).
+    */
+  def mmrRerank(
+      candidates: DataFrame,
+      queryCol: String,
+      idCol: String,
+      vecCol: String,
+      relCol: String,
+      k: Int,
+      lambda: Double = 0.5): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
+    import org.apache.spark.sql.expressions.Window
+    val cand = candidates.select(
+      col(queryCol).as("__q"), col(idCol).as("__id"),
+      col(vecCol).as("__v"), col(relCol).cast("double").as("__rel"))
+    val rank1 = Window.partitionBy(col("__q"))
+      .orderBy(desc("__score"), col("__id"))
+    var selected = cand.withColumn("__score", col("__rel"))
+      .withColumn("__rn", row_number().over(rank1)).filter(col("__rn") === 1)
+      .select(col("__q"), col("__id"), col("__v"), lit(1).as("step"))
+    for (i <- 2 to k) {
+      val picked = selected.select(
+        col("__q").as("__sq"), col("__id").as("__sid"), col("__v").as("__sv"))
+      val remaining = cand.join(picked,
+        col("__q") === col("__sq") && col("__id") === col("__sid"), "left_anti")
+      val pick = remaining
+        .join(picked.select(col("__sq"), col("__sv")), col("__q") === col("__sq"))
+        .groupBy(col("__q"), col("__id"))
+        .agg(max(col("__rel")).as("__rel"),
+          max(cosine(col("__v"), col("__sv"))).as("__msim"),
+          first(col("__v")).as("__v"))
+        .withColumn("__score",
+          lit(lambda) * col("__rel") - lit(1.0 - lambda) * col("__msim"))
+        .withColumn("__rn", row_number().over(rank1)).filter(col("__rn") === 1)
+        .select(col("__q"), col("__id"), col("__v"), lit(i).as("step"))
+      selected = selected.unionByName(pick)
+    }
+    selected.select(col("__q").as(queryCol), col("__id").as(idCol), col("step"))
+  }
 }

@@ -189,4 +189,67 @@ object Sampling {
     df.filter(col(idCol).isNotNull)
       .filter(u < least(lit(1.0), greatest(lit(0.0), weight)))
   }
+
+  /** Distribution-matching downsample: keep a deterministic subset so the
+    * kept rows' distribution over `binCol` is proportional to a target —
+    * the "flatten the length histogram" / "rebalance sources toward a
+    * recipe" step of corpus curation. Downsample-only: the bin whose
+    * target/observed ratio is highest keeps EVERYTHING (no upsampling, no
+    * duplicated rows), every other bin keeps the fraction that lands the
+    * kept shares exactly proportional to the target in the md5-uniform
+    * sense.
+    *
+    * All arithmetic is BIGINT-exact and engine-replayable: with observed
+    * counts n_b, integer target weights w_b and the reference bin R
+    * maximizing w/n (ties to the smallest bin; compared CROSS-MULTIPLIED,
+    * never as float ratios), a row with 20-hex-bit salted md5 slice h is
+    * kept iff  `h · n_b · w_R  <  2²⁰ · w_b · n_R` — i.e. with probability
+    * (w_b·n_R)/(n_b·w_R), the exact keep fraction, decided per-row with no
+    * RNG, no state, and no partitioning dependence. Overflow bound:
+    * products stay in BIGINT while `n_b · w_R < 2⁴³` (≈ 8.8e12 rows per
+    * bin at unit weights) — beyond that, pre-scale the weights down.
+    *
+    * `target` maps bin → weight; bins absent from a non-empty target keep
+    * NOTHING (w = 0), bins absent from the DATA are ignored. An empty
+    * target means uniform over observed bins (flattening). Null bins and
+    * null ids are excluded.
+    *
+    * 100 TB shape: one bounded counting aggregation plans the per-bin
+    * fractions (≤ |bins| rows, the tiny frames broadcast back), then ONE
+    * codegen filter pass over the corpus — no shuffle of data rows at all.
+    */
+  def matchDistribution(
+      df: DataFrame,
+      binCol: String,
+      idCol: String,
+      target: Map[Long, Long] = Map.empty,
+      salt: String = "dm"): DataFrame = {
+    require(target.values.forall(_ >= 0), "target weights must be >= 0")
+    val rows = df.filter(col(binCol).isNotNull && col(idCol).isNotNull)
+    val wCol: Column =
+      if (target.isEmpty) lit(1L)
+      else target.foldLeft(lit(0L): Column) { case (acc, (b, w)) =>
+        when(col("__bin") === lit(b), lit(w)).otherwise(acc)
+      }
+    val stats = rows.groupBy(col(binCol).cast("long").as("__bin"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w", wCol)
+    // reference bin: max w/n, cross-multiplied exact, ties to smallest bin
+    val other = stats.select(col("__bin").as("__obin"),
+      col("__n").as("__on"), col("__w").as("__ow"))
+    val ref = stats.join(other,
+        (col("__ow") * col("__n") > col("__w") * col("__on")) ||
+          ((col("__ow") * col("__n") === col("__w") * col("__on")) &&
+            col("__obin") < col("__bin")),
+        "left_anti")
+      .select(col("__n").as("__rn"), col("__w").as("__rw"))
+    val h = conv(substring(
+        md5(concat(lit(salt), col(idCol).cast("string"))), 1, 5),
+      16, 10).cast("long")
+    rows.join(broadcast(stats), rows(binCol).cast("long") === stats("__bin"))
+      .crossJoin(broadcast(ref))
+      .filter(h * col("__n") * col("__rw") <
+        lit(1048576L) * col("__w") * col("__rn"))
+      .drop("__bin", "__n", "__w", "__rn", "__rw")
+  }
 }

@@ -167,12 +167,21 @@ object Streams {
     events.withWatermark(watermarkCol, delay)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
-  /** Watermarked stream-stream inner join: `right` rows within
+  /** Watermarked stream-stream join: `right` rows within
     * [left.ts - lookback, left.ts]. Both sides carry watermarks so the join
     * state is bounded — left rows are dropped `delay` past the watermark,
     * right rows once no future left row can reach back to them (watermark +
     * lookback). The 100 TB shape: state is O(rows in the lookback horizon),
-    * keyed and co-partitioned on the join key, one shuffle per side. */
+    * keyed and co-partitioned on the join key, one shuffle per side.
+    *
+    * `joinType = "left_outer"` emits a null-extended row for a left event
+    * once the watermark proves no matching right row can still arrive
+    * (watermark past left.ts, the window's upper bound). Outer results are
+    * therefore watermark-LATE by construction: a left row near the head of
+    * the stream stays in state until later data (or a no-data micro-batch)
+    * advances the watermark beyond it — callers that need every outer row
+    * flushed in a bounded replay must push the watermark past the data
+    * (see the st15 gate's sentinel-event pattern). */
   def streamTimeJoin(
       left: DataFrame,
       right: DataFrame,
@@ -180,13 +189,15 @@ object Streams {
       leftTs: String = "ts",
       rightTs: String = "ts",
       lookback: String = "10 minutes",
-      delay: String = "1 hour"): DataFrame = {
+      delay: String = "1 hour",
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, delay).alias("l")
     val r = right.withWatermark(rightTs, delay).alias("r")
     l.join(r,
       col(s"l.$key") === col(s"r.$key") &&
         col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $lookback") &&
-        col(s"r.$rightTs") <= col(s"l.$leftTs"))
+        col(s"r.$rightTs") <= col(s"l.$leftTs"),
+      joinType)
   }
 
   /** Streaming WRITE into the partitioned-table layout — the data model's
