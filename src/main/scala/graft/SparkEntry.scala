@@ -261,6 +261,28 @@ object SparkEntry {
         Fixtures.events(s, dir), "user_id", "ts", "event_id", "value")
       .orderBy("user_id", "event_id")
 
+  /** Two-sample KS drift between click and view `value` distributions
+    * ([[graft.operators.Profile.ksDrift]]): one row, all-integer —
+    * `d_num/d_den` is the exact statistic, `at_bin` the smallest bin
+    * attaining it. The oracle replays bins, CDFs and the cross-
+    * multiplied max bit-for-bit. */
+  private def q52_ks_drift(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.ksDrift(
+      Fixtures.events(s, dir), "value", "event_type", "click", "view")
+
+  /** Exact half-life EWMA over each user's event values (cent-scaled,
+    * horizon 8): `(ewma_num, ewma_den)` integer fractions at every
+    * event position, heads renormalizing automatically
+    * ([[graft.operators.Timeseries.ewmaHalfLife]]). The oracle unrolls
+    * the same 8 lag terms. */
+  private def q53_ewma(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Timeseries.ewmaHalfLife(
+        Fixtures.events(s, dir).withColumn("v_scaled",
+          floor(col("value") * 100).cast("long")),
+        "user_id", "ts", "event_id", col("v_scaled"), horizon = 8)
+      .select("event_id", "ewma_num", "ewma_den")
+      .orderBy("event_id")
+
   /** Snapshot-pinned read: the manifest is taken over the R-flag rows,
     * then a tagged batch of A-flag rows lands in the same table; the
     * current read must see both (`require`d) while the snapshot read
@@ -3241,6 +3263,8 @@ object SparkEntry {
     "q49_fuzzy_link" -> (q49_fuzzy_link _),
     "q50_transitions" -> (q50_transitions _),
     "q51_anomaly" -> (q51_anomaly _),
+    "q52_ks_drift" -> (q52_ks_drift _),
+    "q53_ewma" -> (q53_ewma _),
     "d18_jaccard_join" -> (d18_jaccard_join _),
     "a10_binary_hamming" -> (a10_binary_hamming _),
     "a11_mmr" -> (a11_mmr _),
@@ -3695,6 +3719,52 @@ object SparkEntry {
            (w_n >= 8 AND (w_n*v - w_sum)*(w_n*v - w_sum)*(w_n - 1)
               > 9*w_n*(w_n*w_sumsq - w_sum*w_sum)) AS is_anomaly
          FROM w ORDER BY user_id, event_id""",
+    // bins -> per-side counts -> running CDFs -> cross-multiplied max
+    "q52_ks_drift" ->
+      """WITH v AS (SELECT CAST(floor(value * 100) AS BIGINT) AS bin,
+             event_type AS side FROM events
+           WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+         pb AS (SELECT bin,
+             CAST(sum(CASE WHEN side = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN side = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+           FROM v GROUP BY bin),
+         t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+             CAST(sum(cb) AS BIGINT) AS nb FROM pb),
+         c AS (SELECT bin,
+             CAST(sum(ca) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cuma,
+             CAST(sum(cb) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumb
+           FROM pb),
+         d AS (SELECT bin, abs(cuma * nb - cumb * na) AS dnum
+           FROM c CROSS JOIN t)
+         SELECT na AS n_a, nb AS n_b,
+           (SELECT max(dnum) FROM d) AS d_num,
+           na * nb AS d_den,
+           (SELECT min(bin) FROM d
+            WHERE dnum = (SELECT max(dnum) FROM d)) AS at_bin
+         FROM t""",
+    // the 8 half-life lag terms unrolled; heads renormalize via the den
+    "q53_ewma" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CAST(floor(value * 100) AS BIGINT) AS v FROM events)
+         SELECT event_id,
+           COALESCE(v * 128, 0)
+             + COALESCE(lag(v, 1) OVER win * 64, 0)
+             + COALESCE(lag(v, 2) OVER win * 32, 0)
+             + COALESCE(lag(v, 3) OVER win * 16, 0)
+             + COALESCE(lag(v, 4) OVER win * 8, 0)
+             + COALESCE(lag(v, 5) OVER win * 4, 0)
+             + COALESCE(lag(v, 6) OVER win * 2, 0)
+             + COALESCE(lag(v, 7) OVER win * 1, 0) AS ewma_num,
+           CASE WHEN v IS NULL THEN 0 ELSE 128 END
+             + CASE WHEN lag(v, 1) OVER win IS NULL THEN 0 ELSE 64 END
+             + CASE WHEN lag(v, 2) OVER win IS NULL THEN 0 ELSE 32 END
+             + CASE WHEN lag(v, 3) OVER win IS NULL THEN 0 ELSE 16 END
+             + CASE WHEN lag(v, 4) OVER win IS NULL THEN 0 ELSE 8 END
+             + CASE WHEN lag(v, 5) OVER win IS NULL THEN 0 ELSE 4 END
+             + CASE WHEN lag(v, 6) OVER win IS NULL THEN 0 ELSE 2 END
+             + CASE WHEN lag(v, 7) OVER win IS NULL THEN 0 ELSE 1 END AS ewma_den
+         FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY event_id""",
     // brute-force all-pairs Jaccard: prefix filtering must lose nothing
     "d18_jaccard_join" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+')

@@ -140,4 +140,70 @@ object Profile {
         (lit(lo) + (col("bucket") + 1) * width).as("bucket_hi"),
         col("n"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov distance between the `valueCol`
+    * distributions of two slices — the "did this feature drift between
+    * snapshots/sources" test as ONE exact number. Values are quantized to
+    * `floor(value·scale)` bins (both engines' double multiply+floor agree
+    * bit-for-bit), and the statistic is kept as an EXACT integer pair:
+    * `d_num = max over bins |cumA·n_b − cumB·n_a|`, `d_den = n_a·n_b`,
+    * so D = d_num/d_den with no float comparison anywhere — the decision
+    * "did D exceed the threshold" can never flip across engines or
+    * partitionings (the q51 design transposed to CDFs). `at_bin` reports
+    * the SMALLEST bin attaining the max (deterministic tiebreak).
+    *
+    * Spark shape: one partially-aggregated (bin, side) counting shuffle —
+    * the data shuffles as bin counts, never rows. The running CDF is a
+    * global-order window over the BIN TABLE, which the quantization
+    * contract bounds: the guard fails loudly past `maxBins` distinct bins
+    * (the rrfFuse cap convention) rather than silently one-task-sorting
+    * an unbounded domain; pick `scale` so the value range lands within
+    * bins, not the other way around. Overflow: `cum·n` products stay in
+    * BIGINT while each side holds under ~3e9 rows per 1.0 of the other's
+    * count — at larger scales pre-aggregate per shard or downscale.
+    *
+    * Returns ONE row: (n_a, n_b, d_num, d_den, at_bin). */
+  def ksDrift(
+      df: DataFrame,
+      valueCol: String,
+      sideCol: String,
+      sideA: String,
+      sideB: String,
+      scale: Double = 100.0,
+      maxBins: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perBin = df
+      .filter(col(sideCol).isin(sideA, sideB) && col(valueCol).isNotNull)
+      .select(floor(col(valueCol).cast("double") * lit(scale))
+        .cast("long").as("__bin"), col(sideCol).as("__side"))
+      .groupBy("__bin")
+      .agg(sum(when(col("__side") === sideA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__side") === sideB, 1L).otherwise(0L)).as("__cb"))
+    val totals = perBin.agg(sum("__ca").as("__na"), sum("__cb").as("__nb"))
+    val w = Window.orderBy("__bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val binRank = Window.orderBy("__bin")
+    // loud bounded-domain guard, folded into a kept column so it is
+    // never pruned unevaluated (the rrfFuse cap convention)
+    val guard = coalesce(assert_true(row_number().over(binRank) <= maxBins,
+      lit(s"ksDrift: more than $maxBins distinct bins — the global-order " +
+        "CDF window needs a bounded domain; coarsen `scale` or raise " +
+        "maxBins explicitly")).cast("long"), lit(0L))
+    val d = perBin
+      .withColumn("__cuma", sum("__ca").over(w) + guard)
+      .withColumn("__cumb", sum("__cb").over(w))
+      .crossJoin(broadcast(totals))
+      .select(col("__bin"),
+        abs(col("__cuma") * col("__nb") - col("__cumb") * col("__na"))
+          .as("__dnum"),
+        col("__na"), col("__nb"))
+    val top = d.agg(max("__dnum").as("__m"))
+    d.crossJoin(broadcast(top))
+      .filter(col("__dnum") === col("__m"))
+      .groupBy(col("__na"), col("__nb"), col("__m"))
+      .agg(min("__bin").as("at_bin"))
+      .select(col("__na").as("n_a"), col("__nb").as("n_b"),
+        col("__m").as("d_num"), (col("__na") * col("__nb")).as("d_den"),
+        col("at_bin"))
+  }
 }

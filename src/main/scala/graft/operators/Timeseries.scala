@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -111,5 +111,47 @@ object Timeseries {
         })
       .select(col(keyCol), col(tieCol), col("v_scaled"), col("w_n"),
         col("w_sum"), col("is_anomaly"))
+  }
+
+  /** Half-life exponentially-weighted moving average in EXACT integer
+    * arithmetic: the current event weighs 2^(horizon−1), each step back
+    * halves the weight, and weights older than `horizon` events truncate
+    * to zero (they contribute < 2^−horizon of the mass — choose the
+    * horizon to taste, ≤ 62 so weights stay in BIGINT). Emitted as the
+    * exact fraction `(ewma_num, ewma_den)` — consumers divide, and the
+    * smoothed value can never disagree across engines, partitionings or
+    * summation orders, because nothing is ever a float (the q51 anomaly
+    * design applied to smoothing; a float EWMA is a RUNNING sum whose
+    * value depends on summation history).
+    *
+    * `valueExpr` must be an integral column (pre-scale decimals the
+    * v_scaled way). A null value still occupies its position in the lag
+    * sequence but contributes to neither numerator nor denominator —
+    * its weight renormalizes away via `ewma_den`, exactly like the
+    * shorter-than-horizon heads, whose `ewma_den` sums only the weights
+    * actually present.
+    *
+    * Spark shape: ONE keyed window (shuffle on `keyCol`, sort by
+    * (tsCol, tieCol)), `horizon` lag expressions evaluated in a single
+    * window pass — O(horizon) state per key, no self-joins, no running
+    * state. */
+  def ewmaHalfLife(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      valueExpr: Column,
+      horizon: Int = 8): DataFrame = {
+    require(horizon >= 1 && horizon <= 62,
+      s"horizon must be in [1, 62], got $horizon")
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    val terms = (0 until horizon).map { l =>
+      val lv = if (l == 0) valueExpr else lag(valueExpr, l).over(w)
+      val weight = 1L << (horizon - 1 - l)
+      (when(lv.isNotNull, lv * lit(weight)).otherwise(lit(0L)),
+        when(lv.isNotNull, lit(weight)).otherwise(lit(0L)))
+    }
+    df.withColumn("ewma_num", terms.map(_._1).reduce(_ + _))
+      .withColumn("ewma_den", terms.map(_._2).reduce(_ + _))
   }
 }

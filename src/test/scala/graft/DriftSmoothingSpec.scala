@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Profile, Timeseries}
+
+/** Exact two-sample KS distance: hand-checked CDF arithmetic, the loud
+  * bounded-domain guard, and partition invariance. */
+class KsDriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-checked: A={1,2,3}, B={3,4} gives D = 4/6 at bin 2") {
+    val df = Seq((1.0, "a"), (2.0, "a"), (3.0, "a"), (3.0, "b"), (4.0, "b"))
+      .toDF("v", "side")
+    val r = Profile.ksDrift(df, "v", "side", "a", "b", scale = 1.0).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2),
+      row.getLong(3), row.getLong(4)) === ((3L, 2L, 4L, 6L, 2L)))
+  }
+
+  test("identical distributions give d_num = 0") {
+    val df = (1 to 50).flatMap(i => Seq((i.toDouble, "a"), (i.toDouble, "b")))
+      .toDF("v", "side")
+    val row = Profile.ksDrift(df, "v", "side", "a", "b").collect().head
+    assert(row.getLong(2) === 0L)
+  }
+
+  test("partition-invariant") {
+    val df = (1 to 500).map(i => ((i % 37).toDouble / 7, if (i % 3 == 0) "a" else "b"))
+      .toDF("v", "side")
+    val a = Profile.ksDrift(df, "v", "side", "a", "b").collect().head.toSeq
+    val b = Profile.ksDrift(df.repartition(11), "v", "side", "a", "b")
+      .collect().head.toSeq
+    assert(a === b)
+  }
+
+  test("loud failure past maxBins instead of a silent one-task sort") {
+    val df = (1 to 100).map(i => (i.toDouble, if (i % 2 == 0) "a" else "b"))
+      .toDF("v", "side")
+    val e = intercept[Exception] {
+      Profile.ksDrift(df, "v", "side", "a", "b", scale = 1.0, maxBins = 10)
+        .collect()
+    }
+    assert(e.getMessage != null)
+  }
+}
+
+/** Exact half-life EWMA: hand-checked weights, null renormalization,
+  * horizon-1 identity, partition invariance. */
+class EwmaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(rows: Seq[(Long, Long, Option[Long])], horizon: Int) =
+    Timeseries.ewmaHalfLife(
+        rows.toDF("k", "t", "v"), "k", "t", "t", col("v"), horizon)
+      .orderBy("t").select("t", "ewma_num", "ewma_den")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+  test("hand-checked horizon-3 weights 4/2/1 with head renormalization") {
+    val rows = Seq((1L, 1L, Some(10L)), (1L, 2L, Some(20L)),
+      (1L, 3L, Some(30L)), (1L, 4L, Some(40L)))
+    assert(run(rows, 3) === Seq(
+      (1L, 40L, 4L),                      // 4*10
+      (2L, 100L, 6L),                     // 4*20 + 2*10
+      (3L, 170L, 7L),                     // 4*30 + 2*20 + 1*10
+      (4L, 240L, 7L)))                    // 4*40 + 2*30 + 1*20
+  }
+
+  test("null value occupies its lag slot but renormalizes away") {
+    val rows = Seq((1L, 1L, Some(10L)), (1L, 2L, None), (1L, 3L, Some(30L)))
+    assert(run(rows, 3) === Seq(
+      (1L, 40L, 4L),
+      (2L, 20L, 2L),                      // only the lag-1 value present
+      (3L, 130L, 5L)))                    // 4*30 + skip + 1*10
+  }
+
+  test("horizon 1 is the identity fraction v/1") {
+    val rows = Seq((1L, 1L, Some(7L)), (1L, 2L, Some(9L)))
+    assert(run(rows, 1) === Seq((1L, 7L, 1L), (2L, 9L, 1L)))
+  }
+
+  test("keys are independent and results partition-invariant") {
+    val rows = (1L to 200L).map(i => (i % 5, i, Some(i * 3 % 41)))
+    val df = rows.toDF("k", "t", "v")
+    val a = Timeseries.ewmaHalfLife(df, "k", "t", "t", col("v"), 8)
+      .select("k", "t", "ewma_num", "ewma_den").collect()
+      .map(_.toSeq).sortBy(_.toString)
+    val b = Timeseries.ewmaHalfLife(df.repartition(17), "k", "t", "t", col("v"), 8)
+      .select("k", "t", "ewma_num", "ewma_den").collect()
+      .map(_.toSeq).sortBy(_.toString)
+    assert(a === b)
+  }
+
+  test("horizon bounds are enforced") {
+    val df = Seq((1L, 1L, 1L)).toDF("k", "t", "v")
+    intercept[IllegalArgumentException] {
+      Timeseries.ewmaHalfLife(df, "k", "t", "t", col("v"), 63)
+    }
+    intercept[IllegalArgumentException] {
+      Timeseries.ewmaHalfLife(df, "k", "t", "t", col("v"), 0)
+    }
+  }
+}
