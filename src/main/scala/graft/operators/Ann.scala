@@ -888,11 +888,12 @@ object Ann {
     * one bounded max-aggregation and one per-query rank-1 window. Shuffle
     * bytes per round are O(|queries|·|candidates|) — at 100 TB the
     * candidate lists are the OUTPUT of ANN serving (topN per query), so
-    * every frame here is query-batch-sized, not corpus-sized. `candidates`
-    * is re-read ~3× per round as the loop composes one lineage; callers
-    * re-ranking over an expensive candidate subplan should persist it
-    * first (the documented caller-persist contract, as
-    * [[graft.operators.Retrieval.bm25]]).
+    * every frame here is query-batch-sized, not corpus-sized. The
+    * operator is EAGER: the candidate frame is persisted once and each
+    * round materialized behind an RDD lineage barrier (the
+    * connectedComponents idiom — composing the rounds lazily would
+    * re-plan the candidate subplan O(3^k) times); both caches release
+    * after the caller's first completed action on the result.
     *
     * Ties break to the smaller id at every step, and λ defaults to 0.5
     * (exact in IEEE), so selection is deterministic and replayable by any
@@ -910,14 +911,29 @@ object Ann {
     require(k >= 1, s"k must be >= 1, got $k")
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    val spark = candidates.sparkSession
+    // Composing k rounds as one lineage would re-plan the candidates
+    // subplan O(3^k) times (each round reads it via anti-join, sim-join
+    // and union) — the connectedComponents idiom instead: persist the
+    // inputs once, materialize each round, and cut the lineage with an
+    // RDD barrier so round i's plan is flat over round i-1's result.
     val cand = candidates.select(
-      col(queryCol).as("__q"), col(idCol).as("__id"),
-      col(vecCol).as("__v"), col(relCol).cast("double").as("__rel"))
+        col(queryCol).as("__q"), col(idCol).as("__id"),
+        col(vecCol).as("__v"), col(relCol).cast("double").as("__rel"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val rank1 = Window.partitionBy(col("__q"))
       .orderBy(desc("__score"), col("__id"))
-    var selected = cand.withColumn("__score", col("__rel"))
+    def barrier(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+    var retained: Option[DataFrame] = None
+    var selectedP = cand.withColumn("__score", col("__rel"))
       .withColumn("__rn", row_number().over(rank1)).filter(col("__rn") === 1)
       .select(col("__q"), col("__id"), col("__v"), lit(1).as("step"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    selectedP.count()
+    var selected = barrier(selectedP)
+    retained = Some(selectedP)
     for (i <- 2 to k) {
       val picked = selected.select(
         col("__q").as("__sq"), col("__id").as("__sid"), col("__v").as("__sv"))
@@ -933,8 +949,49 @@ object Ann {
           lit(lambda) * col("__rel") - lit(1.0 - lambda) * col("__msim"))
         .withColumn("__rn", row_number().over(rank1)).filter(col("__rn") === 1)
         .select(col("__q"), col("__id"), col("__v"), lit(i).as("step"))
-      selected = selected.unionByName(pick)
+      val nextP = selected.unionByName(pick)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      nextP.count() // materialize while the previous round's cache lives
+      retained.foreach(_.unpersist(false))
+      retained = Some(nextP)
+      selected = barrier(nextP)
     }
-    selected.select(col("__q").as(queryCol), col("__id").as(idCol), col("step"))
+    // the final round's cache (and the candidate cache) back the returned
+    // frame; release both after the caller's first completed action
+    releaseAfterFirstAction(
+      selected.select(col("__q").as(queryCol), col("__id").as(idCol),
+        col("step")),
+      Seq(cand) ++ retained.toSeq)
+  }
+
+  /** One-shot QueryExecutionListener: after the first completed action
+    * whose plan contains `result`, unpersist `release` and unregister —
+    * the lazy-operator cache-release contract shared with the dedup
+    * family (see Dedup.armLshListener for the rationale and the
+    * second-action race semantics). */
+  private def releaseAfterFirstAction(
+      result: DataFrame, release: Seq[DataFrame]): DataFrame = {
+    import java.util.concurrent.atomic.AtomicBoolean
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val spark = result.sparkSession
+    val key = result.queryExecution.analyzed.canonicalized
+    val listener = new QueryExecutionListener {
+      private val done = new AtomicBoolean(false)
+      private def maybeRelease(qe: QueryExecution): Unit = {
+        val uses = try qe.analyzed.exists(_.canonicalized == key)
+          catch { case _: Throwable => false }
+        if (uses && done.compareAndSet(false, true)) {
+          release.foreach(_.unpersist(false))
+          spark.listenerManager.unregister(this)
+        }
+      }
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit = maybeRelease(qe)
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = maybeRelease(qe)
+    }
+    spark.listenerManager.register(listener)
+    result
   }
 }

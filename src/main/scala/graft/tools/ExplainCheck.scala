@@ -7,12 +7,22 @@ object ExplainCheck {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    for (q <- Seq("q3_join_agg", "q20_multijoin", "q2_filter", "as1_asof", "a1_ann_brute", "a4_ann_batch", "s6_scan_fixed", "s7_scan_daterange", "rj1_range_join", "q28_pivot", "q29_range_window", "e1_quantize", "d7_connected_components", "st4_stream_static_join")) {
-      val plan = graft.SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+    // default audit set; pass gate names as args to audit others
+    val qs = if (args.nonEmpty) args.toSeq
+      else Seq("q3_join_agg", "q20_multijoin", "q2_filter", "as1_asof", "a1_ann_brute", "a4_ann_batch", "s6_scan_fixed", "s7_scan_daterange", "rj1_range_join", "q28_pivot", "q29_range_window", "e1_quantize", "d7_connected_components", "st4_stream_static_join")
+    for (q <- qs) {
+      val df = graft.SparkEntry.queries(q)(spark, dir)
+      df.collect() // finalize AQE so the executed plan is the real one
+      val plan = df.queryExecution.executedPlan.toString
       val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
       val smj = "SortMergeJoin".r.findAllIn(plan).length
       val pushed = plan.split("\n").filter(_.contains("PushedFilters")).take(2).mkString(" | ")
-      println(s"[$q] broadcast=$broadcasts sortmerge=$smj wholestage=" + "WholeStageCodegen".r.findAllIn(plan).length + " cosine_in_codegen=" + plan.contains("CosineSimilarity"))
+      println(s"[$q] broadcast=$broadcasts sortmerge=$smj exchanges=" +
+        "Exchange".r.findAllIn(plan).length +
+        " codegen_stages=" + "\\*\\(\\d+\\)".r.findAllIn(plan).toSet.size +
+        " cartesian=" + plan.contains("CartesianProduct") +
+        " bnlj=" + plan.contains("BroadcastNestedLoopJoin") +
+        " wgl=" + plan.contains("WindowGroupLimit"))
       if (pushed.nonEmpty) println(s"   $pushed".take(300))
     }
     // codegen probe: finalize AQE then inspect the executed plan
