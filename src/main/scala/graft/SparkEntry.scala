@@ -283,6 +283,30 @@ object SparkEntry {
       .select("event_id", "ewma_num", "ewma_den")
       .orderBy("event_id")
 
+  /** CUSUM changepoint statistics per user (cent-scaled values, target
+    * 5000 = the series' rough in-control mean, threshold 100000):
+    * up/down statistics and shift flags, all BIGINT
+    * ([[graft.operators.Timeseries.cusum]]). The oracle replays the
+    * closed-form running-sum/min/max windows. */
+  private def q54_cusum(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Timeseries.cusum(
+        Fixtures.events(s, dir).withColumn("v_scaled",
+          floor(col("value") * 100).cast("long")),
+        "user_id", "ts", "event_id", col("v_scaled"),
+        target = 5000L, threshold = 100000L)
+      .select("event_id", "cusum_up", "cusum_down",
+        "is_shift_up", "is_shift_down")
+      .orderBy("event_id")
+
+  /** DPO preference-pair mining over documents per source (score =
+    * n_chars, margin 50): i-th best paired with i-th worst
+    * ([[graft.operators.Preference.pairs]]); the oracle replays the
+    * rank-symmetric join and the exact integer gap filter. */
+  private def t42_pref_pairs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Preference.pairs(t(s, dir, "documents"),
+        "source", "doc_id", col("n_chars"), margin = 50L)
+      .orderBy("source", "pair_rank")
+
   /** Snapshot-pinned read: the manifest is taken over the R-flag rows,
     * then a tagged batch of A-flag rows lands in the same table; the
     * current read must see both (`require`d) while the snapshot read
@@ -3265,6 +3289,8 @@ object SparkEntry {
     "q51_anomaly" -> (q51_anomaly _),
     "q52_ks_drift" -> (q52_ks_drift _),
     "q53_ewma" -> (q53_ewma _),
+    "q54_cusum" -> (q54_cusum _),
+    "t42_pref_pairs" -> (t42_pref_pairs _),
     "d18_jaccard_join" -> (d18_jaccard_join _),
     "a10_binary_hamming" -> (a10_binary_hamming _),
     "a11_mmr" -> (a11_mmr _),
@@ -3765,6 +3791,41 @@ object SparkEntry {
              + CASE WHEN lag(v, 7) OVER win IS NULL THEN 0 ELSE 1 END AS ewma_den
          FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
          ORDER BY event_id""",
+    // closed-form CUSUM: running residual sum minus its prefix min
+    // (incl. the virtual R0 = 0), and the mirror for downward shifts
+    "q54_cusum" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CAST(floor(value * 100) AS BIGINT) - 5000 AS r FROM events),
+         w1 AS (SELECT event_id, user_id, ts,
+             CAST(sum(r) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+           FROM e),
+         w AS (SELECT event_id, run,
+             CAST(min(run) OVER win2 AS BIGINT) AS runmin,
+             CAST(max(run) OVER win2 AS BIGINT) AS runmax
+           FROM w1 WINDOW win2 AS (PARTITION BY user_id
+             ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING))
+         SELECT event_id,
+           run - least(CAST(0 AS BIGINT), runmin) AS cusum_up,
+           greatest(CAST(0 AS BIGINT), runmax) - run AS cusum_down,
+           run - least(CAST(0 AS BIGINT), runmin) > 100000 AS is_shift_up,
+           greatest(CAST(0 AS BIGINT), runmax) - run > 100000 AS is_shift_down
+         FROM w ORDER BY event_id""",
+    // rank-symmetric pairing: i-th best vs i-th worst per source
+    "t42_pref_pairs" ->
+      """WITH r AS (SELECT source, doc_id, n_chars,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+           FROM documents
+           WHERE source IS NOT NULL AND doc_id IS NOT NULL
+             AND n_chars IS NOT NULL)
+         SELECT a.source, a.doc_id AS chosen_id, b.doc_id AS rejected_id,
+           a.n_chars - b.n_chars AS score_gap,
+           CAST(a.rn AS INT) AS pair_rank
+         FROM r a JOIN r b ON b.source = a.source AND b.rn = a.n + 1 - a.rn
+         WHERE a.rn * 2 <= a.n AND a.n_chars - b.n_chars > 50
+         ORDER BY a.source, pair_rank""",
     // brute-force all-pairs Jaccard: prefix filtering must lose nothing
     "d18_jaccard_join" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+')

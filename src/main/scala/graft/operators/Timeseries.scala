@@ -154,4 +154,42 @@ object Timeseries {
     df.withColumn("ewma_num", terms.map(_._1).reduce(_ + _))
       .withColumn("ewma_den", terms.map(_._2).reduce(_ + _))
   }
+
+  /** Page's CUSUM changepoint statistic in EXACT integer arithmetic: for
+    * the residual series r_j = v_j − target, the upward statistic is
+    * `S⁺_k = max(0, S⁺_{k−1} + r_k)` — superficially a sequential
+    * recurrence, but it has the closed form
+    * `S⁺_k = R_k − min(0, min_{j≤k} R_j)` over the running residual sum R
+    * (the 0 is the virtual R₀ — without it the first row's statistic
+    * would always read 0) and symmetrically
+    * `S⁻_k = max(0, max_{j≤k} R_j) − R_k` for downward shifts, so the whole
+    * statistic is TWO extra window aggregates on the same keyed pass: one
+    * shuffle on the key, O(1) state, nothing sequential anywhere. A flag
+    * fires when the statistic exceeds `threshold` — all BIGINT, so like
+    * q51/q53 the alarm can never flip across engines or partitionings.
+    *
+    * `valueExpr` must be integral (pre-scale the v_scaled way); `target`
+    * is the in-control level in the same scale. Emits
+    * (cusum_up, cusum_down, is_shift_up, is_shift_down) per row. */
+  def cusum(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      valueExpr: Column,
+      target: Long,
+      threshold: Long): DataFrame = {
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__r", valueExpr - lit(target))
+      .withColumn("__run", sum(col("__r")).over(w))
+      .withColumn("cusum_up",
+        col("__run") - least(lit(0L), min(col("__run")).over(w)))
+      .withColumn("cusum_down",
+        greatest(lit(0L), max(col("__run")).over(w)) - col("__run"))
+      .withColumn("is_shift_up", col("cusum_up") > threshold)
+      .withColumn("is_shift_down", col("cusum_down") > threshold)
+      .drop("__r", "__run")
+  }
 }

@@ -102,3 +102,101 @@ class EwmaSpec extends SparkSpec {
     }
   }
 }
+
+/** CUSUM closed form pinned against the textbook recurrence. */
+class CusumSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(vals: Seq[Long], target: Long, threshold: Long) =
+    Timeseries.cusum(
+        vals.zipWithIndex.map { case (v, i) => (1L, i.toLong, v) }
+          .toDF("k", "t", "v"),
+        "k", "t", "t", col("v"), target, threshold)
+      .orderBy("t")
+      .select("cusum_up", "cusum_down", "is_shift_up", "is_shift_down")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3)))
+      .toSeq
+
+  private def reference(vals: Seq[Long], target: Long): Seq[(Long, Long)] = {
+    var up = 0L; var down = 0L
+    vals.map { v =>
+      up = math.max(0L, up + (v - target))
+      down = math.max(0L, down - (v - target))
+      (up, down)
+    }
+  }
+
+  test("matches the max(0, S + r) recurrence on a mixed series") {
+    val vals = Seq(5L, 9L, 2L, 2L, 14L, 14L, 14L, 1L, 1L, 1L, 1L, 7L)
+    val got = run(vals, target = 7L, threshold = 10L)
+    val ref = reference(vals, 7L)
+    assert(got.map(g => (g._1, g._2)) === ref)
+    assert(got.map(_._3) === ref.map(_._1 > 10L))
+    assert(got.map(_._4) === ref.map(_._2 > 10L))
+  }
+
+  test("planted level shift fires the up flag only after the shift") {
+    val vals = Seq.fill(10)(100L) ++ Seq.fill(10)(130L)
+    val got = run(vals, target = 100L, threshold = 50L)
+    assert(got.take(10).forall(!_._3))
+    assert(got.last._3)
+    // fires at the 12th overall point: 2 post-shift points x 30 = 60 > 50
+    assert(got(11)._3 && !got(10)._3)
+  }
+
+  test("partition-invariant") {
+    val rows = (1L to 300L).map(i => (i % 7, i, (i * 13) % 101))
+    val df = rows.toDF("k", "t", "v")
+    def all(d: org.apache.spark.sql.DataFrame) =
+      Timeseries.cusum(d, "k", "t", "t", col("v"), 50L, 100L)
+        .select("k", "t", "cusum_up", "cusum_down").collect()
+        .map(_.toSeq).sortBy(_.toString)
+    assert(all(df) === all(df.repartition(13)))
+  }
+}
+
+/** Rank-symmetric preference pairing: hand-checked pairs, margin filter,
+  * odd-group middle exclusion. */
+class PreferenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(rows: Seq[(String, Long, Long)], margin: Long) =
+    graft.operators.Preference.pairs(
+        rows.toDF("g", "id", "score"), "g", "id", col("score"), margin)
+      .orderBy("g", "pair_rank")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4))).toSeq
+
+  test("odd group: best pairs worst, middle element unpaired") {
+    val rows = Seq(("p", 1L, 100L), ("p", 2L, 90L), ("p", 3L, 80L),
+      ("p", 4L, 20L), ("p", 5L, 10L))
+    assert(run(rows, 0L) === Seq(
+      ("p", 1L, 5L, 90L, 1), ("p", 2L, 4L, 70L, 2)))
+  }
+
+  test("margin drops near-tied pairs; equal scores never pair") {
+    val rows = Seq(("p", 1L, 100L), ("p", 2L, 90L), ("p", 3L, 20L),
+      ("p", 4L, 10L), ("q", 7L, 50L), ("q", 8L, 50L))
+    assert(run(rows, 75L) === Seq(("p", 1L, 4L, 90L, 1)))
+    assert(run(rows, 0L).filter(_._1 == "q").isEmpty)
+  }
+
+  test("ties rank by id so the pairing is deterministic") {
+    val rows = Seq(("p", 3L, 50L), ("p", 1L, 50L), ("p", 2L, 40L),
+      ("p", 4L, 10L))
+    // desc rank: id1(50), id3(50), id2(40), id4(10)
+    assert(run(rows, 0L) === Seq(
+      ("p", 1L, 4L, 40L, 1), ("p", 3L, 2L, 10L, 2)))
+  }
+
+  test("singleton groups and null scores produce nothing") {
+    val df = Seq((Some("p"), Some(1L), Some(10L)),
+      (Some("q"), Some(2L), Some(5L)), (Some("q"), Some(3L), None))
+      .toDF("g", "id", "score")
+    val got = graft.operators.Preference.pairs(df, "g", "id", col("score"))
+      .collect()
+    assert(got.isEmpty)
+  }
+}
