@@ -1794,6 +1794,21 @@ object SparkEntry {
       .orderBy("node")
   }
 
+  /** Bounded weighted SSSP over the g4 synthetic graph (weights
+    * `event_id % 7 + 1`): exact shortest distances among paths of ≤ 6
+    * edges from node 1 ([[graft.operators.Graph.boundedShortestPaths]]).
+    * The round-bounded contract is what makes an unrolled SQL replay
+    * possible whether or not the graph converged. */
+  private def g6_sssp(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "events")
+      .select((col("event_id") % 200).as("src"),
+        ((col("event_id") * 48271L) % 200).as("dst"),
+        (col("event_id") % 7 + 1).as("w"))
+    Graph.boundedShortestPaths(edges, "src", "dst", "w", Seq(1L, 2L, 3L),
+        maxRounds = 6)
+      .orderBy("node")
+  }
+
   private val SemDedupCentroidsFixture =
     "/tmp/graft_fixtures/semdedup_centroids.parquet"
 
@@ -3361,6 +3376,7 @@ object SparkEntry {
     "g2_triangles" -> (g2_triangles _),
     "g3_kcore" -> (g3_kcore _),
     "g4_bfs" -> (g4_bfs _),
+    "g6_sssp" -> (g6_sssp _),
     "ml1_linprobe" -> (ml1_linprobe _),
     "ml2_logreg" -> (ml2_logreg _),
     "ml3_naive_bayes" -> (ml3_naive_bayes _),
@@ -4671,6 +4687,41 @@ object SparkEntry {
                UNION ALL SELECT node, 6 FROM h6)
          SELECT node, CAST(MIN(hops) AS BIGINT) AS hops
          FROM r GROUP BY node ORDER BY node""",
+    // six Bellman-Ford relaxation rounds unrolled: dist after round R =
+    // exact shortest distance among paths of <= R edges
+    "g6_sssp" ->
+      """WITH raw AS (SELECT event_id % 200 AS s,
+             (event_id * 48271) % 200 AS d,
+             CAST((event_id % 7) + 1 AS BIGINT) AS w FROM events),
+         adj AS (SELECT s AS a, d AS b, w FROM raw WHERE s <> d
+                 UNION ALL SELECT d, s, w FROM raw WHERE s <> d),
+         d0 AS (SELECT CAST(n AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+                FROM (VALUES (1), (2), (3)) AS t(n)),
+         d1 AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+             SELECT node, dist FROM d0 UNION ALL
+             SELECT adj.b, d0.dist + adj.w FROM adj JOIN d0 ON adj.a = d0.node)
+           GROUP BY node),
+         d2 AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+             SELECT node, dist FROM d1 UNION ALL
+             SELECT adj.b, d1.dist + adj.w FROM adj JOIN d1 ON adj.a = d1.node)
+           GROUP BY node),
+         d3 AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+             SELECT node, dist FROM d2 UNION ALL
+             SELECT adj.b, d2.dist + adj.w FROM adj JOIN d2 ON adj.a = d2.node)
+           GROUP BY node),
+         d4 AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+             SELECT node, dist FROM d3 UNION ALL
+             SELECT adj.b, d3.dist + adj.w FROM adj JOIN d3 ON adj.a = d3.node)
+           GROUP BY node),
+         d5 AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+             SELECT node, dist FROM d4 UNION ALL
+             SELECT adj.b, d4.dist + adj.w FROM adj JOIN d4 ON adj.a = d4.node)
+           GROUP BY node),
+         d6 AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+             SELECT node, dist FROM d5 UNION ALL
+             SELECT adj.b, d5.dist + adj.w FROM adj JOIN d5 ON adj.a = d5.node)
+           GROUP BY node)
+         SELECT node, dist FROM d6 ORDER BY node""",
     // canonical u<y<z triple enumeration — orientation-independent truth
     // for the engine's degree-oriented wedge join
     "g2_triangles" ->

@@ -958,40 +958,9 @@ object Ann {
     }
     // the final round's cache (and the candidate cache) back the returned
     // frame; release both after the caller's first completed action
-    releaseAfterFirstAction(
+    CacheRelease.afterFirstAction(
       selected.select(col("__q").as(queryCol), col("__id").as(idCol),
         col("step")),
       Seq(cand) ++ retained.toSeq)
-  }
-
-  /** One-shot QueryExecutionListener: after the first completed action
-    * whose plan contains `result`, unpersist `release` and unregister —
-    * the lazy-operator cache-release contract shared with the dedup
-    * family (see Dedup.armLshListener for the rationale and the
-    * second-action race semantics). */
-  private def releaseAfterFirstAction(
-      result: DataFrame, release: Seq[DataFrame]): DataFrame = {
-    import java.util.concurrent.atomic.AtomicBoolean
-    import org.apache.spark.sql.execution.QueryExecution
-    import org.apache.spark.sql.util.QueryExecutionListener
-    val spark = result.sparkSession
-    val key = result.queryExecution.analyzed.canonicalized
-    val listener = new QueryExecutionListener {
-      private val done = new AtomicBoolean(false)
-      private def maybeRelease(qe: QueryExecution): Unit = {
-        val uses = try qe.analyzed.exists(_.canonicalized == key)
-          catch { case _: Throwable => false }
-        if (uses && done.compareAndSet(false, true)) {
-          release.foreach(_.unpersist(false))
-          spark.listenerManager.unregister(this)
-        }
-      }
-      override def onSuccess(funcName: String, qe: QueryExecution,
-          durationNs: Long): Unit = maybeRelease(qe)
-      override def onFailure(funcName: String, qe: QueryExecution,
-          exception: Exception): Unit = maybeRelease(qe)
-    }
-    spark.listenerManager.register(listener)
-    result
   }
 }

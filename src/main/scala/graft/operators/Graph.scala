@@ -236,6 +236,81 @@ object Graph {
     spark.createDataFrame(visited.rdd, visited.schema)
   }
 
+  /** Bounded single-source shortest paths with EXACT integer edge
+    * weights: distributed Bellman–Ford, `maxRounds` relaxation rounds —
+    * after round R every node holds the exact shortest distance among
+    * paths of at most R edges (THE contract: deterministic and
+    * SQL-replayable whether or not the graph has converged, which is why
+    * the g6 oracle can unroll the rounds). For full convergence pick
+    * `maxRounds` ≥ the hop diameter; the loop exits early the first
+    * round nothing improves, which by Bellman–Ford monotonicity equals
+    * the R-round result for every later R.
+    *
+    * Non-negative weights required (negative edges would make the
+    * bounded-hop distances order-dependent under the early exit).
+    * `undirected = true` (default) mirrors each edge.
+    *
+    * Spark shape: each round is one join of the current distance table
+    * against the (persisted) adjacency list + one min-aggregation —
+    * shuffles keyed on node id; the distance table holds only REACHED
+    * nodes, so early rounds are frontier-sized, not graph-sized. The
+    * reachableFrom cache discipline: O(1) cached generations, lineage
+    * cut per round with an RDD barrier. Returns (node, dist). */
+  def boundedShortestPaths(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: String,
+      sources: Seq[Long],
+      maxRounds: Int,
+      undirected: Boolean = true): DataFrame = {
+    require(sources.nonEmpty, "sources must be non-empty")
+    require(maxRounds >= 0, s"maxRounds must be >= 0, got $maxRounds")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val fwd = edges.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b"),
+      col(weightCol).cast("long").as("w"))
+    val adj = (if (undirected)
+        fwd.union(fwd.select(col("b").as("a"), col("a").as("b"), col("w")))
+      else fwd)
+      .filter(col("a") =!= col("b") && col("w").isNotNull)
+      // loud contract check, folded into the weight so it is never pruned
+      .withColumn("w", col("w") + coalesce(assert_true(col("w") >= 0,
+        lit("boundedShortestPaths: negative edge weight")).cast("long"),
+        lit(0L)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = sources.distinct.toDF("node")
+      .withColumn("dist", lit(0L))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    dist.count()
+    var cur = spark.createDataFrame(dist.rdd, dist.schema)
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      round += 1
+      val relaxed = cur.join(adj, cur("node") === adj("a"))
+        .select(col("b").as("node"), (cur("dist") + adj("w")).as("dist"))
+      val nextP = cur.unionByName(relaxed)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      nextP.count() // materialize while the previous round's cache lives
+      val next = spark.createDataFrame(nextP.rdd, nextP.schema)
+      val improved = next
+        .join(cur.withColumnRenamed("dist", "old"), Seq("node"), "left")
+        .filter(col("old").isNull || col("dist") < col("old"))
+        .limit(1).count() > 0
+      dist.unpersist(false)
+      dist = nextP
+      cur = next
+      done = !improved
+    }
+    adj.unpersist(false)
+    // the final round's cache backs the result; release it after the
+    // caller's first completed action (the shared CacheRelease contract)
+    CacheRelease.afterFirstAction(cur, Seq(dist))
+  }
+
   /** Per-node triangle counts over an undirected simple graph (edge list
     * with direction, duplicates and self-loops tolerated — they collapse
     * during canonicalization). Triangles are the workhorse of clustering

@@ -134,3 +134,59 @@ class StatefulStreamSpec extends SparkSpec {
     assert(out("id_nonnull").getAs[Boolean]("pass"))
   }
 }
+
+/** Bounded Bellman-Ford: driver-replayed distances, round bound semantics,
+  * early-exit equivalence, directed mode, loud negative-weight guard. */
+class SsspSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Graph
+
+  //        1 --2-- 2 --2-- 3
+  //        |               |
+  //        9               1
+  //        |               |
+  //        4 ------1------ 5
+  private val edges = Seq(
+    (1L, 2L, 2L), (2L, 3L, 2L), (1L, 4L, 9L), (3L, 5L, 1L), (4L, 5L, 1L))
+
+  private def run(maxRounds: Int, undirected: Boolean = true) =
+    Graph.boundedShortestPaths(edges.toDF("s", "d", "w"), "s", "d", "w",
+        Seq(1L), maxRounds, undirected)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+  test("converged distances take the long-way-around shortcut") {
+    // 1->4 direct costs 9; 1->2->3->5->4 costs 2+2+1+1 = 6
+    assert(run(10) === Map(1L -> 0L, 2L -> 2L, 3L -> 4L, 4L -> 6L, 5L -> 5L))
+  }
+
+  test("round bound R yields best path of <= R edges") {
+    assert(run(1) === Map(1L -> 0L, 2L -> 2L, 4L -> 9L))
+    assert(run(2) === Map(1L -> 0L, 2L -> 2L, 3L -> 4L, 4L -> 9L, 5L -> 10L))
+    // 3 rounds: 5 improves via 1-2-3-5 = 5; 4 still direct 9
+    assert(run(3) === Map(1L -> 0L, 2L -> 2L, 3L -> 4L, 4L -> 9L, 5L -> 5L))
+    // 4 rounds: 4 improves via the far side = 6
+    assert(run(4) === Map(1L -> 0L, 2L -> 2L, 3L -> 4L, 4L -> 6L, 5L -> 5L))
+  }
+
+  test("early exit equals any larger round bound after convergence") {
+    assert(run(4) === run(25))
+  }
+
+  test("directed mode does not mirror edges") {
+    val got = Graph.boundedShortestPaths(
+        Seq((1L, 2L, 3L), (3L, 1L, 1L)).toDF("s", "d", "w"),
+        "s", "d", "w", Seq(1L), 5, undirected = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 0L, 2L -> 3L))
+  }
+
+  test("negative weights fail loudly") {
+    val e = intercept[Exception] {
+      Graph.boundedShortestPaths(
+          Seq((1L, 2L, -5L)).toDF("s", "d", "w"),
+          "s", "d", "w", Seq(1L), 3)
+        .collect()
+    }
+    assert(e.getMessage != null)
+  }
+}
