@@ -1839,6 +1839,31 @@ object SparkEntry {
       .select("vec_id", "rank").orderBy("rank")
   }
 
+  /** FILTERED vector search: two planted cosine-1.0 families — label
+    * 777001 ('drop') at ids 9300000+i, label 777002 ('keep') at the
+    * LARGER ids 9310000+i — share the query's argmax cluster, so an
+    * ivfTopK that ignored (or post-hoc applied) the `label = 777002`
+    * predicate would rank the smaller-id 'drop' rows first on the id
+    * tiebreak and go red. Green means the predicate reached INSIDE the
+    * pruned probe and the k results are all filter-true — the
+    * tenancy/stock-filter serving contract. */
+  private def a12_ann_filtered(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    def plant(baseId: Long, lbl: Int) = e.filter(col("vec_id") === 0)
+      .select(explode(sequence(lit(0L), lit(9L))).as("i"), col("embedding"))
+      .select((col("i") + baseId).as("vec_id"),
+        transform(col("embedding"),
+          x => (x * pow(lit(2.0), col("i") - 5)).cast("float")).as("embedding"),
+        lit(lbl).as("label"))
+    val corpus = e.unionByName(plant(9300000L, 777001))
+      .unionByName(plant(9310000L, 777002))
+    val index = Ann.ivfBuild(corpus, "vec_id", "embedding", nlist = 16)
+    Ann.ivfTopK(index, "vec_id", "embedding", queryVec(s, dir),
+        k = 10, nprobe = 4, excludeIds = Seq(0L),
+        rowFilter = col("label") === 777002)
+      .select("vec_id", "rank").orderBy("rank")
+  }
+
   /** Incremental ANN — the d11 analog for IVF: the index is built from the
     * ORGANIC corpus only and persisted (partitioned by cluster), then a
     * batch carrying 10 planted copies of the query vector (ids 9500000+i,
@@ -3309,6 +3334,7 @@ object SparkEntry {
     "d18_jaccard_join" -> (d18_jaccard_join _),
     "a10_binary_hamming" -> (a10_binary_hamming _),
     "a11_mmr" -> (a11_mmr _),
+    "a12_ann_filtered" -> (a12_ann_filtered _),
     "s35_snapshot" -> (s35_snapshot _),
     "s25_compact" -> (s25_compact _),
     "s26_merge" -> (s26_merge _),
@@ -5248,6 +5274,12 @@ object SparkEntry {
          FROM range(10) t(i) ORDER BY rank""",
     "a3_ann_ivf" ->
       """SELECT CAST(9000000 + i AS BIGINT) AS vec_id, CAST(i + 1 AS INT) AS rank
+         FROM range(10) t(i) ORDER BY rank""",
+    // only the filter-true planted family may surface; the equally-tied
+    // smaller-id 'drop' family would win the tiebreak if the predicate
+    // were ignored or applied post-hoc
+    "a12_ann_filtered" ->
+      """SELECT CAST(9310000 + i AS BIGINT) AS vec_id, CAST(i + 1 AS INT) AS rank
          FROM range(10) t(i) ORDER BY rank""",
     "a3b_ann_ivf_append" ->
       """SELECT CAST(9500000 + i AS BIGINT) AS vec_id, CAST(i + 1 AS INT) AS rank

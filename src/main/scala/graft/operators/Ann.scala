@@ -240,7 +240,16 @@ object Ann {
       .take(nprobe).map(_._1)
 
   /** ANN search against an IVF index: rank centroids driver-side, scan only
-    * the `nprobe` nearest clusters, exact cosine top-k on those. */
+    * the `nprobe` nearest clusters, exact cosine top-k on those.
+    *
+    * `rowFilter` makes this FILTERED vector search (the "top-k products
+    * in stock", "top-k docs this tenant may read" serving shape): the
+    * predicate applies INSIDE the pruned cluster scan, before ranking —
+    * on a persisted index both the cluster pruning (partition dirs) and
+    * the predicate push into the parquet scan, so a selective filter
+    * costs nothing extra and the k results are all filter-true. Post-hoc
+    * filtering of an unfiltered top-k would instead return FEWER than k
+    * (or zero) filtered rows; the a12 gate plants exactly that trap. */
   def ivfTopK(
       index: IvfIndex,
       idCol: String,
@@ -248,11 +257,13 @@ object Ann {
       query: Array[Float],
       k: Int,
       nprobe: Int = 4,
-      excludeIds: Seq[Long] = Nil): DataFrame = {
+      excludeIds: Seq[Long] = Nil,
+      rowFilter: Column = lit(true)): DataFrame = {
     val qd = query.map(_.toDouble)
     val probed = probedClusters(index, qd, nprobe)
     val candidates = index.clustered
       .filter(col("gr_cluster").isin(probed: _*))
+      .filter(rowFilter)
       .filter(if (excludeIds.isEmpty) lit(true) else !col(idCol).isin(excludeIds: _*))
     val q = lit(qd)
     val scoredRows = candidates

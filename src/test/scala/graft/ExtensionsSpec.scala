@@ -394,6 +394,26 @@ class AnnSpec extends SparkSpec {
     assert(probedRows < 400)
   }
 
+  test("filtered IVF search applies the predicate inside the probe") {
+    val dim = 16
+    val q = randVec(999, dim)
+    // six verbatim copies of the query (cosine exactly 1): ids 1-3 flag 0,
+    // ids 4-6 flag 1; an unfiltered (or post-hoc-filtered) search would
+    // surface ids 1-3 on the id tiebreak
+    val planted = (1 to 6).map(i => (i.toLong, q, (i - 1) / 3))
+    val organic = (100 until 300).map(i => (i.toLong, randVec(i, dim), i % 2))
+    val df = (planted ++ organic).toDF("vec_id", "embedding", "flag")
+    val index = Ann.ivfBuild(df, "vec_id", "embedding", nlist = 4)
+    val got = Ann.ivfTopK(index, "vec_id", "embedding", q, k = 3,
+        nprobe = 2, rowFilter = col("flag") === 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(4L, 5L, 6L))
+    val unfiltered = Ann.ivfTopK(index, "vec_id", "embedding", q, k = 3,
+        nprobe = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(unfiltered === Seq(1L, 2L, 3L))
+  }
+
   test("persisted IVF index serves probes as partition-pruned scans") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val dim = 16
