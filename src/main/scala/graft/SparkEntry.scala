@@ -3279,6 +3279,31 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Interval-OVERLAP join, blocking proven lossless: "which shipments
+    * were in flight during each audit window" — lineitem
+    * [l_shipdate, l_receiptdate] (epoch days) against 25 synthetic
+    * 15-day windows spread over the data range. The oracle is the
+    * BRUTE-FORCE overlap theta-join, so a pair lost to bucket
+    * fragmentation, or duplicated by a missing canonical-bucket cut,
+    * breaks the hash. Counts per window keep the output bounded. */
+  private def rj2_interval_join(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RangeJoin
+    val epoch = to_date(lit("1970-01-01"))
+    val li = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        datediff(col("l_shipdate"), epoch).cast("long").as("s"))
+      // no receipt date in this testdata: a deterministic 5-25 day transit
+      .withColumn("e", col("s") + col("l_linenumber").cast("long") * 5L)
+    val base = datediff(to_date(lit("1992-01-01")), epoch).cast("long")
+    val w = t(s, dir, "nation").select(
+      col("n_nationkey").cast("long").as("window_id"),
+      (base + col("n_nationkey") * 100L).as("ws"),
+      (base + col("n_nationkey") * 100L + 15L).as("we"))
+    RangeJoin.intervalOverlap(li, w, "s", "e", "ws", "we", bucketWidth = 32.0)
+      .groupBy("window_id").agg(count(lit(1)).as("n_in_flight"))
+      .orderBy("window_id")
+  }
+
   /** HLL++ distinct counts, emitted ORACLE-COMPARABLY: per group the EXACT
     * distinct counts (recomputable in any engine) plus `within_band`
     * booleans asserting |approx − exact|/exact ≤ 5% computed IN-QUERY from
@@ -3525,6 +3550,7 @@ object SparkEntry {
     "d15_corpus_diff" -> (d15_corpus_diff _),
     "t28_tfidf_topk" -> (t28_tfidf_topk _),
     "rj1_range_join" -> (rj1_range_join _),
+    "rj2_interval_join" -> (rj2_interval_join _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6501,6 +6527,23 @@ object SparkEntry {
                FROM part) r
            ON e.p >= r.lo AND e.p <= r.hi
          GROUP BY e.event_id ORDER BY e.event_id""",
+    // brute-force interval-overlap theta-join: fragmentation must lose
+    // nothing and the canonical-bucket cut must duplicate nothing
+    "rj2_interval_join" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber,
+             date_diff('day', DATE '1970-01-01', l_shipdate) AS s,
+             date_diff('day', DATE '1970-01-01', l_shipdate)
+               + l_linenumber * 5 AS e
+           FROM lineitem),
+         w AS (SELECT CAST(n_nationkey AS BIGINT) AS window_id,
+             date_diff('day', DATE '1970-01-01', DATE '1992-01-01')
+               + n_nationkey * 100 AS ws,
+             date_diff('day', DATE '1970-01-01', DATE '1992-01-01')
+               + n_nationkey * 100 + 15 AS we
+           FROM nation)
+         SELECT window_id, CAST(count(*) AS BIGINT) AS n_in_flight
+         FROM li JOIN w ON li.s <= w.we AND w.ws <= li.e
+         GROUP BY window_id ORDER BY window_id""",
     // lateral min-|Δt| with the backward-preferring tie rule the
     // operator's recombination applies
     "as4_asof_nearest" ->

@@ -1368,6 +1368,36 @@ class RangeJoinSpec extends SparkSpec {
     }
     assert(naive.count() > 0)
   }
+
+  test("interval-overlap join equals naive theta-join exactly once, any width") {
+    // lengths straddle every tested bucket width; multi-bucket overlaps
+    // exercise the canonical-bucket cut
+    val a = (0 until 120).map(i => (i.toLong, i * 5.0, i * 5.0 + (i % 40)))
+      .toDF("aid", "as", "ae")
+    val b = (0 until 60).map(i => (i.toLong, i * 11.0, i * 11.0 + 17.0))
+      .toDF("bid", "bs", "be")
+    val naive = a.crossJoin(b)
+      .filter(col("as") <= col("be") && col("bs") <= col("ae"))
+      .select("aid", "bid")
+    assert(naive.count() > 0)
+    for (w <- Seq(2.0, 16.0, 64.0, 500.0)) {
+      val bucketed = operators.RangeJoin
+        .intervalOverlap(a, b, "as", "ae", "bs", "be", w)
+        .select("aid", "bid")
+      // canon preserves multiplicity: equality proves lossless AND
+      // duplicate-free in one comparison
+      assert(canon(bucketed) == canon(naive), s"bucketWidth=$w")
+    }
+  }
+
+  test("interval-overlap join: touching endpoints are inclusive") {
+    val a = Seq((1L, 0.0, 10.0)).toDF("aid", "as", "ae")
+    val b = Seq((2L, 10.0, 20.0), (3L, 20.5, 30.0)).toDF("bid", "bs", "be")
+    val got = operators.RangeJoin
+      .intervalOverlap(a, b, "as", "ae", "bs", "be", 8.0)
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((1L, 2L)))
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
