@@ -1509,6 +1509,17 @@ object SparkEntry {
       .orderBy("query_id", "step")
   }
 
+  /** Matryoshka two-phase search: coarse top-50 on the first 16 of 64
+    * dimensions, exact re-rank on the full vector
+    * ([[graft.operators.Ann.matryoshkaTopK]]). Both phases are exact
+    * arithmetic, so the oracle replays the WHOLE approximation —
+    * shortlist cut and re-rank — bit-for-bit; nothing planted. */
+  private def a13_matryoshka(s: SparkSession, dir: String): DataFrame =
+    Ann.matryoshkaTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        queryVec(s, dir), k = 10, prefixDims = 16, shortlist = 50,
+        excludeIds = Seq(0L))
+      .select(col("vec_id"), col("rank")).orderBy("rank")
+
   /** Batched IVF probe over a corpus with 5 planted power-of-two-scaled
     * copies PER QUERY (queries 0,1,2 → ids 9700000 + q·100 + i): each
     * query's copies sit at cosine exactly 1.0 for it (scaling by 2^k
@@ -3360,6 +3371,7 @@ object SparkEntry {
     "a10_binary_hamming" -> (a10_binary_hamming _),
     "a11_mmr" -> (a11_mmr _),
     "a12_ann_filtered" -> (a12_ann_filtered _),
+    "a13_matryoshka" -> (a13_matryoshka _),
     "s35_snapshot" -> (s35_snapshot _),
     "s25_compact" -> (s25_compact _),
     "s26_merge" -> (s26_merge _),
@@ -5307,6 +5319,24 @@ object SparkEntry {
     "a12_ann_filtered" ->
       """SELECT CAST(9310000 + i AS BIGINT) AS vec_id, CAST(i + 1 AS INT) AS rank
          FROM range(10) t(i) ORDER BY rank""",
+    // the whole two-phase approximation replayed: prefix-dim shortlist,
+    // then exact full-dim re-rank within it
+    "a13_matryoshka" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id = 0),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id <> 0),
+         sl AS (SELECT vec_id, v FROM
+           (SELECT e.vec_id, e.v, row_number() OVER (ORDER BY
+              list_cosine_similarity(e.v[1:16], (SELECT qv[1:16] FROM q))
+                DESC, e.vec_id) AS rn
+            FROM e) WHERE rn <= 50)
+         SELECT vec_id, rank FROM
+           (SELECT vec_id, CAST(row_number() OVER (ORDER BY
+              list_cosine_similarity(v, (SELECT qv FROM q)) DESC, vec_id)
+              AS INT) AS rank
+            FROM sl) WHERE rank <= 10
+         ORDER BY rank""",
     "a3b_ann_ivf_append" ->
       """SELECT CAST(9500000 + i AS BIGINT) AS vec_id, CAST(i + 1 AS INT) AS rank
          FROM range(10) t(i) ORDER BY rank""",

@@ -158,6 +158,50 @@ object Ann {
       .filter(col("rank") <= k)
   }
 
+  /** Matryoshka (MRL) two-phase search — Kusupati et al., NeurIPS'22:
+    * embeddings trained with matryoshka representation learning rank
+    * usefully on any PREFIX of their dimensions, so the coarse pass
+    * scores only the first `prefixDims` components (a `slice` — the scan
+    * reads 1/`dim/prefixDims` of the float math, and on a column-pruned
+    * layout that stores the prefix separately, 1/… of the bytes), takes a
+    * `shortlist`, and the exact full-dimension cosine runs ONLY on the
+    * short list after an id equi-join back into the corpus (the
+    * [[binaryRerankTopK]] / PQ re-rank shape — this is the third
+    * cheap-scan tier, between binary codes and full floats).
+    *
+    * Both phases are deterministic exact arithmetic over their inputs
+    * (no sketch, no training), so unlike IVF/LSH the WHOLE approximation
+    * is SQL-replayable: the a13 gate's oracle recomputes shortlist and
+    * re-rank bit-for-bit. Returns (idCol, cosine, rank ≤ k). */
+  def matryoshkaTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Array[Float],
+      k: Int,
+      prefixDims: Int,
+      shortlist: Int = 64,
+      excludeIds: Seq[Long] = Nil): DataFrame = {
+    require(prefixDims >= 1 && prefixDims <= query.length,
+      s"prefixDims must be in [1, ${query.length}], got $prefixDims")
+    require(shortlist >= k, s"shortlist $shortlist must be >= k=$k")
+    import org.apache.spark.sql.expressions.Window
+    val qPrefix = lit(query.take(prefixDims).map(_.toDouble))
+    val short = df
+      .filter(if (excludeIds.isEmpty) lit(true) else !col(idCol).isin(excludeIds: _*))
+      .select(col(idCol),
+        cosine(slice(col(vecCol), 1, prefixDims), qPrefix).as("__coarse"))
+      .orderBy(desc("__coarse"), col(idCol))
+      .limit(shortlist)
+      .select(col(idCol))
+    val qFull = lit(query.map(_.toDouble))
+    short.join(df.select(col(idCol), col(vecCol)), Seq(idCol))
+      .select(col(idCol), cosine(col(vecCol), qFull).as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("cosine"), col(idCol))))
+      .filter(col("rank") <= k)
+  }
+
   /** IVF (inverted-file) index state: centroid vectors + the input tagged
     * with its nearest-centroid cluster id. At 100 TB the clustered frame is
     * what you write out partitioned by `gr_cluster`, turning every probe into

@@ -394,6 +394,33 @@ class AnnSpec extends SparkSpec {
     assert(probedRows < 400)
   }
 
+  test("matryoshka two-phase search: exactness limits and prefix behavior") {
+    val dim = 32
+    val rows = (1 to 300).map(i => (i.toLong, randVec(i, dim)))
+    val df = rows.toDF("vec_id", "embedding")
+    val q = randVec(9999, dim)
+    val brute = Ann.bruteForceTopK(df, "vec_id", "embedding", q, k = 5)
+      .collect().map(_.getLong(0)).toSeq
+    // full-corpus shortlist: the re-rank sees everything -> exact
+    val full = Ann.matryoshkaTopK(df, "vec_id", "embedding", q, k = 5,
+        prefixDims = 8, shortlist = 300)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full === brute)
+    // prefix = all dims: the coarse phase IS exact, any shortlist >= k works
+    val exactCoarse = Ann.matryoshkaTopK(df, "vec_id", "embedding", q, k = 5,
+        prefixDims = dim, shortlist = 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(exactCoarse === brute)
+    intercept[IllegalArgumentException] {
+      Ann.matryoshkaTopK(df, "vec_id", "embedding", q, k = 5,
+        prefixDims = dim + 1, shortlist = 10)
+    }
+    intercept[IllegalArgumentException] {
+      Ann.matryoshkaTopK(df, "vec_id", "embedding", q, k = 5,
+        prefixDims = 8, shortlist = 3)
+    }
+  }
+
   test("filtered IVF search applies the predicate inside the probe") {
     val dim = 16
     val q = randVec(999, dim)
