@@ -3816,7 +3816,7 @@ object SparkEntry {
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
              CAST(round(value * 100) AS BIGINT) AS v FROM events),
          w AS (SELECT user_id, event_id, v,
-             count(*) OVER win AS w_n,
+             count(v) OVER win AS w_n,
              sum(v) OVER win AS w_sum,
              sum(v * v) OVER win AS w_sumsq
            FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id

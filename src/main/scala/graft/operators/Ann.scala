@@ -111,15 +111,31 @@ object Ann {
       queries: Seq[(Long, Array[Long])],
       k: Int): DataFrame = {
     require(queries.nonEmpty, "empty query batch")
+    val qWords = queries.head._2.length
+    require(qWords >= 1 && queries.forall(_._2.length == qWords),
+      "query codes must be non-empty and share one word count")
     import org.apache.spark.sql.expressions.Window
     val qarr = array(queries.map { case (qid, wsArr) =>
       struct(lit(qid).as("query_id"), lit(wsArr).as("qbits"))
     }: _*)
+    // a corpus code with a different word count would zip_with-null-pad
+    // to hamming = NULL, and NULLS FIRST on the ascending rank would put
+    // that row at rank 1 for EVERY query — dimension drift must be loud,
+    // not a silently corrupted top-k (the PQ/IVF dim-guard convention).
+    // The guard is the LEFT operand of the + on purpose: codegen for a
+    // null-intolerant binary op short-circuits the RIGHT child when the
+    // left is null, and the mismatch case is exactly the one where the
+    // distance side IS null — guard-on-the-right would never evaluate.
+    val guard = coalesce(assert_true(size(col("__bits")) === qWords,
+      lit(s"binaryTopK: corpus code word count != query's $qWords — " +
+        "dimension mismatch between the binarized table and the query " +
+        "batch")).cast("int"), lit(0))
     bits
       .select(col(idCol), explode(qarr).as("__q"), col(bitsCol).as("__bits"))
       .select(col("__q.query_id").as("query_id"), col(idCol),
-        expr("aggregate(zip_with(__bits, __q.qbits, (a, b) -> bit_count(a ^ b)), " +
-          "0, (acc, x) -> acc + x)").as("hamming"))
+        (guard + expr("aggregate(zip_with(__bits, __q.qbits, " +
+          "(a, b) -> bit_count(a ^ b)), 0, (acc, x) -> acc + x)"))
+          .as("hamming"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("hamming"), col(idCol))))
       .filter(col("rank") <= k)

@@ -1269,8 +1269,15 @@ object Dedup {
     * Spark shape: tokenize + sort + slice are one map-side projection per
     * side; candidates come from ONE hash equi-join on the prefix token
     * with pair-level dedup; exact Jaccard runs only on candidates via a
-    * merge of the two sorted arrays. Shuffle volume is Σ prefix-lengths,
-    * bounded by `(1−t)·|tokens|` — at t=0.8 a fifth of the corpus tokens.
+    * merge of the two sorted arrays. Shuffle ROWS are Σ prefix-lengths,
+    * bounded by `(1−t)·|tokens|` — but each exploded row CARRIES its full
+    * sorted shingle array (so verification needs no join-back), making
+    * shuffle BYTES ≈ Σ(prefix-length × set-size). For corpora of large
+    * documents that trade inverts: ship (id, token) pairs instead and
+    * equi-join the arrays back onto the deduplicated candidate pairs —
+    * one more shuffle, set-size-linear bytes. The carry-the-array form is
+    * the right default for the chunk/shingle-sized sets this engine
+    * feeds it (the d18 fixture's documents are ≤ a few hundred shingles).
     * Returns `(queryId, corpusId, inter, uni)`. */
   def jaccardJoin(
       queries: DataFrame, queryIdCol: String, queryTextCol: String,

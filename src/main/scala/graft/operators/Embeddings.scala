@@ -132,7 +132,10 @@ object Embeddings {
   /** Driver-side packing of one query vector under the IDENTICAL sign
     * convention (for building query literals against a binarized table). */
   def signWordsLocal(vec: Array[Float]): Array[Long] = {
-    val words = new Array[Long]((vec.length + 63) / 64)
+    // max(1, …): the SQL form maps an empty vector to one all-zero word
+    // (`sequence(0, -1 div 64)` = [0]); the packings must stay identical
+    // on every input, including the degenerate one
+    val words = new Array[Long](math.max(1, (vec.length + 63) / 64))
     var i = 0
     while (i < vec.length) {
       if (vec(i) > 0f) words(i / 64) |= (1L << (i % 64))

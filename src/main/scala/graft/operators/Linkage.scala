@@ -32,10 +32,16 @@ import org.apache.spark.sql.functions._
   * only on the deduplicated candidates. Hot keys (stopword-like tokens) are
   * the 100 TB skew risk; they are bounded the same way the LSH buckets are:
   * pass `keyCap` to drop keys whose block would exceed the cap on EITHER
-  * side (a dropped block is reported loudly via the returned frame when
-  * `capReport` — recall loss must be a visible decision, never silent).
+  * side. A dropped block is reported LOUDLY: each capped side carries an
+  * observed metric (`graft_linkage_cap_*`) and the first completed action
+  * on the result logs a warning naming the dropped-key count and the
+  * largest block seen — recall loss must be a visible decision, never
+  * silent (the Dedup.minhashPairs cap convention).
   */
 object Linkage {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+  private val metricNonce = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** The multi-pass blocking keys of one normalized name column. */
   private[graft] def blockKeys(name: Column): Column =
@@ -64,21 +70,36 @@ object Linkage {
     require(maxDistance >= 0, s"negative distance bound: $maxDistance")
     require(Set(leftId, leftName).intersect(Set(rightId, rightName)).isEmpty,
       "left and right column names must differ (rename before joining)")
-    def capped(side: DataFrame): DataFrame =
+    val nonce = metricNonce.getAndIncrement()
+    def capped(side: DataFrame, tag: String): DataFrame =
       if (keyCap <= 0) side
       else {
-        val ok = side.groupBy("__bk").count()
-          .filter(col("count") <= keyCap).select("__bk")
-        side.join(ok, "__bk")
+        val counts = side.groupBy("__bk").count()
+          .observe(s"graft_linkage_cap_${tag}_$nonce",
+            sum(when(col("count") > keyCap, lit(1L)).otherwise(lit(0L)))
+              .as("dropped_keys"),
+            max(col("count")).as("max_block"))
+        side.join(counts.filter(col("count") <= keyCap).select("__bk"), "__bk")
       }
-    val l = capped(keyed(left, leftId, leftName))
-    val r = capped(keyed(right, rightId, rightName))
-    l.join(r, "__bk")
+    val l = capped(keyed(left, leftId, leftName), "l")
+    val r = capped(keyed(right, rightId, rightName), "r")
+    val out = l.join(r, "__bk")
       .select(col(leftId), col(leftName), col(rightId), col(rightName))
       .dropDuplicates(leftId, rightId)
       .withColumn("distance", levenshtein(col(leftName), col(rightName)))
       .filter(col("distance") <= maxDistance)
       .select(col(leftId), col(rightId), col("distance"))
+    if (keyCap <= 0) out
+    else CacheRelease.afterFirstAction(out, Nil, qe =>
+      for (tag <- Seq("l", "r");
+           m <- qe.observedMetrics.get(s"graft_linkage_cap_${tag}_$nonce")) {
+        val dropped = Option(m.get(0)).fold(0L)(_.toString.toLong)
+        val maxB = Option(m.get(1)).fold(0L)(_.toString.toLong)
+        if (dropped > 0)
+          log.warn(s"[graft] fuzzyJoin keyCap=$keyCap dropped $dropped " +
+            s"blocking key(s) on side '$tag' (largest block: $maxB rows); " +
+            "true matches confined to dropped blocks are not candidates")
+      })
   }
 
   /** Reduce fuzzyJoin output to each left row's single best match —

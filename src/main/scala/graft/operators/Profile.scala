@@ -162,7 +162,10 @@ object Profile {
     * BIGINT while each side holds under ~3e9 rows per 1.0 of the other's
     * count — at larger scales pre-aggregate per shard or downscale.
     *
-    * Returns ONE row: (n_a, n_b, d_num, d_den, at_bin). */
+    * Returns ONE row: (n_a, n_b, d_num, d_den, at_bin). Fails loudly if
+    * either side has no rows (or the input is empty) — the statistic is
+    * undefined there, and a silent 0-row/0-denominator result would read
+    * as "no drift". */
   def ksDrift(
       df: DataFrame,
       valueCol: String,
@@ -179,7 +182,22 @@ object Profile {
       .groupBy("__bin")
       .agg(sum(when(col("__side") === sideA, 1L).otherwise(0L)).as("__ca"),
         sum(when(col("__side") === sideB, 1L).otherwise(0L)).as("__cb"))
+    // a side with no rows makes the statistic undefined (d_den = 0); an
+    // empty input would silently return zero rows — both fail loudly
+    // instead, at broadcast-build time (the assert folds into n_a so it
+    // can never be pruned unevaluated)
+    // guard on the LEFT of the +: with a fully-empty input the sums are
+    // null, and codegen's null short-circuit would skip a right-hand
+    // guard entirely (the binaryTopK lesson); assert_true(null) raises,
+    // covering empty input and an empty side with one check
     val totals = perBin.agg(sum("__ca").as("__na"), sum("__cb").as("__nb"))
+      .select((coalesce(assert_true(
+          col("__na") > 0 && col("__nb") > 0,
+          lit("ksDrift: a side has no rows (or the input is empty) — " +
+            "the KS statistic is undefined")).cast("long"), lit(0L))
+          + col("__na"))
+        .as("__na"),
+        col("__nb"))
     val w = Window.orderBy("__bin")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val binRank = Window.orderBy("__bin")
@@ -198,10 +216,13 @@ object Profile {
           .as("__dnum"),
         col("__na"), col("__nb"))
     val top = d.agg(max("__dnum").as("__m"))
-    d.crossJoin(broadcast(top))
+    val atBin = d.crossJoin(broadcast(top))
       .filter(col("__dnum") === col("__m"))
-      .groupBy(col("__na"), col("__nb"), col("__m"))
       .agg(min("__bin").as("at_bin"))
+    // totals DRIVES the final row: it always has exactly one row, so the
+    // guard evaluates even when the bin table is empty (an empty streamed
+    // side would let AQE skip building a broadcast guard entirely)
+    totals.crossJoin(broadcast(top)).crossJoin(broadcast(atBin))
       .select(col("__na").as("n_a"), col("__nb").as("n_b"),
         col("__m").as("d_num"), (col("__na") * col("__nb")).as("d_den"),
         col("at_bin"))

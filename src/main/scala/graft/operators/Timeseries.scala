@@ -97,12 +97,16 @@ object Timeseries {
       .rowsBetween(-(windowRows - 1), Window.currentRow)
     val x = round(col(valCol) * math.pow(10, scale)).cast("long")
     df.select(col(keyCol), col(tsCol), col(tieCol), x.as("v_scaled"))
-      .withColumn("w_n", count(lit(1)).over(w))
+      // count the VALUES, not the rows: a null-valued row contributes to
+      // neither S nor Q, so counting it in n would test |z| against the
+      // wrong sample size (and let evidence-free rows satisfy minPoints)
+      .withColumn("w_n", count(col("v_scaled")).over(w))
       .withColumn("w_sum", sum(col("v_scaled")).over(w))
       .withColumn("w_sumsq",
         sum(col("v_scaled") * col("v_scaled")).over(w))
       .withColumn("is_anomaly",
-        col("w_n") >= minPoints && {
+        // a null-valued row carries no evidence: flag is false, not null
+        col("v_scaled").isNotNull && col("w_n") >= minPoints && {
           val lhs = (col("w_n") * col("v_scaled") - col("w_sum")) *
             (col("w_n") * col("v_scaled") - col("w_sum")) * (col("w_n") - 1)
           val rhs = lit(zThreshold.toLong * zThreshold) * col("w_n") *

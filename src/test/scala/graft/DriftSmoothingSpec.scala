@@ -35,6 +35,17 @@ class KsDriftSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("a side with no rows (or an empty input) fails loudly") {
+    val oneSided = (1 to 20).map(i => (i.toDouble, "a")).toDF("v", "side")
+    intercept[Exception] {
+      Profile.ksDrift(oneSided, "v", "side", "a", "b").collect()
+    }
+    val empty = Seq.empty[(Double, String)].toDF("v", "side")
+    intercept[Exception] {
+      Profile.ksDrift(empty, "v", "side", "a", "b").collect()
+    }
+  }
+
   test("loud failure past maxBins instead of a silent one-task sort") {
     val df = (1 to 100).map(i => (i.toDouble, if (i % 2 == 0) "a" else "b"))
       .toDF("v", "side")

@@ -167,6 +167,30 @@ class AnomalySpec extends SparkSpec {
     assert(canon(a) == canon(b))
     assert(a.filter(col("is_anomaly")).count() > 0)
   }
+
+  test("null values carry no evidence: n matches S/Q and flags stay boolean") {
+    // 20 calm points with 10 interleaved nulls, then a spike: the window
+    // stats must count only the 21 real values, null rows must flag
+    // false (not null), and the spike must still flag
+    val rows = (0 until 30).map { i =>
+      val v: Option[Double] =
+        if (i % 3 == 2 && i < 29) None
+        else if (i == 29) Some(500.0) else Some(10.0 + (i % 2) * 0.5)
+      (1L, ts(i), i.toLong, v)
+    }
+    val out = Timeseries.anomalies(rows.toDF("k", "ts", "tie", "v"),
+        "k", "ts", "tie", "v")
+      .collect().map(r => (r.getAs[Long]("tie"),
+        r.getAs[Long]("w_n"), r.getAs[Boolean]("is_anomaly"))).toList
+    // every flag is a real boolean even on null-valued rows
+    assert(out.length == 30)
+    // w_n on the last row counts only non-null values in its 24-row window
+    val lastN = out.find(_._1 == 29L).get._2
+    val expectN = (6 until 30).count(i => !(i % 3 == 2 && i < 29))
+    assert(lastN == expectN, s"w_n=$lastN expected=$expectN")
+    assert(out.find(_._1 == 29L).get._3, "spike must still flag")
+    assert(out.filter(_._1 != 29L).forall(!_._3), "nulls/calm must not flag")
+  }
 }
 
 /** Prefix-filtered set-similarity join: lossless vs brute force, exact
@@ -258,6 +282,26 @@ class BinaryAnnSpec extends SparkSpec {
         assert(got(i).sameElements(Embeddings.signWordsLocal(vec(i, dim))),
           s"id $i dim $dim")
     }
+    // degenerate parity: both packings map an empty vector to [0L]
+    val empty = Seq((1L, Seq.empty[Float])).toDF("id", "emb")
+    val sqlWords = Embeddings.binarize(empty, "id", "emb")
+      .collect().head.getSeq[Long](1)
+    assert(sqlWords == Seq(0L))
+    assert(Embeddings.signWordsLocal(Array.empty[Float]).toSeq == Seq(0L))
+  }
+
+  test("a dimension-drifted corpus code fails loudly, never ranks first") {
+    val dim = 64
+    val good = (0L until 10L).map(i => (i, vec(i, dim)))
+    val drifted = Seq((99L, vec(99L, 130))) // 3 words vs the query's 1
+    val df = (good ++ drifted).toDF("id", "emb")
+    val q = vec(999L, dim)
+    val e = intercept[Exception] {
+      Ann.binaryTopK(Embeddings.binarize(df, "id", "emb"), "id", "bits",
+          Seq((999L, Embeddings.signWordsLocal(q))), k = 3)
+        .collect()
+    }
+    assert(e.getMessage != null)
   }
 
   test("hamming equals the sign-disagreement count from raw floats") {
