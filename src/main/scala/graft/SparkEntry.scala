@@ -307,6 +307,43 @@ object SparkEntry {
         "source", "doc_id", col("n_chars"), margin = 50L)
       .orderBy("source", "pair_rank")
 
+  /** Per-user spend-trend slopes as exact integer fractions
+    * ([[graft.operators.Regression.groupTrend]]): x = epoch day of the
+    * event, y = cents. `slope_num > 0` IS "trending up" — no float
+    * anywhere; the oracle replays the five-sum arithmetic. */
+  private def q55_trend(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Regression.groupTrend(
+        Fixtures.events(s, dir), "user_id",
+        datediff(col("ts").cast("date"), to_date(lit("1970-01-01"))).cast("long"),
+        floor(col("value") * 100).cast("long"))
+      .orderBy("user_id")
+
+  /** In-place re-partitioning (the layout-outgrown lifecycle step): an
+    * orders tree partitioned by `year` is relayouted onto
+    * `o_orderpriority` via the staged-swap commit
+    * ([[graft.api.Graft.relayoutPartitionedTable]]). The gate `require`s
+    * the directory tree really changed, then reads the table back — the
+    * oracle recomputes every value from source, so a row lost or
+    * duplicated anywhere in rewrite/verify/swap breaks the hash. */
+  private def s38_relayout(s: SparkSession, dir: String): DataFrame = {
+    val base = s"/tmp/graft_fixtures/relayout_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val conf = s.sessionState.newHadoopConf()
+    val bp = new org.apache.hadoop.fs.Path(base)
+    val fs = bp.getFileSystem(conf)
+    fs.delete(bp, true)
+    val orders = t(s, dir, "orders")
+      .withColumn("year", year(col("o_orderdate")))
+    Graft.writePartitionedTable(orders, base, Seq("year"))
+    Graft.relayoutPartitionedTable(s, base, Seq("o_orderpriority"))
+    val dirs = fs.listStatus(bp).map(_.getPath.getName)
+      .filterNot(n => n.startsWith(".") || n.startsWith("_"))
+    require(dirs.nonEmpty && dirs.forall(_.startsWith("o_orderpriority=")),
+      s"relayout did not change the tree: ${dirs.mkString(",")}")
+    Graft.readPartitionedTable(s, base)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("year"))
+      .orderBy("o_orderkey")
+  }
+
   /** Snapshot-pinned read: the manifest is taken over the R-flag rows,
     * then a tagged batch of A-flag rows lands in the same table; the
     * current read must see both (`require`d) while the snapshot read
@@ -3366,6 +3403,8 @@ object SparkEntry {
     "q52_ks_drift" -> (q52_ks_drift _),
     "q53_ewma" -> (q53_ewma _),
     "q54_cusum" -> (q54_cusum _),
+    "q55_trend" -> (q55_trend _),
+    "s38_relayout" -> (s38_relayout _),
     "t42_pref_pairs" -> (t42_pref_pairs _),
     "d18_jaccard_join" -> (d18_jaccard_join _),
     "a10_binary_hamming" -> (a10_binary_hamming _),
@@ -3891,6 +3930,26 @@ object SparkEntry {
            run - least(CAST(0 AS BIGINT), runmin) > 100000 AS is_shift_up,
            greatest(CAST(0 AS BIGINT), runmax) - run > 100000 AS is_shift_down
          FROM w ORDER BY event_id""",
+    // every value recomputed from source; partition cols read as strings
+    "s38_relayout" ->
+      """SELECT o_orderkey, o_orderpriority,
+           CAST(year(o_orderdate) AS VARCHAR) AS year
+         FROM orders ORDER BY o_orderkey""",
+    // the five-sum OLS slope fraction replayed in BIGINTs
+    "q55_trend" ->
+      """WITH e AS (SELECT user_id,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+               AS BIGINT) AS x,
+             CAST(floor(value * 100) AS BIGINT) AS y
+           FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+         g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+           FROM e GROUP BY user_id)
+         SELECT user_id, n, n * sxy - sx * sy AS slope_num,
+           n * sxx - sx * sx AS slope_den
+         FROM g ORDER BY user_id""",
     // rank-symmetric pairing: i-th best vs i-th worst per source
     "t42_pref_pairs" ->
       """WITH r AS (SELECT source, doc_id, n_chars,

@@ -1799,4 +1799,78 @@ object Graft {
       MergeStats(tuples.size, deleted, moved)
     }
   }
+
+  /** Re-partition a table IN PLACE onto new partition columns — the
+    * lifecycle step when query patterns outgrow the original layout
+    * ("we always filter by status now, not by date"). The old partition
+    * columns become ordinary data columns in the rewritten files (they
+    * arrived as STRING columns from the read, and stay strings); the new
+    * partition columns move out of the files into the directory tree and
+    * therefore read back as strings, the fsql partition-value model.
+    *
+    * Staged-swap commit (the ivfRebuild/compaction discipline):
+    *  1. REWRITE the full table into a dot-prefixed staging subtree
+    *     (discovery skips dot-dirs, so a concurrent reader never sees a
+    *     half-written layout);
+    *  2. VERIFY — the staged row count must equal the live count, else
+    *     refuse and leave staging for inspection;
+    *  3. SWAP — live partition dirs move aside into a retired dir, staged
+    *     dirs move in, and ONLY THEN the retired copy is deleted. A crash
+    *     mid-swap leaves an extra copy (plus a loud `retired` marker the
+    *     next call refuses on), never a missing table.
+    *
+    * Refuses streaming-sink tables carrying `_spark_metadata` for the
+    * same reason compaction does. One full read + one partitioned write;
+    * the shuffle is the `partitionBy` write's task-local routing. */
+  def relayoutPartitionedTable(
+      spark: SparkSession,
+      url: String,
+      newPartitionCols: Seq[String],
+      query: PartitionQuery = Q.True,
+      parser: ColumnParser = AutoParser.auto,
+      format: String = "parquet",
+      fsConf: Map[String, String] = Map.empty): Unit = {
+    require(newPartitionCols.nonEmpty, "newPartitionCols must be non-empty")
+    withFs(spark, url, fsConf) { fs =>
+      val root = fs.makeQualified(new Path(url))
+      require(!fs.exists(new Path(root, "_spark_metadata")),
+        s"$url carries a streaming-sink _spark_metadata manifest; relayout " +
+          "would invalidate it. Delete the manifest dir first to opt into " +
+          "listing-based reads, then relayout.")
+      val staging = new Path(root, ".graft_relayout_staging")
+      val retired = new Path(root, ".graft_relayout_retired")
+      require(!fs.exists(retired),
+        s"$retired exists — a previous relayout crashed mid-swap; recover " +
+          "manually (inspect which copy is complete) before retrying")
+      fs.delete(staging, true)
+      val live = readPartitionedTable(spark, url, query, parser,
+        format = format, fsConf = fsConf)
+      newPartitionCols.foreach(c => require(live.columns.contains(c),
+        s"new partition column '$c' not in table columns " +
+          live.columns.mkString("[", ",", "]")))
+      val liveCount = live.count()
+      writePartitionedTable(live, staging.toString, newPartitionCols,
+        format = format, fsConf = fsConf)
+      val stagedCount = readPartitionedTable(spark, staging.toString,
+        Q.True, parser, format = format, fsConf = fsConf).count()
+      require(stagedCount == liveCount,
+        s"staged relayout has $stagedCount rows vs live $liveCount — " +
+          "refusing to swap (staging left for inspection)")
+      def children(dir: Path): Seq[Path] =
+        fs.listStatus(dir).map(_.getPath)
+          .filterNot(p => p.getName.startsWith(".") || p.getName.startsWith("_"))
+          .toSeq
+      fs.mkdirs(retired)
+      children(root).foreach { c =>
+        require(fs.rename(c, new Path(retired, c.getName)),
+          s"relayout swap: retiring $c failed")
+      }
+      children(staging).foreach { c =>
+        require(fs.rename(c, new Path(root, c.getName)),
+          s"relayout swap: moving in $c failed")
+      }
+      fs.delete(staging, true)
+      fs.delete(retired, true)
+    }
+  }
 }

@@ -197,4 +197,38 @@ object Regression {
     }
     round(lit(1.0) / (lit(1.0) + exp(-margin)), model.roundTo)
   }
+
+  /** Per-GROUP OLS trend slope as an EXACT integer fraction: for each
+    * group, the least-squares slope of y over x is
+    * `(n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)` — both sides emitted as BIGINTs
+    * (`slope_num`, `slope_den`), so "is this user's spend trending up"
+    * is `slope_num > 0` (den ≥ 0 always) and a threshold test
+    * `slope > t` is the cross-multiplied `slope_num > t·slope_den` —
+    * the q51/q54 design applied to trend detection; consumers divide
+    * only for display.
+    *
+    * `xExpr`/`yExpr` must be integral (epoch days, cents, …). Groups
+    * with a single point (or all-equal x) have `slope_den = 0` —
+    * undefined trend, emitted as-is for the caller to filter, never
+    * silently dropped. Overflow bound: `n·Σ|xy| < 2⁶³` — center x per
+    * group upstream if your x magnitudes are large (the Σ terms shrink
+    * quadratically with centering).
+    *
+    * Spark shape: ONE partially-aggregated groupBy carrying five
+    * BIGINTs per group — no window, no self-join, map-side combined. */
+  def groupTrend(
+      df: DataFrame,
+      groupCol: String,
+      xExpr: Column,
+      yExpr: Column): DataFrame =
+    df.filter(xExpr.isNotNull && yExpr.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(xExpr).as("__sx"), sum(yExpr).as("__sy"),
+        sum(xExpr * yExpr).as("__sxy"), sum(xExpr * xExpr).as("__sxx"))
+      .select(col(groupCol), col("n"),
+        (col("n") * col("__sxy") - col("__sx") * col("__sy"))
+          .as("slope_num"),
+        (col("n") * col("__sxx") - col("__sx") * col("__sx"))
+          .as("slope_den"))
 }

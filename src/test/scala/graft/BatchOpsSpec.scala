@@ -1095,3 +1095,55 @@ class PreflightAuditSpec extends SparkSpec {
       (2L, 5.0, true)))
   }
 }
+
+/** In-place relayout: values preserved, tree changed, crash markers and
+  * verify failures refuse loudly. */
+class RelayoutSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.api.Graft
+
+  private def mkTable(base: String): Unit = {
+    val df = (1 to 60).map(i =>
+      (i.toLong, s"k${i % 3}", s"p${i % 4}", i * 1.5))
+      .toDF("id", "a", "b", "v")
+    Graft.writePartitionedTable(df, base, Seq("a"))
+  }
+
+  test("relayout preserves every row and rewrites the tree") {
+    val base = tmpDir("relayout") + "/t"
+    mkTable(base)
+    val before = canon(Graft.readPartitionedTable(spark, base)
+      .select("id", "a", "b", "v"))
+    Graft.relayoutPartitionedTable(spark, base, Seq("b"))
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(base))
+      .map(_.getPath.getName).filterNot(n => n.startsWith(".") || n.startsWith("_"))
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("b=")), dirs.mkString(","))
+    val after = canon(Graft.readPartitionedTable(spark, base)
+      .select("id", "a", "b", "v"))
+    assert(after == before)
+  }
+
+  test("a retired marker from a crashed swap refuses the next relayout") {
+    val base = tmpDir("relayout_crash") + "/t"
+    mkTable(base)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(base, ".graft_relayout_retired"))
+    val e = intercept[IllegalArgumentException] {
+      Graft.relayoutPartitionedTable(spark, base, Seq("b"))
+    }
+    assert(e.getMessage.contains("crashed mid-swap"))
+  }
+
+  test("unknown partition column refuses before any write") {
+    val base = tmpDir("relayout_badcol") + "/t"
+    mkTable(base)
+    val e = intercept[IllegalArgumentException] {
+      Graft.relayoutPartitionedTable(spark, base, Seq("nope"))
+    }
+    assert(e.getMessage.contains("not in table columns"))
+  }
+}

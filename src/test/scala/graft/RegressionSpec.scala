@@ -104,3 +104,43 @@ class NaiveBayesSpec extends SparkSpec {
     assert(r.filter(_.getLong(0) == 1L).forall(_.getString(3) == "a"))
   }
 }
+
+/** Per-group exact trend slopes: planted line recovered exactly,
+  * degenerate groups emit den = 0, partition invariance. */
+class GroupTrendSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("a planted noise-free line recovers its slope exactly") {
+    // group 1: y = 3x + 7 over x = 0..9 -> slope fraction reduces to 3
+    // group 2: y = -2x + 100 -> slope -2
+    val rows = (0L until 10L).flatMap(x =>
+      Seq((1L, x, 3 * x + 7), (2L, x, -2 * x + 100)))
+    val got = graft.operators.Regression.groupTrend(
+        rows.toDF("g", "x", "y"), "g", col("x"), col("y"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    for ((g, slope) <- Seq(1L -> 3L, 2L -> -2L)) {
+      val (num, den) = got(g)
+      assert(den > 0 && num == slope * den, s"group $g: $num/$den")
+    }
+  }
+
+  test("single-point and constant-x groups emit slope_den = 0") {
+    val rows = Seq((1L, 5L, 10L), (2L, 3L, 1L), (2L, 3L, 9L))
+    val got = graft.operators.Regression.groupTrend(
+        rows.toDF("g", "x", "y"), "g", col("x"), col("y"))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got(1L) == 0L && got(2L) == 0L)
+  }
+
+  test("nulls excluded; results partition-invariant") {
+    val rows = (0 until 300).map(i =>
+      (i % 7L, Option(i.toLong), if (i % 13 == 0) None else Some(i * 3L % 101)))
+    val df = rows.toDF("g", "x", "y")
+    def all(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Regression.groupTrend(d, "g", col("x"), col("y"))
+        .collect().map(_.toSeq).sortBy(_.toString)
+    assert(all(df) === all(df.repartition(13)))
+  }
+}
