@@ -318,6 +318,29 @@ object SparkEntry {
         floor(col("value") * 100).cast("long"))
       .orderBy("user_id")
 
+  /** Incremental aggregate maintenance: a per-user (n_rows, sum_value)
+    * rollup advanced by two delta batches (even then odd event_ids)
+    * without re-reading the first
+    * ([[graft.api.Graft.maintainAggregate]]). The merged sidecar must
+    * equal the from-scratch aggregation — the oracle computes exactly
+    * that from source, so any double-count or lost delta breaks it. */
+  private def s39_agg_maintain(s: SparkSession, dir: String): DataFrame = {
+    val base = s"/tmp/graft_fixtures/aggmaint_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val conf = s.sessionState.newHadoopConf()
+    for (suffix <- Seq("", ".graft_agg_staging", ".graft_agg_retired")) {
+      val p = new org.apache.hadoop.fs.Path(base + suffix)
+      p.getFileSystem(conf).delete(p, true)
+    }
+    val ev = Fixtures.events(s, dir).select("user_id", "event_id", "value")
+    Graft.maintainAggregate(s, base, ev.filter(col("event_id") % 2 === 0),
+      Seq("user_id"), Seq("value"))
+    Graft.maintainAggregate(s, base, ev.filter(col("event_id") % 2 =!= 0),
+        Seq("user_id"), Seq("value"))
+      .select(col("user_id"), col("n_rows"),
+        col("sum_value").cast("double").as("sum_value"))
+      .orderBy("user_id")
+  }
+
   /** In-place re-partitioning (the layout-outgrown lifecycle step): an
     * orders tree partitioned by `year` is relayouted onto
     * `o_orderpriority` via the staged-swap commit
@@ -3213,6 +3236,16 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Weighted sampling without replacement via deterministic priority
+    * sampling ([[graft.operators.Sampling.prioritySample]]): top-100
+    * documents by `n_chars / u(doc_id)`. The oracle replays the salted
+    * uniform and the division literally. */
+  private def t43_priority_sample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.prioritySample(t(s, dir, "documents"),
+        "doc_id", col("n_chars"), k = 100, salt = "pw")
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+
   /** Conversation assembly over the event log: per-user ordered
     * transcript of "event_type: props" lines, capped at 50 turns (some
     * users exceed it at this SF, so the WindowGroupLimit cap binds and
@@ -3405,6 +3438,7 @@ object SparkEntry {
     "q54_cusum" -> (q54_cusum _),
     "q55_trend" -> (q55_trend _),
     "s38_relayout" -> (s38_relayout _),
+    "s39_agg_maintain" -> (s39_agg_maintain _),
     "t42_pref_pairs" -> (t42_pref_pairs _),
     "d18_jaccard_join" -> (d18_jaccard_join _),
     "a10_binary_hamming" -> (a10_binary_hamming _),
@@ -3428,6 +3462,7 @@ object SparkEntry {
     "t30_conversations" -> (t30_conversations _),
     "t31_feature_hash" -> (t31_feature_hash _),
     "t41_dist_match" -> (t41_dist_match _),
+    "t43_priority_sample" -> (t43_priority_sample _),
     "s18_scan_lazy" -> (s18_scan_lazy _),
     "s21_scan_identity" -> (s21_scan_identity _),
     "s9_scan_csv" -> (s9_scan_csv _),
@@ -3930,6 +3965,11 @@ object SparkEntry {
            run - least(CAST(0 AS BIGINT), runmin) > 100000 AS is_shift_up,
            greatest(CAST(0 AS BIGINT), runmax) - run > 100000 AS is_shift_down
          FROM w ORDER BY event_id""",
+    // the merged sidecar must equal the from-scratch aggregation
+    "s39_agg_maintain" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(value AS DECIMAL(38, 6))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY user_id ORDER BY user_id""",
     // every value recomputed from source; partition cols read as strings
     "s38_relayout" ->
       """SELECT o_orderkey, o_orderpriority,
@@ -4251,6 +4291,17 @@ object SparkEntry {
            FROM w)
          SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS tf
          FROM b GROUP BY doc_id, bucket ORDER BY doc_id, bucket""",
+    // top-k by weight/u with the salted uniform replayed literally
+    "t43_priority_sample" ->
+      """SELECT doc_id, source FROM (
+           SELECT doc_id, source FROM documents
+           WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars >= 0
+           ORDER BY CAST(n_chars AS DOUBLE) /
+               ((CAST(concat('0x', substr(md5('pw' || CAST(doc_id AS VARCHAR)),
+                   1, 8)) AS BIGINT) + 1.0) / 4294967296.0) DESC,
+             doc_id
+           LIMIT 100)
+         ORDER BY doc_id""",
     // replays matchDistribution: counts -> cross-multiplied argmax bin ->
     // exact BIGINT acceptance inequality over the salted md5 slice
     "t41_dist_match" ->

@@ -1800,6 +1800,67 @@ object Graft {
     }
   }
 
+  /** Incremental AGGREGATE maintenance — the materialized-rollup step of
+    * a lakehouse pipeline: a persisted `(keys…, n_rows, sum_<m>…)`
+    * sidecar is advanced by a DELTA batch without ever re-reading the
+    * corpus. The delta partially aggregates map-side (count + exact
+    * DECIMAL(38,6) sums — associative, so increments compose in any
+    * order and the merged sums equal a from-scratch aggregation
+    * EXACTLY), unions with the stored sidecar, re-aggregates, and
+    * commits with the staged-swap discipline (stage → move live aside →
+    * move staged in → delete retired; a crash leaves an extra copy and a
+    * loud marker, never a torn table).
+    *
+    * Work per increment is O(delta + sidecar) — at 100 TB the sidecar is
+    * the small (keys-cardinality) side; the corpus is touched only by
+    * the delta's own partial aggregation. Callers own exactly-once
+    * delivery of deltas (pair with the tagged-append/idempotent-batch
+    * machinery); replaying a delta double-counts, exactly like any
+    * partial-aggregate merge. Returns the merged sidecar DataFrame. */
+  def maintainAggregate(
+      spark: SparkSession,
+      path: String,
+      delta: DataFrame,
+      keys: Seq[String],
+      measures: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "keys must be non-empty")
+    import org.apache.spark.sql.functions._
+    val keyCols = keys.map(col)
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy(keyCols: _*).agg(
+        count(lit(1)).as("n_rows"),
+        measures.map(m =>
+          sum(col(m).cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+            .as(s"sum_$m")): _*)
+    withFs(spark, path, Map.empty) { fs =>
+      val root = fs.makeQualified(new Path(path))
+      val staging = new Path(root.getParent, root.getName + ".graft_agg_staging")
+      val retired = new Path(root.getParent, root.getName + ".graft_agg_retired")
+      require(!fs.exists(retired),
+        s"$retired exists — a previous maintenance crashed mid-swap; " +
+          "recover manually before retrying")
+      fs.delete(staging, true)
+      val fresh = partial(delta)
+      val merged =
+        if (!fs.exists(root)) fresh
+        else {
+          val sumCols = Seq(sum(col("n_rows")).as("n_rows")) ++
+            measures.map(m => sum(col(s"sum_$m")).as(s"sum_$m"))
+          spark.read.parquet(root.toString).unionByName(fresh)
+            .groupBy(keyCols: _*).agg(sumCols.head, sumCols.tail: _*)
+        }
+      merged.write.mode("overwrite").parquet(staging.toString)
+      if (fs.exists(root)) {
+        require(fs.rename(root, retired), s"retiring $root failed")
+        require(fs.rename(staging, root), s"moving in $staging failed")
+        fs.delete(retired, true)
+      } else {
+        require(fs.rename(staging, root), s"moving in $staging failed")
+      }
+      spark.read.parquet(root.toString)
+    }
+  }
+
   /** Re-partition a table IN PLACE onto new partition columns — the
     * lifecycle step when query patterns outgrow the original layout
     * ("we always filter by status now, not by date"). The old partition

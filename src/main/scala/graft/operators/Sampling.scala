@@ -190,6 +190,43 @@ object Sampling {
       .filter(u < least(lit(1.0), greatest(lit(0.0), weight)))
   }
 
+  /** DETERMINISTIC weighted sampling WITHOUT replacement (priority
+    * sampling — Duffield/Lund/Thorup, JACM'07): each row's priority is
+    * `weight / u(id)` with `u` the salted-md5 uniform in (0, 1]; the
+    * sample is the top-`k` priorities. Heavier rows are proportionally
+    * likelier to make the cut, no row appears twice, and the whole draw
+    * is one codegen projection + ONE TakeOrdered pass (per-partition
+    * heaps of k, driver merges k per partition — no shuffle of the
+    * corpus, no RNG state, identical on any engine that agrees on md5).
+    *
+    * `weight` must be a non-negative numeric column; zero-weight rows
+    * have priority 0 and lose to any positive weight (they enter only a
+    * sample larger than the positive-weight population). Ties (identical
+    * weight AND identical hash slice) break by id. The priority is ONE
+    * double division of exact integers — deterministic everywhere, and
+    * the t43 oracle replays it literally.
+    *
+    * Use [[weightedSample]] for independent Bernoulli inclusion (expected
+    * size, with replacement across draws), [[sampleExact]] for uniform
+    * exact-k; this is the exact-k AND weight-proportional corner. */
+  def prioritySample(
+      df: DataFrame,
+      idCol: String,
+      weight: Column,
+      k: Int,
+      salt: String = "pr"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = (conv(substring(
+        md5(concat(lit(salt), col(idCol).cast("string"))), 1, 8),
+      16, 10).cast("double") + lit(1.0)) / lit(4294967296.0)
+    val priority = weight.cast("double") / u
+    df.filter(col(idCol).isNotNull && weight.isNotNull && weight >= 0)
+      .withColumn("__priority", priority)
+      .orderBy(desc("__priority"), col(idCol))
+      .limit(k)
+      .drop("__priority")
+  }
+
   /** Distribution-matching downsample: keep a deterministic subset so the
     * kept rows' distribution over `binCol` is proportional to a target —
     * the "flatten the length histogram" / "rebalance sources toward a

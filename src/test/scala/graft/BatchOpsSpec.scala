@@ -1147,3 +1147,90 @@ class RelayoutSpec extends SparkSpec {
     assert(e.getMessage.contains("not in table columns"))
   }
 }
+
+/** Priority sampling: exact-k, weight-proportional, fully deterministic. */
+class PrioritySampleSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.operators.Sampling
+
+  private def md5u(salt: String, id: Long): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest((salt + id.toString).getBytes("UTF-8"))
+    val h = java.lang.Long.parseLong(
+      md.take(4).map(b => f"$b%02x").mkString, 16)
+    (h.toDouble + 1.0) / 4294967296.0
+  }
+
+  test("top-k by weight/u replayed on the driver; exact k, no duplicates") {
+    val rows = (1L to 500L).map(i => (i, (i * 7 % 91) + 1))
+    val got = Sampling.prioritySample(rows.toDF("id", "w"), "id", col("w"), 50)
+      .select("id").as[Long].collect().toSeq
+    assert(got.length == 50 && got.distinct.length == 50)
+    val expected = rows
+      .sortBy { case (id, w) => (-(w.toDouble / md5u("pr", id)), id) }
+      .take(50).map(_._1).toSet
+    assert(got.toSet === expected)
+  }
+
+  test("weight proportionality: heavy rows dominate the sample") {
+    // 50 heavy rows (w=1000) among 950 light (w=1): expect most of the
+    // sample to be heavy — deterministic given the fixed salt
+    val rows = (1L to 1000L).map(i => (i, if (i <= 50) 1000L else 1L))
+    val got = Sampling.prioritySample(rows.toDF("id", "w"), "id", col("w"), 40)
+      .select("id").as[Long].collect()
+    assert(got.count(_ <= 50) >= 30, s"only ${got.count(_ <= 50)} heavy rows")
+  }
+
+  test("determinism across partitionings; salt re-deals") {
+    val df = (1L to 300L).map(i => (i, i % 17 + 1)).toDF("id", "w")
+    val a = Sampling.prioritySample(df, "id", col("w"), 30)
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.prioritySample(df.repartition(13), "id", col("w"), 30)
+      .select("id").as[Long].collect().toSet
+    assert(a === b)
+    val c = Sampling.prioritySample(df, "id", col("w"), 30, salt = "other")
+      .select("id").as[Long].collect().toSet
+    assert(a !== c)
+  }
+}
+
+/** Incremental aggregate maintenance: increments compose to the
+  * from-scratch truth; crash marker refuses. */
+class MaintainAggregateSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.api.Graft
+
+  test("three increments equal one from-scratch aggregation exactly") {
+    val base = tmpDir("aggmaint") + "/sidecar"
+    val rows = (1 to 90).map(i => (i % 7L, i.toDouble / 4))
+    val df = rows.toDF("k", "v")
+    for (part <- 0 until 3)
+      Graft.maintainAggregate(spark, base,
+        df.filter(col("v") * 4 % 3 === part), Seq("k"), Seq("v"))
+    val got = spark.read.parquet(base)
+      .select(col("k"), col("n_rows"), col("sum_v").cast("double"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val truth = rows.groupBy(_._1).map { case (k, vs) =>
+      k -> ((vs.size.toLong, vs.map(_._2).sum))
+    }
+    for ((k, (n, s)) <- truth) {
+      assert(got(k)._1 == n, s"key $k count")
+      assert(math.abs(got(k)._2 - s) < 1e-9, s"key $k sum")
+    }
+  }
+
+  test("a crashed-swap marker refuses the next increment") {
+    val base = tmpDir("aggmaint_crash") + "/sidecar"
+    val df = Seq((1L, 2.0)).toDF("k", "v")
+    Graft.maintainAggregate(spark, base, df, Seq("k"), Seq("v"))
+    val retired = new org.apache.hadoop.fs.Path(base + ".graft_agg_retired")
+    retired.getFileSystem(spark.sessionState.newHadoopConf()).mkdirs(retired)
+    val e = intercept[IllegalArgumentException] {
+      Graft.maintainAggregate(spark, base, df, Seq("k"), Seq("v"))
+    }
+    assert(e.getMessage.contains("crashed mid-swap"))
+  }
+}
