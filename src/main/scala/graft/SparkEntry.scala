@@ -2994,6 +2994,38 @@ object SparkEntry {
       .orderBy("click_id", "view_id")
   }
 
+  /** Streaming materialized rollup: events staged as three files drain
+    * through [[graft.streaming.Streams.maintainAggregateStream]] in three
+    * micro-batches, each advancing the sidecar under the batch-id
+    * exactly-once protocol. The final sidecar must equal the from-scratch
+    * aggregation — the oracle computes exactly that. */
+  private def st16_stream_agg_maintain(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val src = s"/tmp/graft_fixtures/stragg_src_$tag"
+    val sidecar = s"/tmp/graft_fixtures/stragg_side_$tag"
+    val cp = s"/tmp/graft_fixtures/stragg_cp_$tag"
+    val conf = s.sessionState.newHadoopConf()
+    for (p <- Seq(src, sidecar, sidecar + ".graft_agg_staging",
+        sidecar + ".graft_agg_retired", cp)) {
+      val pp = new org.apache.hadoop.fs.Path(p)
+      pp.getFileSystem(conf).delete(pp, true)
+    }
+    val ev = Fixtures.events(s, dir).select("user_id", "event_id", "value")
+    for (part <- 0 to 2)
+      ev.filter(col("event_id") % 3 === part)
+        .coalesce(1).write.mode("append").parquet(src)
+    val schema = s.read.parquet(src).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q = graft.streaming.Streams.maintainAggregateStream(
+      stream, sidecar, Seq("user_id"), Seq("value"), cp)
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(sidecar)
+      .select(col("user_id"), col("n_rows"),
+        col("sum_value").cast("double").as("sum_value"))
+      .orderBy("user_id")
+  }
+
   /** Streaming partitioned SINK: the events stream lands as a hive
     * partitioned table (one `event_type=...` dir per type), then the BATCH
     * scan path reads it back — closing the data-model loop
@@ -3622,6 +3654,7 @@ object SparkEntry {
     "st4_stream_static_join" -> (st4_stream_static_join _),
     "st5_stream_stream_join" -> (st5_stream_stream_join _),
     "st15_stream_outer_join" -> (st15_stream_outer_join _),
+    "st16_stream_agg_maintain" -> (st16_stream_agg_maintain _),
     "st6_stream_partitioned_sink" -> (st6_stream_partitioned_sink _),
     "st7_stream_asof" -> (st7_stream_asof _),
     "st8_stream_ingest_gate" -> (st8_stream_ingest_gate _),
@@ -3965,6 +3998,11 @@ object SparkEntry {
            run - least(CAST(0 AS BIGINT), runmin) > 100000 AS is_shift_up,
            greatest(CAST(0 AS BIGINT), runmax) - run > 100000 AS is_shift_down
          FROM w ORDER BY event_id""",
+    // the streamed sidecar must ALSO equal the from-scratch aggregation
+    "st16_stream_agg_maintain" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(value AS DECIMAL(38, 6))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY user_id ORDER BY user_id""",
     // the merged sidecar must equal the from-scratch aggregation
     "s39_agg_maintain" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows,

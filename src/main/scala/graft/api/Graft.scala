@@ -1813,16 +1813,20 @@ object Graft {
     *
     * Work per increment is O(delta + sidecar) — at 100 TB the sidecar is
     * the small (keys-cardinality) side; the corpus is touched only by
-    * the delta's own partial aggregation. Callers own exactly-once
-    * delivery of deltas (pair with the tagged-append/idempotent-batch
-    * machinery); replaying a delta double-counts, exactly like any
-    * partial-aggregate merge. Returns the merged sidecar DataFrame. */
+    * the delta's own partial aggregation. Exactly-once: pass the
+    * micro-batch/ingest `batchId` and replays become no-ops — the last
+    * applied id commits inside the same atomic swap as the data (see
+    * [[graft.streaming.Streams.maintainAggregateStream]] for the
+    * streaming wiring). Without a batchId, callers own delivery:
+    * replaying a delta double-counts, exactly like any partial-aggregate
+    * merge. Returns the merged sidecar DataFrame. */
   def maintainAggregate(
       spark: SparkSession,
       path: String,
       delta: DataFrame,
       keys: Seq[String],
-      measures: Seq[String]): DataFrame = {
+      measures: Seq[String],
+      batchId: Option[Long] = None): DataFrame = {
     require(keys.nonEmpty, "keys must be non-empty")
     import org.apache.spark.sql.functions._
     val keyCols = keys.map(col)
@@ -1839,25 +1843,52 @@ object Graft {
       require(!fs.exists(retired),
         s"$retired exists — a previous maintenance crashed mid-swap; " +
           "recover manually before retrying")
-      fs.delete(staging, true)
-      val fresh = partial(delta)
-      val merged =
-        if (!fs.exists(root)) fresh
+      // exactly-once under micro-batch REPLAY: the last applied batch id
+      // rides INSIDE the sidecar dir (an underscore file, invisible to
+      // the parquet read), so the swap commits data and watermark
+      // atomically; a replayed foreachBatch id is a documented no-op
+      val metaName = "_graft_last_batch"
+      def lastApplied: Option[Long] = {
+        val m = new Path(root, metaName)
+        if (!fs.exists(m)) None
         else {
-          val sumCols = Seq(sum(col("n_rows")).as("n_rows")) ++
-            measures.map(m => sum(col(s"sum_$m")).as(s"sum_$m"))
-          spark.read.parquet(root.toString).unionByName(fresh)
-            .groupBy(keyCols: _*).agg(sumCols.head, sumCols.tail: _*)
+          val in = fs.open(m)
+          try Some(new String(
+            org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+            java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+          finally in.close()
         }
-      merged.write.mode("overwrite").parquet(staging.toString)
-      if (fs.exists(root)) {
-        require(fs.rename(root, retired), s"retiring $root failed")
-        require(fs.rename(staging, root), s"moving in $staging failed")
-        fs.delete(retired, true)
-      } else {
-        require(fs.rename(staging, root), s"moving in $staging failed")
       }
-      spark.read.parquet(root.toString)
+      if (batchId.isDefined && fs.exists(root) &&
+          lastApplied.exists(_ >= batchId.get)) {
+        spark.read.parquet(root.toString)
+      } else {
+        fs.delete(staging, true)
+        val fresh = partial(delta)
+        val merged =
+          if (!fs.exists(root)) fresh
+          else {
+            val sumCols = Seq(sum(col("n_rows")).as("n_rows")) ++
+              measures.map(m => sum(col(s"sum_$m")).as(s"sum_$m"))
+            spark.read.parquet(root.toString).unionByName(fresh)
+              .groupBy(keyCols: _*).agg(sumCols.head, sumCols.tail: _*)
+          }
+        merged.write.mode("overwrite").parquet(staging.toString)
+        batchId.foreach { id =>
+          val out = fs.create(new Path(staging, metaName), true)
+          try out.write(id.toString.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+        }
+        if (fs.exists(root)) {
+          require(fs.rename(root, retired), s"retiring $root failed")
+          require(fs.rename(staging, root), s"moving in $staging failed")
+          fs.delete(retired, true)
+        } else {
+          require(fs.rename(staging, root), s"moving in $staging failed")
+        }
+        spark.read.parquet(root.toString)
+      }
     }
   }
 

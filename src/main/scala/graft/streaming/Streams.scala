@@ -662,4 +662,35 @@ object Streams {
     } finally q.stop()
     spark.table(name)
   }
+
+  /** STREAMING materialized rollup: every micro-batch advances the
+    * [[graft.api.Graft.maintainAggregate]] sidecar at `path`. Exactly-once
+    * end to end with NO sink manifest: the micro-batch id is passed into
+    * the maintenance call, where it commits inside the same atomic
+    * rename-swap as the data — a batch replayed after a crash (the
+    * foreachBatch at-least-once contract) sees `lastApplied >= batchId`
+    * and no-ops, so the sidecar can never double-count. State is the
+    * sidecar itself: the aggregation is bounded by key cardinality, not
+    * stream length, and a reader at any instant sees a complete,
+    * consistent rollup (the swap is all-or-nothing).
+    *
+    * Run with `processAllAvailable` + stop for a bounded drain, or leave
+    * running against a live directory. */
+  def maintainAggregateStream(
+      events: DataFrame,
+      path: String,
+      keys: Seq[String],
+      measures: Seq[String],
+      checkpoint: String): StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.api.Graft.maintainAggregate(
+          batch.sparkSession, path, batch, keys, measures,
+          batchId = Some(id))
+        ()
+      }
+      .start()
 }

@@ -1233,4 +1233,21 @@ class MaintainAggregateSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("crashed mid-swap"))
   }
+
+  test("a replayed batch id is a no-op; the next id applies") {
+    val base = tmpDir("aggmaint_replay") + "/sidecar"
+    val df = Seq((1L, 2.0), (1L, 3.0)).toDF("k", "v")
+    def n(): Long = spark.read.parquet(base)
+      .select("n_rows").collect().head.getLong(0)
+    Graft.maintainAggregate(spark, base, df, Seq("k"), Seq("v"),
+      batchId = Some(0L))
+    assert(n() == 2L)
+    // crash-replay of batch 0: must not double-count
+    Graft.maintainAggregate(spark, base, df, Seq("k"), Seq("v"),
+      batchId = Some(0L))
+    assert(n() == 2L)
+    Graft.maintainAggregate(spark, base, df, Seq("k"), Seq("v"),
+      batchId = Some(1L))
+    assert(n() == 4L)
+  }
 }
