@@ -1514,6 +1514,33 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF tombstone delete: ten planted cosine-1.0 copies (ids
+    * 9400000+i), the EVEN ones deleted through
+    * [[graft.operators.Ann.ivfDelete]] — the probe over the re-read
+    * index must surface exactly the five surviving odd ids at ranks
+    * 1..5. A delete that failed to reach the probe path would put the
+    * smaller even ids back at the top on the id tiebreak and go red. */
+  private def a14_ivf_delete(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val planted = e.filter(col("vec_id") === 0)
+      .select(explode(sequence(lit(0L), lit(9L))).as("i"), col("embedding"))
+      .select((col("i") + 9400000L).as("vec_id"),
+        transform(col("embedding"),
+          x => (x * pow(lit(2.0), col("i") - 5)).cast("float")).as("embedding"),
+        lit(777).as("label"))
+    val path = "/tmp/graft_fixtures/ivf_delete_index"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    Ann.ivfWrite(Ann.ivfBuild(e.unionByName(planted), "vec_id",
+      "embedding", nlist = 16), path)
+    Ann.ivfDelete(s, path,
+      planted.filter(col("vec_id") % 2 === 0).select("vec_id"))
+    Ann.ivfTopK(Ann.ivfRead(s, path), "vec_id", "embedding",
+        queryVec(s, dir), k = 5, nprobe = 4, excludeIds = Seq(0L))
+      .select("vec_id", "rank").orderBy("rank")
+  }
+
   private def a4_ann_batch(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val qs = e.filter(col("vec_id").isin(0L, 1L, 2L))
@@ -3477,6 +3504,7 @@ object SparkEntry {
     "a11_mmr" -> (a11_mmr _),
     "a12_ann_filtered" -> (a12_ann_filtered _),
     "a13_matryoshka" -> (a13_matryoshka _),
+    "a14_ivf_delete" -> (a14_ivf_delete _),
     "s35_snapshot" -> (s35_snapshot _),
     "s25_compact" -> (s25_compact _),
     "s26_merge" -> (s26_merge _),
@@ -5467,6 +5495,12 @@ object SparkEntry {
     "a12_ann_filtered" ->
       """SELECT CAST(9310000 + i AS BIGINT) AS vec_id, CAST(i + 1 AS INT) AS rank
          FROM range(10) t(i) ORDER BY rank""",
+    // only the five SURVIVING odd planted ids; a missed delete would
+    // rank the smaller even ids first on the tiebreak
+    "a14_ivf_delete" ->
+      """SELECT CAST(9400001 + 2 * i AS BIGINT) AS vec_id,
+           CAST(i + 1 AS INT) AS rank
+         FROM range(5) t(i) ORDER BY rank""",
     // the whole two-phase approximation replayed: prefix-dim shortlist,
     // then exact full-dim re-rank within it
     "a13_matryoshka" ->

@@ -491,9 +491,58 @@ object Ann {
     require(centroids.size == nlist && centroids.forall(_._2.length == dim),
       s"IVF index at $path is inconsistent with its sidecar " +
         s"(dim=$dim nlist=$nlist vs ${centroids.size} centroids)")
-    val clustered = spark.read.parquet(s"$path/data")
-      .withColumn("gr_cluster", col("gr_cluster").cast("int"))
+    val clustered = applyTombstones(spark, path,
+      spark.read.parquet(s"$path/data")
+        .withColumn("gr_cluster", col("gr_cluster").cast("int")))
     IvfIndex(centroids, clustered, vecCol)
+  }
+
+  private val IvfTombstonesDir = "tombstones"
+
+  /** Anti-join the persisted tombstone set (if any) into a data frame —
+    * every read path (probe, rebuild corpus, drift) flows through this so
+    * a deleted id can never resurface. The tombstone column name IS the
+    * id column (recorded at delete time), so no sidecar change is
+    * needed. */
+  private def applyTombstones(spark: org.apache.spark.sql.SparkSession,
+      path: String, data: DataFrame): DataFrame = {
+    val t = new org.apache.hadoop.fs.Path(path, IvfTombstonesDir)
+    if (!ivfFs(spark, path).exists(t)) data
+    else {
+      val tomb = spark.read.parquet(t.toString)
+      require(tomb.columns.length == 1,
+        s"tombstone store at $t must carry exactly one id column, " +
+          s"got ${tomb.columns.mkString(",")}")
+      val c = tomb.columns.head
+      require(data.columns.contains(c),
+        s"tombstone id column '$c' not in index data columns")
+      data.join(tomb.distinct(), Seq(c), "left_anti")
+    }
+  }
+
+  /** DELETE from a persisted IVF index by tombstoning — the missing CRUD
+    * corner of the index lifecycle (build/write/append/compact/rebuild
+    * already exist). Ids land as a parquet tombstone set under the index
+    * root; EVERY read path ([[ivfRead]], and therefore every probe,
+    * batch probe, join, drift report and [[ivfRebuild]] corpus read)
+    * anti-joins it, so deletion is immediately visible without touching
+    * the `partitionBy(gr_cluster)` data layout. Physical reclamation is
+    * [[ivfRebuild]], which rewrites the data without the tombstoned rows
+    * and clears the tombstone set in the same staged swap.
+    *
+    * `ids` is a one-column DataFrame named exactly the index's id column
+    * (corpus-scale delete lists stay distributed; no driver literals).
+    * Appending the same ids again is harmless (the anti-join
+    * deduplicates). Returns the number of ids recorded. */
+  def ivfDelete(spark: org.apache.spark.sql.SparkSession, path: String,
+      ids: DataFrame): Long = {
+    readIvfSidecarNode(spark, path) // loud if not an index
+    require(ids.columns.length == 1,
+      s"ids must be a one-column frame, got ${ids.columns.mkString(",")}")
+    val n = ids.count()
+    ids.distinct().write.mode("append")
+      .parquet(new org.apache.hadoop.fs.Path(path, IvfTombstonesDir).toString)
+    n
   }
 
   /** Incrementally add a batch of vectors to a PERSISTED IVF index — the
@@ -682,7 +731,9 @@ object Ann {
       s"$retired exists — a previous rebuild crashed mid-swap; recover " +
         "manually (inspect which copy is complete) before rebuilding again")
     fs.delete(staging, true) // sweep a previous attempt that died pre-swap
-    val corpus = spark.read.parquet(s"$path/data").drop("gr_cluster")
+    // tombstoned rows must not resurrect into the rebuilt index
+    val corpus = applyTombstones(spark, path,
+      spark.read.parquet(s"$path/data")).drop("gr_cluster")
     require(corpus.columns.contains(idCol) && corpus.columns.contains(vecCol),
       s"stored schema ${corpus.columns.mkString(",")} lacks $idCol/$vecCol")
     val liveCount = corpus.count()
@@ -714,6 +765,9 @@ object Ann {
     // baseline lands so a crash window can only under-report, never
     // compare stale records against the new baseline
     fs.delete(p(IvfDriftDir), true)
+    // the rebuild physically dropped the tombstoned rows — the set is
+    // spent (leaving it would re-filter ids that may later be re-added)
+    fs.delete(p(IvfTombstonesDir), true)
     val staged = readJsonFile(fs, new org.apache.hadoop.fs.Path(staging,
       IvfParamsSidecar))
     val out = fs.create(p(IvfParamsSidecar), true)

@@ -441,6 +441,32 @@ class AnnSpec extends SparkSpec {
     assert(unfiltered === Seq(1L, 2L, 3L))
   }
 
+  test("ivfDelete tombstones are visible to probes and purged by rebuild") {
+    val dim = 16
+    val rows = (0 until 200).map(i => (i.toLong, randVec(i, dim)))
+    val df = rows.toDF("vec_id", "embedding")
+    val path = tmpDir("ivf_del") + "/idx"
+    Ann.ivfWrite(Ann.ivfBuild(df, "vec_id", "embedding", nlist = 4), path)
+    val q = rows(42)._2
+    assert(Ann.ivfTopK(Ann.ivfRead(spark, path), "vec_id", "embedding",
+      q, k = 1, nprobe = 2).collect().head.getLong(0) == 42L)
+    // delete the self-match: the runner-up takes rank 1
+    Ann.ivfDelete(spark, path, Seq(42L).toDF("vec_id"))
+    val afterDelete = Ann.ivfTopK(Ann.ivfRead(spark, path), "vec_id",
+      "embedding", q, k = 5, nprobe = 2).collect().map(_.getLong(0))
+    assert(!afterDelete.contains(42L))
+    // re-deleting is harmless; rebuild purges physically and keeps it out
+    Ann.ivfDelete(spark, path, Seq(42L).toDF("vec_id"))
+    val rebuilt = Ann.ivfRebuild(spark, path, "vec_id")
+    assert(rebuilt.clustered.filter(col("vec_id") === 42L).count() == 0)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path, "tombstones")))
+    val post = Ann.ivfTopK(Ann.ivfRead(spark, path), "vec_id", "embedding",
+      q, k = 5, nprobe = 2).collect().map(_.getLong(0))
+    assert(!post.contains(42L))
+  }
+
   test("persisted IVF index serves probes as partition-pruned scans") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val dim = 16
