@@ -2605,6 +2605,29 @@ object SparkEntry {
 
   private val t8Weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
+  /** Leakage-safe split: keyed on NORMALIZED text, so trivial duplicate
+    * variants co-travel ([[graft.functions.TextFunctions
+    * .leakageSafeSplit]]); the oracle replays normalize + md5 bounds. */
+  private def t44_leakage_split(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.leakageSafeSplit(col("text"), t8Weights, salt = "leak")
+          .as("split"))
+      .orderBy("doc_id")
+
+  /** t44's oracle: the t8 bound chain keyed on the replayed normalize. */
+  private def t44OracleSql: String = {
+    val bounds = TextFunctions.splitBounds(t8Weights)
+    val normSql = """trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+         '[\x00-\x1f\x7f]', ' ', 'g'),
+         '[!-/:-@\[-`{-~]', ' ', 'g'),
+         ' +', ' ', 'g'))"""
+    val cases = bounds.init.map { case (l, b) =>
+      s"WHEN substr(md5($normSql || 'leak'), 1, 4) < '$b' THEN '$l'"
+    }.mkString(" ")
+    s"""SELECT doc_id, CASE $cases ELSE '${bounds.last._1}' END AS split
+       FROM documents ORDER BY doc_id"""
+  }
+
   private def t8_split(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"),
         TextFunctions.deterministicSplit(col("doc_id"), t8Weights, salt = "graft")
@@ -3523,6 +3546,7 @@ object SparkEntry {
     "t31_feature_hash" -> (t31_feature_hash _),
     "t41_dist_match" -> (t41_dist_match _),
     "t43_priority_sample" -> (t43_priority_sample _),
+    "t44_leakage_split" -> (t44_leakage_split _),
     "s18_scan_lazy" -> (s18_scan_lazy _),
     "s21_scan_identity" -> (s21_scan_identity _),
     "s9_scan_csv" -> (s9_scan_csv _),
@@ -5753,6 +5777,7 @@ object SparkEntry {
            CASE WHEN n = 0 THEN 0.0 ELSE CAST(topn AS DOUBLE)/n END AS top_word_frac
          FROM m ORDER BY doc_id""",
     "t8_split" -> t8OracleSql,
+    "t44_leakage_split" -> t44OracleSql,
     "t26_group_split" -> t26OracleSql,
     // the salt is PREPENDED by sampleExact (the deterministicShuffle
     // convention), unlike deterministicSplit's appended salt

@@ -356,6 +356,20 @@ object TextFunctions {
     }
   }
 
+  /** LEAKAGE-SAFE train/val/test split: the split key is the NORMALIZED
+    * text (lowercased, punctuation/control folded, whitespace collapsed
+    * — [[normalize]] with dropPunct), not the row id, so a document and
+    * its trivial variants (case, punctuation, spacing — the commonest
+    * web-duplicate classes) always land in the SAME split and can never
+    * leak train content into eval. Same md5-bound arithmetic as
+    * [[deterministicSplit]], fully engine-replayable; for NEAR-duplicate
+    * safety beyond normalization, key on a duplicate-cluster
+    * representative instead (connectedComponents min-id ∘ minhashPairs —
+    * the same one-argument call, a cluster id for `key`). */
+  def leakageSafeSplit(text: Column, weights: Seq[(String, Double)],
+      salt: String = ""): Column =
+    deterministicSplit(normalize(text, dropPunct = true), weights, salt)
+
   /** (label, upperHexBound) pairs for [[deterministicSplit]] — the last
     * label's bound is itself (catch-all). Exposed so SQL oracles can be
     * generated from the same arithmetic. */

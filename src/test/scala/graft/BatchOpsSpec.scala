@@ -1251,3 +1251,31 @@ class MaintainAggregateSpec extends SparkSpec {
     assert(n() == 4L)
   }
 }
+
+/** Leakage-safe split: trivial duplicate variants land in one split. */
+class LeakageSplitSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.functions.TextFunctions
+
+  private val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  test("case/punctuation/spacing variants share the split; ids don't matter") {
+    val variants = Seq(
+      (1L, "The quick brown fox."),
+      (2L, "the QUICK  brown fox"),
+      (3L, "The quick, brown fox!!!"),
+      (4L, "  the quick brown fox  "))
+    val others = (100L until 400L).map(i => (i, s"document number $i body"))
+    val df = (variants ++ others).toDF("id", "text")
+    val split = df.select(col("id"),
+      TextFunctions.leakageSafeSplit(col("text"), weights).as("split"))
+    val v = split.filter(col("id") < 100).select("split")
+      .distinct().collect()
+    assert(v.length == 1, "all variants must share one split")
+    // proportions roughly follow the weights over distinct texts
+    val counts = split.filter(col("id") >= 100).groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.getOrElse("train", 0L) > 200L)
+  }
+}
