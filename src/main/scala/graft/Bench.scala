@@ -37,7 +37,11 @@ object Bench {
     "g1_pagerank", "ml2_logreg", "t20_backoff_lm", "q33_sessionize",
     "d14_keepfirst_chunks", "g2_triangles", "t28_tfidf_topk", "q38_funnel",
     "q35_concurrency", "as4_asof_nearest", "q34_bloom_join",
-    "q44_resample", "t30_conversations", "t31_feature_hash")
+    "q44_resample", "t30_conversations", "t31_feature_hash",
+    // round-14 join/iteration shapes: blocked fuzzy linkage, exact
+    // prefix-filtered set-similarity join, greedy MMR (persist+barrier
+    // rounds), fragment-bucketed interval-overlap join
+    "q49_fuzzy_link", "d18_jaccard_join", "a11_mmr", "rj2_interval_join")
 
   /** Queries measured on the replicated corpus for the scaling slope —
     * the shuffle-heavy pipeline shapes whose 100 TB behavior a plan read
@@ -55,7 +59,8 @@ object Bench {
     "t20_backoff_lm", "q33_sessionize", "d14_keepfirst_chunks",
     "g2_triangles", "t28_tfidf_topk", "q38_funnel", "q35_concurrency",
     "as4_asof_nearest", "q34_bloom_join",
-    "q44_resample", "t30_conversations", "t31_feature_hash")
+    "q44_resample", "t30_conversations", "t31_feature_hash",
+    "q49_fuzzy_link", "d18_jaccard_join", "a11_mmr", "rj2_interval_join")
 
   /** Materialize a `factor`×-replicated copy of the FACT tables the scale
     * set reads (documents, lineitem, orders, events) plus 1× copies of
@@ -124,6 +129,17 @@ object Bench {
       .withColumn("vec_id", col("vec_id") + col("__r") * 100000000L)
       .drop("__r")
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    // part: replicated with per-replica token-suffixed names (the
+    // documents rationale — verbatim replica names would make every
+    // fuzzy-linkage block collide across replicas and measure an
+    // artifact; suffixed tokens keep replica blocks disjoint => linear)
+    spark.read.parquet(s"$sfDir/part.parquet").crossJoin(reps)
+      .withColumn("p_partkey", col("p_partkey") + col("__r") * 10000000L)
+      .withColumn("p_name", when(col("__r") === 0, col("p_name"))
+        .otherwise(regexp_replace(col("p_name"), lit("(\\S+)"),
+          concat(lit("$1r"), col("__r")))))
+      .drop("__r")
+      .write.mode("overwrite").parquet(s"$out/part.parquet")
     for (dim <- Seq("customer", "nation", "region"))
       spark.read.parquet(s"$sfDir/$dim.parquet")
         .write.mode("overwrite").parquet(s"$out/$dim.parquet")

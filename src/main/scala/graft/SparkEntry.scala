@@ -1424,6 +1424,26 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Hard-negative mining gate: the a6 candidate machinery with the two
+    * exact cosine filters (near-dup exclusion < 0.95, easy-negative floor
+    * ≥ 0.0) and the post-filter re-rank
+    * ([[graft.operators.Ann.hardNegatives]]). The oracle replays
+    * sketches, candidate rank, BOTH filters and the re-rank from the
+    * plane fixture — a filter applied before/after the wrong rank cut
+    * changes the survivor set and goes red. */
+  private def t45_hard_negatives(s: SparkSession, dir: String): DataFrame = {
+    writeAnnPlanesFixture(s)
+    val e = t(s, dir, "embeddings")
+    Ann.hardNegatives(
+        e.filter(col("vec_id") < 15).withColumnRenamed("vec_id", "query_id"),
+        e.filter(col("vec_id") >= 15),
+        "query_id", "vec_id", "embedding",
+        dim = 64, k = 3, dupCosine = 0.95, floorCosine = 0.0,
+        candidateK = 10, numPlanes = 8, maxHamming = 1)
+      .select("query_id", "vec_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+
   /** Salted ANN-join gate under PLANTED bucket skew: 200 positive
     * power-of-two-scaled copies of one corpus vector (sign(2^k·v·w) =
     * sign(v·w), so every copy lands in the SAME sketch bucket — a hot
@@ -3547,6 +3567,7 @@ object SparkEntry {
     "t41_dist_match" -> (t41_dist_match _),
     "t43_priority_sample" -> (t43_priority_sample _),
     "t44_leakage_split" -> (t44_leakage_split _),
+    "t45_hard_negatives" -> (t45_hard_negatives _),
     "s18_scan_lazy" -> (s18_scan_lazy _),
     "s21_scan_identity" -> (s21_scan_identity _),
     "s9_scan_csv" -> (s9_scan_csv _),
@@ -5223,6 +5244,31 @@ object SparkEntry {
                (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
            FROM m)
          SELECT query_id, vec_id, rank FROM r WHERE rank <= 5
+         ORDER BY query_id, rank""",
+    // a6's replay + candidate cut 10, cosine in [0, 0.95), re-rank <= 3
+    "t45_hard_negatives" ->
+      """WITH p AS (SELECT plane_ix, w
+                    FROM read_parquet('/tmp/graft_fixtures/ann_planes.parquet/*.parquet')),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         sk AS (SELECT e.vec_id,
+             CAST(sum(CASE WHEN list_dot_product(e.v, p.w) >= 0
+                 THEN CAST(1 AS BIGINT) << p.plane_ix ELSE 0 END) AS BIGINT) AS s
+           FROM e, p GROUP BY e.vec_id),
+         m AS (SELECT q.vec_id AS query_id, c.vec_id,
+             list_cosine_similarity(qe.v, ce.v) AS cos
+           FROM sk q JOIN sk c ON bit_count(xor(q.s, c.s)) <= 1
+             JOIN e qe ON qe.vec_id = q.vec_id
+             JOIN e ce ON ce.vec_id = c.vec_id
+           WHERE q.vec_id < 15 AND c.vec_id >= 15),
+         r AS (SELECT query_id, vec_id, cos, ROW_NUMBER() OVER
+               (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS crank
+           FROM m),
+         f AS (SELECT query_id, vec_id, cos FROM r
+           WHERE crank <= 10 AND cos < 0.95 AND cos >= 0.0),
+         rr AS (SELECT query_id, vec_id, CAST(ROW_NUMBER() OVER
+               (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+           FROM f)
+         SELECT query_id, vec_id, rank FROM rr WHERE rank <= 3
          ORDER BY query_id, rank""",
     // a6's replay over the hot-augmented corpus (200 power-of-two-scaled
     // copies of vec 20 — one hot bucket by construction): the SALTED

@@ -849,6 +849,51 @@ object Ann {
     * costs one map-side sketch pass and tells you the hot-bucket share.
     * Recall follows the lshTopK parameter trade-offs (RecallSpec
     * measures them). Returns (queryIdCol, corpusIdCol, cosine, rank). */
+  /** HARD-NEGATIVE mining for contrastive/embedding training: for every
+    * anchor, the `k` most-similar corpus rows that are NOT near-duplicates
+    * — similar enough to be informative negatives, distinct enough not to
+    * be false negatives (the InfoNCE/DPR curation step). Built on
+    * [[annJoin]]'s sketch-bucketed candidate generation, then two exact
+    * filters on the kernel cosine — `cosine < dupCosine` (near-dup
+    * exclusion) and optional `floorCosine` (drop easy negatives) — and a
+    * fresh per-anchor rank over the survivors (re-ranked AFTER the
+    * filters, so each anchor still yields up to k usable negatives rather
+    * than k-minus-the-excluded).
+    *
+    * Fully deterministic: candidates, cosines and id tiebreaks are
+    * annJoin's (SQL-replayable — the t45 gate replays sketches, filters
+    * and re-rank from the persisted plane fixture); the thresholds
+    * compare the same doubles on every engine. Candidate recall follows
+    * annJoin's bucket contract — raise `candidateK`/`maxHamming` for
+    * deeper pools. Returns (queryIdCol, corpusIdCol, cosine, rank ≤ k). */
+  def hardNegatives(
+      queries: DataFrame,
+      corpus: DataFrame,
+      queryIdCol: String,
+      corpusIdCol: String,
+      vecCol: String,
+      dim: Int,
+      k: Int,
+      dupCosine: Double,
+      floorCosine: Double = -1.0,
+      candidateK: Int = 64,
+      numPlanes: Int = 8,
+      maxHamming: Int = 1,
+      seed: Long = 42L): DataFrame = {
+    require(dupCosine > floorCosine,
+      s"dupCosine $dupCosine must exceed floorCosine $floorCosine")
+    require(candidateK >= k, s"candidateK $candidateK must be >= k=$k")
+    import org.apache.spark.sql.expressions.Window
+    annJoin(queries, corpus, queryIdCol, corpusIdCol, vecCol, dim,
+        k = candidateK, numPlanes = numPlanes, maxHamming = maxHamming,
+        seed = seed)
+      .filter(col("cosine") < dupCosine && col("cosine") >= floorCosine)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(queryIdCol))
+          .orderBy(desc("cosine"), col(corpusIdCol))))
+      .filter(col("rank") <= k)
+  }
+
   def annJoin(
       queries: DataFrame,
       corpus: DataFrame,

@@ -441,6 +441,31 @@ class AnnSpec extends SparkSpec {
     assert(unfiltered === Seq(1L, 2L, 3L))
   }
 
+  test("hardNegatives drops near-dups and easy negatives, then re-ranks") {
+    val dim = 16
+    val anchors = Seq((1000L, randVec(7, dim))).toDF("query_id", "embedding")
+    // a verbatim copy (cosine 1.0) must be excluded as a near-dup; the
+    // re-rank must then fill k from the survivors
+    val corpus = ((1L to 60L).map(i => (i, randVec(i.toInt * 3, dim))) :+
+      (999L, randVec(7, dim))).toDF("vec_id", "embedding")
+    val got = Ann.hardNegatives(anchors, corpus, "query_id", "vec_id",
+        "embedding", dim, k = 5, dupCosine = 0.999, floorCosine = -1.0,
+        candidateK = 61, numPlanes = 4, maxHamming = 2)
+      .collect()
+    assert(!got.map(_.getLong(1)).contains(999L), "near-dup must be excluded")
+    assert(got.length == 5)
+    assert(got.map(_.getAs[Int]("rank")).sorted.toSeq == Seq(1, 2, 3, 4, 5))
+    // pass-through thresholds degenerate to the plain ANN join's top-k
+    val plain = Ann.annJoin(anchors, corpus, "query_id", "vec_id",
+        "embedding", dim, k = 5, numPlanes = 4, maxHamming = 2)
+      .collect().map(r => (r.getLong(1), r.getAs[Int]("rank"))).toSet
+    val open = Ann.hardNegatives(anchors, corpus, "query_id", "vec_id",
+        "embedding", dim, k = 5, dupCosine = 2.0, floorCosine = -2.0,
+        candidateK = 61, numPlanes = 4, maxHamming = 2)
+      .collect().map(r => (r.getLong(1), r.getAs[Int]("rank"))).toSet
+    assert(open == plain)
+  }
+
   test("ivfDelete tombstones are visible to probes and purged by rebuild") {
     val dim = 16
     val rows = (0 until 200).map(i => (i.toLong, randVec(i, dim)))
