@@ -83,12 +83,21 @@ object Linkage {
       }
     val l = capped(keyed(left, leftId, leftName), "l")
     val r = capped(keyed(right, rightId, rightName), "r")
+    // verify BEFORE the pair dedup: the distance filter is pipelined
+    // map-side on the join output, so the dropDuplicates shuffle carries
+    // only TRUE matches (ids + distance), not every colliding candidate
+    // with both name strings — at a 92-token first-name vocabulary that
+    // is the difference between shuffling ~|matches| rows and several
+    // million name-pairs (the 1 GiB-heap bench OOM this reordering
+    // fixed). A pair colliding on all three keys pays ≤ 3 levenshtein
+    // evaluations instead of 1 — compute in the pipeline is the right
+    // side of that trade; distance is deterministic per pair, so
+    // dedup-after-filter equals filter-after-dedup exactly.
     val out = l.join(r, "__bk")
-      .select(col(leftId), col(leftName), col(rightId), col(rightName))
-      .dropDuplicates(leftId, rightId)
-      .withColumn("distance", levenshtein(col(leftName), col(rightName)))
+      .select(col(leftId), col(rightId),
+        levenshtein(col(leftName), col(rightName)).as("distance"))
       .filter(col("distance") <= maxDistance)
-      .select(col(leftId), col(rightId), col("distance"))
+      .dropDuplicates(leftId, rightId)
     if (keyCap <= 0) out
     else CacheRelease.afterFirstAction(out, Nil, qe =>
       for (tag <- Seq("l", "r");
