@@ -307,6 +307,19 @@ object SparkEntry {
         "source", "doc_id", col("n_chars"), margin = 50L)
       .orderBy("source", "pair_rank")
 
+  /** Exact pairwise correlation structure over three lineitem measures
+    * ([[graft.operators.Regression.corrMatrixExact]]): every pair's
+    * Pearson numerator and squared-denominator factors as BIGINTs from
+    * ONE aggregation; the oracle replays the moment sums. */
+  private def q56_corr(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Regression.corrMatrixExact(
+        t(s, dir, "lineitem").select(
+          floor(col("l_quantity")).cast("long").as("qty"),
+          floor(col("l_extendedprice") / 10).cast("long").as("price10"),
+          floor(col("l_discount") * 10000).cast("long").as("disc_bp")),
+        Seq("qty", "price10", "disc_bp"))
+      .orderBy("col_i", "col_j")
+
   /** Per-user spend-trend slopes as exact integer fractions
     * ([[graft.operators.Regression.groupTrend]]): x = epoch day of the
     * event, y = cents. `slope_num > 0` IS "trending up" — no float
@@ -1388,6 +1401,22 @@ object SparkEntry {
           x => (x * pow(lit(2.0), col("i") - 5)).cast("float")).as("embedding"),
         lit("planted").as("label"))
     e.unionByName(planted)
+  }
+
+  private val StandardizeModelFixture = "/tmp/graft_fixtures/std_model.parquet"
+
+  /** Per-dimension whitening: one-pass fit
+    * ([[graft.operators.Embeddings.standardizeFit]] over the PCA
+    * covariance aggregate), model persisted for the oracle, every z
+    * replayed as one subtract + one divide on the stored mean/std. */
+  private def e6_standardize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+    val m = graft.operators.Embeddings.standardizeFit(e, "embedding")
+    Seq((m.mean.toSeq, m.std.toSeq)).toDF("mean", "std")
+      .coalesce(1).write.mode("overwrite").parquet(StandardizeModelFixture)
+    graft.operators.Embeddings.standardizeApply(e, "vec_id", "embedding", m)
+      .orderBy("vec_id", "pos")
   }
 
   private val AnnPlanesFixture = "/tmp/graft_fixtures/ann_planes.parquet"
@@ -3539,6 +3568,7 @@ object SparkEntry {
     "q53_ewma" -> (q53_ewma _),
     "q54_cusum" -> (q54_cusum _),
     "q55_trend" -> (q55_trend _),
+    "q56_corr" -> (q56_corr _),
     "s38_relayout" -> (s38_relayout _),
     "s39_agg_maintain" -> (s39_agg_maintain _),
     "t42_pref_pairs" -> (t42_pref_pairs _),
@@ -3698,6 +3728,7 @@ object SparkEntry {
     "e2_l2norm" -> (e2_l2norm _),
     "e3_meanpool" -> (e3_meanpool _),
     "e4_pca" -> (e4_pca _),
+    "e6_standardize" -> (e6_standardize _),
     "e5_centroid_sim" -> (e5_centroid_sim _),
     "d16_containment" -> (d16_containment _),
     "s36_merge_schema" -> (s36_merge_schema _),
@@ -4101,6 +4132,39 @@ object SparkEntry {
          SELECT user_id, n, n * sxy - sx * sy AS slope_num,
            n * sxx - sx * sx AS slope_den
          FROM g ORDER BY user_id""",
+    // pairwise moment sums replayed; num/den factors exact BIGINTs
+    "q56_corr" ->
+      """WITH m AS (SELECT CAST(floor(l_quantity) AS BIGINT) AS q,
+             CAST(floor(l_extendedprice / 10) AS BIGINT) AS p,
+             CAST(floor(l_discount * 10000) AS BIGINT) AS d
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+             AND l_discount IS NOT NULL),
+         g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(q) AS BIGINT) AS sq, CAST(sum(p) AS BIGINT) AS sp,
+             CAST(sum(d) AS BIGINT) AS sd,
+             CAST(sum(q * q) AS BIGINT) AS sqq,
+             CAST(sum(q * p) AS BIGINT) AS sqp,
+             CAST(sum(q * d) AS BIGINT) AS sqd,
+             CAST(sum(p * p) AS BIGINT) AS spp,
+             CAST(sum(p * d) AS BIGINT) AS spd,
+             CAST(sum(d * d) AS BIGINT) AS sdd
+           FROM m)
+         SELECT col_i, col_j, n, num, den_i, den_j FROM (
+           SELECT 'qty' AS col_i, 'qty' AS col_j, n,
+               n * sqq - sq * sq AS num,
+               n * sqq - sq * sq AS den_i, n * sqq - sq * sq AS den_j FROM g
+           UNION ALL SELECT 'qty', 'price10', n, n * sqp - sq * sp,
+               n * sqq - sq * sq, n * spp - sp * sp FROM g
+           UNION ALL SELECT 'qty', 'disc_bp', n, n * sqd - sq * sd,
+               n * sqq - sq * sq, n * sdd - sd * sd FROM g
+           UNION ALL SELECT 'price10', 'price10', n, n * spp - sp * sp,
+               n * spp - sp * sp, n * spp - sp * sp FROM g
+           UNION ALL SELECT 'price10', 'disc_bp', n, n * spd - sp * sd,
+               n * spp - sp * sp, n * sdd - sd * sd FROM g
+           UNION ALL SELECT 'disc_bp', 'disc_bp', n, n * sdd - sd * sd,
+               n * sdd - sd * sd, n * sdd - sd * sd FROM g)
+         ORDER BY col_i, col_j""",
     // rank-symmetric pairing: i-th best vs i-th worst per source
     "t42_pref_pairs" ->
       """WITH r AS (SELECT source, doc_id, n_chars,
@@ -6354,6 +6418,18 @@ object SparkEntry {
          FROM embeddings e,
            read_parquet('/tmp/graft_fixtures/pca_model.parquet/*.parquet') f
          ORDER BY e.vec_id, f.pc""",
+    // every z replayed from the persisted model: one subtract, one divide
+    "e6_standardize" ->
+      """WITH m AS (SELECT mean, std FROM
+             read_parquet('/tmp/graft_fixtures/std_model.parquet/*.parquet')),
+         x AS (SELECT vec_id,
+             CAST(generate_subscripts(embedding, 1) AS INT) AS i,
+             unnest(embedding) AS v
+           FROM embeddings)
+         SELECT x.vec_id, x.i - 1 AS pos,
+           CASE WHEN m.std[x.i] = 0 THEN 0.0
+                ELSE (CAST(x.v AS DOUBLE) - m.mean[x.i]) / m.std[x.i] END AS z
+         FROM x, m ORDER BY vec_id, pos""",
     "st3_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
          ORDER BY user_id, event_type""",

@@ -24,6 +24,63 @@ import org.apache.spark.sql.functions._
   */
 object Embeddings {
 
+  /** Per-dimension standardization model: `z_i = (x_i − mean_i)/std_i`
+    * (population std); constant dimensions (std 0) standardize to 0 —
+    * they carry no signal and a division guard beats a NaN column. */
+  final case class StandardizeModel(n: Long, mean: Array[Double],
+      std: Array[Double]) {
+    def dim: Int = mean.length
+  }
+
+  /** Fit per-dimension mean/std in ONE pass over the corpus, via the same
+    * native partial aggregate PCA uses ([[graft.functions.VectorCovAgg]]:
+    * the shuffle carries O(dim²) doubles per partition, never a row; the
+    * diagonal of the second moment is the variance source). The model is
+    * driver-sized (2·dim doubles) and ships as literals into
+    * [[standardizeApply]] — the e4/PCA driver-model contract, including
+    * its determinism story (fixed input partitioning ⇒ identical partial
+    * merge order ⇒ identical doubles). */
+  def standardizeFit(df: DataFrame, vecCol: String): StandardizeModel = {
+    val row = df.agg(
+        graft.functions.VectorCovAgg.vectorCov(col(vecCol)).as("s"))
+      .selectExpr("s.n", "s.sums", "s.prods")
+      .collect()(0)
+    require(!row.isNullAt(0) && row.getLong(0) > 1,
+      "standardizeFit: need at least 2 non-null vectors")
+    val n = row.getLong(0)
+    val sums = row.getSeq[Double](1).toArray
+    val prods = row.getSeq[Double](2).toArray
+    val dim = sums.length
+    val mean = sums.map(_ / n)
+    // prods is the upper triangle row-major; (i,i) sits at i·dim − i(i−1)/2
+    val std = Array.tabulate(dim) { i =>
+      val diag = prods(i * dim - i * (i - 1) / 2)
+      math.sqrt(math.max(0.0, diag / n - mean(i) * mean(i)))
+    }
+    StandardizeModel(n, mean, std)
+  }
+
+  /** Apply a [[StandardizeModel]], long format `(idCol, pos, z)` — the
+    * whitening step before PQ/IVF training or distance work on
+    * heterogeneous-scale dimensions. Wrong-dimension vectors RAISE (the
+    * loud-failure convention, as [[graft.operators.Pca.projectLong]]).
+    * Every z is one subtract + one divide on the literal model — any SQL
+    * engine replays it bit-for-bit from the persisted model. */
+  def standardizeApply(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: StandardizeModel): DataFrame = {
+    val zs = array(model.mean.indices.map { i =>
+      val x = element_at(col(vecCol), i + 1).cast("double")
+      if (model.std(i) == 0.0) lit(0.0)
+      else (x - lit(model.mean(i))) / lit(model.std(i))
+    }: _*)
+    df.filter(assert_true(size(col(vecCol)) === model.dim,
+        lit(s"standardize: expected dimension ${model.dim}")).isNull)
+      .select(col(idCol), posexplode(zs).as(Seq("pos", "z")))
+  }
+
   /** max |x_i| of a vector column, as double (order-independent fold). */
   def maxAbs(vec: Column): Column =
     aggregate(vec, lit(0.0), (a, x) => greatest(a, abs(x.cast("double"))))

@@ -81,7 +81,13 @@ object Linkage {
             max(col("count")).as("max_block"))
         side.join(counts.filter(col("count") <= keyCap).select("__bk"), "__bk")
       }
+    // spread the probe side across tasks BY BLOCK KEY before the join:
+    // with a broadcast build the stream side keeps the scan partitioning,
+    // and a single-file table would push every block's whole candidate
+    // stream (and its pipelined levenshtein) through ONE task — the
+    // shuffled rows are (id, name, key), never candidate pairs
     val l = capped(keyed(left, leftId, leftName), "l")
+      .repartition(col("__bk"))
     val r = capped(keyed(right, rightId, rightName), "r")
     // verify BEFORE the pair dedup: the distance filter is pipelined
     // map-side on the join output, so the dropDuplicates shuffle carries

@@ -216,6 +216,40 @@ object Regression {
     *
     * Spark shape: ONE partially-aggregated groupBy carrying five
     * BIGINTs per group — no window, no self-join, map-side combined. */
+  /** EXACT pairwise correlation structure over integral measure columns:
+    * for every pair (i ≤ j) the Pearson numerator `n·Σxy − Σx·Σy` and the
+    * two squared-denominator factors `n·Σx² − (Σx)²`, all BIGINT — so
+    * corr² comparisons ("is |ρ| above 0.8") are exact integer
+    * cross-multiplications (`num² · t_den ≥ t_num · denx · deny` for a
+    * rational t = t_num/t_den), and the float ρ = num/√(denx·deny) is a
+    * display-time division. ONE aggregation carries k + k(k+1)/2 sums —
+    * no shuffle of rows, no per-pair passes (the [[groupTrend]] design
+    * lifted to the full moment matrix). Columns must be pre-scaled
+    * integers; overflow bound as groupTrend's. Returns one row per pair:
+    * (col_i, col_j, n, num, den_i, den_j). */
+  def corrMatrixExact(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two measure columns")
+    require(cols.distinct.size == cols.size, "columns must be unique")
+    val xs = cols.map(c => col(c).cast("long"))
+    val filtered = df.filter(xs.map(_.isNotNull).reduce(_ && _))
+    val sumCols =
+      Seq(count(lit(1)).as("__n")) ++
+        cols.indices.map(i => sum(xs(i)).as(s"__s$i")) ++
+        (for (i <- cols.indices; j <- cols.indices if j >= i)
+          yield sum(xs(i) * xs(j)).as(s"__p${i}_$j"))
+    val agg = filtered.agg(sumCols.head, sumCols.tail: _*)
+    val pairRows = for (i <- cols.indices; j <- cols.indices if j >= i) yield
+      struct(lit(cols(i)).as("col_i"), lit(cols(j)).as("col_j"),
+        col("__n").as("n"),
+        (col("__n") * col(s"__p${i}_$j") - col(s"__s$i") * col(s"__s$j"))
+          .as("num"),
+        (col("__n") * col(s"__p${i}_$i") - col(s"__s$i") * col(s"__s$i"))
+          .as("den_i"),
+        (col("__n") * col(s"__p${j}_$j") - col(s"__s$j") * col(s"__s$j"))
+          .as("den_j"))
+    agg.select(explode(array(pairRows: _*)).as("__pair")).select("__pair.*")
+  }
+
   def groupTrend(
       df: DataFrame,
       groupCol: String,

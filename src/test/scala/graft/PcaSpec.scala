@@ -110,3 +110,52 @@ class PcaSpec extends SparkSpec {
       assert(math.abs(a - b) < 1e-7 * (1 + math.abs(a)), s"$a vs $b") }
   }
 }
+
+/** Per-dimension standardization: exact moments on planted data,
+  * zero-variance guard, loud wrong-dim, partition invariance. */
+class StandardizeSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.operators.Embeddings
+
+  test("planted dims recover mean/std; constant dim standardizes to 0") {
+    // dim0: values 0,2 -> mean 1, std 1; dim1: constant 5 -> std 0;
+    // dim2: values -3,3 -> mean 0, std 3
+    val df = Seq(
+      (1L, Seq(0.0f, 5.0f, -3.0f)), (2L, Seq(2.0f, 5.0f, 3.0f)))
+      .toDF("id", "v")
+    val m = Embeddings.standardizeFit(df, "v")
+    assert(m.n == 2)
+    assert(m.mean.toSeq == Seq(1.0, 5.0, 0.0))
+    assert(m.std.toSeq == Seq(1.0, 0.0, 3.0))
+    val z = Embeddings.standardizeApply(df, "id", "v", m)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(z((1L, 0)) == -1.0 && z((2L, 0)) == 1.0)
+    assert(z((1L, 1)) == 0.0 && z((2L, 1)) == 0.0)
+    assert(z((1L, 2)) == -1.0 && z((2L, 2)) == 1.0)
+  }
+
+  test("wrong-dimension vectors raise loudly") {
+    val df = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(1.0f, 2.0f))).toDF("id", "v")
+    val m = Embeddings.standardizeFit(df, "v")
+    val bad = Seq((3L, Seq(1.0f, 2.0f, 3.0f))).toDF("id", "v")
+    intercept[Exception] {
+      Embeddings.standardizeApply(bad, "id", "v", m).collect()
+    }
+  }
+
+  test("standardized corpus has per-dim mean ~0 and std ~1") {
+    val rows = (1L to 200L).map(i =>
+      (i, Seq(((i * 7) % 23).toFloat, ((i * 13) % 5).toFloat * 100f)))
+    val df = rows.toDF("id", "v")
+    val m = Embeddings.standardizeFit(df, "v")
+    val stats = Embeddings.standardizeApply(df, "id", "v", m)
+      .groupBy("pos").agg(avg("z").as("mu"),
+        sqrt(avg(col("z") * col("z"))).as("sd"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    stats.foreach { case (p, mu, sd) =>
+      assert(math.abs(mu) < 1e-9, s"pos $p mean $mu")
+      assert(math.abs(sd - 1.0) < 1e-9, s"pos $p std $sd")
+    }
+  }
+}

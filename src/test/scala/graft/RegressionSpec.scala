@@ -144,3 +144,33 @@ class GroupTrendSpec extends SparkSpec {
     assert(all(df) === all(df.repartition(13)))
   }
 }
+
+/** Exact correlation structure: perfect/anti/zero correlations land on
+  * exact integer identities. */
+class CorrMatrixSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("perfect, anti and independent pairs hit exact identities") {
+    // b = 2a (rho=1), c = -a (rho=-1), d alternates independent of a
+    val rows = (1L to 40L).map(i => (i, 2 * i, -i, if (i % 2 == 0) 1L else -1L))
+    val out = graft.operators.Regression.corrMatrixExact(
+        rows.toDF("a", "b", "c", "d"), Seq("a", "b", "c", "d"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val (nab, dia, dib) = out(("a", "b"))
+    assert(nab * nab == dia * dib && nab > 0, "rho(a,2a) must be exactly 1")
+    val (nac, da2, dc2) = out(("a", "c"))
+    assert(nac * nac == da2 * dc2 && nac < 0, "rho(a,-a) must be exactly -1")
+    val (naa, _, _) = out(("a", "a"))
+    assert(naa == da2, "diagonal num equals its den")
+  }
+
+  test("null rows are excluded from every moment") {
+    val rows = Seq((Some(1L), Some(2L)), (None, Some(9L)), (Some(3L), None),
+      (Some(2L), Some(4L)))
+    val out = graft.operators.Regression.corrMatrixExact(
+        rows.toDF("x", "y"), Seq("x", "y"))
+      .collect()
+    assert(out.forall(_.getLong(2) == 2L), "only the 2 complete rows count")
+  }
+}
