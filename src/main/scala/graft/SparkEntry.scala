@@ -505,6 +505,48 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
+  /** Streaming CDC upsert: the s26 delta (doubled prices, inserts,
+    * deletes) staged as THREE files and applied micro-batch by
+    * micro-batch through [[graft.streaming.Streams.upsertStream]] — the
+    * final table must equal the one-shot batch merge, which is exactly
+    * s26's oracle (shared verbatim). */
+  private def st17_stream_upsert(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val out = s"/tmp/graft_fixtures/upsert_tbl_$tag"
+    val src = s"/tmp/graft_fixtures/upsert_src_$tag"
+    val cp = s"/tmp/graft_fixtures/upsert_cp_$tag"
+    val conf = s.sessionState.newHadoopConf()
+    for (p <- Seq(out, src, cp)) {
+      val pp = new org.apache.hadoop.fs.Path(p)
+      pp.getFileSystem(conf).delete(pp, true)
+    }
+    val orders = t(s, dir, "orders")
+    Graft.writePartitionedTable(orders, out, Seq("o_orderpriority"))
+    val updates = orders.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .withColumn("__del", lit(false))
+    val deletes = orders
+      .filter(col("o_orderkey") % 13 === 0 && col("o_orderkey") % 7 =!= 0)
+      .withColumn("__del", lit(true))
+    val inserts = orders.filter(col("o_orderkey") % 11 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      .withColumn("__del", lit(false))
+    for (slice <- Seq(updates, deletes, inserts))
+      slice.coalesce(1).write.mode("append").parquet(src)
+    val schema = s.read.parquet(src).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q = graft.streaming.Streams.upsertStream(stream, out,
+      keyCols = Seq("o_orderpriority", "o_orderkey"),
+      partitionCols = Seq("o_orderpriority"), checkpoint = cp,
+      deleteCol = Some("__del"))
+    try q.processAllAvailable() finally q.stop()
+    Graft.readPartitionedTable(s, out)
+      .select(col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_orderpriority"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
   /** Data-quality expectation audit: six named contracts over lineitem
     * checked in ONE aggregation pass (map-side partial counters, a
     * 7-long final row, per-check explode) — see
@@ -3759,6 +3801,7 @@ object SparkEntry {
     "st5_stream_stream_join" -> (st5_stream_stream_join _),
     "st15_stream_outer_join" -> (st15_stream_outer_join _),
     "st16_stream_agg_maintain" -> (st16_stream_agg_maintain _),
+    "st17_stream_upsert" -> (st17_stream_upsert _),
     "st6_stream_partitioned_sink" -> (st6_stream_partitioned_sink _),
     "st7_stream_asof" -> (st7_stream_asof _),
     "st8_stream_ingest_gate" -> (st8_stream_ingest_gate _),
@@ -4271,6 +4314,20 @@ object SparkEntry {
       """SELECT *, 'json' AS src FROM customer ORDER BY c_custkey""",
     "s9_scan_xlsx" ->
       """SELECT *, 'xlsx' AS src FROM nation ORDER BY n_nationkey""",
+    // streamed in three micro-batches, must equal the one-shot merge
+    "st17_stream_upsert" ->
+      """WITH upd AS (SELECT o_orderkey, o_orderpriority,
+             o_totalprice * 2 AS o_totalprice
+           FROM orders WHERE o_orderkey % 7 = 0),
+         ins AS (SELECT o_orderkey + 10000000 AS o_orderkey, o_orderpriority,
+             o_totalprice
+           FROM orders WHERE o_orderkey % 11 = 0),
+         survivors AS (SELECT o_orderkey, o_orderpriority, o_totalprice
+           FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 13 <> 0)
+         SELECT o_orderkey, o_orderpriority, o_totalprice FROM
+           (SELECT * FROM survivors UNION ALL SELECT * FROM upd
+            UNION ALL SELECT * FROM ins)
+         ORDER BY o_orderkey""",
     "s26_merge" ->
       """WITH upd AS (SELECT o_orderkey, o_orderpriority,
              o_totalprice * 2 AS o_totalprice

@@ -99,10 +99,15 @@ object Linkage {
     // evaluations instead of 1 — compute in the pipeline is the right
     // side of that trade; distance is deterministic per pair, so
     // dedup-after-filter equals filter-after-dedup exactly.
+    // thresholded levenshtein: the banded O(len·maxDistance) kernel
+    // (full-matrix distance is O(len²) — ~20× more cell work at name
+    // lengths for a bound of 1) returns -1 past the bound, which the
+    // BETWEEN filter drops with the same semantics
     val out = l.join(r, "__bk")
       .select(col(leftId), col(rightId),
-        levenshtein(col(leftName), col(rightName)).as("distance"))
-      .filter(col("distance") <= maxDistance)
+        levenshtein(col(leftName), col(rightName), maxDistance)
+          .as("distance"))
+      .filter(col("distance").between(0, maxDistance))
       .dropDuplicates(leftId, rightId)
     if (keyCap <= 0) out
     else CacheRelease.afterFirstAction(out, Nil, qe =>

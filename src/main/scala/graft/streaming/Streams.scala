@@ -693,4 +693,44 @@ object Streams {
         ()
       }
       .start()
+
+  /** STREAMING CDC upsert: every micro-batch merges into the partitioned
+    * table through [[graft.api.Graft.mergePartitionedTable]] — keyed
+    * last-writer-wins upserts, inserts, and (with `deleteCol`) deletes,
+    * applied only to the partitions the batch touches. Exactly-once
+    * WITHOUT a batch-id protocol: a keyed merge is IDEMPOTENT (re-applying
+    * a delta reproduces the same table), and foreachBatch only ever
+    * replays the latest uncommitted batch, so a crash-replay cannot
+    * regress earlier batches' effects.
+    *
+    * `orderCol`: CDC feeds often carry several updates for one key in a
+    * single batch — merge deltas must be unique per key, so pass the
+    * change-sequence column and the wrapper keeps each key's
+    * highest-`orderCol` row (deterministic; ties would be a feed bug and
+    * surface in the merge's own uniqueness handling). */
+  def upsertStream(
+      updates: DataFrame,
+      url: String,
+      keyCols: Seq[String],
+      partitionCols: Seq[String],
+      checkpoint: String,
+      deleteCol: Option[String] = None,
+      orderCol: Option[String] = None): StreamingQuery =
+    updates.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val compacted = orderCol.fold(batch) { oc =>
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(keyCols.map(col): _*)
+            .orderBy(col(oc).desc)
+          batch.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn")
+        }
+        graft.api.Graft.mergePartitionedTable(batch.sparkSession, url,
+          compacted, keyCols, partitionCols, deleteCol)
+        ()
+      }
+      .start()
 }
