@@ -133,15 +133,19 @@ object Bench {
       .withColumn("vec_id", col("vec_id") + col("__r") * 100000000L)
       .drop("__r")
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-    // part: replicated with per-replica token-suffixed names (the
+    // part: replicated with per-replica token-PREFIXED names (the
     // documents rationale — verbatim replica names would make every
     // fuzzy-linkage block collide across replicas and measure an
-    // artifact; suffixed tokens keep replica blocks disjoint => linear)
+    // artifact). The tag must lead the token: fuzzyJoin's third block
+    // key is the first 3 CHARACTERS, so a trailing tag would leave the
+    // prefix blocks shared across all replicas and grow their candidate
+    // sets quadratically — exactly the cross-replica trap this rewrite
+    // exists to avoid. "r3almond" isolates all three keys per replica.
     spark.read.parquet(s"$sfDir/part.parquet").crossJoin(reps)
       .withColumn("p_partkey", col("p_partkey") + col("__r") * 10000000L)
       .withColumn("p_name", when(col("__r") === 0, col("p_name"))
         .otherwise(regexp_replace(col("p_name"), lit("(\\S+)"),
-          concat(lit("$1r"), col("__r")))))
+          concat(lit("r"), col("__r"), lit("$1")))))
       .drop("__r")
       .write.mode("overwrite").parquet(s"$out/part.parquet")
     for (dim <- Seq("customer", "nation", "region"))

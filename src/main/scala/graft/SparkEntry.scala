@@ -2905,6 +2905,25 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Perceptual image near-dup JOIN: the m11 dHashes packed to one
+    * 64-bit signature and banded through
+    * [[graft.operators.Dedup.hashPairs64]] (4×16 pigeonhole). The oracle
+    * recomputes every hash from the closed-form synthetic pixels and
+    * takes the BRUTE-FORCE Hamming ≤ 3 pair set — banding losslessness
+    * proven, like d18/q49. */
+  private def m14_image_dedup_join(s: SparkSession, dir: String): DataFrame = {
+    val h = Multimodal.decodePngDHash(
+        s.read.parquet(Fixtures.pngPixelDocs(s, dir)))
+      .filter(col("dhash.format") === "png")
+      // bitwise packing: shiftleft|or cannot overflow (an arithmetic
+      // hi*2^32 would raise under ANSI once the hash's sign bit is set)
+      .select(col("doc_id"),
+        shiftleft(col("dhash.hash_hi").cast("long"), 32)
+          .bitwiseOR(col("dhash.hash_lo").cast("long")).as("h64"))
+    graft.operators.Dedup.hashPairs64(h, "doc_id", "h64", maxHamming = 3)
+      .orderBy("id_a", "id_b")
+  }
+
   private def m4_pixels(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodePngPixels(s.read.parquet(Fixtures.pngPixelDocs(s, dir)))
       .select(col("doc_id"), col("pixel_stats.width"), col("pixel_stats.height"),
@@ -3620,6 +3639,7 @@ object SparkEntry {
     "a12_ann_filtered" -> (a12_ann_filtered _),
     "a13_matryoshka" -> (a13_matryoshka _),
     "a14_ivf_delete" -> (a14_ivf_delete _),
+    "m14_image_dedup_join" -> (m14_image_dedup_join _),
     "s35_snapshot" -> (s35_snapshot _),
     "s25_compact" -> (s25_compact _),
     "s26_merge" -> (s26_merge _),
@@ -6813,6 +6833,41 @@ object SparkEntry {
          SELECT hsh.doc_id, hsh.hash_hi, hsh.hash_lo, grp.group_size
          FROM hsh JOIN grp USING (hash_hi, hash_lo)
          ORDER BY hsh.doc_id""",
+    // m11's closed-form hashes -> BRUTE-FORCE Hamming<=3 pairs: the
+    // 4x16 pigeonhole banding must lose nothing and duplicate nothing
+    "m14_image_dedup_join" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(doc_id % 13 + 4 AS INT) AS w,
+             CAST(doc_id % 11 + 4 AS INT) AS h
+           FROM documents),
+         g AS (SELECT d.doc_id, p.p % 9 AS x, p.p // 9 AS y,
+             (299 * ((d.doc_id + ((p.p % 9) * d.w // 9) * 3
+                      + ((p.p // 9) * d.h // 8) * 5) % 256)
+            + 587 * ((d.doc_id + ((p.p % 9) * d.w // 9) * 3
+                      + ((p.p // 9) * d.h // 8) * 5 + 11) % 256)
+            + 114 * ((d.doc_id + ((p.p % 9) * d.w // 9) * 3
+                      + ((p.p // 9) * d.h // 8) * 5 + 22) % 256)) // 1000
+             AS gray
+           FROM d, UNNEST(range(0, 72)) AS p(p)),
+         b AS (SELECT a.doc_id, a.x, a.y,
+             CASE WHEN a.gray < c.gray THEN 1 ELSE 0 END AS bit
+           FROM g a JOIN g c
+             ON a.doc_id = c.doc_id AND a.y = c.y AND c.x = a.x + 1
+           WHERE a.x < 8),
+         hsh AS (SELECT doc_id,
+             CAST(SUM(CASE WHEN y * 8 + x >= 32
+               THEN CAST(bit AS BIGINT) << (y * 8 + x - 32)
+               ELSE 0 END) AS BIGINT) AS hi,
+             CAST(SUM(CASE WHEN y * 8 + x < 32
+               THEN CAST(bit AS BIGINT) << (y * 8 + x)
+               ELSE 0 END) AS BIGINT) AS lo
+           FROM b GROUP BY doc_id)
+         SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+           CAST(bit_count(xor(a.hi, c.hi))
+              + bit_count(xor(a.lo, c.lo)) AS INT) AS hamming
+         FROM hsh a JOIN hsh c ON a.doc_id < c.doc_id
+         WHERE bit_count(xor(a.hi, c.hi)) + bit_count(xor(a.lo, c.lo)) <= 3
+         ORDER BY id_a, id_b""",
     "m4_pixels" ->
       """WITH d AS (SELECT doc_id,
              CAST(doc_id % 13 + 4 AS INT) AS width,

@@ -445,13 +445,37 @@ object Dedup {
       .select(col(idCol).as("id"), TextFunctions.words(col(textCol)).as("__words"))
       .select(col("id"),
         graft.functions.SimHash64Expr(col("__words"), shingleSize).as("sim"))
+    hashPairs64(withSig, "id", "sim", maxHamming, maxBucketSize,
+      "graft_lsh_simhash")
+  }
+
+  /** Near-dup pairs over ANY 64-bit signature column — the 4×16-bit
+    * pigeonhole band join behind [[simhashPairs]], exposed for other
+    * 64-bit perceptual/structural signatures (image dHash, audio
+    * gradient fingerprints, rolling-hash sketches): a pair within
+    * Hamming distance ≤ 3 must agree on at least one of the 4 chunks, so
+    * the equi-join on chunk keys is LOSSLESS at that bound (the m14 gate
+    * proves it against the brute-force pair set) and never compares
+    * all-pairs. Buckets over `maxBucketSize` drop-and-log (the shared
+    * LSH cap/metric contract). Returns (id_a < id_b, hamming). */
+  def hashPairs64(
+      df: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = DefaultMaxBucketSize,
+      metricName: String = "graft_lsh_hash64"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming must be in [0, 3] (the 4-chunk pigeonhole bound), " +
+        s"got $maxHamming")
+    val withSig = df.select(col(idCol).as("id"), col(hashCol).as("sim"))
     // long bucket key: (chunk index << 16) | chunk value — the mask keeps
     // the arithmetic-shift sign extension out of the high chunk
     val chunked = withSig.select(col("id"), col("sim"),
       explode(array((0 until 4).map { c =>
         lit(c.toLong << 16) + shiftright(col("sim"), c * 16).bitwiseAND(0xFFFFL)
       }: _*)).as("bucket"))
-    val capped = capBuckets(chunked, maxBucketSize, "graft_lsh_simhash")
+    val capped = capBuckets(chunked, maxBucketSize, metricName)
     val pairs = capped.select(col("bucket"), col("id").as("id_a"), col("sim").as("sim_a"))
       .join(capped.select(col("bucket"), col("id").as("id_b"), col("sim").as("sim_b")),
         Seq("bucket"))
@@ -460,7 +484,7 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
-    armLshListener(pairs, "graft_lsh_simhash", maxBucketSize, Nil)
+    armLshListener(pairs, metricName, maxBucketSize, Nil)
   }
 
   // --------------------------------------------------- embedding near-dup

@@ -328,3 +328,34 @@ class BinaryAnnSpec extends SparkSpec {
     assert(rerank == brute)
   }
 }
+
+/** Generic 64-bit signature band join: brute-force losslessness at the
+  * pigeonhole bound, bound refusal past it. */
+class HashPairs64Spec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def sig(i: Long): Long =
+    i * 0x9E3779B97F4A7C15L // golden-ratio mix, full 64-bit spread
+
+  test("banded pairs equal brute-force Hamming <= 3 incl. sign-bit codes") {
+    val rows = (1L to 120L).map(i => (i, sig(i))) ++
+      Seq((200L, sig(7L) ^ 1L), (201L, sig(7L) ^ 0x8000000000000001L))
+    val df = rows.toDF("id", "h")
+    val got = graft.operators.Dedup.hashPairs64(df, "id", "h")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = (for {
+      (a, ha) <- rows; (b, hb) <- rows if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d)).toSet
+    assert(got === brute)
+    assert(brute.exists(_._3 == 2), "fixture must exercise the sign chunk")
+  }
+
+  test("maxHamming beyond the pigeonhole bound refuses") {
+    val df = Seq((1L, 1L)).toDF("id", "h")
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.hashPairs64(df, "id", "h", maxHamming = 4)
+    }
+  }
+}
