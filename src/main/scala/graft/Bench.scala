@@ -133,19 +133,25 @@ object Bench {
       .withColumn("vec_id", col("vec_id") + col("__r") * 100000000L)
       .drop("__r")
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-    // part: replicated with per-replica token-PREFIXED names (the
-    // documents rationale — verbatim replica names would make every
-    // fuzzy-linkage block collide across replicas and measure an
-    // artifact). The tag must lead the token: fuzzyJoin's third block
-    // key is the first 3 CHARACTERS, so a trailing tag would leave the
-    // prefix blocks shared across all replicas and grow their candidate
-    // sets quadratically — exactly the cross-replica trap this rewrite
-    // exists to avoid. "r3almond" isolates all three keys per replica.
+    // part: replicated with per-replica CAESAR-SHIFTED names. Verbatim
+    // replica names would make every fuzzy-linkage block collide across
+    // replicas (quadratic candidate growth — an artifact, not scale);
+    // tagging the tokens is no better, because a trailing tag leaves the
+    // 3-char-PREFIX block key shared across replicas and a leading tag
+    // collapses each replica's prefixes onto ~26 hot keys. A bijective
+    // per-replica character rotation keeps every block family (first
+    // token, last token, 3-char prefix) replica-disjoint AT ITS 1× SIZE
+    // — and, being a bijection, preserves every Levenshtein distance, so
+    // the query's match structure replicates exactly.
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    def rotated(r: Int): String = alpha.drop(r * 2 + 1) + alpha.take(r * 2 + 1)
+    val shifted = (1 until factor).foldLeft(col("p_name")) { (acc, r) =>
+      when(col("__r") === r, translate(col("p_name"), alpha, rotated(r)))
+        .otherwise(acc)
+    }
     spark.read.parquet(s"$sfDir/part.parquet").crossJoin(reps)
       .withColumn("p_partkey", col("p_partkey") + col("__r") * 10000000L)
-      .withColumn("p_name", when(col("__r") === 0, col("p_name"))
-        .otherwise(regexp_replace(col("p_name"), lit("(\\S+)"),
-          concat(lit("r"), col("__r"), lit("$1")))))
+      .withColumn("p_name", shifted)
       .drop("__r")
       .write.mode("overwrite").parquet(s"$out/part.parquet")
     for (dim <- Seq("customer", "nation", "region"))
