@@ -60,11 +60,15 @@ object Bench {
     "g2_triangles", "t28_tfidf_topk", "q38_funnel", "q35_concurrency",
     "as4_asof_nearest", "q34_bloom_join",
     "q44_resample", "t30_conversations", "t31_feature_hash",
-    // d18 stays headline-only: jaccardJoin CARRIES shingle arrays through
-    // its shuffle by design (right for its chunk-sized-set envelope,
-    // wrong to scale-replicate under the bench's default heap — d2's
-    // fixed-width signatures are the corpus-scale near-dup tool)
-    "q49_fuzzy_link", "a11_mmr", "rj2_interval_join")
+    // d18 and q49 stay headline-only. d18: jaccardJoin CARRIES shingle
+    // arrays through its shuffle by design (right for its chunk-sized-set
+    // envelope; d2's fixed-width signatures are the corpus-scale tool).
+    // q49: the synthetic part table has only ~64 DISTINCT names per
+    // replica (~300 duplicate rows each), so the TRUE fuzzy-match pair
+    // set is tens of millions at 10x — a 10x leg would time the
+    // fixture's duplicate structure, not the operator, and its pair
+    // materialization wants more than the fixed default driver heap.
+    "a11_mmr", "rj2_interval_join")
 
   /** Materialize a `factor`×-replicated copy of the FACT tables the scale
     * set reads (documents, lineitem, orders, events) plus 1× copies of

@@ -3438,6 +3438,18 @@ object SparkEntry {
       .select("doc_id", "source")
       .orderBy("doc_id")
 
+  /** Deterministic θ-sketch overlap: the click-user and view-user KMV
+    * sketches (k=64) intersected
+    * ([[graft.operators.Theta.intersectEstimate]]); every quantity —
+    * θ, shared-hash count, the integer-quotient estimate — is a pure
+    * function of the data, so the oracle replays the ESTIMATOR itself. */
+  private def t47_theta_intersect(s: SparkSession, dir: String): DataFrame = {
+    val ev = Fixtures.events(s, dir)
+    def sk(t: String) = graft.operators.Theta.sketch(
+      ev.filter(col("event_type") === t).select("user_id"), "user_id", k = 64)
+    graft.operators.Theta.intersectEstimate(sk("click"), sk("view"), k = 64)
+  }
+
   /** Conversation assembly over the event log: per-user ordered
     * transcript of "event_type: props" lines, capped at 50 turns (some
     * users exceed it at this SF, so the WindowGroupLimit cap binds and
@@ -3660,6 +3672,7 @@ object SparkEntry {
     "t43_priority_sample" -> (t43_priority_sample _),
     "t44_leakage_split" -> (t44_leakage_split _),
     "t45_hard_negatives" -> (t45_hard_negatives _),
+    "t47_theta_intersect" -> (t47_theta_intersect _),
     "s18_scan_lazy" -> (s18_scan_lazy _),
     "s21_scan_identity" -> (s21_scan_identity _),
     "s9_scan_csv" -> (s9_scan_csv _),
@@ -4543,6 +4556,29 @@ object SparkEntry {
            FROM w)
          SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS tf
          FROM b GROUP BY doc_id, bucket ORDER BY doc_id, bucket""",
+    // the whole KMV estimator replayed: hashes, kth-smallest theta,
+    // shared hashes below it, exact integer quotient
+    "t47_theta_intersect" ->
+      """WITH ha AS (SELECT DISTINCT CAST(concat('0x',
+             substr(md5('th' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+           FROM events WHERE event_type = 'click' AND user_id IS NOT NULL),
+         hb AS (SELECT DISTINCT CAST(concat('0x',
+             substr(md5('th' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+           FROM events WHERE event_type = 'view' AND user_id IS NOT NULL),
+         ska AS (SELECT h FROM ha ORDER BY h LIMIT 64),
+         skb AS (SELECT h FROM hb ORDER BY h LIMIT 64),
+         u AS (SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb)
+               ORDER BY h LIMIT 64),
+         t AS (SELECT CASE WHEN (SELECT count(*) FROM u) < 64
+               THEN 4294967296 ELSE (SELECT max(h) FROM u) END AS theta),
+         c AS (SELECT count(*) AS n_common
+           FROM (SELECT h FROM ska INTERSECT SELECT h FROM skb) x, t
+           WHERE x.h < t.theta)
+         SELECT CAST(t.theta AS BIGINT) AS theta,
+           CAST(c.n_common AS BIGINT) AS n_common,
+           CAST(c.n_common * 4294967296 // t.theta AS BIGINT)
+             AS est_intersection
+         FROM t, c""",
     // top-k by weight/u with the salted uniform replayed literally
     "t43_priority_sample" ->
       """SELECT doc_id, source FROM (

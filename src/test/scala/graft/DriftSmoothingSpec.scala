@@ -211,3 +211,49 @@ class PreferenceSpec extends SparkSpec {
     assert(got.isEmpty)
   }
 }
+
+/** Deterministic KMV sketch: exact-mode identity, estimator accuracy on a
+  * planted overlap, pure-function determinism. */
+class ThetaSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Theta
+
+  test("union smaller than k means the estimate is exact by construction") {
+    val a = (1L to 30L).toDF("v")
+    val b = (21L to 50L).toDF("v") // overlap 21..30 = 10
+    val est = Theta.intersectEstimate(
+        Theta.sketch(a, "v", 64), Theta.sketch(b, "v", 64), 64)
+      .collect().head
+    assert(est.getLong(0) == 4294967296L, "theta must be the full range")
+    assert(est.getLong(1) == 10L && est.getLong(2) == 10L)
+  }
+
+  test("planted 50% overlap estimates within KMV tolerance") {
+    val a = (1L to 4000L).toDF("v")
+    val b = (2001L to 6000L).toDF("v") // true intersection 2000
+    val est = Theta.intersectEstimate(
+        Theta.sketch(a, "v", 256), Theta.sketch(b, "v", 256), 256)
+      .collect().head.getLong(2)
+    // sigma ~ |I|/sqrt(k*J) ~ 2000/sqrt(256*0.33) ~ 215; allow 4 sigma
+    assert(math.abs(est - 2000L) < 900L, s"estimate $est")
+  }
+
+  test("sketches and estimates are partition-invariant pure functions") {
+    val a = (1L to 1000L).map(i => i * 7 % 997).toDF("v")
+    val b = (1L to 1000L).map(i => i * 13 % 997).toDF("v")
+    def run(x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame) =
+      Theta.intersectEstimate(
+        Theta.sketch(x, "v", 64), Theta.sketch(y, "v", 64), 64)
+        .collect().head.toSeq
+    assert(run(a, b) === run(a.repartition(17), b.repartition(5)))
+  }
+
+  test("empty intersection still returns the one-row contract") {
+    val a = (1L to 100L).toDF("v")
+    val b = (1000L to 1100L).toDF("v")
+    val rows = Theta.intersectEstimate(
+      Theta.sketch(a, "v", 32), Theta.sketch(b, "v", 32), 32).collect()
+    assert(rows.length == 1 && rows.head.getLong(1) == 0L &&
+      rows.head.getLong(2) == 0L)
+  }
+}
