@@ -454,10 +454,15 @@ object Dedup {
     * 64-bit perceptual/structural signatures (image dHash, audio
     * gradient fingerprints, rolling-hash sketches): a pair within
     * Hamming distance ≤ 3 must agree on at least one of the 4 chunks, so
-    * the equi-join on chunk keys is LOSSLESS at that bound (the m14 gate
-    * proves it against the brute-force pair set) and never compares
-    * all-pairs. Buckets over `maxBucketSize` drop-and-log (the shared
-    * LSH cap/metric contract). Returns (id_a < id_b, hamming). */
+    * the equi-join on chunk keys is LOSSLESS for `maxHamming ≤ 3` (the
+    * m14 gate proves it against the brute-force pair set) and never
+    * compares all-pairs. Larger bounds remain valid BEST-EFFORT
+    * candidate generation — pairs must still collide on a chunk, so
+    * pairs differing in every chunk are (correctly, by the LSH
+    * trade-off) never compared; recall beyond the pigeonhole bound is
+    * data-dependent — the historical simhash contract. Buckets over
+    * `maxBucketSize` drop-and-log (the shared LSH cap/metric contract).
+    * Returns (id_a < id_b, hamming). */
   def hashPairs64(
       df: DataFrame,
       idCol: String,
@@ -465,9 +470,8 @@ object Dedup {
       maxHamming: Int = 3,
       maxBucketSize: Int = DefaultMaxBucketSize,
       metricName: String = "graft_lsh_hash64"): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 3,
-      s"maxHamming must be in [0, 3] (the 4-chunk pigeonhole bound), " +
-        s"got $maxHamming")
+    require(maxHamming >= 0 && maxHamming <= 64,
+      s"maxHamming must be in [0, 64], got $maxHamming")
     val withSig = df.select(col(idCol).as("id"), col(hashCol).as("sim"))
     // long bucket key: (chunk index << 16) | chunk value — the mask keeps
     // the arithmetic-shift sign extension out of the high chunk

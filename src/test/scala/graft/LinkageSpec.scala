@@ -352,10 +352,20 @@ class HashPairs64Spec extends SparkSpec {
     assert(brute.exists(_._3 == 2), "fixture must exercise the sign chunk")
   }
 
-  test("maxHamming beyond the pigeonhole bound refuses") {
-    val df = Seq((1L, 1L)).toDF("id", "h")
+  test("beyond the pigeonhole bound is best-effort: chunk-sharers found") {
+    // distance 4 spread over two chunks: still found (shares 2 chunks);
+    // distance 4 spread over all four chunks: correctly never a candidate
+    val base = sig(42L)
+    val twoChunks = base ^ 0x0000000300000003L
+    val fourChunks = base ^ 0x1000100010001000L
+    val df = Seq((1L, base), (2L, twoChunks), (3L, fourChunks))
+      .toDF("id", "h")
+    val got = graft.operators.Dedup.hashPairs64(df, "id", "h", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)))
+    assert(!got.contains((1L, 3L)), "all-chunks-differ pair must not collide")
     intercept[IllegalArgumentException] {
-      graft.operators.Dedup.hashPairs64(df, "id", "h", maxHamming = 4)
+      graft.operators.Dedup.hashPairs64(df, "id", "h", maxHamming = 65)
     }
   }
 }
