@@ -148,7 +148,14 @@ object Bench {
     // — and, being a bijection, preserves every Levenshtein distance, so
     // the query's match structure replicates exactly.
     val alpha = "abcdefghijklmnopqrstuvwxyz"
-    def rotated(r: Int): String = alpha.drop(r * 2 + 1) + alpha.take(r * 2 + 1)
+    // (r*2+1) is odd, so mod 26 it is never 0 — no replica ever gets the
+    // identity rotation (drop/take silently cap past the string length,
+    // which WOULD hand replicas >= 13 verbatim names and the collision
+    // artifact back)
+    def rotated(r: Int): String = {
+      val s = (r * 2 + 1) % 26
+      alpha.drop(s) + alpha.take(s)
+    }
     val shifted = (1 until factor).foldLeft(col("p_name")) { (acc, r) =>
       when(col("__r") === r, translate(col("p_name"), alpha, rotated(r)))
         .otherwise(acc)

@@ -1913,12 +1913,17 @@ object Graft {
     *
     * Refuses streaming-sink tables carrying `_spark_metadata` for the
     * same reason compaction does. One full read + one partitioned write;
-    * the shuffle is the `partitionBy` write's task-local routing. */
+    * the shuffle is the `partitionBy` write's task-local routing.
+    *
+    * Deliberately takes NO partition query: the swap replaces the WHOLE
+    * tree, so a filtered read here would silently delete every excluded
+    * partition while the row-count verify (comparing two equally-filtered
+    * counts) waved it through. Relayout a subset by reading it, writing a
+    * NEW table, and retiring the old one explicitly. */
   def relayoutPartitionedTable(
       spark: SparkSession,
       url: String,
       newPartitionCols: Seq[String],
-      query: PartitionQuery = Q.True,
       parser: ColumnParser = AutoParser.auto,
       format: String = "parquet",
       fsConf: Map[String, String] = Map.empty): Unit = {
@@ -1935,7 +1940,7 @@ object Graft {
         s"$retired exists — a previous relayout crashed mid-swap; recover " +
           "manually (inspect which copy is complete) before retrying")
       fs.delete(staging, true)
-      val live = readPartitionedTable(spark, url, query, parser,
+      val live = readPartitionedTable(spark, url, Q.True, parser,
         format = format, fsConf = fsConf)
       newPartitionCols.foreach(c => require(live.columns.contains(c),
         s"new partition column '$c' not in table columns " +

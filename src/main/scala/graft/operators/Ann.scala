@@ -536,9 +536,23 @@ object Ann {
     * deduplicates). Returns the number of ids recorded. */
   def ivfDelete(spark: org.apache.spark.sql.SparkSession, path: String,
       ids: DataFrame): Long = {
-    readIvfSidecarNode(spark, path) // loud if not an index
+    val node = readIvfSidecarNode(spark, path) // loud if not an index
     require(ids.columns.length == 1,
       s"ids must be a one-column frame, got ${ids.columns.mkString(",")}")
+    // the column name IS the delete key: a frame named after any other
+    // stored column (the cluster id, the vector, a label) would anti-join
+    // on THAT column and mass-delete whatever it matches — refuse
+    // anything but a plausible id column up front
+    val c = ids.columns.head
+    val vecCol =
+      if (node.hasNonNull("vec_col")) node.get("vec_col").asText else "embedding"
+    require(c != "gr_cluster" && c != vecCol,
+      s"tombstone column '$c' must be the index's ID column — deleting by " +
+        "the cluster or vector column would mass-delete by match, not id")
+    val stored = spark.read.parquet(s"$path/data").columns.toSet
+    require(stored.contains(c),
+      s"tombstone column '$c' is not a stored column " +
+        s"(${stored.toSeq.sorted.mkString(",")})")
     val n = ids.count()
     ids.distinct().write.mode("append")
       .parquet(new org.apache.hadoop.fs.Path(path, IvfTombstonesDir).toString)
@@ -588,6 +602,22 @@ object Ann {
       s"batch contains vectors whose dimensionality differs from the " +
         s"index's dim=$dim — appending them would silently truncate every " +
         "cosine; fix the batch or rebuild the index")
+    // a tombstoned id is invisible to every probe, and a rebuild purges it
+    // TOGETHER with the tombstone — an append of such an id would be
+    // silently undone by the next rebuild. Delete-then-re-add must be
+    // explicit: rebuild first (clears the spent set), then append.
+    val tomb = new org.apache.hadoop.fs.Path(path, IvfTombstonesDir)
+    if (ivfFs(spark, path).exists(tomb)) {
+      val tombIds = spark.read.parquet(tomb.toString)
+      val c = tombIds.columns.head
+      val conflicts = newVecs.join(tombIds.distinct(),
+        newVecs(idCol) === tombIds(c), "left_semi").limit(1).count()
+      require(conflicts == 0,
+        s"batch re-adds tombstoned id(s): the next ivfRebuild would purge " +
+          "them together with the tombstone set, silently undoing this " +
+          "append. Rebuild first (physically reclaiming deletes and " +
+          "clearing the tombstones), then append the corrected rows.")
+    }
     // persist for the duration of the call: the append and the drift
     // telemetry are two actions over this frame, and a non-deterministic
     // batch (changing source, sample) re-evaluated per action could record
@@ -849,51 +879,6 @@ object Ann {
     * costs one map-side sketch pass and tells you the hot-bucket share.
     * Recall follows the lshTopK parameter trade-offs (RecallSpec
     * measures them). Returns (queryIdCol, corpusIdCol, cosine, rank). */
-  /** HARD-NEGATIVE mining for contrastive/embedding training: for every
-    * anchor, the `k` most-similar corpus rows that are NOT near-duplicates
-    * — similar enough to be informative negatives, distinct enough not to
-    * be false negatives (the InfoNCE/DPR curation step). Built on
-    * [[annJoin]]'s sketch-bucketed candidate generation, then two exact
-    * filters on the kernel cosine — `cosine < dupCosine` (near-dup
-    * exclusion) and optional `floorCosine` (drop easy negatives) — and a
-    * fresh per-anchor rank over the survivors (re-ranked AFTER the
-    * filters, so each anchor still yields up to k usable negatives rather
-    * than k-minus-the-excluded).
-    *
-    * Fully deterministic: candidates, cosines and id tiebreaks are
-    * annJoin's (SQL-replayable — the t45 gate replays sketches, filters
-    * and re-rank from the persisted plane fixture); the thresholds
-    * compare the same doubles on every engine. Candidate recall follows
-    * annJoin's bucket contract — raise `candidateK`/`maxHamming` for
-    * deeper pools. Returns (queryIdCol, corpusIdCol, cosine, rank ≤ k). */
-  def hardNegatives(
-      queries: DataFrame,
-      corpus: DataFrame,
-      queryIdCol: String,
-      corpusIdCol: String,
-      vecCol: String,
-      dim: Int,
-      k: Int,
-      dupCosine: Double,
-      floorCosine: Double = -1.0,
-      candidateK: Int = 64,
-      numPlanes: Int = 8,
-      maxHamming: Int = 1,
-      seed: Long = 42L): DataFrame = {
-    require(dupCosine > floorCosine,
-      s"dupCosine $dupCosine must exceed floorCosine $floorCosine")
-    require(candidateK >= k, s"candidateK $candidateK must be >= k=$k")
-    import org.apache.spark.sql.expressions.Window
-    annJoin(queries, corpus, queryIdCol, corpusIdCol, vecCol, dim,
-        k = candidateK, numPlanes = numPlanes, maxHamming = maxHamming,
-        seed = seed)
-      .filter(col("cosine") < dupCosine && col("cosine") >= floorCosine)
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col(queryIdCol))
-          .orderBy(desc("cosine"), col(corpusIdCol))))
-      .filter(col("rank") <= k)
-  }
-
   def annJoin(
       queries: DataFrame,
       corpus: DataFrame,
@@ -942,6 +927,51 @@ object Ann {
     qs.join(cs, joinKeys)
       .select(col(queryIdCol), col(corpusIdCol),
         cosine(col("__qvec"), col("__cvec")).as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(queryIdCol))
+          .orderBy(desc("cosine"), col(corpusIdCol))))
+      .filter(col("rank") <= k)
+  }
+
+  /** HARD-NEGATIVE mining for contrastive/embedding training: for every
+    * anchor, the `k` most-similar corpus rows that are NOT near-duplicates
+    * — similar enough to be informative negatives, distinct enough not to
+    * be false negatives (the InfoNCE/DPR curation step). Built on
+    * [[annJoin]]'s sketch-bucketed candidate generation, then two exact
+    * filters on the kernel cosine — `cosine < dupCosine` (near-dup
+    * exclusion) and optional `floorCosine` (drop easy negatives) — and a
+    * fresh per-anchor rank over the survivors (re-ranked AFTER the
+    * filters, so each anchor still yields up to k usable negatives rather
+    * than k-minus-the-excluded).
+    *
+    * Fully deterministic: candidates, cosines and id tiebreaks are
+    * annJoin's (SQL-replayable — the t45 gate replays sketches, filters
+    * and re-rank from the persisted plane fixture); the thresholds
+    * compare the same doubles on every engine. Candidate recall follows
+    * annJoin's bucket contract — raise `candidateK`/`maxHamming` for
+    * deeper pools. Returns (queryIdCol, corpusIdCol, cosine, rank ≤ k). */
+  def hardNegatives(
+      queries: DataFrame,
+      corpus: DataFrame,
+      queryIdCol: String,
+      corpusIdCol: String,
+      vecCol: String,
+      dim: Int,
+      k: Int,
+      dupCosine: Double,
+      floorCosine: Double = -1.0,
+      candidateK: Int = 64,
+      numPlanes: Int = 8,
+      maxHamming: Int = 1,
+      seed: Long = 42L): DataFrame = {
+    require(dupCosine > floorCosine,
+      s"dupCosine $dupCosine must exceed floorCosine $floorCosine")
+    require(candidateK >= k, s"candidateK $candidateK must be >= k=$k")
+    import org.apache.spark.sql.expressions.Window
+    annJoin(queries, corpus, queryIdCol, corpusIdCol, vecCol, dim,
+        k = candidateK, numPlanes = numPlanes, maxHamming = maxHamming,
+        seed = seed)
+      .filter(col("cosine") < dupCosine && col("cosine") >= floorCosine)
       .withColumn("rank", row_number().over(
         Window.partitionBy(col(queryIdCol))
           .orderBy(desc("cosine"), col(corpusIdCol))))

@@ -198,24 +198,6 @@ object Regression {
     round(lit(1.0) / (lit(1.0) + exp(-margin)), model.roundTo)
   }
 
-  /** Per-GROUP OLS trend slope as an EXACT integer fraction: for each
-    * group, the least-squares slope of y over x is
-    * `(n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)` — both sides emitted as BIGINTs
-    * (`slope_num`, `slope_den`), so "is this user's spend trending up"
-    * is `slope_num > 0` (den ≥ 0 always) and a threshold test
-    * `slope > t` is the cross-multiplied `slope_num > t·slope_den` —
-    * the q51/q54 design applied to trend detection; consumers divide
-    * only for display.
-    *
-    * `xExpr`/`yExpr` must be integral (epoch days, cents, …). Groups
-    * with a single point (or all-equal x) have `slope_den = 0` —
-    * undefined trend, emitted as-is for the caller to filter, never
-    * silently dropped. Overflow bound: `n·Σ|xy| < 2⁶³` — center x per
-    * group upstream if your x magnitudes are large (the Σ terms shrink
-    * quadratically with centering).
-    *
-    * Spark shape: ONE partially-aggregated groupBy carrying five
-    * BIGINTs per group — no window, no self-join, map-side combined. */
   /** EXACT pairwise correlation structure over integral measure columns:
     * for every pair (i ≤ j) the Pearson numerator `n·Σxy − Σx·Σy` and the
     * two squared-denominator factors `n·Σx² − (Σx)²`, all BIGINT — so
@@ -237,7 +219,15 @@ object Regression {
         cols.indices.map(i => sum(xs(i)).as(s"__s$i")) ++
         (for (i <- cols.indices; j <- cols.indices if j >= i)
           yield sum(xs(i) * xs(j)).as(s"__p${i}_$j"))
-    val agg = filtered.agg(sumCols.head, sumCols.tail: _*)
+    val agg0 = filtered.agg(sumCols.head, sumCols.tail: _*)
+    // an input with no complete rows makes every moment undefined — fail
+    // loudly rather than emit n=0 rows whose null num/den read as "not
+    // correlated" downstream (the ksDrift convention; guard LEFT of +)
+    val agg = agg0.withColumn("__n",
+      coalesce(assert_true(col("__n") > 0,
+        lit("corrMatrixExact: no rows with all measure columns non-null " +
+          "— the correlation structure is undefined")).cast("long"),
+        lit(0L)) + col("__n"))
     val pairRows = for (i <- cols.indices; j <- cols.indices if j >= i) yield
       struct(lit(cols(i)).as("col_i"), lit(cols(j)).as("col_j"),
         col("__n").as("n"),
@@ -250,6 +240,24 @@ object Regression {
     agg.select(explode(array(pairRows: _*)).as("__pair")).select("__pair.*")
   }
 
+  /** Per-GROUP OLS trend slope as an EXACT integer fraction: for each
+    * group, the least-squares slope of y over x is
+    * `(n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)` — both sides emitted as BIGINTs
+    * (`slope_num`, `slope_den`), so "is this user's spend trending up"
+    * is `slope_num > 0` (den ≥ 0 always) and a threshold test
+    * `slope > t` is the cross-multiplied `slope_num > t·slope_den` —
+    * the q51/q54 design applied to trend detection; consumers divide
+    * only for display.
+    *
+    * `xExpr`/`yExpr` must be integral (epoch days, cents, …). Groups
+    * with a single point (or all-equal x) have `slope_den = 0` —
+    * undefined trend, emitted as-is for the caller to filter, never
+    * silently dropped. Overflow bound: `n·Σ|xy| < 2⁶³` — center x per
+    * group upstream if your x magnitudes are large (the Σ terms shrink
+    * quadratically with centering).
+    *
+    * Spark shape: ONE partially-aggregated groupBy carrying five
+    * BIGINTs per group — no window, no self-join, map-side combined. */
   def groupTrend(
       df: DataFrame,
       groupCol: String,

@@ -199,8 +199,10 @@ object Sampling {
     * heaps of k, driver merges k per partition — no shuffle of the
     * corpus, no RNG state, identical on any engine that agrees on md5).
     *
-    * `weight` must be a non-negative numeric column; zero-weight rows
-    * have priority 0 and lose to any positive weight (they enter only a
+    * `weight` must be a non-negative numeric column — a NEGATIVE weight
+    * RAISES (a sign bug must not silently shrink the drawn population);
+    * null weights are excluded as missing. Zero-weight rows have
+    * priority 0 and lose to any positive weight (they enter only a
     * sample larger than the positive-weight population). Ties (identical
     * weight AND identical hash slice) break by id. The priority is ONE
     * double division of exact integers — deterministic everywhere, and
@@ -219,8 +221,16 @@ object Sampling {
     val u = (conv(substring(
         md5(concat(lit(salt), col(idCol).cast("string"))), 1, 8),
       16, 10).cast("double") + lit(1.0)) / lit(4294967296.0)
-    val priority = weight.cast("double") / u
-    df.filter(col(idCol).isNotNull && weight.isNotNull && weight >= 0)
+    // a negative weight is a caller sign bug, not a sampling decision —
+    // silently dropping those rows would shrink the drawn population with
+    // no signal (the loud-failure convention; guard LEFT of the + so the
+    // null short-circuit cannot skip it)
+    val guard = coalesce(assert_true(weight >= 0,
+      lit("prioritySample: negative weight — weights must be >= 0 " +
+        "(rows with NULL weight are excluded as missing)")).cast("double"),
+      lit(0.0))
+    val priority = guard + weight.cast("double") / u
+    df.filter(col(idCol).isNotNull && weight.isNotNull)
       .withColumn("__priority", priority)
       .orderBy(desc("__priority"), col(idCol))
       .limit(k)

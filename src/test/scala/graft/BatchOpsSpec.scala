@@ -1279,3 +1279,24 @@ class LeakageSplitSpec extends SparkSpec {
     assert(counts.getOrElse("train", 0L) > 200L)
   }
 }
+
+/** Loud-guard additions from the round's second review pass. */
+class ReviewGuardSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("prioritySample raises on negative weights instead of dropping") {
+    val df = Seq((1L, 5L), (2L, -3L)).toDF("id", "w")
+    intercept[Exception] {
+      graft.operators.Sampling.prioritySample(df, "id", col("w"), 1).collect()
+    }
+  }
+
+  test("corrMatrixExact raises when no complete rows exist") {
+    val allNull = Seq((Some(1L), Option.empty[Long])).toDF("x", "y")
+    intercept[Exception] {
+      graft.operators.Regression.corrMatrixExact(allNull, Seq("x", "y"))
+        .collect()
+    }
+  }
+}

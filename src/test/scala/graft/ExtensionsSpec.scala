@@ -480,6 +480,17 @@ class AnnSpec extends SparkSpec {
     val afterDelete = Ann.ivfTopK(Ann.ivfRead(spark, path), "vec_id",
       "embedding", q, k = 5, nprobe = 2).collect().map(_.getLong(0))
     assert(!afterDelete.contains(42L))
+    // appending a tombstoned id refuses loudly: the next rebuild would
+    // purge it together with the tombstone, silently undoing the append
+    val readd = Seq((42L, rows(42)._2)).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Ann.ivfAppend(spark, path, readd, "vec_id", "embedding", "readd-1")
+    }
+    assert(e.getMessage.contains("tombstoned"))
+    // deleting by a non-id column refuses before writing anything
+    intercept[IllegalArgumentException] {
+      Ann.ivfDelete(spark, path, Seq(1L).toDF("gr_cluster"))
+    }
     // re-deleting is harmless; rebuild purges physically and keeps it out
     Ann.ivfDelete(spark, path, Seq(42L).toDF("vec_id"))
     val rebuilt = Ann.ivfRebuild(spark, path, "vec_id")
