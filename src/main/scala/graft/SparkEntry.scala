@@ -2924,6 +2924,22 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  /** Audio near-dup JOIN: the m12 gradient fingerprints through the same
+    * generalized band join as m14 — one banding machine now serves text
+    * (d3), image (m14) and audio signatures. The oracle recomputes every
+    * fingerprint from the closed-form PCM and takes the brute-force
+    * Hamming ≤ 2 pair set. */
+  private def m15_audio_dedup_join(s: SparkSession, dir: String): DataFrame = {
+    val h = Multimodal.decodeWavFingerprint(
+        s.read.parquet(Fixtures.audioPcmDocs(s, dir)), k = 3)
+      .filter(col("afp.format") === "wav")
+      .select(col("doc_id"),
+        shiftleft(col("afp.hash_hi").cast("long"), 32)
+          .bitwiseOR(col("afp.hash_lo").cast("long")).as("h64"))
+    graft.operators.Dedup.hashPairs64(h, "doc_id", "h64", maxHamming = 2)
+      .orderBy("id_a", "id_b")
+  }
+
   private def m4_pixels(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodePngPixels(s.read.parquet(Fixtures.pngPixelDocs(s, dir)))
       .select(col("doc_id"), col("pixel_stats.width"), col("pixel_stats.height"),
@@ -3652,6 +3668,7 @@ object SparkEntry {
     "a13_matryoshka" -> (a13_matryoshka _),
     "a14_ivf_delete" -> (a14_ivf_delete _),
     "m14_image_dedup_join" -> (m14_image_dedup_join _),
+    "m15_audio_dedup_join" -> (m15_audio_dedup_join _),
     "s35_snapshot" -> (s35_snapshot _),
     "s25_compact" -> (s25_compact _),
     "s26_merge" -> (s26_merge _),
@@ -6790,6 +6807,30 @@ object SparkEntry {
          SELECT h.doc_id, h.n_in, h.hash_hi, h.hash_lo, g.group_size
          FROM hsh h JOIN grp g USING (hash_hi, hash_lo)
          ORDER BY h.doc_id""",
+    // m12's closed-form fingerprints -> brute-force Hamming<=2 pairs
+    "m15_audio_dedup_join" ->
+      """WITH d AS (SELECT doc_id, doc_id % 200 + 50 AS n FROM documents),
+         s AS (SELECT doc_id, j,
+             CAST(((doc_id * 131 + (j * 3) * 31) % 65536) - 32768 AS BIGINT) AS v
+           FROM d, UNNEST(range(0, (n + 2) // 3)) AS t(j)),
+         b AS (SELECT a.doc_id, a.j,
+             CASE WHEN a.v < c.v THEN 1 ELSE 0 END AS bit
+           FROM s a JOIN s c ON a.doc_id = c.doc_id AND c.j = a.j + 1
+           WHERE a.j < 64),
+         hsh AS (SELECT doc_id,
+             CAST(SUM(CASE WHEN j >= 32
+               THEN CAST(bit AS BIGINT) << (j - 32) ELSE 0 END)
+               AS BIGINT) AS hi,
+             CAST(SUM(CASE WHEN j < 32
+               THEN CAST(bit AS BIGINT) << j ELSE 0 END)
+               AS BIGINT) AS lo
+           FROM b GROUP BY doc_id)
+         SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+           CAST(bit_count(xor(a.hi, c.hi))
+              + bit_count(xor(a.lo, c.lo)) AS INT) AS hamming
+         FROM hsh a JOIN hsh c ON a.doc_id < c.doc_id
+         WHERE bit_count(xor(a.hi, c.hi)) + bit_count(xor(a.lo, c.lo)) <= 2
+         ORDER BY id_a, id_b""",
     "m5_audio_pcm" ->
       """WITH d AS (SELECT doc_id, doc_id % 200 + 50 AS n FROM documents),
          s AS (SELECT doc_id, ((doc_id * 131 + i * 31) % 65536) - 32768 AS v
