@@ -111,4 +111,30 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_count") || plan.contains("Partial"),
       "map-side combine must exist")
   }
+
+  test("t43 priority sample: TakeOrdered draw, no corpus hash shuffle") {
+    val plan = finalPlan(SparkEntry.queries("t43_priority_sample")(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(count(plan, "Exchange hashpartitioning") == 0, plan.take(2000))
+  }
+
+  test("q55 group trend: one partially-aggregated key shuffle, no window") {
+    val plan = finalPlan(SparkEntry.queries("q55_trend")(spark, dir))
+    assert(count(plan, "Exchange hashpartitioning") == 1, plan.take(2000))
+    assert(!plan.contains("Window"), "five-sum agg must not plan a window")
+  }
+
+  test("q53 ewma and q54 cusum: ONE keyed shuffle serves every window") {
+    for (q <- Seq("q53_ewma", "q54_cusum")) {
+      val plan = finalPlan(SparkEntry.queries(q)(spark, dir))
+      assert(count(plan, "Exchange hashpartitioning") == 1, s"$q: " + plan.take(2000))
+      assert(!plan.contains("CartesianProduct"), q)
+    }
+  }
+
+  test("rj2 interval overlap: bucket equi-join, no cartesian, no nested loop") {
+    val plan = finalPlan(SparkEntry.queries("rj2_interval_join")(spark, dir))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
 }
