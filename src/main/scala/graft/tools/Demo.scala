@@ -73,6 +73,25 @@ object Demo {
     println(s"[demo] top tokens: $hot")
     val sample = graft.operators.Sampling.sampleByGroup(docs, "lang", "doc_id", 2)
     println(s"[demo] stratified sample rows: ${sample.count()}")
+
+    // round-14 analytics: a weighted draw, a leakage-safe split, and the
+    // exact-arithmetic telemetry trio over the events table
+    val draw = graft.operators.Sampling.prioritySample(
+      docs, "doc_id", col("n_chars"), k = 5)
+    println(s"[demo] priority draw: " +
+      draw.select("doc_id").collect().map(_.getLong(0)).sorted.mkString(","))
+    val splits = docs.select(graft.functions.TextFunctions
+        .leakageSafeSplit(col("text"),
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)).as("s"))
+      .groupBy("s").count().collect()
+      .map(r => s"${r.getString(0)}:${r.getLong(1)}").sorted.mkString(", ")
+    println(s"[demo] leakage-safe split: $splits")
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("v_scaled", floor(col("value") * 100).cast("long"))
+    val shifts = graft.operators.Timeseries.cusum(ev, "user_id", "ts",
+        "event_id", col("v_scaled"), target = 5000L, threshold = 100000L)
+      .filter(col("is_shift_up") || col("is_shift_down")).count()
+    println(s"[demo] cusum shift points: $shifts")
     spark.stop()
   }
 }
