@@ -174,6 +174,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // optional first arg: comma-separated headline filter (dev spot-timing;
+    // the driver passes no args and times the full list)
+    val headline = args.headOption
+      .map(f => { val s = f.split(",").toSet; Bench.headline.filter(s) })
+      .getOrElse(Bench.headline)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -281,7 +286,14 @@ object Bench {
         }
         s"""{"factor":$scaleFactor,"queries":${entries.mkString("{", ",", "}")}}"""
       }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"passes":$passes,"failed":$failed,"scale":$scaleJson,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"passes":$passes,"failed":$failed,"scale":$scaleJson,"sf":"$sfDir"}"""
+    println(line)
+    // also persist the full JSON beside the stdout line: a tail-capture of
+    // a long headline section must not be the only copy of the numbers
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench_last.json"), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

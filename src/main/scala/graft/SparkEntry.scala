@@ -216,8 +216,13 @@ object SparkEntry {
       .unionByName(graft.operators.Skew
         .joinCardinality(li, "l_orderkey", t(s, dir, "orders"), "o_orderkey")
         .withColumn("relation", lit("li_orders")))
-      .select("relation", "total_pairs", "matched_keys",
-        "max_key_pairs", "top_key")
+      // the operator's decimal(38,0) totals guard 1e19-pair pathologies at
+      // scale; the GATE narrows to BIGINT (values fit at any test SF) so the
+      // oracle's HUGEINT sums can be CAST identically — wide-integer oracle
+      // outputs stringify differently across DuckDB client fetch paths
+      .select(col("relation"), col("total_pairs").cast("long").as("total_pairs"),
+        col("matched_keys"), col("max_key_pairs").cast("long").as("max_key_pairs"),
+        col("top_key"))
       .orderBy("relation")
   }
 
@@ -2021,6 +2026,47 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  private val SemDedupAppendCentroidsFixture =
+    "/tmp/graft_fixtures/semdedup_append_centroids.parquet"
+
+  /** INCREMENTAL SemDeDup: the index is built from the ORGANIC embeddings
+    * only, then a 12-row batch arrives — 10 bit-exact direction copies of
+    * vector 0 (ids 9600000+i, power-of-two scaled: each must drop with
+    * rep_id 0, the RESIDENT disqualifier), one copy of vector 1 (id
+    * 9600010 → rep_id 1), and one one-hot probe (id 9600011, kept or
+    * dropped as the replayed truth decides). The oracle recomputes the
+    * FULL corpus ∪ batch with the persisted frozen centroids and
+    * restricts to batch ids — green means the touched-clusters-only
+    * incremental path equals the full re-run exactly.
+    * See [[graft.operators.Dedup.semDedupAppend]]. */
+  private def d19_semdedup_append(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+    val index = Ann.ivfBuild(e, "vec_id", "embedding", nlist = 8)
+    index.centroids.map { case (cid, v) => (cid, v.toSeq) }
+      .toDF("cid", "vec")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(SemDedupAppendCentroidsFixture)
+    val planted = e.filter(col("vec_id") === 0)
+      .select(explode(sequence(lit(0L), lit(9L))).as("i"), col("embedding"))
+      .select((col("i") + 9600000L).as("vec_id"),
+        transform(col("embedding"),
+          x => (x * pow(lit(2.0), col("i") - 5)).cast("float")).as("embedding"))
+    val copy1 = e.filter(col("vec_id") === 1)
+      .select(lit(9600010L).as("vec_id"),
+        transform(col("embedding"), x => (x * 2).cast("float")).as("embedding"))
+    val oneHot = e.filter(col("vec_id") === 0)
+      .select(lit(9600011L).as("vec_id"),
+        transform(col("embedding"),
+          (_, i) => when(i === 0, lit(1.0f)).otherwise(lit(0.0f)))
+          .as("embedding"))
+    val batch = planted.unionByName(copy1).unionByName(oneHot)
+    Dedup.semDedupAppend(index, batch, "vec_id", eps = 0.95,
+        maxClusterSize = 1 << 20)
+      .select("id", "gr_cluster", "kept", "rep_id")
+      .orderBy("id")
+  }
+
   private def a3_ann_ivf(s: SparkSession, dir: String): DataFrame = {
     val index = Ann.ivfBuild(annCorpus(s, dir), "vec_id", "embedding", nlist = 16)
     Ann.ivfTopK(index, "vec_id", "embedding", queryVec(s, dir),
@@ -3466,6 +3512,30 @@ object SparkEntry {
     graft.operators.Theta.intersectEstimate(sk("click"), sk("view"), k = 64)
   }
 
+  /** Markup → clean text over a per-document synthetic HTML wrapper:
+    * title/heading blocks, dropped style/script/comment content, entity
+    * references, a literal `<`, numeric entities and list items — the
+    * extractor must reduce it to the documented text + newline structure,
+    * which the oracle states DIRECTLY as a SQL string expression (no
+    * HTML parsing in DuckDB; the fixture is built by the same concat on
+    * both sides). Edge grammar is pinned by MarkupExtractSpec.
+    * See [[graft.functions.MarkupExtractExpr]]. */
+  private def t48_markup_extract(s: SparkSession, dir: String): DataFrame = {
+    val html = concat(
+      lit("<html><head><title>Doc "), col("doc_id"),
+      lit("</title><style type=\"text/css\">body {color: red}</style>"),
+      lit("<script>if (1 &lt; 2) { alert(\"x\"); }</script></head>"),
+      lit("<body><h1 class=\"t\">heading "), col("doc_id"), lit("</h1>"),
+      lit("<!-- hidden "), col("lang"), lit(" --><p>"), col("text"),
+      lit(" &amp; more&nbsp;text</p>"),
+      lit("<div><b>bold</b> and <i>italic</i> words < 5 &#97;lpha</div>"),
+      lit("<ul><li>first</li><li>second</li></ul></body></html>"))
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.extractMarkup(html).as("clean"))
+      .orderBy("doc_id")
+  }
+
   /** Conversation assembly over the event log: per-user ordered
     * transcript of "event_type: props" lines, capped at 50 turns (some
     * users exceed it at this SF, so the WindowGroupLimit cap binds and
@@ -3690,6 +3760,7 @@ object SparkEntry {
     "t44_leakage_split" -> (t44_leakage_split _),
     "t45_hard_negatives" -> (t45_hard_negatives _),
     "t47_theta_intersect" -> (t47_theta_intersect _),
+    "t48_markup_extract" -> (t48_markup_extract _),
     "s18_scan_lazy" -> (s18_scan_lazy _),
     "s21_scan_identity" -> (s21_scan_identity _),
     "s9_scan_csv" -> (s9_scan_csv _),
@@ -3736,6 +3807,7 @@ object SparkEntry {
     "d4_ngram_jaccard" -> (d4_ngram_jaccard _),
     "d5_embed_neardup" -> (d5_embed_neardup _),
     "d13_semdedup" -> (d13_semdedup _),
+    "d19_semdedup_append" -> (d19_semdedup_append _),
     "g1_pagerank" -> (g1_pagerank _),
     "g2_triangles" -> (g2_triangles _),
     "g3_kcore" -> (g3_kcore _),
@@ -4043,21 +4115,21 @@ object SparkEntry {
     "q45_join_card" ->
       """WITH ca AS (SELECT CAST(l_partkey AS VARCHAR) AS k, COUNT(*) AS c
              FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
-         p1 AS (SELECT k, CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)) AS pairs FROM ca),
-         s1 AS (SELECT CAST(SUM(pairs) AS DECIMAL(38,0)) AS total_pairs,
+         p1 AS (SELECT k, CAST(c AS BIGINT) * CAST(c AS BIGINT) AS pairs FROM ca),
+         s1 AS (SELECT CAST(SUM(pairs) AS BIGINT) AS total_pairs,
              CAST(COUNT(*) AS BIGINT) AS matched_keys,
-             CAST(MAX(pairs) AS DECIMAL(38,0)) AS max_key_pairs FROM p1),
+             CAST(MAX(pairs) AS BIGINT) AS max_key_pairs FROM p1),
          t1 AS (SELECT min(k) AS top_key FROM p1
            WHERE pairs = (SELECT max(pairs) FROM p1)),
          cl AS (SELECT CAST(l_orderkey AS VARCHAR) AS k, COUNT(*) AS c
              FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
          co AS (SELECT CAST(o_orderkey AS VARCHAR) AS k, COUNT(*) AS c
              FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1),
-         p2 AS (SELECT cl.k, CAST(cl.c AS DECIMAL(19,0)) * CAST(co.c AS DECIMAL(19,0)) AS pairs
+         p2 AS (SELECT cl.k, CAST(cl.c AS BIGINT) * CAST(co.c AS BIGINT) AS pairs
            FROM cl JOIN co USING (k)),
-         s2 AS (SELECT CAST(SUM(pairs) AS DECIMAL(38,0)) AS total_pairs,
+         s2 AS (SELECT CAST(SUM(pairs) AS BIGINT) AS total_pairs,
              CAST(COUNT(*) AS BIGINT) AS matched_keys,
-             CAST(MAX(pairs) AS DECIMAL(38,0)) AS max_key_pairs FROM p2),
+             CAST(MAX(pairs) AS BIGINT) AS max_key_pairs FROM p2),
          t2 AS (SELECT min(k) AS top_key FROM p2
            WHERE pairs = (SELECT max(pairs) FROM p2))
          SELECT 'li_self_partkey' AS relation, s1.*, t1.* FROM s1, t1
@@ -4113,8 +4185,8 @@ object SparkEntry {
          m AS (SELECT from_event, to_event, count(*) AS n FROM p
            WHERE to_event IS NOT NULL GROUP BY 1, 2)
          SELECT from_event, to_event, n,
-           (n * 1000000) // sum(n) OVER (PARTITION BY from_event)
-             AS per_million
+           CAST((n * 1000000) // sum(n) OVER (PARTITION BY from_event)
+             AS BIGINT) AS per_million
          FROM m ORDER BY from_event, to_event""",
     "q51_anomaly" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
@@ -4125,7 +4197,8 @@ object SparkEntry {
              sum(v * v) OVER win AS w_sumsq
            FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
-         SELECT user_id, event_id, v AS v_scaled, w_n, w_sum,
+         SELECT user_id, event_id, v AS v_scaled, w_n,
+           CAST(w_sum AS BIGINT) AS w_sum,
            (w_n >= 8 AND (w_n*v - w_sum)*(w_n*v - w_sum)*(w_n - 1)
               > 9*w_n*(w_n*w_sumsq - w_sum*w_sum)) AS is_anomaly
          FROM w ORDER BY user_id, event_id""",
@@ -4596,6 +4669,19 @@ object SparkEntry {
            CAST(c.n_common * 4294967296 // t.theta AS BIGINT)
              AS est_intersection
          FROM t, c""",
+    // the fixture is built by the same concat on both sides, so the
+    // expected extraction is a DIRECT string expression — no HTML
+    // parsing in the oracle (title/h1/p/div/li are block tags, style/
+    // script/comment content drops, &amp;/&nbsp;/&#97; decode, a bare
+    // '< ' stays literal)
+    "t48_markup_extract" ->
+      """SELECT doc_id,
+           'Doc ' || doc_id || chr(10) ||
+           'heading ' || doc_id || chr(10) ||
+           text || ' & more text' || chr(10) ||
+           'bold and italic words < 5 alpha' || chr(10) ||
+           'first' || chr(10) || 'second' AS clean
+         FROM documents ORDER BY doc_id""",
     // top-k by weight/u with the salted uniform replayed literally
     "t43_priority_sample" ->
       """SELECT doc_id, source FROM (
@@ -5286,6 +5372,49 @@ object SparkEntry {
          SELECT g.vec_id AS id, CAST(g.gr_cluster AS INT) AS gr_cluster,
            r.rep_id IS NULL AS kept, r.rep_id
          FROM asg g LEFT JOIN reps r ON r.id = g.vec_id
+         ORDER BY id""",
+    // full-recompute truth for the INCREMENTAL path: corpus ∪ batch
+    // assigned with the persisted frozen centroids, the d13 pair rule,
+    // restricted to batch ids — must equal semDedupAppend exactly
+    "d19_semdedup_append" ->
+      """WITH cent AS (SELECT cid, vec FROM
+           read_parquet('/tmp/graft_fixtures/semdedup_append_centroids.parquet/*.parquet')),
+         base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         pl AS (SELECT 9600000 + i AS vec_id,
+             CAST(list_transform(e.embedding,
+               x -> CAST(x * POW(2.0, i - 5) AS FLOAT)) AS DOUBLE[]) AS v
+           FROM range(10) t(i), embeddings e WHERE e.vec_id = 0),
+         cp AS (SELECT 9600010 AS vec_id,
+             CAST(list_transform(e.embedding,
+               x -> CAST(x * 2 AS FLOAT)) AS DOUBLE[]) AS v
+           FROM embeddings e WHERE e.vec_id = 1),
+         oh AS (SELECT 9600011 AS vec_id,
+             CAST(list_transform(range(1, len(e.embedding) + 1),
+               i -> CASE WHEN i = 1 THEN CAST(1.0 AS FLOAT)
+                         ELSE CAST(0.0 AS FLOAT) END) AS DOUBLE[]) AS v
+           FROM embeddings e WHERE e.vec_id = 0),
+         corp AS (SELECT * FROM base UNION ALL SELECT * FROM pl
+           UNION ALL SELECT * FROM cp UNION ALL SELECT * FROM oh),
+         asg AS (SELECT vec_id, v, cid AS gr_cluster FROM (
+             SELECT c.vec_id, c.v, cent.cid, ROW_NUMBER() OVER
+               (PARTITION BY c.vec_id ORDER BY
+                 list_dot_product(c.v, cent.vec) /
+                   (sqrt(list_dot_product(c.v, c.v)) *
+                    sqrt(list_dot_product(cent.vec, cent.vec))) DESC,
+                 cent.cid DESC) AS rk
+             FROM corp c CROSS JOIN cent) x WHERE rk = 1),
+         reps AS (SELECT b.vec_id AS id, MIN(a.vec_id) AS rep_id
+           FROM asg a JOIN asg b
+             ON a.gr_cluster = b.gr_cluster AND a.vec_id < b.vec_id
+           WHERE b.vec_id >= 9600000
+             AND list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) *
+                sqrt(list_dot_product(b.v, b.v))) >= 0.95
+           GROUP BY b.vec_id)
+         SELECT g.vec_id AS id, CAST(g.gr_cluster AS INT) AS gr_cluster,
+           r.rep_id IS NULL AS kept, r.rep_id
+         FROM asg g LEFT JOIN reps r ON r.id = g.vec_id
+         WHERE g.vec_id >= 9600000
          ORDER BY id""",
     "d6_dedup_pipeline" ->
       """SELECT doc_id FROM documents ORDER BY doc_id""",
@@ -7060,8 +7189,8 @@ object SparkEntry {
            CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
                   <= 21600000000 THEN 0 ELSE 1 END AS ns FROM e),
          y AS (SELECT user_id, ts, value,
-           SUM(ns) OVER (PARTITION BY user_id ORDER BY us
-             ROWS UNBOUNDED PRECEDING) AS session_seq FROM x)
+           CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY us
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM x)
          SELECT user_id, session_seq,
            MIN(ts) AS session_start, MAX(ts) AS session_end,
            COUNT(*) AS n_events,

@@ -404,4 +404,11 @@ object TextFunctions {
       transform(regexp_extract_all(text, lit("[^.!?]+[.!?]*"), lit(0)),
         s => trim(s)),
       s => s =!= "")
+
+  /** Markup (HTML-ish) → clean text: tags stripped (block tags →
+    * newlines), script/style/comments dropped, entities decoded,
+    * whitespace collapsed. The crawl-ingest front door ahead of
+    * boilerplate stripping / quality scoring / dedup — full grammar on
+    * [[MarkupExtractExpr]]. */
+  def extractMarkup(text: Column): Column = MarkupExtractExpr(text)
 }

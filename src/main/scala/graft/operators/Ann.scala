@@ -409,6 +409,14 @@ object Ann {
       greatest(scoredStructs(cs, vecCol): _*).getField("cid"))
   }
 
+  /** The frozen-centroid assignment, shared with the operators that must
+    * cluster NEW rows exactly like the index did (incremental SemDeDup —
+    * [[graft.operators.Dedup.semDedupAppend]]). Same kernel, same
+    * tie-break, so batch and build assignments can never diverge. */
+  private[operators] def assignWithFrozenCentroids(df: DataFrame,
+      cs: Seq[(Int, Array[Double])], vecCol: String): DataFrame =
+    assignClusters(df, cs, vecCol)
+
   /** Sidecar carrying the structural parameters of a persisted IVF index
     * (`dim`, `nlist`) — the values an append MUST match: appending
     * vectors of another dimensionality silently corrupts every cosine

@@ -567,6 +567,83 @@ object Dedup {
     armLshListener(out, "graft_semdedup", maxClusterSize, Nil)
   }
 
+  /** Incremental [[semDedup]]: verdicts for an APPENDED batch without
+    * re-running the full corpus — the semantic-dedup analog of the
+    * minhash incremental index (`d11`) and the IVF append path (`a3b`).
+    *
+    * New vectors are clustered with the index's FROZEN centroids (the
+    * exact [[Ann.ivfAppend]] assignment kernel, same tie-break), and only
+    * the clusters the batch TOUCHES are read back — on the persisted
+    * `partitionBy(gr_cluster)` layout that is a partition-pruned scan, so
+    * batch cost scales with batch size × cluster width, not corpus size.
+    * Within a touched cluster the batch row competes against EVERY
+    * resident row (kept or dropped — [[semDedup]]'s rule is
+    * non-recursive, so a dropped resident still disqualifies) and against
+    * earlier-id rows of its own batch.
+    *
+    * Returned verdicts for the batch EQUAL the batch rows' verdicts under
+    * a full [[semDedup]] re-run over (corpus ∪ batch) with the same
+    * centroids — the `d19` gate proves it against the brute-force oracle.
+    * Verdicts PREVIOUSLY issued for resident rows stay valid only when
+    * every batch id sorts after every resident id (append-only id
+    * discipline); `requireMonotonicIds` (default on) enforces that with
+    * one aggregation over the touched clusters and refuses loudly,
+    * because the alternative is silently stale keep-lists.
+    *
+    * Returns (id, gr_cluster, kept, rep_id) for batch rows only. */
+  def semDedupAppend(
+      index: graft.operators.Ann.IvfIndex,
+      newRows: DataFrame,
+      idCol: String,
+      eps: Double = 0.95,
+      maxClusterSize: Int = DefaultMaxBucketSize,
+      requireMonotonicIds: Boolean = true): DataFrame = {
+    val batch = graft.operators.Ann.assignWithFrozenCentroids(
+        newRows.select(col(idCol), col(index.vecCol)),
+        index.centroids, index.vecCol)
+      .select(col(idCol).as("id"), col(index.vecCol).as("vec"),
+        col("gr_cluster").as("bucket"), lit(true).as("__new"))
+      .persist()
+    // touched cluster ids: bounded by nlist, the one driver-side collect
+    // that buys partition pruning on the resident scan
+    val touched = batch.select("bucket").distinct()
+      .collect().map(_.get(0)).toSeq
+    val resident = index.clustered
+      .filter(col("gr_cluster").isInCollection(touched))
+      .select(col(idCol).as("id"), col(index.vecCol).as("vec"),
+        col("gr_cluster").as("bucket"), lit(false).as("__new"))
+    if (requireMonotonicIds) {
+      // engine-side comparison: id ordering stays whatever the id TYPE's
+      // ordering is (long, string, ...), matching the drop rule's `<`
+      val row = resident.agg(max(col("id")).as("mx"))
+        .crossJoin(batch.agg(min(col("id")).as("mn")))
+        .select(coalesce(col("mn") > col("mx"), lit(true)).as("ok"),
+          col("mn"), col("mx")).head()
+      require(row.getBoolean(0),
+        s"batch min id ${row.get(1)} does not sort after resident max id " +
+          s"${row.get(2)} in the touched clusters — earlier semDedup " +
+          "verdicts for resident rows would be silently stale. Re-id the " +
+          "batch append-only, or pass requireMonotonicIds = false if no " +
+          "old keep-list is held.")
+    }
+    val all = resident.unionByName(batch)
+    val capped = capBuckets(all, maxClusterSize, "graft_semdedup_append")
+    val reps = capped
+      .select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
+      .join(capped.filter(col("__new"))
+        .select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b")),
+        Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", Ann.cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= eps)
+      .groupBy(col("id_b").as("id")).agg(min(col("id_a")).as("rep_id"))
+    val out = batch.select(col("id"), col("bucket").as("gr_cluster"))
+      .join(reps, Seq("id"), "left")
+      .select(col("id"), col("gr_cluster"),
+        col("rep_id").isNull.as("kept"), col("rep_id"))
+    armLshListener(out, "graft_semdedup_append", maxClusterSize, Seq(batch))
+  }
+
   /** Persist-ready minhash index of a corpus: (id, shingle_set, sig).
     * Write it once with [[minhashIndexWrite]] and every later ingest
     * matches against it with [[minhashPairsAgainst]] — the corpus text is
@@ -1322,9 +1399,12 @@ object Dedup {
         setName: String): DataFrame =
       df.select(col(idCol), TextFunctions.words(col(textCol)).as("__w"))
         .filter(size(col("__w")) > 0)
+        // fused kernel: one pass + in-place sort per row, replacing the
+        // four-expression array_sort(array_distinct(shingles(...))) chain
+        // (the d18 profile put ~85% of the join's cost in that prep)
         .select(col(idCol),
-          array_sort(array_distinct(
-            TextFunctions.shingles(col("__w"), shingleSize))).as(setName))
+          graft.functions.SortedShingleSetExpr(col("__w"), shingleSize)
+            .as(setName))
         // prefix length |A| - ceil(t|A|) + 1, with ceil in integers:
         // ceil(num·n / den) = (num·n + den − 1) div den
         .withColumn("__pfx", slice(col(setName), lit(1),
@@ -1335,9 +1415,22 @@ object Dedup {
       .select(col(queryIdCol), col("__qs"), explode(col("__pfx")).as("__tok"))
     val c = prepared(corpus, corpusIdCol, corpusTextCol, "__cs")
       .select(col(corpusIdCol), col("__cs"), explode(col("__pfx")).as("__tok"))
-    val inter = size(array_intersect(col("__qs"), col("__cs")))
+    // merge-count over the two sorted arrays: no per-row hash set, unlike
+    // size(array_intersect(...))
+    val inter = graft.functions.SortedIntersectCountExpr(
+      col("__qs"), col("__cs"))
     val uni = size(col("__qs")) + size(col("__cs")) - inter
     q.join(c, "__tok")
+      // length filter (the standard Vernica refinement): J(A,B) ≥ t forces
+      // min(|A|,|B|)·den ≥ max(|A|,|B|)·num, because the intersection can
+      // never exceed the smaller set. Two integer size comparisons prune a
+      // candidate BEFORE the pair-dedup shuffle and the merge verification
+      // — on low-entropy vocabularies (heavy prefix-token collisions) this
+      // is most of the candidate stream; lossless by construction, so the
+      // d18 brute-force gate is unaffected
+      .filter(
+        size(col("__cs")) * thresholdDen >= size(col("__qs")) * thresholdNum &&
+        size(col("__qs")) * thresholdDen >= size(col("__cs")) * thresholdNum)
       .dropDuplicates(queryIdCol, corpusIdCol)
       .select(col(queryIdCol), col(corpusIdCol),
         inter.as("inter"), uni.as("uni"))

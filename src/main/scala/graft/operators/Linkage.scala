@@ -15,15 +15,18 @@ import org.apache.spark.sql.functions._
   *
   *   { first whitespace token, last whitespace token, first 3 chars }
   *
-  * of the normalized name. A single character edit (insert / delete /
-  * substitute, including edits that add or remove the token separator
-  * itself) is local to one position, so for names with at least two tokens
-  * whose first token has ≥ 3 characters it can invalidate at most two of
-  * the three keys — any true pair at Levenshtein distance ≤ 1 is guaranteed
-  * to share a key (the `q49_fuzzy_link` gate PROVES this at sf0.01: its
-  * DuckDB oracle is the brute-force all-pairs join and the hashes must
-  * match). For larger distance budgets callers widen the key set; recall
-  * beyond the guarantee is a fixture question, not a code path.
+  * of the normalized name, each compounded with a full-name length band
+  * (see [[blockKeys]]) so low-entropy vocabularies still block finely. A
+  * single character edit (insert / delete / substitute, including edits
+  * that add or remove the token separator itself) is local to one
+  * position, so for names with at least two tokens whose first token has
+  * ≥ 3 characters it can invalidate at most two of the three token keys,
+  * and the length bands bridge the ≤ 1 length change — any true pair at
+  * Levenshtein distance ≤ 1 is guaranteed to share a compound key (the
+  * `q49_fuzzy_link` gate PROVES this at sf0.01: its DuckDB oracle is the
+  * brute-force all-pairs join and the hashes must match). For larger
+  * distance budgets callers widen the key set; recall beyond the
+  * guarantee is a fixture question, not a code path.
   *
   * Spark shape: both sides explode to (id, name, key) rows (map-side, ≤ 3
   * rows each), candidates come from ONE hash equi-join on the key followed
@@ -43,25 +46,59 @@ object Linkage {
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
   private val metricNonce = new java.util.concurrent.atomic.AtomicLong(0)
 
-  /** The multi-pass blocking keys of one normalized name column. */
-  private[graft] def blockKeys(name: Column): Column =
-    array_distinct(array(
+  /** The multi-pass blocking keys of one normalized name column, each
+    * compounded with a length band.
+    *
+    * Token keys alone degenerate on low-entropy vocabularies (TPC-H part
+    * names draw from ~92 words, so a bare token key collects thousands of
+    * rows and candidate verification goes quadratic). Compounding each key
+    * with the name's length restores selectivity WITHOUT losing the ≤
+    * `maxDistance` guarantee: one edit changes the full-string length by at
+    * most 1, so a true pair's lengths differ by ≤ d. Both sides emit
+    * `(key, len − j)` for j ∈ 0..d; whichever side is longer lands on the
+    * shorter side's exact length, so every true pair still shares ≥ 1
+    * compound key (if lb = la + k, 0 ≤ k ≤ d, the pair meets at
+    * `(key, la)` via j = 0 on the left and j = k on the right). The key
+    * count grows (d+1)-fold; block sizes shrink by the length spread —
+    * at a 30-length spread that is ~15× fewer candidate verifications,
+    * and at 100 TB it is what keeps hot-token blocks sub-quadratic even
+    * before `keyCap` intervenes. */
+  private[graft] def blockKeys(name: Column, maxDistance: Int): Column = {
+    val base = array_distinct(array(
       element_at(split(name, "\\s+"), 1),
       element_at(split(name, "\\s+"), -1),
       substring(name, 1, 3)))
+    val bands = (0 to maxDistance).map(j =>
+      (length(name) - j).cast("string"))
+    // separator: a control char no name contains, so distinct
+    // (token, band) pairs cannot alias into one merged block
+    array_distinct(flatten(transform(base, k =>
+      array(bands.map(b => concat_ws("\u0001", k, b)): _*))))
+  }
 
-  private def keyed(df: DataFrame, idCol: String, nameCol: String): DataFrame =
-    df.select(col(idCol), col(nameCol),
-        explode(blockKeys(col(nameCol))).as("__bk"))
+  private def keyed(df: DataFrame, nameCol: String, maxDistance: Int): DataFrame =
+    df.select(col(nameCol),
+        explode(blockKeys(col(nameCol), maxDistance)).as("__bk"))
 
   /** Candidate pairs that share ≥ 1 blocking key, verified with an exact
     * Levenshtein bound. Returns `(leftId, rightId, distance)`; column names
     * are taken from the inputs and must differ between the sides.
     *
-    * `keyCap > 0` drops blocks bigger than the cap on either side BEFORE
-    * the join (one lightweight count aggregation per side — the same
-    * shuffle the join performs anyway at 100 TB is thereby bounded to
-    * `keyCap²` comparisons per block). */
+    * The verification runs at the DISTINCT-NAME level: each side is
+    * first reduced to its distinct names, the banded block join and
+    * levenshtein verify those, and two equi-joins expand the verified
+    * name pairs back onto the id rows. Levenshtein cost therefore scales
+    * with |distinct names|² per block, not |rows|² — on a corpus whose
+    * names repeat (the entity-resolution NORM: the q49 fixture carries
+    * each name ~300×, and a real customer table is the same shape) this
+    * is a duplication-factor-squared reduction of the verify stage, and
+    * on an all-unique corpus the distinct pass is a free no-op. The
+    * expansion joins shuffle only `(name, name, distance)` matches and
+    * id rows — never unverified candidates.
+    *
+    * `keyCap > 0` drops blocks bigger than the cap (counted in DISTINCT
+    * names per key, the unit of verify work) on either side BEFORE the
+    * join — bounding every block to `keyCap²` comparisons. */
   def fuzzyJoin(
       left: DataFrame, leftId: String, leftName: String,
       right: DataFrame, rightId: String, rightName: String,
@@ -85,30 +122,38 @@ object Linkage {
     // with a broadcast build the stream side keeps the scan partitioning,
     // and a single-file table would push every block's whole candidate
     // stream (and its pipelined levenshtein) through ONE task — the
-    // shuffled rows are (id, name, key), never candidate pairs
-    val l = capped(keyed(left, leftId, leftName), "l")
+    // shuffled rows are (name, key), never candidate pairs
+    val l = capped(keyed(left.select(col(leftName)).distinct(),
+        leftName, maxDistance), "l")
       .repartition(col("__bk"))
-    val r = capped(keyed(right, rightId, rightName), "r")
+    val r = capped(keyed(right.select(col(rightName)).distinct(),
+        rightName, maxDistance), "r")
     // verify BEFORE the pair dedup: the distance filter is pipelined
     // map-side on the join output, so the dropDuplicates shuffle carries
-    // only TRUE matches (ids + distance), not every colliding candidate
-    // with both name strings — at a 92-token first-name vocabulary that
-    // is the difference between shuffling ~|matches| rows and several
-    // million name-pairs (the 1 GiB-heap bench OOM this reordering
-    // fixed). A pair colliding on all three keys pays ≤ 3 levenshtein
-    // evaluations instead of 1 — compute in the pipeline is the right
-    // side of that trade; distance is deterministic per pair, so
-    // dedup-after-filter equals filter-after-dedup exactly.
+    // only TRUE name matches, not every colliding candidate. A pair
+    // colliding on several compound keys pays one extra levenshtein per
+    // collision instead of a dedup shuffle of unverified pairs — compute
+    // in the pipeline is the right side of that trade; distance is
+    // deterministic per pair, so dedup-after-filter equals
+    // filter-after-dedup exactly.
     // thresholded levenshtein: the banded O(len·maxDistance) kernel
     // (full-matrix distance is O(len²) — ~20× more cell work at name
     // lengths for a bound of 1) returns -1 past the bound, which the
     // BETWEEN filter drops with the same semantics
-    val out = l.join(r, "__bk")
-      .select(col(leftId), col(rightId),
+    val namePairs = l.join(r, "__bk")
+      .select(col(leftName), col(rightName),
         levenshtein(col(leftName), col(rightName), maxDistance)
           .as("distance"))
       .filter(col("distance").between(0, maxDistance))
-      .dropDuplicates(leftId, rightId)
+      .dropDuplicates(leftName, rightName)
+    // expand verified name pairs back onto the id rows; each id carries
+    // exactly one name, so the expansion introduces no duplicate pairs
+    // (no pair-level dedup shuffle). Name repetition fans out here — a
+    // plain equi-join fan-out AQE's skew split handles, on matches only.
+    val out = namePairs
+      .join(left.select(col(leftId), col(leftName)), leftName)
+      .join(right.select(col(rightId), col(rightName)), rightName)
+      .select(col(leftId), col(rightId), col("distance"))
     if (keyCap <= 0) out
     else CacheRelease.afterFirstAction(out, Nil, qe =>
       for (tag <- Seq("l", "r");
@@ -117,8 +162,9 @@ object Linkage {
         val maxB = Option(m.get(1)).fold(0L)(_.toString.toLong)
         if (dropped > 0)
           log.warn(s"[graft] fuzzyJoin keyCap=$keyCap dropped $dropped " +
-            s"blocking key(s) on side '$tag' (largest block: $maxB rows); " +
-            "true matches confined to dropped blocks are not candidates")
+            s"blocking key(s) on side '$tag' (largest block: $maxB " +
+            "distinct names); true matches confined to dropped blocks " +
+            "are not candidates")
       })
   }
 

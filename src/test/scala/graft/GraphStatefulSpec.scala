@@ -81,6 +81,56 @@ class SemDedupSpec extends SparkSpec {
     assert(Dedup.semDedup(idx, "id", eps = 0.95, maxClusterSize = 1)
       .filter(!col("kept")).count() == 0)
   }
+
+  // batch: a copy of KEPT resident 0, a copy of DROPPED resident 1 (the
+  // non-recursive rule: a dropped resident still disqualifies), two
+  // same-direction new rows (the second's rep must be a resident, not its
+  // batch sibling, because resident ids are smaller), and a genuinely
+  // novel direction that must stay kept
+  private def batch = Seq(
+    (100L, Array(3f, 0f, 0f, 0f)),   // dup of resident group x -> rep 0
+    (101L, Array(0f, 2f, 0f, 0f)),   // dup of group y -> rep 10
+    (102L, Array(0f, 0.5f, 0f, 0f)), // second y dup -> still rep 10
+    (103L, Array(0f, 0f, 0f, 2f))    // dup of singleton 21 -> rep 21
+  ).toDF("id", "vec")
+
+  test("semDedupAppend equals the full re-run restricted to the batch") {
+    val idx = Ann.ivfBuild(corpus, "id", "vec", nlist = 4)
+    val dir = java.nio.file.Files.createTempDirectory("semapp").toString
+    Ann.ivfWrite(idx, dir)
+    Ann.ivfAppend(spark, dir, batch, "id", "vec", tag = "b1")
+    val full = Dedup.semDedup(Ann.ivfRead(spark, dir), "id", eps = 0.95)
+      .filter(col("id") >= 100L)
+    val inc = Dedup.semDedupAppend(idx, batch, "id", eps = 0.95)
+    assert(canon(inc) == canon(full))
+    val r = inc.collect().map(x => x.getLong(0) ->
+      (x.getBoolean(2), if (x.isNullAt(3)) -1L else x.getLong(3))).toMap
+    assert(r(100L) == ((false, 0L)))
+    assert(r(101L) == ((false, 10L)) && r(102L) == ((false, 10L)))
+    assert(r(103L) == ((false, 21L)))
+  }
+
+  test("a novel-direction batch row stays kept") {
+    val idx = Ann.ivfBuild(corpus, "id", "vec", nlist = 4)
+    val novel = Seq((200L, Array(1f, 1f, 1f, 1f))).toDF("id", "vec")
+    val r = Dedup.semDedupAppend(idx, novel, "id", eps = 0.95).collect()
+    assert(r.length == 1 && r.head.getBoolean(2), r.mkString(","))
+  }
+
+  test("non-monotonic batch ids refuse loudly; opt-out allows them") {
+    val idx = Ann.ivfBuild(corpus, "id", "vec", nlist = 4)
+    // id 1 sorts BELOW the touched cluster's resident id 2: old verdicts
+    // for 2 would silently change under a full re-run -> must refuse
+    val stale = Seq((1L, Array(1.5f, 0f, 0f, 0f))).toDF("id", "vec")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.semDedupAppend(idx, stale, "id", eps = 0.95).collect()
+    }
+    assert(e.getMessage.contains("sort after"))
+    val r = Dedup.semDedupAppend(idx, stale, "id", eps = 0.95,
+      requireMonotonicIds = false).collect()
+    // batch id 1 competes against resident 0 only (the one smaller id)
+    assert(r.length == 1 && !r.head.getBoolean(2) && r.head.getLong(3) == 0L)
+  }
 }
 
 /** flatMapGroupsWithState: cross-micro-batch state carry-over — the part a

@@ -71,6 +71,27 @@ class LinkageSpec extends SparkSpec {
     val p = out.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
+
+  test("length bands split a shared-token block; d<=1 pairs still meet") {
+    // 60 names share the token "common" but spread over 30 lengths: the
+    // bare-token key would make one 60-row block; the banded keys must
+    // cap every block at (rows per length) x (bands per key)
+    val nameOf = (i: Int) => s"common ${"x" * (3 + i % 30)}"
+    val df = (0 until 60).map(i => (i.toLong, nameOf(i))).toDF("id", "name")
+    val keys = df.select(col("id"),
+      explode(Linkage.blockKeys(col("name"), 1)).as("k"))
+    val maxBlock = keys.groupBy("k").count()
+      .agg(max("count")).collect().head.getLong(0)
+    assert(maxBlock <= 8, s"largest banded block was $maxBlock rows")
+    // the guarantee survives banding: a one-char-shorter corruption (length
+    // differs by 1) still shares a compound key with its source
+    val a = df.filter(col("id") === 29)  // "common " + "x" * 32
+    val corrupted = Seq((999L, s"common ${"x" * 31}")).toDF("cid", "cname")
+    val hit = Linkage.fuzzyJoin(corrupted, "cid", "cname",
+      a.withColumnRenamed("id", "rid").withColumnRenamed("name", "rname"),
+      "rid", "rname", maxDistance = 1).collect()
+    assert(hit.length == 1 && hit.head.getAs[Int]("distance") == 1)
+  }
 }
 
 /** Markov transition matrix: hand-checked counts, exact integer
