@@ -41,7 +41,10 @@ object Bench {
     // round-14 join/iteration shapes: blocked fuzzy linkage, exact
     // prefix-filtered set-similarity join, greedy MMR (persist+barrier
     // rounds), fragment-bucketed interval-overlap join
-    "q49_fuzzy_link", "d18_jaccard_join", "a11_mmr", "rj2_interval_join")
+    "q49_fuzzy_link", "d18_jaccard_join", "a11_mmr", "rj2_interval_join",
+    // round-15: markup extraction (map-side state machine), per-cluster
+    // NSW graph ANN (build + routed walk), incremental SemDeDup
+    "t48_markup_extract", "a15_graph_ann", "d19_semdedup_append")
 
   /** Queries measured on the replicated corpus for the scaling slope —
     * the shuffle-heavy pipeline shapes whose 100 TB behavior a plan read
@@ -60,6 +63,7 @@ object Bench {
     "g2_triangles", "t28_tfidf_topk", "q38_funnel", "q35_concurrency",
     "as4_asof_nearest", "q34_bloom_join",
     "q44_resample", "t30_conversations", "t31_feature_hash",
+    "t48_markup_extract",
     // d18 and q49 stay headline-only. d18: jaccardJoin CARRIES shingle
     // arrays through its shuffle by design (right for its chunk-sized-set
     // envelope; d2's fixed-width signatures are the corpus-scale tool).

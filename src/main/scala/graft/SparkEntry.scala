@@ -2074,6 +2074,23 @@ object SparkEntry {
       .select("vec_id", "rank").orderBy("rank")
   }
 
+  /** Per-cluster NSW graph ANN over the same planted corpus and routing
+    * as `a3`: graphs build per `gr_cluster`, the probe centroid-routes
+    * then beam-walks each cluster's graph from its entry. The beam here
+    * covers the probed clusters entirely, so the walk must be EXACT and
+    * the planted cosine-1.0 family is the only possible answer — a
+    * disconnected graph, a broken walk, or wrong routing all go red.
+    * The approximate (narrow-beam) regime is pinned by GraphAnnSpec.
+    * See [[graft.operators.GraphAnn]]. */
+  private def a15_graph_ann(s: SparkSession, dir: String): DataFrame = {
+    val index = Ann.ivfBuild(annCorpus(s, dir), "vec_id", "embedding", nlist = 16)
+    val nsw = graft.operators.GraphAnn.nswBuild(index, "vec_id",
+      m = 8, efConstruction = 32)
+    graft.operators.GraphAnn.nswTopK(nsw, queryVec(s, dir), k = 10,
+        nprobe = 4, ef = 512, excludeIds = Seq(0L))
+      .select("vec_id", "rank").orderBy("rank")
+  }
+
   /** FILTERED vector search: two planted cosine-1.0 families — label
     * 777001 ('drop') at ids 9300000+i, label 777002 ('keep') at the
     * LARGER ids 9310000+i — share the query's argmax cluster, so an
@@ -3840,6 +3857,7 @@ object SparkEntry {
     "a8_ann_ivfpq_join" -> (a8_ann_ivfpq_join _),
     "a5_ann_ivf_batch" -> (a5_ann_ivf_batch _),
     "a3_ann_ivf" -> (a3_ann_ivf _),
+    "a15_graph_ann" -> (a15_graph_ann _),
     "p1_ann_pq" -> (p1_ann_pq _),
     "p2_ann_ivfpq" -> (p2_ann_ivfpq _),
     "p3_ann_pq_batch" -> (p3_ann_pq_batch _),
@@ -5880,6 +5898,11 @@ object SparkEntry {
       """SELECT CAST(9000000 + i AS BIGINT) AS vec_id, CAST(i + 1 AS INT) AS rank
          FROM range(10) t(i) ORDER BY rank""",
     "a3_ann_ivf" ->
+      """SELECT CAST(9000000 + i AS BIGINT) AS vec_id, CAST(i + 1 AS INT) AS rank
+         FROM range(10) t(i) ORDER BY rank""",
+    // same planted truth through the graph path: full-beam NSW walk over
+    // the routed clusters must surface exactly the cosine-1.0 family
+    "a15_graph_ann" ->
       """SELECT CAST(9000000 + i AS BIGINT) AS vec_id, CAST(i + 1 AS INT) AS rank
          FROM range(10) t(i) ORDER BY rank""",
     // only the filter-true planted family may surface; the equally-tied

@@ -1,0 +1,307 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph ANN inside the IVF layout: a deterministic navigable-small-world
+  * (NSW) graph PER CLUSTER, probed by centroid routing + greedy beam
+  * search — the serving-index shape recall/latency-critical retrieval
+  * wants, completed per-cluster so it composes with everything the IVF
+  * family already provides (partitioned persistence, pruned probes,
+  * tombstones on the base layout, append-then-rebuild discipline).
+  *
+  * Why per-cluster instead of one global hierarchical graph: HNSW's upper
+  * layers exist to ROUTE a query into the right neighborhood in O(log n)
+  * hops; here the IVF centroid routing already does exactly that (driver-
+  * side argmax over nlist centroids), so the hierarchy would duplicate
+  * machinery the index has. What remains per cluster is the base-layer
+  * neighborhood graph, which is the part that actually buys beam-search
+  * locality — and building it per cluster keeps construction
+  * embarrassingly parallel (one executor task per cluster, zero shuffle
+  * beyond the existing `gr_cluster` partitioning) and bounds memory by
+  * cluster width, the same contract as [[Dedup.semDedup]]'s pair scan.
+  * At 100 TB the adjacency frame persists PARTITIONED BY `gr_cluster`
+  * beside the vectors, so a probe reads nprobe/nlist of both.
+  *
+  * Everything is deterministic: nodes insert in ascending id order, every
+  * priority is `(cosine desc, id asc)`, and degree pruning keeps the
+  * nearest `2m` — so the graph (and therefore every probe) is a pure
+  * function of the clustered frame, replayable across partitionings.
+  * Connectivity invariant: each inserted node links to ≥ 1 earlier node,
+  * so every node reaches the entry (the cluster's min id) and a beam of
+  * `ef ≥ |cluster|` degenerates to EXACT per-cluster search — the `a15`
+  * gate exploits that to pin the whole build+walk+merge path against a
+  * planted-truth oracle, while GraphAnnSpec pins the approximate regime.
+  */
+object GraphAnn {
+
+  /** A built per-cluster NSW graph over an IVF index: `adjacency` is
+    * `(gr_cluster, id, neighbors array<long>)`, one row per vector. */
+  final case class NswIndex(
+      base: Ann.IvfIndex,
+      adjacency: DataFrame,
+      idCol: String,
+      m: Int,
+      efConstruction: Int)
+
+  /** Build the per-cluster graphs. `m` is the out-degree target on
+    * insertion (degrees are pruned to `2m` as later nodes link back);
+    * `efConstruction` is the build-time beam width — wider finds truer
+    * neighbors for the links, at linear build cost.
+    *
+    * One `groupByKey(gr_cluster)` pass; each cluster builds in memory on
+    * its executor (ids + vectors + adjacency), which requires clusters
+    * sized for one task — the IVF doctrine already demands that (scale
+    * nlist with the corpus); `maxClusterNodes` REFUSES loudly instead of
+    * silently dropping data, because an index missing a cluster would
+    * serve wrong results forever after. */
+  def nswBuild(
+      index: Ann.IvfIndex,
+      idCol: String,
+      m: Int = 8,
+      efConstruction: Int = 32,
+      maxClusterNodes: Int = 1 << 20): NswIndex = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    require(efConstruction >= m,
+      s"efConstruction ($efConstruction) must be >= m ($m)")
+    val spark = index.clustered.sparkSession
+    import spark.implicits._
+    val big = index.clustered.groupBy("gr_cluster").count()
+      .filter(col("count") > maxClusterNodes).limit(1).collect()
+    require(big.isEmpty,
+      s"cluster ${big.headOption.map(_.get(0)).orNull} exceeds " +
+        s"maxClusterNodes=$maxClusterNodes — a graph over it would not fit " +
+        "one task. Rebuild the IVF index with a larger nlist (the SemDeDup " +
+        "scaling recipe) rather than raising the cap.")
+    val mm = m
+    val efc = efConstruction
+    val adj = index.clustered
+      .select(col("gr_cluster").cast("int").as("c"),
+        col(idCol).cast("long").as("i"),
+        col(index.vecCol).cast("array<double>").as("v"))
+      .as[(Int, Long, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (cid, it) =>
+        val nodes = it.map(t => (t._2, t._3.toArray)).toArray.sortBy(_._1)
+        buildCluster(nodes, mm, efc).map { case (id, ns) => (cid, id, ns) }
+      }
+      .toDF("gr_cluster", "id", "neighbors")
+    NswIndex(index, adj, idCol, m, efConstruction)
+  }
+
+  /** Beam search against the graph index: centroid-route to `nprobe`
+    * clusters, walk each cluster's graph from its entry with beam `ef`,
+    * exact-cosine top-k over the union of the walks' candidates.
+    * `excludeIds` drop from the RESULTS only — an excluded node still
+    * routes the walk (removing it would change the graph, unlike
+    * [[Ann.ivfTopK]]'s pre-scan filter). Returns (idCol, cosine, rank),
+    * the [[Ann.ivfTopK]] shape. */
+  def nswTopK(
+      nsw: NswIndex,
+      query: Array[Float],
+      k: Int,
+      nprobe: Int = 4,
+      ef: Int = 64,
+      excludeIds: Seq[Long] = Nil): DataFrame = {
+    require(k >= 1 && ef >= k, s"need ef ($ef) >= k ($k) >= 1")
+    val spark = nsw.base.clustered.sparkSession
+    import spark.implicits._
+    val qd = query.map(_.toDouble)
+    val probed = nsw.base.centroids
+      .sortBy { case (_, c) => -Ann.centroidCos(c, qd) }
+      .take(nprobe).map(_._1)
+    val rows = nsw.base.clustered
+      .filter(col("gr_cluster").isin(probed: _*))
+      .select(col("gr_cluster").cast("int").as("c"),
+        col(nsw.idCol).cast("long").as("id"),
+        col(nsw.base.vecCol).cast("array<double>").as("v"))
+    val graph = nsw.adjacency
+      .filter(col("gr_cluster").isin(probed: _*))
+      .select(col("gr_cluster").cast("int").as("c"), col("id"),
+        col("neighbors"))
+    val excluded = excludeIds.toSet
+    val beam = ef
+    val hits = rows.join(graph, Seq("c", "id"))
+      .as[(Int, Long, Seq[Double], Seq[Long])]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val nodes = it.toArray.sortBy(_._2)
+        if (nodes.isEmpty) Iterator.empty
+        else {
+          val pos = nodes.iterator.zipWithIndex.map { case (n, p) => n._2 -> p }.toMap
+          val vecs = nodes.map(_._3.toArray)
+          val adj = nodes.map(_._4.iterator.flatMap(pos.get).toArray.toSeq)
+          searchLayer(vecs, adj, entry = 0, qd, beam)
+            .iterator
+            .map { case (cos, p) => (nodes(p)._2, cos) }
+            .filterNot { case (id, _) => excluded.contains(id) }
+        }
+      }
+      .toDF(nsw.idCol, "cosine")
+    hits.orderBy(desc("cosine"), col(nsw.idCol)).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("cosine"), col(nsw.idCol))))
+  }
+
+  // -------------------------------------------------------- persistence
+
+  /** Sidecar carrying the graph parameters and the base-row count the
+    * graph was built over. The count is the STALENESS WITNESS: an
+    * [[Ann.ivfAppend]] adds vectors but not graph rows, and probing a
+    * stale graph silently never surfaces the appended vectors — the
+    * silent-low-recall failure mode this engine refuses everywhere. */
+  val NswParamsSidecar = "_graft_nsw_params.json"
+
+  /** Persist the graph index: the base IVF layout ([[Ann.ivfWrite]]) plus
+    * the adjacency frame partitioned by `gr_cluster` (a probe reads
+    * nprobe/nlist of BOTH), plus the sidecar. */
+  def nswWrite(nsw: NswIndex, path: String): Unit = {
+    val spark = nsw.base.clustered.sparkSession
+    Ann.ivfWrite(nsw.base, path)
+    nsw.adjacency.write.mode("overwrite")
+      .partitionBy("gr_cluster").parquet(s"$path/graph")
+    val rows = nsw.adjacency.count()
+    val fs = graft.core.Discovery.fileSystemFor(path,
+      spark.sessionState.newHadoopConf())
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(path, NswParamsSidecar), true)
+    try out.write(
+      (s"""{"id_col":"${nsw.idCol}","m":${nsw.m},""" +
+        s""""ef_construction":${nsw.efConstruction},"rows":$rows}""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Load a persisted graph index. REFUSES a graph whose row count no
+    * longer matches the base data (vectors appended since the build):
+    * walking it would silently never return the new rows — rebuild with
+    * [[nswBuild]] + [[nswWrite]] after appends, the same
+    * rebuild-after-append discipline as the IVF drift path. */
+  def nswRead(spark: org.apache.spark.sql.SparkSession, path: String): NswIndex = {
+    val base = Ann.ivfRead(spark, path)
+    val fs = graft.core.Discovery.fileSystemFor(path,
+      spark.sessionState.newHadoopConf())
+    val p = new org.apache.hadoop.fs.Path(path, NswParamsSidecar)
+    require(fs.exists(p), s"no $NswParamsSidecar sidecar at $path — not a " +
+      "graph index (build with nswBuild and persist with nswWrite)")
+    val in = fs.open(p)
+    val node = try new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(in) finally in.close()
+    val adjacency = spark.read.parquet(s"$path/graph")
+      .withColumn("gr_cluster", col("gr_cluster").cast("int"))
+    val built = node.get("rows").asLong
+    val have = base.clustered.count()
+    require(built == have,
+      s"graph at $path was built over $built rows but the base data now " +
+        s"has $have — appended vectors are invisible to a stale graph " +
+        "walk. Rebuild: nswWrite(nswBuild(ivfRead(path), ...), path).")
+    NswIndex(base, adjacency, node.get("id_col").asText,
+      node.get("m").asInt, node.get("ef_construction").asInt)
+  }
+
+  // ------------------------------------------------------------ kernels
+
+  private def cos(a: Array[Double], b: Array[Double]): Double =
+    Ann.centroidCos(a, b)
+
+  /** Classic layer beam search, deterministic: candidates pop best-first
+    * by (cos desc, id asc); results keep the `ef` best seen; stop when the
+    * best open candidate is worse than the worst kept result and the keep
+    * set is full. With `ef >= |reachable|` this visits everything. */
+  private def searchLayer(
+      vecs: Array[Array[Double]],
+      adj: Int => scala.collection.Seq[Int],
+      entry: Int,
+      q: Array[Double],
+      ef: Int): Array[(Double, Int)] = {
+    // ordering on (cos, pos): better = larger cos, then SMALLER pos
+    def better(a: (Double, Int), b: (Double, Int)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    val visited = new java.util.HashSet[Integer]()
+    // candidates: best first
+    val cand = mutable.PriorityQueue.empty[(Double, Int)](
+      Ordering.fromLessThan[(Double, Int)]((a, b) => !better(a, b) && a != b))
+    // results: worst first (bounded min-heap of size ef)
+    val res = mutable.PriorityQueue.empty[(Double, Int)](
+      Ordering.fromLessThan[(Double, Int)]((a, b) => better(a, b)))
+    val e = (cos(vecs(entry), q), entry)
+    visited.add(entry)
+    cand.enqueue(e)
+    res.enqueue(e)
+    while (cand.nonEmpty) {
+      val c = cand.dequeue()
+      if (res.size >= ef && !better(c, res.head)) {
+        cand.clear()
+      } else {
+        for (n <- adj(c._2) if visited.add(n)) {
+          val s = (cos(vecs(n), q), n)
+          if (res.size < ef || better(s, res.head)) {
+            cand.enqueue(s)
+            res.enqueue(s)
+            if (res.size > ef) res.dequeue()
+          }
+        }
+      }
+    }
+    res.dequeueAll.reverse.toArray // best first
+  }
+
+  /** Deterministic NSW construction over one cluster's nodes (pre-sorted
+    * by id): insert in id order, link each new node to its `m` nearest
+    * among an `efConstruction`-beam search of the graph so far, add the
+    * reverse links, prune any degree above `2m` to the nearest.
+    *
+    * Connectivity is GUARANTEED, not hoped for: every node keeps a
+    * permanent chain edge to its insertion predecessor that pruning may
+    * never remove (so the chain 0–1–…–n always exists and full-beam
+    * search is provably exact). Nearest-only pruning without it
+    * disconnects on exactly the corpora dedup cares about — a family of
+    * near-identical vectors links only within itself, its bridge edges
+    * all prune away, and the family becomes an unreachable island (the
+    * observed 36-of-150-reachable failure this clause fixed). Total
+    * degree is therefore bounded by `2m + 2`: the pruned set plus at
+    * most two chain partners. */
+  private def buildCluster(
+      nodes: Array[(Long, Array[Double])],
+      m: Int,
+      efC: Int): Iterator[(Long, Array[Long])] = {
+    val n = nodes.length
+    val maxDeg = 2 * m
+    val vecs = nodes.map(_._2)
+    val nbrs = Array.fill(n)(mutable.ArrayBuffer.empty[Int])
+    def isChain(p: Int, o: Int): Boolean = o == p - 1 || o == p + 1
+    def prune(p: Int): Unit = {
+      val (chain, rest) = nbrs(p).partition(isChain(p, _))
+      if (rest.length > maxDeg) {
+        val kept = rest.toArray
+          .map(o => (cos(vecs(p), vecs(o)), o))
+          .sortWith((a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+          .take(maxDeg).map(_._2)
+        nbrs(p).clear()
+        nbrs(p) ++= (chain ++ kept).sorted
+      }
+    }
+    var p = 1
+    while (p < n) {
+      nbrs(p) += p - 1 // permanent chain edge, never pruned
+      nbrs(p - 1) += p
+      // beam-search the graph built so far (nodes 0..p-1 are linked)
+      val found = searchLayer(vecs, i => nbrs(i), entry = 0,
+        vecs(p), math.max(efC, m))
+      val links = found.filter(f => f._2 < p && f._2 != p - 1).take(m)
+      for ((_, o) <- links) {
+        nbrs(p) += o
+        nbrs(o) += p
+        prune(o)
+      }
+      prune(p)
+      p += 1
+    }
+    nodes.iterator.zipWithIndex.map { case ((id, _), i) =>
+      id -> nbrs(i).distinct.toArray.map(o => nodes(o)._1).sorted
+    }
+  }
+}

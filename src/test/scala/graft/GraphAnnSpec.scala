@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Ann, GraphAnn}
+
+/** Per-cluster NSW graph ANN: exactness at full beam, determinism across
+  * partitionings, degree bounds, the approximate regime's recall, and
+  * result-only exclusion semantics. */
+class GraphAnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic pseudo-embeddings, all DISTINCT directions (a golden-
+  // ratio mix; a small-period formula would fill the corpus with exact
+  // duplicates, and a plateau of cosine ties is a degenerate regime the
+  // full-beam test covers anyway)
+  private def vec(id: Long, dim: Int): Array[Float] =
+    Array.tabulate(dim) { j =>
+      val h = (id * 0x9E3779B97F4A7C15L + j * 0xBF58476D1CE4E5B9L)
+      (((h >>> 40) & 0x3FF) / 512.0f) - 1f
+    }
+
+  private def corpus(n: Int, dim: Int = 16) =
+    (0L until n.toLong).map(i => (i, vec(i, dim))).toDF("id", "emb")
+
+  test("full-beam search equals brute-force top-k over probed clusters") {
+    val df = corpus(150)
+    val idx = Ann.ivfBuild(df, "id", "emb", nlist = 4)
+    val nsw = GraphAnn.nswBuild(idx, "id", m = 4, efConstruction = 16)
+    val q = vec(7L, 16)
+    // nprobe = nlist: every cluster probed, full beam -> must be EXACT
+    val got = GraphAnn.nswTopK(nsw, q, k = 10, nprobe = 4, ef = 200)
+      .orderBy("rank").collect().map(_.getLong(0)).toSeq
+    val brute = Ann.bruteForceTopK(df, "id", "emb", q, 10)
+      .orderBy("rank").collect().map(_.getLong(0)).toSeq
+    assert(got == brute)
+  }
+
+  test("graph build is partitioning-invariant and degree-bounded") {
+    val df = corpus(120)
+    val idx = Ann.ivfBuild(df, "id", "emb", nlist = 3)
+    val a = GraphAnn.nswBuild(idx, "id", m = 4, efConstruction = 16)
+    val b = GraphAnn.nswBuild(
+      Ann.IvfIndex(idx.centroids, idx.clustered.repartition(13), idx.vecCol),
+      "id", m = 4, efConstruction = 16)
+    assert(canon(a.adjacency) == canon(b.adjacency))
+    val maxDeg = a.adjacency.select(size(col("neighbors")).as("d"))
+      .agg(max("d")).collect().head.getInt(0)
+    assert(maxDeg <= 10, s"degree $maxDeg exceeds 2m + 2 chain edges")
+    // every row of the base frame has a graph row
+    assert(a.adjacency.count() == df.count())
+  }
+
+  test("narrow beam still finds a planted exact duplicate") {
+    // a direction the periodic corpus formula never produces, so the
+    // planted twin is the UNIQUE cosine-1.0 row for this query
+    val novel = Array.tabulate(16)(j => if (j == 0) 10f else 0.1f * j)
+    val df = corpus(300).unionByName(Seq((9000L, novel)).toDF("id", "emb"))
+    val idx = Ann.ivfBuild(df, "id", "emb", nlist = 4)
+    val nsw = GraphAnn.nswBuild(idx, "id", m = 6, efConstruction = 24)
+    // beam of 20 over ~75-node clusters: the greedy walk must still reach
+    // the planted cosine-1.0 twin of the query
+    val got = GraphAnn.nswTopK(nsw, novel, k = 5, nprobe = 2, ef = 20)
+      .orderBy("rank").collect()
+    assert(got.head.getLong(0) == 9000L,
+      s"planted twin not rank 1: ${got.map(_.getLong(0)).mkString(",")}")
+    // excludeIds drops from results (the same query minus the twin)
+    val excl = GraphAnn.nswTopK(nsw, novel, k = 5, nprobe = 2, ef = 20,
+        excludeIds = Seq(9000L))
+      .collect().map(_.getLong(0)).toSet
+    assert(!excl.contains(9000L), "excluded id surfaced")
+  }
+
+  test("approximate regime: recall@10 against brute force at modest ef") {
+    val df = corpus(400)
+    val idx = Ann.ivfBuild(df, "id", "emb", nlist = 4)
+    val nsw = GraphAnn.nswBuild(idx, "id", m = 6, efConstruction = 24)
+    val q = vec(1234L, 16)
+    val got = GraphAnn.nswTopK(nsw, q, k = 10, nprobe = 4, ef = 32)
+      .collect().map(_.getLong(0)).toSet
+    val brute = Ann.bruteForceTopK(df, "id", "emb", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = got.intersect(brute).size / 10.0
+    assert(recall >= 0.8, s"recall@10 = $recall below floor")
+  }
+
+  test("persisted graph round-trips; probes agree; stale graph refuses") {
+    val df = corpus(120)
+    val idx = Ann.ivfBuild(df, "id", "emb", nlist = 3)
+    val nsw = GraphAnn.nswBuild(idx, "id", m = 4, efConstruction = 16)
+    val dir = java.nio.file.Files.createTempDirectory("nsw").toString
+    GraphAnn.nswWrite(nsw, dir)
+    val back = GraphAnn.nswRead(spark, dir)
+    assert(back.m == 4 && back.efConstruction == 16 && back.idCol == "id")
+    val q = vec(55L, 16)
+    assert(
+      GraphAnn.nswTopK(back, q, k = 5, nprobe = 3, ef = 200)
+        .orderBy("rank").collect().map(_.getLong(0)).toSeq ==
+      GraphAnn.nswTopK(nsw, q, k = 5, nprobe = 3, ef = 200)
+        .orderBy("rank").collect().map(_.getLong(0)).toSeq)
+    // an append without a graph rebuild must refuse at read
+    Ann.ivfAppend(spark, dir,
+      Seq((500L, vec(500L, 16))).toDF("id", "emb"), "id", "emb", tag = "t1")
+    val e = intercept[IllegalArgumentException] {
+      GraphAnn.nswRead(spark, dir)
+    }
+    assert(e.getMessage.contains("Rebuild"))
+  }
+
+  test("oversized cluster refuses loudly with the nlist remedy") {
+    val df = corpus(50)
+    val idx = Ann.ivfBuild(df, "id", "emb", nlist = 2)
+    val e = intercept[IllegalArgumentException] {
+      GraphAnn.nswBuild(idx, "id", m = 4, efConstruction = 8,
+        maxClusterNodes = 10)
+    }
+    assert(e.getMessage.contains("nlist"))
+  }
+}
