@@ -43,8 +43,10 @@ object Bench {
     // rounds), fragment-bucketed interval-overlap join
     "q49_fuzzy_link", "d18_jaccard_join", "a11_mmr", "rj2_interval_join",
     // round-15: markup extraction (map-side state machine), per-cluster
-    // NSW graph ANN (build + routed walk), incremental SemDeDup
-    "t48_markup_extract", "a15_graph_ann", "d19_semdedup_append")
+    // NSW graph ANN (build + routed walk), incremental SemDeDup,
+    // sliding-span exact dedup
+    "t48_markup_extract", "a15_graph_ann", "d19_semdedup_append",
+    "d20_span_dedup")
 
   /** Queries measured on the replicated corpus for the scaling slope —
     * the shuffle-heavy pipeline shapes whose 100 TB behavior a plan read

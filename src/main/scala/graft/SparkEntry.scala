@@ -2026,6 +2026,30 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** Cross-document repeated-SPAN dedup over planted copies: for every
+    * doc_id % 11 == 0 with ≥ 17 words, a planted doc (id 9700000+id)
+    * embeds words 6..17 of the source between unique pad markers — a
+    * different ALIGNMENT than the source, which is exactly what the
+    * sliding-span cut must catch (and fixed chunking misses). The owner
+    * (smaller source id) keeps its text; the planted copies lose the
+    * 12 copied words and keep the pads. The oracle replays spans,
+    * ownership, coverage and reassembly in SQL.
+    * See [[graft.operators.Dedup.dropRepeatedSpans]]. */
+  private def d20_span_dedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val planted = docs
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.words(col("text")).as("__ws"))
+      .filter(col("doc_id") % 11 === 0 && size(col("__ws")) >= 17)
+      .select((col("doc_id") + 9700000L).as("doc_id"),
+        concat(lit("zz start pad "),
+          array_join(slice(col("__ws"), 6, 12), " "),
+          lit(" zz end pad")).as("text"))
+    graft.operators.Dedup.dropRepeatedSpans(
+        docs.unionByName(planted), "doc_id", "text", n = 8)
+      .orderBy("doc_id")
+  }
+
   private val SemDedupAppendCentroidsFixture =
     "/tmp/graft_fixtures/semdedup_append_centroids.parquet"
 
@@ -3825,6 +3849,7 @@ object SparkEntry {
     "d5_embed_neardup" -> (d5_embed_neardup _),
     "d13_semdedup" -> (d13_semdedup _),
     "d19_semdedup_append" -> (d19_semdedup_append _),
+    "d20_span_dedup" -> (d20_span_dedup _),
     "g1_pagerank" -> (g1_pagerank _),
     "g2_triangles" -> (g2_triangles _),
     "g3_kcore" -> (g3_kcore _),
@@ -5434,6 +5459,48 @@ object SparkEntry {
          FROM asg g LEFT JOIN reps r ON r.id = g.vec_id
          WHERE g.vec_id >= 9600000
          ORDER BY id""",
+    // spans, ownership, coverage and reassembly replayed in SQL; the
+    // planted copies embed a 12-word run of their source at a shifted
+    // alignment between unique pad markers
+    "d20_span_dedup" ->
+      """WITH w0 AS (SELECT doc_id,
+             regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+         pl AS (SELECT 9700000 + doc_id AS doc_id,
+             'zz start pad ' || array_to_string(list_slice(ws, 6, 17), ' ')
+               || ' zz end pad' AS text
+           FROM w0 WHERE doc_id % 11 = 0 AND len(ws) >= 17),
+         corp AS (SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id, text FROM pl),
+         w AS (SELECT doc_id,
+             regexp_split_to_array(trim(text), '\s+') AS ws FROM corp),
+         sp AS (SELECT doc_id, i - 1 AS pos,
+             array_to_string(list_slice(ws, i, i + 7), ' ') AS s
+           FROM (SELECT doc_id, ws,
+               unnest(generate_series(1, len(ws) - 7)) AS i
+             FROM w WHERE len(ws) >= 8)),
+         own AS (SELECT s, min(doc_id) AS owner FROM sp
+           GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+         cuts AS (SELECT sp.doc_id, sp.pos FROM sp
+           JOIN own ON sp.s = own.s AND own.owner <> sp.doc_id),
+         cov AS (SELECT DISTINCT doc_id,
+             unnest(generate_series(pos, pos + 7)) AS j
+           FROM cuts),
+         wj AS (SELECT doc_id, j - 1 AS j, ws[j] AS word
+           FROM (SELECT doc_id, ws,
+               unnest(generate_series(1, len(ws))) AS j FROM w)),
+         clean AS (SELECT wj.doc_id,
+             string_agg(word, ' ' ORDER BY wj.j)
+               FILTER (WHERE cov.j IS NULL) AS text_clean,
+             count(*) AS n_words,
+             count(cov.j) AS n_removed
+           FROM wj LEFT JOIN cov
+             ON cov.doc_id = wj.doc_id AND cov.j = wj.j
+           GROUP BY wj.doc_id)
+         SELECT corp.doc_id, coalesce(clean.text_clean, '') AS text_clean,
+           CAST(coalesce(clean.n_words, 0) AS BIGINT) AS n_words,
+           CAST(coalesce(clean.n_removed, 0) AS BIGINT) AS n_removed
+         FROM corp LEFT JOIN clean ON clean.doc_id = corp.doc_id
+         ORDER BY corp.doc_id""",
     "d6_dedup_pipeline" ->
       """SELECT doc_id FROM documents ORDER BY doc_id""",
     "d7_connected_components" ->

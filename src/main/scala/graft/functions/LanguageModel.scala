@@ -157,13 +157,84 @@ object LanguageModel {
     * scoring twin of [[perplexity]] (no shuffle, model ships once, docs
     * under 3 tokens score null). Returns
     * (idCol, n_tokens, avg_logscore, backoff_ppl = exp(−avg)). */
+  /** The [[TrigramLm]] re-keyed for the scoring hot loop: tokens intern
+    * to ints once per document, n-gram keys pack into one long, counts
+    * live in specialized long maps — no string building or string
+    * hashing per trigram (the string-keyed loop spent most of its time
+    * there: 3 concats + 3 string hashes × every token of the corpus).
+    * Branch semantics are EXACTLY [[TrigramLm.logScore]]'s: a query
+    * token with no id can belong to no stored key, so the -1 guards
+    * reproduce the `Map.get` misses bit-for-bit, and the arithmetic is
+    * unchanged — gates hash identically. Packing needs ids < 2²¹; a
+    * model whose key tokens exceed that (possible only near the
+    * maxTrigrams cap on an adversarial vocabulary) falls back to the
+    * string loop. */
+  private final class IndexedTrigramLm(
+      val alpha: Double,
+      val total: Long,
+      val tokenIds: java.util.HashMap[String, Integer],
+      val uniCounts: Array[Long],
+      val bi: scala.collection.mutable.LongMap[Long],
+      val tri: scala.collection.mutable.LongMap[Long]) extends Serializable {
+
+    def score(wid: Array[Int], i: Int): Double = {
+      val a = wid(i - 2); val b = wid(i - 1); val c = wid(i)
+      val cTri = if (a >= 0 && b >= 0 && c >= 0)
+        tri.getOrElse((a.toLong << 42) | (b.toLong << 21) | c, -1L) else -1L
+      val cBi12 = if (a >= 0 && b >= 0)
+        bi.getOrElse((a.toLong << 21) | b, -1L) else -1L
+      if (cTri >= 0 && cBi12 >= 0) math.log(cTri.toDouble / cBi12)
+      else {
+        val cBi23 = if (b >= 0 && c >= 0)
+          bi.getOrElse((b.toLong << 21) | c, -1L) else -1L
+        val cUni2 = if (b >= 0) uniCounts(b) else -1L
+        if (cBi23 >= 0 && cUni2 >= 0)
+          math.log(alpha * (cBi23.toDouble / cUni2))
+        else {
+          val cu = if (c >= 0) uniCounts(c) else -1L
+          if (cu >= 0) math.log(alpha * alpha * (cu.toDouble / total))
+          else math.log(alpha * alpha * (0.5 / total))
+        }
+      }
+    }
+  }
+
+  private def indexLm(lm: TrigramLm): IndexedTrigramLm = {
+    val ids = new java.util.HashMap[String, Integer]()
+    def id(t: String): Int = {
+      val got = ids.get(t)
+      if (got != null) got.intValue()
+      else { val v = ids.size; ids.put(t, v); v }
+    }
+    lm.unigrams.keysIterator.foreach(id)
+    lm.bigrams.keysIterator.foreach(_.split(' ').foreach(id))
+    lm.trigrams.keysIterator.foreach(_.split(' ').foreach(id))
+    if (ids.size >= (1 << 21)) return null // fall back to string keys
+    val uni = Array.fill(ids.size)(-1L)
+    lm.unigrams.foreach { case (t, c) => uni(id(t)) = c }
+    val bi = scala.collection.mutable.LongMap.empty[Long]
+    lm.bigrams.foreach { case (k, c) =>
+      val p = k.split(' ')
+      bi((id(p(0)).toLong << 21) | id(p(1))) = c
+    }
+    val tri = scala.collection.mutable.LongMap.empty[Long]
+    lm.trigrams.foreach { case (k, c) =>
+      val p = k.split(' ')
+      tri((id(p(0)).toLong << 42) | (id(p(1)).toLong << 21) | id(p(2))) = c
+    }
+    new IndexedTrigramLm(lm.alpha, lm.total, ids, uni, bi, tri)
+  }
+
   def backoffScore(
       df: DataFrame,
       idCol: String,
       textCol: String,
       lm: TrigramLm): DataFrame = {
     val spark = df.sparkSession
-    val bc = spark.sparkContext.broadcast(lm)
+    val indexed = indexLm(lm)
+    val bcIdx = if (indexed != null)
+      spark.sparkContext.broadcast(indexed) else null
+    val bc = if (indexed == null) spark.sparkContext.broadcast(lm) else null
     val outSchema = StructType(Seq(
       StructField(idCol, LongType, nullable = false),
       StructField("n_tokens", LongType, nullable = false),
@@ -173,7 +244,8 @@ object LanguageModel {
     df.select(col(idCol).cast("long").as(idCol), TextFunctions.words(col(textCol)))
       .filter(col(idCol).isNotNull)
       .mapPartitions { rows =>
-        val m = bc.value
+        val m = if (bc != null) bc.value else null
+        val ix = if (bcIdx != null) bcIdx.value else null
         rows.map { r =>
           val id = r.getLong(0)
           val words = if (r.isNullAt(1)) Seq.empty[String] else r.getSeq[String](1)
@@ -181,10 +253,22 @@ object LanguageModel {
           if (n < 3) Row(id, n, null, null)
           else {
             var sum = 0.0
-            var i = 2
-            while (i < words.length) {
-              sum += m.logScore(words(i - 2), words(i - 1), words(i))
-              i += 1
+            if (ix != null) {
+              val wid = new Array[Int](words.length)
+              var j = 0
+              while (j < wid.length) {
+                val g = ix.tokenIds.get(words(j))
+                wid(j) = if (g == null) -1 else g.intValue()
+                j += 1
+              }
+              var i = 2
+              while (i < wid.length) { sum += ix.score(wid, i); i += 1 }
+            } else {
+              var i = 2
+              while (i < words.length) {
+                sum += m.logScore(words(i - 2), words(i - 1), words(i))
+                i += 1
+              }
             }
             val avg = sum / (n - 2)
             Row(id, n, avg, math.exp(-avg))

@@ -1286,6 +1286,77 @@ object Dedup {
     armLshListener(result, "graft_keepfirst_chunks", 0, Seq(perDoc))
   }
 
+  /** Cross-document repeated-SPAN dedup (the ExactSubstr recipe of Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499, at word granularity): any n-word run appearing in
+    * ≥ 2 distinct documents is cut from every document except its owner
+    * (min id), at EVERY alignment. This is what [[keepFirstChunks]]'s
+    * disjoint chunking cannot do — a duplicated passage that straddles a
+    * chunk boundary, or sits at a different offset in each document,
+    * slips through fixed chunks but never through sliding spans.
+    *
+    * Semantics: spans are the sliding n-word windows of
+    * [[graft.functions.TextFunctions.shingles]] over `\s+` tokens;
+    * documents shorter than n contribute no spans (whole-short-doc
+    * duplication is [[exact]]'s job); duplication means ≥ 2 DISTINCT
+    * documents (within-document self-repetition is a repetition-metrics
+    * concern, and the owner keeps all its occurrences); overlapping cut
+    * spans merge before cutting. Returns one row per input document:
+    * `(idCol, text_clean, n_words, n_removed)` with `text_clean` the
+    * kept words re-joined single-spaced (the [[keepFirstChunks]]
+    * reassembly contract).
+    *
+    * Spark shape at 100 TB: span keys explode map-side (one row per
+    * word, like the minhash shingle stream); ownership is ONE
+    * `groupBy(key)` with `(count distinct, min)` partial aggregation —
+    * the surviving build side holds only keys duplicated ACROSS
+    * documents, the duplicate vocabulary, not the corpus; the decision
+    * join ships `(id, position)` hits only; the per-document cut is a
+    * bounded collect_list (positions ≤ words, the same bounded-state
+    * argument as the chunk reassembly) through ONE kernel pass.
+    * `hashKeys=true` (the 100 TB path) keys on `xxhash64(span)` —
+    * identical modulo 64-bit collisions, which at worst cut a span from
+    * a non-owner (never corrupt text mid-word). */
+  def dropRepeatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 50,
+      hashKeys: Boolean = false): DataFrame = {
+    require(n >= 1, s"span length n must be >= 1, got $n")
+    val perDoc = df
+      .select(col(idCol), TextFunctions.words(col(textCol)).as("__w"))
+    perDoc.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def key(c: Column): Column = if (hashKeys) xxhash64(c) else c
+    val spans = perDoc
+      .filter(size(col("__w")) >= n)
+      .select(col(idCol).as("__id"),
+        posexplode(TextFunctions.shingles(col("__w"), n))
+          .as(Seq("__pos", "__s")))
+      .select(col("__id"), col("__pos"), key(col("__s")).as("__k"))
+    val owners = spans
+      .groupBy(col("__k"))
+      .agg(countDistinct(col("__id")).as("__nd"), min(col("__id")).as("__owner"))
+      .filter(col("__nd") >= 2)
+      .select(col("__k"), col("__owner"))
+    val cuts = spans
+      .join(owners, Seq("__k"))
+      .filter(col("__owner") =!= col("__id"))
+      .groupBy(col("__id").as(idCol))
+      .agg(collect_list(col("__pos").cast("int")).as("__starts"))
+    val out = perDoc
+      .join(cuts, Seq(idCol), "left")
+      .select(col(idCol), col("__w"),
+        graft.functions.DropSpansExpr(col("__w"),
+          coalesce(col("__starts"),
+            lit(Array.empty[Int])), n).as("__r"))
+      .select(col(idCol),
+        col("__r").getField("text_clean").as("text_clean"),
+        size(col("__w")).cast("long").as("n_words"),
+        col("__r").getField("n_removed").cast("long").as("n_removed"))
+    CacheRelease.afterFirstAction(out, Seq(perDoc), _ => ())
+  }
+
   /** Corpus version diff: `(id, status)` for every id in either corpus —
     * `added` (only in `b`), `removed` (only in `a`), `changed` (both,
     * text differs), `unchanged`. The dataset-versioning primitive: what
