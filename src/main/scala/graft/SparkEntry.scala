@@ -2050,6 +2050,29 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Margin-based bitext mining over a planted parallel corpus: the
+    * "source language" is every 10th embedding, the "target language" is
+    * ALL embeddings direction-preserved (×2 float scale, an exponent
+    * shift) at shifted ids — each source's true translation is its own
+    * copy at cosine exactly 1.0, and the ratio margin must rank it first
+    * against the neighborhood averages. Candidates are exhaustive at
+    * this scale (the exactness choice for the gate; the 100 TB path
+    * feeds ANN-join candidates — see the operator scaladoc). The oracle
+    * replays cosines, both neighborhood windows, the rounded margin,
+    * threshold and best-per-source in SQL.
+    * See [[graft.operators.Retrieval.mineBitext]]. */
+  private def t49_bitext(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val src = e.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("src_id"), col("embedding").as("src_emb"))
+    val tgt = e.select((col("vec_id") + 1000000L).as("tgt_id"),
+      transform(col("embedding"), x => (x * 2).cast("float")).as("tgt_emb"))
+    val candidates = src.select("src_id").crossJoin(tgt.select("tgt_id"))
+    graft.operators.Retrieval.mineBitext(src, "src_id", "src_emb",
+        tgt, "tgt_id", "tgt_emb", candidates, k = 4, marginThreshold = 1.0)
+      .orderBy("src_id")
+  }
+
   private val SemDedupAppendCentroidsFixture =
     "/tmp/graft_fixtures/semdedup_append_centroids.parquet"
 
@@ -3348,6 +3371,41 @@ object SparkEntry {
     * tags → replay-idempotent in both destinations); the union of the
     * two landed tables must reproduce every verdict the batch oracle
     * computes. */
+  /** STREAMING markup extraction — the crawl-ingest front door as a
+    * stream: the per-document HTML wrapper of `t48` flows through
+    * `extractMarkup` inside a file-source stream and lands via the
+    * exactly-once parquet sink (checkpointed, AvailableNow). Semantics
+    * are identical to the batch gate, so t48's direct-SQL oracle gates
+    * the STREAMING execution (the st7 same-oracle convention). */
+  private def st18_stream_extract(s: SparkSession, dir: String): DataFrame = {
+    val base = s"/tmp/graft_fixtures/stext_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val bp = new org.apache.hadoop.fs.Path(base)
+    bp.getFileSystem(s.sessionState.newHadoopConf()).delete(bp, true)
+    val schema = s.read.option("pathGlobFilter", "documents.parquet")
+      .parquet(dir).schema
+    val docs = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val html = concat(
+      lit("<html><head><title>Doc "), col("doc_id"),
+      lit("</title><style type=\"text/css\">body {color: red}</style>"),
+      lit("<script>if (1 &lt; 2) { alert(\"x\"); }</script></head>"),
+      lit("<body><h1 class=\"t\">heading "), col("doc_id"), lit("</h1>"),
+      lit("<!-- hidden "), col("lang"), lit(" --><p>"), col("text"),
+      lit(" &amp; more&nbsp;text</p>"),
+      lit("<div><b>bold</b> and <i>italic</i> words < 5 &#97;lpha</div>"),
+      lit("<ul><li>first</li><li>second</li></ul></body></html>"))
+    val q = docs
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.extractMarkup(html).as("clean"))
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(s"$base/out").orderBy("doc_id")
+  }
+
   private def st14_stream_enforce(s: SparkSession, dir: String): DataFrame = {
     val base = s"/tmp/graft_fixtures/stenf_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
     val bp = new org.apache.hadoop.fs.Path(base)
@@ -3802,6 +3860,8 @@ object SparkEntry {
     "t45_hard_negatives" -> (t45_hard_negatives _),
     "t47_theta_intersect" -> (t47_theta_intersect _),
     "t48_markup_extract" -> (t48_markup_extract _),
+    "t49_bitext" -> (t49_bitext _),
+    "st18_stream_extract" -> (st18_stream_extract _),
     "s18_scan_lazy" -> (s18_scan_lazy _),
     "s21_scan_identity" -> (s21_scan_identity _),
     "s9_scan_csv" -> (s9_scan_csv _),
@@ -4725,6 +4785,47 @@ object SparkEntry {
            'bold and italic words < 5 alpha' || chr(10) ||
            'first' || chr(10) || 'second' AS clean
          FROM documents ORDER BY doc_id""",
+    // same direct-SQL truth, gating the STREAMING execution (st7 convention)
+    "st18_stream_extract" ->
+      """SELECT doc_id,
+           'Doc ' || doc_id || chr(10) ||
+           'heading ' || doc_id || chr(10) ||
+           text || ' & more text' || chr(10) ||
+           'bold and italic words < 5 alpha' || chr(10) ||
+           'first' || chr(10) || 'second' AS clean
+         FROM documents ORDER BY doc_id""",
+    // cosines, both neighborhood windows, rounded ratio margin,
+    // threshold and best-per-source replayed in SQL
+    "t49_bitext" ->
+      """WITH s AS (SELECT vec_id AS src_id,
+             CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id % 10 = 0),
+         tg AS (SELECT vec_id + 1000000 AS tgt_id,
+             CAST(list_transform(embedding,
+               x -> CAST(x * 2 AS FLOAT)) AS DOUBLE[]) AS v
+           FROM embeddings),
+         c AS (SELECT src_id, tgt_id,
+             list_dot_product(s.v, tg.v) /
+               (sqrt(list_dot_product(s.v, s.v)) *
+                sqrt(list_dot_product(tg.v, tg.v))) AS cos
+           FROM s CROSS JOIN tg),
+         r AS (SELECT *,
+             row_number() OVER (PARTITION BY src_id
+               ORDER BY cos DESC, tgt_id) AS rf,
+             row_number() OVER (PARTITION BY tgt_id
+               ORDER BY cos DESC, src_id) AS rb FROM c),
+         a AS (SELECT *,
+             avg(CASE WHEN rf <= 4 THEN cos END)
+               OVER (PARTITION BY src_id) AS avg_s,
+             avg(CASE WHEN rb <= 4 THEN cos END)
+               OVER (PARTITION BY tgt_id) AS avg_t FROM r),
+         m AS (SELECT src_id, tgt_id, cos,
+             round(cos / ((avg_s + avg_t) / 2), 6) AS margin FROM a),
+         f AS (SELECT * FROM m WHERE margin >= 1.0),
+         b AS (SELECT *, row_number() OVER (PARTITION BY src_id
+             ORDER BY margin DESC, tgt_id) AS bf FROM f)
+         SELECT src_id, tgt_id, round(cos, 6) AS cosine, margin
+         FROM b WHERE bf = 1 ORDER BY src_id""",
     // top-k by weight/u with the salted uniform replayed literally
     "t43_priority_sample" ->
       """SELECT doc_id, source FROM (

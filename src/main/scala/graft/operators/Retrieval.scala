@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -461,5 +462,83 @@ object Retrieval {
           lit(numBuckets.toLong)).as("bucket"))
       .groupBy(col(idCol), col("bucket"))
       .agg(count(lit(1)).as("tf"))
+  }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk, ACL'19 — the
+    * LASER/CCMatrix recipe): score candidate cross-lingual pairs by the
+    * RATIO margin `cos(x,y) / ((avgTopK_src(x) + avgTopK_tgt(y)) / 2)` —
+    * a pair is a translation when its similarity stands OUT of both
+    * sides' neighborhoods, which plain cosine thresholds cannot express
+    * (hubness: some vectors are near everything).
+    *
+    * `candidates` supplies the `(srcId, tgtId)` pairs to score — the
+    * mining quality/cost knob. At gate scale an exhaustive candidate set
+    * makes the result EXACT; at 100 TB feed it the ANN join machinery
+    * ([[graft.operators.Ann]]'s LSH/IVF query-table joins or
+    * [[graft.operators.GraphAnn]] probes) — neighborhood averages are
+    * then computed WITHIN the candidate graph, the standard approximation
+    * (exact when candidates cover the true top-k). Margins and cosines
+    * round to `scale` decimals (the e3/weight-rounding convention), so
+    * ranking, thresholding and the emitted values replay bit-identically
+    * across engines and aggregation orders.
+    *
+    * Spark shape: one equi-join per side to attach vectors (ship ids +
+    * vectors of candidate rows only), two stacked windows per side
+    * (rank, then conditional avg — same partitioning, one sort each),
+    * no shuffle beyond them. Returns `(srcId, tgtId, cosine, margin)`
+    * filtered to `margin ≥ marginThreshold`, one best-margin row per
+    * src (ties: smaller tgt id); `mutual = true` additionally requires
+    * the pair to be the tgt side's best (the highest-precision mode). */
+  def mineBitext(
+      src: DataFrame, srcId: String, srcVec: String,
+      tgt: DataFrame, tgtId: String, tgtVec: String,
+      candidates: DataFrame,
+      k: Int = 4,
+      marginThreshold: Double = 1.0,
+      mutual: Boolean = false,
+      scale: Int = 6): DataFrame = {
+    require(k >= 1, s"neighborhood k must be >= 1, got $k")
+    require(srcId != tgtId, "src and tgt id column names must differ")
+    val scored = candidates
+      .join(src.select(col(srcId), col(srcVec)), srcId)
+      .join(tgt.select(col(tgtId), col(tgtVec)), tgtId)
+      .select(col(srcId), col(tgtId),
+        Ann.cosine(col(srcVec), col(tgtVec)).as("__cos"))
+    val wF = Window.partitionBy(srcId).orderBy(desc("__cos"), col(tgtId))
+    val wB = Window.partitionBy(tgtId).orderBy(desc("__cos"), col(srcId))
+    val ranked = scored
+      .withColumn("__rf", row_number().over(wF))
+      .withColumn("__rb", row_number().over(wB))
+    val withAvg = ranked
+      .withColumn("__avg_s",
+        avg(when(col("__rf") <= k, col("__cos")))
+          .over(Window.partitionBy(srcId)))
+      .withColumn("__avg_t",
+        avg(when(col("__rb") <= k, col("__cos")))
+          .over(Window.partitionBy(tgtId)))
+      .withColumn("margin",
+        round(col("__cos") / ((col("__avg_s") + col("__avg_t")) / 2), scale))
+      .filter(col("margin") >= marginThreshold)
+    val wBestF = Window.partitionBy(srcId)
+      .orderBy(desc("margin"), col(tgtId))
+    val best = withAvg
+      .withColumn("__bf", row_number().over(wBestF))
+      .filter(col("__bf") === 1)
+    val out =
+      if (!mutual) best
+      else {
+        val wBestB = Window.partitionBy(tgtId)
+          .orderBy(desc("margin"), col(srcId))
+        // tgt-side best computed over the SAME thresholded pair set, then
+        // the mutual pair must win both windows
+        val bestB = withAvg
+          .withColumn("__bb", row_number().over(wBestB))
+          .filter(col("__bb") === 1)
+          .select(col(srcId).as("__ms"), col(tgtId).as("__mt"))
+        best.join(bestB,
+          best(srcId) === col("__ms") && best(tgtId) === col("__mt"))
+      }
+    out.select(col(srcId), col(tgtId),
+      round(col("__cos"), scale).as("cosine"), col("margin"))
   }
 }
