@@ -2138,6 +2138,45 @@ object SparkEntry {
       .select("vec_id", "rank").orderBy("rank")
   }
 
+  /** Incremental NSW growth — a3b's analog for the graph index: the
+    * graph index is built and persisted from the ORGANIC corpus only,
+    * then a batch of 10 planted query-direction copies (ids 9500000+i,
+    * power-of-two scaled → cosine exactly 1.0) plus 10 junk vectors
+    * (negated → cosine −1) flows through
+    * [[graft.operators.GraphAnn.nswAppend]] — frozen-centroid data
+    * append plus in-place insertion into only the touched clusters'
+    * graphs (monotone ids, so the insertion replays the full rebuild's
+    * state evolution bit-for-bit; GraphAnnSpec asserts the adjacency
+    * equality). The probe over the RE-READ index (fresh staleness
+    * witness) must surface exactly the appended planted ids at ranks
+    * 1..10 — a stale graph, a missed cluster, or a broken witness
+    * update all go red. */
+  private def a15b_graph_ann_append(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_fixtures/nsw_idx_" +
+      java.net.URLEncoder.encode(dir, "UTF-8")
+    val base = t(s, dir, "embeddings")
+    val index = Ann.ivfBuild(base, "vec_id", "embedding", nlist = 16)
+    graft.operators.GraphAnn.nswWrite(
+      graft.operators.GraphAnn.nswBuild(index, "vec_id",
+        m = 8, efConstruction = 32), path)
+    val q0 = base.filter(col("vec_id") === 0)
+      .select(explode(sequence(lit(0L), lit(9L))).as("i"),
+        col("embedding"), col("label"))
+    val planted = q0.select((col("i") + 9500000L).as("vec_id"),
+      transform(col("embedding"),
+        x => (x * pow(lit(2.0), col("i") - 5)).cast("float")).as("embedding"),
+      col("label"))
+    val junk = q0.select((col("i") + 9600000L).as("vec_id"),
+      transform(col("embedding"), x => (-x).cast("float")).as("embedding"),
+      col("label"))
+    graft.operators.GraphAnn.nswAppend(s, path, planted.unionByName(junk),
+      "vec_id", "embedding", tag = "a15b-batch0")
+    graft.operators.GraphAnn.nswTopK(
+        graft.operators.GraphAnn.nswRead(s, path), queryVec(s, dir),
+        k = 10, nprobe = 4, ef = 512, excludeIds = Seq(0L))
+      .select("vec_id", "rank").orderBy("rank")
+  }
+
   /** FILTERED vector search: two planted cosine-1.0 families — label
     * 777001 ('drop') at ids 9300000+i, label 777002 ('keep') at the
     * LARGER ids 9310000+i — share the query's argmax cluster, so an
@@ -3943,6 +3982,7 @@ object SparkEntry {
     "a5_ann_ivf_batch" -> (a5_ann_ivf_batch _),
     "a3_ann_ivf" -> (a3_ann_ivf _),
     "a15_graph_ann" -> (a15_graph_ann _),
+    "a15b_graph_ann_append" -> (a15b_graph_ann_append _),
     "p1_ann_pq" -> (p1_ann_pq _),
     "p2_ann_ivfpq" -> (p2_ann_ivfpq _),
     "p3_ann_pq_batch" -> (p3_ann_pq_batch _),
@@ -6072,6 +6112,12 @@ object SparkEntry {
     // the routed clusters must surface exactly the cosine-1.0 family
     "a15_graph_ann" ->
       """SELECT CAST(9000000 + i AS BIGINT) AS vec_id, CAST(i + 1 AS INT) AS rank
+         FROM range(10) t(i) ORDER BY rank""",
+    // the appended planted family (and ONLY it) dominates the walk at
+    // cosine 1.0 — green means the graph grew across the append and the
+    // re-read witness accepted the grown graph
+    "a15b_graph_ann_append" ->
+      """SELECT CAST(9500000 + i AS BIGINT) AS vec_id, CAST(i + 1 AS INT) AS rank
          FROM range(10) t(i) ORDER BY rank""",
     // only the filter-true planted family may surface; the equally-tied
     // smaller-id 'drop' family would win the tiebreak if the predicate

@@ -148,58 +148,206 @@ object GraphAnn {
 
   // -------------------------------------------------------- persistence
 
-  /** Sidecar carrying the graph parameters and the base-row count the
-    * graph was built over. The count is the STALENESS WITNESS: an
+  /** Sidecar carrying the graph parameters and the STALENESS WITNESS of
+    * the base rows the graph was built over: the row count AND an
+    * order-independent id checksum (xor of `xxhash64(id)`). An
     * [[Ann.ivfAppend]] adds vectors but not graph rows, and probing a
     * stale graph silently never surfaces the appended vectors — the
-    * silent-low-recall failure mode this engine refuses everywhere. */
+    * silent-low-recall failure mode this engine refuses everywhere. The
+    * checksum closes the count-only blind spot: a tombstone-delete of k
+    * rows followed by an append of k rows leaves the count equal while
+    * the graph is doubly wrong (appends invisible, a tombstoned chain
+    * node can disconnect a cluster) — the xor of id hashes changes unless
+    * the id SET is unchanged. */
   val NswParamsSidecar = "_graft_nsw_params.json"
 
-  /** Persist the graph index: the base IVF layout ([[Ann.ivfWrite]]) plus
-    * the adjacency frame partitioned by `gr_cluster` (a probe reads
-    * nprobe/nlist of BOTH), plus the sidecar. */
-  def nswWrite(nsw: NswIndex, path: String): Unit = {
-    val spark = nsw.base.clustered.sparkSession
-    Ann.ivfWrite(nsw.base, path)
-    nsw.adjacency.write.mode("overwrite")
-      .partitionBy("gr_cluster").parquet(s"$path/graph")
-    val rows = nsw.adjacency.count()
+  /** `(rows, xor of xxhash64(id))` over one id column — the witness both
+    * sides of the staleness comparison compute. Ids hash at long type on
+    * both sides (adjacency stores them as long), so the base's id column
+    * type cannot skew the comparison. */
+  private def witness(df: DataFrame, id: Column): (Long, Long) = {
+    val r = df.select(xxhash64(id.cast("long")).as("__h"))
+      .agg(count(lit(1)).as("__n"),
+        coalesce(expr("bit_xor(__h)"), lit(0L)).as("__x")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  private def writeSidecar(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, m: Int, efConstruction: Int,
+      rows: Long, idXor: Long): Unit = {
     val fs = graft.core.Discovery.fileSystemFor(path,
       spark.sessionState.newHadoopConf())
     val out = fs.create(
       new org.apache.hadoop.fs.Path(path, NswParamsSidecar), true)
     try out.write(
-      (s"""{"id_col":"${nsw.idCol}","m":${nsw.m},""" +
-        s""""ef_construction":${nsw.efConstruction},"rows":$rows}""")
+      (s"""{"id_col":"$idCol","m":$m,"ef_construction":$efConstruction,""" +
+        s""""rows":$rows,"id_xor":$idXor}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
 
-  /** Load a persisted graph index. REFUSES a graph whose row count no
-    * longer matches the base data (vectors appended since the build):
-    * walking it would silently never return the new rows — rebuild with
-    * [[nswBuild]] + [[nswWrite]] after appends, the same
-    * rebuild-after-append discipline as the IVF drift path. */
-  def nswRead(spark: org.apache.spark.sql.SparkSession, path: String): NswIndex = {
-    val base = Ann.ivfRead(spark, path)
+  private def readSidecar(spark: org.apache.spark.sql.SparkSession,
+      path: String): com.fasterxml.jackson.databind.JsonNode = {
     val fs = graft.core.Discovery.fileSystemFor(path,
       spark.sessionState.newHadoopConf())
     val p = new org.apache.hadoop.fs.Path(path, NswParamsSidecar)
     require(fs.exists(p), s"no $NswParamsSidecar sidecar at $path — not a " +
       "graph index (build with nswBuild and persist with nswWrite)")
     val in = fs.open(p)
-    val node = try new com.fasterxml.jackson.databind.ObjectMapper()
-      .readTree(in) finally in.close()
+    try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+    finally in.close()
+  }
+
+  private def requireFresh(node: com.fasterxml.jackson.databind.JsonNode,
+      path: String, have: (Long, Long)): Unit = {
+    require(node.hasNonNull("id_xor"),
+      s"$NswParamsSidecar at $path predates the id-checksum witness — " +
+        "re-persist with nswWrite (a count-only witness cannot see a " +
+        "delete-k-then-append-k swap)")
+    val (built, builtXor) = (node.get("rows").asLong, node.get("id_xor").asLong)
+    require(built == have._1 && builtXor == have._2,
+      s"graph at $path was built over $built rows (id checksum $builtXor) " +
+        s"but the base data now has ${have._1} rows (checksum ${have._2}) " +
+        "— the base changed since the build (append and/or tombstone), so " +
+        "a graph walk would silently miss or mis-route. Recover with " +
+        "nswAppend (pure monotone appends) or nswWrite(nswBuild(...)).")
+  }
+
+  /** Persist the graph index: the base IVF layout ([[Ann.ivfWrite]]) plus
+    * the adjacency frame partitioned by `gr_cluster` (a probe reads
+    * nprobe/nlist of BOTH), plus the sidecar with the staleness witness
+    * (row count + id checksum, computed over the adjacency — one row per
+    * base vector by construction). */
+  def nswWrite(nsw: NswIndex, path: String): Unit = {
+    val spark = nsw.base.clustered.sparkSession
+    Ann.ivfWrite(nsw.base, path)
+    nsw.adjacency.write.mode("overwrite")
+      .partitionBy("gr_cluster").parquet(s"$path/graph")
+    val (rows, idXor) = witness(nsw.adjacency, col("id"))
+    writeSidecar(spark, path, nsw.idCol, nsw.m, nsw.efConstruction, rows, idXor)
+  }
+
+  /** Load a persisted graph index. REFUSES a graph whose base rows no
+    * longer match the witness (vectors appended or tombstoned since the
+    * build): walking it would silently miss the new rows or route through
+    * deleted ones — recover with [[nswAppend]] (for pure appends) or
+    * [[nswBuild]] + [[nswWrite]]. */
+  def nswRead(spark: org.apache.spark.sql.SparkSession, path: String): NswIndex = {
+    val base = Ann.ivfRead(spark, path)
+    val node = readSidecar(spark, path)
+    val idCol = node.get("id_col").asText
     val adjacency = spark.read.parquet(s"$path/graph")
       .withColumn("gr_cluster", col("gr_cluster").cast("int"))
-    val built = node.get("rows").asLong
-    val have = base.clustered.count()
-    require(built == have,
-      s"graph at $path was built over $built rows but the base data now " +
-        s"has $have — appended vectors are invisible to a stale graph " +
-        "walk. Rebuild: nswWrite(nswBuild(ivfRead(path), ...), path).")
-    NswIndex(base, adjacency, node.get("id_col").asText,
+    requireFresh(node, path, witness(base.clustered, col(idCol)))
+    NswIndex(base, adjacency, idCol,
       node.get("m").asInt, node.get("ef_construction").asInt)
+  }
+
+  /** Incrementally grow a PERSISTED graph index — the [[Ann.ivfAppend]]
+    * counterpart that keeps the graphs fresh instead of forcing a full
+    * [[nswBuild]] per batch. The batch is appended into the base IVF
+    * layout first (frozen-centroid assignment, replay-idempotent tagged
+    * append, drift telemetry — [[Ann.ivfAppend]] verbatim), then each
+    * TOUCHED cluster's graph receives its new nodes through the exact
+    * insertion kernel the build uses (same beam, same (cosine desc, id
+    * asc) link rule, same chain edge and pruning) — untouched clusters'
+    * graph partitions are not rewritten, and the `partitionBy(gr_cluster)`
+    * layout means only touched partitions are overwritten (dynamic
+    * partition overwrite).
+    *
+    * MONOTONE-ID CONTRACT: within each touched cluster, every new id must
+    * exceed every existing id (checked executor-side, refused loudly).
+    * Graph construction is insertion-ordered, and the build inserts in
+    * ascending id order — monotone batches keep insertion order ≡ id
+    * order inductively, so append-then-probe is BIT-IDENTICAL to
+    * rebuild-then-probe (GraphAnnSpec asserts adjacency equality; the
+    * `a15b` gate pins the probe). Ingest ids are monotone in practice; a
+    * backfill of old ids is the rebuild path.
+    *
+    * Replay-idempotent: a batch node already present in the adjacency
+    * (a crashed attempt's partial graph write, or a replayed tag) is
+    * treated as existing — re-running the same append converges. The
+    * sidecar witness is recomputed from the post-append BASE rows, never
+    * incremented, so replays cannot drift it. Returns rows appended. */
+  def nswAppend(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      newVecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tag: String,
+      maxClusterNodes: Int = 1 << 20): Long = {
+    import spark.implicits._
+    val node = readSidecar(spark, path)
+    require(node.get("id_col").asText == idCol,
+      s"graph index at $path was built over id column " +
+        s"'${node.get("id_col").asText}', not '$idCol'")
+    val (mm, efc) = (node.get("m").asInt, node.get("ef_construction").asInt)
+    require(node.hasNonNull("id_xor"),
+      s"$NswParamsSidecar at $path predates the id-checksum witness — " +
+        "re-persist with nswWrite before appending")
+    // PRE-append freshness: the base must equal the graph's witness, or
+    // equal witness ⊕ batch (a previous attempt of THIS append crashed
+    // after its data write — replay-recoverable because the tagged data
+    // append is idempotent and the graph insert diffs by id). Anything
+    // else (tombstones, foreign appends) is refused: appending onto a
+    // drifted base would launder a broken graph behind a fresh witness.
+    val (sRows, sXor) = (node.get("rows").asLong, node.get("id_xor").asLong)
+    val (bRows, bXor) = witness(newVecs, col(idCol))
+    val pre = witness(Ann.ivfRead(spark, path).clustered, col(idCol))
+    require(pre == ((sRows, sXor)) ||
+        pre == ((sRows + bRows, sXor ^ bXor)),
+      s"graph index at $path: base rows/id-checksum $pre match neither the " +
+        s"witness ($sRows, $sXor) nor witness⊕batch — the base drifted " +
+        "outside this append (tombstone or foreign append); rebuild with " +
+        "nswBuild + nswWrite.")
+    val appended = Ann.ivfAppend(spark, path, newVecs, idCol, vecCol, tag)
+    val post = Ann.ivfRead(spark, path)
+    val touched = Ann.assignWithFrozenCentroids(
+        newVecs.select(col(vecCol)), post.centroids, vecCol)
+      .select(col("gr_cluster")).distinct().collect().map(_.getInt(0)).toSeq
+    val big = post.clustered.filter(col("gr_cluster").isin(touched: _*))
+      .groupBy("gr_cluster").count()
+      .filter(col("count") > maxClusterNodes).limit(1).collect()
+    require(big.isEmpty,
+      s"cluster ${big.headOption.map(_.get(0)).orNull} exceeds " +
+        s"maxClusterNodes=$maxClusterNodes after this append — rebuild the " +
+        "IVF index with a larger nlist rather than raising the cap.")
+    val oldAdj = spark.read.parquet(s"$path/graph")
+      .withColumn("gr_cluster", col("gr_cluster").cast("int"))
+      .filter(col("gr_cluster").isin(touched: _*))
+      .select(col("gr_cluster").as("c"), col("id"), col("neighbors"))
+    val rows = post.clustered
+      .filter(col("gr_cluster").isin(touched: _*))
+      .select(col("gr_cluster").cast("int").as("c"),
+        col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+    val newAdj = rows.join(oldAdj, Seq("c", "id"), "left")
+      .as[(Int, Long, Seq[Double], Option[Seq[Long]])]
+      .groupByKey(_._1)
+      .flatMapGroups { (cid, it) =>
+        val all = it.toArray.sortBy(_._2)
+        val nOld = all.count(_._4.isDefined)
+        require(all.take(nOld).forall(_._4.isDefined) &&
+            (nOld == 0 || nOld == all.length ||
+              all(nOld)._2 > all(nOld - 1)._2),
+          s"nswAppend: cluster $cid has a new id at or below an existing " +
+            "graph node's id — the monotone-id append contract is violated " +
+            "(insertion order would diverge from the build's); rebuild " +
+            "with nswBuild + nswWrite instead.")
+        appendCluster(all.map(t => (t._2, t._3.toArray)),
+          all.iterator.take(nOld).map(_._4.get).toArray, mm, efc)
+          .map { case (id, ns) => (cid, id, ns) }
+      }
+      .toDF("gr_cluster", "id", "neighbors")
+    newAdj.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("gr_cluster").parquet(s"$path/graph")
+    // witness recomputed from the post-append base: idempotent under
+    // replay (an increment would double-count a replayed tag)
+    val (n, x) = witness(post.clustered, col(idCol))
+    writeSidecar(spark, path, idCol, mm, efc, n, x)
+    appended
   }
 
   // ------------------------------------------------------------ kernels
@@ -268,10 +416,50 @@ object GraphAnn {
       nodes: Array[(Long, Array[Double])],
       m: Int,
       efC: Int): Iterator[(Long, Array[Long])] = {
-    val n = nodes.length
+    val nbrs = Array.fill(nodes.length)(mutable.ArrayBuffer.empty[Int])
+    insertNodes(nodes.map(_._2), nbrs, from = 1, m, efC)
+    emitAdjacency(nodes, nbrs)
+  }
+
+  /** [[buildCluster]] continued from a reconstructed prefix: nodes
+    * `0 until oldNeighbors.length` carry their persisted adjacency (ids
+    * remapped to positions — positions ARE insertion order because the
+    * monotone-id contract keeps insertion order ≡ id order), the rest
+    * insert through the same kernel. With monotone ids the resulting
+    * state evolution is bit-identical to a full [[buildCluster]] over
+    * the combined node set. */
+  private def appendCluster(
+      nodes: Array[(Long, Array[Double])],
+      oldNeighbors: Array[Seq[Long]],
+      m: Int,
+      efC: Int): Iterator[(Long, Array[Long])] = {
+    val nOld = oldNeighbors.length
+    val pos = nodes.iterator.zipWithIndex
+      .map { case (nd, p) => nd._1 -> p }.toMap
+    val nbrs = Array.fill(nodes.length)(mutable.ArrayBuffer.empty[Int])
+    var p = 0
+    while (p < nOld) {
+      for (nid <- oldNeighbors(p)) nbrs(p) += pos.getOrElse(nid,
+        throw new IllegalStateException(
+          s"adjacency references id $nid absent from the base cluster — " +
+            "the graph and base diverged; rebuild with nswBuild + nswWrite"))
+      p += 1
+    }
+    insertNodes(nodes.map(_._2), nbrs, from = math.max(nOld, 1), m, efC)
+    emitAdjacency(nodes, nbrs)
+  }
+
+  /** The shared insertion loop: add nodes `from until n` to a graph whose
+    * first `from` nodes are already linked. Chain edges (insertion
+    * predecessor/successor, never pruned) guarantee connectivity. */
+  private def insertNodes(
+      vecs: Array[Array[Double]],
+      nbrs: Array[mutable.ArrayBuffer[Int]],
+      from: Int,
+      m: Int,
+      efC: Int): Unit = {
+    val n = vecs.length
     val maxDeg = 2 * m
-    val vecs = nodes.map(_._2)
-    val nbrs = Array.fill(n)(mutable.ArrayBuffer.empty[Int])
     def isChain(p: Int, o: Int): Boolean = o == p - 1 || o == p + 1
     def prune(p: Int): Unit = {
       val (chain, rest) = nbrs(p).partition(isChain(p, _))
@@ -284,7 +472,7 @@ object GraphAnn {
         nbrs(p) ++= (chain ++ kept).sorted
       }
     }
-    var p = 1
+    var p = math.max(from, 1)
     while (p < n) {
       nbrs(p) += p - 1 // permanent chain edge, never pruned
       nbrs(p - 1) += p
@@ -300,8 +488,12 @@ object GraphAnn {
       prune(p)
       p += 1
     }
+  }
+
+  private def emitAdjacency(
+      nodes: Array[(Long, Array[Double])],
+      nbrs: Array[mutable.ArrayBuffer[Int]]): Iterator[(Long, Array[Long])] =
     nodes.iterator.zipWithIndex.map { case ((id, _), i) =>
       id -> nbrs(i).distinct.toArray.map(o => nodes(o)._1).sorted
     }
-  }
 }

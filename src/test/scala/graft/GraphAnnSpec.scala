@@ -97,13 +97,79 @@ class GraphAnnSpec extends SparkSpec {
         .orderBy("rank").collect().map(_.getLong(0)).toSeq ==
       GraphAnn.nswTopK(nsw, q, k = 5, nprobe = 3, ef = 200)
         .orderBy("rank").collect().map(_.getLong(0)).toSeq)
-    // an append without a graph rebuild must refuse at read
+    // an append without a graph update must refuse at read
     Ann.ivfAppend(spark, dir,
       Seq((500L, vec(500L, 16))).toDF("id", "emb"), "id", "emb", tag = "t1")
     val e = intercept[IllegalArgumentException] {
       GraphAnn.nswRead(spark, dir)
     }
-    assert(e.getMessage.contains("Rebuild"))
+    assert(e.getMessage.contains("nswAppend") ||
+      e.getMessage.contains("nswBuild"))
+  }
+
+  test("nswAppend equals a full rebuild (adjacency and probes) and " +
+      "replays idempotently") {
+    val df = corpus(150)
+    val idx = Ann.ivfBuild(df, "id", "emb", nlist = 3)
+    val dir = java.nio.file.Files.createTempDirectory("nswapp").toString
+    GraphAnn.nswWrite(GraphAnn.nswBuild(idx, "id", m = 4, efConstruction = 16),
+      dir)
+    val batch = (1000L until 1020L).map(i => (i, vec(i, 16))).toDF("id", "emb")
+    assert(GraphAnn.nswAppend(spark, dir, batch, "id", "emb", "b0") == 20L)
+    val grown = GraphAnn.nswRead(spark, dir) // witness must accept
+    // rebuild over the SAME frozen centroids and post-append base: the
+    // monotone-id contract makes append's insertion order equal the
+    // rebuild's, so the adjacency must be bit-identical
+    val rebuilt = GraphAnn.nswBuild(Ann.ivfRead(spark, dir), "id",
+      m = 4, efConstruction = 16)
+    assert(canon(grown.adjacency) == canon(rebuilt.adjacency))
+    val q = vec(1005L, 16)
+    assert(
+      GraphAnn.nswTopK(grown, q, k = 8, nprobe = 3, ef = 200)
+        .orderBy("rank").collect().map(_.getLong(0)).toSeq ==
+      GraphAnn.nswTopK(rebuilt, q, k = 8, nprobe = 3, ef = 200)
+        .orderBy("rank").collect().map(_.getLong(0)).toSeq)
+    // replaying the same tag converges: same adjacency, witness intact
+    assert(GraphAnn.nswAppend(spark, dir, batch, "id", "emb", "b0") == 20L)
+    assert(canon(GraphAnn.nswRead(spark, dir).adjacency) ==
+      canon(rebuilt.adjacency))
+  }
+
+  test("delete-then-append of equal size is refused by the id checksum") {
+    val df = corpus(120)
+    val idx = Ann.ivfBuild(df, "id", "emb", nlist = 3)
+    val dir = java.nio.file.Files.createTempDirectory("nswxor").toString
+    GraphAnn.nswWrite(GraphAnn.nswBuild(idx, "id", m = 4, efConstruction = 16),
+      dir)
+    // tombstone one row, append one NEW row: base count matches the
+    // sidecar exactly — only the id checksum can see the swap
+    Ann.ivfDelete(spark, dir, Seq(7L).toDF("id"))
+    Ann.ivfAppend(spark, dir, Seq((2000L, vec(2000L, 16))).toDF("id", "emb"),
+      "id", "emb", tag = "swap")
+    val e = intercept[IllegalArgumentException] { GraphAnn.nswRead(spark, dir) }
+    assert(e.getMessage.contains("checksum"))
+    // and nswAppend onto the drifted base refuses too (no laundering)
+    val e2 = intercept[IllegalArgumentException] {
+      GraphAnn.nswAppend(spark, dir,
+        Seq((3000L, vec(3000L, 16))).toDF("id", "emb"), "id", "emb", "b9")
+    }
+    assert(e2.getMessage.contains("drifted"))
+  }
+
+  test("non-monotone append id refuses loudly") {
+    val df = (10L until 130L).map(i => (i, vec(i, 16))).toDF("id", "emb")
+    val idx = Ann.ivfBuild(df, "id", "emb", nlist = 3)
+    val dir = java.nio.file.Files.createTempDirectory("nswmono").toString
+    GraphAnn.nswWrite(GraphAnn.nswBuild(idx, "id", m = 4, efConstruction = 16),
+      dir)
+    // id 5 sorts below every existing id, so whatever cluster it lands in
+    // violates the monotone contract
+    val e = intercept[Exception] {
+      GraphAnn.nswAppend(spark, dir, Seq((5L, vec(5L, 16))).toDF("id", "emb"),
+        "id", "emb", "mono")
+    }
+    assert(e.getMessage != null && e.getMessage.contains("monotone") ||
+      Option(e.getCause).exists(_.getMessage.contains("monotone")))
   }
 
   test("oversized cluster refuses loudly with the nlist remedy") {
