@@ -2050,6 +2050,29 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Multi-scale span dedup: the planted documents embed a SIX-word run
+    * of their source between unique pad markers — invisible to any
+    * single window of length 12 (and to d20's n=8), but the fine scale
+    * (n=5) sees its two sliding windows and the cut intervals merge.
+    * Green means the scale union cut the short duplicate the fixed-n
+    * operator provably misses, with the whole two-scale ownership and
+    * coverage replayed in SQL.
+    * See [[graft.operators.Dedup.dropRepeatedSpansMulti]]. */
+  private def d20b_span_dedup_multi(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val planted = docs
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.words(col("text")).as("__ws"))
+      .filter(col("doc_id") % 13 === 0 && size(col("__ws")) >= 11)
+      .select((col("doc_id") + 9800000L).as("doc_id"),
+        concat(lit("qq start pad "),
+          array_join(slice(col("__ws"), 6, 6), " "),
+          lit(" qq end pad")).as("text"))
+    graft.operators.Dedup.dropRepeatedSpansMulti(
+        docs.unionByName(planted), "doc_id", "text", ns = Seq(5, 12))
+      .orderBy("doc_id")
+  }
+
   /** Margin-based bitext mining over a planted parallel corpus: the
     * "source language" is every 10th embedding, the "target language" is
     * ALL embeddings direction-preserved (×2 float scale, an exponent
@@ -3949,6 +3972,7 @@ object SparkEntry {
     "d13_semdedup" -> (d13_semdedup _),
     "d19_semdedup_append" -> (d19_semdedup_append _),
     "d20_span_dedup" -> (d20_span_dedup _),
+    "d20b_span_dedup_multi" -> (d20b_span_dedup_multi _),
     "g1_pagerank" -> (g1_pagerank _),
     "g2_triangles" -> (g2_triangles _),
     "g3_kcore" -> (g3_kcore _),
@@ -5625,6 +5649,55 @@ object SparkEntry {
            JOIN own ON sp.s = own.s AND own.owner <> sp.doc_id),
          cov AS (SELECT DISTINCT doc_id,
              unnest(generate_series(pos, pos + 7)) AS j
+           FROM cuts),
+         wj AS (SELECT doc_id, j - 1 AS j, ws[j] AS word
+           FROM (SELECT doc_id, ws,
+               unnest(generate_series(1, len(ws))) AS j FROM w)),
+         clean AS (SELECT wj.doc_id,
+             string_agg(word, ' ' ORDER BY wj.j)
+               FILTER (WHERE cov.j IS NULL) AS text_clean,
+             count(*) AS n_words,
+             count(cov.j) AS n_removed
+           FROM wj LEFT JOIN cov
+             ON cov.doc_id = wj.doc_id AND cov.j = wj.j
+           GROUP BY wj.doc_id)
+         SELECT corp.doc_id, coalesce(clean.text_clean, '') AS text_clean,
+           CAST(coalesce(clean.n_words, 0) AS BIGINT) AS n_words,
+           CAST(coalesce(clean.n_removed, 0) AS BIGINT) AS n_removed
+         FROM corp LEFT JOIN clean ON clean.doc_id = corp.doc_id
+         ORDER BY corp.doc_id""",
+    // both scales' spans, per-(scale, span) ownership, merged coverage
+    // and reassembly replayed in SQL; the planted copies embed a 6-word
+    // run (invisible at scale 12, caught at scale 5) between unique pads
+    "d20b_span_dedup_multi" ->
+      """WITH w0 AS (SELECT doc_id,
+             regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+         pl AS (SELECT 9800000 + doc_id AS doc_id,
+             'qq start pad ' || array_to_string(list_slice(ws, 6, 11), ' ')
+               || ' qq end pad' AS text
+           FROM w0 WHERE doc_id % 13 = 0 AND len(ws) >= 11),
+         corp AS (SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id, text FROM pl),
+         w AS (SELECT doc_id,
+             regexp_split_to_array(trim(text), '\s+') AS ws FROM corp),
+         sp AS (SELECT doc_id, i - 1 AS pos, 5 AS n,
+             array_to_string(list_slice(ws, i, i + 4), ' ') AS s
+           FROM (SELECT doc_id, ws,
+               unnest(generate_series(1, len(ws) - 4)) AS i
+             FROM w WHERE len(ws) >= 5)
+           UNION ALL
+           SELECT doc_id, i - 1 AS pos, 12 AS n,
+             array_to_string(list_slice(ws, i, i + 11), ' ') AS s
+           FROM (SELECT doc_id, ws,
+               unnest(generate_series(1, len(ws) - 11)) AS i
+             FROM w WHERE len(ws) >= 12)),
+         own AS (SELECT n, s, min(doc_id) AS owner FROM sp
+           GROUP BY n, s HAVING count(DISTINCT doc_id) >= 2),
+         cuts AS (SELECT sp.doc_id, sp.pos, sp.n FROM sp
+           JOIN own ON sp.n = own.n AND sp.s = own.s
+             AND own.owner <> sp.doc_id),
+         cov AS (SELECT DISTINCT doc_id,
+             unnest(generate_series(pos, pos + n - 1)) AS j
            FROM cuts),
          wj AS (SELECT doc_id, j - 1 AS j, ws[j] AS word
            FROM (SELECT doc_id, ws,

@@ -1357,6 +1357,72 @@ object Dedup {
     CacheRelease.afterFirstAction(out, Seq(perDoc), _ => ())
   }
 
+  /** Multi-SCALE repeated-span dedup — [[dropRepeatedSpans]] run at
+    * several window lengths in one pass, cut intervals merged BEFORE
+    * cutting. A single fixed n trades two blind spots against each
+    * other: duplicated runs shorter than n are invisible, while
+    * shrinking n makes every common short phrase a cut. Composing
+    * scales (e.g. `ns = Seq(25, 50)`) recovers the variable-length
+    * spirit of the ExactSubstr recipe: each scale contributes the
+    * duplicated runs it can see, the union covers runs of any length ≥
+    * min(ns), and overlapping cuts from different scales merge into one
+    * interval (the `d20b` gate plants a duplicate shorter than the
+    * coarse scale that the fixed-n operator provably misses).
+    *
+    * Semantics per scale are EXACTLY [[dropRepeatedSpans]]'s (sliding
+    * windows, ≥ 2 distinct documents, min-id owner keeps); ownership is
+    * grouped by `(scale, span)` so scales never alias — even under
+    * `hashKeys`, where a cross-scale 64-bit collision could otherwise
+    * merge two unrelated vocabularies. Spark shape is one union of
+    * per-scale map-side span streams through the same
+    * ownership-aggregate → hits-join → bounded per-document cut as the
+    * fixed-n path; cost scales with Σ|ns| passes over the word stream,
+    * all map-side until the one ownership shuffle. */
+  def dropRepeatedSpansMulti(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      ns: Seq[Int],
+      hashKeys: Boolean = false): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1) && ns.distinct.size == ns.size,
+      s"ns must be non-empty distinct positive window lengths, got $ns")
+    val perDoc = df
+      .select(col(idCol), TextFunctions.words(col(textCol)).as("__w"))
+    perDoc.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def key(c: Column): Column = if (hashKeys) xxhash64(c) else c
+    val spans = ns.map { n =>
+      perDoc
+        .filter(size(col("__w")) >= n)
+        .select(col(idCol).as("__id"),
+          posexplode(TextFunctions.shingles(col("__w"), n))
+            .as(Seq("__pos", "__s")))
+        .select(col("__id"), col("__pos"), lit(n).as("__n"),
+          key(col("__s")).as("__k"))
+    }.reduce(_ unionByName _)
+    val owners = spans
+      .groupBy(col("__n"), col("__k"))
+      .agg(countDistinct(col("__id")).as("__nd"), min(col("__id")).as("__owner"))
+      .filter(col("__nd") >= 2)
+      .select(col("__n"), col("__k"), col("__owner"))
+    val cuts = spans
+      .join(owners, Seq("__n", "__k"))
+      .filter(col("__owner") =!= col("__id"))
+      .groupBy(col("__id").as(idCol))
+      .agg(collect_list(struct(col("__pos").cast("int").as("s"),
+        col("__n").cast("int").as("l"))).as("__cuts"))
+    val noCuts = array().cast("array<struct<s:int,l:int>>")
+    val out = perDoc
+      .join(cuts, Seq(idCol), "left")
+      .select(col(idCol), col("__w"),
+        graft.functions.DropVarSpansExpr(col("__w"),
+          coalesce(col("__cuts"), noCuts)).as("__r"))
+      .select(col(idCol),
+        col("__r").getField("text_clean").as("text_clean"),
+        size(col("__w")).cast("long").as("n_words"),
+        col("__r").getField("n_removed").cast("long").as("n_removed"))
+    CacheRelease.afterFirstAction(out, Seq(perDoc), _ => ())
+  }
+
   /** Corpus version diff: `(id, status)` for every id in either corpus —
     * `added` (only in `b`), `removed` (only in `a`), `changed` (both,
     * text differs), `unchanged`. The dataset-versioning primitive: what

@@ -69,4 +69,36 @@ class SpanDedupSpec extends SparkSpec {
     val b = Dedup.dropRepeatedSpans(docs.repartition(7), "id", "text", n = 8)
     assert(canon(a) == canon(b))
   }
+
+  test("multi-scale: the fine scale cuts a run the coarse scale misses, " +
+      "and cross-scale cuts merge") {
+    // a 6-word duplicated run: invisible to n=8 (no 8-window fits), cut
+    // by ns = {5, 8} via the fine scale's two sliding windows
+    val src = "c1 c2 c3 c4 c5 c6 tail1 tail2 tail3"
+    val copy = "p1 p2 c1 c2 c3 c4 c5 c6 q1 q2"
+    val docs = Seq((1L, src), (2L, copy)).toDF("id", "text")
+    val fixed = Dedup.dropRepeatedSpans(docs, "id", "text", n = 8)
+      .filter(col("id") === 2L).collect().head
+    assert(fixed.getLong(3) == 0L, "n=8 should provably miss the 6-word run")
+    val multi = Dedup.dropRepeatedSpansMulti(docs, "id", "text", Seq(5, 8))
+      .collect().map(x => x.getLong(0) ->
+        (x.getString(1), x.getLong(3))).toMap
+    assert(multi(1L) == ((src, 0L)), "owner keeps everything")
+    assert(multi(2L) == (("p1 p2 q1 q2", 6L)), multi(2L).toString)
+  }
+
+  test("multi-scale equals single scale when one scale is given; " +
+      "hashKeys and partitioning invariant") {
+    val docs = (0L until 40L).map { i =>
+      (i, if (i % 4 == 0) "shared run w1 w2 w3 w4 w5 w6 w7 w8 tail" + i
+          else s"unique text $i body words filler column value row agg")
+    }.toDF("id", "text")
+    val single = Dedup.dropRepeatedSpans(docs, "id", "text", n = 8)
+    val multi1 = Dedup.dropRepeatedSpansMulti(docs, "id", "text", Seq(8))
+    assert(canon(single) == canon(multi1))
+    val a = Dedup.dropRepeatedSpansMulti(docs, "id", "text", Seq(5, 8))
+    val b = Dedup.dropRepeatedSpansMulti(docs.repartition(7), "id", "text",
+      Seq(5, 8), hashKeys = true)
+    assert(canon(a) == canon(b))
+  }
 }
