@@ -103,17 +103,26 @@ object SortedShinglesImpl {
 
   private val SPACE = ' '.toByte
 
-  /** Sorted distinct n-gram shingles of a words array. */
+  /** Sorted distinct n-gram shingles of a words array. Null elements are
+    * SKIPPED together with their separator — exactly `concat_ws`'s
+    * contract, so the kernel stays bit-equal to the composable
+    * `array_sort(array_distinct(shingles(words, n)))` formulation even
+    * on nullable inputs (a skipped-token-but-kept-separator shingle
+    * would silently diverge from the oracle's replay). */
   def sortedSet(words: ArrayData, n: Int): ArrayData = {
     val len = words.numElements()
     if (len < n) {
       // whole-document shingle: space-join of all words ("" when empty)
       val sb = new java.lang.StringBuilder()
       var i = 0
+      var joined = 0
       while (i < len) {
-        if (i > 0) sb.append(' ')
         val w = words.getUTF8String(i)
-        if (w != null) sb.append(w.toString)
+        if (w != null) {
+          if (joined > 0) sb.append(' ')
+          sb.append(w.toString)
+          joined += 1
+        }
         i += 1
       }
       return new GenericArrayData(
@@ -122,22 +131,26 @@ object SortedShinglesImpl {
     val out = new Array[UTF8String](len - n + 1)
     var i = 0
     while (i <= len - n) {
-      var bytes = n - 1 // separators
+      var bytes = 0
+      var nonNull = 0
       var j = 0
       while (j < n) {
         val w = words.getUTF8String(i + j)
-        if (w != null) bytes += w.numBytes()
+        if (w != null) { bytes += w.numBytes(); nonNull += 1 }
         j += 1
       }
+      if (nonNull > 1) bytes += nonNull - 1 // separators between non-nulls
       val buf = new Array[Byte](bytes)
       var pos = 0
+      var written = 0
       j = 0
       while (j < n) {
-        if (j > 0) { buf(pos) = SPACE; pos += 1 }
         val w = words.getUTF8String(i + j)
         if (w != null) {
+          if (written > 0) { buf(pos) = SPACE; pos += 1 }
           w.writeToMemory(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + pos)
           pos += w.numBytes()
+          written += 1
         }
         j += 1
       }

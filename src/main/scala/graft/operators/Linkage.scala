@@ -146,13 +146,17 @@ object Linkage {
           .as("distance"))
       .filter(col("distance").between(0, maxDistance))
       .dropDuplicates(leftName, rightName)
-    // expand verified name pairs back onto the id rows; each id carries
-    // exactly one name, so the expansion introduces no duplicate pairs
-    // (no pair-level dedup shuffle). Name repetition fans out here — a
-    // plain equi-join fan-out AQE's skew split handles, on matches only.
+    // expand verified name pairs back onto the id rows, DISTINCT on
+    // (id, name): an input carrying the same id row twice would
+    // otherwise fan out to duplicate output pairs (the pre-name-level
+    // implementation deduped on (leftId, rightId) — this preserves that
+    // contract with an ids-only distinct instead of a pair-level dedup
+    // shuffle of the expanded matches). Name repetition fans out here —
+    // a plain equi-join fan-out AQE's skew split handles, on matches
+    // only.
     val out = namePairs
-      .join(left.select(col(leftId), col(leftName)), leftName)
-      .join(right.select(col(rightId), col(rightName)), rightName)
+      .join(left.select(col(leftId), col(leftName)).distinct(), leftName)
+      .join(right.select(col(rightId), col(rightName)).distinct(), rightName)
       .select(col(leftId), col(rightId), col("distance"))
     if (keyCap <= 0) out
     else CacheRelease.afterFirstAction(out, Nil, qe =>

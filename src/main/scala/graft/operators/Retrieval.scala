@@ -499,7 +499,13 @@ object Retrieval {
       scale: Int = 6): DataFrame = {
     require(k >= 1, s"neighborhood k must be >= 1, got $k")
     require(srcId != tgtId, "src and tgt id column names must differ")
-    val scored = candidates
+    // candidate generators (multi-probe ANN joins, unioned passes) can
+    // emit a pair more than once; a duplicated pair would score its
+    // cosine twice in BOTH rank windows, pushing true neighbors past k
+    // and silently skewing the neighborhood averages — dedup up front
+    // (cheap: ids only, before the vector joins and window sorts)
+    val cand = candidates.dropDuplicates(srcId, tgtId)
+    val scored = cand
       .join(src.select(col(srcId), col(srcVec)), srcId)
       .join(tgt.select(col(tgtId), col(tgtVec)), tgtId)
       .select(col(srcId), col(tgtId),

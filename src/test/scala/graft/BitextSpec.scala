@@ -63,6 +63,16 @@ class BitextSpec extends SparkSpec {
     }
   }
 
+  test("duplicated candidate pairs change nothing") {
+    val a = Retrieval.mineBitext(src, "src_id", "src_emb",
+      tgt, "tgt_id", "tgt_emb", candidates, k = 2, marginThreshold = 1.0)
+    val b = Retrieval.mineBitext(src, "src_id", "src_emb",
+      tgt, "tgt_id", "tgt_emb",
+      candidates.unionAll(candidates).unionAll(candidates.limit(3)),
+      k = 2, marginThreshold = 1.0)
+    assert(canon(a) == canon(b))
+  }
+
   test("partitioning-invariant") {
     val a = Retrieval.mineBitext(src, "src_id", "src_emb",
       tgt, "tgt_id", "tgt_emb", candidates, k = 2, marginThreshold = 1.0)

@@ -51,6 +51,16 @@ class LinkageSpec extends SparkSpec {
     assert(best.head.getAs[Int]("distance") == 0)
   }
 
+  test("duplicated id rows do not duplicate output pairs") {
+    val l = Seq((1L, "red widget"), (1L, "red widget"), (2L, "red widget"))
+      .toDF("lid", "lname")
+    val r = Seq((10L, "red widget"), (10L, "red widget")).toDF("rid", "rname")
+    val out = Linkage.fuzzyJoin(l, "lid", "lname", r, "rid", "rname", 1)
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(out.length == 2 && out.toSet == Set((1L, 10L), (2L, 10L)),
+      out.mkString(","))
+  }
+
   test("keyCap drops oversized blocks on either side") {
     val hotLeft = (0 until 50).map(i => (100L + i, s"common token$i"))
       .toDF("lid", "lname")
@@ -273,6 +283,22 @@ class JaccardJoinSpec extends SparkSpec {
     // and 4/5 excludes it
     assert(Dedup.jaccardJoin(l, "q_id", "q_text", r, "doc_id", "text",
       4, 5, shingleSize = 1).isEmpty)
+  }
+
+  test("null array elements: kernel matches the concat_ws formulation") {
+    // concat_ws skips a null element INCLUDING its separator; the fused
+    // kernel must shingle identically or diverge from the oracle replay
+    val df = Seq(1).toDF("x").select(
+      array(lit("a"), lit(null).cast("string"), lit("b"), lit("c")).as("w"))
+    for (n <- Seq(2, 5)) { // sliding branch and whole-document branch
+      val kernel = df.select(
+          graft.functions.SortedShingleSetExpr(col("w"), n).as("s"))
+        .collect().head.getSeq[String](0)
+      val composed = df.select(array_sort(array_distinct(
+          graft.functions.TextFunctions.shingles(col("w"), n))).as("s"))
+        .collect().head.getSeq[String](0)
+      assert(kernel == composed, s"n=$n: $kernel vs $composed")
+    }
   }
 
   test("plan has no cartesian product or nested-loop join") {
