@@ -2144,6 +2144,22 @@ object SparkEntry {
       .select("vec_id", "rank").orderBy("rank")
   }
 
+  /** Soft multi-assignment (SPANN boundary recipe): the same planted
+    * corpus and probe as `a3`, but every row is stored in its TWO
+    * nearest clusters. Each planted copy now exists twice, and with
+    * nprobe=4 a query probes both homes of many of them — a probe path
+    * missing the by-id dedup would emit duplicate vec_ids in the top-10
+    * and go red; ranks shifting would catch a tie-break divergence
+    * between the multi-assign sort and the build argmax. RecallSpec
+    * pins the organic-recall LIFT this layout buys. */
+  private def a16_ivf_multiassign(s: SparkSession, dir: String): DataFrame = {
+    val index = Ann.ivfBuild(annCorpus(s, dir), "vec_id", "embedding",
+      nlist = 16, assignTop = 2)
+    Ann.ivfTopK(index, "vec_id", "embedding", queryVec(s, dir),
+        k = 10, nprobe = 4, excludeIds = Seq(0L))
+      .select("vec_id", "rank").orderBy("rank")
+  }
+
   /** Per-cluster NSW graph ANN over the same planted corpus and routing
     * as `a3`: graphs build per `gr_cluster`, the probe centroid-routes
     * then beam-walks each cluster's graph from its entry. The beam here
@@ -4005,6 +4021,7 @@ object SparkEntry {
     "a8_ann_ivfpq_join" -> (a8_ann_ivfpq_join _),
     "a5_ann_ivf_batch" -> (a5_ann_ivf_batch _),
     "a3_ann_ivf" -> (a3_ann_ivf _),
+    "a16_ivf_multiassign" -> (a16_ivf_multiassign _),
     "a15_graph_ann" -> (a15_graph_ann _),
     "a15b_graph_ann_append" -> (a15b_graph_ann_append _),
     "p1_ann_pq" -> (p1_ann_pq _),
@@ -6179,6 +6196,11 @@ object SparkEntry {
       """SELECT CAST(9000000 + i AS BIGINT) AS vec_id, CAST(i + 1 AS INT) AS rank
          FROM range(10) t(i) ORDER BY rank""",
     "a3_ann_ivf" ->
+      """SELECT CAST(9000000 + i AS BIGINT) AS vec_id, CAST(i + 1 AS INT) AS rank
+         FROM range(10) t(i) ORDER BY rank""",
+    // the planted family again, through the doubly-stored layout: any
+    // missing by-id dedup would duplicate vec_ids in the top-10
+    "a16_ivf_multiassign" ->
       """SELECT CAST(9000000 + i AS BIGINT) AS vec_id, CAST(i + 1 AS INT) AS rank
          FROM range(10) t(i) ORDER BY rank""",
     // same planted truth through the graph path: full-beam NSW walk over

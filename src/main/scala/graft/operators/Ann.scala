@@ -223,9 +223,18 @@ object Ann {
     * what you write out partitioned by `gr_cluster`, turning every probe into
     * a partition-pruned scan of nprobe/nlist of the data. `vecCol` names the
     * embedding column (recorded in the sidecar on write) so maintenance
-    * paths — drift telemetry — can score without the caller re-stating it. */
+    * paths — drift telemetry — can score without the caller re-stating it.
+    * `assignTop > 1` means SOFT multi-assignment (the SPANN boundary
+    * recipe): every row is stored in its `assignTop` nearest clusters, so
+    * a vector near a cluster boundary is found even when only its
+    * runner-up cluster is probed — recall at fixed nprobe rises for
+    * `assignTop×` storage and scan width (RecallSpec quantifies it). The
+    * clustered frame then holds duplicate ids; every probe path dedups
+    * by id before ranking, and single-copy consumers (SemDeDup, PQ
+    * encode, graph ANN) refuse a multi-assigned index loudly. */
   final case class IvfIndex(centroids: Seq[(Int, Array[Double])],
-      clustered: DataFrame, vecCol: String = "embedding")
+      clustered: DataFrame, vecCol: String = "embedding",
+      assignTop: Int = 1)
 
   /** Build an IVF index with deterministic centroids: a seeded hash-sample
     * of the data seeds them, then `iterations` rounds of Lloyd refinement
@@ -246,7 +255,10 @@ object Ann {
       vecCol: String,
       nlist: Int = 16,
       seed: Long = 42L,
-      iterations: Int = 2): IvfIndex = {
+      iterations: Int = 2,
+      assignTop: Int = 1): IvfIndex = {
+    require(assignTop >= 1 && assignTop <= nlist,
+      s"assignTop must be in [1, nlist=$nlist], got $assignTop")
     def vecs(d: DataFrame): Array[Array[Double]] =
       d.collect().map(_.getSeq[Any](0).map {
         case f: Float => f.toDouble
@@ -280,7 +292,11 @@ object Ann {
         }
       centroids = centroids.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
     }
-    IvfIndex(centroids, assign(centroids), vecCol)
+    // Lloyd refinement always runs on the PRIMARY (argmax) assignment;
+    // only the final stored layout multi-assigns — soft copies are a
+    // serving-recall device, not cluster members for the means
+    IvfIndex(centroids,
+      assignClustersTop(df, centroids, vecCol, assignTop), vecCol, assignTop)
   }
 
   /** Driver-side cosine between a centroid and a query (tiny: nlist×dim). */
@@ -321,10 +337,15 @@ object Ann {
       rowFilter: Column = lit(true)): DataFrame = {
     val qd = query.map(_.toDouble)
     val probed = probedClusters(index, qd, nprobe)
-    val candidates = index.clustered
+    val pruned = index.clustered
       .filter(col("gr_cluster").isin(probed: _*))
       .filter(rowFilter)
       .filter(if (excludeIds.isEmpty) lit(true) else !col(idCol).isin(excludeIds: _*))
+    // soft multi-assignment stores a row in several clusters: a probe
+    // covering two of its homes must rank it once (dedup only when the
+    // index can actually contain copies — assignTop=1 keeps the plan)
+    val candidates =
+      if (index.assignTop > 1) pruned.dropDuplicates(idCol) else pruned
     val q = lit(qd)
     val scoredRows = candidates
       .select(col(idCol), cosine(col(vecCol), q).as("cosine"))
@@ -366,13 +387,18 @@ object Ann {
       struct(lit(qid).as("query_id"), lit(qd).as("qvec"),
         lit(cids.toArray).as("cids"))
     }: _*)
-    index.clustered
+    val scored = index.clustered
       .filter(col("gr_cluster").isin(allClusters: _*))
       .filter(if (excludeIds.isEmpty) lit(true) else !col(idCol).isin(excludeIds: _*))
       .select(col(idCol), col("gr_cluster"), explode(qarr).as("__q"), col(vecCol))
       .filter(array_contains(col("__q.cids"), col("gr_cluster")))
       .select(col("__q.query_id").as("query_id"), col(idCol),
         cosine(col(vecCol), col("__q.qvec")).as("cosine"))
+    // multi-assigned copies met by several probed clusters of one query
+    // rank once (identical cosines — any survivor is right)
+    val perQuery = if (index.assignTop > 1)
+      scored.dropDuplicates("query_id", idCol) else scored
+    perQuery
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(desc("cosine"), col(idCol))))
       .filter(col("rank") <= k)
@@ -408,6 +434,28 @@ object Ann {
     df.withColumn("gr_cluster",
       greatest(scoredStructs(cs, vecCol): _*).getField("cid"))
   }
+
+  /** Top-`assignTop` soft assignment: each row lands in its `assignTop`
+    * nearest clusters (one output row per landing). Rank 1 uses EXACTLY
+    * [[assignClusters]]'s argmax contract — the struct sort key is
+    * `(−cosine, −cid)` ascending, so equal scores break to the LARGER
+    * cid, matching `greatest(struct(s, cid))` — and `assignTop = 1`
+    * keeps the original single-copy plan (no explode). */
+  private def assignClustersTop(df: DataFrame,
+      cs: Seq[(Int, Array[Double])], vecCol: String,
+      assignTop: Int): DataFrame =
+    if (assignTop == 1) assignClusters(df, cs, vecCol)
+    else {
+      require(!df.columns.contains("gr_cluster"),
+        "input already carries a 'gr_cluster' column — rename it before indexing")
+      val scored = array(cs.map { case (cid, c) =>
+        struct((-cosine(col(vecCol), lit(c))).as("ns"),
+          lit(-cid).as("ncid"))
+      }: _*)
+      df.withColumn("gr_cluster",
+        explode(transform(slice(sort_array(scored), 1, assignTop),
+          x => -x.getField("ncid"))))
+    }
 
   /** The frozen-centroid assignment, shared with the operators that must
     * cluster NEW rows exactly like the index did (incremental SemDeDup —
@@ -479,7 +527,8 @@ object Ann {
     val out = fs.create(new org.apache.hadoop.fs.Path(path, IvfParamsSidecar), true)
     try out.write(
       (s"""{"dim":$dim,"nlist":${index.centroids.size},""" +
-        s""""vec_col":"${index.vecCol}","build_mean_cos":$buildMeanCos}""")
+        s""""vec_col":"${index.vecCol}","build_mean_cos":$buildMeanCos,""" +
+        s""""assign_top":${index.assignTop}}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
@@ -502,7 +551,9 @@ object Ann {
     val clustered = applyTombstones(spark, path,
       spark.read.parquet(s"$path/data")
         .withColumn("gr_cluster", col("gr_cluster").cast("int")))
-    IvfIndex(centroids, clustered, vecCol)
+    val assignTop =
+      if (node.hasNonNull("assign_top")) node.get("assign_top").asInt else 1
+    IvfIndex(centroids, clustered, vecCol, assignTop)
   }
 
   private val IvfTombstonesDir = "tombstones"
@@ -596,7 +647,8 @@ object Ann {
       tag: String): Long = {
     graft.core.TaggedAppend.requireSafeTag(tag)
     val (dim, nlist) = readIvfSidecar(spark, path)
-    val centroids = ivfRead(spark, path).centroids
+    val stored0 = ivfRead(spark, path)
+    val centroids = stored0.centroids
     require(centroids.size == nlist, s"centroid table at $path has " +
       s"${centroids.size} rows but the sidecar claims nlist=$nlist")
     val stored = spark.read.parquet(s"$path/data")
@@ -629,8 +681,11 @@ object Ann {
     // persist for the duration of the call: the append and the drift
     // telemetry are two actions over this frame, and a non-deterministic
     // batch (changing source, sample) re-evaluated per action could record
-    // telemetry disagreeing with what was actually appended
-    val assigned = assignClusters(newVecs, centroids, vecCol).persist()
+    // telemetry disagreeing with what was actually appended. The batch
+    // multi-assigns exactly like the build did (sidecar assign_top), so
+    // appended rows keep the index's boundary-recall contract.
+    val assigned =
+      assignClustersTop(newVecs, centroids, vecCol, stored0.assignTop).persist()
     try {
       graft.core.TaggedAppend.append(assigned, s"$path/data", tag,
         Seq("gr_cluster"))
@@ -761,6 +816,8 @@ object Ann {
     val gen =
       if (node.hasNonNull("generation")) node.get("generation").asInt else 1
     val useNlist = if (nlist > 0) nlist else node.get("nlist").asInt
+    val useTop =
+      if (node.hasNonNull("assign_top")) node.get("assign_top").asInt else 1
     val fs = ivfFs(spark, path)
     def p(child: String) = new org.apache.hadoop.fs.Path(path, child)
     val staging = p(".graft_rebuild_staging")
@@ -769,19 +826,24 @@ object Ann {
       s"$retired exists — a previous rebuild crashed mid-swap; recover " +
         "manually (inspect which copy is complete) before rebuilding again")
     fs.delete(staging, true) // sweep a previous attempt that died pre-swap
-    // tombstoned rows must not resurrect into the rebuilt index
-    val corpus = applyTombstones(spark, path,
+    // tombstoned rows must not resurrect into the rebuilt index; a
+    // multi-assigned layout stores assignTop copies per id — rebuild
+    // from the DISTINCT-id corpus and re-multi-assign fresh
+    val stored = applyTombstones(spark, path,
       spark.read.parquet(s"$path/data")).drop("gr_cluster")
+    val corpus = if (useTop > 1) stored.dropDuplicates(idCol) else stored
     require(corpus.columns.contains(idCol) && corpus.columns.contains(vecCol),
       s"stored schema ${corpus.columns.mkString(",")} lacks $idCol/$vecCol")
     val liveCount = corpus.count()
-    ivfWrite(ivfBuild(corpus, idCol, vecCol, useNlist, seed, iterations),
-      staging.toString)
-    // verify the staged copy before touching the live one
+    ivfWrite(ivfBuild(corpus, idCol, vecCol, useNlist, seed, iterations,
+      assignTop = useTop), staging.toString)
+    // verify the staged copy before touching the live one (every distinct
+    // id lands exactly assignTop times in the multi-assigned layout)
     val stagedCount = spark.read.parquet(s"$staging/data").count()
-    require(stagedCount == liveCount,
-      s"staged rebuild has $stagedCount rows vs live $liveCount — refusing " +
-        "to swap (staging dir left for inspection)")
+    require(stagedCount == liveCount * useTop,
+      s"staged rebuild has $stagedCount rows vs live $liveCount × " +
+        s"assignTop=$useTop — refusing to swap (staging dir left for " +
+        "inspection)")
     val probeVec = spark.read.parquet(s"$staging/data")
       .select(col(vecCol)).head().getSeq[Any](0).map {
         case f: Float => f
@@ -814,6 +876,7 @@ object Ann {
         s""""nlist":${staged.get("nlist").asInt},""" +
         s""""vec_col":"${staged.get("vec_col").asText}",""" +
         s""""build_mean_cos":${staged.get("build_mean_cos").asDouble},""" +
+        s""""assign_top":${staged.get("assign_top").asInt},""" +
         s""""generation":${gen + 1}}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -1034,9 +1097,14 @@ object Ann {
           csBase.withColumn("__salt",
             Skew.saltOf(col(corpusIdCol), saltFactor)),
           Seq("gr_cluster", "__salt"))
-    qs.join(cs, joinKeys)
+    val pairs = qs.join(cs, joinKeys)
       .select(col(queryIdCol), col(corpusIdCol),
         cosine(col("__qvec"), col("__cvec")).as("cosine"))
+    // multi-assigned corpus copies can meet one query in two probed
+    // clusters — rank each (query, corpus) pair once
+    val perQuery = if (index.assignTop > 1)
+      pairs.dropDuplicates(queryIdCol, corpusIdCol) else pairs
+    perQuery
       .withColumn("rank", row_number().over(
         Window.partitionBy(col(queryIdCol))
           .orderBy(desc("cosine"), col(corpusIdCol))))

@@ -549,6 +549,9 @@ object Dedup {
       idCol: String,
       eps: Double = 0.95,
       maxClusterSize: Int = DefaultMaxBucketSize): DataFrame = {
+    require(index.assignTop == 1,
+      "semDedup needs a single-assignment index (assignTop = 1): soft " +
+        "copies would emit several verdicts per id and double-count pairs")
     val rows = index.clustered.select(col(idCol).as("id"),
       col(index.vecCol).as("vec"), col("gr_cluster").as("bucket"))
     val capped = capBuckets(rows, maxClusterSize, "graft_semdedup")
@@ -598,6 +601,8 @@ object Dedup {
       eps: Double = 0.95,
       maxClusterSize: Int = DefaultMaxBucketSize,
       requireMonotonicIds: Boolean = true): DataFrame = {
+    require(index.assignTop == 1,
+      "semDedupAppend needs a single-assignment index (assignTop = 1)")
     val batch = graft.operators.Ann.assignWithFrozenCentroids(
         newRows.select(col(idCol), col(index.vecCol)),
         index.centroids, index.vecCol)

@@ -67,6 +67,9 @@ object GraphAnn {
     require(m >= 1, s"m must be >= 1, got $m")
     require(efConstruction >= m,
       s"efConstruction ($efConstruction) must be >= m ($m)")
+    require(index.assignTop == 1,
+      "nswBuild needs a single-assignment index (assignTop = 1): a soft " +
+        "copy would become a duplicate graph node in a second cluster")
     val spark = index.clustered.sparkSession
     import spark.implicits._
     val big = index.clustered.groupBy("gr_cluster").count()
@@ -294,7 +297,10 @@ object GraphAnn {
     // drifted base would launder a broken graph behind a fresh witness.
     val (sRows, sXor) = (node.get("rows").asLong, node.get("id_xor").asLong)
     val (bRows, bXor) = witness(newVecs, col(idCol))
-    val pre = witness(Ann.ivfRead(spark, path).clustered, col(idCol))
+    val preIdx = Ann.ivfRead(spark, path)
+    require(preIdx.assignTop == 1,
+      "nswAppend needs a single-assignment index (assignTop = 1)")
+    val pre = witness(preIdx.clustered, col(idCol))
     require(pre == ((sRows, sXor)) ||
         pre == ((sRows + bRows, sXor ^ bXor)),
       s"graph index at $path: base rows/id-checksum $pre match neither the " +

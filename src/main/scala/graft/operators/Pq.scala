@@ -251,9 +251,13 @@ object Pq {
     * per row. Persist with `partitionBy("gr_cluster")` and probes prune at
     * the file-listing level while reading NO float vectors at all. */
   def ivfPqEncode(index: Ann.IvfIndex, idCol: String, vecCol: String,
-      model: PqModel): DataFrame =
+      model: PqModel): DataFrame = {
+    require(index.assignTop == 1,
+      "ivfPqEncode needs a single-assignment index (assignTop = 1): soft " +
+        "copies would duplicate ids in the serving table and every top-k")
     index.clustered.select(col(idCol), col("gr_cluster"),
       PqEncodeExpr(col(vecCol), model.cells).as("pq_code"))
+  }
 
   /** ADC top-k over the probed clusters of an IVF-PQ serving table:
     * centroid ranking driver-side (ties keep the LOWER cid — stable sort

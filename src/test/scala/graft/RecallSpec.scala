@@ -66,6 +66,36 @@ class RecallSpec extends SparkSpec {
     assert(ivf >= 0.45, f"IVF recall@10 regressed: $ivf%.3f < 0.45")
   }
 
+  test("soft multi-assignment lifts organic recall at fixed nprobe") {
+    // SPANN-style boundary recovery: assignTop=2 stores each row in its
+    // two nearest clusters, so a vector near a cluster boundary is found
+    // when only its runner-up cluster is probed. Same centroids (same
+    // seed/corpus → identical Lloyd refinement), same nprobe=4 — the only
+    // change is the stored layout, so the delta IS the boundary effect.
+    val ivf1 = Ann.ivfBuild(emb, "vec_id", "embedding", nlist = 16)
+    val ivf2 = Ann.ivfBuild(emb, "vec_id", "embedding", nlist = 16,
+      assignTop = 2)
+    def recallOf(ix: Ann.IvfIndex) = avgRecall((qid, qv) =>
+      topIds(Ann.ivfTopK(ix, "vec_id", "embedding", qv, k = k,
+        nprobe = 4, excludeIds = Seq(qid))))
+    val r1 = recallOf(ivf1)
+    val r2 = recallOf(ivf2)
+    info(f"IVF recall@10 at nprobe=4: assignTop=1 $r1%.3f, assignTop=2 $r2%.3f")
+    assert(r2 > r1, f"assignTop=2 must beat single assignment: $r2%.3f <= $r1%.3f")
+    // results stay duplicate-free despite the stored copies
+    val (qid, qv) = queries.head
+    val ids = Ann.ivfTopK(ivf2, "vec_id", "embedding", qv, k = k,
+      nprobe = 4, excludeIds = Seq(qid)).select("vec_id")
+      .collect().map(_.getLong(0))
+    assert(ids.length == ids.distinct.length, "duplicate id in top-k")
+    // and the multi-assigned layout round-trips through persistence
+    val path = tmpDir("ivf_top2")
+    Ann.ivfWrite(ivf2, path)
+    val back = Ann.ivfRead(spark, path)
+    assert(back.assignTop == 2)
+    assert(recallOf(back) == r2)
+  }
+
   test("recall holds over an APPENDED corpus, not just the build corpus") {
     // the planted a3b gate proves exact-copy retrieval through the append
     // path; this floor proves ORGANIC neighbor quality survives it — an
