@@ -66,15 +66,17 @@ object Bench {
     "as4_asof_nearest", "q34_bloom_join",
     "q44_resample", "t30_conversations", "t31_feature_hash",
     "t48_markup_extract",
-    // d18 and q49 stay headline-only. d18: jaccardJoin CARRIES shingle
-    // arrays through its shuffle by design (right for its chunk-sized-set
-    // envelope; d2's fixed-width signatures are the corpus-scale tool).
-    // q49: the synthetic part table has only ~64 DISTINCT names per
-    // replica (~300 duplicate rows each), so the TRUE fuzzy-match pair
-    // set is tens of millions at 10x — a 10x leg would time the
-    // fixture's duplicate structure, not the operator, and its pair
-    // materialization wants more than the fixed default driver heap.
-    "a11_mmr", "rj2_interval_join")
+    "a11_mmr", "rj2_interval_join",
+    // round-14: the heaviest join/iteration shapes now measure their own
+    // slopes instead of relying on plan reads. All five are replica-safe
+    // on the scaled fixture: documents carry per-replica token suffixes
+    // (d18's shingles and d20's spans are replica-disjoint), part names
+    // are per-replica Caesar-rotated (q49's block keys and TRUE match
+    // set replicate at 1x structure, so the pair set grows linearly, not
+    // quadratically), embeddings replicate verbatim under shifted ids
+    // (a15's clusters and d19's touched-cluster scan grow linearly).
+    "d18_jaccard_join", "q49_fuzzy_link", "a15_graph_ann",
+    "d19_semdedup_append", "d20_span_dedup")
 
   /** Materialize a `factor`×-replicated copy of the FACT tables the scale
     * set reads (documents, lineitem, orders, events) plus 1× copies of
@@ -180,11 +182,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // optional first arg: comma-separated headline filter (dev spot-timing;
-    // the driver passes no args and times the full list)
-    val headline = args.headOption
-      .map(f => { val s = f.split(",").toSet; Bench.headline.filter(s) })
-      .getOrElse(Bench.headline)
+    // optional first arg: comma-separated query filter (dev spot-timing;
+    // the driver passes no args and times the full lists). The filter
+    // applies to BOTH legs so a new scale entry can be validated alone.
+    val filter = args.headOption.map(_.split(",").toSet)
+    val headline = filter.map(Bench.headline.filter).getOrElse(Bench.headline)
+    val scaleSet = filter.map(Bench.scaleSet.filter).getOrElse(Bench.scaleSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -2058,6 +2058,25 @@ object SparkEntry {
     * operator provably misses, with the whole two-scale ownership and
     * coverage replayed in SQL.
     * See [[graft.operators.Dedup.dropRepeatedSpansMulti]]. */
+  /** PDF round trip: every document is written as a structurally valid
+    * one-page PDF ([[graft.functions.PdfBuildExpr]] — Flate-compressed
+    * content stream on even doc_ids, raw on odd, text split across two
+    * Tj show-ops) and read back through the from-scratch extractor
+    * ([[graft.functions.PdfExtractExpr]]). The oracle is the identity,
+    * which is exactly the point: a parser that fails to inflate,
+    * mis-lexes an escape (the builder escapes parens/backslashes/
+    * control bytes), or drops a show-op cannot reproduce the corpus.
+    * Edge grammar (octal escapes, hex strings, TJ arrays, newline
+    * operators, foreign filters) is pinned in PdfSpec. */
+  private def t50_pdf_extract(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    docs.select(col("doc_id"),
+        graft.functions.PdfExtractExpr(
+          graft.functions.PdfBuildExpr(col("text"), col("doc_id") % 2 === 0))
+          .as("text_extracted"))
+      .orderBy("doc_id")
+  }
+
   private def d20b_span_dedup_multi(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
     val planted = docs
@@ -3989,6 +4008,7 @@ object SparkEntry {
     "d19_semdedup_append" -> (d19_semdedup_append _),
     "d20_span_dedup" -> (d20_span_dedup _),
     "d20b_span_dedup_multi" -> (d20b_span_dedup_multi _),
+    "t50_pdf_extract" -> (t50_pdf_extract _),
     "g1_pagerank" -> (g1_pagerank _),
     "g2_triangles" -> (g2_triangles _),
     "g3_kcore" -> (g3_kcore _),
@@ -4874,6 +4894,11 @@ object SparkEntry {
            text || ' & more text' || chr(10) ||
            'bold and italic words < 5 alpha' || chr(10) ||
            'first' || chr(10) || 'second' AS clean
+         FROM documents ORDER BY doc_id""",
+    // the identity IS the gate: build → compress (even ids) → extract
+    // must reproduce the corpus byte-for-byte (see t50's scaladoc)
+    "t50_pdf_extract" ->
+      """SELECT doc_id, text AS text_extracted
          FROM documents ORDER BY doc_id""",
     // cosines, both neighborhood windows, rounded ratio margin,
     // threshold and best-per-source replayed in SQL
