@@ -2136,16 +2136,20 @@ object SparkEntry {
       .toDF("cid", "vec")
       .coalesce(1).write.mode("overwrite")
       .parquet(SemDedupAppendCentroidsFixture)
+    // batch ids derive from the corpus MAX (not a fixed literal): the
+    // append-only monotone-id contract must hold at EVERY scale factor —
+    // the 10x bench replica ids exceed any fixed plant base
+    val base = e.agg(max("vec_id")).head().getLong(0) + 1L
     val planted = e.filter(col("vec_id") === 0)
       .select(explode(sequence(lit(0L), lit(9L))).as("i"), col("embedding"))
-      .select((col("i") + 9600000L).as("vec_id"),
+      .select((col("i") + base).as("vec_id"),
         transform(col("embedding"),
           x => (x * pow(lit(2.0), col("i") - 5)).cast("float")).as("embedding"))
     val copy1 = e.filter(col("vec_id") === 1)
-      .select(lit(9600010L).as("vec_id"),
+      .select(lit(base + 10L).as("vec_id"),
         transform(col("embedding"), x => (x * 2).cast("float")).as("embedding"))
     val oneHot = e.filter(col("vec_id") === 0)
-      .select(lit(9600011L).as("vec_id"),
+      .select(lit(base + 11L).as("vec_id"),
         transform(col("embedding"),
           (_, i) => when(i === 0, lit(1.0f)).otherwise(lit(0.0f)))
           .as("embedding"))
@@ -5629,20 +5633,21 @@ object SparkEntry {
     "d19_semdedup_append" ->
       """WITH cent AS (SELECT cid, vec FROM
            read_parquet('/tmp/graft_fixtures/semdedup_append_centroids.parquet/*.parquet')),
+         mx AS (SELECT max(vec_id) AS m FROM embeddings),
          base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         pl AS (SELECT 9600000 + i AS vec_id,
+         pl AS (SELECT mx.m + 1 + i AS vec_id,
              CAST(list_transform(e.embedding,
                x -> CAST(x * POW(2.0, i - 5) AS FLOAT)) AS DOUBLE[]) AS v
-           FROM range(10) t(i), embeddings e WHERE e.vec_id = 0),
-         cp AS (SELECT 9600010 AS vec_id,
+           FROM range(10) t(i), embeddings e, mx WHERE e.vec_id = 0),
+         cp AS (SELECT mx.m + 11 AS vec_id,
              CAST(list_transform(e.embedding,
                x -> CAST(x * 2 AS FLOAT)) AS DOUBLE[]) AS v
-           FROM embeddings e WHERE e.vec_id = 1),
-         oh AS (SELECT 9600011 AS vec_id,
+           FROM embeddings e, mx WHERE e.vec_id = 1),
+         oh AS (SELECT mx.m + 12 AS vec_id,
              CAST(list_transform(range(1, len(e.embedding) + 1),
                i -> CASE WHEN i = 1 THEN CAST(1.0 AS FLOAT)
                          ELSE CAST(0.0 AS FLOAT) END) AS DOUBLE[]) AS v
-           FROM embeddings e WHERE e.vec_id = 0),
+           FROM embeddings e, mx WHERE e.vec_id = 0),
          corp AS (SELECT * FROM base UNION ALL SELECT * FROM pl
            UNION ALL SELECT * FROM cp UNION ALL SELECT * FROM oh),
          asg AS (SELECT vec_id, v, cid AS gr_cluster FROM (
@@ -5656,7 +5661,7 @@ object SparkEntry {
          reps AS (SELECT b.vec_id AS id, MIN(a.vec_id) AS rep_id
            FROM asg a JOIN asg b
              ON a.gr_cluster = b.gr_cluster AND a.vec_id < b.vec_id
-           WHERE b.vec_id >= 9600000
+           WHERE b.vec_id > (SELECT m FROM mx)
              AND list_dot_product(a.v, b.v) /
                (sqrt(list_dot_product(a.v, a.v)) *
                 sqrt(list_dot_product(b.v, b.v))) >= 0.95
@@ -5664,7 +5669,7 @@ object SparkEntry {
          SELECT g.vec_id AS id, CAST(g.gr_cluster AS INT) AS gr_cluster,
            r.rep_id IS NULL AS kept, r.rep_id
          FROM asg g LEFT JOIN reps r ON r.id = g.vec_id
-         WHERE g.vec_id >= 9600000
+         WHERE g.vec_id > (SELECT m FROM mx)
          ORDER BY id""",
     // spans, ownership, coverage and reassembly replayed in SQL; the
     // planted copies embed a 12-word run of their source at a shifted

@@ -1514,24 +1514,37 @@ object Dedup {
     * `inter · den ≥ num · union` in integers — no float boundary anywhere.
     *
     * Spark shape: tokenize + sort + slice are one map-side projection per
-    * side; candidates come from ONE hash equi-join on the prefix token
-    * with pair-level dedup; exact Jaccard runs only on candidates via a
-    * merge of the two sorted arrays. Shuffle ROWS are Σ prefix-lengths,
-    * bounded by `(1−t)·|tokens|` — but each exploded row CARRIES its full
-    * sorted shingle array (so verification needs no join-back), making
-    * shuffle BYTES ≈ Σ(prefix-length × set-size). For corpora of large
-    * documents that trade inverts: ship (id, token) pairs instead and
-    * equi-join the arrays back onto the deduplicated candidate pairs —
-    * one more shuffle, set-size-linear bytes. The carry-the-array form is
-    * the right default for the chunk/shingle-sized sets this engine
-    * feeds it (the d18 fixture's documents are ≤ a few hundred shingles).
+    * side; candidates come from ONE shuffle equi-join on the prefix token
+    * (merge-hinted — the exploded sides' true size is orders of magnitude
+    * above the pre-explode file-stat estimate the planner sees, and a
+    * broadcast of either OOMs at the 10× fixture already, never mind
+    * 100 TB); exact Jaccard runs only on candidates via a merge of the
+    * two sorted arrays.
+    *
+    * Two candidate-stream layouts, `carryArrays` selecting:
+    *
+    *  - DEFAULT (false, the INVERTED / corpus-scale layout): the token
+    *    join ships `(id, |set|, token)` only — the integer length filter
+    *    prunes before the pair dedup, and the sorted arrays attach to the
+    *    DEDUPLICATED pairs by two id equi-joins (also merge-hinted). One
+    *    extra shuffle, but every in-flight row before the final attach is
+    *    a few dozen bytes: shuffle bytes are set-size-LINEAR. This is the
+    *    layout that survives the 10× bench leg in a 1 GiB heap and the
+    *    one to run at corpus scale.
+    *  - `carryArrays = true`: each exploded row carries its full sorted
+    *    array, so verification needs no join-back — fewer shuffles,
+    *    bytes ≈ Σ(prefix-length × set-size). Right only for SMALL sets
+    *    (chunk-level dedup) on memory-rich executors; spec-pinned equal
+    *    to the default.
+    *
     * Returns `(queryId, corpusId, inter, uni)`. */
   def jaccardJoin(
       queries: DataFrame, queryIdCol: String, queryTextCol: String,
       corpus: DataFrame, corpusIdCol: String, corpusTextCol: String,
       thresholdNum: Int,
       thresholdDen: Int,
-      shingleSize: Int = 3): DataFrame = {
+      shingleSize: Int = 3,
+      carryArrays: Boolean = false): DataFrame = {
     require(thresholdNum > 0 && thresholdDen > 0 && thresholdNum <= thresholdDen,
       s"threshold must be a rational in (0,1]: $thresholdNum/$thresholdDen")
     require(shingleSize >= 1, s"shingle size must be >= 1, got $shingleSize")
@@ -1553,29 +1566,52 @@ object Dedup {
           size(col(setName)) - expr(
             s"cast((size($setName) * $thresholdNum + $thresholdDen - 1) " +
               s"div $thresholdDen as int)") + 1))
-    val q = prepared(queries, queryIdCol, queryTextCol, "__qs")
-      .select(col(queryIdCol), col("__qs"), explode(col("__pfx")).as("__tok"))
-    val c = prepared(corpus, corpusIdCol, corpusTextCol, "__cs")
-      .select(col(corpusIdCol), col("__cs"), explode(col("__pfx")).as("__tok"))
+    val qp = prepared(queries, queryIdCol, queryTextCol, "__qs")
+    val cp = prepared(corpus, corpusIdCol, corpusTextCol, "__cs")
     // merge-count over the two sorted arrays: no per-row hash set, unlike
     // size(array_intersect(...))
     val inter = graft.functions.SortedIntersectCountExpr(
       col("__qs"), col("__cs"))
     val uni = size(col("__qs")) + size(col("__cs")) - inter
-    q.join(c, "__tok")
-      // length filter (the standard Vernica refinement): J(A,B) ≥ t forces
-      // min(|A|,|B|)·den ≥ max(|A|,|B|)·num, because the intersection can
-      // never exceed the smaller set. Two integer size comparisons prune a
-      // candidate BEFORE the pair-dedup shuffle and the merge verification
-      // — on low-entropy vocabularies (heavy prefix-token collisions) this
-      // is most of the candidate stream; lossless by construction, so the
-      // d18 brute-force gate is unaffected
-      .filter(
-        size(col("__cs")) * thresholdDen >= size(col("__qs")) * thresholdNum &&
-        size(col("__qs")) * thresholdDen >= size(col("__cs")) * thresholdNum)
-      .dropDuplicates(queryIdCol, corpusIdCol)
+    // length filter (the standard Vernica refinement): J(A,B) ≥ t forces
+    // min(|A|,|B|)·den ≥ max(|A|,|B|)·num, because the intersection can
+    // never exceed the smaller set. Two integer comparisons prune a
+    // candidate BEFORE the pair-dedup shuffle and the merge verification
+    // — on low-entropy vocabularies (heavy prefix-token collisions) this
+    // is most of the candidate stream; lossless by construction, so the
+    // d18 brute-force gate is unaffected
+    def lengthOk(qn: Column, cn: Column): Column =
+      cn * thresholdDen >= qn * thresholdNum &&
+        qn * thresholdDen >= cn * thresholdNum
+    val verdict = (pairs: DataFrame) => pairs
       .select(col(queryIdCol), col(corpusIdCol),
         inter.as("inter"), uni.as("uni"))
       .filter(col("inter") * thresholdDen >= col("uni") * thresholdNum)
+    if (carryArrays) {
+      val q = qp.select(col(queryIdCol), col("__qs"),
+        explode(col("__pfx")).as("__tok"))
+      val c = cp.select(col(corpusIdCol), col("__cs"),
+        explode(col("__pfx")).as("__tok"))
+      verdict(q.hint("merge").join(c, "__tok")
+        .filter(lengthOk(size(col("__qs")), size(col("__cs"))))
+        .dropDuplicates(queryIdCol, corpusIdCol))
+    } else {
+      val q = qp.select(col(queryIdCol), size(col("__qs")).as("__qn"),
+        explode(col("__pfx")).as("__tok"))
+      val c = cp.select(col(corpusIdCol), size(col("__cs")).as("__cn"),
+        explode(col("__pfx")).as("__tok"))
+      val cand = q.hint("merge").join(c, "__tok")
+        .filter(lengthOk(col("__qn"), col("__cn")))
+        .select(col(queryIdCol), col(corpusIdCol))
+        .dropDuplicates(queryIdCol, corpusIdCol)
+      // attach the sorted sets to the deduplicated pairs only; the set
+      // frames are corpus-sized at corpus scale — merge-hinted for the
+      // same estimate-blindness reason as the token join
+      verdict(cand
+        .join(qp.select(col(queryIdCol), col("__qs")).hint("merge"),
+          queryIdCol)
+        .join(cp.select(col(corpusIdCol), col("__cs")).hint("merge"),
+          corpusIdCol))
+    }
   }
 }

@@ -285,6 +285,15 @@ class JaccardJoinSpec extends SparkSpec {
       4, 5, shingleSize = 1).isEmpty)
   }
 
+  test("carry-the-arrays layout equals the inverted default exactly") {
+    val q = docs.select(col("doc_id").as("q_id"), col("text").as("q_text"))
+    val inverted = Dedup.jaccardJoin(q, "q_id", "q_text",
+      docs, "doc_id", "text", 3, 5)
+    val carried = Dedup.jaccardJoin(q, "q_id", "q_text",
+      docs, "doc_id", "text", 3, 5, carryArrays = true)
+    assert(canon(inverted) == canon(carried))
+  }
+
   test("null array elements: kernel matches the concat_ws formulation") {
     // concat_ws skips a null element INCLUDING its separator; the fused
     // kernel must shingle identically or diverge from the oracle replay
