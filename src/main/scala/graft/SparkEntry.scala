@@ -2077,6 +2077,29 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Canonical URL normalization over fixture-built messy URLs (mixed
+    * case, default ports, trailing slashes, tracker params, fragments,
+    * unsorted query params): both engines normalize INDEPENDENTLY from
+    * the same concatenated inputs, so the hash match proves every
+    * normalization rule agrees — the correctness contract URL-level
+    * dedup keys and host-level crawl policies stand on.
+    * See [[graft.functions.TextFunctions.normalizeUrl]]. */
+  private def t51_url_normalize(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val url = concat(
+      when(col("doc_id") % 4 === 0, lit("HTTPS://")).otherwise(lit("HTTP://")),
+      lit("Example"), (col("doc_id") % 20).cast("string"), lit(".COM"),
+      when(col("doc_id") % 4 === 0, lit(":443")).otherwise(lit(":80")),
+      lit("/Path/"), col("doc_id").cast("string"),
+      when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+      lit("?utm_source=news&b=2&a=1"),
+      when(col("doc_id") % 2 === 0, lit("#frag")).otherwise(lit("")))
+    docs.select(col("doc_id"), url.as("url"),
+        graft.functions.TextFunctions.normalizeUrl(url).as("url_norm"),
+        graft.functions.TextFunctions.urlHost(url).as("host"))
+      .orderBy("doc_id")
+  }
+
   private def d20b_span_dedup_multi(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
     val planted = docs
@@ -2339,6 +2362,60 @@ object SparkEntry {
     try q.processAllAvailable() finally q.stop()
     Ann.ivfTopK(Ann.ivfRead(s, idx), "vec_id", "embedding", queryVec(s, dir),
         k = 10, nprobe = 4, excludeIds = Seq(0L))
+      .select("vec_id", "rank").orderBy("rank")
+  }
+
+  /** Streaming GRAPH-index growth — st9's analog for the NSW serving
+    * index: the graph index is built and persisted from the organic
+    * corpus, then TWO ordered micro-batches (junk at ids 9500000+i
+    * first, then planted query copies at the LARGER ids 9600000+i —
+    * monotone within every cluster by construction) flow through
+    * [[graft.streaming.Streams.nswIngest]] — per-batch frozen-centroid
+    * append plus in-place touched-cluster graph insertion, commit
+    * markers for exactly-once. The post-stream probe over the RE-READ
+    * index (fresh witness on both batches) must surface exactly the
+    * streamed-in planted ids at ranks 1..10: a batch whose graph
+    * insertion was skipped would leave the planted family unreachable
+    * and the witness red. */
+  private def st19_stream_nsw_ingest(s: SparkSession, dir: String): DataFrame = {
+    val base = "/tmp/graft_fixtures/nsw_ingest_" +
+      java.net.URLEncoder.encode(dir, "UTF-8")
+    val conf = s.sessionState.newHadoopConf()
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(conf)
+    fs.delete(basePath, true)
+    val (incoming, idx, cp) = (s"$base/incoming", s"$base/index", s"$base/cp")
+    val baseCorpus = t(s, dir, "embeddings")
+    graft.operators.GraphAnn.nswWrite(
+      graft.operators.GraphAnn.nswBuild(
+        Ann.ivfBuild(baseCorpus, "vec_id", "embedding", nlist = 16),
+        "vec_id", m = 8, efConstruction = 32), idx)
+    val q0 = baseCorpus.filter(col("vec_id") === 0)
+      .select(explode(sequence(lit(0L), lit(9L))).as("i"),
+        col("embedding"), col("label"))
+    val b1 = q0.select((col("i") + 9500000L).as("vec_id"),
+      transform(col("embedding"), x => (-x).cast("float")).as("embedding"),
+      col("label"))
+    val b2 = q0.select((col("i") + 9600000L).as("vec_id"),
+      transform(col("embedding"),
+        x => (x * pow(lit(2.0), col("i") - 5)).cast("float")).as("embedding"),
+      col("label"))
+    def dataFiles = fs.listStatus(new org.apache.hadoop.fs.Path(incoming))
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+      .map(_.getPath).toSet
+    b1.coalesce(1).write.mode("append").parquet(incoming)
+    val firstFiles = dataFiles
+    b2.coalesce(1).write.mode("append").parquet(incoming)
+    (dataFiles -- firstFiles).foreach(p => fs.setTimes(p, 1000000600000L, -1))
+    firstFiles.foreach(p => fs.setTimes(p, 1000000000000L, -1))
+    val stream = s.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(incoming)
+    val q = graft.streaming.Streams.nswIngest(stream, "vec_id", "embedding",
+      idx, cp)
+    try q.processAllAvailable() finally q.stop()
+    graft.operators.GraphAnn.nswTopK(
+        graft.operators.GraphAnn.nswRead(s, idx), queryVec(s, dir),
+        k = 10, nprobe = 4, ef = 512, excludeIds = Seq(0L))
       .select("vec_id", "rank").orderBy("rank")
   }
 
@@ -4013,6 +4090,7 @@ object SparkEntry {
     "d20_span_dedup" -> (d20_span_dedup _),
     "d20b_span_dedup_multi" -> (d20b_span_dedup_multi _),
     "t50_pdf_extract" -> (t50_pdf_extract _),
+    "t51_url_normalize" -> (t51_url_normalize _),
     "g1_pagerank" -> (g1_pagerank _),
     "g2_triangles" -> (g2_triangles _),
     "g3_kcore" -> (g3_kcore _),
@@ -4054,6 +4132,7 @@ object SparkEntry {
     "p4_ann_pq_rerank" -> (p4_ann_pq_rerank _),
     "a3b_ann_ivf_append" -> (a3b_ann_ivf_append _),
     "st9_stream_ivf_ingest" -> (st9_stream_ivf_ingest _),
+    "st19_stream_nsw_ingest" -> (st19_stream_nsw_ingest _),
     "st10_stream_pq_ingest" -> (st10_stream_pq_ingest _),
     "st11_stream_stateful" -> (st11_stream_stateful _),
     "st12_stream_audit" -> (st12_stream_audit _),
@@ -4899,6 +4978,44 @@ object SparkEntry {
            'bold and italic words < 5 alpha' || chr(10) ||
            'first' || chr(10) || 'second' AS clean
          FROM documents ORDER BY doc_id""",
+    // both engines normalize the same messy URLs independently: scheme/
+    // host case, default ports, trailing slashes, tracker params, param
+    // sort order and fragments must all agree rule-for-rule
+    "t51_url_normalize" ->
+      """WITH u AS (SELECT doc_id,
+           (CASE WHEN doc_id % 4 = 0 THEN 'HTTPS://' ELSE 'HTTP://' END)
+           || 'Example' || (doc_id % 20) || '.COM'
+           || (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE ':80' END)
+           || '/Path/' || doc_id
+           || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+           || '?utm_source=news&b=2&a=1'
+           || (CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END) AS url
+         FROM documents),
+       n AS (SELECT doc_id, url,
+           lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+             AS scheme,
+           lower(regexp_extract(url,
+             '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+           regexp_extract(url,
+             '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+           regexp_extract(url, '\?([^#]*)', 1) AS q
+         FROM u),
+       n2 AS (SELECT doc_id, url, scheme,
+           CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+                WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                ELSE hostport END AS h,
+           CASE WHEN rawpath = '' OR rawpath = '/' THEN '/'
+                ELSE regexp_replace(rawpath, '/+$', '') END AS p,
+           array_to_string(list_sort(list_filter(string_split(q, '&'),
+             x -> x <> '' AND NOT starts_with(x, 'utm_')
+               AND NOT starts_with(x, 'fbclid')
+               AND NOT starts_with(x, 'gclid'))), '&') AS qn
+         FROM n)
+       SELECT doc_id, url,
+         scheme || '://' || h || p ||
+           (CASE WHEN qn = '' THEN '' ELSE '?' || qn END) AS url_norm,
+         regexp_replace(h, ':[0-9]+$', '') AS host
+       FROM n2 ORDER BY doc_id""",
     // the identity IS the gate: build → compress (even ids) → extract
     // must reproduce the corpus byte-for-byte (see t50's scaladoc)
     "t50_pdf_extract" ->
@@ -6281,6 +6398,11 @@ object SparkEntry {
     // they) dominate the probe at cosine 1.0, tie-broken by vec_id
     "st9_stream_ivf_ingest" ->
       """SELECT CAST(9500000 + i AS BIGINT) AS vec_id, CAST(i + 1 AS INT) AS rank
+         FROM range(10) t(i) ORDER BY rank""",
+    // the graph-ingest twin: the SECOND streamed batch's planted family
+    // must be reachable through the incrementally-grown graphs
+    "st19_stream_nsw_ingest" ->
+      """SELECT CAST(9600000 + i AS BIGINT) AS vec_id, CAST(i + 1 AS INT) AS rank
          FROM range(10) t(i) ORDER BY rank""",
     // streamed verbatim copies of the query at negative ids: global-minimum
     // ADC by construction, ties lost by every organic id >= 0

@@ -411,4 +411,51 @@ object TextFunctions {
     * boilerplate stripping / quality scoring / dedup — full grammar on
     * [[MarkupExtractExpr]]. */
   def extractMarkup(text: Column): Column = MarkupExtractExpr(text)
+
+  /** Canonical URL normalization — the key URL-level dedup and
+    * host-level grouping both stand on (two crawls of one page differ
+    * by case, default ports, trailing slashes, tracker params and
+    * fragments far more often than by content):
+    *
+    *  - scheme and host lowercase (paths stay case-SENSITIVE per RFC
+    *    3986); default ports strip (`:80` for http, `:443` for https);
+    *  - trailing path slashes strip (the root path stays `/`; an empty
+    *    path becomes `/`);
+    *  - the query splits on `&`, drops empty and tracker params
+    *    (`utm_*`, `fbclid*`, `gclid*`), SORTS the rest (param order is
+    *    presentation, not identity) and rejoins; an emptied query drops
+    *    its `?`;
+    *  - the fragment drops (never sent to the server).
+    *
+    * Composed entirely from codegen'd built-ins (regexp extracts + one
+    * array sort per row — no custom expression needed), and every step
+    * is SQL-replayable: the `t51` gate normalizes fixture-built messy
+    * URLs in both engines independently and the hashes must agree.
+    * Non-URL input (no `scheme://`) passes through lower-trimmed. */
+  def normalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostPort =
+      lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .otherwise(hostPort)
+    val rawPath =
+      regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val path = when(rawPath === "" || rawPath === "/", lit("/"))
+      .otherwise(regexp_replace(rawPath, "/+$", ""))
+    val params = filter(split(regexp_extract(url, "\\?([^#]*)", 1), "&"),
+      p => p =!= "" && !p.startsWith("utm_") && !p.startsWith("fbclid") &&
+        !p.startsWith("gclid"))
+    val qnorm = array_join(array_sort(params), "&")
+    when(scheme === "", lower(trim(url)))
+      .otherwise(concat(scheme, lit("://"), host, path,
+        when(qnorm === "", lit("")).otherwise(concat(lit("?"), qnorm))))
+  }
+
+  /** The lowercase host of a URL (port stripped) — the grouping key for
+    * per-site crawl policies (caps, quality priors, licence tags). */
+  def urlHost(url: Column): Column =
+    regexp_replace(
+      lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)),
+      ":[0-9]+$", "")
 }

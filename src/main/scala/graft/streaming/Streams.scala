@@ -509,6 +509,43 @@ object Streams {
         graft.operators.Ann.ivfAppend(spark, indexPath, batch, idCol, vecCol, tag)
     }
 
+  /** [[ivfIngest]]'s analog for a persisted NSW graph index
+    * ([[graft.operators.GraphAnn]]): each micro-batch flows through
+    * [[graft.operators.GraphAnn.nswAppend]] — frozen-centroid data
+    * append PLUS in-place insertion into only the touched clusters'
+    * graphs, staleness witness recomputed — under the same
+    * replay-idempotent tagged append + commit marker, so the SERVING
+    * graph stays fresh across the stream with no rebuild and no window
+    * in which a probe would see appended vectors the graph cannot
+    * reach. Batches must respect nswAppend's monotone-id contract
+    * (streams of freshly-minted ids do by construction). */
+  def nswIngest(
+      newVecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      indexPath: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    appendIngest(newVecs, checkpoint, trigger, "nswIngest") {
+      (batch, batchId) =>
+        nswIngestBatch(batch, batchId, idCol, vecCol, indexPath, checkpoint)
+    }
+
+  /** One micro-batch of [[nswIngest]], exposed for direct crash-replay
+    * testing. Returns false when the batch was already committed. */
+  private[graft] def nswIngestBatch(
+      batch: DataFrame,
+      batchId: Long,
+      idCol: String,
+      vecCol: String,
+      indexPath: String,
+      checkpoint: String): Boolean =
+    appendIngestBatch(batch, batchId, indexPath, checkpoint, "nsw") {
+      (spark, tag) =>
+        graft.operators.GraphAnn.nswAppend(spark, indexPath, batch, idCol,
+          vecCol, tag)
+    }
+
   /** [[ivfIngest]]'s analog for a persisted PQ index
     * ([[graft.operators.Pq]]): each micro-batch encodes against the
     * STORED codebooks (frozen on append — the PQ maintenance contract)

@@ -89,4 +89,22 @@ class MarkupExtractSpec extends SparkSpec {
       .select(TextFunctions.extractMarkup(col("html"))).collect()
     assert(nullRow.head.isNullAt(0))
   }
+
+  test("normalizeUrl: case, ports, slashes, trackers, sort, fragment") {
+    val cases = Seq(
+      "HTTP://WWW.Site.COM:80/A/B/?b=2&a=1&utm_campaign=x#top" ->
+        "http://www.site.com/A/B?a=1&b=2",
+      "https://site.com:443" -> "https://site.com/",
+      "https://site.com:8443/x/" -> "https://site.com:8443/x", // non-default port kept
+      "http://site.com/?utm_source=a&fbclid=z&gclid=q" -> "http://site.com/",
+      "http://site.com/CaseSensitive/Path" -> "http://site.com/CaseSensitive/Path",
+      "not a url at ALL" -> "not a url at all") // passthrough, lower-trimmed
+    val got = cases.map(_._1).toDF("url")
+      .select(TextFunctions.normalizeUrl(col("url")).as("n"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == cases.map(_._2), got.mkString("\n"))
+    val host = Seq("HTTPS://A.B.C:8443/x").toDF("url")
+      .select(TextFunctions.urlHost(col("url"))).collect().head.getString(0)
+    assert(host == "a.b.c")
+  }
 }
