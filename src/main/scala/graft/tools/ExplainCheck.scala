@@ -10,9 +10,13 @@ object ExplainCheck {
     // default audit set; pass gate names as args to audit others
     val qs = if (args.nonEmpty) args.toSeq
       else Seq("q3_join_agg", "q20_multijoin", "q2_filter", "as1_asof", "a1_ann_brute", "a4_ann_batch", "s6_scan_fixed", "s7_scan_daterange", "rj1_range_join", "q28_pivot", "q29_range_window", "e1_quantize", "d7_connected_components", "st4_stream_static_join",
-        // round-14 representatives: join/iteration/exact-arithmetic shapes
+        // r12 (driver numbering) representatives: join/iteration shapes
         "q49_fuzzy_link", "d18_jaccard_join", "a11_mmr", "rj2_interval_join",
-        "q55_trend", "t43_priority_sample", "m14_image_dedup_join")
+        "q55_trend", "t43_priority_sample", "m14_image_dedup_join",
+        // r14 additions: appended graph probe, multi-scale span dedup,
+        // multi-assigned probe (dedup placement), PDF + URL kernels
+        "a15b_graph_ann_append", "d20b_span_dedup_multi",
+        "a16_ivf_multiassign", "t50_pdf_extract", "t51_url_normalize")
     for (q <- qs) {
       val df = graft.SparkEntry.queries(q)(spark, dir)
       df.collect() // finalize AQE so the executed plan is the real one
