@@ -42,11 +42,13 @@ object Bench {
     // prefix-filtered set-similarity join, greedy MMR (persist+barrier
     // rounds), fragment-bucketed interval-overlap join
     "q49_fuzzy_link", "d18_jaccard_join", "a11_mmr", "rj2_interval_join",
-    // round-15: markup extraction (map-side state machine), per-cluster
+    // round-13: markup extraction (map-side state machine), per-cluster
     // NSW graph ANN (build + routed walk), incremental SemDeDup,
     // sliding-span exact dedup
     "t48_markup_extract", "a15_graph_ann", "d19_semdedup_append",
-    "d20_span_dedup")
+    "d20_span_dedup",
+    // round-14: PDF build+extract round trip (codec throughput, map-side)
+    "t50_pdf_extract")
 
   /** Queries measured on the replicated corpus for the scaling slope —
     * the shuffle-heavy pipeline shapes whose 100 TB behavior a plan read
@@ -76,7 +78,7 @@ object Bench {
     // quadratically), embeddings replicate verbatim under shifted ids
     // (a15's clusters and d19's touched-cluster scan grow linearly).
     "d18_jaccard_join", "q49_fuzzy_link", "a15_graph_ann",
-    "d19_semdedup_append", "d20_span_dedup")
+    "d19_semdedup_append", "d20_span_dedup", "t50_pdf_extract")
 
   /** Materialize a `factor`×-replicated copy of the FACT tables the scale
     * set reads (documents, lineitem, orders, events) plus 1× copies of

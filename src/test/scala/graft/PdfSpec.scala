@@ -100,6 +100,29 @@ class PdfSpec extends SparkSpec {
     assert(extract(rawPdf("BT (joi\\\nned) Tj ET")) == "joined")
   }
 
+  test("property: ARBITRARY strings round-trip, compressed and raw") {
+    // byte-level escaping + opaque string bytes must survive any input:
+    // parens, backslashes, control chars, surrogate-pair unicode, the
+    // PDF delimiters and keywords themselves
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val weird = Gen.oneOf("()", "\\", "\\n", "stream", "endstream", "BT",
+      "Tj ET", "<<>>", "%", "é中😀", "\t", "((((", "))))")
+    val gen = for {
+      parts <- Gen.listOf(Gen.oneOf(Gen.asciiPrintableStr, weird))
+      compress <- Gen.oneOf(true, false)
+    } yield (parts.mkString, compress)
+    var seed = Seed(42L)
+    for (_ <- 1 to 300) {
+      val (t, compress) = gen.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      val pdf = PdfImpl.build(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t), compress)
+      assert(extract(pdf) == t,
+        s"round trip failed (compress=$compress) for: ${t.take(120)}")
+    }
+  }
+
   test("corrupt flate data is skipped, never throws") {
     val pdf = ("%PDF-1.4\n1 0 obj << /Length 12 /Filter /FlateDecode >> " +
       "stream\nnot deflate!\nendstream endobj\n2 0 obj << /Length 14 >> " +
