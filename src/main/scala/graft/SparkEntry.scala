@@ -2100,6 +2100,37 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** WARC container round trip: documents are grouped into files
+    * (7 files, alternate ones gzip-compressed whole-file), written
+    * through the deterministic WARC builder and parsed back through
+    * the from-scratch record parser — Content-Length framing, header
+    * grammar, multi-record scan and gzip inflation all on the line.
+    * The identity oracle proves the crawl front door (this stage feeds
+    * `t48` markup / `t50` PDF extraction) loses nothing.
+    * See [[graft.functions.WarcRecordsExpr]]. */
+  private def t52_warc_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .withColumn("url", concat(lit("http://example.com/doc/"), col("doc_id")))
+    val files = docs
+      .groupBy((col("doc_id") % 7).as("file_id"))
+      .agg(sort_array(collect_list(
+        struct(col("doc_id"), col("url"), col("text")))).as("rs"))
+      .select(col("file_id"),
+        graft.functions.WarcBuildExpr(
+          transform(col("rs"), r => struct(
+            r.getField("url").as("url"),
+            r.getField("text").cast("binary").as("body"))),
+          col("file_id") % 2 === 0).as("warc"))
+    files
+      .select(explode(graft.functions.WarcRecordsExpr(col("warc"))).as("rec"))
+      .select(col("rec.url").as("url"), col("rec.rec_type").as("rec_type"),
+        col("rec.body").cast("string").as("text_rt"))
+      .withColumn("doc_id",
+        regexp_extract(col("url"), "([0-9]+)$", 1).cast("long"))
+      .select("doc_id", "url", "rec_type", "text_rt")
+      .orderBy("doc_id")
+  }
+
   private def d20b_span_dedup_multi(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
     val planted = docs
@@ -4091,6 +4122,7 @@ object SparkEntry {
     "d20b_span_dedup_multi" -> (d20b_span_dedup_multi _),
     "t50_pdf_extract" -> (t50_pdf_extract _),
     "t51_url_normalize" -> (t51_url_normalize _),
+    "t52_warc_roundtrip" -> (t52_warc_roundtrip _),
     "g1_pagerank" -> (g1_pagerank _),
     "g2_triangles" -> (g2_triangles _),
     "g3_kcore" -> (g3_kcore _),
@@ -5016,6 +5048,12 @@ object SparkEntry {
            (CASE WHEN qn = '' THEN '' ELSE '?' || qn END) AS url_norm,
          regexp_replace(h, ':[0-9]+$', '') AS host
        FROM n2 ORDER BY doc_id""",
+    // container round trip: group → build (gzip on even file ids) →
+    // parse must reproduce every (url, body) pair byte-for-byte
+    "t52_warc_roundtrip" ->
+      """SELECT doc_id, 'http://example.com/doc/' || doc_id AS url,
+           'response' AS rec_type, text AS text_rt
+         FROM documents ORDER BY doc_id""",
     // the identity IS the gate: build → compress (even ids) → extract
     // must reproduce the corpus byte-for-byte (see t50's scaladoc)
     "t50_pdf_extract" ->
