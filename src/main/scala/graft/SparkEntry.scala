@@ -2131,6 +2131,43 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** The crawl front door COMPOSED end-to-end: documents wrapped as HTML
+    * pages behind messy URLs, grouped into (half gzipped) WARC files,
+    * then parsed back and pushed through markup extraction + URL
+    * canonicalization in one query — container framing, gzip, the tag
+    * state machine and every URL rule must agree with the oracle's
+    * independent replay SIMULTANEOUSLY. This is the ingestion shape a
+    * real crawl corpus runs before quality/dedup (whose gates consume
+    * its outputs). */
+  private def t53_crawl_pipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .withColumn("url", concat(
+        lit("HTTP://Site"), (col("doc_id") % 9).cast("string"),
+        lit(".COM:80/Doc/"), col("doc_id").cast("string"),
+        lit("?utm_source=w&id="), col("doc_id").cast("string"), lit("#top")))
+      .withColumn("html", concat(
+        lit("<html><body><h1>Doc "), col("doc_id"), lit("</h1><p>"),
+        col("text"), lit("</p><script>skip()</script></body></html>")))
+    docs
+      .groupBy((col("doc_id") % 7).as("file_id"))
+      .agg(sort_array(collect_list(
+        struct(col("doc_id"), col("url"), col("html")))).as("rs"))
+      .select(col("file_id"), graft.functions.WarcBuildExpr(
+        transform(col("rs"), r => struct(
+          r.getField("url").as("url"),
+          r.getField("html").cast("binary").as("body"))),
+        col("file_id") % 2 === 0).as("warc"))
+      .select(explode(graft.functions.WarcRecordsExpr(col("warc"))).as("rec"))
+      .select(
+        regexp_extract(col("rec.url"), "/Doc/([0-9]+)", 1).cast("long")
+          .as("doc_id"),
+        graft.functions.TextFunctions.normalizeUrl(col("rec.url"))
+          .as("url_norm"),
+        graft.functions.TextFunctions.extractMarkup(
+          col("rec.body").cast("string")).as("clean"))
+      .orderBy("doc_id")
+  }
+
   private def d20b_span_dedup_multi(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
     val planted = docs
@@ -4123,6 +4160,7 @@ object SparkEntry {
     "t50_pdf_extract" -> (t50_pdf_extract _),
     "t51_url_normalize" -> (t51_url_normalize _),
     "t52_warc_roundtrip" -> (t52_warc_roundtrip _),
+    "t53_crawl_pipeline" -> (t53_crawl_pipeline _),
     "g1_pagerank" -> (g1_pagerank _),
     "g2_triangles" -> (g2_triangles _),
     "g3_kcore" -> (g3_kcore _),
@@ -5048,6 +5086,15 @@ object SparkEntry {
            (CASE WHEN qn = '' THEN '' ELSE '?' || qn END) AS url_norm,
          regexp_replace(h, ':[0-9]+$', '') AS host
        FROM n2 ORDER BY doc_id""",
+    // WARC framing + gzip + the markup state machine + every URL rule
+    // replayed together: block tags emit newlines, script content drops,
+    // tracker param drops, default port strips, fragment drops
+    "t53_crawl_pipeline" ->
+      """SELECT doc_id,
+           'http://site' || (doc_id % 9) || '.com/Doc/' || doc_id
+             || '?id=' || doc_id AS url_norm,
+           'Doc ' || doc_id || chr(10) || text AS clean
+         FROM documents ORDER BY doc_id""",
     // container round trip: group → build (gzip on even file ids) →
     // parse must reproduce every (url, body) pair byte-for-byte
     "t52_warc_roundtrip" ->
