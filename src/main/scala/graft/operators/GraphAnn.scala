@@ -258,14 +258,17 @@ object GraphAnn {
     * layout means only touched partitions are overwritten (dynamic
     * partition overwrite).
     *
-    * MONOTONE-ID CONTRACT: within each touched cluster, every new id must
-    * exceed every existing id (checked executor-side, refused loudly).
-    * Graph construction is insertion-ordered, and the build inserts in
-    * ascending id order — monotone batches keep insertion order ≡ id
-    * order inductively, so append-then-probe is BIT-IDENTICAL to
-    * rebuild-then-probe (GraphAnnSpec asserts adjacency equality; the
-    * `a15b` gate pins the probe). Ingest ids are monotone in practice; a
-    * backfill of old ids is the rebuild path.
+    * The result is BIT-IDENTICAL to a full rebuild in every case
+    * (GraphAnnSpec asserts adjacency equality; the `a15b` gate pins the
+    * probe), via two per-cluster paths: when every new id exceeds every
+    * existing id in its cluster (the ingest norm — graph construction
+    * is insertion-ordered and the build inserts in ascending id order,
+    * so monotone batches keep insertion order ≡ id order inductively),
+    * the batch INSERTS incrementally at O(batch · beam) cost; a cluster
+    * that receives a backfilled (non-monotone) id instead REBUILDS its
+    * own graph from scratch in id order — same deterministic kernel,
+    * same final state, cost O(cluster · beam) for that cluster only,
+    * never a whole-index rebuild.
     *
     * Replay-idempotent: a batch node already present in the adjacency
     * (a crashed attempt's partial graph write, or a replayed tag) is
@@ -331,19 +334,27 @@ object GraphAnn {
     val newAdj = rows.join(oldAdj, Seq("c", "id"), "left")
       .as[(Int, Long, Seq[Double], Option[Seq[Long]])]
       .groupByKey(_._1)
-      .flatMapGroups { (cid, it) =>
+      .flatMapGroups { (_, it) =>
         val all = it.toArray.sortBy(_._2)
         val nOld = all.count(_._4.isDefined)
-        require(all.take(nOld).forall(_._4.isDefined) &&
-            (nOld == 0 || nOld == all.length ||
-              all(nOld)._2 > all(nOld - 1)._2),
-          s"nswAppend: cluster $cid has a new id at or below an existing " +
-            "graph node's id — the monotone-id append contract is violated " +
-            "(insertion order would diverge from the build's); rebuild " +
-            "with nswBuild + nswWrite instead.")
-        appendCluster(all.map(t => (t._2, t._3.toArray)),
-          all.iterator.take(nOld).map(_._4.get).toArray, mm, efc)
-          .map { case (id, ns) => (cid, id, ns) }
+        val nodes = all.map(t => (t._2, t._3.toArray))
+        // monotone batch (every new id above the cluster's existing
+        // ids): continue the build's insertion sequence from the
+        // persisted state. A backfilled (non-monotone) id instead
+        // rebuilds this cluster's graph from scratch in id order — the
+        // same deterministic kernel and the same final state a full
+        // rebuild would reach, paid only for this cluster. (Appending a
+        // duplicate of an existing id is a base-data bug upstream of
+        // this operator — ivfAppend's tag idempotency is the guard.)
+        val monotone = all.take(nOld).forall(_._4.isDefined) &&
+          (nOld == 0 || nOld == all.length ||
+            all(nOld)._2 > all(nOld - 1)._2)
+        val adj =
+          if (monotone)
+            appendCluster(nodes,
+              all.iterator.take(nOld).map(_._4.get).toArray, mm, efc)
+          else buildCluster(nodes, mm, efc)
+        adj.map { case (id, ns) => (all.head._1, id, ns) }
       }
       .toDF("gr_cluster", "id", "neighbors")
     newAdj.write.mode("overwrite")

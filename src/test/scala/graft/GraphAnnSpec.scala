@@ -156,20 +156,24 @@ class GraphAnnSpec extends SparkSpec {
     assert(e2.getMessage.contains("drifted"))
   }
 
-  test("non-monotone append id refuses loudly") {
+  test("non-monotone (backfill) append falls back to a per-cluster " +
+      "rebuild and still equals the full rebuild") {
     val df = (10L until 130L).map(i => (i, vec(i, 16))).toDF("id", "emb")
     val idx = Ann.ivfBuild(df, "id", "emb", nlist = 3)
     val dir = java.nio.file.Files.createTempDirectory("nswmono").toString
     GraphAnn.nswWrite(GraphAnn.nswBuild(idx, "id", m = 4, efConstruction = 16),
       dir)
-    // id 5 sorts below every existing id, so whatever cluster it lands in
-    // violates the monotone contract
-    val e = intercept[Exception] {
-      GraphAnn.nswAppend(spark, dir, Seq((5L, vec(5L, 16))).toDF("id", "emb"),
-        "id", "emb", "mono")
-    }
-    assert(e.getMessage != null && e.getMessage.contains("monotone") ||
-      Option(e.getCause).exists(_.getMessage.contains("monotone")))
+    // id 5 sorts below every existing id: its cluster takes the rebuild
+    // path; untouched clusters keep their incremental graphs
+    assert(GraphAnn.nswAppend(spark, dir,
+      Seq((5L, vec(5L, 16))).toDF("id", "emb"), "id", "emb", "mono") == 1L)
+    val grown = GraphAnn.nswRead(spark, dir)
+    val rebuilt = GraphAnn.nswBuild(Ann.ivfRead(spark, dir), "id",
+      m = 4, efConstruction = 16)
+    assert(canon(grown.adjacency) == canon(rebuilt.adjacency))
+    val got = GraphAnn.nswTopK(grown, vec(5L, 16), k = 3, nprobe = 3,
+      ef = 200).orderBy("rank").collect()
+    assert(got.head.getLong(0) == 5L, "backfilled id must be reachable")
   }
 
   test("oversized cluster refuses loudly with the nlist remedy") {

@@ -85,6 +85,37 @@ class WarcSpec extends SparkSpec {
       Seq("http://m/1" -> "one", "http://m/2" -> "two"))
   }
 
+  test("property: arbitrary record sets round-trip, raw and gzipped") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // bodies draw from arbitrary BYTES (including CRLFs, WARC keywords,
+    // gzip magic) — Content-Length framing must hold for all of them
+    val body = Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+      .map(_.toArray)
+    val gen = for {
+      n <- Gen.chooseNum(0, 8)
+      bodies <- Gen.listOfN(n, body)
+      gz <- Gen.oneOf(true, false)
+    } yield (bodies, gz)
+    var seed = Seed(7L)
+    for (_ <- 1 to 150) {
+      val (bodies, gz) = gen.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      val recs = bodies.zipWithIndex.map { case (b, i) =>
+        rec(s"http://p/$i", b)
+      }
+      val arr = WarcImpl.records(
+        WarcImpl.build(new GenericArrayData(recs.toArray[Any]), gz))
+      assert(arr.numElements() == bodies.length)
+      bodies.zipWithIndex.foreach { case (b, i) =>
+        val r = arr.getStruct(i, 3)
+        assert(r.getUTF8String(0).toString == s"http://p/$i")
+        assert(java.util.Arrays.equals(r.getBinary(2), b),
+          s"body $i diverged (gz=$gz, len=${b.length})")
+      }
+    }
+  }
+
   test("column expressions round trip through Spark") {
     val df = Seq((0L, "http://x/0", "alpha"), (1L, "http://x/1", "beta (β)"))
       .toDF("id", "url", "text")
