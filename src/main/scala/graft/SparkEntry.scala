@@ -2168,6 +2168,37 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** robots.txt policy over the URL table: nine hosts carry three
+    * policy shapes — a `*`-only full block (host 4), an exact-agent
+    * allow-all via the empty-Disallow idiom shadowing a `*` full block
+    * (host 7), and the general shape (foreign agent blocked, exact
+    * agent case-insensitively matched with a Disallow/longer-Allow
+    * pair, `*` fallback that must be IGNORED because an exact group
+    * exists). The oracle hardcodes the intended verdicts, so parser,
+    * group selection, precedence (longest prefix, allow wins ties) and
+    * the default-allow path are all on the line.
+    * See [[graft.operators.Robots]]. */
+  private def t54_robots(s: SparkSession, dir: String): DataFrame = {
+    val urls = t(s, dir, "documents").select(col("doc_id"))
+      .withColumn("url", concat(
+        lit("http://site"), (col("doc_id") % 9).cast("string"),
+        lit(".com/Doc/"), col("doc_id").cast("string"),
+        lit("?id="), col("doc_id").cast("string")))
+    val hosts = s.range(9).select(
+      concat(lit("site"), col("id").cast("string"), lit(".com")).as("host"),
+      when(col("id") === 4,
+        "User-agent: *\r\nDisallow: / # block everything")
+      .when(col("id") === 7,
+        "User-agent: graftbot\nDisallow:\n\nUser-agent: *\nDisallow: /")
+      .otherwise("User-agent: other\nDisallow: /\n" +
+        "User-agent: GraftBot\nDisallow: /Doc/1\nAllow: /Doc/12\n" +
+        "User-agent: *\nDisallow: /blocked").as("robots_txt"))
+    graft.operators.Robots.check(urls, "url", hosts, "host", "robots_txt",
+        agent = "graftbot")
+      .select("doc_id", "url", "robots_allowed")
+      .orderBy("doc_id")
+  }
+
   private def d20b_span_dedup_multi(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
     val planted = docs
@@ -4161,6 +4192,7 @@ object SparkEntry {
     "t51_url_normalize" -> (t51_url_normalize _),
     "t52_warc_roundtrip" -> (t52_warc_roundtrip _),
     "t53_crawl_pipeline" -> (t53_crawl_pipeline _),
+    "t54_robots" -> (t54_robots _),
     "g1_pagerank" -> (g1_pagerank _),
     "g2_triangles" -> (g2_triangles _),
     "g3_kcore" -> (g3_kcore _),
@@ -5086,6 +5118,21 @@ object SparkEntry {
            (CASE WHEN qn = '' THEN '' ELSE '?' || qn END) AS url_norm,
          regexp_replace(h, ':[0-9]+$', '') AS host
        FROM n2 ORDER BY doc_id""",
+    // the intended robots verdicts, hardcoded: host 4 fully blocked via
+    // '*', host 7 allowed via the exact group's empty Disallow, others
+    // blocked on the /Doc/1 prefix unless the longer /Doc/12 Allow wins
+    "t54_robots" ->
+      """SELECT doc_id,
+           'http://site' || (doc_id % 9) || '.com/Doc/' || doc_id
+             || '?id=' || doc_id AS url,
+           CASE WHEN doc_id % 9 = 4 THEN FALSE
+                WHEN doc_id % 9 = 7 THEN TRUE
+                ELSE NOT starts_with(
+                       '/Doc/' || doc_id || '?id=' || doc_id, '/Doc/1')
+                  OR starts_with(
+                       '/Doc/' || doc_id || '?id=' || doc_id, '/Doc/12')
+           END AS robots_allowed
+         FROM documents ORDER BY doc_id""",
     // WARC framing + gzip + the markup state machine + every URL rule
     // replayed together: block tags emit newlines, script content drops,
     // tracker param drops, default port strips, fragment drops

@@ -1,0 +1,120 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftInternals
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** robots.txt (RFC 9309) group selection: parse one robots.txt body and
+  * return the `(allow, prefix)` rules that BIND the given user agent —
+  * the crawl-policy primitive [[graft.operators.Robots]] joins against
+  * the URL table.
+  *
+  * Grammar implemented (the offline-tractable core):
+  *
+  *  - lines split on LF (CR stripped), `#` comments stripped, fields
+  *    matched case-insensitively (`User-agent`, `Allow`, `Disallow`);
+  *  - consecutive `User-agent` lines form one group header; rule lines
+  *    bind to the current group; a `User-agent` line after rules starts
+  *    a new group (RFC 9309 §2.2.1);
+  *  - agent matching is case-insensitive on the product token; if any
+  *    group names the agent exactly, the UNION of those groups' rules
+  *    applies and `*` groups are ignored; otherwise the `*` groups
+  *    apply; no group → no rules (everything allowed);
+  *  - an empty rule value is skipped (an empty `Disallow:` is the
+  *    classic allow-all idiom);
+  *  - rule paths are PREFIX patterns; the `*`/`$` wildcard extension is
+  *    deliberately out of scope (documented, not half-implemented) —
+  *    precedence over prefixes is the longest-match rule, applied by
+  *    the operator.
+  *
+  * Returns `array<struct<allow boolean, prefix string>>`. */
+case class RobotsRulesExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("allow", BooleanType, nullable = false),
+    StructField("prefix", StringType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"robots_rules expects (STRING robots_txt, STRING agent), got $l, $r")
+    }
+
+  override def nullSafeEval(txt: Any, agent: Any): Any =
+    RobotsImpl.rules(txt.asInstanceOf[UTF8String],
+      agent.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, a) =>
+      s"graft.functions.RobotsImpl.rules($t, $a)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "robots_rules"
+}
+
+object RobotsRulesExpr {
+  def apply(robotsTxt: Column, agent: Column): Column =
+    GraftInternals.column(RobotsRulesExpr(
+      GraftInternals.expression(robotsTxt), GraftInternals.expression(agent)))
+}
+
+object RobotsImpl {
+
+  private final case class Group(
+      agents: scala.collection.mutable.ArrayBuffer[String],
+      rules: scala.collection.mutable.ArrayBuffer[(Boolean, String)])
+
+  def rules(txt: UTF8String, agent: UTF8String): ArrayData = {
+    val want = agent.toString.trim.toLowerCase
+    val groups = scala.collection.mutable.ArrayBuffer.empty[Group]
+    var current: Group = null
+    var currentHasRules = false
+    for (rawLine <- txt.toString.split('\n')) {
+      val noComment = {
+        val h = rawLine.indexOf('#')
+        if (h >= 0) rawLine.substring(0, h) else rawLine
+      }
+      val line = noComment.replace("\r", "").trim
+      val colon = line.indexOf(':')
+      if (colon > 0) {
+        val field = line.substring(0, colon).trim.toLowerCase
+        val value = line.substring(colon + 1).trim
+        field match {
+          case "user-agent" =>
+            if (current == null || currentHasRules) {
+              current = Group(scala.collection.mutable.ArrayBuffer.empty,
+                scala.collection.mutable.ArrayBuffer.empty)
+              currentHasRules = false
+              groups += current
+            }
+            current.agents += value.toLowerCase
+          case "allow" | "disallow" =>
+            if (current != null) {
+              currentHasRules = true
+              if (value.nonEmpty)
+                current.rules += ((field == "allow", value))
+            }
+          case _ => () // crawl-delay, sitemap, unknown fields: skipped
+        }
+      }
+    }
+    val exact = groups.filter(_.agents.contains(want))
+    val chosen =
+      if (exact.nonEmpty) exact else groups.filter(_.agents.contains("*"))
+    new GenericArrayData(chosen.iterator.flatMap(_.rules).map {
+      case (allow, prefix) =>
+        InternalRow(allow, UTF8String.fromString(prefix))
+    }.toArray[Any])
+  }
+}
