@@ -2199,6 +2199,26 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Charset auto-detection over a mixed-encoding corpus: even doc_ids
+    * arrive as UTF-8 bytes (every tenth with a BOM that must strip),
+    * odd ones as Latin-1 bytes carrying accented characters (0xE9 etc.
+    * — invalid as UTF-8, so the strict validator must reject and the
+    * Latin-1 fallback must map them 1:1). A permissive decode would
+    * mojibake the odd rows to U+FFFD and diverge.
+    * See [[graft.functions.DecodeTextExpr]]. */
+  private def t55_charset(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val utf8 = encode(col("text"), "UTF-8")
+    val bom = lit(Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte))
+    val latin = encode(concat(col("text"), lit(" café süß")), "ISO-8859-1")
+    val bytes = when(col("doc_id") % 10 === 0, concat(bom, utf8))
+      .when(col("doc_id") % 2 === 1, latin)
+      .otherwise(utf8)
+    docs.select(col("doc_id"),
+        graft.functions.DecodeTextExpr(bytes).as("text_decoded"))
+      .orderBy("doc_id")
+  }
+
   private def d20b_span_dedup_multi(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
     val planted = docs
@@ -4193,6 +4213,7 @@ object SparkEntry {
     "t52_warc_roundtrip" -> (t52_warc_roundtrip _),
     "t53_crawl_pipeline" -> (t53_crawl_pipeline _),
     "t54_robots" -> (t54_robots _),
+    "t55_charset" -> (t55_charset _),
     "g1_pagerank" -> (g1_pagerank _),
     "g2_triangles" -> (g2_triangles _),
     "g3_kcore" -> (g3_kcore _),
@@ -5118,6 +5139,14 @@ object SparkEntry {
            (CASE WHEN qn = '' THEN '' ELSE '?' || qn END) AS url_norm,
          regexp_replace(h, ':[0-9]+$', '') AS host
        FROM n2 ORDER BY doc_id""",
+    // strict-UTF-8-else-Latin-1: odd rows decode through the fallback
+    // (their accented suffix is invalid UTF-8), BOMs strip, even rows
+    // pass through — the oracle needs no byte layer at all
+    "t55_charset" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 2 = 1 THEN text || ' café süß'
+                ELSE text END AS text_decoded
+         FROM documents ORDER BY doc_id""",
     // the intended robots verdicts, hardcoded: host 4 fully blocked via
     // '*', host 7 allowed via the exact group's empty Disallow, others
     // blocked on the /Doc/1 prefix unless the longer /Doc/12 Allow wins
