@@ -48,7 +48,9 @@ object Bench {
     "t48_markup_extract", "a15_graph_ann", "d19_semdedup_append",
     "d20_span_dedup",
     // round-14: PDF build+extract round trip (codec throughput, map-side)
-    "t50_pdf_extract")
+    // and the composed crawl front door (WARC framing + gzip + charset
+    // detect + markup state machine + URL canonicalization in one query)
+    "t50_pdf_extract", "t53_crawl_pipeline")
 
   /** Queries measured on the replicated corpus for the scaling slope —
     * the shuffle-heavy pipeline shapes whose 100 TB behavior a plan read
@@ -78,7 +80,8 @@ object Bench {
     // quadratically), embeddings replicate verbatim under shifted ids
     // (a15's clusters and d19's touched-cluster scan grow linearly).
     "d18_jaccard_join", "q49_fuzzy_link", "a15_graph_ann",
-    "d19_semdedup_append", "d20_span_dedup", "t50_pdf_extract")
+    "d19_semdedup_append", "d20_span_dedup", "t50_pdf_extract",
+    "t53_crawl_pipeline")
 
   /** Materialize a `factor`×-replicated copy of the FACT tables the scale
     * set reads (documents, lineitem, orders, events) plus 1× copies of

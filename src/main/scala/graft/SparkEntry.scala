@@ -2164,7 +2164,7 @@ object SparkEntry {
         graft.functions.TextFunctions.normalizeUrl(col("rec.url"))
           .as("url_norm"),
         graft.functions.TextFunctions.extractMarkup(
-          col("rec.body").cast("string")).as("clean"))
+          graft.functions.DecodeTextExpr(col("rec.body"))).as("clean"))
       .orderBy("doc_id")
   }
 
@@ -2216,6 +2216,33 @@ object SparkEntry {
       .otherwise(utf8)
     docs.select(col("doc_id"),
         graft.functions.DecodeTextExpr(bytes).as("text_decoded"))
+      .orderBy("doc_id")
+  }
+
+  /** Sitemap URL discovery: five sitemap XML bodies built by
+    * concatenation (URLs carry the protocol-mandated `&amp;` escaping
+    * and whitespace padding inside `<loc>`, plus `<lastmod>` noise
+    * elements), extracted back to one row per URL. Entity decoding and
+    * trimming must agree with the oracle's plain reconstruction.
+    * See [[graft.functions.TextFunctions.sitemapUrls]]. */
+  private def t56_sitemap(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val sitemaps = docs
+      .groupBy((col("doc_id") % 5).as("site"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .select(concat(
+        lit("<?xml version=\"1.0\"?><urlset>"),
+        array_join(transform(col("ids"), i => concat(
+          lit("<url><loc> http://s"), col("site").cast("string"),
+          lit(".com/p?a=1&amp;id="), i.cast("string"),
+          lit(" </loc><lastmod>2026-01-01</lastmod></url>"))), ""),
+        lit("</urlset>")).as("xml"))
+    sitemaps
+      .select(explode(
+        graft.functions.TextFunctions.sitemapUrls(col("xml"))).as("url"))
+      .withColumn("doc_id",
+        regexp_extract(col("url"), "id=([0-9]+)$", 1).cast("long"))
+      .select("doc_id", "url")
       .orderBy("doc_id")
   }
 
@@ -4214,6 +4241,7 @@ object SparkEntry {
     "t53_crawl_pipeline" -> (t53_crawl_pipeline _),
     "t54_robots" -> (t54_robots _),
     "t55_charset" -> (t55_charset _),
+    "t56_sitemap" -> (t56_sitemap _),
     "g1_pagerank" -> (g1_pagerank _),
     "g2_triangles" -> (g2_triangles _),
     "g3_kcore" -> (g3_kcore _),
@@ -5139,6 +5167,12 @@ object SparkEntry {
            (CASE WHEN qn = '' THEN '' ELSE '?' || qn END) AS url_norm,
          regexp_replace(h, ':[0-9]+$', '') AS host
        FROM n2 ORDER BY doc_id""",
+    // <loc> extraction + mandatory &amp; decoding + trim, replayed as a
+    // plain URL reconstruction
+    "t56_sitemap" ->
+      """SELECT doc_id,
+           'http://s' || (doc_id % 5) || '.com/p?a=1&id=' || doc_id AS url
+         FROM documents ORDER BY doc_id""",
     // strict-UTF-8-else-Latin-1: odd rows decode through the fallback
     // (their accented suffix is invalid UTF-8), BOMs strip, even rows
     // pass through — the oracle needs no byte layer at all

@@ -458,4 +458,15 @@ object TextFunctions {
     regexp_replace(
       lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)),
       ":[0-9]+$", "")
+
+  /** The `<loc>` URLs of a sitemap XML body (sitemaps.org protocol —
+    * the discovery leg robots.txt's `Sitemap:` lines point at), entity-
+    * decoded as the protocol requires (`&amp;` is MANDATORY escaping in
+    * sitemap URLs) and whitespace-trimmed. One regexp pass + the markup
+    * entity decoder per URL; `<loc>` elements never nest, so the
+    * non-greedy element regex IS the grammar. */
+  def sitemapUrls(xml: Column): Column =
+    transform(
+      regexp_extract_all(xml, lit("<loc>\\s*([^<]*?)\\s*</loc>"), lit(1)),
+      u => MarkupExtractExpr(u))
 }
