@@ -2246,6 +2246,22 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** One-pass dictionary tagging over the corpus: six terms including a
+    * nested pair ("order" inside "column order" — both must report when
+    * the longer occurs) and a never-occurring control. The oracle is the
+    * K-`contains` formulation the Aho–Corasick kernel replaces, so the
+    * automaton's goto/failure/output links are hash-checked against
+    * brute force over every document.
+    * See [[graft.functions.DictionaryMatchExpr]]. */
+  private def t57_dictionary_tag(s: SparkSession, dir: String): DataFrame = {
+    val dict = Seq("scan", "column order", "order", "data", "the",
+      "zz never appears")
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.DictionaryMatchExpr(col("text"), dict).as("tags"))
+      .orderBy("doc_id")
+  }
+
   private def d20b_span_dedup_multi(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
     val planted = docs
@@ -4242,6 +4258,7 @@ object SparkEntry {
     "t54_robots" -> (t54_robots _),
     "t55_charset" -> (t55_charset _),
     "t56_sitemap" -> (t56_sitemap _),
+    "t57_dictionary_tag" -> (t57_dictionary_tag _),
     "g1_pagerank" -> (g1_pagerank _),
     "g2_triangles" -> (g2_triangles _),
     "g3_kcore" -> (g3_kcore _),
@@ -5167,6 +5184,13 @@ object SparkEntry {
            (CASE WHEN qn = '' THEN '' ELSE '?' || qn END) AS url_norm,
          regexp_replace(h, ':[0-9]+$', '') AS host
        FROM n2 ORDER BY doc_id""",
+    // the K-contains brute force the automaton replaces — dictionary
+    // order preserved on both sides
+    "t57_dictionary_tag" ->
+      """SELECT doc_id,
+           list_filter(['scan', 'column order', 'order', 'data', 'the',
+             'zz never appears'], k -> contains(text, k)) AS tags
+         FROM documents ORDER BY doc_id""",
     // <loc> extraction + mandatory &amp; decoding + trim, replayed as a
     // plain URL reconstruction
     "t56_sitemap" ->
