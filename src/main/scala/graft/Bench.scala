@@ -47,10 +47,11 @@ object Bench {
     // sliding-span exact dedup
     "t48_markup_extract", "a15_graph_ann", "d19_semdedup_append",
     "d20_span_dedup",
-    // round-14: PDF build+extract round trip (codec throughput, map-side)
-    // and the composed crawl front door (WARC framing + gzip + charset
+    // round-14: PDF build+extract round trip (codec throughput, map-side),
+    // the composed crawl front door (WARC framing + gzip + charset
     // detect + markup state machine + URL canonicalization in one query)
-    "t50_pdf_extract", "t53_crawl_pipeline")
+    // and one-pass Aho-Corasick dictionary tagging
+    "t50_pdf_extract", "t53_crawl_pipeline", "t57_dictionary_tag")
 
   /** Queries measured on the replicated corpus for the scaling slope —
     * the shuffle-heavy pipeline shapes whose 100 TB behavior a plan read
@@ -81,7 +82,7 @@ object Bench {
     // (a15's clusters and d19's touched-cluster scan grow linearly).
     "d18_jaccard_join", "q49_fuzzy_link", "a15_graph_ann",
     "d19_semdedup_append", "d20_span_dedup", "t50_pdf_extract",
-    "t53_crawl_pipeline")
+    "t53_crawl_pipeline", "t57_dictionary_tag")
 
   /** Materialize a `factor`×-replicated copy of the FACT tables the scale
     * set reads (documents, lineitem, orders, events) plus 1× copies of

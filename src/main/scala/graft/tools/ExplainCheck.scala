@@ -16,7 +16,8 @@ object ExplainCheck {
         // r14 additions: appended graph probe, multi-scale span dedup,
         // multi-assigned probe (dedup placement), PDF + URL kernels
         "a15b_graph_ann_append", "d20b_span_dedup_multi",
-        "a16_ivf_multiassign", "t50_pdf_extract", "t51_url_normalize")
+        "a16_ivf_multiassign", "t50_pdf_extract", "t51_url_normalize",
+        "t53_crawl_pipeline", "t54_robots", "t57_dictionary_tag")
     for (q <- qs) {
       val df = graft.SparkEntry.queries(q)(spark, dir)
       df.collect() // finalize AQE so the executed plan is the real one
