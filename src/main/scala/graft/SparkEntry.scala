@@ -2262,6 +2262,33 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Compressibility quality signal: every document derives two planted
+    * variants with ENUMERABLE verdicts — a 300× repetition of its first
+    * word (deflate ratio ≪ 0.1 for any word: pure LZ77 runs) and a
+    * 640-hex-char chain of its md5s (ratio ≈ 0.5: 4-bit symbols resist
+    * deflate) — and the in-query threshold `deflate·10 < len·3`
+    * (ratio < 0.3) must sort them perfectly. Deflate itself has no
+    * DuckDB twin, so the planted construction IS the oracle (the
+    * sketch-gate convention); organic-text behavior and determinism are
+    * pinned in CompressSpec. See [[graft.functions.DeflateSizeExpr]]. */
+  private def t58_compressibility(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .withColumn("__w", coalesce(
+        element_at(graft.functions.TextFunctions.words(col("text")), 1),
+        lit("w")))
+    val rep = docs.select(col("doc_id"), lit("rep").as("variant"),
+      array_join(array_repeat(concat(col("__w"), lit(" x")), 300), " ")
+        .as("t"))
+    val hex = docs.select(col("doc_id"), lit("hex").as("variant"),
+      concat((1 to 20).map(i =>
+        md5(concat(col("text"), lit(i.toString)).cast("binary"))): _*).as("t"))
+    rep.unionByName(hex)
+      .select(col("doc_id"), col("variant"),
+        (graft.functions.DeflateSizeExpr(col("t")) * 10 <
+          length(col("t")) * 3).as("repetitive"))
+      .orderBy("doc_id", "variant")
+  }
+
   private def d20b_span_dedup_multi(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
     val planted = docs
@@ -4259,6 +4286,7 @@ object SparkEntry {
     "t55_charset" -> (t55_charset _),
     "t56_sitemap" -> (t56_sitemap _),
     "t57_dictionary_tag" -> (t57_dictionary_tag _),
+    "t58_compressibility" -> (t58_compressibility _),
     "g1_pagerank" -> (g1_pagerank _),
     "g2_triangles" -> (g2_triangles _),
     "g3_kcore" -> (g3_kcore _),
@@ -5184,6 +5212,12 @@ object SparkEntry {
            (CASE WHEN qn = '' THEN '' ELSE '?' || qn END) AS url_norm,
          regexp_replace(h, ':[0-9]+$', '') AS host
        FROM n2 ORDER BY doc_id""",
+    // planted-truth by construction: the repetition variant must read
+    // repetitive, the hex-entropy variant must not (see t58's scaladoc)
+    "t58_compressibility" ->
+      """SELECT doc_id, v AS variant, v = 'rep' AS repetitive
+         FROM documents, (VALUES ('rep'), ('hex')) t(v)
+         ORDER BY doc_id, variant""",
     // the K-contains brute force the automaton replaces — dictionary
     // order preserved on both sides
     "t57_dictionary_tag" ->
