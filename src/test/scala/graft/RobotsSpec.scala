@@ -70,6 +70,35 @@ class RobotsSpec extends SparkSpec {
       .count() == 4)
   }
 
+  test("property: verdicts equal the brute-force precedence reference") {
+    val rnd = new scala.util.Random(11)
+    val prefixes = Seq("/a", "/a/b", "/a/b/c", "/x", "/x/y", "/")
+    val ruleSet = prefixes.flatMap { p =>
+      // randomly include each prefix as allow, disallow, both, or absent
+      Seq(true, false).filter(_ => rnd.nextBoolean()).map(a => (a, p))
+    }
+    val txt = "User-agent: bot\n" + ruleSet.map { case (a, p) =>
+      s"${if (a) "Allow" else "Disallow"}: $p"
+    }.mkString("\n")
+    val robots = Seq(("h.com", txt)).toDF("host", "txt")
+    val paths = (0 until 120).map { _ =>
+      val segs = Seq("a", "b", "c", "x", "y", "z")
+      "/" + Seq.fill(rnd.nextInt(4))(segs(rnd.nextInt(segs.length)))
+        .mkString("/")
+    }.distinct
+    def brute(path: String): Boolean = {
+      val applicable = ruleSet.filter { case (_, p) => path.startsWith(p) }
+      if (applicable.isEmpty) true
+      else applicable.maxBy { case (a, p) => (p.length, a) }._1
+    }
+    val got = Robots.check(paths.map(p => s"http://h.com$p").toDF("url"),
+        "url", robots, "host", "txt", "bot")
+      .collect().map(r => r.getString(0).stripPrefix("http://h.com") ->
+        r.getBoolean(1)).toMap
+    for (p <- paths)
+      assert(got(p) == brute(p), s"path=$p rules=$ruleSet")
+  }
+
   test("plan: no cartesian product; verdicts dedup by (host, path)") {
     val robots = Seq(("h1.com", "User-agent: *\nDisallow: /no\n"))
       .toDF("host", "txt")
