@@ -2050,14 +2050,6 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
-  /** Multi-scale span dedup: the planted documents embed a SIX-word run
-    * of their source between unique pad markers — invisible to any
-    * single window of length 12 (and to d20's n=8), but the fine scale
-    * (n=5) sees its two sliding windows and the cut intervals merge.
-    * Green means the scale union cut the short duplicate the fixed-n
-    * operator provably misses, with the whole two-scale ownership and
-    * coverage replayed in SQL.
-    * See [[graft.operators.Dedup.dropRepeatedSpansMulti]]. */
   /** PDF round trip: every document is written as a structurally valid
     * one-page PDF ([[graft.functions.PdfBuildExpr]] — Flate-compressed
     * content stream on even doc_ids, raw on odd, text split across two
@@ -2199,6 +2191,29 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** RFC 9309 wildcard rules + robots-side host normalization: one
+    * robots body keyed `WILD.com:80` (must bind `http://wild.com/...`
+    * after lowercase+port-strip) carries three wildcard patterns — a
+    * star-7-dollar Disallow under /Doc (trailing anchor), the LONGER
+    * star-77-dollar Allow that must win precedence over it, and a
+    * double-star Disallow on the id=9 query prefix. The oracle replays
+    * each pattern as decimal-digit arithmetic on doc_id, so the glob
+    * matcher, the `$` anchor, and pattern-length precedence are all
+    * hash-pinned. See [[graft.functions.RobotsMatchExpr]]. */
+  private def t54b_robots_wildcard(s: SparkSession, dir: String): DataFrame = {
+    val urls = t(s, dir, "documents").select(col("doc_id"))
+      .withColumn("url", concat(lit("http://wild.com/Doc/"),
+        col("doc_id").cast("string"),
+        lit("?id="), col("doc_id").cast("string")))
+    val hosts = s.range(1).select(lit("WILD.com:80").as("host"),
+      lit("User-agent: graftbot\nDisallow: /Doc/*7$\n" +
+        "Allow: /Doc/*77$\nDisallow: /*id=9*").as("robots_txt"))
+    graft.operators.Robots.check(urls, "url", hosts, "host", "robots_txt",
+        agent = "graftbot")
+      .select("doc_id", "robots_allowed")
+      .orderBy("doc_id")
+  }
+
   /** Charset auto-detection over a mixed-encoding corpus: even doc_ids
     * arrive as UTF-8 bytes (every tenth with a BOM that must strip),
     * odd ones as Latin-1 bytes carrying accented characters (0xE9 etc.
@@ -2251,14 +2266,18 @@ object SparkEntry {
     * the longer occurs) and a never-occurring control. The oracle is the
     * K-`contains` formulation the Aho–Corasick kernel replaces, so the
     * automaton's goto/failure/output links are hash-checked against
-    * brute force over every document.
-    * See [[graft.functions.DictionaryMatchExpr]]. */
+    * brute force over every document. The final projection joins the
+    * tag list to one scalar string (dictionary order preserved on both
+    * sides) — gate outputs must be scalar columns (see the Verify
+    * registration guard). See [[graft.functions.DictionaryMatchExpr]]. */
   private def t57_dictionary_tag(s: SparkSession, dir: String): DataFrame = {
     val dict = Seq("scan", "column order", "order", "data", "the",
       "zz never appears")
     t(s, dir, "documents")
       .select(col("doc_id"),
-        graft.functions.DictionaryMatchExpr(col("text"), dict).as("tags"))
+        array_join(
+          graft.functions.DictionaryMatchExpr(col("text"), dict), "|")
+          .as("tags"))
       .orderBy("doc_id")
   }
 
@@ -2289,6 +2308,14 @@ object SparkEntry {
       .orderBy("doc_id", "variant")
   }
 
+  /** Multi-scale span dedup: the planted documents embed a SIX-word run
+    * of their source between unique pad markers — invisible to any
+    * single window of length 12 (and to d20's n=8), but the fine scale
+    * (n=5) sees its two sliding windows and the cut intervals merge.
+    * Green means the scale union cut the short duplicate the fixed-n
+    * operator provably misses, with the whole two-scale ownership and
+    * coverage replayed in SQL.
+    * See [[graft.operators.Dedup.dropRepeatedSpansMulti]]. */
   private def d20b_span_dedup_multi(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
     val planted = docs
@@ -4283,6 +4310,7 @@ object SparkEntry {
     "t52_warc_roundtrip" -> (t52_warc_roundtrip _),
     "t53_crawl_pipeline" -> (t53_crawl_pipeline _),
     "t54_robots" -> (t54_robots _),
+    "t54b_robots_wildcard" -> (t54b_robots_wildcard _),
     "t55_charset" -> (t55_charset _),
     "t56_sitemap" -> (t56_sitemap _),
     "t57_dictionary_tag" -> (t57_dictionary_tag _),
@@ -5219,11 +5247,14 @@ object SparkEntry {
          FROM documents, (VALUES ('rep'), ('hex')) t(v)
          ORDER BY doc_id, variant""",
     // the K-contains brute force the automaton replaces — dictionary
-    // order preserved on both sides
+    // order preserved on both sides, joined to a scalar string so the
+    // gate output stays hashable by any row-sorting checker
     "t57_dictionary_tag" ->
       """SELECT doc_id,
-           list_filter(['scan', 'column order', 'order', 'data', 'the',
-             'zz never appears'], k -> contains(text, k)) AS tags
+           coalesce(array_to_string(
+             list_filter(['scan', 'column order', 'order', 'data', 'the',
+               'zz never appears'], k -> contains(text, k)), '|'), '')
+             AS tags
          FROM documents ORDER BY doc_id""",
     // <loc> extraction + mandatory &amp; decoding + trim, replayed as a
     // plain URL reconstruction
@@ -5253,6 +5284,16 @@ object SparkEntry {
                   OR starts_with(
                        '/Doc/' || doc_id || '?id=' || doc_id, '/Doc/12')
            END AS robots_allowed
+         FROM documents ORDER BY doc_id""",
+    // wildcard verdicts replayed as digit arithmetic: longest pattern
+    // wins (the *77$ allow outranks the *7$ disallow), then the
+    // double-star id=9 block, else default allow
+    "t54b_robots_wildcard" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 100 = 77 THEN TRUE
+                WHEN doc_id % 10 = 7 THEN FALSE
+                WHEN CAST(doc_id AS VARCHAR) LIKE '9%' THEN FALSE
+                ELSE TRUE END AS robots_allowed
          FROM documents ORDER BY doc_id""",
     // WARC framing + gzip + the markup state machine + every URL rule
     // replayed together: block tags emit newlines, script content drops,

@@ -22,8 +22,24 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        // Registration guard: a gate whose FINAL schema carries a complex
+        // column (array/map/struct) is unhashable by a pandas row-sorting
+        // checker (the t57 lesson, round 14). Refuse it loudly here so a
+        // driver-red of that class can never ship again — project the
+        // complex column to a scalar (array_join / to_json) in the gate.
+        val complex = df.schema.fields.filter(f => f.dataType match {
+          case _: org.apache.spark.sql.types.ArrayType  => true
+          case _: org.apache.spark.sql.types.MapType    => true
+          case _: org.apache.spark.sql.types.StructType => true
+          case _ => false
+        }).map(_.name)
+        require(complex.isEmpty,
+          s"gate $name has complex-typed final columns ${complex.mkString(",")}" +
+            " — scalar-ize them (array_join/to_json) before registering")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -28,10 +28,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *    apply; no group → no rules (everything allowed);
   *  - an empty rule value is skipped (an empty `Disallow:` is the
   *    classic allow-all idiom);
-  *  - rule paths are PREFIX patterns; the `*`/`$` wildcard extension is
-  *    deliberately out of scope (documented, not half-implemented) —
-  *    precedence over prefixes is the longest-match rule, applied by
-  *    the operator.
+  *  - rule paths are match PATTERNS: a prefix match from the first
+  *    byte, where `*` matches any byte sequence and a TRAILING `$`
+  *    anchors the end of the URL path (RFC 9309 §2.2.3 — both are
+  *    MUST-support special characters; a mid-pattern `$` is literal,
+  *    the de-facto parser consensus). Matching is
+  *    [[RobotsMatchExpr]]; precedence over patterns is the
+  *    longest-pattern rule, applied by the operator.
   *
   * Returns `array<struct<allow boolean, prefix string>>`. */
 case class RobotsRulesExpr(left: Expression, right: Expression)
@@ -69,7 +72,76 @@ object RobotsRulesExpr {
       GraftInternals.expression(robotsTxt), GraftInternals.expression(agent)))
 }
 
+/** RFC 9309 §2.2.3 rule matching: does `left` (a URL path+query) match
+  * `right` (a robots rule pattern)? Anchored at the path start; `*`
+  * matches any byte run; a trailing `$` anchors the path end. Pure
+  * per-row kernel — stays inside whole-stage codegen, so at corpus
+  * scale the match runs inside the rules⋈paths join's generated loop. */
+case class RobotsMatchExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"robots_match expects (STRING path, STRING pattern), got $l, $r")
+    }
+
+  override def nullSafeEval(path: Any, pattern: Any): Any =
+    RobotsImpl.matches(path.asInstanceOf[UTF8String],
+      pattern.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (p, q) =>
+      s"graft.functions.RobotsImpl.matches($p, $q)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "robots_match"
+}
+
+object RobotsMatchExpr {
+  def apply(path: Column, pattern: Column): Column =
+    GraftInternals.column(RobotsMatchExpr(
+      GraftInternals.expression(path), GraftInternals.expression(pattern)))
+}
+
 object RobotsImpl {
+
+  /** RFC 9309 pattern match (see [[RobotsMatchExpr]]): split the pattern
+    * on `*`; the first segment must sit at path offset 0, middle
+    * segments are located greedily left-to-right, and with a trailing
+    * `$` the last segment must sit flush against the path end. Greedy
+    * left-to-right is complete here because robots patterns have no
+    * backtracking-relevant structure beyond `*` (each segment is a
+    * literal, and taking the EARLIEST occurrence of a middle segment
+    * only ever leaves more room for later ones). */
+  def matches(path: UTF8String, pattern: UTF8String): Boolean = {
+    val p = path.toString
+    var pat = pattern.toString
+    val anchored = pat.endsWith("$")
+    if (anchored) pat = pat.substring(0, pat.length - 1)
+    val segs = pat.split("\\*", -1)
+    // first segment anchors at 0
+    if (!p.startsWith(segs(0))) return false
+    var pos = segs(0).length
+    var i = 1
+    while (i < segs.length - 1) { // middle segments: earliest occurrence
+      val at = p.indexOf(segs(i), pos)
+      if (at < 0) return false
+      pos = at + segs(i).length
+      i += 1
+    }
+    if (segs.length == 1) !anchored || pos == p.length
+    else {
+      val last = segs(segs.length - 1)
+      if (anchored) p.endsWith(last) && p.length - last.length >= pos
+      else p.indexOf(last, pos) >= 0
+    }
+  }
 
   private final case class Group(
       agents: scala.collection.mutable.ArrayBuffer[String],

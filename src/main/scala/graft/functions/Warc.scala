@@ -121,8 +121,7 @@ object WarcImpl {
         var url = ""
         var recType = ""
         var len = -1L
-        var ok = true
-        while (ok && j < bytes.length && !emptyLineAt(bytes, j)) {
+        while (j < bytes.length && !emptyLineAt(bytes, j)) {
           val e = lineEnd(bytes, j)
           val line = new String(bytes, j, lineLen(bytes, j, e),
             java.nio.charset.StandardCharsets.ISO_8859_1)

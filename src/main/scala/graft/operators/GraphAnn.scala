@@ -167,11 +167,21 @@ object GraphAnn {
   /** `(rows, xor of xxhash64(id))` over one id column — the witness both
     * sides of the staleness comparison compute. Ids hash at long type on
     * both sides (adjacency stores them as long), so the base's id column
-    * type cannot skew the comparison. */
+    * type cannot skew the comparison. A null-yielding cast (a non-numeric
+    * id column) would collapse every hash to the null constant and
+    * degenerate the checksum to row-count parity — refused loudly
+    * instead of silently weakening the staleness guard. */
   private def witness(df: DataFrame, id: Column): (Long, Long) = {
-    val r = df.select(xxhash64(id.cast("long")).as("__h"))
+    val r = df.select(id.isNotNull.and(id.cast("long").isNull).as("__bad"),
+        xxhash64(id.cast("long")).as("__h"))
       .agg(count(lit(1)).as("__n"),
-        coalesce(expr("bit_xor(__h)"), lit(0L)).as("__x")).head()
+        coalesce(expr("bit_xor(__h)"), lit(0L)).as("__x"),
+        sum(col("__bad").cast("long")).as("__nbad")).head()
+    require(r.isNullAt(2) || r.getLong(2) == 0L,
+      s"graph-ANN id column does not cast to long losslessly for " +
+        s"${if (r.isNullAt(2)) 0 else r.getLong(2)} rows — the xor " +
+        "staleness witness would degenerate to count parity; use a " +
+        "numeric id column")
     (r.getLong(0), r.getLong(1))
   }
 

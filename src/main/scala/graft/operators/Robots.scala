@@ -3,18 +3,23 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{RobotsRulesExpr, TextFunctions}
+import graft.functions.{RobotsMatchExpr, RobotsRulesExpr, TextFunctions}
 
 /** Crawl-policy enforcement: annotate a URL table with the robots.txt
   * verdict for a crawler agent — the legal/etiquette gate a crawl
   * corpus passes BEFORE fetch cost is spent (and re-passes at curation
   * time, because policies change between crawl and training).
   *
-  * Decision semantics (RFC 9309 over prefix rules — group selection in
-  * [[graft.functions.RobotsRulesExpr]]): among the binding rules whose
-  * prefix matches the URL's path+query, the LONGEST prefix wins, an
+  * Decision semantics (RFC 9309 — group selection in
+  * [[graft.functions.RobotsRulesExpr]], `*`/`$` pattern matching in
+  * [[graft.functions.RobotsMatchExpr]]): among the binding rules whose
+  * pattern matches the URL's path+query, the LONGEST pattern wins, an
   * `allow` beats a `disallow` of equal length, and a URL matched by no
-  * rule (or whose host has no robots.txt row) is allowed.
+  * rule (or whose host has no robots.txt row) is allowed. The robots
+  * table's host key is normalized (lowercased, port-stripped) exactly
+  * like the URL side's [[TextFunctions.urlHost]], so a row keyed
+  * `Example.COM:80` binds `http://example.com/...` — a raw-keyed join
+  * would silently fail open.
   *
   * Spark shape at corpus scale: robots bodies parse MAP-SIDE into rule
   * rows (one explode over the host dimension — hosts are millions, URLs
@@ -39,7 +44,8 @@ object Robots {
       robots: DataFrame, hostCol: String, txtCol: String,
       agent: String): DataFrame = {
     require(agent.nonEmpty, "empty agent token")
-    val rules = robots.select(col(hostCol).as("__rh"),
+    val rules = robots.select(
+        regexp_replace(lower(col(hostCol)), ":[0-9]+$", "").as("__rh"),
         explode(RobotsRulesExpr(col(txtCol), lit(agent))).as("__r"))
       .select(col("__rh"), col("__r.allow").as("__allow"),
         col("__r.prefix").as("__prefix"))
@@ -47,11 +53,11 @@ object Robots {
       .withColumn("__host", TextFunctions.urlHost(col(urlCol)))
       .withColumn("__path", pathQuery(col(urlCol)))
     // verdict per DISTINCT (host, path): max(struct(len, allow)) applies
-    // the longest-prefix-then-allow-wins precedence in one partial-agg
+    // the longest-pattern-then-allow-wins precedence in one partial-agg
     // shuffle — never a per-URL window
     val verdicts = u.select(col("__host"), col("__path")).distinct()
       .join(rules, col("__host") === col("__rh"))
-      .filter(col("__path").startsWith(col("__prefix")))
+      .filter(RobotsMatchExpr(col("__path"), col("__prefix")))
       .groupBy(col("__host"), col("__path"))
       .agg(max(struct(length(col("__prefix")).as("l"),
         col("__allow").as("a"))).as("__best"))

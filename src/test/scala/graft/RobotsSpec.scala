@@ -70,11 +70,48 @@ class RobotsSpec extends SparkSpec {
       .count() == 4)
   }
 
+  test("RFC 9309 wildcard matching: * spans, $ anchors, mid-$ literal") {
+    import graft.functions.RobotsImpl
+    def m(path: String, pat: String): Boolean =
+      RobotsImpl.matches(UTF8String.fromString(path),
+        UTF8String.fromString(pat))
+    assert(m("/private/x", "/private*"))
+    assert(m("/private", "/private*"), "* matches empty")
+    assert(!m("/pub/private", "/private*"), "anchored at path start")
+    assert(m("/docs/file.pdf", "/*.pdf$"))
+    assert(!m("/docs/file.pdfx", "/*.pdf$"), "$ anchors the end")
+    assert(m("/docs/file.pdf?x=1", "/*.pdf"), "unanchored keeps matching")
+    assert(m("/a/b/c/d", "/a/*/d"))
+    assert(m("/a/xx/yy/d", "/a/*/d"))
+    assert(!m("/a/b/c", "/a/*/d$"))
+    assert(m("/fish", "/fish$"))
+    assert(!m("/fishing", "/fish$"))
+    assert(m("/p?a=$5", "/p?a=$5"), "mid-pattern $ is a literal byte")
+    assert(m("/anything", "/*"))
+    assert(m("/x/y*z", "/x/*"), "literal * in the PATH is just a byte")
+    // greedy-earliest completeness: two stars, tight tail
+    assert(m("/ab/cd/ab/ef", "/*cd*ef$"))
+    assert(!m("/ab/cd/ab/ef", "/*ef*cd"))
+  }
+
+  test("check: robots host key normalizes (case, port) like the URL side") {
+    val robots = Seq(("Example.COM:80", "User-agent: *\nDisallow: /no\n"))
+      .toDF("host", "txt")
+    val urls = Seq("http://example.com/no/1", "http://example.com/yes")
+      .toDF("url")
+    val got = Robots.check(urls, "url", robots, "host", "txt", "bot")
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(got("http://example.com/no/1") == false,
+      "raw-keyed robots row must still bind after normalization")
+    assert(got("http://example.com/yes") == true)
+  }
+
   test("property: verdicts equal the brute-force precedence reference") {
     val rnd = new scala.util.Random(11)
-    val prefixes = Seq("/a", "/a/b", "/a/b/c", "/x", "/x/y", "/")
+    val prefixes = Seq("/a", "/a/b", "/a/b/c", "/x", "/x/y", "/",
+      "/a/*/c", "/*/y", "/a/b$", "/*c$")
     val ruleSet = prefixes.flatMap { p =>
-      // randomly include each prefix as allow, disallow, both, or absent
+      // randomly include each pattern as allow, disallow, both, or absent
       Seq(true, false).filter(_ => rnd.nextBoolean()).map(a => (a, p))
     }
     val txt = "User-agent: bot\n" + ruleSet.map { case (a, p) =>
@@ -86,8 +123,16 @@ class RobotsSpec extends SparkSpec {
       "/" + Seq.fill(rnd.nextInt(4))(segs(rnd.nextInt(segs.length)))
         .mkString("/")
     }.distinct
+    // independent reference matcher: regex translation of the pattern
+    def refMatch(path: String, pat: String): Boolean = {
+      val anchored = pat.endsWith("$")
+      val core = if (anchored) pat.dropRight(1) else pat
+      val rx = core.split("\\*", -1).map(java.util.regex.Pattern.quote)
+        .mkString(".*")
+      path.matches("^" + rx + (if (anchored) "$" else ".*"))
+    }
     def brute(path: String): Boolean = {
-      val applicable = ruleSet.filter { case (_, p) => path.startsWith(p) }
+      val applicable = ruleSet.filter { case (_, p) => refMatch(path, p) }
       if (applicable.isEmpty) true
       else applicable.maxBy { case (a, p) => (p.length, a) }._1
     }
