@@ -2124,13 +2124,15 @@ object SparkEntry {
   }
 
   /** The crawl front door COMPOSED end-to-end: documents wrapped as HTML
-    * pages behind messy URLs, grouped into (half gzipped) WARC files,
-    * then parsed back and pushed through markup extraction + URL
-    * canonicalization in one query — container framing, gzip, the tag
-    * state machine and every URL rule must agree with the oracle's
-    * independent replay SIMULTANEOUSLY. This is the ingestion shape a
-    * real crawl corpus runs before quality/dedup (whose gates consume
-    * its outputs). */
+    * pages behind messy URLs, grouped into (half gzipped) WARC files
+    * with REAL-crawl HTTP message framing on every record, then parsed
+    * back — HTTP splitting ([[graft.functions.HttpPayloadExpr]], the
+    * Common Crawl payload layout) before charset decode, markup
+    * extraction and URL canonicalization in one query. Container
+    * framing, gzip, HTTP header stripping, the tag state machine and
+    * every URL rule must agree with the oracle's independent replay
+    * SIMULTANEOUSLY. This is the ingestion shape a real crawl corpus
+    * runs before quality/dedup (whose gates consume its outputs). */
   private def t53_crawl_pipeline(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       .withColumn("url", concat(
@@ -2148,7 +2150,7 @@ object SparkEntry {
         transform(col("rs"), r => struct(
           r.getField("url").as("url"),
           r.getField("html").cast("binary").as("body"))),
-        col("file_id") % 2 === 0).as("warc"))
+        col("file_id") % 2 === 0, lit(true)).as("warc"))
       .select(explode(graft.functions.WarcRecordsExpr(col("warc"))).as("rec"))
       .select(
         regexp_extract(col("rec.url"), "/Doc/([0-9]+)", 1).cast("long")
@@ -2156,7 +2158,67 @@ object SparkEntry {
         graft.functions.TextFunctions.normalizeUrl(col("rec.url"))
           .as("url_norm"),
         graft.functions.TextFunctions.extractMarkup(
-          graft.functions.DecodeTextExpr(col("rec.body"))).as("clean"))
+          graft.functions.DecodeTextExpr(
+            graft.functions.HttpPayloadExpr(col("rec.body"))
+              .getField("body"))).as("clean"))
+      .orderBy("doc_id")
+  }
+
+  /** HTTP-framed WARC round trip (the real Common Crawl payload
+    * layout): every record's payload is a full HTTP/1.1 message, and
+    * the splitter must strip status line + headers, surface the status
+    * code and lowercased Content-Type, and hand back the entity
+    * byte-for-byte — the identity oracle fails if one header byte
+    * leaks into the body. See [[graft.functions.HttpPayloadExpr]]. */
+  private def t59_http_payload(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .withColumn("url", concat(lit("http://example.com/doc/"), col("doc_id")))
+    docs
+      .groupBy((col("doc_id") % 7).as("file_id"))
+      .agg(sort_array(collect_list(
+        struct(col("doc_id"), col("url"), col("text")))).as("rs"))
+      .select(col("file_id"), graft.functions.WarcBuildExpr(
+        transform(col("rs"), r => struct(
+          r.getField("url").as("url"),
+          r.getField("text").cast("binary").as("body"))),
+        col("file_id") % 2 === 0, lit(true)).as("warc"))
+      .select(explode(graft.functions.WarcRecordsExpr(col("warc"))).as("rec"))
+      .select(
+        regexp_extract(col("rec.url"), "([0-9]+)$", 1).cast("long")
+          .as("doc_id"),
+        graft.functions.HttpPayloadExpr(col("rec.body")).as("h"))
+      .select(col("doc_id"), col("h.status").as("status"),
+        col("h.content_type").as("content_type"),
+        col("h.body").cast("string").as("text_http"))
+      .orderBy("doc_id")
+  }
+
+  /** Chunked transfer-encoding decode (RFC 9112 §7.1): each document
+    * becomes a chunk-framed HTTP message built by CONCATENATION in the
+    * query itself — first chunk 16 bytes (with a chunk extension the
+    * decoder must ignore), remainder as a second chunk, a trailer
+    * field after the 0-terminator that must drop — and the splitter
+    * must reassemble the exact text. Mixed-case Content-Type pins the
+    * lowercasing. Fixture text is pure ASCII (TESTDATA), so byte
+    * lengths equal char lengths and `hex()` chunk sizes agree across
+    * engines. See [[graft.functions.HttpPayloadExpr]]. */
+  private def t59b_http_chunked(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val head = substring(col("text"), 1, 16)
+    val rest = substring(col("text"), 17, 1 << 24)
+    val msg = concat(
+      lit("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n" +
+        "Content-Type: Text/Plain; Charset=UTF-8\r\n\r\n"),
+      hex(length(head)), lit(";ext=\"q\"\r\n"), head, lit("\r\n"),
+      when(length(rest) > 0,
+        concat(hex(length(rest)), lit("\r\n"), rest, lit("\r\n")))
+        .otherwise(lit("")),
+      lit("0\r\nX-Trailer: dropped\r\n\r\n"))
+    docs.select(col("doc_id"),
+        graft.functions.HttpPayloadExpr(msg.cast("binary")).as("h"))
+      .select(col("doc_id"), col("h.status").as("status"),
+        col("h.content_type").as("content_type"),
+        col("h.body").cast("string").as("text_chunked"))
       .orderBy("doc_id")
   }
 
@@ -4311,6 +4373,8 @@ object SparkEntry {
     "t53_crawl_pipeline" -> (t53_crawl_pipeline _),
     "t54_robots" -> (t54_robots _),
     "t54b_robots_wildcard" -> (t54b_robots_wildcard _),
+    "t59_http_payload" -> (t59_http_payload _),
+    "t59b_http_chunked" -> (t59b_http_chunked _),
     "t55_charset" -> (t55_charset _),
     "t56_sitemap" -> (t56_sitemap _),
     "t57_dictionary_tag" -> (t57_dictionary_tag _),
@@ -5284,6 +5348,19 @@ object SparkEntry {
                   OR starts_with(
                        '/Doc/' || doc_id || '?id=' || doc_id, '/Doc/12')
            END AS robots_allowed
+         FROM documents ORDER BY doc_id""",
+    // HTTP-framed WARC round trip: the splitter must strip the built
+    // status line + headers exactly and surface the framed constants
+    "t59_http_payload" ->
+      """SELECT doc_id, 200 AS status, 'text/html' AS content_type,
+           text AS text_http
+         FROM documents ORDER BY doc_id""",
+    // chunked reassembly is the identity on the text; the mixed-case
+    // Content-Type must come back lowercased
+    "t59b_http_chunked" ->
+      """SELECT doc_id, 200 AS status,
+           'text/plain; charset=utf-8' AS content_type,
+           text AS text_chunked
          FROM documents ORDER BY doc_id""",
     // wildcard verdicts replayed as digit arithmetic: longest pattern
     // wins (the *77$ allow outranks the *7$ disallow), then the

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftInternals
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.InternalRow
@@ -64,39 +64,48 @@ object WarcRecordsExpr {
   * `array<struct<url string, body binary>>`; emits one `response`
   * record per element, gzip-compressing the WHOLE file when `gzip`
   * (multi-member per-record gzip reads back identically through the
-  * reader's inflate-all). */
-case class WarcBuildExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+  * reader's inflate-all). With `http` set, each body is wrapped in
+  * the real-crawl payload layout — a full HTTP/1.1 message
+  * ([[HttpImpl.frame]]) — so round-trip gates exercise the
+  * [[HttpPayloadExpr]] splitting stage real Common-Crawl-shaped WARCs
+  * require. */
+case class WarcBuildExpr(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
 
   override def dataType: DataType = BinaryType
 
   override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (ArrayType(StructType(Array(u, b)), _), BooleanType)
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(StructType(Array(u, b)), _), BooleanType, BooleanType)
           if u.dataType == StringType && b.dataType == BinaryType =>
         TypeCheckResult.TypeCheckSuccess
-      case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"warc_build expects (array<struct<string,binary>>, boolean), " +
-          s"got $l, $r")
+      case (l, r, h) => TypeCheckResult.TypeCheckFailure(
+        s"warc_build expects (array<struct<string,binary>>, boolean gzip, " +
+          s"boolean http), got $l, $r, $h")
     }
 
-  override def nullSafeEval(records: Any, gzip: Any): Any =
+  override def nullSafeEval(records: Any, gzip: Any, http: Any): Any =
     WarcImpl.build(records.asInstanceOf[ArrayData],
-      gzip.asInstanceOf[Boolean])
+      gzip.asInstanceOf[Boolean], http.asInstanceOf[Boolean])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (r, g) => s"graft.functions.WarcImpl.build($r, $g)")
+    defineCodeGen(ctx, ev, (r, g, h) =>
+      s"graft.functions.WarcImpl.build($r, $g, $h)")
 
   override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): Expression =
-    copy(left = newLeft, right = newRight)
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
   override def prettyName: String = "warc_build"
 }
 
 object WarcBuildExpr {
   def apply(records: Column, gzip: Column): Column =
+    apply(records, gzip, org.apache.spark.sql.functions.lit(false))
+  def apply(records: Column, gzip: Column, http: Column): Column =
     GraftInternals.column(WarcBuildExpr(
-      GraftInternals.expression(records), GraftInternals.expression(gzip)))
+      GraftInternals.expression(records), GraftInternals.expression(gzip),
+      GraftInternals.expression(http)))
 }
 
 object WarcImpl {
@@ -204,13 +213,14 @@ object WarcImpl {
 
   // ------------------------------------------------------------- build
 
-  def build(records: ArrayData, gzip: Boolean): Array[Byte] = {
+  def build(records: ArrayData, gzip: Boolean, http: Boolean): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     var i = 0
     while (i < records.numElements()) {
       val r = records.getStruct(i, 2)
       val url = r.getUTF8String(0)
-      val body = r.getBinary(1)
+      val body =
+        if (http) HttpImpl.frame(r.getBinary(1)) else r.getBinary(1)
       val hdr = ("WARC/1.0\r\n" +
         "WARC-Type: response\r\n" +
         s"WARC-Target-URI: ${if (url == null) "" else url.toString}\r\n" +

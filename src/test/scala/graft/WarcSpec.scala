@@ -27,7 +27,7 @@ class WarcSpec extends SparkSpec {
   private def buildFile(gzip: Boolean, recs: (String, String)*): Array[Byte] =
     WarcImpl.build(new GenericArrayData(recs.map { case (u, b) =>
       rec(u, b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    }.toArray[Any]), gzip)
+    }.toArray[Any]), gzip, http = false)
 
   test("multi-record round trip, raw and gzipped") {
     for (gz <- Seq(false, true)) {
@@ -105,7 +105,8 @@ class WarcSpec extends SparkSpec {
         rec(s"http://p/$i", b)
       }
       val arr = WarcImpl.records(
-        WarcImpl.build(new GenericArrayData(recs.toArray[Any]), gz))
+        WarcImpl.build(new GenericArrayData(recs.toArray[Any]), gz,
+          http = false))
       assert(arr.numElements() == bodies.length)
       bodies.zipWithIndex.foreach { case (b, i) =>
         val r = arr.getStruct(i, 3)
