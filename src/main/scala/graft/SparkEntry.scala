@@ -2343,6 +2343,26 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** TABLE-driven dictionary tagging: the lexicon is a DataFrame built
+    * from the corpus's own vocabulary (the first word of every 50th
+    * document — data the oracle can re-derive independently), collapsed
+    * to a bounded driver-side automaton by
+    * [[graft.operators.DictionaryTag]]. The oracle rebuilds the same
+    * lexicon in SQL and replays per-document containment with
+    * lexicographic tag order, so the collect-distinct-sort contract AND
+    * the automaton agree across engines. Output joined to a scalar (the
+    * gate convention). */
+  private def t57b_dictionary_tag_table(
+      s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val terms = docs.filter(col("doc_id") % 50 === 0)
+      .select(element_at(
+        graft.functions.TextFunctions.words(col("text")), 1).as("term"))
+    graft.operators.DictionaryTag.tag(docs, "text", terms, "term")
+      .select(col("doc_id"), array_join(col("tags"), "|").as("tags"))
+      .orderBy("doc_id")
+  }
+
   /** Compressibility quality signal: every document derives two planted
     * variants with ENUMERABLE verdicts — a 300× repetition of its first
     * word (deflate ratio ≪ 0.1 for any word: pure LZ77 runs) and a
@@ -2537,6 +2557,27 @@ object SparkEntry {
     graft.operators.GraphAnn.nswTopK(
         graft.operators.GraphAnn.nswRead(s, path), queryVec(s, dir),
         k = 10, nprobe = 4, ef = 512, excludeIds = Seq(0L))
+      .select("vec_id", "rank").orderBy("rank")
+  }
+
+  /** Graph ANN composed WITH soft multi-assignment (a16 × a15): the
+    * index stores every row in its two nearest clusters, so each copy
+    * is a node in its cluster's NSW graph and a probe covering two
+    * homes of one id walks to it twice — the by-id dedup must collapse
+    * the union before ranking or duplicate vec_ids poison the top-10
+    * and the hash goes red. Full beam keeps the walk exact, so the
+    * planted cosine-1.0 family is the only possible answer; the
+    * organic boundary-recall LIFT this composition buys is pinned in
+    * GraphAnnSpec (the RecallSpec convention).
+    * See [[graft.operators.GraphAnn.nswBuild]]. */
+  private def a15c_graph_ann_multiassign(
+      s: SparkSession, dir: String): DataFrame = {
+    val index = Ann.ivfBuild(annCorpus(s, dir), "vec_id", "embedding",
+      nlist = 16, assignTop = 2)
+    val nsw = graft.operators.GraphAnn.nswBuild(index, "vec_id",
+      m = 8, efConstruction = 32)
+    graft.operators.GraphAnn.nswTopK(nsw, queryVec(s, dir), k = 10,
+        nprobe = 4, ef = 512, excludeIds = Seq(0L))
       .select("vec_id", "rank").orderBy("rank")
   }
 
@@ -4378,6 +4419,7 @@ object SparkEntry {
     "t55_charset" -> (t55_charset _),
     "t56_sitemap" -> (t56_sitemap _),
     "t57_dictionary_tag" -> (t57_dictionary_tag _),
+    "t57b_dictionary_tag_table" -> (t57b_dictionary_tag_table _),
     "t58_compressibility" -> (t58_compressibility _),
     "g1_pagerank" -> (g1_pagerank _),
     "g2_triangles" -> (g2_triangles _),
@@ -4414,6 +4456,7 @@ object SparkEntry {
     "a16_ivf_multiassign" -> (a16_ivf_multiassign _),
     "a15_graph_ann" -> (a15_graph_ann _),
     "a15b_graph_ann_append" -> (a15b_graph_ann_append _),
+    "a15c_graph_ann_multiassign" -> (a15c_graph_ann_multiassign _),
     "p1_ann_pq" -> (p1_ann_pq _),
     "p2_ann_ivfpq" -> (p2_ann_ivfpq _),
     "p3_ann_pq_batch" -> (p3_ann_pq_batch _),
@@ -5304,6 +5347,19 @@ object SparkEntry {
            (CASE WHEN qn = '' THEN '' ELSE '?' || qn END) AS url_norm,
          regexp_replace(h, ':[0-9]+$', '') AS host
        FROM n2 ORDER BY doc_id""",
+    // the lexicon re-derived in SQL (first word of every 50th doc,
+    // distinct) and replayed as per-document containment with
+    // lexicographic tag order — pins DictionaryTag's collect-distinct-
+    // sort contract plus the automaton in one hash
+    "t57b_dictionary_tag_table" ->
+      """WITH dict AS (
+           SELECT DISTINCT split_part(text, ' ', 1) AS t
+           FROM documents
+           WHERE doc_id % 50 = 0 AND split_part(text, ' ', 1) <> '')
+         SELECT d.doc_id,
+           coalesce((SELECT string_agg(k.t, '|' ORDER BY k.t)
+                     FROM dict k WHERE contains(d.text, k.t)), '') AS tags
+         FROM documents d ORDER BY doc_id""",
     // planted-truth by construction: the repetition variant must read
     // repetitive, the hex-entropy variant must not (see t58's scaladoc)
     "t58_compressibility" ->
@@ -6731,6 +6787,12 @@ object SparkEntry {
     // re-read witness accepted the grown graph
     "a15b_graph_ann_append" ->
       """SELECT CAST(9500000 + i AS BIGINT) AS vec_id, CAST(i + 1 AS INT) AS rank
+         FROM range(10) t(i) ORDER BY rank""",
+    // the planted family through BOTH the doubly-stored layout and the
+    // graph walk: a missing by-id dedup of the per-copy walk hits would
+    // duplicate vec_ids in the top-10
+    "a15c_graph_ann_multiassign" ->
+      """SELECT CAST(9000000 + i AS BIGINT) AS vec_id, CAST(i + 1 AS INT) AS rank
          FROM range(10) t(i) ORDER BY rank""",
     // only the filter-true planted family may surface; the equally-tied
     // smaller-id 'drop' family would win the tiebreak if the predicate

@@ -230,8 +230,9 @@ object Ann {
     * runner-up cluster is probed — recall at fixed nprobe rises for
     * `assignTop×` storage and scan width (RecallSpec quantifies it). The
     * clustered frame then holds duplicate ids; every probe path dedups
-    * by id before ranking, and single-copy consumers (SemDeDup, PQ
-    * encode, graph ANN) refuse a multi-assigned index loudly. */
+    * by id before ranking (graph ANN builds a node per copy and dedups
+    * the walk union the same way), and single-copy consumers (SemDeDup,
+    * PQ encode) refuse a multi-assigned index loudly. */
   final case class IvfIndex(centroids: Seq[(Int, Array[Double])],
       clustered: DataFrame, vecCol: String = "embedding",
       assignTop: Int = 1)
@@ -441,7 +442,7 @@ object Ann {
     * `(−cosine, −cid)` ascending, so equal scores break to the LARGER
     * cid, matching `greatest(struct(s, cid))` — and `assignTop = 1`
     * keeps the original single-copy plan (no explode). */
-  private def assignClustersTop(df: DataFrame,
+  private[operators] def assignClustersTop(df: DataFrame,
       cs: Seq[(Int, Array[Double])], vecCol: String,
       assignTop: Int): DataFrame =
     if (assignTop == 1) assignClusters(df, cs, vecCol)

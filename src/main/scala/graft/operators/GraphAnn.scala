@@ -67,9 +67,10 @@ object GraphAnn {
     require(m >= 1, s"m must be >= 1, got $m")
     require(efConstruction >= m,
       s"efConstruction ($efConstruction) must be >= m ($m)")
-    require(index.assignTop == 1,
-      "nswBuild needs a single-assignment index (assignTop = 1): a soft " +
-        "copy would become a duplicate graph node in a second cluster")
+    // assignTop > 1 composes: a soft copy is a graph node in EACH of its
+    // clusters (per-cluster ids stay unique — multi-assignment lands a
+    // row in distinct clusters), probes dedup results by id, and the
+    // staleness witness hashes (cluster, id) so copies cannot cancel
     val spark = index.clustered.sparkSession
     import spark.implicits._
     val big = index.clustered.groupBy("gr_cluster").count()
@@ -144,7 +145,13 @@ object GraphAnn {
         }
       }
       .toDF(nsw.idCol, "cosine")
-    hits.orderBy(desc("cosine"), col(nsw.idCol)).limit(k)
+    // soft multi-assignment stores a row in several clusters: two probed
+    // walks can both surface it (identical cosine — any survivor is
+    // right); dedup only when copies can exist, keeping the simple plan
+    // at assignTop = 1 — the ivfTopK convention
+    val unique =
+      if (nsw.base.assignTop > 1) hits.dropDuplicates(nsw.idCol) else hits
+    unique.orderBy(desc("cosine"), col(nsw.idCol)).limit(k)
       .withColumn("rank",
         row_number().over(Window.orderBy(desc("cosine"), col(nsw.idCol))))
   }
@@ -164,16 +171,26 @@ object GraphAnn {
     * the id SET is unchanged. */
   val NswParamsSidecar = "_graft_nsw_params.json"
 
-  /** `(rows, xor of xxhash64(id))` over one id column — the witness both
-    * sides of the staleness comparison compute. Ids hash at long type on
-    * both sides (adjacency stores them as long), so the base's id column
-    * type cannot skew the comparison. A null-yielding cast (a non-numeric
+  /** `(rows, xor checksum)` over one frame — the witness both sides of
+    * the staleness comparison compute. With `perCopy` unset the checksum
+    * is xor of `xxhash64(id)` (ids hash at long type on both sides, so
+    * the base's id column type cannot skew the comparison). A
+    * multi-assigned base stores each id `assignTop` times, and an xor of
+    * bare id hashes would CANCEL the copies pairwise (any even assignTop
+    * degenerates the checksum to 0) — `perCopy` hashes
+    * `xxhash64(gr_cluster, id)` instead, making each stored copy a
+    * distinct witness term; assignTop = 1 keeps the original formula so
+    * existing sidecars stay valid. A null-yielding cast (a non-numeric
     * id column) would collapse every hash to the null constant and
     * degenerate the checksum to row-count parity — refused loudly
     * instead of silently weakening the staleness guard. */
-  private def witness(df: DataFrame, id: Column): (Long, Long) = {
+  private def witness(df: DataFrame, id: Column,
+      perCopy: Boolean): (Long, Long) = {
+    val h = if (perCopy)
+      xxhash64(col("gr_cluster").cast("long"), id.cast("long"))
+    else xxhash64(id.cast("long"))
     val r = df.select(id.isNotNull.and(id.cast("long").isNull).as("__bad"),
-        xxhash64(id.cast("long")).as("__h"))
+        h.as("__h"))
       .agg(count(lit(1)).as("__n"),
         coalesce(expr("bit_xor(__h)"), lit(0L)).as("__x"),
         sum(col("__bad").cast("long")).as("__nbad")).head()
@@ -236,7 +253,8 @@ object GraphAnn {
     Ann.ivfWrite(nsw.base, path)
     nsw.adjacency.write.mode("overwrite")
       .partitionBy("gr_cluster").parquet(s"$path/graph")
-    val (rows, idXor) = witness(nsw.adjacency, col("id"))
+    val (rows, idXor) = witness(nsw.adjacency, col("id"),
+      perCopy = nsw.base.assignTop > 1)
     writeSidecar(spark, path, nsw.idCol, nsw.m, nsw.efConstruction, rows, idXor)
   }
 
@@ -251,7 +269,8 @@ object GraphAnn {
     val idCol = node.get("id_col").asText
     val adjacency = spark.read.parquet(s"$path/graph")
       .withColumn("gr_cluster", col("gr_cluster").cast("int"))
-    requireFresh(node, path, witness(base.clustered, col(idCol)))
+    requireFresh(node, path,
+      witness(base.clustered, col(idCol), perCopy = base.assignTop > 1))
     NswIndex(base, adjacency, idCol,
       node.get("m").asInt, node.get("ef_construction").asInt)
   }
@@ -284,7 +303,9 @@ object GraphAnn {
     * (a crashed attempt's partial graph write, or a replayed tag) is
     * treated as existing — re-running the same append converges. The
     * sidecar witness is recomputed from the post-append BASE rows, never
-    * incremented, so replays cannot drift it. Returns rows appended. */
+    * incremented, so replays cannot drift it. Returns STORED rows
+    * appended — batch × assignTop copies on a multi-assigned index (the
+    * [[Ann.ivfAppend]] contract). */
   def nswAppend(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
@@ -309,11 +330,17 @@ object GraphAnn {
     // else (tombstones, foreign appends) is refused: appending onto a
     // drifted base would launder a broken graph behind a fresh witness.
     val (sRows, sXor) = (node.get("rows").asLong, node.get("id_xor").asLong)
-    val (bRows, bXor) = witness(newVecs, col(idCol))
     val preIdx = Ann.ivfRead(spark, path)
-    require(preIdx.assignTop == 1,
-      "nswAppend needs a single-assignment index (assignTop = 1)")
-    val pre = witness(preIdx.clustered, col(idCol))
+    val perCopy = preIdx.assignTop > 1
+    // the batch as the STORED layout will hold it: frozen-centroid
+    // assignment, one row per (cluster, copy) — both the witness
+    // arithmetic and the touched-cluster set must see every copy, or a
+    // soft copy's graph home would silently stay stale
+    val batchAssigned = Ann.assignClustersTop(
+      newVecs.select(col(idCol), col(vecCol)), preIdx.centroids, vecCol,
+      preIdx.assignTop)
+    val (bRows, bXor) = witness(batchAssigned, col(idCol), perCopy)
+    val pre = witness(preIdx.clustered, col(idCol), perCopy)
     require(pre == ((sRows, sXor)) ||
         pre == ((sRows + bRows, sXor ^ bXor)),
       s"graph index at $path: base rows/id-checksum $pre match neither the " +
@@ -322,8 +349,7 @@ object GraphAnn {
         "nswBuild + nswWrite.")
     val appended = Ann.ivfAppend(spark, path, newVecs, idCol, vecCol, tag)
     val post = Ann.ivfRead(spark, path)
-    val touched = Ann.assignWithFrozenCentroids(
-        newVecs.select(col(vecCol)), post.centroids, vecCol)
+    val touched = batchAssigned
       .select(col("gr_cluster")).distinct().collect().map(_.getInt(0)).toSeq
     val big = post.clustered.filter(col("gr_cluster").isin(touched: _*))
       .groupBy("gr_cluster").count()
@@ -372,7 +398,7 @@ object GraphAnn {
       .partitionBy("gr_cluster").parquet(s"$path/graph")
     // witness recomputed from the post-append base: idempotent under
     // replay (an increment would double-count a replayed tag)
-    val (n, x) = witness(post.clustered, col(idCol))
+    val (n, x) = witness(post.clustered, col(idCol), perCopy)
     writeSidecar(spark, path, idCol, mm, efc, n, x)
     appended
   }

@@ -176,6 +176,71 @@ class GraphAnnSpec extends SparkSpec {
     assert(got.head.getLong(0) == 5L, "backfilled id must be reachable")
   }
 
+  test("soft multi-assignment composes: per-copy nodes, dedup'd probes, " +
+      "boundary recall never drops") {
+    val df = corpus(400)
+    val idx1 = Ann.ivfBuild(df, "id", "emb", nlist = 8)
+    val idx2 = Ann.ivfBuild(df, "id", "emb", nlist = 8, assignTop = 2)
+    val nsw1 = GraphAnn.nswBuild(idx1, "id", m = 6, efConstruction = 24)
+    val nsw2 = GraphAnn.nswBuild(idx2, "id", m = 6, efConstruction = 24)
+    // one graph node per stored copy
+    assert(nsw2.adjacency.count() == 2 * df.count())
+    // full beam isolates the layout effect: within the probed clusters
+    // the walk is exact, so any recall delta IS the boundary coverage
+    // nprobe=1 maximizes the boundary exposure: a row whose true home is
+    // the runner-up cluster is invisible to the single-assignment probe.
+    // Candidates under assignTop=2 are a SUPERSET per probed cluster
+    // (same seed → identical Lloyd centroids), so r2 >= r1 must hold
+    // query-by-query — the assertion cannot flap.
+    val queries = (500L until 515L).map(vec(_, 16))
+    def recallOf(nsw: GraphAnn.NswIndex): Double = {
+      val rs = queries.map { q =>
+        val got = GraphAnn.nswTopK(nsw, q, k = 10, nprobe = 1, ef = 400)
+          .collect().map(_.getLong(0))
+        assert(got.length == got.distinct.length, "duplicate id in top-k")
+        val brute = Ann.bruteForceTopK(df, "id", "emb", q, 10)
+          .collect().map(_.getLong(0)).toSet
+        got.count(brute).toDouble / 10.0
+      }
+      rs.sum / rs.size
+    }
+    val r1 = recallOf(nsw1)
+    val r2 = recallOf(nsw2)
+    info(f"graph recall@10 at nprobe=1: assignTop=1 $r1%.3f, assignTop=2 $r2%.3f")
+    assert(r2 >= r1,
+      f"assignTop=2 graph probe must not lose recall: $r2%.3f < $r1%.3f")
+  }
+
+  test("multi-assigned graph index persists, appends, and equals rebuild") {
+    val df = corpus(150)
+    val idx = Ann.ivfBuild(df, "id", "emb", nlist = 3, assignTop = 2)
+    val dir = java.nio.file.Files.createTempDirectory("nswma").toString
+    GraphAnn.nswWrite(GraphAnn.nswBuild(idx, "id", m = 4, efConstruction = 16),
+      dir)
+    val back = GraphAnn.nswRead(spark, dir) // per-copy witness must accept
+    assert(back.base.assignTop == 2)
+    // append: every copy's cluster graph must grow (the return counts
+    // STORED rows — batch × assignTop copies, the ivfAppend contract)
+    val batch = (1000L until 1010L).map(i => (i, vec(i, 16))).toDF("id", "emb")
+    assert(GraphAnn.nswAppend(spark, dir, batch, "id", "emb", "ma0") == 20L)
+    val grown = GraphAnn.nswRead(spark, dir)
+    assert(grown.adjacency.count() == 2 * (df.count() + 10))
+    val rebuilt = GraphAnn.nswBuild(Ann.ivfRead(spark, dir), "id",
+      m = 4, efConstruction = 16)
+    assert(canon(grown.adjacency) == canon(rebuilt.adjacency))
+    // replay converges (the tag idempotency carries to the copies)
+    assert(GraphAnn.nswAppend(spark, dir, batch, "id", "emb", "ma0") == 20L)
+    assert(canon(GraphAnn.nswRead(spark, dir).adjacency) ==
+      canon(rebuilt.adjacency))
+    // the even-assignTop xor-cancellation trap: a delete+append swap of
+    // equal size must still be visible to the per-copy checksum
+    Ann.ivfDelete(spark, dir, Seq(7L).toDF("id"))
+    Ann.ivfAppend(spark, dir, Seq((5000L, vec(5000L, 16))).toDF("id", "emb"),
+      "id", "emb", tag = "swap-ma")
+    val e = intercept[IllegalArgumentException] { GraphAnn.nswRead(spark, dir) }
+    assert(e.getMessage.contains("checksum"))
+  }
+
   test("oversized cluster refuses loudly with the nlist remedy") {
     val df = corpus(50)
     val idx = Ann.ivfBuild(df, "id", "emb", nlist = 2)

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Ann
+import graft.operators.{Ann, GraphAnn}
 
 /** Recall-regression gates for the approximate ANN paths. The planted
   * oracle gates (a2/a3) prove the happy path exactly, but a parameter or
@@ -94,6 +94,29 @@ class RecallSpec extends SparkSpec {
     val back = Ann.ivfRead(spark, path)
     assert(back.assignTop == 2)
     assert(recallOf(back) == r2)
+  }
+
+  test("graph ANN composes with soft multi-assignment: the boundary " +
+      "recall lift carries to the serving index") {
+    // same layout delta as the IVF test above (identical seed → identical
+    // centroids), probed through per-cluster NSW walks at full beam: the
+    // walk is exact within probed clusters, so candidates under
+    // assignTop=2 are a per-query SUPERSET and the lift IS the boundary
+    // effect the a16 machinery bought — now available to the graph index.
+    val g1 = GraphAnn.nswBuild(
+      Ann.ivfBuild(emb, "vec_id", "embedding", nlist = 16),
+      "vec_id", m = 8, efConstruction = 32)
+    val g2 = GraphAnn.nswBuild(
+      Ann.ivfBuild(emb, "vec_id", "embedding", nlist = 16, assignTop = 2),
+      "vec_id", m = 8, efConstruction = 32)
+    def recallOf(g: GraphAnn.NswIndex) = avgRecall((qid, qv) =>
+      topIds(GraphAnn.nswTopK(g, qv, k = k, nprobe = 4, ef = 512,
+        excludeIds = Seq(qid))))
+    val r1 = recallOf(g1)
+    val r2 = recallOf(g2)
+    info(f"graph recall@10 at nprobe=4: assignTop=1 $r1%.3f, assignTop=2 $r2%.3f")
+    assert(r2 > r1,
+      f"assignTop=2 graph probe must lift organic recall: $r2%.3f <= $r1%.3f")
   }
 
   test("recall holds over an APPENDED corpus, not just the build corpus") {
