@@ -51,7 +51,14 @@ object Bench {
     // the composed crawl front door (WARC framing + gzip + charset
     // detect + markup state machine + URL canonicalization in one query)
     // and one-pass Aho-Corasick dictionary tagging
-    "t50_pdf_extract", "t53_crawl_pipeline", "t57_dictionary_tag")
+    "t50_pdf_extract", "t53_crawl_pipeline", "t57_dictionary_tag",
+    // round-15: the multimodal band joins and deflate signal (closing the
+    // r14 verdict's unmeasured-slope list), HTTP-framed WARC round trip,
+    // table-driven dictionary tagging (collect + automaton), graph ANN
+    // over the doubly-stored multi-assigned layout
+    "m14_image_dedup_join", "m15_audio_dedup_join", "t58_compressibility",
+    "t59_http_payload", "t57b_dictionary_tag_table",
+    "a15c_graph_ann_multiassign")
 
   /** Queries measured on the replicated corpus for the scaling slope —
     * the shuffle-heavy pipeline shapes whose 100 TB behavior a plan read
@@ -82,7 +89,17 @@ object Bench {
     // (a15's clusters and d19's touched-cluster scan grow linearly).
     "d18_jaccard_join", "q49_fuzzy_link", "a15_graph_ann",
     "d19_semdedup_append", "d20_span_dedup", "t50_pdf_extract",
-    "t53_crawl_pipeline", "t57_dictionary_tag")
+    "t53_crawl_pipeline", "t57_dictionary_tag",
+    // round-15: the band joins ride replica-salted signatures (identity
+    // at 1× — see SparkEntry.replicaSalt) so cross-replica hash groups
+    // stay disjoint and the pair set grows linearly, not quadratically;
+    // t58/t59 are map-side kernels over the suffixed replica text;
+    // t57b's lexicon grows ×factor (replica-suffixed first words) under
+    // the bounded collect; a15c's embeddings replicate verbatim under
+    // shifted ids, so per-cluster copy counts grow linearly
+    "m14_image_dedup_join", "m15_audio_dedup_join", "t58_compressibility",
+    "t59_http_payload", "t57b_dictionary_tag_table",
+    "a15c_graph_ann_multiassign")
 
   /** Materialize a `factor`×-replicated copy of the FACT tables the scale
     * set reads (documents, lineitem, orders, events) plus 1× copies of

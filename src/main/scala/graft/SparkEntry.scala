@@ -2343,6 +2343,115 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** HTML metadata extraction: title (mixed-case tag, padded, carrying
+    * an `&amp;` the decoder must fold), meta description (REVERSED
+    * attribute order on odd docs — both orders must parse), canonical
+    * link, and the `<html lang>` claim, all from fixture-built pages.
+    * The oracle reconstructs each field in closed form, so every regex
+    * and the entity decode are hash-pinned.
+    * See [[graft.functions.TextFunctions.htmlTitle]]. */
+  private def t60_html_meta(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    // first word, not a fixed-length cut: a cut ending in a space would
+    // ride through the entity decoder's whitespace handling
+    val d1 = element_at(graft.functions.TextFunctions.words(col("text")), 1)
+    val meta = when(col("doc_id") % 2 === 0,
+      concat(lit("<meta name=\"description\" content=\"sum: "),
+        d1, lit("\">")))
+      .otherwise(concat(lit("<meta content=\"sum: "),
+        d1, lit("\" name='description'>")))
+    val html = concat(
+      lit("<!DOCTYPE html><HTML Lang=\"en-US\"><head><TITLE> Doc &amp; "),
+      col("doc_id").cast("string"), lit(" </title>"), meta,
+      lit("<link rel=\"canonical\" href=\"https://canon.example/p/"),
+      col("doc_id").cast("string"), lit("\"></head><body><p>"),
+      col("text"), lit("</p></body></html>"))
+    docs.select(col("doc_id"),
+        graft.functions.TextFunctions.htmlTitle(html).as("title"),
+        graft.functions.TextFunctions.htmlMetaContent(html, "description")
+          .as("description"),
+        graft.functions.TextFunctions.htmlCanonical(html).as("canonical"),
+        graft.functions.TextFunctions.htmlLang(html).as("lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Outlink harvest + RFC 3986 resolution + frontier politeness, the
+    * crawl loop's back edge: each fixture page links five ways —
+    * absolute, absolute-path, relative with a ../ dot segment,
+    * query-only, and a protocol-relative `//host` form (plus a mailto:
+    * that must drop) — resolved against the page's own URL, normalized
+    * and scheduled per host. The oracle replays every resolution in
+    * closed form and the schedule as a window, so the §5.2.2 transform,
+    * dot-segment removal, scheme adoption and the politeness window are
+    * all one hash. See [[graft.functions.UrlResolveExpr]],
+    * [[graft.operators.Frontier]]. */
+  private def t61_outlinks(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+      .withColumn("url", concat(
+        lit("http://site"), (col("doc_id") % 9).cast("string"),
+        lit(".com/a/b/page"), col("doc_id").cast("string")))
+    val id = col("doc_id").cast("string")
+    val html = concat(
+      lit("<html><body>"),
+      lit("<a href=\"https://abs.example/x"), id, lit("\">a</a>"),
+      lit("<a href='/rooted/"), id, lit("'>b</a>"),
+      lit("<a href=\"../up/"), id, lit("\">c</a>"),
+      lit("<a href=\"?q="), id, lit("\">d</a>"),
+      lit("<a href=\"//mirror.net/m"), id, lit("\">e</a>"),
+      lit("<a href=\"mailto:x@example.com\">f</a>"),
+      lit("</body></html>"))
+    val pages = docs.select(col("url"), html.as("html"))
+    val links = graft.operators.Frontier.outlinks(pages, "url", "html")
+    graft.operators.Frontier.schedule(links, "outlink",
+        priorityCol = "outlink", delayMs = 500L)
+      .withColumn("doc_id",
+        regexp_extract(col("url"), "page([0-9]+)$", 1).cast("long"))
+      .select("doc_id", "outlink", "fetch_seq", "eta_ms")
+      .orderBy("doc_id", "outlink")
+  }
+
+  /** Unicode NFC canonicalization, cross-validated between the JDK
+    * (UAX #15 via java.text.Normalizer) and DuckDB's ICU
+    * `nfc_normalize`: the fixture decomposes every `e` into
+    * `e` + U+0301 and every `o` into `o` + U+0308, both engines
+    * recompose independently, and the equality-with-original boolean
+    * rides along so the gate also proves the decomposition CHANGED the
+    * bytes (a no-op normalize could not go green by accident).
+    * See [[graft.functions.NfcNormalizeExpr]]. */
+  private def t62_nfc_normalize(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    // replacement strings are DECOMPOSED sequences: 'e'+U+0301 and
+    // 'o'+U+0308 (combining marks) — a precomposed literal would test
+    // nothing
+    val decomposed = regexp_replace(
+      regexp_replace(col("text"), "e", "é"), "o", "ö")
+    docs.select(col("doc_id"),
+        graft.functions.NfcNormalizeExpr(decomposed).as("text_nfc"),
+        (graft.functions.NfcNormalizeExpr(decomposed) === decomposed)
+          .as("unchanged"))
+      .orderBy("doc_id")
+  }
+
+  /** robots.txt sitemap discovery (RFC 9309 §2.3): `Sitemap:` lines
+    * bind host-wide, independent of agent groups — planted robots
+    * bodies carry them between groups, mixed-case, with a comment line
+    * that must not match. One row per discovered sitemap URL.
+    * See [[graft.functions.TextFunctions.robotsSitemaps]]. */
+  private def t54c_robots_sitemaps(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val txt = concat(
+      lit("User-agent: *\nDisallow: /private\n"),
+      lit("SITEMAP: http://s"), (col("doc_id") % 9).cast("string"),
+      lit(".com/map"), col("doc_id").cast("string"), lit(".xml\n"),
+      lit("# sitemap: http://comment.invalid/nope\n"),
+      lit("sitemap:\thttp://s"), (col("doc_id") % 9).cast("string"),
+      lit(".com/map"), col("doc_id").cast("string"), lit("b.xml # trail\n"))
+    docs.select(col("doc_id"),
+        explode(graft.functions.TextFunctions.robotsSitemaps(txt))
+          .as("sitemap_url"))
+      .orderBy("doc_id", "sitemap_url")
+  }
+
   /** TABLE-driven dictionary tagging: the lexicon is a DataFrame built
     * from the corpus's own vocabulary (the first word of every 50th
     * document — data the oracle can re-derive independently), collapsed
@@ -3512,12 +3621,44 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
-  /** Perceptual image near-dup JOIN: the m11 dHashes packed to one
-    * 64-bit signature and banded through
-    * [[graft.operators.Dedup.hashPairs64]] (4×16 pigeonhole). The oracle
-    * recomputes every hash from the closed-form synthetic pixels and
-    * takes the BRUTE-FORCE Hamming ≤ 3 pair set — banding losslessness
-    * proven, like d18/q49. */
+  /** The bench scale fixture's replica index (`doc_id div 1e8` — replica
+    * ids shift by 1e8·r, organic fixture ids are far below 1e8, so this
+    * is IDENTICALLY ZERO on the verify corpus) times an odd 64-bit
+    * constant. XORed into a perceptual signature it keeps every
+    * cross-replica salt pair ≥ 25 Hamming bits apart (verified), so the
+    * 10× leg's duplicate groups stay replica-disjoint — a verbatim
+    * replica corpus would merge same-dimension hash groups across
+    * replicas and grow the PAIR set quadratically by construction,
+    * measuring an artifact instead of the band join's scale-out (the
+    * same reasoning as the scaled documents' per-replica token
+    * suffixes, Bench.buildScaledDir). Identity at 1×: gates and oracles
+    * are byte-identical on the verify corpus. */
+  private def replicaSalt(id: Column): Column = {
+    // floor of the double quotient: exact while ids stay below 2^52,
+    // and bench replica ids top out near 1e9. xxhash64 (not an odd-
+    // constant multiply, which ANSI mode rejects as long overflow)
+    // spreads the salts; replica 0 pins to literal zero so the 1×
+    // identity is by construction, not by a hash coincidence.
+    val r = floor(id.cast("long") / lit(100000000L)).cast("long")
+    when(r === 0L, lit(0L)).otherwise(xxhash64(r))
+  }
+
+  /** Perceptual image near-dup JOIN, collapse-first (the production
+    * recipe): exact-duplicate signatures collapse to ONE representative
+    * row (min doc_id) + group size BEFORE the banded join, so the
+    * [[graft.operators.Dedup.hashPairs64]] (4×16 pigeonhole) runs over
+    * DISTINCT signatures — a viral image repeated 10M times costs one
+    * signature row, bucket sizes are bounded by signature DIVERSITY
+    * (not corpus size), and the pair output is near-dup CLASS links
+    * with both member counts attached. The earlier join-over-raw-rows
+    * shape measured super-linear at 10× (pair sets grow quadratically
+    * in duplicate-group size — by definition of near-dup density, not
+    * an operator bug); collapsing first is how the same machine stays
+    * linear at 100 TB. The oracle recomputes every hash from the
+    * closed-form synthetic pixels and replays collapse + brute-force
+    * Hamming ≤ 3 over the distinct signatures. Signatures carry the
+    * (1×-identity) [[replicaSalt]] so the 10× slope measures
+    * replica-disjoint linear growth. */
   private def m14_image_dedup_join(s: SparkSession, dir: String): DataFrame = {
     val h = Multimodal.decodePngDHash(
         s.read.parquet(Fixtures.pngPixelDocs(s, dir)))
@@ -3526,24 +3667,41 @@ object SparkEntry {
       // hi*2^32 would raise under ANSI once the hash's sign bit is set)
       .select(col("doc_id"),
         shiftleft(col("dhash.hash_hi").cast("long"), 32)
-          .bitwiseOR(col("dhash.hash_lo").cast("long")).as("h64"))
-    graft.operators.Dedup.hashPairs64(h, "doc_id", "h64", maxHamming = 3)
+          .bitwiseOR(col("dhash.hash_lo").cast("long"))
+          .bitwiseXOR(replicaSalt(col("doc_id"))).as("h64"))
+    val sig = h.groupBy("h64").agg(min("doc_id").as("rep_id"),
+      count(lit(1)).as("group_size"))
+    graft.operators.Dedup.hashPairs64(sig, "rep_id", "h64", maxHamming = 3)
+      .join(sig.select(col("rep_id").as("id_a"),
+        col("group_size").as("size_a")), "id_a")
+      .join(sig.select(col("rep_id").as("id_b"),
+        col("group_size").as("size_b")), "id_b")
+      .select("id_a", "id_b", "hamming", "size_a", "size_b")
       .orderBy("id_a", "id_b")
   }
 
   /** Audio near-dup JOIN: the m12 gradient fingerprints through the same
-    * generalized band join as m14 — one banding machine now serves text
-    * (d3), image (m14) and audio signatures. The oracle recomputes every
-    * fingerprint from the closed-form PCM and takes the brute-force
-    * Hamming ≤ 2 pair set. */
+    * collapse-first + generalized band join as m14 — one banding machine
+    * serves text (d3), image (m14) and audio signatures. The oracle
+    * recomputes every fingerprint from the closed-form PCM and replays
+    * collapse + brute-force Hamming ≤ 2 over distinct signatures.
+    * [[replicaSalt]] as in m14. */
   private def m15_audio_dedup_join(s: SparkSession, dir: String): DataFrame = {
     val h = Multimodal.decodeWavFingerprint(
         s.read.parquet(Fixtures.audioPcmDocs(s, dir)), k = 3)
       .filter(col("afp.format") === "wav")
       .select(col("doc_id"),
         shiftleft(col("afp.hash_hi").cast("long"), 32)
-          .bitwiseOR(col("afp.hash_lo").cast("long")).as("h64"))
-    graft.operators.Dedup.hashPairs64(h, "doc_id", "h64", maxHamming = 2)
+          .bitwiseOR(col("afp.hash_lo").cast("long"))
+          .bitwiseXOR(replicaSalt(col("doc_id"))).as("h64"))
+    val sig = h.groupBy("h64").agg(min("doc_id").as("rep_id"),
+      count(lit(1)).as("group_size"))
+    graft.operators.Dedup.hashPairs64(sig, "rep_id", "h64", maxHamming = 2)
+      .join(sig.select(col("rep_id").as("id_a"),
+        col("group_size").as("size_a")), "id_a")
+      .join(sig.select(col("rep_id").as("id_b"),
+        col("group_size").as("size_b")), "id_b")
+      .select("id_a", "id_b", "hamming", "size_a", "size_b")
       .orderBy("id_a", "id_b")
   }
 
@@ -4416,6 +4574,10 @@ object SparkEntry {
     "t54b_robots_wildcard" -> (t54b_robots_wildcard _),
     "t59_http_payload" -> (t59_http_payload _),
     "t59b_http_chunked" -> (t59b_http_chunked _),
+    "t60_html_meta" -> (t60_html_meta _),
+    "t61_outlinks" -> (t61_outlinks _),
+    "t62_nfc_normalize" -> (t62_nfc_normalize _),
+    "t54c_robots_sitemaps" -> (t54c_robots_sitemaps _),
     "t55_charset" -> (t55_charset _),
     "t56_sitemap" -> (t56_sitemap _),
     "t57_dictionary_tag" -> (t57_dictionary_tag _),
@@ -5405,6 +5567,69 @@ object SparkEntry {
                        '/Doc/' || doc_id || '?id=' || doc_id, '/Doc/12')
            END AS robots_allowed
          FROM documents ORDER BY doc_id""",
+    // every field reconstructed in closed form: the &amp; in the title
+    // must decode, both meta attribute orders must parse
+    "t60_html_meta" ->
+      """SELECT doc_id,
+           'Doc & ' || doc_id AS title,
+           'sum: ' || split_part(text, ' ', 1) AS description,
+           'https://canon.example/p/' || doc_id AS canonical,
+           'en-US' AS lang
+         FROM documents ORDER BY doc_id""",
+    // all five resolutions replayed in closed form (absolute pass-through,
+    // rooted, ../ dot-segment removal, query-only, scheme adoption), the
+    // mailto: dropped, then the per-host politeness window
+    "t61_outlinks" ->
+      """WITH links AS (
+           SELECT doc_id, 'https://abs.example/x' || doc_id AS outlink,
+             'abs.example' AS h FROM documents
+           UNION ALL
+           SELECT doc_id,
+             'http://site' || (doc_id % 9) || '.com/rooted/' || doc_id,
+             'site' || (doc_id % 9) || '.com' FROM documents
+           UNION ALL
+           SELECT doc_id,
+             'http://site' || (doc_id % 9) || '.com/a/up/' || doc_id,
+             'site' || (doc_id % 9) || '.com' FROM documents
+           UNION ALL
+           SELECT doc_id,
+             'http://site' || (doc_id % 9) || '.com/a/b/page' || doc_id
+               || '?q=' || doc_id,
+             'site' || (doc_id % 9) || '.com' FROM documents
+           UNION ALL
+           SELECT doc_id, 'http://mirror.net/m' || doc_id, 'mirror.net'
+           FROM documents),
+         ranked AS (
+           SELECT doc_id, outlink,
+             CAST(row_number() OVER (PARTITION BY h ORDER BY outlink DESC)
+               AS INT) AS fetch_seq
+           FROM links)
+         SELECT doc_id, outlink, fetch_seq,
+           CAST((fetch_seq - 1) * 500 AS BIGINT) AS eta_ms
+         FROM ranked ORDER BY doc_id, outlink""",
+    // both engines recompose the SAME decomposed construction; the
+    // unchanged boolean proves the decomposition altered the bytes
+    "t62_nfc_normalize" ->
+      """WITH d AS (
+           SELECT doc_id,
+             replace(replace(text, 'e', 'e' || chr(769)),
+               'o', 'o' || chr(776)) AS dec
+           FROM documents)
+         SELECT doc_id, nfc_normalize(dec) AS text_nfc,
+           nfc_normalize(dec) = dec AS unchanged
+         FROM d ORDER BY doc_id""",
+    // the two planted Sitemap lines (mixed case, tab-separated, trailing
+    // comment) and never the commented-out one
+    "t54c_robots_sitemaps" ->
+      """SELECT doc_id, u AS sitemap_url FROM (
+           SELECT doc_id,
+             'http://s' || (doc_id % 9) || '.com/map' || doc_id || '.xml' AS u
+           FROM documents
+           UNION ALL
+           SELECT doc_id,
+             'http://s' || (doc_id % 9) || '.com/map' || doc_id || 'b.xml'
+           FROM documents)
+         ORDER BY doc_id, sitemap_url""",
     // HTTP-framed WARC round trip: the splitter must strip the built
     // status line + headers exactly and surface the framed constants
     "t59_http_payload" ->
@@ -7870,11 +8095,15 @@ object SparkEntry {
              CAST(SUM(CASE WHEN j < 32
                THEN CAST(bit AS BIGINT) << j ELSE 0 END)
                AS BIGINT) AS lo
-           FROM b GROUP BY doc_id)
-         SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+           FROM b GROUP BY doc_id),
+         sig AS (SELECT hi, lo, MIN(doc_id) AS rep_id,
+             CAST(COUNT(*) AS BIGINT) AS group_size
+           FROM hsh GROUP BY hi, lo)
+         SELECT a.rep_id AS id_a, c.rep_id AS id_b,
            CAST(bit_count(xor(a.hi, c.hi))
-              + bit_count(xor(a.lo, c.lo)) AS INT) AS hamming
-         FROM hsh a JOIN hsh c ON a.doc_id < c.doc_id
+              + bit_count(xor(a.lo, c.lo)) AS INT) AS hamming,
+           a.group_size AS size_a, c.group_size AS size_b
+         FROM sig a JOIN sig c ON a.rep_id < c.rep_id
          WHERE bit_count(xor(a.hi, c.hi)) + bit_count(xor(a.lo, c.lo)) <= 2
          ORDER BY id_a, id_b""",
     "m5_audio_pcm" ->
@@ -7984,11 +8213,15 @@ object SparkEntry {
              CAST(SUM(CASE WHEN y * 8 + x < 32
                THEN CAST(bit AS BIGINT) << (y * 8 + x)
                ELSE 0 END) AS BIGINT) AS lo
-           FROM b GROUP BY doc_id)
-         SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+           FROM b GROUP BY doc_id),
+         sig AS (SELECT hi, lo, MIN(doc_id) AS rep_id,
+             CAST(COUNT(*) AS BIGINT) AS group_size
+           FROM hsh GROUP BY hi, lo)
+         SELECT a.rep_id AS id_a, c.rep_id AS id_b,
            CAST(bit_count(xor(a.hi, c.hi))
-              + bit_count(xor(a.lo, c.lo)) AS INT) AS hamming
-         FROM hsh a JOIN hsh c ON a.doc_id < c.doc_id
+              + bit_count(xor(a.lo, c.lo)) AS INT) AS hamming,
+           a.group_size AS size_a, c.group_size AS size_b
+         FROM sig a JOIN sig c ON a.rep_id < c.rep_id
          WHERE bit_count(xor(a.hi, c.hi)) + bit_count(xor(a.lo, c.lo)) <= 3
          ORDER BY id_a, id_b""",
     "m4_pixels" ->

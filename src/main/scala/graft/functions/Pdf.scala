@@ -24,6 +24,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `/FlateDecode` bodies inflate (java.util.zip — zlib is part of the
   *    PDF spec); unfiltered bodies parse as-is; any other filter
   *    (`/DCTDecode` images, …) is skipped, never misparsed;
+  *  - PDF 1.5+ container streams — `/Type /ObjStm` (compressed object
+  *    streams) and `/Type /XRef` (cross-reference streams) — are
+  *    recognized and EXCLUDED from text parsing: they hold serialized
+  *    objects / binary xref tables, never content streams (ISO 32000
+  *    §7.5.7 forbids stream objects inside an ObjStm, so every content
+  *    stream stays top-level where the scan finds it), and their
+  *    decompressed bytes can contain `BT` by coincidence — parsing
+  *    them as content would emit garbage string operands as text;
   *  - within `BT`…`ET` text blocks, the text-showing operators emit:
   *    `(s) Tj`, `[(s1) kern (s2)…] TJ` (kerns ignored), and the
   *    line-advancing `'` and `"` forms; line-motion operators
@@ -138,7 +146,11 @@ object PdfImpl {
           }
         val hasFilter = dict.contains("/Filter")
         val flate = dict.contains("/FlateDecode")
-        if (!hasFilter || flate) {
+        // 1.5+ container streams are object/xref holders, not content —
+        // see the class doc; a BT inside their (often binary) bytes is
+        // coincidence, not text
+        val container = dict.contains("/ObjStm") || dict.contains("/XRef")
+        if ((!hasFilter || flate) && !container) {
           val body =
             if (!flate) java.util.Arrays.copyOfRange(pdf, ds, de)
             else inflate(pdf, ds, de - ds)

@@ -469,4 +469,67 @@ object TextFunctions {
     transform(
       regexp_extract_all(xml, lit("<loc>\\s*([^<]*?)\\s*</loc>"), lit(1)),
       u => MarkupExtractExpr(u))
+
+  /** The `Sitemap:` lines of a robots.txt body (RFC 9309 §2.3 — they
+    * bind to the whole host, independent of any user-agent group, which
+    * is why this is a separate extraction and not part of
+    * [[RobotsRulesExpr]]'s group selection). Case-insensitive field
+    * name, one URL per line, comments stripped by the value regex
+    * (a sitemap URL never contains whitespace or `#`). */
+  def robotsSitemaps(robotsTxt: Column): Column =
+    regexp_extract_all(robotsTxt,
+      lit("(?im)^[ \\t]*sitemap[ \\t]*:[ \\t]*([^\\s#]+)"), lit(1))
+
+  // ------------------------------------------------------- HTML metadata
+  // The curation signals a page carries OUTSIDE its visible text — title,
+  // meta description, canonical URL, declared language. All composed from
+  // codegen'd regexp built-ins (+ the markup entity decoder where text
+  // can carry entities), so they fuse into the ingest scan alongside
+  // extractMarkup; and all SQL-replayable, so gates hash them.
+
+  /** `<title>` text, whitespace-trimmed, entities decoded. */
+  def htmlTitle(html: Column): Column =
+    MarkupExtractExpr(
+      trim(regexp_extract(html, "(?is)<title[^>]*>(.*?)</title>", 1)))
+
+  /** A `<meta name=... content=...>` value (description, keywords,
+    * robots…), tolerating either attribute order; entities decoded. */
+  def htmlMetaContent(html: Column, name: String): Column = {
+    val n = java.util.regex.Pattern.quote(name)
+    MarkupExtractExpr(coalesce(
+      nullIfEmpty(regexp_extract(html,
+        s"""(?is)<meta[^>]*\\bname\\s*=\\s*["']$n["'][^>]*\\bcontent\\s*=\\s*["']([^"']*)["']""",
+        1)),
+      nullIfEmpty(regexp_extract(html,
+        s"""(?is)<meta[^>]*\\bcontent\\s*=\\s*["']([^"']*)["'][^>]*\\bname\\s*=\\s*["']$n["']""",
+        1)),
+      lit("")))
+  }
+
+  /** The `<link rel="canonical">` href — the dedup key SEO-aware sites
+    * publish themselves; either attribute order. */
+  def htmlCanonical(html: Column): Column =
+    coalesce(
+      nullIfEmpty(regexp_extract(html,
+        """(?is)<link[^>]*\brel\s*=\s*["']canonical["'][^>]*\bhref\s*=\s*["']([^"']*)["']""",
+        1)),
+      nullIfEmpty(regexp_extract(html,
+        """(?is)<link[^>]*\bhref\s*=\s*["']([^"']*)["'][^>]*\brel\s*=\s*["']canonical["']""",
+        1)),
+      lit(""))
+
+  /** The `<html lang=…>` declaration — the author's language claim, the
+    * prior a language-ID stage starts from. */
+  def htmlLang(html: Column): Column =
+    regexp_extract(html, """(?is)<html[^>]*\blang\s*=\s*["']?([A-Za-z][A-Za-z0-9-]*)""", 1)
+
+  /** All `<a href=…>` targets, entities decoded — the outlink harvest
+    * [[UrlResolveExpr]] absolutizes into frontier candidates. */
+  def htmlLinks(html: Column): Column =
+    transform(
+      regexp_extract_all(html,
+        lit("""(?is)<a[^>]*\bhref\s*=\s*["']([^"']*)["']"""), lit(1)),
+      h => MarkupExtractExpr(h))
+
+  private def nullIfEmpty(c: Column): Column = when(c === "", null).otherwise(c)
 }

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions, UrlResolveExpr}
+
+/** Crawl-frontier operators: the step between link extraction and
+  * fetching — absolutize outlinks into candidates, then schedule
+  * fetches under per-host politeness.
+  *
+  * Spark shape at corpus scale: [[outlinks]] is map-side (regexp
+  * harvest + RFC 3986 resolution inside the scan's codegen stage) plus
+  * one distinct; [[schedule]] is ONE window partitioned by host — the
+  * per-host sort is the operator's semantics (an explicit fetch order
+  * per host), hosts are millions so the partitioning is wide and even,
+  * and no global sort or driver state exists anywhere. */
+object Frontier {
+
+  /** Harvest `urls`-table outlinks: extract every `<a href>` from
+    * `htmlCol`, entity-decode, resolve against the page's own
+    * `urlCol` (RFC 3986 — relative links dominate real pages),
+    * canonicalize, and de-duplicate. Returns (page url, outlink)
+    * pairs; self-links and non-http(s) schemes (mailto:, javascript:)
+    * are dropped — a frontier cannot fetch them. */
+  def outlinks(pages: DataFrame, urlCol: String, htmlCol: String): DataFrame =
+    pages
+      .select(col(urlCol).as("url"),
+        explode(TextFunctions.htmlLinks(col(htmlCol))).as("__href"))
+      .select(col("url"),
+        TextFunctions.normalizeUrl(
+          UrlResolveExpr(col("url"), col("__href"))).as("outlink"))
+      .filter(col("outlink").startsWith("http://") ||
+        col("outlink").startsWith("https://"))
+      .filter(col("outlink") =!= TextFunctions.normalizeUrl(col("url")))
+      .distinct()
+
+  /** Per-host politeness schedule: within each host, URLs fetch in
+    * (priority desc, url asc) order as `fetch_seq` 1…n, at
+    * `eta_ms = (fetch_seq − 1) · delayMs` — the crawl-delay contract
+    * (one request per host per delay window) expressed as data, so
+    * the fetch fleet just partitions by host and replays the column.
+    * Input columns pass through. */
+  def schedule(
+      urls: DataFrame, urlCol: String, priorityCol: String,
+      delayMs: Long): DataFrame = {
+    require(delayMs >= 0, s"negative delayMs: $delayMs")
+    urls
+      .withColumn("__host", TextFunctions.urlHost(col(urlCol)))
+      .withColumn("fetch_seq",
+        row_number().over(Window.partitionBy(col("__host"))
+          .orderBy(desc(priorityCol), col(urlCol))))
+      .withColumn("eta_ms", (col("fetch_seq") - 1).cast("long") * delayMs)
+      .drop("__host")
+  }
+}

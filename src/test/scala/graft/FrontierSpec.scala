@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{NfcNormalizeImpl, TextFunctions}
+import graft.operators.Frontier
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Crawl-loop back edge: HTML metadata fields, outlink harvest +
+  * resolution, per-host politeness scheduling, NFC canonicalization. */
+class FrontierSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("html metadata: title entities, both meta orders, canonical, lang") {
+    val html = "<!doctype html><HTML lang='fr'><head>" +
+      "<TITLE>\n A &amp; B \n</title>" +
+      "<meta content=\"from reversed\" name='description'>" +
+      "<link href=\"https://c.example/x\" rel='canonical'>" +
+      "</head><body></body></html>"
+    val got = Seq(html).toDF("h").select(
+      TextFunctions.htmlTitle(col("h")),
+      TextFunctions.htmlMetaContent(col("h"), "description"),
+      TextFunctions.htmlCanonical(col("h")),
+      TextFunctions.htmlLang(col("h"))).head()
+    assert(got.getString(0) == "A & B")
+    assert(got.getString(1) == "from reversed")
+    assert(got.getString(2) == "https://c.example/x")
+    assert(got.getString(3) == "fr")
+    // absent fields come back empty, never null
+    val none = Seq("<p>no head</p>").toDF("h").select(
+      TextFunctions.htmlTitle(col("h")),
+      TextFunctions.htmlMetaContent(col("h"), "description"),
+      TextFunctions.htmlCanonical(col("h")),
+      TextFunctions.htmlLang(col("h"))).head()
+    assert((0 to 3).forall(i => none.getString(i) == ""))
+  }
+
+  test("outlinks: resolution, entity decode, scheme filter, self-link " +
+      "drop, dedup") {
+    val pages = Seq((
+      "http://h.com/a/b/page",
+      "<a href='../x?m=1&amp;n=2'>r</a><a href=\"/y\">s</a>" +
+        "<a href='mailto:z@q'>m</a><a href='javascript:void(0)'>j</a>" +
+        "<a href='/y'>dup</a><a href='?'>self</a>"
+    )).toDF("url", "html")
+    val got = Frontier.outlinks(pages, "url", "html")
+      .select("outlink").collect().map(_.getString(0)).sorted.toSeq
+    assert(got == Seq("http://h.com/a/x?m=1&n=2", "http://h.com/y"),
+      got.toString)
+  }
+
+  test("schedule: per-host sequence and eta; plan has no global sort " +
+      "beyond the window") {
+    val urls = Seq(
+      ("http://a.com/1", 5L), ("http://a.com/2", 9L), ("http://A.com:80/3", 9L),
+      ("http://b.com/1", 1L)).toDF("url", "prio")
+    val got = Frontier.schedule(urls, "url", "prio", delayMs = 300)
+      .select("url", "fetch_seq", "eta_ms")
+      .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getLong(2))))
+      .toMap
+    // a.com (case/port-normalized host): prio desc, then RAW url asc —
+    // 'A' (0x41) sorts before 'a' (0x61) on the tiebreak
+    assert(got("http://A.com:80/3") == ((1, 0L)))
+    assert(got("http://a.com/2") == ((2, 300L)))
+    assert(got("http://a.com/1") == ((3, 600L)))
+    assert(got("http://b.com/1") == ((1, 0L)))
+  }
+
+  test("nfc: decomposed sequences recompose; composed text fast-paths") {
+    // explicit escapes: e + U+0301 (combining acute), o + U+0308
+    val dec = "e\u0301te\u0301 o\u0308"
+    assert(NfcNormalizeImpl.nfc(UTF8String.fromString(dec)).toString ==
+      "\u00e9t\u00e9 \u00f6")
+    val composed = UTF8String.fromString("\u00e9t\u00e9 \u00f6 plain ascii")
+    // fast path returns the SAME object (no re-encode)
+    assert(NfcNormalizeImpl.nfc(composed) eq composed)
+  }
+
+  test("robots sitemap lines: case, tabs, comments") {
+    val txt = "User-agent: *\nSITEMAP: http://h/m1.xml\n" +
+      "# sitemap: http://h/commented.xml\n" +
+      "sitemap:\thttp://h/m2.xml # trailing\nDisallow: /x\n"
+    val got = Seq(txt).toDF("t")
+      .select(explode(TextFunctions.robotsSitemaps(col("t"))))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("http://h/m1.xml", "http://h/m2.xml"))
+  }
+}
