@@ -58,7 +58,11 @@ object Bench {
     // over the doubly-stored multi-assigned layout
     "m14_image_dedup_join", "m15_audio_dedup_join", "t58_compressibility",
     "t59_http_payload", "t57b_dictionary_tag_table",
-    "a15c_graph_ann_multiassign")
+    "a15c_graph_ann_multiassign",
+    // round-15 back edge + tokenizer: outlink harvest + RFC 3986
+    // resolution + the per-host politeness window; unigram Viterbi
+    // encode behind a bounded-sample trainer
+    "t61_outlinks", "t63_unigram_tokens")
 
   /** Queries measured on the replicated corpus for the scaling slope —
     * the shuffle-heavy pipeline shapes whose 100 TB behavior a plan read
@@ -99,7 +103,12 @@ object Bench {
     // shifted ids, so per-cluster copy counts grow linearly
     "m14_image_dedup_join", "m15_audio_dedup_join", "t58_compressibility",
     "t59_http_payload", "t57b_dictionary_tag_table",
-    "a15c_graph_ann_multiassign")
+    "a15c_graph_ann_multiassign",
+    // t61: links/hosts replicate per-replica (urls embed doc_id, hosts
+    // embed doc_id % 9 — the window partitioning widens with data);
+    // t63: the trainer reads a FIXED 256-doc sample regardless of SF,
+    // the encode is one map-side Viterbi kernel per word
+    "t61_outlinks", "t63_unigram_tokens")
 
   /** Materialize a `factor`×-replicated copy of the FACT tables the scale
     * set reads (documents, lineitem, orders, events) plus 1× copies of

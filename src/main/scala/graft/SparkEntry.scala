@@ -2264,10 +2264,16 @@ object SparkEntry {
     * hash-pinned. See [[graft.functions.RobotsMatchExpr]]. */
   private def t54b_robots_wildcard(s: SparkSession, dir: String): DataFrame = {
     val urls = t(s, dir, "documents").select(col("doc_id"))
-      .withColumn("url", concat(lit("http://wild.com/Doc/"),
+      .withColumn("url", concat(lit("http://wild0.com/Doc/"),
         col("doc_id").cast("string"),
         lit("?id="), col("doc_id").cast("string")))
-    val hosts = s.range(1).select(lit("WILD.com:80").as("host"),
+    // host derived from the range id, NOT a pure literal: a foldable
+    // host key would constant-fold the equi-join away and the planner
+    // would fall back to a nested-loop join — the fixture must keep
+    // the operator's real join shape on the line
+    val hosts = s.range(1).select(
+      concat(lit("WILD"), col("id").cast("string"), lit(".com:80"))
+        .as("host"),
       lit("User-agent: graftbot\nDisallow: /Doc/*7$\n" +
         "Allow: /Doc/*77$\nDisallow: /*id=9*").as("robots_txt"))
     graft.operators.Robots.check(urls, "url", hosts, "host", "robots_txt",
@@ -2450,6 +2456,38 @@ object SparkEntry {
         explode(graft.functions.TextFunctions.robotsSitemaps(txt))
           .as("sitemap_url"))
       .orderBy("doc_id", "sitemap_url")
+  }
+
+  /** Unigram-LM (SentencePiece-style) subword tokenization: the model
+    * trains on a bounded, id-ordered sample (deterministic), ships as
+    * a codegen reference object, and every document Viterbi-segments
+    * per whitespace word. No SQL twin exists for Viterbi-EM, so the
+    * gate pins the two claims an oracle CAN check exactly: losslessness
+    * (pieces concatenate back to the text with spaces removed — one
+    * dropped or doubled byte anywhere diverges) and the by-construction
+    * booleans — the corpus's most frequent word must segment as ONE
+    * piece (it dominates training by an order of magnitude, so pruning
+    * cannot lose it), and every document must use at least one
+    * multi-char piece (`compresses`). Viterbi optimality itself is
+    * property-tested against brute-force enumeration in UnigramSpec.
+    * See [[graft.functions.Unigram]]. */
+  private def t63_unigram_tokens(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val model = graft.functions.Unigram.trainFromCorpus(
+      docs.orderBy("doc_id"), "text", vocabSize = 400, sampleDocs = 256)
+    val topWord = docs.orderBy("doc_id").limit(256)
+      .select(explode(graft.functions.TextFunctions.words(col("text")))
+        .as("w"))
+      .groupBy("w").count().orderBy(desc("count"), col("w"))
+      .limit(1).head().getString(0)
+    val pieces = graft.functions.UnigramEncodeExpr(col("text"), model)
+    docs.select(col("doc_id"),
+        concat_ws("", pieces).as("text_rt"),
+        (size(pieces) < length(regexp_replace(col("text"), " ", "")))
+          .as("compresses"),
+        (size(graft.functions.UnigramEncodeExpr(lit(topWord), model)) === 1)
+          .as("top_word_whole"))
+      .orderBy("doc_id")
   }
 
   /** TABLE-driven dictionary tagging: the lexicon is a DataFrame built
@@ -4578,6 +4616,7 @@ object SparkEntry {
     "t61_outlinks" -> (t61_outlinks _),
     "t62_nfc_normalize" -> (t62_nfc_normalize _),
     "t54c_robots_sitemaps" -> (t54c_robots_sitemaps _),
+    "t63_unigram_tokens" -> (t63_unigram_tokens _),
     "t55_charset" -> (t55_charset _),
     "t56_sitemap" -> (t56_sitemap _),
     "t57_dictionary_tag" -> (t57_dictionary_tag _),
@@ -5566,6 +5605,13 @@ object SparkEntry {
                   OR starts_with(
                        '/Doc/' || doc_id || '?id=' || doc_id, '/Doc/12')
            END AS robots_allowed
+         FROM documents ORDER BY doc_id""",
+    // losslessness is exactly replayable (concat of pieces == text
+    // minus spaces); the trained-model claims ride as by-construction
+    // booleans (see the gate scaladoc); Viterbi itself is spec-pinned
+    "t63_unigram_tokens" ->
+      """SELECT doc_id, replace(text, ' ', '') AS text_rt,
+           TRUE AS compresses, TRUE AS top_word_whole
          FROM documents ORDER BY doc_id""",
     // every field reconstructed in closed form: the &amp; in the title
     // must decode, both meta attribute orders must parse

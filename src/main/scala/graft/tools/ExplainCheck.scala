@@ -17,7 +17,14 @@ object ExplainCheck {
         // multi-assigned probe (dedup placement), PDF + URL kernels
         "a15b_graph_ann_append", "d20b_span_dedup_multi",
         "a16_ivf_multiassign", "t50_pdf_extract", "t51_url_normalize",
-        "t53_crawl_pipeline", "t54_robots", "t57_dictionary_tag")
+        "t53_crawl_pipeline", "t54_robots", "t57_dictionary_tag",
+        // r15 additions: multi-assigned graph probe (walk-union dedup
+        // placement), collapse-first media band join, wildcard robots,
+        // HTTP splitting inside the WARC chain, frontier window,
+        // table-driven tagging (bounded collect feeds the scan)
+        "a15c_graph_ann_multiassign", "m15_audio_dedup_join",
+        "t54b_robots_wildcard", "t59_http_payload", "t61_outlinks",
+        "t57b_dictionary_tag_table", "t62_nfc_normalize")
     for (q <- qs) {
       val df = graft.SparkEntry.queries(q)(spark, dir)
       df.collect() // finalize AQE so the executed plan is the real one
