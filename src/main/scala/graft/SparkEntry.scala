@@ -2458,6 +2458,76 @@ object SparkEntry {
       .orderBy("doc_id", "sitemap_url")
   }
 
+  /** The CURATION stage composed end-to-end (the t53 convention, one
+    * stage later in the pipeline): planted exact duplicates ride along,
+    * then language-ID gates to `en`, Gopher-style quality thresholds
+    * gate on words/stopword ratio, and exact dedup folds the surviving
+    * copies back onto their originals — language selection, both
+    * quality formulas, the md5 dedup AND the filter→dedup ordering are
+    * all one hash, replayed stage by stage in SQL. Every 17th doc's
+    * copy that SURVIVES filtering must fold to `n_copies = 2` on the
+    * original id. */
+  private def t64_curation_pipeline(
+      s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val copies = docs.filter(col("doc_id") % 17 === 0)
+      .select((col("doc_id") + 9900000L).as("doc_id"), col("text"))
+    val corpus = docs.unionByName(copies)
+    val metrics = TextFunctions.qualityMetrics(col("text"),
+      TextFunctions.englishStopwords).toMap
+    val staged = corpus.select(col("doc_id"), col("text"),
+      TextFunctions.langId(col("text")).as("lang_pred"),
+      metrics("n_words").as("n_words"),
+      metrics("stopword_ratio").as("stopword_ratio"))
+    val filtered = staged.filter(col("lang_pred") === "en" &&
+      col("n_words") >= 20 && col("stopword_ratio") > 0.03)
+    Dedup.exact(filtered, "doc_id", "text").select("doc_id", "n_copies")
+      .join(filtered.select("doc_id", "n_words", "stopword_ratio"), "doc_id")
+      .select("doc_id", "n_copies", "n_words", "stopword_ratio")
+      .orderBy("doc_id")
+  }
+
+  /** Crawl-delay politeness composed end-to-end: each host's robots
+    * declares a delay (exact-agent group shadowing a `*` decoy on most
+    * hosts; host 4 exposes a FRACTIONAL `*`-group delay; host 7
+    * declares none and must fall to the fleet default), the per-host
+    * delay joins onto the URL table, and the frontier schedule turns
+    * it into fetch slots — `eta_ms = (fetch_seq − 1) · delay_ms(host)`.
+    * The oracle replays delay selection as per-host CASE arithmetic
+    * and the schedule as a window, so group selection, the max-delay
+    * rule, fractional seconds and the default path are one hash.
+    * See [[graft.functions.RobotsCrawlDelayExpr]],
+    * [[graft.operators.Frontier.scheduleWithDelays]]. */
+  private def t54d_robots_crawldelay(
+      s: SparkSession, dir: String): DataFrame = {
+    val urls = t(s, dir, "documents").select(col("doc_id"))
+      .withColumn("host", concat(
+        lit("site"), (col("doc_id") % 9).cast("string"), lit(".com")))
+      .withColumn("url", concat(lit("http://"), col("host"),
+        lit("/Doc/"), col("doc_id").cast("string")))
+      .withColumn("priority", (col("doc_id") % 7).cast("int"))
+    val hosts = s.range(9).select(
+      concat(lit("site"), col("id").cast("string"), lit(".com")).as("host"),
+      when(col("id") === 4,
+        lit("User-agent: *\nCrawl-delay: 7.5\nDisallow: /never"))
+      .when(col("id") === 7,
+        lit("User-agent: graftbot\nDisallow: /never"))
+      .otherwise(concat(
+        lit("User-agent: graftbot\nCrawl-delay: "),
+        (col("id") + 1).cast("string"),
+        lit("\nDisallow: /never\n\nUser-agent: *\nCrawl-delay: 99")))
+        .as("robots_txt"))
+    val delays = hosts.select(col("host"),
+        graft.functions.RobotsCrawlDelayExpr(col("robots_txt"),
+          lit("graftbot")).as("delay_s"))
+      .withColumn("delay_ms", when(col("delay_s") < 0, lit(1000L))
+        .otherwise((col("delay_s") * 1000).cast("long")))
+    graft.operators.Frontier.scheduleWithDelays(
+        urls.join(delays, "host"), "url", "priority", "delay_ms")
+      .select("doc_id", "url", "fetch_seq", "eta_ms")
+      .orderBy("doc_id")
+  }
+
   /** Unigram-LM (SentencePiece-style) subword tokenization: the model
     * trains on a bounded, id-ordered sample (deterministic), ships as
     * a codegen reference object, and every document Viterbi-segments
@@ -4099,6 +4169,57 @@ object SparkEntry {
     s.read.parquet(s"$base/out").orderBy("doc_id")
   }
 
+  /** The crawl front door as a STREAM: WARC files (HTTP-framed, half
+    * gzipped — staged by a batch job, because real corpora ARRIVE as
+    * WARC files) flow through record parsing → HTTP splitting →
+    * charset decode → markup extraction → URL canonicalization under
+    * `AvailableNow`, writing parquet exactly-once. Every stage is a
+    * map-side kernel, so the streaming plan is the batch plan behind a
+    * file source — t53's oracle gates the STREAMING execution (the
+    * st7/st18 same-oracle convention). */
+  private def st20_stream_crawl(s: SparkSession, dir: String): DataFrame = {
+    val base = s"/tmp/graft_fixtures/scrawl_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val bp = new org.apache.hadoop.fs.Path(base)
+    bp.getFileSystem(s.sessionState.newHadoopConf()).delete(bp, true)
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .withColumn("url", concat(
+        lit("HTTP://Site"), (col("doc_id") % 9).cast("string"),
+        lit(".COM:80/Doc/"), col("doc_id").cast("string"),
+        lit("?utm_source=w&id="), col("doc_id").cast("string"), lit("#top")))
+      .withColumn("html", concat(
+        lit("<html><body><h1>Doc "), col("doc_id"), lit("</h1><p>"),
+        col("text"), lit("</p><script>skip()</script></body></html>")))
+    docs
+      .groupBy((col("doc_id") % 7).as("file_id"))
+      .agg(sort_array(collect_list(
+        struct(col("doc_id"), col("url"), col("html")))).as("rs"))
+      .select(col("file_id"), graft.functions.WarcBuildExpr(
+        transform(col("rs"), r => struct(
+          r.getField("url").as("url"),
+          r.getField("html").cast("binary").as("body"))),
+        col("file_id") % 2 === 0, lit(true)).as("warc"))
+      .write.mode("overwrite").parquet(s"$base/warc")
+    val schema = s.read.parquet(s"$base/warc").schema
+    val q = s.readStream.schema(schema).parquet(s"$base/warc")
+      .select(explode(graft.functions.WarcRecordsExpr(col("warc"))).as("rec"))
+      .select(
+        regexp_extract(col("rec.url"), "/Doc/([0-9]+)", 1).cast("long")
+          .as("doc_id"),
+        graft.functions.TextFunctions.normalizeUrl(col("rec.url"))
+          .as("url_norm"),
+        graft.functions.TextFunctions.extractMarkup(
+          graft.functions.DecodeTextExpr(
+            graft.functions.HttpPayloadExpr(col("rec.body"))
+              .getField("body"))).as("clean"))
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(s"$base/out").orderBy("doc_id")
+  }
+
   private def st14_stream_enforce(s: SparkSession, dir: String): DataFrame = {
     val base = s"/tmp/graft_fixtures/stenf_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
     val bp = new org.apache.hadoop.fs.Path(base)
@@ -4555,6 +4676,7 @@ object SparkEntry {
     "t48_markup_extract" -> (t48_markup_extract _),
     "t49_bitext" -> (t49_bitext _),
     "st18_stream_extract" -> (st18_stream_extract _),
+    "st20_stream_crawl" -> (st20_stream_crawl _),
     "s18_scan_lazy" -> (s18_scan_lazy _),
     "s21_scan_identity" -> (s21_scan_identity _),
     "s9_scan_csv" -> (s9_scan_csv _),
@@ -4617,6 +4739,8 @@ object SparkEntry {
     "t62_nfc_normalize" -> (t62_nfc_normalize _),
     "t54c_robots_sitemaps" -> (t54c_robots_sitemaps _),
     "t63_unigram_tokens" -> (t63_unigram_tokens _),
+    "t54d_robots_crawldelay" -> (t54d_robots_crawldelay _),
+    "t64_curation_pipeline" -> (t64_curation_pipeline _),
     "t55_charset" -> (t55_charset _),
     "t56_sitemap" -> (t56_sitemap _),
     "t57_dictionary_tag" -> (t57_dictionary_tag _),
@@ -5606,6 +5730,73 @@ object SparkEntry {
                        '/Doc/' || doc_id || '?id=' || doc_id, '/Doc/12')
            END AS robots_allowed
          FROM documents ORDER BY doc_id""",
+    // every curation stage replayed: t1's langid CASE, t2's quality
+    // formulas, the min-id/count dedup over surviving text, and the
+    // filter-before-dedup ordering
+    "t64_curation_pipeline" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 9900000, text FROM documents WHERE doc_id % 17 = 0),
+         w AS (SELECT doc_id, text,
+           regexp_split_to_array(trim(lower(text)), '\s+') AS lws,
+           regexp_split_to_array(trim(text), '\s+') AS ws FROM corpus),
+         s AS (SELECT doc_id, text, ws,
+           len(list_filter(lws, x -> list_contains(
+             ['der','die','das','und','ist','nicht','ein','eine','mit','von'], x))) AS de,
+           len(list_filter(lws, x -> list_contains(
+             ['the','and','of','to','in','is','that','it','for','with'], x))) AS en,
+           len(list_filter(lws, x -> list_contains(
+             ['el','la','los','las','de','y','es','que','un','una','en'], x))) AS es,
+           len(list_filter(lws, x -> list_contains(
+             ['le','la','les','de','des','et','un','une','est','que','dans'], x))) AS fr,
+           len(list_filter(lws, x -> list_contains(
+             ['的','是','了','在','我','有','和','人','这','不'], x))) AS zh
+           FROM w),
+         lang AS (SELECT doc_id, text, ws,
+           CASE WHEN greatest(de, en, es, fr, zh) = 0 THEN 'und'
+                WHEN de = greatest(de, en, es, fr, zh) THEN 'de'
+                WHEN en = greatest(de, en, es, fr, zh) THEN 'en'
+                WHEN es = greatest(de, en, es, fr, zh) THEN 'es'
+                WHEN fr = greatest(de, en, es, fr, zh) THEN 'fr'
+                ELSE 'zh' END AS lang_pred
+           FROM s),
+         q AS (SELECT doc_id, text,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           CASE WHEN len(ws) = 0 THEN 0.0
+                ELSE CAST(len(list_filter(ws, x -> list_contains(
+                  ['the','a','an','and','or','of','to','in','is','it','that',
+                   'for','on','with','as','at','by','be','this','are','was'], x))) AS DOUBLE)
+                  / len(ws) END AS stopword_ratio
+           FROM lang WHERE lang_pred = 'en'),
+         f AS (SELECT * FROM q
+           WHERE n_words >= 20 AND stopword_ratio > 0.03),
+         d AS (SELECT min(doc_id) AS doc_id,
+             CAST(count(*) AS BIGINT) AS n_copies
+           FROM f GROUP BY text)
+         SELECT d.doc_id, d.n_copies, f.n_words, f.stopword_ratio
+         FROM d JOIN f ON d.doc_id = f.doc_id
+         ORDER BY d.doc_id""",
+    // delay selection replayed as per-host CASE arithmetic (exact
+    // group shadows the 99-second decoy; host 4 fractional; host 7
+    // defaults), the schedule as the same politeness window
+    "t54d_robots_crawldelay" ->
+      """WITH u AS (
+           SELECT doc_id, doc_id % 9 AS h,
+             'http://site' || (doc_id % 9) || '.com/Doc/' || doc_id AS url,
+             doc_id % 7 AS priority,
+             CASE WHEN doc_id % 9 = 4 THEN 7500
+                  WHEN doc_id % 9 = 7 THEN 1000
+                  ELSE (doc_id % 9 + 1) * 1000 END AS delay_ms
+           FROM documents),
+         r AS (
+           SELECT doc_id, url, delay_ms,
+             CAST(row_number() OVER (PARTITION BY h
+               ORDER BY priority DESC, url) AS INT) AS fetch_seq
+           FROM u)
+         SELECT doc_id, url, fetch_seq,
+           CAST((fetch_seq - 1) * delay_ms AS BIGINT) AS eta_ms
+         FROM r ORDER BY doc_id""",
     // losslessness is exactly replayable (concat of pieces == text
     // minus spaces); the trained-model claims ride as by-construction
     // booleans (see the gate scaladoc); Viterbi itself is spec-pinned
@@ -5698,6 +5889,14 @@ object SparkEntry {
                 WHEN doc_id % 10 = 7 THEN FALSE
                 WHEN CAST(doc_id AS VARCHAR) LIKE '9%' THEN FALSE
                 ELSE TRUE END AS robots_allowed
+         FROM documents ORDER BY doc_id""",
+    // the same chain executed as a STREAM gates against the identical
+    // replay (the st7/st18 same-oracle convention)
+    "st20_stream_crawl" ->
+      """SELECT doc_id,
+           'http://site' || (doc_id % 9) || '.com/Doc/' || doc_id
+             || '?id=' || doc_id AS url_norm,
+           'Doc ' || doc_id || chr(10) || text AS clean
          FROM documents ORDER BY doc_id""",
     // WARC framing + gzip + the markup state machine + every URL rule
     // replayed together: block tags emit newlines, script content drops,

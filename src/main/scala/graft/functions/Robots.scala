@@ -109,6 +109,47 @@ object RobotsMatchExpr {
       GraftInternals.expression(path), GraftInternals.expression(pattern)))
 }
 
+/** Crawl-delay extraction with the SAME group selection as
+  * [[RobotsRulesExpr]] (exact-agent groups shadow `*`): the de-facto
+  * politeness field nearly every robots.txt in the wild carries
+  * (RFC 9309 leaves it out; crawlers honor it anyway). Returns the
+  * delay in SECONDS as a double; −1.0 when the binding groups declare
+  * none — the caller picks its default, the parser never invents one.
+  * Several binding groups with different delays take the MAX
+  * (conservative: when policies conflict, be politer). */
+case class RobotsCrawlDelayExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"robots_crawl_delay expects (STRING robots_txt, STRING agent), " +
+          s"got $l, $r")
+    }
+
+  override def nullSafeEval(txt: Any, agent: Any): Any =
+    RobotsImpl.crawlDelay(txt.asInstanceOf[UTF8String],
+      agent.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, a) =>
+      s"graft.functions.RobotsImpl.crawlDelay($t, $a)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "robots_crawl_delay"
+}
+
+object RobotsCrawlDelayExpr {
+  def apply(robotsTxt: Column, agent: Column): Column =
+    GraftInternals.column(RobotsCrawlDelayExpr(
+      GraftInternals.expression(robotsTxt), GraftInternals.expression(agent)))
+}
+
 object RobotsImpl {
 
   /** RFC 9309 pattern match (see [[RobotsMatchExpr]]): split the pattern
@@ -143,11 +184,18 @@ object RobotsImpl {
     }
   }
 
-  private final case class Group(
-      agents: scala.collection.mutable.ArrayBuffer[String],
-      rules: scala.collection.mutable.ArrayBuffer[(Boolean, String)])
+  private final class Group {
+    val agents = scala.collection.mutable.ArrayBuffer.empty[String]
+    val rules = scala.collection.mutable.ArrayBuffer.empty[(Boolean, String)]
+    var delay: Double = -1.0
+  }
 
-  def rules(txt: UTF8String, agent: UTF8String): ArrayData = {
+  /** Parse + group selection shared by [[rules]] and [[crawlDelay]]:
+    * the groups that BIND `agent` (exact-agent groups shadow `*`). A
+    * `Crawl-delay` line terminates an agent-stacking run exactly like
+    * a rule line (it is group content, not a group header). */
+  private def chosenGroups(txt: UTF8String,
+      agent: UTF8String): Seq[Group] = {
     val want = agent.toString.trim.toLowerCase
     val groups = scala.collection.mutable.ArrayBuffer.empty[Group]
     var current: Group = null
@@ -165,8 +213,7 @@ object RobotsImpl {
         field match {
           case "user-agent" =>
             if (current == null || currentHasRules) {
-              current = Group(scala.collection.mutable.ArrayBuffer.empty,
-                scala.collection.mutable.ArrayBuffer.empty)
+              current = new Group
               currentHasRules = false
               groups += current
             }
@@ -177,16 +224,31 @@ object RobotsImpl {
               if (value.nonEmpty)
                 current.rules += ((field == "allow", value))
             }
-          case _ => () // crawl-delay, sitemap, unknown fields: skipped
+          case "crawl-delay" =>
+            if (current != null) {
+              currentHasRules = true
+              val d = try value.toDouble catch { case _: Exception => -1.0 }
+              if (d >= 0) current.delay = math.max(current.delay, d)
+            }
+          case _ => () // sitemap, unknown fields: skipped
         }
       }
     }
     val exact = groups.filter(_.agents.contains(want))
-    val chosen =
-      if (exact.nonEmpty) exact else groups.filter(_.agents.contains("*"))
-    new GenericArrayData(chosen.iterator.flatMap(_.rules).map {
-      case (allow, prefix) =>
+    (if (exact.nonEmpty) exact else groups.filter(_.agents.contains("*")))
+      .toSeq
+  }
+
+  def rules(txt: UTF8String, agent: UTF8String): ArrayData =
+    new GenericArrayData(chosenGroups(txt, agent).iterator
+      .flatMap(_.rules).map { case (allow, prefix) =>
         InternalRow(allow, UTF8String.fromString(prefix))
-    }.toArray[Any])
+      }.toArray[Any])
+
+  /** See [[RobotsCrawlDelayExpr]]: max delay of the binding groups,
+    * −1.0 when none declares one. */
+  def crawlDelay(txt: UTF8String, agent: UTF8String): Double = {
+    val ds = chosenGroups(txt, agent).map(_.delay)
+    if (ds.isEmpty) -1.0 else ds.max
   }
 }

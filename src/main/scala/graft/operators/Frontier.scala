@@ -46,12 +46,30 @@ object Frontier {
       urls: DataFrame, urlCol: String, priorityCol: String,
       delayMs: Long): DataFrame = {
     require(delayMs >= 0, s"negative delayMs: $delayMs")
+    scheduleExpr(urls, urlCol, priorityCol, lit(delayMs))
+  }
+
+  /** [[schedule]] with a PER-ROW delay column (milliseconds) — the
+    * robots `Crawl-delay` composition: join each URL to its host's
+    * declared delay ([[graft.functions.RobotsCrawlDelayExpr]], with
+    * the fleet default where the site declares none) and the politeness
+    * contract becomes site-specific data. The delay must be constant
+    * per host (it rides the host's robots row); the first row's value
+    * in fetch order is used. */
+  def scheduleWithDelays(
+      urls: DataFrame, urlCol: String, priorityCol: String,
+      delayMsCol: String): DataFrame =
+    scheduleExpr(urls, urlCol, priorityCol, col(delayMsCol))
+
+  private def scheduleExpr(
+      urls: DataFrame, urlCol: String, priorityCol: String,
+      delayMs: org.apache.spark.sql.Column): DataFrame =
     urls
       .withColumn("__host", TextFunctions.urlHost(col(urlCol)))
       .withColumn("fetch_seq",
         row_number().over(Window.partitionBy(col("__host"))
           .orderBy(desc(priorityCol), col(urlCol))))
-      .withColumn("eta_ms", (col("fetch_seq") - 1).cast("long") * delayMs)
+      .withColumn("eta_ms",
+        (col("fetch_seq") - 1).cast("long") * delayMs.cast("long"))
       .drop("__host")
-  }
 }

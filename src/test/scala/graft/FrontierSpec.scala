@@ -75,6 +75,43 @@ class FrontierSpec extends SparkSpec {
     assert(NfcNormalizeImpl.nfc(composed) eq composed)
   }
 
+  test("crawl-delay: group shadowing, max-of-groups, fractional, " +
+      "invalid, absent, stacking termination") {
+    import graft.functions.RobotsImpl
+    def d(txt: String, agent: String = "bot"): Double =
+      RobotsImpl.crawlDelay(UTF8String.fromString(txt),
+        UTF8String.fromString(agent))
+    assert(d("User-agent: bot\nCrawl-delay: 3\n" +
+      "User-agent: *\nCrawl-delay: 99") == 3.0, "exact shadows *")
+    assert(d("User-agent: *\nCrawl-delay: 7.5") == 7.5, "fractional")
+    assert(d("User-agent: bot\nDisallow: /x") == -1.0, "absent -> -1")
+    assert(d("User-agent: bot\nCrawl-delay: nope") == -1.0, "invalid")
+    assert(d("User-agent: bot\nCrawl-delay: 2\n\n" +
+      "User-agent: bot\nCrawl-delay: 5") == 5.0, "max of binding groups")
+    // a Crawl-delay line is group CONTENT: it ends agent stacking, so
+    // the second User-agent starts a fresh group that does not bind
+    assert(d("User-agent: other\nCrawl-delay: 9\nUser-agent: bot\n" +
+      "Disallow: /x") == -1.0)
+    // and rules selection is unaffected by delay lines
+    val r = RobotsImpl.rules(
+      UTF8String.fromString("User-agent: bot\nCrawl-delay: 4\nDisallow: /x"),
+      UTF8String.fromString("bot"))
+    assert(r.numElements() == 1)
+  }
+
+  test("scheduleWithDelays: per-host delay drives the eta") {
+    val urls = Seq(
+      ("http://a.com/1", 1L, 2000L), ("http://a.com/2", 1L, 2000L),
+      ("http://b.com/1", 1L, 500L), ("http://b.com/2", 1L, 500L))
+      .toDF("url", "prio", "delay_ms")
+    val got = Frontier.scheduleWithDelays(urls, "url", "prio", "delay_ms")
+      .select("url", "eta_ms")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("http://a.com/2") == 2000L)
+    assert(got("http://b.com/2") == 500L)
+    assert(got("http://a.com/1") == 0L && got("http://b.com/1") == 0L)
+  }
+
   test("robots sitemap lines: case, tabs, comments") {
     val txt = "User-agent: *\nSITEMAP: http://h/m1.xml\n" +
       "# sitemap: http://h/commented.xml\n" +
