@@ -61,8 +61,13 @@ object Bench {
     "a15c_graph_ann_multiassign",
     // round-15 back edge + tokenizer: outlink harvest + RFC 3986
     // resolution + the per-host politeness window; unigram Viterbi
-    // encode behind a bounded-sample trainer
-    "t61_outlinks", "t63_unigram_tokens")
+    // encode behind a bounded-sample trainer; robots-declared delays
+    // driving the schedule; the composed curation stage (langid +
+    // quality + exact dedup — headline-only: the scaled fixture's
+    // replica token suffixes defeat the langid word lists by design,
+    // so its 10× behavior is its stages', each measured separately)
+    "t61_outlinks", "t63_unigram_tokens", "t54d_robots_crawldelay",
+    "t64_curation_pipeline")
 
   /** Queries measured on the replicated corpus for the scaling slope —
     * the shuffle-heavy pipeline shapes whose 100 TB behavior a plan read
@@ -107,8 +112,10 @@ object Bench {
     // t61: links/hosts replicate per-replica (urls embed doc_id, hosts
     // embed doc_id % 9 — the window partitioning widens with data);
     // t63: the trainer reads a FIXED 256-doc sample regardless of SF,
-    // the encode is one map-side Viterbi kernel per word
-    "t61_outlinks", "t63_unigram_tokens")
+    // the encode is one map-side Viterbi kernel per word;
+    // t54d: replicas SHARE the nine hosts, so per-host windows grow
+    // ×10 — the q6-style keyed-window growth shape, measured honestly
+    "t61_outlinks", "t63_unigram_tokens", "t54d_robots_crawldelay")
 
   /** Materialize a `factor`×-replicated copy of the FACT tables the scale
     * set reads (documents, lineitem, orders, events) plus 1× copies of

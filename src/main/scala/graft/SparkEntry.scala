@@ -2458,6 +2458,27 @@ object SparkEntry {
       .orderBy("doc_id", "sitemap_url")
   }
 
+  /** Keep-BEST exact dedup: every 13th document gains two planted
+    * copies at shifted ids, each family member carrying a metadata
+    * quality score (`doc_id % 7` — identical text means identical
+    * text metrics, so the score is deliberately external), and the
+    * one-aggregate argmax must keep the max-score member with ties to
+    * the smallest id. The oracle replays the family construction and
+    * the argmax as a window — the keep-min `d1` convention, upgraded
+    * to the curation decision real pipelines make.
+    * See [[graft.operators.Dedup.exactKeepBest]]. */
+  private def d21_dedup_keep_best(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    def copies(shift: Long) = docs.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + shift).as("doc_id"), col("text"))
+    val corpus = docs.unionByName(copies(9910000L))
+      .unionByName(copies(9920000L))
+      .withColumn("score", (col("doc_id") % 7).cast("long"))
+    Dedup.exactKeepBest(corpus, "doc_id", "text", "score")
+      .select("doc_id", "score", "n_copies")
+      .orderBy("doc_id")
+  }
+
   /** The CURATION stage composed end-to-end (the t53 convention, one
     * stage later in the pipeline): planted exact duplicates ride along,
     * then language-ID gates to `en`, Gopher-style quality thresholds
@@ -4741,6 +4762,7 @@ object SparkEntry {
     "t63_unigram_tokens" -> (t63_unigram_tokens _),
     "t54d_robots_crawldelay" -> (t54d_robots_crawldelay _),
     "t64_curation_pipeline" -> (t64_curation_pipeline _),
+    "d21_dedup_keep_best" -> (d21_dedup_keep_best _),
     "t55_charset" -> (t55_charset _),
     "t56_sitemap" -> (t56_sitemap _),
     "t57_dictionary_tag" -> (t57_dictionary_tag _),
@@ -5730,6 +5752,24 @@ object SparkEntry {
                        '/Doc/' || doc_id || '?id=' || doc_id, '/Doc/12')
            END AS robots_allowed
          FROM documents ORDER BY doc_id""",
+    // the argmax replayed as a window over the reconstructed families:
+    // max score wins, ties to the smallest id
+    "d21_dedup_keep_best" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 9910000, text FROM documents WHERE doc_id % 13 = 0
+           UNION ALL
+           SELECT doc_id + 9920000, text FROM documents WHERE doc_id % 13 = 0),
+         scored AS (SELECT doc_id, text,
+             CAST(doc_id % 7 AS BIGINT) AS score FROM corpus),
+         r AS (SELECT doc_id, score,
+             row_number() OVER (PARTITION BY text
+               ORDER BY score DESC, doc_id) AS rn,
+             CAST(count(*) OVER (PARTITION BY text) AS BIGINT) AS n_copies
+           FROM scored)
+         SELECT doc_id, score, n_copies FROM r WHERE rn = 1
+         ORDER BY doc_id""",
     // every curation stage replayed: t1's langid CASE, t2's quality
     // formulas, the min-id/count dedup over surviving text, and the
     // filter-before-dedup ordering

@@ -119,6 +119,71 @@ object TermSetCountsExpr {
       TermSetCountsExpr(GraftInternals.expression(words), sets))
 }
 
+/** [[TermSetCountsExpr]] fused with the ARGMAX: returns `labels(i)` for
+  * the highest-count set (strictly-greater, so the FIRST of equals
+  * wins — pass label-sorted sets for the lexicographic-ties contract),
+  * or `default` when every count is zero.
+  *
+  * Exists because the Column-composed argmax over a counts array is a
+  * performance trap: every `element_at`/`when` reference to the shared
+  * counts subtree re-evaluates it (Catalyst's subexpression elimination
+  * does not reach across the nested conditional tree), and the
+  * language-ID formulation reached ~50 re-tokenizations per row —
+  * measured 2.0 s for 5k docs at sf0.1, vs one pass here. */
+case class TermSetBestExpr(child: Expression, sets: Seq[Seq[String]],
+    labels: Seq[String], default: String) extends UnaryExpression {
+
+  require(sets.nonEmpty && sets.size == labels.size,
+    "term_set_best: one label per set required")
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"term_set_best expects array<string>, got ${other.sql}")
+  }
+
+  @transient private lazy val memberIndex: java.util.HashMap[UTF8String, Array[Int]] = {
+    val m = new java.util.HashMap[UTF8String, Array[Int]]()
+    sets.zipWithIndex.foreach { case (set, i) =>
+      set.distinct.foreach { t =>
+        val k = UTF8String.fromString(t)
+        val prev = m.get(k)
+        m.put(k, if (prev == null) Array(i) else prev :+ i)
+      }
+    }
+    m
+  }
+
+  @transient private lazy val labelStrings: Array[UTF8String] =
+    (labels :+ default).map(UTF8String.fromString).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    TermFreqsImpl.setBest(
+      input.asInstanceOf[ArrayData], memberIndex, sets.size, labelStrings)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idxRef = ctx.addReferenceObj("memberIdx", memberIndex,
+      classOf[java.util.HashMap[UTF8String, Array[Int]]].getName)
+    val lblRef = ctx.addReferenceObj("labels", labelStrings,
+      classOf[Array[UTF8String]].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TermFreqsImpl.setBest($c, $idxRef, ${sets.size}, $lblRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "term_set_best"
+}
+
+object TermSetBestExpr {
+  def apply(words: Column, sets: Seq[Seq[String]], labels: Seq[String],
+      default: String): Column =
+    GraftInternals.column(TermSetBestExpr(
+      GraftInternals.expression(words), sets, labels, default))
+}
+
 /** Occurrence count of the MOST frequent token in a words array, in one
   * hash pass.
   *
@@ -174,6 +239,34 @@ object TermFreqsImpl {
       i += 1
     }
     new GenericArrayData(counts)
+  }
+
+  /** Argmax over [[setCounts]]: first strictly-greatest set's label,
+    * `labels(nSets)` (the default slot) when all counts are zero. */
+  def setBest(words: ArrayData,
+      idx: java.util.HashMap[UTF8String, Array[Int]], nSets: Int,
+      labels: Array[UTF8String]): UTF8String = {
+    val counts = new Array[Long](nSets)
+    val len = words.numElements()
+    var i = 0
+    while (i < len) {
+      if (!words.isNullAt(i)) {
+        val member = idx.get(words.getUTF8String(i))
+        if (member != null) {
+          var j = 0
+          while (j < member.length) { counts(member(j)) += 1L; j += 1 }
+        }
+      }
+      i += 1
+    }
+    var best = -1
+    var bestC = 0L
+    var k = 0
+    while (k < nSets) {
+      if (counts(k) > bestC) { bestC = counts(k); best = k }
+      k += 1
+    }
+    if (best < 0) labels(nSets) else labels(best)
   }
 
   def maxFreq(words: ArrayData): Long = {

@@ -54,6 +54,24 @@ object Dedup {
     df.groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
+  /** [[exact]] keeping the BEST copy instead of the smallest id: real
+    * curation keeps the highest-quality member of a duplicate family —
+    * best source, richest metadata — not the accidental min-id. The
+    * score must come from OUTSIDE the text (identical text means
+    * identical text-derived metrics, so a meaningful score is source
+    * priority, fetch recency, licence rank…). Still ONE hash-aggregate:
+    * `max(struct(score, −id))` picks the argmax with ties to the
+    * SMALLEST id, deterministically, with no window and no second
+    * shuffle. Returns one row per distinct content:
+    * `(content_hash, idCol, scoreCol, n_copies)`. */
+  def exactKeepBest(df: DataFrame, idCol: String, textCol: String,
+      scoreCol: String): DataFrame =
+    df.groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
+      .agg(max(struct(col(scoreCol).as("s"), (-col(idCol)).as("ni")))
+        .as("__b"), count(lit(1)).as("n_copies"))
+      .select(col("content_hash"), (-col("__b.ni")).as(idCol),
+        col("__b.s").as(scoreCol), col("n_copies"))
+
   // ------------------------------------------------------------- minhash
 
   private val HashDomain = (1L << 31) - 1 // Mersenne prime 2^31-1
