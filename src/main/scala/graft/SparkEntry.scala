@@ -2798,6 +2798,41 @@ object SparkEntry {
       .select("vec_id", "rank").orderBy("rank")
   }
 
+  /** Graph-index DELETE (a14's analog through the graph path): the
+    * full planted family is built and persisted, the five EVEN planted
+    * ids tombstone through [[graft.operators.GraphAnn.nswDelete]] —
+    * which rebuilds ONLY the touched clusters' graphs from survivors
+    * and refreshes the witness — and the re-read probe at k=5 must
+    * surface exactly the five surviving ODD planted ids: a missed
+    * delete would rank the smaller even ids first on the id tiebreak,
+    * a stale graph would still walk to them, and a stale witness would
+    * refuse the read. */
+  private def a15d_graph_ann_delete(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = "/tmp/graft_fixtures/nswdel_idx_" +
+      java.net.URLEncoder.encode(dir, "UTF-8")
+    // start clean EVERY run: ivfWrite overwrites data/graph/sidecar but
+    // not the tombstones dir, and a previous run's tombstones would
+    // make the fresh witness read as drifted
+    val pth = new org.apache.hadoop.fs.Path(path)
+    pth.getFileSystem(s.sessionState.newHadoopConf()).delete(pth, true)
+    // drop the fixture's label column before persisting: ANSI union
+    // coercion typed it BIGINT against the planted 'planted' string,
+    // which explodes the moment a write materializes the cast
+    val index = Ann.ivfBuild(
+      annCorpus(s, dir).select("vec_id", "embedding"), "vec_id", "embedding",
+      nlist = 16)
+    graft.operators.GraphAnn.nswWrite(
+      graft.operators.GraphAnn.nswBuild(index, "vec_id",
+        m = 8, efConstruction = 32), path)
+    graft.operators.GraphAnn.nswDelete(s, path,
+      (0 until 5).map(i => 9000000L + 2 * i).toDF("vec_id"))
+    graft.operators.GraphAnn.nswTopK(
+        graft.operators.GraphAnn.nswRead(s, path), queryVec(s, dir),
+        k = 5, nprobe = 4, ef = 512, excludeIds = Seq(0L))
+      .select("vec_id", "rank").orderBy("rank")
+  }
+
   /** Graph ANN composed WITH soft multi-assignment (a16 × a15): the
     * index stores every row in its two nearest clusters, so each copy
     * is a node in its cluster's NSW graph and a probe covering two
@@ -4241,6 +4276,67 @@ object SparkEntry {
     s.read.parquet(s"$base/out").orderBy("doc_id")
   }
 
+  /** Per-host crawl budget: each of the nine hosts keeps its 13 best
+    * URLs by (priority desc, url) — the window-rank filter must plan as
+    * a map-side partial top-k (WindowGroupLimit, asserted in
+    * FrontierSpec), and the oracle replays the cap as the same rank.
+    * See [[graft.operators.Frontier.capPerHost]]. */
+  private def t61b_frontier_cap(s: SparkSession, dir: String): DataFrame = {
+    val urls = t(s, dir, "documents").select(col("doc_id"))
+      .withColumn("url", concat(
+        lit("http://site"), (col("doc_id") % 9).cast("string"),
+        lit(".com/Doc/"), col("doc_id").cast("string")))
+      .withColumn("priority", (col("doc_id") % 7).cast("int"))
+    graft.operators.Frontier.capPerHost(urls, "url", "priority",
+        maxPerHost = 13)
+      .select("doc_id", "url", "priority")
+      .orderBy("doc_id")
+  }
+
+  /** Stateful streaming frontier: the politeness sequence must CONTINUE
+    * across micro-batches — even doc_ids stream first (one run), odd
+    * doc_ids arrive later and the SECOND run (same checkpoint, state
+    * restored) must hand them the NEXT slots per host, not restart at
+    * slot 1. The oracle replays the whole schedule as one window
+    * ordered by (arrival batch, priority desc, url), so a state reset,
+    * a lost checkpoint, or a per-batch re-sort all go red.
+    * See [[graft.streaming.Streams.frontierSchedule]]. */
+  private def st21_stream_frontier(s: SparkSession, dir: String): DataFrame = {
+    val base = s"/tmp/graft_fixtures/sfront_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val bp = new org.apache.hadoop.fs.Path(base)
+    bp.getFileSystem(s.sessionState.newHadoopConf()).delete(bp, true)
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+      .withColumn("url", concat(
+        lit("http://site"), (col("doc_id") % 9).cast("string"),
+        lit(".com/Doc/"), col("doc_id").cast("string")))
+      .withColumn("prio", (col("doc_id") % 7).cast("long"))
+      .select("doc_id", "url", "prio")
+    // one file per wave → one micro-batch per run (deterministic order)
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$base/src")
+    val schema = s.read.parquet(s"$base/src").schema
+    def runWave(): Unit = {
+      val q = graft.streaming.Streams.frontierSchedule(
+          s.readStream.schema(schema).parquet(s"$base/src"),
+          "url", "prio", delayMs = 500L)
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runWave()
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(s"$base/src")
+    runWave()
+    s.read.parquet(s"$base/out")
+      .withColumn("doc_id",
+        regexp_extract(col("url"), "/Doc/([0-9]+)$", 1).cast("long"))
+      .select("doc_id", "url", "fetch_seq", "eta_ms")
+      .orderBy("doc_id")
+  }
+
   private def st14_stream_enforce(s: SparkSession, dir: String): DataFrame = {
     val base = s"/tmp/graft_fixtures/stenf_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
     val bp = new org.apache.hadoop.fs.Path(base)
@@ -4698,6 +4794,8 @@ object SparkEntry {
     "t49_bitext" -> (t49_bitext _),
     "st18_stream_extract" -> (st18_stream_extract _),
     "st20_stream_crawl" -> (st20_stream_crawl _),
+    "st21_stream_frontier" -> (st21_stream_frontier _),
+    "t61b_frontier_cap" -> (t61b_frontier_cap _),
     "s18_scan_lazy" -> (s18_scan_lazy _),
     "s21_scan_identity" -> (s21_scan_identity _),
     "s9_scan_csv" -> (s9_scan_csv _),
@@ -4804,6 +4902,7 @@ object SparkEntry {
     "a15_graph_ann" -> (a15_graph_ann _),
     "a15b_graph_ann_append" -> (a15b_graph_ann_append _),
     "a15c_graph_ann_multiassign" -> (a15c_graph_ann_multiassign _),
+    "a15d_graph_ann_delete" -> (a15d_graph_ann_delete _),
     "p1_ann_pq" -> (p1_ann_pq _),
     "p2_ann_ivfpq" -> (p2_ann_ivfpq _),
     "p3_ann_pq_batch" -> (p3_ann_pq_batch _),
@@ -5930,6 +6029,36 @@ object SparkEntry {
                 WHEN CAST(doc_id AS VARCHAR) LIKE '9%' THEN FALSE
                 ELSE TRUE END AS robots_allowed
          FROM documents ORDER BY doc_id""",
+    // the cap replayed as the identical rank — qualify-style
+    "t61b_frontier_cap" ->
+      """WITH u AS (
+           SELECT doc_id, doc_id % 9 AS h,
+             'http://site' || (doc_id % 9) || '.com/Doc/' || doc_id AS url,
+             CAST(doc_id % 7 AS INT) AS priority
+           FROM documents),
+         r AS (SELECT doc_id, url, priority,
+             row_number() OVER (PARTITION BY h
+               ORDER BY priority DESC, url) AS rk
+           FROM u)
+         SELECT doc_id, url, priority FROM r WHERE rk <= 13
+         ORDER BY doc_id""",
+    // the cross-batch politeness sequence as ONE window: arrival wave
+    // (even docs first) outranks priority, priority outranks url — a
+    // state reset between waves would restart every host at slot 1
+    "st21_stream_frontier" ->
+      """WITH u AS (
+           SELECT doc_id, doc_id % 9 AS h, doc_id % 2 AS wave,
+             'http://site' || (doc_id % 9) || '.com/Doc/' || doc_id AS url,
+             doc_id % 7 AS prio
+           FROM documents),
+         r AS (
+           SELECT doc_id, url,
+             CAST(row_number() OVER (PARTITION BY h
+               ORDER BY wave, prio DESC, url) AS INT) AS fetch_seq
+           FROM u)
+         SELECT doc_id, url, fetch_seq,
+           CAST((fetch_seq - 1) * 500 AS BIGINT) AS eta_ms
+         FROM r ORDER BY doc_id""",
     // the same chain executed as a STREAM gates against the identical
     // replay (the st7/st18 same-oracle convention)
     "st20_stream_crawl" ->
@@ -7304,6 +7433,12 @@ object SparkEntry {
     "a15c_graph_ann_multiassign" ->
       """SELECT CAST(9000000 + i AS BIGINT) AS vec_id, CAST(i + 1 AS INT) AS rank
          FROM range(10) t(i) ORDER BY rank""",
+    // only the five SURVIVING odd planted ids through the graph walk; a
+    // missed delete ranks the smaller even ids first on the tiebreak
+    "a15d_graph_ann_delete" ->
+      """SELECT CAST(9000001 + 2 * i AS BIGINT) AS vec_id,
+           CAST(i + 1 AS INT) AS rank
+         FROM range(5) t(i) ORDER BY rank""",
     // only the filter-true planted family may surface; the equally-tied
     // smaller-id 'drop' family would win the tiebreak if the predicate
     // were ignored or applied post-hoc

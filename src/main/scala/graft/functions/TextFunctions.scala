@@ -231,21 +231,17 @@ object TextFunctions {
     * on ties; "und" when nothing overlaps). Still a pure Column expression —
     * no shuffle, no UDF — but robust on short / shared-vocabulary sentences
     * where whole-word markers miss (trigrams see morphology: "ier ", "ung ",
-    * "cio"; unigrams carry unspaced scripts). The document n-gram set is
-    * bound once via a lambda variable, so the text pipeline runs once per
-    * row, not once per language. */
+    * "cio"; unigrams carry unspaced scripts). [[charNgrams]] emits
+    * DISTINCT n-grams and profiles are distinct, so per-set membership
+    * counts ([[TermSetBestExpr]]'s one fused pass) equal the
+    * intersection sizes the argmax contract is defined over — and the
+    * langId re-evaluation trap cannot re-enter. */
   def langIdNgram(text: Column,
-      profiles: Map[String, Seq[String]] = defaultNgramProfiles): Column =
-    element_at(transform(array(charNgrams(text)), d => {
-      val scores: Seq[(String, Column)] = profiles.toSeq.sortBy(_._1).map {
-        case (lang, tris) => lang -> size(array_intersect(d, lit(tris.toArray)))
-      }
-      val best = scores.map(_._2).reduceLeft((a, b) => greatest(a, b))
-      // reversed when-chain: first language wins ties (see langId)
-      scores.reverse.foldLeft(lit("und")) { case (acc, (l, s)) =>
-        when(s > 0 && s === best, lit(l)).otherwise(acc)
-      }
-    }), 1)
+      profiles: Map[String, Seq[String]] = defaultNgramProfiles): Column = {
+    val ordered = profiles.toSeq.sortBy(_._1)
+    TermSetBestExpr(charNgrams(text), ordered.map(_._2),
+      ordered.map(_._1), default = "und")
+  }
 
   /** Gopher-style rule-based quality filter (Rae et al. 2021, §A1.1 —
     * public heuristics): per-rule booleans plus the conjunction `keep`.

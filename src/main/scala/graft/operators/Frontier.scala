@@ -61,6 +61,26 @@ object Frontier {
       delayMsCol: String): DataFrame =
     scheduleExpr(urls, urlCol, priorityCol, col(delayMsCol))
 
+  /** Per-host crawl BUDGET: keep each host's `maxPerHost` best URLs by
+    * (priority desc, url) — the rank filter Catalyst rewrites into a
+    * map-side partial top-k (`WindowGroupLimit`: every input partition
+    * pre-prunes to k per host before the shuffle, so the exchange
+    * carries at most k·partitions rows per host no matter how lopsided
+    * the frontier is). The anti-crawler-trap primitive: a single
+    * calendar-generating host cannot flood the fetch fleet. */
+  def capPerHost(
+      urls: DataFrame, urlCol: String, priorityCol: String,
+      maxPerHost: Int): DataFrame = {
+    require(maxPerHost >= 1, s"maxPerHost must be >= 1, got $maxPerHost")
+    urls
+      .withColumn("__host", TextFunctions.urlHost(col(urlCol)))
+      .withColumn("__rk",
+        row_number().over(Window.partitionBy(col("__host"))
+          .orderBy(desc(priorityCol), col(urlCol))))
+      .filter(col("__rk") <= maxPerHost)
+      .drop("__host", "__rk")
+  }
+
   private def scheduleExpr(
       urls: DataFrame, urlCol: String, priorityCol: String,
       delayMs: org.apache.spark.sql.Column): DataFrame =

@@ -403,6 +403,81 @@ object GraphAnn {
     appended
   }
 
+  /** Delete ids from a PERSISTED graph index — the [[Ann.ivfDelete]]
+    * counterpart that keeps the graphs consistent instead of leaving
+    * [[nswRead]] refusing forever. Tombstones write through
+    * `ivfDelete` (same single-column id-frame contract), then ONLY the
+    * clusters that held a doomed id rebuild their graphs from the
+    * surviving rows — deletion breaks the monotone-insertion
+    * equivalence an incremental path would need, so the per-cluster
+    * rebuild (the build's exact kernel, id order) is the ONLY result
+    * bit-identical to a full rebuild, paid per touched cluster only. A
+    * cluster whose every row was deleted gets its graph partition
+    * REMOVED (dynamic overwrite alone would leave ghost nodes). The
+    * sidecar witness recomputes from the post-delete base.
+    *
+    * Crash contract: a crash between the tombstone write and the graph
+    * rewrite leaves base≠witness, and both [[nswRead]] and a replayed
+    * `nswDelete` refuse loudly — recover with [[nswBuild]] +
+    * [[nswWrite]] (deletes are rare; the window is one partition
+    * rewrite). Returns ids tombstoned. */
+  def nswDelete(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      ids: DataFrame): Long = {
+    import spark.implicits._
+    val node = readSidecar(spark, path)
+    val idCol = node.get("id_col").asText
+    val (mm, efc) = (node.get("m").asInt, node.get("ef_construction").asInt)
+    require(node.hasNonNull("id_xor"),
+      s"$NswParamsSidecar at $path predates the id-checksum witness — " +
+        "re-persist with nswWrite before deleting")
+    val preIdx = Ann.ivfRead(spark, path)
+    val perCopy = preIdx.assignTop > 1
+    val pre = witness(preIdx.clustered, col(idCol), perCopy)
+    require(pre == ((node.get("rows").asLong, node.get("id_xor").asLong)),
+      s"graph index at $path: base rows/id-checksum $pre do not match the " +
+        "witness — the base drifted (foreign append/tombstone, or a prior " +
+        "nswDelete crashed mid-rewrite); rebuild with nswBuild + nswWrite.")
+    require(ids.columns.length == 1, "ids must be a one-column frame")
+    val doomed = ids.distinct().toDF(idCol)
+    val touched = preIdx.clustered
+      .join(doomed, Seq(idCol), "left_semi")
+      .select(col("gr_cluster").cast("int")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val n = Ann.ivfDelete(spark, path, ids)
+    val post = Ann.ivfRead(spark, path)
+    if (touched.nonEmpty) {
+      val rows = post.clustered
+        .filter(col("gr_cluster").isin(touched: _*))
+        .select(col("gr_cluster").cast("int").as("c"),
+          col(idCol).cast("long").as("i"),
+          col(post.vecCol).cast("array<double>").as("v"))
+        .as[(Int, Long, Seq[Double])]
+        .groupByKey(_._1)
+        .flatMapGroups { (cid, it) =>
+          val nodes = it.map(t => (t._2, t._3.toArray)).toArray.sortBy(_._1)
+          buildCluster(nodes, mm, efc).map { case (id, ns) => (cid, id, ns) }
+        }
+        .toDF("gr_cluster", "id", "neighbors")
+      val survivors = rows.select("gr_cluster").distinct()
+        .collect().map(_.getInt(0)).toSet
+      rows.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("gr_cluster").parquet(s"$path/graph")
+      // emptied clusters write no partition — remove their stale graphs
+      val fs = graft.core.Discovery.fileSystemFor(path,
+        spark.sessionState.newHadoopConf())
+      touched.filterNot(survivors).foreach { c =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/graph/gr_cluster=$c"),
+          true)
+      }
+    }
+    val (nn, x) = witness(post.clustered, col(idCol), perCopy)
+    writeSidecar(spark, path, idCol, mm, efc, nn, x)
+    n
+  }
+
   // ------------------------------------------------------------ kernels
 
   private def cos(a: Array[Double], b: Array[Double]): Double =

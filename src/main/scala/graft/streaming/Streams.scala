@@ -668,6 +668,50 @@ object Streams {
       .drop("cents")
   }
 
+  /** Streaming frontier politeness: per-host fetch slots assigned
+    * INCREMENTALLY across micro-batches via `flatMapGroupsWithState` —
+    * the state is ONE long per host (slots issued so far), so a URL
+    * discovered in batch 7 continues the sequence batch 1 started
+    * instead of re-starting at slot 1 and hammering the host. Within a
+    * micro-batch a host's URLs order by (priority desc, url) — the
+    * batch operator's ([[graft.operators.Frontier.schedule]]) contract
+    * — and each row appends exactly once as
+    * `(host, url, fetch_seq, eta_ms)`.
+    *
+    * 100 TB: state is O(distinct hosts) longs, partitioned by host and
+    * checkpointed incrementally; each micro-batch shuffles only its own
+    * rows. No timeout (a frontier's host set is the working set); a
+    * bounded-memory deployment would expire idle hosts with
+    * `ProcessingTimeTimeout` and accept sequence restarts for them. */
+  def frontierSchedule(
+      urls: DataFrame, urlCol: String, priorityCol: String,
+      delayMs: Long): DataFrame = {
+    require(urls.isStreaming, "frontierSchedule needs a streaming DataFrame")
+    require(delayMs >= 0, s"negative delayMs: $delayMs")
+    val spark = urls.sparkSession
+    import spark.implicits._
+    val typed = urls.select(
+        graft.functions.TextFunctions.urlHost(col(urlCol)).as("host"),
+        col(urlCol).cast("string").as("url"),
+        col(priorityCol).cast("long").as("prio"))
+      .as[(String, String, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, String, Int, Long)](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (host: String, rows: Iterator[(String, String, Long)],
+         state: GroupState[Long]) =>
+          var issued = state.getOption.getOrElse(0L)
+          val ordered = rows.toArray.sortBy(r => (-r._3, r._2))
+          val out = ordered.map { r =>
+            issued += 1
+            (host, r._2, issued.toInt, (issued - 1L) * delayMs)
+          }
+          state.update(issued)
+          out.iterator
+      }
+      .toDF("host", "url", "fetch_seq", "eta_ms")
+  }
+
   /** Streaming expectation audit: [[graft.operators.Expect]]'s counters
     * as a STREAMING aggregation — violations accumulate incrementally
     * across micro-batches in the state store (complete-mode counters:

@@ -112,6 +112,19 @@ class FrontierSpec extends SparkSpec {
     assert(got("http://a.com/1") == 0L && got("http://b.com/1") == 0L)
   }
 
+  test("capPerHost keeps the k best per host and plans WindowGroupLimit") {
+    val urls = (0 until 40).map(i =>
+      (s"http://h${i % 2}.com/$i", (i % 5).toLong)).toDF("url", "prio")
+    val capped = Frontier.capPerHost(urls, "url", "prio", maxPerHost = 3)
+    val got = capped.collect()
+    assert(got.length == 6, "3 per host × 2 hosts")
+    // every kept row has prio 4 (the top band has ≥3 members per host)
+    assert(got.forall(_.getLong(1) == 4L))
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      "the cap must plan as a map-side partial top-k:\n" + plan)
+  }
+
   test("robots sitemap lines: case, tabs, comments") {
     val txt = "User-agent: *\nSITEMAP: http://h/m1.xml\n" +
       "# sitemap: http://h/commented.xml\n" +

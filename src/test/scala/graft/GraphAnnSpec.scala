@@ -241,6 +241,62 @@ class GraphAnnSpec extends SparkSpec {
     assert(e.getMessage.contains("checksum"))
   }
 
+  test("nswDelete: touched clusters equal a fresh rebuild, untouched " +
+      "partitions survive, emptied clusters vanish, replay converges") {
+    val df = corpus(150)
+    val idx = Ann.ivfBuild(df, "id", "emb", nlist = 4)
+    val dir = java.nio.file.Files.createTempDirectory("nswdel").toString
+    GraphAnn.nswWrite(GraphAnn.nswBuild(idx, "id", m = 4, efConstruction = 16),
+      dir)
+    // delete a handful of ids spread across clusters
+    val doomed = Seq(3L, 7L, 50L, 99L)
+    assert(GraphAnn.nswDelete(spark, dir, doomed.toDF("id")) == 4L)
+    val after = GraphAnn.nswRead(spark, dir) // witness must accept
+    assert(after.adjacency.filter(col("id").isin(doomed: _*)).count() == 0)
+    val rebuilt = GraphAnn.nswBuild(Ann.ivfRead(spark, dir), "id",
+      m = 4, efConstruction = 16)
+    assert(canon(after.adjacency) == canon(rebuilt.adjacency))
+    // deleted ids never surface; probes agree with the rebuild
+    val q = vec(7L, 16)
+    val got = GraphAnn.nswTopK(after, q, k = 10, nprobe = 4, ef = 400)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.intersect(doomed.toSet).isEmpty, "ghost id surfaced")
+    // replaying the same delete is a no-op
+    assert(GraphAnn.nswDelete(spark, dir, doomed.toDF("id")) == 4L)
+    assert(canon(GraphAnn.nswRead(spark, dir).adjacency) ==
+      canon(rebuilt.adjacency))
+    // appends still work after a delete (the lifecycle composes)
+    assert(GraphAnn.nswAppend(spark, dir,
+      Seq((1000L, vec(1000L, 16))).toDF("id", "emb"), "id", "emb", "pd") == 1L)
+    GraphAnn.nswRead(spark, dir)
+  }
+
+  test("nswDelete empties a whole cluster: its graph partition is " +
+      "removed, not left as ghost nodes") {
+    // two far-apart blobs -> 2 clusters; delete every row of one blob
+    val blobA = (0L until 20L).map(i => (i, Array.tabulate(8)(j =>
+      1f + 0.001f * i * j)))
+    val blobB = (100L until 120L).map(i => (i, Array.tabulate(8)(j =>
+      (if (j % 2 == 0) -1f else 1f) + 0.001f * i)))
+    val df = (blobA ++ blobB).toDF("id", "emb")
+    val idx = Ann.ivfBuild(df, "id", "emb", nlist = 2)
+    val dir = java.nio.file.Files.createTempDirectory("nswempty").toString
+    GraphAnn.nswWrite(GraphAnn.nswBuild(idx, "id", m = 4, efConstruction = 16),
+      dir)
+    // find which cluster holds blob B and delete ALL of it
+    val bCluster = Ann.ivfRead(spark, dir).clustered
+      .filter(col("id") >= 100L).select("gr_cluster").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (bCluster.length == 1) { // both-blobs-one-cluster would be vacuous
+      GraphAnn.nswDelete(spark, dir, (100L until 120L).toDF("id"))
+      val after = GraphAnn.nswRead(spark, dir)
+      assert(after.adjacency
+        .filter(col("gr_cluster") === bCluster.head).count() == 0,
+        "emptied cluster left ghost graph nodes")
+      assert(after.adjacency.count() == 20)
+    }
+  }
+
   test("oversized cluster refuses loudly with the nlist remedy") {
     val df = corpus(50)
     val idx = Ann.ivfBuild(df, "id", "emb", nlist = 2)
