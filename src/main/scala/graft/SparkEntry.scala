@@ -6054,7 +6054,7 @@ object SparkEntry {
          r AS (
            SELECT doc_id, url,
              CAST(row_number() OVER (PARTITION BY h
-               ORDER BY wave, prio DESC, url) AS INT) AS fetch_seq
+               ORDER BY wave, prio DESC, url) AS BIGINT) AS fetch_seq
            FROM u)
          SELECT doc_id, url, fetch_seq,
            CAST((fetch_seq - 1) * 500 AS BIGINT) AS eta_ms

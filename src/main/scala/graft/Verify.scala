@@ -42,6 +42,21 @@ object Verify {
       }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a failed gate must not leave a PREVIOUS run's parquet behind:
+        // with a reused outDir the checker would compare stale output
+        // and the failure (including the complex-column refusal above)
+        // would silently ship as a pass
+        try {
+          val stale = new java.io.File(s"$outDir/$name")
+          if (stale.exists()) {
+            def rm(f: java.io.File): Unit = {
+              val kids = f.listFiles()
+              if (kids != null) kids.foreach(rm)
+              f.delete(); ()
+            }
+            rm(stale)
+          }
+        } catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -474,10 +474,18 @@ object TextFunctions {
   // can carry entities), so they fuse into the ingest scan alongside
   // extractMarkup; and all SQL-replayable, so gates hash them.
 
+  // Tag names end at a word boundary (`<a\b` rejects `<article`) and
+  // attribute names must NOT be preceded by a word char or '-'
+  // ((?<![\w-]) rejects `data-href`/`data-name`) — without both, a page
+  // carrying <article data-href="/tracker"> would feed phantom URLs
+  // into the frontier. Java-regex lookbehind is fine here: these run
+  // Spark-side only (gates reconstruct fields in closed form).
+  private val NoAttrPrefix = """(?<![\w-])"""
+
   /** `<title>` text, whitespace-trimmed, entities decoded. */
   def htmlTitle(html: Column): Column =
     MarkupExtractExpr(
-      trim(regexp_extract(html, "(?is)<title[^>]*>(.*?)</title>", 1)))
+      trim(regexp_extract(html, "(?is)<title\\b[^>]*>(.*?)</title>", 1)))
 
   /** A `<meta name=... content=...>` value (description, keywords,
     * robots…), tolerating either attribute order; entities decoded. */
@@ -485,10 +493,10 @@ object TextFunctions {
     val n = java.util.regex.Pattern.quote(name)
     MarkupExtractExpr(coalesce(
       nullIfEmpty(regexp_extract(html,
-        s"""(?is)<meta[^>]*\\bname\\s*=\\s*["']$n["'][^>]*\\bcontent\\s*=\\s*["']([^"']*)["']""",
+        s"""(?is)<meta\\b[^>]*${NoAttrPrefix}name\\s*=\\s*["']$n["'][^>]*${NoAttrPrefix}content\\s*=\\s*["']([^"']*)["']""",
         1)),
       nullIfEmpty(regexp_extract(html,
-        s"""(?is)<meta[^>]*\\bcontent\\s*=\\s*["']([^"']*)["'][^>]*\\bname\\s*=\\s*["']$n["']""",
+        s"""(?is)<meta\\b[^>]*${NoAttrPrefix}content\\s*=\\s*["']([^"']*)["'][^>]*${NoAttrPrefix}name\\s*=\\s*["']$n["']""",
         1)),
       lit("")))
   }
@@ -498,24 +506,27 @@ object TextFunctions {
   def htmlCanonical(html: Column): Column =
     coalesce(
       nullIfEmpty(regexp_extract(html,
-        """(?is)<link[^>]*\brel\s*=\s*["']canonical["'][^>]*\bhref\s*=\s*["']([^"']*)["']""",
+        s"""(?is)<link\\b[^>]*${NoAttrPrefix}rel\\s*=\\s*["']canonical["'][^>]*${NoAttrPrefix}href\\s*=\\s*["']([^"']*)["']""",
         1)),
       nullIfEmpty(regexp_extract(html,
-        """(?is)<link[^>]*\bhref\s*=\s*["']([^"']*)["'][^>]*\brel\s*=\s*["']canonical["']""",
+        s"""(?is)<link\\b[^>]*${NoAttrPrefix}href\\s*=\\s*["']([^"']*)["'][^>]*${NoAttrPrefix}rel\\s*=\\s*["']canonical["']""",
         1)),
       lit(""))
 
   /** The `<html lang=…>` declaration — the author's language claim, the
     * prior a language-ID stage starts from. */
   def htmlLang(html: Column): Column =
-    regexp_extract(html, """(?is)<html[^>]*\blang\s*=\s*["']?([A-Za-z][A-Za-z0-9-]*)""", 1)
+    regexp_extract(html,
+      s"""(?is)<html\\b[^>]*${NoAttrPrefix}lang\\s*=\\s*["']?([A-Za-z][A-Za-z0-9-]*)""",
+      1)
 
   /** All `<a href=…>` targets, entities decoded — the outlink harvest
     * [[UrlResolveExpr]] absolutizes into frontier candidates. */
   def htmlLinks(html: Column): Column =
     transform(
       regexp_extract_all(html,
-        lit("""(?is)<a[^>]*\bhref\s*=\s*["']([^"']*)["']"""), lit(1)),
+        lit(s"""(?is)<a\\b[^>]*${NoAttrPrefix}href\\s*=\\s*["']([^"']*)["']"""),
+        lit(1)),
       h => MarkupExtractExpr(h))
 
   private def nullIfEmpty(c: Column): Column = when(c === "", null).otherwise(c)

@@ -70,7 +70,7 @@ object UrlResolveImpl {
     val hash = ref0.indexOf('#')
     val ref = if (hash >= 0) ref0.substring(0, hash) else ref0
     val out =
-      if (hasScheme(ref)) dropFragment(ref)
+      if (hasScheme(ref)) normalizeAbsolute(ref)
       else {
         val (scheme, authority, bPath, bQuery) = splitBase(base)
         if (scheme.isEmpty) ref0 // unresolvable base: pass the ref through
@@ -109,9 +109,16 @@ object UrlResolveImpl {
     false
   }
 
-  private def dropFragment(s: String): String = {
-    val h = s.indexOf('#')
-    if (h >= 0) s.substring(0, h) else s
+  /** §5.2.2 applies remove_dot_segments to the reference's path even
+    * when the reference IS absolute — otherwise `http://h/a/../b`
+    * written absolutely and `../b` written relatively resolve to two
+    * distinct frontier entries for one URL. Non-hierarchical schemes
+    * (no `://`) pass through untouched. */
+  private def normalizeAbsolute(ref: String): String = {
+    val (scheme, authority, path, query) = splitBase(ref)
+    if (scheme.isEmpty) ref // mailto:, javascript:, … — no path hierarchy
+    else scheme + "://" + authority + removeDotSegments(path) +
+      (if (query.isEmpty) "" else "?" + query)
   }
 
   /** `(scheme, authority, path, query)` of an absolute base; empty

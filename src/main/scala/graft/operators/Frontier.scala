@@ -53,13 +53,18 @@ object Frontier {
     * robots `Crawl-delay` composition: join each URL to its host's
     * declared delay ([[graft.functions.RobotsCrawlDelayExpr]], with
     * the fleet default where the site declares none) and the politeness
-    * contract becomes site-specific data. The delay must be constant
-    * per host (it rides the host's robots row); the first row's value
-    * in fetch order is used. */
+    * contract becomes site-specific data. The delay is expected
+    * constant per host (it rides the host's robots row); if rows
+    * disagree (a stale row rode a bad join), the HOST MAX applies —
+    * per-row values would schedule slot 3 before slot 2, and when
+    * politeness policies conflict the politer one wins (the crawl-delay
+    * parser's own rule). Same single window as the sequence — no extra
+    * shuffle. */
   def scheduleWithDelays(
       urls: DataFrame, urlCol: String, priorityCol: String,
       delayMsCol: String): DataFrame =
-    scheduleExpr(urls, urlCol, priorityCol, col(delayMsCol))
+    scheduleExpr(urls, urlCol, priorityCol,
+      max(col(delayMsCol)).over(Window.partitionBy(col("__host"))))
 
   /** Per-host crawl BUDGET: keep each host's `maxPerHost` best URLs by
     * (priority desc, url) — the rank filter Catalyst rewrites into a
@@ -72,6 +77,7 @@ object Frontier {
       urls: DataFrame, urlCol: String, priorityCol: String,
       maxPerHost: Int): DataFrame = {
     require(maxPerHost >= 1, s"maxPerHost must be >= 1, got $maxPerHost")
+    requireFreeColumns(urls, Seq("__host", "__rk"))
     urls
       .withColumn("__host", TextFunctions.urlHost(col(urlCol)))
       .withColumn("__rk",
@@ -81,9 +87,21 @@ object Frontier {
       .drop("__host", "__rk")
   }
 
+  /** Silently clobbering an input column is data loss: re-scheduling an
+    * already-scheduled frame would overwrite its prior wave's
+    * fetch_seq/eta_ms with no error — rename or drop them first, on
+    * purpose. */
+  private def requireFreeColumns(df: DataFrame, names: Seq[String]): Unit = {
+    val taken = names.filter(df.columns.contains)
+    require(taken.isEmpty,
+      s"input already carries column(s) ${taken.mkString(", ")} — " +
+        "the frontier operator would overwrite them; rename or drop first")
+  }
+
   private def scheduleExpr(
       urls: DataFrame, urlCol: String, priorityCol: String,
-      delayMs: org.apache.spark.sql.Column): DataFrame =
+      delayMs: org.apache.spark.sql.Column): DataFrame = {
+    requireFreeColumns(urls, Seq("__host", "fetch_seq", "eta_ms"))
     urls
       .withColumn("__host", TextFunctions.urlHost(col(urlCol)))
       .withColumn("fetch_seq",
@@ -92,4 +110,5 @@ object Frontier {
       .withColumn("eta_ms",
         (col("fetch_seq") - 1).cast("long") * delayMs.cast("long"))
       .drop("__host")
+  }
 }

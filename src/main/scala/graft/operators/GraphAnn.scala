@@ -460,7 +460,12 @@ object GraphAnn {
           buildCluster(nodes, mm, efc).map { case (id, ns) => (cid, id, ns) }
         }
         .toDF("gr_cluster", "id", "neighbors")
-      val survivors = rows.select("gr_cluster").distinct()
+      // survivors derive from the BASE, not from `rows`: collecting the
+      // rebuilt frame's cluster ids would evaluate the whole per-cluster
+      // graph build once for the collect and AGAIN for the write
+      val survivors = post.clustered
+        .filter(col("gr_cluster").isin(touched: _*))
+        .select(col("gr_cluster").cast("int")).distinct()
         .collect().map(_.getInt(0)).toSet
       rows.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")

@@ -696,15 +696,19 @@ object Streams {
         col(priorityCol).cast("long").as("prio"))
       .as[(String, String, Long)]
     typed.groupByKey(_._1)
-      .flatMapGroupsWithState[Long, (String, String, Int, Long)](
+      .flatMapGroupsWithState[Long, (String, String, Long, Long)](
           OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (host: String, rows: Iterator[(String, String, Long)],
          state: GroupState[Long]) =>
           var issued = state.getOption.getOrElse(0L)
           val ordered = rows.toArray.sortBy(r => (-r._3, r._2))
+          // fetch_seq stays LONG: unlike the batch operator's per-run
+          // row_number, this counter is designed to grow for the
+          // index's whole lifetime — an Int truncation would wrap it
+          // negative after 2^31 slots while eta_ms kept growing
           val out = ordered.map { r =>
             issued += 1
-            (host, r._2, issued.toInt, (issued - 1L) * delayMs)
+            (host, r._2, issued, (issued - 1L) * delayMs)
           }
           state.update(issued)
           out.iterator

@@ -25,6 +25,23 @@ class FrontierSpec extends SparkSpec {
     assert(got.getString(1) == "from reversed")
     assert(got.getString(2) == "https://c.example/x")
     assert(got.getString(3) == "fr")
+    // tag/attribute boundaries: <article data-href> is NOT a link,
+    // data-name/data-lang are NOT the metadata attributes
+    val traps = "<html data-lang='x-y'><head>" +
+      "<meta data-name='description' content='spam'>" +
+      "<link data-rel='canonical' href='http://no'>" +
+      "</head><body><article data-href=\"/tracker\">t</article>" +
+      "<abbr data-href='/also-not'>a</abbr>" +
+      "<a href='/real'>ok</a></body></html>"
+    val trapped = Seq(traps).toDF("h").select(
+      TextFunctions.htmlLinks(col("h")).as("links"),
+      TextFunctions.htmlMetaContent(col("h"), "description"),
+      TextFunctions.htmlCanonical(col("h")),
+      TextFunctions.htmlLang(col("h"))).head()
+    assert(trapped.getSeq[String](0) == Seq("/real"),
+      s"phantom link harvested: ${trapped.getSeq[String](0)}")
+    assert(trapped.getString(1) == "" && trapped.getString(2) == "" &&
+      trapped.getString(3) == "")
     // absent fields come back empty, never null
     val none = Seq("<p>no head</p>").toDF("h").select(
       TextFunctions.htmlTitle(col("h")),

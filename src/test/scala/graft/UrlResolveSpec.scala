@@ -69,6 +69,12 @@ class UrlResolveSpec extends SparkSpec {
     assert(r("http://h/a//b/c", "../g") == "http://h/a//g",
       "empty segment is a real segment")
     assert(r("not a url", "g/h") == "g/h", "unresolvable base passes ref")
+    // §5.2.2: remove_dot_segments applies to ABSOLUTE references too —
+    // http://h/a/../b and (../b against http://h/a/x) are one URL
+    assert(r(base, "http://h/a/../b") == "http://h/b")
+    assert(r(base, "https://z/./x/") == "https://z/x/")
+    assert(r(base, "mailto:x@y") == "mailto:x@y",
+      "non-hierarchical schemes pass through")
     assert(r("http://h/p", "  g  ") == "http://h/g", "refs trim")
     assert(r("http://h/p?old", "?new") == "http://h/p?new")
     assert(r("http://h/p?old", "") == "http://h/p?old",
