@@ -271,6 +271,21 @@ class GraphAnnSpec extends SparkSpec {
     GraphAnn.nswRead(spark, dir)
   }
 
+  test("nswDelete composes with soft multi-assignment: every copy goes") {
+    val df = corpus(120)
+    val idx = Ann.ivfBuild(df, "id", "emb", nlist = 3, assignTop = 2)
+    val dir = java.nio.file.Files.createTempDirectory("nswdelma").toString
+    GraphAnn.nswWrite(GraphAnn.nswBuild(idx, "id", m = 4, efConstruction = 16),
+      dir)
+    assert(GraphAnn.nswDelete(spark, dir, Seq(7L, 30L).toDF("id")) == 2L)
+    val after = GraphAnn.nswRead(spark, dir) // per-copy witness accepts
+    assert(after.adjacency.filter(col("id").isin(7L, 30L)).count() == 0,
+      "a soft copy survived the delete")
+    val rebuilt = GraphAnn.nswBuild(Ann.ivfRead(spark, dir), "id",
+      m = 4, efConstruction = 16)
+    assert(canon(after.adjacency) == canon(rebuilt.adjacency))
+  }
+
   test("nswDelete empties a whole cluster: its graph partition is " +
       "removed, not left as ghost nodes") {
     // two far-apart blobs -> 2 clusters; delete every row of one blob
