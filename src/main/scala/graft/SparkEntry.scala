@@ -2458,6 +2458,52 @@ object SparkEntry {
       .orderBy("doc_id", "sitemap_url")
   }
 
+  /** TWO-LEVEL sitemap discovery (sitemapindex → sitemaps → URLs — the
+    * layout every site over 50k URLs must publish): per site, a
+    * sitemapindex names two child sitemaps, each child carries half the
+    * site's documents (by parity), and both extraction levels run the
+    * SAME `<loc>` kernel — `<sitemap><loc>` and `<url><loc>` are one
+    * grammar by the protocol's design. The oracle reconstructs the
+    * final (doc, child) pairing in closed form, so the level-1 fan-out
+    * and the level-2 extraction are one hash.
+    * See [[graft.functions.TextFunctions.sitemapUrls]]. */
+  private def t56b_sitemap_index(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+      .withColumn("site", (col("doc_id") % 5).cast("long"))
+    // level 1: one sitemapindex per site naming child maps 0 and 1
+    val indexXml = docs.select(col("site")).distinct()
+      .select(col("site"), concat(
+        lit("<?xml version=\"1.0\"?><sitemapindex>"),
+        lit("<sitemap><loc> http://s"), col("site"),
+        lit(".com/maps/child0.xml </loc><lastmod>2026-01-01</lastmod></sitemap>"),
+        lit("<sitemap><loc>http://s"), col("site"),
+        lit(".com/maps/child1.xml</loc></sitemap>"),
+        lit("</sitemapindex>")).as("xml"))
+    val children = indexXml
+      .select(col("site"), explode(
+        graft.functions.TextFunctions.sitemapUrls(col("xml"))).as("child_url"))
+      .withColumn("child",
+        regexp_extract(col("child_url"), "child([01])\\.xml$", 1).cast("long"))
+    // level 2: each child sitemap lists its parity half of the site's docs
+    val childXml = docs
+      .withColumn("child", col("doc_id") % 2)
+      .groupBy("site", "child")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .select(col("site"), col("child"), concat(
+        lit("<?xml version=\"1.0\"?><urlset>"),
+        array_join(transform(col("ids"), i => concat(
+          lit("<url><loc>http://s"), col("site"),
+          lit(".com/p/"), i.cast("string"), lit("</loc></url>"))), ""),
+        lit("</urlset>")).as("xml"))
+    children.join(childXml, Seq("site", "child"))
+      .select(col("child_url"), explode(
+        graft.functions.TextFunctions.sitemapUrls(col("xml"))).as("url"))
+      .withColumn("doc_id",
+        regexp_extract(col("url"), "/p/([0-9]+)$", 1).cast("long"))
+      .select("doc_id", "url", "child_url")
+      .orderBy("doc_id")
+  }
+
   /** Keep-BEST exact dedup: every 13th document gains two planted
     * copies at shifted ids, each family member carrying a metadata
     * quality score (`doc_id % 7` — identical text means identical
@@ -4796,6 +4842,7 @@ object SparkEntry {
     "st20_stream_crawl" -> (st20_stream_crawl _),
     "st21_stream_frontier" -> (st21_stream_frontier _),
     "t61b_frontier_cap" -> (t61b_frontier_cap _),
+    "t56b_sitemap_index" -> (t56b_sitemap_index _),
     "s18_scan_lazy" -> (s18_scan_lazy _),
     "s21_scan_identity" -> (s21_scan_identity _),
     "s9_scan_csv" -> (s9_scan_csv _),
@@ -6028,6 +6075,14 @@ object SparkEntry {
                 WHEN doc_id % 10 = 7 THEN FALSE
                 WHEN CAST(doc_id AS VARCHAR) LIKE '9%' THEN FALSE
                 ELSE TRUE END AS robots_allowed
+         FROM documents ORDER BY doc_id""",
+    // both discovery levels reconstructed in closed form: the padded/
+    // unpadded <loc> trim, the child fan-out, and the parity split
+    "t56b_sitemap_index" ->
+      """SELECT doc_id,
+           'http://s' || (doc_id % 5) || '.com/p/' || doc_id AS url,
+           'http://s' || (doc_id % 5) || '.com/maps/child'
+             || (doc_id % 2) || '.xml' AS child_url
          FROM documents ORDER BY doc_id""",
     // the cap replayed as the identical rank — qualify-style
     "t61b_frontier_cap" ->
