@@ -45,18 +45,17 @@ object Verify {
         // a failed gate must not leave a PREVIOUS run's parquet behind:
         // with a reused outDir the checker would compare stale output
         // and the failure (including the complex-column refusal above)
-        // would silently ship as a pass
+        // would silently ship as a pass. Hadoop FS, not java.io.File —
+        // the delete must work for ANY outDir scheme the write above
+        // accepted, not just the local filesystem (r15 ADVICE).
         try {
-          val stale = new java.io.File(s"$outDir/$name")
-          if (stale.exists()) {
-            def rm(f: java.io.File): Unit = {
-              val kids = f.listFiles()
-              if (kids != null) kids.foreach(rm)
-              f.delete(); ()
-            }
-            rm(stale)
-          }
-        } catch { case _: Throwable => () }
+          val stale = new org.apache.hadoop.fs.Path(s"$outDir/$name")
+          val fs = stale.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(stale)) { fs.delete(stale, true); () }
+        } catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[verify] $name: stale-output cleanup failed too: ${e.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -90,8 +90,18 @@ object HttpImpl {
     var contentLength = -1L
     var chunked = false
     while (i < b.length && !emptyLineAt(b, i)) {
-      val e = lineEnd(b, i)
-      val line = lineString(b, i, e)
+      var e = lineEnd(b, i)
+      var line = lineString(b, i, e)
+      // obs-fold (RFC 9112 §5.2): a following line starting with SP/HTAB
+      // continues THIS field's value — join with one space BEFORE the
+      // colon dispatch, else a folded Transfer-Encoding reads as a
+      // colon-less junk line and a chunked body is framed as identity,
+      // leaking chunk-size lines into the text (r15 ADVICE)
+      while (e < b.length && (b(e) == ' ' || b(e) == '\t')) {
+        val e2 = lineEnd(b, e)
+        line = line + " " + lineString(b, e, e2).trim
+        e = e2
+      }
       val colon = line.indexOf(':')
       if (colon > 0) {
         val name = line.substring(0, colon).trim.toLowerCase

@@ -166,8 +166,12 @@ case class TermSetBestExpr(child: Expression, sets: Seq[Seq[String]],
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val idxRef = ctx.addReferenceObj("memberIdx", memberIndex,
       classOf[java.util.HashMap[UTF8String, Array[Int]]].getName)
+    // Java SOURCE array syntax, not classOf[Array[...]].getName: the latter
+    // yields the JVM descriptor "[Lorg...UTF8String;" which Janino rejects in
+    // the generated cast, silently dropping the whole stage to interpreted
+    // mode (the MinhashSignature.scala "long[]" convention).
     val lblRef = ctx.addReferenceObj("labels", labelStrings,
-      classOf[Array[UTF8String]].getName)
+      "org.apache.spark.unsafe.types.UTF8String[]")
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.TermFreqsImpl.setBest($c, $idxRef, ${sets.size}, $lblRef)")
   }

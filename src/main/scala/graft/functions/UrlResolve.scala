@@ -74,7 +74,12 @@ object UrlResolveImpl {
       else {
         val (scheme, authority, bPath, bQuery) = splitBase(base)
         if (scheme.isEmpty) ref0 // unresolvable base: pass the ref through
-        else if (ref.startsWith("//")) scheme + ":" + ref
+        // network-path reference (§5.2.2): adopt the base scheme, then run
+        // the SAME absolute-URL normalization (dot-segment removal, case
+        // folding) as the hasScheme branch — otherwise the identical URL
+        // spelled "//host/a/../b" vs "http://host/a/../b" would yield two
+        // distinct frontier entries
+        else if (ref.startsWith("//")) normalizeAbsolute(scheme + ":" + ref)
         else if (ref.isEmpty) scheme + "://" + authority + bPath +
           (if (bQuery.isEmpty) "" else "?" + bQuery)
         else if (ref.startsWith("?")) scheme + "://" + authority + bPath + ref

@@ -63,14 +63,31 @@ object Dedup {
     * `max(struct(score, −id))` picks the argmax with ties to the
     * SMALLEST id, deterministically, with no window and no second
     * shuffle. Returns one row per distinct content:
-    * `(content_hash, idCol, scoreCol, n_copies)`. */
+    * `(content_hash, idCol, scoreCol, n_copies)`.
+    *
+    * Contract (r15 ADVICE): `idCol` must be an INTEGRAL column — the
+    * tie-break negates it, which on a string id would silently compare
+    * under a decimal coercion; refused at plan time instead. An id of
+    * `Long.MinValue` fails loudly (ANSI negation overflow), not
+    * silently. Null scores lose to any non-null score (struct max
+    * orders nulls first); a family whose scores are ALL null keeps its
+    * min-id member and reports a null score — deterministic, and
+    * visible to the caller as the null in `scoreCol`. */
   def exactKeepBest(df: DataFrame, idCol: String, textCol: String,
-      scoreCol: String): DataFrame =
+      scoreCol: String): DataFrame = {
+    val idType = df.schema(idCol).dataType
+    require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(idType),
+      s"exactKeepBest: id column '$idCol' must be integral for the " +
+        s"negated tie-break, got ${idType.sql} — cast or map ids first")
     df.groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
       .agg(max(struct(col(scoreCol).as("s"), (-col(idCol)).as("ni")))
         .as("__b"), count(lit(1)).as("n_copies"))
       .select(col("content_hash"), (-col("__b.ni")).as(idCol),
         col("__b.s").as(scoreCol), col("n_copies"))
+  }
 
   // ------------------------------------------------------------- minhash
 

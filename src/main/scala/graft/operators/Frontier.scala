@@ -59,12 +59,25 @@ object Frontier {
     * per-row values would schedule slot 3 before slot 2, and when
     * politeness policies conflict the politer one wins (the crawl-delay
     * parser's own rule). Same single window as the sequence — no extra
-    * shuffle. */
+    * shuffle.
+    *
+    * A negative or null per-row delay fails LOUDLY (r15 ADVICE): the
+    * constant-delay overload rejects `delayMs < 0` at plan time, and a
+    * raw `RobotsCrawlDelayExpr` -1.0 "no declaration" sentinel joined
+    * through without the caller's default mapping must not silently
+    * schedule negative ETAs. The guard rides the eta projection as its
+    * LEFT `+` operand (right operands of null-intolerant ops are
+    * skipped under codegen when the left is null). */
   def scheduleWithDelays(
       urls: DataFrame, urlCol: String, priorityCol: String,
-      delayMsCol: String): DataFrame =
+      delayMsCol: String): DataFrame = {
+    val guard = coalesce(assert_true(col(delayMsCol) >= 0, concat(
+      lit(s"scheduleWithDelays: negative or null delay in '$delayMsCol': "),
+      coalesce(col(delayMsCol).cast("string"), lit("NULL")))).cast("long"),
+      lit(0L))
     scheduleExpr(urls, urlCol, priorityCol,
-      max(col(delayMsCol)).over(Window.partitionBy(col("__host"))))
+      guard + max(col(delayMsCol)).over(Window.partitionBy(col("__host"))))
+  }
 
   /** Per-host crawl BUDGET: keep each host's `maxPerHost` best URLs by
     * (priority desc, url) — the rank filter Catalyst rewrites into a

@@ -1300,3 +1300,28 @@ class ReviewGuardSpec extends SparkSpec {
     }
   }
 }
+
+/** exactKeepBest contract pins (r15 ADVICE): integral-id refusal, null
+  * scores losing to non-null, all-null family keeping min id. */
+class ExactKeepBestSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("refuses a non-integral id column at plan time") {
+    val df = Seq(("a", "dup", 1.0)).toDF("id", "text", "score")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.exactKeepBest(df, "id", "text", "score")
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
+  test("null scores lose to non-null; all-null family keeps min id") {
+    val df = Seq(
+      (1L, "dup", Some(0.5)), (2L, "dup", None),      // non-null wins
+      (3L, "other", Option.empty[Double]), (4L, "other", None))
+      .toDF("id", "text", "score")
+    val got = Dedup.exactKeepBest(df, "id", "text", "score")
+      .collect().map(r => (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(got == Set((1L, Some(0.5)), (3L, None)))
+  }
+}

@@ -129,6 +129,25 @@ class FrontierSpec extends SparkSpec {
     assert(got("http://a.com/1") == 0L && got("http://b.com/1") == 0L)
   }
 
+  test("scheduleWithDelays refuses negative and null per-row delays") {
+    // the RobotsCrawlDelayExpr -1.0 sentinel joined through WITHOUT the
+    // caller's default mapping must fail loudly, not schedule negative
+    // ETAs (r15 ADVICE — mirrors schedule()'s delayMs >= 0 contract)
+    val neg = Seq(("http://a.com/1", 1L, -1L), ("http://a.com/2", 1L, 500L))
+      .toDF("url", "prio", "delay_ms")
+    val e = intercept[Exception] {
+      Frontier.scheduleWithDelays(neg, "url", "prio", "delay_ms").collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("negative or null"),
+      s"unexpected error: ${e.getMessage}")
+    val withNull = Seq(("http://a.com/1", 1L, Some(500L)),
+      ("http://a.com/2", 1L, None)).toDF("url", "prio", "delay_ms")
+    intercept[Exception] {
+      Frontier.scheduleWithDelays(withNull, "url", "prio", "delay_ms")
+        .collect()
+    }
+  }
+
   test("capPerHost keeps the k best per host and plans WindowGroupLimit") {
     val urls = (0 until 40).map(i =>
       (s"http://h${i % 2}.com/$i", (i % 5).toLong)).toDF("url", "prio")

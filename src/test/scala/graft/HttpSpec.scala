@@ -72,6 +72,23 @@ class HttpSpec extends SparkSpec {
       "Transfer-Encoding: chunked, gzip\r\n\r\nliteral")._3 == "literal")
   }
 
+  test("obs-fold continuations (RFC 9112 §5.2) join onto the field value") {
+    // a FOLDED Transfer-Encoding must still switch framing to chunked —
+    // pre-fix it read as a colon-less junk line and the chunk-size lines
+    // leaked into the body (r15 ADVICE)
+    val folded = "HTTP/1.1 200 OK\r\n" +
+      "Transfer-Encoding: gzip,\r\n \tchunked\r\n\r\n" +
+      "4\r\nWiki\r\n0\r\n\r\n"
+    assert(payload(folded) == (200, "", "Wiki"))
+    // folded content-type: value parts joined with one space
+    val foldedCt = "HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/html;\r\n\tcharset=utf-8\r\n\r\nx"
+    assert(payload(foldedCt)._2 == "text/html; charset=utf-8")
+    // the blank separator line is NOT a continuation: body untouched
+    assert(payload("HTTP/1.1 200 OK\r\nX: y\r\n\r\n  indented body")._3 ==
+      "  indented body")
+  }
+
   test("WARC http framing round-trips through the splitter") {
     val recs = Seq("first body", "second körper")
       .zipWithIndex.map { case (b, i) =>

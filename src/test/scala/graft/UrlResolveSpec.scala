@@ -24,7 +24,15 @@ class UrlResolveSpec extends SparkSpec {
     assert(r(base, "./g") == "http://a/b/c/g")
     assert(r(base, "g/") == "http://a/b/c/g/")
     assert(r(base, "/g") == "http://a/g")
-    assert(r(base, "//g") == "http://g")
+    // deviation from the RFC's literal "http://g": network-path refs run
+    // through the same canonicalization as absolute refs (empty path →
+    // "/"), so "//g" and "http://g" resolve identically
+    assert(r(base, "//g") == "http://g/")
+    assert(r(base, "//g") == r(base, "http://g"))
+    // the r15-ADVICE divergence: a dotted network-path ref must land on
+    // the same frontier entry as its absolute spelling
+    assert(r(base, "//host/a/../b") == "http://host/b")
+    assert(r(base, "//host/a/../b") == r(base, "http://host/a/../b"))
     assert(r(base, "?y") == "http://a/b/c/d;p?y")
     assert(r(base, "g?y") == "http://a/b/c/g?y")
     assert(r(base, ";x") == "http://a/b/c/;x")
