@@ -2416,6 +2416,37 @@ object SparkEntry {
       .orderBy("doc_id", "outlink")
   }
 
+  /** Crawl-wave incrementality: two outlink waves against the PERSISTED
+    * seen-URL history — wave 1 (even doc ids) lands entirely, wave 2
+    * (ids divisible by 3) keeps only urls never seen (odd multiples of
+    * 3); rediscoveries are excluded by the anti-join against the
+    * TaggedAppend-committed history. The oracle replays both diffs in
+    * closed form. Snapshot/replay semantics (pinned file lists, same-tag
+    * crash retry convergence) are pinned by FrontierSpec; the fixture
+    * history is REPLAY-CLEAN (deleted at gate start — a previous run's
+    * table would mark every wave-1 url already seen).
+    * See [[graft.operators.Frontier.seenDiffAndRecord]]. */
+  private def t66_seen_urls(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_fixtures/seen_urls_" +
+      java.net.URLEncoder.encode(dir, "UTF-8")
+    graft.core.Discovery.fileSystemFor(path, s.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(path), true)
+    val d = t(s, dir, "documents")
+    val url = concat(lit("http://w.com/p"), col("doc_id").cast("string"))
+    val wave1 = d.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), url.as("url"))
+    val wave2 = d.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), url.as("url"))
+    val fresh1 = graft.operators.Frontier
+      .seenDiffAndRecord(wave1, "url", path, "wave1")
+    val fresh2 = graft.operators.Frontier
+      .seenDiffAndRecord(wave2, "url", path, "wave2")
+    fresh1.withColumn("wave", lit(1))
+      .unionByName(fresh2.withColumn("wave", lit(2)))
+      .select("wave", "doc_id", "url")
+      .orderBy("wave", "doc_id")
+  }
+
   /** Unicode NFC canonicalization, cross-validated between the JDK
     * (UAX #15 via java.text.Normalizer) and DuckDB's ICU
     * `nfc_normalize`: the fixture decomposes every `e` into
@@ -4612,6 +4643,39 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** MAIN-CONTENT extraction (t48's tag-stripper plus WSDM 2010 block
+    * densitometry and HTML5 landmark pruning) over a per-document page
+    * with planted chrome: title, a link-only nav bar, an ad-carrying
+    * aside and a footer must ALL drop, while the two long body
+    * paragraphs survive — the oracle states the surviving text directly
+    * (the t48 convention: fixture built by the same concat on both
+    * sides, no HTML parsing in DuckDB). Both filler sentences exceed
+    * the classifier's 16-word threshold on their own, so the verdict
+    * never depends on the corpus text's length. Classifier contours
+    * (teaser pruning, neighbor rescue, missing `</head>`) are pinned by
+    * MainContentSpec. See [[graft.functions.MainContentExpr]]. */
+  private def t65_main_content(s: SparkSession, dir: String): DataFrame = {
+    val f1 = "Lead filler sentence with comfortably more than the sixteen " +
+      "words the shallow classifier needs to call a block content:"
+    val f2 = "A second body paragraph likewise carries enough running " +
+      "words to stand as content on its own after the aside:"
+    val html = concat(
+      lit("<html><head><title>Doc "), col("doc_id"),
+      lit("</title></head><body>"),
+      lit("<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a>" +
+        " <a href=\"/contact\">Contact</a></nav>"),
+      lit(s"<p>$f1 "), col("text"), lit("</p>"),
+      lit("<aside>Sponsored <a href=\"/deal"), col("doc_id"),
+      lit("\">deal</a> today</aside>"),
+      lit(s"<p>$f2 "), col("text"), lit("</p>"),
+      lit("<footer>Copyright "), col("doc_id"),
+      lit(" <a href=\"/privacy\">Privacy</a></footer></body></html>"))
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.mainContent(html).as("content"))
+      .orderBy("doc_id")
+  }
+
   /** Conversation assembly over the event log: per-user ordered
     * transcript of "event_type: props" lines, capped at 50 turns (some
     * users exceed it at this SF, so the WindowGroupLimit cap binds and
@@ -4837,6 +4901,7 @@ object SparkEntry {
     "t45_hard_negatives" -> (t45_hard_negatives _),
     "t47_theta_intersect" -> (t47_theta_intersect _),
     "t48_markup_extract" -> (t48_markup_extract _),
+    "t65_main_content" -> (t65_main_content _),
     "t49_bitext" -> (t49_bitext _),
     "st18_stream_extract" -> (st18_stream_extract _),
     "st20_stream_crawl" -> (st20_stream_crawl _),
@@ -4902,6 +4967,7 @@ object SparkEntry {
     "t59b_http_chunked" -> (t59b_http_chunked _),
     "t60_html_meta" -> (t60_html_meta _),
     "t61_outlinks" -> (t61_outlinks _),
+    "t66_seen_urls" -> (t66_seen_urls _),
     "t62_nfc_normalize" -> (t62_nfc_normalize _),
     "t54c_robots_sitemaps" -> (t54c_robots_sitemaps _),
     "t63_unigram_tokens" -> (t63_unigram_tokens _),
@@ -5793,6 +5859,17 @@ object SparkEntry {
            'bold and italic words < 5 alpha' || chr(10) ||
            'first' || chr(10) || 'second' AS clean
          FROM documents ORDER BY doc_id""",
+    // planted chrome (title/nav/aside/footer) drops; the two filler-led
+    // body paragraphs survive verbatim — stated directly, t48-style
+    "t65_main_content" ->
+      """SELECT doc_id,
+           'Lead filler sentence with comfortably more than the sixteen '
+             || 'words the shallow classifier needs to call a block '
+             || 'content: ' || text || chr(10) ||
+           'A second body paragraph likewise carries enough running '
+             || 'words to stand as content on its own after the aside: '
+             || text AS content
+         FROM documents ORDER BY doc_id""",
     // same direct-SQL truth, gating the STREAMING execution (st7 convention)
     "st18_stream_extract" ->
       """SELECT doc_id,
@@ -6030,6 +6107,18 @@ object SparkEntry {
          SELECT doc_id, outlink, fetch_seq,
            CAST((fetch_seq - 1) * 500 AS BIGINT) AS eta_ms
          FROM ranked ORDER BY doc_id, outlink""",
+    // wave 1 = all evens (empty history); wave 2 = thirds never seen,
+    // i.e. odd multiples of 3 — the anti-join replayed in closed form
+    "t66_seen_urls" ->
+      """SELECT * FROM (
+           SELECT 1 AS wave, doc_id,
+             'http://w.com/p' || doc_id AS url
+           FROM documents WHERE doc_id % 2 = 0
+           UNION ALL
+           SELECT 2 AS wave, doc_id,
+             'http://w.com/p' || doc_id AS url
+           FROM documents WHERE doc_id % 3 = 0 AND doc_id % 2 <> 0)
+         ORDER BY wave, doc_id""",
     // both engines recompose the SAME decomposed construction; the
     // unchanged boolean proves the decomposition altered the bytes
     "t62_nfc_normalize" ->

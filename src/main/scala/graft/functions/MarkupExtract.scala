@@ -73,7 +73,7 @@ object MarkupExtractExpr {
   * non-ASCII text passes through untouched). */
 object MarkupExtractImpl {
 
-  private val blockTags: java.util.HashSet[String] = {
+  private[functions] val blockTags: java.util.HashSet[String] = {
     val s = new java.util.HashSet[String]()
     Seq("p", "div", "br", "hr", "li", "ul", "ol", "tr", "table", "thead",
       "tbody", "blockquote", "pre", "h1", "h2", "h3", "h4", "h5", "h6",
@@ -83,11 +83,45 @@ object MarkupExtractImpl {
     s
   }
 
-  private def isWsChar(c: Char): Boolean =
+  private[functions] def isWsChar(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == '\u000B'
 
-  private def isAsciiLetter(c: Char): Boolean =
+  private[functions] def isAsciiLetter(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+
+  /** Entity decode at `s(i) == '&'` -- the named set `amp lt gt quot apos
+    * nbsp` plus numeric `&#NN;`/`&#xHH;`. Packs `(resumeIndex << 32) |
+    * codepoint`, or -1 when the run is not a recognized entity (caller
+    * emits the literal `&`). Shared with [[MainContentImpl]] so the two
+    * extractors can never drift on the entity grammar. */
+  private[functions] def entityAt(s: String, i: Int): Long = {
+    val n = s.length
+    var decoded = -1
+    var next = i
+    if (s.startsWith("&amp;", i)) { decoded = '&'; next = i + 5 }
+    else if (s.startsWith("&lt;", i)) { decoded = '<'; next = i + 4 }
+    else if (s.startsWith("&gt;", i)) { decoded = '>'; next = i + 4 }
+    else if (s.startsWith("&quot;", i)) { decoded = '"'; next = i + 6 }
+    else if (s.startsWith("&apos;", i)) { decoded = '\''; next = i + 6 }
+    else if (s.startsWith("&nbsp;", i)) { decoded = ' '; next = i + 6 }
+    else if (s.startsWith("&#", i)) {
+      var j = i + 2
+      val hex = j < n && (s.charAt(j) == 'x' || s.charAt(j) == 'X')
+      if (hex) j += 1
+      var v = 0
+      var any = false
+      var ok = true
+      while (j < n && ok && s.charAt(j) != ';') {
+        val d = Character.digit(s.charAt(j), if (hex) 16 else 10)
+        if (d < 0 || v > 0x10FFFF) ok = false
+        else { v = v * (if (hex) 16 else 10) + d; any = true; j += 1 }
+      }
+      if (ok && any && j < n && s.charAt(j) == ';' && v <= 0x10FFFF) {
+        decoded = v; next = j + 1
+      }
+    }
+    if (decoded < 0) -1L else (next.toLong << 32) | decoded.toLong
+  }
 
   def extract(input: UTF8String): UTF8String = {
     val s = input.toString
@@ -160,31 +194,9 @@ object MarkupExtractImpl {
           if (name.nonEmpty && blockTags.contains(name)) pending = 2
         }
       } else if (c == '&') {
-        // try entity
-        var decoded = -1
-        var next = i
-        if (s.startsWith("&amp;", i)) { decoded = '&'; next = i + 5 }
-        else if (s.startsWith("&lt;", i)) { decoded = '<'; next = i + 4 }
-        else if (s.startsWith("&gt;", i)) { decoded = '>'; next = i + 4 }
-        else if (s.startsWith("&quot;", i)) { decoded = '"'; next = i + 6 }
-        else if (s.startsWith("&apos;", i)) { decoded = '\''; next = i + 6 }
-        else if (s.startsWith("&nbsp;", i)) { decoded = ' '; next = i + 6 }
-        else if (s.startsWith("&#", i)) {
-          var j = i + 2
-          val hex = j < n && (s.charAt(j) == 'x' || s.charAt(j) == 'X')
-          if (hex) j += 1
-          var v = 0
-          var any = false
-          var ok = true
-          while (j < n && ok && s.charAt(j) != ';') {
-            val d = Character.digit(s.charAt(j), if (hex) 16 else 10)
-            if (d < 0 || v > 0x10FFFF) ok = false
-            else { v = v * (if (hex) 16 else 10) + d; any = true; j += 1 }
-          }
-          if (ok && any && j < n && s.charAt(j) == ';' && v <= 0x10FFFF) {
-            decoded = v; next = j + 1
-          }
-        }
+        val packed = entityAt(s, i)
+        val decoded = if (packed < 0) -1 else packed.toInt
+        val next = if (packed < 0) i else (packed >>> 32).toInt
         if (decoded < 0) { emitChar('&'); i += 1 }
         else {
           if (decoded == ' ') { if (pending == 0) pending = 1; }

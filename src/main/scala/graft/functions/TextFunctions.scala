@@ -399,6 +399,13 @@ object TextFunctions {
     * [[MarkupExtractExpr]]. */
   def extractMarkup(text: Column): Column = MarkupExtractExpr(text)
 
+  /** Markup → MAIN-CONTENT text only: [[extractMarkup]]'s grammar plus
+    * block-level boilerplate classification (WSDM 2010 densitometry +
+    * HTML5 landmark pruning) — nav bars, footers, sidebars and link
+    * lists drop; article text stays. Full contract on
+    * [[MainContentExpr]]. */
+  def mainContent(html: Column): Column = MainContentExpr(html)
+
   /** Canonical URL normalization — the key URL-level dedup and
     * host-level grouping both stand on (two crawls of one page differ
     * by case, default ports, trailing slashes, tracker params and

@@ -100,6 +100,83 @@ object Frontier {
       .drop("__host", "__rk")
   }
 
+  // ------------------------------------------------- seen-URL set
+
+  /** The persisted crawl HISTORY (seen-URL set) at `path`: flat parquet,
+    * one `url STRING` column, committed wave-by-wave through
+    * [[graft.core.TaggedAppend]] — the d11 persisted-index recipe
+    * applied to URLs, closing the crawl loop ACROSS waves (the frontier
+    * schedules and caps within a wave; without the history a multi-wave
+    * crawl refetches every rediscovered URL).
+    *
+    * Read returns the set as of an EXPLICIT file list resolved at call
+    * time, optionally excluding one tag's own files — the replay seam:
+    * a wave that crashed after committing its append must, on retry,
+    * compute the SAME diff it would have computed before the crash, so
+    * the diff never reads the wave's own commits. The pinned file list
+    * also gives snapshot isolation: re-evaluating the returned plan
+    * after the append still reads the pre-append set.
+    *
+    * 100 TB shape: the listing is metadata-only; the diff is one
+    * string-keyed anti-join (shuffle on the url — the canonical
+    * bulk-dedup shape; a full wave probes the whole set, so per-file
+    * Bloom skipping buys nothing here, unlike point lookups). Compact
+    * the table periodically like any TaggedAppend target; normalize
+    * URLs ([[graft.functions.TextFunctions.normalizeUrl]]) BEFORE
+    * recording or two spellings of one page defeat the set. */
+  def seenUrls(spark: org.apache.spark.sql.SparkSession, path: String,
+      excludeTag: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val fs = graft.core.Discovery.fileSystemFor(path,
+      spark.sessionState.newHadoopConf())
+    val root = new org.apache.hadoop.fs.Path(path)
+    val files =
+      if (!fs.exists(root)) Seq.empty[String]
+      else fs.listStatus(root).toSeq
+        .filter(_.isFile)
+        .map(_.getPath)
+        .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
+        .filterNot(p => excludeTag.exists(t =>
+          p.getName.startsWith(graft.core.TaggedAppend.filePrefix(t))))
+        .map(_.toString)
+    if (files.isEmpty) Seq.empty[String].toDF("url")
+    else {
+      val df = spark.read.parquet(files: _*)
+      require(df.columns.contains("url"),
+        s"seen-URL table at $path has columns " +
+          s"${df.columns.mkString(",")} — expected a 'url' column; " +
+          "is this really a seen-URL set?")
+      df.select(col("url"))
+    }
+  }
+
+  /** Wave outlinks minus the crawl history: rows of `wave` whose
+    * `urlCol` is not in the persisted set. `excludeTag` hides that
+    * tag's own committed files from the set (see [[seenUrls]]). */
+  def seenDiff(wave: DataFrame, urlCol: String, path: String,
+      excludeTag: Option[String] = None): DataFrame =
+    wave.join(
+      seenUrls(wave.sparkSession, path, excludeTag)
+        .select(col("url").as(urlCol)),
+      Seq(urlCol), "left_anti")
+
+  /** One crawl-wave step: returns the wave's NEW urls (the fetch list)
+    * and commits exactly those to the history under `tag`. Replay-
+    * idempotent end to end: a retry of the same logical wave (same
+    * `tag`, same input) recomputes the same diff (its own commits are
+    * excluded from the read) and TaggedAppend converges the files to
+    * one copy — crash at any point, rerun, get the same fetch list and
+    * the same final table. One tag per wave; concurrent waves need
+    * distinct tags (TaggedAppend's single-writer-per-tag contract). */
+  def seenDiffAndRecord(wave: DataFrame, urlCol: String, path: String,
+      tag: String): DataFrame = {
+    graft.core.TaggedAppend.requireSafeTag(tag)
+    val fresh = seenDiff(wave, urlCol, path, excludeTag = Some(tag))
+    graft.core.TaggedAppend.append(
+      fresh.select(col(urlCol).as("url")).distinct(), path, tag)
+    fresh
+  }
+
   /** Silently clobbering an input column is data loss: re-scheduling an
     * already-scheduled frame would overwrite its prior wave's
     * fetch_seq/eta_ms with no error — rename or drop them first, on

@@ -148,6 +148,41 @@ class FrontierSpec extends SparkSpec {
     }
   }
 
+  test("seen-URL set: two-wave diff, crash replay converges, snapshot reads") {
+    val path = tmpDir("seen_urls") + "/t"
+    def wave(urls: String*) = urls.toDF("url")
+    // wave 1 against an empty (missing) table: everything is fresh
+    val w1 = Frontier.seenDiffAndRecord(
+      wave("http://a/1", "http://a/2", "http://a/2"), "url", path, "w1")
+    assert(w1.select("url").distinct().count() == 2)
+    // wave 2: rediscoveries of wave-1 urls are excluded
+    val w2 = Frontier.seenDiffAndRecord(
+      wave("http://a/2", "http://b/1"), "url", path, "w2")
+    assert(w2.collect().map(_.getString(0)).toSet == Set("http://b/1"))
+    // crash replay: re-running wave 2 (same tag, same input) returns the
+    // SAME diff — its own committed files are excluded from the read —
+    // and the table converges to one copy per url
+    val w2again = Frontier.seenDiffAndRecord(
+      wave("http://a/2", "http://b/1"), "url", path, "w2")
+    assert(w2again.collect().map(_.getString(0)).toSet == Set("http://b/1"))
+    val all = Frontier.seenUrls(spark, path).collect().map(_.getString(0))
+    assert(all.sorted.toSeq == Seq("http://a/1", "http://a/2", "http://b/1"),
+      s"history must hold each url exactly once, got ${all.toSeq}")
+    // snapshot isolation: a diff plan built BEFORE an append still reads
+    // the pre-append file list when evaluated after it
+    val diffBefore = Frontier.seenDiff(wave("http://c/1"), "url", path)
+    Frontier.seenDiffAndRecord(wave("http://c/1"), "url", path, "w3")
+    assert(diffBefore.count() == 1,
+      "pinned file list must not see the later append")
+    // schema guard: a non-seen-table path is refused loudly
+    val other = tmpDir("seen_urls_bad") + "/t"
+    Seq((1L, "x")).toDF("id", "text").write.parquet(other)
+    val e = intercept[IllegalArgumentException] {
+      Frontier.seenUrls(spark, other).collect()
+    }
+    assert(e.getMessage.contains("url"))
+  }
+
   test("capPerHost keeps the k best per host and plans WindowGroupLimit") {
     val urls = (0 until 40).map(i =>
       (s"http://h${i % 2}.com/$i", (i % 5).toLong)).toDF("url", "prio")
