@@ -1413,6 +1413,49 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** FUZZY decontamination vs the exact path, adversarially: planted
+    * PARAPHRASES of the eval docs (a unique junk token injected after
+    * every 6th word, so no verbatim 8-gram survives — max clean run is
+    * 6 words — while roughly half the word trigrams do). The gate pins
+    * BOTH verdicts per planted doc: `fuzzy_caught = 1` (minhash/LSH +
+    * exact-Jaccard verify at threshold 0.2 finds the eval source) and
+    * `exact_caught = 0` (d8's n-gram overlap at n = 8 reads zero — the
+    * class of leak it provably misses). Eval set restricted to docs
+    * with ≥ 30 words so every plant has enough shingles for the
+    * closed-form verdict; minhash is seeded, so the whole pipeline is
+    * deterministic. See [[graft.operators.Decontaminate.nearDupOverlap]]. */
+  private def d22_decontam_fuzzy(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val evalSet = docs
+      .filter(col("doc_id") % 100 === 0 && size(split(col("text"), " ")) >= 30)
+      .select(col("doc_id"), col("text"))
+    val marker = concat(lit("zzq"), col("doc_id").cast("string"), lit("qzz"))
+    val para = array_join(
+      flatten(transform(split(col("text"), " "),
+        (w, i) => when((i + 1) % 6 === 0, array(w, marker))
+          .otherwise(array(w)))), " ")
+    val planted = evalSet
+      .select((col("doc_id") + 7000000L).as("doc_id"), para.as("text"))
+    val fuzzy = Decontaminate
+      .nearDupOverlap(planted, "doc_id", "text", evalSet, "doc_id", "text")
+      // planted mapping only (d11 policy: organic cross-matches are not
+      // SQL-enumerable)
+      .filter(col("eval_id") === col("doc_id") - 7000000L)
+      .select(col("doc_id"), lit(1).as("fuzzy_caught"))
+    val exact = Decontaminate
+      .ngramOverlap(planted, "doc_id", "text", evalSet.select("text"), "text",
+        n = 8, threshold = 0.2)
+      .select(col("doc_id"), col("contaminated").cast("int").as("exact_caught"))
+    planted.select(col("doc_id"))
+      .join(fuzzy, Seq("doc_id"), "left")
+      .join(exact, Seq("doc_id"), "left")
+      .select(col("doc_id").as("new_id"),
+        (col("doc_id") - 7000000L).as("eval_id"),
+        coalesce(col("fuzzy_caught"), lit(0)).as("fuzzy_caught"),
+        col("exact_caught"))
+      .orderBy("new_id")
+  }
+
   /** The drop side of decontamination: corpus minus flagged docs. */
   private def d8b_decontam_drop(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
@@ -4993,6 +5036,7 @@ object SparkEntry {
     "d7_connected_components" -> (d7_connected_components _),
     "d8_decontam" -> (d8_decontam _),
     "d8b_decontam_drop" -> (d8b_decontam_drop _),
+    "d22_decontam_fuzzy" -> (d22_decontam_fuzzy _),
     "d9_pipeline_full" -> (d9_pipeline_full _),
     "d10_span_stats" -> (d10_span_stats _),
     "d10b_span_stats_hashed" -> (d10b_span_stats_hashed _),
@@ -7137,6 +7181,14 @@ object SparkEntry {
              / max(ex.total) >= 0.5 AS INT) AS contaminated
          FROM ex LEFT JOIN bg ON bg.gram = ex.gram
          GROUP BY ex.doc_id ORDER BY ex.doc_id""",
+    // planted paraphrases: fuzzy catches every one, exact misses every
+    // one — stated directly (planted-variant verdict convention)
+    "d22_decontam_fuzzy" ->
+      """SELECT doc_id + 7000000 AS new_id, doc_id AS eval_id,
+           1 AS fuzzy_caught, 0 AS exact_caught
+         FROM documents
+         WHERE doc_id % 100 = 0 AND len(string_split(text, ' ')) >= 30
+         ORDER BY new_id""",
     "d8b_decontam_drop" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
                     FROM documents),

@@ -81,6 +81,67 @@ object Decontaminate {
       .withColumn("contaminated", col("contamination") >= threshold)
   }
 
+  /** FUZZY decontamination: flag training docs that NEAR-duplicate an
+    * eval doc — minhash/LSH candidate generation plus exact
+    * shingle-Jaccard verification, the [[Dedup.minhashPairsAgainst]]
+    * machinery with the EVAL SET as the index side. Catches the
+    * paraphrased-contamination class [[ngramOverlap]] provably misses:
+    * a light rewrite (word swaps, inserted tokens) leaves no verbatim
+    * 8-gram, so exact overlap reads 0, while most word shingles still
+    * match (the Lee et al. 2022 / GPT-3 appendix-B warning).
+    *
+    * Returns one row per (train doc, matched eval doc) pair at
+    * `jaccard >= threshold`: `(idCol, eval_id, jaccard)`.
+    *
+    * Defaults differ from dedup's on purpose: `threshold = 0.2` (any
+    * substantial shingle overlap with an eval doc is disqualifying —
+    * contamination tolerance is much lower than duplication tolerance)
+    * and `rowsPerBand = 1` (64 one-row bands: candidate-recall
+    * `1-(1-j)^64` ≈ 1 down to j ≈ 0.15, where dedup's 4-row bands
+    * would miss low-j pairs; the extra candidates are cheap because
+    * the eval-side bucket table is tiny). 100 TB shape: the corpus
+    * streams once through the bucket join (the small eval side
+    * broadcasts) and only candidate pairs reach the verify join. */
+  def nearDupOverlap(
+      train: DataFrame,
+      idCol: String,
+      textCol: String,
+      bench: DataFrame,
+      benchIdCol: String,
+      benchTextCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      seed: Long = 42L,
+      rowsPerBand: Int = 1,
+      threshold: Double = 0.2): DataFrame =
+    Dedup.minhashPairsAgainst(
+        train, idCol, textCol,
+        Dedup.minhashIndex(bench, benchIdCol, benchTextCol,
+          shingleSize, numHashes, seed),
+        shingleSize, numHashes, rowsPerBand, threshold, seed)
+      .select(col("id_a").as(idCol), col("id_b").as("eval_id"),
+        col("jaccard"))
+
+  /** Drop mode of [[nearDupOverlap]] (composes like [[decontaminate]]):
+    * `train` minus docs near-duplicating any eval doc. */
+  def decontaminateNearDup(
+      train: DataFrame,
+      idCol: String,
+      textCol: String,
+      bench: DataFrame,
+      benchIdCol: String,
+      benchTextCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      seed: Long = 42L,
+      rowsPerBand: Int = 1,
+      threshold: Double = 0.2): DataFrame = {
+    val flagged = nearDupOverlap(train, idCol, textCol, bench, benchIdCol,
+        benchTextCol, shingleSize, numHashes, seed, rowsPerBand, threshold)
+      .select(col(idCol)).distinct()
+    train.join(flagged, Seq(idCol), "left_anti")
+  }
+
   /** Drop contaminated docs: `train` minus docs flagged by [[ngramOverlap]]
     * (left-anti on the flagged id set — the corpus streams through one
     * anti-join, no wide row is built). */

@@ -1325,3 +1325,37 @@ class ExactKeepBestSpec extends SparkSpec {
     assert(got == Set((1L, Some(0.5)), (3L, None)))
   }
 }
+
+/** Fuzzy decontamination: the paraphrased-leak class — caught by
+  * minhash near-dup overlap, provably missed by exact n-gram overlap. */
+class FuzzyDecontamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("paraphrase: fuzzy catches, exact misses, drop mode composes") {
+    val evalDoc = (1 to 40).map(i => s"tok$i").mkString(" ")
+    // junk token injected every 6 words: no 8-gram survives, most
+    // trigram shingles do
+    val para = (1 to 40).flatMap(i =>
+      if (i % 6 == 0) Seq(s"tok$i", "junk") else Seq(s"tok$i")).mkString(" ")
+    val unrelated = (1 to 40).map(i => s"other$i").mkString(" ")
+    val train = Seq((1L, para), (2L, unrelated)).toDF("id", "text")
+    val bench = Seq((100L, evalDoc)).toDF("id", "text")
+    val pairs = graft.operators.Decontaminate
+      .nearDupOverlap(train, "id", "text", bench, "id", "text")
+      .collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 100L)), "exactly the paraphrase matches its eval source")
+    assert(pairs.head.getDouble(2) >= 0.2 && pairs.head.getDouble(2) < 1.0,
+      s"verified jaccard in (0.2, 1): ${pairs.head.getDouble(2)}")
+    val exact = graft.operators.Decontaminate
+      .ngramOverlap(train, "id", "text", bench.select("text"), "text",
+        n = 8, threshold = 0.2)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(!exact(1L) && !exact(2L),
+      "exact 8-gram overlap must miss the paraphrase entirely")
+    val kept = graft.operators.Decontaminate
+      .decontaminateNearDup(train, "id", "text", bench, "id", "text")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L), "drop mode removes only the paraphrase")
+  }
+}
