@@ -67,7 +67,11 @@ object Bench {
     // replica token suffixes defeat the langid word lists by design,
     // so its 10× behavior is its stages', each measured separately)
     "t61_outlinks", "t63_unigram_tokens", "t54d_robots_crawldelay",
-    "t64_curation_pipeline")
+    "t64_curation_pipeline",
+    // round-16: main-content extraction (block densitometry, map-side)
+    // and the composed crawl back edge (HTTP split → main content →
+    // outlink harvest → politeness window in one query)
+    "t65_main_content", "t67_crawl_backedge")
 
   /** Queries measured on the replicated corpus for the scaling slope —
     * the shuffle-heavy pipeline shapes whose 100 TB behavior a plan read
@@ -115,7 +119,17 @@ object Bench {
     // the encode is one map-side Viterbi kernel per word;
     // t54d: replicas SHARE the nine hosts, so per-host windows grow
     // ×10 — the q6-style keyed-window growth shape, measured honestly
-    "t61_outlinks", "t63_unigram_tokens", "t54d_robots_crawldelay")
+    "t61_outlinks", "t63_unigram_tokens", "t54d_robots_crawldelay",
+    // round-16 (closing the r15 verdict's measure-don't-assume list):
+    // t64's 10× leg exercises the langid + quality metrics at 10× but
+    // the dedup TAIL at ~1× — replica docs fail the language gate by
+    // fixture construction (every token is suffixed, so the word lists
+    // miss and lang_pred = und); the dedup stage's own 10× behavior is
+    // d1/d2/d12's, measured separately. The metrics ARE the dominant
+    // cost, so the slope is still the honest number for the stage.
+    // t65/t67 are map-side kernels + the t61-shaped window; replica
+    // urls embed shifted doc ids, hosts stay 9 (keyed-window growth).
+    "t64_curation_pipeline", "t65_main_content", "t67_crawl_backedge")
 
   /** Materialize a `factor`×-replicated copy of the FACT tables the scale
     * set reads (documents, lineitem, orders, events) plus 1× copies of

@@ -2490,6 +2490,56 @@ object SparkEntry {
       .orderBy("wave", "doc_id")
   }
 
+  /** The crawl BACK EDGE composed end-to-end (the t53 convention, one
+    * hop later in the loop): each page arrives as a framed HTTP/1.1
+    * response, the splitter strips the envelope, the main-content
+    * classifier reduces the body to its one real paragraph (title/nav/
+    * footer chrome drops), the outlink harvester resolves all five
+    * reference shapes from the SAME body, and the frontier schedules
+    * them under per-host politeness — t59 → t65 → t61 as one hash.
+    * `content_words` rides each row so the content extraction and the
+    * link schedule are pinned together; the oracle replays every
+    * resolution and the window in closed form. Scale shape: HTTP split,
+    * content classification and link harvest are map-side kernels; the
+    * only shuffles are outlinks' distinct and the per-host window
+    * (hosts grow with the corpus — the t61 shape). */
+  private def t67_crawl_backedge(s: SparkSession, dir: String): DataFrame = {
+    val f1 = "Nineteen steady filler words keep this single body " +
+      "paragraph comfortably past the content threshold of the shallow " +
+      "block classifier here:"
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .withColumn("url", concat(
+        lit("http://site"), (col("doc_id") % 9).cast("string"),
+        lit(".com/a/b/page"), col("doc_id").cast("string")))
+    val id = col("doc_id").cast("string")
+    val html = concat(
+      lit("<html><head><title>Doc "), id, lit("</title></head><body>"),
+      lit("<nav><a href=\"https://abs.example/x"), id, lit("\">a</a>"),
+      lit("<a href='/rooted/"), id, lit("'>b</a>"),
+      lit("<a href=\"../up/"), id, lit("\">c</a>"),
+      lit("<a href=\"?q="), id, lit("\">d</a>"),
+      lit("<a href=\"//mirror.net/m"), id, lit("\">e</a>"),
+      lit("<a href=\"mailto:x@example.com\">f</a></nav>"),
+      lit(s"<p>$f1 "), col("text"), lit("</p>"),
+      lit("<footer>fin</footer></body></html>"))
+    val msg = concat(
+      lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"), html)
+    val pages = docs.select(col("url"),
+      graft.functions.HttpPayloadExpr(msg.cast("binary"))
+        .getField("body").cast("string").as("html"))
+    val content = pages.select(col("url"),
+      size(split(graft.functions.TextFunctions.mainContent(col("html")),
+        " ")).as("content_words"))
+    val links = graft.operators.Frontier.outlinks(pages, "url", "html")
+    graft.operators.Frontier.schedule(links, "outlink",
+        priorityCol = "outlink", delayMs = 500L)
+      .join(content, "url")
+      .withColumn("doc_id",
+        regexp_extract(col("url"), "page([0-9]+)$", 1).cast("long"))
+      .select("doc_id", "outlink", "fetch_seq", "eta_ms", "content_words")
+      .orderBy("doc_id", "outlink")
+  }
+
   /** Unicode NFC canonicalization, cross-validated between the JDK
     * (UAX #15 via java.text.Normalizer) and DuckDB's ICU
     * `nfc_normalize`: the fixture decomposes every `e` into
@@ -5011,6 +5061,7 @@ object SparkEntry {
     "t60_html_meta" -> (t60_html_meta _),
     "t61_outlinks" -> (t61_outlinks _),
     "t66_seen_urls" -> (t66_seen_urls _),
+    "t67_crawl_backedge" -> (t67_crawl_backedge _),
     "t62_nfc_normalize" -> (t62_nfc_normalize _),
     "t54c_robots_sitemaps" -> (t54c_robots_sitemaps _),
     "t63_unigram_tokens" -> (t63_unigram_tokens _),
@@ -6151,6 +6202,42 @@ object SparkEntry {
          SELECT doc_id, outlink, fetch_seq,
            CAST((fetch_seq - 1) * 500 AS BIGINT) AS eta_ms
          FROM ranked ORDER BY doc_id, outlink""",
+    // every resolution replayed in closed form (the t61 skeleton) plus
+    // the main-content word count (20 filler words + the doc's own)
+    "t67_crawl_backedge" ->
+      """WITH cw AS (
+           SELECT doc_id,
+             CAST(20 + len(string_split(text, ' ')) AS INT) AS content_words
+           FROM documents),
+         links AS (
+           SELECT doc_id, 'https://abs.example/x' || doc_id AS outlink,
+             'abs.example' AS h FROM documents
+           UNION ALL
+           SELECT doc_id,
+             'http://site' || (doc_id % 9) || '.com/rooted/' || doc_id,
+             'site' || (doc_id % 9) || '.com' FROM documents
+           UNION ALL
+           SELECT doc_id,
+             'http://site' || (doc_id % 9) || '.com/a/up/' || doc_id,
+             'site' || (doc_id % 9) || '.com' FROM documents
+           UNION ALL
+           SELECT doc_id,
+             'http://site' || (doc_id % 9) || '.com/a/b/page' || doc_id
+               || '?q=' || doc_id,
+             'site' || (doc_id % 9) || '.com' FROM documents
+           UNION ALL
+           SELECT doc_id, 'http://mirror.net/m' || doc_id, 'mirror.net'
+           FROM documents),
+         ranked AS (
+           SELECT doc_id, outlink,
+             CAST(row_number() OVER (PARTITION BY h ORDER BY outlink DESC)
+               AS INT) AS fetch_seq
+           FROM links)
+         SELECT r.doc_id, r.outlink, r.fetch_seq,
+           CAST((r.fetch_seq - 1) * 500 AS BIGINT) AS eta_ms,
+           cw.content_words
+         FROM ranked r JOIN cw ON r.doc_id = cw.doc_id
+         ORDER BY r.doc_id, r.outlink""",
     // wave 1 = all evens (empty history); wave 2 = thirds never seen,
     // i.e. odd multiples of 3 — the anti-join replayed in closed form
     "t66_seen_urls" ->
