@@ -71,7 +71,7 @@ object Bench {
     // round-16: main-content extraction (block densitometry, map-side)
     // and the composed crawl back edge (HTTP split → main content →
     // outlink harvest → politeness window in one query)
-    "t65_main_content", "t67_crawl_backedge")
+    "t65_main_content", "t67_crawl_backedge", "m16_interleave")
 
   /** Queries measured on the replicated corpus for the scaling slope —
     * the shuffle-heavy pipeline shapes whose 100 TB behavior a plan read
@@ -129,7 +129,10 @@ object Bench {
     // cost, so the slope is still the honest number for the stage.
     // t65/t67 are map-side kernels + the t61-shaped window; replica
     // urls embed shifted doc ids, hosts stay 9 (keyed-window growth).
-    "t64_curation_pipeline", "t65_main_content", "t67_crawl_backedge")
+    // m16: chunk→union→pack→join→window composition; replica docs get
+    // disjoint ids so shards/bins/media counts all grow linearly
+    "t64_curation_pipeline", "t65_main_content", "t67_crawl_backedge",
+    "m16_interleave")
 
   /** Materialize a `factor`×-replicated copy of the FACT tables the scale
     * set reads (documents, lineitem, orders, events) plus 1× copies of

@@ -3805,6 +3805,26 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Interleaved multimodal sequence assembly: 32-word text chunks and
+    * `<media:ord>` placeholders (doc_id % 3 media items per doc, 64
+    * tokens each) woven chunk0-media0-chunk1-media1, documents packed
+    * whole into 256-token windows (8 shards), elements numbered within
+    * each window. Every boundary is closed-form — the oracle replays
+    * chunk slicing (t18b's skeleton), the interleave positions, the
+    * t9-style recursive greedy pack at budget 256 and the window
+    * numbering, so assembly order, token accounting and the pack are
+    * one hash. See [[graft.operators.Interleave.assemble]]. */
+  private def m16_interleave(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val media = docs.filter(col("doc_id") % 3 > 0)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("doc_id") % 3 - 1)).as("ord"))
+    graft.operators.Interleave.assemble(
+        docs, "doc_id", "text", media, "doc_id", "ord",
+        chunkSize = 32, mediaTokens = 64, budget = 256, numShards = 8)
+      .orderBy("doc_id", "elem_ix")
+  }
+
   /** Deterministic source mixing: src0 ×2.5, src1 ×0.5, src2 dropped,
     * seventeen other sources pass through. */
   private def t10_mix(s: SparkSession, dir: String): DataFrame =
@@ -5134,6 +5154,7 @@ object SparkEntry {
     "t7_repetition" -> (t7_repetition _),
     "t8_split" -> (t8_split _),
     "t9_pack" -> (t9_pack _),
+    "m16_interleave" -> (m16_interleave _),
     "t10_mix" -> (t10_mix _),
     "t10b_mix_temperature" -> (t10b_mix_temperature _),
     "t11_perplexity" -> (t11_perplexity _),
@@ -8442,6 +8463,52 @@ object SparkEntry {
               + (CASE WHEN bf.rr IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_lists
          FROM af FULL OUTER JOIN bf USING (doc_id)
          ORDER BY doc_id""",
+    // chunk slicing (t18b skeleton) + interleave positions + the
+    // t9-style recursive greedy pack at 256 + window numbering
+    "m16_interleave" ->
+      """WITH RECURSIVE w AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+           FROM documents),
+         d AS (SELECT doc_id, ws,
+             greatest(1, CAST(ceil(len(ws) / 32.0) AS BIGINT)) AS n_chunks
+           FROM w),
+         ch AS (SELECT doc_id, ws, unnest(range(0, n_chunks)) AS i FROM d),
+         chunkrows AS (
+           SELECT doc_id, i * 2 AS elem_ix, 'text' AS kind,
+             array_to_string(list_slice(ws, CAST(i * 32 + 1 AS INT),
+               CAST(i * 32 + 32 AS INT)), ' ') AS content,
+             CAST(len(list_slice(ws, CAST(i * 32 + 1 AS INT),
+               CAST(i * 32 + 32 AS INT))) AS BIGINT) AS tokens
+           FROM ch),
+         mediarows AS (
+           SELECT doc_id, ord * 2 + 1 AS elem_ix, 'media' AS kind,
+             '<media:' || ord || '>' AS content, CAST(64 AS BIGINT) AS tokens
+           FROM (SELECT doc_id, unnest(range(0, doc_id % 3)) AS ord
+                 FROM documents WHERE doc_id % 3 > 0)),
+         elements AS (
+           SELECT * FROM chunkrows UNION ALL SELECT * FROM mediarows),
+         totals AS (SELECT doc_id, sum(tokens) AS tk FROM elements
+                    GROUP BY doc_id),
+         t AS (SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard, tk,
+             CAST(row_number() OVER (PARTITION BY doc_id % 8
+               ORDER BY doc_id) AS BIGINT) AS rn
+           FROM totals),
+         pack AS (
+           SELECT shard, rn, doc_id, tk, CAST(0 AS BIGINT) AS bin, tk AS fill
+           FROM t WHERE rn = 1
+           UNION ALL
+           SELECT t.shard, t.rn, t.doc_id, t.tk,
+             CASE WHEN p.fill > 0 AND p.fill + t.tk > 256
+                  THEN p.bin + 1 ELSE p.bin END,
+             CASE WHEN p.fill > 0 AND p.fill + t.tk > 256
+                  THEN t.tk ELSE p.fill + t.tk END
+           FROM pack p JOIN t ON t.shard = p.shard AND t.rn = p.rn + 1)
+         SELECT e.doc_id, p.shard, p.bin,
+           CAST(row_number() OVER (PARTITION BY p.shard, p.bin
+             ORDER BY e.doc_id, e.elem_ix) - 1 AS BIGINT) AS seq,
+           e.elem_ix, e.kind, e.content, e.tokens
+         FROM elements e JOIN pack p USING (doc_id)
+         ORDER BY e.doc_id, e.elem_ix""",
     "t9_pack" ->
       """WITH RECURSIVE t AS (
            SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard,

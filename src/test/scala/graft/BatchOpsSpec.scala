@@ -1359,3 +1359,62 @@ class FuzzyDecontamSpec extends SparkSpec {
     assert(kept == Set(2L), "drop mode removes only the paraphrase")
   }
 }
+
+/** Interleaved multimodal sequence assembly: element order, token
+  * accounting, whole-doc packing, loud ord guard. */
+class InterleaveSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunk/media weave, token costs, window numbering") {
+    val docs = Seq((1L, "a b c d e"), (2L, "x y")).toDF("id", "text")
+    val media = Seq((1L, 0L), (1L, 1L), (2L, 0L)).toDF("id", "ord")
+    val out = graft.operators.Interleave.assemble(
+        docs, "id", "text", media, "id", "ord",
+        chunkSize = 2, mediaTokens = 64, budget = 1000, numShards = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(4), r.getString(5),
+        r.getString(6), r.getLong(7))).sortBy(t => (t._1, t._2))
+    // doc 1: chunks [a b][c d][e] at 0/2/4, media at 1/3
+    assert(out.filter(_._1 == 1L).toSeq == Seq(
+      (1L, 0L, "text", "a b", 2L), (1L, 1L, "media", "<media:0>", 64L),
+      (1L, 2L, "text", "c d", 2L), (1L, 3L, "media", "<media:1>", 64L),
+      (1L, 4L, "text", "e", 1L)))
+    assert(out.filter(_._1 == 2L).toSeq == Seq(
+      (2L, 0L, "text", "x y", 2L), (2L, 1L, "media", "<media:0>", 64L)))
+    // one shard, budget 1000 -> one bin; seq follows (id, elem_ix)
+    val seqs = graft.operators.Interleave.assemble(
+        docs, "id", "text", media, "id", "ord",
+        chunkSize = 2, mediaTokens = 64, budget = 1000, numShards = 1)
+      .orderBy("id", "elem_ix")
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    assert(seqs.map(_._1).distinct.toSeq == Seq(0L), "single bin")
+    assert(seqs.map(_._2).toSeq == (0L until 7L), "seq is dense in weave order")
+  }
+
+  test("docs pack whole; a doc over budget gets its own bin") {
+    val docs = Seq((1L, "a b c"), (2L, "d e f"), (3L, "g h i"))
+      .toDF("id", "text")
+    val media = Seq.empty[(Long, Long)].toDF("id", "ord")
+    val bins = graft.operators.Interleave.assemble(
+        docs, "id", "text", media, "id", "ord",
+        chunkSize = 10, mediaTokens = 1, budget = 6, numShards = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // 3 tokens each, budget 6: docs 1+2 share bin 0, doc 3 opens bin 1
+    assert(bins == Map(1L -> 0L, 2L -> 0L, 3L -> 1L))
+  }
+
+  test("negative or null media ord fails loudly") {
+    val docs = Seq((1L, "a b c")).toDF("id", "text")
+    val neg = Seq((1L, -1L)).toDF("id", "ord")
+    val e = intercept[Exception] {
+      graft.operators.Interleave.assemble(docs, "id", "text", neg, "id",
+        "ord", 2, 64, 100, 1).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("non-negative"),
+      s"got: ${e.getMessage}")
+    val withNull = Seq((1L, Option.empty[Long])).toDF("id", "ord")
+    intercept[Exception] {
+      graft.operators.Interleave.assemble(docs, "id", "text", withNull,
+        "id", "ord", 2, 64, 100, 1).collect()
+    }
+  }
+}
