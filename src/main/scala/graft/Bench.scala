@@ -71,7 +71,8 @@ object Bench {
     // round-16: main-content extraction (block densitometry, map-side)
     // and the composed crawl back edge (HTTP split → main content →
     // outlink harvest → politeness window in one query)
-    "t65_main_content", "t67_crawl_backedge", "m16_interleave")
+    "t65_main_content", "t67_crawl_backedge", "m16_interleave",
+    "d23_dsir_select")
 
   /** Queries measured on the replicated corpus for the scaling slope —
     * the shuffle-heavy pipeline shapes whose 100 TB behavior a plan read
@@ -132,7 +133,11 @@ object Bench {
     // m16: chunk→union→pack→join→window composition; replica docs get
     // disjoint ids so shards/bins/media counts all grow linearly
     "t64_curation_pipeline", "t65_main_content", "t67_crawl_backedge",
-    "m16_interleave")
+    // d23: map-side gram hashing + two 1024-row distribution aggs +
+    // a broadcast ratio join + per-doc sums; replica target ids stay
+    // target (the 1e8 shift is a multiple of 100), distributions stay
+    // bucket-bounded at any SF
+    "m16_interleave", "d23_dsir_select")
 
   /** Materialize a `factor`×-replicated copy of the FACT tables the scale
     * set reads (documents, lineitem, orders, events) plus 1× copies of

@@ -1456,6 +1456,27 @@ object SparkEntry {
       .orderBy("new_id")
   }
 
+  /** DSIR-style importance resampling (Xie et al., NeurIPS 2023): the
+    * eval-like slice (doc_id % 100 = 0) is the TARGET, every doc scores
+    * as the sum of smoothed per-bucket log-likelihood ratios over its
+    * hashed unigram+bigram instances (1024 buckets, t31's md5-prefix
+    * hash), and the top 100 are kept. The oracle replays the ENTIRE
+    * estimator — gram extraction, bucket hash, both distributions,
+    * Laplace smoothing, the rounded ratio sum and the ranked cut — so
+    * feature hashing, the bag-model arithmetic and the selection are
+    * one hash. Per-bucket ratios round to 6 decimals BEFORE summation
+    * (identical summands in both engines).
+    * See [[graft.operators.Dsir]]. */
+  private def d23_dsir_select(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val target = docs.filter(col("doc_id") % 100 === 0).select("text")
+    val w = graft.operators.Dsir.importanceWeights(
+      docs, "doc_id", "text", target, "text", numBuckets = 1024)
+    graft.operators.Dsir.selectTopK(w, "doc_id", k = 100)
+      .select(col("rank"), col("doc_id"), col("weight"))
+      .orderBy("rank")
+  }
+
   /** The drop side of decontamination: corpus minus flagged docs. */
   private def d8b_decontam_drop(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
@@ -5108,6 +5129,7 @@ object SparkEntry {
     "d8_decontam" -> (d8_decontam _),
     "d8b_decontam_drop" -> (d8b_decontam_drop _),
     "d22_decontam_fuzzy" -> (d22_decontam_fuzzy _),
+    "d23_dsir_select" -> (d23_dsir_select _),
     "d9_pipeline_full" -> (d9_pipeline_full _),
     "d10_span_stats" -> (d10_span_stats _),
     "d10b_span_stats_hashed" -> (d10b_span_stats_hashed _),
@@ -7297,6 +7319,43 @@ object SparkEntry {
          FROM documents
          WHERE doc_id % 100 = 0 AND len(string_split(text, ' ')) >= 30
          ORDER BY new_id""",
+    // the full DSIR estimator replayed: grams, bucket hash, both
+    // distributions, smoothing, rounded ratio sums, ranked cut
+    "d23_dsir_select" ->
+      """WITH w AS (SELECT doc_id,
+             regexp_split_to_array(trim(text), '\s+') AS ws
+           FROM documents),
+         uni AS (SELECT doc_id, unnest(ws) AS g FROM w),
+         bi AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(ws)),
+               i -> ws[i] || ' ' || ws[i+1])) AS g
+           FROM w WHERE len(ws) >= 2),
+         grams AS (SELECT doc_id, g FROM uni
+                   UNION ALL SELECT doc_id, g FROM bi),
+         b AS (SELECT doc_id,
+             CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % 1024
+               AS bucket
+           FROM grams),
+         rawn AS (SELECT bucket, CAST(count(*) AS DOUBLE) AS n
+                  FROM b GROUP BY bucket),
+         tgtn AS (SELECT bucket, CAST(count(*) AS DOUBLE) AS n
+                  FROM b WHERE doc_id % 100 = 0 GROUP BY bucket),
+         tot AS (SELECT
+             (SELECT CAST(count(*) AS DOUBLE) FROM b) AS rt,
+             (SELECT CAST(count(*) AS DOUBLE) FROM b WHERE doc_id % 100 = 0)
+               AS tt),
+         r AS (SELECT rawn.bucket,
+             round(ln((coalesce(tgtn.n, 0) + 1) / (tot.tt + 1024))
+                 - ln((rawn.n + 1) / (tot.rt + 1024)), 6) AS lr
+           FROM rawn LEFT JOIN tgtn USING (bucket), tot),
+         sc AS (SELECT b.doc_id, round(sum(r.lr), 6) AS weight
+                FROM b JOIN r USING (bucket) GROUP BY b.doc_id),
+         rk AS (SELECT doc_id, weight,
+             CAST(row_number() OVER (ORDER BY weight DESC, doc_id) AS INT)
+               AS rank
+           FROM sc)
+         SELECT rank, doc_id, weight FROM rk WHERE rank <= 100
+         ORDER BY rank""",
     "d8b_decontam_drop" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
                     FROM documents),

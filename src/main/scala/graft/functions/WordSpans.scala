@@ -96,6 +96,41 @@ object WordShinglesExpr {
     GraftInternals.column(WordShinglesExpr(GraftInternals.expression(text), n))
 }
 
+/** ALL sliding n-token windows in document order, NOT distinct — the
+  * MULTISET gram kernel (hashed-ngram bag models weigh by occurrence
+  * COUNTS, so the distinct set kernels above lose exactly the signal
+  * they need). Same tokenizer contract as [[WordSpansExpr]]; under `n`
+  * tokens → empty array (spanStats exclusion semantics — a bag model
+  * has no whole-document-collapse convention). */
+case class WordGramsExpr(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, "gram size n must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_grams expects STRING input, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WordSpansImpl.computeAll(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WordSpansImpl.computeAll($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "word_grams"
+}
+
+object WordGramsExpr {
+  def apply(text: Column, n: Int): Column =
+    GraftInternals.column(WordGramsExpr(GraftInternals.expression(text), n))
+}
+
 /** Fused tokenize → DISJOINT n-token chunks in document order (the
   * partition of the token stream into consecutive n-word windows, last
   * chunk possibly shorter), NOT distinct — positions are recoverable as
@@ -239,6 +274,30 @@ object WordSpansImpl {
     if (words.length == 0 || count <= 0)
       return new GenericArrayData(Array.empty[Any])
     distinctWindows(words, n)
+  }
+
+  /** ALL sliding windows, in order, not distinct — [[WordGramsExpr]]'s
+    * kernel. Under n tokens → empty array. */
+  def computeAll(text: UTF8String, n: Int): GenericArrayData = {
+    val words = tokenize(text)
+    val count = words.length - n + 1
+    if (words.length == 0 || count <= 0)
+      return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](count)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < count) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** Disjoint n-token chunks in document order, NOT distinct, the last

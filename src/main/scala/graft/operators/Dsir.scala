@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** DSIR-style data selection via importance resampling (Xie et al.,
+  * "Data Selection for Language Models via Importance Resampling",
+  * NeurIPS 2023 — public knowledge): score every raw document by the
+  * log-likelihood ratio of a hashed-ngram bag model fit on a small
+  * TARGET corpus (the distribution you want more of) against one fit on
+  * the raw corpus itself, then keep the top scorers. The standard
+  * domain-targeted pretraining-data selector.
+  *
+  * 100 TB shape — the whole pipeline is two bounded aggregations and
+  * one scoring pass:
+  *  1. gram extraction is the codegen'd multiset kernel
+  *     ([[graft.functions.WordGramsExpr]]) + the t31 md5-prefix bucket
+  *     hash, map-side;
+  *  2. the raw and target bucket DISTRIBUTIONS aggregate to
+  *     `numBuckets` rows each (map-side partial combine; the result is
+  *     broadcast-sized BY CONSTRUCTION, whatever the corpus size);
+  *  3. per-doc scoring is one broadcast join of gram instances against
+  *     the `numBuckets`-row log-ratio table plus a partial-aggregated
+  *     sum per doc — the corpus shuffles only (id, partial-sum) rows;
+  *  4. selection is a distributed TakeOrdered, never a global sort.
+  *
+  * Determinism: per-bucket log-ratios round to `scale` decimals BEFORE
+  * summation (identical summands in every engine) and each doc's sum
+  * rounds again, the t10b/t12 cross-engine convention.
+  *
+  * The bucket hash is t31's md5-prefix so external engines replay the
+  * whole estimator bit-for-bit; md5-per-gram is the dominant 10× cost
+  * (measured slope 0.50 — compute-linear, no shuffle artifact). A
+  * deployment that doesn't need cross-engine replay can swap the
+  * `pmod(conv(substring(md5(...))))` line for `pmod(xxhash64(...))` —
+  * same distributional behavior, roughly an order of magnitude less
+  * hash work per gram.
+  */
+object Dsir {
+
+  /** One row per gram INSTANCE (multiset, the bag-model contract):
+    * `keep` columns + `bucket`. Grams are all sliding `n`-windows for
+    * each n in `ns` (paper default: unigrams + bigrams), hashed by the
+    * t31 convention `md5-prefix-32-bit mod numBuckets`. */
+  private def gramBuckets(df: DataFrame, textCol: String, numBuckets: Int,
+      ns: Seq[Int], keep: Seq[Column]): DataFrame = {
+    val perN = ns.map(n => df.select(
+      keep :+ explode(graft.functions.WordGramsExpr(col(textCol), n))
+        .as("__g"): _*))
+    perN.reduce(_ unionByName _)
+      .select(keep :+
+        pmod(conv(substring(md5(col("__g")), 1, 8), 16, 10).cast("long"),
+          lit(numBuckets.toLong)).as("bucket"): _*)
+  }
+
+  /** Importance weight per raw doc: Σ over its gram instances of the
+    * smoothed per-bucket log-likelihood ratio
+    * `ln((tgt_n+1)/(tgt_total+B)) − ln((raw_n+1)/(raw_total+B))`
+    * (Laplace smoothing over B = `numBuckets`). Returns one row per
+    * raw doc `(idCol, weight)`; docs yielding zero grams weigh 0. */
+  def importanceWeights(
+      raw: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String,
+      numBuckets: Int = 4096, ns: Seq[Int] = Seq(1, 2),
+      scale: Int = 6): DataFrame = {
+    require(numBuckets >= 2, s"numBuckets must be >= 2, got $numBuckets")
+    require(ns.nonEmpty && ns.forall(_ >= 1), s"bad gram sizes: $ns")
+    val rawGrams = gramBuckets(raw, textCol, numBuckets, ns, Seq(col(idCol)))
+    val tgtGrams = gramBuckets(target, targetTextCol, numBuckets, ns, Nil)
+    val rawN = rawGrams.groupBy("bucket")
+      .agg(count(lit(1)).cast("double").as("raw_n"))
+    val tgtN = tgtGrams.groupBy("bucket")
+      .agg(count(lit(1)).cast("double").as("tgt_n"))
+    // one-row totals frames (broadcast): B rows + 2 scalars, never a
+    // driver collect of data-scale state
+    val rawTotal = rawGrams.agg(count(lit(1)).cast("double").as("raw_total"))
+    val tgtTotal = tgtGrams.agg(count(lit(1)).cast("double").as("tgt_total"))
+    val b = lit(numBuckets.toDouble)
+    // every bucket that appears in ANY raw doc has raw_n >= 1 (the
+    // counts come from the same gram rows being scored), so a left
+    // join from rawN covers the scoring domain exactly
+    val ratios = rawN.join(tgtN, Seq("bucket"), "left")
+      .crossJoin(broadcast(rawTotal))
+      .crossJoin(broadcast(tgtTotal))
+      .select(col("bucket"),
+        round(
+          log((coalesce(col("tgt_n"), lit(0.0)) + 1.0) /
+            (col("tgt_total") + b)) -
+          log((col("raw_n") + 1.0) / (col("raw_total") + b)),
+          scale).as("log_ratio"))
+    val scored = rawGrams.join(broadcast(ratios), "bucket")
+      .groupBy(col(idCol))
+      .agg(round(sum("log_ratio"), scale).as("weight"))
+    raw.select(col(idCol)).distinct()
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("weight"), lit(0.0)).as("weight"))
+  }
+
+  /** The resampling step in its deterministic top-k form: the `k`
+    * highest-weight docs (ties to the smaller id), ranked 1..k. The
+    * limit plans as a distributed TakeOrdered; the rank window runs
+    * over k rows only. */
+  def selectTopK(weights: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    weights.orderBy(col("weight").desc, col(idCol)).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("weight").desc, col(idCol))))
+  }
+}

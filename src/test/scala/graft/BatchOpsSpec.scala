@@ -1418,3 +1418,54 @@ class InterleaveSpec extends SparkSpec {
     }
   }
 }
+
+/** DSIR importance resampling: target-like docs outscore off-target
+  * docs; the multiset gram kernel counts occurrences. */
+class DsirSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("word_grams is a multiset in order; under n tokens empty") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def g(s: String, n: Int) =
+      graft.functions.WordSpansImpl.computeAll(UTF8String.fromString(s), n)
+        .toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSeq
+    assert(g("a b a b", 2) == Seq("a b", "b a", "a b"),
+      "repeated windows are kept (counts, not sets)")
+    assert(g("a b c", 1) == Seq("a", "b", "c"))
+    assert(g("a b", 3) == Seq.empty)
+    assert(g("", 1) == Seq.empty)
+  }
+
+  test("target-like docs outscore off-target docs; top-k ranks them") {
+    val topicA = "solar panels convert sunlight into electric power"
+    val topicB = "medieval castles defended river crossings with stone walls"
+    val raw = Seq(
+      (1L, topicA), (2L, topicA + " efficiently"), (3L, topicB),
+      (4L, topicB + " forever"), (5L, "solar power stations"))
+      .toDF("id", "text")
+    val target = Seq(topicA, "solar electric power grids").toDF("text")
+    val w = graft.operators.Dsir.importanceWeights(
+        raw, "id", "text", target, "text", numBuckets = 512)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w.size == 5)
+    assert(Seq(1L, 2L, 5L).map(w).min > Seq(3L, 4L).map(w).max,
+      s"every solar doc must outscore every castle doc: $w")
+    val top = graft.operators.Dsir.selectTopK(
+        graft.operators.Dsir.importanceWeights(
+          raw, "id", "text", target, "text", numBuckets = 512),
+        "id", k = 3)
+      .collect().map(r => (r.getInt(2), r.getLong(0)))
+    assert(top.map(_._1).toSeq == Seq(1, 2, 3), "dense ranks 1..k")
+    assert(top.map(_._2).toSet == Set(1L, 2L, 5L))
+  }
+
+  test("a doc with zero grams weighs exactly 0") {
+    val raw = Seq((1L, "some words here"), (2L, "")).toDF("id", "text")
+    val target = Seq("some words").toDF("text")
+    val w = graft.operators.Dsir.importanceWeights(
+        raw, "id", "text", target, "text", numBuckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w(2L) == 0.0)
+  }
+}

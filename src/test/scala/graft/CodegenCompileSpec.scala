@@ -69,6 +69,10 @@ class CodegenCompileSpec extends SparkSpec {
     "a1_ann_brute",         // CosineSimilarity
     "a2_ann_lsh",           // HyperplaneSketch
     "p1_ann_pq",            // PqCodes (double[][][] reference objs)
+    "t65_main_content",     // MainContent (r16)
+    "t67_crawl_backedge",   // composed Http+MainContent+UrlResolve (r16)
+    "d23_dsir_select",      // WordGrams multiset kernel (r16)
+    "m16_interleave",       // Chunk/Pack composition incl. encoders (r16)
   )
 
   test("kernel gates run end-to-end under CODEGEN_ONLY (fallback would throw)") {
