@@ -2561,6 +2561,48 @@ object SparkEntry {
       .orderBy("doc_id", "outlink")
   }
 
+  /** Streaming seen-URL ingest — the multi-wave crawl history as a
+    * stream (st9's exactly-once recipe applied to URLs): two ordered
+    * micro-batches (evens, then thirds) flow through
+    * [[graft.streaming.Streams.seenIngest]]; the post-stream history
+    * must hold every discovered url EXACTLY once — wave 2's
+    * rediscoveries excluded by the anti-join, crash replays converged
+    * by the tagged append + commit marker. The oracle states the
+    * distinct-union-with-count-1 contract in closed form. */
+  private def st22_stream_seen(s: SparkSession, dir: String): DataFrame = {
+    val base = "/tmp/graft_fixtures/seen_ingest_" +
+      java.net.URLEncoder.encode(dir, "UTF-8")
+    val conf = s.sessionState.newHadoopConf()
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(conf)
+    fs.delete(basePath, true)
+    val (incoming, hist, cp) = (s"$base/incoming", s"$base/history", s"$base/cp")
+    val d = t(s, dir, "documents")
+    val url = concat(lit("http://w.com/p"), col("doc_id").cast("string"))
+    val w1 = d.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), url.as("url"))
+    val w2 = d.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), url.as("url"))
+    def dataFiles = fs.listStatus(new org.apache.hadoop.fs.Path(incoming))
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+      .map(_.getPath).toSet
+    w1.coalesce(1).write.mode("append").parquet(incoming)
+    val firstFiles = dataFiles
+    w2.coalesce(1).write.mode("append").parquet(incoming)
+    (dataFiles -- firstFiles).foreach(p => fs.setTimes(p, 1000000600000L, -1))
+    firstFiles.foreach(p => fs.setTimes(p, 1000000000000L, -1))
+    val stream = s.readStream.schema(w1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(incoming)
+    val q = graft.streaming.Streams.seenIngest(stream, "url", hist, cp)
+    try q.processAllAvailable() finally q.stop()
+    graft.operators.Frontier.seenUrls(s, hist)
+      .groupBy("url").agg(count(lit(1)).as("n_copies"))
+      .withColumn("doc_id",
+        regexp_extract(col("url"), "p([0-9]+)$", 1).cast("long"))
+      .select("doc_id", "url", "n_copies")
+      .orderBy("doc_id")
+  }
+
   /** Unicode NFC canonicalization, cross-validated between the JDK
     * (UAX #15 via java.text.Normalizer) and DuckDB's ICU
     * `nfc_normalize`: the fixture decomposes every `e` into
@@ -5103,6 +5145,7 @@ object SparkEntry {
     "t61_outlinks" -> (t61_outlinks _),
     "t66_seen_urls" -> (t66_seen_urls _),
     "t67_crawl_backedge" -> (t67_crawl_backedge _),
+    "st22_stream_seen" -> (st22_stream_seen _),
     "t62_nfc_normalize" -> (t62_nfc_normalize _),
     "t54c_robots_sitemaps" -> (t54c_robots_sitemaps _),
     "t63_unigram_tokens" -> (t63_unigram_tokens _),
@@ -6281,6 +6324,12 @@ object SparkEntry {
            cw.content_words
          FROM ranked r JOIN cw ON r.doc_id = cw.doc_id
          ORDER BY r.doc_id, r.outlink""",
+    // the streamed two-wave history: every discovered url exactly once
+    "st22_stream_seen" ->
+      """SELECT doc_id, 'http://w.com/p' || doc_id AS url,
+           CAST(1 AS BIGINT) AS n_copies
+         FROM documents WHERE doc_id % 2 = 0 OR doc_id % 3 = 0
+         ORDER BY doc_id""",
     // wave 1 = all evens (empty history); wave 2 = thirds never seen,
     // i.e. odd multiples of 3 — the anti-join replayed in closed form
     "t66_seen_urls" ->

@@ -593,6 +593,43 @@ object Streams {
       .start()
   }
 
+  /** [[ivfIngest]]'s analog for the persisted seen-URL crawl history
+    * ([[graft.operators.Frontier]]): each micro-batch of discovered
+    * URLs anti-joins the history and commits exactly its NEVER-SEEN
+    * urls under the checkpoint-keyed batch tag — the multi-wave crawl
+    * loop as a stream, exactly-once across crashes (the diff excludes
+    * the tag's own commits, TaggedAppend converges the files, the
+    * commit marker skips fully-committed batches). Each wave's fetch
+    * list is durably addressable afterwards as
+    * `Graft.readTaggedBatch(historyPath, <batch tag>)`. Normalize URLs
+    * upstream ([[graft.functions.TextFunctions.normalizeUrl]]) or two
+    * spellings of one page defeat the set. */
+  def seenIngest(
+      urls: DataFrame,
+      urlCol: String,
+      historyPath: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    appendIngest(urls, checkpoint, trigger, "seenIngest") {
+      (batch, batchId) =>
+        seenIngestBatch(batch, batchId, urlCol, historyPath, checkpoint)
+    }
+
+  /** One micro-batch of [[seenIngest]], exposed for direct crash-replay
+    * testing. Returns false when the batch was already committed. */
+  private[graft] def seenIngestBatch(
+      batch: DataFrame,
+      batchId: Long,
+      urlCol: String,
+      historyPath: String,
+      checkpoint: String): Boolean =
+    appendIngestBatch(batch, batchId, historyPath, checkpoint, "seen") {
+      (_, tag) =>
+        graft.operators.Frontier.seenDiffAndRecord(batch, urlCol,
+          historyPath, tag)
+        ()
+    }
+
   /** Shared exactly-once batch protocol: the append is replay-idempotent
     * per batch tag ([[graft.core.TaggedAppend]] underneath), and a
     * checkpoint-keyed commit marker skips fully-committed batches on

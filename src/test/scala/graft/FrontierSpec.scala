@@ -183,6 +183,32 @@ class FrontierSpec extends SparkSpec {
     assert(e.getMessage.contains("url"))
   }
 
+  test("streaming seen ingest: marker skips replays; marker loss converges") {
+    val base = tmpDir("seen_ingest_spec")
+    val hist = base + "/hist"
+    val cp = base + "/cp"
+    val batch = Seq("http://a/1", "http://a/2").toDF("url")
+    import graft.streaming.Streams
+    assert(Streams.seenIngestBatch(batch, 0L, "url", hist, cp))
+    assert(!Streams.seenIngestBatch(batch, 0L, "url", hist, cp),
+      "a committed batch must be skipped on replay")
+    // crash between append and marker: drop the marker, replay — the
+    // tagged append converges instead of doubling
+    val hp = new org.apache.hadoop.fs.Path(hist)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(hp)
+      .filter(_.getPath.getName.startsWith("_graft_seen_ingest_commit"))
+      .foreach(st => fs.delete(st.getPath, false))
+    assert(Streams.seenIngestBatch(batch, 0L, "url", hist, cp))
+    val urls = Frontier.seenUrls(spark, hist).collect().map(_.getString(0))
+    assert(urls.sorted.toSeq == Seq("http://a/1", "http://a/2"),
+      s"exactly one copy each after marker-loss replay: ${urls.toSeq}")
+    // a later wave dedups against the committed history
+    val b2 = Seq("http://a/2", "http://b/9").toDF("url")
+    assert(Streams.seenIngestBatch(b2, 1L, "url", hist, cp))
+    assert(Frontier.seenUrls(spark, hist).count() == 3)
+  }
+
   test("capPerHost keeps the k best per host and plans WindowGroupLimit") {
     val urls = (0 until 40).map(i =>
       (s"http://h${i % 2}.com/$i", (i % 5).toLong)).toDF("url", "prio")
