@@ -167,7 +167,13 @@ object Frontier {
     * excluded from the read) and TaggedAppend converges the files to
     * one copy — crash at any point, rerun, get the same fetch list and
     * the same final table. One tag per wave; concurrent waves need
-    * distinct tags (TaggedAppend's single-writer-per-tag contract). */
+    * distinct tags (TaggedAppend's single-writer-per-tag contract).
+    * Two waves running CONCURRENTLY can both admit a url they discover
+    * simultaneously (neither sees the other's in-flight commit) — the
+    * history then carries that url twice, which is harmless to every
+    * later diff (anti-join semantics are set semantics) and collapses
+    * at the next compaction; strictly-once history rows require
+    * sequential waves. */
   def seenDiffAndRecord(wave: DataFrame, urlCol: String, path: String,
       tag: String): DataFrame = {
     graft.core.TaggedAppend.requireSafeTag(tag)

@@ -137,4 +137,31 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
+
+  test("t65 main content: embarrassingly parallel (no hash shuffle)") {
+    val plan = finalPlan(SparkEntry.queries("t65_main_content")(spark, dir))
+    assert(count(plan, "Exchange hashpartitioning") == 0, plan.take(2000))
+  }
+
+  test("t67 crawl back edge: equi-joins only, no cartesian/nested-loop") {
+    val plan = finalPlan(SparkEntry.queries("t67_crawl_backedge")(spark, dir))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("d23 DSIR: bucket scoring joins by broadcast hash, no cartesian") {
+    // the two one-row totals frames legitimately attach via broadcast
+    // nested-loop (the Retrieval/Theta one-row stats convention); what
+    // must never appear is a cartesian, and the data-scale gram->ratio
+    // join must be a broadcast HASH join on bucket
+    val plan = finalPlan(SparkEntry.queries("d23_dsir_select")(spark, dir))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("m16 interleave: no cartesian; window numbering keyed by (shard, bin)") {
+    val plan = finalPlan(SparkEntry.queries("m16_interleave")(spark, dir))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
 }
