@@ -2545,16 +2545,20 @@ object SparkEntry {
       lit("<footer>fin</footer></body></html>"))
     val msg = concat(
       lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"), html)
+    // ONE HTTP split per page: content_words is computed alongside the
+    // body and CARRIED through the harvest (outlinks' carry columns),
+    // instead of a second parse branch + a join back onto the schedule
+    // (measured: the join-back shape ran the payload kernel twice)
     val pages = docs.select(col("url"),
       graft.functions.HttpPayloadExpr(msg.cast("binary"))
         .getField("body").cast("string").as("html"))
-    val content = pages.select(col("url"),
-      size(split(graft.functions.TextFunctions.mainContent(col("html")),
-        " ")).as("content_words"))
-    val links = graft.operators.Frontier.outlinks(pages, "url", "html")
+      .withColumn("content_words",
+        size(split(graft.functions.TextFunctions.mainContent(col("html")),
+          " ")))
+    val links = graft.operators.Frontier.outlinks(pages, "url", "html",
+      carry = Seq("content_words"))
     graft.operators.Frontier.schedule(links, "outlink",
         priorityCol = "outlink", delayMs = 500L)
-      .join(content, "url")
       .withColumn("doc_id",
         regexp_extract(col("url"), "page([0-9]+)$", 1).cast("long"))
       .select("doc_id", "outlink", "fetch_seq", "eta_ms", "content_words")

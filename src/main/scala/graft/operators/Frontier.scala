@@ -21,16 +21,24 @@ object Frontier {
   /** Harvest `urls`-table outlinks: extract every `<a href>` from
     * `htmlCol`, entity-decode, resolve against the page's own
     * `urlCol` (RFC 3986 — relative links dominate real pages),
-    * canonicalize, and de-duplicate. Returns (page url, outlink)
-    * pairs; self-links and non-http(s) schemes (mailto:, javascript:)
-    * are dropped — a frontier cannot fetch them. */
-  def outlinks(pages: DataFrame, urlCol: String, htmlCol: String): DataFrame =
+    * canonicalize, and de-duplicate. Returns (page url, `carry`…,
+    * outlink) rows; self-links and non-http(s) schemes (mailto:,
+    * javascript:) are dropped — a frontier cannot fetch them.
+    *
+    * `carry` columns ride through the harvest and the dedup — for
+    * per-PAGE attributes (a content score, a fetch timestamp) this
+    * avoids re-deriving them downstream or joining them back onto the
+    * exploded links. They must be functionally dependent on the page
+    * url, or the distinct's (url, carry…, outlink) grain would
+    * duplicate outlink rows. */
+  def outlinks(pages: DataFrame, urlCol: String, htmlCol: String,
+      carry: Seq[String] = Nil): DataFrame =
     pages
-      .select(col(urlCol).as("url"),
-        explode(TextFunctions.htmlLinks(col(htmlCol))).as("__href"))
-      .select(col("url"),
+      .select(col(urlCol).as("url") +: carry.map(col) :+
+        explode(TextFunctions.htmlLinks(col(htmlCol))).as("__href"): _*)
+      .select(col("url") +: carry.map(col) :+
         TextFunctions.normalizeUrl(
-          UrlResolveExpr(col("url"), col("__href"))).as("outlink"))
+          UrlResolveExpr(col("url"), col("__href"))).as("outlink"): _*)
       .filter(col("outlink").startsWith("http://") ||
         col("outlink").startsWith("https://"))
       .filter(col("outlink") =!= TextFunctions.normalizeUrl(col("url")))

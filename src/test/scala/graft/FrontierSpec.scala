@@ -183,6 +183,26 @@ class FrontierSpec extends SparkSpec {
     assert(e.getMessage.contains("url"))
   }
 
+  test("seen-URL history survives compaction; diffs stay correct after") {
+    val path = tmpDir("seen_compact") + "/t"
+    def wave(urls: String*) = urls.toDF("url")
+    graft.operators.Frontier.seenDiffAndRecord(
+      wave("http://a/1", "http://a/2"), "url", path, "w1")
+    graft.operators.Frontier.seenDiffAndRecord(
+      wave("http://b/1"), "url", path, "w2")
+    val stats = graft.api.Graft.compactPartitionedTable(spark, path)
+    assert(stats.filesAfter <= stats.filesBefore && stats.filesBefore >= 2,
+      s"compaction saw the tagged files: $stats")
+    val urls = Frontier.seenUrls(spark, path).collect().map(_.getString(0))
+    assert(urls.sorted.toSeq == Seq("http://a/1", "http://a/2", "http://b/1"),
+      s"history content must survive compaction: ${urls.toSeq}")
+    // a later wave still diffs correctly against the compacted files
+    val w3 = Frontier.seenDiff(
+      wave("http://a/2", "http://c/1"), "url", path)
+      .collect().map(_.getString(0))
+    assert(w3.toSeq == Seq("http://c/1"))
+  }
+
   test("streaming seen ingest: marker skips replays; marker loss converges") {
     val base = tmpDir("seen_ingest_spec")
     val hist = base + "/hist"
