@@ -2565,6 +2565,78 @@ object SparkEntry {
       .orderBy("doc_id", "outlink")
   }
 
+  /** The COMPLETE frontier decision function composed end-to-end —
+    * what a fetch fleet actually consumes each wave: outlink harvest
+    * (five reference shapes, t61's fixture) → RFC 9309 robots filter
+    * (exact-agent group with a `Disallow: /rooted/` rule SHADOWING a
+    * block-everything `*` decoy — a group-selection regression blanks
+    * the whole plan, loudly) → seen-history anti-join (mirror links of
+    * even docs pre-recorded as wave 0) → per-host crawl budget
+    * (cap 100, binds on every host at sf0.01) → politeness schedule
+    * under robots-declared per-host delays (hosts without robots fall
+    * to the 1000 ms fleet default). Five operators, one closed-form
+    * oracle: the link derivations, the two exclusions, the capped
+    * per-host rank and the eta arithmetic replay directly. History
+    * fixture is REPLAY-CLEAN. See [[graft.operators.Frontier]],
+    * [[graft.operators.Robots]],
+    * [[graft.functions.RobotsCrawlDelayExpr]]. */
+  private def t68_fetch_plan(s: SparkSession, dir: String): DataFrame = {
+    val hist = "/tmp/graft_fixtures/fetch_plan_seen_" +
+      java.net.URLEncoder.encode(dir, "UTF-8")
+    graft.core.Discovery.fileSystemFor(hist, s.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(hist), true)
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+      .withColumn("url", concat(
+        lit("http://site"), (col("doc_id") % 9).cast("string"),
+        lit(".com/a/b/page"), col("doc_id").cast("string")))
+    val id = col("doc_id").cast("string")
+    val html = concat(
+      lit("<html><body>"),
+      lit("<a href=\"https://abs.example/x"), id, lit("\">a</a>"),
+      lit("<a href='/rooted/"), id, lit("'>b</a>"),
+      lit("<a href=\"../up/"), id, lit("\">c</a>"),
+      lit("<a href=\"?q="), id, lit("\">d</a>"),
+      lit("<a href=\"//mirror.net/m"), id, lit("\">e</a>"),
+      lit("<a href=\"mailto:x@example.com\">f</a>"),
+      lit("</body></html>"))
+    val pages = docs.select(col("url"), html.as("html"))
+    val candidates = graft.operators.Frontier.outlinks(pages, "url", "html")
+    // wave 0: the mirror links of even docs are already crawled
+    graft.operators.Frontier.seenDiffAndRecord(
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(concat(lit("http://mirror.net/m"), id).as("u")),
+      "u", hist, "wave0")
+    val hosts = s.range(9).select(
+      concat(lit("site"), col("id").cast("string"), lit(".com")).as("host"),
+      concat(
+        lit("User-agent: graftbot\nDisallow: /rooted/\nCrawl-delay: "),
+        (col("id") + 1).cast("string"),
+        lit("\n\nUser-agent: *\nDisallow: /\nCrawl-delay: 99"))
+        .as("robots_txt"))
+    val allowed = graft.operators.Robots.filterAllowed(
+      candidates, "outlink", hosts, "host", "robots_txt", "graftbot")
+    val unseen = graft.operators.Frontier.seenDiff(allowed, "outlink", hist)
+    val budgeted = graft.operators.Frontier.capPerHost(
+      unseen, "outlink", priorityCol = "outlink", maxPerHost = 100)
+    val delays = hosts.select(col("host"),
+      graft.functions.RobotsCrawlDelayExpr(col("robots_txt"),
+        lit("graftbot")).as("delay_s"))
+    val withDelay = budgeted
+      .withColumn("host", TextFunctions.urlHost(col("outlink")))
+      .join(delays, Seq("host"), "left")
+      .withColumn("delay_ms",
+        when(col("delay_s").isNull || col("delay_s") < 0, lit(1000L))
+          .otherwise((col("delay_s") * 1000).cast("long")))
+      .drop("delay_s")
+    graft.operators.Frontier.scheduleWithDelays(
+        withDelay, "outlink", priorityCol = "outlink",
+        delayMsCol = "delay_ms")
+      .withColumn("doc_id",
+        regexp_extract(col("url"), "page([0-9]+)$", 1).cast("long"))
+      .select("doc_id", "outlink", "fetch_seq", "eta_ms")
+      .orderBy("outlink")
+  }
+
   /** Streaming seen-URL ingest — the multi-wave crawl history as a
     * stream (st9's exactly-once recipe applied to URLs): two ordered
     * micro-batches (evens, then thirds) flow through
@@ -5150,6 +5222,7 @@ object SparkEntry {
     "t66_seen_urls" -> (t66_seen_urls _),
     "t67_crawl_backedge" -> (t67_crawl_backedge _),
     "st22_stream_seen" -> (st22_stream_seen _),
+    "t68_fetch_plan" -> (t68_fetch_plan _),
     "t62_nfc_normalize" -> (t62_nfc_normalize _),
     "t54c_robots_sitemaps" -> (t54c_robots_sitemaps _),
     "t63_unigram_tokens" -> (t63_unigram_tokens _),
@@ -6328,6 +6401,38 @@ object SparkEntry {
            cw.content_words
          FROM ranked r JOIN cw ON r.doc_id = cw.doc_id
          ORDER BY r.doc_id, r.outlink""",
+    // the composed fetch plan: rooted links robots-blocked, even mirror
+    // links already seen, per-host rank capped at 100, eta from the
+    // host's declared delay (abs/mirror fall to the 1000 ms default)
+    "t68_fetch_plan" ->
+      """WITH links AS (
+           SELECT doc_id, 'https://abs.example/x' || doc_id AS outlink,
+             'abs.example' AS h, CAST(1000 AS BIGINT) AS delay_ms
+           FROM documents
+           UNION ALL
+           SELECT doc_id,
+             'http://site' || (doc_id % 9) || '.com/a/up/' || doc_id,
+             'site' || (doc_id % 9) || '.com',
+             CAST(((doc_id % 9) + 1) * 1000 AS BIGINT) FROM documents
+           UNION ALL
+           SELECT doc_id,
+             'http://site' || (doc_id % 9) || '.com/a/b/page' || doc_id
+               || '?q=' || doc_id,
+             'site' || (doc_id % 9) || '.com',
+             CAST(((doc_id % 9) + 1) * 1000 AS BIGINT) FROM documents
+           UNION ALL
+           SELECT doc_id, 'http://mirror.net/m' || doc_id, 'mirror.net',
+             CAST(1000 AS BIGINT)
+           FROM documents WHERE doc_id % 2 <> 0),
+         ranked AS (
+           SELECT doc_id, outlink, h, delay_ms,
+             CAST(row_number() OVER (PARTITION BY h ORDER BY outlink DESC)
+               AS INT) AS fetch_seq
+           FROM links)
+         SELECT doc_id, outlink, fetch_seq,
+           CAST((fetch_seq - 1) * delay_ms AS BIGINT) AS eta_ms
+         FROM ranked WHERE fetch_seq <= 100
+         ORDER BY outlink""",
     // the streamed two-wave history: every discovered url exactly once
     "st22_stream_seen" ->
       """SELECT doc_id, 'http://w.com/p' || doc_id AS url,

@@ -159,6 +159,14 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("t68 fetch plan: budget cap is a map-side WindowGroupLimit; " +
+    "no cartesian/nested-loop across all five composed operators") {
+    val plan = finalPlan(SparkEntry.queries("t68_fetch_plan")(spark, dir))
+    assert(plan.contains("WindowGroupLimit"),
+      "capPerHost must plan a partial top-k:\n" + plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("m16 interleave: no cartesian; window numbering keyed by (shard, bin)") {
     val plan = finalPlan(SparkEntry.queries("m16_interleave")(spark, dir))
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
