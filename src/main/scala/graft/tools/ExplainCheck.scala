@@ -24,7 +24,13 @@ object ExplainCheck {
         // table-driven tagging (bounded collect feeds the scan)
         "a15c_graph_ann_multiassign", "m15_audio_dedup_join",
         "t54b_robots_wildcard", "t59_http_payload", "t61_outlinks",
-        "t57b_dictionary_tag_table", "t62_nfc_normalize")
+        "t57b_dictionary_tag_table", "t62_nfc_normalize",
+        // r16 additions: main-content kernel (shuffle-free), the crawl
+        // back edge and the composed fetch plan (cap must show wgl=true),
+        // fuzzy decontamination (eval-side band join), DSIR (ratio join
+        // must be broadcast hash), interleaved assembly (pack + window)
+        "t65_main_content", "t67_crawl_backedge", "t68_fetch_plan",
+        "d22_decontam_fuzzy", "d23_dsir_select", "m16_interleave")
     for (q <- qs) {
       val df = graft.SparkEntry.queries(q)(spark, dir)
       df.collect() // finalize AQE so the executed plan is the real one
