@@ -3964,6 +3964,30 @@ object SparkEntry {
       .orderBy("doc_id", "elem_ix")
   }
 
+  /** [[m16_interleave]] composed with the REAL image decoder: each
+    * document carries one media item whose placeholder is the decoded
+    * `<image:WxH>` from [[graft.operators.Multimodal.decodeImageMeta]]
+    * over the synthetic-but-valid PNG/GIF/BMP/JPEG payloads — the
+    * byte-level header parse feeds the sequence assembly, and the
+    * oracle replays BOTH: m1's dimension construction arithmetic
+    * inside m16's chunk/pack/window skeleton. The multimodal family
+    * and the assembly family compose as one hash. */
+  private def m16b_interleave_media(
+      s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val media = Multimodal
+      .decodeImageMeta(s.read.parquet(Fixtures.mediaDocs(s, dir)))
+      .select(col("doc_id"), lit(0L).as("ord"),
+        concat(lit("<image:"), col("media_meta.width").cast("string"),
+          lit("x"), col("media_meta.height").cast("string"), lit(">"))
+          .as("ph"))
+    graft.operators.Interleave.assemble(
+        docs, "doc_id", "text", media, "doc_id", "ord",
+        chunkSize = 32, mediaTokens = 64, budget = 256, numShards = 8,
+        placeholderCol = "ph")
+      .orderBy("doc_id", "elem_ix")
+  }
+
   /** Deterministic source mixing: src0 ×2.5, src1 ×0.5, src2 dropped,
     * seventeen other sources pass through. */
   private def t10_mix(s: SparkSession, dir: String): DataFrame =
@@ -4906,27 +4930,52 @@ object SparkEntry {
     * never depends on the corpus text's length. Classifier contours
     * (teaser pruning, neighbor rescue, missing `</head>`) are pinned by
     * MainContentSpec. See [[graft.functions.MainContentExpr]]. */
-  private def t65_main_content(s: SparkSession, dir: String): DataFrame = {
-    val f1 = "Lead filler sentence with comfortably more than the sixteen " +
-      "words the shallow classifier needs to call a block content:"
-    val f2 = "A second body paragraph likewise carries enough running " +
-      "words to stand as content on its own after the aside:"
-    val html = concat(
-      lit("<html><head><title>Doc "), col("doc_id"),
-      lit("</title></head><body>"),
-      lit("<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a>" +
-        " <a href=\"/contact\">Contact</a></nav>"),
-      lit(s"<p>$f1 "), col("text"), lit("</p>"),
-      lit("<aside>Sponsored <a href=\"/deal"), col("doc_id"),
-      lit("\">deal</a> today</aside>"),
-      lit(s"<p>$f2 "), col("text"), lit("</p>"),
-      lit("<footer>Copyright "), col("doc_id"),
-      lit(" <a href=\"/privacy\">Privacy</a></footer></body></html>"))
+  private val mcFiller1 = "Lead filler sentence with comfortably more " +
+    "than the sixteen words the shallow classifier needs to call a " +
+    "block content:"
+  private val mcFiller2 = "A second body paragraph likewise carries " +
+    "enough running words to stand as content on its own after the aside:"
+
+  /** The t65/t65b fixture page: planted title/nav/aside/footer chrome
+    * around two filler-led body paragraphs. */
+  private def mcFixtureHtml: Column = concat(
+    lit("<html><head><title>Doc "), col("doc_id"),
+    lit("</title></head><body>"),
+    lit("<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a>" +
+      " <a href=\"/contact\">Contact</a></nav>"),
+    lit(s"<p>$mcFiller1 "), col("text"), lit("</p>"),
+    lit("<aside>Sponsored <a href=\"/deal"), col("doc_id"),
+    lit("\">deal</a> today</aside>"),
+    lit(s"<p>$mcFiller2 "), col("text"), lit("</p>"),
+    lit("<footer>Copyright "), col("doc_id"),
+    lit(" <a href=\"/privacy\">Privacy</a></footer></body></html>"))
+
+  private def t65_main_content(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"),
-        graft.functions.TextFunctions.mainContent(html).as("content"))
+        graft.functions.TextFunctions.mainContent(mcFixtureHtml)
+          .as("content"))
       .orderBy("doc_id")
-  }
+
+  /** The per-BLOCK feature table of the same fixture page (the WSDM
+    * 2010 shallow features as data): six blocks per document in page
+    * order, every word/anchor count, chrome flag and content verdict
+    * closed-form — the training-data shape for a custom content
+    * classifier, and an audit surface for the built-in verdicts. The
+    * blocks→verdict composition identity (content blocks joined = the
+    * t65 scalar) is spec-pinned.
+    * See [[graft.functions.MainContentBlocksExpr]]. */
+  private def t65b_main_content_blocks(
+      s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(
+        graft.functions.TextFunctions.mainContentBlocks(mcFixtureHtml)))
+      .select(col("doc_id"), col("pos").cast("int").as("block_ix"),
+        col("col.text").as("btext"), col("col.words").as("words"),
+        col("col.anchor_words").as("anchor_words"),
+        col("col.chrome").cast("int").as("chrome"),
+        col("col.is_content").cast("int").as("is_content"))
+      .orderBy("doc_id", "block_ix")
 
   /** Conversation assembly over the event log: per-user ordered
     * transcript of "event_type: props" lines, capped at 50 turns (some
@@ -5154,6 +5203,7 @@ object SparkEntry {
     "t47_theta_intersect" -> (t47_theta_intersect _),
     "t48_markup_extract" -> (t48_markup_extract _),
     "t65_main_content" -> (t65_main_content _),
+    "t65b_main_content_blocks" -> (t65b_main_content_blocks _),
     "t49_bitext" -> (t49_bitext _),
     "st18_stream_extract" -> (st18_stream_extract _),
     "st20_stream_crawl" -> (st20_stream_crawl _),
@@ -5297,6 +5347,7 @@ object SparkEntry {
     "t8_split" -> (t8_split _),
     "t9_pack" -> (t9_pack _),
     "m16_interleave" -> (m16_interleave _),
+    "m16b_interleave_media" -> (m16b_interleave_media _),
     "t10_mix" -> (t10_mix _),
     "t10b_mix_temperature" -> (t10b_mix_temperature _),
     "t11_perplexity" -> (t11_perplexity _),
@@ -6128,6 +6179,41 @@ object SparkEntry {
              || 'words to stand as content on its own after the aside: '
              || text AS content
          FROM documents ORDER BY doc_id""",
+    // six blocks per doc in page order, every stat and verdict stated
+    // directly (filler word counts: 19 each; W = the doc's own words)
+    "t65b_main_content_blocks" ->
+      """WITH w AS (SELECT doc_id, text,
+             CAST(len(string_split(text, ' ')) AS INT) AS tw
+           FROM documents),
+         b AS (
+           SELECT doc_id, 0 AS block_ix,
+             'Doc ' || doc_id AS btext, 2 AS words, 0 AS anchor_words,
+             1 AS chrome, 0 AS is_content FROM w
+           UNION ALL
+           SELECT doc_id, 1, 'Home About Contact', 3, 3, 1, 0 FROM w
+           UNION ALL
+           SELECT doc_id, 2,
+             'Lead filler sentence with comfortably more than the '
+               || 'sixteen words the shallow classifier needs to call a '
+               || 'block content: ' || text,
+             19 + tw, 0, 0, 1 FROM w
+           UNION ALL
+           SELECT doc_id, 3, 'Sponsored deal today', 3, 1, 1, 0 FROM w
+           UNION ALL
+           SELECT doc_id, 4,
+             'A second body paragraph likewise carries enough running '
+               || 'words to stand as content on its own after the '
+               || 'aside: ' || text,
+             19 + tw, 0, 0, 1 FROM w
+           UNION ALL
+           SELECT doc_id, 5, 'Copyright ' || doc_id || ' Privacy',
+             3, 1, 1, 0 FROM w)
+         SELECT doc_id, CAST(block_ix AS INT) AS block_ix, btext,
+           CAST(words AS INT) AS words,
+           CAST(anchor_words AS INT) AS anchor_words,
+           CAST(chrome AS INT) AS chrome,
+           CAST(is_content AS INT) AS is_content
+         FROM b ORDER BY doc_id, block_ix""",
     // same direct-SQL truth, gating the STREAMING execution (st7 convention)
     "st18_stream_extract" ->
       """SELECT doc_id,
@@ -8680,6 +8766,53 @@ object SparkEntry {
               + (CASE WHEN bf.rr IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_lists
          FROM af FULL OUTER JOIN bf USING (doc_id)
          ORDER BY doc_id""",
+    // m16's skeleton with the decoded-dimension placeholder: media
+    // content = '<image:' || m1's width/height construction || '>'
+    "m16b_interleave_media" ->
+      """WITH RECURSIVE w AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+           FROM documents),
+         d AS (SELECT doc_id, ws,
+             greatest(1, CAST(ceil(len(ws) / 32.0) AS BIGINT)) AS n_chunks
+           FROM w),
+         ch AS (SELECT doc_id, ws, unnest(range(0, n_chunks)) AS i FROM d),
+         chunkrows AS (
+           SELECT doc_id, i * 2 AS elem_ix, 'text' AS kind,
+             array_to_string(list_slice(ws, CAST(i * 32 + 1 AS INT),
+               CAST(i * 32 + 32 AS INT)), ' ') AS content,
+             CAST(len(list_slice(ws, CAST(i * 32 + 1 AS INT),
+               CAST(i * 32 + 32 AS INT))) AS BIGINT) AS tokens
+           FROM ch),
+         mediarows AS (
+           SELECT doc_id, 1 AS elem_ix, 'media' AS kind,
+             '<image:' || (doc_id % 640 + 1) || 'x'
+               || ((doc_id * 7) % 480 + 1) || '>' AS content,
+             CAST(64 AS BIGINT) AS tokens
+           FROM documents),
+         elements AS (
+           SELECT * FROM chunkrows UNION ALL SELECT * FROM mediarows),
+         totals AS (SELECT doc_id, sum(tokens) AS tk FROM elements
+                    GROUP BY doc_id),
+         t AS (SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard, tk,
+             CAST(row_number() OVER (PARTITION BY doc_id % 8
+               ORDER BY doc_id) AS BIGINT) AS rn
+           FROM totals),
+         pack AS (
+           SELECT shard, rn, doc_id, tk, CAST(0 AS BIGINT) AS bin, tk AS fill
+           FROM t WHERE rn = 1
+           UNION ALL
+           SELECT t.shard, t.rn, t.doc_id, t.tk,
+             CASE WHEN p.fill > 0 AND p.fill + t.tk > 256
+                  THEN p.bin + 1 ELSE p.bin END,
+             CASE WHEN p.fill > 0 AND p.fill + t.tk > 256
+                  THEN t.tk ELSE p.fill + t.tk END
+           FROM pack p JOIN t ON t.shard = p.shard AND t.rn = p.rn + 1)
+         SELECT e.doc_id, p.shard, p.bin,
+           CAST(row_number() OVER (PARTITION BY p.shard, p.bin
+             ORDER BY e.doc_id, e.elem_ix) - 1 AS BIGINT) AS seq,
+           e.elem_ix, e.kind, e.content, e.tokens
+         FROM elements e JOIN pack p USING (doc_id)
+         ORDER BY e.doc_id, e.elem_ix""",
     // chunk slicing (t18b skeleton) + interleave positions + the
     // t9-style recursive greedy pack at 256 + window numbering
     "m16_interleave" ->

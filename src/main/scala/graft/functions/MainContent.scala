@@ -69,6 +69,55 @@ object MainContentExpr {
     GraftInternals.column(MainContentExpr(GraftInternals.expression(html)))
 }
 
+/** [[MainContentExpr]]'s block TABLE: one struct per segmented block in
+  * page order — `(text, words, anchor_words, chrome, is_content)` — the
+  * WSDM 2010 shallow features AS DATA. For training a custom content
+  * classifier on labeled pages, auditing the built-in verdicts, or
+  * block-grain downstream processing; `is_content` is exactly the
+  * verdict [[MainContentExpr]] keeps, so
+  * `array_join(filter(blocks, b -> b.is_content).text, '\n')` equals the
+  * scalar extractor by construction (spec-pinned). */
+case class MainContentBlocksExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("text", StringType,
+          nullable = false),
+        org.apache.spark.sql.types.StructField("words",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("anchor_words",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("chrome",
+          org.apache.spark.sql.types.BooleanType, nullable = false),
+        org.apache.spark.sql.types.StructField("is_content",
+          org.apache.spark.sql.types.BooleanType, nullable = false))),
+      containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"main_content_blocks expects STRING input, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MainContentImpl.blocks(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MainContentImpl.blocks($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "main_content_blocks"
+}
+
+object MainContentBlocksExpr {
+  def apply(html: Column): Column =
+    GraftInternals.column(
+      MainContentBlocksExpr(GraftInternals.expression(html)))
+}
+
 object MainContentImpl {
 
   /** Containers whose text is boilerplate by declaration. `head` is
@@ -83,7 +132,7 @@ object MainContentImpl {
   /** One segmented text block: normalized text (single-spaced, trimmed —
     * the [[MarkupExtractImpl]] in-block convention), word counts, and
     * whether any of it sat inside a chrome container. */
-  private final class Block(val text: String, val words: Int,
+  private[functions] final class Block(val text: String, val words: Int,
     val anchorWords: Int, val chrome: Boolean) {
     def linkDensity: Double =
       if (words == 0) 0.0 else anchorWords.toDouble / words
@@ -106,8 +155,71 @@ object MainContentImpl {
     }
   }
 
+  /** Per-ORIGINAL-index content verdicts: chrome blocks are false by
+    * declaration; non-chrome blocks get the densitometric verdict with
+    * (prev, next) context taken over the chrome-REMOVED flow (see the
+    * landmark-pruning note in [[MainContentExpr]]). */
+  private[functions] def verdicts(
+      blocks: java.util.ArrayList[Block]): Array[Boolean] = {
+    val flowIdx = new java.util.ArrayList[Integer](blocks.size())
+    var k = 0
+    while (k < blocks.size()) {
+      if (!blocks.get(k).chrome) flowIdx.add(k)
+      k += 1
+    }
+    val out = new Array[Boolean](blocks.size())
+    val m = flowIdx.size()
+    k = 0
+    while (k < m) {
+      val b = blocks.get(flowIdx.get(k))
+      val pw = if (k > 0) blocks.get(flowIdx.get(k - 1)).words else 0
+      val pld =
+        if (k > 0) blocks.get(flowIdx.get(k - 1)).linkDensity else 0.0
+      val nw = if (k + 1 < m) blocks.get(flowIdx.get(k + 1)).words else 0
+      out(flowIdx.get(k)) =
+        isContentByDensity(pw, pld, b.words, b.linkDensity, nw)
+      k += 1
+    }
+    out
+  }
+
   def extract(input: UTF8String): UTF8String = {
-    val s = input.toString
+    val blocks = segment(input.toString)
+    val keep = verdicts(blocks)
+    val out = new java.lang.StringBuilder(64)
+    var k = 0
+    while (k < blocks.size()) {
+      if (keep(k)) {
+        if (out.length() > 0) out.append('\n')
+        out.append(blocks.get(k).text)
+      }
+      k += 1
+    }
+    UTF8String.fromString(out.toString)
+  }
+
+  /** One row per segmented block, in page order:
+    * `(text, words, anchor_words, chrome, is_content)` — the shallow
+    * features of the WSDM 2010 classifier AS DATA, for training a
+    * custom content model or auditing the built-in verdicts.
+    * [[MainContentBlocksExpr]]'s kernel. */
+  def blocks(input: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val bs = segment(input.toString)
+    val keep = verdicts(bs)
+    val rows = new Array[Any](bs.size())
+    var k = 0
+    while (k < bs.size()) {
+      val b = bs.get(k)
+      rows(k) = org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(b.text), b.words, b.anchorWords,
+        b.chrome, keep(k))
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  private[functions] def segment(
+      s: String): java.util.ArrayList[Block] = {
     val n = s.length
     val blocks = new java.util.ArrayList[Block]()
 
@@ -228,34 +340,6 @@ object MainContentImpl {
       }
     }
     flush()
-
-    // Landmark blocks are dropped BEFORE densitometry — they are
-    // boilerplate by declaration AND must not poison neighbor context (a
-    // lead paragraph right after a nav bar would otherwise be judged
-    // against the nav's link density; the paper has no semantic signal,
-    // but when the markup declares chrome, trusting it beats inferring).
-    // Non-landmark link-dense neighbors (related-article link lists)
-    // still provide context exactly as published.
-    val flow = new java.util.ArrayList[Block](blocks.size())
-    var k = 0
-    while (k < blocks.size()) {
-      if (!blocks.get(k).chrome) flow.add(blocks.get(k))
-      k += 1
-    }
-    val m = flow.size()
-    val out = new java.lang.StringBuilder(64)
-    k = 0
-    while (k < m) {
-      val b = flow.get(k)
-      val pw = if (k > 0) flow.get(k - 1).words else 0
-      val pld = if (k > 0) flow.get(k - 1).linkDensity else 0.0
-      val nw = if (k + 1 < m) flow.get(k + 1).words else 0
-      if (isContentByDensity(pw, pld, b.words, b.linkDensity, nw)) {
-        if (out.length() > 0) out.append('\n')
-        out.append(b.text)
-      }
-      k += 1
-    }
-    UTF8String.fromString(out.toString)
+    blocks
   }
 }

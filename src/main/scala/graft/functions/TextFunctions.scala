@@ -406,6 +406,11 @@ object TextFunctions {
     * [[MainContentExpr]]. */
   def mainContent(html: Column): Column = MainContentExpr(html)
 
+  /** [[mainContent]]'s per-block feature table:
+    * `array<struct<text, words, anchor_words, chrome, is_content>>` in
+    * page order — the shallow classifier features as data. */
+  def mainContentBlocks(html: Column): Column = MainContentBlocksExpr(html)
+
   /** Canonical URL normalization — the key URL-level dedup and
     * host-level grouping both stand on (two crawls of one page differ
     * by case, default ports, trailing slashes, tracker params and

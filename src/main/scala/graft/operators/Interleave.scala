@@ -39,13 +39,17 @@ object Interleave {
     * `(idCol, shard, bin, seq, elem_ix, kind, content, tokens)` —
     * `seq` is the element's 0-based position within its (shard, bin)
     * window under (doc id, element position) order; `content` is the
-    * chunk text or a `<media:ord>` placeholder for the trainer's
-    * collator to resolve against the media store. */
+    * chunk text or a media placeholder for the trainer's collator to
+    * resolve against the media store — `<media:ord>` by default, or
+    * `placeholderCol`'s value when named (the composition seam for
+    * DECODED media metadata riding into the sequence, e.g.
+    * `<image:WxH>` from the real image decoder — gate m16b). */
   def assemble(
       docs: DataFrame, idCol: String, textCol: String,
       media: DataFrame, mediaIdCol: String, ordCol: String,
       chunkSize: Int, mediaTokens: Int,
-      budget: Long, numShards: Int = 256): DataFrame = {
+      budget: Long, numShards: Int = 256,
+      placeholderCol: String = ""): DataFrame = {
     require(mediaTokens > 0, s"mediaTokens must be positive: $mediaTokens")
     val chunks = Chunk.chunkWords(docs, idCol, textCol, chunkSize, overlap = 0)
       .select(col(idCol), (col("chunk_ix") * 2).as("elem_ix"),
@@ -61,12 +65,15 @@ object Interleave {
         "position, got "),
       coalesce(col(ordCol).cast("string"), lit("NULL")))).cast("long"),
       lit(0L))
+    val phContent =
+      if (placeholderCol.isEmpty)
+        concat(lit("<media:"), col(ordCol).cast("string"), lit(">"))
+      else col(placeholderCol).cast("string")
     val placeholders = media.select(
       col(mediaIdCol).as(idCol),
       (ordGuard + col(ordCol).cast("long") * 2 + 1).as("elem_ix"),
       lit("media").as("kind"),
-      concat(lit("<media:"), col(ordCol).cast("string"), lit(">"))
-        .as("content"),
+      phContent.as("content"),
       lit(mediaTokens.toLong).as("tokens"))
     val elements = chunks.unionByName(placeholders)
     val totals = elements.groupBy(col(idCol))

@@ -73,6 +73,8 @@ class CodegenCompileSpec extends SparkSpec {
     "t67_crawl_backedge",   // composed Http+MainContent+UrlResolve (r16)
     "d23_dsir_select",      // WordGrams multiset kernel (r16)
     "m16_interleave",       // Chunk/Pack composition incl. encoders (r16)
+    "t65b_main_content_blocks", // array<struct> block-table kernel (r16)
+    "m16b_interleave_media",    // image decode feeding assembly (r16)
   )
 
   test("kernel gates run end-to-end under CODEGEN_ONLY (fallback would throw)") {

@@ -96,6 +96,33 @@ class MainContentSpec extends SparkSpec {
     assert(out.head.isNullAt(0), "null html -> null, not a crash")
   }
 
+  test("block table: stats as data; content blocks joined == extractor") {
+    val html = "<html><head><title>My Title</title></head><body>" +
+      "<nav><a href='/'>Home</a> <a href='/a'>About</a></nav>" +
+      s"<p>$longPara</p>" +
+      "<aside>Sponsored <a href='/x'>deal</a> today only</aside>" +
+      s"<p>$longPara2</p>" +
+      "<footer>fin <a href='/p'>Privacy</a></footer></body></html>"
+    val arr = graft.functions.MainContentImpl
+      .blocks(UTF8String.fromString(html))
+    val rows = (0 until arr.numElements()).map { i =>
+      val r = arr.getStruct(i, 5)
+      (r.getUTF8String(0).toString, r.getInt(1), r.getInt(2),
+        r.getBoolean(3), r.getBoolean(4))
+    }
+    assert(rows.map(_._1).take(2) == Seq("My Title", "Home About"),
+      s"page order preserved: ${rows.map(_._1)}")
+    val nav = rows(1)
+    assert(nav == ("Home About", 2, 2, true, false),
+      s"nav stats: $nav")
+    // the composition identity: content blocks joined == the extractor
+    assert(rows.filter(_._5).map(_._1).mkString("\n") == mc(html))
+    // chrome blocks are never content; non-chrome link lists can still
+    // be non-content (density), but here both paragraphs are content
+    assert(rows.filter(_._4).forall(!_._5))
+    assert(rows.count(_._5) == 2)
+  }
+
   test("column expression works under codegen end-to-end") {
     val html = s"<body><nav><a href='/'>x</a></nav><p>$longPara</p></body>"
     val got = Seq(html).toDF("html")
