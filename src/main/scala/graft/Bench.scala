@@ -72,7 +72,7 @@ object Bench {
     // and the composed crawl back edge (HTTP split → main content →
     // outlink harvest → politeness window in one query)
     "t65_main_content", "t67_crawl_backedge", "m16_interleave",
-    "d23_dsir_select")
+    "d23_dsir_select", "t69_pack_chop")
 
   /** Queries measured on the replicated corpus for the scaling slope —
     * the shuffle-heavy pipeline shapes whose 100 TB behavior a plan read
@@ -137,7 +137,10 @@ object Bench {
     // a broadcast ratio join + per-doc sums; replica target ids stay
     // target (the 1e8 shift is a multiple of 100), distributions stay
     // bucket-bounded at any SF
-    "m16_interleave", "d23_dsir_select")
+    // t69: one per-shard cumsum window (8 shards at the gate's
+    // setting — the shuffle is narrow (id, tokens) rows) + a bounded
+    // explode; replica ids are disjoint so streams grow linearly
+    "m16_interleave", "d23_dsir_select", "t69_pack_chop")
 
   /** Materialize a `factor`×-replicated copy of the FACT tables the scale
     * set reads (documents, lineitem, orders, events) plus 1× copies of

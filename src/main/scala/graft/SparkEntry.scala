@@ -3988,6 +3988,22 @@ object SparkEntry {
       .orderBy("doc_id", "elem_ix")
   }
 
+  /** GPT-style concat-and-chop packing: per shard, doc token streams
+    * concatenate in id order and cut every 128 tokens ACROSS doc
+    * boundaries — one row per (doc, window) overlap with doc-local
+    * slice offsets. The oracle replays the per-shard cumulative sum
+    * and every boundary in closed form, so the window arithmetic, the
+    * slice offsets and the exactly-full-window invariant are one hash.
+    * See [[graft.operators.Pack.packChop]]. */
+  private def t69_pack_chop(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(TextFunctions.words(col("text"))).cast("long").as("tokens"))
+    graft.operators.Pack.packChop(docs, "doc_id", "tokens",
+        budget = 128, numShards = 8)
+      .orderBy("doc_id", "window_ix")
+  }
+
   /** Deterministic source mixing: src0 ×2.5, src1 ×0.5, src2 dropped,
     * seventeen other sources pass through. */
   private def t10_mix(s: SparkSession, dir: String): DataFrame =
@@ -5346,6 +5362,7 @@ object SparkEntry {
     "t7_repetition" -> (t7_repetition _),
     "t8_split" -> (t8_split _),
     "t9_pack" -> (t9_pack _),
+    "t69_pack_chop" -> (t69_pack_chop _),
     "m16_interleave" -> (m16_interleave _),
     "m16b_interleave_media" -> (m16b_interleave_media _),
     "t10_mix" -> (t10_mix _),
@@ -8859,6 +8876,25 @@ object SparkEntry {
            e.elem_ix, e.kind, e.content, e.tokens
          FROM elements e JOIN pack p USING (doc_id)
          ORDER BY e.doc_id, e.elem_ix""",
+    // the per-shard cumsum and every window boundary replayed directly
+    "t69_pack_chop" ->
+      """WITH tk AS (SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+           FROM documents),
+         c AS (SELECT doc_id, shard, t,
+             COALESCE(sum(t) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+           FROM tk WHERE t > 0),
+         e AS (SELECT doc_id, shard, t, s,
+             unnest(range(CAST(s // 128 AS BIGINT),
+               CAST((s + t - 1) // 128 + 1 AS BIGINT))) AS window_ix
+           FROM c)
+         SELECT doc_id, shard, window_ix,
+           greatest(0, window_ix * 128 - s) AS tok_start,
+           least(t, (window_ix + 1) * 128 - s) AS tok_end,
+           least(t, (window_ix + 1) * 128 - s)
+             - greatest(0, window_ix * 128 - s) AS n_tokens
+         FROM e ORDER BY doc_id, window_ix""",
     "t9_pack" ->
       """WITH RECURSIVE t AS (
            SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sequence packing for training pipelines: assign each document to a
@@ -55,6 +56,52 @@ object Pack {
         (id, sh, bin, tokens)
       }
     }.toDF(idCol, "shard", "bin", "tokens")
+  }
+
+  /** GPT-style concat-and-chop packing — the causal-LM pretraining
+    * shape [[packGreedy]] deliberately is not: within each shard,
+    * documents concatenate in ascending-id order into one token stream
+    * that is cut into `budget`-token windows ACROSS document
+    * boundaries. No padding, no whole-doc constraint — every window
+    * except a shard's last is exactly full.
+    *
+    * Returns one row per (document, window) overlap:
+    * `(idCol, shard, window_ix, tok_start, tok_end, n_tokens)` where
+    * `[tok_start, tok_end)` are DOC-LOCAL token offsets (the slice of
+    * the doc landing in that window) — the loader reads the doc once
+    * and slices. Zero-token docs drop (nothing of them is trainable);
+    * window ids are per-shard, 0-based.
+    *
+    * Spark shape: ONE per-shard cumulative-sum window (the only
+    * shuffle) and a bounded explode (a doc spans at most
+    * `tokens/budget + 1` windows) — closed-form arithmetic throughout,
+    * so the oracle replays every boundary. Token offsets stay far
+    * below 2^53, so the double division under `floor` is exact. */
+  def packChop(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      budget: Long,
+      numShards: Int = 256): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(numShards > 0, "numShards must be positive")
+    val w = Window.partitionBy("__shard").orderBy("__id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(idCol).cast("long").as("__id"),
+        col(tokensCol).cast("long").as("__t"),
+        pmod(col(idCol).cast("long"), lit(numShards.toLong)).as("__shard"))
+      .filter(col("__t") > 0)
+      .withColumn("__s", coalesce(sum("__t").over(w), lit(0L)))
+      .withColumn("window_ix", explode(sequence(
+        floor(col("__s") / budget).cast("long"),
+        floor((col("__s") + col("__t") - 1) / budget).cast("long"))))
+      .select(col("__id").as(idCol), col("__shard").as("shard"),
+        col("window_ix"),
+        greatest(lit(0L), col("window_ix") * budget - col("__s"))
+          .as("tok_start"),
+        least(col("__t"), (col("window_ix") + 1) * budget - col("__s"))
+          .as("tok_end"))
+      .withColumn("n_tokens", col("tok_end") - col("tok_start"))
   }
 
   /** Per-bin packing summary: docs per bin, filled tokens, utilization of

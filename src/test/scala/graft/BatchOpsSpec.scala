@@ -1469,3 +1469,43 @@ class DsirSpec extends SparkSpec {
     assert(w(2L) == 0.0)
   }
 }
+
+/** Concat-and-chop packing invariants: full windows, disjoint exact
+  * doc coverage, cross-boundary splits. */
+class PackChopSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("windows are exactly full except each shard's last; slices tile docs") {
+    val docs = (1L to 40L).map(i => (i, (i % 7) + 1)).toDF("id", "tokens")
+    val out = graft.operators.Pack.packChop(docs, "id", "tokens",
+        budget = 10, numShards = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // per-doc slices tile [0, tokens) disjointly and in window order
+    val byDoc = out.groupBy(_._1)
+    for ((id, rows) <- byDoc) {
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.head._4 == 0L, s"doc $id starts at offset 0")
+      assert(sorted.last._5 == (id % 7) + 1, s"doc $id ends at its length")
+      sorted.sliding(2).filter(_.length == 2).foreach { pair =>
+        val (a, b) = (pair(0), pair(1))
+        assert(a._5 == b._4, s"doc $id slices must tile: ${sorted.toSeq}")
+        assert(a._3 + 1 == b._3,
+          s"doc $id windows consecutive: ${sorted.toSeq}")
+      }
+    }
+    // per (shard, window) token sums: budget everywhere but the last
+    for ((shard, rows) <- out.groupBy(_._2)) {
+      val fills = rows.groupBy(_._3).view.mapValues(_.map(_._6).sum).toMap
+      val last = fills.keys.max
+      for ((wix, fill) <- fills)
+        if (wix < last) assert(fill == 10L, s"shard $shard window $wix: $fill")
+        else assert(fill <= 10L && fill > 0L)
+    }
+    // zero-token docs drop
+    val withZero = Seq((1L, 0L), (3L, 5L)).toDF("id", "tokens")
+    val z = graft.operators.Pack.packChop(withZero, "id", "tokens", 10, 1)
+      .collect()
+    assert(z.map(_.getLong(0)).toSet == Set(3L))
+  }
+}
