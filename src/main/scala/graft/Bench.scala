@@ -72,7 +72,8 @@ object Bench {
     // and the composed crawl back edge (HTTP split → main content →
     // outlink harvest → politeness window in one query)
     "t65_main_content", "t67_crawl_backedge", "m16_interleave",
-    "d23_dsir_select", "t69_pack_chop")
+    "d23_dsir_select", "t69_pack_chop", "t70_span_corruption",
+    "t71_sft_mask")
 
   /** Queries measured on the replicated corpus for the scaling slope —
     * the shuffle-heavy pipeline shapes whose 100 TB behavior a plan read
@@ -140,7 +141,11 @@ object Bench {
     // t69: one per-shard cumsum window (8 shards at the gate's
     // setting — the shuffle is narrow (id, tokens) rows) + a bounded
     // explode; replica ids are disjoint so streams grow linearly
-    "m16_interleave", "d23_dsir_select", "t69_pack_chop")
+    // t70 is pure map-side hash arithmetic; t71 is one keyed window
+    // over events — per-user turn counts grow ×10 (replicas keep
+    // user_id), the q6/t54d keyed-window growth shape on narrow rows
+    "m16_interleave", "d23_dsir_select", "t69_pack_chop",
+    "t70_span_corruption", "t71_sft_mask")
 
   /** Materialize a `factor`×-replicated copy of the FACT tables the scale
     * set reads (documents, lineitem, orders, events) plus 1× copies of

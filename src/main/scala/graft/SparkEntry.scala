@@ -4004,6 +4004,29 @@ object SparkEntry {
       .orderBy("doc_id", "window_ix")
   }
 
+  /** T5-style span-corruption PLAN (deterministic): one 3-token span
+    * per complete 20-token block at a salted-md5 offset — corruption
+    * rate exactly 15%, spans non-overlapping by construction, every
+    * span stated by the oracle from the same hash arithmetic.
+    * See [[graft.operators.Masking.spanCorruptionPlan]]. */
+  private def t70_span_corruption(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Masking.spanCorruptionPlan(
+        t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id", "sentinel_ix")
+
+  /** SFT loss-mask plan over the event log as a chat transcript: per
+    * user, turns order by (ts, event_id), token offsets are running
+    * word counts of props, and only click/purchase turns train — the
+    * chat-fine-tuning mask as data. One keyed window; the oracle
+    * replays rank, running sum and the role predicate directly.
+    * See [[graft.operators.Masking.sftLossMask]]. */
+  private def t71_sft_mask(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Masking.sftLossMask(Fixtures.events(s, dir),
+        "user_id", Seq("ts", "event_id"), "event_type", "props",
+        trainRoles = Seq("click", "purchase"))
+      .withColumn("trainable", col("trainable").cast("int"))
+      .orderBy("user_id", "turn_ix")
+
   /** Deterministic source mixing: src0 ×2.5, src1 ×0.5, src2 dropped,
     * seventeen other sources pass through. */
   private def t10_mix(s: SparkSession, dir: String): DataFrame =
@@ -5363,6 +5386,8 @@ object SparkEntry {
     "t8_split" -> (t8_split _),
     "t9_pack" -> (t9_pack _),
     "t69_pack_chop" -> (t69_pack_chop _),
+    "t70_span_corruption" -> (t70_span_corruption _),
+    "t71_sft_mask" -> (t71_sft_mask _),
     "m16_interleave" -> (m16_interleave _),
     "m16b_interleave_media" -> (m16b_interleave_media _),
     "t10_mix" -> (t10_mix _),
@@ -8876,6 +8901,39 @@ object SparkEntry {
            e.elem_ix, e.kind, e.content, e.tokens
          FROM elements e JOIN pack p USING (doc_id)
          ORDER BY e.doc_id, e.elem_ix""",
+    // every corrupted span restated from the same salted-hash arithmetic
+    "t70_span_corruption" ->
+      """WITH w AS (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+           FROM documents),
+         b AS (SELECT doc_id, CAST(t // 20 AS BIGINT) AS nb FROM w),
+         e AS (SELECT doc_id,
+             unnest(range(CAST(0 AS BIGINT), nb)) AS sentinel_ix
+           FROM b WHERE nb > 0)
+         SELECT doc_id, sentinel_ix,
+           sentinel_ix * 20 + CAST(concat('0x', substr(md5(
+             't5:' || doc_id || ':' || sentinel_ix), 1, 8)) AS BIGINT) % 18
+             AS span_start,
+           CAST(3 AS INT) AS span_len
+         FROM e ORDER BY doc_id, sentinel_ix""",
+    // rank + running word-count sum + the role predicate, one window
+    "t71_sft_mask" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type,
+             CAST(len(string_split(props, ' ')) AS BIGINT) AS t
+           FROM events),
+         r AS (SELECT user_id, event_type, t,
+             CAST(row_number() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) - 1 AS BIGINT) AS turn_ix,
+             COALESCE(sum(t) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS tok_start
+           FROM e)
+         SELECT user_id, turn_ix, event_type AS role, tok_start,
+           tok_start + t AS tok_end,
+           CASE WHEN event_type IN ('click', 'purchase') THEN 1 ELSE 0 END
+             AS trainable
+         FROM r ORDER BY user_id, turn_ix""",
     // the per-shard cumsum and every window boundary replayed directly
     "t69_pack_chop" ->
       """WITH tk AS (SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard,

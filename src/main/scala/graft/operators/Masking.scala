@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-objective data prep: which tokens to corrupt (denoising
+  * pretraining) and which tokens to train on (SFT) — emitted as PLANS
+  * (token-offset tables), not rewritten text, so the loader applies
+  * them against the tokenizer's own output and the plan stays
+  * tokenizer-agnostic.
+  *
+  * Both planners are DETERMINISTIC by design — a salted md5 drives
+  * every decision (the t8/t36 salted-uniform convention), so a data
+  * build replays byte-identically anywhere and the oracle can state
+  * every span. Real T5 used an RNG; for a production corpus build,
+  * reproducibility is the feature, and a new salt is a new draw.
+  */
+object Masking {
+
+  /** T5-style span-corruption plan: partition each document's token
+    * stream into `blockSize`-token blocks and corrupt ONE
+    * `spanLen`-token span per COMPLETE block, at a salted-hash offset —
+    * corruption rate = spanLen/blockSize exactly (default 3/20 = 15%,
+    * the paper's operating point), spans non-overlapping BY
+    * CONSTRUCTION (one per block), the incomplete tail block left
+    * uncorrupted (documented bias, vanishing for docs ≫ blockSize).
+    *
+    * Returns one row per corrupted span:
+    * `(idCol, sentinel_ix, span_start, span_len)` — `sentinel_ix` is
+    * the block index (= the sentinel token number in the T5 encoding),
+    * `span_start` a doc-local token offset. Map-side only: a
+    * per-block hash and arithmetic, no shuffle at all. */
+  def spanCorruptionPlan(
+      df: DataFrame, idCol: String, textCol: String,
+      blockSize: Int = 20, spanLen: Int = 3,
+      salt: String = "t5"): DataFrame = {
+    require(blockSize >= 2 && spanLen >= 1 && spanLen < blockSize,
+      s"need 1 <= spanLen < blockSize; got spanLen=$spanLen blockSize=$blockSize")
+    val tokens = size(graft.functions.TextFunctions.words(col(textCol)))
+      .cast("long")
+    val nBlocks = (tokens / blockSize).cast("long") // complete blocks only
+    val offsets = (blockSize - spanLen + 1).toLong
+    df.select(col(idCol), nBlocks.as("__nb"))
+      .filter(col("__nb") > 0)
+      .select(col(idCol),
+        explode(sequence(lit(0L), col("__nb") - 1)).as("sentinel_ix"))
+      .select(col(idCol), col("sentinel_ix"),
+        (col("sentinel_ix") * blockSize +
+          pmod(conv(substring(md5(concat_ws(":", lit(salt),
+            col(idCol).cast("string"), col("sentinel_ix").cast("string"))),
+            1, 8), 16, 10).cast("long"), lit(offsets))).as("span_start"),
+        lit(spanLen).as("span_len"))
+  }
+
+  /** SFT loss-mask plan over a turn table (the chat-fine-tuning data
+    * shape): per conversation `keyCol`, turns order by `orderCols`,
+    * each turn's token span is the running word-count interval, and
+    * `trainable` marks the turns whose roles are trained on (assistant
+    * turns; everything else is context with loss masked out).
+    *
+    * Returns one row per turn:
+    * `(keyCol, turn_ix, role, tok_start, tok_end, trainable)` —
+    * doc-local offsets into the conversation's concatenated token
+    * stream. One keyed window (ranking + running sum share the
+    * partitioning), no other shuffle. */
+  def sftLossMask(
+      df: DataFrame, keyCol: String, orderCols: Seq[String],
+      roleCol: String, textCol: String,
+      trainRoles: Seq[String]): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one ordering column")
+    require(trainRoles.nonEmpty, "no trainable roles — the mask would be all-off")
+    val ord = orderCols.map(col)
+    val w = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val toks = size(graft.functions.TextFunctions.words(col(textCol)))
+      .cast("long")
+    df.select(col(keyCol) +: ord :+ col(roleCol).as("role") :+
+        toks.as("__t"): _*)
+      .withColumn("turn_ix", (row_number().over(w) - 1).cast("long"))
+      .withColumn("tok_start", coalesce(sum("__t").over(wPrev), lit(0L)))
+      .withColumn("tok_end", col("tok_start") + col("__t"))
+      .withColumn("trainable", col("role").isin(trainRoles: _*))
+      .select(col(keyCol), col("turn_ix"), col("role"),
+        col("tok_start"), col("tok_end"), col("trainable"))
+  }
+}

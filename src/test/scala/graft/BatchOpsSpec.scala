@@ -1509,3 +1509,45 @@ class PackChopSpec extends SparkSpec {
     assert(z.map(_.getLong(0)).toSet == Set(3L))
   }
 }
+
+/** Objective-prep planners: span bounds/rate, mask offsets. */
+class MaskingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("span corruption: one span per complete block, inside its block") {
+    val doc = (1 to 47).map(i => s"w$i").mkString(" ") // 2 blocks + tail 7
+    val out = graft.operators.Masking.spanCorruptionPlan(
+        Seq((1L, doc), (2L, "too short")).toDF("id", "text"), "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3)))
+    assert(out.forall(_._1 == 1L), "sub-block docs get no spans")
+    assert(out.map(_._2).sorted.toSeq == Seq(0L, 1L))
+    for ((_, b, start, len) <- out) {
+      assert(len == 3)
+      assert(start >= b * 20 && start + len <= b * 20 + 20,
+        s"span [$start, ${start + len}) must sit inside block $b")
+    }
+    // deterministic: same inputs, same spans
+    val again = graft.operators.Masking.spanCorruptionPlan(
+        Seq((1L, doc)).toDF("id", "text"), "id", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(again == out.map(t => (t._2, t._3)).toSet)
+  }
+
+  test("sft mask: offsets tile the conversation; only train roles flagged") {
+    val turns = Seq(
+      (1L, 1L, "user", "hello there friend"),
+      (1L, 2L, "assistant", "hi"),
+      (1L, 3L, "user", "question words here now"),
+      (1L, 4L, "assistant", "answer words"))
+      .toDF("conv", "seq", "role", "text")
+    val out = graft.operators.Masking.sftLossMask(
+        turns, "conv", Seq("seq"), "role", "text", Seq("assistant"))
+      .orderBy("turn_ix")
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(out.toSeq == Seq(
+      (0L, "user", 0L, 3L, false), (1L, "assistant", 3L, 4L, true),
+      (2L, "user", 4L, 8L, false), (3L, "assistant", 8L, 10L, true)))
+  }
+}
