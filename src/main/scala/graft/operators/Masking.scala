@@ -69,6 +69,9 @@ object Masking {
       roleCol: String, textCol: String,
       trainRoles: Seq[String]): DataFrame = {
     require(orderCols.nonEmpty, "need at least one ordering column")
+    require(!orderCols.contains(keyCol),
+      s"keyCol '$keyCol' must not repeat in orderCols — the projection " +
+        "would carry an ambiguous duplicate column")
     require(trainRoles.nonEmpty, "no trainable roles — the mask would be all-off")
     val ord = orderCols.map(col)
     val w = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
@@ -80,7 +83,10 @@ object Masking {
       .withColumn("turn_ix", (row_number().over(w) - 1).cast("long"))
       .withColumn("tok_start", coalesce(sum("__t").over(wPrev), lit(0L)))
       .withColumn("tok_end", col("tok_start") + col("__t"))
-      .withColumn("trainable", col("role").isin(trainRoles: _*))
+      // a NULL role is context, not trainable — isin alone would emit a
+      // null flag and a loader reading it as truthy would train on it
+      .withColumn("trainable",
+        coalesce(col("role").isin(trainRoles: _*), lit(false)))
       .select(col(keyCol), col("turn_ix"), col("role"),
         col("tok_start"), col("tok_end"), col("trainable"))
   }

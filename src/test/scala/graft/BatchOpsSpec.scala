@@ -1549,5 +1549,17 @@ class MaskingSpec extends SparkSpec {
     assert(out.toSeq == Seq(
       (0L, "user", 0L, 3L, false), (1L, "assistant", 3L, 4L, true),
       (2L, "user", 4L, 8L, false), (3L, "assistant", 8L, 10L, true)))
+    // a null role is context (trainable = false), never a null flag
+    val withNull = Seq((1L, 1L, Option.empty[String], "x y"),
+      (1L, 2L, Some("assistant"), "z")).toDF("conv", "seq", "role", "text")
+    val flags = graft.operators.Masking.sftLossMask(
+        withNull, "conv", Seq("seq"), "role", "text", Seq("assistant"))
+      .orderBy("turn_ix").collect().map(_.getBoolean(5))
+    assert(flags.toSeq == Seq(false, true))
+    // keyCol repeated in orderCols is refused at plan time
+    intercept[IllegalArgumentException] {
+      graft.operators.Masking.sftLossMask(withNull, "conv",
+        Seq("conv", "seq"), "role", "text", Seq("assistant"))
+    }
   }
 }
