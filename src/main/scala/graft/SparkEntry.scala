@@ -8924,10 +8924,10 @@ object SparkEntry {
          r AS (SELECT user_id, event_type, t,
              CAST(row_number() OVER (PARTITION BY user_id
                ORDER BY ts, event_id) - 1 AS BIGINT) AS turn_ix,
-             COALESCE(sum(t) OVER (PARTITION BY user_id
+             CAST(COALESCE(sum(t) OVER (PARTITION BY user_id
                ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS tok_start
+               AS BIGINT) AS tok_start
            FROM e)
          SELECT user_id, turn_ix, event_type AS role, tok_start,
            tok_start + t AS tok_end,
@@ -8940,8 +8940,9 @@ object SparkEntry {
              CAST(len(string_split(text, ' ')) AS BIGINT) AS t
            FROM documents),
          c AS (SELECT doc_id, shard, t,
-             COALESCE(sum(t) OVER (PARTITION BY shard ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+             CAST(COALESCE(sum(t) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS s
            FROM tk WHERE t > 0),
          e AS (SELECT doc_id, shard, t, s,
              unnest(range(CAST(s // 128 AS BIGINT),

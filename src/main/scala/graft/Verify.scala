@@ -38,6 +38,16 @@ object Verify {
         require(complex.isEmpty,
           s"gate $name has complex-typed final columns ${complex.mkString(",")}" +
             " — scalar-ize them (array_join/to_json) before registering")
+        // Oracle-side twin of the guard above (the round-16 t69/t71
+        // lesson): an uncast integer sum() in the DuckDB oracle goes
+        // HUGEINT and hash-diverges despite value-equal rows. Refuse the
+        // gate unless OracleLint.allowed documents why the sum is benign.
+        val uncast = SparkEntry.oracleSql.get(name)
+          .filterNot(_ => OracleLint.allowed.contains(name))
+          .map(OracleLint.uncastSums).getOrElse(Nil)
+        require(uncast.isEmpty,
+          s"gate $name oracle SQL has uncast sum() [${uncast.mkString(" | ")}]" +
+            " — CAST(... AS BIGINT) it or allowlist it in OracleLint with a reason")
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       }
       catch { case e: Throwable =>
