@@ -27,7 +27,15 @@ import org.apache.spark.sql.functions._
   *
   * Determinism: per-bucket log-ratios round to `scale` decimals BEFORE
   * summation (identical summands in every engine) and each doc's sum
-  * rounds again, the t10b/t12 cross-engine convention.
+  * rounds again, the t10b/t12 cross-engine convention. The convention
+  * REDUCES cross-engine drift, it does not eliminate it: double
+  * summation is order-dependent, so a doc whose true sum sits within
+  * an ulp of a `scale`-decimal rounding boundary can still round
+  * differently under Spark's partial-aggregation order than under
+  * another engine's — ~2⁻⁴⁵-per-doc unlikely at `scale = 6`, not
+  * impossible. If bit-identical replay is a hard requirement, sum an
+  * order-canonical form instead (sort the per-doc contributions, or
+  * sum scaled integers); the gate-scale fixture never hits a boundary.
   *
   * The bucket hash is t31's md5-prefix so external engines replay the
   * whole estimator bit-for-bit; md5-per-gram is the dominant 10× cost

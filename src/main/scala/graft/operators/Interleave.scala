@@ -65,13 +65,24 @@ object Interleave {
         "position, got "),
       coalesce(col(ordCol).cast("string"), lit("NULL")))).cast("long"),
       lit(0L))
+    // r16 ADVICE: two media rows with the same (id, ord) would silently
+    // collide at one elem_ix — double-counted tokens in the pack totals
+    // and arbitrary relative seq order. Refuse loudly instead (the
+    // sftLossMask duplicate-key philosophy). The windowed count shuffles
+    // only the media side — the lighter side by construction, and
+    // placeholders shuffle right after for the pack join anyway.
+    val dupW = Window.partitionBy(col(mediaIdCol), col(ordCol))
+    val dupGuard = coalesce(assert_true(count(lit(1)).over(dupW) === 1,
+      concat(lit("interleave: duplicate media (id, ord) = ("),
+        col(mediaIdCol).cast("string"), lit(", "),
+        col(ordCol).cast("string"), lit(")"))).cast("long"), lit(0L))
     val phContent =
       if (placeholderCol.isEmpty)
         concat(lit("<media:"), col(ordCol).cast("string"), lit(">"))
       else col(placeholderCol).cast("string")
     val placeholders = media.select(
       col(mediaIdCol).as(idCol),
-      (ordGuard + col(ordCol).cast("long") * 2 + 1).as("elem_ix"),
+      (ordGuard + dupGuard + col(ordCol).cast("long") * 2 + 1).as("elem_ix"),
       lit("media").as("kind"),
       phContent.as("content"),
       lit(mediaTokens.toLong).as("tokens"))

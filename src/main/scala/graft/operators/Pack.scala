@@ -85,6 +85,20 @@ object Pack {
       numShards: Int = 256): DataFrame = {
     require(budget > 0, "budget must be positive")
     require(numShards > 0, "numShards must be positive")
+    // r16 ADVICE: a non-integral id would NULL under the non-strict long
+    // cast below, collapsing every doc into one NULL shard with a
+    // nondeterministic cumsum — refuse at plan time, like exactKeepBest.
+    // CONTRACT: ids must also be UNIQUE — the ROWS-based cumsum orders
+    // duplicates arbitrarily, so duplicate ids make window boundaries
+    // nondeterministic (dedup upstream; uniqueness is not checkable
+    // map-side without a shuffle this operator otherwise never needs).
+    val idType = df.schema(idCol).dataType
+    require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(idType),
+      s"packChop: id column '$idCol' must be integral (shard + cumsum " +
+        s"order key), got ${idType.sql} — cast or map ids first")
     val w = Window.partitionBy("__shard").orderBy("__id")
       .rowsBetween(Window.unboundedPreceding, -1)
     df.select(col(idCol).cast("long").as("__id"),

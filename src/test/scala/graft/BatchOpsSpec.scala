@@ -1417,6 +1417,21 @@ class InterleaveSpec extends SparkSpec {
         "id", "ord", 2, 64, 100, 1).collect()
     }
   }
+
+  test("duplicate (id, ord) media rows fail loudly (r16 ADVICE)") {
+    val docs = Seq((1L, "a b c")).toDF("id", "text")
+    val dup = Seq((1L, 0L), (1L, 0L)).toDF("id", "ord")
+    val e = intercept[Exception] {
+      graft.operators.Interleave.assemble(docs, "id", "text", dup, "id",
+        "ord", 2, 64, 100, 1).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("duplicate media"),
+      s"got: ${e.getMessage}")
+    // the guard does not fire on distinct ords for the same doc
+    val ok = Seq((1L, 0L), (1L, 1L)).toDF("id", "ord")
+    assert(graft.operators.Interleave.assemble(docs, "id", "text", ok, "id",
+      "ord", 2, 64, 100, 1).count() > 0)
+  }
 }
 
 /** DSIR importance resampling: target-like docs outscore off-target
@@ -1507,6 +1522,14 @@ class PackChopSpec extends SparkSpec {
     val z = graft.operators.Pack.packChop(withZero, "id", "tokens", 10, 1)
       .collect()
     assert(z.map(_.getLong(0)).toSet == Set(3L))
+  }
+
+  test("non-integral id refused at plan time (r16 ADVICE)") {
+    val strIds = Seq(("a", 5L), ("b", 3L)).toDF("id", "tokens")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Pack.packChop(strIds, "id", "tokens", 10, 1)
+    }
+    assert(e.getMessage.contains("must be integral"), s"got: ${e.getMessage}")
   }
 }
 
