@@ -2114,6 +2114,42 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Arbitrary-length EXACT substring dedup (ExactSubstr, keep-first)
+    * over three plant families on one corpus: cross-document copies of
+    * an OFF-GRID 13-word run (cut from the plant, the earlier source
+    * keeps), WITHIN-document twin copies of a reversed 13-run (second
+    * copy cut, first kept — the case d20's owner-doc contract cannot
+    * express), and a 9-word repeat that must SURVIVE a minLen = 10
+    * policy exactly (the boundary d20's fixed scales blur). The Spark
+    * side elects first occurrences over doubling-ladder window hashes
+    * ([[graft.functions.RunWindowHashExpr]]); the oracle replays
+    * windows, first-occurrence election, coverage and reassembly on
+    * exact window STRINGS — a hash match therefore also proves the
+    * ladder collision-free on the corpus.
+    * See [[graft.operators.Dedup.dropRepeatedRuns]]. */
+  private def d24_substr_dedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val w0 = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.words(col("text")).as("__ws"))
+    val crossP = w0.filter(col("doc_id") % 7 === 0 && size(col("__ws")) >= 16)
+      .select((col("doc_id") + 9850000L).as("doc_id"),
+        concat(lit("vv start pad "), array_join(slice(col("__ws"), 3, 13), " "),
+          lit(" vv end pad")).as("text"))
+    val rev13 = array_join(reverse(slice(col("__ws"), 3, 13)), " ")
+    val withinP = w0.filter(col("doc_id") % 5 === 0 && size(col("__ws")) >= 16)
+      .select((col("doc_id") + 9860000L).as("doc_id"),
+        concat(lit("xx alpha "), rev13, lit(" xx beta "), rev13,
+          lit(" xx omega")).as("text"))
+    val survP = w0.filter(col("doc_id") % 3 === 0 && size(col("__ws")) >= 12)
+      .select((col("doc_id") + 9870000L).as("doc_id"),
+        concat(lit("uu s pad "), array_join(slice(col("__ws"), 3, 9), " "),
+          lit(" uu e pad")).as("text"))
+    graft.operators.Dedup.dropRepeatedRuns(
+        docs.unionByName(crossP).unionByName(withinP).unionByName(survP),
+        "doc_id", "text", minLen = 10)
+      .orderBy("doc_id")
+  }
+
   /** PDF round trip: every document is written as a structurally valid
     * one-page PDF ([[graft.functions.PdfBuildExpr]] — Flate-compressed
     * content stream on even doc_ids, raw on odd, text split across two
@@ -5298,6 +5334,7 @@ object SparkEntry {
     "d19_semdedup_append" -> (d19_semdedup_append _),
     "d20_span_dedup" -> (d20_span_dedup _),
     "d20b_span_dedup_multi" -> (d20b_span_dedup_multi _),
+    "d24_substr_dedup" -> (d24_substr_dedup _),
     "t50_pdf_extract" -> (t50_pdf_extract _),
     "t51_url_normalize" -> (t51_url_normalize _),
     "t52_warc_roundtrip" -> (t52_warc_roundtrip _),
@@ -7532,6 +7569,63 @@ object SparkEntry {
              AND own.owner <> sp.doc_id),
          cov AS (SELECT DISTINCT doc_id,
              unnest(generate_series(pos, pos + n - 1)) AS j
+           FROM cuts),
+         wj AS (SELECT doc_id, j - 1 AS j, ws[j] AS word
+           FROM (SELECT doc_id, ws,
+               unnest(generate_series(1, len(ws))) AS j FROM w)),
+         clean AS (SELECT wj.doc_id,
+             string_agg(word, ' ' ORDER BY wj.j)
+               FILTER (WHERE cov.j IS NULL) AS text_clean,
+             count(*) AS n_words,
+             count(cov.j) AS n_removed
+           FROM wj LEFT JOIN cov
+             ON cov.doc_id = wj.doc_id AND cov.j = wj.j
+           GROUP BY wj.doc_id)
+         SELECT corp.doc_id, coalesce(clean.text_clean, '') AS text_clean,
+           CAST(coalesce(clean.n_words, 0) AS BIGINT) AS n_words,
+           CAST(coalesce(clean.n_removed, 0) AS BIGINT) AS n_removed
+         FROM corp LEFT JOIN clean ON clean.doc_id = corp.doc_id
+         ORDER BY corp.doc_id""",
+    // exact window strings, first-occurrence election by (id, pos),
+    // coverage and reassembly replayed in SQL — validating the Spark
+    // side's ladder hashes against ground truth on every corpus doc
+    "d24_substr_dedup" ->
+      """WITH w0 AS (SELECT doc_id,
+             regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+         plc AS (SELECT 9850000 + doc_id AS doc_id,
+             'vv start pad ' || array_to_string(list_slice(ws, 3, 15), ' ')
+               || ' vv end pad' AS text
+           FROM w0 WHERE doc_id % 7 = 0 AND len(ws) >= 16),
+         plw AS (SELECT 9860000 + doc_id AS doc_id,
+             'xx alpha '
+               || array_to_string(list_reverse(list_slice(ws, 3, 15)), ' ')
+               || ' xx beta '
+               || array_to_string(list_reverse(list_slice(ws, 3, 15)), ' ')
+               || ' xx omega' AS text
+           FROM w0 WHERE doc_id % 5 = 0 AND len(ws) >= 16),
+         pls AS (SELECT 9870000 + doc_id AS doc_id,
+             'uu s pad ' || array_to_string(list_slice(ws, 3, 11), ' ')
+               || ' uu e pad' AS text
+           FROM w0 WHERE doc_id % 3 = 0 AND len(ws) >= 12),
+         corp AS (SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id, text FROM plc
+           UNION ALL SELECT doc_id, text FROM plw
+           UNION ALL SELECT doc_id, text FROM pls),
+         w AS (SELECT doc_id,
+             regexp_split_to_array(trim(text), '\s+') AS ws FROM corp),
+         sp AS (SELECT doc_id, i - 1 AS pos,
+             array_to_string(list_slice(ws, i, i + 9), ' ') AS s
+           FROM (SELECT doc_id, ws,
+               unnest(generate_series(1, len(ws) - 9)) AS i
+             FROM w WHERE len(ws) >= 10)),
+         own AS (SELECT s,
+             min(CAST(doc_id AS BIGINT) * 1000000 + pos) AS f FROM sp
+           GROUP BY s HAVING count(*) >= 2),
+         cuts AS (SELECT sp.doc_id, sp.pos FROM sp
+           JOIN own ON sp.s = own.s
+           WHERE CAST(sp.doc_id AS BIGINT) * 1000000 + sp.pos <> own.f),
+         cov AS (SELECT DISTINCT doc_id,
+             unnest(generate_series(pos, pos + 9)) AS j
            FROM cuts),
          wj AS (SELECT doc_id, j - 1 AS j, ws[j] AS word
            FROM (SELECT doc_id, ws,

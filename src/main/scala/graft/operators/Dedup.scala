@@ -1463,6 +1463,84 @@ object Dedup {
     CacheRelease.afterFirstAction(out, Seq(perDoc), _ => ())
   }
 
+  /** Arbitrary-length EXACT substring dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499 — the ExactSubstr recipe at word granularity):
+    * every maximal run of ≥ `minLen` words that occurs more than once
+    * in the corpus keeps exactly its FIRST occurrence (corpus order =
+    * smallest `(id, position)`) and is cut everywhere else — INCLUDING
+    * the second copy inside the same document, the case
+    * [[dropRepeatedSpans]] deliberately excludes (its owner-doc-keeps-
+    * all contract). Runs shorter than `minLen` are never cut, exactly:
+    * a cut window is itself a repeated ≥ minLen substring, and every
+    * token of a repeated ≥ minLen run lies under one of its repeated
+    * minLen-windows, so coverage equals the policy with no ladder of
+    * scales to tune (the suffix-array recipe's guarantee, reached with
+    * the bucketed span-hash shape instead).
+    *
+    * Spark shape at 100 TB: window keys come from ONE map-side
+    * [[graft.functions.RunWindowHashExpr]] pass — O(words · log minLen)
+    * long-mixes per document and 8-byte keys into the shuffle, never
+    * minLen-word strings (at the ExactSubstr standard's minLen = 50
+    * that is 6 levels vs 50 chained mixes per position, and a ~50×
+    * smaller shuffle payload than string spans); first-occurrence
+    * election is ONE `groupBy(key)` with partial-aggregable
+    * `(count, min(struct(id, pos)))` whose surviving build side is the
+    * repeated-window vocabulary, not the corpus; the decision join
+    * ships hits only; the per-document cut is the same bounded
+    * collect_list → [[graft.functions.DropSpansExpr]] merge pass as
+    * [[dropRepeatedSpans]]. A 64-bit key collision cuts a
+    * non-duplicate span (never corrupts text mid-word) — the standard
+    * content-key contract.
+    *
+    * Self-overlapping repeats (period < minLen, e.g. a 100-token run
+    * of one repeated word) degenerate as in the published recipe: the
+    * kept first WINDOW survives only up to the next cut's coverage —
+    * deterministic, and such runs are [[graft.operators]] repetition-
+    * filter fodder long before dedup. Returns the
+    * [[dropRepeatedSpans]] contract: one row per input document
+    * `(idCol, text_clean, n_words, n_removed)`. `idCol` must be
+    * orderable (first-occurrence election is `min(struct(id, pos))`);
+    * ids unique per document, as everywhere in this family. */
+  def dropRepeatedRuns(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLen: Int = 50): DataFrame = {
+    require(minLen >= 2,
+      s"minLen must be >= 2 (1 would cut every repeated word), got $minLen")
+    val perDoc = df
+      .select(col(idCol), TextFunctions.words(col(textCol)).as("__w"))
+    perDoc.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val occ = perDoc
+      .filter(size(col("__w")) >= minLen)
+      .select(col(idCol).as("__id"),
+        posexplode(graft.functions.RunWindowHashExpr(col("__w"), minLen))
+          .as(Seq("__pos", "__k")))
+    val firsts = occ
+      .groupBy(col("__k"))
+      .agg(count(lit(1)).as("__n"),
+        min(struct(col("__id").as("i"), col("__pos").as("p"))).as("__f"))
+      .filter(col("__n") >= 2)
+      .select(col("__k"), col("__f.i").as("__fid"), col("__f.p").as("__fpos"))
+    val cuts = occ
+      .join(firsts, Seq("__k"))
+      .filter(!(col("__id") === col("__fid") && col("__pos") === col("__fpos")))
+      .groupBy(col("__id").as(idCol))
+      .agg(collect_list(col("__pos").cast("int")).as("__starts"))
+    val out = perDoc
+      .join(cuts, Seq(idCol), "left")
+      .select(col(idCol), col("__w"),
+        graft.functions.DropSpansExpr(col("__w"),
+          coalesce(col("__starts"),
+            lit(Array.empty[Int])), minLen).as("__r"))
+      .select(col(idCol),
+        col("__r").getField("text_clean").as("text_clean"),
+        size(col("__w")).cast("long").as("n_words"),
+        col("__r").getField("n_removed").cast("long").as("n_removed"))
+    CacheRelease.afterFirstAction(out, Seq(perDoc), _ => ())
+  }
+
   /** Corpus version diff: `(id, status)` for every id in either corpus —
     * `added` (only in `b`), `removed` (only in `a`), `changed` (both,
     * text differs), `unchanged`. The dataset-versioning primitive: what

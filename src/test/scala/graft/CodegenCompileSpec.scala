@@ -75,6 +75,7 @@ class CodegenCompileSpec extends SparkSpec {
     "m16_interleave",       // Chunk/Pack composition incl. encoders (r16)
     "t65b_main_content_blocks", // array<struct> block-table kernel (r16)
     "m16b_interleave_media",    // image decode feeding assembly (r16)
+    "d24_substr_dedup",         // RunHash doubling ladder (r17)
   )
 
   test("kernel gates run end-to-end under CODEGEN_ONLY (fallback would throw)") {

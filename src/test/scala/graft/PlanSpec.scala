@@ -149,6 +149,17 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
+  test("d24 substring dedup: equi-joins only, no cartesian/nested-loop; " +
+      "first-occurrence election partially aggregates map-side") {
+    val plan = finalPlan(SparkEntry.queries("d24_substr_dedup")(spark, dir))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    // count + min(struct) both carry partial_ aggregates (map-side
+    // combine before the one ownership shuffle)
+    assert(plan.contains("partial_count") || plan.contains("partial_min"),
+      plan.take(2000))
+  }
+
   test("d23 DSIR: bucket scoring joins by broadcast hash, no cartesian") {
     // the two one-row totals frames legitimately attach via broadcast
     // nested-loop (the Retrieval/Theta one-row stats convention); what

@@ -102,3 +102,107 @@ class SpanDedupSpec extends SparkSpec {
     assert(canon(a) == canon(b))
   }
 }
+
+/** Arbitrary-length exact substring dedup (ExactSubstr, keep-first):
+  * within-doc repeats cut, off-grid run lengths covered exactly,
+  * minLen-1 survives, ladder hashes agree with string windows. */
+class RunDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(docs: org.apache.spark.sql.DataFrame, m: Int) =
+    Dedup.dropRepeatedRuns(docs, "id", "text", m)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getString(1), x.getLong(2), x.getLong(3)))).toMap
+
+  test("within-document second copy is cut; the first stays") {
+    val run13 = (1 to 13).map(i => s"r$i").mkString(" ")
+    val doc = s"ww alpha $run13 ww beta $run13 ww omega"
+    val docs = Seq((1L, doc)).toDF("id", "text")
+    val r = run(docs, 10)
+    // the second run13 goes, plus the trailing "ww": "r5..r13 ww" is
+    // ITSELF a repeated 10-window (offsets 6 and 21), so the second
+    // occurrence's coverage reaches one word past the run — exact
+    // sliding-window semantics, replayed by the brute-force test below
+    assert(r(1L) == ((s"ww alpha $run13 ww beta omega", 32L, 14L)),
+      r(1L).toString)
+  }
+
+  test("cross-doc: first occurrence by (id, pos) keeps; off-grid length " +
+      "13 under minLen 10 is covered exactly") {
+    val run13 = (1 to 13).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (5L, s"head words here $run13 tail words here"),
+      (9L, s"p1 p2 $run13 p3 p4")).toDF("id", "text")
+    val r = run(docs, 10)
+    assert(r(5L)._3 == 0L, s"first doc intact: ${r(5L)}")
+    assert(r(9L) == (("p1 p2 p3 p4", 17L, 13L)), r(9L).toString)
+  }
+
+  test("a repeated run of minLen-1 words survives everywhere") {
+    val run9 = (1 to 9).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $run9 a4 a5"),
+      (2L, s"b1 b2 b3 $run9 b4 b5")).toDF("id", "text")
+    val r = run(docs, 10)
+    assert(r(1L)._3 == 0L && r(2L)._3 == 0L,
+      s"9-run must survive a 10 policy: $r")
+  }
+
+  test("agrees with a brute-force string-window replay on a seeded corpus") {
+    val rnd = new scala.util.Random(20260815L)
+    // small vocabulary forces natural repeats at several lengths
+    val docs = (0L until 30L).map { i =>
+      (i, Seq.fill(8 + rnd.nextInt(30))("w" + rnd.nextInt(6)).mkString(" "))
+    }
+    val m = 5
+    // brute force: first occurrence per exact window string keeps
+    val words = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val occ = docs.flatMap { case (id, t) =>
+      val w = words(id)
+      if (w.length < m) Nil
+      else (0 to w.length - m).map(p => (w.slice(p, p + m).mkString(" "), id, p))
+    }
+    val firsts = occ.groupBy(_._1).collect {
+      case (k, os) if os.size >= 2 => k -> os.map(o => (o._2, o._3)).min
+    }
+    val cuts = occ.filter { case (k, id, p) =>
+      firsts.get(k).exists(_ != ((id, p))) }
+      .groupBy(_._2).view.mapValues(_.map(_._3).toSet).toMap
+    val expect = docs.map { case (id, _) =>
+      val w = words(id)
+      val covered = (0 until w.length).filter(j =>
+        cuts.getOrElse(id, Set.empty).exists(s => s <= j && j < s + m)).toSet
+      val kept = w.zipWithIndex.collect {
+        case (t, j) if !covered.contains(j) => t }
+      id -> ((kept.mkString(" "), w.length.toLong, covered.size.toLong))
+    }.toMap
+    val got = run(docs.toDF("id", "text").repartition(7), m)
+    assert(got == expect,
+      got.toSeq.sortBy(_._1).zip(expect.toSeq.sortBy(_._1))
+        .filter(p => p._1 != p._2).take(3).toString)
+  }
+
+  test("ladder window hashes: equal iff the word windows are equal " +
+      "(seeded, all lengths 2..17 incl. non-powers of two)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(7L)
+    for (m <- 2 to 17) {
+      val w = Seq.fill(40)("t" + rnd.nextInt(4))
+      val arr = new GenericArrayData(
+        w.map(s => UTF8String.fromString(s)).toArray[Any])
+      val h = graft.functions.RunHashImpl.windowHashes(arr, m)
+      val strs = (0 to w.length - m).map(p => w.slice(p, p + m).mkString(" "))
+      for (i <- strs.indices; j <- strs.indices)
+        assert((h.getLong(i) == h.getLong(j)) == (strs(i) == strs(j)),
+          s"m=$m i=$i j=$j: '${strs(i)}' vs '${strs(j)}'")
+    }
+  }
+
+  test("short docs emit no windows and lose nothing") {
+    val docs = Seq((1L, "same nine words one two three four five six"),
+      (2L, "same nine words one two three four five six")).toDF("id", "text")
+    val r = run(docs, 10)
+    assert(r(1L)._3 == 0L && r(2L)._3 == 0L)
+  }
+}
