@@ -2673,6 +2673,29 @@ object SparkEntry {
       .orderBy("outlink")
   }
 
+  /** Recrawl/freshness scheduling over a planted fetch history: each
+    * document becomes a URL with `1 + doc_id % 4` fetches whose content
+    * hash changes every fetch (even ids) or every second fetch (odd
+    * ids), so the walk exercises halve, double, both clamps and the
+    * mixed path; the oracle replays the multiplicative backoff with a
+    * recursive CTE (the t9_pack recipe) and the due-set comparison in
+    * integers. See [[graft.operators.Frontier.revisitSchedule]]. */
+  private def t72_revisit_schedule(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val hist = docs
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("doc_id") % 4)).as("i"))
+      .select(
+        concat(lit("https://h"), (col("doc_id") % 20).cast("string"),
+          lit(".example.com/p"), col("doc_id").cast("string")).as("url"),
+        (col("doc_id") * 1000 + col("i") * 100).as("ts"),
+        concat(lit("v"), floor(col("i") /
+          (lit(1) + col("doc_id") % 2)).cast("long").cast("string")).as("h"))
+    graft.operators.Frontier.revisitSchedule(hist, "url", "ts", "h",
+        nowSec = 250000L, baseSec = 400L, minSec = 100L, maxSec = 1600L)
+      .orderBy("url")
+  }
+
   /** Streaming seen-URL ingest — the multi-wave crawl history as a
     * stream (st9's exactly-once recipe applied to URLs): two ordered
     * micro-batches (evens, then thirds) flow through
@@ -5349,6 +5372,7 @@ object SparkEntry {
     "t67_crawl_backedge" -> (t67_crawl_backedge _),
     "st22_stream_seen" -> (st22_stream_seen _),
     "t68_fetch_plan" -> (t68_fetch_plan _),
+    "t72_revisit_schedule" -> (t72_revisit_schedule _),
     "t62_nfc_normalize" -> (t62_nfc_normalize _),
     "t54c_robots_sitemaps" -> (t54c_robots_sitemaps _),
     "t63_unigram_tokens" -> (t63_unigram_tokens _),
@@ -6598,6 +6622,35 @@ object SparkEntry {
            CAST((fetch_seq - 1) * delay_ms AS BIGINT) AS eta_ms
          FROM ranked WHERE fetch_seq <= 100
          ORDER BY outlink""",
+    // the multiplicative revisit backoff replayed fetch-by-fetch with a
+    // recursive CTE; integer halve/double with both clamps, due set in
+    // integer comparison
+    "t72_revisit_schedule" ->
+      """WITH RECURSIVE f AS (
+           SELECT 'https://h' || CAST(doc_id % 20 AS VARCHAR)
+               || '.example.com/p' || CAST(doc_id AS VARCHAR) AS url,
+             CAST(doc_id AS BIGINT) * 1000 + i * 100 AS ts,
+             'v' || CAST(i // (1 + doc_id % 2) AS VARCHAR) AS h,
+             CAST(i + 1 AS BIGINT) AS k
+           FROM (SELECT doc_id, unnest(range(0, doc_id % 4 + 1)) AS i
+             FROM documents)),
+         walk AS (
+           SELECT url, k, h AS ph, CAST(400 AS BIGINT) AS iv,
+             CAST(0 AS BIGINT) AS nc
+           FROM f WHERE k = 1
+           UNION ALL
+           SELECT f.url, f.k, f.h,
+             CASE WHEN f.h <> w.ph THEN greatest(100, w.iv // 2)
+                  ELSE least(1600, w.iv * 2) END,
+             w.nc + CASE WHEN f.h <> w.ph THEN 1 ELSE 0 END
+           FROM walk w JOIN f ON f.url = w.url AND f.k = w.k + 1),
+         last AS (SELECT url, max(ts) AS last_ts, max(k) AS n
+           FROM f GROUP BY url)
+         SELECT l.url, l.n AS n_fetches, w.nc AS n_changes,
+           w.iv AS interval_sec, l.last_ts + w.iv AS next_due,
+           l.last_ts + w.iv <= 250000 AS due
+         FROM last l JOIN walk w ON w.url = l.url AND w.k = l.n
+         ORDER BY l.url""",
     // the streamed two-wave history: every discovered url exactly once
     "st22_stream_seen" ->
       """SELECT doc_id, 'http://w.com/p' || doc_id AS url,

@@ -191,6 +191,79 @@ object Frontier {
     fresh
   }
 
+  /** Recrawl/freshness scheduling over a FETCH-HISTORY table — the
+    * temporal closing of the crawl loop ([[seenUrls]] closes it
+    * spatially; without this a crawler never returns to a page). Input:
+    * one row per COMPLETED fetch `(urlCol, tsCol seconds, hashCol
+    * content hash)`. Per URL, fetches replay in timestamp order through
+    * the classic multiplicative revisit policy (the Cho &
+    * Garcia-Molina estimator's practical form): the interval starts at
+    * `baseSec` after the first fetch; each later fetch HALVES it when
+    * the content hash changed (the page is hotter than assumed) and
+    * DOUBLES it when unchanged (colder), clamped to
+    * `[minSec, maxSec]`. Exponential backoff in both directions —
+    * integer arithmetic throughout, so any engine replays it exactly.
+    *
+    * Returns one row per URL:
+    * `(url, n_fetches, n_changes, interval_sec, next_due, due)` with
+    * `next_due = last fetch ts + interval` and `due = next_due <=
+    * nowSec` — the due set feeds [[schedule]]/[[capPerHost]] exactly
+    * like a discovery wave (the t68 fetch-plan seam).
+    *
+    * Spark shape at 100 TB: ONE groupBy(url) whose state is the URL's
+    * own fetch list (per-URL fetch counts are small by construction —
+    * this very operator enforces a floor of `minSec` between fetches),
+    * walked by a single `aggregate` HOF pass map-side after the
+    * shuffle; no window, no join, no driver state. CONTRACT: `tsCol`
+    * is unique per URL (two fetches of one URL at the same second have
+    * no defined order — the sort breaks ties on the hash, keeping the
+    * walk deterministic, but the policy result is then arbitrary
+    * between the two). */
+  def revisitSchedule(
+      history: DataFrame,
+      urlCol: String,
+      tsCol: String,
+      hashCol: String,
+      nowSec: Long,
+      baseSec: Long = 86400L,
+      minSec: Long = 3600L,
+      maxSec: Long = 30L * 86400L): DataFrame = {
+    require(baseSec >= 1 && minSec >= 1 && maxSec >= minSec &&
+      baseSec >= minSec && baseSec <= maxSec,
+      s"need 1 <= minSec <= baseSec <= maxSec, got " +
+        s"base=$baseSec min=$minSec max=$maxSec")
+    val ev = history
+      .groupBy(col(urlCol).as("url"))
+      .agg(sort_array(collect_list(struct(
+        col(tsCol).cast("long").as("ts"),
+        col(hashCol).cast("string").as("h")))).as("__ev"))
+    val init = struct(
+      element_at(col("__ev"), 1).getField("h").as("ph"),
+      lit(baseSec).as("iv"), lit(0L).as("nc"))
+    val walked = aggregate(
+      slice(col("__ev"), lit(2), greatest(lit(0), size(col("__ev")) - 1)),
+      init,
+      (acc, e) => {
+        val changed = e.getField("h") =!= acc.getField("ph")
+        struct(
+          e.getField("h").as("ph"),
+          when(changed,
+            greatest(lit(minSec), floor(acc.getField("iv") / 2).cast("long")))
+            .otherwise(least(lit(maxSec), acc.getField("iv") * 2)).as("iv"),
+          (acc.getField("nc") +
+            when(changed, 1L).otherwise(0L)).as("nc"))
+      })
+    ev.select(col("url"),
+        size(col("__ev")).cast("long").as("n_fetches"),
+        element_at(col("__ev"), -1).getField("ts").as("__last"),
+        walked.as("__w"))
+      .select(col("url"), col("n_fetches"),
+        col("__w").getField("nc").as("n_changes"),
+        col("__w").getField("iv").as("interval_sec"),
+        (col("__last") + col("__w").getField("iv")).as("next_due"),
+        (col("__last") + col("__w").getField("iv") <= nowSec).as("due"))
+  }
+
   /** Silently clobbering an input column is data loss: re-scheduling an
     * already-scheduled frame would overwrite its prior wave's
     * fetch_seq/eta_ms with no error — rename or drop them first, on

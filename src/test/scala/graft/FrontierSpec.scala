@@ -251,4 +251,38 @@ class FrontierSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq
     assert(got == Seq("http://h/m1.xml", "http://h/m2.xml"))
   }
+
+  test("revisit schedule: halve on change, double on same, clamped, " +
+      "due at the <= boundary") {
+    def sched(rows: Seq[(String, Long, String)], now: Long) =
+      Frontier.revisitSchedule(rows.toDF("url", "ts", "h"),
+          "url", "ts", "h", nowSec = now,
+          baseSec = 400L, minSec = 100L, maxSec = 1600L)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getBoolean(5)))).toMap
+    // single fetch: interval = base; due boundary is inclusive
+    val single = sched(Seq(("u", 1000L, "a")), now = 1400L)
+    assert(single("u") == ((1L, 0L, 400L, 1400L, true)), single.toString)
+    assert(sched(Seq(("u", 1000L, "a")), now = 1399L)("u")._5 == false)
+    // every fetch changes: 400 -> 200 -> 100 -> clamp 100
+    val hot = sched(Seq(("u", 0L, "a"), ("u", 10L, "b"), ("u", 20L, "c"),
+      ("u", 30L, "d")), now = 0L)
+    assert(hot("u") == ((4L, 3L, 100L, 130L, false)), hot.toString)
+    // never changes: 400 -> 800 -> 1600 -> clamp 1600
+    val cold = sched(Seq(("u", 0L, "a"), ("u", 10L, "a"), ("u", 20L, "a"),
+      ("u", 30L, "a")), now = 5000L)
+    assert(cold("u") == ((4L, 0L, 1600L, 1630L, true)), cold.toString)
+    // mixed walk: change (200), same (400), change (200)
+    val mixed = sched(Seq(("u", 0L, "a"), ("u", 10L, "b"), ("u", 20L, "b"),
+      ("u", 30L, "c")), now = 0L)
+    assert(mixed("u") == ((4L, 2L, 200L, 230L, false)), mixed.toString)
+    // per-url independence + out-of-order input rows sort by ts
+    val multi = sched(Seq(("v", 20L, "a"), ("v", 0L, "a"), ("v", 10L, "b"),
+      ("w", 0L, "x")), now = 1000L)
+    // v: a -> b (change, 200) -> a (change again, 100); reverting
+    // content counts as a change — hash inequality, not novelty
+    assert(multi("v") == ((3L, 2L, 100L, 120L, true)), multi.toString)
+    assert(multi("w") == ((1L, 0L, 400L, 400L, true)), multi.toString)
+  }
 }
