@@ -4105,6 +4105,22 @@ object SparkEntry {
         "doc_id", "source", alpha = 0.5, granularity = 1000)
       .orderBy("doc_id", "copy")
 
+  /** DoReMi source reweighting end-to-end: a deterministic per-doc
+    * difficulty proxy (`n_chars % 97 / 10` — varies within and across
+    * sources), the clipped-excess softmax with smoothing 0.01, and the
+    * deterministic id-slice resample. The oracle recomputes means,
+    * global mean, exp/softmax, smoothing and the replication slices in
+    * SQL with the same 6-decimal rounding at every step.
+    * See [[graft.operators.Mixing.learnWeights]]. */
+  private def t74_doremi_mix(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Mixing.mixByProxy(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          ((col("n_chars") % 97).cast("double") / 10.0).as("sc")),
+        "doc_id", "source", "sc", eta = 1.0, smoothing = 0.01,
+        granularity = 1000)
+      .select("doc_id", "source", "copy")
+      .orderBy("doc_id", "copy")
+
   /** qvec is serialized to a comma-joined string for the gate: the driver's
     * comparison harness sorts every output column and raw array cells are
     * unsortable there, so both sides emit the same canonical string form.
@@ -5453,6 +5469,7 @@ object SparkEntry {
     "m16b_interleave_media" -> (m16b_interleave_media _),
     "t10_mix" -> (t10_mix _),
     "t10b_mix_temperature" -> (t10b_mix_temperature _),
+    "t74_doremi_mix" -> (t74_doremi_mix _),
     "t11_perplexity" -> (t11_perplexity _),
     "t20_backoff_lm" -> (t20_backoff_lm _),
     "t12_termstats" -> (t12_termstats _),
@@ -9146,6 +9163,36 @@ object SparkEntry {
                  fullc + (CASE WHEN d.doc_id % 1000 < extra THEN 1 ELSE 0 END)
                    AS copies
                 FROM documents d JOIN r USING (source))
+         SELECT doc_id, source, unnest(range(0, copies)) AS copy
+         FROM cp ORDER BY doc_id, copy""",
+    // the whole DoReMi chain replayed: rounded per-source means, global
+    // mean, clipped excess, exp, softmax, smoothing, N-preserving
+    // weights, then the t10 id-slice replication
+    "t74_doremi_mix" ->
+      """WITH s AS (SELECT doc_id, source,
+             CAST(n_chars % 97 AS DOUBLE) / 10 AS sc FROM documents),
+         c AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+             round(avg(sc), 6) AS m FROM s GROUP BY source),
+         g AS (SELECT round(CAST(sum(n * m) AS DOUBLE)
+                 / CAST(sum(n) AS DOUBLE), 6) AS gm,
+             CAST(sum(n) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS k FROM c),
+         e AS (SELECT source, n,
+             round(exp(1.0 * greatest(0, round(m - gm, 6))), 6) AS u
+           FROM c, g),
+         z AS (SELECT CAST(sum(u) AS DOUBLE) AS zz FROM e),
+         a AS (SELECT source, n,
+             round((1 - 0.01) * round(u / zz, 6) + 0.01 / k, 6) AS alpha
+           FROM e, z, g),
+         w AS (SELECT source, n,
+             round(alpha * total / n, 6) AS w FROM a, g),
+         r AS (SELECT source, CAST(floor(w) AS BIGINT) AS fullc,
+             CAST(round((w - floor(w)) * 1000, 0) AS BIGINT) AS extra
+           FROM w),
+         cp AS (SELECT d.doc_id, d.source,
+             fullc + (CASE WHEN d.doc_id % 1000 < extra THEN 1 ELSE 0 END)
+               AS copies
+           FROM documents d JOIN r USING (source))
          SELECT doc_id, source, unnest(range(0, copies)) AS copy
          FROM cp ORDER BY doc_id, copy""",
     "e1_quantize" ->

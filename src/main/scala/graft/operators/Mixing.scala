@@ -116,4 +116,71 @@ object Mixing {
       alpha: Double, granularity: Int = 1000): DataFrame =
     resample(df, idCol, sourceCol, temperatureWeights(df, sourceCol, alpha),
       granularity)
+
+  /** DoReMi-style source reweighting (Xie et al., "DoReMi: Optimizing
+    * Data Mixtures Speeds Up Language Model Pretraining", NeurIPS
+    * 2023) in its BATCH form: domains whose documents score HIGH on a
+    * per-document difficulty proxy (excess loss in the paper; this
+    * library's backoff-LM perplexity or any loss column in practice)
+    * are upweighted by the Group-DRO multiplicative rule. The paper
+    * runs the update per training step of a proxy model; a batch
+    * engine sees one static score column, so this is the single-step
+    * analog from a uniform initialization — exactly one exponentiated-
+    * gradient update, which reduces to a softmax over per-domain
+    * excess scores:
+    *
+    *   excess_i = max(0, mean_i − global_mean)      (clipped, paper eq. 2)
+    *   α_i      = softmax(η · excess)_i             (EG update from uniform)
+    *   α_i      = (1−c)·α_i + c/K                   (uniform smoothing)
+    *
+    * α is the DOMAIN DISTRIBUTION; the returned map converts it to the
+    * N-preserving per-source [[resample]] multiplicity
+    * `w_i = α_i · N / n_i` (the [[temperatureWeights]] convention).
+    * NOTE the zero-signal behavior: identical scores everywhere give
+    * zero excess, so α stays at the paper's UNIFORM initialization —
+    * equivalent to `temperatureWeights(alpha = 0)`, NOT the natural
+    * mixture. A no-op prior belongs to temperature mixing; this
+    * operator answers "which domains does the proxy find hard".
+    *
+    * Every intermediate rounds to 6 decimals (the t10b/t12 cross-
+    * engine convention — means, exps, the normalized α, the smoothed
+    * α, and the final weights), so an external engine replays the
+    * whole chain from the same data; the driver sums the K per-source
+    * terms in sorted-source order for determinism. Driver state is K
+    * rows — the source vocabulary, never the corpus. */
+  def learnWeights(df: DataFrame, sourceCol: String, scoreCol: String,
+      eta: Double = 1.0, smoothing: Double = 0.0): Map[String, Double] = {
+    require(eta > 0 && !eta.isNaN, s"eta must be positive, got $eta")
+    require(smoothing >= 0 && smoothing < 1 && !smoothing.isNaN,
+      s"smoothing in [0, 1), got $smoothing")
+    def r6(x: Double): Double = math.round(x * 1e6).toDouble / 1e6
+    val rows = df
+      .groupBy(col(sourceCol).cast("string").as("src"))
+      .agg(count(lit(1)).as("n"), avg(col(scoreCol).cast("double")).as("m"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r6(r.getDouble(2))))
+      .sortBy(_._1)
+    require(rows.nonEmpty, "empty input")
+    val total = rows.map(_._2).sum
+    val k = rows.length
+    val gmean = r6(rows.map(r => r._2 * r._3).sum / total)
+    val u = rows.map { case (s, _, m) =>
+      s -> r6(math.exp(eta * math.max(0.0, r6(m - gmean)))) }
+    val z = u.map(_._2).sum
+    val nBySrc = rows.map(r => r._1 -> r._2).toMap
+    u.map { case (s, ui) =>
+      val a = r6((1.0 - smoothing) * r6(ui / z) + smoothing / k)
+      s -> r6(a * total / nBySrc(s))
+    }.toMap
+  }
+
+  /** [[resample]] under [[learnWeights]] — the data-mixture loop
+    * closed: score documents with any difficulty proxy upstream, learn
+    * the DoReMi mixture, realize it with the zero-shuffle
+    * deterministic resample. */
+  def mixByProxy(df: DataFrame, idCol: String, sourceCol: String,
+      scoreCol: String, eta: Double = 1.0, smoothing: Double = 0.0,
+      granularity: Int = 1000): DataFrame =
+    resample(df, idCol, sourceCol,
+      learnWeights(df, sourceCol, scoreCol, eta, smoothing), granularity)
 }

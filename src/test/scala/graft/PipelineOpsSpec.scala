@@ -864,6 +864,36 @@ class MixingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Mixing.temperatureWeights(rows, "source", alpha = 1.5))
   }
+
+  test("DoReMi weights: clipped excess, softmax update, smoothing, " +
+      "N preserved; flat scores give the paper's uniform init") {
+    import spark.implicits._
+    // a: 8 docs at score 2.0; b: 2 docs at 7.0 -> gmean 3.0,
+    // excess a = 0 (clipped), b = 4.0; eta 0.5 -> u = (1, exp(2))
+    val scored = ((0 until 8).map(i => (i.toLong, "a", 2.0)) ++
+      Seq((8L, "b", 7.0), (9L, "b", 7.0))).toDF("id", "source", "sc")
+    val w = Mixing.learnWeights(scored, "source", "sc", eta = 0.5)
+    assert(w == Map("a" -> 0.149004, "b" -> 4.403985), w.toString)
+    // expected rows preserved: sum w_i n_i = N
+    assert(math.abs(w("a") * 8 + w("b") * 2 - 10.0) < 1e-4)
+    // smoothing pulls the mixture toward uniform
+    val ws = Mixing.learnWeights(scored, "source", "sc", eta = 0.5,
+      smoothing = 0.5)
+    assert(ws("b") < w("b") && ws("a") > w("a"), s"$ws vs $w")
+    // flat scores: zero excess everywhere -> the UNIFORM domain
+    // distribution (DoReMi's initialization), matching temperature
+    // alpha = 0, NOT the natural mixture
+    val flat = scored.withColumn("sc", lit(1.5))
+    assert(Mixing.learnWeights(flat, "source", "sc") ==
+      Map("a" -> 0.625, "b" -> 2.5))
+    // stronger eta concentrates more weight on the hard domain
+    val hot = Mixing.learnWeights(scored, "source", "sc", eta = 2.0)
+    assert(hot("b") > w("b"))
+    intercept[IllegalArgumentException](
+      Mixing.learnWeights(scored, "source", "sc", eta = 0.0))
+    intercept[IllegalArgumentException](
+      Mixing.learnWeights(scored, "source", "sc", smoothing = 1.0))
+  }
 }
 
 class CompactionSpec extends SparkSpec {
