@@ -2169,6 +2169,25 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** DOCX round trip: every document is zipped into a structurally
+    * valid OOXML package ([[graft.functions.DocxBuildExpr]] — deflated
+    * document.xml on even doc_ids, stored on odd, text split across
+    * 24-char runs mid-word) and read back through the from-scratch
+    * central-directory walker + WordprocessingML text rules
+    * ([[graft.functions.DocxExtractExpr]]). The oracle is the
+    * identity, which is the point: a reader that mislocates the
+    * central directory, fails the raw inflate, or re-spaces run
+    * concatenation cannot reproduce the corpus. Edge grammar is
+    * pinned in DocxSpec. */
+  private def t73_docx_extract(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    docs.select(col("doc_id"),
+        graft.functions.DocxExtractExpr(
+          graft.functions.DocxBuildExpr(col("text"), col("doc_id") % 2 === 0))
+          .as("text_extracted"))
+      .orderBy("doc_id")
+  }
+
   /** Canonical URL normalization over fixture-built messy URLs (mixed
     * case, default ports, trailing slashes, tracker params, fragments,
     * unsorted query params): both engines normalize INDEPENDENTLY from
@@ -5375,6 +5394,7 @@ object SparkEntry {
     "d20b_span_dedup_multi" -> (d20b_span_dedup_multi _),
     "d24_substr_dedup" -> (d24_substr_dedup _),
     "t50_pdf_extract" -> (t50_pdf_extract _),
+    "t73_docx_extract" -> (t73_docx_extract _),
     "t51_url_normalize" -> (t51_url_normalize _),
     "t52_warc_roundtrip" -> (t52_warc_roundtrip _),
     "t53_crawl_pipeline" -> (t53_crawl_pipeline _),
@@ -6796,6 +6816,11 @@ object SparkEntry {
     // the identity IS the gate: build → compress (even ids) → extract
     // must reproduce the corpus byte-for-byte (see t50's scaladoc)
     "t50_pdf_extract" ->
+      """SELECT doc_id, text AS text_extracted
+         FROM documents ORDER BY doc_id""",
+    // identity oracle, like t50: the DOCX build->extract round trip
+    // must reproduce every document byte-for-byte
+    "t73_docx_extract" ->
       """SELECT doc_id, text AS text_extracted
          FROM documents ORDER BY doc_id""",
     // cosines, both neighborhood windows, rounded ratio margin,

@@ -76,6 +76,7 @@ class CodegenCompileSpec extends SparkSpec {
     "t65b_main_content_blocks", // array<struct> block-table kernel (r16)
     "m16b_interleave_media",    // image decode feeding assembly (r16)
     "d24_substr_dedup",         // RunHash doubling ladder (r17)
+    "t73_docx_extract",         // Docx zip/XML codec (r17)
   )
 
   test("kernel gates run end-to-end under CODEGEN_ONLY (fallback would throw)") {
