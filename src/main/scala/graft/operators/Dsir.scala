@@ -40,10 +40,10 @@ import org.apache.spark.sql.functions._
   * The bucket hash is t31's md5-prefix so external engines replay the
   * whole estimator bit-for-bit; md5-per-gram is the dominant 10× cost
   * (measured slope 0.50 — compute-linear, no shuffle artifact). A
-  * deployment that doesn't need cross-engine replay can swap the
-  * `pmod(conv(substring(md5(...))))` line for `pmod(xxhash64(...))` —
-  * same distributional behavior, roughly an order of magnitude less
-  * hash work per gram.
+  * deployment that doesn't need cross-engine replay passes
+  * `hashMode = "xxhash64"` — same distributional behavior, roughly an
+  * order of magnitude less hash work per gram, cross-validated against
+  * the md5 mode in DsirHashModeSpec. The d23 gate stays on md5.
   */
 object Dsir {
 
@@ -52,30 +52,48 @@ object Dsir {
     * each n in `ns` (paper default: unigrams + bigrams), hashed by the
     * t31 convention `md5-prefix-32-bit mod numBuckets`. */
   private def gramBuckets(df: DataFrame, textCol: String, numBuckets: Int,
-      ns: Seq[Int], keep: Seq[Column]): DataFrame = {
+      ns: Seq[Int], keep: Seq[Column],
+      hashMode: String = "md5"): DataFrame = {
     val perN = ns.map(n => df.select(
       keep :+ explode(graft.functions.WordGramsExpr(col(textCol), n))
         .as("__g"): _*))
-    perN.reduce(_ unionByName _)
-      .select(keep :+
+    val bucket = hashMode match {
+      case "md5" =>
         pmod(conv(substring(md5(col("__g")), 1, 8), 16, 10).cast("long"),
-          lit(numBuckets.toLong)).as("bucket"): _*)
+          lit(numBuckets.toLong))
+      case "xxhash64" => pmod(xxhash64(col("__g")), lit(numBuckets.toLong))
+      case other => throw new IllegalArgumentException(
+        s"hashMode must be md5 or xxhash64, got $other")
+    }
+    perN.reduce(_ unionByName _)
+      .select(keep :+ bucket.as("bucket"): _*)
   }
 
   /** Importance weight per raw doc: Σ over its gram instances of the
     * smoothed per-bucket log-likelihood ratio
     * `ln((tgt_n+1)/(tgt_total+B)) − ln((raw_n+1)/(raw_total+B))`
     * (Laplace smoothing over B = `numBuckets`). Returns one row per
-    * raw doc `(idCol, weight)`; docs yielding zero grams weigh 0. */
+    * raw doc `(idCol, weight)`; docs yielding zero grams weigh 0.
+    *
+    * `hashMode` selects the gram→bucket hash: `"md5"` (default) is the
+    * t31 cross-engine convention the d23 gate's DuckDB oracle replays
+    * bit-for-bit; `"xxhash64"` is the production swap — roughly an
+    * order of magnitude less hash work per gram (the dominant measured
+    * cost of the operator), same distributional behavior, NOT
+    * replayable by engines without Spark's xxhash64. DsirHashModeSpec
+    * cross-validates that both modes select the same documents on a
+    * clear-signal fixture. */
   def importanceWeights(
       raw: DataFrame, idCol: String, textCol: String,
       target: DataFrame, targetTextCol: String,
       numBuckets: Int = 4096, ns: Seq[Int] = Seq(1, 2),
-      scale: Int = 6): DataFrame = {
+      scale: Int = 6, hashMode: String = "md5"): DataFrame = {
     require(numBuckets >= 2, s"numBuckets must be >= 2, got $numBuckets")
     require(ns.nonEmpty && ns.forall(_ >= 1), s"bad gram sizes: $ns")
-    val rawGrams = gramBuckets(raw, textCol, numBuckets, ns, Seq(col(idCol)))
-    val tgtGrams = gramBuckets(target, targetTextCol, numBuckets, ns, Nil)
+    val rawGrams =
+      gramBuckets(raw, textCol, numBuckets, ns, Seq(col(idCol)), hashMode)
+    val tgtGrams =
+      gramBuckets(target, targetTextCol, numBuckets, ns, Nil, hashMode)
     val rawN = rawGrams.groupBy("bucket")
       .agg(count(lit(1)).cast("double").as("raw_n"))
     val tgtN = tgtGrams.groupBy("bucket")

@@ -1485,6 +1485,38 @@ class DsirSpec extends SparkSpec {
   }
 }
 
+/** d23 hash pluggability: the xxhash64 production mode must make the
+  * same selections as the md5 oracle mode on a clear-signal fixture. */
+class DsirHashModeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("md5 and xxhash64 modes select the same docs at matched quantiles") {
+    val rnd = new scala.util.Random(17L)
+    val solar = Seq("solar", "panel", "sunlight", "electric", "grid",
+      "inverter", "watt", "photon")
+    val castle = Seq("castle", "moat", "stone", "rampart", "drawbridge",
+      "keep", "siege", "garrison")
+    def doc(vocab: Seq[String]) =
+      Seq.fill(12)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val raw = ((0L until 20L).map(i => (i, doc(solar))) ++
+      ((20L until 40L).map(i => (i, doc(castle))))).toDF("id", "text")
+    val target = (0 until 10).map(_ => doc(solar)).toDF("text")
+    def topIds(mode: String) = graft.operators.Dsir.selectTopK(
+        graft.operators.Dsir.importanceWeights(raw, "id", "text",
+          target, "text", numBuckets = 512, hashMode = mode),
+        "id", k = 20)
+      .collect().map(_.getLong(0)).toSet
+    val md5Top = topIds("md5")
+    val xxTop = topIds("xxhash64")
+    // both modes must recover exactly the solar half at k = half
+    assert(md5Top == (0L until 20L).toSet, md5Top.toString)
+    assert(xxTop == md5Top, s"modes disagree: ${xxTop.diff(md5Top)}")
+    intercept[IllegalArgumentException](
+      graft.operators.Dsir.importanceWeights(raw, "id", "text",
+        target, "text", hashMode = "fnv").collect())
+  }
+}
+
 /** Concat-and-chop packing invariants: full windows, disjoint exact
   * doc coverage, cross-boundary splits. */
 class PackChopSpec extends SparkSpec {
