@@ -316,10 +316,12 @@ object Bench {
     // slope = tN / (t1 · factor): ~1 linear, <1 fixed costs amortizing,
     // >1 super-linear — a red flag worth a plan read.
     val scaleFactor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    // built once, shared by the scale leg and the write leg below
+    lazy val scaledDir: String = buildScaledDir(spark, sfDir, scaleFactor)
     val scaleJson =
       if (scaleFactor <= 1) "null"
       else {
-        val scaledDir = buildScaledDir(spark, sfDir, scaleFactor)
+        scaledDir
         spark.catalog.clearCache()
         // 3 samples, reported as BOTH min and median: a single pass at N×
         // conflates JIT/page-cache warmup with the scaling signal
@@ -364,8 +366,58 @@ object Bench {
         }
         s"""{"factor":$scaleFactor,"queries":${entries.mkString("{", ",", "}")}}"""
       }
+
+    // write-leg: the crawl-history WRITE path (t66/t68/st22's shape) is
+    // gated for correctness but excluded from the read bench by the
+    // read-only convention — measure it here so the anti-join +
+    // TaggedAppend shape carries a measured slope, not just design notes.
+    // Each sample: (untimed) wipe the table and seed a half-corpus
+    // history, then TIME seenDiffAndRecord of a full synthetic wave —
+    // listing + url anti-join + distinct + the parquet append + the
+    // returned diff's count. Same estimator policy as the scale leg:
+    // 3 samples interleaved across the 1× and N× dirs, min + median,
+    // slope = tN / (t1 · factor).
+    def seenRecordSample(dir: String, run: Int): Double = {
+      val path = s"/tmp/graft_bench_seenrec_$run"
+      val fs = graft.core.Discovery.fileSystemFor(path,
+        spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val urls = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          concat(lit("https://h"), (col("doc_id") % 9).cast("string"),
+            lit(".example/d"), col("doc_id").cast("string")).as("url"))
+      graft.core.TaggedAppend.append(
+        urls.filter(col("doc_id") % 2 === 0).select("url"), path, "seed")
+      val t0 = System.nanoTime()
+      val n = try graft.operators.Frontier
+        .seenDiffAndRecord(urls.select("url"), "url", path, "wave").count()
+        catch { case _: Throwable => -1L }
+      val secs = (System.nanoTime() - t0) / 1e9
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      if (n <= 0) { System.err.println(s"[bench] write-leg FAILED at $dir"); -1.0 }
+      else secs
+    }
+    val writeJson =
+      if (scaleFactor <= 1) "null"
+      else {
+        var s1 = Vector.empty[Double]; var sN = Vector.empty[Double]
+        for (i <- 1 to 3) {
+          s1 = s1 :+ seenRecordSample(sfDir, i * 2)
+          sN = sN :+ seenRecordSample(scaledDir, i * 2 + 1)
+        }
+        if (s1.contains(-1.0) || sN.contains(-1.0))
+          """{"t66_seen_record":null}"""
+        else {
+          val t1 = s1.sorted.apply(s1.size / 2)
+          val srt = sN.sorted
+          f"""{"t66_seen_record":{"t1":$t1%.3f,"tN":${srt.head}%.3f,""" +
+            f""""tN_med":${srt(srt.size / 2)}%.3f,""" +
+            f""""slope":${srt.head / (t1 * scaleFactor)}%.2f,""" +
+            f""""slope_med":${srt(srt.size / 2) / (t1 * scaleFactor)}%.2f}}"""
+        }
+      }
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"passes":$passes,"failed":$failed,"scale":$scaleJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"passes":$passes,"failed":$failed,"scale":$scaleJson,"write":$writeJson,"sf":"$sfDir"}"""
     println(line)
     // also persist the full JSON beside the stdout line: a tail-capture of
     // a long headline section must not be the only copy of the numbers

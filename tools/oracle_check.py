@@ -63,8 +63,16 @@ def main(sf_dir, out_dir):
             cols = got.to_pydict()
             got_rows = [tuple(r) for r in zip(*[cols[c] for c in got_names])] \
                 if got.num_rows else []
-            exp = con.execute(oracle[name]).fetchall()
-            exp_names = [d[0] for d in con.description]
+            rel = con.sql(oracle[name])
+            # r16 lesson (t69/t71): this script fetches tuples (exact Python
+            # ints), but the DRIVER materializes through pandas, which renders
+            # DuckDB HUGEINT as float64 ("701.0" vs "701") and the hash
+            # diverges while values are integer-equal. Surface the hazard
+            # here so a local OK can't hide a driver red.
+            hazard_types = [(n, str(t)) for n, t in zip(rel.columns, rel.types)
+                            if str(t) in ("HUGEINT", "UHUGEINT")]
+            exp = rel.fetchall()
+            exp_names = list(rel.columns)
             gn, gc, gh, gout = canon_table(got_names, got_rows)
             en, ec, eh, eout = canon_table(exp_names, exp)
             status = "OK" if (gn == en and gc == ec and gh == eh) else "MISMATCH"
@@ -77,12 +85,19 @@ def main(sf_dir, out_dir):
                 if gh != eh and gn == en and gc == ec:
                     diffs = [(a, b) for a, b in zip(gout, eout) if a != b][:3]
                     detail["first_diffs"] = diffs
+            if hazard_types and status == "OK":
+                status = "OK_TYPE_HAZARD"
+                detail["hugeint_cols"] = hazard_types
             results[name] = {"status": status, "rows": gc, **detail}
         except Exception as e:  # noqa: BLE001
             results[name] = {"status": "ERROR", "error": str(e)[:500]}
     ok = sum(1 for r in results.values() if r["status"] == "OK")
+    hazards = [n for n, r in results.items() if r["status"] == "OK_TYPE_HAZARD"]
     print(json.dumps(results, indent=2, default=str))
     print(f"\n{ok}/{len(results)} OK")
+    if hazards:
+        print(f"TYPE HAZARDS (values match here but the driver's pandas "
+              f"hash will diverge — cast the oracle column): {hazards}")
     return 0 if ok == len(results) else 1
 
 
