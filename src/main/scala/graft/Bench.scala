@@ -73,7 +73,11 @@ object Bench {
     // outlink harvest → politeness window in one query)
     "t65_main_content", "t67_crawl_backedge", "m16_interleave",
     "d23_dsir_select", "t69_pack_chop", "t70_span_corruption",
-    "t71_sft_mask")
+    "t71_sft_mask",
+    // round-17: semantic decontamination (broadcast-eval cosine scan)
+    // and aspect-ratio bucketing (real header decode + grouped greedy
+    // pack)
+    "d25_embed_decontam", "m17_aspect_bucket")
 
   /** Queries measured on the replicated corpus for the scaling slope —
     * the shuffle-heavy pipeline shapes whose 100 TB behavior a plan read
@@ -145,7 +149,15 @@ object Bench {
     // over events — per-user turn counts grow ×10 (replicas keep
     // user_id), the q6/t54d keyed-window growth shape on narrow rows
     "m16_interleave", "d23_dsir_select", "t69_pack_chop",
-    "t70_span_corruption", "t71_sft_mask")
+    "t70_span_corruption", "t71_sft_mask",
+    // d25: the eval side is pinned below the replica id shift, so the
+    // broadcast stays 1×-sized while the corpus scan grows ×10 — the
+    // linear map-side contract the operator documents. m17: media
+    // payloads and the pack streams grow with documents; replica dims
+    // differ (1e8 % 640 = 0 but 7e8 % 480 ≠ 0) yet stay valid, and the
+    // grouped pack's parallelism is its 20 (bucket, shard) streams —
+    // the keyed-growth shape, measured honestly.
+    "d25_embed_decontam", "m17_aspect_bucket")
 
   /** Materialize a `factor`×-replicated copy of the FACT tables the scale
     * set reads (documents, lineitem, orders, events) plus 1× copies of

@@ -1486,6 +1486,38 @@ object SparkEntry {
       .select("doc_id").orderBy("doc_id")
   }
 
+  /** Semantic decontamination gate: the embeddings whose `vec_id % 20 == 0`
+    * stand in for an eval set; the train side is every other embedding PLUS
+    * planted leaks — eval vectors rescaled ×2 under shifted ids (cosine is
+    * scale-invariant and ×2 is an exact exponent shift, so each planted
+    * row's cosine to its source is exactly 1.0 while sharing no byte with
+    * it — un-catchable by the d8/d22 lexical tiers by construction).
+    * [[graft.operators.Decontaminate.decontaminateEmbedding]] must drop
+    * every planted row and no organic one (the fixture's organic vectors
+    * are near-orthogonal — the d13 property — so τ=0.99 separates
+    * cleanly); the oracle replays the kernel's own arithmetic
+    * (dot/(√na·√nb), the d13 precedent). The eval filter pins ids below
+    * the bench replica shift so the 10× leg grows the corpus, not the
+    * broadcast side. */
+  private def d25_embed_decontam(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val evalSide = emb.filter(col("vec_id") % 20 === 0 &&
+        col("vec_id") < 100000000L)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("ev"))
+    val planted = emb.filter(col("vec_id") % 20 === 0 &&
+        col("vec_id") < 100000000L)
+      .select((col("vec_id") + 9000000L).as("vec_id"),
+        transform(col("embedding"), x => (x * lit(2.0f)).cast("float"))
+          .as("embedding"))
+    val train = emb.filter(col("vec_id") % 20 =!= 0)
+      .select(col("vec_id"), col("embedding"))
+      .unionByName(planted)
+    Decontaminate.decontaminateEmbedding(
+        train, "vec_id", "embedding", evalSide, "eval_id", "ev", tau = 0.99)
+      .select(col("vec_id"))
+      .orderBy("vec_id")
+  }
+
   private def queryVec(s: SparkSession, dir: String): Array[Float] =
     t(s, dir, "embeddings").filter(col("vec_id") === 0)
       .select("embedding").head().getSeq[Float](0).toArray
@@ -4066,6 +4098,36 @@ object SparkEntry {
       .orderBy("doc_id", "elem_ix")
   }
 
+  /** Aspect-ratio bucketing for vision training (the SDXL/NovelAI batch
+    * recipe: images batch with SAME-shape peers so a batch shares one
+    * crop geometry): REAL decoders ([[graft.operators.Multimodal
+    * .decodeImageMeta]] — PNG/GIF/BMP/JPEG headers) surface width and
+    * height, integer cross-multiplication assigns one of five aspect
+    * buckets (no float ratio anywhere, so the oracle replays the rule
+    * exactly), and [[graft.operators.Pack.packGreedyBy]] packs each
+    * (bucket, id%4 shard) stream into ~1 Mpx batches in id order. The
+    * oracle recomputes w/h from the media fixture's closed-form
+    * dimensions and replays the greedy recurrence per group — decode,
+    * bucket rule and bin boundaries are all one hash. */
+  private def m17_aspect_bucket(s: SparkSession, dir: String): DataFrame = {
+    val meta = Multimodal
+      .decodeImageMeta(s.read.parquet(Fixtures.mediaDocs(s, dir)))
+      .select(col("doc_id"), col("media_meta.width").cast("long").as("w"),
+        col("media_meta.height").cast("long").as("h"))
+    val bucketed = meta
+      .withColumn("bucket",
+        when(col("w") * 3 < col("h") * 2, "tall")
+          .when(col("w") * 10 < col("h") * 9, "portrait")
+          .when(col("w") * 10 <= col("h") * 11, "square")
+          .when(col("w") * 2 < col("h") * 3, "landscape")
+          .otherwise("wide"))
+      .withColumn("shard", col("doc_id") % 4)
+      .withColumn("px", col("w") * col("h"))
+    graft.operators.Pack.packGreedyBy(bucketed, "doc_id", "px",
+        budget = 1000000L, groupCols = Seq("bucket", "shard"))
+      .orderBy("doc_id")
+  }
+
   /** GPT-style concat-and-chop packing: per shard, doc token streams
     * concatenate in id order and cut every 128 tokens ACROSS doc
     * boundaries — one row per (doc, window) overlap with doc-local
@@ -5436,6 +5498,7 @@ object SparkEntry {
     "d8b_decontam_drop" -> (d8b_decontam_drop _),
     "d22_decontam_fuzzy" -> (d22_decontam_fuzzy _),
     "d23_dsir_select" -> (d23_dsir_select _),
+    "d25_embed_decontam" -> (d25_embed_decontam _),
     "d9_pipeline_full" -> (d9_pipeline_full _),
     "d10_span_stats" -> (d10_span_stats _),
     "d10b_span_stats_hashed" -> (d10b_span_stats_hashed _),
@@ -5487,6 +5550,7 @@ object SparkEntry {
     "t71_sft_mask" -> (t71_sft_mask _),
     "m16_interleave" -> (m16_interleave _),
     "m16b_interleave_media" -> (m16b_interleave_media _),
+    "m17_aspect_bucket" -> (m17_aspect_bucket _),
     "t10_mix" -> (t10_mix _),
     "t10b_mix_temperature" -> (t10b_mix_temperature _),
     "t74_doremi_mix" -> (t74_doremi_mix _),
@@ -7831,6 +7895,27 @@ object SparkEntry {
            FROM sc)
          SELECT rank, doc_id, weight FROM rk WHERE rank <= 100
          ORDER BY rank""",
+    // replays the semantic tier with the kernel's own arithmetic
+    // (dot/(√na·√nb) over DOUBLE[] — the d13 precedent): eval = ids % 20,
+    // planted leaks = eval vectors ×2 (exact exponent shift) at +9000000,
+    // survivors = train ids with no eval cosine >= 0.99
+    "d25_embed_decontam" ->
+      """WITH ev AS (SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings WHERE vec_id % 20 = 0 AND vec_id < 100000000),
+         pl AS (SELECT vec_id + 9000000 AS vec_id,
+                  CAST(list_transform(embedding, x -> CAST(x * 2 AS FLOAT))
+                    AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id % 20 = 0 AND vec_id < 100000000),
+         tr AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id % 20 <> 0
+                UNION ALL SELECT vec_id, v FROM pl),
+         fl AS (SELECT DISTINCT t.vec_id FROM tr t CROSS JOIN ev e
+                WHERE list_dot_product(t.v, e.v) /
+                  (sqrt(list_dot_product(t.v, t.v)) *
+                   sqrt(list_dot_product(e.v, e.v))) >= 0.99)
+         SELECT t.vec_id FROM tr t
+         WHERE t.vec_id NOT IN (SELECT vec_id FROM fl)
+         ORDER BY vec_id""",
     "d8b_decontam_drop" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
                     FROM documents),
@@ -9046,6 +9131,43 @@ object SparkEntry {
          ORDER BY e.doc_id, e.elem_ix""",
     // chunk slicing (t18b skeleton) + interleave positions + the
     // t9-style recursive greedy pack at 256 + window numbering
+    // replays decode (closed-form fixture dims), the integer
+    // cross-multiplication bucket rule and the per-(bucket, shard)
+    // greedy recurrence — the t9 recursive-CTE recipe over explicit
+    // group keys
+    "m17_aspect_bucket" ->
+      """WITH RECURSIVE m AS (
+           SELECT doc_id,
+             CAST(doc_id % 640 + 1 AS BIGINT) AS w,
+             CAST((doc_id * 7) % 480 + 1 AS BIGINT) AS h
+           FROM documents),
+         b AS (SELECT doc_id, w, h,
+             CASE WHEN w*3 < h*2 THEN 'tall'
+                  WHEN w*10 < h*9 THEN 'portrait'
+                  WHEN w*10 <= h*11 THEN 'square'
+                  WHEN w*2 < h*3 THEN 'landscape'
+                  ELSE 'wide' END AS bucket,
+             CAST(doc_id % 4 AS BIGINT) AS shard,
+             w * h AS px
+           FROM m),
+         t AS (SELECT doc_id, bucket, shard, px,
+             CAST(row_number() OVER (PARTITION BY bucket, shard
+               ORDER BY doc_id) AS BIGINT) AS rn
+           FROM b),
+         pack AS (
+           SELECT bucket, shard, rn, doc_id, px, CAST(0 AS BIGINT) AS bin,
+             px AS fill
+           FROM t WHERE rn = 1
+           UNION ALL
+           SELECT t.bucket, t.shard, t.rn, t.doc_id, t.px,
+             CASE WHEN p.fill > 0 AND p.fill + t.px > 1000000
+                  THEN p.bin + 1 ELSE p.bin END,
+             CASE WHEN p.fill > 0 AND p.fill + t.px > 1000000
+                  THEN t.px ELSE p.fill + t.px END
+           FROM pack p JOIN t ON t.bucket = p.bucket AND t.shard = p.shard
+             AND t.rn = p.rn + 1)
+         SELECT doc_id, bucket, shard, bin, px AS tokens FROM pack
+         ORDER BY doc_id""",
     "m16_interleave" ->
       """WITH RECURSIVE w AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws

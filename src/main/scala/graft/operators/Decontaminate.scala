@@ -142,6 +142,56 @@ object Decontaminate {
     train.join(flagged, Seq(idCol), "left_anti")
   }
 
+  /** Semantic (embedding-space) decontamination: flag train rows whose
+    * embedding's cosine similarity to ANY eval-set embedding reaches
+    * `tau` — the third tier of the decontamination ladder ([[ngramOverlap]]
+    * catches verbatim leakage, [[nearDupOverlap]] lexical paraphrase;
+    * this catches paraphrase/translation leakage that shares no surface
+    * form at all, given an embedding column). Returns one row per
+    * flagged (train, eval) pair: `(idCol, eval_id, cos)`.
+    *
+    * 100 TB shape: eval sets are SMALL by definition (a benchmark is
+    * 1e3–1e5 rows) — the eval side broadcasts and the corpus streams
+    * ONCE, map-side, through the fused cosine kernel
+    * ([[graft.functions.CosineSimilarity]]): a broadcast nested-loop
+    * whose inner side is the eval table, |train|·|eval| dot products,
+    * zero shuffle of the corpus. An eval set too big to broadcast is
+    * not this operator's contract — sketch both sides and band-join
+    * instead (the d5 embedding-LSH recipe in [[Embeddings]]). */
+  def embeddingOverlap(
+      train: DataFrame,
+      idCol: String,
+      vecCol: String,
+      eval: DataFrame,
+      evalIdCol: String,
+      evalVecCol: String,
+      tau: Double): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
+    train.select(col(idCol), col(vecCol).as("__tv"))
+      .crossJoin(broadcast(
+        eval.select(col(evalIdCol).as("eval_id"), col(evalVecCol).as("__ev"))))
+      .withColumn("cos",
+        graft.functions.CosineSimilarity(col("__tv"), col("__ev")))
+      .filter(col("cos") >= tau)
+      .select(col(idCol), col("eval_id"), col("cos"))
+  }
+
+  /** Drop mode of [[embeddingOverlap]] (composes like [[decontaminate]]):
+    * `train` minus rows whose embedding cosine-matches any eval row. */
+  def decontaminateEmbedding(
+      train: DataFrame,
+      idCol: String,
+      vecCol: String,
+      eval: DataFrame,
+      evalIdCol: String,
+      evalVecCol: String,
+      tau: Double): DataFrame = {
+    val flagged = embeddingOverlap(train, idCol, vecCol, eval, evalIdCol,
+        evalVecCol, tau)
+      .select(col(idCol)).distinct()
+    train.join(flagged, Seq(idCol), "left_anti")
+  }
+
   /** Drop contaminated docs: `train` minus docs flagged by [[ngramOverlap]]
     * (left-anti on the flagged id set — the corpus streams through one
     * anti-join, no wide row is built). */

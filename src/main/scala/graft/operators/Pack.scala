@@ -58,6 +58,66 @@ object Pack {
     }.toDF(idCol, "shard", "bin", "tokens")
   }
 
+  /** [[packGreedy]] with EXPLICIT group columns instead of the id-mod
+    * shard: docs pack in ascending id order WITHIN each distinct
+    * `groupCols` tuple, bins 0-based per group. This is the
+    * bucketed-batch shape (aspect-ratio buckets for vision training,
+    * length buckets for padding-free batching, per-language shards):
+    * the caller's semantic key decides what may share a bin, and
+    * parallelism comes from the key's cardinality — compose a
+    * low-cardinality semantic key with an `id % N` shard column when
+    * the corpus is large (the m17 gate does exactly that).
+    *
+    * Returns (idCol, groupCols…, bin, tokens). Spark shape: one
+    * repartition on the group key + an in-partition sort and a single
+    * streaming pass — same cost model as [[packGreedy]]; a group never
+    * splits across partitions (hash partitioning on the full tuple). */
+  def packGreedyBy(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      budget: Long,
+      groupCols: Seq[String]): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    // same plan-time guard as packChop/exactKeepBest: a non-integral id
+    // would NULL under the long cast and collapse the join-back key.
+    // CONTRACT: ids unique (the join-back fans out on duplicates).
+    val idType = df.schema(idCol).dataType
+    require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(idType),
+      s"packGreedyBy: id column '$idCol' must be integral (pack order " +
+        s"key), got ${idType.sql} — cast or map ids first")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // \u0001 separator: bare concat would alias ("a","b") with ("ab","")
+    val gk = concat_ws("\u0001", groupCols.map(c => col(c).cast("string")): _*)
+    val staged = df
+      .select(col(idCol).cast("long").as("__id"),
+        col(tokensCol).cast("long").as("__tokens"),
+        gk.as("__gk"))
+      .repartition(col("__gk"))
+      .sortWithinPartitions("__gk", "__id")
+      .as[(Long, Long, String)]
+    val packed = staged.mapPartitions { rows =>
+      var group: String = null
+      var bin = 0L
+      var fill = 0L
+      rows.map { case (id, tokens, g) =>
+        if (g != group) { group = g; bin = 0L; fill = 0L }
+        if (fill > 0 && fill + tokens > budget) { bin += 1L; fill = tokens }
+        else fill += tokens
+        (id, bin, tokens)
+      }
+    }.toDF(idCol, "bin", "tokens")
+    df.select(col(idCol).cast("long").as(idCol) +: groupCols.map(col): _*)
+      .join(packed, Seq(idCol))
+      .select((col(idCol) +: groupCols.map(col)) ++
+        Seq(col("bin"), col("tokens")): _*)
+  }
+
   /** GPT-style concat-and-chop packing — the causal-LM pretraining
     * shape [[packGreedy]] deliberately is not: within each shard,
     * documents concatenate in ascending-id order into one token stream

@@ -30,7 +30,11 @@ object ExplainCheck {
         // fuzzy decontamination (eval-side band join), DSIR (ratio join
         // must be broadcast hash), interleaved assembly (pack + window)
         "t65_main_content", "t67_crawl_backedge", "t68_fetch_plan",
-        "d22_decontam_fuzzy", "d23_dsir_select", "m16_interleave")
+        "d22_decontam_fuzzy", "d23_dsir_select", "m16_interleave",
+        // r17 additions: semantic decontam (the ONLY join of the corpus
+        // must be the broadcast-eval nested loop + the anti-join),
+        // aspect bucketing (grouped pack: one exchange on the group key)
+        "d25_embed_decontam", "m17_aspect_bucket")
     for (q <- qs) {
       val df = graft.SparkEntry.queries(q)(spark, dir)
       df.collect() // finalize AQE so the executed plan is the real one

@@ -1565,6 +1565,88 @@ class PackChopSpec extends SparkSpec {
   }
 }
 
+/** Grouped greedy packing: per-group bins, greedy recurrence, guards. */
+class PackGreedyBySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bins are per-group, id-ordered, greedy against the budget") {
+    val rows = Seq(
+      (1L, 6L, "a"), (2L, 5L, "a"), (3L, 5L, "a"), (4L, 11L, "a"),
+      (10L, 4L, "b"), (11L, 4L, "b"), (12L, 4L, "b"))
+      .toDF("id", "tokens", "g")
+    val out = graft.operators.Pack.packGreedyBy(rows, "id", "tokens",
+        budget = 10, groupCols = Seq("g"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    // group a: 6 | 5,5 overflows -> 6 alone? greedy: 6 fits bin0; +5 > 10
+    // -> bin1 holds 5; +5 = 10 stays bin1; 11 > 10 opens bin2 (own bin)
+    assert(out.filter(_._2 == "a").map(x => x._1 -> x._3).toMap ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+    // group b restarts at bin 0: 4+4 = 8 fits, +4 overflows
+    assert(out.filter(_._2 == "b").map(x => x._1 -> x._3).toMap ==
+      Map(10L -> 0L, 11L -> 0L, 12L -> 1L))
+  }
+
+  test("composite group keys do not alias across the separator") {
+    //  ("ab", "") and ("a", "b") must be DIFFERENT groups
+    val rows = Seq((1L, 9L, "ab", ""), (2L, 9L, "a", "b"))
+      .toDF("id", "tokens", "g1", "g2")
+    val out = graft.operators.Pack.packGreedyBy(rows, "id", "tokens",
+        budget = 10, groupCols = Seq("g1", "g2"))
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    // if the keys aliased, id 2 would overflow into bin 1; distinct
+    // groups both start at bin 0
+    assert(out.toMap == Map(1L -> 0L, 2L -> 0L))
+  }
+
+  test("non-integral id refused at plan time") {
+    val strIds = Seq(("a", 5L, "g")).toDF("id", "tokens", "g")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Pack.packGreedyBy(strIds, "id", "tokens", 10, Seq("g"))
+    }
+    assert(e.getMessage.contains("must be integral"), s"got: ${e.getMessage}")
+  }
+}
+
+/** Embedding-space decontamination: scale-invariant leak detection,
+  * organic survival, broadcast-eval shape. */
+class EmbedDecontamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("planted rescaled leaks drop; near-orthogonal organics survive") {
+    val eval = Seq((100L, Array(1.0f, 0.0f, 0.0f)),
+        (101L, Array(0.0f, 1.0f, 0.0f))).toDF("eval_id", "ev")
+    val train = Seq(
+      (1L, Array(3.0f, 0.0f, 0.0f)),   // eval 100 rescaled -> leak
+      (2L, Array(0.0f, 0.0f, 1.0f)),   // orthogonal -> survives
+      (3L, Array(0.0f, -0.5f, 0.0f)),  // NEGATED eval 101: cos = -1, survives
+      (4L, Array(0.1f, 0.1f, 0.99f))   // near-orthogonal -> survives
+    ).toDF("id", "vec")
+    val kept = graft.operators.Decontaminate.decontaminateEmbedding(
+        train, "id", "vec", eval, "eval_id", "ev", tau = 0.99)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L, 4L))
+    val flagged = graft.operators.Decontaminate.embeddingOverlap(
+        train, "id", "vec", eval, "eval_id", "ev", tau = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(flagged.toSet == Set((1L, 100L)))
+  }
+
+  test("tau bounds guarded; eval side broadcasts (no corpus shuffle)") {
+    val eval = Seq((1L, Array(1.0f))).toDF("eval_id", "ev")
+    val train = Seq((1L, Array(1.0f))).toDF("id", "vec")
+    intercept[IllegalArgumentException] {
+      graft.operators.Decontaminate.embeddingOverlap(
+        train, "id", "vec", eval, "eval_id", "ev", tau = 1.5)
+    }
+    val plan = graft.operators.Decontaminate.embeddingOverlap(
+        train, "id", "vec", eval, "eval_id", "ev", tau = 0.5)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"corpus must stream map-side against a broadcast eval: $plan")
+  }
+}
+
 /** Objective-prep planners: span bounds/rate, mask offsets. */
 class MaskingSpec extends SparkSpec {
   import spark.implicits._

@@ -183,4 +183,21 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
+
+  test("d25 embedding decontam: corpus streams against a BROADCAST eval " +
+      "(the documented nested-loop attach); no cartesian") {
+    val plan = finalPlan(SparkEntry.queries("d25_embed_decontam")(spark, dir))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // the flag scan is the broadcast nested loop BY CONTRACT (eval is
+    // broadcast-sized by definition); the survivors anti-join must be a
+    // hash join, not a second nested loop over data-scale sides
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("m17 aspect bucketing: no cartesian/nested-loop; the grouped pack " +
+      "exchanges once on the group key") {
+    val plan = finalPlan(SparkEntry.queries("m17_aspect_bucket")(spark, dir))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
 }
