@@ -74,10 +74,13 @@ object Bench {
     "t65_main_content", "t67_crawl_backedge", "m16_interleave",
     "d23_dsir_select", "t69_pack_chop", "t70_span_corruption",
     "t71_sft_mask",
-    // round-17: semantic decontamination (broadcast-eval cosine scan)
-    // and aspect-ratio bucketing (real header decode + grouped greedy
-    // pack)
-    "d25_embed_decontam", "m17_aspect_bucket")
+    // round-17: semantic decontamination (broadcast-eval cosine scan),
+    // aspect-ratio bucketing (real header decode + grouped greedy
+    // pack), and the four-stage composed training-data run (headline
+    // only, not scaleSet: replica docs fail its langid gate by fixture
+    // construction — the t64 caveat — and each stage's 10× slope is
+    // measured separately as t64/d8b/d23/t69)
+    "d25_embed_decontam", "m17_aspect_bucket", "t75_training_run")
 
   /** Queries measured on the replicated corpus for the scaling slope —
     * the shuffle-heavy pipeline shapes whose 100 TB behavior a plan read

@@ -63,6 +63,7 @@ object OracleLint {
     "ml3_naive_bayes"      -> "sum(c.x) of DOUBLE log-probs inside round(...,6)",
     "g1_pagerank"          -> "sum of DOUBLE rank shares (pr.r is DOUBLE)",
     "d23_dsir_select"      -> "sum(r.lr) of DOUBLE log-ratios inside round(...,6)",
+    "t75_training_run"     -> "sum(r.lr) of DOUBLE log-ratios inside round(...,6) — the composed d23 stage; the packing window sum IS cast",
     "t3b_tokens_bpe"       -> "sum(ntok) intermediate; final column derived via CAST in the outer SELECT",
     "t34_tokenize_pack"    -> "sum(ntok) intermediate; final column derived via CAST in the outer SELECT",
     "t20_backoff_lm"       -> "sum(l)/count(*) — division yields DOUBLE before the final SELECT",

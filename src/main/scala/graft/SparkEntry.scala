@@ -4167,6 +4167,49 @@ object SparkEntry {
       .withColumn("trainable", col("trainable").cast("int"))
       .orderBy("user_id", "turn_ix")
 
+  /** The full training-data run composed END-TO-END — the north-star
+    * demo: curation (langid + quality floors + exact dedup, the t64
+    * stage) → benchmark decontamination (3-gram overlap vs the
+    * doc_id%100 eval set, the d8b stage) → DSIR importance selection
+    * toward a doc_id%10 target sample (the d23 stage, top-200) →
+    * concat-and-chop packing of the selected docs (the t69 stage).
+    * Four stages, one DataFrame program, one hash: the oracle replays
+    * every stage's arithmetic in a single CTE chain, so any
+    * inter-stage contract drift (a filter reordered, a dedup key
+    * changed, a weight tie broken differently) goes red — the
+    * composition is what's being gated, each stage is already gated
+    * alone. Spark shape: each stage keeps its own audited plan
+    * (broadcast gram/ratio joins, one anti-join, one TakeOrdered, one
+    * per-shard cumsum window) — nothing about composing them adds a
+    * shuffle beyond the stages' own. */
+  private def t75_training_run(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val metrics = TextFunctions.qualityMetrics(col("text"),
+      TextFunctions.englishStopwords).toMap
+    val staged = docs.select(col("doc_id"), col("text"),
+      TextFunctions.langId(col("text")).as("lang_pred"),
+      metrics("n_words").as("n_words"),
+      metrics("stopword_ratio").as("stopword_ratio"))
+    val filtered = staged.filter(col("lang_pred") === "en" &&
+      col("n_words") >= 20 && col("stopword_ratio") > 0.03)
+    val kept = Dedup.exact(filtered, "doc_id", "text").select("doc_id")
+      .join(filtered.select("doc_id", "text"), "doc_id")
+    val evalSet = docs.filter(col("doc_id") % 100 === 0).select("text")
+    val clean = Decontaminate.decontaminate(kept, "doc_id", "text",
+      evalSet, "text", n = 3, threshold = 0.5)
+    val target = clean.filter(col("doc_id") % 10 === 1).select("text")
+    val weights = graft.operators.Dsir.importanceWeights(
+      clean, "doc_id", "text", target, "text", numBuckets = 1024)
+    val sel = graft.operators.Dsir.selectTopK(weights, "doc_id", k = 200)
+    val toks = sel.select("doc_id")
+      .join(clean.select(col("doc_id"),
+        size(TextFunctions.words(col("text"))).cast("long").as("tokens")),
+        "doc_id")
+    graft.operators.Pack.packChop(toks, "doc_id", "tokens",
+        budget = 128, numShards = 4)
+      .orderBy("doc_id", "window_ix")
+  }
+
   /** Deterministic source mixing: src0 ×2.5, src1 ×0.5, src2 dropped,
     * seventeen other sources pass through. */
   private def t10_mix(s: SparkSession, dir: String): DataFrame =
@@ -5548,6 +5591,7 @@ object SparkEntry {
     "t69_pack_chop" -> (t69_pack_chop _),
     "t70_span_corruption" -> (t70_span_corruption _),
     "t71_sft_mask" -> (t71_sft_mask _),
+    "t75_training_run" -> (t75_training_run _),
     "m16_interleave" -> (m16_interleave _),
     "m16b_interleave_media" -> (m16b_interleave_media _),
     "m17_aspect_bucket" -> (m17_aspect_bucket _),
@@ -9246,6 +9290,112 @@ object SparkEntry {
              AS trainable
          FROM r ORDER BY user_id, turn_ix""",
     // the per-shard cumsum and every window boundary replayed directly
+    // the full four-stage run replayed in ONE CTE chain: t64's
+    // curation (langid argmax + quality floors + min-id exact dedup),
+    // d8b's 3-gram decontamination against the doc_id%100 eval set,
+    // d23's DSIR scoring toward the doc_id%10 target (same +1/+B
+    // smoothing, 6-decimal rounding, weight-desc/id tie rule, top
+    // 200), and t69's per-shard cumsum chop with the r16 BIGINT cast
+    "t75_training_run" ->
+      """WITH w0 AS (SELECT doc_id, text,
+           regexp_split_to_array(trim(lower(text)), '\s+') AS lws,
+           regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+         s0 AS (SELECT doc_id, text, ws,
+           len(list_filter(lws, x -> list_contains(
+             ['der','die','das','und','ist','nicht','ein','eine','mit','von'], x))) AS de,
+           len(list_filter(lws, x -> list_contains(
+             ['the','and','of','to','in','is','that','it','for','with'], x))) AS en,
+           len(list_filter(lws, x -> list_contains(
+             ['el','la','los','las','de','y','es','que','un','una','en'], x))) AS es,
+           len(list_filter(lws, x -> list_contains(
+             ['le','la','les','de','des','et','un','une','est','que','dans'], x))) AS fr,
+           len(list_filter(lws, x -> list_contains(
+             ['的','是','了','在','我','有','和','人','这','不'], x))) AS zh
+           FROM w0),
+         lang AS (SELECT doc_id, text, ws,
+           CASE WHEN greatest(de, en, es, fr, zh) = 0 THEN 'und'
+                WHEN de = greatest(de, en, es, fr, zh) THEN 'de'
+                WHEN en = greatest(de, en, es, fr, zh) THEN 'en'
+                WHEN es = greatest(de, en, es, fr, zh) THEN 'es'
+                WHEN fr = greatest(de, en, es, fr, zh) THEN 'fr'
+                ELSE 'zh' END AS lang_pred
+           FROM s0),
+         q AS (SELECT doc_id, text, ws,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           CASE WHEN len(ws) = 0 THEN 0.0
+                ELSE CAST(len(list_filter(ws, x -> list_contains(
+                  ['the','a','an','and','or','of','to','in','is','it','that',
+                   'for','on','with','as','at','by','be','this','are','was'], x))) AS DOUBLE)
+                  / len(ws) END AS stopword_ratio
+           FROM lang WHERE lang_pred = 'en'),
+         f AS (SELECT doc_id, text, ws FROM q
+           WHERE n_words >= 20 AND stopword_ratio > 0.03),
+         dd AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY text),
+         kept AS (SELECT f.doc_id, f.text, f.ws FROM f JOIN dd USING (doc_id)),
+         sh AS (SELECT doc_id,
+                  list_distinct(CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                    ELSE list_transform(range(1, len(ws) - 1),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END) AS g
+                FROM kept),
+         evw AS (SELECT regexp_split_to_array(trim(text), '\s+') AS ws
+                 FROM documents WHERE doc_id % 100 = 0),
+         bg AS (SELECT DISTINCT unnest(
+                  list_distinct(CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                    ELSE list_transform(range(1, len(ws) - 1),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END)) AS gram
+                FROM evw),
+         ex AS (SELECT doc_id, CAST(len(g) AS BIGINT) AS total, unnest(g) AS gram
+                FROM sh),
+         cont AS (SELECT ex.doc_id,
+                 CAST(sum(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                   / max(ex.total) AS contamination
+               FROM ex LEFT JOIN bg ON bg.gram = ex.gram GROUP BY ex.doc_id),
+         clean AS (SELECT k.doc_id, k.ws FROM kept k
+           JOIN cont ON cont.doc_id = k.doc_id WHERE cont.contamination < 0.5),
+         uni AS (SELECT doc_id, unnest(ws) AS g FROM clean),
+         bi AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(ws)),
+               i -> ws[i] || ' ' || ws[i+1])) AS g
+           FROM clean WHERE len(ws) >= 2),
+         grams AS (SELECT doc_id, g FROM uni
+                   UNION ALL SELECT doc_id, g FROM bi),
+         b AS (SELECT doc_id,
+             CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % 1024
+               AS bucket
+           FROM grams),
+         rawn AS (SELECT bucket, CAST(count(*) AS DOUBLE) AS n
+                  FROM b GROUP BY bucket),
+         tgtn AS (SELECT bucket, CAST(count(*) AS DOUBLE) AS n
+                  FROM b WHERE doc_id % 10 = 1 GROUP BY bucket),
+         tot AS (SELECT
+             (SELECT CAST(count(*) AS DOUBLE) FROM b) AS rt,
+             (SELECT CAST(count(*) AS DOUBLE) FROM b WHERE doc_id % 10 = 1)
+               AS tt),
+         r AS (SELECT rawn.bucket,
+             round(ln((coalesce(tgtn.n, 0) + 1) / (tot.tt + 1024))
+                 - ln((rawn.n + 1) / (tot.rt + 1024)), 6) AS lr
+           FROM rawn LEFT JOIN tgtn USING (bucket), tot),
+         sc AS (SELECT b.doc_id, round(sum(r.lr), 6) AS weight
+                FROM b JOIN r USING (bucket) GROUP BY b.doc_id),
+         rk AS (SELECT doc_id FROM sc ORDER BY weight DESC, doc_id LIMIT 200),
+         tk AS (SELECT c2.doc_id, CAST(c2.doc_id % 4 AS BIGINT) AS shard,
+             CAST(len(c2.ws) AS BIGINT) AS t
+           FROM clean c2 JOIN rk USING (doc_id)),
+         cum AS (SELECT doc_id, shard, t,
+             CAST(COALESCE(sum(t) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS s
+           FROM tk WHERE t > 0),
+         e AS (SELECT doc_id, shard, t, s,
+             unnest(range(CAST(s // 128 AS BIGINT),
+               CAST((s + t - 1) // 128 + 1 AS BIGINT))) AS window_ix
+           FROM cum)
+         SELECT doc_id, shard, window_ix,
+           greatest(0, window_ix * 128 - s) AS tok_start,
+           least(t, (window_ix + 1) * 128 - s) AS tok_end,
+           least(t, (window_ix + 1) * 128 - s)
+             - greatest(0, window_ix * 128 - s) AS n_tokens
+         FROM e ORDER BY doc_id, window_ix""",
     "t69_pack_chop" ->
       """WITH tk AS (SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS t

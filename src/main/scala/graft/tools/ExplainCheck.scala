@@ -34,7 +34,10 @@ object ExplainCheck {
         // r17 additions: semantic decontam (the ONLY join of the corpus
         // must be the broadcast-eval nested loop + the anti-join),
         // aspect bucketing (grouped pack: one exchange on the group key)
-        "d25_embed_decontam", "m17_aspect_bucket")
+        "d25_embed_decontam", "m17_aspect_bucket",
+        // the composed four-stage run: every stage's audited join shape
+        // must survive the composition
+        "t75_training_run")
     for (q <- qs) {
       val df = graft.SparkEntry.queries(q)(spark, dir)
       df.collect() // finalize AQE so the executed plan is the real one

@@ -200,4 +200,14 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
+
+  test("t75 composed training run: no cartesian; the DSIR ratio join " +
+      "stays broadcast-hash through the four-stage composition") {
+    val plan = finalPlan(SparkEntry.queries("t75_training_run")(spark, dir))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // composing curation -> decontam -> DSIR -> pack must not demote
+    // the data-scale gram->ratio join (the d23 plan property); the
+    // one-row totals frames legitimately attach via nested loop
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
 }
