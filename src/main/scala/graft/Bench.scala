@@ -80,7 +80,10 @@ object Bench {
     // only, not scaleSet: replica docs fail its langid gate by fixture
     // construction — the t64 caveat — and each stage's 10× slope is
     // measured separately as t64/d8b/d23/t69)
-    "d25_embed_decontam", "m17_aspect_bucket", "t75_training_run")
+    "d25_embed_decontam", "m17_aspect_bucket", "t75_training_run",
+    // curriculum rank (banded two-level global order) and the
+    // per-source token-budget draw (keyed cumsum, budget-bounded output)
+    "t76_curriculum", "t77_token_budget")
 
   /** Queries measured on the replicated corpus for the scaling slope —
     * the shuffle-heavy pipeline shapes whose 100 TB behavior a plan read
@@ -160,7 +163,14 @@ object Bench {
     // differ (1e8 % 640 = 0 but 7e8 % 480 ≠ 0) yet stay valid, and the
     // grouped pack's parallelism is its 20 (bucket, shard) streams —
     // the keyed-growth shape, measured honestly.
-    "d25_embed_decontam", "m17_aspect_bucket")
+    "d25_embed_decontam", "m17_aspect_bucket",
+    // t76: per-band windows widen ×10 (bands stay bounded — the keyed
+    // growth shape) and the offsets frame stays band-sized; replica
+    // token suffixes shift the proxy but every row still ranks.
+    // t77: per-source windows widen ×10 under constant budgets — the
+    // OUTPUT stays budget-bounded while the scan grows, the frontier
+    // property; the measured cost is the keyed cumsum window.
+    "t76_curriculum", "t77_token_budget")
 
   /** Materialize a `factor`×-replicated copy of the FACT tables the scale
     * set reads (documents, lineitem, orders, events) plus 1× copies of

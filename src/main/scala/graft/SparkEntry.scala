@@ -4245,6 +4245,50 @@ object SparkEntry {
       .select("doc_id", "source", "copy")
       .orderBy("doc_id", "copy")
 
+  /** Curriculum ordering: global easy→hard schedule by an integer
+    * difficulty proxy (milli-chars-per-word — pure integer division,
+    * so both engines rank the identical key), dealt round-robin
+    * across 4 loader shards so each shard carries the same ramp. The
+    * operator's two-level rank (per-band window + broadcast band
+    * offsets — the scale-safe form of a global row_number) must equal
+    * the oracle's literal global `row_number()`: the gate proves the
+    * banded decomposition IS the global order.
+    * See [[graft.operators.Mixing.curriculum]]. */
+  private def t76_curriculum(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        size(TextFunctions.words(col("text"))).cast("long").as("nw"))
+      .filter(col("nw") > 0)
+      .select(col("doc_id"), expr("(n_chars * 1000) div nw").as("proxy"))
+      .withColumn("band", expr("proxy div 100"))
+    graft.operators.Mixing.curriculum(docs, "doc_id", "proxy", "band",
+        numShards = 4)
+      .orderBy("doc_id")
+  }
+
+  /** Per-source token-budget fill — the epoch quota draw: named
+    * sources get explicit budgets, the long tail a default, docs
+    * drawn per source in (priority DESC, id) order while the running
+    * token total stays within budget. The oracle replays the keyed
+    * cumsum (CAST — the r16 lesson), the draw order and the cut.
+    * See [[graft.operators.Mixing.tokenBudgetFill]]. */
+  private def t77_token_budget(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        (col("doc_id") % 7).as("priority"),
+        size(TextFunctions.words(col("text"))).cast("long").as("tokens"))
+    val named = Seq(("src0", 4000L), ("src1", 2500L), ("src2", 1500L))
+      .toDF("source", "budget")
+    val budgets = named.unionByName(
+      docs.select("source").distinct()
+        .filter(!col("source").isin("src0", "src1", "src2"))
+        .withColumn("budget", lit(800L)))
+    graft.operators.Mixing.tokenBudgetFill(docs, "doc_id", "tokens",
+        "source", "priority", budgets)
+      .orderBy("doc_id")
+  }
+
   /** qvec is serialized to a comma-joined string for the gate: the driver's
     * comparison harness sorts every output column and raw array cells are
     * unsortable there, so both sides emit the same canonical string form.
@@ -5598,6 +5642,8 @@ object SparkEntry {
     "t10_mix" -> (t10_mix _),
     "t10b_mix_temperature" -> (t10b_mix_temperature _),
     "t74_doremi_mix" -> (t74_doremi_mix _),
+    "t76_curriculum" -> (t76_curriculum _),
+    "t77_token_budget" -> (t77_token_budget _),
     "t11_perplexity" -> (t11_perplexity _),
     "t20_backoff_lm" -> (t20_backoff_lm _),
     "t12_termstats" -> (t12_termstats _),
@@ -9465,6 +9511,43 @@ object SparkEntry {
     // the whole DoReMi chain replayed: rounded per-source means, global
     // mean, clipped excess, exp, softmax, smoothing, N-preserving
     // weights, then the t10 id-slice replication
+    // global curriculum rank replayed as a LITERAL global row_number
+    // over the integer proxy — the banded two-level rank must equal it
+    "t76_curriculum" ->
+      """WITH w AS (SELECT doc_id, n_chars,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS nw
+           FROM documents),
+         p AS (SELECT doc_id, (n_chars * 1000) // nw AS proxy
+               FROM w WHERE nw > 0),
+         r AS (SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY proxy, doc_id) AS BIGINT) AS rank
+           FROM p)
+         SELECT doc_id, rank,
+           CAST((rank - 1) % 4 AS BIGINT) AS shard,
+           CAST((rank - 1) // 4 AS BIGINT) AS position
+         FROM r ORDER BY doc_id""",
+    // keyed cumsum (CAST - the r16 lesson), priority-desc draw order,
+    // budget CASE over the source vocabulary, prefix cut
+    "t77_token_budget" ->
+      """WITH d AS (SELECT doc_id, source,
+           CAST(doc_id % 7 AS BIGINT) AS priority,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tokens
+           FROM documents),
+         b AS (SELECT source,
+             CASE source WHEN 'src0' THEN 4000 WHEN 'src1' THEN 2500
+                  WHEN 'src2' THEN 1500 ELSE 800 END AS budget
+           FROM (SELECT DISTINCT source FROM documents)),
+         w AS (SELECT d.doc_id, d.source, d.tokens,
+             CAST(sum(d.tokens) OVER (PARTITION BY d.source
+               ORDER BY d.priority DESC, d.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_tokens,
+             CAST(row_number() OVER (PARTITION BY d.source
+               ORDER BY d.priority DESC, d.doc_id) AS BIGINT) AS fill_seq,
+             b.budget
+           FROM d JOIN b USING (source))
+         SELECT doc_id, source, tokens, fill_seq, cum_tokens FROM w
+         WHERE cum_tokens <= budget ORDER BY doc_id""",
     "t74_doremi_mix" ->
       """WITH s AS (SELECT doc_id, source,
              CAST(n_chars % 97 AS DOUBLE) / 10 AS sc FROM documents),

@@ -183,4 +183,90 @@ object Mixing {
       granularity: Int = 1000): DataFrame =
     resample(df, idCol, sourceCol,
       learnWeights(df, sourceCol, scoreCol, eta, smoothing), granularity)
+
+  /** Curriculum ordering (Bengio et al. 2009): a global training
+    * schedule by ascending difficulty, dealt round-robin across
+    * `numShards` loader streams so EVERY shard sees the same
+    * easy→hard ramp. Returns `(idCol, rank, shard, position)`:
+    * `rank` the 1-based global difficulty rank (by `scoreCol`
+    * ascending, `idCol` tie-break), `shard = (rank-1) % numShards`,
+    * `position = (rank-1) div numShards` — shard `position` order IS
+    * the curriculum.
+    *
+    * A naive global `row_number()` is a single-partition sort — the
+    * classic 100 TB scale-killer — so the rank is two-level (the
+    * Sweep.concurrency recipe): a per-band window (parallel across
+    * bands) plus per-band offsets computed in one TINY window over the
+    * band vocabulary and broadcast back. `bandCol` must be a coarse
+    * key CONSISTENT with the score order (band(a) < band(b) implies
+    * score(a) <= score(b) — e.g. `score div 100` for integer scores)
+    * and of BOUNDED cardinality (thousands — it's the operator's
+    * parallelism, and the offsets window holds one row per band).
+    * CONTRACT: (scoreCol, idCol) unique per row — ids unique suffices. */
+  def curriculum(df: DataFrame, idCol: String, scoreCol: String,
+      bandCol: String, numShards: Int): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    val wBand = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(bandCol)).orderBy(col(scoreCol), col(idCol))
+    val ranked = df.select(col(idCol), col(scoreCol), col(bandCol))
+      .withColumn("__rn", row_number().over(wBand).cast("long"))
+    val wOff = org.apache.spark.sql.expressions.Window
+      .orderBy(col(bandCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = df.groupBy(col(bandCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
+      .select(col(bandCol), col("__off"))
+    ranked.join(broadcast(offsets), Seq(bandCol))
+      .withColumn("rank", col("__off") + col("__rn"))
+      .select(col(idCol), col("rank"),
+        pmod(col("rank") - 1L, lit(numShards.toLong)).as("shard"),
+        floor((col("rank") - 1L) / numShards).cast("long").as("position"))
+  }
+
+  /** Per-source token-budget fill — epoch planning's quota draw: each
+    * source contributes its docs in (`priorityCol` DESC, `idCol` ASC)
+    * order until the source's token budget is EXHAUSTED (a doc is
+    * taken iff the running total INCLUDING it stays ≤ budget — the
+    * deterministic closed form; no partial docs). `budgets` is one
+    * row per source `(sourceCol, budget)` — broadcast-sized by
+    * definition (the source vocabulary), and composable with
+    * [[learnWeights]]: `budget(s) = round(weight(s) · T)` turns a
+    * DoReMi mixture into an absolute token plan. Sources absent from
+    * `budgets` contribute nothing (inner join — absence means quota
+    * zero, loudly visible in the output's source set).
+    *
+    * Returns taken docs: `(idCol, sourceCol, tokens, fill_seq,
+    * cum_tokens)` with `fill_seq` the 1-based draw order within the
+    * source. 100 TB shape: one keyed window per source (the q6 keyed
+    * growth shape) over narrow (id, source, priority, tokens) rows +
+    * a broadcast budget join; skipped docs cost one window row each,
+    * nothing is collected. NOTE the greedy-skip subtlety: a LATER doc
+    * may still fit after an earlier one overflowed (running totals
+    * are over TAKEN docs only would be order-dependent) — this
+    * operator uses the PREFIX form (cum over all prior candidates),
+    * the replayable standard: the cut is a pure function of the
+    * ordered prefix sums. */
+  def tokenBudgetFill(df: DataFrame, idCol: String, tokensCol: String,
+      sourceCol: String, priorityCol: String,
+      budgets: DataFrame): DataFrame = {
+    require(budgets.columns.contains(sourceCol) &&
+        budgets.columns.contains("budget"),
+      s"budgets needs ($sourceCol, budget) columns, got " +
+        budgets.columns.mkString(","))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(col(priorityCol).desc, col(idCol))
+    df.select(col(idCol), col(sourceCol), col(priorityCol),
+        col(tokensCol).cast("long").as("tokens"))
+      .join(broadcast(budgets.select(col(sourceCol),
+        col("budget").cast("long").as("__budget"))), Seq(sourceCol))
+      .withColumn("cum_tokens", sum(col("tokens")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+      .withColumn("fill_seq", row_number().over(w).cast("long"))
+      .filter(col("cum_tokens") <= col("__budget"))
+      .select(col(idCol), col(sourceCol), col("tokens"),
+        col("fill_seq"), col("cum_tokens"))
+  }
 }

@@ -894,6 +894,46 @@ class MixingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Mixing.learnWeights(scored, "source", "sc", smoothing = 1.0))
   }
+
+  test("curriculum: banded two-level rank equals the global order; " +
+      "round-robin shards share the ramp") {
+    // scores deliberately collide across bands' worth of values
+    val docs = (0L to 99L).map(i => (i, (i * 37L) % 50L))
+      .map { case (i, s) => (i, s, s / 10L) }.toDF("id", "sc", "band")
+    val out = Mixing.curriculum(docs, "id", "sc", "band", numShards = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // global truth: sort by (sc, id)
+    val truth = (0L to 99L).map(i => (i, (i * 37L) % 50L))
+      .sortBy { case (i, s) => (s, i) }.zipWithIndex
+      .map { case ((i, _), k) => i -> (k + 1L) }.toMap
+    assert(out.forall { case (id, rank, _, _) => truth(id) == rank },
+      out.filterNot { case (id, rank, _, _) => truth(id) == rank }.take(5).toSeq.toString)
+    // shard/position arithmetic
+    assert(out.forall { case (_, r, sh, p) =>
+      sh == (r - 1) % 3 && p == (r - 1) / 3 })
+  }
+
+  test("tokenBudgetFill: prefix cut per source, priority-desc order, " +
+      "absent sources contribute nothing") {
+    val docs = Seq(
+      (1L, "a", 5L, 10L), (2L, "a", 5L, 10L), (3L, "a", 1L, 10L),
+      (4L, "b", 9L, 7L), (5L, "b", 8L, 7L),
+      (6L, "c", 1L, 1L)) // source c absent from budgets
+      .toDF("id", "source", "prio", "tok")
+    val budgets = Seq(("a", 25L), ("b", 7L)).toDF("source", "budget")
+    val out = Mixing.tokenBudgetFill(docs, "id", "tok", "source", "prio",
+        budgets)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3),
+        r.getLong(4)))
+    // a: prio 5,5,1 -> ids 1,2 then 3; cum 10,20,30 -> 3 cut at 25
+    // b: prio desc -> id 4 (cum 7 = budget, taken), id 5 cum 14 cut
+    // c: no budget row -> absent
+    assert(out.toSet == Set((1L, "a", 1L, 10L), (2L, "a", 2L, 20L),
+      (4L, "b", 1L, 7L)))
+    intercept[IllegalArgumentException](
+      Mixing.tokenBudgetFill(docs, "id", "tok", "source", "prio",
+        Seq(("a", 1L)).toDF("source", "quota")))
+  }
 }
 
 class CompactionSpec extends SparkSpec {
