@@ -83,7 +83,10 @@ object Bench {
     "d25_embed_decontam", "m17_aspect_bucket", "t75_training_run",
     // curriculum rank (banded two-level global order) and the
     // per-source token-budget draw (keyed cumsum, budget-bounded output)
-    "t76_curriculum", "t77_token_budget")
+    "t76_curriculum", "t77_token_budget",
+    // LSH-bucketed semantic decontam (the d25 scale path) and the
+    // fastText-style trained quality filter (15 GD scans)
+    "d25b_embed_decontam_lsh", "t78_quality_filter")
 
   /** Queries measured on the replicated corpus for the scaling slope —
     * the shuffle-heavy pipeline shapes whose 100 TB behavior a plan read
@@ -170,7 +173,14 @@ object Bench {
     // t77: per-source windows widen ×10 under constant budgets — the
     // OUTPUT stays budget-bounded while the scan grows, the frontier
     // property; the measured cost is the keyed cumsum window.
-    "t76_curriculum", "t77_token_budget")
+    "t76_curriculum", "t77_token_budget",
+    // d25b: corpus sketches map-side and equi-joins a broadcast probe
+    // table pinned to the 1× eval range — linear by construction.
+    // t78: 15 full-batch GD scans (tokenize + fused counts + one agg
+    // each) over the grown corpus — compute-linear, no shuffle growth;
+    // replica docs' suffixed tokens zero their trusted-vocab features
+    // (they train as extra low-signal positives, cost unchanged).
+    "d25b_embed_decontam_lsh", "t78_quality_filter")
 
   /** Materialize a `factor`×-replicated copy of the FACT tables the scale
     * set reads (documents, lineitem, orders, events) plus 1× copies of

@@ -60,6 +60,7 @@ object OracleLint {
   val allowed: Map[String, String] = Map(
     "q51_anomaly"          -> "w_sum/w_sumsq feed a DOUBLE z-score expression (division) before the final SELECT",
     "ml2_logreg"           -> "sum over sigmoid residuals — DOUBLE summand",
+    "t78_quality_filter"   -> "sum over sigmoid residuals — DOUBLE summand (the composed ml2 trainer)",
     "ml3_naive_bayes"      -> "sum(c.x) of DOUBLE log-probs inside round(...,6)",
     "g1_pagerank"          -> "sum of DOUBLE rank shares (pr.r is DOUBLE)",
     "d23_dsir_select"      -> "sum(r.lr) of DOUBLE log-ratios inside round(...,6)",

@@ -1518,6 +1518,44 @@ object SparkEntry {
       .orderBy("vec_id")
   }
 
+  private val DecontamPlanesFixture =
+    "/tmp/graft_fixtures/decontam_planes.parquet"
+
+  /** d25's scale path: the SAME planted corpus, flags found through the
+    * hyperplane-LSH bucket join instead of the exhaustive broadcast scan
+    * ([[graft.operators.Decontaminate.embeddingOverlapLsh]]). Positive
+    * rescaling preserves every sign bit, so each planted leak sits at
+    * Hamming 0 from its source and the LSH path must recover EXACTLY the
+    * d25 survivor set — the gate pins the recall claim where it is
+    * provable. The oracle recomputes both sides' sketches from the
+    * persisted planes (the a6 recipe), replays the Hamming-≤1 pairing
+    * and the cosine cut. */
+  private def d25b_embed_decontam_lsh(
+      s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Ann.hyperplanes(64, 8, 42L).zipWithIndex
+      .map { case (w, i) => (i, w.toSeq) }
+      .toDF("plane_ix", "w")
+      .coalesce(1).write.mode("overwrite").parquet(DecontamPlanesFixture)
+    val emb = t(s, dir, "embeddings")
+    val evalSide = emb.filter(col("vec_id") % 20 === 0 &&
+        col("vec_id") < 100000000L)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("ev"))
+    val planted = emb.filter(col("vec_id") % 20 === 0 &&
+        col("vec_id") < 100000000L)
+      .select((col("vec_id") + 9000000L).as("vec_id"),
+        transform(col("embedding"), x => (x * lit(2.0f)).cast("float"))
+          .as("embedding"))
+    val train = emb.filter(col("vec_id") % 20 =!= 0)
+      .select(col("vec_id"), col("embedding"))
+      .unionByName(planted)
+    Decontaminate.decontaminateEmbeddingLsh(
+        train, "vec_id", "embedding", evalSide, "eval_id", "ev",
+        tau = 0.99, dim = 64, numPlanes = 8, maxHamming = 1)
+      .select(col("vec_id"))
+      .orderBy("vec_id")
+  }
+
   private def queryVec(s: SparkSession, dir: String): Array[Float] =
     t(s, dir, "embeddings").filter(col("vec_id") === 0)
       .select("embedding").head().getSeq[Float](0).toArray
@@ -4245,6 +4283,42 @@ object SparkEntry {
       .select("doc_id", "source", "copy")
       .orderBy("doc_id", "copy")
 
+  /** MODEL-based quality filtering — the fastText/CCNet recipe (vs
+    * t64's RULES): positives are the real docs, negatives SYNTHETIC
+    * corruptions of half of them (vowels flattened to 'q' — trusted-
+    * vocabulary hits drop to zero, replayable via `translate`), a
+    * logistic classifier trains on trusted-vocab hit-ratio features
+    * (15 full-batch GD iterations, the ml2 trainer), and the whole
+    * pos∪neg corpus is scored and cut at 0.5. Every corruption drops;
+    * real docs with NO trusted-vocab hits drop too (indistinguishable
+    * from noise by construction — exactly what a vocab-based quality
+    * filter does to vocab-less docs). The oracle replays corpus
+    * construction, features, all 15 iterations, scoring and the cut.
+    * See [[graft.operators.Regression.fitLogisticGD]]. */
+  private def t78_quality_filter(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val corpus = docs.select(col("doc_id"), col("text"), lit(1.0).as("y"))
+      .unionByName(docs.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 9950000L).as("doc_id"),
+          translate(col("text"), "aeiou", "qqqqq").as("text"),
+          lit(0.0).as("y")))
+    val lw = TextFunctions.words(lower(col("text")))
+    val counts = graft.functions.TermSetCountsExpr(lw,
+      Seq(TextFunctions.langMarkers("en"), TextFunctions.englishStopwords))
+    val n = size(lw)
+    def ratio(i: Int): Column = when(n === 0, lit(0.0))
+      .otherwise(element_at(counts, i).cast("double") * 10.0 / n)
+    val f = corpus.select(col("doc_id"), ratio(1).as("x1"),
+      ratio(2).as("x2"), col("y"))
+    val model = graft.operators.Regression.fitLogisticGD(f,
+      Seq(col("x1"), col("x2")), col("y"), iterations = 15, lr = 2.0)
+    f.select(col("doc_id"),
+        graft.operators.Regression.logisticScore(model,
+          Seq(col("x1"), col("x2"))).as("score"))
+      .filter(col("score") >= 0.5)
+      .orderBy("doc_id")
+  }
+
   /** Curriculum ordering: global easy→hard schedule by an integer
     * difficulty proxy (milli-chars-per-word — pure integer division,
     * so both engines rank the identical key), dealt round-robin
@@ -5586,6 +5660,7 @@ object SparkEntry {
     "d22_decontam_fuzzy" -> (d22_decontam_fuzzy _),
     "d23_dsir_select" -> (d23_dsir_select _),
     "d25_embed_decontam" -> (d25_embed_decontam _),
+    "d25b_embed_decontam_lsh" -> (d25b_embed_decontam_lsh _),
     "d9_pipeline_full" -> (d9_pipeline_full _),
     "d10_span_stats" -> (d10_span_stats _),
     "d10b_span_stats_hashed" -> (d10b_span_stats_hashed _),
@@ -5643,6 +5718,7 @@ object SparkEntry {
     "t10b_mix_temperature" -> (t10b_mix_temperature _),
     "t74_doremi_mix" -> (t74_doremi_mix _),
     "t76_curriculum" -> (t76_curriculum _),
+    "t78_quality_filter" -> (t78_quality_filter _),
     "t77_token_budget" -> (t77_token_budget _),
     "t11_perplexity" -> (t11_perplexity _),
     "t20_backoff_lm" -> (t20_backoff_lm _),
@@ -8006,6 +8082,39 @@ object SparkEntry {
          SELECT t.vec_id FROM tr t
          WHERE t.vec_id NOT IN (SELECT vec_id FROM fl)
          ORDER BY vec_id""",
+    // the LSH replay: both sides' sketches recomputed from the persisted
+    // planes (bit i set iff v.w_i >= 0), Hamming <= 1 pairing, kernel
+    // cosine cut at 0.99, survivors = train minus flagged
+    "d25b_embed_decontam_lsh" ->
+      """WITH p AS (SELECT plane_ix, w
+                    FROM read_parquet('/tmp/graft_fixtures/decontam_planes.parquet/*.parquet')),
+         ev AS (SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id % 20 = 0 AND vec_id < 100000000),
+         pl AS (SELECT vec_id + 9000000 AS vec_id,
+                  CAST(list_transform(embedding, x -> CAST(x * 2 AS FLOAT))
+                    AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id % 20 = 0 AND vec_id < 100000000),
+         tr AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id % 20 <> 0
+                UNION ALL SELECT vec_id, v FROM pl),
+         esk AS (SELECT e.eval_id,
+             CAST(sum(CASE WHEN list_dot_product(e.v, p.w) >= 0
+                 THEN CAST(1 AS BIGINT) << p.plane_ix ELSE 0 END) AS BIGINT) AS s
+           FROM ev e, p GROUP BY e.eval_id),
+         tsk AS (SELECT t.vec_id,
+             CAST(sum(CASE WHEN list_dot_product(t.v, p.w) >= 0
+                 THEN CAST(1 AS BIGINT) << p.plane_ix ELSE 0 END) AS BIGINT) AS s
+           FROM tr t, p GROUP BY t.vec_id),
+         fl AS (SELECT DISTINCT t.vec_id
+           FROM tsk JOIN esk ON bit_count(xor(tsk.s, esk.s)) <= 1
+             JOIN tr t ON t.vec_id = tsk.vec_id
+             JOIN ev e ON e.eval_id = esk.eval_id
+           WHERE list_dot_product(t.v, e.v) /
+             (sqrt(list_dot_product(t.v, t.v)) *
+              sqrt(list_dot_product(e.v, e.v))) >= 0.99)
+         SELECT t.vec_id FROM tr t
+         WHERE t.vec_id NOT IN (SELECT vec_id FROM fl)
+         ORDER BY vec_id""",
     "d8b_decontam_drop" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
                     FROM documents),
@@ -9513,6 +9622,109 @@ object SparkEntry {
     // weights, then the t10 id-slice replication
     // global curriculum rank replayed as a LITERAL global row_number
     // over the integer proxy — the banded two-level rank must equal it
+    // the fastText-quality replay: corpus = docs UNION vowel-flattened
+    // corruptions of the even half (translate), trusted-vocab hit-ratio
+    // features x10, FIFTEEN GD iterations (ml2's recipe, lr 2.0,
+    // 6-decimal weight resync per step), sigmoid scores, cut at 0.5
+    "t78_quality_filter" ->
+      """WITH corpus AS (
+           SELECT doc_id, text, 1.0 AS y FROM documents
+           UNION ALL
+           SELECT doc_id + 9950000, translate(text, 'aeiou', 'qqqqq'), 0.0
+           FROM documents WHERE doc_id % 2 = 0),
+         w0c AS (SELECT doc_id, y,
+           regexp_split_to_array(trim(lower(text)), '\s+') AS lws FROM corpus),
+         f AS (SELECT doc_id, y,
+           CASE WHEN len(lws) = 0 THEN 0.0
+                ELSE 10.0 * len(list_filter(lws, x -> list_contains(
+                  ['the','and','of','to','in','is','that','it','for','with'], x)))
+                  / len(lws) END AS x1,
+           CASE WHEN len(lws) = 0 THEN 0.0
+                ELSE 10.0 * len(list_filter(lws, x -> list_contains(
+                  ['the','a','an','and','or','of','to','in','is','it','that',
+                   'for','on','with','as','at','by','be','this','are','was'], x)))
+                  / len(lws) END AS x2
+           FROM w0c),
+         p AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM f),
+         i1 AS (SELECT
+             ROUND(0.0 - 2.0 * SUM((1.0 / (1.0 + EXP(-(0.0 + 0.0 * x1 + 0.0 * x2))) - y) * 1.0) / MAX(p.n), 6) AS w0,
+             ROUND(0.0 - 2.0 * SUM((1.0 / (1.0 + EXP(-(0.0 + 0.0 * x1 + 0.0 * x2))) - y) * x1) / MAX(p.n), 6) AS w1,
+             ROUND(0.0 - 2.0 * SUM((1.0 / (1.0 + EXP(-(0.0 + 0.0 * x1 + 0.0 * x2))) - y) * x2) / MAX(p.n), 6) AS w2
+           FROM f, p),
+         i2 AS (SELECT
+             ROUND(w.w0 - 2.0 * SUM((1.0 / (1.0 + EXP(-(w.w0 + w.w1 * x1 + w.w2 * x2))) - y) * 1.0) / MAX(p.n), 6) AS w0,
+             ROUND(w.w1 - 2.0 * SUM((1.0 / (1.0 + EXP(-(w.w0 + w.w1 * x1 + w.w2 * x2))) - y) * x1) / MAX(p.n), 6) AS w1,
+             ROUND(w.w2 - 2.0 * SUM((1.0 / (1.0 + EXP(-(w.w0 + w.w1 * x1 + w.w2 * x2))) - y) * x2) / MAX(p.n), 6) AS w2
+           FROM f, p, i1 w GROUP BY w.w0, w.w1, w.w2),
+         i3 AS (SELECT
+             ROUND(w.w0 - 2.0 * SUM((1.0 / (1.0 + EXP(-(w.w0 + w.w1 * x1 + w.w2 * x2))) - y) * 1.0) / MAX(p.n), 6) AS w0,
+             ROUND(w.w1 - 2.0 * SUM((1.0 / (1.0 + EXP(-(w.w0 + w.w1 * x1 + w.w2 * x2))) - y) * x1) / MAX(p.n), 6) AS w1,
+             ROUND(w.w2 - 2.0 * SUM((1.0 / (1.0 + EXP(-(w.w0 + w.w1 * x1 + w.w2 * x2))) - y) * x2) / MAX(p.n), 6) AS w2
+           FROM f, p, i2 w GROUP BY w.w0, w.w1, w.w2),
+         i4 AS (SELECT
+             ROUND(w.w0 - 2.0 * SUM((1.0 / (1.0 + EXP(-(w.w0 + w.w1 * x1 + w.w2 * x2))) - y) * 1.0) / MAX(p.n), 6) AS w0,
+             ROUND(w.w1 - 2.0 * SUM((1.0 / (1.0 + EXP(-(w.w0 + w.w1 * x1 + w.w2 * x2))) - y) * x1) / MAX(p.n), 6) AS w1,
+             ROUND(w.w2 - 2.0 * SUM((1.0 / (1.0 + EXP(-(w.w0 + w.w1 * x1 + w.w2 * x2))) - y) * x2) / MAX(p.n), 6) AS w2
+           FROM f, p, i3 w GROUP BY w.w0, w.w1, w.w2),
+         i5 AS (SELECT
+             ROUND(w.w0 - 2.0 * SUM((1.0 / (1.0 + EXP(-(w.w0 + w.w1 * x1 + w.w2 * x2))) - y) * 1.0) / MAX(p.n), 6) AS w0,
+             ROUND(w.w1 - 2.0 * SUM((1.0 / (1.0 + EXP(-(w.w0 + w.w1 * x1 + w.w2 * x2))) - y) * x1) / MAX(p.n), 6) AS w1,
+             ROUND(w.w2 - 2.0 * SUM((1.0 / (1.0 + EXP(-(w.w0 + w.w1 * x1 + w.w2 * x2))) - y) * x2) / MAX(p.n), 6) AS w2
+           FROM f, p, i4 w GROUP BY w.w0, w.w1, w.w2),
+         i6 AS (SELECT
+             ROUND(w.w0 - 2.0 * SUM((1.0 / (1.0 + EXP(-(w.w0 + w.w1 * x1 + w.w2 * x2))) - y) * 1.0) / MAX(p.n), 6) AS w0,
+             ROUND(w.w1 - 2.0 * SUM((1.0 / (1.0 + EXP(-(w.w0 + w.w1 * x1 + w.w2 * x2))) - y) * x1) / MAX(p.n), 6) AS w1,
+             ROUND(w.w2 - 2.0 * SUM((1.0 / (1.0 + EXP(-(w.w0 + w.w1 * x1 + w.w2 * x2))) - y) * x2) / MAX(p.n), 6) AS w2
+           FROM f, p, i5 w GROUP BY w.w0, w.w1, w.w2),
+         i7 AS (SELECT
+             ROUND(w.w0 - 2.0 * SUM((1.0 / (1.0 + EXP(-(w.w0 + w.w1 * x1 + w.w2 * x2))) - y) * 1.0) / MAX(p.n), 6) AS w0,
+             ROUND(w.w1 - 2.0 * SUM((1.0 / (1.0 + EXP(-(w.w0 + w.w1 * x1 + w.w2 * x2))) - y) * x1) / MAX(p.n), 6) AS w1,
+             ROUND(w.w2 - 2.0 * SUM((1.0 / (1.0 + EXP(-(w.w0 + w.w1 * x1 + w.w2 * x2))) - y) * x2) / MAX(p.n), 6) AS w2
+           FROM f, p, i6 w GROUP BY w.w0, w.w1, w.w2),
+         i8 AS (SELECT
+             ROUND(w.w0 - 2.0 * SUM((1.0 / (1.0 + EXP(-(w.w0 + w.w1 * x1 + w.w2 * x2))) - y) * 1.0) / MAX(p.n), 6) AS w0,
+             ROUND(w.w1 - 2.0 * SUM((1.0 / (1.0 + EXP(-(w.w0 + w.w1 * x1 + w.w2 * x2))) - y) * x1) / MAX(p.n), 6) AS w1,
+             ROUND(w.w2 - 2.0 * SUM((1.0 / (1.0 + EXP(-(w.w0 + w.w1 * x1 + w.w2 * x2))) - y) * x2) / MAX(p.n), 6) AS w2
+           FROM f, p, i7 w GROUP BY w.w0, w.w1, w.w2),
+         i9 AS (SELECT
+             ROUND(w.w0 - 2.0 * SUM((1.0 / (1.0 + EXP(-(w.w0 + w.w1 * x1 + w.w2 * x2))) - y) * 1.0) / MAX(p.n), 6) AS w0,
+             ROUND(w.w1 - 2.0 * SUM((1.0 / (1.0 + EXP(-(w.w0 + w.w1 * x1 + w.w2 * x2))) - y) * x1) / MAX(p.n), 6) AS w1,
+             ROUND(w.w2 - 2.0 * SUM((1.0 / (1.0 + EXP(-(w.w0 + w.w1 * x1 + w.w2 * x2))) - y) * x2) / MAX(p.n), 6) AS w2
+           FROM f, p, i8 w GROUP BY w.w0, w.w1, w.w2),
+         i10 AS (SELECT
+             ROUND(w.w0 - 2.0 * SUM((1.0 / (1.0 + EXP(-(w.w0 + w.w1 * x1 + w.w2 * x2))) - y) * 1.0) / MAX(p.n), 6) AS w0,
+             ROUND(w.w1 - 2.0 * SUM((1.0 / (1.0 + EXP(-(w.w0 + w.w1 * x1 + w.w2 * x2))) - y) * x1) / MAX(p.n), 6) AS w1,
+             ROUND(w.w2 - 2.0 * SUM((1.0 / (1.0 + EXP(-(w.w0 + w.w1 * x1 + w.w2 * x2))) - y) * x2) / MAX(p.n), 6) AS w2
+           FROM f, p, i9 w GROUP BY w.w0, w.w1, w.w2),
+         i11 AS (SELECT
+             ROUND(w.w0 - 2.0 * SUM((1.0 / (1.0 + EXP(-(w.w0 + w.w1 * x1 + w.w2 * x2))) - y) * 1.0) / MAX(p.n), 6) AS w0,
+             ROUND(w.w1 - 2.0 * SUM((1.0 / (1.0 + EXP(-(w.w0 + w.w1 * x1 + w.w2 * x2))) - y) * x1) / MAX(p.n), 6) AS w1,
+             ROUND(w.w2 - 2.0 * SUM((1.0 / (1.0 + EXP(-(w.w0 + w.w1 * x1 + w.w2 * x2))) - y) * x2) / MAX(p.n), 6) AS w2
+           FROM f, p, i10 w GROUP BY w.w0, w.w1, w.w2),
+         i12 AS (SELECT
+             ROUND(w.w0 - 2.0 * SUM((1.0 / (1.0 + EXP(-(w.w0 + w.w1 * x1 + w.w2 * x2))) - y) * 1.0) / MAX(p.n), 6) AS w0,
+             ROUND(w.w1 - 2.0 * SUM((1.0 / (1.0 + EXP(-(w.w0 + w.w1 * x1 + w.w2 * x2))) - y) * x1) / MAX(p.n), 6) AS w1,
+             ROUND(w.w2 - 2.0 * SUM((1.0 / (1.0 + EXP(-(w.w0 + w.w1 * x1 + w.w2 * x2))) - y) * x2) / MAX(p.n), 6) AS w2
+           FROM f, p, i11 w GROUP BY w.w0, w.w1, w.w2),
+         i13 AS (SELECT
+             ROUND(w.w0 - 2.0 * SUM((1.0 / (1.0 + EXP(-(w.w0 + w.w1 * x1 + w.w2 * x2))) - y) * 1.0) / MAX(p.n), 6) AS w0,
+             ROUND(w.w1 - 2.0 * SUM((1.0 / (1.0 + EXP(-(w.w0 + w.w1 * x1 + w.w2 * x2))) - y) * x1) / MAX(p.n), 6) AS w1,
+             ROUND(w.w2 - 2.0 * SUM((1.0 / (1.0 + EXP(-(w.w0 + w.w1 * x1 + w.w2 * x2))) - y) * x2) / MAX(p.n), 6) AS w2
+           FROM f, p, i12 w GROUP BY w.w0, w.w1, w.w2),
+         i14 AS (SELECT
+             ROUND(w.w0 - 2.0 * SUM((1.0 / (1.0 + EXP(-(w.w0 + w.w1 * x1 + w.w2 * x2))) - y) * 1.0) / MAX(p.n), 6) AS w0,
+             ROUND(w.w1 - 2.0 * SUM((1.0 / (1.0 + EXP(-(w.w0 + w.w1 * x1 + w.w2 * x2))) - y) * x1) / MAX(p.n), 6) AS w1,
+             ROUND(w.w2 - 2.0 * SUM((1.0 / (1.0 + EXP(-(w.w0 + w.w1 * x1 + w.w2 * x2))) - y) * x2) / MAX(p.n), 6) AS w2
+           FROM f, p, i13 w GROUP BY w.w0, w.w1, w.w2),
+         i15 AS (SELECT
+             ROUND(w.w0 - 2.0 * SUM((1.0 / (1.0 + EXP(-(w.w0 + w.w1 * x1 + w.w2 * x2))) - y) * 1.0) / MAX(p.n), 6) AS w0,
+             ROUND(w.w1 - 2.0 * SUM((1.0 / (1.0 + EXP(-(w.w0 + w.w1 * x1 + w.w2 * x2))) - y) * x1) / MAX(p.n), 6) AS w1,
+             ROUND(w.w2 - 2.0 * SUM((1.0 / (1.0 + EXP(-(w.w0 + w.w1 * x1 + w.w2 * x2))) - y) * x2) / MAX(p.n), 6) AS w2
+           FROM f, p, i14 w GROUP BY w.w0, w.w1, w.w2),
+         sc AS (SELECT f.doc_id,
+           ROUND(1.0 / (1.0 + EXP(-(w.w0 + w.w1 * f.x1 + w.w2 * f.x2))), 6) AS score
+           FROM f, i15 w)
+         SELECT doc_id, score FROM sc WHERE score >= 0.5 ORDER BY doc_id""",
     "t76_curriculum" ->
       """WITH w AS (SELECT doc_id, n_chars,
            CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS nw

@@ -176,6 +176,78 @@ object Decontaminate {
       .select(col(idCol), col("eval_id"), col("cos"))
   }
 
+  /** The SCALE PATH of [[embeddingOverlap]] for eval sets too big to
+    * scan exhaustively per row: hyperplane-LSH bucketing (the
+    * [[Ann.annJoin]] machinery with the roles fixed — eval is the
+    * probing side). Both sides sketch against the same seeded planes;
+    * the eval side fans out over all Hamming-≤`maxHamming` probe masks
+    * and BROADCASTS (|eval|·(1+masks) rows — still eval-scale); the
+    * corpus sketches ONCE map-side and equi-joins on the bucket, and
+    * only bucket-colliding candidates pay the exact cosine kernel.
+    * Each (train, eval) pair matches in at most ONE probe bucket
+    * (mask = xor of the two sketches), so no distinct is needed on
+    * pairs. RECALL is the LSH family's, not 1 — pairs at cosine ≥ tau
+    * whose sketches differ in more than `maxHamming` bits are missed;
+    * raise `numPlanes`/`maxHamming` or use [[embeddingOverlap]] when
+    * the eval set is broadcast-scannable. Returns flagged pairs
+    * `(idCol, eval_id, cos)`. */
+  def embeddingOverlapLsh(
+      train: DataFrame,
+      idCol: String,
+      vecCol: String,
+      eval: DataFrame,
+      evalIdCol: String,
+      evalVecCol: String,
+      tau: Double,
+      dim: Int,
+      numPlanes: Int = 8,
+      maxHamming: Int = 1,
+      seed: Long = 42L): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
+    require(maxHamming >= 0 && maxHamming <= 2,
+      "maxHamming in {0,1,2} — larger probe sets square the fan-out")
+    val masks: Seq[Long] = {
+      val singles = (0 until numPlanes).map(i => 1L << i)
+      val pairs = for {
+        i <- 0 until numPlanes; j <- i + 1 until numPlanes
+      } yield (1L << i) | (1L << j)
+      Seq(0L) ++ (if (maxHamming >= 1) singles else Nil) ++
+        (if (maxHamming >= 2) pairs else Nil)
+    }
+    val evSketch = Ann.hyperplaneSketch(col(evalVecCol), dim, numPlanes, seed)
+    val trSketch = Ann.hyperplaneSketch(col(vecCol), dim, numPlanes, seed)
+    val ev = eval.select(col(evalIdCol).as("eval_id"),
+        col(evalVecCol).as("__ev"), evSketch.as("__sk"))
+      .select(col("eval_id"), col("__ev"),
+        explode(array(masks.map(m => col("__sk").bitwiseXOR(lit(m))): _*))
+          .as("__bucket"))
+    train.select(col(idCol), col(vecCol).as("__tv"), trSketch.as("__bucket"))
+      .join(broadcast(ev), Seq("__bucket"))
+      .withColumn("cos",
+        graft.functions.CosineSimilarity(col("__tv"), col("__ev")))
+      .filter(col("cos") >= tau)
+      .select(col(idCol), col("eval_id"), col("cos"))
+  }
+
+  /** Drop mode of [[embeddingOverlapLsh]]. */
+  def decontaminateEmbeddingLsh(
+      train: DataFrame,
+      idCol: String,
+      vecCol: String,
+      eval: DataFrame,
+      evalIdCol: String,
+      evalVecCol: String,
+      tau: Double,
+      dim: Int,
+      numPlanes: Int = 8,
+      maxHamming: Int = 1,
+      seed: Long = 42L): DataFrame = {
+    val flagged = embeddingOverlapLsh(train, idCol, vecCol, eval, evalIdCol,
+        evalVecCol, tau, dim, numPlanes, maxHamming, seed)
+      .select(col(idCol)).distinct()
+    train.join(flagged, Seq(idCol), "left_anti")
+  }
+
   /** Drop mode of [[embeddingOverlap]] (composes like [[decontaminate]]):
     * `train` minus rows whose embedding cosine-matches any eval row. */
   def decontaminateEmbedding(

@@ -161,29 +161,43 @@ object Regression {
       lr: Double = 0.5,
       roundTo: Int = 6): LogisticModel = {
     val k = featureCols.length + 1
-    val xs: Seq[Column] = lit(1.0) +: featureCols.map(_.cast("double"))
-    val y = labelCol.cast("double")
-    val n = df.count().toDouble
-    var w = Array.fill(k)(0.0)
-    for (_ <- 1 to iterations) {
-      val margin = xs.zipWithIndex.foldLeft(lit(0.0): Column) {
-        case (acc, (x, i)) => acc + lit(w(i)) * x
+    // project the features ONCE and cache the narrow (k+1 doubles) frame:
+    // every GD iteration is a full pass, and re-evaluating the feature
+    // expressions per pass re-pays their cost ×iterations (tokenizing
+    // kernels dominate — observed 2.4 s → feature-cached a fraction of
+    // that on t78's 15-iteration trainer). At 100 TB the cached frame is
+    // the narrow projection, never the corpus; MEMORY_AND_DISK spills.
+    val proj = df.select(
+      (featureCols.map(_.cast("double")).zipWithIndex.map {
+        case (x, i) => x.as(s"__x${i + 1}") } :+
+        labelCol.cast("double").as("__y")): _*)
+    proj.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val xs: Seq[Column] =
+        lit(1.0) +: (1 to featureCols.length).map(i => col(s"__x$i"))
+      val y = col("__y")
+      val n = proj.count().toDouble
+      var w = Array.fill(k)(0.0)
+      for (_ <- 1 to iterations) {
+        val margin = xs.zipWithIndex.foldLeft(lit(0.0): Column) {
+          case (acc, (x, i)) => acc + lit(w(i)) * x
+        }
+        val resid = lit(1.0) / (lit(1.0) + exp(-margin)) - y
+        val grads = proj.agg(sum(resid * xs.head).as("g0"),
+          xs.tail.zipWithIndex.map { case (x, i) =>
+            sum(resid * x).as(s"g${i + 1}") }: _*).head()
+        val scale = math.pow(10, roundTo)
+        w = w.indices.map { j =>
+          val v = w(j) - lr * grads.getDouble(j) / n
+          // round the BINARY double exactly as SQL round(x, 6) does — half
+          // away from zero on v·1e6 (the Mixing idiom; a BigDecimal detour
+          // would round the shortest decimal string instead)
+          (if (v < 0) -math.round(-v * scale) else math.round(v * scale))
+            .toDouble / scale
+        }.toArray
       }
-      val resid = lit(1.0) / (lit(1.0) + exp(-margin)) - y
-      val grads = df.agg(sum(resid * xs.head).as("g0"),
-        xs.tail.zipWithIndex.map { case (x, i) =>
-          sum(resid * x).as(s"g${i + 1}") }: _*).head()
-      val scale = math.pow(10, roundTo)
-      w = w.indices.map { j =>
-        val v = w(j) - lr * grads.getDouble(j) / n
-        // round the BINARY double exactly as SQL round(x, 6) does — half
-        // away from zero on v·1e6 (the Mixing idiom; a BigDecimal detour
-        // would round the shortest decimal string instead)
-        (if (v < 0) -math.round(-v * scale) else math.round(v * scale))
-          .toDouble / scale
-      }.toArray
-    }
-    LogisticModel(w, roundTo)
+      LogisticModel(w, roundTo)
+    } finally { proj.unpersist(); () }
   }
 
   /** Broadcast sigmoid scorer: `round(σ(w·x), roundTo)` — rounded because

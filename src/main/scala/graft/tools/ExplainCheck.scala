@@ -37,7 +37,10 @@ object ExplainCheck {
         "d25_embed_decontam", "m17_aspect_bucket",
         // the composed four-stage run: every stage's audited join shape
         // must survive the composition
-        "t75_training_run")
+        "t75_training_run",
+        // LSH decontam (bucket join must be broadcast hash) and the
+        // trained quality filter (map-side scoring)
+        "d25b_embed_decontam_lsh", "t78_quality_filter")
     for (q <- qs) {
       val df = graft.SparkEntry.queries(q)(spark, dir)
       df.collect() // finalize AQE so the executed plan is the real one

@@ -201,6 +201,22 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
+  test("d25b LSH decontam: the corpus joins the probe table by broadcast " +
+      "HASH on the sketch bucket — no nested loop, unlike d25's " +
+      "documented exhaustive attach") {
+    val plan = finalPlan(SparkEntry.queries("d25b_embed_decontam_lsh")(spark, dir))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("t78 quality filter: scoring is map-side over the broadcast " +
+      "weights; no cartesian/nested-loop") {
+    val plan = finalPlan(SparkEntry.queries("t78_quality_filter")(spark, dir))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
   test("t75 composed training run: no cartesian; the DSIR ratio join " +
       "stays broadcast-hash through the four-stage composition") {
     val plan = finalPlan(SparkEntry.queries("t75_training_run")(spark, dir))
