@@ -2220,6 +2220,33 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Cross-document boilerplate line removal (C4 §2.2 / CCNet): the
+    * fixture gives every document newline-line structure (6-word lines)
+    * and plants a "subscribe" footer on every doc_id % 4 == 0 — ~125
+    * corpus-wide occurrences, far over the minCount=3 bar, so every
+    * planted footer must vanish; natural 6-word lines that happen to
+    * repeat ≥ 3× fall under the same rule in BOTH engines. Survivor
+    * lines re-join in original order; a doc may lose interior lines and
+    * keep its identity. */
+  private def d26_line_boilerplate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val ws = graft.functions.TextFunctions.words(col("text"))
+    val lined = docs
+      .select(col("doc_id"), ws.as("__w"),
+        greatest(lit(1L), ceil(size(ws) / lit(6.0)).cast("long")).as("__nl"))
+      .select(col("doc_id"),
+        concat_ws("\n", transform(sequence(lit(0L), col("__nl") - 1),
+          i => concat_ws(" ",
+            slice(col("__w"), (i * 6 + 1).cast("int"), lit(6))))).as("__body"))
+      .select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(col("__body"), lit("\nsubscribe to our newsletter today")))
+          .otherwise(col("__body")).as("text"))
+    graft.operators.Dedup.dropFrequentLines(lined, "doc_id", "text",
+        minCount = 3)
+      .orderBy("doc_id")
+  }
+
   /** PDF round trip: every document is written as a structurally valid
     * one-page PDF ([[graft.functions.PdfBuildExpr]] — Flate-compressed
     * content stream on even doc_ids, raw on odd, text split across two
@@ -4319,6 +4346,59 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Retrieval-quality evaluation (recall@k / MRR / nDCG@k,
+    * [[graft.operators.Retrieval.rankMetrics]]): a three-query run with
+    * md5-derived integer scores (hash-exact ranking in both engines —
+    * the BM25 composition is exercised in RankMetricsSpec, where
+    * cross-engine float ordering is not at stake) against md5-derived
+    * graded judgments (grades 0/1/2). The DCG discount is the
+    * integer-scaled table, so DCG/IDCG are exact integer sums and the
+    * oracle's replay must match to the last digit. */
+  private def t79_retrieval_metrics(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val terms = Seq("agg", "scan", "window")
+    val paired = docs
+      .select(col("doc_id"), explode(array(terms.map(lit): _*)).as("query"))
+    val run = paired.select(col("query"), col("doc_id"),
+      conv(substring(md5(concat_ws(":", lit("run"), col("query"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long").as("score"))
+    val h = substring(md5(concat_ws(":", lit("qr"), col("query"),
+      col("doc_id").cast("string"))), 1, 1)
+    val qrels = paired.select(col("query"), col("doc_id"),
+      when(h.isin("0", "1", "2", "3"), 1L)
+        .when(h.isin("4", "5"), 2L).otherwise(0L).as("grade"))
+    graft.operators.Retrieval.rankMetrics(run, qrels,
+        "query", "doc_id", "score", "grade", k = 10)
+      .orderBy("query")
+  }
+
+  /** Domain-level curation ([[graft.operators.Frontier.dropLowQualityDomains]]):
+    * six fixture hosts — two under the multi-label `co.uk` suffix, one a
+    * deep `cdn.assets.*` subdomain — must collapse to their eTLD+1
+    * (`ads.spamfarm.co.uk` → `spamfarm.co.uk`, NOT `co.uk`), and the
+    * spam-farm's hash-biased low scores must flag exactly it; the
+    * integer cross-multiplied threshold means both engines flag the
+    * same domains with zero float comparisons. */
+  private def t80_domain_rollup(s: SparkSession, dir: String): DataFrame = {
+    val hosts = array(lit("news.example.com"), lit("blog.example.co.uk"),
+      lit("ads.spamfarm.co.uk"), lit("example.org"),
+      lit("cdn.assets.example.org"), lit("static.junk.com"))
+    val base = conv(substring(md5(concat(lit("dq:"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+    val urls = t(s, dir, "documents").select(col("doc_id"))
+      .select(col("doc_id"),
+        concat(lit("https://"),
+          element_at(hosts, (col("doc_id") % 6 + 1).cast("int")),
+          lit("/p/"), col("doc_id").cast("string")).as("url"),
+        when(col("doc_id") % 6 === 2, base % 30)
+          .otherwise(base % 70 + 30).as("score"))
+    graft.operators.Frontier.dropLowQualityDomains(urls, "url", "score",
+        Seq("com", "org", "net", "co.uk", "ac.uk", "github.io"),
+        minMeanNum = 40L)
+      .select(col("doc_id"), col("domain"), col("score"))
+      .orderBy("doc_id")
+  }
+
   /** Curriculum ordering: global easy→hard schedule by an integer
     * difficulty proxy (milli-chars-per-word — pure integer division,
     * so both engines rank the identical key), dealt round-robin
@@ -5616,6 +5696,7 @@ object SparkEntry {
     "d20_span_dedup" -> (d20_span_dedup _),
     "d20b_span_dedup_multi" -> (d20b_span_dedup_multi _),
     "d24_substr_dedup" -> (d24_substr_dedup _),
+    "d26_line_boilerplate" -> (d26_line_boilerplate _),
     "t50_pdf_extract" -> (t50_pdf_extract _),
     "t73_docx_extract" -> (t73_docx_extract _),
     "t51_url_normalize" -> (t51_url_normalize _),
@@ -5719,6 +5800,8 @@ object SparkEntry {
     "t74_doremi_mix" -> (t74_doremi_mix _),
     "t76_curriculum" -> (t76_curriculum _),
     "t78_quality_filter" -> (t78_quality_filter _),
+    "t79_retrieval_metrics" -> (t79_retrieval_metrics _),
+    "t80_domain_rollup" -> (t80_domain_rollup _),
     "t77_token_budget" -> (t77_token_budget _),
     "t11_perplexity" -> (t11_perplexity _),
     "t20_backoff_lm" -> (t20_backoff_lm _),
@@ -7914,6 +7997,41 @@ object SparkEntry {
     // exact window strings, first-occurrence election by (id, pos),
     // coverage and reassembly replayed in SQL — validating the Spark
     // side's ladder hashes against ground truth on every corpus doc
+    // the fixture's lining and the planted footer replayed, then the
+    // C4 frequency rule: count every line occurrence corpus-wide, drop
+    // ALL occurrences at count >= 3, reassemble in line order
+    "d26_line_boilerplate" ->
+      """WITH w AS (SELECT doc_id,
+             regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+         n AS (SELECT doc_id, ws,
+             greatest(1, CAST(ceil(len(ws) / 6.0) AS BIGINT)) AS nl FROM w),
+         body AS (SELECT doc_id,
+             array_to_string(list_transform(range(0, nl),
+               i -> array_to_string(
+                 list_slice(ws, CAST(i * 6 + 1 AS INT), CAST(i * 6 + 6 AS INT)),
+                 ' ')), chr(10)) AS body
+           FROM n),
+         doc AS (SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0 THEN body || chr(10) ||
+               'subscribe to our newsletter today' ELSE body END AS text
+           FROM body),
+         ls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM doc),
+         lines AS (SELECT doc_id, i - 1 AS pos, l[CAST(i AS INT)] AS line
+           FROM ls, UNNEST(range(1, len(l) + 1)) AS t(i)),
+         freq AS (SELECT line FROM lines GROUP BY line
+           HAVING count(*) >= 3),
+         kept AS (SELECT l.doc_id, l.pos, l.line FROM lines l
+           LEFT JOIN freq f ON f.line = l.line WHERE f.line IS NULL),
+         agg AS (SELECT doc_id,
+             string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+             CAST(count(*) AS BIGINT) AS n_kept
+           FROM kept GROUP BY doc_id),
+         tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+           FROM lines GROUP BY doc_id)
+         SELECT t.doc_id, COALESCE(a.text_clean, '') AS text_clean,
+           t.n_lines, CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(t.n_lines - COALESCE(a.n_kept, 0) AS BIGINT) AS n_dropped
+         FROM tot t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""",
     "d24_substr_dedup" ->
       """WITH w0 AS (SELECT doc_id,
              regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
@@ -9626,6 +9744,95 @@ object SparkEntry {
     // corruptions of the even half (translate), trusted-vocab hit-ratio
     // features x10, FIFTEEN GD iterations (ml2's recipe, lr 2.0,
     // 6-decimal weight resync per step), sigmoid scores, cut at 0.5
+    // fixture hosts + hash scores replayed, the longest-suffix eTLD+1
+    // rule applied literally (this fixture has no >2-label suffixes),
+    // the integer cross-multiplied flag, then the anti-join
+    "t80_domain_rollup" ->
+      """WITH u AS (SELECT doc_id,
+             CASE CAST(doc_id % 6 AS INT)
+               WHEN 0 THEN 'news.example.com'
+               WHEN 1 THEN 'blog.example.co.uk'
+               WHEN 2 THEN 'ads.spamfarm.co.uk'
+               WHEN 3 THEN 'example.org'
+               WHEN 4 THEN 'cdn.assets.example.org'
+               ELSE 'static.junk.com' END AS host,
+             CAST(concat('0x', substr(md5('dq:' || CAST(doc_id AS VARCHAR)),
+               1, 8)) AS BIGINT) AS b
+           FROM documents),
+         sc AS (SELECT doc_id, host,
+             CASE WHEN doc_id % 6 = 2 THEN b % 30 ELSE b % 70 + 30 END
+               AS score
+           FROM u),
+         reg AS (SELECT doc_id, score,
+             CASE WHEN ls[nl - 1] || '.' || ls[nl] IN
+                 ('co.uk', 'ac.uk', 'github.io')
+               THEN ls[nl - 2] || '.' || ls[nl - 1] || '.' || ls[nl]
+               ELSE ls[nl - 1] || '.' || ls[nl] END AS domain
+           FROM (SELECT doc_id, score, string_split(host, '.') AS ls,
+               CAST(len(string_split(host, '.')) AS INT) AS nl FROM sc) x),
+         flagged AS (SELECT domain FROM
+             (SELECT domain, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(score) AS BIGINT) AS ss
+              FROM reg GROUP BY domain) g
+           WHERE ss * 1 < n * 40)
+         SELECT r.doc_id, r.domain, CAST(r.score AS BIGINT) AS score
+         FROM reg r LEFT JOIN flagged f ON f.domain = r.domain
+         WHERE f.domain IS NULL ORDER BY r.doc_id""",
+    // md5 run scores and graded judgments replayed, then the metric
+    // arithmetic: integer-scaled DCG discounts (round(1e6/log2(r+1)) —
+    // exact integer sums in both engines), single final divisions
+    "t79_retrieval_metrics" ->
+      """WITH paired AS (SELECT t.term AS query, d.doc_id
+           FROM documents d CROSS JOIN
+             (SELECT unnest(['agg', 'scan', 'window']) AS term) t),
+         run AS (SELECT query, doc_id,
+             CAST(concat('0x', substr(md5('run:' || query || ':' ||
+               CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS score
+           FROM paired),
+         rk AS (SELECT query, doc_id,
+             CAST(row_number() OVER (PARTITION BY query
+               ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+           FROM run),
+         rel AS (SELECT query, doc_id, g FROM (
+             SELECT query, doc_id,
+               CASE WHEN substr(md5('qr:' || query || ':' ||
+                   CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+                 THEN CAST(1 AS BIGINT)
+                 WHEN substr(md5('qr:' || query || ':' ||
+                   CAST(doc_id AS VARCHAR)), 1, 1) IN ('4','5')
+                 THEN CAST(2 AS BIGINT)
+                 ELSE CAST(0 AS BIGINT) END AS g
+             FROM paired) x WHERE g > 0),
+         j AS (SELECT rk.query, rk.rnk, COALESCE(rel.g, 0) AS g
+           FROM rk LEFT JOIN rel
+             ON rel.query = rk.query AND rel.doc_id = rk.doc_id),
+         pq AS (SELECT query,
+             CAST(sum(CASE WHEN rnk <= 10 AND g > 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS hits_at_k,
+             min(CASE WHEN g > 0 THEN rnk END) AS first_rel,
+             CAST(sum(CASE WHEN rnk <= 10 THEN
+                 (CAST(pow(2, g) AS BIGINT) - 1) *
+                 CAST(round(1000000.0 / log2(rnk + 1)) AS BIGINT)
+               ELSE 0 END) AS BIGINT) AS dcg
+           FROM j GROUP BY query),
+         ideal AS (SELECT query, CAST(count(*) AS BIGINT) AS n_rel,
+             CAST(sum(CASE WHEN ir <= 10 THEN
+                 (CAST(pow(2, g) AS BIGINT) - 1) *
+                 CAST(round(1000000.0 / log2(ir + 1)) AS BIGINT)
+               ELSE 0 END) AS BIGINT) AS idcg
+           FROM (SELECT query, g, CAST(row_number() OVER
+                 (PARTITION BY query ORDER BY g DESC, doc_id) AS BIGINT) AS ir
+             FROM rel) x GROUP BY query)
+         SELECT p.query, COALESCE(i.n_rel, 0) AS n_rel, p.hits_at_k,
+           round(CASE WHEN COALESCE(i.n_rel, 0) = 0 THEN 0.0
+             ELSE CAST(p.hits_at_k AS DOUBLE) / i.n_rel END, 6)
+             AS recall_at_k,
+           round(CASE WHEN p.first_rel IS NULL THEN 0.0
+             ELSE 1.0 / p.first_rel END, 6) AS mrr,
+           round(CASE WHEN COALESCE(i.idcg, 0) = 0 THEN 0.0
+             ELSE CAST(p.dcg AS DOUBLE) / i.idcg END, 6) AS ndcg_at_k
+         FROM pq p LEFT JOIN ideal i ON i.query = p.query
+         ORDER BY p.query""",
     "t78_quality_filter" ->
       """WITH corpus AS (
            SELECT doc_id, text, 1.0 AS y FROM documents

@@ -458,6 +458,40 @@ object TextFunctions {
       lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)),
       ":[0-9]+$", "")
 
+  /** The registrable domain (eTLD+1) of a URL against a caller-pinned
+    * public-suffix list — the per-SITE key domain-level curation policy
+    * hangs on (C4/RefinedWeb blocklists, per-domain quality priors,
+    * spam-farm caps): `news.example.co.uk` under a list carrying
+    * `co.uk` keys as `example.co.uk`, not as the meaningless
+    * `news.example.co.uk` or the over-broad `co.uk`.
+    *
+    * Longest listed suffix wins (the PSL rule); a host not under any
+    * listed suffix falls to the PSL's implicit `*` rule (last label is
+    * the suffix → last two labels are the domain); a host that IS a
+    * listed suffix (or a single bare label) has no registrable domain
+    * and yields null. Wildcard/exception PSL rules are out of scope —
+    * the caller pins the explicit list. Composed from codegen'd
+    * built-ins only (one split + per-length array slices); the list is
+    * a plan-time literal, so there is no join and no shuffle. */
+  def registrableDomain(url: Column, suffixes: Seq[String]): Column = {
+    require(suffixes.nonEmpty, "registrableDomain needs a suffix list")
+    require(suffixes.forall(s => s.nonEmpty && !s.startsWith(".") &&
+      !s.endsWith(".") && s == s.toLowerCase),
+      s"suffixes must be bare lowercase dotted labels; got $suffixes")
+    val labels = split(urlHost(url), "\\.")
+    val n = size(labels)
+    val default = when(n >= 2, concat_ws(".", slice(labels, -2, 2)))
+    // fold ASCENDING so the longest suffix length lands outermost in the
+    // CASE chain — longest match wins
+    suffixes.groupBy(_.count(_ == '.') + 1).toSeq.sortBy(_._1)
+      .foldLeft(default) { case (acc, (m, sfx)) =>
+        when(n >= m && concat_ws(".", slice(labels, -m, m))
+            .isin(sfx: _*),
+          when(n >= m + 1, concat_ws(".", slice(labels, -(m + 1), m + 1))))
+          .otherwise(acc)
+      }
+  }
+
   /** The `<loc>` URLs of a sitemap XML body (sitemaps.org protocol —
     * the discovery leg robots.txt's `Sitemap:` lines point at), entity-
     * decoded as the protocol requires (`&amp;` is MANDATORY escaping in

@@ -1727,4 +1727,59 @@ object Dedup {
           corpusIdCol))
     }
   }
+
+  /** Cross-document boilerplate LINE removal, the C4 / CCNet recipe
+    * (Raffel et al. 2020 §2.2 drop repeated spans corpus-wide; CCNet
+    * removes paragraphs duplicated across shards): any line whose
+    * corpus-wide occurrence count reaches `minCount` is boilerplate —
+    * cookie banners, nav bars, "subscribe" footers — and EVERY
+    * occurrence is dropped; the per-document remainder re-joins in
+    * original line order. Differs from [[exact]]/keep-first chunk dedup
+    * (d14): those keep one representative of a duplicate family; a
+    * boilerplate line has no representative worth keeping.
+    *
+    * Shape at 100 TB: explode to (id, pos, line_hash) — narrow rows, the
+    * raw line never shuffles twice; ONE hash-aggregate on the line hash
+    * (map-side partial combine) filtered to count ≥ minCount, which is
+    * OUTPUT-bounded (distinct boilerplate lines, tiny next to the
+    * corpus) so AQE turns the anti-join into a broadcast when it fits
+    * and a shuffle anti-join when it doesn't — both correct, neither
+    * all-pairs; then one reassembly aggregate keyed on the document id.
+    * Frequency keys on `xxhash64(line)`: a 64-bit collision silently
+    * merging two distinct lines' counts is the documented trade for
+    * never shuffling raw line text into the count table (the C4
+    * pipeline makes the same trade).
+    *
+    * Documents whose every line is boilerplate survive with
+    * `text_clean = ""` — dropping them would silently lose document
+    * identity mid-pipeline (the [[Chunk]] contract). Returns
+    * `(idCol, text_clean, n_lines, n_kept, n_dropped)`. */
+  def dropFrequentLines(df: DataFrame, idCol: String, textCol: String,
+      minCount: Long, sep: String = "\n"): DataFrame = {
+    require(minCount >= 2, s"minCount must be >= 2; got $minCount")
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol),
+        java.util.regex.Pattern.quote(sep))).as(Seq("__pos", "__line")))
+    val frequent = lines
+      .groupBy(xxhash64(col("__line")).as("__lh"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minCount)
+      .select(col("__lh"))
+    val kept = lines.join(frequent,
+      xxhash64(col("__line")) === frequent("__lh"), "left_anti")
+    val perDoc = lines.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"))
+    perDoc.join(
+        kept.groupBy(col(idCol)).agg(
+          array_join(transform(
+            array_sort(collect_list(struct(col("__pos"), col("__line")))),
+            s => s("__line")), sep).as("text_clean"),
+          count(lit(1)).as("n_kept")),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
 }

@@ -264,6 +264,48 @@ object Frontier {
         (col("__last") + col("__w").getField("iv") <= nowSec).as("due"))
   }
 
+  /** Per-registrable-domain quality rollup — the aggregation behind
+    * domain-level curation (C4's blocklists, RefinedWeb's per-site
+    * filters): group documents by eTLD+1
+    * ([[TextFunctions.registrableDomain]] over the pinned suffix list)
+    * and aggregate count + score sum/mean. ONE hash-aggregate (map-side
+    * partial combine) over narrow (domain, score) rows; the output is
+    * domain-bounded, not corpus-bounded. URLs with no registrable
+    * domain (bare hosts, listed suffixes) group under null — visible,
+    * not dropped. Returns
+    * `(domain, n_docs, sum_score, mean_score)`. */
+  def domainQuality(df: DataFrame, urlCol: String, scoreCol: String,
+      suffixes: Seq[String]): DataFrame =
+    df.groupBy(TextFunctions.registrableDomain(col(urlCol), suffixes)
+        .as("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(scoreCol).cast("long")).as("sum_score"),
+        round(sum(col(scoreCol).cast("double")) / count(lit(1)), 6)
+          .as("mean_score"))
+
+  /** Drop every document of a low-quality DOMAIN: domains whose mean
+    * score falls below `minMeanNum/minMeanDen` are flagged and their
+    * documents anti-joined out. The threshold is a RATIONAL compared by
+    * integer cross-multiplication (`sum·den < num·n`), so the flag is
+    * exact in any engine — no float mean ever decides a drop. The
+    * flagged-domain table is output-bounded (distinct bad domains), so
+    * AQE broadcasts the anti-join when it fits; docs without a
+    * registrable domain are never domain-flagged (no collective
+    * evidence → judge them individually, not as a site). Appends
+    * `domain` to the surviving rows. */
+  def dropLowQualityDomains(df: DataFrame, urlCol: String, scoreCol: String,
+      suffixes: Seq[String], minMeanNum: Long, minMeanDen: Long = 1L): DataFrame = {
+    require(minMeanDen >= 1, s"minMeanDen must be >= 1; got $minMeanDen")
+    requireFreeColumns(df, Seq("domain"))
+    val flagged = domainQuality(df, urlCol, scoreCol, suffixes)
+      .filter(col("domain").isNotNull &&
+        col("sum_score") * minMeanDen < col("n_docs") * minMeanNum)
+      .select(col("domain").as("__bad"))
+    df.withColumn("domain",
+        TextFunctions.registrableDomain(col(urlCol), suffixes))
+      .join(flagged, col("domain") <=> col("__bad"), "left_anti")
+  }
+
   /** Silently clobbering an input column is data loss: re-scheduling an
     * already-scheduled frame would overwrite its prior wave's
     * fetch_seq/eta_ms with no error — rename or drop them first, on

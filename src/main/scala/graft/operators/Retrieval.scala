@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -546,5 +546,85 @@ object Retrieval {
       }
     out.select(col(srcId), col(tgtId),
       round(col("__cos"), scale).as("cosine"), col("margin"))
+  }
+
+  /** Offline retrieval-quality evaluation — recall@k, MRR and nDCG@k
+    * (Järvelin & Kekäläinen 2002) per query over a run table
+    * `(queryCol, docCol, scoreCol)` and a relevance-judgment table
+    * `(queryCol, docCol, gradeCol)` with grade > 0 meaning relevant.
+    * This is the measurement half every serving tier here (BM25, RRF,
+    * the ANN indexes) needs before its parameters can be tuned.
+    *
+    * Determinism contract (the cross-engine gate discipline): the DCG
+    * discount 1/log2(rank+1) is materialized as the INTEGER
+    * round(1e6 / log2(rank+1)) per rank ≤ k — identical in any IEEE
+    * engine because no quotient sits near a .5 boundary for rank ≤ 1000
+    * at 1e-6 scale — so DCG/IDCG are EXACT integer sums whatever the
+    * summation order, and only the final single divisions round.
+    *
+    * 100 TB shape: the run is already top-N per query (a serving
+    * output), so both windows are narrow keyed-by-query sorts; the
+    * qrels side is an eval set — broadcast-sized by nature — and the
+    * grade attach is a broadcast left join. Nothing here scans a
+    * corpus. Queries with no relevant docs report recall/mrr/ndcg 0
+    * rather than null (a run over them is measured, just unrewarded).
+    * Returns `(queryCol, n_rel, hits_at_k, recall_at_k, mrr, ndcg_at_k)`. */
+  def rankMetrics(
+      run: DataFrame,
+      qrels: DataFrame,
+      queryCol: String,
+      docCol: String,
+      scoreCol: String,
+      gradeCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1; got $k")
+    def discountInt(rank: Column): Column = {
+      // CASE ladder over rank ≤ k: a literal integer per rank, the same
+      // table the oracle derives from its own log2
+      (1 to k).foldLeft(lit(null).cast("long")) { (acc, r) =>
+        when(rank === r,
+          lit(math.round(1e6 / (math.log(r + 1.0) / math.log(2.0))))).otherwise(acc)
+      }
+    }
+    val rel = qrels.filter(col(gradeCol) > 0)
+      .select(col(queryCol).as("__q"), col(docCol).as("__d"),
+        col(gradeCol).cast("long").as("__g"))
+    val wRun = Window.partitionBy(col(queryCol))
+      .orderBy(desc(scoreCol), col(docCol))
+    val ranked = run
+      .withColumn("__rank", row_number().over(wRun).cast("long"))
+      .join(broadcast(rel),
+        col(queryCol) === col("__q") && col(docCol) === col("__d"), "left")
+      .select(col(queryCol), col("__rank"),
+        coalesce(col("__g"), lit(0L)).as("__g"))
+    val perQuery = ranked.groupBy(col(queryCol)).agg(
+      sum(when(col("__rank") <= k && col("__g") > 0, 1L).otherwise(0L))
+        .as("hits_at_k"),
+      min(when(col("__g") > 0, col("__rank"))).as("__first_rel"),
+      sum(when(col("__rank") <= k,
+        (pow(lit(2.0), col("__g")).cast("long") - 1L) *
+          discountInt(col("__rank"))).otherwise(0L)).as("__dcg_scaled"))
+    val wIdeal = Window.partitionBy(col("__q"))
+      .orderBy(desc("__g"), col("__d"))
+    val ideal = rel
+      .withColumn("__ir", row_number().over(wIdeal).cast("long"))
+      .groupBy(col("__q")).agg(
+        count(lit(1)).as("n_rel"),
+        sum(when(col("__ir") <= k,
+          (pow(lit(2.0), col("__g")).cast("long") - 1L) *
+            discountInt(col("__ir"))).otherwise(0L)).as("__idcg_scaled"))
+    perQuery
+      .join(broadcast(ideal), col(queryCol) === col("__q"), "left")
+      .select(col(queryCol),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        col("hits_at_k"),
+        round(when(coalesce(col("n_rel"), lit(0L)) === 0, 0.0)
+          .otherwise(col("hits_at_k").cast("double") / col("n_rel")), 6)
+          .as("recall_at_k"),
+        round(when(col("__first_rel").isNull, 0.0)
+          .otherwise(lit(1.0) / col("__first_rel")), 6).as("mrr"),
+        round(when(coalesce(col("__idcg_scaled"), lit(0L)) === 0, 0.0)
+          .otherwise(col("__dcg_scaled").cast("double") /
+            col("__idcg_scaled")), 6).as("ndcg_at_k"))
   }
 }
