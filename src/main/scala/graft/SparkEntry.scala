@@ -2632,6 +2632,39 @@ object SparkEntry {
       .orderBy("doc_id", "outlink")
   }
 
+  /** Crawl prioritization end to end: the t61 page fixture's outlinks
+    * collapse to a host graph (nine site hosts each linking
+    * abs.example, mirror.net and themselves), PageRank's integer-exact
+    * iteration ranks the hosts ([[graft.operators.Frontier.hostRank]]
+    * — the two link targets soak up authority, the sites keep teleport
+    * + self-loop mass), and the fetch budget allocates
+    * rank-proportionally by integer division
+    * ([[graft.operators.Frontier.rankBudget]]). The oracle replays the
+    * closed-form host edges and all five iterations g1-style, keyed on
+    * host strings — the hash ids are the operator's internals and must
+    * not show in the result. */
+  private def t83_crawl_rank(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+      .withColumn("url", concat(
+        lit("http://site"), (col("doc_id") % 9).cast("string"),
+        lit(".com/a/b/page"), col("doc_id").cast("string")))
+    val id = col("doc_id").cast("string")
+    val html = concat(
+      lit("<html><body>"),
+      lit("<a href=\"https://abs.example/x"), id, lit("\">a</a>"),
+      lit("<a href='/rooted/"), id, lit("'>b</a>"),
+      lit("<a href=\"../up/"), id, lit("\">c</a>"),
+      lit("<a href=\"?q="), id, lit("\">d</a>"),
+      lit("<a href=\"//mirror.net/m"), id, lit("\">e</a>"),
+      lit("<a href=\"mailto:x@example.com\">f</a>"),
+      lit("</body></html>"))
+    val pages = docs.select(col("url"), html.as("html"))
+    val links = graft.operators.Frontier.outlinks(pages, "url", "html")
+    val hr = graft.operators.Frontier.hostRank(links, "url", "outlink")
+    graft.operators.Frontier.rankBudget(hr, "host", "rank_ppb", 10000L)
+      .orderBy("host")
+  }
+
   /** Crawl-wave incrementality: two outlink waves against the PERSISTED
     * seen-URL history — wave 1 (even doc ids) lands entirely, wave 2
     * (ids divisible by 3) keeps only urls never seen (odd multiples of
@@ -4219,6 +4252,17 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id", "sentinel_ix")
 
+  /** UL2 mixture-of-denoisers plan: hash-assigned R/X/S denoiser per
+    * document, each planned with its own span geometry — the oracle
+    * replays the mode draw, both block planners at their distinct
+    * (blockSize, offsets) and the prefix-LM split arithmetic. One
+    * denoiser per doc means (doc_id, sentinel_ix) is unique.
+    * See [[graft.operators.Masking.ul2Plan]]. */
+  private def t82_ul2_plan(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Masking.ul2Plan(
+        t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id", "sentinel_ix")
+
   /** SFT loss-mask plan over the event log as a chat transcript: per
     * user, turns order by (ts, event_id), token offsets are running
     * word counts of props, and only click/purchase turns train — the
@@ -5802,6 +5846,8 @@ object SparkEntry {
     "t78_quality_filter" -> (t78_quality_filter _),
     "t79_retrieval_metrics" -> (t79_retrieval_metrics _),
     "t80_domain_rollup" -> (t80_domain_rollup _),
+    "t82_ul2_plan" -> (t82_ul2_plan _),
+    "t83_crawl_rank" -> (t83_crawl_rank _),
     "t77_token_budget" -> (t77_token_budget _),
     "t11_perplexity" -> (t11_perplexity _),
     "t20_backoff_lm" -> (t20_backoff_lm _),
@@ -9744,6 +9790,99 @@ object SparkEntry {
     // corruptions of the even half (translate), trusted-vocab hit-ratio
     // features x10, FIFTEEN GD iterations (ml2's recipe, lr 2.0,
     // 6-decimal weight resync per step), sigmoid scores, cut at 0.5
+    // closed-form host edges from the t61 fixture, the g1 iteration
+    // unrolled five times keyed on host STRINGS (the operator's hash
+    // ids are internals), then the integer-division budget split
+    "t83_crawl_rank" ->
+      """WITH sh AS (SELECT DISTINCT
+             'site' || (doc_id % 9) || '.com' AS src FROM documents),
+         e AS (SELECT DISTINCT src, dst FROM (
+             SELECT src, unnest(['abs.example', 'mirror.net', src]) AS dst
+             FROM sh) x),
+         o AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+           FROM e GROUP BY src),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         p AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         r0 AS (SELECT node, 1000000000 // n AS r FROM nodes, p),
+         c1 AS (SELECT e.dst AS node,
+             CAST(SUM(pr.r // o.outdeg) AS BIGINT) AS c
+           FROM e JOIN o ON e.src = o.src JOIN r0 pr ON pr.node = e.src
+           GROUP BY e.dst),
+         r1 AS (SELECT nd.node,
+             (150000000 // n) + (COALESCE(c.c, 0) * 85) // 100 AS r
+           FROM nodes nd LEFT JOIN c1 c ON c.node = nd.node, p),
+         c2 AS (SELECT e.dst AS node,
+             CAST(SUM(pr.r // o.outdeg) AS BIGINT) AS c
+           FROM e JOIN o ON e.src = o.src JOIN r1 pr ON pr.node = e.src
+           GROUP BY e.dst),
+         r2 AS (SELECT nd.node,
+             (150000000 // n) + (COALESCE(c.c, 0) * 85) // 100 AS r
+           FROM nodes nd LEFT JOIN c2 c ON c.node = nd.node, p),
+         c3 AS (SELECT e.dst AS node,
+             CAST(SUM(pr.r // o.outdeg) AS BIGINT) AS c
+           FROM e JOIN o ON e.src = o.src JOIN r2 pr ON pr.node = e.src
+           GROUP BY e.dst),
+         r3 AS (SELECT nd.node,
+             (150000000 // n) + (COALESCE(c.c, 0) * 85) // 100 AS r
+           FROM nodes nd LEFT JOIN c3 c ON c.node = nd.node, p),
+         c4 AS (SELECT e.dst AS node,
+             CAST(SUM(pr.r // o.outdeg) AS BIGINT) AS c
+           FROM e JOIN o ON e.src = o.src JOIN r3 pr ON pr.node = e.src
+           GROUP BY e.dst),
+         r4 AS (SELECT nd.node,
+             (150000000 // n) + (COALESCE(c.c, 0) * 85) // 100 AS r
+           FROM nodes nd LEFT JOIN c4 c ON c.node = nd.node, p),
+         c5 AS (SELECT e.dst AS node,
+             CAST(SUM(pr.r // o.outdeg) AS BIGINT) AS c
+           FROM e JOIN o ON e.src = o.src JOIN r4 pr ON pr.node = e.src
+           GROUP BY e.dst),
+         r5 AS (SELECT nd.node,
+             (150000000 // n) + (COALESCE(c.c, 0) * 85) // 100 AS r
+           FROM nodes nd LEFT JOIN c5 c ON c.node = nd.node, p),
+         tot AS (SELECT CAST(sum(r) AS BIGINT) AS t FROM r5)
+         SELECT node AS host, CAST(r AS BIGINT) AS rank_ppb,
+           CAST((r * 10000) // t AS BIGINT) AS budget
+         FROM r5, tot ORDER BY host""",
+    // the mode draw and all three denoiser geometries replayed: R/X are
+    // the t70 arithmetic at their own (blockSize, offsets), S is the
+    // prefix-LM middle-half split
+    "t82_ul2_plan" ->
+      """WITH w AS (SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS n
+           FROM documents),
+         m AS (SELECT doc_id, n,
+             CAST(concat('0x', substr(md5('ul2m:' ||
+               CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 3 AS mode
+           FROM w),
+         r AS (SELECT doc_id, 'R' AS denoiser, sentinel_ix,
+             sentinel_ix * 20 + CAST(concat('0x', substr(md5(
+               'ul2r:' || doc_id || ':' || sentinel_ix), 1, 8)) AS BIGINT)
+               % 18 AS span_start,
+             CAST(3 AS INT) AS span_len
+           FROM (SELECT doc_id,
+               unnest(range(CAST(0 AS BIGINT), n // 20)) AS sentinel_ix
+             FROM m WHERE mode = 0 AND n // 20 > 0) b),
+         x AS (SELECT doc_id, 'X' AS denoiser, sentinel_ix,
+             sentinel_ix * 24 + CAST(concat('0x', substr(md5(
+               'ul2x:' || doc_id || ':' || sentinel_ix), 1, 8)) AS BIGINT)
+               % 13 AS span_start,
+             CAST(12 AS INT) AS span_len
+           FROM (SELECT doc_id,
+               unnest(range(CAST(0 AS BIGINT), n // 24)) AS sentinel_ix
+             FROM m WHERE mode = 1 AND n // 24 > 0) b),
+         s AS (SELECT doc_id, 'S' AS denoiser,
+             CAST(0 AS BIGINT) AS sentinel_ix, sp AS span_start,
+             CAST(n - sp AS INT) AS span_len
+           FROM (SELECT doc_id, n,
+               n // 4 + CAST(concat('0x', substr(md5('ul2s:' ||
+                 CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % (n // 2)
+                 AS sp
+             FROM m WHERE mode = 2 AND n >= 4) b)
+         SELECT doc_id, denoiser, sentinel_ix, span_start, span_len
+         FROM (SELECT * FROM r UNION ALL SELECT * FROM x
+               UNION ALL SELECT * FROM s) u
+         ORDER BY doc_id, sentinel_ix""",
     // fixture hosts + hash scores replayed, the longest-suffix eTLD+1
     // rule applied literally (this fixture has no >2-label suffixes),
     // the integer cross-multiplied flag, then the anti-join

@@ -306,6 +306,67 @@ object Frontier {
       .join(flagged, col("domain") <=> col("__bad"), "left_anti")
   }
 
+  /** Host-graph PageRank over a harvested link table — the crawl-
+    * prioritization signal (Cho, Garcia-Molina & Page 1998: order the
+    * frontier by in-link authority): collapse (page url, outlink) rows
+    * to DISTINCT (src host, dst host) edges and run
+    * [[Graph.pageRank]]'s integer-exact iteration over them.
+    *
+    * Hosts key into the rank iteration through a 60-bit hash id
+    * (`conv(substr(md5(host), 1, 15), 16, 10)` — replayable in any
+    * engine, birthday-safe to ~1e9 hosts) and the id→host attach is
+    * verified COLLISION-FREE before any rank math runs: two hosts
+    * sharing an id would silently merge their rank mass, so the
+    * operator counts ids against hosts and refuses loudly instead
+    * (the host table is edge-bounded, so the check is one cheap
+    * aggregate). Returns `(host, rank_ppb)`.
+    *
+    * 100 TB shape: the link table collapses to host-grain FIRST (one
+    * distinct — hosts are millions where links are trillions), and the
+    * iteration inherits pageRank's persisted-edge / rank-only-shuffle
+    * design. */
+  def hostRank(links: DataFrame, urlCol: String, outlinkCol: String,
+      iterations: Int = 5, dampingPct: Int = 85): DataFrame = {
+    def hid(h: org.apache.spark.sql.Column) =
+      conv(substring(md5(h), 1, 15), 16, 10).cast("long")
+    val e = links.select(
+        TextFunctions.urlHost(col(urlCol)).as("__sh"),
+        TextFunctions.urlHost(col(outlinkCol)).as("__dh"))
+      .distinct()
+    val hosts = e.select(col("__sh").as("host"))
+      .union(e.select(col("__dh").as("host")))
+      .distinct()
+    val counts = hosts
+      .agg(count(lit(1)).as("nh"),
+        countDistinct(hid(col("host"))).as("nid"))
+      .collect().head
+    require(counts.getLong(0) == counts.getLong(1),
+      s"host-id hash collision: ${counts.getLong(0)} hosts -> " +
+        s"${counts.getLong(1)} ids — rank mass would silently merge")
+    Graph.pageRank(
+        e.select(hid(col("__sh")).as("src"), hid(col("__dh")).as("dst")),
+        "src", "dst", iterations, dampingPct)
+      .join(hosts.select(col("host"), hid(col("host")).as("__hid")),
+        col("node") === col("__hid"))
+      .select(col("host"), col("rank_ppb"))
+  }
+
+  /** Rank-proportional crawl-budget allocation: each host's share of
+    * `totalBudget` fetch slots is `rank · total DIV sum(ranks)` —
+    * integer arithmetic end to end, so any engine allocates the same
+    * slots (floor division under-allocates the remainder slots rather
+    * than inventing an engine-specific largest-remainder tie rule; at
+    * crawl scale the lost slots are noise, and a caller that wants
+    * them redistributes explicitly). One broadcast total. */
+  def rankBudget(hostRanks: DataFrame, hostCol: String, rankCol: String,
+      totalBudget: Long): DataFrame = {
+    require(totalBudget >= 1, s"totalBudget must be >= 1; got $totalBudget")
+    hostRanks
+      .crossJoin(broadcast(hostRanks.agg(sum(col(rankCol)).as("__tot"))))
+      .select(col(hostCol), col(rankCol),
+        expr(s"($rankCol * ${totalBudget}L) DIV __tot").as("budget"))
+  }
+
   /** Silently clobbering an input column is data loss: re-scheduling an
     * already-scheduled frame would overwrite its prior wave's
     * fetch_seq/eta_ms with no error — rename or drop them first, on

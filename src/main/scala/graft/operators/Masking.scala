@@ -90,4 +90,52 @@ object Masking {
       .select(col(keyCol), col("turn_ix"), col("role"),
         col("tok_start"), col("tok_end"), col("trainable"))
   }
+
+  /** UL2 mixture-of-denoisers plan (Tay et al. 2022): each document is
+    * hash-assigned ONE denoiser and planned accordingly —
+    *
+    *  - `R` (regular): short spans, the T5 recipe —
+    *    [[spanCorruptionPlan]] at (blockSize=20, spanLen=3);
+    *  - `X` (extreme): long spans — [[spanCorruptionPlan]] at
+    *    (blockSize=24, spanLen=12);
+    *  - `S` (sequential / prefix-LM): ONE span covering the document
+    *    suffix; the split point is hash-drawn from the middle half
+    *    `[n/4, 3n/4)` so neither side degenerates.
+    *
+    * Same contract as [[spanCorruptionPlan]]: a PLAN, not rewritten
+    * text — `(idCol, denoiser, sentinel_ix, span_start, span_len)` in
+    * doc-local token offsets, entirely map-side (per-row hash
+    * arithmetic, no shuffle; the three branches union without a
+    * barrier). Deterministic in (id, salt), so replayable by any
+    * engine; documents too short for their assigned denoiser (< one
+    * block, or < 4 tokens for `S`) emit no rows, exactly like the
+    * base planner. */
+  def ul2Plan(
+      df: DataFrame, idCol: String, textCol: String,
+      salt: String = "ul2"): DataFrame = {
+    val mode = pmod(conv(substring(md5(concat_ws(":", lit(s"${salt}m"),
+      col(idCol).cast("string"))), 1, 8), 16, 10).cast("long"), lit(3))
+    val tagged = df.select(col(idCol), col(textCol), mode.as("__mode"))
+    def branch(m: Int, tag: String, blockSize: Int, spanLen: Int) =
+      spanCorruptionPlan(tagged.filter(col("__mode") === m),
+          idCol, textCol, blockSize, spanLen, s"$salt$tag")
+        .select(col(idCol), lit(tag.toUpperCase).as("denoiser"),
+          col("sentinel_ix"), col("span_start"), col("span_len"))
+    val n = size(graft.functions.TextFunctions.words(col(textCol)))
+      .cast("long")
+    val s = tagged.filter(col("__mode") === 2)
+      .select(col(idCol), n.as("__n"))
+      .filter(col("__n") >= 4)
+      .select(col(idCol), col("__n"),
+        ((col("__n") / 4).cast("long") +
+          pmod(conv(substring(md5(concat_ws(":", lit(s"${salt}s"),
+            col(idCol).cast("string"))), 1, 8), 16, 10).cast("long"),
+            (col("__n") / 2).cast("long"))).as("span_start"))
+      .select(col(idCol), lit("S").as("denoiser"),
+        lit(0L).as("sentinel_ix"), col("span_start"),
+        (col("__n") - col("span_start")).cast("int").as("span_len"))
+    branch(0, "r", 20, 3)
+      .unionByName(branch(1, "x", 24, 12))
+      .unionByName(s)
+  }
 }

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Frontier
+
+/** Host-graph PageRank + rank-proportional budget allocation. */
+class CrawlRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  // host edges: a->b, a->a (self), c->b; b is dangling
+  private def links = Seq(
+    ("http://a.com/1", "http://b.com/x"),
+    ("http://a.com/2", "http://a.com/z"),
+    ("http://a.com/3", "http://b.com/q"), // same host edge as /1 -> collapses
+    ("http://c.com/1", "http://b.com/y")
+  ).toDF("url", "outlink")
+
+  test("one iteration matches hand-computed integer arithmetic") {
+    val r = Frontier.hostRank(links, "url", "outlink", iterations = 1)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    // n=3, r0=333333333, teleport=50000000
+    // c(b) = 333333333 div 2 + 333333333 = 499999999
+    // c(a) = 333333333 div 2 = 166666666
+    assert(r("a.com") == 50000000L + 166666666L * 85 / 100)
+    assert(r("b.com") == 50000000L + 499999999L * 85 / 100)
+    assert(r("c.com") == 50000000L)
+  }
+
+  test("the dangling authority outranks its linkers at depth") {
+    val r = Frontier.hostRank(links, "url", "outlink")
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r("b.com") > r("a.com") && r("a.com") > r("c.com"), r.toString)
+  }
+
+  test("duplicate url-level links do not change host ranks") {
+    val doubled = links.unionByName(links)
+    assert(canon(Frontier.hostRank(links, "url", "outlink")) ==
+      canon(Frontier.hostRank(doubled, "url", "outlink")))
+  }
+
+  test("rankBudget allocates proportional integer slots within total") {
+    val hr = Frontier.hostRank(links, "url", "outlink")
+    val b = Frontier.rankBudget(hr, "host", "rank_ppb", 10000L).collect()
+    val total = b.map(_.getAs[Long]("budget")).sum
+    assert(total <= 10000L && total > 9990L, s"floor split, got $total")
+    val byRank = b.sortBy(-_.getAs[Long]("rank_ppb")).map(_.getAs[Long]("budget"))
+    assert(byRank.sameElements(byRank.sorted.reverse))
+  }
+}
