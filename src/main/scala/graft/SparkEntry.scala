@@ -2068,6 +2068,40 @@ object SparkEntry {
         "doc_id", "text", "source")
       .orderBy("doc_id", "label")
 
+  /** Reliability bins + ECE ([[graft.operators.Regression.calibrationBins]])
+    * over a hash-scored classifier whose labels are drawn so that
+    * P(label=1 | score) ≈ score — a nearly-calibrated fixture, so acc
+    * tracks conf per bin and the exact integer-micro arithmetic is
+    * what the oracle checks: per-bin sums are exact integers in both
+    * engines, only the final divisions round. */
+  private def ml4_calibration(s: SparkSession, dir: String): DataFrame = {
+    def h(tag: String) = conv(substring(md5(concat(lit(tag),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long") % 1000000L
+    val scored = t(s, dir, "documents").select(col("doc_id"))
+      .select(col("doc_id"),
+        (h("cs:").cast("double") / 1000000.0).as("score"),
+        when(h("cl:") < h("cs:"), 1L).otherwise(0L).as("label"))
+    graft.operators.Regression.calibrationBins(scored, "score", "label",
+        nBins = 10)
+      .orderBy("bin")
+  }
+
+  /** k-anonymity suppression ([[graft.operators.Privacy.kAnonymitySuppress]])
+    * over the event log's quasi-identifier tuple (cohort, slot,
+    * event_type) — ~800 combinations over the corpus, straddling k=10
+    * by construction, so both the suppression and the attached group
+    * sizes are exercised; the oracle replays the count + floor
+    * verbatim. */
+  private def t86_kanon(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("event_id"),
+      (col("user_id") % 23).as("cohort"),
+      (col("event_id") % 7).as("slot"), col("event_type"))
+    graft.operators.Privacy.kAnonymitySuppress(ev,
+        Seq("cohort", "slot", "event_type"), k = 10L)
+      .select("event_id", "cohort", "slot", "event_type", "group_n")
+      .orderBy("event_id")
+  }
+
   /** PageRank gate: a deterministic 200-node link graph derived from the
     * events table (src = event_id mod 200, dst = event_id·48271 mod 200 — a
     * Lehmer-style mixing constant so the graph is irregular), 5 exact
@@ -2663,6 +2697,29 @@ object SparkEntry {
     val hr = graft.operators.Frontier.hostRank(links, "url", "outlink")
     graft.operators.Frontier.rankBudget(hr, "host", "rank_ppb", 10000L)
       .orderBy("host")
+  }
+
+  /** Mojibake repair over the corpus
+    * ([[graft.functions.MojibakeRepairExpr]]): every doc_id % 3 == 0
+    * document gets a planted misencoded suffix (latin-1 mojibake
+    * `cafÃ©`, cp1252 curly-quote `â€™` and
+    * em-dash `â€”` shapes) that the byte-level repair
+    * must collapse to clean UTF-8, while the untouched ASCII corpus
+    * must survive bit-identical — the oracle states both facts in
+    * closed form, so a repair that ever fires on clean text (or misses
+    * a planted shape) hash-diverges. */
+  private def t84_mojibake(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val planted = " cafÃ© itâ€™s " +
+      "â€” done"
+    val dirty = docs.select(col("doc_id"),
+      when(col("doc_id") % 3 === 0, concat(col("text"), lit(planted)))
+        .otherwise(col("text")).as("text"))
+    dirty.select(col("doc_id"),
+        graft.functions.MojibakeRepairExpr(col("text")).as("text_fixed"),
+        (graft.functions.MojibakeRepairExpr(col("text")) =!= col("text"))
+          .as("repaired"))
+      .orderBy("doc_id")
   }
 
   /** Crawl-wave incrementality: two outlink waves against the PERSISTED
@@ -5848,6 +5905,9 @@ object SparkEntry {
     "t80_domain_rollup" -> (t80_domain_rollup _),
     "t82_ul2_plan" -> (t82_ul2_plan _),
     "t83_crawl_rank" -> (t83_crawl_rank _),
+    "t84_mojibake" -> (t84_mojibake _),
+    "ml4_calibration" -> (ml4_calibration _),
+    "t86_kanon" -> (t86_kanon _),
     "t77_token_budget" -> (t77_token_budget _),
     "t11_perplexity" -> (t11_perplexity _),
     "t20_backoff_lm" -> (t20_backoff_lm _),
@@ -9790,6 +9850,50 @@ object SparkEntry {
     // corruptions of the even half (translate), trusted-vocab hit-ratio
     // features x10, FIFTEEN GD iterations (ml2's recipe, lr 2.0,
     // 6-decimal weight resync per step), sigmoid scores, cut at 0.5
+    // micro-unit integer sums per bin (exact in any engine), then the
+    // three final divisions round
+    "ml4_calibration" ->
+      """WITH sc AS (SELECT doc_id,
+             CAST(concat('0x', substr(md5('cs:' ||
+               CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS m,
+             CAST(concat('0x', substr(md5('cl:' ||
+               CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS lm
+           FROM documents),
+         r AS (SELECT least(m * 10 // 1000000, 9) AS bin, m,
+             CASE WHEN lm < m THEN 1 ELSE 0 END AS y
+           FROM sc),
+         b AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS n_pos, CAST(sum(m) AS BIGINT) AS s
+           FROM r GROUP BY bin),
+         tot AS (SELECT
+             CAST(sum(abs(s - n_pos * 1000000)) AS BIGINT) AS num,
+             CAST(sum(n) AS BIGINT) AS nn
+           FROM b)
+         SELECT bin, n, n_pos,
+           round(CAST(s AS DOUBLE) / (n * 1000000), 6) AS conf,
+           round(CAST(n_pos AS DOUBLE) / n, 6) AS acc,
+           round(CAST(num AS DOUBLE) / (nn * 1000000), 6) AS ece
+         FROM b, tot ORDER BY bin""",
+    // the count + floor replayed verbatim; the join attaches each
+    // surviving row's own crowd size
+    "t86_kanon" ->
+      """WITH e AS (SELECT event_id, user_id % 23 AS cohort,
+             event_id % 7 AS slot, event_type FROM events),
+         g AS (SELECT cohort, slot, event_type,
+             CAST(count(*) AS BIGINT) AS n
+           FROM e GROUP BY cohort, slot, event_type)
+         SELECT e.event_id, e.cohort, e.slot, e.event_type, g.n AS group_n
+         FROM e JOIN g USING (cohort, slot, event_type)
+         WHERE g.n >= 10 ORDER BY e.event_id""",
+    // the repair stated in closed form: planted mojibake maps to its
+    // clean UTF-8, everything else is the identity
+    "t84_mojibake" ->
+      ("""SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0
+             THEN text || ' caf""" + "é it’s —" +
+        """ done' ELSE text END AS text_fixed,
+           doc_id % 3 = 0 AS repaired
+         FROM documents ORDER BY doc_id"""),
     // closed-form host edges from the t61 fixture, the g1 iteration
     // unrolled five times keyed on host STRINGS (the operator's hash
     // ids are internals), then the integer-division budget split

@@ -287,4 +287,51 @@ object Regression {
           .as("slope_num"),
         (col("n") * col("__sxx") - col("__sx") * col("__sx"))
           .as("slope_den"))
+
+  /** Reliability diagram + expected calibration error (Guo et al. 2017)
+    * for a scored classifier — the measurement a trained quality/spam
+    * filter ([[fitLogisticGD]], the t78 shape) needs before its scores
+    * can gate a corpus: per equal-width score bin, confidence
+    * (mean score) vs accuracy (positive rate), plus the n-weighted
+    * |conf − acc| total.
+    *
+    * Exactness contract: scores are taken at 6-decimal resolution
+    * (cast to decimal(18,6) — micro-units), so every per-bin sum is an
+    * EXACT integer in any engine whatever the summation order, and
+    * `ece = Σ_b |S_b − 10⁶·P_b| / (10⁶·N)` has an exact integer
+    * numerator; only the final single divisions round. ONE
+    * hash-aggregate over (bin, micro-score) rows — bins are the output
+    * bound. Returns one row per non-empty bin:
+    * `(bin, n, n_pos, conf, acc, ece)` with the scalar `ece` repeated
+    * per row (it rides a one-row broadcast). Scores outside [0, 1]
+    * are a caller bug and refused via an ANSI-safe range check. */
+  def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2; got $nBins")
+    val micro = (col(scoreCol).cast("decimal(18,6)") * 1000000L)
+      .cast("long")
+    val guarded = when(micro >= 0L && micro <= 1000000L, micro)
+      .otherwise(raise_error(concat(
+        lit(s"calibrationBins: $scoreCol out of [0,1]: "),
+        col(scoreCol).cast("string"))))
+    val bins = df
+      .select(least(floor(guarded * nBins / 1000000L), lit(nBins - 1L))
+          .cast("long").as("bin"),
+        guarded.as("__m"),
+        col(labelCol).cast("long").as("__y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(col("__y")).as("n_pos"),
+        sum(col("__m")).as("__s"))
+    val tot = bins.agg(
+      sum(abs(col("__s") - col("n_pos") * 1000000L)).as("__num"),
+      sum(col("n")).as("__nn"))
+    bins.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("__s").cast("double") / (col("n") * 1000000L), 6)
+          .as("conf"),
+        round(col("n_pos").cast("double") / col("n"), 6).as("acc"),
+        round(col("__num").cast("double") / (col("__nn") * 1000000L), 6)
+          .as("ece"))
+  }
 }

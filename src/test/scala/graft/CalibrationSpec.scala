@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Privacy, Regression}
+
+/** Calibration bins/ECE and k-anonymity suppression. */
+class CalibrationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-computed calibration: bins, conf, acc, ece") {
+    // bin 1: score .1 label 1 -> conf .1, acc 1;  bin 2: .2/0 -> .2, 0
+    // bin 9: scores .95, 1.0 labels 1,1 -> conf .975, acc 1
+    val df = Seq((0.1, 1L), (0.2, 0L), (0.95, 1L), (1.0, 1L))
+      .toDF("score", "label")
+    val r = Regression.calibrationBins(df, "score", "label", nBins = 10)
+      .collect().map(x => x.getAs[Long]("bin") -> x).toMap
+    assert(r.keySet == Set(1L, 2L, 9L))
+    assert(r(1L).getAs[Double]("conf") == 0.1 &&
+      r(1L).getAs[Double]("acc") == 1.0)
+    assert(r(2L).getAs[Double]("conf") == 0.2 &&
+      r(2L).getAs[Double]("acc") == 0.0)
+    assert(r(9L).getAs[Double]("conf") == 0.975 &&
+      r(9L).getAs[Double]("acc") == 1.0)
+    // ece = (900000 + 200000 + 50000) / (4 * 1e6) = 0.2875
+    assert(r(1L).getAs[Double]("ece") == 0.2875)
+  }
+
+  test("score 1.0 lands in the top bin; out-of-range is refused") {
+    val ok = Regression.calibrationBins(
+      Seq((1.0, 1L)).toDF("score", "label"), "score", "label", 10)
+    assert(ok.collect().head.getAs[Long]("bin") == 9L)
+    val bad = Regression.calibrationBins(
+      Seq((1.2, 1L)).toDF("score", "label"), "score", "label", 10)
+    intercept[Exception] { bad.collect() }
+  }
+
+  test("perfectly calibrated degenerate case has ece 0") {
+    val df = Seq((0.0, 0L), (0.0, 0L), (1.0, 1L)).toDF("score", "label")
+    val r = Regression.calibrationBins(df, "score", "label", 10).collect()
+    assert(r.forall(_.getAs[Double]("ece") == 0.0))
+  }
+
+  test("kAnonymitySuppress keeps only crowds of k and attaches sizes") {
+    val df = (1 to 12).map(i => (i.toLong, "a", "x"))
+      .++(Seq((100L, "b", "x"), (101L, "b", "x")))
+      .toDF("id", "region", "kind")
+    val kept = Privacy.kAnonymitySuppress(df, Seq("region", "kind"), k = 3)
+      .collect()
+    assert(kept.length == 12)
+    assert(kept.forall(r => r.getAs[String]("region") == "a" &&
+      r.getAs[Long]("group_n") == 12L))
+  }
+
+  test("null quasi tuples are crowds too (null-safe grouping)") {
+    val df = Seq((1L, null: String), (2L, null: String), (3L, null: String),
+      (4L, "solo")).toDF("id", "region")
+    val kept = Privacy.kAnonymitySuppress(df, Seq("region"), k = 3)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 2L, 3L))
+  }
+
+  test("stats audit marks both sides of the bar") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "g")
+    val st = Privacy.kAnonymityStats(df, Seq("g"), k = 2)
+      .collect().map(r => r.getAs[String]("g") ->
+        (r.getAs[Long]("n"), r.getAs[Boolean]("anonymous"))).toMap
+    assert(st == Map("a" -> ((2L, true)), "b" -> ((1L, false))))
+  }
+}
