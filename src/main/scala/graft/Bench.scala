@@ -86,7 +86,18 @@ object Bench {
     "t76_curriculum", "t77_token_budget",
     // LSH-bucketed semantic decontam (the d25 scale path) and the
     // fastText-style trained quality filter (15 GD scans)
-    "d25b_embed_decontam_lsh", "t78_quality_filter")
+    "d25b_embed_decontam_lsh", "t78_quality_filter",
+    // round-17 second wave: cross-document line-frequency boilerplate
+    // removal, domain-level curation (eTLD+1 rollup + anti-join), the
+    // UL2 objective planner (map-side), host-graph PageRank crawl
+    // prioritization, byte-level mojibake repair (map-side kernel), and
+    // greedy in-context ordering (headline only, not scaleSet: under
+    // FIXED planes a 10x corpus grows each bucket 10x and the O(b^2)
+    // chain measures the quadratic artifact — the operator's knob is
+    // numPlanes ~ log2(corpus/targetBucket), which the slope harness
+    // holds constant by design)
+    "d26_line_boilerplate", "t80_domain_rollup", "t82_ul2_plan",
+    "t83_crawl_rank", "t84_mojibake", "t85_context_order")
 
   /** Queries measured on the replicated corpus for the scaling slope —
     * the shuffle-heavy pipeline shapes whose 100 TB behavior a plan read
@@ -180,7 +191,19 @@ object Bench {
     // each) over the grown corpus — compute-linear, no shuffle growth;
     // replica docs' suffixed tokens zero their trusted-vocab features
     // (they train as extra low-signal positives, cost unchanged).
-    "d25b_embed_decontam_lsh", "t78_quality_filter")
+    "d25b_embed_decontam_lsh", "t78_quality_filter",
+    // d26: replica token suffixes keep natural lines replica-disjoint
+    // (per-line counts stay 1x-sized) while the gate-planted footer is
+    // shared and grows x10 — the output-bounded frequent set stays tiny
+    // and the anti-join side constant, which is the operator's claim.
+    // t80: replica ids stay within the six fixture hosts (mod-6 over
+    // shifted ids), so the domain table is constant while the scan and
+    // anti-join stream grow x10. t82 is pure map-side hash arithmetic;
+    // t84 a map-side byte kernel. t83: links grow x10 but collapse to
+    // the SAME 27 host edges before any iteration — the slope measures
+    // the harvest + distinct, exactly the operator's scale story.
+    "d26_line_boilerplate", "t80_domain_rollup", "t82_ul2_plan",
+    "t83_crawl_rank", "t84_mojibake")
 
   /** Materialize a `factor`×-replicated copy of the FACT tables the scale
     * set reads (documents, lineitem, orders, events) plus 1× copies of

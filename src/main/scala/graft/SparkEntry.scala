@@ -1521,6 +1521,27 @@ object SparkEntry {
   private val DecontamPlanesFixture =
     "/tmp/graft_fixtures/decontam_planes.parquet"
 
+  private val ContextPlanesFixture =
+    "/tmp/graft_fixtures/context_planes.parquet"
+
+  /** In-context-pretraining order ([[graft.operators.ContextOrder]]):
+    * the embedding corpus buckets under a persisted 4-plane sketch and
+    * each bucket chains greedily from its min id. The oracle recomputes
+    * the sketches from the persisted planes (the a6 recipe) and replays
+    * the WHOLE greedy walk as a recursive CTE — one LATERAL argmax per
+    * step with the identical cosine arithmetic — so a single divergent
+    * hop anywhere in any chain breaks the hash. */
+  private def t85_context_order(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val planes = graft.operators.Ann.hyperplanes(64, 4, 11L)
+    planes.zipWithIndex.map { case (w, i) => (i, w.toSeq) }
+      .toDF("plane_ix", "w")
+      .coalesce(1).write.mode("overwrite").parquet(ContextPlanesFixture)
+    graft.operators.ContextOrder.orderWithinBuckets(
+        t(s, dir, "embeddings"), "vec_id", "embedding", planes)
+      .orderBy("bucket", "seq_ix")
+  }
+
   /** d25's scale path: the SAME planted corpus, flags found through the
     * hyperplane-LSH bucket join instead of the exhaustive broadcast scan
     * ([[graft.operators.Decontaminate.embeddingOverlapLsh]]). Positive
@@ -2262,10 +2283,12 @@ object SparkEntry {
     * repeat ≥ 3× fall under the same rule in BOTH engines. Survivor
     * lines re-join in original order; a doc may lose interior lines and
     * keep its identity. */
-  private def d26_line_boilerplate(s: SparkSession, dir: String): DataFrame = {
+  /** The d26/st23 fixture: every document re-lined into 6-word
+    * newline-lines, a "subscribe" footer planted on doc_id % 4 == 0. */
+  private def linedDocs(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
     val ws = graft.functions.TextFunctions.words(col("text"))
-    val lined = docs
+    docs
       .select(col("doc_id"), ws.as("__w"),
         greatest(lit(1L), ceil(size(ws) / lit(6.0)).cast("long")).as("__nl"))
       .select(col("doc_id"),
@@ -2276,9 +2299,45 @@ object SparkEntry {
         when(col("doc_id") % 4 === 0,
           concat(col("__body"), lit("\nsubscribe to our newsletter today")))
           .otherwise(col("__body")).as("text"))
-    graft.operators.Dedup.dropFrequentLines(lined, "doc_id", "text",
-        minCount = 3)
+  }
+
+  private def d26_line_boilerplate(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.dropFrequentLines(linedDocs(s, dir),
+        "doc_id", "text", minCount = 3)
       .orderBy("doc_id")
+
+  /** d26's STREAMING twin: the line-frequency table as a continuously
+    * maintained sidecar — docs arrive in micro-batches, each batch's
+    * line counts merge exactly-once into the
+    * [[graft.api.Graft.maintainAggregate]] rollup, and the boilerplate
+    * set at any instant is one filter over the sidecar (bounded by
+    * DISTINCT lines, not stream length). The oracle recounts the full
+    * fixture from scratch — the maintained counts must equal the batch
+    * recount exactly. */
+  private def st23_stream_boilerplate(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val src = s"/tmp/graft_fixtures/strline_src_$tag"
+    val sidecar = s"/tmp/graft_fixtures/strline_side_$tag"
+    val cp = s"/tmp/graft_fixtures/strline_cp_$tag"
+    val conf = s.sessionState.newHadoopConf()
+    for (p <- Seq(src, sidecar, sidecar + ".graft_agg_staging",
+        sidecar + ".graft_agg_retired", cp)) {
+      val pp = new org.apache.hadoop.fs.Path(p)
+      pp.getFileSystem(conf).delete(pp, true)
+    }
+    val lined = linedDocs(s, dir)
+    for (part <- 0 to 2)
+      lined.filter(col("doc_id") % 3 === part)
+        .coalesce(1).write.mode("append").parquet(src)
+    val schema = s.read.parquet(src).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val lines = stream.select(explode(split(col("text"), "\n")).as("line"))
+    val q = graft.streaming.Streams.maintainAggregateStream(
+      lines, sidecar, Seq("line"), Seq.empty, cp)
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(sidecar).filter(col("n_rows") >= 3)
+      .select(col("line"), col("n_rows")).orderBy("line")
   }
 
   /** PDF round trip: every document is written as a structurally valid
@@ -5907,7 +5966,9 @@ object SparkEntry {
     "t83_crawl_rank" -> (t83_crawl_rank _),
     "t84_mojibake" -> (t84_mojibake _),
     "ml4_calibration" -> (ml4_calibration _),
+    "t85_context_order" -> (t85_context_order _),
     "t86_kanon" -> (t86_kanon _),
+    "st23_stream_boilerplate" -> (st23_stream_boilerplate _),
     "t77_token_budget" -> (t77_token_budget _),
     "t11_perplexity" -> (t11_perplexity _),
     "t20_backoff_lm" -> (t20_backoff_lm _),
@@ -9850,6 +9911,47 @@ object SparkEntry {
     // corruptions of the even half (translate), trusted-vocab hit-ratio
     // features x10, FIFTEEN GD iterations (ml2's recipe, lr 2.0,
     // 6-decimal weight resync per step), sigmoid scores, cut at 0.5
+    // sketches recomputed from the persisted planes, then every chain
+    // replayed hop by hop: a recursive CTE whose LATERAL step is the
+    // same (cosine desc, id) argmax the kernel runs
+    "t85_context_order" ->
+      """WITH RECURSIVE p AS (SELECT plane_ix, w FROM
+           read_parquet('/tmp/graft_fixtures/context_planes.parquet/*.parquet')),
+         m AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+         sk AS (SELECT m.id,
+             CAST(sum(CASE WHEN list_dot_product(m.v, p.w) >= 0
+               THEN CAST(1 AS BIGINT) << p.plane_ix ELSE 0 END) AS BIGINT)
+               AS bucket
+           FROM m, p GROUP BY m.id),
+         mb AS (SELECT sk.bucket, m.id, m.v FROM sk JOIN m USING (id)),
+         nb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_bucket
+           FROM mb GROUP BY bucket),
+         starts AS (SELECT bucket, min(id) AS id FROM mb GROUP BY bucket),
+         chain AS (
+           SELECT mb.bucket, [mb.id] AS ids, mb.v AS lastv
+           FROM mb JOIN starts
+             ON starts.bucket = mb.bucket AND starts.id = mb.id
+           UNION ALL
+           SELECT c.bucket, list_append(c.ids, nx.id), nx.v
+           FROM chain c, LATERAL (
+             SELECT m2.id, m2.v FROM mb m2
+             WHERE m2.bucket = c.bucket AND NOT list_contains(c.ids, m2.id)
+             ORDER BY CASE
+                 WHEN sqrt(list_dot_product(m2.v, m2.v)) = 0
+                   OR sqrt(list_dot_product(c.lastv, c.lastv)) = 0 THEN -2
+                 ELSE list_dot_product(c.lastv, m2.v) /
+                   (sqrt(list_dot_product(c.lastv, c.lastv)) *
+                    sqrt(list_dot_product(m2.v, m2.v))) END DESC,
+               m2.id
+             LIMIT 1) nx),
+         done AS (SELECT c.bucket, c.ids FROM chain c JOIN nb
+           ON nb.bucket = c.bucket AND len(c.ids) = nb.n_bucket)
+         SELECT d.bucket, CAST(t.i - 1 AS BIGINT) AS seq_ix,
+           d.ids[CAST(t.i AS INT)] AS vec_id, nb.n_bucket
+         FROM done d JOIN nb ON nb.bucket = d.bucket,
+           UNNEST(range(1, len(d.ids) + 1)) AS t(i)
+         ORDER BY d.bucket, seq_ix""",
     // micro-unit integer sums per bin (exact in any engine), then the
     // three final divisions round
     "ml4_calibration" ->
@@ -9874,6 +9976,28 @@ object SparkEntry {
            round(CAST(n_pos AS DOUBLE) / n, 6) AS acc,
            round(CAST(num AS DOUBLE) / (nn * 1000000), 6) AS ece
          FROM b, tot ORDER BY bin""",
+    // the full fixture recounted from scratch: the exactly-once
+    // maintained sidecar must equal the batch recount
+    "st23_stream_boilerplate" ->
+      """WITH w AS (SELECT doc_id,
+             regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+         n AS (SELECT doc_id, ws,
+             greatest(1, CAST(ceil(len(ws) / 6.0) AS BIGINT)) AS nl FROM w),
+         body AS (SELECT doc_id,
+             array_to_string(list_transform(range(0, nl),
+               i -> array_to_string(
+                 list_slice(ws, CAST(i * 6 + 1 AS INT), CAST(i * 6 + 6 AS INT)),
+                 ' ')), chr(10)) AS body
+           FROM n),
+         doc AS (SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0 THEN body || chr(10) ||
+               'subscribe to our newsletter today' ELSE body END AS text
+           FROM body),
+         ls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM doc),
+         lines AS (SELECT l[CAST(i AS INT)] AS line
+           FROM ls, UNNEST(range(1, len(l) + 1)) AS t(i))
+         SELECT line, CAST(count(*) AS BIGINT) AS n_rows
+         FROM lines GROUP BY line HAVING count(*) >= 3 ORDER BY line""",
     // the count + floor replayed verbatim; the join attaches each
     // surviving row's own crowd size
     "t86_kanon" ->

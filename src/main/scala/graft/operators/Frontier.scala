@@ -329,10 +329,18 @@ object Frontier {
       iterations: Int = 5, dampingPct: Int = 85): DataFrame = {
     def hid(h: org.apache.spark.sql.Column) =
       conv(substring(md5(h), 1, 15), 16, 10).cast("long")
+    // persist the host-grain edge frame: it is TINY next to the link
+    // table it collapses, and everything downstream — the collision
+    // check, pageRank's own edge prep, the node set, the final host
+    // attach — derives from it; without the cache each derivation
+    // re-runs the full link harvest (measured 4× the query's cost).
+    // Released by the shared one-shot listener after the result's
+    // first action.
     val e = links.select(
         TextFunctions.urlHost(col(urlCol)).as("__sh"),
         TextFunctions.urlHost(col(outlinkCol)).as("__dh"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hosts = e.select(col("__sh").as("host"))
       .union(e.select(col("__dh").as("host")))
       .distinct()
@@ -343,12 +351,13 @@ object Frontier {
     require(counts.getLong(0) == counts.getLong(1),
       s"host-id hash collision: ${counts.getLong(0)} hosts -> " +
         s"${counts.getLong(1)} ids — rank mass would silently merge")
-    Graph.pageRank(
+    val ranked = Graph.pageRank(
         e.select(hid(col("__sh")).as("src"), hid(col("__dh")).as("dst")),
         "src", "dst", iterations, dampingPct)
       .join(hosts.select(col("host"), hid(col("host")).as("__hid")),
         col("node") === col("__hid"))
       .select(col("host"), col("rank_ppb"))
+    CacheRelease.afterFirstAction(ranked, Seq(e))
   }
 
   /** Rank-proportional crawl-budget allocation: each host's share of
