@@ -97,7 +97,10 @@ object Bench {
     // numPlanes ~ log2(corpus/targetBucket), which the slope harness
     // holds constant by design)
     "d26_line_boilerplate", "t80_domain_rollup", "t82_ul2_plan",
-    "t83_crawl_rank", "t84_mojibake", "t85_context_order")
+    "t83_crawl_rank", "t84_mojibake", "t85_context_order",
+    // best-fit-decreasing packing: t9's repartition+sort+stream shape
+    // with the sort key flipped to (tokens desc, id)
+    "t87_bestfit_pack")
 
   /** Queries measured on the replicated corpus for the scaling slope —
     * the shuffle-heavy pipeline shapes whose 100 TB behavior a plan read
@@ -203,7 +206,10 @@ object Bench {
     // the SAME 27 host edges before any iteration — the slope measures
     // the harvest + distinct, exactly the operator's scale story.
     "d26_line_boilerplate", "t80_domain_rollup", "t82_ul2_plan",
-    "t83_crawl_rank", "t84_mojibake")
+    "t83_crawl_rank", "t84_mojibake",
+    // t87: replica ids are disjoint so shard streams grow x10 and the
+    // open-bin scan stays maxOpenBins-bounded — the t9 growth shape
+    "t87_bestfit_pack")
 
   /** Materialize a `factor`×-replicated copy of the FACT tables the scale
     * set reads (documents, lineitem, orders, events) plus 1× copies of

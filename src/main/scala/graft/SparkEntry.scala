@@ -4358,6 +4358,24 @@ object SparkEntry {
       .orderBy("doc_id", "window_ix")
   }
 
+  /** Best-fit-decreasing packing
+    * ([[graft.operators.Pack.packBestFitDecreasing]]): the oracle
+    * replays the ENTIRE bin-state evolution as a recursive CTE — each
+    * step's LATERAL argmax is the same (fill DESC, ix) best-fit rule
+    * the streaming pass applies — so one divergent placement anywhere
+    * in any shard breaks the hash. `maxOpenBins` is set beyond this
+    * corpus's bins-per-shard at any driver SF, so the close-fullest
+    * rule (pinned in PackBfdSpec) never fires here and the oracle
+    * needs no closing clause. */
+  private def t87_bestfit_pack(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(TextFunctions.words(col("text"))).cast("long").as("tokens"))
+    graft.operators.Pack.packBestFitDecreasing(docs, "doc_id", "tokens",
+        budget = 128, numShards = 8, maxOpenBins = 4096)
+      .orderBy("doc_id")
+  }
+
   /** T5-style span-corruption PLAN (deterministic): one 3-token span
     * per complete 20-token block at a salted-md5 offset — corruption
     * rate exactly 15%, spans non-overlapping by construction, every
@@ -5969,6 +5987,7 @@ object SparkEntry {
     "t85_context_order" -> (t85_context_order _),
     "t86_kanon" -> (t86_kanon _),
     "st23_stream_boilerplate" -> (st23_stream_boilerplate _),
+    "t87_bestfit_pack" -> (t87_bestfit_pack _),
     "t77_token_budget" -> (t77_token_budget _),
     "t11_perplexity" -> (t11_perplexity _),
     "t20_backoff_lm" -> (t20_backoff_lm _),
@@ -9976,6 +9995,41 @@ object SparkEntry {
            round(CAST(n_pos AS DOUBLE) / n, 6) AS acc,
            round(CAST(num AS DOUBLE) / (nn * 1000000), 6) AS ece
          FROM b, tot ORDER BY bin""",
+    // the bin-state evolution replayed step by step: per-shard
+    // descending rank, then a recursive CTE whose LATERAL picks the
+    // same (fill DESC, ix) best-fit bin the streaming pass does
+    "t87_bestfit_pack" ->
+      """WITH RECURSIVE tk AS (SELECT doc_id AS id,
+             CAST(doc_id % 8 AS BIGINT) AS shard,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+           FROM documents),
+         o AS (SELECT id, shard, tokens,
+             CAST(row_number() OVER (PARTITION BY shard
+               ORDER BY tokens DESC, id) AS BIGINT) AS r
+           FROM tk),
+         step AS (
+           SELECT shard, r, id, tokens, CAST(0 AS BIGINT) AS bin,
+             [struct_pack(ix := CAST(0 AS BIGINT), f := tokens)] AS open,
+             CAST(1 AS BIGINT) AS nbins
+           FROM o WHERE r = 1
+           UNION ALL
+           SELECT t.shard, t.r, t.id, t.tokens,
+             CASE WHEN b.ix IS NULL THEN s.nbins ELSE b.ix END AS bin,
+             CASE WHEN b.ix IS NULL
+               THEN list_append(s.open,
+                 struct_pack(ix := s.nbins, f := t.tokens))
+               ELSE list_transform(s.open, x -> CASE WHEN x.ix = b.ix
+                 THEN struct_pack(ix := x.ix, f := x.f + t.tokens)
+                 ELSE x END) END AS open,
+             s.nbins + CASE WHEN b.ix IS NULL THEN 1 ELSE 0 END AS nbins
+           FROM step s JOIN o t ON t.shard = s.shard AND t.r = s.r + 1
+           LEFT JOIN LATERAL (
+             SELECT u.ox.ix AS ix
+             FROM (SELECT unnest(s.open) AS ox) u
+             WHERE u.ox.f + t.tokens <= 128
+             ORDER BY u.ox.f DESC, u.ox.ix LIMIT 1) b ON true)
+         SELECT id AS doc_id, shard, bin, tokens
+         FROM step ORDER BY doc_id""",
     // the full fixture recounted from scratch: the exactly-once
     // maintained sidecar must equal the batch recount
     "st23_stream_boilerplate" ->

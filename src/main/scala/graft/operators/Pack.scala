@@ -118,6 +118,93 @@ object Pack {
         Seq(col("bin"), col("tokens")): _*)
   }
 
+  /** Best-fit-decreasing packing (Ding et al. 2024, "Fewer Truncations
+    * Improve Language Modeling" — the measured upgrade over first-fit
+    * greedy for whole-document packing): within each shard, documents
+    * pack in DESCENDING token order (ties to ascending id), each into
+    * the open bin whose fill is LARGEST among those it still fits
+    * (ties to the lowest bin index); no fit → a new bin. Long docs
+    * anchor bins early, short docs backfill the gaps — measurably
+    * fewer, fuller bins than [[packGreedy]]'s arrival-order first fit
+    * at the same budget (PackSpec pins a fixture where BFD saves
+    * bins).
+    *
+    * Bounded state: at most `maxOpenBins` bins stay open per shard —
+    * past that, the FULLEST open bin (ties to the lowest index)
+    * closes permanently, so per-task memory is O(maxOpenBins) however
+    * large the shard, and each placement scans the same bounded list.
+    * Closing the fullest sacrifices the least packing opportunity (it
+    * had the least room). A doc larger than `budget` lands alone in
+    * its own bin, like [[packGreedy]]'s overflow contract.
+    *
+    * Spark shape: one repartition on the shard key + an in-partition
+    * sort by (tokens DESC, id) + a streaming pass — identical cost
+    * model to [[packGreedy]] plus the sort key change; shard count is
+    * the parallelism knob. Deterministic in (data, budget,
+    * numShards, maxOpenBins). Returns (idCol, shard, bin, tokens)
+    * with bins 0-based per shard in OPENING order. */
+  def packBestFitDecreasing(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      budget: Long,
+      numShards: Int = 256,
+      maxOpenBins: Int = 1024): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(numShards > 0, "numShards must be positive")
+    require(maxOpenBins >= 1, "maxOpenBins must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val staged = df
+      .select(col(idCol).cast("long").as("__id"),
+        col(tokensCol).cast("long").as("__tokens"),
+        pmod(col(idCol).cast("long"), lit(numShards.toLong)).as("__shard"))
+      .repartition(numShards.min(4096), col("__shard"))
+      .sortWithinPartitions(col("__shard"), col("__tokens").desc, col("__id"))
+      .as[(Long, Long, Long)]
+    staged.mapPartitions { rows =>
+      var shard = -1L
+      var nBins = 0L
+      // open bins: parallel arrays (ix, fill), scanned linearly —
+      // bounded at maxOpenBins by the close-the-fullest rule
+      val ixs = new scala.collection.mutable.ArrayBuffer[Long]()
+      val fills = new scala.collection.mutable.ArrayBuffer[Long]()
+      rows.map { case (id, tokens, sh) =>
+        if (sh != shard) { shard = sh; nBins = 0L; ixs.clear(); fills.clear() }
+        var best = -1
+        var i = 0
+        while (i < fills.length) {
+          if (fills(i) + tokens <= budget &&
+              (best < 0 || fills(i) > fills(best) ||
+                (fills(i) == fills(best) && ixs(i) < ixs(best)))) best = i
+          i += 1
+        }
+        val bin = if (best >= 0) {
+          fills(best) += tokens
+          ixs(best)
+        } else {
+          val ix = nBins
+          nBins += 1L
+          ixs += ix
+          fills += tokens
+          if (ixs.length > maxOpenBins) {
+            var full = 0
+            var j = 1
+            while (j < fills.length) {
+              if (fills(j) > fills(full) ||
+                  (fills(j) == fills(full) && ixs(j) < ixs(full))) full = j
+              j += 1
+            }
+            ixs.remove(full)
+            fills.remove(full)
+          }
+          ix
+        }
+        (id, sh, bin, tokens)
+      }
+    }.toDF(idCol, "shard", "bin", "tokens")
+  }
+
   /** GPT-style concat-and-chop packing — the causal-LM pretraining
     * shape [[packGreedy]] deliberately is not: within each shard,
     * documents concatenate in ascending-id order into one token stream

@@ -40,7 +40,17 @@ object ExplainCheck {
         "t75_training_run",
         // LSH decontam (bucket join must be broadcast hash) and the
         // trained quality filter (map-side scoring)
-        "d25b_embed_decontam_lsh", "t78_quality_filter")
+        "d25b_embed_decontam_lsh", "t78_quality_filter",
+        // r17 second wave: line-frequency boilerplate (frequent-set
+        // anti-join should broadcast under AQE), domain rollup (ditto,
+        // eTLD+1 entirely map-side), crawl rank (0 cartesian through
+        // the harvest -> distinct -> iteration -> budget chain),
+        // context ordering (ONE exchange on the bucket key), mojibake
+        // and UL2 (map-side kernels), calibration (one agg + one-row
+        // broadcast), k-anonymity (combo-grain join)
+        "d26_line_boilerplate", "t80_domain_rollup", "t83_crawl_rank",
+        "t85_context_order", "t84_mojibake", "t82_ul2_plan",
+        "ml4_calibration", "t86_kanon", "t79_retrieval_metrics")
     for (q <- qs) {
       val df = graft.SparkEntry.queries(q)(spark, dir)
       df.collect() // finalize AQE so the executed plan is the real one

@@ -226,4 +226,44 @@ class PlanSpec extends SparkSpec {
     // one-row totals frames legitimately attach via nested loop
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
+
+  test("d26 boilerplate: the frequent-line anti-join broadcasts (the " +
+      "set is output-bounded); no cartesian/nested-loop") {
+    val plan = finalPlan(SparkEntry.queries("d26_line_boilerplate")(spark, dir))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("t80 domain rollup: eTLD+1 is pure projection (no join to a " +
+      "suffix table); the flagged-domain anti-join broadcasts") {
+    val plan = finalPlan(SparkEntry.queries("t80_domain_rollup")(spark, dir))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("t83 crawl rank: no cartesian through harvest -> host distinct " +
+      "-> iteration -> budget; the only nested loop is the one-row " +
+      "rank-total attach") {
+    val plan = finalPlan(SparkEntry.queries("t83_crawl_rank")(spark, dir))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("t85 context order: no join at all — one exchange keys the " +
+      "bucket aggregate, the chain is map-side") {
+    val plan = finalPlan(SparkEntry.queries("t85_context_order")(spark, dir))
+    assert(!plan.contains("Join"), plan.take(2000))
+    assert(plan.contains("greedy_chain") || plan.contains("GreedyChain") ||
+      plan.contains("greedychain"), plan.take(2000))
+  }
+
+  test("t84 mojibake and t82 UL2 plan shuffle-free map kernels") {
+    for (q <- Seq("t84_mojibake", "t82_ul2_plan")) {
+      val plan = finalPlan(SparkEntry.queries(q)(spark, dir))
+      assert(!plan.contains("Join"), s"$q:\n" + plan.take(2000))
+      // the only exchange is the gate's own final orderBy
+      assert(!plan.contains("HashAggregate"), s"$q:\n" + plan.take(2000))
+    }
+  }
 }
