@@ -99,8 +99,9 @@ object Bench {
     "d26_line_boilerplate", "t80_domain_rollup", "t82_ul2_plan",
     "t83_crawl_rank", "t84_mojibake", "t85_context_order",
     // best-fit-decreasing packing: t9's repartition+sort+stream shape
-    // with the sort key flipped to (tokens desc, id)
-    "t87_bestfit_pack")
+    // with the sort key flipped to (tokens desc, id); MP4 shot-boundary
+    // detection (map-side container walk + byte-diff kernel)
+    "t87_bestfit_pack", "m18_shot_detect")
 
   /** Queries measured on the replicated corpus for the scaling slope —
     * the shuffle-heavy pipeline shapes whose 100 TB behavior a plan read
@@ -208,8 +209,10 @@ object Bench {
     "d26_line_boilerplate", "t80_domain_rollup", "t82_ul2_plan",
     "t83_crawl_rank", "t84_mojibake",
     // t87: replica ids are disjoint so shard streams grow x10 and the
-    // open-bin scan stays maxOpenBins-bounded — the t9 growth shape
-    "t87_bestfit_pack")
+    // open-bin scan stays maxOpenBins-bounded — the t9 growth shape.
+    // m18: one container walk + byte-diff pass per payload, map-side;
+    // replica payloads are disjoint docs so the scan grows linearly
+    "t87_bestfit_pack", "m18_shot_detect")
 
   /** Materialize a `factor`×-replicated copy of the FACT tables the scale
     * set reads (documents, lineitem, orders, events) plus 1× copies of

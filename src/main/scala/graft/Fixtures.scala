@@ -243,6 +243,23 @@ object Fixtures {
       rows.toDF("doc_id", "payload").coalesce(1).write.mode("overwrite").parquet(dir)
     }
 
+  /** Shot-structured MP4s for boundary detection: shot length 6, the
+    * per-shot seed jump guarantees cross-cut byte diffs (~128/byte mean)
+    * clear the within-shot drift (~54.5) at any threshold between. */
+  def videoShotDocs(spark: SparkSession, sfDir: String): String =
+    cached("video_shot_docs", sfDir) { dir =>
+      import spark.implicits._
+      val ids = table(spark, sfDir, "documents").select("doc_id")
+        .as[Long].collect().sorted
+      ids.toSeq.map { id =>
+        (id, graft.operators.Multimodal.syntheticMp4WithShots(
+          w = 64, h = 48, timescale = 1000, delta = 40,
+          nFrames = 18 + (id % 5).toInt * 3,
+          frameSize = 40 + (id % 7).toInt * 4,
+          shotLen = 6, docSeed = id))
+      }.toDF("doc_id", "payload").coalesce(1).write.mode("overwrite").parquet(dir)
+    }
+
   /** A layout with one deliberately corrupt member for lazy-error semantics:
     * nation as json-lines plus one unparseable file. */
   def lazyNation(spark: SparkSession, sfDir: String): String =

@@ -4940,6 +4940,22 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Shot-boundary detection over the container's frames
+    * ([[graft.operators.Multimodal.mp4ShotBoundaries]]): the
+    * shot-structured fixture's cross-cut byte jumps must cut exactly
+    * where the within-shot drift must not — the oracle recomputes every
+    * frame byte from the builder's closed form, replays the integer
+    * mean-abs-diff rule and the cut set. */
+  private def m18_shot_detect(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeMp4Shots(
+        s.read.parquet(Fixtures.videoShotDocs(s, dir)), threshold100 = 8000)
+      .filter(col("shot_sample.format") === "mp4")
+      .select(col("doc_id"), explode(col("shot_sample.shots")).as("shot"))
+      .select(col("doc_id"), col("shot.shot_ix").as("shot_ix"),
+        col("shot.start_frame").as("start_frame"),
+        col("shot.start_ms").as("start_ms"))
+      .orderBy("doc_id", "shot_ix")
+
   private def m2_audio(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeAudioMeta(s.read.parquet(Fixtures.audioDocs(s, dir)))
       .select(col("doc_id"), col("audio_meta.sample_rate"),
@@ -5988,6 +6004,7 @@ object SparkEntry {
     "t86_kanon" -> (t86_kanon _),
     "st23_stream_boilerplate" -> (st23_stream_boilerplate _),
     "t87_bestfit_pack" -> (t87_bestfit_pack _),
+    "m18_shot_detect" -> (m18_shot_detect _),
     "t77_token_budget" -> (t77_token_budget _),
     "t11_perplexity" -> (t11_perplexity _),
     "t20_backoff_lm" -> (t20_backoff_lm _),
@@ -9995,6 +10012,34 @@ object SparkEntry {
            round(CAST(n_pos AS DOUBLE) / n, 6) AS acc,
            round(CAST(num AS DOUBLE) / (nn * 1000000), 6) AS ece
          FROM b, tot ORDER BY bin""",
+    // every frame byte recomputed from the builder's closed form, the
+    // integer mean-abs-diff rule applied per consecutive pair, frame 0
+    // unioned in as every doc's shot 0
+    "m18_shot_detect" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(18 + (doc_id % 5) * 3 AS BIGINT) AS nf,
+             CAST(40 + (doc_id % 7) * 4 AS BIGINT) AS fs
+           FROM documents),
+         pairs AS (SELECT doc_id, fs, CAST(t.f AS BIGINT) AS f
+           FROM d, UNNEST(range(1, nf)) AS t(f)),
+         db AS (SELECT doc_id, fs, f,
+             abs(
+               (((doc_id * 7 + ((f - 1) // 6 + 1) * 101 + 13) % 251)
+                 + (f - 1) * 31 + u.j * 7) % 256
+               - (((doc_id * 7 + (f // 6 + 1) * 101 + 13) % 251)
+                 + f * 31 + u.j * 7) % 256) AS ad
+           FROM pairs, UNNEST(range(0, fs)) AS u(j)),
+         sums AS (SELECT doc_id, fs, f, CAST(sum(ad) AS BIGINT) AS s
+           FROM db GROUP BY doc_id, fs, f),
+         cuts AS (SELECT doc_id, f FROM sums WHERE s * 100 >= 8000 * fs
+           UNION ALL SELECT doc_id, CAST(0 AS BIGINT) FROM d),
+         shots AS (SELECT doc_id, f AS start_frame,
+             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY f) - 1
+               AS INT) AS shot_ix
+           FROM cuts)
+         SELECT doc_id, shot_ix, CAST(start_frame AS INT) AS start_frame,
+           CAST(start_frame * 40 AS BIGINT) AS start_ms
+         FROM shots ORDER BY doc_id, shot_ix""",
     // the bin-state evolution replayed step by step: per-shard
     // descending rank, then a recursive CTE whose LATERAL picks the
     // same (fill DESC, ix) best-fit bin the streaming pass does

@@ -1362,6 +1362,63 @@ object Multimodal {
     * `(frameIdx, tsMs, size, byteSum)` per sampled frame. */
   def mp4FrameSample(b: Array[Byte], k: Int): Option[Seq[(Int, Long, Int, Long)]] = {
     require(k >= 1, s"sampling step must be >= 1, got $k")
+    mp4SampleTable(b).map { case (timescale, offsets, szs, ticks) =>
+      (0 until szs.size by k).map { f =>
+        val off = offsets(f).toInt
+        var sum = 0L
+        var j = 0
+        while (j < szs(f)) { sum += u8(b, off + j); j += 1 }
+        (f, ticks(f) * 1000L / timescale, szs(f), sum)
+      }
+    }
+  }
+
+  /** Shot-boundary detection over the container's own frames — the cut
+    * detector of video curation (dedup at the shot grain, per-shot
+    * sampling, trailer/credit trimming): frame `f` starts a new shot
+    * when the mean absolute byte difference against frame `f−1`
+    * crosses the threshold, `sumAbsDiff · 100 ≥ threshold100 · nBytes`
+    * compared over `min(size_{f−1}, size_f)` bytes — integer
+    * arithmetic end to end, so any engine replaying the frame bytes
+    * draws the same cuts. This is the standard pixel-difference
+    * detector minus only the codec (a real decoder slots in where the
+    * byte reads are; the container walk and the detection rule ARE the
+    * distributed-plumbing part, exactly [[mp4FrameSample]]'s
+    * contract). Frame 0 always opens shot 0. Returns
+    * `(shotIx, startFrame, startTsMs)` per detected shot; None on
+    * anything outside the sample-table support envelope. */
+  def mp4ShotBoundaries(b: Array[Byte],
+      threshold100: Int): Option[Seq[(Int, Int, Long)]] = {
+    require(threshold100 >= 1, s"threshold100 must be >= 1, got $threshold100")
+    mp4SampleTable(b).map { case (timescale, offsets, szs, ticks) =>
+      val starts = scala.collection.mutable.ArrayBuffer(0)
+      var f = 1
+      while (f < szs.size) {
+        val n = math.min(szs(f - 1), szs(f))
+        val oa = offsets(f - 1).toInt
+        val ob = offsets(f).toInt
+        var sum = 0L
+        var j = 0
+        while (j < n) {
+          val d = u8(b, oa + j) - u8(b, ob + j)
+          sum += math.abs(d)
+          j += 1
+        }
+        if (n > 0 && sum * 100L >= threshold100.toLong * n) starts += f
+        f += 1
+      }
+      starts.toSeq.zipWithIndex.map { case (sf, ix) =>
+        (ix, sf, ticks(sf) * 1000L / timescale)
+      }
+    }
+  }
+
+  /** The shared stbl parse behind [[mp4FrameSample]] and
+    * [[mp4ShotBoundaries]]: (movie timescale, per-sample byte offsets,
+    * sizes, cumulative start ticks), None outside the support
+    * envelope. */
+  private def mp4SampleTable(
+      b: Array[Byte]): Option[(Long, Seq[Long], Seq[Int], Seq[Long])] = {
     if (b == null || b.length < 12 ||
         new String(b, 4, 4, "US-ASCII") != "ftyp") return None
     var timescale = 0L
@@ -1419,13 +1476,7 @@ object Multimodal {
     val ticks = sttsRuns.flatMap { case (n, d) => Seq.fill(n)(d.toLong) }
       .scanLeft(0L)(_ + _)
     if (ticks.size < nSamples) return None
-    Some((0 until nSamples by k).map { f =>
-      val off = offsets(f).toInt
-      var sum = 0L
-      var j = 0
-      while (j < szs(f)) { sum += u8(b, off + j); j += 1 }
-      (f, ticks(f) * 1000L / timescale, szs(f), sum)
-    })
+    Some((timescale, offsets, szs, ticks))
   }
 
   private val frameSampleType = StructType(Seq(
@@ -1449,6 +1500,53 @@ object Multimodal {
         case None => Row("undecodable", null)
       }
     }
+
+  private val shotSampleType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("shots", ArrayType(StructType(Seq(
+      StructField("shot_ix", IntegerType, nullable = false),
+      StructField("start_frame", IntegerType, nullable = false),
+      StructField("start_ms", LongType, nullable = false))), containsNull = false),
+      nullable = true)))
+
+  /** Batched shot-boundary detection ([[mp4ShotBoundaries]]);
+    * `undecodable` (null shots) outside the support envelope. */
+  def decodeMp4Shots(df: DataFrame, threshold100: Int,
+      payloadCol: String = "payload",
+      outCol: String = "shot_sample"): DataFrame =
+    decodeMeta(df, payloadCol, outCol, shotSampleType) { bytes =>
+      mp4ShotBoundaries(bytes, threshold100) match {
+        case Some(shots) =>
+          Row("mp4", shots.map { case (ix, sf, ts) => Row(ix, sf, ts) })
+        case None => Row("undecodable", null)
+      }
+    }
+
+  /** [[syntheticMp4WithSamples]] with SHOT structure: frame `f` belongs
+    * to shot `s = f / shotLen`, and its byte `j` is
+    * `((docSeed·7 + (s+1)·101 + 13) mod 251 + f·31 + j·7) mod 256` —
+    * consecutive frames inside a shot differ by the small `f·31`
+    * drift, frames across a cut additionally jump by the shot-seed
+    * delta; both are closed forms an oracle replays byte for byte. */
+  def syntheticMp4WithShots(w: Int, h: Int, timescale: Int, delta: Int,
+      nFrames: Int, frameSize: Int, shotLen: Int, docSeed: Long): Array[Byte] = {
+    require(nFrames > 0 && frameSize > 0 && shotLen > 0)
+    val base = syntheticMp4WithSamples(w, h, timescale, delta, nFrames,
+      frameSize, seed = 0L)
+    // overwrite the mdat payload in place (it directly follows
+    // ftyp(16) + mdat header(8) by the builder's construction)
+    val mdatOff = 16 + 8
+    var i = 0
+    while (i < nFrames * frameSize) {
+      val f = i / frameSize
+      val j = i % frameSize
+      val s = f / shotLen
+      val shotSeed = (docSeed * 7L + (s + 1L) * 101L + 13L) % 251L
+      base(mdatOff + i) = ((shotSeed + f * 31L + j * 7L) % 256L).toByte
+      i += 1
+    }
+    base
+  }
 
   /** Deterministic synthetic WAV header (RIFF + fmt + data chunk headers
     * with the declared sizes, no sample payload — 44 bytes) for fixtures
