@@ -2107,6 +2107,49 @@ object SparkEntry {
       .orderBy("bin")
   }
 
+  /** Persisted inverted index
+    * ([[graft.operators.Retrieval.invertedIndexBuildAndWrite]]): the
+    * full-vocabulary postings land bucket-partitioned, the gate
+    * REQUIRES the query's scan to touch fewer files than the index
+    * holds (the pruning is the operator's point), and the top-20 BM25
+    * answer must equal the oracle's from-scratch corpus computation —
+    * proving the stored postings, the sidecar's integer stats and the
+    * pruned df all reproduce [[graft.operators.Retrieval.bm25]]'s
+    * arithmetic exactly. */
+  private def t88_inverted_index(s: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_fixtures/invidx_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val conf = s.sessionState.newHadoopConf()
+    val bp = new org.apache.hadoop.fs.Path(path)
+    bp.getFileSystem(conf).delete(bp, true)
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    graft.operators.Retrieval.invertedIndexBuildAndWrite(docs,
+      "doc_id", "text", path, numBuckets = 16)
+    val terms = Seq("agg", "scan", "window")
+    val pruned = graft.operators.Retrieval
+      .invertedIndexScan(s, path, terms).inputFiles.length
+    val full = s.read.parquet(path).inputFiles.length
+    require(pruned > 0 && pruned < full,
+      s"bucket pruning must skip partitions: touched $pruned of $full files")
+    graft.operators.Retrieval.invertedIndexQuery(s, path, terms, k = 20)
+      .orderBy("rank")
+  }
+
+  /** Exact tie-corrected ROC-AUC over the ml4 fixture
+    * ([[graft.operators.Regression.aucExact]]): labels are drawn with
+    * P(y=1 | score) ≈ score, giving a discriminative-but-imperfect
+    * scorer whose exact rank statistic the oracle replays — the
+    * doubled numerator is an exact integer in both engines, so the
+    * hash pins every tie's ½ credit. */
+  private def ml5_auc(s: SparkSession, dir: String): DataFrame = {
+    def h(tag: String) = conv(substring(md5(concat(lit(tag),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long") % 1000000L
+    val scored = t(s, dir, "documents").select(col("doc_id"))
+      .select(col("doc_id"),
+        (h("cs:").cast("double") / 1000000.0).as("score"),
+        when(h("cl:") < h("cs:"), 1L).otherwise(0L).as("label"))
+    graft.operators.Regression.aucExact(scored, "score", "label")
+  }
+
   /** k-anonymity suppression ([[graft.operators.Privacy.kAnonymitySuppress]])
     * over the event log's quasi-identifier tuple (cohort, slot,
     * event_type) — ~800 combinations over the corpus, straddling k=10
@@ -6005,6 +6048,8 @@ object SparkEntry {
     "st23_stream_boilerplate" -> (st23_stream_boilerplate _),
     "t87_bestfit_pack" -> (t87_bestfit_pack _),
     "m18_shot_detect" -> (m18_shot_detect _),
+    "ml5_auc" -> (ml5_auc _),
+    "t88_inverted_index" -> (t88_inverted_index _),
     "t77_token_budget" -> (t77_token_budget _),
     "t11_perplexity" -> (t11_perplexity _),
     "t20_backoff_lm" -> (t20_backoff_lm _),
@@ -9988,6 +10033,64 @@ object SparkEntry {
          FROM done d JOIN nb ON nb.bucket = d.bucket,
            UNNEST(range(1, len(d.ids) + 1)) AS t(i)
          ORDER BY d.bucket, seq_ix""",
+    // the index answer recomputed from the raw corpus: t12b's literal
+    // BM25 operation order with the sidecar's integer avgdl convention
+    // (sum(dl)/count, not avg), rounded rank keys, top 20
+    "t88_inverted_index" ->
+      """WITH w AS (SELECT doc_id,
+             regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+         d AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM w),
+         tf AS (SELECT doc_id, dl, t.term,
+             CAST(len(list_filter(ws, x -> x = t.term)) AS BIGINT) AS tf
+           FROM d CROSS JOIN
+             (SELECT unnest(['agg', 'scan', 'window']) AS term) t),
+         stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(dl) AS BIGINT) AS sdl FROM d),
+         dfs AS (SELECT term,
+             CAST(sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df
+           FROM tf GROUP BY term),
+         contrib AS (SELECT tf.doc_id,
+             ln((stats.n - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0) *
+               (tf.tf * (1.2 + 1)) /
+               (tf.tf + 1.2 * ((1 - 0.75) + 0.75 * tf.dl /
+                 (CAST(stats.sdl AS DOUBLE) / stats.n))) AS c
+           FROM tf JOIN dfs USING (term) CROSS JOIN stats
+           WHERE tf.tf > 0),
+         sc AS (SELECT doc_id, round(CAST(sum(c) AS DOUBLE), 6) AS score
+           FROM contrib GROUP BY doc_id),
+         rk AS (SELECT doc_id, score,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+               AS BIGINT) AS rank
+           FROM sc)
+         SELECT doc_id, score, rank FROM rk WHERE rank <= 20
+         ORDER BY rank""",
+    // the Mann-Whitney statistic replayed on distinct micro-scores:
+    // one ordered prefix sum, the doubled numerator an exact integer
+    "ml5_auc" ->
+      """WITH sc AS (SELECT doc_id,
+             CAST(concat('0x', substr(md5('cs:' ||
+               CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS m,
+             CAST(concat('0x', substr(md5('cl:' ||
+               CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS lm
+           FROM documents),
+         r AS (SELECT m, CASE WHEN lm < m THEN 1 ELSE 0 END AS y FROM sc),
+         g AS (SELECT m AS s, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS p
+           FROM r GROUP BY m),
+         gg AS (SELECT s, n, p, n - p AS neg,
+             CAST(COALESCE(sum(n - p) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS negbelow
+           FROM g),
+         t AS (SELECT
+             CAST(sum(p * (negbelow * 2 + neg)) AS BIGINT) AS num2,
+             CAST(sum(p) AS BIGINT) AS n_pos,
+             CAST(sum(neg) AS BIGINT) AS n_neg
+           FROM gg)
+         SELECT n_pos, n_neg,
+           round(CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+             ELSE CAST(num2 AS DOUBLE) / (n_pos * n_neg * 2) END, 6) AS auc
+         FROM t""",
     // micro-unit integer sums per bin (exact in any engine), then the
     // three final divisions round
     "ml4_calibration" ->

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -305,6 +306,41 @@ object Regression {
     * `(bin, n, n_pos, conf, acc, ece)` with the scalar `ece` repeated
     * per row (it rides a one-row broadcast). Scores outside [0, 1]
     * are a caller bug and refused via an ANSI-safe range check. */
+  /** Exact ROC-AUC via the Mann-Whitney rank statistic with the
+    * standard tie correction: over all (positive, negative) pairs,
+    * `AUC = (#[s⁺ > s⁻] + ½·#[s⁺ = s⁻]) / (P·N)`. Computed without
+    * materializing pairs: scores quantize to 6-decimal micro-units
+    * (the [[calibrationBins]] exactness contract), group to DISTINCT
+    * score rows, and one ordered prefix sum gives each score's
+    * negatives-below — the doubled numerator
+    * `Σ p_s·(2·negBelow_s + neg_s)` is an exact integer in any
+    * engine; only the final division rounds.
+    *
+    * The ordered window runs over DISTINCT micro-scores — at most
+    * 10⁶+1 rows whatever the corpus, so the single-partition sort is
+    * bounded by construction, not by data (the same argument as the
+    * calibration bins). A class with zero members makes AUC undefined
+    * — reported as null, never 0.5-faked. Returns one row
+    * `(n_pos, n_neg, auc)`. */
+  def aucExact(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val micro = (col(scoreCol).cast("decimal(18,6)") * 1000000L).cast("long")
+    val g = df
+      .select(micro.as("__s"), col(labelCol).cast("long").as("__y"))
+      .groupBy("__s")
+      .agg(count(lit(1)).as("__n"), sum("__y").as("__p"))
+      .withColumn("__neg", col("__n") - col("__p"))
+    val w = Window.orderBy("__s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("__negBelow", coalesce(sum("__neg").over(w), lit(0L)))
+      .agg(
+        sum(col("__p") * (col("__negBelow") * 2 + col("__neg"))).as("__num2"),
+        sum("__p").as("n_pos"), sum("__neg").as("n_neg"))
+      .select(col("n_pos"), col("n_neg"),
+        round(when(col("n_pos") === 0 || col("n_neg") === 0, lit(null))
+          .otherwise(col("__num2").cast("double") /
+            (col("n_pos") * col("n_neg") * 2L)), 6).as("auc"))
+  }
+
   def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
       nBins: Int = 10): DataFrame = {
     require(nBins >= 2, s"nBins must be >= 2; got $nBins")

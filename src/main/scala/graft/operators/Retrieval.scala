@@ -548,6 +548,157 @@ object Retrieval {
       round(col("__cos"), scale).as("cosine"), col("margin"))
   }
 
+  // ------------------- persisted inverted index (bucket-pruned serving)
+
+  /** Stats sidecar of a persisted inverted index: exact integers, so
+    * `avgdl = sumDl/nDocs` is the same double in any engine. */
+  case class InvertedIndexStats(numBuckets: Int, nDocs: Long, sumDl: Long)
+
+  private val InvIdxSidecar = "_graft_bm25_stats.json"
+
+  /** The term's bucket — the t31 md5-prefix convention
+    * (`int(md5(term)[:8], 16) mod numBuckets`), replayable by any
+    * engine and computed driver-side at query time to pick partitions. */
+  def termBucket(term: String, numBuckets: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(term.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.take(8), 16) % numBuckets
+  }
+
+  private def invIdxStatsRead(spark: org.apache.spark.sql.SparkSession,
+      path: String): InvertedIndexStats = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = graft.core.Discovery.fileSystemFor(path, conf)
+    val p = new org.apache.hadoop.fs.Path(path, InvIdxSidecar)
+    require(fs.exists(p), s"no $InvIdxSidecar under $path — not an " +
+      "inverted index written by invertedIndexBuildAndWrite")
+    val in = fs.open(p)
+    val bytes = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+      buf.toByteArray
+    } finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+    Seq("numBuckets", "nDocs", "sumDl").foreach(f =>
+      require(node.hasNonNull(f), s"$InvIdxSidecar at $path lacks '$f'"))
+    InvertedIndexStats(node.get("numBuckets").asInt,
+      node.get("nDocs").asLong, node.get("sumDl").asLong)
+  }
+
+  /** Build and persist a FULL-VOCABULARY inverted index, partitioned by
+    * the term's md5 bucket (`gr_bucket=`): rows are
+    * `(term, doc_id, tf, dl)` postings; corpus stats (doc count, total
+    * length — exact integers) ride a JSON sidecar. This is the serving
+    * layer [[bm25]] deliberately is not: bm25 re-scans the corpus per
+    * query; the index pays one token-explode shuffle ONCE, and every
+    * query after reads only its terms' bucket partitions — query cost
+    * is bucket-bounded, not corpus-bounded, the `gr_cluster=` IVF
+    * story applied to text.
+    *
+    * `mode="append"` adds a DISJOINT document batch (caller contract —
+    * re-indexing a doc would double its postings, same as every
+    * append-mode index here): bucket layout must match (sidecar-
+    * checked) and the stats sidecar is re-written with the summed
+    * integers. */
+  def invertedIndexBuildAndWrite(df: DataFrame, idCol: String,
+      textCol: String, path: String, numBuckets: Int = 64,
+      mode: String = "overwrite"): Unit = {
+    require(numBuckets >= 1, s"numBuckets must be >= 1; got $numBuckets")
+    require(mode == "overwrite" || mode == "append",
+      s"mode must be overwrite|append; got $mode")
+    val spark = df.sparkSession
+    val toks = tokenized(df, idCol, textCol)
+    val postings = toks
+      .select(col(idCol).cast("long").as("doc_id"), col("dl"),
+        explode(col("__w")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("gr_bucket",
+        pmod(conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long"),
+          lit(numBuckets.toLong)))
+    val prev =
+      if (mode == "append") {
+        val st = invIdxStatsRead(spark, path)
+        require(st.numBuckets == numBuckets,
+          s"index at $path has numBuckets=${st.numBuckets}, append " +
+            s"requested $numBuckets — bucket layouts would mix")
+        Some(st)
+      } else None
+    postings.write.partitionBy("gr_bucket").mode(mode).parquet(path)
+    val row = toks.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("dl")), lit(0L)).as("s")).head()
+    val nDocs = row.getLong(0) + prev.map(_.nDocs).getOrElse(0L)
+    val sumDl = row.getLong(1) + prev.map(_.sumDl).getOrElse(0L)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = graft.core.Discovery.fileSystemFor(path, conf)
+    val out = fs.create(new org.apache.hadoop.fs.Path(path, InvIdxSidecar), true)
+    try out.write(
+      s"""{"numBuckets":$numBuckets,"nDocs":$nDocs,"sumDl":$sumDl}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The PRUNED posting scan for a term set: lists and reads ONLY the
+    * terms' bucket DIRECTORIES (`gr_bucket=<b>`) — pruning by
+    * construction, not by trusting a planner filter, so at 100 TB the
+    * driver never even lists the other buckets (`.inputFiles` shows
+    * exactly the touched partitions). Exposed so callers can audit the
+    * skip; [[invertedIndexQuery]] builds on it. A term whose bucket
+    * directory does not exist simply contributes nothing. */
+  def invertedIndexScan(spark: org.apache.spark.sql.SparkSession,
+      path: String, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty && terms.distinct == terms,
+      "terms must be non-empty and distinct")
+    val st = invIdxStatsRead(spark, path)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = graft.core.Discovery.fileSystemFor(path, conf)
+    val dirs = terms.map(termBucket(_, st.numBuckets)).distinct.sorted
+      .map(b => s"$path/gr_bucket=$b")
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+    if (dirs.isEmpty)
+      // rare (every query term's bucket empty): an empty frame with the
+      // full schema, via a never-true filter over the base listing
+      spark.read.option("basePath", path).parquet(path)
+        .filter(lit(false))
+        .filter(col("term").isin(terms: _*))
+    else
+      spark.read.option("basePath", path).parquet(dirs: _*)
+        .filter(col("term").isin(terms: _*))
+  }
+
+  /** BM25 top-k over the PERSISTED index — [[bm25]]'s arithmetic
+    * (Robertson idf, same literal operation order) from stored
+    * postings: df comes from the pruned postings themselves, N/avgdl
+    * from the sidecar's exact integers. Ranking keys on the
+    * `scale`-rounded score (ties to ascending doc id) — the
+    * deterministic-serving convention (raw last-ulp float order is not
+    * reproducible across engines; the rounded key is). Returns
+    * `(doc_id, score, rank)`, rank 1-based, at most `k` rows. */
+  def invertedIndexQuery(spark: org.apache.spark.sql.SparkSession,
+      path: String, terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75, scale: Int = 6): DataFrame = {
+    require(k >= 1, s"k must be >= 1; got $k")
+    val st = invIdxStatsRead(spark, path)
+    require(st.nDocs > 0, s"index at $path is empty")
+    val avgdl = st.sumDl.toDouble / st.nDocs
+    val post = invertedIndexScan(spark, path, terms)
+    val dfs = post.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = post.join(broadcast(dfs), "term")
+      .withColumn("__idf",
+        log((lit(st.nDocs) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("__contrib",
+        col("__idf") * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl)))
+      .groupBy("doc_id")
+      .agg(round(sum(col("__contrib")), scale).as("score"))
+    scored
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("score"), col("doc_id"))).cast("long"))
+  }
+
   /** Offline retrieval-quality evaluation — recall@k, MRR and nDCG@k
     * (Järvelin & Kekäläinen 2002) per query over a run table
     * `(queryCol, docCol, scoreCol)` and a relevance-judgment table

@@ -67,3 +67,41 @@ class CalibrationSpec extends SparkSpec {
     assert(st == Map("a" -> ((2L, true)), "b" -> ((1L, false))))
   }
 }
+
+/** Exact tie-corrected AUC. */
+class AucSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Regression
+
+  private def auc(rows: Seq[(Double, Long)]): (Long, Long, Any) = {
+    val r = Regression.aucExact(rows.toDF("score", "label"),
+      "score", "label").collect().head
+    (r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg"), r.get(2))
+  }
+
+  test("perfect separation gives 1, inverted gives 0") {
+    assert(auc(Seq((0.9, 1L), (0.8, 1L), (0.2, 0L))) == ((2L, 1L, 1.0)))
+    assert(auc(Seq((0.1, 1L), (0.9, 0L))) == ((1L, 1L, 0.0)))
+  }
+
+  test("hand-computed with ties: equal scores earn half credit") {
+    // pairs: (p=.8 vs n=.8) tie -> 0.5; (p=.8 vs n=.2) win -> 1
+    // (p=.5 vs n=.8) loss -> 0; (p=.5 vs n=.2) win -> 1
+    // AUC = 2.5 / 4 = 0.625
+    assert(auc(Seq((0.8, 1L), (0.5, 1L), (0.8, 0L), (0.2, 0L)))
+      == ((2L, 2L, 0.625)))
+  }
+
+  test("all-one-class is undefined, not 0.5-faked") {
+    assert(auc(Seq((0.9, 1L), (0.1, 1L)))._3 == null)
+  }
+
+  test("random scores vs matching labels land near chance vs skill") {
+    val rnd = (0 until 400).map { i =>
+      val s = ((i * 2654435761L) % 1000L) / 1000.0
+      (s, if (((i * 40503L) % 997L) / 997.0 < s) 1L else 0L)
+    }
+    val skillful = auc(rnd)._3.asInstanceOf[Double]
+    assert(skillful > 0.6, s"score-correlated labels must beat chance: $skillful")
+  }
+}
