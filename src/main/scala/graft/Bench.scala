@@ -101,7 +101,10 @@ object Bench {
     // best-fit-decreasing packing: t9's repartition+sort+stream shape
     // with the sort key flipped to (tokens desc, id); MP4 shot-boundary
     // detection (map-side container walk + byte-diff kernel)
-    "t87_bestfit_pack", "m18_shot_detect")
+    "t87_bestfit_pack", "m18_shot_detect",
+    // the composed web-to-corpus cleaning chain (extract -> repair ->
+    // line-frequency -> domain filter in one program)
+    "t89_web_clean")
 
   /** Queries measured on the replicated corpus for the scaling slope —
     * the shuffle-heavy pipeline shapes whose 100 TB behavior a plan read
@@ -212,7 +215,13 @@ object Bench {
     // open-bin scan stays maxOpenBins-bounded — the t9 growth shape.
     // m18: one container walk + byte-diff pass per payload, map-side;
     // replica payloads are disjoint docs so the scan grows linearly
-    "t87_bestfit_pack", "m18_shot_detect")
+    "t87_bestfit_pack", "m18_shot_detect",
+    // t89: extraction/repair are map-side kernels; the line table's
+    // constant boilerplate paragraph is shared across replicas (grows
+    // x10, stays one distinct line) while doc lines are replica-
+    // suffixed and disjoint — the d26 growth shape plus t80's
+    // constant-domain rollup
+    "t89_web_clean")
 
   /** Materialize a `factor`×-replicated copy of the FACT tables the scale
     * set reads (documents, lineitem, orders, events) plus 1× copies of

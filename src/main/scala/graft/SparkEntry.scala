@@ -5623,6 +5623,62 @@ object SparkEntry {
     lit("<footer>Copyright "), col("doc_id"),
     lit(" <a href=\"/privacy\">Privacy</a></footer></body></html>"))
 
+  /** The web-to-corpus CLEANING chain composed end to end: the t65
+    * fixture page grows a third ≥16-word paragraph of CONSTANT
+    * boilerplate (long enough that the shallow content classifier
+    * must call it content — exactly the text the cross-document
+    * frequency rule exists to catch) and a planted mojibake suffix on
+    * every doc_id % 3 == 0 body; main-content extraction, byte-level
+    * mojibake repair, d26's corpus-frequency line drop and t80's
+    * domain-quality filter then run as ONE DataFrame program. The
+    * oracle replays all four stages in a single CTE chain — any
+    * inter-stage contract drift (the t75 lesson) goes red. */
+  private def t89_web_clean(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val moji = " cafÃ© itâ€™s " +
+      "â€” done"
+    val boiler = "please subscribe to our newsletter today for many " +
+      "more updates delivered directly to your inbox every single " +
+      "morning friend"
+    val dirty = when(col("doc_id") % 3 === 0,
+      concat(col("text"), lit(moji))).otherwise(col("text"))
+    val html = concat(
+      lit("<html><head><title>Doc "), col("doc_id"),
+      lit("</title></head><body>"),
+      lit("<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a>" +
+        " <a href=\"/contact\">Contact</a></nav>"),
+      lit(s"<p>$mcFiller1 "), dirty, lit("</p>"),
+      lit("<aside>Sponsored <a href=\"/deal"), col("doc_id"),
+      lit("\">deal</a> today</aside>"),
+      lit(s"<p>$mcFiller2 "), dirty, lit("</p>"),
+      lit(s"<p>$boiler</p>"),
+      lit("<footer>Copyright "), col("doc_id"),
+      lit(" <a href=\"/privacy\">Privacy</a></footer></body></html>"))
+    val extracted = docs.select(col("doc_id"),
+      graft.functions.MojibakeRepairExpr(
+        graft.functions.TextFunctions.mainContent(html)).as("text"))
+    val lined = graft.operators.Dedup.dropFrequentLines(
+      extracted, "doc_id", "text", minCount = 3)
+    val hosts = array(lit("news.example.com"), lit("blog.example.co.uk"),
+      lit("ads.spamfarm.co.uk"), lit("example.org"),
+      lit("cdn.assets.example.org"), lit("static.junk.com"))
+    val base = conv(substring(md5(concat(lit("dq:"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+    val scored = lined.select(col("doc_id"), col("text_clean"),
+      col("n_dropped"),
+      concat(lit("https://"),
+        element_at(hosts, (col("doc_id") % 6 + 1).cast("int")),
+        lit("/p/"), col("doc_id").cast("string")).as("url"),
+      when(col("doc_id") % 6 === 2, base % 30)
+        .otherwise(base % 70 + 30).as("score"))
+    graft.operators.Frontier.dropLowQualityDomains(scored, "url", "score",
+        Seq("com", "org", "net", "co.uk", "ac.uk", "github.io"),
+        minMeanNum = 40L)
+      .select(col("doc_id"), col("domain"), col("score"),
+        col("text_clean"), col("n_dropped"))
+      .orderBy("doc_id")
+  }
+
   private def t65_main_content(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"),
@@ -6050,6 +6106,7 @@ object SparkEntry {
     "m18_shot_detect" -> (m18_shot_detect _),
     "ml5_auc" -> (ml5_auc _),
     "t88_inverted_index" -> (t88_inverted_index _),
+    "t89_web_clean" -> (t89_web_clean _),
     "t77_token_budget" -> (t77_token_budget _),
     "t11_perplexity" -> (t11_perplexity _),
     "t20_backoff_lm" -> (t20_backoff_lm _),
@@ -10033,6 +10090,76 @@ object SparkEntry {
          FROM done d JOIN nb ON nb.bucket = d.bucket,
            UNNEST(range(1, len(d.ids) + 1)) AS t(i)
          ORDER BY d.bucket, seq_ix""",
+    // all four stages in one CTE chain: the extraction + repair stated
+    // closed-form (the t65/t84 conventions), the line-frequency rule
+    // counted from scratch, the domain flag cross-multiplied
+    "t89_web_clean" ->
+      ("""WITH clean AS (SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+               THEN text || ' caf""" + "é it’s —" + """ done'
+               ELSE text END AS ct
+           FROM documents),
+         content AS (SELECT doc_id,
+             'Lead filler sentence with comfortably more than the sixteen '
+               || 'words the shallow classifier needs to call a block '
+               || 'content: ' || ct || chr(10) ||
+             'A second body paragraph likewise carries enough running '
+               || 'words to stand as content on its own after the aside: '
+               || ct || chr(10) ||
+             'please subscribe to our newsletter today for many more '
+               || 'updates delivered directly to your inbox every single '
+               || 'morning friend' AS text
+           FROM clean),
+         ls AS (SELECT doc_id, string_split(text, chr(10)) AS l
+           FROM content),
+         lines AS (SELECT doc_id, i - 1 AS pos, l[CAST(i AS INT)] AS line
+           FROM ls, UNNEST(range(1, len(l) + 1)) AS t(i)),
+         freq AS (SELECT line FROM lines GROUP BY line
+           HAVING count(*) >= 3),
+         kept AS (SELECT li.doc_id, li.pos, li.line FROM lines li
+           LEFT JOIN freq f ON f.line = li.line WHERE f.line IS NULL),
+         agg AS (SELECT doc_id,
+             string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+             CAST(count(*) AS BIGINT) AS n_kept
+           FROM kept GROUP BY doc_id),
+         tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+           FROM lines GROUP BY doc_id),
+         cleaned AS (SELECT t.doc_id,
+             COALESCE(a.text_clean, '') AS text_clean,
+             CAST(t.n_lines - COALESCE(a.n_kept, 0) AS BIGINT) AS n_dropped
+           FROM tot t LEFT JOIN agg a USING (doc_id)),
+         u AS (SELECT doc_id,
+             CASE CAST(doc_id % 6 AS INT)
+               WHEN 0 THEN 'news.example.com'
+               WHEN 1 THEN 'blog.example.co.uk'
+               WHEN 2 THEN 'ads.spamfarm.co.uk'
+               WHEN 3 THEN 'example.org'
+               WHEN 4 THEN 'cdn.assets.example.org'
+               ELSE 'static.junk.com' END AS host,
+             CAST(concat('0x', substr(md5('dq:' || CAST(doc_id AS VARCHAR)),
+               1, 8)) AS BIGINT) AS b
+           FROM documents),
+         sc AS (SELECT doc_id, host,
+             CASE WHEN doc_id % 6 = 2 THEN b % 30 ELSE b % 70 + 30 END
+               AS score
+           FROM u),
+         reg AS (SELECT doc_id, score,
+             CASE WHEN lsx[nl - 1] || '.' || lsx[nl] IN
+                 ('co.uk', 'ac.uk', 'github.io')
+               THEN lsx[nl - 2] || '.' || lsx[nl - 1] || '.' || lsx[nl]
+               ELSE lsx[nl - 1] || '.' || lsx[nl] END AS domain
+           FROM (SELECT doc_id, score, string_split(host, '.') AS lsx,
+               CAST(len(string_split(host, '.')) AS INT) AS nl FROM sc) x),
+         flagged AS (SELECT domain FROM
+             (SELECT domain, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(score) AS BIGINT) AS ss
+              FROM reg GROUP BY domain) g
+           WHERE ss * 1 < n * 40)
+         SELECT r.doc_id, r.domain, CAST(r.score AS BIGINT) AS score,
+           c.text_clean, c.n_dropped
+         FROM reg r JOIN cleaned c USING (doc_id)
+         LEFT JOIN flagged f ON f.domain = r.domain
+         WHERE f.domain IS NULL ORDER BY r.doc_id"""),
     // the index answer recomputed from the raw corpus: t12b's literal
     // BM25 operation order with the sidecar's integer avgdl convention
     // (sum(dl)/count, not avg), rounded rank keys, top 20
