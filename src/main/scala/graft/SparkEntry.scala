@@ -2134,6 +2134,38 @@ object SparkEntry {
       .orderBy("rank")
   }
 
+  /** Streaming inverted-index ingest
+    * ([[graft.streaming.Streams.invertedIngest]]): the even-id half of
+    * the corpus builds the base index, the odd half arrives as two
+    * micro-batches whose postings AND stats rows commit exactly-once
+    * under batch tags — and the post-stream index must answer the
+    * t88-style top-k EXACTLY as a from-scratch full-corpus computation
+    * (a double-counted stats row or a lost batch shifts avgdl/df and
+    * the hash). */
+  private def st24_stream_inverted(s: SparkSession, dir: String): DataFrame = {
+    val base = "/tmp/graft_fixtures/invingest_" +
+      java.net.URLEncoder.encode(dir, "UTF-8")
+    val conf = s.sessionState.newHadoopConf()
+    val bp = new org.apache.hadoop.fs.Path(base)
+    bp.getFileSystem(conf).delete(bp, true)
+    val (src, idx, cp) = (s"$base/src", s"$base/idx", s"$base/cp")
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    graft.operators.Retrieval.invertedIndexBuildAndWrite(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", idx,
+      numBuckets = 16)
+    for (part <- Seq(1, 3))
+      docs.filter(col("doc_id") % 4 === part)
+        .coalesce(1).write.mode("append").parquet(src)
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q = graft.streaming.Streams.invertedIngest(
+      stream, "doc_id", "text", idx, cp)
+    try q.processAllAvailable() finally q.stop()
+    graft.operators.Retrieval.invertedIndexQuery(s, idx,
+        Seq("agg", "scan", "window"), k = 25)
+      .orderBy("rank")
+  }
+
   /** Exact tie-corrected ROC-AUC over the ml4 fixture
     * ([[graft.operators.Regression.aucExact]]): labels are drawn with
     * P(y=1 | score) ≈ score, giving a discriminative-but-imperfect
@@ -6107,6 +6139,7 @@ object SparkEntry {
     "ml5_auc" -> (ml5_auc _),
     "t88_inverted_index" -> (t88_inverted_index _),
     "t89_web_clean" -> (t89_web_clean _),
+    "st24_stream_inverted" -> (st24_stream_inverted _),
     "t77_token_budget" -> (t77_token_budget _),
     "t11_perplexity" -> (t11_perplexity _),
     "t20_backoff_lm" -> (t20_backoff_lm _),
@@ -10090,6 +10123,36 @@ object SparkEntry {
          FROM done d JOIN nb ON nb.bucket = d.bucket,
            UNNEST(range(1, len(d.ids) + 1)) AS t(i)
          ORDER BY d.bucket, seq_ix""",
+    // the t88 recomputation at k=25: the streamed index must answer as
+    // if built from the full corpus in one shot
+    "st24_stream_inverted" ->
+      """WITH w AS (SELECT doc_id,
+             regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+         d AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM w),
+         tf AS (SELECT doc_id, dl, t.term,
+             CAST(len(list_filter(ws, x -> x = t.term)) AS BIGINT) AS tf
+           FROM d CROSS JOIN
+             (SELECT unnest(['agg', 'scan', 'window']) AS term) t),
+         stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(dl) AS BIGINT) AS sdl FROM d),
+         dfs AS (SELECT term,
+             CAST(sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df
+           FROM tf GROUP BY term),
+         contrib AS (SELECT tf.doc_id,
+             ln((stats.n - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0) *
+               (tf.tf * (1.2 + 1)) /
+               (tf.tf + 1.2 * ((1 - 0.75) + 0.75 * tf.dl /
+                 (CAST(stats.sdl AS DOUBLE) / stats.n))) AS c
+           FROM tf JOIN dfs USING (term) CROSS JOIN stats
+           WHERE tf.tf > 0),
+         sc AS (SELECT doc_id, round(CAST(sum(c) AS DOUBLE), 6) AS score
+           FROM contrib GROUP BY doc_id),
+         rk AS (SELECT doc_id, score,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+               AS BIGINT) AS rank
+           FROM sc)
+         SELECT doc_id, score, rank FROM rk WHERE rank <= 25
+         ORDER BY rank""",
     // all four stages in one CTE chain: the extraction + repair stated
     // closed-form (the t65/t84 conventions), the line-frequency rule
     // counted from scratch, the domain flag cross-multiplied

@@ -550,11 +550,18 @@ object Retrieval {
 
   // ------------------- persisted inverted index (bucket-pruned serving)
 
-  /** Stats sidecar of a persisted inverted index: exact integers, so
-    * `avgdl = sumDl/nDocs` is the same double in any engine. */
+  /** Stats of a persisted inverted index: exact integers, so
+    * `avgdl = sumDl/nDocs` is the same double in any engine. The
+    * layout parameter (`numBuckets`) lives in an immutable JSON
+    * sidecar; the CORPUS stats live as tagged parquet rows under
+    * `_stats` — one row per ingested batch, written through
+    * [[graft.core.TaggedAppend]] so a crash-replayed batch OVERWRITES
+    * its own row instead of double-counting (the exactly-once
+    * requirement the streaming ingest inherits). */
   case class InvertedIndexStats(numBuckets: Int, nDocs: Long, sumDl: Long)
 
   private val InvIdxSidecar = "_graft_bm25_stats.json"
+  private val InvIdxStatsDir = "_stats"
 
   /** The term's bucket — the t31 md5-prefix convention
     * (`int(md5(term)[:8], 16) mod numBuckets`), replayable by any
@@ -580,36 +587,19 @@ object Retrieval {
       buf.toByteArray
     } finally in.close()
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
-    Seq("numBuckets", "nDocs", "sumDl").foreach(f =>
-      require(node.hasNonNull(f), s"$InvIdxSidecar at $path lacks '$f'"))
+    require(node.hasNonNull("numBuckets"),
+      s"$InvIdxSidecar at $path lacks 'numBuckets'")
+    val row = spark.read.parquet(s"$path/$InvIdxStatsDir")
+      .agg(coalesce(sum(col("n_docs")), lit(0L)),
+        coalesce(sum(col("sum_dl")), lit(0L))).head()
     InvertedIndexStats(node.get("numBuckets").asInt,
-      node.get("nDocs").asLong, node.get("sumDl").asLong)
+      row.getLong(0), row.getLong(1))
   }
 
-  /** Build and persist a FULL-VOCABULARY inverted index, partitioned by
-    * the term's md5 bucket (`gr_bucket=`): rows are
-    * `(term, doc_id, tf, dl)` postings; corpus stats (doc count, total
-    * length — exact integers) ride a JSON sidecar. This is the serving
-    * layer [[bm25]] deliberately is not: bm25 re-scans the corpus per
-    * query; the index pays one token-explode shuffle ONCE, and every
-    * query after reads only its terms' bucket partitions — query cost
-    * is bucket-bounded, not corpus-bounded, the `gr_cluster=` IVF
-    * story applied to text.
-    *
-    * `mode="append"` adds a DISJOINT document batch (caller contract —
-    * re-indexing a doc would double its postings, same as every
-    * append-mode index here): bucket layout must match (sidecar-
-    * checked) and the stats sidecar is re-written with the summed
-    * integers. */
-  def invertedIndexBuildAndWrite(df: DataFrame, idCol: String,
-      textCol: String, path: String, numBuckets: Int = 64,
-      mode: String = "overwrite"): Unit = {
-    require(numBuckets >= 1, s"numBuckets must be >= 1; got $numBuckets")
-    require(mode == "overwrite" || mode == "append",
-      s"mode must be overwrite|append; got $mode")
-    val spark = df.sparkSession
+  private def invIdxPostings(df: DataFrame, idCol: String,
+      textCol: String, numBuckets: Int): DataFrame = {
     val toks = tokenized(df, idCol, textCol)
-    val postings = toks
+    toks
       .select(col(idCol).cast("long").as("doc_id"), col("dl"),
         explode(col("__w")).as("term"))
       .groupBy(col("term"), col("doc_id"), col("dl"))
@@ -617,26 +607,64 @@ object Retrieval {
       .withColumn("gr_bucket",
         pmod(conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long"),
           lit(numBuckets.toLong)))
-    val prev =
-      if (mode == "append") {
-        val st = invIdxStatsRead(spark, path)
-        require(st.numBuckets == numBuckets,
-          s"index at $path has numBuckets=${st.numBuckets}, append " +
-            s"requested $numBuckets — bucket layouts would mix")
-        Some(st)
-      } else None
-    postings.write.partitionBy("gr_bucket").mode(mode).parquet(path)
-    val row = toks.agg(count(lit(1)).as("n"),
-      coalesce(sum(col("dl")), lit(0L)).as("s")).head()
-    val nDocs = row.getLong(0) + prev.map(_.nDocs).getOrElse(0L)
-    val sumDl = row.getLong(1) + prev.map(_.sumDl).getOrElse(0L)
+  }
+
+  private def invIdxStatsAppend(df: DataFrame, idCol: String,
+      textCol: String, path: String, tag: String): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val row = tokenized(df, idCol, textCol)
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dl")), lit(0L)).as("s")).head()
+    graft.core.TaggedAppend.append(
+      Seq((row.getLong(0), row.getLong(1))).toDF("n_docs", "sum_dl"),
+      s"$path/$InvIdxStatsDir", tag)
+    ()
+  }
+
+  /** Build and persist a FULL-VOCABULARY inverted index, partitioned by
+    * the term's md5 bucket (`gr_bucket=`): rows are
+    * `(term, doc_id, tf, dl)` postings; corpus stats (doc count, total
+    * length — exact integers) land as the `base` tagged stats row and
+    * the layout parameter as an immutable JSON sidecar. This is the
+    * serving layer [[bm25]] deliberately is not: bm25 re-scans the
+    * corpus per query; the index pays one token-explode shuffle ONCE,
+    * and every query after reads only its terms' bucket partitions —
+    * query cost is bucket-bounded, not corpus-bounded, the
+    * `gr_cluster=` IVF story applied to text. Grow it with
+    * [[invertedIndexAppend]]. */
+  def invertedIndexBuildAndWrite(df: DataFrame, idCol: String,
+      textCol: String, path: String, numBuckets: Int = 64): Unit = {
+    require(numBuckets >= 1, s"numBuckets must be >= 1; got $numBuckets")
+    val spark = df.sparkSession
+    invIdxPostings(df, idCol, textCol, numBuckets)
+      .write.partitionBy("gr_bucket").mode("overwrite").parquet(path)
     val conf = spark.sessionState.newHadoopConf()
     val fs = graft.core.Discovery.fileSystemFor(path, conf)
     val out = fs.create(new org.apache.hadoop.fs.Path(path, InvIdxSidecar), true)
-    try out.write(
-      s"""{"numBuckets":$numBuckets,"nDocs":$nDocs,"sumDl":$sumDl}"""
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(s"""{"numBuckets":$numBuckets}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    invIdxStatsAppend(df, idCol, textCol, path, tag = "base")
+  }
+
+  /** Append a DISJOINT document batch to a persisted index (caller
+    * contract — re-indexing a doc would double its postings, same as
+    * every append-mode index here) under a batch `tag`: postings AND
+    * the batch's stats row both land through
+    * [[graft.core.TaggedAppend]], so a crash-then-replay of the SAME
+    * tag converges to exactly one copy of each — the property the
+    * streaming ingest ([[graft.streaming.Streams.invertedIngest]])
+    * builds its exactly-once protocol on. Bucket layout comes from the
+    * stored sidecar (it cannot be mixed by construction). */
+  def invertedIndexAppend(df: DataFrame, idCol: String, textCol: String,
+      path: String, tag: String): Unit = {
+    val spark = df.sparkSession
+    val st = invIdxStatsRead(spark, path)
+    graft.core.TaggedAppend.append(
+      invIdxPostings(df, idCol, textCol, st.numBuckets),
+      path, tag, partitionCols = Seq("gr_bucket"))
+    invIdxStatsAppend(df, idCol, textCol, path, tag)
   }
 
   /** The PRUNED posting scan for a term set: lists and reads ONLY the

@@ -630,6 +630,44 @@ object Streams {
         ()
     }
 
+  /** [[ivfIngest]]'s analog for the persisted INVERTED INDEX
+    * ([[graft.operators.Retrieval.invertedIndexBuildAndWrite]]): each
+    * micro-batch of documents appends its postings AND its stats row
+    * under the checkpoint-keyed batch tag (both TaggedAppend-backed,
+    * so a crash at any point then replay converges — the stats can
+    * never double-count because a replayed tag overwrites its own
+    * row), and the commit marker skips fully-committed batches. The
+    * index is queryable mid-stream; avgdl/N simply reflect the batches
+    * committed so far. Batches must carry DISJOINT documents (the
+    * append contract). */
+  def invertedIngest(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexPath: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    appendIngest(docs, checkpoint, trigger, "invertedIngest") {
+      (batch, batchId) =>
+        invertedIngestBatch(batch, batchId, idCol, textCol, indexPath,
+          checkpoint)
+    }
+
+  /** One micro-batch of [[invertedIngest]], exposed for direct
+    * crash-replay testing. Returns false when already committed. */
+  private[graft] def invertedIngestBatch(
+      batch: DataFrame,
+      batchId: Long,
+      idCol: String,
+      textCol: String,
+      indexPath: String,
+      checkpoint: String): Boolean =
+    appendIngestBatch(batch, batchId, indexPath, checkpoint, "inv") {
+      (_, tag) =>
+        graft.operators.Retrieval.invertedIndexAppend(batch, idCol,
+          textCol, indexPath, tag)
+    }
+
   /** Shared exactly-once batch protocol: the append is replay-idempotent
     * per batch tag ([[graft.core.TaggedAppend]] underneath), and a
     * checkpoint-keyed commit marker skips fully-committed batches on

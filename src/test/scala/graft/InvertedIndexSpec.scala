@@ -42,9 +42,8 @@ class InvertedIndexSpec extends SparkSpec {
     val path = freshPath()
     Retrieval.invertedIndexBuildAndWrite(
       docs.filter(col("doc_id") <= 3), "doc_id", "text", path, numBuckets = 8)
-    Retrieval.invertedIndexBuildAndWrite(
-      docs.filter(col("doc_id") > 3), "doc_id", "text", path,
-      numBuckets = 8, mode = "append")
+    Retrieval.invertedIndexAppend(
+      docs.filter(col("doc_id") > 3), "doc_id", "text", path, tag = "b1")
     val viaIndex = Retrieval.invertedIndexQuery(spark, path,
         Seq("agg", "window"), k = 10).select("doc_id", "score")
     val direct = Retrieval.bm25(docs, "doc_id", "text", Seq("agg", "window"))
@@ -52,14 +51,40 @@ class InvertedIndexSpec extends SparkSpec {
     assert(canon(viaIndex) == canon(direct))
   }
 
-  test("append with a different bucket layout is refused") {
+  test("a replayed append tag converges: postings and stats never double") {
     val path = freshPath()
-    Retrieval.invertedIndexBuildAndWrite(docs, "doc_id", "text", path,
-      numBuckets = 8)
-    intercept[IllegalArgumentException] {
-      Retrieval.invertedIndexBuildAndWrite(docs, "doc_id", "text", path,
-        numBuckets = 16, mode = "append")
-    }
+    Retrieval.invertedIndexBuildAndWrite(
+      docs.filter(col("doc_id") <= 3), "doc_id", "text", path, numBuckets = 8)
+    val batch = docs.filter(col("doc_id") > 3)
+    Retrieval.invertedIndexAppend(batch, "doc_id", "text", path, "b1")
+    val once = canon(Retrieval.invertedIndexQuery(spark, path,
+      Seq("agg", "window"), k = 10))
+    val rowsOnce = spark.read.parquet(path).count()
+    // crash-then-replay of the SAME tag
+    Retrieval.invertedIndexAppend(batch, "doc_id", "text", path, "b1")
+    assert(spark.read.parquet(path).count() == rowsOnce)
+    assert(canon(Retrieval.invertedIndexQuery(spark, path,
+      Seq("agg", "window"), k = 10)) == once)
+  }
+
+  test("streaming ingest equals the batch build (exactly-once end to end)") {
+    val path = freshPath()
+    val src = tmpDir("invsrc")
+    val cp = tmpDir("invcp")
+    Retrieval.invertedIndexBuildAndWrite(
+      docs.filter(col("doc_id") <= 2), "doc_id", "text", path, numBuckets = 8)
+    docs.filter(col("doc_id") === 3).write.mode("append").parquet(src)
+    docs.filter(col("doc_id") > 3).write.mode("append").parquet(src)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q = graft.streaming.Streams.invertedIngest(
+      stream, "doc_id", "text", path, cp)
+    try q.processAllAvailable() finally q.stop()
+    val viaIndex = Retrieval.invertedIndexQuery(spark, path,
+        Seq("agg", "window"), k = 10).select("doc_id", "score")
+    val direct = Retrieval.bm25(docs, "doc_id", "text", Seq("agg", "window"))
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+    assert(canon(viaIndex) == canon(direct))
   }
 
   test("querying a non-index path is refused loudly") {
