@@ -103,8 +103,9 @@ object Bench {
     // detection (map-side container walk + byte-diff kernel)
     "t87_bestfit_pack", "m18_shot_detect",
     // the composed web-to-corpus cleaning chain (extract -> repair ->
-    // line-frequency -> domain filter in one program)
-    "t89_web_clean")
+    // line-frequency -> domain filter in one program); PCM silence
+    // segmentation (map-side sample walk)
+    "t89_web_clean", "m19_audio_vad")
 
   /** Queries measured on the replicated corpus for the scaling slope —
     * the shuffle-heavy pipeline shapes whose 100 TB behavior a plan read
@@ -220,8 +221,9 @@ object Bench {
     // constant boilerplate paragraph is shared across replicas (grows
     // x10, stays one distinct line) while doc lines are replica-
     // suffixed and disjoint — the d26 growth shape plus t80's
-    // constant-domain rollup
-    "t89_web_clean")
+    // constant-domain rollup. m19: one sample walk per payload,
+    // map-side; replica payloads are disjoint docs
+    "t89_web_clean", "m19_audio_vad")
 
   /** Materialize a `factor`×-replicated copy of the FACT tables the scale
     * set reads (documents, lineitem, orders, events) plus 1× copies of

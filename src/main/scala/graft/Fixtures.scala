@@ -260,6 +260,20 @@ object Fixtures {
       }.toDF("doc_id", "payload").coalesce(1).write.mode("overwrite").parquet(dir)
     }
 
+  /** WAVs with two planted ≥-minRun quiet runs per doc for the VAD
+    * gate; sample arithmetic is the m5 closed form outside them. */
+  def audioVadDocs(spark: SparkSession, sfDir: String): String =
+    cached("audio_vad_docs", sfDir) { dir =>
+      import spark.implicits._
+      val ids = table(spark, sfDir, "documents").select("doc_id")
+        .as[Long].collect().sorted
+      ids.toSeq.map { id =>
+        val n = 400 + (id % 200).toInt
+        (id, graft.operators.Multimodal.syntheticWavPcm16Silence(
+          8000, id, n, Seq((n / 4, 80), ((5 * n) / 8, 80))))
+      }.toDF("doc_id", "payload").coalesce(1).write.mode("overwrite").parquet(dir)
+    }
+
   /** A layout with one deliberately corrupt member for lazy-error semantics:
     * nation as json-lines plus one unparseable file. */
   def lazyNation(spark: SparkSession, sfDir: String): String =

@@ -5031,6 +5031,23 @@ object SparkEntry {
         col("shot.start_ms").as("start_ms"))
       .orderBy("doc_id", "shot_ix")
 
+  /** Silence segmentation ([[graft.operators.Multimodal.wavSilenceSegments]]):
+    * two planted 80-sample quiet runs per doc must cut, voiced segments
+    * trim to their voiced extent, and any ACCIDENTAL quiet runs the m5
+    * sample formula produces fall under the same replayed rule — the
+    * oracle recomputes every sample, finds the ≥50 quiet islands, and
+    * groups voiced samples by pauses-before. */
+  private def m19_audio_vad(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeWavSegments(
+        s.read.parquet(Fixtures.audioVadDocs(s, dir)),
+        ampThreshold = 100, minRun = 50)
+      .filter(col("vad.format") === "wav")
+      .select(col("doc_id"), explode(col("vad.segments")).as("seg"))
+      .select(col("doc_id"), col("seg.seg_ix").as("seg_ix"),
+        col("seg.start_sample").as("start_sample"),
+        col("seg.end_sample").as("end_sample"))
+      .orderBy("doc_id", "seg_ix")
+
   private def m2_audio(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeAudioMeta(s.read.parquet(Fixtures.audioDocs(s, dir)))
       .select(col("doc_id"), col("audio_meta.sample_rate"),
@@ -6140,6 +6157,7 @@ object SparkEntry {
     "t88_inverted_index" -> (t88_inverted_index _),
     "t89_web_clean" -> (t89_web_clean _),
     "st24_stream_inverted" -> (st24_stream_inverted _),
+    "m19_audio_vad" -> (m19_audio_vad _),
     "t77_token_budget" -> (t77_token_budget _),
     "t11_perplexity" -> (t11_perplexity _),
     "t20_backoff_lm" -> (t20_backoff_lm _),
@@ -10305,6 +10323,40 @@ object SparkEntry {
            round(CAST(n_pos AS DOUBLE) / n, 6) AS acc,
            round(CAST(num AS DOUBLE) / (nn * 1000000), 6) AS ece
          FROM b, tot ORDER BY bin""",
+    // every sample recomputed, quiet islands of >= minRun found by the
+    // gaps-and-islands grouping, voiced samples grouped by pauses-before
+    "m19_audio_vad" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(400 + doc_id % 200 AS BIGINT) AS n FROM documents),
+         s AS (SELECT doc_id, t.i AS i,
+             CASE WHEN (t.i >= n // 4 AND t.i < n // 4 + 80)
+                 OR (t.i >= (5 * n) // 8 AND t.i < (5 * n) // 8 + 80)
+               THEN (doc_id + t.i) % 7 - 3
+               ELSE ((doc_id * 131 + t.i * 31) % 65536) - 32768 END AS v
+           FROM d, UNNEST(range(0, n)) AS t(i)),
+         q AS (SELECT doc_id, i,
+             CASE WHEN abs(v) < 100 THEN 1 ELSE 0 END AS quiet FROM s),
+         runs AS (SELECT doc_id, min(i) AS rs, max(i) AS re
+           FROM (SELECT doc_id, i,
+               i - CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i)
+                 AS BIGINT) AS grp
+             FROM q WHERE quiet = 1) x
+           GROUP BY doc_id, grp HAVING count(*) >= 50),
+         voiced AS (SELECT doc_id, i FROM q WHERE quiet = 0),
+         pc AS (SELECT v.doc_id, v.i,
+             CAST(count(r.re) AS BIGINT) AS g
+           FROM voiced v LEFT JOIN runs r
+             ON r.doc_id = v.doc_id AND r.re < v.i
+           GROUP BY v.doc_id, v.i),
+         segs AS (SELECT doc_id, g,
+             CAST(min(i) AS BIGINT) AS start_sample,
+             CAST(max(i) + 1 AS BIGINT) AS end_sample
+           FROM pc GROUP BY doc_id, g)
+         SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id
+             ORDER BY start_sample) - 1 AS INT) AS seg_ix,
+           start_sample, end_sample
+         FROM segs ORDER BY doc_id, seg_ix""",
     // every frame byte recomputed from the builder's closed form, the
     // integer mean-abs-diff rule applied per consecutive pair, frame 0
     // unioned in as every doc's shot 0

@@ -224,6 +224,55 @@ object Multimodal {
     }
   }
 
+  /** Voice-activity segmentation of a mono PCM16 stream — the VAD-lite
+    * of audio curation (drop dead air, cut long recordings at natural
+    * pauses, per-utterance dedup): a maximal run of ≥ `minRun` samples
+    * with `|v| < ampThreshold` is a PAUSE; the voiced segments are the
+    * maximal intervals between pauses (short quiet runs inside them do
+    * not split). Segments are TRIMMED to their voiced extent — start is
+    * the first voiced sample, end one past the last, so leading and
+    * trailing quiet never pad a segment on either side. Integer rule
+    * end to end, so any engine replaying the samples draws the same
+    * cuts — the audio sibling of [[mp4ShotBoundaries]], and like it,
+    * codec-free by construction (a real decoder slots in ahead of the
+    * same rule). Returns `(segIx, startSample, endSample)` half-open
+    * voiced intervals — empty Seq for an all-silent payload; None
+    * outside the PCM16 support envelope. */
+  def wavSilenceSegments(b: Array[Byte], ampThreshold: Int,
+      minRun: Int): Option[Seq[(Int, Long, Long)]] = {
+    require(ampThreshold >= 1 && minRun >= 1,
+      s"need ampThreshold, minRun >= 1; got $ampThreshold, $minRun")
+    wavPcm16Data(b).map { case (dataOff, n) =>
+      val segs = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+      var segStart = -1L // first voiced sample of the open segment
+      var lastVoiced = -1L
+      var quiet = 0L // length of the current quiet run
+      var j = 0L
+      def close(): Unit =
+        if (segStart >= 0) {
+          segs += ((segs.length, segStart, lastVoiced + 1))
+          segStart = -1L
+        }
+      while (j < n) {
+        val p = (dataOff + 2 * j).toInt
+        val v = (((b(p + 1) & 0xFF) << 8) | (b(p) & 0xFF)).toShort.toInt
+        if (math.abs(v) < ampThreshold) {
+          quiet += 1
+          // the segment closes (trimmed to its last voiced sample) the
+          // moment the quiet run proves to be a pause
+          if (quiet == minRun) close()
+        } else {
+          if (segStart < 0) segStart = j
+          lastVoiced = j
+          quiet = 0L
+        }
+        j += 1
+      }
+      close()
+      segs.toSeq
+    }
+  }
+
   /** Decimate a mono PCM16 stream: every `k`-th sample starting at 0 —
     * the frame/sample-sampling primitive of audio featurization (naive
     * decimation, no anti-alias filter; a windowed resampler would slot
@@ -243,6 +292,46 @@ object Multimodal {
       }
       (n, out)
     }
+  }
+
+  private val vadType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("segments", ArrayType(StructType(Seq(
+      StructField("seg_ix", IntegerType, nullable = false),
+      StructField("start_sample", LongType, nullable = false),
+      StructField("end_sample", LongType, nullable = false))),
+      containsNull = false), nullable = true)))
+
+  /** Batched silence segmentation ([[wavSilenceSegments]]);
+    * `undecodable` (null segments) for non-PCM16. */
+  def decodeWavSegments(df: DataFrame, ampThreshold: Int, minRun: Int,
+      payloadCol: String = "payload",
+      outCol: String = "vad"): DataFrame =
+    decodeMeta(df, payloadCol, outCol, vadType) { bytes =>
+      wavSilenceSegments(bytes, ampThreshold, minRun) match {
+        case Some(segs) =>
+          Row("wav", segs.map { case (ix, st, en) => Row(ix, st, en) })
+        case None => Row("undecodable", null)
+      }
+    }
+
+  /** [[syntheticWavPcm16]] with PLANTED quiet runs: sample `i` inside
+    * any `(start, len)` window is `(id + i) mod 7 − 3` (|v| ≤ 3),
+    * elsewhere the m5 closed form — both replayable byte for byte. */
+  def syntheticWavPcm16Silence(rate: Int, id: Long, n: Int,
+      silences: Seq[(Int, Int)]): Array[Byte] = {
+    val base = syntheticWavPcm16(rate, id, n)
+    val dataOff = base.length - n * 2
+    silences.foreach { case (start, len) =>
+      var i = math.max(0, start)
+      while (i < math.min(n, start + len)) {
+        val v = ((id + i) % 7 - 3).toShort
+        base(dataOff + 2 * i) = (v & 0xFF).toByte
+        base(dataOff + 2 * i + 1) = ((v >> 8) & 0xFF).toByte
+        i += 1
+      }
+    }
+    base
   }
 
   private val decimateType = StructType(Seq(
