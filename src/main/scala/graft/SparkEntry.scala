@@ -2182,6 +2182,20 @@ object SparkEntry {
     graft.operators.Regression.aucExact(scored, "score", "label")
   }
 
+  /** Operating-point metrics at threshold 0.5 over the ml4 fixture
+    * ([[graft.operators.Regression.confusionAtThreshold]]): exact
+    * micro-unit split, integer-rational F1, every division final. */
+  private def ml6_confusion(s: SparkSession, dir: String): DataFrame = {
+    def h(tag: String) = conv(substring(md5(concat(lit(tag),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long") % 1000000L
+    val scored = t(s, dir, "documents").select(col("doc_id"))
+      .select(col("doc_id"),
+        (h("cs:").cast("double") / 1000000.0).as("score"),
+        when(h("cl:") < h("cs:"), 1L).otherwise(0L).as("label"))
+    graft.operators.Regression.confusionAtThreshold(scored,
+      "score", "label", threshold = 0.5)
+  }
+
   /** k-anonymity suppression ([[graft.operators.Privacy.kAnonymitySuppress]])
     * over the event log's quasi-identifier tuple (cohort, slot,
     * event_type) — ~800 combinations over the corpus, straddling k=10
@@ -6158,6 +6172,7 @@ object SparkEntry {
     "t89_web_clean" -> (t89_web_clean _),
     "st24_stream_inverted" -> (st24_stream_inverted _),
     "m19_audio_vad" -> (m19_audio_vad _),
+    "ml6_confusion" -> (ml6_confusion _),
     "t77_token_budget" -> (t77_token_budget _),
     "t11_perplexity" -> (t11_perplexity _),
     "t20_backoff_lm" -> (t20_backoff_lm _),
@@ -10272,6 +10287,34 @@ object SparkEntry {
            FROM sc)
          SELECT doc_id, score, rank FROM rk WHERE rank <= 20
          ORDER BY rank""",
+    // the exact micro-unit split at t=0.5, then only final divisions
+    "ml6_confusion" ->
+      """WITH sc AS (SELECT doc_id,
+             CAST(concat('0x', substr(md5('cs:' ||
+               CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS m,
+             CAST(concat('0x', substr(md5('cl:' ||
+               CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS lm
+           FROM documents),
+         r AS (SELECT CASE WHEN m >= 500000 THEN 1 ELSE 0 END AS p,
+             CASE WHEN lm < m THEN 1 ELSE 0 END AS y
+           FROM sc),
+         c AS (SELECT
+             CAST(sum(p * y) AS BIGINT) AS tp,
+             CAST(sum(p * (1 - y)) AS BIGINT) AS fp,
+             CAST(sum((1 - p) * (1 - y)) AS BIGINT) AS tn,
+             CAST(sum((1 - p) * y) AS BIGINT) AS fn
+           FROM r)
+         SELECT tp, fp, tn, fn,
+           round(CASE WHEN tp + fp = 0 THEN NULL
+             ELSE CAST(tp AS DOUBLE) / (tp + fp) END, 6) AS precision,
+           round(CASE WHEN tp + fn = 0 THEN NULL
+             ELSE CAST(tp AS DOUBLE) / (tp + fn) END, 6) AS recall,
+           round(CASE WHEN tp * 2 + fp + fn = 0 THEN NULL
+             ELSE CAST(tp * 2 AS DOUBLE) / (tp * 2 + fp + fn) END, 6) AS f1,
+           round(CASE WHEN tp + fp + tn + fn = 0 THEN NULL
+             ELSE CAST(tp + tn AS DOUBLE) / (tp + fp + tn + fn) END, 6)
+             AS accuracy
+         FROM c""",
     // the Mann-Whitney statistic replayed on distinct micro-scores:
     // one ordered prefix sum, the doubled numerator an exact integer
     "ml5_auc" ->

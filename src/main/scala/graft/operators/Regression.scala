@@ -341,6 +341,38 @@ object Regression {
             (col("n_pos") * col("n_neg") * 2L)), 6).as("auc"))
   }
 
+  /** Confusion counts and the derived precision/recall/F1/accuracy at a
+    * decision threshold — the operating-point companion to [[aucExact]]
+    * (which integrates over all thresholds) and [[calibrationBins]].
+    * The threshold compares in 6-decimal micro-units (score ≥ t is
+    * positive), so the split is exact in any engine; F1 uses the
+    * integer-rational form `2·tp / (2·tp + fp + fn)`, and every
+    * derived metric with a zero denominator reports null rather than
+    * an arbitrary convention. ONE aggregate; returns a single row
+    * `(tp, fp, tn, fn, precision, recall, f1, accuracy)`. */
+  def confusionAtThreshold(df: DataFrame, scoreCol: String,
+      labelCol: String, threshold: Double): DataFrame = {
+    val tMicro = math.round(threshold * 1000000L)
+    val micro = (col(scoreCol).cast("decimal(18,6)") * 1000000L)
+      .cast("long")
+    val pred = (micro >= tMicro).cast("long")
+    val y = (col(labelCol).cast("long") > 0).cast("long")
+    def rat(num: Column, den: Column): Column =
+      round(when(den === 0, lit(null))
+        .otherwise(num.cast("double") / den), 6)
+    df.agg(
+        sum(pred * y).as("tp"),
+        sum(pred * (lit(1L) - y)).as("fp"),
+        sum((lit(1L) - pred) * (lit(1L) - y)).as("tn"),
+        sum((lit(1L) - pred) * y).as("fn"))
+      .select(col("tp"), col("fp"), col("tn"), col("fn"),
+        rat(col("tp"), col("tp") + col("fp")).as("precision"),
+        rat(col("tp"), col("tp") + col("fn")).as("recall"),
+        rat(col("tp") * 2, col("tp") * 2 + col("fp") + col("fn")).as("f1"),
+        rat(col("tp") + col("tn"),
+          col("tp") + col("fp") + col("tn") + col("fn")).as("accuracy"))
+  }
+
   def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
       nBins: Int = 10): DataFrame = {
     require(nBins >= 2, s"nBins must be >= 2; got $nBins")

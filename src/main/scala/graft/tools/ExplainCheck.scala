@@ -50,7 +50,13 @@ object ExplainCheck {
         // broadcast), k-anonymity (combo-grain join)
         "d26_line_boilerplate", "t80_domain_rollup", "t83_crawl_rank",
         "t85_context_order", "t84_mojibake", "t82_ul2_plan",
-        "ml4_calibration", "t86_kanon", "t79_retrieval_metrics")
+        "ml4_calibration", "t86_kanon", "t79_retrieval_metrics",
+        // r17 third wave: BFD packing (shard sort + stream), the
+        // bucket-pruned index query, composed web cleaning, the two
+        // media segmenters (map-side walks), exact AUC (bounded
+        // ordered window), operating-point confusion (one aggregate)
+        "t87_bestfit_pack", "t88_inverted_index", "t89_web_clean",
+        "m18_shot_detect", "m19_audio_vad", "ml5_auc", "ml6_confusion")
     for (q <- qs) {
       val df = graft.SparkEntry.queries(q)(spark, dir)
       df.collect() // finalize AQE so the executed plan is the real one

@@ -105,3 +105,39 @@ class AucSpec extends SparkSpec {
     assert(skillful > 0.6, s"score-correlated labels must beat chance: $skillful")
   }
 }
+
+/** Operating-point metrics. */
+class ConfusionSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Regression
+
+  test("hand-computed confusion at 0.5, boundary score counts positive") {
+    val df = Seq((0.9, 1L), (0.5, 0L), (0.4, 1L), (0.1, 0L))
+      .toDF("score", "label")
+    val r = Regression.confusionAtThreshold(df, "score", "label", 0.5)
+      .collect().head
+    assert((r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+      r.getAs[Long]("tn"), r.getAs[Long]("fn")) == ((1L, 1L, 1L, 1L)))
+    assert(r.getAs[Double]("precision") == 0.5)
+    assert(r.getAs[Double]("recall") == 0.5)
+    assert(r.getAs[Double]("f1") == 0.5)
+    assert(r.getAs[Double]("accuracy") == 0.5)
+  }
+
+  test("degenerate denominators report null, not a convention") {
+    val allNeg = Seq((0.1, 0L), (0.2, 0L)).toDF("score", "label")
+    val r = Regression.confusionAtThreshold(allNeg, "score", "label", 0.5)
+      .collect().head
+    assert(r.isNullAt(r.fieldIndex("precision")))
+    assert(r.isNullAt(r.fieldIndex("recall")))
+    assert(r.getAs[Double]("accuracy") == 1.0)
+  }
+
+  test("f1 is the exact integer rational") {
+    // tp=2 fp=1 fn=0 -> f1 = 4/5
+    val df = Seq((0.9, 1L), (0.8, 1L), (0.7, 0L)).toDF("score", "label")
+    val r = Regression.confusionAtThreshold(df, "score", "label", 0.5)
+      .collect().head
+    assert(r.getAs[Double]("f1") == 0.8)
+  }
+}
