@@ -5742,6 +5742,37 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** JSON-LD structured-data harvest
+    * ([[graft.functions.TextFunctions.jsonLdBlocks]] +
+    * `get_json_object`): each fixture page carries an Article block
+    * (doc-derived name/wordCount), a Product block on doc_id % 5 == 0,
+    * and a MALFORMED decoy block whose fields must surface as nulls —
+    * never a task kill, never silently dropped (the block itself still
+    * counts). The oracle states the planted fields in closed form. */
+  private def t91_jsonld(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+    val article = concat(
+      lit("""<script type="application/ld+json">{"@type":"Article","name":"Doc """),
+      col("doc_id"), lit("""","wordCount":"""), col("n_chars"),
+      lit("}</script>"))
+    val product = when(col("doc_id") % 5 === 0, concat(
+      lit("""<script TYPE='application/ld+json'> {"@type":"Product","name":"Gadget """),
+      col("doc_id"), lit(""""} </script>"""))).otherwise(lit(""))
+    val decoy = lit(
+      """<script type="application/ld+json">{"@type": broken</script>""")
+    val html = concat(lit("<html><head>"), article, product, decoy,
+      lit("</head><body><script>var x = 1;</script>ignored</body></html>"))
+    docs.select(col("doc_id"),
+        posexplode(graft.functions.TextFunctions.jsonLdBlocks(html))
+          .as(Seq("block_ix", "__b")))
+      .select(col("doc_id"), col("block_ix").cast("int").as("block_ix"),
+        get_json_object(col("__b"), "$['@type']").as("jtype"),
+        get_json_object(col("__b"), "$.name").as("name"),
+        get_json_object(col("__b"), "$.wordCount").cast("long")
+          .as("word_count"))
+      .orderBy("doc_id", "block_ix")
+  }
+
   private def t65_main_content(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"),
@@ -6173,6 +6204,7 @@ object SparkEntry {
     "st24_stream_inverted" -> (st24_stream_inverted _),
     "m19_audio_vad" -> (m19_audio_vad _),
     "ml6_confusion" -> (ml6_confusion _),
+    "t91_jsonld" -> (t91_jsonld _),
     "t77_token_budget" -> (t77_token_budget _),
     "t11_perplexity" -> (t11_perplexity _),
     "t20_backoff_lm" -> (t20_backoff_lm _),
@@ -10287,6 +10319,26 @@ object SparkEntry {
            FROM sc)
          SELECT doc_id, score, rank FROM rk WHERE rank <= 20
          ORDER BY rank""",
+    // the planted blocks stated in closed form: Article always at ix 0,
+    // Product at ix 1 on the %5 docs, the malformed decoy last with
+    // all-null fields (parsed leniently, counted positionally)
+    "t91_jsonld" ->
+      """WITH a AS (SELECT doc_id, 0 AS block_ix, 'Article' AS jtype,
+             'Doc ' || doc_id AS name, CAST(n_chars AS BIGINT) AS word_count
+           FROM documents),
+         p AS (SELECT doc_id, 1 AS block_ix, 'Product' AS jtype,
+             'Gadget ' || doc_id AS name, CAST(NULL AS BIGINT) AS word_count
+           FROM documents WHERE doc_id % 5 = 0),
+         dk AS (SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END AS block_ix,
+             CAST(NULL AS VARCHAR) AS jtype, CAST(NULL AS VARCHAR) AS name,
+             CAST(NULL AS BIGINT) AS word_count
+           FROM documents)
+         SELECT doc_id, CAST(block_ix AS INT) AS block_ix, jtype, name,
+           word_count
+         FROM (SELECT * FROM a UNION ALL SELECT * FROM p
+               UNION ALL SELECT * FROM dk) u
+         ORDER BY doc_id, block_ix""",
     // the exact micro-unit split at t=0.5, then only final divisions
     "ml6_confusion" ->
       """WITH sc AS (SELECT doc_id,

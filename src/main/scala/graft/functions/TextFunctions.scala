@@ -492,6 +492,23 @@ object TextFunctions {
       }
   }
 
+  /** The JSON-LD blocks of a page — the
+    * `<script type="application/ld+json">` payloads carrying
+    * schema.org structured data (articles, products, breadcrumbs…),
+    * the machine-readable metadata a crawl pipeline harvests alongside
+    * t60's meta tags. One case-insensitive regexp pass per page
+    * (script elements never nest, so the non-greedy body IS the
+    * grammar, the sitemap-loc argument), whitespace-trimmed; parse
+    * fields from each block with `get_json_object` (codegen'd —
+    * malformed JSON yields null, never a task kill). Map-side only. */
+  def jsonLdBlocks(html: Column): Column =
+    transform(
+      regexp_extract_all(html,
+        lit("(?is)<script[^>]*type\\s*=\\s*[\"']application/ld\\+json[\"']" +
+          "[^>]*>(.*?)</script>"), lit(1)),
+      // trim() strips SPACES only — script bodies wrap in newlines
+      b => regexp_replace(b, "^\\s+|\\s+$", ""))
+
   /** The `<loc>` URLs of a sitemap XML body (sitemaps.org protocol —
     * the discovery leg robots.txt's `Sitemap:` lines point at), entity-
     * decoded as the protocol requires (`&amp;` is MANDATORY escaping in
