@@ -2754,6 +2754,35 @@ object SparkEntry {
     * The oracle reconstructs each field in closed form, so every regex
     * and the entity decode are hash-pinned.
     * See [[graft.functions.TextFunctions.htmlTitle]]. */
+  /** Meta-robots compliance ([[graft.operators.Frontier.pageDirectives]]
+    * / `indexablePages`): five directive variants — plain noindex,
+    * index-follow, uppercase NOINDEX+nofollow, `none` (implies both),
+    * and no meta at all (the indexable default) — in both attribute
+    * orders; the `kept` column is the ACTUAL survivor set of the
+    * filtering operator, left-joined back, so the gate pins the filter
+    * itself, not just the parse. */
+  private def t92_meta_robots(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val content = element_at(array(lit("noindex"), lit("index, follow"),
+      lit("NOINDEX, nofollow"), lit("none")),
+      (col("doc_id") % 5 + 1).cast("int"))
+    val meta = when(col("doc_id") % 5 === 4, lit(""))
+      .when(col("doc_id") % 2 === 0,
+        concat(lit("<meta name=\"robots\" content=\""), content, lit("\">")))
+      .otherwise(
+        concat(lit("<meta content='"), content, lit("' name='robots'>")))
+    val pages = docs.select(col("doc_id"),
+      concat(lit("<html><head>"), meta,
+        lit("</head><body>x</body></html>")).as("html"))
+    val dirs = graft.operators.Frontier.pageDirectives(pages, "html")
+    val kept = graft.operators.Frontier.indexablePages(pages, "html")
+      .select(col("doc_id"), lit(true).as("kept"))
+    dirs.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("noindex"), col("nofollow"),
+        coalesce(col("kept"), lit(false)).as("kept"))
+      .orderBy("doc_id")
+  }
+
   private def t60_html_meta(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
     // first word, not a fixed-length cut: a cut ending in a space would
@@ -6205,6 +6234,7 @@ object SparkEntry {
     "m19_audio_vad" -> (m19_audio_vad _),
     "ml6_confusion" -> (ml6_confusion _),
     "t91_jsonld" -> (t91_jsonld _),
+    "t92_meta_robots" -> (t92_meta_robots _),
     "t77_token_budget" -> (t77_token_budget _),
     "t11_perplexity" -> (t11_perplexity _),
     "t20_backoff_lm" -> (t20_backoff_lm _),
@@ -10319,6 +10349,15 @@ object SparkEntry {
            FROM sc)
          SELECT doc_id, score, rank FROM rk WHERE rank <= 20
          ORDER BY rank""",
+    // the directive table in closed form: %5 picks the variant, `none`
+    // implies both flags, absent meta is the indexable default, and
+    // kept = NOT noindex is the filter's survivor set
+    "t92_meta_robots" ->
+      """SELECT doc_id,
+           CAST(doc_id % 5 AS INT) IN (0, 2, 3) AS noindex,
+           CAST(doc_id % 5 AS INT) IN (2, 3) AS nofollow,
+           CAST(doc_id % 5 AS INT) NOT IN (0, 2, 3) AS kept
+         FROM documents ORDER BY doc_id""",
     // the planted blocks stated in closed form: Article always at ix 0,
     // Product at ix 1 on the %5 docs, the malformed decoy last with
     // all-null fields (parsed leniently, counted positionally)

@@ -376,6 +376,36 @@ object Frontier {
         expr(s"($rankCol * ${totalBudget}L) DIV __tot").as("budget"))
   }
 
+  /** Page-level robots directives — the `<meta name="robots">` contract
+    * complementing robots.txt's site-level RFC 9309 rules: the
+    * comma-separated directive list parses case-insensitively and the
+    * two flags curation acts on surface as columns (`none` implies
+    * both, per the de-facto standard; an absent meta is indexable and
+    * followable — the documented crawler default). Map-side (one
+    * regexp + split per page). Appends `noindex`, `nofollow`. */
+  def pageDirectives(pages: DataFrame, htmlCol: String): DataFrame = {
+    requireFreeColumns(pages, Seq("noindex", "nofollow"))
+    val d = transform(
+      split(lower(TextFunctions.htmlMetaContent(col(htmlCol), "robots")),
+        ","), x => trim(x))
+    pages
+      .withColumn("noindex",
+        array_contains(d, "noindex") || array_contains(d, "none"))
+      .withColumn("nofollow",
+        array_contains(d, "nofollow") || array_contains(d, "none"))
+  }
+
+  /** The corpus-side enforcement of [[pageDirectives]]: a page that
+    * asked not to be indexed must not land in a training corpus any
+    * more than in a search index — compliance is a curation gate, not
+    * just a crawler courtesy. Drops `noindex` pages; the directive
+    * columns do NOT ride along (the survivors are by definition
+    * indexable — re-derive via [[pageDirectives]] when auditing). */
+  def indexablePages(pages: DataFrame, htmlCol: String): DataFrame =
+    pageDirectives(pages, htmlCol)
+      .filter(!col("noindex"))
+      .drop("noindex", "nofollow")
+
   /** Silently clobbering an input column is data loss: re-scheduling an
     * already-scheduled frame would overwrite its prior wave's
     * fetch_seq/eta_ms with no error — rename or drop them first, on

@@ -47,3 +47,44 @@ class CrawlRankSpec extends SparkSpec {
     assert(byRank.sameElements(byRank.sorted.reverse))
   }
 }
+
+/** Page-level robots directives. */
+class MetaRobotsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Frontier
+
+  private def flags(html: String): (Boolean, Boolean) = {
+    val r = Frontier.pageDirectives(Seq((1L, html)).toDF("id", "html"), "html")
+      .collect().head
+    (r.getAs[Boolean]("noindex"), r.getAs[Boolean]("nofollow"))
+  }
+
+  test("directive grammar: spacing, case, none, defaults") {
+    assert(flags("""<meta name="robots" content=" NOINDEX , nofollow ">""")
+      == ((true, true)))
+    assert(flags("""<meta name="robots" content="none">""") == ((true, true)))
+    assert(flags("""<meta name="robots" content="index, follow">""")
+      == ((false, false)))
+    assert(flags("<html>no meta at all</html>") == ((false, false)))
+    // unrelated meta must not trip the parse
+    assert(flags("""<meta name="description" content="noindex">""")
+      == ((false, false)))
+  }
+
+  test("indexablePages drops exactly the noindex pages and its columns") {
+    val pages = Seq(
+      (1L, """<meta name="robots" content="noindex">"""),
+      (2L, """<meta name="robots" content="nofollow">"""),
+      (3L, "")).toDF("id", "html")
+    val kept = Frontier.indexablePages(pages, "html")
+    assert(kept.select("id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+    assert(!kept.columns.contains("noindex"))
+  }
+
+  test("reserved-column collision refused") {
+    val pages = Seq((1L, "", true)).toDF("id", "html", "noindex")
+    intercept[IllegalArgumentException] {
+      Frontier.pageDirectives(pages, "html")
+    }
+  }
+}
