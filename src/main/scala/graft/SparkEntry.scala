@@ -2783,6 +2783,44 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Per-link nofollow compliance
+    * ([[graft.operators.Frontier.outlinks]] with `honorNofollow`,
+    * [[graft.functions.TextFunctions.htmlFollowableLinks]]): six link
+    * shapes per page — plain, quoted rel, list-valued rel before href,
+    * BARE unquoted rel after href, an unrelated rel token that must
+    * survive, and 'nofollow' in anchor TEXT that must not trip the tag
+    * test. `followed` is the honored harvest joined back onto the full
+    * harvest, so both paths are pinned against each other. */
+  private def t93_nofollow_links(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val id = col("doc_id").cast("string")
+    val html = concat(
+      lit("<html><body>"),
+      lit("<a href=\"/keep"), id, lit("\">k</a>"),
+      lit("<a rel=\"nofollow\" href=\"/nf"), id, lit("\">n</a>"),
+      lit("<a rel='ugc nofollow' href='/ugc"), id, lit("'>u</a>"),
+      lit("<a href=\"/bare"), id, lit("\" rel=nofollow>b</a>"),
+      lit("<a rel=\"noopener\" href=\"/noop"), id, lit("\">o</a>"),
+      lit("<a href=\"/text"), id, lit("\">rel nofollow text</a>"),
+      lit("</body></html>"))
+    val pages = docs.select(col("doc_id"),
+      concat(lit("http://s"), (col("doc_id") % 7).cast("string"),
+        lit(".com/p"), id).as("url"),
+      html.as("html"))
+    val all = graft.operators.Frontier.outlinks(pages, "url", "html")
+    val hon = graft.operators.Frontier
+      .outlinks(pages, "url", "html", honorNofollow = true)
+      .select(col("url").as("__u"), col("outlink").as("__o"),
+        lit(true).as("followed"))
+    all.join(hon, all("url") === col("__u") && all("outlink") === col("__o"),
+        "left")
+      .withColumn("doc_id",
+        regexp_extract(col("url"), "p([0-9]+)$", 1).cast("long"))
+      .select(col("doc_id"), col("outlink"),
+        coalesce(col("followed"), lit(false)).as("followed"))
+      .orderBy("doc_id", "outlink")
+  }
+
   private def t60_html_meta(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
     // first word, not a fixed-length cut: a cut ending in a space would
@@ -6235,6 +6273,7 @@ object SparkEntry {
     "ml6_confusion" -> (ml6_confusion _),
     "t91_jsonld" -> (t91_jsonld _),
     "t92_meta_robots" -> (t92_meta_robots _),
+    "t93_nofollow_links" -> (t93_nofollow_links _),
     "t77_token_budget" -> (t77_token_budget _),
     "t11_perplexity" -> (t11_perplexity _),
     "t20_backoff_lm" -> (t20_backoff_lm _),
@@ -10349,6 +10388,22 @@ object SparkEntry {
            FROM sc)
          SELECT doc_id, score, rank FROM rk WHERE rank <= 20
          ORDER BY rank""",
+    // the six link shapes stated in closed form: three rel variants
+    // drop, the unrelated rel and the anchor-text decoy survive
+    "t93_nofollow_links" ->
+      """WITH b AS (SELECT doc_id,
+             'http://s' || (doc_id % 7) || '.com/' AS base
+           FROM documents),
+         l AS (
+           SELECT doc_id, base || 'keep' || doc_id AS outlink,
+             true AS followed FROM b
+           UNION ALL SELECT doc_id, base || 'nf' || doc_id, false FROM b
+           UNION ALL SELECT doc_id, base || 'ugc' || doc_id, false FROM b
+           UNION ALL SELECT doc_id, base || 'bare' || doc_id, false FROM b
+           UNION ALL SELECT doc_id, base || 'noop' || doc_id, true FROM b
+           UNION ALL SELECT doc_id, base || 'text' || doc_id, true FROM b)
+         SELECT doc_id, outlink, followed FROM l
+         ORDER BY doc_id, outlink""",
     // the directive table in closed form: %5 picks the variant, `none`
     // implies both flags, absent meta is the indexable default, and
     // kept = NOT noindex is the filter's survivor set

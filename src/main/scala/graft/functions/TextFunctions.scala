@@ -592,5 +592,26 @@ object TextFunctions {
         lit(1)),
       h => MarkupExtractExpr(h))
 
+  /** [[htmlLinks]] minus the links the page asked crawlers not to
+    * endorse: an `<a>` tag whose `rel` carries a `nofollow`,
+    * `sponsored` or `ugc` token (quoted, list-valued or bare —
+    * `rel="ugc nofollow"` and `rel=nofollow` both count) is dropped —
+    * the per-LINK half of the compliance contract whose per-PAGE half
+    * is [[graft.operators.Frontier.pageDirectives]]. Same one-pass
+    * shape: the tag list extracts once, the rel test and the href
+    * extraction run per tag. */
+  def htmlFollowableLinks(html: Column): Column = {
+    val tags = regexp_extract_all(html, lit("(?is)<a\\b[^>]*>"), lit(0))
+    val noFollowRel =
+      s"""(?is).*${NoAttrPrefix}rel\\s*=\\s*("[^"]*\\b(nofollow|sponsored|ugc)\\b[^"]*"|'[^']*\\b(nofollow|sponsored|ugc)\\b[^']*'|(nofollow|sponsored|ugc)\\b).*"""
+    val hrefIn =
+      s"""(?is)${NoAttrPrefix}href\\s*=\\s*["']([^"']*)["']"""
+    filter(
+      transform(
+        filter(tags, t => !t.rlike(noFollowRel)),
+        t => MarkupExtractExpr(regexp_extract(t, hrefIn, 1))),
+      h => h =!= "")
+  }
+
   private def nullIfEmpty(c: Column): Column = when(c === "", null).otherwise(c)
 }

@@ -30,12 +30,21 @@ object Frontier {
     * avoids re-deriving them downstream or joining them back onto the
     * exploded links. They must be functionally dependent on the page
     * url, or the distinct's (url, carry…, outlink) grain would
-    * duplicate outlink rows. */
+    * duplicate outlink rows.
+    *
+    * `honorNofollow = true` additionally drops links whose `<a>` tag
+    * carries a `nofollow`/`sponsored`/`ugc` rel token
+    * ([[TextFunctions.htmlFollowableLinks]]) — the per-LINK compliance
+    * half whose per-PAGE half is [[pageDirectives]]. Default off: a
+    * seen-set/dedup harvest usually wants every link, a frontier
+    * EXPANSION wants only the endorsed ones. */
   def outlinks(pages: DataFrame, urlCol: String, htmlCol: String,
-      carry: Seq[String] = Nil): DataFrame =
+      carry: Seq[String] = Nil, honorNofollow: Boolean = false): DataFrame =
     pages
       .select(col(urlCol).as("url") +: carry.map(col) :+
-        explode(TextFunctions.htmlLinks(col(htmlCol))).as("__href"): _*)
+        explode(
+          if (honorNofollow) TextFunctions.htmlFollowableLinks(col(htmlCol))
+          else TextFunctions.htmlLinks(col(htmlCol))).as("__href"): _*)
       .select(col("url") +: carry.map(col) :+
         TextFunctions.normalizeUrl(
           UrlResolveExpr(col("url"), col("__href"))).as("outlink"): _*)

@@ -88,3 +88,34 @@ class MetaRobotsSpec extends SparkSpec {
     }
   }
 }
+
+/** Per-link nofollow honoring. */
+class FollowableLinksSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.TextFunctions
+
+  private def links(html: String): Seq[String] =
+    Seq(html).toDF("h")
+      .select(TextFunctions.htmlFollowableLinks(org.apache.spark.sql.functions.col("h")))
+      .collect().head.getSeq[String](0).toSeq
+
+  test("sponsored and ugc tokens drop; similar words do not") {
+    val html = """<a href="/a" rel="sponsored">s</a>""" +
+      """<a href="/b" rel="ugc">u</a>""" +
+      """<a href="/c" rel="sponsorship">keep</a>""" +   // not a token
+      """<a href="/d" rel="external noopener">keep</a>"""
+    assert(links(html) == Seq("/c", "/d"))
+  }
+
+  test("rel position and quoting variants all count") {
+    val html = """<a rel=nofollow href="/a">x</a>""" +
+      """<a href="/b" rel='me nofollow'>x</a>""" +
+      """<a href="/c">plain</a>"""
+    assert(links(html) == Seq("/c"))
+  }
+
+  test("entities decode in followable hrefs; hrefless anchors vanish") {
+    val html = """<a href="/p?a=1&amp;b=2">x</a><a name="anchor">y</a>"""
+    assert(links(html) == Seq("/p?a=1&b=2"))
+  }
+}
