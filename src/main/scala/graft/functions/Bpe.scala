@@ -137,7 +137,9 @@ object Bpe {
 
   /** Train from a corpus DataFrame: collects a bounded sample of documents
     * (`sampleDocs`) to the driver and learns `numMerges` merges from their
-    * whitespace-word frequencies. */
+    * whitespace-word frequencies. Kept for cheap exploratory training;
+    * [[trainFromCorpusExact]] is the production trainer — its histogram is
+    * a corpus-exact distributed aggregate, not a document sample. */
   def trainFromCorpus(df: DataFrame, textCol: String, numMerges: Int = 200,
       sampleDocs: Int = 256): BpeModel = {
     val texts = df.select(textCol).limit(sampleDocs).collect()
@@ -148,6 +150,47 @@ object Bpe {
       if (tr.nonEmpty) tr.split("\\s+").foreach(w => freq(w) = freq.getOrElse(w, 0L) + 1L)
     }
     train(freq.toMap, numMerges)
+  }
+
+  /** The corpus-EXACT word histogram feeding [[trainFromCorpusExact]]:
+    * one distributed `groupBy(word).agg(sum)` over every whitespace word
+    * in the corpus (map-side partial combine — the shuffle carries one
+    * row per distinct word per partition, never the corpus), capped to
+    * the `maxVocab` most frequent words with ties broken by word
+    * ascending so the cap boundary is deterministic in any engine.
+    * Returns `(word, freq, vocab_rank)` with `vocab_rank` 1-based.
+    * The rank window sorts ONLY the distinct-word table — bounded by
+    * vocabulary size, never corpus size (the LanguageModel top-N idiom). */
+  def wordHistogram(df: DataFrame, textCol: String,
+      maxVocab: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    require(maxVocab >= 1, s"maxVocab must be >= 1; got $maxVocab")
+    df.select(explode(split(trim(coalesce(col(textCol), lit(""))),
+        "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("vocab_rank",
+        row_number().over(Window.orderBy(desc("freq"), col("word")))
+          .cast("long"))
+      .filter(col("vocab_rank") <= maxVocab)
+  }
+
+  /** Corpus-exact BPE training: the merge loop runs on the driver (it is
+    * inherently sequential — each merge conditions the next pair counts)
+    * but its INPUT is [[wordHistogram]]'s exact distributed aggregate,
+    * not a document sample, so the learned merges are a deterministic
+    * function of the whole corpus. Driver state is the capped histogram
+    * (`maxVocab` rows), the same bounded-model-pull contract as the
+    * langid / backoff-LM / logistic-GD trainers. A sampled trainer can
+    * miss corpus-frequent words entirely (BpeSpec plants such a skew);
+    * this one cannot. */
+  def trainFromCorpusExact(df: DataFrame, textCol: String,
+      numMerges: Int = 200, maxVocab: Int = 65536): BpeModel = {
+    val freq = wordHistogram(df, textCol, maxVocab)
+      .select("word", "freq").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    train(freq, numMerges)
   }
 
   /** Distributed BPE token counting: one iterator pass per partition, the

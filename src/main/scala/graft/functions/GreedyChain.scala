@@ -81,10 +81,15 @@ object GreedyChainImpl {
     def cos(a: Int, b: Int): Double = {
       if (norms(a) == 0.0 || norms(b) == 0.0) return -2.0
       val va = vecs(a); val vb = vecs(b)
-      val len = math.min(va.length, vb.length)
+      // mixed-dimension embeddings in one bucket are a data defect —
+      // fail loudly rather than silently truncating the dot product
+      // (the DuckDB oracle's list_dot_product errors on the same input)
+      require(va.length == vb.length,
+        s"embedding dimension mismatch within a bucket: ids ${ids(a)} " +
+          s"(dim ${va.length}) vs ${ids(b)} (dim ${vb.length})")
       var s = 0.0
       var j = 0
-      while (j < len) { s += va(j) * vb(j); j += 1 }
+      while (j < va.length) { s += va(j) * vb(j); j += 1 }
       s / (norms(a) * norms(b))
     }
     val visited = new Array[Boolean](n)

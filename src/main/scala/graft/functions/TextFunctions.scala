@@ -599,16 +599,25 @@ object TextFunctions {
     * the per-LINK half of the compliance contract whose per-PAGE half
     * is [[graft.operators.Frontier.pageDirectives]]. Same one-pass
     * shape: the tag list extracts once, the rel test and the href
-    * extraction run per tag. */
+    * extraction run per tag. The rel test runs on a copy of the tag
+    * with every OTHER attribute's value blanked first, so a token like
+    * `nofollow` hiding inside another attribute's value — e.g.
+    * `<a href="/out?rel=nofollow">` — cannot masquerade as a rel
+    * directive; href extraction still reads the original tag. */
   def htmlFollowableLinks(html: Column): Column = {
     val tags = regexp_extract_all(html, lit("(?is)<a\\b[^>]*>"), lit(0))
+    // blank the values of all attributes except rel (quoted or bare) so
+    // the rel test below only ever sees genuine rel attribute values
+    val nonRelValues =
+      s"""(?is)${NoAttrPrefix}((?!rel\\b)[\\w-]+)\\s*=\\s*("[^"]*"|'[^']*'|[^\\s"'>]+)"""
     val noFollowRel =
       s"""(?is).*${NoAttrPrefix}rel\\s*=\\s*("[^"]*\\b(nofollow|sponsored|ugc)\\b[^"]*"|'[^']*\\b(nofollow|sponsored|ugc)\\b[^']*'|(nofollow|sponsored|ugc)\\b).*"""
     val hrefIn =
       s"""(?is)${NoAttrPrefix}href\\s*=\\s*["']([^"']*)["']"""
     filter(
       transform(
-        filter(tags, t => !t.rlike(noFollowRel)),
+        filter(tags,
+          t => !regexp_replace(t, nonRelValues, "$1=x").rlike(noFollowRel)),
         t => MarkupExtractExpr(regexp_extract(t, hrefIn, 1))),
       h => h =!= "")
   }

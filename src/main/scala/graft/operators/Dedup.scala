@@ -1757,8 +1757,10 @@ object Dedup {
   def dropFrequentLines(df: DataFrame, idCol: String, textCol: String,
       minCount: Long, sep: String = "\n"): DataFrame = {
     require(minCount >= 2, s"minCount must be >= 2; got $minCount")
+    // coalesce null text to "" so posexplode still emits one row and the
+    // document keeps its identity (the documented always-survives contract)
     val lines = df
-      .select(col(idCol), posexplode(split(col(textCol),
+      .select(col(idCol), posexplode(split(coalesce(col(textCol), lit("")),
         java.util.regex.Pattern.quote(sep))).as(Seq("__pos", "__line")))
     val frequent = lines
       .groupBy(xxhash64(col("__line")).as("__lh"))

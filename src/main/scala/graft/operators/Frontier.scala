@@ -389,13 +389,16 @@ object Frontier {
     * complementing robots.txt's site-level RFC 9309 rules: the
     * comma-separated directive list parses case-insensitively and the
     * two flags curation acts on surface as columns (`none` implies
-    * both, per the de-facto standard; an absent meta is indexable and
-    * followable — the documented crawler default). Map-side (one
-    * regexp + split per page). Appends `noindex`, `nofollow`. */
+    * both, per the de-facto standard; an absent meta — including a NULL
+    * html column — is indexable and followable, the documented crawler
+    * default, so the meta content coalesces to "" before parsing and
+    * the flags are always non-null). Map-side (one regexp + split per
+    * page). Appends `noindex`, `nofollow`. */
   def pageDirectives(pages: DataFrame, htmlCol: String): DataFrame = {
     requireFreeColumns(pages, Seq("noindex", "nofollow"))
     val d = transform(
-      split(lower(TextFunctions.htmlMetaContent(col(htmlCol), "robots")),
+      split(lower(coalesce(
+        TextFunctions.htmlMetaContent(col(htmlCol), "robots"), lit(""))),
         ","), x => trim(x))
     pages
       .withColumn("noindex",

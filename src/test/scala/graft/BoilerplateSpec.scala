@@ -74,4 +74,15 @@ class BoilerplateSpec extends SparkSpec {
       Dedup.dropFrequentLines(docs, "id", "text", minCount = 1)
     }
   }
+
+  test("null-text documents survive with empty text_clean") {
+    val docs = Seq(
+      (1L, null.asInstanceOf[String]),
+      (2L, s"real\n$footer"), (3L, footer), (4L, footer)
+    ).toDF("id", "text")
+    val r = Dedup.dropFrequentLines(docs, "id", "text", minCount = 3)
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r.keySet == Set(1L, 2L, 3L, 4L), s"doc identity lost: $r")
+    assert(r(1L) == "" && r(2L) == "real")
+  }
 }

@@ -66,4 +66,19 @@ class ContextOrderSpec extends SparkSpec {
     val b = ContextOrder.orderWithinBuckets(docs.repartition(7), "id", "vec", 4, 2, 11L)
     assert(canon(a) == canon(b))
   }
+
+  test("mixed embedding dimensions in one bucket fail loudly") {
+    // both vectors mismatch the plane dim (4) so both sketch to bucket 0
+    // and the chain kernel must compare them
+    val docs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.1f)),
+      (2L, Seq(0.5f, 0.866f)) // shorter still — a data defect
+    ).toDF("id", "vec")
+    val e = intercept[org.apache.spark.SparkException] {
+      ContextOrder.orderWithinBuckets(docs, "id", "vec", onePlane).collect()
+    }
+    assert(e.getMessage.contains("dimension mismatch") ||
+      Option(e.getCause).exists(_.getMessage.contains("dimension mismatch")),
+      s"expected a loud dimension-mismatch failure, got: ${e.getMessage}")
+  }
 }

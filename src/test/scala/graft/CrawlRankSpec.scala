@@ -87,6 +87,17 @@ class MetaRobotsSpec extends SparkSpec {
       Frontier.pageDirectives(pages, "html")
     }
   }
+
+  test("null html defaults to indexable and followable, not dropped") {
+    val pages = Seq((1L, null.asInstanceOf[String]), (2L, "<p>x</p>"))
+      .toDF("id", "html")
+    val d = Frontier.pageDirectives(pages, "html").collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Boolean]("noindex"), r.getAs[Boolean]("nofollow"))).toMap
+    assert(d(1L) == ((false, false)) && d(2L) == ((false, false)))
+    assert(Frontier.indexablePages(pages, "html")
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
 }
 
 /** Per-link nofollow honoring. */
@@ -117,5 +128,14 @@ class FollowableLinksSpec extends SparkSpec {
   test("entities decode in followable hrefs; hrefless anchors vanish") {
     val html = """<a href="/p?a=1&amp;b=2">x</a><a name="anchor">y</a>"""
     assert(links(html) == Seq("/p?a=1&b=2"))
+  }
+
+  test("rel tokens hiding inside other attribute values do not drop the link") {
+    val html = """<a href="/out?rel=nofollow">query-string decoy</a>""" +
+      """<a title="rel=nofollow" href="/t">attr-value decoy</a>""" +
+      """<a title='he said rel="ugc"' href="/q">quoted decoy</a>""" +
+      """<a href="/real" rel="nofollow">genuine</a>""" +
+      """<a href="/bare" rel=sponsored>bare genuine</a>"""
+    assert(links(html) == Seq("/out?rel=nofollow", "/t", "/q"))
   }
 }

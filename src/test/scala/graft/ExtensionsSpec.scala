@@ -1183,6 +1183,38 @@ class TextSpec extends SparkSpec {
     assert(Bpe.sequentialReplaySafe(Seq(("a", "b"), ("ab", "c"), ("abc", "d"))))
   }
 
+  test("wordHistogram: exact counts, deterministic cap boundary") {
+    import graft.functions.Bpe
+    val docs = Seq(
+      (1L, "  cat dog\t cat "), (2L, "dog cat"), (3L, "emu dog"),
+      (4L, null.asInstanceOf[String]), (5L, "   ")).toDF("id", "text")
+    val h = Bpe.wordHistogram(docs, "text", maxVocab = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // cat=3, dog=3 (tie -> word asc), emu=1 falls outside the cap
+    assert(h.toSeq.sortBy(_._3) == Seq(("cat", 3L, 1L), ("dog", 3L, 2L)))
+  }
+
+  test("exact trainer sees corpus-frequent words a document sample misses") {
+    import graft.functions.Bpe
+    // docs 1..256 (the sample window) contain only 'aaab'; docs 257..300
+    // each repeat 'qqqz' 20x, so corpus-wide qqqz's (q,q) pair count (880)
+    // crushes aaab's (a,a) count (512) — invisible to the sampled trainer
+    val rows = (1L to 256L).map(i => (i, "aaab aaab")) ++
+      (257L to 300L).map(i => (i, Seq.fill(20)("qqqz").mkString(" ")))
+    val docs = rows.toDF("doc_id", "text")
+    val sampled = Bpe.trainFromCorpus(docs.orderBy("doc_id"), "text",
+      numMerges = 2, sampleDocs = 256)
+    val exact = Bpe.trainFromCorpusExact(docs, "text",
+      numMerges = 2, maxVocab = 1024)
+    assert(!sampled.merges.exists { case (l, r) => (l + r).contains("q") },
+      s"sample must miss qqqz entirely: ${sampled.merges}")
+    assert(exact.merges.head == (("q", "q")),
+      s"exact histogram must rank (q,q) first: ${exact.merges}")
+    // and the exact trainer is itself deterministic under repartition
+    assert(Bpe.trainFromCorpusExact(docs.repartition(7), "text",
+      numMerges = 2, maxVocab = 1024).merges == exact.merges)
+  }
+
   test("token counts and quality metrics") {
     val df = Seq((1L, "Hello, world! This is a test.")).toDF("id", "text")
     val r = df.select(
