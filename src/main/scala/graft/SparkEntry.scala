@@ -3117,6 +3117,113 @@ object SparkEntry {
       .orderBy("url")
   }
 
+  /** HTTP conditional revalidation composed end-to-end (t72's planted
+    * history extended with RFC 9110 validators): each URL's history
+    * carries ETags (even ids) and Last-Modified stamps (ids % 3 == 0);
+    * an outcome wave then lands — 304 Not Modified for even ids (no
+    * body: the history row reuses the prior hash and carries the
+    * validators forward, so the next walk DOUBLES the interval without
+    * re-ingesting anything), 200 with fresh content for odd ids (hash
+    * replaces → HALVE; validators replace, ids % 5 == 0 get a new
+    * ETag). The final plan's backoff arithmetic, due set and the
+    * validators a conditional request would send are all replayed by
+    * the oracle: the outcome fold in closed form (arg-max-ts carry),
+    * then t72's recursive-CTE walk over the composed history. See
+    * [[graft.operators.Frontier.recordOutcomes]] /
+    * [[graft.operators.Frontier.revalidationPlan]]. */
+  private def t94_revalidation(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val url = concat(lit("https://h"), (col("doc_id") % 20).cast("string"),
+      lit(".example.com/p"), col("doc_id").cast("string"))
+    val hist = docs
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("doc_id") % 4)).as("i"))
+      .select(col("doc_id"), url.as("url"),
+        (col("doc_id") * 1000 + col("i") * 100).as("ts"),
+        concat(lit("v"), floor(col("i") /
+          (lit(1) + col("doc_id") % 2)).cast("long").cast("string")).as("h"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("et-"), col("doc_id").cast("string"), lit("-"),
+            col("i").cast("string"))).as("etag"),
+        when(col("doc_id") % 3 === 0,
+          col("doc_id") * 1000 + col("i") * 100).as("lm"))
+      .drop("doc_id", "i")
+    val outcomes = docs.select(
+      url.as("url"), lit(10000000L).as("ts"),
+      when(col("doc_id") % 2 =!= 0, lit("vnew")).as("h"),
+      when(col("doc_id") % 2 =!= 0 && col("doc_id") % 5 === 0,
+        concat(lit("et-new-"), col("doc_id").cast("string"))).as("etag"),
+      lit(null).cast("long").as("lm"),
+      when(col("doc_id") % 2 === 0, lit(304)).otherwise(lit(200))
+        .as("status"))
+    val appended = graft.operators.Frontier.recordOutcomes(
+      hist, outcomes, "url", "ts", "h", "etag", "lm", "status")
+    graft.operators.Frontier.revalidationPlan(
+        hist.unionByName(appended), "url", "ts", "h", "etag", "lm",
+        nowSec = 10000500L, baseSec = 400L, minSec = 100L, maxSec = 1600L)
+      .orderBy("url")
+  }
+
+  /** RSS/Atom feed change discovery feeding the frontier (the t56
+    * sitemap seam's third leg): per site, even sites publish an Atom
+    * feed (entries with `<link rel="alternate" href>` + padded
+    * `<updated>`), odd sites RSS 2.0 (mixed-case `<Item>` with
+    * text-content `<link>` + `<pubDate>`); both carry feed-level decoy
+    * links/timestamps OUTSIDE the entry blocks and mandatory `&amp;`
+    * escaping in URLs. Entries already in the crawl history (ids
+    * % 3 == 0, recorded as wave 0) anti-join away — extraction AND
+    * dedup replayed by the oracle in closed form. See
+    * [[graft.operators.Frontier.feedEntries]]. */
+  private def t95_feed_discovery(s: SparkSession, dir: String): DataFrame = {
+    val hist = "/tmp/graft_fixtures/feed_seen_" +
+      java.net.URLEncoder.encode(dir, "UTF-8")
+    graft.core.Discovery.fileSystemFor(hist, s.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(hist), true)
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val atomXml = concat(
+      lit("<?xml version=\"1.0\"?>" +
+        "<feed xmlns=\"http://www.w3.org/2005/Atom\"><title>f&amp;d</title>" +
+        "<link rel=\"self\" href=\"http://decoy.example/feed\"/>" +
+        "<updated>1999-01-01T00:00:00Z</updated>"),
+      array_join(transform(col("ids"), i => concat(
+        lit("<entry><title>e&amp;t</title>" +
+          "<link rel=\"alternate\" href=\"http://f"),
+        col("site").cast("string"), lit(".com/a?x=1&amp;id="),
+        i.cast("string"),
+        lit("\"/><updated> ts-"), i.cast("string"),
+        lit(" </updated></entry>"))), ""),
+      lit("</feed>"))
+    val rssXml = concat(
+      lit("<?xml version=\"1.0\"?><rss version=\"2.0\"><channel>" +
+        "<title>c</title><link>http://decoy.example/</link>" +
+        "<pubDate>Mon, 01 Jan 1999 00:00:00 GMT</pubDate>"),
+      array_join(transform(col("ids"), i => concat(
+        lit("<Item><title>i</title><link> http://f"),
+        col("site").cast("string"), lit(".com/a?x=1&amp;id="),
+        i.cast("string"),
+        lit(" </link><pubDate>pd-"), i.cast("string"),
+        lit("</pubDate></Item>"))), ""),
+      lit("</channel></rss>"))
+    val feeds = docs
+      .groupBy((col("doc_id") % 5).as("site"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .select(
+        concat(lit("http://f"), col("site").cast("string"),
+          lit(".com/feed.xml")).as("feed_url"),
+        when(col("site") % 2 === 0, atomXml).otherwise(rssXml).as("xml"))
+    val entries = graft.operators.Frontier.feedEntries(feeds, "feed_url", "xml")
+    graft.operators.Frontier.seenDiffAndRecord(
+      docs.filter(col("doc_id") % 3 === 0)
+        .select(concat(lit("http://f"), (col("doc_id") % 5).cast("string"),
+          lit(".com/a?x=1&id="), col("doc_id").cast("string")).as("u")),
+      "u", hist, "wave0")
+    graft.operators.Frontier.seenDiff(entries, "entry_url", hist)
+      .withColumn("doc_id",
+        regexp_extract(col("entry_url"), "id=([0-9]+)$", 1).cast("long"))
+      .select("doc_id", "feed_url", "entry_url", "entry_ts")
+      .orderBy("doc_id")
+  }
+
   /** Streaming seen-URL ingest — the multi-wave crawl history as a
     * stream (st9's exactly-once recipe applied to URLs): two ordered
     * micro-batches (evens, then thirds) flow through
@@ -6207,6 +6314,8 @@ object SparkEntry {
     "st22_stream_seen" -> (st22_stream_seen _),
     "t68_fetch_plan" -> (t68_fetch_plan _),
     "t72_revisit_schedule" -> (t72_revisit_schedule _),
+    "t94_revalidation" -> (t94_revalidation _),
+    "t95_feed_discovery" -> (t95_feed_discovery _),
     "t62_nfc_normalize" -> (t62_nfc_normalize _),
     "t54c_robots_sitemaps" -> (t54c_robots_sitemaps _),
     "t63_unigram_tokens" -> (t63_unigram_tokens _),
@@ -7515,6 +7624,69 @@ object SparkEntry {
            l.last_ts + w.iv <= 250000 AS due
          FROM last l JOIN walk w ON w.url = l.url AND w.k = l.n
          ORDER BY l.url""",
+    // the outcome fold in closed form (a 304 carries the prior hash and
+    // validators; a 200 replaces them) composed with t72's recursive
+    // backoff walk over the extended history
+    "t94_revalidation" ->
+      """WITH RECURSIVE f0 AS (
+           SELECT doc_id,
+             'https://h' || CAST(doc_id % 20 AS VARCHAR)
+               || '.example.com/p' || CAST(doc_id AS VARCHAR) AS url,
+             CAST(doc_id AS BIGINT) * 1000 + i * 100 AS ts,
+             'v' || CAST(i // (1 + doc_id % 2) AS VARCHAR) AS h,
+             CASE WHEN doc_id % 2 = 0
+               THEN 'et-' || doc_id || '-' || i END AS etag,
+             CASE WHEN doc_id % 3 = 0
+               THEN CAST(doc_id AS BIGINT) * 1000 + i * 100 END AS lm,
+             CAST(i + 1 AS BIGINT) AS k
+           FROM (SELECT doc_id, unnest(range(0, doc_id % 4 + 1)) AS i
+             FROM documents)),
+         o AS (
+           SELECT doc_id,
+             'https://h' || CAST(doc_id % 20 AS VARCHAR)
+               || '.example.com/p' || CAST(doc_id AS VARCHAR) AS url,
+             CAST(10000000 AS BIGINT) AS ts,
+             CASE WHEN doc_id % 2 = 0
+               THEN 'v' || CAST(doc_id % 4 AS VARCHAR)
+               ELSE 'vnew' END AS h,
+             CASE WHEN doc_id % 2 = 0
+                 THEN 'et-' || doc_id || '-' || (doc_id % 4)
+               WHEN doc_id % 5 = 0 THEN 'et-new-' || doc_id END AS etag,
+             CASE WHEN doc_id % 2 = 0 AND doc_id % 3 = 0
+               THEN CAST(doc_id AS BIGINT) * 1000 + (doc_id % 4) * 100
+               END AS lm,
+             CAST(doc_id % 4 + 2 AS BIGINT) AS k
+           FROM documents),
+         f AS (SELECT url, ts, h, k FROM f0
+               UNION ALL SELECT url, ts, h, k FROM o),
+         walk AS (
+           SELECT url, k, h AS ph, CAST(400 AS BIGINT) AS iv,
+             CAST(0 AS BIGINT) AS nc
+           FROM f WHERE k = 1
+           UNION ALL
+           SELECT f.url, f.k, f.h,
+             CASE WHEN f.h <> w.ph THEN greatest(100, w.iv // 2)
+                  ELSE least(1600, w.iv * 2) END,
+             w.nc + CASE WHEN f.h <> w.ph THEN 1 ELSE 0 END
+           FROM walk w JOIN f ON f.url = w.url AND f.k = w.k + 1)
+         SELECT o.url, o.k AS n_fetches, CAST(w.nc AS BIGINT) AS n_changes,
+           CAST(w.iv AS BIGINT) AS interval_sec,
+           CAST(10000000 + w.iv AS BIGINT) AS next_due,
+           10000000 + w.iv <= 10000500 AS due,
+           o.etag AS if_none_match, o.lm AS if_modified_since,
+           (o.etag IS NOT NULL OR o.lm IS NOT NULL) AS conditional
+         FROM o JOIN walk w ON w.url = o.url AND w.k = o.k
+         ORDER BY o.url""",
+    // feed extraction + seen-URL dedup in closed form: every doc's entry
+    // surfaces exactly once unless its URL was already crawled
+    "t95_feed_discovery" ->
+      """SELECT doc_id,
+           'http://f' || (doc_id % 5) || '.com/feed.xml' AS feed_url,
+           'http://f' || (doc_id % 5) || '.com/a?x=1&id=' || doc_id
+             AS entry_url,
+           CASE WHEN (doc_id % 5) % 2 = 0 THEN 'ts-' || doc_id
+                ELSE 'pd-' || doc_id END AS entry_ts
+         FROM documents WHERE doc_id % 3 <> 0 ORDER BY doc_id""",
     // the streamed two-wave history: every discovered url exactly once
     "st22_stream_seen" ->
       """SELECT doc_id, 'http://w.com/p' || doc_id AS url,

@@ -520,6 +520,45 @@ object TextFunctions {
       regexp_extract_all(xml, lit("<loc>\\s*([^<]*?)\\s*</loc>"), lit(1)),
       u => MarkupExtractExpr(u))
 
+  /** The `<entry>`/`<item>` blocks of an Atom (RFC 4287) or RSS 2.0 feed
+    * body — the third discovery leg next to sitemaps and outlinks: a
+    * feed names the pages that CHANGED recently, so polling it finds
+    * fresh content without recrawling the site. One regexp pass per
+    * feed; entry/item elements never nest (both specs), so the
+    * non-greedy block regex IS the grammar, and feed-level metadata
+    * (channel links, the feed's own `<updated>`) stays outside the
+    * blocks by construction. */
+  def feedEntryBlocks(xml: Column): Column =
+    regexp_extract_all(xml,
+      lit("(?is)<(entry|item)\\b[^>]*>(.*?)</\\1\\s*>"), lit(2))
+
+  /** One entry block's target URL: Atom's `<link href="…">` (first link
+    * element — plant the alternate first; rel-qualified self links are
+    * feed plumbing) or RSS's text-content `<link>…</link>`, whichever
+    * matches first, entity-decoded (the sitemapUrls contract — `&amp;`
+    * is mandatory XML escaping) and whitespace-trimmed. Null when the
+    * block carries no link. */
+  def feedEntryUrl(block: Column): Column =
+    MarkupExtractExpr(coalesce(
+      nullIfEmpty(regexp_extract(block,
+        s"""(?is)<link\\b[^>]*${NoAttrPrefix}href\\s*=\\s*["']([^"']*)["']""",
+        1)),
+      nullIfEmpty(regexp_extract(block,
+        "(?is)<link\\s*>\\s*([^<]*?)\\s*</link\\s*>", 1))))
+
+  /** One entry block's change timestamp, as the raw feed string: Atom's
+    * `<updated>` (ISO 8601 by spec) falling back to RSS's `<pubDate>`
+    * (RFC 822 by spec) — surfaced untouched so the caller chooses the
+    * parse (to_timestamp formats differ per feed dialect and real feeds
+    * violate both specs; a failed parse should be the caller's policy,
+    * not a silent drop here). Null when the block carries neither. */
+  def feedEntryTimestamp(block: Column): Column =
+    coalesce(
+      nullIfEmpty(regexp_extract(block,
+        "(?is)<updated\\s*>\\s*([^<]*?)\\s*</updated\\s*>", 1)),
+      nullIfEmpty(regexp_extract(block,
+        "(?is)<pubDate\\s*>\\s*([^<]*?)\\s*</pubDate\\s*>", 1)))
+
   /** The `Sitemap:` lines of a robots.txt body (RFC 9309 §2.3 — they
     * bind to the whole host, independent of any user-agent group, which
     * is why this is a separate extraction and not part of

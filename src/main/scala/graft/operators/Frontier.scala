@@ -246,11 +246,28 @@ object Frontier {
       .agg(sort_array(collect_list(struct(
         col(tsCol).cast("long").as("ts"),
         col(hashCol).cast("string").as("h")))).as("__ev"))
+    ev.select(col("url"),
+        size(col("__ev")).cast("long").as("n_fetches"),
+        element_at(col("__ev"), -1).getField("ts").as("__last"),
+        backoffWalk(col("__ev"), baseSec, minSec, maxSec).as("__w"))
+      .select(col("url"), col("n_fetches"),
+        col("__w").getField("nc").as("n_changes"),
+        col("__w").getField("iv").as("interval_sec"),
+        (col("__last") + col("__w").getField("iv")).as("next_due"),
+        (col("__last") + col("__w").getField("iv") <= nowSec).as("due"))
+  }
+
+  /** The multiplicative backoff walk shared by [[revisitSchedule]] and
+    * [[revalidationPlan]]: fold a ts-sorted event array (structs with at
+    * least `ts`/`h` fields) into `(ph, iv, nc)` — previous hash, current
+    * interval, change count. One `aggregate` HOF pass, map-side. */
+  private def backoffWalk(evCol: org.apache.spark.sql.Column,
+      baseSec: Long, minSec: Long, maxSec: Long): org.apache.spark.sql.Column = {
     val init = struct(
-      element_at(col("__ev"), 1).getField("h").as("ph"),
+      element_at(evCol, 1).getField("h").as("ph"),
       lit(baseSec).as("iv"), lit(0L).as("nc"))
-    val walked = aggregate(
-      slice(col("__ev"), lit(2), greatest(lit(0), size(col("__ev")) - 1)),
+    aggregate(
+      slice(evCol, lit(2), greatest(lit(0), size(evCol) - 1)),
       init,
       (acc, e) => {
         val changed = e.getField("h") =!= acc.getField("ph")
@@ -262,16 +279,150 @@ object Frontier {
           (acc.getField("nc") +
             when(changed, 1L).otherwise(0L)).as("nc"))
       })
+  }
+
+  /** HTTP conditional revalidation — [[revisitSchedule]] extended with
+    * RFC 9110 validator carry: the fetch history additionally records
+    * each response's `ETag` (`etagCol`, string or null) and
+    * `Last-Modified` (`lastModCol`, epoch seconds or null), and each
+    * URL's plan row surfaces the validators a conditional request
+    * should send — `if_none_match` / `if_modified_since` are the LATEST
+    * history row's values: validators belong to the currently stored
+    * representation, and [[recordOutcomes]] materializes the 304
+    * carry-forward into that row (a raw 200 that omitted a validator
+    * leaves null — sending an older representation's validator could
+    * false-revalidate against reverted content). `conditional` is true
+    * when either validator is present — those fetches can be issued as
+    * cheap 304-candidates.
+    *
+    * Same distributed shape as [[revisitSchedule]] (one groupBy(url),
+    * per-URL bounded event list, one HOF walk, no window/join/driver
+    * state) and the same `tsCol`-unique-per-URL contract. Returns
+    * `(url, n_fetches, n_changes, interval_sec, next_due, due,
+    * if_none_match, if_modified_since, conditional)`. */
+  def revalidationPlan(
+      history: DataFrame,
+      urlCol: String,
+      tsCol: String,
+      hashCol: String,
+      etagCol: String,
+      lastModCol: String,
+      nowSec: Long,
+      baseSec: Long = 86400L,
+      minSec: Long = 3600L,
+      maxSec: Long = 30L * 86400L): DataFrame = {
+    require(baseSec >= 1 && minSec >= 1 && maxSec >= minSec &&
+      baseSec >= minSec && baseSec <= maxSec,
+      s"need 1 <= minSec <= baseSec <= maxSec, got " +
+        s"base=$baseSec min=$minSec max=$maxSec")
+    val ev = history
+      .groupBy(col(urlCol).as("url"))
+      .agg(sort_array(collect_list(struct(
+        col(tsCol).cast("long").as("ts"),
+        col(hashCol).cast("string").as("h"),
+        col(etagCol).cast("string").as("etag"),
+        col(lastModCol).cast("long").as("lm")))).as("__ev"))
     ev.select(col("url"),
         size(col("__ev")).cast("long").as("n_fetches"),
         element_at(col("__ev"), -1).getField("ts").as("__last"),
-        walked.as("__w"))
+        backoffWalk(col("__ev"), baseSec, minSec, maxSec).as("__w"),
+        element_at(col("__ev"), -1).getField("etag").as("if_none_match"),
+        element_at(col("__ev"), -1).getField("lm").as("if_modified_since"))
       .select(col("url"), col("n_fetches"),
         col("__w").getField("nc").as("n_changes"),
         col("__w").getField("iv").as("interval_sec"),
         (col("__last") + col("__w").getField("iv")).as("next_due"),
-        (col("__last") + col("__w").getField("iv") <= nowSec).as("due"))
+        (col("__last") + col("__w").getField("iv") <= nowSec).as("due"),
+        col("if_none_match"), col("if_modified_since"),
+        (col("if_none_match").isNotNull ||
+          col("if_modified_since").isNotNull).as("conditional"))
   }
+
+  /** Fold a wave of fetch OUTCOMES into history rows — the 304 half of
+    * the conditional-fetch contract: a `304 Not Modified` response
+    * carries no body, so its history row reuses the URL's latest prior
+    * content hash (unchanged → the next [[revalidationPlan]] walk
+    * DOUBLES the interval) and carries the prior validators forward
+    * unless the 304 itself refreshed them (RFC 9110 §15.4.5 allows
+    * updated ETag/Last-Modified on a 304) — and, crucially, produces NO
+    * document-pipeline row: nothing is re-ingested. A `200` response is
+    * a new representation: its hash and validators REPLACE the prior
+    * ones (a validator the server stopped sending is gone — sending a
+    * stale one would revalidate against the wrong representation).
+    *
+    * `outcomes`: one row per completed fetch with `statusCol` ∈
+    * {200, 304} (anything else is refused loudly — redirects and errors
+    * are frontier business, not history), plus the same url/ts/hash/
+    * validator columns as `history` (hash/validators null-able; a 304
+    * for a URL with no prior history raises — there is nothing to
+    * revalidate). Returns ONLY the new history rows
+    * `(url, ts, h, etag, lm)` — append them to the history table
+    * (exactly-once via the TaggedAppend/streaming seam the seen-URL
+    * history already uses).
+    *
+    * Shape: one groupBy over prior history (per-URL bounded state) +
+    * one join keyed on url — outcome waves are due-set-sized, far under
+    * history size, so AQE broadcasts them when small. */
+  def recordOutcomes(
+      history: DataFrame,
+      outcomes: DataFrame,
+      urlCol: String,
+      tsCol: String,
+      hashCol: String,
+      etagCol: String,
+      lastModCol: String,
+      statusCol: String): DataFrame = {
+    val prior = history
+      .groupBy(col(urlCol).as("__purl"))
+      .agg(max_by(struct(
+          col(hashCol).cast("string").as("h"),
+          col(etagCol).cast("string").as("etag"),
+          col(lastModCol).cast("long").as("lm")),
+        col(tsCol).cast("long")).as("__p"))
+    val st = col(statusCol).cast("int")
+    outcomes
+      .join(prior, col(urlCol) === col("__purl"), "left")
+      .select(
+        when(st.isin(200, 304), col(urlCol)).otherwise(raise_error(concat(
+          lit("recordOutcomes: status must be 200 or 304, got "),
+          st.cast("string"), lit(" for "), col(urlCol)))).as("url"),
+        col(tsCol).cast("long").as("ts"),
+        when(st === 304,
+          when(col("__p").isNull, raise_error(concat(
+            lit("recordOutcomes: 304 for a URL with no prior history: "),
+            col(urlCol))))
+            .otherwise(col("__p").getField("h")))
+          .otherwise(col(hashCol).cast("string")).as("h"),
+        when(st === 304,
+          coalesce(col(etagCol).cast("string"), col("__p").getField("etag")))
+          .otherwise(col(etagCol).cast("string")).as("etag"),
+        when(st === 304,
+          coalesce(col(lastModCol).cast("long"), col("__p").getField("lm")))
+          .otherwise(col(lastModCol).cast("long")).as("lm"))
+  }
+
+  /** RSS/Atom feed change discovery — feeds enter the frontier the way
+    * sitemaps do (the t56 seam), but carry CHANGE signal: an entry names
+    * a page the publisher says is new or updated, so polling feeds finds
+    * fresh content at a fraction of a recrawl's cost (the feed-reader
+    * complement to [[revisitSchedule]]'s blind backoff). Input: one row
+    * per fetched feed `(urlCol, xmlCol)`. Output: one row per entry —
+    * `(feed_url, entry_url, entry_ts)` with `entry_ts` the raw
+    * `<updated>`/`<pubDate>` string (see
+    * [[TextFunctions.feedEntryTimestamp]] for why it stays unparsed) —
+    * ready for [[seenDiff]] against the crawl history and then
+    * [[schedule]]/[[capPerHost]] like any discovery wave. Entries with
+    * no link are dropped (nothing to fetch); feed-level metadata never
+    * leaks in (block extraction sees only entry/item interiors).
+    * Map-side only: one regexp pass per feed, explode, two extractions
+    * per entry — no shuffle, no join. */
+  def feedEntries(feeds: DataFrame, urlCol: String, xmlCol: String): DataFrame =
+    feeds.select(col(urlCol).as("feed_url"),
+        explode(TextFunctions.feedEntryBlocks(col(xmlCol))).as("__b"))
+      .select(col("feed_url"),
+        TextFunctions.feedEntryUrl(col("__b")).as("entry_url"),
+        TextFunctions.feedEntryTimestamp(col("__b")).as("entry_ts"))
+      .filter(col("entry_url").isNotNull)
 
   /** Per-registrable-domain quality rollup — the aggregation behind
     * domain-level curation (C4's blocklists, RefinedWeb's per-site

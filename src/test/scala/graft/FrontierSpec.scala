@@ -285,4 +285,76 @@ class FrontierSpec extends SparkSpec {
     assert(multi("v") == ((3L, 2L, 100L, 120L, true)), multi.toString)
     assert(multi("w") == ((1L, 0L, 400L, 400L, true)), multi.toString)
   }
+
+  private def histDf(rows: Seq[(String, Long, String, String, java.lang.Long)]) =
+    rows.toDF("url", "ts", "h", "etag", "lm")
+
+  test("revalidationPlan: latest-row validators, same backoff as revisitSchedule") {
+    val h = histDf(Seq(
+      ("u", 0L, "a", "e1", 50L),
+      ("u", 10L, "b", "e2", null),     // latest: etag e2, lm gone (replaced)
+      ("v", 0L, "x", null, null)))
+    val r = Frontier.revalidationPlan(h, "url", "ts", "h", "etag", "lm",
+        nowSec = 1000L, baseSec = 400L, minSec = 100L, maxSec = 1600L)
+      .collect().map(x => x.getString(0) -> x).toMap
+    val u = r("u")
+    // change at fetch 2: 400 -> 200; validators = latest row's only
+    assert(u.getLong(3) == 200L && u.getString(6) == "e2")
+    assert(u.isNullAt(7), "a 200 that omitted Last-Modified erases it")
+    assert(u.getBoolean(8), "etag present -> conditional")
+    val v = r("v")
+    assert(v.isNullAt(6) && v.isNullAt(7) && !v.getBoolean(8))
+  }
+
+  test("recordOutcomes: 304 carries hash+validators, 200 replaces, refusals loud") {
+    val h = histDf(Seq(
+      ("u", 0L, "a", "e1", 50L),
+      ("u", 10L, "b", "e2", 60L),
+      ("w", 0L, "x", "ex", null)))
+    val out = Seq(
+      ("u", 20L, null.asInstanceOf[String], null.asInstanceOf[String],
+        null.asInstanceOf[java.lang.Long], 304),
+      ("w", 20L, "y", null.asInstanceOf[String],
+        java.lang.Long.valueOf(99L), 200))
+      .toDF("url", "ts", "h", "etag", "lm", "status")
+    val rec = Frontier.recordOutcomes(h, out, "url", "ts", "h", "etag",
+        "lm", "status").collect().map(x => x.getString(0) -> x).toMap
+    // 304: prior hash + prior validators carried from the LATEST row
+    assert(rec("u").getString(2) == "b" && rec("u").getString(3) == "e2" &&
+      rec("u").getLong(4) == 60L)
+    // 200: new hash, validators replace (etag erased, lm set)
+    assert(rec("w").getString(2) == "y" && rec("w").isNullAt(3) &&
+      rec("w").getLong(4) == 99L)
+    // a 304 that itself refreshes a validator wins over the carry
+    val rec2 = Frontier.recordOutcomes(h,
+        Seq(("u", 20L, null.asInstanceOf[String], "e3",
+          null.asInstanceOf[java.lang.Long], 304))
+          .toDF("url", "ts", "h", "etag", "lm", "status"),
+        "url", "ts", "h", "etag", "lm", "status").collect().head
+    assert(rec2.getString(3) == "e3" && rec2.getLong(4) == 60L)
+    // the composed loop: appending the 304 row doubles the interval
+    val plan = Frontier.revalidationPlan(
+      h.unionByName(Frontier.recordOutcomes(h, out.filter(col("url") === "u"),
+        "url", "ts", "h", "etag", "lm", "status")),
+      "url", "ts", "h", "etag", "lm",
+      nowSec = 1000L, baseSec = 400L, minSec = 100L, maxSec = 1600L)
+      .filter(col("url") === "u").collect().head
+    assert(plan.getLong(3) == 400L, // 400 -> change 200 -> 304 same 400
+      s"304 must double the halved interval: $plan")
+    // refusals: unexpected status; 304 with no prior history
+    intercept[Exception] {
+      Frontier.recordOutcomes(h,
+        Seq(("u", 20L, "z", null.asInstanceOf[String],
+          null.asInstanceOf[java.lang.Long], 500))
+          .toDF("url", "ts", "h", "etag", "lm", "status"),
+        "url", "ts", "h", "etag", "lm", "status").collect()
+    }
+    intercept[Exception] {
+      Frontier.recordOutcomes(h,
+        Seq(("never-seen", 20L, null.asInstanceOf[String],
+          null.asInstanceOf[String], null.asInstanceOf[java.lang.Long], 304))
+          .toDF("url", "ts", "h", "etag", "lm", "status"),
+        "url", "ts", "h", "etag", "lm", "status").collect()
+    }
+  }
 }
