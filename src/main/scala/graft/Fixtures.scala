@@ -174,6 +174,49 @@ object Fixtures {
       rows.toDF("doc_id", "payload").coalesce(1).write.mode("overwrite").parquet(dir)
     }
 
+  /** PDFs with embedded images: per doc, a text page plus TWO image
+    * XObjects — a FlateDecode DeviceRGB image whose raw samples follow
+    * the [[pngPixelDocs]] closed form `(id + x·3 + y·5 + c·11) mod 256`,
+    * and a DCTDecode image embedding [[jpegPixelDocs]]' exact-decode
+    * 4:4:4 JPEG (flat 8×8 blocks, R=G=B) — so the extracted dHashes are
+    * replayable in closed form end to end. */
+  def pdfImageDocs(spark: SparkSession, sfDir: String): String =
+    cached("pdf_image_docs", sfDir) { dir =>
+      import spark.implicits._
+      import graft.functions.PdfImpl
+      val ids = table(spark, sfDir, "documents").select("doc_id")
+        .as[Long].collect().sorted
+      val rows = ids.toSeq.map { id =>
+        val w1 = (id % 13).toInt + 4; val h1 = (id % 11).toInt + 4
+        val flat = new Array[Byte](w1 * h1 * 3)
+        var i = 0
+        var y = 0
+        while (y < h1) {
+          var x = 0
+          while (x < w1) {
+            var c = 0
+            while (c < 3) {
+              flat(i) = ((id + x * 3 + y * 5 + c * 11) % 256).toByte
+              i += 1; c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        val w2 = (id % 23).toInt + 4; val h2 = (id % 19).toInt + 4
+        val jpeg = graft.operators.Multimodal.syntheticJpegDcBytes(
+          id, w2, h2, color = true)
+        val pdf = PdfImpl.build(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s"pdf doc $id"),
+          compress = id % 2 == 0,
+          images = Seq(
+            PdfImpl.ImageSpec(w1, h1, 3, flat, dct = false),
+            PdfImpl.ImageSpec(w2, h2, 3, jpeg, dct = true)))
+        (id, pdf)
+      }
+      rows.toDF("doc_id", "payload").coalesce(1).write.mode("overwrite").parquet(dir)
+    }
+
   /** Audio analog of [[mediaDocs]]: one valid WAV header per doc, with
     * rate/channels/bits/sample-count derived from doc_id so the oracle can
     * verify the byte-level parse inverts the construction arithmetic. */

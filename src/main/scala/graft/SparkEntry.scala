@@ -5276,6 +5276,22 @@ object SparkEntry {
         col("seg.end_sample").as("end_sample"))
       .orderBy("doc_id", "seg_ix")
 
+  /** PDF embedded-image extraction (the r17 verdict's #4 ask): walk each
+    * planted PDF's XObject streams, inflate the FlateDecode DeviceRGB
+    * image and hand the DCTDecode payload to the from-scratch baseline
+    * JPEG decoder, then dHash the ACTUAL samples of both — the oracle
+    * replays dictionary parse, the flate closed-form pixels, the JPEG's
+    * exact flat-block decode, the 9×8 nearest resize, ITU-601 gray and
+    * the bit packing, so a drift anywhere in the PDF walk OR either
+    * codec path goes red. See
+    * [[graft.operators.Multimodal.decodePdfImages]]. */
+  private def m20_pdf_images(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodePdfImages(
+        s.read.parquet(Fixtures.pdfImageDocs(s, dir)))
+      .select(col("doc_id"), col("image_ix"), col("width"), col("height"),
+        col("channels"), col("filter"), col("hash_hi"), col("hash_lo"))
+      .orderBy("doc_id", "image_ix")
+
   private def m2_audio(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeAudioMeta(s.read.parquet(Fixtures.audioDocs(s, dir)))
       .select(col("doc_id"), col("audio_meta.sample_rate"),
@@ -6421,6 +6437,7 @@ object SparkEntry {
     "t89_web_clean" -> (t89_web_clean _),
     "st24_stream_inverted" -> (st24_stream_inverted _),
     "m19_audio_vad" -> (m19_audio_vad _),
+    "m20_pdf_images" -> (m20_pdf_images _),
     "ml6_confusion" -> (ml6_confusion _),
     "t91_jsonld" -> (t91_jsonld _),
     "t92_meta_robots" -> (t92_meta_robots _),
@@ -11649,6 +11666,48 @@ object SparkEntry {
          SELECT hsh.doc_id, hsh.hash_hi, hsh.hash_lo, grp.group_size
          FROM hsh JOIN grp USING (hash_hi, hash_lo)
          ORDER BY hsh.doc_id""",
+    // both embedded images' dHashes replayed in closed form: the flate
+    // leg from the raw-sample formula (m11's machinery), the DCT leg
+    // from the JPEG's exact flat-block decode (m6's closed form, R=G=B
+    // so gray == the block value)
+    "m20_pdf_images" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(doc_id % 13 + 4 AS INT) AS w1,
+             CAST(doc_id % 11 + 4 AS INT) AS h1,
+             CAST(doc_id % 23 + 4 AS INT) AS w2,
+             CAST(doc_id % 19 + 4 AS INT) AS h2
+           FROM documents),
+         g AS (
+           SELECT doc_id, 0 AS image_ix, w1 AS width, h1 AS height,
+             'flate' AS filter, p.p % 9 AS x, p.p // 9 AS y,
+             (299 * ((doc_id + ((p.p % 9) * w1 // 9) * 3
+                      + ((p.p // 9) * h1 // 8) * 5) % 256)
+            + 587 * ((doc_id + ((p.p % 9) * w1 // 9) * 3
+                      + ((p.p // 9) * h1 // 8) * 5 + 11) % 256)
+            + 114 * ((doc_id + ((p.p % 9) * w1 // 9) * 3
+                      + ((p.p // 9) * h1 // 8) * 5 + 22) % 256)) // 1000
+               AS gray
+           FROM d, UNNEST(range(0, 72)) AS p(p)
+           UNION ALL
+           SELECT doc_id, 1, w2, h2, 'dct', p.p % 9, p.p // 9,
+             16 + ((doc_id + (((p.p % 9) * w2 // 9) // 8) * 3
+                    + (((p.p // 9) * h2 // 8) // 8) * 5) % 224)
+           FROM d, UNNEST(range(0, 72)) AS p(p)),
+         b AS (SELECT a.doc_id, a.image_ix, a.width, a.height, a.filter,
+             a.x, a.y, CASE WHEN a.gray < c.gray THEN 1 ELSE 0 END AS bit
+           FROM g a JOIN g c ON a.doc_id = c.doc_id
+             AND a.image_ix = c.image_ix AND a.y = c.y AND c.x = a.x + 1
+           WHERE a.x < 8)
+         SELECT doc_id, CAST(image_ix AS INT) AS image_ix, width, height,
+           CAST(3 AS INT) AS channels, filter,
+           CAST(SUM(CASE WHEN y * 8 + x >= 32
+             THEN CAST(bit AS BIGINT) << (y * 8 + x - 32)
+             ELSE 0 END) AS BIGINT) AS hash_hi,
+           CAST(SUM(CASE WHEN y * 8 + x < 32
+             THEN CAST(bit AS BIGINT) << (y * 8 + x)
+             ELSE 0 END) AS BIGINT) AS hash_lo
+         FROM b GROUP BY doc_id, image_ix, width, height, filter
+         ORDER BY doc_id, image_ix""",
     // m11's closed-form hashes -> BRUTE-FORCE Hamming<=3 pairs: the
     // 4x16 pigeonhole banding must lose nothing and duplicate nothing
     "m14_image_dedup_join" ->

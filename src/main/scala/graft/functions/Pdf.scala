@@ -148,8 +148,11 @@ object PdfImpl {
         val flate = dict.contains("/FlateDecode")
         // 1.5+ container streams are object/xref holders, not content —
         // see the class doc; a BT inside their (often binary) bytes is
-        // coincidence, not text
-        val container = dict.contains("/ObjStm") || dict.contains("/XRef")
+        // coincidence, not text. Image XObjects likewise: inflated pixel
+        // samples can contain a coincidental "BT" (two bytes over
+        // arbitrary sample data), which would emit garbage text
+        val container = dict.contains("/ObjStm") || dict.contains("/XRef") ||
+          dict.contains("/Image")
         if ((!hasFilter || flate) && !container) {
           val body =
             if (!flate) java.util.Arrays.copyOfRange(pdf, ds, de)
@@ -164,10 +167,15 @@ object PdfImpl {
   }
 
   /** A direct (non-reference) /Length value, or -1. */
-  private def directLength(dict: String): Int = {
-    val at = dict.indexOf("/Length")
+  private def directLength(dict: String): Int = directInt(dict, "/Length")
+
+  /** A direct (non-reference) integer value for `key`, or -1 — the
+    * /Length parser generalized for the image dictionary keys
+    * (/Width, /Height, /BitsPerComponent). */
+  private def directInt(dict: String, key: String): Int = {
+    val at = dict.indexOf(key)
     if (at < 0) return -1
-    var j = at + 7
+    var j = at + key.length
     while (j < dict.length && (dict.charAt(j) == ' ' || dict.charAt(j) == '\n' ||
       dict.charAt(j) == '\r' || dict.charAt(j) == '\t')) j += 1
     var v = 0
@@ -344,9 +352,85 @@ object PdfImpl {
   private def ascii(b: Array[Byte], from: Int, to: Int): String =
     new String(b, from, to - from, java.nio.charset.StandardCharsets.ISO_8859_1)
 
+  // -------------------------------------------------------------- images
+
+  /** One embedded image XObject: dimensions and sample depth from the
+    * object dictionary, `channels` from the colorspace name (DeviceRGB=3,
+    * DeviceGray=1, 0 when unrecognized), `filter` ∈ {"dct", "flate",
+    * "raw", "other"}, and `data` the image payload — RAW DECODED samples
+    * for flate/raw (FlateDecode already inflated), the UNtouched JPEG
+    * byte stream for dct (DCTDecode's payload IS a JPEG — decode is the
+    * image layer's business, [[graft.operators.Multimodal]]'s decoder),
+    * null for unsupported filter chains. */
+  final case class PdfImage(width: Int, height: Int, channels: Int,
+      bitsPerComponent: Int, filter: String, data: Array[Byte])
+
+  /** Every image XObject of the document, in byte order — the same
+    * stream walk as [[extract]], keeping only `/Subtype /Image` objects.
+    * Malformed entries degrade to what the dictionary yields (never
+    * throws): the caller tags undecodable rows, the [[extract]]
+    * contract. */
+  def images(pdf: Array[Byte]): Vector[PdfImage] = {
+    val out = Vector.newBuilder[PdfImage]
+    var i = 0
+    while (i < pdf.length) {
+      val p = indexOf(pdf, "stream", i)
+      if (p < 0) { i = pdf.length }
+      else if (p >= 3 && pdf(p - 3) == 'e' && pdf(p - 2) == 'n' &&
+          pdf(p - 1) == 'd') {
+        i = p + 6
+      } else {
+        val objAt = lastIndexOf(pdf, "obj", p)
+        val dict = ascii(pdf, if (objAt < 0) 0 else objAt, p)
+        var ds = p + 6
+        if (ds < pdf.length && pdf(ds) == '\r') ds += 1
+        if (ds < pdf.length && pdf(ds) == '\n') ds += 1
+        val len = directLength(dict)
+        val de =
+          if (len >= 0 && ds + len <= pdf.length) ds + len
+          else {
+            val e = indexOf(pdf, "endstream", ds)
+            if (e < 0) pdf.length else e
+          }
+        if (dict.contains("/Subtype") && dict.contains("/Image")) {
+          val w = directInt(dict, "/Width")
+          val h = directInt(dict, "/Height")
+          val bpc = directInt(dict, "/BitsPerComponent")
+          val channels =
+            if (dict.contains("/DeviceRGB")) 3
+            else if (dict.contains("/DeviceGray")) 1
+            else 0
+          val hasFilter = dict.contains("/Filter")
+          val (filter, data) =
+            if (dict.contains("/DCTDecode"))
+              ("dct", java.util.Arrays.copyOfRange(pdf, ds, de))
+            else if (dict.contains("/FlateDecode"))
+              ("flate", inflate(pdf, ds, de - ds))
+            else if (!hasFilter)
+              ("raw", java.util.Arrays.copyOfRange(pdf, ds, de))
+            else ("other", null)
+          out += PdfImage(w, h, channels, bpc, filter, data)
+        }
+        i = de
+      }
+    }
+    out.result()
+  }
+
   // -------------------------------------------------------------- build
 
-  def build(text: UTF8String, compress: Boolean): Array[Byte] = {
+  /** An image to embed: raw interleaved 8-bit samples for
+    * `dct = false` (the builder deflates them into a FlateDecode
+    * XObject), a complete JPEG byte stream for `dct = true`
+    * (embedded verbatim as DCTDecode — the PDF-native JPEG carry). */
+  final case class ImageSpec(width: Int, height: Int, channels: Int,
+      data: Array[Byte], dct: Boolean)
+
+  def build(text: UTF8String, compress: Boolean): Array[Byte] =
+    build(text, compress, Seq.empty)
+
+  def build(text: UTF8String, compress: Boolean,
+      images: Seq[ImageSpec]): Array[Byte] = {
     val tb = text.getBytes
     val half = tb.length / 2
     val content = new java.io.ByteArrayOutputStream()
@@ -370,15 +454,41 @@ object PdfImpl {
         } finally d.end()
       }
     val filter = if (compress) " /Filter /FlateDecode" else ""
+    val xobjRefs =
+      if (images.isEmpty) ""
+      else " /XObject << " + images.indices
+        .map(ix => s"/Im$ix ${6 + ix} 0 R").mkString(" ") + " >>"
+    val imageObjs = images.zipWithIndex.map { case (im, ix) =>
+      val (filterEntry, payload) =
+        if (im.dct) (" /Filter /DCTDecode", im.data)
+        else {
+          val d = new java.util.zip.Deflater()
+          try {
+            d.setInput(im.data); d.finish()
+            val o = new java.io.ByteArrayOutputStream(im.data.length / 2 + 32)
+            val buf = new Array[Byte](8192)
+            while (!d.finished()) o.write(buf, 0, d.deflate(buf))
+            (" /Filter /FlateDecode", o.toByteArray)
+          } finally d.end()
+        }
+      val cs = if (im.channels == 1) "/DeviceGray" else "/DeviceRGB"
+      concat(
+        ascii(s"${6 + ix} 0 obj << /Type /XObject /Subtype /Image " +
+          s"/Width ${im.width} /Height ${im.height} /ColorSpace $cs " +
+          s"/BitsPerComponent 8$filterEntry /Length ${payload.length} " +
+          ">> stream\n"),
+        payload, ascii("\nendstream endobj\n"))
+    }
     val objs = Seq[Array[Byte]](
       ascii("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"),
       ascii("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"),
       ascii("3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
-        "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >> endobj\n"),
+        s"/Resources << /Font << /F1 5 0 R >>$xobjRefs >> " +
+        "/Contents 4 0 R >> endobj\n"),
       concat(ascii(s"4 0 obj << /Length ${body.length}$filter >> stream\n"),
         body, ascii("\nendstream endobj\n")),
       ascii("5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
-        ">> endobj\n"))
+        ">> endobj\n")) ++ imageObjs
     val out = new java.io.ByteArrayOutputStream()
     out.write(ascii("%PDF-1.4\n"))
     val offsets = new Array[Int](objs.length)

@@ -700,6 +700,40 @@ object Multimodal {
       (hi, lo)
     }
 
+  /** dHash over an already-decoded interleaved pixel array (the format-
+    * independent core under [[pngDHash]]'s PNG path and the PDF image
+    * path): nearest-neighbor resize to 9×8 with the [[pngResizeNearest]]
+    * index mapping, ITU-601 integer grayscale (identity for 1-channel
+    * input), one bit per horizontal gradient, packed as unsigned 32-bit
+    * halves — all integer, replayable in closed form. */
+  def dhashFromPixels(w: Int, h: Int, channels: Int,
+      px: Array[Int]): (Long, Long) = {
+    require(w > 0 && h > 0 && channels >= 1 && px.length >= w * h * channels,
+      s"bad pixel buffer: ${w}x$h x$channels vs ${px.length}")
+    def gray(x: Int, y: Int): Int = {
+      val sx = (x.toLong * w / 9).toInt
+      val sy = (y.toLong * h / 8).toInt
+      val i = (sy * w + sx) * channels
+      if (channels == 1) px(i) & 0xFF
+      else (299 * (px(i) & 0xFF) + 587 * (px(i + 1) & 0xFF) +
+        114 * (px(i + 2) & 0xFF)) / 1000
+    }
+    var hi = 0L; var lo = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (gray(x, y) < gray(x + 1, y)) {
+          val bit = y * 8 + x
+          if (bit < 32) lo |= 1L << bit else hi |= 1L << (bit - 32)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    (hi, lo)
+  }
+
   private val dhashType = StructType(Seq(
     StructField("format", StringType, nullable = false),
     StructField("hash_hi", LongType, nullable = true),
@@ -716,6 +750,61 @@ object Multimodal {
         case None => Row("undecodable", null, null)
       }
     }
+
+  /** PDF embedded-image extraction + perceptual hashing: each payload's
+    * image XObjects ([[graft.functions.PdfImpl.images]]) explode to one
+    * row per image — `(image_ix, width, height, channels, filter,
+    * hash_hi, hash_lo)` appended to the input row — with the dHash
+    * computed from the ACTUAL samples: FlateDecode/raw payloads are
+    * interleaved 8-bit samples hashed directly, DCTDecode payloads run
+    * through the baseline JPEG decoder ([[jpegDecodeInterleaved]] —
+    * exactly the from-scratch decoder the standalone JPEG path uses).
+    * Rows whose samples can't be hashed (unsupported filter/colorspace,
+    * truncated data, undecodable JPEG) keep the dictionary metadata with
+    * null hashes — visible, never dropped; payloads with NO images emit
+    * nothing (there is no image row to represent). Executor-side
+    * mapPartitions like every codec here — the per-row state is one
+    * image's samples, bounded by the image itself. */
+  def decodePdfImages(df: DataFrame, payloadCol: String = "payload")
+      : DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++ Seq(
+      StructField("image_ix", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("channels", IntegerType, nullable = false),
+      StructField("filter", StringType, nullable = false),
+      StructField("hash_hi", LongType, nullable = true),
+      StructField("hash_lo", LongType, nullable = true)))
+    val payloadIdx = inSchema.fieldIndex(payloadCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        if (bytes == null) Iterator.empty
+        else graft.functions.PdfImpl.images(bytes).iterator.zipWithIndex
+          .map { case (im, ix) =>
+            val hash: Option[(Long, Long)] = im.filter match {
+              case "flate" | "raw"
+                  if im.data != null && im.width > 0 && im.height > 0 &&
+                    im.channels >= 1 && im.bitsPerComponent == 8 &&
+                    im.data.length >= im.width * im.height * im.channels =>
+                Some(dhashFromPixels(im.width, im.height, im.channels,
+                  im.data.map(b => b & 0xFF)))
+              case "dct" =>
+                jpegDecodeInterleaved(im.data).map { case (w, h, c, px) =>
+                  dhashFromPixels(w, h, c, px)
+                }
+              case _ => None
+            }
+            Row.fromSeq(r.toSeq ++ Seq(ix, im.width, im.height, im.channels,
+              im.filter,
+              hash.map(x => java.lang.Long.valueOf(x._1)).orNull,
+              hash.map(x => java.lang.Long.valueOf(x._2)).orNull))
+          }
+      }
+    }
+  }
 
   private val resizeType = StructType(Seq(
     StructField("width", IntegerType, nullable = false),
@@ -880,7 +969,34 @@ object Multimodal {
     * above 2 return None — callers tag `undecodable` and fall back rather
     * than guessing, same contract as [[pngPixelStats]]. Sums are exact
     * 64-bit integers, so the stats are deterministic and SQL-reproducible. */
-  def jpegPixelStats(b: Array[Byte]): Option[(Int, Int, Int, Array[Double], Array[Double])] = {
+  def jpegPixelStats(b: Array[Byte]): Option[(Int, Int, Int, Array[Double], Array[Double])] =
+    jpegDecodeInterleaved(b).map { case (w, h, channels, px) =>
+      val sum = new Array[Long](channels)
+      val sumSq = new Array[Long](channels)
+      var i = 0
+      while (i < px.length) {
+        val c = i % channels
+        val v = px(i)
+        sum(c) += v; sumSq(c) += v.toLong * v
+        i += 1
+      }
+      val n = w.toLong * h
+      val mean = new Array[Double](channels)
+      val std = new Array[Double](channels)
+      var c = 0
+      while (c < channels) {
+        mean(c) = sum(c).toDouble / n
+        std(c) = math.sqrt(math.max(sumSq(c).toDouble / n - mean(c) * mean(c), 0.0))
+        c += 1
+      }
+      (w, h, channels, mean, std)
+    }
+
+  /** The decode under [[jpegPixelStats]], exposing the full
+    * channel-interleaved pixel array (row-major, 0..255 ints) — the seam
+    * [[dhashFromPixels]] and the PDF DCTDecode path consume. Same
+    * support envelope and None contract as the stats wrapper. */
+  def jpegDecodeInterleaved(b: Array[Byte]): Option[(Int, Int, Int, Array[Int])] = {
     if (b == null || b.length < 4 ||
         (b(0) & 0xFF) != 0xFF || (b(1) & 0xFF) != 0xD8) return None
     try {
@@ -1083,8 +1199,7 @@ object Multimodal {
       }
       // stats over the w×h crop; 3-component scans convert YCbCr→RGB
       val channels = nComp
-      val sum = new Array[Long](channels)
-      val sumSq = new Array[Long](channels)
+      val px = new Array[Int](w * h * channels)
       // nearest-neighbor chroma upsampling: component c's sample for image
       // pixel (x, y) lives at (x*compH(c)/hMax, y*compV(c)/vMax)
       def sample(c: Int, x: Int, y: Int): Int =
@@ -1094,8 +1209,7 @@ object Multimodal {
         var x = 0
         while (x < w) {
           if (nComp == 1) {
-            val v = planes(0)(y * planeWs(0) + x)
-            sum(0) += v; sumSq(0) += v.toLong * v
+            px(y * w + x) = planes(0)(y * planeWs(0) + x)
           } else {
             val yv = sample(0, x, y)
             val cb = sample(1, x, y) - 128
@@ -1104,27 +1218,16 @@ object Multimodal {
               val r = math.round(d).toInt
               if (r < 0) 0 else if (r > 255) 255 else r
             }
-            val rv = clamp(yv + 1.402 * cr)
-            val gv = clamp(yv - 0.344136 * cb - 0.714136 * cr)
-            val bv = clamp(yv + 1.772 * cb)
-            sum(0) += rv; sumSq(0) += rv.toLong * rv
-            sum(1) += gv; sumSq(1) += gv.toLong * gv
-            sum(2) += bv; sumSq(2) += bv.toLong * bv
+            val i = (y * w + x) * 3
+            px(i) = clamp(yv + 1.402 * cr)
+            px(i + 1) = clamp(yv - 0.344136 * cb - 0.714136 * cr)
+            px(i + 2) = clamp(yv + 1.772 * cb)
           }
           x += 1
         }
         y += 1
       }
-      val n = w.toLong * h
-      val mean = new Array[Double](channels)
-      val std = new Array[Double](channels)
-      c = 0
-      while (c < channels) {
-        mean(c) = sum(c).toDouble / n
-        std(c) = math.sqrt(math.max(sumSq(c).toDouble / n - mean(c) * mean(c), 0.0))
-        c += 1
-      }
-      Some((w, h, channels, mean, std))
+      Some((w, h, channels, px))
     } catch {
       case JpegFormat => None
       case _: ArrayIndexOutOfBoundsException => None
