@@ -1413,6 +1413,24 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Contamination AUDIT report (the r17 verdict's #7 reach item): two
+    * eval sets (every 100th and every 97th doc — overlapping at
+    * multiples of 9700, so the per-set legs are genuinely different),
+    * the whole corpus histogrammed by integer-bucketed n-gram overlap
+    * per set. The oracle recomputes shingles, per-set distinct-gram
+    * universes, per-(doc, set) matches, the integer bucket arithmetic
+    * and the threshold counts from scratch.
+    * See [[graft.operators.Decontaminate.report]]. */
+  private def d27_decontam_report(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Decontaminate.report(docs, "doc_id", "text",
+        Seq(
+          "e100" -> docs.filter(col("doc_id") % 100 === 0).select("text"),
+          "e97" -> docs.filter(col("doc_id") % 97 === 0).select("text")),
+        "text", n = 3, threshold = 0.5, buckets = 10)
+      .orderBy("eval_set", "bucket")
+  }
+
   /** FUZZY decontamination vs the exact path, adversarially: planted
     * PARAPHRASES of the eval docs (a unique junk token injected after
     * every 6th word, so no verbatim 8-gram survives — max clean run is
@@ -3467,6 +3485,29 @@ object SparkEntry {
         .as("w"))
       .groupBy("w").count().orderBy(desc("count"), col("w"))
       .limit(1).head().getString(0)
+    val pieces = graft.functions.UnigramEncodeExpr(col("text"), model)
+    docs.select(col("doc_id"),
+        concat_ws("", pieces).as("text_rt"),
+        (size(pieces) < length(regexp_replace(col("text"), " ", "")))
+          .as("compresses"),
+        (size(graft.functions.UnigramEncodeExpr(lit(topWord), model)) === 1)
+          .as("top_word_whole"))
+      .orderBy("doc_id")
+  }
+
+  /** t63's corpus-exact twin (the r17 verdict's #5 ask): the unigram
+    * model trains from the EXACT distributed word histogram
+    * ([[graft.functions.Unigram.trainFromCorpusExact]]) and the
+    * most-frequent word is the full corpus's, not the sample's — same
+    * oracle-checkable claims (lossless round trip, top word stays one
+    * piece, every doc compresses), now pinned against the whole-corpus
+    * trainer. */
+  private def t63b_unigram_exact(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val model = graft.functions.Unigram.trainFromCorpusExact(
+      docs, "text", vocabSize = 400, maxVocab = 4096)
+    val topWord = graft.functions.Bpe.wordHistogram(docs, "text", 1)
+      .head().getString(0)
     val pieces = graft.functions.UnigramEncodeExpr(col("text"), model)
     docs.select(col("doc_id"),
         concat_ws("", pieces).as("text_rt"),
@@ -6335,6 +6376,7 @@ object SparkEntry {
     "t62_nfc_normalize" -> (t62_nfc_normalize _),
     "t54c_robots_sitemaps" -> (t54c_robots_sitemaps _),
     "t63_unigram_tokens" -> (t63_unigram_tokens _),
+    "t63b_unigram_exact" -> (t63b_unigram_exact _),
     "t54d_robots_crawldelay" -> (t54d_robots_crawldelay _),
     "t64_curation_pipeline" -> (t64_curation_pipeline _),
     "d21_dedup_keep_best" -> (d21_dedup_keep_best _),
@@ -6357,6 +6399,7 @@ object SparkEntry {
     "d7_connected_components" -> (d7_connected_components _),
     "d8_decontam" -> (d8_decontam _),
     "d8b_decontam_drop" -> (d8b_decontam_drop _),
+    "d27_decontam_report" -> (d27_decontam_report _),
     "d22_decontam_fuzzy" -> (d22_decontam_fuzzy _),
     "d23_dsir_select" -> (d23_dsir_select _),
     "d25_embed_decontam" -> (d25_embed_decontam _),
@@ -7501,6 +7544,12 @@ object SparkEntry {
     // minus spaces); the trained-model claims ride as by-construction
     // booleans (see the gate scaladoc); Viterbi itself is spec-pinned
     "t63_unigram_tokens" ->
+      """SELECT doc_id, replace(text, ' ', '') AS text_rt,
+           TRUE AS compresses, TRUE AS top_word_whole
+         FROM documents ORDER BY doc_id""",
+    // the exact-trainer twin makes the same closed-form claims — over
+    // the whole-corpus histogram and the corpus-global top word
+    "t63b_unigram_exact" ->
       """SELECT doc_id, replace(text, ' ', '') AS text_rt,
            TRUE AS compresses, TRUE AS top_word_whole
          FROM documents ORDER BY doc_id""",
@@ -8837,6 +8886,42 @@ object SparkEntry {
              / max(ex.total) >= 0.5 AS INT) AS contaminated
          FROM ex LEFT JOIN bg ON bg.gram = ex.gram
          GROUP BY ex.doc_id ORDER BY ex.doc_id""",
+    // the audit histogram from scratch: d8's shingle machinery, two
+    // per-set gram universes, integer bucket arithmetic, threshold counts
+    "d27_decontam_report" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                    FROM documents),
+         sh AS (SELECT doc_id,
+                  list_distinct(CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                    ELSE list_transform(range(1, len(ws) - 1),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END) AS g
+                FROM w),
+         bg AS (SELECT 'e100' AS eval_set, gram FROM
+                  (SELECT DISTINCT unnest(g) AS gram FROM sh WHERE doc_id % 100 = 0)
+                UNION ALL
+                SELECT 'e97', gram FROM
+                  (SELECT DISTINCT unnest(g) AS gram FROM sh WHERE doc_id % 97 = 0)),
+         ex AS (SELECT doc_id, unnest(g) AS gram FROM sh),
+         m AS (SELECT ex.doc_id, bg.eval_set, CAST(count(*) AS BIGINT) AS mm
+               FROM ex JOIN bg ON bg.gram = ex.gram
+               GROUP BY ex.doc_id, bg.eval_set),
+         tot AS (SELECT doc_id, CAST(len(g) AS BIGINT) AS total FROM sh),
+         per AS (SELECT s.eval_set, t.doc_id,
+                   COALESCE(m.mm, 0) AS mm, t.total
+                 FROM tot t
+                 CROSS JOIN (VALUES ('e100'), ('e97')) s(eval_set)
+                 LEFT JOIN m ON m.doc_id = t.doc_id
+                   AND m.eval_set = s.eval_set),
+         b AS (SELECT eval_set,
+                 CAST(CASE WHEN total > 0 THEN least(mm * 10 // total, 9)
+                      ELSE 0 END AS INT) AS bucket,
+                 CASE WHEN total > 0 AND CAST(mm AS DOUBLE) / total >= 0.5
+                      THEN 1 ELSE 0 END AS c
+               FROM per)
+         SELECT eval_set, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(c) AS BIGINT) AS n_contaminated
+         FROM b GROUP BY eval_set, bucket
+         ORDER BY eval_set, bucket""",
     // planted paraphrases: fuzzy catches every one, exact misses every
     // one — stated directly (planted-variant verdict convention)
     "d22_decontam_fuzzy" ->

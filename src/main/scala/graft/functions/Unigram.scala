@@ -210,6 +210,22 @@ object Unigram {
     }
     train(freq.toMap, vocabSize)
   }
+
+  /** Corpus-exact training — the [[Bpe.trainFromCorpusExact]] discipline
+    * applied to the unigram trainer: the EM loop stays driver-side (it
+    * is inherently iterative) but its input is [[Bpe.wordHistogram]]'s
+    * exact distributed word-frequency aggregate capped at `maxVocab`
+    * rows, not a document sample — a corpus-dominant word outside the
+    * first `sampleDocs` documents cannot be missed. Deterministic in
+    * (corpus, vocabSize, maxVocab). */
+  def trainFromCorpusExact(
+      df: org.apache.spark.sql.DataFrame, textCol: String,
+      vocabSize: Int = 512, maxVocab: Int = 65536): UnigramModel = {
+    val freq = Bpe.wordHistogram(df, textCol, maxVocab)
+      .select("word", "freq").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    train(freq, vocabSize)
+  }
 }
 
 /** Per-word unigram segmentation over a text column: whitespace

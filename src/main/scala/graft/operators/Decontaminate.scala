@@ -81,6 +81,77 @@ object Decontaminate {
       .withColumn("contaminated", col("contamination") >= threshold)
   }
 
+  /** Contamination audit report — the table reviewers ask for ALONGSIDE
+    * the drop: per eval set, the n-gram-overlap HISTOGRAM of the whole
+    * training corpus (how much borderline contamination exists, not just
+    * how many docs crossed the threshold). One row per non-empty
+    * `(eval_set, bucket)`: `bucket = floor(contamination · buckets)`
+    * computed in INTEGER arithmetic (`matched · buckets DIV total`, top
+    * bucket inclusive — no float boundary can flip a count between
+    * engines), `n_docs` the docs landing there, `n_contaminated` how
+    * many of those meet `threshold` (the [[ngramOverlap]] double
+    * comparison, unchanged).
+    *
+    * 100 TB shape: corpus shingles ONCE (shared across eval sets); every
+    * set's distinct-gram universe unions into one broadcast tagged by
+    * set name, so matching all K sets is the same single map-side join
+    * as matching one; per-(doc, set) counts partial-aggregate map-side;
+    * the doc × K denominator attach is a broadcast cross join of K
+    * names (K = a handful of benchmarks). Output is K · buckets rows —
+    * driver-safe by construction. */
+  def report(
+      train: DataFrame,
+      idCol: String,
+      textCol: String,
+      evalSets: Seq[(String, DataFrame)],
+      benchTextCol: String,
+      n: Int = 8,
+      threshold: Double = 0.2,
+      buckets: Int = 10,
+      broadcastBench: Boolean = true): DataFrame = {
+    require(evalSets.nonEmpty, "need at least one eval set")
+    require(evalSets.map(_._1).distinct.size == evalSets.size,
+      s"duplicate eval-set names: ${evalSets.map(_._1)}")
+    require(buckets >= 1, s"buckets must be >= 1; got $buckets")
+    require(threshold > 0.0,
+      "threshold must be > 0 (at 0 every doc reads contaminated)")
+    val spark = train.sparkSession
+    import spark.implicits._
+    val setsDf = evalSets.map(_._1).toDF("eval_set")
+    val trainSh = train
+      .select(col(idCol),
+        graft.functions.WordShinglesExpr(
+          coalesce(col(textCol), lit("")), n).as("__grams"))
+    val totals = trainSh
+      .select(col(idCol), size(col("__grams")).cast("long").as("__total"))
+    val benchGrams0 = evalSets.map { case (name, df) =>
+      df.select(lit(name).as("eval_set"),
+          explode(graft.functions.WordShinglesExpr(
+            col(benchTextCol), n)).as("__gram"))
+        .distinct()
+    }.reduce(_ unionByName _)
+    val benchGrams =
+      if (broadcastBench) broadcast(benchGrams0) else benchGrams0
+    val matched = trainSh
+      .select(col(idCol), explode(col("__grams")).as("__gram"))
+      .join(benchGrams, Seq("__gram"))
+      .groupBy(col(idCol), col("eval_set"))
+      .agg(count(lit(1)).as("__m"))
+    totals.crossJoin(broadcast(setsDf))
+      .join(matched, Seq(idCol, "eval_set"), "left")
+      .select(col("eval_set"),
+        coalesce(col("__m"), lit(0L)).as("__m"), col("__total"))
+      .select(col("eval_set"),
+        when(col("__total") > 0,
+          least(expr(s"__m * $buckets DIV __total"), lit(buckets - 1L)))
+          .otherwise(lit(0L)).cast("int").as("bucket"),
+        when(col("__total") > 0,
+          (col("__m").cast("double") / col("__total")) >= threshold)
+          .otherwise(lit(false)).cast("int").as("__c"))
+      .groupBy("eval_set", "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__c")).as("n_contaminated"))
+  }
+
   /** FUZZY decontamination: flag training docs that NEAR-duplicate an
     * eval doc — minhash/LSH candidate generation plus exact
     * shingle-Jaccard verification, the [[Dedup.minhashPairsAgainst]]

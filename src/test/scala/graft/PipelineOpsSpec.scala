@@ -73,6 +73,42 @@ class DecontaminateSpec extends SparkSpec {
       n = 3, threshold = 0.5)
     assert(kept.select("id").as[Long].collect().toSeq == Seq(2L))
   }
+
+  test("report: hand-computed per-set histogram, top bucket inclusive") {
+    val sets = Seq(
+      "a" -> bench,
+      "b" -> Seq("one two three").toDF("text"))
+    val r = Decontaminate.report(train, "id", "text", sets, "text",
+        n = 3, threshold = 0.5, buckets = 4)
+      .collect()
+      .map(x => (x.getString(0), x.getInt(1)) ->
+        (x.getLong(2), x.getLong(3))).toMap
+    // set a: doc1 c=1.0 -> bucket 3 (top inclusive, contaminated);
+    //        doc2 c=0.5 -> 0.5*4=2 (contaminated); doc3 0 -> b0;
+    //        doc4 "one two" whole-doc shingle, no match -> b0
+    assert(r(("a", 3)) == ((1L, 1L)), r.toString)
+    assert(r(("a", 2)) == ((1L, 1L)), r.toString)
+    assert(r(("a", 0)) == ((2L, 0L)), r.toString)
+    // set b: only bench doc "one two three"; docs 1-3 no match -> b0;
+    //        doc4's whole-doc shingle "one two" != trigram -> b0 too
+    assert(r(("b", 0)) == ((4L, 0L)), r.toString)
+    assert(r.keySet == Set(("a", 3), ("a", 2), ("a", 0), ("b", 0)))
+  }
+
+  test("report refuses duplicate set names, zero threshold, bad buckets") {
+    intercept[IllegalArgumentException] {
+      Decontaminate.report(train, "id", "text",
+        Seq("x" -> bench, "x" -> bench), "text")
+    }
+    intercept[IllegalArgumentException] {
+      Decontaminate.report(train, "id", "text", Seq("x" -> bench), "text",
+        threshold = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Decontaminate.report(train, "id", "text", Seq("x" -> bench), "text",
+        buckets = 0)
+    }
+  }
 }
 
 class PackSpec extends SparkSpec {

@@ -89,4 +89,22 @@ class UnigramSpec extends SparkSpec {
     assert(got(1L) == "", "blank text yields no pieces")
     assert(got(2L) == "z|q", "unseen word falls back to chars")
   }
+
+  test("exact trainer sees corpus-frequent words the 256-doc sample misses") {
+    // the BPE planted-skew corpus: sample window all 'aaab', tail docs
+    // dominated by 'qqqz' (corpus-wide the most frequent word)
+    val rows = (1L to 256L).map(i => (i, "aaab aaab")) ++
+      (257L to 300L).map(i => (i, Seq.fill(20)("qqqz").mkString(" ")))
+    val docs = rows.toDF("doc_id", "text")
+    val sampled = Unigram.trainFromCorpus(docs.orderBy("doc_id"), "text",
+      vocabSize = 16, sampleDocs = 256)
+    val exact = Unigram.trainFromCorpusExact(docs, "text",
+      vocabSize = 16, maxVocab = 1024)
+    assert(sampled.segment("qqqz").length > 1,
+      s"the sample never saw qqqz — it must fall back to pieces")
+    assert(exact.segment("qqqz") == Vector("qqqz"),
+      "the exact histogram makes the dominant word one piece")
+    assert(Unigram.trainFromCorpusExact(docs.repartition(7), "text",
+      vocabSize = 16, maxVocab = 1024).pieces == exact.pieces)
+  }
 }
