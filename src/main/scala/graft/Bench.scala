@@ -105,7 +105,17 @@ object Bench {
     // the composed web-to-corpus cleaning chain (extract -> repair ->
     // line-frequency -> domain filter in one program); PCM silence
     // segmentation (map-side sample walk)
-    "t89_web_clean", "m19_audio_vad")
+    "t89_web_clean", "m19_audio_vad",
+    // round-18: conditional-revalidation planning (groupBy(url) + HOF
+    // walk + validator carry), corpus-exact unigram training (the
+    // distributed histogram feeding the EM loop) + Viterbi encode,
+    // the contamination audit histogram (two tagged gram universes,
+    // one corpus scan), and PDF embedded-image extraction + dHash
+    // (headline only, not scaleSet: the 10x fixture builds 10x PDFs
+    // driver-side — the m11 fixture caveat; the decode itself is the
+    // same map-side codec kernel t50 already slope-measures)
+    "t94_revalidation", "t63b_unigram_exact", "d27_decontam_report",
+    "m20_pdf_images")
 
   /** Queries measured on the replicated corpus for the scaling slope —
     * the shuffle-heavy pipeline shapes whose 100 TB behavior a plan read
@@ -223,7 +233,16 @@ object Bench {
     // suffixed and disjoint — the d26 growth shape plus t80's
     // constant-domain rollup. m19: one sample walk per payload,
     // map-side; replica payloads are disjoint docs
-    "t89_web_clean", "m19_audio_vad")
+    "t89_web_clean", "m19_audio_vad",
+    // t94: urls embed doc ids so the per-url event lists stay 1x-sized
+    // while the url count grows x10 — one groupBy + HOF walk, linear.
+    // t63b: the histogram's distinct-word table grows x10 (suffixed
+    // replica tokens) but the rank window is vocab-bounded and the cap
+    // keeps the driver pull constant; the encode is t63's map-side
+    // kernel. d27: d8's broadcast-gram scan twice-tagged — replica
+    // grams are suffix-disjoint so per-set matches grow linearly and
+    // the histogram output stays K x buckets.
+    "t94_revalidation", "t63b_unigram_exact", "d27_decontam_report")
 
   /** Materialize a `factor`×-replicated copy of the FACT tables the scale
     * set reads (documents, lineitem, orders, events) plus 1× copies of
