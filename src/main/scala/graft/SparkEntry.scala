@@ -3242,6 +3242,87 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Streaming FEED ingest — t95's discovery leg as a stream (st22's
+    * exactly-once recipe one stage earlier in the pipeline): two
+    * ordered micro-batches of feed FETCHES flow through
+    * [[graft.operators.Frontier.feedEntries]] (a stateless map-side
+    * transform, so it rides the stream) into
+    * [[graft.streaming.Streams.seenIngest]] — wave 1 publishes half of
+    * every site's entries (evens), wave 2 the full feeds (every wave-1
+    * entry is a REDISCOVERY — exactly what a feed poll looks like).
+    * Post-stream, the history must hold every entry URL exactly once. */
+  private def st25_stream_feeds(s: SparkSession, dir: String): DataFrame = {
+    val base = "/tmp/graft_fixtures/feed_ingest_" +
+      java.net.URLEncoder.encode(dir, "UTF-8")
+    val conf = s.sessionState.newHadoopConf()
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(conf)
+    fs.delete(basePath, true)
+    val (incoming, hist, cp) = (s"$base/incoming", s"$base/history", s"$base/cp")
+    val d = t(s, dir, "documents").select(col("doc_id"))
+    def feedsOf(docs: DataFrame): DataFrame = docs
+      .groupBy((col("doc_id") % 5).as("site"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .select(
+        concat(lit("http://f"), col("site").cast("string"),
+          lit(".com/feed.xml")).as("feed_url"),
+        concat(lit("<feed>"),
+          array_join(transform(col("ids"), i => concat(
+            lit("<entry><link href=\"http://f"), col("site").cast("string"),
+            lit(".com/a?id="), i.cast("string"),
+            lit("\"/><updated>u</updated></entry>"))), ""),
+          lit("</feed>")).as("xml"))
+    val w1 = feedsOf(d.filter(col("doc_id") % 2 === 0))
+    val w2 = feedsOf(d)
+    def dataFiles = fs.listStatus(new org.apache.hadoop.fs.Path(incoming))
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+      .map(_.getPath).toSet
+    w1.coalesce(1).write.mode("append").parquet(incoming)
+    val firstFiles = dataFiles
+    w2.coalesce(1).write.mode("append").parquet(incoming)
+    (dataFiles -- firstFiles).foreach(p => fs.setTimes(p, 1000000600000L, -1))
+    firstFiles.foreach(p => fs.setTimes(p, 1000000000000L, -1))
+    val stream = s.readStream.schema(w1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(incoming)
+    val entries = graft.operators.Frontier.feedEntries(
+      stream, "feed_url", "xml")
+    val q = graft.streaming.Streams.seenIngest(entries, "entry_url", hist, cp)
+    try q.processAllAvailable() finally q.stop()
+    graft.operators.Frontier.seenUrls(s, hist)
+      .groupBy("url").agg(count(lit(1)).as("n_copies"))
+      .withColumn("doc_id",
+        regexp_extract(col("url"), "id=([0-9]+)$", 1).cast("long"))
+      .select("doc_id", "url", "n_copies")
+      .orderBy("doc_id")
+  }
+
+  /** Anchor-text harvest ([[graft.operators.Frontier.anchorTexts]]):
+    * four link shapes per page — nested inline markup + collapsing
+    * whitespace in the label, an entity in the label over a relative
+    * href (absolutized), an image link with an EMPTY label (dropped —
+    * no supervision signal), and a hrefless named anchor (resolves to
+    * the page itself, dropped as a self-link). The oracle reconstructs
+    * the two surviving (outlink, anchor) pairs per page in closed
+    * form. */
+  private def t96_anchor_text(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val id = col("doc_id").cast("string")
+    val url = concat(lit("http://site"), (col("doc_id") % 9).cast("string"),
+      lit(".com/a/b/page"), id)
+    val html = concat(
+      lit("<html><body><a href=\"https://abs.example/x"), id,
+      lit("\">Read <b>more</b>  here</a><a href='/rooted/"), id,
+      lit("'>R&amp;D news</a><a href=\"/empty"), id,
+      lit("\"><img src=\"x.png\"/></a>" +
+        "<a name=\"anchor\">no href</a></body></html>"))
+    graft.operators.Frontier.anchorTexts(
+        docs.select(url.as("url"), html.as("html")), "url", "html")
+      .withColumn("doc_id",
+        regexp_extract(col("url"), "page([0-9]+)$", 1).cast("long"))
+      .select("doc_id", "url", "outlink", "anchor")
+      .orderBy("doc_id", "outlink")
+  }
+
   /** Streaming seen-URL ingest — the multi-wave crawl history as a
     * stream (st9's exactly-once recipe applied to URLs): two ordered
     * micro-batches (evens, then thirds) flow through
@@ -5333,6 +5414,30 @@ object SparkEntry {
         col("channels"), col("filter"), col("hash_hi"), col("hash_lo"))
       .orderBy("doc_id", "image_ix")
 
+  /** CROSS-FORMAT image dedup — the claim behind m20 made a gate: a
+    * figure embedded in a PDF and the same pixels shipped as a PNG are
+    * the same image, and because both paths hash the DECODED SAMPLES
+    * through one dHash kernel ([[graft.operators.Multimodal.dhashFromPixels]]),
+    * they land in the same dedup clusters. The PNG corpus (m11's
+    * fixture) exact-hash-joins the PDF flate images (m20's fixture —
+    * same pixel formula by construction); per PNG doc, the match count
+    * must equal its m11 duplicate-group size, which the oracle replays
+    * from both closed forms. */
+  private def m21_crossformat_dedup(s: SparkSession, dir: String): DataFrame = {
+    val png = Multimodal.decodePngDHash(
+        s.read.parquet(Fixtures.pngPixelDocs(s, dir)))
+      .filter(col("dhash.format") === "png")
+      .select(col("doc_id"), col("dhash.hash_hi").as("hash_hi"),
+        col("dhash.hash_lo").as("hash_lo"))
+    val pdf = Multimodal.decodePdfImages(
+        s.read.parquet(Fixtures.pdfImageDocs(s, dir)))
+      .filter(col("filter") === "flate")
+      .select(col("hash_hi"), col("hash_lo"))
+    png.join(pdf, Seq("hash_hi", "hash_lo"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_pdf_matches"))
+      .orderBy("doc_id")
+  }
+
   private def m2_audio(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeAudioMeta(s.read.parquet(Fixtures.audioDocs(s, dir)))
       .select(col("doc_id"), col("audio_meta.sample_rate"),
@@ -6369,10 +6474,12 @@ object SparkEntry {
     "t66_seen_urls" -> (t66_seen_urls _),
     "t67_crawl_backedge" -> (t67_crawl_backedge _),
     "st22_stream_seen" -> (st22_stream_seen _),
+    "st25_stream_feeds" -> (st25_stream_feeds _),
     "t68_fetch_plan" -> (t68_fetch_plan _),
     "t72_revisit_schedule" -> (t72_revisit_schedule _),
     "t94_revalidation" -> (t94_revalidation _),
     "t95_feed_discovery" -> (t95_feed_discovery _),
+    "t96_anchor_text" -> (t96_anchor_text _),
     "t62_nfc_normalize" -> (t62_nfc_normalize _),
     "t54c_robots_sitemaps" -> (t54c_robots_sitemaps _),
     "t63_unigram_tokens" -> (t63_unigram_tokens _),
@@ -6481,6 +6588,7 @@ object SparkEntry {
     "st24_stream_inverted" -> (st24_stream_inverted _),
     "m19_audio_vad" -> (m19_audio_vad _),
     "m20_pdf_images" -> (m20_pdf_images _),
+    "m21_crossformat_dedup" -> (m21_crossformat_dedup _),
     "ml6_confusion" -> (ml6_confusion _),
     "t91_jsonld" -> (t91_jsonld _),
     "t92_meta_robots" -> (t92_meta_robots _),
@@ -7753,12 +7861,38 @@ object SparkEntry {
            CASE WHEN (doc_id % 5) % 2 = 0 THEN 'ts-' || doc_id
                 ELSE 'pd-' || doc_id END AS entry_ts
          FROM documents WHERE doc_id % 3 <> 0 ORDER BY doc_id""",
+    // the two surviving label pairs per page in closed form: nested
+    // markup stripped + whitespace collapsed, entity decoded over the
+    // absolutized relative href; the empty-label image link and the
+    // hrefless self-resolving anchor never appear
+    "t96_anchor_text" ->
+      """SELECT doc_id, url, outlink, anchor FROM (
+           SELECT doc_id,
+             'http://site' || (doc_id % 9) || '.com/a/b/page' || doc_id
+               AS url,
+             'https://abs.example/x' || doc_id AS outlink,
+             'Read more here' AS anchor
+           FROM documents
+           UNION ALL
+           SELECT doc_id,
+             'http://site' || (doc_id % 9) || '.com/a/b/page' || doc_id,
+             'http://site' || (doc_id % 9) || '.com/rooted/' || doc_id,
+             'R&D news'
+           FROM documents)
+         ORDER BY doc_id, outlink""",
     // the streamed two-wave history: every discovered url exactly once
     "st22_stream_seen" ->
       """SELECT doc_id, 'http://w.com/p' || doc_id AS url,
            CAST(1 AS BIGINT) AS n_copies
          FROM documents WHERE doc_id % 2 = 0 OR doc_id % 3 = 0
          ORDER BY doc_id""",
+    // feed polls streamed: wave 2 re-publishes every wave-1 entry, the
+    // anti-join must still land every entry URL exactly once
+    "st25_stream_feeds" ->
+      """SELECT doc_id,
+           'http://f' || (doc_id % 5) || '.com/a?id=' || doc_id AS url,
+           CAST(1 AS BIGINT) AS n_copies
+         FROM documents ORDER BY doc_id""",
     // wave 1 = all evens (empty history); wave 2 = thirds never seen,
     // i.e. odd multiples of 3 — the anti-join replayed in closed form
     "t66_seen_urls" ->
@@ -11793,6 +11927,39 @@ object SparkEntry {
              ELSE 0 END) AS BIGINT) AS hash_lo
          FROM b GROUP BY doc_id, image_ix, width, height, filter
          ORDER BY doc_id, image_ix""",
+    // cross-format: PNG-side and PDF-flate-side hashes share one closed
+    // form, so the exact-hash join's per-doc match count IS the m11
+    // duplicate-group size — replayed once and self-joined
+    "m21_crossformat_dedup" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(doc_id % 13 + 4 AS INT) AS w,
+             CAST(doc_id % 11 + 4 AS INT) AS h
+           FROM documents),
+         g AS (SELECT d.doc_id, p.p % 9 AS x, p.p // 9 AS y,
+             (299 * ((d.doc_id + ((p.p % 9) * d.w // 9) * 3
+                      + ((p.p // 9) * d.h // 8) * 5) % 256)
+            + 587 * ((d.doc_id + ((p.p % 9) * d.w // 9) * 3
+                      + ((p.p // 9) * d.h // 8) * 5 + 11) % 256)
+            + 114 * ((d.doc_id + ((p.p % 9) * d.w // 9) * 3
+                      + ((p.p // 9) * d.h // 8) * 5 + 22) % 256)) // 1000
+             AS gray
+           FROM d, UNNEST(range(0, 72)) AS p(p)),
+         b AS (SELECT a.doc_id, a.x, a.y,
+             CASE WHEN a.gray < c.gray THEN 1 ELSE 0 END AS bit
+           FROM g a JOIN g c
+             ON a.doc_id = c.doc_id AND a.y = c.y AND c.x = a.x + 1
+           WHERE a.x < 8),
+         hsh AS (SELECT doc_id,
+             CAST(SUM(CASE WHEN y * 8 + x >= 32
+               THEN CAST(bit AS BIGINT) << (y * 8 + x - 32)
+               ELSE 0 END) AS BIGINT) AS hi,
+             CAST(SUM(CASE WHEN y * 8 + x < 32
+               THEN CAST(bit AS BIGINT) << (y * 8 + x)
+               ELSE 0 END) AS BIGINT) AS lo
+           FROM b GROUP BY doc_id)
+         SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_pdf_matches
+         FROM hsh a JOIN hsh p ON p.hi = a.hi AND p.lo = a.lo
+         GROUP BY a.doc_id ORDER BY a.doc_id""",
     // m11's closed-form hashes -> BRUTE-FORCE Hamming<=3 pairs: the
     // 4x16 pigeonhole banding must lose nothing and duplicate nothing
     "m14_image_dedup_join" ->

@@ -631,6 +631,29 @@ object TextFunctions {
         lit(1)),
       h => MarkupExtractExpr(h))
 
+  /** `(href, anchor)` pairs — the link TEXT harvest: anchor text is the
+    * label humans (and retrieval trainers — DPR/anchor-text pretraining)
+    * read for a target page, so it pairs each outlink with a natural
+    * query-like description. Two aligned extractions of one pattern
+    * (open tag, inner markup) zip positionally; the inner markup runs
+    * through the full [[MarkupExtractExpr]] state machine (nested tags
+    * stripped, entities decoded, whitespace collapsed) with any
+    * remaining newlines flattened to spaces — one label, one line.
+    * Nested `<a>` tags don't exist in valid HTML (browsers auto-close),
+    * so the non-greedy inner IS the grammar, the htmlLinks stance. */
+  def htmlAnchors(html: Column): Column = {
+    val pat = "(?is)(<a\\b[^>]*>)(.*?)</a\\s*>"
+    val hrefIn =
+      s"""(?is)${NoAttrPrefix}href\\s*=\\s*["']([^"']*)["']"""
+    zip_with(
+      regexp_extract_all(html, lit(pat), lit(1)),
+      regexp_extract_all(html, lit(pat), lit(2)),
+      (t, i) => struct(
+        MarkupExtractExpr(regexp_extract(t, hrefIn, 1)).as("href"),
+        trim(regexp_replace(MarkupExtractExpr(i), "\\s+", " "))
+          .as("anchor")))
+  }
+
   /** [[htmlLinks]] minus the links the page asked crawlers not to
     * endorse: an `<a>` tag whose `rel` carries a `nofollow`,
     * `sponsored` or `ugc` token (quoted, list-valued or bare —

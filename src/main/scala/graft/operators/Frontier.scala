@@ -53,6 +53,33 @@ object Frontier {
       .filter(col("outlink") =!= TextFunctions.normalizeUrl(col("url")))
       .distinct()
 
+  /** Anchor-text harvest — [[outlinks]] with the link LABEL attached:
+    * one row per (page, target) with the anchor text humans read for
+    * that target, the natural (query, document) supervision signal
+    * anchor-text pretraining and DPR-style retrieval training mine from
+    * web graphs. Hrefs absolutize + normalize exactly like [[outlinks]]
+    * (http/https only, self-links dropped); EMPTY anchors drop — an
+    * image link or spacer carries no label worth training on (harvest
+    * plain links with [[outlinks]] when coverage matters more than
+    * labels). Distinct on (url, outlink, anchor): the same target
+    * linked twice with different labels keeps both labels — they are
+    * different supervision pairs. Map-side except the distinct. */
+  def anchorTexts(pages: DataFrame, urlCol: String,
+      htmlCol: String): DataFrame =
+    pages
+      .select(col(urlCol).as("url"),
+        explode(TextFunctions.htmlAnchors(col(htmlCol))).as("__a"))
+      .select(col("url"),
+        TextFunctions.normalizeUrl(
+          UrlResolveExpr(col("url"), col("__a").getField("href")))
+          .as("outlink"),
+        col("__a").getField("anchor").as("anchor"))
+      .filter(col("outlink").startsWith("http://") ||
+        col("outlink").startsWith("https://"))
+      .filter(col("outlink") =!= TextFunctions.normalizeUrl(col("url")))
+      .filter(col("anchor") =!= "")
+      .distinct()
+
   /** Per-host politeness schedule: within each host, URLs fetch in
     * (priority desc, url asc) order as `fetch_seq` 1…n, at
     * `eta_ms = (fetch_seq − 1) · delayMs` — the crawl-delay contract
