@@ -3242,6 +3242,46 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** RFC 9111 Cache-Control folded into the revisit plan
+    * ([[graft.operators.Frontier.freshnessFloor]]): per url-class, a
+    * no-store header (kills the conditional flag and floors at
+    * max-age=600), a quoted numeric max-age, an uppercase
+    * IMMUTABLE+MAX-AGE pair (case-insensitive parse), or no header at
+    * all (plan untouched) — every header prefixed with an `x-max-age`
+    * decoy the token-position guard must reject. The oracle replays
+    * t72's backoff walk, the directive parse and the floor/flag
+    * arithmetic in closed form. */
+  private def t97_cache_control(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val url = concat(lit("https://h"), (col("doc_id") % 20).cast("string"),
+      lit(".example.com/p"), col("doc_id").cast("string"))
+    val hist = docs
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("doc_id") % 4)).as("i"))
+      .select(url.as("url"),
+        (col("doc_id") * 1000 + col("i") * 100).as("ts"),
+        concat(lit("v"), floor(col("i") /
+          (lit(1) + col("doc_id") % 2)).cast("long").cast("string")).as("h"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("e"), col("doc_id").cast("string"))).as("etag"),
+        lit(null).cast("long").as("lm"))
+    val plan = graft.operators.Frontier.revalidationPlan(
+      hist, "url", "ts", "h", "etag", "lm",
+      nowSec = 250000L, baseSec = 400L, minSec = 100L, maxSec = 1600L)
+    val header =
+      when(col("doc_id") % 4 === 0,
+        lit("x-max-age=9999, no-store, max-age=600"))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("public, max-age=\""),
+          ((col("doc_id") % 7) * 300).cast("string"), lit("\"")))
+      .otherwise(lit("IMMUTABLE, MAX-AGE=900"))
+    val headers = docs.filter(col("doc_id") % 4 =!= 3)
+      .select(url.as("u"), header.as("cc"))
+    graft.operators.Frontier.freshnessFloor(plan, headers, "u", "cc",
+        nowSec = 250000L)
+      .orderBy("url")
+  }
+
   /** Streaming FEED ingest — t95's discovery leg as a stream (st22's
     * exactly-once recipe one stage earlier in the pipeline): two
     * ordered micro-batches of feed FETCHES flow through
@@ -6480,6 +6520,7 @@ object SparkEntry {
     "t94_revalidation" -> (t94_revalidation _),
     "t95_feed_discovery" -> (t95_feed_discovery _),
     "t96_anchor_text" -> (t96_anchor_text _),
+    "t97_cache_control" -> (t97_cache_control _),
     "t62_nfc_normalize" -> (t62_nfc_normalize _),
     "t54c_robots_sitemaps" -> (t54c_robots_sitemaps _),
     "t63_unigram_tokens" -> (t63_unigram_tokens _),
@@ -7861,6 +7902,48 @@ object SparkEntry {
            CASE WHEN (doc_id % 5) % 2 = 0 THEN 'ts-' || doc_id
                 ELSE 'pd-' || doc_id END AS entry_ts
          FROM documents WHERE doc_id % 3 <> 0 ORDER BY doc_id""",
+    // t72's walk + the directive parse + the freshness-floor arithmetic
+    // replayed in closed form per url-class
+    "t97_cache_control" ->
+      """WITH RECURSIVE f AS (
+           SELECT doc_id,
+             'https://h' || CAST(doc_id % 20 AS VARCHAR)
+               || '.example.com/p' || CAST(doc_id AS VARCHAR) AS url,
+             CAST(doc_id AS BIGINT) * 1000 + i * 100 AS ts,
+             'v' || CAST(i // (1 + doc_id % 2) AS VARCHAR) AS h,
+             CAST(i + 1 AS BIGINT) AS k
+           FROM (SELECT doc_id, unnest(range(0, doc_id % 4 + 1)) AS i
+             FROM documents)),
+         walk AS (
+           SELECT url, k, h AS ph, CAST(400 AS BIGINT) AS iv,
+             CAST(0 AS BIGINT) AS nc
+           FROM f WHERE k = 1
+           UNION ALL
+           SELECT f.url, f.k, f.h,
+             CASE WHEN f.h <> w.ph THEN greatest(100, w.iv // 2)
+                  ELSE least(1600, w.iv * 2) END,
+             w.nc + CASE WHEN f.h <> w.ph THEN 1 ELSE 0 END
+           FROM walk w JOIN f ON f.url = w.url AND f.k = w.k + 1),
+         last AS (SELECT doc_id, url, max(ts) AS last_ts, max(k) AS n
+           FROM f GROUP BY doc_id, url),
+         pp AS (SELECT l.doc_id, l.url, l.n, w.nc, w.iv, l.last_ts,
+             CASE WHEN l.doc_id % 4 = 0 THEN 600
+                  WHEN l.doc_id % 4 = 1 THEN (l.doc_id % 7) * 300
+                  WHEN l.doc_id % 4 = 2 THEN 900 END AS ma
+           FROM last l JOIN walk w ON w.url = l.url AND w.k = l.n)
+         SELECT url, n AS n_fetches, nc AS n_changes, iv AS interval_sec,
+           CAST(greatest(last_ts + iv, last_ts + COALESCE(ma, 0))
+             AS BIGINT) AS next_due,
+           greatest(last_ts + iv, last_ts + COALESCE(ma, 0)) <= 250000
+             AS due,
+           CASE WHEN doc_id % 2 = 0 THEN 'e' || doc_id END
+             AS if_none_match,
+           CAST(NULL AS BIGINT) AS if_modified_since,
+           (doc_id % 2 = 0 AND doc_id % 4 <> 0) AS conditional,
+           CAST(ma AS BIGINT) AS max_age,
+           doc_id % 4 = 0 AS no_store,
+           doc_id % 4 = 2 AS immutable
+         FROM pp ORDER BY url""",
     // the two surviving label pairs per page in closed form: nested
     // markup stripped + whitespace collapsed, entity decoded over the
     // absolutized relative href; the empty-label image link and the

@@ -559,6 +559,24 @@ object TextFunctions {
       nullIfEmpty(regexp_extract(block,
         "(?is)<pubDate\\s*>\\s*([^<]*?)\\s*</pubDate\\s*>", 1)))
 
+  /** RFC 9111 `Cache-Control` response directives — the three a crawl
+    * scheduler acts on: `max_age` (seconds the server declares the
+    * response fresh; null when absent or malformed), `no_store` (do not
+    * keep a copy — conditional revalidation is pointless without one)
+    * and `immutable` (RFC 8246: the representation will not change
+    * within its freshness lifetime). Directive names match
+    * case-insensitively at token positions (the NoAttrPrefix guard
+    * rejects `x-max-age`), values may be quoted per the header grammar.
+    * One regexp pass per directive, map-side. */
+  def cacheControl(header: Column): Column = struct(
+    nullIfEmpty(regexp_extract(header,
+      s"""(?i)${NoAttrPrefix}max-age\\s*=\\s*"?(\\d+)""", 1))
+      .cast("long").as("max_age"),
+    coalesce(header.rlike(s"""(?i)${NoAttrPrefix}no-store\\b"""),
+      lit(false)).as("no_store"),
+    coalesce(header.rlike(s"""(?i)${NoAttrPrefix}immutable\\b"""),
+      lit(false)).as("immutable"))
+
   /** The `Sitemap:` lines of a robots.txt body (RFC 9309 §2.3 — they
     * bind to the whole host, independent of any user-agent group, which
     * is why this is a separate extraction and not part of

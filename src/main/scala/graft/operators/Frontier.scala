@@ -365,6 +365,40 @@ object Frontier {
           col("if_modified_since").isNotNull).as("conditional"))
   }
 
+  /** Server-declared freshness folded into a [[revalidationPlan]] — the
+    * RFC 9111 half of the conditional-fetch contract (observed change
+    * drives the backoff; `Cache-Control` is the server TELLING us the
+    * lifetime): `max-age=N` floors the next visit at `last_fetch + N`
+    * (revisiting a declared-fresh page is wasted budget — the backoff
+    * can only push the visit LATER, never earlier than the server's
+    * word), and `no-store` turns the conditional flag off (a crawler
+    * honoring no-store keeps no copy, so there is nothing to
+    * revalidate against — the next fetch is unconditional). `immutable`
+    * rides along as a column (it waives revalidation WITHIN the
+    * lifetime, a fetch-time decision, not a scheduling one). URLs with
+    * no header row keep their plan untouched. One join keyed on url —
+    * the header table is due-set-sized, AQE broadcasts it when small.
+    * Appends `max_age`, `no_store`, `immutable`; rewrites `next_due`,
+    * `due`, `conditional`. */
+  def freshnessFloor(plan: DataFrame, headers: DataFrame,
+      urlCol: String, headerCol: String, nowSec: Long): DataFrame = {
+    requireFreeColumns(plan, Seq("max_age", "no_store", "immutable"))
+    val cc = headers.select(col(urlCol).as("__hurl"),
+      TextFunctions.cacheControl(col(headerCol)).as("__cc"))
+    val lastTs = col("next_due") - col("interval_sec")
+    plan.join(cc, col("url") === col("__hurl"), "left")
+      .withColumn("max_age", col("__cc").getField("max_age"))
+      .withColumn("no_store",
+        coalesce(col("__cc").getField("no_store"), lit(false)))
+      .withColumn("immutable",
+        coalesce(col("__cc").getField("immutable"), lit(false)))
+      .withColumn("next_due",
+        greatest(col("next_due"), lastTs + coalesce(col("max_age"), lit(0L))))
+      .withColumn("due", col("next_due") <= nowSec)
+      .withColumn("conditional", col("conditional") && !col("no_store"))
+      .drop("__hurl", "__cc")
+  }
+
   /** Fold a wave of fetch OUTCOMES into history rows — the 304 half of
     * the conditional-fetch contract: a `304 Not Modified` response
     * carries no body, so its history row reuses the URL's latest prior

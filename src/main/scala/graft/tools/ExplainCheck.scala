@@ -56,7 +56,17 @@ object ExplainCheck {
         // media segmenters (map-side walks), exact AUC (bounded
         // ordered window), operating-point confusion (one aggregate)
         "t87_bestfit_pack", "t88_inverted_index", "t89_web_clean",
-        "m18_shot_detect", "m19_audio_vad", "ml5_auc", "ml6_confusion")
+        "m18_shot_detect", "m19_audio_vad", "ml5_auc", "ml6_confusion",
+        // r18: conditional revalidation (one groupBy(url), the outcome
+        // fold's only join keyed on url), feed + anchor harvests
+        // (map-side kernels + the t61 window/distinct shapes), the
+        // contamination report (tagged broadcast-gram join + K-name
+        // broadcast cross join), exact BPE/unigram trainers (bounded
+        // rank window over the distinct-word table), PDF image decode
+        // (map-side codec) and the cross-format hash join
+        "t94_revalidation", "t95_feed_discovery", "t96_anchor_text",
+        "d27_decontam_report", "t3c_bpe_vocab_exact", "t63b_unigram_exact",
+        "m20_pdf_images", "m21_crossformat_dedup")
     for (q <- qs) {
       val df = graft.SparkEntry.queries(q)(spark, dir)
       df.collect() // finalize AQE so the executed plan is the real one

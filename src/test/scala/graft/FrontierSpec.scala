@@ -306,6 +306,39 @@ class FrontierSpec extends SparkSpec {
     assert(v.isNullAt(6) && v.isNullAt(7) && !v.getBoolean(8))
   }
 
+  test("cacheControl: token positions, quoting, case; freshnessFloor arithmetic") {
+    val cc = Seq(
+      (1L, "public, max-age=300"),
+      (2L, "x-max-age=99"),                 // decoy only -> all absent
+      (3L, "NO-STORE, IMMUTABLE, MAX-AGE=\"60\""),
+      (4L, null.asInstanceOf[String]))
+      .toDF("id", "h")
+      .select(col("id"), TextFunctions.cacheControl(col("h")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    assert(cc(1L).getLong(0) == 300L && !cc(1L).getBoolean(1))
+    assert(cc(2L).isNullAt(0) && !cc(2L).getBoolean(1) && !cc(2L).getBoolean(2))
+    assert(cc(3L).getLong(0) == 60L && cc(3L).getBoolean(1) && cc(3L).getBoolean(2))
+    assert(cc(4L).isNullAt(0) && !cc(4L).getBoolean(1))
+    // floor: max-age pushes next_due later, never earlier; no-store
+    // kills conditional; headerless urls untouched
+    val h = histDf(Seq(
+      ("u", 1000L, "a", "e1", null), ("v", 1000L, "a", "e2", null),
+      ("w", 1000L, "a", null, null)))
+    val plan = Frontier.revalidationPlan(h, "url", "ts", "h", "etag", "lm",
+      nowSec = 1300L, baseSec = 400L, minSec = 100L, maxSec = 1600L)
+    val hdrs = Seq(("u", "max-age=900"), ("v", "no-store, max-age=100"))
+      .toDF("u", "cc")
+    val out = Frontier.freshnessFloor(plan, hdrs, "u", "cc", nowSec = 1300L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(4), r.getBoolean(5), r.getBoolean(8)))).toMap
+    assert(out("u") == ((1900L, false, true)),  // floored past backoff 1400
+      out.toString)
+    assert(out("v") == ((1400L, false, false)), // floor 1100 < 1400; no-store
+      out.toString)
+    assert(out("w") == ((1400L, false, false)), // untouched, no validators
+      out.toString)
+  }
+
   test("recordOutcomes: 304 carries hash+validators, 200 replaces, refusals loud") {
     val h = histDf(Seq(
       ("u", 0L, "a", "e1", 50L),
