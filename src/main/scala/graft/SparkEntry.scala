@@ -2214,6 +2214,23 @@ object SparkEntry {
       "score", "label", threshold = 0.5)
   }
 
+  /** The threshold SWEEP over the ml4 fixture
+    * ([[graft.operators.Regression.confusionSweep]]): five operating
+    * points in one aggregate — the table a filter designer reads to
+    * pick the cut ml5's AUC only says exists. Thresholds key as exact
+    * micro-units; the oracle replays each point's conditional sums. */
+  private def ml7_confusion_sweep(s: SparkSession, dir: String): DataFrame = {
+    def h(tag: String) = conv(substring(md5(concat(lit(tag),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long") % 1000000L
+    val scored = t(s, dir, "documents").select(col("doc_id"))
+      .select(col("doc_id"),
+        (h("cs:").cast("double") / 1000000.0).as("score"),
+        when(h("cl:") < h("cs:"), 1L).otherwise(0L).as("label"))
+    graft.operators.Regression.confusionSweep(scored, "score", "label",
+        thresholds = Seq(0.1, 0.25, 0.5, 0.75, 0.9))
+      .orderBy("t_micro")
+  }
+
   /** k-anonymity suppression ([[graft.operators.Privacy.kAnonymitySuppress]])
     * over the event log's quasi-identifier tuple (cohort, slot,
     * event_type) — ~800 combinations over the corpus, straddling k=10
@@ -3279,6 +3296,64 @@ object SparkEntry {
       .select(url.as("u"), header.as("cc"))
     graft.operators.Frontier.freshnessFloor(plan, headers, "u", "cc",
         nowSec = 250000L)
+      .orderBy("url")
+  }
+
+  /** The CONDITIONAL fetch plan — t94's plan driving t68's scheduling
+    * seam: the due set of a validator-carrying revisit plan flows
+    * through the per-host politeness window with `conditional` /
+    * `if_none_match` riding along as schedule carry columns, so the
+    * fetch fleet reads, per slot, WHAT to fetch, WHEN, and WHETHER to
+    * send If-None-Match. The oracle replays the walk, the due cut and
+    * the per-host (priority desc, url asc) sequence in closed form. */
+  private def t98_conditional_fetch_plan(
+      s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val url = concat(lit("https://h"), (col("doc_id") % 20).cast("string"),
+      lit(".example.com/p"), col("doc_id").cast("string"))
+    val hist = docs
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("doc_id") % 4)).as("i"))
+      .select(url.as("url"),
+        (col("doc_id") * 1000 + col("i") * 100).as("ts"),
+        concat(lit("v"), floor(col("i") /
+          (lit(1) + col("doc_id") % 2)).cast("long").cast("string")).as("h"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("e"), col("doc_id").cast("string"))).as("etag"),
+        lit(null).cast("long").as("lm"))
+    val due = graft.operators.Frontier.revalidationPlan(
+        hist, "url", "ts", "h", "etag", "lm",
+        nowSec = 250000L, baseSec = 400L, minSec = 100L, maxSec = 1600L)
+      .filter(col("due"))
+      .select(col("url"), col("conditional"), col("if_none_match"))
+    graft.operators.Frontier.schedule(due, "url", priorityCol = "url",
+        delayMs = 1000L)
+      .withColumn("doc_id",
+        regexp_extract(col("url"), "p([0-9]+)$", 1).cast("long"))
+      .select("doc_id", "url", "fetch_seq", "eta_ms", "conditional",
+        "if_none_match")
+      .orderBy("url")
+  }
+
+  /** Crawl-to-crawl diff ([[graft.operators.Frontier.crawlDiff]]): the
+    * new crawl drops every 7th url (removed), rewrites every 5th
+    * surviving page's hash (changed), adds a shifted-id wave for every
+    * 11th doc (added), and leaves the rest byte-identical (unchanged) —
+    * all four statuses replayed in closed form with their hashes. */
+  private def t99_crawl_diff(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    def url(id: org.apache.spark.sql.Column) =
+      concat(lit("http://c.com/p"), id.cast("string"))
+    val prev = docs.select(url(col("doc_id")).as("url"),
+      concat(lit("v"), (col("doc_id") % 3).cast("string")).as("h"))
+    val cur = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(url(col("doc_id")).as("url"),
+        when(col("doc_id") % 5 === 0, lit("w"))
+          .otherwise(concat(lit("v"), (col("doc_id") % 3).cast("string")))
+          .as("h"))
+      .unionByName(docs.filter(col("doc_id") % 11 === 0)
+        .select(url(col("doc_id") + 5000000L).as("url"), lit("n").as("h")))
+    graft.operators.Frontier.crawlDiff(prev, cur, "url", "h")
       .orderBy("url")
   }
 
@@ -6521,6 +6596,8 @@ object SparkEntry {
     "t95_feed_discovery" -> (t95_feed_discovery _),
     "t96_anchor_text" -> (t96_anchor_text _),
     "t97_cache_control" -> (t97_cache_control _),
+    "t98_conditional_fetch_plan" -> (t98_conditional_fetch_plan _),
+    "t99_crawl_diff" -> (t99_crawl_diff _),
     "t62_nfc_normalize" -> (t62_nfc_normalize _),
     "t54c_robots_sitemaps" -> (t54c_robots_sitemaps _),
     "t63_unigram_tokens" -> (t63_unigram_tokens _),
@@ -6631,6 +6708,7 @@ object SparkEntry {
     "m20_pdf_images" -> (m20_pdf_images _),
     "m21_crossformat_dedup" -> (m21_crossformat_dedup _),
     "ml6_confusion" -> (ml6_confusion _),
+    "ml7_confusion_sweep" -> (ml7_confusion_sweep _),
     "t91_jsonld" -> (t91_jsonld _),
     "t92_meta_robots" -> (t92_meta_robots _),
     "t93_nofollow_links" -> (t93_nofollow_links _),
@@ -7944,6 +8022,61 @@ object SparkEntry {
            doc_id % 4 = 0 AS no_store,
            doc_id % 4 = 2 AS immutable
          FROM pp ORDER BY url""",
+    // all four statuses and their hashes in closed form (7s removed,
+    // surviving 5s changed, 11s' shifted wave added, rest unchanged)
+    "t99_crawl_diff" ->
+      """SELECT url, status, prev_hash, cur_hash FROM (
+           SELECT 'http://c.com/p' || doc_id AS url,
+             CASE WHEN doc_id % 7 = 0 THEN 'removed'
+                  WHEN doc_id % 5 = 0 THEN 'changed'
+                  ELSE 'unchanged' END AS status,
+             'v' || (doc_id % 3) AS prev_hash,
+             CASE WHEN doc_id % 7 = 0 THEN NULL
+                  WHEN doc_id % 5 = 0 THEN 'w'
+                  ELSE 'v' || (doc_id % 3) END AS cur_hash
+           FROM documents
+           UNION ALL
+           SELECT 'http://c.com/p' || (doc_id + 5000000), 'added',
+             NULL, 'n'
+           FROM documents WHERE doc_id % 11 = 0)
+         ORDER BY url""",
+    // the walk, the due cut and the per-host politeness sequence with
+    // validator carry, all in closed form
+    "t98_conditional_fetch_plan" ->
+      """WITH RECURSIVE f AS (
+           SELECT doc_id,
+             'https://h' || CAST(doc_id % 20 AS VARCHAR)
+               || '.example.com/p' || CAST(doc_id AS VARCHAR) AS url,
+             CAST(doc_id AS BIGINT) * 1000 + i * 100 AS ts,
+             'v' || CAST(i // (1 + doc_id % 2) AS VARCHAR) AS h,
+             CAST(i + 1 AS BIGINT) AS k
+           FROM (SELECT doc_id, unnest(range(0, doc_id % 4 + 1)) AS i
+             FROM documents)),
+         walk AS (
+           SELECT url, k, h AS ph, CAST(400 AS BIGINT) AS iv,
+             CAST(0 AS BIGINT) AS nc
+           FROM f WHERE k = 1
+           UNION ALL
+           SELECT f.url, f.k, f.h,
+             CASE WHEN f.h <> w.ph THEN greatest(100, w.iv // 2)
+                  ELSE least(1600, w.iv * 2) END,
+             w.nc + CASE WHEN f.h <> w.ph THEN 1 ELSE 0 END
+           FROM walk w JOIN f ON f.url = w.url AND f.k = w.k + 1),
+         last AS (SELECT doc_id, url, max(ts) AS last_ts, max(k) AS n
+           FROM f GROUP BY doc_id, url),
+         due AS (SELECT l.doc_id, l.url
+           FROM last l JOIN walk w ON w.url = l.url AND w.k = l.n
+           WHERE l.last_ts + w.iv <= 250000),
+         r AS (SELECT doc_id, url,
+             CAST(row_number() OVER (PARTITION BY doc_id % 20
+               ORDER BY url DESC) AS INT) AS fetch_seq
+           FROM due)
+         SELECT doc_id, url, fetch_seq,
+           CAST((fetch_seq - 1) * 1000 AS BIGINT) AS eta_ms,
+           doc_id % 2 = 0 AS conditional,
+           CASE WHEN doc_id % 2 = 0 THEN 'e' || doc_id END
+             AS if_none_match
+         FROM r ORDER BY url""",
     // the two surviving label pairs per page in closed form: nested
     // markup stripped + whitespace collapsed, entity decoded over the
     // absolutized relative href; the empty-label image link and the
@@ -11036,6 +11169,39 @@ object SparkEntry {
              ELSE CAST(tp + tn AS DOUBLE) / (tp + fp + tn + fn) END, 6)
              AS accuracy
          FROM c""",
+    // each operating point's conditional sums replayed per micro-unit
+    // threshold — the ml6 arithmetic swept over a VALUES table
+    "ml7_confusion_sweep" ->
+      """WITH sc AS (SELECT doc_id,
+             CAST(concat('0x', substr(md5('cs:' ||
+               CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS m,
+             CAST(concat('0x', substr(md5('cl:' ||
+               CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS lm
+           FROM documents),
+         th(t) AS (VALUES (100000), (250000), (500000), (750000),
+           (900000)),
+         r AS (SELECT th.t,
+             CASE WHEN sc.m >= th.t THEN 1 ELSE 0 END AS p,
+             CASE WHEN sc.lm < sc.m THEN 1 ELSE 0 END AS y
+           FROM sc, th),
+         c AS (SELECT t,
+             CAST(sum(p * y) AS BIGINT) AS tp,
+             CAST(sum(p * (1 - y)) AS BIGINT) AS fp,
+             CAST(sum((1 - p) * (1 - y)) AS BIGINT) AS tn,
+             CAST(sum((1 - p) * y) AS BIGINT) AS fn
+           FROM r GROUP BY t)
+         SELECT CAST(t AS BIGINT) AS t_micro, tp, fp, tn, fn,
+           round(CASE WHEN tp + fp = 0 THEN NULL
+             ELSE CAST(tp AS DOUBLE) / (tp + fp) END, 6) AS precision,
+           round(CASE WHEN tp + fn = 0 THEN NULL
+             ELSE CAST(tp AS DOUBLE) / (tp + fn) END, 6) AS recall,
+           round(CASE WHEN tp * 2 + fp + fn = 0 THEN NULL
+             ELSE CAST(tp * 2 AS DOUBLE) / (tp * 2 + fp + fn) END, 6)
+             AS f1,
+           round(CASE WHEN tp + fp + tn + fn = 0 THEN NULL
+             ELSE CAST(tp + tn AS DOUBLE) / (tp + fp + tn + fn) END, 6)
+             AS accuracy
+         FROM c ORDER BY t_micro""",
     // the Mann-Whitney statistic replayed on distinct micro-scores:
     // one ordered prefix sum, the doubled numerator an exact integer
     "ml5_auc" ->

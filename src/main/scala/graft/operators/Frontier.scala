@@ -630,6 +630,35 @@ object Frontier {
       .filter(!col("noindex"))
       .drop("noindex", "nofollow")
 
+  /** Crawl-to-crawl corpus DIFF — what actually changed between two
+    * snapshots, by content hash: `added` (url only in the new crawl),
+    * `removed` (only in the old), `changed` (both, different hash),
+    * `unchanged`. The audit table behind incremental re-processing
+    * (only `added`+`changed` re-enter the pipeline) and behind crawl
+    * health monitoring (a removed-rate spike is a frontier or
+    * politeness regression). CONTRACT: one row per url per snapshot
+    * and non-null hashes — a null hash would silently misread as
+    * absence, so it is refused loudly. One full-outer shuffle join on
+    * url (narrow (url, hash) rows — the text never rides); at 100 TB
+    * both sides partition on the join key and nothing else moves.
+    * Returns `(url, status, prev_hash, cur_hash)`. */
+  def crawlDiff(prev: DataFrame, cur: DataFrame,
+      urlCol: String, hashCol: String): DataFrame = {
+    def side(df: DataFrame, out: String) = df.select(
+      col(urlCol).as("url"),
+      when(col(hashCol).isNull, raise_error(concat(
+        lit(s"crawlDiff: null $hashCol for "), col(urlCol))))
+        .otherwise(col(hashCol).cast("string")).as(out))
+    side(prev, "prev_hash").join(side(cur, "cur_hash"),
+        Seq("url"), "full_outer")
+      .select(col("url"),
+        when(col("prev_hash").isNull, "added")
+          .when(col("cur_hash").isNull, "removed")
+          .when(col("prev_hash") === col("cur_hash"), "unchanged")
+          .otherwise("changed").as("status"),
+        col("prev_hash"), col("cur_hash"))
+  }
+
   /** Silently clobbering an input column is data loss: re-scheduling an
     * already-scheduled frame would overwrite its prior wave's
     * fetch_seq/eta_ms with no error — rename or drop them first, on

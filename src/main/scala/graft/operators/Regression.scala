@@ -373,6 +373,56 @@ object Regression {
           col("tp") + col("fp") + col("tn") + col("fn")).as("accuracy"))
   }
 
+  /** The operating CURVE in one pass — [[confusionAtThreshold]] swept
+    * over K thresholds with a single aggregate: per threshold, four
+    * conditional sums land as agg columns (map-side partial combine, 4K
+    * counters per partition — K is a handful of operating points), then
+    * the one-row result unpivots to K rows driver-free. Thresholds
+    * report as exact 6-decimal micro-units (`t_micro`) so the split —
+    * and the output key — never touches a float boundary; the derived
+    * ratios follow the [[confusionAtThreshold]] conventions (round 6,
+    * null on zero denominators). Returns one row per threshold:
+    * `(t_micro, tp, fp, tn, fn, precision, recall, f1, accuracy)`.
+    * This is how you pick a filter threshold: ml5's AUC says whether
+    * the scorer ranks, this table says where to cut. */
+  def confusionSweep(df: DataFrame, scoreCol: String, labelCol: String,
+      thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val micros = thresholds.map(t => math.round(t * 1000000L))
+    require(micros.distinct.size == micros.size,
+      s"duplicate thresholds (at 6-decimal resolution): $thresholds")
+    val micro = (col(scoreCol).cast("decimal(18,6)") * 1000000L)
+      .cast("long")
+    val y = (col(labelCol).cast("long") > 0).cast("long")
+    val aggs = micros.zipWithIndex.flatMap { case (tM, i) =>
+      val pred = (micro >= tM).cast("long")
+      Seq(
+        sum(pred * y).as(s"__tp$i"),
+        sum(pred * (lit(1L) - y)).as(s"__fp$i"),
+        sum((lit(1L) - pred) * (lit(1L) - y)).as(s"__tn$i"),
+        sum((lit(1L) - pred) * y).as(s"__fn$i"))
+    }
+    def rat(num: Column, den: Column): Column =
+      round(when(den === 0, lit(null))
+        .otherwise(num.cast("double") / den), 6)
+    val rows = micros.zipWithIndex.map { case (tM, i) =>
+      struct(lit(tM).as("t_micro"),
+        col(s"__tp$i").as("tp"), col(s"__fp$i").as("fp"),
+        col(s"__tn$i").as("tn"), col(s"__fn$i").as("fn"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rows: _*)).as("__r"))
+      .select(col("__r.t_micro").as("t_micro"),
+        col("__r.tp").as("tp"), col("__r.fp").as("fp"),
+        col("__r.tn").as("tn"), col("__r.fn").as("fn"))
+      .select(col("t_micro"), col("tp"), col("fp"), col("tn"), col("fn"),
+        rat(col("tp"), col("tp") + col("fp")).as("precision"),
+        rat(col("tp"), col("tp") + col("fn")).as("recall"),
+        rat(col("tp") * 2, col("tp") * 2 + col("fp") + col("fn")).as("f1"),
+        rat(col("tp") + col("tn"),
+          col("tp") + col("fp") + col("tn") + col("fn")).as("accuracy"))
+  }
+
   def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
       nBins: Int = 10): DataFrame = {
     require(nBins >= 2, s"nBins must be >= 2; got $nBins")

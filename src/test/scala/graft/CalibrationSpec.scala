@@ -140,4 +140,52 @@ class ConfusionSpec extends SparkSpec {
       .collect().head
     assert(r.getAs[Double]("f1") == 0.8)
   }
+
+  test("confusionSweep equals per-threshold confusionAtThreshold, one pass") {
+    val df = Seq((0.9, 1L), (0.5, 0L), (0.4, 1L), (0.1, 0L), (0.75, 1L))
+      .toDF("score", "label")
+    val ts = Seq(0.1, 0.5, 0.8)
+    val sweep = Regression.confusionSweep(df, "score", "label", ts)
+      .collect().map(r => r.getAs[Long]("t_micro") ->
+        (r.getAs[Long]("tp"), r.getAs[Long]("fp"), r.getAs[Long]("tn"),
+          r.getAs[Long]("fn"))).toMap
+    ts.foreach { t =>
+      val one = Regression.confusionAtThreshold(df, "score", "label", t)
+        .collect().head
+      assert(sweep(math.round(t * 1000000L)) ==
+        ((one.getAs[Long]("tp"), one.getAs[Long]("fp"),
+          one.getAs[Long]("tn"), one.getAs[Long]("fn"))),
+        s"threshold $t diverges")
+    }
+    // ONE aggregate: no per-threshold scan of the input
+    val plan = Regression.confusionSweep(df, "score", "label", ts)
+      .queryExecution.optimizedPlan.toString
+    assert("LocalRelation|Scan".r.findAllIn(plan).length <= 2, plan)
+    intercept[IllegalArgumentException] {
+      Regression.confusionSweep(df, "score", "label", Seq(0.5, 0.5))
+    }
+  }
+}
+
+/** Crawl-to-crawl diff. */
+class CrawlDiffSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Frontier
+
+  test("all four statuses, hand-computed") {
+    val prev = Seq(("a", "h1"), ("b", "h2"), ("c", "h3")).toDF("u", "h")
+    val cur = Seq(("a", "h1"), ("b", "HX"), ("d", "h4")).toDF("u", "h")
+    val r = Frontier.crawlDiff(prev, cur, "u", "h")
+      .collect().map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(r == Map("a" -> "unchanged", "b" -> "changed",
+      "c" -> "removed", "d" -> "added"))
+  }
+
+  test("null hashes are refused loudly, not misread as absence") {
+    val prev = Seq(("a", null.asInstanceOf[String])).toDF("u", "h")
+    val cur = Seq(("a", "h1")).toDF("u", "h")
+    intercept[Exception] {
+      Frontier.crawlDiff(prev, cur, "u", "h").collect()
+    }
+  }
 }
