@@ -2762,6 +2762,38 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Sitemap `<lastmod>` extraction
+    * ([[graft.functions.TextFunctions.sitemapEntries]]): per-url change
+    * stamps (absent on every 3rd entry → null, the feed-timestamp
+    * stance), padded values trimmed, a loc-less ghost block per sitemap
+    * dropped. With lastmods a sitemap schedules like a feed — fetch
+    * what changed — instead of like a URL list. */
+  private def t56c_sitemap_lastmod(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val sitemaps = docs
+      .groupBy((col("doc_id") % 5).as("site"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .select(concat(
+        lit("<?xml version=\"1.0\"?><urlset>" +
+          "<url><lastmod>ghost</lastmod></url>"),
+        array_join(transform(col("ids"), i => concat(
+          lit("<url><loc> http://s"), col("site").cast("string"),
+          lit(".com/p?a=1&amp;id="), i.cast("string"), lit(" </loc>"),
+          when(i % 3 =!= 0,
+            concat(lit("<lastmod> lm-"), i.cast("string"),
+              lit(" </lastmod>"))).otherwise(lit("")),
+          lit("</url>"))), ""),
+        lit("</urlset>")).as("xml"))
+    sitemaps
+      .select(explode(
+        graft.functions.TextFunctions.sitemapEntries(col("xml"))).as("e"))
+      .select(col("e.loc").as("url"), col("e.lastmod").as("lastmod"))
+      .withColumn("doc_id",
+        regexp_extract(col("url"), "id=([0-9]+)$", 1).cast("long"))
+      .select("doc_id", "url", "lastmod")
+      .orderBy("doc_id")
+  }
+
   /** One-pass dictionary tagging over the corpus: six terms including a
     * nested pair ("order" inside "column order" — both must report when
     * the longer occurs) and a never-occurring control. The oracle is the
@@ -6607,6 +6639,7 @@ object SparkEntry {
     "d21_dedup_keep_best" -> (d21_dedup_keep_best _),
     "t55_charset" -> (t55_charset _),
     "t56_sitemap" -> (t56_sitemap _),
+    "t56c_sitemap_lastmod" -> (t56c_sitemap_lastmod _),
     "t57_dictionary_tag" -> (t57_dictionary_tag _),
     "t57b_dictionary_tag_table" -> (t57b_dictionary_tag_table _),
     "t58_compressibility" -> (t58_compressibility _),
@@ -7658,6 +7691,13 @@ object SparkEntry {
     "t56_sitemap" ->
       """SELECT doc_id,
            'http://s' || (doc_id % 5) || '.com/p?a=1&id=' || doc_id AS url
+         FROM documents ORDER BY doc_id""",
+    // per-entry lastmod carry (absent every 3rd entry -> null), the
+    // ghost loc-less block never surfaces
+    "t56c_sitemap_lastmod" ->
+      """SELECT doc_id,
+           'http://s' || (doc_id % 5) || '.com/p?a=1&id=' || doc_id AS url,
+           CASE WHEN doc_id % 3 <> 0 THEN 'lm-' || doc_id END AS lastmod
          FROM documents ORDER BY doc_id""",
     // strict-UTF-8-else-Latin-1: odd rows decode through the fallback
     // (their accented suffix is invalid UTF-8), BOMs strip, even rows

@@ -520,6 +520,27 @@ object TextFunctions {
       regexp_extract_all(xml, lit("<loc>\\s*([^<]*?)\\s*</loc>"), lit(1)),
       u => MarkupExtractExpr(u))
 
+  /** [[sitemapUrls]] with the protocol's change signal attached: per
+    * `<url>` block, `(loc, lastmod)` — `lastmod` raw (W3C datetime by
+    * spec; the feedEntryTimestamp stance on dialect parsing) and null
+    * when the block omits it. A sitemap with lastmods schedules like a
+    * feed (fetch what changed since the last poll) instead of like a
+    * URL list (fetch everything); entries without a `<loc>` are
+    * dropped — nothing to fetch. One block extraction + two per-block
+    * extractions, map-side. */
+  def sitemapEntries(xml: Column): Column =
+    filter(
+      transform(
+        regexp_extract_all(xml,
+          lit("(?is)<url\\s*>(.*?)</url\\s*>"), lit(1)),
+        b => struct(
+          MarkupExtractExpr(nullIfEmpty(regexp_extract(b,
+            "(?is)<loc\\s*>\\s*([^<]*?)\\s*</loc\\s*>", 1))).as("loc"),
+          nullIfEmpty(regexp_extract(b,
+            "(?is)<lastmod\\s*>\\s*([^<]*?)\\s*</lastmod\\s*>", 1))
+            .as("lastmod"))),
+      e => e.getField("loc").isNotNull)
+
   /** The `<entry>`/`<item>` blocks of an Atom (RFC 4287) or RSS 2.0 feed
     * body — the third discovery leg next to sitemaps and outlinks: a
     * feed names the pages that CHANGED recently, so polling it finds
