@@ -376,27 +376,32 @@ object Frontier {
     * revalidate against — the next fetch is unconditional). `immutable`
     * rides along as a column (it waives revalidation WITHIN the
     * lifetime, a fetch-time decision, not a scheduling one). URLs with
-    * no header row keep their plan untouched. One join keyed on url —
-    * the header table is due-set-sized, AQE broadcasts it when small.
-    * Appends `max_age`, `no_store`, `immutable`; rewrites `next_due`,
-    * `due`, `conditional`. */
+    * no header row keep their plan untouched; duplicate header rows for
+    * one url MERGE with the politer policy winning (max max-age, OR of
+    * the flags — the crawl-delay parser's conflict rule) instead of
+    * silently duplicating the url's plan row. One aggregate + one join
+    * keyed on url — the header table is due-set-sized, AQE broadcasts
+    * it when small. Appends `max_age`, `no_store`, `immutable`;
+    * rewrites `next_due`, `due`, `conditional`. */
   def freshnessFloor(plan: DataFrame, headers: DataFrame,
       urlCol: String, headerCol: String, nowSec: Long): DataFrame = {
     requireFreeColumns(plan, Seq("max_age", "no_store", "immutable"))
-    val cc = headers.select(col(urlCol).as("__hurl"),
+    val cc0 = headers.select(col(urlCol).as("__hurl"),
       TextFunctions.cacheControl(col(headerCol)).as("__cc"))
+    val cc = cc0.groupBy("__hurl").agg(
+      max(col("__cc").getField("max_age")).as("__ma"),
+      (max(col("__cc").getField("no_store").cast("int")) === 1).as("__ns"),
+      (max(col("__cc").getField("immutable").cast("int")) === 1).as("__im"))
     val lastTs = col("next_due") - col("interval_sec")
     plan.join(cc, col("url") === col("__hurl"), "left")
-      .withColumn("max_age", col("__cc").getField("max_age"))
-      .withColumn("no_store",
-        coalesce(col("__cc").getField("no_store"), lit(false)))
-      .withColumn("immutable",
-        coalesce(col("__cc").getField("immutable"), lit(false)))
+      .withColumn("max_age", col("__ma"))
+      .withColumn("no_store", coalesce(col("__ns"), lit(false)))
+      .withColumn("immutable", coalesce(col("__im"), lit(false)))
       .withColumn("next_due",
         greatest(col("next_due"), lastTs + coalesce(col("max_age"), lit(0L))))
       .withColumn("due", col("next_due") <= nowSec)
       .withColumn("conditional", col("conditional") && !col("no_store"))
-      .drop("__hurl", "__cc")
+      .drop("__hurl", "__ma", "__ns", "__im")
   }
 
   /** Fold a wave of fetch OUTCOMES into history rows — the 304 half of

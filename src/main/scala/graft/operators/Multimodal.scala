@@ -708,8 +708,12 @@ object Multimodal {
     * halves — all integer, replayable in closed form. */
   def dhashFromPixels(w: Int, h: Int, channels: Int,
       px: Array[Int]): (Long, Long) = {
-    require(w > 0 && h > 0 && channels >= 1 && px.length >= w * h * channels,
+    require(w > 0 && h > 0 && px.length >= w * h * channels,
       s"bad pixel buffer: ${w}x$h x$channels vs ${px.length}")
+    // 2-channel (gray+alpha) layouts would read past a pixel's samples
+    // in the RGB gray path — refuse loudly rather than hash garbage
+    require(channels == 1 || channels >= 3,
+      s"need 1 (gray) or >=3 (RGB-leading) channels; got $channels")
     def gray(x: Int, y: Int): Int = {
       val sx = (x.toLong * w / 9).toInt
       val sy = (y.toLong * h / 8).toInt

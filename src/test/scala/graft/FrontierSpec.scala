@@ -337,6 +337,16 @@ class FrontierSpec extends SparkSpec {
       out.toString)
     assert(out("w") == ((1400L, false, false)), // untouched, no validators
       out.toString)
+    // duplicate header rows merge politer-wins instead of duplicating
+    // the url's plan row
+    val dup = Seq(("u", "max-age=100"), ("u", "no-store, max-age=900"))
+      .toDF("u", "cc")
+    val merged = Frontier.freshnessFloor(plan, dup, "u", "cc", nowSec = 1300L)
+      .filter(col("url") === "u").collect()
+    assert(merged.length == 1, "dup headers must not duplicate plan rows")
+    assert(merged.head.getLong(4) == 1900L &&
+      merged.head.getAs[Boolean]("no_store") &&
+      !merged.head.getBoolean(8))
   }
 
   test("recordOutcomes: 304 carries hash+validators, 200 replaces, refusals loud") {
