@@ -3389,6 +3389,37 @@ object SparkEntry {
       .orderBy("url")
   }
 
+  /** Incremental re-processing over the t99 diff
+    * ([[graft.operators.Frontier.incrementalReprocess]]): the previous
+    * crawl's per-doc token counts survive for unchanged pages, ONLY the
+    * added+changed pages re-clean, removed pages vanish — and the
+    * composed result must equal cleaning the new crawl from scratch,
+    * which is exactly what the oracle computes. The 100 TB point: when
+    * 3% of a corpus moved, this re-reads 3%. */
+  private def t100_incremental_clean(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    def url(id: org.apache.spark.sql.Column) =
+      concat(lit("http://c.com/p"), id.cast("string"))
+    val prev = docs.select(url(col("doc_id")).as("url"), col("text"))
+    val cur = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(url(col("doc_id")).as("url"),
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" zz extra tok")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 11 === 0)
+        .select(url(col("doc_id") + 5000000L).as("url"),
+          concat(lit("fresh doc "), col("doc_id").cast("string"))
+            .as("text")))
+    def clean(df: DataFrame): DataFrame = df.select(col("url"),
+      TextFunctions.tokenCountWhitespace(col("text")).as("n_ws"))
+    val diff = graft.operators.Frontier.crawlDiff(
+      prev.select(col("url"), md5(col("text")).as("h")),
+      cur.select(col("url"), md5(col("text")).as("h")), "url", "h")
+    graft.operators.Frontier.incrementalReprocess(
+        clean(prev), cur, diff, "url")(clean)
+      .orderBy("url")
+  }
+
   /** Streaming FEED ingest — t95's discovery leg as a stream (st22's
     * exactly-once recipe one stage earlier in the pipeline): two
     * ordered micro-batches of feed FETCHES flow through
@@ -6630,6 +6661,7 @@ object SparkEntry {
     "t97_cache_control" -> (t97_cache_control _),
     "t98_conditional_fetch_plan" -> (t98_conditional_fetch_plan _),
     "t99_crawl_diff" -> (t99_crawl_diff _),
+    "t100_incremental_clean" -> (t100_incremental_clean _),
     "t62_nfc_normalize" -> (t62_nfc_normalize _),
     "t54c_robots_sitemaps" -> (t54c_robots_sitemaps _),
     "t63_unigram_tokens" -> (t63_unigram_tokens _),
@@ -8062,6 +8094,21 @@ object SparkEntry {
            doc_id % 4 = 0 AS no_store,
            doc_id % 4 = 2 AS immutable
          FROM pp ORDER BY url""",
+    // the incremental result must equal cleaning the NEW crawl from
+    // scratch — which is what this computes (the 5s' suffix re-counted
+    // inside the composed text, the 11s' fresh docs at 3 tokens)
+    "t100_incremental_clean" ->
+      """SELECT url, n_ws FROM (
+           SELECT 'http://c.com/p' || doc_id AS url,
+             CAST(len(regexp_split_to_array(trim(
+               CASE WHEN doc_id % 5 = 0 THEN text || ' zz extra tok'
+                    ELSE text END), '\s+')) AS BIGINT) AS n_ws
+           FROM documents WHERE doc_id % 7 <> 0
+           UNION ALL
+           SELECT 'http://c.com/p' || (doc_id + 5000000),
+             CAST(3 AS BIGINT)
+           FROM documents WHERE doc_id % 11 = 0)
+         ORDER BY url""",
     // all four statuses and their hashes in closed form (7s removed,
     // surviving 5s changed, 11s' shifted wave added, rest unchanged)
     "t99_crawl_diff" ->

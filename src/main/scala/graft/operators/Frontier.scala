@@ -664,6 +664,35 @@ object Frontier {
         col("prev_hash"), col("cur_hash"))
   }
 
+  /** Incremental re-processing over a [[crawlDiff]]: keep the PREVIOUS
+    * run's results for unchanged keys, run `process` only over the new
+    * crawl's added+changed rows, union — at 100 TB this is the
+    * difference between re-cleaning everything and re-cleaning the few
+    * percent that moved. CONTRACT: `process` must be per-document pure
+    * (map-side metrics, extraction, repair, tokenization — each output
+    * row a function of its input row alone). CORPUS-GLOBAL stages do
+    * NOT compose this way — dedup, line-frequency boilerplate, DSIR
+    * distributions change when ANY document changes; use their native
+    * incremental forms instead (the tagged-append index family:
+    * d11/d13/d19, st8/st24). `prevResult` must be keyed by `keyCol`
+    * (one row per key) and cover every `unchanged` key, or results are
+    * silently lost — the semi-join cannot invent rows.
+    *
+    * Shape: one semi-join of the previous results against the unchanged
+    * key set + one semi-join of the new crawl against added+changed
+    * (both narrow key frames), then a union — no corpus text rides a
+    * shuffle beyond what `process` itself does. */
+  def incrementalReprocess(prevResult: DataFrame, cur: DataFrame,
+      diff: DataFrame, keyCol: String)
+      (process: DataFrame => DataFrame): DataFrame = {
+    val unchanged = diff.filter(col("status") === "unchanged")
+      .select(col("url").as(keyCol))
+    val todo = diff.filter(col("status").isin("added", "changed"))
+      .select(col("url").as(keyCol))
+    prevResult.join(unchanged, Seq(keyCol), "left_semi")
+      .unionByName(process(cur.join(todo, Seq(keyCol), "left_semi")))
+  }
+
   /** Silently clobbering an input column is data loss: re-scheduling an
     * already-scheduled frame would overwrite its prior wave's
     * fetch_seq/eta_ms with no error — rename or drop them first, on

@@ -188,4 +188,33 @@ class CrawlDiffSpec extends SparkSpec {
       Frontier.crawlDiff(prev, cur, "u", "h").collect()
     }
   }
+
+  test("incrementalReprocess equals from-scratch; only the delta reprocesses") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    val prev = Seq(("a", "one two"), ("b", "three"), ("c", "gone soon"))
+      .toDF("u", "text")
+    val cur = Seq(("a", "one two"), ("b", "three CHANGED"), ("d", "brand new doc"))
+      .toDF("u", "text")
+    val processed = new java.util.concurrent.atomic.AtomicInteger(0)
+    def clean(df: DataFrame): DataFrame = {
+      processed.incrementAndGet()
+      df.select(col("u"), size(split(trim(col("text")), "\\s+")).as("n"))
+    }
+    val diff = Frontier.crawlDiff(
+      prev.select(col("u"), md5(col("text")).as("h")),
+      cur.select(col("u"), md5(col("text")).as("h")), "u", "h")
+    val prevClean = clean(prev)
+    val inc = Frontier.incrementalReprocess(prevClean, cur, diff, "u")(clean)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val scratch = clean(cur)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(inc == scratch, s"incremental $inc != scratch $scratch")
+    assert(!inc.contains("c"), "removed keys must vanish")
+    // the delta frame really is the only thing process() saw the second time
+    val todo = cur.join(diff.filter(col("status").isin("added", "changed"))
+      .select(col("url").as("u")), Seq("u"), "left_semi")
+      .select("u").as[String].collect().toSet
+    assert(todo == Set("b", "d"), s"delta must be exactly added+changed: $todo")
+  }
 }
