@@ -73,6 +73,7 @@ object OracleLint {
     "t29_kl_drift"         -> "n_a/n_b intermediates feed DOUBLE ratio arithmetic only",
     "t24_pmi"              -> "corpus totals feed DOUBLE ratio arithmetic only",
     "t12c_bm25_join"       -> "sum of DOUBLE ln() terms",
+    "t101_hard_negatives"  -> "sum of DOUBLE ln() terms (t12c's scoring)",
     "t12d_bm25_weighted"   -> "sum of DOUBLE weighted ln() terms",
     "t12e_bm25_join_salted"-> "sum of DOUBLE ln() terms",
     "h1_hybrid_join"       -> "sums of DOUBLE ln()/rrf terms",

@@ -4559,6 +4559,23 @@ object SparkEntry {
       .orderBy("query_id", "doc_id")
   }
 
+  /** Hard-negative mining ([[graft.operators.Retrieval.hardNegatives]]):
+    * per query, the BM25 candidates minus planted positive pairs
+    * (query q's positives are docs q·100 and q·100+7), re-ranked to the
+    * top 5 by the rounded-rank convention. The oracle replays t12c's
+    * full scoring, the anti-join and the (round(score,6) desc, doc_id)
+    * cut. */
+  private def t101_hard_negatives(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val positives = (0L to 4L)
+      .flatMap(q => Seq((q, q * 100), (q, q * 100 + 7)))
+      .toDF("query_id", "doc_id")
+    graft.operators.Retrieval.hardNegatives(bm25JoinQueries(s),
+        t(s, dir, "documents"), positives, "query_id", "terms",
+        "doc_id", "text", k = 5, candidateK = Int.MaxValue)
+      .orderBy("query_id", "neg_rank")
+  }
+
   /** Salted BM25 join on the stopword-heavy query set (query 3 carries
     * 'the'/'a' — the hot-term shape): saltFactor = 4 spreads each term's
     * postings over 4 tasks; the oracle is t12c's UNSALTED replay — salt
@@ -6783,6 +6800,7 @@ object SparkEntry {
     "t12_termstats" -> (t12_termstats _),
     "t12b_bm25" -> (t12b_bm25 _),
     "t12c_bm25_join" -> (t12c_bm25_join _),
+    "t101_hard_negatives" -> (t101_hard_negatives _),
     "t12d_bm25_weighted" -> (t12d_bm25_weighted _),
     "t12e_bm25_join_salted" -> (t12e_bm25_join_salted _),
     "h1_hybrid_join" -> (h1_hybrid_join _),
@@ -10439,6 +10457,44 @@ object SparkEntry {
          SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
            round(score, 6) AS score
          FROM sc ORDER BY query_id, doc_id""",
+    // t12c's full scoring + the positive anti-join + the rounded-rank
+    // top-5 cut, ties to doc_id
+    "t101_hard_negatives" ->
+      """WITH q(query_id, terms) AS (VALUES
+           (0, ['agg', 'scan', 'window']), (1, ['join', 'key']),
+           (2, ['vector', 'batch', 'stream']), (3, ['the', 'a']),
+           (4, ['merge', 'sort', 'filter'])),
+         px(query_id, doc_id) AS (VALUES
+           (0, 0), (0, 7), (1, 100), (1, 107), (2, 200), (2, 207),
+           (3, 300), (3, 307), (4, 400), (4, 407)),
+         w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+               FROM documents),
+         toks AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+                    unnest(ws) AS term FROM w),
+         vocab AS (SELECT DISTINCT unnest(terms) AS term FROM q),
+         post AS (SELECT term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
+                  FROM toks JOIN vocab USING (term) GROUP BY term, doc_id, dl),
+         dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                 FROM post GROUP BY term),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS N, avg(len(ws)) AS avgdl
+                FROM w),
+         qt AS (SELECT DISTINCT query_id, unnest(terms) AS term FROM q),
+         sc AS (SELECT qt.query_id, post.doc_id,
+             sum(ln((st.N - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+               * (post.tf * 2.2)
+               / (post.tf + 1.2 * (0.25 + 0.75 * post.dl / st.avgdl))) AS score
+           FROM qt JOIN post USING (term) JOIN dfs USING (term) CROSS JOIN st
+           GROUP BY qt.query_id, post.doc_id),
+         neg AS (SELECT sc.query_id, sc.doc_id, round(sc.score, 6) AS score
+           FROM sc WHERE NOT EXISTS (SELECT 1 FROM px
+             WHERE px.query_id = sc.query_id AND px.doc_id = sc.doc_id)),
+         r AS (SELECT query_id, doc_id, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, doc_id) AS INT) AS neg_rank
+           FROM neg)
+         SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score,
+           neg_rank
+         FROM r WHERE neg_rank <= 5 ORDER BY query_id, neg_rank""",
     // t12c's replay with per-term query weights multiplied into each
     // contribution (Robertson query-tf): weights are binary-exact
     // literals, so the arithmetic matches bit-for-bit pre-rounding

@@ -210,6 +210,55 @@ object Retrieval {
     * per scan — no hidden persist): callers running over a hot 100 TB
     * corpus should persist the input once themselves, same caller
     * contract as [[bm25]]'s two scans. */
+  /** Hard-negative mining for retrieval training (the DPR recipe,
+    * Karpukhin et al. 2020 §4.2: the best negatives are the top BM25
+    * hits that are NOT the labeled positive — lexically close enough to
+    * be hard, unlabeled so they are negatives): per query, the
+    * [[bm25Join]] top-`candidateK` candidates minus that query's
+    * `positives` pairs, re-ranked to the top `k`. Pairs naturally with
+    * the anchor-text harvest — anchors are the queries, link targets
+    * the positives.
+    *
+    * Rank determinism: negatives order by (round(score, 6) desc, doc
+    * id) — the rounded-rank convention, so any engine replays the cut.
+    * `candidateK` bounds how many positives can crowd out the window:
+    * with up to p positives per query in the candidate set you keep at
+    * least `candidateK − p` negatives, so size it ≥ k + max positives
+    * per query. Shape: bm25Join's inverted-index join + one anti-join
+    * on (query, doc) + a per-query window over ≤ candidateK rows
+    * (bounded by construction — never corpus-sized). Returns
+    * `(queryIdCol, idCol, score, neg_rank)` with score 6-rounded. */
+  def hardNegatives(
+      queries: DataFrame,
+      corpus: DataFrame,
+      positives: DataFrame,
+      queryIdCol: String,
+      termsCol: String,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      candidateK: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      saltFactor: Int = 1): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(candidateK >= k,
+      s"candidateK ($candidateK) must be >= k ($k) — and leave headroom " +
+        "for the positives it must absorb")
+    val cand = bm25Join(queries, corpus, queryIdCol, termsCol, idCol,
+        textCol, k = candidateK, k1 = k1, b = b, saltFactor = saltFactor)
+      .drop("rank")
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(round(col("score"), 6).desc, col(idCol))
+    cand
+      .join(positives.select(col(queryIdCol), col(idCol)),
+        Seq(queryIdCol, idCol), "left_anti")
+      .withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= k)
+      .select(col(queryIdCol), col(idCol),
+        round(col("score"), 6).as("score"), col("neg_rank"))
+  }
+
   def bm25Join(
       queries: DataFrame,
       corpus: DataFrame,

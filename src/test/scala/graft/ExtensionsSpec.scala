@@ -1400,6 +1400,33 @@ class SkewJoinSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("hardNegatives: positives excluded, re-rank fills from below, k honored") {
+    // doc 1 is the labeled positive AND the top BM25 hit for q0 — the
+    // exclusion must bite and rank 1 must fall to the next-best doc
+    val docs = Seq(
+      (1L, "apple apple apple"),   // top hit, labeled positive
+      (2L, "apple apple pear"),
+      (3L, "apple pear pear"),
+      (4L, "pear pear pear"),      // never matches q0
+      (5L, "apple zzz yyy")
+    ).toDF("doc_id", "text")
+    val queries = Seq((0L, Seq("apple"))).toDF("query_id", "terms")
+    val positives = Seq((0L, 1L)).toDF("query_id", "doc_id")
+    val r = operators.Retrieval.hardNegatives(queries, docs, positives,
+        "query_id", "terms", "doc_id", "text", k = 2,
+        candidateK = Int.MaxValue)
+      .orderBy("neg_rank")
+      .collect().map(x => (x.getLong(1), x.getInt(3)))
+    // tf=2 (doc 2) outranks tf=1; docs 3 and 5 tie on tf=1 but doc 3's
+    // shorter... all length 3, so tf ties break to the smaller doc_id
+    assert(r.length == 2 && r(0) == ((2L, 1)) && r(1)._2 == 2)
+    assert(!r.map(_._1).contains(1L), "the positive must never surface")
+    intercept[IllegalArgumentException] {
+      operators.Retrieval.hardNegatives(queries, docs, positives,
+        "query_id", "terms", "doc_id", "text", k = 5, candidateK = 2)
+    }
+  }
+
   test("hybridJoin equals the manual annJoin + bm25Join + rrfFuseGrouped composition") {
     val docs = (100 until 160).map { i =>
       (i.toLong, s"alpha doc $i " + ("beta " * (i % 4)) + s"word${i % 9}")
