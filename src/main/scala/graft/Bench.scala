@@ -115,7 +115,17 @@ object Bench {
     // driver-side — the m11 fixture caveat; the decode itself is the
     // same map-side codec kernel t50 already slope-measures)
     "t94_revalidation", "t63b_unigram_exact", "d27_decontam_report",
-    "m20_pdf_images")
+    "m20_pdf_images",
+    // round-18 second wave: anchor harvest (map kernels + the outlinks
+    // distinct), cache-control floor + the composed conditional fetch
+    // plan (t94-shaped joins/windows), crawl diff (full-outer on narrow
+    // rows) + incremental re-processing (two semi-joins + the kernel),
+    // hard negatives (inverted-index join + anti-join + bounded
+    // window), sitemap lastmod (map-side), cross-format hash join,
+    // and the one-aggregate threshold sweep
+    "t96_anchor_text", "t97_cache_control", "t98_conditional_fetch_plan",
+    "t99_crawl_diff", "t100_incremental_clean", "t101_hard_negatives",
+    "t56c_sitemap_lastmod", "m21_crossformat_dedup", "ml7_confusion_sweep")
 
   /** Queries measured on the replicated corpus for the scaling slope —
     * the shuffle-heavy pipeline shapes whose 100 TB behavior a plan read
@@ -242,7 +252,19 @@ object Bench {
     // kernel. d27: d8's broadcast-gram scan twice-tagged — replica
     // grams are suffix-disjoint so per-set matches grow linearly and
     // the histogram output stays K x buckets.
-    "t94_revalidation", "t63b_unigram_exact", "d27_decontam_report")
+    "t94_revalidation", "t63b_unigram_exact", "d27_decontam_report",
+    // t96: map-side extraction + the t61-shaped distinct; replica urls
+    // embed shifted doc ids so links stay disjoint and grow linearly.
+    // t99: ONE full-outer join on url over narrow (url, hash) rows —
+    // replica urls are disjoint, both sides grow x10, the join stays
+    // key-partitioned. t100: two semi-joins against diff key frames +
+    // the map-side count kernel — the added+changed delta grows x10 but
+    // stays a fraction of the corpus by construction. t101: postings
+    // grow x10 under the FIXED 5-query set — per-query candidate lists
+    // widen x10 and the bounded re-rank window widens with them (the
+    // q6/t54d keyed-window growth shape, measured honestly).
+    "t96_anchor_text", "t99_crawl_diff", "t100_incremental_clean",
+    "t101_hard_negatives")
 
   /** Materialize a `factor`×-replicated copy of the FACT tables the scale
     * set reads (documents, lineitem, orders, events) plus 1× copies of
