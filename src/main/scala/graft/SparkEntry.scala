@@ -3474,6 +3474,57 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Streaming fetch-outcome ingest
+    * ([[graft.streaming.Streams.outcomeIngest]]): wave 1 = the
+    * bootstrap 200s (hash v0, ETags on evens), wave 2 = the revisit —
+    * 304 Not Modified for evens (the fold must reuse v0 and carry the
+    * ETag forward into the appended row), 200 with fresh content for
+    * odds. The post-stream [[graft.operators.Frontier.fetchHistory]] +
+    * [[graft.operators.Frontier.revalidationPlan]] read must show the
+    * doubled interval on the 304 side and the halved one on the 200
+    * side — the whole conditional-recrawl loop, exactly-once. */
+  private def st26_stream_outcomes(s: SparkSession, dir: String): DataFrame = {
+    val base = "/tmp/graft_fixtures/outcome_ingest_" +
+      java.net.URLEncoder.encode(dir, "UTF-8")
+    val conf = s.sessionState.newHadoopConf()
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(conf)
+    fs.delete(basePath, true)
+    val (incoming, hist, cp) = (s"$base/incoming", s"$base/history", s"$base/cp")
+    val d = t(s, dir, "documents").select(col("doc_id"))
+    val url = concat(lit("https://h"), (col("doc_id") % 20).cast("string"),
+      lit(".example.com/p"), col("doc_id").cast("string"))
+    val w1 = d.select(url.as("url"),
+      (col("doc_id") * 1000).as("ts"), lit("v0").as("h"),
+      when(col("doc_id") % 2 === 0,
+        concat(lit("e"), col("doc_id").cast("string"))).as("etag"),
+      lit(null).cast("long").as("lm"), lit(200).as("status"))
+    val w2 = d.select(url.as("url"),
+      lit(10000000L).as("ts"),
+      when(col("doc_id") % 2 =!= 0, lit("v1")).as("h"),
+      lit(null).cast("string").as("etag"),
+      lit(null).cast("long").as("lm"),
+      when(col("doc_id") % 2 === 0, lit(304)).otherwise(lit(200))
+        .as("status"))
+    def dataFiles = fs.listStatus(new org.apache.hadoop.fs.Path(incoming))
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+      .map(_.getPath).toSet
+    w1.coalesce(1).write.mode("append").parquet(incoming)
+    val firstFiles = dataFiles
+    w2.coalesce(1).write.mode("append").parquet(incoming)
+    (dataFiles -- firstFiles).foreach(p => fs.setTimes(p, 1000000600000L, -1))
+    firstFiles.foreach(p => fs.setTimes(p, 1000000000000L, -1))
+    val stream = s.readStream.schema(w1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(incoming)
+    val q = graft.streaming.Streams.outcomeIngest(stream, hist, cp)
+    try q.processAllAvailable() finally q.stop()
+    graft.operators.Frontier.revalidationPlan(
+        graft.operators.Frontier.fetchHistory(s, hist),
+        "url", "ts", "h", "etag", "lm",
+        nowSec = 10000500L, baseSec = 400L, minSec = 100L, maxSec = 1600L)
+      .orderBy("url")
+  }
+
   /** Anchor-text harvest ([[graft.operators.Frontier.anchorTexts]]):
     * four link shapes per page — nested inline markup + collapsing
     * whitespace in the label, an entity in the label over a relative
@@ -6670,6 +6721,7 @@ object SparkEntry {
     "t67_crawl_backedge" -> (t67_crawl_backedge _),
     "st22_stream_seen" -> (st22_stream_seen _),
     "st25_stream_feeds" -> (st25_stream_feeds _),
+    "st26_stream_outcomes" -> (st26_stream_outcomes _),
     "t68_fetch_plan" -> (t68_fetch_plan _),
     "t72_revisit_schedule" -> (t72_revisit_schedule _),
     "t94_revalidation" -> (t94_revalidation _),
@@ -8207,6 +8259,25 @@ object SparkEntry {
            CAST(1 AS BIGINT) AS n_copies
          FROM documents WHERE doc_id % 2 = 0 OR doc_id % 3 = 0
          ORDER BY doc_id""",
+    // the streamed conditional-recrawl loop in closed form: the 304
+    // side doubles (carried hash + ETag), the 200 side halves
+    "st26_stream_outcomes" ->
+      """SELECT
+           'https://h' || (doc_id % 20) || '.example.com/p' || doc_id
+             AS url,
+           CAST(2 AS BIGINT) AS n_fetches,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS BIGINT)
+             AS n_changes,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 800 ELSE 200 END AS BIGINT)
+             AS interval_sec,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 10000800 ELSE 10000200 END
+             AS BIGINT) AS next_due,
+           doc_id % 2 <> 0 AS due,
+           CASE WHEN doc_id % 2 = 0 THEN 'e' || doc_id END
+             AS if_none_match,
+           CAST(NULL AS BIGINT) AS if_modified_since,
+           doc_id % 2 = 0 AS conditional
+         FROM documents ORDER BY url""",
     // feed polls streamed: wave 2 re-publishes every wave-1 entry, the
     // anti-join must still land every entry URL exactly once
     "st25_stream_feeds" ->

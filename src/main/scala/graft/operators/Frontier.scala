@@ -664,6 +664,51 @@ object Frontier {
         col("prev_hash"), col("cur_hash"))
   }
 
+  /** Read the persisted fetch-history table (TaggedAppend layout — the
+    * [[seenUrls]] listing discipline over the validator-carrying
+    * schema `(url, ts, h, etag, lm)`): committed data files only,
+    * `excludeTag` hides a tag's own partial files during its replay.
+    * Empty/absent history reads as an empty frame with the full schema
+    * — [[recordOutcomes]] composes without special-casing the first
+    * wave (its 304-needs-prior guard still fires, correctly). */
+  def fetchHistory(spark: org.apache.spark.sql.SparkSession, path: String,
+      excludeTag: Option[String] = None): DataFrame = {
+    val fs = graft.core.Discovery.fileSystemFor(path,
+      spark.sessionState.newHadoopConf())
+    val root = new org.apache.hadoop.fs.Path(path)
+    val files =
+      if (!fs.exists(root)) Seq.empty[String]
+      else fs.listStatus(root).toSeq
+        .filter(_.isFile)
+        .map(_.getPath)
+        .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
+        .filterNot(p => excludeTag.exists(t =>
+          p.getName.startsWith(graft.core.TaggedAppend.filePrefix(t))))
+        .map(_.toString)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("url",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("h",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("etag",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lm",
+        org.apache.spark.sql.types.LongType)))
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else {
+      val df = spark.read.parquet(files: _*)
+      val missing = schema.fieldNames.filterNot(df.columns.contains)
+      require(missing.isEmpty,
+        s"fetch-history table at $path is missing column(s) " +
+          s"${missing.mkString(",")} — is this really a fetch history?")
+      df.select(schema.fieldNames.map(col): _*)
+    }
+  }
+
   /** Incremental re-processing over a [[crawlDiff]]: keep the PREVIOUS
     * run's results for unchanged keys, run `process` only over the new
     * crawl's added+changed rows, union — at 100 TB this is the

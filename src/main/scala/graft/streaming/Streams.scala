@@ -630,6 +630,48 @@ object Streams {
         ()
     }
 
+  /** [[seenIngest]]'s analog for the FETCH HISTORY — the revalidation
+    * loop's write path as a stream: each micro-batch of fetch outcomes
+    * (fixed schema `url, ts, h, etag, lm, status` — select/rename
+    * upstream, the seenIngest `url` convention) folds through
+    * [[graft.operators.Frontier.recordOutcomes]] against the history
+    * committed SO FAR (304s reuse the prior hash and carry validators;
+    * the batch's own partial files are excluded during replay, so a
+    * crashed append recomputes identically and TaggedAppend converges
+    * the files) and appends under the checkpoint-keyed batch tag; the
+    * commit marker skips fully-committed batches. The first wave must
+    * be unconditional fetches — a 304 with no prior history raises,
+    * which is recordOutcomes' own (correct) contract. Downstream,
+    * [[graft.operators.Frontier.fetchHistory]] +
+    * [[graft.operators.Frontier.revalidationPlan]] read the live
+    * table mid-stream. */
+  def outcomeIngest(
+      outcomes: DataFrame,
+      historyPath: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    appendIngest(outcomes, checkpoint, trigger, "outcomeIngest") {
+      (batch, batchId) =>
+        outcomeIngestBatch(batch, batchId, historyPath, checkpoint)
+    }
+
+  /** One micro-batch of [[outcomeIngest]], exposed for direct
+    * crash-replay testing. Returns false when already committed. */
+  private[graft] def outcomeIngestBatch(
+      batch: DataFrame,
+      batchId: Long,
+      historyPath: String,
+      checkpoint: String): Boolean =
+    appendIngestBatch(batch, batchId, historyPath, checkpoint, "outcome") {
+      (spark, tag) =>
+        val hist = graft.operators.Frontier.fetchHistory(
+          spark, historyPath, excludeTag = Some(tag))
+        val rows = graft.operators.Frontier.recordOutcomes(
+          hist, batch, "url", "ts", "h", "etag", "lm", "status")
+        graft.core.TaggedAppend.append(rows, historyPath, tag)
+        ()
+    }
+
   /** [[ivfIngest]]'s analog for the persisted INVERTED INDEX
     * ([[graft.operators.Retrieval.invertedIndexBuildAndWrite]]): each
     * micro-batch of documents appends its postings AND its stats row

@@ -229,6 +229,42 @@ class FrontierSpec extends SparkSpec {
     assert(Frontier.seenUrls(spark, hist).count() == 3)
   }
 
+  test("streaming outcome ingest: 304 fold against committed history; replay converges") {
+    val base = tmpDir("outcome_ingest_spec")
+    val hist = base + "/hist"
+    val cp = base + "/cp"
+    import graft.streaming.Streams
+    def w(rows: Seq[(String, Long, String, String, java.lang.Long, Int)]) =
+      rows.toDF("url", "ts", "h", "etag", "lm", "status")
+    // wave 0: bootstrap 200s
+    assert(Streams.outcomeIngestBatch(
+      w(Seq(("u", 100L, "a", "e1", null, 200),
+        ("v", 100L, "x", null, null, 200))), 0L, hist, cp))
+    // wave 1: u revalidates 304 (carry a + e1), v changes
+    val w1 = w(Seq(("u", 200L, null, null, null, 304),
+      ("v", 200L, "y", null, null, 200)))
+    assert(Streams.outcomeIngestBatch(w1, 1L, hist, cp))
+    assert(!Streams.outcomeIngestBatch(w1, 1L, hist, cp),
+      "a committed batch must be skipped on replay")
+    def snapshot = Frontier.fetchHistory(spark, hist).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getString(3))).sortBy(x => (x._1, x._2)).toSeq
+    val expected = Seq(("u", 100L, "a", "e1"), ("u", 200L, "a", "e1"),
+      ("v", 100L, "x", null), ("v", 200L, "y", null))
+    assert(snapshot == expected, snapshot.toString)
+    // crash between append and marker: drop the marker, replay — the
+    // 304 fold recomputes against history MINUS its own partial files
+    // (excludeTag) and the tagged append converges
+    val hp = new org.apache.hadoop.fs.Path(hist)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(hp)
+      .filter(_.getPath.getName.startsWith("_graft_outcome_ingest_commit"))
+      .filter(_.getPath.getName.endsWith("1"))
+      .foreach(st => fs.delete(st.getPath, false))
+    assert(Streams.outcomeIngestBatch(w1, 1L, hist, cp))
+    assert(snapshot == expected, s"marker-loss replay diverged: $snapshot")
+  }
+
   test("capPerHost keeps the k best per host and plans WindowGroupLimit") {
     val urls = (0 until 40).map(i =>
       (s"http://h${i % 2}.com/$i", (i % 5).toLong)).toDF("url", "prio")
