@@ -159,8 +159,12 @@ object Bpe {
     * the `maxVocab` most frequent words with ties broken by word
     * ascending so the cap boundary is deterministic in any engine.
     * Returns `(word, freq, vocab_rank)` with `vocab_rank` 1-based.
-    * The rank window sorts ONLY the distinct-word table — bounded by
-    * vocabulary size, never corpus size (the LanguageModel top-N idiom). */
+    * The cap is `orderBy.limit` — Catalyst plans it as a DISTRIBUTED
+    * TakeOrderedAndProject (per-partition top-N, merged at the driver),
+    * never a single-partition sort of the distinct-word table (a
+    * web-scale corpus has billions of distinct words; the LanguageModel
+    * top-N idiom) — and only the ALREADY-CAPPED `maxVocab` rows see the
+    * rank window (the post-limit bounded-window idiom). */
   def wordHistogram(df: DataFrame, textCol: String,
       maxVocab: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -170,10 +174,11 @@ object Bpe {
         "\\s+")).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), col("word"))
+      .limit(maxVocab)
       .withColumn("vocab_rank",
         row_number().over(Window.orderBy(desc("freq"), col("word")))
           .cast("long"))
-      .filter(col("vocab_rank") <= maxVocab)
   }
 
   /** Corpus-exact BPE training: the merge loop runs on the driver (it is

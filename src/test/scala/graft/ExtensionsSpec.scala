@@ -1192,6 +1192,11 @@ class TextSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     // cat=3, dog=3 (tie -> word asc), emu=1 falls outside the cap
     assert(h.toSeq.sortBy(_._3) == Seq(("cat", 3L, 1L), ("dog", 3L, 2L)))
+    // the cap must plan as a DISTRIBUTED top-N (TakeOrderedAndProject),
+    // never a single-partition sort of the full distinct-word table
+    val plan = Bpe.wordHistogram(docs, "text", maxVocab = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
   test("exact trainer sees corpus-frequent words a document sample misses") {
