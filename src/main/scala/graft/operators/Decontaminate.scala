@@ -92,10 +92,13 @@ object Decontaminate {
     * many of those meet `threshold` (the [[ngramOverlap]] double
     * comparison, unchanged).
     *
-    * 100 TB shape: corpus shingles ONCE (shared across eval sets); every
-    * set's distinct-gram universe unions into one broadcast tagged by
-    * set name, so matching all K sets is the same single map-side join
-    * as matching one; per-(doc, set) counts partial-aggregate map-side;
+    * 100 TB shape: every set's distinct-gram universe unions into one
+    * broadcast tagged by set name, so matching all K sets is the same
+    * single map-side join as matching ONE set (never K corpus scans);
+    * the shingle kernel itself evaluates twice — once under the per-doc
+    * totals, once under the match explode (both map-side; sharing would
+    * need persisting corpus-sized gram arrays, a worse trade);
+    * per-(doc, set) counts partial-aggregate map-side;
     * the doc × K denominator attach is a broadcast cross join of K
     * names (K = a handful of benchmarks). Output is K · buckets rows —
     * driver-safe by construction. */
