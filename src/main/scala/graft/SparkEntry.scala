@@ -2261,6 +2261,22 @@ object SparkEntry {
       .orderBy("node")
   }
 
+  /** TrustRank over g1's graph ([[graft.operators.Graph.trustRank]]):
+    * four trusted seeds, trust mass seeded and teleported ONLY there —
+    * nodes far from every seed score near zero whatever their in-degree
+    * (the link-spam demotion contract). The oracle replays all five
+    * iterations of the seed-restricted integer arithmetic, g1's CTE
+    * machinery with the seed-modified init and teleport. */
+  private def g7_trustrank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = t(s, dir, "events")
+      .select((col("event_id") % 200).as("src"),
+        ((col("event_id") * 48271L) % 200).as("dst"))
+    val seeds = Seq(0L, 50L, 100L, 150L).toDF("host_id")
+    Graph.trustRank(edges, "src", "dst", seeds, "host_id", iterations = 5)
+      .orderBy("node")
+  }
+
   /** Triangle counting: degree-oriented wedge join
     * ([[graft.operators.Graph.triangleCounts]] — Σ outdeg² bounded by
     * O(m^1.5) under ANY skew). The edges decompose event_id as a base-60
@@ -6749,6 +6765,7 @@ object SparkEntry {
     "g3_kcore" -> (g3_kcore _),
     "g4_bfs" -> (g4_bfs _),
     "g6_sssp" -> (g6_sssp _),
+    "g7_trustrank" -> (g7_trustrank _),
     "ml1_linprobe" -> (ml1_linprobe _),
     "ml2_logreg" -> (ml2_logreg _),
     "ml3_naive_bayes" -> (ml3_naive_bayes _),
@@ -9071,6 +9088,58 @@ object SparkEntry {
                  FROM corners GROUP BY node)
          SELECT n.node, coalesce(cnt.n_triangles, 0) AS n_triangles
          FROM n LEFT JOIN cnt USING (node) ORDER BY node""",
+    // g1's machinery with seed-restricted init and teleport: the
+    // trusted four carry all mass at round 0 and all teleport after
+    "g7_trustrank" ->
+      """WITH e AS (SELECT DISTINCT event_id % 200 AS src,
+             (event_id * 48271) % 200 AS dst FROM events),
+         o AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         r0 AS (SELECT node,
+             CASE WHEN node IN (0, 50, 100, 150)
+               THEN 1000000000 // 4 ELSE 0 END AS r
+           FROM nodes),
+         c1 AS (SELECT e.dst AS node, SUM(pr.r // o.outdeg) AS c
+           FROM e JOIN o ON e.src = o.src JOIN r0 pr ON pr.node = e.src
+           GROUP BY e.dst),
+         r1 AS (SELECT nd.node,
+             (CASE WHEN nd.node IN (0, 50, 100, 150)
+                THEN 150000000 // 4 ELSE 0 END)
+               + (COALESCE(c.c, 0) * 85) // 100 AS r
+           FROM nodes nd LEFT JOIN c1 c ON c.node = nd.node),
+         c2 AS (SELECT e.dst AS node, SUM(pr.r // o.outdeg) AS c
+           FROM e JOIN o ON e.src = o.src JOIN r1 pr ON pr.node = e.src
+           GROUP BY e.dst),
+         r2 AS (SELECT nd.node,
+             (CASE WHEN nd.node IN (0, 50, 100, 150)
+                THEN 150000000 // 4 ELSE 0 END)
+               + (COALESCE(c.c, 0) * 85) // 100 AS r
+           FROM nodes nd LEFT JOIN c2 c ON c.node = nd.node),
+         c3 AS (SELECT e.dst AS node, SUM(pr.r // o.outdeg) AS c
+           FROM e JOIN o ON e.src = o.src JOIN r2 pr ON pr.node = e.src
+           GROUP BY e.dst),
+         r3 AS (SELECT nd.node,
+             (CASE WHEN nd.node IN (0, 50, 100, 150)
+                THEN 150000000 // 4 ELSE 0 END)
+               + (COALESCE(c.c, 0) * 85) // 100 AS r
+           FROM nodes nd LEFT JOIN c3 c ON c.node = nd.node),
+         c4 AS (SELECT e.dst AS node, SUM(pr.r // o.outdeg) AS c
+           FROM e JOIN o ON e.src = o.src JOIN r3 pr ON pr.node = e.src
+           GROUP BY e.dst),
+         r4 AS (SELECT nd.node,
+             (CASE WHEN nd.node IN (0, 50, 100, 150)
+                THEN 150000000 // 4 ELSE 0 END)
+               + (COALESCE(c.c, 0) * 85) // 100 AS r
+           FROM nodes nd LEFT JOIN c4 c ON c.node = nd.node),
+         c5 AS (SELECT e.dst AS node, SUM(pr.r // o.outdeg) AS c
+           FROM e JOIN o ON e.src = o.src JOIN r4 pr ON pr.node = e.src
+           GROUP BY e.dst),
+         r5 AS (SELECT nd.node,
+             (CASE WHEN nd.node IN (0, 50, 100, 150)
+                THEN 150000000 // 4 ELSE 0 END)
+               + (COALESCE(c.c, 0) * 85) // 100 AS r
+           FROM nodes nd LEFT JOIN c5 c ON c.node = nd.node)
+         SELECT node, CAST(r AS BIGINT) AS trust_ppb FROM r5 ORDER BY node""",
     "g1_pagerank" ->
       """WITH e AS (SELECT DISTINCT event_id % 200 AS src,
              (event_id * 48271) % 200 AS dst FROM events),

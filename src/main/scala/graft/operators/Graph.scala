@@ -101,6 +101,84 @@ object Graph {
     ranks
   }
 
+  /** TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004): PageRank
+    * with BOTH the initial mass and the teleport restricted to a
+    * TRUSTED seed set — trust flows outward along links, so pages many
+    * hops from any trusted site score near zero however well-linked
+    * their spam farm is; the standard link-spam demotion signal next to
+    * [[pageRank]]'s popularity. Same integer-ppb arithmetic (seed init
+    * `RankScale div |seeds|`, seed-only teleport
+    * `(RankScale·(100−d) div 100) div |seeds|`, contributions
+    * `rank div outdeg` damped `·d div 100`), same per-iteration
+    * LogicalRDD barrier + cache rotation, so any engine replays it
+    * exactly. Seeds must be graph nodes — an unknown seed would
+    * silently strand trust mass, so it is refused loudly. Returns
+    * `(node, trust_ppb)`. */
+  def trustRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      iterations: Int = 5,
+      dampingPct: Int = 85): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct must be in [0, 100], got $dampingPct")
+    val spark = edges.sparkSession
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct()
+    val eo = e.join(
+        e.groupBy("src").agg(count(lit(1)).as("outdeg")), Seq("src"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sd = seeds.select(col(seedCol).cast("long").as("node"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nSeeds = sd.count()
+    require(nSeeds > 0, "empty trusted seed set")
+    val unknown = sd.join(nodes, Seq("node"), "left_anti").count()
+    require(unknown == 0,
+      s"$unknown trusted seed(s) are not graph nodes — their trust " +
+        "mass would silently vanish; seed from the graph's own hosts")
+    val teleport = (RankScale * (100 - dampingPct) / 100) / nSeeds
+    val seedFlag = sd.withColumn("__seed", lit(1))
+    var ranks = nodes.join(seedFlag, Seq("node"), "left")
+      .select(col("node"),
+        when(col("__seed").isNotNull, lit(RankScale / nSeeds))
+          .otherwise(lit(0L)).as("trust_ppb"))
+    var retained: Option[DataFrame] = None
+    for (_ <- 1 to iterations) {
+      val contrib = eo
+        .join(ranks, eo("src") === ranks("node"))
+        .select(col("dst"), expr("trust_ppb DIV outdeg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("in_ppb"))
+      val next = nodes
+        .join(contrib, nodes("node") === contrib("dst"), "left")
+        .join(seedFlag, Seq("node"), "left")
+        .select(col("node"),
+          (when(col("__seed").isNotNull, lit(teleport)).otherwise(lit(0L)) +
+            expr(s"(COALESCE(in_ppb, 0L) * $dampingPct) DIV 100"))
+            .as("trust_ppb"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      val barrier = spark.createDataFrame(next.rdd, next.schema)
+      retained.foreach(_.unpersist(false))
+      retained = Some(next)
+      ranks = barrier
+    }
+    eo.unpersist(false)
+    nodes.unpersist(false)
+    sd.unpersist(false)
+    ranks
+  }
+
   /** The k-core of an undirected simple graph: the maximal subgraph in
     * which every node keeps degree ≥ k — computed by the classic peel
     * (drop all nodes below k, recompute degrees over the induced

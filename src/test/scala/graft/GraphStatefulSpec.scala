@@ -31,6 +31,38 @@ class GraphSpec extends SparkSpec {
     assert(r2(1L) == 37500000L)
   }
 
+  test("trustRank: trust decays with distance from seeds; spam farms score 0") {
+    // chain 1 -> 2 -> 3; a dense 2-node farm {8, 9} linking to itself and
+    // to 3 — well-linked but unreachable from the seed
+    val edges = Seq((1L, 2L), (2L, 3L), (8L, 9L), (9L, 8L), (8L, 3L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("s")
+    val r1 = Graph.trustRank(edges, "src", "dst", seeds, "s", iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // r0: node 1 = 1e9, rest 0. iter 1: teleport 150000000 on the seed
+    // only; node 2 gets 85% of 1e9; farm nodes get 85% of 0 = 0
+    assert(r1(1L) == 150000000L)
+    assert(r1(2L) == (1000000000L * 85L) / 100L)
+    assert(r1(3L) == 0L && r1(8L) == 0L && r1(9L) == 0L)
+    val r2 = Graph.trustRank(edges, "src", "dst", seeds, "s", iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // trust reaches 3 one hop later and is already attenuated; the farm
+    // still has exactly zero whatever its internal link density
+    assert(r2(3L) == (r1(2L) * 85L) / 100L)
+    assert(r2(8L) == 0L && r2(9L) == 0L)
+    // each hop attenuates: the mass arriving at 3 is 85% of what
+    // arrived at 2 one iteration earlier
+    assert(r2(3L) < r1(2L))
+    // refusals: empty seed set; a seed that is not a graph node
+    intercept[IllegalArgumentException] {
+      Graph.trustRank(edges, "src", "dst",
+        Seq.empty[Long].toDF("s"), "s")
+    }
+    intercept[IllegalArgumentException] {
+      Graph.trustRank(edges, "src", "dst", Seq(77L).toDF("s"), "s")
+    }
+  }
+
   test("total mass never exceeds the scale and hubs outrank leaves") {
     val edges = (0L until 400L).map(i => (i % 37, (i * 48271L) % 37))
       .toDF("src", "dst")
