@@ -125,7 +125,10 @@ object Bench {
     // and the one-aggregate threshold sweep
     "t96_anchor_text", "t97_cache_control", "t98_conditional_fetch_plan",
     "t99_crawl_diff", "t100_incremental_clean", "t101_hard_negatives",
-    "t56c_sitemap_lastmod", "m21_crossformat_dedup", "ml7_confusion_sweep")
+    "t56c_sitemap_lastmod", "m21_crossformat_dedup", "ml7_confusion_sweep",
+    // trust propagation: g7 is g1's iteration shape with a seed frame;
+    // t102 is t83's url->host collapse story driving the tiny-graph walk
+    "g7_trustrank", "t102_crawl_trust")
 
   /** Queries measured on the replicated corpus for the scaling slope —
     * the shuffle-heavy pipeline shapes whose 100 TB behavior a plan read
@@ -264,7 +267,12 @@ object Bench {
     // widen x10 and the bounded re-rank window widens with them (the
     // q6/t54d keyed-window growth shape, measured honestly).
     "t96_anchor_text", "t99_crawl_diff", "t100_incremental_clean",
-    "t101_hard_negatives")
+    "t101_hard_negatives",
+    // g7: g1's replica behavior (edges dedup to the same 200-node graph
+    // — the slope measures the distinct + the fixed-size walk, like g1).
+    // t102: links grow x10 but collapse to the SAME 6 host edges before
+    // any iteration — t83's harvest-dominated growth shape.
+    "g7_trustrank", "t102_crawl_trust")
 
   /** Materialize a `factor`×-replicated copy of the FACT tables the scale
     * set reads (documents, lineitem, orders, events) plus 1× copies of

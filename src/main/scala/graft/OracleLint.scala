@@ -64,6 +64,7 @@ object OracleLint {
     "ml3_naive_bayes"      -> "sum(c.x) of DOUBLE log-probs inside round(...,6)",
     "g1_pagerank"          -> "sum of DOUBLE rank shares (pr.r is DOUBLE)",
     "g7_trustrank"         -> "g1's rank-share sums, cast at the final projection",
+    "t102_crawl_trust"     -> "g7's rank-share sums, cast at the final projection",
     "d23_dsir_select"      -> "sum(r.lr) of DOUBLE log-ratios inside round(...,6)",
     "t75_training_run"     -> "sum(r.lr) of DOUBLE log-ratios inside round(...,6) — the composed d23 stage; the packing window sum IS cast",
     "t3b_tokens_bpe"       -> "sum(ntok) intermediate; final column derived via CAST in the outer SELECT",

@@ -3490,6 +3490,25 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Host-level TrustRank ([[graft.operators.Frontier.hostTrustRank]]):
+    * url-grain links collapse to a 6-host cycle, trust seeds at h0 and
+    * decays one hop per iteration — the data-scale work is the url→host
+    * collapse (t83's measured story), the iteration runs on the tiny
+    * host graph. The oracle enumerates the cycle and replays all five
+    * seed-restricted iterations. */
+  private def t102_crawl_trust(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val links = docs.select(
+      concat(lit("http://h"), (col("doc_id") % 6).cast("string"),
+        lit(".com/p"), col("doc_id").cast("string")).as("url"),
+      concat(lit("http://h"), ((col("doc_id") + 1) % 6).cast("string"),
+        lit(".com/x"), col("doc_id").cast("string")).as("outlink"))
+    graft.operators.Frontier.hostTrustRank(links, "url", "outlink",
+        Seq("h0.com").toDF("host"), "host", iterations = 5)
+      .orderBy("host")
+  }
+
   /** Streaming fetch-outcome ingest
     * ([[graft.streaming.Streams.outcomeIngest]]): wave 1 = the
     * bootstrap 200s (hash v0, ETags on evens), wave 2 = the revisit —
@@ -6766,6 +6785,7 @@ object SparkEntry {
     "g4_bfs" -> (g4_bfs _),
     "g6_sssp" -> (g6_sssp _),
     "g7_trustrank" -> (g7_trustrank _),
+    "t102_crawl_trust" -> (t102_crawl_trust _),
     "ml1_linprobe" -> (ml1_linprobe _),
     "ml2_logreg" -> (ml2_logreg _),
     "ml3_naive_bayes" -> (ml3_naive_bayes _),
@@ -9088,6 +9108,46 @@ object SparkEntry {
                  FROM corners GROUP BY node)
          SELECT n.node, coalesce(cnt.n_triangles, 0) AS n_triangles
          FROM n LEFT JOIN cnt USING (node) ORDER BY node""",
+    // the 6-host cycle enumerated, five seed-restricted iterations
+    // replayed (outdeg 1 everywhere, so contributions are plain sums)
+    "t102_crawl_trust" ->
+      """WITH e(src, dst) AS (VALUES ('h0.com', 'h1.com'), ('h1.com', 'h2.com'), ('h2.com', 'h3.com'), ('h3.com', 'h4.com'), ('h4.com', 'h5.com'), ('h5.com', 'h0.com')),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         r0 AS (SELECT node,
+             CASE WHEN node = 'h0.com' THEN 1000000000 ELSE 0 END AS r
+           FROM nodes),
+         c1 AS (SELECT e.dst AS node, SUM(pr.r) AS c
+           FROM e JOIN r0 pr ON pr.node = e.src GROUP BY e.dst),
+         r1 AS (SELECT nd.node,
+             (CASE WHEN nd.node = 'h0.com' THEN 150000000 ELSE 0 END)
+               + (COALESCE(c.c, 0) * 85) // 100 AS r
+           FROM nodes nd LEFT JOIN c1 c ON c.node = nd.node),
+         c2 AS (SELECT e.dst AS node, SUM(pr.r) AS c
+           FROM e JOIN r1 pr ON pr.node = e.src GROUP BY e.dst),
+         r2 AS (SELECT nd.node,
+             (CASE WHEN nd.node = 'h0.com' THEN 150000000 ELSE 0 END)
+               + (COALESCE(c.c, 0) * 85) // 100 AS r
+           FROM nodes nd LEFT JOIN c2 c ON c.node = nd.node),
+         c3 AS (SELECT e.dst AS node, SUM(pr.r) AS c
+           FROM e JOIN r2 pr ON pr.node = e.src GROUP BY e.dst),
+         r3 AS (SELECT nd.node,
+             (CASE WHEN nd.node = 'h0.com' THEN 150000000 ELSE 0 END)
+               + (COALESCE(c.c, 0) * 85) // 100 AS r
+           FROM nodes nd LEFT JOIN c3 c ON c.node = nd.node),
+         c4 AS (SELECT e.dst AS node, SUM(pr.r) AS c
+           FROM e JOIN r3 pr ON pr.node = e.src GROUP BY e.dst),
+         r4 AS (SELECT nd.node,
+             (CASE WHEN nd.node = 'h0.com' THEN 150000000 ELSE 0 END)
+               + (COALESCE(c.c, 0) * 85) // 100 AS r
+           FROM nodes nd LEFT JOIN c4 c ON c.node = nd.node),
+         c5 AS (SELECT e.dst AS node, SUM(pr.r) AS c
+           FROM e JOIN r4 pr ON pr.node = e.src GROUP BY e.dst),
+         r5 AS (SELECT nd.node,
+             (CASE WHEN nd.node = 'h0.com' THEN 150000000 ELSE 0 END)
+               + (COALESCE(c.c, 0) * 85) // 100 AS r
+           FROM nodes nd LEFT JOIN c5 c ON c.node = nd.node)
+         SELECT node AS host, CAST(r AS BIGINT) AS trust_ppb
+         FROM r5 ORDER BY host""",
     // g1's machinery with seed-restricted init and teleport: the
     // trusted four carry all mass at round 0 and all teleport after
     "g7_trustrank" ->

@@ -586,6 +586,47 @@ object Frontier {
     CacheRelease.afterFirstAction(ranked, Seq(e))
   }
 
+  /** [[hostRank]]'s TrustRank twin ([[graft.operators.Graph.trustRank]]):
+    * trust seeded at a curated host whitelist flows along the SAME
+    * host-grain link graph — the quality half of crawl prioritization
+    * (hostRank says what is linked; this says what is linked FROM
+    * trusted ground, the Gyöngyi et al. spam-demotion signal). Same
+    * url→host collapse, persisted edge frame, collision-checked md5
+    * host ids and integer-ppb replayability; trusted hosts absent from
+    * the graph are refused loudly (trustRank's own guard — a typo'd
+    * whitelist entry must not silently strand mass). Returns
+    * `(host, trust_ppb)`. */
+  def hostTrustRank(links: DataFrame, urlCol: String, outlinkCol: String,
+      trustedHosts: DataFrame, hostCol: String,
+      iterations: Int = 5, dampingPct: Int = 85): DataFrame = {
+    def hid(h: org.apache.spark.sql.Column) =
+      conv(substring(md5(h), 1, 15), 16, 10).cast("long")
+    val e = links.select(
+        TextFunctions.urlHost(col(urlCol)).as("__sh"),
+        TextFunctions.urlHost(col(outlinkCol)).as("__dh"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hosts = e.select(col("__sh").as("host"))
+      .union(e.select(col("__dh").as("host")))
+      .distinct()
+    val counts = hosts
+      .agg(count(lit(1)).as("nh"),
+        countDistinct(hid(col("host"))).as("nid"))
+      .collect().head
+    require(counts.getLong(0) == counts.getLong(1),
+      s"host-id hash collision: ${counts.getLong(0)} hosts -> " +
+        s"${counts.getLong(1)} ids — trust mass would silently merge")
+    val ranked = Graph.trustRank(
+        e.select(hid(col("__sh")).as("src"), hid(col("__dh")).as("dst")),
+        "src", "dst",
+        trustedHosts.select(hid(col(hostCol)).as("sid")), "sid",
+        iterations, dampingPct)
+      .join(hosts.select(col("host"), hid(col("host")).as("__hid")),
+        col("node") === col("__hid"))
+      .select(col("host"), col("trust_ppb"))
+    CacheRelease.afterFirstAction(ranked, Seq(e))
+  }
+
   /** Rank-proportional crawl-budget allocation: each host's share of
     * `totalBudget` fetch slots is `rank · total DIV sum(ranks)` —
     * integer arithmetic end to end, so any engine allocates the same
