@@ -342,6 +342,27 @@ object SparkEntry {
     * ([[graft.api.Graft.maintainAggregate]]). The merged sidecar must
     * equal the from-scratch aggregation — the oracle computes exactly
     * that from source, so any double-count or lost delta breaks it. */
+  /** Training-shard export + integrity manifest
+    * ([[graft.operators.Export]]): the corpus hash-shards to 8
+    * partitioned directories plus an underscore-hidden manifest (per
+    * shard: doc count, token total, order-independent checksum); the
+    * gate output is [[graft.operators.Export.verifyShards]]'s
+    * recompute-and-compare — every shard must read `ok = 1` and the
+    * oracle replays assignment, totals and checksum from the md5-prefix
+    * hash convention. */
+  private def s40_export_shards(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_fixtures/export_shards_" +
+      java.net.URLEncoder.encode(dir, "UTF-8")
+    graft.core.Discovery.fileSystemFor(path, s.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(path), true)
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+    graft.operators.Export.writeShards(docs, path, "doc_id", "n_chars",
+      numShards = 8)
+    graft.operators.Export.verifyShards(s, path, "doc_id", "n_chars")
+      .withColumn("ok", col("ok").cast("int"))
+      .orderBy("gr_shard")
+  }
+
   private def s39_agg_maintain(s: SparkSession, dir: String): DataFrame = {
     val base = s"/tmp/graft_fixtures/aggmaint_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
     val conf = s.sessionState.newHadoopConf()
@@ -6651,6 +6672,7 @@ object SparkEntry {
     "q56_corr" -> (q56_corr _),
     "s38_relayout" -> (s38_relayout _),
     "s39_agg_maintain" -> (s39_agg_maintain _),
+    "s40_export_shards" -> (s40_export_shards _),
     "t42_pref_pairs" -> (t42_pref_pairs _),
     "d18_jaccard_join" -> (d18_jaccard_join _),
     "a10_binary_hamming" -> (a10_binary_hamming _),
@@ -9150,6 +9172,19 @@ object SparkEntry {
          FROM r5 ORDER BY host""",
     // g1's machinery with seed-restricted init and teleport: the
     // trusted four carry all mass at round 0 and all teleport after
+    // assignment, totals and the commutative checksum replayed from
+    // the md5-prefix hash convention; every shard must verify ok
+    "s40_export_shards" ->
+      """WITH h AS (SELECT
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) AS dh,
+             CAST(n_chars AS BIGINT) AS tok
+           FROM documents)
+         SELECT dh % 8 AS gr_shard, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS n_tokens,
+           CAST(sum(dh % 1000003) AS BIGINT) AS checksum,
+           1 AS ok
+         FROM h GROUP BY dh % 8 ORDER BY gr_shard""",
     "g7_trustrank" ->
       """WITH e AS (SELECT DISTINCT event_id % 200 AS src,
              (event_id * 48271) % 200 AS dst FROM events),
