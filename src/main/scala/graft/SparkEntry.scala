@@ -3530,6 +3530,30 @@ object SparkEntry {
       .orderBy("host")
   }
 
+  /** Politeness compliance audit
+    * ([[graft.operators.Frontier.delayViolations]]): nine hosts fetch
+    * at per-host constant cadence 500+h·100 ms against a declared
+    * 800 ms crawl-delay — hosts 0–2 violate on every consecutive pair,
+    * hosts 3–8 comply; the oracle replays counts, violation counts,
+    * the minimum gap and the declared delay per host in closed form. */
+  private def t103_politeness_audit(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val h = col("doc_id") % 9
+    val rn = row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy(h)
+        .orderBy(col("doc_id")))
+    val log = docs.select(
+      concat(lit("http://site"), h.cast("string"), lit(".com/p"),
+        col("doc_id").cast("string")).as("url"),
+      (rn.cast("long") * (lit(500L) + h * 100L)).as("ts_ms"))
+    val delays = s.range(9).select(
+      concat(lit("site"), col("id").cast("string"), lit(".com")).as("host"),
+      lit(800L).as("delay_ms"))
+    graft.operators.Frontier.delayViolations(log, "url", "ts_ms",
+        delays, "host", "delay_ms")
+      .orderBy("host")
+  }
+
   /** Streaming fetch-outcome ingest
     * ([[graft.streaming.Streams.outcomeIngest]]): wave 1 = the
     * bootstrap 200s (hash v0, ETags on evens), wave 2 = the revisit —
@@ -6808,6 +6832,7 @@ object SparkEntry {
     "g6_sssp" -> (g6_sssp _),
     "g7_trustrank" -> (g7_trustrank _),
     "t102_crawl_trust" -> (t102_crawl_trust _),
+    "t103_politeness_audit" -> (t103_politeness_audit _),
     "ml1_linprobe" -> (ml1_linprobe _),
     "ml2_logreg" -> (ml2_logreg _),
     "ml3_naive_bayes" -> (ml3_naive_bayes _),
@@ -9172,6 +9197,18 @@ object SparkEntry {
          FROM r5 ORDER BY host""",
     // g1's machinery with seed-restricted init and teleport: the
     // trusted four carry all mass at round 0 and all teleport after
+    // per-host cadence vs declared delay: the three fast hosts violate
+    // on every consecutive pair, the rest comply
+    "t103_politeness_audit" ->
+      """WITH l AS (SELECT doc_id, doc_id % 9 AS h FROM documents),
+         g AS (SELECT h, CAST(count(*) AS BIGINT) AS n FROM l GROUP BY h)
+         SELECT 'site' || h || '.com' AS host, n AS n_fetches,
+           CAST(CASE WHEN 500 + h * 100 < 800 AND n > 1 THEN n - 1
+                ELSE 0 END AS BIGINT) AS n_violations,
+           CASE WHEN n > 1 THEN CAST(500 + h * 100 AS BIGINT) END
+             AS min_gap_ms,
+           CAST(800 AS BIGINT) AS delay_ms
+         FROM g ORDER BY host""",
     // assignment, totals and the commutative checksum replayed from
     // the md5-prefix hash convention; every shard must verify ok
     "s40_export_shards" ->

@@ -705,6 +705,39 @@ object Frontier {
         col("prev_hash"), col("cur_hash"))
   }
 
+  /** Politeness COMPLIANCE AUDIT — did the fleet actually honor the
+    * declared crawl-delays? Per host: fetch count, the number of
+    * consecutive-fetch gaps SHORTER than the host's declared delay
+    * (violations), the smallest observed gap, and the declared delay —
+    * the report an operator reads after an incident ("did we hammer
+    * site X?") and the audit d27 is for decontamination, applied to
+    * politeness. Hosts with no declared delay audit against 0 (nothing
+    * to violate); a host fetched once has no gap (`min_gap_ms` null).
+    * Ordering contract: fetch timestamps tie-break by url, so equal-ms
+    * fetches still audit deterministically (and a 0 gap IS a violation
+    * of any positive delay). One keyed window (per-host, the t54d
+    * growth shape) + one host-grain aggregate + one join against the
+    * host-bounded delay table. Returns
+    * `(host, n_fetches, n_violations, min_gap_ms, delay_ms)`. */
+  def delayViolations(log: DataFrame, urlCol: String, tsMsCol: String,
+      delays: DataFrame, hostCol: String, delayMsCol: String): DataFrame = {
+    val w = Window.partitionBy(col("__host"))
+      .orderBy(col("__ts"), col(urlCol))
+    val gaps = log
+      .select(col(urlCol), TextFunctions.urlHost(col(urlCol)).as("__host"),
+        col(tsMsCol).cast("long").as("__ts"))
+      .withColumn("__gap", col("__ts") - lag(col("__ts"), 1).over(w))
+    val d = delays.select(col(hostCol).as("__host"),
+      col(delayMsCol).cast("long").as("delay_ms"))
+    gaps.join(d, Seq("__host"), "left")
+      .groupBy(col("__host").as("host"))
+      .agg(count(lit(1)).as("n_fetches"),
+        sum(when(col("__gap") < coalesce(col("delay_ms"), lit(0L)), 1L)
+          .otherwise(0L)).as("n_violations"),
+        min(col("__gap")).as("min_gap_ms"),
+        max(coalesce(col("delay_ms"), lit(0L))).as("delay_ms"))
+  }
+
   /** Read the persisted fetch-history table (TaggedAppend layout — the
     * [[seenUrls]] listing discipline over the validator-carrying
     * schema `(url, ts, h, etag, lm)`): committed data files only,

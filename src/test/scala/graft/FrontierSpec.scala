@@ -229,6 +229,25 @@ class FrontierSpec extends SparkSpec {
     assert(Frontier.seenUrls(spark, hist).count() == 3)
   }
 
+  test("delayViolations: gaps vs declared delay, undeclared hosts, single fetch") {
+    val log = Seq(
+      ("http://a.com/1", 0L), ("http://a.com/2", 500L),    // gap 500 < 800
+      ("http://a.com/3", 1500L),                           // gap 1000 ok
+      ("http://b.com/1", 0L), ("http://b.com/2", 0L),      // 0 gap, ties by url
+      ("http://c.com/solo", 0L)
+    ).toDF("url", "ts_ms")
+    val delays = Seq(("a.com", 800L), ("b.com", 100L)).toDF("host", "delay_ms")
+    val r = Frontier.delayViolations(log, "url", "ts_ms",
+        delays, "host", "delay_ms")
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2),
+          if (x.isNullAt(3)) -1L else x.getLong(3), x.getLong(4)))).toMap
+    assert(r("a.com") == ((3L, 1L, 500L, 800L)), r.toString)
+    assert(r("b.com") == ((2L, 1L, 0L, 100L)), r.toString)
+    // c.com: declared nothing -> audits against 0, single fetch, no gap
+    assert(r("c.com") == ((1L, 0L, -1L, 0L)), r.toString)
+  }
+
   test("streaming outcome ingest: 304 fold against committed history; replay converges") {
     val base = tmpDir("outcome_ingest_spec")
     val hist = base + "/hist"
