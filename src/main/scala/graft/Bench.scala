@@ -128,7 +128,9 @@ object Bench {
     "t56c_sitemap_lastmod", "m21_crossformat_dedup", "ml7_confusion_sweep",
     // trust propagation: g7 is g1's iteration shape with a seed frame;
     // t102 is t83's url->host collapse story driving the tiny-graph walk
-    "g7_trustrank", "t102_crawl_trust")
+    "g7_trustrank", "t102_crawl_trust",
+    // politeness audit: one keyed window + a host-grain aggregate
+    "t103_politeness_audit")
 
   /** Queries measured on the replicated corpus for the scaling slope —
     * the shuffle-heavy pipeline shapes whose 100 TB behavior a plan read
@@ -272,7 +274,10 @@ object Bench {
     // — the slope measures the distinct + the fixed-size walk, like g1).
     // t102: links grow x10 but collapse to the SAME 6 host edges before
     // any iteration — t83's harvest-dominated growth shape.
-    "g7_trustrank", "t102_crawl_trust")
+    "g7_trustrank", "t102_crawl_trust",
+    // t103: replica urls keep 9 hosts, per-host windows widen x10 —
+    // the t54d keyed-window growth shape on narrow (host, ts) rows
+    "t103_politeness_audit")
 
   /** Materialize a `factor`×-replicated copy of the FACT tables the scale
     * set reads (documents, lineitem, orders, events) plus 1× copies of

@@ -66,7 +66,17 @@ object ExplainCheck {
         // (map-side codec) and the cross-format hash join
         "t94_revalidation", "t95_feed_discovery", "t96_anchor_text",
         "d27_decontam_report", "t3c_bpe_vocab_exact", "t63b_unigram_exact",
-        "m20_pdf_images", "m21_crossformat_dedup")
+        "m20_pdf_images", "m21_crossformat_dedup",
+        // r18 second wave: cache-control floor + conditional fetch plan
+        // (url-keyed join + politeness window), crawl diff (full outer),
+        // incremental reprocess (semi-joins), hard negatives (anti-join
+        // + bounded window), trust propagation (g1's iteration shape),
+        // politeness audit (keyed window + host aggregate), the
+        // one-aggregate sweep and the lastmod extraction
+        "t97_cache_control", "t98_conditional_fetch_plan",
+        "t99_crawl_diff", "t100_incremental_clean", "t101_hard_negatives",
+        "g7_trustrank", "t102_crawl_trust", "t103_politeness_audit",
+        "ml7_confusion_sweep", "t56c_sitemap_lastmod")
     for (q <- qs) {
       val df = graft.SparkEntry.queries(q)(spark, dir)
       df.collect() // finalize AQE so the executed plan is the real one
