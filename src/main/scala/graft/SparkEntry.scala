@@ -1287,6 +1287,33 @@ object SparkEntry {
     Dedup.connectedComponents(pairs).orderBy("id")
   }
 
+  /** Keep-BEST near-dup dedup ([[graft.operators.Dedup.dropNearDuplicatesKeepBest]]):
+    * d7's organic adjacent-id Jaccard clusters with an external quality
+    * score (`doc_id % 7`, the d21 convention — identical text means
+    * identical metrics, so the score is deliberately metadata); within
+    * each cluster the max-score member survives, ties to the smaller
+    * id, unpaired docs untouched. The oracle replays d7's reach
+    * machinery, the per-component argmax and the survivor set. */
+  private def d28_neardup_keepbest(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), (col("doc_id") % 7).as("quality"))
+    val sh = t(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.words(col("text")).as("w"))
+      .select(col("doc_id"),
+        array_distinct(TextFunctions.shingles(col("w"), 2)).as("s"))
+    val a = sh.select(col("doc_id").as("id_a"), col("s").as("sa"))
+    val b = (1 to 2).map(off =>
+      sh.select((col("doc_id") - off).as("id_a"), col("doc_id").as("id_b"),
+        col("s").as("sb")))
+      .reduce(_ unionByName _)
+    val pairs = a.join(b, Seq("id_a"))
+      .filter(size(array_intersect(col("sa"), col("sb"))).cast("double") /
+        size(array_distinct(concat(col("sa"), col("sb")))) >= 0.05)
+      .select("id_a", "id_b")
+    Dedup.dropNearDuplicatesKeepBest(docs, "doc_id", pairs, "quality")
+      .orderBy("doc_id")
+  }
+
   private def d5_embed_neardup(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val both = e.unionByName(e.withColumn("vec_id", col("vec_id") + 1000000))
@@ -6840,6 +6867,7 @@ object SparkEntry {
     "q47_cumulative_distinct" -> (q47_cumulative_distinct _),
     "d6_dedup_pipeline" -> (d6_dedup_pipeline _),
     "d7_connected_components" -> (d7_connected_components _),
+    "d28_neardup_keepbest" -> (d28_neardup_keepbest _),
     "d8_decontam" -> (d8_decontam _),
     "d8b_decontam_drop" -> (d8b_decontam_drop _),
     "d27_decontam_report" -> (d27_decontam_report _),
@@ -9592,6 +9620,42 @@ object SparkEntry {
            UNION
            SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id)
          SELECT id, min(comp) AS comp FROM reach GROUP BY id ORDER BY id""",
+    // d7's reach machinery + the per-component (quality desc, id asc)
+    // argmax; unpaired docs survive untouched
+    "d28_neardup_keepbest" ->
+      """WITH RECURSIVE
+         w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+               FROM documents),
+         sh AS (SELECT doc_id,
+                  list_distinct(CASE WHEN len(ws) < 2 THEN [array_to_string(ws, ' ')]
+                    ELSE list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) END) AS s
+                FROM w),
+         e0 AS (
+           SELECT a.doc_id AS ia, b.doc_id AS ib FROM sh a JOIN sh b
+             ON b.doc_id = a.doc_id + 1
+           WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(a.s || b.s)) >= 0.05
+           UNION ALL
+           SELECT a.doc_id, b.doc_id FROM sh a JOIN sh b
+             ON b.doc_id = a.doc_id + 2
+           WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(a.s || b.s)) >= 0.05),
+         edges AS (SELECT ia AS src, ib AS dst FROM e0
+                   UNION SELECT ib, ia FROM e0),
+         reach AS (
+           SELECT DISTINCT src AS id, src AS comp FROM edges
+           UNION
+           SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+         comp AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+         ranked AS (SELECT c.id AS doc_id, c.comp,
+             row_number() OVER (PARTITION BY c.comp
+               ORDER BY (c.id % 7) DESC, c.id) AS rn
+           FROM comp c)
+         SELECT doc_id, CAST(doc_id % 7 AS BIGINT) AS quality FROM documents
+         WHERE doc_id NOT IN (SELECT id FROM comp)
+         UNION ALL
+         SELECT doc_id, CAST(doc_id % 7 AS BIGINT) FROM ranked WHERE rn = 1
+         ORDER BY doc_id""",
     "d8_decontam" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
                     FROM documents),

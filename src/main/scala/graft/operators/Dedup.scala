@@ -364,6 +364,30 @@ object Dedup {
     df.join(toDrop, Seq(idCol), "left_anti")
   }
 
+  /** [[dropNearDuplicates]] upgraded to the curation decision real
+    * pipelines make (the d21/exactKeepBest convention, transposed to
+    * NEAR-dup clusters): within each [[connectedComponents]] cluster,
+    * keep the member with the HIGHEST `scoreCol` (ties to the smallest
+    * id) instead of blindly the smallest id — when a boilerplate-ridden
+    * scrape and a clean mirror near-duplicate each other, the cleaner
+    * copy should survive. Docs in no pair survive untouched. One CC
+    * pass (pair-list-sized, not corpus-sized) + one component-grain
+    * argmax + one semi-join back to the corpus; the corpus text never
+    * rides a shuffle. Ties beyond (score, id) cannot occur — id is
+    * unique. */
+  def dropNearDuplicatesKeepBest(df: DataFrame, idCol: String,
+      pairs: DataFrame, scoreCol: String): DataFrame = {
+    val comps = connectedComponents(pairs)
+      .select(col("id").as(idCol), col("comp"))
+    val winners = df.join(comps, Seq(idCol))
+      .groupBy(col("comp"))
+      .agg(max_by(col(idCol),
+        struct(col(scoreCol), col(idCol) * -1)).as(idCol))
+      .select(col(idCol))
+    val unpaired = df.join(comps, Seq(idCol), "left_anti")
+    unpaired.unionByName(df.join(winners, Seq(idCol), "left_semi"))
+  }
+
   /** Connected components over an undirected pair list — the
     * transitive-closure-correct grouping for near-duplicate clusters (a~b
     * and b~c put a,c in one cluster even when a,c themselves don't pair).

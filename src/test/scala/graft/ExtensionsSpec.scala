@@ -212,6 +212,22 @@ class DedupSpec extends SparkSpec {
     val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 2L)), s"got $got")
   }
+
+  test("dropNearDuplicatesKeepBest: max score survives per transitive cluster") {
+    // cluster {1,2,3} via chain pairs (1,2),(2,3): doc 3 has the top
+    // score and must win even though keep-min-id would pick 1; cluster
+    // {5,6} ties on score -> smaller id 5; doc 9 unpaired -> untouched
+    val docs = Seq((1L, 10L), (2L, 20L), (3L, 30L), (5L, 7L), (6L, 7L),
+      (9L, 1L)).toDF("id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = Dedup.dropNearDuplicatesKeepBest(docs, "id", pairs, "score")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(3L, 5L, 9L), kept.toString)
+    // the greedy keep-min variant picks 1 (every id_b drops) — the
+    // two policies genuinely differ on this cluster
+    assert(Dedup.dropNearDuplicates(docs, "id", pairs)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 5L, 9L))
+  }
 }
 
 class AnnSpec extends SparkSpec {
