@@ -129,8 +129,9 @@ object Bench {
     // trust propagation: g7 is g1's iteration shape with a seed frame;
     // t102 is t83's url->host collapse story driving the tiny-graph walk
     "g7_trustrank", "t102_crawl_trust",
-    // politeness audit: one keyed window + a host-grain aggregate
-    "t103_politeness_audit")
+    // politeness audit: one keyed window + a host-grain aggregate;
+    // host health: one host-grain aggregate with map-side combine
+    "t103_politeness_audit", "t104_host_health")
 
   /** Queries measured on the replicated corpus for the scaling slope —
     * the shuffle-heavy pipeline shapes whose 100 TB behavior a plan read
@@ -276,8 +277,9 @@ object Bench {
     // any iteration — t83's harvest-dominated growth shape.
     "g7_trustrank", "t102_crawl_trust",
     // t103: replica urls keep 9 hosts, per-host windows widen x10 —
-    // the t54d keyed-window growth shape on narrow (host, ts) rows
-    "t103_politeness_audit")
+    // the t54d keyed-window growth shape on narrow (host, ts) rows.
+    // t104: pure map-side classify + one combine-friendly aggregate
+    "t103_politeness_audit", "t104_host_health")
 
   /** Materialize a `factor`×-replicated copy of the FACT tables the scale
     * set reads (documents, lineitem, orders, events) plus 1× copies of

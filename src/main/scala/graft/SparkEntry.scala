@@ -3581,6 +3581,28 @@ object SparkEntry {
       .orderBy("host")
   }
 
+  /** Per-host fetch health ([[graft.operators.Frontier.hostHealth]]):
+    * ten hosts, four failing half their fetches through the four error
+    * classes (timeout-0, 429, 500, 503) and one failing half with 404 —
+    * the crawler's error, NOT the host's, so it must NOT demote; the
+    * oracle replays the classification, the exact ppm division and the
+    * demotion rule. */
+  private def t104_host_health(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val status = when(col("doc_id") % 20 === 0, 0)
+      .when(col("doc_id") % 20 === 1, 429)
+      .when(col("doc_id") % 20 === 2, 500)
+      .when(col("doc_id") % 20 === 3, 503)
+      .when(col("doc_id") % 20 === 4, 404)
+      .otherwise(200)
+    val log = docs.select(
+      concat(lit("http://site"), (col("doc_id") % 10).cast("string"),
+        lit(".com/p"), col("doc_id").cast("string")).as("url"),
+      status.as("status"))
+    graft.operators.Frontier.hostHealth(log, "url", "status")
+      .orderBy("host")
+  }
+
   /** Streaming fetch-outcome ingest
     * ([[graft.streaming.Streams.outcomeIngest]]): wave 1 = the
     * bootstrap 200s (hash v0, ETags on evens), wave 2 = the revisit —
@@ -6860,6 +6882,7 @@ object SparkEntry {
     "g7_trustrank" -> (g7_trustrank _),
     "t102_crawl_trust" -> (t102_crawl_trust _),
     "t103_politeness_audit" -> (t103_politeness_audit _),
+    "t104_host_health" -> (t104_host_health _),
     "ml1_linprobe" -> (ml1_linprobe _),
     "ml2_logreg" -> (ml2_logreg _),
     "ml3_naive_bayes" -> (ml3_naive_bayes _),
@@ -9225,6 +9248,22 @@ object SparkEntry {
          FROM r5 ORDER BY host""",
     // g1's machinery with seed-restricted init and teleport: the
     // trusted four carry all mass at round 0 and all teleport after
+    // classification, exact ppm division and the demotion rule replayed;
+    // the 404 host must NOT demote
+    "t104_host_health" ->
+      """WITH l AS (SELECT doc_id, doc_id % 10 AS h,
+             CASE doc_id % 20 WHEN 0 THEN 0 WHEN 1 THEN 429 WHEN 2 THEN 500
+               WHEN 3 THEN 503 WHEN 4 THEN 404 ELSE 200 END AS st
+           FROM documents),
+         a AS (SELECT h, CAST(count(*) AS BIGINT) AS n_attempts,
+             CAST(sum(CASE WHEN st = 0 OR st = 429 OR st >= 500
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+           FROM l GROUP BY h)
+         SELECT 'site' || h || '.com' AS host, n_attempts, n_errors,
+           CAST(n_errors * 1000000 // n_attempts AS BIGINT) AS error_ppm,
+           (n_errors * 1000000 // n_attempts >= 500000
+             AND n_attempts >= 5) AS demoted
+         FROM a ORDER BY host""",
     // per-host cadence vs declared delay: the three fast hosts violate
     // on every consecutive pair, the rest comply
     "t103_politeness_audit" ->

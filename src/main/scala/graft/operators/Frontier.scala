@@ -738,6 +738,35 @@ object Frontier {
         max(coalesce(col("delay_ms"), lit(0L))).as("delay_ms"))
   }
 
+  /** Per-host fetch HEALTH — the error-budget report a fetch fleet acts
+    * on: hosts answering mostly 5xx/429/timeouts should be demoted
+    * (backed off, not hammered) both for politeness and for budget (a
+    * dead host eats fetch slots that earn nothing). Input: one row per
+    * completed fetch attempt with an HTTP status (0 = no response —
+    * timeout/connection failure). Per host: attempt count, error count
+    * (status 0, 429, or >= 500 — 4xx-not-429 is the CRAWLER's error,
+    * not the host's health), the error rate in exact parts-per-million
+    * (`errors · 1e6 DIV attempts` — integer, any engine replays it),
+    * and `demoted` = rate ≥ `thresholdPpm` with at least `minAttempts`
+    * attempts (below the floor there is no statistics, only noise — a
+    * 1-for-1 failure must not blacklist a host). ONE host-grain
+    * aggregate with map-side combine. Returns
+    * `(host, n_attempts, n_errors, error_ppm, demoted)`. */
+  def hostHealth(log: DataFrame, urlCol: String, statusCol: String,
+      thresholdPpm: Long = 500000L, minAttempts: Long = 5L): DataFrame = {
+    require(thresholdPpm >= 0 && thresholdPpm <= 1000000L,
+      s"thresholdPpm must be in [0, 1e6]; got $thresholdPpm")
+    require(minAttempts >= 1, s"minAttempts must be >= 1; got $minAttempts")
+    val st = col(statusCol).cast("int")
+    val isErr = (st === 0 || st === 429 || st >= 500).cast("long")
+    log.groupBy(TextFunctions.urlHost(col(urlCol)).as("host"))
+      .agg(count(lit(1)).as("n_attempts"), sum(isErr).as("n_errors"))
+      .select(col("host"), col("n_attempts"), col("n_errors"),
+        expr("n_errors * 1000000 DIV n_attempts").as("error_ppm"))
+      .withColumn("demoted",
+        col("error_ppm") >= thresholdPpm && col("n_attempts") >= minAttempts)
+  }
+
   /** Read the persisted fetch-history table (TaggedAppend layout — the
     * [[seenUrls]] listing discipline over the validator-carrying
     * schema `(url, ts, h, etag, lm)`): committed data files only,

@@ -248,6 +248,32 @@ class FrontierSpec extends SparkSpec {
     assert(r("c.com") == ((1L, 0L, -1L, 0L)), r.toString)
   }
 
+  test("hostHealth: error classes, exact ppm, min-attempts floor") {
+    val log = Seq(
+      ("http://a.com/1", 200), ("http://a.com/2", 500), ("http://a.com/3", 0),
+      ("http://a.com/4", 429), ("http://a.com/5", 404), ("http://a.com/6", 503),
+      ("http://b.com/1", 0),                    // 1-for-1 failure: floor blocks
+      ("http://c.com/1", 404), ("http://c.com/2", 403), ("http://c.com/3", 200),
+      ("http://c.com/4", 200), ("http://c.com/5", 200)  // 4xx != host error
+    ).toDF("url", "status")
+    val r = Frontier.hostHealth(log, "url", "status")
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3),
+          x.getAs[Boolean]("demoted")))).toMap
+    // a.com: 4 errors of 6 (500, 0, 429, 503; 404 and 200 are not) ->
+    // 666666 ppm, demoted at the 500000 boundary rule
+    assert(r("a.com") == ((6L, 4L, 666666L, true)), r.toString)
+    assert(r("b.com") == ((1L, 1L, 1000000L, false)),
+      "below the attempt floor nothing demotes: " + r.toString)
+    assert(r("c.com") == ((5L, 0L, 0L, false)), r.toString)
+    // the >= boundary demotes: exactly half errors at 6 attempts
+    val half = Seq(("http://d.com/1", 0), ("http://d.com/2", 200),
+      ("http://d.com/3", 0), ("http://d.com/4", 200),
+      ("http://d.com/5", 0), ("http://d.com/6", 200)).toDF("url", "status")
+    assert(Frontier.hostHealth(half, "url", "status")
+      .head().getAs[Boolean]("demoted"))
+  }
+
   test("streaming outcome ingest: 304 fold against committed history; replay converges") {
     val base = tmpDir("outcome_ingest_spec")
     val hist = base + "/hist"
