@@ -742,10 +742,12 @@ object Frontier {
     * on: hosts answering mostly 5xx/429/timeouts should be demoted
     * (backed off, not hammered) both for politeness and for budget (a
     * dead host eats fetch slots that earn nothing). Input: one row per
-    * completed fetch attempt with an HTTP status (0 = no response —
-    * timeout/connection failure). Per host: attempt count, error count
-    * (status 0, 429, or >= 500 — 4xx-not-429 is the CRAWLER's error,
-    * not the host's health), the error rate in exact parts-per-million
+    * completed fetch attempt with an HTTP status (0 OR NULL = no
+    * response — timeout/connection failure; a null status is an absent
+    * response, which IS the error class, never a free pass). Per host:
+    * attempt count, error count
+    * (status 0/null, 429, or >= 500 — 4xx-not-429 is the CRAWLER's
+    * error, not the host's health), the error rate in exact parts-per-million
     * (`errors · 1e6 DIV attempts` — integer, any engine replays it),
     * and `demoted` = rate ≥ `thresholdPpm` with at least `minAttempts`
     * attempts (below the floor there is no statistics, only noise — a
@@ -757,7 +759,7 @@ object Frontier {
     require(thresholdPpm >= 0 && thresholdPpm <= 1000000L,
       s"thresholdPpm must be in [0, 1e6]; got $thresholdPpm")
     require(minAttempts >= 1, s"minAttempts must be >= 1; got $minAttempts")
-    val st = col(statusCol).cast("int")
+    val st = coalesce(col(statusCol).cast("int"), lit(0))
     val isErr = (st === 0 || st === 429 || st >= 500).cast("long")
     log.groupBy(TextFunctions.urlHost(col(urlCol)).as("host"))
       .agg(count(lit(1)).as("n_attempts"), sum(isErr).as("n_errors"))

@@ -266,12 +266,14 @@ class FrontierSpec extends SparkSpec {
     assert(r("b.com") == ((1L, 1L, 1000000L, false)),
       "below the attempt floor nothing demotes: " + r.toString)
     assert(r("c.com") == ((5L, 0L, 0L, false)), r.toString)
-    // the >= boundary demotes: exactly half errors at 6 attempts
-    val half = Seq(("http://d.com/1", 0), ("http://d.com/2", 200),
-      ("http://d.com/3", 0), ("http://d.com/4", 200),
-      ("http://d.com/5", 0), ("http://d.com/6", 200)).toDF("url", "status")
-    assert(Frontier.hostHealth(half, "url", "status")
-      .head().getAs[Boolean]("demoted"))
+    // the >= boundary demotes: exactly half errors at 6 attempts —
+    // and a NULL status is an absent response, i.e. the error class
+    val half = Seq(("http://d.com/1", Some(0)), ("http://d.com/2", Some(200)),
+      ("http://d.com/3", None), ("http://d.com/4", Some(200)),
+      ("http://d.com/5", Some(0)), ("http://d.com/6", Some(200)))
+      .toDF("url", "status")
+    val d = Frontier.hostHealth(half, "url", "status").head()
+    assert(d.getAs[Boolean]("demoted") && d.getLong(2) == 3L, d.toString)
   }
 
   test("streaming outcome ingest: 304 fold against committed history; replay converges") {
