@@ -372,6 +372,34 @@ class FrontierSpec extends SparkSpec {
   private def histDf(rows: Seq[(String, Long, String, String, java.lang.Long)]) =
     rows.toDF("url", "ts", "h", "etag", "lm")
 
+  test("property: revalidationPlan's backoff fields equal revisitSchedule's") {
+    // seeded random histories: many urls, varying lengths, change patterns
+    val rnd = new scala.util.Random(20260816L)
+    val rows = (0 until 60).flatMap { u =>
+      val n = 1 + rnd.nextInt(6)
+      (0 until n).map { i =>
+        (s"u$u", i * 100L + rnd.nextInt(50),
+          s"v${rnd.nextInt(3)}",
+          if (rnd.nextBoolean()) s"e${rnd.nextInt(4)}" else null,
+          if (rnd.nextBoolean()) java.lang.Long.valueOf(rnd.nextInt(9))
+          else null.asInstanceOf[java.lang.Long])
+      }
+    }
+    val h = histDf(rows)
+    val base = Frontier.revisitSchedule(h, "url", "ts", "h",
+        nowSec = 700L, baseSec = 400L, minSec = 100L, maxSec = 1600L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5)))).toMap
+    val plan = Frontier.revalidationPlan(h, "url", "ts", "h", "etag", "lm",
+        nowSec = 700L, baseSec = 400L, minSec = 100L, maxSec = 1600L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5)))).toMap
+    assert(plan == base,
+      "validator carry must not perturb the backoff arithmetic")
+  }
+
   test("revalidationPlan: latest-row validators, same backoff as revisitSchedule") {
     val h = histDf(Seq(
       ("u", 0L, "a", "e1", 50L),
