@@ -3603,6 +3603,30 @@ object SparkEntry {
       .orderBy("host")
   }
 
+  /** Retry-After embargo ([[graft.operators.Frontier.retryAfterEmbargo]]):
+    * every third fetch is a 429 with a whitespace-padded delta-seconds
+    * Retry-After; 200s carrying a stray header must NOT embargo, and
+    * 503s with an unparseable (HTTP-date) value fall through to the
+    * generic backoff. Per host the LATEST embargo wins; the oracle
+    * replays the parse filter and the max arithmetic. */
+  private def t105_retry_after(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val status = when(col("doc_id") % 3 === 0, 429)
+      .when(col("doc_id") % 3 === 1, 200).otherwise(503)
+    val header = when(col("doc_id") % 3 === 0,
+        concat(lit(" "), ((col("doc_id") % 5) * 30).cast("string"), lit(" ")))
+      .when(col("doc_id") % 3 === 1, lit("60"))
+      .otherwise(lit("tomorrow"))
+    val log = docs.select(
+      concat(lit("http://site"), (col("doc_id") % 8).cast("string"),
+        lit(".com/p"), col("doc_id").cast("string")).as("url"),
+      (col("doc_id") * 10).as("ts"), status.as("status"),
+      header.as("retry_after"))
+    graft.operators.Frontier.retryAfterEmbargo(log, "url", "ts",
+        "status", "retry_after", nowSec = 4900L)
+      .orderBy("host")
+  }
+
   /** Streaming fetch-outcome ingest
     * ([[graft.streaming.Streams.outcomeIngest]]): wave 1 = the
     * bootstrap 200s (hash v0, ETags on evens), wave 2 = the revisit —
@@ -6883,6 +6907,7 @@ object SparkEntry {
     "t102_crawl_trust" -> (t102_crawl_trust _),
     "t103_politeness_audit" -> (t103_politeness_audit _),
     "t104_host_health" -> (t104_host_health _),
+    "t105_retry_after" -> (t105_retry_after _),
     "ml1_linprobe" -> (ml1_linprobe _),
     "ml2_logreg" -> (ml2_logreg _),
     "ml3_naive_bayes" -> (ml3_naive_bayes _),
@@ -9248,6 +9273,15 @@ object SparkEntry {
          FROM r5 ORDER BY host""",
     // g1's machinery with seed-restricted init and teleport: the
     // trusted four carry all mass at round 0 and all teleport after
+    // only the parseable 429 deltas embargo; latest per host wins
+    "t105_retry_after" ->
+      """WITH e AS (SELECT doc_id % 8 AS h,
+             doc_id * 10 + (doc_id % 5) * 30 AS nb
+           FROM documents WHERE doc_id % 3 = 0)
+         SELECT 'site' || h || '.com' AS host,
+           CAST(max(nb) AS BIGINT) AS not_before,
+           max(nb) > 4900 AS embargoed
+         FROM e GROUP BY h ORDER BY host""",
     // classification, exact ppm division and the demotion rule replayed;
     // the 404 host must NOT demote
     "t104_host_health" ->

@@ -598,6 +598,15 @@ object TextFunctions {
     coalesce(header.rlike(s"""(?i)${NoAttrPrefix}immutable\\b"""),
       lit(false)).as("immutable"))
 
+  /** RFC 9110 §10.2.3 `Retry-After`, delta-seconds form — the value a
+    * 429/503 response uses to say WHEN to come back. Null when absent,
+    * malformed, or in the HTTP-date form (date grammar parsing is
+    * caller policy, the feed-timestamp stance — and real rate limiters
+    * overwhelmingly send delta-seconds). Whitespace-tolerant, digits
+    * only (a negative or fractional value is malformed per the ABNF). */
+  def retryAfterSeconds(header: Column): Column =
+    nullIfEmpty(regexp_extract(header, "^\\s*(\\d+)\\s*$", 1)).cast("long")
+
   /** The `Sitemap:` lines of a robots.txt body (RFC 9309 §2.3 — they
     * bind to the whole host, independent of any user-agent group, which
     * is why this is a separate extraction and not part of

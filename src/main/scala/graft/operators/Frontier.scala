@@ -769,6 +769,30 @@ object Frontier {
         col("error_ppm") >= thresholdPpm && col("n_attempts") >= minAttempts)
   }
 
+  /** The WHEN companion to [[hostHealth]]'s WHETHER: per host, the
+    * latest `Retry-After`-derived embargo — `not_before = max(ts +
+    * retry_after)` over 429/503 responses that carried the header
+    * (RFC 9110 §10.2.3, delta-seconds via
+    * [[TextFunctions.retryAfterSeconds]]) — plus `embargoed = not_before
+    * > nowSec`. Hosts whose rate-limit responses carried no parseable
+    * Retry-After simply don't appear (the caller's generic backoff —
+    * [[hostHealth]] demotion — covers them); statuses other than
+    * 429/503 never embargo (a 200 with a stray Retry-After is server
+    * noise, not a directive). ONE host-grain aggregate. Returns
+    * `(host, not_before, embargoed)`. */
+  def retryAfterEmbargo(log: DataFrame, urlCol: String, tsCol: String,
+      statusCol: String, headerCol: String, nowSec: Long): DataFrame = {
+    val st = col(statusCol).cast("int")
+    val ra = TextFunctions.retryAfterSeconds(col(headerCol))
+    log
+      .select(TextFunctions.urlHost(col(urlCol)).as("host"),
+        when(st.isin(429, 503), col(tsCol).cast("long") + ra).as("__nb"))
+      .filter(col("__nb").isNotNull)
+      .groupBy("host")
+      .agg(max(col("__nb")).as("not_before"))
+      .withColumn("embargoed", col("not_before") > nowSec)
+  }
+
   /** Read the persisted fetch-history table (TaggedAppend layout — the
     * [[seenUrls]] listing discipline over the validator-carrying
     * schema `(url, ts, h, etag, lm)`): committed data files only,

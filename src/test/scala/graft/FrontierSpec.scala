@@ -248,6 +248,30 @@ class FrontierSpec extends SparkSpec {
     assert(r("c.com") == ((1L, 0L, -1L, 0L)), r.toString)
   }
 
+  test("retryAfterEmbargo: parse filter, status filter, latest wins") {
+    val parsed = Seq(" 30 ", "30", "0", "-5", "3.5",
+        "Fri, 01 Jan 2027 00:00:00 GMT", "", null)
+      .zipWithIndex.map { case (h, i) => (i.toLong, h) }.toDF("i", "h")
+      .select(col("i"), TextFunctions.retryAfterSeconds(col("h")).as("s"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(parsed == Map(0L -> 30L, 1L -> 30L, 2L -> 0L, 3L -> -1L,
+      4L -> -1L, 5L -> -1L, 6L -> -1L, 7L -> -1L), parsed.toString)
+    val log = Seq(
+      ("http://a.com/1", 100L, 429, "50"),    // embargo until 150
+      ("http://a.com/2", 200L, 429, "30"),    // later fetch: until 230 (wins)
+      ("http://a.com/3", 300L, 200, "999"),   // stray header on a 200: noise
+      ("http://b.com/1", 100L, 503, "x"),     // unparseable: falls through
+      ("http://c.com/1", 100L, 503, "10")     // until 110, already past
+    ).toDF("url", "ts", "status", "ra")
+    val r = Frontier.retryAfterEmbargo(log, "url", "ts", "status", "ra",
+        nowSec = 200L)
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getAs[Boolean]("embargoed")))).toMap
+    assert(r == Map("a.com" -> ((230L, true)), "c.com" -> ((110L, false))),
+      r.toString)
+  }
+
   test("hostHealth: error classes, exact ppm, min-attempts floor") {
     val log = Seq(
       ("http://a.com/1", 200), ("http://a.com/2", 500), ("http://a.com/3", 0),
