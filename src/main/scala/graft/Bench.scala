@@ -131,7 +131,7 @@ object Bench {
     "g7_trustrank", "t102_crawl_trust",
     // politeness audit: one keyed window + a host-grain aggregate;
     // host health: one host-grain aggregate with map-side combine
-    "t103_politeness_audit", "t104_host_health")
+    "t103_politeness_audit", "t104_host_health", "t105_retry_after")
 
   /** Queries measured on the replicated corpus for the scaling slope —
     * the shuffle-heavy pipeline shapes whose 100 TB behavior a plan read
@@ -279,7 +279,7 @@ object Bench {
     // t103: replica urls keep 9 hosts, per-host windows widen x10 —
     // the t54d keyed-window growth shape on narrow (host, ts) rows.
     // t104: pure map-side classify + one combine-friendly aggregate
-    "t103_politeness_audit", "t104_host_health")
+    "t103_politeness_audit", "t104_host_health", "t105_retry_after")
 
   /** Materialize a `factor`×-replicated copy of the FACT tables the scale
     * set reads (documents, lineitem, orders, events) plus 1× copies of
