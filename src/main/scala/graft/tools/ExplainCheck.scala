@@ -76,7 +76,10 @@ object ExplainCheck {
         "t97_cache_control", "t98_conditional_fetch_plan",
         "t99_crawl_diff", "t100_incremental_clean", "t101_hard_negatives",
         "g7_trustrank", "t102_crawl_trust", "t103_politeness_audit",
-        "ml7_confusion_sweep", "t56c_sitemap_lastmod")
+        "ml7_confusion_sweep", "t56c_sitemap_lastmod",
+        // r18 third wave: host health + retry-after (combine-friendly
+        // host aggregates), keep-best CC dedup (pair-sized CC + argmax)
+        "t104_host_health", "t105_retry_after", "d28_neardup_keepbest")
     for (q <- qs) {
       val df = graft.SparkEntry.queries(q)(spark, dir)
       df.collect() // finalize AQE so the executed plan is the real one
