@@ -130,8 +130,11 @@ object Bench {
     // t102 is t83's url->host collapse story driving the tiny-graph walk
     "g7_trustrank", "t102_crawl_trust",
     // politeness audit: one keyed window + a host-grain aggregate;
-    // host health: one host-grain aggregate with map-side combine
-    "t103_politeness_audit", "t104_host_health", "t105_retry_after")
+    // host health: one host-grain aggregate with map-side combine;
+    // the composed control loop (headline only: its pieces' slopes are
+    // t94/t104/t105/t98's, each measured separately)
+    "t103_politeness_audit", "t104_host_health", "t105_retry_after",
+    "t106_crawl_control")
 
   /** Queries measured on the replicated corpus for the scaling slope —
     * the shuffle-heavy pipeline shapes whose 100 TB behavior a plan read

@@ -3627,6 +3627,57 @@ object SparkEntry {
       .orderBy("host")
   }
 
+  /** The crawl CONTROL LOOP as one query — every round-18 signal
+    * composed: t94's revisit due cut, minus hosts t104's health demotes
+    * (hosts 0–1 fail every fetch), minus hosts t105's Retry-After
+    * embargoes (host 2 is rate-limited until well past now), through
+    * t68's per-host politeness window with validator carry. The oracle
+    * replays the walk, the three host-class cuts and the sequence in
+    * closed form. */
+  private def t106_crawl_control(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val url = concat(lit("https://h"), (col("doc_id") % 20).cast("string"),
+      lit(".example.com/p"), col("doc_id").cast("string"))
+    val hist = docs
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("doc_id") % 4)).as("i"))
+      .select(url.as("url"),
+        (col("doc_id") * 1000 + col("i") * 100).as("ts"),
+        concat(lit("v"), floor(col("i") /
+          (lit(1) + col("doc_id") % 2)).cast("long").cast("string")).as("h"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("e"), col("doc_id").cast("string"))).as("etag"),
+        lit(null).cast("long").as("lm"))
+    val due = graft.operators.Frontier.revalidationPlan(
+        hist, "url", "ts", "h", "etag", "lm",
+        nowSec = 250000L, baseSec = 400L, minSec = 100L, maxSec = 1600L)
+      .filter(col("due"))
+      .select(col("url"), col("conditional"), col("if_none_match"))
+    val healthLog = docs.select(url.as("url"),
+      when(col("doc_id") % 20 < 2, 500).otherwise(200).as("status"))
+    val demoted = graft.operators.Frontier.hostHealth(healthLog,
+        "url", "status")
+      .filter(col("demoted")).select(col("host").as("__h"))
+    val raLog = docs.filter(col("doc_id") % 20 === 2)
+      .select(url.as("url"), lit(0L).as("ts"), lit(429).as("status"),
+        lit("900000").as("ra"))
+    val embargoed = graft.operators.Frontier.retryAfterEmbargo(raLog,
+        "url", "ts", "status", "ra", nowSec = 250000L)
+      .filter(col("embargoed")).select(col("host").as("__h"))
+    val eligible = due
+      .withColumn("__h", TextFunctions.urlHost(col("url")))
+      .join(demoted, Seq("__h"), "left_anti")
+      .join(embargoed, Seq("__h"), "left_anti")
+      .drop("__h")
+    graft.operators.Frontier.schedule(eligible, "url", priorityCol = "url",
+        delayMs = 1000L)
+      .withColumn("doc_id",
+        regexp_extract(col("url"), "p([0-9]+)$", 1).cast("long"))
+      .select("doc_id", "url", "fetch_seq", "eta_ms", "conditional",
+        "if_none_match")
+      .orderBy("url")
+  }
+
   /** Streaming fetch-outcome ingest
     * ([[graft.streaming.Streams.outcomeIngest]]): wave 1 = the
     * bootstrap 200s (hash v0, ETags on evens), wave 2 = the revisit —
@@ -6908,6 +6959,7 @@ object SparkEntry {
     "t103_politeness_audit" -> (t103_politeness_audit _),
     "t104_host_health" -> (t104_host_health _),
     "t105_retry_after" -> (t105_retry_after _),
+    "t106_crawl_control" -> (t106_crawl_control _),
     "ml1_linprobe" -> (ml1_linprobe _),
     "ml2_logreg" -> (ml2_logreg _),
     "ml3_naive_bayes" -> (ml3_naive_bayes _),
@@ -8357,6 +8409,44 @@ object SparkEntry {
              NULL, 'n'
            FROM documents WHERE doc_id % 11 = 0)
          ORDER BY url""",
+    // t98's machinery with the three host-class cuts: demoted (0,1),
+    // embargoed (2), then the politeness sequence over the survivors
+    "t106_crawl_control" ->
+      """WITH RECURSIVE f AS (
+           SELECT doc_id,
+             'https://h' || CAST(doc_id % 20 AS VARCHAR)
+               || '.example.com/p' || CAST(doc_id AS VARCHAR) AS url,
+             CAST(doc_id AS BIGINT) * 1000 + i * 100 AS ts,
+             'v' || CAST(i // (1 + doc_id % 2) AS VARCHAR) AS h,
+             CAST(i + 1 AS BIGINT) AS k
+           FROM (SELECT doc_id, unnest(range(0, doc_id % 4 + 1)) AS i
+             FROM documents)),
+         walk AS (
+           SELECT url, k, h AS ph, CAST(400 AS BIGINT) AS iv,
+             CAST(0 AS BIGINT) AS nc
+           FROM f WHERE k = 1
+           UNION ALL
+           SELECT f.url, f.k, f.h,
+             CASE WHEN f.h <> w.ph THEN greatest(100, w.iv // 2)
+                  ELSE least(1600, w.iv * 2) END,
+             w.nc + CASE WHEN f.h <> w.ph THEN 1 ELSE 0 END
+           FROM walk w JOIN f ON f.url = w.url AND f.k = w.k + 1),
+         last AS (SELECT doc_id, url, max(ts) AS last_ts, max(k) AS n
+           FROM f GROUP BY doc_id, url),
+         due AS (SELECT l.doc_id, l.url
+           FROM last l JOIN walk w ON w.url = l.url AND w.k = l.n
+           WHERE l.last_ts + w.iv <= 250000
+             AND l.doc_id % 20 NOT IN (0, 1, 2)),
+         r AS (SELECT doc_id, url,
+             CAST(row_number() OVER (PARTITION BY doc_id % 20
+               ORDER BY url DESC) AS INT) AS fetch_seq
+           FROM due)
+         SELECT doc_id, url, fetch_seq,
+           CAST((fetch_seq - 1) * 1000 AS BIGINT) AS eta_ms,
+           doc_id % 2 = 0 AS conditional,
+           CASE WHEN doc_id % 2 = 0 THEN 'e' || doc_id END
+             AS if_none_match
+         FROM r ORDER BY url""",
     // the walk, the due cut and the per-host politeness sequence with
     // validator carry, all in closed form
     "t98_conditional_fetch_plan" ->
