@@ -4815,11 +4815,14 @@ object SparkEntry {
   }
 
   /** Hard-negative mining ([[graft.operators.Retrieval.hardNegatives]]):
-    * per query, the BM25 candidates minus planted positive pairs
-    * (query q's positives are docs q·100 and q·100+7), re-ranked to the
-    * top 5 by the rounded-rank convention. The oracle replays t12c's
-    * full scoring, the anti-join and the (round(score,6) desc, doc_id)
-    * cut. */
+    * per query, the top-20 BM25 candidates (a FINITE candidateK — the
+    * window stays candidate-sized, never corpus-sized) minus planted
+    * positive pairs (query q's positives are docs q·100 and q·100+7),
+    * re-ranked to the top 5. BOTH cuts use the rounded-rank convention
+    * — the oracle replays t12c's full scoring, the candidate top-20 cut
+    * by (round(score,6) desc, doc_id), the anti-join, and the same
+    * rounded final cut, so candidate membership itself is
+    * engine-replayable. */
   private def t101_hard_negatives(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val positives = (0L to 4L)
@@ -4827,7 +4830,7 @@ object SparkEntry {
       .toDF("query_id", "doc_id")
     graft.operators.Retrieval.hardNegatives(bm25JoinQueries(s),
         t(s, dir, "documents"), positives, "query_id", "terms",
-        "doc_id", "text", k = 5, candidateK = Int.MaxValue)
+        "doc_id", "text", k = 5, candidateK = 20)
       .orderBy("query_id", "neg_rank")
   }
 
@@ -10956,8 +10959,9 @@ object SparkEntry {
          SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
            round(score, 6) AS score
          FROM sc ORDER BY query_id, doc_id""",
-    // t12c's full scoring + the positive anti-join + the rounded-rank
-    // top-5 cut, ties to doc_id
+    // t12c's full scoring + the rounded-rank top-20 CANDIDATE cut +
+    // the positive anti-join + the rounded-rank top-5 cut, ties to
+    // doc_id — both cuts replay the same (round(score,6), doc_id) key
     "t101_hard_negatives" ->
       """WITH q(query_id, terms) AS (VALUES
            (0, ['agg', 'scan', 'window']), (1, ['join', 'key']),
@@ -10984,9 +10988,16 @@ object SparkEntry {
                / (post.tf + 1.2 * (0.25 + 0.75 * post.dl / st.avgdl))) AS score
            FROM qt JOIN post USING (term) JOIN dfs USING (term) CROSS JOIN st
            GROUP BY qt.query_id, post.doc_id),
-         neg AS (SELECT sc.query_id, sc.doc_id, round(sc.score, 6) AS score
-           FROM sc WHERE NOT EXISTS (SELECT 1 FROM px
-             WHERE px.query_id = sc.query_id AND px.doc_id = sc.doc_id)),
+         cand AS (SELECT query_id, doc_id, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY round(score, 6) DESC, doc_id) AS INT) AS crank
+           FROM sc),
+         neg AS (SELECT cand.query_id, cand.doc_id,
+             round(cand.score, 6) AS score
+           FROM cand WHERE cand.crank <= 20 AND NOT EXISTS
+             (SELECT 1 FROM px
+              WHERE px.query_id = cand.query_id
+                AND px.doc_id = cand.doc_id)),
          r AS (SELECT query_id, doc_id, score,
              CAST(row_number() OVER (PARTITION BY query_id
                ORDER BY score DESC, doc_id) AS INT) AS neg_rank

@@ -152,7 +152,7 @@ object PdfImpl {
         // samples can contain a coincidental "BT" (two bytes over
         // arbitrary sample data), which would emit garbage text
         val container = dict.contains("/ObjStm") || dict.contains("/XRef") ||
-          dict.contains("/Image")
+          isImageDict(dict)
         if ((!hasFilter || flate) && !container) {
           val body =
             if (!flate) java.util.Arrays.copyOfRange(pdf, ds, de)
@@ -352,6 +352,20 @@ object PdfImpl {
   private def ascii(b: Array[Byte], from: Int, to: Int): String =
     new String(b, from, to - from, java.nio.charset.StandardCharsets.ISO_8859_1)
 
+  /** True iff the dictionary declares `/Subtype /Image` as an actual
+    * key/value pair with the value name TERMINATED (next char not a
+    * name char) — `/Subtype /ImageMask` can't occur (ImageMask is a
+    * boolean entry, not a subtype) but the terminator guards it anyway,
+    * and a Form XObject with `/ProcSet [/PDF /ImageB]` or an
+    * `/ImageMask true` entry no longer false-positives the way the old
+    * two-independent-substring test did. Mirrors how [[directInt]]
+    * anchors on the key. */
+  private def isImageDict(dict: String): Boolean =
+    imageSubtypeRe.pattern.matcher(dict).find()
+
+  private val imageSubtypeRe =
+    "/Subtype\\s*/Image(?![A-Za-z0-9])".r
+
   // -------------------------------------------------------------- images
 
   /** One embedded image XObject: dimensions and sample depth from the
@@ -367,9 +381,15 @@ object PdfImpl {
 
   /** Every image XObject of the document, in byte order — the same
     * stream walk as [[extract]], keeping only `/Subtype /Image` objects.
-    * Malformed entries degrade to what the dictionary yields (never
-    * throws): the caller tags undecodable rows, the [[extract]]
-    * contract. */
+    * Classification anchors on the actual key/value PAIR
+    * (`/Subtype /Image` with the name terminated — see [[isImageDict]]),
+    * not two independent substring hits: a Form XObject whose dict
+    * merely carries `/ProcSet [/PDF /ImageB]` or an `/ImageMask` entry
+    * is NOT an image stream, and treating it as one both emits a bogus
+    * image row here and silently skips its text-bearing content in
+    * [[extract]]. Malformed entries degrade to what the dictionary
+    * yields (never throws): the caller tags undecodable rows, the
+    * [[extract]] contract. */
   def images(pdf: Array[Byte]): Vector[PdfImage] = {
     val out = Vector.newBuilder[PdfImage]
     var i = 0
@@ -392,7 +412,7 @@ object PdfImpl {
             val e = indexOf(pdf, "endstream", ds)
             if (e < 0) pdf.length else e
           }
-        if (dict.contains("/Subtype") && dict.contains("/Image")) {
+        if (isImageDict(dict)) {
           val w = directInt(dict, "/Width")
           val h = directInt(dict, "/Height")
           val bpc = directInt(dict, "/BitsPerComponent")

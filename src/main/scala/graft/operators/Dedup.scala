@@ -371,18 +371,36 @@ object Dedup {
     * id) instead of blindly the smallest id — when a boilerplate-ridden
     * scrape and a clean mirror near-duplicate each other, the cleaner
     * copy should survive. Docs in no pair survive untouched. One CC
-    * pass (pair-list-sized, not corpus-sized) + one component-grain
-    * argmax + one semi-join back to the corpus; the corpus text never
-    * rides a shuffle. Ties beyond (score, id) cannot occur — id is
-    * unique. */
+    * pass (pair-list-sized, not corpus-sized) + two component-grain
+    * aggregates + one semi-join back to the corpus; the corpus text
+    * never rides a shuffle (the member frame is pruned to
+    * (comp, id, score)). The argmax is ARITHMETIC-FREE — max score per
+    * component, then min id among the ties — so idCol may be any
+    * orderable type (a string id under the old `id * -1` trick cast to
+    * null, making the tie-break silently nondeterministic). A paired
+    * doc with a NULL score is refused loudly: null can neither win nor
+    * lose an ordering deterministically. Ties beyond (score, id)
+    * cannot occur — id is unique. */
   def dropNearDuplicatesKeepBest(df: DataFrame, idCol: String,
       pairs: DataFrame, scoreCol: String): DataFrame = {
     val comps = connectedComponents(pairs)
       .select(col("id").as(idCol), col("comp"))
-    val winners = df.join(comps, Seq(idCol))
+    // the guard references comp (the join's other side) so Catalyst
+    // cannot push it below the join — an UNPAIRED null-score doc never
+    // enters the argmax and must not trip it
+    val member = df.join(comps, Seq(idCol))
+      .select(col("comp"), col(idCol),
+        when(col("comp").isNotNull && col(scoreCol).isNull,
+          raise_error(concat(
+            lit("dropNearDuplicatesKeepBest: null score for paired doc "),
+            col(idCol).cast("string"))))
+          .otherwise(col(scoreCol)).as("__s"))
+    val winners = member.groupBy(col("comp"))
+      .agg(max(col("__s")).as("__smax"))
+      .join(member, Seq("comp"))
+      .filter(col("__s") === col("__smax"))
       .groupBy(col("comp"))
-      .agg(max_by(col(idCol),
-        struct(col(scoreCol), col(idCol) * -1)).as(idCol))
+      .agg(min(col(idCol)).as(idCol))
       .select(col(idCol))
     val unpaired = df.join(comps, Seq(idCol), "left_anti")
     unpaired.unionByName(df.join(winners, Seq(idCol), "left_semi"))

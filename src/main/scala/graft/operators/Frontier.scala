@@ -419,9 +419,13 @@ object Frontier {
     * `outcomes`: one row per completed fetch with `statusCol` ∈
     * {200, 304} (anything else is refused loudly — redirects and errors
     * are frontier business, not history), plus the same url/ts/hash/
-    * validator columns as `history` (hash/validators null-able; a 304
-    * for a URL with no prior history raises — there is nothing to
-    * revalidate). Returns ONLY the new history rows
+    * validator columns as `history` (validators null-able; a 304 for a
+    * URL with no prior history raises — there is nothing to revalidate
+    * — and a 200 with a NULL hash raises too: a null-hash history row
+    * would make every later [[backoffWalk]] comparison against it
+    * null-propagate to "unchanged", silently freezing the backoff and
+    * undercounting `n_changes`, the same defect [[crawlDiff]] already
+    * refuses loudly). Returns ONLY the new history rows
     * `(url, ts, h, etag, lm)` — append them to the history table
     * (exactly-once via the TaggedAppend/streaming seam the seen-URL
     * history already uses).
@@ -458,7 +462,11 @@ object Frontier {
             lit("recordOutcomes: 304 for a URL with no prior history: "),
             col(urlCol))))
             .otherwise(col("__p").getField("h")))
-          .otherwise(col(hashCol).cast("string")).as("h"),
+          .otherwise(
+            when(col(hashCol).isNull, raise_error(concat(
+              lit("recordOutcomes: 200 with null content hash for "),
+              col(urlCol))))
+              .otherwise(col(hashCol).cast("string"))).as("h"),
         when(st === 304,
           coalesce(col(etagCol).cast("string"), col("__p").getField("etag")))
           .otherwise(col(etagCol).cast("string")).as("etag"),

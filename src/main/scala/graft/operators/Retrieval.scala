@@ -219,14 +219,19 @@ object Retrieval {
     * the anchor-text harvest — anchors are the queries, link targets
     * the positives.
     *
-    * Rank determinism: negatives order by (round(score, 6) desc, doc
-    * id) — the rounded-rank convention, so any engine replays the cut.
-    * `candidateK` bounds how many positives can crowd out the window:
-    * with up to p positives per query in the candidate set you keep at
-    * least `candidateK − p` negatives, so size it ≥ k + max positives
-    * per query. Shape: bm25Join's inverted-index join + one anti-join
-    * on (query, doc) + a per-query window over ≤ candidateK rows
-    * (bounded by construction — never corpus-sized). Returns
+    * Rank determinism: BOTH cuts use the same rounded key — the
+    * candidate cut at `candidateK` ranks by (round(score, 6) desc, doc
+    * id) inside [[bm25Join]] (its `rankRound` knob) and the final
+    * `neg_rank` repeats that ordering — so any engine replays candidate
+    * membership AND the negative cut; no float-boundary decision
+    * anywhere. `candidateK` bounds how many positives can crowd out the
+    * window: with up to p positives per query in the candidate set you
+    * keep at least `candidateK − p` negatives, so size it ≥ k + max
+    * positives per query (finite — a corpus-sized candidateK degrades
+    * the window to corpus-grain). Shape: bm25Join's inverted-index join
+    * + one anti-join on (query, doc) + a per-query window over
+    * ≤ candidateK rows (bounded by construction — never corpus-sized
+    * when candidateK is). Returns
     * `(queryIdCol, idCol, score, neg_rank)` with score 6-rounded. */
   def hardNegatives(
       queries: DataFrame,
@@ -246,7 +251,8 @@ object Retrieval {
       s"candidateK ($candidateK) must be >= k ($k) — and leave headroom " +
         "for the positives it must absorb")
     val cand = bm25Join(queries, corpus, queryIdCol, termsCol, idCol,
-        textCol, k = candidateK, k1 = k1, b = b, saltFactor = saltFactor)
+        textCol, k = candidateK, k1 = k1, b = b, saltFactor = saltFactor,
+        rankRound = 6)
       .drop("rank")
     val w = Window.partitionBy(col(queryIdCol))
       .orderBy(round(col("score"), 6).desc, col(idCol))
@@ -259,6 +265,13 @@ object Retrieval {
         round(col("score"), 6).as("score"), col("neg_rank"))
   }
 
+  /** `rankRound`: when >= 0 the per-query rank (and so the `k` cut)
+    * orders by `(round(score, rankRound) desc, id)` instead of the raw
+    * double — the rounded-rank convention, so ANY engine replays the
+    * cut membership exactly. Default -1 keeps the raw-double rank
+    * (cheaper; fine when the caller keeps every match or rounds
+    * downstream, [[hybridJoin]]'s contract). The output `score` column
+    * is unrounded either way. */
   def bm25Join(
       queries: DataFrame,
       corpus: DataFrame,
@@ -269,7 +282,8 @@ object Retrieval {
       k: Int,
       k1: Double = 1.2,
       b: Double = 0.75,
-      saltFactor: Int = 1): DataFrame = {
+      saltFactor: Int = 1,
+      rankRound: Int = -1): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(saltFactor >= 1, "saltFactor must be >= 1")
     import org.apache.spark.sql.expressions.Window
@@ -324,7 +338,10 @@ object Retrieval {
       .groupBy(col(queryIdCol), col(idCol))
       .agg(sum(col("__contrib")).as("score"))
       .withColumn("rank", row_number().over(
-        Window.partitionBy(col(queryIdCol)).orderBy(desc("score"), col(idCol))))
+        Window.partitionBy(col(queryIdCol)).orderBy(
+          (if (rankRound >= 0) round(col("score"), rankRound)
+           else col("score")).desc,
+          col(idCol))))
       .filter(col("rank") <= k)
   }
 

@@ -641,7 +641,12 @@ object Streams {
     * the files) and appends under the checkpoint-keyed batch tag; the
     * commit marker skips fully-committed batches. The first wave must
     * be unconditional fetches — a 304 with no prior history raises,
-    * which is recordOutcomes' own (correct) contract. Downstream,
+    * which is recordOutcomes' own (correct) contract. A batch carrying
+    * TWO outcomes for one URL is refused loudly: the whole batch folds
+    * against the history committed BEFORE it, so the second outcome
+    * would resolve against the stale prior (a 304 following a 200 in
+    * the same wave would silently carry the pre-batch hash/validators)
+    * — split same-URL outcomes across micro-batches instead. Downstream,
     * [[graft.operators.Frontier.fetchHistory]] +
     * [[graft.operators.Frontier.revalidationPlan]] read the live
     * table mid-stream. */
@@ -666,8 +671,23 @@ object Streams {
       (spark, tag) =>
         val hist = graft.operators.Frontier.fetchHistory(
           spark, historyPath, excludeTag = Some(tag))
+        // In-plan duplicate-URL refusal: the batch folds against the
+        // pre-batch history, so a second outcome for the same URL in
+        // one wave would resolve against a stale prior. Wave-sized
+        // aggregate + AQE-broadcast join — no driver collect.
+        val counts = batch.groupBy(col("url").as("__durl"))
+          .agg(count(lit(1)).as("__dn"))
+        val checked = batch
+          .join(counts, col("url") === col("__durl"))
+          .select(
+            when(col("__dn") > 1, raise_error(concat(
+              lit("outcomeIngestBatch: duplicate outcomes for one URL " +
+                "in a single micro-batch (second would fold against a " +
+                "stale prior): "), col("url"))))
+              .otherwise(col("url")).as("url"),
+            col("ts"), col("h"), col("etag"), col("lm"), col("status"))
         val rows = graft.operators.Frontier.recordOutcomes(
-          hist, batch, "url", "ts", "h", "etag", "lm", "status")
+          hist, checked, "url", "ts", "h", "etag", "lm", "status")
         graft.core.TaggedAppend.append(rows, historyPath, tag)
         ()
     }
