@@ -3603,12 +3603,14 @@ object SparkEntry {
       .orderBy("host")
   }
 
-  /** Retry-After embargo ([[graft.operators.Frontier.retryAfterEmbargo]]):
-    * every third fetch is a 429 with a whitespace-padded delta-seconds
-    * Retry-After; 200s carrying a stray header must NOT embargo, and
-    * 503s with an unparseable (HTTP-date) value fall through to the
-    * generic backoff. Per host the LATEST embargo wins; the oracle
-    * replays the parse filter and the max arithmetic. */
+  /** Retry-After embargo ([[graft.operators.Frontier.retryAfterEmbargo]]),
+    * BOTH RFC 9110 §10.2.3 forms in one log: every third fetch is a 429
+    * with a whitespace-padded delta-seconds Retry-After (ts-relative);
+    * even 503s carry an absolute IMF-fixdate
+    * ([[graft.functions.TextFunctions.retryAfterDateEpoch]]); odd 503s
+    * are malformed (null → generic backoff, no embargo row); 200s
+    * carrying a stray header must NOT embargo. Per host the LATEST
+    * not-before wins; the oracle replays both parses and the max. */
   private def t105_retry_after(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"))
     val status = when(col("doc_id") % 3 === 0, 429)
@@ -3616,6 +3618,10 @@ object SparkEntry {
     val header = when(col("doc_id") % 3 === 0,
         concat(lit(" "), ((col("doc_id") % 5) * 30).cast("string"), lit(" ")))
       .when(col("doc_id") % 3 === 1, lit("60"))
+      // the 503s carry RFC 9110's OTHER Retry-After form: an absolute
+      // IMF-fixdate on the even ones (epoch 7200), garbage on the odd
+      // ones (malformed date -> null -> generic backoff, never a row)
+      .when(col("doc_id") % 2 === 0, lit("Thu, 01 Jan 1970 02:00:00 GMT"))
       .otherwise(lit("tomorrow"))
     val log = docs.select(
       concat(lit("http://site"), (col("doc_id") % 8).cast("string"),
@@ -3676,6 +3682,106 @@ object SparkEntry {
       .select("doc_id", "url", "fetch_seq", "eta_ms", "conditional",
         "if_none_match")
       .orderBy("url")
+  }
+
+  /** HTTP 3xx redirect-chain resolution
+    * ([[graft.operators.Frontier.resolveRedirects]]): derived 1–2-hop
+    * chains over the documents table (`u<d> → u<d+1>` for d%10 ∈
+    * {1,2}, mixed 301/302 so permanence varies) plus planted edges — a
+    * 2-cycle, a self-redirect, and a 7-hop chain whose first two
+    * sources exceed maxHops=5. The oracle replays the bounded walk as
+    * a recursive CTE with list-based loop detection — same hop counts,
+    * same permanence conjunction, same terminal flags. */
+  private def t107_redirects(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val derived = t(s, dir, "documents").select(col("doc_id"))
+      .filter((col("doc_id") % 10).isin(1, 2))
+      .select(concat(lit("u"), col("doc_id").cast("string")).as("url"),
+        when(col("doc_id") % 4 < 2, 301).otherwise(302).as("status"),
+        concat(lit("u"), (col("doc_id") + 1).cast("string"))
+          .as("location"))
+    val planted = Seq(
+      ("loopA", 301, "loopB"), ("loopB", 308, "loopA"),
+      ("self", 307, "self"),
+      ("c0", 301, "c1"), ("c1", 308, "c2"), ("c2", 301, "c3"),
+      ("c3", 308, "c4"), ("c4", 301, "c5"), ("c5", 308, "c6"),
+      ("c6", 302, "c7")).toDF("url", "status", "location")
+    graft.operators.Frontier.resolveRedirects(
+        derived.unionByName(planted), "url", "status", "location",
+        maxHops = 5)
+      .orderBy("url")
+  }
+
+  /** Permanent-redirect identity migration composed with the
+    * revalidation plan ([[graft.operators.Frontier.applyRedirectMoves]]
+    * after [[graft.operators.Frontier.resolveRedirects]]): every doc's
+    * URL has one fetch on record; d%10==1 URLs permanently moved (308)
+    * to `v<d>`, d%10==2 temporarily (302) to `w<d>`. The migrated
+    * history must carry each moved URL's validators under the NEW name
+    * — the plan row for `v<d>` shows the old fetch's ETag — while the
+    * temporary targets never rename. Oracle: closed-form rename +
+    * single-fetch plan. */
+  private def t107b_redirect_migration(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"))
+    val u = concat(lit("u"), col("doc_id").cast("string"))
+    val redirects = d.filter(col("doc_id") % 10 === 1)
+      .select(u.as("url"), lit(308).as("status"),
+        concat(lit("v"), col("doc_id").cast("string")).as("location"))
+      .unionByName(d.filter(col("doc_id") % 10 === 2)
+        .select(u.as("url"), lit(302).as("status"),
+          concat(lit("w"), col("doc_id").cast("string")).as("location")))
+    val resolved = graft.operators.Frontier.resolveRedirects(
+      redirects, "url", "status", "location", maxHops = 5)
+    val hist = d.select(u.as("url"), (col("doc_id") * 100).as("ts"),
+      concat(lit("h"), col("doc_id").cast("string")).as("h"),
+      concat(lit("e"), col("doc_id").cast("string")).as("etag"),
+      lit(null).cast("long").as("lm"))
+    graft.operators.Frontier.revalidationPlan(
+        graft.operators.Frontier.applyRedirectMoves(hist, "url", resolved),
+        "url", "ts", "h", "etag", "lm",
+        nowSec = 25000L, baseSec = 400L, minSec = 100L, maxSec = 1600L)
+      .orderBy("url")
+  }
+
+  /** Streaming redirect ingest
+    * ([[graft.streaming.Streams.redirectIngest]]): wave 1 = single-hop
+    * permanent moves (`u<d> → v<d>`, 301) for d%10==1; wave 2 =
+    * complete 2-hop chains in one batch (`a<d> → b<d> → c<d>`,
+    * 301+308) for d%10==3 — the batch-local chain contract. The
+    * post-stream [[graft.operators.Frontier.redirectMoves]] read must
+    * show both waves' resolutions exactly once. */
+  private def st27_stream_redirects(s: SparkSession, dir: String): DataFrame = {
+    val base = "/tmp/graft_fixtures/redirect_ingest_" +
+      java.net.URLEncoder.encode(dir, "UTF-8")
+    val conf = s.sessionState.newHadoopConf()
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(conf)
+    fs.delete(basePath, true)
+    val (incoming, moves, cp) = (s"$base/incoming", s"$base/moves", s"$base/cp")
+    val d = t(s, dir, "documents").select(col("doc_id"))
+    val sid = col("doc_id").cast("string")
+    val w1 = d.filter(col("doc_id") % 10 === 1)
+      .select(concat(lit("u"), sid).as("url"), lit(301).as("status"),
+        concat(lit("v"), sid).as("location"))
+    val w2 = d.filter(col("doc_id") % 10 === 3)
+      .select(concat(lit("a"), sid).as("url"), lit(301).as("status"),
+        concat(lit("b"), sid).as("location"))
+      .unionByName(d.filter(col("doc_id") % 10 === 3)
+        .select(concat(lit("b"), sid).as("url"), lit(308).as("status"),
+          concat(lit("c"), sid).as("location")))
+    def dataFiles = fs.listStatus(new org.apache.hadoop.fs.Path(incoming))
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+      .map(_.getPath).toSet
+    w1.coalesce(1).write.mode("append").parquet(incoming)
+    val firstFiles = dataFiles
+    w2.coalesce(1).write.mode("append").parquet(incoming)
+    (dataFiles -- firstFiles).foreach(p => fs.setTimes(p, 1000000600000L, -1))
+    firstFiles.foreach(p => fs.setTimes(p, 1000000000000L, -1))
+    val stream = s.readStream.schema(w1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(incoming)
+    val q = graft.streaming.Streams.redirectIngest(stream, moves, cp)
+    try q.processAllAvailable() finally q.stop()
+    graft.operators.Frontier.redirectMoves(s, moves).orderBy("url")
   }
 
   /** Streaming fetch-outcome ingest
@@ -6930,6 +7036,9 @@ object SparkEntry {
     "st22_stream_seen" -> (st22_stream_seen _),
     "st25_stream_feeds" -> (st25_stream_feeds _),
     "st26_stream_outcomes" -> (st26_stream_outcomes _),
+    "t107_redirects" -> (t107_redirects _),
+    "t107b_redirect_migration" -> (t107b_redirect_migration _),
+    "st27_stream_redirects" -> (st27_stream_redirects _),
     "t68_fetch_plan" -> (t68_fetch_plan _),
     "t72_revisit_schedule" -> (t72_revisit_schedule _),
     "t94_revalidation" -> (t94_revalidation _),
@@ -8512,6 +8621,88 @@ object SparkEntry {
            CAST(1 AS BIGINT) AS n_copies
          FROM documents WHERE doc_id % 2 = 0 OR doc_id % 3 = 0
          ORDER BY doc_id""",
+    // the bounded redirect walk as a recursive CTE: list-based loop
+    // detection, hop counting, end-to-end permanence conjunction —
+    // terminal rows emitted exactly once, recursion only on open rows
+    "t107_redirects" ->
+      """WITH RECURSIVE
+           derived AS (
+             SELECT 'u' || doc_id AS src,
+                    CASE WHEN doc_id % 4 < 2 THEN 301 ELSE 302 END AS st,
+                    'u' || (doc_id + 1) AS loc
+             FROM documents WHERE doc_id % 10 IN (1, 2)),
+           planted(src, st, loc) AS (VALUES
+             ('loopA', 301, 'loopB'), ('loopB', 308, 'loopA'),
+             ('self', 307, 'self'),
+             ('c0', 301, 'c1'), ('c1', 308, 'c2'), ('c2', 301, 'c3'),
+             ('c3', 308, 'c4'), ('c4', 301, 'c5'), ('c5', 308, 'c6'),
+             ('c6', 302, 'c7')),
+           m AS (SELECT * FROM derived UNION ALL SELECT * FROM planted),
+           walk(url, cur, hops, perm, visited, outcome) AS (
+             SELECT src, loc, CAST(1 AS BIGINT), st IN (301, 308), [src],
+                    CAST(NULL AS VARCHAR)
+             FROM m
+             UNION ALL
+             SELECT w.url,
+               CASE WHEN m2.src IS NULL OR list_contains(w.visited, m2.loc)
+                         OR m2.loc = w.cur OR w.hops + 1 > 5
+                    THEN w.cur ELSE m2.loc END,
+               CASE WHEN m2.src IS NULL OR list_contains(w.visited, m2.loc)
+                         OR m2.loc = w.cur OR w.hops + 1 > 5
+                    THEN w.hops ELSE w.hops + 1 END,
+               CASE WHEN m2.src IS NULL THEN w.perm
+                    WHEN list_contains(w.visited, m2.loc) OR m2.loc = w.cur
+                         OR w.hops + 1 > 5 THEN false
+                    ELSE w.perm AND m2.st IN (301, 308) END,
+               CASE WHEN m2.src IS NULL OR list_contains(w.visited, m2.loc)
+                         OR m2.loc = w.cur OR w.hops + 1 > 5
+                    THEN w.visited ELSE list_append(w.visited, w.cur) END,
+               CASE WHEN m2.src IS NULL THEN 'resolved'
+                    WHEN list_contains(w.visited, m2.loc) OR m2.loc = w.cur
+                    THEN 'loop'
+                    WHEN w.hops + 1 > 5 THEN 'exceeded'
+                    ELSE NULL END
+             FROM walk w LEFT JOIN m m2 ON w.cur = m2.src
+             WHERE w.outcome IS NULL)
+         SELECT url,
+           CASE WHEN outcome = 'resolved' THEN cur END AS final_url,
+           hops,
+           outcome = 'resolved' AND perm AS permanent,
+           outcome
+         FROM walk WHERE outcome IS NOT NULL ORDER BY url""",
+    // closed-form: d%10==1 renames u<d> -> v<d> (permanent), d%10==2
+    // stays u<d> (temporary never renames); single-fetch plan rows —
+    // interval = base, validators carried under the migrated name
+    "t107b_redirect_migration" ->
+      """SELECT
+           CASE WHEN doc_id % 10 = 1 THEN 'v' || doc_id
+                ELSE 'u' || doc_id END AS url,
+           CAST(1 AS BIGINT) AS n_fetches,
+           CAST(0 AS BIGINT) AS n_changes,
+           CAST(400 AS BIGINT) AS interval_sec,
+           CAST(doc_id * 100 + 400 AS BIGINT) AS next_due,
+           doc_id * 100 + 400 <= 25000 AS due,
+           'e' || doc_id AS if_none_match,
+           CAST(NULL AS BIGINT) AS if_modified_since,
+           true AS conditional
+         FROM documents ORDER BY url""",
+    // two streamed waves in closed form: wave 1 single permanent hops,
+    // wave 2 complete 2-hop chains resolved batch-locally
+    "st27_stream_redirects" ->
+      """WITH r AS (
+           SELECT 'u' || doc_id AS url, 'v' || doc_id AS final_url,
+                  CAST(1 AS BIGINT) AS hops, true AS permanent,
+                  'resolved' AS outcome
+           FROM documents WHERE doc_id % 10 = 1
+           UNION ALL
+           SELECT 'a' || doc_id, 'c' || doc_id, CAST(2 AS BIGINT), true,
+                  'resolved'
+           FROM documents WHERE doc_id % 10 = 3
+           UNION ALL
+           SELECT 'b' || doc_id, 'c' || doc_id, CAST(1 AS BIGINT), true,
+                  'resolved'
+           FROM documents WHERE doc_id % 10 = 3)
+         SELECT * FROM r ORDER BY url""",
     // the streamed conditional-recrawl loop in closed form: the 304
     // side doubles (carried hash + ETag), the 200 side halves
     "st26_stream_outcomes" ->
@@ -9366,11 +9557,18 @@ object SparkEntry {
          FROM r5 ORDER BY host""",
     // g1's machinery with seed-restricted init and teleport: the
     // trusted four carry all mass at round 0 and all teleport after
-    // only the parseable 429 deltas embargo; latest per host wins
+    // both Retry-After forms in one log: 429 deltas are ts-relative,
+    // the even 503s carry an absolute IMF-fixdate (epoch 7200), the odd
+    // 503s are malformed (null, no row); max not-before per host wins
     "t105_retry_after" ->
       """WITH e AS (SELECT doc_id % 8 AS h,
              doc_id * 10 + (doc_id % 5) * 30 AS nb
-           FROM documents WHERE doc_id % 3 = 0)
+           FROM documents WHERE doc_id % 3 = 0
+           UNION ALL
+           SELECT doc_id % 8 AS h,
+             CAST(epoch(strptime('Thu, 01 Jan 1970 02:00:00 GMT',
+               '%a, %d %b %Y %H:%M:%S GMT')) AS BIGINT) AS nb
+           FROM documents WHERE doc_id % 3 = 2 AND doc_id % 2 = 0)
          SELECT 'site' || h || '.com' AS host,
            CAST(max(nb) AS BIGINT) AS not_before,
            max(nb) > 4900 AS embargoed

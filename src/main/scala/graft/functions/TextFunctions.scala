@@ -600,12 +600,42 @@ object TextFunctions {
 
   /** RFC 9110 §10.2.3 `Retry-After`, delta-seconds form — the value a
     * 429/503 response uses to say WHEN to come back. Null when absent,
-    * malformed, or in the HTTP-date form (date grammar parsing is
-    * caller policy, the feed-timestamp stance — and real rate limiters
-    * overwhelmingly send delta-seconds). Whitespace-tolerant, digits
-    * only (a negative or fractional value is malformed per the ABNF). */
+    * malformed, or in the HTTP-date form (see [[retryAfterDateEpoch]]
+    * for that — RFC 9110 allows both, and the caller composes them as
+    * `coalesce(ts + delta, dateEpoch)` since a delta is relative to the
+    * response time while a date is already absolute; real rate limiters
+    * overwhelmingly send delta-seconds, so the delta parse keeps
+    * precedence). Whitespace-tolerant, digits only (a negative or
+    * fractional value is malformed per the ABNF). */
   def retryAfterSeconds(header: Column): Column =
     nullIfEmpty(regexp_extract(header, "^\\s*(\\d+)\\s*$", 1)).cast("long")
+
+  /** RFC 9110 §10.2.3 `Retry-After`, HTTP-date form — the IMF-fixdate
+    * grammar (§5.6.7: `Sun, 06 Nov 1994 08:49:37 GMT`), parsed to epoch
+    * SECONDS; null when absent or malformed (`try_to_timestamp`
+    * underneath, so a garbage value falls back to the caller's generic
+    * backoff instead of raising — header fields are untrusted input).
+    * The zone token must name GMT/UTC per the RFC; the obsolete
+    * rfc850/asctime forms stay unparsed (a server emitting them in 2026
+    * is itself malformed). Day-of-week names are VALIDATED against the
+    * date — Spark's post-3.0 parser can't PARSE 'EEE' (format-only
+    * symbol), so the name is split off by regex and checked against the
+    * epoch's day-of-week in timezone-free integer arithmetic
+    * (1970-01-01 was a Thursday) — stricter than C `strptime` (which
+    * ignores %a consistency), deterministic either way. */
+  def retryAfterDateEpoch(header: Column): Column = {
+    val cleaned = trim(header)
+    val full = "^(Mon|Tue|Wed|Thu|Fri|Sat|Sun), " +
+      "(\\d{2} [A-Z][a-z]{2} \\d{4} \\d{2}:\\d{2}:\\d{2} GMT)$"
+    val dname = regexp_extract(cleaned, full, 1)
+    val body = nullIfEmpty(regexp_extract(cleaned, full, 2))
+    val ep = unix_timestamp(
+      try_to_timestamp(body, lit("dd MMM yyyy HH:mm:ss zzz")))
+    val dow = pmod(floor(ep / lit(86400)) + 4, lit(7)).cast("int")
+    val names = array(lit("Sun"), lit("Mon"), lit("Tue"), lit("Wed"),
+      lit("Thu"), lit("Fri"), lit("Sat"))
+    when(element_at(names, dow + 1) === dname, ep)
+  }
 
   /** The `Sitemap:` lines of a robots.txt body (RFC 9309 §2.3 — they
     * bind to the whole host, independent of any user-agent group, which

@@ -475,6 +475,194 @@ object Frontier {
           .otherwise(col(lastModCol).cast("long")).as("lm"))
   }
 
+  /** HTTP 3xx redirect-chain resolution — the frontier half of the
+    * fetch-outcome state machine ([[recordOutcomes]] owns 200/304 and
+    * refuses redirects by contract; this operator is the business it
+    * defers). Input: one row per redirect response
+    * `(urlCol, statusCol ∈ {301, 302, 307, 308}, locationCol)` — the
+    * redirect MAP a fetch wave observed (a non-3xx status or a null
+    * Location is refused loudly: a redirect with nowhere to go is a
+    * fetch error, not frontier input; one URL redirecting to TWO
+    * different targets in one snapshot is refused too — the snapshot is
+    * inconsistent and silently picking one would mis-migrate identity).
+    *
+    * Per source URL the chain walks `url → location → …` until the
+    * current node is not itself a redirect source (`resolved`), revisits
+    * a node already on the chain — including a self-redirect —
+    * (`loop`), or would exceed `maxHops` (`exceeded`). Returns one row
+    * per SOURCE url:
+    * `(url, final_url, hops, permanent, outcome)` — `final_url` the
+    * chain's landing page (null unless resolved), `hops` the redirects
+    * actually FOLLOWED (a revisiting hop is detected, never taken, so a
+    * 2-cycle flags at hops=1), `permanent` true iff resolved AND every
+    * hop was 301/308
+    * (RFC 9110 §15.4: only a chain permanent end-to-end may migrate the
+    * URL's identity — one temporary hop anywhere means the mapping can
+    * revert, so the source keeps its name and only the target is
+    * fetched), `outcome ∈ {resolved, loop, exceeded}`.
+    *
+    * 100 TB shape: the walk is `maxHops` rounds of one equi-join of the
+    * (shrinking) unresolved state against the redirect map — both
+    * redirect-wave-sized, NEVER corpus-sized — with the per-round
+    * persist + LogicalRDD barrier discipline ([[Graph.pageRank]]'s
+    * pattern) keeping each round's plan O(1). Loop detection rides a
+    * per-row visited array bounded by maxHops+1 entries; no window, no
+    * driver state, no collect. Real chains are ≤ 3–5 hops (RFC 9110
+    * suggests clients cap around 5), so the default bound is 5. */
+  def resolveRedirects(
+      redirects: DataFrame,
+      urlCol: String,
+      statusCol: String,
+      locationCol: String,
+      maxHops: Int = 5): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 32,
+      s"maxHops must be in [1, 32], got $maxHops")
+    import org.apache.spark.storage.StorageLevel
+    val spark = redirects.sparkSession
+    val st = col(statusCol).cast("int")
+    val rows = redirects.select(
+        when(st.isin(301, 302, 307, 308), col(urlCol).cast("string"))
+          .otherwise(raise_error(concat(
+            lit("resolveRedirects: status must be 301/302/307/308, got "),
+            st.cast("string"), lit(" for "), col(urlCol)))).as("__src"),
+        st.as("__st"),
+        when(col(locationCol).isNull, raise_error(concat(
+          lit("resolveRedirects: null Location for "), col(urlCol))))
+          .otherwise(col(locationCol).cast("string")).as("__loc"))
+      .distinct()
+    // refuse an inconsistent snapshot: one source, two distinct targets
+    val map = rows
+      .join(rows.groupBy("__src").agg(count(lit(1)).as("__n")), "__src")
+      .select(
+        when(col("__n") > 1, raise_error(concat(
+          lit("resolveRedirects: conflicting redirect rows for "),
+          col("__src")))).otherwise(col("__src")).as("__src"),
+        col("__st"), col("__loc"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // walk state: hop 1 already taken by construction
+    var state = map.select(
+      col("__src").as("url"), col("__loc").as("cur"), lit(1L).as("hops"),
+      col("__st").isin(301, 308).as("perm"),
+      array(col("__src")).as("visited"),
+      lit(null).cast("string").as("outcome"))
+    var retained: Option[DataFrame] = None
+    for (_ <- 1 to maxHops) {
+      val open = col("outcome").isNull
+      val resolvedC = open && col("__src").isNull
+      val loopC = open && col("__src").isNotNull &&
+        (array_contains(col("visited"), col("__loc")) ||
+          col("__loc") === col("cur"))
+      val excC = open && col("__src").isNotNull && !loopC &&
+        (col("hops") + 1 > maxHops)
+      val terminal = resolvedC || loopC || excC
+      val stepped = state
+        .join(map, state("cur") === map("__src") && state("outcome").isNull,
+          "left")
+        .select(
+          state("url"),
+          when(!open || terminal, col("cur")).otherwise(col("__loc"))
+            .as("cur"),
+          when(!open || terminal, col("hops")).otherwise(col("hops") + 1)
+            .as("hops"),
+          when(!open || resolvedC, col("perm"))
+            .when(loopC || excC, lit(false))
+            .otherwise(col("perm") && col("__st").isin(301, 308)).as("perm"),
+          when(!open || terminal, col("visited"))
+            .otherwise(concat(col("visited"), array(col("cur"))))
+            .as("visited"),
+          when(!open, col("outcome"))
+            .when(resolvedC, lit("resolved"))
+            .when(loopC, lit("loop"))
+            .when(excC, lit("exceeded"))
+            .otherwise(lit(null).cast("string")).as("outcome"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      stepped.count() // materialize while the previous round's cache lives
+      val barrier = spark.createDataFrame(stepped.rdd, stepped.schema)
+      retained.foreach(_.unpersist(false))
+      retained = Some(stepped)
+      state = barrier
+    }
+    map.unpersist(false)
+    // maxHops rounds terminate every row (hops caps at maxHops, and a
+    // capped row terminates the next round) — the guard is defensive
+    state.select(
+      col("url"),
+      when(col("outcome").isNull, raise_error(concat(
+        lit("resolveRedirects: walk did not terminate for "), col("url"))))
+        .when(col("outcome") === "resolved", col("cur")).as("final_url"),
+      col("hops"),
+      (col("outcome") === "resolved" && col("perm")).as("permanent"),
+      col("outcome"))
+  }
+
+  /** Fold PERMANENT resolved redirects into a url-keyed table — the
+    * identity migration ([[resolveRedirects]]' scaladoc: only a chain
+    * permanent end-to-end renames; temporary/loop/exceeded rows never
+    * do). Every row of `table` whose `urlCol` permanently moved gets
+    * `urlCol := final_url`; all other rows pass through untouched — so
+    * a migrated fetch history carries the old URL's validators under
+    * the NEW name and [[revalidationPlan]] issues conditional requests
+    * for the page's current address instead of tracking the same page
+    * under two keys forever. If the target already has rows, the two
+    * histories MERGE (set semantics — the same representation fetched
+    * under its old and new name); the `tsCol`-unique-per-URL contract
+    * of the history walks must hold post-merge, which real fetch
+    * timestamps satisfy. One url-keyed left join against a moves table
+    * bounded by the redirect wave (AQE broadcasts it); the table's
+    * payload columns never ride a shuffle. */
+  def applyRedirectMoves(table: DataFrame, urlCol: String,
+      resolved: DataFrame): DataFrame = {
+    val moves = resolved
+      .filter(col("outcome") === "resolved" && col("permanent"))
+      .select(col("url").as("__rfrom"), col("final_url").as("__rto"))
+    table.join(moves, col(urlCol) === col("__rfrom"), "left")
+      .withColumn(urlCol, coalesce(col("__rto"), col(urlCol)))
+      .drop("__rfrom", "__rto")
+  }
+
+  /** Committed REDIRECT-MOVES table reader — [[resolveRedirects]]'
+    * output schema `(url, final_url, hops, permanent, outcome)` under
+    * the [[seenUrls]] listing discipline (committed data files only;
+    * `excludeTag` hides a tag's own partial files during its replay).
+    * Empty/absent table reads as an empty frame with the full schema,
+    * so [[applyRedirectMoves]] composes without special-casing the
+    * first wave. */
+  def redirectMoves(spark: org.apache.spark.sql.SparkSession, path: String,
+      excludeTag: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructField, StructType}
+    val fs = graft.core.Discovery.fileSystemFor(path,
+      spark.sessionState.newHadoopConf())
+    val root = new org.apache.hadoop.fs.Path(path)
+    val files =
+      if (!fs.exists(root)) Seq.empty[String]
+      else fs.listStatus(root).toSeq
+        .filter(_.isFile)
+        .map(_.getPath)
+        .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
+        .filterNot(p => excludeTag.exists(t =>
+          p.getName.startsWith(graft.core.TaggedAppend.filePrefix(t))))
+        .map(_.toString)
+    val schema = StructType(Seq(
+      StructField("url", StringType), StructField("final_url", StringType),
+      StructField("hops", LongType), StructField("permanent", BooleanType),
+      StructField("outcome", StringType)))
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(files: _*)
+  }
+
+  /** The fetch wave a resolved redirect set enqueues: every RESOLVED
+    * landing page, permanent or temporary (a 302/307 target is fetched
+    * WITHOUT renaming the source — next wave the source is re-tried and
+    * may redirect elsewhere, which is the point of a temporary
+    * redirect). Loop/exceeded chains enqueue nothing — their flag rows
+    * are the signal. Feed through [[seenDiff]] → [[schedule]] /
+    * [[capPerHost]] like any discovery wave. */
+  def redirectTargets(resolved: DataFrame): DataFrame =
+    resolved.filter(col("outcome") === "resolved")
+      .select(col("final_url").as("url")).distinct()
+
   /** RSS/Atom feed change discovery — feeds enter the frontier the way
     * sitemaps do (the t56 seam), but carry CHANGE signal: an entry names
     * a page the publisher says is new or updated, so polling feeds finds
@@ -791,10 +979,15 @@ object Frontier {
   def retryAfterEmbargo(log: DataFrame, urlCol: String, tsCol: String,
       statusCol: String, headerCol: String, nowSec: Long): DataFrame = {
     val st = col(statusCol).cast("int")
+    // both RFC 9110 §10.2.3 forms: delta-seconds is relative to the
+    // response time (ts + delta), an IMF-fixdate is already absolute;
+    // delta keeps precedence (both present can't happen — one header)
     val ra = TextFunctions.retryAfterSeconds(col(headerCol))
+    val rad = TextFunctions.retryAfterDateEpoch(col(headerCol))
     log
       .select(TextFunctions.urlHost(col(urlCol)).as("host"),
-        when(st.isin(429, 503), col(tsCol).cast("long") + ra).as("__nb"))
+        when(st.isin(429, 503),
+          coalesce(col(tsCol).cast("long") + ra, rad)).as("__nb"))
       .filter(col("__nb").isNotNull)
       .groupBy("host")
       .agg(max(col("__nb")).as("not_before"))

@@ -692,6 +692,49 @@ object Streams {
         ()
     }
 
+  /** [[seenIngest]]'s analog for the REDIRECT-MOVES table — the 3xx
+    * half of the fetch-outcome stream: each micro-batch of redirect
+    * responses (fixed schema `url, status, location` — select/rename
+    * upstream) resolves through
+    * [[graft.operators.Frontier.resolveRedirects]] and appends the
+    * resolved rows `(url, final_url, hops, permanent, outcome)` under
+    * the checkpoint-keyed batch tag; the commit marker skips
+    * fully-committed batches, so a crash at any point then replay
+    * converges (resolution is a pure function of the batch).
+    * CHAINS ARE BATCH-LOCAL: a fetcher that follows redirects observes
+    * the whole chain in one wave, so each batch must carry its chains
+    * complete — a chain split across batches resolves each fragment
+    * independently. Downstream,
+    * [[graft.operators.Frontier.redirectMoves]] reads the live table
+    * and [[graft.operators.Frontier.applyRedirectMoves]] folds the
+    * permanent moves into any url-keyed table. */
+  def redirectIngest(
+      redirects: DataFrame,
+      movesPath: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxHops: Int = 5): StreamingQuery =
+    appendIngest(redirects, checkpoint, trigger, "redirectIngest") {
+      (batch, batchId) =>
+        redirectIngestBatch(batch, batchId, movesPath, checkpoint, maxHops)
+    }
+
+  /** One micro-batch of [[redirectIngest]], exposed for direct
+    * crash-replay testing. Returns false when already committed. */
+  private[graft] def redirectIngestBatch(
+      batch: DataFrame,
+      batchId: Long,
+      movesPath: String,
+      checkpoint: String,
+      maxHops: Int = 5): Boolean =
+    appendIngestBatch(batch, batchId, movesPath, checkpoint, "redirect") {
+      (_, tag) =>
+        val resolved = graft.operators.Frontier.resolveRedirects(
+          batch, "url", "status", "location", maxHops)
+        graft.core.TaggedAppend.append(resolved, movesPath, tag)
+        ()
+    }
+
   /** [[ivfIngest]]'s analog for the persisted INVERTED INDEX
     * ([[graft.operators.Retrieval.invertedIndexBuildAndWrite]]): each
     * micro-batch of documents appends its postings AND its stats row

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Frontier
+
+/** HTTP 3xx redirect-chain resolution: chain walks, permanence
+  * semantics, loop/exceeded flags, identity migration into the fetch
+  * history, and the refuse-loudly edges. */
+class RedirectSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rmap(rows: (String, Int, String)*) =
+    rows.toSeq.toDF("url", "status", "location")
+
+  test("chains resolve with hop counts and end-to-end permanence") {
+    val r = Frontier.resolveRedirects(rmap(
+        ("a", 301, "b"), ("b", 308, "c"),        // all-permanent chain
+        ("p", 301, "q"), ("q", 302, "r"),        // one temporary hop
+        ("x", 307, "y")),                        // single temporary hop
+      "url", "status", "location").collect()
+      .map(x => x.getString(0) -> ((Option(x.getString(1)).orNull,
+        x.getLong(2), x.getBoolean(3), x.getString(4)))).toMap
+    assert(r("a") == (("c", 2L, true, "resolved")), r.toString)
+    assert(r("b") == (("c", 1L, true, "resolved")), r.toString)
+    assert(r("p") == (("r", 2L, false, "resolved")),
+      "one 302 hop anywhere must defeat permanence: " + r.toString)
+    assert(r("q") == (("r", 1L, false, "resolved")), r.toString)
+    assert(r("x") == (("y", 1L, false, "resolved")), r.toString)
+  }
+
+  test("loops and over-long chains flag instead of resolving") {
+    val r = Frontier.resolveRedirects(rmap(
+        ("l1", 301, "l2"), ("l2", 301, "l1"),    // 2-cycle
+        ("s", 301, "s"),                          // self-redirect
+        ("c0", 301, "c1"), ("c1", 301, "c2"), ("c2", 301, "c3"),
+        ("c3", 301, "c4")),                       // 4-hop tail from c0
+      "url", "status", "location", maxHops = 3).collect()
+      .map(x => x.getString(0) -> ((Option(x.getString(1)).orNull,
+        x.getLong(2), x.getBoolean(3), x.getString(4)))).toMap
+    // hops counts redirects actually FOLLOWED: the revisiting hop is
+    // detected, never taken, so a 2-cycle flags at hops=1
+    assert(r("l1") == ((null, 1L, false, "loop")), r.toString)
+    assert(r("l2") == ((null, 1L, false, "loop")), r.toString)
+    assert(r("s") == ((null, 1L, false, "loop")), r.toString)
+    // c0 needs 4 hops > 3 -> exceeded at the bound; c1 resolves in 3
+    assert(r("c0") == ((null, 3L, false, "exceeded")), r.toString)
+    assert(r("c1") == (("c4", 3L, true, "resolved")), r.toString)
+    assert(r("c2") == (("c4", 2L, true, "resolved")), r.toString)
+  }
+
+  test("refusals: non-3xx status, null location, conflicting snapshot") {
+    intercept[Exception] {
+      Frontier.resolveRedirects(rmap(("a", 200, "b")),
+        "url", "status", "location").collect()
+    }
+    intercept[Exception] {
+      Frontier.resolveRedirects(
+        Seq(("a", 301, null.asInstanceOf[String]))
+          .toDF("url", "status", "location"),
+        "url", "status", "location").collect()
+    }
+    intercept[Exception] {
+      Frontier.resolveRedirects(rmap(("a", 301, "b"), ("a", 301, "c")),
+        "url", "status", "location").collect()
+    }
+    // exact duplicate rows are NOT a conflict (the same observation twice)
+    val ok = Frontier.resolveRedirects(
+      rmap(("a", 301, "b"), ("a", 301, "b")),
+      "url", "status", "location").collect()
+    assert(ok.length == 1 && ok.head.getString(1) == "b")
+  }
+
+  test("permanent moves migrate fetch-history identity; temporary don't") {
+    val resolved = Frontier.resolveRedirects(rmap(
+        ("old", 308, "new"), ("tmp", 302, "t2")),
+      "url", "status", "location")
+    val hist = Seq(
+      ("old", 10L, "h1", "e1", 50L), ("old", 20L, "h2", "e2", 60L),
+      ("new", 30L, "h3", "e3", 70L), ("tmp", 40L, "h4", "e4", 80L),
+      ("other", 50L, "h5", "e5", 90L))
+      .toDF("url", "ts", "h", "etag", "lm")
+    val moved = Frontier.applyRedirectMoves(hist, "url", resolved)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    // old's rows follow it to new (merging with new's own); tmp stays
+    assert(moved == Seq(("new", 10L), ("new", 20L), ("new", 30L),
+      ("other", 50L), ("tmp", 40L)), moved.toString)
+    // the composed t94 claim: validators follow the moved URL — the
+    // revalidation plan for `new` carries e2 (old's latest validator
+    // predates new's own row at ts 30 -> latest is h3/e3)
+    val plan = Frontier.revalidationPlan(
+        Frontier.applyRedirectMoves(hist, "url", resolved),
+        "url", "ts", "h", "etag", "lm",
+        nowSec = 1000L, baseSec = 100L, minSec = 10L, maxSec = 800L)
+      .filter(col("url") === "new").collect().head
+    assert(plan.getLong(1) == 3L && plan.getString(6) == "e3",
+      plan.toString)
+    // enqueue wave: both landing pages, no flags
+    val targets = Frontier.redirectTargets(resolved)
+      .as[String].collect().sorted.toSeq
+    assert(targets == Seq("new", "t2"), targets.toString)
+  }
+}

@@ -127,6 +127,34 @@ class Round19FixSpec extends SparkSpec {
     assert(PdfImpl.extract(withImg).toString == "body")
   }
 
+  test("Retry-After: IMF-fixdate parses to epoch, malformed dates are null") {
+    import graft.functions.TextFunctions
+    val rows = Seq(
+      "Thu, 01 Jan 1970 02:00:00 GMT",   // epoch 7200
+      " Sun, 06 Nov 1994 08:49:37 GMT ", // RFC 9110's own example
+      "Fri, 31 Dec 1999 23:59:59 GMT",
+      "Mon, 06 Nov 1994 08:49:37 GMT",   // WRONG day name: strict -> null
+      "06 Nov 1994 08:49:37 GMT",        // missing day-name token
+      "Thu, 01 Jan 1970 02:00:00",       // missing zone
+      "tomorrow", "", "120")             // garbage / delta form is not a date
+      .toDF("h")
+    val got = rows.select(
+      TextFunctions.retryAfterDateEpoch(col("h")).as("e")).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+    assert(got == Seq(Some(7200L), Some(784111777L), Some(946684799L),
+      None, None, None, None, None, None), got.toString)
+    // composition: a 503 with a date embargoes at the ABSOLUTE instant
+    // (never ts + anything); delta keeps ts-relative semantics
+    val log = Seq(
+      ("http://a.com/1", 100L, 503, "Thu, 01 Jan 1970 02:00:00 GMT"),
+      ("http://b.com/1", 100L, 429, "50")).toDF("url", "ts", "st", "ra")
+    val r = graft.operators.Frontier.retryAfterEmbargo(log, "url", "ts",
+        "st", "ra", nowSec = 1000L).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getBoolean(2)))).toMap
+    assert(r("a.com") == ((7200L, true)) && r("b.com") == ((150L, false)),
+      r.toString)
+  }
+
   test("hardNegatives: finite candidateK bounds the pool on the rounded key") {
     // three docs match the query with strictly decreasing score
     // (tf 3 > 2 > 1 at equal dl); candidateK=2 keeps {d1,d2}, the
