@@ -137,6 +137,42 @@ object Fixtures {
       rows.toDF("doc_id", "payload").coalesce(1).write.mode("overwrite").parquet(dir)
     }
 
+  /** GIF/WebP re-encodes of [[pngPixelDocs]]' EXACT pixels (the
+    * `(id + x·3 + y·5 + c·11) mod 256` closed form at the same dims):
+    * even doc_ids a single-frame GIF (the ≤224-pixel images stay under
+    * GIF's 256-color ceiling by construction), odd doc_ids a
+    * literal-only VP8L WebP with the 4th-channel alpha following the
+    * same formula — so each web image dHashes IDENTICALLY to its PNG
+    * twin and the cross-format join is replayable in closed form. */
+  def webpGifDocs(spark: SparkSession, sfDir: String): String =
+    cached("webp_gif_docs", sfDir) { dir =>
+      import spark.implicits._
+      import graft.functions.ImageCodecs
+      val ids = table(spark, sfDir, "documents").select("doc_id")
+        .as[Long].collect().sorted
+      val rows = ids.toSeq.map { id =>
+        val w = (id % 13).toInt + 4
+        val h = (id % 11).toInt + 4
+        def v(x: Int, y: Int, c: Int): Int =
+          (((id + x * 3 + y * 5 + c * 11) % 256 + 256) % 256).toInt
+        val payload =
+          if (id % 2 == 0) {
+            val rgb = Array.tabulate(w * h * 3) { i =>
+              val p = i / 3; v(p % w, p / w, i % 3).toByte
+            }
+            ImageCodecs.gifEncode(w, h, rgb)
+          } else {
+            val rgba = Array.tabulate(w * h * 4) { i =>
+              val p = i / 4; v(p % w, p / w, i % 4).toByte
+            }
+            ImageCodecs.webpEncode(w, h, rgba)
+          }
+        (id, payload)
+      }
+      rows.toDF("doc_id", "payload").coalesce(1).write.mode("overwrite")
+        .parquet(dir)
+    }
+
   /** Full-JPEG analog of [[pngPixelDocs]]: one COMPLETE deterministic
     * baseline JPEG per doc (real Annex-K Huffman entropy data, byte
     * stuffing, DC-only frequency-domain construction so decode is exact),

@@ -4791,6 +4791,64 @@ object SparkEntry {
       .select("doc_id", "n_bpe_exact").orderBy("doc_id")
   }
 
+  /** The byte-level BPE gates' corpus: the documents table plus two
+    * planted multi-byte rows (Latin diacritics, CJK, an emoji — a
+    * non-BMP code point — and a doubled-space run) proving the no-OOV
+    * contract on text a word-level tokenizer can only lump whole. */
+  private def byteBpeDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .unionByName(Seq(
+        (100000L, "Grüße 知识 🚀🚀 naïve,  doubled  spaces!"),
+        (100001L, "¡Olé! Ωmega ß42"))
+        .toDF("doc_id", "text"))
+  }
+
+  /** Corpus-exact byte-level pre-token histogram
+    * ([[graft.functions.ByteBpe.pretokenHistogram]]) — the byte-BPE
+    * trainer's INPUT, recomputed by the oracle from scratch with the
+    * same RE2-safe pre-tokenizer (leading-space word runs, number runs,
+    * punctuation runs, explicit whitespace class). The planted
+    * multi-byte rows put diacritics/CJK/emoji pre-tokens in the
+    * histogram itself. */
+  private def t3d_bytebpe_vocab(s: SparkSession, dir: String): DataFrame =
+    graft.functions.ByteBpe.pretokenHistogram(
+        byteBpeDocs(s, dir), "text", maxVocab = 512)
+      .orderBy("vocab_rank")
+
+  private val ByteBpeMergesFixture =
+    "/tmp/graft_fixtures/t40c_bytebpe_merges.parquet"
+  private val ByteBpeAlphabetFixture =
+    "/tmp/graft_fixtures/t40c_bytebpe_alphabet.parquet"
+
+  /** Byte-level BPE counts over the corpus-exact trainer
+    * ([[graft.functions.ByteBpe.trainFromCorpusExact]]): the oracle
+    * rebuilds every pre-token's symbol string from this gate's OWN
+    * alphabet fixture (hex(encode(w)) joined two chars at a time — no
+    * lookahead, no blob surgery), replays the merges fixture in rank
+    * order to fixpoint (sequentialReplaySafe required, t3b's lesson),
+    * and recounts — so a drift in pre-tokenization, byte mapping, merge
+    * application or counting all break the hash. Whitespace runs COUNT
+    * (byte-level BPE represents formatting); the planted emoji row
+    * proves no-OOV end to end. */
+  private def t40c_bytebpe_counts(s: SparkSession, dir: String): DataFrame = {
+    val docs = byteBpeDocs(s, dir)
+    val model = graft.functions.ByteBpe.trainFromCorpusExact(
+      docs, "text", numMerges = 200, maxVocab = 4096)
+    require(graft.functions.Bpe.sequentialReplaySafe(model.model.merges),
+      "trained byte-BPE merges are not sequentially replayable — the " +
+        "DuckDB oracle's rank-order replay would diverge")
+    import s.implicits._
+    model.model.merges.zipWithIndex
+      .map { case ((l, r), i) => (i, l, r) }
+      .toDF("merge_rank", "lhs", "rhs")
+      .coalesce(1).write.mode("overwrite").parquet(ByteBpeMergesFixture)
+    graft.functions.ByteBpe.alphabetTable(s)
+      .coalesce(1).write.mode("overwrite").parquet(ByteBpeAlphabetFixture)
+    graft.functions.ByteBpe.tokenCount(docs, "text", model, "n_bpe_byte")
+      .select("doc_id", "n_bpe_byte").orderBy("doc_id")
+  }
+
   private val BpeEncodeFixture = "/tmp/graft_fixtures/t40_bpe_merges.parquet"
 
   /** Full BPE ENCODE to id sequences — the trainer-facing tokenizer
@@ -5997,6 +6055,31 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Cross-format image dedup EXTENDED to the web's other two formats
+    * ([[graft.operators.Multimodal.decodeWebImageDHash]] over the
+    * [[Fixtures.webpGifDocs]] re-encodes — GIF on evens, VP8L WebP on
+    * odds): every web image must land in its PNG twin's dHash cluster
+    * through the shared [[graft.operators.Multimodal.dhashFromPixels]]
+    * core. The oracle replays the closed-form hash for both sides and
+    * the exact-hash join (accidental collisions included) — a drift in
+    * EITHER codec's pixel output breaks the hash. */
+  private def m22_webformat_dedup(s: SparkSession, dir: String): DataFrame = {
+    val web = Multimodal.decodeWebImageDHash(
+        s.read.parquet(Fixtures.webpGifDocs(s, dir)))
+      .filter(col("dhash.format").isin("gif", "webp"))
+      .select(col("doc_id"), col("dhash.format").as("format"),
+        col("dhash.hash_hi").as("hash_hi"),
+        col("dhash.hash_lo").as("hash_lo"))
+    val png = Multimodal.decodePngDHash(
+        s.read.parquet(Fixtures.pngPixelDocs(s, dir)))
+      .filter(col("dhash.format") === "png")
+      .select(col("dhash.hash_hi").as("hash_hi"),
+        col("dhash.hash_lo").as("hash_lo"))
+    web.join(png, Seq("hash_hi", "hash_lo"))
+      .groupBy("doc_id", "format").agg(count(lit(1)).as("n_png_matches"))
+      .orderBy("doc_id")
+  }
+
   private def m2_audio(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeAudioMeta(s.read.parquet(Fixtures.audioDocs(s, dir)))
       .select(col("doc_id"), col("audio_meta.sample_rate"),
@@ -7129,6 +7212,8 @@ object SparkEntry {
     "t3b_tokens_bpe" -> (t3b_tokens_bpe _),
     "t3c_bpe_vocab_exact" -> (t3c_bpe_vocab_exact _),
     "t40b_bpe_exact_counts" -> (t40b_bpe_exact_counts _),
+    "t3d_bytebpe_vocab" -> (t3d_bytebpe_vocab _),
+    "t40c_bytebpe_counts" -> (t40c_bytebpe_counts _),
     "t4_fingerprint" -> (t4_fingerprint _),
     "t5_quality_filter" -> (t5_quality_filter _),
     "t6_redact_pii" -> (t6_redact_pii _),
@@ -7165,6 +7250,7 @@ object SparkEntry {
     "m19_audio_vad" -> (m19_audio_vad _),
     "m20_pdf_images" -> (m20_pdf_images _),
     "m21_crossformat_dedup" -> (m21_crossformat_dedup _),
+    "m22_webformat_dedup" -> (m22_webformat_dedup _),
     "ml6_confusion" -> (ml6_confusion _),
     "ml7_confusion_sweep" -> (ml7_confusion_sweep _),
     "t91_jsonld" -> (t91_jsonld _),
@@ -10763,6 +10849,77 @@ object SparkEntry {
                FROM h)
          SELECT word, freq, vocab_rank FROM r
          WHERE vocab_rank <= 512 ORDER BY vocab_rank""",
+    // the byte-level trainer's INPUT recomputed from scratch: the
+    // RE2-safe pre-tokenizer (identical segmentation under Java regex
+    // and RE2 — first-char-disjoint alternatives, explicit whitespace
+    // class), frequency-ranked with the deterministic cap boundary
+    "t3d_bytebpe_vocab" ->
+      """WITH docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT * FROM (VALUES
+             (100000, 'Grüße 知识 🚀🚀 naïve,  doubled  spaces!'),
+             (100001, '¡Olé! Ωmega ß42'))),
+         pt AS (SELECT unnest(regexp_extract_all(text,
+             '( ?\p{L}+| ?\p{N}+| ?[^ \t\n\f\r\p{L}\p{N}]+|[ \t\n\f\r]+)'))
+             AS pretoken
+           FROM docs WHERE text IS NOT NULL),
+         h AS (SELECT pretoken, CAST(count(*) AS BIGINT) AS freq
+               FROM pt GROUP BY pretoken),
+         r AS (SELECT pretoken, freq,
+                 CAST(row_number() OVER (ORDER BY freq DESC, pretoken)
+                   AS BIGINT) AS vocab_rank
+               FROM h)
+         SELECT pretoken, freq, vocab_rank FROM r
+         WHERE vocab_rank <= 512 ORDER BY vocab_rank""",
+    // full byte-level replay from this gate's own fixtures: pre-token →
+    // hex(encode(..)) → per-byte symbol join against the alphabet →
+    // rank-order merge fixpoint → per-document count (whitespace runs
+    // count; the emoji row proves no-OOV)
+    "t40c_bytebpe_counts" ->
+      """WITH RECURSIVE
+         merges AS (SELECT CAST(merge_rank AS INT) AS r, lhs, rhs
+                    FROM read_parquet('/tmp/graft_fixtures/t40c_bytebpe_merges.parquet/*.parquet')),
+         nm AS (SELECT COALESCE(max(r) + 1, 0) AS n FROM merges),
+         bmap AS (SELECT byte_hex, sym
+                  FROM read_parquet('/tmp/graft_fixtures/t40c_bytebpe_alphabet.parquet/*.parquet')),
+         docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT * FROM (VALUES
+             (100000, 'Grüße 知识 🚀🚀 naïve,  doubled  spaces!'),
+             (100001, '¡Olé! Ωmega ß42'))),
+         pt AS (SELECT doc_id, unnest(regexp_extract_all(text,
+             '( ?\p{L}+| ?\p{N}+| ?[^ \t\n\f\r\p{L}\p{N}]+|[ \t\n\f\r]+)'))
+             AS w
+           FROM docs WHERE text IS NOT NULL),
+         vocab AS (SELECT DISTINCT w FROM pt),
+         vb AS (SELECT w, hex(encode(w)) AS hx FROM vocab),
+         bi AS (SELECT w, hx, unnest(range(1, length(hx) // 2 + 1)) AS i
+                FROM vb),
+         sym AS (SELECT bi.w,
+                   ' ' || string_agg(bmap.sym, ' ' ORDER BY bi.i) || ' ' AS s
+                 FROM bi JOIN bmap
+                   ON substr(bi.hx, CAST(bi.i * 2 - 1 AS BIGINT), 2)
+                      = bmap.byte_hex
+                 GROUP BY bi.w),
+         steps AS (
+           SELECT w, s, 0 AS i FROM sym
+           UNION ALL
+           SELECT w, s2 AS s, CASE WHEN s2 = s THEN i + 1 ELSE i END AS i
+           FROM (SELECT st.w, st.s, st.i,
+                   replace(st.s, ' ' || m.lhs || ' ' || m.rhs || ' ',
+                                 ' ' || m.lhs || m.rhs || ' ') AS s2
+                 FROM steps st JOIN merges m ON m.r = st.i) x),
+         fin AS (SELECT w,
+                   CAST(length(s) - length(replace(s, ' ', '')) - 1 AS BIGINT)
+                     AS ntok
+                 FROM steps, nm WHERE i = nm.n),
+         percount AS (SELECT pt.doc_id, CAST(sum(fin.ntok) AS BIGINT) AS c
+                      FROM pt JOIN fin USING (w) GROUP BY pt.doc_id)
+         SELECT d.doc_id, CAST(COALESCE(p.c, 0) AS BIGINT) AS n_bpe_byte
+         FROM docs d LEFT JOIN percount p USING (doc_id)
+         ORDER BY doc_id""",
     // t3b's merge-application replay over the corpus-exact trainer's
     // fixture (training-input exactness is t3c's oracle; this one pins
     // that the exactly-trained merges apply and count identically)
@@ -13058,6 +13215,42 @@ object SparkEntry {
                ELSE 0 END) AS BIGINT) AS lo
            FROM b GROUP BY doc_id)
          SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_pdf_matches
+         FROM hsh a JOIN hsh p ON p.hi = a.hi AND p.lo = a.lo
+         GROUP BY a.doc_id ORDER BY a.doc_id""",
+    // m21's closed-form dHash on BOTH sides of the web-format join:
+    // the GIF/WebP re-encodes carry pixel-identical images, so their
+    // hashes equal the PNG side's closed form; the exact-hash join
+    // (collisions included) and the format labels replay exactly
+    "m22_webformat_dedup" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(doc_id % 13 + 4 AS INT) AS w,
+             CAST(doc_id % 11 + 4 AS INT) AS h
+           FROM documents),
+         g AS (SELECT d.doc_id, p.p % 9 AS x, p.p // 9 AS y,
+             (299 * ((d.doc_id + ((p.p % 9) * d.w // 9) * 3
+                      + ((p.p // 9) * d.h // 8) * 5) % 256)
+            + 587 * ((d.doc_id + ((p.p % 9) * d.w // 9) * 3
+                      + ((p.p // 9) * d.h // 8) * 5 + 11) % 256)
+            + 114 * ((d.doc_id + ((p.p % 9) * d.w // 9) * 3
+                      + ((p.p // 9) * d.h // 8) * 5 + 22) % 256)) // 1000
+             AS gray
+           FROM d, UNNEST(range(0, 72)) AS p(p)),
+         b AS (SELECT a.doc_id, a.x, a.y,
+             CASE WHEN a.gray < c.gray THEN 1 ELSE 0 END AS bit
+           FROM g a JOIN g c
+             ON a.doc_id = c.doc_id AND a.y = c.y AND c.x = a.x + 1
+           WHERE a.x < 8),
+         hsh AS (SELECT doc_id,
+             CAST(SUM(CASE WHEN y * 8 + x >= 32
+               THEN CAST(bit AS BIGINT) << (y * 8 + x - 32)
+               ELSE 0 END) AS BIGINT) AS hi,
+             CAST(SUM(CASE WHEN y * 8 + x < 32
+               THEN CAST(bit AS BIGINT) << (y * 8 + x)
+               ELSE 0 END) AS BIGINT) AS lo
+           FROM b GROUP BY doc_id)
+         SELECT a.doc_id,
+           CASE WHEN a.doc_id % 2 = 0 THEN 'gif' ELSE 'webp' END AS format,
+           CAST(count(*) AS BIGINT) AS n_png_matches
          FROM hsh a JOIN hsh p ON p.hi = a.hi AND p.lo = a.lo
          GROUP BY a.doc_id ORDER BY a.doc_id""",
     // m11's closed-form hashes -> BRUTE-FORCE Hamming<=3 pairs: the

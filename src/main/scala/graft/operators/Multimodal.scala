@@ -755,6 +755,36 @@ object Multimodal {
       }
     }
 
+  /** Batched dHash over WEB image payloads — GIF and WebP-VP8L
+    * ([[graft.functions.ImageCodecs]]), the two formats that dominate
+    * real crawled images next to PNG/JPEG: sniff the container, decode
+    * to pixels, hash through the shared format-independent
+    * [[dhashFromPixels]] so GIF/WebP copies land in the SAME clusters
+    * as their PNG/JPEG/PDF originals. `format` ∈ {"gif", "webp",
+    * "undecodable"}; null hash halves outside the decode envelope.
+    * Executor-side mapPartitions like every codec here. */
+  def decodeWebImageDHash(df: DataFrame, payloadCol: String = "payload",
+      hashCol: String = "dhash"): DataFrame =
+    decodeMeta(df, payloadCol, hashCol, dhashType) { bytes =>
+      import graft.functions.ImageCodecs
+      val decoded =
+        if (bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'I' &&
+          bytes(2) == 'F') ImageCodecs.gifDecode(bytes).map(("gif", _))
+        else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
+          bytes(2) == 'F' && bytes(3) == 'F')
+          ImageCodecs.webpDecode(bytes).map(("webp", _))
+        else None
+      decoded match {
+        case Some((fmt, (w, h, ch, px))) =>
+          val ints = new Array[Int](px.length)
+          var i = 0
+          while (i < px.length) { ints(i) = px(i) & 0xff; i += 1 }
+          val (hi, lo) = dhashFromPixels(w, h, ch, ints)
+          Row(fmt, hi, lo)
+        case None => Row("undecodable", null, null)
+      }
+    }
+
   /** PDF embedded-image extraction + perceptual hashing: each payload's
     * image XObjects ([[graft.functions.PdfImpl.images]]) explode to one
     * row per image — `(image_ix, width, height, channels, filter,
