@@ -134,7 +134,18 @@ object Bench {
     // the composed control loop (headline only: its pieces' slopes are
     // t94/t104/t105/t98's, each measured separately)
     "t103_politeness_audit", "t104_host_health", "t105_retry_after",
-    "t106_crawl_control")
+    "t106_crawl_control",
+    // round-19: redirect-chain resolution (maxHops bounded-join rounds
+    // over the wave-sized map), the migration fold composed with the
+    // revalidation plan, the retained-suffix walk, the budgeted wave
+    // (t106 + rank budget + per-host cap in one query), the byte-level
+    // pre-token histogram, and cross-format dedup extended to GIF/WebP
+    // (headline only, not scaleSet: the webp_gif fixture builds
+    // driver-side — the m11/m21 caveat; the decode kernels are the
+    // same map-side codec shape t50 slope-measures)
+    "t107_redirects", "t107b_redirect_migration",
+    "t94b_revalidation_retained", "t108_budgeted_wave",
+    "t3d_bytebpe_vocab", "m22_webformat_dedup")
 
   /** Queries measured on the replicated corpus for the scaling slope —
     * the shuffle-heavy pipeline shapes whose 100 TB behavior a plan read
@@ -282,7 +293,20 @@ object Bench {
     // t103: replica urls keep 9 hosts, per-host windows widen x10 —
     // the t54d keyed-window growth shape on narrow (host, ts) rows.
     // t104: pure map-side classify + one combine-friendly aggregate
-    "t103_politeness_audit", "t104_host_health", "t105_retry_after")
+    "t103_politeness_audit", "t104_host_health", "t105_retry_after",
+    // round-19. t107: the redirect map grows x10 with replica-disjoint
+    // bounded chains (1e8 ≡ 0 mod 10 keeps the d%10 chain structure;
+    // planted loop/long-chain rows stay constant) — maxHops rounds of a
+    // wave-sized equi-join, linear by construction. t94b: t94's
+    // groupBy+walk shape with the suffix slice — per-url lists stay
+    // 1x-sized. t108: replica ids keep the SAME 20 hosts (1e8 ≡ 0 mod
+    // 20) so the budget table is constant while per-host rank windows
+    // widen x10 — the t54d keyed-window growth shape; the budget cut
+    // keeps output 60-bounded (the frontier property). t3d: distinct
+    // pretokens grow x10 (suffixed replicas) under the vocab-bounded
+    // rank window + cap — t63b's histogram growth shape.
+    "t107_redirects", "t94b_revalidation_retained", "t108_budgeted_wave",
+    "t3d_bytebpe_vocab")
 
   /** Materialize a `factor`×-replicated copy of the FACT tables the scale
     * set reads (documents, lineitem, orders, events) plus 1× copies of

@@ -3295,6 +3295,38 @@ object SparkEntry {
       .orderBy("url")
   }
 
+  /** t94's composed plan under RETENTION
+    * ([[graft.operators.Frontier.revalidationPlan]] `maxEvents = 3`):
+    * per-URL state is bounded permanently — only each URL's last three
+    * history rows enter the walk, so `n_fetches` caps at 3 and the
+    * interval replays from the suffix. The oracle renumbers each URL's
+    * suffix and replays the same recursive walk over it — a retention
+    * window that kept the wrong rows (or renumbered off by one) breaks
+    * every multi-fetch URL's hash. */
+  private def t94b_revalidation_retained(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val url = concat(lit("https://h"), (col("doc_id") % 20).cast("string"),
+      lit(".example.com/p"), col("doc_id").cast("string"))
+    val hist = docs
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("doc_id") % 4)).as("i"))
+      .select(col("doc_id"), url.as("url"),
+        (col("doc_id") * 1000 + col("i") * 100).as("ts"),
+        concat(lit("v"), floor(col("i") /
+          (lit(1) + col("doc_id") % 2)).cast("long").cast("string")).as("h"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("et-"), col("doc_id").cast("string"), lit("-"),
+            col("i").cast("string"))).as("etag"),
+        when(col("doc_id") % 3 === 0,
+          col("doc_id") * 1000 + col("i") * 100).as("lm"))
+      .drop("doc_id", "i")
+    graft.operators.Frontier.revalidationPlan(
+        hist, "url", "ts", "h", "etag", "lm",
+        nowSec = 10000500L, baseSec = 400L, minSec = 100L, maxSec = 1600L,
+        maxEvents = 3)
+      .orderBy("url")
+  }
+
   /** RSS/Atom feed change discovery feeding the frontier (the t56
     * sitemap seam's third leg): per site, even sites publish an Atom
     * feed (entries with `<link rel="alternate" href>` + padded
@@ -3740,6 +3772,69 @@ object SparkEntry {
         graft.operators.Frontier.applyRedirectMoves(hist, "url", resolved),
         "url", "ts", "h", "etag", "lm",
         nowSec = 25000L, baseSec = 400L, minSec = 100L, maxSec = 1600L)
+      .orderBy("url")
+  }
+
+  /** The COMPLETE budgeted crawl wave as one gated query — t106's
+    * control loop (due ∩ ¬demoted ∩ ¬embargoed) with the rank budget
+    * folded in ([[graft.operators.Frontier.rankBudget]] over a planted
+    * host-rank table → [[graft.operators.Frontier.capPerHostBudgeted]]
+    * → politeness [[graft.operators.Frontier.schedule]]): the operator
+    * a real crawler actually runs each wave. The budget cut and the
+    * schedule share the (priority desc, url) ordering, so survivors
+    * keep sequence 1..budget — the oracle replays the walk, the three
+    * host-class cuts, the integer budget allocation and the sequence
+    * in closed form. */
+  private def t108_budgeted_wave(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val url = concat(lit("https://h"), (col("doc_id") % 20).cast("string"),
+      lit(".example.com/p"), col("doc_id").cast("string"))
+    val hist = docs
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("doc_id") % 4)).as("i"))
+      .select(url.as("url"),
+        (col("doc_id") * 1000 + col("i") * 100).as("ts"),
+        concat(lit("v"), floor(col("i") /
+          (lit(1) + col("doc_id") % 2)).cast("long").cast("string")).as("h"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("e"), col("doc_id").cast("string"))).as("etag"),
+        lit(null).cast("long").as("lm"))
+    val due = graft.operators.Frontier.revalidationPlan(
+        hist, "url", "ts", "h", "etag", "lm",
+        nowSec = 250000L, baseSec = 400L, minSec = 100L, maxSec = 1600L)
+      .filter(col("due"))
+      .select(col("url"), col("conditional"), col("if_none_match"))
+    val healthLog = docs.select(url.as("url"),
+      when(col("doc_id") % 20 < 2, 500).otherwise(200).as("status"))
+    val demoted = graft.operators.Frontier.hostHealth(healthLog,
+        "url", "status")
+      .filter(col("demoted")).select(col("host").as("__h"))
+    val raLog = docs.filter(col("doc_id") % 20 === 2)
+      .select(url.as("url"), lit(0L).as("ts"), lit(429).as("status"),
+        lit("900000").as("ra"))
+    val embargoed = graft.operators.Frontier.retryAfterEmbargo(raLog,
+        "url", "ts", "status", "ra", nowSec = 250000L)
+      .filter(col("embargoed")).select(col("host").as("__h"))
+    val eligible = due
+      .withColumn("__h", TextFunctions.urlHost(col("url")))
+      .join(demoted, Seq("__h"), "left_anti")
+      .join(embargoed, Seq("__h"), "left_anti")
+      .drop("__h")
+    // planted host ranks (host index + 1) -> integer-proportional
+    // budget over 60 fetch slots
+    val ranks = docs.select((col("doc_id") % 20).as("hid")).distinct()
+      .select(concat(lit("h"), col("hid").cast("string"),
+        lit(".example.com")).as("host"), (col("hid") + 1).as("rank"))
+    val budgets = graft.operators.Frontier.rankBudget(
+      ranks, "host", "rank", totalBudget = 60L)
+    val capped = graft.operators.Frontier.capPerHostBudgeted(
+      eligible, "url", "url", budgets, "host", "budget")
+    graft.operators.Frontier.schedule(capped, "url", priorityCol = "url",
+        delayMs = 1000L)
+      .withColumn("doc_id",
+        regexp_extract(col("url"), "p([0-9]+)$", 1).cast("long"))
+      .select("doc_id", "url", "fetch_seq", "eta_ms", "conditional",
+        "if_none_match")
       .orderBy("url")
   }
 
@@ -7125,6 +7220,7 @@ object SparkEntry {
     "t68_fetch_plan" -> (t68_fetch_plan _),
     "t72_revisit_schedule" -> (t72_revisit_schedule _),
     "t94_revalidation" -> (t94_revalidation _),
+    "t94b_revalidation_retained" -> (t94b_revalidation_retained _),
     "t95_feed_discovery" -> (t95_feed_discovery _),
     "t96_anchor_text" -> (t96_anchor_text _),
     "t97_cache_control" -> (t97_cache_control _),
@@ -7155,6 +7251,7 @@ object SparkEntry {
     "t104_host_health" -> (t104_host_health _),
     "t105_retry_after" -> (t105_retry_after _),
     "t106_crawl_control" -> (t106_crawl_control _),
+    "t108_budgeted_wave" -> (t108_budgeted_wave _),
     "ml1_linprobe" -> (ml1_linprobe _),
     "ml2_logreg" -> (ml2_logreg _),
     "ml3_naive_bayes" -> (ml3_naive_bayes _),
@@ -8522,6 +8619,45 @@ object SparkEntry {
            (o.etag IS NOT NULL OR o.lm IS NOT NULL) AS conditional
          FROM o JOIN walk w ON w.url = o.url AND w.k = o.k
          ORDER BY o.url""",
+    // the retained walk: each URL's history renumbered to its last-3
+    // suffix, then the same recursive backoff replay over the suffix
+    "t94b_revalidation_retained" ->
+      """WITH RECURSIVE f AS (
+           SELECT doc_id,
+             'https://h' || CAST(doc_id % 20 AS VARCHAR)
+               || '.example.com/p' || CAST(doc_id AS VARCHAR) AS url,
+             CAST(doc_id AS BIGINT) * 1000 + i * 100 AS ts,
+             'v' || CAST(i // (1 + doc_id % 2) AS VARCHAR) AS h,
+             CASE WHEN doc_id % 2 = 0
+               THEN 'et-' || doc_id || '-' || i END AS etag,
+             CASE WHEN doc_id % 3 = 0
+               THEN CAST(doc_id AS BIGINT) * 1000 + i * 100 END AS lm,
+             CAST(i + 1 AS BIGINT) AS k0,
+             CAST(doc_id % 4 + 1 AS BIGINT) AS n
+           FROM (SELECT doc_id, unnest(range(0, doc_id % 4 + 1)) AS i
+             FROM documents)),
+         fr AS (SELECT url, ts, h, etag, lm,
+             k0 - greatest(n - 3, 0) AS k, least(n, 3) AS n
+           FROM f WHERE k0 > n - 3),
+         walk AS (
+           SELECT url, k, h AS ph, CAST(400 AS BIGINT) AS iv,
+             CAST(0 AS BIGINT) AS nc
+           FROM fr WHERE k = 1
+           UNION ALL
+           SELECT fr.url, fr.k, fr.h,
+             CASE WHEN fr.h <> w.ph THEN greatest(100, w.iv // 2)
+                  ELSE least(1600, w.iv * 2) END,
+             w.nc + CASE WHEN fr.h <> w.ph THEN 1 ELSE 0 END
+           FROM walk w JOIN fr ON fr.url = w.url AND fr.k = w.k + 1),
+         lastrow AS (SELECT url, ts, etag, lm, n FROM fr WHERE k = n)
+         SELECT l.url, l.n AS n_fetches, CAST(w.nc AS BIGINT) AS n_changes,
+           CAST(w.iv AS BIGINT) AS interval_sec,
+           CAST(l.ts + w.iv AS BIGINT) AS next_due,
+           l.ts + w.iv <= 10000500 AS due,
+           l.etag AS if_none_match, l.lm AS if_modified_since,
+           (l.etag IS NOT NULL OR l.lm IS NOT NULL) AS conditional
+         FROM lastrow l JOIN walk w ON w.url = l.url AND w.k = l.n
+         ORDER BY l.url""",
     // feed extraction + seen-URL dedup in closed form: every doc's entry
     // surfaces exactly once unless its URL was already crawled
     "t95_feed_discovery" ->
@@ -8645,6 +8781,48 @@ object SparkEntry {
            CASE WHEN doc_id % 2 = 0 THEN 'e' || doc_id END
              AS if_none_match
          FROM r ORDER BY url""",
+    // t106's closed form + the integer budget allocation: host i's rank
+    // is i+1, budget = rank*60 DIV 210; the budget cut and the schedule
+    // share the (url desc) ordering so survivors keep sequence
+    // 1..budget
+    "t108_budgeted_wave" ->
+      """WITH RECURSIVE f AS (
+           SELECT doc_id,
+             'https://h' || CAST(doc_id % 20 AS VARCHAR)
+               || '.example.com/p' || CAST(doc_id AS VARCHAR) AS url,
+             CAST(doc_id AS BIGINT) * 1000 + i * 100 AS ts,
+             'v' || CAST(i // (1 + doc_id % 2) AS VARCHAR) AS h,
+             CAST(i + 1 AS BIGINT) AS k
+           FROM (SELECT doc_id, unnest(range(0, doc_id % 4 + 1)) AS i
+             FROM documents)),
+         walk AS (
+           SELECT url, k, h AS ph, CAST(400 AS BIGINT) AS iv,
+             CAST(0 AS BIGINT) AS nc
+           FROM f WHERE k = 1
+           UNION ALL
+           SELECT f.url, f.k, f.h,
+             CASE WHEN f.h <> w.ph THEN greatest(100, w.iv // 2)
+                  ELSE least(1600, w.iv * 2) END,
+             w.nc + CASE WHEN f.h <> w.ph THEN 1 ELSE 0 END
+           FROM walk w JOIN f ON f.url = w.url AND f.k = w.k + 1),
+         last AS (SELECT doc_id, url, max(ts) AS last_ts, max(k) AS n
+           FROM f GROUP BY doc_id, url),
+         due AS (SELECT l.doc_id, l.url
+           FROM last l JOIN walk w ON w.url = l.url AND w.k = l.n
+           WHERE l.last_ts + w.iv <= 250000
+             AND l.doc_id % 20 NOT IN (0, 1, 2)),
+         r AS (SELECT doc_id, url,
+             CAST(row_number() OVER (PARTITION BY doc_id % 20
+               ORDER BY url DESC) AS INT) AS fetch_seq
+           FROM due)
+         SELECT doc_id, url, fetch_seq,
+           CAST((fetch_seq - 1) * 1000 AS BIGINT) AS eta_ms,
+           doc_id % 2 = 0 AS conditional,
+           CASE WHEN doc_id % 2 = 0 THEN 'e' || doc_id END
+             AS if_none_match
+         FROM r
+         WHERE fetch_seq <= (doc_id % 20 + 1) * 60 // 210
+         ORDER BY url""",
     // the walk, the due cut and the per-host politeness sequence with
     // validator carry, all in closed form
     "t98_conditional_fetch_plan" ->

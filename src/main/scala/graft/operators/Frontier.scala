@@ -144,6 +144,32 @@ object Frontier {
       .drop("__host", "__rk")
   }
 
+  /** [[capPerHost]] with a PER-HOST budget table — the
+    * [[rankBudget]] composition: each host keeps its `budgetCol` best
+    * URLs by (priority desc, url) instead of one fleet-wide constant,
+    * so trusted hosts get proportionally more of the fetch wave. Hosts
+    * ABSENT from the budget table get zero slots (no rank → no budget
+    * — an unranked host earns its way in via the rank pass, it doesn't
+    * default in). The budget table is host-grain (broadcast-small);
+    * the rank window shuffles only the due wave. A data-dependent
+    * limit cannot use capPerHost's `WindowGroupLimit` map-side
+    * pre-prune — on a lopsided frontier compose `capPerHost(urls,
+    * <max budget>)` upstream to bound the window's input first. */
+  def capPerHostBudgeted(
+      urls: DataFrame, urlCol: String, priorityCol: String,
+      budgets: DataFrame, hostCol: String, budgetCol: String): DataFrame = {
+    requireFreeColumns(urls, Seq("__host", "__rk", "__budget"))
+    urls
+      .withColumn("__host", TextFunctions.urlHost(col(urlCol)))
+      .join(broadcast(budgets.select(col(hostCol).as("__host"),
+        col(budgetCol).cast("long").as("__budget"))), Seq("__host"), "left")
+      .withColumn("__rk",
+        row_number().over(Window.partitionBy(col("__host"))
+          .orderBy(desc(priorityCol), col(urlCol))))
+      .filter(col("__rk") <= coalesce(col("__budget"), lit(0L)))
+      .drop("__host", "__rk", "__budget")
+  }
+
   // ------------------------------------------------- seen-URL set
 
   /** The persisted crawl HISTORY (seen-URL set) at `path`: flat parquet,
@@ -324,7 +350,19 @@ object Frontier {
     *
     * Same distributed shape as [[revisitSchedule]] (one groupBy(url),
     * per-URL bounded event list, one HOF walk, no window/join/driver
-    * state) and the same `tsCol`-unique-per-URL contract. Returns
+    * state) and the same `tsCol`-unique-per-URL contract.
+    *
+    * `maxEvents` bounds per-URL state PERMANENTLY: only the most recent
+    * `maxEvents` history rows enter the walk, so a multi-year crawl's
+    * monotone event growth never inflates the aggregate. The interval
+    * is walk-path-dependent, so a suffix replay matches the full
+    * history's interval exactly whenever the interval path has
+    * saturated (hit `minSec` or `maxSec`) or the suffix spans the last
+    * `log2(maxSec/minSec)` direction changes — in practice a few dozen
+    * events (RetentionSpec pins both the convergent case and that
+    * validators/next_due come from the LAST row regardless);
+    * `n_fetches`/`n_changes` become suffix-local counts under
+    * retention, by construction. Returns
     * `(url, n_fetches, n_changes, interval_sec, next_due, due,
     * if_none_match, if_modified_since, conditional)`. */
   def revalidationPlan(
@@ -337,18 +375,26 @@ object Frontier {
       nowSec: Long,
       baseSec: Long = 86400L,
       minSec: Long = 3600L,
-      maxSec: Long = 30L * 86400L): DataFrame = {
+      maxSec: Long = 30L * 86400L,
+      maxEvents: Int = Int.MaxValue): DataFrame = {
     require(baseSec >= 1 && minSec >= 1 && maxSec >= minSec &&
       baseSec >= minSec && baseSec <= maxSec,
       s"need 1 <= minSec <= baseSec <= maxSec, got " +
         s"base=$baseSec min=$minSec max=$maxSec")
+    require(maxEvents >= 2,
+      s"maxEvents must be >= 2 (one prior + one latest), got $maxEvents")
+    val all = sort_array(collect_list(struct(
+      col(tsCol).cast("long").as("ts"),
+      col(hashCol).cast("string").as("h"),
+      col(etagCol).cast("string").as("etag"),
+      col(lastModCol).cast("long").as("lm"))))
+    val kept =
+      if (maxEvents == Int.MaxValue) all
+      else when(size(all) <= maxEvents, all)
+        .otherwise(slice(all, -maxEvents, maxEvents))
     val ev = history
       .groupBy(col(urlCol).as("url"))
-      .agg(sort_array(collect_list(struct(
-        col(tsCol).cast("long").as("ts"),
-        col(hashCol).cast("string").as("h"),
-        col(etagCol).cast("string").as("etag"),
-        col(lastModCol).cast("long").as("lm")))).as("__ev"))
+      .agg(kept.as("__ev"))
     ev.select(col("url"),
         size(col("__ev")).cast("long").as("n_fetches"),
         element_at(col("__ev"), -1).getField("ts").as("__last"),
@@ -363,6 +409,30 @@ object Frontier {
         col("if_none_match"), col("if_modified_since"),
         (col("if_none_match").isNotNull ||
           col("if_modified_since").isNotNull).as("conditional"))
+  }
+
+  /** The retention companion to [[revalidationPlan]]'s `maxEvents`: the
+    * fetch-history rows to KEEP — each URL's most recent `maxEvents`
+    * events — for a compaction-time rewrite of the persisted table
+    * (read → prune → write-new → swap, the s25 compaction discipline),
+    * so the TABLE is bounded on disk, not just the aggregate's state.
+    * One groupBy(url) whose state is the URL's own (minSec-floored,
+    * bounded) ts list + one semi-join back on (url, ts); the history's
+    * payload columns never ride the aggregate's shuffle. */
+  def pruneFetchHistory(history: DataFrame, urlCol: String, tsCol: String,
+      maxEvents: Int): DataFrame = {
+    require(maxEvents >= 2,
+      s"maxEvents must be >= 2 (one prior + one latest), got $maxEvents")
+    val ts = sort_array(collect_list(col(tsCol).cast("long")))
+    val keep = history
+      .groupBy(col(urlCol).as("__kurl"))
+      .agg(when(size(ts) <= maxEvents, ts)
+        .otherwise(slice(ts, -maxEvents, maxEvents)).as("__karr"))
+      .select(col("__kurl"), explode(col("__karr")).as("__kts"))
+    history.join(keep,
+      col(urlCol) === col("__kurl") &&
+        col(tsCol).cast("long") === col("__kts"),
+      "left_semi")
   }
 
   /** Server-declared freshness folded into a [[revalidationPlan]] — the

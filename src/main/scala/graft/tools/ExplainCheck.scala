@@ -79,7 +79,17 @@ object ExplainCheck {
         "ml7_confusion_sweep", "t56c_sitemap_lastmod",
         // r18 third wave: host health + retry-after (combine-friendly
         // host aggregates), keep-best CC dedup (pair-sized CC + argmax)
-        "t104_host_health", "t105_retry_after", "d28_neardup_keepbest")
+        "t104_host_health", "t105_retry_after", "d28_neardup_keepbest",
+        // r19: redirect resolution (maxHops wave-sized equi-join rounds,
+        // 0 cartesian), the migration fold (url-keyed join + the t94
+        // groupBy+walk), the retained walk, the budgeted wave (the only
+        // new exchange is the per-host rank window; budget attach must
+        // broadcast), byte-level pre-token histogram (bounded rank
+        // window over the distinct-pretoken table), byte-BPE counts
+        // (map-side kernel), GIF/WebP cross-format hash join
+        "t107_redirects", "t107b_redirect_migration",
+        "t94b_revalidation_retained", "t108_budgeted_wave",
+        "t3d_bytebpe_vocab", "t40c_bytebpe_counts", "m22_webformat_dedup")
     for (q <- qs) {
       val df = graft.SparkEntry.queries(q)(spark, dir)
       df.collect() // finalize AQE so the executed plan is the real one
