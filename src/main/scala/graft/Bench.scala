@@ -143,7 +143,7 @@ object Bench {
     // (headline only, not scaleSet: the webp_gif fixture builds
     // driver-side — the m11/m21 caveat; the decode kernels are the
     // same map-side codec shape t50 slope-measures)
-    "t107_redirects", "t107b_redirect_migration",
+    "t107_redirects", "t107b_redirect_migration", "t107c_redirect_relative",
     "t94b_revalidation_retained", "t108_budgeted_wave",
     "t3d_bytebpe_vocab", "m22_webformat_dedup")
 

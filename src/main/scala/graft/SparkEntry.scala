@@ -3744,6 +3744,32 @@ object SparkEntry {
       .orderBy("url")
   }
 
+  /** Relative-Location redirect chains
+    * ([[graft.operators.Frontier.resolveRedirects]]' RFC 3986 leg —
+    * RFC 9110 §10.2.2 sends a URI-reference, and real servers emit
+    * `../up` and `/abs-path` routinely): each doc's page redirects via
+    * a dot-segment relative reference, its RESOLVED spelling is itself
+    * a source redirecting via an absolute-path reference — the walk
+    * must chain through the resolver's canonical keys. Oracle: the
+    * expected RESOLVED spellings in closed form (resolution itself is
+    * t51/t61's oracle-pinned kernel). */
+  private def t107c_redirect_relative(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"))
+      .filter(col("doc_id") % 5 === 1)
+    val host = concat(lit("http://h"), (col("doc_id") % 7).cast("string"),
+      lit(".com"))
+    val sid = col("doc_id").cast("string")
+    val redirects = d.select(
+        concat(host, lit("/dir/p"), sid).as("url"), lit(301).as("status"),
+        concat(lit("../q/r"), sid).as("location"))
+      .unionByName(d.select(
+        concat(host, lit("/q/r"), sid).as("url"), lit(302).as("status"),
+        concat(lit("/final/"), sid).as("location")))
+    graft.operators.Frontier.resolveRedirects(redirects,
+        "url", "status", "location", maxHops = 5)
+      .orderBy("url")
+  }
+
   /** Permanent-redirect identity migration composed with the
     * revalidation plan ([[graft.operators.Frontier.applyRedirectMoves]]
     * after [[graft.operators.Frontier.resolveRedirects]]): every doc's
@@ -4942,6 +4968,45 @@ object SparkEntry {
       .coalesce(1).write.mode("overwrite").parquet(ByteBpeAlphabetFixture)
     graft.functions.ByteBpe.tokenCount(docs, "text", model, "n_bpe_byte")
       .select("doc_id", "n_bpe_byte").orderBy("doc_id")
+  }
+
+  private val ByteBpeEncMergesFixture =
+    "/tmp/graft_fixtures/t40d_bytebpe_merges.parquet"
+  private val ByteBpeEncAlphabetFixture =
+    "/tmp/graft_fixtures/t40d_bytebpe_alphabet.parquet"
+
+  /** Full byte-level BPE ENCODE to id sequences — t40's gate transposed
+    * to the byte path (t40c gates the counts, this gates every
+    * position): corpus-exact training, per-document ordered symbol
+    * sequences, ids by sorted-vocabulary rank. The oracle rebuilds each
+    * pre-token's symbol string from this gate's OWN alphabet fixture,
+    * replays the merge fixpoint, flattens with pre-token ordinality and
+    * ranks the vocabulary — every position of every document must
+    * match. The planted multi-byte rows mean some ids ARE multi-byte
+    * merges. */
+  private def t40d_bytebpe_encode(s: SparkSession, dir: String): DataFrame = {
+    val docs = byteBpeDocs(s, dir)
+    val model = graft.functions.ByteBpe.trainFromCorpusExact(
+      docs, "text", numMerges = 200, maxVocab = 4096)
+    require(graft.functions.Bpe.sequentialReplaySafe(model.model.merges),
+      "trained byte-BPE merges are not sequentially replayable")
+    import s.implicits._
+    model.model.merges.zipWithIndex
+      .map { case ((l, r), i) => (i, l, r) }
+      .toDF("merge_rank", "lhs", "rhs")
+      .coalesce(1).write.mode("overwrite").parquet(ByteBpeEncMergesFixture)
+    graft.functions.ByteBpe.alphabetTable(s)
+      .coalesce(1).write.mode("overwrite").parquet(ByteBpeEncAlphabetFixture)
+    val toks = graft.functions.ByteBpe.encodeTokens(docs, "text", model)
+      .select(col("doc_id"),
+        posexplode(col("bpe_tokens")).as(Seq("pos", "tok")))
+    val vocab = toks.select("tok").distinct()
+      .withColumn("token_id",
+        (row_number().over(Window.orderBy("tok")) - 1).cast("long"))
+    toks.join(vocab, "tok")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("token_id"))
+      .orderBy("doc_id", "pos")
   }
 
   private val BpeEncodeFixture = "/tmp/graft_fixtures/t40_bpe_merges.parquet"
@@ -7216,6 +7281,7 @@ object SparkEntry {
     "st26_stream_outcomes" -> (st26_stream_outcomes _),
     "t107_redirects" -> (t107_redirects _),
     "t107b_redirect_migration" -> (t107b_redirect_migration _),
+    "t107c_redirect_relative" -> (t107c_redirect_relative _),
     "st27_stream_redirects" -> (st27_stream_redirects _),
     "t68_fetch_plan" -> (t68_fetch_plan _),
     "t72_revisit_schedule" -> (t72_revisit_schedule _),
@@ -7311,6 +7377,7 @@ object SparkEntry {
     "t40b_bpe_exact_counts" -> (t40b_bpe_exact_counts _),
     "t3d_bytebpe_vocab" -> (t3d_bytebpe_vocab _),
     "t40c_bytebpe_counts" -> (t40c_bytebpe_counts _),
+    "t40d_bytebpe_encode" -> (t40d_bytebpe_encode _),
     "t4_fingerprint" -> (t4_fingerprint _),
     "t5_quality_filter" -> (t5_quality_filter _),
     "t6_redact_pii" -> (t6_redact_pii _),
@@ -8934,6 +9001,24 @@ object SparkEntry {
            outcome = 'resolved' AND perm AS permanent,
            outcome
          FROM walk WHERE outcome IS NOT NULL ORDER BY url""",
+    // the expected RESOLVED spellings in closed form: ../q/r<d> from
+    // /dir/p<d> lands at /q/r<d>, whose /final/<d> reference lands at
+    // /final/<d>; the 2-hop chain carries the 302's non-permanence
+    "t107c_redirect_relative" ->
+      """WITH d AS (SELECT doc_id, 'http://h' || (doc_id % 7) || '.com'
+             AS host
+           FROM documents WHERE doc_id % 5 = 1),
+         r AS (
+           SELECT host || '/dir/p' || doc_id AS url,
+             host || '/final/' || doc_id AS final_url,
+             CAST(2 AS BIGINT) AS hops, false AS permanent,
+             'resolved' AS outcome
+           FROM d
+           UNION ALL
+           SELECT host || '/q/r' || doc_id, host || '/final/' || doc_id,
+             CAST(1 AS BIGINT), false, 'resolved'
+           FROM d)
+         SELECT * FROM r ORDER BY url""",
     // closed-form: d%10==1 renames u<d> -> v<d> (permanent), d%10==2
     // stays u<d> (temporary never renames); single-fetch plan rows —
     // interval = base, validators carried under the migrated name
@@ -11098,6 +11183,63 @@ object SparkEntry {
          SELECT d.doc_id, CAST(COALESCE(p.c, 0) AS BIGINT) AS n_bpe_byte
          FROM docs d LEFT JOIN percount p USING (doc_id)
          ORDER BY doc_id""",
+    // t40's position-exact replay on the byte path: alphabet join →
+    // merge fixpoint → per-pretoken token lists → flatten with
+    // pre-token ordinality → sorted-vocabulary ids
+    "t40d_bytebpe_encode" ->
+      """WITH RECURSIVE
+         merges AS (SELECT CAST(merge_rank AS INT) AS r, lhs, rhs
+                    FROM read_parquet('/tmp/graft_fixtures/t40d_bytebpe_merges.parquet/*.parquet')),
+         nm AS (SELECT COALESCE(max(r) + 1, 0) AS n FROM merges),
+         bmap AS (SELECT byte_hex, sym
+                  FROM read_parquet('/tmp/graft_fixtures/t40d_bytebpe_alphabet.parquet/*.parquet')),
+         docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT * FROM (VALUES
+             (100000, 'Grüße 知识 🚀🚀 naïve,  doubled  spaces!'),
+             (100001, '¡Olé! Ωmega ß42'))),
+         psplit AS (SELECT doc_id, regexp_extract_all(text,
+             '( ?\p{L}+| ?\p{N}+| ?[^ \t\n\f\r\p{L}\p{N}]+|[ \t\n\f\r]+)')
+             AS ps
+           FROM docs WHERE text IS NOT NULL),
+         pt AS (SELECT doc_id, unnest(ps) AS w,
+             generate_subscripts(ps, 1) AS widx FROM psplit),
+         vocabw AS (SELECT DISTINCT w FROM pt),
+         vb AS (SELECT w, hex(encode(w)) AS hx FROM vocabw),
+         bi AS (SELECT w, hx, unnest(range(1, length(hx) // 2 + 1)) AS i
+                FROM vb),
+         sym AS (SELECT bi.w,
+                   ' ' || string_agg(bmap.sym, ' ' ORDER BY bi.i) || ' ' AS s
+                 FROM bi JOIN bmap
+                   ON substr(bi.hx, CAST(bi.i * 2 - 1 AS BIGINT), 2)
+                      = bmap.byte_hex
+                 GROUP BY bi.w),
+         steps AS (
+           SELECT w, s, 0 AS i FROM sym
+           UNION ALL
+           SELECT w, s2 AS s, CASE WHEN s2 = s THEN i + 1 ELSE i END AS i
+           FROM (SELECT st.w, st.s, st.i,
+                   replace(st.s, ' ' || m.lhs || ' ' || m.rhs || ' ',
+                                 ' ' || m.lhs || m.rhs || ' ') AS s2
+                 FROM steps st JOIN merges m ON m.r = st.i) x),
+         wtoks AS (SELECT w,
+             list_filter(string_split(s, ' '), x -> x <> '') AS toks
+           FROM steps, nm WHERE i = nm.n),
+         flat AS (SELECT pt.doc_id, pt.widx,
+             generate_subscripts(wt.toks, 1) AS tp, unnest(wt.toks) AS tok
+           FROM pt JOIN wtoks wt USING (w)),
+         posd AS (SELECT doc_id,
+             row_number() OVER (PARTITION BY doc_id ORDER BY widx, tp) - 1
+               AS pos, tok
+           FROM flat),
+         vocab AS (SELECT tok,
+             row_number() OVER (ORDER BY tok) - 1 AS token_id
+           FROM (SELECT DISTINCT tok FROM posd))
+         SELECT p.doc_id, CAST(p.pos AS BIGINT) AS pos,
+           CAST(v.token_id AS BIGINT) AS token_id
+         FROM posd p JOIN vocab v USING (tok)
+         ORDER BY p.doc_id, p.pos""",
     // t3b's merge-application replay over the corpus-exact trainer's
     // fixture (training-input exactness is t3c's oracle; this one pins
     // that the exactly-trained merges apply and count identically)

@@ -502,7 +502,10 @@ object ImageCodecs {
       val id = new String(b, i, 4, "US-ASCII")
       val sz = (b(i + 4) & 0xff) | ((b(i + 5) & 0xff) << 8) |
         ((b(i + 6) & 0xff) << 16) | ((b(i + 7) & 0xff) << 24)
-      if (sz < 0 || i + 8 + sz > b.length) return None
+      // bounds math in Long: a crafted size near Int.MaxValue would
+      // overflow an Int compare, drive i negative and THROW — breaking
+      // the decoder-totality contract on untrusted crawl payloads
+      if (sz < 0 || i + 8L + sz > b.length) return None
       if (id == "VP8L") payload = Some((i + 8, sz))
       else i += 8 + sz + (sz & 1)
     }

@@ -139,7 +139,9 @@ object PdfImpl {
         if (ds < pdf.length && pdf(ds) == '\n') ds += 1
         val len = directLength(dict)
         val de =
-          if (len >= 0 && ds + len <= pdf.length) ds + len
+          // Long math: a wrapped /Length near Int.MaxValue would
+          // overflow an Int compare and throw in the range copy
+          if (len >= 0 && ds + len.toLong <= pdf.length) ds + len
           else {
             val e = indexOf(pdf, "endstream", ds)
             if (e < 0) pdf.length else e
@@ -407,7 +409,9 @@ object PdfImpl {
         if (ds < pdf.length && pdf(ds) == '\n') ds += 1
         val len = directLength(dict)
         val de =
-          if (len >= 0 && ds + len <= pdf.length) ds + len
+          // Long math: a wrapped /Length near Int.MaxValue would
+          // overflow an Int compare and throw in the range copy
+          if (len >= 0 && ds + len.toLong <= pdf.length) ds + len
           else {
             val e = indexOf(pdf, "endstream", ds)
             if (e < 0) pdf.length else e

@@ -416,8 +416,10 @@ object Frontier {
     * events — for a compaction-time rewrite of the persisted table
     * (read → prune → write-new → swap, the s25 compaction discipline),
     * so the TABLE is bounded on disk, not just the aggregate's state.
-    * One groupBy(url) whose state is the URL's own (minSec-floored,
-    * bounded) ts list + one semi-join back on (url, ts); the history's
+    * One groupBy(url) whose state is the URL's own ts list (bounded in
+    * practice because the revisit policy floors the spacing BETWEEN
+    * fetches at minSec — no flooring happens here; rows are kept or
+    * dropped verbatim) + one semi-join back on (url, ts); the history's
     * payload columns never ride the aggregate's shuffle. */
   def pruneFetchHistory(history: DataFrame, urlCol: String, tsCol: String,
       maxEvents: Int): DataFrame = {
@@ -553,8 +555,26 @@ object Frontier {
     * redirect MAP a fetch wave observed (a non-3xx status or a null
     * Location is refused loudly: a redirect with nowhere to go is a
     * fetch error, not frontier input; one URL redirecting to TWO
-    * different targets in one snapshot is refused too — the snapshot is
-    * inconsistent and silently picking one would mis-migrate identity).
+    * different RESOLVED targets in one snapshot is refused too — the
+    * snapshot is inconsistent and silently picking one would
+    * mis-migrate identity). One source observed with MIXED statuses for
+    * ONE target (a 302 early in the wave, a 301 later — servers flip
+    * redirects permanent mid-wave, CDN nodes disagree) is NOT a
+    * conflict: the target is unambiguous, so the hop collapses to the
+    * politer reading — permanent only if EVERY observation was 301/308
+    * (identity is never migrated on ambiguous evidence, the crawl-delay
+    * conflict rule).
+    *
+    * `Location` may be a RELATIVE reference (RFC 9110 §10.2.2 sends a
+    * URI-reference, and real servers routinely emit `/path`, `../up`,
+    * or `//host/net-path`): every location is resolved against its
+    * SOURCE url through the RFC 3986 resolver ([[
+    * graft.functions.UrlResolveExpr]]) before the walk, so chain keys
+    * meet the frontier's canonical spellings and `b` vs `./b` from one
+    * source are one target, not a conflict. Scheme-less source keys
+    * pass the location through untouched (the resolver's unresolvable-
+    * base contract), so opaque-key fixtures and pre-canonicalized maps
+    * behave as before.
     *
     * Per source URL the chain walks `url → location → …` until the
     * current node is not itself a redirect source (`resolved`), revisits
@@ -598,21 +618,30 @@ object Frontier {
         st.as("__st"),
         when(col(locationCol).isNull, raise_error(concat(
           lit("resolveRedirects: null Location for "), col(urlCol))))
-          .otherwise(col(locationCol).cast("string")).as("__loc"))
-      .distinct()
-    // refuse an inconsistent snapshot: one source, two distinct targets
-    val map = rows
-      .join(rows.groupBy("__src").agg(count(lit(1)).as("__n")), "__src")
+          .otherwise(graft.functions.UrlResolveExpr(
+            col(urlCol).cast("string"), col(locationCol).cast("string")))
+          .as("__loc"))
+    // one source observed with MIXED statuses for ONE resolved target
+    // collapses to the politer reading — permanent only if EVERY
+    // observation was 301/308 (identity is never migrated on ambiguous
+    // evidence; the crawl-delay conflict rule). Two distinct RESOLVED
+    // targets from one source remain a loud refusal.
+    val perTarget = rows.groupBy("__src", "__loc")
+      .agg(min(when(col("__st").isin(301, 308), 1).otherwise(0))
+        .as("__pmin"))
+      .select(col("__src"), col("__loc"), (col("__pmin") === 1).as("__perm"))
+    val map = perTarget
+      .join(perTarget.groupBy("__src").agg(count(lit(1)).as("__n")), "__src")
       .select(
         when(col("__n") > 1, raise_error(concat(
           lit("resolveRedirects: conflicting redirect rows for "),
           col("__src")))).otherwise(col("__src")).as("__src"),
-        col("__st"), col("__loc"))
+        col("__perm"), col("__loc"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // walk state: hop 1 already taken by construction
     var state = map.select(
       col("__src").as("url"), col("__loc").as("cur"), lit(1L).as("hops"),
-      col("__st").isin(301, 308).as("perm"),
+      col("__perm").as("perm"),
       array(col("__src")).as("visited"),
       lit(null).cast("string").as("outcome"))
     var retained: Option[DataFrame] = None
@@ -636,7 +665,7 @@ object Frontier {
             .as("hops"),
           when(!open || resolvedC, col("perm"))
             .when(loopC || excC, lit(false))
-            .otherwise(col("perm") && col("__st").isin(301, 308)).as("perm"),
+            .otherwise(col("perm") && col("__perm")).as("perm"),
           when(!open || terminal, col("visited"))
             .otherwise(concat(col("visited"), array(col("cur"))))
             .as("visited"),

@@ -524,7 +524,9 @@ object Multimodal {
     var stop = false
     while (!stop && i + 8 <= b.length) {
       val len = be32(b, i)
-      if (len < 0 || i + 12 + len > b.length) return None // corrupt length
+      // Long math: a crafted length near Int.MaxValue would overflow an
+      // Int compare and throw in the IDAT copy (decoder totality)
+      if (len < 0 || i + 12L + len > b.length) return None // corrupt length
       val tpe = new String(b, i + 4, 4, "US-ASCII")
       tpe match {
         case "IHDR" =>

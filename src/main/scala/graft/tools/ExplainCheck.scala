@@ -88,8 +88,9 @@ object ExplainCheck {
         // window over the distinct-pretoken table), byte-BPE counts
         // (map-side kernel), GIF/WebP cross-format hash join
         "t107_redirects", "t107b_redirect_migration",
-        "t94b_revalidation_retained", "t108_budgeted_wave",
-        "t3d_bytebpe_vocab", "t40c_bytebpe_counts", "m22_webformat_dedup")
+        "t107c_redirect_relative", "t94b_revalidation_retained",
+        "t108_budgeted_wave", "t3d_bytebpe_vocab", "t40c_bytebpe_counts",
+        "t40d_bytebpe_encode", "m22_webformat_dedup")
     for (q <- qs) {
       val df = graft.SparkEntry.queries(q)(spark, dir)
       df.collect() // finalize AQE so the executed plan is the real one

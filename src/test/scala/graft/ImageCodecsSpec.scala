@@ -140,6 +140,20 @@ class ImageCodecsSpec extends AnyFunSuite {
     assert(ImageCodecs.webpDecode(lossy).isEmpty)
   }
 
+  test("crafted chunk sizes near Int.MaxValue cannot crash the decoders") {
+    // RIFF chunk whose size wraps an Int bounds compare: must be None,
+    // never a StringIndexOutOfBounds from a negative walk position
+    val evil = "RIFF".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0) ++
+      "WEBP".getBytes("US-ASCII") ++ "XXXX".getBytes("US-ASCII") ++
+      Array[Byte](-1, -1, -1, 0x7f) ++ Array[Byte](1)
+    assert(ImageCodecs.webpDecode(evil).isEmpty)
+    // same class through the VP8L id so the walk takes the skip branch
+    val evil2 = "RIFF".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0) ++
+      "WEBP".getBytes("US-ASCII") ++ "ABCD".getBytes("US-ASCII") ++
+      Array[Byte](-10, -1, -1, 0x7f) ++ Array.fill[Byte](30)(0)
+    assert(ImageCodecs.webpDecode(evil2).isEmpty)
+  }
+
   test("gifEncode refuses >256 distinct colors loudly") {
     val w = 32; val h = 32 // 1024 distinct colors
     val px = Array.tabulate(w * h * 3) { i =>

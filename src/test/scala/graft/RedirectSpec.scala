@@ -68,6 +68,42 @@ class RedirectSpec extends SparkSpec {
       rmap(("a", 301, "b"), ("a", 301, "b")),
       "url", "status", "location").collect()
     assert(ok.length == 1 && ok.head.getString(1) == "b")
+    // MIXED statuses for ONE target are not a conflict either — the hop
+    // collapses to the politer reading (permanent only if ALL agree)
+    val mixed = Frontier.resolveRedirects(
+      rmap(("a", 301, "b"), ("a", 302, "b")),
+      "url", "status", "location").collect().head
+    assert(mixed.getString(1) == "b" && !mixed.getBoolean(3) &&
+      mixed.getString(4) == "resolved", mixed.toString)
+    val agreed = Frontier.resolveRedirects(
+      rmap(("a", 301, "b"), ("a", 308, "b")),
+      "url", "status", "location").collect().head
+    assert(agreed.getBoolean(3), "all-permanent observations stay permanent")
+  }
+
+  test("relative Locations resolve against the source before the walk") {
+    val r = Frontier.resolveRedirects(rmap(
+        // /abs-path, ../up, ?query and //net-path forms, chained: the
+        // second hop's source is the RESOLVED spelling of the first
+        ("http://h.com/dir/a", 301, "../b"),
+        ("http://h.com/b", 308, "/c/d"),
+        ("http://h.com/c/d", 301, "//h2.com/e"),
+        ("http://q.com/p", 302, "?page=2")),
+      "url", "status", "location").collect()
+      .map(x => x.getString(0) -> ((Option(x.getString(1)).orNull,
+        x.getLong(2), x.getBoolean(3), x.getString(4)))).toMap
+    assert(r("http://h.com/dir/a") ==
+      (("http://h2.com/e", 3L, true, "resolved")), r.toString)
+    assert(r("http://h.com/b") ==
+      (("http://h2.com/e", 2L, true, "resolved")), r.toString)
+    assert(r("http://q.com/p") ==
+      (("http://q.com/p?page=2", 1L, false, "resolved")), r.toString)
+    // two spellings of ONE target from one source are not a conflict
+    val ok = Frontier.resolveRedirects(rmap(
+        ("http://h.com/dir/a", 301, "../b"),
+        ("http://h.com/dir/a", 301, "/b")),
+      "url", "status", "location").collect()
+    assert(ok.length == 1 && ok.head.getString(1) == "http://h.com/b")
   }
 
   test("permanent moves migrate fetch-history identity; temporary don't") {

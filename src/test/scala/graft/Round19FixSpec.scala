@@ -155,6 +155,23 @@ class Round19FixSpec extends SparkSpec {
       r.toString)
   }
 
+  test("crafted lengths near Int.MaxValue cannot crash PNG/PDF walks") {
+    // PNG chunk length 0x7FFFFFFF: the IHDR walk's bounds compare must
+    // not overflow into a negative copy
+    val png = Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 0x0D, 0x0A,
+      0x1A, 0x0A) ++ Array[Byte](0x7f, -1, -1, -1) ++
+      "IDAT".getBytes("US-ASCII") ++ Array.fill[Byte](40)(0)
+    assert(graft.operators.Multimodal.pngDHash(png).isEmpty)
+    // PDF /Length just under Int.MaxValue: the old Int bounds compare
+    // overflowed to a NEGATIVE stream end and the range copy threw;
+    // the Long compare falls back to the endstream scan instead
+    val pdf = ("%PDF-1.4\n1 0 obj << /Length 2147483640 >> stream\n" +
+      "BT (x) Tj ET\nendstream endobj\ntrailer\n%%EOF\n")
+      .getBytes("ISO-8859-1")
+    assert(graft.functions.PdfImpl.extract(pdf).toString == "x")
+    assert(graft.functions.PdfImpl.images(pdf).isEmpty)
+  }
+
   test("hardNegatives: finite candidateK bounds the pool on the rounded key") {
     // three docs match the query with strictly decreasing score
     // (tf 3 > 2 > 1 at equal dl); candidateK=2 keeps {d1,d2}, the
