@@ -145,7 +145,11 @@ object Bench {
     // same map-side codec shape t50 slope-measures)
     "t107_redirects", "t107b_redirect_migration", "t107c_redirect_relative",
     "t94b_revalidation_retained", "t108_budgeted_wave",
-    "t3d_bytebpe_vocab", "m22_webformat_dedup")
+    "t3d_bytebpe_vocab", "m22_webformat_dedup",
+    // r19 third wave: EXIF decode+scrub over the cached fixture
+    // (headline-only, the m11/m21 fixture caveat) and the source-grain
+    // water-filling allocator (6-row level walk — fixed cost)
+    "m23_exif", "t109_epoch_waterfill")
 
   /** Queries measured on the replicated corpus for the scaling slope —
     * the shuffle-heavy pipeline shapes whose 100 TB behavior a plan read

@@ -173,6 +173,33 @@ object Fixtures {
         .parquet(dir)
     }
 
+  /** [[jpegPixelDocs]]' bytes wrapped with a planted APP1 Exif segment
+    * (big-endian TIFF, deterministic tags): orientation doc_id%8+1, a
+    * zero-padded DateTime, Make `cam<doc_id%5>`, and on doc_id%3==0 a
+    * GPS IFD with EXACTLY-DIVIDING rationals (lat doc_id%90 degrees,
+    * lon (doc_id%180)·3/3) so the microdegree arithmetic replays in
+    * closed form. */
+  def exifJpegDocs(spark: SparkSession, sfDir: String): String =
+    cached("exif_jpeg_docs", sfDir) { dir =>
+      import spark.implicits._
+      import graft.functions.ExifImpl
+      val ids = table(spark, sfDir, "documents").select("doc_id")
+        .as[Long].collect().sorted
+      val rows = ids.toSeq.map { id =>
+        val w = (id % 13).toInt + 4
+        val h = (id % 11).toInt + 4
+        val base = graft.operators.Multimodal.syntheticJpegDcBytes(
+          id, w, h, color = id % 2 == 1)
+        val dt = f"2024:01:${id % 28 + 1}%02d 12:${id % 60}%02d:00"
+        val gps = if (id % 3 == 0)
+          Some((id % 90, 1L, (id % 180) * 3, 3L)) else None
+        (id, ExifImpl.withExif(base, (id % 8).toInt + 1, dt,
+          s"cam${id % 5}", gps))
+      }
+      rows.toDF("doc_id", "payload").coalesce(1).write.mode("overwrite")
+        .parquet(dir)
+    }
+
   /** Full-JPEG analog of [[pngPixelDocs]]: one COMPLETE deterministic
     * baseline JPEG per doc (real Annex-K Huffman entropy data, byte
     * stuffing, DC-only frequency-domain construction so decode is exact),

@@ -5043,6 +5043,24 @@ object SparkEntry {
       .orderBy("doc_id", "pos")
   }
 
+  /** Data-constrained epoch allocation
+    * ([[graft.operators.Mixing.epochWaterfill]]): six sources derived
+    * from the documents table (tokens = per-source n_chars sums, caps
+    * 1–4 epochs), budget 250 000 — the water level lands at 2.042
+    * epochs, so the cap-1 AND cap-2 sources saturate while the cap-3/4
+    * sources ride the level. The oracle replays the level walk, the
+    * milli-epoch bracket arithmetic and every allocation in SQL. */
+  private def t109_epoch_waterfill(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir, "documents")
+      .groupBy((col("doc_id") % 6).as("src_id"))
+      .agg(sum(col("n_chars")).as("tokens"))
+      .select(concat(lit("s"), col("src_id").cast("string")).as("source"),
+        col("tokens"), (col("src_id") % 4 + 1).as("cap"))
+    graft.operators.Mixing.epochWaterfill(src, "source", "tokens", "cap",
+        budget = 250000L)
+      .orderBy("source")
+  }
+
   /** Bigram-LM perplexity over the corpus (trained on itself here; a real
     * pipeline trains on a held-out quality sample). At gate scale the
     * corpus vocabulary sits far under the model caps, so training is
@@ -6240,6 +6258,44 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** EXIF decode + GPS-PII scrub
+    * ([[graft.operators.Multimodal.decodeExifMeta]] / `stripExif` over
+    * [[Fixtures.exifJpegDocs]]): every planted tag replays in closed
+    * form — orientation, zero-padded DateTime, Make, GPS presence and
+    * the exactly-dividing microdegree coordinates — and the scrub is
+    * pinned IN the gate: after [[graft.functions.ExifImpl.strip]] the
+    * payload parses Exif-free while its pixel statistics (the m6 exact
+    * flat-block decode) are bit-identical, so the scrub provably
+    * removed the metadata and ONLY the metadata. */
+  private def m23_exif(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(Fixtures.exifJpegDocs(s, dir))
+    val stripped = Multimodal.stripExif(docs)
+    val after = Multimodal.decodeExifMeta(
+      stripped.select(col("doc_id"), col("payload_clean").as("payload")),
+      metaCol = "exif_after")
+    val pxBefore = Multimodal.decodeJpegPixels(docs)
+      .select(col("doc_id"),
+        round(element_at(col("pixel_stats.mean"), 1), 6).as("__mb"))
+    val pxAfter = Multimodal.decodeJpegPixels(
+        stripped.select(col("doc_id"), col("payload_clean").as("payload")))
+      .select(col("doc_id"),
+        round(element_at(col("pixel_stats.mean"), 1), 6).as("__ma"))
+    Multimodal.decodeExifMeta(docs)
+      .select(col("doc_id"),
+        col("exif.orientation").as("orientation"),
+        col("exif.date_time").as("date_time"),
+        col("exif.make").as("make"),
+        col("exif.has_gps").as("has_gps"),
+        col("exif.lat_micro").as("lat_micro"),
+        col("exif.lon_micro").as("lon_micro"))
+      .join(after.select(col("doc_id"),
+        col("exif_after").isNull.as("exif_gone")), Seq("doc_id"))
+      .join(pxBefore, Seq("doc_id")).join(pxAfter, Seq("doc_id"))
+      .withColumn("pixels_intact", col("__mb") === col("__ma"))
+      .drop("__mb", "__ma")
+      .orderBy("doc_id")
+  }
+
   private def m2_audio(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeAudioMeta(s.read.parquet(Fixtures.audioDocs(s, dir)))
       .select(col("doc_id"), col("audio_meta.sample_rate"),
@@ -7415,12 +7471,14 @@ object SparkEntry {
     "m20_pdf_images" -> (m20_pdf_images _),
     "m21_crossformat_dedup" -> (m21_crossformat_dedup _),
     "m22_webformat_dedup" -> (m22_webformat_dedup _),
+    "m23_exif" -> (m23_exif _),
     "ml6_confusion" -> (ml6_confusion _),
     "ml7_confusion_sweep" -> (ml7_confusion_sweep _),
     "t91_jsonld" -> (t91_jsonld _),
     "t92_meta_robots" -> (t92_meta_robots _),
     "t93_nofollow_links" -> (t93_nofollow_links _),
     "t77_token_budget" -> (t77_token_budget _),
+    "t109_epoch_waterfill" -> (t109_epoch_waterfill _),
     "t11_perplexity" -> (t11_perplexity _),
     "t20_backoff_lm" -> (t20_backoff_lm _),
     "t12_termstats" -> (t12_termstats _),
@@ -13016,6 +13074,34 @@ object SparkEntry {
          FROM r ORDER BY doc_id""",
     // keyed cumsum (CAST - the r16 lesson), priority-desc draw order,
     // budget CASE over the source vocabulary, prefix cut
+    // the full water-filling replay: cap-grain level walk, bracket
+    // selection, milli-epoch integer λ, per-source min(cap, λ) and the
+    // floor-division allocations
+    "t109_epoch_waterfill" ->
+      """WITH src AS (SELECT 's' || (doc_id % 6) AS source,
+             CAST(sum(n_chars) AS BIGINT) AS tokens,
+             CAST((doc_id % 6) % 4 + 1 AS BIGINT) AS cap
+           FROM documents GROUP BY doc_id % 6),
+         lv AS (SELECT cap, CAST(sum(tokens) AS BIGINT) AS ltok
+                FROM src GROUP BY cap),
+         wd AS (SELECT cap, ltok,
+             CAST(sum(ltok * cap) OVER (ORDER BY cap) AS BIGINT) AS scum,
+             CAST(sum(ltok) OVER (ORDER BY cap) AS BIGINT) AS tpre,
+             CAST((SELECT sum(tokens) FROM src) AS BIGINT) AS T
+           FROM lv),
+         br AS (SELECT least(cap * 1000,
+               (250000 - (scum - ltok * cap)) * 1000
+                 // (T - tpre + ltok)) AS lam
+           FROM wd WHERE scum + (T - tpre) * cap >= 250000
+           ORDER BY cap LIMIT 1),
+         lam AS (SELECT CAST(COALESCE((SELECT lam FROM br),
+             (SELECT max(cap) * 1000 FROM src)) AS BIGINT) AS lam)
+         SELECT source, tokens, cap AS cap_epochs,
+           CAST(least(cap * 1000, lam) AS BIGINT) AS epochs_milli,
+           CAST(tokens * least(cap * 1000, lam) // 1000 AS BIGINT)
+             AS alloc_tokens,
+           cap * 1000 <= lam AS saturated
+         FROM src, lam ORDER BY source""",
     "t77_token_budget" ->
       """WITH d AS (SELECT doc_id, source,
            CAST(doc_id % 7 AS BIGINT) AS priority,
@@ -13537,6 +13623,25 @@ object SparkEntry {
          SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_pdf_matches
          FROM hsh a JOIN hsh p ON p.hi = a.hi AND p.lo = a.lo
          GROUP BY a.doc_id ORDER BY a.doc_id""",
+    // every planted EXIF tag in closed form, the microdegree integer
+    // arithmetic included; the scrub flags are constants BY CONTRACT
+    // (exif gone, pixels bit-identical) — a strip that damaged the
+    // entropy stream or left the segment flips them and goes red
+    "m23_exif" ->
+      """SELECT doc_id,
+           CAST(doc_id % 8 + 1 AS INT) AS orientation,
+           '2024:01:' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+             || ' 12:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+             || ':00' AS date_time,
+           'cam' || (doc_id % 5) AS make,
+           doc_id % 3 = 0 AS has_gps,
+           CASE WHEN doc_id % 3 = 0
+             THEN CAST((doc_id % 90) * 1000000 AS BIGINT) END AS lat_micro,
+           CASE WHEN doc_id % 3 = 0
+             THEN CAST((doc_id % 180) * 1000000 AS BIGINT) END AS lon_micro,
+           true AS exif_gone,
+           true AS pixels_intact
+         FROM documents ORDER BY doc_id""",
     // m21's closed-form dHash on BOTH sides of the web-format join:
     // the GIF/WebP re-encodes carry pixel-identical images, so their
     // hashes equal the PNG side's closed form; the exact-hash join

@@ -269,4 +269,81 @@ object Mixing {
       .select(col(idCol), col(sourceCol), col("tokens"),
         col("fill_seq"), col("cum_tokens"))
   }
+
+  /** DATA-CONSTRAINED epoch allocation — how many times to repeat each
+    * source under a total token budget when unique data has run out
+    * (Muennighoff et al. 2023, "Scaling Data-Constrained Language
+    * Models": repeated epochs keep helping up to ~4, then decay —
+    * `capCol` carries each source's repeat ceiling, quality-dependent
+    * in real mixtures). The allocation is WATER-FILLING: one epoch
+    * level λ rises uniformly across sources until the budget is spent,
+    * each source contributing `tokens · min(cap, λ)` — sources with
+    * low caps saturate and the level keeps rising for the rest. λ is
+    * found in closed form over the cap-grain level table (sort caps
+    * ascending; the first level whose fully-capped consumption reaches
+    * the budget brackets λ; MILLI-epoch integer arithmetic — budgets
+    * to ~9e15 tokens fit a Long — so any engine replays the same
+    * allocation; floor division under-allocates ≤ tokens/1000 per
+    * source rather than inventing a tie rule).
+    *
+    * Input: ONE row per source `(sourceCol, tokensCol unique tokens,
+    * capCol max epochs)`; null/non-positive tokens or caps are refused
+    * loudly. Returns one row per source:
+    * `(source, tokens, cap_epochs, epochs_milli, alloc_tokens,
+    * saturated)` — `saturated` marks sources pinned at their cap (λ
+    * rose past them). When the budget exceeds total capacity every
+    * source saturates and `sum(alloc_tokens) < budget` — the caller's
+    * signal to raise caps or find more data.
+    *
+    * Shape: source-grain windows over a K-row table (K = distinct
+    * sources — the learnWeights/mixtureReport bounded-table contract),
+    * one broadcast of the bracketing level row. Never touches corpus
+    * rows; compose the resulting per-source epoch counts with
+    * [[resample]]/[[tokenBudgetFill]] to materialize the draw. */
+  def epochWaterfill(sources: DataFrame, sourceCol: String,
+      tokensCol: String, capCol: String, budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val g = sources.select(
+      col(sourceCol).as("source"),
+      when(col(tokensCol).isNull || col(tokensCol) <= 0, raise_error(concat(
+        lit("epochWaterfill: null or non-positive tokens for source "),
+        col(sourceCol).cast("string"))))
+        .otherwise(col(tokensCol).cast("long")).as("tokens"),
+      when(col(capCol).isNull || col(capCol) <= 0, raise_error(concat(
+        lit("epochWaterfill: null or non-positive cap for source "),
+        col(sourceCol).cast("string"))))
+        .otherwise(col(capCol).cast("long")).as("cap"))
+    // cap-grain level table: ties on cap are one level by construction
+    val levels = g.groupBy("cap").agg(sum("tokens").as("ltok"))
+    val w = Window.orderBy("cap")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = levels.agg(sum("ltok").as("__T"),
+      sum(col("ltok") * col("cap")).as("__CAP"), max("cap").as("__MAXC"))
+    val walked = levels.crossJoin(broadcast(tot))
+      .withColumn("scum", sum(col("ltok") * col("cap")).over(w))
+      .withColumn("tpre", sum(col("ltok")).over(w))
+      // consumption if the level rose exactly to THIS cap: everything
+      // at or below saturated, everything above paused at this cap
+      .withColumn("consumed",
+        col("scum") + (col("__T") - col("tpre")) * col("cap"))
+    // the bracketing level: first cap whose full consumption >= budget
+    // (≤ 1 row; aggregated to exactly one row, null fields when empty —
+    // an empty bracket means budget > capacity, λ = the max cap)
+    val bracket = walked.filter(col("consumed") >= budget)
+      .orderBy("cap").limit(1)
+      .select(
+        least(col("cap") * 1000L,
+          expr(s"(CAST($budget AS BIGINT) - (scum - ltok * cap)) * 1000 " +
+            "DIV (__T - tpre + ltok)")).as("__lam0"))
+      .agg(min(col("__lam0")).as("__lam0"))
+    val lam = tot.crossJoin(broadcast(bracket))
+      .select(coalesce(col("__lam0"), col("__MAXC") * 1000L).as("__lam"))
+    g.crossJoin(broadcast(lam))
+      .withColumn("epochs_milli", least(col("cap") * 1000L, col("__lam")))
+      .select(col("source"), col("tokens"), col("cap").as("cap_epochs"),
+        col("epochs_milli"),
+        expr("tokens * epochs_milli DIV 1000").as("alloc_tokens"),
+        (col("cap") * 1000L <= col("__lam")).as("saturated"))
+  }
 }

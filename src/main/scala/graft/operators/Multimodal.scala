@@ -757,6 +757,53 @@ object Multimodal {
       }
     }
 
+  private val exifType = StructType(Seq(
+    StructField("orientation", IntegerType, nullable = true),
+    StructField("date_time", StringType, nullable = true),
+    StructField("make", StringType, nullable = true),
+    StructField("model", StringType, nullable = true),
+    StructField("has_gps", BooleanType, nullable = false),
+    StructField("lat_micro", LongType, nullable = true),
+    StructField("lon_micro", LongType, nullable = true)))
+
+  /** Batched EXIF decode over JPEG payloads
+    * ([[graft.functions.ExifImpl]]): orientation/timestamp/device
+    * strings as curation signals, GPS presence + signed microdegree
+    * coordinates as the LOCATION-PII flag corpus release must act on.
+    * Null meta for payloads without a well-formed APP1 Exif segment.
+    * Executor-side mapPartitions like every codec here. */
+  def decodeExifMeta(df: DataFrame, payloadCol: String = "payload",
+      metaCol: String = "exif"): DataFrame =
+    decodeMeta(df, payloadCol, metaCol, exifType) { bytes =>
+      graft.functions.ExifImpl.parse(bytes) match {
+        case Some(e) => Row(
+          e.orientation.map(Int.box).orNull, e.dateTime.orNull,
+          e.make.orNull, e.model.orNull, e.hasGps,
+          e.latMicro.map(Long.box).orNull, e.lonMicro.map(Long.box).orNull)
+        case None => null
+      }
+    }
+
+  /** The GPS-PII scrub ([[graft.functions.ExifImpl.strip]]): every APP1
+    * Exif segment removed by byte surgery, entropy stream untouched —
+    * pixels decode identically, location metadata is gone. Non-JPEG or
+    * Exif-free payloads pass through unchanged (reference-equal).
+    * Appends `outCol` BINARY. */
+  def stripExif(df: DataFrame, payloadCol: String = "payload",
+      outCol: String = "payload_clean"): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = inSchema.add(StructField(outCol, BinaryType, nullable = true))
+    val payloadIdx = inSchema.fieldIndex(payloadCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        Row.fromSeq(r.toSeq :+
+          (if (bytes == null) null else graft.functions.ExifImpl.strip(bytes)))
+      }
+    }
+  }
+
   /** Batched dHash over WEB image payloads — GIF and WebP-VP8L
     * ([[graft.functions.ImageCodecs]]), the two formats that dominate
     * real crawled images next to PNG/JPEG: sniff the container, decode

@@ -90,7 +90,11 @@ object ExplainCheck {
         "t107_redirects", "t107b_redirect_migration",
         "t107c_redirect_relative", "t94b_revalidation_retained",
         "t108_budgeted_wave", "t3d_bytebpe_vocab", "t40c_bytebpe_counts",
-        "t40d_bytebpe_encode", "m22_webformat_dedup")
+        "t40d_bytebpe_encode", "m22_webformat_dedup",
+        // r19 third wave: EXIF decode + scrub (map-side kernels, the
+        // pixel-intact join), epoch water-filling (source-grain level
+        // walk, two one-row broadcasts)
+        "m23_exif", "t109_epoch_waterfill")
     for (q <- qs) {
       val df = graft.SparkEntry.queries(q)(spark, dir)
       df.collect() // finalize AQE so the executed plan is the real one
