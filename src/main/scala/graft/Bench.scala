@@ -149,7 +149,7 @@ object Bench {
     // r19 third wave: EXIF decode+scrub over the cached fixture
     // (headline-only, the m11/m21 fixture caveat) and the source-grain
     // water-filling allocator (6-row level walk — fixed cost)
-    "m23_exif", "t109_epoch_waterfill")
+    "m23_exif", "t109_epoch_waterfill", "m24_oriented_dedup")
 
   /** Queries measured on the replicated corpus for the scaling slope —
     * the shuffle-heavy pipeline shapes whose 100 TB behavior a plan read

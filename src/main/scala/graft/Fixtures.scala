@@ -173,6 +173,63 @@ object Fixtures {
         .parquet(dir)
     }
 
+  /** The PNG closed-form pixels stored under a planted EXIF-style
+    * rotation: per doc, the upright `(id + x·3 + y·5 + c·11) mod 256`
+    * image is INVERSE-transformed by orientation doc_id%8+1 and stored
+    * with that orientation tag — so orientation-normalizing the stored
+    * pixels must reproduce the upright image exactly, and the
+    * normalized dHash equals the m11 PNG closed form. Schema:
+    * `(doc_id, w, h, channels, orientation, px)` with (w, h) the
+    * STORED dims (swapped for orientations 5–8). */
+  def orientedPixelDocs(spark: SparkSession, sfDir: String): String =
+    cached("oriented_pixel_docs", sfDir) { dir =>
+      import spark.implicits._
+      val ids = table(spark, sfDir, "documents").select("doc_id")
+        .as[Long].collect().sorted
+      val rows = ids.toSeq.map { id =>
+        val wu = (id % 13).toInt + 4
+        val hu = (id % 11).toInt + 4
+        val o = (id % 8).toInt + 1
+        val upright = Array.tabulate(wu * hu * 3) { i =>
+          val p = i / 3; val c = i % 3
+          (((id + (p % wu) * 3 + (p / wu) * 5 + c * 11) % 256 + 256) % 256)
+            .toByte
+        }
+        // stored = D_o^{-1}(upright): write each upright pixel to the
+        // stored coordinate the display transform reads it from
+        val swap = o >= 5
+        val ws = if (swap) hu else wu
+        val hs = if (swap) wu else hu
+        val stored = new Array[Byte](ws * hs * 3)
+        var y = 0
+        while (y < hu) {
+          var x = 0
+          while (x < wu) {
+            val (sx, sy) = o match {
+              case 1 => (x, y)
+              case 2 => (ws - 1 - x, y)
+              case 3 => (ws - 1 - x, hs - 1 - y)
+              case 4 => (x, hs - 1 - y)
+              case 5 => (y, x)
+              case 6 => (y, hs - 1 - x)
+              case 7 => (ws - 1 - y, hs - 1 - x)
+              case _ => (ws - 1 - y, x)
+            }
+            var c = 0
+            while (c < 3) {
+              stored((sy * ws + sx) * 3 + c) = upright((y * wu + x) * 3 + c)
+              c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        (id, ws, hs, 3, o, stored)
+      }
+      rows.toDF("doc_id", "w", "h", "channels", "orientation", "px")
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+    }
+
   /** [[jpegPixelDocs]]' bytes wrapped with a planted APP1 Exif segment
     * (big-endian TIFF, deterministic tags): orientation doc_id%8+1, a
     * zero-padded DateTime, Make `cam<doc_id%5>`, and on doc_id%3==0 a

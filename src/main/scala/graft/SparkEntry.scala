@@ -6296,6 +6296,34 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Orientation-normalized image dedup
+    * ([[graft.operators.Multimodal.orientedDHash]] over
+    * [[Fixtures.orientedPixelDocs]]): every doc's pixels are STORED
+    * under a planted EXIF rotation (orientation doc_id%8+1, dims
+    * swapped for 5–8) — normalization must reproduce the upright image
+    * exactly, so each normalized hash joins the m11 PNG closed-form
+    * cluster of the SAME doc. The oracle replays the upright hash on
+    * both sides (the m21/m22 pattern) plus the orientation label; a
+    * transform that maps even one coordinate wrong perturbs the 9×8
+    * sampling grid and goes red. */
+  private def m24_oriented_dedup(s: SparkSession, dir: String): DataFrame = {
+    val oriented = Multimodal.orientedDHash(
+        s.read.parquet(Fixtures.orientedPixelDocs(s, dir)),
+        "w", "h", "channels", "px", "orientation")
+      .select(col("doc_id"), col("orientation"),
+        col("dhash.hash_hi").as("hash_hi"),
+        col("dhash.hash_lo").as("hash_lo"))
+    val png = Multimodal.decodePngDHash(
+        s.read.parquet(Fixtures.pngPixelDocs(s, dir)))
+      .filter(col("dhash.format") === "png")
+      .select(col("dhash.hash_hi").as("hash_hi"),
+        col("dhash.hash_lo").as("hash_lo"))
+    oriented.join(png, Seq("hash_hi", "hash_lo"))
+      .groupBy("doc_id", "orientation")
+      .agg(count(lit(1)).as("n_png_matches"))
+      .orderBy("doc_id")
+  }
+
   private def m2_audio(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeAudioMeta(s.read.parquet(Fixtures.audioDocs(s, dir)))
       .select(col("doc_id"), col("audio_meta.sample_rate"),
@@ -7472,6 +7500,7 @@ object SparkEntry {
     "m21_crossformat_dedup" -> (m21_crossformat_dedup _),
     "m22_webformat_dedup" -> (m22_webformat_dedup _),
     "m23_exif" -> (m23_exif _),
+    "m24_oriented_dedup" -> (m24_oriented_dedup _),
     "ml6_confusion" -> (ml6_confusion _),
     "ml7_confusion_sweep" -> (ml7_confusion_sweep _),
     "t91_jsonld" -> (t91_jsonld _),
@@ -13642,6 +13671,41 @@ object SparkEntry {
            true AS exif_gone,
            true AS pixels_intact
          FROM documents ORDER BY doc_id""",
+    // the normalized hashes equal the upright closed form BY THE
+    // TRANSFORM'S CORRECTNESS — the oracle replays the m21 hash CTE on
+    // both sides, the join (collisions included) and the orientation
+    "m24_oriented_dedup" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(doc_id % 13 + 4 AS INT) AS w,
+             CAST(doc_id % 11 + 4 AS INT) AS h
+           FROM documents),
+         g AS (SELECT d.doc_id, p.p % 9 AS x, p.p // 9 AS y,
+             (299 * ((d.doc_id + ((p.p % 9) * d.w // 9) * 3
+                      + ((p.p // 9) * d.h // 8) * 5) % 256)
+            + 587 * ((d.doc_id + ((p.p % 9) * d.w // 9) * 3
+                      + ((p.p // 9) * d.h // 8) * 5 + 11) % 256)
+            + 114 * ((d.doc_id + ((p.p % 9) * d.w // 9) * 3
+                      + ((p.p // 9) * d.h // 8) * 5 + 22) % 256)) // 1000
+             AS gray
+           FROM d, UNNEST(range(0, 72)) AS p(p)),
+         b AS (SELECT a.doc_id, a.x, a.y,
+             CASE WHEN a.gray < c.gray THEN 1 ELSE 0 END AS bit
+           FROM g a JOIN g c
+             ON a.doc_id = c.doc_id AND a.y = c.y AND c.x = a.x + 1
+           WHERE a.x < 8),
+         hsh AS (SELECT doc_id,
+             CAST(SUM(CASE WHEN y * 8 + x >= 32
+               THEN CAST(bit AS BIGINT) << (y * 8 + x - 32)
+               ELSE 0 END) AS BIGINT) AS hi,
+             CAST(SUM(CASE WHEN y * 8 + x < 32
+               THEN CAST(bit AS BIGINT) << (y * 8 + x)
+               ELSE 0 END) AS BIGINT) AS lo
+           FROM b GROUP BY doc_id)
+         SELECT a.doc_id,
+           CAST(a.doc_id % 8 + 1 AS INT) AS orientation,
+           CAST(count(*) AS BIGINT) AS n_png_matches
+         FROM hsh a JOIN hsh p ON p.hi = a.hi AND p.lo = a.lo
+         GROUP BY a.doc_id ORDER BY a.doc_id""",
     // m21's closed-form dHash on BOTH sides of the web-format join:
     // the GIF/WebP re-encodes carry pixel-identical images, so their
     // hashes equal the PNG side's closed form; the exact-hash join

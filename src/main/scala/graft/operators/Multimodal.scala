@@ -804,6 +804,85 @@ object Multimodal {
     }
   }
 
+  /** Apply an EXIF display transform (orientation 1–8, TIFF/EXIF
+    * semantics: the transform that shows the STORED samples upright) to
+    * an interleaved pixel buffer — the normalization that makes a
+    * physically-rotated copy and its upright original hash identically.
+    * Orientations 5–8 swap the output dims. Unknown orientation values
+    * are refused loudly (a silent identity would un-normalize a cluster
+    * without a trace). */
+  def orientPixels(w: Int, h: Int, channels: Int, px: Array[Byte],
+      orientation: Int): (Int, Int, Array[Byte]) = {
+    require(px.length >= w * h * channels,
+      s"bad pixel buffer: ${w}x$h x$channels vs ${px.length}")
+    require(orientation >= 1 && orientation <= 8,
+      s"EXIF orientation must be 1..8, got $orientation")
+    if (orientation == 1) return (w, h, px)
+    val swap = orientation >= 5
+    val wu = if (swap) h else w
+    val hu = if (swap) w else h
+    val out = new Array[Byte](wu * hu * channels)
+    var y = 0
+    while (y < hu) {
+      var x = 0
+      while (x < wu) {
+        // source coordinate in the STORED image for upright (x, y)
+        val (sx, sy) = orientation match {
+          case 2 => (w - 1 - x, y)          // flip horizontal
+          case 3 => (w - 1 - x, h - 1 - y)  // rotate 180
+          case 4 => (x, h - 1 - y)          // flip vertical
+          case 5 => (y, x)                  // transpose
+          case 6 => (y, h - 1 - x)          // rotate 90 CW
+          case 7 => (w - 1 - y, h - 1 - x)  // transverse
+          case _ => (w - 1 - y, x)          // 8: rotate 270 CW
+        }
+        val si = (sy * w + sx) * channels
+        val di = (y * wu + x) * channels
+        var c = 0
+        while (c < channels) { out(di + c) = px(si + c); c += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    (wu, hu, out)
+  }
+
+  /** Orientation-normalized dHash over a pixel table
+    * `(wCol, hCol, channelsCol, pxCol, orientCol)` — the composition a
+    * camera-image dedup pass runs after [[decodeExifMeta]] +
+    * a pixel decode: [[orientPixels]] then the shared
+    * [[dhashFromPixels]], so a phone photo stored rotated (EXIF
+    * orientation 6 is the most common camera output) lands in its
+    * upright twin's cluster. Null pixels yield null hashes.
+    * mapPartitions like every pixel kernel here. */
+  def orientedDHash(df: DataFrame, wCol: String, hCol: String,
+      channelsCol: String, pxCol: String, orientCol: String,
+      hashCol: String = "dhash"): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = inSchema.add(StructField(hashCol, dhashType, nullable = true))
+    val wi = inSchema.fieldIndex(wCol); val hi = inSchema.fieldIndex(hCol)
+    val ci = inSchema.fieldIndex(channelsCol)
+    val pi = inSchema.fieldIndex(pxCol); val oi = inSchema.fieldIndex(orientCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val px = r.getAs[Array[Byte]](pi)
+        val meta =
+          if (px == null) null
+          else {
+            val (wu, hu, up) = orientPixels(
+              r.getInt(wi), r.getInt(hi), r.getInt(ci), px, r.getInt(oi))
+            val ints = new Array[Int](up.length)
+            var i = 0
+            while (i < up.length) { ints(i) = up(i) & 0xff; i += 1 }
+            val (hihash, lo) = dhashFromPixels(wu, hu, r.getInt(ci), ints)
+            Row("oriented", hihash, lo)
+          }
+        Row.fromSeq(r.toSeq :+ meta)
+      }
+    }
+  }
+
   /** Batched dHash over WEB image payloads — GIF and WebP-VP8L
     * ([[graft.functions.ImageCodecs]]), the two formats that dominate
     * real crawled images next to PNG/JPEG: sniff the container, decode

@@ -94,7 +94,7 @@ object ExplainCheck {
         // r19 third wave: EXIF decode + scrub (map-side kernels, the
         // pixel-intact join), epoch water-filling (source-grain level
         // walk, two one-row broadcasts)
-        "m23_exif", "t109_epoch_waterfill")
+        "m23_exif", "t109_epoch_waterfill", "m24_oriented_dedup")
     for (q <- qs) {
       val df = graft.SparkEntry.queries(q)(spark, dir)
       df.collect() // finalize AQE so the executed plan is the real one

@@ -71,6 +71,48 @@ class ExifSpec extends AnyFunSuite {
     assert(ExifImpl.strip(notJpeg) eq notJpeg)
   }
 
+  test("orientPixels: all 8 EXIF transforms normalize exactly") {
+    // non-square 3×2 RGB with distinct pixels so any coordinate slip
+    // shows; for each orientation, store the inverse-transformed image
+    // and check normalization reproduces the upright bytes
+    val wu = 3; val hu = 2
+    val upright = Array.tabulate(wu * hu * 3)(i => (i * 7 + 1).toByte)
+    for (o <- 1 to 8) {
+      val swap = o >= 5
+      val ws = if (swap) hu else wu
+      val hs = if (swap) wu else hu
+      val stored = new Array[Byte](ws * hs * 3)
+      for (y <- 0 until hu; x <- 0 until wu) {
+        val (sx, sy) = o match {
+          case 1 => (x, y)
+          case 2 => (ws - 1 - x, y)
+          case 3 => (ws - 1 - x, hs - 1 - y)
+          case 4 => (x, hs - 1 - y)
+          case 5 => (y, x)
+          case 6 => (y, hs - 1 - x)
+          case 7 => (ws - 1 - y, hs - 1 - x)
+          case _ => (ws - 1 - y, x)
+        }
+        (0 until 3).foreach(c =>
+          stored((sy * ws + sx) * 3 + c) = upright((y * wu + x) * 3 + c))
+      }
+      val (gw, gh, got) = Multimodal.orientPixels(ws, hs, 3, stored, o)
+      assert(gw == wu && gh == hu, s"dims for o=$o")
+      assert(java.util.Arrays.equals(got, upright), s"pixels for o=$o")
+    }
+    // applying a 90° rotation twice equals the 180° transform
+    val (_, _, once) = Multimodal.orientPixels(wu, hu, 3, upright, 6)
+    val (_, _, twice) = Multimodal.orientPixels(hu, wu, 3, once, 6)
+    val (_, _, r180) = Multimodal.orientPixels(wu, hu, 3, upright, 3)
+    assert(java.util.Arrays.equals(twice, r180))
+    intercept[IllegalArgumentException] {
+      Multimodal.orientPixels(wu, hu, 3, upright, 9)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.orientPixels(wu, hu, 3, upright, 0)
+    }
+  }
+
   test("parser is total on crafted bytes") {
     val cases = Seq[Array[Byte]](
       null, Array.empty, Array[Byte](-1, -40), // bare SOI
