@@ -140,12 +140,17 @@ object Fixtures {
   /** GIF/WebP re-encodes of [[pngPixelDocs]]' EXACT pixels (the
     * `(id + x·3 + y·5 + c·11) mod 256` closed form at the same dims):
     * even doc_ids a single-frame GIF (the ≤224-pixel images stay under
-    * GIF's 256-color ceiling by construction), odd doc_ids a
-    * literal-only VP8L WebP with the 4th-channel alpha following the
-    * same formula — so each web image dHashes IDENTICALLY to its PNG
-    * twin and the cross-format join is replayable in closed form. */
+    * GIF's 256-color ceiling by construction), odd doc_ids a VP8L WebP
+    * with the 4th-channel alpha following the same formula — so each
+    * web image dHashes IDENTICALLY to its PNG twin and the
+    * cross-format join is replayable in closed form. The WebP encoding
+    * ROTATES through the real-web VP8L envelope by id%8: 1 →
+    * literal-only, 3 → color cache, 5 → subtract-green + predictor,
+    * 7 → cache + predictor + cross-color + subtract-green — the gate
+    * goes red if the decoder mishandles any of them, with the oracle
+    * unchanged (same pixels either way). */
   def webpGifDocs(spark: SparkSession, sfDir: String): String =
-    cached("webp_gif_docs", sfDir) { dir =>
+    cached("webp_gif_docs2", sfDir) { dir =>
       import spark.implicits._
       import graft.functions.ImageCodecs
       val ids = table(spark, sfDir, "documents").select("doc_id")
@@ -165,7 +170,18 @@ object Fixtures {
             val rgba = Array.tabulate(w * h * 4) { i =>
               val p = i / 4; v(p % w, p / w, i % 4).toByte
             }
-            ImageCodecs.webpEncode(w, h, rgba)
+            (id % 8).toInt match {
+              case 1 => ImageCodecs.webpEncode(w, h, rgba)
+              case 3 => ImageCodecs.webpEncode(w, h, rgba,
+                cacheBits = (id % 11).toInt + 1, predictor = false,
+                colorTransform = false, subtractGreen = false)
+              case 5 => ImageCodecs.webpEncode(w, h, rgba,
+                cacheBits = 0, predictor = true,
+                colorTransform = false, subtractGreen = true)
+              case _ => ImageCodecs.webpEncode(w, h, rgba,
+                cacheBits = 6, predictor = true,
+                colorTransform = true, subtractGreen = true)
+            }
           }
         (id, payload)
       }

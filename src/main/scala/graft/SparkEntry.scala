@@ -6266,13 +6266,24 @@ object SparkEntry {
     * pinned IN the gate: after [[graft.functions.ExifImpl.strip]] the
     * payload parses Exif-free while its pixel statistics (the m6 exact
     * flat-block decode) are bit-identical, so the scrub provably
-    * removed the metadata and ONLY the metadata. */
+    * removed the metadata and ONLY the metadata. The release-gate
+    * tri-state rides along: the scrub reports `scrub_status`
+    * "scrubbed" (every fixture carries Exif), re-scrubbing the clean
+    * payload reports "clean", and the parse walk reports "ok" — so a
+    * fail-open walk (unparseable JPEG shipped as clean, the r19 ADVICE
+    * item) can no longer hide behind a bare null. */
   private def m23_exif(s: SparkSession, dir: String): DataFrame = {
     val docs = s.read.parquet(Fixtures.exifJpegDocs(s, dir))
     val stripped = Multimodal.stripExif(docs)
     val after = Multimodal.decodeExifMeta(
       stripped.select(col("doc_id"), col("payload_clean").as("payload")),
       metaCol = "exif_after")
+    val restrip = Multimodal.stripExif(
+        stripped.select(col("doc_id"), col("payload_clean").as("payload")))
+      .select(col("doc_id"), col("scrub_status").as("restrip_status"))
+    val parseStatus = Multimodal.decodeExifMeta(docs, "payload",
+        "exif_ps", "parse_status")
+      .select(col("doc_id"), col("parse_status"))
     val pxBefore = Multimodal.decodeJpegPixels(docs)
       .select(col("doc_id"),
         round(element_at(col("pixel_stats.mean"), 1), 6).as("__mb"))
@@ -6290,6 +6301,10 @@ object SparkEntry {
         col("exif.lon_micro").as("lon_micro"))
       .join(after.select(col("doc_id"),
         col("exif_after").isNull.as("exif_gone")), Seq("doc_id"))
+      .join(stripped.select(col("doc_id"), col("scrub_status")),
+        Seq("doc_id"))
+      .join(restrip, Seq("doc_id"))
+      .join(parseStatus, Seq("doc_id"))
       .join(pxBefore, Seq("doc_id")).join(pxAfter, Seq("doc_id"))
       .withColumn("pixels_intact", col("__mb") === col("__ma"))
       .drop("__mb", "__ma")
@@ -13669,6 +13684,9 @@ object SparkEntry {
            CASE WHEN doc_id % 3 = 0
              THEN CAST((doc_id % 180) * 1000000 AS BIGINT) END AS lon_micro,
            true AS exif_gone,
+           'scrubbed' AS scrub_status,
+           'clean' AS restrip_status,
+           'ok' AS parse_status,
            true AS pixels_intact
          FROM documents ORDER BY doc_id""",
     // the normalized hashes equal the upright closed form BY THE

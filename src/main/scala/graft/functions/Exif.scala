@@ -34,24 +34,36 @@ object ExifImpl {
     else ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
       ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
 
-  /** Locate the APP1 Exif segment: returns (payload start, payload
-    * length) of the TIFF stream (after "Exif\0\0"), or None. */
-  private def app1(b: Array[Byte]): Option[(Int, Int)] = {
+  /** Marker-walk outcome. The tri-state matters for corpus release: a
+    * payload whose walk ABORTS before the scan (fill bytes where a
+    * marker belongs, corrupt segment length) may still carry Exif/GPS
+    * the walker could not reach — it must be distinguishable from a
+    * payload whose walk completed and genuinely has no Exif, or a
+    * release gate ships unscrubbed GPS as "clean". */
+  private sealed trait App1Result
+  private final case class App1Found(start: Int, len: Int) extends App1Result
+  private case object App1Absent extends App1Result // clean walk to SOS/EOI
+  private case object App1NotJpeg extends App1Result
+  private case object App1WalkFailed extends App1Result
+
+  /** Locate the APP1 Exif segment: the TIFF stream bounds (after
+    * "Exif\0\0") when present, else the walk outcome. */
+  private def app1(b: Array[Byte]): App1Result = {
     if (b == null || b.length < 4 || (b(0) & 0xff) != 0xff ||
-      (b(1) & 0xff) != 0xd8) return None
+      (b(1) & 0xff) != 0xd8) return App1NotJpeg
     var i = 2
     while (i + 4 <= b.length && (b(i) & 0xff) == 0xff) {
       val marker = b(i + 1) & 0xff
-      if (marker == 0xd9 || marker == 0xda) return None // EOI / scan start
+      if (marker == 0xd9 || marker == 0xda) return App1Absent // EOI / scan
       val len = u16(b, i + 2, le = false)
-      if (len < 2 || i + 2L + len > b.length) return None
+      if (len < 2 || i + 2L + len > b.length) return App1WalkFailed
       if (marker == 0xe1 && len >= 10 &&
         b(i + 4) == 'E' && b(i + 5) == 'x' && b(i + 6) == 'i' &&
         b(i + 7) == 'f' && b(i + 8) == 0 && b(i + 9) == 0)
-        return Some((i + 10, len - 8))
+        return App1Found(i + 10, len - 8)
       i += 2 + len
     }
-    None
+    App1WalkFailed // ran out of bytes / non-marker byte before the scan
   }
 
   private final case class Entry(tag: Int, tpe: Int, count: Long, at: Int)
@@ -129,8 +141,28 @@ object ExifImpl {
 
   /** Parse the EXIF of a JPEG payload; None when there is no
     * well-formed APP1 Exif segment. Never throws. */
-  def parse(jpeg: Array[Byte]): Option[Exif] = {
-    val (t0, len) = app1(jpeg).getOrElse(return None)
+  def parse(jpeg: Array[Byte]): Option[Exif] = parseWithStatus(jpeg)._1
+
+  /** [[parse]] plus the walk outcome a release gate can act on:
+    * "ok" (Exif parsed), "no_exif" (walk completed, none present),
+    * "bad_tiff" (APP1 found but the TIFF stream is malformed — Exif
+    * may exist but is unreadable: quarantine), "not_jpeg", and
+    * "walk_failed" (marker walk aborted before the scan — the payload
+    * may still carry unreachable Exif/GPS: quarantine). A gate reading
+    * only [[parse]]'s None cannot tell the last three apart. */
+  def parseWithStatus(jpeg: Array[Byte]): (Option[Exif], String) =
+    app1(jpeg) match {
+      case App1NotJpeg => (None, "not_jpeg")
+      case App1Absent => (None, "no_exif")
+      case App1WalkFailed => (None, "walk_failed")
+      case App1Found(t0, len) => parseTiff(jpeg, t0, len) match {
+        case some @ Some(_) => (some, "ok")
+        case None => (None, "bad_tiff")
+      }
+    }
+
+  private def parseTiff(jpeg: Array[Byte], t0: Int,
+      len: Int): Option[Exif] = {
     if (len < 8) return None
     val le = jpeg(t0) == 'I' && jpeg(t0 + 1) == 'I'
     val be = jpeg(t0) == 'M' && jpeg(t0 + 1) == 'M'
@@ -161,11 +193,21 @@ object ExifImpl {
     * scrub for corpus release: markers before the scan copy through
     * minus the Exif APP1s; from the start-of-scan on, bytes copy
     * verbatim (the entropy stream is untouched, so pixels decode
-    * identically). A payload that is not a JPEG, or carries no Exif,
-    * returns unchanged. Never throws. */
-  def strip(jpeg: Array[Byte]): Array[Byte] = {
+    * identically). A payload that is not a JPEG, carries no Exif, or
+    * whose marker walk ABORTS is returned unchanged — use
+    * [[stripWithStatus]] to tell those apart. Never throws. */
+  def strip(jpeg: Array[Byte]): Array[Byte] = stripWithStatus(jpeg)._1
+
+  /** The scrub plus its status: "scrubbed" (Exif removed, walk
+    * completed to the scan), "clean" (walk completed, no Exif — safe
+    * to ship), "not_jpeg", and "walk_failed" (marker walk aborted
+    * before the scan: the payload is returned UNCHANGED and may still
+    * carry GPS — a release pipeline must quarantine it, not ship it;
+    * a bare [[strip]] return is indistinguishable from clean). A walk
+    * that aborts never returns a partially-scrubbed payload. */
+  def stripWithStatus(jpeg: Array[Byte]): (Array[Byte], String) = {
     if (jpeg == null || jpeg.length < 4 || (jpeg(0) & 0xff) != 0xff ||
-      (jpeg(1) & 0xff) != 0xd8) return jpeg
+      (jpeg(1) & 0xff) != 0xd8) return (jpeg, "not_jpeg")
     val out = new java.io.ByteArrayOutputStream(jpeg.length)
     out.write(jpeg, 0, 2)
     var i = 2
@@ -174,10 +216,12 @@ object ExifImpl {
       val marker = jpeg(i + 1) & 0xff
       if (marker == 0xd9 || marker == 0xda) {
         out.write(jpeg, i, jpeg.length - i)
-        return if (changed) out.toByteArray else jpeg
+        return if (changed) (out.toByteArray, "scrubbed")
+        else (jpeg, "clean")
       }
       val len = u16(jpeg, i + 2, le = false)
-      if (len < 2 || i + 2L + len > jpeg.length) return jpeg // malformed
+      if (len < 2 || i + 2L + len > jpeg.length)
+        return (jpeg, "walk_failed") // corrupt length before the scan
       val isExif = marker == 0xe1 && len >= 10 &&
         jpeg(i + 4) == 'E' && jpeg(i + 5) == 'x' && jpeg(i + 6) == 'i' &&
         jpeg(i + 7) == 'f' && jpeg(i + 8) == 0 && jpeg(i + 9) == 0
@@ -185,8 +229,9 @@ object ExifImpl {
       else out.write(jpeg, i, 2 + len)
       i += 2 + len
     }
-    if (changed) { out.write(jpeg, i, jpeg.length - i); out.toByteArray }
-    else jpeg
+    // fill byte / truncation before any scan marker: never emit the
+    // partial rewrite — Exif past the abort point would survive it
+    (jpeg, "walk_failed")
   }
 
   // --------------------------------------------------------------- build

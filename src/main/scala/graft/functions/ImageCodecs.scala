@@ -273,14 +273,21 @@ object ImageCodecs {
 
   // ----------------------------------------------------------- VP8L bits
 
-  private final class BitReader(b: Array[Byte], var pos: Int) {
+  /** `limit` bounds the readable bytes to the owning chunk's end — a
+    * truncated VP8L payload followed by trailing RIFF chunks must set
+    * `truncated`, not silently consume the next chunk's bytes as
+    * bitstream. */
+  private final class BitReader(b: Array[Byte], var pos: Int,
+      limit: Int) {
+    def this(b: Array[Byte], pos: Int) = this(b, pos, b.length)
+    private val end = math.min(limit, b.length)
     private var acc = 0L
     private var nbits = 0
     var truncated = false
     def bit(): Int = bits(1)
     def bits(n: Int): Int = {
       while (nbits < n) {
-        if (pos >= b.length) { truncated = true; return 0 }
+        if (pos >= end) { truncated = true; return 0 }
         acc |= (b(pos) & 0xffL) << nbits; nbits += 8; pos += 1
       }
       val v = (acc & ((1L << n) - 1)).toInt
@@ -395,8 +402,13 @@ object ImageCodecs {
   // yields the DEEPEST codes for rare symbols, which is correct; the
   // expansion above implements the standard boundary package-merge.
 
+  // Spec §4.1.1 / libwebp kCodeLengthCodeOrder: symbol 16 sits between
+  // 5 and 6 — NOT last. Encoder and decoder share this table, so a
+  // wrong order roundtrips against itself but misparses every
+  // spec-compliant stream that declares >= 9 code-length symbols; the
+  // spec-order interop fixture in ImageCodecsSpec pins it.
   private val ClOrder =
-    Array(17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+    Array(17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
 
   /** VP8L's 120-entry short-distance map (dx, dy), spec §4.2.2. */
   private val DistMap: Array[(Int, Int)] = Array(
@@ -487,10 +499,234 @@ object ImageCodecs {
     }
   }
 
+  /** ceil(size / 2^bits) — the spec's DIV_ROUND_UP for transform
+    * sub-image dimensions. */
+  private def subSampleSize(size: Int, bits: Int): Int =
+    (size + (1 << bits) - 1) >> bits
+
+  /** The three transforms inside the decode envelope, held in REVERSE
+    * bitstream-read order so a plain foreach applies the inverses the
+    * way the spec demands (last-read inverted first). */
+  private sealed trait Vp8lTransform
+  private case object SubtractGreenT extends Vp8lTransform
+  private final case class PredictorT(sizeBits: Int, modes: Array[Int])
+    extends Vp8lTransform
+  private final case class ColorT(sizeBits: Int, ctes: Array[Int])
+    extends Vp8lTransform
+
+  /** One spatially-coded image stream (spec §5 DecodeImageStream minus
+    * the meta-prefix recursion): optional color cache (1..11 bits),
+    * five prefix codes, literals + LZ77 backrefs + cache hits. Used for
+    * the main image (isLevel0, which also owns the meta-prefix bit we
+    * refuse) and for transform sub-images. Returns ARGB words. */
+  private def decodeImageStream(r: BitReader, w: Int, h: Int,
+      isLevel0: Boolean): Option[Array[Int]] = {
+    var cacheBits = 0
+    if (r.bit() == 1) {
+      cacheBits = r.bits(4)
+      if (cacheBits < 1 || cacheBits > 11) return None
+    }
+    if (isLevel0 && r.bit() == 1) return None // meta prefix out of envelope
+    val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
+    val cache = new Array[Int](cacheSize)
+    val green = readPrefixCode(r, 256 + 24 + cacheSize).getOrElse(return None)
+    val red = readPrefixCode(r, 256).getOrElse(return None)
+    val blue = readPrefixCode(r, 256).getOrElse(return None)
+    val alpha = readPrefixCode(r, 256).getOrElse(return None)
+    val dist = readPrefixCode(r, 40).getOrElse(return None)
+    val n = w * h
+    val px = new Array[Int](n)
+    // spec §4.4: hash is uint32 wrap-around multiply then a top-bit shift
+    def insert(v: Int): Unit =
+      if (cacheBits > 0) cache((0x1e35a7bd * v) >>> (32 - cacheBits)) = v
+    var p = 0
+    while (p < n) {
+      val g = green.decode(r)
+      if (g < 0 || r.truncated) return None
+      if (g < 256) {
+        val rr = red.decode(r); val bb = blue.decode(r)
+        val aa = alpha.decode(r)
+        if (rr < 0 || bb < 0 || aa < 0 || r.truncated) return None
+        px(p) = (aa << 24) | (rr << 16) | (g << 8) | bb
+        insert(px(p))
+        p += 1
+      } else if (g < 280) {
+        val length = lz77Value(g - 256, r)
+        val dcode = dist.decode(r)
+        if (dcode < 0 || r.truncated) return None
+        val dval = lz77Value(dcode, r)
+        val distance =
+          if (dval > 120) dval - 120
+          else {
+            val (dx, dy) = DistMap(dval - 1)
+            math.max(1, dy * w + dx)
+          }
+        if (distance > p || p + length > n) return None
+        var k = 0
+        while (k < length) {
+          px(p) = px(p - distance); insert(px(p)); p += 1; k += 1
+        }
+      } else { // color-cache hit
+        val idx = g - 280
+        if (idx >= cacheSize) return None
+        px(p) = cache(idx)
+        p += 1
+      }
+    }
+    if (r.truncated) None else Some(px)
+  }
+
+  private def avg2(a: Int, b: Int): Int = {
+    // per-channel (a + b) / 2 without cross-channel carry
+    (((a ^ b) & 0xfefefefe) >>> 1) + (a & b)
+  }
+
+  private def clamp255(v: Int): Int =
+    if (v < 0) 0 else if (v > 255) 255 else v
+
+  /** Spec §4.2.2 predictor modes over (L, T, TL, TR). Border handling
+    * lives in the caller. */
+  private def predictPixel(mode: Int, l: Int, t: Int, tl: Int,
+      tr: Int): Int = mode match {
+    case 0 => 0xff000000
+    case 1 => l
+    case 2 => t
+    case 3 => tr
+    case 4 => tl
+    case 5 => avg2(avg2(l, tr), t)
+    case 6 => avg2(l, tl)
+    case 7 => avg2(l, t)
+    case 8 => avg2(tl, t)
+    case 9 => avg2(t, tr)
+    case 10 => avg2(avg2(l, tl), avg2(t, tr))
+    case 11 => // Select: Manhattan-closer of L and T to the gradient
+      var pl = 0; var pt = 0
+      var sh = 0
+      while (sh < 32) {
+        val cl = (l >>> sh) & 0xff; val ct = (t >>> sh) & 0xff
+        val ctl = (tl >>> sh) & 0xff
+        val pc = cl + ct - ctl
+        pl += math.abs(pc - cl); pt += math.abs(pc - ct)
+        sh += 8
+      }
+      if (pl < pt) l else t
+    case 12 => // ClampAddSubtractFull
+      var out = 0; var sh = 0
+      while (sh < 32) {
+        val v = clamp255(((l >>> sh) & 0xff) + ((t >>> sh) & 0xff) -
+          ((tl >>> sh) & 0xff))
+        out |= v << sh; sh += 8
+      }
+      out
+    case _ => // 13: ClampAddSubtractHalf
+      var out = 0; var sh = 0
+      while (sh < 32) {
+        val a = (((l >>> sh) & 0xff) + ((t >>> sh) & 0xff)) / 2
+        val v = clamp255(a + (a - ((tl >>> sh) & 0xff)) / 2)
+        out |= v << sh; sh += 8
+      }
+      out
+  }
+
+  /** Per-channel mod-256 add — residual + prediction. */
+  private def addPixels(a: Int, b: Int): Int = {
+    val ag = (a & 0xff00ff00) >>> 8; val bg = (b & 0xff00ff00) >>> 8
+    val rb = ((a & 0x00ff00ff) + (b & 0x00ff00ff)) & 0x00ff00ff
+    val g = (((ag + bg) & 0x00ff00ff) << 8)
+    rb | g
+  }
+
+  /** Per-channel mod-256 subtract — the encoder's forward residual. */
+  private def subPixels(a: Int, b: Int): Int = {
+    val arb = a & 0x00ff00ff; val brb = b & 0x00ff00ff
+    val ag = (a >>> 8) & 0x00ff00ff; val bg = (b >>> 8) & 0x00ff00ff
+    val rb = ((arb | 0x01000100) - brb) & 0x00ff00ff
+    val g = (((ag | 0x01000100) - bg) & 0x00ff00ff) << 8
+    rb | g
+  }
+
+  /** In-place inverse predictor transform (spec §4.2.2): px holds
+    * residuals on entry, reconstructed pixels on exit. Border rules:
+    * (0,0) → black, top row → L, left column → T; the TR of a
+    * rightmost-column pixel is the leftmost pixel of the SAME row.
+    * Unknown predictor modes (>13) refuse. */
+  private def inversePredictor(px: Array[Int], w: Int, h: Int,
+      sizeBits: Int, modes: Array[Int]): Boolean = {
+    val mw = subSampleSize(w, sizeBits)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = y * w + x
+        val pred =
+          if (x == 0 && y == 0) 0xff000000
+          else if (y == 0) px(p - 1)
+          else if (x == 0) px(p - w)
+          else {
+            val mode = (modes((y >> sizeBits) * mw + (x >> sizeBits)) >> 8) & 0xff
+            if (mode > 13) return false
+            val tr = if (x == w - 1) px(y * w) else px(p - w + 1)
+            predictPixel(mode, px(p - 1), px(p - w), px(p - w - 1), tr)
+          }
+        px(p) = addPixels(px(p), pred)
+        x += 1
+      }
+      y += 1
+    }
+    true
+  }
+
+  /** Signed 3.5 fixed-point color-transform delta (spec §4.2.3):
+    * both multiplier and channel value are SIGNED 8-bit. */
+  private def cteDelta(t: Int, c: Int): Int = (t.toByte * c.toByte) >> 5
+
+  /** In-place inverse cross-color transform: per block, the transform
+    * element pixel packs red_to_blue | green_to_blue | green_to_red in
+    * its R | G | B channels; inversion first recovers red (it feeds the
+    * blue delta). */
+  private def inverseColorTransform(px: Array[Int], w: Int, h: Int,
+      sizeBits: Int, ctes: Array[Int]): Unit = {
+    val mw = subSampleSize(w, sizeBits)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = y * w + x
+        val cte = ctes((y >> sizeBits) * mw + (x >> sizeBits))
+        val g2r = cte & 0xff
+        val g2b = (cte >> 8) & 0xff
+        val r2b = (cte >> 16) & 0xff
+        val v = px(p)
+        val g = (v >> 8) & 0xff
+        val r = ((v >> 16) & 0xff) + cteDelta(g2r, g)
+        val rr = r & 0xff
+        val bb = ((v & 0xff) + cteDelta(g2b, g) + cteDelta(r2b, rr)) & 0xff
+        px(p) = (v & 0xff00ff00) | (rr << 16) | bb
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** In-place inverse subtract-green: add green back to red and blue. */
+  private def inverseSubtractGreen(px: Array[Int]): Unit = {
+    var p = 0
+    while (p < px.length) {
+      val v = px(p)
+      val g = (v >> 8) & 0xff
+      val rr = (((v >> 16) & 0xff) + g) & 0xff
+      val bb = ((v & 0xff) + g) & 0xff
+      px(p) = (v & 0xff00ff00) | (rr << 16) | bb
+      p += 1
+    }
+  }
+
   /** Decode a WebP container holding a VP8L (lossless) stream to
-    * (w, h, 4, interleaved RGBA). Envelope: no color cache, no meta
-    * prefix groups, transforms limited to subtract-green; lossy VP8 /
-    * VP8X-wrapped lossy → None. */
+    * (w, h, 4, interleaved RGBA). Envelope: color cache, LZ77,
+    * subtract-green + predictor + cross-color transforms (spec §4.2),
+    * simple and code-length-coded prefix codes. Still refused: the
+    * color-indexing (palette) transform, meta prefix groups, and lossy
+    * VP8 (a different codec entirely) → None. */
   def webpDecode(b: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
     if (b == null || b.length < 20) return None
     if (new String(b, 0, 4, "US-ASCII") != "RIFF" ||
@@ -511,100 +747,100 @@ object ImageCodecs {
     }
     val (off, len) = payload.getOrElse(return None)
     if (len < 5 || (b(off) & 0xff) != 0x2f) return None
-    val r = new BitReader(b, off + 1)
+    // reader clamped to the chunk end: truncation inside VP8L must not
+    // consume a following chunk's bytes as bitstream
+    val r = new BitReader(b, off + 1, off + len)
     val w = r.bits(14) + 1
     val h = r.bits(14) + 1
     r.bit() // alpha hint
     if (r.bits(3) != 0) return None // version
     if (w.toLong * h * 4 >= (1L << 28)) return None
-    var subtractGreen = false
+    var transforms = List.empty[Vp8lTransform] // prepend → reverse read order
+    var seenTypes = Set.empty[Int]
     while (r.bit() == 1) {
-      r.bits(2) match {
-        case 2 => subtractGreen = true
-        case _ => return None // predictor/color/indexing out of envelope
+      val t = r.bits(2)
+      if (seenTypes(t)) return None // each transform appears at most once
+      seenTypes += t
+      t match {
+        case 0 =>
+          val sizeBits = r.bits(3) + 2
+          val img = decodeImageStream(r, subSampleSize(w, sizeBits),
+            subSampleSize(h, sizeBits), isLevel0 = false)
+            .getOrElse(return None)
+          transforms ::= PredictorT(sizeBits, img)
+        case 1 =>
+          val sizeBits = r.bits(3) + 2
+          val img = decodeImageStream(r, subSampleSize(w, sizeBits),
+            subSampleSize(h, sizeBits), isLevel0 = false)
+            .getOrElse(return None)
+          transforms ::= ColorT(sizeBits, img)
+        case 2 => transforms ::= SubtractGreenT
+        case _ => return None // color indexing out of envelope
       }
+      if (r.truncated) return None
     }
-    if (r.bit() == 1) return None // color cache out of envelope
-    if (r.bit() == 1) return None // meta prefix groups out of envelope
-    val green = readPrefixCode(r, 256 + 24).getOrElse(return None)
-    val red = readPrefixCode(r, 256).getOrElse(return None)
-    val blue = readPrefixCode(r, 256).getOrElse(return None)
-    val alpha = readPrefixCode(r, 256).getOrElse(return None)
-    val dist = readPrefixCode(r, 40).getOrElse(return None)
+    val px = decodeImageStream(r, w, h, isLevel0 = true)
+      .getOrElse(return None)
+    transforms.foreach {
+      case SubtractGreenT => inverseSubtractGreen(px)
+      case PredictorT(sb, img) =>
+        if (!inversePredictor(px, w, h, sb, img)) return None
+      case ColorT(sb, img) => inverseColorTransform(px, w, h, sb, img)
+    }
     val n = w * h
-    val px = new Array[Int](n) // ARGB words pre-inverse-transform
+    val out = new Array[Byte](n * 4)
     var p = 0
     while (p < n) {
-      val g = green.decode(r)
-      if (g < 0 || r.truncated) return None
-      if (g < 256) {
-        val rr = red.decode(r); val bb = blue.decode(r)
-        val aa = alpha.decode(r)
-        if (rr < 0 || bb < 0 || aa < 0 || r.truncated) return None
-        px(p) = (aa << 24) | (rr << 16) | (g << 8) | bb
-        p += 1
-      } else {
-        val length = lz77Value(g - 256, r)
-        val dcode = dist.decode(r)
-        if (dcode < 0 || r.truncated) return None
-        val dval = lz77Value(dcode, r)
-        val distance =
-          if (dval > 120) dval - 120
-          else {
-            val (dx, dy) = DistMap(dval - 1)
-            math.max(1, dy * w + dx)
-          }
-        if (distance > p || p + length > n) return None
-        var k = 0
-        while (k < length) { px(p) = px(p - distance); p += 1; k += 1 }
-      }
-    }
-    val out = new Array[Byte](n * 4)
-    p = 0
-    while (p < n) {
       val v = px(p)
-      var rr = (v >> 16) & 0xff; val gg = (v >> 8) & 0xff
-      var bb = v & 0xff; val aa = (v >>> 24) & 0xff
-      if (subtractGreen) { rr = (rr + gg) & 0xff; bb = (bb + gg) & 0xff }
-      out(p * 4) = rr.toByte; out(p * 4 + 1) = gg.toByte
-      out(p * 4 + 2) = bb.toByte; out(p * 4 + 3) = aa.toByte
+      out(p * 4) = ((v >> 16) & 0xff).toByte
+      out(p * 4 + 1) = ((v >> 8) & 0xff).toByte
+      out(p * 4 + 2) = (v & 0xff).toByte
+      out(p * 4 + 3) = ((v >>> 24) & 0xff).toByte
       p += 1
     }
     Some((w, h, 4, out))
   }
 
-  /** Encode interleaved RGBA as a literal-only, transform-free VP8L
-    * WebP: per-channel canonical prefix codes (package-merge limited to
-    * 15; simple form for ≤2-symbol channels), code lengths emitted
-    * plainly (no RLE), distance tree a 1-symbol stub. Exact decode by
-    * construction — fixture material for the cross-format dedup gates. */
-  def webpEncode(w: Int, h: Int, rgba: Array[Byte]): Array[Byte] = {
-    require(w > 0 && h > 0 && rgba.length == w * h * 4,
-      s"bad pixel buffer: ${w}x$h vs ${rgba.length}")
-    require(w <= (1 << 14) && h <= (1 << 14), "dims exceed VP8L's 14 bits")
+  /** One image stream for [[webpEncode]]: optional color cache,
+    * per-channel canonical prefix codes (package-merge limited to 15;
+    * simple form for ≤2-symbol channels with 8-bit-expressible
+    * symbols), code lengths emitted plainly (no RLE), distance tree a
+    * 1-symbol stub (literals + cache hits only, no LZ77 emission).
+    * Shared by the main image and the transform sub-images. */
+  private def encodeImageStream(bw: BitWriter, w: Int, h: Int,
+      argb: Array[Int], cacheBits: Int, isLevel0: Boolean): Unit = {
     val n = w * h
-    val bw = new BitWriter
-    bw.bits(w - 1, 14); bw.bits(h - 1, 14)
-    bw.bits(0, 1) // no alpha hint
-    bw.bits(0, 3) // version
-    bw.bits(0, 1) // no transforms
-    bw.bits(0, 1) // no color cache
-    bw.bits(0, 1) // no meta prefix groups
-    val freqs = Array(new Array[Long](280), new Array[Long](256),
-      new Array[Long](256), new Array[Long](256))
+    val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
+    if (cacheBits > 0) { bw.bits(1, 1); bw.bits(cacheBits, 4) }
+    else bw.bits(0, 1)
+    if (isLevel0) bw.bits(0, 1) // no meta prefix groups
+    def cacheIx(v: Int): Int = (0x1e35a7bd * v) >>> (32 - cacheBits)
+    // pass 1: symbol frequencies, simulating the decoder's cache state
+    // (same zero-initialized array, same literal-insert rule) — a hit
+    // against a never-written zero slot is still correct: the decoder's
+    // slot holds the same zero
+    val freqs = Array(new Array[Long](256 + 24 + cacheSize),
+      new Array[Long](256), new Array[Long](256), new Array[Long](256))
+    val cache = new Array[Int](cacheSize)
     var p = 0
     while (p < n) {
-      freqs(0)(rgba(p * 4 + 1) & 0xff) += 1 // green drives the g tree
-      freqs(1)(rgba(p * 4) & 0xff) += 1
-      freqs(2)(rgba(p * 4 + 2) & 0xff) += 1
-      freqs(3)(rgba(p * 4 + 3) & 0xff) += 1
+      val v = argb(p)
+      if (cacheBits > 0 && cache(cacheIx(v)) == v)
+        freqs(0)(280 + cacheIx(v)) += 1
+      else {
+        freqs(0)((v >> 8) & 0xff) += 1
+        freqs(1)((v >> 16) & 0xff) += 1
+        freqs(2)(v & 0xff) += 1
+        freqs(3)((v >>> 24) & 0xff) += 1
+        if (cacheBits > 0) cache(cacheIx(v)) = v
+      }
       p += 1
     }
     val lens = freqs.map(f => packageMerge(f, 15))
     val codes = lens.map(canonicalCodes)
     def writeCode(ix: Int): Unit = {
       val used = freqs(ix).indices.filter(freqs(ix)(_) > 0)
-      if (used.length <= 2) { // simple form
+      if (used.length <= 2 && used.forall(_ < 256)) { // simple form
         bw.bits(1, 1)
         bw.bits(used.length - 1, 1)
         val s0 = used.head
@@ -647,23 +883,140 @@ object ImageCodecs {
       }
     }
     writeCode(0); writeCode(1); writeCode(2); writeCode(3)
-    // distance tree: 1-symbol stub (never used — literals only)
+    // distance tree: 1-symbol stub (never used — no LZ77 emission)
     bw.bits(1, 1); bw.bits(0, 1); bw.bits(0, 1); bw.bits(0, 1)
     def emit(ix: Int, s: Int): Unit = bw.bits(
       Integer.reverse(codes(ix)(s)) >>> (32 - math.max(lens(ix)(s), 1)),
       lens(ix)(s))
+    // pass 2: emission, replaying the identical cache evolution
+    java.util.Arrays.fill(cache, 0)
     p = 0
     while (p < n) {
-      val gg = rgba(p * 4 + 1) & 0xff
-      if (lens(0)(gg) > 0) emit(0, gg)
-      val rr = rgba(p * 4) & 0xff
-      if (lens(1)(rr) > 0) emit(1, rr)
-      val bb = rgba(p * 4 + 2) & 0xff
-      if (lens(2)(bb) > 0) emit(2, bb)
-      val aa = rgba(p * 4 + 3) & 0xff
-      if (lens(3)(aa) > 0) emit(3, aa)
+      val v = argb(p)
+      if (cacheBits > 0 && cache(cacheIx(v)) == v) {
+        val s = 280 + cacheIx(v)
+        if (lens(0)(s) > 0) emit(0, s)
+      } else {
+        val gg = (v >> 8) & 0xff
+        if (lens(0)(gg) > 0) emit(0, gg)
+        val rr = (v >> 16) & 0xff
+        if (lens(1)(rr) > 0) emit(1, rr)
+        val bb = v & 0xff
+        if (lens(2)(bb) > 0) emit(2, bb)
+        val aa = (v >>> 24) & 0xff
+        if (lens(3)(aa) > 0) emit(3, aa)
+        if (cacheBits > 0) cache(cacheIx(v)) = v
+      }
       p += 1
     }
+  }
+
+  /** Encode interleaved RGBA as a literal-only, transform-free VP8L
+    * WebP — the exact-decode fixture form. */
+  def webpEncode(w: Int, h: Int, rgba: Array[Byte]): Array[Byte] =
+    webpEncode(w, h, rgba, cacheBits = 0, predictor = false,
+      colorTransform = false, subtractGreen = false)
+
+  /** Transform-capable VP8L encoder for fixtures: optional color cache
+    * (1..11 bits), subtract-green, cross-color (deterministic
+    * per-block multipliers) and predictor transforms (block mode
+    * cycles through all 14 spec predictors). Forward transforms apply
+    * in subtract-green → cross-color → predictor order and the
+    * bitstream lists them the same way, so the decoder's
+    * reverse-read-order inversion reconstructs exactly. Exact decode by
+    * construction — fixture material for the cross-format dedup gates. */
+  def webpEncode(w: Int, h: Int, rgba: Array[Byte], cacheBits: Int,
+      predictor: Boolean, colorTransform: Boolean,
+      subtractGreen: Boolean): Array[Byte] = {
+    require(w > 0 && h > 0 && rgba.length == w * h * 4,
+      s"bad pixel buffer: ${w}x$h vs ${rgba.length}")
+    require(w <= (1 << 14) && h <= (1 << 14), "dims exceed VP8L's 14 bits")
+    require(cacheBits >= 0 && cacheBits <= 11, s"cacheBits $cacheBits")
+    val n = w * h
+    val argb = new Array[Int](n)
+    var p = 0
+    while (p < n) {
+      argb(p) = ((rgba(p * 4 + 3) & 0xff) << 24) |
+        ((rgba(p * 4) & 0xff) << 16) |
+        ((rgba(p * 4 + 1) & 0xff) << 8) | (rgba(p * 4 + 2) & 0xff)
+      p += 1
+    }
+    val bw = new BitWriter
+    bw.bits(w - 1, 14); bw.bits(h - 1, 14)
+    bw.bits(0, 1) // no alpha hint
+    bw.bits(0, 3) // version
+    if (subtractGreen) {
+      bw.bits(1, 1); bw.bits(2, 2)
+      p = 0
+      while (p < n) {
+        val v = argb(p); val g = (v >> 8) & 0xff
+        val rr = (((v >> 16) & 0xff) - g) & 0xff
+        val bb = ((v & 0xff) - g) & 0xff
+        argb(p) = (v & 0xff00ff00) | (rr << 16) | bb
+        p += 1
+      }
+    }
+    if (colorTransform) {
+      bw.bits(1, 1); bw.bits(1, 2)
+      val sizeBits = 2
+      bw.bits(sizeBits - 2, 3)
+      val mw = subSampleSize(w, sizeBits); val mh = subSampleSize(h, sizeBits)
+      val ctes = Array.tabulate(mw * mh) { bi =>
+        0xff000000 | (((bi * 41 + 11) & 0xff) << 16) |
+          (((bi * 29 + 7) & 0xff) << 8) | ((bi * 17 + 3) & 0xff)
+      }
+      encodeImageStream(bw, mw, mh, ctes, 0, isLevel0 = false)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val q = y * w + x
+          val cte = ctes((y >> sizeBits) * mw + (x >> sizeBits))
+          val v = argb(q)
+          val g = (v >> 8) & 0xff; val r0 = (v >> 16) & 0xff
+          val rr = (r0 - cteDelta(cte & 0xff, g)) & 0xff
+          // forward blue delta uses the ORIGINAL red (the inverse adds
+          // it back only after recovering red)
+          val bb = ((v & 0xff) - cteDelta((cte >> 8) & 0xff, g) -
+            cteDelta((cte >> 16) & 0xff, r0)) & 0xff
+          argb(q) = (v & 0xff00ff00) | (rr << 16) | bb
+          x += 1
+        }
+        y += 1
+      }
+    }
+    if (predictor) {
+      bw.bits(1, 1); bw.bits(0, 2)
+      val sizeBits = 2
+      bw.bits(sizeBits - 2, 3)
+      val mw = subSampleSize(w, sizeBits); val mh = subSampleSize(h, sizeBits)
+      val modes = Array.tabulate(mw * mh)(bi => 0xff000000 | ((bi % 14) << 8))
+      encodeImageStream(bw, mw, mh, modes, 0, isLevel0 = false)
+      // residuals predict from the PRE-predictor coded values — the
+      // decoder's reconstruction state at each pixel
+      val src = argb.clone()
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val q = y * w + x
+          val pred =
+            if (x == 0 && y == 0) 0xff000000
+            else if (y == 0) src(q - 1)
+            else if (x == 0) src(q - w)
+            else {
+              val mode = (modes((y >> sizeBits) * mw + (x >> sizeBits)) >> 8) & 0xff
+              val tr = if (x == w - 1) src(y * w) else src(q - w + 1)
+              predictPixel(mode, src(q - 1), src(q - w), src(q - w - 1), tr)
+            }
+          argb(q) = subPixels(src(q), pred)
+          x += 1
+        }
+        y += 1
+      }
+    }
+    bw.bits(0, 1) // end of transforms
+    encodeImageStream(bw, w, h, argb, cacheBits, isLevel0 = true)
     val payload0 = bw.result()
     val payload = Array[Byte](0x2f.toByte) ++ payload0
     val riffLen = 4 + 8 + payload.length + (payload.length & 1)

@@ -774,32 +774,72 @@ object Multimodal {
     * Executor-side mapPartitions like every codec here. */
   def decodeExifMeta(df: DataFrame, payloadCol: String = "payload",
       metaCol: String = "exif"): DataFrame =
-    decodeMeta(df, payloadCol, metaCol, exifType) { bytes =>
-      graft.functions.ExifImpl.parse(bytes) match {
-        case Some(e) => Row(
-          e.orientation.map(Int.box).orNull, e.dateTime.orNull,
-          e.make.orNull, e.model.orNull, e.hasGps,
-          e.latMicro.map(Long.box).orNull, e.lonMicro.map(Long.box).orNull)
-        case None => null
-      }
-    }
+    decodeExifMeta(df, payloadCol, metaCol, statusCol = null)
 
-  /** The GPS-PII scrub ([[graft.functions.ExifImpl.strip]]): every APP1
-    * Exif segment removed by byte surgery, entropy stream untouched —
-    * pixels decode identically, location metadata is gone. Non-JPEG or
-    * Exif-free payloads pass through unchanged (reference-equal).
-    * Appends `outCol` BINARY. */
-  def stripExif(df: DataFrame, payloadCol: String = "payload",
-      outCol: String = "payload_clean"): DataFrame = {
+  /** With `statusCol` set, also appends the parse-walk status
+    * ("ok" | "no_exif" | "bad_tiff" | "not_jpeg" | "walk_failed") so a
+    * null meta is attributable: genuinely Exif-free versus a payload
+    * whose walk failed and may carry unreadable Exif/GPS (quarantine
+    * class). The meta struct stays null for everything but "ok" —
+    * downstream isNull checks keep working. */
+  def decodeExifMeta(df: DataFrame, payloadCol: String,
+      metaCol: String, statusCol: String): DataFrame = {
     val inSchema = df.schema
-    val outSchema = inSchema.add(StructField(outCol, BinaryType, nullable = true))
+    val outSchema0 = inSchema.add(StructField(metaCol, exifType, nullable = true))
+    val outSchema =
+      if (statusCol == null) outSchema0
+      else outSchema0.add(StructField(statusCol, StringType, nullable = true))
     val payloadIdx = inSchema.fieldIndex(payloadCol)
     implicit val enc = RowEncoder.encoderFor(outSchema)
     df.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](payloadIdx)
-        Row.fromSeq(r.toSeq :+
-          (if (bytes == null) null else graft.functions.ExifImpl.strip(bytes)))
+        val (meta, status) =
+          if (bytes == null) (null, null)
+          else {
+            val (parsed, st) = graft.functions.ExifImpl.parseWithStatus(bytes)
+            (parsed match {
+              case Some(e) => Row(
+                e.orientation.map(Int.box).orNull, e.dateTime.orNull,
+                e.make.orNull, e.model.orNull, e.hasGps,
+                e.latMicro.map(Long.box).orNull,
+                e.lonMicro.map(Long.box).orNull)
+              case None => null
+            }, st)
+          }
+        if (statusCol == null) Row.fromSeq(r.toSeq :+ meta)
+        else Row.fromSeq(r.toSeq ++ Seq(meta, status))
+      }
+    }
+  }
+
+  /** The GPS-PII scrub ([[graft.functions.ExifImpl.stripWithStatus]]):
+    * every APP1 Exif segment removed by byte surgery, entropy stream
+    * untouched — pixels decode identically, location metadata is gone.
+    * Non-JPEG or Exif-free payloads pass through unchanged
+    * (reference-equal). Appends `outCol` BINARY plus `statusCol`
+    * ("scrubbed" | "clean" | "not_jpeg" | "walk_failed") — the
+    * tri-state a release pipeline filters on: ONLY "scrubbed"/"clean"
+    * ship; "walk_failed" payloads may still carry GPS the walker could
+    * not reach and must be quarantined (they are returned unchanged,
+    * indistinguishable from clean without the status). */
+  def stripExif(df: DataFrame, payloadCol: String = "payload",
+      outCol: String = "payload_clean",
+      statusCol: String = "scrub_status"): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = inSchema
+      .add(StructField(outCol, BinaryType, nullable = true))
+      .add(StructField(statusCol, StringType, nullable = true))
+    val payloadIdx = inSchema.fieldIndex(payloadCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        if (bytes == null) Row.fromSeq(r.toSeq ++ Seq(null, null))
+        else {
+          val (clean, status) = graft.functions.ExifImpl.stripWithStatus(bytes)
+          Row.fromSeq(r.toSeq ++ Seq(clean, status))
+        }
       }
     }
   }

@@ -154,6 +154,134 @@ class ImageCodecsSpec extends AnyFunSuite {
     assert(ImageCodecs.webpDecode(evil2).isEmpty)
   }
 
+  test("WebP VP8L round trip: color cache, predictor, cross-color, " +
+      "subtract-green — every transform combination") {
+    for {
+      id <- Seq(1L, 9L, 42L)
+      (w, h) <- Seq((4, 4), (16, 14), (9, 11), (33, 7))
+      cacheBits <- Seq(0, 1, 4, 11)
+      (pred, ct, sg) <- Seq((true, false, false), (false, true, false),
+        (false, false, true), (true, true, true), (true, false, true))
+    } {
+      val px = rgbaPattern(id, w, h)
+      val webp = ImageCodecs.webpEncode(w, h, px, cacheBits, pred, ct, sg)
+      val got = ImageCodecs.webpDecode(webp)
+      assert(got.isDefined,
+        s"decode failed id=$id ${w}x$h cache=$cacheBits p=$pred c=$ct g=$sg")
+      assert(java.util.Arrays.equals(got.get._4, px),
+        s"pixels id=$id ${w}x$h cache=$cacheBits p=$pred c=$ct g=$sg")
+    }
+    // a cache-friendly image (few distinct pixels, wide) where hits
+    // dominate — pins the hash-slot arithmetic under heavy reuse
+    val w = 40; val h = 12
+    val few = Array.tabulate(w * h * 4) { i =>
+      val p = i / 4
+      (i % 4 match {
+        case 0 => (p % 5) * 50; case 1 => (p % 3) * 80
+        case 2 => (p % 7) * 30; case _ => 255
+      }).toByte
+    }
+    for (cb <- Seq(2, 6, 9)) {
+      val got = ImageCodecs.webpDecode(
+        ImageCodecs.webpEncode(w, h, few, cb, false, false, false))
+      assert(got.isDefined && java.util.Arrays.equals(got.get._4, few),
+        s"cache-heavy roundtrip cb=$cb")
+    }
+  }
+
+  test("VP8L code-length-code order interop: hand-built spec-order " +
+      "stream (9 declared cl symbols, symbol 16 at slot 8) decodes") {
+    // An INDEPENDENT bit-writer (not the encoder under test) emits a
+    // normal-form green tree whose code-length code declares exactly 9
+    // symbols — per spec order (17,18,0,1,2,3,4,5,16,...) slot 8 is
+    // symbol 16 (repeat-previous). A decoder using the pre-fix order
+    // (...,15,16 last) would read slot 8 as symbol 6 and misparse.
+    val bits = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def put(v: Int, n: Int): Unit = // LSB-first, the VP8L convention
+      (0 until n).foreach(i => bits += ((v >> i) & 1))
+    def putCode(code: Int, len: Int): Unit = // prefix codes root-first
+      (len - 1 to 0 by -1).foreach(i => bits += ((code >> i) & 1))
+    put(1, 14); put(1, 14) // w-1=1, h-1=1 → 2x2
+    put(0, 1); put(0, 3)   // alpha hint, version
+    put(0, 1)              // no transforms
+    put(0, 1); put(0, 1)   // no color cache, no meta prefix
+    // green tree, normal form: cl code {2→len1, 16→len1}; 9 slots
+    put(0, 1)              // normal form
+    put(9 - 4, 4)          // numCl = 9
+    Seq(0, 0, 0, 0, 1, 0, 0, 0, 1).foreach(l => put(l, 3)) // spec order
+    put(1, 1)              // use max_symbol
+    put(0, 3)              // lenNBits = 2
+    put(0, 2)              // max_symbol = 2 (two cl operations)
+    putCode(0, 1)          // cl symbol 2: literal length 2 (for green 0)
+    putCode(1, 1)          // cl symbol 16: repeat prev length ...
+    put(0, 2)              // ... 3 times → greens 0..3 all length 2
+    // red / blue / alpha: 1-symbol simple codes (0x40 / 0x80 / 0xff)
+    for (s <- Seq(0x40, 0x80, 0xff)) {
+      put(1, 1); put(0, 1); put(1, 1); put(s, 8)
+    }
+    put(1, 1); put(0, 1); put(0, 1); put(0, 1) // dist: 1-symbol stub
+    // pixels: green symbols 0..3, canonical 2-bit codes 00/01/10/11
+    (0 until 4).foreach(g => putCode(g, 2))
+    val payloadBits = bits.toArray
+    val body = new java.io.ByteArrayOutputStream()
+    body.write(0x2f)
+    payloadBits.grouped(8).foreach { grp =>
+      var b = 0
+      grp.zipWithIndex.foreach { case (v, i) => b |= v << i }
+      body.write(b)
+    }
+    val payload = body.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("RIFF".getBytes("US-ASCII"))
+    val riffLen = 4 + 8 + payload.length + (payload.length & 1)
+    Seq(riffLen, riffLen >> 8, riffLen >> 16, riffLen >> 24)
+      .foreach(v => out.write(v & 0xff))
+    out.write("WEBPVP8L".getBytes("US-ASCII"))
+    Seq(payload.length, payload.length >> 8, payload.length >> 16,
+      payload.length >> 24).foreach(v => out.write(v & 0xff))
+    out.write(payload)
+    if ((payload.length & 1) == 1) out.write(0)
+    val got = ImageCodecs.webpDecode(out.toByteArray)
+    assert(got.isDefined, "spec-order stream must decode")
+    val (w, h, ch, px) = got.get
+    assert(w == 2 && h == 2 && ch == 4)
+    val expected = (0 until 4).flatMap(g =>
+      Seq(0x40.toByte, g.toByte, 0x80.toByte, 0xff.toByte))
+    assert(java.util.Arrays.equals(px, expected.toArray),
+      "pixels from the hand-built spec-order bitstream")
+  }
+
+  test("truncated VP8L chunk with trailing chunks sets truncated, " +
+      "never reads the next chunk's bytes as bitstream") {
+    val full = ImageCodecs.webpEncode(9, 9, rgbaPattern(5, 9, 9))
+    // shrink the VP8L payload by 6 bytes but keep those bytes in the
+    // file as a following junk chunk: decode must refuse (truncated),
+    // not consume junk bytes as bitstream and return garbage pixels
+    val vp8lLen = (full(16) & 0xff) | ((full(17) & 0xff) << 8) |
+      ((full(18) & 0xff) << 16) | ((full(19) & 0xff) << 24)
+    val cut = 6
+    val newLen = vp8lLen - cut
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(full, 0, 16)
+    Seq(newLen, newLen >> 8, newLen >> 16, newLen >> 24)
+      .foreach(v => out.write(v & 0xff))
+    out.write(full, 20, newLen)
+    if ((newLen & 1) == 1) out.write(0)
+    out.write("JUNK".getBytes("US-ASCII"))
+    val junkLen = 64
+    Seq(junkLen, 0, 0, 0).foreach(out.write)
+    (0 until junkLen).foreach(_ => out.write(0xff))
+    val bytes = out.toByteArray
+    // fix the RIFF size
+    val riffLen = bytes.length - 8
+    bytes(4) = (riffLen & 0xff).toByte
+    bytes(5) = ((riffLen >> 8) & 0xff).toByte
+    bytes(6) = ((riffLen >> 16) & 0xff).toByte
+    bytes(7) = ((riffLen >> 24) & 0xff).toByte
+    assert(ImageCodecs.webpDecode(bytes).isEmpty,
+      "truncation inside the VP8L chunk must be refused")
+  }
+
   test("gifEncode refuses >256 distinct colors loudly") {
     val w = 32; val h = 32 // 1024 distinct colors
     val px = Array.tabulate(w * h * 3) { i =>
