@@ -149,7 +149,11 @@ object Bench {
     // r19 third wave: EXIF decode+scrub over the cached fixture
     // (headline-only, the m11/m21 fixture caveat) and the source-grain
     // water-filling allocator (6-row level walk — fixed cost)
-    "m23_exif", "t109_epoch_waterfill", "m24_oriented_dedup")
+    "m23_exif", "t109_epoch_waterfill", "m24_oriented_dedup",
+    // round-20: cross-wave moves compaction (pointer-doubling rounds
+    // over the moves-sized map) and the materialized epoch draw
+    // (waterfill → bounded collect → zero-shuffle resample + one agg)
+    "t107d_redirect_compaction", "t110_epoch_draw")
 
   /** Queries measured on the replicated corpus for the scaling slope —
     * the shuffle-heavy pipeline shapes whose 100 TB behavior a plan read
@@ -310,7 +314,16 @@ object Bench {
     // pretokens grow x10 (suffixed replicas) under the vocab-bounded
     // rank window + cap — t63b's histogram growth shape.
     "t107_redirects", "t94b_revalidation_retained", "t108_budgeted_wave",
-    "t3d_bytebpe_vocab")
+    "t3d_bytebpe_vocab",
+    // round-20. t107d: the moves table grows x10 with replica-disjoint
+    // chains (1e8 ≡ 0 mod 10 preserves d%10; 1e8 ≡ 1 mod 3 shifts the
+    // chain-length residues per replica, all still ≤ 3 hops) — a FIXED
+    // ceil(log2(32)) = 5 doubling rounds of a moves-sized equi-join,
+    // linear by construction. t110: replica ids fold into the SAME 6
+    // sources (the level walk and collect stay 6-row) while the
+    // resample + aggregate stream grows x10 — map-side + one
+    // combine-friendly agg, linear.
+    "t107d_redirect_compaction", "t110_epoch_draw")
 
   /** Materialize a `factor`×-replicated copy of the FACT tables the scale
     * set reads (documents, lineitem, orders, events) plus 1× copies of

@@ -3744,6 +3744,51 @@ object SparkEntry {
       .orderBy("url")
   }
 
+  /** Cross-wave redirect-moves compaction
+    * ([[graft.operators.Frontier.compactRedirectMoves]]): moves
+    * committed in DIFFERENT waves chain — wave 1 renamed a→b, wave 2
+    * renamed b→c — and one [[graft.operators.Frontier.applyRedirectMoves]]
+    * pass over the raw table stops one hop short. The fixture plants
+    * chains of length 1/2/3 by doc_id%3, a permanent move whose target
+    * moved only TEMPORARILY (must NOT chain — ambiguous evidence), and
+    * pass-through temporary/loop/exceeded rows. The oracle replays the
+    * residue-determined transitive ends and summed hops in closed
+    * form; the pointer-doubling walk must land every row exactly. */
+  private def t107d_redirect_compaction(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = t(s, dir, "documents").select(col("doc_id"))
+      .filter(col("doc_id") % 10 === 3)
+    val sid = col("doc_id").cast("string")
+    val wave1 = d.select(concat(lit("a"), sid).as("url"),
+      concat(lit("b"), sid).as("final_url"), lit(1L).as("hops"),
+      lit(true).as("permanent"), lit("resolved").as("outcome"))
+    val wave2 = d.filter((col("doc_id") % 3).isin(1, 2))
+      .select(concat(lit("b"), sid).as("url"),
+        concat(lit("c"), sid).as("final_url"), lit(1L).as("hops"),
+        lit(true).as("permanent"), lit("resolved").as("outcome"))
+    val wave3 = d.filter(col("doc_id") % 3 === 2)
+      .select(concat(lit("c"), sid).as("url"),
+        concat(lit("e"), sid).as("final_url"), lit(1L).as("hops"),
+        lit(true).as("permanent"), lit("resolved").as("outcome"))
+    // a PERMANENT source whose target carries only a TEMPORARY move:
+    // a<d> must keep b<d> — identity never migrates on ambiguous
+    // evidence
+    val tempMoves = d.filter(col("doc_id") % 3 === 0)
+      .select(concat(lit("b"), sid).as("url"),
+        concat(lit("z"), sid).as("final_url"), lit(1L).as("hops"),
+        lit(false).as("permanent"), lit("resolved").as("outcome"))
+    val flags = Seq(
+      ("loopA", "loopA", 2L, false, "loop"),
+      ("deep0", null.asInstanceOf[String], 5L, false, "exceeded"))
+      .toDF("url", "final_url", "hops", "permanent", "outcome")
+    val moves = wave1.unionByName(wave2).unionByName(wave3)
+      .unionByName(tempMoves).unionByName(flags)
+      // replay duplicates collapse
+      .unionByName(wave2)
+    graft.operators.Frontier.compactRedirectMoves(moves)
+      .orderBy("url")
+  }
+
   /** Relative-Location redirect chains
     * ([[graft.operators.Frontier.resolveRedirects]]' RFC 3986 leg —
     * RFC 9110 §10.2.2 sends a URI-reference, and real servers emit
@@ -5058,6 +5103,44 @@ object SparkEntry {
         col("tokens"), (col("src_id") % 4 + 1).as("cap"))
     graft.operators.Mixing.epochWaterfill(src, "source", "tokens", "cap",
         budget = 250000L)
+      .orderBy("source")
+  }
+
+  /** MATERIALIZED epoch draw — t109's closed-form allocation composed
+    * into the document stream a trainer actually reads
+    * ([[graft.operators.Mixing.epochWaterfill]] →
+    * [[graft.operators.Mixing.resample]] with weight
+    * epochs_milli/1000 per source, the t75 composition style): each
+    * source's drawn row count and token mass must equal the resample
+    * rule applied to its milli-epoch level — `copies(doc) =
+    * em DIV 1000 + [doc_id mod 1000 < em mod 1000]` — which the oracle
+    * replays alongside the waterfill itself. The bounded collect is
+    * the K-row source table (the temperatureWeights contract), never
+    * corpus rows; a source whose level rounds to zero copies still
+    * reports a row (left join, zero counts). */
+  private def t110_epoch_draw(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        concat(lit("s"), (col("doc_id") % 6).cast("string")).as("source"))
+    val src = t(s, dir, "documents")
+      .groupBy((col("doc_id") % 6).as("src_id"))
+      .agg(sum(col("n_chars")).as("tokens"))
+      .select(concat(lit("s"), col("src_id").cast("string")).as("source"),
+        col("tokens"), (col("src_id") % 4 + 1).as("cap"))
+    val fill = graft.operators.Mixing.epochWaterfill(src, "source",
+      "tokens", "cap", budget = 250000L)
+    val weights = fill.select("source", "epochs_milli").collect()
+      .map(r => r.getString(0) -> r.getLong(1) / 1000.0).toMap
+    val drawn = graft.operators.Mixing.resample(docs, "doc_id", "source",
+        weights)
+      .groupBy("source")
+      .agg(count(lit(1)).as("__n"), sum(col("n_chars")).as("__t"))
+    fill.join(drawn, Seq("source"), "left")
+      .select(col("source"), col("tokens").as("unique_tokens"),
+        col("cap_epochs"), col("epochs_milli"), col("alloc_tokens"),
+        col("saturated"),
+        coalesce(col("__n"), lit(0L)).as("n_draw_rows"),
+        coalesce(col("__t"), lit(0L)).as("drawn_tokens"))
       .orderBy("source")
   }
 
@@ -7381,6 +7464,7 @@ object SparkEntry {
     "t107_redirects" -> (t107_redirects _),
     "t107b_redirect_migration" -> (t107b_redirect_migration _),
     "t107c_redirect_relative" -> (t107c_redirect_relative _),
+    "t107d_redirect_compaction" -> (t107d_redirect_compaction _),
     "st27_stream_redirects" -> (st27_stream_redirects _),
     "t68_fetch_plan" -> (t68_fetch_plan _),
     "t72_revisit_schedule" -> (t72_revisit_schedule _),
@@ -7523,6 +7607,7 @@ object SparkEntry {
     "t93_nofollow_links" -> (t93_nofollow_links _),
     "t77_token_budget" -> (t77_token_budget _),
     "t109_epoch_waterfill" -> (t109_epoch_waterfill _),
+    "t110_epoch_draw" -> (t110_epoch_draw _),
     "t11_perplexity" -> (t11_perplexity _),
     "t20_backoff_lm" -> (t20_backoff_lm _),
     "t12_termstats" -> (t12_termstats _),
@@ -9121,6 +9206,39 @@ object SparkEntry {
              CAST(1 AS BIGINT), false, 'resolved'
            FROM d)
          SELECT * FROM r ORDER BY url""",
+    // cross-wave chains in closed form: by d%3 the a<d> chain ends at
+    // b/c/e with summed hops 1/2/3; mid-chain rows compact too; the
+    // temporary and loop/exceeded rows pass through untouched
+    "t107d_redirect_compaction" ->
+      """WITH d AS (SELECT doc_id, doc_id % 3 AS r
+             FROM documents WHERE doc_id % 10 = 3),
+         rows AS (
+           SELECT 'a' || doc_id AS url,
+             (CASE r WHEN 0 THEN 'b' WHEN 1 THEN 'c' ELSE 'e' END)
+               || doc_id AS final_url,
+             CAST(CASE r WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 3 END
+               AS BIGINT) AS hops,
+             true AS permanent, 'resolved' AS outcome
+           FROM d
+           UNION ALL
+           SELECT 'b' || doc_id,
+             (CASE r WHEN 1 THEN 'c' ELSE 'e' END) || doc_id,
+             CAST(CASE r WHEN 1 THEN 1 ELSE 2 END AS BIGINT), true,
+             'resolved'
+           FROM d WHERE r IN (1, 2)
+           UNION ALL
+           SELECT 'c' || doc_id, 'e' || doc_id, CAST(1 AS BIGINT), true,
+             'resolved'
+           FROM d WHERE r = 2
+           UNION ALL
+           SELECT 'b' || doc_id, 'z' || doc_id, CAST(1 AS BIGINT), false,
+             'resolved'
+           FROM d WHERE r = 0
+           UNION ALL
+           SELECT 'loopA', 'loopA', CAST(2 AS BIGINT), false, 'loop'
+           UNION ALL
+           SELECT 'deep0', NULL, CAST(5 AS BIGINT), false, 'exceeded')
+         SELECT * FROM rows ORDER BY url""",
     // closed-form: d%10==1 renames u<d> -> v<d> (permanent), d%10==2
     // stays u<d> (temporary never renames); single-fetch plan rows —
     // interval = base, validators carried under the migrated name
@@ -13146,6 +13264,50 @@ object SparkEntry {
              AS alloc_tokens,
            cap * 1000 <= lam AS saturated
          FROM src, lam ORDER BY source""",
+    // the t109 waterfill CTE, then the resample rule per doc:
+    // copies = em DIV 1000 + [doc_id mod 1000 < em mod 1000] — the
+    // materialized trainer stream's row and token mass per source
+    "t110_epoch_draw" ->
+      """WITH src AS (SELECT 's' || (doc_id % 6) AS source,
+             CAST(sum(n_chars) AS BIGINT) AS tokens,
+             CAST((doc_id % 6) % 4 + 1 AS BIGINT) AS cap
+           FROM documents GROUP BY doc_id % 6),
+         lv AS (SELECT cap, CAST(sum(tokens) AS BIGINT) AS ltok
+                FROM src GROUP BY cap),
+         wd AS (SELECT cap, ltok,
+             CAST(sum(ltok * cap) OVER (ORDER BY cap) AS BIGINT) AS scum,
+             CAST(sum(ltok) OVER (ORDER BY cap) AS BIGINT) AS tpre,
+             CAST((SELECT sum(tokens) FROM src) AS BIGINT) AS T
+           FROM lv),
+         br AS (SELECT least(cap * 1000,
+               (250000 - (scum - ltok * cap)) * 1000
+                 // (T - tpre + ltok)) AS lam
+           FROM wd WHERE scum + (T - tpre) * cap >= 250000
+           ORDER BY cap LIMIT 1),
+         lam AS (SELECT CAST(COALESCE((SELECT lam FROM br),
+             (SELECT max(cap) * 1000 FROM src)) AS BIGINT) AS lam),
+         fill AS (SELECT source, tokens, cap AS cap_epochs,
+             CAST(least(cap * 1000, lam) AS BIGINT) AS epochs_milli,
+             CAST(tokens * least(cap * 1000, lam) // 1000 AS BIGINT)
+               AS alloc_tokens,
+             cap * 1000 <= lam AS saturated
+           FROM src, lam),
+         docs AS (SELECT doc_id, n_chars, 's' || (doc_id % 6) AS source
+           FROM documents),
+         dr AS (SELECT d.source,
+             f.epochs_milli // 1000 +
+               CASE WHEN d.doc_id % 1000 < f.epochs_milli % 1000
+                    THEN 1 ELSE 0 END AS copies,
+             d.n_chars
+           FROM docs d JOIN fill f USING (source))
+         SELECT f.source, f.tokens AS unique_tokens, f.cap_epochs,
+           f.epochs_milli, f.alloc_tokens, f.saturated,
+           CAST(sum(dr.copies) AS BIGINT) AS n_draw_rows,
+           CAST(sum(dr.copies * dr.n_chars) AS BIGINT) AS drawn_tokens
+         FROM fill f JOIN dr ON dr.source = f.source
+         GROUP BY f.source, f.tokens, f.cap_epochs, f.epochs_milli,
+           f.alloc_tokens, f.saturated
+         ORDER BY f.source""",
     "t77_token_budget" ->
       """WITH d AS (SELECT doc_id, source,
            CAST(doc_id % 7 AS BIGINT) AS priority,

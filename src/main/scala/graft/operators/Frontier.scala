@@ -719,6 +719,83 @@ object Frontier {
       .drop("__rfrom", "__rto")
   }
 
+  /** Transitive compaction of an accumulated redirect-moves table —
+    * moves committed across waves can themselves chain: A→B in wave 1
+    * and B→C in wave 2 leave two rows, and ONE [[applyRedirectMoves]]
+    * pass renames A to B, not C. Compaction rewrites every PERMANENT
+    * resolved row's `final_url` to its transitive end (and `hops` to
+    * the summed cross-wave chain length), so one compacted pass equals
+    * iterated application. Temporary/loop/exceeded rows pass through
+    * untouched, and a permanent move whose target moved only
+    * TEMPORARILY keeps its one-hop target — identity never migrates on
+    * ambiguous evidence (the [[resolveRedirects]] rule). Conflicting
+    * permanent targets for one source (divergent waves) and permanent
+    * CYCLES (A→…→A is contradictory evidence that both ends are
+    * canonical) refuse loudly; exact-duplicate rows from replays
+    * collapse.
+    *
+    * 100 TB shape: pointer doubling — ceil(log2(maxChain)) rounds of
+    * one equi-join of the permanent-moves map against ITSELF
+    * (moves-sized, never corpus-sized), with the per-round persist +
+    * LogicalRDD barrier discipline keeping each round's plan O(1). Run
+    * at compaction time (the s25 discipline), not per wave. */
+  def compactRedirectMoves(moves: DataFrame,
+      maxChain: Int = 32): DataFrame = {
+    require(maxChain >= 2 && maxChain <= 1024,
+      s"maxChain must be in [2, 1024], got $maxChain")
+    import org.apache.spark.storage.StorageLevel
+    val spark = moves.sparkSession
+    val isPerm = col("outcome") === "resolved" && col("permanent")
+    val perm0 = moves.filter(isPerm)
+      .select(col("url"), col("final_url"), col("hops")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // divergent permanent targets for one source refuse loudly — the
+    // guard reads the count from the join's other side so Catalyst
+    // cannot push the raise below the join
+    val conflictN = perm0.groupBy("url").agg(count(lit(1)).as("__n"))
+    var state = perm0
+      .join(conflictN, "url")
+      .select(
+        when(col("__n") > 1, raise_error(concat(
+          lit("compactRedirectMoves: conflicting permanent targets for "),
+          col("url")))).otherwise(col("url")).as("url"),
+        col("final_url"), col("hops"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    state.count()
+    var retained: DataFrame = state
+    val rounds = 32 - Integer.numberOfLeadingZeros(maxChain - 1) // ceil(log2)
+    for (_ <- 1 to rounds) {
+      val hop = state.select(col("url").as("__src"),
+        col("final_url").as("__dst"), col("hops").as("__h"))
+      val stepped = state
+        .join(hop, state("final_url") === hop("__src"), "left")
+        .select(state("url"),
+          coalesce(col("__dst"), state("final_url")).as("final_url"),
+          (state("hops") + coalesce(col("__h"), lit(0L))).as("hops"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      stepped.count() // materialize while the previous round's cache lives
+      val barrier = spark.createDataFrame(stepped.rdd, stepped.schema)
+      retained.unpersist(false)
+      retained = stepped
+      state = barrier
+    }
+    // after ceil(log2(maxChain)) doubling rounds every chain of length
+    // ≤ maxChain has reached a terminal (a url with no permanent move);
+    // a final_url still carried as a map key is a cycle or an
+    // over-budget chain — both refuse loudly
+    val keys = perm0.select(col("url").as("__k")).distinct()
+    val compacted = state
+      .join(keys, state("final_url") === col("__k"), "left")
+      .select(state("url"),
+        when(col("__k").isNotNull, raise_error(concat(
+          lit("compactRedirectMoves: permanent cycle or chain longer "),
+          lit("than maxChain at "), state("url"))))
+          .otherwise(state("final_url")).as("final_url"),
+        state("hops"),
+        lit(true).as("permanent"), lit("resolved").as("outcome"))
+    compacted.unionByName(moves.filter(!isPerm))
+  }
+
   /** Committed REDIRECT-MOVES table reader — [[resolveRedirects]]'
     * output schema `(url, final_url, hops, permanent, outcome)` under
     * the [[seenUrls]] listing discipline (committed data files only;

@@ -135,4 +135,76 @@ class RedirectSpec extends SparkSpec {
       .as[String].collect().sorted.toSeq
     assert(targets == Seq("new", "t2"), targets.toString)
   }
+
+  private def movesDf(rows: (String, String, Long, Boolean, String)*) =
+    rows.toSeq.toDF("url", "final_url", "hops", "permanent", "outcome")
+
+  test("compactRedirectMoves: one compacted pass equals iterated " +
+      "application, cross-wave chains land at their transitive ends") {
+    // wave 1 committed a->b, wave 2 b->c, wave 3 c->e; plus a
+    // permanent whose target moved only TEMPORARILY (t->u, u->v temp)
+    val moves = movesDf(
+      ("a", "b", 1L, true, "resolved"),
+      ("b", "c", 1L, true, "resolved"),
+      ("c", "e", 1L, true, "resolved"),
+      ("t", "u", 1L, true, "resolved"),
+      ("u", "v", 1L, false, "resolved"),
+      ("lp", "lp", 2L, false, "loop"),
+      ("b", "c", 1L, true, "resolved")) // replay duplicate collapses
+    val compacted = Frontier.compactRedirectMoves(moves)
+    val got = compacted.collect().map(r => r.getString(0) ->
+      ((Option(r.getString(1)).orNull, r.getLong(2), r.getBoolean(3),
+        r.getString(4)))).toMap
+    assert(got("a") == (("e", 3L, true, "resolved")), got.toString)
+    assert(got("b") == (("e", 2L, true, "resolved")), got.toString)
+    assert(got("c") == (("e", 1L, true, "resolved")), got.toString)
+    assert(got("t") == (("u", 1L, true, "resolved")),
+      "a temporary target move must not chain: " + got.toString)
+    assert(got("u") == (("v", 1L, false, "resolved")), got.toString)
+    assert(got("lp") == (("lp", 2L, false, "loop")), got.toString)
+    assert(compacted.count() == 6, "replay duplicate must collapse")
+    // one pass over the COMPACTED table == applying the raw table
+    // until fixpoint (three times here)
+    val table = Seq("a", "b", "c", "t", "other").toDF("url")
+      .withColumn("payload", col("url"))
+    val onePass = Frontier.applyRedirectMoves(table, "url", compacted)
+      .orderBy("payload").collect().map(r => (r.getString(0), r.getString(1)))
+    // applyRedirectMoves expects url-unique moves (resolveRedirects'
+    // per-wave output shape) — dedupe the replayed table first
+    val iterated = (1 to 3).foldLeft(table)((t, _) =>
+        Frontier.applyRedirectMoves(t, "url", moves.dropDuplicates()))
+      .orderBy("payload").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(onePass.toSeq == iterated.toSeq,
+      s"one-pass $onePass vs iterated $iterated")
+  }
+
+  test("compactRedirectMoves refuses permanent cycles and divergent " +
+      "targets loudly") {
+    val cyc = movesDf(
+      ("a", "b", 1L, true, "resolved"),
+      ("b", "a", 1L, true, "resolved"))
+    val e1 = intercept[Exception] {
+      Frontier.compactRedirectMoves(cyc).collect()
+    }
+    assert(e1.getMessage.contains("cycle"), e1.getMessage)
+    val div = movesDf(
+      ("a", "b", 1L, true, "resolved"),
+      ("a", "c", 1L, true, "resolved"))
+    val e2 = intercept[Exception] {
+      Frontier.compactRedirectMoves(div).collect()
+    }
+    assert(e2.getMessage.contains("conflicting"), e2.getMessage)
+    // a chain longer than maxChain is indistinguishable from a cycle
+    // at budget exhaustion: refuse, never silently truncate
+    val long = movesDf((0 until 6).map(i =>
+      (s"n$i", s"n${i + 1}", 1L, true, "resolved")): _*)
+    val e3 = intercept[Exception] {
+      Frontier.compactRedirectMoves(long, maxChain = 4).collect()
+    }
+    assert(e3.getMessage.contains("longer"), e3.getMessage)
+    // ... while the default budget lands it fine
+    val ok = Frontier.compactRedirectMoves(long).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(ok("n0") == "n6" && ok("n5") == "n6", ok.toString)
+  }
 }
