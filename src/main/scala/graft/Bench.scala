@@ -151,9 +151,13 @@ object Bench {
     // water-filling allocator (6-row level walk — fixed cost)
     "m23_exif", "t109_epoch_waterfill", "m24_oriented_dedup",
     // round-20: cross-wave moves compaction (pointer-doubling rounds
-    // over the moves-sized map) and the materialized epoch draw
-    // (waterfill → bounded collect → zero-shuffle resample + one agg)
-    "t107d_redirect_compaction", "t110_epoch_draw")
+    // over the moves-sized map), the materialized epoch draw
+    // (waterfill → bounded collect → zero-shuffle resample + one agg),
+    // and progressive-JPEG dedup (headline-only: driver-side fixture
+    // builder, the m11/m21 caveat; the multi-scan decode kernel is the
+    // same map-side codec shape t50 slope-measures)
+    "t107d_redirect_compaction", "t110_epoch_draw",
+    "m25_progressive_dedup")
 
   /** Queries measured on the replicated corpus for the scaling slope —
     * the shuffle-heavy pipeline shapes whose 100 TB behavior a plan read

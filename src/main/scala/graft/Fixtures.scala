@@ -292,6 +292,38 @@ object Fixtures {
       rows.toDF("doc_id", "payload").coalesce(1).write.mode("overwrite").parquet(dir)
     }
 
+  /** PROGRESSIVE (SOF2) re-encodes of [[jpegPixelDocs]]' closed form:
+    * same dims and flat DC-only blocks per doc, multi-scan script (DC
+    * at point transform 1 + refinement, per-component AC bands at
+    * Al=1 + refinements, EOB runs over a custom EOBn DHT). Even ids
+    * grayscale, id%4==1 4:4:4 color, id%4==3 the 4:2:0 layout — every
+    * variant decodes to pixels bit-identical to the baseline twin
+    * (same quantized coefficients), so the m25 cross-join replays in
+    * the m6 closed form. */
+  def progressiveJpegDocs(spark: SparkSession, sfDir: String): String =
+    cached("progressive_jpeg_docs", sfDir) { dir =>
+      import spark.implicits._
+      val ids = table(spark, sfDir, "documents").select("doc_id")
+        .as[Long].collect().sorted
+      val rows = ids.toSeq.map { id =>
+        val w = (id % 13).toInt + 4
+        val h = (id % 11).toInt + 4
+        val payload =
+          if (id % 2 == 0)
+            graft.operators.Multimodal.syntheticJpegProgressiveBytes(
+              id, w, h, color = false)
+          else if (id % 4 == 1)
+            graft.operators.Multimodal.syntheticJpegProgressiveBytes(
+              id, w, h, color = true)
+          else
+            graft.operators.Multimodal.syntheticJpegProgressiveBytes(
+              id, w, h, color = true, subsample420 = true)
+        (id, payload)
+      }
+      rows.toDF("doc_id", "payload").coalesce(1).write.mode("overwrite")
+        .parquet(dir)
+    }
+
   /** 4:2:0 companion to [[jpegPixelDocs]]: every doc a chroma-subsampled
     * color JPEG (the web/camera-dominant layout) with the same closed-form
     * flat luma blocks — exact under any correct upsampling because the

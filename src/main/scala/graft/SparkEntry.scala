@@ -6422,6 +6422,34 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Progressive-JPEG image dedup
+    * ([[graft.operators.Multimodal.decodeJpegDHash]] over
+    * [[Fixtures.progressiveJpegDocs]] — SOF2 multi-scan streams:
+    * DC first + refinement, per-component AC bands + refinements, EOB
+    * runs, grayscale / 4:4:4 / 4:2:0 rotating by id): each progressive
+    * re-encode carries the SAME quantized coefficients as its
+    * [[Fixtures.jpegPixelDocs]] baseline twin, so the decoded pixels
+    * are bit-identical and the hashes exact-join. The `format` column
+    * pins that the SOF2 path actually decoded (an `undecodable`
+    * fallback would go red on format AND counts); the oracle replays
+    * the m6 flat-block closed form on both sides plus the join. */
+  private def m25_progressive_dedup(s: SparkSession, dir: String): DataFrame = {
+    val prog = Multimodal.decodeJpegDHash(
+        s.read.parquet(Fixtures.progressiveJpegDocs(s, dir)))
+      .select(col("doc_id"), col("dhash.format").as("format"),
+        col("dhash.hash_hi").as("hash_hi"),
+        col("dhash.hash_lo").as("hash_lo"))
+    val base = Multimodal.decodeJpegDHash(
+        s.read.parquet(Fixtures.jpegPixelDocs(s, dir)))
+      .filter(col("dhash.format") === "jpeg")
+      .select(col("dhash.hash_hi").as("hash_hi"),
+        col("dhash.hash_lo").as("hash_lo"))
+    prog.join(base, Seq("hash_hi", "hash_lo"))
+      .groupBy("doc_id", "format")
+      .agg(count(lit(1)).as("n_baseline_matches"))
+      .orderBy("doc_id")
+  }
+
   private def m2_audio(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeAudioMeta(s.read.parquet(Fixtures.audioDocs(s, dir)))
       .select(col("doc_id"), col("audio_meta.sample_rate"),
@@ -7600,6 +7628,7 @@ object SparkEntry {
     "m22_webformat_dedup" -> (m22_webformat_dedup _),
     "m23_exif" -> (m23_exif _),
     "m24_oriented_dedup" -> (m24_oriented_dedup _),
+    "m25_progressive_dedup" -> (m25_progressive_dedup _),
     "ml6_confusion" -> (ml6_confusion _),
     "ml7_confusion_sweep" -> (ml7_confusion_sweep _),
     "t91_jsonld" -> (t91_jsonld _),
@@ -13884,6 +13913,38 @@ object SparkEntry {
          SELECT a.doc_id,
            CAST(a.doc_id % 8 + 1 AS INT) AS orientation,
            CAST(count(*) AS BIGINT) AS n_png_matches
+         FROM hsh a JOIN hsh p ON p.hi = a.hi AND p.lo = a.lo
+         GROUP BY a.doc_id ORDER BY a.doc_id""",
+    // the m6 flat-block closed form (gray = blockVal at the 9x8
+    // sample grid — R=G=B=Y for color, identity for grayscale, so ONE
+    // formula covers every variant) on BOTH sides of the
+    // progressive-vs-baseline join, collisions included; the constant
+    // format pins that the SOF2 decode path actually ran
+    "m25_progressive_dedup" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(doc_id % 13 + 4 AS INT) AS w,
+             CAST(doc_id % 11 + 4 AS INT) AS h
+           FROM documents),
+         g AS (SELECT d.doc_id, p.p % 9 AS x, p.p // 9 AS y,
+             16 + ((d.doc_id
+                    + (((p.p % 9) * d.w // 9) // 8) * 3
+                    + (((p.p // 9) * d.h // 8) // 8) * 5) % 224) AS gray
+           FROM d, UNNEST(range(0, 72)) AS p(p)),
+         b AS (SELECT a.doc_id, a.x, a.y,
+             CASE WHEN a.gray < c.gray THEN 1 ELSE 0 END AS bit
+           FROM g a JOIN g c
+             ON a.doc_id = c.doc_id AND a.y = c.y AND c.x = a.x + 1
+           WHERE a.x < 8),
+         hsh AS (SELECT doc_id,
+             CAST(SUM(CASE WHEN y * 8 + x >= 32
+               THEN CAST(bit AS BIGINT) << (y * 8 + x - 32)
+               ELSE 0 END) AS BIGINT) AS hi,
+             CAST(SUM(CASE WHEN y * 8 + x < 32
+               THEN CAST(bit AS BIGINT) << (y * 8 + x)
+               ELSE 0 END) AS BIGINT) AS lo
+           FROM b GROUP BY doc_id)
+         SELECT a.doc_id, 'jpeg_progressive' AS format,
+           CAST(count(*) AS BIGINT) AS n_baseline_matches
          FROM hsh a JOIN hsh p ON p.hi = a.hi AND p.lo = a.lo
          GROUP BY a.doc_id ORDER BY a.doc_id""",
     // m21's closed-form dHash on BOTH sides of the web-format join:

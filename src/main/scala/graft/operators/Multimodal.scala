@@ -757,6 +757,45 @@ object Multimodal {
       }
     }
 
+  /** Batched dHash over JPEG payloads — baseline AND progressive
+    * (the [[jpegDecodeInterleaved]] SOF dispatch) through the shared
+    * format-independent [[dhashFromPixels]] kernel, so a progressive
+    * re-encode lands in its baseline twin's cluster. `format` reports
+    * the frame type ("jpeg" | "jpeg_progressive"); null halves outside
+    * the decode envelope. Executor-side mapPartitions like every codec
+    * here. */
+  def decodeJpegDHash(df: DataFrame, payloadCol: String = "payload",
+      hashCol: String = "dhash"): DataFrame =
+    decodeMeta(df, payloadCol, hashCol, dhashType) { bytes =>
+      jpegDecodeInterleaved(bytes) match {
+        case Some((w, h, c, px)) =>
+          val fmt = if (jpegIsProgressive(bytes)) "jpeg_progressive"
+            else "jpeg"
+          val (hi, lo) = dhashFromPixels(w, h, c, px)
+          Row(fmt, hi, lo)
+        case None => Row("undecodable", null, null)
+      }
+    }
+
+  /** Marker walk to the frame header: true iff the payload's SOF is
+    * SOF2 (progressive). Total — false on anything malformed. */
+  private def jpegIsProgressive(b: Array[Byte]): Boolean = {
+    if (b == null || b.length < 4 || (b(0) & 0xFF) != 0xFF ||
+        (b(1) & 0xFF) != 0xD8) return false
+    var i = 2
+    while (i + 4 <= b.length && (b(i) & 0xFF) == 0xFF) {
+      val marker = b(i + 1) & 0xFF
+      if (marker == 0xC2) return true
+      if ((marker >= 0xC0 && marker <= 0xCF) && marker != 0xC4 &&
+          marker != 0xC8 && marker != 0xCC) return false // another SOF
+      if (marker == 0xD9 || marker == 0xDA) return false
+      val len = ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
+      if (len < 2 || i + 2L + len > b.length) return false
+      i += 2 + len
+    }
+    false
+  }
+
   private val exifType = StructType(Seq(
     StructField("orientation", IntegerType, nullable = true),
     StructField("date_time", StringType, nullable = true),
@@ -1163,11 +1202,12 @@ object Multimodal {
     * stddev over the w×h crop (MCU padding excluded). 3-component scans
     * convert YCbCr→RGB (ITU round-half-up on the standard coefficients).
     *
-    * Supported: sequential baseline (SOF0), 8-bit, 1 or 3 components,
-    * sampling factors 1..2 per component — grayscale, 4:4:4, 4:2:2, 4:4:0
+    * Supported: sequential baseline (SOF0) AND progressive (SOF2, via
+    * [[jpegDecodeProgressive]]), 8-bit, 1 or 3 components, sampling
+    * factors 1..2 per component — grayscale, 4:4:4, 4:2:2, 4:4:0
     * and the web/camera-dominant 4:2:0, with nearest-neighbor chroma
     * upsampling (T.81 A.2.3 MCU interleave, per-component subsampled
-    * planes). Progressive (SOF2), arithmetic coding, 12-bit, and factors
+    * planes). Arithmetic coding, 12-bit, hierarchical, and factors
     * above 2 return None — callers tag `undecodable` and fall back rather
     * than guessing, same contract as [[pngPixelStats]]. Sums are exact
     * 64-bit integers, so the stats are deterministic and SQL-reproducible. */
@@ -1263,8 +1303,10 @@ object Multimodal {
                 compH(0) < compH(c) || compV(0) < compV(c)))
               return None
             pos += len
+          case 0xC2 => // progressive SOF: the multi-scan decoder owns it
+            return jpegDecodeProgressive(b)
           case m if (m >= 0xC1 && m <= 0xCF) && m != 0xC4 && m != 0xC8 && m != 0xCC =>
-            return None // progressive / arithmetic / hierarchical SOF
+            return None // arithmetic / hierarchical / 12-bit SOFs
           case 0xC4 => // DHT: one or more tables
             val len = segLen(pos)
             var p = pos + 2
@@ -1434,6 +1476,410 @@ object Multimodal {
       case JpegFormat => None
       case _: ArrayIndexOutOfBoundsException => None
     }
+  }
+
+  /** Progressive JPEG (SOF2) pixel decode — T.81 Annex G, Huffman
+    * coding: spectral selection (per-scan [Ss, Se] coefficient bands)
+    * and successive approximation (point transform Al with refinement
+    * scans Ah = Al+1) over the same quantize/IDCT/upsample machinery
+    * the baseline path uses. All scans accumulate into per-component
+    * UNQUANTIZED coefficient stores (zigzag order); dequantization and
+    * the IDCT run once at EOI, so any legal scan script — DC-first +
+    * refinements, per-component AC bands, EOB runs spanning blocks,
+    * restart intervals — lands on identical pixels to a baseline
+    * encoding of the same quantized coefficients (ProgressiveJpegSpec
+    * pins that equivalence). Support envelope mirrors baseline: 8-bit,
+    * 1 or 3 components, sampling factors 1..2; a partial progression
+    * (EOI before every band arrived) decodes what it has, the
+    * progressive-rendering contract. Dispatched from
+    * [[jpegDecodeInterleaved]] on the SOF2 marker. */
+  private def jpegDecodeProgressive(b: Array[Byte]): Option[(Int, Int, Int, Array[Int])] = {
+    try {
+      val quantZig = new Array[Array[Int]](4)
+      val dcTabs = new Array[JpegHuff](4)
+      val acTabs = new Array[JpegHuff](4)
+      var w = 0; var h = 0; var nComp = 0
+      var compQ: Array[Int] = null
+      var compIds: Array[Int] = null
+      var compH: Array[Int] = null
+      var compV: Array[Int] = null
+      var restartInterval = 0
+      var mcusX = 0; var mcusY = 0; var hMax = 1; var vMax = 1
+      // per component: padded block-grid dims and the zigzag-order
+      // unquantized coefficient store (nBlocks × 64)
+      var blockW: Array[Int] = null
+      var blockH: Array[Int] = null
+      var coefs: Array[Array[Int]] = null
+      var pos = 2
+      def segLen(at: Int): Int = {
+        val len = be16(b, at)
+        if (len < 2) throw JpegFormat
+        len
+      }
+      var sawEoi = false
+      while (!sawEoi) {
+        if (pos >= b.length || (b(pos) & 0xFF) != 0xFF) return None
+        while (pos < b.length && (b(pos) & 0xFF) == 0xFF) pos += 1
+        if (pos >= b.length) return None
+        val marker = b(pos) & 0xFF; pos += 1
+        marker match {
+          case 0xD9 => sawEoi = true
+          case m if m >= 0xD0 && m <= 0xD7 => // stray RST between scans
+          case 0xC2 =>
+            if (coefs != null) return None // second frame
+            val len = segLen(pos)
+            if (u8(b, pos + 2) != 8) return None // 12-bit precision
+            h = be16(b, pos + 3); w = be16(b, pos + 5)
+            nComp = u8(b, pos + 7)
+            if ((nComp != 1 && nComp != 3) || w <= 0 || h <= 0 ||
+                w.toLong * h * nComp >= (1L << 28)) return None
+            compIds = new Array[Int](nComp)
+            compQ = new Array[Int](nComp)
+            compH = new Array[Int](nComp)
+            compV = new Array[Int](nComp)
+            var c = 0
+            while (c < nComp) {
+              compIds(c) = u8(b, pos + 8 + c * 3)
+              compH(c) = u8(b, pos + 9 + c * 3) >> 4
+              compV(c) = u8(b, pos + 9 + c * 3) & 0x0F
+              if (compH(c) < 1 || compH(c) > 2 || compV(c) < 1 || compV(c) > 2)
+                return None
+              compQ(c) = u8(b, pos + 10 + c * 3)
+              c += 1
+            }
+            if (nComp == 1 && (compH(0) != 1 || compV(0) != 1)) return None
+            if (nComp == 3 && (1 until 3).exists(c =>
+                compH(0) < compH(c) || compV(0) < compV(c))) return None
+            c = 0
+            while (c < nComp) {
+              if (compH(c) > hMax) hMax = compH(c)
+              if (compV(c) > vMax) vMax = compV(c)
+              c += 1
+            }
+            mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+            mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+            blockW = Array.tabulate(nComp)(c => mcusX * compH(c))
+            blockH = Array.tabulate(nComp)(c => mcusY * compV(c))
+            coefs = Array.tabulate(nComp)(c =>
+              new Array[Int](blockW(c) * blockH(c) * 64))
+            pos += len
+          case m if (m >= 0xC0 && m <= 0xCF) && m != 0xC2 && m != 0xC4 &&
+              m != 0xC8 && m != 0xCC =>
+            return None // baseline/arithmetic/hierarchical frame here
+          case 0xC4 =>
+            val len = segLen(pos)
+            var p = pos + 2
+            while (p < pos + len) {
+              val tc = u8(b, p) >> 4; val th = u8(b, p) & 0x0F
+              if (tc > 1 || th > 3) return None
+              val counts = Array.tabulate(16)(i => u8(b, p + 1 + i))
+              val total = counts.sum
+              val vals = Array.tabulate(total)(i => u8(b, p + 17 + i))
+              val tab = new JpegHuff(counts, vals)
+              if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
+              p += 17 + total
+            }
+            pos += len
+          case 0xDB =>
+            val len = segLen(pos)
+            var p = pos + 2
+            while (p < pos + len) {
+              val pq = u8(b, p) >> 4; val tq = u8(b, p) & 0x0F
+              if (pq != 0 || tq > 3) return None
+              quantZig(tq) = Array.tabulate(64)(i => u8(b, p + 1 + i))
+              p += 65
+            }
+            pos += len
+          case 0xDD =>
+            restartInterval = be16(b, pos + 2)
+            pos += segLen(pos)
+          case 0xDA =>
+            if (coefs == null) return None // scan before the frame header
+            val len = segLen(pos)
+            val ns = u8(b, pos + 2)
+            if (ns < 1 || ns > nComp) return None
+            val scanComp = new Array[Int](ns)
+            val scanDc = new Array[Int](ns)
+            val scanAc = new Array[Int](ns)
+            var c = 0
+            while (c < ns) {
+              val cid = u8(b, pos + 3 + c * 2)
+              val idx = compIds.indexOf(cid)
+              if (idx < 0) return None
+              scanComp(c) = idx
+              scanDc(c) = u8(b, pos + 4 + c * 2) >> 4
+              scanAc(c) = u8(b, pos + 4 + c * 2) & 0x0F
+              c += 1
+            }
+            val ss = u8(b, pos + 3 + ns * 2)
+            val se = u8(b, pos + 4 + ns * 2)
+            val ahAl = u8(b, pos + 5 + ns * 2)
+            val ah = ahAl >> 4; val al = ahAl & 0x0F
+            // T.81 G.1.1.1.1: DC scans are [0,0] and may interleave;
+            // AC scans are single-component bands inside [1,63]
+            if (ss == 0 && se != 0) return None
+            if (ss > 0 && (ns != 1 || se < ss || se > 63)) return None
+            if (al > 13 || ah > 14) return None
+            val br = new JpegBits(b, pos + len)
+            pos = decodeProgressiveScan(b, br, coefs, blockW,
+              scanComp, scanDc, scanAc, ss, se, ah, al,
+              dcTabs, acTabs, compH, compV, mcusX, mcusY, hMax, vMax,
+              w, h, restartInterval)
+          case _ =>
+            pos += segLen(pos)
+        }
+      }
+      if (coefs == null) return None
+      var c = 0
+      while (c < nComp) {
+        if (quantZig(compQ(c)) == null) return None
+        c += 1
+      }
+      // dequantize + IDCT every padded block into per-component planes,
+      // then the baseline path's crop/upsample/color conversion
+      val planeWs = Array.tabulate(nComp)(c => blockW(c) * 8)
+      val planes = Array.tabulate(nComp)(c =>
+        new Array[Int](planeWs(c) * blockH(c) * 8))
+      val coefNat = new Array[Int](64)
+      val block = new Array[Int](64)
+      c = 0
+      while (c < nComp) {
+        val q = quantZig(compQ(c))
+        val store = coefs(c)
+        val bw = blockW(c)
+        var bi = 0
+        val nBlocks = bw * blockH(c)
+        while (bi < nBlocks) {
+          var k = 0
+          while (k < 64) {
+            coefNat(ZigZag(k)) = store(bi * 64 + k) * q(k)
+            k += 1
+          }
+          idct8x8(coefNat, block)
+          val plane = planes(c); val pw = planeWs(c)
+          val ox = (bi % bw) * 8; val oy = (bi / bw) * 8
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            while (xx < 8) {
+              plane((oy + yy) * pw + ox + xx) = block(yy * 8 + xx)
+              xx += 1
+            }
+            yy += 1
+          }
+          bi += 1
+        }
+        c += 1
+      }
+      val channels = nComp
+      val px = new Array[Int](w * h * channels)
+      def sample(c: Int, x: Int, y: Int): Int =
+        planes(c)((y * compV(c) / vMax) * planeWs(c) + (x * compH(c) / hMax))
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          if (nComp == 1) {
+            px(y * w + x) = planes(0)(y * planeWs(0) + x)
+          } else {
+            val yv = sample(0, x, y)
+            val cb = sample(1, x, y) - 128
+            val cr = sample(2, x, y) - 128
+            def clamp(d: Double): Int = {
+              val r = math.round(d).toInt
+              if (r < 0) 0 else if (r > 255) 255 else r
+            }
+            val i = (y * w + x) * 3
+            px(i) = clamp(yv + 1.402 * cr)
+            px(i + 1) = clamp(yv - 0.344136 * cb - 0.714136 * cr)
+            px(i + 2) = clamp(yv + 1.772 * cb)
+          }
+          x += 1
+        }
+        y += 1
+      }
+      Some((w, h, channels, px))
+    } catch {
+      case JpegFormat => None
+      case _: ArrayIndexOutOfBoundsException => None
+    }
+  }
+
+  /** One progressive scan's entropy data (T.81 G.1.2) into the
+    * coefficient stores; returns the byte position after the scan.
+    * Handles all four scan kinds: DC first (diffs at point transform
+    * Al, possibly interleaved), DC refinement (one raw bit per block),
+    * AC first (band [Ss,Se] with EOB runs), AC refinement (correction
+    * bits for nonzero history + new ±1<<Al insertions). Restart
+    * markers reset DC predictors AND the EOB run. */
+  private def decodeProgressiveScan(b: Array[Byte], br: JpegBits,
+      coefs: Array[Array[Int]], blockW: Array[Int],
+      scanComp: Array[Int], scanDc: Array[Int], scanAc: Array[Int],
+      ss: Int, se: Int, ah: Int, al: Int,
+      dcTabs: Array[JpegHuff], acTabs: Array[JpegHuff],
+      compH: Array[Int], compV: Array[Int], mcusX: Int, mcusY: Int,
+      hMax: Int, vMax: Int, w: Int, h: Int,
+      restartInterval: Int): Int = {
+    val ns = scanComp.length
+    val dcPred = new Array[Int](ns)
+    var eobrun = 0
+    def restart(unit: Int): Unit =
+      if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+        br.byteAlign()
+        if (br.pos + 1 >= b.length || (b(br.pos) & 0xFF) != 0xFF ||
+            ((b(br.pos + 1) & 0xFF) < 0xD0 || (b(br.pos + 1) & 0xFF) > 0xD7))
+          throw JpegFormat
+        br.pos += 2
+        java.util.Arrays.fill(dcPred, 0)
+        eobrun = 0
+      }
+    // ---- DC band ----
+    def dcFirst(c: Int, store: Array[Int], base: Int): Unit = {
+      val t = dcTabs(scanDc(c)).decode(br)
+      if (t > 15) throw JpegFormat
+      dcPred(c) += jpegExtend(br.receive(t), t)
+      store(base) = dcPred(c) << al
+    }
+    def dcRefine(store: Array[Int], base: Int): Unit =
+      if (br.bit() == 1) store(base) |= 1 << al
+    // ---- AC band (T.81 G.1.2.2 / G.1.2.3) ----
+    def acFirst(ac: JpegHuff, store: Array[Int], base: Int): Unit = {
+      if (eobrun > 0) { eobrun -= 1; return }
+      var k = ss
+      var done = false
+      while (!done && k <= se) {
+        val rs = ac.decode(br)
+        val r = rs >> 4; val s = rs & 0x0F
+        if (s == 0) {
+          if (r < 15) {
+            eobrun = (1 << r) - 1
+            if (r > 0) eobrun += br.receive(r)
+            done = true
+          } else k += 16 // ZRL
+        } else {
+          k += r
+          if (k > se) throw JpegFormat
+          store(base + k) = jpegExtend(br.receive(s), s) << al
+          k += 1
+        }
+      }
+    }
+    def acRefine(ac: JpegHuff, store: Array[Int], base: Int): Unit = {
+      val p1 = 1 << al; val m1 = -1 << al
+      var k = ss
+      if (eobrun == 0) {
+        var done = false
+        while (!done && k <= se) {
+          val rs = ac.decode(br)
+          var r = rs >> 4; val s = rs & 0x0F
+          var newVal = 0
+          if (s == 0) {
+            if (r < 15) {
+              eobrun = 1 << r
+              if (r > 0) eobrun += br.receive(r)
+              done = true // remaining nonzeros corrected below
+            }
+            // r == 15: skip over 16 zero-history coefficients
+          } else {
+            if (s != 1) throw JpegFormat // refinements insert only ±1
+            newVal = if (br.bit() == 1) p1 else m1
+          }
+          if (!done) {
+            var placed = false
+            while (!placed && k <= se) {
+              val cur = store(base + k)
+              if (cur != 0) {
+                // correction bit for already-nonzero history
+                if (br.bit() == 1 && (cur & p1) == 0)
+                  store(base + k) = cur + (if (cur >= 0) p1 else m1)
+              } else {
+                if (r == 0) {
+                  if (newVal != 0) store(base + k) = newVal
+                  placed = true
+                } else r -= 1
+              }
+              k += 1
+            }
+            if (!placed && newVal != 0) throw JpegFormat // ran past Se
+          }
+        }
+      }
+      if (eobrun > 0) {
+        // inside an EOB run only correction bits for nonzero history
+        while (k <= se) {
+          val cur = store(base + k)
+          if (cur != 0) {
+            if (br.bit() == 1 && (cur & p1) == 0)
+              store(base + k) = cur + (if (cur >= 0) p1 else m1)
+          }
+          k += 1
+        }
+        eobrun -= 1
+      }
+    }
+    if (ss == 0) {
+      // DC scan: interleaved over MCUs when ns > 1, else the
+      // component's own (non-padded) block raster
+      if (ah == 0 && scanDc.exists(i => dcTabs(i) == null)) throw JpegFormat
+      if (ns > 1) {
+        var mcu = 0
+        val nMcus = mcusX * mcusY
+        while (mcu < nMcus) {
+          restart(mcu)
+          val mx = mcu % mcusX; val my = mcu / mcusX
+          var c = 0
+          while (c < ns) {
+            val comp = scanComp(c)
+            val store = coefs(comp)
+            var bv = 0
+            while (bv < compV(comp)) {
+              var bu = 0
+              while (bu < compH(comp)) {
+                val bx = mx * compH(comp) + bu
+                val by = my * compV(comp) + bv
+                val base = (by * blockW(comp) + bx) * 64
+                if (ah == 0) dcFirst(c, store, base)
+                else dcRefine(store, base)
+                bu += 1
+              }
+              bv += 1
+            }
+            c += 1
+          }
+          mcu += 1
+        }
+      } else {
+        val comp = scanComp(0)
+        val store = coefs(comp)
+        val bw = (((w * compH(comp) + hMax - 1) / hMax) + 7) / 8
+        val bh = (((h * compV(comp) + vMax - 1) / vMax) + 7) / 8
+        var bi = 0
+        while (bi < bw * bh) {
+          restart(bi)
+          val base = ((bi / bw) * blockW(comp) + (bi % bw)) * 64
+          if (ah == 0) dcFirst(0, store, base)
+          else dcRefine(store, base)
+          bi += 1
+        }
+      }
+    } else {
+      // AC scan: always one component, its own block raster
+      val comp = scanComp(0)
+      val ac = acTabs(scanAc(0))
+      if (ac == null) throw JpegFormat
+      val store = coefs(comp)
+      val bw = (((w * compH(comp) + hMax - 1) / hMax) + 7) / 8
+      val bh = (((h * compV(comp) + vMax - 1) / vMax) + 7) / 8
+      var bi = 0
+      while (bi < bw * bh) {
+        restart(bi)
+        val base = ((bi / bw) * blockW(comp) + (bi % bw)) * 64
+        if (ah == 0) acFirst(ac, store, base)
+        else acRefine(ac, store, base)
+        bi += 1
+      }
+    }
+    br.pos
   }
 
   /** Batched baseline-JPEG pixel decode: real Huffman+IDCT stats for
@@ -1688,6 +2134,137 @@ object Multimodal {
       if (acc == 0xFF) out.write(0x00)
     }
     wr(0xFF, 0xD9) // EOI
+    out.toByteArray
+  }
+
+  /** PROGRESSIVE (SOF2) twin of [[syntheticJpegDcBytes]]: the SAME
+    * closed-form DC-only flat blocks, re-encoded as a full progressive
+    * scan script — interleaved DC first scan at point transform Al=1,
+    * DC refinement delivering bit 0, then per-component AC band scans
+    * [1,63] at Al=1 and their refinements at Al=0, each a pure EOB-run
+    * stream over a CUSTOM AC table that carries the EOBn symbols
+    * (0x00..0xE0 at length 4 — Annex K has no EOBn codes, so run
+    * sharing across blocks needs its own DHT). Because the quantized
+    * coefficients are identical to the baseline twin's, the decoded
+    * pixels are bit-identical — the m25 gate joins the two through the
+    * shared dHash. Supports grayscale, 4:4:4 color and 4:2:0. */
+  def syntheticJpegProgressiveBytes(seed: Long, w: Int, h: Int,
+      color: Boolean, subsample420: Boolean = false): Array[Byte] = {
+    require(w > 0 && h > 0, "dims must be positive")
+    require(!subsample420 || color, "4:2:0 requires a color scan")
+    val out = new java.io.ByteArrayOutputStream()
+    def wr(bs: Int*): Unit = bs.foreach(v => out.write(v & 0xFF))
+    def seg(marker: Int, payload: Array[Int]): Unit = {
+      wr(0xFF, marker); wr((payload.length + 2) >> 8, payload.length + 2)
+      payload.foreach(v => out.write(v & 0xFF))
+    }
+    wr(0xFF, 0xD8)
+    seg(0xE0, Array(0x4A, 0x46, 0x49, 0x46, 0x00, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    seg(0xDB, 0 +: Array.fill(64)(8))
+    val nComp = if (color) 3 else 1
+    val lumaSampling = if (subsample420) 0x22 else 0x11
+    seg(0xC2, Array(8, h >> 8, h, w >> 8, w, nComp) ++
+      (1 to nComp).flatMap(c =>
+        Seq(c, if (c == 1) lumaSampling else 0x11, 0))) // SOF2
+    seg(0xC4, 0x00 +: (StdDcCounts ++ StdDcVals)) // DHT DC 0 (Annex K)
+    // custom AC table: EOB0..EOB14 (0x00, 0x10, ..., 0xE0), length 4
+    val eobnVals = (0 to 14).map(_ << 4).toArray
+    val eobnCounts = Array(0, 0, 0, 15, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    seg(0xC4, 0x10 +: (eobnCounts ++ eobnVals))
+    val dcCodes = canonicalCodes(StdDcCounts, StdDcVals)
+    val acCodes = canonicalCodes(eobnCounts, eobnVals)
+    // bit emitter shared across scans; flush() pads the tail with 1s
+    var acc = 0; var nbits = 0
+    def emit(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >> i) & 1); nbits += 1
+        if (nbits == 8) {
+          out.write(acc)
+          if (acc == 0xFF) out.write(0x00)
+          acc = 0; nbits = 0
+        }
+        i -= 1
+      }
+    }
+    def flush(): Unit = if (nbits > 0) {
+      acc = (acc << (8 - nbits)) | ((1 << (8 - nbits)) - 1)
+      out.write(acc)
+      if (acc == 0xFF) out.write(0x00)
+      acc = 0; nbits = 0
+    }
+    def blockVal(bx: Int, by: Int): Int =
+      16 + (((seed + bx * 3 + by * 5) % 224 + 224) % 224).toInt
+    // quantized DC per component over its PADDED block grid — the
+    // baseline twin's construction verbatim
+    val hMaxL = if (subsample420) 2 else 1
+    val mcusX = (w + 8 * hMaxL - 1) / (8 * hMaxL)
+    val mcusY = (h + 8 * hMaxL - 1) / (8 * hMaxL)
+    def dcOf(c: Int, bx: Int, by: Int): Int =
+      if (c == 0) blockVal(bx, by) - 128 else 0
+    def sosHeader(comps: Seq[Int], ssV: Int, seV: Int, ahV: Int,
+        alV: Int): Unit =
+      seg(0xDA, Array(comps.length) ++
+        comps.flatMap(c => Seq(c + 1, 0x00)) ++ Array(ssV, seV,
+          (ahV << 4) | alV))
+    // --- scan 1: DC first, interleaved, Al=1 (diffs of dc >> 1) ---
+    sosHeader(0 until nComp, 0, 0, 0, 1)
+    val dcPred = new Array[Int](nComp)
+    def emitDcFirst(c: Int, s: Int): Unit = {
+      val v = s >> 1 // arithmetic: (v << 1) | (s & 1) == s
+      val diff = v - dcPred(c); dcPred(c) = v
+      val t = if (diff == 0) 0
+        else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      val (code, len) = dcCodes(t)
+      emit(code, len)
+      if (t > 0) emit(if (diff >= 0) diff else diff - 1 + (1 << t), t)
+    }
+    def forEachInterleavedBlock(f: (Int, Int, Int) => Unit): Unit =
+      if (!subsample420) {
+        val bw = (w + 7) / 8; val bh = (h + 7) / 8
+        for (by <- 0 until bh; bx <- 0 until bw; c <- 0 until nComp)
+          f(c, bx, by)
+      } else {
+        for (my <- 0 until mcusY; mx <- 0 until mcusX) {
+          for (bv <- 0 until 2; bu <- 0 until 2)
+            f(0, mx * 2 + bu, my * 2 + bv)
+          f(1, mx, my); f(2, mx, my)
+        }
+      }
+    forEachInterleavedBlock((c, bx, by) => emitDcFirst(c, dcOf(c, bx, by)))
+    flush()
+    // --- scan 2: DC refinement, Al=0 (raw bit 0 of each dc) ---
+    sosHeader(0 until nComp, 0, 0, 1, 0)
+    forEachInterleavedBlock((c, bx, by) =>
+      emit(dcOf(c, bx, by) & 1, 1))
+    flush()
+    // --- per-component AC band scans: all-zero ACs as EOBn runs ---
+    def compBlocks(c: Int): Int =
+      if (!subsample420) ((w + 7) / 8) * ((h + 7) / 8)
+      else if (c == 0) ((w + 7) / 8) * ((h + 7) / 8)
+      else (((w + 1) / 2 + 7) / 8) * (((h + 1) / 2 + 7) / 8)
+    def emitEobRuns(n0: Int): Unit = {
+      var n = n0
+      while (n > 0) {
+        val run = math.min(n, 32767)
+        val r = 31 - Integer.numberOfLeadingZeros(run)
+        val (code, len) = acCodes(r << 4)
+        emit(code, len)
+        if (r > 0) emit(run - (1 << r), r)
+        n -= run
+      }
+    }
+    for (c <- 0 until nComp) { // AC first, Al=1
+      sosHeader(Seq(c), 1, 63, 0, 1)
+      emitEobRuns(compBlocks(c))
+      flush()
+    }
+    for (c <- 0 until nComp) { // AC refinement, Al=0 (zero history)
+      sosHeader(Seq(c), 1, 63, 1, 0)
+      emitEobRuns(compBlocks(c))
+      flush()
+    }
+    wr(0xFF, 0xD9)
     out.toByteArray
   }
 
