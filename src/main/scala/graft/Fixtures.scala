@@ -324,6 +324,72 @@ object Fixtures {
         .parquet(dir)
     }
 
+  /** REAL camera-style rotated JPEGs: per doc an upright flat-block
+    * closed-form image at 8-multiple dims (wu = 8·(id%3+1),
+    * hu = 8·(id%2+1) — rotations map the 8×8 block grid onto itself)
+    * and its EXIF-tagged rotated twin: the stored payload carries the
+    * display transform's INVERSE of the upright pixels (the m24
+    * construction) as a DC-only JPEG (grayscale on evens, 4:4:4 color
+    * with flat chroma on odds), wrapped with an APP1 Exif segment
+    * whose orientation is id%8+1. Normalizing the stored payload via
+    * EXIF + decode + transform must reproduce the upright image
+    * exactly. Schema: `(doc_id, payload_oriented, payload_upright)`. */
+  def orientedJpegDocs(spark: SparkSession, sfDir: String): String =
+    cached("oriented_jpeg_docs", sfDir) { dir =>
+      import spark.implicits._
+      import graft.operators.Multimodal
+      val ids = table(spark, sfDir, "documents").select("doc_id")
+        .as[Long].collect().sorted
+      val rows = ids.toSeq.map { id =>
+        val wu = 8 * ((id % 3).toInt + 1)
+        val hu = 8 * ((id % 2).toInt + 1)
+        val o = (id % 8).toInt + 1
+        val color = id % 2 == 1
+        def v(bx: Int, by: Int): Int =
+          16 + (((id + bx * 3 + by * 5) % 224 + 224) % 224).toInt
+        // upright grayscale image at pixel grain
+        val upright = Array.tabulate(wu * hu)(i => v((i % wu) / 8, (i / wu) / 8))
+        val swap = o >= 5
+        val ws = if (swap) hu else wu
+        val hs = if (swap) wu else hu
+        // stored = D_o^{-1}(upright): write each upright pixel to the
+        // stored coordinate the display transform reads it from (the
+        // m24 orientedPixelDocs mapping)
+        val stored = new Array[Int](ws * hs)
+        var y = 0
+        while (y < hu) {
+          var x = 0
+          while (x < wu) {
+            val (sx, sy) = o match {
+              case 1 => (x, y)
+              case 2 => (ws - 1 - x, y)
+              case 3 => (ws - 1 - x, hs - 1 - y)
+              case 4 => (x, hs - 1 - y)
+              case 5 => (y, x)
+              case 6 => (y, hs - 1 - x)
+              case 7 => (ws - 1 - y, hs - 1 - x)
+              case _ => (ws - 1 - y, x)
+            }
+            stored(sy * ws + sx) = upright(y * wu + x)
+            x += 1
+          }
+          y += 1
+        }
+        val storedJpeg = Multimodal.syntheticJpegDcBytesWith(
+          ws, hs, color, subsample420 = false) { (bx, by) =>
+          stored(by * 8 * ws + bx * 8) // constant per block by construction
+        }
+        val oriented = graft.functions.ExifImpl.withExif(storedJpeg, o,
+          f"2024:02:${id % 28 + 1}%02d 10:${id % 60}%02d:00",
+          s"cam${id % 5}", None)
+        val uprightJpeg = Multimodal.syntheticJpegDcBytesWith(
+          wu, hu, color, subsample420 = false)((bx, by) => v(bx, by))
+        (id, oriented, uprightJpeg)
+      }
+      rows.toDF("doc_id", "payload_oriented", "payload_upright")
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+    }
+
   /** 4:2:0 companion to [[jpegPixelDocs]]: every doc a chroma-subsampled
     * color JPEG (the web/camera-dominant layout) with the same closed-form
     * flat luma blocks — exact under any correct upsampling because the

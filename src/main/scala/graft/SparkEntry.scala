@@ -6450,6 +6450,34 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Orientation-normalized dedup END-TO-END from JPEG bytes
+    * ([[graft.operators.Multimodal.exifOrientedJpegDHash]] over
+    * [[Fixtures.orientedJpegDocs]]): each payload is a real
+    * EXIF-tagged rotated JPEG — the full camera-photo composition
+    * (APP1 parse → pixel decode → display transform → shared dHash)
+    * the m23/m24 gates proved piecewise. Every normalized hash must
+    * exact-join its upright twin's; the `orientation` column pins the
+    * EXIF parse and the constant format pins the decode+transform
+    * path. Oracle: the upright flat-block closed form at 8-multiple
+    * dims on both sides plus the join, collisions included. */
+  private def m26_oriented_jpeg(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(Fixtures.orientedJpegDocs(s, dir))
+    val oriented = Multimodal.exifOrientedJpegDHash(
+        docs.select(col("doc_id"), col("payload_oriented").as("payload")))
+      .select(col("doc_id"), col("orientation"),
+        col("dhash.format").as("format"),
+        col("dhash.hash_hi").as("hash_hi"),
+        col("dhash.hash_lo").as("hash_lo"))
+    val upright = Multimodal.decodeJpegDHash(
+        docs.select(col("doc_id"), col("payload_upright").as("payload")))
+      .select(col("dhash.hash_hi").as("hash_hi"),
+        col("dhash.hash_lo").as("hash_lo"))
+    oriented.join(upright, Seq("hash_hi", "hash_lo"))
+      .groupBy("doc_id", "orientation", "format")
+      .agg(count(lit(1)).as("n_upright_matches"))
+      .orderBy("doc_id")
+  }
+
   private def m2_audio(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeAudioMeta(s.read.parquet(Fixtures.audioDocs(s, dir)))
       .select(col("doc_id"), col("audio_meta.sample_rate"),
@@ -7629,6 +7657,7 @@ object SparkEntry {
     "m23_exif" -> (m23_exif _),
     "m24_oriented_dedup" -> (m24_oriented_dedup _),
     "m25_progressive_dedup" -> (m25_progressive_dedup _),
+    "m26_oriented_jpeg" -> (m26_oriented_jpeg _),
     "ml6_confusion" -> (ml6_confusion _),
     "ml7_confusion_sweep" -> (ml7_confusion_sweep _),
     "t91_jsonld" -> (t91_jsonld _),
@@ -13945,6 +13974,39 @@ object SparkEntry {
            FROM b GROUP BY doc_id)
          SELECT a.doc_id, 'jpeg_progressive' AS format,
            CAST(count(*) AS BIGINT) AS n_baseline_matches
+         FROM hsh a JOIN hsh p ON p.hi = a.hi AND p.lo = a.lo
+         GROUP BY a.doc_id ORDER BY a.doc_id""",
+    // the upright flat-block closed form at 8-multiple dims on BOTH
+    // sides of the oriented-vs-upright join: normalization must
+    // reproduce the upright image exactly, so the normalized hash
+    // equals the upright closed form; orientation pins the EXIF parse
+    "m26_oriented_jpeg" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(8 * (doc_id % 3 + 1) AS INT) AS w,
+             CAST(8 * (doc_id % 2 + 1) AS INT) AS h
+           FROM documents),
+         g AS (SELECT d.doc_id, p.p % 9 AS x, p.p // 9 AS y,
+             16 + ((d.doc_id
+                    + (((p.p % 9) * d.w // 9) // 8) * 3
+                    + (((p.p // 9) * d.h // 8) // 8) * 5) % 224) AS gray
+           FROM d, UNNEST(range(0, 72)) AS p(p)),
+         b AS (SELECT a.doc_id, a.x, a.y,
+             CASE WHEN a.gray < c.gray THEN 1 ELSE 0 END AS bit
+           FROM g a JOIN g c
+             ON a.doc_id = c.doc_id AND a.y = c.y AND c.x = a.x + 1
+           WHERE a.x < 8),
+         hsh AS (SELECT doc_id,
+             CAST(SUM(CASE WHEN y * 8 + x >= 32
+               THEN CAST(bit AS BIGINT) << (y * 8 + x - 32)
+               ELSE 0 END) AS BIGINT) AS hi,
+             CAST(SUM(CASE WHEN y * 8 + x < 32
+               THEN CAST(bit AS BIGINT) << (y * 8 + x)
+               ELSE 0 END) AS BIGINT) AS lo
+           FROM b GROUP BY doc_id)
+         SELECT a.doc_id,
+           CAST(a.doc_id % 8 + 1 AS INT) AS orientation,
+           'jpeg_oriented' AS format,
+           CAST(count(*) AS BIGINT) AS n_upright_matches
          FROM hsh a JOIN hsh p ON p.hi = a.hi AND p.lo = a.lo
          GROUP BY a.doc_id ORDER BY a.doc_id""",
     // m21's closed-form dHash on BOTH sides of the web-format join:

@@ -962,6 +962,54 @@ object Multimodal {
     }
   }
 
+  /** End-to-end orientation-normalized dedup over REAL JPEG payloads —
+    * the composition [[orientedDHash]] (m24) proved at the kernel
+    * level, now run from bytes the way a crawl pipeline sees them:
+    * parse the EXIF orientation ([[graft.functions.ExifImpl]]; 1 when
+    * absent), decode the pixels ([[jpegDecodeInterleaved]] — baseline
+    * or progressive), apply the display transform ([[orientPixels]]),
+    * hash through the shared [[dhashFromPixels]]. Appends an
+    * `orientation` column and the dhash struct (format
+    * "jpeg_oriented"); undecodable payloads and out-of-range planted
+    * orientations keep their rows with null hashes and a telling
+    * format — visible, never dropped, never a task-killing throw on
+    * untrusted bytes. Executor-side mapPartitions like every codec. */
+  def exifOrientedJpegDHash(df: DataFrame, payloadCol: String = "payload",
+      hashCol: String = "dhash"): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = inSchema
+      .add(StructField("orientation", IntegerType, nullable = true))
+      .add(StructField(hashCol, dhashType, nullable = true))
+    val payloadIdx = inSchema.fieldIndex(payloadCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        val (orient: Any, meta: Any) =
+          if (bytes == null) (null, null)
+          else {
+            val o = graft.functions.ExifImpl.parse(bytes)
+              .flatMap(_.orientation).getOrElse(1)
+            jpegDecodeInterleaved(bytes) match {
+              case Some((w, h, c, px)) if o >= 1 && o <= 8 =>
+                val pb = new Array[Byte](w * h * c)
+                var i = 0
+                while (i < pb.length) { pb(i) = px(i).toByte; i += 1 }
+                val (wu, hu, up) = orientPixels(w, h, c, pb, o)
+                val ints = new Array[Int](up.length)
+                i = 0
+                while (i < ints.length) { ints(i) = up(i) & 0xff; i += 1 }
+                val (hi, lo) = dhashFromPixels(wu, hu, c, ints)
+                (Int.box(o), Row("jpeg_oriented", hi, lo))
+              case Some(_) => (Int.box(o), Row("bad_orientation", null, null))
+              case None => (Int.box(o), Row("undecodable", null, null))
+            }
+          }
+        Row.fromSeq(r.toSeq ++ Seq(orient, meta))
+      }
+    }
+  }
+
   /** Batched dHash over WEB image payloads — GIF and WebP-VP8L
     * ([[graft.functions.ImageCodecs]]), the two formats that dominate
     * real crawled images next to PNG/JPEG: sniff the container, decode
@@ -2040,7 +2088,20 @@ object Multimodal {
     * pixels stay exact under ANY correct upsampling (flat 128 chroma
     * upsamples to 128 everywhere). */
   def syntheticJpegDcBytes(seed: Long, w: Int, h: Int, color: Boolean,
-      subsample420: Boolean): Array[Byte] = {
+      subsample420: Boolean): Array[Byte] =
+    syntheticJpegDcBytesWith(w, h, color, subsample420) { (bx, by) =>
+      16 + (((seed + bx * 3 + by * 5) % 224 + 224) % 224).toInt
+    }
+
+  /** [[syntheticJpegDcBytes]] with CALLER-CHOSEN per-block luma values
+    * (each must be 0..255): the fixture seam for images whose
+    * flat-block layout is derived — e.g. an EXIF-rotated copy of a
+    * closed-form upright image, where the stored block grid is the
+    * display transform's inverse of the upright grid. Same exact-decode
+    * construction: DC-only quantized coefficients under the all-8s
+    * table. */
+  def syntheticJpegDcBytesWith(w: Int, h: Int, color: Boolean,
+      subsample420: Boolean)(blockVal: (Int, Int) => Int): Array[Byte] = {
     require(w > 0 && h > 0, "dims must be positive")
     require(!subsample420 || color, "4:2:0 requires a color scan")
     val out = new java.io.ByteArrayOutputStream()
@@ -2076,8 +2137,6 @@ object Multimodal {
         i -= 1
       }
     }
-    def blockVal(bx: Int, by: Int): Int =
-      16 + (((seed + bx * 3 + by * 5) % 224 + 224) % 224).toInt
     val dcPred = new Array[Int](nComp)
     def emitBlock(c: Int, s: Int): Unit = {
       val diff = s - dcPred(c); dcPred(c) = s
