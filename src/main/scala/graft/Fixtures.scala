@@ -324,6 +324,56 @@ object Fixtures {
         .parquet(dir)
     }
 
+  /** WebP payloads across the container's REAL spread: even ids a
+    * VP8L lossless re-encode (flat closed-form pixels at the m11
+    * dims), odd ids a lossy VP8 KEY-FRAME whose header carries
+    * planted curation fields — dims, version, quantizer index,
+    * filter setup, partition count, quant deltas — built by the
+    * from-scratch RFC 6386 bool encoder; id%7==0 adds a segmentation
+    * sub-header and id%5==0 a loop-filter-adjustment block (the
+    * parser must WALK them to land the quant fields), and id%8==5
+    * wraps the frame in a VP8X extended container with canvas dims.
+    * The m27 oracle replays every field in closed form. */
+  def webpLossyDocs(spark: SparkSession, sfDir: String): String =
+    cached("webp_lossy_docs", sfDir) { dir =>
+      import spark.implicits._
+      import graft.functions.{ImageCodecs, Vp8}
+      val ids = table(spark, sfDir, "documents").select("doc_id")
+        .as[Long].collect().sorted
+      val rows = ids.toSeq.map { id =>
+        val payload =
+          if (id % 2 == 0) {
+            val w = (id % 13).toInt + 4
+            val h = (id % 11).toInt + 4
+            val rgba = Array.tabulate(w * h * 4)(i =>
+              (((id + i % 4 * 11) % 256 + 256) % 256).toByte)
+            ImageCodecs.webpEncode(w, h, rgba)
+          } else {
+            val w = (id % 977).toInt + 16
+            val h = ((id * 3) % 761).toInt + 16
+            val chunk = Vp8.buildKeyFrameHeader(w, h,
+              version = (id % 4).toInt,
+              filterType = ((id / 2) % 2).toInt,
+              filterLevel = (id % 64).toInt,
+              sharpness = (id % 8).toInt,
+              log2Parts = (id % 4).toInt,
+              yAcQi = (id % 128).toInt,
+              yDcDelta = (id % 15).toInt - 7,
+              uvAcDelta = (id % 9).toInt - 4,
+              withSegmentation = id % 7 == 0,
+              withLfAdjust = id % 5 == 0)
+            if (id % 8 == 5)
+              ImageCodecs.wrapWebp(Seq(
+                ("VP8X", ImageCodecs.vp8xPayload(w, h)),
+                ("VP8 ", chunk)))
+            else ImageCodecs.wrapWebp(Seq(("VP8 ", chunk)))
+          }
+        (id, payload)
+      }
+      rows.toDF("doc_id", "payload").coalesce(1).write.mode("overwrite")
+        .parquet(dir)
+    }
+
   /** REAL camera-style rotated JPEGs: per doc an upright flat-block
     * closed-form image at 8-multiple dims (wu = 8·(id%3+1),
     * hu = 8·(id%2+1) — rotations map the 8×8 block grid onto itself)

@@ -6478,6 +6478,38 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** WebP container metadata incl. the LOSSY-VP8 header layer
+    * ([[graft.operators.Multimodal.decodeWebpMeta]] over
+    * [[Fixtures.webpLossyDocs]]): lossless frames report their VP8L
+    * dims; lossy key frames report the RFC 6386 first-partition
+    * header — dims, version, quantizer index (`y_ac_qi`, the
+    * compression-quality curation signal), loop-filter setup,
+    * partition count, quant deltas — parsed through planted
+    * segmentation and filter-adjustment sub-headers by the
+    * from-scratch bool decoder; VP8X wrapping surfaces the canvas.
+    * The oracle replays every planted field in closed form — a
+    * one-bit drift anywhere in the bool coder or the header walk
+    * shifts every later field and goes red. */
+  private def m27_webp_meta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeWebpMeta(
+        s.read.parquet(Fixtures.webpLossyDocs(s, dir)))
+      .select(col("doc_id"),
+        col("webp_meta.kind").as("kind"),
+        col("webp_meta.width").as("width"),
+        col("webp_meta.height").as("height"),
+        col("webp_meta.extended").as("extended"),
+        col("webp_meta.canvas_w").as("canvas_w"),
+        col("webp_meta.canvas_h").as("canvas_h"),
+        col("webp_meta.version").as("version"),
+        col("webp_meta.y_ac_qi").as("y_ac_qi"),
+        col("webp_meta.y_dc_delta").as("y_dc_delta"),
+        col("webp_meta.uv_ac_delta").as("uv_ac_delta"),
+        col("webp_meta.filter_type").as("filter_type"),
+        col("webp_meta.filter_level").as("filter_level"),
+        col("webp_meta.sharpness").as("sharpness"),
+        col("webp_meta.token_partitions").as("token_partitions"))
+      .orderBy("doc_id")
+
   private def m2_audio(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeAudioMeta(s.read.parquet(Fixtures.audioDocs(s, dir)))
       .select(col("doc_id"), col("audio_meta.sample_rate"),
@@ -7658,6 +7690,7 @@ object SparkEntry {
     "m24_oriented_dedup" -> (m24_oriented_dedup _),
     "m25_progressive_dedup" -> (m25_progressive_dedup _),
     "m26_oriented_jpeg" -> (m26_oriented_jpeg _),
+    "m27_webp_meta" -> (m27_webp_meta _),
     "ml6_confusion" -> (ml6_confusion _),
     "ml7_confusion_sweep" -> (ml7_confusion_sweep _),
     "t91_jsonld" -> (t91_jsonld _),
@@ -14009,6 +14042,40 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n_upright_matches
          FROM hsh a JOIN hsh p ON p.hi = a.hi AND p.lo = a.lo
          GROUP BY a.doc_id ORDER BY a.doc_id""",
+    // every planted WebP header field in closed form by doc residue:
+    // lossless dims on evens, the full lossy key-frame header on odds
+    // (VP8X canvas on the id%8==5 subset)
+    "m27_webp_meta" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'lossless' ELSE 'lossy' END
+             AS kind,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 13 + 4
+                ELSE doc_id % 977 + 16 END AS INT) AS width,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 11 + 4
+                ELSE (doc_id * 3) % 761 + 16 END AS INT) AS height,
+           doc_id % 8 = 5 AS extended,
+           CAST(CASE WHEN doc_id % 8 = 5 THEN doc_id % 977 + 16 END
+             AS INT) AS canvas_w,
+           CAST(CASE WHEN doc_id % 8 = 5 THEN (doc_id * 3) % 761 + 16 END
+             AS INT) AS canvas_h,
+           CAST(CASE WHEN doc_id % 2 = 1 THEN doc_id % 4 END AS INT)
+             AS version,
+           CAST(CASE WHEN doc_id % 2 = 1 THEN doc_id % 128 END AS INT)
+             AS y_ac_qi,
+           CAST(CASE WHEN doc_id % 2 = 1 THEN doc_id % 15 - 7 END AS INT)
+             AS y_dc_delta,
+           CAST(CASE WHEN doc_id % 2 = 1 THEN doc_id % 9 - 4 END AS INT)
+             AS uv_ac_delta,
+           CAST(CASE WHEN doc_id % 2 = 1 THEN (doc_id // 2) % 2 END
+             AS INT) AS filter_type,
+           CAST(CASE WHEN doc_id % 2 = 1 THEN doc_id % 64 END AS INT)
+             AS filter_level,
+           CAST(CASE WHEN doc_id % 2 = 1 THEN doc_id % 8 END AS INT)
+             AS sharpness,
+           CAST(CASE WHEN doc_id % 2 = 1 THEN
+             CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4
+                  ELSE 8 END END AS INT) AS token_partitions
+         FROM documents ORDER BY doc_id""",
     // m21's closed-form dHash on BOTH sides of the web-format join:
     // the GIF/WebP re-encodes carry pixel-identical images, so their
     // hashes equal the PNG side's closed form; the exact-hash join

@@ -911,6 +911,93 @@ object ImageCodecs {
     }
   }
 
+  /** Container-level WebP metadata — the layer that sees EVERY WebP,
+    * including the lossy-VP8 majority whose pixels stay outside the
+    * decode envelope: `kind` ∈ "lossless" | "lossy", frame dims from
+    * the VP8L header or the VP8 key-frame header
+    * ([[graft.functions.Vp8.keyFrameMeta]]), the VP8X extended-format
+    * canvas when present, and the lossy header's curation fields
+    * (quantizer index, loop-filter setup, partition count). None for
+    * non-WebP payloads, interframes-as-stills, or malformed chunks. */
+  final case class WebpMeta(kind: String, width: Int, height: Int,
+      extended: Boolean, canvasW: Int, canvasH: Int,
+      lossy: Option[Vp8.KeyFrameMeta])
+
+  def webpMeta(b: Array[Byte]): Option[WebpMeta] = {
+    if (b == null || b.length < 20) return None
+    if (new String(b, 0, 4, "US-ASCII") != "RIFF" ||
+      new String(b, 8, 4, "US-ASCII") != "WEBP") return None
+    var i = 12
+    var extended = false
+    var canvasW = -1; var canvasH = -1
+    var result: Option[WebpMeta] = None
+    while (result.isEmpty && i + 8 <= b.length) {
+      val id = new String(b, i, 4, "US-ASCII")
+      val sz = (b(i + 4) & 0xff) | ((b(i + 5) & 0xff) << 8) |
+        ((b(i + 6) & 0xff) << 16) | ((b(i + 7) & 0xff) << 24)
+      if (sz < 0 || i + 8L + sz > b.length) return None
+      id match {
+        case "VP8X" if sz >= 10 =>
+          extended = true
+          val o = i + 8
+          canvasW = 1 + ((b(o + 4) & 0xff) | ((b(o + 5) & 0xff) << 8) |
+            ((b(o + 6) & 0xff) << 16))
+          canvasH = 1 + ((b(o + 7) & 0xff) | ((b(o + 8) & 0xff) << 8) |
+            ((b(o + 9) & 0xff) << 16))
+        case "VP8L" if sz >= 5 =>
+          val o = i + 8
+          if ((b(o) & 0xff) != 0x2f) return None
+          val r = new BitReader(b, o + 1, o + sz)
+          val w = r.bits(14) + 1
+          val h = r.bits(14) + 1
+          if (r.truncated) return None
+          result = Some(WebpMeta("lossless", w, h, extended,
+            canvasW, canvasH, None))
+        case "VP8 " =>
+          val meta = Vp8.keyFrameMeta(b, i + 8, sz).getOrElse(return None)
+          result = Some(WebpMeta("lossy", meta.width, meta.height,
+            extended, canvasW, canvasH, Some(meta)))
+        case _ =>
+      }
+      i += 8 + sz + (sz & 1)
+    }
+    result
+  }
+
+  /** RIFF/WEBP container wrap for fixture chunks (sizes + padding per
+    * the spec). */
+  def wrapWebp(chunks: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val body = new java.io.ByteArrayOutputStream()
+    chunks.foreach { case (id, payload) =>
+      require(id.length == 4, s"chunk id '$id'")
+      body.write(id.getBytes("US-ASCII"))
+      Seq(payload.length, payload.length >> 8, payload.length >> 16,
+        payload.length >> 24).foreach(v => body.write(v & 0xff))
+      body.write(payload)
+      if ((payload.length & 1) == 1) body.write(0)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("RIFF".getBytes("US-ASCII"))
+    val riffLen = 4 + body.size()
+    Seq(riffLen, riffLen >> 8, riffLen >> 16, riffLen >> 24)
+      .foreach(v => out.write(v & 0xff))
+    out.write("WEBP".getBytes("US-ASCII"))
+    body.writeTo(out)
+    out.toByteArray
+  }
+
+  /** VP8X chunk payload for [[wrapWebp]]: zero feature flags, the
+    * canvas dims minus one in 24-bit little-endian. */
+  def vp8xPayload(canvasW: Int, canvasH: Int): Array[Byte] = {
+    require(canvasW >= 1 && canvasH >= 1, "canvas dims")
+    val o = new java.io.ByteArrayOutputStream()
+    o.write(0); o.write(0); o.write(0); o.write(0) // flags + reserved
+    val cw = canvasW - 1; val ch = canvasH - 1
+    o.write(cw & 0xff); o.write((cw >> 8) & 0xff); o.write((cw >> 16) & 0xff)
+    o.write(ch & 0xff); o.write((ch >> 8) & 0xff); o.write((ch >> 16) & 0xff)
+    o.toByteArray
+  }
+
   /** Encode interleaved RGBA as a literal-only, transform-free VP8L
     * WebP — the exact-decode fixture form. */
   def webpEncode(w: Int, h: Int, rgba: Array[Byte]): Array[Byte] =

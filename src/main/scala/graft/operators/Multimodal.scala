@@ -1040,6 +1040,52 @@ object Multimodal {
       }
     }
 
+  private val webpMetaType = StructType(Seq(
+    StructField("kind", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("extended", BooleanType, nullable = false),
+    StructField("canvas_w", IntegerType, nullable = true),
+    StructField("canvas_h", IntegerType, nullable = true),
+    StructField("version", IntegerType, nullable = true),
+    StructField("y_ac_qi", IntegerType, nullable = true),
+    StructField("y_dc_delta", IntegerType, nullable = true),
+    StructField("uv_ac_delta", IntegerType, nullable = true),
+    StructField("filter_type", IntegerType, nullable = true),
+    StructField("filter_level", IntegerType, nullable = true),
+    StructField("sharpness", IntegerType, nullable = true),
+    StructField("token_partitions", IntegerType, nullable = true)))
+
+  /** Container-level WebP metadata
+    * ([[graft.functions.ImageCodecs.webpMeta]]) — the layer that sees
+    * EVERY WebP including the lossy-VP8 majority whose pixels stay
+    * outside the decode envelope: kind, frame dims (VP8L header or
+    * VP8 key-frame header), VP8X canvas, and for lossy stills the
+    * quantizer index + loop-filter setup — `y_ac_qi` is a direct
+    * compression-quality signal for curation filters. Null meta for
+    * non-WebP/malformed payloads. Executor-side mapPartitions like
+    * every codec here. */
+  def decodeWebpMeta(df: DataFrame, payloadCol: String = "payload",
+      metaCol: String = "webp_meta"): DataFrame =
+    decodeMeta(df, payloadCol, metaCol, webpMetaType) { bytes =>
+      graft.functions.ImageCodecs.webpMeta(bytes) match {
+        case Some(m) =>
+          val l = m.lossy
+          Row(m.kind, m.width, m.height, m.extended,
+            if (m.canvasW > 0) Int.box(m.canvasW) else null,
+            if (m.canvasH > 0) Int.box(m.canvasH) else null,
+            l.map(x => Int.box(x.version)).orNull,
+            l.map(x => Int.box(x.yAcQi)).orNull,
+            l.map(x => Int.box(x.yDcDelta)).orNull,
+            l.map(x => Int.box(x.uvAcDelta)).orNull,
+            l.map(x => Int.box(x.filterType)).orNull,
+            l.map(x => Int.box(x.filterLevel)).orNull,
+            l.map(x => Int.box(x.sharpness)).orNull,
+            l.map(x => Int.box(x.tokenPartitions)).orNull)
+        case None => null
+      }
+    }
+
   /** PDF embedded-image extraction + perceptual hashing: each payload's
     * image XObjects ([[graft.functions.PdfImpl.images]]) explode to one
     * row per image — `(image_ix, width, height, channels, filter,
