@@ -3935,6 +3935,13 @@ object SparkEntry {
       .unionByName(d.filter(col("doc_id") % 10 === 3)
         .select(concat(lit("b"), sid).as("url"), lit(308).as("status"),
           concat(lit("c"), sid).as("location")))
+      // CROSS-BATCH chain: t<d> redirects onto u<d>, which wave 1
+      // already moved permanently to v<d> — the ingest's
+      // extendThroughMoves leg must write the direct t→v row (hops 2,
+      // permanent end-to-end), not the stale t→u
+      .unionByName(d.filter(col("doc_id") % 10 === 1)
+        .select(concat(lit("t"), sid).as("url"), lit(308).as("status"),
+          concat(lit("u"), sid).as("location")))
     def dataFiles = fs.listStatus(new org.apache.hadoop.fs.Path(incoming))
       .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
       .map(_.getPath).toSet
@@ -9361,7 +9368,13 @@ object SparkEntry {
            UNION ALL
            SELECT 'b' || doc_id, 'c' || doc_id, CAST(1 AS BIGINT), true,
                   'resolved'
-           FROM documents WHERE doc_id % 10 = 3)
+           FROM documents WHERE doc_id % 10 = 3
+           UNION ALL
+           -- the cross-batch chain: wave 2's t -> u extends through the
+           -- committed wave-1 move u -> v to the direct t -> v row
+           SELECT 't' || doc_id, 'v' || doc_id, CAST(2 AS BIGINT), true,
+                  'resolved'
+           FROM documents WHERE doc_id % 10 = 1)
          SELECT * FROM r ORDER BY url""",
     // the streamed conditional-recrawl loop in closed form: the 304
     // side doubles (carried hash + ETag), the 200 side halves

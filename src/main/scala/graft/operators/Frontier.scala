@@ -796,6 +796,34 @@ object Frontier {
     compacted.unionByName(moves.filter(!isPerm))
   }
 
+  /** Re-point a wave's RESOLVED rows through an accumulated moves
+    * table — the cross-batch loosening of the streaming ingest's
+    * batch-local contract: the committed table is first compacted to
+    * direct pointers ([[compactRedirectMoves]] — permanent cycles and
+    * divergent targets refuse loudly), then ONE left join re-points
+    * every resolved row whose landing page had already PERMANENTLY
+    * moved (hops sum; `permanent` passes through unchanged — the
+    * committed extension is permanent, so end-to-end permanence stays
+    * the wave's own). Loop/exceeded rows never re-point. One
+    * committed-hop-set extension per call; chains THROUGH the current
+    * wave's own sources converge at the next compaction — the
+    * eventual-consistency contract. */
+  def extendThroughMoves(resolved: DataFrame,
+      committedMoves: DataFrame): DataFrame = {
+    val compacted = compactRedirectMoves(committedMoves)
+      .filter(col("outcome") === "resolved" && col("permanent"))
+      .select(col("url").as("__mfrom"), col("final_url").as("__mto"),
+        col("hops").as("__mhops"))
+    resolved
+      .join(compacted, resolved("final_url") === col("__mfrom") &&
+        resolved("outcome") === "resolved", "left")
+      .select(resolved("url"),
+        coalesce(col("__mto"), resolved("final_url")).as("final_url"),
+        (resolved("hops") + coalesce(col("__mhops"), lit(0L)))
+          .as("hops"),
+        resolved("permanent"), resolved("outcome"))
+  }
+
   /** Committed REDIRECT-MOVES table reader — [[resolveRedirects]]'
     * output schema `(url, final_url, hops, permanent, outcome)` under
     * the [[seenUrls]] listing discipline (committed data files only;

@@ -728,9 +728,23 @@ object Streams {
       checkpoint: String,
       maxHops: Int = 5): Boolean =
     appendIngestBatch(batch, batchId, movesPath, checkpoint, "redirect") {
-      (_, tag) =>
-        val resolved = graft.operators.Frontier.resolveRedirects(
+      (spark, tag) =>
+        val resolvedWave = graft.operators.Frontier.resolveRedirects(
           batch, "url", "status", "location", maxHops)
+        // CROSS-BATCH extension: re-point this wave's resolved targets
+        // through the COMMITTED moves (compacted to direct pointers),
+        // so A→B committed in an earlier batch and B observed moving
+        // now still write direct rows. Replay-deterministic: the read
+        // excludes this batch's own tag and the stream cannot have
+        // advanced past an uncommitted batch, so a replay sees the
+        // identical committed set (the outcomeIngest argument).
+        // Residue: committed rows pointing INTO this wave's sources
+        // stay one hop short until the next compaction
+        // (Frontier.compactRedirectMoves) — eventual consistency.
+        val committed = graft.operators.Frontier.redirectMoves(
+          spark, movesPath, excludeTag = Some(tag))
+        val resolved = graft.operators.Frontier.extendThroughMoves(
+          resolvedWave, committed)
         graft.core.TaggedAppend.append(resolved, movesPath, tag)
         ()
     }
