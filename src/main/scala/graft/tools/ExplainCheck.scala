@@ -94,7 +94,14 @@ object ExplainCheck {
         // r19 third wave: EXIF decode + scrub (map-side kernels, the
         // pixel-intact join), epoch water-filling (source-grain level
         // walk, two one-row broadcasts)
-        "m23_exif", "t109_epoch_waterfill", "m24_oriented_dedup")
+        "m23_exif", "t109_epoch_waterfill", "m24_oriented_dedup",
+        // r20: moves compaction (fixed doubling rounds, moves-sized
+        // equi-joins, no cartesian), the materialized epoch draw
+        // (waterfill's one-row broadcasts + zero-shuffle resample +
+        // one agg), and the three codec-family gates (map-side kernels
+        // + the m22-shaped exact-hash joins / one ordered projection)
+        "t107d_redirect_compaction", "t110_epoch_draw",
+        "m25_progressive_dedup", "m26_oriented_jpeg", "m27_webp_meta")
     for (q <- qs) {
       val df = graft.SparkEntry.queries(q)(spark, dir)
       df.collect() // finalize AQE so the executed plan is the real one
