@@ -157,7 +157,8 @@ object Bench {
     // builder, the m11/m21 caveat; the multi-scan decode kernel is the
     // same map-side codec shape t50 slope-measures)
     "t107d_redirect_compaction", "t110_epoch_draw",
-    "m25_progressive_dedup", "m26_oriented_jpeg", "m27_webp_meta")
+    "m25_progressive_dedup", "m26_oriented_jpeg", "m27_webp_meta",
+    "m28_webp_exif")
 
   /** Queries measured on the replicated corpus for the scaling slope —
     * the shuffle-heavy pipeline shapes whose 100 TB behavior a plan read

@@ -335,19 +335,53 @@ object Fixtures {
     * wraps the frame in a VP8X extended container with canvas dims.
     * The m27 oracle replays every field in closed form. */
   def webpLossyDocs(spark: SparkSession, sfDir: String): String =
-    cached("webp_lossy_docs", sfDir) { dir =>
+    cached("webp_lossy_docs2", sfDir) { dir =>
       import spark.implicits._
-      import graft.functions.{ImageCodecs, Vp8}
+      import graft.functions.{ExifImpl, ImageCodecs, Vp8}
       val ids = table(spark, sfDir, "documents").select("doc_id")
         .as[Long].collect().sorted
       val rows = ids.toSeq.map { id =>
+        // id%3==0 docs carry an EXIF chunk (bare TIFF on id%6==3,
+        // "Exif\0\0"-prefixed on id%6==0 — both wild forms), GPS with
+        // m23's exactly-dividing rationals on id%9==0, inside a VP8X
+        // container with the EXIF feature flag
+        val hasExif = id % 3 == 0
+        val exifChunk: Option[Array[Byte]] =
+          if (!hasExif) None
+          else {
+            val gps = if (id % 9 == 0)
+              Some((id % 90, 1L, (id % 180) * 3, 3L)) else None
+            val body = ExifImpl.buildTiffBody((id % 8).toInt + 1,
+              f"2024:03:${id % 28 + 1}%02d 09:${id % 60}%02d:00",
+              s"cam${id % 5}", gps)
+            Some(if (id % 6 == 0)
+              "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++ body
+            else body)
+          }
+        def wrap(w: Int, h: Int, frameId: String,
+            frame: Array[Byte], forceX: Boolean): Array[Byte] = {
+          val needX = forceX || hasExif
+          val chunks = Seq.newBuilder[(String, Array[Byte])]
+          if (needX)
+            chunks += (("VP8X",
+              ImageCodecs.vp8xPayload(w, h, exifFlag = hasExif)))
+          chunks += ((frameId, frame))
+          exifChunk.foreach(c => chunks += (("EXIF", c)))
+          ImageCodecs.wrapWebp(chunks.result())
+        }
         val payload =
           if (id % 2 == 0) {
             val w = (id % 13).toInt + 4
             val h = (id % 11).toInt + 4
             val rgba = Array.tabulate(w * h * 4)(i =>
               (((id + i % 4 * 11) % 256 + 256) % 256).toByte)
-            ImageCodecs.webpEncode(w, h, rgba)
+            val full = ImageCodecs.webpEncode(w, h, rgba)
+            if (!hasExif) full
+            else {
+              val sz = (full(16) & 0xff) | ((full(17) & 0xff) << 8) |
+                ((full(18) & 0xff) << 16) | ((full(19) & 0xff) << 24)
+              wrap(w, h, "VP8L", full.slice(20, 20 + sz), forceX = false)
+            }
           } else {
             val w = (id % 977).toInt + 16
             val h = ((id * 3) % 761).toInt + 16
@@ -362,10 +396,8 @@ object Fixtures {
               uvAcDelta = (id % 9).toInt - 4,
               withSegmentation = id % 7 == 0,
               withLfAdjust = id % 5 == 0)
-            if (id % 8 == 5)
-              ImageCodecs.wrapWebp(Seq(
-                ("VP8X", ImageCodecs.vp8xPayload(w, h)),
-                ("VP8 ", chunk)))
+            if (id % 8 == 5 || hasExif)
+              wrap(w, h, "VP8 ", chunk, forceX = id % 8 == 5)
             else ImageCodecs.wrapWebp(Seq(("VP8 ", chunk)))
           }
         (id, payload)

@@ -6517,6 +6517,49 @@ object SparkEntry {
         col("webp_meta.token_partitions").as("token_partitions"))
       .orderBy("doc_id")
 
+  /** WebP EXIF + GPS-PII scrub — m23's release-gate contract extended
+    * to the WebP container ([[graft.operators.Multimodal.decodeWebpMeta]]'s
+    * exif leg + [[graft.operators.Multimodal.stripWebpExif]] over the
+    * EXIF-carrying [[Fixtures.webpLossyDocs]]): planted orientation /
+    * GPS microdegrees replay in closed form through BOTH wild payload
+    * forms (bare TIFF and "Exif\0\0"-prefixed), the scrub removes the
+    * EXIF chunk and clears the VP8X feature flag (post-strip meta
+    * shows no EXIF), statuses are the release tri-state, and lossless
+    * frames prove pixels survive byte-identically via the dHash. */
+  private def m28_webp_exif(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(Fixtures.webpLossyDocs(s, dir))
+    val before = Multimodal.decodeWebpMeta(docs)
+      .select(col("doc_id"),
+        col("webp_meta.kind").as("kind"),
+        col("webp_meta.has_exif").as("has_exif"),
+        col("webp_meta.exif_orientation").as("exif_orientation"),
+        col("webp_meta.exif_has_gps").as("exif_has_gps"),
+        col("webp_meta.exif_lat_micro").as("exif_lat_micro"),
+        col("webp_meta.exif_lon_micro").as("exif_lon_micro"))
+    val stripped = Multimodal.stripWebpExif(docs)
+    val after = Multimodal.decodeWebpMeta(
+        stripped.select(col("doc_id"), col("payload_clean").as("payload")),
+        metaCol = "webp_after")
+      .select(col("doc_id"),
+        (col("webp_after.has_exif") === false).as("exif_gone"))
+    val hb = Multimodal.decodeWebImageDHash(docs)
+      .select(col("doc_id"), col("dhash.hash_hi").as("__hb1"),
+        col("dhash.hash_lo").as("__hb2"))
+    val ha = Multimodal.decodeWebImageDHash(
+        stripped.select(col("doc_id"), col("payload_clean").as("payload")))
+      .select(col("doc_id"), col("dhash.hash_hi").as("__ha1"),
+        col("dhash.hash_lo").as("__ha2"))
+    before
+      .join(stripped.select(col("doc_id"), col("scrub_status")), Seq("doc_id"))
+      .join(after, Seq("doc_id"))
+      .join(hb, Seq("doc_id")).join(ha, Seq("doc_id"))
+      .withColumn("pixels_intact",
+        when(col("doc_id") % 2 === 0,
+          col("__hb1") === col("__ha1") && col("__hb2") === col("__ha2")))
+      .drop("__hb1", "__hb2", "__ha1", "__ha2")
+      .orderBy("doc_id")
+  }
+
   private def m2_audio(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeAudioMeta(s.read.parquet(Fixtures.audioDocs(s, dir)))
       .select(col("doc_id"), col("audio_meta.sample_rate"),
@@ -7698,6 +7741,7 @@ object SparkEntry {
     "m25_progressive_dedup" -> (m25_progressive_dedup _),
     "m26_oriented_jpeg" -> (m26_oriented_jpeg _),
     "m27_webp_meta" -> (m27_webp_meta _),
+    "m28_webp_exif" -> (m28_webp_exif _),
     "ml6_confusion" -> (ml6_confusion _),
     "ml7_confusion_sweep" -> (ml7_confusion_sweep _),
     "t91_jsonld" -> (t91_jsonld _),
@@ -14066,11 +14110,14 @@ object SparkEntry {
                 ELSE doc_id % 977 + 16 END AS INT) AS width,
            CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 11 + 4
                 ELSE (doc_id * 3) % 761 + 16 END AS INT) AS height,
-           doc_id % 8 = 5 AS extended,
-           CAST(CASE WHEN doc_id % 8 = 5 THEN doc_id % 977 + 16 END
-             AS INT) AS canvas_w,
-           CAST(CASE WHEN doc_id % 8 = 5 THEN (doc_id * 3) % 761 + 16 END
-             AS INT) AS canvas_h,
+           doc_id % 8 = 5 OR doc_id % 3 = 0 AS extended,
+           CAST(CASE WHEN doc_id % 8 = 5 OR doc_id % 3 = 0 THEN
+             CASE WHEN doc_id % 2 = 0 THEN doc_id % 13 + 4
+                  ELSE doc_id % 977 + 16 END END AS INT) AS canvas_w,
+           CAST(CASE WHEN doc_id % 8 = 5 OR doc_id % 3 = 0 THEN
+             CASE WHEN doc_id % 2 = 0 THEN doc_id % 11 + 4
+                  ELSE (doc_id * 3) % 761 + 16 END END AS INT)
+             AS canvas_h,
            CAST(CASE WHEN doc_id % 2 = 1 THEN doc_id % 4 END AS INT)
              AS version,
            CAST(CASE WHEN doc_id % 2 = 1 THEN doc_id % 128 END AS INT)
@@ -14088,6 +14135,30 @@ object SparkEntry {
            CAST(CASE WHEN doc_id % 2 = 1 THEN
              CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4
                   ELSE 8 END END AS INT) AS token_partitions
+         FROM documents ORDER BY doc_id""",
+    // planted WebP-EXIF fields + the scrub contract in closed form:
+    // id%3==0 carries EXIF (both wild payload forms), GPS on id%9==0
+    // with the m23 exactly-dividing microdegrees; post-strip EXIF is
+    // gone everywhere and lossless pixels hash identically
+    "m28_webp_exif" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'lossless' ELSE 'lossy' END
+             AS kind,
+           doc_id % 3 = 0 AS has_exif,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 8 + 1 END AS INT)
+             AS exif_orientation,
+           CASE WHEN doc_id % 3 = 0 THEN doc_id % 9 = 0 END
+             AS exif_has_gps,
+           CAST(CASE WHEN doc_id % 9 = 0
+             THEN (doc_id % 90) * 1000000 END AS BIGINT)
+             AS exif_lat_micro,
+           CAST(CASE WHEN doc_id % 9 = 0
+             THEN (doc_id % 180) * 1000000 END AS BIGINT)
+             AS exif_lon_micro,
+           CASE WHEN doc_id % 3 = 0 THEN 'scrubbed' ELSE 'clean' END
+             AS scrub_status,
+           true AS exif_gone,
+           CASE WHEN doc_id % 2 = 0 THEN true END AS pixels_intact
          FROM documents ORDER BY doc_id""",
     // m21's closed-form dHash on BOTH sides of the web-format join:
     // the GIF/WebP re-encodes carry pixel-identical images, so their

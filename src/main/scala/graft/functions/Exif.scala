@@ -161,6 +161,13 @@ object ExifImpl {
       }
     }
 
+  /** Parse a bare TIFF/EXIF stream at b[t0, t0+len) — the form WebP's
+    * EXIF chunk carries (with or without a leading "Exif\0\0", which
+    * callers strip). Same envelope and totality as the JPEG path. */
+  def parseTiffStream(b: Array[Byte], t0: Int, len: Int): Option[Exif] =
+    if (b == null || t0 < 0 || len < 0 || t0.toLong + len > b.length) None
+    else parseTiff(b, t0, len)
+
   private def parseTiff(jpeg: Array[Byte], t0: Int,
       len: Int): Option[Exif] = {
     if (len < 8) return None
@@ -245,6 +252,24 @@ object ExifImpl {
       make: String, gps: Option[(Long, Long, Long, Long)]): Array[Byte] = {
     require(jpeg.length >= 2 && (jpeg(0) & 0xff) == 0xff &&
       (jpeg(1) & 0xff) == 0xd8, "not a JPEG")
+    val body = buildTiffBody(orientation, dateTime, make, gps)
+    val seg = new java.io.ByteArrayOutputStream()
+    seg.write(0xff); seg.write(0xe1)
+    val segLen = 2 + 6 + body.length
+    seg.write(segLen >> 8); seg.write(segLen & 0xff)
+    seg.write("Exif".getBytes("US-ASCII")); seg.write(0); seg.write(0)
+    seg.write(body)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(jpeg, 0, 2)
+    seg.writeTo(out)
+    out.write(jpeg, 2, jpeg.length - 2)
+    out.toByteArray
+  }
+
+  /** The bare big-endian TIFF body under [[withExif]] — also the form
+    * a WebP EXIF chunk carries. Fixture material for both carriers. */
+  def buildTiffBody(orientation: Int, dateTime: String,
+      make: String, gps: Option[(Long, Long, Long, Long)]): Array[Byte] = {
     val tiff = new java.io.ByteArrayOutputStream()
     def w16(v: Int): Unit = { tiff.write(v >> 8); tiff.write(v & 0xff) }
     def w32(v: Long): Unit = {
@@ -296,17 +321,6 @@ object ExifImpl {
       w32(latN); w32(latD); w32(0); w32(1); w32(0); w32(1)
       w32(lonN); w32(lonD); w32(0); w32(1); w32(0); w32(1)
     }
-    val body = tiff.toByteArray
-    val seg = new java.io.ByteArrayOutputStream()
-    seg.write(0xff); seg.write(0xe1)
-    val segLen = 2 + 6 + body.length
-    seg.write(segLen >> 8); seg.write(segLen & 0xff)
-    seg.write("Exif".getBytes("US-ASCII")); seg.write(0); seg.write(0)
-    seg.write(body)
-    val out = new java.io.ByteArrayOutputStream()
-    out.write(jpeg, 0, 2)
-    seg.writeTo(out)
-    out.write(jpeg, 2, jpeg.length - 2)
-    out.toByteArray
+    tiff.toByteArray
   }
 }

@@ -921,7 +921,8 @@ object ImageCodecs {
     * non-WebP payloads, interframes-as-stills, or malformed chunks. */
   final case class WebpMeta(kind: String, width: Int, height: Int,
       extended: Boolean, canvasW: Int, canvasH: Int,
-      lossy: Option[Vp8.KeyFrameMeta])
+      lossy: Option[Vp8.KeyFrameMeta],
+      exif: Option[graft.functions.ExifImpl.Exif])
 
   def webpMeta(b: Array[Byte]): Option[WebpMeta] = {
     if (b == null || b.length < 20) return None
@@ -930,8 +931,11 @@ object ImageCodecs {
     var i = 12
     var extended = false
     var canvasW = -1; var canvasH = -1
-    var result: Option[WebpMeta] = None
-    while (result.isEmpty && i + 8 <= b.length) {
+    var frame: Option[(String, Int, Int, Option[Vp8.KeyFrameMeta])] = None
+    var exif: Option[graft.functions.ExifImpl.Exif] = None
+    // the EXIF chunk comes AFTER the frame chunk in the spec's layout,
+    // so the walk covers the whole container
+    while (i + 8 <= b.length) {
       val id = new String(b, i, 4, "US-ASCII")
       val sz = (b(i + 4) & 0xff) | ((b(i + 5) & 0xff) << 8) |
         ((b(i + 6) & 0xff) << 16) | ((b(i + 7) & 0xff) << 24)
@@ -944,24 +948,74 @@ object ImageCodecs {
             ((b(o + 6) & 0xff) << 16))
           canvasH = 1 + ((b(o + 7) & 0xff) | ((b(o + 8) & 0xff) << 8) |
             ((b(o + 9) & 0xff) << 16))
-        case "VP8L" if sz >= 5 =>
+        case "VP8L" if sz >= 5 && frame.isEmpty =>
           val o = i + 8
           if ((b(o) & 0xff) != 0x2f) return None
           val r = new BitReader(b, o + 1, o + sz)
           val w = r.bits(14) + 1
           val h = r.bits(14) + 1
           if (r.truncated) return None
-          result = Some(WebpMeta("lossless", w, h, extended,
-            canvasW, canvasH, None))
-        case "VP8 " =>
+          frame = Some(("lossless", w, h, None))
+        case "VP8 " if frame.isEmpty =>
           val meta = Vp8.keyFrameMeta(b, i + 8, sz).getOrElse(return None)
-          result = Some(WebpMeta("lossy", meta.width, meta.height,
-            extended, canvasW, canvasH, Some(meta)))
+          frame = Some(("lossy", meta.width, meta.height, Some(meta)))
+        case "EXIF" if exif.isEmpty =>
+          // payload is a TIFF stream, with or without the JPEG-style
+          // "Exif\0\0" prefix (both occur in the wild)
+          val o = i + 8
+          val skip = if (sz >= 6 && b(o) == 'E' && b(o + 1) == 'x' &&
+            b(o + 2) == 'i' && b(o + 3) == 'f' && b(o + 4) == 0 &&
+            b(o + 5) == 0) 6 else 0
+          exif = graft.functions.ExifImpl.parseTiffStream(
+            b, o + skip, sz - skip)
         case _ =>
       }
       i += 8 + sz + (sz & 1)
     }
-    result
+    frame.map { case (kind, w, h, lossy) =>
+      WebpMeta(kind, w, h, extended, canvasW, canvasH, lossy, exif)
+    }
+  }
+
+  /** GPS-PII scrub for WebP — [[graft.functions.ExifImpl.stripWithStatus]]'s
+    * container sibling: EXIF (and XMP) chunks are removed by byte
+    * surgery and the VP8X EXIF/XMP feature flags cleared; frame chunks
+    * copy through untouched, so pixels decode identically. Statuses:
+    * "scrubbed" | "clean" (walk completed, no metadata chunks) |
+    * "not_webp" | "walk_failed" (chunk walk aborted — the payload may
+    * still carry unreachable metadata: quarantine, returned
+    * UNCHANGED). */
+  def stripWebpExif(b: Array[Byte]): (Array[Byte], String) = {
+    if (b == null || b.length < 20 ||
+      new String(b, 0, 4, "US-ASCII") != "RIFF" ||
+      new String(b, 8, 4, "US-ASCII") != "WEBP") return (b, "not_webp")
+    val body = new java.io.ByteArrayOutputStream()
+    var i = 12
+    var changed = false
+    while (i + 8 <= b.length) {
+      val id = new String(b, i, 4, "US-ASCII")
+      val sz = (b(i + 4) & 0xff) | ((b(i + 5) & 0xff) << 8) |
+        ((b(i + 6) & 0xff) << 16) | ((b(i + 7) & 0xff) << 24)
+      if (sz < 0 || i + 8L + sz > b.length) return (b, "walk_failed")
+      if (id == "EXIF" || id == "XMP ") changed = true
+      else if (id == "VP8X" && sz >= 10) {
+        body.write(b, i, 8)
+        val flags = b(i + 8) & ~0x0c // clear EXIF (0x08) + XMP (0x04)
+        body.write(flags)
+        body.write(b, i + 9, sz - 1)
+        if ((sz & 1) == 1) body.write(0)
+      } else body.write(b, i, 8 + sz + (sz & 1))
+      i += 8 + sz + (sz & 1)
+    }
+    if (!changed) return (b, "clean")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("RIFF".getBytes("US-ASCII"))
+    val riffLen = 4 + body.size()
+    Seq(riffLen, riffLen >> 8, riffLen >> 16, riffLen >> 24)
+      .foreach(v => out.write(v & 0xff))
+    out.write("WEBP".getBytes("US-ASCII"))
+    body.writeTo(out)
+    (out.toByteArray, "scrubbed")
   }
 
   /** RIFF/WEBP container wrap for fixture chunks (sizes + padding per
@@ -986,12 +1040,15 @@ object ImageCodecs {
     out.toByteArray
   }
 
-  /** VP8X chunk payload for [[wrapWebp]]: zero feature flags, the
-    * canvas dims minus one in 24-bit little-endian. */
-  def vp8xPayload(canvasW: Int, canvasH: Int): Array[Byte] = {
+  /** VP8X chunk payload for [[wrapWebp]]: feature flags (EXIF = 0x08
+    * when an EXIF chunk follows), the canvas dims minus one in 24-bit
+    * little-endian. */
+  def vp8xPayload(canvasW: Int, canvasH: Int,
+      exifFlag: Boolean = false): Array[Byte] = {
     require(canvasW >= 1 && canvasH >= 1, "canvas dims")
     val o = new java.io.ByteArrayOutputStream()
-    o.write(0); o.write(0); o.write(0); o.write(0) // flags + reserved
+    o.write(if (exifFlag) 0x08 else 0)
+    o.write(0); o.write(0); o.write(0) // reserved
     val cw = canvasW - 1; val ch = canvasH - 1
     o.write(cw & 0xff); o.write((cw >> 8) & 0xff); o.write((cw >> 16) & 0xff)
     o.write(ch & 0xff); o.write((ch >> 8) & 0xff); o.write((ch >> 16) & 0xff)

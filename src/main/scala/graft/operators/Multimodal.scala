@@ -1054,7 +1054,12 @@ object Multimodal {
     StructField("filter_type", IntegerType, nullable = true),
     StructField("filter_level", IntegerType, nullable = true),
     StructField("sharpness", IntegerType, nullable = true),
-    StructField("token_partitions", IntegerType, nullable = true)))
+    StructField("token_partitions", IntegerType, nullable = true),
+    StructField("has_exif", BooleanType, nullable = false),
+    StructField("exif_orientation", IntegerType, nullable = true),
+    StructField("exif_has_gps", BooleanType, nullable = true),
+    StructField("exif_lat_micro", LongType, nullable = true),
+    StructField("exif_lon_micro", LongType, nullable = true)))
 
   /** Container-level WebP metadata
     * ([[graft.functions.ImageCodecs.webpMeta]]) — the layer that sees
@@ -1081,10 +1086,45 @@ object Multimodal {
             l.map(x => Int.box(x.filterType)).orNull,
             l.map(x => Int.box(x.filterLevel)).orNull,
             l.map(x => Int.box(x.sharpness)).orNull,
-            l.map(x => Int.box(x.tokenPartitions)).orNull)
+            l.map(x => Int.box(x.tokenPartitions)).orNull,
+            m.exif.isDefined,
+            m.exif.flatMap(_.orientation).map(Int.box).orNull,
+            m.exif.map(e => Boolean.box(e.hasGps)).orNull,
+            m.exif.flatMap(_.latMicro).map(Long.box).orNull,
+            m.exif.flatMap(_.lonMicro).map(Long.box).orNull)
         case None => null
       }
     }
+
+  /** GPS-PII scrub for WebP payloads
+    * ([[graft.functions.ImageCodecs.stripWebpExif]]): EXIF/XMP chunks
+    * removed by container byte surgery, VP8X feature flags cleared,
+    * frame chunks untouched — pixels decode identically. Appends
+    * `outCol` BINARY + `statusCol`
+    * ("scrubbed" | "clean" | "not_webp" | "walk_failed" — the same
+    * release-gate tri-state as [[stripExif]]: only scrubbed/clean
+    * ship, walk_failed payloads may still carry GPS and quarantine). */
+  def stripWebpExif(df: DataFrame, payloadCol: String = "payload",
+      outCol: String = "payload_clean",
+      statusCol: String = "scrub_status"): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = inSchema
+      .add(StructField(outCol, BinaryType, nullable = true))
+      .add(StructField(statusCol, StringType, nullable = true))
+    val payloadIdx = inSchema.fieldIndex(payloadCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        if (bytes == null) Row.fromSeq(r.toSeq ++ Seq(null, null))
+        else {
+          val (clean, status) =
+            graft.functions.ImageCodecs.stripWebpExif(bytes)
+          Row.fromSeq(r.toSeq ++ Seq(clean, status))
+        }
+      }
+    }
+  }
 
   /** PDF embedded-image extraction + perceptual hashing: each payload's
     * image XObjects ([[graft.functions.PdfImpl.images]]) explode to one

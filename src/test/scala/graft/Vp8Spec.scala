@@ -89,6 +89,50 @@ class Vp8Spec extends AnyFunSuite {
       m.canvasH == 300 && m.kind == "lossy"), ext.toString)
   }
 
+  test("WebP EXIF chunk: both wild payload forms parse; the scrub " +
+      "drops the chunk, clears the flag, keeps pixels byte-identical") {
+    import graft.functions.ExifImpl
+    val rgba = Array.tabulate(8 * 6 * 4)(i => (i * 13 % 256).toByte)
+    val full = ImageCodecs.webpEncode(8, 6, rgba)
+    val sz = (full(16) & 0xff) | ((full(17) & 0xff) << 8) |
+      ((full(18) & 0xff) << 16) | ((full(19) & 0xff) << 24)
+    val vp8l = full.slice(20, 20 + sz)
+    val body = ExifImpl.buildTiffBody(6, "2024:01:02 03:04:05", "cam",
+      Some((45L, 1L, 90L, 1L)))
+    for (prefixed <- Seq(true, false)) {
+      val exifPayload =
+        if (prefixed) "Exif".getBytes("US-ASCII") ++
+          Array[Byte](0, 0) ++ body
+        else body
+      val webp = ImageCodecs.wrapWebp(Seq(
+        ("VP8X", ImageCodecs.vp8xPayload(8, 6, exifFlag = true)),
+        ("VP8L", vp8l), ("EXIF", exifPayload)))
+      val m = ImageCodecs.webpMeta(webp)
+      assert(m.exists(_.exif.exists(e => e.orientation.contains(6) &&
+        e.hasGps && e.latMicro.contains(45000000L) &&
+        e.lonMicro.contains(90000000L))), s"prefixed=$prefixed: $m")
+      val (clean, status) = ImageCodecs.stripWebpExif(webp)
+      assert(status == "scrubbed")
+      val after = ImageCodecs.webpMeta(clean)
+      assert(after.exists(_.exif.isEmpty), "EXIF must be gone")
+      assert((clean(20) & 0x0c) == 0, "VP8X EXIF/XMP flags cleared")
+      // pixels decode byte-identically after the scrub
+      val px0 = ImageCodecs.webpDecode(webp)
+      val px1 = ImageCodecs.webpDecode(clean)
+      assert(px0.isDefined && px1.isDefined &&
+        java.util.Arrays.equals(px0.get._4, px1.get._4))
+      // re-scrub reports clean with the payload unchanged
+      val (again, st2) = ImageCodecs.stripWebpExif(clean)
+      assert(st2 == "clean" && (again eq clean))
+    }
+    // a corrupt chunk size before EXIF: walk_failed, payload unchanged
+    val bad = ImageCodecs.wrapWebp(Seq(("VP8L", vp8l),
+      ("EXIF", body))).clone()
+    bad(16) = -1; bad(17) = -1; bad(18) = -1; bad(19) = 0x7f
+    val (out, st3) = ImageCodecs.stripWebpExif(bad)
+    assert(st3 == "walk_failed" && (out eq bad))
+  }
+
   test("refusals are total: interframe, bad start code, truncation, " +
       "non-webp") {
     val frame = Vp8.buildKeyFrameHeader(64, 64, 0, 0, 0, 0, 0, 50, 0, 0,
