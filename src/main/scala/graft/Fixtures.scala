@@ -145,12 +145,15 @@ object Fixtures {
     * web image dHashes IDENTICALLY to its PNG twin and the
     * cross-format join is replayable in closed form. The WebP encoding
     * ROTATES through the real-web VP8L envelope by id%8: 1 →
-    * literal-only, 3 → color cache, 5 → subtract-green + predictor,
-    * 7 → cache + predictor + cross-color + subtract-green — the gate
-    * goes red if the decoder mishandles any of them, with the oracle
-    * unchanged (same pixels either way). */
+    * literal-only (id%16==9 → the PALETTE/color-indexing transform
+    * with pixel bundling — every fixture image has ≤224 pixels, so
+    * ≤256 distinct colors by construction), 3 → color cache, 5 →
+    * subtract-green + predictor, 7 → cache + predictor + cross-color
+    * + subtract-green — the gate goes red if the decoder mishandles
+    * any of them, with the oracle unchanged (same pixels either
+    * way). */
   def webpGifDocs(spark: SparkSession, sfDir: String): String =
-    cached("webp_gif_docs2", sfDir) { dir =>
+    cached("webp_gif_docs3", sfDir) { dir =>
       import spark.implicits._
       import graft.functions.ImageCodecs
       val ids = table(spark, sfDir, "documents").select("doc_id")
@@ -171,6 +174,8 @@ object Fixtures {
               val p = i / 4; v(p % w, p / w, i % 4).toByte
             }
             (id % 8).toInt match {
+              case 1 if id % 16 == 9 =>
+                ImageCodecs.webpEncodePalette(w, h, rgba)
               case 1 => ImageCodecs.webpEncode(w, h, rgba)
               case 3 => ImageCodecs.webpEncode(w, h, rgba,
                 cacheBits = (id % 11).toInt + 1, predictor = false,

@@ -724,9 +724,12 @@ object ImageCodecs {
   /** Decode a WebP container holding a VP8L (lossless) stream to
     * (w, h, 4, interleaved RGBA). Envelope: color cache, LZ77,
     * subtract-green + predictor + cross-color transforms (spec §4.2),
-    * simple and code-length-coded prefix codes. Still refused: the
-    * color-indexing (palette) transform, meta prefix groups, and lossy
-    * VP8 (a different codec entirely) → None. */
+    * the color-indexing (palette) transform with pixel bundling
+    * (standalone — the form real palette images take), simple and
+    * code-length-coded prefix codes. Still refused: palette COMBINED
+    * with other transforms, meta prefix groups, and lossy VP8 (a
+    * different codec entirely — see [[Vp8]] for its header layer) →
+    * None. */
   def webpDecode(b: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
     if (b == null || b.length < 20) return None
     if (new String(b, 0, 4, "US-ASCII") != "RIFF" ||
@@ -757,6 +760,10 @@ object ImageCodecs {
     if (w.toLong * h * 4 >= (1L << 28)) return None
     var transforms = List.empty[Vp8lTransform] // prepend → reverse read order
     var seenTypes = Set.empty[Int]
+    // color indexing: (widthBits, cumulative table) — it changes the
+    // effective width the main image is READ at (pixel bundling), so
+    // within this envelope it must be the only transform
+    var indexing: Option[(Int, Array[Int])] = None
     while (r.bit() == 1) {
       val t = r.bits(2)
       if (seenTypes(t)) return None // each transform appears at most once
@@ -775,17 +782,63 @@ object ImageCodecs {
             .getOrElse(return None)
           transforms ::= ColorT(sizeBits, img)
         case 2 => transforms ::= SubtractGreenT
-        case _ => return None // color indexing out of envelope
+        case _ =>
+          // spec §4.2.4: 1..256 entries, DELTA-coded as a width×1
+          // entropy image (each entry adds to the previous, prev
+          // starts at 0), small palettes bundle several pixel indices
+          // per green byte
+          val tableSize = r.bits(8) + 1
+          val deltas = decodeImageStream(r, tableSize, 1,
+            isLevel0 = false).getOrElse(return None)
+          val table = new Array[Int](tableSize)
+          var prev = 0
+          var k = 0
+          while (k < tableSize) {
+            prev = addPixels(prev, deltas(k)); table(k) = prev; k += 1
+          }
+          val widthBits =
+            if (tableSize <= 2) 3
+            else if (tableSize <= 4) 2
+            else if (tableSize <= 16) 1
+            else 0
+          indexing = Some((widthBits, table))
       }
       if (r.truncated) return None
     }
-    val px = decodeImageStream(r, w, h, isLevel0 = true)
+    if (indexing.isDefined && transforms.nonEmpty) return None
+    val readW = indexing match {
+      case Some((wb, _)) => subSampleSize(w, wb)
+      case None => w
+    }
+    val px0 = decodeImageStream(r, readW, h, isLevel0 = true)
       .getOrElse(return None)
-    transforms.foreach {
-      case SubtractGreenT => inverseSubtractGreen(px)
-      case PredictorT(sb, img) =>
-        if (!inversePredictor(px, w, h, sb, img)) return None
-      case ColorT(sb, img) => inverseColorTransform(px, w, h, sb, img)
+    val px = indexing match {
+      case None =>
+        transforms.foreach {
+          case SubtractGreenT => inverseSubtractGreen(px0)
+          case PredictorT(sb, img) =>
+            if (!inversePredictor(px0, w, h, sb, img)) return None
+          case ColorT(sb, img) => inverseColorTransform(px0, w, h, sb, img)
+        }
+        px0
+      case Some((wb, table)) =>
+        // unpack bundled indices (first sub-pixel in the LOWEST bits of
+        // the green channel); out-of-range index → 0x00000000 per spec
+        val bpp = 8 >> wb
+        val mask = (1 << bpp) - 1
+        val out = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val packed = (px0(y * readW + (x >> wb)) >> 8) & 0xff
+            val idx = (packed >> ((x & ((1 << wb) - 1)) * bpp)) & mask
+            out(y * w + x) = if (idx < table.length) table(idx) else 0
+            x += 1
+          }
+          y += 1
+        }
+        out
     }
     val n = w * h
     val out = new Array[Byte](n * 4)
@@ -1053,6 +1106,78 @@ object ImageCodecs {
     o.write(cw & 0xff); o.write((cw >> 8) & 0xff); o.write((cw >> 16) & 0xff)
     o.write(ch & 0xff); o.write((ch >> 8) & 0xff); o.write((ch >> 16) & 0xff)
     o.toByteArray
+  }
+
+  /** PALETTE (color-indexing) VP8L encoder for fixtures: requires
+    * ≤ 256 distinct RGBA colors (first-appearance order — exact, no
+    * quantization); the table is delta-coded per the spec (prev
+    * starts at 0) and small palettes bundle 2/4/8 indices per green
+    * byte. Exact decode by construction. */
+  def webpEncodePalette(w: Int, h: Int, rgba: Array[Byte]): Array[Byte] = {
+    require(w > 0 && h > 0 && rgba.length == w * h * 4,
+      s"bad pixel buffer: ${w}x$h vs ${rgba.length}")
+    require(w <= (1 << 14) && h <= (1 << 14), "dims exceed VP8L's 14 bits")
+    val n = w * h
+    val argb = new Array[Int](n)
+    var p = 0
+    while (p < n) {
+      argb(p) = ((rgba(p * 4 + 3) & 0xff) << 24) |
+        ((rgba(p * 4) & 0xff) << 16) |
+        ((rgba(p * 4 + 1) & 0xff) << 8) | (rgba(p * 4 + 2) & 0xff)
+      p += 1
+    }
+    val colorIdx = mutable.LinkedHashMap.empty[Int, Int]
+    val indices = new Array[Int](n)
+    p = 0
+    while (p < n) {
+      val ix = colorIdx.getOrElseUpdate(argb(p), colorIdx.size)
+      require(ix < 256, "webpEncodePalette: more than 256 distinct colors")
+      indices(p) = ix
+      p += 1
+    }
+    val table = colorIdx.keys.toArray
+    val tableSize = table.length
+    val deltas = new Array[Int](tableSize)
+    var prev = 0
+    var k = 0
+    while (k < tableSize) {
+      deltas(k) = subPixels(table(k), prev); prev = table(k); k += 1
+    }
+    val widthBits =
+      if (tableSize <= 2) 3
+      else if (tableSize <= 4) 2
+      else if (tableSize <= 16) 1
+      else 0
+    val bpp = 8 >> widthBits
+    val readW = subSampleSize(w, widthBits)
+    val packed = new Array[Int](readW * h)
+    var y = 0
+    while (y < h) {
+      var xp = 0
+      while (xp < readW) {
+        var g = 0
+        var s = 0
+        while (s < (1 << widthBits)) {
+          val x = (xp << widthBits) + s
+          if (x < w) g |= indices(y * w + x) << (s * bpp)
+          s += 1
+        }
+        packed(y * readW + xp) = 0xff000000 | (g << 8)
+        xp += 1
+      }
+      y += 1
+    }
+    val bw = new BitWriter
+    bw.bits(w - 1, 14); bw.bits(h - 1, 14)
+    bw.bits(0, 1) // no alpha hint
+    bw.bits(0, 3) // version
+    bw.bits(1, 1); bw.bits(3, 2) // color-indexing transform
+    bw.bits(tableSize - 1, 8)
+    encodeImageStream(bw, tableSize, 1, deltas, 0, isLevel0 = false)
+    bw.bits(0, 1) // end of transforms
+    encodeImageStream(bw, readW, h, packed, 0, isLevel0 = true)
+    val payload = Array[Byte](0x2f.toByte) ++ bw.result()
+    wrapWebp(Seq(("VP8L", payload)))
   }
 
   /** Encode interleaved RGBA as a literal-only, transform-free VP8L

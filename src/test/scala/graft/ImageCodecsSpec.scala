@@ -282,6 +282,92 @@ class ImageCodecsSpec extends AnyFunSuite {
       "truncation inside the VP8L chunk must be refused")
   }
 
+  test("VP8L palette (color-indexing) round trip across every " +
+      "bundling width, ragged edges included") {
+    // palette sizes hitting widthBits 3/2/1/0 (8, 4, 2, 1 px per byte)
+    for ((colors, w, h) <- Seq((2, 19, 5), (4, 9, 7), (13, 21, 4),
+      (200, 23, 11))) {
+      val px = Array.tabulate(w * h * 4) { i =>
+        val p = i / 4; val c = p % colors
+        (i % 4 match {
+          case 0 => c * 37 % 256; case 1 => c * 11 % 256
+          case 2 => c * 53 % 256; case _ => 255 - c % 7
+        }).toByte
+      }
+      val webp = ImageCodecs.webpEncodePalette(w, h, px)
+      val got = ImageCodecs.webpDecode(webp)
+      assert(got.isDefined, s"palette $colors ${w}x$h")
+      assert(java.util.Arrays.equals(got.get._4, px),
+        s"palette pixels $colors ${w}x$h")
+    }
+    intercept[IllegalArgumentException] {
+      // 400 genuinely distinct colors
+      val many = Array.tabulate(20 * 20 * 4) { i =>
+        val p = i / 4
+        (i % 4 match {
+          case 0 => p % 256; case 1 => p / 256; case _ => 0
+        }).toByte
+      }
+      ImageCodecs.webpEncodePalette(20, 20, many)
+    }
+  }
+
+  test("VP8L palette interop: hand-built spec stream (delta from 0, " +
+      "lowest-bits-first bundling) decodes to the expected colors") {
+    // 4x1 image, 2-color palette {red, green} -> widthBits 3, one
+    // packed byte 0b0110 (indices 0,1,1,0; first sub-pixel at bit 0);
+    // table deltas: red - 0, then green - red (per-channel mod 256)
+    val bits = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def put(v: Int, n: Int): Unit =
+      (0 until n).foreach(i => bits += ((v >> i) & 1))
+    def putCode(code: Int, len: Int): Unit =
+      (len - 1 to 0 by -1).foreach(i => bits += ((code >> i) & 1))
+    put(3, 14); put(0, 14)       // 4x1
+    put(0, 1); put(0, 3)         // alpha hint, version
+    put(1, 1); put(3, 2)         // transform: color indexing
+    put(1, 8)                    // table size - 1 = 1
+    // table delta image (2x1): cache 0; trees then 2 delta pixels
+    put(0, 1)
+    // green {0x00, 0xff}: simple 2-symbol (1-bit first form)
+    put(1, 1); put(1, 1); put(0, 1); put(0, 1); put(0xff, 8)
+    // red {0x01, 0xff}: simple 2-symbol, s0 = 1 via the 1-bit form
+    put(1, 1); put(1, 1); put(0, 1); put(1, 1); put(0xff, 8)
+    // blue single 0; alpha {0x00, 0xff}; dist stub
+    put(1, 1); put(0, 1); put(0, 1); put(0, 1)
+    put(1, 1); put(1, 1); put(0, 1); put(0, 1); put(0xff, 8)
+    put(1, 1); put(0, 1); put(0, 1); put(0, 1)
+    // delta pixel 0: g=0x00 (code 0), r=0xff (code 1), a=0xff (code 1)
+    putCode(0, 1); putCode(1, 1); putCode(1, 1)
+    // delta pixel 1: g=0xff (code 1), r=0x01 (code 0), a=0x00 (code 0)
+    putCode(1, 1); putCode(0, 1); putCode(0, 1)
+    put(0, 1)                    // end of transforms
+    // main image (1x1): green single-symbol 6 (8-bit simple form);
+    // r/b/a single-symbol 0; dist stub; the pixel costs zero bits
+    put(0, 1); put(0, 1)         // no cache, no meta
+    put(1, 1); put(0, 1); put(1, 1); put(6, 8)
+    (0 until 3).foreach { _ => put(1, 1); put(0, 1); put(0, 1); put(0, 1) }
+    put(1, 1); put(0, 1); put(0, 1); put(0, 1)
+    val body = new java.io.ByteArrayOutputStream()
+    body.write(0x2f)
+    bits.grouped(8).foreach { grp =>
+      var b = 0
+      grp.zipWithIndex.foreach { case (v, i) => b |= v << i }
+      body.write(b)
+    }
+    val webp = ImageCodecs.wrapWebp(Seq(("VP8L", body.toByteArray)))
+    val got = ImageCodecs.webpDecode(webp)
+    assert(got.isDefined, "hand-built palette stream must decode")
+    val (w, h, _, px) = got.get
+    assert(w == 4 && h == 1)
+    val expected = Seq(
+      (0xff, 0x00, 0x00, 0xff), (0x00, 0xff, 0x00, 0xff),
+      (0x00, 0xff, 0x00, 0xff), (0xff, 0x00, 0x00, 0xff))
+      .flatMap { case (r, g, b, a) =>
+        Seq(r.toByte, g.toByte, b.toByte, a.toByte) }
+    assert(java.util.Arrays.equals(px, expected.toArray),
+      s"got ${px.toSeq}")
+  }
+
   test("gifEncode refuses >256 distinct colors loudly") {
     val w = 32; val h = 32 // 1024 distinct colors
     val px = Array.tabulate(w * h * 3) { i =>
