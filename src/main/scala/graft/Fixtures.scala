@@ -411,6 +411,39 @@ object Fixtures {
         .parquet(dir)
     }
 
+  /** MP3 streams with planted headers: per doc a Layer III stream
+    * whose version rotates V1/V2/V2.5 (id%3), bitrate index id%14+1,
+    * sample-rate index (id/3)%3, channel mode id%4, id%50+5 frames
+    * with padding alternating on odd ids; id%5==0 alternates a second
+    * bitrate index (a VBR stream), id%3==0 wraps in an ID3v2 tag of
+    * id%100 payload bytes. Every meta field replays in closed form
+    * (frame walk ⇒ exact duration). */
+  def mp3Docs(spark: SparkSession, sfDir: String): String =
+    cached("mp3_docs", sfDir) { dir =>
+      import spark.implicits._
+      import graft.functions.Mp3
+      val ids = table(spark, sfDir, "documents").select("doc_id")
+        .as[Long].collect().sorted
+      val rows = ids.toSeq.map { id =>
+        val verBits = (id % 3).toInt match {
+          case 0 => 3; case 1 => 2; case _ => 0
+        }
+        val bitrateIx = (id % 14).toInt + 1
+        val payload = Mp3.build(
+          verBits = verBits,
+          bitrateIx = bitrateIx,
+          rateIx = ((id / 3) % 3).toInt,
+          channelMode = (id % 4).toInt,
+          frames = (id % 50).toInt + 5,
+          bitrateIx2 = if (id % 5 == 0) (bitrateIx % 14) + 1 else -1,
+          alternatePadding = id % 2 == 1,
+          id3Size = if (id % 3 == 0) (id % 100).toInt else -1)
+        (id, payload)
+      }
+      rows.toDF("doc_id", "payload").coalesce(1).write.mode("overwrite")
+        .parquet(dir)
+    }
+
   /** REAL camera-style rotated JPEGs: per doc an upright flat-block
     * closed-form image at 8-multiple dims (wu = 8·(id%3+1),
     * hu = 8·(id%2+1) — rotations map the 8×8 block grid onto itself)

@@ -6560,6 +6560,26 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** MP3 frame-walk metadata
+    * ([[graft.operators.Multimodal.decodeMp3Meta]] over
+    * [[Fixtures.mp3Docs]]): version rotation across MPEG-1/2/2.5,
+    * bitrate/sample-rate tables, padded frame sizes, VBR detection,
+    * ID3v2 envelopes — the oracle replays every field including the
+    * exact frame-walk duration in closed form, so a one-byte frame-
+    * size error desyncs the walk and goes red on frames/duration. */
+  private def m29_mp3_meta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeMp3Meta(s.read.parquet(Fixtures.mp3Docs(s, dir)))
+      .select(col("doc_id"),
+        col("mp3_meta.version").as("version"),
+        col("mp3_meta.bitrate_kbps").as("bitrate_kbps"),
+        col("mp3_meta.sample_rate").as("sample_rate"),
+        col("mp3_meta.channels").as("channels"),
+        col("mp3_meta.frames").as("frames"),
+        col("mp3_meta.duration_ms").as("duration_ms"),
+        col("mp3_meta.vbr").as("vbr"),
+        col("mp3_meta.has_id3").as("has_id3"))
+      .orderBy("doc_id")
+
   private def m2_audio(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeAudioMeta(s.read.parquet(Fixtures.audioDocs(s, dir)))
       .select(col("doc_id"), col("audio_meta.sample_rate"),
@@ -7742,6 +7762,7 @@ object SparkEntry {
     "m26_oriented_jpeg" -> (m26_oriented_jpeg _),
     "m27_webp_meta" -> (m27_webp_meta _),
     "m28_webp_exif" -> (m28_webp_exif _),
+    "m29_mp3_meta" -> (m29_mp3_meta _),
     "ml6_confusion" -> (ml6_confusion _),
     "ml7_confusion_sweep" -> (ml7_confusion_sweep _),
     "t91_jsonld" -> (t91_jsonld _),
@@ -14160,6 +14181,40 @@ object SparkEntry {
            true AS exif_gone,
            CASE WHEN doc_id % 2 = 0 THEN true END AS pixels_intact
          FROM documents ORDER BY doc_id""",
+    // every planted MP3 header field by residue — the bitrate and
+    // sample-rate tables inline as lists, the frame-walk duration in
+    // integer arithmetic
+    "m29_mp3_meta" ->
+      """WITH d AS (SELECT doc_id,
+             doc_id % 3 AS vr, (doc_id // 3) % 3 AS rix,
+             doc_id % 14 + 1 AS bix, doc_id % 50 + 5 AS nf
+           FROM documents),
+         e AS (SELECT doc_id,
+             CASE vr WHEN 0 THEN '1' WHEN 1 THEN '2' ELSE '2.5' END
+               AS version,
+             CAST(CASE WHEN vr = 0
+               THEN ([32,40,48,56,64,80,96,112,128,160,192,224,256,
+                      320])[bix]
+               ELSE ([8,16,24,32,40,48,56,64,80,96,112,128,144,
+                      160])[bix]
+               END AS INT) AS bitrate_kbps,
+             CAST(CASE vr
+               WHEN 0 THEN ([44100,48000,32000])[rix + 1]
+               WHEN 1 THEN ([22050,24000,16000])[rix + 1]
+               ELSE ([11025,12000,8000])[rix + 1] END AS INT)
+               AS sample_rate,
+             CAST(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 2 END AS INT)
+               AS channels,
+             CAST(nf AS BIGINT) AS frames,
+             CASE WHEN vr = 0 THEN 1152 ELSE 576 END AS spf
+           FROM d)
+         SELECT doc_id, version, bitrate_kbps, sample_rate, channels,
+           frames,
+           CAST(frames * spf * 1000 // sample_rate AS BIGINT)
+             AS duration_ms,
+           doc_id % 5 = 0 AS vbr,
+           doc_id % 3 = 0 AS has_id3
+         FROM e ORDER BY doc_id""",
     // m21's closed-form dHash on BOTH sides of the web-format join:
     // the GIF/WebP re-encodes carry pixel-identical images, so their
     // hashes equal the PNG side's closed form; the exact-hash join

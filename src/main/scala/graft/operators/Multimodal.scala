@@ -1126,6 +1126,34 @@ object Multimodal {
     }
   }
 
+  private val mp3MetaType = StructType(Seq(
+    StructField("version", StringType, nullable = false),
+    StructField("layer", IntegerType, nullable = false),
+    StructField("bitrate_kbps", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("frames", LongType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("vbr", BooleanType, nullable = false),
+    StructField("has_id3", BooleanType, nullable = false)))
+
+  /** MP3 stream metadata ([[graft.functions.Mp3]]): the exact
+    * frame-walk count and duration plus the curation fields a crawled
+    * audio corpus filters on (bitrate as a quality signal, sample
+    * rate, channel mode, VBR, ID3 presence). Null meta for non-MP3 /
+    * non-Layer-III payloads. Executor-side mapPartitions like every
+    * codec here. */
+  def decodeMp3Meta(df: DataFrame, payloadCol: String = "payload",
+      metaCol: String = "mp3_meta"): DataFrame =
+    decodeMeta(df, payloadCol, metaCol, mp3MetaType) { bytes =>
+      graft.functions.Mp3.parse(bytes) match {
+        case Some(m) => Row(m.version, m.layer, m.bitrateKbps,
+          m.sampleRate, m.channels, m.frames, m.durationMs, m.vbr,
+          m.hasId3)
+        case None => null
+      }
+    }
+
   /** PDF embedded-image extraction + perceptual hashing: each payload's
     * image XObjects ([[graft.functions.PdfImpl.images]]) explode to one
     * row per image — `(image_ix, width, height, channels, filter,
