@@ -158,7 +158,7 @@ object Bench {
     // same map-side codec shape t50 slope-measures)
     "t107d_redirect_compaction", "t110_epoch_draw",
     "m25_progressive_dedup", "m26_oriented_jpeg", "m27_webp_meta",
-    "m28_webp_exif", "m29_mp3_meta")
+    "m28_webp_exif", "m29_mp3_meta", "m30_gif_anim")
 
   /** Queries measured on the replicated corpus for the scaling slope —
     * the shuffle-heavy pipeline shapes whose 100 TB behavior a plan read

@@ -411,6 +411,27 @@ object Fixtures {
         .parquet(dir)
     }
 
+  /** Animated GIFs with planted frame structure: id%20+1 frames of
+    * uniform delay id%30+2 centiseconds, a Netscape loop extension of
+    * id%10 iterations on id%4==0, logical screen id-derived — the
+    * closed-form animation metadata the m30 oracle replays. */
+  def gifAnimDocs(spark: SparkSession, sfDir: String): String =
+    cached("gif_anim_docs", sfDir) { dir =>
+      import spark.implicits._
+      import graft.functions.ImageCodecs
+      val ids = table(spark, sfDir, "documents").select("doc_id")
+        .as[Long].collect().sorted
+      val rows = ids.toSeq.map { id =>
+        val frames = (id % 20).toInt + 1
+        val delay = (id % 30).toInt + 2
+        (id, ImageCodecs.gifAnimBytes((id % 300).toInt + 10,
+          (id % 200).toInt + 10, Seq.fill(frames)(delay),
+          loop = if (id % 4 == 0) (id % 10).toInt else -1))
+      }
+      rows.toDF("doc_id", "payload").coalesce(1).write.mode("overwrite")
+        .parquet(dir)
+    }
+
   /** MP3 streams with planted headers: per doc a Layer III stream
     * whose version rotates V1/V2/V2.5 (id%3), bitrate index id%14+1,
     * sample-rate index (id/3)%3, channel mode id%4, id%50+5 frames

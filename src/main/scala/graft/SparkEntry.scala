@@ -6560,6 +6560,24 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** GIF animation metadata
+    * ([[graft.operators.Multimodal.decodeGifMeta]] over
+    * [[Fixtures.gifAnimDocs]]): frame counts, summed Graphic Control
+    * delays and Netscape loop counts replay in closed form — a block
+    * mis-skip anywhere in the walk shifts the frame count and goes
+    * red. Complements m22's poster-frame decode with the
+    * stills-vs-animations curation split. */
+  private def m30_gif_anim(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeGifMeta(s.read.parquet(Fixtures.gifAnimDocs(s, dir)))
+      .select(col("doc_id"),
+        col("gif_meta.width").as("width"),
+        col("gif_meta.height").as("height"),
+        col("gif_meta.frames").as("frames"),
+        col("gif_meta.animated").as("animated"),
+        col("gif_meta.total_delay_cs").as("total_delay_cs"),
+        col("gif_meta.loop_count").as("loop_count"))
+      .orderBy("doc_id")
+
   /** MP3 frame-walk metadata
     * ([[graft.operators.Multimodal.decodeMp3Meta]] over
     * [[Fixtures.mp3Docs]]): version rotation across MPEG-1/2/2.5,
@@ -7763,6 +7781,7 @@ object SparkEntry {
     "m27_webp_meta" -> (m27_webp_meta _),
     "m28_webp_exif" -> (m28_webp_exif _),
     "m29_mp3_meta" -> (m29_mp3_meta _),
+    "m30_gif_anim" -> (m30_gif_anim _),
     "ml6_confusion" -> (ml6_confusion _),
     "ml7_confusion_sweep" -> (ml7_confusion_sweep _),
     "t91_jsonld" -> (t91_jsonld _),
@@ -14215,6 +14234,19 @@ object SparkEntry {
            doc_id % 5 = 0 AS vbr,
            doc_id % 3 = 0 AS has_id3
          FROM e ORDER BY doc_id""",
+    // planted GIF animation structure by residue: uniform per-frame
+    // delays sum in closed form, loops on the id%4==0 subset
+    "m30_gif_anim" ->
+      """SELECT doc_id,
+           CAST(doc_id % 300 + 10 AS INT) AS width,
+           CAST(doc_id % 200 + 10 AS INT) AS height,
+           CAST(doc_id % 20 + 1 AS INT) AS frames,
+           doc_id % 20 + 1 > 1 AS animated,
+           CAST((doc_id % 20 + 1) * (doc_id % 30 + 2) AS BIGINT)
+             AS total_delay_cs,
+           CAST(CASE WHEN doc_id % 4 = 0 THEN doc_id % 10 END AS INT)
+             AS loop_count
+         FROM documents ORDER BY doc_id""",
     // m21's closed-form dHash on BOTH sides of the web-format join:
     // the GIF/WebP re-encodes carry pixel-identical images, so their
     // hashes equal the PNG side's closed form; the exact-hash join

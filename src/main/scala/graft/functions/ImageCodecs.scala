@@ -114,6 +114,125 @@ object ImageCodecs {
     None
   }
 
+  /** GIF container metadata — the ANIMATION fields [[gifDecode]]'s
+    * poster-frame contract ignores: logical-screen dims, frame count,
+    * per-frame Graphic Control delays summed to a total duration
+    * (centiseconds), and the Netscape loop count (0 = forever; -1 when
+    * the extension is absent — a still or single-play file). The walk
+    * skips LZW data block-wise (no pixel decode — O(blocks), not
+    * O(pixels)). None for non-GIF / walks that derail. */
+  final case class GifMeta(width: Int, height: Int, frames: Int,
+      animated: Boolean, totalDelayCs: Long, loopCount: Int)
+
+  def gifMeta(b: Array[Byte]): Option[GifMeta] = {
+    if (b == null || b.length < 14) return None
+    val sig = new String(b, 0, 6, "US-ASCII")
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    val w = u16le(b, 6); val h = u16le(b, 8)
+    val gFlags = b(10) & 0xff
+    var i = 13
+    if ((gFlags & 0x80) != 0) {
+      val n = 2 << (gFlags & 7)
+      if (i + 3L * n > b.length) return None
+      i += 3 * n
+    }
+    var frames = 0
+    var totalDelay = 0L
+    var loop = -1
+    def skipSubBlocks(start: Int): Int = {
+      var j = start
+      while (j < b.length && (b(j) & 0xff) != 0) {
+        val n = b(j) & 0xff
+        if (j + 1L + n > b.length) return -1
+        j += 1 + n
+      }
+      if (j >= b.length) -1 else j + 1
+    }
+    while (i < b.length) {
+      (b(i) & 0xff) match {
+        case 0x3B => // trailer
+          if (frames == 0) return None
+          return Some(GifMeta(w, h, frames, frames > 1, totalDelay, loop))
+        case 0x21 => // extension
+          if (i + 2 > b.length) return None
+          val label = b(i + 1) & 0xff
+          if (label == 0xF9 && i + 7 < b.length && (b(i + 2) & 0xff) >= 4)
+            totalDelay += u16le(b, i + 4) // GCE delay in centiseconds
+          if (label == 0xFF && i + 13 < b.length &&
+            (b(i + 2) & 0xff) == 11 &&
+            new String(b, i + 3, 11, "US-ASCII") == "NETSCAPE2.0") {
+            // app data sub-block: 0x03 0x01 <loop u16le>
+            val d = i + 14
+            if (d + 3 < b.length && (b(d) & 0xff) >= 3 &&
+              (b(d + 1) & 0xff) == 1)
+              loop = u16le(b, d + 2)
+          }
+          val next = skipSubBlocks(i + 2)
+          if (next < 0) return None
+          i = next
+        case 0x2C => // image descriptor
+          if (i + 10 > b.length) return None
+          val iFlags = b(i + 9) & 0xff
+          var j = i + 10
+          if ((iFlags & 0x80) != 0) {
+            val n = 2 << (iFlags & 7)
+            if (j + 3L * n > b.length) return None
+            j += 3 * n
+          }
+          if (j >= b.length) return None
+          j += 1 // LZW minimum code size
+          val next = skipSubBlocks(j)
+          if (next < 0) return None
+          frames += 1
+          i = next
+        case _ => return None
+      }
+    }
+    None // ran out before the trailer
+  }
+
+  /** Fixture builder: an animated GIF whose N frames are 1×1
+    * sub-images (no real pixel payloads needed for the metadata walk)
+    * with per-frame Graphic Control delays; `loop ≥ 0` plants the
+    * Netscape extension. */
+  def gifAnimBytes(w: Int, h: Int, delaysCs: Seq[Int],
+      loop: Int = -1): Array[Byte] = {
+    require(w >= 1 && h >= 1 && delaysCs.nonEmpty, "anim shape")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(w & 0xff); out.write(w >> 8)
+    out.write(h & 0xff); out.write(h >> 8)
+    out.write(0x80) // GCT, 2 entries
+    out.write(0); out.write(0)
+    out.write(0); out.write(0); out.write(0) // color 0 black
+    out.write(255); out.write(255); out.write(255)
+    if (loop >= 0) {
+      out.write(0x21); out.write(0xFF); out.write(11)
+      out.write("NETSCAPE2.0".getBytes("US-ASCII"))
+      out.write(3); out.write(1)
+      out.write(loop & 0xff); out.write((loop >> 8) & 0xff)
+      out.write(0)
+    }
+    delaysCs.foreach { d =>
+      out.write(0x21); out.write(0xF9); out.write(4)
+      out.write(0) // disposal/flags
+      out.write(d & 0xff); out.write((d >> 8) & 0xff)
+      out.write(0) // no transparent index
+      out.write(0) // terminator
+      out.write(0x2C)
+      out.write(0); out.write(0); out.write(0); out.write(0) // at (0,0)
+      out.write(1); out.write(0); out.write(1); out.write(0) // 1x1
+      out.write(0) // no LCT
+      out.write(2) // LZW min code size
+      // 1 pixel at 3-bit codes, LSB-first packing: clear(4) index(0)
+      // EOI(5) -> bytes 0x44, 0x01
+      out.write(2); out.write(0x44); out.write(0x01)
+      out.write(0) // block terminator
+    }
+    out.write(0x3B)
+    out.toByteArray
+  }
+
   /** GIF-variant LZW decode: variable code width from `min`+1 up to 12
     * bits, CLEAR resets, the shared add-then-maybe-widen rule (dict
     * size hitting 1<<width widens; at 4096 the dict freezes). */

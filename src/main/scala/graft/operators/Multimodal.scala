@@ -1126,6 +1126,30 @@ object Multimodal {
     }
   }
 
+  private val gifMetaType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("frames", IntegerType, nullable = false),
+    StructField("animated", BooleanType, nullable = false),
+    StructField("total_delay_cs", LongType, nullable = false),
+    StructField("loop_count", IntegerType, nullable = true)))
+
+  /** GIF animation metadata ([[graft.functions.ImageCodecs.gifMeta]]):
+    * frame count, summed Graphic Control delays and the Netscape loop
+    * count — the signals that separate stills from animations and
+    * memes from videos-as-GIFs in a crawled image corpus. Null meta
+    * for non-GIF payloads; no pixel decode (block-wise walk). */
+  def decodeGifMeta(df: DataFrame, payloadCol: String = "payload",
+      metaCol: String = "gif_meta"): DataFrame =
+    decodeMeta(df, payloadCol, metaCol, gifMetaType) { bytes =>
+      graft.functions.ImageCodecs.gifMeta(bytes) match {
+        case Some(m) => Row(m.width, m.height, m.frames, m.animated,
+          m.totalDelayCs,
+          if (m.loopCount >= 0) Int.box(m.loopCount) else null)
+        case None => null
+      }
+    }
+
   private val mp3MetaType = StructType(Seq(
     StructField("version", StringType, nullable = false),
     StructField("layer", IntegerType, nullable = false),

@@ -368,6 +368,34 @@ class ImageCodecsSpec extends AnyFunSuite {
       s"got ${px.toSeq}")
   }
 
+  test("gifMeta: animation structure, stills, loop extension, " +
+      "totality — and the 1x1 anim frames really decode") {
+    val anim = ImageCodecs.gifAnimBytes(320, 240, Seq(10, 20, 30), loop = 5)
+    val m = ImageCodecs.gifMeta(anim).get
+    assert(m.width == 320 && m.height == 240 && m.frames == 3 &&
+      m.animated && m.totalDelayCs == 60 && m.loopCount == 5, m.toString)
+    // the poster frame's LZW payload is genuinely decodable
+    val poster = ImageCodecs.gifDecode(anim)
+    assert(poster.exists(p => p._1 == 1 && p._2 == 1),
+      "1x1 frame decode: " + poster)
+    // no loop extension -> -1; single frame -> not animated
+    val single = ImageCodecs.gifAnimBytes(10, 10, Seq(7))
+    val sm = ImageCodecs.gifMeta(single).get
+    assert(sm.frames == 1 && !sm.animated && sm.totalDelayCs == 7 &&
+      sm.loopCount == -1)
+    // a still from the regular encoder: one frame, zero delay
+    val still = ImageCodecs.gifMeta(
+      ImageCodecs.gifEncode(4, 4, rgbPattern(1, 4, 4))).get
+    assert(still.frames == 1 && !still.animated &&
+      still.totalDelayCs == 0 && still.loopCount == -1)
+    // totality on truncations
+    (0 until anim.length by 11).foreach(cut =>
+      ImageCodecs.gifMeta(anim.take(cut)))
+    assert(ImageCodecs.gifMeta("not a gif".getBytes).isEmpty)
+    assert(ImageCodecs.gifMeta(anim.dropRight(1)).isEmpty,
+      "missing trailer refuses")
+  }
+
   test("gifEncode refuses >256 distinct colors loudly") {
     val w = 32; val h = 32 // 1024 distinct colors
     val px = Array.tabulate(w * h * 3) { i =>
