@@ -101,7 +101,11 @@ object ExplainCheck {
         // one agg), and the three codec-family gates (map-side kernels
         // + the m22-shaped exact-hash joins / one ordered projection)
         "t107d_redirect_compaction", "t110_epoch_draw",
-        "m25_progressive_dedup", "m26_oriented_jpeg", "m27_webp_meta")
+        "m25_progressive_dedup", "m26_oriented_jpeg", "m27_webp_meta",
+        // r20 second wave: container/byte-walk metadata projections
+        // (map-side kernels + one ordered projection each) and the
+        // WebP scrub gate (doc_id-keyed joins over the fixture)
+        "m28_webp_exif", "m29_mp3_meta", "m30_gif_anim")
     for (q <- qs) {
       val df = graft.SparkEntry.queries(q)(spark, dir)
       df.collect() // finalize AQE so the executed plan is the real one
