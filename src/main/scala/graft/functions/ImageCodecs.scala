@@ -1012,6 +1012,14 @@ object ImageCodecs {
     val codes = lens.map(canonicalCodes)
     def writeCode(ix: Int): Unit = {
       val used = freqs(ix).indices.filter(freqs(ix)(_) > 0)
+      if (used.isEmpty) {
+        // every pixel was a cache hit: this channel's tree is never
+        // consulted, but the stream still must carry a valid code —
+        // a 1-symbol simple form for symbol 0 (zero bits per use)
+        bw.bits(1, 1); bw.bits(0, 1); bw.bits(0, 1); bw.bits(0, 1)
+        java.util.Arrays.fill(lens(ix), 0)
+        return
+      }
       if (used.length <= 2 && used.forall(_ < 256)) { // simple form
         bw.bits(1, 1)
         bw.bits(used.length - 1, 1)
@@ -1169,6 +1177,10 @@ object ImageCodecs {
       val sz = (b(i + 4) & 0xff) | ((b(i + 5) & 0xff) << 8) |
         ((b(i + 6) & 0xff) << 16) | ((b(i + 7) & 0xff) << 24)
       if (sz < 0 || i + 8L + sz > b.length) return (b, "walk_failed")
+      // the RIFF pad byte after an odd-sized FINAL chunk is often
+      // omitted in the wild — clamp every copy to the bytes present
+      // (the never-throws contract) and re-pad the rewrite ourselves
+      val avail = (b.length - i - 8L - sz).min(sz & 1).toInt
       if (id == "EXIF" || id == "XMP ") changed = true
       else if (id == "VP8X" && sz >= 10) {
         body.write(b, i, 8)
@@ -1176,7 +1188,10 @@ object ImageCodecs {
         body.write(flags)
         body.write(b, i + 9, sz - 1)
         if ((sz & 1) == 1) body.write(0)
-      } else body.write(b, i, 8 + sz + (sz & 1))
+      } else {
+        body.write(b, i, 8 + sz + avail)
+        if ((sz & 1) == 1 && avail == 0) body.write(0)
+      }
       i += 8 + sz + (sz & 1)
     }
     if (!changed) return (b, "clean")

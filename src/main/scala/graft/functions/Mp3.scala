@@ -95,11 +95,15 @@ object Mp3 {
     if (b == null || b.length < 4) return None
     var i = 0
     var hasId3 = false
-    // ID3v2 envelope: "ID3" + version(2) + flags(1) + syncsafe size(4)
+    // ID3v2 envelope: "ID3" + version(2) + flags(1) + syncsafe size(4);
+    // the v2.4 footer flag (0x10) appends a 10-byte footer NOT counted
+    // in the size — skipping it is what keeps footer-tagged files
+    // inside the envelope
     if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
       val size = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
         ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
-      val end = 10L + size
+      val footer = if ((b(5) & 0x10) != 0) 10L else 0L
+      val end = 10L + size + footer
       if (end > b.length) return None
       hasId3 = true
       i = end.toInt
@@ -139,7 +143,8 @@ object Mp3 {
     * `id3Size` payload bytes (syncsafe-coded). */
   def build(verBits: Int, bitrateIx: Int, rateIx: Int,
       channelMode: Int, frames: Int, bitrateIx2: Int = -1,
-      alternatePadding: Boolean = false, id3Size: Int = -1): Array[Byte] = {
+      alternatePadding: Boolean = false, id3Size: Int = -1,
+      id3Footer: Boolean = false): Array[Byte] = {
     require(verBits == 3 || verBits == 2 || verBits == 0, "verBits")
     require(bitrateIx >= 1 && bitrateIx <= 14, "bitrateIx")
     require(rateIx >= 0 && rateIx <= 2, "rateIx")
@@ -148,10 +153,16 @@ object Mp3 {
     if (id3Size >= 0) {
       require(id3Size < (1 << 28), "id3Size")
       out.write('I'); out.write('D'); out.write('3')
-      out.write(4); out.write(0); out.write(0)
+      out.write(4); out.write(0); out.write(if (id3Footer) 0x10 else 0)
       out.write((id3Size >> 21) & 0x7f); out.write((id3Size >> 14) & 0x7f)
       out.write((id3Size >> 7) & 0x7f); out.write(id3Size & 0x7f)
       (0 until id3Size).foreach(_ => out.write(0))
+      if (id3Footer) {
+        out.write('3'); out.write('D'); out.write('I')
+        out.write(4); out.write(0); out.write(0x10)
+        out.write((id3Size >> 21) & 0x7f); out.write((id3Size >> 14) & 0x7f)
+        out.write((id3Size >> 7) & 0x7f); out.write(id3Size & 0x7f)
+      }
     }
     val rate = (verBits match {
       case 3 => RatesV1; case 2 => RatesV2; case _ => RatesV25

@@ -737,8 +737,15 @@ object Frontier {
     * 100 TB shape: pointer doubling — ceil(log2(maxChain)) rounds of
     * one equi-join of the permanent-moves map against ITSELF
     * (moves-sized, never corpus-sized), with the per-round persist +
-    * LogicalRDD barrier discipline keeping each round's plan O(1). Run
-    * at compaction time (the s25 discipline), not per wave. */
+    * LogicalRDD barrier discipline keeping each round's plan O(1).
+    * EVERY intermediate cache is released before return and the
+    * result is materialized via an eager localCheckpoint (lineage
+    * cut, blocks freed by the context cleaner once the frame is
+    * unreachable) — so the per-micro-batch caller
+    * ([[extendThroughMoves]] inside the streaming redirect ingest)
+    * cannot accumulate cached blocks across batches. Table-rewrite
+    * compaction still belongs at compaction time (the s25
+    * discipline). */
   def compactRedirectMoves(moves: DataFrame,
       maxChain: Int = 32): DataFrame = {
     require(maxChain >= 2 && maxChain <= 1024,
@@ -782,8 +789,10 @@ object Frontier {
     // after ceil(log2(maxChain)) doubling rounds every chain of length
     // ≤ maxChain has reached a terminal (a url with no permanent move);
     // a final_url still carried as a map key is a cycle or an
-    // over-budget chain — both refuse loudly
-    val keys = perm0.select(col("url").as("__k")).distinct()
+    // over-budget chain — both refuse loudly. Keys come from the
+    // BARRIER'D state (same url set as perm0 — the conflict guard
+    // raises, it never drops) so perm0's cache can be released.
+    val keys = state.select(col("url").as("__k"))
     val compacted = state
       .join(keys, state("final_url") === col("__k"), "left")
       .select(state("url"),
@@ -793,7 +802,15 @@ object Frontier {
           .otherwise(state("final_url")).as("final_url"),
         state("hops"),
         lit(true).as("permanent"), lit("resolved").as("outcome"))
-    compacted.unionByName(moves.filter(!isPerm))
+    // eager localCheckpoint: materializes the result (running the
+    // cycle guard NOW) and cuts the lineage, so unpersisting the last
+    // doubling round cannot force a recompute of the whole chain on a
+    // later action
+    val result = compacted.unionByName(moves.filter(!isPerm))
+      .localCheckpoint(true)
+    perm0.unpersist(false)
+    retained.unpersist(false)
+    result
   }
 
   /** Re-point a wave's RESOLVED rows through an accumulated moves

@@ -778,20 +778,30 @@ object Multimodal {
     }
 
   /** Marker walk to the frame header: true iff the payload's SOF is
-    * SOF2 (progressive). Total — false on anything malformed. */
+    * SOF2 (progressive). Skips 0xFF fill bytes exactly like the
+    * decoders do, so the format label always matches the path that
+    * decoded. Total — false on anything malformed. */
   private def jpegIsProgressive(b: Array[Byte]): Boolean = {
     if (b == null || b.length < 4 || (b(0) & 0xFF) != 0xFF ||
         (b(1) & 0xFF) != 0xD8) return false
     var i = 2
-    while (i + 4 <= b.length && (b(i) & 0xFF) == 0xFF) {
-      val marker = b(i + 1) & 0xFF
+    while (i < b.length && (b(i) & 0xFF) == 0xFF) {
+      // legal fill padding: any run of 0xFF precedes the marker byte
+      while (i < b.length && (b(i) & 0xFF) == 0xFF) i += 1
+      if (i >= b.length) return false
+      val marker = b(i) & 0xFF; i += 1
       if (marker == 0xC2) return true
       if ((marker >= 0xC0 && marker <= 0xCF) && marker != 0xC4 &&
           marker != 0xC8 && marker != 0xCC) return false // another SOF
       if (marker == 0xD9 || marker == 0xDA) return false
-      val len = ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
-      if (len < 2 || i + 2L + len > b.length) return false
-      i += 2 + len
+      if (marker >= 0xD0 && marker <= 0xD7) {
+        // stray RST: no length field
+      } else {
+        if (i + 2 > b.length) return false
+        val len = ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
+        if (len < 2 || i + 0L + len > b.length) return false
+        i += len
+      }
     }
     false
   }

@@ -368,6 +368,49 @@ class ImageCodecsSpec extends AnyFunSuite {
       s"got ${px.toSeq}")
   }
 
+  test("webpEncode survives an all-cache-hit image (empty r/b/a " +
+      "trees get valid 1-symbol codes)") {
+    // every pixel 0x00000000 hashes to the zero-initialized slot and
+    // scores a cache hit from the FIRST pixel on — r/b/a trees have
+    // zero used symbols
+    val clear = new Array[Byte](6 * 4 * 4)
+    for (cb <- Seq(1, 4)) {
+      val webp = ImageCodecs.webpEncode(6, 4, clear, cb, false, false, false)
+      val got = ImageCodecs.webpDecode(webp)
+      assert(got.isDefined && java.util.Arrays.equals(got.get._4, clear),
+        s"all-transparent roundtrip cb=$cb")
+    }
+  }
+
+  test("stripWebpExif tolerates a missing RIFF pad byte after an " +
+      "odd-sized final chunk (never throws)") {
+    val rgba = Array.tabulate(5 * 3 * 4)(i => (i * 11 % 256).toByte)
+    val full = ImageCodecs.webpEncode(5, 3, rgba)
+    val sz = (full(16) & 0xff) | ((full(17) & 0xff) << 8) |
+      ((full(18) & 0xff) << 16) | ((full(19) & 0xff) << 24)
+    val vp8l = full.slice(20, 20 + sz)
+    // build a container with an odd-sized trailing EXIF chunk and DROP
+    // its pad byte (a common wild-file deviation)
+    val oddExif = Array.tabulate(7)(i => (i + 1).toByte) // odd length
+    val wrapped = ImageCodecs.wrapWebp(Seq(("VP8L", vp8l),
+      ("EXIF", oddExif)))
+    val noPad = wrapped.dropRight(1) // drop the pad byte
+    // fix the RIFF size for the shortened file
+    val riffLen = noPad.length - 8
+    noPad(4) = (riffLen & 0xff).toByte
+    noPad(5) = ((riffLen >> 8) & 0xff).toByte
+    val (clean, status) = ImageCodecs.stripWebpExif(noPad)
+    assert(status == "scrubbed", status)
+    assert(ImageCodecs.webpMeta(clean).exists(_.exif.isEmpty))
+    // same shape with an odd-sized KEPT chunk missing its pad: the
+    // rewrite must re-pad rather than read past the end
+    val oddKept = ImageCodecs.wrapWebp(Seq(("VP8L", vp8l),
+      ("JUNK", oddExif), ("EXIF", Array[Byte](1, 2))))
+    val (clean2, status2) = ImageCodecs.stripWebpExif(oddKept)
+    assert(status2 == "scrubbed" &&
+      ImageCodecs.webpDecode(clean2).isDefined)
+  }
+
   test("gifMeta: animation structure, stills, loop extension, " +
       "totality — and the 1x1 anim frames really decode") {
     val anim = ImageCodecs.gifAnimBytes(320, 240, Seq(10, 20, 30), loop = 5)

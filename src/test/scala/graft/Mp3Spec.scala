@@ -53,6 +53,15 @@ class Mp3Spec extends AnyFunSuite {
       "first frame's bitrate + the vbr flag: " + vbr)
   }
 
+  test("ID3v2.4 footer flag: the 10-byte footer is skipped, not " +
+      "mistaken for a broken sync") {
+    val withFooter = Mp3.build(3, 9, 0, 0, 4, id3Size = 25,
+      id3Footer = true)
+    val m = Mp3.parse(withFooter)
+    assert(m.exists(k => k.frames == 4 && k.hasId3),
+      s"footer-tagged file must stay in the envelope: $m")
+  }
+
   test("walk totality: junk, truncation, oversized ID3, trailing tag") {
     assert(Mp3.parse(null).isEmpty)
     assert(Mp3.parse("not an mp3 stream".getBytes).isEmpty)
