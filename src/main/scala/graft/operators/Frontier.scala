@@ -644,6 +644,7 @@ object Frontier {
       col("__perm").as("perm"),
       array(col("__src")).as("visited"),
       lit(null).cast("string").as("outcome"))
+    val fuse = maxHops <= Graph.fuseLimit
     var retained: Option[DataFrame] = None
     for (_ <- 1 to maxHops) {
       val open = col("outcome").isNull
@@ -654,11 +655,14 @@ object Frontier {
       val excC = open && col("__src").isNotNull && !loopC &&
         (col("hops") + 1 > maxHops)
       val terminal = resolvedC || loopC || excC
+      // state's output names (url/cur/hops/perm/visited/outcome) and map's
+      // (__src/__perm/__loc) are disjoint, so the fused path can join and
+      // select by bare name; state appears once per round (linear plan)
       val stepped = state
-        .join(map, state("cur") === map("__src") && state("outcome").isNull,
+        .join(map, col("cur") === col("__src") && col("outcome").isNull,
           "left")
         .select(
-          state("url"),
+          col("url"),
           when(!open || terminal, col("cur")).otherwise(col("__loc"))
             .as("cur"),
           when(!open || terminal, col("hops")).otherwise(col("hops") + 1)
@@ -674,17 +678,24 @@ object Frontier {
             .when(loopC, lit("loop"))
             .when(excC, lit("exceeded"))
             .otherwise(lit(null).cast("string")).as("outcome"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      stepped.count() // materialize while the previous round's cache lives
-      val barrier = spark.createDataFrame(stepped.rdd, stepped.schema)
-      retained.foreach(_.unpersist(false))
-      retained = Some(stepped)
-      state = barrier
+      if (fuse) {
+        // fused single-plan walk (r20 optimization round): maxHops ≤ 8
+        // composes the bounded-hop join rounds into ONE job — no
+        // per-round persist/count/barrier; see Graph.pageRank's fused path
+        state = stepped
+      } else {
+        val persisted = stepped.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted.count() // materialize while the previous round's cache lives
+        val barrier = spark.createDataFrame(persisted.rdd, persisted.schema)
+        retained.foreach(_.unpersist(false))
+        retained = Some(persisted)
+        state = barrier
+      }
     }
-    map.unpersist(false)
+    if (!fuse) map.unpersist(false)
     // maxHops rounds terminate every row (hops caps at maxHops, and a
     // capped row terminates the next round) — the guard is defensive
-    state.select(
+    val result = state.select(
       col("url"),
       when(col("outcome").isNull, raise_error(concat(
         lit("resolveRedirects: walk did not terminate for "), col("url"))))
@@ -692,6 +703,7 @@ object Frontier {
       col("hops"),
       (col("outcome") === "resolved" && col("perm")).as("permanent"),
       col("outcome"))
+    if (fuse) CacheRelease.afterFirstAction(result, Seq(map)) else result
   }
 
   /** Fold PERMANENT resolved redirects into a url-keyed table — the
@@ -771,14 +783,22 @@ object Frontier {
     state.count()
     var retained: DataFrame = state
     val rounds = 32 - Integer.numberOfLeadingZeros(maxChain - 1) // ceil(log2)
+    // NOTE (r20 optimization round): the fused single-plan treatment that
+    // sped up pageRank/trustRank/resolveRedirects was tried here and
+    // REVERTED — each doubling round references state TWICE (probe + hop
+    // side), so a fused plan chains five unmaterialized double-referenced
+    // caches; measured: t107d 5.5 s → 10.8 s median with a 90 s worst
+    // pass. Pointer doubling genuinely needs the per-round materialize +
+    // barrier; the walk operators reference prior state ONCE per round,
+    // which is why fusion wins there and loses here.
     for (_ <- 1 to rounds) {
       val hop = state.select(col("url").as("__src"),
         col("final_url").as("__dst"), col("hops").as("__h"))
       val stepped = state
-        .join(hop, state("final_url") === hop("__src"), "left")
-        .select(state("url"),
-          coalesce(col("__dst"), state("final_url")).as("final_url"),
-          (state("hops") + coalesce(col("__h"), lit(0L))).as("hops"))
+        .join(hop, col("final_url") === col("__src"), "left")
+        .select(col("url"),
+          coalesce(col("__dst"), col("final_url")).as("final_url"),
+          (col("hops") + coalesce(col("__h"), lit(0L))).as("hops"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       stepped.count() // materialize while the previous round's cache lives
       val barrier = spark.createDataFrame(stepped.rdd, stepped.schema)

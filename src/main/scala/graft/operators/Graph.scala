@@ -13,6 +13,21 @@ object Graph {
   /** Rank scale: ranks are carried as integer parts-per-billion. */
   val RankScale = 1000000000L
 
+  /** Walks of at most this many iterations compose into ONE fused plan
+    * (one Spark job, stages pipelining across iterations); longer walks
+    * keep the per-round persist + count + LogicalRDD-barrier discipline
+    * that bounds lineage depth. 8 covers every declared gate (all use 5)
+    * while keeping the fused plan ~24 joins deep at worst — well inside
+    * Catalyst's comfort zone. */
+  val FuseIterationLimit = 8
+
+  /** Test hook: force the barrier path (Some(0)) or another threshold so
+    * the fused/barrier equivalence is assertable on identical inputs.
+    * Production code never sets this. */
+  private[graft] var fuseLimitOverride: Option[Int] = None
+  private[graft] def fuseLimit: Int =
+    fuseLimitOverride.getOrElse(FuseIterationLimit)
+
   /** Fixed-iteration PageRank (Page et al. 1999) over an edge list, in
     * EXACT fixed-point arithmetic: ranks are integer parts-per-billion
     * (ppb) and every update is integer multiply/divide/sum — so the result
@@ -53,9 +68,14 @@ object Graph {
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be in [0, 100], got $dampingPct")
     val spark = edges.sparkSession
+    // e is persisted: BOTH eo (its distinct side and its outdeg side) and
+    // the node set derive from it — uncached, the raw edge table is
+    // scanned + distinct'd twice (r20 optimization round, guide §2.4:
+    // one pass over the heavy input instead of two)
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val eo = e.join(
         e.groupBy("src").agg(count(lit(1)).as("outdeg")), Seq("src"))
       .repartition(col("src"))
@@ -69,6 +89,36 @@ object Graph {
     val teleport = (RankScale * (100 - dampingPct) / 100) / n
 
     var ranks = nodes.select(col("node"), lit(RankScale / n).as("rank_ppb"))
+    if (iterations <= fuseLimit) {
+      // FUSED path (r20 optimization round, guide §§1.2/2.6): a small fixed
+      // iteration count composes into ONE plan and ONE job — no per-round
+      // persist/count/barrier, so the walk pays one scheduling round trip
+      // instead of `iterations` sequential ones, and iteration i+1's stages
+      // pipeline behind i's inside a single DAG. ranks_{i-1} appears exactly
+      // once in ranks_i's plan, so the composed plan grows LINEARLY with
+      // iterations (contrast mmrRerank's O(3^k), which keeps its barriers).
+      // Joins are expressed over disjoint output column names (not
+      // df("col") refs): the fused right side carries the node set's
+      // lineage, and name-level resolution is what stays unambiguous.
+      for (_ <- 1 to iterations) {
+        val contrib = eo
+          .join(ranks.select(col("node").as("__rn"), col("rank_ppb")),
+            col("src") === col("__rn"))
+          .select(col("dst"), expr("rank_ppb DIV outdeg").as("c"))
+          .groupBy("dst").agg(sum(col("c")).as("in_ppb"))
+        ranks = nodes
+          .join(contrib.select(col("dst").as("__cd"), col("in_ppb")),
+            col("node") === col("__cd"), "left")
+          .select(col("node"),
+            (lit(teleport) +
+              expr(s"(COALESCE(in_ppb, 0L) * $dampingPct) DIV 100"))
+              .as("rank_ppb"))
+      }
+      // caches release after the caller's first completed action — the
+      // fused plan still references e/eo/nodes, so an eager unpersist here
+      // would recompute the edge prep once per iteration
+      return CacheRelease.afterFirstAction(ranks, Seq(e, eo, nodes))
+    }
     var retained: Option[DataFrame] = None // persisted frame backing `ranks`
     for (_ <- 1 to iterations) {
       val contrib = eo
@@ -94,6 +144,7 @@ object Graph {
     }
     // the returned frame is a pure LogicalRDD over the last generation's
     // cache: nothing references eo/nodes anymore
+    e.unpersist(false)
     eo.unpersist(false)
     nodes.unpersist(false)
     // the final generation's cache backs the returned frame (|V| rows of two
@@ -126,10 +177,12 @@ object Graph {
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be in [0, 100], got $dampingPct")
     val spark = edges.sparkSession
+    // e persisted for the same reason as pageRank's (one raw-edge pass)
     val e = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val eo = e.join(
         e.groupBy("src").agg(count(lit(1)).as("outdeg")), Seq("src"))
       .repartition(col("src"))
@@ -141,9 +194,17 @@ object Graph {
     val sd = seeds.select(col(seedCol).cast("long").as("node"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nSeeds = sd.count()
+    // ONE job for both seed checks (count + membership) instead of two
+    // sequential actions: same two values, same refusals
+    val seedChk = sd
+      .join(nodes.select(col("node").as("__gn")), col("node") === col("__gn"),
+        "left")
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__gn").isNull, 1L).otherwise(0L)).as("__unknown"))
+      .collect().head
+    val nSeeds = seedChk.getLong(0)
     require(nSeeds > 0, "empty trusted seed set")
-    val unknown = sd.join(nodes, Seq("node"), "left_anti").count()
+    val unknown = seedChk.getLong(1)
     require(unknown == 0,
       s"$unknown trusted seed(s) are not graph nodes — their trust " +
         "mass would silently vanish; seed from the graph's own hosts")
@@ -153,6 +214,26 @@ object Graph {
       .select(col("node"),
         when(col("__seed").isNotNull, lit(RankScale / nSeeds))
           .otherwise(lit(0L)).as("trust_ppb"))
+    if (iterations <= fuseLimit) {
+      // fused single-plan walk — see pageRank's fused path for the
+      // rationale; plan growth is linear in iterations here too
+      for (_ <- 1 to iterations) {
+        val contrib = eo
+          .join(ranks.select(col("node").as("__rn"), col("trust_ppb")),
+            col("src") === col("__rn"))
+          .select(col("dst"), expr("trust_ppb DIV outdeg").as("c"))
+          .groupBy("dst").agg(sum(col("c")).as("in_ppb"))
+        ranks = nodes
+          .join(contrib.select(col("dst").as("__cd"), col("in_ppb")),
+            col("node") === col("__cd"), "left")
+          .join(seedFlag, Seq("node"), "left")
+          .select(col("node"),
+            (when(col("__seed").isNotNull, lit(teleport)).otherwise(lit(0L)) +
+              expr(s"(COALESCE(in_ppb, 0L) * $dampingPct) DIV 100"))
+              .as("trust_ppb"))
+      }
+      return CacheRelease.afterFirstAction(ranks, Seq(e, eo, nodes, sd))
+    }
     var retained: Option[DataFrame] = None
     for (_ <- 1 to iterations) {
       val contrib = eo
@@ -173,6 +254,7 @@ object Graph {
       retained = Some(next)
       ranks = barrier
     }
+    e.unpersist(false)
     eo.unpersist(false)
     nodes.unpersist(false)
     sd.unpersist(false)
