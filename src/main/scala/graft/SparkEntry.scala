@@ -5748,8 +5748,16 @@ object SparkEntry {
     val kept = Dedup.exact(filtered, "doc_id", "text").select("doc_id")
       .join(filtered.select("doc_id", "text"), "doc_id")
     val evalSet = docs.filter(col("doc_id") % 100 === 0).select("text")
+    // `clean` feeds THREE consumers (the DSIR target slice, the DSIR raw
+    // side, the token join on the selected docs) — uncached, each one
+    // re-runs the full curation + decontamination chain (langid +
+    // quality metrics + exact dedup + the 3-gram overlap join). Persist
+    // it once per computation and release after the caller's first
+    // action (r20 optimization round, guide §5.2; cache cleared between
+    // bench passes, so every pass still computes from parquet).
     val clean = Decontaminate.decontaminate(kept, "doc_id", "text",
-      evalSet, "text", n = 3, threshold = 0.5)
+        evalSet, "text", n = 3, threshold = 0.5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val target = clean.filter(col("doc_id") % 10 === 1).select("text")
     val weights = graft.operators.Dsir.importanceWeights(
       clean, "doc_id", "text", target, "text", numBuckets = 1024)
@@ -5758,9 +5766,11 @@ object SparkEntry {
       .join(clean.select(col("doc_id"),
         size(TextFunctions.words(col("text"))).cast("long").as("tokens")),
         "doc_id")
-    graft.operators.Pack.packChop(toks, "doc_id", "tokens",
-        budget = 128, numShards = 4)
-      .orderBy("doc_id", "window_ix")
+    graft.operators.CacheRelease.afterFirstAction(
+      graft.operators.Pack.packChop(toks, "doc_id", "tokens",
+          budget = 128, numShards = 4)
+        .orderBy("doc_id", "window_ix"),
+      Seq(clean))
   }
 
   /** Deterministic source mixing: src0 ×2.5, src1 ×0.5, src2 dropped,
@@ -5823,15 +5833,24 @@ object SparkEntry {
     val n = size(lw)
     def ratio(i: Int): Column = when(n === 0, lit(0.0))
       .otherwise(element_at(counts, i).cast("double") * 10.0 / n)
+    // the narrow feature frame is consumed by BOTH the 15-iteration GD
+    // trainer and the final scoring pass — uncached, the tokenizing
+    // feature kernels re-run for each (the trainer caches its OWN
+    // internal projection, which doesn't cover the scoring pass).
+    // Persist it once per computation, release after the caller's first
+    // action (r20 optimization round, guide §5.2)
     val f = corpus.select(col("doc_id"), ratio(1).as("x1"),
-      ratio(2).as("x2"), col("y"))
+        ratio(2).as("x2"), col("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model = graft.operators.Regression.fitLogisticGD(f,
       Seq(col("x1"), col("x2")), col("y"), iterations = 15, lr = 2.0)
-    f.select(col("doc_id"),
-        graft.operators.Regression.logisticScore(model,
-          Seq(col("x1"), col("x2"))).as("score"))
-      .filter(col("score") >= 0.5)
-      .orderBy("doc_id")
+    graft.operators.CacheRelease.afterFirstAction(
+      f.select(col("doc_id"),
+          graft.operators.Regression.logisticScore(model,
+            Seq(col("x1"), col("x2"))).as("score"))
+        .filter(col("score") >= 0.5)
+        .orderBy("doc_id"),
+      Seq(f))
   }
 
   /** Retrieval-quality evaluation (recall@k / MRR / nDCG@k,

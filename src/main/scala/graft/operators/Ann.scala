@@ -1159,18 +1159,23 @@ object Ann {
     * and serving/RAG context assembly.
     *
     * Greedy selection is inherently sequential in k but NOT in queries or
-    * candidates: each of the k rounds is one anti-join (drop picked), one
-    * query-keyed equi-join against the picked set (≤ |cand|·k pairs per
-    * query — never a cross product; the kernel cosine runs inside codegen),
-    * one bounded max-aggregation and one per-query rank-1 window. Shuffle
-    * bytes per round are O(|queries|·|candidates|) — at 100 TB the
-    * candidate lists are the OUTPUT of ANN serving (topN per query), so
-    * every frame here is query-batch-sized, not corpus-sized. The
-    * operator is EAGER: the candidate frame is persisted once and each
-    * round materialized behind an RDD lineage barrier (the
-    * connectedComponents idiom — composing the rounds lazily would
-    * re-plan the candidate subplan O(3^k) times); both caches release
-    * after the caller's first completed action on the result.
+    * candidates — and a candidate list is by definition the OUTPUT of ANN
+    * serving (topN per query), so one query's list is bounded and fits one
+    * task. The operator therefore runs as ONE grouped kernel (r20
+    * optimization round, guide §§1.2, 2.6): a single shuffle groups each
+    * query's candidates onto one task, which runs all k greedy rounds
+    * in memory with the IDENTICAL double arithmetic as the former
+    * join-chain formulation (sequential-fold cosine, λ·rel − (1−λ)·max,
+    * ties to the smaller id, SQL null semantics: null scores order last,
+    * null cosines are ignored by the max). The former formulation paid
+    * k rounds of (anti-join + equi-join + aggregate + window), each
+    * materialized behind a persist + count + RDD barrier — 2k sequential
+    * jobs and 2 cache lifecycles per call. `maxCandidatesPerQuery`
+    * REFUSES loudly (the nswBuild doctrine) if a "candidate list"
+    * arrives corpus-sized. Queries whose id column is not integral or
+    * string fall back to the barrier formulation (kept verbatim; the
+    * kernel's id tiebreak must replicate Catalyst's ordering exactly,
+    * which is pinned only for those types).
     *
     * Ties break to the smaller id at every step, and λ defaults to 0.5
     * (exact in IEEE), so selection is deterministic and replayable by any
@@ -1184,9 +1189,149 @@ object Ann {
       vecCol: String,
       relCol: String,
       k: Int,
-      lambda: Double = 0.5): DataFrame = {
+      lambda: Double = 0.5,
+      maxCandidatesPerQuery: Int = 1 << 20): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val idType = candidates.schema(idCol).dataType
+    val kernelIds = idType match {
+      case ByteType | ShortType | IntegerType | LongType | StringType => true
+      case _ => false
+    }
+    if (!kernelIds)
+      return mmrRerankBarrier(candidates, queryCol, idCol, vecCol, relCol,
+        k, lambda)
+    val proj = candidates.select(
+      col(queryCol).as("__q"), col(idCol).as("__id"),
+      col(vecCol).as("__v"), col(relCol).cast("double").as("__rel"))
+    val outSchema = StructType(Seq(
+      proj.schema("__q").copy(name = queryCol),
+      proj.schema("__id").copy(name = idCol),
+      StructField("step", IntegerType, nullable = false)))
+    // Catalyst asc ordering for the supported id types: nulls first,
+    // integrals numeric, strings by UTF8 binary (NOT java String order)
+    val idCmp: (Any, Any) => Int = idType match {
+      case StringType => (a, b) =>
+        org.apache.spark.unsafe.types.UTF8String
+          .fromString(a.asInstanceOf[String])
+          .compareTo(org.apache.spark.unsafe.types.UTF8String
+            .fromString(b.asInstanceOf[String]))
+      case _ => (a, b) => java.lang.Long.compare(
+        a.asInstanceOf[Number].longValue(), b.asInstanceOf[Number].longValue())
+    }
+    val idCmpNull: (Any, Any) => Int = (a, b) =>
+      if (a == null && b == null) 0
+      else if (a == null) -1
+      else if (b == null) 1
+      else idCmp(a, b)
+    val kk = k; val lam = lambda; val cap = maxCandidatesPerQuery
+    // the sequential-fold cosine of graft.functions.CosineSimilarity,
+    // bit-identical (float/int elements pre-cast to double — exact)
+    def cos(x: Array[Double], y: Array[Double]): Double = {
+      val n = math.min(x.length, y.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) {
+        dot += x(i) * y(i); na += x(i) * x(i); nb += y(i) * y(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def toVec(v: Any): Array[Double] = v match {
+      case null => null
+      case s: scala.collection.Seq[_] => s.iterator.map {
+        case null => 0.0
+        case f: java.lang.Float => f.toDouble
+        case d: java.lang.Double => d.doubleValue()
+        case i: java.lang.Integer => i.toDouble
+        case o => o.asInstanceOf[Number].doubleValue()
+      }.toArray
+      case o => throw new IllegalArgumentException(
+        s"mmrRerank: $vecCol must be an array column, got ${o.getClass}")
+    }
+    proj.groupByKey { (r: Row) =>
+      if (r.isNullAt(0)) "" else "v" + String.valueOf(r.get(0))
+    }(Encoders.STRING).flatMapGroups { (_, it) =>
+      val rows = new scala.collection.mutable.ArrayBuffer[
+        (Any, Any, Array[Double], java.lang.Double)]()
+      var qVal: Any = null
+      for (r <- it) {
+        require(rows.length < cap,
+          s"mmrRerank: a query's candidate list exceeds " +
+            s"maxCandidatesPerQuery=$cap — MMR is a RERANK of a bounded " +
+            "shortlist; cut candidates upstream (ANN topN) rather than " +
+            "raising the cap")
+        qVal = r.get(0)
+        rows += ((r.get(0), r.get(1), toVec(r.get(2)),
+          if (r.isNullAt(3)) null else java.lang.Double.valueOf(r.getDouble(3))))
+      }
+      val pickedIds = new scala.collection.mutable.HashSet[Any]()
+      val pickedVecs = new scala.collection.mutable.ArrayBuffer[Array[Double]]()
+      val out = new scala.collection.mutable.ArrayBuffer[Row](kk)
+      var step = 1
+      var more = true
+      while (step <= kk && more) {
+        // score = rel on the first pick, λ·rel − (1−λ)·max-cos after;
+        // SQL semantics: null rel/msim → null score, null scores last
+        var best: (Any, Any, Array[Double], java.lang.Double) = null
+        var bestScore: java.lang.Double = null
+        for (c <- rows if !pickedIds.contains(c._2)) {
+          val score: java.lang.Double =
+            if (step == 1) c._4
+            else if (c._4 == null) null
+            else {
+              var msim: java.lang.Double = null
+              if (c._3 != null) {
+                var j = 0
+                while (j < pickedVecs.length) {
+                  val pv = pickedVecs(j)
+                  if (pv != null) {
+                    val s = cos(c._3, pv)
+                    if (msim == null || java.lang.Double.compare(s, msim) > 0)
+                      msim = s
+                  }
+                  j += 1
+                }
+              }
+              if (msim == null) null
+              else lam * c._4.doubleValue() -
+                (1.0 - lam) * msim.doubleValue()
+            }
+          val better =
+            if (best == null) true
+            else if (score == null && bestScore == null) idCmpNull(c._2, best._2) < 0
+            else if (score == null) false
+            else if (bestScore == null) true
+            else {
+              val d = java.lang.Double.compare(score, bestScore)
+              d > 0 || (d == 0 && idCmpNull(c._2, best._2) < 0)
+            }
+          if (better) { best = c; bestScore = score }
+        }
+        if (best == null) more = false
+        else {
+          pickedIds += best._2
+          pickedVecs += best._3
+          out += Row(qVal, best._2, step)
+          step += 1
+        }
+      }
+      out.iterator
+    }(Encoders.row(outSchema)).toDF()
+  }
+
+  /** The pre-r20 join-chain MMR — kept as the fallback for id types whose
+    * Catalyst ordering the grouped kernel does not replicate. Semantics
+    * identical to [[mmrRerank]]; cost k rounds of joins with per-round
+    * persist + count + RDD barrier. */
+  private def mmrRerankBarrier(
+      candidates: DataFrame,
+      queryCol: String,
+      idCol: String,
+      vecCol: String,
+      relCol: String,
+      k: Int,
+      lambda: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.storage.StorageLevel
     val spark = candidates.sparkSession

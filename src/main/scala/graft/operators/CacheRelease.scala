@@ -14,7 +14,7 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * plain lazy DataFrame. If a second action races the release it may
   * recompute (or briefly reuse) the cache — both are correct; only the
   * first action is guaranteed the cached plan. */
-private[operators] object CacheRelease {
+private[graft] object CacheRelease {
 
   /** Unrelated completed actions tolerated before a listener gives up
     * waiting and releases anyway: bounds the leak when a caller builds a

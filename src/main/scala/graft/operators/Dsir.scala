@@ -19,7 +19,8 @@ import org.apache.spark.sql.functions._
   *     hash, map-side;
   *  2. the raw and target bucket DISTRIBUTIONS aggregate to
   *     `numBuckets` rows each (map-side partial combine; the result is
-  *     broadcast-sized BY CONSTRUCTION, whatever the corpus size);
+  *     broadcast-sized BY CONSTRUCTION, whatever the corpus size), and
+  *     the totals are sums of the bucket rows, never a re-scan;
   *  3. per-doc scoring is one broadcast join of gram instances against
   *     the `numBuckets`-row log-ratio table plus a partial-aggregated
   *     sum per doc — the corpus shuffles only (id, partial-sum) rows;
@@ -94,14 +95,28 @@ object Dsir {
       gramBuckets(raw, textCol, numBuckets, ns, Seq(col(idCol)), hashMode)
     val tgtGrams =
       gramBuckets(target, targetTextCol, numBuckets, ns, Nil, hashMode)
+    // NOTE (r20 optimization round): pre-aggregating gram instances to
+    // (doc, bucket, cnt) so one extraction pass feeds both consumers via
+    // exchange reuse was tried and REVERTED — grams are mostly distinct
+    // per doc, so the "aggregate" shuffles ~every instance as a
+    // fixed-width row, and at 10× that shuffle cost MORE than the saved
+    // extraction pass (d23 tN 12.1 s → 19.2 s). The instance stream
+    // stays map-side: one extraction pass for the distribution, one for
+    // the broadcast-join scoring, zero instance-sized shuffles.
     val rawN = rawGrams.groupBy("bucket")
       .agg(count(lit(1)).cast("double").as("raw_n"))
     val tgtN = tgtGrams.groupBy("bucket")
       .agg(count(lit(1)).cast("double").as("tgt_n"))
-    // one-row totals frames (broadcast): B rows + 2 scalars, never a
-    // driver collect of data-scale state
-    val rawTotal = rawGrams.agg(count(lit(1)).cast("double").as("raw_total"))
-    val tgtTotal = tgtGrams.agg(count(lit(1)).cast("double").as("tgt_total"))
+    // one-row totals frames (broadcast): totals are the SUM of the
+    // per-bucket counts, so derive them from the B-row aggregates
+    // instead of re-scanning the gram streams — two full gram-extraction
+    // + hash passes removed (r20 optimization round, guide §1.2/§2.4;
+    // exact: counts are integers < 2^53, their double sum is the same
+    // value count() would produce)
+    val rawTotal =
+      rawN.agg(coalesce(sum("raw_n"), lit(0.0)).as("raw_total"))
+    val tgtTotal =
+      tgtN.agg(coalesce(sum("tgt_n"), lit(0.0)).as("tgt_total"))
     val b = lit(numBuckets.toDouble)
     // every bucket that appears in ANY raw doc has raw_n >= 1 (the
     // counts come from the same gram rows being scored), so a left

@@ -106,6 +106,43 @@ class MmrSpec extends SparkSpec {
     assert(pureRel.toSet === Set(1L, 2L))
   }
 
+  test("barrier fallback (non-integral id type) matches the grouped kernel") {
+    // double ids route to the legacy join-chain path (the kernel only
+    // replicates Catalyst's ordering for integral/string ids); both
+    // paths must agree with the reference greedy
+    val query = vec(5, 8)
+    val rows = (1L to 10L).map(id => (id, vec(id * 11 + 3, 8)))
+    val cands = mkCands(0L, rows, query)
+    val long = cands.map { case (id, v, rel) => (0L, id, v.toSeq, rel) }
+      .toDF("query_id", "vec_id", "embedding", "rel")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val dbl = long.withColumn("vec_id", col("vec_id").cast("double"))
+    val viaKernel = Ann.mmrRerank(long, "query_id", "vec_id", "embedding",
+        "rel", k = 4)
+      .orderBy("step").collect().map(r => (r.getLong(1), r.getInt(2))).toSeq
+    val viaBarrier = Ann.mmrRerank(dbl, "query_id", "vec_id", "embedding",
+        "rel", k = 4)
+      .orderBy("step").collect()
+      .map(r => (r.getDouble(1).toLong, r.getInt(2))).toSeq
+    assert(viaKernel === refMmr(cands, 4, 0.5))
+    assert(viaBarrier === viaKernel)
+  }
+
+  test("kernel refuses a candidate list above maxCandidatesPerQuery") {
+    val query = vec(2, 4)
+    val rows = (1L to 6L).map(id => (id, vec(id * 3 + 1, 4)))
+    val df = mkCands(0L, rows, query)
+      .map { case (id, v, rel) => (0L, id, v.toSeq, rel) }
+      .toDF("query_id", "vec_id", "embedding", "rel")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val e = intercept[org.apache.spark.SparkException] {
+      Ann.mmrRerank(df, "query_id", "vec_id", "embedding", "rel", k = 2,
+        maxCandidatesPerQuery = 5).collect()
+    }
+    assert(e.getMessage.contains("maxCandidatesPerQuery") ||
+      Option(e.getCause).exists(_.getMessage.contains("maxCandidatesPerQuery")))
+  }
+
   test("multi-query independence and plan has no cartesian/nested-loop join") {
     val qs = Seq(0L -> vec(3, 8), 1L -> vec(11, 8))
     val rowsPerQ = qs.map { case (qid, query) =>
