@@ -73,15 +73,15 @@ object GraphAnn {
     // staleness witness hashes (cluster, id) so copies cannot cancel
     val spark = index.clustered.sparkSession
     import spark.implicits._
-    val big = index.clustered.groupBy("gr_cluster").count()
-      .filter(col("count") > maxClusterNodes).limit(1).collect()
-    require(big.isEmpty,
-      s"cluster ${big.headOption.map(_.get(0)).orNull} exceeds " +
-        s"maxClusterNodes=$maxClusterNodes — a graph over it would not fit " +
-        "one task. Rebuild the IVF index with a larger nlist (the SemDeDup " +
-        "scaling recipe) rather than raising the cap.")
     val mm = m
     val efc = efConstruction
+    val cap = maxClusterNodes
+    // the oversized-cluster guard runs INSIDE the build kernel (counting
+    // while buffering, refusing before the buffer exceeds the cap) — the
+    // former separate groupBy+collect pre-check cost one full eager pass
+    // over the clustered frame per build (r20 optimization round, guide
+    // §1.2). Same loud refusal, surfaced at the first action instead of
+    // at build-call time.
     val adj = index.clustered
       .select(col("gr_cluster").cast("int").as("c"),
         col(idCol).cast("long").as("i"),
@@ -89,7 +89,16 @@ object GraphAnn {
       .as[(Int, Long, Seq[Double])]
       .groupByKey(_._1)
       .flatMapGroups { (cid, it) =>
-        val nodes = it.map(t => (t._2, t._3.toArray)).toArray.sortBy(_._1)
+        val buf = new scala.collection.mutable.ArrayBuffer[(Long, Array[Double])]()
+        for (t <- it) {
+          require(buf.length < cap,
+            s"cluster $cid exceeds maxClusterNodes=$cap — a graph over it " +
+              "would not fit one task. Rebuild the IVF index with a larger " +
+              "nlist (the SemDeDup scaling recipe) rather than raising the " +
+              "cap.")
+          buf += ((t._2, t._3.toArray))
+        }
+        val nodes = buf.toArray.sortBy(_._1)
         buildCluster(nodes, mm, efc).map { case (id, ns) => (cid, id, ns) }
       }
       .toDF("gr_cluster", "id", "neighbors")

@@ -315,10 +315,15 @@ class GraphAnnSpec extends SparkSpec {
   test("oversized cluster refuses loudly with the nlist remedy") {
     val df = corpus(50)
     val idx = Ann.ivfBuild(df, "id", "emb", nlist = 2)
-    val e = intercept[IllegalArgumentException] {
+    // the guard runs inside the build kernel (no separate pre-check
+    // pass), so the refusal surfaces at the first action on the graph
+    val e = intercept[Exception] {
       GraphAnn.nswBuild(idx, "id", m = 4, efConstruction = 8,
-        maxClusterNodes = 10)
+        maxClusterNodes = 10).adjacency.count()
     }
-    assert(e.getMessage.contains("nlist"))
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("\n")
+    assert(msgs.contains("nlist") && msgs.contains("maxClusterNodes"))
   }
 }
