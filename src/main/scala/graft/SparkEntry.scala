@@ -4207,12 +4207,19 @@ object SparkEntry {
       TextFunctions.langId(col("text")).as("lang_pred"),
       metrics("n_words").as("n_words"),
       metrics("stopword_ratio").as("stopword_ratio"))
+    // `filtered` feeds the exact-dedup AND the stats join-back —
+    // uncached, the langid + quality-metrics kernels re-ran per
+    // consumer (r20 optimization round, guide §5.2)
     val filtered = staged.filter(col("lang_pred") === "en" &&
-      col("n_words") >= 20 && col("stopword_ratio") > 0.03)
-    Dedup.exact(filtered, "doc_id", "text").select("doc_id", "n_copies")
-      .join(filtered.select("doc_id", "n_words", "stopword_ratio"), "doc_id")
-      .select("doc_id", "n_copies", "n_words", "stopword_ratio")
-      .orderBy("doc_id")
+        col("n_words") >= 20 && col("stopword_ratio") > 0.03)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.operators.CacheRelease.afterFirstAction(
+      Dedup.exact(filtered, "doc_id", "text").select("doc_id", "n_copies")
+        .join(filtered.select("doc_id", "n_words", "stopword_ratio"),
+          "doc_id")
+        .select("doc_id", "n_copies", "n_words", "stopword_ratio")
+        .orderBy("doc_id"),
+      Seq(filtered))
   }
 
   /** Crawl-delay politeness composed end-to-end: each host's robots
@@ -5134,20 +5141,27 @@ object SparkEntry {
       .agg(sum(col("n_chars")).as("tokens"))
       .select(concat(lit("s"), col("src_id").cast("string")).as("source"),
         col("tokens"), (col("src_id") % 4 + 1).as("cap"))
+    // `fill` (source-grain, K rows) is consumed by BOTH the weights
+    // collect and the final join — uncached, the second consumer re-ran
+    // the corpus aggregate + level walk behind it (r20 optimization
+    // round, guide §5.2); the collect materializes the cache
     val fill = graft.operators.Mixing.epochWaterfill(src, "source",
-      "tokens", "cap", budget = 250000L)
+        "tokens", "cap", budget = 250000L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val weights = fill.select("source", "epochs_milli").collect()
       .map(r => r.getString(0) -> r.getLong(1) / 1000.0).toMap
     val drawn = graft.operators.Mixing.resample(docs, "doc_id", "source",
         weights)
       .groupBy("source")
       .agg(count(lit(1)).as("__n"), sum(col("n_chars")).as("__t"))
-    fill.join(drawn, Seq("source"), "left")
-      .select(col("source"), col("tokens").as("unique_tokens"),
-        col("cap_epochs"), col("epochs_milli"), col("alloc_tokens"),
-        col("saturated"),
-        coalesce(col("__n"), lit(0L)).as("n_draw_rows"),
-        coalesce(col("__t"), lit(0L)).as("drawn_tokens"))
+    graft.operators.CacheRelease.afterFirstAction(
+      fill.join(drawn, Seq("source"), "left")
+        .select(col("source"), col("tokens").as("unique_tokens"),
+          col("cap_epochs"), col("epochs_milli"), col("alloc_tokens"),
+          col("saturated"),
+          coalesce(col("__n"), lit(0L)).as("n_draw_rows"),
+          coalesce(col("__t"), lit(0L)).as("drawn_tokens")),
+      Seq(fill))
       .orderBy("source")
   }
 
@@ -5743,8 +5757,12 @@ object SparkEntry {
       TextFunctions.langId(col("text")).as("lang_pred"),
       metrics("n_words").as("n_words"),
       metrics("stopword_ratio").as("stopword_ratio"))
+    // `filtered` is consumed twice inside `kept` (exact dedup + text
+    // join-back) — persist so the langid/metrics kernels run once (the
+    // t64 pattern; released with `clean` below)
     val filtered = staged.filter(col("lang_pred") === "en" &&
-      col("n_words") >= 20 && col("stopword_ratio") > 0.03)
+        col("n_words") >= 20 && col("stopword_ratio") > 0.03)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val kept = Dedup.exact(filtered, "doc_id", "text").select("doc_id")
       .join(filtered.select("doc_id", "text"), "doc_id")
     val evalSet = docs.filter(col("doc_id") % 100 === 0).select("text")
@@ -5770,7 +5788,7 @@ object SparkEntry {
       graft.operators.Pack.packChop(toks, "doc_id", "tokens",
           budget = 128, numShards = 4)
         .orderBy("doc_id", "window_ix"),
-      Seq(clean))
+      Seq(filtered, clean))
   }
 
   /** Deterministic source mixing: src0 ×2.5, src1 ×0.5, src2 dropped,
@@ -7272,9 +7290,17 @@ object SparkEntry {
       lit(s"<p>$boiler</p>"),
       lit("<footer>Copyright "), col("doc_id"),
       lit(" <a href=\"/privacy\">Privacy</a></footer></body></html>"))
+    // dropFrequentLines consumes its input THREE times (frequent-line
+    // count, anti-join keep, per-doc line count); uncached, the
+    // mainContent + mojibake kernels re-ran per consumer. Persist the
+    // kernel output once per computation (r20 optimization round, guide
+    // §5.2); the cheap split/posexplode still runs per consumer — the
+    // shuffle structure (tiny (hash, count) aggregates, anti-join) is
+    // unchanged, only the expensive map-side kernels are deduplicated.
     val extracted = docs.select(col("doc_id"),
-      graft.functions.MojibakeRepairExpr(
-        graft.functions.TextFunctions.mainContent(html)).as("text"))
+        graft.functions.MojibakeRepairExpr(
+          graft.functions.TextFunctions.mainContent(html)).as("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lined = graft.operators.Dedup.dropFrequentLines(
       extracted, "doc_id", "text", minCount = 3)
     val hosts = array(lit("news.example.com"), lit("blog.example.co.uk"),
@@ -7289,12 +7315,14 @@ object SparkEntry {
         lit("/p/"), col("doc_id").cast("string")).as("url"),
       when(col("doc_id") % 6 === 2, base % 30)
         .otherwise(base % 70 + 30).as("score"))
-    graft.operators.Frontier.dropLowQualityDomains(scored, "url", "score",
-        Seq("com", "org", "net", "co.uk", "ac.uk", "github.io"),
-        minMeanNum = 40L)
-      .select(col("doc_id"), col("domain"), col("score"),
-        col("text_clean"), col("n_dropped"))
-      .orderBy("doc_id")
+    graft.operators.CacheRelease.afterFirstAction(
+      graft.operators.Frontier.dropLowQualityDomains(scored, "url", "score",
+          Seq("com", "org", "net", "co.uk", "ac.uk", "github.io"),
+          minMeanNum = 40L)
+        .select(col("doc_id"), col("domain"), col("score"),
+          col("text_clean"), col("n_dropped"))
+        .orderBy("doc_id"),
+      Seq(extracted))
   }
 
   /** JSON-LD structured-data harvest

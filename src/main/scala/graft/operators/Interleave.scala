@@ -86,7 +86,12 @@ object Interleave {
       lit("media").as("kind"),
       phContent.as("content"),
       lit(mediaTokens.toLong).as("tokens"))
+    // `elements` feeds BOTH the token totals and the final join —
+    // uncached, the chunking kernel (tokenize + slice per doc) re-ran
+    // for each consumer. Persist once per computation, release after
+    // the caller's first action (r20 optimization round, guide §5.2).
     val elements = chunks.unionByName(placeholders)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = elements.groupBy(col(idCol))
       .agg(sum("tokens").as("__doc_tokens"))
     val packed = Pack
@@ -94,9 +99,11 @@ object Interleave {
       .select(col(idCol), col("shard"), col("bin"))
     val w = Window.partitionBy("shard", "bin")
       .orderBy(col(idCol), col("elem_ix"))
-    elements.join(packed, idCol)
-      .withColumn("seq", (row_number().over(w) - 1).cast("long"))
-      .select(col(idCol), col("shard"), col("bin"), col("seq"),
-        col("elem_ix"), col("kind"), col("content"), col("tokens"))
+    CacheRelease.afterFirstAction(
+      elements.join(packed, idCol)
+        .withColumn("seq", (row_number().over(w) - 1).cast("long"))
+        .select(col(idCol), col("shard"), col("bin"), col("seq"),
+          col("elem_ix"), col("kind"), col("content"), col("tokens")),
+      Seq(elements))
   }
 }
