@@ -791,20 +791,38 @@ object Frontier {
     // pass. Pointer doubling genuinely needs the per-round materialize +
     // barrier; the walk operators reference prior state ONCE per round,
     // which is why fusion wins there and loses here.
-    for (_ <- 1 to rounds) {
+    // early exit (r20 optimization round, guide §1.2): the doubling
+    // fixpoint is usually reached well before ceil(log2(maxChain))
+    // rounds (real cross-wave chains are 2–3 hops; 5 rounds cover 32).
+    // The materializing action doubles as the convergence probe — it
+    // counts the rows that took a hop this round instead of count(),
+    // so a converged table stops the loop with ZERO extra jobs. A
+    // round that moves nothing is the fixpoint: every later round
+    // would left-join to the same misses and change no row.
+    var round = 0
+    var converged = false
+    while (round < rounds && !converged) {
+      round += 1
       val hop = state.select(col("url").as("__src"),
         col("final_url").as("__dst"), col("hops").as("__h"))
       val stepped = state
         .join(hop, col("final_url") === col("__src"), "left")
         .select(col("url"),
           coalesce(col("__dst"), col("final_url")).as("final_url"),
-          (col("hops") + coalesce(col("__h"), lit(0L))).as("hops"))
+          (col("hops") + coalesce(col("__h"), lit(0L))).as("hops"),
+          col("__dst").isNotNull.as("__moved"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      stepped.count() // materialize while the previous round's cache lives
-      val barrier = spark.createDataFrame(stepped.rdd, stepped.schema)
+      // materialize while the previous round's cache lives AND read the
+      // moved-row count from the same single job
+      val movedN = stepped
+        .agg(coalesce(sum(when(col("__moved"), 1L).otherwise(0L)), lit(0L)))
+        .head.getLong(0)
+      val next = stepped.select("url", "final_url", "hops")
+      val barrier = spark.createDataFrame(next.rdd, next.schema)
       retained.unpersist(false)
       retained = stepped
       state = barrier
+      converged = movedN == 0L
     }
     // after ceil(log2(maxChain)) doubling rounds every chain of length
     // ≤ maxChain has reached a terminal (a url with no permanent move);

@@ -178,6 +178,25 @@ class RedirectSpec extends SparkSpec {
       s"one-pass $onePass vs iterated $iterated")
   }
 
+  test("compactRedirectMoves early exit: a converged table yields the " +
+      "same rows whatever the round budget") {
+    // 9-hop chain (needs 4 doubling rounds) + short chains that converge
+    // after round 2 — the loop must stop at the moved-rows fixpoint and
+    // produce identical results under any budget that covers the chain
+    val moves = movesDf(
+      ((0 until 9).map(i => (s"c$i", s"c${i + 1}", 1L, true, "resolved")) ++
+        Seq(("x", "y", 1L, true, "resolved"),
+            ("y", "z", 1L, true, "resolved"))): _*)
+    def run(budget: Int): Map[String, (String, Long)] =
+      Frontier.compactRedirectMoves(moves, maxChain = budget).collect()
+        .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val tight = run(16)   // 4 rounds budgeted, early exit at fixpoint
+    val loose = run(1024) // 10 rounds budgeted, must exit early too
+    assert(tight == loose, s"$tight vs $loose")
+    assert(tight("c0") == (("c9", 9L)) && tight("c8") == (("c9", 1L)))
+    assert(tight("x") == (("z", 2L)) && tight("y") == (("z", 1L)))
+  }
+
   test("compactRedirectMoves refuses permanent cycles and divergent " +
       "targets loudly") {
     val cyc = movesDf(
