@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout straight through instead of re-logging it
+// with an "[info] " prefix: the bench/verify mains print one machine-read
+// JSON line on stdout, and the logger prefix makes that line unparseable
+// to anything that expects bare JSON (every BENCH_r*.json since r01 shows
+// "[info] {\"metric\"...}" and parsed:null).
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -494,11 +494,37 @@ object Bench {
     val failed = results.count(_._2 < 0)
     val total = results.collect { case (_, m, _) if m >= 0 => m }.sum
 
+    // The driver-facing contract line: headline medians only. The 10×
+    // scale leg and the write leg (below) are opt-in via
+    // SPARK_GRAFT_SCALE_FACTOR — both r20 driver bench runs timed out
+    // (rc=124, no JSON printed) because the full scale leg (replica
+    // write + 88 queries × 3 passes at 10×) had outgrown the driver's
+    // wall-clock budget. A driver run (which does not set the env) now
+    // gets the headline numbers in well under the budget; local slope
+    // measurements set SPARK_GRAFT_SCALE_FACTOR=10 explicitly and get
+    // the identical legs as r01–r20 (same estimator, same interleaving).
+    // Per-query spreads stay in target/bench_last.json — the stdout line
+    // carries the contract keys (metric/value/unit/queries/sf + the
+    // passes/failed/scale/write additions) and nothing that doubles its
+    // length.
+    def contractLine(scaleJson: String, writeJson: String): String =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"passes":$passes,"failed":$failed,"scale":$scaleJson,"write":$writeJson,"sf":"$sfDir"}"""
+    def persist(name: String, line: String): Unit =
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(name), line + "\n")
+      catch { case _: Throwable => () }
+
     // scaling-slope leg: the same query fns on a factor×-replicated dir,
     // one timed run each (code paths are JIT-warm from the main passes).
     // slope = tN / (t1 · factor): ~1 linear, <1 fixed costs amortizing,
     // >1 super-linear — a red flag worth a plan read.
-    val scaleFactor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val scaleFactor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "0").toInt
+    if (scaleFactor > 1) {
+      // a scale-leg run is long: persist the headline numbers first so a
+      // killed run still leaves them on disk (they are final — the legs
+      // below never revise a headline median)
+      persist("target/bench_headline.json", contractLine("\"pending\"", "\"pending\""))
+    }
     // built once, shared by the scale leg and the write leg below
     lazy val scaledDir: String = buildScaledDir(spark, sfDir, scaleFactor)
     val scaleJson =
@@ -599,14 +625,15 @@ object Bench {
             f""""slope_med":${srt(srt.size / 2) / (t1 * scaleFactor)}%.2f}}"""
         }
       }
-    val line =
+    // full record (per-query spreads included) beside the stdout line: a
+    // tail-capture of a long headline section must not be the only copy
+    val fullLine =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"passes":$passes,"failed":$failed,"scale":$scaleJson,"write":$writeJson,"sf":"$sfDir"}"""
-    println(line)
-    // also persist the full JSON beside the stdout line: a tail-capture of
-    // a long headline section must not be the only copy of the numbers
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("target/bench_last.json"), line + "\n")
-    catch { case _: Throwable => () }
+    persist("target/bench_last.json", fullLine)
+    // stop Spark BEFORE printing the contract line so no executor/log
+    // chatter can interleave after it — it must be the last stdout line
     spark.stop()
+    println(contractLine(scaleJson, writeJson))
+    System.out.flush()
   }
 }
