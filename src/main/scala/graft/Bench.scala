@@ -448,6 +448,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.core.LogHygiene.silenceBoundedWindowWarn()
 
     // fixture warmup (cached layouts) + JIT/codegen warmup on the small SF
     Fixtures.hiveLineitem(spark, sfDir)

@@ -1172,10 +1172,25 @@ object Ann {
     * materialized behind a persist + count + RDD barrier — 2k sequential
     * jobs and 2 cache lifecycles per call. `maxCandidatesPerQuery`
     * REFUSES loudly (the nswBuild doctrine) if a "candidate list"
-    * arrives corpus-sized. Queries whose id column is not integral or
-    * string fall back to the barrier formulation (kept verbatim; the
-    * kernel's id tiebreak must replicate Catalyst's ordering exactly,
-    * which is pinned only for those types).
+    * arrives corpus-sized — the default (65536) is shortlist-scale so
+    * the refusal fires before one task buffers executor-threatening
+    * vectors, not after. Inputs whose id OR query column is not
+    * integral/string fall back to the barrier formulation (kept
+    * verbatim): the kernel's id tiebreak must replicate Catalyst's
+    * ordering exactly, and its group key must be injective on the query
+    * values — pinned only for those types (binary keys are
+    * identity-hashed by JVM arrays, struct/array keys can collide on
+    * their rendering, and float/double split -0.0 from 0.0 where SQL
+    * grouping normalizes them).
+    *
+    * Degenerate-input contract (where the two formulations diverge, so
+    * both are OUT of contract): candidate ids must be non-null and
+    * (query, id) pairs unique — a null id is re-pickable every round in
+    * the join formulation but deduped by the kernel's picked-set, a
+    * null query value runs all k steps in the kernel but only step 1 in
+    * the join chain, and duplicate (query, id) rows are scored per-row
+    * by the kernel but max-merged by the join's groupBy. ANN serving
+    * output (the operator's input by definition) satisfies all three.
     *
     * Ties break to the smaller id at every step, and λ defaults to 0.5
     * (exact in IEEE), so selection is deterministic and replayable by any
@@ -1190,17 +1205,20 @@ object Ann {
       relCol: String,
       k: Int,
       lambda: Double = 0.5,
-      maxCandidatesPerQuery: Int = 1 << 20): DataFrame = {
+      maxCandidatesPerQuery: Int = 1 << 16): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
-    val idType = candidates.schema(idCol).dataType
-    val kernelIds = idType match {
+    def kernelSafe(dt: DataType): Boolean = dt match {
       case ByteType | ShortType | IntegerType | LongType | StringType => true
       case _ => false
     }
-    if (!kernelIds)
+    val idType = candidates.schema(idCol).dataType
+    // the id gate pins the tiebreak ordering; the query gate pins group-key
+    // injectivity (String.valueOf is identity-based for binary, collides
+    // for struct/array renderings, and splits -0.0 from 0.0 for floats)
+    if (!kernelSafe(idType) || !kernelSafe(candidates.schema(queryCol).dataType))
       return mmrRerankBarrier(candidates, queryCol, idCol, vecCol, relCol,
         k, lambda)
     val proj = candidates.select(

@@ -765,20 +765,24 @@ object Frontier {
     import org.apache.spark.storage.StorageLevel
     val spark = moves.sparkSession
     val isPerm = col("outcome") === "resolved" && col("permanent")
-    val perm0 = moves.filter(isPerm)
-      .select(col("url"), col("final_url"), col("hops")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // divergent permanent targets for one source refuse loudly — the
-    // guard reads the count from the join's other side so Catalyst
-    // cannot push the raise below the join
-    val conflictN = perm0.groupBy("url").agg(count(lit(1)).as("__n"))
-    var state = perm0
-      .join(conflictN, "url")
+    // ONE url-keyed aggregation builds the deduped map AND the
+    // divergent-target refusal (r21 optimization round, guide §2.4): the
+    // former distinct() → groupBy-count → self-join spelling cost three
+    // exchanges and a persist of the pre-guard frame; collect_set over
+    // (final_url, hops) collapses replay duplicates exactly like the
+    // distinct (struct equality, nulls equal) and a set wider than one
+    // element IS the conflicting-permanent-targets condition the join
+    // formulation raised on. The raise reads the set size, so Catalyst
+    // cannot fold it below the aggregation.
+    var state = moves.filter(isPerm)
+      .groupBy("url")
+      .agg(collect_set(struct(col("final_url"), col("hops"))).as("__fs"))
       .select(
-        when(col("__n") > 1, raise_error(concat(
+        when(size(col("__fs")) > 1, raise_error(concat(
           lit("compactRedirectMoves: conflicting permanent targets for "),
           col("url")))).otherwise(col("url")).as("url"),
-        col("final_url"), col("hops"))
+        col("__fs").getItem(0).getField("final_url").as("final_url"),
+        col("__fs").getItem(0).getField("hops").as("hops"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     state.count()
     var retained: DataFrame = state
@@ -828,8 +832,8 @@ object Frontier {
     // ≤ maxChain has reached a terminal (a url with no permanent move);
     // a final_url still carried as a map key is a cycle or an
     // over-budget chain — both refuse loudly. Keys come from the
-    // BARRIER'D state (same url set as perm0 — the conflict guard
-    // raises, it never drops) so perm0's cache can be released.
+    // BARRIER'D state (same url set as the guard aggregation emits —
+    // the conflict guard raises, it never drops).
     val keys = state.select(col("url").as("__k"))
     val compacted = state
       .join(keys, state("final_url") === col("__k"), "left")
@@ -846,7 +850,6 @@ object Frontier {
     // later action
     val result = compacted.unionByName(moves.filter(!isPerm))
       .localCheckpoint(true)
-    perm0.unpersist(false)
     retained.unpersist(false)
     result
   }
@@ -1025,19 +1028,28 @@ object Frontier {
     val hosts = e.select(col("__sh").as("host"))
       .union(e.select(col("__dh").as("host")))
       .distinct()
-    val counts = hosts
-      .agg(count(lit(1)).as("nh"),
-        countDistinct(hid(col("host"))).as("nid"))
-      .collect().head
-    require(counts.getLong(0) == counts.getLong(1),
-      s"host-id hash collision: ${counts.getLong(0)} hosts -> " +
-        s"${counts.getLong(1)} ids — rank mass would silently merge")
+    // the collision guard rides the result plan as a broadcast one-row
+    // gate instead of an eager collect (r21 optimization round, guide
+    // §1.2 — the nswBuild guard-fold precedent): the former collect was
+    // a separate blocking job that paid the full link harvest before
+    // the walk job could start; folded, the harvest materializes once
+    // inside the single action and both the guard and the walk read the
+    // cache. Same refusal text, surfaced at the first action.
+    val guard = hosts.agg(count(lit(1)).as("__nh"),
+      countDistinct(hid(col("host"))).as("__nid"))
     val ranked = Graph.pageRank(
         e.select(hid(col("__sh")).as("src"), hid(col("__dh")).as("dst")),
         "src", "dst", iterations, dampingPct)
       .join(hosts.select(col("host"), hid(col("host")).as("__hid")),
         col("node") === col("__hid"))
-      .select(col("host"), col("rank_ppb"))
+      .crossJoin(broadcast(guard))
+      .select(
+        when(col("__nh") =!= col("__nid"), raise_error(concat(
+          lit("host-id hash collision: "), col("__nh").cast("string"),
+          lit(" hosts -> "), col("__nid").cast("string"),
+          lit(" ids — rank mass would silently merge"))))
+          .otherwise(col("host")).as("host"),
+        col("rank_ppb"))
     CacheRelease.afterFirstAction(ranked, Seq(e))
   }
 
@@ -1064,13 +1076,10 @@ object Frontier {
     val hosts = e.select(col("__sh").as("host"))
       .union(e.select(col("__dh").as("host")))
       .distinct()
-    val counts = hosts
-      .agg(count(lit(1)).as("nh"),
-        countDistinct(hid(col("host"))).as("nid"))
-      .collect().head
-    require(counts.getLong(0) == counts.getLong(1),
-      s"host-id hash collision: ${counts.getLong(0)} hosts -> " +
-        s"${counts.getLong(1)} ids — trust mass would silently merge")
+    // broadcast one-row collision gate instead of an eager collect —
+    // see hostRank (r21 optimization round, guide §1.2)
+    val guard = hosts.agg(count(lit(1)).as("__nh"),
+      countDistinct(hid(col("host"))).as("__nid"))
     val ranked = Graph.trustRank(
         e.select(hid(col("__sh")).as("src"), hid(col("__dh")).as("dst")),
         "src", "dst",
@@ -1078,7 +1087,14 @@ object Frontier {
         iterations, dampingPct)
       .join(hosts.select(col("host"), hid(col("host")).as("__hid")),
         col("node") === col("__hid"))
-      .select(col("host"), col("trust_ppb"))
+      .crossJoin(broadcast(guard))
+      .select(
+        when(col("__nh") =!= col("__nid"), raise_error(concat(
+          lit("host-id hash collision: "), col("__nh").cast("string"),
+          lit(" hosts -> "), col("__nid").cast("string"),
+          lit(" ids — trust mass would silently merge"))))
+          .otherwise(col("host")).as("host"),
+        col("trust_ppb"))
     CacheRelease.afterFirstAction(ranked, Seq(e))
   }
 

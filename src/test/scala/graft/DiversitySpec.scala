@@ -128,6 +128,46 @@ class MmrSpec extends SparkSpec {
     assert(viaBarrier === viaKernel)
   }
 
+  test("barrier fallback (non-integral query type) matches the grouped kernel") {
+    // double query keys route to the join-chain path: the kernel's group
+    // key (String.valueOf) is not injective on doubles (-0.0 vs 0.0) nor
+    // on binary/struct/array query values, where SQL grouping semantics
+    // differ from the rendered-string key
+    val query = vec(9, 8)
+    val rows = (1L to 10L).map(id => (id, vec(id * 7 + 2, 8)))
+    val cands = mkCands(0L, rows, query)
+    val long = cands.map { case (id, v, rel) => (0L, id, v.toSeq, rel) }
+      .toDF("query_id", "vec_id", "embedding", "rel")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val dblQ = long.withColumn("query_id", col("query_id").cast("double"))
+    val viaKernel = Ann.mmrRerank(long, "query_id", "vec_id", "embedding",
+        "rel", k = 4)
+      .orderBy("step").collect().map(r => (r.getLong(1), r.getInt(2))).toSeq
+    val out = Ann.mmrRerank(dblQ, "query_id", "vec_id", "embedding", "rel",
+      k = 4)
+    // routed to the barrier path: no grouped-kernel node in the plan
+    assert(!out.queryExecution.analyzed.toString.contains("MapGroups"),
+      out.queryExecution.analyzed.toString)
+    val viaBarrier = out.orderBy("step").collect()
+      .map(r => (r.getLong(1), r.getInt(2))).toSeq
+    assert(viaKernel === refMmr(cands, 4, 0.5))
+    assert(viaBarrier === viaKernel)
+  }
+
+  test("the default candidate cap refuses shortlists above 65536") {
+    // the default must fire while one task buffers a shortlist-scale
+    // list — NOT after it has accumulated a corpus-scale buffer
+    val big = spark.range(70000).select(
+      lit(0L).as("query_id"), col("id").as("vec_id"),
+      array(lit(1.0f), lit(0.5f)).as("embedding"), lit(1.0).as("rel"))
+    val e = intercept[org.apache.spark.SparkException] {
+      Ann.mmrRerank(big, "query_id", "vec_id", "embedding", "rel", k = 1)
+        .collect()
+    }
+    assert(e.getMessage.contains("maxCandidatesPerQuery") ||
+      Option(e.getCause).exists(_.getMessage.contains("maxCandidatesPerQuery")))
+  }
+
   test("kernel refuses a candidate list above maxCandidatesPerQuery") {
     val query = vec(2, 4)
     val rows = (1L to 6L).map(id => (id, vec(id * 3 + 1, 4)))

@@ -53,14 +53,24 @@ class GraphSpec extends SparkSpec {
     // each hop attenuates: the mass arriving at 3 is 85% of what
     // arrived at 2 one iteration earlier
     assert(r2(3L) < r1(2L))
-    // refusals: empty seed set; a seed that is not a graph node
-    intercept[IllegalArgumentException] {
-      Graph.trustRank(edges, "src", "dst",
-        Seq.empty[Long].toDF("s"), "s")
+    // refusals: empty seed set; a seed that is not a graph node. The
+    // fused walk folds the seed validation into the plan (r21), so the
+    // refusal surfaces at the first ACTION, wrapped by Spark — walk the
+    // cause chain for the message (the nswBuild guard convention)
+    def refusalMessage(thunk: => org.apache.spark.sql.DataFrame,
+        needle: String): Unit = {
+      val e = intercept[Exception] { thunk.collect() }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+        .mkString("\n")
+      assert(msgs.contains(needle), msgs)
     }
-    intercept[IllegalArgumentException] {
-      Graph.trustRank(edges, "src", "dst", Seq(77L).toDF("s"), "s")
-    }
+    refusalMessage(
+      Graph.trustRank(edges, "src", "dst", Seq.empty[Long].toDF("s"), "s"),
+      "empty trusted seed set")
+    refusalMessage(
+      Graph.trustRank(edges, "src", "dst", Seq(77L).toDF("s"), "s"),
+      "not graph nodes")
   }
 
   test("total mass never exceeds the scale and hubs outrank leaves") {

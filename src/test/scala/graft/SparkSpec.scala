@@ -13,6 +13,10 @@ object TestSpark {
     .config("spark.ui.enabled", "false")
     .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
     .getOrCreate()
+  // the suite's global windows are operator-bounded by contract; the
+  // per-execution WindowExec WARN was the dominant line in captured
+  // test-output tails (see graft.core.LogHygiene)
+  graft.core.LogHygiene.silenceBoundedWindowWarn()
 }
 
 abstract class SparkSpec extends AnyFunSuite {
