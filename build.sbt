@@ -10,6 +10,14 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// The default `sbt test` run excludes tests tagged graft.Slow (volume /
+// fuzz-depth variants whose behavior is still covered by untagged tests
+// at smaller size): the full suite outgrew the per-round verification
+// budget — the r20 run was killed mid-suite with zero failures. Run
+// everything with GRAFT_RUN_SLOW=1 sbt test.
+Test / testOptions ++= (
+  if (sys.env.get("GRAFT_RUN_SLOW").contains("1")) Seq.empty
+  else Seq(Tests.Argument(TestFrameworks.ScalaTest, "-l", "graft.Slow")))
 run / fork := true
 // Pass the forked run's stdout straight through instead of re-logging it
 // with an "[info] " prefix: the bench/verify mains print one machine-read

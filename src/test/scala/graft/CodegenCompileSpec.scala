@@ -79,14 +79,24 @@ class CodegenCompileSpec extends SparkSpec {
     "t73_docx_extract",         // Docx zip/XML codec (r17)
   )
 
-  test("kernel gates run end-to-end under CODEGEN_ONLY (fallback would throw)") {
+  /** The families whose generated code references model OBJECTS (word-list
+    * sets, automata, codebooks) or array<struct> rows — the shapes Janino
+    * has actually rejected (the r15 term_set_best defect was this class).
+    * This subset stays in the default `sbt test` run; the full one-gate-
+    * per-family sweep below is tagged Slow (volume variant of the same
+    * defect-class check, ~60 s of the suite's budget). */
+  private val referenceObjGates = Seq(
+    "t1_langid", "t63_unigram_tokens", "t57_dictionary_tag", "p1_ann_pq",
+    "d2_dedup_minhash", "t65b_main_content_blocks")
+
+  private def codegenOnlySweep(gates: Seq[String]): Unit = {
     val conf = spark.conf
     val prevFactory = conf.getOption("spark.sql.codegen.factoryMode")
     val prevFallback = conf.getOption("spark.sql.codegen.fallback")
     conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
     conf.set("spark.sql.codegen.fallback", "false")
     try {
-      for (q <- kernelGates) {
+      for (q <- gates) {
         val rows =
           try SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").collect()
           catch {
@@ -102,5 +112,14 @@ class CodegenCompileSpec extends SparkSpec {
       prevFallback.fold(conf.unset("spark.sql.codegen.fallback"))(
         v => conf.set("spark.sql.codegen.fallback", v))
     }
+  }
+
+  test("reference-object kernel gates run under CODEGEN_ONLY (default gate)") {
+    codegenOnlySweep(referenceObjGates)
+  }
+
+  test("kernel gates run end-to-end under CODEGEN_ONLY (fallback would throw)",
+      Slow) {
+    codegenOnlySweep(kernelGates.filterNot(referenceObjGates.contains))
   }
 }

@@ -2088,7 +2088,10 @@ class StreamsSpec extends SparkSpec {
     val q = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
       .writeStream.format("parquet").option("path", out)
       .option("checkpointLocation", cp)
-      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(60000))
+      // a long-interval trigger made processAllAvailable wait out most of
+      // a full 60 s period (the test spent 60 s idle); 2 s keeps the query
+      // equally live-and-idle at reflection time without the dead wait
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(2000))
       .start()
     try {
       q.processAllAvailable()

@@ -96,8 +96,11 @@ class RecallSpec extends SparkSpec {
     assert(recallOf(back) == r2)
   }
 
+  // Slow: the statistical depth variant of the composition the a15c gate
+  // pins exactly (planted truth) and the untagged multi-assign IVF test
+  // measures on the same layout delta — ~16 s of the default budget
   test("graph ANN composes with soft multi-assignment: the boundary " +
-      "recall lift carries to the serving index") {
+      "recall lift carries to the serving index", Slow) {
     // same layout delta as the IVF test above (identical seed → identical
     // centroids), probed through per-cluster NSW walks at full beam: the
     // walk is exact within probed clusters, so candidates under
